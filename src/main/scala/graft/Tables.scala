@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-provided TPC-H-ish test data
+  * (TESTDATA.md). One parquet file per table under `dir`.
+  *
+  * At cluster scale the same call reads a partitioned directory; nothing
+  * here assumes a single file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNanoTimestamps(df)
+  }
+
+  /** Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a long.
+    * Convert such columns back to microsecond timestamps (matching
+    * DuckDB's ns→µs truncation) so query code sees TimestampType.
+    * Column-name-driven: only `ts` is a nano column in TESTDATA. */
+  private def normalizeNanoTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        // integral DIV, not `/`: double division loses µs precision on
+        // epoch-nanos (~1.7e18 > 2^53)
+        d.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else d
+    }
+  }
+}

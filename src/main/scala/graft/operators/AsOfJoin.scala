@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join.
+  *
+  * For each left row, attaches the latest right row whose `rightTs` is
+  * `<=` the left row's `leftTs`, matching on equality of `keys`. Left
+  * rows with no prior right row keep null attached columns (left-outer
+  * semantics).
+  *
+  * Spark has no native as-of join, so this composes built-ins the
+  * scalable way: union both sides, ONE hash shuffle on `keys`, then a
+  * running `last(..., ignoreNulls)` window ordered by time. No
+  * range-join explosion, no per-key collect — at 100 TB this is a
+  * single sort-based shuffle that AQE can skew-split, and the window is
+  * a streaming pass within each key partition.
+  *
+  * Right-side values ride in one struct so that all attached columns
+  * come from the SAME right row (per-column `last` could otherwise mix
+  * rows when the right side has nulls).
+  *
+  * Tie rule: a right row with `rightTs == leftTs` IS visible to that
+  * left row (right sorts before left at equal timestamps), matching
+  * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+  */
+object AsOfJoin {
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      attachPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightTs +: rightVals).map(col): _*)
+
+    // 0 = right (sorts first at equal ts), 1 = left.
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__payload", lit(null).cast(payloadType(right, rightTs, rightVals)))
+    val r = right
+      .select((keys ++ (rightTs +: rightVals)).distinct.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__payload", payload)
+      .drop((rightTs +: rightVals).filterNot(keys.contains): _*)
+    // Align left-only columns as nulls on the right side.
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = l.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*)
+      .unionByName(rAligned.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*))
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter($"__side" === 1)
+
+    val attached = matched
+      .withColumn(s"$attachPrefix$rightTs", col(s"__match.$rightTs"))
+    val withVals = rightVals.foldLeft(attached) { (df, v) =>
+      df.withColumn(s"$attachPrefix$v", col(s"__match.$v"))
+    }
+    withVals.select((leftCols ++ (rightTs +: rightVals).map(v => s"$attachPrefix$v")).map(col): _*)
+  }
+
+  private def payloadType(right: DataFrame, rightTs: String, rightVals: Seq[String]) = {
+    import org.apache.spark.sql.types._
+    StructType((rightTs +: rightVals).map(c => right.schema(c).copy(nullable = true)))
+  }
+}

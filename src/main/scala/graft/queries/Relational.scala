@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** The general relational surface (SURVEY.md §2.5/§2.6): aggregation,
+  * joins (broadcast/semi/anti/as-of), windows, set ops, grouping sets,
+  * sort/limit — all Spark built-ins, declared lazily so Catalyst does
+  * pushdown/pruning/broadcast selection.
+  *
+  * Numeric discipline for oracle hash-parity (driver compares against
+  * DuckDB): aggregate in DECIMAL (exact, associative — immune to
+  * shuffle-order float drift), surface as DOUBLE via a deterministic
+  * cast. Raw column values pass through untouched. Every query output
+  * is deterministically ordered by a unique key.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: filter → partial-agg (map-side
+    * combine) → final agg. One shuffle on the 2-key group. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Filter + projection — exists to prove scan-level predicate
+    * pushdown and column pruning (check `PushedFilters`/`ReadSchema`
+    * in explain; the parquet scan must read 5 of 11 columns). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Star join: fact (orders) joined to 3 small dims. Dims are
+    * broadcast (auto under the 10 MB threshold at any SF — nation and
+    * region are constant-size; customer is broadcast-hinted since a
+    * customer dim is typically 1000× smaller than the fact table). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition top-k then a single driver merge; no full sort. */
+  def q4SortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Window functions: per-user ordering, rank + lag. One shuffle on
+    * user_id; the window is a streaming pass per partition. */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Distinct aggregates (expand + two-phase agg under the hood). */
+  def q6DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** GROUPING SETS — detail, per-status subtotal, and grand total in
+    * one pass (Expand operator; single shuffle). */
+  def q7GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.createOrReplaceTempView("graft_q7_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status_g,
+        |       coalesce(o_orderpriority, 'ALL') AS prio_g,
+        |       count(1) AS n_orders,
+        |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+        |FROM graft_q7_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status_g, prio_g""".stripMargin)
+  }
+
+  /** Left-semi join: customers having at least one finished order.
+    * Semi joins never duplicate left rows and ship only the join key. */
+  def q8SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val fOrders = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    customer
+      .join(fOrders, customer("c_custkey") === fOrders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no order in 2001. */
+  def q9AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    customer
+      .join(recent, customer("c_custkey") === recent("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION-distinct with an op tag. */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val fCust = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val both = building.intersect(fCust).withColumn("op", lit("intersect"))
+    val only = building.except(fCust).withColumn("op", lit("except"))
+    val either = building.union(fCust).distinct().withColumn("op", lit("union"))
+    both.unionByName(only).unionByName(either).orderBy("op", "custkey")
+  }
+
+  /** Tumbling-window aggregation over the event stream (batch analog of
+    * the Structured Streaming hourly rollup in graft.streaming). */
+  def q11HourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** As-of join: each click gets the latest error at-or-before it for
+    * the same user (graft.operators.AsOfJoin — union + single shuffle +
+    * running window; no range explosion). */
+  def q12AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"))
+    AsOfJoin.leftAsOf(clicks, errors, Seq("user_id"), "ts", "err_ts", Nil)
+      .withColumnRenamed("asof_err_ts", "last_error_ts")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_sort_limit" -> (q4SortLimit _),
+    "q5_window" -> (q5Window _),
+    "q6_distinct_agg" -> (q6DistinctAgg _),
+    "q7_grouping_sets" -> (q7GroupingSets _),
+    "q8_semi_join" -> (q8SemiJoin _),
+    "q9_anti_join" -> (q9AntiJoin _),
+    "q10_set_ops" -> (q10SetOps _),
+    "q11_hourly_agg" -> (q11HourlyAgg _),
+    "q12_asof_join" -> (q12AsofJoin _))
+
+  /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
+    * MUST match the Spark output exactly; row order pinned identically. */
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+        | cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(1) AS avg_qty,
+        | cast(sum(cast(l_discount AS decimal(18,2))) AS double) / count(1) AS avg_disc,
+        | count(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT r_name, n_name,
+        | cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue,
+        | count(1) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q4_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q5_window" ->
+      """SELECT event_id, user_id, ts, value,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, rn""".stripMargin,
+    "q6_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q7_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status_g,
+        | coalesce(o_orderpriority, 'ALL') AS prio_g,
+        | count(1) AS n_orders,
+        | cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status_g, prio_g""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_set_ops" ->
+      """WITH building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        | f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT custkey, 'intersect' AS op FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM f)
+        |UNION ALL
+        |SELECT custkey, 'except' AS op FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM f)
+        |UNION ALL
+        |SELECT custkey, 'union' AS op FROM (SELECT custkey FROM building UNION SELECT custkey FROM f)
+        |ORDER BY op, custkey""".stripMargin,
+    "q11_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(1) AS n_events,
+        | cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q12_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, e.err_ts AS last_error_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin)
+}

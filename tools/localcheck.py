@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's correctness gate.
+
+NOT part of the Scala library. Runs `graft.Verify` output against DuckDB
+using the committed oracle_sql.json, comparing row count, column names,
+and a value hash with columns sorted by name — the strictest plausible
+version of the driver's compare.
+
+Usage: python3 tools/localcheck.py <verify_out_dir> <sf_dir> [query ...]
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # row order as produced (queries pin ORDER BY on both sides)
+    def cell(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for name in ["region","nation","customer","supplier","part","orders",
+                 "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        problems = []
+        if len(spark_df) != len(duck_df):
+            problems.append(f"rows {len(spark_df)} vs {len(duck_df)}")
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            problems.append(f"cols {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
+        if not problems and canon(spark_df) != canon(duck_df):
+            problems.append("value hash mismatch")
+            merged = spark_df.reindex(sorted(spark_df.columns), axis=1)
+            dm = duck_df.reindex(sorted(duck_df.columns), axis=1)
+            for i in range(min(len(merged), len(dm))):
+                a, b = list(merged.iloc[i]), list(dm.iloc[i])
+                if any(str(x) != str(y) for x, y in zip(a, b)):
+                    problems.append(f"first diff row {i}: spark={a} duck={b}")
+                    break
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems[:3])}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
