@@ -23,4 +23,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles
+
+  /** Queries intentionally without a DuckDB oracle (non-SQL-expressible;
+    * driver records a weaker rows-only check). Kept explicit so the test
+    * suite flags any accidentally-unoracled query. */
+  def rowsOnlyQueries: Set[String] = Set.empty
 }

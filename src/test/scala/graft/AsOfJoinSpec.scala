@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+/** Value-level check of the as-of join on a hand-computed micro case. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("leftAsOf attaches the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      ("e1", "u1", ts("2024-01-01 10:00:00")),
+      ("e2", "u1", ts("2024-01-01 12:00:00")),
+      ("e3", "u2", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), "a"),
+      ("u1", ts("2024-01-01 11:00:00"), "b"),
+      ("u2", ts("2024-01-01 09:00:00"), "c"), // ties are visible
+      ("u2", ts("2024-01-01 23:00:00"), "d")  // in the future: never attached
+    ).toDF("user_id", "rts", "v")
+
+    val got = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "rts", Seq("v"))
+      .orderBy("event_id")
+      .select("event_id", "asof_rts", "asof_v")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getTimestamp(1)), Option(r.getString(2))))
+
+    assert(got === Array(
+      ("e1", Some(ts("2024-01-01 09:30:00")), Some("a")),
+      ("e2", Some(ts("2024-01-01 11:00:00")), Some("b")),
+      ("e3", Some(ts("2024-01-01 09:00:00")), Some("c"))))
+  }
+
+  test("left rows with no prior right row keep nulls") {
+    import spark.implicits._
+    val left = Seq(("e1", "u9", ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(("u9", ts("2024-06-01 00:00:00"), 1.0)).toDF("user_id", "rts", "v")
+    val r = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", "rts", Seq("v")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("asof_rts")) && r.isNullAt(r.fieldIndex("asof_v")))
+  }
+}

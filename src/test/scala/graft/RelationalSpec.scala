@@ -1,0 +1,45 @@
+package graft
+
+/** Smoke + semantic checks for the relational query surface. The deep
+  * value-level check is the driver's DuckDB oracle (Verify.scala); here
+  * we pin row counts and invariants at sf0.001 so regressions surface
+  * in `sbt test` without DuckDB. */
+class RelationalSpec extends SparkSpec {
+
+  test("every query runs at sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.distinct.length == df.columns.length, s"$name: dup columns")
+      assert(df.count() > 0, s"$name: empty result")
+    }
+  }
+
+  test("every query has either an oracle or is documented rows-only") {
+    // Non-SQL-expressible ops may omit oracles; everything else must pair.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+    assert(missing.forall(SparkEntry.rowsOnlyQueries.contains),
+      s"queries without oracle not declared rows-only: ${missing -- SparkEntry.rowsOnlyQueries}")
+  }
+
+  test("q1 aggregates are internally consistent") {
+    import org.apache.spark.sql.functions._
+    val df = queries.Relational.q1Agg(spark, sf0001)
+    val bad = df.filter(col("avg_qty") > col("sum_qty")).count()
+    assert(bad == 0)
+  }
+
+  test("q4 top-k is sorted descending by totalprice") {
+    val rows = queries.Relational.q4SortLimit(spark, sf0001)
+      .collect().map(_.getDouble(2))
+    assert(rows.length <= 100)
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q8 semi and q9 anti partition customers w.r.t. their predicates") {
+    val semi = queries.Relational.q8SemiJoin(spark, sf0001).count()
+    val total = Tables(spark, sf0001, "customer").count()
+    assert(semi <= total)
+  }
+}
