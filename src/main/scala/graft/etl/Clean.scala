@@ -1,0 +1,163 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
+
+/** Projection + cleaning operators (SURVEY.md §2.2 P1-P5, §2.3 C1-C8).
+  *
+  * Everything is a `Column` expression (whole-stage-codegen-able); the
+  * header gate is a driver-side assertion on the schema, raised before
+  * the plan is built — mirroring the reference's strict validation
+  * (`/root/reference/src/transformer.py:144-192`).
+  */
+object Clean {
+
+  /** P1 — header normalization: collapse internal newlines/tabs/runs of
+    * whitespace to single spaces and trim
+    * (`/root/reference/src/transformer.py:129-142`). */
+  def normalizeHeader(h: String): String =
+    h.replaceAll("[\r\n\t]+", " ").replaceAll("\\s+", " ").trim
+
+  /** P2 — strict schema gate: exact set AND exact order, with the
+    * reference's diagnostics (missing / extra / first position
+    * mismatch). Throws IllegalArgumentException before any compute. */
+  def validateHeaders(actualRaw: Seq[String]): Unit = {
+    val actual = actualRaw.map(normalizeHeader)
+    val expected = ShipmentSchema.sourceHeaders
+    val missing = expected.filterNot(actual.contains)
+    val extra = actual.filterNot(expected.contains)
+    if (missing.nonEmpty || extra.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Schema mismatch: missing=${missing.mkString(", ")}; extra=${extra.mkString(", ")}")
+    val misplaced = expected.zip(actual).zipWithIndex.collect {
+      case ((e, a), i) if e != a => s"position $i: expected '$e' got '$a'"
+    }
+    if (misplaced.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Column-order mismatch: ${misplaced.take(5).mkString("; ")}")
+  }
+
+  /** P1+P2+P3 — validate then rename to canonical names. */
+  def gateAndRename(df: DataFrame): DataFrame = {
+    validateHeaders(df.columns.toSeq)
+    df.toDF(df.columns.map(c => ShipmentSchema.renameMap(normalizeHeader(c))): _*)
+  }
+
+  /** P4 — lenient projection (legacy `transformer_old.py:47-93`): rename
+    * what matches, create missing canonical columns as string nulls,
+    * keep only mapped columns. */
+  def lenientProject(df: DataFrame): DataFrame = {
+    val byNorm = df.columns.map(c => normalizeHeader(c) -> c).toMap
+    df.select(ShipmentSchema.mapping.map { case (src, canon) =>
+      byNorm.get(src) match {
+        case Some(orig) => col(s"`$orig`").as(canon)
+        case None => lit(null).cast("string").as(canon)
+      }
+    }: _*)
+  }
+
+  /** C1 — trim + null sentinels. The reference nulls whole-cell
+    * `"()"`/`"nan"`/`"NaN"` (`transformer.py:214-216`); the legacy path
+    * and every downstream helper also treat `""`/`"None"`/`"null"` as
+    * missing (`transformer_old.py:106-108`), so we null those too —
+    * documented divergence, SURVEY §7.4(5). */
+  def cleanString(c: Column): Column = {
+    val t = trim(c)
+    when(t.isin("", "()", "nan", "NaN", "None", "null"), lit(null)).otherwise(t)
+  }
+
+  /** C2 — ID columns: strip embedded double-quotes
+    * (`transformer.py:219-225`). */
+  def cleanId(c: Column): Column = cleanString(regexp_replace(c, "\"", ""))
+
+  /** C3 — boolean coercion: Y/YES/TRUE/1 → true, N/NO/FALSE/0 → false,
+    * anything else null (`transformer.py:227-245`). */
+  def toBool(c: Column): Column = {
+    val u = upper(trim(c))
+    when(u.isin("Y", "YES", "TRUE", "1"), lit(true))
+      .when(u.isin("N", "NO", "FALSE", "0"), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+  }
+
+  /** Ordered day-first format list standing in for pandas'
+    * `dayfirst=True` dateutil parse (`transformer.py:253-264`).
+    * `try_to_date` is null-on-fail even under ANSI mode; `coalesce`
+    * walks the formats in priority order. Covers the layouts seen in
+    * ops CSV exports; extend the list, not the semantics. */
+  private val dayFirstFormats = Seq(
+    "d/M/yyyy", "d-M-yyyy", "d.M.yyyy",
+    "yyyy-M-d", "yyyy/M/d",
+    "d-MMM-yy", "d-MMM-yyyy", "d MMM yyyy", "MMM d, yyyy",
+    "d/M/yyyy H:mm", "d/M/yyyy H:mm:ss",
+    "yyyy-M-d H:mm", "yyyy-M-d H:mm:ss",
+    "M/d/yyyy") // US layout last: only hit when day-first fails (m>12)
+
+  /** C4 — single-date parse, day-first, null on failure, time-of-day
+    * truncated (pandas `.normalize()` ≡ DateType). */
+  def dayFirstDate(c: Column): Column = {
+    val t = trim(c)
+    coalesce(dayFirstFormats.map(f => try_to_date(t, f)): _*)
+  }
+
+  /** C5 — multi-date cell: split on comma, parse each (C4), drop
+    * failures, empty result → null (`transformer.py:266-289`). */
+  def multiDate(c: Column): Column = {
+    val parsed = filter(
+      transform(split(c, ","), x => dayFirstDate(x)),
+      x => x.isNotNull)
+    when(c.isNull || size(parsed) === 0, lit(null)).otherwise(parsed)
+  }
+
+  /** C6 — multi-ID cell → trimmed, de-quoted, deduped, sorted array;
+    * null/empty → [] (legacy `transformer_old.py:188-214`, still
+    * declared by live config `config.py:138`). */
+  def multiIdSplit(c: Column): Column = {
+    val parts = filter(
+      transform(split(coalesce(c, lit("")), ","),
+        x => trim(regexp_replace(x, "\"", ""))),
+      x => x =!= "")
+    array_sort(array_distinct(parts))
+  }
+
+  /** C7 — consignee code: content of the LAST `(...)` if present, else
+    * the whole cell; then last 9 chars, trimmed, empty→null
+    * (`transformer.py:368-380`). */
+  def consigneeCode(c: Column): Column = {
+    val t = trim(c)
+    val inside = trim(regexp_extract(t, "\\(([^()]*)\\)[^()]*$", 1))
+    val basis = when(t.contains("(") && t.contains(")") && inside =!= "", inside)
+      .otherwise(t)
+    val code = trim(substring(basis, -9, 9))
+    when(t.isNull || t === "" || code === "", lit(null)).otherwise(code)
+  }
+
+  /** C7 — consignee name: text before the LAST `(`, trimmed; cell
+    * without `(` passes through (`transformer.py:382-390`). */
+  def consigneeName(c: Column): Column = {
+    val t = trim(c)
+    val base = trim(regexp_extract(t, "^(.*)\\([^(]*$", 1))
+    val name = when(t.contains("("), when(base === "", lit(null)).otherwise(base))
+      .otherwise(t)
+    when(t.isNull || t === "", lit(null)).otherwise(name)
+  }
+
+  /** The `_basic_clean` stage (`transformer.py:200-299`): C1 everywhere,
+    * C2 on IDs, C3 on booleans, C4 on date columns, C5 on multi-date
+    * columns, C6 on multi-ID columns — one single projection. */
+  def basicClean(df: DataFrame): DataFrame = {
+    val s = ShipmentSchema
+    val exprs = df.columns.map { name =>
+      val c = col(s"`$name`")
+      val cleaned =
+        if (s.idCols.contains(name)) cleanId(c)
+        else if (s.booleanCols.contains(name)) toBool(cleanString(c))
+        else if (s.dateCols.contains(name)) dayFirstDate(cleanString(c))
+        else if (s.multiDateCols.contains(name)) multiDate(cleanString(c))
+        else if (s.multiIdCols.contains(name)) multiIdSplit(cleanString(c))
+        else cleanString(c)
+      cleaned.as(name)
+    }
+    df.select(exprs: _*)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1/S3 — latest-CSV discovery + all-string CSV scan
+  * (`/root/reference/src/ingestor.py:35-121`).
+  *
+  * S2 (blob download) is obviated: Spark reads cloud storage directly
+  * through the Hadoop FS layer, so the same `listStatus` + `csv(path)`
+  * works against `file://`, `abfss://`, `s3a://` unchanged.
+  */
+object CsvSource {
+
+  /** S1 — newest `*.csv` (case-insensitive) under `dir` by modification
+    * time; FileNotFoundException when none (`ingestor.py:35-65`). */
+  def findLatestCsv(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val csvs = fs.listStatus(p).filter(f =>
+      f.isFile && f.getPath.getName.toLowerCase.endsWith(".csv"))
+    if (csvs.isEmpty)
+      throw new java.io.FileNotFoundException(s"no CSV files in $dir")
+    csvs.maxBy(_.getModificationTime).getPath.toString
+  }
+
+  /** S3 — header row, EVERY column as string (leading-zero-safe),
+    * UTF-8 with BOM tolerated; pass `encoding = "ISO-8859-1"` for the
+    * reference's decode-failure retry path (`ingestor.py:99-121`).
+    * multiLine=false matches pandas' default line discipline. */
+  def readCsv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", encoding)
+      .option("multiLine", "false")
+      .option("escape", "\"") // RFC-4180 doubled quotes, = pandas' doublequote
+      .option("inferSchema", "false") // all strings — ingestor.py:90-97
+      .csv(path)
+
+  /** S1+S3 convenience: read the newest CSV in a directory. */
+  def readLatest(spark: SparkSession, dir: String): DataFrame =
+    readCsv(spark, findLatestCsv(spark, dir))
+}

@@ -1,0 +1,220 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Enrichment operators D1-D12 (SURVEY.md §2.4) as pure `Column`
+  * expressions — the reference executes these as interpreted Python row
+  * loops (`df.apply(axis=1)`); here every stage is whole-stage-codegen
+  * so the same semantics run columnar at cluster scale. The two big
+  * narrative builders (D9 milestones, CC combined_content) live in
+  * [[Narratives]] as Scala UDFs.
+  *
+  * `asOf` replaces the reference's per-row `pd.Timestamp("today")`
+  * (`/root/reference/src/transformer.py:430,459,488,548,773`) so runs
+  * are reproducible; production passes `current_date()`.
+  */
+object Derive {
+
+  private def fmt(c: Column): Column = date_format(c, "dd-MMM-yy")
+
+  /** D1 — consignee_name / consignee_codes from consignee_raw
+    * (`transformer.py:392-423`; code wrapped to [code] / []). */
+  def consignee(df: DataFrame): DataFrame = {
+    val code = Clean.consigneeCode(col("consignee_raw"))
+    df.withColumns(Map(
+      "consignee_name" -> Clean.consigneeName(col("consignee_raw")),
+      "consignee_codes" -> when(code.isNotNull, array(code)).otherwise(array().cast("array<string>"))))
+  }
+
+  /** D2 + D3 — optimal dates (`transformer.py:428-446`). */
+  def optimalDates(df: DataFrame, asOf: Column): DataFrame = df.withColumns(Map(
+    "optimal_ata_dp_date" ->
+      when(col("ata_dp_date").isNotNull, col("ata_dp_date"))
+        .when(col("derived_ata_dp_date") <= asOf, col("derived_ata_dp_date")),
+    "optimal_eta_fd_date" ->
+      coalesce(col("predictive_eta_fd_date"), col("revised_eta_fd_date"), col("eta_fd_date"))))
+
+  /** D4 — discharge-port delay label + duration
+    * (`transformer.py:457-484`). The reference raises TypeError when
+    * optimal is set but ETA DP is null (`:477`); we define that case as
+    * on_time/0 — documented divergence (SURVEY §7.4 trap 3). */
+  def dpDelay(df: DataFrame, asOf: Column): DataFrame = {
+    val opt = col("optimal_ata_dp_date")
+    val eta = col("eta_dp_date")
+    val durNoOpt = when(eta.isNotNull && eta <= asOf,
+      greatest(datediff(asOf, eta), lit(0))).otherwise(lit(0))
+    val dur = when(opt.isNull, durNoOpt)
+      .when(eta.isNull, lit(0))
+      .otherwise(datediff(opt, eta))
+    val label = when(opt.isNull,
+        when(durNoOpt > 0, lit("delay")).otherwise(lit("on_time")))
+      .otherwise(
+        when(dur > 0, lit("delay")).when(dur < 0, lit("early")).otherwise(lit("on_time")))
+    df.withColumns(Map(
+      "delayed_dp" -> label,
+      "dp_delayed_dur" -> dur.cast(IntegerType)))
+  }
+
+  /** D5 — final-destination delay (`transformer.py:486-531`): actual =
+    * delivery else empty-return else today(synthetic); real actuals
+    * classify by sign, synthetic ones never report "early". */
+  def fdDelay(df: DataFrame, asOf: Column): DataFrame = {
+    val opt = col("optimal_eta_fd_date")
+    val real = coalesce(col("delivery_to_consignee_date"), col("empty_container_return_date"))
+    val actual = coalesce(real, asOf)
+    val rawDur = when(opt.isNotNull, datediff(actual, opt)).otherwise(lit(0))
+    val dur = when(real.isNotNull, rawDur)
+      .otherwise(when(opt.isNotNull && opt <= asOf, greatest(rawDur, lit(0))).otherwise(lit(0)))
+    val label = when(real.isNotNull,
+        when(rawDur > 0, lit("delay")).when(rawDur < 0, lit("early")).otherwise(lit("on_time")))
+      .otherwise(
+        when(opt.isNotNull && opt <= asOf && rawDur > 0, lit("delay")).otherwise(lit("on_time")))
+    df.withColumns(Map(
+      "delayed_fd" -> label,
+      "fd_delayed_dur" -> dur.cast(IntegerType)))
+  }
+
+  /** D6 — shipment-status priority state machine
+    * (`transformer.py:546-606`) as a single CaseWhen. */
+  def shipmentStatus(df: DataFrame, asOf: Column): DataFrame = {
+    val optDp = col("optimal_ata_dp_date")
+    val status =
+      when(col("empty_container_return_date").isNotNull, "EMPTY_CONTAINER_RETURNED")
+        .when(col("delivery_to_consignee_date").isNotNull, "DELIVERED")
+        .when(col("out_gate_at_last_cy_date").isNotNull, "IN_INLAND_TRANSIT")
+        .when(col("equipment_arrived_at_last_cy_date").isNotNull, "AT_LAST_CY")
+        .when(optDp.isNotNull && optDp <= asOf, "AT_DP")
+        .when(col("atd_flp_date").isNotNull && (optDp.isNull || optDp > asOf), "IN_OCEAN_TRANSIT")
+        .when(col("ata_flp_date").isNotNull && col("atd_flp_date").isNull, "AT_TS")
+        .when(col("atd_lp_date").isNull && col("etd_lp_date") >= asOf, "AT_ORIGIN")
+        .otherwise("UNKNOWN")
+    df.withColumn("shipment_status", status)
+  }
+
+  /** D7 — critical_dates_summary (`transformer.py:617-704`): per-leg
+    * fragments, each present only when its dates exist, joined " || ". */
+  def criticalDates(df: DataFrame): DataFrame = {
+    val por = col("place_of_receipt"); val lp = col("load_port")
+    val flp = col("final_load_port"); val dp = col("discharge_port")
+    val lastCy = col("equipment_arrived_at_last_cy_lcn")
+    val finalDest = col("final_destination")
+
+    def datesOf(pairs: (String, Column)*): Column = concat_ws(", ",
+      pairs.map { case (tag, d) => when(d.isNotNull, concat(lit(s"$tag "), fmt(d))) }: _*)
+
+    def legWhen(dates: Column, header: String, desc: Column): Column =
+      when(dates =!= "", concat(lit(header), desc, lit(" | "), dates))
+
+    val d1 = datesOf("ETD" -> col("etd_lp_date"), "ATD" -> col("atd_lp_date"))
+    val leg1 = legWhen(d1, "Leg 1 (POR → Load Port): ",
+      concat(coalesce(por, lit("POR")), lit(" → "), coalesce(lp, lit("LOAD"))))
+
+    val d2 = datesOf("ATA" -> col("ata_flp_date"), "ATD" -> col("atd_flp_date"))
+    val leg2 = when(flp.isNotNull && !(flp <=> lp),
+      legWhen(d2, "Leg 2 (Load → TS): ",
+        concat(coalesce(lp, lit("LOAD")), lit(" → "), flp)))
+
+    val leg3 = when(col("optimal_ata_dp_date").isNotNull,
+      concat(lit("Leg 3 (Ocean to DP): "),
+        coalesce(flp, lp, lit("LOAD")), lit(" → "), coalesce(dp, lit("DP")),
+        lit(" | ATA_DP "), fmt(col("optimal_ata_dp_date"))))
+
+    val d4 = datesOf("OUT_GATE_DP" -> col("out_gate_from_dp_date"),
+      "ARR_LAST_CY" -> col("equipment_arrived_at_last_cy_date"))
+    val leg4 = when(lastCy.isNotNull,
+      legWhen(d4, "Leg 4 (DP → Last CY): ",
+        concat(coalesce(dp, lit("DP")), lit(" → "), lastCy)))
+
+    val d5 = datesOf("DELIVERY" -> col("delivery_to_consignee_date"),
+      "EMPTY_RET" -> col("empty_container_return_date"))
+    val leg5 = legWhen(d5, "Leg 5 (Last CY → Final): ",
+      concat(coalesce(lastCy, dp, lit("DP")), lit(" → "), coalesce(finalDest, lit("FINAL"))))
+
+    df.withColumn("critical_dates_summary", concat_ws(" || ", leg1, leg2, leg3, leg4, leg5))
+  }
+
+  /** D8 — delay_reason_summary + workflow_gap_flags
+    * (`transformer.py:709-766`). */
+  def delayReasons(df: DataFrame): DataFrame = {
+    val lastCy = col("equipment_arrived_at_last_cy_lcn")
+    val finalDest = col("final_destination")
+    val r1 = when(col("delayed_dp") === "delay" && col("dp_delayed_dur") > 0,
+      concat(lit("Ocean / discharge-port leg is delayed versus ETA at DP by ~"),
+        col("dp_delayed_dur"), lit(" day(s).")))
+    val r2 = when(col("delayed_fd") === "delay" && col("fd_delayed_dur") > 0,
+      concat(lit("Final delivery leg is delayed versus ETA at final destination by ~"),
+        col("fd_delayed_dur"), lit(" day(s).")))
+    val r3 = when(col("delayed_fd") === "delay" &&
+        lastCy.isNotNull && finalDest.isNotNull && lastCy =!= finalDest,
+      concat(lit("Last-mile from last CY "), lastCy,
+        lit(" to final destination "), finalDest, lit(" appears delayed.")))
+    val joined = concat_ws("; ", r1, r2, r3)
+    val gaps = when(col("delivery_to_consignee_date").isNull &&
+        col("empty_container_return_date").isNotNull,
+      lit("missing_delivery_event_with_empty_return")).otherwise(lit("none_detected"))
+    df.withColumns(Map(
+      "delay_reason_summary" -> when(joined === "",
+        lit("Shipment is on time against configured DP / final destination ETAs.")).otherwise(joined),
+      "workflow_gap_flags" -> gaps))
+  }
+
+  /** D10 — vessel / carrier one-liners (`transformer.py:1063-1093`). */
+  def vesselCarrier(df: DataFrame): DataFrame = {
+    val first = col("first_vessel_name"); val fin = col("final_vessel_name")
+    val opBy = col("final_carrier_name"); val trueCarr = col("true_carrier_scac_name")
+    df.withColumns(Map(
+      "vessel_summary" -> concat_ws(" | ",
+        when(first.isNotNull, concat(lit("First vessel: "), first)),
+        when(fin.isNotNull && !(fin <=> first), concat(lit("Final vessel: "), fin))),
+      "carrier_summary" -> concat_ws(" | ",
+        when(opBy.isNotNull, concat(lit("Operated by "), opBy)),
+        when(trueCarr.isNotNull && !(trueCarr <=> opBy),
+          concat(lit("True operating carrier: "), trueCarr)))))
+  }
+
+  /** D11 — port_route_summary (`transformer.py:1098-1137`): conditional
+    * chain with adjacent-duplicate suppression, joined " → ". */
+  def portRoute(df: DataFrame): DataFrame = {
+    val por = col("place_of_receipt"); val lp = col("load_port")
+    val flp = col("final_load_port"); val dp = col("discharge_port")
+    val pod = col("place_of_delivery"); val finalDest = col("final_destination")
+    val origin =
+      when(por.isNotNull && lp.isNotNull && por =!= lp,
+        concat(lit("Origin: "), por, lit(" → Load Port: "), lp))
+        .when(lp.isNotNull, concat(lit("Origin/Load: "), lp))
+        .when(por.isNotNull, concat(lit("Origin: "), por))
+    val route = concat_ws(" → ",
+      origin,
+      when(flp.isNotNull && !(flp <=> lp), concat(lit("Transshipment: "), flp)),
+      when(dp.isNotNull, concat(lit("Discharge: "), dp)),
+      when(pod.isNotNull && !(pod <=> dp), concat(lit("Delivery at: "), pod)),
+      when(finalDest.isNotNull && !(finalDest <=> pod), concat(lit("Final: "), finalDest)))
+    df.withColumn("port_route_summary", route)
+  }
+
+  /** D12 — partition tags from etd_lp_date (`transformer.py:1142-1158`):
+    * `yyyy-MM` group + lower `MMM_yy` tag, null when no date. */
+  def partitionTags(df: DataFrame): DataFrame = df.withColumns(Map(
+    "source_group" -> date_format(col("etd_lp_date"), "yyyy-MM"),
+    "source_month_tag" -> lower(date_format(col("etd_lp_date"), "MMM_yy"))))
+
+  /** The full 14-stage enrichment in reference order
+    * (`transformer.py:60-124`); the final projection-drop (P5) is the
+    * caller's job because combined_content must see the drop columns. */
+  def all(df: DataFrame, asOf: Column): DataFrame = {
+    val derived =
+      partitionTags(
+        portRoute(
+          vesselCarrier(
+            delayReasons(
+              criticalDates(
+                shipmentStatus(
+                  fdDelay(
+                    dpDelay(
+                      optimalDates(
+                        consignee(df), asOf), asOf), asOf), asOf))))))
+    Narratives.attach(derived, asOf)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S7 document normalization + S4 JSONL sink
+  * (`/root/reference/src/writer.py:143-295`).
+  *
+  * Output doc = `{document_id, content, metadata, consignee_code}`:
+  *  - document_id: carr_eqp_uid → job_no → container_number → "doc_<i>"
+  *    (`writer.py:249-254`)
+  *  - content: combined_content → milestones → "" (`writer.py:255`)
+  *  - metadata: every remaining column except carr_eqp_uid /
+  *    consignee_raw / combined_content (`writer.py:257-266`)
+  *  - consignee_code: the reference's stringified-Python-list quirk
+  *    `"['C1', 'C2']"` (`writer.py:272`) — reproduced byte-for-byte.
+  *
+  * Scale notes: the only shuffle is the repartition on `source_group`
+  * (so each month-partition is written by one task, matching the
+  * one-file-per-group reference layout); everything else is a pure
+  * projection. Rows with null source_group are filtered explicitly —
+  * the reference drops them silently via pandas groupby (SURVEY §2.2 P6).
+  */
+object DocSink {
+
+  private val docIdExcluded = Set("carr_eqp_uid", "consignee_raw", "combined_content")
+
+  /** Python `str(list_of_str)` — `['A', 'B']`, `[]`. */
+  private def pyListString(arr: Column): Column =
+    when(size(arr) === 0 || arr.isNull, lit("[]"))
+      .otherwise(concat(lit("['"), concat_ws("', '", arr), lit("']")))
+
+  /** Project enriched rows into output documents (S7, Case B). */
+  def toDocuments(df: DataFrame): DataFrame = {
+    val metadataCols = df.columns.filterNot(docIdExcluded.contains).sorted
+    df.select(
+      coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number"),
+        concat(lit("doc_"), (monotonically_increasing_id() + 1).cast("string"))).as("document_id"),
+      coalesce(col("combined_content"), col("milestones"), lit("")).as("content"),
+      struct(metadataCols.map(c => col(s"`$c`")): _*).as("metadata"),
+      pyListString(col("consignee_codes")).as("consignee_code"),
+      col("source_group"))
+  }
+
+  /** One JSON object per line, field order matching the reference
+    * writer; dates serialize as ISO yyyy-MM-dd via to_json. */
+  def toJsonLines(docs: DataFrame): DataFrame =
+    docs.select(
+      to_json(struct(col("document_id"), col("content"), col("metadata"),
+        col("consignee_code"))).as("value"),
+      col("source_group"))
+
+  /** Write month-partitioned JSONL, then rename Spark's part-files to
+    * the reference's `shipment_<group>_<n>.jsonl` naming with counters
+    * continuing from what's already in the directory (A3,
+    * `writer.py:59-77`). `maxRecordsPerFile` approximates the legacy
+    * 12 MB size cap (S5): pass ~12MB / avg-doc-bytes. */
+  def write(enriched: DataFrame, outDir: String, maxRecordsPerFile: Long = 0): Seq[String] = {
+    val docs = toJsonLines(toDocuments(enriched))
+      .filter(col("source_group").isNotNull)
+    val writer = docs
+      .repartition(col("source_group"))
+      .write.mode("append").partitionBy("source_group")
+    val tuned = if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer
+    tuned.text(outDir)
+    renameParts(enriched.sparkSession, outDir)
+  }
+
+  /** Driver-side FS pass: `source_group=2026-01/part-*.txt` →
+    * `shipment_2026-01_<n>.jsonl` (n = 1 + max existing counter). Tiny
+    * metadata-only work — never touches row data. */
+  private def renameParts(spark: org.apache.spark.sql.SparkSession, outDir: String): Seq[String] = {
+    val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
+    val base = new Path(outDir)
+    if (!fs.exists(base)) return Nil
+    val renamed = Seq.newBuilder[String]
+    fs.listStatus(base).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("source_group=")).foreach { dir =>
+        val group = dir.getPath.getName.stripPrefix("source_group=")
+        val existing = fs.listStatus(base).filter(_.isFile).map(_.getPath.getName)
+          .filter(n => n.startsWith(s"shipment_${group}_") && n.endsWith(".jsonl"))
+          .flatMap(n => n.stripPrefix(s"shipment_${group}_").stripSuffix(".jsonl").toIntOption)
+        var counter = if (existing.isEmpty) 0 else existing.max
+        fs.listStatus(dir.getPath).filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName).foreach { part =>
+            counter += 1
+            val target = new Path(base, s"shipment_${group}_$counter.jsonl")
+            fs.rename(part.getPath, target)
+            renamed += target.toString
+          }
+        fs.delete(dir.getPath, true)
+      }
+    renamed.result()
+  }
+}

@@ -1,0 +1,430 @@
+package graft.etl
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** D9 `milestones` (`/root/reference/src/transformer.py:771-1058`) and
+  * CC `combined_content` (`:1163-1637`) — the reference's two big
+  * narrative generators. These are pure `Row => String` functions (no
+  * state, no I/O), far past the readability limit of expression trees,
+  * so they run as Scala UDFs over a struct of the already-cleaned /
+  * already-derived columns. Everything date-ish arrives pre-parsed as
+  * DateType; the UDF only formats and concatenates, so staying outside
+  * codegen costs little relative to the string building itself.
+  */
+object Narratives {
+
+  private val iso = DateTimeFormatter.ISO_LOCAL_DATE
+  private val display = DateTimeFormatter.ofPattern("dd-MMM-yy", Locale.ENGLISH)
+
+  // ---- Row helpers (null/empty discipline mirrors _safe_text/_to_date_or_none)
+
+  private def text(r: Row, f: String): Option[String] =
+    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+      Option(r.getAs[Any](f)).map(_.toString.trim).filter(_.nonEmpty)
+    else None
+
+  private def date(r: Row, f: String): Option[LocalDate] =
+    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+      r.getAs[Any](f) match {
+        case d: java.sql.Date => Some(d.toLocalDate)
+        case d: LocalDate => Some(d)
+        case _ => None
+      }
+    else None
+
+  private def intOf(r: Row, f: String): Option[Int] =
+    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+      r.getAs[Any](f) match {
+        case i: Int => Some(i); case l: Long => Some(l.toInt)
+        case d: Double => Some(d.toInt); case _ => None
+      }
+    else None
+
+  /** `_fmt_value_for_text` (`transformer.py:1163-1198`): dates →
+    * dd-MMM-yy, lists → comma-joined formatted elements, scalars →
+    * trimmed text; empties → None. */
+  private def fmtAny(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.sql.Date => Some(d.toLocalDate.format(display))
+    case d: LocalDate => Some(d.format(display))
+    case s: scala.collection.Seq[_] =>
+      val parts = s.toSeq.flatMap(fmtAny)
+      if (parts.nonEmpty) Some(parts.mkString(", ")) else None
+    case b: Boolean => Some(if (b) "True" else "False") // Python str(bool)
+    case other =>
+      val s = other.toString.trim
+      if (s.nonEmpty) Some(s) else None
+  }
+
+  private def fmtField(r: Row, f: String): Option[String] =
+    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
+      fmtAny(r.getAs[Any](f))
+    else None
+
+  // -------------------------------------------------------------------
+  // D9 milestones — transformer.py:771-1058, reproduced leg by leg.
+  // -------------------------------------------------------------------
+  def milestones(r: Row): String = {
+    val today = date(r, "__asof").getOrElse(LocalDate.now())
+
+    val status = text(r, "shipment_status").getOrElse("UNKNOWN").toUpperCase
+    val displayStatus =
+      if (status == "EMPTY_RETURNED" || status == "EMPTY_CONTAINER_RETURNED")
+        "EMPTY CONTAINER RETURNED" else status
+
+    val por = text(r, "place_of_receipt").getOrElse("POR")
+    val lp = text(r, "load_port").getOrElse("Load Port")
+    val ts = text(r, "final_load_port")
+    val dp = text(r, "discharge_port").getOrElse("Discharge Port")
+    val dpOutLcn = text(r, "out_gate_from_dp_lcn").getOrElse(dp)
+    val lastCyLcn = text(r, "equipment_arrived_at_last_cy_lcn")
+      .orElse(text(r, "last_cy_location")).getOrElse("Last CY")
+    val cyOutLcn = text(r, "out_gate_at_last_cy_lcn").getOrElse(lastCyLcn)
+    val pod = text(r, "place_of_delivery")
+    val finalDest = text(r, "final_destination").orElse(pod).getOrElse("Final Destination")
+    val deliveryLcn = text(r, "delivery_to_consignee_lcn").getOrElse(finalDest)
+    val emptyRtLcn = text(r, "empty_container_return_lcn").getOrElse(deliveryLcn)
+
+    val etdLp = date(r, "etd_lp_date"); val atdLp = date(r, "atd_lp_date")
+    val ataFlp = date(r, "ata_flp_date"); val atdFlp = date(r, "atd_flp_date")
+    val etaDp = date(r, "eta_dp_date"); val ataDp = date(r, "optimal_ata_dp_date")
+    val outDp = date(r, "out_gate_from_dp_date")
+    val equipArrCy = date(r, "equipment_arrived_at_last_cy_date")
+    val outCy = date(r, "out_gate_at_last_cy_date")
+    val etaFd = date(r, "optimal_eta_fd_date")
+    val delivery = date(r, "delivery_to_consignee_date")
+    val emptyRt = date(r, "empty_container_return_date")
+
+    val railLoadDt = date(r, "rail_load_dp_date"); val railLoadLc = text(r, "rail_load_dp_lcn")
+    val railDepDt = date(r, "rail_departure_dp_date"); val railDepLc = text(r, "rail_departure_dp_lcn")
+    val railArrDt = date(r, "rail_arrival_destination_date")
+    val railArrLc = text(r, "rail_arrival_destination_lcn")
+
+    val delayedDp = text(r, "delayed_dp").getOrElse("unknown").toLowerCase
+    val dpDays = intOf(r, "dp_delayed_dur")
+    val delayedFd = text(r, "delayed_fd").getOrElse("unknown").toLowerCase
+    val fdDays = intOf(r, "fd_delayed_dur")
+
+    val legs = scala.collection.mutable.ListBuffer.empty[String]
+
+    // Leg 1
+    val (l1State, l1Desc) = (atdLp, etdLp) match {
+      case (Some(a), _) => ("COMPLETED", s"departed $lp on ${a.format(iso)}.")
+      case (None, Some(e)) if e.isBefore(today) =>
+        ("OVERDUE", s"ETD ${e.format(iso)} passed; actual departure not recorded.")
+      case (None, Some(e)) => ("PLANNED", s"planned ETD ${e.format(iso)} from $lp.")
+      case _ => ("UNKNOWN", "no ETD/ATD recorded for origin leg.")
+    }
+    legs += s"Leg 1 (POR → Load Port) [$l1State]: $por → $lp; $l1Desc"
+
+    // Leg 2
+    ts match {
+      case Some(t) =>
+        val (st, desc) = (atdFlp, ataFlp) match {
+          case (Some(d), a) =>
+            val bits = a.map(x => s"arrived TS $t on ${x.format(iso)}").toList :+
+              s"departed TS on ${d.format(iso)}"
+            ("COMPLETED", bits.mkString("; "))
+          case (None, Some(a)) =>
+            ("PARTIAL", s"arrived TS $t on ${a.format(iso)}; TS departure not recorded.")
+          case _ => ("PLANNED", s"TS at $t configured, but no arrival/departure recorded yet.")
+        }
+        legs += s"Leg 2 (Load Port → TS) [$st]: $lp → $t; $desc"
+      case None =>
+        legs += s"Leg 2 (Load Port → TS) [NOT_APPLICABLE]: no transshipment; direct ocean leg from $lp to $dp."
+    }
+
+    // Leg 3
+    val dpArrived = ataDp.exists(!_.isAfter(today))
+    val (l3State, l3Desc) =
+      if (dpArrived) {
+        val delayTxt =
+          if (delayedDp == "delay" && dpDays.exists(_ > 0))
+            s"delayed by ~${dpDays.get} day(s) vs ETA DP."
+          else if (delayedDp == "early" && dpDays.exists(_ < 0))
+            s"early by ~${-dpDays.get} day(s) vs ETA DP."
+          else if (delayedDp == "on_time") "on time vs ETA DP."
+          else "arrival vs ETA DP not clearly classified."
+        ("COMPLETED", s"arrived $dp on ${ataDp.get.format(iso)} ($delayTxt)")
+      } else etaDp match {
+        case Some(e) if e.isBefore(today) =>
+          ("OVERDUE", s"ETA DP ${e.format(iso)} passed; actual arrival not recorded.")
+        case Some(e) =>
+          ("IN_PROGRESS", s"in ocean transit towards $dp (ETA ${e.format(iso)}).")
+        case None => ("UNKNOWN", "no ETA/ATA DP recorded.")
+      }
+    legs += s"Leg 3 (TS/Load → DP) [$l3State]: ${ts.getOrElse(lp)} → $dp; $l3Desc"
+
+    // Leg 4 (+ rail events)
+    val railBits = List(
+      if (railLoadDt.nonEmpty || railLoadLc.nonEmpty)
+        Some(s"rail load ${railLoadLc.getOrElse(dpOutLcn)} on ${railLoadDt.map(_.format(iso)).getOrElse("date not recorded")}")
+      else None,
+      if (railDepDt.nonEmpty || railDepLc.nonEmpty)
+        Some(s"rail depart ${railDepLc.getOrElse(dpOutLcn)} on ${railDepDt.map(_.format(iso)).getOrElse("date not recorded")}")
+      else None,
+      if (railArrDt.nonEmpty || railArrLc.nonEmpty)
+        Some(s"rail arrive ${railArrLc.getOrElse(lastCyLcn)} on ${railArrDt.map(_.format(iso)).getOrElse("date not recorded")}")
+      else None).flatten
+
+    val (l4State, l4Desc) =
+      if (equipArrCy.nonEmpty || railArrDt.nonEmpty) {
+        val arrDt = equipArrCy.orElse(railArrDt).get
+        val arrLc = if (equipArrCy.nonEmpty) lastCyLcn else railArrLc.getOrElse(lastCyLcn)
+        val base = outDp match {
+          case Some(o) => s"departed DP area ($dpOutLcn) on ${o.format(iso)}, arrived $arrLc on ${arrDt.format(iso)}."
+          case None => s"arrived $arrLc on ${arrDt.format(iso)}; DP out-gate not recorded."
+        }
+        ("COMPLETED", if (railBits.nonEmpty) base + " Rail events: " + railBits.mkString("; ") else base)
+      } else if (outDp.nonEmpty || railDepDt.nonEmpty || railLoadDt.nonEmpty) {
+        val parts = outDp.map(o => s"out-gated from DP area ($dpOutLcn) on ${o.format(iso)}").toList ++
+          (if (railBits.nonEmpty) List("Rail events: " + railBits.mkString("; ")) else Nil) :+
+          "arrival at last CY not recorded."
+        ("IN_PROGRESS", parts.mkString("; "))
+      } else if (Set("IN_INLAND_TRANSIT", "AT_LAST_CY", "DELIVERED",
+          "EMPTY_RETURNED", "EMPTY_CONTAINER_RETURNED").contains(status))
+        ("UNKNOWN", "status suggests DP→CY movement happened, but DP/rail/CY events are missing.")
+      else ("PLANNED", "no DP→CY movement recorded yet.")
+    legs += s"Leg 4 (DP → Last CY) [$l4State]: $dp → $lastCyLcn; $l4Desc"
+
+    // Leg 5
+    val hasDelivery = delivery.nonEmpty
+    val hasEmpty = emptyRt.nonEmpty
+    val l5State =
+      if (hasEmpty) "COMPLETED"
+      else if (hasDelivery) "PARTIAL"
+      else etaFd match {
+        case Some(e) => if (e.isBefore(today)) "OVERDUE" else "PLANNED"
+        case None => "UNKNOWN"
+      }
+    val delayTxt =
+      if (delayedFd == "delay" && fdDays.exists(_ > 0)) s"delayed by ~${fdDays.get} day(s) vs ETA FD."
+      else if (delayedFd == "early" && fdDays.exists(_ < 0)) s"early by ~${-fdDays.get} day(s) vs ETA FD."
+      else if (delayedFd == "on_time") "on time vs ETA FD."
+      else "completion vs ETA FD not clearly classified."
+    val details = scala.collection.mutable.ListBuffer.empty[String]
+    outCy.foreach(o => details += s"departed last CY ($cyOutLcn) on ${o.format(iso)}")
+    if (hasDelivery) details += s"delivered at $deliveryLcn on ${delivery.get.format(iso)}"
+    else if (!hasEmpty) details += etaFd.map(e => s"delivery pending; ETA FD ${e.format(iso)}")
+      .getOrElse("delivery pending; ETA FD not available")
+    if (hasEmpty) details += s"empty container returned at $emptyRtLcn on ${emptyRt.get.format(iso)}"
+    else details += "empty container return pending"
+    legs += s"Leg 5 (Last CY → Final) [$l5State]: $lastCyLcn → $finalDest; ${details.mkString("; ")} ($delayTxt)"
+
+    (s"Overall shipment status: $displayStatus" +: legs).mkString(" || ")
+  }
+
+  // -------------------------------------------------------------------
+  // CC combined_content — transformer.py:1200-1637, section by section.
+  // -------------------------------------------------------------------
+  private def fmtEvent(label: String, d: Option[String], l: Option[String]): Option[String] =
+    (d, l) match {
+      case (None, None) => None
+      case (Some(dv), Some(lv)) => Some(s"$label: $dv @ $lv")
+      case (Some(dv), None) => Some(s"$label: $dv")
+      case (None, Some(lv)) => Some(s"$label location: $lv")
+    }
+
+  def combinedContent(r: Row): String = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+
+    val consigneeName = fmtField(r, "consignee_name")
+    val containerNumber = fmtField(r, "container_number")
+    val containerType = fmtField(r, "container_type")
+    val destinationService = fmtField(r, "destination_service")
+    val shipmentStatus = fmtField(r, "shipment_status")
+    val displayStatus = shipmentStatus.map { s =>
+      if (Set("EMPTY_RETURNED", "EMPTY_CONTAINER_RETURNED").contains(s.toUpperCase))
+        "EMPTY CONTAINER RETURNED" else s
+    }
+    val hotFlag: Option[Boolean] =
+      if (r.schema.fieldNames.contains("hot_container_flag") &&
+        !r.isNullAt(r.fieldIndex("hot_container_flag")))
+        Some(r.getAs[Boolean]("hot_container_flag"))
+      else None
+    val sealNumber = fmtField(r, "seal_number")
+    val loadPort = fmtField(r, "load_port")
+    val dischargePort = fmtField(r, "discharge_port")
+    val finalDestination = fmtField(r, "final_destination")
+    val lastCyLcn = fmtField(r, "equipment_arrived_at_last_cy_lcn")
+
+    // Header
+    val header = scala.collection.mutable.ListBuffer.empty[String]
+    if (hotFlag.contains(true)) header += "HOT CONTAINER"
+    val containerLabel = (containerNumber, containerType) match {
+      case (Some(n), Some(t)) => Some(s"$n ($t)")
+      case (n, _) => n
+    }
+    (containerLabel, consigneeName) match {
+      case (Some(cl), Some(cn)) => header += s"Container: $cl | Consignee: $cn"
+      case (Some(cl), None) => header += s"Container: $cl"
+      case (None, Some(cn)) => header += s"Consignee: $cn"
+      case _ =>
+    }
+    if (containerType.nonEmpty && containerNumber.isEmpty)
+      header += s"Container Type: ${containerType.get}"
+    sealNumber.foreach(s => header += s"Seal Number: $s")
+    val routeBits = scala.collection.mutable.ListBuffer.empty[String]
+    loadPort.foreach(p => routeBits += s"Origin/Load: $p")
+    (dischargePort, lastCyLcn) match {
+      case (Some(d), Some(l)) => routeBits += s"Discharge: $d → Last CY location: $l"
+      case (d, l) =>
+        d.foreach(x => routeBits += s"Discharge: $x")
+        l.foreach(x => routeBits += s"Last CY location: $x")
+    }
+    finalDestination.foreach(f => routeBits += s"Final Destination: $f")
+    if (routeBits.nonEmpty) header += routeBits.mkString(" | ")
+    destinationService.foreach(s => header += s"Destination service: $s")
+    displayStatus.foreach(s => header += s"Current shipment status: $s")
+    if (header.nonEmpty) parts += header.mkString(" | ")
+
+    // Key dates + delay snapshot
+    val keyDates = List(
+      fmtField(r, "etd_lp_date").map(v => s"ETD LP: $v"),
+      fmtField(r, "eta_dp_date").map(v => s"ETA DP: $v"),
+      fmtField(r, "optimal_ata_dp_date").map(v => s"ATA DP (optimal): $v"),
+      fmtField(r, "optimal_eta_fd_date").map(v => s"ETA FD (optimal): $v")).flatten
+    val delayBits = List(
+      for (l <- fmtField(r, "delayed_dp"); d <- fmtField(r, "dp_delayed_dur"))
+        yield s"DP delay: $l, Δ≈$d day(s)",
+      for (l <- fmtField(r, "delayed_fd"); d <- fmtField(r, "fd_delayed_dur"))
+        yield s"FD delay: $l, Δ≈$d day(s)").flatten
+    if (keyDates.nonEmpty || delayBits.nonEmpty) {
+      val lines = (if (keyDates.nonEmpty) List("Key dates: " + keyDates.mkString(" | ")) else Nil) ++
+        (if (delayBits.nonEmpty) List("Delay snapshot: " + delayBits.mkString(" | ")) else Nil)
+      parts += lines.mkString(" ")
+    }
+
+    // Route summaries
+    val routeLines = List(
+      fmtField(r, "port_route_summary").map(v => s"Route summary: $v"),
+      lastCyLcn.map(v => s"Last CY location: $v"),
+      fmtField(r, "vessel_summary").map(v => s"Vessel summary: $v"),
+      fmtField(r, "carrier_summary").map(v => s"Carrier summary: $v")).flatten
+    if (routeLines.nonEmpty) parts += routeLines.mkString(" ")
+
+    // Timeline
+    val timeline = List(
+      fmtField(r, "milestones").map(v => s"Milestones: $v"),
+      fmtField(r, "critical_dates_summary").map(v => s"Critical dates: $v"),
+      fmtField(r, "delay_reason_summary").map(v => s"Delay analysis: $v"),
+      fmtField(r, "workflow_gap_flags").filter(_.toLowerCase != "none_detected")
+        .map(v => s"Workflow gaps: $v")).flatten
+    if (timeline.nonEmpty) parts += timeline.mkString(" ")
+
+    // Operational status (suppress "No" once delivered) & compliance
+    val delivered = fmtField(r, "delivery_to_consignee_date")
+    val emptyRet = fmtField(r, "empty_container_return_date")
+    def denoise(v: Option[String]): Option[String] =
+      if ((delivered.nonEmpty || emptyRet.nonEmpty) && v.exists(_.trim.equalsIgnoreCase("no")))
+        None else v
+    val ops = List(
+      denoise(fmtField(r, "current_departure_status")).map(v => s"Current departure status: $v"),
+      denoise(fmtField(r, "current_arrival_status")).map(v => s"Current arrival status: $v")).flatten
+    if (ops.nonEmpty) parts += "Operational status: " + ops.mkString(" | ")
+    val compliance = List(
+      fmtField(r, "856_filing_status").map(v => s"856 filing status: $v"),
+      fmtField(r, "get_isf_submission_date").map(v => s"ISF submission: $v")).flatten
+    if (compliance.nonEmpty) parts += "Compliance: " + compliance.mkString(" | ")
+
+    // Operational events (15 × _fmt_event)
+    val events = List(
+      fmtEvent("In-DC", fmtField(r, "in-dc_date"), None),
+      fmtEvent("Cargo ready", fmtField(r, "cargo_ready_date"), None),
+      fmtEvent("Cargo received", fmtField(r, "cargo_receiveds_date"), None),
+      fmtEvent("Empty container dispatch", fmtField(r, "empty_container_dispatch_date"),
+        fmtField(r, "empty_container_dispatch_lcn")),
+      fmtEvent("In-gate", fmtField(r, "in_gate_date"), fmtField(r, "in_gate_lcn")),
+      fmtEvent("Carrier vehicle load", fmtField(r, "carrier_vehicle_load_date"),
+        fmtField(r, "carrier_vehicle_load_lcn")),
+      fmtEvent("Carrier vehicle unload", fmtField(r, "carrier_vehicle_unload_date"),
+        fmtField(r, "carrier_vehicle_unload_lcn")),
+      fmtEvent("Vehicle departure", fmtField(r, "vehicle_departure_date"),
+        fmtField(r, "vehicle_departure_lcn")),
+      fmtEvent("Vehicle arrival", fmtField(r, "vehicle_arrival_date"),
+        fmtField(r, "vehicle_arrival_lcn")),
+      fmtEvent("Out-gate from DP", fmtField(r, "out_gate_from_dp_date"),
+        fmtField(r, "out_gate_from_dp_lcn")),
+      fmtEvent("Equipment arrived at last CY", fmtField(r, "equipment_arrived_at_last_cy_date"),
+        lastCyLcn),
+      fmtEvent("Out-gate at last CY", fmtField(r, "out_gate_at_last_cy_date"),
+        fmtField(r, "out_gate_at_last_cy_lcn")),
+      fmtEvent("Rail load", fmtField(r, "rail_load_dp_date"), fmtField(r, "rail_load_dp_lcn")),
+      fmtEvent("Rail departure", fmtField(r, "rail_departure_dp_date"),
+        fmtField(r, "rail_departure_dp_lcn")),
+      fmtEvent("Rail arrival", fmtField(r, "rail_arrival_destination_date"),
+        fmtField(r, "rail_arrival_destination_lcn"))).flatten
+    if (events.nonEmpty) parts += "Operational events: " + events.mkString(" | ")
+
+    // Cargo metrics / CO2 / free days
+    val metrics = scala.collection.mutable.ListBuffer.empty[String]
+    fmtField(r, "cargo_weight_kg").foreach(v => metrics += s"weight $v kg")
+    fmtField(r, "cargo_measure_cubic_meter").foreach(v => metrics += s"volume $v m3")
+    (fmtField(r, "cargo_count"), fmtField(r, "cargo_um")) match {
+      case (Some(c), Some(u)) => metrics += s"Cargo count: $c $u"
+      case (Some(c), None) => metrics += s"Cargo count: $c"
+      case _ =>
+    }
+    for (c <- fmtField(r, "cargo_detail_count"); u <- fmtField(r, "detail_cargo_um"))
+      metrics += s"Detail cargo: $c $u"
+    val cargoBits = scala.collection.mutable.ListBuffer.empty[String]
+    if (metrics.nonEmpty) cargoBits += "Cargo metrics: " + metrics.mkString(" ")
+    val co2 = List(
+      fmtField(r, "co2_tank_on_wheel").map(v => s"tank-to-wheel $v"),
+      fmtField(r, "co2_well_to_wheel").map(v => s"well-to-wheel $v")).flatten
+    if (co2.nonEmpty) cargoBits += "CO2: " + co2.mkString(" | ")
+    if (cargoBits.nonEmpty) parts += cargoBits.mkString(" ")
+    val freeDays = List(
+      fmtField(r, "demurrage_free_days").map(v => s"Demurrage free days: $v"),
+      fmtField(r, "detention_free_days").map(v => s"Detention free days: $v")).flatten
+    if (freeDays.nonEmpty) parts += "Free days: " + freeDays.mkString(" | ")
+
+    // Reference IDs
+    val ids = List(
+      fmtField(r, "po_numbers").map(v => s"PO Numbers: $v"),
+      fmtField(r, "booking_numbers").map(v => s"Booking Numbers: $v"),
+      fmtField(r, "fcr_numbers").map(v => s"FCR Numbers: $v"),
+      fmtField(r, "obl_nos").map(v => s"Ocean BL Numbers: $v"),
+      fmtField(r, "job_no").map(v => s"Job No: $v"),
+      fmtField(r, "mcs_hbl").map(v => s"MCS HBL: $v"),
+      fmtField(r, "service_contract_number").map(v => s"Service Contract: $v")).flatten
+    if (ids.nonEmpty) parts += "References: " + ids.mkString(" | ")
+
+    // Parties & service
+    val party = List(
+      consigneeName.map(v => s"Consignee: $v"),
+      fmtField(r, "ship_to_party_name").map(v => s"Ship-to party: $v"),
+      fmtField(r, "supplier_vendor_name").map(v => s"Supplier/Vendor: $v"),
+      fmtField(r, "manufacturer_name").map(v => s"Manufacturer: $v"),
+      fmtField(r, "job_type").map(v => s"Job type: $v"),
+      fmtField(r, "transport_mode").map(v => s"Transport mode: $v"),
+      hotFlag.map(b => s"Hot container flag: ${if (b) "True" else "False"}"),
+      fmtField(r, "booking_approval_status").map(v => s"Booking approval status: $v")).flatten
+    if (party.nonEmpty) parts += "Parties & service: " + party.mkString(" | ")
+
+    val finalParts = parts.map(_.trim).filter(_.nonEmpty)
+    if (finalParts.isEmpty)
+      s"Shipment record for container ${containerNumber.getOrElse("UNKNOWN")}."
+    else finalParts.mkString("\n\n")
+  }
+
+  /** Attach D9 then CC (CC reads D9's output) via one struct-input UDF
+    * each. `asOf` rides inside the struct as `__asof`. */
+  def attach(df: DataFrame, asOf: org.apache.spark.sql.Column): DataFrame = {
+    val milestonesUdf = udf(new UDF1[Row, String] { def call(r: Row): String = milestones(r) }, StringType)
+    val contentUdf = udf(new UDF1[Row, String] { def call(r: Row): String = combinedContent(r) }, StringType)
+    val withAsof = df.withColumn("__asof", asOf.cast("date"))
+    val withMilestones = withAsof.withColumn("milestones",
+      milestonesUdf(struct(withAsof.columns.map(col): _*)))
+    withMilestones.withColumn("combined_content",
+      contentUdf(struct(withMilestones.columns.map(col): _*)))
+      .drop("__asof")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 14-stage shipment pipeline (`/root/reference/src/pipeline.py:68-141`,
+  * `/root/reference/src/transformer.py:60-124`) as ONE lazy plan:
+  *
+  *   scan → header gate → rename → basic clean → D1..D12 → CC →
+  *   drop(P5) → document projection → partitioned JSONL write
+  *
+  * The reference materializes 14 intermediate DataFrame copies; here
+  * Catalyst's CollapseProject fuses all stages into a single projection
+  * over the scan, and the only shuffle in the whole job is the
+  * repartition-by-month before the write.
+  */
+object Pipeline {
+
+  /** Transform-only entry (scan through P5 drop): everything except the
+    * sink, for tests and for reuse over non-CSV sources. */
+  def transform(raw: DataFrame, asOf: Column): DataFrame = {
+    val renamed = Clean.gateAndRename(raw)
+    val cleaned = Clean.basicClean(renamed)
+    val derived = Derive.all(cleaned, asOf)
+    derived.drop(ShipmentSchema.dropAfterLoad: _*) // P5 LAST — CC reads 2 of these
+  }
+
+  /** Full run: newest CSV in `inDir` → JSONL docs in `outDir`.
+    * `asOfDate` pins the reference's execution-date dependence
+    * (SURVEY §7.4 trap 1); null means `current_date()`. */
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      asOfDate: Option[java.time.LocalDate] = None,
+      maxRecordsPerFile: Long = 0): Seq[String] = {
+    val asOf: Column = asOfDate
+      .map(d => lit(java.sql.Date.valueOf(d)))
+      .getOrElse(current_date())
+    val raw = CsvSource.readLatest(spark, inDir)
+    val enriched = transform(raw, asOf)
+    DocSink.write(enriched, outDir, maxRecordsPerFile)
+  }
+}

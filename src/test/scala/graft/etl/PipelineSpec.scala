@@ -1,0 +1,202 @@
+package graft.etl
+
+import java.nio.file.{Files, Path => JPath}
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end checks of the shipment ETL on a deterministic fixture CSV
+  * with a pinned asOfDate (2026-02-15), covering the cleaner classes,
+  * the derivation stages, the P6 null-group drop, and the JSONL sink
+  * shape (FIXTURES.md §1-3). */
+class PipelineSpec extends SparkSpec {
+
+  private val asOf = LocalDate.of(2026, 2, 15)
+
+  private def csvField(v: String): String =
+    if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  private def writeFixture(dir: JPath, rows: Seq[Map[String, String]]): Unit = {
+    val headers = ShipmentSchema.sourceHeaders
+    val lines = headers.map(csvField).mkString(",") +:
+      rows.map(r => headers.map(h => csvField(r.getOrElse(h, ""))).mkString(","))
+    Files.write(dir.resolve("shipments.csv"), lines.asJava)
+  }
+
+  // Row A: delivered, early at DP and FD, multi-value cells, hot flag.
+  private val rowA = Map(
+    "Job No." -> "JOB001", "carr_eqp_uid" -> "UID001",
+    "Container Number" -> "CONT001", "Container Type" -> "40HC",
+    "Consignee Code (Multiple)" -> "ACME CORP (012345678)",
+    "PO Number (Multiple)" -> "PO2, PO1 ,PO2",
+    "Booking Number (Multiple)" -> "BK9",
+    "Load Port" -> "SHANGHAI", "Discharge Port" -> "ROTTERDAM",
+    "Place of Receipt" -> "SUZHOU", "Final Destination" -> "UTRECHT",
+    "First Vessel Name" -> "EVER ACE", "Final Vessel Name" -> "EVER ACE",
+    "Final Carrier Name" -> "EVERGREEN", "True Carrier SCAC Name" -> "EGLV",
+    "ETD LP" -> "01/01/2026", "ATD LP" -> "02/01/2026",
+    "ETA DP" -> "01/02/2026", "ATA DP" -> "30/01/2026",
+    "ETA FD" -> "12/02/2026",
+    "Delivery Date To Consignee" -> "10/02/2026",
+    "Delivery Date To Consignee Lcn" -> "UTRECHT DC",
+    "Cargo Received Date (Multiple)" -> "05/01/2026, 06/01/2026",
+    "Hot Container Flag" -> "Y",
+    "Cargo Weight" -> "12000.5",
+    "Current Departure status" -> "No", "Current Arrival status" -> "Yes",
+    "856 Filing Status" -> "FILED")
+
+  // Row B: mid-ocean — departed TS, no DP arrival, future ETA.
+  private val rowB = Map(
+    "Job No." -> "JOB002", "carr_eqp_uid" -> "UID002",
+    "Container Number" -> "CONT002",
+    "Consignee Code (Multiple)" -> "GLOBEX",
+    "Load Port" -> "NINGBO", "Final Load Port" -> "SINGAPORE",
+    "Discharge Port" -> "HAMBURG",
+    "ETD LP" -> "20/01/2026", "ATD LP" -> "21/01/2026",
+    "ATA FLP" -> "28/01/2026", "ATD FLP" -> "30/01/2026",
+    "ETA DP" -> "01/03/2026",
+    "Hot Container Flag" -> "0")
+
+  // Row C: no ETD LP → null source_group → silently dropped by P6.
+  private val rowC = Map(
+    "Job No." -> "JOB003", "carr_eqp_uid" -> "UID003",
+    "Container Number" -> "CONT003",
+    "Load Port" -> "nan", "Discharge Port" -> "()")
+
+  // Row D: quoted leading-zero ID, sentinel cleanup.
+  private val rowD = Map(
+    "Job No." -> "\"00123\"", "carr_eqp_uid" -> "UID004",
+    "Container Number" -> "CONT004",
+    "Consignee Code (Multiple)" -> "WAYNE ENTERPRISES LTD",
+    "ETD LP" -> "15/02/2026")
+
+  private lazy val transformed: Map[String, Row] = {
+    val dir = Files.createTempDirectory("graft_fixture")
+    writeFixture(dir, Seq(rowA, rowB, rowC, rowD))
+    val raw = CsvSource.readLatest(spark, dir.toString)
+    val out = Pipeline.transform(raw, lit(java.sql.Date.valueOf(asOf))).collect()
+    out.map(r => r.getAs[String]("carr_eqp_uid") -> r).toMap
+  }
+
+  test("strict header gate rejects wrong order and extra columns") {
+    intercept[IllegalArgumentException] {
+      Clean.validateHeaders(ShipmentSchema.sourceHeaders.reverse)
+    }
+    intercept[IllegalArgumentException] {
+      Clean.validateHeaders(ShipmentSchema.sourceHeaders :+ "Bogus")
+    }
+    Clean.validateHeaders(ShipmentSchema.sourceHeaders) // exact → fine
+  }
+
+  test("cleaners: dates day-first, multi-IDs dedup+sort, quotes stripped, sentinels nulled") {
+    val a = transformed("UID001")
+    assert(a.getAs[java.sql.Date]("etd_lp_date").toString == "2026-01-01")
+    assert(a.getAs[java.sql.Date]("ata_dp_date").toString == "2026-01-30")
+    assert(a.getSeq[String](a.fieldIndex("po_numbers")) == Seq("PO1", "PO2"))
+    assert(a.getSeq[java.sql.Date](a.fieldIndex("cargo_receiveds_date")).map(_.toString) ==
+      Seq("2026-01-05", "2026-01-06"))
+    assert(a.getAs[Boolean]("hot_container_flag"))
+    val b = transformed("UID002")
+    assert(!b.getAs[Boolean]("hot_container_flag"))
+    val c = transformed("UID003")
+    assert(c.isNullAt(c.fieldIndex("load_port")), "'nan' must clean to null")
+    assert(c.isNullAt(c.fieldIndex("discharge_port")), "'()' must clean to null")
+    val d = transformed("UID004")
+    assert(d.getAs[String]("job_no") == "00123", "quotes stripped, zeros kept")
+  }
+
+  test("consignee extraction: code in parens vs bare name") {
+    val a = transformed("UID001")
+    assert(a.getAs[String]("consignee_name") == "ACME CORP")
+    assert(a.getSeq[String](a.fieldIndex("consignee_codes")) == Seq("012345678"))
+    val d = transformed("UID004")
+    // no parens: name = whole text, code = last 9 chars
+    assert(d.getAs[String]("consignee_name") == "WAYNE ENTERPRISES LTD")
+    assert(d.getSeq[String](d.fieldIndex("consignee_codes")) == Seq("RISES LTD"))
+  }
+
+  test("derivations: optimal dates, delay classes, status machine, tags") {
+    val a = transformed("UID001")
+    assert(a.getAs[java.sql.Date]("optimal_ata_dp_date").toString == "2026-01-30")
+    assert(a.getAs[String]("delayed_dp") == "early")
+    assert(a.getAs[Int]("dp_delayed_dur") == -2)
+    assert(a.getAs[String]("delayed_fd") == "early")
+    assert(a.getAs[Int]("fd_delayed_dur") == -2)
+    assert(a.getAs[String]("shipment_status") == "DELIVERED")
+    assert(a.getAs[String]("source_group") == "2026-01")
+    assert(a.getAs[String]("source_month_tag") == "jan_26")
+
+    val b = transformed("UID002")
+    assert(b.getAs[String]("shipment_status") == "IN_OCEAN_TRANSIT")
+    assert(b.getAs[String]("delayed_dp") == "on_time") // ETA in the future
+    assert(b.getAs[Int]("dp_delayed_dur") == 0)
+
+    val c = transformed("UID003")
+    assert(c.isNullAt(c.fieldIndex("source_group")))
+    assert(c.getAs[String]("shipment_status") == "UNKNOWN")
+  }
+
+  test("narratives: milestones and combined_content carry the expected fragments") {
+    val a = transformed("UID001")
+    val m = a.getAs[String]("milestones")
+    assert(m.startsWith("Overall shipment status: DELIVERED"))
+    assert(m.contains("Leg 1 (POR → Load Port) [COMPLETED]: SUZHOU → SHANGHAI; departed SHANGHAI on 2026-01-02."))
+    assert(m.contains("[NOT_APPLICABLE]")) // no TS for row A
+    assert(m.contains("arrived ROTTERDAM on 2026-01-30 (early by ~2 day(s) vs ETA DP.)"))
+    assert(m.contains("delivered at UTRECHT DC on 2026-02-10"))
+
+    val cc = a.getAs[String]("combined_content")
+    assert(cc.contains("HOT CONTAINER"))
+    assert(cc.contains("Container: CONT001 (40HC) | Consignee: ACME CORP"))
+    assert(cc.contains("ETD LP: 01-Jan-26"))
+    assert(cc.contains("DP delay: early, Δ≈-2 day(s)"))
+    assert(cc.contains("PO Numbers: PO1, PO2"))
+    assert(cc.contains("Cargo received: 05-Jan-26, 06-Jan-26"))
+    // delivered + departure status "No" → suppressed; arrival "Yes" stays
+    assert(!cc.contains("Current departure status"))
+    assert(cc.contains("Current arrival status: Yes"))
+    assert(cc.contains("856 filing status: FILED"))
+    assert(cc.contains("Hot container flag: True"))
+
+    val b = transformed("UID002")
+    val mb = b.getAs[String]("milestones")
+    assert(mb.contains("Leg 2 (Load Port → TS) [COMPLETED]: NINGBO → SINGAPORE; arrived TS SINGAPORE on 2026-01-28; departed TS on 2026-01-30"))
+    assert(mb.contains("in ocean transit towards HAMBURG (ETA 2026-03-01)"))
+  }
+
+  test("drop columns are gone after transform, and fed CC before dropping") {
+    val a = transformed("UID001")
+    ShipmentSchema.dropAfterLoad.foreach(cName =>
+      assert(!a.schema.fieldNames.contains(cName), s"$cName must be dropped"))
+  }
+
+  test("sink: JSONL docs with reference naming, null groups dropped") {
+    val inDir = Files.createTempDirectory("graft_sink_in")
+    val outDir = Files.createTempDirectory("graft_sink_out")
+    writeFixture(inDir, Seq(rowA, rowB, rowC, rowD))
+    val files = Pipeline.run(spark, inDir.toString, outDir.toString, Some(asOf))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.matches(".*shipment_\\d{4}-\\d{2}_\\d+\\.jsonl")))
+
+    val docs = spark.read.json(outDir.toString + "/*.jsonl")
+    val ids = docs.select("document_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("UID001", "UID002", "UID004"), "UID003 (null group) must be dropped")
+    val aDoc = docs.filter(col("document_id") === "UID001").collect()(0)
+    assert(aDoc.getAs[String]("consignee_code") == "['012345678']")
+    assert(aDoc.getAs[String]("content").contains("Container: CONT001"))
+    val meta = aDoc.getAs[Row]("metadata")
+    assert(meta.getAs[String]("shipment_status") == "DELIVERED")
+    assert(!meta.schema.fieldNames.contains("combined_content"))
+    assert(!meta.schema.fieldNames.contains("carr_eqp_uid"))
+
+    // A3 counter semantics: a second write continues the numbering.
+    val files2 = Pipeline.run(spark, inDir.toString, outDir.toString, Some(asOf))
+    assert(files2.nonEmpty && files2.toSet.intersect(files.toSet).isEmpty,
+      "second write must not clobber existing counters")
+  }
+}
