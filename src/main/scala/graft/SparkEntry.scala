@@ -15,14 +15,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.EtlQueries.all ++
+      graft.queries.Extensions.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.EtlQueries.oracles ++
+      graft.queries.Extensions.oracles
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test

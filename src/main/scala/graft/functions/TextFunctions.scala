@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * `Column` expressions (codegen'd, no UDFs) so they run inside
+  * whole-stage codegen over 100 TB scans. Every function has an exact
+  * DuckDB-SQL equivalent used by the driver oracle (see
+  * graft.queries.Extensions).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, and single
+    * punctuation marks each count as one token — the usual cheap
+    * stand-in for a real tokenizer's token count. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Unrounded ratios feed composite scores (rounding first would
+    * manufacture exact .5 ties at the rounding digit, which engines
+    * may round differently); only surfaced outputs get round(…, 6). */
+  private def punctRatioRaw(text: Column): Column = {
+    val len = length(text)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    when(len === 0, 0.0).otherwise(punct.cast("double") / len.cast("double"))
+  }
+
+  /** Punctuation character ratio (0 when empty). */
+  def punctRatio(text: Column): Column = round(punctRatioRaw(text), 6)
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a")
+
+  private def stopwordRatioRaw(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) === 0, 0.0)
+      .otherwise(stops.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Share of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    round(stopwordRatioRaw(text, stopwords), 6)
+
+  /** Heuristic quality score in [0,1]: enough tokens, not
+    * punctuation-soup, some-but-not-all stopwords. Deterministic and
+    * cheap; thresholds are the usual web-corpus heuristics. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val lengthScore = least(toks / 50.0, lit(1.0))
+    val punctPenalty = lit(1.0) - punctRatioRaw(text)
+    val stopScore = least(stopwordRatioRaw(text, englishStopwords) * 5.0, lit(1.0))
+    round(lengthScore * punctPenalty * (lit(0.5) + stopScore * 0.5), 6)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Deliberately small + disjoint-ish: the point is the
+    * operator shape (score-per-language → argmax), not lexicography. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  private def langScore(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stops)))
+
+  /** Language ID: CJK chars → zh; else the stopword-list argmax with
+    * first-listed language winning ties; no signal at all → "unknown". */
+  def langId(text: Column): Column = {
+    // argmax with deterministic tie-break: >= chains keep earlier langs
+    val Seq(en, de, fr, es) = langStopwords.map { case (_, stops) => langScore(text, stops) }
+    when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, lit("zh"))
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase
+    * text — identical bytes in Spark and DuckDB, so exact-dedup keys
+    * agree across engines. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Deterministic 60-bit token hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5, base-16-parsed. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+
+  /** Word n-gram shingles ("w1 w2 w3") of the token stream; empty when
+    * fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash group-by), MinHash+LSH banding, SimHash,
+  * n-gram Jaccard, embedding-cosine. Designed scale-first:
+  *
+  *  - exact dedup is one hash-shuffle on a 128-bit key (not the text);
+  *  - MinHash signatures are computed per-row inside codegen (array
+  *    exprs, no UDF), and the LSH self-join shuffles only
+  *    (band, 64-bit key) pairs — candidates, never the corpus square;
+  *  - SimHash is one explode + partial-aggregated group-by (map-side
+  *    combine keeps the shuffle at docs × 60 counters);
+  *  - n-gram Jaccard is the *verifier* for candidate pairs (or a
+  *    block-local join at small scale) — at 100 TB you never run it
+  *    unblocked, so the API takes an explicit blocking column.
+  *
+  * All hashes are md5-derived (`TextFunctions.tokenHash`) so the DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized text, keeping the
+    * smallest id; n_copies for observability. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash parameters: k permutations via (a_i·h + b_i) mod p over
+    * 60-bit token hashes. Fixed constants → reproducible across engines
+    * and runs. */
+  val minhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = 97L * i + 13
+
+  /** k-wide MinHash signature of the distinct-token set as k columns
+    * `mh0..mh{k-1}`. Pure array expressions — codegen, no shuffle. */
+  def minhashSignature(text: Column, k: Int): Seq[(String, Column)] = {
+    val hashes = transform(array_distinct(tokens(text)), t => tokenHash(t))
+    (0 until k).map { i =>
+      s"mh$i" -> array_min(transform(hashes,
+        h => (lit(minhashA(i)) * (h % minhashP) + minhashB(i)) % minhashP))
+    }
+  }
+
+  /** Attach signature columns + per-band LSH keys (`band$b` = md5 of the
+    * band's row-slice). Docs sharing any band key are candidates. */
+  def withMinhashBands(df: DataFrame, textCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(col(textCol), k)
+    val withSig = df.withColumns(sig.toMap)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      s"band$b" -> md5(concat_ws("_", slice: _*))
+    }
+    withSig.withColumns(bandCols.toMap)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (id1 < id2), deduped across
+    * bands, with the estimated Jaccard = matching-minhash fraction.
+    * One shuffle per band on the band key; never materializes n². */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigDf = withMinhashBands(df, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +:
+        (0 until k).map(i => col(s"mh$i")) :+
+        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*)
+    val exploded = sigDf.select(
+      (col("id") +: (0 until k).map(i => col(s"mh$i")) :+
+        posexplode(col("bands")).as(Seq("band_no", "band_key"))): _*)
+    val l = exploded.as("l"); val r = exploded.as("r")
+    val sameSig = (0 until k).map(i => (col(s"l.mh$i") === col(s"r.mh$i")).cast("int"))
+      .reduce(_ + _)
+    l.join(r, col("l.band_no") === col("r.band_no") &&
+        col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(sameSig.cast("double") / k, 6).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash: sign-sum of each token-hash bit, term frequency
+    * weighted. explode → group-by(id) with partial aggregation. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val h = tokenHash(col("tok"))
+    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), h.as("h"))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val summed = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until bits).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist within a
+    * blocking column (sort-merge-joinable; at scale, block by a
+    * band of the simhash itself). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    val withHash = simhash(df, idCol, textCol)
+      .join(df.select(col(idCol), col(blockCol)), idCol)
+    val l = withHash.as("l"); val r = withHash.as("r")
+    l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram (or unigram, n=1) Jaccard similarity pairs within a
+    * blocking column. The quadratic stage — only ever run per-block or
+    * on LSH candidates. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val shingles =
+      if (n == 1) array_distinct(tokens(col(textCol)))
+      else array_distinct(wordShingles(col(textCol), n))
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shingles.as("sh"))
+    val l = t.as("l"); val r = t.as("r")
+    val inter = size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
+    val union = (size(col("l.sh")) + size(col("r.sh"))).cast("double") -
+      size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(when(union === 0, 0.0).otherwise(inter / union), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

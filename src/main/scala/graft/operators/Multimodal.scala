@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed,
+  * deterministic metadata extraction.
+  *
+  * The decode step itself is a STUB — image/audio codecs are not in
+  * this environment — but everything Spark-side is real and tested:
+  * the binary column, the typed `Dataset` boundary (mapPartitions with
+  * a per-partition reusable digest, the same shape a real decoder
+  * needs), the output schema, and the per-partition batch processing.
+  * Swap `fakeDecode` for an actual codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata record a real decoder would emit. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      format: String, phash: String)
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes
+    * (length arithmetic + md5 "perceptual hash"). A real implementation
+    * replaces ONLY this function body with e.g. javax.imageio /
+    * ffmpeg-over-pipe per batch. */
+  private def fakeDecode(docId: Long, bytes: Array[Byte],
+      md: java.security.MessageDigest): MediaMeta = {
+    val n = bytes.length
+    val fmt = (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" }
+    val phash = md.digest(bytes).map("%02x".format(_)).mkString
+    md.reset()
+    MediaMeta(docId, n, n % 640, (n * 7) % 480, fmt, phash)
+  }
+
+  /** Attach a binary payload column (here: the UTF-8 text bytes as a
+    * stand-in blob) and run the decode stub over it partition-by-
+    * partition. At scale this is a pure narrow map — no shuffle; the
+    * binary never leaves the executor that read it. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => fakeDecode(id, bytes, md) }
+      }
+      .toDF()
+  }
+}

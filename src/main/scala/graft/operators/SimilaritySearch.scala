@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Numeric discipline: embeddings are cast to `array<double>` before
+  * any arithmetic so the sequential fold (`aggregate`) produces the
+  * bit-identical IEEE result DuckDB's double pipeline produces —
+  * float32 intermediate rounding would break oracle hash-parity.
+  *
+  * Scale design: `bruteForceTopK` broadcasts the (small) query set and
+  * streams the corpus once — the right baseline, and already the right
+  * *final* plan when queries ≪ corpus. `ivfTopK` is the scale path:
+  * assign every vector to its nearest centroid (one corpus pass), then
+  * search only the probe's bucket — corpus² never materializes, and the
+  * bucket join is a plain hash join on `bucket`.
+  */
+object SimilaritySearch {
+
+  /** Sequential-fold dot product of two same-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (brute force, the
+    * correctness baseline). Output: (query_id, neighbor_id, sim, rank).
+    * Ties broken by neighbor id — fully deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val sim = round(cosine(col("qvec"), col("vec")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine, centroid
+    * id breaks ties). Centroids must be small (broadcast). */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val sim = round(cosine(col("vec"), col("cvec")), 6)
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("centroid_id").asc)
+    c.crossJoin(broadcast(cent))
+      .select(col(idCol), col("vec"), col("centroid_id"), sim.as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("vec"), col("centroid_id").as("bucket"))
+  }
+
+  /** IVF-style ANN: search only within the query's bucket. Recall < 1
+    * by design; at 100 TB this is the difference between a bucket-join
+    * and a corpus-square. */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+    val q = assignBuckets(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("bucket"))
+    val sim = round(cosine(col("qvec"), col("vec")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.select(col(idCol).as("neighbor_id"), col("vec"), col("bucket"))
+      .join(q, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Clean, Derive}
+
+/** The shipment-ETL operator semantics (SURVEY.md §2.2-§2.4) exercised
+  * over the driver's TPC-H-ish tables so each operator gets a DuckDB
+  * oracle: we synthesize the reference's input shapes (dirty strings,
+  * day-first dates, multi-value cells, event-date combinations) from
+  * deterministic columns, run the REAL graft.etl expressions on them,
+  * and hand the driver an equivalent SQL program. The full pipeline on
+  * real CSV fixtures is covered by PipelineSpec golden tests.
+  */
+object EtlQueries {
+
+  private val asOfLit = "DATE '1996-01-01'"
+  private def asOf = expr(asOfLit)
+
+  /** q13 — C1/C2/C3 cleaning semantics: sentinel nulling, quote
+    * stripping, boolean coercion. */
+  def q13CleanSentinels(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val k = col("c_custkey") % 5
+    val dirty = when(k === 0, concat(lit("  "), col("c_name"), lit("  ")))
+      .when(k === 1, lit("nan"))
+      .when(k === 2, lit("()"))
+      .when(k === 3, concat(lit("\""), col("c_name"), lit("\"")))
+      .otherwise(col("c_name"))
+    val kb = col("c_custkey") % 7
+    val bsrc = when(kb === 0, lit("Y")).when(kb === 1, lit("yes"))
+      .when(kb === 2, lit("TRUE")).when(kb === 3, lit("0"))
+      .when(kb === 4, lit("no")).when(kb === 5, lit(""))
+      .otherwise(lit("maybe"))
+    c.select(col("c_custkey"),
+      Clean.cleanId(dirty).as("cleaned"),
+      Clean.toBool(bsrc).cast("int").as("flag"))
+      .orderBy("c_custkey")
+  }
+
+  /** q14 — C4 day-first multi-format date parsing: format each order
+    * date four ways, parse back through the production parser. */
+  def q14DayfirstDates(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    val k = col("o_orderkey") % 4
+    val str = when(k === 0, date_format(d, "dd/MM/yyyy"))
+      .when(k === 1, date_format(d, "dd-MM-yyyy"))
+      .when(k === 2, date_format(d, "yyyy-MM-dd"))
+      .otherwise(date_format(d, "dd.MM.yyyy"))
+    // string output: Spark DATE and DuckDB DATE reach pandas as
+    // different types (date vs Timestamp), breaking the value hash
+    o.select(col("o_orderkey"), str.as("date_str"),
+      Clean.dayFirstDate(str).cast("string").as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q15 — C6 multi-value ID split: comma cell → trimmed, de-quoted,
+    * deduped, sorted array. */
+  def q15MultiIdSplit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val src = concat(col("c_name"), lit(", "), lower(col("c_name")),
+      lit(" ,"), col("c_name"), lit(",, \""), col("c_name"), lit("\""))
+    c.select(col("c_custkey"),
+      array_join(Clean.multiIdSplit(src), "|").as("ids"))
+      .orderBy("c_custkey")
+  }
+
+  /** q16 — C7 consignee name/code extraction across the three source
+    * shapes (code in parens, bare name, multiple paren groups). */
+  def q16Consignee(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val k = col("c_custkey") % 3
+    val code9 = lpad(col("c_custkey").cast("string"), 9, "0")
+    val src = when(k === 0, concat(col("c_name"), lit(" ("), code9, lit(")")))
+      .when(k === 1, col("c_name"))
+      .otherwise(concat(col("c_name"), lit(" (EU) ("), code9, lit(")")))
+    c.select(col("c_custkey"), src.as("src"),
+      Clean.consigneeName(src).as("consignee_name"),
+      Clean.consigneeCode(src).as("consignee_code"))
+      .orderBy("c_custkey")
+  }
+
+  /** q17 — D2 optimal-date + D6 shipment-status state machine over
+    * synthesized event-date combinations (one per o_orderkey mod 10). */
+  def q17StatusMachine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    val k = col("o_orderkey") % 10
+    def on(kv: Int, c: org.apache.spark.sql.Column) = when(k === kv, c)
+    val nullDate = lit(null).cast("date")
+    val synth = o.select(col("o_orderkey"),
+      on(0, d).as("empty_container_return_date"),
+      on(1, d).as("delivery_to_consignee_date"),
+      on(2, d).as("out_gate_at_last_cy_date"),
+      on(3, d).as("equipment_arrived_at_last_cy_date"),
+      on(4, d).as("ata_dp_date"),
+      on(5, date_add(d, 30)).as("derived_ata_dp_date"),
+      on(6, d).as("atd_flp_date"),
+      when(k === 6 || k === 7, d).as("ata_flp_date"),
+      on(8, d).as("atd_lp_date"),
+      when(k === 8 || k === 9, date_add(d, 60)).as("etd_lp_date"),
+      nullDate.as("predictive_eta_fd_date"),
+      nullDate.as("revised_eta_fd_date"),
+      nullDate.as("eta_fd_date"))
+    Derive.shipmentStatus(Derive.optimalDates(synth, asOf), asOf)
+      .select(col("o_orderkey"),
+        col("optimal_ata_dp_date").cast("string").as("optimal_ata_dp_date"),
+        col("shipment_status"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q18 — D4/D5 delay classification over synthesized optimal/eta/
+    * actual date combinations. */
+  def q18DelayClass(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    val k = col("o_orderkey") % 10
+    val synth = o.select(col("o_orderkey"),
+      when(k % 3 === 0, date_add(d, (k % 7).cast("int") - 3)).as("optimal_ata_dp_date"),
+      when(k % 2 === 0, date_add(d, 5)).as("eta_dp_date"),
+      when(k % 4 < 3, date_add(d, 10)).as("optimal_eta_fd_date"),
+      when(k % 5 === 0, date_add(d, 12)).as("delivery_to_consignee_date"),
+      when(k % 5 === 1, date_add(d, 15)).as("empty_container_return_date"))
+    Derive.fdDelay(Derive.dpDelay(synth, asOf), asOf)
+      .select("o_orderkey", "delayed_dp", "dp_delayed_dur", "delayed_fd", "fd_delayed_dur")
+      .orderBy("o_orderkey")
+  }
+
+  /** q28 — S7 document projection semantics: id fallback chain, content
+    * fallback, nested metadata, stringified-list quirk, JSON shape. */
+  def q28DocProjection(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val counts = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val joined = c.join(counts, c("c_custkey") === counts("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val codes = array(col("c_mktsegment"), lower(col("c_name")))
+    joined.select(col("c_custkey"),
+      to_json(struct(
+        coalesce(col("c_name"), concat(lit("doc_"), col("c_custkey"))).as("document_id"),
+        concat(col("c_name"), lit(" segment "), col("c_mktsegment")).as("content"),
+        struct(col("c_name"), col("c_mktsegment"), col("n_orders")).as("metadata"),
+        concat(lit("['"), concat_ws("', '", codes), lit("']")).as("consignee_code")))
+        .as("doc"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_clean_sentinels" -> (q13CleanSentinels _),
+    "q14_dayfirst_dates" -> (q14DayfirstDates _),
+    "q15_multi_id_split" -> (q15MultiIdSplit _),
+    "q16_consignee" -> (q16Consignee _),
+    "q17_status_machine" -> (q17StatusMachine _),
+    "q18_delay_class" -> (q18DelayClass _),
+    "q28_doc_projection" -> (q28DocProjection _))
+
+  val oracles: Map[String, String] = Map(
+    "q13_clean_sentinels" ->
+      """WITH s AS (
+        | SELECT c_custkey,
+        |  CASE c_custkey % 5
+        |   WHEN 0 THEN '  ' || c_name || '  '
+        |   WHEN 1 THEN 'nan' WHEN 2 THEN '()'
+        |   WHEN 3 THEN '"' || c_name || '"'
+        |   ELSE c_name END AS dirty,
+        |  CASE c_custkey % 7
+        |   WHEN 0 THEN 'Y' WHEN 1 THEN 'yes' WHEN 2 THEN 'TRUE'
+        |   WHEN 3 THEN '0' WHEN 4 THEN 'no' WHEN 5 THEN ''
+        |   ELSE 'maybe' END AS bsrc
+        | FROM customer),
+        |t AS (SELECT c_custkey, trim(replace(dirty, '"', '')) AS t, bsrc FROM s)
+        |SELECT c_custkey,
+        | CASE WHEN t IN ('', '()', 'nan', 'NaN', 'None', 'null') THEN NULL ELSE t END AS cleaned,
+        | CASE WHEN upper(trim(bsrc)) IN ('Y','YES','TRUE','1') THEN 1
+        |      WHEN upper(trim(bsrc)) IN ('N','NO','FALSE','0') THEN 0
+        |      ELSE NULL END AS flag
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "q14_dayfirst_dates" ->
+      """WITH s AS (
+        | SELECT o_orderkey,
+        |  CASE o_orderkey % 4
+        |   WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |   WHEN 1 THEN strftime(o_orderdate, '%d-%m-%Y')
+        |   WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |   ELSE strftime(o_orderdate, '%d.%m.%Y') END AS date_str
+        | FROM orders)
+        |SELECT o_orderkey, date_str,
+        | COALESCE(
+        |  try_strptime(date_str, '%d/%m/%Y'), try_strptime(date_str, '%d-%m-%Y'),
+        |  try_strptime(date_str, '%d.%m.%Y'), try_strptime(date_str, '%Y-%m-%d'),
+        |  try_strptime(date_str, '%Y/%m/%d'))::DATE::VARCHAR AS parsed
+        |FROM s ORDER BY o_orderkey""".stripMargin,
+    "q15_multi_id_split" ->
+      """SELECT c_custkey,
+        | array_to_string(list_sort(list_distinct(list_filter(
+        |   list_transform(string_split(
+        |     c_name || ', ' || lower(c_name) || ' ,' || c_name || ',, "' || c_name || '"', ','),
+        |    x -> trim(replace(x, '"', ''))),
+        |   x -> x <> ''))), '|') AS ids
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q16_consignee" ->
+      """WITH s AS (
+        | SELECT c_custkey,
+        |  CASE c_custkey % 3
+        |   WHEN 0 THEN c_name || ' (' || lpad(c_custkey::VARCHAR, 9, '0') || ')'
+        |   WHEN 1 THEN c_name
+        |   ELSE c_name || ' (EU) (' || lpad(c_custkey::VARCHAR, 9, '0') || ')' END AS src
+        | FROM customer),
+        |t AS (SELECT c_custkey, src, trim(src) AS ts,
+        |       trim(regexp_extract(src, '\(([^()]*)\)[^()]*$', 1)) AS inside FROM s)
+        |SELECT c_custkey, src,
+        | CASE WHEN ts = '' THEN NULL
+        |      WHEN contains(ts, '(') THEN nullif(trim(regexp_extract(ts, '^(.*)\([^(]*$', 1)), '')
+        |      ELSE ts END AS consignee_name,
+        | nullif(trim(right(CASE WHEN contains(ts, '(') AND contains(ts, ')') AND inside <> ''
+        |                        THEN inside ELSE ts END, 9)), '') AS consignee_code
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "q17_status_machine" ->
+      s"""WITH s AS (SELECT o_orderkey, o_orderdate::DATE AS d, o_orderkey % 10 AS k FROM orders),
+        |c AS (SELECT o_orderkey,
+        |  CASE WHEN k = 0 THEN d END AS empty_ret,
+        |  CASE WHEN k = 1 THEN d END AS delivery,
+        |  CASE WHEN k = 2 THEN d END AS out_cy,
+        |  CASE WHEN k = 3 THEN d END AS arr_cy,
+        |  CASE WHEN k = 4 THEN d END AS ata_dp,
+        |  CASE WHEN k = 5 THEN d + 30 END AS derived_ata,
+        |  CASE WHEN k = 6 THEN d END AS atd_flp,
+        |  CASE WHEN k IN (6, 7) THEN d END AS ata_flp,
+        |  CASE WHEN k = 8 THEN d END AS atd_lp,
+        |  CASE WHEN k IN (8, 9) THEN d + 60 END AS etd_lp
+        | FROM s),
+        |o AS (SELECT *, COALESCE(ata_dp, CASE WHEN derived_ata <= $asOfLit THEN derived_ata END) AS optimal FROM c)
+        |SELECT o_orderkey, optimal::VARCHAR AS optimal_ata_dp_date,
+        | CASE WHEN empty_ret IS NOT NULL THEN 'EMPTY_CONTAINER_RETURNED'
+        |      WHEN delivery IS NOT NULL THEN 'DELIVERED'
+        |      WHEN out_cy IS NOT NULL THEN 'IN_INLAND_TRANSIT'
+        |      WHEN arr_cy IS NOT NULL THEN 'AT_LAST_CY'
+        |      WHEN optimal IS NOT NULL AND optimal <= $asOfLit THEN 'AT_DP'
+        |      WHEN atd_flp IS NOT NULL AND (optimal IS NULL OR optimal > $asOfLit) THEN 'IN_OCEAN_TRANSIT'
+        |      WHEN ata_flp IS NOT NULL AND atd_flp IS NULL THEN 'AT_TS'
+        |      WHEN atd_lp IS NULL AND etd_lp >= $asOfLit THEN 'AT_ORIGIN'
+        |      ELSE 'UNKNOWN' END AS shipment_status
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    "q18_delay_class" ->
+      s"""WITH s AS (SELECT o_orderkey, o_orderdate::DATE AS d, o_orderkey % 10 AS k FROM orders),
+        |c AS (SELECT o_orderkey,
+        |  CASE WHEN k % 3 = 0 THEN d + (k % 7)::INT - 3 END AS optimal,
+        |  CASE WHEN k % 2 = 0 THEN d + 5 END AS eta,
+        |  CASE WHEN k % 4 < 3 THEN d + 10 END AS optimal_fd,
+        |  CASE WHEN k % 5 = 0 THEN d + 12 END AS delivery,
+        |  CASE WHEN k % 5 = 1 THEN d + 15 END AS empty_ret
+        | FROM s),
+        |dp AS (SELECT *,
+        |  CASE WHEN optimal IS NULL THEN
+        |        CASE WHEN eta IS NOT NULL AND eta <= $asOfLit
+        |             THEN greatest($asOfLit - eta, 0) ELSE 0 END
+        |       WHEN eta IS NULL THEN 0
+        |       ELSE optimal - eta END AS dp_dur
+        | FROM c),
+        |fd AS (SELECT *, COALESCE(delivery, empty_ret) AS real_actual,
+        |  CASE WHEN optimal_fd IS NOT NULL
+        |       THEN COALESCE(delivery, empty_ret, $asOfLit) - optimal_fd ELSE 0 END AS raw_fd
+        | FROM dp)
+        |SELECT o_orderkey,
+        | CASE WHEN optimal IS NULL THEN CASE WHEN dp_dur > 0 THEN 'delay' ELSE 'on_time' END
+        |      WHEN dp_dur > 0 THEN 'delay' WHEN dp_dur < 0 THEN 'early' ELSE 'on_time' END AS delayed_dp,
+        | dp_dur::INT AS dp_delayed_dur,
+        | CASE WHEN real_actual IS NOT NULL THEN
+        |        CASE WHEN raw_fd > 0 THEN 'delay' WHEN raw_fd < 0 THEN 'early' ELSE 'on_time' END
+        |      WHEN optimal_fd IS NOT NULL AND optimal_fd <= $asOfLit AND raw_fd > 0 THEN 'delay'
+        |      ELSE 'on_time' END AS delayed_fd,
+        | CASE WHEN real_actual IS NOT NULL THEN raw_fd
+        |      WHEN optimal_fd IS NOT NULL AND optimal_fd <= $asOfLit THEN greatest(raw_fd, 0)
+        |      ELSE 0 END::INT AS fd_delayed_dur
+        |FROM fd ORDER BY o_orderkey""".stripMargin,
+    "q28_doc_projection" ->
+      """WITH counts AS (SELECT o_custkey, count(1) AS n FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey,
+        | to_json(struct_pack(
+        |  document_id := COALESCE(c_name, 'doc_' || c_custkey::VARCHAR),
+        |  content := c_name || ' segment ' || c_mktsegment,
+        |  metadata := struct_pack(c_name := c_name, c_mktsegment := c_mktsegment,
+        |                          n_orders := COALESCE(n, 0)),
+        |  consignee_code := '[''' || c_mktsegment || ''', ''' || lower(c_name) || ''']'))::VARCHAR AS doc
+        |FROM customer LEFT JOIN counts ON o_custkey = c_custkey
+        |ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+
+/** LLM-training-data pipeline extensions (first-class per BASELINE):
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Every query has an exact DuckDB oracle — including MinHash/SimHash,
+  * whose md5-derived hashes are engine-portable by construction.
+  */
+object Extensions {
+
+  // Shared SQL fragments for the oracles (token stream + 60-bit hash).
+  private val toksSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val hashSql = """('0x' || substring(md5(tok), 1, 15))::BIGINT"""
+
+  /** q19 — exact dedup by normalized-text fingerprint. */
+  def q19DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("keep_id")
+
+  /** q20 — text quality metrics (token counts, punctuation/stopword
+    * ratios, composite quality score). */
+  def q20TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val t = col("text")
+    d.select(col("doc_id"),
+      TextFunctions.tokenCount(t).as("n_tokens"),
+      TextFunctions.bpeishCount(t).as("n_bpeish"),
+      TextFunctions.punctRatio(t).as("punct_ratio"),
+      TextFunctions.stopwordRatio(t).as("stopword_ratio"),
+      TextFunctions.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q21 — language ID heuristic vs the labeled lang column. */
+  def q21LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
+      (TextFunctions.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
+      .orderBy("doc_id")
+  }
+
+  /** q22 — document fingerprint + 8-wide MinHash signature. */
+  def q22Minhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val sig = Dedup.minhashSignature(col("text"), 8)
+    d.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint"),
+      concat_ws(",", sig.map(_._2): _*).as("minhash_sig"))
+      .orderBy("doc_id")
+  }
+
+  /** q23 — 60-bit SimHash per document. */
+  def q23Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q24 — exact unigram-Jaccard near-dup pairs, blocked by
+    * (lang, source): the per-crawl-source blocking a production dedup
+    * uses — block count grows with the corpus, so pair count stays
+    * ~linear instead of quadratic. */
+  def q24NeardupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        Tables(spark, dir, "documents")
+          .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+        "doc_id", "text", "block", 1, 0.5)
+      .orderBy("id1", "id2")
+
+  /** q25 — MinHash-LSH candidate pairs (2 bands × 8 rows: collision
+    * probability J⁸ per band keeps candidates near-linear even on a
+    * self-similar corpus). */
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("id1", "id2")
+
+  /** q26 — brute-force cosine top-3 for the first 5 vectors. */
+  def q26AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q27 — IVF-style bucketed ANN: 8 pseudo-centroids, 5 probes. */
+  def q27AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q29 — multimodal stub-decode over a real binary column. */
+  def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact" -> (q19DedupExact _),
+    "q20_text_quality" -> (q20TextQuality _),
+    "q21_lang_id" -> (q21LangId _),
+    "q22_minhash" -> (q22Minhash _),
+    "q23_simhash" -> (q23Simhash _),
+    "q24_neardup_jaccard" -> (q24NeardupJaccard _),
+    "q25_minhash_lsh" -> (q25MinhashLsh _),
+    "q26_ann_topk" -> (q26AnnTopK _),
+    "q27_ann_ivf" -> (q27AnnIvf _),
+    "q29_multimodal" -> (q29Multimodal _))
+
+  // ----- generated oracle fragments -----
+
+  private def minhashExpr(i: Int, hashesVar: String): String =
+    s"list_min(list_transform($hashesVar, h -> (${Dedup.minhashA(i)} * (h % ${Dedup.minhashP}) + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}))"
+
+  private val minhashSigSql: String = {
+    val hs = s"list_transform(list_distinct($toksSql), tok -> $hashSql)"
+    (0 until 8).map(i => minhashExpr(i, hs)).mkString("concat_ws(',', ", ", ", ")")
+  }
+
+  private val lshBands = 2
+  private val lshRows = 8
+  private val lshK = lshBands * lshRows
+
+  private val lshSigDefs: String = {
+    val hs = s"list_transform(list_distinct($toksSql), tok -> $hashSql)"
+    val mhs = (0 until lshK).map(i => s"${minhashExpr(i, hs)} AS mh$i").mkString(",\n  ")
+    val bands = (0 until lshBands).map { b =>
+      val slice = (0 until lshRows).map(r => s"mh${b * lshRows + r}").mkString(", ")
+      s"md5(concat_ws('_', $slice)) AS band$b"
+    }.mkString(",\n  ")
+    s"""sig0 AS (SELECT doc_id, $mhs FROM documents),
+       |sig AS (SELECT *, $bands FROM sig0)""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n  ")
+    val recombine = (0 until 60).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       | SELECT doc_id, $hashSql AS h
+       | FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+       |b AS (SELECT doc_id, $bitSums FROM t GROUP BY doc_id)
+       |SELECT doc_id, ($recombine)::BIGINT AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private val cosSql =
+    """round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+      | / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+      |    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS keep_id, count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q20_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpeish,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct_raw,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','a'], x)))::DOUBLE / len(toks) END AS stop_raw
+        | FROM t)
+        |SELECT doc_id, n_tokens, n_bpeish,
+        | round(punct_raw, 6) AS punct_ratio, round(stop_raw, 6) AS stopword_ratio,
+        | round(least(n_tokens / 50.0, 1.0) * (1.0 - punct_raw)
+        |   * (0.5 + least(stop_raw * 5.0, 1.0) * 0.5), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','is','was','that'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','les','et','est','une','pour'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es
+        | FROM t),
+        |p AS (SELECT doc_id, lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+        |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        | FROM s)
+        |SELECT doc_id, pred_lang,
+        | CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS matches_label
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q22_minhash" ->
+      s"""SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+        | $minhashSigSql AS minhash_sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_simhash" -> simhashOracle,
+    "q24_neardup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang || '_' || source AS block,
+        |            list_distinct($toksSql) AS sh FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+        |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "q25_minhash_lsh" -> {
+      val est = "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
+        s")::DOUBLE / $lshK, 6)"
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2, $est AS est_jaccard
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""".stripMargin)
+        .mkString("\nUNION\n")
+      s"WITH $lshSigDefs\nSELECT DISTINCT id1, id2, est_jaccard FROM (\n$branches\n) ORDER BY id1, id2"
+    },
+    "q26_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id, $cosSql AS sim
+        |      FROM e, q WHERE e.vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q27_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |sims AS (SELECT e.vec_id, e.v, c.cid,
+        |  round(list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2]))
+        |   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+        | FROM e, c),
+        |assign AS (SELECT vec_id, v, cid AS bucket FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM assign WHERE vec_id >= 8 AND vec_id < 13),
+        |s AS (SELECT qid AS query_id, a.bucket, a.vec_id AS neighbor_id, $cosSql AS sim
+        |      FROM assign a JOIN q ON a.bucket = q.bucket AND a.vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, bucket, neighbor_id, sim, rank FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
+    "q29_multimodal" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        | strlen(text) % 640 AS width, (strlen(text) * 7) % 480 AS height,
+        | CASE strlen(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        | md5(text) AS phash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the events table: the streaming
+  * analog of the reference's "process the newest file that appeared in
+  * a container" batch pattern (`/root/reference/src/ingestor.py:35-65`),
+  * generalized to incremental processing.
+  *
+  *  - file source with `latestFirst`/`maxFilesPerTrigger` ≈ the
+  *    reference's newest-blob polling;
+  *  - watermarked tumbling-window rollup = the scalable form of the
+  *    per-month grouping (bounded state, late-data discipline);
+  *  - mapGroupsWithState = the shipment-status state machine run
+  *    incrementally per key instead of per-snapshot.
+  */
+object EventStream {
+
+  /** Parquet schema of the events table; ts is TIMESTAMP(NANOS) which
+    * Spark reads as long under legacy.parquet.nanosAsLong. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files, newest
+    * first, one file per trigger (incremental batch parity). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("latestFirst", "true")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling rollup with a 2-hour watermark: counts + sums per
+    * (hour, event_type). State is bounded by the watermark — safe on an
+    * unbounded stream. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running aggregate via explicit keyed state — the pattern
+    * for incremental state machines (session windows, shipment status). */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events; var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a stream to completion against the (finite) test directory
+    * and return the materialized result — used by tests; production
+    * would `.start()` against a real sink and never call this. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

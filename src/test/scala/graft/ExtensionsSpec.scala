@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Semantic invariants for the dedup / similarity operators beyond the
+  * DuckDB oracle's value equality. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("minhash est_jaccard tracks exact jaccard on near-identical docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "x"),
+      (2L, "the quick brown fox jumps over the lazy cat", "x"), // near-dup of 1
+      (3L, "completely different words entirely unrelated text here", "x")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1-2 share 7/9 distinct tokens (J≈0.78) → must collide in some band
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) candidate, got $pairs")
+    assert(pairs((1L, 2L)) > 0.3)
+    // 3 shares nothing: if it ever appears, its estimate must be low
+    pairs.keys.filter(p => p._1 == 3L || p._2 == 3L)
+      .foreach(p => assert(pairs(p) < 0.3, s"disjoint doc scored high: $p"))
+  }
+
+  test("simhash: identical texts hash equal; disjoint texts differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val m = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    import spark.implicits._
+    val docs = Seq((10L, "Hello   World"), (11L, "hello world"), (12L, "other"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(rows == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("brute-force ANN: self excluded, ranks contiguous, sims sorted") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val out = queries.Extensions.q26AnnTopK(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.head == 1 && ranks.sameElements(1 to ranks.length))
+      assert(rows.forall(r => r.getLong(1) != q), "self match leaked")
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getDouble(2))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("IVF ANN results are a subset of brute-force candidates by bucket") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val assigned = SimilaritySearch.assignBuckets(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+    // every vector lands in exactly one bucket
+    assert(assigned.count() == e.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+}

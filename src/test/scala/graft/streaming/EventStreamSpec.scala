@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.{SparkSpec, Tables}
+
+/** Streaming results must agree with their batch equivalents on the
+  * finite test directory (same engine, two execution modes). */
+class EventStreamSpec extends SparkSpec {
+
+  test("hourly rollup over the stream matches the batch aggregation") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    val got = EventStream.runToMemory(spark,
+      EventStream.hourlyRollup(stream), "hourly_test")
+    val batch = Tables(spark, sf0001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // watermark can hold back the tail hour in append mode; compare the
+    // hours the stream emitted — each must match batch exactly
+    val gotMap = got.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotMap.nonEmpty, "stream emitted nothing")
+    val batchMap = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    gotMap.foreach { case (k, n) =>
+      assert(batchMap.get(k).contains(n), s"window $k: stream=$n batch=${batchMap.get(k)}")
+    }
+  }
+
+  test("stateful running totals accumulate per user") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    val got = EventStream.runToMemory(spark,
+      EventStream.userRunningTotals(spark, stream).toDF(), "running_test",
+      OutputMode.Update())
+    // final state per user (last update wins) must equal the batch sums
+    val finalState = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+    val batch = Tables(spark, sf0001, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val j = finalState.join(batch, "user_id")
+      .filter(col("n_events") =!= col("n")).count()
+    assert(j == 0, "stateful totals diverge from batch counts")
+  }
+}
