@@ -80,25 +80,15 @@ object Clean {
       .otherwise(lit(null).cast(BooleanType))
   }
 
-  /** Ordered day-first format list standing in for pandas'
-    * `dayfirst=True` dateutil parse (`transformer.py:253-264`).
-    * `try_to_date` is null-on-fail even under ANSI mode; `coalesce`
-    * walks the formats in priority order. Covers the layouts seen in
-    * ops CSV exports; extend the list, not the semantics. */
-  private val dayFirstFormats = Seq(
-    "d/M/yyyy", "d-M-yyyy", "d.M.yyyy",
-    "yyyy-M-d", "yyyy/M/d",
-    "d-MMM-yy", "d-MMM-yyyy", "d MMM yyyy", "MMM d, yyyy",
-    "d/M/yyyy H:mm", "d/M/yyyy H:mm:ss",
-    "yyyy-M-d H:mm", "yyyy-M-d H:mm:ss",
-    "M/d/yyyy") // US layout last: only hit when day-first fails (m>12)
-
   /** C4 — single-date parse, day-first, null on failure, time-of-day
-    * truncated (pandas `.normalize()` ≡ DateType). */
-  def dayFirstDate(c: Column): Column = {
-    val t = trim(c)
-    coalesce(dayFirstFormats.map(f => try_to_date(t, f)): _*)
-  }
+    * truncated (pandas `.normalize()` ≡ DateType,
+    * `transformer.py:253-264`). Backed by the native codegen expression
+    * [[graft.expressions.DayFirstDate]]: one shape-dispatching static
+    * call per value instead of an exception-probing
+    * `coalesce(try_to_date × 14)` chain — the shipment schema has 31
+    * date columns, so this is the ETL scan's hottest expression. */
+  def dayFirstDate(c: Column): Column =
+    graft.expressions.DayFirstDate(trim(c))
 
   /** C5 — multi-date cell: split on comma, parse each (C4), drop
     * failures, empty result → null (`transformer.py:266-289`). */

@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DateType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `day_first_date(string) -> date` — native codegen expression wrapping
+  * [[graft.functions.DayFirstParser]].
+  *
+  * Why a custom Expression instead of the `coalesce(try_to_date × 14)`
+  * chain: the shipment schema has 31 date columns
+  * (`/root/reference/src/config.py:130-132`), and the chain makes up to
+  * 14 full parse attempts per value — each an exception-driven
+  * formatter probe. This compiles to ONE static call per value doing a
+  * single shape-dispatch, stays inside whole-stage codegen, and returns
+  * null on failure (pandas `errors="coerce"` parity) even under ANSI
+  * mode.
+  */
+case class DayFirstDate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def prettyName: String = "day_first_date"
+
+  // null result possible for non-null input → custom null handling
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else graft.functions.DayFirstParser.parseToDaysOrNull(v.asInstanceOf[UTF8String].toString)
+      match {
+        case null => null
+        case days => days.intValue()
+      }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val parser = "graft.functions.DayFirstParser"
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      int ${ev.value} = -1;
+      if (!${childGen.isNull}) {
+        java.lang.Integer graft_r = $parser.parseToDaysOrNull(${childGen.value}.toString());
+        if (graft_r != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = graft_r.intValue();
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DayFirstDate =
+    copy(child = newChild)
+}
+
+object DayFirstDate {
+  /** Column-API entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.toColumn(DayFirstDate(ColumnBridge.toExpression(c)))
+}

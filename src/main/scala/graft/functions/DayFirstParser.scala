@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.time.LocalDate
+
+/** Single-pass day-first date parser — the compiled form of the
+  * ordered-format-list semantics in Clean.dayFirstFormats (pandas
+  * `dayfirst=True` parity, `/root/reference/src/transformer.py:253-264`).
+  *
+  * Shape-dispatched (no exception-driven format probing): one scan
+  * classifies the string, then one validation builds the date. Called
+  * from both the interpreted and the generated-code path of
+  * [[graft.expressions.DayFirstDate]].
+  *
+  * Supported shapes, in the same priority order as the SQL chain:
+  * d/M/yyyy · d-M-yyyy · d.M.yyyy · yyyy-M-d · yyyy/M/d · d-MMM-yy(yy)
+  * · d MMM yyyy · MMM d, yyyy · all of the above with a trailing
+  * " H:mm[:ss]" time · M/d/yyyy as the US fallback when day-first
+  * cannot parse. Two-digit years resolve to 20yy (Spark `yy` base).
+  * Returns epoch days, or null for anything unparseable.
+  */
+object DayFirstParser {
+
+  private val months = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+
+  private val dmySep = "^(\\d{1,2})([/\\-.])(\\d{1,2})([/\\-.])(\\d{4})$".r
+  private val ymdSep = "^(\\d{4})([/\\-])(\\d{1,2})([/\\-])(\\d{1,2})$".r
+  private val dMonY = "^(\\d{1,2})-([A-Za-z]{3})-(\\d{2}|\\d{4})$".r
+  private val dMonSpace = "^(\\d{1,2}) ([A-Za-z]{3}) (\\d{4})$".r
+  private val monDComma = "^([A-Za-z]{3}) (\\d{1,2}), (\\d{4})$".r
+  private val timeSuffix = "^(.*?)[ T](\\d{1,2}):(\\d{2})(:(\\d{2}))?$".r
+
+  private def mk(y: Int, m: Int, d: Int): Integer =
+    try Integer.valueOf(LocalDate.of(y, m, d).toEpochDay.toInt)
+    catch { case _: Exception => null }
+
+  /** Epoch days or null. Java-friendly (called from generated code). */
+  def parseToDaysOrNull(raw: String): Integer = {
+    if (raw == null) return null
+    val s0 = raw.trim
+    if (s0.isEmpty) return null
+    // strip a trailing time-of-day (the reference normalizes it away)
+    val s = s0 match {
+      case timeSuffix(datePart, h, mi, _, sec)
+        if h.toInt <= 23 && mi.toInt <= 59 && (sec == null || sec.toInt <= 59) => datePart
+      case _ => s0
+    }
+    s match {
+      case dmySep(a, sep1, b, sep2, y) if sep1 == sep2 =>
+        val day = a.toInt; val mon = b.toInt
+        val dayFirst = mk(y.toInt, mon, day)
+        if (dayFirst != null) dayFirst
+        // US fallback (M/d/yyyy) — slash layout only, matching the chain
+        else if (sep1 == "/") mk(y.toInt, day, mon)
+        else null
+      case ymdSep(y, sep1, m, sep2, d) if sep1 == sep2 =>
+        mk(y.toInt, m.toInt, d.toInt)
+      case dMonY(d, mon, y) =>
+        months.get(mon.toLowerCase) match {
+          case Some(m) =>
+            val year = if (y.length == 2) 2000 + y.toInt else y.toInt
+            mk(year, m, d.toInt)
+          case None => null
+        }
+      case dMonSpace(d, mon, y) =>
+        months.get(mon.toLowerCase).map(m => mk(y.toInt, m, d.toInt)).orNull
+      case monDComma(mon, d, y) =>
+        months.get(mon.toLowerCase).map(m => mk(y.toInt, m, d.toInt)).orNull
+      case _ => null
+    }
+  }
+}

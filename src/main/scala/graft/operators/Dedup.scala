@@ -113,6 +113,33 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** A2-style keep-first dedup (legacy `transformer_old.py:176-185`,
+    * still config-declared): one row per key, deterministic winner via
+    * row_number over an explicit ordering — the exact-parity form of
+    * `dropDuplicates`, which picks an arbitrary row. */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking column: the
+    * semantic-dedup stage of a training-data pipeline. Quadratic per
+    * block — block by IVF bucket (SimilaritySearch.assignBuckets) or
+    * LSH at scale. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCos: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(vecCol).cast("array<double>").as("v"))
+    val l = t.as("l"); val r = t.as("r")
+    val cos = round(SimilaritySearch.cosine(col("l.v"), col("r.v")), 6)
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"), cos.as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Exact n-gram (or unigram, n=1) Jaccard similarity pairs within a
     * blocking column. The quadratic stage — only ever run per-block or
     * on LSH candidates. */

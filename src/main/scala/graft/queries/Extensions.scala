@@ -99,6 +99,20 @@ object Extensions {
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
       .orderBy("doc_id")
 
+  /** q30 — embedding-cosine near-dup pairs, blocked by label. */
+  def q30EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", 0.2)
+      .orderBy("id1", "id2")
+
+  /** q31 — A2 keep-first dedup: one event per (user_id, event_type),
+    * earliest (ts, event_id) wins deterministically. */
+  def q31KeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(Tables(spark, dir, "events"),
+        Seq("user_id", "event_type"), Seq(col("ts").asc, col("event_id").asc))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact" -> (q19DedupExact _),
     "q20_text_quality" -> (q20TextQuality _),
@@ -109,7 +123,9 @@ object Extensions {
     "q25_minhash_lsh" -> (q25MinhashLsh _),
     "q26_ann_topk" -> (q26AnnTopK _),
     "q27_ann_ivf" -> (q27AnnIvf _),
-    "q29_multimodal" -> (q29Multimodal _))
+    "q29_multimodal" -> (q29Multimodal _),
+    "q30_embedding_neardup" -> (q30EmbeddingNeardup _),
+    "q31_keep_first" -> (q31KeepFirst _))
 
   // ----- generated oracle fragments -----
 
@@ -247,5 +263,23 @@ object Extensions {
         | strlen(text) % 640 AS width, (strlen(text) * 7) % 480 AS height,
         | CASE strlen(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         | md5(text) AS phash
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        |  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        |  / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.2
+        |ORDER BY id1, id2""".stripMargin,
+    "q31_keep_first" ->
+      """WITH t AS (SELECT event_id, user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events)
+        |SELECT event_id, user_id, event_type FROM t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin)
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made these conversions
+  * `private[sql]` (Connect-safe Column API); custom Catalyst
+  * expressions still need them, so this lives under the
+  * org.apache.spark.sql package tree — the standard extension-library
+  * pattern. No Spark internals are modified. */
+object ColumnBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,49 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.DayFirstParser
+
+/** The native parser must agree with the documented ordered-format
+  * semantics — both the static function and the codegen'd expression
+  * path through a DataFrame. */
+class DayFirstDateSpec extends SparkSpec {
+
+  private def p(s: String): String = {
+    val r = DayFirstParser.parseToDaysOrNull(s)
+    if (r == null) null else java.time.LocalDate.ofEpochDay(r.longValue()).toString
+  }
+
+  test("shape dispatch covers the format inventory") {
+    assert(p("03/02/2026") == "2026-02-03") // day-first on ambiguity
+    assert(p("3/2/2026") == "2026-02-03")
+    assert(p("03-02-2026") == "2026-02-03")
+    assert(p("03.02.2026") == "2026-02-03")
+    assert(p("2026-02-03") == "2026-02-03")
+    assert(p("2026/02/03") == "2026-02-03")
+    assert(p("03-Feb-26") == "2026-02-03") // yy → 20yy
+    assert(p("03-Feb-2026") == "2026-02-03")
+    assert(p("3 Feb 2026") == "2026-02-03")
+    assert(p("Feb 3, 2026") == "2026-02-03")
+    assert(p("03/02/2026 14:30") == "2026-02-03") // time truncated
+    assert(p("2026-02-03 14:30:59") == "2026-02-03")
+    assert(p("12/25/2026") == "2026-12-25") // US fallback when day-first fails
+    assert(p(" 03/02/2026 ") == "2026-02-03") // trimmed
+  }
+
+  test("unparseable → null, never an exception") {
+    Seq(null, "", "  ", "31/02/2026", "99/99/9999", "hello", "2026-13-01",
+      "13-Xyz-26", "03/02/26", "1/2", "2026-02-03 99:99").foreach { s =>
+      assert(p(s) == null, s"expected null for '$s'")
+    }
+  }
+
+  test("expression path (codegen) matches the static function") {
+    import spark.implicits._
+    val inputs = Seq("03/02/2026", "2026-02-03", "Feb 3, 2026", "garbage",
+      "03-Feb-26", "12/25/2026", "31/02/2026")
+    val got = inputs.toDF("s")
+      .select(DayFirstDate($"s").cast("string").as("d"))
+      .collect().map(r => Option(r.getString(0)).orNull)
+    assert(got.toSeq == inputs.map(p))
+  }
+}
