@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.DayFirstDate
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * Catalyst expressions for SQL use. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — after which
+  * `SELECT day_first_date(c)` works in plain SQL on any cluster the
+  * jar ships to. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("day_first_date"),
+      new ExpressionInfo(classOf[DayFirstDate].getName, "day_first_date"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "day_first_date expects 1 argument")
+        DayFirstDate(children.head)
+      }))
+  }
+}

@@ -132,6 +132,25 @@ object Clean {
     when(t.isNull || t === "", lit(null)).otherwise(name)
   }
 
+  /** C8 — legacy richer consignee extraction
+    * (`transformer_old.py:216-252`): split the cell on `|` or `;`,
+    * take every trailing `(digits)` code, dedup + sort; primary name =
+    * first candidate's text before its parens. */
+  def consigneeCodesAll(c: Column): Column = {
+    val candidates = filter(transform(split(c, "[|;]"), x => trim(x)), x => x =!= "")
+    val codes = filter(
+      transform(candidates, x => regexp_extract(x, "\\((\\d+)\\)\\s*$", 1)),
+      x => x =!= "")
+    array_sort(array_distinct(codes))
+  }
+
+  /** C8 — primary name: first `|`/`;` candidate, paren suffix removed. */
+  def consigneePrimaryName(c: Column): Column = {
+    val first = trim(element_at(split(c, "[|;]"), 1))
+    val name = trim(regexp_replace(first, "\\([^()]*\\)\\s*$", ""))
+    when(c.isNull || name === "", lit(null)).otherwise(name)
+  }
+
   /** The `_basic_clean` stage (`transformer.py:200-299`): C1 everywhere,
     * C2 on IDs, C3 on booleans, C4 on date columns, C5 on multi-date
     * columns, C6 on multi-ID columns — one single projection. */

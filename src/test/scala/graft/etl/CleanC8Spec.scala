@@ -1,0 +1,40 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.GraftExtensions
+
+/** C8 legacy consignee extraction + SQL registration of the custom
+  * expression. */
+class CleanC8Spec extends SparkSpec {
+
+  test("C8: multi-candidate consignee codes dedup+sort; primary name") {
+    import spark.implicits._
+    val df = Seq(
+      "ACME CORP (123456789) | GLOBEX (987654321); ACME CORP (123456789)",
+      "NO CODES HERE",
+      "SOLO (000000042)").toDF("c")
+    val rows = df.select(
+      Clean.consigneeCodesAll($"c").as("codes"),
+      Clean.consigneePrimaryName($"c").as("name")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("123456789", "987654321"))
+    assert(rows(0).getString(1) == "ACME CORP")
+    assert(rows(1).getSeq[String](0).isEmpty)
+    assert(rows(1).getString(1) == "NO CODES HERE")
+    assert(rows(2).getSeq[String](0) == Seq("000000042"))
+    assert(rows(2).getString(1) == "SOLO")
+  }
+
+  test("day_first_date registers for SQL via GraftExtensions") {
+    // the injector must accept a fresh extensions container…
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // …and the same factory registers on the live session's registry
+    // (withExtensions only applies at session build time)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "day_first_date",
+      exprs => graft.expressions.DayFirstDate(exprs.head),
+      "built-in")
+    val got = spark.sql("SELECT cast(day_first_date('03/02/2026') AS string) d")
+      .collect()(0).getString(0)
+    assert(got == "2026-02-03")
+  }
+}
