@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** ETL-pipeline throughput probe: synthesize an N-row shipment CSV
+  * (deterministic, exercises every cleaner class), run the full
+  * Pipeline (scan → clean → derive → narratives → JSONL write), print
+  * one JSON line with rows/sec. Not part of the driver contract — a
+  * local scale probe (`sbt "runMain graft.BenchEtl 100000"`). */
+object BenchEtl {
+
+  private def csvField(v: String): String =
+    if (v.contains(",") || v.contains("\"")) "\"" + v.replace("\"", "\"\"") + "\"" else v
+
+  def synthesizeCsv(path: String, n: Int): Unit = {
+    val headers = etl.ShipmentSchema.sourceHeaders
+    val w = Files.newBufferedWriter(Paths.get(path))
+    w.write(headers.map(csvField).mkString(",")); w.newLine()
+    var i = 0
+    while (i < n) {
+      val day = 1 + i % 28; val month = 1 + i % 12
+      val row = headers.map {
+        case "Job No." => s"JOB$i"
+        case "carr_eqp_uid" => s"UID$i"
+        case "Container Number" => f"CONT$i%08d"
+        case "Container Type" => if (i % 2 == 0) "40HC" else "20GP"
+        case "Consignee Code (Multiple)" => s"CONSIGNEE $i (${100000000 + i})"
+        case "PO Number (Multiple)" => s"PO${i}A, PO${i}B ,PO${i}A"
+        case "Load Port" => "SHANGHAI"
+        case "Discharge Port" => "ROTTERDAM"
+        case "Place of Receipt" => "SUZHOU"
+        case "Final Destination" => "UTRECHT"
+        case "ETD LP" => f"$day%02d/$month%02d/2026"
+        case "ATD LP" => if (i % 3 != 0) f"$day%02d/$month%02d/2026" else ""
+        case "ETA DP" => f"$day%02d/$month%02d/2026"
+        case "ATA DP" => if (i % 4 == 0) f"$day%02d/$month%02d/2026" else ""
+        case "ETA FD" => f"$day%02d/$month%02d/2026"
+        case "Delivery Date To Consignee" => if (i % 5 == 0) f"$day%02d/$month%02d/2026" else ""
+        case "Cargo Received Date (Multiple)" => f"$day%02d/$month%02d/2026, $day%02d/$month%02d/2026"
+        case "Hot Container Flag" => if (i % 7 == 0) "Y" else "N"
+        case "Cargo Weight" => s"${1000 + i % 9000}"
+        case "First Vessel Name" => s"VESSEL ${i % 50}"
+        case "Final Vessel Name" => s"VESSEL ${(i + 1) % 50}"
+        case "Final Carrier Name" => s"CARRIER ${i % 10}"
+        case _ => ""
+      }
+      w.write(row.map(csvField).mkString(",")); w.newLine()
+      i += 1
+    }
+    w.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val inDir = Files.createTempDirectory("graft_etl_bench_in")
+    val outDir = Files.createTempDirectory("graft_etl_bench_out")
+    synthesizeCsv(s"$inDir/shipments.csv", n)
+
+    val t0 = System.nanoTime()
+    val files = etl.Pipeline.run(spark, inDir.toString, outDir.toString,
+      Some(java.time.LocalDate.of(2026, 8, 1)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val outRows = spark.read.text(outDir.toString + "/*.jsonl").count()
+    println(s"""{"metric":"etl_rows_per_sec","value":${(n / secs).toInt},"unit":"rows/sec","rows":$n,"secs":$secs,"out_rows":$outRows,"files":${files.length}}""")
+    spark.stop()
+  }
+}

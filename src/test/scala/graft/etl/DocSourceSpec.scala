@@ -1,0 +1,32 @@
+package graft.etl
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import graft.SparkSpec
+
+class DocSourceSpec extends SparkSpec {
+
+  test("JSONL roundtrip: written docs read back and validate clean") {
+    val dir = Files.createTempDirectory("graft_docsrc")
+    val lines = Seq(
+      """{"document_id":"A1","content":"hello","metadata":{"k":"v"},"consignee_code":"['C']"}""",
+      """{"document_id":"A2","content":"wörld ünïcode","metadata":{"k":"w"},"consignee_code":"[]"}""")
+    Files.write(dir.resolve("shipment_2026-01_1.jsonl"), lines.asJava)
+
+    val df = DocSource.readJsonl(spark, dir.toString + "/*.jsonl")
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("document_id", "content", "metadata", "consignee_code"))
+    val (valid, corrupt) = DocSource.validate(spark, dir.toString + "/*.jsonl")
+    assert(valid == 2 && corrupt == 0)
+  }
+
+  test("validate counts corrupt lines") {
+    val dir = Files.createTempDirectory("graft_docsrc_bad")
+    Files.write(dir.resolve("x.jsonl"), Seq(
+      """{"document_id":"ok","content":"c"}""",
+      """not json at all""",
+      """{"content":"missing id"}""").asJava)
+    val (valid, corrupt) = DocSource.validate(spark, dir.toString + "/*.jsonl")
+    assert(valid == 1 && corrupt == 2)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SkewSaltSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val events = Tables(spark, sf0001, "events") // user_id is the skewable key
+    val users = events.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3)))
+    val plain = events.join(users, Seq("user_id"))
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+    val salted = SkewSalt.saltedJoin(events, users, "user_id",
+        factor = 8, saltBy = Seq("event_id"))
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+    val p = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = salted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == s, s"salted join diverged: $p vs $s")
+  }
+
+  test("saltedAgg equals single-phase aggregation") {
+    val events = Tables(spark, sf0001, "events")
+    val plain = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewSalt.saltedAgg(events, "event_type", 8, Seq("event_id"))(
+      Seq(count(lit(1)).as("pn"), sum("value").as("pv")),
+      Seq(sum("pn").as("n"), sum("pv").as("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+}
