@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle fact tables once at write time
+  * so every later equi-join/aggregation on the bucket key runs with NO
+  * exchange. At 100 TB this converts the dominant recurring shuffle of
+  * a pipeline (fact ⋈ fact on orderkey, say) into a one-time layout
+  * cost — the Spark-native equivalent of co-located storage.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table. Bucket count
+    * should target HDFS-block-sized buckets at full scale
+    * (`rows × rowBytes / buckets ≈ 128-512 MB`). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two tables bucketed on the same key with the same bucket
+    * count: planner produces SortMergeJoin with zero Exchange. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the property bucketing exists to buy. */
+  def shuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

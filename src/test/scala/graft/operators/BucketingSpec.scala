@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join plans without a shuffle exchange and matches the plain join") {
+    val orders = Tables(spark, sf0001, "orders")
+    val lineitem = Tables(spark, sf0001, "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+
+    Bucketing.writeBucketed(orders, "graft_b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "graft_b_lineitem", "o_orderkey", 8)
+
+    val bucketed = Bucketing.bucketedJoin(spark, "graft_b_orders", "graft_b_lineitem", "o_orderkey")
+    assert(Bucketing.shuffleFree(bucketed.groupBy("o_orderkey").count()),
+      "bucketed join+agg must not shuffle:\n" +
+        bucketed.groupBy("o_orderkey").count().queryExecution.executedPlan.toString.take(2000))
+
+    val plain = orders.join(lineitem, "o_orderkey").count()
+    assert(bucketed.count() == plain)
+
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+  }
+}
