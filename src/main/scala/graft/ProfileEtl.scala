@@ -1,0 +1,38 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProfileEtl {
+  def main(args: Array[String]): Unit = {
+    val n = 200000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val inDir = java.nio.file.Files.createTempDirectory("etl_prof")
+    BenchEtl.synthesizeCsv(s"$inDir/s.csv", n)
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$tag%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
+    }
+    val raw = etl.CsvSource.readLatest(spark, inDir.toString)
+    time("warmup-scan-count")(raw.count())
+    time("scan-count")(raw.count())
+    val renamed = etl.Clean.gateAndRename(raw)
+    val cleaned = etl.Clean.basicClean(renamed)
+    time("clean-only")(cleaned.write.format("noop").mode("overwrite").save())
+    val derivedNoNarr = {
+      val asOf = lit(java.sql.Date.valueOf("2026-08-01"))
+      etl.Derive.partitionTags(etl.Derive.portRoute(etl.Derive.vesselCarrier(
+        etl.Derive.delayReasons(etl.Derive.criticalDates(etl.Derive.shipmentStatus(
+          etl.Derive.fdDelay(etl.Derive.dpDelay(etl.Derive.optimalDates(
+            etl.Derive.consignee(cleaned), asOf), asOf), asOf), asOf))))))
+    }
+    time("clean+derive-no-narratives")(derivedNoNarr.write.format("noop").mode("overwrite").save())
+    val full = etl.Pipeline.transform(raw, lit(java.sql.Date.valueOf("2026-08-01")))
+    time("full-transform-noop")(full.write.format("noop").mode("overwrite").save())
+    val outDir = java.nio.file.Files.createTempDirectory("etl_prof_out")
+    time("full+jsonl-write")(etl.DocSink.write(full, outDir.toString))
+    spark.stop()
+  }
+}
