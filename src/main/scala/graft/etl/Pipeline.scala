@@ -38,4 +38,30 @@ object Pipeline {
     val enriched = transform(raw, asOf)
     DocSink.write(enriched, outDir, maxRecordsPerFile)
   }
+
+  /** Streaming variant of the reference's newest-file polling
+    * (`/root/reference/src/ingestor.py:35-65`): every CSV that lands in
+    * `inDir` is picked up once, transformed with the SAME lazy plan,
+    * and appended to the JSONL layout via foreachBatch (which keeps the
+    * sink's counter-naming contract). Returns the running query —
+    * caller stops it (tests: processAllAvailable). */
+  def runStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String,
+      asOfDate: Option[java.time.LocalDate] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val asOf: Column = asOfDate
+      .map(d => lit(java.sql.Date.valueOf(d)))
+      .getOrElse(current_date())
+    val raw = spark.readStream
+      .schema(ShipmentSchema.ingestSchema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("maxFilesPerTrigger", "1")
+      .csv(inDir)
+    transform(raw, asOf).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocSink.write(batch, outDir): Unit
+      }
+      .start()
+  }
 }

@@ -1,0 +1,46 @@
+package graft.etl
+
+import java.nio.file.{Files, Path => JPath}
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streaming shipment ETL: files landing in the input dir flow through
+  * the same plan and sink incrementally. */
+class PipelineStreamSpec extends SparkSpec {
+
+  private def writeCsv(dir: JPath, name: String, uid: String, etd: String): Unit = {
+    def q(v: String) = if (v.contains(",") || v.contains("\""))
+      "\"" + v.replace("\"", "\"\"") + "\"" else v
+    val headers = ShipmentSchema.sourceHeaders
+    val row = Map("Job No." -> s"J$uid", "carr_eqp_uid" -> uid,
+      "Container Number" -> s"C$uid", "ETD LP" -> etd)
+    val lines = Seq(headers.map(q).mkString(",") ,
+      headers.map(h => q(row.getOrElse(h, ""))).mkString(","))
+    Files.write(dir.resolve(name), lines.asJava)
+  }
+
+  test("stream picks up each landed CSV and appends documents") {
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    val outDir = Files.createTempDirectory("graft_stream_out")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt")
+
+    writeCsv(inDir, "batch1.csv", "SU001", "01/03/2026")
+    val q = Pipeline.runStream(spark, inDir.toString, outDir.toString,
+      ckpt.toString, Some(LocalDate.of(2026, 3, 15)))
+    try {
+      q.processAllAvailable()
+      writeCsv(inDir, "batch2.csv", "SU002", "05/03/2026")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val docs = spark.read.json(outDir.toString + "/*.jsonl")
+    val ids = docs.select("document_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("SU001", "SU002"), s"got $ids")
+    // second batch appended with a fresh counter, not a clobber
+    val files = new java.io.File(outDir.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(".jsonl")).toSet
+    assert(files.size == 2, s"expected 2 files, got $files")
+  }
+}
