@@ -148,6 +148,63 @@ object EtlQueries {
       .orderBy("c_custkey")
   }
 
+  /** q32 — D7 critical-dates leg summaries: per-leg fragments present
+    * only when their dates exist, " || "-joined. */
+  def q32CriticalDates(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val d = to_date(col("o_orderdate"))
+    val k = col("o_orderkey") % 8
+    val synth = o.select(col("o_orderkey"),
+      when(k =!= 0, concat(lit("POR_"), k)).as("place_of_receipt"),
+      when(k =!= 1, concat(lit("LP_"), k)).as("load_port"),
+      when(k.isin(2, 3), concat(lit("FLP_"), k)).as("final_load_port"),
+      when(k =!= 4, concat(lit("DP_"), k)).as("discharge_port"),
+      when(k.isin(3, 5), concat(lit("CY_"), k)).as("equipment_arrived_at_last_cy_lcn"),
+      when(k =!= 6, concat(lit("FD_"), k)).as("final_destination"),
+      when(k % 2 === 0, d).as("etd_lp_date"),
+      when(k % 3 === 0, date_add(d, 1)).as("atd_lp_date"),
+      when(k.isin(2, 3), date_add(d, 5)).as("ata_flp_date"),
+      when(k === 3, date_add(d, 6)).as("atd_flp_date"),
+      when(k % 4 === 0, date_add(d, 20)).as("optimal_ata_dp_date"),
+      when(k === 5, date_add(d, 22)).as("out_gate_from_dp_date"),
+      when(k.isin(3, 5), date_add(d, 24)).as("equipment_arrived_at_last_cy_date"),
+      when(k === 7, date_add(d, 30)).as("delivery_to_consignee_date"),
+      when(k === 7, date_add(d, 35)).as("empty_container_return_date"))
+    Derive.criticalDates(synth)
+      .select("o_orderkey", "critical_dates_summary")
+      .orderBy("o_orderkey")
+  }
+
+  /** q33 — D10/D11 vessel, carrier and port-route summary text. */
+  def q33RouteText(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val k = col("c_custkey") % 6
+    val synth = c.select(col("c_custkey"),
+      when(k =!= 0, concat(lit("VSL_"), k)).as("first_vessel_name"),
+      when(k =!= 1, concat(lit("VSL_"), when(k === 2, k).otherwise(k + 10))).as("final_vessel_name"),
+      when(k =!= 2, concat(lit("CARR_"), k)).as("final_carrier_name"),
+      when(k =!= 3, concat(lit("CARR_"), when(k === 4, k).otherwise(k + 10))).as("true_carrier_scac_name"),
+      when(k =!= 0, concat(lit("POR_"), k)).as("place_of_receipt"),
+      when(k =!= 1, concat(lit("LP_"), when(k === 2, lit("X")).otherwise(k.cast("string")))).as("load_port"),
+      when(k.isin(2, 3), concat(lit("FLP_"), k)).as("final_load_port"),
+      when(k =!= 4, concat(lit("DP_"), k)).as("discharge_port"),
+      when(k =!= 5, concat(lit("POD_"), when(k === 0, lit("Y")).otherwise(k.cast("string")))).as("place_of_delivery"),
+      when(k =!= 0, concat(lit("FD_"), k)).as("final_destination"))
+    Derive.portRoute(Derive.vesselCarrier(synth))
+      .select("c_custkey", "vessel_summary", "carrier_summary", "port_route_summary")
+      .orderBy("c_custkey")
+  }
+
+  /** q34 — D12 partition tags from a date column. */
+  def q34PartitionTags(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val synth = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 11 =!= 0, to_date(col("o_orderdate"))).as("etd_lp_date"))
+    Derive.partitionTags(synth)
+      .select("o_orderkey", "source_group", "source_month_tag")
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_clean_sentinels" -> (q13CleanSentinels _),
     "q14_dayfirst_dates" -> (q14DayfirstDates _),
@@ -155,7 +212,10 @@ object EtlQueries {
     "q16_consignee" -> (q16Consignee _),
     "q17_status_machine" -> (q17StatusMachine _),
     "q18_delay_class" -> (q18DelayClass _),
-    "q28_doc_projection" -> (q28DocProjection _))
+    "q28_doc_projection" -> (q28DocProjection _),
+    "q32_critical_dates" -> (q32CriticalDates _),
+    "q33_route_text" -> (q33RouteText _),
+    "q34_partition_tags" -> (q34PartitionTags _))
 
   val oracles: Map[String, String] = Map(
     "q13_clean_sentinels" ->
@@ -286,5 +346,83 @@ object EtlQueries {
         |                          n_orders := COALESCE(n, 0)),
         |  consignee_code := '[''' || c_mktsegment || ''', ''' || lower(c_name) || ''']'))::VARCHAR AS doc
         |FROM customer LEFT JOIN counts ON o_custkey = c_custkey
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_critical_dates" ->
+      """WITH s AS (SELECT o_orderkey, o_orderdate::DATE AS d, o_orderkey % 8 AS k FROM orders),
+        |c AS (SELECT o_orderkey,
+        |  CASE WHEN k <> 0 THEN 'POR_' || k END AS por,
+        |  CASE WHEN k <> 1 THEN 'LP_' || k END AS lp,
+        |  CASE WHEN k IN (2, 3) THEN 'FLP_' || k END AS flp,
+        |  CASE WHEN k <> 4 THEN 'DP_' || k END AS dp,
+        |  CASE WHEN k IN (3, 5) THEN 'CY_' || k END AS lastcy,
+        |  CASE WHEN k <> 6 THEN 'FD_' || k END AS fd,
+        |  CASE WHEN k % 2 = 0 THEN d END AS etd,
+        |  CASE WHEN k % 3 = 0 THEN d + 1 END AS atd,
+        |  CASE WHEN k IN (2, 3) THEN d + 5 END AS ata_flp,
+        |  CASE WHEN k = 3 THEN d + 6 END AS atd_flp,
+        |  CASE WHEN k % 4 = 0 THEN d + 20 END AS optimal,
+        |  CASE WHEN k = 5 THEN d + 22 END AS out_gate,
+        |  CASE WHEN k IN (3, 5) THEN d + 24 END AS arr_cy,
+        |  CASE WHEN k = 7 THEN d + 30 END AS delivery,
+        |  CASE WHEN k = 7 THEN d + 35 END AS empty_ret
+        | FROM s),
+        |f AS (SELECT o_orderkey,
+        |  concat_ws(', ', CASE WHEN etd IS NOT NULL THEN 'ETD ' || strftime(etd, '%d-%b-%y') END,
+        |                  CASE WHEN atd IS NOT NULL THEN 'ATD ' || strftime(atd, '%d-%b-%y') END) AS d1,
+        |  concat_ws(', ', CASE WHEN ata_flp IS NOT NULL THEN 'ATA ' || strftime(ata_flp, '%d-%b-%y') END,
+        |                  CASE WHEN atd_flp IS NOT NULL THEN 'ATD ' || strftime(atd_flp, '%d-%b-%y') END) AS d2,
+        |  concat_ws(', ', CASE WHEN out_gate IS NOT NULL THEN 'OUT_GATE_DP ' || strftime(out_gate, '%d-%b-%y') END,
+        |                  CASE WHEN arr_cy IS NOT NULL THEN 'ARR_LAST_CY ' || strftime(arr_cy, '%d-%b-%y') END) AS d4,
+        |  concat_ws(', ', CASE WHEN delivery IS NOT NULL THEN 'DELIVERY ' || strftime(delivery, '%d-%b-%y') END,
+        |                  CASE WHEN empty_ret IS NOT NULL THEN 'EMPTY_RET ' || strftime(empty_ret, '%d-%b-%y') END) AS d5,
+        |  * FROM c)
+        |SELECT o_orderkey, concat_ws(' || ',
+        |  CASE WHEN d1 <> '' THEN 'Leg 1 (POR → Load Port): ' || coalesce(por, 'POR') || ' → ' || coalesce(lp, 'LOAD') || ' | ' || d1 END,
+        |  CASE WHEN flp IS NOT NULL AND flp IS DISTINCT FROM lp AND d2 <> ''
+        |       THEN 'Leg 2 (Load → TS): ' || coalesce(lp, 'LOAD') || ' → ' || flp || ' | ' || d2 END,
+        |  CASE WHEN optimal IS NOT NULL
+        |       THEN 'Leg 3 (Ocean to DP): ' || coalesce(flp, lp, 'LOAD') || ' → ' || coalesce(dp, 'DP') || ' | ATA_DP ' || strftime(optimal, '%d-%b-%y') END,
+        |  CASE WHEN lastcy IS NOT NULL AND d4 <> ''
+        |       THEN 'Leg 4 (DP → Last CY): ' || coalesce(dp, 'DP') || ' → ' || lastcy || ' | ' || d4 END,
+        |  CASE WHEN d5 <> ''
+        |       THEN 'Leg 5 (Last CY → Final): ' || coalesce(lastcy, dp, 'DP') || ' → ' || coalesce(fd, 'FINAL') || ' | ' || d5 END
+        | ) AS critical_dates_summary
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+    "q33_route_text" ->
+      """WITH s AS (SELECT c_custkey, c_custkey % 6 AS k FROM customer),
+        |c AS (SELECT c_custkey,
+        |  CASE WHEN k <> 0 THEN 'VSL_' || k END AS first_v,
+        |  CASE WHEN k <> 1 THEN 'VSL_' || (CASE WHEN k = 2 THEN k ELSE k + 10 END) END AS final_v,
+        |  CASE WHEN k <> 2 THEN 'CARR_' || k END AS op_by,
+        |  CASE WHEN k <> 3 THEN 'CARR_' || (CASE WHEN k = 4 THEN k ELSE k + 10 END) END AS true_c,
+        |  CASE WHEN k <> 0 THEN 'POR_' || k END AS por,
+        |  CASE WHEN k <> 1 THEN 'LP_' || (CASE WHEN k = 2 THEN 'X' ELSE k::VARCHAR END) END AS lp,
+        |  CASE WHEN k IN (2, 3) THEN 'FLP_' || k END AS flp,
+        |  CASE WHEN k <> 4 THEN 'DP_' || k END AS dp,
+        |  CASE WHEN k <> 5 THEN 'POD_' || (CASE WHEN k = 0 THEN 'Y' ELSE k::VARCHAR END) END AS pod,
+        |  CASE WHEN k <> 0 THEN 'FD_' || k END AS fd
+        | FROM s)
+        |SELECT c_custkey,
+        | concat_ws(' | ',
+        |   CASE WHEN first_v IS NOT NULL THEN 'First vessel: ' || first_v END,
+        |   CASE WHEN final_v IS NOT NULL AND final_v IS DISTINCT FROM first_v THEN 'Final vessel: ' || final_v END) AS vessel_summary,
+        | concat_ws(' | ',
+        |   CASE WHEN op_by IS NOT NULL THEN 'Operated by ' || op_by END,
+        |   CASE WHEN true_c IS NOT NULL AND true_c IS DISTINCT FROM op_by THEN 'True operating carrier: ' || true_c END) AS carrier_summary,
+        | concat_ws(' → ',
+        |   CASE WHEN por IS NOT NULL AND lp IS NOT NULL AND por <> lp THEN 'Origin: ' || por || ' → Load Port: ' || lp
+        |        WHEN lp IS NOT NULL THEN 'Origin/Load: ' || lp
+        |        WHEN por IS NOT NULL THEN 'Origin: ' || por END,
+        |   CASE WHEN flp IS NOT NULL AND flp IS DISTINCT FROM lp THEN 'Transshipment: ' || flp END,
+        |   CASE WHEN dp IS NOT NULL THEN 'Discharge: ' || dp END,
+        |   CASE WHEN pod IS NOT NULL AND pod IS DISTINCT FROM dp THEN 'Delivery at: ' || pod END,
+        |   CASE WHEN fd IS NOT NULL AND fd IS DISTINCT FROM pod THEN 'Final: ' || fd END) AS port_route_summary
+        |FROM c ORDER BY c_custkey""".stripMargin,
+    "q34_partition_tags" ->
+      """WITH s AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 11 <> 0 THEN o_orderdate::DATE END AS etd FROM orders)
+        |SELECT o_orderkey,
+        | strftime(etd, '%Y-%m') AS source_group,
+        | lower(strftime(etd, '%b_%y')) AS source_month_tag
+        |FROM s ORDER BY o_orderkey""".stripMargin)
 }

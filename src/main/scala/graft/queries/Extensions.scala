@@ -113,6 +113,19 @@ object Extensions {
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
 
+  /** q35 — semi-structured JSON column handling: extract a field from
+    * events.props, aggregate per event_type. */
+  def q35JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    e.select(col("event_type"), k.as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val").cast("long")).as("sum_k"),
+        sum(when(col("k_val") > 50, 1).otherwise(0)).cast("long").as("n_over_50"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact" -> (q19DedupExact _),
     "q20_text_quality" -> (q20TextQuality _),
@@ -125,7 +138,8 @@ object Extensions {
     "q27_ann_ivf" -> (q27AnnIvf _),
     "q29_multimodal" -> (q29Multimodal _),
     "q30_embedding_neardup" -> (q30EmbeddingNeardup _),
-    "q31_keep_first" -> (q31KeepFirst _))
+    "q31_keep_first" -> (q31KeepFirst _),
+    "q35_json_extract" -> (q35JsonExtract _))
 
   // ----- generated oracle fragments -----
 
@@ -281,5 +295,10 @@ object Extensions {
         |                     ORDER BY ts ASC, event_id ASC) AS rn
         | FROM events)
         |SELECT event_id, user_id, event_type FROM t WHERE rn = 1
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT event_type, count(1) AS n,
+        | sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+        | sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50 THEN 1 ELSE 0 END)::BIGINT AS n_over_50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
