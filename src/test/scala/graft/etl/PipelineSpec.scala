@@ -75,9 +75,30 @@ class PipelineSpec extends SparkSpec {
     "Consignee Code (Multiple)" -> "WAYNE ENTERPRISES LTD",
     "ETD LP" -> "15/02/2026")
 
+  // Row E: overdue origin leg, rail events into leg 4, empty return
+  // without delivery (workflow gap), TS equal to load port (leg-2
+  // suppression in D7/D11 but narrative TS branch still applies).
+  private val rowE = Map(
+    "Job No." -> "JOB005", "carr_eqp_uid" -> "UID005",
+    "Container Number" -> "CONT005",
+    "Load Port" -> "BUSAN", "Final Load Port" -> "BUSAN",
+    "Discharge Port" -> "LOS ANGELES", "Final Destination" -> "DALLAS",
+    "ETD LP" -> "01/01/2026", // passed vs asOf 15/02 and no ATD → OVERDUE leg 1
+    "ETA DP" -> "20/01/2026",
+    "ATA DP" -> "25/01/2026", // 5 days late vs ETA
+    "Out Gate Date From DP" -> "27/01/2026",
+    "Rail Load DP Date" -> "28/01/2026", "Rail Load DP Lcn" -> "LA RAMP",
+    "Rail Departure DP Date" -> "29/01/2026",
+    "Rail Arrival Destination Date" -> "03/02/2026",
+    "Rail Arrival Destination Lcn" -> "DALLAS RAMP",
+    "Equipment Arrived at Last CY" -> "04/02/2026",
+    "Equipment Arrival at Last Lcn" -> "DALLAS CY",
+    "Empty Container Return Date" -> "10/02/2026", // empty w/o delivery → gap
+    "ETA FD" -> "05/02/2026")
+
   private lazy val transformed: Map[String, Row] = {
     val dir = Files.createTempDirectory("graft_fixture")
-    writeFixture(dir, Seq(rowA, rowB, rowC, rowD))
+    writeFixture(dir, Seq(rowA, rowB, rowC, rowD, rowE))
     val raw = CsvSource.readLatest(spark, dir.toString)
     val out = Pipeline.transform(raw, lit(java.sql.Date.valueOf(asOf))).collect()
     out.map(r => r.getAs[String]("carr_eqp_uid") -> r).toMap
@@ -167,6 +188,43 @@ class PipelineSpec extends SparkSpec {
     val mb = b.getAs[String]("milestones")
     assert(mb.contains("Leg 2 (Load Port → TS) [COMPLETED]: NINGBO → SINGAPORE; arrived TS SINGAPORE on 2026-01-28; departed TS on 2026-01-30"))
     assert(mb.contains("in ocean transit towards HAMBURG (ETA 2026-03-01)"))
+  }
+
+  test("row E: overdue leg, rail events, status machine, workflow gap") {
+    val e = transformed("UID005")
+    // empty return set, no delivery → top-priority status
+    assert(e.getAs[String]("shipment_status") == "EMPTY_CONTAINER_RETURNED")
+    assert(e.getAs[String]("workflow_gap_flags") == "missing_delivery_event_with_empty_return")
+    // DP arrived 5 days after ETA
+    assert(e.getAs[String]("delayed_dp") == "delay")
+    assert(e.getAs[Int]("dp_delayed_dur") == 5)
+    // FD actual = empty return (10/02) vs ETA FD (05/02) → 5 days late
+    assert(e.getAs[String]("delayed_fd") == "delay")
+    assert(e.getAs[Int]("fd_delayed_dur") == 5)
+
+    val m = e.getAs[String]("milestones")
+    assert(m.startsWith("Overall shipment status: EMPTY CONTAINER RETURNED"))
+    assert(m.contains("Leg 1 (POR → Load Port) [OVERDUE]"))
+    assert(m.contains("ETD 2026-01-01 passed; actual departure not recorded."))
+    // TS configured (== load port) but no TS events
+    assert(m.contains("Leg 2 (Load Port → TS) [PLANNED]: BUSAN → BUSAN"))
+    assert(m.contains("delayed by ~5 day(s) vs ETA DP."))
+    assert(m.contains("Rail events: rail load LA RAMP on 2026-01-28; " +
+      "rail depart LOS ANGELES on 2026-01-29; rail arrive DALLAS RAMP on 2026-02-03"))
+    assert(m.contains("departed DP area (LOS ANGELES) on 2026-01-27, arrived DALLAS CY on 2026-02-04."))
+    // empty-return lcn falls back: empty lcn → delivery lcn → final dest
+    assert(m.contains("empty container returned at DALLAS on 2026-02-10"))
+
+    val cc = e.getAs[String]("combined_content")
+    assert(cc.contains("Workflow gaps: missing_delivery_event_with_empty_return"))
+    assert(cc.contains("Current shipment status: EMPTY CONTAINER RETURNED"))
+    // D7 leg-2 suppressed when FLP == LP
+    val cd = e.getAs[String]("critical_dates_summary")
+    assert(!cd.contains("Leg 2"))
+    assert(cd.contains("Leg 4 (DP → Last CY): LOS ANGELES → DALLAS CY | " +
+      "OUT_GATE_DP 27-Jan-26, ARR_LAST_CY 04-Feb-26"))
+    // D11 suppresses the equal transshipment
+    assert(!e.getAs[String]("port_route_summary").contains("Transshipment"))
   }
 
   test("drop columns are gone after transform, and fed CC before dropping") {
