@@ -97,6 +97,12 @@ object TextFunctions {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
 
+  /** Deterministic bucket in [0, n) from the md5 of a key — the stable
+    * train/val/test-split primitive: engine-portable (same value in
+    * DuckDB), reshuffle-proof, and independent of row order. */
+  def stableBucket(key: Column, n: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast(LongType), lit(n))
+
   /** Word n-gram shingles ("w1 w2 w3") of the token stream; empty when
     * fewer than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {

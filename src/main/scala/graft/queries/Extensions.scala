@@ -126,6 +126,39 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** q36 — deterministic train/val/test split: md5-bucket each doc into
+    * 100 cells, label 0-79 train / 80-89 val / 90-99 test. Stable under
+    * reshuffling and identical across engines. */
+  def q36StableSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val b = TextFunctions.stableBucket(col("doc_id"), 100)
+    d.select(col("doc_id"), b.as("bucket"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** q37 — ROLLUP aggregate over (lang, source). */
+  def q37Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("lang_g", "source_g")
+
+  /** q38 — exact interpolated percentiles of lineitem quantity per
+    * return flag. */
+  def q38Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_dedup_exact" -> (q19DedupExact _),
     "q20_text_quality" -> (q20TextQuality _),
@@ -139,7 +172,10 @@ object Extensions {
     "q29_multimodal" -> (q29Multimodal _),
     "q30_embedding_neardup" -> (q30EmbeddingNeardup _),
     "q31_keep_first" -> (q31KeepFirst _),
-    "q35_json_extract" -> (q35JsonExtract _))
+    "q35_json_extract" -> (q35JsonExtract _),
+    "q36_stable_split" -> (q36StableSplit _),
+    "q37_rollup" -> (q37Rollup _),
+    "q38_percentiles" -> (q38Percentiles _))
 
   // ----- generated oracle fragments -----
 
@@ -300,5 +336,23 @@ object Extensions {
       """SELECT event_type, count(1) AS n,
         | sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
         | sum(CASE WHEN json_extract_string(props, '$.k')::INT > 50 THEN 1 ELSE 0 END)::BIGINT AS n_over_50
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_stable_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q37_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+        | count(1) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang_g, source_g""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        | round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
