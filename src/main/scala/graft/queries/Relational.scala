@@ -174,6 +174,49 @@ object Relational {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** q39 — lateral array expansion with position: split each customer
+    * name into tokens, posexplode to (pos, token) rows. */
+  def q39Posexplode(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    c.select(col("c_custkey"),
+        posexplode(split(col("c_name"), "#")).as(Seq("pos", "token")))
+      .orderBy("c_custkey", "pos")
+  }
+
+  /** q40 — RANGE-frame window: per-customer running order value over
+    * time including ties, plus a 90-day trailing count. */
+  def q40RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val days = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+    val byTime = Window.partitionBy("o_custkey").orderBy(col("d_days"))
+    o.select(col("o_orderkey"), col("o_custkey"),
+        days.as("d_days"), col("o_totalprice"))
+      .withColumn("running_value",
+        round(sum(dec(col("o_totalprice"))).over(
+          byTime.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 2))
+      .withColumn("trailing_90d_orders",
+        count(lit(1)).over(byTime.rangeBetween(-90, Window.currentRow)))
+      .orderBy("o_custkey", "d_days", "o_orderkey")
+  }
+
+  /** q41 — correlated scalar subqueries: orders above 1.5× their
+    * customer's average order value, compared in exact decimal
+    * (`2·price·n > 3·Σprice` — float averages would make the boundary
+    * engine-dependent). Catalyst decorrelates into agg + join. */
+  def q41CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_q41_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        | cast(o_totalprice AS double) AS o_totalprice
+        |FROM graft_q41_orders o
+        |WHERE cast(o_totalprice AS decimal(18,2)) *
+        |      (SELECT count(1) FROM graft_q41_orders i WHERE i.o_custkey = o.o_custkey) * 2 >
+        |      (SELECT sum(cast(o_totalprice AS decimal(18,2))) FROM graft_q41_orders i
+        |       WHERE i.o_custkey = o.o_custkey) * 3
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -186,7 +229,10 @@ object Relational {
     "q9_anti_join" -> (q9AntiJoin _),
     "q10_set_ops" -> (q10SetOps _),
     "q11_hourly_agg" -> (q11HourlyAgg _),
-    "q12_asof_join" -> (q12AsofJoin _))
+    "q12_asof_join" -> (q12AsofJoin _),
+    "q39_posexplode" -> (q39Posexplode _),
+    "q40_range_window" -> (q40RangeWindow _),
+    "q41_correlated_subquery" -> (q41CorrelatedSubquery _))
 
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
@@ -267,5 +313,30 @@ object Relational {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
-        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin)
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    "q39_posexplode" ->
+      """WITH e AS (SELECT c_custkey,
+        |  unnest(range(len(string_split(c_name, '#')))) AS pos,
+        |  unnest(string_split(c_name, '#')) AS token
+        | FROM customer)
+        |SELECT c_custkey, pos, token FROM e ORDER BY c_custkey, pos""".stripMargin,
+    "q40_range_window" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |  (o_orderdate::DATE - DATE '1992-01-01') AS d_days, o_totalprice
+        | FROM orders)
+        |SELECT o_orderkey, o_custkey, d_days, o_totalprice,
+        | round(cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY d_days
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double), 2) AS running_value,
+        | count(1) OVER (PARTITION BY o_custkey ORDER BY d_days
+        |   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS trailing_90d_orders
+        |FROM t ORDER BY o_custkey, d_days, o_orderkey""".stripMargin,
+    "q41_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, cast(o_totalprice AS double) AS o_totalprice
+        |FROM orders o
+        |WHERE cast(o_totalprice AS decimal(18,2)) *
+        |      (SELECT count(1) FROM orders i WHERE i.o_custkey = o.o_custkey) * 2 >
+        |      (SELECT sum(cast(o_totalprice AS decimal(18,2))) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey) * 3
+        |ORDER BY o_orderkey""".stripMargin)
 }
