@@ -33,6 +33,19 @@ object ProfileEtl {
     time("full-transform-noop")(full.write.format("noop").mode("overwrite").save())
     val outDir = java.nio.file.Files.createTempDirectory("etl_prof_out")
     time("full+jsonl-write")(etl.DocSink.write(full, outDir.toString))
+
+    // custom DayFirstDate expression vs the try_to_date coalesce chain
+    val dateCols = etl.ShipmentSchema.dateCols
+    val renamedOnly = etl.Clean.gateAndRename(raw)
+    val viaExpr = renamedOnly.select(dateCols.map(c =>
+      graft.expressions.DayFirstDate(trim(col(s"`$c`"))).as(c)): _*)
+    val formats = Seq("d/M/yyyy", "d-M-yyyy", "d.M.yyyy", "yyyy-M-d", "yyyy/M/d",
+      "d-MMM-yy", "d-MMM-yyyy", "d MMM yyyy", "MMM d, yyyy",
+      "d/M/yyyy H:mm", "d/M/yyyy H:mm:ss", "yyyy-M-d H:mm", "yyyy-M-d H:mm:ss", "M/d/yyyy")
+    val viaChain = renamedOnly.select(dateCols.map(c =>
+      coalesce(formats.map(f => try_to_date(trim(col(s"`$c`")), f)): _*).as(c)): _*)
+    time("dates-custom-expression")(viaExpr.write.format("noop").mode("overwrite").save())
+    time("dates-try_to_date-chain")(viaChain.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
