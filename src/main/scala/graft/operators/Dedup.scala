@@ -140,9 +140,48 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
-  /** Exact n-gram (or unigram, n=1) Jaccard similarity pairs within a
-    * blocking column. The quadratic stage — only ever run per-block or
-    * on LSH candidates. */
+  /** Connected components over near-dup pairs → cluster id = min doc id
+    * in the component. This is the step that turns pairwise matches
+    * into canonical dedup groups ("keep one per cluster").
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * edge list and takes the min over neighbors; converges in
+    * O(log diameter) rounds (near-dup components are shallow). Each
+    * round is one shuffled join + aggregate — no driver-side graph. */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // (a) min over neighbors' labels — one hop
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      // (b) pointer jumping: label := label(label) — doubles the reach,
+      // so convergence is O(log diameter), not O(diameter)
+      val parents = hop.select(col("id").as("pid"), col("cluster").as("pcluster"))
+      val next = hop
+        .join(parents, hop("cluster") === parents("pid"), "left")
+        .select(hop("id"),
+          least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate lineage each round
+      converged = next.alias("n")
+        .join(labels.alias("p"), Seq("id"))
+        .filter(col("n.cluster") =!= col("p.cluster")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, minJaccard: Double): DataFrame = {
     val shingles =

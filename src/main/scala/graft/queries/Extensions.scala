@@ -126,6 +126,19 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** q42 — dedup clusters: connected components over the q24 near-dup
+    * pair graph; docs not in any pair are their own cluster. */
+  def q42DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("block", concat_ws("_", col("lang"), col("source")))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "block", 1, 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** q36 — deterministic train/val/test split: md5-bucket each doc into
     * 100 cells, label 0-79 train / 80-89 val / 90-99 test. Stable under
     * reshuffling and identical across engines. */
@@ -175,7 +188,8 @@ object Extensions {
     "q35_json_extract" -> (q35JsonExtract _),
     "q36_stable_split" -> (q36StableSplit _),
     "q37_rollup" -> (q37Rollup _),
-    "q38_percentiles" -> (q38Percentiles _))
+    "q38_percentiles" -> (q38Percentiles _),
+    "q42_dedup_clusters" -> (q42DedupClusters _))
 
   // ----- generated oracle fragments -----
 
@@ -354,5 +368,25 @@ object Extensions {
         | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
         | round(quantile_cont(l_quantity, 0.99), 6) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q42_dedup_clusters" ->
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, lang || '_' || source AS block,
+        |       list_distinct($toksSql) AS sh FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2
+        | FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT d.doc_id,
+        | CASE WHEN m.mn IS NOT NULL AND m.mn < d.doc_id THEN m.mn ELSE d.doc_id END AS cluster
+        |FROM documents d
+        |LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m ON m.src = d.doc_id
+        |ORDER BY doc_id""".stripMargin)
 }
