@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator: keeps the k largest (value, id) pairs per
+  * group, ids breaking ties ascending.
+  *
+  * Why an `Aggregator` instead of `row_number().over(window)`: the
+  * window form sorts EVERY row of every group through a shuffle; this
+  * form keeps a k-element buffer per group on the map side (partial
+  * aggregation), so the shuffle carries at most k rows per
+  * (group × input partition) — the difference between shuffling the
+  * table and shuffling kilobytes when k is small.
+  *
+  * Buffer is a sorted List (k is small); merge is a sort-take(k).
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], List[(Double, Long)]] {
+
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+
+  override def zero: List[(Double, Long)] = Nil
+
+  override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+    ((in :: buf).sorted(ord)).take(k)
+
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: List[(Double, Long)]): List[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+  override def outputEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+}

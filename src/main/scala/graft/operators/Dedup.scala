@@ -150,9 +150,12 @@ object Dedup {
     * round is one shuffled join + aggregate — no driver-side graph. */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 30): DataFrame = {
+    // materialize once — the pair graph is usually the product of an
+    // expensive similarity join, and every iteration re-reads it
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var iter = 0

@@ -139,6 +139,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q43 — top-3 orders per customer via the typed [[TopKAggregator]]
+    * (map-side partial top-k; shuffles ≤ k rows per group per
+    * partition, unlike a window sort). */
+  def q43TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"),
+        posexplode(col("top")).as(Seq("rk", "pair")))
+      .select(col("o_custkey"), (col("rk") + 1).as("rank"),
+        col("pair._2").as("o_orderkey"), col("pair._1").as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
   /** q36 — deterministic train/val/test split: md5-bucket each doc into
     * 100 cells, label 0-79 train / 80-89 val / 90-99 test. Stable under
     * reshuffling and identical across engines. */
@@ -189,7 +204,8 @@ object Extensions {
     "q36_stable_split" -> (q36StableSplit _),
     "q37_rollup" -> (q37Rollup _),
     "q38_percentiles" -> (q38Percentiles _),
-    "q42_dedup_clusters" -> (q42DedupClusters _))
+    "q42_dedup_clusters" -> (q42DedupClusters _),
+    "q43_topk_per_group" -> (q43TopKPerGroup _))
 
   // ----- generated oracle fragments -----
 
@@ -388,5 +404,12 @@ object Extensions {
         | CASE WHEN m.mn IS NOT NULL AND m.mn < d.doc_id THEN m.mn ELSE d.doc_id END AS cluster
         |FROM documents d
         |LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m ON m.src = d.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q43_topk_per_group" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        | FROM orders)
+        |SELECT o_custkey, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)
 }
