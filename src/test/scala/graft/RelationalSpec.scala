@@ -42,4 +42,15 @@ class RelationalSpec extends SparkSpec {
     val total = Tables(spark, sf0001, "customer").count()
     assert(semi <= total)
   }
+
+  test("HLL sketch: approx_count_distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val l = Tables(spark, sf0001, "lineitem")
+    val r = l.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL drifted: exact=$exact approx=$approx")
+  }
 }
