@@ -24,6 +24,18 @@ class CleanC8Spec extends SparkSpec {
     assert(rows(2).getString(1) == "SOLO")
   }
 
+  test("P4 lenient projection: renames matches, nulls the missing, drops extras") {
+    import spark.implicits._
+    val df = Seq(("J1", "U1", "extra")).toDF("Job No.", "carr_eqp_uid", "Unmapped Col")
+    val out = Clean.lenientProject(df)
+    assert(out.columns.toSeq == ShipmentSchema.canonicalNames)
+    val r = out.collect()(0)
+    assert(r.getAs[String]("job_no") == "J1")
+    assert(r.getAs[String]("carr_eqp_uid") == "U1")
+    assert(r.isNullAt(r.fieldIndex("container_number")))
+    assert(!out.columns.contains("Unmapped Col"))
+  }
+
   test("day_first_date registers for SQL via GraftExtensions") {
     // the injector must accept a fresh extensions container…
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
