@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join without the cross product.
+  *
+  * Spark plans `p.ts BETWEEN i.start AND i.end` (plus equi-keys) as a
+  * join whose non-equi part is a post-filter — fine until interval
+  * tables grow, at which point every point meets every interval of its
+  * key. This operator grids time into `bucketWidthSec` cells: each
+  * interval is exploded to the cells it covers, each point hashes to
+  * exactly one cell, and the join becomes a plain equi-join on
+  * (keys, cell) + a residual BETWEEN filter. Work scales with
+  * overlap density, not |points| × |intervals|.
+  *
+  * Pick `bucketWidthSec` ≈ median interval length: shorter wastes
+  * explode rows, longer re-grows the per-cell cross product.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTs: String, startTs: String, endTs: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucket width must be positive")
+    val cellOf: Column => Column = c => floor(unix_timestamp(c) / bucketWidthSec)
+
+    val cells = intervals.withColumn("__cell",
+      explode(sequence(cellOf(col(startTs)), cellOf(col(endTs)))))
+    val pointCells = points.withColumn("__cell", cellOf(col(pointTs)))
+
+    pointCells.join(cells, keys :+ "__cell")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+      .drop("__cell")
+  }
+}

@@ -139,6 +139,22 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q44 — bucketed range join: events falling inside each user's
+    * first-error window (first error → +2 h). Equivalent to the theta
+    * join `ts BETWEEN s AND e`, executed as equi-join on time cells. */
+  def q44RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val windows = events.filter(col("event_type") === "error")
+      .groupBy("user_id")
+      .agg(min("ts").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 2 HOURS"))
+    graft.operators.RangeJoin.pointInInterval(
+        events.select("event_id", "user_id", "ts"), windows,
+        Seq("user_id"), "ts", "w_start", "w_end", bucketWidthSec = 3600)
+      .select("event_id", "user_id", "ts")
+      .orderBy("event_id")
+  }
+
   /** q43 — top-3 orders per customer via the typed [[TopKAggregator]]
     * (map-side partial top-k; shuffles ≤ k rows per group per
     * partition, unlike a window sort). */
@@ -205,7 +221,8 @@ object Extensions {
     "q37_rollup" -> (q37Rollup _),
     "q38_percentiles" -> (q38Percentiles _),
     "q42_dedup_clusters" -> (q42DedupClusters _),
-    "q43_topk_per_group" -> (q43TopKPerGroup _))
+    "q43_topk_per_group" -> (q43TopKPerGroup _),
+    "q44_range_join" -> (q44RangeJoin _))
 
   // ----- generated oracle fragments -----
 
@@ -411,5 +428,13 @@ object Extensions {
         |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         | FROM orders)
         |SELECT o_custkey, rank, o_orderkey, o_totalprice
-        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin)
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "q44_range_join" ->
+      """WITH w AS (SELECT user_id, min(ts) AS w_start,
+        |  min(ts) + INTERVAL 2 HOUR AS w_end
+        | FROM events WHERE event_type = 'error' GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.ts
+        |FROM events e JOIN w ON e.user_id = w.user_id
+        |WHERE e.ts >= w.w_start AND e.ts <= w.w_end
+        |ORDER BY e.event_id""".stripMargin)
 }
