@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class RangeJoinSpec extends SparkSpec {
+
+  test("bucketed range join equals the plain theta join") {
+    val events = Tables(spark, sf0001, "events")
+    val windows = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min("ts").as("s"))
+      .withColumn("e", col("s") + expr("INTERVAL 90 MINUTES"))
+    val pts = events.select("event_id", "user_id", "ts")
+
+    val theta = pts.join(windows, Seq("user_id"))
+      .filter(col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // bucket width deliberately NOT dividing the interval length evenly
+    val bucketed = RangeJoin.pointInInterval(pts, windows,
+        Seq("user_id"), "ts", "s", "e", bucketWidthSec = 700)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(theta == bucketed, s"diff: ${theta.diff(bucketed)} / ${bucketed.diff(theta)}")
+    assert(theta.nonEmpty)
+  }
+}
