@@ -139,6 +139,24 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q45 — gap-based sessionization: a new session starts after a
+    * 30-minute silence; classic lag + running-sum assignment, then
+    * per-session rollup. One shuffle on user_id. */
+  def q45Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prev.isNull ||
+      col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1).otherwise(0)
+    Tables(spark, dir, "events")
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** q44 — bucketed range join: events falling inside each user's
     * first-error window (first error → +2 h). Equivalent to the theta
     * join `ts BETWEEN s AND e`, executed as equi-join on time cells. */
@@ -222,7 +240,8 @@ object Extensions {
     "q38_percentiles" -> (q38Percentiles _),
     "q42_dedup_clusters" -> (q42DedupClusters _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
-    "q44_range_join" -> (q44RangeJoin _))
+    "q44_range_join" -> (q44RangeJoin _),
+    "q45_sessionize" -> (q45Sessionize _))
 
   // ----- generated oracle fragments -----
 
@@ -436,5 +455,19 @@ object Extensions {
         |SELECT e.event_id, e.user_id, e.ts
         |FROM events e JOIN w ON e.user_id = w.user_id
         |WHERE e.ts >= w.w_start AND e.ts <= w.w_end
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q45_sessionize" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM m)
+        |SELECT user_id, session_id::BIGINT AS session_id, count(1) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
 }
