@@ -110,14 +110,16 @@ object Clean {
     array_sort(array_distinct(parts))
   }
 
-  /** C7 — consignee code: content of the LAST `(...)` if present, else
-    * the whole cell; then last 9 chars, trimmed, empty→null
-    * (`transformer.py:368-380`). */
+  /** C7 — consignee code (`transformer.py:368-380`): if the cell has
+    * both `(` and `)`, take the text after the LAST `(` up to the first
+    * `)` that follows (reference `rsplit("(",1)[1].split(")",1)[0]`),
+    * last-9-chars, trimmed — empty inside ⇒ null (NO fallback to the
+    * whole cell). Cells without a paren pair: last 9 of the whole cell. */
   def consigneeCode(c: Column): Column = {
     val t = trim(c)
-    val inside = trim(regexp_extract(t, "\\(([^()]*)\\)[^()]*$", 1))
-    val basis = when(t.contains("(") && t.contains(")") && inside =!= "", inside)
-      .otherwise(t)
+    val afterLastParen = element_at(split(t, "\\("), -1)
+    val inside = trim(element_at(split(afterLastParen, "\\)", 2), 1))
+    val basis = when(t.contains("(") && t.contains(")"), inside).otherwise(t)
     val code = trim(substring(basis, -9, 9))
     when(t.isNull || t === "" || code === "", lit(null)).otherwise(code)
   }

@@ -31,16 +31,31 @@ object DocSink {
     when(size(arr) === 0 || arr.isNull, lit("[]"))
       .otherwise(concat(lit("['"), concat_ws("', '", arr), lit("']")))
 
-  /** Project enriched rows into output documents (S7, Case B). */
+  /** Project enriched rows into output documents (S7, Case B).
+    *
+    * `doc_<i>` fallback ids (all three id columns null, `writer.py:249-254`)
+    * are numbered by `row_number` over a stable (metadata, content) sort so
+    * reruns and repartitionings emit identical ids — a documented divergence
+    * from the reference's batch-position `enumerate` index, which has no
+    * distributed analog. Only the fallback rows flow through the global
+    * window (they're rare by construction), so this is not a scale
+    * bottleneck; rows with a real id never shuffle. */
   def toDocuments(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val metadataCols = df.columns.filterNot(docIdExcluded.contains).sorted
-    df.select(
-      coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number"),
-        concat(lit("doc_"), (monotonically_increasing_id() + 1).cast("string"))).as("document_id"),
+    val projected = df.select(
+      coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number")).as("__id"),
       coalesce(col("combined_content"), col("milestones"), lit("")).as("content"),
       struct(metadataCols.map(c => col(s"`$c`")): _*).as("metadata"),
       pyListString(col("consignee_codes")).as("consignee_code"),
       col("source_group"))
+    val withId = projected.filter(col("__id").isNotNull)
+      .withColumn("document_id", col("__id"))
+    val fallback = projected.filter(col("__id").isNull)
+      .withColumn("document_id", concat(lit("doc_"),
+        row_number().over(Window.orderBy(to_json(col("metadata")), col("content")))))
+    withId.unionByName(fallback)
+      .select("document_id", "content", "metadata", "consignee_code", "source_group")
   }
 
   /** One JSON object per line, field order matching the reference

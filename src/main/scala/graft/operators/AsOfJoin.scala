@@ -61,9 +61,12 @@ object AsOfJoin {
     val unioned = l.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*)
       .unionByName(rAligned.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*))
 
+    // __payload as the final sort key makes equal-(ts, side) right rows
+    // resolve deterministically across runs/shuffles: last() then always
+    // picks the max payload struct among ties.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned

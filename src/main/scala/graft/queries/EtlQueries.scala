@@ -71,10 +71,11 @@ object EtlQueries {
     * shapes (code in parens, bare name, multiple paren groups). */
   def q16Consignee(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val k = col("c_custkey") % 3
+    val k = col("c_custkey") % 4
     val code9 = lpad(col("c_custkey").cast("string"), 9, "0")
     val src = when(k === 0, concat(col("c_name"), lit(" ("), code9, lit(")")))
       .when(k === 1, col("c_name"))
+      .when(k === 2, concat(col("c_name"), lit(" ()")))
       .otherwise(concat(col("c_name"), lit(" (EU) ("), code9, lit(")")))
     c.select(col("c_custkey"), src.as("src"),
       Clean.consigneeName(src).as("consignee_name"),
@@ -264,18 +265,19 @@ object EtlQueries {
     "q16_consignee" ->
       """WITH s AS (
         | SELECT c_custkey,
-        |  CASE c_custkey % 3
+        |  CASE c_custkey % 4
         |   WHEN 0 THEN c_name || ' (' || lpad(c_custkey::VARCHAR, 9, '0') || ')'
         |   WHEN 1 THEN c_name
+        |   WHEN 2 THEN c_name || ' ()'
         |   ELSE c_name || ' (EU) (' || lpad(c_custkey::VARCHAR, 9, '0') || ')' END AS src
         | FROM customer),
         |t AS (SELECT c_custkey, src, trim(src) AS ts,
-        |       trim(regexp_extract(src, '\(([^()]*)\)[^()]*$', 1)) AS inside FROM s)
+        |       trim(split_part(string_split(trim(src), '(')[-1], ')', 1)) AS inside FROM s)
         |SELECT c_custkey, src,
         | CASE WHEN ts = '' THEN NULL
         |      WHEN contains(ts, '(') THEN nullif(trim(regexp_extract(ts, '^(.*)\([^(]*$', 1)), '')
         |      ELSE ts END AS consignee_name,
-        | nullif(trim(right(CASE WHEN contains(ts, '(') AND contains(ts, ')') AND inside <> ''
+        | nullif(trim(right(CASE WHEN contains(ts, '(') AND contains(ts, ')')
         |                        THEN inside ELSE ts END, 9)), '') AS consignee_code
         |FROM t ORDER BY c_custkey""".stripMargin,
     "q17_status_machine" ->
