@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `dot_product(array<double>, array<double>) -> double` — native
+  * codegen dot product.
+  *
+  * Why a custom Expression instead of
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: Spark's higher-order
+  * functions are interpreted (no whole-stage codegen) and allocate a
+  * zipped intermediate array per row — at embedding-similarity volumes
+  * (pairs × 64 dims) that interpretation overhead dominates the math by
+  * >10×. This compiles to a tight primitive loop inside whole-stage
+  * codegen.
+  *
+  * Numeric parity: the accumulation is strictly sequential
+  * (`acc += a(i)*b(i)` in index order), bit-identical to both the
+  * higher-order fold it replaces and DuckDB's
+  * `list_sum(list_transform(list_zip(a, b), x -> x[1]*x[2]))` — the
+  * driver's oracle hashes stay exact.
+  *
+  * Null semantics: null if either array is null or lengths differ;
+  * elements are assumed non-null (embedding vectors — enforced upstream
+  * by the `array<double>` cast of parquet float arrays).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val n = ctx.freshName("dpN")
+    val i = ctx.freshName("dpI")
+    val acc = ctx.freshName("dpAcc")
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        int $n = ${lg.value}.numElements();
+        if ($n == ${rg.value}.numElements()) {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ${lg.value}.getDouble($i) * ${rg.value}.getDouble($i);
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = $acc;
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(DotProduct(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `minhash_sig(array<long> token_hashes, k) -> array<long>` — all k
+  * MinHash permutation minima in ONE pass over the token-hash array.
+  *
+  * Replaces k separate `array_min(transform(hashes, h -> (aᵢ·(h%p)+bᵢ)%p))`
+  * columns: Spark's higher-order functions are interpreted and each of
+  * the k transforms allocates an intermediate array, so the naive form
+  * costs k interpreted passes per row. This is one codegen-compiled
+  * loop, k running minima, zero intermediates.
+  *
+  * Value parity (bit-exact with the DuckDB oracle's
+  * `list_min(list_transform(...))`): same permutation constants
+  * (aᵢ = 2i+1, bᵢ = 97i+13, p = 2³¹−1), same `(aᵢ·(h%p)+bᵢ)%p`
+  * arithmetic on non-negative 60-bit inputs — no overflow
+  * (aᵢ·(h%p) < 2³⁶), `%` on non-negative longs matches SQL `%`.
+  *
+  * Empty input → null (matching `array_min` of an empty transform, and
+  * DuckDB `list_min` of an empty list, being NULL for every permutation).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MinHashSig.kernel(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val res = ctx.freshName("mhRes")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $res =
+          graft.expressions.MinHashSig.kernel(${childGen.value}, $k);
+        if ($res != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $res;
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val P: Long = 2147483647L
+
+  /** One-pass k-minima kernel; null for an empty hash set. */
+  def kernel(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val m = hashes.getLong(j) % P
+      var i = 0
+      var a = 1L // aᵢ = 2i+1
+      var b = 13L // bᵢ = 97i+13
+      while (i < k) {
+        val v = (a * m + b) % P
+        if (v < mins(i)) mins(i) = v
+        a += 2L
+        b += 97L
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column-API entry point. */
+  def apply(tokenHashes: Column, k: Int): Column =
+    ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(tokenHashes), k))
+}

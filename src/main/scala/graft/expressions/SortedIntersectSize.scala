@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** `sorted_intersect_size(array<long>, array<long>) -> int` —
+  * cardinality of the intersection of two SORTED, duplicate-free long
+  * arrays, by linear merge.
+  *
+  * Why not `size(array_intersect(a, b))`: `ArrayIntersect` builds a
+  * hash set and materializes the intersection array on every
+  * evaluation — per PAIR in a similarity self-join, where it's the
+  * single hottest expression. Sorting happens once per ROW upstream
+  * (`array_sort` at shingle-build time); the per-pair cost drops to a
+  * two-pointer scan with zero allocation, inside whole-stage codegen.
+  *
+  * Inputs MUST be sorted ascending with no duplicates (guaranteed by
+  * `array_sort(array_distinct(...))` upstream) — violating that
+  * undercounts silently. Null if either array is null.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    SortedIntersectSize.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      int ${ev.value} = 0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        ${ev.isNull} = false;
+        ${ev.value} = graft.expressions.SortedIntersectSize.kernel(${lg.value}, ${rg.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+
+  /** Two-pointer merge count over sorted duplicate-free long arrays. */
+  def kernel(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(SortedIntersectSize(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

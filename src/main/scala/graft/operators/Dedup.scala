@@ -37,50 +37,64 @@ object Dedup {
   def minhashA(i: Int): Long = 2L * i + 1
   def minhashB(i: Int): Long = 97L * i + 13
 
-  /** k-wide MinHash signature of the distinct-token set as k columns
-    * `mh0..mh{k-1}`. Pure array expressions — codegen, no shuffle. */
-  def minhashSignature(text: Column, k: Int): Seq[(String, Column)] = {
-    val hashes = transform(array_distinct(tokens(text)), t => tokenHash(t))
-    (0 until k).map { i =>
-      s"mh$i" -> array_min(transform(hashes,
-        h => (lit(minhashA(i)) * (h % minhashP) + minhashB(i)) % minhashP))
-    }
-  }
+  /** k-wide MinHash signature of the distinct-token set as one
+    * `array<long>` column — a single codegen pass over the token hashes
+    * ([[graft.expressions.MinHashSig]]); null for an empty token set. */
+  def minhashSigArray(text: Column, k: Int): Column =
+    graft.expressions.MinHashSig(
+      transform(array_distinct(tokens(text)), t => tokenHash(t)), k)
 
-  /** Attach signature columns + per-band LSH keys (`band$b` = md5 of the
-    * band's row-slice). Docs sharing any band key are candidates. */
+  /** Attach signature columns `mh0..mh{k-1}` + per-band LSH keys
+    * (`band$b` = md5 of the band's row-slice). Docs sharing any band key
+    * are candidates. The signature array is computed once per row and
+    * fanned out (CollapseProject keeps multi-referenced non-cheap
+    * aliases in their own projection). */
   def withMinhashBands(df: DataFrame, textCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignature(col(textCol), k)
-    val withSig = df.withColumns(sig.toMap)
+    val withSig = df.withColumn("__mhsig", minhashSigArray(col(textCol), k))
+      .withColumns((0 until k).map(i => s"mh$i" -> col("__mhsig").getItem(i)).toMap)
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       s"band$b" -> md5(concat_ws("_", slice: _*))
     }
-    withSig.withColumns(bandCols.toMap)
+    withSig.withColumns(bandCols.toMap).drop("__mhsig")
   }
 
   /** MinHash-LSH near-dup candidate pairs (id1 < id2), deduped across
     * bands, with the estimated Jaccard = matching-minhash fraction.
-    * One shuffle per band on the band key; never materializes n². */
+    *
+    * Plan shape, scale-first: (1) the signature table is materialized
+    * ONCE (`localCheckpoint` — it feeds both sides of the self-join plus
+    * the estimate join, and is tiny relative to the corpus: k longs +
+    * `bands` hashes per doc); (2) the collision self-join carries only
+    * (id, band) — pair explosion happens on 16-byte rows, not
+    * signature-wide rows; (3) pairs are `distinct`-ed BEFORE signatures
+    * are attached, so each surviving pair computes its estimate once.
+    * The estimate joins are plain equi-joins on id — AQE picks broadcast
+    * when the signature table is small and SMJ at corpus scale. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
     val k = bands * rowsPerBand
-    val sigDf = withMinhashBands(df, textCol, bands, rowsPerBand)
+    val sig = withMinhashBands(df, textCol, bands, rowsPerBand)
       .select(col(idCol).as("id") +:
         (0 until k).map(i => col(s"mh$i")) :+
         array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*)
-    val exploded = sigDf.select(
-      (col("id") +: (0 until k).map(i => col(s"mh$i")) :+
-        posexplode(col("bands")).as(Seq("band_no", "band_key"))): _*)
-    val l = exploded.as("l"); val r = exploded.as("r")
+      .localCheckpoint()
+    val cand = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_no", "band_key")))
+    val pairs = cand.as("l").join(cand.as("r"),
+        col("l.band_no") === col("r.band_no") &&
+        col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val sigOnly = sig.drop("bands")
     val sameSig = (0 until k).map(i => (col(s"l.mh$i") === col(s"r.mh$i")).cast("int"))
       .reduce(_ + _)
-    l.join(r, col("l.band_no") === col("r.band_no") &&
-        col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+    pairs
+      .join(sigOnly.as("l"), col("id1") === col("l.id"))
+      .join(sigOnly.as("r"), col("id2") === col("r.id"))
+      .select(col("id1"), col("id2"),
         round(sameSig.cast("double") / k, 6).as("est_jaccard"))
-      .distinct()
   }
 
   /** 60-bit SimHash: sign-sum of each token-hash bit, term frequency
@@ -131,10 +145,15 @@ object Dedup {
     * LSH at scale. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, minCos: Double): DataFrame = {
+    // Norms once per ROW (not per pair): the O(pairs) stage is a single
+    // codegen dot product + one division. Same arithmetic order as the
+    // naive cosine → bit-identical to the DuckDB oracle.
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", SimilaritySearch.norm(col("v")))
     val l = t.as("l"); val r = t.as("r")
-    val cos = round(SimilaritySearch.cosine(col("l.v"), col("r.v")), 6)
+    val cos = round(SimilaritySearch.dot(col("l.v"), col("r.v"))
+      / (col("l.nrm") * col("r.nrm")), 6)
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"), cos.as("cos"))
       .filter(col("cos") >= minCos)
@@ -156,8 +175,19 @@ object Dedup {
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Seed with the one-hop minimum — identical to running the first
+    // propagation round, so the loop starts a round ahead.
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster"))
+      .localCheckpoint()
+    // Convergence check = one xor-checksum aggregate over the (already
+    // materialized) labels — no join, no second pass. Labels only ever
+    // decrease, so a changed state xors to a different value except with
+    // ~2⁻⁶⁴ probability per round.
+    def checksum(df: DataFrame): Any =
+      df.select(xxhash64(col("id").cast("string"), col("cluster").cast("string")).as("h"))
+        .agg(expr("bit_xor(h)")).first().get(0)
+    var chk = checksum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -176,29 +206,49 @@ object Dedup {
         .select(hop("id"),
           least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster"))
         .localCheckpoint() // truncate lineage each round
-      converged = next.alias("n")
-        .join(labels.alias("p"), Seq("id"))
-        .filter(col("n.cluster") =!= col("p.cluster")).isEmpty
+      val nchk = checksum(next)
+      converged = nchk == chk
+      chk = nchk
       labels = next
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
     labels
   }
+  /** Exact n-gram-Jaccard near-dup pairs within a blocking column.
+    * Quadratic per block by design (the verifier stage — see the
+    * object-level scale notes).
+    *
+    * Per-pair work is minimized three ways: shingles are 64-bit-hashed
+    * AND sorted once per ROW, so the per-pair intersection is a
+    * zero-allocation two-pointer merge count
+    * ([[graft.expressions.SortedIntersectSize]], codegen) instead of
+    * `ArrayIntersect`'s hash-set build — Jaccard over the hashed sets
+    * equals Jaccard over the string sets up to ~n²/2⁶⁵ collision odds;
+    * set sizes are precomputed per row; and the intersection is a
+    * single-referenced alias in its own projection so it's evaluated
+    * once for the surviving pairs (plus once in the pushed-down filter —
+    * down from 6 evaluations in the naive expression). The shingle table
+    * is checkpointed: both join sides read the materialized rows instead
+    * of re-tokenizing. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, minJaccard: Double): DataFrame = {
     val shingles =
       if (n == 1) array_distinct(tokens(col(textCol)))
       else array_distinct(wordShingles(col(textCol), n))
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      shingles.as("sh"))
+        array_sort(transform(shingles, s => xxhash64(s))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint()
     val l = t.as("l"); val r = t.as("r")
-    val inter = size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
-    val union = (size(col("l.sh")) + size(col("r.sh"))).cast("double") -
-      size(array_intersect(col("l.sh"), col("r.sh"))).cast("double")
+    val inter = graft.expressions.SortedIntersectSize(col("l.sh"), col("r.sh")).cast("double")
+    val szSum = (col("l.sz") + col("r.sz")).cast("double")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        round(when(union === 0, 0.0).otherwise(inter / union), 6).as("jaccard"))
+        inter.as("inter"), szSum.as("sz_sum"))
+      .select(col("id1"), col("id2"),
+        round(when(col("sz_sum") - col("inter") === 0, 0.0)
+          .otherwise(col("inter") / (col("sz_sum") - col("inter"))), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

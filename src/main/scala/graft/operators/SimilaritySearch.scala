@@ -21,15 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Sequential-fold dot product of two same-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential dot product of two same-length double arrays — native
+    * codegen loop ([[graft.expressions.DotProduct]]), bit-identical to
+    * the higher-order fold it replaced. */
+  def dot(a: Column, b: Column): Column = graft.expressions.DotProduct(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** cos = dot / (precomputed-norm-left × precomputed-norm-right).
+    * Norms are attached per ROW before the pair join, so the O(pairs)
+    * stage does one dot product instead of three. Same arithmetic as
+    * [[cosine]] (sqrt of a sequential sum, then one division) → same
+    * bits as the DuckDB oracle. */
+  private def pairCos(qvec: Column, vec: Column, qnrm: Column, nrm: Column): Column =
+    dot(qvec, vec) / (qnrm * nrm)
 
   /** Exact top-k neighbors for each query vector (brute force, the
     * correctness baseline). Output: (query_id, neighbor_id, sim, rank).
@@ -37,8 +46,10 @@ object SimilaritySearch {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-    val sim = round(cosine(col("qvec"), col("vec")), 6)
+      .withColumn("qnrm", norm(col("qvec")))
+    val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
@@ -47,19 +58,22 @@ object SimilaritySearch {
   }
 
   /** Assign each vector to its nearest centroid (max cosine, centroid
-    * id breaks ties). Centroids must be small (broadcast). */
+    * id breaks ties). Centroids must be small (broadcast). Output
+    * carries the vector and its precomputed norm for downstream reuse. */
   def assignBuckets(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val cent = centroids.select(col(idCol).as("centroid_id"),
       asDouble(col(vecCol)).as("cvec"))
-    val sim = round(cosine(col("vec"), col("cvec")), 6)
+      .withColumn("cnrm", norm(col("cvec")))
+    val sim = round(pairCos(col("vec"), col("cvec"), col("nrm"), col("cnrm")), 6)
     val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("centroid_id").asc)
     c.crossJoin(broadcast(cent))
-      .select(col(idCol), col("vec"), col("centroid_id"), sim.as("csim"))
+      .select(col(idCol), col("vec"), col("nrm"), col("centroid_id"), sim.as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col("vec"), col("centroid_id").as("bucket"))
+      .select(col(idCol), col("vec"), col("nrm"), col("centroid_id").as("bucket"))
   }
 
   /** IVF-style ANN: search only within the query's bucket. Recall < 1
@@ -69,10 +83,11 @@ object SimilaritySearch {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
     val q = assignBuckets(queries, centroids, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("bucket"))
-    val sim = round(cosine(col("qvec"), col("vec")), 6)
+      .select(col(idCol).as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    assigned.select(col(idCol).as("neighbor_id"), col("vec"), col("bucket"))
+    assigned.select(col(idCol).as("neighbor_id"), col("vec"), col("nrm"), col("bucket"))
       .join(q, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), sim.as("sim"))

@@ -47,10 +47,10 @@ object Extensions {
   /** q22 — document fingerprint + 8-wide MinHash signature. */
   def q22Minhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val sig = Dedup.minhashSignature(col("text"), 8)
-    d.select(col("doc_id"),
-      TextFunctions.fingerprint(col("text")).as("fingerprint"),
-      concat_ws(",", sig.map(_._2): _*).as("minhash_sig"))
+    d.withColumn("__mhsig", Dedup.minhashSigArray(col("text"), 8))
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        concat_ws(",", (0 until 8).map(i => col("__mhsig").getItem(i)): _*).as("minhash_sig"))
       .orderBy("doc_id")
   }
 

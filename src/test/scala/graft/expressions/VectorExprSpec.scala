@@ -1,0 +1,76 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value-level checks of the codegen kernels (DotProduct, MinHashSig,
+  * SortedIntersectSize) against their naive Spark-built-in equivalents
+  * — the equivalence the oracle parity of q22–q30 rests on. */
+class VectorExprSpec extends SparkSpec {
+
+  test("DotProduct matches the sequential higher-order fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(0.7, 0.11, -0.13)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val got = df.select(
+      DotProduct(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("naive"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct is null on null input or length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))),
+      (None: Option[Seq[Double]], Some(Seq(1.0)))
+    ).toDF("a", "b")
+    val got = df.select(DotProduct(col("a"), col("b"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("MinHashSig equals the per-permutation array_min transforms") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = Seq("the quick brown fox", "a b a b c", "solo").toDF("text")
+    val hashes = transform(array_distinct(
+      graft.functions.TextFunctions.tokens(col("text"))),
+      t => graft.functions.TextFunctions.tokenHash(t))
+    val k = 6
+    val naive = (0 until k).map { i =>
+      array_min(transform(hashes,
+        h => (lit(Dedup.minhashA(i)) * (h % Dedup.minhashP) + Dedup.minhashB(i)) % Dedup.minhashP))
+    }
+    val got = df.select(MinHashSig(hashes, k).as("sig"), array(naive: _*).as("naive"))
+      .collect()
+    got.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)) }
+  }
+
+  test("MinHashSig of an empty token set is null (array_min parity)") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[Long]).toDF("h")
+    assert(df.select(MinHashSig(col("h"), 4)).collect().head.isNullAt(0))
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L, 8L))
+    ).toDF("a", "b")
+    val got = df.select(
+      SortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("naive"))
+      .collect()
+    got.foreach { r => assert(r.getInt(0) == r.getInt(1)) }
+  }
+}
