@@ -139,6 +139,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs within a blocking column —
+    * the typo-tolerant dedup stage (catalog titles, OCR'd text).
+    * Quadratic per block; uses Spark's banded `levenshtein(l, r, max)`
+    * (O(max·len) per pair, returns -1 beyond the threshold so distant
+    * pairs exit early). Same blocking discipline as the other pair
+    * generators: at corpus scale, block by a cheap signature first. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(textCol).as("txt"))
+    val l = t.as("l"); val r = t.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        levenshtein(col("l.txt"), col("r.txt"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column: the
     * semantic-dedup stage of a training-data pipeline. Quadratic per
     * block — block by IVF bucket (SimilaritySearch.assignBuckets) or

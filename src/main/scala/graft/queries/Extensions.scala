@@ -94,6 +94,17 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** q46 — fuzzy (Levenshtein) near-dup pairs over part names, blocked
+    * by (brand, type): the typo-dedup operator. Composite blocking keeps
+    * per-block pair counts flat as the catalog grows — brand alone
+    * squares 10× faster than the corpus. */
+  def q46FuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+        Tables(spark, dir, "part")
+          .withColumn("blk", concat_ws("|", col("p_brand"), col("p_type"))),
+        "p_partkey", "p_name", "blk", 4)
+      .orderBy("id1", "id2")
+
   /** q29 — multimodal stub-decode over a real binary column. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
@@ -239,6 +250,7 @@ object Extensions {
     "q37_rollup" -> (q37Rollup _),
     "q38_percentiles" -> (q38Percentiles _),
     "q42_dedup_clusters" -> (q42DedupClusters _),
+    "q46_fuzzy_pairs" -> (q46FuzzyPairs _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
     "q44_range_join" -> (q44RangeJoin _),
     "q45_sessionize" -> (q45Sessionize _))
@@ -441,6 +453,13 @@ object Extensions {
         |FROM documents d
         |LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m ON m.src = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q46_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        | levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id1, id2""".stripMargin,
     "q43_topk_per_group" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

@@ -217,6 +217,71 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q47 — PIVOT: order counts per priority × status, long → wide. */
+  def q47Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** q48 — CUBE over (lang, source): completes the multi-dimensional
+    * aggregate family (grouping sets q7, rollup q37). */
+  def q48Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("lang_g", "source_g")
+
+  /** q49 — distribution window functions: ntile / percent_rank /
+    * cume_dist plus a ROWS-frame moving sum (exact decimal — a sliding
+    * double sum would be engine-dependent at the bit level). Ordering
+    * includes the unique key so ntile is deterministic under price ties. */
+  def q49WindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(-3, Window.currentRow))
+          .cast("double").as("moving_sum"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Dialect-shared SQL for q50: runs verbatim on Spark SQL AND DuckDB —
+    * the engine's ANSI-SQL entry point demonstrated on TPC-H Q3. */
+  val q50Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q50 — the SQL surface: temp views + `spark.sql` running the exact
+    * text the DuckDB oracle runs. */
+  def q50SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(q50Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -232,7 +297,11 @@ object Relational {
     "q12_asof_join" -> (q12AsofJoin _),
     "q39_posexplode" -> (q39Posexplode _),
     "q40_range_window" -> (q40RangeWindow _),
-    "q41_correlated_subquery" -> (q41CorrelatedSubquery _))
+    "q41_correlated_subquery" -> (q41CorrelatedSubquery _),
+    "q47_pivot" -> (q47Pivot _),
+    "q48_cube" -> (q48Cube _),
+    "q49_window_stats" -> (q49WindowStats _),
+    "q50_sql_api" -> (q50SqlApi _))
 
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
@@ -338,5 +407,28 @@ object Relational {
         |      (SELECT count(1) FROM orders i WHERE i.o_custkey = o.o_custkey) * 2 >
         |      (SELECT sum(cast(o_totalprice AS decimal(18,2))) FROM orders i
         |       WHERE i.o_custkey = o.o_custkey) * 3
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q47_pivot" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q48_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang_g, coalesce(source, 'ALL') AS source_g,
+        | count(1) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang_g, source_g""".stripMargin,
+    "q49_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q50_sql_api" -> q50Sql)
 }
