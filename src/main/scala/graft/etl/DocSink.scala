@@ -33,29 +33,28 @@ object DocSink {
 
   /** Project enriched rows into output documents (S7, Case B).
     *
-    * `doc_<i>` fallback ids (all three id columns null, `writer.py:249-254`)
-    * are numbered by `row_number` over a stable (metadata, content) sort so
-    * reruns and repartitionings emit identical ids — a documented divergence
-    * from the reference's batch-position `enumerate` index, which has no
-    * distributed analog. Only the fallback rows flow through the global
-    * window (they're rare by construction), so this is not a scale
-    * bottleneck; rows with a real id never shuffle. */
+    * `doc_<…>` fallback ids (all three id columns null, `writer.py:249-254`)
+    * are content-addressed — `doc_` + 16 hex chars of the md5 of the
+    * document body — a documented divergence from the reference's
+    * batch-position `enumerate` index, which has no deterministic
+    * distributed analog (a global row_number would either be
+    * partitioning-dependent or force a single-partition sort). The hash
+    * id is identical across reruns and repartitionings, needs no shuffle,
+    * and `coalesce` short-circuits so it's only computed for the rare
+    * all-ids-null rows. Identical fallback documents collide by design
+    * (same bytes → same id). */
   def toDocuments(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val metadataCols = df.columns.filterNot(docIdExcluded.contains).sorted
-    val projected = df.select(
-      coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number")).as("__id"),
-      coalesce(col("combined_content"), col("milestones"), lit("")).as("content"),
-      struct(metadataCols.map(c => col(s"`$c`")): _*).as("metadata"),
-      pyListString(col("consignee_codes")).as("consignee_code"),
-      col("source_group"))
-    val withId = projected.filter(col("__id").isNotNull)
-      .withColumn("document_id", col("__id"))
-    val fallback = projected.filter(col("__id").isNull)
-      .withColumn("document_id", concat(lit("doc_"),
-        row_number().over(Window.orderBy(to_json(col("metadata")), col("content")))))
-    withId.unionByName(fallback)
-      .select("document_id", "content", "metadata", "consignee_code", "source_group")
+    df.select(
+        coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number")).as("__id"),
+        coalesce(col("combined_content"), col("milestones"), lit("")).as("content"),
+        struct(metadataCols.map(c => col(s"`$c`")): _*).as("metadata"),
+        pyListString(col("consignee_codes")).as("consignee_code"),
+        col("source_group"))
+      .select(
+        coalesce(col("__id"), concat(lit("doc_"),
+          substring(md5(to_json(struct(col("metadata"), col("content")))), 1, 16))).as("document_id"),
+        col("content"), col("metadata"), col("consignee_code"), col("source_group"))
   }
 
   /** One JSON object per line, field order matching the reference
@@ -70,12 +69,24 @@ object DocSink {
     * the reference's `shipment_<group>_<n>.jsonl` naming with counters
     * continuing from what's already in the directory (A3,
     * `writer.py:59-77`). `maxRecordsPerFile` approximates the legacy
-    * 12 MB size cap (S5): pass ~12MB / avg-doc-bytes. */
-  def write(enriched: DataFrame, outDir: String, maxRecordsPerFile: Long = 0): Seq[String] = {
+    * 12 MB size cap (S5): pass ~12MB / avg-doc-bytes.
+    *
+    * `filesPerGroup` is the write-parallelism knob: the reference's
+    * one-file-per-group layout (default 1) caps the serialize+write
+    * stage at one task per month — fine for its data volume, a
+    * bottleneck at scale. >1 salts the repartition so each group is
+    * written by up to that many tasks; the counter naming already
+    * numbers multiple parts per group. */
+  def write(enriched: DataFrame, outDir: String, maxRecordsPerFile: Long = 0,
+      filesPerGroup: Int = 1): Seq[String] = {
     val docs = toJsonLines(toDocuments(enriched))
       .filter(col("source_group").isNotNull)
-    val writer = docs
-      .repartition(col("source_group"))
+    val parted =
+      if (filesPerGroup > 1)
+        docs.repartition(col("source_group"),
+          pmod(xxhash64(col("value")), lit(filesPerGroup)))
+      else docs.repartition(col("source_group"))
+    val writer = parted
       .write.mode("append").partitionBy("source_group")
     val tuned = if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer

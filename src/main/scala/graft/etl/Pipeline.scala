@@ -30,13 +30,14 @@ object Pipeline {
     * (SURVEY §7.4 trap 1); null means `current_date()`. */
   def run(spark: SparkSession, inDir: String, outDir: String,
       asOfDate: Option[java.time.LocalDate] = None,
-      maxRecordsPerFile: Long = 0): Seq[String] = {
+      maxRecordsPerFile: Long = 0,
+      filesPerGroup: Int = 1): Seq[String] = {
     val asOf: Column = asOfDate
       .map(d => lit(java.sql.Date.valueOf(d)))
       .getOrElse(current_date())
     val raw = CsvSource.readLatest(spark, inDir)
     val enriched = transform(raw, asOf)
-    DocSink.write(enriched, outDir, maxRecordsPerFile)
+    DocSink.write(enriched, outDir, maxRecordsPerFile, filesPerGroup)
   }
 
   /** Streaming variant of the reference's newest-file polling
