@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot regression diff — the engine-native version of the
+  * reference's month-over-month eyeball comparison
+  * (`/root/reference/unit_test.ipynb` cells 4-11: load current and
+  * previous JSONL outputs, compare heads by hand).
+  *
+  * One full-outer join on the id, then row classification:
+  * `added` (only in curr), `removed` (only in prev), `changed` (both,
+  * any payload column differs), `same`. Null-safe equality (`<=>`) so a
+  * null-vs-value payload counts as a change and null-vs-null doesn't.
+  *
+  * Scale: a single hash shuffle on the id for each side; AQE broadcasts
+  * the smaller snapshot when one side is a small delta. Payload
+  * comparison is columnar codegen — no row serialization.
+  */
+object SnapshotDiff {
+
+  def diff(curr: DataFrame, prev: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val c = curr.select((idCol +: payloadCols).map(n => col(n).as(s"curr_$n")): _*)
+    val p = prev.select((idCol +: payloadCols).map(n => col(n).as(s"prev_$n")): _*)
+    val joined = c.join(p, col(s"curr_$idCol") === col(s"prev_$idCol"), "full_outer")
+    val inCurr = col(s"curr_$idCol").isNotNull
+    val inPrev = col(s"prev_$idCol").isNotNull
+    val anyChanged: Column = payloadCols
+      .map(n => !(col(s"curr_$n") <=> col(s"prev_$n")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val status = when(inCurr && !inPrev, "added")
+      .when(!inCurr && inPrev, "removed")
+      .when(anyChanged, "changed")
+      .otherwise("same")
+    joined.select(
+      coalesce(col(s"curr_$idCol"), col(s"prev_$idCol")).as(idCol) +:
+        status.as("status") +:
+        payloadCols.flatMap(n => Seq(col(s"curr_$n"), col(s"prev_$n"))): _*)
+  }
+}

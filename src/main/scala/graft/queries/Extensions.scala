@@ -105,6 +105,22 @@ object Extensions {
         "p_partkey", "p_name", "blk", 4)
       .orderBy("id1", "id2")
 
+  /** q51 — snapshot diff (SURVEY §2.6: the notebook's month-over-month
+    * output comparison as a full-outer-join operator). Two synthetic
+    * snapshots of the documents table: prev drops doc_id % 7 == 0, curr
+    * drops doc_id % 11 == 3 and rewrites text of doc_id % 5 == 0. */
+  def q51SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val prev = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("n_chars"))
+    val curr = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"))
+    graft.operators.SnapshotDiff.diff(curr, prev, "doc_id", Seq("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** q29 — multimodal stub-decode over a real binary column. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
@@ -251,6 +267,7 @@ object Extensions {
     "q38_percentiles" -> (q38Percentiles _),
     "q42_dedup_clusters" -> (q42DedupClusters _),
     "q46_fuzzy_pairs" -> (q46FuzzyPairs _),
+    "q51_snapshot_diff" -> (q51SnapshotDiff _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
     "q44_range_join" -> (q44RangeJoin _),
     "q45_sessionize" -> (q45Sessionize _))
@@ -460,6 +477,19 @@ object Extensions {
         |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY id1, id2""".stripMargin,
+    "q51_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |curr AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        | FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+        | CASE WHEN c.doc_id IS NOT NULL AND p.doc_id IS NULL THEN 'added'
+        |      WHEN c.doc_id IS NULL AND p.doc_id IS NOT NULL THEN 'removed'
+        |      WHEN c.n_chars IS DISTINCT FROM p.n_chars THEN 'changed'
+        |      ELSE 'same' END AS status,
+        | c.n_chars AS curr_n_chars, p.n_chars AS prev_n_chars
+        |FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q43_topk_per_group" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

