@@ -2,23 +2,42 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DayFirstDate
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.{DayFirstDate, DotProduct, MinHashSig, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions for SQL use. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — after which
-  * `SELECT day_first_date(c)` works in plain SQL on any cluster the
-  * jar ships to. */
+  * `SELECT day_first_date(c)`, `dot_product(a, b)`,
+  * `minhash_sig(hashes, k)`, `sorted_intersect_size(a, b)` work in
+  * plain SQL on any cluster the jar ships to. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+
+  private def register(ext: SparkSessionExtensions, name: String, arity: Int,
+      build: Seq[Expression] => Expression, clazz: Class[_]): Unit =
     ext.injectFunction((
-      new FunctionIdentifier("day_first_date"),
-      new ExpressionInfo(classOf[DayFirstDate].getName, "day_first_date"),
+      new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 1, "day_first_date expects 1 argument")
-        DayFirstDate(children.head)
+        require(children.length == arity, s"$name expects $arity argument(s)")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "day_first_date", 1,
+      ch => DayFirstDate(ch.head), classOf[DayFirstDate])
+    register(ext, "dot_product", 2,
+      ch => DotProduct(ch(0), ch(1)), classOf[DotProduct])
+    register(ext, "sorted_intersect_size", 2,
+      ch => SortedIntersectSize(ch(0), ch(1)), classOf[SortedIntersectSize])
+    register(ext, "minhash_sig", 2, { ch =>
+      val k = ch(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig k must be an integer literal, got $other")
+      }
+      MinHashSig(ch(0), k)
+    }, classOf[MinHashSig])
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan assertions: the scale properties the operators promise
+  * (pushdown, pruning, broadcast) must survive refactors — a correct
+  * result from a bad plan is a regression at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "quantity filter not pushed")
+    assert(!p.contains("l_tax"), "unused column not pruned from scan")
+  }
+
+  test("q3: dimension joins broadcast (no shuffle join for small sides)") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dimensions should broadcast")
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected at this scale")
+  }
+
+  test("q26: brute-force ANN broadcasts the query set, not the corpus") {
+    val p = plan("q26_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set should broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, "expected hash aggregation")
+    assert(p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "expected partial + final aggregation pair")
+  }
+
+  test("ETL plan: single projection over the scan, narratives fused") {
+    import org.apache.spark.sql.functions._
+    val raw = etl.CsvSource.readLatest(spark, {
+      val d = java.nio.file.Files.createTempDirectory("graft_plan_etl")
+      BenchEtl.synthesizeCsv(s"$d/s.csv", 10)
+      d.toString
+    })
+    val p = etl.Pipeline.transform(raw, lit(java.sql.Date.valueOf("2026-08-01")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "transform stage must not shuffle")
+  }
+}
