@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{DayFirstDate, DotProduct, MinHashSig, SortedIntersectSize}
+import graft.expressions.{DayFirstDate, DotProduct, MinHashSig, MultiDateSplit, MultiIdSplit, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions for SQL use. Activate with
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ch => DotProduct(ch(0), ch(1)), classOf[DotProduct])
     register(ext, "sorted_intersect_size", 2,
       ch => SortedIntersectSize(ch(0), ch(1)), classOf[SortedIntersectSize])
+    register(ext, "multi_id_split", 1,
+      ch => MultiIdSplit(ch.head), classOf[MultiIdSplit])
+    register(ext, "multi_date_split", 1,
+      ch => MultiDateSplit(ch.head), classOf[MultiDateSplit])
     register(ext, "minhash_sig", 2, { ch =>
       val k = ch(1) match {
         case Literal(v: Int, _) => v

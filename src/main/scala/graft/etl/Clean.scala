@@ -91,24 +91,18 @@ object Clean {
     graft.expressions.DayFirstDate(trim(c))
 
   /** C5 — multi-date cell: split on comma, parse each (C4), drop
-    * failures, empty result → null (`transformer.py:266-289`). */
-  def multiDate(c: Column): Column = {
-    val parsed = filter(
-      transform(split(c, ","), x => dayFirstDate(x)),
-      x => x.isNotNull)
-    when(c.isNull || size(parsed) === 0, lit(null)).otherwise(parsed)
-  }
+    * failures, empty result → null (`transformer.py:266-289`). One
+    * codegen kernel pass ([[graft.expressions.MultiDateSplit]]) instead
+    * of the interpreted split→transform→filter chain. */
+  def multiDate(c: Column): Column =
+    graft.expressions.MultiDateSplit(c)
 
   /** C6 — multi-ID cell → trimmed, de-quoted, deduped, sorted array;
     * null/empty → [] (legacy `transformer_old.py:188-214`, still
-    * declared by live config `config.py:138`). */
-  def multiIdSplit(c: Column): Column = {
-    val parts = filter(
-      transform(split(coalesce(c, lit("")), ","),
-        x => trim(regexp_replace(x, "\"", ""))),
-      x => x =!= "")
-    array_sort(array_distinct(parts))
-  }
+    * declared by live config `config.py:138`). One codegen kernel pass
+    * ([[graft.expressions.MultiIdSplit]]). */
+  def multiIdSplit(c: Column): Column =
+    graft.expressions.MultiIdSplit(c)
 
   /** C7 — consignee code (`transformer.py:368-380`): if the cell has
     * both `(` and `)`, take the text after the LAST `(` up to the first
