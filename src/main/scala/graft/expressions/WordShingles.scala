@@ -1,0 +1,73 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `word_shingles(array<string> tokens, n) -> array<string>` — all
+  * n-token shingles ("w1 w2 … wn") in one codegen pass.
+  *
+  * Replaces `transform(sequence(0, size-n), i -> concat_ws(" ", …))`,
+  * which interprets a lambda (with n `element_at` calls) per shingle
+  * per row — the dominant cost of corpus-level n-gram statistics.
+  * Byte-identical output to the `concat_ws(" ", …)` form (single-space
+  * joins, same element order); fewer than n tokens → empty array.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_shingles"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else WordShingles.kernel(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.WordShingles.kernel(${childGen.value}, $n);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def kernel(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var s = tokens.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, SPACE, tokens.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def apply(tokens: Column, n: Int): Column =
+    ColumnBridge.toColumn(WordShingles(ColumnBridge.toExpression(tokens), n))
+}

@@ -104,11 +104,9 @@ object TextFunctions {
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast(LongType), lit(n))
 
   /** Word n-gram shingles ("w1 w2 w3") of the token stream; empty when
-    * fewer than n tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+    * fewer than n tokens. Single codegen pass
+    * ([[graft.expressions.WordShingles]]) — the interpreted
+    * transform-over-sequence form costs a lambda per shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles(tokens(text), n)
 }

@@ -121,6 +121,53 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q52 — TF-IDF-style term weighting (linear idf variant — `tf·N/df`
+    * instead of `tf·ln(N/df)`, so the score is an exact integer ratio
+    * and engine-portable; libm `ln` is not bit-stable across engines):
+    * top-3 terms per document. Two shuffles (doc-term counts, term df)
+    * + a broadcast of the tiny df table at this cardinality. */
+  def q52Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+    val terms = d.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q53 — corpus bigram statistics: word 2-shingles exploded and
+    * counted, frequent bigrams only (the n-gram LM / contamination-check
+    * primitive). */
+  def q53Bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("bigram").asc)
+
+  /** q54 — length-outlier detection with EXACT arithmetic: |z| > 1.5
+    * expressed as 4·(n·x − Σ)² > 9·(n·Σx² − Σ²) over integer sums, so
+    * the boundary is engine-independent (float σ comparisons are not).
+    * One aggregate pass + one broadcast filter pass. */
+  def q54Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("s2"))
+    val dev = col("n") * col("n_chars") - col("s")
+    d.crossJoin(broadcast(stats))
+      .filter(lit(4) * dev * dev > lit(9) * (col("n") * col("s2") - col("s") * col("s")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** q29 — multimodal stub-decode over a real binary column. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
@@ -268,6 +315,9 @@ object Extensions {
     "q42_dedup_clusters" -> (q42DedupClusters _),
     "q46_fuzzy_pairs" -> (q46FuzzyPairs _),
     "q51_snapshot_diff" -> (q51SnapshotDiff _),
+    "q52_tfidf" -> (q52Tfidf _),
+    "q53_bigrams" -> (q53Bigrams _),
+    "q54_outliers" -> (q54Outliers _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
     "q44_range_join" -> (q44RangeJoin _),
     "q45_sessionize" -> (q45Sessionize _))
@@ -477,6 +527,30 @@ object Extensions {
         |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY id1, id2""".stripMargin,
+    "q52_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(1) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term, tf, df,
+        |  round((tf * n_docs)::DOUBLE / df::DOUBLE, 6) AS score
+        | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q53_bigrams" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+        |SELECT bigram, count(1) AS n FROM b GROUP BY bigram
+        |HAVING count(1) >= 5 ORDER BY n DESC, bigram ASC""".stripMargin,
+    "q54_outliers" ->
+      """WITH st AS (SELECT count(1) AS n, sum(n_chars)::BIGINT AS s,
+        |  sum(n_chars * n_chars)::BIGINT AS s2 FROM documents)
+        |SELECT doc_id, n_chars FROM documents CROSS JOIN st
+        |WHERE 4 * (n * n_chars - s) * (n * n_chars - s) > 9 * (n * s2 - s * s)
+        |ORDER BY doc_id""".stripMargin,
     "q51_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0),
         |curr AS (SELECT doc_id,
