@@ -13,37 +13,60 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object ShipmentSchema {
 
-  /** (source header, canonical name), in the exact required order. */
-  val mapping: Seq[(String, String)] = Seq(
-    "Job No." -> "job_no",
-    "carr_eqp_uid" -> "carr_eqp_uid",
-    "Container Number" -> "container_number",
-    "Container Type" -> "container_type",
-    "Destination Service" -> "destination_service",
+  /** The 100 source CSV headers, in the exact required order — the
+    * ingest contract (headers must appear verbatim and in this order,
+    * P2). */
+  val sourceHeaders: Seq[String] = Seq(
+    "Job No.", "carr_eqp_uid", "Container Number", "Container Type",
+    "Destination Service", "Consignee Code (Multiple)", "PO Number (Multiple)",
+    "Booking Number (Multiple)", "FCR Number (Multiple)", "Ocean BL No (Multiple)",
+    "Load Port", "Final Load Port", "Discharge Port", "Last CY Location",
+    "Place of Receipt", "Place of Delivery", "Final Destination",
+    "First Vessel Code", "First Vessel Name", "First Voyage code",
+    "Final Carrier Code", "Final Carrier SCAC Code", "Final Carrier Name",
+    "Final Vessel Code", "Final Vessel Name", "Final Voyage code",
+    "True Carrier Code", "True Carrier SCAC Code", "True Carrier SCAC Name",
+    "ETD LP", "ETD FLP", "ETA DP", "ETA FD", "Revised ETA", "Predictive ETA",
+    "ATD LP", "ATA FLP", "ATD FLP", "ATA DP", "Derived ATA DP",
+    "Revised ETA FD", "Predictive ETA FD", "Cargo Received Date (Multiple)",
+    "Detention Free Days", "Demurrage Free Days", "Hot Container Flag",
+    "Supplier/Vendor Name", "Manufacturer Name", "Ship To Party Name",
+    "Booking Approval Status", "Service Contract Number",
+    "CARRIER VEHICLE LOAD Date", "Carrier Vehicle Load Lcn",
+    "Vehicle Departure Date", "Vehicle Departure Lcn", "Vehicle Arrival Date",
+    "Vehicle Arrival Lcn", "Carrier Vehicle Unload Date",
+    "Carrier Vehicle Unload Lcn", "Out Gate Date From DP", "Out Gate Location",
+    "Equipment Arrived at Last CY", "Equipment Arrival at Last Lcn",
+    "Out gate at Last CY", "Out gate at Last CY Lcn",
+    "Delivery Date To Consignee", "Delivery Date To Consignee Lcn",
+    "Empty Container Return Date", "Empty Container Return Lcn",
+    "Late Booking Status", "Current Departure status", "Current Arrival status",
+    "Late Arrival status", "Late Container Return status",
+    "CO2 Emission For Tank On Wheel", "CO2 Emission For Well To Wheel",
+    "Job Type", "MCS HBL", "Transport Mode", "Rail Load DP Date",
+    "Rail Load DP Lcn", "Rail Departure DP Date", "Rail Departure DP Lcn",
+    "Rail Arrival Destination Date", "Rail Arrival Destination Lcn",
+    "Cargo Ready Date", "IN-DC DATE", "Cargo Weight", "Cargo Meassure",
+    "Cargo Count", "Cargo UM", "Cargo Detail Count", "Detail Cargo UM",
+    "856 Filing Status", "Get_ISF_submission_dt", "Seal Number",
+    "In Gate Date", "In Gate Lcn", "Empty Container Dispatch Date",
+    "Empty Container Dispatch Lcn")
+
+  /** Mechanical canonicalization: lowercase, runs of non-alphanumerics
+    * to a single underscore. 68 of the 100 headers rename this way; the
+    * rest are listed in [[renameExceptions]]. */
+  private def snakeCase(h: String): String =
+    h.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_|_$", "")
+
+  /** Canonical names that do NOT follow [[snakeCase]] — date columns
+    * gain a `_date` suffix, `(Multiple)` ID cells pluralize, plus
+    * assorted reference-historical names. */
+  private val renameExceptions: Map[String, String] = Map(
     "Consignee Code (Multiple)" -> "consignee_raw",
     "PO Number (Multiple)" -> "po_numbers",
     "Booking Number (Multiple)" -> "booking_numbers",
     "FCR Number (Multiple)" -> "fcr_numbers",
     "Ocean BL No (Multiple)" -> "obl_nos",
-    "Load Port" -> "load_port",
-    "Final Load Port" -> "final_load_port",
-    "Discharge Port" -> "discharge_port",
-    "Last CY Location" -> "last_cy_location",
-    "Place of Receipt" -> "place_of_receipt",
-    "Place of Delivery" -> "place_of_delivery",
-    "Final Destination" -> "final_destination",
-    "First Vessel Code" -> "first_vessel_code",
-    "First Vessel Name" -> "first_vessel_name",
-    "First Voyage code" -> "first_voyage_code",
-    "Final Carrier Code" -> "final_carrier_code",
-    "Final Carrier SCAC Code" -> "final_carrier_scac_code",
-    "Final Carrier Name" -> "final_carrier_name",
-    "Final Vessel Code" -> "final_vessel_code",
-    "Final Vessel Name" -> "final_vessel_name",
-    "Final Voyage code" -> "final_voyage_code",
-    "True Carrier Code" -> "true_carrier_code",
-    "True Carrier SCAC Code" -> "true_carrier_scac_code",
-    "True Carrier SCAC Name" -> "true_carrier_scac_name",
     "ETD LP" -> "etd_lp_date",
     "ETD FLP" -> "etd_flp_date",
     "ETA DP" -> "eta_dp_date",
@@ -58,67 +81,36 @@ object ShipmentSchema {
     "Revised ETA FD" -> "revised_eta_fd_date",
     "Predictive ETA FD" -> "predictive_eta_fd_date",
     "Cargo Received Date (Multiple)" -> "cargo_receiveds_date",
-    "Detention Free Days" -> "detention_free_days",
-    "Demurrage Free Days" -> "demurrage_free_days",
-    "Hot Container Flag" -> "hot_container_flag",
-    "Supplier/Vendor Name" -> "supplier_vendor_name",
-    "Manufacturer Name" -> "manufacturer_name",
-    "Ship To Party Name" -> "ship_to_party_name",
-    "Booking Approval Status" -> "booking_approval_status",
-    "Service Contract Number" -> "service_contract_number",
-    "CARRIER VEHICLE LOAD Date" -> "carrier_vehicle_load_date",
-    "Carrier Vehicle Load Lcn" -> "carrier_vehicle_load_lcn",
-    "Vehicle Departure Date" -> "vehicle_departure_date",
-    "Vehicle Departure Lcn" -> "vehicle_departure_lcn",
-    "Vehicle Arrival Date" -> "vehicle_arrival_date",
-    "Vehicle Arrival Lcn" -> "vehicle_arrival_lcn",
-    "Carrier Vehicle Unload Date" -> "carrier_vehicle_unload_date",
-    "Carrier Vehicle Unload Lcn" -> "carrier_vehicle_unload_lcn",
     "Out Gate Date From DP" -> "out_gate_from_dp_date",
     "Out Gate Location" -> "out_gate_from_dp_lcn",
     "Equipment Arrived at Last CY" -> "equipment_arrived_at_last_cy_date",
     "Equipment Arrival at Last Lcn" -> "equipment_arrived_at_last_cy_lcn",
     "Out gate at Last CY" -> "out_gate_at_last_cy_date",
-    "Out gate at Last CY Lcn" -> "out_gate_at_last_cy_lcn",
     "Delivery Date To Consignee" -> "delivery_to_consignee_date",
     "Delivery Date To Consignee Lcn" -> "delivery_to_consignee_lcn",
-    "Empty Container Return Date" -> "empty_container_return_date",
-    "Empty Container Return Lcn" -> "empty_container_return_lcn",
-    "Late Booking Status" -> "late_booking_status",
-    "Current Departure status" -> "current_departure_status",
-    "Current Arrival status" -> "current_arrival_status",
-    "Late Arrival status" -> "late_arrival_status",
-    "Late Container Return status" -> "late_container_return_status",
     "CO2 Emission For Tank On Wheel" -> "co2_tank_on_wheel",
     "CO2 Emission For Well To Wheel" -> "co2_well_to_wheel",
-    "Job Type" -> "job_type",
-    "MCS HBL" -> "mcs_hbl",
-    "Transport Mode" -> "transport_mode",
-    "Rail Load DP Date" -> "rail_load_dp_date",
-    "Rail Load DP Lcn" -> "rail_load_dp_lcn",
-    "Rail Departure DP Date" -> "rail_departure_dp_date",
-    "Rail Departure DP Lcn" -> "rail_departure_dp_lcn",
-    "Rail Arrival Destination Date" -> "rail_arrival_destination_date",
-    "Rail Arrival Destination Lcn" -> "rail_arrival_destination_lcn",
-    "Cargo Ready Date" -> "cargo_ready_date",
     "IN-DC DATE" -> "in-dc_date",
     "Cargo Weight" -> "cargo_weight_kg",
     "Cargo Meassure" -> "cargo_measure_cubic_meter",
-    "Cargo Count" -> "cargo_count",
-    "Cargo UM" -> "cargo_um",
-    "Cargo Detail Count" -> "cargo_detail_count",
-    "Detail Cargo UM" -> "detail_cargo_um",
-    "856 Filing Status" -> "856_filing_status",
-    "Get_ISF_submission_dt" -> "get_isf_submission_date",
-    "Seal Number" -> "seal_number",
-    "In Gate Date" -> "in_gate_date",
-    "In Gate Lcn" -> "in_gate_lcn",
-    "Empty Container Dispatch Date" -> "empty_container_dispatch_date",
-    "Empty Container Dispatch Lcn" -> "empty_container_dispatch_lcn")
+    "Get_ISF_submission_dt" -> "get_isf_submission_date")
+
+  /** (source header, canonical name), in the exact required order. */
+  val mapping: Seq[(String, String)] =
+    sourceHeaders.map(h => h -> renameExceptions.getOrElse(h, snakeCase(h)))
 
   require(mapping.length == 100, s"schema must have 100 columns, got ${mapping.length}")
+  // Contract checksum: the derived mapping must reproduce the reference's
+  // COLUMN_MAPPING byte-for-byte (guards the snakeCase + exceptions
+  // factoring against silent drift; also asserted in ShipmentSchemaSpec).
+  val mappingChecksum: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(mapping.map { case (a, b) => s"$a->$b" }.mkString("\n")
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  require(mappingChecksum == "3c90ad9bc3da6d4ed4db22fd62744666",
+    s"schema mapping drifted: checksum $mappingChecksum")
 
-  val sourceHeaders: Seq[String] = mapping.map(_._1)
   val canonicalNames: Seq[String] = mapping.map(_._2)
   val renameMap: Map[String, String] = mapping.toMap
 

@@ -138,12 +138,17 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Set operations: INTERSECT / EXCEPT / UNION-distinct with an op tag. */
+  /** Set operations: INTERSECT / EXCEPT / UNION-distinct with an op tag.
+    * Both inputs feed three set ops each — materialize them once
+    * (localCheckpoint after filter+project, so the checkpoint holds one
+    * narrow column, not the table) instead of re-scanning parquet 3×. */
   def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
     val building = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+      .localCheckpoint()
     val fCust = Tables(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .localCheckpoint()
     val both = building.intersect(fCust).withColumn("op", lit("intersect"))
     val only = building.except(fCust).withColumn("op", lit("except"))
     val either = building.union(fCust).distinct().withColumn("op", lit("union"))

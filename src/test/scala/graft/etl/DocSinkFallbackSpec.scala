@@ -1,0 +1,34 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The doc_ fallback id (all three id columns null) must be
+  * deterministic across runs AND partitionings — the reference's
+  * enumerate index was position-dependent; ours is content-addressed. */
+class DocSinkFallbackSpec extends SparkSpec {
+
+  private def enriched() = {
+    import spark.implicits._
+    Seq(
+      (Some("UID1"), Some("J1"), Some("C1"), "content one", "m1", Seq("A"), "2026-01"),
+      (None, None, None, "orphan content", "m2", Seq.empty[String], "2026-01"),
+      (None, None, None, "another orphan", "m3", Seq.empty[String], "2026-02")
+    ).toDF("carr_eqp_uid", "job_no", "container_number",
+      "combined_content", "milestones", "consignee_codes", "source_group")
+  }
+
+  test("fallback ids are stable across partitionings and reruns") {
+    def ids(parts: Int): Map[String, String] =
+      DocSink.toDocuments(enriched().repartition(parts))
+        .select("content", "document_id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val a = ids(1)
+    val b = ids(7)
+    assert(a == b, "ids changed with partitioning")
+    assert(a("content one") == "UID1")
+    assert(a("orphan content").startsWith("doc_"))
+    assert(a("orphan content") != a("another orphan"), "distinct orphans must get distinct ids")
+    assert(ids(3) == a, "ids changed on rerun")
+  }
+}

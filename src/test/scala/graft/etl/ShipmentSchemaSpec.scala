@@ -1,0 +1,26 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks for the schema factoring: the snakeCase + exceptions
+  * derivation must reproduce the reference's COLUMN_MAPPING exactly. */
+class ShipmentSchemaSpec extends AnyFunSuite {
+
+  test("mapping checksum matches the reference contract") {
+    assert(ShipmentSchema.mapping.length == 100)
+    assert(ShipmentSchema.mappingChecksum == "3c90ad9bc3da6d4ed4db22fd62744666")
+  }
+
+  test("column classes are consistent with the mapping") {
+    val names = ShipmentSchema.canonicalNames.toSet
+    assert(ShipmentSchema.dateCols.forall(names))
+    assert(ShipmentSchema.multiDateCols.forall(names))
+    assert(ShipmentSchema.multiIdCols.forall(names))
+    assert(ShipmentSchema.idCols.forall(names))
+    assert(ShipmentSchema.dropAfterLoad.forall(names))
+    // date columns and multi-date columns are disjoint
+    assert(ShipmentSchema.dateCols.toSet.intersect(ShipmentSchema.multiDateCols).isEmpty)
+    // canonical names are unique (rename is a bijection)
+    assert(names.size == 100)
+  }
+}
