@@ -46,4 +46,69 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** One sampled frame of a (stub) video payload. */
+  case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame-sampling plumbing: 1 binary row → k frame rows (the flatMap
+    * shape a video pipeline needs — each output row carries its own
+    * binary chunk). STUB slices the payload into k even byte ranges; a
+    * real implementation replaces the slice with a demuxer call. Narrow
+    * map, no shuffle; downstream `repartition` decides frame placement. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, idCol: String,
+      payloadCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        (0 until k).iterator.map { i =>
+          val from = (n.toLong * i / k).toInt
+          val until = (n.toLong * (i + 1) / k).toInt
+          Frame(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+      .toDF()
+  }
+
+  /** Resize plumbing: binary → binary payload transform (STUB truncates
+    * to `targetBytes`; a real implementation decodes, scales,
+    * re-encodes). Kept as a DataFrame transform so it composes with
+    * decode/feature stages in one narrow pipeline. */
+  def resizePayload(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame =
+    df.withColumn(payloadCol,
+      when(length(col(payloadCol)) > targetBytes,
+        substring(col(payloadCol), 1, targetBytes)).otherwise(col(payloadCol)))
+
+  /** Feature-extraction plumbing: binary → fixed-width float embedding,
+    * the stage that feeds [[SimilaritySearch]]. STUB hashes byte chunks
+    * into a deterministic 64-dim unit-norm vector; a real model server
+    * call replaces the loop (the per-partition batch shape — amortize
+    * model/session init across the iterator — is the part that
+    * matters). */
+  def extractFeatures(spark: SparkSession, media: DataFrame, idCol: String,
+      payloadCol: String, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (a real impl loads the model here, once)
+        it.map { case (id, bytes) =>
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            v(i % dim) += (bytes(i) & 0xff) / 255.0f
+            i += 1
+          }
+          var norm = 0.0
+          var j = 0
+          while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+          val inv = if (norm == 0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
+          j = 0
+          while (j < dim) { v(j) *= inv; j += 1 }
+          (id, v.toSeq)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
 }

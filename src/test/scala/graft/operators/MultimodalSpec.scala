@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The multimodal plumbing (schema, batch shape, row expansion,
+  * determinism) — everything except the stubbed codecs themselves. */
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Tables(spark, sf0001, "documents")
+    .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  test("sampleFrames expands 1 row to k frames covering the payload") {
+    val n = media.count()
+    val frames = Multimodal.sampleFrames(spark, media, "doc_id", "payload", 4)
+    assert(frames.count() == n * 4)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
+    // frame byte lengths per doc sum to the payload length
+    val mismatch = frames.groupBy("doc_id")
+      .agg(sum(length(col("frame"))).as("frame_bytes"))
+      .join(media.select(col("doc_id"), length(col("payload")).as("n_bytes")), "doc_id")
+      .filter(col("frame_bytes") =!= col("n_bytes")).count()
+    assert(mismatch == 0, "frame slices must partition the payload")
+  }
+
+  test("resizePayload caps payload size and keeps small payloads intact") {
+    val resized = Multimodal.resizePayload(media, "payload", 100)
+    assert(resized.filter(length(col("payload")) > 100).count() == 0)
+  }
+
+  test("extractFeatures emits deterministic unit-norm embeddings usable by ANN") {
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id", "payload")
+    val a = feats.orderBy("doc_id").collect().map(_.toString)
+    val b = Multimodal.extractFeatures(spark, media.repartition(5), "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b), "embeddings must be deterministic")
+    // norms ≈ 1; and the output feeds SimilaritySearch directly
+    val norms = feats.select(
+      sqrt(SimilaritySearch.dot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))).as("n"))
+    assert(norms.filter(abs(col("n") - 1.0) > 1e-3).count() == 0)
+    val topk = SimilaritySearch.bruteForceTopK(feats,
+      feats.filter(col("doc_id") < 2), "doc_id", "embedding", 2)
+    assert(topk.count() == 4)
+  }
+}
