@@ -25,27 +25,35 @@ object Narratives {
 
   // ---- Row helpers (null/empty discipline mirrors _safe_text/_to_date_or_none)
 
-  private def text(r: Row, f: String): Option[String] =
-    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-      Option(r.getAs[Any](f)).map(_.toString.trim).filter(_.nonEmpty)
-    else None
+  // Field lookups go through a memoized name→index map (one per
+  // distinct schema) — `fieldNames.contains` would allocate and
+  // linear-scan per access, and these helpers run ~80× per row in the
+  // hot UDFs.
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.types.StructType, Map[String, Int]]()
 
-  private def date(r: Row, f: String): Option[LocalDate] =
-    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-      r.getAs[Any](f) match {
-        case d: java.sql.Date => Some(d.toLocalDate)
-        case d: LocalDate => Some(d)
-        case _ => None
-      }
-    else None
+  private def at(r: Row, f: String): Any = {
+    val byName = idxCache.computeIfAbsent(r.schema,
+      s => s.fieldNames.zipWithIndex.toMap)
+    val i = byName.getOrElse(f, -1)
+    if (i < 0 || r.isNullAt(i)) null else r.get(i)
+  }
 
-  private def intOf(r: Row, f: String): Option[Int] =
-    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-      r.getAs[Any](f) match {
-        case i: Int => Some(i); case l: Long => Some(l.toInt)
-        case d: Double => Some(d.toInt); case _ => None
-      }
-    else None
+  private def text(r: Row, f: String): Option[String] = at(r, f) match {
+    case null => None
+    case v => Option(v.toString.trim).filter(_.nonEmpty)
+  }
+
+  private def date(r: Row, f: String): Option[LocalDate] = at(r, f) match {
+    case d: java.sql.Date => Some(d.toLocalDate)
+    case d: LocalDate => Some(d)
+    case _ => None
+  }
+
+  private def intOf(r: Row, f: String): Option[Int] = at(r, f) match {
+    case i: Int => Some(i); case l: Long => Some(l.toInt)
+    case d: Double => Some(d.toInt); case _ => None
+  }
 
   /** `_fmt_value_for_text` (`transformer.py:1163-1198`): dates →
     * dd-MMM-yy, lists → comma-joined formatted elements, scalars →
@@ -63,10 +71,10 @@ object Narratives {
       if (s.nonEmpty) Some(s) else None
   }
 
-  private def fmtField(r: Row, f: String): Option[String] =
-    if (r.schema.fieldNames.contains(f) && !r.isNullAt(r.fieldIndex(f)))
-      fmtAny(r.getAs[Any](f))
-    else None
+  private def fmtField(r: Row, f: String): Option[String] = at(r, f) match {
+    case null => None
+    case v => fmtAny(v)
+  }
 
   // -------------------------------------------------------------------
   // D9 milestones — transformer.py:771-1058, reproduced leg by leg.
