@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-data shard writer: deterministic train/val/test split
+  * (md5 bucket of the id — reshuffle-proof, engine-portable, stable
+  * across reruns) written as split-partitioned parquet with bounded
+  * file sizes.
+  *
+  * Scale notes: the split column is a pure projection (no shuffle); the
+  * write salts the repartition so each split is written by many tasks;
+  * `maxRecordsPerFile` bounds shard size for downstream loaders. Never
+  * `randomSplit` for corpus splits — it's partitioning-dependent and
+  * unrepeatable.
+  */
+object ShardedSink {
+
+  /** Adds `split` ∈ {train, val, test} from a 100-cell stable bucket:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest test. */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val b = TextFunctions.stableBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Write split-partitioned parquet shards; returns the output path. */
+  def writeShards(df: DataFrame, outDir: String, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      maxRecordsPerFile: Long = 0, filesPerSplit: Int = 1): String = {
+    val tagged = withSplit(df, idCol, trainPct, valPct)
+    val parted =
+      if (filesPerSplit > 1)
+        tagged.repartition(col("split"),
+          pmod(xxhash64(col(idCol)), lit(filesPerSplit)))
+      else tagged.repartition(col("split"))
+    val writer = parted.write.mode("overwrite").partitionBy("split")
+    val tuned = if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer
+    tuned.parquet(outDir)
+    outDir
+  }
+}

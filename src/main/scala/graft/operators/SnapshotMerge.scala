@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed changeset application ("MERGE INTO" semantics without a table
+  * format): new snapshot = base ⟕⟖ changes, where a change row wins over
+  * the base row, a change row with the delete flag removes the key, and
+  * unmatched change rows insert.
+  *
+  * This is the incremental path the reference lacks — it reprocesses
+  * the full newest CSV every run (`src/pipeline.py:83-94`); at 100 TB
+  * you apply deltas instead. One shuffle on the key per side (or a
+  * broadcast when the changeset is small — AQE decides); payload
+  * resolution is columnar `coalesce`, no row comparison UDF.
+  */
+object SnapshotMerge {
+
+  /** @param deleteCol boolean column on `changes`: true ⇒ remove key. */
+  def apply(base: DataFrame, changes: DataFrame, idCol: String,
+      deleteCol: String): DataFrame = {
+    val payloadCols = base.columns.filterNot(_ == idCol).toSeq
+    require(payloadCols.forall(changes.columns.contains),
+      "changes must carry every base payload column")
+    val b = base.select((idCol +: payloadCols).map(n => col(n).as(s"b_$n")): _*)
+    val c = changes.select((idCol +: payloadCols :+ deleteCol)
+      .map(n => col(n).as(s"c_$n")): _*)
+    b.join(c, col(s"b_$idCol") === col(s"c_$idCol"), "full_outer")
+      // null/false delete flag keeps the row; true removes the key
+      .filter(!coalesce(col(s"c_$deleteCol"), lit(false)))
+      .select(
+        coalesce(col(s"c_$idCol"), col(s"b_$idCol")).as(idCol) +:
+          payloadCols.map(n =>
+            when(col(s"c_$idCol").isNotNull, col(s"c_$n"))
+              .otherwise(col(s"b_$n")).as(n)): _*)
+  }
+}

@@ -287,6 +287,58 @@ object Relational {
     spark.sql(q50Sql)
   }
 
+  /** q56 — time-series gap fill: per-user hourly grid (sequence +
+    * explode), left join observed hourly sums, forward-fill via
+    * `last(ignoreNulls)` over an ordered window. The grid generation is
+    * per-key and bounded by each key's own span — no global calendar
+    * materialization. */
+  def q56GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events").filter(col("user_id") < 50)
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(dec(col("value"))).as("hv"))
+    val spans = e.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        last(col("hv"), ignoreNulls = true).over(w).cast("double").as("filled"),
+        col("hv").isNull.cast("int").as("is_gap"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** q57 — changeset upsert via [[graft.operators.SnapshotMerge]]:
+    * updates (+100 chars on doc_id % 4), deletes (doc_id % 8), inserts
+    * (shifted ids for doc_id % 97). */
+  def q57Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val base = d.select(col("doc_id"), col("n_chars"))
+    val changes = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), (col("n_chars") + 100).as("n_chars"),
+        (col("doc_id") % 8 === 0).as("is_delete"))
+      .unionByName(d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("n_chars"),
+          lit(false).as("is_delete")))
+    graft.operators.SnapshotMerge(base, changes, "doc_id", "is_delete")
+      .orderBy("doc_id")
+  }
+
+  /** q58 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL):
+    * multiplicities preserved, unlike q10's set-semantics trio. */
+  def q58IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).localCheckpoint()
+    val p = o.filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey")).localCheckpoint()
+    f.intersectAll(p).withColumn("op", lit("intersect_all"))
+      .unionByName(f.exceptAll(p).withColumn("op", lit("except_all")))
+      .orderBy("op", "custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -306,7 +358,10 @@ object Relational {
     "q47_pivot" -> (q47Pivot _),
     "q48_cube" -> (q48Cube _),
     "q49_window_stats" -> (q49WindowStats _),
-    "q50_sql_api" -> (q50SqlApi _))
+    "q50_sql_api" -> (q50SqlApi _),
+    "q56_gap_fill" -> (q56GapFill _),
+    "q57_upsert" -> (q57Upsert _),
+    "q58_intersect_all" -> (q58IntersectAll _))
 
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
@@ -435,5 +490,38 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_orderkey""".stripMargin,
-    "q50_sql_api" -> q50Sql)
+    "q50_sql_api" -> q50Sql,
+    "q56_gap_fill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, value
+        |           FROM events WHERE user_id < 50),
+        |h AS (SELECT user_id, hour, sum(CAST(value AS DECIMAL(18,2))) AS hv
+        |      FROM e GROUP BY user_id, hour),
+        |s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM s)
+        |SELECT g.user_id, g.hour,
+        | CAST(last_value(hv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled,
+        | CASE WHEN hv IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
+    "q57_upsert" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents),
+        |ch AS (SELECT doc_id, n_chars + 100 AS n_chars, doc_id % 8 = 0 AS is_delete
+        |       FROM documents WHERE doc_id % 4 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, n_chars, false FROM documents WHERE doc_id % 97 = 0)
+        |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END AS n_chars
+        |FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+        |WHERE NOT coalesce(c.is_delete, false)
+        |ORDER BY doc_id""".stripMargin,
+    "q58_intersect_all" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+        |SELECT custkey, 'intersect_all' AS op
+        |FROM (SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM p)
+        |UNION ALL
+        |SELECT custkey, 'except_all' AS op
+        |FROM (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM p)
+        |ORDER BY op, custkey""".stripMargin)
 }

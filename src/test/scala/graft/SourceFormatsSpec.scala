@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine reads the same relation from any Spark source format —
+  * parquet (native test data), JSON lines, and CSV — with identical
+  * content. The reference is CSV-only; format-agnostic ingest is free
+  * with `spark.read`, so lock it in. */
+class SourceFormatsSpec extends SparkSpec {
+
+  test("parquet / json / csv round-trip the documents relation identically") {
+    val d = Tables(spark, sf0001, "documents")
+      .select("doc_id", "lang", "source", "n_chars") // text has newlines — csv needs quoting modes, json/parquet don't
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    d.write.json(s"$dir/j")
+    d.write.option("header", "true").csv(s"$dir/c")
+
+    val j = spark.read.schema(d.schema).json(s"$dir/j")
+    val c = spark.read.option("header", "true").schema(d.schema).csv(s"$dir/c")
+
+    val base = d.orderBy("doc_id").collect().toSeq
+    assert(j.orderBy("doc_id").collect().toSeq == base, "json roundtrip differs")
+    assert(c.orderBy("doc_id").collect().toSeq == base, "csv roundtrip differs")
+  }
+
+  test("every declared oracle query name has a runnable query and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o) == SparkEntry.rowsOnlyQueries,
+      s"queries without an oracle: ${q.diff(o)}")
+    assert(o.subsetOf(q), s"oracles without a query: ${o.diff(q)}")
+  }
+}

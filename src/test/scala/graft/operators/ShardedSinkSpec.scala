@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ShardedSinkSpec extends SparkSpec {
+
+  test("splits are deterministic, disjoint, and roughly proportional") {
+    val d = Tables(spark, sf001, "documents")
+    val a = ShardedSink.withSplit(d, "doc_id", 80, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = ShardedSink.withSplit(d.repartition(7), "doc_id", 80, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.04, s"val frac ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.04, s"test frac ${frac("test")}")
+  }
+
+  test("writeShards round-trips with split partitioning intact") {
+    val d = Tables(spark, sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    ShardedSink.writeShards(d, out, "doc_id", filesPerSplit = 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() == d.count())
+    assert(back.select("split").distinct().count() == 3)
+    // every doc is in exactly one split and ids survive
+    assert(back.select("doc_id").distinct().count() == d.count())
+  }
+}
