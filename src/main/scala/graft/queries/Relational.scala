@@ -339,6 +339,57 @@ object Relational {
       .orderBy("op", "custkey")
   }
 
+  /** q59 — cohort retention: users bucketed by first-activity day-group,
+    * activity counted per (cohort, offset). Two shuffles (per-user min,
+    * then cohort-offset distinct count) — the classic product-analytics
+    * rollup, exact integers end to end. */
+  def q59CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    e.join(firstDay, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** q60 — ordered funnel: users whose first `view` precedes their
+    * first `click` which precedes their first `purchase`. Conditional
+    * min-aggregation per user, then one pass of timestamp comparisons —
+    * no self-joins, one shuffle. */
+  def q60Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts")))
+    e.groupBy("user_id")
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+      .select(col("user_id"),
+        col("t_view").isNotNull.cast("int").as("did_view"),
+        (col("t_view") < col("t_click")).cast("int").as("view_then_click"),
+        (col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+          .cast("int").as("full_funnel"))
+      .orderBy("user_id")
+  }
+
+  /** q61 — per-group min-max normalization (feature scaling): window
+    * min/max per (lang, source) block over n_chars; exact integer
+    * spread, one deterministic double division at the end. */
+  def q61GroupNorm(spark: SparkSession, dir: String): DataFrame = {
+    val byBlock = Window.partitionBy("lang", "source")
+    val mn = min("n_chars").over(byBlock)
+    val mx = max("n_chars").over(byBlock)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(mx === mn, 0.0)
+          .otherwise(round((col("n_chars") - mn).cast("double")
+            / (mx - mn).cast("double"), 6)).as("scaled"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -361,7 +412,10 @@ object Relational {
     "q50_sql_api" -> (q50SqlApi _),
     "q56_gap_fill" -> (q56GapFill _),
     "q57_upsert" -> (q57Upsert _),
-    "q58_intersect_all" -> (q58IntersectAll _))
+    "q58_intersect_all" -> (q58IntersectAll _),
+    "q59_cohort_retention" -> (q59CohortRetention _),
+    "q60_funnel" -> (q60Funnel _),
+    "q61_group_norm" -> (q61GroupNorm _))
 
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
@@ -523,5 +577,34 @@ object Relational {
         |UNION ALL
         |SELECT custkey, 'except_all' AS op
         |FROM (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM p)
-        |ORDER BY op, custkey""".stripMargin)
+        |ORDER BY op, custkey""".stripMargin,
+    "q59_cohort_retention" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day::VARCHAR AS cohort_day,
+        | (d - cohort_day) AS day_offset,
+        | count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "q60_funnel" ->
+      """WITH a AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT user_id,
+        | (t_view IS NOT NULL)::INT AS did_view,
+        | (t_view < t_click)::INT AS view_then_click,
+        | (t_view < t_click AND t_click < t_purchase)::INT AS full_funnel
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q61_group_norm" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars,
+        |  min(n_chars) OVER (PARTITION BY lang, source) AS mn,
+        |  max(n_chars) OVER (PARTITION BY lang, source) AS mx
+        | FROM documents)
+        |SELECT doc_id, lang, source, n_chars,
+        | CASE WHEN mx = mn THEN 0.0
+        |      ELSE round((n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE, 6) END AS scaled
+        |FROM w ORDER BY doc_id""".stripMargin)
 }
