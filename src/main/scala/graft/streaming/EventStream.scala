@@ -49,6 +49,28 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each click joined to errors by the
+    * same user within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds the time range, so Spark can evict
+    * state — the unbounded-state trap of naive stream joins is the
+    * thing this operator exists to avoid. */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        col("c_ts"), col("e_ts"))
+  }
+
   /** Streaming exact-dedup on event_id with watermark-bounded state:
     * the incremental form of `Dedup.exact`/`keepFirst` — duplicates
     * arriving within the watermark horizon are dropped, state for older

@@ -55,6 +55,29 @@ class EventStreamSpec extends SparkSpec {
     assert(diverged == 0, "a streaming session exceeded its batch total")
   }
 
+  test("stream-stream interval join matches the batch theta join") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    val got = EventStream.runToMemory(spark,
+      EventStream.clickErrorJoin(stream), "ssjoin_test")
+    val e = Tables(spark, sf0001, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val batch = clicks.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("c_ts"))
+    // the single-file stream sees everything before the watermark closes →
+    // the streamed join must emit exactly the batch pairs
+    assert(got.count() == batch.count(), "stream join row count diverges from batch")
+    val gotPairs = got.select("click_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = batch.select("click_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == batchPairs, "stream join pairs diverge from batch")
+  }
+
   test("stateful running totals accumulate per user") {
     val stream = EventStream.readEvents(spark, sf0001)
     val got = EventStream.runToMemory(spark,
