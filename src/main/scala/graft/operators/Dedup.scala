@@ -187,10 +187,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 30): DataFrame = {
     // materialize once — the pair graph is usually the product of an
-    // expensive similarity join, and every iteration re-reads it
+    // expensive similarity join, and every iteration re-reads it. No
+    // distinct: the two directed unions cannot collide (src<dst vs
+    // src>dst), and the min-aggregations are idempotent to duplicate
+    // edges anyway — a distinct here is a pure extra shuffle.
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
-      .distinct()
       .localCheckpoint()
     // Seed with the one-hop minimum — identical to running the first
     // propagation round, so the loop starts a round ahead.
