@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     register(ext, "day_first_date", 1,
       ch => DayFirstDate(ch.head), classOf[DayFirstDate])
     register(ext, "dot_product", 2,

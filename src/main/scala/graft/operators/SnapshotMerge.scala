@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotMerge {
 
-  /** @param deleteCol boolean column on `changes`: true ⇒ remove key. */
+  /** @param deleteCol boolean column on `changes`: true ⇒ remove key.
+    *
+    * Contract: `changes` must be key-unique (one row per `idCol`) —
+    * duplicate change keys would fan out through the join. Dedupe a raw
+    * change stream first with [[Dedup.keepFirst]] (latest-wins order). */
   def apply(base: DataFrame, changes: DataFrame, idCol: String,
       deleteCol: String): DataFrame = {
     val payloadCols = base.columns.filterNot(_ == idCol).toSeq

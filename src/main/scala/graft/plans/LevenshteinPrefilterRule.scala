@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: every `levenshtein(a, b) <= k` predicate implies the
+  * far cheaper `abs(length(a) - length(b)) <= k` (edit distance is
+  * bounded below by the length difference), so inject that guard in
+  * front. On a blocked fuzzy-dedup self-join the guard runs per pair at
+  * O(1) and short-circuits the O(k·len) DP for every length-mismatched
+  * pair — the standard length-filter of similarity-join literature,
+  * applied automatically so callers can write the naive predicate.
+  *
+  * Idempotent: skips predicates whose conjunction already contains a
+  * semantically-equal guard (the optimizer runs rules to fixpoint, and
+  * the rewrite must not grow the tree on the second pass).
+  */
+object LevenshteinPrefilterRule extends Rule[LogicalPlan] {
+
+  private def guardFor(lev: Levenshtein, bound: Expression): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(lev.left), Length(lev.right))), bound)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def rewrite(cond: Expression): Expression = {
+    val present = conjuncts(cond)
+    def alreadyGuarded(g: Expression): Boolean = present.exists(_.semanticEquals(g))
+    cond.transformUp {
+      case le @ LessThanOrEqual(lev: Levenshtein, bound @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty && !alreadyGuarded(guardFor(lev, bound)) =>
+        And(guardFor(lev, bound), le)
+      case lt @ LessThan(lev: Levenshtein, bound @ Literal(_, IntegerType))
+          if lev.threshold.isEmpty && !alreadyGuarded(guardFor(lev, bound)) =>
+        And(guardFor(lev, bound), lt)
+    }
+  }
+
+  // Predicate-pushdown may have moved the levenshtein bound into a join
+  // condition before this rule runs — rewrite both placements.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val newCond = rewrite(cond)
+      if (newCond.fastEquals(cond)) f else f.copy(condition = newCond)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val newCond = rewrite(cond)
+      if (newCond.fastEquals(cond)) j else j.copy(condition = Some(newCond))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LevenshteinPrefilterRuleSpec extends SparkSpec {
+
+  private def fuzzy = {
+    import spark.implicits._
+    val t = Seq((1L, "red widget"), (2L, "red widgot"), (3L, "a very much longer name"))
+      .toDF("id", "name")
+    t.as("l").join(t.as("r"), col("l.id") < col("r.id"))
+      .filter(levenshtein(col("l.name"), col("r.name")) <= 2)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+  }
+
+  test("rule injects the length-difference guard, idempotently") {
+    val plan = fuzzy.queryExecution.optimizedPlan
+    val once = LevenshteinPrefilterRule(plan)
+    assert(once.toString.contains("abs"), s"no guard injected:\n$once")
+    val twice = LevenshteinPrefilterRule(once)
+    assert(twice.fastEquals(once), "rule must be a fixpoint after one application")
+  }
+
+  test("rule preserves results when active in the optimizer") {
+    val without = fuzzy.collect().toSet
+    spark.experimental.extraOptimizations = Seq(LevenshteinPrefilterRule)
+    try {
+      val planStr = fuzzy.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("abs"), s"guard missing from active plan:\n$planStr")
+      assert(fuzzy.collect().toSet == without)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
