@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `collapse_ws(string) -> string` — byte-exact replacement for
+  * `regexp_replace(s, "\\s+", " ")`.
+  *
+  * Java's `\s` (no UNICODE flag) is exactly the ASCII set
+  * `[ \t\n\x0B\f\r]`; those code points are single bytes in UTF-8 and
+  * never occur inside multi-byte sequences, so a byte-level scan
+  * reproduces the regex byte-for-byte — including leading/trailing runs
+  * becoming a single space (the regex does NOT trim). Matters because
+  * the document fingerprint (exact dedup) runs this over every full
+  * document text; the regex engine walks a char-decoded copy while this
+  * is one allocation-light byte pass inside codegen.
+  */
+case class CollapseWhitespace(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "collapse_ws"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else CollapseWhitespace.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.CollapseWhitespace.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseWhitespace =
+    copy(child = newChild)
+}
+
+object CollapseWhitespace {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def kernel(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var inRun = false
+    while (i < n) {
+      val b = in(i)
+      if (isWs(b)) {
+        if (!inRun) { out(o) = ' '; o += 1; inRun = true }
+      } else {
+        out(o) = b; o += 1; inRun = false
+      }
+      i += 1
+    }
+    if (o == n && java.util.Arrays.equals(out, in)) s // already normalized
+    else UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** Column-API entry point. */
+  def apply(c: Column): Column =
+    ColumnBridge.toColumn(CollapseWhitespace(ColumnBridge.toExpression(c)))
+}

@@ -88,9 +88,11 @@ object TextFunctions {
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text — identical bytes in Spark and DuckDB, so exact-dedup keys
-    * agree across engines. */
+    * agree across engines. Normalization runs as the byte-level
+    * [[graft.expressions.CollapseWhitespace]] kernel (byte-exact
+    * `regexp_replace(.., "\\s+", " ")`). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(graft.expressions.CollapseWhitespace(lower(trim(text))))
 
   /** Deterministic 60-bit token hash shared with the DuckDB oracle:
     * first 15 hex chars of md5, base-16-parsed. */

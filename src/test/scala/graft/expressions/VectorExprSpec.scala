@@ -59,6 +59,18 @@ class VectorExprSpec extends SparkSpec {
     assert(df.select(MinHashSig(col("h"), 4)).collect().head.isNullAt(0))
   }
 
+  test("CollapseWhitespace is byte-exact with the \\s+ regex replace") {
+    import spark.implicits._
+    val df = Seq("a  b\tc\nd", "  lead", "trail  ", "\t\n\f\r", "", "already ok", "x")
+      .toDF("s")
+    val got = df.select(
+      CollapseWhitespace(col("s")).as("fast"),
+      regexp_replace(col("s"), "\\s+", " ").as("regex"))
+      .collect()
+    got.foreach { r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'") }
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val df = Seq(
