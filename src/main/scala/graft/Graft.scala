@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession builder pre-configured the way
+  * every graft surface expects —
+  *
+  *  - `spark.sql.extensions = GraftExtensions` (custom expressions +
+  *    the levenshtein prefilter rule available in SQL),
+  *  - UTC session timezone (reference parity for all date math),
+  *  - `legacy.parquet.nanosAsLong` (TESTDATA's nano timestamps),
+  *  - shuffle partitions sized to the core count instead of the 200
+  *    default (right for local[N]; a cluster deployment overrides).
+  *
+  * `Graft.session(cores)` is what the harness mains use; library users
+  * on a real cluster call `Graft.builder()` and set master/resources
+  * themselves.
+  */
+object Graft {
+
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for the harness mains. */
+  def session(cores: String): SparkSession = {
+    val s = builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -168,6 +168,41 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q62 — stratified deterministic sampling: per-language keep rates
+    * applied through the stable md5 bucket — reshuffle-proof eval-set
+    * construction (never `sample()`/`randomSplit` for corpus work). */
+  def q62StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "zh", 30).otherwise(20)
+    d.filter(TextFunctions.stableBucket(col("doc_id"), 100) < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** q63 — eval-set decontamination: count each eval document's distinct
+    * 8-gram shingles that also occur anywhere in the train split (the
+    * classic benchmark-contamination check). Shingles once per row
+    * (codegen kernel), one semi-join against the distinct train-shingle
+    * set, left join back so clean docs report 0. */
+  def q63Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val b = TextFunctions.stableBucket(col("doc_id"), 100)
+    val withSplit = d.select(col("doc_id"), col("text"),
+      when(b < 80, "train").otherwise("eval").as("split"))
+    val shingled = withSplit.select(col("doc_id"), col("split"),
+      explode(array_distinct(TextFunctions.wordShingles(col("text"), 8))).as("sh"))
+    val train = shingled.filter(col("split") === "train").select("sh").distinct()
+    val hits = shingled.filter(col("split") === "eval")
+      .join(train, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    withSplit.filter(col("split") === "eval")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** q29 — multimodal stub-decode over a real binary column. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
@@ -318,6 +353,8 @@ object Extensions {
     "q52_tfidf" -> (q52Tfidf _),
     "q53_bigrams" -> (q53Bigrams _),
     "q54_outliers" -> (q54Outliers _),
+    "q62_stratified_sample" -> (q62StratifiedSample _),
+    "q63_decontamination" -> (q63Decontamination _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
     "q44_range_join" -> (q44RangeJoin _),
     "q45_sessionize" -> (q45Sessionize _))
@@ -551,6 +588,30 @@ object Extensions {
         |SELECT doc_id, n_chars FROM documents CROSS JOIN st
         |WHERE 4 * (n * n_chars - s) * (n * n_chars - s) > 9 * (n * s2 - s * s)
         |ORDER BY doc_id""".stripMargin,
+    "q62_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+        |  CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 30 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "q63_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sp AS (SELECT doc_id, toks,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'eval' END AS split FROM t),
+        |sh AS (SELECT doc_id, split,
+        |  unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS s
+        | FROM sp WHERE len(toks) >= 8),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |hits AS (SELECT doc_id, count(1) AS n_hits
+        |         FROM (SELECT doc_id, s FROM sh WHERE split = 'eval') e
+        |         JOIN tr USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM sp d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.split = 'eval'
+        |ORDER BY d.doc_id""".stripMargin,
     "q51_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0),
         |curr AS (SELECT doc_id,
