@@ -27,12 +27,19 @@ object CsvSource {
   /** S3 — header row, EVERY column as string (leading-zero-safe),
     * UTF-8 with BOM tolerated; pass `encoding = "ISO-8859-1"` for the
     * reference's decode-failure retry path (`ingestor.py:99-121`).
-    * multiLine=false matches pandas' default line discipline. */
-  def readCsv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    *
+    * `multiLine` trade-off: pandas' C parser accepts newlines inside
+    * quoted cells by default; Spark only does with `multiLine=true`,
+    * which makes the file unsplittable (one scan task per file). The
+    * default here is the scale-correct `false` — shipment cells never
+    * legitimately contain newlines (headers are normalized away from
+    * them, P1) — flip it for byte-parity on pathological inputs. */
+  def readCsv(spark: SparkSession, path: String, encoding: String = "UTF-8",
+      multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
       .option("encoding", encoding)
-      .option("multiLine", "false")
+      .option("multiLine", multiLine.toString)
       .option("escape", "\"") // RFC-4180 doubled quotes, = pandas' doublequote
       .option("inferSchema", "false") // all strings — ingestor.py:90-97
       .csv(path)

@@ -1,0 +1,66 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Totality fuzz: the transform must be a total function of arbitrary
+  * string cells — any junk in any column yields a row (possibly full of
+  * nulls), never an exception. Mirrors the reference's errors="coerce"
+  * posture, and guards the custom kernels (day-first parser, multi-value
+  * splits, consignee extraction, narratives) against crash regressions. */
+class PipelineFuzzSpec extends SparkSpec {
+
+  // no embedded newlines here: the default scan is line-splittable
+  // (multiLine=false); the quoted-newline case gets its own test below
+  private val junk = Array(
+    "", "()", "nan", "None", "null", "\"\"\"", ",,,", "   ",
+    "32/13/2026", "00/00/0000", "2026-02-30", "1/1/1", "99999999999999",
+    "a(b(c)d)e", "((((", "))))", "()", "x" * 500,
+    "tab\there", "√unicode≠", "日本語テキスト",
+    "1e308", "-0", "TRUE;FALSE", "Y,N,Y", "' OR 1=1 --", "\\x00\\xff",
+    "2026-01-15, not-a-date, 03/04/2026", "a|b;c(123)", "café (X)")
+
+  private def csvField(v: String): String =
+    if (v.contains(",") || v.contains("\"") || v.contains("\n"))
+      "\"" + v.replace("\"", "\"\"") + "\"" else v
+
+  test("transform is total over fuzzed cells in every column") {
+    val headers = ShipmentSchema.sourceHeaders
+    val rnd = new scala.util.Random(42)
+    val inDir = Files.createTempDirectory("graft_fuzz")
+    val w = Files.newBufferedWriter(inDir.resolve("fuzz.csv"))
+    w.write(headers.map(csvField).mkString(",")); w.newLine()
+    val n = 300
+    (0 until n).foreach { i =>
+      val row = headers.map { _ =>
+        if (rnd.nextInt(3) == 0) "" else junk(rnd.nextInt(junk.length))
+      }
+      w.write(row.map(csvField).mkString(",")); w.newLine()
+    }
+    w.close()
+
+    val raw = CsvSource.readLatest(spark, inDir.toString)
+    val out = Pipeline.transform(raw, lit(java.sql.Date.valueOf("2026-08-01")))
+    // force full evaluation of every derived column, narratives included
+    assert(out.count() == n, "fuzzed rows must survive the transform")
+    val docs = DocSink.toDocuments(out)
+    assert(docs.count() == n, "every fuzzed row must project to a document")
+    assert(docs.filter(col("document_id").isNull).count() == 0,
+      "document_id fallback must cover all-null id rows")
+  }
+
+  test("quoted embedded newlines parse with multiLine=true (pandas parity mode)") {
+    val headers = ShipmentSchema.sourceHeaders
+    val inDir = Files.createTempDirectory("graft_fuzz_ml")
+    val w = Files.newBufferedWriter(inDir.resolve("ml.csv"))
+    w.write(headers.map(csvField).mkString(",")); w.newLine()
+    val row = headers.map(_ => "line1\nline2")
+    w.write(row.map(csvField).mkString(",")); w.newLine()
+    w.close()
+    val raw = CsvSource.readCsv(spark, inDir.resolve("ml.csv").toString,
+      multiLine = true)
+    val out = Pipeline.transform(raw, lit(java.sql.Date.valueOf("2026-08-01")))
+    assert(out.count() == 1, "one logical row despite embedded newlines")
+  }
+}
