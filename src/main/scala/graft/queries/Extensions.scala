@@ -203,6 +203,22 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q64 — deterministic salted skew join
+    * ([[graft.operators.SkewSalt]]): the events "big side" spreads each
+    * user over 8 salted sub-keys, the user dim replicates 8×. The
+    * oracle is the PLAIN join — passing proves the salting is
+    * result-transparent. */
+  def q64SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val dim = e.select(col("user_id")).distinct()
+      .withColumn("user_label", concat(lit("U"), col("user_id") % 7))
+    graft.operators.SkewSalt.saltedJoin(
+        e.select("event_id", "user_id"), dim, "user_id", 8, Seq("event_id"))
+      .groupBy("user_label")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("sum_ids"))
+      .orderBy("user_label")
+  }
+
   /** q29 — multimodal stub-decode over a real binary column. */
   def q29Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(spark, Tables(spark, dir, "documents"))
@@ -355,6 +371,7 @@ object Extensions {
     "q54_outliers" -> (q54Outliers _),
     "q62_stratified_sample" -> (q62StratifiedSample _),
     "q63_decontamination" -> (q63Decontamination _),
+    "q64_skew_join" -> (q64SkewJoin _),
     "q43_topk_per_group" -> (q43TopKPerGroup _),
     "q44_range_join" -> (q44RangeJoin _),
     "q45_sessionize" -> (q45Sessionize _))
@@ -588,6 +605,12 @@ object Extensions {
         |SELECT doc_id, n_chars FROM documents CROSS JOIN st
         |WHERE 4 * (n * n_chars - s) * (n * n_chars - s) > 9 * (n * s2 - s * s)
         |ORDER BY doc_id""".stripMargin,
+    "q64_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT user_id FROM events),
+        |d2 AS (SELECT user_id, 'U' || (user_id % 7) AS user_label FROM dim)
+        |SELECT user_label, count(1) AS n, sum(event_id)::BIGINT AS sum_ids
+        |FROM events e JOIN d2 USING (user_id)
+        |GROUP BY user_label ORDER BY user_label""".stripMargin,
     "q62_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
