@@ -41,7 +41,7 @@ object Clean {
   /** P1+P2+P3 — validate then rename to canonical names. */
   def gateAndRename(df: DataFrame): DataFrame = {
     validateHeaders(df.columns.toSeq)
-    df.toDF(df.columns.map(c => ShipmentSchema.renameMap(normalizeHeader(c))): _*)
+    df.toDF(df.columns.toIndexedSeq.map(c => ShipmentSchema.renameMap(normalizeHeader(c))): _*)
   }
 
   /** P4 — lenient projection (legacy `transformer_old.py:47-93`): rename
@@ -163,6 +163,6 @@ object Clean {
         else cleanString(c)
       cleaned.as(name)
     }
-    df.select(exprs: _*)
+    df.select(exprs.toIndexedSeq: _*)
   }
 }

@@ -48,7 +48,7 @@ object DocSink {
     df.select(
         coalesce(col("carr_eqp_uid"), col("job_no"), col("container_number")).as("__id"),
         coalesce(col("combined_content"), col("milestones"), lit("")).as("content"),
-        struct(metadataCols.map(c => col(s"`$c`")): _*).as("metadata"),
+        struct(metadataCols.toIndexedSeq.map(c => col(s"`$c`")): _*).as("metadata"),
         pyListString(col("consignee_codes")).as("consignee_code"),
         col("source_group"))
       .select(

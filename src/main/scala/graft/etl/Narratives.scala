@@ -442,7 +442,7 @@ object Narratives {
       org.apache.spark.sql.types.StructField("_2", StringType))))
     val withAsof = df.withColumn("__asof", asOf.cast("date"))
     withAsof
-      .withColumn("__narr", bothUdf(struct(withAsof.columns.map(col): _*)))
+      .withColumn("__narr", bothUdf(struct(withAsof.columns.toIndexedSeq.map(col): _*)))
       .withColumn("milestones", col("__narr._1"))
       .withColumn("combined_content", col("__narr._2"))
       .drop("__narr", "__asof")
