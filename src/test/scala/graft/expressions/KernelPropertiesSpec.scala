@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence checks of the codegen kernels against naive
+  * reference implementations — pure JVM (no SparkSession), seeded, so
+  * hundreds of cases run in milliseconds. The Spark-level equivalence
+  * (inside codegen, against built-in expression chains) is covered by
+  * VectorExprSpec; this layer hammers the kernels' edge cases. */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812)
+
+  private def randomString(maxLen: Int): String = {
+    val chars = " \t\n\f\rabcXYZ019.,()\"éλ字"
+    (0 until rnd.nextInt(maxLen)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  test("CollapseWhitespace.kernel == replaceAll(\"\\\\s+\", \" \") on 1000 random strings") {
+    (0 until 1000).foreach { _ =>
+      val s = randomString(60)
+      val got = CollapseWhitespace.kernel(UTF8String.fromString(s)).toString
+      val want = s.replaceAll("\\s+", " ")
+      assert(got == want, s"input=${s.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("SortedIntersectSize.kernel == set intersection size on 1000 random sorted arrays") {
+    (0 until 1000).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val got = SortedIntersectSize.kernel(
+        new GenericArrayData(a.toIndexedSeq),
+        new GenericArrayData(b.toIndexedSeq))
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("MinHashSig.kernel == per-permutation minima on 500 random hash sets") {
+    val p = MinHashSig.P
+    (0 until 500).foreach { _ =>
+      val hashes = Array.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs % (1L << 60))
+      val k = 1 + rnd.nextInt(16)
+      val got = MinHashSig.kernel(new GenericArrayData(hashes.toIndexedSeq), k)
+      val want = (0 until k).map { i =>
+        val a = 2L * i + 1; val b = 97L * i + 13
+        hashes.map(h => (a * (h % p) + b) % p).min
+      }
+      assert((0 until k).forall(i => got.getLong(i) == want(i)))
+    }
+    assert(MinHashSig.kernel(new GenericArrayData(Seq.empty[Any]), 4) == null)
+  }
+
+  test("WordShingles.kernel == sliding mkString on 500 random token arrays") {
+    (0 until 500).foreach { _ =>
+      val toks = Array.fill(rnd.nextInt(20))(randomString(6).replaceAll("\\s", "x"))
+      val n = 1 + rnd.nextInt(4)
+      val got = WordShingles.kernel(
+        new GenericArrayData(toks.map(UTF8String.fromString).asInstanceOf[Array[AnyRef]]), n)
+      val want = toks.toSeq.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+      assert(gotSeq == (if (toks.length < n) Seq.empty else want))
+    }
+  }
+
+  test("MultiIdSplit kernel == split/clean/dedup/sort chain on 1000 random cells") {
+    (0 until 1000).foreach { _ =>
+      val cell = (0 until rnd.nextInt(6))
+        .map(_ => randomString(10).replace(",", "")).mkString(",")
+      val got = {
+        val arr = MultiValueCells.splitIds(UTF8String.fromString(cell))
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }
+      val want = cell.split(",", -1).toSeq
+        .map(_.replace("\"", "")).map(trimSpacesRef)
+        .filter(_.nonEmpty).distinct
+        .map(UTF8String.fromString).sorted.map(_.toString)
+      assert(got == want, s"cell='$cell'")
+    }
+  }
+
+  private def trimSpacesRef(s: String): String = {
+    // functions.trim removes only ' ' — the kernel must match that, not String.trim
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+  }
+
+  test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
+    def run(cell: String): Option[Seq[Int]] = {
+      val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))
+      if (arr == null) None else Some((0 until arr.numElements()).map(arr.getInt))
+    }
+    assert(run("junk, more junk").isEmpty)
+    assert(run("").isEmpty)
+    val good = run("15/01/2026, nope, 2026-01-16").get
+    assert(good.length == 2 && good(1) == good(0) + 1)
+  }
+}
