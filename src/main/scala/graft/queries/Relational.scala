@@ -390,6 +390,27 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** q65 — incremental aggregate maintenance: a maintained per-priority
+    * aggregate absorbs a newly-arrived delta batch by merging partial
+    * aggregates (full-outer on the key, decimal sums add exactly) —
+    * the oracle recomputes from scratch, so passing proves
+    * merge(agg(base), agg(delta)) ≡ agg(base ∪ delta). The incremental
+    * path processes only the delta at 100 TB. */
+  def q65IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    def partial(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
+    val base = partial(o.filter(col("o_orderkey") % 5 =!= 0)).as("b")
+    val delta = partial(o.filter(col("o_orderkey") % 5 === 0)).as("d")
+    base.join(delta, col("b.o_orderpriority") === col("d.o_orderpriority"), "full_outer")
+      .select(
+        coalesce(col("b.o_orderpriority"), col("d.o_orderpriority")).as("o_orderpriority"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.s"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("d.s"), lit(0).cast("decimal(18,2)"))).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -415,7 +436,8 @@ object Relational {
     "q58_intersect_all" -> (q58IntersectAll _),
     "q59_cohort_retention" -> (q59CohortRetention _),
     "q60_funnel" -> (q60Funnel _),
-    "q61_group_norm" -> (q61GroupNorm _))
+    "q61_group_norm" -> (q61GroupNorm _),
+    "q65_incremental_agg" -> (q65IncrementalAgg _))
 
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
@@ -606,5 +628,10 @@ object Relational {
         |SELECT doc_id, lang, source, n_chars,
         | CASE WHEN mx = mn THEN 0.0
         |      ELSE round((n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE, 6) END AS scaled
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q65_incremental_agg" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }
