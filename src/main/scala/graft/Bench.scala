@@ -5,11 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Graft.session(cpus)
-    // Warm up codegen/JIT + page cache so the first measured query
-    // doesn't absorb session startup.
+    // Warm up codegen/JIT + page cache + parquet footers for every
+    // table so the first query touching each doesn't absorb I/O setup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.Tables(spark, sfDir, "lineitem").count()
-    graft.Tables(spark, sfDir, "documents").count()
+    graft.Tables.names.foreach(t => graft.Tables(spark, sfDir, t).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
