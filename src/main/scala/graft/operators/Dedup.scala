@@ -194,6 +194,12 @@ object Dedup {
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .localCheckpoint()
+    // Operator-level adaptivity: when the (materialized) graph is small,
+    // hint broadcast for the label-side joins — each round then shuffles
+    // nothing but the groupBy. At corpus scale the hint is withheld and
+    // AQE plans the joins from real sizes.
+    val small = edges.count() < 5000000L
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // Seed with the one-hop minimum — identical to running the first
     // propagation round, so the loop starts a round ahead.
     var labels = edges.groupBy("src").agg(min("dst").as("mn"))
@@ -212,16 +218,16 @@ object Dedup {
     while (iter < maxIter && !converged) {
       // (a) min over neighbors' labels — one hop
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr"), "dst")
+        .join(hinted(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
-      val hop = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = labels.join(hinted(viaNeighbors), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
       // (b) pointer jumping: label := label(label) — doubles the reach,
       // so convergence is O(log diameter), not O(diameter)
       val parents = hop.select(col("id").as("pid"), col("cluster").as("pcluster"))
       val next = hop
-        .join(parents, hop("cluster") === parents("pid"), "left")
+        .join(hinted(parents), hop("cluster") === parents("pid"), "left")
         .select(hop("id"),
           least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster"))
         .localCheckpoint() // truncate lineage each round
