@@ -153,7 +153,10 @@ object Dedup {
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         levenshtein(col("l.txt"), col("r.txt"), maxDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      // banded levenshtein returns -1 beyond the threshold, so `>= 0` is
+      // the complete predicate — a redundant `<= maxDist` clause would
+      // evaluate the DP once more after pushdown substitutes the alias
+      .filter(col("dist") >= 0)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column: the
