@@ -23,6 +23,10 @@ class SourceFormatsSpec extends SparkSpec {
     assert(c.orderBy("doc_id").collect().toSeq == base, "csv roundtrip differs")
   }
 
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every declared oracle query name has a runnable query and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
