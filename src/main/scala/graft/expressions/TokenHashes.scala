@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `token_hashes(array<string>) -> array<long>` — the 60-bit md5 token
+  * hash (`conv(substring(md5(t), 1, 15), 16, 10)`) applied to a whole
+  * token array in one codegen pass.
+  *
+  * Replaces `transform(tokens, t -> tokenHash(t))`: the higher-order
+  * transform interprets its lambda per element, and the md5 itself is
+  * cheap enough that interpretation overhead dominated. The digest
+  * instance is thread-local (MessageDigest.getInstance per element
+  * would allocate); value parity with the expression chain — and with
+  * the DuckDB oracle's `('0x' || substring(md5(tok), 1, 15))::BIGINT`
+  * — is by construction: same md5 hex, same first-15-chars base-16
+  * parse.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "token_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else TokenHashes.kernel(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.TokenHashes.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+object TokenHashes {
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** 60-bit token hash: first 15 hex chars of md5, base-16. */
+  def hashOne(t: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(t.getBytes)
+    // first 15 hex chars = 7.5 bytes → high nibble of byte 7 ends the string
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (bytes(i) & 0xffL); i += 1 }
+    (acc << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
+  def kernel(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hashOne(tokens.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // referenced by docs/tests for the hex formulation
+  def hexOf(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    bytes.foreach { b => sb.append(HEX((b >> 4) & 0xf)).append(HEX(b & 0xf)) }
+    sb.toString
+  }
+
+  /** Column-API entry point. */
+  def apply(tokens: Column): Column =
+    ColumnBridge.toColumn(TokenHashes(ColumnBridge.toExpression(tokens)))
+}

@@ -38,11 +38,13 @@ object Dedup {
   def minhashB(i: Int): Long = 97L * i + 13
 
   /** k-wide MinHash signature of the distinct-token set as one
-    * `array<long>` column — a single codegen pass over the token hashes
-    * ([[graft.expressions.MinHashSig]]); null for an empty token set. */
+    * `array<long>` column — two codegen kernel passes (token md5 hashes
+    * via [[graft.expressions.TokenHashes]], then all k permutation
+    * minima via [[graft.expressions.MinHashSig]]); null for an empty
+    * token set. */
   def minhashSigArray(text: Column, k: Int): Column =
     graft.expressions.MinHashSig(
-      transform(array_distinct(tokens(text)), t => tokenHash(t)), k)
+      graft.expressions.TokenHashes(array_distinct(tokens(text))), k)
 
   /** Attach signature columns `mh0..mh{k-1}` + per-band LSH keys
     * (`band$b` = md5 of the band's row-slice). Docs sharing any band key

@@ -86,6 +86,17 @@ class KernelPropertiesSpec extends AnyFunSuite {
     s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
   }
 
+  test("TokenHashes.hashOne == parseLong(md5 hex take 15, 16) on 1000 random tokens") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 1000).foreach { _ =>
+      val t = randomString(20)
+      val got = TokenHashes.hashOne(UTF8String.fromString(t))
+      md.reset()
+      val hex = TokenHashes.hexOf(md.digest(t.getBytes("UTF-8")))
+      assert(got == java.lang.Long.parseLong(hex.take(15), 16), s"token='$t'")
+    }
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))
