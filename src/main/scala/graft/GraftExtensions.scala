@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{DayFirstDate, DotProduct, MinHashSig, MultiDateSplit, MultiIdSplit, SortedIntersectSize}
+import graft.expressions.{CollapseWhitespace, DayFirstDate, DotProduct, MinHashSig, MultiDateSplit, MultiIdSplit, SortedIntersectSize, TokenHashes, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions for SQL use. Activate with
@@ -36,6 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ch => MultiIdSplit(ch.head), classOf[MultiIdSplit])
     register(ext, "multi_date_split", 1,
       ch => MultiDateSplit(ch.head), classOf[MultiDateSplit])
+    register(ext, "collapse_ws", 1,
+      ch => CollapseWhitespace(ch.head), classOf[CollapseWhitespace])
+    register(ext, "token_hashes", 1,
+      ch => TokenHashes(ch.head), classOf[TokenHashes])
+    register(ext, "word_shingles", 2, { ch =>
+      val n = ch(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an integer literal, got $other")
+      }
+      WordShingles(ch.head, n)
+    }, classOf[WordShingles])
     register(ext, "minhash_sig", 2, { ch =>
       val k = ch(1) match {
         case Literal(v: Int, _) => v
