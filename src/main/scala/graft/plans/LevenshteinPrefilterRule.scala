@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule: every `levenshtein(a, b) <= k` predicate implies the
@@ -13,11 +14,20 @@ import org.apache.spark.sql.types.IntegerType
   * pair — the standard length-filter of similarity-join literature,
   * applied automatically so callers can write the naive predicate.
   *
-  * Idempotent: skips predicates whose conjunction already contains a
-  * semantically-equal guard (the optimizer runs rules to fixpoint, and
-  * the rewrite must not grow the tree on the second pass).
+  * Idempotent: each rewritten comparison is marked with a [[TreeNodeTag]]
+  * and skipped on later passes — the optimizer runs rules to fixpoint,
+  * and the rewrite must not grow the tree on the second pass even when
+  * the comparison sits under OR/NOT (where a conjunct-set check cannot
+  * see the injected guard). A hand-written guard in the enclosing
+  * conjunction is also detected and respected.
   */
 object LevenshteinPrefilterRule extends Rule[LogicalPlan] {
+
+  /** Marks a comparison whose guard has already been injected. Tags survive
+    * `makeCopy`/`withNewChildren` (Spark copies tags on every tree copy), so
+    * the marker persists across other optimizer rules' rewrites.
+    */
+  private[plans] val guardedTag = TreeNodeTag[Unit]("graft.levenshteinGuarded")
 
   private def guardFor(lev: Levenshtein, bound: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(lev.left), Length(lev.right))), bound)
@@ -29,14 +39,19 @@ object LevenshteinPrefilterRule extends Rule[LogicalPlan] {
 
   private def rewrite(cond: Expression): Expression = {
     val present = conjuncts(cond)
-    def alreadyGuarded(g: Expression): Boolean = present.exists(_.semanticEquals(g))
+    def skip(cmp: Expression, g: Expression): Boolean =
+      cmp.getTagValue(guardedTag).isDefined || present.exists(_.semanticEquals(g))
+    def wrap(cmp: Expression, g: Expression): Expression = {
+      cmp.setTagValue(guardedTag, ())
+      And(g, cmp)
+    }
     cond.transformUp {
       case le @ LessThanOrEqual(lev: Levenshtein, bound @ Literal(_, IntegerType))
-          if lev.threshold.isEmpty && !alreadyGuarded(guardFor(lev, bound)) =>
-        And(guardFor(lev, bound), le)
+          if lev.threshold.isEmpty && !skip(le, guardFor(lev, bound)) =>
+        wrap(le, guardFor(lev, bound))
       case lt @ LessThan(lev: Levenshtein, bound @ Literal(_, IntegerType))
-          if lev.threshold.isEmpty && !alreadyGuarded(guardFor(lev, bound)) =>
-        And(guardFor(lev, bound), lt)
+          if lev.threshold.isEmpty && !skip(lt, guardFor(lev, bound)) =>
+        wrap(lt, guardFor(lev, bound))
     }
   }
 

@@ -22,6 +22,47 @@ class LevenshteinPrefilterRuleSpec extends SparkSpec {
     assert(twice.fastEquals(once), "rule must be a fixpoint after one application")
   }
 
+  test("guard under OR/NOT nesting is injected once and stays a fixpoint") {
+    import spark.implicits._
+    val t = Seq((1L, "red widget", "a"), (2L, "red widgot", "a"), (3L, "blue thing", "b"))
+      .toDF("id", "name", "grp")
+    // The levenshtein bound nested under OR and under NOT: a conjunct-set
+    // idempotence check cannot see the injected guard here, so the old rule
+    // re-wrapped these on every optimizer iteration until max-iterations.
+    val q = t.as("l").join(t.as("r"), col("l.id") < col("r.id"))
+      .filter(
+        (col("l.grp") =!= col("r.grp")) ||
+          levenshtein(col("l.name"), col("r.name")) <= 2)
+      .filter(!(levenshtein(col("l.name"), col("r.grp")) < 1))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val plan = q.queryExecution.optimizedPlan
+    val once = LevenshteinPrefilterRule(plan)
+    assert(once.toString.contains("abs"), s"no guard injected:\n$once")
+    // Simulate the optimizer's fixpoint loop: repeated application must not
+    // grow the tree (the pre-fix rule grew it every pass under OR/NOT).
+    var cur = once
+    for (_ <- 1 to 5) {
+      val next = LevenshteinPrefilterRule(cur)
+      assert(next.fastEquals(cur), s"rule grew the tree on re-application:\n$next")
+      cur = next
+    }
+  }
+
+  test("rule preserves results under OR nesting when active in the optimizer") {
+    import spark.implicits._
+    val t = Seq((1L, "red widget", "a"), (2L, "red widgot", "a"), (3L, "blue thing", "b"))
+      .toDF("id", "name", "grp")
+    def q = t.as("l").join(t.as("r"), col("l.id") < col("r.id"))
+      .filter(
+        (col("l.grp") =!= col("r.grp")) ||
+          levenshtein(col("l.name"), col("r.name")) <= 2)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val without = q.collect().toSet
+    spark.experimental.extraOptimizations = Seq(LevenshteinPrefilterRule)
+    try assert(q.collect().toSet == without)
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule preserves results when active in the optimizer") {
     val without = fuzzy.collect().toSet
     spark.experimental.extraOptimizations = Seq(LevenshteinPrefilterRule)
