@@ -1,29 +1,122 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque `binary` payloads with typed,
-  * deterministic metadata extraction.
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata extraction.
   *
-  * The decode step itself is a STUB — image/audio codecs are not in
-  * this environment — but everything Spark-side is real and tested:
-  * the binary column, the typed `Dataset` boundary (mapPartitions with
-  * a per-partition reusable digest, the same shape a real decoder
-  * needs), the output schema, and the per-partition batch processing.
-  * Swap `fakeDecode` for an actual codec call and nothing else changes.
+  * Image payloads are decoded for REAL via the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/BMP/GIF): true pixel dimensions, the
+  * container format from the payload's magic bytes, and a 64-bit DCT
+  * perceptual hash computed from decoded luma — so two encodings of the
+  * same picture (say PNG vs BMP) collide, which is what a phash is for.
+  * Non-image payloads (audio/video need codecs this environment lacks)
+  * fall back to deterministic opaque metadata (length arithmetic + md5),
+  * keeping the operator total over arbitrary blobs.
+  *
+  * Everything Spark-side is shaped for scale: a pure narrow
+  * `mapPartitions` with per-partition decoder state — no shuffle, the
+  * binary never leaves the executor that read it.
   */
 object Multimodal {
 
-  /** Typed metadata record a real decoder would emit. */
+  /** Typed metadata record the decoder emits. */
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
       format: String, phash: String)
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes
-    * (length arithmetic + md5 "perceptual hash"). A real implementation
-    * replaces ONLY this function body with e.g. javax.imageio /
-    * ffmpeg-over-pipe per batch. */
-  private def fakeDecode(docId: Long, bytes: Array[Byte],
+  /** Container format from magic bytes — cheaper and more honest than
+    * trusting a file extension, and it gates the ImageIO call so opaque
+    * blobs skip codec probing entirely. */
+  private[operators] def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = i < bytes.length && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
+    else if (at(0, 'B') && at(1, 'M')) Some("bmp")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) Some("gif")
+    else None
+  }
+
+  /** 64-bit DCT perceptual hash (classic pHash shape): deterministic
+    * area-average downsample to 32×32 luma, 2-D DCT-II, top-left 8×8
+    * coefficient block thresholded at the median of its AC terms. Pure
+    * double arithmetic with a fixed evaluation order — bit-stable across
+    * JVMs, so the hash is safe to join on. */
+  private[operators] def phash64(img: BufferedImage): String = {
+    val S = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = Array.ofDim[Double](S, S)
+    var y = 0
+    while (y < S) {
+      val y0 = (y.toLong * h / S).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * h / S).toInt)
+      var x = 0
+      while (x < S) {
+        val x0 = (x.toLong * w / S).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * w / S).toInt)
+        var sum = 0.0
+        var py = y0
+        while (py < y1) {
+          var px = x0
+          while (px < x1) {
+            val rgb = img.getRGB(px, py)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            px += 1
+          }
+          py += 1
+        }
+        luma(y)(x) = sum / ((y1 - y0) * (x1 - x0))
+        x += 1
+      }
+      y += 1
+    }
+    // separable 2-D DCT-II, only the top-left 8×8 output block is needed
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < S) {
+          var j = 0
+          while (j < S) {
+            acc += luma(i)(j) *
+              math.cos((2 * i + 1) * u * math.Pi / (2 * S)) *
+              math.cos((2 * j + 1) * v * math.Pi / (2 * S))
+            j += 1
+          }
+          i += 1
+        }
+        dct(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for (i <- 0 until 8; j <- 0 until 8 if i != 0 || j != 0)
+      yield dct(i)(j)).sorted
+    val median = (ac(31) + ac(32)) / 2.0 // 63 AC terms → mid-pair average
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (dct(k / 8)(k % 8) > median) bits |= 1L << k
+      k += 1
+    }
+    f"$bits%016x"
+  }
+
+  /** Opaque-blob fallback: deterministic pseudo-metadata from the
+    * payload bytes (length arithmetic + md5 "hash") for payloads no
+    * JDK codec can decode — keeps the operator total, and its output
+    * engine-portable (the q29 oracle reproduces it in SQL). */
+  private def opaqueMeta(docId: Long, bytes: Array[Byte],
       md: java.security.MessageDigest): MediaMeta = {
     val n = bytes.length
     val fmt = (n % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" }
@@ -32,20 +125,40 @@ object Multimodal {
     MediaMeta(docId, n, n % 640, (n * 7) % 480, fmt, phash)
   }
 
-  /** Attach a binary payload column (here: the UTF-8 text bytes as a
-    * stand-in blob) and run the decode stub over it partition-by-
-    * partition. At scale this is a pure narrow map — no shuffle; the
-    * binary never leaves the executor that read it. */
-  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private def decodeOne(docId: Long, bytes: Array[Byte],
+      md: java.security.MessageDigest): MediaMeta =
+    sniffFormat(bytes).flatMap { fmt =>
+      // ImageIO.read returns null (not throws) on undecodable input
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        MediaMeta(docId, bytes.length, img.getWidth, img.getHeight, fmt, phash64(img))
+      }
+    }.getOrElse(opaqueMeta(docId, bytes, md))
+
+  /** Decode a binary payload column to typed media metadata. Real
+    * ImageIO decode for image payloads, deterministic opaque metadata
+    * otherwise. Narrow map — no shuffle; the binary never leaves the
+    * executor that read it. */
+  def decodePayload(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // per-partition init: digest reused across rows; ImageIO's
+        // reader registry is JVM-global and initialized once
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) => fakeDecode(id, bytes, md) }
+        it.map { case (id, bytes) => decodeOne(id, bytes, md) }
       }
       .toDF()
   }
+
+  /** The documents-table entry point: treats the UTF-8 text bytes as the
+    * stand-in blob (the synthetic corpus carries no real images, so each
+    * row exercises the opaque fallback; [[decodePayload]] is the same
+    * code path real image payloads take). */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodePayload(spark, docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload")), "doc_id", "payload")
 
   /** One sampled frame of a (stub) video payload. */
   case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
@@ -71,14 +184,50 @@ object Multimodal {
       .toDF()
   }
 
-  /** Resize plumbing: binary → binary payload transform (STUB truncates
-    * to `targetBytes`; a real implementation decodes, scales,
-    * re-encodes). Kept as a DataFrame transform so it composes with
+  /** Byte-cap transform for opaque payloads (truncate to `targetBytes`).
+    * For decodable images use [[resizeImage]], which actually rescales
+    * pixels. Kept as a pure Column transform so it composes with
     * decode/feature stages in one narrow pipeline. */
   def resizePayload(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame =
     df.withColumn(payloadCol,
       when(length(col(payloadCol)) > targetBytes,
         substring(col(payloadCol), 1, targetBytes)).otherwise(col(payloadCol)))
+
+  /** Real image resize: ImageIO decode → deterministic nearest-neighbor
+    * scale to `targetW`×`targetH` → PNG re-encode. Non-image payloads
+    * pass through unchanged, keeping the transform total. Narrow map,
+    * no shuffle. */
+  def resizeImage(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = sniffFormat(bytes).flatMap { _ =>
+            Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+              val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < targetH) {
+                val sy = (y.toLong * img.getHeight / targetH).toInt
+                var x = 0
+                while (x < targetW) {
+                  val sx = (x.toLong * img.getWidth / targetW).toInt
+                  dst.setRGB(x, y, img.getRGB(sx, sy))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          }.getOrElse(bytes)
+          (id, out)
+        }
+      }
+      .toDF(idCol, payloadCol)
+  }
 
   /** Feature-extraction plumbing: binary → fixed-width float embedding,
     * the stage that feeds [[SimilaritySearch]]. STUB hashes byte chunks

@@ -1,14 +1,98 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+
+import javax.imageio.ImageIO
+
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
-/** The multimodal plumbing (schema, batch shape, row expansion,
-  * determinism) — everything except the stubbed codecs themselves. */
+/** The multimodal surface: real javax.imageio decode for image
+  * payloads (dimensions, format sniff, perceptual hash), the opaque-
+  * blob fallback, and the batch/row-expansion plumbing. */
 class MultimodalSpec extends SparkSpec {
 
   private def media = Tables(spark, sf0001, "documents")
     .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** A small deterministic test image: a diagonal two-tone gradient. */
+  private def testImage(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x * h + y * w < w * h) 230 else 25
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encodeImg(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in this JDK")
+    bos.toByteArray
+  }
+
+  test("decodePayload reads real PNG/JPEG/BMP dimensions and formats") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeImg(testImage(31, 17), "png")),
+      (2L, encodeImg(testImage(64, 48), "jpg")),
+      (3L, encodeImg(testImage(9, 80), "bmp")))
+    val got = Multimodal.decodePayload(spark, rows.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("doc_id", "width", "height", "format")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 31, 17, "png"), (2L, 64, 48, "jpeg"), (3L, 9, 80, "bmp")))
+  }
+
+  test("phash is encoding-invariant and separates distinct pictures") {
+    import spark.implicits._
+    val pic = testImage(40, 40)
+    val inverted = {
+      val img = new BufferedImage(40, 40, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 40)
+        img.setRGB(x, y, ~pic.getRGB(x, y) & 0xffffff)
+      img
+    }
+    val rows = Seq(
+      (1L, encodeImg(pic, "png")), (2L, encodeImg(pic, "bmp")),
+      (3L, encodeImg(inverted, "png")))
+    val h = Multimodal.decodePayload(spark, rows.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("doc_id", "phash").as[(Long, String)].collect().toMap
+    assert(h(1L) == h(2L), "same picture, different container → same phash")
+    assert(h(1L) != h(3L), "different pictures → different phash")
+    assert(h(1L).matches("[0-9a-f]{16}"), "64-bit hex phash")
+  }
+
+  test("non-image payloads take the deterministic opaque fallback") {
+    import spark.implicits._
+    val bytes = "not an image at all".getBytes("UTF-8")
+    val got = Multimodal.decodePayload(spark,
+        Seq((7L, bytes)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .as[Multimodal.MediaMeta].head()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(got == Multimodal.MediaMeta(7L, bytes.length, bytes.length % 640,
+      (bytes.length * 7) % 480,
+      Seq("jpeg", "png", "webp")(bytes.length % 3), md5))
+  }
+
+  test("resizeImage rescales decodable images and passes blobs through") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeImg(testImage(64, 48), "png")),
+      (2L, "opaque blob".getBytes("UTF-8")))
+    val resized = Multimodal.resizeImage(spark, rows.toDF("doc_id", "payload"),
+      "doc_id", "payload", 16, 12)
+    val meta = Multimodal.decodePayload(spark, resized, "doc_id", "payload")
+      .select("doc_id", "width", "height", "format")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(meta(0) == ((1L, 16, 12, "png")))
+    val blob = resized.filter(col("doc_id") === 2L)
+      .select("payload").as[Array[Byte]].head()
+    assert(blob.sameElements("opaque blob".getBytes("UTF-8")))
+  }
 
   test("sampleFrames expands 1 row to k frames covering the payload") {
     val n = media.count()
