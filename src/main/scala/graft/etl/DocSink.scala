@@ -1,8 +1,9 @@
 package graft.etl
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
 
 /** S7 document normalization + S4 JSONL sink
   * (`/root/reference/src/writer.py:143-295`).
@@ -23,6 +24,15 @@ import org.apache.spark.sql.functions._
   * the reference drops them silently via pandas groupby (SURVEY §2.2 P6).
   */
 object DocSink {
+
+  /** Outcome of a [[write]]: the renamed output files plus the strict-
+    * gate counts (`written` = docs emitted, `rejected` = docs dropped by
+    * `strict` validation; 0 when strict is off). Mirrors the reference's
+    * written/validated logging (`writer.py:171-181,277-295`) — but where
+    * the reference RAISES mid-file on the first invalid doc, the
+    * distributed sink filters invalid docs and reports the count, so one
+    * poisoned row can't abort a 100 TB write. */
+  case class WriteResult(files: Seq[String], written: Long, rejected: Long)
 
   private val docIdExcluded = Set("carr_eqp_uid", "consignee_raw", "combined_content")
 
@@ -57,6 +67,93 @@ object DocSink {
         col("content"), col("metadata"), col("consignee_code"), col("source_group"))
   }
 
+  /** `_coerce_consignee_codes` (`writer.py:80-105`): list → trimmed
+    * non-empty strings; comma-separated string → trimmed parts (the
+    * whole trimmed string if no non-empty part survives); null/"" → [].
+    * Dispatch on the column's (static) type — the reference's
+    * per-value `isinstance` has no other Spark analog. */
+  private def coerceCodes(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(_, _) =>
+      coalesce(
+        filter(transform(c, x => trim(x.cast(StringType))), x => x.isNotNull && x =!= ""),
+        array().cast("array<string>"))
+    case _ =>
+      val s = trim(c.cast(StringType))
+      val parts = filter(transform(split(s, ","), p => trim(p)), p => p =!= "")
+      when(c.isNull || s === "", array().cast("array<string>"))
+        .when(size(parts) > 0, parts)
+        .otherwise(array(s))
+  }
+
+  /** S7 Case A (`writer.py:185-247`): normalize ALREADY-SHAPED docs —
+    * rows that carry `id`/`content`/`metadata` (e.g. a re-ingest of this
+    * sink's own output). Semantics, with the reference's per-doc key
+    * checks mapped to schema-level column checks:
+    *
+    *  - metadata a struct → fields kept; a scalar → wrapped as
+    *    `{_raw_metadata: v}` with `container_number` populated when the
+    *    scalar is a string (`writer.py:33-43,206-210`); absent/null → {}
+    *    (null struct fields are omitted by `to_json`, matching the
+    *    reference's absent keys).
+    *  - content fallback `content → combined_content → milestones → ""`
+    *    (null-based — an empty-string content is kept, `writer.py:213-218`).
+    *  - id fallback `id → carr_eqp_uid → job_no → container_number →
+    *    doc_<hash>` where null AND "" fall through (Python truthiness,
+    *    `writer.py:221-227`); the `doc_` tail is content-addressed as in
+    *    [[toDocuments]].
+    *  - `consignee_codes`: the top-level column wins over a metadata
+    *    field; coerced to array<string> (`writer.py:229-237`).
+    *
+    * Output `{document_id, content, metadata}` — Case A emits no
+    * top-level `consignee_code` column (unlike Case B, `writer.py:239-243`).
+    * Pure projection: no shuffle at any scale. */
+  def normalizeDocs(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    def get(n: String): Column = if (cols(n)) col(n) else lit(null).cast(StringType)
+    // Python-falsy string: null or "" both fall through (`if not doc_id`)
+    def nonEmpty(c: Column): Column = { val s = c.cast(StringType); when(s =!= "", s) }
+
+    val metaType = if (cols("metadata")) Some(df.schema("metadata").dataType) else None
+
+    val codes =
+      if (cols("consignee_codes"))
+        coerceCodes(col("consignee_codes"), df.schema("consignee_codes").dataType)
+      else metaType match {
+        case Some(st: StructType) if st.fieldNames.contains("consignee_codes") =>
+          coerceCodes(col("metadata.consignee_codes"), st("consignee_codes").dataType)
+        case _ => array().cast("array<string>")
+      }
+
+    val metadataExpr = metaType match {
+      case Some(st: StructType) =>
+        val kept = st.fieldNames.filterNot(_ == "consignee_codes")
+          .map(f => col(s"metadata.`$f`").as(f))
+        struct(kept.toIndexedSeq :+ codes.as("consignee_codes"): _*)
+      case Some(StringType) =>
+        struct(col("metadata").as("_raw_metadata"),
+          col("metadata").as("container_number"),
+          codes.as("consignee_codes"))
+      case Some(_) => // non-string scalar: wrapped raw, no container_number setdefault
+        struct(col("metadata").as("_raw_metadata"), codes.as("consignee_codes"))
+      case None => struct(codes.as("consignee_codes"))
+    }
+
+    val contentExpr = coalesce(
+      (Seq(get("content").cast(StringType)) ++
+        (if (cols("combined_content")) Seq(col("combined_content").cast(StringType)) else Nil) ++
+        Seq(nonEmpty(get("milestones")), lit(""))): _*)
+
+    df.select(
+        coalesce(nonEmpty(get("id")), nonEmpty(get("carr_eqp_uid")),
+          nonEmpty(get("job_no")), nonEmpty(get("container_number"))).as("__id"),
+        contentExpr.as("content"),
+        metadataExpr.as("metadata"))
+      .select(
+        coalesce(col("__id"), concat(lit("doc_"),
+          substring(md5(to_json(struct(col("metadata"), col("content")))), 1, 16))).as("document_id"),
+        col("content"), col("metadata"))
+  }
+
   /** One JSON object per line, field order matching the reference
     * writer; dates serialize as ISO yyyy-MM-dd via to_json. */
   def toJsonLines(docs: DataFrame): DataFrame =
@@ -76,11 +173,21 @@ object DocSink {
     * stage at one task per month — fine for its data volume, a
     * bottleneck at scale. >1 salts the repartition so each group is
     * written by up to that many tasks; the counter naming already
-    * numbers multiple parts per group. */
+    * numbers multiple parts per group.
+    *
+    * `strict` is the reference's write-time validation
+    * (`writer.py:277-295`): docs whose `document_id` or `content` is
+    * empty/whitespace are dropped and counted instead of written. The
+    * counts ride the write job itself via `Dataset.observe` (exactly-
+    * once CollectMetrics accumulators) — no second scan of the data. */
   def write(enriched: DataFrame, outDir: String, maxRecordsPerFile: Long = 0,
-      filesPerGroup: Int = 1): Seq[String] = {
-    val docs = toJsonLines(toDocuments(enriched))
+      filesPerGroup: Int = 1, strict: Boolean = false): WriteResult = {
+    val invalid = trim(col("document_id")) === "" || trim(col("content")) === ""
+    val obs = Observation()
+    val gated = toDocuments(enriched)
       .filter(col("source_group").isNotNull)
+      .observe(obs, count(lit(1)).as("total"), count(when(invalid, 1)).as("invalid"))
+    val docs = toJsonLines(if (strict) gated.filter(!invalid) else gated)
     val parted =
       if (filesPerGroup > 1)
         docs.repartition(col("source_group"),
@@ -91,7 +198,11 @@ object DocSink {
     val tuned = if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer
     tuned.text(outDir)
-    renameParts(enriched.sparkSession, outDir)
+    val files = renameParts(enriched.sparkSession, outDir)
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val bad = m("invalid").asInstanceOf[Long]
+    if (strict) WriteResult(files, total - bad, bad) else WriteResult(files, total, 0L)
   }
 
   /** Driver-side FS pass: `source_group=2026-01/part-*.txt` →
