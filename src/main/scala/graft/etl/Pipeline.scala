@@ -37,7 +37,7 @@ object Pipeline {
       .getOrElse(current_date())
     val raw = CsvSource.readLatest(spark, inDir)
     val enriched = transform(raw, asOf)
-    DocSink.write(enriched, outDir, maxRecordsPerFile, filesPerGroup)
+    DocSink.write(enriched, outDir, maxRecordsPerFile, filesPerGroup).files
   }
 
   /** Streaming variant of the reference's newest-file polling
