@@ -206,6 +206,35 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q66 — S7 Case A: normalize ALREADY-SHAPED docs
+    * (`/root/reference/src/writer.py:185-247`): id falls through null AND
+    * "" (Python truthiness) to the container number, content falls back
+    * to milestones, a scalar string metadata is wrapped as
+    * `{_raw_metadata, container_number}`, and a comma-separated
+    * consignee_codes string is coerced to a trimmed array. Metadata
+    * fields are flattened to top-level columns for the oracle compare. */
+  def q66NormalizeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val k = col("doc_id") % 7
+    val caseA = d.select(
+      when(k === 0, lit(null).cast("string"))
+        .when(k === 1, lit(""))
+        .otherwise(concat(lit("d"), col("doc_id"))).as("id"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("text")).as("content"),
+      concat(lit("ms:"), col("source")).as("milestones"),
+      concat(lit("CN"), col("doc_id")).as("container_number"),
+      col("lang").as("metadata"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("source"), lit(" , "), col("lang"))).as("consignee_codes"))
+    graft.etl.DocSink.normalizeDocs(caseA)
+      .select(col("document_id"), col("content"),
+        col("metadata._raw_metadata").as("raw_meta"),
+        col("metadata.container_number").as("meta_container"),
+        col("metadata.consignee_codes").as("codes"))
+      .orderBy("document_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_clean_sentinels" -> (q13CleanSentinels _),
     "q14_dayfirst_dates" -> (q14DayfirstDates _),
@@ -216,7 +245,8 @@ object EtlQueries {
     "q28_doc_projection" -> (q28DocProjection _),
     "q32_critical_dates" -> (q32CriticalDates _),
     "q33_route_text" -> (q33RouteText _),
-    "q34_partition_tags" -> (q34PartitionTags _))
+    "q34_partition_tags" -> (q34PartitionTags _),
+    "q66_normalize_docs" -> (q66NormalizeDocs _))
 
   val oracles: Map[String, String] = Map(
     "q13_clean_sentinels" ->
@@ -426,5 +456,25 @@ object EtlQueries {
         |SELECT o_orderkey,
         | strftime(etd, '%Y-%m') AS source_group,
         | lower(strftime(etd, '%b_%y')) AS source_month_tag
-        |FROM s ORDER BY o_orderkey""".stripMargin)
+        |FROM s ORDER BY o_orderkey""".stripMargin,
+    "q66_normalize_docs" ->
+      """WITH s AS (
+        | SELECT
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 7 = 1 THEN ''
+        |       ELSE 'd' || doc_id END AS id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS content,
+        |  'ms:' || source AS milestones,
+        |  'CN' || doc_id AS container_number,
+        |  lang AS metadata,
+        |  CASE WHEN doc_id % 2 = 0 THEN source || ' , ' || lang END AS cc
+        | FROM documents)
+        |SELECT
+        | COALESCE(nullif(id, ''), container_number) AS document_id,
+        | COALESCE(content, nullif(milestones, ''), '') AS content,
+        | metadata AS raw_meta,
+        | metadata AS meta_container,
+        | CASE WHEN cc IS NULL OR trim(cc) = '' THEN []::VARCHAR[]
+        |      ELSE list_filter(list_transform(string_split(cc, ','), x -> trim(x)), x -> x <> '') END AS codes
+        |FROM s ORDER BY document_id""".stripMargin)
 }

@@ -31,4 +31,87 @@ class DocSinkFallbackSpec extends SparkSpec {
     assert(a("orphan content") != a("another orphan"), "distinct orphans must get distinct ids")
     assert(ids(3) == a, "ids changed on rerun")
   }
+
+  // ---- S7 Case A: normalizeDocs over already-shaped docs ----
+
+  test("Case A: struct metadata kept, top-level codes win, id '' falls through") {
+    import spark.implicits._
+    val df = Seq(
+      // id truthy → kept; content "" kept (null-based fallback, writer.py:213-218)
+      ("D1", Some(""), Some("m1"), Some("meta_cn1"), "a, b ,"),
+      // id "" → Python-falsy → container_number; content null → milestones
+      ("", None, Some("m2"), Some("meta_cn2"), ""),
+      // id null, container null → doc_<hash>; codes null → []
+      (null, None, None, None, null)
+    ).toDF("id", "content", "milestones", "cn_meta", "consignee_codes")
+      .select(col("id"), col("content"), col("milestones"),
+        struct(col("cn_meta").as("container_number"),
+          array(lit("IGNORED")).as("consignee_codes")).as("metadata"),
+        col("consignee_codes"),
+        // container_number top-level feeds the id fallback chain
+        when(col("id") === "", lit("CN2")).as("container_number"))
+    val out = DocSink.normalizeDocs(df)
+      .select("document_id", "content", "metadata.container_number",
+        "metadata.consignee_codes").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => (r.getString(0), r)).toMap
+    assert(byId.contains("D1"))
+    assert(byId("D1").getString(1) == "", "empty-string content must be KEPT (null-based fallback)")
+    assert(byId("D1").getString(2) == "meta_cn1", "struct metadata fields preserved")
+    assert(byId("D1").getSeq[String](3) == Seq("a", "b"),
+      "top-level consignee_codes wins over metadata field and is trimmed/filtered")
+    assert(byId.contains("CN2"), "empty-string id must fall through to container_number")
+    assert(byId("CN2").getString(1) == "m2", "null content falls back to milestones")
+    assert(byId("CN2").getSeq[String](3) == Seq.empty, "empty codes string → []")
+    val orphan = out.find(_.getString(0).startsWith("doc_"))
+    assert(orphan.isDefined, "all-ids-null doc gets content-addressed doc_ id")
+    assert(orphan.get.getSeq[String](3) == Seq.empty)
+  }
+
+  test("Case A: scalar string metadata wrapped as _raw_metadata + container_number") {
+    import spark.implicits._
+    val df = Seq(("D9", "body", "RAW-META")).toDF("id", "content", "metadata")
+    val r = DocSink.normalizeDocs(df)
+      .select("document_id", "content", "metadata._raw_metadata",
+        "metadata.container_number", "metadata.consignee_codes").head()
+    assert(r.getString(0) == "D9")
+    assert(r.getString(1) == "body")
+    assert(r.getString(2) == "RAW-META", "scalar metadata wrapped as _raw_metadata")
+    assert(r.getString(3) == "RAW-META", "string scalar also sets container_number (writer.py:33-43)")
+    assert(r.getSeq[String](4) == Seq.empty)
+  }
+
+  test("Case A: non-string scalar metadata wrapped without container_number") {
+    import spark.implicits._
+    val df = Seq(("D7", "body", 42L)).toDF("id", "content", "metadata")
+    val norm = DocSink.normalizeDocs(df)
+    assert(!norm.schema("metadata").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("container_number"),
+      "non-string scalar gets no container_number setdefault")
+    val r = norm.select("metadata._raw_metadata").head()
+    assert(r.get(0) == 42L)
+  }
+
+  test("strict write drops invalid docs and reports counts") {
+    import spark.implicits._
+    val enriched = Seq(
+      ("UID1", "good content", "m", Seq("A"), "2026-01"),
+      ("UID2", "   ", "  ", Seq.empty[String], "2026-01"), // content blank → invalid
+      ("UID3", "also good", "m", Seq.empty[String], "2026-02")
+    ).toDF("carr_eqp_uid", "combined_content", "milestones", "consignee_codes", "source_group")
+      .withColumn("job_no", lit(null).cast("string"))
+      .withColumn("container_number", lit(null).cast("string"))
+    val dir = java.nio.file.Files.createTempDirectory("strictsink").toString
+    val res = DocSink.write(enriched, dir, strict = true)
+    assert(res.written == 2 && res.rejected == 1, s"got $res")
+    val lines = res.files.flatMap(f =>
+      scala.io.Source.fromFile(new java.net.URI(f).getPath.stripPrefix("file:")).getLines())
+    assert(lines.size == 2)
+    assert(!lines.exists(_.contains("UID2")), "invalid doc must not be written")
+
+    // non-strict: everything written, rejected = 0
+    val dir2 = java.nio.file.Files.createTempDirectory("loosesink").toString
+    val res2 = DocSink.write(enriched, dir2)
+    assert(res2.written == 3 && res2.rejected == 0)
+  }
 }
