@@ -28,12 +28,13 @@ object EventStream {
 
   /** File-source stream over a directory of event parquet files, newest
     * first, one file per trigger (incremental batch parity). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .option("latestFirst", "true")
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 

@@ -28,14 +28,20 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("streaming dedup drops duplicate event_ids within the watermark") {
-    // Feed the same file twice (two triggers) by unioning the path list:
-    // the single test file replayed is the degenerate duplicate stream.
-    val stream = EventStream.readEvents(spark, sf0001)
+    // Feed the same file TWICE (two copies → two triggers at
+    // maxFilesPerTrigger=1) so the stream genuinely contains every
+    // event_id in duplicate; dedup must collapse them back to distinct.
+    val dir = java.nio.file.Files.createTempDirectory("dupstream")
+    val src = java.nio.file.Paths.get(sf0001, "events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("dup_a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("dup_b.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString, glob = "dup_*.parquet")
     val got = EventStream.runToMemory(spark,
       EventStream.dedupEvents(stream).select("event_id"), "dedup_test")
     val batchDistinct = Tables(spark, sf0001, "events")
       .select("event_id").distinct().count()
-    assert(got.count() == batchDistinct)
+    assert(got.count() == batchDistinct,
+      s"stream emitted ${got.count()} rows from a doubled input; want $batchDistinct")
     assert(got.distinct().count() == got.count(), "emitted duplicates")
   }
 
