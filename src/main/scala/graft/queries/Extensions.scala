@@ -156,12 +156,20 @@ object Extensions {
   /** q54 — length-outlier detection with EXACT arithmetic: |z| > 1.5
     * expressed as 4·(n·x − Σ)² > 9·(n·Σx² − Σ²) over integer sums, so
     * the boundary is engine-independent (float σ comparisons are not).
+    * Sums and squares are carried in decimal(38,0): in LongType,
+    * n·Σx² and (n·x − Σ)² wrap silently past ~1e18 (n ≈ 1e11 docs ×
+    * n_chars ≈ 1e5 already puts dev² at ~1e32), so the exactness claim
+    * would only hold at test scale. Decimal keeps every intermediate
+    * ≤ ~1e33 exact, well inside 38 digits at the 100 TB design point.
     * One aggregate pass + one broadcast filter pass. */
   def q54Outliers(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    val stats = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
-      sum(col("n_chars") * col("n_chars")).as("s2"))
-    val dev = col("n") * col("n_chars") - col("s")
+    val dec = "decimal(38,0)"
+    val nc = col("n_chars").cast(dec)
+    val stats = d.agg(count(lit(1)).cast(dec).as("n"),
+      sum(nc).cast(dec).as("s"),
+      sum(nc * col("n_chars")).cast(dec).as("s2"))
+    val dev = col("n") * nc - col("s")
     d.crossJoin(broadcast(stats))
       .filter(lit(4) * dev * dev > lit(9) * (col("n") * col("s2") - col("s") * col("s")))
       .select(col("doc_id"), col("n_chars"))
@@ -600,8 +608,8 @@ object Extensions {
         |SELECT bigram, count(1) AS n FROM b GROUP BY bigram
         |HAVING count(1) >= 5 ORDER BY n DESC, bigram ASC""".stripMargin,
     "q54_outliers" ->
-      """WITH st AS (SELECT count(1) AS n, sum(n_chars)::BIGINT AS s,
-        |  sum(n_chars * n_chars)::BIGINT AS s2 FROM documents)
+      """WITH st AS (SELECT count(1)::HUGEINT AS n, sum(n_chars)::HUGEINT AS s,
+        |  sum(n_chars * n_chars)::HUGEINT AS s2 FROM documents)
         |SELECT doc_id, n_chars FROM documents CROSS JOIN st
         |WHERE 4 * (n * n_chars - s) * (n * n_chars - s) > 9 * (n * s2 - s * s)
         |ORDER BY doc_id""".stripMargin,
