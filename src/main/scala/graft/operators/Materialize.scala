@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization strategy for intermediates that are re-read many
+  * times (LSH signature tables, shingle tables, each round of an
+  * iterative label propagation).
+  *
+  * The trade-off the two modes encode:
+  *
+  *  - [[Materialize.Local]] — `localCheckpoint()`: blocks live
+  *    UNREPLICATED on the executors that computed them, lineage is
+  *    truncated. Fastest (no FS round-trip) and the right default on
+  *    a single machine or for short jobs — but at cluster scale a
+  *    single executor loss makes the data unrecoverable and fails the
+  *    job, because the truncated lineage can't recompute it.
+  *  - [[Materialize.Reliable]] — `checkpoint()`: blocks are written to
+  *    `spark.sparkContext.getCheckpointDir` (HDFS/object store).
+  *    Survives any executor loss; costs one write+read of the
+  *    intermediate. The right choice for long iterative jobs on a
+  *    1000-executor cluster, where the probability of losing SOME
+  *    executor mid-loop approaches 1. Callers must have called
+  *    `sparkContext.setCheckpointDir(...)` first.
+  */
+sealed trait Materialize {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Materialize {
+  /** Executor-local, unreplicated, lineage-truncating (default). */
+  case object Local extends Materialize {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Reliable checkpoint to the session's checkpoint dir. */
+  case object Reliable extends Materialize {
+    def apply(df: DataFrame): DataFrame = {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "Materialize.Reliable requires sparkContext.setCheckpointDir(...)")
+      df.checkpoint()
+    }
+  }
+}
