@@ -212,7 +212,9 @@ object EtlQueries {
     * to milestones, a scalar string metadata is wrapped as
     * `{_raw_metadata, container_number}`, and a comma-separated
     * consignee_codes string is coerced to a trimmed array. Metadata
-    * fields are flattened to top-level columns for the oracle compare. */
+    * fields are flattened to top-level columns for the oracle compare;
+    * the codes array is joined with '|' because the driver's pandas
+    * comparator cannot sort/hash array-typed cells. */
   def q66NormalizeDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val k = col("doc_id") % 7
@@ -231,7 +233,7 @@ object EtlQueries {
       .select(col("document_id"), col("content"),
         col("metadata._raw_metadata").as("raw_meta"),
         col("metadata.container_number").as("meta_container"),
-        col("metadata.consignee_codes").as("codes"))
+        array_join(col("metadata.consignee_codes"), "|").as("codes"))
       .orderBy("document_id")
   }
 
@@ -474,7 +476,9 @@ object EtlQueries {
         | COALESCE(content, nullif(milestones, ''), '') AS content,
         | metadata AS raw_meta,
         | metadata AS meta_container,
-        | CASE WHEN cc IS NULL OR trim(cc) = '' THEN []::VARCHAR[]
-        |      ELSE list_filter(list_transform(string_split(cc, ','), x -> trim(x)), x -> x <> '') END AS codes
+        | COALESCE(array_to_string(
+        |  CASE WHEN cc IS NULL OR trim(cc) = '' THEN []::VARCHAR[]
+        |       ELSE list_filter(list_transform(string_split(cc, ','), x -> trim(x)), x -> x <> '') END,
+        |  '|'), '') AS codes
         |FROM s ORDER BY document_id""".stripMargin)
 }
