@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization strategy for iterative / multiply-read intermediates
+  * (the LSH signature table, the CC edge graph and per-round labels).
+  *
+  * These operators MUST truncate lineage: each CC round re-reads the
+  * previous round's labels, so without truncation the plan doubles per
+  * iteration and the similarity join that produced the pairs is
+  * re-executed every round (measured 24 s → 7 s in round 1).
+  *
+  * The trade-off is WHERE the materialized blocks live:
+  *
+  *  - [[Checkpointer.Local]] (default): `localCheckpoint()` — blocks
+  *    stored unreplicated on the executors that computed them. Fastest
+  *    (no extra I/O), right for local mode and short jobs, but at
+  *    cluster scale a single executor loss makes the blocks
+  *    unrecoverable and fails the job (lineage is gone by design).
+  *  - [[Checkpointer.Reliable]]: `checkpoint()` into
+  *    `sparkContext.setCheckpointDir` (HDFS/object store). Survives any
+  *    executor loss — the right choice for 1000-executor runs where the
+  *    expected number of lost executors over a long job is ≥ 1. Costs
+  *    one write+read of the (small, signature/edge-sized) intermediate.
+  *
+  * `persist(MEMORY_AND_DISK_2)` was considered and rejected for the
+  * iterative loops: persist does not truncate lineage, so the per-round
+  * plan still grows without bound.
+  */
+sealed trait Checkpointer {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Checkpointer {
+
+  /** Executor-local, unreplicated, no extra I/O (the local-mode default). */
+  case object Local extends Checkpointer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Reliable checkpoint to the session's checkpoint dir; requires
+    * `spark.sparkContext.setCheckpointDir(...)` to have been called. */
+  case object Reliable extends Checkpointer {
+    def apply(df: DataFrame): DataFrame = {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "Checkpointer.Reliable needs sparkContext.setCheckpointDir (an HDFS/object-store path on a cluster)")
+      df.checkpoint()
+    }
+  }
+}

@@ -66,22 +66,23 @@ object Dedup {
     * bands, with the estimated Jaccard = matching-minhash fraction.
     *
     * Plan shape, scale-first: (1) the signature table is materialized
-    * ONCE (`localCheckpoint` — it feeds both sides of the self-join plus
+    * ONCE (via `checkpointer` — it feeds both sides of the self-join plus
     * the estimate join, and is tiny relative to the corpus: k longs +
-    * `bands` hashes per doc); (2) the collision self-join carries only
+    * `bands` hashes per doc; pass [[Checkpointer.Reliable]] on clusters
+    * where an executor loss mid-job must be survivable); (2) the collision self-join carries only
     * (id, band) — pair explosion happens on 16-byte rows, not
     * signature-wide rows; (3) pairs are `distinct`-ed BEFORE signatures
     * are attached, so each surviving pair computes its estimate once.
     * The estimate joins are plain equi-joins on id — AQE picks broadcast
     * when the signature table is small and SMJ at corpus scale. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 2, rowsPerBand: Int = 8,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = withMinhashBands(df, textCol, bands, rowsPerBand)
+    val sig = checkpointer(withMinhashBands(df, textCol, bands, rowsPerBand)
       .select(col(idCol).as("id") +:
         (0 until k).map(i => col(s"mh$i")) :+
-        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*)
-      .localCheckpoint()
+        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*))
     val cand = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val pairs = cand.as("l").join(cand.as("r"),
@@ -188,17 +189,22 @@ object Dedup {
     * Iterative min-label propagation: each round joins labels to the
     * edge list and takes the min over neighbors; converges in
     * O(log diameter) rounds (near-dup components are shallow). Each
-    * round is one shuffled join + aggregate — no driver-side graph. */
+    * round is one shuffled join + aggregate — no driver-side graph.
+    *
+    * `checkpointer` picks where the edge graph and per-round labels
+    * live: [[Checkpointer.Local]] (default, fastest, executor-loss-
+    * fatal) or [[Checkpointer.Reliable]] for long cluster runs. */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
-      id2: String = "id2", maxIter: Int = 30): DataFrame = {
+      id2: String = "id2", maxIter: Int = 30,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     // materialize once — the pair graph is usually the product of an
     // expensive similarity join, and every iteration re-reads it. No
     // distinct: the two directed unions cannot collide (src<dst vs
     // src>dst), and the min-aggregations are idempotent to duplicate
     // edges anyway — a distinct here is a pure extra shuffle.
-    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
-      .localCheckpoint()
+    val edges = checkpointer(
+      pairs.select(col(id1).as("src"), col(id2).as("dst"))
+        .union(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
     // Operator-level adaptivity: when the (materialized) graph is small,
     // hint broadcast for the label-side joins — each round then shuffles
     // nothing but the groupBy. At corpus scale the hint is withheld and
@@ -207,9 +213,8 @@ object Dedup {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // Seed with the one-hop minimum — identical to running the first
     // propagation round, so the loop starts a round ahead.
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster"))
-      .localCheckpoint()
+    var labels = checkpointer(edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster")))
     // Convergence check = one xor-checksum aggregate over the (already
     // materialized) labels — no join, no second pass. Labels only ever
     // decrease, so a changed state xors to a different value except with
@@ -231,11 +236,11 @@ object Dedup {
       // (b) pointer jumping: label := label(label) — doubles the reach,
       // so convergence is O(log diameter), not O(diameter)
       val parents = hop.select(col("id").as("pid"), col("cluster").as("pcluster"))
-      val next = hop
+      val next = checkpointer(hop
         .join(hinted(parents), hop("cluster") === parents("pid"), "left")
         .select(hop("id"),
           least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster"))
-        .localCheckpoint() // truncate lineage each round
+      ) // truncate lineage each round
       val nchk = checksum(next)
       converged = nchk == chk
       chk = nchk
@@ -262,14 +267,14 @@ object Dedup {
     * is checkpointed: both join sides read the materialized rows instead
     * of re-tokenizing. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+      blockCol: String, n: Int, minJaccard: Double,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val shingles =
       if (n == 1) array_distinct(tokens(col(textCol)))
       else array_distinct(wordShingles(col(textCol), n))
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    val t = checkpointer(df.select(col(idCol).as("id"), col(blockCol).as("block"),
         array_sort(transform(shingles, s => xxhash64(s))).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .localCheckpoint()
+      .withColumn("sz", size(col("sh"))))
     val l = t.as("l"); val r = t.as("r")
     val inter = graft.expressions.SortedIntersectSize(col("l.sh"), col("r.sh")).cast("double")
     val szSum = (col("l.sz") + col("r.sz")).cast("double")

@@ -17,6 +17,42 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("reliable checkpointer yields labels identical to local (and requires a checkpoint dir)") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id1", "id2")
+    // Reliable mode refuses to run without a configured checkpoint dir
+    // (a silent fallback would void the fault-tolerance guarantee).
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val noDir = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, checkpointer = Checkpointer.Reliable).collect()
+      }
+      assert(noDir.getMessage.contains("setCheckpointDir"))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs, checkpointer = Checkpointer.Reliable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+        (3L, "x y z w q r s t")).toDF("id", "text")
+      val prs = Dedup.minhashDedupPairs(docs, "id", "text",
+          checkpointer = Checkpointer.Reliable)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val prsLocal = Dedup.minhashDedupPairs(docs, "id", "text")
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(prs == prsLocal)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("long path converges within iteration budget") {
     import spark.implicits._
     val n = 40 // path of 41 nodes; min-label propagation doubles reach per iter
