@@ -47,4 +47,56 @@ object CsvSource {
   /** S1+S3 convenience: read the newest CSV in a directory. */
   def readLatest(spark: SparkSession, dir: String): DataFrame =
     readCsv(spark, findLatestCsv(spark, dir))
+
+  /** Encoding sniff for the reference's decode-failure retry
+    * (`ingestor.py:99-121`): pandas raises `UnicodeDecodeError` on the
+    * first non-UTF-8 byte and re-reads as ISO-8859-1; Spark's CSV reader
+    * never throws — it silently substitutes U+FFFD — so the retry signal
+    * must be recreated by sniffing bytes BEFORE the scan.
+    *
+    * Strictly decodes the first `sampleBytes` of the file driver-side
+    * (one small ranged read, not a full download — the whole-file decode
+    * the reference does would not scale to multi-GB blobs). A multi-byte
+    * sequence split at the sample boundary is trimmed before decoding so
+    * it can't false-positive. Returns "UTF-8" or "ISO-8859-1" — the
+    * latter decodes every byte string, exactly the reference's fallback.
+    *
+    * Caveat (documented divergence): invalid bytes past the sample
+    * window are substituted, not caught; raise `sampleBytes` for
+    * adversarial inputs. */
+  def detectEncoding(spark: SparkSession, path: String,
+      sampleBytes: Int = 4 << 20): String = {
+    import java.nio.ByteBuffer
+    import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](sampleBytes)
+    val in = fs.open(p)
+    val total =
+      try {
+        var off = 0
+        var n = in.read(buf, off, sampleBytes - off)
+        while (n > 0 && off + n < sampleBytes) { off += n; n = in.read(buf, off, sampleBytes - off) }
+        if (n > 0) off + n else off
+      } finally in.close()
+    var len = total
+    if (total == sampleBytes) {
+      // the sample may end mid-sequence: strip trailing continuation
+      // bytes (10xxxxxx) plus one lead byte (11xxxxxx) if present
+      while (len > 0 && (buf(len - 1) & 0xC0) == 0x80) len -= 1
+      if (len > 0 && (buf(len - 1) & 0xC0) == 0xC0) len -= 1
+    }
+    val strict = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try { strict.decode(ByteBuffer.wrap(buf, 0, len)); "UTF-8" }
+    catch { case _: CharacterCodingException => "ISO-8859-1" }
+  }
+
+  /** S3 with the reference's automatic encoding fallback: sniff, then
+    * scan once with the detected encoding (vs. the reference's
+    * read-fail-reread, which scans a bad file twice). */
+  def readWithFallback(spark: SparkSession, path: String,
+      multiLine: Boolean = false, sampleBytes: Int = 4 << 20): DataFrame =
+    readCsv(spark, path, detectEncoding(spark, path, sampleBytes), multiLine)
 }

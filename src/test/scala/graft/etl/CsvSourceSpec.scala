@@ -1,0 +1,45 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** S3 encoding-fallback parity (`/root/reference/src/ingestor.py:99-121`):
+  * a Latin-1 file must be detected and read back byte-correct, a UTF-8
+  * file must stay on the strict path. */
+class CsvSourceSpec extends SparkSpec {
+
+  private def write(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve(name)
+    Files.write(f, bytes)
+    f.toString
+  }
+
+  test("detectEncoding: clean UTF-8 (with BOM) stays UTF-8") {
+    val utf8 = "﻿name,city\nRené,Zürich\n".getBytes(StandardCharsets.UTF_8)
+    val path = write("u.csv", utf8)
+    assert(CsvSource.detectEncoding(spark, path) == "UTF-8")
+    val df = CsvSource.readWithFallback(spark, path)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("René"))
+  }
+
+  test("detectEncoding: Latin-1 bytes fall back to ISO-8859-1 and read correctly") {
+    val latin1 = "name,city\nRené,Zürich\n".getBytes(StandardCharsets.ISO_8859_1)
+    // sanity: the fixture really is invalid UTF-8 (é = 0xE9 alone)
+    assert(latin1.contains(0xE9.toByte))
+    val path = write("l.csv", latin1)
+    assert(CsvSource.detectEncoding(spark, path) == "ISO-8859-1")
+    val rows = CsvSource.readWithFallback(spark, path).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("René"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("Zürich"))
+  }
+
+  test("detectEncoding: multi-byte char split at the sample boundary is not a false positive") {
+    // 7 ASCII bytes then a 2-byte é: an 8-byte sample ends mid-sequence
+    val utf8 = "abcdefgé,x\nrow1,1\n".getBytes(StandardCharsets.UTF_8)
+    val path = write("s.csv", utf8)
+    assert(CsvSource.detectEncoding(spark, path, sampleBytes = 8) == "UTF-8")
+  }
+}
