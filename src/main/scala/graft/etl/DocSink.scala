@@ -205,30 +205,142 @@ object DocSink {
     if (strict) WriteResult(files, total - bad, bad) else WriteResult(files, total, 0L)
   }
 
+  /** S5 exact parity: the legacy writer's 12 MB byte-capped file rolling
+    * (`/root/reference/src/writer_old.py:83-94`) — roll to
+    * `shipment_<group>_<n+1>.jsonl` when the next line would push the
+    * current file past `maxBytes`, measured in actual UTF-8 bytes
+    * (newline included), not record counts. No emitted file exceeds
+    * `maxBytes` unless a SINGLE line does (then it lands alone in its
+    * own file — same as the reference, which rolls first and writes
+    * regardless; unlike the reference we don't leave the empty
+    * just-rolled file behind).
+    *
+    * Scale shape: one shuffle on `source_group` so exactly one task owns
+    * each group's counter sequence (the per-group monotone counter is
+    * inherently sequential — the reference holds it in a single-process
+    * loop; here it is task-local state). Executors stream straight to
+    * the final file names through the Hadoop FS layer — no rename pass.
+    * Groups still write in parallel with each other. Trade-off vs
+    * `write()`: exact byte caps, but the output of a retried task is
+    * overwritten in place rather than committed atomically — disable
+    * speculative execution for this sink (the reference has no atomicity
+    * either; `write()` keeps Spark's committer if you can live with the
+    * `maxRecordsPerFile` approximation). */
+  def writeSizeCapped(enriched: DataFrame, outDir: String,
+      maxBytes: Long = 12L * 1024 * 1024, strict: Boolean = false): WriteResult = {
+    val invalid = trim(col("document_id")) === "" || trim(col("content")) === ""
+    val obs = Observation()
+    val gated = toDocuments(enriched)
+      .filter(col("source_group").isNotNull)
+      .observe(obs, count(lit(1)).as("total"), count(when(invalid, 1)).as("invalid"))
+    val docs = toJsonLines(if (strict) gated.filter(!invalid) else gated)
+      .repartition(col("source_group"))
+    // Hadoop Configuration is not serializable: ship the explicit entries
+    // (incl. object-store credentials) and rebuild executor-side.
+    val confEntries = {
+      val it = enriched.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new Path(outDir)
+        val fs = FileSystem.get(base.toUri, conf)
+        fs.mkdirs(base)
+        // group → (counter, open stream, bytes written to current file)
+        case class State(var counter: Int, var out: java.io.OutputStream, var size: Long)
+        val states = scala.collection.mutable.Map.empty[String, State]
+        def open(group: String, n: Int) =
+          fs.create(new Path(base, s"shipment_${group}_$n.jsonl"), true)
+        try {
+          rows.foreach { row =>
+            val line = (row.getString(0) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val group = row.getString(1)
+            val st = states.getOrElseUpdate(group, {
+              // A3 counter continuation: resume after the largest existing index
+              val existing = fs.globStatus(new Path(base, s"shipment_${group}_*.jsonl"))
+                .map(_.getPath.getName)
+                .flatMap(_.stripPrefix(s"shipment_${group}_").stripSuffix(".jsonl").toIntOption)
+              val start = (if (existing.isEmpty) 0 else existing.max) + 1
+              State(start, open(group, start), 0L)
+            })
+            if (st.size > 0 && st.size + line.length > maxBytes) {
+              st.out.close()
+              st.counter += 1
+              st.out = open(group, st.counter)
+              st.size = 0L
+            }
+            st.out.write(line)
+            st.size += line.length
+          }
+        } finally states.values.foreach(s => s.out.close())
+      }
+    }
+    val fs = FileSystem.get(new Path(outDir).toUri,
+      enriched.sparkSession.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new Path(new Path(outDir), "shipment_*.jsonl"))
+      .map(_.getPath.toString).sorted.toSeq
+    val m = obs.get
+    val total = m("total").asInstanceOf[Long]
+    val bad = m("invalid").asInstanceOf[Long]
+    if (strict) WriteResult(files, total - bad, bad) else WriteResult(files, total, 0L)
+  }
+
   /** Driver-side FS pass: `source_group=2026-01/part-*.txt` →
-    * `shipment_2026-01_<n>.jsonl` (n = 1 + max existing counter). Tiny
-    * metadata-only work — never touches row data. */
-  private def renameParts(spark: org.apache.spark.sql.SparkSession, outDir: String): Seq[String] = {
+    * `shipment_2026-01_<n>.jsonl` (n = 1 + max existing counter).
+    * Metadata-only work — never touches row data — but one FS round-trip
+    * per file, so groups are processed on a small thread pool: at
+    * many-months × filesPerGroup scale the wall time is
+    * `files / parallelism` round-trips instead of `files`. Groups are
+    * independent (disjoint directories and target names); Hadoop
+    * `FileSystem` handles are thread-safe for list/rename/delete.
+    *
+    * Object-store note: on S3-style stores "rename" is a server-side
+    * COPY + delete — cost scales with bytes, not metadata. The
+    * parallelism hides latency there too, but for very large outputs
+    * prefer leaving Spark's part-file names in place (skip the rename)
+    * or an ABFS/HDFS destination where rename is atomic metadata. */
+  private def renameParts(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      parallelism: Int = 8): Seq[String] = {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
     val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
     val base = new Path(outDir)
     if (!fs.exists(base)) return Nil
-    val renamed = Seq.newBuilder[String]
-    fs.listStatus(base).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith("source_group=")).foreach { dir =>
-        val group = dir.getPath.getName.stripPrefix("source_group=")
-        val existing = fs.listStatus(base).filter(_.isFile).map(_.getPath.getName)
-          .filter(n => n.startsWith(s"shipment_${group}_") && n.endsWith(".jsonl"))
-          .flatMap(n => n.stripPrefix(s"shipment_${group}_").stripSuffix(".jsonl").toIntOption)
-        var counter = if (existing.isEmpty) 0 else existing.max
-        fs.listStatus(dir.getPath).filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName).foreach { part =>
-            counter += 1
-            val target = new Path(base, s"shipment_${group}_$counter.jsonl")
-            fs.rename(part.getPath, target)
-            renamed += target.toString
+    val baseListing = fs.listStatus(base)
+    val existingNames = baseListing.filter(_.isFile).map(_.getPath.getName)
+    val groupDirs = baseListing.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("source_group="))
+    if (groupDirs.isEmpty) return Nil
+    val pool = Executors.newFixedThreadPool(math.min(parallelism, groupDirs.length))
+    try {
+      val tasks = groupDirs.map { dir =>
+        pool.submit(new Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            val group = dir.getPath.getName.stripPrefix("source_group=")
+            val existing = existingNames
+              .filter(n => n.startsWith(s"shipment_${group}_") && n.endsWith(".jsonl"))
+              .flatMap(n => n.stripPrefix(s"shipment_${group}_").stripSuffix(".jsonl").toIntOption)
+            var counter = if (existing.isEmpty) 0 else existing.max
+            val targets = fs.listStatus(dir.getPath)
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .sortBy(_.getPath.getName).map { part =>
+                counter += 1
+                val target = new Path(base, s"shipment_${group}_$counter.jsonl")
+                fs.rename(part.getPath, target)
+                target.toString
+              }.toSeq
+            fs.delete(dir.getPath, true)
+            targets
           }
-        fs.delete(dir.getPath, true)
+        })
       }
-    renamed.result()
+      tasks.flatMap(_.get()).toSeq // group order preserved → deterministic result
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+    }
   }
 }

@@ -1,0 +1,95 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S5 exact parity: byte-capped rolling (`writer_old.py:83-94`) — no
+  * emitted file exceeds the cap (single oversized lines excepted), all
+  * lines survive, counters are per-group sequential and continue across
+  * writes. */
+class DocSinkSizeCappedSpec extends SparkSpec {
+
+  private def enriched(n: Int, group: String) = {
+    import spark.implicits._
+    (1 to n).map(i => (s"UID$group$i", s"content ${"x" * 100} $i", "m",
+        Seq.empty[String], group))
+      .toDF("carr_eqp_uid", "combined_content", "milestones", "consignee_codes", "source_group")
+      .withColumn("job_no", lit(null).cast("string"))
+      .withColumn("container_number", lit(null).cast("string"))
+  }
+
+  private def localPath(f: String) =
+    java.nio.file.Paths.get(new java.net.URI(f).getPath)
+
+  test("no file exceeds the byte cap and every line survives") {
+    val dir = java.nio.file.Files.createTempDirectory("sizecap").toString
+    val cap = 2048L
+    val res = DocSink.writeSizeCapped(
+      enriched(40, "2026-01").union(enriched(25, "2026-02")), dir, maxBytes = cap)
+    assert(res.written == 65 && res.rejected == 0)
+    assert(res.files.nonEmpty)
+    val sizes = res.files.map(f => java.nio.file.Files.size(localPath(f)))
+    assert(sizes.forall(_ <= cap), s"file over cap: ${res.files.zip(sizes)}")
+    assert(res.files.size > 2, "cap should have forced rolling")
+    val lines = res.files.flatMap(f =>
+      scala.io.Source.fromFile(localPath(f).toFile).getLines().toSeq)
+    assert(lines.size == 65)
+    assert((1 to 40).forall(i => lines.exists(_.contains(s"UID2026-01$i"))))
+    // counters per group are 1..k with no gaps
+    val byGroup = res.files.map(f => localPath(f).getFileName.toString)
+      .groupBy(_.split("_")(1))
+    byGroup.foreach { case (g, names) =>
+      val ns = names.map(_.split("_")(2).stripSuffix(".jsonl").toInt).sorted
+      assert(ns == (1 to ns.max).toList, s"group $g counters: $ns")
+    }
+  }
+
+  test("a single line larger than the cap lands alone, in its own file") {
+    val dir = java.nio.file.Files.createTempDirectory("sizecap-big").toString
+    import spark.implicits._
+    val big = Seq(
+      ("U1", "small", "m", Seq.empty[String], "2026-01"),
+      ("U2", "y" * 5000, "m", Seq.empty[String], "2026-01"),
+      ("U3", "small too", "m", Seq.empty[String], "2026-01"))
+      .toDF("carr_eqp_uid", "combined_content", "milestones", "consignee_codes", "source_group")
+      .withColumn("job_no", lit(null).cast("string"))
+      .withColumn("container_number", lit(null).cast("string"))
+    val res = DocSink.writeSizeCapped(big, dir, maxBytes = 1024)
+    val oversized = res.files.filter(f => java.nio.file.Files.size(localPath(f)) > 1024)
+    assert(oversized.size == 1, "exactly the one oversized line may exceed the cap")
+    val lines = scala.io.Source.fromFile(localPath(oversized.head).toFile).getLines().toSeq
+    assert(lines.size == 1, "oversized line must be alone in its file")
+  }
+
+  test("counters continue past existing files on a second write") {
+    val dir = java.nio.file.Files.createTempDirectory("sizecap-cont").toString
+    val first = DocSink.writeSizeCapped(enriched(10, "2026-01"), dir, maxBytes = 1024)
+    val max1 = first.files.map(f => localPath(f).getFileName.toString
+      .split("_")(2).stripSuffix(".jsonl").toInt).max
+    val second = DocSink.writeSizeCapped(enriched(10, "2026-01"), dir, maxBytes = 1024)
+    val secondNs = second.files.map(f => localPath(f).getFileName.toString
+      .split("_")(2).stripSuffix(".jsonl").toInt)
+    assert(second.files.size > first.files.size,
+      "second result lists all files in the directory")
+    assert(secondNs.max > max1, "second write must continue the counter")
+    val all = second.files.flatMap(f =>
+      scala.io.Source.fromFile(localPath(f).toFile).getLines().toSeq)
+    assert(all.size == 20, "both writes' lines must coexist")
+  }
+
+  test("strict mode drops invalid docs before byte accounting") {
+    import spark.implicits._
+    val df = Seq(
+      ("U1", "good", "m", Seq.empty[String], "2026-01"),
+      ("U2", "  ", " ", Seq.empty[String], "2026-01"))
+      .toDF("carr_eqp_uid", "combined_content", "milestones", "consignee_codes", "source_group")
+      .withColumn("job_no", lit(null).cast("string"))
+      .withColumn("container_number", lit(null).cast("string"))
+    val dir = java.nio.file.Files.createTempDirectory("sizecap-strict").toString
+    val res = DocSink.writeSizeCapped(df, dir, strict = true)
+    assert(res.written == 1 && res.rejected == 1)
+    val lines = res.files.flatMap(f =>
+      scala.io.Source.fromFile(localPath(f).toFile).getLines().toSeq)
+    assert(lines.size == 1 && !lines.exists(_.contains("U2")))
+  }
+}
