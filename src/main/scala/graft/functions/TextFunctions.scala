@@ -111,4 +111,61 @@ object TextFunctions {
     * transform-over-sequence form costs a lambda per shingle. */
   def wordShingles(text: Column, n: Int): Column =
     graft.expressions.WordShingles(tokens(text), n)
+
+  /** Overlapping token-window chunks — the RAG / pretraining chunker:
+    * windows of `width` tokens starting every `stride` tokens, so
+    * consecutive chunks overlap by `width - stride`. The last window may
+    * be shorter; every token is covered; a short document yields exactly
+    * one chunk. Pure array expressions (sequence + slice run inside
+    * whole-stage codegen), so chunking is a flatMap-shaped projection —
+    * no shuffle at any corpus size; pair with `posexplode` for
+    * (chunk_no, chunk) rows.
+    *
+    * Start positions are `0, stride, …` up to the unique multiple of
+    * `stride` in `[n-width, n-width+stride-1]` — integer arithmetic
+    * only, so the chunk count is engine-exact for the DuckDB oracle. */
+  def chunks(text: Column, width: Int, stride: Int): Column = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val toks = tokens(text)
+    val starts = sequence(lit(0),
+      greatest(size(toks) - width + (stride - 1), lit(0)), lit(stride))
+    transform(starts, s0 => array_join(slice(toks, s0 + 1, lit(width)), " "))
+  }
+
+  // PII patterns: RE2-compatible (no backrefs/lookaround) so the same
+  // pattern string runs in Java regex (Spark) and DuckDB's RE2 oracle.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub for training corpora: emails → `<EMAIL>`, then IPv4 →
+    * `<IP>`, then phone-shaped digit runs → `<PHONE>`. Email runs first
+    * (most specific — its local part may contain digits a later pass
+    * would chew on), IP before phone so a dotted quad can't be half
+    * matched as a phone. Count replaced spans with [[piiCounts]] BEFORE
+    * redacting. One codegen projection; no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** (n_emails, n_ips, n_phones) of the raw text as a struct — the
+    * redaction audit trail (how much PII a source contributes is itself
+    * a corpus-quality signal). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).as("n_emails"),
+    regexp_count(text, lit(ipv4Pattern)).as("n_ips"),
+    regexp_count(text, lit(phonePattern)).as("n_phones"))
+
+  /** Host of an http(s) URL (null when not URL-shaped), and its
+    * registrable tail (last two dot-labels) for domain-level corpus
+    * stats — regex-based so the DuckDB oracle is exact. */
+  def urlHost(url: Column): Column =
+    nullif(regexp_extract(url, "^https?://([^/?#]+)", 1), lit(""))
+
+  def registrableDomain(host: Column): Column =
+    nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Gopher-style per-document repetition signals — the standard web-crawl
+  * quality gate that catches boilerplate and keyboard-mash documents
+  * (high duplicate-n-gram mass) that length/stopword heuristics miss.
+  *
+  * Per document and n-gram order n:
+  *  - `n_ngrams`: total n-gram occurrences;
+  *  - `top_count`: occurrences of the most frequent n-gram (its fraction
+  *    of `n_ngrams` is the "top n-gram fraction" filter signal);
+  *  - `dup_ngrams`: occurrences belonging to n-grams seen more than once
+  *    (the "duplicate n-gram fraction" numerator).
+  *
+  * Scale shape: explode → two partially-aggregated group-bys, both keyed
+  * by (doc, gram) then (doc) — the shuffles carry counters, never text
+  * beyond the n-gram keys, and combine map-side. No driver state; the
+  * left join back to the id spine keeps sub-n-token documents in the
+  * output with zero counts (they'd otherwise vanish at the explode).
+  * Counts stay exact longs; callers compute display fractions.
+  */
+object Repetition {
+
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    val stats = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_ngrams"),
+        max("c").as("top_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_ngrams"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"))
+  }
+}

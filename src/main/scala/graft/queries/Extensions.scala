@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -354,7 +354,77 @@ object Extensions {
         round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
       .orderBy("l_returnflag")
 
+  /** q67 — Gopher-style per-document repetition signals: total bigram
+    * occurrences, the top bigram's share, and the duplicate-bigram mass
+    * — the boilerplate/keyboard-mash filter. Counts stay exact longs
+    * (see [[graft.operators.Repetition]]); only the display fractions
+    * are rounded. */
+  def q67Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val rep = graft.operators.Repetition.ngramRepetition(
+      Tables(spark, dir, "documents"), "doc_id", "text", 2)
+    def frac(num: Column): Column =
+      when(col("n_ngrams") === 0, 0.0)
+        .otherwise(round(num.cast("double") / col("n_ngrams").cast("double"), 6))
+    rep.select(col("doc_id"), col("n_ngrams"), col("top_count"), col("dup_ngrams"),
+        frac(col("top_count")).as("top_frac"),
+        frac(col("dup_ngrams")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q68 — overlapping token-window chunking (width 40, stride 32):
+    * the RAG / pretraining chunker as a pure flatMap-shaped projection
+    * (no shuffle), positions via posexplode. */
+  def q68Chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunks(col("text"), 40, 32)).as(Seq("chunk_no", "chunk")))
+      .select(col("doc_id"), col("chunk_no"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"), col("chunk"))
+      .orderBy("doc_id", "chunk_no")
+
+  /** q69 — PII scrub: deterministic synthetic PII (email, phone, IPv4)
+    * appended per doc, then counted and redacted; the redacted text is
+    * surfaced as its md5 so the oracle hash-checks the exact bytes. */
+  def q69PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val id = col("doc_id")
+    val synth = concat_ws(" ", col("text"),
+      lit("reach"), concat(lit("user"), id.cast("string"), lit("@mail.example.com")),
+      lit("or"), concat(lit("555-"), lpad(((id * 7) % 10000).cast("string"), 4, "0")),
+      lit("at"), concat(lit("10."), (id % 256).cast("string"),
+        lit(".3."), ((id * 3) % 256).cast("string")))
+    d.select(id, synth.as("t"))
+      .select(id, TextFunctions.piiCounts(col("t")).as("pc"),
+        md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"))
+      .select(id, col("pc.n_emails").as("n_emails"), col("pc.n_ips").as("n_ips"),
+        col("pc.n_phones").as("n_phones"), col("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q70 — per-domain corpus stats over synthesized doc URLs: host and
+    * registrable-domain extraction (regex — engine-exact), then one
+    * partial-aggregated group-by. The domain mix of a crawl is a
+    * first-order curation lever. */
+  def q70UrlDomains(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val hosts = array(Seq("docs.example.com", "blog.example.org", "www.sample.net",
+      "cdn.example.com", "news.sample.net").map(lit): _*)
+    val url = concat(lit("https://"),
+      element_at(hosts, (col("doc_id") % 5).cast("int") + 1),
+      lit("/d/"), col("doc_id").cast("string"))
+    d.select(col("doc_id"), col("source"), TextFunctions.urlHost(url).as("host"))
+      .withColumn("domain", TextFunctions.registrableDomain(col("host")))
+      .groupBy("host", "domain")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("host")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_repetition" -> (q67Repetition _),
+    "q68_chunks" -> (q68Chunks _),
+    "q69_pii_redact" -> (q69PiiRedact _),
+    "q70_url_domains" -> (q70UrlDomains _),
     "q19_dedup_exact" -> (q19DedupExact _),
     "q20_text_quality" -> (q20TextQuality _),
     "q21_lang_id" -> (q21LangId _),
@@ -427,6 +497,58 @@ object Extensions {
       |    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q67_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS g FROM t),
+        |c AS (SELECT doc_id, g, count(1) AS c FROM b GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n_ngrams, max(c)::BIGINT AS top_count,
+        |       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_ngrams
+        |      FROM c GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(a.n_ngrams, 0) AS n_ngrams,
+        | COALESCE(a.top_count, 0) AS top_count,
+        | COALESCE(a.dup_ngrams, 0) AS dup_ngrams,
+        | CASE WHEN COALESCE(a.n_ngrams, 0) = 0 THEN 0.0
+        |      ELSE round(a.top_count / a.n_ngrams, 6) END AS top_frac,
+        | CASE WHEN COALESCE(a.n_ngrams, 0) = 0 THEN 0.0
+        |      ELSE round(a.dup_ngrams / a.n_ngrams, 6) END AS dup_frac
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q68_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_transform(range(0, greatest(len(toks) - 40 + 31, 0) + 1, 32),
+        |    st -> array_to_string(toks[st + 1 : st + 40], ' ')) AS chunks FROM t),
+        |e AS (SELECT doc_id, unnest(range(len(chunks))) AS chunk_no,
+        |        unnest(chunks) AS chunk FROM c)
+        |SELECT doc_id, chunk_no, len(string_split(chunk, ' ')) AS n_chunk_tokens, chunk
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
+    "q69_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || ' reach user' || doc_id || '@mail.example.com or 555-' ||
+        |  lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' at 10.' ||
+        |  (doc_id % 256) || '.3.' || ((doc_id * 3) % 256) AS t FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        | len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q70_url_domains" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  'https://' || ['docs.example.com','blog.example.org','www.sample.net',
+        |                 'cdn.example.com','news.sample.net'][(doc_id % 5)::INT + 1]
+        |    || '/d/' || doc_id AS url FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  nullif(regexp_extract(url, '^https?://([^/?#]+)', 1), '') AS host FROM u),
+        |d2 AS (SELECT doc_id, source, host,
+        |  nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') AS domain FROM h)
+        |SELECT host, domain, count(1) AS n_docs, count(DISTINCT source) AS n_sources,
+        | sum(doc_id)::BIGINT AS sum_ids
+        |FROM d2 GROUP BY host, domain ORDER BY host""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | min(doc_id) AS keep_id, count(1) AS n_copies

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Chunking, PII redaction, domain extraction, and repetition signals
+  * on small fixtures with hand-computed expectations. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("chunks: full coverage, overlap = width - stride, short docs give one chunk") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq(text, "just three tokens", "").toDF("text")
+    val got = df.select(TextFunctions.chunks(col("text"), 10, 7).as("c"))
+      .collect().map(_.getSeq[String](0))
+    // 25 tokens, width 10 stride 7 → starts 0,7,14,21 (21 ∈ [15,21])
+    assert(got(0).length == 4)
+    assert(got(0)(0) == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(got(0)(1) == (8 to 17).map(i => s"w$i").mkString(" "))
+    assert(got(0)(3) == (22 to 25).map(i => s"w$i").mkString(" "), "last chunk short")
+    // every token covered
+    assert(got(0).flatMap(_.split(" ")).toSet == (1 to 25).map(i => s"w$i").toSet)
+    assert(got(1) == Seq("just three tokens"), "short doc → one chunk")
+    assert(got(2).length == 1, "empty doc → one (empty) chunk")
+  }
+
+  test("redactPii replaces emails, IPs, phones; piiCounts counts them") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b-c_1%x@sub.example.co.uk now call 555-1234 from 192.168.0.1 ok",
+      "no pii here at all").toDF("t")
+    val got = df.select(TextFunctions.redactPii(col("t")).as("r"),
+      TextFunctions.piiCounts(col("t")).as("c")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> now call <PHONE> from <IP> ok")
+    val c = got(0).getStruct(1)
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == ((1, 1, 1)))
+    assert(got(1).getString(0) == "no pii here at all")
+    val c1 = got(1).getStruct(1)
+    assert((c1.getInt(0), c1.getInt(1), c1.getInt(2)) == ((0, 0, 0)))
+  }
+
+  test("urlHost + registrableDomain extract and null out non-URLs") {
+    import spark.implicits._
+    val df = Seq("https://docs.example.com/a/b?q=1", "http://x.y", "not a url")
+      .toDF("u")
+    val got = df.select(TextFunctions.urlHost(col("u")).as("h"))
+      .withColumn("d", TextFunctions.registrableDomain(col("h")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(got(0) == ((Some("docs.example.com"), Some("example.com"))))
+    assert(got(1) == ((Some("x.y"), Some("x.y"))))
+    assert(got(2) == ((None, None)))
+  }
+
+  test("ngramRepetition: known bigram counts, sub-n docs kept with zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab → top ab=3, all dup (5)
+      (2L, "x y z"),          // bigrams: xy,yz → top 1, dup 0
+      (3L, "solo")            // no bigrams
+    ).toDF("id", "text")
+    val got = Repetition.ngramRepetition(df, "id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 3L, 5L)))
+    assert(got(2L) == ((2L, 1L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+}
