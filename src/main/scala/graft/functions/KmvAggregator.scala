@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV (k-minimum-values) distinct-count sketch over 60-bit md5-derived
+  * hashes: keeps the k smallest DISTINCT hash values per group; the
+  * estimator is `(k-1) / (kth_min / 2^60)`, or the exact buffer size
+  * when fewer than k distinct values were seen.
+  *
+  * Why this sketch and not HyperLogLog: `approx_count_distinct`'s HLL++
+  * is implementation-defined (not reproducible across engines or
+  * versions), while KMV over a FIXED hash is fully deterministic — the
+  * same rows give the same k minima and the same estimate in any
+  * engine, so the driver's DuckDB oracle checks it exactly. At equal
+  * memory KMV's error (~1/√k) is competitive for corpus-curation uses
+  * (per-domain cardinalities, join-size planning).
+  *
+  * Scale shape: a true partial aggregate — each map task keeps a
+  * ≤ k-element sorted buffer per group, merges are sort-merge-take(k),
+  * so the shuffle carries ≤ k longs per (group × partition) regardless
+  * of row count. The common-case reduce is O(1): a hash ≥ the current
+  * kth minimum (overwhelmingly likely once the buffer fills) is
+  * rejected by one comparison against the buffer tail.
+  */
+class KmvAggregator(k: Int)
+    extends Aggregator[Long, List[Long], List[Long]] {
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], h: Long): List[Long] =
+    if (buf.size >= k && h >= buf.last) buf
+    else if (buf.contains(h)) buf
+    else ((h :: buf).sorted).take(k)
+
+  override def merge(a: List[Long], b: List[Long]): List[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: List[Long]): List[Long] = buf
+
+  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+  override def outputEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+}

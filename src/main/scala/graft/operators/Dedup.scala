@@ -250,6 +250,31 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
     labels
   }
+  /** End-to-end corpus dedup — the one-call pipeline a curation job
+    * actually runs: MinHash-LSH candidates → estimated-Jaccard gate →
+    * connected components → per-cluster canonical winner (min id).
+    * Returns the input plus `cluster` (canonical id) and `keep`
+    * (1 for the cluster representative, 0 for every near-duplicate).
+    *
+    * Composition of the scale-shaped parts above, so the whole pipeline
+    * inherits their properties: candidate generation is near-linear
+    * (LSH), only candidate pairs are scored, label propagation is
+    * O(log diameter) rounds, and `checkpointer` governs fault-tolerance
+    * of every materialized intermediate. Docs without near-dups never
+    * enter the label join — the left join + coalesce keeps them as
+    * their own (kept) cluster. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rowsPerBand: Int = 8, minEstJaccard: Double = 0.5,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val pairs = minhashDedupPairs(df, idCol, textCol, bands, rowsPerBand, checkpointer)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val labels = connectedComponents(pairs, checkpointer = checkpointer)
+      .withColumnRenamed("id", idCol)
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("keep", (col("cluster") === col(idCol)).cast("int"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs within a blocking column.
     * Quadratic per block by design (the verifier stage — see the
     * object-level scale notes).

@@ -33,4 +33,30 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
       .drop("__cell")
   }
+
+  /** Interval×interval overlap join on the same grid: both sides
+    * explode to their covered cells, the join is an equi-join on
+    * (keys, cell), and the residual filter keeps genuinely overlapping
+    * pairs. A pair sharing several cells would match once per shared
+    * cell; instead of a `distinct` shuffle, each pair is claimed by
+    * exactly ONE cell — the cell containing the overlap's start
+    * (`greatest(lStart, rStart)`) — which both sides can compute
+    * locally, so dedup is a free filter. Work scales with
+    * cells × per-cell density, never |left| × |right|. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucket width must be positive")
+    val cellOf: Column => Column = c => floor(unix_timestamp(c) / bucketWidthSec)
+
+    val lCells = left.withColumn("__cell",
+      explode(sequence(cellOf(col(lStart)), cellOf(col(lEnd)))))
+    val rCells = right.withColumn("__cell",
+      explode(sequence(cellOf(col(rStart)), cellOf(col(rEnd)))))
+
+    lCells.join(rCells, keys :+ "__cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__cell") === cellOf(greatest(col(lStart), col(rStart))))
+      .drop("__cell")
+  }
 }

@@ -420,7 +420,63 @@ object Extensions {
       .orderBy("host")
   }
 
+  /** q71 — deterministic distinct-count sketch (KMV over the shared
+    * 60-bit md5 hash): per event type, the k=64 minima travel as a true
+    * partial aggregate (≤ k longs per group per partition cross the
+    * shuffle), and the estimate is reproducible bit-for-bit in any
+    * engine — unlike HLL, which is implementation-defined. */
+  def q71KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    val kth = element_at(col("mins"), size(col("mins"))).cast("double")
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        TextFunctions.tokenHash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type").agg(kmv(col("h")).as("mins"))
+      .select(col("event_type"), size(col("mins")).as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) / kth, 3))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** q72 — interval×interval overlap join on the bucketed grid
+    * ([[graft.operators.RangeJoin.intervalOverlap]]); the oracle is the
+    * naive overlap join, proving the grid + claim-cell dedup is
+    * transparent. */
+  def q72IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val left = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("lid"), (col("o_custkey") % 40).as("k"),
+        to_date(col("o_orderdate")).as("ls"),
+        date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 14).cast("int")).as("le"))
+    val right = o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey").as("rid"), (col("o_custkey") % 40).as("k"),
+        to_date(col("o_orderdate")).as("rs"),
+        date_add(to_date(col("o_orderdate")), (col("o_custkey") % 10).cast("int")).as("re"))
+    graft.operators.RangeJoin.intervalOverlap(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidthSec = 14L * 86400)
+      .select(col("lid"), col("rid"),
+        (datediff(least(col("le"), col("re")), greatest(col("ls"), col("rs"))) + 1)
+          .as("overlap_days"))
+      .orderBy("lid", "rid")
+  }
+
+  /** q73 — the end-to-end dedup pipeline in one call
+    * ([[Dedup.dedupCorpus]]): LSH candidates → est-Jaccard ≥ 0.5 →
+    * connected components → canonical keep flag. The oracle recomputes
+    * the whole chain (LSH SQL + recursive-CTE reachability). */
+  def q73DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(
+        Tables(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "cluster", "keep")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_kmv_distinct" -> (q71KmvDistinct _),
+    "q72_interval_overlap" -> (q72IntervalOverlap _),
+    "q73_dedup_corpus" -> (q73DedupCorpus _),
     "q67_repetition" -> (q67Repetition _),
     "q68_chunks" -> (q68Chunks _),
     "q69_pii_redact" -> (q69PiiRedact _),
@@ -497,6 +553,57 @@ object Extensions {
       |    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q71_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events),
+        |r AS (SELECT event_type, hv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+        |g AS (SELECT event_type, least(count(1), 64)::BIGINT AS n_kept,
+        |  max(CASE WHEN rn <= 64 THEN hv END)::BIGINT AS kth_min FROM r GROUP BY event_type)
+        |SELECT event_type, n_kept, kth_min,
+        | CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |      ELSE round(63::DOUBLE * 1152921504606846976::DOUBLE / kth_min::DOUBLE, 3)
+        |      END AS est_distinct
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q72_interval_overlap" ->
+      """WITH l AS (SELECT o_orderkey AS lid, o_custkey % 40 AS k,
+        |  o_orderdate::DATE AS ls,
+        |  o_orderdate::DATE + ((o_orderkey % 14)::INT) AS le
+        | FROM orders WHERE o_orderkey % 3 = 0),
+        |r AS (SELECT o_orderkey AS rid, o_custkey % 40 AS k,
+        |  o_orderdate::DATE AS rs,
+        |  o_orderdate::DATE + ((o_custkey % 10)::INT) AS re
+        | FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT lid, rid, (least(le, re) - greatest(ls, rs) + 1) AS overlap_days
+        |FROM l JOIN r ON l.k = r.k AND ls <= re AND rs <= le
+        |ORDER BY lid, rid""".stripMargin,
+    "q73_dedup_corpus" -> {
+      val est = "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
+        s")::DOUBLE / $lshK, 6)"
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2, $est AS est
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH RECURSIVE
+        |$lshSigDefs,
+        |cand AS (
+        |$branches
+        |),
+        |pairs AS (SELECT DISTINCT id1, id2 FROM cand WHERE est >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | CASE WHEN m.mn IS NOT NULL AND m.mn < d.doc_id THEN m.mn ELSE d.doc_id END AS cluster,
+        | CASE WHEN m.mn IS NOT NULL AND m.mn < d.doc_id THEN 0 ELSE 1 END AS keep
+        |FROM documents d
+        |LEFT JOIN lab m ON m.src = d.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
     "q67_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV sketch: exact below k, accurate-ish above k, and invariant to
+  * partitioning (the partial-aggregate merge path). */
+class KmvAggregatorSpec extends SparkSpec {
+
+  private val k = 64
+  private def sketch(df: org.apache.spark.sql.DataFrame) = {
+    val kmv = udaf(new KmvAggregator(k))
+    df.select(TextFunctions.tokenHash(col("v").cast("string")).as("h"))
+      .agg(kmv(col("h")).as("mins"))
+      .select(col("mins")).head().getSeq[Long](0)
+  }
+
+  test("fewer than k distinct values → buffer IS the exact distinct set") {
+    import spark.implicits._
+    // 10 distinct values, each duplicated 5x
+    val df = (1 to 50).map(i => i % 10).toDF("v")
+    val mins = sketch(df)
+    assert(mins.length == 10, "distinct hashes only, duplicates collapse")
+    assert(mins == mins.sorted, "buffer is sorted ascending")
+  }
+
+  test("estimate lands within 3/sqrt(k) of the true cardinality") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).toDF("v")
+    val mins = sketch(df)
+    assert(mins.length == k)
+    val est = (k - 1).toDouble * math.pow(2, 60) / mins.last.toDouble
+    val err = math.abs(est - n) / n
+    assert(err < 3.0 / math.sqrt(k), s"estimate $est for true $n (err $err)")
+  }
+
+  test("sketch is identical across partitionings (merge path correctness)") {
+    import spark.implicits._
+    val base = (1 to 2000).map(i => i * 31).toDF("v")
+    val one = sketch(base.repartition(1))
+    val many = sketch(base.repartition(13))
+    assert(one == many, "k minima must not depend on partitioning")
+  }
+}

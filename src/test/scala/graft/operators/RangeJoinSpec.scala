@@ -23,4 +23,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(theta == bucketed, s"diff: ${theta.diff(bucketed)} / ${bucketed.diff(theta)}")
     assert(theta.nonEmpty)
   }
+
+  test("interval overlap join equals the naive overlap join, each pair exactly once") {
+    val events = Tables(spark, sf0001, "events")
+    // two interval sets per user from different event types; ends offset
+    // so intervals span multiple buckets and overlap partially
+    def intervals(tpe: String, idCol: String, minutes: Int) =
+      events.filter(col("event_type") === tpe)
+        .groupBy("user_id").agg(min("ts").as("s0"), max("event_id").as(idCol))
+        .withColumn("s", col("s0"))
+        .withColumn("e", col("s0") + expr(s"INTERVAL $minutes MINUTES"))
+        .drop("s0")
+    val l = intervals("purchase", "lid", 240)
+      .select(col("user_id"), col("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = intervals("click", "rid", 170)
+      .select(col("user_id"), col("rid"), col("s").as("rs"), col("e").as("re"))
+
+    val naive = l.join(r, Seq("user_id"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // bucket width NOT dividing either interval length
+    val bucketed = RangeJoin.intervalOverlap(l, r, Seq("user_id"),
+        "ls", "le", "rs", "re", bucketWidthSec = 1300)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(naive.nonEmpty)
+    assert(bucketed.sorted == naive.sorted,
+      "every overlapping pair exactly once (claim-cell dedup, no distinct)")
+    assert(bucketed.size == bucketed.toSet.size, "no duplicated pairs")
+  }
 }
