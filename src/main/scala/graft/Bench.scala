@@ -4,24 +4,39 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query MEDIAN over n runs: single-run timings on a shared box
+    // are ±15% noisy, which round 2 mis-read as regressions. Default 3;
+    // set SPARK_GRAFT_BENCH_RUNS=1 for a quick pass.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = Graft.session(cpus)
     // Warm up codegen/JIT + page cache + parquet footers for every
     // table so the first query touching each doesn't absorb I/O setup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.names.foreach(t => graft.Tables(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) =>
+      val runsFor = samples.map(_.find(_._1 == name).get)
+      (name, median(runsFor.map(_._2)), runsFor.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,29 @@ class PlanSpec extends SparkSpec {
       "expected partial + final aggregation pair")
   }
 
+  test("q68 chunking: pure projection — zero exchanges at any corpus size") {
+    val p = SparkEntry.queries("q68_chunks")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the trailing orderBy is the only shuffle; the chunk/explode stage
+    // itself must be exchange-free, so exactly one Exchange (the sort)
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "chunking must not shuffle (only the final presentation sort may)")
+  }
+
+  test("q67 repetition: both group-bys are partially aggregated") {
+    val p = plan("q67_repetition")
+    val n = "HashAggregate".r.findAllIn(p).size
+    assert(n >= 4, s"expected partial+final pairs for both group-bys, saw $n HashAggregates")
+  }
+
+  test("q71 KMV: sketch aggregation is partial (merge path, not a value shuffle)") {
+    val p = plan("q71_kmv_distinct")
+    val hasPartialObjAgg = p.contains("ObjectHashAggregate") || p.contains("SortAggregate")
+    assert(hasPartialObjAgg, "typed aggregator should plan as (Object)Hash/Sort aggregate")
+    val aggCount = "Aggregate".r.findAllIn(p).size
+    assert(aggCount >= 2, s"expected partial + final aggregate pair, saw $aggCount")
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {
