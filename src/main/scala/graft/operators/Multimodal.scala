@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * container format from the payload's magic bytes, and a 64-bit DCT
   * perceptual hash computed from decoded luma — so two encodings of the
   * same picture (say PNG vs BMP) collide, which is what a phash is for.
-  * Non-image payloads (audio/video need codecs this environment lacks)
-  * fall back to deterministic opaque metadata (length arithmetic + md5),
-  * keeping the operator total over arbitrary blobs.
+  * Audio payloads are likewise decoded for REAL via the JDK's built-in
+  * `javax.sound.sampled` (WAV/AIFF/AU: PCM and u-law/a-law) — sample
+  * rate, channels, frames, duration, RMS level ([[decodeAudio]]). Only
+  * video demuxing needs codecs this environment lacks; those payloads
+  * (and any other opaque blob) fall back to deterministic opaque
+  * metadata (length arithmetic + md5), keeping the operators total.
   *
   * Everything Spark-side is shaped for scale: a pure narrow
   * `mapPartitions` with per-partition decoder state — no shuffle, the
@@ -159,6 +162,84 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodePayload(spark, docs.select(col("doc_id"),
       encode(col("text"), "UTF-8").as("payload")), "doc_id", "payload")
+
+  /** Typed audio metadata. `rms` is None when the payload decodes but
+    * isn't 16-bit PCM (and conversion fails) — nullable, not a sentinel. */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, format: String,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Double,
+      rms: Option[Double])
+
+  /** Audio container sniff (same role as [[sniffFormat]]): WAV/AIFF/AU
+    * are the formats the JDK's built-in `javax.sound.sampled` decodes
+    * without external codecs. */
+  private[operators] def sniffAudio(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int, c: Char) = i < bytes.length && bytes(i) == c.toByte
+    if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) Some("wav")
+    else if (at(0, 'F') && at(1, 'O') && at(2, 'R') && at(3, 'M') &&
+      at(8, 'A') && at(9, 'I') && at(10, 'F')) Some("aiff")
+    else if (at(0, '.') && at(1, 's') && at(2, 'n') && at(3, 'd')) Some("au")
+    else None
+  }
+
+  private def audioRms(ais: javax.sound.sampled.AudioInputStream): Option[Double] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val f = ais.getFormat
+    // normalize anything the JDK can convert (u-law, 8-bit, big-endian)
+    // to signed 16-bit little-endian PCM, then RMS over [-1, 1) samples
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      f.getSampleRate, 16, f.getChannels, 2 * f.getChannels, f.getSampleRate, false)
+    val pcm = try AudioSystem.getAudioInputStream(target, ais)
+      catch { case _: IllegalArgumentException => return None }
+    val buf = new Array[Byte](8192)
+    var sumSq = 0.0
+    var n = 0L
+    var read = pcm.read(buf)
+    while (read > 0) {
+      var i = 0
+      while (i + 1 < read) {
+        val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort / 32768.0
+        sumSq += s * s
+        n += 1
+        i += 2
+      }
+      read = pcm.read(buf)
+    }
+    if (n == 0) None else Some(math.sqrt(sumSq / n))
+  }
+
+  /** REAL audio decode for JDK-supported containers (WAV/AIFF/AU —
+    * PCM, u-law, a-law): true sample rate, channel count, frame count,
+    * duration, and the RMS level of the normalized samples (the
+    * silence/clipping screen a speech-corpus pipeline runs first).
+    * Non-audio payloads yield nulls for the acoustic fields rather than
+    * dropping — the operator stays total. Same scale shape as
+    * [[decodePayload]]: narrow mapPartitions, binary never shuffles. */
+  def decodeAudio(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          sniffAudio(bytes).flatMap { fmt =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(bytes))
+              val f = ais.getFormat
+              val frames = ais.getFrameLength
+              val durMs = if (f.getFrameRate > 0) frames * 1000.0 / f.getFrameRate else 0.0
+              Some(AudioMeta(id, bytes.length, fmt, f.getSampleRate.toInt,
+                f.getChannels, frames, durMs, audioRms(ais)))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          }.getOrElse(AudioMeta(id, bytes.length, "opaque", 0, 0, 0L, 0.0, None))
+        }
+      }
+      .toDF()
+  }
 
   /** One sampled frame of a (stub) video payload. */
   case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])

@@ -65,6 +65,39 @@ class MultimodalSpec extends SparkSpec {
     assert(h(1L).matches("[0-9a-f]{16}"), "64-bit hex phash")
   }
 
+  test("decodeAudio reads real WAV metadata and RMS; non-audio falls back") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono 16-bit PCM
+    val rate = 8000
+    val n = rate / 2
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val df = Seq((1L, wav), (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudio(spark, df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    val a = got(0)
+    assert(a.getString(2) == "wav")
+    assert(a.getInt(3) == rate && a.getInt(4) == 1)
+    assert(a.getLong(5) == n)
+    assert(math.abs(a.getDouble(6) - 500.0) < 1.0, s"duration ${a.getDouble(6)} ms")
+    // RMS of a 0.5-amplitude sine ≈ 0.5/√2
+    assert(math.abs(a.getDouble(7) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${a.getDouble(7)}")
+    val b = got(1)
+    assert(b.getString(2) == "opaque" && b.isNullAt(7), "non-audio → opaque, null rms")
+  }
+
   test("non-image payloads take the deterministic opaque fallback") {
     import spark.implicits._
     val bytes = "not an image at all".getBytes("UTF-8")
