@@ -31,6 +31,8 @@ object SparkEntry {
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible;
     * driver records a weaker rows-only check). Kept explicit so the test
-    * suite flags any accidentally-unoracled query. */
-  def rowsOnlyQueries: Set[String] = Set.empty
+    * suite flags any accidentally-unoracled query. q75 is the only one:
+    * its deflate UDF has no DuckDB equivalent — it is golden-tested in
+    * TextAnalysisSpec instead. */
+  def rowsOnlyQueries: Set[String] = Set("q75_compress_ratio")
 }

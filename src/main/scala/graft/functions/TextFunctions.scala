@@ -168,4 +168,31 @@ object TextFunctions {
 
   def registrableDomain(host: Column): Column =
     nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
+
+  /** Deflate compressibility: compressed-bytes / raw-bytes (1.0 for
+    * empty). Highly repetitive boilerplate compresses far below normal
+    * prose (~0.3–0.6), making this the cheap catch-all repetition
+    * signal (RefinedWeb/MassiveText use exactly this). A UDF by
+    * necessity — zlib isn't expressible as Catalyst expressions — and
+    * therefore the engine's only rows-only-checked query surface
+    * (`SparkEntry.rowsOnlyQueries`): DuckDB has no deflate to oracle
+    * against. Deterministic for a fixed JDK (level 6, raw deflate). */
+  val compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
+        else {
+          val d = new java.util.zip.Deflater(6, true)
+          d.setInput(bytes)
+          d.finish()
+          val out = new Array[Byte](bytes.length + bytes.length / 1000 + 64)
+          var n = 0
+          while (!d.finished() && n < out.length) n += d.deflate(out, n, out.length - n)
+          d.end()
+          java.lang.Double.valueOf(n.toDouble / bytes.length)
+        }
+      }
+    }
 }

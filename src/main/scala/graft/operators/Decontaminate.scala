@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Benchmark-decontamination at corpus scale: count each eval document's
+  * distinct word n-grams that also occur anywhere in the train split.
+  *
+  * The exact form is a shingle semi-join (eval shingles × distinct train
+  * shingles). At 100 TB the eval side's exploded shingles are the
+  * dominant shuffle, and almost none of them hit — so [[ngramHits]]
+  * prunes them with a Bloom filter built over the train shingles BEFORE
+  * the shuffle. The Bloom is a pure prefilter: false positives are
+  * removed by the exact semi-join that follows, so the result is
+  * bit-identical to the unfiltered join (the q74 oracle is literally the
+  * exact query) while the shuffled eval volume drops by ~(1 - hit-rate).
+  *
+  * Sizing: the Bloom costs ~1.2 bytes per distinct train shingle at 1%
+  * fpp — ~1.2 GB per 10⁹ shingles. That broadcasts comfortably up to a
+  * few 10⁹; past that, either raise fpp (it only trades prune
+  * efficiency, never correctness), shard the filter, or fall back to
+  * the plain semi-join.
+  */
+object Decontaminate {
+
+  def ngramHits(eval_ : DataFrame, train: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedShingles: Long, fpp: Double = 0.01,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    def shingles(df: DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col) :+
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh"): _*)
+
+    // materialized once: feeds the Bloom build (an action) AND the
+    // exact verification semi-join
+    val trainSh = checkpointer(shingles(train, Nil).distinct())
+    val bloom = trainSh.stat.bloomFilter("sh", expectedShingles, fpp)
+    val bc = eval_.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContain(s))
+
+    val hits = shingles(eval_, Seq(idCol))
+      .filter(mightContain(col("sh"))) // map-side prune BEFORE the shuffle
+      .join(trainSh, Seq("sh"), "left_semi") // exact: removes Bloom FPs
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+
+    eval_.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+}

@@ -473,7 +473,36 @@ object Extensions {
       .select("doc_id", "cluster", "keep")
       .orderBy("doc_id")
 
+  /** q74 — Bloom-prefiltered decontamination
+    * ([[graft.operators.Decontaminate]]): same split and semantics as
+    * q63, but eval shingles are pruned against a train-shingle Bloom
+    * filter BEFORE the shuffle. The oracle is the SAME exact SQL as
+    * q63's — passing proves the Bloom prune is result-transparent. */
+  def q74BloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val b = TextFunctions.stableBucket(col("doc_id"), 100)
+    val withSplit = d.select(col("doc_id"), col("text"),
+      when(b < 80, "train").otherwise("eval").as("split"))
+    graft.operators.Decontaminate.ngramHits(
+        withSplit.filter(col("split") === "eval"),
+        withSplit.filter(col("split") === "train"),
+        "doc_id", "text", n = 8, expectedShingles = 200000L)
+      .orderBy("doc_id")
+  }
+
+  /** q75 — deflate-compressibility quality signal (rows-only check: the
+    * only query with no DuckDB oracle — zlib has no SQL equivalent; see
+    * [[TextFunctions.compressionRatio]]). JVM-deterministic and covered
+    * by a golden unit test instead. */
+  def q75CompressRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(TextFunctions.compressionRatio(col("text")), 6).as("deflate_ratio"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_compress_ratio" -> (q75CompressRatio _),
+    "q74_bloom_decontamination" -> (q74BloomDecontamination _),
     "q71_kmv_distinct" -> (q71KmvDistinct _),
     "q72_interval_overlap" -> (q72IntervalOverlap _),
     "q73_dedup_corpus" -> (q73DedupCorpus _),
@@ -551,6 +580,28 @@ object Extensions {
     """round(list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
       | / (sqrt(list_sum(list_transform(qv, x -> x * x)))
       |    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)""".stripMargin
+
+  /** Shared by q63 (plain semi-join) and q74 (Bloom-prefiltered) —
+    * identical results by design. */
+  private val decontaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |sp AS (SELECT doc_id, toks,
+      |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+      |       THEN 'train' ELSE 'eval' END AS split FROM t),
+      |sh AS (SELECT doc_id, split,
+      |  unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+      |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS s
+      | FROM sp WHERE len(toks) >= 8),
+      |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+      |hits AS (SELECT doc_id, count(1) AS n_hits
+      |         FROM (SELECT doc_id, s FROM sh WHERE split = 'eval') e
+      |         JOIN tr USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+      |FROM sp d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.split = 'eval'
+      |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q71_kmv_distinct" ->
@@ -853,25 +904,8 @@ object Extensions {
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
         |  CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 30 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
-    "q63_decontamination" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        |sp AS (SELECT doc_id, toks,
-        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
-        |       THEN 'train' ELSE 'eval' END AS split FROM t),
-        |sh AS (SELECT doc_id, split,
-        |  unnest(list_distinct(list_transform(range(1, len(toks) - 6),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS s
-        | FROM sp WHERE len(toks) >= 8),
-        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
-        |hits AS (SELECT doc_id, count(1) AS n_hits
-        |         FROM (SELECT doc_id, s FROM sh WHERE split = 'eval') e
-        |         JOIN tr USING (s) GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-        |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
-        |FROM sp d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.split = 'eval'
-        |ORDER BY d.doc_id""".stripMargin,
+    "q63_decontamination" -> decontaminationSql,
+    "q74_bloom_decontamination" -> decontaminationSql,
     "q51_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0),
         |curr AS (SELECT doc_id,

@@ -52,6 +52,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((None, None)))
   }
 
+  test("compressionRatio: repetitive text compresses far below prose; empty → 1.0") {
+    import spark.implicits._
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "plumbers debate quantum chromodynamics near Lisbon harbour every autumn"
+    val df = Seq(("spam " * 200).trim, prose * 3, "").toDF("t")
+    val got = df.select(TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) < 0.1, s"pure repetition should crush: ${got(0)}")
+    assert(got(1) > got(0) * 3, "prose must compress far less than repetition")
+    assert(got(2) == 1.0, "empty text → 1.0")
+    // deterministic across invocations (golden property for the rows-only query)
+    val again = df.select(TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("Decontaminate.ngramHits equals the plain exact semi-join (Bloom is transparent)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "train", base + " extra tail tokens here"),
+      (2L, "train", "totally different content stream one two three four five six"),
+      (3L, "eval", base + " trailing change"),            // shares 8-grams with doc 1
+      (4L, "eval", "nothing in common with anything else at all whatsoever today"),
+      (5L, "eval", "short")                                // < 8 tokens → zero shingles
+    ).toDF("id", "split", "text")
+    val eval_ = docs.filter(col("split") === "eval")
+    val train = docs.filter(col("split") === "train")
+    val got = Decontaminate.ngramHits(eval_, train, "id", "text", 8, 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(3L)._1 > 0 && got(3L)._2 == 1, "overlapping eval doc flagged")
+    assert(got(4L) == ((0L, 0)) && got(5L) == ((0L, 0)))
+    // tiny Bloom (high fpp) must not change results — exact join removes FPs
+    val noisy = Decontaminate.ngramHits(eval_, train, "id", "text", 8, 2L, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(noisy == got, "high-fpp Bloom must still be result-transparent")
+  }
+
   test("ngramRepetition: known bigram counts, sub-n docs kept with zeros") {
     import spark.implicits._
     val df = Seq(
