@@ -500,7 +500,29 @@ object Extensions {
         round(TextFunctions.compressionRatio(col("text")), 6).as("deflate_ratio"))
       .orderBy("doc_id")
 
+  /** q76 — robust (MAD) per-group outliers: |x − median| > 3·MAD, the
+    * heavy-tail-safe alternative to q54's z-score. Exactness discipline:
+    * medians of integers are exact multiples of 0.5 (interpolation at
+    * f=0.5 is (a+b)/2, exact in doubles), so the comparison runs on
+    * 2·|x−med| (integer-valued) vs 3·(2·MAD scale) — every operand an
+    * exactly-representable double, engine-independent boundary. Two
+    * aggregate passes + two broadcast joins of tiny per-group stats. */
+  def q76MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val med = d.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val withDev = d.join(broadcast(med), "source")
+      .withColumn("adev2", abs(col("n_chars") * 2 - col("med") * 2))
+    val mad2 = withDev.groupBy("source")
+      .agg(expr("percentile(adev2, 0.5)").as("mad2"))
+    withDev.join(broadcast(mad2), "source")
+      .filter(col("adev2") * 2 > col("mad2") * 3)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+        (col("mad2") / 2).as("mad"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_mad_outliers" -> (q76MadOutliers _),
     "q75_compress_ratio" -> (q75CompressRatio _),
     "q74_bloom_decontamination" -> (q74BloomDecontamination _),
     "q71_kmv_distinct" -> (q71KmvDistinct _),
@@ -604,6 +626,18 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q76_mad_outliers" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |            FROM documents GROUP BY source),
+        |dev AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+        |          abs(d.n_chars * 2 - m.med * 2) AS adev2
+        |        FROM documents d JOIN med m ON d.source = m.source),
+        |mad AS (SELECT source, quantile_cont(adev2, 0.5) AS mad2
+        |        FROM dev GROUP BY source)
+        |SELECT v.doc_id, v.source, v.n_chars, v.med, (m.mad2 / 2) AS mad
+        |FROM dev v JOIN mad m ON v.source = m.source
+        |WHERE v.adev2 * 2 > m.mad2 * 3
+        |ORDER BY v.doc_id""".stripMargin,
     "q71_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv FROM events),
