@@ -37,6 +37,7 @@ object Decontaminate {
     val bloom = trainSh.stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = eval_.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContain(s))
+      .withName("bloomMightContain")
 
     val hits = shingles(eval_, Seq(idCol))
       .filter(mightContain(col("sh"))) // map-side prune BEFORE the shuffle

@@ -521,7 +521,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q77 — sequence packing: assign documents to fixed-token-budget
+    * shards by per-source running token totals (the pretraining
+    * context-window packing primitive). Window is PARTITIONED by source
+    * — a global-order cumulative sum would serialize on one task; the
+    * per-group form scales with group count. floor() (not a bare cast)
+    * keeps the bucket arithmetic identical across engines: Spark's
+    * double→long cast truncates while DuckDB's rounds. */
+  def q77SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard_no",
+        floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_sequence_packing" -> (q77SequencePacking _),
     "q76_mad_outliers" -> (q76MadOutliers _),
     "q75_compress_ratio" -> (q75CompressRatio _),
     "q74_bloom_decontamination" -> (q74BloomDecontamination _),
@@ -626,6 +647,14 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q77_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM t)
+        |SELECT doc_id, source, n_tokens, cum,
+        | floor((cum - n_tokens) / 2048.0)::BIGINT AS shard_no
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q76_mad_outliers" ->
       """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
         |            FROM documents GROUP BY source),

@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(aggCount >= 2, s"expected partial + final aggregate pair, saw $aggCount")
   }
 
+  test("q74 bloom decontamination: the mightContain prune sits below the shuffle") {
+    val p = SparkEntry.queries("q74_bloom_decontamination")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val filterAt = p.indexOf("bloomMightContain")
+    assert(filterAt >= 0, "bloom prefilter missing from the physical plan")
+    // the tree prints root-first, so an operator's parents appear EARLIER
+    // in the string: the semi-join's shuffle must sit above the filter —
+    // i.e. the prune runs map-side, before rows cross the network
+    assert(p.lastIndexOf("Exchange", filterAt) >= 0,
+      "bloom filter should be evaluated below a shuffle (map-side prune)")
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {
