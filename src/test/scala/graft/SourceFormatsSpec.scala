@@ -8,19 +8,37 @@ import org.apache.spark.sql.functions._
   * with `spark.read`, so lock it in. */
 class SourceFormatsSpec extends SparkSpec {
 
-  test("parquet / json / csv round-trip the documents relation identically") {
+  test("parquet / json / csv / orc round-trip the documents relation identically") {
     val d = Tables(spark, sf0001, "documents")
       .select("doc_id", "lang", "source", "n_chars") // text has newlines — csv needs quoting modes, json/parquet don't
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     d.write.json(s"$dir/j")
     d.write.option("header", "true").csv(s"$dir/c")
+    d.write.orc(s"$dir/o")
 
     val j = spark.read.schema(d.schema).json(s"$dir/j")
     val c = spark.read.option("header", "true").schema(d.schema).csv(s"$dir/c")
+    val o = spark.read.orc(s"$dir/o")
 
     val base = d.orderBy("doc_id").collect().toSeq
     assert(j.orderBy("doc_id").collect().toSeq == base, "json roundtrip differs")
     assert(c.orderBy("doc_id").collect().toSeq == base, "csv roundtrip differs")
+    assert(o.orderBy("doc_id").collect().toSeq == base, "orc roundtrip differs")
+  }
+
+  test("orc scans push filters and prune columns like parquet") {
+    val d = Tables(spark, sf0001, "documents").select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    d.write.orc(s"$dir/o")
+    val q = spark.read.orc(s"$dir/o")
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 500)
+      .select("doc_id")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(n_chars,500)"),
+      "filter not pushed to ORC scan")
+    assert(!p.contains("lang"), "unused column not pruned from ORC scan")
+    assert(q.count() == d.filter(org.apache.spark.sql.functions.col("n_chars") > 500).count())
   }
 
   test("driver smoke contract: entry() returns rows") {
