@@ -52,6 +52,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((None, None)))
   }
 
+  test("chunks property: matches the reference implementation on 200 random docs × 3 geometries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    val docs = (1L to 200L).map(i =>
+      (i, (0 until rnd.nextInt(100)).map(_ => s"t${rnd.nextInt(50)}").mkString(" ")))
+    val df = docs.toDF("id", "text")
+    def ref(text: String, w: Int, s: Int): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val maxStart = math.max(toks.length - w + s - 1, 0)
+      (0 to maxStart by s).map(st => toks.slice(st, st + w).mkString(" "))
+    }
+    for ((w, s) <- Seq((10, 7), (16, 16), (5, 2))) {
+      val got = df.select(col("id"), TextFunctions.chunks(col("text"), w, s).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      docs.foreach { case (id, text) =>
+        assert(got(id) == ref(text, w, s), s"doc $id (w=$w s=$s): '${text.take(60)}'")
+      }
+    }
+  }
+
+  test("ngramRepetition property: matches a naive per-doc count on 100 random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // tiny vocabulary forces plenty of repeated bigrams
+    val docs = (1L to 100L).map(i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(5)}").mkString(" ")))
+    val got = Repetition.ngramRepetition(docs.toDF("id", "text"), "id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val grams = if (toks.length < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      val want =
+        if (counts.isEmpty) (0L, 0L, 0L)
+        else (grams.size.toLong, counts.max.toLong,
+          counts.filter(_ > 1).sum.toLong)
+      assert(got(id) == want, s"doc $id: '$text'")
+    }
+  }
+
   test("compressionRatio: repetitive text compresses far below prose; empty → 1.0") {
     import spark.implicits._
     val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
