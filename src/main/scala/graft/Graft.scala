@@ -24,6 +24,20 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Session-scoped UD(A)F registrations — the pieces that are genuine
+    * user-defined functions rather than Catalyst expressions (those ride
+    * `GraftExtensions`), so SQL users get the full surface:
+    * `kmv_minima(hash)` (k=64 distinct-count sketch; feed
+    * `TextFunctions.tokenHash`-style hashes) and
+    * `compression_ratio(text)` (deflate compressibility). Idempotent —
+    * re-registering overwrites with identical definitions. */
+  def registerUdfs(s: SparkSession): SparkSession = {
+    import org.apache.spark.sql.functions.udaf
+    s.udf.register("kmv_minima", udaf(new graft.functions.KmvAggregator(64)))
+    s.udf.register("compression_ratio", graft.functions.TextFunctions.compressionRatio)
+    s
+  }
+
   /** Local session for the harness mains. */
   def session(cores: String): SparkSession = {
     val s = builder()
@@ -32,6 +46,6 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    registerUdfs(s)
   }
 }

@@ -35,6 +35,18 @@ class KmvAggregatorSpec extends SparkSpec {
     assert(err < 3.0 / math.sqrt(k), s"estimate $est for true $n (err $err)")
   }
 
+  test("kmv_minima + compression_ratio reach SQL via Graft.registerUdfs") {
+    import spark.implicits._
+    graft.Graft.registerUdfs(spark)
+    (1 to 300).toDF("v").createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      """SELECT size(kmv_minima(conv(substring(md5(cast(v AS string)), 1, 15), 16, 10))) AS n,
+        |       compression_ratio(repeat('ab', 500)) AS cr
+        |FROM kmv_in GROUP BY cr""".stripMargin).head()
+    assert(r.getInt(0) == 64, "300 distinct values → full 64-minima sketch")
+    assert(r.getDouble(1) < 0.1, "repetitive text compresses hard")
+  }
+
   test("sketch is identical across partitionings (merge path correctness)") {
     import spark.implicits._
     val base = (1 to 2000).map(i => i * 31).toDF("v")
