@@ -56,5 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       MinHashSig(ch(0), k)
     }, classOf[MinHashSig])
+    register(ext, "token_chunks", 3, { ch =>
+      val Seq(w, s) = ch.tail.map {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"token_chunks width/stride must be integer literals, got $other")
+      }
+      graft.expressions.TokenChunks(ch.head, w, s)
+    }, classOf[graft.expressions.TokenChunks])
   }
 }

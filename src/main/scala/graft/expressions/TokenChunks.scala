@@ -1,0 +1,82 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `token_chunks(array<string> tokens, width, stride) -> array<string>`
+  * — overlapping token windows ("w1 w2 … w_width" starting every
+  * `stride` tokens) in one codegen pass: the chunker of
+  * [[graft.functions.TextFunctions.chunks]] without the interpreted
+  * `transform(sequence(...), i -> array_join(slice(...)))` chain, which
+  * costs a lambda plus a slice copy per chunk per row.
+  *
+  * Semantics identical to that chain (and to the q68 oracle): start
+  * positions `0, stride, …` up to the unique multiple of `stride` in
+  * `[n-width, n-width+stride-1]`; the last chunk may be short; an empty
+  * token array still yields one (empty) chunk.
+  */
+case class TokenChunks(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+  require(width > 0 && stride > 0 && stride <= width,
+    s"need 0 < stride <= width, got width=$width stride=$stride")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "token_chunks"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TokenChunks.kernel(v.asInstanceOf[ArrayData], width, stride)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.TokenChunks.kernel(${childGen.value}, $width, $stride);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
+object TokenChunks {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def kernel(tokens: ArrayData, width: Int, stride: Int): ArrayData = {
+    val len = tokens.numElements()
+    val maxStart = math.max(len - width + stride - 1, 0)
+    val nChunks = maxStart / stride + 1
+    val out = new Array[AnyRef](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + width, len)
+      var s = if (start < len) tokens.getUTF8String(start) else UTF8String.EMPTY_UTF8
+      var j = start + 1
+      while (j < end) {
+        s = UTF8String.concat(s, SPACE, tokens.getUTF8String(j))
+        j += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def apply(tokens: Column, width: Int, stride: Int): Column =
+    ColumnBridge.toColumn(TokenChunks(ColumnBridge.toExpression(tokens), width, stride))
+}

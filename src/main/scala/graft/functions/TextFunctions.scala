@@ -116,22 +116,18 @@ object TextFunctions {
     * windows of `width` tokens starting every `stride` tokens, so
     * consecutive chunks overlap by `width - stride`. The last window may
     * be shorter; every token is covered; a short document yields exactly
-    * one chunk. Pure array expressions (sequence + slice run inside
-    * whole-stage codegen), so chunking is a flatMap-shaped projection —
-    * no shuffle at any corpus size; pair with `posexplode` for
-    * (chunk_no, chunk) rows.
+    * one chunk. One codegen kernel pass
+    * ([[graft.expressions.TokenChunks]] — the equivalent
+    * `transform(sequence, i -> array_join(slice(…)))` chain interprets
+    * a lambda plus a slice copy per chunk per row), so chunking is a
+    * flatMap-shaped projection — no shuffle at any corpus size; pair
+    * with `posexplode` for (chunk_no, chunk) rows.
     *
     * Start positions are `0, stride, …` up to the unique multiple of
     * `stride` in `[n-width, n-width+stride-1]` — integer arithmetic
     * only, so the chunk count is engine-exact for the DuckDB oracle. */
-  def chunks(text: Column, width: Int, stride: Int): Column = {
-    require(width > 0 && stride > 0 && stride <= width,
-      s"need 0 < stride <= width, got width=$width stride=$stride")
-    val toks = tokens(text)
-    val starts = sequence(lit(0),
-      greatest(size(toks) - width + (stride - 1), lit(0)), lit(stride))
-    transform(starts, s0 => array_join(slice(toks, s0 + 1, lit(width)), " "))
-  }
+  def chunks(text: Column, width: Int, stride: Int): Column =
+    graft.expressions.TokenChunks(tokens(text), width, stride)
 
   // PII patterns: RE2-compatible (no backrefs/lookaround) so the same
   // pattern string runs in Java regex (Spark) and DuckDB's RE2 oracle.

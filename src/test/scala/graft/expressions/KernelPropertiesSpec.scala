@@ -53,6 +53,23 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(MinHashSig.kernel(new GenericArrayData(Seq.empty[Any]), 4) == null)
   }
 
+  test("TokenChunks.kernel == slice-and-join reference on 500 random token arrays") {
+    (0 until 500).foreach { _ =>
+      val toks = Array.fill(rnd.nextInt(50))(randomString(5).replaceAll("\\s", "y"))
+      val width = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(width)
+      val got = TokenChunks.kernel(
+        new GenericArrayData(toks.map(UTF8String.fromString).toIndexedSeq),
+        width, stride)
+      val maxStart = math.max(toks.length - width + stride - 1, 0)
+      val want = (0 to maxStart by stride)
+        .map(st => toks.slice(st, st + width).mkString(" "))
+      assert(got.numElements() == want.size, s"n=${toks.length} w=$width s=$stride")
+      want.indices.foreach(i =>
+        assert(got.getUTF8String(i).toString == want(i), s"chunk $i, w=$width s=$stride"))
+    }
+  }
+
   test("WordShingles.kernel == sliding mkString on 500 random token arrays") {
     (0 until 500).foreach { _ =>
       val toks = Array.fill(rnd.nextInt(20))(randomString(6).replaceAll("\\s", "x"))
