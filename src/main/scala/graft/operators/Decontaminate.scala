@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -20,7 +20,10 @@ import graft.functions.TextFunctions
   * fpp — ~1.2 GB per 10⁹ shingles. That broadcasts comfortably up to a
   * few 10⁹; past that, either raise fpp (it only trades prune
   * efficiency, never correctness), shard the filter, or fall back to
-  * the plain semi-join.
+  * the plain semi-join. The filter is built by Spark's native
+  * `bloom_filter_agg` (a distributed partial aggregate) and probed by
+  * `might_contain` — whole-stage codegen end to end, no Scala UDF, no
+  * driver-side filter object.
   */
 object Decontaminate {
 
@@ -31,16 +34,31 @@ object Decontaminate {
       df.select(cols.map(col) :+
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh"): _*)
 
-    // materialized once: feeds the Bloom build (an action) AND the
-    // exact verification semi-join
+    // materialized once: feeds the Bloom build AND the verification join
     val trainSh = checkpointer(shingles(train, Nil).distinct())
-    val bloom = trainSh.stat.bloomFilter("sh", expectedShingles, fpp)
-    val bc = eval_.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContain(s))
-      .withName("bloomMightContain")
+    // Spark's native BloomFilterAggregate / BloomFilterMightContain
+    // (the expressions behind runtime join filtering — internal-only in
+    // the SQL registry, so built via the Column bridge): the filter is
+    // assembled as a distributed partial aggregate into one binary
+    // cell and broadcast — no driver-side filter object, no Scala UDF,
+    // and the probe participates in codegen.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nBits = math.ceil(
+      -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = ColumnBridge.toColumn(
+      new BloomFilterAggregate(ColumnBridge.toExpression(xxhash64(col("sh"))),
+        CatLit(expectedShingles), CatLit(nBits)).toAggregateExpression())
+    // might_contain demands a constant or scalar-subquery Bloom — the
+    // same shape InjectRuntimeFilter uses — so the aggregate rides in as
+    // a subquery whose single binary cell is computed once per job.
+    val probe = ColumnBridge.toColumn(BloomFilterMightContain(
+      ScalarSubquery(trainSh.agg(bloomAgg.as("bf")).queryExecution.analyzed),
+      ColumnBridge.toExpression(xxhash64(col("sh")))))
 
     val hits = shingles(eval_, Seq(idCol))
-      .filter(mightContain(col("sh"))) // map-side prune BEFORE the shuffle
+      .filter(probe) // map-side prune BEFORE the shuffle
       .join(trainSh, Seq("sh"), "left_semi") // exact: removes Bloom FPs
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
 

@@ -62,7 +62,7 @@ class PlanSpec extends SparkSpec {
   test("q74 bloom decontamination: the mightContain prune sits below the shuffle") {
     val p = SparkEntry.queries("q74_bloom_decontamination")(spark, sf001)
       .queryExecution.executedPlan.toString
-    val filterAt = p.indexOf("bloomMightContain")
+    val filterAt = p.indexOf("might_contain")
     assert(filterAt >= 0, "bloom prefilter missing from the physical plan")
     // the tree prints root-first, so an operator's parents appear EARLIER
     // in the string: the semi-join's shuffle must sit above the filter —
