@@ -339,6 +339,24 @@ object Relational {
       .orderBy("op", "custkey")
   }
 
+  /** q78 — UNPIVOT/melt: the four lineitem measures to
+    * (metric, value) rows via `Dataset.unpivot` — a pure 1→4 projection
+    * (no shuffle, no UDF); values pass through bit-identical so the
+    * oracle hash-matches without rounding. */
+  def q78Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 37 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "value")
+      // value in the sort key: (orderkey, linenumber) is not unique in
+      // the synthetic data, so the order must be total for the oracle
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
   /** q59 — cohort retention: users bucketed by first-activity day-group,
     * activity counted per (cohort, offset). Two shuffles (per-user min,
     * then cohort-offset distinct count) — the classic product-analytics
@@ -412,6 +430,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_unpivot" -> (q78Unpivot _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -442,6 +461,14 @@ object Relational {
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
   val oracles: Map[String, String] = Map(
+    "q78_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |                 l_discount, l_tax
+        |          FROM lineitem WHERE l_orderkey % 37 = 0)
+        | ON l_quantity, l_extendedprice, l_discount, l_tax
+        | INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
