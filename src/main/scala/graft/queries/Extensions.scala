@@ -541,7 +541,29 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q79 — lexical diversity: type-token ratio and Gini impurity
+    * (1 − Σc²/n²) of each document's token distribution — the
+    * vocabulary-collapse screen (spam and template text score low).
+    * Gini instead of Shannon entropy ON PURPOSE: it is an exact integer
+    * ratio (engine-independent), while libm `ln` is not bit-stable
+    * across engines. One explode + two partial-agg group-bys. */
+  def q79LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val counts = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(lit(1.0) - col("sum_c2").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("gini"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_lexical_diversity" -> (q79LexicalDiversity _),
     "q77_sequence_packing" -> (q77SequencePacking _),
     "q76_mad_outliers" -> (q76MadOutliers _),
     "q75_compress_ratio" -> (q75CompressRatio _),
@@ -647,6 +669,15 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q79_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(1) AS c FROM t GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(1) AS n_distinct,
+        |        sum(c * c)::BIGINT AS sum_c2 FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | round(n_distinct / n_tokens, 6) AS ttr,
+        | round(1.0 - sum_c2 / (n_tokens * n_tokens), 6) AS gini
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q77_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
