@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** The whole corpus-curation pipeline as one call — what a user of this
+  * library actually runs over a crawl before training: per-document
+  * quality signals → threshold gate → near-duplicate clustering → one
+  * keep/drop decision with an auditable reason per document.
+  *
+  * Every stage is one of the individually-oracled operators
+  * (TextFunctions quality/langId/repetition, Dedup.dedupCorpus); this
+  * object only composes them, so the composition inherits their scale
+  * shapes: the signal pass is a pure projection + two partial-agg
+  * group-bys, dedup is LSH-bounded, and nothing squares the corpus.
+  *
+  * Reasons are ordered cheapest-first and a document reports the FIRST
+  * gate it failed (`reason` is null for kept docs): language → quality
+  * → repetition → duplicate. Deterministic: rerunning on the same
+  * corpus keeps the same docs (dedup winners are min-id canonical).
+  */
+object Curate {
+
+  /** Tunable gates; defaults are the usual web-corpus heuristics. */
+  case class Config(
+      allowedLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3,
+      maxTopBigramFrac: Double = 0.3,
+      dedupBands: Int = 2,
+      dedupRowsPerBand: Int = 8,
+      minEstJaccard: Double = 0.5)
+
+  def run(df: DataFrame, idCol: String, textCol: String,
+      config: Config = Config(),
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val rep = Repetition.ngramRepetition(df, idCol, textCol, 2)
+      .select(col(idCol),
+        when(col("n_ngrams") === 0, 0.0)
+          .otherwise(col("top_count").cast("double") / col("n_ngrams").cast("double"))
+          .as("top_bigram_frac"))
+    val deduped = Dedup.dedupCorpus(df, idCol, textCol,
+      config.dedupBands, config.dedupRowsPerBand, config.minEstJaccard, checkpointer)
+
+    val t = col(textCol)
+    val lang = TextFunctions.langId(t)
+    val quality = TextFunctions.qualityScore(t)
+    val langOk: Column = lang.isInCollection(config.allowedLangs)
+    val qualityOk: Column = quality >= config.minQuality
+    val repOk: Column = col("top_bigram_frac") <= config.maxTopBigramFrac
+    val dedupOk: Column = col("keep") === 1
+
+    deduped.join(rep, Seq(idCol))
+      .withColumn("lang_id", lang)
+      .withColumn("quality", quality)
+      .withColumn("reason",
+        when(!langOk, concat(lit("lang:"), lang))
+          .when(!qualityOk, lit("quality"))
+          .when(!repOk, lit("repetition"))
+          .when(!dedupOk, concat(lit("duplicate_of:"), col("cluster").cast("string"))))
+      .withColumn("keep", col("reason").isNull.cast("int"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The one-call curation pipeline: each gate fires on the doc built to
+  * trip it, reasons are cheapest-first, dedup keeps the min-id copy. */
+class CurateSpec extends SparkSpec {
+
+  test("curate: language, quality, repetition, and duplicate gates each fire with reasons") {
+    import spark.implicits._
+    val good = "the data pipeline reads the files and it was fast for " +
+      "analytics that scale to many machines in practice"
+    val docs = Seq(
+      (1L, good),                                         // keeper
+      (2L, good),                                         // exact dup of 1 → identical
+                                                          // signatures, certain collision
+      (3L, "der die das und ist nicht der die das und ist nicht sehr gut heute"), // German
+      (4L, "the x"),                                      // English but too short → quality
+      (5L, ("the spam " * 30).trim + " it was for that")  // repetitive bigrams
+    ).toDF("id", "text")
+    val out = Curate.run(docs, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("keep"), Option(r.getAs[String]("reason"))))).toMap
+
+    assert(out(1L) == ((1, None)), s"doc 1 should be kept: ${out(1L)}")
+    assert(out(2L)._1 == 0 && out(2L)._2.get == "duplicate_of:1",
+      s"doc 2 should dedup to 1: ${out(2L)}")
+    assert(out(3L)._2.get.startsWith("lang:"), s"doc 3 should fail language: ${out(3L)}")
+    assert(out(4L)._2.get == "quality", s"doc 4 should fail quality: ${out(4L)}")
+    assert(out(5L)._2.get == "repetition", s"doc 5 should fail repetition: ${out(5L)}")
+  }
+
+  test("curate is deterministic and total: every input doc appears exactly once") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"token$i " * ((i % 7).toInt + 1))).toDF("id", "text")
+    val a = Curate.run(docs, "id", "text").select("id", "keep", "reason")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = Curate.run(docs.repartition(7), "id", "text").select("id", "keep", "reason")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.length == 50, "no docs dropped or duplicated")
+    assert(a.toSeq == b.toSeq, "partitioning must not change decisions")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The per-document text signals are stateless Column expressions, so
+  * the SAME projection runs unchanged under Structured Streaming —
+  * signals computed on a document stream must equal the batch run over
+  * identical input (the "curate as documents land" deployment shape). */
+class TextSignalsStreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def signals(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.redactPii(col("text")).as("redacted"),
+      size(TextFunctions.chunks(col("text"), 8, 6)).as("n_chunks"))
+
+  test("streamed signal projection equals the batch run over the same files") {
+    val inDir = Files.createTempDirectory("graft_sig_in")
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(inDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.asJava)
+
+    land("b1.jsonl", Seq(
+      (1L, "the data pipeline reads the files and it was fast for analytics"),
+      (2L, "contact user1@example.com or 555-1234 please for the full data")))
+    land("b2.jsonl", Seq(
+      (3L, "der die das und ist nicht heute"),
+      (4L, "tiny")))
+
+    val stream = signals(
+      spark.readStream.schema(schema).json(inDir.toString))
+    val q = stream.writeStream.format("memory")
+      .queryName("sig_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sig_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = signals(spark.read.schema(schema).json(inDir.toString))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed.keySet == Set(1L, 2L, 3L, 4L))
+    assert(streamed == batch, "streaming and batch signals must be identical")
+    assert(streamed(2L)(3).toString.contains("<EMAIL>"), "PII redacted in-stream")
+  }
+}
