@@ -41,6 +41,22 @@ class SourceFormatsSpec extends SparkSpec {
     assert(q.count() == d.filter(org.apache.spark.sql.functions.col("n_chars") > 500).count())
   }
 
+  test("schema evolution: mergeSchema unifies parquet batches with added columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // month 1: (doc_id, text); month 2 adds a lang column — the normal
+    // way a 100 TB lake drifts
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("lang") == null, "missing column reads as null")
+    assert(rows(1).getAs[String]("lang") == "en")
+  }
+
   test("driver smoke contract: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
