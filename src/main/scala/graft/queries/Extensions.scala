@@ -506,7 +506,11 @@ object Extensions {
     * f=0.5 is (a+b)/2, exact in doubles), so the comparison runs on
     * 2·|x−med| (integer-valued) vs 3·(2·MAD scale) — every operand an
     * exactly-representable double, engine-independent boundary. Two
-    * aggregate passes + two broadcast joins of tiny per-group stats. */
+    * aggregate passes + two broadcast joins of tiny per-group stats;
+    * the pruned 3-column scan runs per pass (median-then-MAD is
+    * inherently two-pass) — at extreme scale, `localCheckpoint` the
+    * projected columns first to trade the re-scan for one
+    * materialization. */
   def q76MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val med = d.groupBy("source").agg(expr("percentile(n_chars, 0.5)").as("med"))
