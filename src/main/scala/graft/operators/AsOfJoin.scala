@@ -81,6 +81,71 @@ object AsOfJoin {
     withVals.select((leftCols ++ (rightTs +: rightVals).map(v => s"$attachPrefix$v")).map(col): _*)
   }
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` (equal timestamps match), optionally capped at
+    * `maxGapSeconds` — the attribution join ("next purchase after this
+    * view, within an hour"). Same scale shape as [[leftAsOf]]: union,
+    * ONE shuffle on the keys, then a forward-looking
+    * `first(ignoreNulls)` window — no range explosion. Matches beyond
+    * the tolerance are nulled AFTER the window, so the window stays a
+    * single streaming pass. */
+  def leftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      maxGapSeconds: Option[Long] = None,
+      attachPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightTs +: rightVals).map(col): _*)
+
+    // 0 = left (sorts first at equal ts, so the frame starting at the
+    // left row still sees an equal-ts right row), 1 = right.
+    val l = left
+      .withColumn("__side", lit(0))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__payload", lit(null).cast(payloadType(right, rightTs, rightVals)))
+    val r = right
+      .select((keys ++ (rightTs +: rightVals)).distinct.map(col): _*)
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__payload", payload)
+      .drop((rightTs +: rightVals).filterNot(keys.contains): _*)
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = l.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*)
+      .unionByName(rAligned.select((leftCols ++ Seq("__side", "__ts", "__payload")).map(col): _*))
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val withMatch = unioned
+      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter($"__side" === 0)
+    val gated = maxGapSeconds match {
+      case Some(tol) =>
+        val gap = unix_timestamp(col(s"__match.$rightTs")) - unix_timestamp(col(leftTs))
+        withMatch.withColumn("__match", when(gap <= tol, col("__match")))
+      case None => withMatch
+    }
+
+    val attached = gated.withColumn(s"$attachPrefix$rightTs", col(s"__match.$rightTs"))
+    val withVals = rightVals.foldLeft(attached) { (df, v) =>
+      df.withColumn(s"$attachPrefix$v", col(s"__match.$v"))
+    }
+    withVals.select((leftCols ++ (rightTs +: rightVals).map(v => s"$attachPrefix$v")).map(col): _*)
+  }
+
   private def payloadType(right: DataFrame, rightTs: String, rightVals: Seq[String]) = {
     import org.apache.spark.sql.types._
     StructType((rightTs +: rightVals).map(c => right.schema(c).copy(nullable = true)))

@@ -566,7 +566,55 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q80 — per-group Pearson correlation with EXACT accumulation:
+    * Spark's `corr()` accumulates doubles whose shuffle-order drift
+    * makes the last bits nondeterministic across runs AND engines; here
+    * every sum (Σx, Σy, Σxy, Σx², Σy²) is an exact decimal(38,0) of
+    * integer inputs, so the single terminal double expression is
+    * bit-identical everywhere. The pattern for ANY moment statistic at
+    * 1000-executor scale: exact integer moments, one final division. */
+  def q80ExactCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val dec = "decimal(38,0)"
+    val x = col("n_chars").cast(dec)
+    val y = TextFunctions.tokenCount(col("text")).cast(dec)
+    d.select(col("source"), x.as("x"), y.as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(dec).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt(((col("n") * col("sx2") - col("sx") * col("sx"))
+            * (col("n") * col("sy2") - col("sy") * col("sy"))).cast("double")), 6)
+          .as("corr_chars_tokens"))
+      .orderBy("source")
+  }
+
+  /** q81 — forward as-of with tolerance
+    * ([[graft.operators.AsOfJoin.leftAsOfForward]]): each view event
+    * attaches the next purchase by the same user within an hour — the
+    * attribution join. Purchases are deduped per (user, ts) first so
+    * tie-breaks can't differ across engines; the wait rides in exact
+    * microseconds. */
+  def q81AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(min("event_id").as("pid"))
+    graft.operators.AsOfJoin.leftAsOfForward(views, purchases, Seq("user_id"),
+        "ts", "pts", Seq("pid"), maxGapSeconds = Some(3600))
+      .select(col("event_id"), col("user_id"),
+        col("asof_pid").as("next_purchase_id"),
+        (unix_micros(col("asof_pts")) - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_asof_forward" -> (q81AsofForward _),
+    "q80_exact_corr" -> (q80ExactCorr _),
     "q79_lexical_diversity" -> (q79LexicalDiversity _),
     "q77_sequence_packing" -> (q77SequencePacking _),
     "q76_mad_outliers" -> (q76MadOutliers _),
@@ -673,6 +721,40 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q81_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS pts, min(event_id) AS pid FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |u AS (
+        | SELECT user_id, ts AS uts, 0 AS side, event_id,
+        |        NULL::BIGINT AS pid, NULL::TIMESTAMP_NS AS pts FROM v
+        | UNION ALL
+        | SELECT user_id, pts, 1, NULL, pid, pts FROM p),
+        |m AS (SELECT *,
+        |  first_value(pts IGNORE NULLS) OVER w AS mts,
+        |  first_value(pid IGNORE NULLS) OVER w AS mpid
+        | FROM u WINDOW w AS (PARTITION BY user_id ORDER BY uts ASC, side ASC
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |g AS (SELECT *,
+        |  ((epoch_ns(mts) // 1000) // 1000000)
+        |   - ((epoch_ns(uts) // 1000) // 1000000) <= 3600 AS ok
+        | FROM m WHERE side = 0)
+        |SELECT event_id, user_id,
+        | CASE WHEN ok THEN mpid END AS next_purchase_id,
+        | CASE WHEN ok THEN (epoch_ns(mts) // 1000) - (epoch_ns(uts) // 1000) END AS wait_us
+        |FROM g ORDER BY event_id""".stripMargin,
+    "q80_exact_corr" ->
+      s"""WITH t AS (SELECT source, n_chars::HUGEINT AS x,
+        |             len($toksSql)::HUGEINT AS y FROM documents),
+        |a AS (SELECT source, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+        |        sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+        |        sum(x * x)::HUGEINT AS sx2, sum(y * y)::HUGEINT AS sy2
+        |      FROM t GROUP BY source)
+        |SELECT source, n::BIGINT AS n_docs,
+        | round((n * sxy - sx * sy)::DOUBLE
+        |   / sqrt(((n * sx2 - sx * sx) * (n * sy2 - sy * sy))::DOUBLE), 6)
+        |   AS corr_chars_tokens
+        |FROM a ORDER BY source""".stripMargin,
     "q79_lexical_diversity" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, count(1) AS c FROM t GROUP BY doc_id, tok),

@@ -34,6 +34,39 @@ class AsOfJoinSpec extends SparkSpec {
       ("e3", Some(ts("2024-01-01 09:00:00")), Some("c"))))
   }
 
+  test("leftAsOfForward attaches the earliest right row at-or-after, capped by tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      ("e1", "u1", ts("2024-01-01 10:00:00")), // next right 10:30 within 1h → b
+      ("e2", "u1", ts("2024-01-01 10:30:00")), // equal ts visible → b
+      ("e3", "u1", ts("2024-01-01 11:00:00")), // next right 23:00, gap > 1h → null
+      ("e4", "u2", ts("2024-01-01 09:00:00"))  // no right rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), "a"), // in the past: never attached
+      ("u1", ts("2024-01-01 10:30:00"), "b"),
+      ("u1", ts("2024-01-01 23:00:00"), "c")
+    ).toDF("user_id", "rts", "v")
+
+    val got = AsOfJoin.leftAsOfForward(left, right, Seq("user_id"), "ts", "rts",
+        Seq("v"), maxGapSeconds = Some(3600))
+      .orderBy("event_id")
+      .select("event_id", "asof_rts", "asof_v")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getTimestamp(1)), Option(r.getString(2))))
+
+    assert(got === Array(
+      ("e1", Some(ts("2024-01-01 10:30:00")), Some("b")),
+      ("e2", Some(ts("2024-01-01 10:30:00")), Some("b")),
+      ("e3", None, None),
+      ("e4", None, None)))
+
+    // without tolerance, e3 attaches the distant row
+    val open = AsOfJoin.leftAsOfForward(left, right, Seq("user_id"), "ts", "rts", Seq("v"))
+      .filter($"event_id" === "e3").select("asof_v").head()
+    assert(open.getString(0) == "c")
+  }
+
   test("left rows with no prior right row keep nulls") {
     import spark.implicits._
     val left = Seq(("e1", "u9", ts("2024-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
