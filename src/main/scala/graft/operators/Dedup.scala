@@ -291,15 +291,22 @@ object Dedup {
     * down from 6 evaluations in the naive expression). The shingle table
     * is checkpointed: both join sides read the materialized rows instead
     * of re-tokenizing. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, minJaccard: Double,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+  /** Per-row sorted-hash shingle table shared by the set-similarity
+    * verifiers (Jaccard, containment). */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, checkpointer: Checkpointer): DataFrame = {
     val shingles =
       if (n == 1) array_distinct(tokens(col(textCol)))
       else array_distinct(wordShingles(col(textCol), n))
-    val t = checkpointer(df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    checkpointer(df.select(col(idCol).as("id"), col(blockCol).as("block"),
         array_sort(transform(shingles, s => xxhash64(s))).as("sh"))
       .withColumn("sz", size(col("sh"))))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, minJaccard: Double,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val t = shingleTable(df, idCol, textCol, blockCol, n, checkpointer)
     val l = t.as("l"); val r = t.as("r")
     val inter = graft.expressions.SortedIntersectSize(col("l.sh"), col("r.sh")).cast("double")
     val szSum = (col("l.sz") + col("r.sz")).cast("double")
@@ -310,5 +317,28 @@ object Dedup {
         round(when(col("sz_sum") - col("inter") === 0, 0.0)
           .otherwise(col("inter") / (col("sz_sum") - col("inter"))), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Containment near-dup pairs — the ASYMMETRIC set measure
+    * |A∩B| / min(|A|,|B|): catches a short document embedded almost
+    * whole inside a longer one (quotations, page-with-boilerplate),
+    * which Jaccard misses because the union is dominated by the longer
+    * side. Same blocking contract and per-pair cost discipline as
+    * [[ngramJaccardPairs]] (sorted-hash merge-count kernel, per-row
+    * precomputed sizes). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, minContainment: Double,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val t = shingleTable(df, idCol, textCol, blockCol, n, checkpointer)
+    val l = t.as("l"); val r = t.as("r")
+    val inter = graft.expressions.SortedIntersectSize(col("l.sh"), col("r.sh")).cast("double")
+    val minSz = least(col("l.sz"), col("r.sz")).cast("double")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        inter.as("inter"), minSz.as("min_sz"))
+      .select(col("id1"), col("id2"),
+        round(when(col("min_sz") === 0, 0.0)
+          .otherwise(col("inter") / col("min_sz")), 6).as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 }

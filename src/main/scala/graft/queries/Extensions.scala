@@ -612,7 +612,28 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  /** q82 — fixed-width histogram of document lengths per language:
+    * integer bucket arithmetic (floor of positives ≡ integer division),
+    * one partially-aggregated group-by. */
+  def q82Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"), floor(col("n_chars") / lit(200)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang", "bin")
+
+  /** q83 — containment near-dup pairs ([[Dedup.containmentPairs]]):
+    * the asymmetric quote/boilerplate detector, blocked like q24. */
+  def q83Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        Tables(spark, dir, "documents")
+          .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+        "doc_id", "text", "block", 1, 0.6)
+      .orderBy("id1", "id2")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_histogram" -> (q82Histogram _),
+    "q83_containment" -> (q83Containment _),
     "q81_asof_forward" -> (q81AsofForward _),
     "q80_exact_corr" -> (q80ExactCorr _),
     "q79_lexical_diversity" -> (q79LexicalDiversity _),
@@ -721,6 +742,20 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q82_histogram" ->
+      """SELECT lang, n_chars // 200 AS bin, count(1) AS n,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q83_containment" ->
+      s"""WITH t AS (SELECT doc_id, lang || '_' || source AS block,
+        |            list_distinct($toksSql) AS sh FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / least(len(a.sh), len(b.sh))::DOUBLE, 6) AS containment
+        |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / least(len(a.sh), len(b.sh))::DOUBLE, 6) >= 0.6
+        |ORDER BY id1, id2""".stripMargin,
     "q81_asof_forward" ->
       """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
         |p AS (SELECT user_id, ts AS pts, min(event_id) AS pid FROM events
