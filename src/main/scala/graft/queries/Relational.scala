@@ -357,6 +357,26 @@ object Relational {
       // the synthetic data, so the order must be total for the oracle
       .orderBy("l_orderkey", "l_linenumber", "metric", "value")
 
+  /** q84 — SCD2 history build: each key's change events become
+    * [valid_from, valid_to) intervals via one lead() window — the
+    * slowly-changing-dimension primitive for incremental warehouses.
+    * One shuffle on the key; dates surface as strings (cross-engine
+    * date cells hash differently in the driver compare). */
+  def q84Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 17 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("next_d", lead(col("d"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("valid_from"),
+        date_format(date_sub(col("next_d"), 1), "yyyy-MM-dd").as("valid_to"),
+        col("next_d").isNull.cast("int").as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   /** q59 — cohort retention: users bucketed by first-activity day-group,
     * activity counted per (cohort, offset). Two shuffles (per-user min,
     * then cohort-offset distinct count) — the classic product-analytics
@@ -430,6 +450,7 @@ object Relational {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_scd2" -> (q84Scd2 _),
     "q78_unpivot" -> (q78Unpivot _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -461,6 +482,16 @@ object Relational {
   /** DuckDB-equivalent SQL per query (driver oracle). Column aliases
     * MUST match the Spark output exactly; row order pinned identically. */
   val oracles: Map[String, String] = Map(
+    "q84_scd2" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, o_orderdate::DATE AS d
+        |           FROM orders WHERE o_custkey % 17 = 0),
+        |n AS (SELECT *, lead(d) OVER (PARTITION BY o_custkey
+        |        ORDER BY d ASC, o_orderkey ASC) AS next_d FROM t)
+        |SELECT o_custkey, o_orderkey,
+        | strftime(d, '%Y-%m-%d') AS valid_from,
+        | strftime(next_d - 1, '%Y-%m-%d') AS valid_to,
+        | CASE WHEN next_d IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM n ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "q78_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
