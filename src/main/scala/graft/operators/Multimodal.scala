@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * same picture (say PNG vs BMP) collide, which is what a phash is for.
   * Audio payloads are likewise decoded for REAL via the JDK's built-in
   * `javax.sound.sampled` (WAV/AIFF/AU: PCM and u-law/a-law) — sample
-  * rate, channels, frames, duration, RMS level ([[decodeAudio]]). Only
-  * video demuxing needs codecs this environment lacks; those payloads
-  * (and any other opaque blob) fall back to deterministic opaque
-  * metadata (length arithmetic + md5), keeping the operators total.
+  * rate, channels, frames, duration, RMS level ([[decodeAudio]]).
+  * Video: MJPEG-in-AVI demuxes for REAL ([[sampleFramesAvi]] — a RIFF
+  * chunk walk; each frame chunk is a standalone JPEG ImageIO decodes).
+  * Inter-frame codecs (H.264 etc.) need libraries this environment
+  * lacks; those payloads (and any other opaque blob) fall back to
+  * deterministic opaque metadata / byte slices, keeping every operator
+  * total.
   *
   * Everything Spark-side is shaped for scale: a pure narrow
   * `mapPartitions` with per-partition decoder state — no shuffle, the
@@ -241,8 +244,70 @@ object Multimodal {
       .toDF()
   }
 
-  /** One sampled frame of a (stub) video payload. */
+  /** One sampled frame of a video payload. */
   case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Offsets+lengths of the video-frame chunks (`..dc`/`..db`) in an
+    * AVI (RIFF) container — a spec-conformant chunk walk: fourcc, u32le
+    * size, data padded to even; RIFF/LIST carry a type then children.
+    * MJPEG AVIs put a whole JPEG per `00dc` chunk, so frame extraction
+    * needs no codec — the JDK decodes the frames via ImageIO. */
+  private[operators] def aviFrameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    def fourcc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val out = Seq.newBuilder[(Int, Int)]
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(pos)
+        val size = u32(pos + 4).toInt
+        val dataStart = pos + 8
+        if (size < 0 || dataStart + size > until) return // malformed: stop
+        if (id == "RIFF" || id == "LIST") walk(dataStart + 4, dataStart + size)
+        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+            && id.take(2).forall(_.isDigit)) {
+          out += ((dataStart, size))
+        }
+        pos = dataStart + size + (size & 1) // even padding
+      }
+    }
+    if (fourcc(0) == "RIFF" && fourcc(8) == "AVI ") walk(0, bytes.length)
+    out.result()
+  }
+
+  /** k evenly-spaced REAL frames from an MJPEG AVI payload (each `00dc`
+    * chunk is a standalone JPEG the JDK can decode); non-AVI payloads
+    * fall back to the even byte-slice stub so the operator stays total.
+    * Returns min(k, available) frames for real videos. Narrow flatMap —
+    * same scale shape as [[sampleFrames]]. */
+  def sampleFramesAvi(spark: SparkSession, media: DataFrame, idCol: String,
+      payloadCol: String, k: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val chunks = aviFrameChunks(bytes)
+        if (chunks.nonEmpty) {
+          val n = math.min(k, chunks.size)
+          (0 until n).iterator.map { i =>
+            val (off, len) = chunks((chunks.size.toLong * i / n).toInt)
+            Frame(id, i, java.util.Arrays.copyOfRange(bytes, off, off + len))
+          }
+        } else {
+          val n = bytes.length
+          (0 until k).iterator.map { i =>
+            val from = (n.toLong * i / k).toInt
+            val until = (n.toLong * (i + 1) / k).toInt
+            Frame(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+        }
+      }
+      .toDF()
+  }
 
   /** Frame-sampling plumbing: 1 binary row → k frame rows (the flatMap
     * shape a video pipeline needs — each output row carries its own

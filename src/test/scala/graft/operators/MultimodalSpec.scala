@@ -127,6 +127,57 @@ class MultimodalSpec extends SparkSpec {
     assert(blob.sameElements("opaque blob".getBytes("UTF-8")))
   }
 
+  test("sampleFramesAvi demuxes REAL JPEG frames from an MJPEG AVI; blobs fall back") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // three visually distinct frames, real JPEG bytes
+    val jpegs = Seq(8, 16, 24).map(w => encodeImg(testImage(w, 10), "jpg"))
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = ByteBuffer.allocate(8 + data.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    def list(tpe: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ children)
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+
+    val df = Seq((1L, avi), (2L, "not a video at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFramesAvi(spark, df, "doc_id", "payload", 3)
+      .orderBy("doc_id", "frame_no").collect()
+    val aviFrames = frames.filter(_.getLong(0) == 1L)
+    assert(aviFrames.length == 3)
+    // the demuxed chunks are the exact JPEGs, decodable with real dims
+    aviFrames.zip(Seq(8, 16, 24)).foreach { case (row, w) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](2)))
+      assert(img != null && img.getWidth == w && img.getHeight == 10)
+    }
+    // non-AVI payload takes the byte-slice fallback (still k rows)
+    assert(frames.count(_.getLong(0) == 2L) == 3)
+  }
+
+  test("sampleFramesAvi samples evenly when k < frame count") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = ByteBuffer.allocate(8 + data.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    // 6 tiny fake frames tagged 0..5 (content-level identity, no decode)
+    val frames6 = (0 until 6).map(i => Array[Byte](i.toByte, 99))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames6.flatMap(f => chunk("00dc", f)).toArray)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val got = Multimodal.sampleFramesAvi(spark,
+        Seq((7L, avi)).toDF("doc_id", "payload"), "doc_id", "payload", 3)
+      .orderBy("frame_no").collect().map(_.getAs[Array[Byte]](2)(0).toInt)
+    assert(got.toSeq == Seq(0, 2, 4), s"evenly spaced frames, got ${got.toSeq}")
+  }
+
   test("sampleFrames expands 1 row to k frames covering the payload") {
     val n = media.count()
     val frames = Multimodal.sampleFrames(spark, media, "doc_id", "payload", 4)
