@@ -17,9 +17,14 @@ object Bench {
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
+        // write-to-noop, not count(): count() lets Catalyst prune every
+        // projected column, so projection-heavy queries (redaction,
+        // narratives, signatures) would time only their scan. The noop
+        // sink materializes every output column and discards it.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }

@@ -29,7 +29,10 @@ object TextFunctions {
     * may round differently); only surfaced outputs get round(…, 6). */
   private def punctRatioRaw(text: Column): Column = {
     val len = length(text)
-    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    // regexp_count, not length(regexp_replace(…, "")): counting matches
+    // of a single-char class equals the stripped-string length without
+    // materializing a new string per row
+    val punct = regexp_count(text, lit("[.,;:!?]"))
     when(len === 0, 0.0).otherwise(punct.cast("double") / len.cast("double"))
   }
 
@@ -78,7 +81,9 @@ object TextFunctions {
   def langId(text: Column): Column = {
     // argmax with deterministic tie-break: >= chains keep earlier langs
     val Seq(en, de, fr, es) = langStopwords.map { case (_, stops) => langScore(text, stops) }
-    when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, lit("zh"))
+    // rlike = existence search; the regexp_replace-then-length form
+    // built a stripped copy of every document just to test non-emptiness
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))
