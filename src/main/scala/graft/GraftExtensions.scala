@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       MinHashSig(ch(0), k)
     }, classOf[MinHashSig])
+    register(ext, "char_counts", 1,
+      ch => graft.expressions.CharCounts(ch.head), classOf[graft.expressions.CharCounts])
+    register(ext, "l1_diff", 2,
+      ch => graft.expressions.L1Diff(ch(0), ch(1)), classOf[graft.expressions.L1Diff])
     register(ext, "token_chunks", 3, { ch =>
       val Seq(w, s) = ch.tail.map {
         case Literal(v: Int, _) => v

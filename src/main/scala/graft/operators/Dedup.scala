@@ -151,9 +151,15 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      col(textCol).as("txt"))
+      col(textCol).as("txt"),
+      graft.expressions.CharCounts(col(textCol)).as("cc"))
     val l = t.as("l"); val r = t.as("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      // q-gram counting bound (transparent — necessary condition only):
+      // one edit changes ≤ 2 unigram counts, and the 32-bin projection
+      // only lowers L1, so L1 > 2k ⟹ dist > k. Rejects the typical far
+      // pair for ~32 int ops instead of the banded DP's ~(2k+1)·len.
+      .filter(graft.expressions.L1Diff(col("l.cc"), col("r.cc")) <= 2 * maxDist)
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         levenshtein(col("l.txt"), col("r.txt"), maxDist).as("dist"))
       // banded levenshtein returns -1 beyond the threshold, so `>= 0` is

@@ -70,6 +70,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("CharCounts/L1Diff: the q-gram bound never rejects a true edit-distance match") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (0 until 1000).foreach { _ =>
+      val a = randomString(20)
+      // b = a with a few random edits, so many pairs ARE within threshold
+      val b = if (rnd.nextBoolean()) randomString(20) else {
+        val sb = new StringBuilder(a)
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), 'z') else sb.append('z')
+        }
+        sb.toString
+      }
+      val l1 = L1Diff.kernel(
+        CharCounts.kernel(UTF8String.fromString(a)),
+        CharCounts.kernel(UTF8String.fromString(b)))
+      val d = lev(a, b)
+      assert(l1 <= 2 * d, s"bound violated: l1=$l1 dist=$d a='$a' b='$b'")
+    }
+  }
+
   test("WordShingles.kernel == sliding mkString on 500 random token arrays") {
     (0 until 500).foreach { _ =>
       val toks = Array.fill(rnd.nextInt(20))(randomString(6).replaceAll("\\s", "x"))
