@@ -49,4 +49,20 @@ class CleanC8Spec extends SparkSpec {
       .collect()(0).getString(0)
     assert(got == "2026-02-03")
   }
+
+  test("round-5 kernels register for SQL: token_chunks, char_counts, l1_diff") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("token_chunks",
+      exprs => graft.expressions.TokenChunks(exprs.head, 3, 2), "built-in")
+    reg.createOrReplaceTempFunction("char_counts",
+      exprs => graft.expressions.CharCounts(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("l1_diff",
+      exprs => graft.expressions.L1Diff(exprs(0), exprs(1)), "built-in")
+    val r = spark.sql(
+      """SELECT size(token_chunks(split('a b c d e', ' '))) AS n,
+        |       l1_diff(char_counts('abc'), char_counts('abd')) AS d""".stripMargin).head()
+    assert(r.getInt(0) == 2, "5 tokens, width 3 stride 2 -> chunks at 0 and 2")
+    assert(r.getInt(1) == 2, "c->d changes two unigram counts")
+  }
 }
