@@ -329,7 +329,10 @@ object DocSink {
               .sortBy(_.getPath.getName).map { part =>
                 counter += 1
                 val target = new Path(base, s"shipment_${group}_$counter.jsonl")
-                fs.rename(part.getPath, target)
+                // rename signals failure by RETURN VALUE, not exception —
+                // ignoring it would silently drop output files
+                require(fs.rename(part.getPath, target),
+                  s"rename failed: ${part.getPath} -> $target")
                 target.toString
               }.toSeq
             fs.delete(dir.getPath, true)
