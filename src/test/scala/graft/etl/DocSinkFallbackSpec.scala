@@ -92,6 +92,36 @@ class DocSinkFallbackSpec extends SparkSpec {
     assert(r.get(0) == 42L)
   }
 
+  test("Case A: absent metadata, metadata-field codes, and deep id fallbacks") {
+    import spark.implicits._
+    // no metadata column at all → metadata becomes {consignee_codes: []}
+    val bare = Seq(("D1", "body")).toDF("id", "content")
+    val bareOut = DocSink.normalizeDocs(bare)
+    val mType = bareOut.schema("metadata").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(mType.fieldNames.toSeq == Seq("consignee_codes"))
+    assert(bareOut.select("metadata.consignee_codes").head().getSeq[String](0).isEmpty)
+
+    // consignee_codes only inside the metadata struct → coerced from there
+    val metaCodes = Seq(("D2", "b", "x , y ,,"))
+      .toDF("id", "content", "cc")
+      .select(col("id"), col("content"),
+        struct(col("cc").as("consignee_codes")).as("metadata"))
+    assert(DocSink.normalizeDocs(metaCodes)
+      .select("metadata.consignee_codes").head().getSeq[String](0) == Seq("x", "y"))
+
+    // id fallback walks carr_eqp_uid → job_no before container_number
+    val deep = Seq(
+      (null, "UID-A", null, "CN-A", "c1"),
+      (null, null, "JOB-B", "CN-B", "c2"),
+      ("", "", "", "CN-C", "c3")
+    ).toDF("id", "carr_eqp_uid", "job_no", "container_number", "content")
+    val ids = DocSink.normalizeDocs(deep)
+      .select("content", "document_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ids == Map("c1" -> "UID-A", "c2" -> "JOB-B", "c3" -> "CN-C"))
+  }
+
   test("strict write drops invalid docs and reports counts") {
     import spark.implicits._
     val enriched = Seq(
