@@ -100,6 +100,44 @@ object Dedup {
         round(sameSig.cast("double") / k, 6).as("est_jaccard"))
   }
 
+  /** Two-sided MinHash-LSH near-dup pairs: a NEW batch against an
+    * EXISTING corpus — the incremental-curation shape (dedup today's
+    * crawl against the lake without re-pairing the lake against
+    * itself). Same narrow-join discipline as [[minhashDedupPairs]];
+    * candidates are (new_id, base_id) across the two inputs only.
+    * At 100 TB the base side's signatures are computed once and kept as
+    * a table — pass the PRECOMPUTED signature frame through `baseDf`
+    * with `textCol` untouched on reruns, or reuse this method and let
+    * the checkpointer materialize per run. Callers guarantee the two
+    * id domains are disjoint (or interpret pairs accordingly). */
+  def minhashDedupPairsAgainst(newDf: DataFrame, baseDf: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int = 2, rowsPerBand: Int = 8,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigOf(df: DataFrame) = checkpointer(
+      withMinhashBands(df, textCol, bands, rowsPerBand)
+        .select(col(idCol).as("id") +:
+          (0 until k).map(i => col(s"mh$i")) :+
+          array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*))
+    val nSig = sigOf(newDf)
+    val bSig = sigOf(baseDf)
+    def cands(sig: DataFrame) = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_no", "band_key")))
+    val pairs = cands(nSig).as("n").join(cands(bSig).as("b"),
+        col("n.band_no") === col("b.band_no") &&
+        col("n.band_key") === col("b.band_key"))
+      .select(col("n.id").as("new_id"), col("b.id").as("base_id"))
+      .distinct()
+    val sameSig = (0 until k).map(i => (col(s"l.mh$i") === col(s"r.mh$i")).cast("int"))
+      .reduce(_ + _)
+    pairs
+      .join(nSig.drop("bands").as("l"), col("new_id") === col("l.id"))
+      .join(bSig.drop("bands").as("r"), col("base_id") === col("r.id"))
+      .select(col("new_id"), col("base_id"),
+        round(sameSig.cast("double") / k, 6).as("est_jaccard"))
+  }
+
   /** 60-bit SimHash: sign-sum of each token-hash bit, term frequency
     * weighted. explode → group-by(id) with partial aggregation. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

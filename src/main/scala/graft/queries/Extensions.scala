@@ -631,7 +631,20 @@ object Extensions {
         "doc_id", "text", "block", 1, 0.6)
       .orderBy("id1", "id2")
 
+  /** q85 — incremental dedup: the doc_id % 7 == 0 slice as "today's
+    * batch" LSH-matched AGAINST the rest as the existing corpus
+    * ([[Dedup.minhashDedupPairsAgainst]]) — candidates never pair the
+    * lake against itself. */
+  def q85IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Dedup.minhashDedupPairsAgainst(
+        d.filter(col("doc_id") % 7 === 0), d.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_incremental_dedup" -> (q85IncrementalDedup _),
     "q82_histogram" -> (q82Histogram _),
     "q83_containment" -> (q83Containment _),
     "q81_asof_forward" -> (q81AsofForward _),
@@ -691,16 +704,20 @@ object Extensions {
   private val lshRows = 8
   private val lshK = lshBands * lshRows
 
-  private val lshSigDefs: String = {
+  /** LSH signature CTEs over `documents` rows matching `where`, named
+    * `<name>0` / `<name>`. */
+  private def lshSigDefsFor(name: String, where: String): String = {
     val hs = s"list_transform(list_distinct($toksSql), tok -> $hashSql)"
     val mhs = (0 until lshK).map(i => s"${minhashExpr(i, hs)} AS mh$i").mkString(",\n  ")
     val bands = (0 until lshBands).map { b =>
       val slice = (0 until lshRows).map(r => s"mh${b * lshRows + r}").mkString(", ")
       s"md5(concat_ws('_', $slice)) AS band$b"
     }.mkString(",\n  ")
-    s"""sig0 AS (SELECT doc_id, $mhs FROM documents),
-       |sig AS (SELECT *, $bands FROM sig0)""".stripMargin
+    s"""${name}0 AS (SELECT doc_id, $mhs FROM documents$where),
+       |$name AS (SELECT *, $bands FROM ${name}0)""".stripMargin
   }
+
+  private val lshSigDefs: String = lshSigDefsFor("sig", "")
 
   private val simhashOracle: String = {
     val bitSums = (0 until 60).map(i =>
@@ -742,6 +759,19 @@ object Extensions {
       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q85_incremental_dedup" -> {
+      val est = "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
+        s")::DOUBLE / $lshK, 6)"
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS new_id, r.doc_id AS base_id, $est AS est_jaccard
+           |FROM nsig l JOIN bsig r ON l.band$b = r.band$b""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH ${lshSigDefsFor("nsig", " WHERE doc_id % 7 = 0")},
+        |${lshSigDefsFor("bsig", " WHERE doc_id % 7 <> 0")}
+        |SELECT DISTINCT new_id, base_id, est_jaccard FROM (
+        |$branches
+        |) ORDER BY new_id, base_id""".stripMargin
+    },
     "q82_histogram" ->
       """SELECT lang, n_chars // 200 AS bin, count(1) AS n,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
