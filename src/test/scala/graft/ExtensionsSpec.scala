@@ -24,6 +24,25 @@ class ExtensionsSpec extends SparkSpec {
       .foreach(p => assert(pairs(p) < 0.3, s"disjoint doc scored high: $p"))
   }
 
+  test("two-sided LSH pairs a new batch against the base, never base×base") {
+    import spark.implicits._
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup INSIDE base: must not pair
+      (12L, "unrelated corpus entry with its own vocabulary")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // exact dup of base 10/11
+      (21L, "nothing in common with any base document")).toDF("doc_id", "text")
+    val got = Dedup.minhashDedupPairsAgainst(fresh, base, "doc_id", "text",
+        bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.get((20L, 10L)).contains(1.0), s"exact dup must score 1.0: $got")
+    assert(got.get((20L, 11L)).contains(1.0))
+    assert(got.keys.forall(_._1 >= 20L), "left side must always be the new batch")
+    assert(!got.keys.exists(p => p._1 >= 10L && p._1 < 20L),
+      "base-side docs must never pair with each other")
+  }
+
   test("simhash: identical texts hash equal; disjoint texts differ") {
     import spark.implicits._
     val docs = Seq(
