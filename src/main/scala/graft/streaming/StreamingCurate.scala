@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Dedup
+
+/** Streaming incremental curation: documents land as JSONL micro-batches;
+  * each batch is (1) near-deduped WITHIN itself ([[Dedup.dedupCorpus]])
+  * and (2) LSH-matched AGAINST the accumulated base corpus
+  * ([[Dedup.minhashDedupPairsAgainst]]); only novel documents append to
+  * the base. The lake is never re-paired against itself — per batch the
+  * work is O(batch·bands) candidate generation plus the append, so a
+  * continuously-running crawl ingest stays proportional to ingest rate,
+  * not corpus size (signatures of the base are recomputed per batch
+  * here; a production deployment persists them alongside the corpus —
+  * same operator, precomputed input).
+  *
+  * `foreachBatch` is the right Structured Streaming tool: the dedup
+  * joins are batch DataFrame ops (LSH self/two-sided joins aren't
+  * expressible as incremental stateful operators), and foreachBatch
+  * gives exactly-once batch semantics against the transactional sink.
+  */
+object StreamingCurate {
+
+  def dedupStream(spark: SparkSession, inDir: String, schema: StructType,
+      baseDir: String, checkpointDir: String, idCol: String, textCol: String,
+      minEstJaccard: Double = 0.9): StreamingQuery =
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatchKept = Dedup.dedupCorpus(batch, idCol, textCol,
+            minEstJaccard = minEstJaccard)
+          .filter(col("keep") === 1)
+          .select(batch.columns.map(col): _*)
+        val fs = FileSystem.get(new Path(baseDir).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (!fs.exists(new Path(baseDir))) inBatchKept
+          else {
+            val base = spark.read.parquet(baseDir)
+            val dupIds = Dedup.minhashDedupPairsAgainst(inBatchKept, base, idCol, textCol)
+              .filter(col("est_jaccard") >= minEstJaccard)
+              .select(col("new_id").as(idCol)).distinct()
+            inBatchKept.join(dupIds, Seq(idCol), "left_anti")
+          }
+        novel.write.mode("append").parquet(baseDir)
+      }
+      .start()
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming incremental dedup: later batches drop near-dups of both
+  * earlier batches AND their own rows; only novel docs reach the base. */
+class StreamingCurateSpec extends SparkSpec {
+
+  test("micro-batches dedup within themselves and against the accumulated base") {
+    val inDir = Files.createTempDirectory("graft_scur_in")
+    val baseDir = Files.createTempDirectory("graft_scur_base").resolve("corpus").toString
+    val ckpt = Files.createTempDirectory("graft_scur_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(inDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.asJava)
+
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "completely different second document with its own words inside"
+    val c = "a third novel document that matches nothing else at all"
+
+    land("b1.jsonl", Seq((1L, a), (2L, a), (3L, b))) // 2 is an in-batch dup of 1
+    val q = StreamingCurate.dedupStream(spark, inDir.toString, schema,
+      baseDir, ckpt, "doc_id", "text")
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(baseDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB1 == Set(1L, 3L), s"in-batch dup must drop: $afterB1")
+
+      land("b2.jsonl", Seq((4L, a), (5L, c))) // 4 duplicates base doc 1; 5 is novel
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalIds = spark.read.parquet(baseDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 3L, 5L), s"cross-batch dup must drop: $finalIds")
+  }
+}
