@@ -41,7 +41,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver's artifact keeps only the tail of stdout, which has
+    // truncated the per-query map every round — persist the complete
+    // median map to a file for round-over-round comparison.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
     // The full line above is the driver contract, but it now exceeds the
     // driver's 2000-char output-tail window (84 queries × full-precision
     // doubles), which truncates its head. This compact trailer carries

@@ -49,10 +49,15 @@ object CharCounts {
   def kernel(s: UTF8String): ArrayData = {
     val counts = new Array[Int](Bins)
     val str = s.toString
+    // Iterate CODE POINTS, not UTF-16 code units: Spark's levenshtein
+    // measures code points, so counting units would let one supplementary
+    // char (2 units) perturb up to 4 bins and break the L1 <= 2k bound
+    // the prefilter in Dedup.editDistancePairs relies on.
     var i = 0
     while (i < str.length) {
-      counts(str.charAt(i) % Bins) += 1
-      i += 1
+      val cp = str.codePointAt(i)
+      counts(cp % Bins) += 1
+      i += Character.charCount(cp)
     }
     new GenericArrayData(counts.map(Integer.valueOf(_): AnyRef))
   }

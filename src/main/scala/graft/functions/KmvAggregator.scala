@@ -18,28 +18,53 @@ import org.apache.spark.sql.expressions.Aggregator
   * (per-domain cardinalities, join-size planning).
   *
   * Scale shape: a true partial aggregate — each map task keeps a
-  * ≤ k-element sorted buffer per group, merges are sort-merge-take(k),
+  * ≤ k-element sorted array per group, merges are sort-merge-take(k),
   * so the shuffle carries ≤ k longs per (group × partition) regardless
-  * of row count. The common-case reduce is O(1): a hash ≥ the current
-  * kth minimum (overwhelmingly likely once the buffer fills) is
-  * rejected by one comparison against the buffer tail.
+  * of row count. The buffer is a sorted `Array[Long]`, so the
+  * common-case reduce really is O(1) — one length read plus one
+  * comparison against the array tail rejects any hash ≥ the current
+  * kth minimum (overwhelmingly likely once the buffer fills); accepts
+  * pay one binary search + one k-element copy.
   */
 class KmvAggregator(k: Int)
-    extends Aggregator[Long, List[Long], List[Long]] {
+    extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k >= 2, s"KMV needs k >= 2, got $k")
 
-  override def zero: List[Long] = Nil
+  override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: List[Long], h: Long): List[Long] =
-    if (buf.size >= k && h >= buf.last) buf
-    else if (buf.contains(h)) buf
-    else ((h :: buf).sorted).take(k)
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val n = buf.length
+    if (n >= k && h >= buf(n - 1)) buf
+    else {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already one of the minima
+      else {
+        val ins = -pos - 1
+        val outLen = math.min(n + 1, k)
+        val out = new Array[Long](outLen)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, outLen - ins - 1)
+        out
+      }
+    }
+  }
 
-  override def merge(a: List[Long], b: List[Long]): List[Long] =
-    (a ++ b).distinct.sorted.take(k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // two-pointer sorted-distinct merge, stop at k — no re-sort
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
 
-  override def finish(buf: List[Long]): List[Long] = buf
+  override def finish(buf: Array[Long]): Array[Long] = buf
 
-  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
-  override def outputEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }

@@ -71,22 +71,34 @@ class KernelPropertiesSpec extends AnyFunSuite {
   }
 
   test("CharCounts/L1Diff: the q-gram bound never rejects a true edit-distance match") {
-    def lev(a: String, b: String): Int = {
+    // CODE-POINT levenshtein — Spark's levenshtein measures code points,
+    // so the reference here must too (a char-based lev would hide a
+    // kernel that bins UTF-16 units and over-counts supplementary chars).
+    def lev(as: String, bs: String): Int = {
+      val a = as.codePoints().toArray; val b = bs.codePoints().toArray
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
       for (i <- 1 to a.length; j <- 1 to b.length)
         d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
+    // alphabet includes supplementary (2-UTF-16-unit) code points: one
+    // emoji substitution is ONE code-point edit and must perturb at most
+    // two bins
+    val cps = " abcXYZ019.,éλ字😀🚀𐍈".codePoints().toArray
+    def randomCpString(maxLen: Int): String =
+      new String((0 until rnd.nextInt(maxLen)).toArray
+        .flatMap(_ => Character.toChars(cps(rnd.nextInt(cps.length)))))
     (0 until 1000).foreach { _ =>
-      val a = randomString(20)
-      // b = a with a few random edits, so many pairs ARE within threshold
-      val b = if (rnd.nextBoolean()) randomString(20) else {
-        val sb = new StringBuilder(a)
+      val a = randomCpString(20)
+      // b = a with a few random code-point edits, so many pairs ARE
+      // within threshold
+      val b = if (rnd.nextBoolean()) randomCpString(20) else {
+        val arr = a.codePoints().toArray
         (0 until rnd.nextInt(4)).foreach { _ =>
-          if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), 'z') else sb.append('z')
+          if (arr.nonEmpty) arr(rnd.nextInt(arr.length)) = cps(rnd.nextInt(cps.length))
         }
-        sb.toString
+        new String(arr.flatMap(Character.toChars))
       }
       val l1 = L1Diff.kernel(
         CharCounts.kernel(UTF8String.fromString(a)),
