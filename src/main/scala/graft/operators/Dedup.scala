@@ -23,6 +23,8 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   /** Exact dedup: one row per distinct normalized text, keeping the
     * smallest id; n_copies for observability. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -62,6 +64,51 @@ object Dedup {
     withSig.withColumns(bandCols.toMap).drop("__mhsig")
   }
 
+  /** Canonical MinHash signature-table shape — `id`, `mh0..mh{k-1}`,
+    * `bands` (array of per-band keys) — computed once per corpus.
+    * [[minhashDedupPairs]] / [[minhashDedupPairsAgainst]] RECOGNIZE this
+    * shape and skip re-signaturing, so a 100 TB deployment persists this
+    * table (parquet) alongside the corpus and every incremental dedup
+    * run is O(new batch), never O(corpus): the base side contributes a
+    * compact hash-table read, not a re-tokenization of the text. */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val k = bands * rowsPerBand
+    withMinhashBands(df, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +:
+        (0 until k).map(i => col(s"mh$i")) :+
+        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*)
+  }
+
+  /** True when `df` already carries the [[minhashSignatureTable]] shape
+    * for this k (extra columns — e.g. a batch-partition key — are
+    * allowed and ignored). */
+  private def isSignatureTable(df: DataFrame, k: Int): Boolean = {
+    val cols = df.columns.toSet
+    cols("id") && cols("bands") && (0 until k).forall(i => cols(s"mh$i"))
+  }
+
+  /** Band-bucket size cap: drop every (band_no, band_key) bucket holding
+    * more than `cap` docs before the pair join. A degenerate band key —
+    * thousands of boilerplate near-identical docs sharing a signature
+    * slice, the NORMAL case in web crawls — otherwise produces O(n²)
+    * candidate pairs inside one bucket and a job-killing shuffle at
+    * corpus scale. Dropping is sound for the dedup pipeline because
+    * byte-identical texts are collapsed by the exact pre-pass in
+    * [[dedupCorpus]] first, and near-identical docs in a dropped bucket
+    * still pair through their other `bands - 1` band keys. Dropped
+    * buckets are logged (one small aggregate job over the already-
+    * materialized signature table — only when the cap is enabled). */
+  private def capBuckets(cand: DataFrame, cap: Int, what: String): DataFrame = {
+    val sizes = cand.groupBy("band_no", "band_key").count()
+    val dropped = sizes.filter(col("count") > cap).count()
+    if (dropped > 0)
+      log.warn(s"LSH $what: dropping $dropped band buckets larger than $cap docs " +
+        s"(pair recall inside them falls to the remaining bands / exact pre-pass)")
+    cand.join(sizes.filter(col("count") <= cap).drop("count"),
+      Seq("band_no", "band_key"), "left_semi")
+  }
+
   /** MinHash-LSH near-dup candidate pairs (id1 < id2), deduped across
     * bands, with the estimated Jaccard = matching-minhash fraction.
     *
@@ -74,17 +121,24 @@ object Dedup {
     * signature-wide rows; (3) pairs are `distinct`-ed BEFORE signatures
     * are attached, so each surviving pair computes its estimate once.
     * The estimate joins are plain equi-joins on id — AQE picks broadcast
-    * when the signature table is small and SMJ at corpus scale. */
+    * when the signature table is small and SMJ at corpus scale.
+    *
+    * `df` may be a persisted [[minhashSignatureTable]] (then `textCol`
+    * is untouched and the frame is used as-is — it is already
+    * materialized storage, so it is not re-checkpointed).
+    * `maxBucketSize` enables the band-bucket cap ([[capBuckets]]);
+    * oracle-checked callers leave it off so results stay exact. */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rowsPerBand: Int = 8,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      checkpointer: Checkpointer = Checkpointer.Local,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = checkpointer(withMinhashBands(df, textCol, bands, rowsPerBand)
-      .select(col(idCol).as("id") +:
-        (0 until k).map(i => col(s"mh$i")) :+
-        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*))
-    val cand = sig.select(col("id"),
+    val sig =
+      if (isSignatureTable(df, k)) df
+      else checkpointer(minhashSignatureTable(df, idCol, textCol, bands, rowsPerBand))
+    val candAll = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
+    val cand = maxBucketSize.fold(candAll)(capBuckets(candAll, _, "self-pairs"))
     val pairs = cand.as("l").join(cand.as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
@@ -105,26 +159,32 @@ object Dedup {
     * crawl against the lake without re-pairing the lake against
     * itself). Same narrow-join discipline as [[minhashDedupPairs]];
     * candidates are (new_id, base_id) across the two inputs only.
-    * At 100 TB the base side's signatures are computed once and kept as
-    * a table — pass the PRECOMPUTED signature frame through `baseDf`
-    * with `textCol` untouched on reruns, or reuse this method and let
-    * the checkpointer materialize per run. Callers guarantee the two
-    * id domains are disjoint (or interpret pairs accordingly). */
+    *
+    * Either side may be a persisted [[minhashSignatureTable]] — the
+    * shape is detected and the frame used as-is (`textCol` untouched,
+    * no re-signaturing, no re-checkpoint of what is already a
+    * materialized table). At 100 TB that makes continuous ingest
+    * O(batch) per batch: the base contributes a compact signature read,
+    * never a re-tokenization of the lake ([[graft.streaming.StreamingCurate]]
+    * maintains the table). `maxBucketSize` caps BASE-side band buckets —
+    * the side that is corpus-sized and can hold degenerate boilerplate
+    * keys. Callers guarantee the two id domains are disjoint (or
+    * interpret pairs accordingly). */
   def minhashDedupPairsAgainst(newDf: DataFrame, baseDf: DataFrame,
       idCol: String, textCol: String,
       bands: Int = 2, rowsPerBand: Int = 8,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      checkpointer: Checkpointer = Checkpointer.Local,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
-    def sigOf(df: DataFrame) = checkpointer(
-      withMinhashBands(df, textCol, bands, rowsPerBand)
-        .select(col(idCol).as("id") +:
-          (0 until k).map(i => col(s"mh$i")) :+
-          array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*))
+    def sigOf(df: DataFrame) =
+      if (isSignatureTable(df, k)) df
+      else checkpointer(minhashSignatureTable(df, idCol, textCol, bands, rowsPerBand))
     val nSig = sigOf(newDf)
     val bSig = sigOf(baseDf)
     def cands(sig: DataFrame) = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
-    val pairs = cands(nSig).as("n").join(cands(bSig).as("b"),
+    val bCand = maxBucketSize.fold(cands(bSig))(capBuckets(cands(bSig), _, "base-pairs"))
+    val pairs = cands(nSig).as("n").join(bCand.as("b"),
         col("n.band_no") === col("b.band_no") &&
         col("n.band_key") === col("b.band_key"))
       .select(col("n.id").as("new_id"), col("b.id").as("base_id"))
@@ -306,15 +366,53 @@ object Dedup {
     * O(log diameter) rounds, and `checkpointer` governs fault-tolerance
     * of every materialized intermediate. Docs without near-dups never
     * enter the label join — the left join + coalesce keeps them as
-    * their own (kept) cluster. */
+    * their own (kept) cluster.
+    *
+    * EXACT PRE-PASS: byte-identical texts (post trim/lower/whitespace
+    * normalization — the [[graft.functions.TextFunctions.fingerprint]]
+    * equivalence) are collapsed to their min-id representative BEFORE
+    * LSH, so a boilerplate cluster of a million identical pages
+    * contributes ONE row to the pair join instead of 10¹² pairs. This is
+    * result-identical, not an approximation: equal fingerprints imply
+    * equal token sets (both derive from the same lower/trim/collapse
+    * normalization), hence equal signatures, hence identical LSH
+    * neighborhoods and est_jaccard = 1.0 edges among the collapsed rows —
+    * the connected components and min-id cluster labels come out
+    * bit-for-bit the same, which is why the oracle still hash-matches.
+    * Null texts have null fingerprints and stay their own (kept)
+    * singleton reps, matching their no-pair behavior in the LSH graph.
+    *
+    * `maxBucketSize` additionally caps NEAR-identical band buckets
+    * (see [[capBuckets]]) — that one is a recall trade-off, so it stays
+    * off by default and off in oracle-checked queries. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rowsPerBand: Int = 8, minEstJaccard: Double = 0.5,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
-    val pairs = minhashDedupPairs(df, idCol, textCol, bands, rowsPerBand, checkpointer)
+      checkpointer: Checkpointer = Checkpointer.Local,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(minEstJaccard <= 1.0,
+      s"minEstJaccard > 1.0 would break the exact-pre-pass equivalence (got $minEstJaccard)")
+    // doc → exact-duplicate representative (min id per fingerprint);
+    // the (id, md5) projection is tiny — checkpointed once, read thrice
+    val docRep = checkpointer(df.select(col(idCol).as("__did"),
+      fingerprint(col(textCol)).as("__fp")))
+    val reps = docRep.filter(col("__fp").isNotNull)
+      .groupBy("__fp").agg(min("__did").as("__rep"))
+    val docToRep = docRep.join(reps, Seq("__fp"), "left")
+      .select(col("__did"), coalesce(col("__rep"), col("__did")).as("__rep"))
+    val repDf = df.join(
+      docToRep.filter(col("__did") === col("__rep")).select(col("__did").as(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = minhashDedupPairs(repDf, idCol, textCol, bands, rowsPerBand,
+        checkpointer, maxBucketSize)
       .filter(col("est_jaccard") >= minEstJaccard)
+    // components over representatives; every doc inherits its rep's
+    // cluster (rep = min id of its exact group, so the component min
+    // over reps IS the component min over all docs)
     val labels = connectedComponents(pairs, checkpointer = checkpointer)
-      .withColumnRenamed("id", idCol)
-    df.join(labels, Seq(idCol), "left")
+    val docCluster = docToRep
+      .join(labels.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .select(col("__did").as(idCol), coalesce(col("cluster"), col("__rep")).as("cluster"))
+    df.join(docCluster, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("keep", (col("cluster") === col(idCol)).cast("int"))
   }

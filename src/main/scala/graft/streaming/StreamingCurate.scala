@@ -10,45 +10,76 @@ import graft.operators.Dedup
 
 /** Streaming incremental curation: documents land as JSONL micro-batches;
   * each batch is (1) near-deduped WITHIN itself ([[Dedup.dedupCorpus]])
-  * and (2) LSH-matched AGAINST the accumulated base corpus
-  * ([[Dedup.minhashDedupPairsAgainst]]); only novel documents append to
-  * the base. The lake is never re-paired against itself — per batch the
-  * work is O(batch·bands) candidate generation plus the append, so a
-  * continuously-running crawl ingest stays proportional to ingest rate,
-  * not corpus size (signatures of the base are recomputed per batch
-  * here; a production deployment persists them alongside the corpus —
-  * same operator, precomputed input).
+  * and (2) LSH-matched AGAINST the accumulated base corpus; only novel
+  * documents append to the base. The lake is never re-paired against
+  * itself, and — via the PERSISTED SIGNATURE TABLE — never re-read at
+  * all: batch signatures are computed once per batch
+  * ([[Dedup.minhashSignatureTable]]), matched against the signature
+  * table kept alongside the corpus (the base text column is never
+  * touched after the batch that wrote it), and the novel rows' signatures
+  * are appended for future batches. Per batch the work is O(batch)
+  * signature compute plus a compact signature-table join — proportional
+  * to ingest rate, not corpus size.
   *
   * `foreachBatch` is the right Structured Streaming tool: the dedup
   * joins are batch DataFrame ops (LSH self/two-sided joins aren't
-  * expressible as incremental stateful operators), and foreachBatch
-  * gives exactly-once batch semantics against the transactional sink.
+  * expressible as incremental stateful operators). Sink semantics are
+  * at-least-once made idempotent at batch granularity: corpus and
+  * signature rows land in `batch=<id>` partition directories written
+  * with overwrite, so a replayed batch rewrites its own directories
+  * instead of double-appending. The non-atomic window (a crash mid-way
+  * through one directory's overwrite) leaves partial files that the
+  * replay overwrites again — for byte-level transactionality put the
+  * base on a transactional table format; the operator shape is
+  * unchanged.
+  *
+  * A replayed batch recomputes `novel` against the signature table as
+  * of the LAST COMPLETE batch (its own `batch=<id>` signature partition
+  * is excluded from the read), so replay decisions match the original
+  * run's.
   */
 object StreamingCurate {
 
   def dedupStream(spark: SparkSession, inDir: String, schema: StructType,
       baseDir: String, checkpointDir: String, idCol: String, textCol: String,
-      minEstJaccard: Double = 0.9): StreamingQuery =
+      minEstJaccard: Double = 0.9, sigDir: String = null): StreamingQuery = {
+    val sigPath = Option(sigDir).getOrElse(baseDir.stripSuffix("/") + "_sigs")
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val inBatchKept = Dedup.dedupCorpus(batch, idCol, textCol,
             minEstJaccard = minEstJaccard)
           .filter(col("keep") === 1)
           .select(batch.columns.map(col): _*)
-        val fs = FileSystem.get(new Path(baseDir).toUri,
+        // batch signatures: computed ONCE, reused for the base match and
+        // persisted for future batches
+        val newSig = Dedup.minhashSignatureTable(inBatchKept, idCol, textCol)
+          .localCheckpoint()
+        val fs = FileSystem.get(new Path(sigPath).toUri,
           spark.sparkContext.hadoopConfiguration)
-        val novel =
-          if (!fs.exists(new Path(baseDir))) inBatchKept
+        val baseSigDirs = if (!fs.exists(new Path(sigPath))) Array.empty[Path]
+          else fs.listStatus(new Path(sigPath))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath)
+            .filter(_.getName != s"batch=$batchId") // replay: exclude own partial writes
+        val dupIds =
+          if (baseSigDirs.isEmpty) null
           else {
-            val base = spark.read.parquet(baseDir)
-            val dupIds = Dedup.minhashDedupPairsAgainst(inBatchKept, base, idCol, textCol)
+            val baseSig = spark.read.parquet(baseSigDirs.map(_.toString).toIndexedSeq: _*)
+            Dedup.minhashDedupPairsAgainst(newSig, baseSig, idCol, textCol)
               .filter(col("est_jaccard") >= minEstJaccard)
               .select(col("new_id").as(idCol)).distinct()
-            inBatchKept.join(dupIds, Seq(idCol), "left_anti")
           }
-        novel.write.mode("append").parquet(baseDir)
+        val novel =
+          if (dupIds == null) inBatchKept
+          else inBatchKept.join(dupIds, Seq(idCol), "left_anti")
+        novel.write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+        val novelSig =
+          if (dupIds == null) newSig
+          else newSig.join(dupIds.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+        novelSig.write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
       }
       .start()
+  }
 }

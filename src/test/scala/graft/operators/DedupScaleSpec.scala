@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The 100×-scale guards on the LSH dedup family: exact pre-pass
+  * (boilerplate clusters collapse before the pair join), band-bucket
+  * cap (degenerate keys cannot go quadratic), and the persisted
+  * signature-table path (incremental dedup never re-reads base text). */
+class DedupScaleSpec extends SparkSpec {
+
+  private val boiler = "standard boilerplate footer text repeated across the whole crawl"
+
+  test("band-bucket cap: degenerate buckets are dropped, small ones survive") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, boiler)) ++ Seq(
+      (201L, "a genuinely unique document about spark physical planning"),
+      (202L, "a genuinely unique document about spark physical plans"))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDedupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4)
+    assert(uncapped.count() >= 100L * 99 / 2,
+      "without a cap the boilerplate bucket really is quadratic")
+    val capped = Dedup.minhashDedupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
+      maxBucketSize = Some(10))
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 <= 100 && p._2 <= 100),
+      s"boilerplate bucket (size 100 > cap 10) must be dropped, got ${pairs.size} pairs")
+    assert(pairs.contains((201L, 202L)),
+      s"near-dup pair in a small bucket must survive the cap: $pairs")
+  }
+
+  test("dedupCorpus: exact pre-pass bounds candidate pairs — identical docs dedup even when LSH buckets are capped to 1") {
+    import spark.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, boiler)) ++ Seq(
+      (101L, "one unique doc standing alone"),
+      (102L, null.asInstanceOf[String]),
+      (103L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    // maxBucketSize=1 disables ALL LSH pairing — whatever still dedups is
+    // the exact pre-pass, proving identical texts never reach the pair join
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", maxBucketSize = Some(1))
+      .select("doc_id", "cluster", "keep")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    (1 to 50).foreach { i =>
+      assert(out(i.toLong) == (1L, if (i == 1) 1 else 0),
+        s"identical doc $i must collapse to rep 1: ${out(i.toLong)}")
+    }
+    assert(out(101L) == (101L, 1))
+    assert(out(102L) == (102L, 1) && out(103L) == (103L, 1),
+      "null-text docs are their own kept singletons, never merged")
+  }
+
+  test("dedupCorpus with the pre-pass is result-identical to plain LSH+CC labels") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, "  " + boiler.toUpperCase + "  "), // fingerprint-equal to 1,2
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy cat"), // near-dup of 4
+      (6L, "totally unrelated content with separate vocabulary")).toDF("doc_id", "text")
+    val got = Dedup.dedupCorpus(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
+        minEstJaccard = 0.4)
+      .select("doc_id", "cluster", "keep")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    // reference: run the un-collapsed pair graph + CC by hand
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.4)
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val cluster = labels.getOrElse(id, id)
+      assert(got(id) == (cluster, if (cluster == id) 1 else 0),
+        s"doc $id: pre-pass result ${got(id)} != reference ($cluster)")
+    }
+  }
+
+  test("a persisted signature table (no text column at all) drives incremental dedup") {
+    import spark.implicits._
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "unrelated corpus entry with its own vocabulary")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "nothing in common with any base document")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigtab").toString
+    Dedup.minhashSignatureTable(base, "doc_id", "text", bands = 4, rowsPerBand = 4)
+      .write.parquet(s"$dir/sigs")
+    // the reloaded table carries NO text column — if pairing tried to
+    // re-signature the base, analysis would fail on the missing column
+    val baseSig = spark.read.parquet(s"$dir/sigs")
+    assert(!baseSig.columns.contains("text"))
+    val viaSig = Dedup.minhashDedupPairsAgainst(fresh, baseSig, "doc_id", "text",
+        bands = 4, rowsPerBand = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaText = Dedup.minhashDedupPairsAgainst(fresh, base, "doc_id", "text",
+        bands = 4, rowsPerBand = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(viaSig == viaText, s"signature path must match text path: $viaSig vs $viaText")
+    assert(viaSig.get((20L, 10L)).contains(1.0))
+  }
+}

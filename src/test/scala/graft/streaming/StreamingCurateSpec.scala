@@ -40,5 +40,18 @@ class StreamingCurateSpec extends SparkSpec {
     val finalIds = spark.read.parquet(baseDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds == Set(1L, 3L, 5L), s"cross-batch dup must drop: $finalIds")
+
+    // the persisted signature table tracks the corpus row-for-row, so
+    // batch N+1 matches against SIGNATURES — base text is never re-read
+    val sigDir = baseDir.stripSuffix("/") + "_sigs"
+    val sigs = spark.read.parquet(sigDir)
+    assert(sigs.columns.contains("bands") && sigs.columns.contains("mh0"))
+    assert(!sigs.columns.contains("text"), "signature table must not carry text")
+    val sigIds = sigs.select("id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == finalIds, s"signature table must mirror the corpus: $sigIds")
+    // batch-keyed partition dirs make replayed appends idempotent
+    val batchDirs = new java.io.File(sigDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs.size >= 2, s"one sig partition per micro-batch: $batchDirs")
   }
 }
