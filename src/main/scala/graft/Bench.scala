@@ -13,7 +13,11 @@ object Bench {
     // table so the first query touching each doesn't absorb I/O setup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.names.foreach(t => graft.Tables(spark, sfDir, t).count())
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q73_dedup_corpus,q25_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -298,6 +298,35 @@ object Dedup {
     * `checkpointer` picks where the edge graph and per-round labels
     * live: [[Checkpointer.Local]] (default, fastest, executor-loss-
     * fatal) or [[Checkpointer.Reliable]] for long cluster runs. */
+  /** Materialize a labels frame AND read its convergence checksum from
+    * the SAME job: the xor-of-hashes aggregate rides the eager
+    * checkpoint as an `observe` (CollectMetrics) metric, so a CC round
+    * costs exactly one job instead of materialize-then-aggregate. The
+    * listener delivering observed metrics is asynchronous — poll
+    * briefly; if it never arrives (conservative fallback, e.g. a future
+    * Spark changing checkpoint internals), aggregate over the now-
+    * materialized frame, which is what the pre-fold code always did. */
+  /** Await an Observation's metrics row briefly; None on timeout. */
+  private def observed(obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] =
+    try Some(scala.concurrent.Await.result(obs.future,
+      scala.concurrent.duration.Duration(2, "s")))
+    catch { case _: java.util.concurrent.TimeoutException => None }
+
+  private def materializeWithChecksum(df: DataFrame,
+      checkpointer: Checkpointer): (DataFrame, Any) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = checkpointer(df.observe(obs,
+      expr("bit_xor(xxhash64(id, cluster))").as("chk"), count(lit(1)).as("n")))
+    val chk = observed(obs) match {
+      case Some(row) => (row.get(0), row.get(1))
+      case None =>
+        log.warn("connectedComponents: observed metrics not delivered; aggregating cached labels")
+        val r = out.agg(expr("bit_xor(xxhash64(id, cluster))"), count(lit(1))).first()
+        (r.get(0), r.get(1))
+    }
+    (out, chk)
+  }
+
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 30,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
@@ -305,28 +334,31 @@ object Dedup {
     // expensive similarity join, and every iteration re-reads it. No
     // distinct: the two directed unions cannot collide (src<dst vs
     // src>dst), and the min-aggregations are idempotent to duplicate
-    // edges anyway — a distinct here is a pure extra shuffle.
+    // edges anyway — a distinct here is a pure extra shuffle. The edge
+    // count for the broadcast decision rides the materialization job as
+    // an observed metric — no separate count() pass.
+    val obsEdges = org.apache.spark.sql.Observation()
     val edges = checkpointer(
       pairs.select(col(id1).as("src"), col(id2).as("dst"))
-        .union(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
+        .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+        .observe(obsEdges, count(lit(1)).as("n")))
     // Operator-level adaptivity: when the (materialized) graph is small,
     // hint broadcast for the label-side joins — each round then shuffles
     // nothing but the groupBy. At corpus scale the hint is withheld and
     // AQE plans the joins from real sizes.
-    val small = edges.count() < 5000000L
+    val small = observed(obsEdges).map(_.getLong(0)).getOrElse(edges.count()) < 5000000L
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // Seed with the one-hop minimum — identical to running the first
-    // propagation round, so the loop starts a round ahead.
-    var labels = checkpointer(edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster")))
-    // Convergence check = one xor-checksum aggregate over the (already
-    // materialized) labels — no join, no second pass. Labels only ever
-    // decrease, so a changed state xors to a different value except with
-    // ~2⁻⁶⁴ probability per round.
-    def checksum(df: DataFrame): Any =
-      df.select(xxhash64(col("id").cast("string"), col("cluster").cast("string")).as("h"))
-        .agg(expr("bit_xor(h)")).first().get(0)
-    var chk = checksum(labels)
+    // propagation round, so the loop starts a round ahead. Convergence
+    // check = xor checksum over (id, cluster): labels only ever
+    // decrease, so a changed state xors to a different value except
+    // with ~2⁻⁶⁴ probability per round. The checksum rides each round's
+    // materialization job ([[materializeWithChecksum]]) — one job per
+    // round, no second pass over labels.
+    var (labels, chk) = materializeWithChecksum(
+      edges.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster")),
+      checkpointer)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -340,12 +372,11 @@ object Dedup {
       // (b) pointer jumping: label := label(label) — doubles the reach,
       // so convergence is O(log diameter), not O(diameter)
       val parents = hop.select(col("id").as("pid"), col("cluster").as("pcluster"))
-      val next = checkpointer(hop
+      val (next, nchk) = materializeWithChecksum(hop
         .join(hinted(parents), hop("cluster") === parents("pid"), "left")
         .select(hop("id"),
-          least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster"))
-      ) // truncate lineage each round
-      val nchk = checksum(next)
+          least(hop("cluster"), coalesce(col("pcluster"), hop("cluster"))).as("cluster")),
+        checkpointer) // truncate lineage each round
       converged = nchk == chk
       chk = nchk
       labels = next
