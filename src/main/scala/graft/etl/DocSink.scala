@@ -215,72 +215,142 @@ object DocSink {
     * regardless; unlike the reference we don't leave the empty
     * just-rolled file behind).
     *
-    * Scale shape: one shuffle on `source_group` so exactly one task owns
-    * each group's counter sequence (the per-group monotone counter is
-    * inherently sequential — the reference holds it in a single-process
-    * loop; here it is task-local state). Executors stream straight to
-    * the final file names through the Hadoop FS layer — no rename pass.
-    * Groups still write in parallel with each other. Trade-off vs
-    * `write()`: exact byte caps, but the output of a retried task is
-    * overwritten in place rather than committed atomically — disable
-    * speculative execution for this sink (the reference has no atomicity
-    * either; `write()` keeps Spark's committer if you can live with the
-    * `maxRecordsPerFile` approximation). */
+    * Scale shape — two passes over one sorted, persisted shuffle:
+    *
+    *  1. Rows get a deterministic total order (hash of the line, line
+    *     bytes as tiebreak) and, when `splitBytes` > 0, a per-group
+    *     CHUNK id from a running byte sum, so a hot group is written by
+    *     many tasks — `splitBytes` of payload each — instead of
+    *     funneling terabytes through one task. Each chunk starts a
+    *     fresh file (the cap still holds; packing just rolls at chunk
+    *     boundaries too). `splitBytes = 0` keeps the reference's exact
+    *     one-sequence-per-group packing.
+    *  2. Pass 1 SIMULATES the roll per (group, chunk) and collects file
+    *     counts (metadata-sized); the driver lists existing files ONCE,
+    *     assigns every chunk an absolute start counter (continuation
+    *     past the largest existing index, then a prefix sum over
+    *     chunks), and broadcasts the map. Pass 2 re-runs the identical
+    *     iteration and streams to the final file names.
+    *
+    * Retry safety: counters are fixed driver-side BEFORE any task runs
+    * (a retried task cannot glob a failed attempt's files and continue
+    * past them), the sorted order is total, and `fs.create(overwrite)`
+    * rewrites the same names byte-for-byte — a retry or speculative
+    * duplicate converges to the same output instead of duplicating
+    * rows. The window between a failed attempt and its retry can expose
+    * partial files to concurrent readers (the reference has no
+    * atomicity either); `write()` keeps Spark's committer if the
+    * `maxRecordsPerFile` approximation is acceptable. */
   def writeSizeCapped(enriched: DataFrame, outDir: String,
-      maxBytes: Long = 12L * 1024 * 1024, strict: Boolean = false): WriteResult = {
+      maxBytes: Long = 12L * 1024 * 1024, strict: Boolean = false,
+      splitBytes: Long = 0L): WriteResult = {
+    require(splitBytes == 0 || splitBytes >= maxBytes,
+      s"splitBytes must be 0 (single sequence per group) or >= maxBytes, got $splitBytes")
+    val spark = enriched.sparkSession
     val invalid = trim(col("document_id")) === "" || trim(col("content")) === ""
     val obs = Observation()
     val gated = toDocuments(enriched)
       .filter(col("source_group").isNotNull)
       .observe(obs, count(lit(1)).as("total"), count(when(invalid, 1)).as("invalid"))
-    val docs = toJsonLines(if (strict) gated.filter(!invalid) else gated)
-      .repartition(col("source_group"))
-    // Hadoop Configuration is not serializable: ship the explicit entries
-    // (incl. object-store credentials) and rebuild executor-side.
-    val confEntries = {
-      val it = enriched.sparkSession.sparkContext.hadoopConfiguration.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-      b.result()
-    }
-    docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.hasNext) {
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val base = new Path(outDir)
-        val fs = FileSystem.get(base.toUri, conf)
-        fs.mkdirs(base)
-        // group → (counter, open stream, bytes written to current file)
-        case class State(var counter: Int, var out: java.io.OutputStream, var size: Long)
-        val states = scala.collection.mutable.Map.empty[String, State]
-        def open(group: String, n: Int) =
-          fs.create(new Path(base, s"shipment_${group}_$n.jsonl"), true)
-        try {
-          rows.foreach { row =>
-            val line = (row.getString(0) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val group = row.getString(1)
-            val st = states.getOrElseUpdate(group, {
-              // A3 counter continuation: resume after the largest existing index
-              val existing = fs.globStatus(new Path(base, s"shipment_${group}_*.jsonl"))
-                .map(_.getPath.getName)
-                .flatMap(_.stripPrefix(s"shipment_${group}_").stripSuffix(".jsonl").toIntOption)
-              val start = (if (existing.isEmpty) 0 else existing.max) + 1
-              State(start, open(group, start), 0L)
-            })
-            if (st.size > 0 && st.size + line.length > maxBytes) {
-              st.out.close()
-              st.counter += 1
-              st.out = open(group, st.counter)
-              st.size = 0L
-            }
-            st.out.write(line)
-            st.size += line.length
-          }
-        } finally states.values.foreach(s => s.out.close())
+    val lined = toJsonLines(if (strict) gated.filter(!invalid) else gated)
+      .withColumn("__len", (octet_length(col("value")) + 1).cast("long"))
+      .withColumn("__ord", xxhash64(col("value")))
+    val chunked =
+      if (splitBytes <= 0) lined.withColumn("__chunk", lit(0L))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source_group").orderBy(col("__ord"), col("value"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        lined.withColumn("__chunk",
+          floor((sum(col("__len")).over(w) - col("__len")) / splitBytes))
       }
-    }
+    val parted = chunked
+      .repartition(col("source_group"), col("__chunk"))
+      .sortWithinPartitions(col("source_group"), col("__chunk"), col("__ord"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1: exact roll simulation → file count per (group, chunk).
+      // A Dataset action (not RDD), so the observe metrics ride it.
+      import spark.implicits._
+      val counts: Array[((String, Long), Int)] = parted.mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Int)]
+        var curG: String = null; var curC = 0L; var nFiles = 0; var size = 0L
+        def flush(): Unit = if (curG != null) out += (((curG, curC), nFiles))
+        rows.foreach { row =>
+          val g = row.getString(row.fieldIndex("source_group"))
+          val c = row.getLong(row.fieldIndex("__chunk"))
+          val len = row.getLong(row.fieldIndex("__len"))
+          if (g != curG || c != curC) { flush(); curG = g; curC = c; nFiles = 1; size = 0L }
+          if (size > 0 && size + len > maxBytes) { nFiles += 1; size = 0L }
+          size += len
+        }
+        flush(); out.iterator
+      }.collect()
+      // Driver-side: continuation counters from ONE listing, then a
+      // prefix sum over each group's chunks → absolute start per chunk.
+      val base = new Path(outDir)
+      val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(base)
+      val existingMax: Map[String, Int] = fs.globStatus(new Path(base, "shipment_*.jsonl"))
+        .map(_.getPath.getName).toSeq
+        .flatMap { n =>
+          val core = n.stripPrefix("shipment_").stripSuffix(".jsonl")
+          val cut = core.lastIndexOf('_')
+          if (cut <= 0) None
+          else core.drop(cut + 1).toIntOption.map(core.take(cut) -> _)
+        }
+        .groupMapReduce(_._1)(_._2)(math.max)
+      val startMap: Map[(String, Long), Int] = counts.groupBy(_._1._1).flatMap {
+        case (g, cs) =>
+          var next = existingMax.getOrElse(g, 0) + 1
+          cs.sortBy(_._1._2).map { case ((_, c), n) =>
+            val s = next; next += n; ((g, c), s)
+          }
+      }
+      // Hadoop Configuration is not serializable: ship the explicit
+      // entries (incl. object-store credentials), rebuild executor-side.
+      val confEntries = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }
+      // Pass 2: identical iteration, streaming to the final names.
+      parted.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val taskBase = new Path(outDir)
+          val taskFs = FileSystem.get(taskBase.toUri, conf)
+          var curG: String = null; var curC = 0L
+          var counter = 0; var size = 0L
+          var out: java.io.OutputStream = null
+          def open(): Unit =
+            out = taskFs.create(new Path(taskBase, s"shipment_${curG}_$counter.jsonl"), true)
+          try {
+            rows.foreach { row =>
+              val g = row.getString(row.fieldIndex("source_group"))
+              val c = row.getLong(row.fieldIndex("__chunk"))
+              val line = (row.getString(row.fieldIndex("value")) + "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              if (g != curG || c != curC) {
+                if (out != null) out.close()
+                curG = g; curC = c; size = 0L
+                counter = startMap((g, c))
+                open()
+              } else if (size > 0 && size + line.length > maxBytes) {
+                out.close(); counter += 1; size = 0L; open()
+              }
+              out.write(line)
+              size += line.length
+            }
+          } finally if (out != null) out.close()
+        }
+      }
+    } finally parted.unpersist()
     val fs = FileSystem.get(new Path(outDir).toUri,
-      enriched.sparkSession.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new Path(new Path(outDir), "shipment_*.jsonl"))
       .map(_.getPath.toString).sorted.toSeq
     val m = obs.get

@@ -77,6 +77,31 @@ class DocSinkSizeCappedSpec extends SparkSpec {
     assert(all.size == 20, "both writes' lines must coexist")
   }
 
+  test("splitBytes parallelizes a hot group across chunks: caps hold, counters stay contiguous, no line lost") {
+    val cap = 2048L
+    val rows = enriched(120, "2026-01") // one hot group, ~15 KB of lines
+    val dirSplit = java.nio.file.Files.createTempDirectory("sizecap-split").toString
+    val res = DocSink.writeSizeCapped(rows, dirSplit, maxBytes = cap, splitBytes = cap)
+    assert(res.written == 120)
+    // one fresh file per chunk boundary → at least bytes/splitBytes files,
+    // i.e. the group was written by several independent writer states
+    assert(res.files.size >= 3, s"expected >=3 chunked files, got ${res.files.size}")
+    val sizes = res.files.map(f => java.nio.file.Files.size(localPath(f)))
+    assert(sizes.forall(_ <= cap), s"file over cap: ${res.files.zip(sizes)}")
+    val ns = res.files.map(f => localPath(f).getFileName.toString
+      .split("_")(2).stripSuffix(".jsonl").toInt).sorted
+    assert(ns == (1 to ns.max).toList, s"counters must be contiguous: $ns")
+    val lines = res.files.flatMap(f =>
+      scala.io.Source.fromFile(localPath(f).toFile).getLines().toSeq)
+    assert(lines.size == 120 && lines.toSet.size == 120)
+    // identical line SET as the single-sequence (splitBytes=0) packing
+    val dirSeq = java.nio.file.Files.createTempDirectory("sizecap-seq").toString
+    val resSeq = DocSink.writeSizeCapped(rows, dirSeq, maxBytes = cap)
+    val seqLines = resSeq.files.flatMap(f =>
+      scala.io.Source.fromFile(localPath(f).toFile).getLines().toSeq)
+    assert(lines.toSet == seqLines.toSet)
+  }
+
   test("strict mode drops invalid docs before byte accounting") {
     import spark.implicits._
     val df = Seq(
