@@ -57,12 +57,13 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
-  /** Assign each vector to its nearest centroid (max cosine, centroid
-    * id breaks ties). Centroids must be small (broadcast). Output
-    * carries the vector and its precomputed norm for downstream reuse. */
-  def assignBuckets(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("vec"))
+  /** Assign each vector to its `nprobe` nearest centroids (max cosine,
+    * centroid id breaks ties). Centroids must be small (broadcast).
+    * Output carries the vector and its precomputed norm for downstream
+    * reuse. */
+  private def assignBucketsN(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    val c = df.select(col(idCol), asDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", norm(col("vec")))
     val cent = centroids.select(col(idCol).as("centroid_id"),
       asDouble(col(vecCol)).as("cvec"))
@@ -72,17 +73,29 @@ object SimilaritySearch {
     c.crossJoin(broadcast(cent))
       .select(col(idCol), col("vec"), col("nrm"), col("centroid_id"), sim.as("csim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col(idCol), col("vec"), col("nrm"), col("centroid_id").as("bucket"))
   }
 
-  /** IVF-style ANN: search only within the query's bucket. Recall < 1
-    * by design; at 100 TB this is the difference between a bucket-join
-    * and a corpus-square. */
+  /** Assign each vector to its single nearest centroid. */
+  def assignBuckets(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    assignBucketsN(corpus, centroids, idCol, vecCol, 1)
+
+  /** IVF-style ANN: search only within the query's `nprobe` nearest
+    * buckets. Recall < 1 by design; at 100 TB this is the difference
+    * between a bucket-join and a corpus-square.
+    *
+    * Single-probe recall is IVF's known weakness (a query near a
+    * centroid boundary misses neighbors filed just across it) —
+    * `nprobe = 2..4` recovers most of it for `nprobe/nlist` of the
+    * brute-force cost: the corpus stays single-assigned, only the
+    * QUERY side fans out, so the bucket join grows linearly in nprobe
+    * and a (query, neighbor) pair still arises at most once. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
-    val q = assignBuckets(queries, centroids, idCol, vecCol)
+    val q = assignBucketsN(queries, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("bucket"))
     val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)

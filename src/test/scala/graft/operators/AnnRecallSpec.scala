@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** IVF ANN recall against the exact brute-force baseline on a seeded
+  * clustered fixture: single-probe misses boundary neighbors by design;
+  * multi-probe (nprobe=2) must recover recall ≥ 0.9 while still doing
+  * bucket joins, never corpus². */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dim = 8
+  private val nCenters = 5
+  private val k = 10
+
+  private def fixture(): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Array[Float] =
+      centers(c).map(x => (x + 0.55 * rnd.nextGaussian()).toFloat)
+    val corpus = (1 to 400).map(i => (i.toLong, point(i % nCenters))).toDF("id", "vec")
+    val queries = (1001 to 1030).map(i => (i.toLong, point(i % nCenters))).toDF("id", "vec")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (2000L + i, c.map(_.toFloat)) }.toSeq.toDF("id", "vec")
+    (corpus, queries, centroids)
+  }
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("multi-probe IVF reaches recall >= 0.9 at nprobe=2 and beats single-probe") {
+    val (corpus, queries, centroids) = fixture()
+    val exact = topkSets(
+      SimilaritySearch.bruteForceTopK(corpus, queries, "id", "vec", k))
+    def recall(nprobe: Int): Double = {
+      val got = topkSets(
+        SimilaritySearch.ivfTopK(corpus, centroids, queries, "id", "vec", k, nprobe))
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1 < 1.0, s"fixture must make single-probe lossy (r1=$r1), else the test proves nothing")
+    assert(r2 >= 0.9, s"nprobe=2 recall must reach 0.9, got $r2 (nprobe=1: $r1)")
+    assert(r2 > r1, s"probing 2 buckets must not lose recall: r1=$r1 r2=$r2")
+  }
+
+  test("nprobe=1 is exactly the historical single-bucket behavior") {
+    val (corpus, queries, centroids) = fixture()
+    val a = SimilaritySearch.ivfTopK(corpus, centroids, queries, "id", "vec", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    val b = SimilaritySearch.ivfTopK(corpus, centroids, queries, "id", "vec", k, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(a == b)
+  }
+}
