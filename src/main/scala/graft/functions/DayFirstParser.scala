@@ -3,37 +3,95 @@ package graft.functions
 import java.time.LocalDate
 
 /** Single-pass day-first date parser — the compiled form of the
-  * ordered-format-list semantics in Clean.dayFirstFormats (pandas
-  * `dayfirst=True` parity, `/root/reference/src/transformer.py:253-264`).
+  * reference's `pd.to_datetime(val, dayfirst=True, errors="coerce")`
+  * (`/root/reference/src/transformer.py:253-264`, dateutil underneath).
   *
   * Shape-dispatched (no exception-driven format probing): one scan
   * classifies the string, then one validation builds the date. Called
   * from both the interpreted and the generated-code path of
   * [[graft.expressions.DayFirstDate]].
   *
-  * Supported shapes, in the same priority order as the SQL chain:
-  * d/M/yyyy · d-M-yyyy · d.M.yyyy · yyyy-M-d · yyyy/M/d · d-MMM-yy(yy)
-  * · d MMM yyyy · MMM d, yyyy · all of the above with a trailing
-  * " H:mm[:ss]" time · M/d/yyyy as the US fallback when day-first
-  * cannot parse. Two-digit years resolve to 20yy (Spark `yy` base).
-  * Returns epoch days, or null for anything unparseable.
+  * Supported shapes (each validated against pandas 2.2 on fixtures —
+  * see DayFirstDateSpec's dateutil-long-tail table):
+  * d/M/yyyy · d-M-yyyy · d.M.yyyy (2- or 4-digit years) · yyyy-M-d ·
+  * yyyy/M/d · yyyy.M.d · yyyyMMdd · bare (19|20)yy year · textual
+  * months in any of the arrangements `d MMM y` / `MMM d, y` /
+  * `y MMM d` / `MMM y` / `y MMM` with full names, 3-letter
+  * abbreviations, "Sept", optional trailing periods, and ordinal day
+  * suffixes (1st/2nd/3rd/5th) · all of the above with a trailing
+  * " H:mm[:ss]" time · M/d/y as the US fallback when day-first cannot
+  * validate (slash layout only). Returns epoch days, or null for
+  * anything unparseable (pandas `errors="coerce"` parity).
+  *
+  * Documented divergences from dateutil, each deliberate:
+  *  - `dayfirst=True` makes dateutil read even ISO forms year-DAY-month
+  *    ("2026-01-05" → May 1!); we read year-first forms as ISO — every
+  *    other engine (Spark, DuckDB, Arrow) does, and the swap is a
+  *    widely-documented pandas footgun, not a semantic anyone relies on.
+  *  - Two-digit years use dateutil's now±50 century rule but pinned to
+  *    [[PivotYear]] instead of the wall clock — a distributed engine
+  *    must parse the same bytes to the same date on every run.
+  *  - Bare-number years accept (19|20)yy only (dateutil's treatment of
+  *    other 4-digit strings depends on time-of-day heuristics:
+  *    "1200" → NaT but "2026" → 2026-01-01).
   */
 object DayFirstParser {
 
+  /** dateutil resolves 2-digit years to the century of "now", stepping
+    * back 100 when the result lands more than 50 years ahead. Pinned
+    * (reference era) so parses are reproducible across runs. */
+  val PivotYear = 2026
+
+  private def year2(yy: Int): Int = {
+    val y = 2000 + yy
+    if (y > PivotYear + 50) y - 100 else y
+  }
+
   private val months = Map(
     "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
-    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "sept" -> 9, "oct" -> 10,
+    "nov" -> 11, "dec" -> 12,
+    "january" -> 1, "february" -> 2, "march" -> 3, "april" -> 4,
+    "june" -> 6, "july" -> 7, "august" -> 8, "september" -> 9,
+    "october" -> 10, "november" -> 11, "december" -> 12)
 
-  private val dmySep = "^(\\d{1,2})([/\\-.])(\\d{1,2})([/\\-.])(\\d{4})$".r
-  private val ymdSep = "^(\\d{4})([/\\-])(\\d{1,2})([/\\-])(\\d{1,2})$".r
-  private val dMonY = "^(\\d{1,2})-([A-Za-z]{3})-(\\d{2}|\\d{4})$".r
-  private val dMonSpace = "^(\\d{1,2}) ([A-Za-z]{3}) (\\d{4})$".r
-  private val monDComma = "^([A-Za-z]{3}) (\\d{1,2}), (\\d{4})$".r
+  private val dmySep = "^(\\d{1,2})([/\\-.])(\\d{1,2})([/\\-.])(\\d{2}|\\d{4})$".r
+  private val ymdSep = "^(\\d{4})([/\\-.])(\\d{1,2})([/\\-.])(\\d{1,2})$".r
+  private val compact8 = "^(\\d{4})(\\d{2})(\\d{2})$".r
+  private val bareYear = "^((?:19|20)\\d{2})$".r
   private val timeSuffix = "^(.*?)[ T](\\d{1,2}):(\\d{2})(:(\\d{2}))?$".r
+  private val ordinalDay = "^(\\d{1,2})(?:st|nd|rd|th)$".r
 
   private def mk(y: Int, m: Int, d: Int): Integer =
     try Integer.valueOf(LocalDate.of(y, m, d).toEpochDay.toInt)
     catch { case _: Exception => null }
+
+  /** A textual-date token, normalized: trailing period dropped
+    * ("Jan."), ordinal suffix dropped ("5th"). */
+  private sealed trait Tok
+  private case class Mon(m: Int) extends Tok
+  private case class Num(v: Int, len4: Boolean) extends Tok
+
+  private def classify(tokens: Array[String]): Array[Tok] = {
+    val out = new Array[Tok](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val t0 = tokens(i).toLowerCase
+      val t = if (t0.length > 1 && t0.endsWith(".")) t0.dropRight(1) else t0
+      out(i) = months.get(t) match {
+        case Some(m) => Mon(m)
+        case None =>
+          val digits = t match {
+            case ordinalDay(d) => d
+            case d if d.nonEmpty && d.forall(_.isDigit) && d.length <= 4 => d
+            case _ => return null
+          }
+          Num(digits.toInt, digits.length == 4)
+      }
+      i += 1
+    }
+    out
+  }
 
   /** Epoch days or null. Java-friendly (called from generated code). */
   def parseToDaysOrNull(raw: String): Integer = {
@@ -49,24 +107,39 @@ object DayFirstParser {
     s match {
       case dmySep(a, sep1, b, sep2, y) if sep1 == sep2 =>
         val day = a.toInt; val mon = b.toInt
-        val dayFirst = mk(y.toInt, mon, day)
+        val year = if (y.length == 2) year2(y.toInt) else y.toInt
+        val dayFirst = mk(year, mon, day)
         if (dayFirst != null) dayFirst
-        // US fallback (M/d/yyyy) — slash layout only, matching the chain
-        else if (sep1 == "/") mk(y.toInt, day, mon)
+        // US fallback (M/d/y) — slash layout only, matching dateutil's
+        // "dayfirst is a hint, not a constraint"
+        else if (sep1 == "/") mk(year, day, mon)
         else null
       case ymdSep(y, sep1, m, sep2, d) if sep1 == sep2 =>
         mk(y.toInt, m.toInt, d.toInt)
-      case dMonY(d, mon, y) =>
-        months.get(mon.toLowerCase) match {
-          case Some(m) =>
-            val year = if (y.length == 2) 2000 + y.toInt else y.toInt
-            mk(year, m, d.toInt)
-          case None => null
+      case compact8(y, m, d) =>
+        mk(y.toInt, m.toInt, d.toInt)
+      case bareYear(y) =>
+        mk(y.toInt, 1, 1)
+      case _ if s.exists(_.isLetter) =>
+        val tokens = s.split("[\\s,\\-]+").filter(_.nonEmpty)
+        if (tokens.length < 2 || tokens.length > 3) return null
+        val toks = classify(tokens)
+        if (toks == null) return null
+        toks match {
+          // d MMM y  ("5 Jan 2026", "05-January-26", "5th Sept 2026")
+          case Array(Num(d, false), Mon(m), Num(y, len4)) =>
+            mk(if (len4) y else year2(y), m, d)
+          // y MMM d  ("2026 Jan 5", "2026-Jan-05")
+          case Array(Num(y, true), Mon(m), Num(d, false)) => mk(y, m, d)
+          // MMM d y  ("Jan 5, 2026", "January 5 26")
+          case Array(Mon(m), Num(d, false), Num(y, len4)) =>
+            mk(if (len4) y else year2(y), m, d)
+          // MMM y / y MMM → first of month; 4-digit years only ("Jan 26"
+          // is a day-with-default-year in dateutil — wall-clock, rejected)
+          case Array(Mon(m), Num(y, true)) => mk(y, m, 1)
+          case Array(Num(y, true), Mon(m)) => mk(y, m, 1)
+          case _ => null
         }
-      case dMonSpace(d, mon, y) =>
-        months.get(mon.toLowerCase).map(m => mk(y.toInt, m, d.toInt)).orNull
-      case monDComma(mon, d, y) =>
-        months.get(mon.toLowerCase).map(m => mk(y.toInt, m, d.toInt)).orNull
       case _ => null
     }
   }

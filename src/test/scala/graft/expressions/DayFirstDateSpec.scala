@@ -30,9 +30,53 @@ class DayFirstDateSpec extends SparkSpec {
     assert(p(" 03/02/2026 ") == "2026-02-03") // trimmed
   }
 
+  test("dateutil long tail: every row pandas-2.2-validated (to_datetime dayfirst=True)") {
+    // textual months — full names, Sept, periods, ordinals, any arrangement
+    assert(p("5 January 2026") == "2026-01-05")
+    assert(p("January 5, 2026") == "2026-01-05")
+    assert(p("January 5 2026") == "2026-01-05")
+    assert(p("5-January-2026") == "2026-01-05")
+    assert(p("5th January 2026") == "2026-01-05")
+    assert(p("3rd February 2026") == "2026-02-03")
+    assert(p("22nd Jan 26") == "2026-01-22")
+    assert(p("1st-Jan-2026") == "2026-01-01")
+    assert(p("Sept 5 2026") == "2026-09-05")
+    assert(p("5 Sept 2026") == "2026-09-05")
+    assert(p("Jan. 5, 2026") == "2026-01-05")
+    assert(p("JAN 5 2026") == "2026-01-05")
+    assert(p("5 jan 2026") == "2026-01-05")
+    assert(p("2026 Jan 5") == "2026-01-05")
+    assert(p("June 2026") == "2026-06-01")
+    assert(p("2026 June") == "2026-06-01")
+    assert(p("5 January 2026 14:30") == "2026-01-05")
+    // 2-digit years — dateutil's now±50 century rule, pivot pinned 2026
+    assert(p("5/1/26") == "2026-01-05")
+    assert(p("05.01.26") == "2026-01-05")
+    assert(p("5-1-26") == "2026-01-05")
+    assert(p("31/12/99") == "1999-12-31")
+    assert(p("5/1/69") == "2069-01-05")
+    assert(p("5/1/75") == "2075-01-05")
+    assert(p("5/1/49") == "2049-01-05")
+    assert(p("12/25/26") == "2026-12-25") // US fallback with 2-digit year
+    // compact and bare-year forms
+    assert(p("20260105") == "2026-01-05")
+    assert(p("19991231") == "1999-12-31")
+    assert(p("2026") == "2026-01-01")
+    // pandas-rejects that we also reject
+    Seq("0 Jan 2026", "32 Jan 2026", "Jan 32 2026", "5 Jan", "noise 5 Jan 2026",
+      "febbraio 5 2026", "Feb 29 2025", "1200", "0500", "00000000").foreach { s =>
+      assert(p(s) == null, s"expected null for '$s'")
+    }
+    assert(p("Feb 29 2024") == "2024-02-29") // leap day stays valid
+    // documented divergence: year-first forms read as ISO, not dateutil's
+    // year-DAY-month swap ("2026-01-05" -> May 1 in pandas)
+    assert(p("2026-01-05") == "2026-01-05")
+    assert(p("2026.01.05") == "2026-01-05")
+  }
+
   test("unparseable → null, never an exception") {
     Seq(null, "", "  ", "31/02/2026", "99/99/9999", "hello", "2026-13-01",
-      "13-Xyz-26", "03/02/26", "1/2", "2026-02-03 99:99").foreach { s =>
+      "13-Xyz-26", "1/2", "2026-02-03 99:99", "Jan 26", "5 2026 Jan").foreach { s =>
       assert(p(s) == null, s"expected null for '$s'")
     }
   }
