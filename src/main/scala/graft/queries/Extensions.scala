@@ -643,7 +643,48 @@ object Extensions {
       .orderBy("new_id", "base_id")
   }
 
+  /** q86 — incremental dedup through the PERSISTED-SIGNATURE path: the
+    * base slice is first converted to a [[Dedup.minhashSignatureTable]]
+    * (standing in for the signature parquet a production lake keeps
+    * alongside the corpus — no text column survives the conversion) and
+    * the pairing runs against THAT. The oracle is q85's SQL verbatim:
+    * the signature path must be bit-identical to the text path. */
+  def q86SigTableDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val baseSig = Dedup.minhashSignatureTable(
+      d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text").localCheckpoint()
+    Dedup.minhashDedupPairsAgainst(
+        d.filter(col("doc_id") % 7 === 0), baseSig, "doc_id", "text")
+      .orderBy("new_id", "base_id")
+  }
+
+  /** q87 — MinHash-LSH pairs WITH the band-bucket cap engaged: buckets
+    * holding more than [[q87Cap]] docs are dropped before the pair join
+    * (the 100 TB boilerplate guard). The oracle reproduces the cap in
+    * SQL — per-band bucket counts gate each join branch — so the capped
+    * path is hash-checked, not merely spec'd. */
+  val q87Cap = 25
+  def q87CappedLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
+        maxBucketSize = Some(q87Cap))
+      .orderBy("id1", "id2")
+
+  /** q88 — multi-probe IVF ANN (nprobe = 2): the query side probes its
+    * two nearest centroids, recovering the boundary neighbors
+    * single-probe misses, while the corpus stays single-assigned (the
+    * bucket join grows linearly in nprobe, never corpus²). */
+  def q88AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.ivfTopK(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", 2, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_sig_incremental" -> (q86SigTableDedup _),
+    "q87_capped_lsh" -> (q87CappedLsh _),
+    "q88_ann_multiprobe" -> (q88AnnMultiprobe _),
     "q85_incremental_dedup" -> (q85IncrementalDedup _),
     "q82_histogram" -> (q82Histogram _),
     "q83_containment" -> (q83Containment _),
@@ -758,20 +799,62 @@ object Extensions {
       |WHERE d.split = 'eval'
       |ORDER BY d.doc_id""".stripMargin
 
+  private val lshEstSql: String =
+    "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
+      s")::DOUBLE / $lshK, 6)"
+
+  /** Shared by q85 (text path) and q86 (persisted-signature path) —
+    * identical results by design. */
+  private val incrementalDedupSql: String = {
+    val branches = (0 until lshBands).map(b =>
+      s"""SELECT l.doc_id AS new_id, r.doc_id AS base_id, $lshEstSql AS est_jaccard
+         |FROM nsig l JOIN bsig r ON l.band$b = r.band$b""".stripMargin)
+      .mkString("\nUNION\n")
+    s"""WITH ${lshSigDefsFor("nsig", " WHERE doc_id % 7 = 0")},
+      |${lshSigDefsFor("bsig", " WHERE doc_id % 7 <> 0")}
+      |SELECT DISTINCT new_id, base_id, est_jaccard FROM (
+      |$branches
+      |) ORDER BY new_id, base_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q85_incremental_dedup" -> {
-      val est = "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
-        s")::DOUBLE / $lshK, 6)"
+    "q85_incremental_dedup" -> incrementalDedupSql,
+    "q86_sig_incremental" -> incrementalDedupSql,
+    "q87_capped_lsh" -> {
+      // per-band bucket counts gate each branch — the SQL form of
+      // Dedup.capBuckets' (band_no, band_key) count <= cap semi-join
+      val counts = (0 until lshBands).map(b =>
+        s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
+        .mkString(",\n")
       val branches = (0 until lshBands).map(b =>
-        s"""SELECT l.doc_id AS new_id, r.doc_id AS base_id, $est AS est_jaccard
-           |FROM nsig l JOIN bsig r ON l.band$b = r.band$b""".stripMargin)
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2, $lshEstSql AS est_jaccard
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
+           |JOIN cnt$b c ON c.key = l.band$b
+           |WHERE c.n <= ${q87Cap}""".stripMargin)
         .mkString("\nUNION\n")
-      s"""WITH ${lshSigDefsFor("nsig", " WHERE doc_id % 7 = 0")},
-        |${lshSigDefsFor("bsig", " WHERE doc_id % 7 <> 0")}
-        |SELECT DISTINCT new_id, base_id, est_jaccard FROM (
+      s"""WITH $lshSigDefs,
+        |$counts
+        |SELECT DISTINCT id1, id2, est_jaccard FROM (
         |$branches
-        |) ORDER BY new_id, base_id""".stripMargin
+        |) ORDER BY id1, id2""".stripMargin
     },
+    "q88_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |sims AS (SELECT e.vec_id, e.v, c.cid,
+        |  round(list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2]))
+        |   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+        | FROM e, c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims),
+        |assign AS (SELECT vec_id, v, cid AS bucket FROM ranked WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, cid AS bucket FROM ranked
+        |      WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 13),
+        |s AS (SELECT qid AS query_id, a.bucket, a.vec_id AS neighbor_id, $cosSql AS sim
+        |      FROM assign a JOIN q ON a.bucket = q.bucket AND a.vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, bucket, neighbor_id, sim, rank FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
     "q82_histogram" ->
       """SELECT lang, n_chars // 200 AS bin, count(1) AS n,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
