@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
       "bloom filter should be evaluated below a shuffle (map-side prune)")
   }
 
+  test("q87 capped LSH: the bucket gate is a semi-join below the pair join") {
+    val p = SparkEntry.queries("q87_capped_lsh")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val semiAt = p.indexOf("LeftSemi")
+    assert(semiAt >= 0, "bucket cap should plan as a semi-join on (band_no, band_key)")
+    // root-first printing: the pair self-join (Inner with the id<id
+    // condition) must appear ABOVE (earlier than) the semi gate, i.e.
+    // oversized buckets are dropped before pairs are ever generated
+    val pairJoinAt = "Inner, BuildRight, \\(id#\\d+L? < id#\\d+L?\\)".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(pairJoinAt >= 0, "pair self-join with id<id condition not found")
+    assert(pairJoinAt < semiAt, "cap must gate candidates BELOW the pair self-join")
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {
