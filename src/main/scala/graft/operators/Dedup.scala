@@ -413,6 +413,14 @@ object Dedup {
     * Null texts have null fingerprints and stay their own (kept)
     * singleton reps, matching their no-pair behavior in the LSH graph.
     *
+    * The collapse happens at the SIGNATURE level so the corpus text is
+    * scanned exactly once (fingerprint and MinHash signature come out
+    * of the same map-side projection) and never shuffled: the rep
+    * semi-join and the pair machinery run on ~250-byte signature rows,
+    * and the final attach joins the corpus against a map of ONLY the
+    * docs whose cluster differs from themselves — broadcast-sized
+    * whenever duplicates are a minority, corpus-id-shuffle at worst.
+    *
     * `maxBucketSize` additionally caps NEAR-identical band buckets
     * (see [[capBuckets]]) — that one is a recall trade-off, so it stays
     * off by default and off in oracle-checked queries. */
@@ -422,28 +430,35 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(minEstJaccard <= 1.0,
       s"minEstJaccard > 1.0 would break the exact-pre-pass equivalence (got $minEstJaccard)")
-    // doc → exact-duplicate representative (min id per fingerprint);
-    // the (id, md5) projection is tiny — checkpointed once, read thrice
-    val docRep = checkpointer(df.select(col(idCol).as("__did"),
-      fingerprint(col(textCol)).as("__fp")))
-    val reps = docRep.filter(col("__fp").isNotNull)
-      .groupBy("__fp").agg(min("__did").as("__rep"))
-    val docToRep = docRep.join(reps, Seq("__fp"), "left")
-      .select(col("__did"), coalesce(col("__rep"), col("__did")).as("__rep"))
-    val repDf = df.join(
-      docToRep.filter(col("__did") === col("__rep")).select(col("__did").as(idCol)),
-      Seq(idCol), "left_semi")
-    val pairs = minhashDedupPairs(repDf, idCol, textCol, bands, rowsPerBand,
+    val k = bands * rowsPerBand
+    // ONE text scan → fingerprint + signature table, materialized once
+    val sigFp = checkpointer(withMinhashBands(df, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +:
+        fingerprint(col(textCol)).as("__fp") +:
+        (0 until k).map(i => col(s"mh$i")) :+
+        array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*))
+    val reps = sigFp.filter(col("__fp").isNotNull)
+      .groupBy("__fp").agg(min("id").as("__rep"))
+    val docToRep = sigFp.select("id", "__fp").join(reps, Seq("__fp"), "left")
+      .select(col("id"), coalesce(col("__rep"), col("id")).as("__rep"))
+    // representatives' signatures only — signature-row shuffle, not text
+    val repSig = checkpointer(sigFp.drop("__fp").join(
+      docToRep.filter(col("id") === col("__rep")).select("id"),
+      Seq("id"), "left_semi"))
+    val pairs = minhashDedupPairs(repSig, "id", textCol, bands, rowsPerBand,
         checkpointer, maxBucketSize)
       .filter(col("est_jaccard") >= minEstJaccard)
     // components over representatives; every doc inherits its rep's
     // cluster (rep = min id of its exact group, so the component min
     // over reps IS the component min over all docs)
     val labels = connectedComponents(pairs, checkpointer = checkpointer)
-    val docCluster = docToRep
-      .join(labels.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
-      .select(col("__did").as(idCol), coalesce(col("cluster"), col("__rep")).as("cluster"))
-    df.join(docCluster, Seq(idCol), "left")
+    // only docs that LOSE their identity need a row in the attach map
+    val dupMap = docToRep
+      .join(labels.withColumnRenamed("id", "__rep").withColumnRenamed("cluster", "__cl"),
+        Seq("__rep"), "left")
+      .select(col("id").as(idCol), coalesce(col("__cl"), col("__rep")).as("cluster"))
+      .filter(col("cluster") =!= col(idCol))
+    df.join(dupMap, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("keep", (col("cluster") === col(idCol)).cast("int"))
   }
