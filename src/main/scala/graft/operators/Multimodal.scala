@@ -309,6 +309,107 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-document video container probe. */
+  case class VideoProbe(doc_id: Long, container: String, codec: String,
+      width: Int, height: Int, duration_ms: Long, n_samples: Int,
+      n_keyframes: Int)
+
+  /** ISO-BMFF (MP4/MOV) box walk — REAL container metadata with no
+    * codec involved: brand, video-track codec fourcc (avc1/hev1/...),
+    * pixel dimensions from `tkhd`, duration from `mdhd`, sample count
+    * from `stsz`, and the KEYFRAME INDEX from `stss` (absent table =
+    * every sample is a sync sample, per the spec). This is the honest
+    * "keyframe-only handling" for inter-frame codecs this environment
+    * cannot decode: a pipeline can budget decode work (keyframes per
+    * second, keyframe/sample ratio as a quality gate) from the index
+    * alone, and ship the payload to a codec-equipped stage only when it
+    * decides to. Big-endian throughout (ISO spec), bounds-checked so a
+    * truncated/hostile payload degrades to None, never throws. */
+  private[operators] def probeMp4(bytes: Array[Byte]): Option[VideoProbe] = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(4) != "ftyp") return None
+    val brand = fourcc(8).trim
+    var codec = ""; var width = 0; var height = 0
+    var timescale = 0L; var duration = 0L
+    var nSamples = 0; var nKeyframes = -1 // -1 = no stss → all sync
+    var isVideoTrak = false
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val size0 = u32(pos)
+        val tpe = fourcc(pos + 4)
+        var dataStart = pos + 8
+        val size =
+          if (size0 == 1 && pos + 16 <= until) { dataStart = pos + 16; u64(pos + 8) }
+          else if (size0 == 0) (until - pos).toLong
+          else size0
+        val end = pos + size
+        if (size < 8 || end > until) return // malformed: stop, keep what we have
+        tpe match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(dataStart, end.toInt)
+          case "trak" =>
+            isVideoTrak = false
+            walk(dataStart, end.toInt)
+          case "hdlr" if dataStart + 12 <= end =>
+            isVideoTrak = fourcc(dataStart + 8) == "vide"
+          case "tkhd" =>
+            val v = bytes(dataStart) & 0xff
+            val dimOff = dataStart + (if (v == 1) 88 else 76)
+            if (dimOff + 8 <= end) {
+              val w = (u32(dimOff) >> 16).toInt // 16.16 fixed point
+              val h = (u32(dimOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case "mdhd" if isVideoTrak || timescale == 0 =>
+            val v = bytes(dataStart) & 0xff
+            if (v == 1 && dataStart + 32 <= end) {
+              timescale = u32(dataStart + 20); duration = u64(dataStart + 24)
+            } else if (dataStart + 24 <= end) {
+              timescale = u32(dataStart + 12); duration = u32(dataStart + 16)
+            }
+          case "stsd" if dataStart + 16 <= end && (isVideoTrak || codec.isEmpty) =>
+            codec = fourcc(dataStart + 12)
+          case "stsz" if dataStart + 12 <= end && (isVideoTrak || nSamples == 0) =>
+            nSamples = u32(dataStart + 8).toInt
+          case "stss" if dataStart + 8 <= end && (isVideoTrak || nKeyframes < 0) =>
+            nKeyframes = u32(dataStart + 4).toInt
+          case _ => // leaf we don't need
+        }
+        pos = end.toInt
+      }
+    }
+    walk(0, bytes.length)
+    if (codec.isEmpty && width == 0) None
+    else Some(VideoProbe(0L, s"mp4/$brand", codec.trim, width, height,
+      if (timescale > 0) duration * 1000 / timescale else 0L,
+      nSamples, if (nKeyframes < 0) nSamples else nKeyframes))
+  }
+
+  /** Probe any video payload: MJPEG-AVI via the RIFF walk (every frame
+    * is a keyframe), MP4/MOV via [[probeMp4]], anything else → opaque
+    * fallback. Narrow map, binary never shuffles. */
+  def probeVideo(spark: SparkSession, media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        probeMp4(bytes).map(_.copy(doc_id = id)).getOrElse {
+          val chunks = aviFrameChunks(bytes)
+          if (chunks.nonEmpty)
+            VideoProbe(id, "avi", "mjpeg", 0, 0, 0L, chunks.size, chunks.size)
+          else VideoProbe(id, "opaque", "", 0, 0, 0L, 0, 0)
+        }
+      }
+      .toDF()
+  }
+
   /** Frame-sampling plumbing: 1 binary row → k frame rows (the flatMap
     * shape a video pipeline needs — each output row carries its own
     * binary chunk). STUB slices the payload into k even byte ranges; a

@@ -178,6 +178,56 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq(0, 2, 4), s"evenly spaced frames, got ${got.toSeq}")
   }
 
+  test("probeVideo reads REAL MP4 box metadata incl. the keyframe index; AVI and blobs classify") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, data: Array[Byte]): Array[Byte] =
+      be32(data.length + 8L) ++ tpe.getBytes("US-ASCII") ++ data
+    val tkhd = box("tkhd", be32(0) ++ Array.fill(72)(0.toByte) ++
+      be32(640L << 16) ++ be32(360L << 16)) // v0: dims at data offset 76
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill(4)(0.toByte)) // timescale 1000, dur 5000
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("avc1", Array.fill(16)(0.toByte)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(150))
+    val stss = box("stss", be32(0) ++ be32(5) ++ (1 to 5).flatMap(i => be32(i * 30L)).toArray)
+    def mp4(withStss: Boolean): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+        box("moov", box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+          box("minf", box("stbl",
+            if (withStss) stsd ++ stsz ++ stss else stsd ++ stsz)))))
+    // a real MJPEG AVI (same construction as the demux tests)
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = ByteBuffer.allocate(8 + data.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    val jpeg = encodeImg(testImage(8, 8), "jpg")
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      (1 to 4).flatMap(_ => chunk("00dc", jpeg)).toArray)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val df = Seq(
+      (1L, mp4(withStss = true)), (2L, mp4(withStss = false)),
+      (3L, avi), (4L, "not any container".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val got = Multimodal.probeVideo(spark, df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4),
+          r.getLong(5), r.getInt(6), r.getInt(7))).toMap
+    assert(got(1L) == ("mp4/isom", "avc1", 640, 360, 5000L, 150, 5),
+      s"full probe: ${got(1L)}")
+    assert(got(2L) == ("mp4/isom", "avc1", 640, 360, 5000L, 150, 150),
+      "no stss table => every sample is a sync sample (ISO spec)")
+    assert(got(3L) == ("avi", "mjpeg", 0, 0, 0L, 4, 4),
+      s"MJPEG AVI: every frame is a keyframe: ${got(3L)}")
+    assert(got(4L) == ("opaque", "", 0, 0, 0L, 0, 0))
+  }
+
   test("sampleFrames expands 1 row to k frames covering the payload") {
     val n = media.count()
     val frames = Multimodal.sampleFrames(spark, media, "doc_id", "payload", 4)
