@@ -29,7 +29,11 @@ object Curate {
       maxTopBigramFrac: Double = 0.3,
       dedupBands: Int = 2,
       dedupRowsPerBand: Int = 8,
-      minEstJaccard: Double = 0.5)
+      minEstJaccard: Double = 0.5,
+      /** LSH band-bucket cap ([[Dedup.capBuckets]]) — set at crawl scale
+        * so degenerate boilerplate keys cannot go quadratic; None keeps
+        * pair generation exact. */
+      maxBucketSize: Option[Int] = None)
 
   def run(df: DataFrame, idCol: String, textCol: String,
       config: Config = Config(),
@@ -40,7 +44,8 @@ object Curate {
           .otherwise(col("top_count").cast("double") / col("n_ngrams").cast("double"))
           .as("top_bigram_frac"))
     val deduped = Dedup.dedupCorpus(df, idCol, textCol,
-      config.dedupBands, config.dedupRowsPerBand, config.minEstJaccard, checkpointer)
+      config.dedupBands, config.dedupRowsPerBand, config.minEstJaccard, checkpointer,
+      config.maxBucketSize)
 
     val t = col(textCol)
     val lang = TextFunctions.langId(t)

@@ -102,6 +102,26 @@ class DocSinkSizeCappedSpec extends SparkSpec {
     assert(lines.toSet == seqLines.toSet)
   }
 
+  test("output is byte-deterministic: a retried task would rewrite identical files") {
+    // counters are fixed driver-side and the shuffle order is total, so
+    // two runs over the same input produce the same file names with the
+    // same bytes — which is exactly what a retried/speculative task does
+    val rows = enriched(60, "2026-01").union(enriched(30, "2026-02"))
+    def run(): Map[String, String] = {
+      val dir = java.nio.file.Files.createTempDirectory("sizecap-det").toString
+      DocSink.writeSizeCapped(rows, dir, maxBytes = 2048, splitBytes = 2048)
+        .files.map { f =>
+          val p = localPath(f)
+          p.getFileName.toString -> java.util.HexFormat.of().formatHex(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(p)))
+        }.toMap
+    }
+    val a = run(); val b = run()
+    assert(a == b, s"same input must write identical name->md5 maps:\n$a\nvs\n$b")
+    assert(a.size >= 4)
+  }
+
   test("strict mode drops invalid docs before byte accounting") {
     import spark.implicits._
     val df = Seq(
