@@ -269,6 +269,12 @@ object DocSink {
       .repartition(col("source_group"), col("__chunk"))
       .sortWithinPartitions(col("source_group"), col("__chunk"), col("__ord"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // column positions resolved ONCE driver-side — the per-row loops
+    // below must not pay a name lookup per field
+    val groupIdx = parted.schema.fieldIndex("source_group")
+    val chunkIdx = parted.schema.fieldIndex("__chunk")
+    val lenIdx = parted.schema.fieldIndex("__len")
+    val valueIdx = parted.schema.fieldIndex("value")
     try {
       // Pass 1: exact roll simulation → file count per (group, chunk).
       // A Dataset action (not RDD), so the observe metrics ride it.
@@ -278,9 +284,9 @@ object DocSink {
         var curG: String = null; var curC = 0L; var nFiles = 0; var size = 0L
         def flush(): Unit = if (curG != null) out += (((curG, curC), nFiles))
         rows.foreach { row =>
-          val g = row.getString(row.fieldIndex("source_group"))
-          val c = row.getLong(row.fieldIndex("__chunk"))
-          val len = row.getLong(row.fieldIndex("__len"))
+          val g = row.getString(groupIdx)
+          val c = row.getLong(chunkIdx)
+          val len = row.getLong(lenIdx)
           if (g != curG || c != curC) { flush(); curG = g; curC = c; nFiles = 1; size = 0L }
           if (size > 0 && size + len > maxBytes) { nFiles += 1; size = 0L }
           size += len
@@ -330,9 +336,9 @@ object DocSink {
             out = taskFs.create(new Path(taskBase, s"shipment_${curG}_$counter.jsonl"), true)
           try {
             rows.foreach { row =>
-              val g = row.getString(row.fieldIndex("source_group"))
-              val c = row.getLong(row.fieldIndex("__chunk"))
-              val line = (row.getString(row.fieldIndex("value")) + "\n")
+              val g = row.getString(groupIdx)
+              val c = row.getLong(chunkIdx)
+              val line = (row.getString(valueIdx) + "\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               if (g != curG || c != curC) {
                 if (out != null) out.close()

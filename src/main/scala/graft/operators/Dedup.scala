@@ -100,7 +100,9 @@ object Dedup {
     * buckets are logged (one small aggregate job over the already-
     * materialized signature table — only when the cap is enabled). */
   private def capBuckets(cand: DataFrame, cap: Int, what: String): DataFrame = {
-    val sizes = cand.groupBy("band_no", "band_key").count()
+    // bucket sizes materialize ONCE (tiny: one row per distinct band
+    // key) and serve both the dropped-bucket log and the semi-join gate
+    val sizes = cand.groupBy("band_no", "band_key").count().localCheckpoint()
     val dropped = sizes.filter(col("count") > cap).count()
     if (dropped > 0)
       log.warn(s"LSH $what: dropping $dropped band buckets larger than $cap docs " +

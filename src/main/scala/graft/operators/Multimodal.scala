@@ -339,6 +339,10 @@ object Multimodal {
     var timescale = 0L; var duration = 0L
     var nSamples = 0; var nKeyframes = -1 // -1 = no stss → all sync
     var isVideoTrak = false
+    // mdhd precedes hdlr inside mdia, so a trak's timescale is buffered
+    // and committed once the handler proves the trak is video — an audio
+    // trak appearing first must not win the duration
+    var pendTimescale = 0L; var pendDuration = 0L
     def walk(from: Int, until: Int): Unit = {
       var pos = from
       while (pos + 8 <= until) {
@@ -354,10 +358,13 @@ object Multimodal {
         tpe match {
           case "moov" | "mdia" | "minf" | "stbl" => walk(dataStart, end.toInt)
           case "trak" =>
-            isVideoTrak = false
+            isVideoTrak = false; pendTimescale = 0L; pendDuration = 0L
             walk(dataStart, end.toInt)
           case "hdlr" if dataStart + 12 <= end =>
             isVideoTrak = fourcc(dataStart + 8) == "vide"
+            if (isVideoTrak && pendTimescale > 0) {
+              timescale = pendTimescale; duration = pendDuration
+            }
           case "tkhd" =>
             val v = bytes(dataStart) & 0xff
             val dimOff = dataStart + (if (v == 1) 88 else 76)
@@ -366,13 +373,14 @@ object Multimodal {
               val h = (u32(dimOff + 4) >> 16).toInt
               if (w > 0 && h > 0) { width = w; height = h }
             }
-          case "mdhd" if isVideoTrak || timescale == 0 =>
+          case "mdhd" =>
             val v = bytes(dataStart) & 0xff
-            if (v == 1 && dataStart + 32 <= end) {
-              timescale = u32(dataStart + 20); duration = u64(dataStart + 24)
-            } else if (dataStart + 24 <= end) {
-              timescale = u32(dataStart + 12); duration = u32(dataStart + 16)
-            }
+            val (ts, dur) =
+              if (v == 1 && dataStart + 32 <= end) (u32(dataStart + 20), u64(dataStart + 24))
+              else if (v == 0 && dataStart + 20 <= end) (u32(dataStart + 12), u32(dataStart + 16))
+              else (0L, 0L)
+            if (isVideoTrak && ts > 0) { timescale = ts; duration = dur }
+            else { pendTimescale = ts; pendDuration = dur }
           case "stsd" if dataStart + 16 <= end && (isVideoTrak || codec.isEmpty) =>
             codec = fourcc(dataStart + 12)
           case "stsz" if dataStart + 12 <= end && (isVideoTrak || nSamples == 0) =>
@@ -385,6 +393,11 @@ object Multimodal {
       }
     }
     walk(0, bytes.length)
+    // no (or no video-handler) trak committed a timescale: fall back to
+    // the last one seen, so handler-less single-trak files still probe
+    if (timescale == 0 && pendTimescale > 0) {
+      timescale = pendTimescale; duration = pendDuration
+    }
     if (codec.isEmpty && width == 0) None
     else Some(VideoProbe(0L, s"mp4/$brand", codec.trim, width, height,
       if (timescale > 0) duration * 1000 / timescale else 0L,

@@ -37,6 +37,12 @@ import graft.operators.Dedup
   * of the LAST COMPLETE batch (its own `batch=<id>` signature partition
   * is excluded from the read), so replay decisions match the original
   * run's.
+  *
+  * Long-running streams accrete one directory pair per micro-batch;
+  * directory-listing cost grows with batch count (the DATA read stays
+  * proportional to signature bytes, which is the part that matters).
+  * Run [[compactSignatures]] periodically — from a maintenance job, not
+  * the hot loop — to rewrite the accumulated partitions as one.
   */
 object StreamingCurate {
 
@@ -81,5 +87,35 @@ object StreamingCurate {
         novelSig.write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
       }
       .start()
+  }
+
+  /** Rewrite a batch-accreted signature (or corpus) directory as a
+    * single consolidated partition, bounding the per-batch listing cost
+    * of a long-running stream. Stage-then-swap: everything is read into
+    * a hidden staging dir (dot-prefixed — invisible to Spark reads),
+    * renamed into a FRESH consolidated generation (`batch=-<n>`,
+    * negative ids the stream never writes, n increasing per compaction
+    * so renames never collide), and only THEN are the source dirs
+    * removed — so a crash at any point leaves duplicate signature rows
+    * (benign: pairs are distinct-ed, dup ids collapse) or unchanged
+    * state, never missing rows. Run from a maintenance job while the
+    * stream is STOPPED: removing directories under a live stream races
+    * its listing. */
+  def compactSignatures(spark: SparkSession, dir: String): Unit = {
+    val fs = FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val sources = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (sources.length <= 1) return
+    val gen = sources.flatMap(_.getName.stripPrefix("batch=").toLongOption)
+      .filter(_ < 0).minOption.getOrElse(0L) - 1
+    val staging = new Path(dir, ".compact_staging")
+    fs.delete(staging, true) // leftover from a crashed previous attempt
+    spark.read.parquet(sources.map(_.toString).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging, new Path(dir, s"batch=$gen")),
+      s"compaction swap failed: $staging -> $dir/batch=$gen")
+    sources.foreach(p => fs.delete(p, true))
   }
 }

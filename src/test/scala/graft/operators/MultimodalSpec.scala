@@ -212,9 +212,21 @@ class MultimodalSpec extends SparkSpec {
     val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
       (1 to 4).flatMap(_ => chunk("00dc", jpeg)).toArray)
     val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    // multi-trak: an AUDIO trak (soun handler, timescale 48000) before
+    // the video trak must not win the duration
+    val audioMdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(48000) ++ be32(96000) ++ Array.fill(4)(0.toByte))
+    val audioHdlr = box("hdlr", be32(0) ++ be32(0) ++ "soun".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val audioTrak = box("trak", box("mdia", audioMdhd ++ audioHdlr))
+    val videoTrak = box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+      box("minf", box("stbl", stsd ++ stsz ++ stss))))
+    val multiTrak = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", audioTrak ++ videoTrak)
     val df = Seq(
       (1L, mp4(withStss = true)), (2L, mp4(withStss = false)),
-      (3L, avi), (4L, "not any container".getBytes("UTF-8"))).toDF("doc_id", "payload")
+      (3L, avi), (4L, "not any container".getBytes("UTF-8")),
+      (5L, multiTrak)).toDF("doc_id", "payload")
     val got = Multimodal.probeVideo(spark, df, "doc_id", "payload")
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getString(2), r.getInt(3), r.getInt(4),
@@ -226,6 +238,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ("avi", "mjpeg", 0, 0, 0L, 4, 4),
       s"MJPEG AVI: every frame is a keyframe: ${got(3L)}")
     assert(got(4L) == ("opaque", "", 0, 0, 0L, 0, 0))
+    assert(got(5L) == ("mp4/isom", "avc1", 640, 360, 5000L, 150, 5),
+      s"the VIDEO trak's timescale must win over the audio trak's: ${got(5L)}")
   }
 
   test("sampleFrames expands 1 row to k frames covering the payload") {

@@ -53,5 +53,17 @@ class StreamingCurateSpec extends SparkSpec {
     val batchDirs = new java.io.File(sigDir).listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(batchDirs.size >= 2, s"one sig partition per micro-batch: $batchDirs")
+
+    // compaction folds the accumulated batch dirs into one consolidated
+    // generation without changing the row set — twice, to cover the
+    // re-consolidation path
+    StreamingCurate.compactSignatures(spark, sigDir)
+    val once = new java.io.File(sigDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch="))
+    assert(once.toSeq == Seq("batch=-1"), s"compacted to one generation: ${once.toSeq}")
+    assert(spark.read.parquet(sigDir).select("id")
+      .collect().map(_.getLong(0)).toSet == finalIds, "compaction must not change rows")
+    StreamingCurate.compactSignatures(spark, sigDir) // single dir → no-op
+    assert(new java.io.File(sigDir).listFiles().count(_.getName.startsWith("batch=")) == 1)
   }
 }
