@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `simhash64(array<long> token_hashes) -> long` — the 60-bit SimHash
+  * of a token-hash MULTISET (term-frequency weighted) in one pass.
+  *
+  * SimHash is row-local: each bit is the sign of
+  * `Σ_tokens (bit set ? +1 : -1)`. The explode → 60-bit-sum group-by
+  * form this kernel replaces shuffles docs×tokens rows across the
+  * cluster to compute a quantity every row can compute from its own
+  * tokens — at corpus scale that was the dominant cost of the simhash
+  * stage and it bought nothing. Exact-integer sign sums are
+  * order-independent, so the kernel is bit-identical to the aggregated
+  * form (and to the DuckDB unnest/group-by oracle).
+  *
+  * Null input (null text upstream) → null; note the aggregated form
+  * DROPPED such docs (explode of null emits no row), so callers keep
+  * an explicit `isNotNull` filter for row-set parity. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else SimHash64.kernel(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.SimHash64.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  val Bits = 60
+
+  def kernel(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val sums = new Array[Int](Bits)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < Bits) {
+        sums(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < Bits) {
+      if (sums(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  /** Column-API entry point. */
+  def apply(tokenHashes: Column): Column =
+    ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpression(tokenHashes)))
+}

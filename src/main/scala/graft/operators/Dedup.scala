@@ -201,19 +201,17 @@ object Dedup {
   }
 
   /** 60-bit SimHash: sign-sum of each token-hash bit, term frequency
-    * weighted. explode → group-by(id) with partial aggregation. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = 60
-    val h = tokenHash(col("tok"))
-    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), h.as("h"))
-    val bitSums = (0 until bits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val summed = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until bits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    summed.select(col(idCol), hash.as("simhash"))
-  }
+    * weighted. Row-local by nature, so this is a PURE PROJECTION — one
+    * codegen kernel pass per row ([[graft.expressions.SimHash64]] over
+    * the term-frequency token-hash array), zero shuffles, where the
+    * explode → 60-bit-sum group-by it replaces shuffled docs×tokens
+    * rows. The `isNotNull` filter preserves that form's row set (an
+    * exploded null emitted no row). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.expressions.SimHash64(
+          graft.expressions.TokenHashes(tokens(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist within a
     * blocking column (sort-merge-joinable; at scale, block by a

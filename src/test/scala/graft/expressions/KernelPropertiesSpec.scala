@@ -108,6 +108,23 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash64.kernel == per-bit sign-sum reference on 1000 random hash multisets") {
+    (0 until 1000).foreach { _ =>
+      // duplicates on purpose: SimHash is term-frequency weighted
+      val hashes = Array.fill(rnd.nextInt(60))(rnd.nextLong().abs % (1L << 60))
+      val dup = hashes ++ Array.fill(rnd.nextInt(5))(
+        if (hashes.nonEmpty) hashes(rnd.nextInt(hashes.length)) else 0L)
+      val got = SimHash64.kernel(new GenericArrayData(dup.toIndexedSeq))
+      val want = (0 until 60).map { i =>
+        val s = dup.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << i else 0L
+      }.sum
+      assert(got == want, s"n=${dup.length}")
+    }
+    assert(SimHash64.kernel(new GenericArrayData(Seq.empty[Any])) == 0L,
+      "empty multiset: every sign-sum is 0, no bit set")
+  }
+
   test("WordShingles.kernel == sliding mkString on 500 random token arrays") {
     (0 until 500).foreach { _ =>
       val toks = Array.fill(rnd.nextInt(20))(randomString(6).replaceAll("\\s", "x"))
