@@ -65,5 +65,16 @@ class StreamingCurateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == finalIds, "compaction must not change rows")
     StreamingCurate.compactSignatures(spark, sigDir) // single dir → no-op
     assert(new java.io.File(sigDir).listFiles().count(_.getName.startsWith("batch=")) == 1)
+
+    // the stream resumes AFTER compaction and still dedups against the
+    // consolidated (negative) generation
+    land("b3.jsonl", Seq((6L, c), (7L, "a brand new final document unlike every other one")))
+    val q2 = StreamingCurate.dedupStream(spark, inDir.toString, schema,
+      baseDir, ckpt, "doc_id", "text")
+    try q2.processAllAvailable() finally q2.stop()
+    val afterResume = spark.read.parquet(baseDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterResume == Set(1L, 3L, 5L, 7L),
+      s"6 duplicates base doc 5 via the compacted signatures: $afterResume")
   }
 }
