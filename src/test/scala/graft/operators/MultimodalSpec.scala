@@ -242,6 +242,47 @@ class MultimodalSpec extends SparkSpec {
       s"the VIDEO trak's timescale must win over the audio trak's: ${got(5L)}")
   }
 
+  test("sampleKeyframesMp4 extracts the exact coded keyframe bytes via the sample table") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, data: Array[Byte]): Array[Byte] =
+      be32(data.length + 8L) ++ tpe.getBytes("US-ASCII") ++ data
+    // mdat FIRST (legal) so chunk offsets are static: 6 samples, sizes
+    // 10..15, sample i filled with byte 'A'+i; chunks of 3 samples at
+    // offsets 24 and 57
+    val samples = (0 until 6).map(i => Array.fill(10 + i)(('A' + i).toByte))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    assert(ftyp.length == 16, "offset math below assumes a 16-byte ftyp")
+    val stbl = box("stbl",
+      box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
+        box("stco", be32(0) ++ be32(2) ++ be32(24) ++ be32(57)) ++
+        box("stsz", be32(0) ++ be32(0) ++ be32(6) ++
+          (0 until 6).flatMap(i => be32(10L + i)).toArray) ++
+        box("stss", be32(0) ++ be32(2) ++ be32(1) ++ be32(4)))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val mp4 = ftyp ++ mdat ++
+      box("moov", box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+    val frames = Multimodal.sampleKeyframesMp4(spark,
+        Seq((9L, mp4)).toDF("doc_id", "payload"), "doc_id", "payload", 5)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 2, s"two sync samples -> two keyframes, got ${frames.length}")
+    val k1 = frames(0).getAs[Array[Byte]](2)
+    val k4 = frames(1).getAs[Array[Byte]](2)
+    assert(k1.length == 10 && k1.forall(_ == 'A'.toByte),
+      s"keyframe 1 must be sample 1's exact bytes")
+    assert(k4.length == 13 && k4.forall(_ == 'D'.toByte),
+      s"keyframe 4 must be sample 4's exact bytes (chunk 2 start)")
+    // non-ISO-BMFF payload takes the byte-slice fallback (k rows)
+    val fb = Multimodal.sampleKeyframesMp4(spark,
+      Seq((1L, "no container".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 3).collect()
+    assert(fb.length == 3)
+  }
+
   test("sampleFrames expands 1 row to k frames covering the payload") {
     val n = media.count()
     val frames = Multimodal.sampleFrames(spark, media, "doc_id", "payload", 4)
