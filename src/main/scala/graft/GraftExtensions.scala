@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }, classOf[MinHashSig])
     register(ext, "char_counts", 1,
       ch => graft.expressions.CharCounts(ch.head), classOf[graft.expressions.CharCounts])
+    register(ext, "simhash64", 1,
+      ch => graft.expressions.SimHash64(ch.head), classOf[graft.expressions.SimHash64])
     register(ext, "l1_diff", 2,
       ch => graft.expressions.L1Diff(ch(0), ch(1)), classOf[graft.expressions.L1Diff])
     register(ext, "token_chunks", 3, { ch =>

@@ -65,4 +65,20 @@ class CleanC8Spec extends SparkSpec {
     assert(r.getInt(0) == 2, "5 tokens, width 3 stride 2 -> chunks at 0 and 2")
     assert(r.getInt(1) == 2, "c->d changes two unigram counts")
   }
+
+  test("simhash64 registers for SQL and matches the operator") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.expressions.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes",
+      exprs => graft.expressions.TokenHashes(exprs.head), "built-in")
+    val viaSql = spark.sql(
+      "SELECT simhash64(token_hashes(split('alpha beta gamma delta', ' '))) h").head().getLong(0)
+    import spark.implicits._
+    val viaOp = graft.operators.Dedup.simhash(
+        Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+      .head().getLong(1)
+    assert(viaSql == viaOp, "SQL surface and operator must agree bit-for-bit")
+  }
 }
