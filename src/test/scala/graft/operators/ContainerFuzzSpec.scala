@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The container walkers parse UNTRUSTED crawl bytes — random garbage,
+  * truncations of valid files, and adversarial size fields must always
+  * degrade to empty/None, never throw (one poisoned blob must not kill
+  * a 100 TB scan). Pure JVM — no SparkSession, thousands of cases. */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tpe: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length + 8L) ++ tpe.getBytes("US-ASCII") ++ data
+
+  private def validMp4: Array[Byte] = {
+    val tkhd = box("tkhd", be32(0) ++ Array.fill(72)(0.toByte) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill(4)(0.toByte))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++
+      Array.fill(13)(0.toByte))
+    val stbl = box("stbl",
+      box("stsd", be32(0) ++ be32(1) ++ box("avc1", Array.fill(16)(0.toByte))) ++
+        box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
+        box("stco", be32(0) ++ be32(2) ++ be32(24) ++ be32(57)) ++
+        box("stsz", be32(0) ++ be32(0) ++ be32(6) ++
+          (0 until 6).flatMap(i => be32(10L + i)).toArray) ++
+        box("stss", be32(0) ++ be32(2) ++ be32(1) ++ be32(4)))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("mdat", Array.fill(75)('x'.toByte)) ++
+      box("moov", box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+  }
+
+  test("random garbage never throws in any container walker") {
+    (0 until 2000).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte)
+      Multimodal.probeMp4(bytes)
+      Multimodal.mp4KeyframeRanges(bytes)
+      Multimodal.aviFrameChunks(bytes)
+    }
+  }
+
+  test("garbage with valid magic but hostile interiors never throws") {
+    (0 until 2000).foreach { _ =>
+      val body = Array.fill(rnd.nextInt(150))(rnd.nextInt().toByte)
+      val mp4ish = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+        "isom".getBytes("US-ASCII") ++ be32(0) ++ body
+      Multimodal.probeMp4(mp4ish)
+      Multimodal.mp4KeyframeRanges(mp4ish)
+      val aviIsh = "RIFF".getBytes("US-ASCII") ++
+        Array[Byte]((body.length & 0xff).toByte, 0, 0, 0) ++
+        "AVI ".getBytes("US-ASCII") ++ body
+      Multimodal.aviFrameChunks(aviIsh)
+    }
+  }
+
+  test("every truncation of a valid MP4 degrades gracefully") {
+    val full = validMp4
+    (0 to full.length).foreach { cut =>
+      val t = full.take(cut)
+      Multimodal.probeMp4(t)
+      Multimodal.mp4KeyframeRanges(t)
+    }
+    // and the full file still parses completely
+    val probe = Multimodal.probeMp4(full).get
+    assert(probe.codec == "avc1" && probe.width == 640 && probe.n_keyframes == 2)
+    val ranges = Multimodal.mp4KeyframeRanges(full)
+    assert(ranges == Seq((24L, 10), (57L, 13)))
+  }
+
+  test("bit-flips in a valid MP4 never throw (size-field corruption)") {
+    val full = validMp4
+    (0 until 1000).foreach { _ =>
+      val t = full.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        t(rnd.nextInt(t.length)) = rnd.nextInt().toByte
+      }
+      Multimodal.probeMp4(t)
+      Multimodal.mp4KeyframeRanges(t)
+    }
+  }
+}
