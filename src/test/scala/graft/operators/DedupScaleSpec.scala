@@ -71,6 +71,22 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-sided cap: a degenerate BASE bucket is dropped, the incremental batch still matches small buckets") {
+    import spark.implicits._
+    val base = ((1 to 80).map(i => (i.toLong, boiler)) :+
+      (90L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, boiler), // would pair with all 80 base boilerplate docs
+      (102L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val capped = Dedup.minhashDedupPairsAgainst(fresh, base, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._1 == 101L),
+      s"boilerplate base bucket (80 > cap 10) must not produce pairs: $capped")
+    assert(capped.contains((102L, 90L)),
+      s"near-dup against a small base bucket must survive the cap: $capped")
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(
