@@ -98,8 +98,10 @@ object DayFirstParser {
     if (raw == null) return null
     val s0 = raw.trim
     if (s0.isEmpty) return null
-    // strip a trailing time-of-day (the reference normalizes it away)
-    val s = s0 match {
+    // strip a trailing time-of-day (the reference normalizes it away);
+    // the ':' gate keeps the backtracking suffix regex off the hot path
+    // (date columns overwhelmingly carry bare dates)
+    val s = if (s0.indexOf(':') < 0) s0 else s0 match {
       case timeSuffix(datePart, h, mi, _, sec)
         if h.toInt <= 23 && mi.toInt <= 59 && (sec == null || sec.toInt <= 59) => datePart
       case _ => s0
