@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries frequent-items sketch as a true Spark partial aggregate.
+  *
+  * Finding the heavy hitters of a 100 TB token / domain / url-host
+  * stream with an exact `GROUP BY` shuffles every distinct key; the MG
+  * sketch instead keeps ≤ `capacity` counters per map task and merges
+  * them pairwise, so the shuffle carries O(capacity) entries per
+  * partition no matter how many distinct keys exist. Guarantees (the
+  * mergeable-summaries form, Agarwal et al., PODS 2012):
+  *
+  *  - every true count c(x) is bracketed: est(x) ≤ c(x) ≤ est(x) + n/(capacity+1)
+  *    where n is the total stream length — so any x with
+  *    c(x) > n/(capacity+1) is GUARANTEED present in the sketch;
+  *  - merging preserves that bound (merge = pointwise sum, then
+  *    subtract the (capacity+1)-th largest count and drop ≤ 0);
+  *  - when the distinct-key count never exceeds `capacity`, no
+  *    decrement ever fires and every estimate is EXACT — which is what
+  *    makes the sketch oracle-checkable against a plain GROUP BY.
+  *
+  * No hashing or randomness anywhere; in the exact regime (distinct ≤
+  * capacity) the result is fully deterministic in any engine. In the
+  * approximate regime the surviving low-count keys can depend on
+  * Spark's merge tree (partitioning), but the bracketing bound above
+  * holds for EVERY merge order — that is what the spec asserts.
+  */
+class MisraGries(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Array[(String, Long)]] {
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], key: String): Map[String, Long] =
+    buf.get(key) match {
+      case Some(c) => buf.updated(key, c + 1)
+      case None if buf.size < capacity => buf.updated(key, 1L)
+      // full + unseen key: decrement every counter (the classic MG
+      // step — amortized O(1) per stream element, since each decrement
+      // pass cancels `capacity` prior increments).
+      case None => buf.flatMap { case (k, c) =>
+        if (c > 1) Some(k -> (c - 1)) else None }
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    if (sum.size <= capacity) sum
+    else {
+      // subtract the (capacity+1)-th largest count from everything;
+      // at most `capacity` survivors, error bound telescopes.
+      val d = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
+      sum.flatMap { case (k, c) => if (c > d) Some(k -> (c - d)) else None }
+    }
+  }
+
+  override def finish(buf: Map[String, Long]): Array[(String, Long)] =
+    buf.toArray.sortBy { case (k, c) => (-c, k) }
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Array[(String, Long)]] =
+    ExpressionEncoder[Array[(String, Long)]]()
+}
+
+object HeavyHitters {
+
+  /** Heavy hitters of `keys` as a (key, est_count) frame, heaviest
+    * first with (count desc, key) as the deterministic tie-break. */
+  def topK(keys: Dataset[String], capacity: Int): DataFrame =
+    keys.select(new MisraGries(capacity).toColumn) // typed select: one sketch row
+      .toDF("hh")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("key"), col("e._2").as("est_count"))
+}

@@ -161,6 +161,28 @@ object TextFunctions {
     regexp_count(text, lit(ipv4Pattern)).as("n_ips"),
     regexp_count(text, lit(phonePattern)).as("n_phones"))
 
+  /** HTML → clean text extraction (the first transform any crawl-based
+    * corpus applies): drop script/style payloads and comments, strip
+    * every tag to a space, THEN unescape the common entities (after
+    * tag-stripping, so an escaped literal like `&lt;tail&gt;` survives
+    * as text instead of becoming a strippable tag — correct HTML
+    * semantics), and collapse whitespace. All patterns stay in the
+    * RE2-compatible subset (no backreferences or lookaround) so the
+    * DuckDB oracle runs the identical chain. One codegen projection —
+    * no UDF, no shuffle. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // &amp; LAST so double-escapes don't re-enter the pipeline.
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Host of an http(s) URL (null when not URL-shaped), and its
     * registrable tail (last two dot-labels) for domain-level corpus
     * stats — regex-based so the DuckDB oracle is exact. */

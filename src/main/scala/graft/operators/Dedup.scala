@@ -32,6 +32,75 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Segment-level exact dedup (the RefinedWeb "line dedup" generalized
+    * to fixed word windows, since crawl boilerplate repeats at
+    * sub-document granularity): split each document into consecutive
+    * `windowWords`-word segments, keep only the globally-FIRST
+    * occurrence of each distinct segment — ordered by (id, seg_no) —
+    * and reassemble every document from its surviving segments.
+    *
+    * Scale shape (the part that matters at 100 TB): the global
+    * winner-election aggregates ONLY (md5-fingerprint, id, seg_no) —
+    * 128 bits + two longs per segment, never the segment text — and the
+    * join that maps winners back to documents carries just a per-doc
+    * `array<long>` of surviving segment indexes. Document text itself
+    * moves through exactly ONE shuffle (the final join by id); the
+    * reassembly re-derives segment strings row-locally from the
+    * original text with codegen array ops (`transform`/`slice`/
+    * `filter`), so no shuffle ever carries segment bodies.
+    *
+    * Output: (id, n_segs, n_kept, dedup_text). A document whose every
+    * segment lost election reassembles to '' with n_kept = 0 — callers
+    * typically drop those rows (empty docs) downstream.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 13): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val w = windowWords
+    val toks = split(col(textCol), " ")
+    // ceil(n/w) windows, at least 1 so empty docs keep a row.
+    def nSegsOf(ts: Column): Column =
+      greatest(ceil(size(ts).cast("double") / w).cast("long"), lit(1L))
+    def segAt(ts: Column, i: Column): Column =
+      array_join(slice(ts, (i * w).cast("int") + 1, lit(w)), " ")
+
+    // (id, seg_no, fp) — narrow: the text never leaves the row.
+    val segFps = df
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nSegsOf(col("__toks")) - 1),
+          i => md5(segAt(col("__toks"), i))))
+          .as(Seq("__seg_no", "__fp")))
+      .withColumn("__seg_no", col("__seg_no").cast("long"))
+
+    // Global first-occurrence election per fingerprint: one narrow
+    // hash-shuffle; min(struct) gives the lexicographically-first
+    // (id, seg_no) deterministically.
+    val winners = segFps
+      .groupBy("__fp")
+      .agg(min(struct(col(idCol).as("__wid"), col("__seg_no").as("__wseg"))).as("__w"))
+      .select(col("__fp"), col("__w.__wid").as("__wid"), col("__w.__wseg").as("__wseg"))
+
+    // Surviving segment indexes per document — still narrow.
+    val keptIdx = segFps
+      .join(winners, "__fp")
+      .where(col(idCol) === col("__wid") && col("__seg_no") === col("__wseg"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list("__seg_no")).as("__kept"))
+
+    // The single wide shuffle: documents join their kept-index arrays
+    // by id; segments are re-derived row-locally for reassembly.
+    val nseg = nSegsOf(toks)
+    val keptSeq = filter(sequence(lit(0L), nseg - 1),
+      i => array_contains(col("__kept"), i))
+    df.join(keptIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        nseg.as("n_segs"),
+        coalesce(size(col("__kept")).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(array_join(transform(keptSeq, i => segAt(toks, i)), " "), lit(""))
+          .as("dedup_text"))
+  }
+
   /** MinHash parameters: k permutations via (a_i·h + b_i) mod p over
     * 60-bit token hashes. Fixed constants → reproducible across engines
     * and runs. */
@@ -284,6 +353,61 @@ object Dedup {
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"), cos.as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * embedding-space clustering — k-means partitions the corpus, then
+    * near-duplicate pairs are searched ONLY within each cluster and
+    * every document that has a lower-id neighbor above `minCos` is
+    * dropped. The cluster blocking is what makes semantic dedup
+    * tractable at 100 TB: the pair join is per-bucket, so the corpus
+    * square never materializes, and k grows with the corpus to hold
+    * expected bucket size constant.
+    *
+    * Determinism contract (oracle-checkable): seeds are the k
+    * lowest-id vectors, `lloydRounds` fixed Lloyd iterations (no
+    * convergence test, no RNG), per-dimension means rounded to 6
+    * decimals, assignment ties broken by lowest centroid id, cosines
+    * rounded to 6 decimals before the threshold — the same rows give
+    * the same clusters and keep-flags in any engine.
+    *
+    * Output: (id, cluster, keep) — `keep=false` rows are the semantic
+    * duplicates. Scale shape: centroids broadcast (k rows), each Lloyd
+    * round is one corpus pass + a (bucket, dim)-keyed partial-agg mean
+    * (shuffle carries k×dim doubles), the dedup join shuffles the
+    * corpus once by bucket. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      minCos: Double, lloydRounds: Int = 1): DataFrame = {
+    require(k >= 1 && lloydRounds >= 0, "need k >= 1 and lloydRounds >= 0")
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val seeds = e.orderBy(idCol).limit(k)
+
+    // Fixed Lloyd rounds: assign to nearest centroid, recompute each
+    // cluster's per-dimension mean (rounded — the cross-engine float
+    // contract). Means keep the SEED's id as the bucket id throughout.
+    val centroids = (0 until lloydRounds).foldLeft(seeds) { (cents, _) =>
+      SimilaritySearch.assignBuckets(e, cents, idCol, vecCol)
+        .select(col("bucket"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos").agg(avg("x").as("m"))
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("bucket").as(idCol),
+          transform(col("pm"), p => round(p.getField("m"), 6)).as(vecCol))
+    }
+
+    val assigned = SimilaritySearch.assignBuckets(e, centroids, idCol, vecCol)
+    val l = assigned.select(col("bucket"), col(idCol).as("id1"),
+      col("vec").as("v1"), col("nrm").as("n1"))
+    val r = assigned.select(col("bucket"), col(idCol).as("id2"),
+      col("vec").as("v2"), col("nrm").as("n2"))
+    val cos = round(SimilaritySearch.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    val dropped = l.join(r, Seq("bucket"))
+      .where(col("id1") < col("id2") && cos >= minCos)
+      .select(col("id2").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("bucket").as("cluster"),
+        col("__dup").isNull.as("keep"))
   }
 
   /** Connected components over near-dup pairs → cluster id = min doc id

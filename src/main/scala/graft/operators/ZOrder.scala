@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for data layout at scale.
+  *
+  * Sorting a 100 TB table by the Z-value of its two or three hottest
+  * filter columns before writing gives every downstream scan
+  * multi-dimensional data skipping: parquet row-group min/max stats
+  * become tight for BOTH columns at once, so a `WHERE x BETWEEN … AND
+  * y BETWEEN …` scan prunes row groups it would have to read under any
+  * single-column sort. This is the layout trick behind Delta/Iceberg
+  * `OPTIMIZE ZORDER BY` — here as a plain column expression, usable
+  * with vanilla `repartitionByRange(zvalue).sortWithinPartitions`.
+  *
+  * Everything is built from codegen'd bitwise column ops (shiftleft /
+  * bitwiseAND / bitwiseOR) — no UDF, no custom expression needed; the
+  * whole interleave stays inside WholeStageCodegen.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i
+    * (the classic magic-number Morton spread, as column arithmetic). */
+  private def spread16(v: Column): Column = {
+    val m0 = v.bitwiseAND(lit(0xFFFFL))
+    val m1 = (m0.bitwiseOR(shiftleft(m0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = (m1.bitwiseOR(shiftleft(m1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = (m2.bitwiseOR(shiftleft(m2, 2))).bitwiseAND(lit(0x33333333L))
+    (m3.bitwiseOR(shiftleft(m3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton value of two non-negative ints (16 significant bits
+    * each → 32-bit Z-value): x takes the even bit positions, y the
+    * odd. */
+  def zvalue2(x: Column, y: Column): Column =
+    spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
+
+  /** General n-column Morton value over the low `bits` of each column
+    * (column j's bit i lands at position i*n + j). n*bits must fit a
+    * long. Unrolled to n*bits codegen'd shift/mask terms — fine for
+    * the 2-4 column, 8-16 bit range layout work actually uses. */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits > 0 && cols.size * bits <= 63,
+      s"need 1+ cols and cols*bits <= 63, got ${cols.size} x $bits")
+    val n = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Layout pass: range-partition by Z-value and sort within
+    * partitions, so files come out Z-clustered with balanced sizes
+    * (range partitioning keeps a hot Z-region from funneling into one
+    * task). `numPartitions` ≈ target file count. */
+  def layoutBy(df: DataFrame, numPartitions: Int, zCols: Seq[Column]): DataFrame = {
+    val z = if (zCols.size == 2) zvalue2(zCols(0), zCols(1))
+            else zvalueN(zCols, math.min(16, 63 / zCols.size))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -681,7 +681,83 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** q89 — segment-level exact dedup (RefinedWeb-style "line dedup" on
+    * 13-word windows): each distinct segment survives only at its
+    * globally-first (doc_id, seg_no) occurrence and documents are
+    * reassembled from their survivors. The election shuffles only
+    * (md5, id, seg_no); document text moves through exactly one
+    * shuffle. */
+  def q89SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(Tables(spark, dir, "documents"), "doc_id", "text",
+        windowWords = 13)
+      .orderBy("doc_id")
+
+  /** q91 — Z-order (Morton) layout values: interleave the low 10 bits
+    * of (l_partkey, l_suppkey) per lineitem row with the codegen'd
+    * magic-number spread, then profile the Z-space in 256 buckets
+    * (count/min/max/sum are sensitive to every interleaved bit). The
+    * layout pass itself is [[graft.operators.ZOrder.layoutBy]]. */
+  def q91ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    l.select(graft.operators.ZOrder.zvalue2(
+        col("l_partkey") % 1024, col("l_suppkey") % 1024).as("zval"))
+      .groupBy(shiftright(col("zval"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"), min("zval").as("zmin"),
+        max("zval").as("zmax"), sum("zval").as("zsum"))
+      .orderBy("zbucket")
+  }
+
+  /** q92 — Misra-Gries heavy hitters over the corpus token stream,
+    * capacity 64. The documents vocabulary (31 distinct tokens) sits
+    * under the capacity, so every estimate is provably EXACT and the
+    * oracle is a plain GROUP BY; the approximate regime (capacity <
+    * distinct) is property-tested in HeavyHittersSpec instead. */
+  def q92HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .as[String]
+    graft.functions.HeavyHitters.topK(toks, 64)
+      .select(col("key").as("token"), col("est_count").as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  /** q90 — HTML → text extraction over a deterministically synthesized
+    * HTML wrap of each document (the container carries script/style
+    * payloads, comments, attributes, and escaped entities — every case
+    * [[TextFunctions.stripHtml]] handles; the corpus tables themselves
+    * hold no markup, same pattern as q29's synthesized media). The
+    * oracle runs the identical RE2-safe chain in DuckDB. */
+  def q90HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style><script src=\"a.js\"></script></head><body><h1 class=\"t\">"),
+      col("source"),
+      lit("</h1><!-- doc "), col("doc_id").cast("string"), lit(" --><p>"),
+      regexp_replace(col("text"), "fast", "<b>fast</b>"),
+      lit("</p><script>var n="), col("doc_id").cast("string"),
+      lit(";</script>&amp; &lt;tail&gt;&nbsp;</body></html>"))
+    d.select(col("doc_id"), TextFunctions.stripHtml(html).as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** q93 — SemDeDup over the embeddings table: k=8 clusters seeded on
+    * the lowest vec_ids, one Lloyd round (deterministic — means rounded
+    * to 6 dp), then within-cluster cosine ≥ 0.3 drops the higher id of
+    * each near-dup pair. The oracle unrolls the identical Lloyd round
+    * in SQL. */
+  def q93SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, minCos = 0.3, lloydRounds = 1)
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_semdedup" -> (q93SemDedup _),
+    "q90_html_strip" -> (q90HtmlStrip _),
+    "q92_heavy_hitters" -> (q92HeavyHitters _),
+    "q91_zorder" -> (q91ZOrder _),
+    "q89_segment_dedup" -> (q89SegmentDedup _),
     "q86_sig_incremental" -> (q86SigTableDedup _),
     "q87_capped_lsh" -> (q87CappedLsh _),
     "q88_ann_multiprobe" -> (q88AnnMultiprobe _),
@@ -818,6 +894,85 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q93_semdedup" -> {
+      def c(a: String, b: String, na: String, nb: String) =
+        s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / ($na * $nb), 6)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+        |s1 AS (SELECT en.vec_id, en.v, en.nrm, c0.cid,
+        |       ${c("en.v", "c0.cv", "en.nrm", "c0.cnrm")} AS csim FROM en, c0),
+        |a1 AS (SELECT vec_id, v, cid AS bucket FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |px AS (SELECT bucket, v, unnest(range(1, 65)) AS i FROM a1),
+        |m AS (SELECT bucket, i, avg(v[CAST(i AS INT)]) AS x FROM px GROUP BY bucket, i),
+        |c1 AS (SELECT bucket AS cid, list(round(x, 6) ORDER BY i) AS cv FROM m GROUP BY bucket),
+        |c1n AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM c1),
+        |s2 AS (SELECT en.vec_id, en.v, en.nrm, c1n.cid,
+        |       ${c("en.v", "c1n.cv", "en.nrm", "c1n.cnrm")} AS csim FROM en, c1n),
+        |a2 AS (SELECT vec_id, v, nrm, cid AS bucket FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM s2)
+        |       WHERE rn = 1),
+        |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+        |      FROM a2 x JOIN a2 y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |      WHERE ${c("x.v", "y.v", "x.nrm", "y.nrm")} >= 0.3)
+        |SELECT a2.vec_id, a2.bucket AS cluster,
+        |  (a2.vec_id NOT IN (SELECT id2 FROM p)) AS keep
+        |FROM a2 ORDER BY vec_id""".stripMargin
+    },
+    "q90_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style><script src="a.js"></script></head><body><h1 class="t">'
+        |  || source || '</h1><!-- doc ' || doc_id::VARCHAR || ' --><p>'
+        |  || regexp_replace(text, 'fast', '<b>fast</b>', 'g')
+        |  || '</p><script>var n=' || doc_id::VARCHAR
+        |  || ';</script>&amp; &lt;tail&gt;&nbsp;</body></html>' AS html
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        | trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g'),
+        |   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text FROM h)
+        |SELECT doc_id, clean_text, strlen(clean_text)::BIGINT AS n_clean_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q92_heavy_hitters" ->
+      s"""SELECT tok AS token, count(1)::BIGINT AS cnt
+        |FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token""".stripMargin,
+    "q91_zorder" ->
+      """WITH z0 AS (SELECT (l_partkey % 1024) AS x, (l_suppkey % 1024) AS y FROM lineitem),
+        |z1 AS (SELECT (x & 65535) AS xa, (y & 65535) AS ya FROM z0),
+        |z2 AS (SELECT ((xa | (xa << 8)) & 16711935) AS xb, ((ya | (ya << 8)) & 16711935) AS yb FROM z1),
+        |z3 AS (SELECT ((xb | (xb << 4)) & 252645135) AS xc, ((yb | (yb << 4)) & 252645135) AS yc FROM z2),
+        |z4 AS (SELECT ((xc | (xc << 2)) & 858993459) AS xd, ((yc | (yc << 2)) & 858993459) AS yd FROM z3),
+        |z5 AS (SELECT ((xd | (xd << 1)) & 1431655765) AS xe, ((yd | (yd << 1)) & 1431655765) AS ye FROM z4),
+        |zf AS (SELECT (xe | (ye << 1)) AS zval FROM z5)
+        |SELECT (zval >> 12) AS zbucket, count(1)::BIGINT AS n,
+        |  min(zval) AS zmin, max(zval) AS zmax, sum(zval)::BIGINT AS zsum
+        |FROM zf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q89_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg0 AS (SELECT doc_id, toks,
+        |  unnest(range(0, greatest(CAST(ceil(len(toks)/13.0) AS BIGINT), 1))) AS i FROM t),
+        |seg AS (SELECT doc_id, i AS seg_no,
+        |  array_to_string(toks[CAST(i*13+1 AS INT) : CAST(i*13+13 AS INT)], ' ') AS seg FROM seg0),
+        |w AS (SELECT seg, min(struct_pack(d := doc_id, s := seg_no)) AS win FROM seg GROUP BY seg),
+        |k AS (SELECT seg.doc_id, seg.seg_no, seg.seg FROM seg JOIN w ON seg.seg = w.seg
+        |      WHERE seg.doc_id = w.win.d AND seg.seg_no = w.win.s)
+        |SELECT d.doc_id,
+        |  count(seg.seg_no)::BIGINT AS n_segs,
+        |  count(k.seg_no)::BIGINT AS n_kept,
+        |  coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_no), '') AS dedup_text
+        |FROM documents d
+        |LEFT JOIN seg ON seg.doc_id = d.doc_id
+        |LEFT JOIN k ON k.doc_id = seg.doc_id AND k.seg_no = seg.seg_no
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
     "q87_capped_lsh" -> {

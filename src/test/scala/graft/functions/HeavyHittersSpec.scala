@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries guarantees: exactness under capacity, the n/(k+1)
+  * bracketing bound for ANY merge order, and guaranteed presence of
+  * true heavy hitters. */
+class HeavyHittersSpec extends SparkSpec {
+
+  test("exact regime: capacity >= distinct keys reproduces a plain GROUP BY") {
+    import spark.implicits._
+    val keys = (1 to 40).flatMap(i => Seq.fill(i)(s"k$i"))
+    val ds = spark.createDataset(scala.util.Random.shuffle(keys)).repartition(7)
+    val got = HeavyHitters.topK(ds, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+  }
+
+  test("approximate regime: bracketing bound holds under every partitioning") {
+    import spark.implicits._
+    // zipfish stream: key i appears 1000/i times, 200 distinct keys
+    val stream = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"k$i"))
+    val n = stream.size
+    val cap = 20
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val est = HeavyHitters.topK(ds, cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= cap)
+      est.foreach { case (k, e) =>
+        val t = truth(k)
+        assert(e <= t && t <= e + n / (cap + 1),
+          s"parts=$parts key=$k est=$e true=$t n=$n")
+      }
+      // any key heavier than n/(cap+1) MUST be present
+      truth.collect { case (k, t) if t > n / (cap + 1) => k }
+        .foreach(k => assert(est.contains(k), s"parts=$parts missing heavy $k"))
+    }
+  }
+
+  test("finish orders heaviest-first with key tie-break") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq("b", "b", "a", "a", "c"))
+    val got = HeavyHitters.topK(ds, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Array(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value checks of HTML → text extraction on hand-written fixtures. */
+class HtmlStripSpec extends SparkSpec {
+
+  private def strip(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(TextFunctions.stripHtml(col("h")))
+      .head().getString(0)
+  }
+
+  test("tags strip to spaces; whitespace collapses") {
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    assert(strip("<div><span>a</span><span>b</span></div>") === "a b")
+  }
+
+  test("script and style payloads are dropped entirely, case-insensitive, across lines") {
+    assert(strip("x<script>var a = '<p>not text</p>';</script>y") === "x y")
+    assert(strip("x<STYLE type=\"a\">\np { color: red }\n</style>y") === "x y")
+    assert(strip("a<script src=\"s.js\"></script>b") === "a b")
+  }
+
+  test("comments are removed, including markup inside them") {
+    assert(strip("a<!-- <b>ghost</b> \n more -->b") === "a b")
+  }
+
+  test("entities unescape AFTER tag strip: escaped markup survives as text") {
+    assert(strip("&lt;script&gt;alert(1)&lt;/script&gt;") === "<script>alert(1)</script>")
+    assert(strip("Tom &amp; Jerry&nbsp;&gt;&nbsp;cats") === "Tom & Jerry > cats")
+    assert(strip("&quot;q&quot; &#39;s&#39;") === "\"q\" 's'")
+  }
+
+  test("attributes with angle-free urls and self-closing tags") {
+    assert(strip("<a href=\"http://e.com/x?y=1\">link</a><br/>end") === "link end")
+  }
+
+  test("plain text passes through trimmed") {
+    assert(strip("  already clean  ") === "already clean")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value-level checks of segment-level exact dedup on hand-computed
+  * micro cases (window = 3 words). */
+class SegmentDedupSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)], w: Int = 3) = {
+    import spark.implicits._
+    Dedup.segmentDedup(docs.toDF("id", "text"), "id", "text", windowWords = w)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+  }
+
+  test("globally-first occurrence survives; later copies are dropped") {
+    val got = run(Seq(
+      1L -> "a b c d e f",       // segs: "a b c", "d e f"
+      2L -> "d e f g h i",       // "d e f" already seen in doc 1 → dropped
+      3L -> "a b c"))            // fully duplicate → empty
+    assert(got === Array(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "g h i"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("within-document repeats collapse to the first position") {
+    val got = run(Seq(1L -> "x y z x y z x y z"))
+    assert(got === Array((1L, 3L, 1L, "x y z")))
+  }
+
+  test("partial tail window is its own segment and dedups independently") {
+    val got = run(Seq(
+      1L -> "a b c d",           // "a b c", "d"
+      2L -> "d"))                // tail "d" of doc 1 wins
+    assert(got === Array(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 1L, 0L, "")))
+  }
+
+  test("election is by (id, seg_no), not arrival order: lowest id wins") {
+    val got = run(Seq(
+      9L -> "p q r",
+      2L -> "p q r"))
+    assert(got === Array(
+      (2L, 1L, 1L, "p q r"),
+      (9L, 1L, 0L, "")))
+  }
+
+  test("matches a brute-force reimplementation on sf0.001 documents") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val w = 5
+    // driver-side oracle: first-seen segment set in (id, seg_no) order
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val segs = toks.grouped(w).map(_.mkString(" ")).toArray
+      val kept = segs.filter(s => seen.add(s))
+      (id, segs.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    val got = run(docs.map { case (id, t) => id -> t }, w)
+    assert(got === expect)
+  }
+}

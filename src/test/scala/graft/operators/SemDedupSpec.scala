@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup on a hand-built embedding space: two well-separated
+  * clusters with exact duplicates and a near-duplicate inside them. */
+class SemDedupSpec extends SparkSpec {
+
+  // cluster A points along +x, cluster B along +y; ids interleaved to
+  // prove keep-flags follow id order, not input order.
+  private val vecs: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array(1.0f, 0.0f, 0.0f),   // seed A
+    1L -> Array(0.0f, 1.0f, 0.0f),   // seed B
+    2L -> Array(1.0f, 0.01f, 0.0f),  // ≈ dup of 0 → dropped
+    3L -> Array(0.0f, 1.0f, 0.02f),  // ≈ dup of 1 → dropped
+    4L -> Array(0.7f, 0.0f, 0.72f),  // cluster A, cos ≈ 0.7 → kept at 0.95
+    5L -> Array(1.0f, 0.0f, 0.0f)    // exact dup of 0 → dropped
+  )
+
+  private def run(minCos: Double) = {
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    Dedup.semDedup(df, "vec_id", "embedding", k = 2, minCos = minCos,
+        lloydRounds = 1)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+  }
+
+  test("within-cluster near-dups above threshold drop the higher id") {
+    val got = run(0.95)
+    // clusters: x-ish → seed 0, y-ish → seed 1
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val keep = got.map(g => g._1 -> g._3).toMap
+    assert(keep(0L) && keep(1L) && keep(4L), "lowest ids + distinct member survive")
+    assert(!keep(2L) && !keep(3L) && !keep(5L), "near/exact dups dropped")
+    // cluster assignment sanity: 0,2,4,5 together; 1,3 together
+    val cl = got.map(g => g._1 -> g._2).toMap
+    assert(cl(2L) === cl(0L) && cl(4L) === cl(0L) && cl(5L) === cl(0L))
+    assert(cl(3L) === cl(1L) && cl(1L) != cl(0L))
+  }
+
+  test("threshold above every similarity keeps everything") {
+    val got = run(1.000001)
+    assert(got.forall(_._3), "nothing can exceed cos > 1")
+  }
+
+  test("keep-count is monotone in threshold") {
+    val kept = Seq(0.5, 0.9, 0.999).map(t => run(t).count(_._3))
+    assert(kept === kept.sorted, s"kept counts $kept not monotone")
+  }
+}

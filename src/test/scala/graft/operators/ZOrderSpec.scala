@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bit-level checks of the Morton interleave against a reference
+  * bit-loop, plus the layout pass's clustering contract. */
+class ZOrderSpec extends SparkSpec {
+
+  /** Reference interleave: bit i of col j → position i*n + j. */
+  private def refZ(vals: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for ((v, j) <- vals.zipWithIndex; i <- 0 until bits)
+      z |= ((v >> i) & 1L) << (i * vals.size + j)
+    z
+  }
+
+  test("zvalue2 matches the reference bit-loop across edge and random values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (43690L, 21845L), (1L, 65535L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y")
+      .select(ZOrder.zvalue2(col("x"), col("y"))).as[Long].collect()
+    val expect = cases.map { case (x, y) => refZ(Seq(x, y), 16) }
+    assert(got.toSeq === expect)
+  }
+
+  test("zvalueN generalizes: 3 columns, 10 bits, matches reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = Seq.fill(40)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = cases.toDF("a", "b", "c")
+      .select(ZOrder.zvalueN(Seq(col("a"), col("b"), col("c")), 10))
+      .as[Long].collect()
+    val expect = cases.map { case (a, b, c) => refZ(Seq(a, b, c), 10) }
+    assert(got.toSeq === expect)
+  }
+
+  test("zvalue2 equals zvalueN on two 16-bit columns") {
+    import spark.implicits._
+    val cases = Seq((3L, 5L), (1024L, 77L), (65535L, 1L))
+    val df = cases.toDF("x", "y")
+    val both = df.select(
+      ZOrder.zvalue2(col("x"), col("y")).as("a"),
+      ZOrder.zvalueN(Seq(col("x"), col("y")), 16).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("layoutBy emits Z-sorted partitions and drops the helper column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(500)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val out = ZOrder.layoutBy(df, 4, Seq(col("x"), col("y")))
+    assert(out.columns.toSeq === Seq("x", "y"))
+    // within every partition, rows must be nondecreasing in zvalue2
+    val sortedWithin = out
+      .withColumn("z", ZOrder.zvalue2(col("x"), col("y")))
+      .select("z").as[Long]
+      .mapPartitions(it => Iterator.single(it.foldLeft((true, Long.MinValue)) {
+        case ((ok, prev), z) => (ok && z >= prev, z)
+      }._1))
+      .collect()
+    assert(sortedWithin.forall(identity))
+  }
+}
