@@ -18,6 +18,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    var sinceGc = 0
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -29,7 +30,23 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
         } catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Post-timing hygiene: localCheckpoint blocks (LSH signature
+        // tables, CC rounds) stay pinned until their RDDs are GC'd,
+        // and 94 queries × 3 runs of accumulation starves the block
+        // manager — observed as a 10-20× collapse of LATE-run queries
+        // (q73/q74 medians 5-10× their isolated timings). Unpersist
+        // every lingering persistent RDD directly — the finished query
+        // will never re-read them — instead of System.gc(): explicit
+        // full GCs on a 100+ GiB heap proved slower than the leak.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // Bound old-gen growth (broadcasts, plan trees) so a late-run
+        // query doesn't absorb the whole run's collection debt — but
+        // amortized: a full GC per query measurably exceeded the leak.
+        sinceGc += 1
+        if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+        (name, dt, ok)
       }
     }
     def median(xs: Seq[Double]): Double = {

@@ -34,6 +34,7 @@ object Graft {
   def registerUdfs(s: SparkSession): SparkSession = {
     import org.apache.spark.sql.functions.udaf
     s.udf.register("kmv_minima", udaf(new graft.functions.KmvAggregator(64)))
+    s.udf.register("mg_topk", udaf(new graft.functions.MisraGries(64)))
     s.udf.register("compression_ratio", graft.functions.TextFunctions.compressionRatio)
     s
   }

@@ -161,6 +161,20 @@ object TextFunctions {
     regexp_count(text, lit(ipv4Pattern)).as("n_ips"),
     regexp_count(text, lit(phonePattern)).as("n_phones"))
 
+  /** Hashed-bag-of-words linear-classifier inference (the fastText-style
+    * quality-filter shape: featurize each token into one of `dim` hash
+    * buckets, sum the bucket weights, threshold). The heavy part — a
+    * per-token hash + weight lookup + sum as pure codegen column ops,
+    * no UDF, no shuffle — is the real deliverable; the weight table is
+    * a deterministic synthetic stand-in (`(bucket·48271) mod 2001 −
+    * 1000` milli-units) for the trained weights a production filter
+    * loads, same stub policy as the multimodal feature extractors.
+    * Scores are EXACT integer milli-units (never floats), so results
+    * are bit-identical across engines, shuffle orders, and reruns. */
+  def hashedLinearScore(text: Column, dim: Int = 256): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ((tokenHash(t) % dim) * 48271 % 2001 - 1000))
+
   /** HTML → clean text extraction (the first transform any crawl-based
     * corpus applies): drop script/style payloads and comments, strip
     * every tag to a space, THEN unescape the common entities (after

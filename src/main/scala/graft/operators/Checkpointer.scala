@@ -47,4 +47,19 @@ object Checkpointer {
       df.checkpoint()
     }
   }
+
+  /** Free the storage behind a frame a Checkpointer previously
+    * materialized, once no future job will read it. Without this an
+    * iterative loop pins EVERY generation of its checkpointed state
+    * until JVM garbage collection happens to run — ~10 label-table
+    * generations for a connected-components call, which at 100 TB is
+    * 10× the storage the algorithm actually needs and measurably
+    * starves the block manager within a long session. Local
+    * checkpoints drop their blocks immediately (non-blocking);
+    * reliable checkpoints keep their files (recovery semantics are the
+    * point), where unpersist of the file-backed RDD is a no-op. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

@@ -503,10 +503,15 @@ object Dedup {
         checkpointer) // truncate lineage each round
       converged = nchk == chk
       chk = nchk
+      // the superseded round's label table was fully consumed building
+      // `next` — drop its blocks NOW instead of waiting for JVM GC
+      // (otherwise every generation stays pinned; see Checkpointer.release)
+      Checkpointer.release(labels)
       labels = next
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    Checkpointer.release(edges) // the loop was the graph's only reader
     labels
   }
   /** End-to-end corpus dedup — the one-call pipeline a curation job

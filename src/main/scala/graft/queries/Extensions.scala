@@ -752,7 +752,41 @@ object Extensions {
         k = 8, minCos = 0.3, lloydRounds = 1)
       .orderBy("vec_id")
 
+  /** q94 — the sketch aggregates through the pure-SQL surface: per-lang
+    * Misra-Gries heavy hitters via the registered `mg_topk` UDAF (the
+    * per-lang vocabulary sits under the capacity, so estimates are
+    * exact and the oracle is a plain per-lang GROUP BY). Proves a SQL
+    * user gets the sketch family without touching the Scala API. */
+  def q94SqlSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.Graft.registerUdfs(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT lang, h._1 AS token, h._2 AS cnt
+        |FROM (SELECT lang, mg_topk(tok) AS hh
+        |      FROM (SELECT lang, explode(split(lower(trim(text)), '\\s+')) AS tok
+        |            FROM documents)
+        |      GROUP BY lang)
+        |LATERAL VIEW explode(hh) AS h
+        |ORDER BY lang, cnt DESC, token""".stripMargin)
+  }
+
+  /** q95 — quality-classifier inference over the corpus: hashed
+    * bag-of-words linear scoring in exact integer milli-units
+    * ([[TextFunctions.hashedLinearScore]]) + the thresholded label.
+    * The classifier plumbing (hash-bucket featurization, codegen
+    * weight-sum, zero shuffles) is what a trained filter reuses. */
+  def q95QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.hashedLinearScore(col("text")).as("score_milli"))
+      .withColumn("label", col("score_milli") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_quality_classifier" -> (q95QualityClassifier _),
+    "q94_sql_sketch" -> (q94SqlSketch _),
     "q93_semdedup" -> (q93SemDedup _),
     "q90_html_strip" -> (q90HtmlStrip _),
     "q92_heavy_hitters" -> (q92HeavyHitters _),
@@ -894,6 +928,18 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q95_quality_classifier" ->
+      s"""WITH s AS (SELECT doc_id,
+        |  len($toksSql)::BIGINT AS n_tokens,
+        |  list_sum(list_transform($toksSql,
+        |    tok -> (($hashSql % 256) * 48271) % 2001 - 1000))::BIGINT AS score_milli
+        | FROM documents)
+        |SELECT doc_id, n_tokens, score_milli, (score_milli > 0) AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q94_sql_sketch" ->
+      s"""SELECT lang, tok AS token, count(1)::BIGINT AS cnt
+        |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
+        |GROUP BY lang, tok ORDER BY lang, cnt DESC, token""".stripMargin,
     "q93_semdedup" -> {
       def c(a: String, b: String, na: String, nb: String) =
         s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / ($na * $nb), 6)"

@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
     assert(pairJoinAt < semiAt, "cap must gate candidates BELOW the pair self-join")
   }
 
+  test("q89 segment dedup: the election never shuffles document text") {
+    val p = plan("q89_segment_dedup")
+    // formatted mode prints one detail block per node:
+    //   (15) Exchange\nInput [2]: [__fp#29, min#53]
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, "expected exchanges in the election pipeline")
+    // every election/aggregation shuffle carries only (fp, id, seg_no)
+    // or partial-agg buffers; document text crosses at most the ONE
+    // reassembly join (and at sf0.01 not even that — winners broadcast)
+    val carryingText = shuffleInputs.count(_.contains("text#"))
+    assert(carryingText <= 1,
+      s"document text crosses $carryingText shuffles; the election must stay narrow")
+  }
+
+  test("q95 classifier inference: scoring never hash-shuffles (only the output sort ranges)") {
+    val p = plan("q95_quality_classifier")
+    assert(!p.contains("hashpartitioning"),
+      "hashed-linear scoring is a projection — no hash shuffle expected")
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {
