@@ -197,6 +197,13 @@ object TextFunctions {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** All href targets in an HTML fragment, in document order — the
+    * extraction step of web-graph construction (outlink lists →
+    * per-domain degree stats → crawl frontier / PageRank-style
+    * weighting). RE2-safe single pattern, one codegen projection. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+
   /** Host of an http(s) URL (null when not URL-shaped), and its
     * registrable tail (last two dot-labels) for domain-level corpus
     * stats — regex-based so the DuckDB oracle is exact. */

@@ -54,7 +54,8 @@ object Dedup {
     * typically drop those rows (empty docs) downstream.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 13): DataFrame = {
+      windowWords: Int = 13,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
     val w = windowWords
     val toks = split(col(textCol), " ")
@@ -65,13 +66,16 @@ object Dedup {
       array_join(slice(ts, (i * w).cast("int") + 1, lit(w)), " ")
 
     // (id, seg_no, fp) — narrow: the text never leaves the row.
-    val segFps = df
+    // Materialized once (32 bytes/segment): the election and the
+    // winner-filter both read it, and re-deriving means re-scanning
+    // and re-hashing the full corpus text per branch.
+    val segFps = checkpointer(df
       .select(col(idCol), toks.as("__toks"))
       .select(col(idCol),
         posexplode(transform(sequence(lit(0L), nSegsOf(col("__toks")) - 1),
           i => md5(segAt(col("__toks"), i))))
           .as(Seq("__seg_no", "__fp")))
-      .withColumn("__seg_no", col("__seg_no").cast("long"))
+      .withColumn("__seg_no", col("__seg_no").cast("long")))
 
     // Global first-occurrence election per fingerprint: one narrow
     // hash-shuffle; min(struct) gives the lexicographically-first
@@ -377,7 +381,8 @@ object Dedup {
     * (shuffle carries k×dim doubles), the dedup join shuffles the
     * corpus once by bucket. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      minCos: Double, lloydRounds: Int = 1): DataFrame = {
+      minCos: Double, lloydRounds: Int = 1,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(k >= 1 && lloydRounds >= 0, "need k >= 1 and lloydRounds >= 0")
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
     val seeds = e.orderBy(idCol).limit(k)
@@ -395,7 +400,12 @@ object Dedup {
           transform(col("pm"), p => round(p.getField("m"), 6)).as(vecCol))
     }
 
-    val assigned = SimilaritySearch.assignBuckets(e, centroids, idCol, vecCol)
+    // Materialize the final assignment ONCE: it feeds both sides of
+    // the pair join plus the output frame — without truncation the
+    // whole Lloyd subtree (corpus passes included) replays per branch
+    // (three corpus scans visible in the un-checkpointed plan).
+    val assigned = checkpointer(
+      SimilaritySearch.assignBuckets(e, centroids, idCol, vecCol))
     val l = assigned.select(col("bucket"), col(idCol).as("id1"),
       col("vec").as("v1"), col("nrm").as("n1"))
     val r = assigned.select(col("bucket"), col(idCol).as("id2"),

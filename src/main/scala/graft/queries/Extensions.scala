@@ -784,7 +784,31 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q96 — outlink graph stats: extract every href from a synthesized
+    * HTML wrap (two real links per doc + one plain-text URL that must
+    * NOT match), resolve to registrable domains, count per-domain
+    * in-links. The extract → host → domain chain is the first stage of
+    * web-graph construction; one projection + one narrow group-by. */
+  def q96LinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<p><a href=\"http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit("\">x</a> see also <a class=\"r\" href=\"http://"), col("lang"),
+      lit(".site.org/t/"), (col("n_chars") % 7).cast("string"),
+      lit("\">y</a> not-a-link http://plain.text/url</p>"))
+    d.select(explode(TextFunctions.extractLinks(html)).as("url"))
+      .select(col("url"), TextFunctions.urlHost(col("url")).as("host"))
+      .select(col("url"), col("host"),
+        TextFunctions.registrableDomain(col("host")).as("domain"))
+      .groupBy("domain", "host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct("url").as("n_targets"))
+      .orderBy("domain", "host")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_link_graph" -> (q96LinkGraph _),
     "q95_quality_classifier" -> (q95QualityClassifier _),
     "q94_sql_sketch" -> (q94SqlSketch _),
     "q93_semdedup" -> (q93SemDedup _),
@@ -928,6 +952,20 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q96_link_graph" ->
+      """WITH h AS (SELECT
+        |  '<p><a href="http://' || source || '.example.com/doc/' || doc_id::VARCHAR
+        |  || '">x</a> see also <a class="r" href="http://' || lang || '.site.org/t/'
+        |  || (n_chars % 7)::VARCHAR
+        |  || '">y</a> not-a-link http://plain.text/url</p>' AS html FROM documents),
+        |u AS (SELECT unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url FROM h),
+        |d2 AS (SELECT url,
+        |         nullif(regexp_extract(url, '^https?://([^/?#]+)', 1), '') AS host FROM u),
+        |d3 AS (SELECT url, host,
+        |         nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') AS domain FROM d2)
+        |SELECT domain, host, count(1)::BIGINT AS n_links,
+        |  count(DISTINCT url)::BIGINT AS n_targets
+        |FROM d3 GROUP BY domain, host ORDER BY domain, host""".stripMargin,
     "q95_quality_classifier" ->
       s"""WITH s AS (SELECT doc_id,
         |  len($toksSql)::BIGINT AS n_tokens,

@@ -41,4 +41,15 @@ class HtmlStripSpec extends SparkSpec {
   test("plain text passes through trimmed") {
     assert(strip("  already clean  ") === "already clean")
   }
+
+  test("extractLinks pulls hrefs in order and ignores bare URLs") {
+    import spark.implicits._
+    val html = """<a href="http://a.com/1">x</a> http://bare.com """ +
+      """<A href="https://b.org/2?q=3">y</A> <a class="z" href="/rel">r</a>"""
+    val got = Seq(html).toDF("h")
+      .select(TextFunctions.extractLinks(col("h")))
+      .head().getSeq[String](0)
+    // pattern is case-sensitive on the attribute, not the tag: <A href=...>
+    assert(got === Seq("http://a.com/1", "https://b.org/2?q=3", "/rel"))
+  }
 }
