@@ -807,7 +807,34 @@ object Extensions {
       .orderBy("domain", "host")
   }
 
+  /** q97 — duplicated-span fraction (the CCNet/RefinedWeb
+    * `dup_ngram_frac` quality signal): for every document, how many of
+    * its stride-1 8-token windows occur anywhere else in the corpus
+    * (other docs OR repeated within the doc). Counting is by 16-byte
+    * md5 of the window — the shuffle never carries window text — and
+    * the output stays in exact integers (counts + an integer-compare
+    * flag), so the oracle is bit-exact. */
+  def q97DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val pos = d.select(col("doc_id"),
+      explode(transform(TextFunctions.wordShingles(col("text"), 8),
+        s => md5(s))).as("fp"))
+      .localCheckpoint() // read by the count AND the per-doc join
+    val counts = pos.groupBy("fp").agg(count(lit(1)).as("c"))
+    val dup = pos.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    d.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("flagged", col("n_dup_windows") * 2 > col("n_windows"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_dup_spans" -> (q97DupSpans _),
     "q96_link_graph" -> (q96LinkGraph _),
     "q95_quality_classifier" -> (q95QualityClassifier _),
     "q94_sql_sketch" -> (q94SqlSketch _),
@@ -952,6 +979,21 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |p0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM t),
+        |p AS (SELECT doc_id,
+        |  array_to_string(tk[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ') AS sh FROM p0),
+        |c AS (SELECT sh, count(1) AS c FROM p GROUP BY sh),
+        |d2 AS (SELECT p.doc_id, count(1) AS n_windows,
+        |        sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup
+        |       FROM p JOIN c USING (sh) GROUP BY p.doc_id)
+        |SELECT doc.doc_id,
+        |  coalesce(n_windows, 0)::BIGINT AS n_windows,
+        |  coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+        |  (coalesce(n_dup, 0) * 2 > coalesce(n_windows, 0)) AS flagged
+        |FROM documents doc LEFT JOIN d2 ON d2.doc_id = doc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "q96_link_graph" ->
       """WITH h AS (SELECT
         |  '<p><a href="http://' || source || '.example.com/doc/' || doc_id::VARCHAR

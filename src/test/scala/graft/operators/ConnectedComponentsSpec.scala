@@ -53,6 +53,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("superseded label generations are released, not pinned until GC") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // a path long enough to force several pointer-jumping rounds, so
+    // several label generations are checkpointed and superseded
+    val pairs = (0 until 64).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+    labels.count() // consume the result
+    val leaked = sc.getPersistentRDDs.size - before
+    // at most the RETURNED labels frame may remain pinned — every
+    // superseded round and the edge graph must be gone (pre-release
+    // this leaked one generation per round plus the edges)
+    assert(leaked <= 1, s"$leaked persistent RDDs leaked by one CC call")
+    Checkpointer.release(labels)
+  }
+
   test("long path converges within iteration budget") {
     import spark.implicits._
     val n = 40 // path of 41 nodes; min-label propagation doubles reach per iter
