@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.functions.MisraGries
+
+/** Live frequent-items monitoring of an unbounded ingest stream — the
+  * streaming face of [[graft.functions.HeavyHitters]].
+  *
+  * Why a sketch and not a streaming GROUP BY: an exact count over the
+  * token/domain/url-host stream of a crawl keeps one state row per
+  * DISTINCT key forever — unbounded state, the thing Structured
+  * Streaming jobs die of. The Misra-Gries buffer held in keyed state
+  * is O(capacity) per group *permanently*, each trigger folds only the
+  * new batch's rows (O(batch) work), and the n/(k+1) bracketing bound
+  * from the batch aggregator holds for the whole stream prefix because
+  * the fold IS the sequential MG algorithm.
+  */
+object StreamingSketch {
+
+  /** (group, item) stream → per-group heavy-hitter list, re-emitted on
+    * every trigger that touches the group (Update output mode).
+    * Output: (group, [(item, est_count)…] heaviest first). */
+  def heavyHitters(pairs: Dataset[(String, String)],
+      capacity: Int): Dataset[(String, Array[(String, Long)])] = {
+    import pairs.sparkSession.implicits._
+    val mg = new MisraGries(capacity)
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (group: String, rows: Iterator[(String, String)],
+            state: GroupState[Map[String, Long]]) =>
+          val buf = rows.foldLeft(
+            state.getOption.getOrElse(Map.empty[String, Long])) {
+            (b, kv) => mg.reduce(b, kv._2)
+          }
+          state.update(buf)
+          group -> mg.finish(buf)
+      }
+  }
+}

@@ -59,6 +59,25 @@ class PlanSpec extends SparkSpec {
     assert(aggCount >= 2, s"expected partial + final aggregate pair, saw $aggCount")
   }
 
+  test("q92 Misra-Gries: sketch aggregation is partial (capacity-bounded shuffle)") {
+    val p = plan("q92_heavy_hitters")
+    val hasPartialObjAgg = p.contains("ObjectHashAggregate") || p.contains("SortAggregate")
+    assert(hasPartialObjAgg, "typed aggregator should plan as (Object)Hash/Sort aggregate")
+    val aggCount = "Aggregate".r.findAllIn(p).size
+    assert(aggCount >= 2, s"expected partial + final aggregate pair, saw $aggCount")
+  }
+
+  test("q93 SemDeDup: the assignment is materialized once, not replayed per branch") {
+    val p = plan("q93_semdedup")
+    // the checkpointed assignment appears as ExistingRDD scans; the
+    // Lloyd subtree (parquet scan + centroid crossJoin) must NOT be
+    // replayed for the pair join's two sides + the output frame
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "assignment should be read from its checkpoint by every consumer")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "corpus must not be re-scanned per branch once assignment is materialized")
+  }
+
   test("q74 bloom decontamination: the mightContain prune sits below the shuffle") {
     val p = SparkEntry.queries("q74_bloom_decontamination")(spark, sf001)
       .queryExecution.executedPlan.toString

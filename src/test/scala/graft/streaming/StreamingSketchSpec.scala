@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming Misra-Gries: state carries across triggers, per-trigger
+  * work folds only the new batch, and the exact regime reproduces a
+  * batch GROUP BY over the whole stream prefix. */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("sketch state accumulates across triggers; exact under capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = StreamingSketch.heavyHitters(in.toDS(), capacity = 16)
+      .toDF("group", "hh")
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def snapshot(): Set[(String, Seq[(String, Long)])] =
+        spark.table("hh_stream").collect().map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getString(0), e.getLong(1)))
+        }.toSet
+
+      in.addData(("g1", "a"), ("g1", "b"), ("g1", "a"), ("g2", "x"))
+      q.processAllAvailable()
+      assert(snapshot().contains("g1" -> Seq(("a", 2L), ("b", 1L))))
+      assert(snapshot().contains("g2" -> Seq(("x", 1L))))
+
+      // second trigger: counts continue from state, not from zero
+      in.addData(("g1", "b"), ("g1", "b"), ("g2", "x"), ("g2", "y"))
+      q.processAllAvailable()
+      assert(snapshot().contains("g1" -> Seq(("b", 3L), ("a", 2L))))
+      assert(snapshot().contains("g2" -> Seq(("x", 2L), ("y", 1L))))
+    } finally q.stop()
+  }
+
+  test("state stays capacity-bounded on an adversarial stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val cap = 8
+    val out = StreamingSketch.heavyHitters(in.toDS(), cap).toDF("group", "hh")
+    val q = out.writeStream.format("memory").queryName("hh_bounded")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // 100 distinct items + one genuinely heavy item across 2 triggers
+      in.addData((1 to 50).map(i => ("g", s"k$i")) ++ Seq.fill(30)(("g", "HH")): _*)
+      q.processAllAvailable()
+      in.addData((51 to 100).map(i => ("g", s"k$i")) ++ Seq.fill(30)(("g", "HH")): _*)
+      q.processAllAvailable()
+      val sketches = spark.table("hh_bounded").collect().map(
+        _.getSeq[org.apache.spark.sql.Row](1))
+      assert(sketches.forall(_.size <= cap), "sketch exceeded capacity")
+      // n=160, cap=8 → any item with count > 160/9 ≈ 17 must be present
+      val last = sketches.last.map(e => e.getString(0)).toSet
+      assert(last.contains("HH"), "guaranteed heavy hitter missing from final sketch")
+    } finally q.stop()
+  }
+}
