@@ -187,8 +187,14 @@ object TextFunctions {
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // pages truncated mid-script/style/comment are routine in crawl
+    // data — an unterminated opener swallows everything to EOF, else
+    // its payload would survive the generic tag strip as "clean" text
+    val noOpenScript = regexp_replace(noStyle, "(?is)<script[^>]*>.*$", " ")
+    val noOpenStyle = regexp_replace(noOpenScript, "(?is)<style[^>]*>.*$", " ")
+    val noComment = regexp_replace(noOpenStyle, "(?s)<!--.*?-->", " ")
+    val noOpenComment = regexp_replace(noComment, "(?s)<!--.*$", " ")
+    val noTags = regexp_replace(noOpenComment, "(?s)<[^>]*>", " ")
     // &amp; LAST so double-escapes don't re-enter the pipeline.
     val unescaped = Seq(
       "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
@@ -197,12 +203,17 @@ object TextFunctions {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
-  /** All href targets in an HTML fragment, in document order — the
-    * extraction step of web-graph construction (outlink lists →
-    * per-domain degree stats → crawl frontier / PageRank-style
-    * weighting). RE2-safe single pattern, one codegen projection. */
+  /** All href targets in an HTML fragment — the extraction step of
+    * web-graph construction (outlink lists → per-domain degree stats →
+    * crawl frontier / PageRank-style weighting). Case-insensitive,
+    * whitespace-tolerant (`HREF = '…'` matches), both quote styles;
+    * double-quoted targets come first, then single-quoted (two RE2-safe
+    * passes — group alternation can't express quote pairing without
+    * backreferences). One codegen projection. */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+    concat(
+      regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(html, lit("(?i)href\\s*=\\s*'([^']*)'"), lit(1)))
 
   /** Host of an http(s) URL (null when not URL-shaped), and its
     * registrable tail (last two dot-labels) for domain-level corpus

@@ -46,8 +46,8 @@ object Dedup {
     * `array<long>` of surviving segment indexes. Document text itself
     * moves through exactly ONE shuffle (the final join by id); the
     * reassembly re-derives segment strings row-locally from the
-    * original text with codegen array ops (`transform`/`slice`/
-    * `filter`), so no shuffle ever carries segment bodies.
+    * original text with one [[graft.expressions.TokenChunks]] kernel
+    * pass, so no shuffle ever carries segment bodies.
     *
     * Output: (id, n_segs, n_kept, dedup_text). A document whose every
     * segment lost election reassembles to '' with n_kept = 0 — callers
@@ -59,21 +59,20 @@ object Dedup {
     require(windowWords > 0, "windowWords must be positive")
     val w = windowWords
     val toks = split(col(textCol), " ")
-    // ceil(n/w) windows, at least 1 so empty docs keep a row.
-    def nSegsOf(ts: Column): Column =
-      greatest(ceil(size(ts).cast("double") / w).cast("long"), lit(1L))
-    def segAt(ts: Column, i: Column): Column =
-      array_join(slice(ts, (i * w).cast("int") + 1, lit(w)), " ")
+    // All segments of a document in ONE codegen kernel pass
+    // (TokenChunks with stride == width gives exactly the ceil(n/w)
+    // fixed windows, one chunk for a short doc) — the interpreted
+    // transform(sequence, i -> array_join(slice(…))) chain it replaces
+    // pays a lambda plus a slice copy per segment per row.
+    def segsOf: Column = graft.expressions.TokenChunks(toks, w, w)
 
     // (id, seg_no, fp) — narrow: the text never leaves the row.
     // Materialized once (32 bytes/segment): the election and the
     // winner-filter both read it, and re-deriving means re-scanning
     // and re-hashing the full corpus text per branch.
     val segFps = checkpointer(df
-      .select(col(idCol), toks.as("__toks"))
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0L), nSegsOf(col("__toks")) - 1),
-          i => md5(segAt(col("__toks"), i))))
+        posexplode(transform(segsOf, s => md5(s)))
           .as(Seq("__seg_no", "__fp")))
       .withColumn("__seg_no", col("__seg_no").cast("long")))
 
@@ -93,15 +92,16 @@ object Dedup {
       .agg(sort_array(collect_list("__seg_no")).as("__kept"))
 
     // The single wide shuffle: documents join their kept-index arrays
-    // by id; segments are re-derived row-locally for reassembly.
-    val nseg = nSegsOf(toks)
-    val keptSeq = filter(sequence(lit(0L), nseg - 1),
-      i => array_contains(col("__kept"), i))
+    // by id; segments are re-derived row-locally (one kernel pass) and
+    // reassembly walks ONLY the kept indexes — `__kept` is already the
+    // sorted surviving-index list, so no per-segment membership scan.
     df.join(keptIdx, Seq(idCol), "left")
+      .withColumn("__segs", segsOf)
       .select(col(idCol),
-        nseg.as("n_segs"),
+        size(col("__segs")).cast("long").as("n_segs"),
         coalesce(size(col("__kept")).cast("long"), lit(0L)).as("n_kept"),
-        coalesce(array_join(transform(keptSeq, i => segAt(toks, i)), " "), lit(""))
+        coalesce(array_join(transform(col("__kept"),
+          i => element_at(col("__segs"), (i + 1).cast("int"))), " "), lit(""))
           .as("dedup_text"))
   }
 
@@ -369,7 +369,7 @@ object Dedup {
     * expected bucket size constant.
     *
     * Determinism contract (oracle-checkable): seeds are the k
-    * lowest-id vectors, `lloydRounds` fixed Lloyd iterations (no
+    * lowest-id DISTINCT vectors, `lloydRounds` fixed Lloyd iterations (no
     * convergence test, no RNG), per-dimension means rounded to 6
     * decimals, assignment ties broken by lowest centroid id, cosines
     * rounded to 6 decimals before the threshold — the same rows give
@@ -385,7 +385,14 @@ object Dedup {
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(k >= 1 && lloydRounds >= 0, "need k >= 1 and lloydRounds >= 0")
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-    val seeds = e.orderBy(idCol).limit(k)
+    // Seeds are the k lowest-id DISTINCT vectors (min id represents each
+    // duplicate set). Seeding on raw lowest ids would break on the one
+    // corpus shape a dedup input guarantees — exact duplicates: two
+    // identical seeds tie on every cosine, the tie-break funnels BOTH
+    // buckets' members into the lower id, and the degenerate bucket
+    // drags the pair join toward the corpus square.
+    val seeds = e.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+      .orderBy(idCol).limit(k)
 
     // Fixed Lloyd rounds: assign to nearest centroid, recompute each
     // cluster's per-dimension mean (rounded — the cross-engine float
@@ -520,7 +527,15 @@ object Dedup {
       labels = next
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    if (!converged) {
+      // release BEFORE throwing: Verify-style harnesses catch per-query
+      // failures and keep the session alive, so a leak here would pin
+      // the edge graph and final labels for the rest of the session
+      Checkpointer.release(edges)
+      Checkpointer.release(labels)
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    }
     Checkpointer.release(edges) // the loop was the graph's only reader
     labels
   }

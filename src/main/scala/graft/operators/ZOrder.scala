@@ -51,13 +51,43 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Order-preserving Z-value over columns of ARBITRARY range: one
+    * metadata-scale aggregate reads each column's min/max, every column
+    * is linearly rescaled to `bits` bits, and the rescaled ints are
+    * Morton-interleaved. This is what makes [[layoutBy]] safe on
+    * id-like columns — raw [[zvalue2]] masks to the low 16 bits, so a
+    * 10M-row user_id would alias (5 and 65541 interleave identically)
+    * and the promised locality silently evaporates. A constant column
+    * rescales to all-zeros; nulls yield a null Z (range partitioning
+    * groups them). */
+  def scaledZ(df: DataFrame, zCols: Seq[Column], bits: Int): Column = {
+    require(zCols.nonEmpty && bits * zCols.size <= 63, "need cols*bits <= 63")
+    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast("double")).as(s"__mn$i"), max(c.cast("double")).as(s"__mx$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bits) - 1
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      if (!(mx > mn)) lit(0L) // constant / empty / all-null column
+      else least(((c.cast("double") - mn) * (top / (mx - mn))).cast("long"), lit(top))
+    }
+    zvalueN(scaled, bits)
+  }
+
   /** Layout pass: range-partition by Z-value and sort within
     * partitions, so files come out Z-clustered with balanced sizes
     * (range partitioning keeps a hot Z-region from funneling into one
-    * task). `numPartitions` ≈ target file count. */
+    * task). `numPartitions` ≈ target file count. Columns are min/max
+    * rescaled first (see [[scaledZ]] — costs one aggregate job), so
+    * any value range Z-clusters correctly; a single column degrades to
+    * a plain range-partitioned sort (strictly better than interleaving
+    * 16 of its bits). */
   def layoutBy(df: DataFrame, numPartitions: Int, zCols: Seq[Column]): DataFrame = {
-    val z = if (zCols.size == 2) zvalue2(zCols(0), zCols(1))
-            else zvalueN(zCols, math.min(16, 63 / zCols.size))
+    if (zCols.size == 1)
+      return df.repartitionByRange(numPartitions, zCols.head)
+        .sortWithinPartitions(zCols.head)
+    val z = scaledZ(df, zCols, math.min(16, 63 / zCols.size))
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")

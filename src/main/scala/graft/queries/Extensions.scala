@@ -743,7 +743,7 @@ object Extensions {
   }
 
   /** q93 — SemDeDup over the embeddings table: k=8 clusters seeded on
-    * the lowest vec_ids, one Lloyd round (deterministic — means rounded
+    * the lowest-id distinct vectors, one Lloyd round (deterministic — means rounded
     * to 6 dp), then within-cluster cosine ≥ 0.3 drops the higher id of
     * each near-dup pair. The oracle unrolls the identical Lloyd round
     * in SQL. */
@@ -1000,7 +1000,9 @@ object Extensions {
         |  || '">x</a> see also <a class="r" href="http://' || lang || '.site.org/t/'
         |  || (n_chars % 7)::VARCHAR
         |  || '">y</a> not-a-link http://plain.text/url</p>' AS html FROM documents),
-        |u AS (SELECT unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url FROM h),
+        |u AS (SELECT unnest(list_concat(
+        |        regexp_extract_all(html, '(?i)href\s*=\s*"([^"]*)"', 1),
+        |        regexp_extract_all(html, '(?i)href\s*=\s*''([^'']*)''', 1))) AS url FROM h),
         |d2 AS (SELECT url,
         |         nullif(regexp_extract(url, '^https?://([^/?#]+)', 1), '') AS host FROM u),
         |d3 AS (SELECT url, host,
@@ -1025,7 +1027,8 @@ object Extensions {
         s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / ($na * $nb), 6)"
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
+        |c00 AS (SELECT min(vec_id) AS cid, v AS cv FROM e GROUP BY v ORDER BY cid LIMIT 8),
+        |c0 AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM c00),
         |s1 AS (SELECT en.vec_id, en.v, en.nrm, c0.cid,
         |       ${c("en.v", "c0.cv", "en.nrm", "c0.cnrm")} AS csim FROM en, c0),
         |a1 AS (SELECT vec_id, v, cid AS bucket FROM
@@ -1058,14 +1061,18 @@ object Extensions {
         |s AS (SELECT doc_id,
         | trim(regexp_replace(
         |  replace(replace(replace(replace(replace(replace(
-        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(regexp_replace(html,
         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?is)<script[^>]*>.*$', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*$', ' ', 'g'),
         |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<!--.*$', ' ', 'g'),
         |    '(?s)<[^>]*>', ' ', 'g'),
         |   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS clean_text FROM h)
-        |SELECT doc_id, clean_text, strlen(clean_text)::BIGINT AS n_clean_chars
+        |SELECT doc_id, clean_text, length(clean_text)::BIGINT AS n_clean_chars
         |FROM s ORDER BY doc_id""".stripMargin,
     "q92_heavy_hitters" ->
       s"""SELECT tok AS token, count(1)::BIGINT AS cnt

@@ -42,14 +42,22 @@ class HtmlStripSpec extends SparkSpec {
     assert(strip("  already clean  ") === "already clean")
   }
 
-  test("extractLinks pulls hrefs in order and ignores bare URLs") {
+  test("extractLinks: both quote styles, any case/spacing, bare URLs ignored") {
     import spark.implicits._
     val html = """<a href="http://a.com/1">x</a> http://bare.com """ +
-      """<A href="https://b.org/2?q=3">y</A> <a class="z" href="/rel">r</a>"""
+      """<A HREF = "https://b.org/2?q=3">y</A> <a class="z" href='/rel'>r</a>"""
     val got = Seq(html).toDF("h")
       .select(TextFunctions.extractLinks(col("h")))
       .head().getSeq[String](0)
-    // pattern is case-sensitive on the attribute, not the tag: <A href=...>
+    // double-quoted targets first (document order), then single-quoted
     assert(got === Seq("http://a.com/1", "https://b.org/2?q=3", "/rel"))
+  }
+
+  test("truncated pages: unterminated script/style/comment payloads never leak") {
+    assert(strip("<p>hi</p><script>var a = 1;") === "hi")
+    assert(strip("keep<style>p { color: red }") === "keep")
+    assert(strip("keep<!-- cut off mid comm") === "keep")
+    // a CLOSED block followed by text must not over-strip
+    assert(strip("a<script>x</script>b<script>tail") === "a b")
   }
 }

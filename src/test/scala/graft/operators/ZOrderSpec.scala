@@ -57,14 +57,40 @@ class ZOrderSpec extends SparkSpec {
       .toDF("x", "y")
     val out = ZOrder.layoutBy(df, 4, Seq(col("x"), col("y")))
     assert(out.columns.toSeq === Seq("x", "y"))
-    // within every partition, rows must be nondecreasing in zvalue2
+    assert(out.count() === 500)
+    // within every partition, rows must be nondecreasing in the SAME
+    // rescaled Z layoutBy sorted by (min/max are data-determined, so
+    // recomputing scaledZ on the output yields identical values)
     val sortedWithin = out
-      .withColumn("z", ZOrder.zvalue2(col("x"), col("y")))
+      .withColumn("z", ZOrder.scaledZ(out, Seq(col("x"), col("y")), 16))
       .select("z").as[Long]
       .mapPartitions(it => Iterator.single(it.foldLeft((true, Long.MinValue)) {
         case ((ok, prev), z) => (ok && z >= prev, z)
       }._1))
       .collect()
+    assert(sortedWithin.forall(identity))
+  }
+
+  test("scaledZ does not alias wide-range (id-like) columns") {
+    import spark.implicits._
+    // raw zvalue2 masks to 16 bits, so 5 and 65541 would collide; the
+    // min/max rescale must keep far-apart values in distinct Z regions
+    val df = Seq((5L, 1L), (65541L, 1L), (10000000L, 1L)).toDF("x", "y")
+    val zs = df.select(ZOrder.scaledZ(df, Seq(col("x"), col("y")), 16))
+      .as[Long].collect()
+    assert(zs.distinct.length === 3, s"aliased z-values: ${zs.toSeq}")
+    assert(zs.sorted.toSeq === zs.toSeq, "rescale must preserve order")
+  }
+
+  test("layoutBy on a single column is a plain range sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(100)(rnd.nextLong() % 1000000).toDF("x")
+    val out = ZOrder.layoutBy(df, 3, Seq(col("x")))
+    val sortedWithin = out.select("x").as[Long]
+      .mapPartitions(it => Iterator.single(it.foldLeft((true, Long.MinValue)) {
+        case ((ok, prev), v) => (ok && v >= prev, v)
+      }._1)).collect()
     assert(sortedWithin.forall(identity))
   }
 }
