@@ -27,7 +27,7 @@ import org.apache.spark.sql.DataFrame
   * iterative loops: persist does not truncate lineage, so the per-round
   * plan still grows without bound.
   */
-sealed trait Checkpointer {
+trait Checkpointer {
   def apply(df: DataFrame): DataFrame
 }
 
@@ -57,9 +57,16 @@ object Checkpointer {
     * starves the block manager within a long session. Local
     * checkpoints drop their blocks immediately (non-blocking);
     * reliable checkpoints keep their files (recovery semantics are the
-    * point), where unpersist of the file-backed RDD is a no-op. */
+    * point), where unpersist of the file-backed RDD is a no-op.
+    *
+    * Only the plan ROOT is matched: `release` must be handed the
+    * materialized frame itself, not a derivation of it. Matching every
+    * LogicalRDD anywhere in the plan would silently release
+    * still-needed upstream blocks the moment a caller passed a frame
+    * derived from several checkpointed inputs. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => () // not a directly materialized frame — nothing owned here
+    }
 }

@@ -385,34 +385,21 @@ object Dedup {
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(k >= 1 && lloydRounds >= 0, "need k >= 1 and lloydRounds >= 0")
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-    // Seeds are the k lowest-id DISTINCT vectors (min id represents each
-    // duplicate set). Seeding on raw lowest ids would break on the one
-    // corpus shape a dedup input guarantees — exact duplicates: two
-    // identical seeds tie on every cosine, the tie-break funnels BOTH
-    // buckets' members into the lower id, and the degenerate bucket
-    // drags the pair join toward the corpus square.
-    val seeds = e.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
-      .orderBy(idCol).limit(k)
-
-    // Fixed Lloyd rounds: assign to nearest centroid, recompute each
-    // cluster's per-dimension mean (rounded — the cross-engine float
-    // contract). Means keep the SEED's id as the bucket id throughout.
-    val centroids = (0 until lloydRounds).foldLeft(seeds) { (cents, _) =>
-      SimilaritySearch.assignBuckets(e, cents, idCol, vecCol)
-        .select(col("bucket"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("bucket", "pos").agg(avg("x").as("m"))
-        .groupBy("bucket")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("bucket").as(idCol),
-          transform(col("pm"), p => round(p.getField("m"), 6)).as(vecCol))
-    }
+    // Seeding + Lloyd live in SimilaritySearch.trainCentroids — the
+    // same deterministic trainer that produces IVF indexes, so the
+    // SemDeDup blocking and ANN search share one centroid contract.
+    // Each round's k-row centroid frame is checkpointed there (one
+    // corpus pass per round — no O(rounds²) replay).
+    val centroids = SimilaritySearch.trainCentroids(
+      e, idCol, vecCol, k, lloydRounds, checkpointer)
 
     // Materialize the final assignment ONCE: it feeds both sides of
     // the pair join plus the output frame — without truncation the
-    // whole Lloyd subtree (corpus passes included) replays per branch
-    // (three corpus scans visible in the un-checkpointed plan).
+    // assignment (a full corpus pass) replays per branch (three corpus
+    // scans visible in the un-checkpointed plan).
     val assigned = checkpointer(
       SimilaritySearch.assignBuckets(e, centroids, idCol, vecCol))
+    Checkpointer.release(centroids) // assignment was their only reader
     val l = assigned.select(col("bucket"), col(idCol).as("id1"),
       col("vec").as("v1"), col("nrm").as("n1"))
     val r = assigned.select(col("bucket"), col(idCol).as("id2"),

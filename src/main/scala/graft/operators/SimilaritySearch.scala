@@ -82,6 +82,53 @@ object SimilaritySearch {
       vecCol: String): DataFrame =
     assignBucketsN(corpus, centroids, idCol, vecCol, 1)
 
+  /** Deterministic seeded Lloyd k-means — the supported way to produce
+    * an IVF index ([[ivfTopK]] centroids) or a SemDeDup blocking
+    * ([[Dedup.semDedup]] delegates here).
+    *
+    * Determinism contract (oracle-checkable, shared with SemDeDup):
+    * seeds are the k lowest-id DISTINCT vectors (min id represents each
+    * duplicate set — identical seeds would tie on every cosine and
+    * funnel two buckets into one), `rounds` fixed Lloyd iterations (no
+    * convergence test, no RNG), per-dimension means rounded to 6
+    * decimals, assignment ties broken by lowest centroid id. Centroids
+    * keep their SEED's id as the bucket id throughout.
+    *
+    * Scale shape: every round is exactly ONE corpus pass (nearest-
+    * centroid assignment against the broadcast k-row centroid table)
+    * plus a (bucket, dim)-keyed partial-agg mean whose shuffle carries
+    * k×dim doubles. Each round's k-row centroid frame is materialized
+    * through `checkpointer` — essentially free at k rows, and the fix
+    * for the O(rounds²) replay a lazy fold would cause: round r's
+    * centroids would otherwise re-execute rounds 1..r−1's corpus
+    * passes every time their lineage is evaluated. Superseded
+    * generations are released as soon as the next one is materialized.
+    *
+    * Output: (idCol, vecCol) — k rows (fewer if the corpus has fewer
+    * distinct vectors), vecCol `array<double>`. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(k >= 1 && rounds >= 0, "need k >= 1 and rounds >= 0")
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as(vecCol))
+    val seeds = checkpointer(
+      e.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+        .orderBy(idCol).limit(k)
+        .select(col(idCol), col(vecCol)))
+    (0 until rounds).foldLeft(seeds) { (cents, _) =>
+      val next = checkpointer(
+        assignBuckets(e, cents, idCol, vecCol)
+          .select(col("bucket"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("bucket", "pos").agg(avg("x").as("m"))
+          .groupBy("bucket")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("bucket").as(idCol),
+            transform(col("pm"), p => round(p.getField("m"), 6)).as(vecCol)))
+      Checkpointer.release(cents) // superseded generation, fully consumed
+      next
+    }
+  }
+
   /** IVF-style ANN: search only within the query's `nprobe` nearest
     * buckets. Recall < 1 by design; at 100 TB this is the difference
     * between a bucket-join and a corpus-square.

@@ -94,6 +94,20 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** q98 — ANN over a TRAINED IVF index: centroids come from the public
+    * deterministic Lloyd trainer ([[SimilaritySearch.trainCentroids]],
+    * k=8, 2 rounds) instead of hand-picked corpus vectors — the
+    * supported index-build path, exercised at lloydRounds ≥ 2 so the
+    * per-round centroid checkpointing is on the oracle path. Queries
+    * probe their 2 nearest buckets. */
+  def q98AnnTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val cents = SimilaritySearch.trainCentroids(e, "vec_id", "embedding", 8, 2)
+    SimilaritySearch.ivfTopK(e, cents, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** q46 — fuzzy (Levenshtein) near-dup pairs over part names, blocked
     * by (brand, type): the typo-dedup operator. Composite blocking keeps
     * per-block pair counts flat as the catalog grows — brand alone
@@ -834,6 +848,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_ann_trained" -> (q98AnnTrained _),
     "q97_dup_spans" -> (q97DupSpans _),
     "q96_link_graph" -> (q96LinkGraph _),
     "q95_quality_classifier" -> (q95QualityClassifier _),
@@ -938,6 +953,45 @@ object Extensions {
       | / (sqrt(list_sum(list_transform(qv, x -> x * x)))
       |    * sqrt(list_sum(list_transform(v, x -> x * x)))), 6)""".stripMargin
 
+  /** Pair cosine with precomputed norms — the oracle's mirror of
+    * SimilaritySearch.pairCos (one dot product, one division, rounded). */
+  private def pairCosSql(a: String, b: String, na: String, nb: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / ($na * $nb), 6)"
+
+  /** CTE chain mirroring [[SimilaritySearch.trainCentroids]] over the
+    * embeddings table — ONE definition of the deterministic Lloyd
+    * contract shared by every centroid-consuming oracle (q93, q98):
+    * seeds `c0` = k lowest-id DISTINCT vectors, each round r assigns to
+    * the nearest round-(r−1) centroid (ties → lowest cid) and takes
+    * per-dimension means rounded to 6 decimals. Ends with `sfr` (every
+    * vector × final centroid, csim + rank) and `assign` (rank-1 rows:
+    * vec_id, v, nrm, bucket). Embedding dim is the table's fixed 64. */
+  private def lloydSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val p = s"c${r - 1}"
+      s"""${p}n AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM $p),
+         |s$r AS (SELECT en.vec_id, en.v, en.nrm, ${p}n.cid,
+         |       ${pairCosSql("en.v", s"${p}n.cv", "en.nrm", s"${p}n.cnrm")} AS csim FROM en, ${p}n),
+         |a$r AS (SELECT vec_id, v, cid AS bucket FROM
+         |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM s$r)
+         |       WHERE rn = 1),
+         |px$r AS (SELECT bucket, v, unnest(range(1, 65)) AS i FROM a$r),
+         |m$r AS (SELECT bucket, i, avg(v[CAST(i AS INT)]) AS x FROM px$r GROUP BY bucket, i),
+         |c$r AS (SELECT bucket AS cid, list(round(x, 6) ORDER BY i) AS cv FROM m$r GROUP BY bucket)""".stripMargin
+    }
+    (Seq(
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      "en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)",
+      s"c0 AS (SELECT min(vec_id) AS cid, v AS cv FROM e GROUP BY v ORDER BY cid LIMIT $k)") ++
+      roundCtes ++ Seq(
+      s"cfn AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM c$rounds)",
+      s"""sf AS (SELECT en.vec_id, en.v, en.nrm, cfn.cid,
+         |       ${pairCosSql("en.v", "cfn.cv", "en.nrm", "cfn.cnrm")} AS csim FROM en, cfn)""".stripMargin,
+      "sfr AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sf)",
+      "assign AS (SELECT vec_id, v, nrm, cid AS bucket FROM sfr WHERE rn = 1)"))
+      .mkString(",\n")
+  }
+
   /** Shared by q63 (plain semi-join) and q74 (Bloom-prefiltered) —
     * identical results by design. */
   private val decontaminationSql: String =
@@ -1022,34 +1076,24 @@ object Extensions {
       s"""SELECT lang, tok AS token, count(1)::BIGINT AS cnt
         |FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)
         |GROUP BY lang, tok ORDER BY lang, cnt DESC, token""".stripMargin,
-    "q93_semdedup" -> {
-      def c(a: String, b: String, na: String, nb: String) =
-        s"round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) / ($na * $nb), 6)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-        |c00 AS (SELECT min(vec_id) AS cid, v AS cv FROM e GROUP BY v ORDER BY cid LIMIT 8),
-        |c0 AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM c00),
-        |s1 AS (SELECT en.vec_id, en.v, en.nrm, c0.cid,
-        |       ${c("en.v", "c0.cv", "en.nrm", "c0.cnrm")} AS csim FROM en, c0),
-        |a1 AS (SELECT vec_id, v, cid AS bucket FROM
-        |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM s1)
-        |       WHERE rn = 1),
-        |px AS (SELECT bucket, v, unnest(range(1, 65)) AS i FROM a1),
-        |m AS (SELECT bucket, i, avg(v[CAST(i AS INT)]) AS x FROM px GROUP BY bucket, i),
-        |c1 AS (SELECT bucket AS cid, list(round(x, 6) ORDER BY i) AS cv FROM m GROUP BY bucket),
-        |c1n AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm FROM c1),
-        |s2 AS (SELECT en.vec_id, en.v, en.nrm, c1n.cid,
-        |       ${c("en.v", "c1n.cv", "en.nrm", "c1n.cnrm")} AS csim FROM en, c1n),
-        |a2 AS (SELECT vec_id, v, nrm, cid AS bucket FROM
-        |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM s2)
-        |       WHERE rn = 1),
+    "q93_semdedup" ->
+      s"""WITH ${lloydSql(8, 1)},
         |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2
-        |      FROM a2 x JOIN a2 y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        |      WHERE ${c("x.v", "y.v", "x.nrm", "y.nrm")} >= 0.3)
-        |SELECT a2.vec_id, a2.bucket AS cluster,
-        |  (a2.vec_id NOT IN (SELECT id2 FROM p)) AS keep
-        |FROM a2 ORDER BY vec_id""".stripMargin
-    },
+        |      FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |      WHERE ${pairCosSql("x.v", "y.v", "x.nrm", "y.nrm")} >= 0.3)
+        |SELECT assign.vec_id, assign.bucket AS cluster,
+        |  (assign.vec_id NOT IN (SELECT id2 FROM p)) AS keep
+        |FROM assign ORDER BY vec_id""".stripMargin,
+    "q98_ann_trained" ->
+      s"""WITH ${lloydSql(8, 2)},
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS bucket
+        |      FROM sfr WHERE vec_id < 5 AND rn <= 2),
+        |s AS (SELECT qid AS query_id, a.bucket, a.vec_id AS neighbor_id,
+        |      ${pairCosSql("q.qv", "a.v", "q.qnrm", "a.nrm")} AS sim
+        |      FROM assign a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, bucket, neighbor_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q90_html_strip" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><style>p{color:red}</style><script src="a.js"></script></head><body><h1 class="t">'

@@ -125,6 +125,35 @@ class PlanSpec extends SparkSpec {
       "hashed-linear scoring is a projection — no hash shuffle expected")
   }
 
+  test("trainCentroids: exactly one corpus scan per Lloyd round (no O(rounds²) replay)") {
+    // record the plan of every frame handed to the checkpointer — the
+    // point of per-round materialization is that round r reads the
+    // PREVIOUS round's k-row checkpoint, never rounds 1..r−1's corpus
+    // passes, so every recorded frame scans the corpus exactly once
+    val rec = new graft.operators.Checkpointer {
+      val plans = scala.collection.mutable.ArrayBuffer[String]()
+      def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        plans += df.queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        df.localCheckpoint()
+      }
+    }
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    graft.operators.SimilaritySearch
+      .trainCentroids(e, "vec_id", "embedding", 8, 3, rec).count()
+    assert(rec.plans.size == 4, s"expected seeds + 3 rounds, saw ${rec.plans.size} materializations")
+    rec.plans.zipWithIndex.foreach { case (p, i) =>
+      // formatted mode prints each node twice (tree line + detail
+      // header) — count the numbered detail headers, one per scan node
+      assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+        s"materialized frame $i must scan the corpus exactly once")
+    }
+    rec.plans.drop(1).foreach { p =>
+      assert(p.contains("Scan ExistingRDD"),
+        "each round must read the previous centroids from their checkpoint")
+    }
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {

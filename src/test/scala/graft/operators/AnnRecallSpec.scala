@@ -48,6 +48,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(r2 > r1, s"probing 2 buckets must not lose recall: r1=$r1 r2=$r2")
   }
 
+  test("trained centroids (deterministic Lloyd) reach recall >= 0.9 at nprobe=2") {
+    val (corpus, queries, _) = fixture()
+    val trained = SimilaritySearch.trainCentroids(corpus, "id", "vec", nCenters, 2)
+    val exact = topkSets(
+      SimilaritySearch.bruteForceTopK(corpus, queries, "id", "vec", k))
+    val got = topkSets(
+      SimilaritySearch.ivfTopK(corpus, trained, queries, "id", "vec", k, nprobe = 2))
+    val r = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / exact.size
+    assert(r >= 0.9, s"trained-centroid recall must reach 0.9 at nprobe=2, got $r")
+  }
+
+  test("trainCentroids is deterministic and keeps seed ids as bucket ids") {
+    val (corpus, _, _) = fixture()
+    def run() = SimilaritySearch.trainCentroids(corpus, "id", "vec", nCenters, 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "two identical runs must produce identical centroids")
+    assert(a.length == nCenters)
+    // seeds are the k lowest-id distinct vectors, and means keep the
+    // seed's id — so every bucket id is one of the k lowest corpus ids
+    assert(a.map(_._1).forall(id => id >= 1L && id <= nCenters.toLong),
+      s"bucket ids must be the seed ids, got ${a.map(_._1).mkString(",")}")
+  }
+
   test("nprobe=1 is exactly the historical single-bucket behavior") {
     val (corpus, queries, centroids) = fixture()
     val a = SimilaritySearch.ivfTopK(corpus, centroids, queries, "id", "vec", k)
