@@ -175,6 +175,21 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ((tokenHash(t) % dim) * 48271 % 2001 - 1000))
 
+  /** Inference with a CALLER-SUPPLIED weight table — the trained-model
+    * path (load a fastText-style model's weights in milli-units, hand
+    * them here). `weights(b)` is hash bucket b's weight, so
+    * `weights.length` is the feature dimension. The table ships as one
+    * array literal inside the expression tree (fine up to ~100k
+    * buckets; it rides the task binary, no shuffle) and the per-token
+    * lookup is `element_at` — the same codegen aggregate shape as the
+    * synthetic default, no UDF. Scores stay exact integer milli-units. */
+  def hashedLinearScore(text: Column, weights: Array[Long]): Column = {
+    require(weights.nonEmpty, "weight table must be non-empty")
+    val w = typedlit(weights.toSeq)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + element_at(w, (tokenHash(t) % weights.length).cast("int") + 1))
+  }
+
   /** HTML → clean text extraction (the first transform any crawl-based
     * corpus applies): drop script/style payloads and comments, strip
     * every tag to a space, THEN unescape the common entities (after

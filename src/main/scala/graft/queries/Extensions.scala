@@ -798,6 +798,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Explicit 64-bucket milli-unit weight table for q99 — stands in for
+    * a trained model's weights; the values are arbitrary (Knuth-hash
+    * spread) and are inlined verbatim into BOTH the Spark expression
+    * and the DuckDB oracle, so the oracle checks the supplied-weights
+    * path, not a formula. */
+  private val q99Weights: Array[Long] =
+    (0 until 64).map(b => (b * 2654435761L) % 4001 - 2000).toArray
+
+  /** q99 — quality-classifier inference with a caller-supplied weight
+    * table ([[TextFunctions.hashedLinearScore]] trained-model overload):
+    * same hash-bucket featurization and codegen weight-sum as q95, but
+    * the weights come from the caller instead of the synthetic default —
+    * the difference between a demo and a usable fastText-style filter. */
+  def q99ClassifierWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.hashedLinearScore(col("text"), q99Weights).as("score_milli"))
+      .withColumn("label", col("score_milli") > 0)
+      .orderBy("doc_id")
+  }
+
   /** q96 — outlink graph stats: extract every href from a synthesized
     * HTML wrap (two real links per doc + one plain-text URL that must
     * NOT match), resolve to registrable domains, count per-domain
@@ -848,6 +870,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_classifier_weights" -> (q99ClassifierWeights _),
     "q98_ann_trained" -> (q98AnnTrained _),
     "q97_dup_spans" -> (q97DupSpans _),
     "q96_link_graph" -> (q96LinkGraph _),
@@ -1064,6 +1087,15 @@ object Extensions {
         |SELECT domain, host, count(1)::BIGINT AS n_links,
         |  count(DISTINCT url)::BIGINT AS n_targets
         |FROM d3 GROUP BY domain, host ORDER BY domain, host""".stripMargin,
+    "q99_classifier_weights" ->
+      s"""WITH w AS (SELECT ${q99Weights.mkString("[", ", ", "]")} AS wl),
+        |s AS (SELECT doc_id,
+        |  len($toksSql)::BIGINT AS n_tokens,
+        |  list_sum(list_transform($toksSql,
+        |    tok -> wl[CAST($hashSql % 64 AS INT) + 1]))::BIGINT AS score_milli
+        | FROM documents, w)
+        |SELECT doc_id, n_tokens, score_milli, (score_milli > 0) AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q95_quality_classifier" ->
       s"""WITH s AS (SELECT doc_id,
         |  len($toksSql)::BIGINT AS n_tokens,
