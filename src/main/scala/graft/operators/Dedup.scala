@@ -241,9 +241,12 @@ object Dedup {
     * materialized table). At 100 TB that makes continuous ingest
     * O(batch) per batch: the base contributes a compact signature read,
     * never a re-tokenization of the lake ([[graft.streaming.StreamingCurate]]
-    * maintains the table). `maxBucketSize` caps BASE-side band buckets —
-    * the side that is corpus-sized and can hold degenerate boilerplate
-    * keys. Callers guarantee the two id domains are disjoint (or
+    * maintains the table). `maxBucketSize` caps band buckets on BOTH
+    * sides: the corpus-sized base can hold degenerate boilerplate keys,
+    * and a batch of thousands of NEAR-identical (not byte-identical —
+    * an exact pre-pass wouldn't collapse them) docs creates the same
+    * hot band key on the batch side; either one alone squares the pair
+    * join. Callers guarantee the two id domains are disjoint (or
     * interpret pairs accordingly). */
   def minhashDedupPairsAgainst(newDf: DataFrame, baseDf: DataFrame,
       idCol: String, textCol: String,
@@ -259,7 +262,8 @@ object Dedup {
     def cands(sig: DataFrame) = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val bCand = maxBucketSize.fold(cands(bSig))(capBuckets(cands(bSig), _, "base-pairs"))
-    val pairs = cands(nSig).as("n").join(bCand.as("b"),
+    val nCand = maxBucketSize.fold(cands(nSig))(capBuckets(cands(nSig), _, "batch-pairs"))
+    val pairs = nCand.as("n").join(bCand.as("b"),
         col("n.band_no") === col("b.band_no") &&
         col("n.band_key") === col("b.band_key"))
       .select(col("n.id").as("new_id"), col("b.id").as("base_id"))

@@ -683,6 +683,20 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q100 — two-sided capped incremental LSH: a batch of NEAR-identical
+    * (not byte-identical) docs creates a hot band key on the BATCH side
+    * just as boilerplate does on the base side, so
+    * [[Dedup.minhashDedupPairsAgainst]] drops oversized buckets on BOTH
+    * sides before the pair join. The oracle reproduces both gates in
+    * SQL, so the symmetric cap is hash-checked. */
+  def q100CappedIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Dedup.minhashDedupPairsAgainst(
+        d.filter(col("doc_id") % 7 === 0), d.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", maxBucketSize = Some(q87Cap))
+      .orderBy("new_id", "base_id")
+  }
+
   /** q88 — multi-probe IVF ANN (nprobe = 2): the query side probes its
     * two nearest centroids, recovering the boundary neighbors
     * single-probe misses, while the corpus stays single-assigned (the
@@ -870,6 +884,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_capped_incremental" -> (q100CappedIncremental _),
     "q99_classifier_weights" -> (q99ClassifierWeights _),
     "q98_ann_trained" -> (q98AnnTrained _),
     "q97_dup_spans" -> (q97DupSpans _),
@@ -1184,6 +1199,27 @@ object Extensions {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
+    "q100_capped_incremental" -> {
+      // both sides' per-band bucket counts gate each branch — the SQL
+      // form of the SYMMETRIC capBuckets (batch side + base side)
+      val counts = (0 until lshBands).flatMap(b => Seq(
+        s"ncnt$b AS (SELECT band$b AS key, count(1) AS n FROM nsig GROUP BY 1)",
+        s"bcnt$b AS (SELECT band$b AS key, count(1) AS n FROM bsig GROUP BY 1)"))
+        .mkString(",\n")
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS new_id, r.doc_id AS base_id, $lshEstSql AS est_jaccard
+           |FROM nsig l JOIN bsig r ON l.band$b = r.band$b
+           |JOIN ncnt$b nc ON nc.key = l.band$b
+           |JOIN bcnt$b bc ON bc.key = r.band$b
+           |WHERE nc.n <= ${q87Cap} AND bc.n <= ${q87Cap}""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH ${lshSigDefsFor("nsig", " WHERE doc_id % 7 = 0")},
+        |${lshSigDefsFor("bsig", " WHERE doc_id % 7 <> 0")},
+        |$counts
+        |SELECT DISTINCT new_id, base_id, est_jaccard FROM (
+        |$branches
+        |) ORDER BY new_id, base_id""".stripMargin
+    },
     "q87_capped_lsh" -> {
       // per-band bucket counts gate each branch — the SQL form of
       // Dedup.capBuckets' (band_no, band_key) count <= cap semi-join

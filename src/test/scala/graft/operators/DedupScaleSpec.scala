@@ -87,6 +87,30 @@ class DedupScaleSpec extends SparkSpec {
       s"near-dup against a small base bucket must survive the cap: $capped")
   }
 
+  test("two-sided cap: a poisoned BATCH (hot batch-side bucket) is bounded too") {
+    import spark.implicits._
+    // base holds plenty of boilerplate copies (but under the cap) plus a
+    // unique doc; the poisoned batch brings hundreds of near-identical
+    // docs — each would pair with every base boilerplate copy, so the
+    // uncapped pair count is |batch|×|base-bucket| while the capped run
+    // must keep only the healthy buckets' pairs
+    val base = ((1 to 8).map(i => (i.toLong, boiler)) :+
+      (90L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val poisoned = ((101 to 400).map(i => (i.toLong, boiler)) :+
+      (501L, "the quick brown fox jumps over the lazy cat")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDedupPairsAgainst(poisoned, base, "doc_id", "text",
+      bands = 4, rowsPerBand = 4)
+    assert(uncapped.count() >= 300L * 8,
+      "without the batch-side cap the poisoned batch really is |batch|×|bucket|")
+    val capped = Dedup.minhashDedupPairsAgainst(poisoned, base, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 101L && p._1 <= 400L && p._2 <= 8L),
+      s"hot batch-side bucket (300 > cap 10) must be dropped, got ${capped.size} pairs")
+    assert(capped.contains((501L, 90L)),
+      s"near-dup in a small batch bucket must survive the cap: $capped")
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(
