@@ -41,19 +41,35 @@ import graft.operators.Dedup
   * Long-running streams accrete one directory pair per micro-batch;
   * directory-listing cost grows with batch count (the DATA read stays
   * proportional to signature bytes, which is the part that matters).
-  * Run [[compactSignatures]] periodically — from a maintenance job, not
-  * the hot loop — to rewrite the accumulated partitions as one.
+  * Pass `compactEvery = Some(n)` to fold the accumulated signature
+  * partitions into one consolidated generation every n batches, from
+  * WITHIN `foreachBatch` — the stream is quiescent inside its own batch,
+  * so there is no listing race. The manual [[compactSignatures]] path
+  * (maintenance job, stream stopped) remains for corpus directories and
+  * ops-driven cadences.
   */
 object StreamingCurate {
 
   def dedupStream(spark: SparkSession, inDir: String, schema: StructType,
       baseDir: String, checkpointDir: String, idCol: String, textCol: String,
-      minEstJaccard: Double = 0.9, sigDir: String = null): StreamingQuery = {
+      minEstJaccard: Double = 0.9, sigDir: String = null,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val sigPath = Option(sigDir).getOrElse(baseDir.stripSuffix("/") + "_sigs")
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Compact BEFORE this batch touches anything, excluding the
+        // in-flight batch's own partition: a crashed attempt may have
+        // left partial batch=<id> writes, and folding those into a
+        // consolidated generation would poison the replay — the batch
+        // would match against its OWN signatures, flag every row as a
+        // duplicate of itself, and overwrite its partition with nothing.
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactSignatures(spark, sigPath, exclude = Some(batchId))
+        }
         val inBatchKept = Dedup.dedupCorpus(batch, idCol, textCol,
             minEstJaccard = minEstJaccard)
           .filter(col("keep") === 1)
@@ -98,14 +114,21 @@ object StreamingCurate {
     * so renames never collide), and only THEN are the source dirs
     * removed — so a crash at any point leaves duplicate signature rows
     * (benign: pairs are distinct-ed, dup ids collapse) or unchanged
-    * state, never missing rows. Run from a maintenance job while the
-    * stream is STOPPED: removing directories under a live stream races
-    * its listing. */
-  def compactSignatures(spark: SparkSession, dir: String): Unit = {
+    * state, never missing rows. Safe call sites: a maintenance job
+    * while the stream is STOPPED (removing directories under a live
+    * stream races its listing), or INSIDE the stream's own
+    * `foreachBatch` (quiescent there) with `exclude` set to the
+    * in-flight batch id — excluding it keeps a replayed batch's
+    * partial partition out of the consolidated generation, preserving
+    * the replay contract ("match against the table as of the last
+    * COMPLETE batch"). */
+  def compactSignatures(spark: SparkSession, dir: String,
+      exclude: Option[Long] = None): Unit = {
     val fs = FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
     val sources = fs.listStatus(new Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filterNot(s => exclude.exists(b => s.getPath.getName == s"batch=$b"))
       .map(_.getPath)
     if (sources.length <= 1) return
     val gen = sources.flatMap(_.getName.stripPrefix("batch=").toLongOption)

@@ -77,4 +77,46 @@ class StreamingCurateSpec extends SparkSpec {
     assert(afterResume == Set(1L, 3L, 5L, 7L),
       s"6 duplicates base doc 5 via the compacted signatures: $afterResume")
   }
+
+  test("compactEvery folds signature partitions at a batch boundary inside the live stream") {
+    val inDir = Files.createTempDirectory("graft_scur2_in")
+    val baseDir = Files.createTempDirectory("graft_scur2_base").resolve("corpus").toString
+    val ckpt = Files.createTempDirectory("graft_scur2_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(inDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.asJava)
+
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "completely different second document with its own words inside"
+    val c = "a third novel document that matches nothing else at all"
+
+    // one landed file per processAllAvailable → one micro-batch each;
+    // with compactEvery=2, batch 2 compacts batches 0+1 BEFORE running,
+    // so its cross-batch dedup reads the consolidated generation
+    val q = StreamingCurate.dedupStream(spark, inDir.toString, schema,
+      baseDir, ckpt, "doc_id", "text", compactEvery = Some(2))
+    try {
+      land("b1.jsonl", Seq((1L, a)))
+      q.processAllAvailable() // batch 0
+      land("b2.jsonl", Seq((2L, b)))
+      q.processAllAvailable() // batch 1
+      land("b3.jsonl", Seq((3L, a), (4L, c))) // 3 dups batch-0 doc 1 across the compaction
+      q.processAllAvailable() // batch 2: compacts first, then dedups
+    } finally q.stop()
+
+    val finalIds = spark.read.parquet(baseDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 2L, 4L),
+      s"doc 3 must still dedup against the consolidated generation: $finalIds")
+    val sigDir = baseDir.stripSuffix("/") + "_sigs"
+    val sigParts = new java.io.File(sigDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(sigParts == Set("batch=-1", "batch=2"),
+      s"batches 0+1 fold into one generation, the in-flight batch keeps its own: $sigParts")
+    val sigIds = spark.read.parquet(sigDir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == finalIds, s"signature table must mirror the corpus: $sigIds")
+  }
 }
