@@ -637,6 +637,184 @@ object Multimodal {
       .toDF(idCol, payloadCol)
   }
 
+  /** EXIF fields a curation pipeline actually uses: `orientation`
+    * (1..8 — orientation-aware phashing must normalize rotation first),
+    * `captured_at` (EXIF `YYYY:MM:DD HH:MM:SS` string — dedup bursts by
+    * capture time), and `has_gps` (a GPS IFD exists — PII screening
+    * flag; the coordinates themselves are deliberately NOT extracted). */
+  case class ExifMeta(doc_id: Long, n_bytes: Int, has_exif: Boolean,
+      orientation: Option[Int], captured_at: Option[String], has_gps: Boolean)
+
+  /** Raw JPEG APP1/TIFF-IFD walk (public EXIF layout, CIPA DC-008; same
+    * no-library discipline as [[probeMp4]]): scan JPEG segments for the
+    * `Exif\0\0` APP1 block, then walk IFD0 + the Exif sub-IFD with every
+    * offset bounds-checked against the APP1 payload. Untrusted crawl
+    * bytes — truncations, hostile lengths, garbage — degrade to None /
+    * partial fields, never throw (fuzz-tested like the MP4 walk). */
+  private[operators] def exifFields(bytes: Array[Byte]): Option[(Option[Int], Option[String], Boolean)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    val n = bytes.length
+    if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    // JPEG segment scan: FF <marker> <len16 incl. itself> ... until the
+    // entropy-coded stream (SOS) or EOI; padding FF bytes are legal
+    var p = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (p + 4 <= n && tiff < 0) {
+      if (u8(p) != 0xff) return None
+      if (u8(p + 1) == 0xff) p += 1 // fill byte
+      else if (u8(p + 1) == 0xd9 || u8(p + 1) == 0xda) p = n
+      else {
+        val len = (u8(p + 2) << 8) | u8(p + 3)
+        if (len < 2 || p + 2 + len > n) return None
+        if (u8(p + 1) == 0xe1 && len >= 16 &&
+            (4 until 10).forall(i => bytes(p + i) == "Exif\u0000\u0000".charAt(i - 4).toByte)) {
+          tiff = p + 10
+          tiffEnd = p + 2 + len
+        }
+        p += 2 + len
+      }
+    }
+    if (tiff < 0 || tiff + 8 > tiffEnd) return None
+    val le =
+      if (u8(tiff) == 'I' && u8(tiff + 1) == 'I') true
+      else if (u8(tiff) == 'M' && u8(tiff + 1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (i < tiff || i + 2 > tiffEnd) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < tiff || i + 4 > tiffEnd) -1L
+      else if (le) u8(i) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (u16(tiff + 2) != 42) return None
+
+    var orientation: Option[Int] = None
+    var capturedAt: Option[String] = None
+    var dateTimeFallback: Option[String] = None
+    var hasGps = false
+    var exifIfdOff = -1L
+
+    /** Read an ASCII tag value: ≤4 bytes live inline in the value
+      * field, longer values sit at an offset from the TIFF header. */
+    def ascii(valPos: Int, count: Long): Option[String] = {
+      if (count <= 0 || count > 64) return None
+      val start = if (count <= 4) valPos else {
+        val off = u32(valPos)
+        if (off < 0) return None
+        tiff + off.toInt
+      }
+      if (start < tiff || start + count > tiffEnd) return None
+      Some(new String(bytes, start, count.toInt, "US-ASCII")
+        .takeWhile(_ != '\u0000').trim)
+    }
+
+    def walkIfd(off: Long, isExifIfd: Boolean): Unit = {
+      if (off < 0 || tiff + off + 2 > tiffEnd) return
+      val base = tiff + off.toInt
+      val count = u16(base)
+      if (count < 0 || count > 512) return // hostile entry counts
+      var e = 0
+      while (e < count) {
+        val ent = base + 2 + 12 * e
+        if (ent + 12 <= tiffEnd) {
+          val tag = u16(ent)
+          val valPos = ent + 8
+          if (!isExifIfd) tag match {
+            case 0x0112 => val v = u16(valPos); if (v >= 1 && v <= 8) orientation = Some(v)
+            case 0x8769 => exifIfdOff = u32(valPos)
+            case 0x8825 => hasGps = true
+            case 0x0132 => dateTimeFallback = ascii(valPos, u32(ent + 4))
+            case _ => ()
+          } else tag match {
+            case 0x9003 => capturedAt = ascii(valPos, u32(ent + 4))
+            case _ => ()
+          }
+        }
+        e += 1
+      }
+    }
+    walkIfd(u32(tiff + 4), isExifIfd = false)
+    if (exifIfdOff >= 0) walkIfd(exifIfdOff, isExifIfd = true)
+    Some((orientation, capturedAt.orElse(dateTimeFallback), hasGps))
+  }
+
+  /** Extract EXIF curation signals from a JPEG payload column. Narrow
+    * mapPartitions like every decoder here — the binary never shuffles.
+    * Non-JPEG / EXIF-less payloads keep `has_exif = false` and null
+    * fields; the operator stays total. */
+  def exifMeta(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          exifFields(bytes) match {
+            case Some((o, t, g)) => ExifMeta(id, bytes.length, has_exif = true, o, t, g)
+            case None => ExifMeta(id, bytes.length, has_exif = false, None, None, has_gps = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Synthesize a minimal JPEG carrying a REAL EXIF APP1 block (both
+    * byte orders) — the fixture generator for the oracle query and the
+    * fuzz spec. The emitted structure is spec-shaped end to end: SOI,
+    * APP1(`Exif\0\0` + TIFF header + IFD0 [+ Exif sub-IFD + ASCII
+    * timestamp] [+ empty GPS IFD]), EOI — so the walker is exercised on
+    * real offsets, not a hand-fed happy path. */
+  def synthesizeExifJpeg(orientation: Option[Int], capturedAt: Option[String],
+      gps: Boolean, bigEndian: Boolean): Array[Byte] = {
+    // TIFF body in its own buffer so the APP1 segment length is exact
+    val tiff = new java.io.ByteArrayOutputStream()
+    def t8(v: Int): Unit = tiff.write(v & 0xff)
+    def t16(v: Int): Unit =
+      if (bigEndian) { t8(v >> 8); t8(v) } else { t8(v); t8(v >> 8) }
+    def t32(v: Long): Unit =
+      if (bigEndian) { t8((v >> 24).toInt); t8((v >> 16).toInt); t8((v >> 8).toInt); t8(v.toInt) }
+      else { t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt); t8((v >> 24).toInt) }
+    def entry(tag: Int, tpe: Int, count: Long)(value: => Unit): Unit = {
+      t16(tag); t16(tpe); t32(count)
+      val before = tiff.size(); value
+      while (tiff.size() < before + 4) t8(0) // value field is always 4 bytes
+    }
+    val nIfd0 = orientation.size + (if (capturedAt.isDefined) 1 else 0) + (if (gps) 1 else 0)
+    // fixed layout, offsets relative to the TIFF header
+    val ifd0End = 8 + 2 + 12 * nIfd0 + 4
+    val exifIfdOff = ifd0End
+    val dtOff = exifIfdOff + 2 + 12 + 4
+    val gpsOff = if (capturedAt.isDefined) dtOff + 20 else ifd0End
+
+    t8(if (bigEndian) 'M' else 'I'); t8(if (bigEndian) 'M' else 'I')
+    t16(42); t32(8)
+    t16(nIfd0) // IFD0, tags in ascending order per spec
+    orientation.foreach(o => entry(0x0112, 3, 1)(t16(o)))
+    if (capturedAt.isDefined) entry(0x8769, 4, 1)(t32(exifIfdOff))
+    if (gps) entry(0x8825, 4, 1)(t32(gpsOff))
+    t32(0) // next-IFD pointer
+    if (capturedAt.isDefined) {
+      // Exif sub-IFD: one DateTimeOriginal ASCII entry + the 20-byte value
+      t16(1)
+      entry(0x9003, 2, 20)(t32(dtOff))
+      t32(0)
+      val dt = capturedAt.get.getBytes("US-ASCII").take(19).padTo(19, ' '.toByte) :+ 0.toByte
+      tiff.write(dt, 0, 20)
+    }
+    if (gps) { t16(0); t32(0) } // empty GPS IFD -- presence is the signal
+
+    val app1 = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val seglen = app1.length + 2 // the segment length is always big-endian
+    out.write((seglen >> 8) & 0xff); out.write(seglen & 0xff)
+    out.write(app1, 0, app1.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Feature-extraction plumbing: binary → fixed-width float embedding,
     * the stage that feeds [[SimilaritySearch]]. STUB hashes byte chunks
     * into a deterministic 64-dim unit-norm vector; a real model server

@@ -683,6 +683,27 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q101 — EXIF curation signals through the REAL APP1/TIFF-IFD walk
+    * ([[Multimodal.exifFields]]): each doc gets a synthesized JPEG whose
+    * EXIF block (both byte orders — odd ids big-endian) encodes fields
+    * derived from doc_id arithmetic, so the walker's output is
+    * SQL-predictable and the byte-level walk itself is what the oracle
+    * hash-checks. Orientation is absent for doc_id % 5 == 0 (the
+    * null-field path), a GPS IFD exists for doc_id % 3 == 0. */
+  def q101Exif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+    val fx = d.select(col("doc_id")).as[Long].map { id =>
+      val orient = if (id % 5 == 0) None else Some((id % 8 + 1).toInt)
+      val ts = f"2020:${id % 12 + 1}%02d:${id % 28 + 1}%02d ${id % 24}%02d:${id % 60}%02d:${id * 7 % 60}%02d"
+      (id, Multimodal.synthesizeExifJpeg(orient, Some(ts), id % 3 == 0, bigEndian = id % 2 == 1))
+    }.toDF("doc_id", "payload")
+    Multimodal.exifMeta(spark, fx, "doc_id", "payload")
+      .select(col("doc_id"), col("has_exif"),
+        col("orientation"), col("captured_at"), col("has_gps"))
+      .orderBy("doc_id")
+  }
+
   /** q100 — two-sided capped incremental LSH: a batch of NEAR-identical
     * (not byte-identical) docs creates a hot band key on the BATCH side
     * just as boilerplate does on the base side, so
@@ -884,6 +905,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_exif" -> (q101Exif _),
     "q100_capped_incremental" -> (q100CappedIncremental _),
     "q99_classifier_weights" -> (q99ClassifierWeights _),
     "q98_ann_trained" -> (q98AnnTrained _),
@@ -1199,6 +1221,17 @@ object Extensions {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
+    "q101_exif" ->
+      """SELECT doc_id, TRUE AS has_exif,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+        |  '2020:' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || ' ' ||
+        |  lpad((doc_id % 24)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((doc_id % 60)::VARCHAR, 2, '0') || ':' ||
+        |  lpad(((doc_id * 7) % 60)::VARCHAR, 2, '0') AS captured_at,
+        |  (doc_id % 3 = 0) AS has_gps
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q100_capped_incremental" -> {
       // both sides' per-band bucket counts gate each branch — the SQL
       // form of the SYMMETRIC capBuckets (batch side + base side)

@@ -41,6 +41,44 @@ class ContainerFuzzSpec extends AnyFunSuite {
       Multimodal.probeMp4(bytes)
       Multimodal.mp4KeyframeRanges(bytes)
       Multimodal.aviFrameChunks(bytes)
+      Multimodal.exifFields(bytes)
+    }
+  }
+
+  test("EXIF roundtrip: both byte orders, every field combination") {
+    for {
+      orient <- Seq(None, Some(1), Some(6), Some(8))
+      ts <- Seq(None, Some("2021:07:04 12:34:56"))
+      gps <- Seq(false, true)
+      be <- Seq(false, true)
+    } {
+      val jpeg = Multimodal.synthesizeExifJpeg(orient, ts, gps, be)
+      val got = Multimodal.exifFields(jpeg)
+      assert(got.contains((orient, ts, gps)),
+        s"roundtrip(orient=$orient ts=$ts gps=$gps be=$be) = $got")
+    }
+    // a JPEG with no APP1 at all (SOI + EOI) carries no EXIF
+    assert(Multimodal.exifFields(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("every truncation of a valid EXIF JPEG degrades gracefully") {
+    val full = Multimodal.synthesizeExifJpeg(Some(3), Some("2021:07:04 12:34:56"),
+      gps = true, bigEndian = false)
+    (0 to full.length).foreach(cut => Multimodal.exifFields(full.take(cut)))
+    val be = Multimodal.synthesizeExifJpeg(Some(3), Some("2021:07:04 12:34:56"),
+      gps = true, bigEndian = true)
+    (0 to be.length).foreach(cut => Multimodal.exifFields(be.take(cut)))
+  }
+
+  test("bit-flips in a valid EXIF JPEG never throw (offset/count corruption)") {
+    val full = Multimodal.synthesizeExifJpeg(Some(3), Some("2021:07:04 12:34:56"),
+      gps = true, bigEndian = false)
+    (0 until 2000).foreach { _ =>
+      val t = full.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        t(rnd.nextInt(t.length)) = rnd.nextInt().toByte
+      }
+      Multimodal.exifFields(t)
     }
   }
 
