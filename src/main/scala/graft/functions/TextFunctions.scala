@@ -76,14 +76,24 @@ object TextFunctions {
   private def langScore(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(stops)))
 
-  /** Language ID: CJK chars → zh; else the stopword-list argmax with
-    * first-listed language winning ties; no signal at all → "unknown". */
+  /** Language ID: script-range detection first (a single codepoint of a
+    * language-exclusive script is a far stronger signal than any
+    * stopword count), then the stopword-list argmax for Latin-script
+    * languages; no signal at all → "unknown".
+    *
+    * Script order matters: kana before the CJK-ideograph check because
+    * Japanese text habitually mixes kanji (a zh-range hit), and Hangul
+    * before it for mixed-hanja Korean. Every test is an rlike existence
+    * search — no stripped-copy materialization, one codegen pass. */
   def langId(text: Column): Column = {
     // argmax with deterministic tie-break: >= chains keep earlier langs
     val Seq(en, de, fr, es) = langStopwords.map { case (_, stops) => langScore(text, stops) }
-    // rlike = existence search; the regexp_replace-then-length form
-    // built a stripped copy of every document just to test non-emptiness
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+    when(text.rlike("[\\u3040-\\u30ff]"), lit("ja")) // hiragana + katakana
+      .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko")) // Hangul syllables
+      .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")) // CJK ideographs
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru")) // Cyrillic
+      .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar")) // Arabic
+      .when(text.rlike("[\\u0900-\\u097f]"), lit("hi")) // Devanagari
       .when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
       .when(en >= de && en >= fr && en >= es, lit("en"))
       .when(de >= fr && de >= es, lit("de"))

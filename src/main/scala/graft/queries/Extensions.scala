@@ -36,9 +36,27 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  /** q21 — language ID heuristic vs the labeled lang column. */
+  /** Fixture rows for the script-detection branches of
+    * [[TextFunctions.langId]] — the synthetic corpus is Latin-script
+    * only, so these exercise Cyrillic/Arabic/Devanagari/Hangul/kana
+    * (incl. the kana-beats-kanji precedence) on the oracle path. The
+    * identical UTF-8 literals appear in the q21 oracle SQL. */
+  private val langFixtures: Seq[(Long, String, String)] = Seq(
+    (1000001L, "привет мир это тест", "ru"),
+    (1000002L, "مرحبا بالعالم هذا اختبار", "ar"),
+    (1000003L, "नमस्ते दुनिया यह परीक्षण", "hi"),
+    (1000004L, "안녕하세요 세계 테스트", "ko"),
+    (1000005L, "これはテストです", "ja"),
+    (1000006L, "日本語のかな交じり文", "ja"),
+    (1000007L, "漢字只有中文字符", "zh"))
+
+  /** q21 — language ID heuristic vs the labeled lang column, over the
+    * corpus plus the non-Latin [[langFixtures]]. */
   def q21LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(langFixtures.toDF("doc_id", "text", "lang"))
     d.select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
       (TextFunctions.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
       .orderBy("doc_id")
@@ -1488,16 +1506,31 @@ object Extensions {
         |   * (0.5 + least(stop_raw * 5.0, 1.0) * 0.5), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
     "q21_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+      s"""WITH docs AS (
+        | SELECT doc_id, text, lang FROM documents
+        | UNION ALL
+        | SELECT * FROM (VALUES ${langFixtures.map { case (id, t, l) => s"($id, '$t', '$l')" }.mkString(", ")})
+        |   AS fx(doc_id, text, lang)),
+        |t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM docs),
         |s AS (SELECT doc_id, lang,
+        |  regexp_matches(text, '[\\x{3040}-\\x{30ff}]') AS kana,
+        |  regexp_matches(text, '[\\x{ac00}-\\x{d7af}]') AS hangul,
         |  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        |  regexp_matches(text, '[\\x{0400}-\\x{04ff}]') AS cyr,
+        |  regexp_matches(text, '[\\x{0600}-\\x{06ff}]') AS arab,
+        |  regexp_matches(text, '[\\x{0900}-\\x{097f}]') AS deva,
         |  len(list_filter(toks, x -> list_contains(['the','and','of','is','was','that'], x))) AS s_en,
         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
         |  len(list_filter(toks, x -> list_contains(['le','les','et','est','une','pour'], x))) AS s_fr,
         |  len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS s_es
         | FROM t),
         |p AS (SELECT doc_id, lang,
-        |  CASE WHEN cjk > 0 THEN 'zh'
+        |  CASE WHEN kana THEN 'ja'
+        |       WHEN hangul THEN 'ko'
+        |       WHEN cjk > 0 THEN 'zh'
+        |       WHEN cyr THEN 'ru'
+        |       WHEN arab THEN 'ar'
+        |       WHEN deva THEN 'hi'
         |       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
