@@ -16,6 +16,12 @@ object TextFunctions {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** SQL-string twin of [[tokens]] over a column named `text`, for the
+    * registered-SQL surface (q94): ONE tokenizer definition keeps the
+    * Scala and SQL paths in lockstep — a drifted copy would surface
+    * only as a confusing oracle mismatch. */
+  val tokensSparkSql: String = """split(lower(trim(text)), '\\s+')"""
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: letter runs, single digits, and single

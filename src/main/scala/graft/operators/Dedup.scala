@@ -84,12 +84,15 @@ object Dedup {
       .agg(min(struct(col(idCol).as("__wid"), col("__seg_no").as("__wseg"))).as("__w"))
       .select(col("__fp"), col("__w.__wid").as("__wid"), col("__w.__wseg").as("__wseg"))
 
-    // Surviving segment indexes per document — still narrow.
-    val keptIdx = segFps
-      .join(winners, "__fp")
-      .where(col(idCol) === col("__wid") && col("__seg_no") === col("__wseg"))
+    // Surviving segment indexes per document — still narrow. The
+    // winners rows ARE the kept (id, seg_no) pairs (each fingerprint's
+    // min(struct) is guaranteed to exist in segFps), so regroup them
+    // directly: joining back to segFps would re-scan the checkpointed
+    // segment table and pay an extra shuffle to reproduce these rows.
+    val keptIdx = winners
+      .select(col("__wid").as(idCol), col("__wseg"))
       .groupBy(idCol)
-      .agg(sort_array(collect_list("__seg_no")).as("__kept"))
+      .agg(sort_array(collect_list("__wseg")).as("__kept"))
 
     // The single wide shuffle: documents join their kept-index arrays
     // by id; segments are re-derived row-locally (one kernel pass) and

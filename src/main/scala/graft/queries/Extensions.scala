@@ -828,9 +828,9 @@ object Extensions {
     graft.Graft.registerUdfs(spark)
     Tables(spark, dir, "documents").createOrReplaceTempView("documents")
     spark.sql(
-      """SELECT lang, h._1 AS token, h._2 AS cnt
+      s"""SELECT lang, h._1 AS token, h._2 AS cnt
         |FROM (SELECT lang, mg_topk(tok) AS hh
-        |      FROM (SELECT lang, explode(split(lower(trim(text)), '\\s+')) AS tok
+        |      FROM (SELECT lang, explode(${TextFunctions.tokensSparkSql}) AS tok
         |            FROM documents)
         |      GROUP BY lang)
         |LATERAL VIEW explode(hh) AS h

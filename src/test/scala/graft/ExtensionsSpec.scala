@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, SimilaritySearch}
 
 /** Semantic invariants for the dedup / similarity operators beyond the
@@ -83,5 +84,24 @@ class ExtensionsSpec extends SparkSpec {
     // every vector lands in exactly one bucket
     assert(assigned.count() == e.count())
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q92/q94 oracle validity: corpus vocabulary stays under the MG capacity") {
+    // Both heavy-hitter queries run at capacity 64 and their oracles are
+    // plain GROUP BYs — valid ONLY while distinct tokens (per group) fit
+    // the capacity, where Misra-Gries is provably exact. If the data
+    // generator ever grows the vocabulary past it, this fails with a
+    // clear message instead of a baffling oracle hash mismatch.
+    val toks = Tables(spark, sf001, "documents")
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val global = toks.select("tok").distinct().count()
+    assert(global <= 64,
+      s"documents vocabulary has $global distinct tokens > MG capacity 64: " +
+        "q92's plain-GROUP-BY oracle is no longer exact — raise the capacity or rewrite the oracle")
+    val maxPerLang = toks.distinct().groupBy("lang").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxPerLang <= 64,
+      s"a lang group has $maxPerLang distinct tokens > MG capacity 64: " +
+        "q94's per-lang oracle is no longer exact — raise the capacity or rewrite the oracle")
   }
 }
