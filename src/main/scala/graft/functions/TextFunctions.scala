@@ -255,6 +255,35 @@ object TextFunctions {
   def registrableDomain(host: Column): Column =
     nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
 
+  /** Canonical URL for crawl-frontier / URL-level dedup — the
+    * normalization every crawl pipeline applies before URL-keyed
+    * dedup, as one codegen regex chain (no UDF, no shuffle):
+    * fragment stripped, scheme+authority lowercased, default ports
+    * (http :80 / https :443) dropped, tracking parameters (`utm_*`,
+    * `fbclid`, `gclid`) removed with the query string re-stitched, a
+    * bare "/" path dropped. Null for non-URL-shaped input.
+    *
+    * Documented approximation: a literal `&` in a query-less path is
+    * treated as a parameter separator when re-stitching — URLs that
+    * pathological are rare enough in crawls that every production
+    * canonicalizer makes a choice of this class. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val noPort = regexp_replace(
+      regexp_replace(lower(head), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val tail = substr(noFrag, length(head) + lit(1))
+    // drop tracking params WITH their leading separator, then repair a
+    // now-dangling '&' into '?' (anchored — at most one rewrite) and
+    // strip trailing separators
+    val t1 = regexp_replace(tail, "[?&](utm_[^=&]*|fbclid|gclid)=[^&]*", "")
+    val t2 = regexp_replace(t1, "^([^?&]*)&", "$1?")
+    val t3 = regexp_replace(t2, "[?&]+$", "")
+    val t4 = when(t3 === "/", lit("")).otherwise(t3)
+    when(head === "", lit(null).cast("string")).otherwise(concat(noPort, t4))
+  }
+
   /** Deflate compressibility: compressed-bytes / raw-bytes (1.0 for
     * empty). Highly repetitive boilerplate compresses far below normal
     * prose (~0.3–0.6), making this the cheap catch-all repetition

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500 — the container CommonCrawl and every
+  * crawl corpus ships in) record extraction, same no-library,
+  * bounds-checked walk discipline as the MP4/EXIF walkers in
+  * [[Multimodal]]: a curation pipeline's first batch stage is "WARC
+  * bytes → one row per response record", and THIS is that operator.
+  *
+  * Parallelism model at 100 TB: WARC files are the unit of parallelism
+  * (one payload per row — e.g. via `spark.read.format("binaryFile")` or
+  * a manifest join; CommonCrawl segments are ~1 GB each), and the walk
+  * is a narrow `mapPartitions` flatMap — record bytes never shuffle,
+  * and malformed tails degrade to the records parsed so far, never an
+  * exception (one poisoned file must not kill the scan).
+  */
+object Warc {
+
+  /** One parsed record: WARC headers a pipeline filters on + the raw
+    * payload. `http_body` is the payload past the first CRLFCRLF for
+    * `response` records (the HTTP message body — the bytes that feed
+    * [[graft.functions.TextFunctions.stripHtml]]), null otherwise. */
+  case class WarcRow(doc_id: Long, rec_no: Int, warc_type: String,
+      target_uri: String, warc_date: String, content_length: Long,
+      http_body: Option[String])
+
+  private[operators] case class Rec(warc_type: String, target_uri: String,
+      warc_date: String, content_length: Long, payload: Array[Byte])
+
+  /** Walk WARC/1.x records: version line, `Name: value` headers to the
+    * empty line, `Content-Length` payload bytes, CRLF-run record
+    * separator. Every advance is bounds-checked and monotone (a
+    * hostile Content-Length or truncated header ends the walk with the
+    * records already parsed). */
+  private[operators] def records(bytes: Array[Byte]): Seq[Rec] = {
+    val out = scala.collection.mutable.ArrayBuffer[Rec]()
+    val n = bytes.length
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < n) i else -1
+    }
+    var p = 0
+    var ok = true
+    while (ok && p < n) {
+      val ve = lineEnd(p)
+      if (ve < 0 || ve - p < 5 ||
+          !new String(bytes, p, ve - p, "US-ASCII").startsWith("WARC/")) ok = false
+      else {
+        var q = ve + 2
+        var wtype = ""; var uri = ""; var date = ""; var clen = -1L
+        var headersDone = false
+        while (ok && !headersDone) {
+          val he = lineEnd(q)
+          if (he < 0) ok = false
+          else if (he == q) { headersDone = true; q = he + 2 }
+          else {
+            val line = new String(bytes, q, he - q, "US-ASCII")
+            val ci = line.indexOf(':')
+            if (ci > 0) {
+              val v = line.substring(ci + 1).trim
+              line.substring(0, ci).trim.toLowerCase match {
+                case "warc-type" => wtype = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "content-length" => clen = v.toLongOption.getOrElse(-1L)
+                case _ => ()
+              }
+            }
+            q = he + 2
+          }
+        }
+        if (!ok || clen < 0 || q + clen > n) ok = false
+        else {
+          out += Rec(wtype, uri, date, clen,
+            java.util.Arrays.copyOfRange(bytes, q, (q + clen).toInt))
+          var r = (q + clen).toInt
+          while (r + 1 < n && bytes(r) == '\r' && bytes(r + 1) == '\n') r += 2
+          if (r <= p) ok = false else p = r // monotone-progress guard
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def httpBody(wtype: String, payload: Array[Byte]): Option[String] =
+    if (wtype != "response") None
+    else {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val i = s.indexOf("\r\n\r\n")
+      if (i < 0) None else Some(s.substring(i + 4))
+    }
+
+  /** Explode a WARC payload column to one typed row per record. Narrow
+    * flatMap — no shuffle; `rec_no` is the record's position in its
+    * file, so (id, rec_no) is a stable record key. */
+  def explodeRecords(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        records(bytes).zipWithIndex.map { case (r, i) =>
+          WarcRow(id, i, r.warc_type, r.target_uri, r.warc_date,
+            r.content_length, httpBody(r.warc_type, r.payload))
+        }
+      }
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Emit spec-shaped WARC bytes — the fixture generator for the oracle
+    * query and the fuzz spec (records as (type, uri, date, payload)). */
+  def synthesize(recs: Seq[(String, String, String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { case (wtype, uri, date, payload) =>
+      val hdr = s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $date\r\nContent-Length: ${payload.length}\r\n\r\n"
+      bos.write(hdr.getBytes("US-ASCII"))
+      bos.write(payload)
+      bos.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    bos.toByteArray
+  }
+}

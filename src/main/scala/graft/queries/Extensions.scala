@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -701,6 +701,55 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q103 — URL canonicalization for crawl-frontier dedup: four messy
+    * variants per doc (tracking params leading / only / trailing,
+    * fragments, uppercase scheme+host, explicit :80) through
+    * [[TextFunctions.canonicalizeUrl]], plus host/domain of the
+    * canonical form. The oracle predicts the canonical output directly
+    * from doc_id arithmetic — the operator's regex chain is what gets
+    * hash-checked. */
+  def q103UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val messy = concat(
+      lit("HTTP://"), upper(col("source")), lit(".Example.COM:80/doc/"),
+      col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=x&id="), col("doc_id").cast("string"), lit("&utm_campaign=y#frag")))
+        .when(col("doc_id") % 4 === 1, lit("?utm_medium=email"))
+        .when(col("doc_id") % 4 === 2, lit("#section2"))
+        .otherwise(concat(lit("?a=1&fbclid=c"), col("doc_id").cast("string"))))
+    val canon = TextFunctions.canonicalizeUrl(messy)
+    d.select(col("doc_id"), messy.as("url"), canon.as("canonical_url"),
+        TextFunctions.urlHost(canon).as("host"),
+        TextFunctions.registrableDomain(TextFunctions.urlHost(canon)).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  /** q102 — WARC record extraction through the REAL ISO 28500 walk
+    * ([[Warc.records]]): each doc becomes a two-record WARC file (an
+    * HTTP `response` wrapping the doc text + a `metadata` record), the
+    * walker explodes it, and the oracle predicts every extracted field
+    * — including the Content-Length byte math and the HTTP-body split —
+    * from doc_id arithmetic. */
+  def q102Warc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val payloads = d.as[(Long, String, String)].map { case (id, source, text) =>
+      val date = f"2024-01-${id % 28 + 1}%02dT00:00:00Z"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$text"
+      (id, Warc.synthesize(Seq(
+        ("response", s"http://$source.example.com/doc/$id", date,
+          http.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        ("metadata", s"urn:doc:$id", date,
+          s"meta $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+    }.toDF("doc_id", "payload")
+    Warc.explodeRecords(spark, payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("rec_no"), col("warc_type"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("http_body"))
+      .orderBy("doc_id", "rec_no")
+  }
+
   /** q101 — EXIF curation signals through the REAL APP1/TIFF-IFD walk
     * ([[Multimodal.exifFields]]): each doc gets a synthesized JPEG whose
     * EXIF block (both byte orders — odd ids big-endian) encodes fields
@@ -923,6 +972,8 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_url_canon" -> (q103UrlCanon _),
+    "q102_warc" -> (q102Warc _),
     "q101_exif" -> (q101Exif _),
     "q100_capped_incremental" -> (q100CappedIncremental _),
     "q99_classifier_weights" -> (q99ClassifierWeights _),
@@ -1239,6 +1290,37 @@ object Extensions {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
+    "q103_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTP://' || upper(source) || '.Example.COM:80/doc/' || doc_id::VARCHAR ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '?utm_source=x&id=' || doc_id::VARCHAR || '&utm_campaign=y#frag'
+        |    WHEN 1 THEN '?utm_medium=email'
+        |    WHEN 2 THEN '#section2'
+        |    ELSE '?a=1&fbclid=c' || doc_id::VARCHAR END AS url,
+        |  'http://' || lower(source) || '.example.com/doc/' || doc_id::VARCHAR ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '?id=' || doc_id::VARCHAR
+        |    WHEN 3 THEN '?a=1'
+        |    ELSE '' END AS canonical_url,
+        |  lower(source) || '.example.com' AS host,
+        |  'example.com' AS domain
+        | FROM documents)
+        |SELECT doc_id, url, canonical_url, host, domain
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q102_warc" ->
+      """SELECT doc_id, CAST(0 AS INT) AS rec_no, 'response' AS warc_type,
+        |  'http://' || source || '.example.com/doc/' || doc_id::VARCHAR AS target_uri,
+        |  '2024-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  (45 + strlen(text))::BIGINT AS content_length,
+        |  text AS http_body
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'metadata', 'urn:doc:' || doc_id::VARCHAR,
+        |  '2024-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00Z',
+        |  strlen('meta ' || doc_id::VARCHAR)::BIGINT, NULL
+        |FROM documents
+        |ORDER BY doc_id, rec_no""".stripMargin,
     "q101_exif" ->
       """SELECT doc_id, TRUE AS has_exif,
         |  CASE WHEN doc_id % 5 = 0 THEN NULL

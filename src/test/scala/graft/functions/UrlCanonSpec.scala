@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the URL canonicalizer beyond q103's fixture
+  * shapes: default-port/scheme interplay, bare-slash paths, non-URL
+  * input, and the tracking-param re-stitch in every position. */
+class UrlCanonSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[Option[String]] = {
+    import spark.implicits._
+    urls.toDF("u")
+      .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+  }
+
+  test("scheme/host case, default ports, fragments, bare slash") {
+    assert(canon(
+      "HTTPS://Example.COM:443/A/B?x=1#f",
+      "http://example.com:80/",
+      "http://example.com/",
+      "https://example.com:8443/x", // non-default port survives
+      "http://example.com:443/x" // :443 is NOT http's default — kept
+    ) == Seq(
+      Some("https://example.com/A/B?x=1"), // path case preserved
+      Some("http://example.com"),
+      Some("http://example.com"),
+      Some("https://example.com:8443/x"),
+      Some("http://example.com:443/x")))
+  }
+
+  test("tracking params re-stitch in every position") {
+    assert(canon(
+      "http://e.com/p?utm_source=a&b=2",
+      "http://e.com/p?b=2&utm_source=a",
+      "http://e.com/p?utm_source=a&utm_medium=b",
+      "http://e.com/p?gclid=1&fbclid=2&keep=3",
+      "http://e.com/p?utm_source=a&b=2&utm_campaign=c&d=4"
+    ) == Seq(
+      Some("http://e.com/p?b=2"),
+      Some("http://e.com/p?b=2"),
+      Some("http://e.com/p"),
+      Some("http://e.com/p?keep=3"),
+      Some("http://e.com/p?b=2&d=4")))
+  }
+
+  test("non-URL input canonicalizes to null") {
+    assert(canon("not a url", "", "ftp missing colon //x") == Seq(None, None, None))
+  }
+}

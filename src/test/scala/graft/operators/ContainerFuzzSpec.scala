@@ -42,6 +42,39 @@ class ContainerFuzzSpec extends AnyFunSuite {
       Multimodal.mp4KeyframeRanges(bytes)
       Multimodal.aviFrameChunks(bytes)
       Multimodal.exifFields(bytes)
+      Warc.records(bytes)
+    }
+  }
+
+  private def validWarc: Array[Byte] = Warc.synthesize(Seq(
+    ("response", "http://a.example.com/1", "2024-01-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\nhello world".getBytes("UTF-8")),
+    ("metadata", "urn:doc:1", "2024-01-01T00:00:00Z", "meta".getBytes("UTF-8"))))
+
+  test("WARC roundtrip: synthesized records parse back field-for-field") {
+    val recs = Warc.records(validWarc)
+    assert(recs.map(r => (r.warc_type, r.target_uri, r.content_length)) == Seq(
+      ("response", "http://a.example.com/1", 30L),
+      ("metadata", "urn:doc:1", 4L)))
+    assert(new String(recs.head.payload, "UTF-8").endsWith("hello world"))
+  }
+
+  test("every truncation of a valid WARC degrades to a record prefix, never throws") {
+    val full = validWarc
+    (0 to full.length).foreach { cut =>
+      val got = Warc.records(full.take(cut))
+      assert(got.size <= 2, s"cut=$cut parsed ${got.size} records")
+    }
+  }
+
+  test("bit-flips in a valid WARC never throw (Content-Length corruption)") {
+    val full = validWarc
+    (0 until 2000).foreach { _ =>
+      val t = full.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        t(rnd.nextInt(t.length)) = rnd.nextInt().toByte
+      }
+      Warc.records(t)
     }
   }
 
