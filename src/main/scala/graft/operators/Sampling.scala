@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus construction. The
+  * rate-based form (sample X% of a stratum) is `stableBucket < rate`
+  * ([[graft.functions.TextFunctions.stableBucket]], q62); this is the
+  * EXACT-COUNT form — "carve exactly k eval docs per language" — which
+  * a rate cannot promise on a skewed corpus.
+  *
+  * Determinism: rank by `md5(key)` (engine-portable, reshuffle-proof,
+  * independent of row order — the same property stableBucket relies
+  * on), key as the tie-break. Adding documents to a stratum can only
+  * displace later-ranked picks, never reorder earlier ones, so samples
+  * are stable under corpus growth in the same way hash-bucket splits
+  * are.
+  *
+  * Scale shape: one hash-shuffle on the stratum + a per-partition sort
+  * — no global sort; with AQE the skewed-stratum case splits. The
+  * window never materializes more than the partition it ranks. */
+object Sampling {
+
+  def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val key: Column = col(keyCol).cast("string")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(md5(key), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

@@ -147,8 +147,11 @@ object SimilaritySearch {
         col("nrm").as("qnrm"), col("bucket"))
     val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    // the query batch is the definitionally-small side (same reasoning
+    // as bruteForceTopK): broadcast it so the corpus assignment never
+    // shuffles for the bucket join — statically, not left to AQE
     assigned.select(col(idCol).as("neighbor_id"), col("vec"), col("nrm"), col("bucket"))
-      .join(q, "bucket")
+      .join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, SimilaritySearch, Warc}
+import graft.operators.{Dedup, Multimodal, Sampling, SimilaritySearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -701,6 +701,17 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q104 — deterministic exactly-k-per-stratum sample
+    * ([[Sampling.exactKPerStratum]]): carve exactly 20 docs per
+    * language, ranked by md5(doc_id) — the eval-set carving a rate-based
+    * sample (q62) cannot promise on a skewed corpus. Oracle mirrors the
+    * hash ranking verbatim. */
+  def q104ExactSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerStratum(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 20)
+      .orderBy("lang", "sample_rank")
+
   /** q103 — URL canonicalization for crawl-frontier dedup: four messy
     * variants per doc (tracking params leading / only / trailing,
     * fragments, uppercase scheme+host, explicit :80) through
@@ -972,6 +983,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_exact_sample" -> (q104ExactSample _),
     "q103_url_canon" -> (q103UrlCanon _),
     "q102_warc" -> (q102Warc _),
     "q101_exif" -> (q101Exif _),
@@ -1290,6 +1302,13 @@ object Extensions {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
+    "q104_exact_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        | FROM documents)
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q103_url_canon" ->
       """WITH u AS (SELECT doc_id,
         |  'HTTP://' || upper(source) || '.Example.COM:80/doc/' || doc_id::VARCHAR ||

@@ -28,6 +28,13 @@ class PlanSpec extends SparkSpec {
       "query set should broadcast")
   }
 
+  test("q27 IVF: the bucket join broadcasts the query batch — the corpus never shuffles for it") {
+    val p = plan("q27_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), "query batch should broadcast into the bucket join")
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ here shuffles the whole corpus assignment for a handful of queries")
+  }
+
   test("q1: aggregation is partial (map-side combine before the shuffle)") {
     val p = plan("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")
