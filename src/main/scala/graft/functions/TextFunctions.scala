@@ -246,6 +246,20 @@ object TextFunctions {
       regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1)),
       regexp_extract_all(html, lit("(?i)href\\s*=\\s*'([^']*)'"), lit(1)))
 
+  /** (href, anchor text) pairs of every `<a>` element — anchor text is
+    * the relevance/quality signal crawl pipelines mine (what OTHER
+    * pages call a target). One RE2-safe single-level pattern (`[^<]*`
+    * anchor bodies — nested markup inside an anchor is out of scope,
+    * documented), run once per capture group and zipped positionally:
+    * both runs see the identical match sequence, so the zip is sound. */
+  def extractAnchors(html: Column): Column = {
+    val pat = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    zip_with(
+      regexp_extract_all(html, lit(pat), lit(1)),
+      regexp_extract_all(html, lit(pat), lit(2)),
+      (u, t) => struct(u.as("url"), t.as("anchor")))
+  }
+
   /** Host of an http(s) URL (null when not URL-shaped), and its
     * registrable tail (last two dot-labels) for domain-level corpus
     * stats — regex-based so the DuckDB oracle is exact. */

@@ -712,6 +712,43 @@ object Extensions {
         "lang", "doc_id", 20)
       .orderBy("lang", "sample_rank")
 
+  /** q105 — sampled quantiles: the 100 TB percentile path. Exact
+    * percentiles (q38) need a per-group full sort; at corpus scale you
+    * estimate from a DETERMINISTIC hash-rank sample
+    * ([[Sampling.exactKPerStratum]] — reproducible run-to-run, unlike
+    * `TABLESAMPLE`/RNG) and take EXACT percentiles of the sample. The
+    * oracle reproduces the sample membership AND the interpolated
+    * quantiles, so the whole estimate is hash-checked. */
+  def q105SampleQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerStratum(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", 50)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+      .orderBy("lang")
+
+  /** q106 — anchor-text extraction: (href, link text) pairs from HTML
+    * ([[TextFunctions.extractAnchors]]) — anchor text is the classic
+    * relevance/quality signal crawl pipelines mine (what OTHER pages
+    * call a target). Single-group RE2-safe pattern run once per capture
+    * group, zipped positionally (same matches → same order). */
+  def q106AnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<p><a href=\"http://"), col("source"), lit(".example.com/doc/"),
+      col("doc_id").cast("string"), lit("\">Doc "), col("doc_id").cast("string"),
+      lit("</a> and <a class=\"x\" href=\"http://ref.site.org/t/"),
+      (col("doc_id") % 7).cast("string"), lit("\">ref "),
+      (col("doc_id") % 7).cast("string"), lit("</a></p>"))
+    d.select(col("doc_id"), TextFunctions.extractAnchors(html).as("pair"))
+      .select(col("doc_id"), explode(col("pair")).as("p"))
+      .select(col("doc_id"), col("p.url").as("url"), col("p.anchor").as("anchor"))
+      .withColumn("host", TextFunctions.urlHost(col("url")))
+      .orderBy("doc_id", "url")
+  }
+
   /** q103 — URL canonicalization for crawl-frontier dedup: four messy
     * variants per doc (tracking params leading / only / trailing,
     * fragments, uppercase scheme+host, explicit :80) through
@@ -983,6 +1020,8 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_anchor_text" -> (q106AnchorText _),
+    "q105_sample_quantiles" -> (q105SampleQuantiles _),
     "q104_exact_sample" -> (q104ExactSample _),
     "q103_url_canon" -> (q103UrlCanon _),
     "q102_warc" -> (q102Warc _),
@@ -1302,6 +1341,27 @@ object Extensions {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q86_sig_incremental" -> incrementalDedupSql,
+    "q105_sample_quantiles" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        | FROM documents)
+        |SELECT lang, count(1)::BIGINT AS n_sampled,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+        |FROM s WHERE rn <= 50 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q106_anchor_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<p><a href="http://' || source || '.example.com/doc/' || doc_id::VARCHAR
+        |  || '">Doc ' || doc_id::VARCHAR
+        |  || '</a> and <a class="x" href="http://ref.site.org/t/' || (doc_id % 7)::VARCHAR
+        |  || '">ref ' || (doc_id % 7)::VARCHAR || '</a></p>' AS html FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 1)) AS url,
+        |  unnest(regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        | FROM h)
+        |SELECT doc_id, url, anchor,
+        |  nullif(regexp_extract(url, '^https?://([^/?#]+)', 1), '') AS host
+        |FROM p ORDER BY doc_id, url""".stripMargin,
     "q104_exact_sample" ->
       """SELECT doc_id, lang, sample_rank FROM (
         | SELECT doc_id, lang,
