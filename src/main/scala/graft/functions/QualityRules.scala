@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document-level quality gates for web-scale corpus curation — the
+  * Gopher/MassiveText repetition-free heuristics and the C4 line-level
+  * cleaning pass (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2),
+  * re-expressed as pure `Column` expressions: one codegen projection
+  * per document, no UDF, no shuffle, so both gates run inside the
+  * first scan of a 100 TB corpus.
+  *
+  * Every ratio threshold is evaluated by INTEGER cross-multiplication
+  * (`10·symbols < words` instead of `symbols/words < 0.1`) so the
+  * pass/fail flags are bit-exact across engines — the same policy that
+  * keeps the classifier scores integral (q95/q99). The surfaced mean
+  * word length is the only float, rounded after the flags are decided.
+  */
+object QualityRules {
+
+  /** Stopwords whose PRESENCE (≥ [[gopherMinStopHits]] distinct hits)
+    * is the Gopher "real prose" signal — deliberately the corpus-toy
+    * scale of [[TextFunctions.langStopwords]]. */
+  val gopherStopwords: Seq[String] = Seq("the", "and", "of", "is", "to")
+
+  val gopherMinStopHits = 2
+
+  private def wordsOf(text: Column): Column = TextFunctions.tokens(text)
+
+  private def linesOf(text: Column): Column = split(text, "\n")
+
+  /** The raw Gopher signals as one struct — word/line counts, symbol
+    * and bullet/ellipsis tallies, alpha-word and stopword hits. Fields
+    * are exact integers so downstream thresholds stay engine-portable. */
+  def gopherSignals(text: Column): Column = {
+    val words = wordsOf(text)
+    val lines = linesOf(text)
+    struct(
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, w) => a + length(w)).as("sum_word_len"),
+      (regexp_count(text, lit("\\.\\.\\.")) + regexp_count(text, lit("#")))
+        .cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("• ")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(lines, l => l.endsWith("..."))).cast("long").as("n_ellipsis_lines"),
+      size(filter(words, w => w.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+      gopherStopwords
+        .map(s => when(array_contains(words, s), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_stop_hits"))
+  }
+
+  /** Gopher pass flag over a [[gopherSignals]] struct: word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol ratio
+    * < 0.1, bullet-line fraction < 0.9, ellipsis-line fraction < 0.3,
+    * ≥ 80% alpha words, ≥ 2 stopword hits — the published MassiveText
+    * thresholds, ratio tests done in integers. */
+  def gopherPass(sig: Column, minWords: Long, maxWords: Long): Column = {
+    val w = sig.getField("n_words")
+    val lines = sig.getField("n_lines")
+    (w >= minWords) && (w <= maxWords) &&
+      (lit(3L) * w <= sig.getField("sum_word_len")) &&
+      (sig.getField("sum_word_len") <= lit(10L) * w) &&
+      (lit(10L) * sig.getField("n_symbols") < w) &&
+      (lit(10L) * sig.getField("n_bullet_lines") < lit(9L) * lines) &&
+      (lit(10L) * sig.getField("n_ellipsis_lines") < lit(3L) * lines) &&
+      (lit(10L) * sig.getField("n_alpha_words") >= lit(8L) * w) &&
+      (sig.getField("n_stop_hits") >= gopherMinStopHits)
+  }
+
+  /** C4 line-level cleaning: a line survives iff it ends in terminal
+    * punctuation, carries ≥ `minLineWords` words, and contains neither
+    * a curly brace (code) nor the word "javascript" (boilerplate
+    * enable-JS banners) — Raffel et al.'s published line filters. The
+    * caller reassembles survivors with `array_join(…, "\n")`. */
+  def c4KeptLines(text: Column, minLineWords: Int = 4): Column =
+    filter(linesOf(text), l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !l.contains("{") &&
+        !l.contains("javascript"))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** DSIR-style data selection: score every document by how much more
+  * likely its hashed-unigram bag is under a TARGET distribution than
+  * under the RAW corpus distribution (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling"). Pipelines rank or
+  * threshold on the score to carve a target-flavored subcorpus out of
+  * a web crawl.
+  *
+  * This is the LINEAR-RATIO variant: per-bucket weight
+  * `(tgt_b+1)·(T_raw+dim) ·1e6 DIV (raw_b+1)·(T_tgt+dim)` (add-one
+  * smoothed probability ratio in integer micro-units, integer
+  * division) and a per-document SUM of instance weights — not the
+  * paper's log-sum. Same policy as the linear idf in q52: libm `ln`
+  * is not bit-stable across engines, integer arithmetic is, so the
+  * whole score is oracle-exact. Monotonicity per bucket is identical;
+  * only the mixing of buckets differs from the log form. The Long
+  * math holds while `T_tgt · T_raw ≤ 9.2e12` (≈3M tokens per side);
+  * beyond that, switch the weight column to DOUBLE — the plan shape
+  * is unchanged.
+  *
+  * Scale shape: the token stream is never materialized — two narrow
+  * scans of the source (one per aggregation), each with map-side
+  * partial aggregation; the weight table is `dim` rows and ships as a
+  * broadcast, so the scoring join adds no shuffle beyond the per-doc
+  * sum.
+  */
+object Importance {
+
+  /** Per-document DSIR scores. `isTarget` marks the rows whose
+    * distribution is the target (e.g. `col("lang") === "en"`);
+    * `carryCols` are functionally-dependent columns (e.g. lang) to
+    * keep on the output without a join back. Output:
+    * (idCol, carryCols…, n_tokens, score_micro). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, carryCols: Seq[String] = Nil): DataFrame = {
+    require(dim >= 2, "need dim >= 2 hash buckets")
+    val spark = docs.sparkSession
+
+    val inst = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        isTarget.as("__tgt") :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .withColumn("__b", (TextFunctions.tokenHash(col("tok")) % dim).cast("int"))
+
+    // bucket spine keeps zero-count buckets so smoothing sees all dim
+    val counts = spark.range(dim).select(col("id").cast("int").as("__b"))
+      .join(
+        inst.groupBy("__b").agg(
+          sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_c"),
+          sum(when(col("__tgt"), 0L).otherwise(1L)).as("raw_c")),
+        Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(col("tgt_c"), lit(0L)).as("tgt_c"),
+        coalesce(col("raw_c"), lit(0L)).as("raw_c"))
+
+    val totals = counts.agg(sum("tgt_c").as("t_tot"), sum("raw_c").as("r_tot"))
+
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        expr(s"((tgt_c + 1) * (r_tot + $dim) * 1000000) DIV ((raw_c + 1) * (t_tot + $dim))")
+          .as("__w"))
+
+    inst.join(broadcast(weights), Seq("__b"))
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_tokens"), sum("__w").as("score_micro"))
+  }
+}

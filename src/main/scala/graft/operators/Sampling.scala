@@ -30,4 +30,25 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Training-mixture construction: replicate each row `weightMilli /
+    * 1000` times (source upweighting — "2 epochs of Wikipedia") plus
+    * one more copy with probability `(weightMilli % 1000) / 1000`
+    * (fractional epochs), decided by the row's [[graft.functions
+    * .TextFunctions.stableBucket]] — so a weight below 1000 is a
+    * deterministic subsample and the SAME doc gets the extra copy on
+    * every run and every engine. Pure flatMap shape: a `sequence` +
+    * `explode` projection, no shuffle at any corpus size; rows with
+    * zero copies vanish. Output adds (w_milli, copies, copy_no). */
+  def mixtureSample(df: DataFrame, keyCol: String, weightMilli: Column): DataFrame = {
+    val base = df.withColumn("w_milli", weightMilli.cast("long"))
+      .withColumn("copies",
+        expr("w_milli DIV 1000") +
+          when(graft.functions.TextFunctions.stableBucket(col(keyCol), 1000) <
+            col("w_milli") % 1000, 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+    base.select(
+      df.columns.map(col) ++ Seq(col("w_milli"), col("copies"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy_no")): _*)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** BM25 ranked retrieval over a document corpus — the lexical-search
+  * operator every data pipeline eventually needs (find the training
+  * docs about X; audit what the corpus says about Y).
+  *
+  * For a FIXED query (the common batch-pipeline case: a handful of
+  * terms, scored against every document) no inverted index and no
+  * explode is needed: each term's tf is a `size(filter(tokens))`
+  * column, so the whole per-document feature row comes out of ONE
+  * codegen projection over the scan. Corpus statistics (N, df per
+  * term, total length) reduce to a single row and ride a broadcast —
+  * the only shuffle in the plan is the final top-k sort, which
+  * Spark's `TakeOrderedAndProject` keeps at k rows per partition.
+  *
+  * Numeric policy: the classic `ln((N-df+0.5)/(df+0.5)+1)` idf is
+  * replaced by the LINEAR ratio `(2N-2df+1)/(2df+1)` (the same odds
+  * ratio without the log damping — q52's linear-idf policy: libm `ln`
+  * is not bit-stable across engines). With the defaults k1 = 1.25 and
+  * b = 0.75 every literal is an exact binary fraction, so the score
+  * is a fixed-order chain of IEEE ops and the DuckDB oracle matches
+  * bit-for-bit before rounding.
+  */
+object TextSearch {
+
+  /** Top-k documents for `terms`, scored with linear-idf BM25.
+    * Output: (idCol, dl, tf_1…tf_n, score, rank). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "need k >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf${i + 1}")
+    }
+    val feat = docs.select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
+
+    val stats = feat.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("tot_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)).as(s"df${i + 1}")): _*)
+
+    val withStats = feat.crossJoin(broadcast(stats))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    // fixed-order sum: term 1 + term 2 + … — the oracle adds in the
+    // same order, so the float result is bit-identical pre-rounding
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf${i + 1}")
+      val idf = (lit(2L) * col("n_docs") - lit(2L) * col(s"df${i + 1}") + lit(1L)).cast("double") /
+        (lit(2L) * col(s"df${i + 1}") + lit(1L)).cast("double")
+      idf * ((tf * lit(k1 + 1)).cast("double") /
+        (tf.cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+    }.reduce(_ + _)
+
+    // top-k FIRST (TakeOrderedAndProject — k rows per partition, no
+    // global sort), then rank the k survivors; a bare global
+    // row_number window would funnel the corpus through one partition
+    withStats
+      .select(col(idCol) +: col("dl") +: terms.indices.map(i => col(s"tf${i + 1}")) :+
+        round(score, 6).as("score"): _*)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+  }
+}

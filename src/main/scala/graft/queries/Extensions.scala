@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, SimilaritySearch, Warc}
+import graft.functions.{QualityRules, TextFunctions}
+import graft.operators.{Dedup, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -729,6 +729,104 @@ object Extensions {
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy("lang")
 
+  /** Line-structured fixture shared by q107/q108: the corpus text is
+    * single-line word salad, so the line-level quality gates get a
+    * deterministic 5-line wrap — terminal-punct / bullet / ellipsis /
+    * code-brace / boilerplate variation all driven by doc_id
+    * arithmetic (same synthesized-fixture pattern as q90's HTML wrap).
+    * The token list is TRIPLED before slicing: the shortest docs have
+    * 10 tokens and DuckDB yields NULL (not empty) for a slice past the
+    * end, so every slice must stay in range for the engines to agree. */
+  private def lineFixture(d: DataFrame): DataFrame = {
+    val tk0 = TextFunctions.tokens(col("text"))
+    val toks = concat(tk0, tk0, tk0)
+    val ftext = concat(
+      array_join(slice(toks, 1, 6), " "),
+      when(col("doc_id") % 3 === 0, "").otherwise("."),
+      lit("\n"),
+      when(col("doc_id") % 5 === 0, "- ").otherwise(""),
+      array_join(slice(toks, 7, 6), " "),
+      when(col("doc_id") % 4 === 0, "...").otherwise("!"),
+      lit("\nshort line\n"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("var x = {n: "), col("doc_id").cast("string"), lit("}")))
+        .otherwise(concat(array_join(slice(toks, 13, 6), " "), lit("?"))),
+      lit("\n"),
+      when(col("doc_id") % 7 === 0, "click here to enable javascript")
+        .otherwise("the data and scan of table is here."))
+    d.select(col("doc_id"), ftext.as("ftext"))
+  }
+
+  /** q107 — Gopher/MassiveText document-quality gate
+    * ([[QualityRules.gopherSignals]]/[[QualityRules.gopherPass]]) over
+    * the [[lineFixture]] wrap: every raw signal surfaced as an exact
+    * integer, the pass flag decided by integer cross-multiplication,
+    * so the whole gate is hash-checked. Word bounds scaled to the
+    * fixture (20..1000 vs the paper's 50..100k). */
+  def q107GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val fx = lineFixture(Tables(spark, dir, "documents"))
+    fx.select(col("doc_id"), QualityRules.gopherSignals(col("ftext")).as("s"))
+      .select(col("doc_id"),
+        col("s.n_words").as("n_words"),
+        round(col("s.sum_word_len").cast("double") / col("s.n_words").cast("double"), 6)
+          .as("mean_word_len"),
+        col("s.n_symbols").as("n_symbols"),
+        col("s.n_lines").as("n_lines"),
+        col("s.n_bullet_lines").as("n_bullet_lines"),
+        col("s.n_ellipsis_lines").as("n_ellipsis_lines"),
+        col("s.n_alpha_words").as("n_alpha_words"),
+        col("s.n_stop_hits").as("n_stop_hits"),
+        QualityRules.gopherPass(col("s"), 20, 1000).as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** q108 — C4 line-level cleaning ([[QualityRules.c4KeptLines]]):
+    * survivors reassembled with their newlines (the hash covers the
+    * exact kept text), plus the ≥3-kept-lines document gate. */
+  def q108C4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val fx = lineFixture(Tables(spark, dir, "documents"))
+    fx.select(col("doc_id"),
+        size(split(col("ftext"), "\n")).cast("long").as("n_lines"),
+        QualityRules.c4KeptLines(col("ftext")).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("kept_text"),
+        (size(col("kept")) >= 3).as("doc_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** q109 — DSIR importance scores ([[Importance.dsirScores]]): target
+    * = the labeled-English slice, 64 hashed-unigram buckets, add-one
+    * smoothing, integer micro-unit weights (linear-ratio variant —
+    * the operator doc explains why not log). The oracle rebuilds the
+    * bucket spine, both totals, the integer-division weight table and
+    * the per-doc sums. */
+  def q109Dsir(spark: SparkSession, dir: String): DataFrame =
+    Importance.dsirScores(Tables(spark, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 64, carryCols = Seq("lang"))
+      .orderBy("doc_id")
+
+  /** q110 — BM25 ranked retrieval ([[TextSearch.bm25TopK]]): three
+    * query terms, linear idf, k1 = 1.25 / b = 0.75 (exact binary
+    * fractions — see the operator's numeric policy), top 20. */
+  def q110Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.bm25TopK(Tables(spark, dir, "documents"), "doc_id", "text",
+        Seq("fast", "merge", "scan"), k = 20)
+      .orderBy("rank")
+
+  /** q111 — training-mixture construction ([[Sampling.mixtureSample]]):
+    * per-source milli-weights 400/1500/2600/3700 (down-sampling AND
+    * fractional upsampling on the same corpus), hash-decided extra
+    * copy, copies exploded to rows. The oracle reproduces the weight
+    * arithmetic and unnests `range(copies)`. */
+  def q111MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    Sampling.mixtureSample(d, "doc_id",
+        lit(400L) + (srcNum % 4).cast("long") * 1100L)
+      .orderBy("doc_id", "copy_no")
+  }
+
   /** q106 — anchor-text extraction: (href, link text) pairs from HTML
     * ([[TextFunctions.extractAnchors]]) — anchor text is the classic
     * relevance/quality signal crawl pipelines mine (what OTHER pages
@@ -1020,6 +1118,11 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_mixture_sample" -> (q111MixtureSample _),
+    "q110_bm25" -> (q110Bm25 _),
+    "q109_dsir" -> (q109Dsir _),
+    "q108_c4_filter" -> (q108C4Filter _),
+    "q107_gopher_rules" -> (q107GopherRules _),
     "q106_anchor_text" -> (q106AnchorText _),
     "q105_sample_quantiles" -> (q105SampleQuantiles _),
     "q104_exact_sample" -> (q104ExactSample _),
@@ -1212,7 +1315,121 @@ object Extensions {
       |) ORDER BY new_id, base_id""".stripMargin
   }
 
+  /** SQL twin of [[lineFixture]] (CTEs `t0`/`t3`/`fx`). No line here
+    * may START with `||` — this fragment is interpolated into oracle
+    * strings whose own `.stripMargin` would eat the first pipe. */
+  private val lineFixtureSql: String =
+    """t0 AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk0 FROM documents),
+      |t3 AS (SELECT doc_id, list_concat(list_concat(tk0, tk0), tk0) AS toks FROM t0),
+      |fx AS (SELECT doc_id,
+      |  array_to_string(toks[1:6], ' ') || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '.' END) ||
+      |  chr(10) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END) || array_to_string(toks[7:12], ' ') ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '!' END) ||
+      |  chr(10) || 'short line' || chr(10) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN 'var x = {n: ' || doc_id || '}'
+      |   ELSE array_to_string(toks[13:18], ' ') || '?' END) ||
+      |  chr(10) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'click here to enable javascript'
+      |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q107_gopher_rules" ->
+      s"""WITH $lineFixtureSql,
+        |sig AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(ftext)), '\\s+') AS words,
+        |  string_split(ftext, chr(10)) AS lines,
+        |  len(regexp_extract_all(ftext, '\\.\\.\\.')) + len(regexp_extract_all(ftext, '#')) AS n_symbols
+        |  FROM fx),
+        |m AS (SELECT doc_id,
+        |  len(words)::BIGINT AS n_words,
+        |  list_sum(list_transform(words, w -> len(w)))::BIGINT AS sum_word_len,
+        |  n_symbols::BIGINT AS n_symbols,
+        |  len(lines)::BIGINT AS n_lines,
+        |  len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bullet_lines,
+        |  len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ellipsis_lines,
+        |  len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha_words,
+        |  (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop_hits
+        |  FROM sig)
+        |SELECT doc_id, n_words, round(sum_word_len::DOUBLE / n_words::DOUBLE, 6) AS mean_word_len,
+        |  n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+        |  (n_words BETWEEN 20 AND 1000
+        |   AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        |   AND 10 * n_symbols < n_words
+        |   AND 10 * n_bullet_lines < 9 * n_lines
+        |   AND 10 * n_ellipsis_lines < 3 * n_lines
+        |   AND 10 * n_alpha_words >= 8 * n_words
+        |   AND n_stop_hits >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q108_c4_filter" ->
+      s"""WITH $lineFixtureSql,
+        |ln AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM fx),
+        |k AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+        |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+        |    AND len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+        |    AND NOT contains(l, '{') AND NOT contains(l, 'javascript')) AS kept
+        |  FROM ln)
+        |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  array_to_string(kept, chr(10)) AS kept_text,
+        |  (len(kept) >= 3) AS doc_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q109_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    list_transform($toksSql, tok -> CAST($hashSql % 64 AS INT)) AS bks
+        |  FROM documents),
+        |inst AS (SELECT doc_id, lang, lang = 'en' AS is_tgt, unnest(bks) AS b FROM t),
+        |cnt0 AS (SELECT b,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_c,
+        |    sum(CASE WHEN is_tgt THEN 0 ELSE 1 END)::BIGINT AS raw_c
+        |  FROM inst GROUP BY b),
+        |spine AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
+        |cnt AS (SELECT spine.b, coalesce(tgt_c, 0) AS tgt_c, coalesce(raw_c, 0) AS raw_c
+        |  FROM spine LEFT JOIN cnt0 ON spine.b = cnt0.b),
+        |tot AS (SELECT sum(tgt_c)::BIGINT AS t_tot, sum(raw_c)::BIGINT AS r_tot FROM cnt),
+        |w AS (SELECT b, ((tgt_c + 1) * (r_tot + 64) * 1000000) // ((raw_c + 1) * (t_tot + 64)) AS w_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_tokens, sum(w_micro)::BIGINT AS score_micro
+        |FROM inst JOIN w ON inst.b = w.b
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q110_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'fast'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'merge'))::BIGINT AS tf2,
+        |  len(list_filter(toks, x -> x = 'scan'))::BIGINT AS tf3
+        |  FROM t),
+        |st AS (SELECT count(1)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_dl,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+        |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+        |  FROM d),
+        |s AS (SELECT doc_id, dl, tf1, tf2, tf3,
+        |  round(
+        |    ((2 * n_docs - 2 * df1 + 1)::DOUBLE / (2 * df1 + 1)::DOUBLE)
+        |      * ((tf1 * 2.25)::DOUBLE / (tf1::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |    + ((2 * n_docs - 2 * df2 + 1)::DOUBLE / (2 * df2 + 1)::DOUBLE)
+        |      * ((tf2 * 2.25)::DOUBLE / (tf2::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |    + ((2 * n_docs - 2 * df3 + 1)::DOUBLE / (2 * df3 + 1)::DOUBLE)
+        |      * ((tf3 * 2.25)::DOUBLE / (tf3::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |  , 6) AS score
+        |  FROM d CROSS JOIN st),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+        |SELECT doc_id, dl, tf1, tf2, tf3, score, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q111_mixture_sample" ->
+      s"""WITH w AS (SELECT doc_id, source,
+        |  400 + (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 4) * 1100 AS w_milli,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, w_milli,
+        |  w_milli // 1000 + (CASE WHEN bucket < w_milli % 1000 THEN 1 ELSE 0 END) AS copies
+        |  FROM w)
+        |SELECT doc_id, source, w_milli::BIGINT AS w_milli, copies::BIGINT AS copies,
+        |  unnest(range(copies))::BIGINT AS copy_no
+        |FROM c WHERE copies > 0 ORDER BY doc_id, copy_no""".stripMargin,
     "q97_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |p0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM t),
