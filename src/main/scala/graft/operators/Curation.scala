@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Curation-funnel reporting: the per-stage attrition table every
+  * published corpus ships with (RedPajama/FineWeb/Dolma-style "started
+  * with N docs, language filter kept X%, quality gate kept Y%, dedup
+  * kept Z%"). The funnel is CUMULATIVE — each gate applies on top of
+  * the prior survivors, which is how the pipelines actually run and
+  * what makes the percentages meaningful.
+  *
+  * Scale shape: all gate flags are decided in ONE codegen projection
+  * over the scan (gates are `Column` predicates — no per-stage pass,
+  * no UDF). The optional exact-dedup final stage is the only shuffle:
+  * a window keyed on the text fingerprint, carrying only (id, flags,
+  * token count, fingerprint) — never the text. The report itself is a
+  * single-row aggregate (map-side partial) exploded to one row per
+  * stage, so the output is stage-count rows regardless of corpus size.
+  */
+object Curation {
+
+  /** Cumulative funnel report. `gates` are (name, predicate) pairs
+    * evaluated left-to-right, each ANDed onto the previous stage's
+    * survivor flag; `exactDedup = true` appends a keep-first
+    * exact-dedup stage over [[TextFunctions.fingerprint]] (minimum
+    * `idCol` among surviving duplicates wins — deterministic, engine-
+    * portable). Output: one row per stage (including stage 0 = raw):
+    * (stage_no, stage, n_docs, n_tokens, retained_milli) where
+    * retained_milli is integer ‰ of raw docs retained. */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+      gates: Seq[(String, Column)], exactDedup: Boolean = true): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+
+    // cumulative survivor flags s1..sG, all from one projection
+    val cumFlags = gates.map(_._2).scanLeft(lit(true))(_ && _).tail
+    val gateCols = cumFlags.zipWithIndex.map { case (c, i) => c.as(s"__s${i + 1}") }
+    val base = docs.select(
+      col(idCol).as("__id") +:
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt") +:
+        TextFunctions.fingerprint(col(textCol)).as("__fp") +:
+        gateCols: _*)
+
+    val nGates = gates.size
+    // keep-first among survivors: survivors sort ahead of casualties
+    // inside each fingerprint group, so rank 1 is a survivor whenever
+    // the group has one, and exactly that row keeps the flag
+    val flagged =
+      if (exactDedup) {
+        val w = Window.partitionBy("__fp")
+          .orderBy(col(s"__s$nGates").desc, col("__id"))
+        base.withColumn(s"__s${nGates + 1}",
+          col(s"__s$nGates") && row_number().over(w) === 1)
+      } else base
+
+    val nStages = nGates + (if (exactDedup) 1 else 0)
+    val stageNames = "raw" +: (gates.map(_._1) ++
+      (if (exactDedup) Seq("exact_dedup") else Nil))
+
+    val aggs = (0 to nStages).flatMap { i =>
+      val f = if (i == 0) lit(true) else col(s"__s$i")
+      Seq(sum(when(f, 1L).otherwise(0L)).as(s"__d$i"),
+        sum(when(f, col("__nt")).otherwise(0L)).as(s"__t$i"))
+    }
+    val row = flagged.agg(aggs.head, aggs.tail: _*)
+
+    // one struct per stage, retention computed against stage 0 while
+    // the whole report is still a single row — then exploded
+    val stageStructs = (0 to nStages).map { i =>
+      struct(
+        lit(i).as("stage_no"),
+        lit(stageNames(i)).as("stage"),
+        col(s"__d$i").as("n_docs"),
+        col(s"__t$i").as("n_tokens"),
+        expr(s"__d$i * 1000 DIV __d0").as("retained_milli"))
+    }
+    row.select(explode(array(stageStructs: _*)).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"),
+        col("s.n_tokens"), col("s.retained_milli"))
+  }
+}

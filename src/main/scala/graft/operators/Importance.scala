@@ -69,4 +69,63 @@ object Importance {
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(count(lit(1)).as("n_tokens"), sum("__w").as("score_micro"))
   }
+
+  /** CCNet-style fluency scoring: train a bigram language model on the
+    * rows marked by `isModel` (CCNet trains KenLM on Wikipedia, then
+    * buckets the crawl by perplexity — Wenzek et al. 2020 §3.3) and
+    * score every document by its mean smoothed conditional bigram
+    * probability. Low scores = token sequences the model corpus never
+    * produces (gibberish, boilerplate soup); high = fluent prose.
+    *
+    * Numeric policy: per-bigram weight `(c2+1)·1e6 DIV (c1+V)` —
+    * add-one-smoothed p(w2|w1) in integer micro-units (c2 = bigram
+    * count, c1 = head count, V = distinct heads in the model) and the
+    * document score is the integer MEAN of its bigram weights, not the
+    * log-sum perplexity: same no-libm-`ln` policy as [[dsirScores]],
+    * bit-exact across engines, per-bigram monotone in the same
+    * direction.
+    *
+    * Scale shape: bigrams travel as 60-bit md5 hashes
+    * ([[TextFunctions.tokenHash]]) from the first projection on — both
+    * model aggregation and the scoring join shuffle 8-byte keys, never
+    * bigram text. The model is corpus-sized (distinct bigrams), so the
+    * scoring join is a hash-key shuffle join by design, NOT a
+    * broadcast; c1 and V derive from the c2 table without rescanning
+    * the corpus. Documents with fewer than 2 tokens have no bigrams
+    * and drop out of the output.
+    *
+    * Output: (idCol, carryCols…, n_bigrams, fluency_micro). */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
+      isModel: Column, carryCols: Seq[String] = Nil): DataFrame = {
+    // (head-hash, bigram-hash) stream of a frame — empty when < 2 toks
+    def pairs(df: DataFrame, keep: Seq[String]): DataFrame = {
+      val toks = TextFunctions.tokens(col(textCol))
+      val bg = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("h"), concat(a, lit(" "), b).as("bg")))
+      df.select(keep.map(col) :+ explode(bg).as("__p"): _*)
+        .select(keep.map(col) :+
+          TextFunctions.tokenHash(col("__p.h")).as("__hh") :+
+          TextFunctions.tokenHash(col("__p.bg")).as("__bh"): _*)
+    }
+
+    val modelPairs = pairs(docs.filter(isModel), Nil)
+    val c2 = modelPairs.groupBy("__hh", "__bh").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("__hh").agg(sum("__c2").as("__c1"))
+    val vocab = c1.agg(count(lit(1)).as("__v"))
+
+    pairs(docs, idCol +: carryCols)
+      .join(c2, Seq("__hh", "__bh"), "left")
+      .join(c1, Seq("__hh"), "left")
+      .crossJoin(broadcast(vocab))
+      .select((col(idCol) +: carryCols.map(col)) :+
+        expr("(coalesce(__c2, 0L) + 1L) * 1000000L DIV (coalesce(__c1, 0L) + __v)")
+          .as("__w"): _*)
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__w").as("__sw"))
+      .select((col(idCol) +: carryCols.map(col)) :+
+        col("n_bigrams") :+
+        expr("__sw DIV n_bigrams").as("fluency_micro"): _*)
+  }
 }

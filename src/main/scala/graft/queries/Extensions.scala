@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Dedup, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
+import graft.operators.{Curation, Dedup, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -827,6 +827,36 @@ object Extensions {
       .orderBy("doc_id", "copy_no")
   }
 
+  /** q112 — curation-funnel attrition report ([[Curation.funnel]]):
+    * length gate → alpha-ratio gate → stopword gate → exact dedup,
+    * cumulative, one row per stage with doc/token counts and integer
+    * ‰ retention. The oracle rebuilds the cumulative flags, the
+    * keep-first dedup window and the five-branch UNION. */
+  def q112CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val stopHits = QualityRules.gopherStopwords
+      .map(s => when(array_contains(toks, s), 1L).otherwise(0L)).reduce(_ + _)
+    Curation.funnel(Tables(spark, dir, "documents"), "doc_id", "text",
+        Seq(
+          "length_gate" -> size(toks).between(10, 5000),
+          "alpha_gate" -> (lit(10L) * nAlpha >= lit(7L) * size(toks).cast("long")),
+          "stopword_gate" -> (stopHits >= QualityRules.gopherMinStopHits)),
+        exactDedup = true)
+      .orderBy("stage_no")
+  }
+
+  /** q113 — bigram-LM fluency scores ([[Importance.bigramFluency]]):
+    * model = the labeled-English slice, add-one smoothing over
+    * (c1 + V), integer micro-unit mean (the no-`ln` CCNet perplexity
+    * stand-in — see the operator's numeric policy). The oracle
+    * rebuilds the hashed bigram stream, both count tables, the
+    * vocabulary size and the smoothed integer weights. */
+  def q113BigramFluency(spark: SparkSession, dir: String): DataFrame =
+    Importance.bigramFluency(Tables(spark, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", carryCols = Seq("lang"))
+      .orderBy("doc_id")
+
   /** q106 — anchor-text extraction: (href, link text) pairs from HTML
     * ([[TextFunctions.extractAnchors]]) — anchor text is the classic
     * relevance/quality signal crawl pipelines mine (what OTHER pages
@@ -1118,6 +1148,8 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_bigram_fluency" -> (q113BigramFluency _),
+    "q112_curation_funnel" -> (q112CurationFunnel _),
     "q111_mixture_sample" -> (q111MixtureSample _),
     "q110_bm25" -> (q110Bm25 _),
     "q109_dsir" -> (q109Dsir _),
@@ -1419,6 +1451,63 @@ object Extensions {
         |  FROM d CROSS JOIN st),
         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM s)
         |SELECT doc_id, dl, tf1, tf2, tf3, score, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q112_curation_funnel" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+        |f AS (SELECT doc_id, fp, len(tk)::BIGINT AS nt,
+        |    (len(tk) BETWEEN 10 AND 5000) AS s1,
+        |    ((len(tk) BETWEEN 10 AND 5000)
+        |     AND 10 * len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) >= 7 * len(tk)) AS s2
+        |  FROM t),
+        |f2 AS (SELECT *, (s2 AND
+        |    (CASE WHEN list_contains(tkx, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tkx, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tkx, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tkx, 'is') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tkx, 'to') THEN 1 ELSE 0 END) >= 2) AS s3
+        |  FROM (SELECT f.*, t.tk AS tkx FROM f JOIN t USING (doc_id)) ),
+        |d AS (SELECT *,
+        |    (s3 AND row_number() OVER (PARTITION BY fp ORDER BY s3 DESC, doc_id) = 1) AS s4
+        |  FROM f2),
+        |a AS (SELECT count(1)::BIGINT AS d0, sum(nt)::BIGINT AS t0,
+        |    sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN s1 THEN nt ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |    sum(CASE WHEN s2 THEN nt ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        |    sum(CASE WHEN s3 THEN nt ELSE 0 END)::BIGINT AS t3,
+        |    sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+        |    sum(CASE WHEN s4 THEN nt ELSE 0 END)::BIGINT AS t4
+        |  FROM d)
+        |SELECT 0 AS stage_no, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens, d0 * 1000 // d0 AS retained_milli FROM a
+        |UNION ALL SELECT 1, 'length_gate', d1, t1, d1 * 1000 // d0 FROM a
+        |UNION ALL SELECT 2, 'alpha_gate', d2, t2, d2 * 1000 // d0 FROM a
+        |UNION ALL SELECT 3, 'stopword_gate', d3, t3, d3 * 1000 // d0 FROM a
+        |UNION ALL SELECT 4, 'exact_dedup', d4, t4, d4 * 1000 // d0 FROM a
+        |ORDER BY stage_no""".stripMargin,
+    "q113_bigram_fluency" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |mb AS (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM mb0),
+        |c2 AS (SELECT hh, bh, count(1)::BIGINT AS c2 FROM mb GROUP BY hh, bh),
+        |c1 AS (SELECT hh, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY hh),
+        |v AS (SELECT count(1)::BIGINT AS v FROM c1),
+        |db0 AS (SELECT doc_id, lang, tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM t),
+        |db AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM db0),
+        |s AS (SELECT doc_id, lang,
+        |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS w
+        |  FROM db LEFT JOIN c2 ON db.hh = c2.hh AND db.bh = c2.bh
+        |    LEFT JOIN c1 ON db.hh = c1.hh CROSS JOIN v)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_bigrams,
+        |  (sum(w)::BIGINT // count(1)) AS fluency_micro
+        |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q111_mixture_sample" ->
       s"""WITH w AS (SELECT doc_id, source,
         |  400 + (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 4) * 1100 AS w_milli,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Funnel report and bigram-fluency scoring on hand-computed fixtures. */
+class CurationSpec extends SparkSpec {
+
+  test("funnel: cumulative gates, keep-first dedup, exact counts and retention") {
+    import spark.implicits._
+    // 6 docs: d1/d2 identical (dedup collapses), d3 too short,
+    // d4 fails the stopword gate, d5/d6 independent survivors
+    val docs = Seq(
+      (1L, "the cat sat on the mat tonight"),
+      (2L, "the cat sat on the mat tonight"),
+      (3L, "tiny"),
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "the dog ran to the park quickly"),
+      (6L, "a fine day is upon us all")).toDF("doc_id", "text")
+    val stop = Seq("the", "is", "to")
+      .map(s => when(array_contains(split(lower(col("text")), "\\s+"), s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = Curation.funnel(docs, "doc_id", "text",
+        Seq(
+          "len" -> (size(split(col("text"), "\\s+")) >= 5),
+          "stop" -> (stop >= 1)),
+        exactDedup = true)
+      .orderBy("stage_no")
+      .collect()
+
+    assert(rep.map(_.getString(1)).toSeq == Seq("raw", "len", "stop", "exact_dedup"))
+    // raw: 6 docs; len drops d3; stop additionally drops d4; dedup drops d2
+    assert(rep.map(_.getLong(2)).toSeq == Seq(6L, 5L, 4L, 3L))
+    // retention is integer permille of RAW at every stage
+    assert(rep.map(_.getLong(4)).toSeq == Seq(1000L, 833L, 666L, 500L))
+    // token counts follow the surviving docs (7+7+1+6+7+7 raw)
+    assert(rep(0).getLong(3) == 35L)
+    assert(rep(3).getLong(3) == 7L + 7L + 7L)
+  }
+
+  test("funnel: dedup keeps the minimum id among SURVIVORS, not raw rows") {
+    import spark.implicits._
+    // all three share a fingerprint; the (non-text) gate fails d1, so
+    // the kept copy must be d2 (min id among survivors), not nothing
+    val docs = Seq(
+      (1L, "dup text here", "bad"),
+      (2L, "dup text here", "good"),
+      (3L, "dup text here", "good")).toDF("doc_id", "text", "src")
+    val rep = Curation.funnel(docs, "doc_id", "text",
+        Seq("src" -> (col("src") === "good")), exactDedup = true)
+      .orderBy("stage_no").collect()
+    assert(rep.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L),
+      "gate drops d1; dedup collapses d2/d3 to one survivor")
+  }
+
+  test("bigramFluency: add-one smoothed integer weights, hand-computed") {
+    import spark.implicits._
+    // model = docs 1,2 ("a b a b" twice-ish): bigrams ab,ba,ab →
+    // c2(ab)=2, c2(ba)=1, c1(a)=2, c1(b)=1, V=2
+    val docs = Seq(
+      (1L, "a b a b", true),
+      (2L, "x", true), // < 2 tokens: contributes nothing
+      (3L, "a b", false), // seen bigram: (2+1)*1e6 DIV (2+2) = 750000
+      (4L, "z z", false), // unseen: (0+1)*1e6 DIV (0+2) = 500000
+      (5L, "y", false)) // no bigrams: absent from output
+      .toDF("doc_id", "text", "is_model")
+    val got = Importance.bigramFluency(docs, "doc_id", "text", col("is_model"))
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byId.contains(2L), "single-token model doc has no bigrams")
+    assert(byId(3L) == ((1L, 750000L)))
+    assert(byId(4L) == ((1L, 500000L)))
+    assert(!byId.contains(5L), "single-token doc has no bigrams")
+    // the model doc scores itself: bigrams ab,ba,ab →
+    // (750000 + (1+1)*1e6 DIV (1+2) + 750000) DIV 3 = 722222
+    assert(byId(1L) == ((3L, 722222L)))
+  }
+}
