@@ -161,6 +161,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q112 funnel: one corpus scan; document text never crosses a shuffle") {
+    val p = plan("q112_curation_funnel")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "all gate flags must come from ONE projection over ONE scan")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, "expected the dedup-window exchange")
+    // the fingerprint window and the report aggregate shuffle only
+    // (id, token count, fingerprint, flags) — never the text column
+    assert(shuffleInputs.forall(!_.contains("text#")),
+      "document text must not cross the funnel's shuffles")
+  }
+
+  test("q113 bigram fluency: V broadcasts; shuffles carry hashes, never bigram text") {
+    val p = plan("q113_bigram_fluency")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the single-row vocabulary count must broadcast")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, "expected model/scoring exchanges")
+    // every exchange input is 8-byte hash keys + counts — the bigram
+    // strings die inside the first projection after the explode
+    assert(shuffleInputs.forall(s => !s.contains("text#") && !s.contains("__p#")),
+      "bigram/document text must not cross any shuffle")
+  }
+
   test("ETL plan: single projection over the scan, narratives fused") {
     import org.apache.spark.sql.functions._
     val raw = etl.CsvSource.readLatest(spark, {
