@@ -80,4 +80,43 @@ object Curation {
       .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"),
         col("s.n_tokens"), col("s.retained_milli"))
   }
+
+  /** One-call corpus datasheet — the summary block of a dataset card
+    * (Gebru et al. 2021, "Datasheets for Datasets"): document/token
+    * totals, exact-duplicate rate, and the language spread, every
+    * number integer-exact. Two narrow scans by construction: the
+    * global aggregate needs a corpus-wide `count(distinct
+    * fingerprint)` that cannot be merged from per-language partials
+    * (a fingerprint may recur across languages), so it runs beside —
+    * not after — the per-language rollup; both aggregate map-side and
+    * the final join is two single-digit-row frames. Output (one row):
+    * (n_docs, n_tokens, n_distinct_texts, dup_milli, n_langs,
+    * top_lang, top_lang_docs). Top language ties break
+    * lexicographically so the report is deterministic. */
+  def profile(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
+    val base = docs.select(
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      col(langCol).as("__lang"))
+
+    val global = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("__nt").as("n_tokens"),
+      countDistinct(col("__fp")).as("n_distinct_texts"))
+
+    // deterministic argmax: min of (-count, lang) structs orders by
+    // count DESC then lang ASC, so ties pick the alphabetically first
+    val topLang = base.groupBy("__lang").agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("__lang").as("l"))).as("__t"))
+      .select(col("n_langs"),
+        col("__t.l").as("top_lang"),
+        (-col("__t.nc")).as("top_lang_docs"))
+
+    global.crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_tokens"), col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 1000 DIV n_docs").as("dup_milli"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"))
+  }
 }

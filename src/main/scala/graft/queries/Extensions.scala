@@ -857,6 +857,13 @@ object Extensions {
         col("lang") === "en", carryCols = Seq("lang"))
       .orderBy("doc_id")
 
+  /** q114 — one-row corpus datasheet ([[Curation.profile]]): totals,
+    * exact-dup permille, language spread with deterministic argmax.
+    * The oracle reproduces the two aggregation branches and the
+    * count-DESC-then-lang-ASC top-language election. */
+  def q114CorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Curation.profile(Tables(spark, dir, "documents"), "text", "lang")
+
   /** q106 — anchor-text extraction: (href, link text) pairs from HTML
     * ([[TextFunctions.extractAnchors]]) — anchor text is the classic
     * relevance/quality signal crawl pipelines mine (what OTHER pages
@@ -1148,6 +1155,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_corpus_profile" -> (q114CorpusProfile _),
     "q113_bigram_fluency" -> (q113BigramFluency _),
     "q112_curation_funnel" -> (q112CurationFunnel _),
     "q111_mixture_sample" -> (q111MixtureSample _),
@@ -1485,6 +1493,20 @@ object Extensions {
         |UNION ALL SELECT 3, 'stopword_gate', d3, t3, d3 * 1000 // d0 FROM a
         |UNION ALL SELECT 4, 'exact_dedup', d4, t4, d4 * 1000 // d0 FROM a
         |ORDER BY stage_no""".stripMargin,
+    "q114_corpus_profile" ->
+      s"""WITH b AS (SELECT len($toksSql)::BIGINT AS nt,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |    lang FROM documents),
+        |g AS (SELECT count(1)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |    count(DISTINCT fp)::BIGINT AS n_distinct_texts FROM b),
+        |lc AS (SELECT lang, count(1)::BIGINT AS c FROM b GROUP BY lang),
+        |top AS (SELECT count(1)::BIGINT AS n_langs FROM lc),
+        |pick AS (SELECT lang AS top_lang, c AS top_lang_docs
+        |  FROM lc ORDER BY c DESC, lang ASC LIMIT 1)
+        |SELECT n_docs, n_tokens, n_distinct_texts,
+        |  (n_docs - n_distinct_texts) * 1000 // n_docs AS dup_milli,
+        |  n_langs, top_lang, top_lang_docs
+        |FROM g CROSS JOIN top CROSS JOIN pick""".stripMargin,
     "q113_bigram_fluency" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
         |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i

@@ -53,6 +53,24 @@ class CurationSpec extends SparkSpec {
       "gate drops d1; dedup collapses d2/d3 to one survivor")
   }
 
+  test("profile: datasheet totals, dup permille, tie-broken top language") {
+    import spark.implicits._
+    // en and fr tie at 2 docs each → top_lang must be 'en' (alpha
+    // first); d1/d2 duplicate → 4 docs, 3 distinct, dup 250‰
+    val docs = Seq(
+      (1L, "same text here", "fr"),
+      (2L, "same text here", "fr"),
+      (3L, "three more words", "en"),
+      (4L, "last one now", "en")).toDF("doc_id", "text", "lang")
+    val r = Curation.profile(docs, "text", "lang").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 3L, "distinct texts")
+    assert(r.getLong(3) == 250L, "dup permille")
+    assert(r.getLong(4) == 2L, "n_langs")
+    assert(r.getString(5) == "en", "tie breaks alphabetically")
+    assert(r.getLong(6) == 2L)
+  }
+
   test("bigramFluency: add-one smoothed integer weights, hand-computed") {
     import spark.implicits._
     // model = docs 1,2 ("a b a b" twice-ish): bigrams ab,ba,ab →
