@@ -59,6 +59,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before.contains(id)) rdd.unpersist(false)
       }
+      // Also drop any catalog-cached relations: no current query calls
+      // .cache(), but a future one that does would otherwise leave a
+      // stale CacheManager entry whose blocks re-materialize whenever a
+      // later plan happens to match. Cheap no-op when the cache is empty.
+      spark.catalog.clearCache()
       // Bound old-gen growth (broadcasts, plan trees) so a late-run
       // query doesn't absorb the whole run's collection debt — but
       // amortized: a full GC per query measurably exceeded the leak.

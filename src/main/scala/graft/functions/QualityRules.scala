@@ -70,13 +70,14 @@ object QualityRules {
 
   /** C4 line-level cleaning: a line survives iff it ends in terminal
     * punctuation, carries ≥ `minLineWords` words, and contains neither
-    * a curly brace (code) nor the word "javascript" (boilerplate
-    * enable-JS banners) — Raffel et al.'s published line filters. The
-    * caller reassembles survivors with `array_join(…, "\n")`. */
+    * a curly brace (code) nor the word "javascript" in ANY case
+    * (boilerplate enable-JS banners are usually "JavaScript") —
+    * Raffel et al.'s published line filters. The caller reassembles
+    * survivors with `array_join(…, "\n")`. */
   def c4KeptLines(text: Column, minLineWords: Int = 4): Column =
     filter(linesOf(text), l =>
       l.rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minLineWords &&
         !l.contains("{") &&
-        !l.contains("javascript"))
+        !lower(l).contains("javascript"))
 }

@@ -113,7 +113,15 @@ object Importance {
     val modelPairs = pairs(docs.filter(isModel), Nil)
     val c2 = modelPairs.groupBy("__hh", "__bh").agg(count(lit(1)).as("__c2"))
     val c1 = c2.groupBy("__hh").agg(sum("__c2").as("__c1"))
-    val vocab = c1.agg(count(lit(1)).as("__v"))
+    // Degenerate-model guard: if isModel matches no rows (or only
+    // sub-2-token rows) the vocabulary is 0 and every weight would be
+    // x DIV 0 — NULL scores (or an ANSI error) with no hint why. Fail
+    // fast with an actionable message instead; raise_error sits inside
+    // the 1-row vocab aggregate, so the guard costs nothing per doc.
+    val vocab = c1.agg(count(lit(1)).as("__vc"))
+      .select(when(col("__vc") > 0, col("__vc")).otherwise(raise_error(lit(
+        "graft.Importance.bigramFluency: model slice is empty — isModel matched no rows with >= 2 tokens")))
+        .cast("long").as("__v"))
 
     pairs(docs, idCol +: carryCols)
       .join(c2, Seq("__hh", "__bh"), "left")

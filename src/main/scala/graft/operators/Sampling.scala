@@ -41,6 +41,9 @@ object Sampling {
     * `explode` projection, no shuffle at any corpus size; rows with
     * zero copies vanish. Output adds (w_milli, copies, copy_no). */
   def mixtureSample(df: DataFrame, keyCol: String, weightMilli: Column): DataFrame = {
+    val taken = Seq("w_milli", "copies", "copy_no").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"mixtureSample appends output columns w_milli/copies/copy_no; input already has: ${taken.mkString(", ")} — rename or drop them first")
     val base = df.withColumn("w_milli", weightMilli.cast("long"))
       .withColumn("copies",
         expr("w_milli DIV 1000") +

@@ -138,9 +138,19 @@ object SimilaritySearch {
     * `nprobe = 2..4` recovers most of it for `nprobe/nlist` of the
     * brute-force cost: the corpus stays single-assigned, only the
     * QUERY side fans out, so the bucket join grows linearly in nprobe
-    * and a (query, neighbor) pair still arises at most once. */
+    * and a (query, neighbor) pair still arises at most once.
+    *
+    * SMALL-QUERY CONTRACT: with `broadcastQueries = true` (default)
+    * the query batch × nprobe must fit the broadcast limit (driver and
+    * executor memory — think ≤ a few hundred thousand vectors). That
+    * is the intended regime: an interactive/eval batch probing a big
+    * corpus. For a corpus-sized query side (e.g. all-pairs semantic
+    * retrieval) pass `broadcastQueries = false` — the bucket join
+    * degrades gracefully to an AQE-planned shuffle join on `bucket`
+    * instead of blowing the broadcast limit. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      broadcastQueries: Boolean = true): DataFrame = {
     val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
     val q = assignBucketsN(queries, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"),
@@ -149,9 +159,11 @@ object SimilaritySearch {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     // the query batch is the definitionally-small side (same reasoning
     // as bruteForceTopK): broadcast it so the corpus assignment never
-    // shuffles for the bucket join — statically, not left to AQE
+    // shuffles for the bucket join — statically, not left to AQE.
+    // Callers with a corpus-sized query side opt out (contract above).
+    val qSide = if (broadcastQueries) broadcast(q) else q
     assigned.select(col(idCol).as("neighbor_id"), col("vec"), col("nrm"), col("bucket"))
-      .join(broadcast(q), "bucket")
+      .join(qSide, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("bucket"), col("neighbor_id"), sim.as("sim"))
       .withColumn("rank", row_number().over(w))

@@ -752,7 +752,7 @@ object Extensions {
         concat(lit("var x = {n: "), col("doc_id").cast("string"), lit("}")))
         .otherwise(concat(array_join(slice(toks, 13, 6), " "), lit("?"))),
       lit("\n"),
-      when(col("doc_id") % 7 === 0, "click here to enable javascript")
+      when(col("doc_id") % 7 === 0, "click here to enable JavaScript")
         .otherwise("the data and scan of table is here."))
     d.select(col("doc_id"), ftext.as("ftext"))
   }
@@ -1370,7 +1370,7 @@ object Extensions {
       |  (CASE WHEN doc_id % 6 = 0 THEN 'var x = {n: ' || doc_id || '}'
       |   ELSE array_to_string(toks[13:18], ' ') || '?' END) ||
       |  chr(10) ||
-      |  (CASE WHEN doc_id % 7 = 0 THEN 'click here to enable javascript'
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'click here to enable JavaScript'
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -1411,7 +1411,7 @@ object Extensions {
         |k AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
         |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
         |    AND len(regexp_split_to_array(trim(l), '\\s+')) >= 4
-        |    AND NOT contains(l, '{') AND NOT contains(l, 'javascript')) AS kept
+        |    AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM ln)
         |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
         |  array_to_string(kept, chr(10)) AS kept_text,
