@@ -85,6 +85,33 @@ object Warc {
     out.toSeq
   }
 
+  /** Inflate a `.warc.gz` file: CommonCrawl ships each record as its
+    * own gzip MEMBER, members concatenated back-to-back (the multistream
+    * layout that lets a range request decompress one record). Java's
+    * `GZIPInputStream` walks concatenated members natively — after each
+    * member's trailer it peeks for another header and ends cleanly on
+    * anything else — so one streaming pass inflates the whole file.
+    *
+    * Poison contract (same as the walks): a corrupt or truncated member
+    * ends THIS file's decode with the bytes already inflated — the
+    * partial tail record, if any, is then dropped by [[records]]'s own
+    * bounds checks — and never throws. Non-gzip input (no 1f 8b magic)
+    * passes through untouched, so one code path serves plain `.warc`
+    * and `.warc.gz` alike. */
+  private[operators] def gunzipMembers(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) bytes
+    else {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+      } catch { case _: java.io.IOException => () } // corrupt member: keep the prefix
+      out.toByteArray
+    }
+
   private def httpBody(wtype: String, payload: Array[Byte]): Option[String] =
     if (wtype != "response") None
     else {
@@ -93,16 +120,18 @@ object Warc {
       if (i < 0) None else Some(s.substring(i + 4))
     }
 
-  /** Explode a WARC payload column to one typed row per record. Narrow
-    * flatMap — no shuffle; `rec_no` is the record's position in its
-    * file, so (id, rec_no) is a stable record key. */
+  /** Explode a WARC payload column to one typed row per record. Accepts
+    * plain `.warc` bytes or `.warc.gz` concatenated gzip members
+    * ([[gunzipMembers]] sniffs the magic). Narrow flatMap — no shuffle;
+    * `rec_no` is the record's position in its file, so (id, rec_no) is
+    * a stable record key. */
   def explodeRecords(spark: SparkSession, df: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        records(bytes).zipWithIndex.map { case (r, i) =>
+        records(gunzipMembers(bytes)).zipWithIndex.map { case (r, i) =>
           WarcRow(id, i, r.warc_type, r.target_uri, r.warc_date,
             r.content_length, httpBody(r.warc_type, r.payload))
         }
@@ -121,6 +150,19 @@ object Warc {
       bos.write(hdr.getBytes("US-ASCII"))
       bos.write(payload)
       bos.write("\r\n\r\n".getBytes("US-ASCII"))
+    }
+    bos.toByteArray
+  }
+
+  /** Emit CommonCrawl-layout `.warc.gz` bytes: each record is its own
+    * gzip member, members concatenated — the fixture generator for the
+    * gzip oracle query and the fuzz spec. */
+  def synthesizeGz(recs: Seq[(String, String, String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(synthesize(Seq(r)))
+      gz.finish()
     }
     bos.toByteArray
   }

@@ -933,6 +933,35 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  /** q115 — `.warc.gz` record extraction through the REAL gzip-member
+    * decode + ISO 28500 walk ([[Warc.gunzipMembers]] → [[Warc.records]]):
+    * each doc becomes a CommonCrawl-layout file of per-record gzip
+    * members (an HTTP `response` + a `metadata` record), and every 5th
+    * doc instead carries a GARBAGE trailing member — the oracle predicts
+    * both the decoded fields and the poison behavior (the response
+    * survives, the garbage member is dropped cleanly, never throws). */
+  def q115WarcGz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val payloads = d.as[(Long, String, String)].map { case (id, source, text) =>
+      val date = f"2024-02-${id % 28 + 1}%02dT00:00:00Z"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$text"
+      val resp = ("response", s"http://$source.example.com/doc/$id", date,
+        http.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val meta = ("metadata", s"urn:doc:$id", date,
+        s"meta $id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bytes =
+        if (id % 5 == 0) Warc.synthesizeGz(Seq(resp)) ++ Array.fill(16)(0xDE.toByte)
+        else Warc.synthesizeGz(Seq(resp, meta))
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    Warc.explodeRecords(spark, payloads, "doc_id", "payload")
+      .select(col("doc_id"), col("rec_no"), col("warc_type"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("http_body"))
+      .orderBy("doc_id", "rec_no")
+  }
+
   /** q101 — EXIF curation signals through the REAL APP1/TIFF-IFD walk
     * ([[Multimodal.exifFields]]): each doc gets a synthesized JPEG whose
     * EXIF block (both byte orders — odd ids big-endian) encodes fields
@@ -1155,6 +1184,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_warc_gz" -> (q115WarcGz _),
     "q114_corpus_profile" -> (q114CorpusProfile _),
     "q113_bigram_fluency" -> (q113BigramFluency _),
     "q112_curation_funnel" -> (q112CurationFunnel _),
@@ -1715,6 +1745,19 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q115_warc_gz" ->
+      """SELECT doc_id, CAST(0 AS INT) AS rec_no, 'response' AS warc_type,
+        |  'http://' || source || '.example.com/doc/' || doc_id::VARCHAR AS target_uri,
+        |  '2024-02-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00Z' AS warc_date,
+        |  (45 + strlen(text))::BIGINT AS content_length,
+        |  text AS http_body
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'metadata', 'urn:doc:' || doc_id::VARCHAR,
+        |  '2024-02-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00Z',
+        |  strlen('meta ' || doc_id::VARCHAR)::BIGINT, NULL
+        |FROM documents WHERE doc_id % 5 <> 0
+        |ORDER BY doc_id, rec_no""".stripMargin,
     "q102_warc" ->
       """SELECT doc_id, CAST(0 AS INT) AS rec_no, 'response' AS warc_type,
         |  'http://' || source || '.example.com/doc/' || doc_id::VARCHAR AS target_uri,

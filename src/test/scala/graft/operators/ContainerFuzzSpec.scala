@@ -78,6 +78,52 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private val warcRecs = Seq(
+    ("response", "http://a.example.com/1", "2024-01-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\nhello world".getBytes("UTF-8")),
+    ("metadata", "urn:doc:1", "2024-01-01T00:00:00Z", "meta".getBytes("UTF-8")))
+
+  test("warc.gz roundtrip: per-record gzip members parse identically to plain bytes") {
+    val plain = Warc.records(Warc.synthesize(warcRecs))
+    val gz = Warc.records(Warc.gunzipMembers(Warc.synthesizeGz(warcRecs)))
+    assert(gz.map(r => (r.warc_type, r.target_uri, r.warc_date, r.content_length)) ==
+      plain.map(r => (r.warc_type, r.target_uri, r.warc_date, r.content_length)))
+    assert(gz.map(_.payload.toSeq) == plain.map(_.payload.toSeq))
+    // non-gzip bytes pass through gunzipMembers untouched
+    val raw = Warc.synthesize(warcRecs)
+    assert(Warc.gunzipMembers(raw).toSeq == raw.toSeq)
+  }
+
+  test("every truncation of a valid warc.gz degrades to a record prefix, never throws") {
+    val full = Warc.synthesizeGz(warcRecs)
+    (0 to full.length).foreach { cut =>
+      val got = Warc.records(Warc.gunzipMembers(full.take(cut)))
+      assert(got.size <= 2, s"cut=$cut parsed ${got.size} records")
+    }
+  }
+
+  test("a garbage trailing member ends the decode with earlier records intact") {
+    val poisoned = Warc.synthesizeGz(warcRecs.take(1)) ++
+      Array.fill(32)(0xDE.toByte)
+    val got = Warc.records(Warc.gunzipMembers(poisoned))
+    assert(got.map(_.warc_type) == Seq("response"))
+    // gzip magic followed by pure garbage yields nothing, never throws
+    val magicGarbage = Array(0x1f.toByte, 0x8b.toByte) ++
+      Array.fill(100)(rnd.nextInt().toByte)
+    Warc.records(Warc.gunzipMembers(magicGarbage))
+  }
+
+  test("bit-flips in a valid warc.gz never throw (CRC/deflate corruption)") {
+    val full = Warc.synthesizeGz(warcRecs)
+    (0 until 2000).foreach { _ =>
+      val t = full.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        t(rnd.nextInt(t.length)) = rnd.nextInt().toByte
+      }
+      Warc.records(Warc.gunzipMembers(t))
+    }
+  }
+
   test("EXIF roundtrip: both byte orders, every field combination") {
     for {
       orient <- Seq(None, Some(1), Some(6), Some(8))
