@@ -1,0 +1,118 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `excise_windows(array<string> tokens, array<long> starts, width)
+  * -> struct(n_spans, n_removed, kept_text)` — the row-local excision
+  * half of ExactSubstr span dedup ([[graft.operators.Dedup.spanDedup]]):
+  * given the SORTED start indexes of duplicated `width`-token windows,
+  * merge them into maximal contiguous spans, drop every covered token,
+  * and reassemble the survivors — one pass, one kernel, same
+  * no-interpreted-lambda rationale as [[TokenChunks]] (the equivalent
+  * `filter(positions, j -> !exists(starts, covers))` chain pays
+  * O(tokens × starts) interpreted lambdas per row).
+  *
+  * Null/`hostile input` contract: null tokens → null; null starts (the
+  * left-join miss for a doc with no duplicated windows) → zero spans,
+  * text reassembled unchanged; start indexes are bounds-clamped and
+  * non-monotone entries skipped, so a malformed starts array degrades,
+  * never throws.
+  */
+case class ExciseWindows(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression {
+  require(width > 0, s"window width must be positive, got $width")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("kept_text", StringType, nullable = false)))
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "excise_windows"
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else {
+      val s = right.eval(input)
+      ExciseWindows.kernel(t.asInstanceOf[ArrayData],
+        if (s == null) null else s.asInstanceOf[ArrayData], width)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = ${lg.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.ExciseWindows.kernel(
+          ${lg.value}, ${rg.isNull} ? null : ${rg.value}, $width);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ExciseWindows = copy(left = newLeft, right = newRight)
+}
+
+object ExciseWindows {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def kernel(tokens: ArrayData, starts: ArrayData, width: Int): InternalRow = {
+    val n = tokens.numElements()
+    val m = if (starts == null) 0 else starts.numElements()
+
+    // Merge sorted window starts into maximal contiguous spans
+    // [lo, hi): a start s extends the open span while s <= hi (its
+    // window overlaps or touches it), else opens a new one. hi is
+    // monotone in s, so the single `last` comparison is exact.
+    val lo = new Array[Long](m)
+    val hi = new Array[Long](m)
+    var nSpans = 0
+    var i = 0
+    var prev = Long.MinValue
+    while (i < m) {
+      val raw = starts.getLong(i)
+      // defensive: skip out-of-range or backwards entries
+      if (raw >= 0 && raw <= n - width && raw >= prev) {
+        prev = raw
+        if (nSpans > 0 && raw <= hi(nSpans - 1)) hi(nSpans - 1) = raw + width
+        else { lo(nSpans) = raw; hi(nSpans) = raw + width; nSpans += 1 }
+      }
+      i += 1
+    }
+    var nRemoved = 0L
+    var s = 0
+    while (s < nSpans) { nRemoved += hi(s) - lo(s); s += 1 }
+
+    // Single walk over tokens, skipping covered positions.
+    val kept = new java.util.ArrayList[UTF8String](math.max(n - nRemoved.toInt, 0))
+    var j = 0
+    var sp = 0
+    while (j < n) {
+      while (sp < nSpans && j >= hi(sp)) sp += 1
+      if (sp >= nSpans || j < lo(sp)) kept.add(tokens.getUTF8String(j))
+      j += 1
+    }
+    val text =
+      if (kept.isEmpty) UTF8String.EMPTY_UTF8
+      else UTF8String.concatWs(SPACE, kept.toArray(new Array[UTF8String](kept.size())): _*)
+    new GenericInternalRow(Array[Any](nSpans.toLong, nRemoved, text))
+  }
+
+  /** Column-API entry point. `starts` must be sorted ascending. */
+  def apply(tokens: Column, starts: Column, width: Int): Column =
+    ColumnBridge.toColumn(ExciseWindows(
+      ColumnBridge.toExpression(tokens), ColumnBridge.toExpression(starts), width))
+}

@@ -108,6 +108,61 @@ object Dedup {
           .as("dedup_text"))
   }
 
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * remove every duplicated token span ≥ k tokens at arbitrary
+    * offsets, keeping one occurrence globally). The paper's suffix
+    * array is replaced by the scalable approximation the q97 signal
+    * already computes: STRIDE-1 overlapping k-token window fingerprints
+    * — any duplicated span of length ≥ k is a run of duplicated
+    * windows, so excising every losing window's coverage removes
+    * exactly the duplicated span (plus at most k−1 boundary tokens,
+    * the approximation's only slack vs the suffix array).
+    *
+    * Shape: (1) one projection fans each doc into (md5-fp, id, win_no)
+    * — 16 bytes + two longs per window, text never leaves the row;
+    * (2) global first-occurrence election à la [[segmentDedup]], here
+    * as a `row_number` window on the fingerprint (losers are the spans
+    * to remove — no join back, one narrow shuffle); (3) losers regroup
+    * to a per-doc sorted `array<long>` of window starts; (4) documents
+    * join their removal lists by id — the ONE shuffle document text
+    * crosses — and a single [[graft.expressions.ExciseWindows]] kernel
+    * pass merges starts into maximal spans and reassembles survivors
+    * row-locally.
+    *
+    * Output: (id, n_tokens, n_spans, n_removed, dedup_text). Docs with
+    * < k tokens have no windows and pass through untouched; a fully-
+    * duplicated doc (every window lost) excises to ''. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 13): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val k = windowWords
+    def toks = split(col(textCol), " ")
+
+    val winFps = df.select(col(idCol),
+        posexplode(transform(graft.expressions.WordShingles(toks, k), s => md5(s)))
+          .as(Seq("__win", "__fp")))
+      .withColumn("__win", col("__win").cast("long"))
+
+    // Election: the first (id, win_no) per fingerprint keeps its copy;
+    // every later occurrence is a duplicated window to excise.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col(idCol).asc, col("__win").asc)
+    val removed = winFps
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__win"))).as("__starts"))
+
+    df.join(removed, Seq(idCol), "left")
+      .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), k))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        col("__ex.n_spans").as("n_spans"),
+        col("__ex.n_removed").as("n_removed"),
+        col("__ex.kept_text").as("dedup_text"))
+  }
+
   /** MinHash parameters: k permutations via (a_i·h + b_i) mod p over
     * 60-bit token hashes. Fixed constants → reproducible across engines
     * and runs. */

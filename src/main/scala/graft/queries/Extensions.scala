@@ -933,6 +933,33 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  /** q116 — ExactSubstr span removal ([[Dedup.spanDedup]], Lee et al.
+    * 2022 approximated by stride-1 window election): every doc gets a
+    * shared 15-token block spliced mid-doc (plus a shared tail on every
+    * 3rd doc), so the operator must excise duplicated spans at
+    * ARBITRARY offsets — mid-doc, multi-span, and whole-doc (the
+    * corpus's exact duplicates) — while the doc-specific halves
+    * survive. The oracle re-derives the election, the maximal-span
+    * merge, and the excised text in SQL window functions. */
+  def q116SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sharedMid =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    val sharedTail =
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    val tk = split(col("text"), " ")
+    val half = expr("(size(split(text, ' ')) + 1) DIV 2").cast("int")
+    val ftoks = concat(
+      slice(tk, lit(1), half),
+      split(lit(sharedMid), " "),
+      slice(tk, half + 1, size(tk)),
+      when(col("doc_id") % 3 === 0, split(lit(sharedTail), " "))
+        .otherwise(array().cast("array<string>")))
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), array_join(ftoks, " ").as("ftext"))
+    Dedup.spanDedup(fx, "doc_id", "ftext", windowWords = 13)
+      .orderBy("doc_id")
+  }
+
   /** q115 — `.warc.gz` record extraction through the REAL gzip-member
     * decode + ISO 28500 walk ([[Warc.gunzipMembers]] → [[Warc.records]]):
     * each doc becomes a CommonCrawl-layout file of per-record gzip
@@ -1184,6 +1211,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_span_dedup" -> (q116SpanDedup _),
     "q115_warc_gz" -> (q115WarcGz _),
     "q114_corpus_profile" -> (q114CorpusProfile _),
     "q113_bigram_fluency" -> (q113BigramFluency _),
@@ -1745,6 +1773,35 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q116_span_dedup" ->
+      """WITH fx AS (SELECT doc_id,
+        |  array_to_string(
+        |    tk[1:h] || string_split('alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron', ' ') || tk[h+1:] ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN string_split('one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen', ' ')
+        |          ELSE CAST([] AS VARCHAR[]) END), ' ') AS ftext
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+        |        CAST((len(string_split(text, ' ')) + 1) // 2 AS INT) AS h FROM documents)),
+        |t AS (SELECT doc_id, string_split(ftext, ' ') AS tk FROM fx),
+        |w0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 12, 0))) AS i FROM t),
+        |w AS (SELECT doc_id, i, array_to_string(tk[CAST(i+1 AS INT) : CAST(i+13 AS INT)], ' ') AS sh FROM w0),
+        |r AS (SELECT doc_id, i, row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn FROM w),
+        |l AS (SELECT doc_id, i FROM r WHERE rn > 1),
+        |sp0 AS (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -999) + 13 THEN 1 ELSE 0 END AS brk FROM l),
+        |sp1 AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM sp0),
+        |sp AS (SELECT doc_id, g, min(i) AS lo, max(i) + 13 AS hi FROM sp1 GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, count(1) AS n_spans, sum(hi - lo) AS n_removed FROM sp GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, tk FROM t),
+        |kp AS (SELECT p.doc_id, p.j, p.tk[CAST(p.j + 1 AS INT)] AS tok,
+        |        EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id AND p.j >= sp.lo AND p.j < sp.hi) AS cov
+        |       FROM pos p),
+        |kt AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT cov), '') AS kept
+        |       FROM kp GROUP BY doc_id)
+        |SELECT f.doc_id, len(string_split(f.ftext, ' '))::BIGINT AS n_tokens,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(kt.kept, f.ftext) AS dedup_text
+        |FROM fx f LEFT JOIN a USING (doc_id) LEFT JOIN kt ON kt.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q115_warc_gz" ->
       """SELECT doc_id, CAST(0 AS INT) AS rec_no, 'response' AS warc_type,
         |  'http://' || source || '.example.com/doc/' || doc_id::VARCHAR AS target_uri,

@@ -126,6 +126,19 @@ class PlanSpec extends SparkSpec {
       s"document text crosses $carryingText shuffles; the election must stay narrow")
   }
 
+  test("q116 span dedup: the election never shuffles document text") {
+    val p = plan("q116_span_dedup")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, "expected exchanges in the election pipeline")
+    // the fingerprint election and the per-doc regroup shuffle only
+    // (fp, id, win_no) / (id, starts); document text crosses at most
+    // the ONE excision join ("text#" also matches the fixture's ftext#)
+    val carryingText = shuffleInputs.count(_.contains("text#"))
+    assert(carryingText <= 1,
+      s"document text crosses $carryingText shuffles; the election must stay narrow")
+  }
+
   test("q95 classifier inference: scoring never hash-shuffles (only the output sort ranges)") {
     val p = plan("q95_quality_classifier")
     assert(!p.contains("hashpartitioning"),

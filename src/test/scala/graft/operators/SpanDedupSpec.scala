@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Value-level checks of ExactSubstr span removal on hand-computed
+  * micro cases (window = 3 words), plus a brute-force cross-check on
+  * real corpus text and hostile-input kernel cases. */
+class SpanDedupSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)], w: Int = 3) = {
+    import spark.implicits._
+    Dedup.spanDedup(docs.toDF("id", "text"), "id", "text", windowWords = w)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+  }
+
+  test("first occurrence keeps its copy; the later one is excised as a span") {
+    val got = run(Seq(
+      1L -> "a b c d e",
+      2L -> "x a b c y"))          // "a b c" duplicated at offset 1
+    assert(got === Array(
+      (1L, 5L, 0L, 0L, "a b c d e"),
+      (2L, 5L, 1L, 3L, "x y")))
+  }
+
+  test("overlapping duplicated windows merge into ONE maximal span") {
+    val got = run(Seq(
+      1L -> "a b c d e f",         // all 4 windows of doc 1 win
+      2L -> "x a b c d e f y"))    // windows at 1,2,3,4 → one span [1,7)
+    assert(got === Array(
+      (1L, 6L, 0L, 0L, "a b c d e f"),
+      (2L, 8L, 1L, 6L, "x y")))
+  }
+
+  test("disjoint duplicated regions stay separate spans") {
+    val got = run(Seq(
+      1L -> "a b c",
+      2L -> "d e f",
+      3L -> "a b c p q r s d e f"))  // spans [0,3) and [7,10)
+    assert(got === Array(
+      (1L, 3L, 0L, 0L, "a b c"),
+      (2L, 3L, 0L, 0L, "d e f"),
+      (3L, 10L, 2L, 6L, "p q r s")))
+  }
+
+  test("a fully-duplicated doc excises to empty text") {
+    val got = run(Seq(
+      1L -> "a b c d",
+      2L -> "a b c d"))
+    assert(got === Array(
+      (1L, 4L, 0L, 0L, "a b c d"),
+      (2L, 4L, 1L, 4L, "")))
+  }
+
+  test("docs shorter than the window have no fingerprints and pass through") {
+    val got = run(Seq(
+      1L -> "a b",
+      2L -> "a b"))                // identical but sub-window: untouched
+    assert(got === Array(
+      (1L, 2L, 0L, 0L, "a b"),
+      (2L, 2L, 0L, 0L, "a b")))
+  }
+
+  test("within-document self-repetition keeps the first occurrence") {
+    val got = run(Seq(1L -> "a b c x a b c"))  // window "a b c" at 0 and 4
+    assert(got === Array((1L, 7L, 1L, 3L, "a b c x")))
+  }
+
+  test("election is by (id, win_no): lowest id keeps its copy") {
+    val got = run(Seq(
+      9L -> "p q r",
+      2L -> "p q r"))
+    assert(got === Array(
+      (2L, 3L, 0L, 0L, "p q r"),
+      (9L, 3L, 1L, 3L, "")))
+  }
+
+  test("matches a brute-force reimplementation on sf0.001 documents") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val w = 5
+    // driver-side oracle: stride-1 window election in (id, win) order,
+    // losers marked, coverage unioned, spans counted by contiguity
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val losers = (0 to toks.length - w)
+        .filterNot(i => seen.add(toks.slice(i, i + w).mkString(" ")))
+      val covered = losers.flatMap(i => i until i + w).toSet
+      val kept = toks.indices.filterNot(covered).map(toks(_))
+      val nSpans = losers.foldLeft((0L, Long.MinValue)) { case ((c, hi), s) =>
+        if (s <= hi) (c, s + w) else (c + 1, s + w)
+      }._1
+      (id, toks.length.toLong, nSpans, covered.size.toLong, kept.mkString(" "))
+    }
+    val got = run(docs.map { case (id, t) => id -> t }, w)
+    assert(got === expect)
+  }
+
+  test("kernel degrades on hostile starts: out-of-range and backwards entries skipped") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: Seq[Any]): GenericArrayData = new GenericArrayData(xs.toArray)
+    val toks = arr(Seq("a", "b", "c", "d", "e").map(UTF8String.fromString))
+    // starts 99 and -1 are out of range; 0 after 2 is backwards — only
+    // the valid, monotone starts (2, then nothing) survive
+    val row = graft.expressions.ExciseWindows.kernel(
+      toks, arr(Seq(-1L, 2L, 0L, 99L)), 3)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 3L)
+    assert(row.getUTF8String(2).toString == "a b")
+    // null starts → untouched
+    val none = graft.expressions.ExciseWindows.kernel(toks, null, 3)
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
+    assert(none.getUTF8String(2).toString == "a b c d e")
+  }
+}
