@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** The one-call pretraining export — the integration a real user runs
+  * after curation: mixture-weight the sources, split train/val/test,
+  * pack to fixed token budgets, write shards, and emit an auditable
+  * MANIFEST row per shard. Every stage is an individually-oracled
+  * operator ([[Sampling.mixtureSample]] q111, [[ShardedSink.withSplit]]
+  * q36, the q77 packing window); this object only composes them, so
+  * the composition inherits their scale shapes.
+  *
+  * Invariants the composition guarantees:
+  *   - NO SPLIT LEAKAGE: the split is decided by the stable bucket of
+  *     the DOCUMENT id, before replication — every epoch copy of a doc
+  *     lands in the same split, so an upweighted doc can never sit in
+  *     both train and test.
+  *   - DETERMINISM: weights, splits, shard assignment and the manifest
+  *     are all hash-derived integers — rerunning on the same corpus
+  *     reproduces byte-identical shards and manifest.
+  *   - SCALE: packing windows are PARTITIONED by (split, source) — a
+  *     global-order cumulative sum would serialize on one task; the
+  *     per-group form scales with group count, and the manifest
+  *     aggregate is a partial-agg group-by on the same keys.
+  */
+object Export {
+
+  /** Lazily build the export frames — no I/O. Input must carry
+    * (idCol, sourceCol, textCol); pre-filter with [[Curate.run]]
+    * (`keep === 1`) for the full curated pipeline.
+    *
+    * Returns (packed, manifest):
+    *   packed   — one row per training copy: input columns +
+    *              (w_milli, copies, copy_no, split, n_tokens, shard_no)
+    *   manifest — one row per shard: (split, source, shard_no, n_rows,
+    *              n_docs, n_tokens, first_id, last_id)
+    *
+    * `tokensPerShard` is the shard token budget: a shard closes at the
+    * first doc boundary past the budget, so a shard can exceed it by at
+    * most one document. Size it to the loader's appetite (the 2^21
+    * default ≈ 2M tokens ≈ 8 MB of text per shard; at 100 TB raise it
+    * or the shard count explodes). */
+  def plan(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      weightMilli: Column, tokensPerShard: Long = 1L << 21,
+      trainPct: Int = 80, valPct: Int = 10): (DataFrame, DataFrame) = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val mixed = Sampling.mixtureSample(docs, idCol, weightMilli)
+    val tagged = ShardedSink.withSplit(mixed, idCol, trainPct, valPct)
+    val w = Window.partitionBy(col("split"), col(sourceCol))
+      .orderBy(col(idCol), col("copy_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = tagged
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .withColumn("shard_no",
+        floor((col("__cum") - col("n_tokens")) / lit(tokensPerShard.toDouble)).cast("long"))
+      .drop("__cum")
+    val manifest = packed
+      .groupBy(col("split"), col(sourceCol), col("shard_no"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+    (packed, manifest)
+  }
+
+  /** Run the full export: optional curation gate → [[plan]] → shard
+    * write (split-partitioned parquet, one writer task per shard) →
+    * manifest write at `outDir/_manifest`. Returns the manifest.
+    *
+    * With `curate = Some(cfg)` the input is first passed through
+    * [[Curate.run]] and only `keep === 1` docs are exported — the
+    * whole crawl-to-training-data path in one call. */
+  def exportTrainingData(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weightMilli: Column, outDir: String,
+      tokensPerShard: Long = 1L << 21, trainPct: Int = 80, valPct: Int = 10,
+      curate: Option[Curate.Config] = None,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = curate match {
+      case Some(cfg) =>
+        Curate.run(docs, idCol, textCol, cfg, checkpointer)
+          .filter(col("keep") === 1)
+          .select(docs.columns.map(col): _*)
+      case None => docs
+    }
+    val (packed, manifest) = plan(base, idCol, textCol, sourceCol,
+      weightMilli, tokensPerShard, trainPct, valPct)
+    // one writer task per (split, source, shard_no) → one file per
+    // shard inside each split directory; shard_no stays a column so
+    // loaders and audits can filter without path parsing
+    packed.repartition(col("split"), col(sourceCol), col("shard_no"))
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/shards")
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Curation, Dedup, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
+import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -933,6 +933,24 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  /** q117 — one-call pretraining-export manifest ([[Export.plan]]):
+    * exact keep-first dedup pre-gate → q111's source mixture weights →
+    * stable split → per-(split, source) token packing at a 4096-token
+    * budget → one manifest row per shard. Counts, token totals, and id
+    * ranges are exact integers; the oracle rebuilds the whole chain
+    * (dedup window, weight/copy arithmetic, split bucket, packing
+    * cumsum, manifest aggregate). */
+  def q117ExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val deduped = Dedup.keepFirst(d.withColumn("__fp", md5(col("text"))),
+      Seq("__fp"), Seq(col("doc_id"))).drop("__fp")
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val (_, manifest) = Export.plan(deduped, "doc_id", "text", "source",
+      lit(400L) + (srcNum % 4).cast("long") * 1100L, tokensPerShard = 4096)
+    manifest.orderBy("split", "source", "shard_no")
+  }
+
   /** q116 — ExactSubstr span removal ([[Dedup.spanDedup]], Lee et al.
     * 2022 approximated by stride-1 window election): every doc gets a
     * shared 15-token block spliced mid-doc (plus a shared tail on every
@@ -1211,6 +1229,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_export_manifest" -> (q117ExportManifest _),
     "q116_span_dedup" -> (q116SpanDedup _),
     "q115_warc_gz" -> (q115WarcGz _),
     "q114_corpus_profile" -> (q114CorpusProfile _),
@@ -1773,6 +1792,29 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q117_export_manifest" ->
+      s"""WITH dd AS (SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+        |  WHERE rn = 1),
+        |w AS (SELECT doc_id, source, text,
+        |  400 + (CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 4) * 1100 AS w_milli,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket
+        |  FROM dd),
+        |c AS (SELECT doc_id, source, text, w_milli,
+        |  w_milli // 1000 + (CASE WHEN bucket < w_milli % 1000 THEN 1 ELSE 0 END) AS copies FROM w),
+        |m AS (SELECT doc_id, source, text, unnest(range(copies)) AS copy_no FROM c WHERE copies > 0),
+        |s AS (SELECT doc_id, source, copy_no, len($toksSql)::BIGINT AS n_tokens,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split FROM m),
+        |p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id, copy_no ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM s),
+        |p2 AS (SELECT *, floor((cum - n_tokens) / 4096.0)::BIGINT AS shard_no FROM p)
+        |SELECT split, source, shard_no, count(1)::BIGINT AS n_rows,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM p2 GROUP BY split, source, shard_no
+        |ORDER BY split, source, shard_no""".stripMargin,
     "q116_span_dedup" ->
       """WITH fx AS (SELECT doc_id,
         |  array_to_string(

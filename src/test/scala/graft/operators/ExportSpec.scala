@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end check of the one-call pretraining export: curation gate →
+  * mixture → split → packing → shard write → manifest, with the written
+  * parquet audited row-for-row against the manifest. */
+class ExportSpec extends SparkSpec {
+
+  private def docsFrame = graft.Tables(spark, sf0001, "documents")
+    .select(col("doc_id"), col("source"), col("text"))
+
+  test("written shards match the manifest row-for-row; no doc leaks across splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val manifest = Export.exportTrainingData(docsFrame, "doc_id", "text", "source",
+      lit(400L) + (srcNum % 4).cast("long") * 1100L, dir, tokensPerShard = 2048)
+      .collect()
+    assert(manifest.nonEmpty, "manifest must not be empty")
+
+    val shards = spark.read.parquet(s"$dir/shards")
+    // 1. every manifest row matches the written rows exactly
+    val written = shards.groupBy("split", "source", "shard_no")
+      .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(written.size == manifest.length, "one manifest row per written shard")
+    manifest.foreach { m =>
+      val key = (m.getAs[String]("split"), m.getAs[String]("source"), m.getAs[Long]("shard_no"))
+      assert(written(key) ==
+        ((m.getAs[Long]("n_rows"), m.getAs[Long]("n_docs"), m.getAs[Long]("n_tokens"))),
+        s"shard $key drifted from its manifest row")
+    }
+    // 2. split leakage: every doc_id lives in exactly one split (epoch
+    // copies of an upweighted doc must never straddle train/test)
+    val leaky = shards.groupBy("doc_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky == 0, s"$leaky docs appear in more than one split")
+    // 3. shard numbering is contiguous from 0 within each (split, source)
+    val gaps = shards.groupBy("split", "source")
+      .agg(min("shard_no").as("lo"), max("shard_no").as("hi"),
+        countDistinct("shard_no").as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1).count()
+    assert(gaps == 0, "shard numbering must be contiguous from 0")
+    // 4. the persisted manifest equals the returned one
+    assert(spark.read.parquet(s"$dir/_manifest").count() == manifest.length)
+  }
+
+  test("with curate=Some, dropped docs never reach the shards") {
+    import spark.implicits._
+    val good = "the data pipeline reads the files and it was fast for " +
+      "analytics that scale to many machines in practice"
+    val docs = Seq(
+      (1L, "srcA", good),
+      (2L, "srcA", good),                // exact dup of 1 → dropped
+      (3L, "srcB", good + " and the later run added more facts to it"),
+      (4L, "srcB", "der die das und ist nicht der die das und ist sehr gut heute")
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_cur").toString
+    Export.exportTrainingData(docs, "doc_id", "text", "source",
+      lit(2000L), dir, tokensPerShard = 64, curate = Some(Curate.Config()))
+    val ids = spark.read.parquet(s"$dir/shards").select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(2L), "duplicate must be dropped, keeper exported")
+    assert(!ids.contains(4L), "non-English doc must be dropped")
+    // weight 2000 milli → exactly 2 copies of every surviving doc
+    val copies = spark.read.parquet(s"$dir/shards")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(copies.values.forall(_ == 2L), s"every kept doc gets 2 epoch copies: $copies")
+  }
+
+  test("determinism: same corpus → identical manifest under different partitioning") {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val w = lit(400L) + (srcNum % 4).cast("long") * 1100L
+    val a = Export.plan(docsFrame, "doc_id", "text", "source", w, 2048)._2
+      .orderBy("split", "source", "shard_no").collect().map(_.toSeq)
+    val b = Export.plan(docsFrame.repartition(13), "doc_id", "text", "source", w, 2048)._2
+      .orderBy("split", "source", "shard_no").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "manifest must be partitioning-independent")
+  }
+}
