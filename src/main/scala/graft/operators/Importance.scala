@@ -35,9 +35,21 @@ object Importance {
     * distribution is the target (e.g. `col("lang") === "en"`);
     * `carryCols` are functionally-dependent columns (e.g. lang) to
     * keep on the output without a join back. Output:
-    * (idCol, carryCols…, n_tokens, score_micro). */
+    * (idCol, carryCols…, n_tokens, score_micro).
+    *
+    * `logScale = true` scores in the PAPER's log domain instead: the
+    * per-bucket weight becomes `round(1e6 · ln[(tgt_b+1)/(T_tgt+dim) ÷
+    * (raw_b+1)/(T_raw+dim)])` — the add-one-smoothed log-likelihood
+    * ratio in integer micro-units — and the per-doc score (column
+    * `score_log_micro`) is the exact-integer SUM of those, i.e. the
+    * log of the paper's product mixing. Engine-parity note: `ln` is
+    * evaluated on exact INTEGER inputs and rounded to micro-units once
+    * per bucket — only `dim` libm calls total, each needing a ≥½·10⁻⁶
+    * relative agreement between engines (IEEE doubles agree to ~10⁻¹⁶),
+    * so the summed score stays oracle-exact. */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, dim: Int, carryCols: Seq[String] = Nil): DataFrame = {
+      isTarget: Column, dim: Int, carryCols: Seq[String] = Nil,
+      logScale: Boolean = false): DataFrame = {
     require(dim >= 2, "need dim >= 2 hash buckets")
     val spark = docs.sparkSession
 
@@ -60,14 +72,18 @@ object Importance {
 
     val totals = counts.agg(sum("tgt_c").as("t_tot"), sum("raw_c").as("r_tot"))
 
-    val weights = counts.crossJoin(broadcast(totals))
-      .select(col("__b"),
+    val wExpr =
+      if (logScale)
+        expr(s"CAST(round((ln(tgt_c + 1) - ln(t_tot + $dim) - ln(raw_c + 1) + ln(r_tot + $dim)) * 1000000) AS BIGINT)")
+      else
         expr(s"((tgt_c + 1) * (r_tot + $dim) * 1000000) DIV ((raw_c + 1) * (t_tot + $dim))")
-          .as("__w"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("__b"), wExpr.as("__w"))
 
     inst.join(broadcast(weights), Seq("__b"))
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
-      .agg(count(lit(1)).as("n_tokens"), sum("__w").as("score_micro"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__w").as(if (logScale) "score_log_micro" else "score_micro"))
   }
 
   /** CCNet-style fluency scoring: train a bigram language model on the
@@ -94,9 +110,20 @@ object Importance {
     * the corpus. Documents with fewer than 2 tokens have no bigrams
     * and drop out of the output.
     *
-    * Output: (idCol, carryCols…, n_bigrams, fluency_micro). */
+    * Output: (idCol, carryCols…, n_bigrams, fluency_micro).
+    *
+    * `logScale = true` scores in CCNet's actual log domain: the
+    * per-bigram weight becomes `round(1e6 · ln[(c2+1)/(c1+V)])` and the
+    * document score (column `fluency_log_micro`) is the exact-integer
+    * SUM — the log-likelihood of the doc under the smoothed bigram LM
+    * (divide by n_bigrams off-line for per-token log-perplexity; the
+    * integer sum avoids the floor-vs-truncate divergence integer
+    * division has on negative values). Parity: one `ln` rounding per
+    * DISTINCT (c2, c1+V) pair, integer inputs — same argument as
+    * [[dsirScores]]. */
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
-      isModel: Column, carryCols: Seq[String] = Nil): DataFrame = {
+      isModel: Column, carryCols: Seq[String] = Nil,
+      logScale: Boolean = false): DataFrame = {
     // (head-hash, bigram-hash) stream of a frame — empty when < 2 toks
     def pairs(df: DataFrame, keep: Seq[String]): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
@@ -123,17 +150,22 @@ object Importance {
         "graft.Importance.bigramFluency: model slice is empty — isModel matched no rows with >= 2 tokens")))
         .cast("long").as("__v"))
 
+    val wExpr =
+      if (logScale)
+        expr("CAST(round((ln(coalesce(__c2, 0L) + 1L) - ln(coalesce(__c1, 0L) + __v)) * 1000000) AS BIGINT)")
+      else
+        expr("(coalesce(__c2, 0L) + 1L) * 1000000L DIV (coalesce(__c1, 0L) + __v)")
+    val scoreCol =
+      if (logScale) col("__sw").as("fluency_log_micro")
+      else expr("__sw DIV n_bigrams").as("fluency_micro")
     pairs(docs, idCol +: carryCols)
       .join(c2, Seq("__hh", "__bh"), "left")
       .join(c1, Seq("__hh"), "left")
       .crossJoin(broadcast(vocab))
-      .select((col(idCol) +: carryCols.map(col)) :+
-        expr("(coalesce(__c2, 0L) + 1L) * 1000000L DIV (coalesce(__c1, 0L) + __v)")
-          .as("__w"): _*)
+      .select((col(idCol) +: carryCols.map(col)) :+ wExpr.as("__w"): _*)
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(count(lit(1)).as("n_bigrams"), sum("__w").as("__sw"))
       .select((col(idCol) +: carryCols.map(col)) :+
-        col("n_bigrams") :+
-        expr("__sw DIV n_bigrams").as("fluency_micro"): _*)
+        col("n_bigrams") :+ scoreCol: _*)
   }
 }

@@ -933,6 +933,25 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  /** q118 — DSIR scoring in the PAPER's log domain
+    * ([[Importance.dsirScores]] with `logScale = true`): per-bucket
+    * log-likelihood-ratio weights rounded once to integer micro-units
+    * (64 `ln` calls total, integer inputs), per-doc exact-integer sum.
+    * Same fixture as q109 so the two scales are directly comparable. */
+  def q118DsirLog(spark: SparkSession, dir: String): DataFrame =
+    Importance.dsirScores(Tables(spark, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 64, carryCols = Seq("lang"), logScale = true)
+      .orderBy("doc_id")
+
+  /** q119 — bigram-LM fluency in CCNet's log domain
+    * ([[Importance.bigramFluency]] with `logScale = true`): per-bigram
+    * smoothed log-probability micro-weights, per-doc exact-integer sum
+    * (the doc's log-likelihood under the model). Same fixture as q113. */
+  def q119FluencyLog(spark: SparkSession, dir: String): DataFrame =
+    Importance.bigramFluency(Tables(spark, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", carryCols = Seq("lang"), logScale = true)
+      .orderBy("doc_id")
+
   /** q117 — one-call pretraining-export manifest ([[Export.plan]]):
     * exact keep-first dedup pre-gate → q111's source mixture weights →
     * stable split → per-(split, source) token packing at a 4096-token
@@ -1229,6 +1248,8 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_fluency_log" -> (q119FluencyLog _),
+    "q118_dsir_log" -> (q118DsirLog _),
     "q117_export_manifest" -> (q117ExportManifest _),
     "q116_span_dedup" -> (q116SpanDedup _),
     "q115_warc_gz" -> (q115WarcGz _),
@@ -1792,6 +1813,48 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q118_dsir_log" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    list_transform($toksSql, tok -> CAST($hashSql % 64 AS INT)) AS bks
+        |  FROM documents),
+        |inst AS (SELECT doc_id, lang, lang = 'en' AS is_tgt, unnest(bks) AS b FROM t),
+        |cnt0 AS (SELECT b,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_c,
+        |    sum(CASE WHEN is_tgt THEN 0 ELSE 1 END)::BIGINT AS raw_c
+        |  FROM inst GROUP BY b),
+        |spine AS (SELECT CAST(unnest(range(64)) AS INT) AS b),
+        |cnt AS (SELECT spine.b, coalesce(tgt_c, 0) AS tgt_c, coalesce(raw_c, 0) AS raw_c
+        |  FROM spine LEFT JOIN cnt0 ON spine.b = cnt0.b),
+        |tot AS (SELECT sum(tgt_c)::BIGINT AS t_tot, sum(raw_c)::BIGINT AS r_tot FROM cnt),
+        |w AS (SELECT b,
+        |    CAST(round((ln(tgt_c + 1) - ln(t_tot + 64) - ln(raw_c + 1) + ln(r_tot + 64)) * 1000000) AS BIGINT) AS w_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_tokens, sum(w_micro)::BIGINT AS score_log_micro
+        |FROM inst JOIN w ON inst.b = w.b
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q119_fluency_log" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |mb AS (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM mb0),
+        |c2 AS (SELECT hh, bh, count(1)::BIGINT AS c2 FROM mb GROUP BY hh, bh),
+        |c1 AS (SELECT hh, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY hh),
+        |v AS (SELECT count(1)::BIGINT AS v FROM c1),
+        |db0 AS (SELECT doc_id, lang, tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM t),
+        |db AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM db0),
+        |s AS (SELECT doc_id, lang,
+        |    CAST(round((ln(coalesce(c2.c2, 0) + 1) - ln(coalesce(c1.c1, 0) + v.v)) * 1000000) AS BIGINT) AS w
+        |  FROM db LEFT JOIN c2 ON db.hh = c2.hh AND db.bh = c2.bh
+        |    LEFT JOIN c1 ON db.hh = c1.hh CROSS JOIN v)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_bigrams,
+        |  sum(w)::BIGINT AS fluency_log_micro
+        |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q117_export_manifest" ->
       s"""WITH dd AS (SELECT doc_id, source, text FROM (
         |    SELECT doc_id, source, text,

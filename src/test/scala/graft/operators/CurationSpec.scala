@@ -93,4 +93,36 @@ class CurationSpec extends SparkSpec {
     // (750000 + (1+1)*1e6 DIV (1+2) + 750000) DIV 3 = 722222
     assert(byId(1L) == ((3L, 722222L)))
   }
+
+  test("bigramFluency logScale: per-bigram log micro-weights, hand-computed") {
+    import spark.implicits._
+    // same model as above: c2(ab)=2, c1(a)=2, c2(ba)=1, c1(b)=1, V=2
+    val docs = Seq(
+      (1L, "a b a b", true),
+      (3L, "a b", false),   // round(1e6·ln(3/4)) = -287682
+      (4L, "z z", false))   // unseen: round(1e6·ln(1/2)) = -693147
+      .toDF("doc_id", "text", "is_model")
+    val got = Importance.bigramFluency(docs, "doc_id", "text", col("is_model"),
+        logScale = true)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(3L) == ((1L, math.round(math.log(3.0 / 4.0) * 1e6))))
+    assert(byId(4L) == ((1L, math.round(math.log(1.0 / 2.0) * 1e6))))
+    // model doc: ln(3/4) + ln(2/3) + ln(3/4), summed as integers
+    val w_ab = math.round(math.log(3.0 / 4.0) * 1e6)
+    val w_ba = math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(byId(1L) == ((3L, 2 * w_ab + w_ba)))
+  }
+
+  test("bigramFluency with an empty model slice fails fast, not NULL scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", false)).toDF("doc_id", "text", "is_model")
+    val e = intercept[Exception] {
+      Importance.bigramFluency(docs, "doc_id", "text", col("is_model")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("model slice is empty")),
+      s"expected the empty-model raise_error, got: ${messages(e)}")
+  }
 }
