@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Multi-class hashed-linear text classification with a CALLER-SUPPLIED
+  * weight TABLE — the trained-model successor to the heuristic
+  * [[TextFunctions.langId]]: train a fastText-style linear model
+  * offline (e.g. the 176-language lid bucket weights), load its
+  * per-(bucket, label) weights as a DataFrame in integer milli-units,
+  * and drop it in here. Contrast with
+  * [[TextFunctions.hashedLinearScore]]'s single-class array-literal
+  * path (q99): a table scales past the ~100k-bucket literal limit and
+  * carries any number of labels.
+  *
+  * Weight-table contract: columns (bucket, label, w_milli); `bucket` ∈
+  * [0, dim). A missing (bucket, label) row scores 0 for that pair — a
+  * dense dim × n_labels table and a sparse one with explicit zeros are
+  * equivalent.
+  *
+  * Scale shape: the corpus makes exactly ONE narrow shuffle of
+  * (id, bucket, count) rows — 12 bytes a row after the map-side partial
+  * agg, text never leaves its partition; the weight table (dim ×
+  * n_labels rows — 176-language lid at 2^16 buckets is ~11M rows,
+  * comfortably broadcastable in milli-unit longs) broadcasts into the
+  * scoring join; the per-(id, label) sum partial-aggregates; the argmax
+  * is a k-row-per-doc window. Scores are exact integer milli-units —
+  * bit-identical across engines, shuffle orders, and reruns.
+  */
+object TextClassify {
+
+  /** Per-(doc, label) scores: Σ over the doc's hash buckets of
+    * `count(bucket) · w_milli(bucket, label)`.
+    * Output: (idCol, label, score_milli). */
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1, "need dim >= 1 hash buckets")
+    val buckets = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        (TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = weights.select(col("bucket").cast("int").as("bucket"),
+      col("label"), col("w_milli").cast("long").as("w_milli"))
+    buckets.join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__cnt") * col("w_milli")).as("score_milli"))
+  }
+
+  /** Argmax classification over [[scores]] — one row per doc: the
+    * winning label and its score, ties broken by the alphabetically
+    * first label (deterministic across engines). */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_milli").desc, col("label").asc)
+    scores(docs, idCol, textCol, weights, dim)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextSearch, Warc}
+import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -933,6 +933,26 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  /** q120 — weight-TABLE language classification
+    * ([[TextClassify.classify]]): the langId successor that accepts
+    * trained per-(bucket, label) weights as a DataFrame instead of a
+    * hardcoded array. The weight fixture is a FRAME built from bucket ×
+    * label arithmetic (not a literal in the expression tree), so the
+    * oracle checks the whole broadcast-join scoring path: bucket
+    * counts → weight join → per-label sums → deterministic argmax. */
+  def q120WeightedLangid(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 32
+    val weights = spark.range(dim)
+      .select(col("id").cast("int").as("bucket"))
+      .select(col("bucket"),
+        explode(array(lit("de"), lit("en"), lit("fr"))).as("label"))
+      .withColumn("w_milli",
+        (col("bucket") * 7 + TextFunctions.tokenHash(col("label")) % 97) % 401 - 200)
+    TextClassify.classify(Tables(spark, dir, "documents"), "doc_id", "text",
+        weights, dim)
+      .orderBy("doc_id")
+  }
+
   /** q118 — DSIR scoring in the PAPER's log domain
     * ([[Importance.dsirScores]] with `logScale = true`): per-bucket
     * log-likelihood-ratio weights rounded once to integer micro-units
@@ -1248,6 +1268,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_weighted_langid" -> (q120WeightedLangid _),
     "q119_fluency_log" -> (q119FluencyLog _),
     "q118_dsir_log" -> (q118DsirLog _),
     "q117_export_manifest" -> (q117ExportManifest _),
@@ -1813,6 +1834,18 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q120_weighted_langid" ->
+      s"""WITH wt AS (SELECT b.bucket, l.label,
+        |    ((b.bucket * 7 + (('0x' || substring(md5(l.label), 1, 15))::BIGINT % 97)) % 401) - 200 AS w_milli
+        |  FROM (SELECT CAST(unnest(range(32)) AS INT) AS bucket) b
+        |  CROSS JOIN (SELECT unnest(['de', 'en', 'fr']) AS label) l),
+        |tok AS (SELECT doc_id, CAST($hashSql % 32 AS INT) AS bucket FROM
+        |        (SELECT doc_id, unnest($toksSql) AS tok FROM documents)),
+        |bc AS (SELECT doc_id, bucket, count(1)::BIGINT AS cnt FROM tok GROUP BY doc_id, bucket),
+        |sc AS (SELECT doc_id, label, sum(cnt * w_milli)::BIGINT AS score_milli
+        |       FROM bc JOIN wt USING (bucket) GROUP BY doc_id, label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, label) AS rn FROM sc)
+        |SELECT doc_id, label, score_milli FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q118_dsir_log" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |    list_transform($toksSql, tok -> CAST($hashSql % 64 AS INT)) AS bks

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Weight-table classification semantics: dense and sparse tables
+  * agree, argmax ties break alphabetically, scores are exact sums. */
+class TextClassifySpec extends SparkSpec {
+
+  test("sparse table (zeros omitted) classifies identically to the dense one") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val dim = 16
+    val dense = spark.range(dim).select(col("id").cast("int").as("bucket"))
+      .select(col("bucket"), explode(array(lit("a"), lit("b"))).as("label"))
+      .withColumn("w_milli",
+        when(col("bucket") % 3 === 0, lit(0L))
+          .otherwise((col("bucket") * 31 + length(col("label"))) % 201 - 100))
+    val sparse = dense.filter(col("w_milli") =!= 0)
+    val d = TextClassify.classify(docs, "doc_id", "text", dense, dim)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val s = TextClassify.classify(docs, "doc_id", "text", sparse, dim)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(d.toSeq == s.toSeq, "explicit zeros must not change predictions or scores")
+  }
+
+  test("argmax ties break to the alphabetically-first label") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    // identical weights for both labels → tied scores
+    val weights = spark.range(8).select(col("id").cast("int").as("bucket"))
+      .select(col("bucket"), explode(array(lit("zz"), lit("aa"))).as("label"))
+      .withColumn("w_milli", lit(5L))
+    val got = TextClassify.classify(docs, "doc_id", "text", weights, 8).collect()
+    assert(got.length == 1 && got.head.getString(1) == "aa")
+    assert(got.head.getLong(2) == 15L, "3 tokens x 5 milli each")
+  }
+}
