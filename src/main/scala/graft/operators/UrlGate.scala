@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Domain blocklist/allowlist gating — C4 and RefinedWeb both drop
+  * documents whose REGISTRABLE DOMAIN sits on a curated list (Raffel
+  * et al. 2020 §2.2; Penedo et al. 2023 §3.1 URL filtering). The URL is
+  * canonicalized first ([[TextFunctions.canonicalizeUrl]]) so tracking
+  * params, casing, or an explicit port can't smuggle a listed domain
+  * past the gate.
+  *
+  * FLAG semantics, not row-dropping: the list lands as a broadcast
+  * left join and the verdict becomes a boolean `url_allowed` column,
+  * so the gate wires straight into [[Curation.funnel]] as a named
+  * stage (auditable attrition) or filters directly. One broadcast
+  * join — a domain list is thousands of rows; no corpus shuffle at
+  * any scale. A row whose URL yields no parseable domain is ALLOWED
+  * by the blocklist gate (nothing matched) and REFUSED by the
+  * allowlist gate (nothing matched) — both directions fail safe for
+  * their intent.
+  */
+object UrlGate {
+
+  private def domainOf(urlCol: String, canonicalize: Boolean) = {
+    val u = if (canonicalize) TextFunctions.canonicalizeUrl(col(urlCol)) else col(urlCol)
+    TextFunctions.registrableDomain(TextFunctions.urlHost(u))
+  }
+
+  private def joined(docs: DataFrame, urlCol: String, list: DataFrame,
+      canonicalize: Boolean): DataFrame = {
+    val l = list.select(col("domain").as("__list_domain")).distinct()
+    docs.withColumn("domain", domainOf(urlCol, canonicalize))
+      .join(broadcast(l), col("domain") === col("__list_domain"), "left")
+  }
+
+  /** Adds (domain, url_allowed): allowed iff the registrable domain of
+    * the canonicalized URL is NOT on `blocklist` (column `domain`). */
+  def withBlocklistFlag(docs: DataFrame, urlCol: String, blocklist: DataFrame,
+      canonicalize: Boolean = true): DataFrame =
+    joined(docs, urlCol, blocklist, canonicalize)
+      .withColumn("url_allowed", col("__list_domain").isNull)
+      .drop("__list_domain")
+
+  /** Adds (domain, url_allowed): allowed iff the registrable domain IS
+    * on `allowlist` — the trusted-sources curation mode. */
+  def withAllowlistFlag(docs: DataFrame, urlCol: String, allowlist: DataFrame,
+      canonicalize: Boolean = true): DataFrame =
+    joined(docs, urlCol, allowlist, canonicalize)
+      .withColumn("url_allowed", col("__list_domain").isNotNull)
+      .drop("__list_domain")
+}

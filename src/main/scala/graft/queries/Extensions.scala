@@ -933,6 +933,46 @@ object Extensions {
       .orderBy("doc_id", "rec_no")
   }
 
+  private def q121UrlFixture(d: DataFrame): DataFrame = {
+    val hosts = array(lit("docs.example.com"), lit("blog.example.org"),
+      lit("www.sample.net"), lit("cdn.example.com"), lit("news.sample.net"))
+    d.withColumn("url", concat(
+      lit("HTTP://"), upper(element_at(hosts, (col("doc_id") % 5).cast("int") + 1)),
+      lit("/d/"), col("doc_id").cast("string"), lit("?utm_source=x")))
+  }
+
+  /** q121 — URL domain blocklist gate ([[graft.operators.UrlGate]]):
+    * messy URLs (uppercase scheme+host, tracking params) per q70's five
+    * hosts; the gate must canonicalize, take the registrable domain,
+    * and flag rows on the broadcast blocklist — the oracle predicts
+    * domain and verdict from doc_id arithmetic. */
+  def q121UrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = q121UrlFixture(Tables(spark, dir, "documents"))
+    val blocklist = Seq("sample.net", "spam.example").toDF("domain")
+    graft.operators.UrlGate.withBlocklistFlag(d, "url", blocklist)
+      .select(col("doc_id"), col("url"), col("domain"), col("url_allowed"))
+      .orderBy("doc_id")
+  }
+
+  /** q122 — the blocklist gate WIRED INTO the curation funnel as a
+    * named stage: url_gate → length_gate → exact dedup, cumulative
+    * attrition report ([[Curation.funnel]] over the [[UrlGate]] flag
+    * column — the flag join is broadcast, so the funnel's
+    * one-projection shape survives). */
+  def q122FunnelBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = q121UrlFixture(Tables(spark, dir, "documents"))
+    val blocklist = Seq("sample.net", "spam.example").toDF("domain")
+    val flagged = graft.operators.UrlGate.withBlocklistFlag(d, "url", blocklist)
+    Curation.funnel(flagged, "doc_id", "text",
+        Seq(
+          "url_gate" -> col("url_allowed"),
+          "length_gate" -> size(TextFunctions.tokens(col("text"))).between(10, 5000)),
+        exactDedup = true)
+      .orderBy("stage_no")
+  }
+
   /** q120 — weight-TABLE language classification
     * ([[TextClassify.classify]]): the langId successor that accepts
     * trained per-(bucket, label) weights as a DataFrame instead of a
@@ -1268,6 +1308,8 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_funnel_blocklist" -> (q122FunnelBlocklist _),
+    "q121_url_blocklist" -> (q121UrlBlocklist _),
     "q120_weighted_langid" -> (q120WeightedLangid _),
     "q119_fluency_log" -> (q119FluencyLog _),
     "q118_dsir_log" -> (q118DsirLog _),
@@ -1834,6 +1876,40 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q121_url_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |  ['docs.example.com','blog.example.org','www.sample.net',
+        |   'cdn.example.com','news.sample.net'][(doc_id % 5)::INT + 1] AS host
+        |  FROM documents),
+        |d2 AS (SELECT doc_id,
+        |  'HTTP://' || upper(host) || '/d/' || doc_id::VARCHAR || '?utm_source=x' AS url,
+        |  nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') AS domain FROM u)
+        |SELECT doc_id, url, domain,
+        |  domain NOT IN ('sample.net', 'spam.example') AS url_allowed
+        |FROM d2 ORDER BY doc_id""".stripMargin,
+    "q122_funnel_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+        |f AS (SELECT doc_id, fp, len(tk)::BIGINT AS nt,
+        |    ((doc_id % 5) NOT IN (2, 4)) AS s1,
+        |    (((doc_id % 5) NOT IN (2, 4)) AND len(tk) BETWEEN 10 AND 5000) AS s2
+        |  FROM t),
+        |d AS (SELECT *,
+        |    (s2 AND row_number() OVER (PARTITION BY fp ORDER BY s2 DESC, doc_id) = 1) AS s3
+        |  FROM f),
+        |a AS (SELECT count(1)::BIGINT AS d0, sum(nt)::BIGINT AS t0,
+        |    sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN s1 THEN nt ELSE 0 END)::BIGINT AS t1,
+        |    sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        |    sum(CASE WHEN s2 THEN nt ELSE 0 END)::BIGINT AS t2,
+        |    sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        |    sum(CASE WHEN s3 THEN nt ELSE 0 END)::BIGINT AS t3
+        |  FROM d)
+        |SELECT 0 AS stage_no, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens, d0 * 1000 // d0 AS retained_milli FROM a
+        |UNION ALL SELECT 1, 'url_gate', d1, t1, d1 * 1000 // d0 FROM a
+        |UNION ALL SELECT 2, 'length_gate', d2, t2, d2 * 1000 // d0 FROM a
+        |UNION ALL SELECT 3, 'exact_dedup', d3, t3, d3 * 1000 // d0 FROM a
+        |ORDER BY stage_no""".stripMargin,
     "q120_weighted_langid" ->
       s"""WITH wt AS (SELECT b.bucket, l.label,
         |    ((b.bucket * 7 + (('0x' || substring(md5(l.label), 1, 15))::BIGINT % 97)) % 401) - 200 AS w_milli
