@@ -287,6 +287,54 @@ object Dedup {
         round(sameSig.cast("double") / k, 6).as("est_jaccard"))
   }
 
+  /** Salt-split alternative to the band-bucket cap ([[capBuckets]]):
+    * KEEP oversized buckets instead of dropping them. A bucket holding
+    * n > cap docs is deterministically split into ceil(n/cap) salt
+    * sub-buckets (stable md5 bucket of the id — engine-portable, same
+    * primitive as the train/val/test split) and pairs are generated
+    * only within a sub-bucket, so a hot bucket's candidate pairs fall
+    * from O(n²) to O(n·cap) — the same blow-up bound as dropping, but
+    * near-identical clusters still dedup: every member pairs inside
+    * its sub-bucket, and connected components stitch the sub-clusters
+    * together wherever any doc pairs across them through another band
+    * (plus the exact pre-pass for byte-identical text). Use this over
+    * `maxBucketSize` when a poisoned batch is NEAR-identical — not
+    * byte-identical, so the exact pre-pass cannot collapse it — and
+    * recall inside the hot key matters more than the residual
+    * O(n·cap) cost. Small buckets (n ≤ cap) get salt 0 on both sides:
+    * their pairing is exactly [[minhashDedupPairs]]'. */
+  def minhashDedupPairsSalted(df: DataFrame, idCol: String, textCol: String,
+      cap: Int, bands: Int = 2, rowsPerBand: Int = 8,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val k = bands * rowsPerBand
+    val sig =
+      if (isSignatureTable(df, k)) df
+      else checkpointer(minhashSignatureTable(df, idCol, textCol, bands, rowsPerBand))
+    val candAll = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_no", "band_key")))
+    val sizes = candAll.groupBy("band_no", "band_key").agg(count(lit(1)).as("__bn"))
+    val cand = candAll.join(sizes, Seq("band_no", "band_key"))
+      .withColumn("__salt", pmod(
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"),
+        expr(s"CASE WHEN __bn > $cap THEN (__bn + $cap - 1) DIV $cap ELSE 1L END")))
+      .drop("__bn")
+    val pairs = cand.as("l").join(cand.as("r"),
+        col("l.band_no") === col("r.band_no") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.__salt") === col("r.__salt") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val sigOnly = sig.drop("bands")
+    val sameSig = (0 until k).map(i => (col(s"l.mh$i") === col(s"r.mh$i")).cast("int"))
+      .reduce(_ + _)
+    pairs
+      .join(sigOnly.as("l"), col("id1") === col("l.id"))
+      .join(sigOnly.as("r"), col("id2") === col("r.id"))
+      .select(col("id1"), col("id2"),
+        round(sameSig.cast("double") / k, 6).as("est_jaccard"))
+  }
+
   /** Two-sided MinHash-LSH near-dup pairs: a NEW batch against an
     * EXISTING corpus — the incremental-curation shape (dedup today's
     * crawl against the lake without re-pairing the lake against

@@ -701,6 +701,17 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q123 — salt-split LSH pairs ([[Dedup.minhashDedupPairsSalted]]):
+    * the cap alternative that KEEPS oversized band buckets by pairing
+    * within deterministic ceil(n/cap) salt sub-buckets — near-identical
+    * clusters the q87 cap would skip still generate pairs. Same cap as
+    * q87, so the two outputs bracket the policy space; the oracle
+    * rebuilds bucket counts, the md5 salt, and the salted self-join. */
+  def q123SaltedLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairsSalted(Tables(spark, dir, "documents"),
+        "doc_id", "text", cap = q87Cap)
+      .orderBy("id1", "id2")
+
   /** q104 — deterministic exactly-k-per-stratum sample
     * ([[Sampling.exactKPerStratum]]): carve exactly 20 docs per
     * language, ranked by md5(doc_id) — the eval-set carving a rate-based
@@ -1308,6 +1319,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_salted_lsh" -> (q123SaltedLsh _),
     "q122_funnel_blocklist" -> (q122FunnelBlocklist _),
     "q121_url_blocklist" -> (q121UrlBlocklist _),
     "q120_weighted_langid" -> (q120WeightedLangid _),
@@ -2085,6 +2097,27 @@ object Extensions {
            |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
            |JOIN cnt$b c ON c.key = l.band$b
            |WHERE c.n <= ${q87Cap}""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH $lshSigDefs,
+        |$counts
+        |SELECT DISTINCT id1, id2, est_jaccard FROM (
+        |$branches
+        |) ORDER BY id1, id2""".stripMargin
+    },
+    "q123_salted_lsh" -> {
+      // the salted variant: oversized buckets pair within ceil(n/cap)
+      // md5-salt sub-buckets instead of being dropped
+      val counts = (0 until lshBands).map(b =>
+        s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
+        .mkString(",\n")
+      def saltOf(side: String) =
+        s"(('0x' || substring(md5($side.doc_id::VARCHAR), 1, 15))::BIGINT " +
+          s"% (CASE WHEN c.n > ${q87Cap} THEN (c.n + ${q87Cap} - 1) // ${q87Cap} ELSE 1 END))"
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2, $lshEstSql AS est_jaccard
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
+           |JOIN cnt$b c ON c.key = l.band$b
+           |WHERE ${saltOf("l")} = ${saltOf("r")}""".stripMargin)
         .mkString("\nUNION\n")
       s"""WITH $lshSigDefs,
         |$counts

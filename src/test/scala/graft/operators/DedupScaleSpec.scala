@@ -111,6 +111,42 @@ class DedupScaleSpec extends SparkSpec {
       s"near-dup in a small batch bucket must survive the cap: $capped")
   }
 
+  test("salt-split keeps a poisoned NEAR-identical bucket pairing where the cap drops it") {
+    import spark.implicits._
+    // 120 near-identical docs (one token differs → NOT byte-identical,
+    // the exact pre-pass can't collapse them) share hot band keys
+    val docs = ((1 to 120).map(i => (i.toLong, s"$boiler variant$i")) ++ Seq(
+      (201L, "a genuinely unique document about spark physical planning"),
+      (202L, "a genuinely unique document about spark physical plans"))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 4, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.minhashDedupPairsSalted(docs, "doc_id", "text",
+      cap = 10, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def poisonedPairs(s: Set[(Long, Long)]) = s.count(p => p._1 <= 120 && p._2 <= 120)
+    assert(poisonedPairs(uncapped) > 1000,
+      s"fixture sanity: the hot bucket must really be quadratic, got ${poisonedPairs(uncapped)}")
+    assert(poisonedPairs(salted) > 0,
+      "salt-split must RECOVER pairs inside the hot bucket the cap would drop")
+    assert(poisonedPairs(salted) > poisonedPairs(capped),
+      s"salted (${poisonedPairs(salted)}) must beat capped (${poisonedPairs(capped)}) in the hot bucket")
+    assert(capped.subsetOf(salted),
+      "small buckets pair identically, so capped pairs are a subset of salted pairs")
+    assert(salted.size < uncapped.size / 3,
+      s"salting must stay bounded: ${salted.size} vs uncapped ${uncapped.size}")
+    assert(salted.contains((201L, 202L)), "small-bucket near-dup pair must survive")
+    // deterministic under repartitioning (the salt is a pure id hash)
+    val salted2 = Dedup.minhashDedupPairsSalted(docs.repartition(7), "doc_id", "text",
+      cap = 10, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted2 == salted, "salt assignment must be partitioning-independent")
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(
