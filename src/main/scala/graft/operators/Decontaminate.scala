@@ -66,4 +66,49 @@ object Decontaminate {
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
+
+  /** Surgical decontamination: EXCISE benchmark-overlapping spans from
+    * training documents instead of dropping the documents (the
+    * span-removal policy — a 300-word article should not die for
+    * quoting one benchmark sentence). Every stride-1 `n`-token window
+    * of a train doc that appears among the benchmark's windows is
+    * marked, marks merge into maximal spans, and one
+    * [[graft.expressions.ExciseWindows]] kernel pass removes them
+    * row-locally — the [[Dedup.spanDedup]] machinery pointed across
+    * corpora.
+    *
+    * Matching is on RAW space-split tokens (what excision must
+    * reassemble); lowercase/normalize both sides upstream for
+    * case-insensitive matching. Scale shape: the benchmark's distinct
+    * window fingerprints are a narrow frame (benchmarks are small —
+    * AQE broadcasts them); the corpus side explodes to (id, win, fp)
+    * — 16 bytes + two longs per window, text never leaves the row —
+    * and document text crosses exactly ONE shuffle, the removal join.
+    *
+    * Output: (idCol, n_tokens, n_spans, n_removed, decontam_text) —
+    * a doc with no benchmark overlap passes through unchanged. */
+  def exciseOverlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n > 0, "window width must be positive")
+    def toks = split(col(textCol), " ")
+    // unresolved Column — binds to whichever frame selects it
+    def winFps = transform(graft.expressions.WordShingles(toks, n), s => md5(s))
+
+    val benchFps = bench.select(explode(array_distinct(winFps)).as("__fp"))
+      .distinct()
+    val starts = corpus.select(col(idCol),
+        posexplode(winFps).as(Seq("__win", "__fp")))
+      .withColumn("__win", col("__win").cast("long"))
+      .join(benchFps, Seq("__fp"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__win"))).as("__starts"))
+
+    corpus.join(starts, Seq(idCol), "left")
+      .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), n))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        col("__ex.n_spans").as("n_spans"),
+        col("__ex.n_removed").as("n_removed"),
+        col("__ex.kept_text").as("decontam_text"))
+  }
 }

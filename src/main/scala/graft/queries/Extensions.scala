@@ -701,6 +701,25 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q124 — surgical decontamination
+    * ([[graft.operators.Decontaminate.exciseOverlaps]]): q63's
+    * train/eval split, but instead of DROPPING contaminated training
+    * docs, every 8-token window a train doc shares with the eval set
+    * is excised as a maximal span (the [[Dedup.spanDedup]] machinery
+    * pointed across corpora). The oracle re-derives the benchmark
+    * window set, the span merge, and the excised text. */
+  def q124DecontamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val b = TextFunctions.stableBucket(col("doc_id"), 100)
+    val withSplit = d.select(col("doc_id"), col("text"),
+      when(b < 80, "train").otherwise("eval").as("split"))
+    graft.operators.Decontaminate.exciseOverlaps(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") === "eval"),
+        "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   /** q123 — salt-split LSH pairs ([[Dedup.minhashDedupPairsSalted]]):
     * the cap alternative that KEEPS oversized band buckets by pairing
     * within deterministic ceil(n/cap) salt sub-buckets — near-identical
@@ -1319,6 +1338,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_decontam_spans" -> (q124DecontamSpans _),
     "q123_salted_lsh" -> (q123SaltedLsh _),
     "q122_funnel_blocklist" -> (q122FunnelBlocklist _),
     "q121_url_blocklist" -> (q121UrlBlocklist _),
@@ -1888,6 +1908,34 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q124_decontam_spans" ->
+      """WITH sp0 AS (SELECT doc_id, text,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'eval' END AS split FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM sp0 WHERE split = 'train'),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM sp0 WHERE split = 'eval'),
+        |bw0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM bt),
+        |bsh AS (SELECT DISTINCT array_to_string(tk[CAST(i+1 AS INT) : CAST(i+8 AS INT)], ' ') AS sh FROM bw0),
+        |w0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM t),
+        |w AS (SELECT doc_id, i, array_to_string(tk[CAST(i+1 AS INT) : CAST(i+8 AS INT)], ' ') AS sh FROM w0),
+        |l AS (SELECT w.doc_id, w.i FROM w JOIN bsh ON w.sh = bsh.sh),
+        |m0 AS (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -999) + 8 THEN 1 ELSE 0 END AS brk FROM l),
+        |m1 AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM m0),
+        |sp AS (SELECT doc_id, g, min(i) AS lo, max(i) + 8 AS hi FROM m1 GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, count(1) AS n_spans, sum(hi - lo) AS n_removed FROM sp GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, tk FROM t),
+        |kp AS (SELECT p.doc_id, p.j, p.tk[CAST(p.j + 1 AS INT)] AS tok,
+        |        EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id AND p.j >= sp.lo AND p.j < sp.hi) AS cov
+        |       FROM pos p),
+        |kt AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT cov), '') AS kept
+        |       FROM kp GROUP BY doc_id)
+        |SELECT s.doc_id, len(string_split(s.text, ' '))::BIGINT AS n_tokens,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(kt.kept, s.text) AS decontam_text
+        |FROM sp0 s LEFT JOIN a USING (doc_id) LEFT JOIN kt ON kt.doc_id = s.doc_id
+        |WHERE s.split = 'train'
+        |ORDER BY s.doc_id""".stripMargin,
     "q121_url_blocklist" ->
       """WITH u AS (SELECT doc_id,
         |  ['docs.example.com','blog.example.org','www.sample.net',
