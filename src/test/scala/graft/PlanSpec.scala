@@ -139,6 +139,41 @@ class PlanSpec extends SparkSpec {
       s"document text crosses $carryingText shuffles; the election must stay narrow")
   }
 
+  test("q124 decontamination spans: benchmark fingerprints broadcast; text crosses at most one shuffle") {
+    val p = plan("q124_decontam_spans")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val carryingText = shuffleInputs.count(_.contains("text#"))
+    assert(carryingText <= 1,
+      s"document text crosses $carryingText shuffles; the window match must stay narrow")
+  }
+
+  test("q120 weight-table classification: the model broadcasts; corpus shuffles only (id, bucket, count)") {
+    val p = plan("q120_weighted_langid")
+    assert(p.contains("BroadcastHashJoin"), "the weight table must broadcast into the scoring join")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.forall(s => !s.contains("text#") && !s.contains("__tok#")),
+      "neither document text nor raw tokens may cross a shuffle")
+  }
+
+  test("q117 export manifest: packing windows are per-(split, source) — no global sort anywhere") {
+    val p = plan("q117_export_manifest")
+    // a global-order cumulative sum would plan a single-partition window;
+    // the per-group form partitions by (split, source)
+    assert(!p.contains("SinglePartition"),
+      "packing must never funnel the corpus through one partition")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // the dedup pre-gate's fingerprint window is the ONE shuffle that
+    // may carry text (it forwards the payload); packing and the
+    // manifest aggregate must shuffle only (id, source, split,
+    // copy_no, n_tokens) — Catalyst computes the token count below the
+    // packing exchange and prunes the text column there
+    assert(shuffleInputs.count(_.contains("text#")) <= 1,
+      "only the dedup gate may shuffle document text")
+  }
+
   test("q95 classifier inference: scoring never hash-shuffles (only the output sort ranges)") {
     val p = plan("q95_quality_classifier")
     assert(!p.contains("hashpartitioning"),
