@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -167,5 +168,34 @@ object Importance {
       .agg(count(lit(1)).as("n_bigrams"), sum("__w").as("__sw"))
       .select((col(idCol) +: carryCols.map(col)) :+
         col("n_bigrams") :+ scoreCol: _*)
+  }
+
+  /** CCNet's final step: split each language's corpus into
+    * equal-doc-count quality buckets by model score — head / middle /
+    * tail in the paper (Wenzek et al. 2020 §3.3 cuts the per-language
+    * perplexity distribution into thirds; head trains, tail is
+    * discarded or re-examined). Rank DESCENDING by `scoreCol` (higher
+    * = more fluent under [[bigramFluency]]'s convention; flip the sign
+    * upstream for raw perplexity) with `idCol` as the tie-break, then
+    * `bucket_no = (rank−1)·k DIV n` — exact integer arithmetic, so
+    * bucket edges are deterministic and engine-portable where
+    * `ntile`'s remainder distribution would invite drift.
+    *
+    * Scale shape: one hash-shuffle on the group; the rank and the
+    * group-count windows share the single exchange. Output adds
+    * (bucket_no, bucket). */
+  def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.nonEmpty, "need at least one bucket label")
+    val k = labels.size
+    val rankW = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val countW = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(countW))
+      .withColumn("bucket_no", expr(s"(__rn - 1) * $k DIV __n").cast("int"))
+      .withColumn("bucket",
+        element_at(array(labels.map(lit): _*), col("bucket_no") + 1))
+      .drop("__rn", "__n")
   }
 }

@@ -701,6 +701,19 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q125 — CCNet head/middle/tail bucketing
+    * ([[Importance.scoreBuckets]] over [[Importance.bigramFluency]]):
+    * per-language rank by fluency score, equal-doc-count tertiles via
+    * exact integer arithmetic — the paper's final partitioning step
+    * composed on q113's model. The oracle re-derives the scores, the
+    * per-language rank, and the bucket edges. */
+  def q125PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Importance.bigramFluency(Tables(spark, dir, "documents"),
+      "doc_id", "text", col("lang") === "en", carryCols = Seq("lang"))
+    Importance.scoreBuckets(scored, "lang", "fluency_micro", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q124 — surgical decontamination
     * ([[graft.operators.Decontaminate.exciseOverlaps]]): q63's
     * train/eval split, but instead of DROPPING contaminated training
@@ -1338,6 +1351,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_perplexity_buckets" -> (q125PerplexityBuckets _),
     "q124_decontam_spans" -> (q124DecontamSpans _),
     "q123_salted_lsh" -> (q123SaltedLsh _),
     "q122_funnel_blocklist" -> (q122FunnelBlocklist _),
@@ -1908,6 +1922,35 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q125_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |mb AS (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM mb0),
+        |c2 AS (SELECT hh, bh, count(1)::BIGINT AS c2 FROM mb GROUP BY hh, bh),
+        |c1 AS (SELECT hh, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY hh),
+        |v AS (SELECT count(1)::BIGINT AS v FROM c1),
+        |db0 AS (SELECT doc_id, lang, tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM t),
+        |db AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM db0),
+        |s AS (SELECT doc_id, lang,
+        |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS w
+        |  FROM db LEFT JOIN c2 ON db.hh = c2.hh AND db.bh = c2.bh
+        |    LEFT JOIN c1 ON db.hh = c1.hh CROSS JOIN v),
+        |sc AS (SELECT doc_id, lang, count(1)::BIGINT AS n_bigrams,
+        |    (sum(w)::BIGINT // count(1)) AS fluency_micro
+        |  FROM s GROUP BY doc_id, lang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY fluency_micro DESC, doc_id) AS rn,
+        |    count(1) OVER (PARTITION BY lang) AS n FROM sc)
+        |SELECT doc_id, lang, n_bigrams, fluency_micro,
+        |  CAST((rn - 1) * 3 // n AS INT) AS bucket_no,
+        |  ['head', 'middle', 'tail'][CAST((rn - 1) * 3 // n AS INT) + 1] AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q124_decontam_spans" ->
       """WITH sp0 AS (SELECT doc_id, text,
         |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
