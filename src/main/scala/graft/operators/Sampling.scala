@@ -54,4 +54,30 @@ object Sampling {
       df.columns.map(col) ++ Seq(col("w_milli"), col("copies"),
         explode(sequence(lit(0L), col("copies") - 1)).as("copy_no")): _*)
   }
+
+  /** Temperature-based source weighting (the multilingual α-sampling of
+    * XLM-R / mBERT: sample stratum s with probability ∝ n_s^α, α < 1
+    * flattening the distribution so low-resource strata are seen more
+    * often). Fixed at α = 1/2 — `sqrt` is IEEE exact-rounded, so the
+    * weights are bit-identical across engines, which no other exponent's
+    * `pow` guarantees. Per-stratum epoch weight for [[mixtureSample]]:
+    * `w_s = N·q_s/n_s` in milli-units with `q_s = s_s/Σs_t`,
+    * `s_s = round(1e6·√n_s)` — each sqrt rounded to integer micro-units
+    * BEFORE summing, so the normalizer is an order-independent exact
+    * integer; the final division runs in decimal(38) (mirrors DuckDB's
+    * 128-bit promotion) so corpus-scale counts cannot overflow.
+    *
+    * One partial-agg count shuffle over the corpus; everything after is
+    * stratum-cardinality-sized. Output: (sourceCol, n_docs,
+    * src_w_milli) — feed `src_w_milli` to [[mixtureSample]] after a
+    * broadcast join. */
+  def temperatureWeights(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__sm", expr("CAST(round(sqrt(n_docs) * 1000000) AS BIGINT)"))
+    val tot = counts.agg(sum("__sm").as("__S"), sum("n_docs").as("__N"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        expr("CAST((CAST(__N AS DECIMAL(38,0)) * __sm * 1000) DIV (CAST(__S AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("src_w_milli"))
+  }
 }

@@ -701,6 +701,21 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q126 — temperature-based mixture ([[Sampling.temperatureWeights]]
+    * → [[Sampling.mixtureSample]]): α=½ sampling over the language
+    * strata — the dominant language is down-weighted below one epoch,
+    * low-resource languages above — with the whole weight derivation
+    * (exact-rounded sqrt micro-units, integer normalizer, decimal
+    * division) and the copy explosion on the oracle path. */
+  def q126TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = Sampling.temperatureWeights(d, "lang")
+    val joined = d.join(broadcast(w.select(col("lang"), col("src_w_milli"))), Seq("lang"))
+    Sampling.mixtureSample(joined, "doc_id", col("src_w_milli"))
+      .select(col("doc_id"), col("lang"), col("w_milli"), col("copies"), col("copy_no"))
+      .orderBy("doc_id", "copy_no")
+  }
+
   /** q125 — CCNet head/middle/tail bucketing
     * ([[Importance.scoreBuckets]] over [[Importance.bigramFluency]]):
     * per-language rank by fluency score, equal-doc-count tertiles via
@@ -1351,6 +1366,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_temperature_mixture" -> (q126TemperatureMixture _),
     "q125_perplexity_buckets" -> (q125PerplexityBuckets _),
     "q124_decontam_spans" -> (q124DecontamSpans _),
     "q123_salted_lsh" -> (q123SaltedLsh _),
@@ -1922,6 +1938,20 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q126_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(1)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n_docs, CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS sm FROM c),
+        |tot AS (SELECT sum(sm)::HUGEINT AS S, sum(n_docs)::HUGEINT AS N FROM s),
+        |w AS (SELECT lang, CAST((N * sm * 1000) // (S * n_docs) AS BIGINT) AS src_w_milli
+        |  FROM s CROSS JOIN tot),
+        |d AS (SELECT doc_id, documents.lang, src_w_milli,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket
+        |  FROM documents JOIN w ON documents.lang = w.lang),
+        |cp AS (SELECT doc_id, lang, src_w_milli,
+        |  src_w_milli // 1000 + (CASE WHEN bucket < src_w_milli % 1000 THEN 1 ELSE 0 END) AS copies FROM d)
+        |SELECT doc_id, lang, src_w_milli::BIGINT AS w_milli, copies::BIGINT AS copies,
+        |  unnest(range(copies))::BIGINT AS copy_no
+        |FROM cp WHERE copies > 0 ORDER BY doc_id, copy_no""".stripMargin,
     "q125_perplexity_buckets" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
         |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
