@@ -163,6 +163,72 @@ object Dedup {
         col("__ex.kept_text").as("dedup_text"))
   }
 
+  /** The persisted base-side table for incremental [[spanDedupAgainst]]:
+    * one row per DISTINCT `windowWords`-token window fingerprint in the
+    * corpus (column `fp`, 32-hex md5 — 16 bytes a row at rest). A
+    * 100 TB deployment writes this next to the corpus (parquet) once
+    * and every nightly batch dedups against it in O(batch); after a
+    * batch is admitted, union its surviving windows in (or rebuild on
+    * the compaction cadence). */
+  def windowFingerprintTable(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 13): DataFrame =
+    df.select(explode(transform(
+        graft.expressions.WordShingles(split(col(textCol), " "), windowWords),
+        s => md5(s))).as("fp"))
+      .distinct()
+
+  /** Incremental ExactSubstr span removal: excise from a NEW batch
+    * every duplicated span that already exists in the BASE corpus
+    * (membership in its persisted [[windowFingerprintTable]]) or
+    * earlier in the batch itself (the [[spanDedup]] election, batch-
+    * local). The base side contributes a compact fingerprint read —
+    * never a re-tokenization of the lake — so continuous ingest is
+    * O(batch) per batch, the same contract as
+    * [[minhashDedupPairsAgainst]].
+    *
+    * Shape: the batch's (fp, id, win) table materializes once (it
+    * feeds the base semi-join AND the batch-local election); removal
+    * sets union and regroup per doc; batch text crosses exactly one
+    * shuffle (the removal join) and excision is one
+    * [[graft.expressions.ExciseWindows]] pass.
+    *
+    * Output: (id, n_tokens, n_spans, n_removed, dedup_text) — batch
+    * rows only. */
+  def spanDedupAgainst(batch: DataFrame, baseFps: DataFrame, idCol: String,
+      textCol: String, windowWords: Int = 13,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val k = windowWords
+    def toks = split(col(textCol), " ")
+
+    val winFps = checkpointer(batch.select(col(idCol),
+        posexplode(transform(graft.expressions.WordShingles(toks, k), s => md5(s)))
+          .as(Seq("__win", "__fp")))
+      .withColumn("__win", col("__win").cast("long")))
+
+    val inBase = winFps
+      .join(baseFps.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
+      .select(col(idCol), col("__win"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col(idCol).asc, col("__win").asc)
+    val dupInBatch = winFps
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("__win"))
+
+    val removed = inBase.union(dupInBatch).distinct()
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__win"))).as("__starts"))
+
+    batch.join(removed, Seq(idCol), "left")
+      .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), k))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        col("__ex.n_spans").as("n_spans"),
+        col("__ex.n_removed").as("n_removed"),
+        col("__ex.kept_text").as("dedup_text"))
+  }
+
   /** MinHash parameters: k permutations via (a_i·h + b_i) mod p over
     * 60-bit token hashes. Fixed constants → reproducible across engines
     * and runs. */

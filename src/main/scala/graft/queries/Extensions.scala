@@ -701,6 +701,24 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q127 — incremental span dedup ([[Dedup.spanDedupAgainst]] vs a
+    * persisted [[Dedup.windowFingerprintTable]]): the corpus splits
+    * into base/batch halves; batch docs lose every 8-token window that
+    * exists in the base table OR earlier in the batch — O(batch)
+    * continuous-ingest ExactSubstr, the span analogue of q86's
+    * signature-table dedup. */
+  def q127IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val b = TextFunctions.stableBucket(col("doc_id"), 100)
+    val withSplit = d.select(col("doc_id"), col("text"),
+      when(b < 50, "base").otherwise("batch").as("half"))
+    val baseFps = Dedup.windowFingerprintTable(
+      withSplit.filter(col("half") === "base"), "doc_id", "text", windowWords = 8)
+    Dedup.spanDedupAgainst(withSplit.filter(col("half") === "batch"), baseFps,
+        "doc_id", "text", windowWords = 8)
+      .orderBy("doc_id")
+  }
+
   /** q126 — temperature-based mixture ([[Sampling.temperatureWeights]]
     * → [[Sampling.mixtureSample]]): α=½ sampling over the language
     * strata — the dominant language is down-weighted below one epoch,
@@ -1366,6 +1384,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_incremental_spans" -> (q127IncrementalSpans _),
     "q126_temperature_mixture" -> (q126TemperatureMixture _),
     "q125_perplexity_buckets" -> (q125PerplexityBuckets _),
     "q124_decontam_spans" -> (q124DecontamSpans _),
@@ -1938,6 +1957,37 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q127_incremental_spans" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50
+        |       THEN 'base' ELSE 'batch' END AS half FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM h WHERE half = 'batch'),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM h WHERE half = 'base'),
+        |bw0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM bt),
+        |bw AS (SELECT DISTINCT array_to_string(tk[CAST(i+1 AS INT) : CAST(i+8 AS INT)], ' ') AS sh FROM bw0),
+        |w0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM t),
+        |w AS (SELECT doc_id, i, array_to_string(tk[CAST(i+1 AS INT) : CAST(i+8 AS INT)], ' ') AS sh FROM w0),
+        |r AS (SELECT doc_id, i, row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn FROM w),
+        |l AS (SELECT doc_id, i FROM w WHERE sh IN (SELECT sh FROM bw)
+        |      UNION
+        |      SELECT doc_id, i FROM r WHERE rn > 1),
+        |m0 AS (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -999) + 8 THEN 1 ELSE 0 END AS brk FROM l),
+        |m1 AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM m0),
+        |sp AS (SELECT doc_id, g, min(i) AS lo, max(i) + 8 AS hi FROM m1 GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, count(1) AS n_spans, sum(hi - lo) AS n_removed FROM sp GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, tk FROM t),
+        |kp AS (SELECT p.doc_id, p.j, p.tk[CAST(p.j + 1 AS INT)] AS tok,
+        |        EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id AND p.j >= sp.lo AND p.j < sp.hi) AS cov
+        |       FROM pos p),
+        |kt AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT cov), '') AS kept
+        |       FROM kp GROUP BY doc_id)
+        |SELECT s.doc_id, len(string_split(s.text, ' '))::BIGINT AS n_tokens,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(kt.kept, s.text) AS dedup_text
+        |FROM h s LEFT JOIN a USING (doc_id) LEFT JOIN kt ON kt.doc_id = s.doc_id
+        |WHERE s.half = 'batch'
+        |ORDER BY s.doc_id""".stripMargin,
     "q126_temperature_mixture" ->
       """WITH c AS (SELECT lang, count(1)::BIGINT AS n_docs FROM documents GROUP BY lang),
         |s AS (SELECT lang, n_docs, CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS sm FROM c),

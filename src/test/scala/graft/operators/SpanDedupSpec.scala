@@ -100,6 +100,36 @@ class SpanDedupSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("incremental: base-table windows and batch-first windows both excise") {
+    import spark.implicits._
+    val base = Seq((1L, "a b c d")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "x a b c y"),   // "a b c" is in base → excised
+      (11L, "p q r s"),     // fresh → untouched, its windows elect first
+      (12L, "z p q r z"))   // "p q r" seen earlier in batch (doc 11) → excised
+      .toDF("id", "text")
+    val fps = Dedup.windowFingerprintTable(base, "id", "text", windowWords = 3)
+    val got = Dedup.spanDedupAgainst(batch, fps, "id", "text", windowWords = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(got === Array((10L, 1L, "x y"), (11L, 0L, "p q r s"), (12L, 1L, "z z")))
+  }
+
+  test("a persisted fingerprint table (no text column) drives incremental span dedup") {
+    import spark.implicits._
+    val base = Seq((1L, "a b c d e")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fptab").toString
+    Dedup.windowFingerprintTable(base, "id", "text", windowWords = 3)
+      .write.parquet(s"$dir/fps")
+    val reloaded = spark.read.parquet(s"$dir/fps")
+    assert(reloaded.columns.toSeq == Seq("fp"))
+    val batch = Seq((10L, "q a b c d w")).toDF("id", "text")
+    val viaTable = Dedup.spanDedupAgainst(batch, reloaded, "id", "text", windowWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    // windows "a b c" and "b c d" are in base → one merged span [1,5)
+    assert(viaTable === Array((10L, 4L, "q w")))
+  }
+
   test("kernel degrades on hostile starts: out-of-range and backwards entries skipped") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
