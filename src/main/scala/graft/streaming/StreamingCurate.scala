@@ -105,6 +105,57 @@ object StreamingCurate {
       .start()
   }
 
+  /** Streaming incremental SPAN dedup — the ExactSubstr companion to
+    * [[dedupStream]]: each micro-batch is excised against the
+    * accumulated WINDOW-FINGERPRINT table
+    * ([[Dedup.spanDedupAgainst]] — base-table membership plus the
+    * batch-local first-occurrence election) and the SURVIVING text's
+    * window fingerprints append for future batches. Surviving-text
+    * fingerprints are sufficient: a window that survived an earlier
+    * batch is in the table, so any later copy excises; a window that
+    * was itself excised never re-enters. Same idempotent `batch=<id>`
+    * overwrite protocol and replay contract as [[dedupStream]]; the
+    * same [[compactSignatures]] folds the fingerprint partitions
+    * (duplicate fp rows across generations are benign — membership
+    * semi-join). Output rows: (idCol, n_tokens, n_spans, n_removed,
+    * dedup_text) per batch partition. */
+  def spanDedupStream(spark: SparkSession, inDir: String, schema: StructType,
+      baseDir: String, checkpointDir: String, idCol: String, textCol: String,
+      windowWords: Int = 13, fpDir: String = null,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    val fpPath = Option(fpDir).getOrElse(baseDir.stripSuffix("/") + "_winfps")
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactSignatures(spark, fpPath, exclude = Some(batchId))
+        }
+        val fs = FileSystem.get(new Path(fpPath).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        val baseFpDirs = if (!fs.exists(new Path(fpPath))) Array.empty[Path]
+          else fs.listStatus(new Path(fpPath))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath)
+            .filter(_.getName != s"batch=$batchId") // replay: exclude own partial writes
+        val baseFps =
+          if (baseFpDirs.isEmpty) {
+            import spark.implicits._
+            Seq.empty[String].toDF("fp")
+          } else spark.read.parquet(baseFpDirs.map(_.toString).toIndexedSeq: _*)
+        // feeds the corpus write AND the fingerprint derivation
+        val excised = Dedup.spanDedupAgainst(batch, baseFps, idCol, textCol,
+          windowWords).localCheckpoint()
+        excised.write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+        Dedup.windowFingerprintTable(
+            excised.filter(col("dedup_text") =!= ""), idCol, "dedup_text", windowWords)
+          .write.mode("overwrite").parquet(s"$fpPath/batch=$batchId")
+      }
+      .start()
+  }
+
   /** Rewrite a batch-accreted signature (or corpus) directory as a
     * single consolidated partition, bounding the per-batch listing cost
     * of a long-running stream. Stage-then-swap: everything is read into

@@ -119,4 +119,52 @@ class StreamingCurateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sigIds == finalIds, s"signature table must mirror the corpus: $sigIds")
   }
+
+  test("spanDedupStream excises spans against the accumulated window-fingerprint table") {
+    val inDir = Files.createTempDirectory("graft_sspan_in")
+    val baseDir = Files.createTempDirectory("graft_sspan_base").resolve("corpus").toString
+    val ckpt = Files.createTempDirectory("graft_sspan_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(inDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.asJava)
+
+    val a = "a1 a2 a3 a4 a5 a6"
+    val q = StreamingCurate.spanDedupStream(spark, inDir.toString, schema,
+      baseDir, ckpt, "doc_id", "text", windowWords = 4)
+    try {
+      land("b1.jsonl", Seq((1L, a), (2L, "b1 b2 b3 b4 b5")))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(baseDir)
+        .select("doc_id", "n_removed", "dedup_text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(after1(1L) == ((0L, a)) && after1(2L) == ((0L, "b1 b2 b3 b4 b5")),
+        s"first batch is all-novel: $after1")
+
+      // doc 3 embeds batch-1 doc 1's text mid-doc; doc 4 is novel
+      land("b2.jsonl", Seq((3L, s"p q $a r s"), (4L, "c1 c2 c3 c4 c5")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(baseDir)
+      .select("doc_id", "n_spans", "n_removed", "dedup_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(3L) == ((1L, 6L, "p q r s")),
+      s"the embedded batch-1 span must excise mid-doc: ${rows(3L)}")
+    assert(rows(4L) == ((0L, 0L, "c1 c2 c3 c4 c5")), s"novel doc untouched: ${rows(4L)}")
+
+    // the fingerprint table carries only fps — never text — and the
+    // excised span's windows are NOT re-added by batch 2
+    val fpDir = baseDir.stripSuffix("/") + "_winfps"
+    val fps = spark.read.parquet(fpDir)
+    // root read surfaces the batch= partition column; data rows are fp-only
+    assert(fps.columns.toSet == Set("fp", "batch"),
+      s"fingerprint table must carry only fp (+ partition key): ${fps.columns.toSeq}")
+    // batch 2's partition holds doc 3's surviving windows ("p q r s" has
+    // exactly one 4-token window) + doc 4's windows (two)
+    val b1Parts = new java.io.File(fpDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(b1Parts == Set("batch=0", "batch=1"), s"one fp partition per batch: $b1Parts")
+  }
 }
