@@ -163,6 +163,47 @@ object Dedup {
         col("__ex.kept_text").as("dedup_text"))
   }
 
+  /** Corpus-frequency boilerplate-line removal: a line occurring in
+    * more than `maxDocPermille` ‰ of documents is boilerplate (nav
+    * menus, cookie banners, enable-JS banners repeat VERBATIM across a
+    * crawl) and EVERY occurrence is dropped — the policy complement of
+    * [[segmentDedup]]'s keep-first election (no copy of a nav menu
+    * belongs in training data, not even the first).
+    *
+    * Scale shape: lines travel as 16-byte md5 hashes from the first
+    * projection; document frequency is a two-level partial aggregate
+    * ((hash, id) distinct, then hash count); the corpus size is a
+    * broadcast single-row frame and the threshold an integer
+    * cross-multiplication; dropped line-POSITIONS regroup per doc, so
+    * document text crosses exactly one shuffle (the removal join) and
+    * reassembly filters the re-derived line array row-locally.
+    *
+    * Output: (id, n_lines, n_dropped, clean_text). */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocPermille: Int): DataFrame = {
+    require(maxDocPermille >= 0 && maxDocPermille <= 1000,
+      s"maxDocPermille must be in [0, 1000], got $maxDocPermille")
+    def lines = split(col(textCol), "\n")
+    val e = df.select(col(idCol), posexplode(lines).as(Seq("__ln", "__line")))
+      .select(col(idCol), col("__ln"), md5(col("__line")).as("__h"))
+    val docFreq = e.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val frequent = docFreq.crossJoin(broadcast(total))
+      .filter(expr(s"__df * 1000 > $maxDocPermille * __n"))
+      .select("__h")
+    val dropped = e.join(frequent, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(sort_array(collect_list(col("__ln"))).as("__drop"))
+    df.join(dropped, Seq(idCol), "left")
+      .withColumn("__keep",
+        when(col("__drop").isNull, lines)
+          .otherwise(filter(lines, (_, i) => !array_contains(col("__drop"), i))))
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        array_join(col("__keep"), "\n").as("clean_text"))
+  }
+
   /** The persisted base-side table for incremental [[spanDedupAgainst]]:
     * one row per DISTINCT `windowWords`-token window fingerprint in the
     * corpus (column `fp`, 32-hex md5 — 16 bytes a row at rest). A

@@ -701,6 +701,18 @@ object Extensions {
         maxBucketSize = Some(q87Cap))
       .orderBy("id1", "id2")
 
+  /** q128 — corpus-frequency boilerplate-line removal
+    * ([[Dedup.dropFrequentLines]]): over the q107/q108 line fixture,
+    * lines in > 50% of docs (the every-doc "short line", the 6/7
+    * closing sentence) drop from EVERY document; rarer lines (the 1/7
+    * JavaScript banner, per-doc unique content) survive. The oracle
+    * re-derives document frequency, the ‰ threshold, and the
+    * reassembled text. */
+  def q128BoilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropFrequentLines(lineFixture(Tables(spark, dir, "documents")),
+        "doc_id", "ftext", maxDocPermille = 500)
+      .orderBy("doc_id")
+
   /** q127 — incremental span dedup ([[Dedup.spanDedupAgainst]] vs a
     * persisted [[Dedup.windowFingerprintTable]]): the corpus splits
     * into base/batch halves; batch docs lose every 8-token window that
@@ -1384,6 +1396,7 @@ object Extensions {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_boilerplate_lines" -> (q128BoilerplateLines _),
     "q127_incremental_spans" -> (q127IncrementalSpans _),
     "q126_temperature_mixture" -> (q126TemperatureMixture _),
     "q125_perplexity_buckets" -> (q125PerplexityBuckets _),
@@ -1957,6 +1970,20 @@ object Extensions {
         | FROM documents)
         |SELECT doc_id, url, canonical_url, host, domain
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q128_boilerplate_lines" ->
+      s"""WITH $lineFixtureSql,
+        |t AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM fx),
+        |e0 AS (SELECT doc_id, unnest(range(0, len(lines))) AS i, lines FROM t),
+        |e AS (SELECT doc_id, i, lines[CAST(i + 1 AS INT)] AS line FROM e0),
+        |dfq AS (SELECT line, count(DISTINCT doc_id) AS c FROM e GROUP BY line),
+        |tot AS (SELECT count(1) AS n FROM fx),
+        |freq AS (SELECT line FROM dfq CROSS JOIN tot WHERE c * 1000 > 500 * n),
+        |k AS (SELECT doc_id, i, line,
+        |    line IN (SELECT line FROM freq) AS isfreq FROM e)
+        |SELECT doc_id, count(1)::BIGINT AS n_lines,
+        |  sum(CASE WHEN isfreq THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE NOT isfreq), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q127_incremental_spans" ->
       """WITH h AS (SELECT doc_id, text,
         |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50
