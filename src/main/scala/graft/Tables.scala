@@ -18,19 +18,28 @@ object Tables {
     normalizeNanoTimestamps(df)
   }
 
-  /** Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a long.
-    * Convert such columns back to microsecond timestamps (matching
-    * DuckDB's ns→µs truncation) so query code sees TimestampType.
-    * Column-name-driven: only `ts` is a nano column in TESTDATA. */
+  /** Normalize the driver's time columns so query code always sees
+    * TimestampType regardless of how the generator wrote them:
+    *
+    *  - Parquet TIMESTAMP(NANOS) is unreadable by Spark 4 unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a
+    *    long — convert `ts` longs back to microsecond timestamps
+    *    (matching DuckDB's ns→µs truncation).
+    *  - Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    *    TIMESTAMP_NTZ — cast to TimestampType (sessions run UTC, so
+    *    the wall-clock is preserved and `unix_micros`/watermarks work).
+    *    DuckDB reads the same column as a naive timestamp with the
+    *    same wall-clock, so oracle parity is unaffected. */
   private def normalizeNanoTimestamps(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         // integral DIV, not `/`: double division loses µs precision on
         // epoch-nanos (~1.7e18 > 2^53)
         d.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
       else d
     }
   }

@@ -19,15 +19,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of the events table; ts is TIMESTAMP(NANOS) which
-    * Spark reads as long under legacy.parquet.nanosAsLong. */
+  /** Parquet schema of the events table; ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files, newest
-    * first, one file per trigger (incremental batch parity). */
+    * first, one file per trigger (incremental batch parity). The NTZ
+    * `ts` is cast to TimestampType (sessions run UTC → same wall-clock,
+    * same instants as [[graft.Tables]]' batch read) so watermarks and
+    * window() work unchanged. */
   def readEvents(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame =
     spark.readStream
@@ -36,7 +39,7 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Hourly tumbling rollup with a 2-hour watermark: counts + sums per
     * (hour, event_type). State is bounded by the watermark — safe on an
