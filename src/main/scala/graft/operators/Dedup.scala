@@ -204,6 +204,31 @@ object Dedup {
         array_join(col("__keep"), "\n").as("clean_text"))
   }
 
+  /** Within-document repeated-line removal (the RefinedWeb per-doc line
+    * dedup): a line that already occurred EARLIER IN THE SAME DOCUMENT
+    * is dropped, keeping the first occurrence — scraped pages repeat
+    * their own nav/footer blocks between sections. The corpus-level
+    * complement is [[dropFrequentLines]]; run this one first (it needs
+    * no corpus statistics).
+    *
+    * Scale shape: entirely row-local — one codegen-projection pass, no
+    * shuffle, no state, no corpus pass. The keep test is a quadratic
+    * scan over the doc's own lines (array_position over a prefix
+    * slice), bounded by lines-per-doc, not corpus size.
+    *
+    * Output: (id, n_lines, n_dropped, clean_text) — same contract as
+    * [[dropFrequentLines]]. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def lines = split(col(textCol), "\n")
+    // filter's lambda index i is 0-based: slice(lines, 1, i) is exactly
+    // the lines BEFORE position i; array_position = 0 ⇔ not seen yet.
+    def kept = filter(lines, (l, i) => array_position(slice(lines, lit(1), i), l) === 0)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** The persisted base-side table for incremental [[spanDedupAgainst]]:
     * one row per DISTINCT `windowWords`-token window fingerprint in the
     * corpus (column `fp`, 32-hex md5 — 16 bytes a row at rest). A

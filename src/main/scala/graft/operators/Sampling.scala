@@ -55,6 +55,54 @@ object Sampling {
         explode(sequence(lit(0L), col("copies") - 1)).as("copy_no")): _*)
   }
 
+  /** Leakage-safe deterministic train/val/test split. The split key is
+    * a GROUP key, not the row id: every row whose `groupKey` hashes to
+    * the same bucket lands in the same split, so correlated documents
+    * (exact dups via `md5(text)`, pages of one site via the canonical
+    * host, members of one near-dup cluster via the
+    * [[Dedup.connectedComponents]] label) can never straddle the
+    * train/test boundary — the eval-leakage failure mode of naive
+    * random splits.
+    *
+    * `cuts` are (name, permille) in order, summing to 1000; a group's
+    * bucket = [[graft.functions.TextFunctions.stableBucket]] (groupKey,
+    * 1000) falls in the half-open permille range of exactly one cut.
+    * md5-based, so the assignment is engine-portable, reshuffle-proof,
+    * and stable under corpus growth: adding documents never moves an
+    * existing group to a different split.
+    *
+    * Scale shape: one codegen projection (an md5 + a CaseWhen), no
+    * shuffle, no state — composes with [[mixtureSample]] /
+    * [[graft.operators.Export.exportTrainingData]] downstream. Output
+    * adds (split_bucket, `out`). */
+  def assignSplits(df: DataFrame, groupKey: Column,
+      cuts: Seq[(String, Int)], out: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0) && cuts.map(_._2).sum == 1000,
+      s"cuts must be positive permille shares summing to 1000, got ${cuts.mkString(", ")}")
+    require(cuts.map(_._1).distinct.size == cuts.size, "cut names must be distinct")
+    val taken = Seq("split_bucket", out).filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"assignSplits appends output columns split_bucket/$out; input already has: ${taken.mkString(", ")} — rename or drop them first")
+    val b = graft.functions.TextFunctions.stableBucket(groupKey, 1000)
+    val edges = cuts.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val assign = cuts.zip(edges).tail.foldLeft(
+      when(col("split_bucket") < edges.head, cuts.head._1)) {
+      case (acc, ((name, _), hi)) => acc.when(col("split_bucket") < hi, name)
+    }
+    df.withColumn("split_bucket", b).withColumn(out, assign)
+  }
+
+  /** Split-leakage audit for [[assignSplits]]-style columns: the groups
+    * whose rows span more than one split (the thing the group-keyed
+    * split guarantees is EMPTY — run it against any externally-supplied
+    * split before training). One partial-agg shuffle on the group key;
+    * output (groupCol, n_splits, splits sorted). */
+  def splitLeakage(df: DataFrame, groupCol: String, splitCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(splitCol)).as("n_splits"),
+        sort_array(collect_set(col(splitCol))).as("splits"))
+      .filter(col("n_splits") > 1)
+
   /** Temperature-based source weighting (the multilingual α-sampling of
     * XLM-R / mBERT: sample stratum s with probability ∝ n_s^α, α < 1
     * flattening the distribution so low-resource strata are seen more

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-vocabulary coverage — the "will my tokenizer shred this
+  * corpus into UNKs?" signal a training-data pipeline computes before
+  * committing to an export. A document whose out-of-vocabulary rate is
+  * high either isn't the language the tokenizer was built for or is
+  * boilerplate/markup — both are curation signals (feed `oov_permille`
+  * to [[Curation.funnel]] like any other gate input).
+  *
+  * Scale shape: the vocabulary is definitionally small (50k–250k rows —
+  * BPE vocabs) → ALWAYS broadcast; the corpus token stream is exploded
+  * once and partially aggregated per doc map-side, so the only shuffle
+  * carries (doc_id, two counters) pairs, never tokens and never text.
+  */
+object Vocab {
+
+  /** The exact top-`n` tokens of the corpus by document-stream
+    * frequency, ties broken by token text — a deterministic,
+    * engine-portable stand-in for a trained BPE/WordPiece vocab (swap
+    * in a real one as any (token) DataFrame). Two partial-agg shuffles
+    * (token counts, then a single-partition top-n — n rows, not the
+    * token universe, cross the second). */
+  def topTokens(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val counts = df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("token").asc)
+    counts.withColumn("vocab_rank", row_number().over(w))
+      .filter(col("vocab_rank") <= n)
+  }
+
+  /** Per-document vocabulary coverage against `vocab` (any DataFrame
+    * with a `token` column; broadcast unconditionally — the vocab-side
+    * small contract above). Output: (idCol, n_tokens, n_oov,
+    * oov_permille) with exact integer arithmetic; empty docs report 0
+    * tokens and 0‰. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("token")).distinct()
+      .withColumn("__in_vocab", lit(1L)))
+    df.select(col(idCol), explode_outer(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .join(v, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("__in_vocab").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") > 0, expr("n_oov * 1000 DIV n_tokens"))
+          .otherwise(0L).as("oov_permille"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Warc}
+import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Vocab, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -1395,7 +1395,62 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q129 — leakage-safe train/val/test split
+    * ([[Sampling.assignSplits]]): 800/100/100‰ keyed on `md5(text)` —
+    * the CONTENT hash, so byte-identical documents can never straddle
+    * the train/test boundary (the group-key contract; host or
+    * dedup-cluster keys drop in the same way). The oracle re-derives
+    * the md5 bucket and the permille ranges. */
+  def q129SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+        md5(col("text")),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** q130 — int8-quantized ANN ([[SimilaritySearch.int8TopK]]): the
+    * 4×-smaller index path — per-dimension max-abs scales, floor(·+0.5)
+    * quantizer, EXACT integer dot-product ranking, so unlike float
+    * similarity scores the whole result hashes bit-for-bit. */
+  def q130Int8Ann(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.int8TopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q131 — tokenizer-vocabulary coverage ([[graft.operators.Vocab]]):
+    * exact top-100 corpus tokens as the stand-in vocab, then per-doc
+    * OOV counts and ‰ rate — the UNK-exposure signal, broadcast-join
+    * shaped. */
+  def q131VocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Vocab.oovStats(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+      .orderBy("doc_id")
+  }
+
+  /** q132 — within-document repeated-line removal
+    * ([[Dedup.dedupLinesWithinDoc]]): a 5-line fixture where line 1 and
+    * the "short line" each recur; the first occurrences survive, the
+    * repeats drop — entirely row-local (zero-shuffle). The oracle
+    * re-derives first-occurrence ranks with a window. */
+  def q132DocLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tk0 = TextFunctions.tokens(col("text"))
+    val toks = concat(tk0, tk0, tk0)
+    val l1 = array_join(slice(toks, 1, 5), " ")
+    val l2 = array_join(slice(toks, 6, 5), " ")
+    val fx = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", l1, lit("short line"), l2, lit("short line"), l1)
+        .as("ftext"))
+    Dedup.dedupLinesWithinDoc(fx, "doc_id", "ftext").orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_doc_line_dedup" -> (q132DocLineDedup _),
+    "q131_vocab_oov" -> (q131VocabOov _),
+    "q130_int8_ann" -> (q130Int8Ann _),
+    "q129_split_assign" -> (q129SplitAssign _),
     "q128_boilerplate_lines" -> (q128BoilerplateLines _),
     "q127_incremental_spans" -> (q127IncrementalSpans _),
     "q126_temperature_mixture" -> (q126TemperatureMixture _),
@@ -1629,6 +1684,63 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q129_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substring(md5(md5(text)), 1, 15))::BIGINT % 1000 AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 800 THEN 'train'
+        |       WHEN split_bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q130_int8_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |mx AS (SELECT i, max(abs(v[CAST(i AS INT)])) AS s FROM d GROUP BY i),
+        |sc AS (SELECT list(s ORDER BY i) AS scales FROM mx),
+        |qz AS (SELECT vec_id, list_transform(list_zip(v, scales), p ->
+        |    CASE WHEN p[2] > 0
+        |         THEN least(greatest(floor(p[1] / p[2] * 127 + 0.5), -127), 127)
+        |         ELSE 0 END) AS q
+        |  FROM e CROSS JOIN sc),
+        |s AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(qq.q, c.q), p -> p[1] * p[2])) AS BIGINT) AS qdot,
+        |    sqrt(list_sum(list_transform(qq.q, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.q, x -> x * x))) AS nn
+        |  FROM qz c JOIN qz qq ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id),
+        |s2 AS (SELECT query_id, neighbor_id, qdot, round(qdot / nn, 6) AS qsim FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rank FROM s2)
+        |SELECT query_id, neighbor_id, qdot, qsim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q131_vocab_oov" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+        |c AS (SELECT token, count(1) AS n_occ FROM e GROUP BY token),
+        |v AS (SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM c)
+        |  WHERE rn <= 100),
+        |s AS (SELECT doc_id, count(1)::BIGINT AS n_tokens,
+        |    sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END)::BIGINT AS n_oov
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  (CASE WHEN n_tokens > 0 THEN n_oov * 1000 // n_tokens ELSE 0 END)::BIGINT AS oov_permille
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q132_doc_line_dedup" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk0 FROM documents),
+        |t3 AS (SELECT doc_id, list_concat(list_concat(tk0, tk0), tk0) AS toks FROM t0),
+        |fx AS (SELECT doc_id,
+        |  array_to_string(toks[1:5], ' ') || chr(10) || 'short line' || chr(10) ||
+        |  array_to_string(toks[6:10], ' ') || chr(10) || 'short line' || chr(10) ||
+        |  array_to_string(toks[1:5], ' ') AS ftext FROM t3),
+        |t AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM fx),
+        |e0 AS (SELECT doc_id, unnest(range(0, len(lines))) AS i, lines FROM t),
+        |e AS (SELECT doc_id, i, lines[CAST(i + 1 AS INT)] AS line FROM e0),
+        |r AS (SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY i) AS rn FROM e)
+        |SELECT doc_id, count(1)::BIGINT AS n_lines,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q107_gopher_rules" ->
       s"""WITH $lineFixtureSql,
         |sig AS (SELECT doc_id,

@@ -246,4 +246,34 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), "transform stage must not shuffle")
   }
+
+  test("q129 split assignment: pure projection — no shuffle before the presentation sort") {
+    val p = SparkEntry.queries("q129_split_assign")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "assignSplits is an md5 + CaseWhen projection; only the final sort may shuffle")
+  }
+
+  test("q130 int8 ANN: scales and the query batch broadcast; the corpus never shuffles for the pair join") {
+    val p = plan("q130_int8_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the quantized query batch should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ would shuffle the whole quantized corpus for a handful of queries")
+  }
+
+  test("q131 vocab coverage: the vocab joins broadcast — the token stream never shuffles for them") {
+    val p = plan("q131_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership should be a broadcast join")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "per-doc counters must partially aggregate before their shuffle")
+  }
+
+  test("q132 within-doc line dedup: row-local — no shuffle before the presentation sort") {
+    val p = SparkEntry.queries("q132_doc_line_dedup")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "dedupLinesWithinDoc is a single projection; only the final sort may shuffle")
+  }
 }

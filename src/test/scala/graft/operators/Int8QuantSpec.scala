@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** int8 scalar quantization: ranking fidelity against the exact float
+  * baseline (the accepted trade of the 4× memory cut), and the clamp /
+  * degenerate-dimension contracts that only bite on the query side. */
+class Int8QuantSpec extends SparkSpec {
+
+  // realistic embedding width: per-dimension quantization noise averages
+  // out in the dot product as dim grows (at dim=8 recall@10 ≈ 0.85)
+  private val dim = 64
+  private val k = 10
+
+  private def fixture(): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Int): Array[Float] =
+      centers(c).map(x => (x + 0.55 * rnd.nextGaussian()).toFloat)
+    val corpus = (1 to 400).map(i => (i.toLong, point(i % 5))).toDF("id", "vec")
+    val queries = (1001 to 1030).map(i => (i.toLong, point(i % 5))).toDF("id", "vec")
+    (corpus, queries)
+  }
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("int8 top-k has negligible true-cosine regret vs the float baseline") {
+    // Set-recall@k is the wrong metric here: the clustered fixture makes
+    // the top-k near-ties whose float-sim gaps sit BELOW the int8
+    // quantization step, so overlap measures tie-breaking noise. The
+    // property that matters — and that int8 search promises — is that
+    // the neighbors it returns are essentially as close as the exact
+    // ones: per-query mean true cosine within 0.005 of the exact top-k's.
+    val (corpus, queries) = fixture()
+    val allSims = SimilaritySearch
+      .bruteForceTopK(corpus, queries, "id", "vec", Int.MaxValue)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = topkSets(SimilaritySearch.bruteForceTopK(corpus, queries, "id", "vec", k))
+    val quant = topkSets(SimilaritySearch.int8TopK(corpus, queries, "id", "vec", k))
+    val regrets = exact.map { case (q, want) =>
+      val got = quant(q)
+      assert(got.size == k, s"query $q returned ${got.size} neighbors")
+      (want.map(n => allSims((q, n))).sum - got.map(n => allSims((q, n))).sum) / k
+    }
+    assert(regrets.max <= 0.005, s"max mean-cosine regret = ${regrets.max}")
+  }
+
+  test("quantized values stay in [-127, 127]; query values beyond corpus scales clamp") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, -2.0f, 0.0f)), (2L, Array(0.5f, 2.0f, 0.0f)))
+      .toDF("id", "vec")
+    val idx = SimilaritySearch.int8Index(corpus, "id", "vec")
+      .orderBy("id").collect()
+    // scales = (1.0, 2.0, 0.0); row 1 → (127, -127, 0), row 2 → (64, 127, 0)
+    assert(idx(0).getSeq[Byte](1) == Seq[Byte](127, -127, 0))
+    assert(idx(1).getSeq[Byte](1) == Seq[Byte](64, 127, 0))
+    // a query 10× outside the corpus range clamps instead of overflowing
+    val hot = Seq((9L, Array(10.0f, -20.0f, 5.0f))).toDF("id", "vec")
+    val top = SimilaritySearch.int8TopK(corpus, hot, "id", "vec", 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1L,
+      "clamped query must still rank the aligned corpus vector first")
+  }
+
+  test("int8 index quantizes against corpus-derived per-dimension scales") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(3.0f, -1.5f)), (2L, Array(-3.0f, 0.75f)))
+      .toDF("id", "vec")
+    val scales = SimilaritySearch.int8Scales(corpus, "vec").collect()
+    assert(scales.length == 1 && scales(0).getSeq[Double](0) == Seq(3.0, 1.5))
+  }
+}

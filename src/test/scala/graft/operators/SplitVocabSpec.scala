@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Leakage-safe splits, vocabulary coverage, and within-doc line dedup
+  * — the corpus-construction operators around the export path. */
+class SplitVocabSpec extends SparkSpec {
+
+  test("assignSplits: identical content always lands in the same split; leakage audit is empty") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"content ${i % 50}")).toDF("id", "text")
+    val split = Sampling.assignSplits(docs, md5(col("text")),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    // same text → same split, across all 6 copies of each of the 50 contents
+    assert(Sampling.splitLeakage(split.withColumn("g", md5(col("text"))), "g", "split")
+      .count() == 0)
+    // every row got exactly one known label and bucket edges are respected
+    val byLabel = split.groupBy("split").agg(min("split_bucket"), max("split_bucket"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    byLabel.get("train").foreach { case (_, hi) => assert(hi < 800) }
+    byLabel.get("val").foreach { case (lo, hi) => assert(lo >= 800 && hi < 900) }
+    byLabel.get("test").foreach { case (lo, _) => assert(lo >= 900) }
+  }
+
+  test("assignSplits: invalid cuts and column collisions are rejected") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, col("text"), Seq("train" -> 900, "val" -> 50))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, col("text"), Seq("a" -> 500, "a" -> 500))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs.withColumn("split", lit("x")), col("text"),
+        Seq("train" -> 500, "test" -> 500))
+    }
+  }
+
+  test("topTokens ranks by frequency with token-text tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("id", "text")
+    val top = Vocab.topTokens(docs, "text", 3).orderBy("vocab_rank")
+      .select("token").collect().map(_.getString(0)).toSeq
+    // freq: b=3, a=3, c=2, d=1 → tie b/a broken by text: a first
+    assert(top == Seq("a", "b", "c"))
+  }
+
+  test("oovStats counts OOV tokens per doc with exact permille") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b x y"), (2L, "a a a"), (3L, "z")).toDF("id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val got = Vocab.oovStats(docs, "id", "text", vocab).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 500L), (2L, 3L, 0L, 0L), (3L, 1L, 1L, 1000L)))
+  }
+
+  test("dedupLinesWithinDoc keeps first occurrences in order, row-locally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\ny"),
+      (3L, "")).toDF("id", "text")
+    val got = Dedup.dedupLinesWithinDoc(docs, "id", "text").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, "a\nb\nc"),
+      (2L, 2L, 0L, "x\ny"),
+      (3L, 1L, 0L, "")))
+  }
+}
