@@ -768,6 +768,34 @@ object Dedup {
     Checkpointer.release(edges) // the loop was the graph's only reader
     labels
   }
+  /** Quality-aware canonical election: given near-dup cluster labels
+    * ([[connectedComponents]] output) and a per-document quality score,
+    * keep the BEST document of each cluster instead of the min-id one —
+    * the curation policy production pipelines actually want ("of a
+    * duplicate cluster, keep the longest / highest-quality page").
+    * Ties break on lowest id, so the election is total and
+    * engine-portable. Docs absent from `comps` are their own cluster
+    * and always kept.
+    *
+    * Scale shape: the election runs on a NARROW (id, cluster, score)
+    * frame — one labels join, one cluster-keyed window over three
+    * columns — and the keep flag joins back by id, so document text
+    * crosses exactly one shuffle (the flag join) and never enters the
+    * window. Output: input columns + (cluster, score, keep). */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, comps: DataFrame,
+      score: Column): DataFrame = {
+    val labels = comps.select(col("id").as(idCol), col("cluster").as("__c"))
+    val scored = docs.select(col(idCol), score.as("score"))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__c"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("score").desc, col(idCol).asc)
+    val flags = scored
+      .select(col(idCol), col("cluster"), col("score"),
+        when(row_number().over(w) === 1, 1).otherwise(0).as("keep"))
+    docs.join(flags, Seq(idCol))
+  }
+
   /** End-to-end corpus dedup — the one-call pipeline a curation job
     * actually runs: MinHash-LSH candidates → estimated-Jaccard gate →
     * connected components → per-cluster canonical winner (min id).

@@ -248,4 +248,37 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** The production ANN shape at 100 TB: IVF bucketing (search only
+    * `nprobe` buckets — corpus² never materializes) over an int8
+    * INDEX (the bucket join moves tinyints, not floats — 4× less
+    * shuffle and memory). Bucket assignment stays in float against the
+    * (small, broadcast) centroid table — one corpus pass, the same
+    * assignment [[ivfTopK]] makes — and only the pair-scoring stage is
+    * quantized, ranked by the deterministic quantized cosine of
+    * [[int8TopK]]. Same small-query broadcast contract as [[ivfTopK]].
+    * Output: (query_id, bucket, neighbor_id, qdot, qsim, rank). */
+  def ivfTopKInt8(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val scales = int8Scales(corpus, vecCol)
+    def quantized(assigned: DataFrame, as: String) = assigned
+      .crossJoin(broadcast(scales))
+      .select(col(idCol).as(as), col("bucket"),
+        asDouble(int8Quantize(col("vec"), col("scales"))).as(s"${as}_q"))
+      .withColumn(s"${as}_nrm", norm(col(s"${as}_q")))
+    val c = quantized(assignBuckets(corpus, centroids, idCol, vecCol), "neighbor_id")
+    val q = quantized(assignBucketsN(queries, centroids, idCol, vecCol, nprobe), "query_id")
+      .withColumnRenamed("bucket", "qbucket")
+    val qsim = round(col("qdot") / (col("query_id_nrm") * col("neighbor_id_nrm")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("bucket") === col("qbucket")
+        && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"),
+        dot(col("query_id_q"), col("neighbor_id_q")).cast("long").as("qdot"),
+        col("query_id_nrm"), col("neighbor_id_nrm"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("qdot"),
+        qsim.as("qsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1446,7 +1446,38 @@ object Extensions {
     Dedup.dedupLinesWithinDoc(fx, "doc_id", "ftext").orderBy("doc_id")
   }
 
+  /** q133 — quality-aware cluster election
+    * ([[Dedup.keepBestPerCluster]]): q42's near-dup clusters, but the
+    * survivor is the LONGEST document of each cluster (n_chars as the
+    * quality score, id tie-break) instead of the min-id one — the
+    * keep-the-best-page curation policy. The oracle re-derives the
+    * reachability clusters and the scored window election. */
+  def q133BestOfCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("block", concat_ws("_", col("lang"), col("source")))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "block", 1, 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    Dedup.keepBestPerCluster(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", comps, col("n_chars"))
+      .select(col("doc_id"), col("cluster"), col("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q134 — int8-quantized IVF ANN ([[SimilaritySearch.ivfTopKInt8]]):
+    * q88's bucketed multi-probe search with the pair-scoring stage on
+    * the 4×-smaller quantized index — float bucket assignment,
+    * quantized-cosine ranking, all deterministic. */
+  def q134AnnIvfInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.ivfTopKInt8(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", 2, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_ann_ivf_int8" -> (q134AnnIvfInt8 _),
+    "q133_best_of_cluster" -> (q133BestOfCluster _),
     "q132_doc_line_dedup" -> (q132DocLineDedup _),
     "q131_vocab_oov" -> (q131VocabOov _),
     "q130_int8_ann" -> (q130Int8Ann _),
@@ -1684,6 +1715,62 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q133_best_of_cluster" ->
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, lang || '_' || source AS block,
+        |       list_distinct($toksSql) AS sh FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2
+        | FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT d.doc_id, d.n_chars,
+        |  CASE WHEN m.mn IS NOT NULL AND m.mn < d.doc_id THEN m.mn ELSE d.doc_id END AS cluster
+        | FROM documents d
+        | LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m ON m.src = d.doc_id),
+        |r AS (SELECT doc_id, cluster, n_chars AS score,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+        |SELECT doc_id, cluster, score,
+        |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q134_ann_ivf_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |sims AS (SELECT e.vec_id, e.v, c.cid,
+        |  round(list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2]))
+        |   / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+        | FROM e, c),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims),
+        |assign AS (SELECT vec_id, v, cid AS bucket FROM ranked WHERE rn = 1),
+        |qs AS (SELECT vec_id AS qid, v AS qv, cid AS bucket FROM ranked
+        |      WHERE rn <= 2 AND vec_id >= 8 AND vec_id < 13),
+        |dd AS (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |mx AS (SELECT i, max(abs(v[CAST(i AS INT)])) AS s FROM dd GROUP BY i),
+        |sc AS (SELECT list(s ORDER BY i) AS scales FROM mx),
+        |qza AS (SELECT vec_id, bucket, list_transform(list_zip(v, scales), p ->
+        |    CASE WHEN p[2] > 0
+        |         THEN least(greatest(floor(p[1] / p[2] * 127 + 0.5), -127), 127)
+        |         ELSE 0 END) AS q FROM assign CROSS JOIN sc),
+        |qzq AS (SELECT qid, bucket, list_transform(list_zip(qv, scales), p ->
+        |    CASE WHEN p[2] > 0
+        |         THEN least(greatest(floor(p[1] / p[2] * 127 + 0.5), -127), 127)
+        |         ELSE 0 END) AS q FROM qs CROSS JOIN sc),
+        |s AS (SELECT qzq.qid AS query_id, a.bucket, a.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(qzq.q, a.q), p -> p[1] * p[2])) AS BIGINT) AS qdot,
+        |    sqrt(list_sum(list_transform(qzq.q, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(a.q, x -> x * x))) AS nn
+        |  FROM qza a JOIN qzq ON a.bucket = qzq.bucket AND a.vec_id <> qzq.qid),
+        |s2 AS (SELECT query_id, bucket, neighbor_id, qdot, round(qdot / nn, 6) AS qsim FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rank FROM s2)
+        |SELECT query_id, bucket, neighbor_id, qdot, qsim, rank FROM r WHERE rank <= 2
+        |ORDER BY query_id, rank""".stripMargin,
     "q129_split_assign" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substring(md5(md5(text)), 1, 15))::BIGINT % 1000 AS split_bucket

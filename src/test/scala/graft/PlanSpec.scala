@@ -270,6 +270,13 @@ class PlanSpec extends SparkSpec {
       "per-doc counters must partially aggregate before their shuffle")
   }
 
+  test("q134 int8 IVF: the quantized query batch broadcasts into the bucket join — no corpus SMJ") {
+    val p = plan("q134_ann_ivf_int8")
+    assert(p.contains("BroadcastHashJoin"), "quantized query batch should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "an SMJ here shuffles the whole quantized corpus for a handful of queries")
+  }
+
   test("q132 within-doc line dedup: row-local — no shuffle before the presentation sort") {
     val p = SparkEntry.queries("q132_doc_line_dedup")(spark, sf001)
       .queryExecution.executedPlan.toString

@@ -67,6 +67,21 @@ class Int8QuantSpec extends SparkSpec {
       "clamped query must still rank the aligned corpus vector first")
   }
 
+  test("quantized IVF matches float IVF's neighbor quality within the same buckets") {
+    val (corpus, queries) = fixture()
+    val centroids = corpus.filter(col("id") <= 5)
+    val float = topkSets(SimilaritySearch
+      .ivfTopK(corpus, centroids, queries, "id", "vec", k, nprobe = 2))
+    val quant = topkSets(SimilaritySearch
+      .ivfTopKInt8(corpus, centroids, queries, "id", "vec", k, nprobe = 2))
+    // identical bucket assignment (float on both paths) → same candidate
+    // pools; quantization may only reorder near-ties inside a pool
+    val overlap = float.map { case (q, want) =>
+      quant.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / float.size
+    assert(overlap >= 0.8, s"int8-IVF vs float-IVF top-$k overlap = $overlap")
+  }
+
   test("int8 index quantizes against corpus-derived per-dimension scales") {
     import spark.implicits._
     val corpus = Seq((1L, Array(3.0f, -1.5f)), (2L, Array(-3.0f, 0.75f)))

@@ -57,6 +57,23 @@ class SplitVocabSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 2L, 500L), (2L, 3L, 0L, 0L), (3L, 1L, 1L, 1000L)))
   }
 
+  test("keepBestPerCluster keeps the highest score per cluster, singletons always kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: 2 wins on score, 3 loses the tie
+      (4L, 5L), // singleton — not in comps at all
+      (5L, 50L), (6L, 99L)) // cluster 5: 6 wins despite higher id
+      .toDF("id", "n")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "cluster")
+    val got = Dedup.keepBestPerCluster(docs, "id", comps, col("n"))
+      .select("id", "cluster", "keep").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0),
+      (4L, 4L, 1),
+      (5L, 5L, 0), (6L, 5L, 1)))
+  }
+
   test("dedupLinesWithinDoc keeps first occurrences in order, row-locally") {
     import spark.implicits._
     val docs = Seq(
