@@ -33,6 +33,33 @@ object Vocab {
       .filter(col("vocab_rank") <= n)
   }
 
+  /** One merge-candidate counting step of dictionary-based BPE training
+    * (the inner loop of subword-vocab construction): count adjacent
+    * character pairs, weighted by word frequency, and rank the merge
+    * candidates. Runs on the DISTINCT-token dictionary — the classic
+    * trick that makes BPE training corpus-size-independent: the only
+    * corpus-sized stage is the token count (one partial-agg shuffle);
+    * the character-pair stage then works on dictionary rows (≪ corpus)
+    * carrying (token, freq). Ties rank by pair text, so the merge
+    * order is total and engine-portable.
+    *
+    * Output: (pair, n_pairs, merge_rank), the top `n` candidates —
+    * iterate externally (apply merge 1, re-derive, …) to build a full
+    * merge table. */
+  def bpeMergeCandidates(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val dict = df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+    val pairs = dict.select(col("freq"),
+      explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+    val w = Window.orderBy(col("n_pairs").desc, col("pair").asc)
+    pairs.groupBy("pair").agg(sum("freq").as("n_pairs"))
+      .withColumn("merge_rank", row_number().over(w))
+      .filter(col("merge_rank") <= n)
+  }
+
   /** Per-document vocabulary coverage against `vocab` (any DataFrame
     * with a `token` column; broadcast unconditionally — the vocab-side
     * small contract above). Output: (idCol, n_tokens, n_oov,

@@ -1475,7 +1475,16 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** q135 — BPE merge-candidate step ([[Vocab.bpeMergeCandidates]]):
+    * frequency-weighted adjacent character-pair counts over the
+    * distinct-token dictionary, top-20 merges — the inner loop of
+    * subword-vocab training, corpus-sized only in the token count. */
+  def q135BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Vocab.bpeMergeCandidates(Tables(spark, dir, "documents"), "text", 20)
+      .orderBy("merge_rank")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_bpe_merges" -> (q135BpeMerges _),
     "q134_ann_ivf_int8" -> (q134AnnIvfInt8 _),
     "q133_best_of_cluster" -> (q133BestOfCluster _),
     "q132_doc_line_dedup" -> (q132DocLineDedup _),
@@ -1715,6 +1724,17 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q135_bpe_merges" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+        |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),
+        |f2 AS (SELECT tok, freq FROM f WHERE length(tok) >= 2),
+        |p AS (SELECT freq, unnest(list_transform(range(1, length(tok)),
+        |        i -> substring(tok, CAST(i AS INT), 2))) AS pair FROM f2),
+        |c AS (SELECT pair, sum(freq)::BIGINT AS n_pairs FROM p GROUP BY pair),
+        |r AS (SELECT pair, n_pairs,
+        |    row_number() OVER (ORDER BY n_pairs DESC, pair) AS merge_rank FROM c)
+        |SELECT pair, n_pairs, merge_rank FROM r WHERE merge_rank <= 20
+        |ORDER BY merge_rank""".stripMargin,
     "q133_best_of_cluster" ->
       s"""WITH RECURSIVE
         |t AS (SELECT doc_id, lang || '_' || source AS block,

@@ -57,6 +57,16 @@ class SplitVocabSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 4L, 2L, 500L), (2L, 3L, 0L, 0L), (3L, 1L, 1L, 1000L)))
   }
 
+  test("bpeMergeCandidates counts frequency-weighted char pairs over the dictionary") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc"), (2L, "abab x")).toDF("id", "text")
+    val got = Vocab.bpeMergeCandidates(docs, "text", 3).orderBy("merge_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // dictionary: abab(freq 2), abc(1); x dropped (length 1)
+    // abab → ab,ba,ab; abc → ab,bc ⇒ ab: 2·2+1 = 5, ba: 2, bc: 1
+    assert(got.toSeq == Seq(("ab", 5L, 1), ("ba", 2L, 2), ("bc", 1L, 3)))
+  }
+
   test("keepBestPerCluster keeps the highest score per cluster, singletons always kept") {
     import spark.implicits._
     val docs = Seq(
