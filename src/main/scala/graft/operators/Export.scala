@@ -68,6 +68,36 @@ object Export {
     (packed, manifest)
   }
 
+  /** Deterministic training-order shuffle. [[plan]] packs shards in
+    * (split, source, id) order — correct for auditing, WRONG as a
+    * training order: consecutive batches would come from one source
+    * (gradient correlation). This derives a pseudorandom-but-
+    * reproducible order: shuffle_key = md5 of the row key, shard_no =
+    * its stable bucket, pos_in_shard = rank of the key within the
+    * shard — the same shuffle every rerun and every engine, no RNG, so
+    * a training run is replayable from (shard_no, pos_in_shard) alone.
+    *
+    * Scale shape: one hash shuffle on shard_no + a per-shard sort over
+    * (16-byte key + row) — never a global sort; shard count bounds
+    * writer/loader parallelism independently of corpus size. Collisions
+    * can't break totality: the concatenated key string itself is the
+    * tie-break. Output adds (shuffle_key, shard_no, pos_in_shard). */
+  def trainingOrder(df: DataFrame, keyCols: Seq[Column], nShards: Int): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"trainingOrder appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
+    val keyed = df.withColumn("__k", concat_ws(":", keyCols.map(_.cast("string")): _*))
+      .withColumn("shuffle_key", md5(col("__k")))
+      .withColumn("shard_no",
+        pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy("shard_no").orderBy(col("shuffle_key"), col("__k"))
+    keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .drop("__k")
+  }
+
   /** Run the full export: optional curation gate → [[plan]] → shard
     * write (split-partitioned parquet, one writer task per shard) →
     * manifest write at `outDir/_manifest`. Returns the manifest.

@@ -1483,7 +1483,19 @@ object Extensions {
     Vocab.bpeMergeCandidates(Tables(spark, dir, "documents"), "text", 20)
       .orderBy("merge_rank")
 
+  /** q136 — deterministic training-order shuffle
+    * ([[Export.trainingOrder]]): documents ranked into 8 interleaved
+    * shards by md5 key — the reproducible no-RNG shuffle a training
+    * run replays from (shard_no, pos_in_shard) alone. The oracle
+    * re-derives the key, the bucket, and the per-shard rank. */
+  def q136TrainingOrder(spark: SparkSession, dir: String): DataFrame =
+    Export.trainingOrder(Tables(spark, dir, "documents").select(col("doc_id")),
+        Seq(col("doc_id")), 8)
+      .select(col("doc_id"), col("shuffle_key"), col("shard_no"), col("pos_in_shard"))
+      .orderBy("shard_no", "pos_in_shard")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_training_order" -> (q136TrainingOrder _),
     "q135_bpe_merges" -> (q135BpeMerges _),
     "q134_ann_ivf_int8" -> (q134AnnIvfInt8 _),
     "q133_best_of_cluster" -> (q133BestOfCluster _),
@@ -1724,6 +1736,15 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q136_training_order" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents),
+        |b AS (SELECT doc_id, shuffle_key,
+        |    ('0x' || substring(shuffle_key, 1, 15))::BIGINT % 8 AS shard_no FROM k),
+        |r AS (SELECT doc_id, shuffle_key, shard_no,
+        |    (row_number() OVER (PARTITION BY shard_no
+        |       ORDER BY shuffle_key, doc_id::VARCHAR) - 1)::BIGINT AS pos_in_shard FROM b)
+        |SELECT doc_id, shuffle_key, shard_no, pos_in_shard FROM r
+        |ORDER BY shard_no, pos_in_shard""".stripMargin,
     "q135_bpe_merges" ->
       s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
         |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),

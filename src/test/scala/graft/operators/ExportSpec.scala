@@ -81,4 +81,31 @@ class ExportSpec extends SparkSpec {
       .orderBy("split", "source", "shard_no").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq, "manifest must be partitioning-independent")
   }
+
+  test("trainingOrder: reproducible, partitioning-independent, covers every row once") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Export.trainingOrder(df, Seq(col("id")), 8)
+        .select("id", "shard_no", "pos_in_shard")
+        .orderBy("shard_no", "pos_in_shard").collect().map(_.toSeq)
+    val a = run(docs)
+    assert(a.toSeq == run(docs.repartition(17)).toSeq,
+      "the shuffle must be reshuffle-proof")
+    // bijection: every input row appears exactly once, positions contiguous per shard
+    assert(a.map(_.head).toSet.size == 500)
+    val byShard = a.groupBy(_(1).asInstanceOf[Long])
+    byShard.values.foreach { rows =>
+      assert(rows.map(_(2).asInstanceOf[Long]).toSeq == (0L until rows.size).toSeq)
+    }
+    // the md5 interleave actually decorrelates source order: no shard is
+    // a contiguous id range
+    assert(byShard.values.forall { rows =>
+      val ids = rows.map(_.head.asInstanceOf[Long])
+      ids.max - ids.min > ids.size
+    })
+    intercept[IllegalArgumentException] {
+      Export.trainingOrder(docs.withColumn("shard_no", lit(1)), Seq(col("id")), 8)
+    }
+  }
 }
