@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The row-local curation operators (split assignment, within-doc line
+  * dedup, PII scrub) are pure projections, so the SAME call works on a
+  * stream — batch ≡ streaming parity with no operator-specific code. */
+class StatelessStreamSpec extends SparkSpec {
+
+  test("assignSplits and dedupLinesWithinDoc run unchanged on a file stream, matching batch") {
+    val inDir = Files.createTempDirectory("graft_sl_in")
+    val outDir = Files.createTempDirectory("graft_sl_out").toString
+    val ckpt = Files.createTempDirectory("graft_sl_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.write(inDir.resolve("b1.jsonl"),
+      (1 to 40).map(i => s"""{"doc_id":$i,"text":"line a\\nline b\\nline a\\ndoc $i"}""").asJava)
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.assignSplits(
+        graft.operators.Dedup.dedupLinesWithinDoc(df, "doc_id", "text")
+          .withColumn("clean_text",
+            graft.functions.TextFunctions.redactPii(col("clean_text"))),
+        md5(col("clean_text")), Seq("train" -> 900, "test" -> 100))
+
+    val q = curate(spark.readStream.schema(schema).json(inDir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = curate(spark.read.schema(schema).json(inDir.toString))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(streamed.length == 40)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
+    // the repeated line was dropped in both paths
+    assert(!streamed.head(3).asInstanceOf[String].split("\n").groupBy(identity)
+      .exists(_._2.length > 1))
+  }
+}
