@@ -81,6 +81,46 @@ object Curation {
         col("s.n_tokens"), col("s.retained_milli"))
   }
 
+  /** Classifier-gate calibration: the precision/recall curve of an
+    * integer quality score against a binary label, one row per score
+    * bin — "where do I set the gate threshold?" answered from the
+    * corpus itself. Bins are fixed-width on the score (histogram
+    * semantics, q82-style), cumulated from the TOP: row `bin` reports
+    * the gate `score >= bin · binWidth` — kept docs, kept positives,
+    * precision and recall in exact integer ‰.
+    *
+    * Scale shape: one partial-agg shuffle reduces the corpus to ≤
+    * #bins rows of counters; the cumulative window runs on that tiny
+    * frame (a global-rank quantile sweep would serialize the corpus
+    * through one window partition — fixed-width bins trade threshold
+    * granularity for a corpus-size-independent plan).
+    *
+    * Output: (bin, threshold, n_bin, cum_docs, cum_pos,
+    * precision_milli, recall_milli), bins descending-cumulative,
+    * ordered ascending. */
+  def thresholdSweep(df: DataFrame, score: Column, positive: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "need binWidth >= 1")
+    val binned = df.select(score.cast("long").as("__s"),
+        when(positive, 1L).otherwise(0L).as("__pos"))
+      // floor-division binning, negative-safe: pmod ∈ [0, w) always
+      .select(expr(s"(__s - pmod(__s, ${binWidth}L)) DIV ${binWidth}L").as("bin"),
+        col("__pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_bin"), sum("__pos").as("n_pos_bin"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum("n_pos_bin").as("__tp"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum("n_bin").over(w))
+      .withColumn("cum_pos", sum("n_pos_bin").over(w))
+      .select(col("bin"), (col("bin") * binWidth).as("threshold"),
+        col("n_bin"), col("cum_docs"), col("cum_pos"),
+        expr("cum_pos * 1000 DIV cum_docs").as("precision_milli"),
+        when(col("__tp") > 0, expr("cum_pos * 1000 DIV __tp"))
+          .otherwise(0L).as("recall_milli"))
+  }
+
   /** One-call corpus datasheet — the summary block of a dataset card
     * (Gebru et al. 2021, "Datasheets for Datasets"): document/token
     * totals, exact-duplicate rate, and the language spread, every

@@ -51,6 +51,50 @@ object TextClassify {
       .agg(sum(col("__cnt") * col("w_milli")).as("score_milli"))
   }
 
+  /** In-engine multinomial Naive Bayes training — produces a weight
+    * table [[scores]]/[[classify]] consume directly, closing the
+    * train→infer loop without leaving the engine. Hashed-feature NB
+    * (one of the standard fastText-style baselines): for every (bucket,
+    * label), `w = round(1e6 · ln((c_bl + 1) / (c_l + dim)))` — Laplace-
+    * smoothed log-likelihood in integer micro-log units (the q118/q119
+    * log-domain recipe: exact integer inputs, ONE libm rounding per
+    * pair, so engines agree to the half-unit the rounding needs). The
+    * table is DENSE over all `dim` buckets × observed labels: an
+    * unseen (bucket, label) must score the smoothed floor
+    * `ln(1/(c_l + dim))`, not 0 — the sparse-is-zero convention of the
+    * scoring join would silently favor labels with more training data.
+    * No class-prior term (the scorer has no bias row); with balanced-ish
+    * classes the likelihood dominates — document-level priors belong in
+    * a downstream reweighting if needed.
+    *
+    * Scale shape: one (label, bucket) partial-agg shuffle over the
+    * token stream — counters, never text; the densification cross-join
+    * is dim × n_labels rows (model-sized, broadcast-sized by the same
+    * argument as the scoring join).
+    *
+    * Output: (bucket, label, w_milli) — [[scores]]' weight contract
+    * (units are 1e-6·ln; any consistent integer unit ranks
+    * identically). */
+  def trainNaiveBayes(docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "need dim >= 1 hash buckets")
+    val toks = docs.select(col(labelCol).as("label"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col("label"),
+        (TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("bucket"))
+    val cbl = toks.groupBy("label", "bucket").agg(count(lit(1)).as("__c"))
+    val cl = cbl.groupBy("label").agg(sum("__c").as("__ct"))
+    val allBuckets = docs.sparkSession.range(dim)
+      .select(col("id").cast("int").as("bucket"))
+    allBuckets.crossJoin(cl)
+      .join(cbl, Seq("label", "bucket"), "left")
+      .select(col("bucket"), col("label"),
+        round(lit(1e6) * log(
+          (coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+            (col("__ct") + dim).cast("double")))
+          .cast("long").as("w_milli"))
+  }
+
   /** Argmax classification over [[scores]] — one row per doc: the
     * winning label and its score, ties broken by the alphabetically
     * first label (deterministic across engines). */

@@ -1494,7 +1494,38 @@ object Extensions {
       .select(col("doc_id"), col("shuffle_key"), col("shard_no"), col("pos_in_shard"))
       .orderBy("shard_no", "pos_in_shard")
 
+  /** q137 — in-engine Naive Bayes language classification
+    * ([[TextClassify.trainNaiveBayes]] → [[TextClassify.classify]]):
+    * the train→infer loop closed inside the engine — hashed-feature NB
+    * weights (64 buckets, Laplace-smoothed integer micro-log units)
+    * trained on the corpus labels, then argmax self-classification with
+    * a correctness flag. The oracle re-derives counts, the dense
+    * smoothed table, scoring, and the argmax. */
+  def q137NbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = TextClassify.trainNaiveBayes(d, "text", "lang", 64)
+    TextClassify.classify(d, "doc_id", "text", w, 64)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("label").as("pred_lang"), col("score_milli"),
+        when(col("label") === col("lang"), 1).otherwise(0).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** q138 — classifier-gate calibration ([[Curation.thresholdSweep]]):
+    * the precision/recall curve of q113's English-model fluency score
+    * against the `lang = 'en'` label, per 1000-micro score bin,
+    * cumulated from the top — "set the gate where recall crosses X".
+    * All counters and ‰ ratios exact integers. */
+  def q138ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Importance.bigramFluency(Tables(spark, dir, "documents"),
+      "doc_id", "text", col("lang") === "en", carryCols = Seq("lang"))
+    Curation.thresholdSweep(scored, col("fluency_micro"), col("lang") === "en", 1000L)
+      .orderBy("bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_threshold_sweep" -> (q138ThresholdSweep _),
+    "q137_nb_lang" -> (q137NbLangClassify _),
     "q136_training_order" -> (q136TrainingOrder _),
     "q135_bpe_merges" -> (q135BpeMerges _),
     "q134_ann_ivf_int8" -> (q134AnnIvfInt8 _),
@@ -1736,6 +1767,67 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_threshold_sweep" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |mb AS (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM mb0),
+        |c2 AS (SELECT hh, bh, count(1)::BIGINT AS c2 FROM mb GROUP BY hh, bh),
+        |c1 AS (SELECT hh, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY hh),
+        |v AS (SELECT count(1)::BIGINT AS v FROM c1),
+        |db0 AS (SELECT doc_id, lang, tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM t),
+        |db AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)]), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS bh
+        |  FROM db0),
+        |s AS (SELECT doc_id, lang,
+        |    ((coalesce(c2.c2, 0) + 1) * 1000000) // (coalesce(c1.c1, 0) + v.v) AS w
+        |  FROM db LEFT JOIN c2 ON db.hh = c2.hh AND db.bh = c2.bh
+        |    LEFT JOIN c1 ON db.hh = c1.hh CROSS JOIN v),
+        |sc AS (SELECT doc_id, lang, (sum(w)::BIGINT // count(1)) AS fluency_micro
+        |  FROM s GROUP BY doc_id, lang),
+        |b AS (SELECT
+        |    (fluency_micro - ((fluency_micro % 1000) + 1000) % 1000) // 1000 AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM sc),
+        |g AS (SELECT bin, count(1)::BIGINT AS n_bin, sum(pos)::BIGINT AS n_pos_bin
+        |  FROM b GROUP BY bin),
+        |tp AS (SELECT sum(n_pos_bin)::BIGINT AS tp FROM g),
+        |c AS (SELECT bin, n_bin, n_pos_bin,
+        |    sum(n_bin) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_docs,
+        |    sum(n_pos_bin) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos
+        |  FROM g)
+        |SELECT bin, (bin * 1000)::BIGINT AS threshold, n_bin, cum_docs, cum_pos,
+        |  (cum_pos * 1000 // cum_docs)::BIGINT AS precision_milli,
+        |  (CASE WHEN tp > 0 THEN cum_pos * 1000 // tp ELSE 0 END)::BIGINT AS recall_milli
+        |FROM c CROSS JOIN tp ORDER BY bin""".stripMargin,
+    "q137_nb_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS bucket FROM t),
+        |cbl AS (SELECT lang AS label, bucket, count(1)::BIGINT AS c
+        |  FROM h GROUP BY label, bucket),
+        |cl AS (SELECT label, sum(c)::BIGINT AS ct FROM cbl GROUP BY label),
+        |wts AS (SELECT b.bucket, cl.label,
+        |    CAST(round(1000000 * ln((coalesce(cbl.c, 0) + 1)::DOUBLE
+        |      / (cl.ct + 64)::DOUBLE)) AS BIGINT) AS w
+        |  FROM (SELECT unnest(range(64)) AS bucket) b CROSS JOIN cl
+        |  LEFT JOIN cbl ON cbl.label = cl.label AND cbl.bucket = b.bucket),
+        |db AS (SELECT doc_id, bucket, count(1)::BIGINT AS cnt
+        |  FROM h GROUP BY doc_id, bucket),
+        |sc AS (SELECT db.doc_id, wts.label, sum(db.cnt * wts.w)::BIGINT AS score_milli
+        |  FROM db JOIN wts ON db.bucket = wts.bucket GROUP BY db.doc_id, wts.label),
+        |r AS (SELECT doc_id, label, score_milli,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, label) AS rn
+        |  FROM sc)
+        |SELECT r.doc_id, r.label AS pred_lang, r.score_milli,
+        |  CASE WHEN r.label = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
     "q136_training_order" ->
       """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents),
         |b AS (SELECT doc_id, shuffle_key,

@@ -125,4 +125,28 @@ class CurationSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("model slice is empty")),
       s"expected the empty-model raise_error, got: ${messages(e)}")
   }
+
+  test("thresholdSweep: exact cumulative precision/recall per score bin") {
+    import spark.implicits._
+    // scores: pos at 25,17,12; neg at 21,8 → bins (w=10): 2:[25,21], 1:[17,12], 0:[8]
+    val df = Seq((25L, true), (21L, false), (17L, true), (12L, true), (8L, false))
+      .toDF("s", "pos")
+    val got = Curation.thresholdSweep(df, col("s"), col("pos"), 10L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // bin, threshold, n_bin, cum_docs, cum_pos, precision, recall
+      (0L, 0L, 1L, 5L, 3L, 600L, 1000L),
+      (1L, 10L, 2L, 4L, 3L, 750L, 1000L),
+      (2L, 20L, 2L, 2L, 1L, 500L, 333L)))
+  }
+
+  test("thresholdSweep bins negative scores with floor semantics") {
+    import spark.implicits._
+    val df = Seq((-5L, true), (5L, false)).toDF("s", "pos")
+    val bins = Curation.thresholdSweep(df, col("s"), col("pos"), 10L)
+      .select("bin").collect().map(_.getLong(0)).toSet
+    assert(bins == Set(-1L, 0L), s"-5 must land in bin -1 (floor), got $bins")
+  }
 }

@@ -36,4 +36,28 @@ class TextClassifySpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(1) == "aa")
     assert(got.head.getLong(2) == 15L, "3 tokens x 5 milli each")
   }
+
+  test("trainNaiveBayes: dense smoothed table, separable classes recovered") {
+    import spark.implicits._
+    val dim = 32
+    val train = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana cherry apple", "fruit"),
+      (3L, "bolt nut bolt washer", "tool"), (4L, "nut washer wrench", "tool"))
+      .toDF("doc_id", "text", "label")
+    val w = TextClassify.trainNaiveBayes(train, "text", "label", dim)
+    // dense: every (bucket, label) pair exists, even untouched buckets
+    assert(w.count() == dim * 2L)
+    // untouched buckets carry the smoothed floor ln(1/(ct+dim)), never 0
+    val floors = w.groupBy("label").agg(min("w_milli").as("mn"), max("w_milli").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // fruit: ct=6 tokens → floor = round(1e6*ln(1/38)); tool: ct=7 → ln(1/39)
+    assert(floors("fruit")._1 == math.round(1e6 * math.log(1.0 / 38)))
+    assert(floors("tool")._1 == math.round(1e6 * math.log(1.0 / 39)))
+    assert(floors.values.forall(_._2 < 0), "all log-likelihood weights are negative")
+    // the trained table classifies held-out texts from each class correctly
+    val test = Seq((10L, "apple cherry banana"), (11L, "wrench bolt nut")).toDF("doc_id", "text")
+    val pred = TextClassify.classify(test, "doc_id", "text", w, dim)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pred.toSeq == Seq((10L, "fruit"), (11L, "tool")))
+  }
 }
