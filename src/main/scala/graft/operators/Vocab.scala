@@ -60,6 +60,30 @@ object Vocab {
       .filter(col("merge_rank") <= n)
   }
 
+  /** Order-preserving token-id encoding against `vocab` (columns
+    * (token, vocab_rank)) — the step between vocabulary and sequence
+    * packing: text becomes `array<long>` of ids, OOV tokens become 0
+    * (the UNK id), position order preserved. Same broadcast-vocab
+    * contract as [[oovStats]]; the shuffle carries (doc_id, pos, id)
+    * triples — fixed-width rows, never text — and the array reassembles
+    * per doc with a sorted collect. Output: (idCol, n_tokens,
+    * token_ids). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("token"),
+      col("vocab_rank").cast("long").as("__vid")))
+    df.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("__p", "token")))
+      .join(v, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__p"),
+        coalesce(col("__vid"), lit(0L)).as("id")))).as("__ps"))
+      .select(col(idCol),
+        size(col("__ps")).cast("long").as("n_tokens"),
+        transform(col("__ps"), p => p.getField("id")).as("token_ids"))
+  }
+
   /** Per-document vocabulary coverage against `vocab` (any DataFrame
     * with a `token` column; broadcast unconditionally — the vocab-side
     * small contract above). Output: (idCol, n_tokens, n_oov,

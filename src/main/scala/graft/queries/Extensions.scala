@@ -1523,7 +1523,18 @@ object Extensions {
       .orderBy("bin")
   }
 
+  /** q139 — token-id encoding ([[Vocab.encode]]): the corpus encoded
+    * against its own top-100 vocab — OOV → 0, order preserved — the
+    * text→ids step before sequence packing. The oracle re-derives the
+    * vocab ranking and the position-ordered id list. */
+  def q139VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_vocab_encode" -> (q139VocabEncode _),
     "q138_threshold_sweep" -> (q138ThresholdSweep _),
     "q137_nb_lang" -> (q137NbLangClassify _),
     "q136_training_order" -> (q136TrainingOrder _),
@@ -1767,6 +1778,20 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q139_vocab_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+        |c AS (SELECT token, count(1) AS n_occ FROM e GROUP BY token),
+        |v AS (SELECT token, rn AS vid FROM (
+        |    SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM c)
+        |  WHERE rn <= 100),
+        |p0 AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM t),
+        |p AS (SELECT doc_id, p, tk[CAST(p + 1 AS INT)] AS token FROM p0),
+        |j AS (SELECT p.doc_id, p.p, coalesce(v.vid, 0)::BIGINT AS id
+        |  FROM p LEFT JOIN v ON p.token = v.token)
+        |SELECT doc_id, count(1)::BIGINT AS n_tokens,
+        |  list(id ORDER BY p) AS token_ids
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q138_threshold_sweep" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
         |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i

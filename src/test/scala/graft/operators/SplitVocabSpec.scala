@@ -48,6 +48,17 @@ class SplitVocabSpec extends SparkSpec {
     assert(top == Seq("a", "b", "c"))
   }
 
+  test("encode maps tokens to vocab ranks in position order, OOV to 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a zz b"), (2L, "a")).toDF("id", "text")
+    val vocab = Seq(("a", 1), ("b", 2)).toDF("token", "vocab_rank")
+    val got = Vocab.encode(docs, "id", "text", vocab).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(got.toSeq == Seq(
+      (1L, 4L, Seq(2L, 1L, 0L, 2L)),
+      (2L, 1L, Seq(1L))))
+  }
+
   test("oovStats counts OOV tokens per doc with exact permille") {
     import spark.implicits._
     val docs = Seq((1L, "a b x y"), (2L, "a a a"), (3L, "z")).toDF("id", "text")
