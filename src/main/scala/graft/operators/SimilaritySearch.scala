@@ -170,6 +170,31 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Feature-hashed TF vectors — dense `array<double>` of token counts
+    * per hash bucket: a self-contained text embedding (no external
+    * model) good enough to drive [[bruteForceTopK]]/[[ivfTopK]]/
+    * [[Dedup.semDedup]] for lexical similar-document search. Counts are
+    * exact integers (held as doubles for the shared cosine kernel), so
+    * downstream similarity is engine-reproducible. One (id, bucket)
+    * partial-agg shuffle of counters — text never moves; the dense
+    * reassembly is a row-local map lookup over the `dim` positions.
+    * Keep `dim` modest (2^6–2^12): this is bag-of-words hashing, not a
+    * learned space. Output: (idCol, vec). */
+  def hashedTfVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, "need dim >= 1 buckets")
+    val counts = df.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        (graft.functions.TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+    counts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("__m"), d), lit(0L)).cast("double")).as("vec"))
+  }
+
   // ---- int8 scalar quantization (the ANN memory-scale path) ----------
   //
   // At 100 TB the embedding column dominates storage and shuffle: a

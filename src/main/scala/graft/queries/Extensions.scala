@@ -1533,7 +1533,22 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q140 — lexical similar-document search on self-embeddings
+    * ([[SimilaritySearch.hashedTfVectors]] → [[SimilaritySearch
+    * .bruteForceTopK]]): 64-bucket hashed-TF vectors from the corpus
+    * text itself drive cosine top-3 — the no-external-model similarity
+    * path. The oracle rebuilds the dense count vectors and the ranked
+    * cosine. */
+  def q140HashedTfSim(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = SimilaritySearch.hashedTfVectors(
+      Tables(spark, dir, "documents"), "doc_id", "text", 64)
+    SimilaritySearch.bruteForceTopK(vecs, vecs.filter(col("doc_id") < 5),
+        "doc_id", "vec", 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_hashed_tf_sim" -> (q140HashedTfSim _),
     "q139_vocab_encode" -> (q139VocabEncode _),
     "q138_threshold_sweep" -> (q138ThresholdSweep _),
     "q137_nb_lang" -> (q137NbLangClassify _),
@@ -1778,6 +1793,27 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q140_hashed_tf_sim" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS b FROM e),
+        |c AS (SELECT doc_id, b, count(1)::BIGINT AS cnt FROM h GROUP BY doc_id, b),
+        |g AS (SELECT dd.doc_id, dims.d
+        |  FROM (SELECT DISTINCT doc_id FROM documents) dd,
+        |       (SELECT unnest(range(0, 64)) AS d) dims),
+        |z AS (SELECT g.doc_id, g.d, coalesce(c.cnt, 0)::DOUBLE AS x
+        |  FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.d),
+        |v AS (SELECT doc_id, list(x ORDER BY d) AS v FROM z GROUP BY doc_id),
+        |s AS (SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+        |    round(list_sum(list_transform(list_zip(q.v, n.v), p -> p[1] * p[2]))
+        |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(n.v, x -> x * x)))), 6) AS sim
+        |  FROM v n JOIN v q ON q.doc_id < 5 AND n.doc_id <> q.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "q139_vocab_encode" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |e AS (SELECT doc_id, unnest(tk) AS token FROM t),

@@ -82,6 +82,23 @@ class Int8QuantSpec extends SparkSpec {
     assert(overlap >= 0.8, s"int8-IVF vs float-IVF top-$k overlap = $overlap")
   }
 
+  test("hashedTfVectors: dense exact counts, zero-filled, cosine-ready") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "")).toDF("id", "text")
+    val vecs = SimilaritySearch.hashedTfVectors(docs, "id", "text", 16)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(vecs.forall(_._2.size == 16), "every vector is dense at dim")
+    assert(vecs(0)._2.sum == 3.0 && vecs(1)._2.sum == 1.0,
+      "bucket counts sum to token counts")
+    // doc 1 and doc 2 share token 'a' → strictly positive cosine;
+    // identical hashing makes doc 2's vector a sub-pattern of doc 1's
+    val top = SimilaritySearch.bruteForceTopK(
+      SimilaritySearch.hashedTfVectors(docs.filter(col("id") < 3), "id", "text", 16),
+      SimilaritySearch.hashedTfVectors(docs.filter(col("id") === 2), "id", "text", 16),
+      "id", "vec", 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1L && top(0).getDouble(2) > 0.8)
+  }
+
   test("int8 index quantizes against corpus-derived per-dimension scales") {
     import spark.implicits._
     val corpus = Seq((1L, Array(3.0f, -1.5f)), (2L, Array(-3.0f, 0.75f)))
