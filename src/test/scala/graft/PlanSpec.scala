@@ -277,6 +277,29 @@ class PlanSpec extends SparkSpec {
       "an SMJ here shuffles the whole quantized corpus for a handful of queries")
   }
 
+  test("q137 NB classification: the trained table broadcasts; corpus shuffles carry counters, not text") {
+    val p = plan("q137_nb_lang")
+    assert(p.contains("BroadcastHashJoin"), "the NB weight table should broadcast")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "bucket counters must partially aggregate before their shuffle")
+  }
+
+  test("q138 threshold sweep: the corpus reduces to bin counters before any window") {
+    val p = plan("q138_threshold_sweep")
+    // the cumulative window must sit ABOVE the bin aggregation (the
+    // tree prints root-first, so the aggregate that feeds the window
+    // appears AFTER it) — a Window directly over corpus rows would
+    // serialize the corpus through one partition
+    val win = p.indexOf("Window")
+    assert(win > 0, "expected the cumulative Window")
+    assert(p.indexOf("HashAggregate", win) > 0,
+      "the bin aggregation must sit below the cumulative window")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "bin counters must partially aggregate before their shuffle")
+  }
+
   test("q132 within-doc line dedup: row-local — no shuffle before the presentation sort") {
     val p = SparkEntry.queries("q132_doc_line_dedup")(spark, sf001)
       .queryExecution.executedPlan.toString
