@@ -254,8 +254,12 @@ object SimilaritySearch {
     * (query_id, neighbor_id, qdot, qsim, rank) with `qdot` the exact
     * integer numerator. */
   def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val scales = int8Scales(corpus, vecCol)
+      vecCol: String, k: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // materialize the 1-row scales frame: it feeds BOTH quantization
+    // branches, and un-truncated lineage would re-run the corpus
+    // max-abs pass once per branch
+    val scales = checkpointer(int8Scales(corpus, vecCol))
     def quant(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), asDouble(col(vecCol)).as("v"))
         .crossJoin(broadcast(scales))
@@ -284,8 +288,10 @@ object SimilaritySearch {
     * [[int8TopK]]. Same small-query broadcast contract as [[ivfTopK]].
     * Output: (query_id, bucket, neighbor_id, qdot, qsim, rank). */
   def ivfTopKInt8(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val scales = int8Scales(corpus, vecCol)
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // same double-branch argument as int8TopK: one corpus max-abs pass
+    val scales = checkpointer(int8Scales(corpus, vecCol))
     def quantized(assigned: DataFrame, as: String) = assigned
       .crossJoin(broadcast(scales))
       .select(col(idCol).as(as), col("bucket"),

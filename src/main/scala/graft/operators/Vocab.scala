@@ -70,8 +70,11 @@ object Vocab {
     * token_ids). */
   def encode(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
+    // defensive min-rank dedup: a duplicated vocab token would fan out
+    // the position join and silently lengthen every id array
     val v = broadcast(vocab.select(col("token"),
-      col("vocab_rank").cast("long").as("__vid")))
+        col("vocab_rank").cast("long").as("__vid"))
+      .groupBy("token").agg(min("__vid").as("__vid")))
     df.select(col(idCol),
         posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
           .as(Seq("__p", "token")))
