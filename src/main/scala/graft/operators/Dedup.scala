@@ -163,6 +163,44 @@ object Dedup {
         col("__ex.kept_text").as("dedup_text"))
   }
 
+  /** Within-document ExactSubstr: excise every `windowWords`-token
+    * window that already occurred EARLIER IN THE SAME DOCUMENT (merged
+    * to maximal spans, first occurrence kept) — the self-repetition
+    * complement of [[spanDedup]]'s cross-corpus election, catching the
+    * copy-pasted paragraph inside one page that corpus-level dedup
+    * (which elects across documents) leaves alone. Run it before
+    * [[spanDedup]]: fewer windows enter the global election.
+    *
+    * Scale shape: entirely row-local — the duplicate-window scan is a
+    * prefix `array_position` over the doc's own shingle array
+    * (quadratic in windows-per-doc, zero shuffle) and excision is the
+    * same one-pass [[graft.expressions.ExciseWindows]] kernel as
+    * [[spanDedup]].
+    *
+    * Output: (id, n_tokens, n_spans, n_removed, dedup_text) — the
+    * [[spanDedup]] contract. */
+  def spanDedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 13): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val k = windowWords
+    def toks = split(col(textCol), " ")
+    def wins = graft.expressions.WordShingles(toks, k)
+    // 0-based window index i is a duplicate iff its shingle appears in
+    // the strict prefix wins[0..i); sequence() is ascending only when
+    // the doc has windows at all
+    def starts = when(size(wins) > 0,
+      filter(sequence(lit(0), size(wins) - 1),
+        i => array_position(slice(wins, lit(1), i), element_at(wins, i + 1)) > 0)
+        .cast("array<long>"))
+      .otherwise(array().cast("array<long>"))
+    df.withColumn("__ex", graft.expressions.ExciseWindows(toks, starts, k))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        col("__ex.n_spans").as("n_spans"),
+        col("__ex.n_removed").as("n_removed"),
+        col("__ex.kept_text").as("dedup_text"))
+  }
+
   /** Corpus-frequency boilerplate-line removal: a line occurring in
     * more than `maxDocPermille` ‰ of documents is boilerplate (nav
     * menus, cookie banners, enable-JS banners repeat VERBATIM across a

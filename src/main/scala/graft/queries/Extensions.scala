@@ -1547,7 +1547,24 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** q141 — within-document span dedup ([[Dedup.spanDedupWithinDoc]]):
+    * a fixture repeating its own opening 10-token block at the end; the
+    * second copy's 8-token windows match the first's and excise as one
+    * maximal span — row-local self-repetition removal. The oracle
+    * re-derives the per-doc window election, span merge, and excision. */
+  def q141SpanDedupWithinDoc(spark: SparkSession, dir: String): DataFrame = {
+    val tk0 = TextFunctions.tokens(col("text"))
+    val toks = concat(tk0, tk0, tk0)
+    val fx = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", array_join(slice(toks, 1, 10), " "),
+        array_join(slice(toks, 11, 6), " "),
+        array_join(slice(toks, 1, 10), " ")).as("ftext"))
+    Dedup.spanDedupWithinDoc(fx, "doc_id", "ftext", windowWords = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_span_dedup_within" -> (q141SpanDedupWithinDoc _),
     "q140_hashed_tf_sim" -> (q140HashedTfSim _),
     "q139_vocab_encode" -> (q139VocabEncode _),
     "q138_threshold_sweep" -> (q138ThresholdSweep _),
@@ -1793,6 +1810,33 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_span_dedup_within" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk0 FROM documents),
+        |t3 AS (SELECT doc_id, list_concat(list_concat(tk0, tk0), tk0) AS toks FROM t0),
+        |fx AS (SELECT doc_id,
+        |  array_to_string(toks[1:10], ' ') || ' ' || array_to_string(toks[11:16], ' ')
+        |    || ' ' || array_to_string(toks[1:10], ' ') AS ftext FROM t3),
+        |t AS (SELECT doc_id, string_split(ftext, ' ') AS tk FROM fx),
+        |w0 AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i FROM t),
+        |w AS (SELECT doc_id, i, array_to_string(tk[CAST(i + 1 AS INT) : CAST(i + 8 AS INT)], ' ') AS sh FROM w0),
+        |r AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id, sh ORDER BY i) AS rn FROM w),
+        |l AS (SELECT doc_id, i FROM r WHERE rn > 1),
+        |m0 AS (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -999) + 8 THEN 1 ELSE 0 END AS brk FROM l),
+        |m1 AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM m0),
+        |sp AS (SELECT doc_id, g, min(i) AS lo, max(i) + 8 AS hi FROM m1 GROUP BY doc_id, g),
+        |a AS (SELECT doc_id, count(1) AS n_spans, sum(hi - lo) AS n_removed FROM sp GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(range(0, len(tk))) AS j, tk FROM t),
+        |kp AS (SELECT p.doc_id, p.j, p.tk[CAST(p.j + 1 AS INT)] AS tok,
+        |        EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = p.doc_id AND p.j >= sp.lo AND p.j < sp.hi) AS cov
+        |       FROM pos p),
+        |kt AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY j) FILTER (WHERE NOT cov), '') AS kept
+        |       FROM kp GROUP BY doc_id)
+        |SELECT f.doc_id, len(string_split(f.ftext, ' '))::BIGINT AS n_tokens,
+        |  coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+        |  coalesce(kt.kept, f.ftext) AS dedup_text
+        |FROM fx f LEFT JOIN a USING (doc_id) LEFT JOIN kt ON kt.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q140_hashed_tf_sim" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |e AS (SELECT doc_id, unnest(tk) AS tok FROM t),

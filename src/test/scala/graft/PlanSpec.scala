@@ -300,6 +300,13 @@ class PlanSpec extends SparkSpec {
       "bin counters must partially aggregate before their shuffle")
   }
 
+  test("q141 within-doc span dedup: row-local — no shuffle before the presentation sort") {
+    val p = SparkEntry.queries("q141_span_dedup_within")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "spanDedupWithinDoc is a single projection; only the final sort may shuffle")
+  }
+
   test("q132 within-doc line dedup: row-local — no shuffle before the presentation sort") {
     val p = SparkEntry.queries("q132_doc_line_dedup")(spark, sf001)
       .queryExecution.executedPlan.toString

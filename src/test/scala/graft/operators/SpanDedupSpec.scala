@@ -146,4 +146,22 @@ class SpanDedupSpec extends SparkSpec {
     assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
     assert(none.getUTF8String(2).toString == "a b c d e")
   }
+
+  test("spanDedupWithinDoc excises a doc's own repeated block, first copy kept") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c d" repeated after a unique middle: the second copy's
+      // 2-token windows all match earlier ones → one maximal span
+      (1L, "a b c d x y a b c d"),
+      (2L, "p q r s t"), // no repetition → untouched
+      (3L, "z")) // shorter than the window → untouched
+      .toDF("id", "text")
+    val got = Dedup.spanDedupWithinDoc(docs, "id", "text", windowWords = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 10L, 1L, 4L, "a b c d x y")),
+      s"second copy must excise as one span: ${got(0)}")
+    assert(got(1) == ((2L, 5L, 0L, 0L, "p q r s t")))
+    assert(got(2) == ((3L, 1L, 0L, 0L, "z")))
+  }
 }
