@@ -98,6 +98,47 @@ object Export {
       .drop("__k")
   }
 
+  /** Fixed-length sequence packing over ENCODED documents — the last
+    * mile to the sample format a trainer actually consumes: documents
+    * (already token-id arrays, [[Vocab.encode]]) are laid out in
+    * [[trainingOrder]]'s deterministic shuffled order, concatenated
+    * within each shard, and cut into `seqLen`-token sequences that
+    * cross document boundaries (standard pretraining packing — no
+    * padding waste; the final short sequence of each shard is kept
+    * with `n_tokens < seqLen` for the loader to pad or drop).
+    *
+    * Scale shape: [[trainingOrder]]'s hash shuffle + per-shard sort;
+    * the offset cumsum is a window over (doc rows) per shard — never
+    * global; then ONE shuffle of (shard, seq_no, pos, id) token rows —
+    * the exported payload itself, the irreducible data motion of this
+    * operator — reassembled with a sorted collect per sequence. Shard
+    * count bounds every partition.
+    *
+    * Output: (shard_no, seq_no, n_tokens, n_docs, token_ids) —
+    * sequences deterministic and replayable from (shard_no, seq_no).
+    * Empty docs (0 tokens) are dropped before packing. */
+  def packSequences(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1, "need seqLen >= 1")
+    val ordered = trainingOrder(
+      encoded.filter(size(col(idsCol)) > 0), Seq(col(idCol)), nShards)
+    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOffset = ordered
+      .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
+        - size(col(idsCol)).cast("long"))
+    val tokens = withOffset.select(col(idCol), col("shard_no"), col("__off"),
+        posexplode(col(idsCol)).as(Seq("__p", "__id")))
+      .select(col(idCol), col("shard_no"),
+        expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
+        (col("__off") + col("__p")).as("__g"), col("__id"))
+    tokens.groupBy(col("shard_no"), col("seq_no"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
+          p => p.getField("__id")).as("token_ids"))
+  }
+
   /** Run the full export: optional curation gate → [[plan]] → shard
     * write (split-partitioned parquet, one writer task per shard) →
     * manifest write at `outDir/_manifest`. Returns the manifest.

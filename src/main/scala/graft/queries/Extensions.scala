@@ -1563,7 +1563,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q142 — fixed-length sequence packing ([[Vocab.encode]] →
+    * [[Export.packSequences]]): the corpus encoded against its top-100
+    * vocab, shuffled into 4 deterministic shards, concatenated and cut
+    * into 64-token training sequences that cross document boundaries.
+    * The oracle re-derives the order, offsets, and every sequence's id
+    * list. */
+  def q142PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+    Export.packSequences(enc, "doc_id", "token_ids", seqLen = 64, nShards = 4)
+      .orderBy("shard_no", "seq_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_pack_sequences" -> (q142PackSequences _),
     "q141_span_dedup_within" -> (q141SpanDedupWithinDoc _),
     "q140_hashed_tf_sim" -> (q140HashedTfSim _),
     "q139_vocab_encode" -> (q139VocabEncode _),
@@ -1810,6 +1824,30 @@ object Extensions {
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+        |cfr AS (SELECT token, count(1) AS n_occ FROM e GROUP BY token),
+        |vv AS (SELECT token, rn AS vid FROM (
+        |    SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM cfr)
+        |  WHERE rn <= 100),
+        |p0 AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM t),
+        |p AS (SELECT doc_id, p, tk[CAST(p + 1 AS INT)] AS token FROM p0),
+        |j AS (SELECT p.doc_id, p.p, coalesce(vv.vid, 0)::BIGINT AS id
+        |  FROM p LEFT JOIN vv ON p.token = vv.token),
+        |enc AS (SELECT doc_id, count(1)::BIGINT AS n_tok, list(id ORDER BY p) AS ids
+        |  FROM j GROUP BY doc_id),
+        |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS sk FROM enc),
+        |b AS (SELECT *, ('0x' || substring(sk, 1, 15))::BIGINT % 4 AS shard_no FROM k),
+        |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
+        |    ORDER BY sk, doc_id::VARCHAR) - n_tok)::BIGINT AS off FROM b),
+        |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
+        |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // 64 AS seq_no,
+        |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)
+        |SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  list(id ORDER BY g) AS token_ids
+        |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin,
     "q141_span_dedup_within" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk0 FROM documents),
         |t3 AS (SELECT doc_id, list_concat(list_concat(tk0, tk0), tk0) AS toks FROM t0),

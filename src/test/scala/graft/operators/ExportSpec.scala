@@ -108,4 +108,39 @@ class ExportSpec extends SparkSpec {
       Export.trainingOrder(docs.withColumn("shard_no", lit(1)), Seq(col("id")), 8)
     }
   }
+
+  test("packSequences: full sequences except each shard's tail, tokens conserved in order") {
+    import spark.implicits._
+    val enc = (1 to 200).map { i =>
+      (i.toLong, (0 until (i % 7) + 1).map(j => (i * 10 + j).toLong))
+    }.toDF("id", "ids")
+    val seqs = Export.packSequences(enc, "id", "ids", seqLen = 16, nShards = 3)
+      .orderBy("shard_no", "seq_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](4)))
+    // conservation: every input token appears exactly once
+    val totalIn = (1 to 200).map(i => (i % 7) + 1).sum
+    assert(seqs.map(_._3).sum == totalIn)
+    // every sequence is full except possibly the last of its shard
+    seqs.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.init.forall(_._3 == 16L), "only the tail sequence may be short")
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq, "seq_no contiguous")
+    }
+    // per shard, concatenating sequences reproduces the doc stream in
+    // trainingOrder order — the replayability contract
+    val order = Export.trainingOrder(enc, Seq(col("id")), 3)
+      .orderBy("shard_no", "pos_in_shard")
+      .select("shard_no", "ids").collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rs) => s -> rs.flatMap(_.getSeq[Long](1)).toSeq }
+    seqs.groupBy(_._1).foreach { case (s, ss) =>
+      assert(ss.sortBy(_._2).flatMap(_._4).toSeq == order(s),
+        s"shard $s token stream must equal the ordered doc concatenation")
+    }
+    // deterministic under input repartitioning
+    val again = Export.packSequences(enc.repartition(11), "id", "ids", 16, 3)
+      .orderBy("shard_no", "seq_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](4)))
+    assert(again.toSeq == seqs.toSeq)
+  }
 }
