@@ -822,6 +822,9 @@ object Dedup {
     * window. Output: input columns + (cluster, score, keep). */
   def keepBestPerCluster(docs: DataFrame, idCol: String, comps: DataFrame,
       score: Column): DataFrame = {
+    val taken = Seq("cluster", "score", "keep").filter(docs.columns.contains)
+    require(taken.isEmpty,
+      s"keepBestPerCluster appends output columns cluster/score/keep; input already has: ${taken.mkString(", ")} — rename or drop them first")
     val labels = comps.select(col("id").as(idCol), col("cluster").as("__c"))
     val scored = docs.select(col(idCol), score.as("score"))
       .join(labels, Seq(idCol), "left")

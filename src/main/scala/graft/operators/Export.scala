@@ -79,16 +79,23 @@ object Export {
     *
     * Scale shape: one hash shuffle on shard_no + a per-shard sort over
     * (16-byte key + row) — never a global sort; shard count bounds
-    * writer/loader parallelism independently of corpus size. Collisions
-    * can't break totality: the concatenated key string itself is the
-    * tie-break. Output adds (shuffle_key, shard_no, pos_in_shard). */
+    * writer/loader parallelism independently of corpus size. The
+    * composite key is INJECTIVE: each component is md5'd to fixed
+    * 32-hex width (NULL → 32 zeros) before concatenation, so distinct
+    * key tuples can never collide across component boundaries the way
+    * a separator-joined string can ((\"a\",\"b:c\") vs (\"a:b\",\"c\")) —
+    * totality of the order then needs only md5 collision-freedom, and
+    * the concatenated key itself is the final tie-break. Output adds
+    * (shuffle_key, shard_no, pos_in_shard). */
   def trainingOrder(df: DataFrame, keyCols: Seq[Column], nShards: Int): DataFrame = {
     require(nShards >= 1, "need nShards >= 1")
     val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k")
       .filter(df.columns.contains)
     require(taken.isEmpty,
       s"trainingOrder appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
-    val keyed = df.withColumn("__k", concat_ws(":", keyCols.map(_.cast("string")): _*))
+    val fixedWidth = keyCols.map(c =>
+      coalesce(md5(c.cast("string")), lit("0" * 32)))
+    val keyed = df.withColumn("__k", concat(fixedWidth: _*))
       .withColumn("shuffle_key", md5(col("__k")))
       .withColumn("shard_no",
         pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),

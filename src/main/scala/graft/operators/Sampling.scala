@@ -83,7 +83,11 @@ object Sampling {
     val taken = Seq("split_bucket", out).filter(df.columns.contains)
     require(taken.isEmpty,
       s"assignSplits appends output columns split_bucket/$out; input already has: ${taken.mkString(", ")} — rename or drop them first")
-    val b = graft.functions.TextFunctions.stableBucket(groupKey, 1000)
+    // NULL group keys bucket as the empty string: a silently-NULL split
+    // would exclude the row from every split filter AND from the
+    // leakage audit — deterministic inclusion is the safe failure mode
+    val b = graft.functions.TextFunctions.stableBucket(
+      coalesce(groupKey.cast("string"), lit("")), 1000)
     val edges = cuts.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
     val assign = cuts.zip(edges).tail.foldLeft(
       when(col("split_bucket") < edges.head, cuts.head._1)) {

@@ -183,8 +183,11 @@ object SimilaritySearch {
   def hashedTfVectors(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim >= 1, "need dim >= 1 buckets")
+    // coalesce: a NULL text must still yield a (degenerate) vector, not
+    // silently drop the document from every downstream verdict
     val counts = df.select(col(idCol),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+        explode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as("__tok"))
       .select(col(idCol),
         (graft.functions.TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))

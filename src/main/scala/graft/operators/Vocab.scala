@@ -28,9 +28,13 @@ object Vocab {
     require(n >= 1, "need n >= 1")
     val counts = df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    // distributed top-n FIRST (TakeOrderedAndProject — per-partition
+    // heads, n rows to the driver-side merge), THEN rank the n-row
+    // frame: an unpartitioned row_number over the raw counts would
+    // serialize the whole token universe through one window task
+    val top = counts.orderBy(col("n_occ").desc, col("token").asc).limit(n)
     val w = Window.orderBy(col("n_occ").desc, col("token").asc)
-    counts.withColumn("vocab_rank", row_number().over(w))
-      .filter(col("vocab_rank") <= n)
+    top.withColumn("vocab_rank", row_number().over(w))
   }
 
   /** One merge-candidate counting step of dictionary-based BPE training
@@ -54,10 +58,12 @@ object Vocab {
     val pairs = dict.select(col("freq"),
       explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
+    // same top-n-then-rank shape as topTokens: never a global window
+    // over the full pair universe
+    val top = pairs.groupBy("pair").agg(sum("freq").as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair").asc).limit(n)
     val w = Window.orderBy(col("n_pairs").desc, col("pair").asc)
-    pairs.groupBy("pair").agg(sum("freq").as("n_pairs"))
-      .withColumn("merge_rank", row_number().over(w))
-      .filter(col("merge_rank") <= n)
+    top.withColumn("merge_rank", row_number().over(w))
   }
 
   /** Order-preserving token-id encoding against `vocab` (columns
@@ -75,9 +81,12 @@ object Vocab {
     val v = broadcast(vocab.select(col("token"),
         col("vocab_rank").cast("long").as("__vid"))
       .groupBy("token").agg(min("__vid").as("__vid")))
+    // coalesce: a NULL text must encode as the empty-string token (id
+    // 0 or its vocab id), not silently vanish from the output — the
+    // packing stage downstream reconciles doc counts
     df.select(col(idCol),
-        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as(Seq("__p", "token")))
+        posexplode(graft.functions.TextFunctions.tokens(
+          coalesce(col(textCol), lit("")))).as(Seq("__p", "token")))
       .join(v, Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__p"),

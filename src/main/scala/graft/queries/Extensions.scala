@@ -1837,10 +1837,11 @@ object Extensions {
         |  FROM p LEFT JOIN vv ON p.token = vv.token),
         |enc AS (SELECT doc_id, count(1)::BIGINT AS n_tok, list(id ORDER BY p) AS ids
         |  FROM j GROUP BY doc_id),
-        |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS sk FROM enc),
+        |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS kk,
+        |    md5(md5(doc_id::VARCHAR)) AS sk FROM enc),
         |b AS (SELECT *, ('0x' || substring(sk, 1, 15))::BIGINT % 4 AS shard_no FROM k),
         |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
-        |    ORDER BY sk, doc_id::VARCHAR) - n_tok)::BIGINT AS off FROM b),
+        |    ORDER BY sk, kk) - n_tok)::BIGINT AS off FROM b),
         |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
         |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // 64 AS seq_no,
         |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)
@@ -1972,12 +1973,13 @@ object Extensions {
         |FROM r JOIN documents d ON d.doc_id = r.doc_id
         |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
     "q136_training_order" ->
-      """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) AS shuffle_key FROM documents),
-        |b AS (SELECT doc_id, shuffle_key,
+      """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) AS kk,
+        |    md5(md5(doc_id::VARCHAR)) AS shuffle_key FROM documents),
+        |b AS (SELECT doc_id, kk, shuffle_key,
         |    ('0x' || substring(shuffle_key, 1, 15))::BIGINT % 8 AS shard_no FROM k),
         |r AS (SELECT doc_id, shuffle_key, shard_no,
         |    (row_number() OVER (PARTITION BY shard_no
-        |       ORDER BY shuffle_key, doc_id::VARCHAR) - 1)::BIGINT AS pos_in_shard FROM b)
+        |       ORDER BY shuffle_key, kk) - 1)::BIGINT AS pos_in_shard FROM b)
         |SELECT doc_id, shuffle_key, shard_no, pos_in_shard FROM r
         |ORDER BY shard_no, pos_in_shard""".stripMargin,
     "q135_bpe_merges" ->
