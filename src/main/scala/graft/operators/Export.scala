@@ -146,6 +146,24 @@ object Export {
           p => p.getField("__id")).as("token_ids"))
   }
 
+  /** Write [[packSequences]] output as training-ready shard files plus
+    * a manifest: one parquet file per shard (writer parallelism =
+    * shard count, same one-task-per-shard policy as
+    * [[exportTrainingData]]), `outDir/_manifest` with one row per shard
+    * (n_seqs, n_tokens, n_full — the loader's sanity numbers, all
+    * exact). Returns the manifest. */
+  def writeSequences(sequences: DataFrame, seqLen: Int, outDir: String): DataFrame = {
+    sequences.repartition(col("shard_no"))
+      .write.mode("overwrite").partitionBy("shard_no")
+      .parquet(s"$outDir/sequences")
+    val manifest = sequences.groupBy("shard_no")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("n_tokens") === seqLen, 1L).otherwise(0L)).as("n_full"))
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+
   /** Run the full export: optional curation gate → [[plan]] → shard
     * write (split-partitioned parquet, one writer task per shard) →
     * manifest write at `outDir/_manifest`. Returns the manifest.

@@ -143,4 +143,30 @@ class ExportSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](4)))
     assert(again.toSeq == seqs.toSeq)
   }
+
+  test("writeSequences: shard files match the manifest row-for-row") {
+    import spark.implicits._
+    val enc = (1 to 100).map { i =>
+      (i.toLong, (0 until (i % 5) + 1).map(j => (i * 10 + j).toLong))
+    }.toDF("id", "ids")
+    val seqs = Export.packSequences(enc, "id", "ids", seqLen = 8, nShards = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wseq").toString
+    val manifest = Export.writeSequences(seqs, 8, dir)
+      .orderBy("shard_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // partition-directory columns read back as int — normalize to long
+    val written = spark.read.parquet(s"$dir/sequences")
+      .withColumn("shard_no", col("shard_no").cast("long"))
+      .groupBy("shard_no")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"),
+        sum(when(col("n_tokens") === 8, 1L).otherwise(0L)).as("f"))
+      .orderBy("shard_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(written.toSeq == manifest.toSeq,
+      "written shards must reconcile with the manifest")
+    // all but at most one sequence per shard is full
+    manifest.foreach { case (s, nSeqs, _, nFull) =>
+      assert(nSeqs - nFull <= 1, s"shard $s: only the tail may be short")
+    }
+  }
 }
