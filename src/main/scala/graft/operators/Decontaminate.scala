@@ -103,12 +103,6 @@ object Decontaminate {
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__win"))).as("__starts"))
 
-    corpus.join(starts, Seq(idCol), "left")
-      .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), n))
-      .select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        col("__ex.n_spans").as("n_spans"),
-        col("__ex.n_removed").as("n_removed"),
-        col("__ex.kept_text").as("decontam_text"))
+    Dedup.exciseByStarts(corpus, starts, idCol, textCol, n, "decontam_text")
   }
 }

@@ -154,13 +154,25 @@ object Dedup {
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__win"))).as("__starts"))
 
+    exciseByStarts(df, removed, idCol, textCol, k, "dedup_text")
+  }
+
+  /** ONE definition of the excision join+projection shared by
+    * [[spanDedup]], [[spanDedupAgainst]], and
+    * [[Decontaminate.exciseOverlaps]]: left-join a per-doc sorted
+    * `__starts` array and run the [[graft.expressions.ExciseWindows]]
+    * kernel — identical output contract everywhere, so a change to the
+    * span columns can't silently miss a sibling. */
+  private[operators] def exciseByStarts(df: DataFrame, removed: DataFrame,
+      idCol: String, textCol: String, k: Int, outName: String): DataFrame = {
+    def toks = split(col(textCol), " ")
     df.join(removed, Seq(idCol), "left")
       .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), k))
       .select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
         col("__ex.n_spans").as("n_spans"),
         col("__ex.n_removed").as("n_removed"),
-        col("__ex.kept_text").as("dedup_text"))
+        col("__ex.kept_text").as(outName))
   }
 
   /** Within-document ExactSubstr: excise every `windowWords`-token
@@ -324,13 +336,7 @@ object Dedup {
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__win"))).as("__starts"))
 
-    batch.join(removed, Seq(idCol), "left")
-      .withColumn("__ex", graft.expressions.ExciseWindows(toks, col("__starts"), k))
-      .select(col(idCol),
-        size(toks).cast("long").as("n_tokens"),
-        col("__ex.n_spans").as("n_spans"),
-        col("__ex.n_removed").as("n_removed"),
-        col("__ex.kept_text").as("dedup_text"))
+    exciseByStarts(batch, removed, idCol, textCol, k, "dedup_text")
   }
 
   /** MinHash parameters: k permutations via (a_i·h + b_i) mod p over

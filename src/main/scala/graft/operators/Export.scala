@@ -55,18 +55,27 @@ object Export {
     val packed = tagged
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum("n_tokens").over(w))
+      // integer DIV, not double floor-division: IEEE quotients round,
+      // and near 2^52/tokensPerShard a doc one token below a boundary
+      // can land in the wrong shard — violating the module's
+      // all-hash-derived-integers determinism invariant
       .withColumn("shard_no",
-        floor((col("__cum") - col("n_tokens")) / lit(tokensPerShard.toDouble)).cast("long"))
+        expr(s"(__cum - n_tokens) DIV ${tokensPerShard}L"))
       .drop("__cum")
-    val manifest = packed
-      .groupBy(col("split"), col(sourceCol), col("shard_no"))
+    (packed, manifestOf(packed, idCol, sourceCol))
+  }
+
+  /** ONE definition of the per-shard manifest aggregate, shared by
+    * [[plan]] and [[exportTrainingData]] so the written manifest can
+    * never drift from the planned one. */
+  private def manifestOf(packed: DataFrame, idCol: String,
+      sourceCol: String): DataFrame =
+    packed.groupBy(col("split"), col(sourceCol), col("shard_no"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(idCol)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
-    (packed, manifest)
-  }
 
   /** Deterministic training-order shuffle. [[plan]] packs shards in
     * (split, source, id) order — correct for auditing, WRONG as a
@@ -183,15 +192,26 @@ object Export {
           .select(docs.columns.map(col): _*)
       case None => docs
     }
-    val (packed, manifest) = plan(base, idCol, textCol, sourceCol,
+    val (packedPlan, _) = plan(base, idCol, textCol, sourceCol,
       weightMilli, tokensPerShard, trainPct, valPct)
-    // one writer task per (split, source, shard_no) → one file per
-    // shard inside each split directory; shard_no stays a column so
-    // loaders and audits can filter without path parsing
+    // materialize ONCE: the shard write and the manifest write are two
+    // actions, and unmaterialized lineage would re-run the whole
+    // curation + mixture + packing DAG for each of them
+    val packed = checkpointer(packedPlan)
+    // each (split, source, shard_no) group hash-lands entirely in one
+    // writer task, so every shard's rows sit contiguously in one file;
+    // note writer PARALLELISM is bounded by spark.sql.shuffle.partitions
+    // (several shards may share a task), not by shard count — shard_no
+    // stays a column so loaders and audits filter without path parsing
     packed.repartition(col("split"), col(sourceCol), col("shard_no"))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/shards")
-    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
-    manifest
+    manifestOf(packed, idCol, sourceCol)
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+    Checkpointer.release(packed)
+    // re-read, not the lineage: the checkpoint behind `packed` was just
+    // released, so a caller action on the in-memory manifest plan could
+    // no longer recompute it
+    packed.sparkSession.read.parquet(s"$outDir/_manifest")
   }
 }

@@ -193,7 +193,11 @@ object Importance {
     val countW = Window.partitionBy(col(groupCol))
     df.withColumn("__rn", row_number().over(rankW))
       .withColumn("__n", count(lit(1)).over(countW))
-      .withColumn("bucket_no", expr(s"(__rn - 1) * $k DIV __n").cast("int"))
+      // CAST(... AS BIGINT) before the multiply: row_number is Int, and
+      // (__rn - 1) * k wraps past ~2^31/k rows per group — real at the
+      // per-language doc counts a 100 TB corpus carries
+      .withColumn("bucket_no",
+        expr(s"(CAST(__rn AS BIGINT) - 1) * $k DIV __n").cast("int"))
       .withColumn("bucket",
         element_at(array(labels.map(lit): _*), col("bucket_no") + 1))
       .drop("__rn", "__n")

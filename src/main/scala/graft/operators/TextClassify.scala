@@ -32,8 +32,15 @@ import graft.functions.TextFunctions
 object TextClassify {
 
   /** Per-(doc, label) scores: Σ over the doc's hash buckets of
-    * `count(bucket) · w_milli(bucket, label)`.
-    * Output: (idCol, label, score_milli). */
+    * `count(bucket) · w_milli(bucket, label)`. EVERY (doc, label) pair
+    * is emitted — a (doc, label) with no matching weight rows scores
+    * exactly 0 via the doc × label grid + left join, which is what
+    * makes the documented sparse ≡ dense equivalence actually hold: an
+    * inner join alone would DROP the zero pairs, flipping the argmax
+    * whenever the present label's score is negative and making a doc
+    * with no weighted buckets vanish entirely. The grid costs
+    * docs × n_labels rows — the same cardinality dense scoring already
+    * pays. Output: (idCol, label, score_milli). */
   def scores(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1, "need dim >= 1 hash buckets")
@@ -46,9 +53,14 @@ object TextClassify {
       .agg(count(lit(1)).as("__cnt"))
     val w = weights.select(col("bucket").cast("int").as("bucket"),
       col("label"), col("w_milli").cast("long").as("w_milli"))
-    buckets.join(broadcast(w), Seq("bucket"))
+    val raw = buckets.join(broadcast(w), Seq("bucket"))
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("__cnt") * col("w_milli")).as("score_milli"))
+      .agg(sum(col("__cnt") * col("w_milli")).as("__s"))
+    docs.select(col(idCol)).distinct()
+      .crossJoin(broadcast(w.select(col("label")).distinct()))
+      .join(raw, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("__s"), lit(0L)).as("score_milli"))
   }
 
   /** In-engine multinomial Naive Bayes training — produces a weight

@@ -101,7 +101,12 @@ object Warc {
   private[operators] def gunzipMembers(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) bytes
     else {
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      // initial-capacity HINT only (the stream grows as needed): long
+      // math + cap, because `bytes.length * 4` wraps negative past
+      // 512 MiB and the constructor would throw OUTSIDE the poison
+      // try/catch, failing the task on a big (~1 GB) crawl file
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 26).toInt)
       try {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -162,7 +167,10 @@ object Warc {
     recs.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(synthesize(Seq(r)))
-      gz.finish()
+      // close(), not finish(): finish alone leaves the Deflater's
+      // native buffer to the GC cleaner — one leak per record when the
+      // fixture runs inside an executor map
+      gz.close()
     }
     bos.toByteArray
   }

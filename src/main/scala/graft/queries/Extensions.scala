@@ -2668,7 +2668,7 @@ object Extensions {
         |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split FROM m),
         |p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id, copy_no ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM s),
-        |p2 AS (SELECT *, floor((cum - n_tokens) / 4096.0)::BIGINT AS shard_no FROM p)
+        |p2 AS (SELECT *, ((cum - n_tokens) // 4096)::BIGINT AS shard_no FROM p)
         |SELECT split, source, shard_no, count(1)::BIGINT AS n_rows,
         |  count(DISTINCT doc_id)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id

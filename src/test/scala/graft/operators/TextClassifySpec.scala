@@ -37,6 +37,22 @@ class TextClassifySpec extends SparkSpec {
     assert(got.head.getLong(2) == 15L, "3 tokens x 5 milli each")
   }
 
+  test("a label with no weight rows on the doc's buckets scores 0 and can win the argmax") {
+    import spark.implicits._
+    val dim = 3
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text") // one token → one bucket
+    val docBucket = docs
+      .select((graft.functions.TextFunctions.tokenHash(lit("solo")) % dim).cast("int"))
+      .head().getInt(0)
+    // sparse model: x is negative on the doc's bucket; y exists in the
+    // model but has NO row on that bucket → y must score 0 and win
+    val weights = Seq((docBucket, "x", -5L), ((docBucket + 1) % dim, "y", 7L))
+      .toDF("bucket", "label", "w_milli")
+    val got = TextClassify.classify(docs, "doc_id", "text", weights, dim).collect()
+    assert(got.length == 1 && got.head.getString(1) == "y" && got.head.getLong(2) == 0L,
+      s"zero-by-omission label must win over a negative present label: ${got.toSeq}")
+  }
+
   test("trainNaiveBayes: dense smoothed table, separable classes recovered") {
     import spark.implicits._
     val dim = 32
