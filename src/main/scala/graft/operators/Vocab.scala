@@ -66,6 +66,68 @@ object Vocab {
     top.withColumn("merge_rank", row_number().over(w))
   }
 
+  /** Iterated BPE training (the real Sennrich et al. 2016 loop, not
+    * just one counting step): starting from characters, repeatedly
+    * count frequency-weighted adjacent SYMBOL pairs over the
+    * distinct-token dictionary, take the top pair ((n desc, pair) —
+    * total, engine-portable order), and apply the merge greedily
+    * left-to-right before the next round. Returns the merge table —
+    * (merge_no, left_sym, right_sym, n_pairs) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale shape: identical to [[bpeMergeCandidates]] per round — the
+    * corpus is touched ONCE (the token count); every round after runs
+    * on the dictionary (≪ corpus), with one tiny top-1 job and one
+    * row-local merge application (an `aggregate` fold over each
+    * token's own symbols). Rounds are inherently sequential (round
+    * r+1's counts depend on r's merge); `checkpointer` truncates the
+    * per-round lineage exactly as in
+    * [[SimilaritySearch.trainCentroids]], superseded generations
+    * released. Stops early if no pair remains. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    val spark = df.sparkSession
+    var dict = checkpointer(
+      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .filter(length(col("tok")) >= 2)
+        .select(col("freq"), split(col("tok"), "").as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < nMerges && !dry) {
+      val top = dict.filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1, a, b, n))
+        // greedy left-to-right application: fold each token's symbols,
+        // merging every adjacent (a, b) — "aaa" under (a,a) → [aa, a]
+        val next = checkpointer(dict.select(col("freq"),
+          aggregate(
+            transform(col("syms"), s => array(s)),
+            array().cast("array<string>"),
+            (acc, e) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && element_at(e, 1) === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, e))).as("syms")))
+        Checkpointer.release(dict)
+        dict = next
+        r += 1
+      }
+    }
+    Checkpointer.release(dict)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_no", "left_sym", "right_sym", "n_pairs")
+  }
+
   /** Order-preserving token-id encoding against `vocab` (columns
     * (token, vocab_rank)) — the step between vocabulary and sequence
     * packing: text becomes `array<long>` of ids, OOV tokens become 0

@@ -1576,7 +1576,17 @@ object Extensions {
       .orderBy("shard_no", "seq_no")
   }
 
+  /** q143 — iterated BPE training ([[Vocab.bpeTrain]], 5 merges): the
+    * full Sennrich loop — count pairs, take the top, APPLY the merge,
+    * repeat — so later merges see earlier ones' fused symbols. The
+    * oracle replays all 5 rounds with the same greedy left-to-right
+    * application (a list_reduce fold) and total tie order. */
+  def q143BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Vocab.bpeTrain(Tables(spark, dir, "documents"), "text", nMerges = 5)
+      .orderBy("merge_no")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_bpe_train" -> (q143BpeTrain _),
     "q142_pack_sequences" -> (q142PackSequences _),
     "q141_span_dedup_within" -> (q141SpanDedupWithinDoc _),
     "q140_hashed_tf_sim" -> (q140HashedTfSim _),
@@ -1823,7 +1833,34 @@ object Extensions {
       |  (CASE WHEN doc_id % 7 = 0 THEN 'click here to enable JavaScript'
       |   ELSE 'the data and scan of table is here.' END) AS ftext FROM t3)""".stripMargin
 
+  /** SQL twin of one [[Vocab.bpeTrain]] round: pair counts over the
+    * round-(r−1) dictionary, deterministic top-1, greedy left-to-right
+    * merge application as a list_reduce fold. Chained by [[bpeSql]]. */
+  private def bpeRoundSql(r: Int): String =
+    s"""e$r AS (SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |     i -> struct_pack(a := syms[CAST(i AS INT)], b := syms[CAST(i + 1 AS INT)]))) AS pr
+       |   FROM d${r - 1} WHERE len(syms) > 1),
+       |c$r AS (SELECT pr.a AS a, pr.b AS b, sum(freq)::BIGINT AS n FROM e$r GROUP BY pr.a, pr.b),
+       |t$r AS (SELECT a, b, n FROM c$r ORDER BY n DESC, a, b LIMIT 1),
+       |d$r AS (SELECT freq, list_reduce(list_transform(syms, s -> [s]),
+       |    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = tr.a AND e[1] = tr.b
+       |                THEN list_concat(acc[1:len(acc) - 1], [tr.a || tr.b])
+       |                ELSE list_concat(acc, e) END) AS syms
+       |  FROM d${r - 1} CROSS JOIN t$r tr)""".stripMargin
+
+  private def bpeSql(nMerges: Int): String =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),
+       |d0 AS (SELECT freq, string_split(tok, '') AS syms FROM f WHERE length(tok) >= 2),
+       |""".stripMargin +
+      (1 to nMerges).map(bpeRoundSql).mkString(",\n") + "\nSELECT * FROM (\n" +
+      (1 to nMerges)
+        .map(r => s"SELECT $r::INT AS merge_no, a AS left_sym, b AS right_sym, n AS n_pairs FROM t$r")
+        .mkString("\nUNION ALL ") +
+      "\n) ORDER BY merge_no"
+
   val oracles: Map[String, String] = Map(
+    "q143_bpe_train" -> bpeSql(5),
     "q142_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |e AS (SELECT doc_id, unnest(tk) AS token FROM t),

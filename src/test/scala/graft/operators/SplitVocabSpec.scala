@@ -48,6 +48,23 @@ class SplitVocabSpec extends SparkSpec {
     assert(top == Seq("a", "b", "c"))
   }
 
+  test("bpeTrain: iterated merges see earlier fusions; stops when no pair remains") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc"), (2L, "abab")).toDF("id", "text")
+    // dict: abab(2), abc(1)
+    // r1: (a,b) = 2·2+1 = 5 beats (b,a)=2, (b,c)=1 → merge "ab"
+    //     abab → [ab,ab]; abc → [ab,c]
+    // r2: (ab,ab)=2 beats (ab,c)=1 → merge "abab"
+    // r3: only (ab,c)=1 remains
+    // r4: no adjacent pairs anywhere → early stop at 3 of 5 merges
+    val got = Vocab.bpeTrain(docs, "text", nMerges = 5).orderBy("merge_no")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "b", 5L),
+      (2, "ab", "ab", 2L),
+      (3, "ab", "c", 1L)))
+  }
+
   test("encode maps tokens to vocab ranks in position order, OOV to 0") {
     import spark.implicits._
     val docs = Seq((1L, "b a zz b"), (2L, "a")).toDF("id", "text")
