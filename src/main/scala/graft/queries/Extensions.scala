@@ -1526,10 +1526,16 @@ object Extensions {
   /** q139 — token-id encoding ([[Vocab.encode]]): the corpus encoded
     * against its own top-100 vocab — OOV → 0, order preserved — the
     * text→ids step before sequence packing. The oracle re-derives the
-    * vocab ranking and the position-ordered id list. */
+    * vocab ranking and the position-ordered id list. The id array is
+    * emitted space-joined as `token_ids_str`: the driver's comparator
+    * sorts rows by every column and cannot sort array cells (the
+    * round-8 gate error), so the QUERY face is scalar while
+    * [[Vocab.encode]]'s library face keeps the typed `array<long>`. */
   def q139VocabEncode(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids_str"))
       .orderBy("doc_id")
   }
 
@@ -1568,11 +1574,15 @@ object Extensions {
     * vocab, shuffled into 4 deterministic shards, concatenated and cut
     * into 64-token training sequences that cross document boundaries.
     * The oracle re-derives the order, offsets, and every sequence's id
-    * list. */
+    * list. Same scalar-face policy as q139: each sequence's ids travel
+    * space-joined as `token_ids_str` so the driver comparator can sort
+    * the rows; [[Export.packSequences]] itself keeps the array. */
   def q142PackSequences(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
     Export.packSequences(enc, "doc_id", "token_ids", seqLen = 64, nShards = 4)
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        array_join(col("token_ids"), " ").as("token_ids_str"))
       .orderBy("shard_no", "seq_no")
   }
 
@@ -1884,7 +1894,7 @@ object Extensions {
         |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)
         |SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
-        |  list(id ORDER BY g) AS token_ids
+        |  array_to_string(list(id ORDER BY g), ' ') AS token_ids_str
         |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin,
     "q141_span_dedup_within" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk0 FROM documents),
@@ -1946,7 +1956,7 @@ object Extensions {
         |j AS (SELECT p.doc_id, p.p, coalesce(v.vid, 0)::BIGINT AS id
         |  FROM p LEFT JOIN v ON p.token = v.token)
         |SELECT doc_id, count(1)::BIGINT AS n_tokens,
-        |  list(id ORDER BY p) AS token_ids
+        |  array_to_string(list(id ORDER BY p), ' ') AS token_ids_str
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q138_threshold_sweep" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
