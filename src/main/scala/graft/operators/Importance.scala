@@ -174,32 +174,76 @@ object Importance {
     * equal-doc-count quality buckets by model score — head / middle /
     * tail in the paper (Wenzek et al. 2020 §3.3 cuts the per-language
     * perplexity distribution into thirds; head trains, tail is
-    * discarded or re-examined). Rank DESCENDING by `scoreCol` (higher
-    * = more fluent under [[bigramFluency]]'s convention; flip the sign
-    * upstream for raw perplexity) with `idCol` as the tie-break, then
-    * `bucket_no = (rank−1)·k DIV n` — exact integer arithmetic, so
-    * bucket edges are deterministic and engine-portable where
-    * `ntile`'s remainder distribution would invite drift.
+    * discarded or re-examined). Semantics: rank DESCENDING by
+    * `scoreCol` (higher = more fluent under [[bigramFluency]]'s
+    * convention; flip the sign upstream for raw perplexity) with
+    * `idCol` as the tie-break, then `bucket_no = (rank−1)·k DIV n` —
+    * exact integer arithmetic, so bucket edges are deterministic and
+    * engine-portable where `ntile`'s remainder distribution would
+    * invite drift. `scoreCol` must be integral (the engine's scores
+    * are integer micro/milli units throughout).
     *
-    * Scale shape: one hash-shuffle on the group; the rank and the
-    * group-count windows share the single exchange. Output adds
+    * Scale shape — GROUP-SIZE-INDEPENDENT (the naive form, a
+    * per-group rank window, puts the dominant language of a crawl —
+    * easily half a 100 TB corpus — through one window task's sort):
+    *   1. bin scores by exact integer floor-division (`binWidth`) and
+    *      partial-aggregate a per-(group, bin) histogram — the only
+    *      corpus-sized stage, a counter shuffle with map-side combine;
+    *   2. exclusive prefix counts + group totals via windows OVER THE
+    *      HISTOGRAM (≈ score-range ÷ binWidth rows per group, never
+    *      documents) give each bin its global rank offset, and decide
+    *      per bin whether all its ranks fall in ONE bucket ("clean");
+    *   3. the bin map broadcasts back; clean-bin rows — everything but
+    *      the ≤ k−1 edge-straddling bins per group — take their bucket
+    *      ROW-LOCALLY with no further shuffle;
+    *   4. only boundary-bin rows pay a rank window, partitioned by
+    *      (group, bin) — task size = one bin's population, tunable via
+    *      `binWidth`, not group size. (Degenerate worst case: a single
+    *      score value held by most of a group AND straddling an edge —
+    *      the tie cohort must be ordered by id somewhere under any
+    *      exact implementation of this total order.)
+    * The reconstruction `rank = bin_offset + rank_within_bin` is exact
+    * because floor-division binning is monotone in the score, so the
+    * output is bit-identical to the naive form. Output adds
     * (bucket_no, bucket). */
   def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
-      idCol: String, labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+      idCol: String, labels: Seq[String] = Seq("head", "middle", "tail"),
+      binWidth: Long = 1000L): DataFrame = {
     require(labels.nonEmpty, "need at least one bucket label")
+    require(binWidth >= 1, "binWidth must be positive")
     val k = labels.size
-    val rankW = Window.partitionBy(col(groupCol))
+    // exact integer FLOOR division (DIV truncates toward zero)
+    val binned = df.withColumn("__bin", expr(
+      s"CAST(($scoreCol - ((($scoreCol % $binWidth) + $binWidth) % $binWidth)) DIV $binWidth AS BIGINT)"))
+    val hist = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val binMap = hist
+      .withColumn("__before", sum("__cnt").over(wCum) - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(wTot))
+      // bucket of the bin's first and last rank; equal ⇒ the whole bin
+      // lands in one bucket (bucketOf is monotone in rank)
+      .withColumn("__clean_bucket",
+        when(expr(s"(__before * $k) DIV __n") ===
+            expr(s"((__before + __cnt - 1) * $k) DIV __n"),
+          expr(s"(__before * $k) DIV __n")))
+      .select(col(groupCol), col("__bin"), col("__before"), col("__n"),
+        col("__clean_bucket"))
+    val joined = binned.join(broadcast(binMap), Seq(groupCol, "__bin"))
+    val clean = joined.filter(col("__clean_bucket").isNotNull)
+      .withColumn("bucket_no", col("__clean_bucket").cast("int"))
+    val wBin = Window.partitionBy(col(groupCol), col("__bin"))
       .orderBy(col(scoreCol).desc, col(idCol))
-    val countW = Window.partitionBy(col(groupCol))
-    df.withColumn("__rn", row_number().over(rankW))
-      .withColumn("__n", count(lit(1)).over(countW))
-      // CAST(... AS BIGINT) before the multiply: row_number is Int, and
-      // (__rn - 1) * k wraps past ~2^31/k rows per group — real at the
-      // per-language doc counts a 100 TB corpus carries
+    val boundary = joined.filter(col("__clean_bucket").isNull)
+      .withColumn("__rn", row_number().over(wBin))
       .withColumn("bucket_no",
-        expr(s"(CAST(__rn AS BIGINT) - 1) * $k DIV __n").cast("int"))
+        expr(s"((__before + CAST(__rn AS BIGINT) - 1) * $k) DIV __n").cast("int"))
+      .drop("__rn")
+    clean.unionByName(boundary)
       .withColumn("bucket",
         element_at(array(labels.map(lit): _*), col("bucket_no") + 1))
-      .drop("__rn", "__n")
+      .select(df.columns.map(col) :+ col("bucket_no") :+ col("bucket"): _*)
   }
 }

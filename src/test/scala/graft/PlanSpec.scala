@@ -313,4 +313,26 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1,
       "dedupLinesWithinDoc is a single projection; only the final sort may shuffle")
   }
+
+  test("q125 perplexity buckets: no group-sized window — ranking runs over the bin histogram") {
+    val p = SparkEntry.queries("q125_perplexity_buckets")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // The old shape — row_number partitioned by lang alone, ordered by
+    // the score — put a whole language (half a crawl) through ONE
+    // window task. The rewrite may only window (a) histogram rows
+    // (partition lang, order __bin) and (b) boundary-bin rows
+    // (partition lang AND __bin). No window spec may order doc rows by
+    // the score with a group-only partition.
+    assert(!"windowspecdefinition\\(lang#\\d+, fluency_micro".r.findFirstIn(p).isDefined,
+      "found a per-language window ordered by the raw score — group-sized task")
+    assert("row_number.*windowspecdefinition\\(lang#\\d+, __bin".r.findFirstIn(p).isDefined,
+      "the boundary rank window must partition by (lang, __bin)")
+    // the cumulative/total windows must consume the (lang, __bin)
+    // histogram aggregate, not raw docs (root-first print: the feeding
+    // aggregate appears after the window)
+    val win = p.indexOf("Window")
+    assert(win > 0, "expected the histogram windows")
+    assert("HashAggregate\\(keys=\\[lang#\\d+, __bin#\\d+L\\]".r.findFirstIn(p.substring(win)).isDefined,
+      "histogram aggregate must sit below the cumulative windows")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.scoreBuckets]]' histogram reconstruction must be
+  * bit-identical to the naive rank definition `bucket_no =
+  * (rank−1)·k DIV n` — the whole point of the rewrite is changing the
+  * PLAN (no group-sized window task), never the answer. */
+class ScoreBucketsSpec extends SparkSpec {
+
+  /** Brute-force oracle: rank by (score desc, id asc) per group. */
+  private def naive(rows: Seq[(String, Long, Long)], k: Int): Map[(String, Long), Int] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val n = rs.size.toLong
+      rs.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case (r, i) =>
+        (g, r._2) -> ((i.toLong * k) / n).toInt
+      }
+    }
+
+  private def check(rows: Seq[(String, Long, Long)], k: Int, binWidth: Long): Unit = {
+    import spark.implicits._
+    val labels = (0 until k).map(i => s"b$i")
+    val df = rows.toDF("lang", "id", "score")
+    val got = Importance.scoreBuckets(df, "lang", "score", "id", labels, binWidth)
+      .select("lang", "id", "bucket_no", "bucket").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getInt(2), r.getString(3)))).toMap
+    val want = naive(rows, k)
+    assert(got.keySet == want.keySet, "row set changed")
+    for ((key, b) <- want) {
+      assert(got(key)._1 == b, s"bucket_no mismatch at $key: got ${got(key)._1}, want $b")
+      assert(got(key)._2 == s"b$b", s"label mismatch at $key")
+    }
+  }
+
+  test("matches the naive rank definition on random scores, several bin widths and k") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("en", "de", "fr"); i <- 1 to 200
+    } yield (g, (g.hashCode.toLong << 16) + i, rnd.nextInt(5000).toLong - 2500)
+    for (k <- Seq(2, 3, 5); bw <- Seq(1L, 7L, 1000L, 100000L)) check(rows, k, bw)
+  }
+
+  test("edge-straddling ties resolve by id exactly as the rank form does") {
+    // one score value holds the whole middle of the group, crossing
+    // both tertile edges — the boundary-bin pass must order the tie
+    // cohort by id
+    val rows = (1 to 9).map(i => ("en", i.toLong, 10L)) ++
+      Seq(("en", 100L, 99L), ("en", 101L, -50L))
+    check(rows, 3, 1000L)
+    check(rows, 3, 1L)
+  }
+
+  test("negative scores bin by floor division, not truncation") {
+    // scores −1 and −1001 must land in DIFFERENT 1000-wide bins with
+    // floor semantics; truncation would fuse them and (harmlessly) fat
+    // a bin — but a sign error in the adjustment term would misorder
+    val rows = Seq(("en", 1L, -1L), ("en", 2L, -1001L), ("en", 3L, 1L), ("en", 4L, 999L))
+    check(rows, 2, 1000L)
+    check(rows, 4, 1000L)
+  }
+
+  test("single-row groups and k larger than the group") {
+    val rows = Seq(("en", 1L, 5L), ("de", 2L, 7L), ("de", 3L, 7L))
+    check(rows, 3, 1000L)
+  }
+}
