@@ -21,16 +21,21 @@ import graft.functions.TextFunctions
   *   - DETERMINISM: weights, splits, shard assignment and the manifest
   *     are all hash-derived integers — rerunning on the same corpus
   *     reproduces byte-identical shards and manifest.
-  *   - SCALE: packing windows are PARTITIONED by (split, source) — a
-  *     global-order cumulative sum would serialize on one task; the
-  *     per-group form scales with group count, and the manifest
-  *     aggregate is a partial-agg group-by on the same keys.
+  *   - SCALE: the packing cumulative sum is a TWO-PASS distributed
+  *     scan (range-partition → per-partition subtotals → broadcast
+  *     prefix offsets → partition-local running sums) — neither a
+  *     global-order window (one task for the corpus) nor a per-group
+  *     window (one task for the train split of the dominant source);
+  *     the manifest aggregate is a partial-agg group-by.
   */
 object Export {
 
-  /** Lazily build the export frames — no I/O. Input must carry
-    * (idCol, sourceCol, textCol); pre-filter with [[Curate.run]]
-    * (`keep === 1`) for the full curated pipeline.
+  /** Build the export frames. Input must carry (idCol, sourceCol,
+    * textCol); pre-filter with [[Curate.run]] (`keep === 1`) for the
+    * full curated pipeline. NOT fully lazy: the narrow packing spine
+    * (id, copy_no, split, source, n_tokens — ~40 B/row, never text)
+    * materializes once through `checkpointer` to freeze its partition
+    * ids for the two-pass cumulative sum below.
     *
     * Returns (packed, manifest):
     *   packed   — one row per training copy: input columns +
@@ -42,26 +47,62 @@ object Export {
     * first doc boundary past the budget, so a shard can exceed it by at
     * most one document. Size it to the loader's appetite (the 2^21
     * default ≈ 2M tokens ≈ 8 MB of text per shard; at 100 TB raise it
-    * or the shard count explodes). */
+    * or the shard count explodes).
+    *
+    * Cumulative-sum shape (the shard assignment needs a running token
+    * total per (split, source) in (id, copy_no) order — and a window
+    * PARTITIONED by (split, source) would put the train split of one
+    * source, most of a real corpus, through a single task):
+    *   1. range-partition the narrow spine on the full sort key
+    *      (split, source, id, copy_no) — partitions are order-contiguous
+    *      slices, sized by the partitioner, independent of group size;
+    *   2. per-(partition, split, source) token subtotals partial-agg to
+    *      a partitions × groups frame; a window over THAT tiny frame
+    *      (ordered by partition id within each group) yields each
+    *      slice's exclusive prefix offset;
+    *   3. offsets broadcast back; each partition computes
+    *      `offset + local running sum` with a window partitioned by
+    *      (partition id, split, source) — task size = one range slice;
+    *   4. shard_no joins back to the full rows by (id, copy_no), the
+    *      ONE shuffle document text crosses.
+    * Range-partition boundaries don't affect the result (any
+    * order-contiguous slicing reconstructs the same running sum), so
+    * the output stays deterministic and partitioning-independent. */
   def plan(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
       weightMilli: Column, tokensPerShard: Long = 1L << 21,
-      trainPct: Int = 80, valPct: Int = 10): (DataFrame, DataFrame) = {
+      trainPct: Int = 80, valPct: Int = 10,
+      checkpointer: Checkpointer = Checkpointer.Local): (DataFrame, DataFrame) = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
     val mixed = Sampling.mixtureSample(docs, idCol, weightMilli)
     val tagged = ShardedSink.withSplit(mixed, idCol, trainPct, valPct)
-    val w = Window.partitionBy(col("split"), col(sourceCol))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+    // checkpoint freezes spark_partition_id: both the subtotal pass and
+    // the local-sum pass must see the SAME partition assignment
+    val ranged = checkpointer(
+      tagged.select(col(idCol), col("copy_no"), col("split"),
+          col(sourceCol), col("n_tokens"))
+        .repartitionByRange(col("split"), col(sourceCol), col(idCol), col("copy_no"))
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.partitionBy(col("split"), col(sourceCol))
+      .orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col("split"), col(sourceCol))
+      .agg(sum("n_tokens").as("__sub"))
+      .withColumn("__off", coalesce(sum("__sub").over(offW), lit(0L)))
+      .select(col("__pid"), col("split"), col(sourceCol), col("__off"))
+    val localW = Window.partitionBy(col("__pid"), col("split"), col(sourceCol))
       .orderBy(col(idCol), col("copy_no"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = tagged
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__cum", sum("n_tokens").over(w))
+    val sharded = ranged.join(broadcast(offsets), Seq("__pid", "split", sourceCol))
+      .withColumn("__cum", col("__off") + sum("n_tokens").over(localW))
       // integer DIV, not double floor-division: IEEE quotients round,
       // and near 2^52/tokensPerShard a doc one token below a boundary
       // can land in the wrong shard — violating the module's
       // all-hash-derived-integers determinism invariant
       .withColumn("shard_no",
         expr(s"(__cum - n_tokens) DIV ${tokensPerShard}L"))
-      .drop("__cum")
+      .select(col(idCol), col("copy_no"), col("shard_no"))
+    val packed = tagged.join(sharded, Seq(idCol, "copy_no"))
+      .select(tagged.columns.map(col) :+ col("shard_no"): _*)
     (packed, manifestOf(packed, idCol, sourceCol))
   }
 
@@ -193,7 +234,7 @@ object Export {
       case None => docs
     }
     val (packedPlan, _) = plan(base, idCol, textCol, sourceCol,
-      weightMilli, tokensPerShard, trainPct, valPct)
+      weightMilli, tokensPerShard, trainPct, valPct, checkpointer)
     // materialize ONCE: the shard write and the manifest write are two
     // actions, and unmaterialized lineage would re-run the whole
     // curation + mixture + packing DAG for each of them

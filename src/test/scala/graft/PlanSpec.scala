@@ -157,12 +157,22 @@ class PlanSpec extends SparkSpec {
       "neither document text nor raw tokens may cross a shuffle")
   }
 
-  test("q117 export manifest: packing windows are per-(split, source) — no global sort anywhere") {
+  test("q117 export manifest: two-pass packing cumsum — no global and no group-sized window") {
     val p = plan("q117_export_manifest")
     // a global-order cumulative sum would plan a single-partition window;
-    // the per-group form partitions by (split, source)
+    // a per-(split, source) window would put the train split of one
+    // source (most of a corpus) through one task. The round-9 shape:
+    // range slices -> subtotal offsets -> partition-LOCAL running sums,
+    // so every doc-row window partition must include the frozen range
+    // partition id
     assert(!p.contains("SinglePartition"),
       "packing must never funnel the corpus through one partition")
+    val packWindows = "windowspecdefinition\\([^)]*copy_no#\\d+L? ASC[^)]*\\)".r
+      .findAllIn(p).toSeq
+    assert(packWindows.nonEmpty, "expected the partition-local running-sum window")
+    assert(packWindows.forall(_.contains("__pid#")),
+      "every packing window (ordered by id, copy_no) must partition by the " +
+        "range slice id, not (split, source) alone")
     val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     // the dedup pre-gate's fingerprint window is the ONE shuffle that
