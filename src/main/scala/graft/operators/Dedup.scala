@@ -121,10 +121,16 @@ object Dedup {
     *
     * Shape: (1) one projection fans each doc into (md5-fp, id, win_no)
     * — 16 bytes + two longs per window, text never leaves the row;
-    * (2) global first-occurrence election à la [[segmentDedup]], here
-    * as a `row_number` window on the fingerprint (losers are the spans
-    * to remove — no join back, one narrow shuffle); (3) losers regroup
-    * to a per-doc sorted `array<long>` of window starts; (4) documents
+    * (2) global first-occurrence election as a PARTIAL-AGGREGATED
+    * `min(struct(id, win))` per fingerprint — map-side combinable, so
+    * a ubiquitous boilerplate window ("enable JavaScript…", cookie
+    * banners — 10⁸⁺ occurrences of ONE fingerprint on a real crawl)
+    * reduces to one partial row per map partition instead of pouring
+    * every occurrence through a single `row_number` window task (the
+    * round-8 shape, retired); losers fall out of an anti-join on the
+    * full (fp, id, win) tuple, whose compound key hash-scatters even
+    * the hottest fingerprint across tasks; (3) losers regroup to a
+    * per-doc sorted `array<long>` of window starts; (4) documents
     * join their removal lists by id — the ONE shuffle document text
     * crosses — and a single [[graft.expressions.ExciseWindows]] kernel
     * pass merges starts into maximal spans and reassembles survivors
@@ -144,18 +150,28 @@ object Dedup {
           .as(Seq("__win", "__fp")))
       .withColumn("__win", col("__win").cast("long"))
 
-    // Election: the first (id, win_no) per fingerprint keeps its copy;
-    // every later occurrence is a duplicated window to excise.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy(col(idCol).asc, col("__win").asc)
+    // Election: the lexicographically-first (id, win_no) per
+    // fingerprint keeps its copy; every other occurrence is a
+    // duplicated window to excise. min(struct) ≡ the first row under
+    // ORDER BY (id, win) and partial-aggregates map-side.
     val removed = winFps
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+      .join(electWinners(winFps, idCol), Seq("__fp", idCol, "__win"), "left_anti")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__win"))).as("__starts"))
 
     exciseByStarts(df, removed, idCol, textCol, k, "dedup_text")
   }
+
+  /** ONE definition of the hot-key-safe window election shared by
+    * [[spanDedup]] and [[spanDedupAgainst]]: the winning (id, win) per
+    * fingerprint via a partial-aggregated struct-min. Returned columns
+    * (__fp, idCol, __win) are exactly the anti-join key that drops the
+    * winner from the occurrence stream without ever concentrating a
+    * hot fingerprint in one task. */
+  private def electWinners(winFps: DataFrame, idCol: String): DataFrame =
+    winFps.groupBy("__fp")
+      .agg(min(struct(col(idCol).as("id"), col("__win").as("win"))).as("__w1"))
+      .select(col("__fp"), col("__w1.id").as(idCol), col("__w1.win").as("__win"))
 
   /** ONE definition of the excision join+projection shared by
     * [[spanDedup]], [[spanDedupAgainst]], and
@@ -325,11 +341,10 @@ object Dedup {
     val inBase = winFps
       .join(baseFps.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
       .select(col(idCol), col("__win"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__fp").orderBy(col(idCol).asc, col("__win").asc)
+    // same hot-key-safe election as [[spanDedup]]: partial-agg winner,
+    // losers via the compound-key anti-join
     val dupInBatch = winFps
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+      .join(electWinners(winFps, idCol), Seq("__fp", idCol, "__win"), "left_anti")
       .select(col(idCol), col("__win"))
 
     val removed = inBase.union(dupInBatch).distinct()

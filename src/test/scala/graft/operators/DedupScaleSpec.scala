@@ -147,6 +147,34 @@ class DedupScaleSpec extends SparkSpec {
     assert(salted2 == salted, "salt assignment must be partitioning-independent")
   }
 
+  test("span election survives a poisoned ubiquitous window without a fingerprint window task") {
+    import spark.implicits._
+    // the SAME 8-token banner opens every document — one fingerprint
+    // with n_docs occurrences, the round-8 row_number election's
+    // single-task hot key. The partial-agg election must (a) still
+    // keep exactly the lowest-id occurrence and excise every other,
+    // and (b) plan NO window function at all.
+    val banner = "please enable javascript to view this site properly today"
+    val docs = (1 to 250).map(i =>
+      (i.toLong, s"$banner unique tail content number$i marker$i")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", windowWords = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the election must be a partial aggregate + anti-join — a Window here " +
+        "funnels every occurrence of a hot fingerprint through one task")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(rows(1L)._1 == 0L, s"lowest id keeps the banner: ${rows(1L)}")
+    assert(rows(1L)._2.startsWith(banner))
+    (2 to 250).foreach { i =>
+      assert(rows(i.toLong)._1 == 1L, s"doc $i must lose the banner span: ${rows(i.toLong)}")
+      assert(!rows(i.toLong)._2.contains("javascript"),
+        s"banner tokens must be excised from doc $i")
+      assert(rows(i.toLong)._2.contains(s"marker$i"),
+        s"doc $i's own tail must survive")
+    }
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(
