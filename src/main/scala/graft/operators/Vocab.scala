@@ -66,6 +66,42 @@ object Vocab {
     top.withColumn("merge_rank", row_number().over(w))
   }
 
+  /** UTF-8 byte order — how Spark's UTF8String and DuckDB compare
+    * strings. The driver-local merge loop must break count ties with
+    * EXACTLY this order or its merge table diverges from the engines'
+    * `ORDER BY` on non-ASCII symbols (JVM String order is UTF-16 code
+    * units, which disagrees beyond the BMP). */
+  private[operators] val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** The fold [[bpeTrain]] and the q143 oracle both define: merge
+    * every adjacent (a, b) greedily left-to-right — "aaa" under (a,a)
+    * becomes [aa, a], the fused symbol never re-pairs with what
+    * follows inside the same pass. */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Iterated BPE training (the real Sennrich et al. 2016 loop, not
     * just one counting step): starting from characters, repeatedly
     * count frequency-weighted adjacent SYMBOL pairs over the
@@ -75,55 +111,53 @@ object Vocab {
     * (merge_no, left_sym, right_sym, n_pairs) — the artifact a
     * tokenizer ships.
     *
-    * Scale shape: identical to [[bpeMergeCandidates]] per round — the
-    * corpus is touched ONCE (the token count); every round after runs
-    * on the dictionary (≪ corpus), with one tiny top-1 job and one
-    * row-local merge application (an `aggregate` fold over each
-    * token's own symbols). Rounds are inherently sequential (round
-    * r+1's counts depend on r's merge); `checkpointer` truncates the
-    * per-round lineage exactly as in
-    * [[SimilaritySearch.trainCentroids]], superseded generations
-    * released. Stops early if no pair remains. */
+    * Scale shape: the corpus is touched ONCE — the distinct-token
+    * count (one partial-agg shuffle). The dictionary that survives it
+    * is vocabulary-sized, not corpus-sized (distinct whitespace tokens
+    * — a few 10⁶ for a language, 10⁷–10⁸ with crawl noise; `minFreq`
+    * ≥ 2 drops the hapax tail, typically half the distinct set, and is
+    * the knob that bounds the collect), so it collects to the driver
+    * once and the merge loop runs LOCALLY — a real 30k–50k-merge vocab
+    * is 30k hash-map passes over an in-memory array, not 2·nMerges
+    * sequential Spark jobs (the round-8 shape, retired: scheduling
+    * dominated past toy merge counts). Count ties break in UTF-8 byte
+    * order ([[utf8Order]]) to stay bit-compatible with the engines'
+    * ORDER BY. Stops early if no pair remains. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      minFreq: Long = 1L): DataFrame = {
     require(nMerges >= 1, "need nMerges >= 1")
+    require(minFreq >= 1, "need minFreq >= 1")
     val spark = df.sparkSession
-    var dict = checkpointer(
-      df.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("freq"))
-        .filter(length(col("tok")) >= 2)
-        .select(col("freq"), split(col("tok"), "").as("syms")))
+    val dict = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2 && col("freq") >= minFreq)
+      .collect()
+    var words: Array[(Array[String], Long)] =
+      dict.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var dry = false
     while (r < nMerges && !dry) {
-      val top = dict.filter(size(col("syms")) > 1)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
-      if (top.isEmpty) dry = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) dry = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ((a, b), n) = counts.iterator.reduceLeft { (p, q) =>
+          if (q._2 > p._2) q
+          else if (q._2 < p._2) p
+          else {
+            val ca = utf8Order.compare(q._1._1, p._1._1)
+            if (ca < 0 || (ca == 0 && utf8Order.compare(q._1._2, p._1._2) < 0)) q
+            else p
+          }
+        }
         merges += ((r + 1, a, b, n))
-        // greedy left-to-right application: fold each token's symbols,
-        // merging every adjacent (a, b) — "aaa" under (a,a) → [aa, a]
-        val next = checkpointer(dict.select(col("freq"),
-          aggregate(
-            transform(col("syms"), s => array(s)),
-            array().cast("array<string>"),
-            (acc, e) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && element_at(e, 1) === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, e))).as("syms")))
-        Checkpointer.release(dict)
-        dict = next
+        words = words.map { case (syms, f) => (applyMerge(syms, a, b), f) }
         r += 1
       }
     }
-    Checkpointer.release(dict)
     import spark.implicits._
     merges.toSeq.toDF("merge_no", "left_sym", "right_sym", "n_pairs")
   }

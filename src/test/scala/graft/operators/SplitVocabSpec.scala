@@ -65,6 +65,27 @@ class SplitVocabSpec extends SparkSpec {
       (3, "ab", "c", 1L)))
   }
 
+  test("bpeTrain: 500 merges complete in seconds (driver-local loop)") {
+    import spark.implicits._
+    // the round-8 implementation ran 2 Spark jobs per merge — 1000
+    // sequential jobs for a 500-merge table; the driver-local loop must
+    // make real merge counts practical after the ONE corpus-sized
+    // token count. (The sf testdata vocabulary fuses dry at ~90 merges,
+    // so depth needs a synthetic corpus with a wide symbol inventory.)
+    val docs = (1 to 4000).map(i =>
+      (i.toLong, s"alpha${i % 997} beta${(i * 31) % 983} tok${i} x${i * 7}")).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val merges = Vocab.bpeTrain(docs, "text", nMerges = 500).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 500, s"corpus is rich enough for 500 merges, got ${merges.length}")
+    // merge_no contiguous, counts positive, fused symbols grow
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 500).toSeq)
+    assert(merges.forall(_.getLong(3) > 0))
+    assert(merges.exists(r => (r.getString(1) + r.getString(2)).length >= 4),
+      "late merges must build on earlier fusions")
+    assert(secs < 60, s"500 merges took $secs s — the loop must stay driver-local fast")
+  }
+
   test("encode maps tokens to vocab ranks in position order, OOV to 0") {
     import spark.implicits._
     val docs = Seq((1L, "b a zz b"), (2L, "a")).toDF("id", "text")
