@@ -1,0 +1,147 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_segment(array<string> tokens, model) -> struct(pieces
+  * array<string>, ids array<long>)` — apply a trained BPE merge table
+  * ([[graft.operators.Vocab.bpeTrain]]'s output) to a token stream,
+  * segmenting each token into subword pieces and mapping every piece
+  * to its vocabulary id, in ONE row-local pass. The tokenizer artifact
+  * (merge ranks + symbol ids) rides inside the expression as a
+  * preprocessed [[BpeSegment.Model]] — definitionally small
+  * (30k–250k merges), shipped once per task via the codegen reference
+  * object, never joined.
+  *
+  * Per token the kernel runs the standard priority loop: repeatedly
+  * find the LOWEST-RANK merge whose pair is adjacent and apply it
+  * greedily left-to-right, until no table pair remains. For a
+  * well-formed merge table (every pair involving a fused symbol ranks
+  * AFTER the merge that created the symbol — true of any table trained
+  * by the Sennrich loop, since a pair can only be counted once its
+  * symbols exist) this is EXACTLY equivalent to replaying the table
+  * sequentially — applying an absent merge is a no-op, and a new
+  * adjacency always involves the just-fused symbol, so it can never
+  * resurrect a rank already passed. The priority form just skips the
+  * absent ranks: O(pieces·len) per token instead of O(nMerges·len).
+  *
+  * Id contract (mirrors the DuckDB oracle): single-character piece →
+  * its alphabet rank (1-based, UTF-8 order), or 0 (UNK) if the char is
+  * outside the alphabet; fused piece → alphabetSize + merge_no of the
+  * FIRST merge producing that symbol string. Fused pieces are always
+  * in the table by construction, so 0 marks exactly the out-of-
+  * alphabet characters.
+  */
+case class BpeSegment(child: Expression, model: BpeSegment.Model)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BpeSegment.outType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_segment"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else BpeSegment.kernel(v.asInstanceOf[ArrayData], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("bpeModel", model,
+      classOf[BpeSegment.Model].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.BpeSegment.kernel(${childGen.value}, $modelRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
+object BpeSegment {
+
+  val outType: StructType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("ids", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Preprocessed tokenizer artifact: merge pair → rank (application
+    * priority), rank → its (left, right, fused) symbols, piece string →
+    * vocabulary id. Built once on the driver by
+    * [[graft.operators.Vocab.bpeEncode]]; plain Serializable maps so
+    * the expression tree ships it to executors unchanged. */
+  final class Model(
+      val ranks: Map[(String, String), Int],
+      val rankPairs: Array[(String, String)],
+      val ids: Map[String, Long]) extends Serializable
+
+  /** Segment one token's symbols in place: find the lowest-rank
+    * adjacent pair, fuse every occurrence left-to-right, repeat. */
+  private def segment(tok: String, m: Model): scala.collection.mutable.ArrayBuffer[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tok.length) { syms += tok.charAt(i).toString; i += 1 }
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        m.ranks.get((syms(j), syms(j + 1))).foreach(r => if (r < best) best = r)
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // greedy left-to-right fuse of the winning pair (same fold as
+        // bpeTrain: a fused symbol never re-pairs within the pass)
+        val (pa, pb) = m.rankPairs(best)
+        val fused = pa + pb
+        var w = 0 // write cursor
+        var r = 0 // read cursor
+        while (r < syms.length) {
+          if (w > 0 && syms(w - 1) == pa && syms(r) == pb) syms(w - 1) = fused
+          else { syms(w) = syms(r); w += 1 }
+          r += 1
+        }
+        syms.takeInPlace(w)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  def kernel(tokens: ArrayData, m: Model): InternalRow = {
+    val n = tokens.numElements()
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i).toString
+      val segs = segment(tok, m)
+      var j = 0
+      while (j < segs.length) {
+        pieces += UTF8String.fromString(segs(j))
+        ids += m.ids.getOrElse(segs(j), 0L)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(pieces.toArray),
+      new GenericArrayData(ids.toArray)))
+  }
+
+  /** Column-API entry point. */
+  def apply(tokens: Column, model: Model): Column =
+    ColumnBridge.toColumn(BpeSegment(ColumnBridge.toExpression(tokens), model))
+}

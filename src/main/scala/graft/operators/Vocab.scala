@@ -162,6 +162,71 @@ object Vocab {
     merges.toSeq.toDF("merge_no", "left_sym", "right_sym", "n_pairs")
   }
 
+  /** The corpus's character alphabet — (char, char_id), 1-based ids in
+    * UTF-8 binary order. The base id space a subword tokenizer's fused
+    * symbols extend ([[bpeEncode]] assigns fused symbol m the id
+    * alphabetSize + merge_no). One partial-agg distinct over the
+    * exploded character stream; the rank window runs over the
+    * alphabet-sized frame (a few hundred to a few thousand rows even
+    * on multilingual crawls), the same frame-after-reduction policy as
+    * [[topTokens]]. */
+  def alphabet(df: DataFrame, textCol: String): DataFrame = {
+    val chars = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(explode(split(col("tok"), "")).as("char"))
+      .filter(length(col("char")) > 0)
+      .distinct()
+    val w = Window.orderBy(col("char"))
+    chars.withColumn("char_id", row_number().over(w).cast("long"))
+  }
+
+  /** Subword encoding against a TRAINED merge table — the step that
+    * makes [[bpeTrain]]'s artifact usable, not just trainable: text →
+    * characters → greedy merge application → subword pieces → ids,
+    * closing the text → train → encode → [[Export.packSequences]]
+    * chain with a real (if small-scale) BPE segmenter instead of
+    * [[encode]]'s word-level vocab.
+    *
+    * Ids: single chars carry their `alphabet` rank (1-based, UTF-8
+    * order; out-of-alphabet chars → 0, the UNK id); a fused piece
+    * carries alphabetSize + merge_no of the first merge producing that
+    * symbol string. Deterministic and engine-replayable — the q144
+    * oracle re-derives the table, the alphabet, and every doc's pieces.
+    *
+    * Scale shape: the tokenizer artifact (merges + alphabet) is
+    * definitionally small — both collect once on the driver, compile
+    * into a [[graft.expressions.BpeSegment.Model]], and ship inside
+    * the expression via the codegen reference object. Encoding itself
+    * is then a PURE PROJECTION: zero shuffle, zero joins, one
+    * row-local kernel pass per document — strictly narrower than
+    * [[encode]]'s (doc, pos, id) shuffle, because the id mapping needs
+    * no join. Output: (idCol, n_pieces, pieces, token_ids). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, alphabetDf: DataFrame): DataFrame = {
+    val mergeList = merges
+      .select(col("merge_no").cast("int"), col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val alpha = alphabetDf.select(col("char"), col("char_id").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = alpha.size.toLong
+    // first-producer wins when two merges fuse to the same string
+    val fusedIds = mergeList.groupBy(m => m._2 + m._3)
+      .map { case (s, ms) => s -> (base + ms.map(_._1).min) }
+    val model = new graft.expressions.BpeSegment.Model(
+      ranks = mergeList.zipWithIndex.map { case ((_, a, b), i) => (a, b) -> i }
+        .reverse.toMap, // reverse → FIRST occurrence of a pair keeps the lowest rank
+      rankPairs = mergeList.map(m => (m._2, m._3)),
+      ids = alpha ++ fusedIds)
+    df.select(col(idCol), graft.expressions.BpeSegment(
+        graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        model).as("__seg"))
+      .select(col(idCol),
+        size(col("__seg.pieces")).cast("long").as("n_pieces"),
+        col("__seg.pieces").as("pieces"),
+        col("__seg.ids").as("token_ids"))
+  }
+
   /** Order-preserving token-id encoding against `vocab` (columns
     * (token, vocab_rank)) — the step between vocabulary and sequence
     * packing: text becomes `array<long>` of ids, OOV tokens become 0

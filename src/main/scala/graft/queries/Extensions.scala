@@ -1595,7 +1595,28 @@ object Extensions {
     Vocab.bpeTrain(Tables(spark, dir, "documents"), "text", nMerges = 5)
       .orderBy("merge_no")
 
+  /** q144 — subword encoding with the trained merge table
+    * ([[Vocab.bpeTrain]] → [[Vocab.bpeEncode]]): the corpus segmented
+    * by its OWN 5-merge BPE tokenizer — chars → greedy merge
+    * application → pieces → ids (alphabet ranks for chars,
+    * alphabetSize + merge_no for fused symbols) — closing the
+    * train→encode gap so the in-engine tokenizer is usable, not just
+    * trainable. The oracle replays training (q143's CTEs), re-derives
+    * the UTF-8-ordered alphabet, applies all 5 merges sequentially to
+    * every document token, and maps ids. Scalar faces (q139 policy):
+    * pieces and ids travel space-joined. */
+  def q144BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val merges = Vocab.bpeTrain(d, "text", nMerges = 5)
+    Vocab.bpeEncode(d, "doc_id", "text", merges, Vocab.alphabet(d, "text"))
+      .select(col("doc_id"), col("n_pieces"),
+        array_join(col("pieces"), " ").as("pieces_str"),
+        array_join(col("token_ids"), " ").as("token_ids_str"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_bpe_encode" -> (q144BpeEncode _),
     "q143_bpe_train" -> (q143BpeTrain _),
     "q142_pack_sequences" -> (q142PackSequences _),
     "q141_span_dedup_within" -> (q141SpanDedupWithinDoc _),
@@ -1869,7 +1890,54 @@ object Extensions {
         .mkString("\nUNION ALL ") +
       "\n) ORDER BY merge_no"
 
+  /** One sequential merge application over per-(doc, token) symbol
+    * lists — the q143 fold shape, replayed on document text instead of
+    * the dictionary. */
+  private def bpeApplySql(r: Int): String =
+    s"""w$r AS (SELECT doc_id, p, list_reduce(list_transform(syms, s -> [s]),
+       |    (acc, e) -> CASE WHEN len(acc) > 0 AND acc[-1] = tr.a AND e[1] = tr.b
+       |                THEN list_concat(acc[1:len(acc) - 1], [tr.a || tr.b])
+       |                ELSE list_concat(acc, e) END) AS syms
+       |  FROM w${r - 1} CROSS JOIN t$r tr)""".stripMargin
+
+  /** q144's oracle: q143's training CTEs, then alphabet ids, then the
+    * 5 merges applied sequentially per document token, then the
+    * piece → id mapping. */
+  private def bpeEncodeSql(nMerges: Int): String =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),
+       |d0 AS (SELECT freq, string_split(tok, '') AS syms FROM f WHERE length(tok) >= 2),
+       |""".stripMargin +
+      (1 to nMerges).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      s"""al AS (SELECT c, row_number() OVER (ORDER BY c)::BIGINT AS cid FROM (
+       |    SELECT DISTINCT unnest(string_split(tok, '')) AS c FROM tk) WHERE length(c) > 0),
+       |nb AS (SELECT count(1)::BIGINT AS base FROM al),
+       |mg AS (${(1 to nMerges).map(r => s"SELECT $r AS mno, a, b FROM t$r").mkString("\nUNION ALL ")}),
+       |mid AS (SELECT a || b AS sym, min(mno)::BIGINT AS mno FROM mg GROUP BY a || b),
+       |dt AS (SELECT doc_id, list_filter($toksSql, t -> length(t) > 0) AS toks FROM documents),
+       |p0 AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM dt),
+       |w0 AS (SELECT doc_id, p, string_split(toks[CAST(p + 1 AS INT)], '') AS syms FROM p0),
+       |""".stripMargin +
+      (1 to nMerges).map(bpeApplySql).mkString(",\n") + ",\n" +
+      s"""e0 AS (SELECT doc_id, p, syms, unnest(range(0, len(syms))) AS q FROM w$nMerges),
+       |e AS (SELECT doc_id, p, q, syms[CAST(q + 1 AS INT)] AS piece FROM e0),
+       |ix AS (SELECT e.doc_id, e.p, e.q, e.piece,
+       |    CASE WHEN length(e.piece) = 1 THEN coalesce(al.cid, 0)
+       |         ELSE coalesce(nb.base + mid.mno, 0) END AS id
+       |  FROM e LEFT JOIN al ON al.c = e.piece
+       |    LEFT JOIN mid ON mid.sym = e.piece CROSS JOIN nb),
+       |agg AS (SELECT doc_id, count(1)::BIGINT AS n_pieces,
+       |    string_agg(piece, ' ' ORDER BY p, q) AS pieces_str,
+       |    array_to_string(list(id ORDER BY p, q), ' ') AS token_ids_str
+       |  FROM ix GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+       |  coalesce(a.pieces_str, '') AS pieces_str,
+       |  coalesce(a.token_ids_str, '') AS token_ids_str
+       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q144_bpe_encode" -> bpeEncodeSql(5),
     "q143_bpe_train" -> bpeSql(5),
     "q142_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

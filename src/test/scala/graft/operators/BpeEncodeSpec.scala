@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.bpeEncode]] — the trained-merge-table segmenter. The kernel
+  * runs the priority loop (lowest-rank present pair first); these specs
+  * pin its equivalence to the sequential replay the q144 oracle uses,
+  * plus the id contract and the degenerate edges. */
+class BpeEncodeSpec extends SparkSpec {
+
+  /** Sequential reference: apply every merge in table order, greedy
+    * left-to-right — the oracle's fold, reimplemented brute-force. */
+  private def sequential(tok: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = tok.map(_.toString)
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (s <- syms) {
+        if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+        else out += s
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("priority kernel segments exactly like sequential merge-table replay") {
+    import spark.implicits._
+    // corpus rich enough that later merges build on earlier fusions
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"interleaving interest internal entering ${"pattern" * (i % 3 + 1)} rate$i"))
+      .toDF("doc_id", "text")
+    val mergesDf = Vocab.bpeTrain(docs, "text", nMerges = 40)
+    val merges = mergesDf.orderBy("merge_no")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Vocab.bpeEncode(docs, "doc_id", "text", mergesDf, Vocab.alphabet(docs, "text"))
+      .select("doc_id", "pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val want = text.toLowerCase.trim.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(t => sequential(t, merges))
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+    }
+  }
+
+  test("id contract: chars carry alphabet ranks, fused pieces alphabetSize + merge_no, OOV 0") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(train, "text", nMerges = 2)
+    val alpha = Vocab.alphabet(train, "text")
+    val alphaMap = alpha.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(alphaMap == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L),
+      s"UTF-8-ordered 1-based alphabet: $alphaMap")
+    // encode a doc with an out-of-alphabet char (z)
+    val out = Vocab.bpeEncode(Seq((9L, "abab cz")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, alpha)
+      .collect().map(r => (r.getSeq[String](2), r.getSeq[Long](3))).head
+    val (pieces, ids) = out
+    val m = merges.orderBy("merge_no").collect()
+      .map(r => (r.getInt(0), r.getString(1) + r.getString(2))).toMap
+    pieces.zip(ids).foreach {
+      case (p, id) if p.length == 1 => assert(id == alphaMap.getOrElse(p, 0L), s"$p -> $id")
+      case (p, id) => assert(m.exists { case (no, sym) => sym == p && id == 4L + no },
+        s"fused $p must carry alphabetSize + merge_no, got $id")
+    }
+    assert(pieces.contains("z") && ids(pieces.indexOf("z")) == 0L, "OOV char encodes as 0")
+  }
+
+  test("null and empty text encode to zero pieces, rows preserved") {
+    import spark.implicits._
+    val train = Seq((1L, "abcd abcd")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(train, "text", nMerges = 1)
+    val docs = Seq((1L, "abcd"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Vocab.bpeEncode(docs, "doc_id", "text", merges, Vocab.alphabet(train, "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > 0)
+    assert(out(2L) == 0L && out(3L) == 0L, s"degenerate docs keep a 0-piece row: $out")
+  }
+}
