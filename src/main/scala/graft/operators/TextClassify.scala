@@ -16,9 +16,12 @@ import graft.functions.TextFunctions
   * carries any number of labels.
   *
   * Weight-table contract: columns (bucket, label, w_milli); `bucket` ∈
-  * [0, dim). A missing (bucket, label) row scores 0 for that pair — a
-  * dense dim × n_labels table and a sparse one with explicit zeros are
-  * equivalent.
+  * [0, dim), plus the RESERVED bias bucket −1, applied exactly once
+  * per document (the class-prior / intercept row — [[scores]] feeds a
+  * synthetic count-1 instance of bucket −1 for every doc, so tables
+  * without bias rows are unaffected). A missing (bucket, label) row
+  * scores 0 for that pair — a dense dim × n_labels table and a sparse
+  * one with explicit zeros are equivalent.
   *
   * Scale shape: the corpus makes exactly ONE narrow shuffle of
   * (id, bucket, count) rows — 12 bytes a row after the map-side partial
@@ -51,6 +54,13 @@ object TextClassify {
         (TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("__cnt"))
+      // the bias instance: every doc hits bucket −1 exactly once, so a
+      // table carrying prior rows scores them additively and a table
+      // without them is untouched (the inner weight join drops the
+      // synthetic instance). A projection-union, no extra shuffle cost
+      // beyond the rows themselves.
+      .unionByName(docs.select(col(idCol), lit(-1).as("bucket"),
+        lit(1L).as("__cnt")))
     val w = weights.select(col("bucket").cast("int").as("bucket"),
       col("label"), col("w_milli").cast("long").as("w_milli"))
     val raw = buckets.join(broadcast(w), Seq("bucket"))
@@ -75,20 +85,27 @@ object TextClassify {
     * unseen (bucket, label) must score the smoothed floor
     * `ln(1/(c_l + dim))`, not 0 — the sparse-is-zero convention of the
     * scoring join would silently favor labels with more training data.
-    * No class-prior term (the scorer has no bias row); with balanced-ish
-    * classes the likelihood dominates — document-level priors belong in
-    * a downstream reweighting if needed.
+    *
+    * `withPrior = true` adds the class-prior term as a bias row per
+    * label — bucket −1 carrying `round(1e6 · ln(n_label / n_docs))` —
+    * which [[scores]] applies exactly once per document: the full MAP
+    * Naive Bayes argmax instead of likelihood-only. With the
+    * imbalanced label counts of a real crawl's language mix, the
+    * likelihood-only argmax systematically over-predicts rare labels
+    * on short ambiguous docs; the prior is the standard correction.
+    * Default false keeps the round-8 contract.
     *
     * Scale shape: one (label, bucket) partial-agg shuffle over the
     * token stream — counters, never text; the densification cross-join
     * is dim × n_labels rows (model-sized, broadcast-sized by the same
-    * argument as the scoring join).
+    * argument as the scoring join); the prior adds one label-sized
+    * doc-count aggregate.
     *
     * Output: (bucket, label, w_milli) — [[scores]]' weight contract
     * (units are 1e-6·ln; any consistent integer unit ranks
     * identically). */
   def trainNaiveBayes(docs: DataFrame, textCol: String, labelCol: String,
-      dim: Int): DataFrame = {
+      dim: Int, withPrior: Boolean = false): DataFrame = {
     require(dim >= 1, "need dim >= 1 hash buckets")
     val toks = docs.select(col(labelCol).as("label"),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -98,13 +115,24 @@ object TextClassify {
     val cl = cbl.groupBy("label").agg(sum("__c").as("__ct"))
     val allBuckets = docs.sparkSession.range(dim)
       .select(col("id").cast("int").as("bucket"))
-    allBuckets.crossJoin(cl)
+    val likelihood = allBuckets.crossJoin(cl)
       .join(cbl, Seq("label", "bucket"), "left")
       .select(col("bucket"), col("label"),
         round(lit(1e6) * log(
           (coalesce(col("__c"), lit(0L)) + 1).cast("double") /
             (col("__ct") + dim).cast("double")))
           .cast("long").as("w_milli"))
+    if (!withPrior) likelihood
+    else {
+      val nd = docs.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("__nd"))
+      val tot = docs.agg(count(lit(1)).as("__t"))
+      likelihood.unionByName(nd.crossJoin(broadcast(tot))
+        .select(lit(-1).as("bucket"), col("label"),
+          round(lit(1e6) * log(
+            col("__nd").cast("double") / col("__t").cast("double")))
+            .cast("long").as("w_milli")))
+    }
   }
 
   /** Argmax classification over [[scores]] — one row per doc: the

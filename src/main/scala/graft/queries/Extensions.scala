@@ -1615,7 +1615,26 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q145 — MAP Naive Bayes with the class prior
+    * ([[TextClassify.trainNaiveBayes]] `withPrior = true`): q137's
+    * in-engine NB, now with each label's `round(1e6·ln(n_label/n_docs))`
+    * bias row in the reserved bucket −1, applied once per document by
+    * the scorer — the full posterior argmax over the corpus's naturally
+    * imbalanced language mix instead of likelihood-only. The oracle
+    * re-derives the counts, the smoothed table, the prior rows, the
+    * per-doc bias instance, and the argmax. */
+  def q145NbPrior(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = TextClassify.trainNaiveBayes(d, "text", "lang", 64, withPrior = true)
+    TextClassify.classify(d, "doc_id", "text", w, 64)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("label").as("pred_lang"), col("score_milli"),
+        when(col("label") === col("lang"), 1).otherwise(0).as("correct"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_nb_prior" -> (q145NbPrior _),
     "q144_bpe_encode" -> (q144BpeEncode _),
     "q143_bpe_train" -> (q143BpeTrain _),
     "q142_pack_sequences" -> (q142PackSequences _),
@@ -1937,6 +1956,37 @@ object Extensions {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q145_nb_prior" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 64 AS bucket FROM t),
+        |cbl AS (SELECT lang AS label, bucket, count(1)::BIGINT AS c
+        |  FROM h GROUP BY label, bucket),
+        |cl AS (SELECT label, sum(c)::BIGINT AS ct FROM cbl GROUP BY label),
+        |nd AS (SELECT lang AS label, count(1)::BIGINT AS nd FROM documents GROUP BY lang),
+        |tot AS (SELECT count(1)::BIGINT AS n FROM documents),
+        |wts AS (SELECT b.bucket, cl.label,
+        |    CAST(round(1000000 * ln((coalesce(cbl.c, 0) + 1)::DOUBLE
+        |      / (cl.ct + 64)::DOUBLE)) AS BIGINT) AS w
+        |  FROM (SELECT unnest(range(64)) AS bucket) b CROSS JOIN cl
+        |  LEFT JOIN cbl ON cbl.label = cl.label AND cbl.bucket = b.bucket
+        |  UNION ALL
+        |  SELECT -1 AS bucket, nd.label,
+        |    CAST(round(1000000 * ln(nd.nd::DOUBLE / tot.n::DOUBLE)) AS BIGINT) AS w
+        |  FROM nd CROSS JOIN tot),
+        |db AS (SELECT doc_id, bucket, count(1)::BIGINT AS cnt
+        |  FROM h GROUP BY doc_id, bucket
+        |  UNION ALL
+        |  SELECT doc_id, -1 AS bucket, 1::BIGINT AS cnt FROM documents),
+        |sc AS (SELECT db.doc_id, wts.label, sum(db.cnt * wts.w)::BIGINT AS score_milli
+        |  FROM db JOIN wts ON db.bucket = wts.bucket GROUP BY db.doc_id, wts.label),
+        |r AS (SELECT doc_id, label, score_milli,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, label) AS rn
+        |  FROM sc)
+        |SELECT r.doc_id, r.label AS pred_lang, r.score_milli,
+        |  CASE WHEN r.label = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
     "q144_bpe_encode" -> bpeEncodeSql(5),
     "q143_bpe_train" -> bpeSql(5),
     "q142_pack_sequences" ->

@@ -76,4 +76,42 @@ class TextClassifySpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(pred.toSeq == Seq((10L, "fruit"), (11L, "tool")))
   }
+
+  test("withPrior: the bias row shifts the argmax toward the majority class on ambiguous docs") {
+    import spark.implicits._
+    val dim = 64
+    // 50 'common' docs vs 2 'rare' docs; "thing" is 1/10 of common
+    // tokens but 3/3 of rare tokens, so the likelihood-only argmax
+    // sends the ambiguous one-word doc to the rare class
+    // (ln(7/70) > ln(51/564)) — the ln(50/52) vs ln(2/52) prior must
+    // correct it
+    val train = ((1 to 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota thing", "common")) ++
+      Seq((101L, "thing thing thing", "rare"), (102L, "thing thing thing", "rare")))
+      .toDF("doc_id", "text", "lang")
+    val ambiguous = Seq((900L, "thing")).toDF("doc_id", "text")
+
+    val noPrior = TextClassify.trainNaiveBayes(train, "text", "lang", dim)
+    val withPrior = TextClassify.trainNaiveBayes(train, "text", "lang", dim, withPrior = true)
+    // contract: prior rows live in the reserved bucket −1 only
+    assert(noPrior.filter(col("bucket") === -1).count() == 0)
+    assert(withPrior.filter(col("bucket") === -1).count() == 2)
+
+    def pred(w: org.apache.spark.sql.DataFrame) =
+      TextClassify.classify(ambiguous, "doc_id", "text", w, dim)
+        .collect().head.getString(1)
+    assert(pred(noPrior) == "rare",
+      "fixture sanity: likelihood-only must over-predict the rare class here")
+    assert(pred(withPrior) == "common",
+      "the class prior must pull the ambiguous doc to the majority class")
+    // a prior-free table still scores identically through the new
+    // bias-instance path (the synthetic bucket −1 joins to nothing)
+    val s1 = TextClassify.scores(ambiguous, "doc_id", "text", noPrior, dim)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val s2 = TextClassify.scores(ambiguous, "doc_id", "text", withPrior, dim)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(s1.keySet == s2.keySet)
+    assert(s1("common") != s2("common") && s1("rare") != s2("rare"),
+      "prior rows must shift every label's absolute score")
+  }
 }
