@@ -201,22 +201,32 @@ object Dedup {
     *
     * Scale shape: entirely row-local — the duplicate-window scan is a
     * prefix `array_position` over the doc's own shingle array
-    * (quadratic in windows-per-doc, zero shuffle) and excision is the
+    * (QUADRATIC in windows-per-doc, zero shuffle) and excision is the
     * same one-pass [[graft.expressions.ExciseWindows]] kernel as
-    * [[spanDedup]].
+    * [[spanDedup]]. The quadratic needs a guard: one pathological
+    * multi-MB document (a log dump, a DNA string) is windows² ≈ 10¹²
+    * comparisons pinning a single task indefinitely. Docs with more
+    * than `maxWindows` windows therefore SKIP the scan and pass
+    * through unchanged (n_spans = 0) — the fail-open policy: an
+    * un-deduped outlier is recoverable downstream (the cross-corpus
+    * election still sees it), a wedged executor is not. The default
+    * bound (20k windows ≈ 20k tokens ≈ 100 KB of text) caps the scan
+    * near 4·10⁸ string compares, single-digit seconds; truncate or
+    * drop oversized docs upstream if they must be scanned.
     *
     * Output: (id, n_tokens, n_spans, n_removed, dedup_text) — the
     * [[spanDedup]] contract. */
   def spanDedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 13): DataFrame = {
+      windowWords: Int = 13, maxWindows: Int = 20000): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
+    require(maxWindows > 0, "maxWindows must be positive")
     val k = windowWords
     def toks = split(col(textCol), " ")
     def wins = graft.expressions.WordShingles(toks, k)
     // 0-based window index i is a duplicate iff its shingle appears in
     // the strict prefix wins[0..i); sequence() is ascending only when
     // the doc has windows at all
-    def starts = when(size(wins) > 0,
+    def starts = when(size(wins) > 0 && size(wins) <= maxWindows,
       filter(sequence(lit(0), size(wins) - 1),
         i => array_position(slice(wins, lit(1), i), element_at(wins, i + 1)) > 0)
         .cast("array<long>"))
@@ -280,7 +290,12 @@ object Dedup {
     * Scale shape: entirely row-local — one codegen-projection pass, no
     * shuffle, no state, no corpus pass. The keep test is a quadratic
     * scan over the doc's own lines (array_position over a prefix
-    * slice), bounded by lines-per-doc, not corpus size.
+    * slice), bounded by lines-per-doc, not corpus size — lines are
+    * ~100× sparser than [[spanDedupWithinDoc]]'s windows, so even a
+    * 100 KB page is ~10³ lines ≈ 10⁶ compares; a pathological
+    * million-line single document should be length-gated upstream
+    * (same rationale as spanDedupWithinDoc's `maxWindows`, which sits
+    * at the token level where the quadratic actually bites).
     *
     * Output: (id, n_lines, n_dropped, clean_text) — same contract as
     * [[dropFrequentLines]]. */

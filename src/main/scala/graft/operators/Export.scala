@@ -197,11 +197,13 @@ object Export {
   }
 
   /** Write [[packSequences]] output as training-ready shard files plus
-    * a manifest: one parquet file per shard (writer parallelism =
-    * shard count, same one-task-per-shard policy as
-    * [[exportTrainingData]]), `outDir/_manifest` with one row per shard
-    * (n_seqs, n_tokens, n_full — the loader's sanity numbers, all
-    * exact). Returns the manifest. */
+    * a manifest. Each shard's rows hash-land in one writer task so a
+    * shard is one contiguous file, but — same caveat as
+    * [[exportTrainingData]] — writer PARALLELISM is bounded by
+    * `spark.sql.shuffle.partitions`, not by shard count: several
+    * shards may share a task. `outDir/_manifest` gets one row per
+    * shard (n_seqs, n_tokens, n_full — the loader's sanity numbers,
+    * all exact). Returns the manifest. */
   def writeSequences(sequences: DataFrame, seqLen: Int, outDir: String): DataFrame = {
     sequences.repartition(col("shard_no"))
       .write.mode("overwrite").partitionBy("shard_no")

@@ -19,27 +19,53 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of the events table; ts is TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. */
+  /** Parquet schema of the events table as the current generator
+    * writes it: ts is TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ. The driver has ALSO shipped ts as
+    * TIMESTAMP(NANOS) in past regenerations (surfacing as LongType
+    * under `nanosAsLong`) — [[readEvents]] owns that drift by probing
+    * the footer, exactly as `graft.Tables.normalizeNanoTimestamps`
+    * does for batch reads; this val is only the NTZ-generation
+    * default. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files, newest
-    * first, one file per trigger (incremental batch parity). The NTZ
-    * `ts` is cast to TimestampType (sessions run UTC → same wall-clock,
-    * same instants as [[graft.Tables]]' batch read) so watermarks and
-    * window() work unchanged. */
+    * first, one file per trigger (incremental batch parity).
+    *
+    * A stream's schema must be declared up front, but the testdata
+    * generator has written `ts` as both TIMESTAMP(NANOS) (→ LongType
+    * under `nanosAsLong`) and TIMESTAMP(MICROS, ntz) across
+    * regenerations — so the footer is probed ONCE at stream setup (a
+    * metadata-only batch read) and the stream schema + normalization
+    * branch the same way the batch loader does: longs convert via
+    * `timestamp_micros(ts DIV 1000)`, NTZ casts to TimestampType
+    * (sessions run UTC → same wall-clock, same instants as
+    * [[graft.Tables]]). A regeneration that changes the physical type
+    * MID-STREAM needs a stream restart, as any schema change does. */
   def readEvents(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+      glob: String = "events.parquet"): DataFrame = {
+    val probedTs = scala.util.Try(
+        spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
+      .toOption.flatMap(_.fields.find(_.name == "ts")).map(_.dataType)
+      .getOrElse(TimestampNTZType)
+    val schema = StructType(eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = probedTs) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("latestFirst", "true")
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+    probedTs match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Hourly tumbling rollup with a 2-hour watermark: counts + sums per
     * (hour, event_type). State is bounded by the watermark — safe on an

@@ -164,4 +164,19 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(1) == ((2L, 5L, 0L, 0L, "p q r s t")))
     assert(got(2) == ((3L, 1L, 0L, 0L, "z")))
   }
+
+  test("spanDedupWithinDoc: docs past the maxWindows guard pass through unscanned") {
+    import spark.implicits._
+    val rep = ("alpha beta gamma delta epsilon zeta eta theta " * 2).trim
+    val docs = Seq((1L, rep)).toDF("id", "text")
+    val scanned = Dedup.spanDedupWithinDoc(docs, "id", "text", windowWords = 8)
+      .collect().head
+    assert(scanned.getLong(2) == 1L, s"fixture sanity: the repeat must excise, got $scanned")
+    // same doc, guard below its window count → fail-open pass-through
+    val guarded = Dedup.spanDedupWithinDoc(docs, "id", "text", windowWords = 8,
+      maxWindows = 3).collect().head
+    assert(guarded.getLong(2) == 0L && guarded.getLong(3) == 0L,
+      s"over-bound doc must skip the quadratic scan: $guarded")
+    assert(guarded.getString(4) == rep, "text must pass through unchanged")
+  }
 }
