@@ -1633,7 +1633,25 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q146 — the full subword export chain ([[Vocab.bpeTrain]] →
+    * [[Vocab.bpeEncode]] → [[Export.packSequences]]): the corpus
+    * trained, segmented, and packed into 64-token boundary-crossing
+    * training sequences of BPE ids across 4 deterministic shards —
+    * q142's packing driven by the REAL in-engine tokenizer instead of
+    * the word-level vocab. The oracle replays training, encoding, the
+    * shard shuffle, offsets, and every sequence's id list. */
+  def q146BpePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val merges = Vocab.bpeTrain(d, "text", nMerges = 5)
+    val enc = Vocab.bpeEncode(d, "doc_id", "text", merges, Vocab.alphabet(d, "text"))
+    Export.packSequences(enc, "doc_id", "token_ids", seqLen = 64, nShards = 4)
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        array_join(col("token_ids"), " ").as("token_ids_str"))
+      .orderBy("shard_no", "seq_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bpe_pack" -> (q146BpePack _),
     "q145_nb_prior" -> (q145NbPrior _),
     "q144_bpe_encode" -> (q144BpeEncode _),
     "q143_bpe_train" -> (q143BpeTrain _),
@@ -1919,10 +1937,11 @@ object Extensions {
        |                ELSE list_concat(acc, e) END) AS syms
        |  FROM w${r - 1} CROSS JOIN t$r tr)""".stripMargin
 
-  /** q144's oracle: q143's training CTEs, then alphabet ids, then the
-    * 5 merges applied sequentially per document token, then the
-    * piece → id mapping. */
-  private def bpeEncodeSql(nMerges: Int): String =
+  /** Shared CTE prefix of the q144/q146 oracles: q143's training CTEs,
+    * the UTF-8-ordered alphabet ids, the `nMerges` merges applied
+    * sequentially per document token, and the piece → id mapping —
+    * ends at `ix` (doc_id, p, q, piece, id). */
+  private def bpeEncodePrefixSql(nMerges: Int): String =
     s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
        |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),
        |d0 AS (SELECT freq, string_split(tok, '') AS syms FROM f WHERE length(tok) >= 2),
@@ -1944,8 +1963,12 @@ object Extensions {
        |    CASE WHEN length(e.piece) = 1 THEN coalesce(al.cid, 0)
        |         ELSE coalesce(nb.base + mid.mno, 0) END AS id
        |  FROM e LEFT JOIN al ON al.c = e.piece
-       |    LEFT JOIN mid ON mid.sym = e.piece CROSS JOIN nb),
-       |agg AS (SELECT doc_id, count(1)::BIGINT AS n_pieces,
+       |    LEFT JOIN mid ON mid.sym = e.piece CROSS JOIN nb)""".stripMargin
+
+  /** q144's oracle: the shared prefix, aggregated per document. */
+  private def bpeEncodeSql(nMerges: Int): String =
+    bpeEncodePrefixSql(nMerges) + ",\n" +
+      s"""agg AS (SELECT doc_id, count(1)::BIGINT AS n_pieces,
        |    string_agg(piece, ' ' ORDER BY p, q) AS pieces_str,
        |    array_to_string(list(id ORDER BY p, q), ' ') AS token_ids_str
        |  FROM ix GROUP BY doc_id)
@@ -1955,7 +1978,27 @@ object Extensions {
        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q146's oracle: the shared BPE-encoding prefix, then q142's
+    * deterministic-shard packing replayed over the SUBWORD ids. */
+  private def bpePackSql(nMerges: Int, seqLen: Int, nShards: Int): String =
+    bpeEncodePrefixSql(nMerges) + ",\n" +
+      s"""enc AS (SELECT doc_id, count(1)::BIGINT AS n_tok,
+       |    list(id ORDER BY p, q) AS ids FROM ix GROUP BY doc_id),
+       |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS kk,
+       |    md5(md5(doc_id::VARCHAR)) AS sk FROM enc),
+       |b2 AS (SELECT *, ('0x' || substring(sk, 1, 15))::BIGINT % $nShards AS shard_no FROM k),
+       |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
+       |    ORDER BY sk, kk) - n_tok)::BIGINT AS off FROM b2),
+       |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
+       |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // $seqLen AS seq_no,
+       |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)
+       |SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  array_to_string(list(id ORDER BY g), ' ') AS token_ids_str
+       |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q146_bpe_pack" -> bpePackSql(5, 64, 4),
     "q145_nb_prior" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),
         |h AS (SELECT doc_id, lang,
