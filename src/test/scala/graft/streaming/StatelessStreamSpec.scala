@@ -44,4 +44,38 @@ class StatelessStreamSpec extends SparkSpec {
     assert(!streamed.head(3).asInstanceOf[String].split("\n").groupBy(identity)
       .exists(_._2.length > 1))
   }
+
+  test("bpeEncode is a pure projection too: the trained segmenter runs unchanged on a stream") {
+    val inDir = Files.createTempDirectory("graft_bpe_in")
+    val outDir = Files.createTempDirectory("graft_bpe_out").toString
+    val ckpt = Files.createTempDirectory("graft_bpe_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.write(inDir.resolve("b1.jsonl"),
+      (1 to 30).map(i => s"""{"doc_id":$i,"text":"streaming streams streamed stream$i"}""").asJava)
+
+    // train ONCE in batch (the artifact ships with the job); encoding is
+    // then a zero-shuffle projection, so the same call curates a stream
+    val train = spark.read.schema(schema).json(inDir.toString)
+    val merges = graft.operators.Vocab.bpeTrain(train, "text", nMerges = 10)
+    val alpha = graft.operators.Vocab.alphabet(train, "text")
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Vocab.bpeEncode(df, "doc_id", "text", merges, alpha)
+        .select(col("doc_id"), col("n_pieces"),
+          array_join(col("pieces"), " ").as("pieces_str"),
+          array_join(col("token_ids"), " ").as("ids_str"))
+
+    val q = encode(spark.readStream.schema(schema).json(inDir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).orderBy("doc_id").collect().map(_.toSeq)
+    val batch = encode(spark.read.schema(schema).json(inDir.toString))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(streamed.length == 30)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
+    assert(streamed.head(1).asInstanceOf[Long] > 0)
+  }
 }
