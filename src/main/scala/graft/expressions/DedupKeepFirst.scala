@@ -1,0 +1,82 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `dedup_keep_first(array<string> elems, sep) ->
+  * struct(n_dropped, clean_text)` — drop every element that already
+  * occurred EARLIER in the array and rejoin the survivors with `sep`:
+  * the row-local half of [[graft.operators.Dedup.dedupLinesWithinDoc]]
+  * as one hash pass.
+  *
+  * Replaces `filter(lines, (l, i) -> array_position(slice(lines, 1, i),
+  * l) === 0)` — a prefix-array copy plus linear probe per line, O(n²)
+  * in both time and allocation through interpreted lambdas. Here each
+  * element is probed once against a hash set of its predecessors:
+  * O(n), order-preserving, first occurrence kept — byte-identical
+  * output to the quadratic form (split() arrays contain no nulls).
+  * The guard rationale that capped [[DuplicateStarts]]'s caller does
+  * not apply: a million-line document is a million hash probes,
+  * milliseconds, so no maxElements bound is taken. Null input → null.
+  */
+case class DedupKeepFirst(child: Expression, sep: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "dedup_keep_first"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else DedupKeepFirst.kernel(v.asInstanceOf[ArrayData], UTF8String.fromString(sep))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep))
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.DedupKeepFirst.kernel(
+          ${childGen.value}, $sepRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DedupKeepFirst =
+    copy(child = newChild)
+}
+
+object DedupKeepFirst {
+  def kernel(elems: ArrayData, sep: UTF8String): InternalRow = {
+    val n = elems.numElements()
+    val seen = new java.util.HashSet[AnyRef](Math.min(Math.max(n, 4), 1 << 20))
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val e = elems.getUTF8String(i)
+      if (seen.add(e)) kept.add(e)
+      i += 1
+    }
+    val text =
+      if (kept.isEmpty) UTF8String.EMPTY_UTF8
+      else UTF8String.concatWs(sep, kept.toArray(new Array[UTF8String](kept.size())): _*)
+    new GenericInternalRow(Array[Any]((n - kept.size()).toLong, text))
+  }
+
+  /** Column-API entry point. */
+  def apply(elems: Column, sep: String): Column =
+    ColumnBridge.toColumn(DedupKeepFirst(ColumnBridge.toExpression(elems), sep))
+}

@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `duplicate_starts(array<string> elems, maxElements) -> array<long>`
+  * — the 0-based indexes whose element already occurred EARLIER in the
+  * same array, in ascending order: the duplicate-window scan of
+  * [[graft.operators.Dedup.spanDedupWithinDoc]] as one hash pass.
+  *
+  * Replaces `filter(sequence(0, n-1), i -> array_position(slice(elems,
+  * 1, i), elems[i]) > 0)`, which materializes a prefix-array copy and
+  * runs a linear probe per element — O(n²) time AND allocation through
+  * interpreted lambdas, the single slowest per-row scan in the engine
+  * (q141's dominant cost). Here each element is probed once against a
+  * hash set of everything before it: O(n), zero allocation beyond the
+  * set, ascending output by construction (exactly what
+  * [[ExciseWindows]] requires of its `starts` operand).
+  *
+  * Arrays longer than `maxElements` return EMPTY (not null) — the
+  * fail-open guard contract of `spanDedupWithinDoc`: a pathological
+  * document passes through unscanned rather than owning a task. With
+  * the quadratic gone the guard is no longer protecting the scan
+  * itself (a 10⁶-element pass is milliseconds) but the downstream
+  * excision semantics callers sized their bound around; pass
+  * `Int.MaxValue` to disable. Null input → null.
+  */
+case class DuplicateStarts(child: Expression, maxElements: Int)
+    extends UnaryExpression {
+  require(maxElements > 0, s"maxElements must be positive, got $maxElements")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "duplicate_starts"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else DuplicateStarts.kernel(v.asInstanceOf[ArrayData], maxElements)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.DuplicateStarts.kernel(
+          ${childGen.value}, $maxElements);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DuplicateStarts =
+    copy(child = newChild)
+}
+
+object DuplicateStarts {
+  private val EMPTY = new GenericArrayData(Array.empty[Long])
+
+  def kernel(elems: ArrayData, maxElements: Int): ArrayData = {
+    val n = elems.numElements()
+    if (n == 0 || n > maxElements) return EMPTY
+    val seen = new java.util.HashSet[AnyRef](Math.min(n, 1 << 20))
+    var dups: java.util.ArrayList[Long] = null
+    var i = 0
+    while (i < n) {
+      if (!seen.add(elems.getUTF8String(i))) {
+        if (dups == null) dups = new java.util.ArrayList[Long]()
+        dups.add(i.toLong)
+      }
+      i += 1
+    }
+    if (dups == null) EMPTY
+    else {
+      val out = new Array[Long](dups.size())
+      var j = 0
+      while (j < out.length) { out(j) = dups.get(j); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Column-API entry point. */
+  def apply(elems: Column, maxElements: Int): Column =
+    ColumnBridge.toColumn(DuplicateStarts(ColumnBridge.toExpression(elems), maxElements))
+}

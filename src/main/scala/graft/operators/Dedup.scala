@@ -199,20 +199,18 @@ object Dedup {
     * (which elects across documents) leaves alone. Run it before
     * [[spanDedup]]: fewer windows enter the global election.
     *
-    * Scale shape: entirely row-local — the duplicate-window scan is a
-    * prefix `array_position` over the doc's own shingle array
-    * (QUADRATIC in windows-per-doc, zero shuffle) and excision is the
-    * same one-pass [[graft.expressions.ExciseWindows]] kernel as
-    * [[spanDedup]]. The quadratic needs a guard: one pathological
-    * multi-MB document (a log dump, a DNA string) is windows² ≈ 10¹²
-    * comparisons pinning a single task indefinitely. Docs with more
-    * than `maxWindows` windows therefore SKIP the scan and pass
-    * through unchanged (n_spans = 0) — the fail-open policy: an
-    * un-deduped outlier is recoverable downstream (the cross-corpus
-    * election still sees it), a wedged executor is not. The default
-    * bound (20k windows ≈ 20k tokens ≈ 100 KB of text) caps the scan
-    * near 4·10⁸ string compares, single-digit seconds; truncate or
-    * drop oversized docs upstream if they must be scanned.
+    * Scale shape: entirely row-local, zero shuffle — the
+    * duplicate-window scan is ONE hash pass over the doc's own shingle
+    * array ([[graft.expressions.DuplicateStarts]]: each window probed
+    * once against a set of its predecessors, O(windows)) and excision
+    * is the same one-pass [[graft.expressions.ExciseWindows]] kernel
+    * as [[spanDedup]]. Docs with more than `maxWindows` windows SKIP
+    * the scan and pass through unchanged (n_spans = 0) — the fail-open
+    * policy retained from the earlier quadratic implementation: with
+    * the hash scan the bound no longer protects wall-clock (10⁶
+    * windows is milliseconds) but keeps the excision semantics callers
+    * sized their pipelines around; raise it (or pass `Int.MaxValue`)
+    * to scan everything.
     *
     * Output: (id, n_tokens, n_spans, n_removed, dedup_text) — the
     * [[spanDedup]] contract. */
@@ -222,15 +220,11 @@ object Dedup {
     require(maxWindows > 0, "maxWindows must be positive")
     val k = windowWords
     def toks = split(col(textCol), " ")
-    def wins = graft.expressions.WordShingles(toks, k)
     // 0-based window index i is a duplicate iff its shingle appears in
-    // the strict prefix wins[0..i); sequence() is ascending only when
-    // the doc has windows at all
-    def starts = when(size(wins) > 0 && size(wins) <= maxWindows,
-      filter(sequence(lit(0), size(wins) - 1),
-        i => array_position(slice(wins, lit(1), i), element_at(wins, i + 1)) > 0)
-        .cast("array<long>"))
-      .otherwise(array().cast("array<long>"))
+    // the strict prefix wins[0..i); DuplicateStarts emits those i
+    // ascending (the ExciseWindows contract) in one hash pass.
+    def starts = graft.expressions.DuplicateStarts(
+      graft.expressions.WordShingles(toks, k), maxWindows)
     df.withColumn("__ex", graft.expressions.ExciseWindows(toks, starts, k))
       .select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
@@ -288,26 +282,21 @@ object Dedup {
     * no corpus statistics).
     *
     * Scale shape: entirely row-local — one codegen-projection pass, no
-    * shuffle, no state, no corpus pass. The keep test is a quadratic
-    * scan over the doc's own lines (array_position over a prefix
-    * slice), bounded by lines-per-doc, not corpus size — lines are
-    * ~100× sparser than [[spanDedupWithinDoc]]'s windows, so even a
-    * 100 KB page is ~10³ lines ≈ 10⁶ compares; a pathological
-    * million-line single document should be length-gated upstream
-    * (same rationale as spanDedupWithinDoc's `maxWindows`, which sits
-    * at the token level where the quadratic actually bites).
+    * shuffle, no state, no corpus pass. The keep test is one hash pass
+    * over the doc's own lines ([[graft.expressions.DedupKeepFirst]]:
+    * each line probed once against a set of its predecessors), so even
+    * a pathological million-line document is a million probes —
+    * milliseconds, no length gate needed.
     *
     * Output: (id, n_lines, n_dropped, clean_text) — same contract as
     * [[dropFrequentLines]]. */
   def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def lines = split(col(textCol), "\n")
-    // filter's lambda index i is 0-based: slice(lines, 1, i) is exactly
-    // the lines BEFORE position i; array_position = 0 ⇔ not seen yet.
-    def kept = filter(lines, (l, i) => array_position(slice(lines, lit(1), i), l) === 0)
+    def ded = graft.expressions.DedupKeepFirst(lines, "\n")
     df.select(col(idCol),
       size(lines).cast("long").as("n_lines"),
-      (size(lines) - size(kept)).cast("long").as("n_dropped"),
-      array_join(kept, "\n").as("clean_text"))
+      ded.getField("n_dropped").as("n_dropped"),
+      ded.getField("clean_text").as("clean_text"))
   }
 
   /** The persisted base-side table for incremental [[spanDedupAgainst]]:

@@ -169,6 +169,34 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("DuplicateStarts.kernel == quadratic prefix array_position scan on 500 random arrays") {
+    (0 until 500).foreach { _ =>
+      // narrow alphabet so duplicates actually occur
+      val elems = Array.fill(rnd.nextInt(40))("w" + rnd.nextInt(8))
+      val got = DuplicateStarts.kernel(
+        new GenericArrayData(elems.map(UTF8String.fromString).toArray[Any]), 1 << 20)
+      val want = elems.indices.filter(i => elems.take(i).contains(elems(i))).map(_.toLong)
+      assert((0 until got.numElements()).map(got.getLong) == want,
+        s"elems=${elems.mkString(",")}")
+    }
+    // guard: over-long arrays return EMPTY (fail-open pass-through)
+    val dup = new GenericArrayData(Array.fill(5)(UTF8String.fromString("x")).toArray[Any])
+    assert(DuplicateStarts.kernel(dup, 4).numElements() == 0)
+    assert(DuplicateStarts.kernel(dup, 5).numElements() == 4)
+  }
+
+  test("DedupKeepFirst.kernel == order-preserving distinct + join on 500 random arrays") {
+    val sep = UTF8String.fromString("\n")
+    (0 until 500).foreach { _ =>
+      val elems = Array.fill(rnd.nextInt(40))("line " + rnd.nextInt(10))
+      val row = DedupKeepFirst.kernel(
+        new GenericArrayData(elems.map(UTF8String.fromString).toArray[Any]), sep)
+      val want = elems.distinct
+      assert(row.getLong(0) == elems.length - want.length)
+      assert(row.getUTF8String(1).toString == want.mkString("\n"))
+    }
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))
