@@ -1,0 +1,108 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `fix_mojibake(text) -> string` — repair UTF-8-read-as-Windows-1252
+  * mojibake ("â€™" → "'", "Ã©" → "é", "â€“" → "–"), the single most
+  * common text corruption in web crawls (a page served as UTF-8 but
+  * transcoded by some hop that assumed Latin-1/cp1252). The ftfy
+  * round-trip repair, re-expressed as a codegen projection:
+  *
+  *   1. fast path — ASCII-only text (the crawl majority) returns
+  *      unchanged after one byte scan, zero allocation;
+  *   2. re-encode the text's chars as Windows-1252 bytes; any
+  *      unmappable char (CJK, emoji, any cp ≥ U+0400 outside cp1252's
+  *      repertoire) aborts → text was never cp1252-decoded, return it;
+  *   3. strictly decode those bytes as UTF-8; malformed sequences
+  *      abort → genuine Latin text ("déjà" encodes to E9 6A …, not
+  *      valid UTF-8), return original.
+  *
+  * Only text that survives BOTH trips — i.e. whose every char sits in
+  * cp1252 AND whose cp1252 bytes form valid UTF-8 — is rewritten;
+  * that asymmetry is the safety property (accidental repair of
+  * genuine single-accent text is impossible because isolated high
+  * bytes are not valid UTF-8). Applied once, not to fixpoint:
+  * double-encoded text comes out single-encoded and a second pass
+  * (caller's choice) finishes it. Row-local, zero shuffle,
+  * null → null.
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "fix_mojibake"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else FixMojibake.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.FixMojibake.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
+object FixMojibake {
+  private val cp1252 = Charset.forName("windows-1252")
+  private val utf8 = Charset.forName("UTF-8")
+
+  // CharsetEncoder/Decoder are stateful and not thread-safe; one pair
+  // per executor thread, reset per call.
+  private val codecs = ThreadLocal.withInitial[(java.nio.charset.CharsetEncoder,
+      java.nio.charset.CharsetDecoder)] { () =>
+    (cp1252.newEncoder()
+       .onMalformedInput(CodingErrorAction.REPORT)
+       .onUnmappableCharacter(CodingErrorAction.REPORT),
+     utf8.newDecoder()
+       .onMalformedInput(CodingErrorAction.REPORT)
+       .onUnmappableCharacter(CodingErrorAction.REPORT))
+  }
+
+  def kernel(text: UTF8String): UTF8String = {
+    // fast path: pure-ASCII bytes cannot be mojibake
+    val nb = text.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < nb) {
+      if ((text.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return text
+
+    val (enc, dec) = codecs.get()
+    try {
+      enc.reset()
+      val bytes: ByteBuffer = enc.encode(java.nio.CharBuffer.wrap(text.toString))
+      dec.reset()
+      val fixed = dec.decode(bytes).toString
+      UTF8String.fromString(fixed)
+    } catch {
+      case _: CharacterCodingException => text
+    }
+  }
+
+  /** Column-API entry point. */
+  def apply(text: Column): Column =
+    ColumnBridge.toColumn(FixMojibake(ColumnBridge.toExpression(text)))
+}

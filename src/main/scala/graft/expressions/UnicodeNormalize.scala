@@ -1,0 +1,71 @@
+package graft.expressions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `unicode_normalize(text, form) -> string` — Unicode normalization
+  * (NFC / NFD / NFKC / NFKD) as a codegen projection, the first step
+  * of multilingual crawl cleaning: the same visible text arrives both
+  * precomposed (U+00E9 é) and decomposed (e + U+0301) depending on the
+  * producing OS/editor, so every downstream EXACT-match operator —
+  * line dedup, span fingerprints, boilerplate frequency, vocab counts
+  * — silently treats equal strings as distinct until forms are
+  * canonicalized. CCNet/ftfy-style pipelines run NFC (canonical,
+  * lossless) before dedup and NFKC (compatibility: ﬁ → fi, ² → 2,
+  * full-width → ASCII) before tokenization/stats.
+  *
+  * Kernel: `java.text.Normalizer` (ICU-equivalent tables shipped with
+  * the JDK) behind a cheap `isNormalized` fast path — ASCII and
+  * already-normal text (the overwhelming crawl majority) pays one scan
+  * and zero allocation. Row-local, zero shuffle, null → null.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  private val nf = Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unicode_normalize"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else UnicodeNormalize.kernel(v.asInstanceOf[UTF8String], nf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val formRef = ctx.addReferenceObj("form", nf, classOf[Normalizer.Form].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.UnicodeNormalize.kernel(
+          ${childGen.value}, $formRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  def kernel(text: UTF8String, form: Normalizer.Form): UTF8String = {
+    val s = text.toString
+    if (Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(Normalizer.normalize(s, form))
+  }
+
+  /** Column-API entry point; `form` ∈ NFC | NFD | NFKC | NFKD. */
+  def apply(text: Column, form: String): Column =
+    ColumnBridge.toColumn(UnicodeNormalize(ColumnBridge.toExpression(text), form))
+}

@@ -150,6 +150,26 @@ object TextFunctions {
   def chunks(text: Column, width: Int, stride: Int): Column =
     graft.expressions.TokenChunks(tokens(text), width, stride)
 
+  /** Unicode normalization (`form` ∈ NFC | NFD | NFKC | NFKD) — run
+    * NFC before any exact-match operator (line dedup, span
+    * fingerprints, vocab counts: precomposed é and e+U+0301 are equal
+    * text, distinct bytes) and NFKC before tokenization/stats (ﬁ → fi,
+    * full-width → ASCII). One codegen projection
+    * ([[graft.expressions.UnicodeNormalize]]), `isNormalized` fast
+    * path for the ASCII crawl majority, no shuffle. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.expressions.UnicodeNormalize(text, form)
+
+  /** Repair UTF-8-read-as-cp1252 mojibake ("â€™" → "'", "Ã©" → "é") —
+    * the ftfy round-trip as one codegen projection
+    * ([[graft.expressions.FixMojibake]]): re-encode as Windows-1252,
+    * strictly re-decode as UTF-8, keep the repair only if BOTH trips
+    * succeed (genuine accented text fails the UTF-8 trip, CJK/emoji
+    * fail the cp1252 trip — either way the original returns
+    * untouched). Run BEFORE [[normalizeUnicode]]. */
+  def fixMojibake(text: Column): Column =
+    graft.expressions.FixMojibake(text)
+
   // PII patterns: RE2-compatible (no backrefs/lookaround) so the same
   // pattern string runs in Java regex (Spark) and DuckDB's RE2 oracle.
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1650,7 +1650,87 @@ object Extensions {
       .orderBy("shard_no", "seq_no")
   }
 
+  // Mojibake digraphs (UTF-8 bytes read as cp1252) and their repairs,
+  // written as \\u escapes so the fixture bytes are source-encoding-proof;
+  // shared between the q148 fixture, the Spark query, and the oracle's
+  // replace chain so all three agree byte-for-byte.
+  private val mjApos = "\u00E2\u20AC\u2122" // a-circ euro tm  -> U+2019 right quote
+  private val mjEAcu = "\u00C3\u00A9"        // A-tilde copy    -> U+00E9 e-acute
+  private val mjDash = "\u00E2\u20AC\u201C" // a-circ euro ldq -> U+2013 en dash
+  private val mjIDia = "\u00C3\u00AF"        // A-tilde macron  -> U+00EF i-diaeresis
+  private val mjOe = "\u00C5\u201C"          // A-ring ldq      -> U+0153 oe ligature
+  private val fxApos = "\u2019"
+  private val fxDash = "\u2013"
+
+  // Decomposed accent runs (base letter + combining mark) for the q147
+  // fixture; NFC recomposes each pair to one precomposed codepoint.
+  private val nfcSuffix =
+    " re\u0301sume\u0301 a\u0300 co\u0302te\u0301 u\u0308ber"
+
+  /** q147 — Unicode NFC normalization
+    * ([[TextFunctions.normalizeUnicode]]): each document suffixed with
+    * DECOMPOSED sequences (e + U+0301, a + U+0300, o + U+0302,
+    * u + U+0308 — how macOS filenames and some editors emit accents),
+    * then canonicalized so exact-match dedup/fingerprint operators see
+    * one byte form. The oracle is DuckDB's own `nfc_normalize`, so the
+    * JDK and utf8proc normalization tables are checked against each
+    * other; codepoint counts prove the recomposition happened. */
+  def q147UnicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(nfcSuffix)).as("t"))
+    def nt = TextFunctions.normalizeUnicode(col("t"), "NFC")
+    fx.select(col("doc_id"),
+        when(col("t") =!= nt, 1).otherwise(0).as("changed"),
+        length(col("t")).cast("long").as("n_cp_raw"),
+        length(nt).cast("long").as("n_cp_nfc"),
+        md5(nt).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q148 — mojibake repair ([[TextFunctions.fixMojibake]]): each
+    * document suffixed with UTF-8-read-as-cp1252 corruption ("â€™",
+    * "Ã©", "â€“", "Ã¯", "Å“") and repaired by the ftfy round-trip
+    * (re-encode cp1252, strictly re-decode UTF-8). The oracle replays
+    * the repair as the explicit digraph replace chain — equality holds
+    * exactly because the fixture's non-ASCII content is all mojibake,
+    * which is the kernel's own safety property (any genuine accent
+    * would fail the UTF-8 trip and return the original, diverging from
+    * the oracle). Codepoint shrinkage counts the repaired chars. */
+  def q148FixMojibake(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = s" It${mjApos}s ${mjEAcu}t$mjEAcu $mjDash na${mjIDia}ve ${mjOe}uf"
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(sfx)).as("t"))
+    def ft = TextFunctions.fixMojibake(col("t"))
+    fx.select(col("doc_id"),
+        when(col("t") =!= ft, 1).otherwise(0).as("changed"),
+        (length(col("t")) - length(ft)).cast("long").as("n_cp_fixed"),
+        md5(ft).as("fixed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q149 — subword decode round-trip ([[Vocab.bpeDecode]]): the
+    * corpus trained (q143), encoded (q144), then decoded back from ids
+    * ALONE — the detokenization audit that catches id-mapping drift
+    * between tokenizer versions before a training run consumes a
+    * shard. The oracle replays training + encoding (q144's CTE prefix)
+    * and demands the decoded concatenation equal the replayed pieces
+    * byte-for-byte; n_unk must be zero because the alphabet was built
+    * from this same corpus. */
+  def q149BpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val merges = Vocab.bpeTrain(d, "text", nMerges = 5)
+    val alpha = Vocab.alphabet(d, "text")
+    val enc = Vocab.bpeEncode(d, "doc_id", "text", merges, alpha)
+    Vocab.bpeDecode(enc, "doc_id", "token_ids", merges, alpha)
+      .select(col("doc_id"), col("n_ids"), col("n_unk"),
+        md5(col("decoded_text")).as("decoded_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_bpe_decode" -> (q149BpeDecode _),
+    "q148_fix_mojibake" -> (q148FixMojibake _),
+    "q147_unicode_nfc" -> (q147UnicodeNfc _),
     "q146_bpe_pack" -> (q146BpePack _),
     "q145_nb_prior" -> (q145NbPrior _),
     "q144_bpe_encode" -> (q144BpeEncode _),
@@ -1997,7 +2077,47 @@ object Extensions {
        |  array_to_string(list(id ORDER BY g), ' ') AS token_ids_str
        |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin
 
+  // chr()-composed fixture suffixes so the oracle SQL stays pure ASCII
+  // (byte-identical to the Scala \u-escaped literals above).
+  private val nfcSuffixSql =
+    "' re' || chr(769) || 'sume' || chr(769) || ' a' || chr(768) || " +
+      "' co' || chr(770) || 'te' || chr(769) || ' u' || chr(776) || 'ber'"
+  private val mjAposSql = "chr(226) || chr(8364) || chr(8482)"
+  private val mjEAcuSql = "chr(195) || chr(169)"
+  private val mjDashSql = "chr(226) || chr(8364) || chr(8220)"
+  private val mjIDiaSql = "chr(195) || chr(175)"
+  private val mjOeSql = "chr(197) || chr(8220)"
+
   val oracles: Map[String, String] = Map(
+    "q149_bpe_decode" ->
+      (bpeEncodePrefixSql(5) + ",\n" +
+        s"""agg AS (SELECT doc_id, count(1)::BIGINT AS n_ids,
+         |    md5(string_agg(piece, '' ORDER BY p, q)) AS decoded_md5
+         |  FROM ix GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_ids, 0)::BIGINT AS n_ids,
+         |  0::BIGINT AS n_unk,
+         |  coalesce(a.decoded_md5, md5('')) AS decoded_md5
+         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+    "q148_fix_mojibake" ->
+      s"""WITH s AS (SELECT doc_id, text || ' It' || $mjAposSql || 's ' ||
+        |    $mjEAcuSql || 't' || $mjEAcuSql || ' ' || $mjDashSql || ' na' ||
+        |    $mjIDiaSql || 've ' || $mjOeSql || 'uf' AS t FROM documents),
+        |f AS (SELECT doc_id, t,
+        |  replace(replace(replace(replace(replace(t,
+        |    $mjAposSql, chr(8217)), $mjEAcuSql, chr(233)),
+        |    $mjDashSql, chr(8211)), $mjIDiaSql, chr(239)),
+        |    $mjOeSql, chr(339)) AS ft FROM s)
+        |SELECT doc_id, CASE WHEN t <> ft THEN 1 ELSE 0 END AS changed,
+        |  (length(t) - length(ft))::BIGINT AS n_cp_fixed, md5(ft) AS fixed_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q147_unicode_nfc" ->
+      s"""WITH s AS (SELECT doc_id, text || $nfcSuffixSql AS t FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM s)
+        |SELECT doc_id, CASE WHEN t <> nt THEN 1 ELSE 0 END AS changed,
+        |  length(t)::BIGINT AS n_cp_raw, length(nt)::BIGINT AS n_cp_nfc,
+        |  md5(nt) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q146_bpe_pack" -> bpePackSql(5, 64, 4),
     "q145_nb_prior" ->
       s"""WITH t AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents),

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unicode normalization + mojibake repair: the SAFETY properties the
+  * q147/q148 oracles cannot see (they fixture only repairable text) —
+  * genuine accents and CJK must pass through untouched, NFKC must fold
+  * what NFC preserves, and both run inside codegen. */
+class TextNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      s: String): String =
+    Seq(s).toDF("t").select(fn(col("t")).as("r")).head().getString(0)
+
+  test("normalizeUnicode NFC recomposes decomposed accents, idempotent") {
+    val decomposed = "résumé" // e + combining acute
+    val precomposed = "résumé"
+    assert(one(TextFunctions.normalizeUnicode(_, "NFC"), decomposed) == precomposed)
+    assert(one(TextFunctions.normalizeUnicode(_, "NFC"), precomposed) == precomposed)
+  }
+
+  test("NFKC folds compatibility chars that NFC must preserve") {
+    // fi-ligature, superscript 2, full-width latin
+    val s = "\uFB01ne \u00B2 \uFF46\uFF55\uFF4C\uFF4C"
+    assert(one(TextFunctions.normalizeUnicode(_, "NFC"), s) == s)
+    assert(one(TextFunctions.normalizeUnicode(_, "NFKC"), s) == "fine 2 full")
+  }
+
+  test("fixMojibake repairs cp1252-decoded UTF-8 and leaves genuine text alone") {
+    // "It's été" mis-decoded: ' = E2 80 99, é = C3 A9
+    assert(one(TextFunctions.fixMojibake(_),
+      "It\u00E2\u20AC\u2122s \u00C3\u00A9t\u00C3\u00A9") ==
+      "It\u2019s \u00E9t\u00E9")
+    // genuine accents: cp1252 bytes E9 6A E0 are not valid UTF-8 -> untouched
+    assert(one(TextFunctions.fixMojibake(_),
+      "d\u00E9j\u00E0 vu") == "d\u00E9j\u00E0 vu")
+    // CJK/emoji: unmappable to cp1252 -> untouched
+    assert(one(TextFunctions.fixMojibake(_),
+      "\u65E5\u672C\u8A9E ok") == "\u65E5\u672C\u8A9E ok")
+    // pure ASCII: fast path returns the input unchanged
+    assert(one(TextFunctions.fixMojibake(_), "plain ascii") == "plain ascii")
+  }
+
+  test("fixMojibake peels double-encoded text one layer per application") {
+    // e-acute -> C3 A9 misread -> "A-tilde copyright" -> its UTF-8
+    // C3 83 C2 A9 misread again (83 = florin U+0192 in cp1252)
+    val twice = "\u00C3\u0192\u00C2\u00A9"
+    val once = one(TextFunctions.fixMojibake(_), twice)
+    assert(once == "\u00C3\u00A9")
+    assert(one(TextFunctions.fixMojibake(_), once) == "\u00E9")
+  }
+
+  test("null and empty propagate; kernels run in codegen with real columns") {
+    val df = Seq(Some("à"), Some(""), None).toDF("t")
+      .select(TextFunctions.normalizeUnicode(col("t"), "NFC").as("n"),
+        TextFunctions.fixMojibake(col("t")).as("f"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "à" && rows(0).getString(1) == "à")
+    assert(rows(1).getString(0) == "" && rows(1).getString(1) == "")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+}
