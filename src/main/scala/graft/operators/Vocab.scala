@@ -227,6 +227,48 @@ object Vocab {
         col("__seg.ids").as("token_ids"))
   }
 
+  /** Inverse of [[bpeEncode]]: subword ids → text, the detokenization
+    * audit for the export chain (decode a packed shard, md5 against
+    * the source, and a corrupted merge table / id drift between
+    * tokenizer versions surfaces BEFORE a training run consumes the
+    * corpus). Ids ≤ alphabetSize decode to their alphabet char; id
+    * alphabetSize + m decodes to merge m's fused string (left_sym ++
+    * right_sym — already materialized in the table, so no recursive
+    * expansion); EVERY merge_no decodes even where [[bpeEncode]]
+    * canonicalized duplicate fused strings to the first producer; the
+    * UNK id 0 (and any unknown id) decodes to U+FFFD so corruption is
+    * visible, never silently dropped.
+    *
+    * Scale shape: the inverse table is the tokenizer artifact —
+    * definitionally small — collected once and shipped as a single map
+    * LITERAL (one codegen reference object, the [[bpeEncode]] Model
+    * policy), so decoding is a pure zero-shuffle projection:
+    * one map probe per id, one concat per document.
+    *
+    * Output: (idCol, n_ids, n_unk, decoded_text). */
+  def bpeDecode(df: DataFrame, idCol: String, idsCol: String,
+      merges: DataFrame, alphabetDf: DataFrame): DataFrame = {
+    val mergeList = merges
+      .select(col("merge_no").cast("int"), col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val alpha = alphabetDf.select(col("char"), col("char_id").cast("long"))
+      .collect().map(r => r.getLong(1) -> r.getString(0))
+    val base = alpha.length.toLong
+    val inv: Map[Long, String] =
+      alpha.toMap ++ mergeList.map { case (m, a, b) => (base + m) -> (a + b) }
+    val mapping = typedlit(inv)
+    // try_element_at: under ANSI (the Spark 4 default) plain
+    // element_at THROWS on an unknown id; decode must degrade to the
+    // visible replacement char instead of failing the batch
+    def pieces = transform(col(idsCol),
+      id => coalesce(try_element_at(mapping, id), lit("\uFFFD")))
+    df.select(col(idCol),
+      size(col(idsCol)).cast("long").as("n_ids"),
+      size(filter(col(idsCol), id => try_element_at(mapping, id).isNull))
+        .cast("long").as("n_unk"),
+      concat_ws("", pieces).as("decoded_text"))
+  }
+
   /** Order-preserving token-id encoding against `vocab` (columns
     * (token, vocab_rank)) — the step between vocabulary and sequence
     * packing: text becomes `array<long>` of ids, OOV tokens become 0

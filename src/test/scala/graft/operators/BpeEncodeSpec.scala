@@ -67,6 +67,37 @@ class BpeEncodeSpec extends SparkSpec {
     assert(pieces.contains("z") && ids(pieces.indexOf("z")) == 0L, "OOV char encodes as 0")
   }
 
+  test("bpeDecode inverts bpeEncode: decoded concat equals whitespace-stripped tokens") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"the theme there then ${"ab" * (i % 4 + 1)} x$i")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", nMerges = 20)
+    val alpha = Vocab.alphabet(docs, "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", merges, alpha)
+    val dec = Vocab.bpeDecode(enc, "doc_id", "token_ids", merges, alpha)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    val want = docs.select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    dec.foreach { case (id, nUnk, decoded) =>
+      assert(nUnk == 0L, s"doc $id decoded with UNKs")
+      assert(decoded == want(id), s"doc $id round-trip mismatch")
+    }
+  }
+
+  test("bpeDecode surfaces unknown ids as U+FFFD and counts them") {
+    import spark.implicits._
+    val train = Seq((1L, "abcd abcd")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(train, "text", nMerges = 1)
+    val alpha = Vocab.alphabet(train, "text")
+    // id 0 is UNK by contract; 9999 is out of the id space entirely
+    val rows = Seq((1L, Seq(1L, 0L, 9999L))).toDF("doc_id", "token_ids")
+    val out = Vocab.bpeDecode(rows, "doc_id", "token_ids", merges, alpha).head()
+    assert(out.getLong(1) == 3L)
+    assert(out.getLong(2) == 2L, "both bad ids counted as UNK")
+    assert(out.getString(3).count(_ == '\uFFFD') == 2)
+  }
+
   test("null and empty text encode to zero pieces, rows preserved") {
     import spark.implicits._
     val train = Seq((1L, "abcd abcd")).toDF("doc_id", "text")
