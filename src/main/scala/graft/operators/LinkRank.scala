@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — the crawl-quality ranking step between
+  * outlink extraction ([[graft.functions.TextFunctions.extractLinks]]
+  * → q96's host/domain graph) and URL-level curation gates
+  * ([[UrlGate]]): a page on a well-linked host is likelier worth
+  * keeping, a host nothing links to is likelier spam — the
+  * centrality-weighted frontier/filter policy of the public
+  * Common Crawl / RefinedWeb lineage.
+  *
+  * Arithmetic is EXACT integer micro-units end to end (rank 1.0 =
+  * 1 000 000; damping in permille; every division a positive-operand
+  * floor `DIV`), so two engines replaying the same graph agree
+  * bit-for-bit — the same engine-portability policy as the DSIR /
+  * fluency log-unit scorers. Dangling-node mass (hosts with no
+  * outlinks) is dropped, not redistributed — documented divergence
+  * from the stochastic-matrix formulation; ranks are relative quality
+  * scores here, not a probability distribution.
+  */
+object LinkRank {
+
+  /** `iters` rounds of damped PageRank over a directed multigraph
+    * (duplicate (src, dst) rows are parallel links and contribute
+    * multiply — dedup upstream if link multiplicity shouldn't count).
+    *
+    * rank₀ = 1 000 000 for every node (any appearing src or dst);
+    * rankₖ₊₁(v) = (1000 − d)·1000 + (d · Σ_{(u,v)∈E} rankₖ(u) DIV
+    * outdeg(u)) DIV 1000, d in permille.
+    *
+    * Scale shape: the edge list is materialized ONCE with each edge
+    * pre-joined to its source's out-degree (the per-round join then
+    * never recomputes degrees); every round is one edges⋈ranks join
+    * (rank side is node-sized — broadcast when small, AQE-planned
+    * otherwise) plus one partial-agg sum by dst, with lineage
+    * truncated per round and superseded rank tables released
+    * immediately — the [[Dedup.connectedComponents]] iteration
+    * discipline. Rounds are FIXED count (no convergence probe), so a
+    * cluster run is exactly `iters` shuffle-join jobs regardless of
+    * graph shape. Long math: 10⁹ nodes × 10⁶ micro-units × 850 stays
+    * under 2⁶³ by three orders of magnitude.
+    *
+    * Output: (node, rank_micro). */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 3, dampingPermille: Int = 850,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e0.groupBy("src").agg(count(lit(1)).as("__od"))
+    // one materialization the whole loop reads: (src, dst, src outdeg)
+    val e = checkpointer(e0.join(outdeg, "src"))
+    val nodes = checkpointer(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    val basePoints = (1000L - dampingPermille) * 1000L
+    var ranks = checkpointer(nodes.withColumn("rank_micro", lit(1000000L)))
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_micro DIV __od").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__contrib"))
+      val next = checkpointer(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(basePoints) +
+              expr(s"$dampingPermille * coalesce(__contrib, 0L) DIV 1000"))
+              .as("rank_micro")))
+      Checkpointer.release(ranks)
+      ranks = next
+      i += 1
+    }
+    Checkpointer.release(e)
+    // `nodes` still backs the final ranks frame's lineage only through
+    // the released generations; the caller's terminal action reads the
+    // materialized `ranks` blocks, so nodes can go too
+    Checkpointer.release(nodes)
+    ranks
+  }
+}

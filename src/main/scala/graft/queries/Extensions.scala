@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Curation, Dedup, Export, Importance, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Vocab, Warc}
+import graft.operators.{Curation, Dedup, Export, Importance, LinkRank, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Vocab, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -1727,7 +1727,31 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q150 — damped PageRank over the outlink host graph
+    * ([[TextFunctions.extractLinks]] → [[LinkRank.pageRank]]): q96's
+    * synthetic per-doc anchors become (doc's host → linked host)
+    * multi-edges and 3 rounds of exact micro-unit PageRank rank the
+    * hosts — the centrality-weighted quality signal between link
+    * extraction and the URL gates. The oracle replays degree
+    * computation and all 3 rounds with the same floor divisions. */
+  def q150PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<p><a href=\"http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit("\">x</a> see also <a class=\"r\" href=\"http://"), col("lang"),
+      lit(".site.org/t/"), (col("n_chars") % 7).cast("string"),
+      lit("\">y</a></p>"))
+    val edges = d
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        explode(TextFunctions.extractLinks(html)).as("url"))
+      .select(col("src"), TextFunctions.urlHost(col("url")).as("dst"))
+    LinkRank.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_pagerank" -> (q150PageRank _),
     "q149_bpe_decode" -> (q149BpeDecode _),
     "q148_fix_mojibake" -> (q148FixMojibake _),
     "q147_unicode_nfc" -> (q147UnicodeNfc _),
@@ -2088,7 +2112,27 @@ object Extensions {
   private val mjIDiaSql = "chr(195) || chr(175)"
   private val mjOeSql = "chr(197) || chr(8220)"
 
+  /** One PageRank round as a CTE pair: contributions by dst, then the
+    * damped update over all nodes — floor `//` mirroring Spark's DIV. */
+  private def prRoundSql(k: Int): String =
+    s"""c$k AS (SELECT e.dst AS node, sum(r${k - 1}.r // e.od)::BIGINT AS c
+     |  FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src GROUP BY e.dst),
+     |r$k AS (SELECT n.node, (150000 + (850 * coalesce(c.c, 0)) // 1000)::BIGINT AS r
+     |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q150_pagerank" ->
+      (s"""WITH e0 AS (SELECT source || '.example.com' AS src,
+        |    unnest([source || '.example.com', lang || '.site.org']) AS dst
+        |  FROM documents),
+        |deg AS (SELECT src, count(1)::BIGINT AS od FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, deg.od FROM e0 JOIN deg USING (src)),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+        |""".stripMargin +
+        (1 to 3).map(prRoundSql).mkString(",\n") + "\n" +
+        """SELECT node, r AS rank_micro FROM r3 ORDER BY node"""),
     "q149_bpe_decode" ->
       (bpeEncodePrefixSql(5) + ",\n" +
         s"""agg AS (SELECT doc_id, count(1)::BIGINT AS n_ids,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[LinkRank.pageRank]] — exact micro-unit PageRank. The spec replays
+  * the integer recurrence brute-force on the driver (same floor
+  * divisions) and pins the semantics the q150 oracle relies on:
+  * multi-edge contribution, dangling-mass drop, base-only nodes. */
+class LinkRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replay of the documented recurrence. */
+  private def reference(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / od(s) }.sum).toMap
+      r = nodes.map(n => n -> (150000L + 850L * contrib.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer reference on a graph with hubs, dangling nodes, self-loops") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "d" -> "c", "d" -> "c", // parallel links count multiply
+      "c" -> "c",             // self-loop
+      "e" -> "a")             // e is dangling-in (nothing links to it)
+    for (iters <- Seq(1, 3, 5)) {
+      val got = LinkRank.pageRank(edges.toDF("src", "dst"), iters = iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("a node with no inbound links holds exactly the base score") {
+    val edges = Seq("x" -> "y").toDF("src", "dst")
+    val got = LinkRank.pageRank(edges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("x") == 150000L, "source-only node keeps (1-d) base")
+    assert(got("y") > got("x"))
+  }
+
+  test("result is independent of input partitioning") {
+    val edges = (1 to 200).map(i => (s"h${i % 20}", s"h${(i * 7) % 23}"))
+    val one = LinkRank.pageRank(edges.toDF("src", "dst").coalesce(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val many = LinkRank.pageRank(edges.toDF("src", "dst").repartition(13))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+}
