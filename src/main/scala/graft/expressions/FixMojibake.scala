@@ -20,21 +20,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   1. fast path — ASCII-only text (the crawl majority) returns
   *      unchanged after one byte scan, zero allocation;
-  *   2. re-encode the text's chars as Windows-1252 bytes; any
-  *      unmappable char (CJK, emoji, any cp ≥ U+0400 outside cp1252's
-  *      repertoire) aborts → text was never cp1252-decoded, return it;
-  *   3. strictly decode those bytes as UTF-8; malformed sequences
-  *      abort → genuine Latin text ("déjà" encodes to E9 6A …, not
-  *      valid UTF-8), return original.
+  *   2. otherwise, for each MAXIMAL RUN of non-ASCII chars (every
+  *      UTF-8 lead and continuation byte is non-ASCII in cp1252, so a
+  *      run always captures a complete mojibake sequence): re-encode
+  *      the run's chars as Windows-1252 bytes, strictly re-decode as
+  *      UTF-8, and keep the repair only if BOTH trips succeed;
+  *   3. any failure — an unmappable char (CJK, emoji) or malformed
+  *      UTF-8 (genuine Latin text: "déjà"'s E9 6A E0 is not valid
+  *      UTF-8) — keeps that run verbatim.
   *
-  * Only text that survives BOTH trips — i.e. whose every char sits in
-  * cp1252 AND whose cp1252 bytes form valid UTF-8 — is rewritten;
-  * that asymmetry is the safety property (accidental repair of
-  * genuine single-accent text is impossible because isolated high
-  * bytes are not valid UTF-8). Applied once, not to fixpoint:
-  * double-encoded text comes out single-encoded and a second pass
-  * (caller's choice) finishes it. Row-local, zero shuffle,
-  * null → null.
+  * The two-trip success requirement is the safety property (a genuine
+  * isolated accent is a lone high byte, never valid UTF-8); the
+  * per-run granularity is what makes it usable on REAL mixed
+  * documents — one genuine combining mark or CJK char elsewhere in
+  * the page must not veto repairing the mojibake next to it (the
+  * whole-string variant fails exactly that way). Ambiguity is
+  * inherited from ftfy: a genuine literal "Ã©" is indistinguishable
+  * from corrupted "é" and repairs — the accepted trade. Applied once,
+  * not to fixpoint: double-encoded text comes out single-encoded and
+  * a second pass (caller's choice) finishes it. Row-local, zero
+  * shuffle, null → null.
   */
 case class FixMojibake(child: Expression) extends UnaryExpression {
 
@@ -90,15 +95,36 @@ object FixMojibake {
     }
     if (ascii) return text
 
+    val s = text.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var p = 0
+    var changed = false
+    while (p < s.length) {
+      if (s.charAt(p) < 0x80) { out.append(s.charAt(p)); p += 1 }
+      else {
+        var q = p
+        while (q < s.length && s.charAt(q) >= 0x80) q += 1
+        val run = s.substring(p, q)
+        val fixed = repairRun(run)
+        if (fixed ne run) changed = true
+        out.append(fixed)
+        p = q
+      }
+    }
+    if (changed) UTF8String.fromString(out.toString) else text
+  }
+
+  /** Round-trip one non-ASCII run; the run itself (reference-equal) on
+    * any failure. */
+  private def repairRun(run: String): String = {
     val (enc, dec) = codecs.get()
     try {
       enc.reset()
-      val bytes: ByteBuffer = enc.encode(java.nio.CharBuffer.wrap(text.toString))
+      val bytes: ByteBuffer = enc.encode(java.nio.CharBuffer.wrap(run))
       dec.reset()
-      val fixed = dec.decode(bytes).toString
-      UTF8String.fromString(fixed)
+      dec.decode(bytes).toString
     } catch {
-      case _: CharacterCodingException => text
+      case _: CharacterCodingException => run
     }
   }
 

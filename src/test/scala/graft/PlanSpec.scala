@@ -324,6 +324,27 @@ class PlanSpec extends SparkSpec {
       "dedupLinesWithinDoc is a single projection; only the final sort may shuffle")
   }
 
+  test("q147/q148 unicode cleaners: pure projections — no shuffle before the presentation sort") {
+    for (q <- Seq("q147_unicode_nfc", "q148_fix_mojibake")) {
+      val p = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q is a codegen projection; only the final sort may shuffle")
+    }
+  }
+
+  test("bpeDecode: zero-shuffle projection — the inverse table rides a map literal, not a join") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val merges = graft.operators.Vocab.bpeTrain(docs, "text", nMerges = 2)
+    val alpha = graft.operators.Vocab.alphabet(docs, "text")
+    val ids = Seq((1L, Seq(1L, 2L, 5L))).toDF("doc_id", "token_ids")
+    val p = graft.operators.Vocab.bpeDecode(ids, "doc_id", "token_ids", merges, alpha)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "decode must be a single projection over the id arrays")
+  }
+
   test("q125 perplexity buckets: no group-sized window — ranking runs over the bin histogram") {
     val p = SparkEntry.queries("q125_perplexity_buckets")(spark, sf001)
       .queryExecution.executedPlan.toString

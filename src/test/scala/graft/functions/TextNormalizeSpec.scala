@@ -43,6 +43,14 @@ class TextNormalizeSpec extends SparkSpec {
     assert(one(TextFunctions.fixMojibake(_), "plain ascii") == "plain ascii")
   }
 
+  test("fixMojibake repairs per non-ASCII run: mixed genuine+corrupt text repairs the corrupt runs") {
+    // mojibake apostrophe NEXT TO a genuine decomposed accent and CJK:
+    // the run granularity repairs the first without touching the others
+    val mixed = "itâ€™s café 日本"
+    assert(one(TextFunctions.fixMojibake(_), mixed) ==
+      "it’s café 日本")
+  }
+
   test("fixMojibake peels double-encoded text one layer per application") {
     // e-acute -> C3 A9 misread -> "A-tilde copyright" -> its UTF-8
     // C3 83 C2 A9 misread again (83 = florin U+0192 in cp1252)

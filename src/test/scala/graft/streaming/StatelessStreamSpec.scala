@@ -78,4 +78,34 @@ class StatelessStreamSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
     assert(streamed.head(1).asInstanceOf[Long] > 0)
   }
+  test("unicode cleaners (fixMojibake -> NFC) run unchanged on a stream, matching batch") {
+    val inDir = Files.createTempDirectory("graft_un_in")
+    val outDir = Files.createTempDirectory("graft_un_out").toString
+    val ckpt = Files.createTempDirectory("graft_un_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // mojibake apostrophe + decomposed accent, JSON-escaped per row
+    Files.write(inDir.resolve("b1.jsonl"),
+      (1 to 25).map(i =>
+        s"""{"doc_id":$i,"text":"it\\u00e2\\u20ac\\u2122s cafe\\u0301 doc $i"}""").asJava)
+
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeUnicode(
+          graft.functions.TextFunctions.fixMojibake(col("text")), "NFC").as("clean"))
+
+    val q = clean(spark.readStream.schema(schema).json(inDir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).orderBy("doc_id").collect().map(_.toSeq)
+    val batch = clean(spark.read.schema(schema).json(inDir.toString))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(streamed.length == 25)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
+    val cleaned = streamed.head(1).asInstanceOf[String]
+    assert(cleaned.startsWith("it\u2019s caf\u00e9"), s"repair+NFC applied: $cleaned")
+  }
 }
