@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `script_counts(text) -> struct(n_latin, n_cyrillic, n_greek,
+  * n_arabic, n_devanagari, n_hangul, n_cjk, n_digit, n_other)` —
+  * codepoint counts by Unicode script block in ONE kernel pass: the
+  * language-ID precursor a multilingual crawl profiles with before any
+  * model-based classifier runs (a "German" page that is 40% Cyrillic
+  * is mislabeled or spam; a CJK page entering a Latin-only pipeline
+  * should route elsewhere — CCNet-style corpus partitioning by
+  * script). The equivalent `regexp_count(text, '[range]')` chain pays
+  * one regex scan PER script; this is one codepoint walk for all nine
+  * counters, and the block ranges are explicit integer compares so an
+  * engine replaying them (the q151 oracle) agrees exactly.
+  *
+  * Range policy (documented, deliberately coarse): latin = ASCII
+  * letters + Latin-1/Extended-A/B letters (excluding the two ×/÷ math
+  * signs), cjk = unified ideographs + hiragana/katakana, digit =
+  * ASCII 0-9 only; whitespace, punctuation, and everything unlisted
+  * count as `other`. Fractions are the caller's division — counts
+  * stay exact integers. Null → null. */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(ScriptCounts.fields.map(
+    f => StructField(f, LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "script_counts"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else ScriptCounts.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.ScriptCounts.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+  val fields: Seq[String] = Seq("n_latin", "n_cyrillic", "n_greek", "n_arabic",
+    "n_devanagari", "n_hangul", "n_cjk", "n_digit", "n_other")
+
+  /** Block index for one codepoint — the single range table BOTH the
+    * kernel and the q151 oracle SQL encode. */
+  def blockOf(cp: Int): Int =
+    if (cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z' ||
+        cp >= 0xC0 && cp <= 0xD6 || cp >= 0xD8 && cp <= 0xF6 ||
+        cp >= 0xF8 && cp <= 0x24F) 0 // latin
+    else if (cp >= 0x400 && cp <= 0x4FF) 1 // cyrillic
+    else if (cp >= 0x370 && cp <= 0x3FF) 2 // greek
+    else if (cp >= 0x600 && cp <= 0x6FF) 3 // arabic
+    else if (cp >= 0x900 && cp <= 0x97F) 4 // devanagari
+    else if (cp >= 0xAC00 && cp <= 0xD7A3) 5 // hangul syllables
+    else if (cp >= 0x4E00 && cp <= 0x9FFF ||
+             cp >= 0x3040 && cp <= 0x30FF) 6 // cjk + kana
+    else if (cp >= '0' && cp <= '9') 7 // digit
+    else 8 // other
+
+  def kernel(s: UTF8String): InternalRow = {
+    val counts = new Array[Long](9)
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts(blockOf(cp)) += 1L
+      i += Character.charCount(cp)
+    }
+    new GenericInternalRow(counts.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.toColumn(ScriptCounts(ColumnBridge.toExpression(text)))
+}

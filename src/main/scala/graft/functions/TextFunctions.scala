@@ -160,6 +160,16 @@ object TextFunctions {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.expressions.UnicodeNormalize(text, form)
 
+  /** Codepoint counts by Unicode script block — struct(n_latin,
+    * n_cyrillic, n_greek, n_arabic, n_devanagari, n_hangul, n_cjk,
+    * n_digit, n_other) in ONE kernel pass
+    * ([[graft.expressions.ScriptCounts]]): the language-ID precursor
+    * for routing/partitioning a multilingual crawl by script before
+    * any model-based classifier runs. Exact integers; fractions are
+    * the caller's division. */
+  def scriptCounts(text: Column): Column =
+    graft.expressions.ScriptCounts(text)
+
   /** Repair UTF-8-read-as-cp1252 mojibake ("â€™" → "'", "Ã©" → "é") —
     * the ftfy round-trip as one codegen projection
     * ([[graft.expressions.FixMojibake]]): re-encode as Windows-1252,

@@ -1750,7 +1750,30 @@ object Extensions {
       .orderBy("node")
   }
 
+  /** q151 — script profiling ([[TextFunctions.scriptCounts]]): each
+    * document suffixed with one of four script phrases (Cyrillic, CJK +
+    * kana, Arabic, accented Latin, by doc_id mod 4) and profiled into
+    * per-block codepoint counts — the CCNet-style route-by-script
+    * signal. The oracle unnests every codepoint and replays the same
+    * integer range table. */
+  def q151ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = element_at(array(
+      lit("\u043F\u0440\u0438\u0432\u0435\u0442"),
+      lit("\u4E16\u754C\u3042"),
+      lit("\u0645\u0631\u062D\u0628\u0627"),
+      lit("caf\u00E9 \u00FC \u00B2")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(" "), sfx).as("t"))
+    val sc = TextFunctions.scriptCounts(col("t"))
+    fx.withColumn("__sc", sc)
+      .select(col("doc_id") +: graft.expressions.ScriptCounts.fields.map(
+        f => col(s"__sc.$f").as(f)): _*)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_script_profile" -> (q151ScriptProfile _),
     "q150_pagerank" -> (q150PageRank _),
     "q149_bpe_decode" -> (q149BpeDecode _),
     "q148_fix_mojibake" -> (q148FixMojibake _),
@@ -2121,6 +2144,32 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q151_script_profile" ->
+      """WITH s AS (SELECT doc_id, text || ' ' ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)
+        |      WHEN 1 THEN chr(19990)||chr(30028)||chr(12354)
+        |      WHEN 2 THEN chr(1605)||chr(1585)||chr(1581)||chr(1576)||chr(1575)
+        |      ELSE 'caf'||chr(233)||' '||chr(252)||' '||chr(178) END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(list_transform(string_split(t, ''), ch -> unicode(ch))) AS cp
+        |  FROM s)
+        |SELECT doc_id,
+        |  sum(CASE WHEN cp BETWEEN 65 AND 90 OR cp BETWEEN 97 AND 122
+        |        OR cp BETWEEN 192 AND 214 OR cp BETWEEN 216 AND 246
+        |        OR cp BETWEEN 248 AND 591 THEN 1 ELSE 0 END)::BIGINT AS n_latin,
+        |  sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END)::BIGINT AS n_cyrillic,
+        |  sum(CASE WHEN cp BETWEEN 880 AND 1023 THEN 1 ELSE 0 END)::BIGINT AS n_greek,
+        |  sum(CASE WHEN cp BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END)::BIGINT AS n_arabic,
+        |  sum(CASE WHEN cp BETWEEN 2304 AND 2431 THEN 1 ELSE 0 END)::BIGINT AS n_devanagari,
+        |  sum(CASE WHEN cp BETWEEN 44032 AND 55203 THEN 1 ELSE 0 END)::BIGINT AS n_hangul,
+        |  sum(CASE WHEN cp BETWEEN 19968 AND 40959
+        |        OR cp BETWEEN 12352 AND 12543 THEN 1 ELSE 0 END)::BIGINT AS n_cjk,
+        |  sum(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END)::BIGINT AS n_digit,
+        |  (count(1) - n_latin - n_cyrillic - n_greek - n_arabic - n_devanagari
+        |    - n_hangul - n_cjk - n_digit)::BIGINT AS n_other
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q150_pagerank" ->
       (s"""WITH e0 AS (SELECT source || '.example.com' AS src,
         |    unnest([source || '.example.com', lang || '.site.org']) AS dst

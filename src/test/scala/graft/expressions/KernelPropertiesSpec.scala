@@ -197,6 +197,23 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ScriptCounts.kernel counts codepoints (not UTF-16 units) into the right blocks") {
+    def counts(s: String): Seq[Long] = {
+      val row = ScriptCounts.kernel(UTF8String.fromString(s))
+      (0 until 9).map(row.getLong)
+    }
+    // "Ab1 я世あ한مअ" + an astral emoji (2 UTF-16 units, ONE count)
+    val s = "Ab1 \u044F\u4E16\u3042\uD55C\u0645\u0905" +
+      new String(Character.toChars(0x1F600))
+    //               latin cyr greek arab dev hangul cjk digit other
+    assert(counts(s) == Seq(2L, 1L, 0L, 1L, 1L, 1L, 2L, 1L, 2L),
+      s"got ${counts(s)}")
+    // block boundaries: 0x24F is latin, 0x250 is not; digits are ASCII only
+    assert(counts("\u024F\u0250") == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(counts("\uFF11") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L),
+      "full-width digit counts as other (NFKC-fold first if it should count)")
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))
