@@ -70,5 +70,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       graft.expressions.TokenChunks(ch.head, w, s)
     }, classOf[graft.expressions.TokenChunks])
+    register(ext, "unicode_normalize", 2, { ch =>
+      val form = ch(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal (NFC|NFD|NFKC|NFKD), got $other")
+      }
+      graft.expressions.UnicodeNormalize(ch.head, form)
+    }, classOf[graft.expressions.UnicodeNormalize])
+    register(ext, "fix_mojibake", 1,
+      ch => graft.expressions.FixMojibake(ch.head), classOf[graft.expressions.FixMojibake])
+    register(ext, "script_counts", 1,
+      ch => graft.expressions.ScriptCounts(ch.head), classOf[graft.expressions.ScriptCounts])
+    register(ext, "duplicate_starts", 2, { ch =>
+      val m = ch(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"duplicate_starts maxElements must be an integer literal, got $other")
+      }
+      graft.expressions.DuplicateStarts(ch.head, m)
+    }, classOf[graft.expressions.DuplicateStarts])
   }
 }

@@ -66,6 +66,25 @@ class CleanC8Spec extends SparkSpec {
     assert(r.getInt(1) == 2, "c->d changes two unigram counts")
   }
 
+  test("round-9 cleaners register for SQL: unicode_normalize, fix_mojibake, script_counts") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      exprs => graft.expressions.UnicodeNormalize(exprs.head, "NFKC"), "built-in")
+    reg.createOrReplaceTempFunction("fix_mojibake",
+      exprs => graft.expressions.FixMojibake(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("script_counts",
+      exprs => graft.expressions.ScriptCounts(exprs.head), "built-in")
+    val r = spark.sql(
+      "SELECT unicode_normalize('\u00EF\u00BC\u2039x', 'NFKC') AS never_mind, " +
+        "unicode_normalize('\uFB01ne', 'NFKC') AS folded, " +
+        "fix_mojibake('it\u00E2\u20AC\u2122s') AS fixed, " +
+        "script_counts('ab \u044F\u4E16').n_cyrillic AS ncyr").head()
+    assert(r.getString(1) == "fine")
+    assert(r.getString(2) == "it\u2019s")
+    assert(r.getLong(3) == 1L)
+  }
+
   test("simhash64 registers for SQL and matches the operator") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val reg = spark.sessionState.functionRegistry
