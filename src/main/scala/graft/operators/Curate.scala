@@ -35,6 +35,25 @@ object Curate {
         * pair generation exact. */
       maxBucketSize: Option[Int] = None)
 
+  /** Raw-crawl text pre-cleaning as one zero-shuffle projection — the
+    * step BEFORE [[run]]'s signal gates when input is raw HTML bytes
+    * rather than extracted text, in the order the defects compose:
+    * markup off first ([[TextFunctions.stripHtml]]), then encoding
+    * repair ([[TextFunctions.fixMojibake]] — must see the original
+    * byte-corruption digraphs, which normalization would rewrite),
+    * then NFC canonicalization ([[TextFunctions.normalizeUnicode]] —
+    * so every downstream exact-match operator sees one byte form),
+    * then whitespace collapse (markup removal leaves runs). Each stage
+    * is an individually-tested codegen kernel; the composition is a
+    * single projection, so it runs unchanged on a stream. Replaces
+    * `textCol` in place; other columns pass through. */
+  def preclean(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      trim(graft.expressions.CollapseWhitespace(
+        TextFunctions.normalizeUnicode(
+          TextFunctions.fixMojibake(
+            TextFunctions.stripHtml(col(textCol))), "NFC"))))
+
   def run(df: DataFrame, idCol: String, textCol: String,
       config: Config = Config(),
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
