@@ -276,6 +276,30 @@ object TextFunctions {
       regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1)),
       regexp_extract_all(html, lit("(?i)href\\s*=\\s*'([^']*)'"), lit(1)))
 
+  /** `<meta name="robots">` directives as struct(noindex, nofollow) —
+    * the page-level opt-out a compliant training-data pipeline honors
+    * BEFORE any quality gate (a page whose publisher said noindex does
+    * not belong in the corpus however good its text scores). Both
+    * attribute orders match (`name` before or after `content`),
+    * case-insensitive, double-quoted attributes (the extractAnchors
+    * quote policy, documented); directives are comma-split and
+    * trim-matched exactly, so `content="nonexistent"` cannot
+    * false-positive `none`, and `none` implies both flags per the
+    * robots spec. RE2-safe patterns → the q152 oracle replays them
+    * verbatim. Flags are 0/1 ints (exact-integer oracle policy). */
+  def metaRobots(html: Column): Column = {
+    val pat1 = "(?i)<meta\\s[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"([^\"]*)\""
+    val pat2 = "(?i)<meta\\s[^>]*content\\s*=\\s*\"([^\"]*)\"[^>]*name\\s*=\\s*\"robots\""
+    val dirs = flatten(array(
+      regexp_extract_all(html, lit(pat1), lit(1)),
+      regexp_extract_all(html, lit(pat2), lit(1))))
+    val toks = transform(flatten(transform(dirs, d => split(d, ","))),
+      d => trim(lower(d)))
+    def has(d: String): Column =
+      (array_contains(toks, d) || array_contains(toks, "none")).cast("int")
+    struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
+  }
+
   /** (href, anchor text) pairs of every `<a>` element — anchor text is
     * the relevance/quality signal crawl pipelines mine (what OTHER
     * pages call a target). One RE2-safe single-level pattern (`[^<]*`

@@ -1772,7 +1772,31 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q152 — robots meta-directive gate ([[TextFunctions.metaRobots]]):
+    * per-doc synthetic `<head>` with a decoy description meta (whose
+    * content says "noindex" and must NOT trigger) plus one of four
+    * robots tags — noindex-only, NOFOLLOW-only with reversed attribute
+    * order, `none` (implies both), or no tag. The compliance flags a
+    * publisher's opt-out carries into curation. The oracle replays the
+    * same two RE2 patterns and the comma-split exact-match. */
+  def q152MetaRobots(spark: SparkSession, dir: String): DataFrame = {
+    val metaTag = element_at(array(
+      lit("<meta name=\"robots\" content=\"noindex\">"),
+      lit("<meta content=\"NOFOLLOW\" name=\"robots\">"),
+      lit("<meta name=\"ROBOTS\" content=\"none\">"),
+      lit("")), (col("doc_id") % 4 + 1).cast("int"))
+    val html = concat(
+      lit("<head><meta name=\"description\" content=\"noindex decoy\">"),
+      metaTag, lit("</head><body>"), col("text"), lit("</body>"))
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.metaRobots(html).as("__mr"))
+    fx.select(col("doc_id"),
+        col("__mr.noindex").as("noindex"), col("__mr.nofollow").as("nofollow"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_meta_robots" -> (q152MetaRobots _),
     "q151_script_profile" -> (q151ScriptProfile _),
     "q150_pagerank" -> (q150PageRank _),
     "q149_bpe_decode" -> (q149BpeDecode _),
@@ -2144,6 +2168,29 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q152_meta_robots" ->
+      """WITH s AS (SELECT doc_id,
+        |    '<head><meta name="description" content="noindex decoy">' ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '<meta name="robots" content="noindex">'
+        |      WHEN 1 THEN '<meta content="NOFOLLOW" name="robots">'
+        |      WHEN 2 THEN '<meta name="ROBOTS" content="none">'
+        |      ELSE '' END ||
+        |    '</head><body>' || text || '</body>' AS h
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    list_transform(flatten(list_transform(
+        |      list_concat(
+        |        regexp_extract_all(h, '(?i)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1),
+        |        regexp_extract_all(h, '(?i)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"', 1)),
+        |      x -> string_split(x, ','))), t -> trim(lower(t))) AS toks
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN list_contains(toks, 'noindex') OR list_contains(toks, 'none')
+        |    THEN 1 ELSE 0 END AS noindex,
+        |  CASE WHEN list_contains(toks, 'nofollow') OR list_contains(toks, 'none')
+        |    THEN 1 ELSE 0 END AS nofollow
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q151_script_profile" ->
       """WITH s AS (SELECT doc_id, text || ' ' ||
         |    CASE doc_id % 4

@@ -60,4 +60,23 @@ class HtmlStripSpec extends SparkSpec {
     // a CLOSED block followed by text must not over-strip
     assert(strip("a<script>x</script>b<script>tail") === "a b")
   }
+  test("metaRobots: both attr orders, case-insensitive, exact directive match, decoys inert") {
+    import spark.implicits._
+    def flags(html: String): (Int, Int) = {
+      val r = Seq(html).toDF("h")
+        .select(TextFunctions.metaRobots(col("h")).as("m"))
+        .select(col("m.noindex"), col("m.nofollow")).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(flags("""<meta name="robots" content="noindex, nofollow">""") == ((1, 1)))
+    assert(flags("""<meta content="NOINDEX" name="robots">""") == ((1, 0)), "reversed attrs + case")
+    assert(flags("""<meta name="ROBOTS" content=" none ">""") == ((1, 1)), "none implies both")
+    assert(flags("""<meta name="robots" content="nonexistent">""") == ((0, 0)),
+      "substring of a directive must not match")
+    assert(flags("""<meta name="description" content="noindex">""") == ((0, 0)),
+      "non-robots meta is inert")
+    assert(flags("""<meta name="description" content="x"><meta name="robots" content="nofollow">""") ==
+      ((0, 1)), "a preceding meta tag cannot bleed into the robots match")
+    assert(flags("no meta at all") == ((0, 0)))
+  }
 }
