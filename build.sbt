@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Pin the source encoding: several test fixtures carry real UTF-8
+// (mojibake digraphs, CJK, combining marks) and scalac would otherwise
+// fall back to the platform locale's file.encoding.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

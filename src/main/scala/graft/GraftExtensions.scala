@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.expressions.{CollapseWhitespace, DayFirstDate, DotProduct, MinHashSig, MultiDateSplit, MultiIdSplit, SortedIntersectSize, TokenHashes, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's custom
@@ -10,85 +11,98 @@ import graft.expressions.{CollapseWhitespace, DayFirstDate, DotProduct, MinHashS
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — after which
   * `SELECT day_first_date(c)`, `dot_product(a, b)`,
-  * `minhash_sig(hashes, k)`, `sorted_intersect_size(a, b)` work in
-  * plain SQL on any cluster the jar ships to. */
+  * `minhash_sig(hashes, k)`, `unicode_normalize(t, 'NFKC')` … work in
+  * plain SQL on any cluster the jar ships to.
+  *
+  * The (name, builder) table lives in the companion so tests can
+  * register the SAME builders on a live session's function registry —
+  * a regression in a builder's literal parsing must fail the suite,
+  * not first surface on a cluster with `spark.sql.extensions` set. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def register(ext: SparkSessionExtensions, name: String, arity: Int,
-      build: Seq[Expression] => Expression, clazz: Class[_]): Unit =
-    ext.injectFunction((
-      new FunctionIdentifier(name),
-      new ExpressionInfo(clazz.getName, name),
-      (children: Seq[Expression]) => {
-        require(children.length == arity, s"$name expects $arity argument(s)")
-        build(children)
-      }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
-    register(ext, "day_first_date", 1,
-      ch => DayFirstDate(ch.head), classOf[DayFirstDate])
-    register(ext, "dot_product", 2,
-      ch => DotProduct(ch(0), ch(1)), classOf[DotProduct])
-    register(ext, "sorted_intersect_size", 2,
-      ch => SortedIntersectSize(ch(0), ch(1)), classOf[SortedIntersectSize])
-    register(ext, "multi_id_split", 1,
-      ch => MultiIdSplit(ch.head), classOf[MultiIdSplit])
-    register(ext, "multi_date_split", 1,
-      ch => MultiDateSplit(ch.head), classOf[MultiDateSplit])
-    register(ext, "collapse_ws", 1,
-      ch => CollapseWhitespace(ch.head), classOf[CollapseWhitespace])
-    register(ext, "token_hashes", 1,
-      ch => TokenHashes(ch.head), classOf[TokenHashes])
-    register(ext, "word_shingles", 2, { ch =>
-      val n = ch(1) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"word_shingles n must be an integer literal, got $other")
-      }
-      WordShingles(ch.head, n)
-    }, classOf[WordShingles])
-    register(ext, "minhash_sig", 2, { ch =>
-      val k = ch(1) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig k must be an integer literal, got $other")
-      }
-      MinHashSig(ch(0), k)
-    }, classOf[MinHashSig])
-    register(ext, "char_counts", 1,
-      ch => graft.expressions.CharCounts(ch.head), classOf[graft.expressions.CharCounts])
-    register(ext, "simhash64", 1,
-      ch => graft.expressions.SimHash64(ch.head), classOf[graft.expressions.SimHash64])
-    register(ext, "l1_diff", 2,
-      ch => graft.expressions.L1Diff(ch(0), ch(1)), classOf[graft.expressions.L1Diff])
-    register(ext, "token_chunks", 3, { ch =>
-      val Seq(w, s) = ch.tail.map {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"token_chunks width/stride must be integer literals, got $other")
-      }
-      graft.expressions.TokenChunks(ch.head, w, s)
-    }, classOf[graft.expressions.TokenChunks])
-    register(ext, "unicode_normalize", 2, { ch =>
-      val form = ch(1) match {
-        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
-        case other => throw new IllegalArgumentException(
-          s"unicode_normalize form must be a string literal (NFC|NFD|NFKC|NFKD), got $other")
-      }
-      graft.expressions.UnicodeNormalize(ch.head, form)
-    }, classOf[graft.expressions.UnicodeNormalize])
-    register(ext, "fix_mojibake", 1,
-      ch => graft.expressions.FixMojibake(ch.head), classOf[graft.expressions.FixMojibake])
-    register(ext, "script_counts", 1,
-      ch => graft.expressions.ScriptCounts(ch.head), classOf[graft.expressions.ScriptCounts])
-    register(ext, "duplicate_starts", 2, { ch =>
-      val m = ch(1) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"duplicate_starts maxElements must be an integer literal, got $other")
-      }
-      graft.expressions.DuplicateStarts(ch.head, m)
-    }, classOf[graft.expressions.DuplicateStarts])
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
   }
+}
+
+object GraftExtensions {
+
+  private def intLit(name: String, arg: String)(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name $arg must be an integer literal, got $other")
+  }
+
+  private def strLit(name: String, arg: String)(e: Expression): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name $arg must be a string literal, got $other")
+  }
+
+  private def arity(name: String, n: Int)(ch: Seq[Expression]): Seq[Expression] = {
+    require(ch.length == n, s"$name expects $n argument(s)")
+    ch
+  }
+
+  /** Every SQL-registered expression: (function name, defining class
+    * for ExpressionInfo, children → expression builder). The builders
+    * own their arity/literal validation. */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("day_first_date", classOf[DayFirstDate],
+      (ch: Seq[Expression]) => DayFirstDate(arity("day_first_date", 1)(ch).head)),
+    ("dot_product", classOf[DotProduct],
+      (ch: Seq[Expression]) => { arity("dot_product", 2)(ch); DotProduct(ch(0), ch(1)) }),
+    ("sorted_intersect_size", classOf[SortedIntersectSize],
+      (ch: Seq[Expression]) => { arity("sorted_intersect_size", 2)(ch)
+        SortedIntersectSize(ch(0), ch(1)) }),
+    ("multi_id_split", classOf[MultiIdSplit],
+      (ch: Seq[Expression]) => MultiIdSplit(arity("multi_id_split", 1)(ch).head)),
+    ("multi_date_split", classOf[MultiDateSplit],
+      (ch: Seq[Expression]) => MultiDateSplit(arity("multi_date_split", 1)(ch).head)),
+    ("collapse_ws", classOf[CollapseWhitespace],
+      (ch: Seq[Expression]) => CollapseWhitespace(arity("collapse_ws", 1)(ch).head)),
+    ("token_hashes", classOf[TokenHashes],
+      (ch: Seq[Expression]) => TokenHashes(arity("token_hashes", 1)(ch).head)),
+    ("word_shingles", classOf[WordShingles],
+      (ch: Seq[Expression]) => { arity("word_shingles", 2)(ch)
+        WordShingles(ch.head, intLit("word_shingles", "n")(ch(1))) }),
+    ("minhash_sig", classOf[MinHashSig],
+      (ch: Seq[Expression]) => { arity("minhash_sig", 2)(ch)
+        MinHashSig(ch.head, intLit("minhash_sig", "k")(ch(1))) }),
+    ("char_counts", classOf[graft.expressions.CharCounts],
+      (ch: Seq[Expression]) => graft.expressions.CharCounts(arity("char_counts", 1)(ch).head)),
+    ("simhash64", classOf[graft.expressions.SimHash64],
+      (ch: Seq[Expression]) => graft.expressions.SimHash64(arity("simhash64", 1)(ch).head)),
+    ("l1_diff", classOf[graft.expressions.L1Diff],
+      (ch: Seq[Expression]) => { arity("l1_diff", 2)(ch)
+        graft.expressions.L1Diff(ch(0), ch(1)) }),
+    ("token_chunks", classOf[graft.expressions.TokenChunks],
+      (ch: Seq[Expression]) => { arity("token_chunks", 3)(ch)
+        graft.expressions.TokenChunks(ch.head,
+          intLit("token_chunks", "width")(ch(1)),
+          intLit("token_chunks", "stride")(ch(2))) }),
+    ("unicode_normalize", classOf[graft.expressions.UnicodeNormalize],
+      (ch: Seq[Expression]) => { arity("unicode_normalize", 2)(ch)
+        graft.expressions.UnicodeNormalize(ch.head,
+          strLit("unicode_normalize", "form")(ch(1))) }),
+    ("fix_mojibake", classOf[graft.expressions.FixMojibake],
+      (ch: Seq[Expression]) => graft.expressions.FixMojibake(arity("fix_mojibake", 1)(ch).head)),
+    ("script_counts", classOf[graft.expressions.ScriptCounts],
+      (ch: Seq[Expression]) => graft.expressions.ScriptCounts(arity("script_counts", 1)(ch).head)),
+    ("duplicate_starts", classOf[graft.expressions.DuplicateStarts],
+      (ch: Seq[Expression]) => { arity("duplicate_starts", 2)(ch)
+        graft.expressions.DuplicateStarts(ch.head,
+          intLit("duplicate_starts", "maxElements")(ch(1))) }),
+  )
+
+  /** The builder for one registered function — test/registry hook. */
+  def builderFor(name: String): Seq[Expression] => Expression =
+    functions.collectFirst { case (`name`, _, b) => b }
+      .getOrElse(throw new NoSuchElementException(s"no registered function '$name'"))
 }

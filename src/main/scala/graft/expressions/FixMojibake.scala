@@ -20,25 +20,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   1. fast path — ASCII-only text (the crawl majority) returns
   *      unchanged after one byte scan, zero allocation;
-  *   2. otherwise, for each MAXIMAL RUN of non-ASCII chars (every
-  *      UTF-8 lead and continuation byte is non-ASCII in cp1252, so a
-  *      run always captures a complete mojibake sequence): re-encode
-  *      the run's chars as Windows-1252 bytes, strictly re-decode as
-  *      UTF-8, and keep the repair only if BOTH trips succeed;
-  *   3. any failure — an unmappable char (CJK, emoji) or malformed
-  *      UTF-8 (genuine Latin text: "déjà"'s E9 6A E0 is not valid
-  *      UTF-8) — keeps that run verbatim.
+  *   2. otherwise, for each maximal run of consecutive
+  *      CP1252-ENCODABLE non-ASCII chars (mojibake is by construction
+  *      entirely such chars — every UTF-8 lead/continuation byte maps
+  *      to a cp1252 char — while CJK/emoji/combining marks are not
+  *      encodable and so bound the runs): re-encode the run as
+  *      Windows-1252 bytes, strictly re-decode as UTF-8, and keep the
+  *      repair only if the decode succeeds;
+  *   3. any failure — malformed UTF-8 (genuine Latin text: "déjà"'s
+  *      E9 6A E0 is not valid UTF-8) — keeps that run verbatim, and
+  *      non-encodable chars always pass through untouched.
   *
   * The two-trip success requirement is the safety property (a genuine
   * isolated accent is a lone high byte, never valid UTF-8); the
-  * per-run granularity is what makes it usable on REAL mixed
-  * documents — one genuine combining mark or CJK char elsewhere in
-  * the page must not veto repairing the mojibake next to it (the
-  * whole-string variant fails exactly that way). Ambiguity is
-  * inherited from ftfy: a genuine literal "Ã©" is indistinguishable
-  * from corrupted "é" and repairs — the accepted trade. Applied once,
-  * not to fixpoint: double-encoded text comes out single-encoded and
-  * a second pass (caller's choice) finishes it. Row-local, zero
+  * encodable-run granularity is what makes it usable on REAL mixed
+  * documents — a genuine CJK char or combining mark DIRECTLY ABUTTING
+  * the mojibake must not veto repairing it (segmenting merely by
+  * non-ASCII runs fails exactly that adjacency case, because the CJK
+  * char joins the run and poisons its encode). Ambiguity is inherited
+  * from ftfy: a genuine literal "Ã©" is indistinguishable from
+  * corrupted "é" and repairs — the accepted trade. Applied once, not
+  * to fixpoint: double-encoded text comes out single-encoded and a
+  * second pass (caller's choice) finishes it. Row-local, zero
   * shuffle, null → null.
   */
 case class FixMojibake(child: Expression) extends UnaryExpression {
@@ -100,10 +103,11 @@ object FixMojibake {
     var p = 0
     var changed = false
     while (p < s.length) {
-      if (s.charAt(p) < 0x80) { out.append(s.charAt(p)); p += 1 }
+      val c = s.charAt(p)
+      if (c < 0x80 || !encodable(c)) { out.append(c); p += 1 }
       else {
         var q = p
-        while (q < s.length && s.charAt(q) >= 0x80) q += 1
+        while (q < s.length && s.charAt(q) >= 0x80 && encodable(s.charAt(q))) q += 1
         val run = s.substring(p, q)
         val fixed = repairRun(run)
         if (fixed ne run) changed = true
@@ -113,6 +117,27 @@ object FixMojibake {
     }
     if (changed) UTF8String.fromString(out.toString) else text
   }
+
+  // The image of cp1252's byte→char decode (251 chars — Java's table
+  // leaves bytes 81/8D/8F/90/9D undefined, surfaced here as U+FFFD and
+  // skipped; every image char sits below U+2200) — the run-segmentation
+  // predicate as one bit-set probe per char instead of a
+  // CharsetEncoder.canEncode call per char.
+  private val encodableBits: java.util.BitSet = {
+    val bs = new java.util.BitSet(0x2200)
+    val dec = cp1252.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    var b = 0
+    while (b < 256) {
+      dec.reset()
+      val cb = dec.decode(ByteBuffer.wrap(Array(b.toByte)))
+      if (cb.length() > 0 && cb.charAt(0) != '\uFFFD') bs.set(cb.charAt(0))
+      b += 1
+    }
+    bs
+  }
+  private def encodable(c: Char): Boolean = c < 0x2200 && encodableBits.get(c)
 
   /** Round-trip one non-ASCII run; the run itself (reference-equal) on
     * any failure. */

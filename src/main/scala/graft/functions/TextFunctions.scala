@@ -279,20 +279,32 @@ object TextFunctions {
   /** `<meta name="robots">` directives as struct(noindex, nofollow) —
     * the page-level opt-out a compliant training-data pipeline honors
     * BEFORE any quality gate (a page whose publisher said noindex does
-    * not belong in the corpus however good its text scores). Both
-    * attribute orders match (`name` before or after `content`),
-    * case-insensitive, double-quoted attributes (the extractAnchors
-    * quote policy, documented); directives are comma-split and
+    * not belong in the corpus however good its text scores). Because
+    * the failure direction of a MISSED directive is the worst one
+    * (silently including an opted-out page), matching is deliberately
+    * broad where extractAnchors could afford to be narrow: both
+    * attribute orders, case-insensitive, and all three quoting styles
+    * (double, single, unquoted — rife in real crawl HTML) via
+    * [[metaRobotsPatterns]]. Directives are comma-split and
     * trim-matched exactly, so `content="nonexistent"` cannot
     * false-positive `none`, and `none` implies both flags per the
     * robots spec. RE2-safe patterns → the q152 oracle replays them
     * verbatim. Flags are 0/1 ints (exact-integer oracle policy). */
+  /** The six RE2-safe patterns behind [[metaRobots]] — 2 attribute
+    * orders × 3 content quoting styles (double, single, none), with
+    * the name value itself optionally quoted and `\b`-bounded so
+    * `name=robotsx` cannot prefix-match. ONE definition shared with
+    * the q152 oracle so the two engines replay identical regexes. */
+  private[graft] val metaRobotsPatterns: Seq[String] = {
+    val nm = "name\\s*=\\s*[\"']?robots\\b[\"']?"
+    val contents = Seq("\"([^\"]*)\"", "'([^']*)'", "([^\\s\"'>]+)")
+    contents.map(c => s"(?i)<meta\\s[^>]*$nm[^>]*content\\s*=\\s*$c") ++
+      contents.map(c => s"(?i)<meta\\s[^>]*content\\s*=\\s*$c[^>]*$nm")
+  }
+
   def metaRobots(html: Column): Column = {
-    val pat1 = "(?i)<meta\\s[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"([^\"]*)\""
-    val pat2 = "(?i)<meta\\s[^>]*content\\s*=\\s*\"([^\"]*)\"[^>]*name\\s*=\\s*\"robots\""
     val dirs = flatten(array(
-      regexp_extract_all(html, lit(pat1), lit(1)),
-      regexp_extract_all(html, lit(pat2), lit(1))))
+      metaRobotsPatterns.map(p => regexp_extract_all(html, lit(p), lit(1))): _*))
     val toks = transform(flatten(transform(dirs, d => split(d, ","))),
       d => trim(lower(d)))
     def has(d: String): Column =

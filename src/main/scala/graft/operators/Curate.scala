@@ -42,17 +42,20 @@ object Curate {
     * repair ([[TextFunctions.fixMojibake]] — must see the original
     * byte-corruption digraphs, which normalization would rewrite),
     * then NFC canonicalization ([[TextFunctions.normalizeUnicode]] —
-    * so every downstream exact-match operator sees one byte form),
-    * then whitespace collapse (markup removal leaves runs). Each stage
-    * is an individually-tested codegen kernel; the composition is a
-    * single projection, so it runs unchanged on a stream. Replaces
-    * `textCol` in place; other columns pass through. */
-  def preclean(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * so every downstream exact-match operator sees one byte form).
+    * Whitespace is already collapsed by stripHtml's final step, and
+    * neither repair (cp1252 bytes ≥ 0x80 decode only to ≥ U+0080) nor
+    * NFC (no composition yields ASCII whitespace) can introduce new
+    * whitespace after it — so no further collapse pass is spent on
+    * this full-corpus-read hot path. Each stage is an
+    * individually-tested codegen kernel; the composition is a single
+    * projection, so it runs unchanged on a stream. Replaces `textCol`
+    * in place; other columns pass through. */
+  def preclean(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
-      trim(graft.expressions.CollapseWhitespace(
-        TextFunctions.normalizeUnicode(
-          TextFunctions.fixMojibake(
-            TextFunctions.stripHtml(col(textCol))), "NFC"))))
+      TextFunctions.normalizeUnicode(
+        TextFunctions.fixMojibake(
+          TextFunctions.stripHtml(col(textCol))), "NFC"))
 
   def run(df: DataFrame, idCol: String, textCol: String,
       config: Config = Config(),

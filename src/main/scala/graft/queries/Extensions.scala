@@ -1775,15 +1775,18 @@ object Extensions {
   /** q152 — robots meta-directive gate ([[TextFunctions.metaRobots]]):
     * per-doc synthetic `<head>` with a decoy description meta (whose
     * content says "noindex" and must NOT trigger) plus one of four
-    * robots tags — noindex-only, NOFOLLOW-only with reversed attribute
-    * order, `none` (implies both), or no tag. The compliance flags a
-    * publisher's opt-out carries into curation. The oracle replays the
-    * same two RE2 patterns and the comma-split exact-match. */
+    * robots tags — double-quoted noindex, single-quoted NOFOLLOW with
+    * reversed attribute order, fully UNQUOTED `none` (implies both),
+    * or no tag — covering all three quoting styles real crawl HTML
+    * ships. The compliance flags a publisher's opt-out carries into
+    * curation. The oracle replays the same six RE2 patterns
+    * ([[TextFunctions.metaRobotsPatterns]]) and the comma-split
+    * exact-match. */
   def q152MetaRobots(spark: SparkSession, dir: String): DataFrame = {
     val metaTag = element_at(array(
       lit("<meta name=\"robots\" content=\"noindex\">"),
-      lit("<meta content=\"NOFOLLOW\" name=\"robots\">"),
-      lit("<meta name=\"ROBOTS\" content=\"none\">"),
+      lit("<meta content='NOFOLLOW' name='robots'>"),
+      lit("<meta name=ROBOTS content=none>"),
       lit("")), (col("doc_id") % 4 + 1).cast("int"))
     val html = concat(
       lit("<head><meta name=\"description\" content=\"noindex decoy\">"),
@@ -2168,21 +2171,23 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q152_meta_robots" ->
-      """WITH s AS (SELECT doc_id,
+    "q152_meta_robots" -> {
+      // the six Spark-side patterns verbatim, SQL-quoted
+      val extracts = TextFunctions.metaRobotsPatterns
+        .map(p => s"regexp_extract_all(h, '${p.replace("'", "''")}', 1)")
+        .reduce((a, b) => s"list_concat($a,\n        $b)")
+      s"""WITH s AS (SELECT doc_id,
         |    '<head><meta name="description" content="noindex decoy">' ||
         |    CASE doc_id % 4
         |      WHEN 0 THEN '<meta name="robots" content="noindex">'
-        |      WHEN 1 THEN '<meta content="NOFOLLOW" name="robots">'
-        |      WHEN 2 THEN '<meta name="ROBOTS" content="none">'
+        |      WHEN 1 THEN '<meta content=''NOFOLLOW'' name=''robots''>'
+        |      WHEN 2 THEN '<meta name=ROBOTS content=none>'
         |      ELSE '' END ||
         |    '</head><body>' || text || '</body>' AS h
         |  FROM documents),
         |d AS (SELECT doc_id,
         |    list_transform(flatten(list_transform(
-        |      list_concat(
-        |        regexp_extract_all(h, '(?i)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"([^"]*)"', 1),
-        |        regexp_extract_all(h, '(?i)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"robots"', 1)),
+        |      $extracts,
         |      x -> string_split(x, ','))), t -> trim(lower(t))) AS toks
         |  FROM s)
         |SELECT doc_id,
@@ -2190,7 +2195,8 @@ object Extensions {
         |    THEN 1 ELSE 0 END AS noindex,
         |  CASE WHEN list_contains(toks, 'nofollow') OR list_contains(toks, 'none')
         |    THEN 1 ELSE 0 END AS nofollow
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
     "q151_script_profile" ->
       """WITH s AS (SELECT doc_id, text || ' ' ||
         |    CASE doc_id % 4

@@ -39,12 +39,11 @@ class CleanC8Spec extends SparkSpec {
   test("day_first_date registers for SQL via GraftExtensions") {
     // the injector must accept a fresh extensions container…
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // …and the same factory registers on the live session's registry
-    // (withExtensions only applies at session build time)
+    // …and the REAL builder table registers on the live session's
+    // registry (withExtensions only applies at session build time), so
+    // a regression in a builder's argument handling fails HERE
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "day_first_date",
-      exprs => graft.expressions.DayFirstDate(exprs.head),
-      "built-in")
+      "day_first_date", GraftExtensions.builderFor("day_first_date"), "built-in")
     val got = spark.sql("SELECT cast(day_first_date('03/02/2026') AS string) d")
       .collect()(0).getString(0)
     assert(got == "2026-02-03")
@@ -53,14 +52,10 @@ class CleanC8Spec extends SparkSpec {
   test("round-5 kernels register for SQL: token_chunks, char_counts, l1_diff") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("token_chunks",
-      exprs => graft.expressions.TokenChunks(exprs.head, 3, 2), "built-in")
-    reg.createOrReplaceTempFunction("char_counts",
-      exprs => graft.expressions.CharCounts(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("l1_diff",
-      exprs => graft.expressions.L1Diff(exprs(0), exprs(1)), "built-in")
+    for (n <- Seq("token_chunks", "char_counts", "l1_diff"))
+      reg.createOrReplaceTempFunction(n, GraftExtensions.builderFor(n), "built-in")
     val r = spark.sql(
-      """SELECT size(token_chunks(split('a b c d e', ' '))) AS n,
+      """SELECT size(token_chunks(split('a b c d e', ' '), 3, 2)) AS n,
         |       l1_diff(char_counts('abc'), char_counts('abd')) AS d""".stripMargin).head()
     assert(r.getInt(0) == 2, "5 tokens, width 3 stride 2 -> chunks at 0 and 2")
     assert(r.getInt(1) == 2, "c->d changes two unigram counts")
@@ -69,29 +64,29 @@ class CleanC8Spec extends SparkSpec {
   test("round-9 cleaners register for SQL: unicode_normalize, fix_mojibake, script_counts") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("unicode_normalize",
-      exprs => graft.expressions.UnicodeNormalize(exprs.head, "NFKC"), "built-in")
-    reg.createOrReplaceTempFunction("fix_mojibake",
-      exprs => graft.expressions.FixMojibake(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("script_counts",
-      exprs => graft.expressions.ScriptCounts(exprs.head), "built-in")
+    for (n <- Seq("unicode_normalize", "fix_mojibake", "script_counts", "duplicate_starts"))
+      reg.createOrReplaceTempFunction(n, GraftExtensions.builderFor(n), "built-in")
     val r = spark.sql(
       "SELECT unicode_normalize('\u00EF\u00BC\u2039x', 'NFKC') AS never_mind, " +
         "unicode_normalize('\uFB01ne', 'NFKC') AS folded, " +
         "fix_mojibake('it\u00E2\u20AC\u2122s') AS fixed, " +
-        "script_counts('ab \u044F\u4E16').n_cyrillic AS ncyr").head()
+        "script_counts('ab \u044F\u4E16').n_cyrillic AS ncyr, " +
+        "duplicate_starts(split('a b a', ' '), 100) AS dups").head()
     assert(r.getString(1) == "fine")
     assert(r.getString(2) == "it\u2019s")
     assert(r.getLong(3) == 1L)
+    assert(r.getSeq[Long](4) == Seq(2L), "third token repeats the first")
+    // literal validation is the builders' own: a non-literal form must throw
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect()
+    }
   }
 
   test("simhash64 registers for SQL and matches the operator") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => graft.expressions.SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("token_hashes",
-      exprs => graft.expressions.TokenHashes(exprs.head), "built-in")
+    for (n <- Seq("simhash64", "token_hashes"))
+      reg.createOrReplaceTempFunction(n, GraftExtensions.builderFor(n), "built-in")
     val viaSql = spark.sql(
       "SELECT simhash64(token_hashes(split('alpha beta gamma delta', ' '))) h").head().getLong(0)
     import spark.implicits._

@@ -70,6 +70,10 @@ class HtmlStripSpec extends SparkSpec {
     }
     assert(flags("""<meta name="robots" content="noindex, nofollow">""") == ((1, 1)))
     assert(flags("""<meta content="NOINDEX" name="robots">""") == ((1, 0)), "reversed attrs + case")
+    assert(flags("""<meta name='robots' content='nofollow'>""") == ((0, 1)), "single-quoted")
+    assert(flags("""<meta name=robots content=noindex>""") == ((1, 0)), "unquoted")
+    assert(flags("""<meta name=robotsx content=noindex>""") == ((0, 0)),
+      "unquoted name must be word-bounded, robotsx is not robots")
     assert(flags("""<meta name="ROBOTS" content=" none ">""") == ((1, 1)), "none implies both")
     assert(flags("""<meta name="robots" content="nonexistent">""") == ((0, 0)),
       "substring of a directive must not match")

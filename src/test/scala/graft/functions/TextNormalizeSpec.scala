@@ -43,6 +43,22 @@ class TextNormalizeSpec extends SparkSpec {
     assert(one(TextFunctions.fixMojibake(_), "plain ascii") == "plain ascii")
   }
 
+  test("fixMojibake: genuine non-ASCII DIRECTLY ABUTTING mojibake does not veto the repair") {
+    // CJK char immediately followed by a mojibake apostrophe, no ASCII
+    // between: the run segmentation is by cp1252-encodability, so the
+    // CJK char bounds the run instead of poisoning its encode
+    assert(one(TextFunctions.fixMojibake(_),
+      "日本â€™s") == "日本’s")
+    // and a combining mark on the other side of the mojibake
+    assert(one(TextFunctions.fixMojibake(_),
+      "éÃ©") == "éé")
+    // the honest residual: a GENUINE cp1252-encodable accent fused to
+    // mojibake shares its run and conservatively blocks the repair
+    // (E9 C3 A9 is not valid UTF-8, so the whole run is kept)
+    assert(one(TextFunctions.fixMojibake(_),
+      "\u00E9\u00C3\u00A9") == "\u00E9\u00C3\u00A9")
+  }
+
   test("fixMojibake repairs per non-ASCII run: mixed genuine+corrupt text repairs the corrupt runs") {
     // mojibake apostrophe NEXT TO a genuine decomposed accent and CJK:
     // the run granularity repairs the first without touching the others

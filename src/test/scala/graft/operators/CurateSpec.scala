@@ -41,17 +41,17 @@ class CurateSpec extends SparkSpec {
     assert(a.length == 50, "no docs dropped or duplicated")
     assert(a.toSeq == b.toSeq, "partitioning must not change decisions")
   }
-  test("preclean: strip html -> fix mojibake -> NFC -> collapse whitespace, in that order") {
+  test("preclean: strip html -> fix mojibake -> NFC, in that order") {
     import spark.implicits._
     // mojibake apostrophe inside markup, decomposed accent, sloppy whitespace
     val raw = "<p>it\u00E2\u20AC\u2122s   <b>cafe\u0301</b>\n\n ok</p>"
     val docs = Seq((1L, raw), (2L, null.asInstanceOf[String])).toDF("id", "text")
-    val out = Curate.preclean(docs, "id", "text")
+    val out = Curate.preclean(docs, "text")
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(out(1L).get == "it\u2019s caf\u00E9 ok", s"got ${out(1L)}")
     assert(out(2L).isEmpty, "null text passes through as null")
     // single projection: streams can run it unchanged
-    val plan = Curate.preclean(docs, "id", "text").queryExecution.executedPlan.toString
+    val plan = Curate.preclean(docs, "text").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
 }
