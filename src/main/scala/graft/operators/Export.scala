@@ -174,7 +174,12 @@ object Export {
     * Output: (shard_no, seq_no, n_tokens, n_docs, token_ids) —
     * sequences deterministic and replayable from (shard_no, seq_no).
     * Empty docs (0 tokens) are dropped before packing. */
-  def packSequences(encoded: DataFrame, idCol: String, idsCol: String,
+  /** The shared packing spine: every token of every non-empty doc with
+    * its (shard_no, seq_no, global-in-shard position) — the one
+    * exploded frame both [[packSequences]] and [[sequenceProvenance]]
+    * aggregate, so the two can never disagree about which token landed
+    * in which sequence. */
+  private def packedTokens(encoded: DataFrame, idCol: String, idsCol: String,
       seqLen: Int, nShards: Int): DataFrame = {
     require(seqLen >= 1, "need seqLen >= 1")
     val ordered = trainingOrder(
@@ -184,17 +189,44 @@ object Export {
     val withOffset = ordered
       .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
         - size(col(idsCol)).cast("long"))
-    val tokens = withOffset.select(col(idCol), col("shard_no"), col("__off"),
+    withOffset.select(col(idCol), col("shard_no"), col("__off"),
         posexplode(col(idsCol)).as(Seq("__p", "__id")))
       .select(col(idCol), col("shard_no"),
         expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
         (col("__off") + col("__p")).as("__g"), col("__id"))
-    tokens.groupBy(col("shard_no"), col("seq_no"))
+  }
+
+  def packSequences(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nShards: Int): DataFrame =
+    packedTokens(encoded, idCol, idsCol, seqLen, nShards)
+      .groupBy(col("shard_no"), col("seq_no"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         countDistinct(col(idCol)).as("n_docs"),
         transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
           p => p.getField("__id")).as("token_ids"))
-  }
+
+  /** Per-sequence document provenance — the governance inverse of
+    * [[packSequences]]: one row per (shard, sequence, document) with
+    * the document's token span inside that sequence, so a trained
+    * model's sample can be traced back to its sources (takedown
+    * requests, contamination audits, per-source loss attribution all
+    * start here) WITHOUT decoding anything. Derived from the same
+    * [[packedTokens]] spine as the sequences themselves, so the
+    * mapping cannot drift from the packing. A document crossing a
+    * sequence boundary contributes one row per sequence it touches;
+    * `start_in_seq + n_tokens ≤ seqLen` always, and summing
+    * `n_tokens` per (shard, seq) reproduces the sequence lengths.
+    *
+    * Scale shape: identical to packing (its groupBy key has the doc
+    * id appended — same shuffle volume, counters instead of id
+    * arrays). Output: (shard_no, seq_no, idCol, start_in_seq,
+    * n_tokens). */
+  def sequenceProvenance(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nShards: Int): DataFrame =
+    packedTokens(encoded, idCol, idsCol, seqLen, nShards)
+      .groupBy(col("shard_no"), col("seq_no"), col(idCol))
+      .agg((min(col("__g")) % seqLen).as("start_in_seq"),
+        count(lit(1)).cast("long").as("n_tokens"))
 
   /** Write [[packSequences]] output as training-ready shard files plus
     * a manifest. Each shard's rows hash-land in one writer task so a
@@ -256,5 +288,50 @@ object Export {
     // released, so a caller action on the in-memory manifest plan could
     // no longer recompute it
     packed.sparkSession.read.parquet(s"$outDir/_manifest")
+  }
+
+  /** Fill-in-the-middle transformation (the PSM rearrangement of
+    * Bavarian et al. 2022's public FIM recipe): for `ratePermille`‰ of
+    * documents, pick two deterministic token cut points, and emit
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` so an
+    * autoregressive model learns infilling from plain next-token
+    * loss — the standard code-corpus preparation step between curation
+    * and [[packSequences]]. The untransformed remainder keeps the
+    * original text (`fim_applied` = 0), as does any doc under 3
+    * tokens (no interior to cut).
+    *
+    * Determinism contract (no RNG anywhere): the apply decision and
+    * both cut points derive from md5 of the DOC ID with distinct salts
+    * (`:fim`, `:c1`, `:c2`) through the [[graft.functions.
+    * TextFunctions.stableBucket]] arithmetic, so reruns, retries, and
+    * the DuckDB oracle all agree bit-for-bit, and the decision
+    * survives text edits (id-keyed, like split assignment). Cut points
+    * land in [1, n−1]; equal cuts mean an empty middle — still a valid
+    * (and useful: "insert nothing here") training sample. One
+    * zero-shuffle projection. Output: (idCol, fim_applied, n_tokens,
+    * fim_text). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      ratePermille: Int = 500): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille must be in [0, 1000], got $ratePermille")
+    def toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def n = size(toks)
+    def h(salt: String) =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+    val applied = (pmod(h(":fim"), lit(1000L)) < ratePermille) && n >= 3
+    // greatest(..,1): keeps the modulus legal for short docs the
+    // `applied` gate already excluded (ANSI pmod-by-zero would throw)
+    def cut(salt: String) = lit(1) + pmod(h(salt), greatest(n - 1, lit(1)).cast("long"))
+    val lo = least(cut(":c1"), cut(":c2"))
+    val hi = greatest(cut(":c1"), cut(":c2"))
+    val fim = concat(
+      lit("<fim_prefix> "), array_join(slice(toks, lit(1), lo.cast("int")), " "),
+      lit(" <fim_suffix> "), array_join(slice(toks, (hi + 1).cast("int"), (n - hi).cast("int")), " "),
+      lit(" <fim_middle> "), array_join(slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")), " "))
+    df.select(col(idCol),
+      when(applied, 1).otherwise(0).as("fim_applied"),
+      n.cast("long").as("n_tokens"),
+      when(applied, fim).otherwise(col(textCol)).as("fim_text"))
   }
 }

@@ -1798,7 +1798,34 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q153 — fill-in-the-middle transformation ([[Export.fimTransform]],
+    * 500‰): the PSM rearrangement with id-keyed deterministic apply
+    * decision and cut points, so the oracle replays the md5 arithmetic,
+    * the slicing, and the sentinel assembly byte-for-byte; md5 of the
+    * assembled text travels (scalar-face policy). */
+  def q153Fim(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Export.fimTransform(d, "doc_id", "text", ratePermille = 500)
+      .select(col("doc_id"), col("fim_applied"), col("n_tokens"),
+        md5(col("fim_text")).as("fim_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q154 — sequence→document provenance ([[Export.sequenceProvenance]]):
+    * q142's packing replayed as the governance inverse — one row per
+    * (shard, sequence, document) with the document's token span inside
+    * the sequence, derived from the SAME spine as the sequences, so
+    * summing spans reproduces sequence lengths exactly. */
+  def q154Provenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+    Export.sequenceProvenance(enc, "doc_id", "token_ids", seqLen = 64, nShards = 4)
+      .orderBy("shard_no", "seq_no", "doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_provenance" -> (q154Provenance _),
+    "q153_fim" -> (q153Fim _),
     "q152_meta_robots" -> (q152MetaRobots _),
     "q151_script_profile" -> (q151ScriptProfile _),
     "q150_pagerank" -> (q150PageRank _),
@@ -2162,6 +2189,34 @@ object Extensions {
   private val mjIDiaSql = "chr(195) || chr(175)"
   private val mjOeSql = "chr(197) || chr(8220)"
 
+  /** q142/q154's shared oracle spine: top-`vocabN` word-vocab encode,
+    * the deterministic shard shuffle, per-shard offsets, and the
+    * exploded token frame `x(doc_id, shard_no, g, seq_no, id)` — ONE
+    * definition so the packing oracle and the provenance oracle can
+    * never disagree about token placement (mirroring the shared
+    * `packedTokens` spine in the Scala operator). */
+  private def wordPackSpineSql(vocabN: Int, seqLen: Int, nShards: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |cfr AS (SELECT token, count(1) AS n_occ FROM e GROUP BY token),
+      |vv AS (SELECT token, rn AS vid FROM (
+      |    SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM cfr)
+      |  WHERE rn <= $vocabN),
+      |p0 AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM t),
+      |p AS (SELECT doc_id, p, tk[CAST(p + 1 AS INT)] AS token FROM p0),
+      |j AS (SELECT p.doc_id, p.p, coalesce(vv.vid, 0)::BIGINT AS id
+      |  FROM p LEFT JOIN vv ON p.token = vv.token),
+      |enc AS (SELECT doc_id, count(1)::BIGINT AS n_tok, list(id ORDER BY p) AS ids
+      |  FROM j GROUP BY doc_id),
+      |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS kk,
+      |    md5(md5(doc_id::VARCHAR)) AS sk FROM enc),
+      |b AS (SELECT *, ('0x' || substring(sk, 1, 15))::BIGINT % $nShards AS shard_no FROM k),
+      |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
+      |    ORDER BY sk, kk) - n_tok)::BIGINT AS off FROM b),
+      |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
+      |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // $seqLen AS seq_no,
+      |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)""".stripMargin
+
   /** One PageRank round as a CTE pair: contributions by dst, then the
     * damped update over all nodes — floor `//` mirroring Spark's DIV. */
   private def prRoundSql(k: Int): String =
@@ -2299,30 +2354,40 @@ object Extensions {
     "q144_bpe_encode" -> bpeEncodeSql(5),
     "q143_bpe_train" -> bpeSql(5),
     "q142_pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
-        |cfr AS (SELECT token, count(1) AS n_occ FROM e GROUP BY token),
-        |vv AS (SELECT token, rn AS vid FROM (
-        |    SELECT token, row_number() OVER (ORDER BY n_occ DESC, token) AS rn FROM cfr)
-        |  WHERE rn <= 100),
-        |p0 AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM t),
-        |p AS (SELECT doc_id, p, tk[CAST(p + 1 AS INT)] AS token FROM p0),
-        |j AS (SELECT p.doc_id, p.p, coalesce(vv.vid, 0)::BIGINT AS id
-        |  FROM p LEFT JOIN vv ON p.token = vv.token),
-        |enc AS (SELECT doc_id, count(1)::BIGINT AS n_tok, list(id ORDER BY p) AS ids
-        |  FROM j GROUP BY doc_id),
-        |k AS (SELECT doc_id, n_tok, ids, md5(doc_id::VARCHAR) AS kk,
-        |    md5(md5(doc_id::VARCHAR)) AS sk FROM enc),
-        |b AS (SELECT *, ('0x' || substring(sk, 1, 15))::BIGINT % 4 AS shard_no FROM k),
-        |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
-        |    ORDER BY sk, kk) - n_tok)::BIGINT AS off FROM b),
-        |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
-        |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // 64 AS seq_no,
-        |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)
-        |SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+      (wordPackSpineSql(100, 64, 4) + "\n" +
+        """SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
         |  array_to_string(list(id ORDER BY g), ' ') AS token_ids_str
-        |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin,
+        |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin),
+    "q154_provenance" ->
+      (wordPackSpineSql(100, 64, 4) + "\n" +
+        """SELECT shard_no, seq_no, doc_id,
+        |  (min(g) % 64)::BIGINT AS start_in_seq,
+        |  count(1)::BIGINT AS n_tokens
+        |FROM x GROUP BY shard_no, seq_no, doc_id
+        |ORDER BY shard_no, seq_no, doc_id""".stripMargin),
+    "q153_fim" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        |n0 AS (SELECT doc_id, text, tk, len(tk)::BIGINT AS n,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':fim'), 1, 15))::BIGINT % 1000 AS hb,
+        |    1 + (('0x' || substring(md5(doc_id::VARCHAR || ':c1'), 1, 15))::BIGINT
+        |      % greatest(len(tk) - 1, 1)) AS k1,
+        |    1 + (('0x' || substring(md5(doc_id::VARCHAR || ':c2'), 1, 15))::BIGINT
+        |      % greatest(len(tk) - 1, 1)) AS k2
+        |  FROM t),
+        |f AS (SELECT doc_id, text, n,
+        |    CASE WHEN hb < 500 AND n >= 3 THEN 1 ELSE 0 END AS fim_applied,
+        |    least(k1, k2) AS lo, greatest(k1, k2) AS hi, tk FROM n0),
+        |o AS (SELECT doc_id, fim_applied, n,
+        |    CASE WHEN fim_applied = 1 THEN
+      |      '<fim_prefix> ' || array_to_string(tk[1:CAST(lo AS INT)], ' ') ||
+        |      ' <fim_suffix> ' || array_to_string(tk[CAST(hi + 1 AS INT):CAST(n AS INT)], ' ') ||
+        |      ' <fim_middle> ' ||
+        |      coalesce(array_to_string(tk[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' '), '')
+        |    ELSE text END AS fim_text
+        |  FROM f)
+        |SELECT doc_id, fim_applied, n AS n_tokens, md5(fim_text) AS fim_md5
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q141_span_dedup_within" ->
       s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk0 FROM documents),
         |t3 AS (SELECT doc_id, list_concat(list_concat(tk0, tk0), tk0) AS toks FROM t0),

@@ -169,4 +169,60 @@ class ExportSpec extends SparkSpec {
       assert(nSeqs - nFull <= 1, s"shard $s: only the tail may be short")
     }
   }
+  test("sequenceProvenance: spans tile every sequence exactly and trace back to doc lengths") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, ("tok " * ((i % 9).toInt + 1)).trim + s" end$i"))
+      .toDF("doc_id", "text")
+    val enc = Vocab.encode(docs, "doc_id", "text", Vocab.topTokens(docs, "text", 50))
+    val packed = Export.packSequences(enc, "doc_id", "token_ids", seqLen = 16, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val prov = Export.sequenceProvenance(enc, "doc_id", "token_ids", seqLen = 16, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-sequence: spans are disjoint, in-bounds, and sum to the sequence length
+    prov.groupBy(t => (t._1, t._2)).foreach { case (key, rows) =>
+      assert(rows.map(_._5).sum == packed(key), s"seq $key spans must tile its length")
+      val sorted = rows.sortBy(_._4)
+      sorted.foreach(r => assert(r._4 >= 0 && r._4 + r._5 <= 16, s"span out of bounds: $r"))
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._5 == b._4, s"gap/overlap between $a and $b")
+        case _ =>
+      }
+    }
+    // per-doc: spans across sequences sum to the doc's token count
+    val lens = enc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prov.groupBy(_._3).foreach { case (id, rows) =>
+      assert(rows.map(_._5).sum == lens(id), s"doc $id provenance must cover every token")
+    }
+  }
+
+  test("fimTransform: deterministic, conserves tokens, gates on rate and length") {
+    import spark.implicits._
+    val docs = (1L to 120L).map(i => (i, ("alpha beta gamma delta " * ((i % 4).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = Export.fimTransform(docs, "doc_id", "text", ratePermille = 500)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toList
+    val applied = out.filter(_._2 == 1)
+    assert(applied.nonEmpty && applied.size < out.size, "rate 500 must split the corpus")
+    // applied docs: sentinel structure + token conservation (multiset)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    applied.foreach { case (id, _, fim) =>
+      assert(fim.startsWith("<fim_prefix> ") && fim.contains(" <fim_suffix> ")
+        && fim.contains(" <fim_middle> "), s"doc $id: $fim")
+      val got = fim.split("\\s+").filterNot(
+        Set("<fim_prefix>", "<fim_suffix>", "<fim_middle>")).sorted.toSeq
+      val want = texts(id).toLowerCase.split("\\s+").sorted.toSeq
+      assert(got == want, s"doc $id must conserve the token multiset")
+    }
+    // rate 0: all passthrough verbatim; short docs never transform
+    val none = Export.fimTransform(docs, "doc_id", "text", ratePermille = 0)
+      .collect().map(r => r.getInt(1)).sum
+    assert(none == 0)
+    val short = Export.fimTransform(Seq((1L, "one two")).toDF("doc_id", "text"),
+      "doc_id", "text", ratePermille = 1000).head()
+    assert(short.getInt(1) == 0 && short.getString(3) == "one two")
+    // partitioning-independence
+    val a = Export.fimTransform(docs.coalesce(1), "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Export.fimTransform(docs.repartition(7), "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
