@@ -121,6 +121,60 @@ object Curation {
           .otherwise(0L).as("recall_milli"))
   }
 
+  /** Budget-constrained quality selection — "keep the best documents
+    * of each group until its token budget is spent", the data-mixing
+    * step that turns per-source budgets (from temperature weighting,
+    * scaling-law fits, or contract limits) into an exact keep set:
+    * within each group, documents are admitted in (score DESC, id ASC)
+    * order while the inclusive running token total stays ≤
+    * `budgetTokens` — a deterministic prefix rule (token counts are
+    * non-negative, so the cumsum is monotone and the kept set is a
+    * prefix of the quality ordering).
+    *
+    * Scale shape — the [[Importance.scoreBuckets]] refusal applied to
+    * budget trimming: the naive form is one `sum().over(partitionBy
+    * (group).orderBy(score))` window = the dominant source through a
+    * single task's sort. Here score bins partial-aggregate to a
+    * per-(group, bin) token histogram; a window over those HISTOGRAM
+    * rows yields each bin's strictly-above-it token total; the tiny
+    * frame broadcast-joins back; and the running sum completes inside
+    * per-(group, bin) windows — `rank = above_bin_offset +
+    * cum_within_bin` is exact because binning is score-monotone, so
+    * the uniform keep test `above + cum ≤ budget` reproduces the
+    * global prefix rule for EVERY row (fully-kept and fully-dropped
+    * bins included) without any group-sized partition. Task size is
+    * the bin cohort, tuned by `binWidth`; the irreducible residual is
+    * the same as scoreBuckets': a single score value held by most of
+    * a group must be id-ordered somewhere under any exact semantics.
+    *
+    * Output: input columns + (sel_rank_tokens, keep) — the inclusive
+    * cumulative token count in quality order and the 0/1 flag. */
+  def selectByBudget(df: DataFrame, idCol: String, groupCol: String,
+      score: Column, nTokens: Column, budgetTokens: Long,
+      binWidth: Long = 16L): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(binWidth >= 1, "need binWidth >= 1")
+    val base = df
+      .withColumn("__s", score.cast("long"))
+      .withColumn("__nt", nTokens.cast("long"))
+      .withColumn("__bin", expr(s"(__s - pmod(__s, ${binWidth}L)) DIV ${binWidth}L"))
+    val hist = base.groupBy(col(groupCol), col("__bin"))
+      .agg(sum("__nt").as("__tok_bin"))
+    val wAbove = Window.partitionBy(col(groupCol)).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val above = hist
+      .withColumn("__above", coalesce(sum("__tok_bin").over(wAbove), lit(0L)))
+      .select(col(groupCol), col("__bin"), col("__above"))
+    val wBin = Window.partitionBy(col(groupCol), col("__bin"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(above), Seq(groupCol, "__bin"))
+      .withColumn("sel_rank_tokens", col("__above") + sum("__nt").over(wBin))
+      .withColumn("keep",
+        when(col("sel_rank_tokens") <= budgetTokens, 1).otherwise(0))
+      .select((df.columns.map(col) :+ col("sel_rank_tokens") :+ col("keep")): _*)
+  }
+
   /** One-call corpus datasheet — the summary block of a dataset card
     * (Gebru et al. 2021, "Datasheets for Datasets"): document/token
     * totals, exact-duplicate rate, and the language spread, every

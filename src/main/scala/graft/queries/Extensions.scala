@@ -1823,7 +1823,28 @@ object Extensions {
       .orderBy("shard_no", "seq_no", "doc_id")
   }
 
+  /** q155 — budget-constrained quality selection
+    * ([[Curation.selectByBudget]]): each source admits its documents in
+    * (score desc, id) order until 5000 tokens — the per-source budget
+    * trim of a data-mixing plan, computed with NO group-sized window
+    * (histogram offsets + per-bin windows). The oracle replays the
+    * global prefix rule with one ordered cumsum window per source —
+    * the very plan the operator refuses at scale — proving the
+    * decomposition exact, inclusive ranks and all. */
+  def q155BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val fx = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ((col("doc_id") * 37) % 1000).as("score"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+    Curation.selectByBudget(fx, "doc_id", "source", col("score"), col("nt"),
+        budgetTokens = 5000L, binWidth = 16L)
+      .select(col("doc_id"), col("source"), col("score"),
+        col("sel_rank_tokens"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_budget_select" -> (q155BudgetSelect _),
     "q154_provenance" -> (q154Provenance _),
     "q153_fim" -> (q153Fim _),
     "q152_meta_robots" -> (q152MetaRobots _),
@@ -2226,6 +2247,16 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q155_budget_select" ->
+      s"""WITH s AS (SELECT doc_id, source, (doc_id * 37) % 1000 AS score,
+        |    len($toksSql)::BIGINT AS nt FROM documents),
+        |w AS (SELECT doc_id, source, score,
+        |    (sum(nt) OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+        |  FROM s)
+        |SELECT doc_id, source, score, cum AS sel_rank_tokens,
+        |  CASE WHEN cum <= 5000 THEN 1 ELSE 0 END AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q152_meta_robots" -> {
       // the six Spark-side patterns verbatim, SQL-quoted
       val extracts = TextFunctions.metaRobotsPatterns

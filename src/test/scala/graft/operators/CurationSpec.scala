@@ -149,4 +149,36 @@ class CurationSpec extends SparkSpec {
       .select("bin").collect().map(_.getLong(0)).toSet
     assert(bins == Set(-1L, 0L), s"-5 must land in bin -1 (floor), got $bins")
   }
+  test("selectByBudget == the global prefix rule it refuses to run as one window") {
+    import spark.implicits._
+    // scores with heavy ties (8 distinct values) and varied token costs
+    val docs = (1L to 400L).map(i =>
+      (i, s"src${i % 3}", (i * 13) % 8, 1L + (i * 7) % 25)).toDF("id", "grp", "sc", "nt")
+    for (budget <- Seq(0L, 100L, 1000L, 100000L); bw <- Seq(1L, 4L, 100L)) {
+      val got = Curation.selectByBudget(docs, "id", "grp", col("sc"), col("nt"),
+          budgetTokens = budget, binWidth = bw)
+        .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getInt(5))).toMap
+      // brute-force: per group, sort (score desc, id asc), inclusive cumsum
+      val want = docs.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._2).values.flatMap { rows =>
+          var cum = 0L
+          rows.sortBy(t => (-t._3, t._1)).map { t =>
+            cum += t._4
+            t._1 -> ((cum, if (cum <= budget) 1 else 0))
+          }
+        }.toMap
+      assert(got == want, s"budget=$budget binWidth=$bw")
+    }
+  }
+
+  test("selectByBudget is partitioning-independent") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"s${i % 4}", i % 5, 3L)).toDF("id", "grp", "sc", "nt")
+    val a = Curation.selectByBudget(docs.coalesce(1), "id", "grp", col("sc"), col("nt"), 60L)
+      .collect().map(_.toSeq).toSet
+    val b = Curation.selectByBudget(docs.repartition(11), "id", "grp", col("sc"), col("nt"), 60L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
