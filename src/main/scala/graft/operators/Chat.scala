@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation → training-sample rendering, the SFT/chat-tuning prep
+  * step between curation and [[Export.packSequences]]: flatten a typed
+  * message array into one templated text AND compute the loss-mask
+  * spans (which token ranges are assistant output) — a chat-tuned
+  * model trains next-token loss on assistant turns only, and the mask
+  * must be derived from the SAME rendering arithmetic that produced
+  * the text or it silently drifts off by a token.
+  *
+  * Template (fixed, documented): each message renders as
+  * `<|role|>\n{content}`, messages joined by newlines, so the role tag
+  * is exactly ONE whitespace token and a segment costs
+  * `1 + tokenCount(content)` tokens. Spans cover the whole assistant
+  * segment (role token included — the standard "mask everything the
+  * model should emit" convention; subtract 1 from start/len to exclude
+  * the tag if a recipe wants that).
+  *
+  * Scale shape: entirely row-local — the per-message token counts, the
+  * running-offset fold, and the span filter are array expressions over
+  * the message list (quadratic in MESSAGES-per-conversation via the
+  * prefix fold, bounded by turns — tens, not tokens — so no kernel is
+  * warranted), zero shuffle at any corpus size; runs unchanged on a
+  * stream. Output: (idCol, n_turns, n_tokens, mask_spans
+  * array<struct<start,len>>, chat_text). */
+object Chat {
+
+  def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {
+    def msgs = col(msgsCol)
+    def segToks = transform(msgs,
+      m => lit(1) + size(graft.functions.TextFunctions.tokens(m.getField("content"))))
+    // start of segment i = sum of the token costs before it (prefix
+    // fold per index — turns-bounded, see scaladoc)
+    def starts = transform(sequence(lit(0), size(msgs) - 1),
+      i => aggregate(slice(segToks, lit(1), i), lit(0), (a, x) => a + x))
+    def spans = filter(
+      transform(sequence(lit(0), size(msgs) - 1),
+        i => struct(
+          element_at(msgs, i + 1).getField("role").as("role"),
+          element_at(starts, i + 1).cast("long").as("start"),
+          element_at(segToks, i + 1).cast("long").as("len"))),
+      s => s.getField("role") === "assistant")
+    df.select(col(idCol),
+      size(msgs).cast("long").as("n_turns"),
+      aggregate(segToks, lit(0), (a, x) => a + x).cast("long").as("n_tokens"),
+      transform(spans, s => struct(s.getField("start"), s.getField("len")))
+        .as("mask_spans"),
+      array_join(transform(msgs,
+          m => concat(lit("<|"), m.getField("role"), lit("|>\n"),
+            m.getField("content"))), "\n")
+        .as("chat_text"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Curation, Dedup, Export, Importance, LinkRank, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Vocab, Warc}
+import graft.operators.{Chat, Curation, Dedup, Export, Importance, LinkRank, Multimodal, Sampling, SimilaritySearch, TextClassify, TextSearch, Vocab, Warc}
 
 /** LLM-training-data pipeline extensions (first-class per BASELINE):
   * dedup family, similarity search, text analysis, multimodal plumbing.
@@ -1843,7 +1843,34 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q156 — chat-template rendering + loss-mask spans ([[Chat.render]]):
+    * each document reshaped into a 4-turn user/assistant conversation
+    * (token slices of its own text), rendered through the fixed
+    * template, with the assistant token spans computed from the same
+    * arithmetic. The oracle replays the slicing, the per-segment token
+    * costs, the span offsets, and the exact rendered bytes. */
+  def q156ChatRender(spark: SparkSession, dir: String): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    val fx = Tables(spark, dir, "documents").select(col("doc_id"), array(
+      struct(lit("user").as("role"),
+        array_join(slice(tk, lit(1), lit(8)), " ").as("content")),
+      struct(lit("assistant").as("role"),
+        array_join(slice(tk, lit(9), lit(12)), " ").as("content")),
+      struct(lit("user").as("role"), lit("please continue").as("content")),
+      struct(lit("assistant").as("role"),
+        array_join(slice(tk, lit(21), greatest(size(tk) - 20, lit(0))), " ")
+          .as("content"))).as("messages"))
+    Chat.render(fx, "doc_id", "messages")
+      .select(col("doc_id"), col("n_turns"), col("n_tokens"),
+        array_join(transform(col("mask_spans"),
+          s => concat_ws(":", s.getField("start"), s.getField("len"))), " ")
+          .as("mask_str"),
+        md5(col("chat_text")).as("chat_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_chat_render" -> (q156ChatRender _),
     "q155_budget_select" -> (q155BudgetSelect _),
     "q154_provenance" -> (q154Provenance _),
     "q153_fim" -> (q153Fim _),
@@ -2247,6 +2274,30 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q156_chat_render" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |seg AS (SELECT doc_id,
+        |    array_to_string(tk[1:8], ' ') AS c1,
+        |    array_to_string(tk[9:20], ' ') AS c2,
+        |    'please continue' AS c3,
+        |    CASE WHEN len(tk) > 20 THEN array_to_string(tk[21:CAST(len(tk) AS INT)], ' ')
+        |      ELSE '' END AS c4
+        |  FROM t),
+        |n AS (SELECT doc_id, c1, c2, c3, c4,
+        |    1 + len(regexp_split_to_array(lower(trim(c1)), '\\s+')) AS t1,
+        |    1 + len(regexp_split_to_array(lower(trim(c2)), '\\s+')) AS t2,
+        |    1 + len(regexp_split_to_array(lower(trim(c3)), '\\s+')) AS t3,
+        |    1 + len(regexp_split_to_array(lower(trim(c4)), '\\s+')) AS t4
+        |  FROM seg)
+        |SELECT doc_id, 4::BIGINT AS n_turns,
+        |  (t1 + t2 + t3 + t4)::BIGINT AS n_tokens,
+        |  t1::VARCHAR || ':' || t2::VARCHAR || ' ' ||
+        |    (t1 + t2 + t3)::VARCHAR || ':' || t4::VARCHAR AS mask_str,
+        |  md5('<|user|>' || chr(10) || c1 || chr(10) ||
+        |      '<|assistant|>' || chr(10) || c2 || chr(10) ||
+        |      '<|user|>' || chr(10) || c3 || chr(10) ||
+        |      '<|assistant|>' || chr(10) || c4) AS chat_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q155_budget_select" ->
       s"""WITH s AS (SELECT doc_id, source, (doc_id * 37) % 1000 AS score,
         |    len($toksSql)::BIGINT AS nt FROM documents),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Chat.render]] — template rendering + loss-mask spans. The load-
+  * bearing property: slicing the RENDERED text's token stream at each
+  * span must reproduce exactly the assistant segments (role tag +
+  * content), because a mask off by one token poisons the loss. */
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (1L, Seq(("user", "hello there model"), ("assistant", "hi how can i help"),
+      ("user", "sum two and two"), ("assistant", "four"))),
+    (2L, Seq(("system", "be terse"), ("assistant", ""))),  // empty assistant content
+    (3L, Seq(("user", "no reply here")))                    // no assistant at all
+  ).toDF("id", "raw")
+    .select(col("id"), transform(col("raw"),
+      m => struct(m.getField("_1").as("role"), m.getField("_2").as("content")))
+      .as("messages"))
+
+  test("mask spans slice the rendered token stream back to exactly the assistant segments") {
+    val rows = Chat.render(fixture, "id", "messages").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = rows(1L)
+    val toks = r1.getString(4).toLowerCase.trim.split("\\s+").toSeq
+    assert(r1.getLong(2) == toks.length, "n_tokens must equal the rendered token count")
+    val spans = r1.getSeq[org.apache.spark.sql.Row](3)
+    assert(spans.map(s => (s.getLong(0), s.getLong(1))) == Seq((4L, 6L), (15L, 2L)))
+    assert(toks.slice(4, 10) == Seq("<|assistant|>", "hi", "how", "can", "i", "help"))
+    assert(toks.slice(15, 17) == Seq("<|assistant|>", "four"))
+
+    // empty assistant content still costs role tag + the empty token
+    val r2 = rows(2L)
+    assert(r2.getSeq[org.apache.spark.sql.Row](3)
+      .map(s => (s.getLong(0), s.getLong(1))) == Seq((3L, 2L)))
+
+    // no assistant turn -> empty mask, text still renders
+    val r3 = rows(3L)
+    assert(r3.getSeq[org.apache.spark.sql.Row](3).isEmpty)
+    assert(r3.getString(4) == "<|user|>\nno reply here")
+  }
+
+  test("render is a zero-shuffle projection") {
+    val plan = Chat.render(fixture, "id", "messages")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
