@@ -205,6 +205,49 @@ object Export {
         transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
           p => p.getField("__id")).as("token_ids"))
 
+  /** [[packSequences]] carrying a parallel per-token mask — the step
+    * that makes [[Chat.render]]'s loss-mask spans survive packing: a
+    * conversation split across a sequence boundary must split its mask
+    * at exactly the same token, which only holds if ids and mask ride
+    * the SAME explode (zipped here), not two reconciled passes. `mask`
+    * is any int array positionally aligned with `idsCol` (assistant
+    * flags, provenance tags, language ids…); a missing/short mask
+    * entry packs as 0 (train-on-nothing — the safe failure direction
+    * for a loss mask). Same spine, same shuffle volume (the token rows
+    * are 8 bytes wider), same determinism. Output adds
+    * (loss_mask, n_loss_tokens) to the [[packSequences]] contract. */
+  def packSequencesWithMask(encoded: DataFrame, idCol: String, idsCol: String,
+      maskCol: String, seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1, "need seqLen >= 1")
+    val ordered = trainingOrder(
+      encoded.filter(size(col(idsCol)) > 0), Seq(col(idCol)), nShards)
+    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOffset = ordered
+      .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
+        - size(col(idsCol)).cast("long"))
+    val tokens = withOffset
+      .withColumn("__mask0", coalesce(col(maskCol), array().cast("array<int>")))
+      .select(col(idCol), col("shard_no"), col("__off"),
+        posexplode(arrays_zip(col(idsCol), col("__mask0"))).as(Seq("__p", "__z")))
+      .select(col(idCol), col("shard_no"),
+        expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
+        (col("__off") + col("__p")).as("__g"),
+        col(s"__z.$idsCol").as("__id"),
+        coalesce(col("__z.__mask0").cast("long"), lit(0L)).as("__m"))
+      // arrays_zip pads the LONGER side with null rows; a mask longer
+      // than the ids would otherwise invent null tokens
+      .filter(col("__id").isNotNull)
+    tokens.groupBy(col("shard_no"), col("seq_no"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
+          p => p.getField("__id")).as("token_ids"),
+        transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
+          p => p.getField("__m")).as("loss_mask"),
+        sum("__m").as("n_loss_tokens"))
+  }
+
   /** Per-sequence document provenance — the governance inverse of
     * [[packSequences]]: one row per (shard, sequence, document) with
     * the document's token span inside that sequence, so a trained

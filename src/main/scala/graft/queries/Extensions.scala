@@ -1869,7 +1869,30 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q157 — mask-carrying sequence packing
+    * ([[Export.packSequencesWithMask]]): q142's packing with a
+    * positionally-aligned per-token mask (here the in-vocabulary flag,
+    * id > 0 — any aligned int array works, [[Chat.render]]'s assistant
+    * spans being the real customer) riding the SAME explode as the
+    * ids, so a document split across a sequence boundary splits its
+    * mask at exactly the same token. The oracle extends the shared
+    * packing spine with the mask derivation. */
+  def q157MaskedPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+      .withColumn("mask", transform(col("token_ids"),
+        id => when(id > 0, 1).otherwise(0)))
+    Export.packSequencesWithMask(enc, "doc_id", "token_ids", "mask",
+        seqLen = 64, nShards = 4)
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        col("n_loss_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids_str"),
+        array_join(col("loss_mask"), " ").as("loss_mask_str"))
+      .orderBy("shard_no", "seq_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_masked_pack" -> (q157MaskedPack _),
     "q156_chat_render" -> (q156ChatRender _),
     "q155_budget_select" -> (q155BudgetSelect _),
     "q154_provenance" -> (q154Provenance _),
@@ -2274,6 +2297,15 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q157_masked_pack" ->
+      (wordPackSpineSql(100, 64, 4) + "\n" +
+        """SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  (sum(CASE WHEN id > 0 THEN 1 ELSE 0 END))::BIGINT AS n_loss_tokens,
+        |  array_to_string(list(id ORDER BY g), ' ') AS token_ids_str,
+        |  array_to_string(list(CASE WHEN id > 0 THEN 1 ELSE 0 END ORDER BY g), ' ')
+        |    AS loss_mask_str
+        |FROM x GROUP BY shard_no, seq_no ORDER BY shard_no, seq_no""".stripMargin),
     "q156_chat_render" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
         |seg AS (SELECT doc_id,

@@ -225,4 +225,28 @@ class ExportSpec extends SparkSpec {
     val b = Export.fimTransform(docs.repartition(7), "doc_id", "text").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+  test("packSequencesWithMask: mask stays positionally glued to its ids across boundaries") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("alpha beta gamma " * ((i % 5).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val enc = Vocab.encode(docs, "doc_id", "text", Vocab.topTokens(docs, "text", 2))
+      .withColumn("mask", transform(col("token_ids"),
+        id => when(id > 0, 1).otherwise(0)))
+    val out = Export.packSequencesWithMask(enc, "doc_id", "token_ids", "mask",
+      seqLen = 16, nShards = 3).collect()
+    out.foreach { r =>
+      val ids = r.getSeq[Long](4)
+      val mask = r.getSeq[Long](5)
+      assert(ids.length == mask.length && ids.length == r.getLong(2))
+      // the mask was derived as id>0; packing must preserve the pairing
+      ids.zip(mask).foreach { case (id, m) =>
+        assert(m == (if (id > 0) 1L else 0L), s"mask drifted from its id: $id -> $m")
+      }
+      assert(r.getLong(6) == mask.sum)
+    }
+    // identical spine: ids agree with plain packSequences exactly
+    val plain = Export.packSequences(enc, "doc_id", "token_ids", seqLen = 16, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](4)).toMap
+    out.foreach(r => assert(r.getSeq[Long](4) == plain((r.getLong(0), r.getLong(1)))))
+  }
 }
