@@ -11,35 +11,55 @@ import org.apache.spark.sql.functions._
   * must be derived from the SAME rendering arithmetic that produced
   * the text or it silently drifts off by a token.
   *
-  * Template (fixed, documented): each message renders as
-  * `<|role|>\n{content}`, messages joined by newlines, so the role tag
-  * is exactly ONE whitespace token and a segment costs
-  * `1 + tokenCount(content)` tokens. Spans cover the whole assistant
-  * segment (role token included — the standard "mask everything the
-  * model should emit" convention; subtract 1 from start/len to exclude
-  * the tag if a recipe wants that).
+  * Template (fixed, documented): message content is whitespace-
+  * normalized first (collapse + trim — multi-space/newline content
+  * would otherwise make the span arithmetic and the whitespace
+  * tokenizer disagree), then each message renders as `<|role|>` or
+  * `<|role|>\n{content}` (no dangling newline for empty content),
+  * messages joined by newlines — so the role tag is exactly ONE
+  * whitespace token and a segment costs `1 + wordCount(content)`
+  * tokens (1 alone when the content normalizes to empty), and the
+  * rendered stream's whitespace tokenization reproduces the counts
+  * EXACTLY, empty and whitespace-only turns included. Spans cover the
+  * whole assistant segment (role token included — the standard "mask
+  * everything the model should emit" convention; subtract 1 from
+  * start/len to exclude the tag if a recipe wants that).
   *
   * Scale shape: entirely row-local — the per-message token counts, the
   * running-offset fold, and the span filter are array expressions over
   * the message list (quadratic in MESSAGES-per-conversation via the
   * prefix fold, bounded by turns — tens, not tokens — so no kernel is
   * warranted), zero shuffle at any corpus size; runs unchanged on a
-  * stream. Output: (idCol, n_turns, n_tokens, mask_spans
+  * stream. A null or empty message array renders to an empty
+  * conversation (0 turns, empty mask, "" text), never an error.
+  * Output: (idCol, n_turns, n_tokens, mask_spans
   * array<struct<start,len>>, chat_text). */
 object Chat {
 
   def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {
-    def msgs = col(msgsCol)
-    def segToks = transform(msgs,
-      m => lit(1) + size(graft.functions.TextFunctions.tokens(m.getField("content"))))
+    def msgs = coalesce(col(msgsCol),
+      array().cast("array<struct<role:string,content:string>>"))
+    // normalized (role, content) — content collapsed to single spaces
+    // and trimmed so word counts and the rendered stream agree
+    def nm = transform(msgs, m => struct(
+      m.getField("role").as("role"),
+      trim(graft.expressions.CollapseWhitespace(
+        coalesce(m.getField("content"), lit("")))).as("content")))
+    def segToks = transform(nm,
+      m => lit(1) + when(m.getField("content") === "", lit(0))
+        .otherwise(size(split(m.getField("content"), " "))))
+    // sequence(0, -1) on an empty conversation would yield [0, -1] and
+    // crash the element_at below — guard to an empty index list
+    def idxs = when(size(msgs) > 0, sequence(lit(0), size(msgs) - 1))
+      .otherwise(array().cast("array<int>"))
     // start of segment i = sum of the token costs before it (prefix
     // fold per index — turns-bounded, see scaladoc)
-    def starts = transform(sequence(lit(0), size(msgs) - 1),
+    def starts = transform(idxs,
       i => aggregate(slice(segToks, lit(1), i), lit(0), (a, x) => a + x))
     def spans = filter(
-      transform(sequence(lit(0), size(msgs) - 1),
+      transform(idxs,
         i => struct(
-          element_at(msgs, i + 1).getField("role").as("role"),
+          element_at(nm, i + 1).getField("role").as("role"),
           element_at(starts, i + 1).cast("long").as("start"),
           element_at(segToks, i + 1).cast("long").as("len"))),
       s => s.getField("role") === "assistant")
@@ -48,9 +68,10 @@ object Chat {
       aggregate(segToks, lit(0), (a, x) => a + x).cast("long").as("n_tokens"),
       transform(spans, s => struct(s.getField("start"), s.getField("len")))
         .as("mask_spans"),
-      array_join(transform(msgs,
-          m => concat(lit("<|"), m.getField("role"), lit("|>\n"),
-            m.getField("content"))), "\n")
+      array_join(transform(nm,
+          m => concat(lit("<|"), m.getField("role"), lit("|>"),
+            when(m.getField("content") === "", lit(""))
+              .otherwise(concat(lit("\n"), m.getField("content"))))), "\n")
         .as("chat_text"))
   }
 }

@@ -147,6 +147,16 @@ object Curation {
     * the same as scoreBuckets': a single score value held by most of
     * a group must be id-ordered somewhere under any exact semantics.
     *
+    * Contract notes: `score` must be INTEGER-valued (the engine's
+    * milli/micro-unit convention — a classifier probability in [0, 1)
+    * must be scaled to milli-units BEFORE calling; the internal long
+    * cast would truncate every fractional score to the same value and
+    * the quality ordering would silently degenerate to id order). A
+    * NULL score ranks WORST (admitted last, never dropped) and a NULL
+    * group is its own group — the deterministic-inclusion policy of
+    * `assignSplits`: a silently vanished row would corrupt every
+    * downstream budget audit.
+    *
     * Output: input columns + (sel_rank_tokens, keep) — the inclusive
     * cumulative token count in quality order and the 0/1 flag. */
   def selectByBudget(df: DataFrame, idCol: String, groupCol: String,
@@ -154,8 +164,10 @@ object Curation {
       binWidth: Long = 16L): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be non-negative")
     require(binWidth >= 1, "need binWidth >= 1")
+    // null-score sentinel: worst rank, and far enough from Long.MinValue
+    // that the bin arithmetic cannot underflow
     val base = df
-      .withColumn("__s", score.cast("long"))
+      .withColumn("__s", coalesce(score.cast("long"), lit(-(1L << 62))))
       .withColumn("__nt", nTokens.cast("long"))
       .withColumn("__bin", expr(s"(__s - pmod(__s, ${binWidth}L)) DIV ${binWidth}L"))
     val hist = base.groupBy(col(groupCol), col("__bin"))
@@ -164,11 +176,14 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val above = hist
       .withColumn("__above", coalesce(sum("__tok_bin").over(wAbove), lit(0L)))
-      .select(col(groupCol), col("__bin"), col("__above"))
+      .select(col(groupCol).as("__ag"), col("__bin").as("__abin"), col("__above"))
     val wBin = Window.partitionBy(col(groupCol), col("__bin"))
       .orderBy(col("__s").desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(above), Seq(groupCol, "__bin"))
+    // null-safe join keys: a NULL group must find its own histogram
+    // row, not silently drop out of the output
+    base.join(broadcast(above),
+        col(groupCol) <=> col("__ag") && col("__bin") <=> col("__abin"))
       .withColumn("sel_rank_tokens", col("__above") + sum("__nt").over(wBin))
       .withColumn("keep",
         when(col("sel_rank_tokens") <= budgetTokens, 1).otherwise(0))

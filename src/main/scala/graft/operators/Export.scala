@@ -155,6 +155,47 @@ object Export {
       .drop("__k")
   }
 
+  /** The shared packing spine: every token of every non-empty doc with
+    * its (shard_no, seq_no, global-in-shard position), plus a `__m`
+    * mask value when `maskCol` is given — the ONE exploded frame
+    * [[packSequences]], [[packSequencesWithMask]], and
+    * [[sequenceProvenance]] all aggregate, so no two of them can
+    * disagree about which token landed in which sequence. The mask is
+    * sliced to the id array's length BEFORE zipping (a longer mask
+    * cannot invent padding tokens; a shorter/missing one back-fills 0)
+    * so the token stream is bit-identical with and without a mask —
+    * null id elements included, both paths keep them. */
+  private def packedTokens(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nShards: Int, maskCol: Option[String] = None): DataFrame = {
+    require(seqLen >= 1, "need seqLen >= 1")
+    val ordered = trainingOrder(
+      encoded.filter(size(col(idsCol)) > 0), Seq(col(idCol)), nShards)
+    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOffset = ordered
+      .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
+        - size(col(idsCol)).cast("long"))
+    def globalPos = Seq(
+      expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
+      (col("__off") + col("__p")).as("__g"))
+    maskCol match {
+      case None =>
+        withOffset.select(col(idCol), col("shard_no"), col("__off"),
+            posexplode(col(idsCol)).as(Seq("__p", "__id")))
+          .select(Seq(col(idCol), col("shard_no")) ++ globalPos :+ col("__id"): _*)
+      case Some(mc) =>
+        withOffset
+          .withColumn("__mask0",
+            slice(coalesce(col(mc), array().cast("array<int>")),
+              lit(1), size(col(idsCol))))
+          .select(col(idCol), col("shard_no"), col("__off"),
+            posexplode(arrays_zip(col(idsCol), col("__mask0"))).as(Seq("__p", "__z")))
+          .select(Seq(col(idCol), col("shard_no")) ++ globalPos ++ Seq(
+            col(s"__z.$idsCol").as("__id"),
+            coalesce(col("__z.__mask0").cast("long"), lit(0L)).as("__m")): _*)
+    }
+  }
+
   /** Fixed-length sequence packing over ENCODED documents — the last
     * mile to the sample format a trainer actually consumes: documents
     * (already token-id arrays, [[Vocab.encode]]) are laid out in
@@ -174,28 +215,6 @@ object Export {
     * Output: (shard_no, seq_no, n_tokens, n_docs, token_ids) —
     * sequences deterministic and replayable from (shard_no, seq_no).
     * Empty docs (0 tokens) are dropped before packing. */
-  /** The shared packing spine: every token of every non-empty doc with
-    * its (shard_no, seq_no, global-in-shard position) — the one
-    * exploded frame both [[packSequences]] and [[sequenceProvenance]]
-    * aggregate, so the two can never disagree about which token landed
-    * in which sequence. */
-  private def packedTokens(encoded: DataFrame, idCol: String, idsCol: String,
-      seqLen: Int, nShards: Int): DataFrame = {
-    require(seqLen >= 1, "need seqLen >= 1")
-    val ordered = trainingOrder(
-      encoded.filter(size(col(idsCol)) > 0), Seq(col(idCol)), nShards)
-    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withOffset = ordered
-      .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
-        - size(col(idsCol)).cast("long"))
-    withOffset.select(col(idCol), col("shard_no"), col("__off"),
-        posexplode(col(idsCol)).as(Seq("__p", "__id")))
-      .select(col(idCol), col("shard_no"),
-        expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
-        (col("__off") + col("__p")).as("__g"), col("__id"))
-  }
-
   def packSequences(encoded: DataFrame, idCol: String, idsCol: String,
       seqLen: Int, nShards: Int): DataFrame =
     packedTokens(encoded, idCol, idsCol, seqLen, nShards)
@@ -208,37 +227,20 @@ object Export {
   /** [[packSequences]] carrying a parallel per-token mask — the step
     * that makes [[Chat.render]]'s loss-mask spans survive packing: a
     * conversation split across a sequence boundary must split its mask
-    * at exactly the same token, which only holds if ids and mask ride
-    * the SAME explode (zipped here), not two reconciled passes. `mask`
-    * is any int array positionally aligned with `idsCol` (assistant
-    * flags, provenance tags, language ids…); a missing/short mask
-    * entry packs as 0 (train-on-nothing — the safe failure direction
-    * for a loss mask). Same spine, same shuffle volume (the token rows
-    * are 8 bytes wider), same determinism. Output adds
-    * (loss_mask, n_loss_tokens) to the [[packSequences]] contract. */
+    * at exactly the same token, which only holds because ids and mask
+    * ride the SAME [[packedTokens]] spine (zipped before the explode),
+    * not two reconciled passes. `maskCol` is any int array
+    * positionally aligned with `idsCol` (assistant flags, provenance
+    * tags, language ids…); a missing or short mask back-fills 0
+    * (train-on-nothing — the safe failure direction for a loss mask)
+    * and a too-long mask is sliced, never invents tokens. Same spine,
+    * same shuffle volume (token rows are 8 bytes wider), same
+    * determinism — the id stream is bit-identical to [[packSequences]]
+    * on the same input. Output adds (loss_mask, n_loss_tokens). */
   def packSequencesWithMask(encoded: DataFrame, idCol: String, idsCol: String,
-      maskCol: String, seqLen: Int, nShards: Int): DataFrame = {
-    require(seqLen >= 1, "need seqLen >= 1")
-    val ordered = trainingOrder(
-      encoded.filter(size(col(idsCol)) > 0), Seq(col(idCol)), nShards)
-    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withOffset = ordered
-      .withColumn("__off", sum(size(col(idsCol)).cast("long")).over(w)
-        - size(col(idsCol)).cast("long"))
-    val tokens = withOffset
-      .withColumn("__mask0", coalesce(col(maskCol), array().cast("array<int>")))
-      .select(col(idCol), col("shard_no"), col("__off"),
-        posexplode(arrays_zip(col(idsCol), col("__mask0"))).as(Seq("__p", "__z")))
-      .select(col(idCol), col("shard_no"),
-        expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
-        (col("__off") + col("__p")).as("__g"),
-        col(s"__z.$idsCol").as("__id"),
-        coalesce(col("__z.__mask0").cast("long"), lit(0L)).as("__m"))
-      // arrays_zip pads the LONGER side with null rows; a mask longer
-      // than the ids would otherwise invent null tokens
-      .filter(col("__id").isNotNull)
-    tokens.groupBy(col("shard_no"), col("seq_no"))
+      maskCol: String, seqLen: Int, nShards: Int): DataFrame =
+    packedTokens(encoded, idCol, idsCol, seqLen, nShards, Some(maskCol))
+      .groupBy(col("shard_no"), col("seq_no"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         countDistinct(col(idCol)).as("n_docs"),
         transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
@@ -246,7 +248,6 @@ object Export {
         transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
           p => p.getField("__m")).as("loss_mask"),
         sum("__m").as("n_loss_tokens"))
-  }
 
   /** Per-sequence document provenance — the governance inverse of
     * [[packSequences]]: one row per (shard, sequence, document) with

@@ -2316,19 +2316,19 @@ object Extensions {
         |      ELSE '' END AS c4
         |  FROM t),
         |n AS (SELECT doc_id, c1, c2, c3, c4,
-        |    1 + len(regexp_split_to_array(lower(trim(c1)), '\\s+')) AS t1,
-        |    1 + len(regexp_split_to_array(lower(trim(c2)), '\\s+')) AS t2,
-        |    1 + len(regexp_split_to_array(lower(trim(c3)), '\\s+')) AS t3,
-        |    1 + len(regexp_split_to_array(lower(trim(c4)), '\\s+')) AS t4
+        |    CASE WHEN c1 = '' THEN 1 ELSE 1 + len(string_split(c1, ' ')) END AS t1,
+        |    CASE WHEN c2 = '' THEN 1 ELSE 1 + len(string_split(c2, ' ')) END AS t2,
+        |    CASE WHEN c3 = '' THEN 1 ELSE 1 + len(string_split(c3, ' ')) END AS t3,
+        |    CASE WHEN c4 = '' THEN 1 ELSE 1 + len(string_split(c4, ' ')) END AS t4
         |  FROM seg)
         |SELECT doc_id, 4::BIGINT AS n_turns,
         |  (t1 + t2 + t3 + t4)::BIGINT AS n_tokens,
         |  t1::VARCHAR || ':' || t2::VARCHAR || ' ' ||
         |    (t1 + t2 + t3)::VARCHAR || ':' || t4::VARCHAR AS mask_str,
-        |  md5('<|user|>' || chr(10) || c1 || chr(10) ||
-        |      '<|assistant|>' || chr(10) || c2 || chr(10) ||
-        |      '<|user|>' || chr(10) || c3 || chr(10) ||
-        |      '<|assistant|>' || chr(10) || c4) AS chat_md5
+        |  md5('<|user|>' || CASE WHEN c1 = '' THEN '' ELSE chr(10) || c1 END || chr(10) ||
+        |      '<|assistant|>' || CASE WHEN c2 = '' THEN '' ELSE chr(10) || c2 END || chr(10) ||
+        |      '<|user|>' || CASE WHEN c3 = '' THEN '' ELSE chr(10) || c3 END || chr(10) ||
+        |      '<|assistant|>' || CASE WHEN c4 = '' THEN '' ELSE chr(10) || c4 END) AS chat_md5
         |FROM n ORDER BY doc_id""".stripMargin,
     "q155_budget_select" ->
       s"""WITH s AS (SELECT doc_id, source, (doc_id * 37) % 1000 AS score,

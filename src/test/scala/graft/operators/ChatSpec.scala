@@ -14,7 +14,9 @@ class ChatSpec extends SparkSpec {
     (1L, Seq(("user", "hello there model"), ("assistant", "hi how can i help"),
       ("user", "sum two and two"), ("assistant", "four"))),
     (2L, Seq(("system", "be terse"), ("assistant", ""))),  // empty assistant content
-    (3L, Seq(("user", "no reply here")))                    // no assistant at all
+    (3L, Seq(("user", "no reply here"))),                   // no assistant at all
+    (4L, Seq.empty[(String, String)]),                      // empty conversation
+    (5L, Seq(("user", "  a \n  b  "), ("assistant", " \t ")))  // messy whitespace
   ).toDF("id", "raw")
     .select(col("id"), transform(col("raw"),
       m => struct(m.getField("_1").as("role"), m.getField("_2").as("content")))
@@ -32,15 +34,31 @@ class ChatSpec extends SparkSpec {
     assert(toks.slice(4, 10) == Seq("<|assistant|>", "hi", "how", "can", "i", "help"))
     assert(toks.slice(15, 17) == Seq("<|assistant|>", "four"))
 
-    // empty assistant content still costs role tag + the empty token
+    // empty assistant content costs the role tag alone - and the span
+    // still lands exactly on it in the rendered stream
     val r2 = rows(2L)
     assert(r2.getSeq[org.apache.spark.sql.Row](3)
-      .map(s => (s.getLong(0), s.getLong(1))) == Seq((3L, 2L)))
+      .map(s => (s.getLong(0), s.getLong(1))) == Seq((3L, 1L)))
+    assert(r2.getString(4) == "<|system|>\nbe terse\n<|assistant|>")
+    assert(r2.getString(4).split("\\s+")(3) == "<|assistant|>")
 
     // no assistant turn -> empty mask, text still renders
     val r3 = rows(3L)
     assert(r3.getSeq[org.apache.spark.sql.Row](3).isEmpty)
     assert(r3.getString(4) == "<|user|>\nno reply here")
+
+    // empty conversation: renders, never crashes
+    val r4 = rows(4L)
+    assert(r4.getLong(1) == 0L && r4.getLong(2) == 0L)
+    assert(r4.getSeq[org.apache.spark.sql.Row](3).isEmpty && r4.getString(4) == "")
+
+    // messy whitespace normalizes; whitespace-only assistant content
+    // counts as tag-only and the span still aligns
+    val r5 = rows(5L)
+    val toks5 = r5.getString(4).split("\\s+").toSeq
+    assert(toks5 == Seq("<|user|>", "a", "b", "<|assistant|>"))
+    assert(r5.getSeq[org.apache.spark.sql.Row](3)
+      .map(s => (s.getLong(0), s.getLong(1))) == Seq((3L, 1L)))
   }
 
   test("render is a zero-shuffle projection") {

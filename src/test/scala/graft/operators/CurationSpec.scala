@@ -181,4 +181,17 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+  test("selectByBudget: NULL scores rank worst but never vanish; NULL group is its own group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("g"), Some(9L), 5L), (2L, Some("g"), None, 5L),
+      (3L, Some("g"), Some(1L), 5L), (4L, Option.empty[String], Some(7L), 5L))
+      .toDF("id", "grp", "sc", "nt")
+    val out = Curation.selectByBudget(docs, "id", "grp", col("sc"), col("nt"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(out.size == 4, "no row may vanish")
+    assert(out(1L) == 1 && out(3L) == 1, "scored rows fill the budget first")
+    assert(out(2L) == 0, "null score ranks worst and misses the budget")
+    assert(out(4L) == 1, "null group forms its own group with its own budget")
+  }
 }
