@@ -36,6 +36,23 @@ import org.apache.spark.sql.functions._
   * array<struct<start,len>>, chat_text). */
 object Chat {
 
+  /** Expand [[render]]'s spans into the per-token 0/1 mask array
+    * [[Export.packSequencesWithMask]] consumes — the glue of the SFT
+    * chain render → [[Vocab.encode]] → mask → pack. `nTokens` must be
+    * the RENDERED stream's token count (render's own `n_tokens`, which
+    * equals what `Vocab.encode` sees, because both tokenize the same
+    * normalized text the same way). Row-local; O(tokens × spans)
+    * interpreted per row — spans are per-conversation assistant turns
+    * (tens), so no kernel is warranted. Zero tokens → empty array,
+    * never an error. */
+  def maskArray(nTokens: Column, spans: Column): Column =
+    when(nTokens > 0,
+      transform(sequence(lit(0), nTokens.cast("int") - 1),
+        p => when(exists(spans, s =>
+            p >= s.getField("start") && p < s.getField("start") + s.getField("len")),
+          1).otherwise(0)))
+      .otherwise(array().cast("array<int>"))
+
   def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {
     def msgs = coalesce(col(msgsCol),
       array().cast("array<struct<role:string,content:string>>"))

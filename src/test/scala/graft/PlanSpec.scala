@@ -345,6 +345,30 @@ class PlanSpec extends SparkSpec {
       "decode must be a single projection over the id arrays")
   }
 
+  test("q153 FIM: pure projection — no shuffle before the presentation sort") {
+    val p = SparkEntry.queries("q153_fim")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "fimTransform is a deterministic projection; only the final sort may shuffle")
+  }
+
+  test("q155 budget selection: no group-sized window — running sums partition by (group, bin)") {
+    val p = SparkEntry.queries("q155_budget_select")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the refused shape: a cumsum window partitioned by the group alone
+    // and ordered by the score — the dominant source through one task
+    assert(!"windowspecdefinition\\(source#\\d+, (score|__s)#\\d+L? DESC".r
+      .findFirstIn(p).isDefined,
+      "found a per-group window ordered by the raw score — group-sized task")
+    assert("windowspecdefinition\\(source#\\d+, __bin#\\d+L".r.findFirstIn(p).isDefined,
+      "the running-sum window must partition by (group, __bin)")
+    val win = p.indexOf("Window")
+    assert(win > 0 &&
+      "HashAggregate\\(keys=\\[source#\\d+, __bin#\\d+L\\]".r
+        .findFirstIn(p.substring(win)).isDefined,
+      "the bin histogram aggregate must sit below the offset window")
+  }
+
   test("q125 perplexity buckets: no group-sized window — ranking runs over the bin histogram") {
     val p = SparkEntry.queries("q125_perplexity_buckets")(spark, sf001)
       .queryExecution.executedPlan.toString

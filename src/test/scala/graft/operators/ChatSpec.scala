@@ -66,4 +66,37 @@ class ChatSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+  test("full SFT chain: render -> encode -> maskArray -> packSequencesWithMask conserves the mask") {
+    import spark.implicits._
+    val convs = (1L to 30L).map { i =>
+      (i, Seq(("user", s"question number $i about packing"),
+        ("assistant", s"answer $i with several more tokens to say"),
+        ("user", "thanks"), ("assistant", "you are welcome")))
+    }.toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        m => struct(m.getField("_1").as("role"), m.getField("_2").as("content")))
+        .as("messages"))
+    val rendered = Chat.render(convs, "id", "messages")
+      .withColumn("mask", Chat.maskArray(col("n_tokens"), col("mask_spans")))
+    val vocab = Vocab.topTokens(rendered, "chat_text", 40)
+    val enc = Vocab.encode(rendered, "id", "chat_text", vocab)
+      .join(rendered.select(col("id"), col("mask"), col("n_tokens").as("nt0")), Seq("id"))
+    // the two tokenizations must agree or the mask is misaligned
+    enc.collect().foreach(r =>
+      assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("nt0"),
+        "encode and render must count the same tokens"))
+    val packed = Export.packSequencesWithMask(enc, "id", "token_ids", "mask",
+      seqLen = 24, nShards = 2)
+    // global conservation: loss tokens across sequences == span mass
+    val wantLoss = rendered.select(
+      aggregate(col("mask_spans"), lit(0L), (a, s) => a + s.getField("len")).as("m"))
+      .agg(sum("m")).head().getLong(0)
+    val gotLoss = packed.agg(sum("n_loss_tokens")).head().getLong(0)
+    assert(gotLoss == wantLoss, s"mask mass must survive packing: $gotLoss != $wantLoss")
+    // and per-sequence masks stay within bounds
+    packed.collect().foreach { r =>
+      assert(r.getSeq[Long](5).forall(m => m == 0L || m == 1L))
+      assert(r.getSeq[Long](5).length == r.getLong(2))
+    }
+  }
 }
