@@ -108,4 +108,33 @@ class StatelessStreamSpec extends SparkSpec {
     val cleaned = streamed.head(1).asInstanceOf[String]
     assert(cleaned.startsWith("it\u2019s caf\u00e9"), s"repair+NFC applied: $cleaned")
   }
+  test("fimTransform and scriptCounts run unchanged on a stream, matching batch") {
+    val inDir = Files.createTempDirectory("graft_fim_in")
+    val outDir = Files.createTempDirectory("graft_fim_out").toString
+    val ckpt = Files.createTempDirectory("graft_fim_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Files.write(inDir.resolve("b1.jsonl"),
+      (1 to 30).map(i =>
+        s"""{"doc_id":$i,"text":"some words for doc $i repeated words here now"}""").asJava)
+
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Export.fimTransform(df, "doc_id", "text", ratePermille = 500)
+        .withColumn("scripts",
+          graft.functions.TextFunctions.scriptCounts(col("fim_text")))
+        .select(col("doc_id"), col("fim_applied"), col("n_tokens"),
+          col("fim_text"), col("scripts.n_latin").as("n_latin"))
+
+    val q = prep(spark.readStream.schema(schema).json(inDir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).orderBy("doc_id").collect().map(_.toSeq)
+    val batch = prep(spark.read.schema(schema).json(inDir.toString))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(streamed.length == 30)
+    assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
+  }
 }
