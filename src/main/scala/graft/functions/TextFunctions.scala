@@ -150,6 +150,29 @@ object TextFunctions {
   def chunks(text: Column, width: Int, stride: Int): Column =
     graft.expressions.TokenChunks(tokens(text), width, stride)
 
+  /** Head+tail middle truncation to a token budget — the long-document
+    * policy that beats head-only truncation for training data (a long
+    * page's conclusion carries signal; pure-head cuts lose it):
+    * documents over `maxTokens` keep the first ⌈max/2⌉ and last
+    * ⌊max/2⌋ tokens around a single `<trunc>` marker token. Exact
+    * integer arithmetic, one projection, no shuffle; docs within
+    * budget pass through VERBATIM (original bytes, not retokenized).
+    * Returns struct(truncated int, n_tokens long, out_text). */
+  def truncateMiddle(text: Column, maxTokens: Int): Column = {
+    require(maxTokens >= 2, "need maxTokens >= 2 (head and tail need a token each)")
+    val toks = tokens(text)
+    val n = size(toks)
+    val head = (maxTokens + 1) / 2
+    val tail = maxTokens - head
+    struct(
+      when(n > maxTokens, 1).otherwise(0).as("truncated"),
+      least(n, lit(maxTokens) + 1).cast("long").as("n_tokens"),
+      when(n <= maxTokens, text).otherwise(concat(
+        array_join(slice(toks, 1, head), " "),
+        lit(" <trunc> "),
+        array_join(slice(toks, -tail, tail), " "))).as("out_text"))
+  }
+
   /** Unicode normalization (`form` ∈ NFC | NFD | NFKC | NFKD) — run
     * NFC before any exact-match operator (line dedup, span
     * fingerprints, vocab counts: precomposed é and e+U+0301 are equal

@@ -155,6 +155,37 @@ object Export {
       .drop("__k")
   }
 
+  /** [[trainingOrder]] with a curriculum: shards are still assigned by
+    * the deterministic md5 key (every shard stays an unbiased sample
+    * of the corpus — a loader reading shards round-robin sees the full
+    * difficulty mix at every point of training), but WITHIN each shard
+    * documents are ordered easy-to-hard by `score` ascending (md5 key
+    * as the tiebreak, so equal scores keep the replayable shuffled
+    * order). The curriculum-learning layout with no RNG anywhere —
+    * same determinism/retry contract as trainingOrder, same one hash
+    * shuffle + per-shard sort. Pass `-score` for hard-to-easy. Output
+    * adds (shuffle_key, shard_no, pos_in_shard). */
+  def curriculumOrder(df: DataFrame, keyCols: Seq[Column], score: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k", "__sc")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"curriculumOrder appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
+    val fixedWidth = keyCols.map(c =>
+      coalesce(md5(c.cast("string")), lit("0" * 32)))
+    val keyed = df.withColumn("__k", concat(fixedWidth: _*))
+      .withColumn("__sc", score.cast("long"))
+      .withColumn("shuffle_key", md5(col("__k")))
+      .withColumn("shard_no",
+        pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy("shard_no")
+      .orderBy(col("__sc").asc, col("shuffle_key"), col("__k"))
+    keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .drop("__k", "__sc")
+  }
+
   /** The shared packing spine: every token of every non-empty doc with
     * its (shard_no, seq_no, global-in-shard position), plus a `__m`
     * mask value when `maskCol` is given — the ONE exploded frame

@@ -1891,7 +1891,35 @@ object Extensions {
       .orderBy("shard_no", "seq_no")
   }
 
+  /** q158 — curriculum training order ([[Export.curriculumOrder]]):
+    * md5 shard assignment (every shard an unbiased corpus sample) with
+    * easy-to-hard ordering WITHIN each shard by n_chars, md5 tiebreak
+    * — curriculum learning with zero RNG. The oracle replays the key
+    * derivation and the per-shard rank. */
+  def q158Curriculum(spark: SparkSession, dir: String): DataFrame =
+    Export.curriculumOrder(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), col("n_chars"), nShards = 8)
+      .select(col("doc_id"), col("shard_no"), col("pos_in_shard"))
+      .orderBy("shard_no", "pos_in_shard")
+
+  /** q159 — head+tail middle truncation
+    * ([[TextFunctions.truncateMiddle]], 32 tokens): long documents
+    * keep their first 16 and last 16 tokens around one `<trunc>`
+    * marker; short documents pass through byte-verbatim. The oracle
+    * replays the split, the slices, and the marker assembly. */
+  def q159TruncateMiddle(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.truncateMiddle(col("text"), 32)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), t.getField("truncated").as("truncated"),
+        t.getField("n_tokens").as("n_tokens"),
+        md5(t.getField("out_text")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_truncate_middle" -> (q159TruncateMiddle _),
+    "q158_curriculum" -> (q158Curriculum _),
     "q157_masked_pack" -> (q157MaskedPack _),
     "q156_chat_render" -> (q156ChatRender _),
     "q155_budget_select" -> (q155BudgetSelect _),
@@ -2297,6 +2325,28 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q159_truncate_middle" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        |o AS (SELECT doc_id, len(tk)::BIGINT AS n,
+        |    CASE WHEN len(tk) > 32 THEN 1 ELSE 0 END AS truncated,
+        |    CASE WHEN len(tk) <= 32 THEN text
+        |      ELSE array_to_string(tk[1:16], ' ') || ' <trunc> ' ||
+        |        array_to_string(tk[CAST(len(tk) - 15 AS INT):CAST(len(tk) AS INT)], ' ')
+        |      END AS out_text
+        |  FROM t)
+        |SELECT doc_id, truncated, least(n, 33)::BIGINT AS n_tokens,
+        |  md5(out_text) AS out_md5
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q158_curriculum" ->
+      """WITH k AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS kk,
+        |    md5(md5(doc_id::VARCHAR)) AS shuffle_key FROM documents),
+        |b AS (SELECT doc_id, n_chars, kk, shuffle_key,
+        |    ('0x' || substring(shuffle_key, 1, 15))::BIGINT % 8 AS shard_no FROM k),
+        |r AS (SELECT doc_id, shard_no,
+        |    (row_number() OVER (PARTITION BY shard_no
+        |       ORDER BY n_chars, shuffle_key, kk) - 1)::BIGINT AS pos_in_shard FROM b)
+        |SELECT doc_id, shard_no, pos_in_shard FROM r
+        |ORDER BY shard_no, pos_in_shard""".stripMargin,
     "q157_masked_pack" ->
       (wordPackSpineSql(100, 64, 4) + "\n" +
         """SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,

@@ -214,6 +214,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
       "full-width digit counts as other (NFKC-fold first if it should count)")
   }
 
+  test("FixMojibake.kernel never throws and only ever repairs, on 2000 random byte soups") {
+    (0 until 2000).foreach { _ =>
+      // random UTF-16 strings incl. lone surrogates, C1 controls, mojibake-ish chars
+      val s = new String(Array.fill(rnd.nextInt(30))(rnd.nextInt(0x2200).toChar))
+      val out = FixMojibake.kernel(UTF8String.fromString(s)).toString
+      // ASCII is untouchable
+      if (s.forall(_ < 0x80)) assert(out == s)
+      // repair never lengthens: cp1252 bytes decode to >= 1 char per >= 1 byte
+      assert(out.length <= s.length, s"grew: '$s' -> '$out'")
+    }
+  }
+
+  test("ScriptCounts.kernel: block counts always sum to the codepoint count") {
+    (0 until 1000).foreach { _ =>
+      val cps = Array.fill(rnd.nextInt(40))(rnd.nextInt(0x11000))
+        .filter(cp => !(cp >= 0xD800 && cp <= 0xDFFF))
+      val s = new String(cps.flatMap(Character.toChars))
+      val row = ScriptCounts.kernel(UTF8String.fromString(s))
+      val total = (0 until 9).map(row.getLong).sum
+      assert(total == cps.length, s"counts must partition the codepoints: $total != ${cps.length}")
+    }
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))

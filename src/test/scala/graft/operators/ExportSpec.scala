@@ -249,4 +249,41 @@ class ExportSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](4)).toMap
     out.foreach(r => assert(r.getSeq[Long](4) == plain((r.getLong(0), r.getLong(1)))))
   }
+  test("curriculumOrder: same shard assignment as trainingOrder, scores ascending within shards") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i * 31) % 97)).toDF("id", "difficulty")
+    val cur = Export.curriculumOrder(docs, Seq(col("id")), col("difficulty"), nShards = 5)
+      .select("id", "shard_no", "pos_in_shard", "difficulty")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val plain = Export.trainingOrder(docs, Seq(col("id")), nShards = 5)
+      .select("id", "shard_no")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard membership identical (unbiased sample per shard preserved)
+    cur.foreach { case (id, shard, _, _) => assert(shard == plain(id)) }
+    // within each shard: difficulty never decreases with position
+    cur.groupBy(_._2).values.foreach { rows =>
+      val byPos = rows.sortBy(_._3).map(_._4)
+      assert(byPos == byPos.sorted, "curriculum must be easy-to-hard within a shard")
+    }
+    // positions are a clean 0..n-1 enumeration per shard
+    cur.groupBy(_._2).values.foreach(rows =>
+      assert(rows.map(_._3).sorted == (0L until rows.size).toSeq))
+  }
+
+  test("truncateMiddle: verbatim under budget, head+tail+marker over it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short doc stays untouched EXACTLY As-Is"),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val out = docs.select(col("id"),
+        graft.functions.TextFunctions.truncateMiddle(col("text"), 10).as("t"))
+      .select(col("id"), col("t.truncated"), col("t.n_tokens"), col("t.out_text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0, 6L, "short doc stays untouched EXACTLY As-Is")),
+      "under budget: original bytes, case preserved")
+    val (tr, nt, txt) = out(2L)
+    assert(tr == 1 && nt == 11L)
+    assert(txt == ((1 to 5).map(i => s"w$i") ++ Seq("<trunc>") ++
+      (96 to 100).map(i => s"w$i")).mkString(" "))
+  }
 }
