@@ -156,21 +156,26 @@ object TextFunctions {
     * documents over `maxTokens` keep the first ⌈max/2⌉ and last
     * ⌊max/2⌋ tokens around a single `<trunc>` marker token. Exact
     * integer arithmetic, one projection, no shuffle; docs within
-    * budget pass through VERBATIM (original bytes, not retokenized).
+    * budget pass through VERBATIM (original bytes). Truncated docs
+    * keep their ORIGINAL CASE (the kept slices come from a raw
+    * whitespace split, which has the same token positions as the
+    * lowercasing [[tokens]] — case never moves a whitespace boundary);
+    * the only loss beyond the middle is whitespace runs collapsing to
+    * single spaces in the rejoin.
     * Returns struct(truncated int, n_tokens long, out_text). */
   def truncateMiddle(text: Column, maxTokens: Int): Column = {
     require(maxTokens >= 2, "need maxTokens >= 2 (head and tail need a token each)")
-    val toks = tokens(text)
-    val n = size(toks)
+    val raw = split(trim(text), "\\s+")
+    val n = size(tokens(text))
     val head = (maxTokens + 1) / 2
     val tail = maxTokens - head
     struct(
       when(n > maxTokens, 1).otherwise(0).as("truncated"),
       least(n, lit(maxTokens) + 1).cast("long").as("n_tokens"),
       when(n <= maxTokens, text).otherwise(concat(
-        array_join(slice(toks, 1, head), " "),
+        array_join(slice(raw, 1, head), " "),
         lit(" <trunc> "),
-        array_join(slice(toks, -tail, tail), " "))).as("out_text"))
+        array_join(slice(raw, -tail, tail), " "))).as("out_text"))
   }
 
   /** Unicode normalization (`form` ∈ NFC | NFD | NFKC | NFKD) — run

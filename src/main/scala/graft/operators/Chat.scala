@@ -40,8 +40,12 @@ object Chat {
     * [[Export.packSequencesWithMask]] consumes — the glue of the SFT
     * chain render → [[Vocab.encode]] → mask → pack. `nTokens` must be
     * the RENDERED stream's token count (render's own `n_tokens`, which
-    * equals what `Vocab.encode` sees, because both tokenize the same
-    * normalized text the same way). Row-local; O(tokens × spans)
+    * equals what `Vocab.encode` sees for every NON-EMPTY conversation
+    * — both tokenize the same normalized text the same way; an EMPTY
+    * conversation diverges: render counts 0 tokens while encode
+    * represents "" as one UNK id, so filter `n_turns > 0` before
+    * encoding or a phantom masked-out token id enters the packed
+    * stream). Row-local; O(tokens × spans)
     * interpreted per row — spans are per-conversation assistant turns
     * (tens), so no kernel is warranted. Zero tokens → empty array,
     * never an error. */

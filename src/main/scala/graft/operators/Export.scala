@@ -137,19 +137,28 @@ object Export {
     * totality of the order then needs only md5 collision-freedom, and
     * the concatenated key itself is the final tie-break. Output adds
     * (shuffle_key, shard_no, pos_in_shard). */
-  def trainingOrder(df: DataFrame, keyCols: Seq[Column], nShards: Int): DataFrame = {
+  /** The key/shard derivation trainingOrder and curriculumOrder SHARE
+    * (ExportSpec asserts their shard membership is identical — one
+    * definition keeps that true by construction): fixed-width md5
+    * composite key, derived shuffle_key, hex-prefix shard. */
+  private def shuffleKeyed(df: DataFrame, keyCols: Seq[Column], nShards: Int,
+      caller: String): DataFrame = {
     require(nShards >= 1, "need nShards >= 1")
-    val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k")
+    val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k", "__sc")
       .filter(df.columns.contains)
     require(taken.isEmpty,
-      s"trainingOrder appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
+      s"$caller appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
     val fixedWidth = keyCols.map(c =>
       coalesce(md5(c.cast("string")), lit("0" * 32)))
-    val keyed = df.withColumn("__k", concat(fixedWidth: _*))
+    df.withColumn("__k", concat(fixedWidth: _*))
       .withColumn("shuffle_key", md5(col("__k")))
       .withColumn("shard_no",
         pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),
           lit(nShards.toLong)))
+  }
+
+  def trainingOrder(df: DataFrame, keyCols: Seq[Column], nShards: Int): DataFrame = {
+    val keyed = shuffleKeyed(df, keyCols, nShards, "trainingOrder")
     val w = Window.partitionBy("shard_no").orderBy(col("shuffle_key"), col("__k"))
     keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
       .drop("__k")
@@ -162,24 +171,21 @@ object Export {
     * documents are ordered easy-to-hard by `score` ascending (md5 key
     * as the tiebreak, so equal scores keep the replayable shuffled
     * order). The curriculum-learning layout with no RNG anywhere —
-    * same determinism/retry contract as trainingOrder, same one hash
-    * shuffle + per-shard sort. Pass `-score` for hard-to-easy. Output
+    * same determinism/retry contract as trainingOrder (the shard
+    * derivation is literally [[shuffleKeyed]], shared), same one hash
+    * shuffle + per-shard sort. Pass `-score` for hard-to-easy.
+    *
+    * Contract notes (the [[Curation.selectByBudget]] conventions):
+    * `score` must be INTEGER-valued — a classifier probability in
+    * [0, 1) must be scaled to milli-units first, or the long cast
+    * truncates every score to 0 and the curriculum silently degrades
+    * to the plain shuffled order; a NULL score ranks LAST (unknown
+    * difficulty = hardest), never first and never dropped. Output
     * adds (shuffle_key, shard_no, pos_in_shard). */
   def curriculumOrder(df: DataFrame, keyCols: Seq[Column], score: Column,
       nShards: Int): DataFrame = {
-    require(nShards >= 1, "need nShards >= 1")
-    val taken = Seq("shuffle_key", "shard_no", "pos_in_shard", "__k", "__sc")
-      .filter(df.columns.contains)
-    require(taken.isEmpty,
-      s"curriculumOrder appends shuffle_key/shard_no/pos_in_shard; input already has: ${taken.mkString(", ")}")
-    val fixedWidth = keyCols.map(c =>
-      coalesce(md5(c.cast("string")), lit("0" * 32)))
-    val keyed = df.withColumn("__k", concat(fixedWidth: _*))
-      .withColumn("__sc", score.cast("long"))
-      .withColumn("shuffle_key", md5(col("__k")))
-      .withColumn("shard_no",
-        pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),
-          lit(nShards.toLong)))
+    val keyed = shuffleKeyed(df, keyCols, nShards, "curriculumOrder")
+      .withColumn("__sc", coalesce(score.cast("long"), lit(1L << 62)))
     val w = Window.partitionBy("shard_no")
       .orderBy(col("__sc").asc, col("shuffle_key"), col("__k"))
     keyed.withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))

@@ -2326,12 +2326,13 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "q159_truncate_middle" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk,
+        |    regexp_split_to_array(trim(text), '\\s+') AS raw FROM documents),
         |o AS (SELECT doc_id, len(tk)::BIGINT AS n,
         |    CASE WHEN len(tk) > 32 THEN 1 ELSE 0 END AS truncated,
         |    CASE WHEN len(tk) <= 32 THEN text
-        |      ELSE array_to_string(tk[1:16], ' ') || ' <trunc> ' ||
-        |        array_to_string(tk[CAST(len(tk) - 15 AS INT):CAST(len(tk) AS INT)], ' ')
+        |      ELSE array_to_string(raw[1:16], ' ') || ' <trunc> ' ||
+        |        array_to_string(raw[CAST(len(raw) - 15 AS INT):CAST(len(raw) AS INT)], ' ')
         |      END AS out_text
         |  FROM t)
         |SELECT doc_id, truncated, least(n, 33)::BIGINT AS n_tokens,

@@ -216,8 +216,9 @@ class KernelPropertiesSpec extends AnyFunSuite {
 
   test("FixMojibake.kernel never throws and only ever repairs, on 2000 random byte soups") {
     (0 until 2000).foreach { _ =>
-      // random UTF-16 strings incl. lone surrogates, C1 controls, mojibake-ish chars
-      val s = new String(Array.fill(rnd.nextInt(30))(rnd.nextInt(0x2200).toChar))
+      // random UTF-16 strings incl. lone surrogates (0xD800-0xDFFF sits
+      // inside this range), C1 controls, and mojibake-ish chars
+      val s = new String(Array.fill(rnd.nextInt(30))(rnd.nextInt(0xE000).toChar))
       val out = FixMojibake.kernel(UTF8String.fromString(s)).toString
       // ASCII is untouchable
       if (s.forall(_ < 0x80)) assert(out == s)

@@ -274,7 +274,7 @@ class ExportSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq(
       (1L, "short doc stays untouched EXACTLY As-Is"),
-      (2L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+      (2L, (1 to 100).map(i => s"W$i").mkString(" "))).toDF("id", "text")
     val out = docs.select(col("id"),
         graft.functions.TextFunctions.truncateMiddle(col("text"), 10).as("t"))
       .select(col("id"), col("t.truncated"), col("t.n_tokens"), col("t.out_text"))
@@ -283,7 +283,8 @@ class ExportSpec extends SparkSpec {
       "under budget: original bytes, case preserved")
     val (tr, nt, txt) = out(2L)
     assert(tr == 1 && nt == 11L)
-    assert(txt == ((1 to 5).map(i => s"w$i") ++ Seq("<trunc>") ++
-      (96 to 100).map(i => s"w$i")).mkString(" "))
+    // kept head/tail preserve ORIGINAL case; only the middle is lost
+    assert(txt == ((1 to 5).map(i => s"W$i") ++ Seq("<trunc>") ++
+      (96 to 100).map(i => s"W$i")).mkString(" "))
   }
 }
