@@ -318,4 +318,22 @@ object Vocab {
         when(col("n_tokens") > 0, expr("n_oov * 1000 DIV n_tokens"))
           .otherwise(0L).as("oov_permille"))
   }
+  /** Persist a trained tokenizer — [[bpeTrain]]'s merge table plus
+    * [[alphabet]]'s id table — as two parquet tables under `dir`,
+    * closing the artifact lifecycle: train once on the full corpus,
+    * ship the directory, and every later batch / streaming job /
+    * decode audit loads the SAME tables instead of retraining (the id
+    * space is only stable if encode and decode read identical
+    * artifacts). Both tables are vocabulary-sized — this is a
+    * metadata write, not a data write. */
+  def saveTokenizer(merges: DataFrame, alphabetDf: DataFrame, dir: String): Unit = {
+    merges.write.mode("overwrite").parquet(s"$dir/merges")
+    alphabetDf.write.mode("overwrite").parquet(s"$dir/alphabet")
+  }
+
+  /** Load a [[saveTokenizer]] directory back as (merges, alphabet) —
+    * ready for [[bpeEncode]] / [[bpeDecode]]. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/merges"), spark.read.parquet(s"$dir/alphabet"))
 }

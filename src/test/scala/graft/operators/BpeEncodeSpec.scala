@@ -109,4 +109,24 @@ class BpeEncodeSpec extends SparkSpec {
     assert(out(1L) > 0)
     assert(out(2L) == 0L && out(3L) == 0L, s"degenerate docs keep a 0-piece row: $out")
   }
+  test("tokenizer artifacts round-trip through save/load: encoding is byte-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    val docs = (1 to 50).map(i => (i.toLong, s"token stream number $i keeps flowing"))
+      .toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", nMerges = 15)
+    val alpha = Vocab.alphabet(docs, "text")
+    Vocab.saveTokenizer(merges, alpha, dir)
+    val (m2, a2) = Vocab.loadTokenizer(spark, dir)
+    val direct = Vocab.bpeEncode(docs, "doc_id", "text", merges, alpha)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    val loaded = Vocab.bpeEncode(docs, "doc_id", "text", m2, a2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    assert(direct == loaded, "a reloaded tokenizer must encode identically")
+    // and decode still inverts through the reloaded artifact
+    val dec = Vocab.bpeDecode(
+        Vocab.bpeEncode(docs, "doc_id", "text", m2, a2), "doc_id", "token_ids", m2, a2)
+      .agg(org.apache.spark.sql.functions.sum("n_unk")).head().getLong(0)
+    assert(dec == 0L)
+  }
 }
