@@ -238,6 +238,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ExciseWindows.kernel == mark-and-sweep reference on 800 random token/starts sets") {
+    (0 until 800).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val toks = Array.fill(n)("t" + rnd.nextInt(50))
+      val width = 1 + rnd.nextInt(5)
+      // random starts: mostly valid ascending, with injected malformed
+      // entries (out of range, backwards) the kernel must skip
+      val valid = Array.fill(rnd.nextInt(6))(rnd.nextInt(math.max(n - width + 1, 1)))
+        .sorted.map(_.toLong)
+      val noisy = (valid ++ Array.fill(rnd.nextInt(3))(
+        (rnd.nextInt(20) - 10).toLong * 3)).toIndexedSeq
+      val row = ExciseWindows.kernel(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(noisy), width)
+      // reference: apply the documented skip rule, then mark coverage
+      val covered = Array.fill(n)(false)
+      var prev = Long.MinValue
+      var spans = 0
+      var open = -1L
+      noisy.foreach { raw =>
+        if (raw >= 0 && raw <= n - width && raw >= prev) {
+          prev = raw
+          if (open >= 0 && raw <= open) open = math.max(open, raw + width)
+          else { spans += 1; open = raw + width }
+          (raw until raw + width).foreach(j => covered(j.toInt) = true)
+        }
+        if (open >= 0 && raw >= 0 && raw <= n - width) open = math.max(open, raw + width)
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      assert(row.getLong(1) == covered.count(identity),
+        s"n_removed: ${row.getLong(1)} != ${covered.count(identity)}")
+      assert(row.getUTF8String(2).toString == kept.mkString(" "),
+        s"kept text mismatch (n=$n width=$width starts=$noisy)")
+    }
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))
