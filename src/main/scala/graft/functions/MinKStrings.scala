@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed bounded-min-k aggregator over strings: keeps the k SMALLEST
+  * input strings per group and finishes with the largest of them — the
+  * k-th order statistic, i.e. the admission threshold for "the k first
+  * rows under ORDER BY s".
+  *
+  * The [[TopKAggregator]] argument applied to sampling: a
+  * `row_number().over(Window.partitionBy(g).orderBy(s))` ranks EVERY
+  * row of a group through one task's sort to keep k, while this buffer
+  * partial-aggregates map-side — at most k strings per (group × input
+  * partition) cross the shuffle, so the threshold of a billion-row
+  * group costs the same shuffle bytes as a thousand-row group.
+  *
+  * Inputs compare by Java String order, which over the ASCII-only hex
+  * digests this engine ranks by ([[graft.operators.Sampling]]'s md5
+  * keys) coincides with Spark's and DuckDB's UTF-8 binary order.
+  * Callers must coalesce NULL inputs to "" (sorts first — the
+  * engines' ASC NULLS FIRST) before aggregating. A group with fewer
+  * than k rows finishes with its maximum: the threshold then admits
+  * every row, which is exactly the "keep all of a small stratum"
+  * semantics the callers want.
+  */
+class MinKStrings(k: Int)
+    extends Aggregator[String, List[String], String] {
+  require(k >= 1, "need k >= 1")
+
+  override def zero: List[String] = Nil
+
+  override def reduce(buf: List[String], in: String): List[String] =
+    if (buf.lengthCompare(k) >= 0 && in >= buf.last) buf
+    else ((in :: buf).sorted).take(k)
+
+  override def merge(a: List[String], b: List[String]): List[String] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(buf: List[String]): String =
+    if (buf.isEmpty) "" else buf.last
+
+  override def bufferEncoder: Encoder[List[String]] =
+    ExpressionEncoder[List[String]]()
+  override def outputEncoder: Encoder[String] =
+    ExpressionEncoder[String]()
+}

@@ -14,11 +14,19 @@ import graft.functions.TextFunctions
   *
   * Scale shape: all gate flags are decided in ONE codegen projection
   * over the scan (gates are `Column` predicates — no per-stage pass,
-  * no UDF). The optional exact-dedup final stage is the only shuffle:
-  * a window keyed on the text fingerprint, carrying only (id, flags,
-  * token count, fingerprint) — never the text. The report itself is a
-  * single-row aggregate (map-side partial) exploded to one row per
-  * stage, so the output is stage-count rows regardless of corpus size.
+  * no UDF). The optional exact-dedup final stage is a per-fingerprint
+  * rollup that carries the stage counters AND elects the keep-first
+  * winner in the same `min(struct(rank, id, nt))` partial aggregate
+  * ([[Dedup]]'s electWinners shape, folded into the report): a
+  * ubiquitous byte-identical page — the empty/error boilerplate of a
+  * crawl — combines map-side, so its million-row cohort crosses the
+  * shuffle as one counter row per input partition instead of
+  * serializing through one window task (the hot-fingerprint hazard of
+  * a `row_number().over(partitionBy(fp))` election). No window, no
+  * join, still one corpus scan; the shuffle carries (fp, counters) —
+  * never the text. The report itself finishes as a single-row
+  * aggregate exploded to one row per stage, so the output is
+  * stage-count rows regardless of corpus size.
   */
 object Curation {
 
@@ -44,27 +52,42 @@ object Curation {
         gateCols: _*)
 
     val nGates = gates.size
-    // keep-first among survivors: survivors sort ahead of casualties
-    // inside each fingerprint group, so rank 1 is a survivor whenever
-    // the group has one, and exactly that row keeps the flag
-    val flagged =
-      if (exactDedup) {
-        val w = Window.partitionBy("__fp")
-          .orderBy(col(s"__s$nGates").desc, col("__id"))
-        base.withColumn(s"__s${nGates + 1}",
-          col(s"__s$nGates") && row_number().over(w) === 1)
-      } else base
-
     val nStages = nGates + (if (exactDedup) 1 else 0)
     val stageNames = "raw" +: (gates.map(_._1) ++
       (if (exactDedup) Seq("exact_dedup") else Nil))
 
-    val aggs = (0 to nStages).flatMap { i =>
-      val f = if (i == 0) lit(true) else col(s"__s$i")
-      Seq(sum(when(f, 1L).otherwise(0L)).as(s"__d$i"),
-        sum(when(f, col("__nt")).otherwise(0L)).as(s"__t$i"))
-    }
-    val row = flagged.agg(aggs.head, aggs.tail: _*)
+    // per-stage (docs, tokens) counter pair; stage 0 = raw
+    def stageAggs: Seq[Column] =
+      (0 to nGates).flatMap { i =>
+        val f = if (i == 0) lit(true) else col(s"__s$i")
+        Seq(sum(when(f, 1L).otherwise(0L)).as(s"__d$i"),
+          sum(when(f, col("__nt")).otherwise(0L)).as(s"__t$i"))
+      }
+
+    val row =
+      if (exactDedup) {
+        // keep-first among survivors, windowlessly: per fingerprint the
+        // min of (rank, id, nt) structs — rank 0 = survivor, 1 =
+        // casualty, 2 = NULL-flagged (the window form's DESC NULLS
+        // LAST) — is exactly the row `ORDER BY survives DESC, id` would
+        // rank first, and it partial-aggregates map-side. The kept row
+        // of a fingerprint is that winner iff it survives (rank 0), so
+        // the dedup stage needs only the winner struct, never a
+        // per-row flag: the same rollup carries every earlier stage's
+        // counters and the report stays one scan end to end.
+        val surv = col(s"__s$nGates")
+        val rankC = when(surv === true, 0).when(surv === false, 1).otherwise(2)
+        val perFp = base.groupBy(col("__fp")).agg(
+          min(struct(rankC.as("r"), col("__id").as("id"),
+            col("__nt").as("nt"))).as("__w"),
+          stageAggs: _*)
+        val totals = (0 to nGates).flatMap(i =>
+          Seq(sum(s"__d$i").as(s"__d$i"), sum(s"__t$i").as(s"__t$i"))) ++ Seq(
+          sum(when(col("__w.r") === 0, 1L).otherwise(0L)).as(s"__d${nGates + 1}"),
+          sum(when(col("__w.r") === 0, col("__w.nt")).otherwise(0L))
+            .as(s"__t${nGates + 1}"))
+        perFp.agg(totals.head, totals.tail: _*)
+      } else base.agg(stageAggs.head, stageAggs.tail: _*)
 
     // one struct per stage, retention computed against stage 0 while
     // the whole report is still a single row — then exploded

@@ -30,6 +30,56 @@ import graft.functions.TextFunctions
   */
 object Export {
 
+  /** ONE definition of the two-pass distributed running sum [[plan]]
+    * and the q77 query face share — a per-group cumulative sum that is
+    * neither a global-order window (one task for the corpus) nor a
+    * per-group window (one task for the dominant group — the train
+    * split of one source is most of a real corpus):
+    *
+    *   1. range-partition `df` on (groupCols ++ orderCols) — partitions
+    *      are order-contiguous slices, sized by the partitioner,
+    *      independent of group size — and freeze the partition ids
+    *      through `checkpointer` (both later passes must see the SAME
+    *      assignment);
+    *   2. per-(partition, group) subtotals partial-agg to a
+    *      partitions × groups frame; a window over THAT tiny frame
+    *      (ordered by partition id within each group) yields each
+    *      slice's exclusive prefix offset;
+    *   3. offsets broadcast back; each partition computes
+    *      `offset + local running sum` with a window partitioned by
+    *      (partition id, group) — task size = one range slice.
+    *
+    * Range-partition boundaries don't affect the result (any
+    * order-contiguous slicing reconstructs the same running sum), so
+    * the output is deterministic and partitioning-independent. NOT
+    * lazy: the checkpoint materializes `df` once — keep it a narrow
+    * spine (keys + the summed value), never the payload.
+    *
+    * Output: `df`'s columns + `out`, the INCLUSIVE running total of
+    * `valueCol` over `orderCols` within each `groupCols` group. */
+  def runningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, out: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val taken = (Seq("__pid", "__sub", "__off", out)).filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"runningSum appends $out (and uses __pid/__sub/__off internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
+    val ranged = checkpointer(
+      df.repartitionByRange((groupCols ++ orderCols).map(col): _*)
+        .withColumn("__pid", spark_partition_id()))
+    val offW = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(sum(valueCol).as("__sub"))
+      .withColumn("__off", coalesce(sum("__sub").over(offW), lit(0L)))
+      .select(("__pid" +: groupCols).map(col) :+ col("__off"): _*)
+    val localW = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(out, col("__off") + sum(col(valueCol)).over(localW))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
   /** Build the export frames. Input must carry (idCol, sourceCol,
     * textCol); pre-filter with [[Curate.run]] (`keep === 1`) for the
     * full curated pipeline. NOT fully lazy: the narrow packing spine
@@ -49,25 +99,12 @@ object Export {
     * default ≈ 2M tokens ≈ 8 MB of text per shard; at 100 TB raise it
     * or the shard count explodes).
     *
-    * Cumulative-sum shape (the shard assignment needs a running token
-    * total per (split, source) in (id, copy_no) order — and a window
-    * PARTITIONED by (split, source) would put the train split of one
-    * source, most of a real corpus, through a single task):
-    *   1. range-partition the narrow spine on the full sort key
-    *      (split, source, id, copy_no) — partitions are order-contiguous
-    *      slices, sized by the partitioner, independent of group size;
-    *   2. per-(partition, split, source) token subtotals partial-agg to
-    *      a partitions × groups frame; a window over THAT tiny frame
-    *      (ordered by partition id within each group) yields each
-    *      slice's exclusive prefix offset;
-    *   3. offsets broadcast back; each partition computes
-    *      `offset + local running sum` with a window partitioned by
-    *      (partition id, split, source) — task size = one range slice;
-    *   4. shard_no joins back to the full rows by (id, copy_no), the
-    *      ONE shuffle document text crosses.
-    * Range-partition boundaries don't affect the result (any
-    * order-contiguous slicing reconstructs the same running sum), so
-    * the output stays deterministic and partitioning-independent. */
+    * Cumulative-sum shape: the shard assignment needs a running token
+    * total per (split, source) in (id, copy_no) order — [[runningSum]]
+    * computes it with the two-pass range-slice scan (neither a global
+    * nor a group-sized window; see its scaladoc); shard_no then joins
+    * back to the full rows by (id, copy_no), the ONE shuffle document
+    * text crosses. */
   def plan(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
       weightMilli: Column, tokensPerShard: Long = 1L << 21,
       trainPct: Int = 80, valPct: Int = 10,
@@ -76,24 +113,10 @@ object Export {
     val mixed = Sampling.mixtureSample(docs, idCol, weightMilli)
     val tagged = ShardedSink.withSplit(mixed, idCol, trainPct, valPct)
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
-    // checkpoint freezes spark_partition_id: both the subtotal pass and
-    // the local-sum pass must see the SAME partition assignment
-    val ranged = checkpointer(
-      tagged.select(col(idCol), col("copy_no"), col("split"),
-          col(sourceCol), col("n_tokens"))
-        .repartitionByRange(col("split"), col(sourceCol), col(idCol), col("copy_no"))
-        .withColumn("__pid", spark_partition_id()))
-    val offW = Window.partitionBy(col("split"), col(sourceCol))
-      .orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid"), col("split"), col(sourceCol))
-      .agg(sum("n_tokens").as("__sub"))
-      .withColumn("__off", coalesce(sum("__sub").over(offW), lit(0L)))
-      .select(col("__pid"), col("split"), col(sourceCol), col("__off"))
-    val localW = Window.partitionBy(col("__pid"), col("split"), col(sourceCol))
-      .orderBy(col(idCol), col("copy_no"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sharded = ranged.join(broadcast(offsets), Seq("__pid", "split", sourceCol))
-      .withColumn("__cum", col("__off") + sum("n_tokens").over(localW))
+    val spine = tagged.select(col(idCol), col("copy_no"), col("split"),
+      col(sourceCol), col("n_tokens"))
+    val sharded = runningSum(spine, Seq("split", sourceCol),
+        Seq(idCol, "copy_no"), "n_tokens", "__cum", checkpointer)
       // integer DIV, not double floor-division: IEEE quotients round,
       // and near 2^52/tokensPerShard a doc one token below a boundary
       // can land in the wrong shard — violating the module's

@@ -17,17 +17,44 @@ import org.apache.spark.sql.functions._
   * are stable under corpus growth in the same way hash-bucket splits
   * are.
   *
-  * Scale shape: one hash-shuffle on the stratum + a per-partition sort
-  * — no global sort; with AQE the skewed-stratum case splits. The
-  * window never materializes more than the partition it ranks. */
+  * Scale shape — group-size-independent (a bare `row_number().over(
+  * partitionBy(stratum))` would put the dominant stratum, half a real
+  * corpus under stratum = language, through ONE window task's sort;
+  * AQE cannot split a window partition — a partition must stay on one
+  * task for row_number to be total): a [[graft.functions.MinKStrings]]
+  * partial aggregation finds each stratum's k-th-smallest md5 map-side
+  * (≤ k strings per stratum × partition cross the shuffle); the
+  * stratum-cardinality threshold frame broadcasts back and prunes the
+  * corpus row-locally to ≤ k rows + md5 ties per stratum; only those
+  * survivors reach the rank window, whose partitions are now k-sized
+  * regardless of stratum skew. The prune is exact: the rank order is
+  * md5-first, so no row with md5 above its stratum's k-th-smallest can
+  * ever rank ≤ k, and every md5 tie at the threshold survives to let
+  * the key tie-break decide. Contract: stratum cardinality must be
+  * broadcast-small (languages, sources — the exact-k use case), like a
+  * vocabulary; corpus size is unconstrained. */
 object Sampling {
 
   def exactKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
+    val taken = Seq("sample_rank", "__st", "__kth").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"exactKPerStratum appends sample_rank (and uses __st/__kth internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
     val key: Column = col(keyCol).cast("string")
+    // NULL keys hash to "" so they rank first — the engines' ASC NULLS
+    // FIRST, which is where the window form put them too
+    val h: Column = coalesce(md5(key), lit(""))
+    val minK = udaf(new graft.functions.MinKStrings(k))
+    // null-safe grouping/join: a NULL stratum is its own stratum, same
+    // as Window.partitionBy treats it
+    val thresholds = df.groupBy(col(stratumCol).as("__st")).agg(minK(h).as("__kth"))
+    val survivors = df
+      .join(broadcast(thresholds), col(stratumCol) <=> col("__st"))
+      .filter(h <= col("__kth"))
+      .drop("__st", "__kth")
     val w = Window.partitionBy(col(stratumCol)).orderBy(md5(key), col(keyCol))
-    df.withColumn("sample_rank", row_number().over(w))
+    survivors.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
 

@@ -559,23 +559,27 @@ object Extensions {
 
   /** q77 — sequence packing: assign documents to fixed-token-budget
     * shards by per-source running token totals (the pretraining
-    * context-window packing primitive). Window is PARTITIONED by source
-    * — a global-order cumulative sum would serialize on one task; the
-    * per-group form scales with group count. floor() (not a bare cast)
-    * keeps the bucket arithmetic identical across engines: Spark's
-    * double→long cast truncates while DuckDB's rounds. */
-  def q77SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+    * context-window packing primitive). The running total is
+    * [[graft.operators.Export.runningSum]]'s two-pass range-slice scan
+    * — the same shape [[graft.operators.Export.plan]] (q117) packs
+    * with, NOT a window partitioned by source alone: that form's task
+    * size is the dominant GROUP (one source can be most of a corpus),
+    * while the range slices are sized by the partitioner regardless of
+    * skew. Locally the checkpoint costs a materialization of the
+    * narrow (doc_id, source, n_tokens) spine — the documented q117
+    * trade. floor() (not a bare cast) keeps the bucket arithmetic
+    * identical across engines: Spark's double→long cast truncates
+    * while DuckDB's rounds. */
+  def q77SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Export.runningSum(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        groupCols = Seq("source"), orderCols = Seq("doc_id"),
+        valueCol = "n_tokens", out = "cum")
       .withColumn("shard_no",
         floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
       .orderBy("doc_id")
-  }
 
   /** q79 — lexical diversity: type-token ratio and Gini impurity
     * (1 − Σc²/n²) of each document's token distribution — the

@@ -219,17 +219,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q112 funnel: one corpus scan; document text never crosses a shuffle") {
+  test("q112 funnel: one corpus scan, WINDOWLESS election; text never crosses a shuffle") {
     val p = plan("q112_curation_funnel")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
       "all gate flags must come from ONE projection over ONE scan")
+    // the keep-first election is a min(struct) inside the fingerprint
+    // rollup — a row_number().over(partitionBy(fp)) would serialize a
+    // ubiquitous byte-identical page's cohort through one task
+    assert(!p.contains("Window"),
+      "the dedup election must be a partial aggregate, never a window")
     val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(shuffleInputs.nonEmpty, "expected the dedup-window exchange")
-    // the fingerprint window and the report aggregate shuffle only
-    // (id, token count, fingerprint, flags) — never the text column
+    assert(shuffleInputs.nonEmpty, "expected the fingerprint-rollup exchange")
+    // the fingerprint rollup and the report aggregate shuffle only
+    // (fingerprint, counters, winner struct) — never the text column
     assert(shuffleInputs.forall(!_.contains("text#")),
       "document text must not cross the funnel's shuffles")
+  }
+
+  test("q104 exact sample: the rank window sits above the broadcast threshold prune") {
+    val p = plan("q104_exact_sample")
+    // the MinKStrings threshold partial-aggregates map-side, broadcasts
+    // back, and prunes BEFORE the rank window — so the window partitions
+    // are k-sized regardless of stratum skew. Root-first print: the
+    // window appears before (earlier than) the join/filter feeding it.
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the stratum-threshold frame must broadcast")
+    val hasPartialObjAgg = p.contains("ObjectHashAggregate") || p.contains("SortAggregate")
+    assert(hasPartialObjAgg, "the threshold aggregator must plan as a partial typed aggregate")
+    val win = p.indexOf("Window")
+    assert(win >= 0, "expected the survivor rank window")
+    val join = p.indexOf("BroadcastHashJoin") max p.indexOf("BroadcastNestedLoopJoin")
+    assert(join > win,
+      "the threshold prune (join + filter) must sit BELOW the rank window")
+  }
+
+  test("q77 packing: two-pass cumsum — no global and no group-sized window") {
+    val p = plan("q77_sequence_packing")
+    assert(!p.contains("SinglePartition"),
+      "packing must never funnel the corpus through one partition")
+    // every running-sum window ordered by doc_id must partition by the
+    // frozen range-slice id, never by source alone (one source can be
+    // most of a corpus)
+    val packWindows = "windowspecdefinition\\([^)]*doc_id#\\d+L? ASC[^)]*\\)".r
+      .findAllIn(p).toSeq
+    assert(packWindows.nonEmpty, "expected the partition-local running-sum window")
+    assert(packWindows.forall(_.contains("__pid#")),
+      "the running-sum window must partition by the range slice id, not source alone")
   }
 
   test("q113 bigram fluency: V broadcasts; shuffles carry hashes, never bigram text") {

@@ -53,6 +53,54 @@ class CurationSpec extends SparkSpec {
       "gate drops d1; dedup collapses d2/d3 to one survivor")
   }
 
+  test("funnel: poisoned byte-identical cohort — counts exact, NULL gate flags rank after false") {
+    import spark.implicits._
+    // a crawl's ubiquitous boilerplate page: ONE fingerprint carrying
+    // 5000 rows (the cohort the retired row_number election serialized
+    // through a single task), with survivors and casualties mixed in,
+    // plus a gate that evaluates NULL on some rows (the window form's
+    // DESC NULLS LAST must be preserved by the min-struct ranks)
+    val docs = ((1L to 5000L).map(i => (i, "server error page try later", i % 3 == 0)) ++
+      Seq((6001L, "server error page try later", true),
+        (6002L, "one unique survivor here now", true),
+        (6003L, "a null gated doc", true))).toDF("doc_id", "text", "ok")
+    // gate NULL on doc 6003, else the ok flag
+    val gate = when(col("doc_id") === 6003L, lit(null).cast("boolean"))
+      .otherwise(col("ok"))
+    val rep = Curation.funnel(docs, "doc_id", "text", Seq("ok" -> gate),
+        exactDedup = true)
+      .orderBy("stage_no").collect()
+    assert(rep.map(_.getString(1)).toSeq == Seq("raw", "ok", "exact_dedup"))
+    // raw 5003; gate keeps multiples of 3 (1666) + 6001 + 6002; dedup
+    // collapses the boilerplate fingerprint to its min-id survivor and
+    // keeps the unique survivor — the null-gated doc counts nowhere
+    assert(rep(0).getLong(2) == 5003L)
+    assert(rep(1).getLong(2) == 1668L)
+    assert(rep(2).getLong(2) == 2L)
+    // tokens: every doc is 5 tokens except 6002/6003 (5 each too) — the
+    // dedup stage keeps exactly two 5-token docs
+    assert(rep(2).getLong(3) == 10L)
+  }
+
+  test("funnel: an all-casualty fingerprint keeps nothing; a null-flag winner does not steal the keep") {
+    import spark.implicits._
+    // fp A: every copy fails the gate -> dedup stage keeps 0 of them.
+    // fp B: the min-id copy is NULL-flagged; the kept copy must be the
+    // min-id SURVIVOR (null ranks last, after false — window parity).
+    val docs = Seq(
+      (1L, "all of these fail today", false),
+      (2L, "all of these fail today", false),
+      (10L, "mixed cohort text here", true),
+      (11L, "mixed cohort text here", true)).toDF("doc_id", "text", "ok")
+    val gate = when(col("doc_id") === 10L, lit(null).cast("boolean"))
+      .otherwise(col("ok"))
+    val rep = Curation.funnel(docs, "doc_id", "text", Seq("ok" -> gate),
+        exactDedup = true)
+      .orderBy("stage_no").collect()
+    assert(rep.map(_.getLong(2)).toSeq == Seq(4L, 1L, 1L),
+      "only doc 11 (min-id true-flagged copy of fp B) survives dedup")
+  }
+
   test("profile: datasheet totals, dup permille, tie-broken top language") {
     import spark.implicits._
     // en and fr tie at 2 docs each → top_lang must be 'en' (alpha

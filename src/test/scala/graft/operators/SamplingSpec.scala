@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** exactKPerStratum's bounded-top-k prune: result-identical to the
+  * full per-stratum rank window it replaced, at any skew. */
+class SamplingSpec extends SparkSpec {
+
+  /** The retired group-sized-window form, as the reference. */
+  private def bruteForce(df: org.apache.spark.sql.DataFrame,
+      stratumCol: String, keyCol: String, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val key = col(keyCol).cast("string")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(md5(key), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  test("exactKPerStratum == the per-stratum rank window, dominant stratum included") {
+    import spark.implicits._
+    // one stratum holds 97% of the rows (the language-skew shape the
+    // bounded top-k exists for); two small strata, one below k
+    val docs = ((1L to 10000L).map(i => (i, "dominant")) ++
+      (10001L to 10040L).map(i => (i, "mid")) ++
+      (10041L to 10043L).map(i => (i, "tiny"))).toDF("id", "lang")
+    for (k <- Seq(1, 7, 20)) {
+      val got = Sampling.exactKPerStratum(docs, "lang", "id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val want = bruteForce(docs, "lang", "id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == want, s"k=$k")
+      assert(got.count(_._2 == "tiny") == math.min(k, 3),
+        "a stratum below k keeps all its rows")
+    }
+  }
+
+  test("exactKPerStratum: md5 ties at the threshold and NULL keys/strata survive the prune") {
+    import spark.implicits._
+    // duplicate keys produce exact md5 ties straddling any threshold;
+    // NULL key hashes first; NULL stratum is its own stratum
+    val rows = Seq(
+      (Some("a"), Some("s1")), (Some("a"), Some("s1")), (Some("a"), Some("s1")),
+      (Some("b"), Some("s1")), (Some("c"), Some("s1")),
+      (None, Some("s1")), (None, Some("s1")),
+      (Some("x"), None), (Some("y"), None), (None, None))
+    val docs = rows.toDF("k", "st")
+    for (k <- Seq(1, 2, 4)) {
+      val got = Sampling.exactKPerStratum(docs, "st", "k", k)
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getInt(2)))
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+      val want = bruteForce(docs, "st", "k", k)
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getInt(2)))
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("exactKPerStratum rejects column collisions") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2)).toDF("id", "st", "sample_rank")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.exactKPerStratum(df, "st", "id", 3)
+    }
+    assert(e.getMessage.contains("sample_rank"))
+  }
+}
