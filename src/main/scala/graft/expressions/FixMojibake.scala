@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   2. otherwise, for each maximal run of consecutive
   *      CP1252-ENCODABLE non-ASCII chars (mojibake is by construction
   *      entirely such chars — every UTF-8 lead/continuation byte maps
-  *      to a cp1252 char — while CJK/emoji/combining marks are not
+  *      to a cp1252 char under the SLOPPY table below, which follows
+  *      ftfy's sloppy-windows-1252 in mapping the five undefined bytes
+  *      81/8D/8F/90/9D to their C1 controls, so Cyrillic/Greek
+  *      mojibake repairs too — while CJK/emoji/combining marks are not
   *      encodable and so bound the runs): re-encode the run as
   *      Windows-1252 bytes, strictly re-decode as UTF-8, and keep the
   *      repair only if the decode succeeds;
@@ -75,16 +78,13 @@ object FixMojibake {
   private val cp1252 = Charset.forName("windows-1252")
   private val utf8 = Charset.forName("UTF-8")
 
-  // CharsetEncoder/Decoder are stateful and not thread-safe; one pair
-  // per executor thread, reset per call.
-  private val codecs = ThreadLocal.withInitial[(java.nio.charset.CharsetEncoder,
-      java.nio.charset.CharsetDecoder)] { () =>
-    (cp1252.newEncoder()
-       .onMalformedInput(CodingErrorAction.REPORT)
-       .onUnmappableCharacter(CodingErrorAction.REPORT),
-     utf8.newDecoder()
-       .onMalformedInput(CodingErrorAction.REPORT)
-       .onUnmappableCharacter(CodingErrorAction.REPORT))
+  // CharsetDecoder is stateful and not thread-safe; one per executor
+  // thread, reset per call. (The cp1252 ENCODE side is the hand-built
+  // sloppy table below, which is immutable and shared.)
+  private val codecs = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder] { () =>
+    utf8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
   }
 
   def kernel(text: UTF8String): UTF8String = {
@@ -118,13 +118,18 @@ object FixMojibake {
     if (changed) UTF8String.fromString(out.toString) else text
   }
 
-  // The image of cp1252's byte→char decode (251 chars — Java's table
-  // leaves bytes 81/8D/8F/90/9D undefined, surfaced here as U+FFFD and
-  // skipped; every image char sits below U+2200) — the run-segmentation
-  // predicate as one bit-set probe per char instead of a
-  // CharsetEncoder.canEncode call per char.
-  private val encodableBits: java.util.BitSet = {
-    val bs = new java.util.BitSet(0x2200)
+  // SLOPPY cp1252 char->byte encode table (ftfy's sloppy-windows-1252):
+  // the inverse of the byte->char decode PLUS identity mappings for the
+  // five bytes Java's table leaves undefined (81/8D/8F/90/9D), which
+  // real-world Latin-1-ish transcoders pass through as the C1 controls
+  // U+0081/8D/8F/90/9D. Mojibake of any UTF-8 byte in that set (the
+  // Cyrillic range D0 80..D4 AF is full of them) contains those
+  // control chars, and a strict encoder would break the run there and
+  // veto the whole repair. Every mapped char sits below U+2200, which
+  // also makes the run-segmentation predicate one array probe per char
+  // instead of a CharsetEncoder.canEncode call.
+  private val encTable: Array[Short] = {
+    val t = Array.fill[Short](0x2200)(-1)
     val dec = cp1252.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
@@ -132,22 +137,29 @@ object FixMojibake {
     while (b < 256) {
       dec.reset()
       val cb = dec.decode(ByteBuffer.wrap(Array(b.toByte)))
-      if (cb.length() > 0 && cb.charAt(0) != '\uFFFD') bs.set(cb.charAt(0))
+      if (cb.length() > 0 && cb.charAt(0) != '\uFFFD') t(cb.charAt(0)) = b.toShort
       b += 1
     }
-    bs
+    Seq(0x81, 0x8d, 0x8f, 0x90, 0x9d).foreach(c => t(c) = c.toShort)
+    t
   }
-  private def encodable(c: Char): Boolean = c < 0x2200 && encodableBits.get(c)
+  private def encodable(c: Char): Boolean = c < 0x2200 && encTable(c) >= 0
 
   /** Round-trip one non-ASCII run; the run itself (reference-equal) on
     * any failure. */
   private def repairRun(run: String): String = {
-    val (enc, dec) = codecs.get()
+    // run chars are encodable by construction (the segmentation
+    // predicate admitted them), so the sloppy encode cannot fail
+    val bytes = new Array[Byte](run.length)
+    var i = 0
+    while (i < run.length) {
+      bytes(i) = encTable(run.charAt(i)).toByte
+      i += 1
+    }
+    val dec = codecs.get()
     try {
-      enc.reset()
-      val bytes: ByteBuffer = enc.encode(java.nio.CharBuffer.wrap(run))
       dec.reset()
-      dec.decode(bytes).toString
+      dec.decode(ByteBuffer.wrap(bytes)).toString
     } catch {
       case _: CharacterCodingException => run
     }

@@ -187,6 +187,10 @@ object Curation {
       binWidth: Long = 16L): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be non-negative")
     require(binWidth >= 1, "need binWidth >= 1")
+    val taken = Seq("__s", "__nt", "__bin", "__ag", "__abin", "__above",
+      "sel_rank_tokens", "keep").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"selectByBudget appends sel_rank_tokens/keep (and uses __s/__nt/__bin/__ag/__abin/__above internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
     // null-score sentinel: worst rank, and far enough from Long.MinValue
     // that the bin arithmetic cannot underflow
     val base = df

@@ -301,13 +301,18 @@ object Export {
       maskCol: String, seqLen: Int, nShards: Int): DataFrame =
     packedTokens(encoded, idCol, idsCol, seqLen, nShards, Some(maskCol))
       .groupBy(col("shard_no"), col("seq_no"))
+      // collect + sort the zipped struct array ONCE; ids and mask are
+      // projected out of the same array, so they cannot desync and the
+      // per-group sort isn't paid twice
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         countDistinct(col(idCol)).as("n_docs"),
-        transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
-          p => p.getField("__id")).as("token_ids"),
-        transform(sort_array(collect_list(struct(col("__g"), col("__id"), col("__m")))),
-          p => p.getField("__m")).as("loss_mask"),
+        sort_array(collect_list(struct(col("__g"), col("__id"), col("__m"))))
+          .as("__zs"),
         sum("__m").as("n_loss_tokens"))
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        transform(col("__zs"), p => p.getField("__id")).as("token_ids"),
+        transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
+        col("n_loss_tokens"))
 
   /** Per-sequence document provenance — the governance inverse of
     * [[packSequences]]: one row per (shard, sequence, document) with
@@ -413,13 +418,20 @@ object Export {
     * land in [1, n−1]; equal cuts mean an empty middle — still a valid
     * (and useful: "insert nothing here") training sample. One
     * zero-shuffle projection. Output: (idCol, fim_applied, n_tokens,
-    * fim_text). */
+    * fim_text).
+    *
+    * Case preservation: the rearranged segments slice a RAW whitespace
+    * split of the text ([[graft.functions.TextFunctions.truncateMiddle]]'s
+    * convention) while counts and cut positions use the engine's
+    * canonical lowercased tokens — splitting on whitespace either way,
+    * so the positions line up and a FIM'd code file keeps its
+    * identifiers' case exactly as the untransformed remainder does. */
   def fimTransform(df: DataFrame, idCol: String, textCol: String,
       ratePermille: Int = 500): DataFrame = {
     require(ratePermille >= 0 && ratePermille <= 1000,
       s"ratePermille must be in [0, 1000], got $ratePermille")
-    def toks = graft.functions.TextFunctions.tokens(col(textCol))
-    def n = size(toks)
+    def toks = split(trim(col(textCol)), "\\s+")
+    def n = size(graft.functions.TextFunctions.tokens(col(textCol)))
     def h(salt: String) =
       conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
         .cast("long")

@@ -59,6 +59,19 @@ class TextNormalizeSpec extends SparkSpec {
       "\u00E9\u00C3\u00A9") == "\u00E9\u00C3\u00A9")
   }
 
+  test("fixMojibake sloppy-cp1252: mojibake containing the five undefined bytes repairs") {
+    // Cyrillic "A" U+0410 is UTF-8 D0 90 — byte 90 is undefined in
+    // strict cp1252 and surfaces as the C1 control U+0090 in real
+    // transcoders (ftfy's sloppy-windows-1252); "s" U+0441 is D1 81.
+    // A strict encoder breaks the run at the control char and the
+    // repair fails; the sloppy table maps it back to its byte.
+    assert(one(TextFunctions.fixMojibake(_),
+      "\u00D0\u0090\u00D1\u0081 ok") == "\u0410\u0441 ok")
+    // a LONE C1 control is not valid UTF-8 -> conservatively untouched
+    assert(one(TextFunctions.fixMojibake(_),
+      "x\u0090y") == "x\u0090y")
+  }
+
   test("fixMojibake repairs per non-ASCII run: mixed genuine+corrupt text repairs the corrupt runs") {
     // mojibake apostrophe NEXT TO a genuine decomposed accent and CJK:
     // the run granularity repairs the first without touching the others

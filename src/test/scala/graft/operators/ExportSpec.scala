@@ -197,21 +197,25 @@ class ExportSpec extends SparkSpec {
 
   test("fimTransform: deterministic, conserves tokens, gates on rate and length") {
     import spark.implicits._
-    val docs = (1L to 120L).map(i => (i, ("alpha beta gamma delta " * ((i % 4).toInt + 1)).trim))
+    // mixed-case identifiers: FIM targets code corpora, so the
+    // rearranged text must keep the RAW bytes (case included), exactly
+    // as truncateMiddle slices raw — only counts use canonical tokens
+    val docs = (1L to 120L).map(i => (i, ("Alpha betaX Gamma delta " * ((i % 4).toInt + 1)).trim))
       .toDF("doc_id", "text")
     val out = Export.fimTransform(docs, "doc_id", "text", ratePermille = 500)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toList
     val applied = out.filter(_._2 == 1)
     assert(applied.nonEmpty && applied.size < out.size, "rate 500 must split the corpus")
-    // applied docs: sentinel structure + token conservation (multiset)
+    // applied docs: sentinel structure + token conservation (multiset,
+    // case-exact)
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     applied.foreach { case (id, _, fim) =>
       assert(fim.startsWith("<fim_prefix> ") && fim.contains(" <fim_suffix> ")
         && fim.contains(" <fim_middle> "), s"doc $id: $fim")
       val got = fim.split("\\s+").filterNot(
         Set("<fim_prefix>", "<fim_suffix>", "<fim_middle>")).sorted.toSeq
-      val want = texts(id).toLowerCase.split("\\s+").sorted.toSeq
-      assert(got == want, s"doc $id must conserve the token multiset")
+      val want = texts(id).split("\\s+").sorted.toSeq
+      assert(got == want, s"doc $id must conserve the token multiset case-exactly")
     }
     // rate 0: all passthrough verbatim; short docs never transform
     val none = Export.fimTransform(docs, "doc_id", "text", ratePermille = 0)
