@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_decode(array<long> ids, model) -> struct(n_unk long,
+  * decoded_text string)` — invert a subword encoding in one row-local
+  * pass against a driver-built inverse table.
+  *
+  * Why an expression and not a `typedlit` map literal (the round-9
+  * shape): a production tokenizer artifact is 30k–250k entries, and a
+  * map LITERAL of that size is embedded in the expression tree — the
+  * analyzed plan, every plan string, and the generated code all carry
+  * it, bloating plan transforms and breaking codegen size limits long
+  * before the data gets big. Here the inverse table rides a
+  * [[BpeDecode.Model]] shipped via the codegen reference-object
+  * mechanism (the [[BpeSegment]] policy): the plan holds one opaque
+  * reference whatever the vocabulary size. Still a pure projection —
+  * zero shuffle, zero joins.
+  *
+  * Decode contract ([[graft.operators.Vocab.bpeDecode]]): known ids
+  * append their piece; an unknown or NULL id appends U+FFFD and
+  * counts in `n_unk` — corruption is visible, never silently dropped.
+  * With byte fallback enabled (`byteLo` ≥ 0), ids in
+  * [byteLo, byteLo+255] are UTF-8 bytes: maximal consecutive byte
+  * runs buffer up and decode together (a multi-byte character's bytes
+  * must reassemble as one char), malformed sequences degrading to the
+  * replacement char rather than failing the batch. NULL input → NULL.
+  */
+case class BpeDecode(child: Expression, model: BpeDecode.Model)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BpeDecode.outType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_decode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else BpeDecode.kernel(v.asInstanceOf[ArrayData], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("bpeDecodeModel", model,
+      classOf[BpeDecode.Model].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.BpeDecode.kernel(${childGen.value}, $modelRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecode =
+    copy(child = newChild)
+}
+
+object BpeDecode {
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_unk", LongType, nullable = false),
+    StructField("decoded_text", StringType, nullable = false)))
+
+  /** Driver-built inverse table: id → piece string, plus the byte-band
+    * start (−1 = no byte fallback). Serializable so the reference
+    * object ships once per task. */
+  final class Model(
+      val inv: Map[Long, String],
+      val byteLo: Long = -1L) extends Serializable
+
+  def kernel(ids: ArrayData, m: Model): InternalRow = {
+    val n = ids.numElements()
+    val out = new java.lang.StringBuilder(n * 2)
+    var pending: java.io.ByteArrayOutputStream = null
+    var nUnk = 0L
+    def flush(): Unit =
+      if (pending != null && pending.size() > 0) {
+        // REPLACE-mode UTF-8 decode: malformed byte runs surface as
+        // U+FFFD (new String does exactly that), never an exception
+        out.append(new String(pending.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        pending.reset()
+      }
+    var i = 0
+    while (i < n) {
+      if (ids.isNullAt(i)) { flush(); out.append('\uFFFD'); nUnk += 1L }
+      else {
+        val id = ids.getLong(i)
+        if (m.byteLo >= 0L && id >= m.byteLo && id <= m.byteLo + 255L) {
+          if (pending == null) pending = new java.io.ByteArrayOutputStream(8)
+          pending.write((id - m.byteLo).toInt)
+        } else {
+          flush()
+          m.inv.get(id) match {
+            case Some(piece) => out.append(piece)
+            case None => out.append('\uFFFD'); nUnk += 1L
+          }
+        }
+      }
+      i += 1
+    }
+    flush()
+    new GenericInternalRow(Array[Any](nUnk, UTF8String.fromString(out.toString)))
+  }
+
+  /** Column-API entry point. */
+  def apply(ids: Column, model: Model): Column =
+    ColumnBridge.toColumn(BpeDecode(ColumnBridge.toExpression(ids), model))
+}

@@ -38,7 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * outside the alphabet; fused piece → alphabetSize + merge_no of the
   * FIRST merge producing that symbol string. Fused pieces are always
   * in the table by construction, so 0 marks exactly the out-of-
-  * alphabet characters.
+  * alphabet characters — unless the model enables byte-level fallback
+  * ([[BpeSegment.Model]] `byteLo`), in which case those characters
+  * emit one `<0xXX>` piece per UTF-8 byte instead and no UNK exists.
   */
 case class BpeSegment(child: Expression, model: BpeSegment.Model)
   extends UnaryExpression {
@@ -80,18 +82,34 @@ object BpeSegment {
     * priority), rank → its (left, right, fused) symbols, piece string →
     * vocabulary id. Built once on the driver by
     * [[graft.operators.Vocab.bpeEncode]]; plain Serializable maps so
-    * the expression tree ships it to executors unchanged. */
+    * the expression tree ships it to executors unchanged.
+    *
+    * `byteLo` ≥ 0 enables BYTE-LEVEL FALLBACK (the GPT-2 byte-BPE
+    * safety net): a piece with no vocabulary id emits one piece per
+    * UTF-8 byte — rendered `<0xXX>`, id `byteLo + byte` — instead of
+    * the single UNK id 0, so NOTHING is unrepresentable and decode can
+    * reassemble the exact original character. −1 (the default) keeps
+    * the legacy single-UNK contract byte-identical. */
   final class Model(
       val ranks: Map[(String, String), Int],
       val rankPairs: Array[(String, String)],
-      val ids: Map[String, Long]) extends Serializable
+      val ids: Map[String, Long],
+      val byteLo: Long = -1L) extends Serializable
 
   /** Segment one token's symbols in place: find the lowest-rank
     * adjacent pair, fuse every occurrence left-to-right, repeat. */
   private def segment(tok: String, m: Model): scala.collection.mutable.ArrayBuffer[String] = {
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    while (i < tok.length) { syms += tok.charAt(i).toString; i += 1 }
+    // split by CODE POINT, not UTF-16 unit: an astral char must stay
+    // one symbol (Spark's split(tok, "") and DuckDB's string_split both
+    // yield code points; a lone surrogate would also poison the byte
+    // fallback — Java encodes it as '?')
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      syms += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -130,8 +148,25 @@ object BpeSegment {
       val segs = segment(tok, m)
       var j = 0
       while (j < segs.length) {
-        pieces += UTF8String.fromString(segs(j))
-        ids += m.ids.getOrElse(segs(j), 0L)
+        val piece = segs(j)
+        m.ids.get(piece) match {
+          case Some(id) =>
+            pieces += UTF8String.fromString(piece)
+            ids += id
+          case None if m.byteLo >= 0L =>
+            // byte fallback: one <0xXX> piece per UTF-8 byte
+            val bs = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var b = 0
+            while (b < bs.length) {
+              val v = bs(b) & 0xff
+              pieces += UTF8String.fromString(f"<0x$v%02X>")
+              ids += m.byteLo + v
+              b += 1
+            }
+          case None =>
+            pieces += UTF8String.fromString(piece)
+            ids += 0L
+        }
         j += 1
       }
       i += 1

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Vocab {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Vocab")
+
   /** The exact top-`n` tokens of the corpus by document-stream
     * frequency, ties broken by token text — a deterministic,
     * engine-portable stand-in for a trained BPE/WordPiece vocab (swap
@@ -115,24 +117,37 @@ object Vocab {
     * count (one partial-agg shuffle). The dictionary that survives it
     * is vocabulary-sized, not corpus-sized (distinct whitespace tokens
     * — a few 10⁶ for a language, 10⁷–10⁸ with crawl noise; `minFreq`
-    * ≥ 2 drops the hapax tail, typically half the distinct set, and is
-    * the knob that bounds the collect), so it collects to the driver
-    * once and the merge loop runs LOCALLY — a real 30k–50k-merge vocab
-    * is 30k hash-map passes over an in-memory array, not 2·nMerges
-    * sequential Spark jobs (the round-8 shape, retired: scheduling
-    * dominated past toy merge counts). Count ties break in UTF-8 byte
-    * order ([[utf8Order]]) to stay bit-compatible with the engines'
-    * ORDER BY. Stops early if no pair remains. */
+    * ≥ 2 drops the hapax tail, typically half the distinct set), so it
+    * collects to the driver once and the merge loop runs LOCALLY — a
+    * real 30k–50k-merge vocab is 30k hash-map passes over an in-memory
+    * array, not 2·nMerges sequential Spark jobs (the round-8 shape,
+    * retired: scheduling dominated past toy merge counts). The collect
+    * is HARD-BOUNDED by `maxDictSize` (not just statistically by
+    * `minFreq`): a 10⁸-distinct-token crawl keeps only the top
+    * `maxDictSize` tokens by (freq DESC, token) — a distributed
+    * TakeOrdered, never a global sort materialization — and the
+    * truncation is counted and logged, so the driver cannot OOM
+    * silently and a truncated run is visible in the logs. Count ties
+    * break in UTF-8 byte order ([[utf8Order]]) to stay bit-compatible
+    * with the engines' ORDER BY. Stops early if no pair remains. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-      minFreq: Long = 1L): DataFrame = {
+      minFreq: Long = 1L, maxDictSize: Int = 1 << 22): DataFrame = {
     require(nMerges >= 1, "need nMerges >= 1")
     require(minFreq >= 1, "need minFreq >= 1")
+    require(maxDictSize >= 1, "need maxDictSize >= 1")
     val spark = df.sparkSession
-    val dict = df
+    val dictDf = df
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .filter(length(col("tok")) >= 2 && col("freq") >= minFreq)
-      .collect()
+    val nDict = dictDf.count()
+    val dict =
+      if (nDict > maxDictSize) {
+        log.warn(s"bpeTrain: dictionary has $nDict distinct tokens; keeping the " +
+          s"top $maxDictSize by frequency and dropping ${nDict - maxDictSize} " +
+          "(raise maxDictSize or minFreq to change)")
+        dictDf.orderBy(col("freq").desc, col("tok").asc).limit(maxDictSize).collect()
+      } else dictDf.collect()
     var words: Array[(Array[String], Long)] =
       dict.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -200,9 +215,18 @@ object Vocab {
     * is then a PURE PROJECTION: zero shuffle, zero joins, one
     * row-local kernel pass per document — strictly narrower than
     * [[encode]]'s (doc, pos, id) shuffle, because the id mapping needs
-    * no join. Output: (idCol, n_pieces, pieces, token_ids). */
+    * no join. Output: (idCol, n_pieces, pieces, token_ids).
+    *
+    * `byteFallback = true` reserves 256 ids AFTER the merge band
+    * (byte b → alphabetSize + maxMergeNo + 1 + b) and encodes every
+    * out-of-alphabet character as its UTF-8 bytes — the GPT-2
+    * byte-level safety net: a multilingual crawl's unseen scripts
+    * become byte tokens instead of collapsing into one UNK id, and
+    * [[bpeDecode]] (same flag) reassembles them exactly. Default off:
+    * the legacy id stream (q144/q146) is byte-identical. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame, alphabetDf: DataFrame): DataFrame = {
+      merges: DataFrame, alphabetDf: DataFrame,
+      byteFallback: Boolean = false): DataFrame = {
     val mergeList = merges
       .select(col("merge_no").cast("int"), col("left_sym"), col("right_sym"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
@@ -217,7 +241,8 @@ object Vocab {
       ranks = mergeList.zipWithIndex.map { case ((_, a, b), i) => (a, b) -> i }
         .reverse.toMap, // reverse → FIRST occurrence of a pair keeps the lowest rank
       rankPairs = mergeList.map(m => (m._2, m._3)),
-      ids = alpha ++ fusedIds)
+      ids = alpha ++ fusedIds,
+      byteLo = byteBandLo(base, mergeList.map(_._1), byteFallback))
     df.select(col(idCol), graft.expressions.BpeSegment(
         graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         model).as("__seg"))
@@ -247,7 +272,8 @@ object Vocab {
     *
     * Output: (idCol, n_ids, n_unk, decoded_text). */
   def bpeDecode(df: DataFrame, idCol: String, idsCol: String,
-      merges: DataFrame, alphabetDf: DataFrame): DataFrame = {
+      merges: DataFrame, alphabetDf: DataFrame,
+      byteFallback: Boolean = false): DataFrame = {
     val mergeList = merges
       .select(col("merge_no").cast("int"), col("left_sym"), col("right_sym"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
@@ -256,18 +282,24 @@ object Vocab {
     val base = alpha.length.toLong
     val inv: Map[Long, String] =
       alpha.toMap ++ mergeList.map { case (m, a, b) => (base + m) -> (a + b) }
-    val mapping = typedlit(inv)
-    // try_element_at: under ANSI (the Spark 4 default) plain
-    // element_at THROWS on an unknown id; decode must degrade to the
-    // visible replacement char instead of failing the batch
-    def pieces = transform(col(idsCol),
-      id => coalesce(try_element_at(mapping, id), lit("\uFFFD")))
+    val model = new graft.expressions.BpeDecode.Model(inv,
+      byteBandLo(base, mergeList.map(_._1).toSeq, byteFallback))
     df.select(col(idCol),
-      size(col(idsCol)).cast("long").as("n_ids"),
-      size(filter(col(idsCol), id => try_element_at(mapping, id).isNull))
-        .cast("long").as("n_unk"),
-      concat_ws("", pieces).as("decoded_text"))
+        size(col(idsCol)).cast("long").as("n_ids"),
+        graft.expressions.BpeDecode(col(idsCol), model).as("__d"))
+      .select(col(idCol), col("n_ids"),
+        col("__d.n_unk").as("n_unk"),
+        col("__d.decoded_text").as("decoded_text"))
   }
+
+  /** ONE definition of the byte-band start shared by [[bpeEncode]] and
+    * [[bpeDecode]] (the two MUST agree or byte tokens decode as UNKs):
+    * the 256 byte ids sit immediately after the merge band, byte b at
+    * alphabetSize + maxMergeNo + 1 + b; -1 when fallback is off. */
+  private def byteBandLo(alphabetSize: Long, mergeNos: Seq[Int],
+      byteFallback: Boolean): Long =
+    if (!byteFallback) -1L
+    else alphabetSize + (if (mergeNos.isEmpty) 0L else mergeNos.max.toLong) + 1L
 
   /** Order-preserving token-id encoding against `vocab` (columns
     * (token, vocab_rank)) — the step between vocabulary and sequence

@@ -1921,7 +1921,58 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Fixture shared by q160/q161: the corpus text with an appended
+    * out-of-alphabet suffix — ASCII the training alphabet lacks
+    * ('x'/'z'/'9') plus multi-byte UTF-8 (e-acute C3 A9, euro sign
+    * E2 82 AC) — so the byte fallback is exercised on 1-, 2- and
+    * 3-byte characters while training still sees only the raw corpus. */
+  private def byteFallbackFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(col("text"), lit(" xz caf\u00E9 \u20AC9")).as("text"))
+
+  /** q160 — byte-level BPE fallback encoding ([[Vocab.bpeEncode]]
+    * `byteFallback = true`, the GPT-2 byte-BPE safety net): the
+    * tokenizer trains on the corpus, then encodes the
+    * [[byteFallbackFixture]] text — every out-of-alphabet character
+    * becomes its UTF-8 bytes as `<0xXX>` pieces with ids in the
+    * reserved 256-wide band after the merges, so NOTHING collapses
+    * into the single UNK id. The oracle replays training, encoding,
+    * and the codepoint→UTF-8-byte arithmetic in pure SQL. */
+  def q160BpeByteEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val merges = Vocab.bpeTrain(d, "text", nMerges = 5)
+    val alpha = Vocab.alphabet(d, "text")
+    Vocab.bpeEncode(byteFallbackFixture(d), "doc_id", "text", merges, alpha,
+        byteFallback = true)
+      .select(col("doc_id"), col("n_pieces"),
+        array_join(col("pieces"), " ").as("pieces_str"),
+        array_join(col("token_ids"), " ").as("token_ids_str"))
+      .orderBy("doc_id")
+  }
+
+  /** q161 — byte-fallback decode round-trip: q160's id stream decoded
+    * back ([[Vocab.bpeDecode]] `byteFallback = true`) must reassemble
+    * consecutive byte tokens into the exact original characters —
+    * n_unk 0 (nothing is unrepresentable) and the decoded
+    * concatenation byte-equal to the canonical token stream. The
+    * oracle hashes the replayed piece stream directly: only a correct
+    * byte reassembly can match it. */
+  def q161BpeByteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val merges = Vocab.bpeTrain(d, "text", nMerges = 5)
+    val alpha = Vocab.alphabet(d, "text")
+    val enc = Vocab.bpeEncode(byteFallbackFixture(d), "doc_id", "text",
+      merges, alpha, byteFallback = true)
+    Vocab.bpeDecode(enc, "doc_id", "token_ids", merges, alpha,
+        byteFallback = true)
+      .select(col("doc_id"), col("n_ids"), col("n_unk"),
+        md5(col("decoded_text")).as("decoded_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_bpe_byte_roundtrip" -> (q161BpeByteRoundtrip _),
+    "q160_bpe_byte_encode" -> (q160BpeByteEncode _),
     "q159_truncate_middle" -> (q159TruncateMiddle _),
     "q158_curriculum" -> (q158Curriculum _),
     "q157_masked_pack" -> (q157MaskedPack _),
@@ -2262,6 +2313,54 @@ object Extensions {
        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q160/q161's oracle spine: q143's training CTEs over the ORIGINAL
+    * corpus, the alphabet/id tables, then the byte-fallback FIXTURE
+    * text segmented per document and id-mapped with the UTF-8 byte
+    * fallback replayed in pure SQL — `kx` holds one row per piece with
+    * its known id (NULL = out-of-alphabet), `ix` the final token
+    * stream where each unknown piece is expanded to `<0xXX>` byte
+    * pieces via codepoint arithmetic, ids in the 256-wide band after
+    * the merges. */
+  private def bpeBytePrefixSql(nMerges: Int): String =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, count(1)::BIGINT AS freq FROM tk GROUP BY tok),
+       |d0 AS (SELECT freq, string_split(tok, '') AS syms FROM f WHERE length(tok) >= 2),
+       |""".stripMargin +
+      (1 to nMerges).map(bpeRoundSql).mkString(",\n") + ",\n" +
+      s"""al AS (SELECT c, row_number() OVER (ORDER BY c)::BIGINT AS cid FROM (
+       |    SELECT DISTINCT unnest(string_split(tok, '')) AS c FROM tk) WHERE length(c) > 0),
+       |nb AS (SELECT count(1)::BIGINT AS base FROM al),
+       |mg AS (${(1 to nMerges).map(r => s"SELECT $r AS mno, a, b FROM t$r").mkString("\nUNION ALL ")}),
+       |mm AS (SELECT max(mno)::BIGINT AS mx FROM mg),
+       |mid AS (SELECT a || b AS sym, min(mno)::BIGINT AS mno FROM mg GROUP BY a || b),
+       |fxd AS (SELECT doc_id, text || ' xz caf' || chr(233) || ' ' || chr(8364) || '9' AS ftext FROM documents),
+       |dt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(ftext)), '\\s+'), t -> length(t) > 0) AS toks FROM fxd),
+       |p0 AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM dt),
+       |w0 AS (SELECT doc_id, p, string_split(toks[CAST(p + 1 AS INT)], '') AS syms FROM p0),
+       |""".stripMargin +
+      (1 to nMerges).map(bpeApplySql).mkString(",\n") + ",\n" +
+      s"""e0 AS (SELECT doc_id, p, syms, unnest(range(0, len(syms))) AS q FROM w$nMerges),
+       |e AS (SELECT doc_id, p, q, syms[CAST(q + 1 AS INT)] AS piece FROM e0),
+       |kx AS (SELECT e.doc_id, e.p, e.q, e.piece,
+       |    CASE WHEN length(e.piece) = 1 THEN al.cid ELSE nb.base + mid.mno END AS kid
+       |  FROM e LEFT JOIN al ON al.c = e.piece
+       |    LEFT JOIN mid ON mid.sym = e.piece CROSS JOIN nb),
+       |bl AS (SELECT doc_id, p, q, ord(piece) AS o FROM kx WHERE kid IS NULL),
+       |bb AS (SELECT doc_id, p, q,
+       |    CASE WHEN o < 128 THEN [o]
+       |         WHEN o < 2048 THEN [192 + o // 64, 128 + o % 64]
+       |         WHEN o < 65536 THEN [224 + o // 4096, 128 + (o // 64) % 64, 128 + o % 64]
+       |         ELSE [240 + o // 262144, 128 + (o // 4096) % 64, 128 + (o // 64) % 64, 128 + o % 64] END AS bs
+       |  FROM bl),
+       |bu AS (SELECT doc_id, p, q, bs, unnest(range(0, len(bs))) AS r FROM bb),
+       |ix AS (
+       |  SELECT doc_id, p, q, 0::BIGINT AS r, piece, kid AS id FROM kx WHERE kid IS NOT NULL
+       |  UNION ALL
+       |  SELECT bu.doc_id, bu.p, bu.q, bu.r::BIGINT AS r,
+       |    printf('<0x%02X>', CAST(bs[CAST(bu.r + 1 AS INT)] AS INT)) AS piece,
+       |    nb.base + mm.mx + 1 + bs[CAST(bu.r + 1 AS INT)] AS id
+       |  FROM bu CROSS JOIN nb CROSS JOIN mm)""".stripMargin
+
   /** q146's oracle: the shared BPE-encoding prefix, then q142's
     * deterministic-shard packing replayed over the SUBWORD ids. */
   private def bpePackSql(nMerges: Int, seqLen: Int, nShards: Int): String =
@@ -2329,6 +2428,29 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q160_bpe_byte_encode" ->
+      (bpeBytePrefixSql(5) + ",\n" +
+        """agg AS (SELECT doc_id, count(1)::BIGINT AS n_pieces,
+        |    string_agg(piece, ' ' ORDER BY p, q, r) AS pieces_str,
+        |    array_to_string(list(id ORDER BY p, q, r), ' ') AS token_ids_str
+        |  FROM ix GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+        |  coalesce(a.pieces_str, '') AS pieces_str,
+        |  coalesce(a.token_ids_str, '') AS token_ids_str
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    "q161_bpe_byte_roundtrip" ->
+      (bpeBytePrefixSql(5) + ",\n" +
+        """agg AS (SELECT doc_id, count(1)::BIGINT AS n_ids FROM ix GROUP BY doc_id),
+        |agg2 AS (SELECT doc_id,
+        |    md5(string_agg(piece, '' ORDER BY p, q)) AS decoded_md5
+        |  FROM kx GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_ids, 0)::BIGINT AS n_ids,
+        |  0::BIGINT AS n_unk,
+        |  coalesce(a2.decoded_md5, md5('')) AS decoded_md5
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id) LEFT JOIN agg2 a2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "q159_truncate_middle" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk,
         |    regexp_split_to_array(trim(text), '\\s+') AS raw FROM documents),

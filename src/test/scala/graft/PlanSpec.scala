@@ -369,7 +369,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("bpeDecode: zero-shuffle projection — the inverse table rides a map literal, not a join") {
+  test("bpeDecode: zero-shuffle projection — the inverse table rides a codegen reference object, not a join") {
     import spark.implicits._
     val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
     val merges = graft.operators.Vocab.bpeTrain(docs, "text", nMerges = 2)

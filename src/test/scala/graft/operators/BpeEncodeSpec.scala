@@ -98,6 +98,79 @@ class BpeEncodeSpec extends SparkSpec {
     assert(out.getString(3).count(_ == '\uFFFD') == 2)
   }
 
+  test("byteFallback: out-of-alphabet chars become <0xXX> byte pieces with in-band ids") {
+    import spark.implicits._
+    val train = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(train, "text", nMerges = 2)
+    val alpha = Vocab.alphabet(train, "text")
+    val maxMerge = merges.agg(max("merge_no")).head().getInt(0)
+    val byteLo = 4L + maxMerge + 1 // alphabet {a,b,c,d} = 4 chars
+    // 'z' is one UTF-8 byte (0x7A); 'é' is two (C3 A9)
+    val out = Vocab.bpeEncode(Seq((9L, "ab z\u00E9")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, alpha, byteFallback = true)
+      .collect().map(r => (r.getSeq[String](2), r.getSeq[Long](3))).head
+    val (pieces, ids) = out
+    val zi = pieces.indexOf("<0x7A>")
+    assert(zi >= 0 && ids(zi) == byteLo + 0x7A, s"z byte token: $pieces / $ids")
+    val ei = pieces.indexOf("<0xC3>")
+    assert(ei >= 0 && pieces(ei + 1) == "<0xA9>", "multi-byte char emits its byte sequence")
+    assert(ids(ei) == byteLo + 0xC3 && ids(ei + 1) == byteLo + 0xA9)
+    assert(!ids.contains(0L), "no UNK id under byte fallback")
+    // the default path is untouched: same doc without fallback keeps UNK 0
+    val legacy = Vocab.bpeEncode(Seq((9L, "ab z\u00E9")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, alpha)
+      .collect().map(_.getSeq[Long](3)).head
+    assert(legacy.count(_ == 0L) == 2L, "legacy contract: one UNK per OOA char")
+  }
+
+  test("byteFallback: encode then decode round-trips arbitrary Unicode exactly (no UNKs)") {
+    import spark.implicits._
+    val train = (1 to 50).map(i => (i.toLong, s"plain ascii training text number $i"))
+      .toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(train, "text", nMerges = 10)
+    val alpha = Vocab.alphabet(train, "text")
+    val rnd = new scala.util.Random(42)
+    // arbitrary codepoints: ASCII, Latin-1, CJK, astral emoji — all out
+    // of the ASCII training alphabet except a few
+    val docs = (1L to 60L).map { i =>
+      val cps = Array.fill(1 + rnd.nextInt(20))(1 + rnd.nextInt(0x10FFF))
+        .filter(cp => !(cp >= 0xD800 && cp <= 0xDFFF))
+      (i, new String(cps.flatMap(Character.toChars)) + s" tail$i \u20AC\u0410")
+    }.toDF("doc_id", "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", merges, alpha, byteFallback = true)
+    val dec = Vocab.bpeDecode(enc, "doc_id", "token_ids", merges, alpha,
+        byteFallback = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    // the round-trip target: the canonical token stream, concatenated —
+    // computed by the engine itself so the lowercasing model is shared
+    val want = docs.select(col("doc_id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    dec.foreach { case (id, nUnk, decoded) =>
+      assert(nUnk == 0L, s"doc $id: byte fallback must leave no UNKs")
+      assert(decoded == want(id), s"doc $id round-trip mismatch")
+    }
+  }
+
+  test("bpeDecode plan stays bounded with a 30k-merge artifact (reference object, not a map literal)") {
+    import spark.implicits._
+    // synthetic production-sized artifact: 30k merges over a 100-char
+    // alphabet — the size at which a typedlit map literal bloats every
+    // plan transform and the generated code
+    val merges = (1 to 30000).map(i => (i, s"l$i", s"r$i"))
+      .toDF("merge_no", "left_sym", "right_sym")
+    val alpha = (1 to 100).map(i => (s"c$i", i.toLong)).toDF("char", "char_id")
+    val ids = Seq((1L, Seq(1L, 101L, 30100L, 999999L))).toDF("doc_id", "token_ids")
+    val dec = Vocab.bpeDecode(ids, "doc_id", "token_ids", merges, alpha)
+    val planChars = dec.queryExecution.optimizedPlan.toString.length +
+      dec.queryExecution.executedPlan.toString.length
+    assert(planChars < 20000,
+      s"plan grew to $planChars chars — the artifact is leaking into the plan")
+    val row = dec.head()
+    assert(row.getLong(2) == 1L, "the out-of-space id is the only UNK")
+    assert(row.getString(3) == "c1l1r1l30000r30000\uFFFD")
+  }
+
   test("null and empty text encode to zero pieces, rows preserved") {
     import spark.implicits._
     val train = Seq((1L, "abcd abcd")).toDF("doc_id", "text")

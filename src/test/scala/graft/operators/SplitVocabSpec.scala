@@ -86,6 +86,24 @@ class SplitVocabSpec extends SparkSpec {
     assert(secs < 60, s"500 merges took $secs s — the loop must stay driver-local fast")
   }
 
+  test("bpeTrain maxDictSize: cap trains on the top tokens only; an ample cap changes nothing") {
+    import spark.implicits._
+    // freq: "aaaa" x4 > "bbbb" x3 > "cccc" x2 > "dddd" x1
+    val docs = Seq("aaaa aaaa", "aaaa aaaa bbbb", "bbbb bbbb cccc", "cccc dddd")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val capped = Vocab.bpeTrain(docs, "text", nMerges = 3, maxDictSize = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    // only aaaa/bbbb survive the cap: pair (a,a) counts 3x4=12? no —
+    // freq-weighted adjacent pairs over {aaaa:4, bbbb:3}: (a,a) 12, (b,b) 9
+    assert(capped.nonEmpty && capped.forall(m => !m._1.contains("c") && !m._1.contains("d")),
+      s"capped dictionary must not see c/d tokens: $capped")
+    val ample = Vocab.bpeTrain(docs, "text", nMerges = 3, maxDictSize = 1 << 20)
+      .collect().map(_.toSeq).toList
+    val default = Vocab.bpeTrain(docs, "text", nMerges = 3)
+      .collect().map(_.toSeq).toList
+    assert(ample == default, "an ample cap must be a no-op")
+  }
+
   test("encode maps tokens to vocab ranks in position order, OOV to 0") {
     import spark.implicits._
     val docs = Seq((1L, "b a zz b"), (2L, "a")).toDF("id", "text")
