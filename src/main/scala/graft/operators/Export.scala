@@ -238,11 +238,15 @@ object Export {
     def globalPos = Seq(
       expr(s"(__off + __p) DIV $seqLen").as("seq_no"),
       (col("__off") + col("__p")).as("__g"))
+    // __off (the doc's global start) stays on the spine: a token is
+    // its document's first-in-sequence iff __g == __off or __g is a
+    // sequence start — which is all [[packSequencesWithBoundaries]]
+    // needs, at zero extra shuffle width beyond the 8-byte column
     maskCol match {
       case None =>
         withOffset.select(col(idCol), col("shard_no"), col("__off"),
             posexplode(col(idsCol)).as(Seq("__p", "__id")))
-          .select(Seq(col(idCol), col("shard_no")) ++ globalPos :+ col("__id"): _*)
+          .select(Seq(col(idCol), col("shard_no"), col("__off")) ++ globalPos :+ col("__id"): _*)
       case Some(mc) =>
         withOffset
           .withColumn("__mask0",
@@ -250,7 +254,7 @@ object Export {
               lit(1), size(col(idsCol))))
           .select(col(idCol), col("shard_no"), col("__off"),
             posexplode(arrays_zip(col(idsCol), col("__mask0"))).as(Seq("__p", "__z")))
-          .select(Seq(col(idCol), col("shard_no")) ++ globalPos ++ Seq(
+          .select(Seq(col(idCol), col("shard_no"), col("__off")) ++ globalPos ++ Seq(
             col(s"__z.$idsCol").as("__id"),
             coalesce(col("__z.__mask0").cast("long"), lit(0L)).as("__m")): _*)
     }
@@ -283,6 +287,38 @@ object Export {
         countDistinct(col(idCol)).as("n_docs"),
         transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
           p => p.getField("__id")).as("token_ids"))
+
+  /** [[packSequences]] plus the per-sequence DOCUMENT BOUNDARIES a
+    * trainer needs to block cross-document attention inside a packed
+    * sequence (position-restart ids / attention-reset masks are all
+    * derivable from it): `doc_starts` lists the in-sequence positions
+    * (0-based, ascending) where a new document's tokens begin —
+    * position 0 always included (the sequence head restarts attention
+    * whether or not it continues a document). The starts tile the
+    * sequence exactly: consecutive-start deltas (and n_tokens minus
+    * the last start) are the per-document span lengths, and
+    * `size(doc_starts) == n_docs` because packing keeps each
+    * document's tokens contiguous.
+    *
+    * Same [[packedTokens]] spine as the sequences themselves — the
+    * boundary test is row-local (`__g == __off`, the doc's global
+    * start, or a seqLen multiple), so the mapping cannot drift from
+    * the packing and the shuffle is the SAME one aggregate
+    * [[packSequences]] runs, 8 bytes wider. Output: packSequences
+    * columns + (doc_starts array<long>). */
+  def packSequencesWithBoundaries(encoded: DataFrame, idCol: String,
+      idsCol: String, seqLen: Int, nShards: Int): DataFrame =
+    packedTokens(encoded, idCol, idsCol, seqLen, nShards)
+      .groupBy(col("shard_no"), col("seq_no"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
+          p => p.getField("__id")).as("token_ids"),
+        // collect_set: the two start conditions coincide when a doc
+        // begins exactly at a sequence head — dedup, then sort
+        sort_array(collect_set(
+          when(col("__g") === col("__off") || col("__g") % seqLen === 0,
+            col("__g") % seqLen))).as("doc_starts"))
 
   /** [[packSequences]] carrying a parallel per-token mask — the step
     * that makes [[Chat.render]]'s loss-mask spans survive packing: a

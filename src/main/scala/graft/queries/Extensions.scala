@@ -1970,7 +1970,25 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q162 — document boundaries in packed sequences
+    * ([[Export.packSequencesWithBoundaries]]): q142's packing with the
+    * per-sequence `doc_starts` array a trainer uses to block
+    * cross-document attention — derived from the SAME spine as the
+    * token stream, so the boundaries cannot drift from the packing.
+    * The oracle extends the shared q142/q154 spine with the start
+    * predicate (`g = off OR g % seqLen = 0`). */
+  def q162PackBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+    Export.packSequencesWithBoundaries(enc, "doc_id", "token_ids",
+        seqLen = 64, nShards = 4)
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        array_join(col("doc_starts"), " ").as("doc_starts_str"))
+      .orderBy("shard_no", "seq_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_pack_boundaries" -> (q162PackBoundaries _),
     "q161_bpe_byte_roundtrip" -> (q161BpeByteRoundtrip _),
     "q160_bpe_byte_encode" -> (q160BpeByteEncode _),
     "q159_truncate_middle" -> (q159TruncateMiddle _),
@@ -2416,7 +2434,7 @@ object Extensions {
       |o AS (SELECT *, (sum(n_tok) OVER (PARTITION BY shard_no
       |    ORDER BY sk, kk) - n_tok)::BIGINT AS off FROM b),
       |x0 AS (SELECT doc_id, shard_no, off, ids, unnest(range(0, len(ids))) AS p2 FROM o),
-      |x AS (SELECT doc_id, shard_no, off + p2 AS g, (off + p2) // $seqLen AS seq_no,
+      |x AS (SELECT doc_id, shard_no, off, off + p2 AS g, (off + p2) // $seqLen AS seq_no,
       |    ids[CAST(p2 + 1 AS INT)] AS id FROM x0)""".stripMargin
 
   /** One PageRank round as a CTE pair: contributions by dst, then the
@@ -2428,6 +2446,19 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q162_pack_boundaries" ->
+      (wordPackSpineSql(100, 64, 4) + ",\n" +
+        """bnd AS (SELECT DISTINCT shard_no, seq_no, g % 64 AS st
+        |  FROM x WHERE g = off OR g % 64 = 0),
+        |st AS (SELECT shard_no, seq_no,
+        |    array_to_string(list(st ORDER BY st), ' ') AS doc_starts_str
+        |  FROM bnd GROUP BY shard_no, seq_no),
+        |tt AS (SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs
+        |  FROM x GROUP BY shard_no, seq_no)
+        |SELECT tt.shard_no, tt.seq_no, tt.n_tokens, tt.n_docs, st.doc_starts_str
+        |FROM tt JOIN st USING (shard_no, seq_no)
+        |ORDER BY tt.shard_no, tt.seq_no""".stripMargin),
     "q160_bpe_byte_encode" ->
       (bpeBytePrefixSql(5) + ",\n" +
         """agg AS (SELECT doc_id, count(1)::BIGINT AS n_pieces,

@@ -195,6 +195,42 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesWithBoundaries: starts tile each sequence exactly and agree with provenance") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("alpha beta gamma " * ((i % 5).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val enc = Vocab.encode(docs, "doc_id", "text", Vocab.topTokens(docs, "text", 3))
+    val seqLen = 16
+    val out = Export.packSequencesWithBoundaries(enc, "doc_id", "token_ids", seqLen, 3)
+      .collect()
+    // the independent witness: provenance spans for the same packing
+    val prov = Export.sequenceProvenance(enc, "doc_id", "token_ids", seqLen, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val n = r.getLong(2)
+      val nDocs = r.getLong(3)
+      val starts = r.getSeq[Long](5)
+      assert(starts.size == nDocs, s"$key: one start per doc in the sequence")
+      assert(starts.head == 0L, s"$key: position 0 always restarts attention")
+      assert(starts == starts.sorted && starts.distinct == starts, s"$key: sorted, unique")
+      // spans tile the sequence exactly: consecutive deltas + tail = n
+      val lens = (starts :+ n).sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(lens.forall(_ > 0) && lens.sum == n, s"$key: spans must tile $n tokens")
+      assert(starts == prov(key).map(_._1), s"$key: starts must equal provenance starts")
+      assert(lens == prov(key).map(_._2), s"$key: span lengths must equal provenance lengths")
+    }
+    // the id stream is bit-identical to packSequences on the same input
+    val plain = Export.packSequences(enc, "doc_id", "token_ids", seqLen, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](4)).toMap
+    out.foreach { r =>
+      assert(r.getSeq[Long](4) == plain((r.getLong(0), r.getLong(1))),
+        "boundaries must not perturb the token stream")
+    }
+  }
+
   test("fimTransform: deterministic, conserves tokens, gates on rate and length") {
     import spark.implicits._
     // mixed-case identifiers: FIM targets code corpora, so the
