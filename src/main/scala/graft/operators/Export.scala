@@ -60,9 +60,11 @@ object Export {
   def runningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
       valueCol: String, out: String,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
-    val taken = (Seq("__pid", "__sub", "__off", out)).filter(df.columns.contains)
+    val joinNames = "__jpid" +: groupCols.indices.map(i => s"__jg$i")
+    val taken = (Seq("__pid", "__sub", "__off", out) ++ joinNames)
+      .filter(df.columns.contains)
     require(taken.isEmpty,
-      s"runningSum appends $out (and uses __pid/__sub/__off internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
+      s"runningSum appends $out (and uses __pid/__sub/__off/__jpid/__jgN internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
     val ranged = checkpointer(
       df.repartitionByRange((groupCols ++ orderCols).map(col): _*)
         .withColumn("__pid", spark_partition_id()))
@@ -71,11 +73,20 @@ object Export {
     val offsets = ranged.groupBy(("__pid" +: groupCols).map(col): _*)
       .agg(sum(valueCol).as("__sub"))
       .withColumn("__off", coalesce(sum("__sub").over(offW), lit(0L)))
-      .select(("__pid" +: groupCols).map(col) :+ col("__off"): _*)
+      .select(("__pid" +: groupCols).zip(joinNames).map {
+        case (c, j) => col(c).as(j)
+      } :+ col("__off"): _*)
     val localW = Window.partitionBy(("__pid" +: groupCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    // null-safe group matching: a NULL group is its own group (the
+    // window form's partitionBy semantics, and the assignSplits /
+    // selectByBudget deterministic-inclusion policy) — a plain equi-join
+    // would silently DROP every NULL-group row from the output
+    val cond = (col("__pid") === col("__jpid")) &&
+      groupCols.indices.map(i => col(groupCols(i)) <=> col(s"__jg$i"))
+        .foldLeft(lit(true))(_ && _)
+    ranged.join(broadcast(offsets), cond)
       .withColumn(out, col("__off") + sum(col(valueCol)).over(localW))
       .select(df.columns.map(col) :+ col(out): _*)
   }
@@ -458,16 +469,20 @@ object Export {
     *
     * Case preservation: the rearranged segments slice a RAW whitespace
     * split of the text ([[graft.functions.TextFunctions.truncateMiddle]]'s
-    * convention) while counts and cut positions use the engine's
-    * canonical lowercased tokens — splitting on whitespace either way,
-    * so the positions line up and a FIM'd code file keeps its
-    * identifiers' case exactly as the untransformed remainder does. */
+    * convention) — counts and cut positions come from the same split
+    * (lowercasing never moves a whitespace boundary, so the raw count
+    * equals the canonical token count), and a FIM'd code file keeps
+    * its identifiers' case exactly as the untransformed remainder
+    * does. */
   def fimTransform(df: DataFrame, idCol: String, textCol: String,
       ratePermille: Int = 500): DataFrame = {
     require(ratePermille >= 0 && ratePermille <= 1000,
       s"ratePermille must be in [0, 1000], got $ratePermille")
+    // ONE raw split serves both content and counts: lowercasing never
+    // moves a whitespace boundary (truncateMiddle's documented
+    // invariant), so size(raw) == size(canonical tokens)
     def toks = split(trim(col(textCol)), "\\s+")
-    def n = size(graft.functions.TextFunctions.tokens(col(textCol)))
+    def n = size(toks)
     def h(salt: String) =
       conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
         .cast("long")

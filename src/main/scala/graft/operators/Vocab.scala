@@ -88,6 +88,21 @@ object Vocab {
     }
   }
 
+  /** Split a string into code-point symbol strings (surrogate pairs
+    * stay together) — the symbol granularity [[bpeTrain]],
+    * [[graft.expressions.BpeSegment]], [[alphabet]], and the DuckDB
+    * oracles all share. */
+  private def codePoints(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** The fold [[bpeTrain]] and the q143 oracle both define: merge
     * every adjacent (a, b) greedily left-to-right — "aaa" under (a,a)
     * becomes [aa, a], the fused symbol never re-pairs with what
@@ -140,16 +155,27 @@ object Vocab {
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .filter(length(col("tok")) >= 2 && col("freq") >= minFreq)
-    val nDict = dictDf.count()
-    val dict =
+    // persist so the corpus explode + token aggregation runs ONCE: the
+    // truncation-detection count and the collect are two actions, and
+    // without the cache each would replay the full corpus job
+    dictDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = try {
+      val nDict = dictDf.count()
       if (nDict > maxDictSize) {
         log.warn(s"bpeTrain: dictionary has $nDict distinct tokens; keeping the " +
           s"top $maxDictSize by frequency and dropping ${nDict - maxDictSize} " +
           "(raise maxDictSize or minFreq to change)")
+        // sorts only the cached dictionary-sized frame, and only on the
+        // rare truncation path
         dictDf.orderBy(col("freq").desc, col("tok").asc).limit(maxDictSize).collect()
       } else dictDf.collect()
+    } finally dictDf.unpersist()
+    // CODE-POINT symbols, not UTF-16 units: an astral char must be one
+    // symbol or the merge table ships lone surrogates (mangled to '?'
+    // by UTF8String) — matching BpeSegment.segment, [[alphabet]]'s
+    // split(tok, ""), and the DuckDB oracle's string_split
     var words: Array[(Array[String], Long)] =
-      dict.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      dict.map(r => (codePoints(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 0
     var dry = false

@@ -2689,9 +2689,9 @@ object Extensions {
         |FROM x GROUP BY shard_no, seq_no, doc_id
         |ORDER BY shard_no, seq_no, doc_id""".stripMargin),
     "q153_fim" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk0,
+      s"""WITH t AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
-        |n0 AS (SELECT doc_id, text, tk, len(tk0)::BIGINT AS n,
+        |n0 AS (SELECT doc_id, text, tk, len(tk)::BIGINT AS n,
         |    ('0x' || substring(md5(doc_id::VARCHAR || ':fim'), 1, 15))::BIGINT % 1000 AS hb,
         |    1 + (('0x' || substring(md5(doc_id::VARCHAR || ':c1'), 1, 15))::BIGINT
         |      % greatest(len(tk) - 1, 1)) AS k1,

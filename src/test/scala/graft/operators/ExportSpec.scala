@@ -195,6 +195,21 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("runningSum: NULL groups keep their own running total, never dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 5L), (3L, Option.empty[String], 7L),
+      (4L, Option.empty[String], 2L), (5L, Some("b"), 1L))
+    val got = Export.runningSum(rows.toDF("id", "grp", "v"),
+        Seq("grp"), Seq("id"), "v", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // brute-force per-group (NULL its own group) inclusive cumsum in id order
+    val want = rows.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, c), (id, _, v)) => (id, c + v) }.tail
+    }.toMap
+    assert(got == want, s"every row (NULL groups included) must carry its running total: $got")
+  }
+
   test("packSequencesWithBoundaries: starts tile each sequence exactly and agree with provenance") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, ("alpha beta gamma " * ((i % 5).toInt + 1)).trim))

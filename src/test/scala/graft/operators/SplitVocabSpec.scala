@@ -104,6 +104,26 @@ class SplitVocabSpec extends SparkSpec {
     assert(ample == default, "an ample cap must be a no-op")
   }
 
+  test("bpeTrain merges astral characters as whole code points, never lone surrogates") {
+    import spark.implicits._
+    // G-clef U+1D11E (surrogate pair) adjacent to 'a', repeated: the
+    // top merge must fuse the WHOLE code point — a UTF-16-unit split
+    // would elect a lone-surrogate pair that UTF8String mangles to '?'
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = (1 to 20).map(i => (i.toLong, s"${clef}a ${clef}a ${clef}a"))
+      .toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq((clef, "a")), s"got ${merges.toSeq}")
+    assert(!merges.exists { case (a, b) => (a + b).contains('?') },
+      "no surrogate mangling in the merge table")
+    // and the trained table round-trips through the segmenter
+    val alpha = Vocab.alphabet(docs, "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text",
+      Vocab.bpeTrain(docs, "text", nMerges = 1), alpha)
+    assert(enc.select("pieces").head().getSeq[String](0).head == clef + "a")
+  }
+
   test("encode maps tokens to vocab ranks in position order, OOV to 0") {
     import spark.implicits._
     val docs = Seq((1L, "b a zz b"), (2L, "a")).toDF("id", "text")
