@@ -361,6 +361,44 @@ object Export {
         transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
         col("n_loss_tokens"))
 
+  /** The COMPLETE trainer sample format in one aggregate: token ids,
+    * loss mask, document boundaries, and position-restart ids per
+    * packed sequence — everything a data loader needs to train with
+    * blocked cross-document attention on masked targets, emitted from
+    * the ONE [[packedTokens]] spine so no two of the four columns can
+    * desync (the failure mode of reconciling separate passes).
+    *
+    * `position_ids` restart at every attention boundary — a document's
+    * first token in the sequence AND the sequence head (a doc
+    * continuing from the previous sequence restarts, matching the
+    * attention reset `doc_starts` implies): `pos = g − max(doc_start,
+    * seq_start)`, row-local arithmetic on the spine. `doc_starts` and
+    * mask semantics are exactly [[packSequencesWithBoundaries]] /
+    * [[packSequencesWithMask]]'s; the id stream is bit-identical to
+    * [[packSequences]]. Same single shuffle, rows 16 bytes wider.
+    *
+    * Output: (shard_no, seq_no, n_tokens, n_docs, token_ids,
+    * loss_mask, n_loss_tokens, doc_starts, position_ids). */
+  def packSamples(encoded: DataFrame, idCol: String, idsCol: String,
+      maskCol: String, seqLen: Int, nShards: Int): DataFrame =
+    packedTokens(encoded, idCol, idsCol, seqLen, nShards, Some(maskCol))
+      .withColumn("__pos",
+        col("__g") - greatest(col("__off"), col("__g") - pmod(col("__g"), lit(seqLen.toLong))))
+      .groupBy(col("shard_no"), col("seq_no"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sort_array(collect_list(struct(col("__g"), col("__id"), col("__m"),
+          col("__pos")))).as("__zs"),
+        sum("__m").as("n_loss_tokens"),
+        sort_array(collect_set(
+          when(col("__g") === col("__off") || col("__g") % seqLen === 0,
+            col("__g") % seqLen))).as("doc_starts"))
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        transform(col("__zs"), p => p.getField("__id")).as("token_ids"),
+        transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
+        col("n_loss_tokens"), col("doc_starts"),
+        transform(col("__zs"), p => p.getField("__pos")).as("position_ids"))
+
   /** Per-sequence document provenance — the governance inverse of
     * [[packSequences]]: one row per (shard, sequence, document) with
     * the document's token span inside that sequence, so a trained

@@ -1987,7 +1987,29 @@ object Extensions {
       .orderBy("shard_no", "seq_no")
   }
 
+  /** q163 — the complete trainer sample ([[Export.packSamples]]):
+    * q157's masked packing + q162's boundaries + position-restart ids,
+    * all from the ONE spine so none can desync. Positions restart at
+    * every attention boundary (doc start within the sequence, and the
+    * sequence head); the oracle derives them from the shared spine
+    * with the same `g − max(off, seq_start)` arithmetic. */
+  def q163PackSamples(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val enc = Vocab.encode(d, "doc_id", "text", Vocab.topTokens(d, "text", 100))
+      .withColumn("mask", transform(col("token_ids"),
+        id => when(id > 0, 1).otherwise(0)))
+    Export.packSamples(enc, "doc_id", "token_ids", "mask",
+        seqLen = 64, nShards = 4)
+      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
+        col("n_loss_tokens"),
+        array_join(col("doc_starts"), " ").as("doc_starts_str"),
+        array_join(col("position_ids"), " ").as("position_ids_str"),
+        array_join(col("loss_mask"), " ").as("loss_mask_str"))
+      .orderBy("shard_no", "seq_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_pack_samples" -> (q163PackSamples _),
     "q162_pack_boundaries" -> (q162PackBoundaries _),
     "q161_bpe_byte_roundtrip" -> (q161BpeByteRoundtrip _),
     "q160_bpe_byte_encode" -> (q160BpeByteEncode _),
@@ -2446,6 +2468,27 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q163_pack_samples" ->
+      (wordPackSpineSql(100, 64, 4) + ",\n" +
+        """xm AS (SELECT shard_no, seq_no, doc_id, g,
+        |    CASE WHEN id > 0 THEN 1 ELSE 0 END AS m,
+        |    g - greatest(off, (g // 64) * 64) AS pos FROM x),
+        |bnd AS (SELECT DISTINCT shard_no, seq_no, g % 64 AS st
+        |  FROM x WHERE g = off OR g % 64 = 0),
+        |st AS (SELECT shard_no, seq_no,
+        |    array_to_string(list(st ORDER BY st), ' ') AS doc_starts_str
+        |  FROM bnd GROUP BY shard_no, seq_no),
+        |tt AS (SELECT shard_no, seq_no, count(1)::BIGINT AS n_tokens,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    sum(m)::BIGINT AS n_loss_tokens,
+        |    array_to_string(list(pos ORDER BY g), ' ') AS position_ids_str,
+        |    array_to_string(list(m ORDER BY g), ' ') AS loss_mask_str
+        |  FROM xm GROUP BY shard_no, seq_no)
+        |SELECT tt.shard_no, tt.seq_no, tt.n_tokens, tt.n_docs,
+        |  tt.n_loss_tokens, st.doc_starts_str, tt.position_ids_str,
+        |  tt.loss_mask_str
+        |FROM tt JOIN st USING (shard_no, seq_no)
+        |ORDER BY tt.shard_no, tt.seq_no""".stripMargin),
     "q162_pack_boundaries" ->
       (wordPackSpineSql(100, 64, 4) + ",\n" +
         """bnd AS (SELECT DISTINCT shard_no, seq_no, g % 64 AS st

@@ -246,6 +246,33 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("packSamples: agrees with the single-purpose variants; positions restart at every boundary") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("alpha beta gamma " * ((i % 5).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val enc = Vocab.encode(docs, "doc_id", "text", Vocab.topTokens(docs, "text", 3))
+      .withColumn("mask", transform(col("token_ids"),
+        id => when(id > 0, 1).otherwise(0)))
+    val seqLen = 16
+    val out = Export.packSamples(enc, "doc_id", "token_ids", "mask", seqLen, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val masked = Export.packSequencesWithMask(enc, "doc_id", "token_ids", "mask", seqLen, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val bounded = Export.packSequencesWithBoundaries(enc, "doc_id", "token_ids", seqLen, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == masked.keySet && out.keySet == bounded.keySet)
+    out.foreach { case (key, r) =>
+      assert(r.getSeq[Long](4) == masked(key).getSeq[Long](4), s"$key: ids == mask variant")
+      assert(r.getSeq[Long](5) == masked(key).getSeq[Long](5), s"$key: mask == mask variant")
+      assert(r.getSeq[Long](7) == bounded(key).getSeq[Long](5), s"$key: starts == bounds variant")
+      // positions: piecewise 0,1,2,… restarting at each doc start
+      val n = r.getLong(2)
+      val starts = r.getSeq[Long](7)
+      val wantPos = (0L until n).map(p => p - starts.filter(_ <= p).max)
+      assert(r.getSeq[Long](8) == wantPos, s"$key: position ids must restart at boundaries")
+    }
+  }
+
   test("fimTransform: deterministic, conserves tokens, gates on rate and length") {
     import spark.implicits._
     // mixed-case identifiers: FIM targets code corpora, so the
