@@ -384,9 +384,18 @@ object Vocab {
     * space is only stable if encode and decode read identical
     * artifacts). Both tables are vocabulary-sized — this is a
     * metadata write, not a data write. */
-  def saveTokenizer(merges: DataFrame, alphabetDf: DataFrame, dir: String): Unit = {
+  def saveTokenizer(merges: DataFrame, alphabetDf: DataFrame, dir: String,
+      byteFallback: Boolean = false): Unit = {
     merges.write.mode("overwrite").parquet(s"$dir/merges")
     alphabetDf.write.mode("overwrite").parquet(s"$dir/alphabet")
+    // the byte-fallback flag is PART of the id space (it reserves the
+    // 256-id band): persisting it with the artifact means a loader
+    // cannot silently decode byte tokens as UNKs by passing the wrong
+    // flag — read it back with loadTokenizerByteFallback
+    val spark = merges.sparkSession
+    import spark.implicits._
+    Seq((1, byteFallback)).toDF("format_version", "byte_fallback")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[saveTokenizer]] directory back as (merges, alphabet) —
@@ -394,4 +403,49 @@ object Vocab {
   def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/merges"), spark.read.parquet(s"$dir/alphabet"))
+
+  /** The persisted byte-fallback flag of a [[saveTokenizer]] directory —
+    * pass it to [[bpeEncode]]/[[bpeDecode]] so the id-space contract
+    * travels WITH the artifact. A pre-metadata artifact (no `meta`
+    * table) reports false, the legacy contract it was written under. */
+  def loadTokenizerByteFallback(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    try spark.read.parquet(s"$dir/meta")
+      .select(col("byte_fallback")).head().getBoolean(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Tokenizer fertility by group — the tokenizer-evaluation metric a
+    * pipeline computes BEFORE committing a vocabulary to a corpus
+    * (fertility = subword pieces per whitespace word; a tokenizer
+    * trained on English typically shreds low-resource languages to
+    * 2–4× the pieces, inflating their effective sequence length and
+    * training cost): per `groupCol` (language, source), exact integer
+    * milli-ratios of pieces/word and chars/piece.
+    *
+    * Scale shape: encoding is [[bpeEncode]]'s zero-shuffle projection
+    * (artifact ships inside the expression); the word/char counters
+    * are a second pruned projection; the only shuffles carry (id,
+    * counters) for the join plus the group-cardinality rollup —
+    * document text never crosses. Output: (groupCol, n_docs, n_words,
+    * n_pieces, fertility_milli, chars_per_piece_milli). */
+  def fertilityStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, merges: DataFrame, alphabetDf: DataFrame,
+      byteFallback: Boolean = false): DataFrame = {
+    val enc = bpeEncode(df, idCol, textCol, merges, alphabetDf, byteFallback)
+      .select(col(idCol), col("n_pieces"))
+    def toks = filter(graft.functions.TextFunctions.tokens(col(textCol)),
+      t => length(t) > 0)
+    val words = df.select(col(idCol), col(groupCol),
+      size(toks).cast("long").as("__nw"),
+      length(concat_ws("", toks)).cast("long").as("__nc"))
+    words.join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        sum("__nc").as("__nchars"), sum("n_pieces").as("n_pieces"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_pieces"),
+        when(col("n_words") > 0, expr("n_pieces * 1000 DIV n_words"))
+          .otherwise(0L).as("fertility_milli"),
+        when(col("n_pieces") > 0, expr("__nchars * 1000 DIV n_pieces"))
+          .otherwise(0L).as("chars_per_piece_milli"))
+  }
 }

@@ -2008,7 +2008,21 @@ object Extensions {
       .orderBy("shard_no", "seq_no")
   }
 
+  /** q164 — tokenizer fertility by language ([[Vocab.fertilityStats]]):
+    * pieces-per-word and chars-per-piece of the corpus-trained 5-merge
+    * tokenizer, per language — the eval that tells you which languages
+    * a vocabulary shreds before a training run pays for it. The oracle
+    * replays training + encoding (q144's CTE prefix) and the exact
+    * integer milli-ratios. */
+  def q164TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Vocab.fertilityStats(d, "doc_id", "text", "lang",
+        Vocab.bpeTrain(d, "text", nMerges = 5), Vocab.alphabet(d, "text"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_tokenizer_fertility" -> (q164TokenizerFertility _),
     "q163_pack_samples" -> (q163PackSamples _),
     "q162_pack_boundaries" -> (q162PackBoundaries _),
     "q161_bpe_byte_roundtrip" -> (q161BpeByteRoundtrip _),
@@ -2468,6 +2482,22 @@ object Extensions {
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q164_tokenizer_fertility" ->
+      (bpeEncodePrefixSql(5) + ",\n" +
+        s"""np AS (SELECT doc_id, count(1)::BIGINT AS n_pieces FROM ix GROUP BY doc_id),
+        |w AS (SELECT doc_id, lang,
+        |    len(list_filter($toksSql, t -> length(t) > 0))::BIGINT AS n_words,
+        |    length(array_to_string(list_filter($toksSql, t -> length(t) > 0), ''))::BIGINT AS n_chars
+        |  FROM documents),
+        |j AS (SELECT w.lang, w.n_words, w.n_chars, coalesce(np.n_pieces, 0) AS n_pieces
+        |  FROM w LEFT JOIN np USING (doc_id))
+        |SELECT lang, count(1)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+        |  sum(n_pieces)::BIGINT AS n_pieces,
+        |  (CASE WHEN sum(n_words) > 0 THEN sum(n_pieces) * 1000 // sum(n_words)
+        |    ELSE 0 END)::BIGINT AS fertility_milli,
+        |  (CASE WHEN sum(n_pieces) > 0 THEN sum(n_chars) * 1000 // sum(n_pieces)
+        |    ELSE 0 END)::BIGINT AS chars_per_piece_milli
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
     "q163_pack_samples" ->
       (wordPackSpineSql(100, 64, 4) + ",\n" +
         """xm AS (SELECT shard_no, seq_no, doc_id, g,

@@ -227,6 +227,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("BpeDecode.kernel never throws on 2000 random id soups; n_unk counts exactly the unknowns") {
+    val inv = Map(1L -> "a", 2L -> "bc", 3L -> "")
+    val byteLo = 100L
+    val m = new BpeDecode.Model(inv, byteLo)
+    (0 until 2000).foreach { _ =>
+      // null ids, known ids, byte-band ids (random runs are mostly
+      // MALFORMED UTF-8 — must degrade to U+FFFD, never throw),
+      // band-edge ids, and arbitrary longs
+      val ids: Array[Any] = Array.fill(rnd.nextInt(25))(rnd.nextInt(6) match {
+        case 0 => null
+        case 1 => (1L + rnd.nextInt(3)): java.lang.Long
+        case 2 => (byteLo + rnd.nextInt(256)): java.lang.Long
+        case 3 => (byteLo - 1L): java.lang.Long
+        case 4 => (byteLo + 256L): java.lang.Long
+        case _ => rnd.nextLong(): java.lang.Long
+      })
+      val row = BpeDecode.kernel(new GenericArrayData(ids), m)
+      val wantUnk = ids.count { v =>
+        v == null || {
+          val id = v.asInstanceOf[Long]
+          !inv.contains(id) && !(id >= byteLo && id <= byteLo + 255L)
+        }
+      }
+      assert(row.getLong(0) == wantUnk, s"ids=${ids.mkString(",")}")
+      assert(row.getUTF8String(1) != null)
+    }
+    // with the band disabled, byte ids are plain unknowns
+    val m2 = new BpeDecode.Model(inv, -1L)
+    val row2 = BpeDecode.kernel(new GenericArrayData(Array[Any](1L, byteLo)), m2)
+    assert(row2.getLong(0) == 1L && row2.getUTF8String(1).toString == "a\uFFFD")
+    // a well-formed multi-byte run reassembles exactly (C3 A9 = e-acute)
+    val row3 = BpeDecode.kernel(
+      new GenericArrayData(Array[Any](1L, byteLo + 0xC3L, byteLo + 0xA9L, 2L)), m)
+    assert(row3.getLong(0) == 0L && row3.getUTF8String(1).toString == "a\u00E9bc")
+  }
+
   test("ScriptCounts.kernel: block counts always sum to the codepoint count") {
     (0 until 1000).foreach { _ =>
       val cps = Array.fill(rnd.nextInt(40))(rnd.nextInt(0x11000))

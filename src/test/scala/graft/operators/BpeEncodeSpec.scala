@@ -182,6 +182,24 @@ class BpeEncodeSpec extends SparkSpec {
     assert(out(1L) > 0)
     assert(out(2L) == 0L && out(3L) == 0L, s"degenerate docs keep a 0-piece row: $out")
   }
+  test("tokenizer metadata: the byte-fallback flag travels with the artifact") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", nMerges = 1)
+    val alpha = Vocab.alphabet(docs, "text")
+    val withFlag = java.nio.file.Files.createTempDirectory("graft_tok_bf").toString
+    Vocab.saveTokenizer(merges, alpha, withFlag, byteFallback = true)
+    assert(Vocab.loadTokenizerByteFallback(spark, withFlag))
+    val without = java.nio.file.Files.createTempDirectory("graft_tok_nbf").toString
+    Vocab.saveTokenizer(merges, alpha, without)
+    assert(!Vocab.loadTokenizerByteFallback(spark, without))
+    // pre-metadata artifact (no meta table): legacy contract = false
+    val legacy = java.nio.file.Files.createTempDirectory("graft_tok_old").toString
+    merges.write.parquet(s"$legacy/merges")
+    alpha.write.parquet(s"$legacy/alphabet")
+    assert(!Vocab.loadTokenizerByteFallback(spark, legacy))
+  }
+
   test("tokenizer artifacts round-trip through save/load: encoding is byte-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString

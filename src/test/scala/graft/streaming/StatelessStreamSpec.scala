@@ -78,6 +78,47 @@ class StatelessStreamSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq, "stream and batch must agree row-for-row")
     assert(streamed.head(1).asInstanceOf[Long] > 0)
   }
+  test("byte-fallback encode -> decode round-trips on a stream, matching batch") {
+    val inDir = Files.createTempDirectory("graft_bf_in")
+    val outDir = Files.createTempDirectory("graft_bf_out").toString
+    val ckpt = Files.createTempDirectory("graft_bf_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // streamed docs carry out-of-alphabet chars (e-acute, euro) the
+    // batch-trained ASCII tokenizer has never seen
+    Files.write(inDir.resolve("b1.jsonl"),
+      (1 to 30).map(i =>
+        s"""{"doc_id":$i,"text":"ascii training words caf\\u00e9 \\u20ac$i"}""").asJava)
+
+    val train = spark.read.schema(schema).json(inDir.toString)
+      .select(col("doc_id"), regexp_replace(col("text"), "[^a-z ]", "").as("text"))
+    val merges = graft.operators.Vocab.bpeTrain(train, "text", nMerges = 5)
+    val alpha = graft.operators.Vocab.alphabet(train, "text")
+    // encode AND decode are both pure projections — the whole
+    // round-trip audit runs unchanged on the stream
+    def roundtrip(df: org.apache.spark.sql.DataFrame) = {
+      val enc = graft.operators.Vocab.bpeEncode(df, "doc_id", "text",
+        merges, alpha, byteFallback = true)
+      graft.operators.Vocab.bpeDecode(enc, "doc_id", "token_ids",
+        merges, alpha, byteFallback = true)
+    }
+
+    val q = roundtrip(spark.readStream.schema(schema).json(inDir.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir).orderBy("doc_id").collect()
+    val batch = roundtrip(spark.read.schema(schema).json(inDir.toString))
+      .orderBy("doc_id").collect()
+    assert(streamed.length == 30)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed.forall(_.getLong(2) == 0L), "byte fallback leaves no UNKs")
+    assert(streamed.head.getString(3).contains("caf\u00e9"),
+      "multi-byte chars reassemble on the stream path")
+  }
+
   test("unicode cleaners (fixMojibake -> NFC) run unchanged on a stream, matching batch") {
     val inDir = Files.createTempDirectory("graft_un_in")
     val outDir = Files.createTempDirectory("graft_un_out").toString
