@@ -292,12 +292,54 @@ object Export {
     * Empty docs (0 tokens) are dropped before packing. */
   def packSequences(encoded: DataFrame, idCol: String, idsCol: String,
       seqLen: Int, nShards: Int): DataFrame =
-    packedTokens(encoded, idCol, idsCol, seqLen, nShards)
-      .groupBy(col("shard_no"), col("seq_no"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"),
-        transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
-          p => p.getField("__id")).as("token_ids"))
+    packedAgg(encoded, idCol, idsCol, seqLen, nShards,
+      maskCol = None, bounds = false, positions = false)
+
+  /** ONE definition of the sequence-reassembly aggregate behind
+    * [[packSequences]], [[packSequencesWithMask]],
+    * [[packSequencesWithBoundaries]], and [[packSamples]] — the output
+    * contract (which token lands where, how boundaries are detected,
+    * how the mask rides the spine) lives HERE once, so the four
+    * variants cannot drift from each other. Each optional column
+    * appends in the documented order; the collected struct array is
+    * sorted by the unique global position, so adding fields never
+    * perturbs the token stream. */
+  private def packedAgg(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, nShards: Int, maskCol: Option[String],
+      bounds: Boolean, positions: Boolean): DataFrame = {
+    var spine = packedTokens(encoded, idCol, idsCol, seqLen, nShards, maskCol)
+    if (positions)
+      // position ids restart at every attention boundary: the doc's
+      // first token in this sequence AND the sequence head
+      spine = spine.withColumn("__pos",
+        col("__g") - greatest(col("__off"),
+          col("__g") - pmod(col("__g"), lit(seqLen.toLong))))
+    val zsFields = Seq(col("__g"), col("__id")) ++
+      (if (maskCol.isDefined) Seq(col("__m")) else Nil) ++
+      (if (positions) Seq(col("__pos")) else Nil)
+    val aggs = Seq(
+      count(lit(1)).cast("long").as("n_tokens"),
+      countDistinct(col(idCol)).as("n_docs"),
+      sort_array(collect_list(struct(zsFields: _*))).as("__zs")) ++
+      (if (maskCol.isDefined) Seq(sum("__m").as("n_loss_tokens")) else Nil) ++
+      (if (bounds) Seq(
+        // collect_set: the two start conditions coincide when a doc
+        // begins exactly at a sequence head — dedup, then sort
+        sort_array(collect_set(
+          when(col("__g") === col("__off") || col("__g") % seqLen === 0,
+            col("__g") % seqLen))).as("doc_starts")) else Nil)
+    val outCols = Seq(col("shard_no"), col("seq_no"), col("n_tokens"),
+      col("n_docs"),
+      transform(col("__zs"), p => p.getField("__id")).as("token_ids")) ++
+      (if (maskCol.isDefined) Seq(
+        transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
+        col("n_loss_tokens")) else Nil) ++
+      (if (bounds) Seq(col("doc_starts")) else Nil) ++
+      (if (positions) Seq(
+        transform(col("__zs"), p => p.getField("__pos")).as("position_ids")) else Nil)
+    spine.groupBy(col("shard_no"), col("seq_no")).agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
+  }
 
   /** [[packSequences]] plus the per-sequence DOCUMENT BOUNDARIES a
     * trainer needs to block cross-document attention inside a packed
@@ -319,17 +361,8 @@ object Export {
     * columns + (doc_starts array<long>). */
   def packSequencesWithBoundaries(encoded: DataFrame, idCol: String,
       idsCol: String, seqLen: Int, nShards: Int): DataFrame =
-    packedTokens(encoded, idCol, idsCol, seqLen, nShards)
-      .groupBy(col("shard_no"), col("seq_no"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"),
-        transform(sort_array(collect_list(struct(col("__g"), col("__id")))),
-          p => p.getField("__id")).as("token_ids"),
-        // collect_set: the two start conditions coincide when a doc
-        // begins exactly at a sequence head — dedup, then sort
-        sort_array(collect_set(
-          when(col("__g") === col("__off") || col("__g") % seqLen === 0,
-            col("__g") % seqLen))).as("doc_starts"))
+    packedAgg(encoded, idCol, idsCol, seqLen, nShards,
+      maskCol = None, bounds = true, positions = false)
 
   /** [[packSequences]] carrying a parallel per-token mask — the step
     * that makes [[Chat.render]]'s loss-mask spans survive packing: a
@@ -346,20 +379,8 @@ object Export {
     * on the same input. Output adds (loss_mask, n_loss_tokens). */
   def packSequencesWithMask(encoded: DataFrame, idCol: String, idsCol: String,
       maskCol: String, seqLen: Int, nShards: Int): DataFrame =
-    packedTokens(encoded, idCol, idsCol, seqLen, nShards, Some(maskCol))
-      .groupBy(col("shard_no"), col("seq_no"))
-      // collect + sort the zipped struct array ONCE; ids and mask are
-      // projected out of the same array, so they cannot desync and the
-      // per-group sort isn't paid twice
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"),
-        sort_array(collect_list(struct(col("__g"), col("__id"), col("__m"))))
-          .as("__zs"),
-        sum("__m").as("n_loss_tokens"))
-      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
-        transform(col("__zs"), p => p.getField("__id")).as("token_ids"),
-        transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
-        col("n_loss_tokens"))
+    packedAgg(encoded, idCol, idsCol, seqLen, nShards,
+      maskCol = Some(maskCol), bounds = false, positions = false)
 
   /** The COMPLETE trainer sample format in one aggregate: token ids,
     * loss mask, document boundaries, and position-restart ids per
@@ -381,23 +402,8 @@ object Export {
     * loss_mask, n_loss_tokens, doc_starts, position_ids). */
   def packSamples(encoded: DataFrame, idCol: String, idsCol: String,
       maskCol: String, seqLen: Int, nShards: Int): DataFrame =
-    packedTokens(encoded, idCol, idsCol, seqLen, nShards, Some(maskCol))
-      .withColumn("__pos",
-        col("__g") - greatest(col("__off"), col("__g") - pmod(col("__g"), lit(seqLen.toLong))))
-      .groupBy(col("shard_no"), col("seq_no"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"),
-        sort_array(collect_list(struct(col("__g"), col("__id"), col("__m"),
-          col("__pos")))).as("__zs"),
-        sum("__m").as("n_loss_tokens"),
-        sort_array(collect_set(
-          when(col("__g") === col("__off") || col("__g") % seqLen === 0,
-            col("__g") % seqLen))).as("doc_starts"))
-      .select(col("shard_no"), col("seq_no"), col("n_tokens"), col("n_docs"),
-        transform(col("__zs"), p => p.getField("__id")).as("token_ids"),
-        transform(col("__zs"), p => p.getField("__m")).as("loss_mask"),
-        col("n_loss_tokens"), col("doc_starts"),
-        transform(col("__zs"), p => p.getField("__pos")).as("position_ids"))
+    packedAgg(encoded, idCol, idsCol, seqLen, nShards,
+      maskCol = Some(maskCol), bounds = true, positions = true)
 
   /** Per-sequence document provenance — the governance inverse of
     * [[packSequences]]: one row per (shard, sequence, document) with

@@ -399,20 +399,61 @@ object Vocab {
   }
 
   /** Load a [[saveTokenizer]] directory back as (merges, alphabet) —
-    * ready for [[bpeEncode]] / [[bpeDecode]]. */
+    * ready for [[bpeEncode]] / [[bpeDecode]]. Prefer
+    * [[loadTokenizerFull]]: this pair-shaped loader cannot carry the
+    * byte-fallback flag, so the caller must thread it separately. */
   def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/merges"), spark.read.parquet(s"$dir/alphabet"))
 
-  /** The persisted byte-fallback flag of a [[saveTokenizer]] directory —
-    * pass it to [[bpeEncode]]/[[bpeDecode]] so the id-space contract
-    * travels WITH the artifact. A pre-metadata artifact (no `meta`
-    * table) reports false, the legacy contract it was written under. */
+  /** A loaded tokenizer artifact: the two tables PLUS the id-space
+    * flag, accepted directly by the [[bpeEncode]]/[[bpeDecode]]
+    * overloads — the flag cannot be forgotten or mismatched by a call
+    * site, which is the whole point of persisting it. */
+  final case class Tokenizer(merges: DataFrame, alphabet: DataFrame,
+      byteFallback: Boolean)
+
+  /** Load a [[saveTokenizer]] directory as a [[Tokenizer]] — tables +
+    * byte-fallback flag in one value. */
+  def loadTokenizerFull(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Tokenizer =
+    Tokenizer(spark.read.parquet(s"$dir/merges"),
+      spark.read.parquet(s"$dir/alphabet"),
+      loadTokenizerByteFallback(spark, dir))
+
+  /** The persisted byte-fallback flag of a [[saveTokenizer]] directory.
+    * ONLY a genuinely absent `meta` table reports false (the legacy
+    * contract pre-metadata artifacts were written under — existence is
+    * checked explicitly, not inferred from a swallowed exception); a
+    * PRESENT meta that is corrupt, schema-drifted, or from a newer
+    * format FAILS LOUDLY — silently defaulting would decode every
+    * byte-band id as UNK, the exact id-space mismatch the metadata
+    * exists to prevent. */
   def loadTokenizerByteFallback(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean =
-    try spark.read.parquet(s"$dir/meta")
-      .select(col("byte_fallback")).head().getBoolean(0)
-    catch { case _: org.apache.spark.sql.AnalysisException => false }
+      dir: String): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) false
+    else {
+      val meta = spark.read.parquet(s"$dir/meta")
+        .select(col("format_version").cast("int"), col("byte_fallback")).head()
+      require(meta.getInt(0) == 1,
+        s"unsupported tokenizer artifact format_version ${meta.getInt(0)} (this build reads 1)")
+      meta.getBoolean(1)
+    }
+  }
+
+  /** [[bpeEncode]] against a loaded [[Tokenizer]] — the flag travels
+    * with the artifact. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      tok: Tokenizer): DataFrame =
+    bpeEncode(df, idCol, textCol, tok.merges, tok.alphabet, tok.byteFallback)
+
+  /** [[bpeDecode]] against a loaded [[Tokenizer]] — the flag travels
+    * with the artifact. */
+  def bpeDecode(df: DataFrame, idCol: String, idsCol: String,
+      tok: Tokenizer): DataFrame =
+    bpeDecode(df, idCol, idsCol, tok.merges, tok.alphabet, tok.byteFallback)
 
   /** Tokenizer fertility by group — the tokenizer-evaluation metric a
     * pipeline computes BEFORE committing a vocabulary to a corpus
@@ -433,11 +474,18 @@ object Vocab {
       byteFallback: Boolean = false): DataFrame = {
     val enc = bpeEncode(df, idCol, textCol, merges, alphabetDf, byteFallback)
       .select(col(idCol), col("n_pieces"))
-    def toks = filter(graft.functions.TextFunctions.tokens(col(textCol)),
-      t => length(t) > 0)
+    // counter arithmetic WITHOUT higher-order functions (lambdas are
+    // excluded from codegen subexpression elimination, so a filtered
+    // token array would be rebuilt per reference): fully whitespace-trim
+    // once — functions.trim strips only ' ', so \t\n edges would leave
+    // a leading "" token in a bare split — then one split for the word
+    // count and one whitespace-strip for the char count. Equals
+    // size/concat of the non-empty canonical tokens exactly.
+    def bt = regexp_replace(lower(trim(col(textCol))), "^\\s+|\\s+$", "")
     val words = df.select(col(idCol), col(groupCol),
-      size(toks).cast("long").as("__nw"),
-      length(concat_ws("", toks)).cast("long").as("__nc"))
+      when(length(bt) === 0, 0L)
+        .otherwise(size(split(bt, "\\s+"))).cast("long").as("__nw"),
+      length(regexp_replace(bt, "\\s+", "")).cast("long").as("__nc"))
     words.join(enc, Seq(idCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),

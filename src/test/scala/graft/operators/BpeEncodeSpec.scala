@@ -198,6 +198,24 @@ class BpeEncodeSpec extends SparkSpec {
     merges.write.parquet(s"$legacy/merges")
     alpha.write.parquet(s"$legacy/alphabet")
     assert(!Vocab.loadTokenizerByteFallback(spark, legacy))
+    // the full loader carries the flag, and the Tokenizer overloads
+    // thread it — byte tokens decode, they do not become UNKs
+    val tok = Vocab.loadTokenizerFull(spark, withFlag)
+    assert(tok.byteFallback)
+    val dec = Vocab.bpeDecode(
+      Vocab.bpeEncode(Seq((1L, "ab z\u00E9")).toDF("doc_id", "text"), "doc_id", "text", tok),
+      "doc_id", "token_ids", tok).head()
+    assert(dec.getLong(2) == 0L && dec.getString(3) == "abz\u00E9")
+    // a PRESENT but corrupt/newer meta fails loudly — silently
+    // defaulting to false is the id-space mismatch the meta prevents
+    val bad = java.nio.file.Files.createTempDirectory("graft_tok_bad").toString
+    merges.write.parquet(s"$bad/merges")
+    alpha.write.parquet(s"$bad/alphabet")
+    Seq((2, true)).toDF("format_version", "byte_fallback")
+      .write.parquet(s"$bad/meta")
+    intercept[IllegalArgumentException] {
+      Vocab.loadTokenizerByteFallback(spark, bad)
+    }
   }
 
   test("tokenizer artifacts round-trip through save/load: encoding is byte-identical") {
