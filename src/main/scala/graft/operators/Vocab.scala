@@ -253,6 +253,22 @@ object Vocab {
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, alphabetDf: DataFrame,
       byteFallback: Boolean = false): DataFrame = {
+    val model = buildSegmentModel(merges, alphabetDf, byteFallback)
+    df.select(col(idCol), graft.expressions.BpeSegment(
+        graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        model).as("__seg"))
+      .select(col(idCol),
+        size(col("__seg.pieces")).cast("long").as("n_pieces"),
+        col("__seg.pieces").as("pieces"),
+        col("__seg.ids").as("token_ids"))
+  }
+
+  /** ONE definition of the driver-side artifact → [[graft.expressions
+    * .BpeSegment.Model]] compilation shared by [[bpeEncode]] and
+    * [[fertilityStats]] (both ship the SAME model semantics into their
+    * projections). */
+  private def buildSegmentModel(merges: DataFrame, alphabetDf: DataFrame,
+      byteFallback: Boolean): graft.expressions.BpeSegment.Model = {
     val mergeList = merges
       .select(col("merge_no").cast("int"), col("left_sym"), col("right_sym"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
@@ -263,19 +279,12 @@ object Vocab {
     // first-producer wins when two merges fuse to the same string
     val fusedIds = mergeList.groupBy(m => m._2 + m._3)
       .map { case (s, ms) => s -> (base + ms.map(_._1).min) }
-    val model = new graft.expressions.BpeSegment.Model(
+    new graft.expressions.BpeSegment.Model(
       ranks = mergeList.zipWithIndex.map { case ((_, a, b), i) => (a, b) -> i }
         .reverse.toMap, // reverse → FIRST occurrence of a pair keeps the lowest rank
       rankPairs = mergeList.map(m => (m._2, m._3)),
       ids = alpha ++ fusedIds,
       byteLo = byteBandLo(base, mergeList.map(_._1), byteFallback))
-    df.select(col(idCol), graft.expressions.BpeSegment(
-        graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
-        model).as("__seg"))
-      .select(col(idCol),
-        size(col("__seg.pieces")).cast("long").as("n_pieces"),
-        col("__seg.pieces").as("pieces"),
-        col("__seg.ids").as("token_ids"))
   }
 
   /** Inverse of [[bpeEncode]]: subword ids → text, the detokenization
@@ -463,17 +472,16 @@ object Vocab {
     * training cost): per `groupCol` (language, source), exact integer
     * milli-ratios of pieces/word and chars/piece.
     *
-    * Scale shape: encoding is [[bpeEncode]]'s zero-shuffle projection
-    * (artifact ships inside the expression); the word/char counters
-    * are a second pruned projection; the only shuffles carry (id,
-    * counters) for the join plus the group-cardinality rollup —
-    * document text never crosses. Output: (groupCol, n_docs, n_words,
-    * n_pieces, fertility_milli, chars_per_piece_milli). */
-  def fertilityStats(df: DataFrame, idCol: String, textCol: String,
+    * Scale shape: ONE corpus scan, NO join — the segmenter expression
+    * (artifact inside, the [[bpeEncode]] model) rides the SAME
+    * projection as the word/char counters, so the only shuffle is the
+    * group-cardinality partial-agg rollup; document text never
+    * crosses. Output: (groupCol, n_docs, n_words, n_pieces,
+    * fertility_milli, chars_per_piece_milli). */
+  def fertilityStats(df: DataFrame, textCol: String,
       groupCol: String, merges: DataFrame, alphabetDf: DataFrame,
       byteFallback: Boolean = false): DataFrame = {
-    val enc = bpeEncode(df, idCol, textCol, merges, alphabetDf, byteFallback)
-      .select(col(idCol), col("n_pieces"))
+    val model = buildSegmentModel(merges, alphabetDf, byteFallback)
     // counter arithmetic WITHOUT higher-order functions (lambdas are
     // excluded from codegen subexpression elimination, so a filtered
     // token array would be rebuilt per reference): fully whitespace-trim
@@ -482,11 +490,13 @@ object Vocab {
     // count and one whitespace-strip for the char count. Equals
     // size/concat of the non-empty canonical tokens exactly.
     def bt = regexp_replace(lower(trim(col(textCol))), "^\\s+|\\s+$", "")
-    val words = df.select(col(idCol), col(groupCol),
-      when(length(bt) === 0, 0L)
-        .otherwise(size(split(bt, "\\s+"))).cast("long").as("__nw"),
-      length(regexp_replace(bt, "\\s+", "")).cast("long").as("__nc"))
-    words.join(enc, Seq(idCol))
+    df.select(col(groupCol),
+        when(length(bt) === 0, 0L)
+          .otherwise(size(split(bt, "\\s+"))).cast("long").as("__nw"),
+        length(regexp_replace(bt, "\\s+", "")).cast("long").as("__nc"),
+        size(graft.expressions.BpeSegment(
+          graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+          model).getField("pieces")).cast("long").as("n_pieces"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
         sum("__nc").as("__nchars"), sum("n_pieces").as("n_pieces"))

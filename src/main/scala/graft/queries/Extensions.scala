@@ -2016,7 +2016,7 @@ object Extensions {
     * integer milli-ratios. */
   def q164TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-    Vocab.fertilityStats(d, "doc_id", "text", "lang",
+    Vocab.fertilityStats(d, "text", "lang",
         Vocab.bpeTrain(d, "text", nMerges = 5), Vocab.alphabet(d, "text"))
       .orderBy("lang")
   }

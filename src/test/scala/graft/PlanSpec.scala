@@ -268,6 +268,17 @@ class PlanSpec extends SparkSpec {
       "the running-sum window must partition by the range slice id, not source alone")
   }
 
+  test("q164 fertility: one corpus scan, no join — the rollup is the only shuffle") {
+    val p = plan("q164_tokenizer_fertility")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      "the segmenter expression must ride the counters' projection — one scan")
+    assert(!p.contains("Join"),
+      "no join: the artifact ships inside the expression, the counters share the scan")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "the per-group counters must partially aggregate before their shuffle")
+  }
+
   test("q113 bigram fluency: V broadcasts; shuffles carry hashes, never bigram text") {
     val p = plan("q113_bigram_fluency")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
