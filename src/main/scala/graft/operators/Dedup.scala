@@ -374,6 +374,48 @@ object Dedup {
     graft.expressions.MinHashSig(
       graft.expressions.TokenHashes(array_distinct(tokens(text))), k)
 
+  /** Cross-GROUP vocabulary overlap — the dataset-overlap audit run
+    * before mixing sources ("is this new crawl snapshot mostly a
+    * re-crawl of one we already have?") or between a corpus and an
+    * eval suite's domains: per unordered group pair, the MinHash
+    * estimate of the Jaccard similarity of their distinct-TOKEN
+    * vocabularies, in exact integer permille (matching signature
+    * components × 1000 / k — deterministic, engine-replayable: the
+    * same md5 token hashes and fixed permutations as [[minhashSigArray]]).
+    *
+    * Scale shape: the corpus reduces to distinct (group, token) pairs
+    * (one partial-agg shuffle, vocabulary-sized per group), then to
+    * ONE k-long signature row per group (k min-aggregates, map-side
+    * partial); the pair comparison is a self-join of the
+    * group-cardinality frame — sources/snapshots are few, so the pair
+    * space is trivially small while the corpus is touched once.
+    * Estimate quality is the standard MinHash bound (±1/√k); raise
+    * `k` for tighter audits. Output: (group_a, group_b,
+    * est_jaccard_milli), group_a < group_b. */
+  def vocabularyOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val vocab = df.select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .distinct()
+    // same 60-bit md5 hash as the signature kernels / DuckDB oracles
+    val h = expr("conv(substring(md5(__tok), 1, 15), 16, 10)").cast("long")
+    val mins = (0 until k).map(i =>
+      min((lit(minhashA(i)) * (h % minhashP) + lit(minhashB(i))) % minhashP)
+        .as(s"__mh$i"))
+    val sigs = vocab.groupBy(col("__g")).agg(mins.head, mins.tail: _*)
+    val right = sigs.select(col("__g").as("__g2") +:
+      (0 until k).map(i => col(s"__mh$i").as(s"__nh$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"__mh$i") === col(s"__nh$i"), 1L).otherwise(0L)).reduce(_ + _)
+    sigs.join(right, col("__g") < col("__g2"))
+      .select(col("__g").as("group_a"), col("__g2").as("group_b"),
+        // floor over an exact small-integer double — identical to the
+        // oracle's integer // division
+        floor(matches * 1000L / k).cast("long").as("est_jaccard_milli"))
+  }
+
   /** Attach signature columns `mh0..mh{k-1}` + per-band LSH keys
     * (`band$b` = md5 of the band's row-slice). Docs sharing any band key
     * are candidates. The signature array is computed once per row and

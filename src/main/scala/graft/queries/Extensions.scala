@@ -2021,7 +2021,19 @@ object Extensions {
       .orderBy("lang")
   }
 
+  /** q165 — cross-source vocabulary overlap ([[Dedup.vocabularyOverlap]],
+    * k = 16): the dataset-overlap audit before mixing sources — MinHash
+    * estimate of each source pair's distinct-token Jaccard in integer
+    * permille, the same md5 hashes and fixed permutations as the q22
+    * signatures. The oracle replays the per-source minima and the
+    * component-match count exactly. */
+  def q165SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.vocabularyOverlap(Tables(spark, dir, "documents"), "source", "text",
+        k = 16)
+      .orderBy("group_a", "group_b")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_source_overlap" -> (q165SourceOverlap _),
     "q164_tokenizer_fertility" -> (q164TokenizerFertility _),
     "q163_pack_samples" -> (q163PackSamples _),
     "q162_pack_boundaries" -> (q162PackBoundaries _),
@@ -2481,7 +2493,27 @@ object Extensions {
      |r$k AS (SELECT n.node, (150000 + (850 * coalesce(c.c, 0)) // 1000)::BIGINT AS r
      |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
 
+  /** q165's oracle: per-source distinct-token minima under the SAME
+    * fixed permutations as the Spark signatures, then the
+    * component-match permille per source pair. */
+  private val sourceOverlapSql: String = {
+    val mins = (0 until 16).map(i =>
+      s"min((${Dedup.minhashA(i)} * (h % ${Dedup.minhashP}) + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS mh$i")
+      .mkString(",\n  ")
+    val eqs = (0 until 16).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source AS g, unnest($toksSql) AS tok FROM documents),
+       |v AS (SELECT DISTINCT g, tok FROM t WHERE length(tok) > 0),
+       |hh AS (SELECT g, $hashSql AS h FROM v),
+       |s AS (SELECT g, $mins FROM hh GROUP BY g)
+       |SELECT a.g AS group_a, b.g AS group_b,
+       |  (($eqs) * 1000 // 16)::BIGINT AS est_jaccard_milli
+       |FROM s a JOIN s b ON a.g < b.g
+       |ORDER BY group_a, group_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q165_source_overlap" -> sourceOverlapSql,
     "q164_tokenizer_fertility" ->
       (bpeEncodePrefixSql(5) + ",\n" +
         s"""np AS (SELECT doc_id, count(1)::BIGINT AS n_pieces FROM ix GROUP BY doc_id),

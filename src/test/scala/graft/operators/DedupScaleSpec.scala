@@ -175,6 +175,35 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("vocabularyOverlap: identical vocabularies estimate 1000; signatures replay the md5 minima exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // s1/s2 share the whole vocabulary (split across docs differently);
+    // s3 is disjoint
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"), (2L, "s1", "epsilon zeta"),
+      (3L, "s2", "epsilon zeta alpha"), (4L, "s2", "beta gamma delta"),
+      (5L, "s3", "uno dos tres quattro cinque sei")).toDF("doc_id", "source", "text")
+    val got = Dedup.vocabularyOverlap(docs, "source", "text", k = 12)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("s1", "s2")) == 1000L, "identical vocabularies must match every component")
+    assert(got.values.forall(v => v >= 0L && v <= 1000L))
+    // brute-force replay: per source, the k permutation minima over the
+    // md5 token hashes — the estimate must equal the component matches
+    def hash(t: String): Long = graft.expressions.TokenHashes.hashOne(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    val vocab = docs.collect().map(r => (r.getString(1), r.getString(2)))
+      .flatMap { case (s, t) => t.toLowerCase.trim.split("\\s+").map(s -> _) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(p => hash(p._2)).toSet).toMap
+    def sig(s: String): Seq[Long] = (0 until 12).map(i =>
+      vocab(s).map(h =>
+        (Dedup.minhashA(i) * (h % Dedup.minhashP) + Dedup.minhashB(i)) % Dedup.minhashP).min)
+    for ((a, b) <- Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3"))) {
+      val want = sig(a).zip(sig(b)).count { case (x, y) => x == y } * 1000L / 12L
+      assert(got((a, b)) == want, s"($a,$b): replayed minima disagree")
+    }
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(
