@@ -390,29 +390,45 @@ object Dedup {
     * group-cardinality frame — sources/snapshots are few, so the pair
     * space is trivially small while the corpus is touched once.
     * Estimate quality is the standard MinHash bound (±1/√k); raise
-    * `k` for tighter audits. Output: (group_a, group_b,
-    * est_jaccard_milli), group_a < group_b. */
+    * `k` for tighter audits. EVERY unordered group pair appears —
+    * a group with an empty vocabulary (all-null/whitespace text, an
+    * upstream extraction failure an audit must SEE) reports 0 against
+    * every other group rather than silently vanishing. Output:
+    * (group_a, group_b, est_jaccard_milli), group_a < group_b. */
   def vocabularyOverlap(df: DataFrame, groupCol: String, textCol: String,
       k: Int = 16): DataFrame = {
     require(k >= 1, "need k >= 1")
+    // hash BEFORE distinct: the permutation minima are pure functions
+    // of the 60-bit hash (the shared tokenHash the signature kernels
+    // use), so distinct over (group, long) is signature-identical
+    // while the exchange carries fixed 8-byte rows, never token text
     val vocab = df.select(col(groupCol).as("__g"),
         explode(tokens(col(textCol))).as("__tok"))
       .filter(length(col("__tok")) > 0)
+      .select(col("__g"),
+        graft.functions.TextFunctions.tokenHash(col("__tok")).as("__h"))
       .distinct()
-    // same 60-bit md5 hash as the signature kernels / DuckDB oracles
-    val h = expr("conv(substring(md5(__tok), 1, 15), 16, 10)").cast("long")
     val mins = (0 until k).map(i =>
-      min((lit(minhashA(i)) * (h % minhashP) + lit(minhashB(i))) % minhashP)
+      min((lit(minhashA(i)) * (col("__h") % minhashP) + lit(minhashB(i))) % minhashP)
         .as(s"__mh$i"))
     val sigs = vocab.groupBy(col("__g")).agg(mins.head, mins.tail: _*)
+    // complete pair frame from the group universe, signatures joined
+    // null-safely on BOTH sides — an empty-vocab group has no
+    // signature row and must still pair (with 0 matching components)
+    val groups = df.select(col(groupCol).as("__ga")).distinct()
+    val pairs = groups.join(groups.select(col("__ga").as("__gb")),
+      col("__ga") < col("__gb"))
+    val left = sigs
     val right = sigs.select(col("__g").as("__g2") +:
       (0 until k).map(i => col(s"__mh$i").as(s"__nh$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"__mh$i") === col(s"__nh$i"), 1L).otherwise(0L)).reduce(_ + _)
-    sigs.join(right, col("__g") < col("__g2"))
-      .select(col("__g").as("group_a"), col("__g2").as("group_b"),
+    pairs
+      .join(left, col("__ga") === col("__g"), "left")
+      .join(right, col("__gb") === col("__g2"), "left")
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
         // floor over an exact small-integer double — identical to the
-        // oracle's integer // division
+        // oracle's integer // division; missing signatures match nothing
         floor(matches * 1000L / k).cast("long").as("est_jaccard_milli"))
   }
 

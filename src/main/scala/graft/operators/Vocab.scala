@@ -485,11 +485,11 @@ object Vocab {
     // counter arithmetic WITHOUT higher-order functions (lambdas are
     // excluded from codegen subexpression elimination, so a filtered
     // token array would be rebuilt per reference): fully whitespace-trim
-    // once — functions.trim strips only ' ', so \t\n edges would leave
-    // a leading "" token in a bare split — then one split for the word
-    // count and one whitespace-strip for the char count. Equals
-    // size/concat of the non-empty canonical tokens exactly.
-    def bt = regexp_replace(lower(trim(col(textCol))), "^\\s+|\\s+$", "")
+    // via the edge regex (functions.trim strips only ' ', so \t\n edges
+    // would leave a leading "" token in a bare split), then one split
+    // for the word count and one whitespace-strip for the char count.
+    // Equals size/concat of the non-empty canonical tokens exactly.
+    def bt = regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", "")
     df.select(col(groupCol),
         when(length(bt) === 0, 0L)
           .otherwise(size(split(bt, "\\s+"))).cast("long").as("__nw"),

@@ -2505,10 +2505,12 @@ object Extensions {
     s"""WITH t AS (SELECT source AS g, unnest($toksSql) AS tok FROM documents),
        |v AS (SELECT DISTINCT g, tok FROM t WHERE length(tok) > 0),
        |hh AS (SELECT g, $hashSql AS h FROM v),
-       |s AS (SELECT g, $mins FROM hh GROUP BY g)
-       |SELECT a.g AS group_a, b.g AS group_b,
+       |s AS (SELECT g, $mins FROM hh GROUP BY g),
+       |g0 AS (SELECT DISTINCT source AS g FROM documents),
+       |p AS (SELECT l.g AS ga, r.g AS gb FROM g0 l JOIN g0 r ON l.g < r.g)
+       |SELECT p.ga AS group_a, p.gb AS group_b,
        |  (($eqs) * 1000 // 16)::BIGINT AS est_jaccard_milli
-       |FROM s a JOIN s b ON a.g < b.g
+       |FROM p LEFT JOIN s a ON p.ga = a.g LEFT JOIN s b ON p.gb = b.g
        |ORDER BY group_a, group_b""".stripMargin
   }
 

@@ -183,11 +183,18 @@ class DedupScaleSpec extends SparkSpec {
     val docs = Seq(
       (1L, "s1", "alpha beta gamma delta"), (2L, "s1", "epsilon zeta"),
       (3L, "s2", "epsilon zeta alpha"), (4L, "s2", "beta gamma delta"),
-      (5L, "s3", "uno dos tres quattro cinque sei")).toDF("doc_id", "source", "text")
+      (5L, "s3", "uno dos tres quattro cinque sei"),
+      (6L, "s4", "   ")).toDF("doc_id", "source", "text")
     val got = Dedup.vocabularyOverlap(docs, "source", "text", k = 12)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got(("s1", "s2")) == 1000L, "identical vocabularies must match every component")
     assert(got.values.forall(v => v >= 0L && v <= 1000L))
+    // an empty-vocab group (whitespace-only text — an extraction
+    // failure the audit must SEE) pairs with everyone at 0, instead of
+    // silently vanishing from the report
+    assert(got.size == 6, s"all C(4,2) pairs must appear: ${got.keySet}")
+    for (s <- Seq("s1", "s2", "s3"))
+      assert(got((s, "s4")) == 0L, s"($s,s4) must report 0 overlap")
     // brute-force replay: per source, the k permutation minima over the
     // md5 token hashes — the estimate must equal the component matches
     def hash(t: String): Long = graft.expressions.TokenHashes.hashOne(
