@@ -279,6 +279,20 @@ class PlanSpec extends SparkSpec {
       "the per-group counters must partially aggregate before their shuffle")
   }
 
+  test("q165 overlap: shuffles carry 8-byte hashes, never token text") {
+    val p = plan("q165_source_overlap")
+    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, "expected the distinct/signature exchanges")
+    // tokens die inside the projection that hashes them — the distinct
+    // and the signature rollup exchange (group, long) rows only
+    assert(shuffleInputs.forall(s => !s.contains("__tok#") && !s.contains("text#")),
+      "neither document text nor raw tokens may cross a shuffle")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "the signature minima must partially aggregate before their shuffle")
+  }
+
   test("q113 bigram fluency: V broadcasts; shuffles carry hashes, never bigram text") {
     val p = plan("q113_bigram_fluency")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
