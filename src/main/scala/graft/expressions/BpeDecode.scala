@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * With byte fallback enabled (`byteLo` ≥ 0), ids in
   * [byteLo, byteLo+255] are UTF-8 bytes: maximal consecutive byte
   * runs buffer up and decode together (a multi-byte character's bytes
-  * must reassemble as one char), malformed sequences degrading to the
-  * replacement char rather than failing the batch. NULL input → NULL.
+  * must reassemble as one char); each MALFORMED subsequence degrades
+  * to one replacement char AND counts in `n_unk` — byte-level
+  * corruption trips the same gate as unknown ids, never fails the
+  * batch. NULL input → NULL.
   */
 case class BpeDecode(child: Expression, model: BpeDecode.Model)
   extends UnaryExpression {
@@ -85,10 +87,31 @@ object BpeDecode {
     var nUnk = 0L
     def flush(): Unit =
       if (pending != null && pending.size() > 0) {
-        // REPLACE-mode UTF-8 decode: malformed byte runs surface as
-        // U+FFFD (new String does exactly that), never an exception
-        out.append(new String(pending.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8))
+        // REPORT-mode UTF-8 decode loop: well-formed runs decode
+        // exactly as the old REPLACE-mode `new String` did; each
+        // malformed subsequence surfaces as one U+FFFD in the text AND
+        // counts in n_unk, so byte-level corruption trips the same
+        // counter a pipeline gates on. (Scanning the output for U+FFFD
+        // instead would miscount: EF BF BD is a LEGITIMATE encoding of
+        // U+FFFD and must not be flagged.)
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val in = java.nio.ByteBuffer.wrap(pending.toByteArray)
+        // UTF-8 never yields more chars than bytes, and each error
+        // event appends exactly one char, so this buffer cannot overflow
+        val cb = java.nio.CharBuffer.allocate(pending.size() + 1)
+        var done = false
+        while (!done) {
+          val res = dec.decode(in, cb, true)
+          if (res.isMalformed || res.isUnmappable) {
+            cb.put('\uFFFD'); nUnk += 1L
+            in.position(in.position() + res.length())
+          } else done = true // UNDERFLOW: input exhausted
+        }
+        dec.flush(cb)
+        cb.flip()
+        out.append(cb)
         pending.reset()
       }
     var i = 0

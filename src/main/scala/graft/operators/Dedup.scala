@@ -393,8 +393,11 @@ object Dedup {
     * `k` for tighter audits. EVERY unordered group pair appears —
     * a group with an empty vocabulary (all-null/whitespace text, an
     * upstream extraction failure an audit must SEE) reports 0 against
-    * every other group rather than silently vanishing. Output:
-    * (group_a, group_b, est_jaccard_milli), group_a < group_b. */
+    * every other group rather than silently vanishing, and so does a
+    * NULL group KEY (pair ordering and signature joins are null-safe;
+    * NULL sorts first, i.e. appears as group_a). Output:
+    * (group_a, group_b, est_jaccard_milli), group_a < group_b with
+    * NULL first. */
   def vocabularyOverlap(df: DataFrame, groupCol: String, textCol: String,
       k: Int = 16): DataFrame = {
     require(k >= 1, "need k >= 1")
@@ -416,16 +419,21 @@ object Dedup {
     // null-safely on BOTH sides — an empty-vocab group has no
     // signature row and must still pair (with 0 matching components)
     val groups = df.select(col(groupCol).as("__ga")).distinct()
+    // null-safe pair ordering: a NULL group key (an upstream tagging
+    // failure the audit must SEE) sorts first — a bare `<` is NULL
+    // against a NULL key and would silently drop the whole group from
+    // the report, the exact degenerate case this audit exists to catch
     val pairs = groups.join(groups.select(col("__ga").as("__gb")),
-      col("__ga") < col("__gb"))
+      (col("__ga") < col("__gb")) ||
+        (col("__ga").isNull && col("__gb").isNotNull))
     val left = sigs
     val right = sigs.select(col("__g").as("__g2") +:
       (0 until k).map(i => col(s"__mh$i").as(s"__nh$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"__mh$i") === col(s"__nh$i"), 1L).otherwise(0L)).reduce(_ + _)
     pairs
-      .join(left, col("__ga") === col("__g"), "left")
-      .join(right, col("__gb") === col("__g2"), "left")
+      .join(left, col("__ga") <=> col("__g"), "left")
+      .join(right, col("__gb") <=> col("__g2"), "left")
       .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
         // floor over an exact small-integer double — identical to the
         // oracle's integer // division; missing signatures match nothing

@@ -56,10 +56,23 @@ object Export {
     * spine (keys + the summed value), never the payload.
     *
     * Output: `df`'s columns + `out`, the INCLUSIVE running total of
-    * `valueCol` over `orderCols` within each `groupCols` group. */
+    * `valueCol` over `orderCols` within each `groupCols` group.
+    *
+    * Broadcast contract (`broadcastOffsets`): the offsets frame is
+    * partitions × distinct(groupCols). The default broadcast hint is
+    * right for the [[plan]]-shaped use — groupCols like
+    * (split, source), a handful of values — where it keeps the join
+    * off the shuffle. A caller grouping by a HIGH-cardinality key
+    * (per-document, per-host) must pass `broadcastOffsets = false` or
+    * the hint forces an unbounded driver-side collect of the offsets
+    * frame; the join then falls back to a sort-merge/shuffled-hash on
+    * (__pid, group), which is the correct shape at that cardinality
+    * (same policy as [[Sampling.exactKPerStratum]]'s broadcast-small
+    * stratum contract). */
   def runningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
       valueCol: String, out: String,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      checkpointer: Checkpointer = Checkpointer.Local,
+      broadcastOffsets: Boolean = true): DataFrame = {
     val joinNames = "__jpid" +: groupCols.indices.map(i => s"__jg$i")
     val taken = (Seq("__pid", "__sub", "__off", out) ++ joinNames)
       .filter(df.columns.contains)
@@ -86,7 +99,8 @@ object Export {
     val cond = (col("__pid") === col("__jpid")) &&
       groupCols.indices.map(i => col(groupCols(i)) <=> col(s"__jg$i"))
         .foldLeft(lit(true))(_ && _)
-    ranged.join(broadcast(offsets), cond)
+    val offsetsSide = if (broadcastOffsets) broadcast(offsets) else offsets
+    ranged.join(offsetsSide, cond)
       .withColumn(out, col("__off") + sum(col(valueCol)).over(localW))
       .select(df.columns.map(col) :+ col(out): _*)
   }

@@ -53,7 +53,10 @@ object Sampling {
       .join(broadcast(thresholds), col(stratumCol) <=> col("__st"))
       .filter(h <= col("__kth"))
       .drop("__st", "__kth")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(md5(key), col(keyCol))
+    // rank by the SAME coalesced hash the prune filtered on — the two
+    // sides must provably share one ordering (NULL-first vs ''-first
+    // agree today, but that coupling must not be load-bearing)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(keyCol))
     survivors.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }

@@ -244,15 +244,61 @@ class KernelPropertiesSpec extends AnyFunSuite {
         case _ => rnd.nextLong(): java.lang.Long
       })
       val row = BpeDecode.kernel(new GenericArrayData(ids), m)
-      val wantUnk = ids.count { v =>
+      val idUnk = ids.count { v =>
         v == null || {
           val id = v.asInstanceOf[Long]
           !inv.contains(id) && !(id >= byteLo && id <= byteLo + 255L)
         }
       }
-      assert(row.getLong(0) == wantUnk, s"ids=${ids.mkString(",")}")
+      // malformed byte subsequences count in n_unk too: replay each
+      // maximal byte run through an independent REPORT-mode decode
+      val runs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      val cur = scala.collection.mutable.ArrayBuffer[Byte]()
+      ids.foreach { v =>
+        val isByte = v != null && {
+          val id = v.asInstanceOf[Long]; id >= byteLo && id <= byteLo + 255L
+        }
+        if (isByte) cur += (v.asInstanceOf[Long] - byteLo).toByte
+        else if (cur.nonEmpty) { runs += cur.toArray; cur.clear() }
+      }
+      if (cur.nonEmpty) runs += cur.toArray
+      val malformed = runs.map { bytes =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val in = java.nio.ByteBuffer.wrap(bytes)
+        val cb = java.nio.CharBuffer.allocate(bytes.length + 1)
+        var bad = 0L
+        var going = true
+        while (going) {
+          val res = dec.decode(in, cb, true)
+          if (res.isMalformed || res.isUnmappable) {
+            bad += 1L; cb.put('\uFFFD'); in.position(in.position() + res.length())
+          } else going = false
+        }
+        bad
+      }.sum
+      assert(row.getLong(0) == idUnk + malformed, s"ids=${ids.mkString(",")}")
       assert(row.getUTF8String(1) != null)
     }
+    // the new-in-round-11 contract, pinned on literal cases: a
+    // truncated lead byte and a lone continuation byte each count as
+    // ONE malformed subsequence in n_unk...
+    val truncated = BpeDecode.kernel(
+      new GenericArrayData(Array[Any](byteLo + 0xC3L, 2L)), m)
+    assert(truncated.getLong(0) == 1L &&
+      truncated.getUTF8String(1).toString == "\uFFFDbc")
+    val loneCont = BpeDecode.kernel(
+      new GenericArrayData(Array[Any](byteLo + 0x80L)), m)
+    assert(loneCont.getLong(0) == 1L &&
+      loneCont.getUTF8String(1).toString == "\uFFFD")
+    // ...while a LEGITIMATELY byte-encoded U+FFFD (EF BF BD) renders
+    // the same char with n_unk = 0 — output-scanning could not tell
+    // these apart; the counter must
+    val legitFffd = BpeDecode.kernel(new GenericArrayData(
+      Array[Any](byteLo + 0xEFL, byteLo + 0xBFL, byteLo + 0xBDL)), m)
+    assert(legitFffd.getLong(0) == 0L &&
+      legitFffd.getUTF8String(1).toString == "\uFFFD")
     // with the band disabled, byte ids are plain unknowns
     val m2 = new BpeDecode.Model(inv, -1L)
     val row2 = BpeDecode.kernel(new GenericArrayData(Array[Any](1L, byteLo)), m2)

@@ -211,6 +211,26 @@ class DedupScaleSpec extends SparkSpec {
     }
   }
 
+  test("vocabularyOverlap: a NULL group key appears in the audit with its real overlap") {
+    import spark.implicits._
+    // the NULL group (an upstream source-tagging failure) shares its
+    // whole vocabulary with s1 — the audit must SEE it, and see the
+    // overlap, not drop the group or zero its signature join
+    val docs = Seq(
+      (1L, Some("s1"), "alpha beta gamma"),
+      (2L, Option.empty[String], "alpha beta gamma"),
+      (3L, Some("s2"), "uno dos tres")).toDF("doc_id", "source", "text")
+    val rows = Dedup.vocabularyOverlap(docs, "source", "text", k = 12).collect()
+    assert(rows.length == 3, s"C(3,2) pairs incl. the NULL group: ${rows.mkString(";")}")
+    val byPair = rows.map(r =>
+      (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    // NULL sorts first, so it is group_a in both its pairs
+    assert(byPair((None, Some("s1"))) == 1000L,
+      "identical vocabularies across the NULL boundary must match every component")
+    assert(byPair((None, Some("s2"))) < 1000L)
+    assert(byPair((Some("s1"), Some("s2"))) < 1000L)
+  }
+
   test("a persisted signature table (no text column at all) drives incremental dedup") {
     import spark.implicits._
     val base = Seq(

@@ -208,6 +208,13 @@ class ExportSpec extends SparkSpec {
       g.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, c), (id, _, v)) => (id, c + v) }.tail
     }.toMap
     assert(got == want, s"every row (NULL groups included) must carry its running total: $got")
+    // broadcastOffsets=false (the high-group-cardinality escape hatch)
+    // is result-identical — only the offsets-join strategy changes
+    val gotShuffled = Export.runningSum(rows.toDF("id", "grp", "v"),
+        Seq("grp"), Seq("id"), "v", "cum", broadcastOffsets = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotShuffled == want,
+      "broadcastOffsets=false must not change the running totals")
   }
 
   test("packSequencesWithBoundaries: starts tile each sequence exactly and agree with provenance") {
