@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed bounded-min-k aggregator over doubles — [[MinKStrings]]'s
+  * numeric sibling, built for [[graft.operators.Sampling
+  * .weightedSampleNoReplace]]'s exponential keys: keeps the k SMALLEST
+  * finite inputs per group and finishes with the largest of them, the
+  * per-group admission threshold for "the k first rows under ORDER BY
+  * key". Partial-aggregates map-side, so at most k doubles per
+  * (group × input partition) cross the shuffle — the threshold of a
+  * billion-row group costs the same bytes as a thousand-row group,
+  * where a bare rank window would sort the whole group on one task.
+  *
+  * A group with fewer than k rows finishes with +Infinity, so the
+  * threshold admits every row — the "keep all of a small stratum"
+  * semantics the callers want. Callers must not feed NaN (NaN ordering
+  * differs between engines); the sampling keys are finite by
+  * construction (−ln of a uniform in (0,1), divided by a positive
+  * weight).
+  */
+class MinKDoubles(k: Int)
+    extends Aggregator[Double, List[Double], Double] {
+  require(k >= 1, "need k >= 1")
+
+  override def zero: List[Double] = Nil
+
+  override def reduce(buf: List[Double], in: Double): List[Double] =
+    if (buf.lengthCompare(k) >= 0 && in >= buf.last) buf
+    else ((in :: buf).sorted).take(k)
+
+  override def merge(a: List[Double], b: List[Double]): List[Double] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(buf: List[Double]): Double =
+    if (buf.lengthCompare(k) < 0) Double.PositiveInfinity else buf.last
+
+  override def bufferEncoder: Encoder[List[Double]] =
+    ExpressionEncoder[List[Double]]()
+  override def outputEncoder: Encoder[Double] =
+    ExpressionEncoder[Double]()
+}

@@ -255,4 +255,48 @@ object Curation {
         expr("(n_docs - n_distinct_texts) * 1000 DIV n_docs").as("dup_milli"),
         col("n_langs"), col("top_lang"), col("top_lang_docs"))
   }
+
+  /** Rank groups (domains, sources, crawl segments) by the WILSON
+    * LOWER BOUND of their quality pass-rate — the small-sample-safe
+    * ordering: a 3/3 domain must NOT outrank a 95/100 domain the way a
+    * raw pass-rate sort has it; the score-interval lower bound
+    * (Wilson 1927, z = 1.96 for 95%) shrinks toward 0 as n does.
+    * The curation use: allowlist/blocklist domains by observed quality
+    * with confidence, not point estimates.
+    *
+    * One partial-agg counter shuffle over the corpus (group →
+    * (n, passes)); the bound itself is a row-local projection over the
+    * group-cardinality frame. Cross-engine parity: p̂ = passes/n and
+    * the bound use only IEEE-exact ops (+,−,×,÷) plus one
+    * correctly-rounded `sqrt`, so the micro-rounded value is
+    * bit-identical in any IEEE-754 engine — no transcendental, unlike
+    * the ln-based scores. NULL `passCol` counts as fail (an unscored
+    * doc is evidence against, fail-closed). NULL group keys form their
+    * own group, as everywhere in this engine.
+    *
+    * Output: (groupCol, n_docs, n_pass, wilson_lb_micro) — rank by
+    * wilson_lb_micro DESC downstream. `zMilli` is the z-score in
+    * milli-units (1960 = the 95% two-sided bound). */
+  def wilsonRank(df: DataFrame, groupCol: String, passCol: Column,
+      zMilli: Int = 1960): DataFrame = {
+    require(zMilli > 0, "need zMilli > 0")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passCol, 1L).otherwise(0L)).as("n_pass"))
+    // mirrored token-for-token by the oracle SQL: same literals, same
+    // operand order — IEEE ops are deterministic given identical inputs
+    val lb = expr(
+      s"""CAST(round((
+        |  (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |  + (($zMilli / 1000.0) * ($zMilli / 1000.0)) / (2.0 * CAST(n_docs AS DOUBLE))
+        |  - ($zMilli / 1000.0) * sqrt(
+        |      ((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |        * (1.0 - (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)))) / CAST(n_docs AS DOUBLE)
+        |      + (($zMilli / 1000.0) * ($zMilli / 1000.0))
+        |        / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        |) / (1.0 + (($zMilli / 1000.0) * ($zMilli / 1000.0)) / CAST(n_docs AS DOUBLE))
+        |* 1000000) AS BIGINT)""".stripMargin)
+    agg.select(col(groupCol), col("n_docs"), col("n_pass"),
+      lb.as("wilson_lb_micro"))
+  }
 }

@@ -170,6 +170,100 @@ object Importance {
         col("n_bigrams") :+ scoreCol: _*)
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007 §3 — "Large
+    * Language Models in Machine Translation"; the web-scale LM recipe:
+    * no discounting, a fixed 0.4 backoff multiplier, score instead of
+    * probability). Per trigram position (w1 w2 w3) of every doc:
+    *
+    *   S = c(w1w2w3)/c(w1w2)                 if the trigram is in-model
+    *     | 0.4 · c(w2w3)/c(w2)               else if the bigram is
+    *     | 0.4 · 0.4 · (c(w3)+1)/(N+V)       else (add-one floor, so an
+    *                                          OOV w3 scores finitely)
+    *
+    * and the doc score is Σ round(ln S · 1e6) — each position rounded
+    * to integer micros BEFORE the sum ([[bigramFluency]]'s parity
+    * discipline: integer sums are order-independent, so engines can
+    * aggregate in any order; the one `ln` per distinct count tuple is
+    * the only transcendental). Higher = more fluent under the model.
+    *
+    * Scale shape: three model count tables (unigram/bigram/trigram —
+    * partial-agg counter shuffles over 8-byte [[graft.functions
+    * .TextFunctions.tokenHash]]es, map-side combined; table size is
+    * DISTINCT n-grams, not corpus rows), one broadcast (N, V) scalar
+    * frame, then the doc stream hash-joins its five lookups
+    * (tri, ctx-bi, backoff-bi, ctx-uni, tail-uni — the bigram table
+    * serves two roles, the unigram table two) and partial-aggregates
+    * per doc. Docs with < 3 tokens have no trigram positions and drop
+    * out, as in [[bigramFluency]]. Output: (idCol, carryCols,
+    * n_trigrams, sb_log_micro). */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+      isModel: Column, carryCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, tokenHash, wordShingles}
+    val model = docs.filter(isModel)
+    def counts(n: Int): DataFrame = model
+      .select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .select(tokenHash(col("__g")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+    val uni = counts(1)
+    val bi = counts(2)
+    val tri = counts(3)
+    // N = model token count, V = distinct model unigrams; the guard
+    // fails fast on an empty model slice (bigramFluency's raise_error
+    // policy — a silent DIV 0 would surface as inexplicable NULLs)
+    val nv = uni.agg(sum("__c").as("__nc"), count(lit(1)).as("__vc"))
+      .select(
+        when(col("__vc") > 0, col("__nc")).otherwise(raise_error(lit(
+          "graft.Importance.stupidBackoff: model slice is empty — isModel matched no rows with >= 1 token")))
+          .cast("long").as("__N"),
+        col("__vc").cast("long").as("__V"))
+
+    // positional lookup stream: five hashes per trigram position
+    val toks = tokens(col(textCol))
+    val len3 = greatest(size(toks) - 2, lit(0))
+    val z12 = zip_with(
+      slice(toks, lit(1), len3), slice(toks, lit(2), len3),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val z = zip_with(z12, slice(toks, lit(3), len3),
+      (p, c) => struct(p.getField("w1").as("w1"),
+        p.getField("w2").as("w2"), c.as("w3")))
+    val keep = idCol +: carryCols
+    val stream = docs
+      .select(keep.map(col) :+ explode(z).as("__t"): _*)
+      .select(keep.map(col) :+
+        tokenHash(concat_ws(" ", col("__t.w1"), col("__t.w2"), col("__t.w3"))).as("__h123") :+
+        tokenHash(concat_ws(" ", col("__t.w1"), col("__t.w2"))).as("__h12") :+
+        tokenHash(concat_ws(" ", col("__t.w2"), col("__t.w3"))).as("__h23") :+
+        tokenHash(col("__t.w2")).as("__h2") :+
+        tokenHash(col("__t.w3")).as("__h3"): _*)
+
+    def lk(tbl: DataFrame, as: String) =
+      tbl.select(col("__h").as(s"__k$as"), col("__c").as(as))
+    val joined = stream
+      .join(lk(tri, "c123"), col("__h123") === col("__kc123"), "left")
+      .join(lk(bi, "c12"), col("__h12") === col("__kc12"), "left")
+      .join(lk(bi, "c23"), col("__h23") === col("__kc23"), "left")
+      .join(lk(uni, "c2"), col("__h2") === col("__kc2"), "left")
+      .join(lk(uni, "c3"), col("__h3") === col("__kc3"), "left")
+      .crossJoin(broadcast(nv))
+    // the score expression mirrors the oracle SQL token-for-token: every
+    // op is IEEE-exact except the single ln (see bigramFluency's parity
+    // argument); counts are coalesced then cast to double before any
+    // division so both engines divide the same operands
+    val w = expr(
+      """CAST(round(ln(
+        |  CASE WHEN coalesce(c123, 0L) > 0L
+        |    THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+        |  WHEN coalesce(c23, 0L) > 0L
+        |    THEN (0.4 * CAST(c23 AS DOUBLE)) / CAST(c2 AS DOUBLE)
+        |  ELSE 0.4 * ((0.4 * (CAST(coalesce(c3, 0L) AS DOUBLE) + 1.0))
+        |    / (CAST(__N AS DOUBLE) + CAST(__V AS DOUBLE)))
+        |  END) * 1000000) AS BIGINT)""".stripMargin)
+    joined
+      .select(keep.map(col) :+ w.as("__w"): _*)
+      .groupBy(keep.map(col): _*)
+      .agg(count(lit(1)).as("n_trigrams"), sum("__w").as("sb_log_micro"))
+  }
+
   /** CCNet's final step: split each language's corpus into
     * equal-doc-count quality buckets by model score — head / middle /
     * tail in the paper (Wenzek et al. 2020 §3.3 cuts the per-language

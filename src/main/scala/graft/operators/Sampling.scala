@@ -162,4 +162,61 @@ object Sampling {
         expr("CAST((CAST(__N AS DECIMAL(38,0)) * __sm * 1000) DIV (CAST(__S AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
           .as("src_w_milli"))
   }
+
+  /** Weighted sampling WITHOUT replacement, exactly k per stratum —
+    * Efraimidis & Spirakis 2006 (the one-pass exponential-key
+    * formulation): each row draws key = −ln(u)/w from a deterministic
+    * uniform u and the k SMALLEST keys per stratum are the sample;
+    * inclusion probabilities match sequential weighted draws without
+    * replacement. The uniform is hash-derived (md5 of `keyCol`, the
+    * [[exactKPerStratum]] discipline), so the sample is
+    * engine-portable, reshuffle-proof, and stable under reruns — and,
+    * as with exact-k, adding rows can only displace later picks.
+    *
+    * Scale shape is [[exactKPerStratum]]'s, with the
+    * [[graft.functions.MinKDoubles]] bounded partial aggregate in
+    * place of the string top-k: ≤ k doubles per stratum × partition
+    * cross the threshold shuffle, the broadcast threshold frame prunes
+    * the corpus row-locally, and the rank window sees only ≤ k
+    * survivors (+ exact-key ties) per stratum regardless of stratum
+    * skew. Same contracts: stratum cardinality broadcast-small;
+    * `keyCol` unique per stratum (the tie-break); `weight` strictly
+    * positive (zero/negative/NULL weights reject a row deterministically
+    * — they are filtered out, never sampled).
+    *
+    * Cross-engine float note: u = (CAST(h AS DOUBLE) + 0.5) / 2^60 and
+    * key = (−ln u)/w use only IEEE-exact ops plus one `ln`; engines'
+    * `ln` may differ in the last ulp, which reorders two keys only if
+    * they are within ~1e-16 relative — below the ~1/n² spacing of any
+    * real corpus's order statistics. Output: `df`'s columns +
+    * `sample_rank` (1-based within stratum). */
+  def weightedSampleNoReplace(df: DataFrame, stratumCol: String,
+      keyCol: String, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val taken = Seq("sample_rank", "__st", "__kth", "__esk")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"weightedSampleNoReplace appends sample_rank (and uses __st/__kth/__esk internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
+    val h = graft.functions.TextFunctions.tokenHash(
+      coalesce(col(keyCol).cast("string"), lit("")))
+    // (h + 0.5) / 2^60: u in (0,1) exclusive — never 0 (no +Inf key),
+    // never 1 (no −0 edge); 2^60 cast from the exact long, not a
+    // decimal literal (DuckDB parses decimal-point literals as DECIMAL)
+    val u = (h.cast("double") + lit(0.5)) / lit(1152921504606846976L).cast("double")
+    val esk = negate(log(u)) / weight.cast("double")
+    val eligible = df.filter(weight.cast("double") > 0.0)
+      .withColumn("__esk", esk)
+    val minK = udaf(new graft.functions.MinKDoubles(k))
+    val thresholds = eligible.groupBy(col(stratumCol).as("__st"))
+      .agg(minK(col("__esk")).as("__kth"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__esk"), col(keyCol))
+    eligible
+      .join(broadcast(thresholds), col(stratumCol) <=> col("__st"))
+      .filter(col("__esk") <= col("__kth"))
+      .drop("__st", "__kth")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__esk")
+  }
 }

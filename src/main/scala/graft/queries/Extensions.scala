@@ -2032,7 +2032,44 @@ object Extensions {
         k = 16)
       .orderBy("group_a", "group_b")
 
+  /** q166 — weighted sampling without replacement ([[Sampling
+    * .weightedSampleNoReplace]], Efraimidis–Spirakis exponential keys):
+    * exactly 10 docs per language, inclusion odds ∝ n_chars, hash-
+    * deterministic. The oracle replays the key arithmetic and the full
+    * per-language rank (the engine's bounded-top-k prune must select
+    * the same rows the unbounded rank does). */
+  def q166WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSampleNoReplace(Tables(spark, dir, "documents"),
+        "lang", "doc_id", col("n_chars"), k = 10)
+      .select("doc_id", "lang", "n_chars", "sample_rank")
+      .orderBy("lang", "sample_rank")
+
+  /** q167 — Stupid Backoff trigram fluency ([[Importance
+    * .stupidBackoff]], Brants et al. 2007): every doc scored against
+    * the English slice's trigram/bigram/unigram counts with the fixed
+    * 0.4 backoff chain, per-position integer-micro ln scores summed.
+    * The oracle rebuilds all three count tables and the five-way
+    * lookup join. */
+  def q167StupidBackoff(spark: SparkSession, dir: String): DataFrame =
+    Importance.stupidBackoff(Tables(spark, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", carryCols = Seq("lang"))
+      .orderBy("doc_id")
+
+  /** q168 — Wilson lower-bound domain ranking ([[Curation.wilsonRank]],
+    * z = 1.96): sources ranked by the small-sample-safe lower
+    * confidence bound of their quality pass-rate (pass = n_chars ≥
+    * 300), the allowlist ordering where a 3/3 domain cannot outrank a
+    * 95/100 one. IEEE-exact except one sqrt — micro values are
+    * bit-identical across engines. */
+  def q168WilsonDomains(spark: SparkSession, dir: String): DataFrame =
+    Curation.wilsonRank(Tables(spark, dir, "documents"), "source",
+        col("n_chars") >= 300)
+      .orderBy(col("wilson_lb_micro").desc, col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_wilson_domains" -> (q168WilsonDomains _),
+    "q167_stupid_backoff" -> (q167StupidBackoff _),
+    "q166_weighted_sample" -> (q166WeightedSample _),
     "q165_source_overlap" -> (q165SourceOverlap _),
     "q164_tokenizer_fertility" -> (q164TokenizerFertility _),
     "q163_pack_samples" -> (q163PackSamples _),
@@ -2515,6 +2552,78 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q166_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |  (-ln((CAST(h AS DOUBLE) + 0.5) / CAST(1152921504606846976 AS DOUBLE)))
+        |    / CAST(n_chars AS DOUBLE) AS esk
+        |  FROM t WHERE CAST(n_chars AS DOUBLE) > 0.0),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY esk, doc_id) AS sample_rank FROM k)
+        |SELECT doc_id, lang, n_chars, sample_rank FROM r WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
+    "q167_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |mu AS (SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT unnest(tk) AS tok FROM t WHERE lang = 'en')),
+        |c1 AS (SELECT h, count(1)::BIGINT AS c FROM mu GROUP BY h),
+        |nv AS (SELECT sum(c)::BIGINT AS nn, count(1)::BIGINT AS vv FROM c1),
+        |mb0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |c2g AS (SELECT h, count(1)::BIGINT AS c FROM (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS h
+        |  FROM mb0) GROUP BY h),
+        |mt0 AS (SELECT tk, unnest(range(0, greatest(len(tk) - 2, 0))) AS i
+        |  FROM t WHERE lang = 'en'),
+        |c3g AS (SELECT h, count(1)::BIGINT AS c FROM (SELECT
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)] || ' ' || tk[CAST(i + 3 AS INT)]), 1, 15))::BIGINT AS h
+        |  FROM mt0) GROUP BY h),
+        |db0 AS (SELECT doc_id, lang, tk, unnest(range(0, greatest(len(tk) - 2, 0))) AS i FROM t),
+        |ds AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)] || ' ' || tk[CAST(i + 3 AS INT)]), 1, 15))::BIGINT AS h123,
+        |    ('0x' || substring(md5(tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS h12,
+        |    ('0x' || substring(md5(tk[CAST(i + 2 AS INT)] || ' ' || tk[CAST(i + 3 AS INT)]), 1, 15))::BIGINT AS h23,
+        |    ('0x' || substring(md5(tk[CAST(i + 2 AS INT)]), 1, 15))::BIGINT AS h2,
+        |    ('0x' || substring(md5(tk[CAST(i + 3 AS INT)]), 1, 15))::BIGINT AS h3
+        |  FROM db0),
+        |j AS (SELECT doc_id, lang,
+        |    t3.c AS c123, b12.c AS c12, b23.c AS c23, u2.c AS c2, u3.c AS c3, nv.nn, nv.vv
+        |  FROM ds LEFT JOIN c3g t3 ON ds.h123 = t3.h
+        |    LEFT JOIN c2g b12 ON ds.h12 = b12.h
+        |    LEFT JOIN c2g b23 ON ds.h23 = b23.h
+        |    LEFT JOIN c1 u2 ON ds.h2 = u2.h
+        |    LEFT JOIN c1 u3 ON ds.h3 = u3.h
+        |    CROSS JOIN nv),
+        |s AS (SELECT doc_id, lang, CAST(round(ln(
+        |    CASE WHEN coalesce(c123, 0) > 0
+        |      THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+        |    WHEN coalesce(c23, 0) > 0
+        |      THEN (0.4 * CAST(c23 AS DOUBLE)) / CAST(c2 AS DOUBLE)
+        |    ELSE 0.4 * ((0.4 * (CAST(coalesce(c3, 0) AS DOUBLE) + 1.0))
+        |      / (CAST(nn AS DOUBLE) + CAST(vv AS DOUBLE)))
+        |    END) * 1000000) AS BIGINT) AS w
+        |  FROM j)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_trigrams,
+        |  sum(w)::BIGINT AS sb_log_micro
+        |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q168_wilson_domains" ->
+      """WITH a AS (SELECT source, count(1)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_pass
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_pass,
+        |  CAST(round((
+        |    (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    + ((1960 / 1000.0) * (1960 / 1000.0)) / (2.0 * CAST(n_docs AS DOUBLE))
+        |    - (1960 / 1000.0) * sqrt(
+        |        ((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |          * (1.0 - (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)))) / CAST(n_docs AS DOUBLE)
+        |        + ((1960 / 1000.0) * (1960 / 1000.0))
+        |          / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        |  ) / (1.0 + ((1960 / 1000.0) * (1960 / 1000.0)) / CAST(n_docs AS DOUBLE))
+        |  * 1000000) AS BIGINT) AS wilson_lb_micro
+        |FROM a ORDER BY wilson_lb_micro DESC, source""".stripMargin,
     "q165_source_overlap" -> sourceOverlapSql,
     "q164_tokenizer_fertility" ->
       (bpeEncodePrefixSql(5) + ",\n" +

@@ -242,4 +242,106 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == 0, "null score ranks worst and misses the budget")
     assert(out(4L) == 1, "null group forms its own group with its own budget")
   }
+
+  test("stupidBackoff: all three backoff tiers, hand-computed") {
+    import spark.implicits._
+    // model: "a b c d" + "a b e" → tri {abc, bcd, abe}, bi {ab:2, bc,
+    // cd, be}, uni {a:2, b:2, c:1, d:1, e:1}, N=7, V=5
+    val docs = Seq(
+      (1L, "a b c d", true),
+      (2L, "a b e", true),
+      (3L, "a b c", false),   // tier 1: S = c(abc)/c(ab) = 1/2
+      (4L, "e a b", false),   // tier 2: e-a-b absent, S = 0.4·c(ab)/c(a) = 0.4·2/2
+      (5L, "b c z", false),   // tier 3 OOV: S = 0.4·0.4·(0+1)/(7+5)
+      (6L, "c z d", false),   // tier 3 known tail: S = 0.4·0.4·(1+1)/12
+      (7L, "x y", false))     // < 3 tokens: absent from output
+      .toDF("doc_id", "text", "is_model")
+    val got = Importance.stupidBackoff(docs, "doc_id", "text", col("is_model"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def w(s: Double): Long = math.round(math.log(s) * 1e6)
+    assert(!got.contains(7L), "a two-token doc has no trigram positions")
+    assert(got(3L) == ((1L, w(1.0 / 2.0))))
+    assert(got(4L) == ((1L, w((0.4 * 2.0) / 2.0))))
+    assert(got(5L) == ((1L, w(0.4 * ((0.4 * 1.0) / 12.0)))))
+    assert(got(6L) == ((1L, w(0.4 * ((0.4 * 2.0) / 12.0)))))
+    // a model doc scores itself through tier 1 twice
+    assert(got(1L) == ((2L,
+      w(1.0 / 2.0) + w(1.0 / 1.0))), "abc: 1/c(ab)=1/2; bcd: c(bcd)/c(bc)=1/1")
+  }
+
+  test("stupidBackoff == a Scala reference on a seeded random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val alpha = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 120L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i, (0 until n).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(" "),
+        i % 3 == 0)
+    }
+    // reference: string-keyed count maps + the exact double formula
+    val model = docs.filter(_._3).map(_._2.split(" ").toSeq)
+    def grams(n: Int) = model.flatMap(_.sliding(n).filter(_.size == n)
+      .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (c1, c2, c3) = (grams(1), grams(2), grams(3))
+    val bigN = c1.values.sum.toDouble
+    val v = c1.size.toDouble
+    val want = docs.flatMap { case (id, text, _) =>
+      val tk = text.split(" ").toSeq
+      val ws = tk.sliding(3).filter(_.size == 3).map { t =>
+        val s =
+          if (c3.getOrElse(t.mkString(" "), 0L) > 0L)
+            c3(t.mkString(" ")).toDouble / c2(t.take(2).mkString(" ")).toDouble
+          else if (c2.getOrElse(t.drop(1).mkString(" "), 0L) > 0L)
+            (0.4 * c2(t.drop(1).mkString(" ")).toDouble) / c1(t(1)).toDouble
+          else
+            0.4 * ((0.4 * (c1.getOrElse(t(2), 0L).toDouble + 1.0)) / (bigN + v))
+        math.round(math.log(s) * 1e6)
+      }.toSeq
+      if (ws.isEmpty) None else Some(id -> ((ws.size.toLong, ws.sum)))
+    }.toMap
+    val got = Importance.stupidBackoff(docs.toDF("doc_id", "text", "is_model"),
+        "doc_id", "text", col("is_model"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
+  test("stupidBackoff with an empty model slice fails fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", false)).toDF("doc_id", "text", "is_model")
+    val e = intercept[Exception] {
+      Importance.stupidBackoff(docs, "doc_id", "text", col("is_model")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("model slice is empty")),
+      s"expected the empty-model raise_error, got: ${messages(e)}")
+  }
+
+  test("wilsonRank: hand-checked bounds; 3/3 cannot outrank 95/100; NULLs fail closed") {
+    import spark.implicits._
+    def wilson(pass: Long, n: Long, z: Double = 1.96): Long = {
+      val p = pass.toDouble / n
+      val lb = (p + z * z / (2.0 * n) -
+        z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))) /
+        (1.0 + z * z / n)
+      math.round(lb * 1e6)
+    }
+    val rows =
+      (1L to 3L).map(i => (i, Some("perfect3"), Some(true))) ++
+      (1L to 100L).map(i => (i, Some("big"), Some(i <= 95))) ++
+      Seq((1L, Some("unscored"), Option.empty[Boolean]),
+        (2L, Some("unscored"), Some(true)),
+        (1L, Option.empty[String], Some(true)))
+    val got = Curation.wilsonRank(rows.toDF("id", "dom", "ok"), "dom", col("ok"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(Some("perfect3")) == ((3L, 3L, wilson(3, 3))))
+    assert(got(Some("big")) == ((100L, 95L, wilson(95, 100))))
+    assert(wilson(3, 3) < wilson(95, 100),
+      "the Wilson bound must rank 95/100 above 3/3 — the whole point")
+    assert(got(Some("unscored")) == ((2L, 1L, wilson(1, 2))),
+      "NULL pass flags count as failures (fail-closed)")
+    assert(got(None) == ((1L, 1L, wilson(1, 1))),
+      "a NULL group key forms its own group, never dropped")
+  }
 }

@@ -64,4 +64,67 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sample_rank"))
   }
+
+  /** The unbounded form of the Efraimidis–Spirakis sampler: full
+    * per-stratum rank over the exponential keys. */
+  private def esBruteForce(df: org.apache.spark.sql.DataFrame,
+      stratumCol: String, keyCol: String, weight: org.apache.spark.sql.Column,
+      k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.tokenHash(
+      coalesce(col(keyCol).cast("string"), lit("")))
+    val u = (h.cast("double") + lit(0.5)) / lit(1152921504606846976L).cast("double")
+    val esk = negate(log(u)) / weight.cast("double")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(esk, col(keyCol))
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  test("weightedSampleNoReplace == the per-stratum ES rank window, dominant stratum included") {
+    import spark.implicits._
+    // skewed strata + varied weights: the MinKDoubles prune must select
+    // exactly the rows the unbounded rank selects
+    val docs = ((1L to 8000L).map(i => (i, "dominant", (i % 97) + 1)) ++
+      (8001L to 8030L).map(i => (i, "mid", (i % 7) + 1)) ++
+      (8031L to 8033L).map(i => (i, "tiny", 5L))).toDF("id", "lang", "w")
+    for (k <- Seq(1, 5, 12)) {
+      val got = Sampling.weightedSampleNoReplace(docs, "lang", "id", col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+      val want = esBruteForce(docs, "lang", "id", col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+      assert(got == want, s"k=$k")
+      assert(got.count(_._2 == "tiny") == math.min(k, 3),
+        "a stratum below k keeps all its rows")
+    }
+  }
+
+  test("weightedSampleNoReplace: weight drives inclusion; non-positive/NULL weights never sample") {
+    import spark.implicits._
+    // 1000 heavy (w=1000) vs 1000 light (w=1) rows in one stratum: with
+    // a 1000:1 odds ratio the k=100 sample must be nearly all heavy —
+    // deterministic given the hash-derived uniforms, so a fixed bound
+    // is stable, not flaky
+    val rows = (1L to 1000L).map(i => (i, "s", Option(1000L))) ++
+      (1001L to 2000L).map(i => (i, "s", Option(1L))) ++
+      Seq((2001L, "s", Option(0L)), (2002L, "s", Option(-5L)),
+        (2003L, "s", Option.empty[Long]))
+    val got = Sampling.weightedSampleNoReplace(
+        rows.toDF("id", "st", "w"), "st", "id", col("w"), 100)
+      .collect().map(_.getLong(0))
+    assert(got.length == 100)
+    assert(got.count(_ <= 1000L) >= 90,
+      s"heavy rows must dominate a 1000:1 weighted sample, got ${got.count(_ <= 1000L)}")
+    assert(!got.exists(_ >= 2001L),
+      "zero/negative/NULL weights must never be sampled")
+  }
+
+  test("weightedSampleNoReplace rejects column collisions") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2, 0.5)).toDF("id", "st", "w", "__esk")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSampleNoReplace(df, "st", "id", col("w"), 3)
+    }
+    assert(e.getMessage.contains("__esk"))
+  }
 }
