@@ -166,6 +166,38 @@ object Export {
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
 
+  /** Length-aware batch construction stats — the dynamic-batching
+    * planner's view: within each group, rows are taken in `orderCols`
+    * order (sort by length DESCENDING upstream for the classic
+    * length-bucketed batching that minimizes padding) and a batch
+    * closes at the first row boundary past `budget` tokens — the
+    * [[plan]] shard rule, so a batch can exceed the budget by at most
+    * one row. Output is one row per (groupCols, batch_no):
+    * n_rows, max_tokens (the padded width), sum_tokens, and
+    * padding_waste = max_tokens·n_rows − sum_tokens — the tokens a
+    * pad-to-longest collator burns, the number this operator exists
+    * to expose BEFORE a training run pays for it.
+    *
+    * Scale shape: the cumulative sum is [[runningSum]]'s two-pass
+    * range-slice scan (never a group-sized window); the stats are one
+    * partial-agg group-by on (group, batch_no). Same broadcast-small
+    * group-cardinality contract as [[runningSum]]'s default. */
+  def batchStats(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], tokensCol: String, budget: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(budget >= 1, "need budget >= 1")
+    val cum = runningSum(df, groupCols, orderCols, tokensCol, "__cumb",
+      checkpointer)
+    cum.withColumn("batch_no",
+        expr(s"(__cumb - $tokensCol) DIV ${budget}L"))
+      .groupBy((groupCols.map(col) :+ col("batch_no")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        max(col(tokensCol)).as("max_tokens"),
+        sum(col(tokensCol)).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("max_tokens") * col("n_rows") - col("sum_tokens"))
+  }
+
   /** Deterministic training-order shuffle. [[plan]] packs shards in
     * (split, source, id) order — correct for auditing, WRONG as a
     * training order: consecutive batches would come from one source

@@ -315,4 +315,123 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive embedding training (the DPR
+    * / SimCSE data-prep step): for each anchor, the k corpus vectors
+    * MOST similar to it whose label provably differs — the negatives
+    * that actually move a contrastive loss, where random negatives are
+    * trivially separable. Label comparison is null-REJECTING by
+    * design: a NULL label is unknown, and asserting an unknown-label
+    * doc as a negative would poison the training pair — rows with a
+    * NULL label on either side never pair (fail-closed, the
+    * [[graft.operators.Curation.wilsonRank]] policy).
+    *
+    * Same scale contract as [[bruteForceTopK]]: the anchor set
+    * broadcasts, the corpus streams once, the rank window partitions
+    * by anchor. For web-scale corpora compose the IVF path instead:
+    * [[assignBuckets]] both sides, mine within probed buckets, then
+    * this operator's label filter — the bucket join bounds the pair
+    * space and the negatives lose nothing (a hard negative is by
+    * definition near the anchor, i.e. in its bucket). Output:
+    * (query_id, q_label, neighbor_id, n_label, sim, rank). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("vec"), col(labelCol).as("n_label"))
+      .withColumn("nrm", norm(col("vec")))
+    val q = anchors.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"), col(labelCol).as("q_label"))
+      .withColumn("qnrm", norm(col("qvec")))
+    val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k results trading relevance against redundancy —
+    * pick r+1 maximizes λ·rel − (1−λ)·max cosine to the already-picked
+    * set (0 for the first pick), ties to the smaller candidate id. The
+    * RAG / dedup-at-retrieval staple: top-k by raw similarity returns
+    * k near-copies; MMR returns k DIFFERENT relevant results.
+    *
+    * Contract: `candidates` is a FIRST-STAGE result — bounded m rows
+    * per query (a [[bruteForceTopK]]/[[ivfTopK]] top-m joined back to
+    * its vectors), never a raw corpus. The greedy selection is
+    * inherently sequential in k, so it runs as one `flatMapGroups`
+    * task per query over its m candidates (m × dim doubles in memory —
+    * the bound the caller promised); queries themselves parallelize
+    * freely. This is the sanctioned mapGroups niche: per-group
+    * imperative logic over group sizes the FIRST stage already bounded.
+    *
+    * Cross-engine parity: candidate-candidate cosines round to 6
+    * decimals through the same HALF_UP rule as `functions.round`, and
+    * every other op (λ from integer milli ÷ 1000.0, multiply, subtract,
+    * max) is IEEE-exact — scores are bit-identical in any IEEE engine.
+    * Ids must be castable to long, `relCol` to double. Output:
+    * (query_id, cand_id, mmr_rank, mmr_score_micro). */
+  def mmrRerank(candidates: DataFrame, queryCol: String, candCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaMilli / 1000.0
+    val oneMinus = (1000 - lambdaMilli) / 1000.0
+    val typed = candidates.select(
+        col(queryCol).cast("long"), col(candCol).cast("long"),
+        col(vecCol).cast("array<double>"), col(relCol).cast("double"))
+      .as[(Long, Long, Array[Double], Double)]
+    typed.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // sorted by id: deterministic iteration whatever the shuffle order
+      val cands = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+      def cos6(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val c = d / (math.sqrt(na) * math.sqrt(nb))
+        // the same HALF_UP decimal rounding functions.round applies
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val picked = Array.fill(cands.length)(false)
+      // max cos to the picked set — NegativeInfinity marks "empty set",
+      // whose penalty is 0 by MMR convention. It must NOT start at 0.0:
+      // the true max over a nonempty set can be NEGATIVE (anti-similar
+      // picks), and a 0 floor would erase that reward
+      val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+      val out = collection.mutable.ArrayBuffer[(Long, Long, Int, Long)]()
+      var r = 1
+      while (r <= k && out.length < math.min(k, cands.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!picked(i)) {
+            val pen = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+            val sc = lam * cands(i)._3 - oneMinus * pen
+            if (sc > bestScore) { bestScore = sc; best = i }
+          }
+          i += 1
+        }
+        picked(best) = true
+        val micro = BigDecimal(bestScore * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        out += ((qid, cands(best)._1, r, micro))
+        i = 0
+        while (i < cands.length) {
+          if (!picked(i)) {
+            val s = cos6(cands(i)._2, cands(best)._2)
+            if (s > maxSim(i)) maxSim(i) = s
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "cand_id", "mmr_rank", "mmr_score_micro")
+  }
 }

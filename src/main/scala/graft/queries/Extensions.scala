@@ -2066,7 +2066,55 @@ object Extensions {
         col("n_chars") >= 300)
       .orderBy(col("wilson_lb_micro").desc, col("source"))
 
+  /** q169 — hard-negative mining ([[SimilaritySearch.hardNegatives]]):
+    * for each of 5 anchors, the 5 most-similar vectors with a
+    * DIFFERENT label — the contrastive-training negatives random
+    * sampling can't provide. The oracle replays the label-rejecting
+    * pair space and the cosine rank. */
+  def q169HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.hardNegatives(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q170 — MMR diversified re-rank ([[SimilaritySearch.mmrRerank]],
+    * λ = 0.7, k = 3 over a first-stage top-10): greedy
+    * relevance-vs-redundancy selection, the RAG answer to "top-k
+    * returned three copies of the same paragraph". The oracle unrolls
+    * the three greedy steps in SQL — pick, penalize by max cosine to
+    * the picked set, repeat. */
+  def q170MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val first = SimilaritySearch.bruteForceTopK(e,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(first), "neighbor_id")
+    SimilaritySearch.mmrRerank(cands, "query_id", "neighbor_id",
+        "embedding", "sim", k = 3, lambdaMilli = 700)
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** q171 — length-bucketed batch planning ([[Export.batchStats]],
+    * budget 512): docs sorted longest-first within source, batches
+    * closed at the budget, padding waste of a pad-to-longest collator
+    * reported per batch. Exercises [[Export.runningSum]] with a
+    * non-trivial order (descending length). The oracle replays the
+    * cumsum and the batch aggregate. */
+  def q171BatchStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("neg_tokens", -col("n_tokens"))
+    Export.batchStats(d, Seq("source"), Seq("neg_tokens", "doc_id"),
+        "n_tokens", 512L)
+      .orderBy("source", "batch_no")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_batch_stats" -> (q171BatchStats _),
+    "q170_mmr_rerank" -> (q170MmrRerank _),
+    "q169_hard_negatives" -> (q169HardNegatives _),
     "q168_wilson_domains" -> (q168WilsonDomains _),
     "q167_stupid_backoff" -> (q167StupidBackoff _),
     "q166_weighted_sample" -> (q166WeightedSample _),
@@ -2551,7 +2599,68 @@ object Extensions {
        |ORDER BY group_a, group_b""".stripMargin
   }
 
+  /** Pair cosine between two named DOUBLE[] columns — the oracle's
+    * mirror of the mmrRerank kernel's cos6 (dot / (norm·norm),
+    * rounded 6, all IEEE-exact but the two sqrts). */
+  private def ccosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       | / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |    * sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+
+  /** q170's oracle: the three greedy MMR steps unrolled — each step
+    * ranks remaining candidates by λ·rel − (1−λ)·max-cos-to-picked. */
+  private val mmrRerankSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id, $cosSql AS sim
+      |      FROM e, q WHERE e.vec_id <> qid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s),
+      |cd AS (SELECT r.query_id, r.neighbor_id AS cand_id, r.sim AS rel, e.v
+      |  FROM r JOIN e ON e.vec_id = r.neighbor_id WHERE r.rank <= 10),
+      |s1 AS (SELECT *, (700 / 1000.0) * rel - (300 / 1000.0) * 0.0 AS sc FROM cd),
+      |p1 AS (SELECT query_id, cand_id, v, CAST(round(sc * 1000000) AS BIGINT) AS micro
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cand_id) AS rn FROM s1)
+      |  WHERE rn = 1),
+      |s2 AS (SELECT c.query_id, c.cand_id, c.v,
+      |    (700 / 1000.0) * c.rel - (300 / 1000.0) * ${ccosSql("c.v", "p1.v")} AS sc
+      |  FROM cd c JOIN p1 ON c.query_id = p1.query_id AND c.cand_id <> p1.cand_id),
+      |p2 AS (SELECT query_id, cand_id, v, CAST(round(sc * 1000000) AS BIGINT) AS micro
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cand_id) AS rn FROM s2)
+      |  WHERE rn = 1),
+      |s3 AS (SELECT c.query_id, c.cand_id,
+      |    (700 / 1000.0) * c.rel - (300 / 1000.0) *
+      |      greatest(${ccosSql("c.v", "p1.v")}, ${ccosSql("c.v", "p2.v")}) AS sc
+      |  FROM cd c JOIN p1 ON c.query_id = p1.query_id
+      |    JOIN p2 ON c.query_id = p2.query_id
+      |  WHERE c.cand_id <> p1.cand_id AND c.cand_id <> p2.cand_id),
+      |p3 AS (SELECT query_id, cand_id, CAST(round(sc * 1000000) AS BIGINT) AS micro
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, cand_id) AS rn FROM s3)
+      |  WHERE rn = 1)
+      |SELECT query_id, cand_id, 1 AS mmr_rank, micro AS mmr_score_micro FROM p1
+      |UNION ALL SELECT query_id, cand_id, 2 AS mmr_rank, micro FROM p2
+      |UNION ALL SELECT query_id, cand_id, 3 AS mmr_rank, micro FROM p3
+      |ORDER BY query_id, mmr_rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q169_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT qid AS query_id, q_label, e.vec_id AS neighbor_id,
+        |      e.label AS n_label, $cosSql AS sim
+        |      FROM e, q WHERE e.label <> q_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, q_label, neighbor_id, n_label, sim, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q170_mmr_rerank" -> mmrRerankSql,
+    "q171_batch_stats" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY (0 - n_tokens), doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM t),
+        |b AS (SELECT source, ((cum - n_tokens) // 512)::BIGINT AS batch_no, n_tokens FROM c)
+        |SELECT source, batch_no, count(1)::BIGINT AS n_rows,
+        |  max(n_tokens)::BIGINT AS max_tokens, sum(n_tokens)::BIGINT AS sum_tokens,
+        |  (max(n_tokens) * count(1) - sum(n_tokens))::BIGINT AS padding_waste
+        |FROM b GROUP BY source, batch_no ORDER BY source, batch_no""".stripMargin,
     "q166_weighted_sample" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h

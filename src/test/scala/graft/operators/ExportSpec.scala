@@ -217,6 +217,50 @@ class ExportSpec extends SparkSpec {
       "broadcastOffsets=false must not change the running totals")
   }
 
+  test("batchStats: budget boundaries, padding waste, and the exceed-by-one-row rule") {
+    import spark.implicits._
+    // longest-first within each group (the length-bucketed order the
+    // q171 face uses); budget 10
+    val rows = Seq(
+      (1L, "a", 7L), (2L, "a", 6L), (3L, "a", 5L), (4L, "a", 2L),
+      (5L, "b", 25L), // alone over budget: its own batch, zero waste
+      (6L, "b", 1L))
+    val df = rows.toDF("id", "grp", "n_tok").withColumn("neg", -col("n_tok"))
+    val got = Export.batchStats(df, Seq("grp"), Seq("neg", "id"), "n_tok", 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // group a in order 7,6,5,2 (desc): cums 7,13,18,20 → starts 0,7,13,18
+    //   → batches 0:{7,6} (closed past budget BY the 6), 1:{5,2}
+    val wantA0 = (2L, 7L, 13L, 2L * 7L - 13L)
+    val wantA1 = (2L, 5L, 7L, 2L * 5L - 7L)
+    assert(got(("a", 0L)) == wantA0, s"got ${got(("a", 0L))}")
+    assert(got(("a", 1L)) == wantA1)
+    // group b in order 25,1: starts 0,25 → batches 0:{25}, 2:{1} — the
+    // over-budget row exceeds by at most itself, never drags followers
+    assert(got(("b", 0L)) == ((1L, 25L, 25L, 0L)))
+    assert(got(("b", 2L)) == ((1L, 1L, 1L, 0L)))
+    assert(got.size == 4)
+    // brute-force replay over a random frame: same batches, same waste
+    val rnd = new scala.util.Random(20260814)
+    val big = (1L to 500L).map(i => (i, s"g${i % 3}", 1L + rnd.nextInt(40)))
+      .toDF("id", "grp", "n_tok").withColumn("neg", -col("n_tok"))
+    val gotBig = Export.batchStats(big, Seq("grp"), Seq("neg", "id"), "n_tok", 64L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val wantBig = big.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        val ordered = rs.sortBy(t => (-t._3, t._1))
+        val starts = ordered.scanLeft(0L)(_ + _._3).init
+        ordered.zip(starts).map { case ((_, _, n), st) => (g, st / 64L, n) }
+      }.groupBy(t => (t._1, t._2)).view.mapValues { xs =>
+        val ns = xs.map(_._3)
+        (ns.size.toLong, ns.max, ns.sum, ns.max * ns.size - ns.sum)
+      }.toMap
+    assert(gotBig == wantBig)
+  }
+
   test("packSequencesWithBoundaries: starts tile each sequence exactly and agree with provenance") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, ("alpha beta gamma " * ((i % 5).toInt + 1)).trim))

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** hardNegatives' label-rejecting pair space and mmrRerank's greedy
+  * selection, against hand-built geometries and brute-force refs. */
+class RerankSpec extends SparkSpec {
+
+  private def vec(xs: Double*): Array[Double] = xs.toArray
+
+  test("hardNegatives: only provably-different labels; NULL labels never pair") {
+    import spark.implicits._
+    // anchor 1 (label A) is nearly parallel to 2 (A), 3 (B), 4 (NULL):
+    // only 3 is a legal negative; 5 (B) is anti-parallel — ranked after
+    val rows = Seq(
+      (1L, Some("A"), vec(1.0, 0.0)),
+      (2L, Some("A"), vec(0.99, 0.1)),
+      (3L, Some("B"), vec(0.98, 0.2)),
+      (4L, Option.empty[String], vec(0.97, 0.2)),
+      (5L, Some("B"), vec(-1.0, 0.0)),
+      (6L, Option.empty[String], vec(1.0, 0.01)))
+      .toDF("vec_id", "label", "embedding")
+    val got = SimilaritySearch.hardNegatives(rows,
+        rows.filter(col("vec_id") <= 1), "vec_id", "embedding", "label", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(5)))
+    assert(got.map(_._2).toSet == Set(3L, 5L),
+      s"same-label and NULL-label rows must never be negatives: ${got.mkString(",")}")
+    assert(got.toSeq == Seq((1L, 3L, 1), (1L, 5L, 2)),
+      "negatives rank by cosine desc")
+    // a NULL-label anchor can assert nothing: no pairs at all
+    val nullAnchor = SimilaritySearch.hardNegatives(rows,
+      rows.filter(col("vec_id") === 6), "vec_id", "embedding", "label", 10)
+    assert(nullAnchor.count() == 0L)
+  }
+
+  test("hardNegatives == brute-force cosine rank restricted to different labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val rows = (1L to 60L).map(i =>
+      (i, s"L${i % 4}", Array.fill(8)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "label", "embedding")
+    val got = SimilaritySearch.hardNegatives(rows,
+        rows.filter(col("vec_id") <= 3), "vec_id", "embedding", "label", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(5))).toSet
+    val want = SimilaritySearch.bruteForceTopK(rows,
+        rows.filter(col("vec_id") <= 3), "vec_id", "embedding", 60)
+      .join(rows.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(rows.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") =!= col("nl"))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rr") <= 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rr"))).toSet
+    assert(got == want)
+  }
+
+  test("mmrRerank diversifies: a near-copy of the first pick loses to a different direction") {
+    import spark.implicits._
+    // rel order: 10 (.99) > 11 (.98, near-copy of 10) > 12 (.60,
+    // orthogonal). Plain top-2 = {10, 11}; MMR(λ=.7) must pick {10, 12}:
+    // 11's penalty .3·cos≈.3 wipes its .007 rel edge over 12
+    val cands = Seq(
+      (1L, 10L, vec(1.0, 0.0, 0.0), 0.99),
+      (1L, 11L, vec(0.999, 0.04, 0.0), 0.98),
+      (1L, 12L, vec(0.0, 1.0, 0.0), 0.60))
+      .toDF("query_id", "cand_id", "vec", "rel")
+    val got = SimilaritySearch.mmrRerank(cands, "query_id", "cand_id",
+        "vec", "rel", k = 2, lambdaMilli = 700)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((10L, 1), (12L, 2)),
+      s"MMR must trade the near-copy for the orthogonal result, got ${got.mkString(",")}")
+    // λ = 1000 is pure relevance: the near-copy wins again
+    val pure = SimilaritySearch.mmrRerank(cands, "query_id", "cand_id",
+        "vec", "rel", k = 2, lambdaMilli = 1000)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(pure.toSeq == Seq((10L, 1), (11L, 2)))
+  }
+
+  test("mmrRerank: a nonempty picked set's max cosine can be NEGATIVE and must reward, not floor at 0") {
+    import spark.implicits._
+    // after picking 20, candidate 21 is ANTI-parallel (cos = −1) and 22
+    // is orthogonal (cos = 0); both rel .5 — with a 0 floor they'd tie
+    // (21 winning by id); the true max must hand 21 a +0.3 bonus
+    val cands = Seq(
+      (1L, 20L, vec(1.0, 0.0), 0.9),
+      (1L, 21L, vec(-1.0, 0.0), 0.5),
+      (1L, 22L, vec(0.0, 1.0), 0.5))
+      .toDF("query_id", "cand_id", "vec", "rel")
+    val got = SimilaritySearch.mmrRerank(cands, "query_id", "cand_id",
+        "vec", "rel", k = 3, lambdaMilli = 700)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((20L, 1), (21L, 2), (22L, 3)))
+    // scores: 20: .7·.9 = .63; 21: .7·.5 − .3·(−1) = .65; 22: .7·.5 − .3·0 = .35
+    assert(got(0)._3 == 630000L && got(1)._3 == 650000L && got(2)._3 == 350000L,
+      s"anti-similarity must be rewarded: ${got.mkString(",")}")
+  }
+
+  test("mmrRerank: ties break to the smaller cand id; k past exhaustion stops cleanly") {
+    import spark.implicits._
+    val cands = Seq(
+      (7L, 31L, vec(1.0, 0.0), 0.8),
+      (7L, 30L, vec(0.0, 1.0), 0.8))
+      .toDF("query_id", "cand_id", "vec", "rel")
+    val got = SimilaritySearch.mmrRerank(cands, "query_id", "cand_id",
+        "vec", "rel", k = 5, lambdaMilli = 700)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((30L, 1), (31L, 2)),
+      "equal scores pick the smaller id; output stops at the candidate count")
+  }
+}
