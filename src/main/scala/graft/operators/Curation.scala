@@ -280,6 +280,10 @@ object Curation {
   def wilsonRank(df: DataFrame, groupCol: String, passCol: Column,
       zMilli: Int = 1960): DataFrame = {
     require(zMilli > 0, "need zMilli > 0")
+    val taken = Seq("n_docs", "n_pass", "wilson_lb_micro")
+      .filter(c => c == groupCol || df.columns.contains(c))
+    require(taken.isEmpty,
+      s"wilsonRank emits n_docs/n_pass/wilson_lb_micro; colliding input/group column(s): ${taken.mkString(", ")} — rename or drop them first")
     val agg = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(passCol, 1L).otherwise(0L)).as("n_pass"))

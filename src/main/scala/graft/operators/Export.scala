@@ -169,14 +169,28 @@ object Export {
   /** Length-aware batch construction stats — the dynamic-batching
     * planner's view: within each group, rows are taken in `orderCols`
     * order (sort by length DESCENDING upstream for the classic
-    * length-bucketed batching that minimizes padding) and a batch
-    * closes at the first row boundary past `budget` tokens — the
-    * [[plan]] shard rule, so a batch can exceed the budget by at most
-    * one row. Output is one row per (groupCols, batch_no):
-    * n_rows, max_tokens (the padded width), sum_tokens, and
-    * padding_waste = max_tokens·n_rows − sum_tokens — the tokens a
-    * pad-to-longest collator burns, the number this operator exists
-    * to expose BEFORE a training run pays for it.
+    * length-bucketed batching that minimizes padding) and
+    * batch_no = row's exclusive cumulative tokens DIV `budget` — the
+    * [[plan]] shard rule: BUDGET-ALIGNED windows of the cumulative
+    * token stream, a row straddling a window boundary joining the
+    * earlier batch. Consequences, stated so nobody mistakes this for
+    * a per-batch-reset greedy collator: a batch can exceed the budget
+    * by at most its boundary row, the FOLLOWING batch is
+    * correspondingly smaller (its window lost the overhang), and a
+    * single row larger than `budget` occupies (and skips) whole
+    * windows — batch numbers are not necessarily contiguous. A strict
+    * greedy batcher (budget counter resets at every batch start)
+    * draws different boundaries exactly at overflow rows; it is an
+    * inherently sequential prefix recursion with no bounded-depth
+    * distributed form, which is why the engine standardizes on the
+    * aligned-window rule here AND in [[plan]] — one rule, exact
+    * integer arithmetic, same result on any partitioning.
+    *
+    * Output is one row per (groupCols, batch_no): n_rows, max_tokens
+    * (the padded width), sum_tokens, and padding_waste =
+    * max_tokens·n_rows − sum_tokens — the tokens a pad-to-longest
+    * collator burns on THESE batches, exposed before a training run
+    * pays for it.
     *
     * Scale shape: the cumulative sum is [[runningSum]]'s two-pass
     * range-slice scan (never a group-sized window); the stats are one
@@ -186,10 +200,17 @@ object Export {
       orderCols: Seq[String], tokensCol: String, budget: Long,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(budget >= 1, "need budget >= 1")
+    val taken = Seq("batch_no", "n_rows", "max_tokens", "sum_tokens",
+      "padding_waste", "__cumb", "__bstart").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"batchStats emits batch_no/n_rows/max_tokens/sum_tokens/padding_waste (and uses __cumb/__bstart internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
     val cum = runningSum(df, groupCols, orderCols, tokensCol, "__cumb",
       checkpointer)
-    cum.withColumn("batch_no",
-        expr(s"(__cumb - $tokensCol) DIV ${budget}L"))
+    // the caller's column is referenced via col(), never spliced into
+    // an expr string (a name like "token-count" would parse as
+    // subtraction); only the internal __bstart reaches the DIV expr
+    cum.withColumn("__bstart", col("__cumb") - col(tokensCol))
+      .withColumn("batch_no", expr(s"__bstart DIV ${budget}L"))
       .groupBy((groupCols.map(col) :+ col("batch_no")): _*)
       .agg(count(lit(1)).as("n_rows"),
         max(col(tokensCol)).as("max_tokens"),

@@ -198,6 +198,10 @@ object Importance {
     * n_trigrams, sb_log_micro). */
   def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
       isModel: Column, carryCols: Seq[String] = Nil): DataFrame = {
+    val keepCols = idCol +: carryCols
+    val takenOut = Seq("n_trigrams", "sb_log_micro").filter(keepCols.contains)
+    require(takenOut.isEmpty,
+      s"stupidBackoff emits n_trigrams/sb_log_micro; colliding id/carry column(s): ${takenOut.mkString(", ")} — rename them first")
     import graft.functions.TextFunctions.{tokens, tokenHash, wordShingles}
     val model = docs.filter(isModel)
     def counts(n: Int): DataFrame = model

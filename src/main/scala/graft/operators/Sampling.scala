@@ -199,9 +199,16 @@ object Sampling {
       s"weightedSampleNoReplace appends sample_rank (and uses __st/__kth/__esk internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
     val h = graft.functions.TextFunctions.tokenHash(
       coalesce(col(keyCol).cast("string"), lit("")))
-    // (h + 0.5) / 2^60: u in (0,1) exclusive — never 0 (no +Inf key),
-    // never 1 (no −0 edge); 2^60 cast from the exact long, not a
-    // decimal literal (DuckDB parses decimal-point literals as DECIMAL)
+    // (h + 0.5) / 2^60: u > 0 always (no +Inf key). u = 1.0 exactly IS
+    // reachable at the top of the range — doubles are 128 apart near
+    // 2^60, so h in [2^60−64, 2^60) casts to 2^60, the +0.5 is
+    // absorbed, and the key is −0.0/w: those rows (≈2^−54 of the hash
+    // space, the md5-tail lottery, weight-independent) sort first in
+    // their stratum. Accepted: both engines compute the identical
+    // value, and no alternative avoids some boundary artifact without
+    // leaving IEEE-exact territory. 2^60 is cast from the exact long,
+    // not a decimal literal (DuckDB parses decimal-point literals as
+    // DECIMAL)
     val u = (h.cast("double") + lit(0.5)) / lit(1152921504606846976L).cast("double")
     val esk = negate(log(u)) / weight.cast("double")
     val eligible = df.filter(weight.cast("double") > 0.0)

@@ -372,7 +372,10 @@ object SimilaritySearch {
     * decimals through the same HALF_UP rule as `functions.round`, and
     * every other op (λ from integer milli ÷ 1000.0, multiply, subtract,
     * max) is IEEE-exact — scores are bit-identical in any IEEE engine.
-    * Ids must be castable to long, `relCol` to double. Output:
+    * Ids must be castable to long, `relCol` to double. Degenerate
+    * candidates — zero/non-finite vector norm (no direction → no
+    * cosine) or non-finite relevance — are dropped fail-closed rather
+    * than crashing the task or poisoning comparisons with NaN. Output:
     * (query_id, cand_id, mmr_rank, mmr_score_micro). */
   def mmrRerank(candidates: DataFrame, queryCol: String, candCol: String,
       vecCol: String, relCol: String, k: Int,
@@ -389,12 +392,26 @@ object SimilaritySearch {
         col(vecCol).cast("array<double>"), col(relCol).cast("double"))
       .as[(Long, Long, Array[Double], Double)]
     typed.groupByKey(_._1).flatMapGroups { (qid, it) =>
-      // sorted by id: deterministic iteration whatever the shuffle order
+      // sorted by id: deterministic iteration whatever the shuffle
+      // order. Degenerate candidates — zero-norm/non-finite vectors
+      // (no direction → no cosine) or a non-finite relevance — are
+      // dropped fail-closed, the hardNegatives NULL-label policy: a
+      // NaN would otherwise poison every comparison against them
+      // (NaN > x is false, so they'd never be picked but would crash
+      // the HALF_UP rounding of any score they touch)
       val cands = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
-      def cos6(a: Array[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        val c = d / (math.sqrt(na) * math.sqrt(nb))
+        .map { case (id, v, rel) =>
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+          (id, v, rel, math.sqrt(n2)) // norm precomputed ONCE per cand
+        }
+        .filter { case (_, _, rel, nrm) =>
+          java.lang.Double.isFinite(rel) && java.lang.Double.isFinite(nrm) && nrm > 0.0
+        }
+      def cos6(a: Array[Double], b: Array[Double], na: Double, nb: Double): Double = {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); i += 1 }
+        val c = d / (na * nb)
         // the same HALF_UP decimal rounding functions.round applies
         BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
@@ -417,19 +434,23 @@ object SimilaritySearch {
           }
           i += 1
         }
-        picked(best) = true
-        val micro = BigDecimal(bestScore * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-        out += ((qid, cands(best)._1, r, micro))
-        i = 0
-        while (i < cands.length) {
-          if (!picked(i)) {
-            val s = cos6(cands(i)._2, cands(best)._2)
-            if (s > maxSim(i)) maxSim(i) = s
+        if (best < 0) {
+          r = k + 1 // no finite-score candidate left: stop cleanly
+        } else {
+          picked(best) = true
+          val micro = BigDecimal(bestScore * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          out += ((qid, cands(best)._1, r, micro))
+          i = 0
+          while (i < cands.length) {
+            if (!picked(i)) {
+              val s = cos6(cands(i)._2, cands(best)._2, cands(i)._4, cands(best)._4)
+              if (s > maxSim(i)) maxSim(i) = s
+            }
+            i += 1
           }
-          i += 1
+          r += 1
         }
-        r += 1
       }
       out.iterator
     }.toDF("query_id", "cand_id", "mmr_rank", "mmr_score_micro")

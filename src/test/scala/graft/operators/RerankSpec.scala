@@ -98,6 +98,21 @@ class RerankSpec extends SparkSpec {
       s"anti-similarity must be rewarded: ${got.mkString(",")}")
   }
 
+  test("mmrRerank: zero-norm and NaN-rel candidates drop fail-closed, never crash") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, 40L, vec(1.0, 0.0), 0.9),
+      (1L, 41L, vec(0.0, 0.0), 0.8), // zero norm: no direction
+      (1L, 42L, vec(0.0, 1.0), Double.NaN), // NaN relevance
+      (1L, 43L, vec(0.5, 0.5), 0.4))
+      .toDF("query_id", "cand_id", "vec", "rel")
+    val got = SimilaritySearch.mmrRerank(cands, "query_id", "cand_id",
+        "vec", "rel", k = 4, lambdaMilli = 700)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((40L, 1), (43L, 2)),
+      s"degenerate candidates must be dropped, the rest ranked: ${got.mkString(",")}")
+  }
+
   test("mmrRerank: ties break to the smaller cand id; k past exhaustion stops cleanly") {
     import spark.implicits._
     val cands = Seq(
