@@ -344,4 +344,95 @@ object Importance {
         element_at(array(labels.map(lit): _*), col("bucket_no") + 1))
       .select(df.columns.map(col) :+ col("bucket_no") :+ col("bucket"): _*)
   }
+
+  /** Distribution-drift monitor: per source, the KL divergence of its
+    * hashed-token-bucket distribution from the whole corpus's — the
+    * dataset telemetry that flags a source whose content shifted (a
+    * crawler gone wrong, a new spam campaign, a scrape of a different
+    * site) BEFORE it trains. The [[dsirScores]] bucket trick makes the
+    * distributions bounded: tokens hash into `buckets` bins, so the
+    * divergence is over a fixed-size support whatever the vocabulary,
+    * and add-one smoothing keeps every term finite.
+    *
+    *   KL(s ‖ corpus) = Σ_b p_s(b) · ln(p_s(b)/p_c(b)),
+    *   p_s(b) = (c_sb + 1)/(n_s + buckets),  p_c likewise over all
+    *   sources — each term rounded to integer micros BEFORE the sum
+    *   (the [[bigramFluency]] parity discipline).
+    *
+    * Scale shape: ONE corpus-sized stage — the (source, bucket)
+    * counter partial-agg; everything after lives on the
+    * sources × buckets frame (the full spine, so zero-count buckets
+    * contribute their smoothed mass). Output: (sourceCol, n_tokens,
+    * kl_micro), larger = further from the corpus mix. */
+  def klDrift(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 128): DataFrame = {
+    require(buckets >= 2, "need buckets >= 2")
+    val inst = docs.select(col(sourceCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(sourceCol),
+        pmod(TextFunctions.tokenHash(col("__tok")), lit(buckets)).as("__b"))
+    val sb = inst.groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__csb"))
+    val srcTot = sb.groupBy(col(sourceCol)).agg(sum("__csb").as("__ns"))
+    val bTot = sb.groupBy(col("__b")).agg(sum("__csb").as("__cb"))
+    val tot = bTot.agg(sum("__cb").as("__nn"))
+    // full spine: every (source, bucket) pair, zero counts included
+    val spine = srcTot
+      .crossJoin(broadcast(tot.select(col("__nn"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__b"))))
+    val terms = spine
+      .join(sb, Seq(sourceCol, "__b"), "left")
+      .join(broadcast(bTot), Seq("__b"), "left")
+      .select(col(sourceCol), col("__ns"),
+        expr(
+          s"""CAST(round((CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |  * ln((CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |      / (CAST(coalesce(__cb, 0L) + 1 AS DOUBLE) / CAST(__nn + $buckets AS DOUBLE)))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+    terms.groupBy(col(sourceCol))
+      .agg(max(col("__ns")).as("n_tokens"), sum("__t").as("kl_micro"))
+  }
+
+  /** Cross-source score calibration: each row's PERCENTILE of
+    * `scoreCol` within its `groupCol` — `pct_micro` =
+    * strictly-below-count × 1e6 DIV max(group size − 1, 1), exact
+    * integer arithmetic, 0 for the group minimum, 1 000 000 for its
+    * maximum. The curation use: heterogeneous quality scorers (one
+    * per source, different scales) become comparable — "keep the top
+    * 30% of every source" is a single filter on pct_micro where the
+    * raw scores would need per-source thresholds.
+    *
+    * Scale shape — the [[scoreBuckets]] histogram discipline, no
+    * row-level window: scores histogram to a (group, distinct-score)
+    * frame (partial-agg, the one corpus-sized stage); the
+    * strictly-below prefix and the group total are windows OVER THE
+    * HISTOGRAM; rows join their (group, score) bin back by hash join.
+    * `scoreCol` must be integral (the engine's score convention).
+    * Ties share a percentile by construction. Output: `df`'s columns +
+    * pct_micro. */
+  def calibrateScores(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val taken = Seq("pct_micro", "__cnt", "__below", "__n", "__jg", "__js")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"calibrateScores appends pct_micro (and uses __cnt/__below/__n/__jg/__js internally); input already has: ${taken.mkString(", ")} — rename or drop them first")
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wBelow = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val binMap = hist
+      .withColumn("__below", coalesce(sum("__cnt").over(wBelow), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wTot))
+      .select(col(groupCol).as("__jg"), col(scoreCol).as("__js"),
+        col("__below"), col("__n"))
+    // null-safe bin join: a NULL group is its own group and a NULL
+    // score ranks first (ASC NULLS FIRST, the window's own order) — an
+    // equi-join would silently drop those rows from the calibrated set
+    df.join(binMap,
+        col(groupCol) <=> col("__jg") && col(scoreCol) <=> col("__js"))
+      .withColumn("pct_micro",
+        expr("__below * 1000000L DIV greatest(__n - 1L, 1L)"))
+      .select(df.columns.map(col) :+ col("pct_micro"): _*)
+  }
 }

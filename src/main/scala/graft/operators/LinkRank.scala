@@ -81,4 +81,60 @@ object LinkRank {
     Checkpointer.release(nodes)
     ranks
   }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007, the deterministic variant): labels start as
+    * each node's own id; every round, EVERY node simultaneously adopts
+    * the label most frequent among its neighbors (undirected view of
+    * the edge list; parallel edges count multiply — dedup upstream if
+    * multiplicity shouldn't vote), ties to the LEXICOGRAPHICALLY
+    * SMALLEST label so the result is engine-portable — the async
+    * random-order variant of the paper is deliberately not offered
+    * (non-deterministic output is unusable as a pipeline stage).
+    * Isolated nodes keep their label. Fixed `rounds`, no convergence
+    * probe — a cluster run is exactly `rounds` shuffle-join jobs.
+    *
+    * Communities differ from [[Dedup.connectedComponents]]: CC unifies
+    * everything reachable; LPA splits a connected graph into densely-
+    * linked clusters — the host-graph view that separates a link farm
+    * from the legitimate sites it points at.
+    *
+    * Scale shape follows [[pageRank]]: the undirected edge list
+    * materializes once; each round is one edges⋈labels hash join, one
+    * (node, label) partial-agg count, one deterministic argmax
+    * (min-struct, map-side combinable), one left join back to the node
+    * spine; superseded label generations are released immediately.
+    * Output: (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", rounds: Int = 3,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = checkpointer(
+      e0.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(e0.select(col("dst").as("node"), col("src").as("nbr"))))
+    val nodes = checkpointer(und.select(col("node")).distinct())
+    var labels = checkpointer(nodes.withColumn("label", col("node")))
+    var i = 0
+    while (i < rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("__c"))
+      // argmax by count, ties to the smallest label: min of
+      // (-count, label) structs — map-side combinable, no window
+      val winners = votes
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l"))).as("__w"))
+        .select(col("node"), col("__w.l").as("__next"))
+      val next = checkpointer(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"), coalesce(col("__next"), col("label")).as("label")))
+      Checkpointer.release(labels)
+      labels = next
+      i += 1
+    }
+    Checkpointer.release(und)
+    Checkpointer.release(nodes)
+    labels
+  }
 }

@@ -2111,7 +2111,51 @@ object Extensions {
       .orderBy("source", "batch_no")
   }
 
+  /** q172 — label-propagation communities ([[LinkRank
+    * .labelPropagation]], 3 synchronous rounds, min-label ties): the
+    * host graph of q150 split into densely-linked clusters — the
+    * link-farm detector CC can't be (CC unifies everything reachable).
+    * The oracle unrolls the three vote/argmax/update rounds. */
+  def q172LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<p><a href=\"http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit("\">x</a> see also <a class=\"r\" href=\"http://"), col("lang"),
+      lit(".site.org/t/"), (col("n_chars") % 7).cast("string"),
+      lit("\">y</a></p>"))
+    val edges = d
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        explode(TextFunctions.extractLinks(html)).as("url"))
+      .select(col("src"), TextFunctions.urlHost(col("url")).as("dst"))
+    LinkRank.labelPropagation(edges, "src", "dst", rounds = 3)
+      .orderBy("node")
+  }
+
+  /** q173 — per-source distribution drift ([[Importance.klDrift]],
+    * 128 hashed buckets): KL divergence of each source's token-bucket
+    * distribution from the corpus mix, add-one smoothed, per-bucket
+    * integer-micro terms. The oracle rebuilds the counts, the full
+    * bucket spine, and the divergence sum. */
+  def q173KlDrift(spark: SparkSession, dir: String): DataFrame =
+    Importance.klDrift(Tables(spark, dir, "documents"), "source", "text", 128)
+      .orderBy("source")
+
+  /** q174 — cross-source score calibration ([[Importance
+    * .calibrateScores]]): every doc's exact within-source percentile
+    * of n_chars in integer micro-units — heterogeneous scorers made
+    * comparable, computed on the histogram, never a row-level window.
+    * The oracle replays it with rank(). */
+  def q174CalibrateScores(spark: SparkSession, dir: String): DataFrame =
+    Importance.calibrateScores(
+        Tables(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_calibrate_scores" -> (q174CalibrateScores _),
+    "q173_kl_drift" -> (q173KlDrift _),
+    "q172_label_prop" -> (q172LabelProp _),
     "q171_batch_stats" -> (q171BatchStats _),
     "q170_mmr_rerank" -> (q170MmrRerank _),
     "q169_hard_negatives" -> (q169HardNegatives _),
@@ -2641,7 +2685,54 @@ object Extensions {
       |UNION ALL SELECT query_id, cand_id, 3 AS mmr_rank, micro FROM p3
       |ORDER BY query_id, mmr_rank""".stripMargin
 
+  /** One synchronous LPA round in SQL: neighbor votes → deterministic
+    * argmax (count desc, label asc) → update with keep-on-isolated. */
+  private def lpRoundSql(k: Int): String =
+    s"""v$k AS (SELECT u.node, l${k - 1}.lbl AS lbl, count(1)::BIGINT AS c
+     |  FROM und u JOIN l${k - 1} ON l${k - 1}.node = u.nbr GROUP BY u.node, l${k - 1}.lbl),
+     |w$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+     |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$k)
+     |  WHERE rn = 1),
+     |l$k AS (SELECT l${k - 1}.node, coalesce(w$k.lbl, l${k - 1}.lbl) AS lbl
+     |  FROM l${k - 1} LEFT JOIN w$k ON w$k.node = l${k - 1}.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q172_label_prop" ->
+      (s"""WITH e0 AS (SELECT source || '.example.com' AS src,
+        |    unnest([source || '.example.com', lang || '.site.org']) AS dst
+        |  FROM documents),
+        |und AS (SELECT src AS node, dst AS nbr FROM e0
+        |  UNION ALL SELECT dst AS node, src AS nbr FROM e0),
+        |nodes AS (SELECT DISTINCT node FROM und),
+        |l0 AS (SELECT node, node AS lbl FROM nodes),
+        |""".stripMargin +
+        (1 to 3).map(lpRoundSql).mkString(",\n") + "\n" +
+        """SELECT node, lbl AS label FROM l3 ORDER BY node"""),
+    "q173_kl_drift" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+        |i AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 128 AS b FROM t),
+        |sb AS (SELECT source, b, count(1)::BIGINT AS csb FROM i GROUP BY source, b),
+        |st AS (SELECT source, sum(csb)::BIGINT AS ns FROM sb GROUP BY source),
+        |bt AS (SELECT b, sum(csb)::BIGINT AS cb FROM sb GROUP BY b),
+        |tt AS (SELECT sum(cb)::BIGINT AS nn FROM bt),
+        |sp0 AS (SELECT CAST(unnest(range(128)) AS BIGINT) AS b),
+        |sp AS (SELECT st.source, st.ns, sp0.b, tt.nn FROM st CROSS JOIN sp0 CROSS JOIN tt),
+        |tm AS (SELECT sp.source, sp.ns,
+        |  CAST(round((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |    * ln((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |        / (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS tmv
+        |  FROM sp LEFT JOIN sb ON sp.source = sb.source AND sp.b = sb.b
+        |    LEFT JOIN bt ON sp.b = bt.b)
+        |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS kl_micro
+        |FROM tm GROUP BY source ORDER BY source""".stripMargin,
+    "q174_calibrate_scores" ->
+      """WITH a AS (SELECT doc_id, source, n_chars,
+        |  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |  count(1) OVER (PARTITION BY source) AS n FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  ((rk - 1) * 1000000 // greatest(n - 1, 1))::BIGINT AS pct_micro
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q169_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e WHERE vec_id < 5),

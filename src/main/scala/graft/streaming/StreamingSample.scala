@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming weighted sampling without replacement — the unbounded-
+  * ingest face of [[graft.operators.Sampling.weightedSampleNoReplace]].
+  *
+  * The Efraimidis–Spirakis construction is a natural streaming
+  * algorithm: each row's exponential key −ln(u)/w is a pure function
+  * of the row (u hash-derived — the SAME md5 arithmetic as the batch
+  * operator, so the streaming sample and a batch rerun over the
+  * union of all batches pick IDENTICAL rows), and "the k smallest
+  * keys so far" is O(k) keyed state folded per trigger — never one
+  * state row per seen element. Update-mode emission: every trigger
+  * that touches a stratum re-emits that stratum's current sample.
+  *
+  * Rows with non-positive weight are rejected deterministically,
+  * matching the batch operator's eligibility rule.
+  */
+object StreamingSample {
+
+  /** The batch operator's key: u = (md5-long + 0.5) / 2^60,
+    * key = −ln(u)/w. Pure, engine-portable, reshuffle-proof. */
+  def esKey(key: String, weight: Long): Double = {
+    val h = graft.expressions.TokenHashes.hashOne(UTF8String.fromString(key))
+    val u = (h.toDouble + 0.5) / 1152921504606846976L.toDouble
+    -math.log(u) / weight.toDouble
+  }
+
+  /** (stratum, key, weight) stream → per-stratum current sample
+    * (keys in sample order: ascending ES key, then key), re-emitted on
+    * every trigger that touches the stratum. State per stratum is the
+    * sorted min-k (esKey, key) buffer — O(k) forever, the
+    * [[StreamingSketch.heavyHitters]] bounded-state discipline. */
+  def weightedSample(rows: Dataset[(String, String, Long)],
+      k: Int): Dataset[(String, Array[String])] = {
+    require(k >= 1, "need k >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (stratum: String, it: Iterator[(String, String, Long)],
+            state: GroupState[List[(Double, String)]]) =>
+          val buf = it.foldLeft(state.getOption.getOrElse(Nil)) {
+            case (b, (_, key, w)) =>
+              if (w <= 0L) b
+              else {
+                val e = (esKey(key, w), key)
+                if (b.lengthCompare(k) >= 0 && implicitly[Ordering[(Double, String)]].lteq(b.last, e)) b
+                else ((e :: b).sorted).take(k)
+              }
+          }
+          state.update(buf)
+          stratum -> buf.map(_._2).toArray
+      }
+  }
+}

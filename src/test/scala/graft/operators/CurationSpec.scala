@@ -317,6 +317,70 @@ class CurationSpec extends SparkSpec {
       s"expected the empty-model raise_error, got: ${messages(e)}")
   }
 
+  test("klDrift == a Scala reference; a drifted source scores far above an on-mix one") {
+    import spark.implicits._
+    // s_mix1/s_mix2 share a vocabulary; s_drift is disjoint
+    val docs = Seq(
+      (1L, "s_mix1", "alpha beta gamma delta alpha beta"),
+      (2L, "s_mix1", "beta gamma delta epsilon"),
+      (3L, "s_mix2", "alpha beta gamma delta epsilon alpha"),
+      (4L, "s_drift", "uno dos tres quattro cinque sei sette otto")
+    ).toDF("doc_id", "source", "text")
+    val buckets = 16
+    val got = Importance.klDrift(docs, "source", "text", buckets)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: string tokens → md5 buckets → smoothed KL, per-term micros
+    def hash(t: String): Long = graft.expressions.TokenHashes.hashOne(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    val inst = docs.collect().map(r => (r.getString(1), r.getString(2)))
+      .flatMap { case (s, t) =>
+        t.toLowerCase.trim.split("\\s+").map(tok => (s, (hash(tok) % buckets + buckets) % buckets)) }
+    val csb = inst.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ns = inst.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = inst.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = inst.length.toLong
+    val want = ns.map { case (s, n) =>
+      val kl = (0L until buckets).map { b =>
+        val ps = (csb.getOrElse((s, b), 0L).toDouble + 1.0) / (n.toDouble + buckets)
+        val pc = (cb.getOrElse(b, 0L).toDouble + 1.0) / (nn.toDouble + buckets)
+        math.round(ps * math.log(ps / pc) * 1e6)
+      }.sum
+      s -> ((n, kl))
+    }
+    assert(got == want)
+    assert(got("s_drift")._2 > got("s_mix1")._2 * 3 &&
+      got("s_drift")._2 > got("s_mix2")._2 * 3,
+      s"the disjoint-vocabulary source must stand out: $got")
+  }
+
+  test("calibrateScores == the rank-window reference; ties share; NULLs survive") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("a"), Some(20L)), (4L, Some("a"), Some(50L)),
+      (5L, Some("b"), Some(7L)), // singleton group: pct 0, not DIV 0
+      (6L, Option.empty[String], Some(4L)), // NULL group is its own group
+      (7L, Option.empty[String], Option.empty[Long])) // NULL score ranks first
+    val df = rows.toDF("id", "grp", "s")
+    val got = Importance.calibrateScores(df, "grp", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 0L && got(4L) == 1000000L,
+      "group min calibrates to 0, max to 1e6")
+    assert(got(2L) == got(3L) && got(2L) == 1000000L / 3L,
+      "ties share the strictly-below percentile")
+    assert(got(5L) == 0L, "a singleton group is 0, never a division by zero")
+    assert(got(7L) == 0L && got(6L) == 1000000L,
+      "NULL score ranks first in its NULL group; both rows survive")
+    // dominant-group replay against the rank window it refuses to run
+    val big = (1L to 5000L).map(i => (i, "g", i % 37)).toDF("id", "grp", "s")
+    val gotBig = Importance.calibrateScores(big, "grp", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wantBig = big
+      .withColumn("pct", expr("(CAST(rank() OVER (PARTITION BY grp ORDER BY s) AS BIGINT) - 1L) * 1000000L DIV greatest(CAST(count(1) OVER (PARTITION BY grp) AS BIGINT) - 1L, 1L)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotBig == wantBig)
+  }
+
   test("wilsonRank: hand-checked bounds; 3/3 cannot outrank 95/100; NULLs fail closed") {
     import spark.implicits._
     def wilson(pass: Long, n: Long, z: Double = 1.96): Long = {

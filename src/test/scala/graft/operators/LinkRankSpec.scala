@@ -51,4 +51,53 @@ class LinkRankSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(one == many)
   }
+
+  test("labelPropagation: two dense cliques joined by one bridge stay two communities (CC would unify)") {
+    import spark.implicits._
+    val cliqueA = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (s"a$i", s"a$j")
+    val cliqueB = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (s"b$i", s"b$j")
+    val edges = (cliqueA ++ cliqueB :+ ("a1", "b1")).toDF("src", "dst")
+    val got = LinkRank.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aLabels = (1 to 4).map(i => got(s"a$i")).toSet
+    val bLabels = (1 to 4).map(i => got(s"b$i")).toSet
+    assert(aLabels.size == 1 && bLabels.size == 1,
+      s"each clique must converge to one label: a=$aLabels b=$bLabels")
+    assert(aLabels != bLabels,
+      "the bridge must NOT merge the cliques — that's connected components' job")
+    // the same graph under CC is ONE component
+    val cc = Dedup.connectedComponents(
+        edges.withColumnRenamed("src", "id1").withColumnRenamed("dst", "id2"))
+      .collect().map(_.getString(1)).toSet
+    assert(cc.size == 1, s"CC control: expected one component, got $cc")
+  }
+
+  test("labelPropagation == a synchronous Scala reference; isolated nodes keep their label") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val edges = (1 to 150).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${30 + rnd.nextInt(30)}")) :+
+      ("lone", "lone") // self-loop: its own only neighbor
+    val got = LinkRank.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference: synchronous rounds over an adjacency multimap
+    val und = edges.flatMap { case (s, d) => Seq(s -> d, d -> s) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keySet.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val next = labels.map { case (n, l) =>
+        val votes = adj(n).map(labels).groupBy(identity).view.mapValues(_.size)
+        if (votes.isEmpty) n -> l
+        else n -> votes.toSeq.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+      labels = next
+    }
+    assert(got == labels)
+    assert(got("lone") == "lone", "a self-loop node votes for itself and keeps its label")
+    // partitioning independence
+    val many = LinkRank.labelPropagation(
+        edges.toDF("src", "dst").repartition(17), rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(many == got)
+  }
 }

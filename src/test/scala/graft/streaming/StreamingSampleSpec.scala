@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ES sampler: O(k) state per stratum, and the streamed
+  * sample over N triggers is IDENTICAL to the batch operator run once
+  * over the union — the portability promise of hash-derived keys. */
+class StreamingSampleSpec extends SparkSpec {
+
+  test("streamed sample == batch weightedSampleNoReplace over the union of triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val out = StreamingSample.weightedSample(in.toDS(), k = 5)
+      .toDF("stratum", "sample")
+    val q = out.writeStream.format("memory").queryName("es_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val batch1 = (1 to 40).map(i => ("en", s"doc$i", (i % 9) + 1L)) ++
+        (1 to 3).map(i => ("tiny", s"t$i", 2L))
+      val batch2 = (41 to 90).map(i => ("en", s"doc$i", (i % 9) + 1L)) ++
+        Seq(("en", "zero", 0L), ("en", "neg", -3L)) // never sampled
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("es_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+
+      val union = (batch1 ++ batch2).toDF("stratum", "key", "w")
+      val want = graft.operators.Sampling
+        .weightedSampleNoReplace(union, "stratum", "key", col("w"), 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      assert(got == want,
+        s"stream and batch must pick identical rows in identical order:\n$got\nvs\n$want")
+      assert(got("tiny") == Seq("t1", "t2", "t3").sortBy(k =>
+          StreamingSample.esKey(k, 2L)),
+        "a stratum below k keeps everything")
+      assert(!got("en").contains("zero") && !got("en").contains("neg"))
+    } finally q.stop()
+  }
+
+  test("state is O(k): the buffer never exceeds k whatever the stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val out = StreamingSample.weightedSample(in.toDS(), k = 3)
+      .toDF("stratum", "sample")
+    val q = out.writeStream.format("memory").queryName("es_bounded")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      (0 until 4).foreach { b =>
+        in.addData((1 to 500).map(i => ("g", s"k${b * 500 + i}", 1L)): _*)
+        q.processAllAvailable()
+      }
+      val sizes = spark.table("es_bounded").collect()
+        .map(_.getSeq[String](1).size)
+      assert(sizes.forall(_ <= 3), s"sample exceeded k: ${sizes.max}")
+    } finally q.stop()
+  }
+}
