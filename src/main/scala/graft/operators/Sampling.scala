@@ -163,6 +163,49 @@ object Sampling {
           .as("src_w_milli"))
   }
 
+  /** Token-budget epoch planner — the step between
+    * [[temperatureWeights]] and [[mixtureSample]] a training run
+    * actually schedules from: given a GLOBAL token budget, allocate it
+    * across sources by the α = 1/2 temperature share of their token
+    * counts, then cap each source's epochs (a 100-token source must not
+    * be replayed 10⁶ times to honor its share — the repetition-harm
+    * cap of Muennighoff et al. 2023's data-constrained scaling). All
+    * integer/fixed-point arithmetic (one IEEE-exact sqrt per source,
+    * rounded to micro BEFORE the normalizer sum); products run in
+    * decimal(38) so corpus-scale budgets cannot overflow.
+    *
+    *   s_s = round(1e6·√n_tokens_s);  target_s = B·s_s DIV Σs;
+    *   epochs_milli_s = min(cap, target_s·1000 DIV n_tokens_s);
+    *   planned_s = n_tokens_s·epochs_milli_s DIV 1000.
+    *
+    * Σ planned ≤ B by construction (capping only shrinks); the
+    * uncapped remainder is visible as budget − Σ planned — re-run with
+    * a higher budget or feed `epochs_milli` straight to
+    * [[mixtureSample]] as the per-source weight. One partial-agg
+    * counter shuffle; everything else is source-cardinality-sized.
+    * Output: (sourceCol, n_tokens, target_tokens, epochs_milli,
+    * planned_tokens). */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+      budgetTokens: Long, maxEpochsMilli: Long = 4000L): DataFrame = {
+    require(budgetTokens >= 1, "need budgetTokens >= 1")
+    require(maxEpochsMilli >= 1, "need maxEpochsMilli >= 1")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("__sm", expr("CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT)"))
+    val tot = counts.agg(sum("__sm").as("__S"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        // __S > 0 whenever any source has tokens; the all-empty corpus
+        // degenerates to zeros rather than a division error
+        expr(s"CASE WHEN __S > 0 THEN CAST((CAST($budgetTokens AS DECIMAL(38,0)) * __sm) DIV CAST(__S AS DECIMAL(38,0)) AS BIGINT) ELSE 0 END"))
+      .withColumn("epochs_milli",
+        expr(s"CASE WHEN n_tokens > 0 THEN least(${maxEpochsMilli}L, CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000) DIV CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)) ELSE 0 END"))
+      .withColumn("planned_tokens",
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * epochs_milli) DIV 1000 AS BIGINT)"))
+      .select(col(sourceCol), col("n_tokens"), col("target_tokens"),
+        col("epochs_milli"), col("planned_tokens"))
+  }
+
   /** Weighted sampling WITHOUT replacement, exactly k per stratum —
     * Efraimidis & Spirakis 2006 (the one-pass exponential-key
     * formulation): each row draws key = −ln(u)/w from a deterministic

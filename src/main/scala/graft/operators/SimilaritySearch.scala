@@ -316,6 +316,74 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic sign-random-projection hyperplanes (Charikar 2002
+    * SimHash for vectors): component (i, j) is the md5-derived integer
+    * in [−1000, 1000] of the string "srp:i:j" — no RNG, so signatures
+    * are engine-portable and stable across reruns, the property every
+    * hash in this engine keys on. */
+  private[operators] def srpWeights(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (i, j) =>
+      (graft.expressions.TokenHashes.hashOne(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"srp:$i:$j"))
+        % 2001L - 1000L).toDouble
+    }
+
+  /** The `bits`-bit SRP signature of a double-array column: bit i is
+    * set iff the vector's dot product with hyperplane i is ≥ 0. Pure
+    * codegen projection (one [[graft.expressions.DotProduct]] per bit
+    * against a plan literal — bits × dim doubles, small); every op is
+    * IEEE-exact so the signature is bit-identical across engines. */
+  def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+    val w = srpWeights(bits, dim)
+    (0 until bits).map { i =>
+      when(dot(vec, typedlit(w(i).toSeq)) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SRP-LSH approximate nearest neighbors — the HYPERPLANE bucket
+    * family, complementing [[ivfTopK]]'s centroid family: two vectors
+    * share a signature bit with probability 1 − θ/π, so bucket
+    * collisions concentrate high-cosine pairs without training any
+    * centroids (the right index when the corpus drifts faster than a
+    * Lloyd run amortizes). Queries probe their own bucket plus, with
+    * `multiprobe`, every Hamming-1 neighbor bucket (bits + 1 probes) —
+    * the standard recall repair for sign quantization's hard edges.
+    *
+    * Scale shape: signatures are a codegen projection over one corpus
+    * scan; the probe join is a hash join on the 8-byte signature with
+    * the query batch broadcast ([[ivfTopK]]'s contract — queries ≪
+    * corpus); ranking windows only over bucket-matched candidates.
+    * Output: (query_id, neighbor_id, sim, rank) — rank by exact cosine
+    * within the probed buckets, ties to the smaller neighbor id. */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 16, dim: Int = 64,
+      multiprobe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .withColumn("sig", srpSignature(col("vec"), bits, dim))
+    val qBase = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+      .withColumn("qsig", srpSignature(col("qvec"), bits, dim))
+    val probeCols =
+      if (multiprobe)
+        array(col("qsig") +: (0 until bits).map(b =>
+          col("qsig").bitwiseXOR(lit(1L << b))): _*)
+      else array(col("qsig"))
+    val q = qBase.withColumn("probe", explode(probeCols))
+    val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q),
+        col("sig") === col("probe") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive embedding training (the DPR
     * / SimCSE data-prep step): for each anchor, the k corpus vectors
     * MOST similar to it whose label provably differs — the negatives

@@ -2152,7 +2152,37 @@ object Extensions {
         "source", "n_chars")
       .orderBy("doc_id")
 
+  /** q175 — SRP-LSH ANN ([[SimilaritySearch.srpTopK]], 16 hyperplane
+    * bits -> 8 here so sf-scale buckets populate, Hamming-1
+    * multiprobe): the training-free hash-bucket ANN
+    * family beside q27's IVF — deterministic md5-derived hyperplanes,
+    * exact cosine rank within probed buckets. The oracle rebuilds the
+    * hyperplanes, signatures, probe fan-out, and rank. */
+  def q175SrpAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.srpTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, bits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q176 — token-budget epoch planning ([[Sampling.epochPlan]],
+    * budget 50k tokens, cap 2.5 epochs): α = 1/2 temperature shares
+    * over per-language token counts, with the repetition cap binding
+    * on low-resource languages — all decimal(38)/integer arithmetic,
+    * one IEEE sqrt per language. */
+  def q176EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    Sampling.epochPlan(d, "lang", "n_toks",
+        budgetTokens = 50000L, maxEpochsMilli = 2500L)
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_epoch_plan" -> (q176EpochPlan _),
+    "q176_epoch_plan" -> (q176EpochPlan _),
+    "q175_srp_ann" -> (q175SrpAnn _),
     "q174_calibrate_scores" -> (q174CalibrateScores _),
     "q173_kl_drift" -> (q173KlDrift _),
     "q172_label_prop" -> (q172LabelProp _),
@@ -2697,6 +2727,39 @@ object Extensions {
      |  FROM l${k - 1} LEFT JOIN w$k ON w$k.node = l${k - 1}.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q175_srp_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hp AS (SELECT CAST(i AS BIGINT) AS i,
+        |    list_transform(range(64), j -> CAST(('0x' || substring(md5('srp:' || i || ':' || j), 1, 15))::BIGINT % 2001 - 1000 AS DOUBLE)) AS h
+        |  FROM (SELECT unnest(range(8)) AS i)),
+        |sg AS (SELECT e.vec_id,
+        |    sum(CASE WHEN list_sum(list_transform(list_zip(e.v, hp.h), x -> x[1] * x[2])) >= 0.0
+        |      THEN (1 << i)::BIGINT ELSE 0 END)::BIGINT AS sig
+        |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
+        |cs AS (SELECT sg.vec_id, sig, v FROM sg JOIN e USING (vec_id)),
+        |qs AS (SELECT vec_id AS qid, sig, v AS qv FROM cs WHERE vec_id < 8),
+        |pr AS (SELECT qid, qv,
+        |    unnest([sig] || list_transform(range(8), b -> xor(sig, (1 << b)::BIGINT))) AS probe
+        |  FROM qs),
+        |s AS (SELECT qid AS query_id, cs.vec_id AS neighbor_id, $cosSql AS sim
+        |  FROM cs JOIN pr ON cs.sig = pr.probe AND cs.vec_id <> pr.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "q176_epoch_plan" ->
+      s"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS nt FROM documents),
+        |c AS (SELECT lang, sum(nt)::BIGINT AS n_tokens FROM t GROUP BY lang),
+        |s AS (SELECT lang, n_tokens, CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS sm FROM c),
+        |tot AS (SELECT sum(sm)::HUGEINT AS S FROM s),
+        |p AS (SELECT lang, n_tokens,
+        |    CASE WHEN S > 0 THEN CAST((50000::HUGEINT * sm) // S AS BIGINT) ELSE 0 END AS target_tokens
+        |  FROM s CROSS JOIN tot),
+        |q AS (SELECT lang, n_tokens, target_tokens,
+        |    CASE WHEN n_tokens > 0 THEN least(2500, CAST((target_tokens::HUGEINT * 1000) // n_tokens::HUGEINT AS BIGINT)) ELSE 0 END AS epochs_milli
+        |  FROM p)
+        |SELECT lang, n_tokens, target_tokens, epochs_milli,
+        |  CAST((n_tokens::HUGEINT * epochs_milli) // 1000 AS BIGINT) AS planned_tokens
+        |FROM q ORDER BY lang""".stripMargin,
     "q172_label_prop" ->
       (s"""WITH e0 AS (SELECT source || '.example.com' AS src,
         |    unnest([source || '.example.com', lang || '.site.org']) AS dst

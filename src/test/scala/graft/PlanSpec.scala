@@ -451,4 +451,45 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate\\(keys=\\[lang#\\d+, __bin#\\d+L\\]".r.findFirstIn(p.substring(win)).isDefined,
       "histogram aggregate must sit below the cumulative windows")
   }
+
+  test("q166 weighted sample: the q104 shape — bounded threshold prune below the rank window") {
+    val p = plan("q166_weighted_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the MinKDoubles threshold frame must broadcast")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "the threshold aggregator must plan as a partial typed aggregate")
+    val win = p.indexOf("Window")
+    assert(win >= 0, "expected the survivor rank window")
+    val join = p.indexOf("BroadcastHashJoin") max p.indexOf("BroadcastNestedLoopJoin")
+    assert(join > win,
+      "the threshold prune must sit BELOW the rank window (root-first print)")
+  }
+
+  test("q174 calibration: windows run over the histogram, never over doc rows") {
+    val p = SparkEntry.queries("q174_calibrate_scores")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // both windows (strictly-below prefix, group total) must consume
+    // the (source, n_chars) histogram aggregate — root-first print puts
+    // that aggregate after the windows
+    val win = p.indexOf("Window")
+    assert(win > 0, "expected the histogram windows")
+    assert("HashAggregate\\(keys=\\[source#\\d+, n_chars#\\d+L?\\]".r
+      .findFirstIn(p.substring(win)).isDefined,
+      "the histogram aggregate must sit below the percentile windows")
+  }
+
+  test("q173 KL drift: one corpus-sized stage — the counter aggregate is partial; the spine broadcasts") {
+    val p = plan("q173_kl_drift")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "the (source, bucket) counter must map-side combine")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the bucket spine / totals must broadcast, never shuffle the counter frame")
+  }
+
+  test("q170 MMR: the first stage broadcasts the candidate frame into the vector join") {
+    val p = plan("q170_mmr_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded candidate set must broadcast against the corpus vectors")
+  }
 }

@@ -113,6 +113,46 @@ class RerankSpec extends SparkSpec {
       s"degenerate candidates must be dropped, the rest ranked: ${got.mkString(",")}")
   }
 
+  test("srpTopK == the brute-force rank restricted to probed buckets; multiprobe only widens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val dim = 8
+    val rows = (1L to 200L).map(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+    val anchors = rows.filter(col("vec_id") <= 4)
+    val got = SimilaritySearch.srpTopK(rows, anchors, "vec_id", "embedding",
+        k = 5, bits = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // reference: signatures via the same public srpSignature column,
+    // then brute-force cosine rank over bucket-matched (Hamming <= 1)
+    // candidates
+    val sigs = rows.withColumn("sig",
+        SimilaritySearch.srpSignature(col("embedding").cast("array<double>"), 4, dim))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val want = SimilaritySearch.bruteForceTopK(rows, anchors, "vec_id", "embedding", 200)
+      .collect()
+      .filter(r => hamming(sigs(r.getLong(0)), sigs(r.getLong(1))) <= 1)
+      .groupBy(_.getLong(0)).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(5)
+          .zipWithIndex.map { case (r, i) => (q, r.getLong(1), i + 1) }
+      }.toSet
+    assert(got == want)
+    // exact-bucket probing returns a subset of the multiprobe candidates
+    val exact = SimilaritySearch.srpTopK(rows, anchors, "vec_id", "embedding",
+        k = 200, bits = 4, dim = dim, multiprobe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = SimilaritySearch.srpTopK(rows, anchors, "vec_id", "embedding",
+        k = 200, bits = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(wide))
+    // determinism under partitioning
+    val many = SimilaritySearch.srpTopK(rows.repartition(13), anchors,
+        "vec_id", "embedding", k = 5, bits = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(many == got)
+  }
+
   test("mmrRerank: ties break to the smaller cand id; k past exhaustion stops cleanly") {
     import spark.implicits._
     val cands = Seq(

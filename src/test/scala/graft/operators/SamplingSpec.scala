@@ -119,6 +119,32 @@ class SamplingSpec extends SparkSpec {
       "zero/negative/NULL weights must never be sampled")
   }
 
+  test("epochPlan: temperature shares, cap binding on the small source, zero-token safety") {
+    import spark.implicits._
+    // big: 10000 tokens, small: 100, empty: 0 — budget 15000, cap 3.0x
+    val rows = Seq(("big", 10000L), ("small", 100L), ("empty", 0L))
+      .toDF("src", "nt")
+    val got = Sampling.epochPlan(rows, "src", "nt",
+        budgetTokens = 15000L, maxEpochsMilli = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s_big = 1e8, s_small = 1e7, s_empty = 0; S = 1.1e8
+    val S = 100000000L + 10000000L
+    val tBig = 15000L * 100000000L / S
+    val tSmall = 15000L * 10000000L / S
+    assert(got("big") == ((10000L, tBig, tBig * 1000L / 10000L,
+      10000L * (tBig * 1000L / 10000L) / 1000L)),
+      s"uncapped source takes its temperature share: ${got("big")}")
+    assert(got("small")._3 == 3000L,
+      "the repetition cap must bind on the low-resource source " +
+        s"(uncapped would be ${tSmall * 1000L / 100L} milli-epochs)")
+    assert(got("small")._4 == 100L * 3000L / 1000L)
+    assert(got("empty") == ((0L, 0L, 0L, 0L)),
+      "a zero-token source degenerates to zeros, not a division error")
+    val planned = got.values.map(_._4).sum
+    assert(planned <= 15000L, s"planned tokens exceed the budget: $planned")
+  }
+
   test("weightedSampleNoReplace rejects column collisions") {
     import spark.implicits._
     val df = Seq((1L, "a", 2, 0.5)).toDF("id", "st", "w", "__esk")
