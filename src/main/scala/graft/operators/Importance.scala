@@ -380,8 +380,15 @@ object Importance {
     val spine = srcTot
       .crossJoin(broadcast(tot.select(col("__nn"),
         explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__b"))))
+    // null-safe group join: a NULL source (an upstream tagging failure
+    // the drift monitor must SEE with its REAL counts) is its own group
+    // — a plain equi-join would zero its buckets and report
+    // KL(uniform ‖ corpus), a fixed garbage number
+    val sbKeyed = sb.select(col(sourceCol).as("__ks"),
+      col("__b").as("__kb"), col("__csb"))
     val terms = spine
-      .join(sb, Seq(sourceCol, "__b"), "left")
+      .join(sbKeyed,
+        col(sourceCol) <=> col("__ks") && col("__b") === col("__kb"), "left")
       .join(broadcast(bTot), Seq("__b"), "left")
       .select(col(sourceCol), col("__ns"),
         expr(
@@ -396,8 +403,11 @@ object Importance {
   /** Cross-source score calibration: each row's PERCENTILE of
     * `scoreCol` within its `groupCol` — `pct_micro` =
     * strictly-below-count × 1e6 DIV max(group size − 1, 1), exact
-    * integer arithmetic, 0 for the group minimum, 1 000 000 for its
-    * maximum. The curation use: heterogeneous quality scorers (one
+    * integer arithmetic: 0 for the group minimum, 1 000 000 for a
+    * UNIQUE group maximum (ties share the strictly-below percentile,
+    * so a tied maximum sits below 1e6 — filter with ≥, not =, when
+    * selecting "each group's best"). The curation use: heterogeneous
+    * quality scorers (one
     * per source, different scales) become comparable — "keep the top
     * 30% of every source" is a single filter on pct_micro where the
     * raw scores would need per-source thresholds.

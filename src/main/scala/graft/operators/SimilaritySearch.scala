@@ -336,10 +336,18 @@ object SimilaritySearch {
   def srpSignature(vec: Column, bits: Int, dim: Int): Column = {
     require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
     val w = srpWeights(bits, dim)
-    (0 until bits).map { i =>
+    val sig = (0 until bits).map { i =>
       when(dot(vec, typedlit(w(i).toSeq)) >= 0.0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+    // fail-closed on ragged input: a vector whose length differs from
+    // `dim` gets a NULL signature (DotProduct would return NULL and the
+    // when-chain would otherwise silently emit sig = 0, colliding every
+    // bad vector into bucket 0 — or, with a uniformly wrong dim,
+    // turning the bucket hash join into a full cross product). NULL
+    // never equals a probe, so mismatched vectors drop out of the
+    // index; audit with filter(sig.isNull) before trusting recall.
+    when(size(vec) === dim, sig).otherwise(lit(null).cast("long"))
   }
 
   /** SRP-LSH approximate nearest neighbors — the HYPERPLANE bucket

@@ -2181,7 +2181,6 @@ object Extensions {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_epoch_plan" -> (q176EpochPlan _),
-    "q176_epoch_plan" -> (q176EpochPlan _),
     "q175_srp_ann" -> (q175SrpAnn _),
     "q174_calibrate_scores" -> (q174CalibrateScores _),
     "q173_kl_drift" -> (q173KlDrift _),
@@ -2785,7 +2784,7 @@ object Extensions {
         |    * ln((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |        / (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE)))
         |    * 1000000) AS BIGINT) AS tmv
-        |  FROM sp LEFT JOIN sb ON sp.source = sb.source AND sp.b = sb.b
+        |  FROM sp LEFT JOIN sb ON sp.source IS NOT DISTINCT FROM sb.source AND sp.b = sb.b
         |    LEFT JOIN bt ON sp.b = bt.b)
         |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS kl_micro
         |FROM tm GROUP BY source ORDER BY source""".stripMargin,

@@ -46,7 +46,12 @@ object StreamingSample {
             case (b, (_, key, w)) =>
               if (w <= 0L) b
               else {
-                val e = (esKey(key, w), key)
+                // NULL keys normalize to "" — the batch operator's
+                // coalesce(key, '') hash discipline; the emitted sample
+                // reports the normalized key (a NULL in the buffer
+                // would NPE the sort ordering)
+                val kk = if (key == null) "" else key
+                val e = (esKey(kk, w), kk)
                 if (b.lengthCompare(k) >= 0 && implicitly[Ordering[(Double, String)]].lteq(b.last, e)) b
                 else ((e :: b).sorted).take(k)
               }

@@ -353,6 +353,23 @@ class CurationSpec extends SparkSpec {
       s"the disjoint-vocabulary source must stand out: $got")
   }
 
+  test("klDrift: a NULL source keeps its REAL bucket counts, not a zeroed uniform") {
+    import spark.implicits._
+    // the NULL-source group has exactly s_mix1's text, so its KL must
+    // EQUAL s_mix1's — a null-unsafe bucket join would zero its counts
+    // and report KL(uniform-ish ‖ corpus) instead
+    val docs = Seq(
+      (1L, Some("s_mix1"), "alpha beta gamma delta"),
+      (2L, Option.empty[String], "alpha beta gamma delta"),
+      (3L, Some("s_other"), "uno dos tres")).toDF("doc_id", "source", "text")
+    val got = Importance.klDrift(docs, "source", "text", 16)
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 3, "the NULL source must appear in the report")
+    assert(got(Some("s_mix1")) == got(None),
+      s"identical content must score identically across the NULL boundary: $got")
+  }
+
   test("calibrateScores == the rank-window reference; ties share; NULLs survive") {
     import spark.implicits._
     val rows = Seq(

@@ -151,6 +151,17 @@ class RerankSpec extends SparkSpec {
         "vec_id", "embedding", k = 5, bits = 4, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(many == got)
+    // ragged vectors fail closed: NULL signature, never bucket 0
+    val ragged = Seq((999L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val sigRagged = ragged.select(SimilaritySearch.srpSignature(
+        col("embedding").cast("array<double>"), 4, dim).as("sig"))
+      .collect().head
+    assert(sigRagged.isNullAt(0),
+      "a wrong-length vector must get a NULL signature, not collide into bucket 0")
+    val withRagged = SimilaritySearch.srpTopK(rows.unionByName(ragged), anchors,
+        "vec_id", "embedding", k = 200, bits = 4, dim = dim)
+      .collect().map(_.getLong(1)).toSet
+    assert(!withRagged.contains(999L), "ragged vectors never appear as neighbors")
   }
 
   test("mmrRerank: ties break to the smaller cand id; k past exhaustion stops cleanly") {

@@ -22,26 +22,37 @@ class StreamingSampleSpec extends SparkSpec {
       val batch1 = (1 to 40).map(i => ("en", s"doc$i", (i % 9) + 1L)) ++
         (1 to 3).map(i => ("tiny", s"t$i", 2L))
       val batch2 = (41 to 90).map(i => ("en", s"doc$i", (i % 9) + 1L)) ++
-        Seq(("en", "zero", 0L), ("en", "neg", -3L)) // never sampled
+        Seq(("en", "zero", 0L), ("en", "neg", -3L), // never sampled
+          ("en", null, 7L)) // NULL key: normalized to "", never an NPE
       in.addData(batch1: _*)
       q.processAllAvailable()
       in.addData(batch2: _*)
       q.processAllAvailable()
-      val got = spark.table("es_stream").collect()
-        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      // update-mode memory sink holds one row per touched stratum per
+      // trigger; assert CONTAINMENT of the expected final state rather
+      // than relying on collect() returning batches in commit order —
+      // every emitted row is a valid stream-prefix state, and the
+      // final one must be among them
+      val emitted = spark.table("es_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toSet
 
-      val union = (batch1 ++ batch2).toDF("stratum", "key", "w")
+      // the batch side hashes NULL keys as '' — mirror by replacing
+      // the null with "" in the union (the stream emits the
+      // normalized key, documented)
+      val union = (batch1 ++ batch2).map { case (s, k, w) =>
+        (s, if (k == null) "" else k, w) }.toDF("stratum", "key", "w")
       val want = graft.operators.Sampling
         .weightedSampleNoReplace(union, "stratum", "key", col("w"), 5)
         .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
         .groupBy(_._1).view
         .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
-      assert(got == want,
-        s"stream and batch must pick identical rows in identical order:\n$got\nvs\n$want")
-      assert(got("tiny") == Seq("t1", "t2", "t3").sortBy(k =>
-          StreamingSample.esKey(k, 2L)),
+      assert(emitted.contains("en" -> want("en")),
+        s"final en state must match the batch pick: $emitted vs ${want("en")}")
+      assert(emitted.contains("tiny" -> want("tiny")))
+      assert(want("tiny").toSet == Set("t1", "t2", "t3"),
         "a stratum below k keeps everything")
-      assert(!got("en").contains("zero") && !got("en").contains("neg"))
+      assert(emitted.forall { case (_, sample) =>
+        !sample.contains("zero") && !sample.contains("neg") })
     } finally q.stop()
   }
 
