@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `multi_match(text, model) -> struct(n_hits long, n_patterns long)`
+  * — count every occurrence of every pattern in ONE Aho–Corasick pass
+  * (Aho & Corasick 1975), the blocklist/contamination-phrase scanner
+  * at corpus scale: N `contains()` scans read the text N times and
+  * defeat whole-stage codegen fusion of the gate; the automaton reads
+  * it once whatever the pattern count.
+  *
+  * Semantics: `n_hits` counts EVERY match of every pattern at every
+  * end position — overlapping matches included ("aa" occurs twice in
+  * "aaa"), matching the per-position replay the oracle runs, NOT the
+  * non-overlapping `replace`-count. `n_patterns` is the number of
+  * distinct patterns with ≥ 1 match. Matching is exact over UTF-16
+  * units, which for substring EQUALITY is identical to code-point
+  * matching (nothing is split or rebuilt, so surrogate pairs cannot
+  * mangle — occurrence COUNTS are index-basis-independent).
+  *
+  * The automaton ships as a [[MultiMatch.Model]] reference object
+  * (the [[BpeSegment]] policy — one opaque plan reference whatever
+  * the pattern count); distinct-pattern tracking rides a 64-bit mask,
+  * so a model holds at most 64 patterns (chain a second expression
+  * for more — blocklists that big usually want the hashed
+  * [[graft.operators.UrlGate]] family instead). NULL text → NULL.
+  */
+case class MultiMatch(child: Expression, model: MultiMatch.Model)
+  extends UnaryExpression {
+
+  override def dataType: DataType = MultiMatch.outType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_match"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MultiMatch.kernel(v.asInstanceOf[UTF8String], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("multiMatchModel", model,
+      classOf[MultiMatch.Model].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.MultiMatch.kernel(${childGen.value}, $modelRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatch =
+    copy(child = newChild)
+}
+
+object MultiMatch {
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_patterns", LongType, nullable = false)))
+
+  /** Driver-built Aho–Corasick automaton: flat goto maps, per-node
+    * flattened output (match count + distinct-pattern mask, fail
+    * chains pre-collapsed at build time so the walk never chases
+    * them). Serializable — ships once per task. */
+  final class Model private[MultiMatch] (
+      val gotoMap: Array[java.util.HashMap[Character, Integer]],
+      val fail: Array[Int],
+      val outCount: Array[Int],
+      val outMask: Array[Long]) extends Serializable
+
+  /** Build the automaton. Patterns must be non-empty, distinct, and
+    * at most 64 (the distinct-tracking mask width). */
+  def build(patterns: Seq[String]): Model = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.size <= 64, s"at most 64 patterns per model, got ${patterns.size}")
+    require(patterns.forall(_.nonEmpty), "empty patterns are not allowed")
+    require(patterns.distinct.size == patterns.size, "patterns must be distinct")
+    val gotoB = collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val countB = collection.mutable.ArrayBuffer(0)
+    val maskB = collection.mutable.ArrayBuffer(0L)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { ch =>
+        val nxt = gotoB(node).get(ch)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          gotoB += new java.util.HashMap[Character, Integer]()
+          countB += 0; maskB += 0L
+          gotoB(node).put(ch, gotoB.size - 1)
+          gotoB.size - 1
+        }
+      }
+      countB(node) += 1
+      maskB(node) |= (1L << pi)
+    }
+    val n = gotoB.size
+    val fail = Array.fill(n)(0)
+    val queue = collection.mutable.Queue[Int]()
+    gotoB(0).forEach((_, v) => queue.enqueue(v.intValue()))
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      gotoB(u).forEach { (ch, v) =>
+        queue.enqueue(v.intValue())
+        var f = fail(u)
+        while (f != 0 && gotoB(f).get(ch) == null) f = fail(f)
+        val tgt = gotoB(f).get(ch)
+        fail(v.intValue()) =
+          if (tgt != null && tgt.intValue() != v.intValue()) tgt.intValue() else 0
+      }
+      // collapse the fail chain's output into the node: the walk then
+      // reads one (count, mask) per character, never a chain
+      countB(u) += countB(fail(u))
+      maskB(u) |= maskB(fail(u))
+    }
+    new Model(gotoB.toArray, fail, countB.toArray, maskB.toArray)
+  }
+
+  def kernel(text: UTF8String, m: Model): InternalRow = {
+    val s = text.toString
+    var node = 0
+    var hits = 0L
+    var seen = 0L
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      var probe = node
+      var nxt = m.gotoMap(probe).get(ch)
+      while (nxt == null && probe != 0) {
+        probe = m.fail(probe)
+        nxt = m.gotoMap(probe).get(ch)
+      }
+      node = if (nxt != null) nxt.intValue() else 0
+      hits += m.outCount(node)
+      seen |= m.outMask(node)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](hits, java.lang.Long.bitCount(seen).toLong))
+  }
+
+  /** Column-API entry point. */
+  def apply(text: Column, model: Model): Column =
+    ColumnBridge.toColumn(MultiMatch(ColumnBridge.toExpression(text), model))
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Contiguous sequential-pattern mining over keyed event streams —
+  * the "what do users DO before converting / erroring" query, and the
+  * agent-trajectory n-gram profile of an interaction log. PrefixSpan's
+  * general gapped patterns explode combinatorially; the contiguous
+  * form (event-type n-grams in per-key time order) is the 95% answer
+  * and stays one shuffle.
+  *
+  * Scale shape: events partial-agg into ONE ordered list per key
+  * (`sort_array(collect_list(struct(orderCols, token)))` — map-side
+  * combined), n-grams explode row-locally, and the pattern counts are
+  * a second partial-agg with a bounded top-k sort
+  * (`TakeOrderedAndProject`, O(topK) per partition). CONTRACT: per-key
+  * event counts must be bounded (a session, a user-day, a trajectory —
+  * the [[graft.queries.Relational]] sessionizer upstream makes them
+  * so); an unbounded key accumulates its whole history in one
+  * aggregation buffer, the same contract every collect_list in this
+  * engine carries.
+  *
+  * Output: (pattern — the n-gram joined with " > ", n_occurrences,
+  * n_keys) top `topK` by occurrences DESC, pattern ASC. */
+object SequenceMining {
+
+  def contiguousPatterns(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], tokenCol: String, n: Int,
+      topK: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    require(topK >= 1, "need topK >= 1")
+    val ordered = events
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sort_array(collect_list(struct(
+        orderCols.map(col) :+ col(tokenCol).as("__t"): _*))).as("__evs"))
+      .select(col("__k"),
+        expr("transform(__evs, e -> e.__t)").as("__toks"))
+    val grams = ordered.select(col("__k"),
+        explode(graft.expressions.WordShingles(col("__toks"), n)).as("__g"))
+    grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__k")).as("n_keys"))
+      .select(regexp_replace(col("__g"), " ", " > ").as("pattern"),
+        col("n_occurrences"), col("n_keys"))
+      .orderBy(col("n_occurrences").desc, col("pattern"))
+      .limit(topK)
+  }
+}

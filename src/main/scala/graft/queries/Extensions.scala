@@ -2179,7 +2179,37 @@ object Extensions {
       .orderBy("lang")
   }
 
+  /** q177's blocklist — one definition drives the automaton AND the
+    * oracle's per-pattern replay, so they cannot drift. */
+  private val q177Patterns = Seq("the ", "and ", "tion", "data", "ing ",
+    "pro", " a ", "ment", "error", "lorem", "stat", "qui")
+
+  /** q177 — multi-pattern blocklist scan ([[graft.expressions
+    * .MultiMatch]], Aho–Corasick 1975): every occurrence of 12 phrases
+    * counted in ONE text pass (N contains() scans read the text N
+    * times). Overlapping matches count — the oracle replays every
+    * start position per pattern. */
+  def q177BlocklistScan(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.expressions.MultiMatch.build(q177Patterns)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.expressions.MultiMatch(lower(col("text")), m).as("__r"))
+      .select(col("doc_id"), col("__r.n_hits").as("n_hits"),
+        col("__r.n_patterns").as("n_patterns"))
+      .orderBy("doc_id")
+  }
+
+  /** q178 — contiguous sequential patterns ([[SequenceMining
+    * .contiguousPatterns]]): the top-20 event-type trigram paths users
+    * actually walk, with occurrence and distinct-user support — the
+    * funnel-discovery complement to q60's fixed funnel. */
+  def q178EventPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SequenceMining.contiguousPatterns(Tables(spark, dir, "events"),
+      "user_id", Seq("ts", "event_id"), "event_type", n = 3, topK = 20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_event_paths" -> (q178EventPaths _),
+    "q177_blocklist_scan" -> (q177BlocklistScan _),
     "q176_epoch_plan" -> (q176EpochPlan _),
     "q175_srp_ann" -> (q175SrpAnn _),
     "q174_calibrate_scores" -> (q174CalibrateScores _),
@@ -2725,7 +2755,35 @@ object Extensions {
      |l$k AS (SELECT l${k - 1}.node, coalesce(w$k.lbl, l${k - 1}.lbl) AS lbl
      |  FROM l${k - 1} LEFT JOIN w$k ON w$k.node = l${k - 1}.node)""".stripMargin
 
+  /** q177's oracle: per pattern, every code-point start position where
+    * the pattern matches (overlapping included — the AC semantics),
+    * summed; distinct patterns via contains(). */
+  private val blocklistScanSql: String = {
+    val hits = q177Patterns.map { p =>
+      s"len(list_filter(range(1, greatest(length(t) - ${p.length} + 2, 1)), i -> substring(t, CAST(i AS INT), ${p.length}) = '$p'))"
+    }.mkString("\n  + ")
+    val pats = q177Patterns.map(p => s"(CASE WHEN contains(t, '$p') THEN 1 ELSE 0 END)")
+      .mkString("\n  + ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents)
+       |SELECT doc_id,
+       |  ($hits)::BIGINT AS n_hits,
+       |  ($pats)::BIGINT AS n_patterns
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q177_blocklist_scan" -> blocklistScanSql,
+    "q178_event_paths" ->
+      """WITH l AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS toks
+        |  FROM events GROUP BY user_id),
+        |g0 AS (SELECT user_id, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i FROM l),
+        |g AS (SELECT user_id,
+        |    toks[CAST(i + 1 AS INT)] || ' > ' || toks[CAST(i + 2 AS INT)] || ' > ' || toks[CAST(i + 3 AS INT)] AS pattern
+        |  FROM g0)
+        |SELECT pattern, count(1)::BIGINT AS n_occurrences,
+        |  count(DISTINCT user_id)::BIGINT AS n_keys
+        |FROM g GROUP BY pattern
+        |ORDER BY n_occurrences DESC, pattern LIMIT 20""".stripMargin,
     "q175_srp_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |hp AS (SELECT CAST(i AS BIGINT) AS i,

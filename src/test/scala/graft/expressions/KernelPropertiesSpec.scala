@@ -309,6 +309,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(row3.getLong(0) == 0L && row3.getUTF8String(1).toString == "a\u00E9bc")
   }
 
+  test("MultiMatch.kernel == brute-force overlapping occurrence counts on 1000 random texts") {
+    // small alphabet forces dense overlaps and deep fail-link use;
+    // patterns include prefixes of each other and self-overlapping ones
+    val patterns = Seq("ab", "aba", "ba", "aa", "bab", "b", "abab")
+    val m = MultiMatch.build(patterns)
+    (0 until 1000).foreach { _ =>
+      val s = (0 until rnd.nextInt(40)).map(_ => "ab" (rnd.nextInt(2))).mkString
+      val row = MultiMatch.kernel(UTF8String.fromString(s), m)
+      val want = patterns.map { p =>
+        (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length))
+      }
+      assert(row.getLong(0) == want.sum.toLong, s"hits on '$s'")
+      assert(row.getLong(1) == want.count(_ > 0).toLong, s"distinct on '$s'")
+    }
+    // supplementary-plane text: nothing mangles, counts stay exact
+    val emoji = "x\uD83D\uDE00x\uD83D\uDE00"
+    val m2 = MultiMatch.build(Seq("\uD83D\uDE00", "x\uD83D\uDE00"))
+    val r2 = MultiMatch.kernel(UTF8String.fromString(emoji), m2)
+    assert(r2.getLong(0) == 4L && r2.getLong(1) == 2L)
+    // build guards
+    intercept[IllegalArgumentException](MultiMatch.build(Nil))
+    intercept[IllegalArgumentException](MultiMatch.build(Seq("a", "")))
+    intercept[IllegalArgumentException](MultiMatch.build(Seq("a", "a")))
+    intercept[IllegalArgumentException](MultiMatch.build((1 to 65).map("p" + _)))
+  }
+
   test("ScriptCounts.kernel: block counts always sum to the codepoint count") {
     (0 until 1000).foreach { _ =>
       val cps = Array.fill(rnd.nextInt(40))(rnd.nextInt(0x11000))

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** contiguousPatterns: per-key time order, overlapping n-grams,
+  * occurrence + distinct-key support, deterministic top-k. */
+class SequenceMiningSpec extends SparkSpec {
+
+  test("contiguousPatterns == a sliding-window reference; order comes from orderCols, not input order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val types = Vector("view", "click", "error", "purchase")
+    val rows = (1L to 600L).map { i =>
+      (i, i % 25L, 1000L - i, types(rnd.nextInt(types.size)))
+    } // ts DESCENDS with event_id: input order must not leak into paths
+    val df = rows.toDF("event_id", "user", "ts", "etype").repartition(7)
+    val got = SequenceMining.contiguousPatterns(df, "user",
+        Seq("ts", "event_id"), "etype", n = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._1)).map(_._4).sliding(2)
+        .filter(_.size == 2).map(g => (u, g.mkString(" > "))).toSeq
+    }
+    val counts = want.groupBy(_._2).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.map(_._1).distinct.size.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    assert(got.toSeq == counts,
+      s"got ${got.mkString(",")}\nwant ${counts.mkString(",")}")
+  }
+
+  test("contiguousPatterns: a key shorter than n contributes nothing; n = 1 counts events") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 1L, "x"), (2L, "a", 2L, "y"), (3L, "b", 1L, "z"))
+      .toDF("event_id", "user", "ts", "etype")
+    val tri = SequenceMining.contiguousPatterns(df, "user",
+      Seq("ts", "event_id"), "etype", n = 3, topK = 5)
+    assert(tri.count() == 0L, "no key has 3 events")
+    val uni = SequenceMining.contiguousPatterns(df, "user",
+        Seq("ts", "event_id"), "etype", n = 1, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uni == Set(("x", 1L, 1L), ("y", 1L, 1L), ("z", 1L, 1L)))
+  }
+}
