@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -146,5 +146,78 @@ object TextClassify {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  /** Deterministic QUANTIZED logistic regression by full-batch
+    * gradient descent — the quality-classifier trainer that reproduces
+    * bit-identical weights on any engine, any partitioning, any rerun:
+    * each row's gradient contribution `(p − y)·x_j` is rounded to
+    * integer MICROS before the sum (the [[graft.operators.Importance
+    * .bigramFluency]] parity discipline — integer sums are
+    * order-independent, where a float gradient sum depends on
+    * aggregation order and can never hash-match across engines), and
+    * the weight update is exact integer floor arithmetic:
+    *
+    *   z = (Σ_j w_j·x_j) / 1e6   (w in micro-units, doubles exact)
+    *   p = 1 / (1 + exp(−z))     (the one transcendental per row)
+    *   G_j = Σ_rows round(1e6·(p − y)·x_j)
+    *   w_j ← w_j − floorDiv(G_j · lrMilli, 1000 · n)
+    *
+    * Scale shape: each iteration is ONE partial-agg sum job over the
+    * corpus (map-side combined longs); weights live on the driver
+    * (featureCount longs — the [[graft.operators.Vocab.bpeTrain]]
+    * driver-loop precedent, artifact-sized state only). `features`
+    * must be engine-exact double derivations (integer casts, IEEE
+    * ÷/×); `label` a boolean. Iterations are FIXED count — a cluster
+    * run is exactly `iters` jobs.
+    *
+    * Output: one row per iteration, (iter, w0_micro … w{d−1}_micro,
+    * g0 … g{d−1}) — weights AFTER the update, gradient sums that
+    * produced it. */
+  def trainLogistic(docs: DataFrame, features: Seq[Column], label: Column,
+      iters: Int, lrMilli: Int): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need iters >= 1")
+    require(lrMilli >= 1, "need lrMilli >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = features.size
+    val proj = docs.select(
+      features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"__x$j") } :+
+        when(label, 1.0).otherwise(0.0).as("__y"): _*)
+    val n = proj.count()
+    require(n > 0, "graft.TextClassify.trainLogistic: empty training frame")
+    var w = Array.fill(d)(0L)
+    val out = collection.mutable.ArrayBuffer[(Int, Seq[Long], Seq[Long])]()
+    var it = 1
+    while (it <= iters) {
+      // z mirrors the oracle token-for-token: left-assoc sum of
+      // w_j (double, exact for |w| < 2^53) times x_j, one division
+      val z = features.indices
+        .map(j => lit(w(j).toDouble) * col(s"__x$j"))
+        .reduce(_ + _) / lit(1000000.0)
+      val p = lit(1.0) / (lit(1.0) + exp(negate(z)))
+      val gs = features.indices.map(j =>
+        sum(expr(s"CAST(round(((__p - __y) * __x$j) * 1000000) AS BIGINT)"))
+          .as(s"__g$j"))
+      val grads = proj.withColumn("__p", p)
+        .agg(gs.head, gs.tail: _*)
+        .collect().head
+      val g = features.indices.map(j => grads.getLong(j)).toArray
+      features.indices.foreach { j =>
+        // floorDiv, not /: the oracle's // floors and G can be negative
+        w(j) = w(j) - Math.floorDiv(g(j) * lrMilli, 1000L * n)
+      }
+      out += ((it, w.toSeq, g.toSeq))
+      it += 1
+    }
+    val cols = Seq("iter") ++ features.indices.map(j => s"w${j}_micro") ++
+      features.indices.map(j => s"g$j")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq.map { case (i, ws, gsv) =>
+        org.apache.spark.sql.Row.fromSeq(i.toLong +: (ws ++ gsv)) }),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

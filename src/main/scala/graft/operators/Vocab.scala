@@ -506,4 +506,39 @@ object Vocab {
         when(col("n_pieces") > 0, expr("__nchars * 1000 DIV n_pieces"))
           .otherwise(0L).as("chars_per_piece_milli"))
   }
+
+  /** Vocabulary-size ablation — the "how big a vocab do we actually
+    * need" curve, measured BEFORE committing to one: re-encode the
+    * corpus with each PREFIX of the trained merge list (a merge table
+    * truncated at k is exactly the tokenizer after k training rounds —
+    * the Sennrich loop is incremental) and report total pieces and
+    * pieces-per-word. Fertility falls monotonically as merges are
+    * added; the knee of this curve is the vocab-size decision.
+    *
+    * Cost is stated, not hidden: ONE corpus encode pass per requested
+    * size (each a zero-shuffle [[graft.expressions.BpeSegment]]
+    * projection + a counter partial-agg) — an ablation over s sizes
+    * reads the corpus s times by design. Output: (n_merges, n_words,
+    * n_pieces, pieces_per_word_milli), one row per size. */
+  def vocabAblation(df: DataFrame, idCol: String, textCol: String,
+      tok: Tokenizer, sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty, "need at least one size")
+    require(sizes.forall(_ >= 0), "sizes must be >= 0")
+    require(sizes.distinct.size == sizes.size, "sizes must be distinct")
+    import org.apache.spark.sql.functions.{size => asize}
+    sizes.map { s =>
+      bpeEncode(df, idCol, textCol,
+          tok.merges.filter(col("merge_no") <= s), tok.alphabet,
+          tok.byteFallback)
+        .agg(sum(asize(col("pieces")).cast("long")).as("n_pieces"))
+        .select(lit(s.toLong).as("n_merges"), col("n_pieces"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(
+        df.select(explode(graft.functions.TextFunctions.tokens(
+            coalesce(col(textCol), lit("")))).as("__t"))
+          .filter(length(col("__t")) > 0)
+          .agg(count(lit(1)).as("n_words"))))
+      .select(col("n_merges"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000 DIV n_words").as("pieces_per_word_milli"))
+  }
 }

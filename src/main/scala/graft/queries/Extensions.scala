@@ -2207,7 +2207,38 @@ object Extensions {
     graft.operators.SequenceMining.contiguousPatterns(Tables(spark, dir, "events"),
       "user_id", Seq("ts", "event_id"), "event_type", n = 3, topK = 20)
 
+  /** q179 — deterministic quantized logistic regression
+    * ([[TextClassify.trainLogistic]], 3 full-batch GD iterations,
+    * lr 0.5): per-row gradient contributions integer-micro-rounded
+    * before the order-independent sum, floor-division weight updates —
+    * bit-identical weights on any engine/partitioning. The oracle
+    * unrolls the three iterations. */
+  def q179Logistic(spark: SparkSession, dir: String): DataFrame =
+    TextClassify.trainLogistic(Tables(spark, dir, "documents"),
+        Seq(lit(1.0),
+          expr("CAST(n_chars AS DOUBLE) / 1000.0"),
+          expr("CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / 100.0")),
+        col("lang") === "en", iters = 3, lrMilli = 500)
+      .orderBy("iter")
+
+  /** q180 — vocabulary-size ablation ([[Vocab.vocabAblation]], merge
+    * prefixes 0/3/5 of the 5-merge tokenizer): the fertility-vs-vocab
+    * curve measured before committing to a size; a truncated merge
+    * table IS the tokenizer after that many training rounds. The
+    * oracle reads the piece counts off the sequential-replay states it
+    * already builds for q144. */
+  def q180VocabAblation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Vocab.vocabAblation(d, "doc_id", "text",
+        Vocab.Tokenizer(Vocab.bpeTrain(d, "text", nMerges = 5),
+          Vocab.alphabet(d, "text"), byteFallback = false),
+        sizes = Seq(0, 3, 5))
+      .orderBy("n_merges")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_vocab_ablation" -> (q180VocabAblation _),
+    "q179_logistic" -> (q179Logistic _),
     "q178_event_paths" -> (q178EventPaths _),
     "q177_blocklist_scan" -> (q177BlocklistScan _),
     "q176_epoch_plan" -> (q176EpochPlan _),
@@ -2771,7 +2802,56 @@ object Extensions {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** q179's oracle: the three quantized-GD iterations unrolled — same
+    * z/p/gradient/update expressions as the engine, token-for-token. */
+  private val logisticSql: String = {
+    def z(k: Int) =
+      if (k == 1)
+        "(CAST(0 AS DOUBLE) * x0 + CAST(0 AS DOUBLE) * x1 + CAST(0 AS DOUBLE) * x2) / 1000000.0"
+      else
+        "(CAST(wp.w0 AS DOUBLE) * x0 + CAST(wp.w1 AS DOUBLE) * x1 + CAST(wp.w2 AS DOUBLE) * x2) / 1000000.0"
+    def iter(k: Int): String = {
+      val from = if (k == 1) "d" else s"d CROSS JOIN w${k - 1} wp"
+      val prev = (j: Int) => if (k == 1) "0" else s"wp.w$j"
+      val wp = if (k == 1) "" else s" CROSS JOIN w${k - 1} wp"
+      s"""p$k AS (SELECT 1.0 / (1.0 + exp(-(${z(k)}))) AS p, x0, x1, x2, y FROM $from),
+         |g$k AS (SELECT
+         |    sum(CAST(round(((p - y) * x0) * 1000000) AS BIGINT))::BIGINT AS g0,
+         |    sum(CAST(round(((p - y) * x1) * 1000000) AS BIGINT))::BIGINT AS g1,
+         |    sum(CAST(round(((p - y) * x2) * 1000000) AS BIGINT))::BIGINT AS g2
+         |  FROM p$k),
+         |w$k AS (SELECT
+         |    ${prev(0)} - (g$k.g0 * 500) // (1000 * n) AS w0,
+         |    ${prev(1)} - (g$k.g1 * 500) // (1000 * n) AS w1,
+         |    ${prev(2)} - (g$k.g2 * 500) // (1000 * n) AS w2,
+         |    g$k.g0 AS g0, g$k.g1 AS g1, g$k.g2 AS g2
+         |  FROM g$k CROSS JOIN nn$wp)""".stripMargin
+    }
+    s"""WITH d AS (SELECT 1.0 AS x0,
+       |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / 100.0 AS x2,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |nn AS (SELECT count(1)::BIGINT AS n FROM d),
+       |""".stripMargin +
+      (1 to 3).map(iter).mkString(",\n") + "\n" +
+      (1 to 3).map(k =>
+        s"SELECT $k::BIGINT AS iter, w0::BIGINT AS w0_micro, w1::BIGINT AS w1_micro, w2::BIGINT AS w2_micro, g0, g1, g2 FROM w$k")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY iter"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q179_logistic" -> logisticSql,
+    "q180_vocab_ablation" ->
+      (bpeEncodePrefixSql(5) + ",\n" +
+        """s0 AS (SELECT 0::BIGINT AS n_merges, count(1)::BIGINT AS n_words, sum(len(syms))::BIGINT AS n_pieces FROM w0),
+          |s3 AS (SELECT 3::BIGINT, count(1)::BIGINT, sum(len(syms))::BIGINT FROM w3),
+          |s5 AS (SELECT 5::BIGINT, count(1)::BIGINT, sum(len(syms))::BIGINT FROM w5),
+          |u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s5)
+          |SELECT n_merges, n_words, n_pieces,
+          |  (n_pieces * 1000 // n_words)::BIGINT AS pieces_per_word_milli
+          |FROM u ORDER BY n_merges""".stripMargin),
     "q177_blocklist_scan" -> blocklistScanSql,
     "q178_event_paths" ->
       """WITH l AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS toks

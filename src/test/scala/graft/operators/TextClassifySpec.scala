@@ -114,4 +114,68 @@ class TextClassifySpec extends SparkSpec {
     assert(s1("common") != s2("common") && s1("rare") != s2("rare"),
       "prior rows must shift every label's absolute score")
   }
+
+  test("trainLogistic == a Scala replay of the quantized GD; learning separates the classes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y correlates with x1: positives have large x1
+    val rows = (1L to 400L).map { i =>
+      val y = i % 2 == 0
+      val x1 = if (y) 2.0 + (i % 7) * 0.1 else 0.2 + (i % 7) * 0.05
+      (i, x1, y)
+    }
+    val df = rows.toDF("id", "x1", "y").repartition(9)
+    val got = TextClassify.trainLogistic(df,
+        Seq(lit(1.0), col("x1")), col("y"), iters = 4, lrMilli = 800)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver replay of the exact same quantized arithmetic
+    val data = rows.map { case (_, x1, y) => (Array(1.0, x1), if (y) 1.0 else 0.0) }
+    var w = Array(0L, 0L)
+    val want = (1 to 4).map { it =>
+      val g = Array(0L, 0L)
+      data.foreach { case (x, y) =>
+        val z = (w(0).toDouble * x(0) + w(1).toDouble * x(1)) / 1000000.0
+        val p = 1.0 / (1.0 + math.exp(-z))
+        (0 to 1).foreach(j => g(j) += math.round(((p - y) * x(j)) * 1000000))
+      }
+      (0 to 1).foreach(j =>
+        w(j) = w(j) - Math.floorDiv(g(j) * 800L, 1000L * data.size))
+      (it.toLong, w(0), w(1), g(0), g(1))
+    }
+    assert(got.toSeq == want, s"got ${got.mkString(",")}\nwant ${want.mkString(",")}")
+    // the learned boundary separates: w1 > 0 (large x1 => positive)
+    assert(want.last._3 > 0L, "x1 weight must turn positive on a separable set")
+    // partitioning independence (integer sums are order-free)
+    val one = TextClassify.trainLogistic(df.coalesce(1),
+        Seq(lit(1.0), col("x1")), col("y"), iters = 4, lrMilli = 800)
+      .orderBy("iter").collect().map(_.toSeq)
+    assert(one.toSeq == got.map(t =>
+      Seq(t._1, t._2, t._3, t._4, t._5)).toSeq)
+  }
+
+  test("vocabAblation: fertility falls monotonically with vocab size; size 0 counts characters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "aa ab aa ab"), (2L, "abab aabb"), (3L, "ba ab aa"))
+      .toDF("doc_id", "text")
+    val tok = Vocab.Tokenizer(Vocab.bpeTrain(docs, "text", nMerges = 4),
+      Vocab.alphabet(docs, "text"), byteFallback = false)
+    val got = Vocab.vocabAblation(docs, "doc_id", "text", tok, Seq(0, 2, 4))
+      .orderBy("n_merges").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    val chars = docs.collect().map(_.getString(1).split("\\s+").map(_.length).sum).sum
+    assert(got(0)._3 == chars.toLong, "size 0 segments to single characters")
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3,
+      "adding merges can only shrink the piece count")
+    // each ablation row equals a direct encode with the truncated table
+    for ((s, row) <- Seq(0, 2, 4).zip(got)) {
+      val direct = Vocab.bpeEncode(docs, "doc_id", "text",
+          tok.merges.filter(col("merge_no") <= s), tok.alphabet)
+        .agg(sum("n_pieces")).collect().head.getLong(0)
+      assert(row._3 == direct, s"size $s")
+    }
+  }
 }
