@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point EWMA deviation over keyed ordered series — the ingest
+  * monitor that flags "this source's hourly volume just jumped 8×"
+  * before a poisoned crawl batch trains. All arithmetic is integer
+  * milli-units (the engine's parity discipline): the smoothing
+  * recurrence
+  *
+  *   e₁ = x₁;  eₜ = (α·xₜ + (1000−α)·eₜ₋₁) DIV 1000   (α in milli)
+  *
+  * floors at every step, so the series is bit-identical on any
+  * engine — a double EWMA would drift by accumulated rounding.
+  * `dev_milli` = |xₜ − eₜ₋₁|·1000 DIV max(eₜ₋₁, 1) measures each
+  * point against the PRE-point smoothed level (a spike must not mask
+  * itself by inflating its own baseline). Values must be non-negative
+  * integers (cents/counts — floor division on negatives would
+  * diverge between engines' DIV conventions).
+  *
+  * Scale shape: one partial-agg packs each series into an ordered
+  * array (`sort_array(collect_list)` — map-side combined); the fold
+  * and the explode are row-local. CONTRACT: series length must be
+  * bounded (hours of a month, days of a year — pre-bucket upstream),
+  * the same bounded-key contract every collect_list in this engine
+  * carries. Output: one row per series point AFTER the first:
+  * (seriesCol, orderCol, cents, ewma_prev, dev_milli). */
+object Anomaly {
+
+  def ewmaDeviation(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String, alphaMilli: Int): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      s"alphaMilli must be in [1, 999], got $alphaMilli")
+    val a = alphaMilli
+    val b = 1000 - alphaMilli
+    val packed = df
+      .groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))
+      .select(col(seriesCol),
+        expr("transform(__evs, e -> e.__o)").as("__os"),
+        expr("transform(__evs, e -> e.__c)").as("__xs"))
+    // the fold mirrors the oracle's list_reduce element-for-element:
+    // seed [x1], append the floored recurrence for x2..xn
+    val ew = expr(
+      s"""aggregate(slice(__xs, 2, size(__xs) - 1),
+         |  array(element_at(__xs, 1)),
+         |  (acc, x) -> concat(acc, array(($a * x + $b * element_at(acc, -1)) DIV 1000)))""".stripMargin)
+    packed.withColumn("__ew", ew)
+      .select(col(seriesCol), col("__ew"),
+        posexplode(arrays_zip(col("__os"), col("__xs"))).as(Seq("__i", "__z")))
+      .filter(col("__i") >= 1)
+      .select(col(seriesCol),
+        col("__z.__os").as(orderCol),
+        col("__z.__xs").as("cents"),
+        element_at(col("__ew"), col("__i")).as("ewma_prev"),
+        expr("abs(__z.__xs - element_at(__ew, __i)) * 1000 DIV greatest(element_at(__ew, __i), 1L)")
+          .as("dev_milli"))
+  }
+}

@@ -46,4 +46,46 @@ object SequenceMining {
       .orderBy(col("n_occurrences").desc, col("pattern"))
       .limit(topK)
   }
+
+  /** Document-level PMI collocations over a bounded vocabulary — which
+    * terms co-occur in the SAME document far more than chance (Church
+    * & Hanks 1990): pmi(a,b) = ln(c_ab·N / (c_a·c_b)) over
+    * document-presence counts, integer micros. Where q53's adjacent
+    * bigrams find phrases, this finds topical coupling at any
+    * distance — the tag/entity affinity map of a corpus.
+    *
+    * Scale shape: the vocabulary BOUNDS the pair space — docs
+    * restrict to their distinct vocab tokens (broadcast semi-join),
+    * so the doc-local self-join emits at most |vocab|²/2 distinct
+    * pairs however big the corpus, and both count tables partial-agg.
+    * `minPairDocs` floors the support (PMI of a 1-doc pair is
+    * noise); top-k by PMI DESC, pair ASC. Output: (token_a, token_b,
+    * n_docs_pair, pmi_micro). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, minPairDocs: Int, topK: Int): DataFrame = {
+    require(minPairDocs >= 1, "need minPairDocs >= 1")
+    require(topK >= 1, "need topK >= 1")
+    val present = docs.select(col(idCol).as("__d"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__t"))
+      .distinct()
+      .join(broadcast(vocab.select(col("token").as("__t"))), Seq("__t"), "leftsemi")
+    val ca = present.groupBy(col("__t")).agg(count(lit(1)).as("__ca"))
+    val pairs = present
+      .join(present.select(col("__d"), col("__t").as("__t2")), "__d")
+      .filter(col("__t") < col("__t2"))
+      .groupBy(col("__t"), col("__t2")).agg(count(lit(1)).as("__cab"))
+      .filter(col("__cab") >= minPairDocs)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    pairs
+      .join(ca.select(col("__t"), col("__ca").as("__ca1")), "__t")
+      .join(ca.select(col("__t").as("__t2"), col("__ca").as("__ca2")), "__t2")
+      .crossJoin(broadcast(n))
+      .select(col("__t").as("token_a"), col("__t2").as("token_b"),
+        col("__cab").as("n_docs_pair"),
+        expr("""CAST(round(ln((CAST(__cab AS DOUBLE) * CAST(__n AS DOUBLE))
+          | / (CAST(__ca1 AS DOUBLE) * CAST(__ca2 AS DOUBLE))) * 1000000) AS BIGINT)""".stripMargin)
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("token_a"), col("token_b"))
+      .limit(topK)
+  }
 }

@@ -2236,7 +2236,35 @@ object Extensions {
       .orderBy("n_merges")
   }
 
+  /** q181 — fixed-point EWMA ingest monitor ([[Anomaly
+    * .ewmaDeviation]], α = 0.3): hourly per-type value totals in exact
+    * decimal cents, the floored integer smoothing recurrence, and
+    * each point's deviation from its PRE-point baseline. The oracle
+    * replays the fold with list_reduce. */
+  def q181EwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    graft.operators.Anomaly.ewmaDeviation(hourly, "event_type", "hour", "cents",
+        alphaMilli = 300)
+      .orderBy("event_type", "hour")
+  }
+
+  /** q182 — document-level PMI collocations ([[SequenceMining
+    * .pmiCollocations]], top-40 vocab, support ≥ 5): term pairs that
+    * share documents far beyond chance — topical coupling where q53's
+    * bigrams are adjacency phrases. The oracle rebuilds presence
+    * counts, the bounded pair join, and the micro-PMI. */
+  def q182PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.SequenceMining.pmiCollocations(d, "doc_id", "text",
+      Vocab.topTokens(d, "text", 40), minPairDocs = 5, topK = 30)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_pmi_collocations" -> (q182PmiCollocations _),
+    "q181_ewma_anomaly" -> (q181EwmaAnomaly _),
     "q180_vocab_ablation" -> (q180VocabAblation _),
     "q179_logistic" -> (q179Logistic _),
     "q178_event_paths" -> (q178EventPaths _),
@@ -2842,6 +2870,38 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q181_ewma_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type,
+        |    list(hour ORDER BY hour) AS hs, list(cents ORDER BY hour) AS xs
+        |  FROM h GROUP BY event_type),
+        |w AS (SELECT event_type, hs, xs,
+        |    list_reduce(list_transform(xs, x -> [x]),
+        |      (acc, e) -> acc || [(300 * e[1] + 700 * acc[-1]) // 1000]) AS ew
+        |  FROM l),
+        |u AS (SELECT event_type, hs, xs, ew, unnest(range(2, len(xs) + 1)) AS i FROM w)
+        |SELECT event_type, hs[CAST(i AS INT)] AS hour, xs[CAST(i AS INT)] AS cents,
+        |  ew[CAST(i - 1 AS INT)]::BIGINT AS ewma_prev,
+        |  (abs(xs[CAST(i AS INT)] - ew[CAST(i - 1 AS INT)]) * 1000
+        |    // greatest(ew[CAST(i - 1 AS INT)], 1))::BIGINT AS dev_milli
+        |FROM u ORDER BY event_type, hour""".stripMargin,
+    "q182_pmi_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |top AS (SELECT tok FROM (SELECT tok, count(1) AS n FROM tk GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 40)),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM tk JOIN top USING (tok)),
+        |ca AS (SELECT tok, count(1)::BIGINT AS ca FROM dt GROUP BY tok),
+        |pr AS (SELECT a.tok AS ta, b.tok AS tb, count(1)::BIGINT AS cab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok HAVING count(1) >= 5),
+        |nn AS (SELECT count(1)::BIGINT AS n FROM documents)
+        |SELECT ta AS token_a, tb AS token_b, cab AS n_docs_pair,
+        |  CAST(round(ln((CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+        |   / (CAST(c1.ca AS DOUBLE) * CAST(c2.ca AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM pr JOIN ca c1 ON pr.ta = c1.tok JOIN ca c2 ON pr.tb = c2.tok CROSS JOIN nn
+        |ORDER BY pmi_micro DESC, token_a, token_b LIMIT 30""".stripMargin,
     "q179_logistic" -> logisticSql,
     "q180_vocab_ablation" ->
       (bpeEncodePrefixSql(5) + ",\n" +

@@ -29,6 +29,53 @@ class SequenceMiningSpec extends SparkSpec {
       s"got ${got.mkString(",")}\nwant ${counts.mkString(",")}")
   }
 
+  test("ewmaDeviation == a Scala replay of the floored recurrence; spikes flag against the pre-point baseline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val rows = (for (s <- Seq("a", "b"); t <- 1 to 50) yield
+      (s, t.toLong, (100 + rnd.nextInt(20)).toLong)) ++
+      Seq(("a", 51L, 5000L), // an 8x spike
+        ("solo", 1L, 42L)) // single-point series: no output row
+    val got = Anomaly.ewmaDeviation(rows.toDF("series", "t", "cents")
+        .repartition(7), "series", "t", "cents", alphaMilli = 300)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (s, es) =>
+      val xs = es.sortBy(_._2)
+      val ew = xs.map(_._3).tail.scanLeft(xs.head._3)((e, x) =>
+        Math.floorDiv(300L * x + 700L * e, 1000L))
+      xs.tail.zip(ew.init).map { case ((_, t, x), prev) =>
+        (s, t) -> ((x, prev, Math.floorDiv(math.abs(x - prev) * 1000L, math.max(prev, 1L))))
+      }
+    }.toMap
+    assert(got == want)
+    assert(!got.contains(("solo", 1L)), "a one-point series has no deviation rows")
+    assert(got(("a", 51L))._3 > 3000L,
+      s"the 8x spike must flag against its PRE-spike baseline: ${got(("a", 51L))}")
+  }
+
+  test("pmiCollocations: an engineered always-together pair tops the list; support floor holds") {
+    import spark.implicits._
+    // 'left right' co-occur in exactly their 10 docs; filler words
+    // appear everywhere (pmi ~ 0); 'rare1 rare2' co-occur once (below
+    // the support floor)
+    val docs = ((1L to 10L).map(i => (i, "left right filler common")) ++
+      (11L to 40L).map(i => (i, "filler common other words")) :+
+      (41L, "rare1 rare2 filler")).toDF("doc_id", "text")
+    val vocab = Vocab.topTokens(docs, "text", 10)
+    val got = SequenceMining.pmiCollocations(docs, "doc_id", "text",
+        vocab, minPairDocs = 2, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 == "left" && got.head._2 == "right",
+      s"the exclusive pair must rank first: ${got.mkString(",")}")
+    // pmi(left,right) = ln(10*41/(10*10)) exactly
+    assert(got.head._4 ==
+      math.round(math.log((10.0 * 41.0) / (10.0 * 10.0)) * 1e6))
+    assert(!got.exists(t => t._1 == "rare1" || t._2 == "rare1"),
+      "a pair below the support floor never appears")
+  }
+
   test("contiguousPatterns: a key shorter than n contributes nothing; n = 1 counts events") {
     import spark.implicits._
     val df = Seq(
