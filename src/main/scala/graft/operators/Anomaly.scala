@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   *
   *   e₁ = x₁;  eₜ = (α·xₜ + (1000−α)·eₜ₋₁) DIV 1000   (α in milli)
   *
-  * floors at every step, so the series is bit-identical on any
-  * engine — a double EWMA would drift by accumulated rounding.
-  * `dev_milli` = |xₜ − eₜ₋₁|·1000 DIV max(eₜ₋₁, 1) measures each
-  * point against the PRE-point smoothed level (a spike must not mask
-  * itself by inflating its own baseline). Values must be non-negative
-  * integers (cents/counts — floor division on negatives would
-  * diverge between engines' DIV conventions).
+  * TRUNCATES toward zero at every step — the shared convention of
+  * Spark's DIV and DuckDB's integer //, so the series is
+  * bit-identical on any engine for ANY sign (a double EWMA would
+  * drift by accumulated rounding). `dev_milli` = |xₜ − eₜ₋₁|·1000
+  * DIV max(eₜ₋₁, 1) measures each point against the PRE-point
+  * smoothed level (a spike must not mask itself by inflating its own
+  * baseline); its max(…, 1) floor assumes non-negative values
+  * (cents/counts) — with negative series the deviation denominator
+  * degenerates, so pre-shift such series upstream.
   *
   * Scale shape: one partial-agg packs each series into an ordered
   * array (`sort_array(collect_list)` — map-side combined); the fold

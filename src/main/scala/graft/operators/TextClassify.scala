@@ -161,7 +161,10 @@ object TextClassify {
     *   z = (Σ_j w_j·x_j) / 1e6   (w in micro-units, doubles exact)
     *   p = 1 / (1 + exp(−z))     (the one transcendental per row)
     *   G_j = Σ_rows round(1e6·(p − y)·x_j)
-    *   w_j ← w_j − floorDiv(G_j · lrMilli, 1000 · n)
+    *   w_j ← w_j − trunc(G_j · lrMilli ÷ (1000 · n))
+    *   (truncating division — the convention Spark's DIV and DuckDB's
+    *   // share; G is negative whenever positives outweigh the prior,
+    *   so the division convention is load-bearing, not cosmetic)
     *
     * Scale shape: each iteration is ONE partial-agg sum job over the
     * corpus (map-side combined longs); weights live on the driver
@@ -205,8 +208,12 @@ object TextClassify {
         .collect().head
       val g = features.indices.map(j => grads.getLong(j)).toArray
       features.indices.foreach { j =>
-        // floorDiv, not /: the oracle's // floors and G can be negative
-        w(j) = w(j) - Math.floorDiv(g(j) * lrMilli, 1000L * n)
+        // TRUNCATING division (Scala /), deliberately: DuckDB's integer
+        // `//` and Spark's DIV both truncate toward zero, and G goes
+        // NEGATIVE whenever the positive class outweighs the prior —
+        // floorDiv would diverge from every SQL replay by one micro on
+        // exactly those iterations and cascade through the rest
+        w(j) = w(j) - g(j) * lrMilli / (1000L * n)
       }
       out += ((it, w.toSeq, g.toSeq))
       it += 1

@@ -525,12 +525,11 @@ object Vocab {
     require(sizes.nonEmpty, "need at least one size")
     require(sizes.forall(_ >= 0), "sizes must be >= 0")
     require(sizes.distinct.size == sizes.size, "sizes must be distinct")
-    import org.apache.spark.sql.functions.{size => asize}
     sizes.map { s =>
       bpeEncode(df, idCol, textCol,
           tok.merges.filter(col("merge_no") <= s), tok.alphabet,
           tok.byteFallback)
-        .agg(sum(asize(col("pieces")).cast("long")).as("n_pieces"))
+        .agg(sum(col("n_pieces")).as("n_pieces"))
         .select(lit(s.toLong).as("n_merges"), col("n_pieces"))
     }.reduce(_ unionByName _)
       .crossJoin(broadcast(

@@ -2826,7 +2826,7 @@ object Extensions {
     s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents)
        |SELECT doc_id,
        |  ($hits)::BIGINT AS n_hits,
-       |  ($pats)::BIGINT AS n_patterns
+       |  (CASE WHEN t IS NULL THEN NULL ELSE ($pats) END)::BIGINT AS n_patterns
        |FROM d ORDER BY doc_id""".stripMargin
   }
 

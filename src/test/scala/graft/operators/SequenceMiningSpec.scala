@@ -43,10 +43,13 @@ class SequenceMiningSpec extends SparkSpec {
       .toMap
     val want = rows.groupBy(_._1).toSeq.flatMap { case (s, es) =>
       val xs = es.sortBy(_._2)
+      // truncating division — the engine's DIV convention (values here
+      // are non-negative so trunc == floor, but the replay must state
+      // the convention the engine actually uses)
       val ew = xs.map(_._3).tail.scanLeft(xs.head._3)((e, x) =>
-        Math.floorDiv(300L * x + 700L * e, 1000L))
+        (300L * x + 700L * e) / 1000L)
       xs.tail.zip(ew.init).map { case ((_, t, x), prev) =>
-        (s, t) -> ((x, prev, Math.floorDiv(math.abs(x - prev) * 1000L, math.max(prev, 1L))))
+        (s, t) -> ((x, prev, math.abs(x - prev) * 1000L / math.max(prev, 1L)))
       }
     }.toMap
     assert(got == want)

@@ -140,11 +140,18 @@ class TextClassifySpec extends SparkSpec {
         (0 to 1).foreach(j => g(j) += math.round(((p - y) * x(j)) * 1000000))
       }
       (0 to 1).foreach(j =>
-        w(j) = w(j) - Math.floorDiv(g(j) * 800L, 1000L * data.size))
+        // truncating division — the engine's (and SQL DIV's) convention
+        w(j) = w(j) - g(j) * 800L / (1000L * data.size))
       (it.toLong, w(0), w(1), g(0), g(1))
     }
     assert(got.toSeq == want, s"got ${got.mkString(",")}\nwant ${want.mkString(",")}")
-    // the learned boundary separates: w1 > 0 (large x1 => positive)
+    // the learned boundary separates: w1 > 0 (large x1 => positive).
+    // NOTE this set is majority-POSITIVE on iteration 1 (p = 0.5
+    // everywhere, half the rows positive with larger x1), so gradient
+    // sums go NEGATIVE — the truncating-division convention is
+    // exercised on the sign where floorDiv would diverge
+    assert(want.exists(t => t._4 < 0L || t._5 < 0L),
+      "the case must exercise negative gradient sums")
     assert(want.last._3 > 0L, "x1 weight must turn positive on a separable set")
     // partitioning independence (integer sums are order-free)
     val one = TextClassify.trainLogistic(df.coalesce(1),
