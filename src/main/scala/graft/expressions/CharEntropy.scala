@@ -1,0 +1,91 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_entropy(text) -> struct(n_cp, n_distinct, entropy_micro)` —
+  * per-document Shannon entropy of the CODE-POINT distribution in
+  * micro-nats, the gibberish/boilerplate gate CCNet-style pipelines
+  * apply before any model-based scorer: natural prose sits in a narrow
+  * entropy band, while `aaaaaa…` padding, base64 blobs, and
+  * minified-JS walls fall far below or above it. One row-local kernel
+  * pass (histogram + entropy), zero shuffle — where the SQL equivalent
+  * explodes the corpus to one row per character and pays a
+  * (doc, char)-keyed aggregation.
+  *
+  * Determinism contract (the q185 oracle replays it): each distinct
+  * code point contributes `round(-(c/N)·ln(c/N)·1e6)` as an INTEGER
+  * micro-nat term, and the per-document entropy is the integer SUM of
+  * those terms — order-free, so hash-map iteration order (and the
+  * oracle's group-by order) cannot perturb the result, the same
+  * fixed-point discipline as `trainLogistic` (q179). Terms are
+  * non-negative, so Java half-up rounding and DuckDB half-away
+  * rounding agree. Counts are code points, not UTF-16 units: an astral
+  * emoji is ONE symbol on both engines.
+  *
+  * Empty text → (0, 0, 0); NULL → NULL. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(CharEntropy.fields.map(
+    f => StructField(f, LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_entropy"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else CharEntropy.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.CharEntropy.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  val fields: Seq[String] = Seq("n_cp", "n_distinct", "entropy_micro")
+
+  def kernel(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    var ent = 0L
+    if (n > 0L) {
+      val nd = n.toDouble
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        val p = c.toDouble / nd
+        ent += Math.round(-p * Math.log(p) * 1000000.0)
+      }
+    }
+    new GenericInternalRow(Array[Any](n, counts.size.toLong, ent))
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.toColumn(CharEntropy(ColumnBridge.toExpression(text)))
+}

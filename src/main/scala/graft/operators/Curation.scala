@@ -303,4 +303,59 @@ object Curation {
     agg.select(col(groupCol), col("n_docs"), col("n_pass"),
       lb.as("wilson_lb_micro"))
   }
+
+  /** Inter-judge agreement (Cohen's κ) between two document gates —
+    * the calibration audit a curation pipeline runs before swapping a
+    * cheap heuristic judge for an expensive one (or an LLM judge for
+    * either): raw percent-agreement flatters any pair of judges that
+    * both pass almost everything, κ subtracts the agreement their
+    * marginal pass rates would produce by chance. Per group (e.g.
+    * language): the 2×2 confusion cells, observed agreement `po`,
+    * chance agreement `pe`, and `κ = (po − pe) / (1 − pe)` in integer
+    * micros.
+    *
+    * Determinism contract (the q184 oracle replays it): cells are
+    * exact integer counts; `po`, `pe`, and κ are IEEE doubles derived
+    * from them with the SAME operand order on both engines — `pe` as a
+    * sum of products of per-judge marginal RATES (never raw-count
+    * products, which overflow a 64-bit long near n ≈ 3·10⁹ rows where
+    * rate products never can). A NULL judge verdict counts as FAIL
+    * (fail-closed — an unjudged doc agrees with nothing); a NULL group
+    * key folds to '' (the engine's key-normalization discipline). A
+    * degenerate group where `pe = 1` (both judges unanimous) has no
+    * chance-corrected signal: κ is NULL there, never a fabricated 0/0.
+    *
+    * Scale shape: both judges evaluate in the one codegen projection
+    * over the scan; the only shuffle carries (group, four counters)
+    * with map-side combine — group size never matters. Output:
+    * (groupCol, n_docs, n_both_pass, n_a_only, n_b_only, n_both_fail,
+    * po_micro, pe_micro, kappa_micro). */
+  def judgeAgreement(df: DataFrame, groupCol: String, judgeA: Column,
+      judgeB: Column): DataFrame = {
+    val ja = coalesce(judgeA, lit(false))
+    val jb = coalesce(judgeB, lit(false))
+    val agg = df.groupBy(coalesce(col(groupCol), lit("")).as(groupCol))
+      .agg(
+        sum(when(ja && jb, 1L).otherwise(0L)).as("n_both_pass"),
+        sum(when(ja && !jb, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!ja && jb, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!ja && !jb, 1L).otherwise(0L)).as("n_both_fail"))
+    val n = (col("n_both_pass") + col("n_a_only") + col("n_b_only")
+      + col("n_both_fail")).cast("double")
+    val po = (col("n_both_pass") + col("n_both_fail")).cast("double") / n
+    val pe = ((col("n_both_pass") + col("n_a_only")).cast("double") / n)
+      .multiply((col("n_both_pass") + col("n_b_only")).cast("double") / n)
+      .plus(((col("n_b_only") + col("n_both_fail")).cast("double") / n)
+        .multiply((col("n_a_only") + col("n_both_fail")).cast("double") / n))
+    agg.select(col(groupCol),
+        (col("n_both_pass") + col("n_a_only") + col("n_b_only")
+          + col("n_both_fail")).as("n_docs"),
+        col("n_both_pass"), col("n_a_only"), col("n_b_only"),
+        col("n_both_fail"),
+        round(po * lit(1000000.0), 0).cast("long").as("po_micro"),
+        round(pe * lit(1000000.0), 0).cast("long").as("pe_micro"),
+        when(lit(1.0) - pe > 0.0,
+          round((po - pe) * lit(1000000.0) / (lit(1.0) - pe), 0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("kappa_micro"))
+  }
 }

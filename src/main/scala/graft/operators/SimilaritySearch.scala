@@ -531,4 +531,83 @@ object SimilaritySearch {
       out.iterator
     }.toDF("query_id", "cand_id", "mmr_rank", "mmr_score_micro")
   }
+
+  /** Margin-based neighbor scoring (Artetxe & Schwenk 2019, the
+    * bitext-mining criterion): a raw cosine is meaningless in a dense
+    * hub region, so each candidate pair is rescored as
+    * `cos(x,y) / ((avgTopKAvg(x) + avgTopKAvg(y)) / 2)` — the RATIO
+    * margin, where `avgTopKAvg(v)` is the mean cosine of v's `kAvg`
+    * strongest matches on the OTHER side of the query↔corpus bipartite
+    * frame. Hubs (vectors near everything) see their margins deflate;
+    * isolated strong pairs rise — the standard mined-pair ranking for
+    * parallel-corpus and retrieval-pair curation. Each query's `k`
+    * nearest-by-cosine candidates are rescored and re-ranked by margin.
+    *
+    * Determinism contract (the q183 oracle replays it): cosines
+    * quantize to integer micros FIRST; both top-k averages are integer
+    * sums over those micros divided as doubles; the margin is
+    * `round(cos_micro · 1e6 / ((a_sum/a_cnt + b_sum/b_cnt) / 2))` —
+    * every double op derives from integers, so IEEE gives the same
+    * bits on any engine. Pairs whose pooled average is ≤ 0 are dropped
+    * fail-closed (a margin against a non-positive baseline is
+    * meaningless; such a candidate was never a mineable match).
+    *
+    * Scale shape: NO corpus-sized window anywhere — both per-side
+    * top-k reductions are the mergeable [[graft.functions
+    * .TopKAggregator]] (map-side partial, O(k) per group per partition
+    * crossing the shuffle); the query batch broadcasts into the single
+    * corpus scan ([[bruteForceTopK]]'s contract, queries ≪ corpus);
+    * the final rank window partitions over ≤ k rows per query. For
+    * web-scale both-sides-huge mining, bound the pair frame first with
+    * [[srpTopK]] / [[ivfTopK]] buckets and margin-score within probed
+    * buckets. Output: (query_id, neighbor_id, cos_micro, margin_micro,
+    * rank), rank by margin desc, ties to the smaller neighbor id. */
+  def marginTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, kAvg: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(kAvg >= 1, s"need kAvg >= 1, got $kAvg")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+    val cosMicro = round(pairCos(col("qvec"), col("vec"), col("qnrm"),
+      col("nrm")) * lit(1000000.0), 0).cast("long")
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosMicro.as("cos_micro"))
+    val kMax = math.max(k, kAvg)
+    val topQ = udaf(new graft.functions.TopKAggregator(kMax))
+    val topN = udaf(new graft.functions.TopKAggregator(kAvg))
+    // the top-list values are integer micros carried as doubles, so the
+    // list-order fold below is an exact integer sum
+    def pairSum(lst: Column): Column =
+      aggregate(lst, lit(0.0), (acc, p) => acc + p.getField("_1")).cast("long")
+    val aSide = pairs.groupBy("query_id")
+      .agg(topQ(col("cos_micro").cast("double"), col("neighbor_id")).as("top"))
+      .select(col("query_id"),
+        pairSum(slice(col("top"), 1, kAvg)).as("a_sum"),
+        least(size(col("top")), lit(kAvg)).cast("long").as("a_cnt"),
+        posexplode(slice(col("top"), 1, k)).as(Seq("rk", "pair")))
+      .select(col("query_id"), col("a_sum"), col("a_cnt"),
+        col("pair._2").as("neighbor_id"),
+        col("pair._1").cast("long").as("cos_micro"))
+    val bSide = pairs.groupBy("neighbor_id")
+      .agg(topN(col("cos_micro").cast("double"), col("query_id")).as("topn"))
+      .select(col("neighbor_id"),
+        pairSum(col("topn")).as("b_sum"),
+        size(col("topn")).cast("long").as("b_cnt"))
+    val denom = (col("a_sum").cast("double") / col("a_cnt").cast("double")
+      + col("b_sum").cast("double") / col("b_cnt").cast("double")) / lit(2.0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("margin_micro").desc, col("neighbor_id").asc)
+    broadcast(aSide).join(bSide, "neighbor_id")
+      .withColumn("denom", denom)
+      .filter(col("denom") > 0.0)
+      .withColumn("margin_micro",
+        round(col("cos_micro").cast("double") * lit(1000000.0) / col("denom"), 0)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "cos_micro", "margin_micro", "rank")
+  }
 }

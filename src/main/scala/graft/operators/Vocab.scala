@@ -540,4 +540,43 @@ object Vocab {
       .select(col("n_merges"), col("n_words"), col("n_pieces"),
         expr("n_pieces * 1000 DIV n_words").as("pieces_per_word_milli"))
   }
+
+  /** Vocabulary-novelty attribution by source — the "what does each
+    * corpus actually buy me?" audit of a data-mixing decision (the
+    * Heaps-curve question): walking sources in a FIXED order
+    * (lexicographic), how many distinct tokens does each source add
+    * that no earlier source contains? A source whose tokens are ~all
+    * already covered adds volume, not vocabulary — exactly the signal
+    * that demotes a crawl slice when a mixture is rebalanced. Each
+    * distinct token is attributed to its lexicographically-first
+    * source (`min(source)` — deterministic, engine-portable), so
+    * novelty is a partition of the global vocabulary and the running
+    * total ends at the corpus' distinct-token count.
+    *
+    * NULL sources fold to '' (the key-normalization discipline), so
+    * degenerate extraction slices still appear in the audit — and,
+    * sorting first, they CLAIM shared tokens; that bias is inherent to
+    * any fixed walk order, not a defect of ''.
+    *
+    * Scale shape: one token explode → (source, token)-keyed partial
+    * agg (the only corpus-sized shuffle, map-side combined); both the
+    * per-source rollup and the min-source attribution aggregate that
+    * already-collapsed frame; the running sum windows over the
+    * source-count-sized frame only. Output: (source, n_tokens,
+    * n_distinct, n_novel, cum_vocab) ordered by source. */
+  def noveltyBySource(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tok = df.select(coalesce(col(srcCol), lit("")).as("source"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val perSrcTok = tok.groupBy("source", "tok").agg(count(lit(1)).as("occ"))
+    val perSrc = perSrcTok.groupBy("source")
+      .agg(sum("occ").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val novel = perSrcTok.groupBy("tok").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    val w = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSrc.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("cum_vocab", sum("n_novel").over(w))
+  }
 }

@@ -2262,7 +2262,59 @@ object Extensions {
       Vocab.topTokens(d, "text", 40), minPairDocs = 5, topK = 30)
   }
 
+  /** q183 — margin-based neighbor scoring ([[SimilaritySearch
+    * .marginTopK]], k = 5, kAvg = 3): each query's cosine top-5
+    * re-ranked by the Artetxe–Schwenk ratio margin, hub penalty from
+    * both sides of the query↔corpus frame. The oracle replays the
+    * micro-quantized cosines, both top-k averages, and the margin
+    * division. */
+  def q183MarginScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.marginTopK(e, e.filter(col("vec_id") < 64),
+        "vec_id", "embedding", k = 5, kAvg = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q184 — inter-judge agreement ([[Curation.judgeAgreement]]):
+    * Cohen's κ per language between the Gopher rule gate (q107) and
+    * the C4 line-filter gate (q108), both on the raw document text.
+    * The oracle replays both gates and the chance-corrected
+    * agreement arithmetic. */
+  def q184JudgeKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val ja = QualityRules.gopherPass(
+      QualityRules.gopherSignals(col("text")), 20, 1000)
+    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
+    Curation.judgeAgreement(d, "lang", ja, jb).orderBy("lang")
+  }
+
+  /** q185 — per-document code-point entropy ([[graft.expressions
+    * .CharEntropy]]): Shannon entropy of the character distribution in
+    * integer micro-nats, one row-local kernel pass. The oracle
+    * explodes to (doc, codepoint) rows and replays the integer-micro
+    * term sum. */
+  def q185CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.expressions.CharEntropy(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_cp").as("n_cp"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.entropy_micro").as("entropy_micro"))
+      .orderBy("doc_id")
+
+  /** q186 — vocabulary novelty by source ([[Vocab.noveltyBySource]]):
+    * each source's occurrence/distinct token counts, the distinct
+    * tokens it introduces first in lexicographic source order, and the
+    * running vocabulary total. */
+  def q186VocabNovelty(spark: SparkSession, dir: String): DataFrame =
+    Vocab.noveltyBySource(Tables(spark, dir, "documents"), "source", "text")
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_vocab_novelty" -> (q186VocabNovelty _),
+    "q185_char_entropy" -> (q185CharEntropy _),
+    "q184_judge_kappa" -> (q184JudgeKappa _),
+    "q183_margin_score" -> (q183MarginScore _),
     "q182_pmi_collocations" -> (q182PmiCollocations _),
     "q181_ewma_anomaly" -> (q181EwmaAnomaly _),
     "q180_vocab_ablation" -> (q180VocabAblation _),
@@ -2870,6 +2922,124 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q183_margin_score" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+        |p AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+        |  CAST(round(list_sum(list_transform(list_zip(qv, e.v), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+        |    * 1000000) AS BIGINT) AS cos_micro
+        |  FROM e, q WHERE e.vec_id <> qid),
+        |aq AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_micro DESC, neighbor_id) AS rq FROM p),
+        |ast AS (SELECT query_id, sum(cos_micro)::BIGINT AS a_sum,
+        |    count(1)::BIGINT AS a_cnt FROM aq WHERE rq <= 3 GROUP BY query_id),
+        |bn AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id
+        |    ORDER BY cos_micro DESC, query_id) AS rn FROM p),
+        |bst AS (SELECT neighbor_id, sum(cos_micro)::BIGINT AS b_sum,
+        |    count(1)::BIGINT AS b_cnt FROM bn WHERE rn <= 3 GROUP BY neighbor_id),
+        |m AS (SELECT c.query_id, c.neighbor_id, c.cos_micro,
+        |    (a_sum::DOUBLE / a_cnt::DOUBLE + b_sum::DOUBLE / b_cnt::DOUBLE) / 2.0 AS denom
+        |  FROM (SELECT query_id, neighbor_id, cos_micro FROM aq WHERE rq <= 5) c
+        |  JOIN ast USING (query_id) JOIN bst USING (neighbor_id)),
+        |s AS (SELECT query_id, neighbor_id, cos_micro,
+        |    CAST(round(cos_micro::DOUBLE * 1000000.0 / denom) AS BIGINT) AS margin_micro
+        |  FROM m WHERE denom > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY margin_micro DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, cos_micro, margin_micro, rank
+        |FROM r ORDER BY query_id, rank""".stripMargin,
+    "q184_judge_kappa" ->
+      """WITH sig AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |    len(words)::BIGINT AS n_words,
+        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
+        |    n_symbols::BIGINT AS n_symbols,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
+        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
+        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+        |  FROM sig),
+        |ja AS (SELECT doc_id, lang,
+        |    (n_words BETWEEN 20 AND 1000
+        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
+        |     AND 10 * n_symbols < n_words
+        |     AND 10 * n_bul < 9 * n_lines
+        |     AND 10 * n_ell < 3 * n_lines
+        |     AND 10 * n_alpha >= 8 * n_words
+        |     AND n_stop >= 2) AS a FROM m),
+        |jb AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
+        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
+        |  FROM documents),
+        |cells AS (SELECT coalesce(lang, '') AS lang,
+        |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
+        |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+        |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+        |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
+        |  FROM ja JOIN jb USING (doc_id) GROUP BY 1),
+        |k AS (SELECT lang, n_both_pass, n_a_only, n_b_only, n_both_fail,
+        |    (n_both_pass + n_a_only + n_b_only + n_both_fail)::BIGINT AS n_docs,
+        |    (n_both_pass + n_both_fail)::DOUBLE
+        |      / (n_both_pass + n_a_only + n_b_only + n_both_fail)::DOUBLE AS po,
+        |    ((n_both_pass + n_a_only)::DOUBLE
+        |       / (n_both_pass + n_a_only + n_b_only + n_both_fail)::DOUBLE)
+        |     * ((n_both_pass + n_b_only)::DOUBLE
+        |       / (n_both_pass + n_a_only + n_b_only + n_both_fail)::DOUBLE)
+        |    + ((n_b_only + n_both_fail)::DOUBLE
+        |       / (n_both_pass + n_a_only + n_b_only + n_both_fail)::DOUBLE)
+        |     * ((n_a_only + n_both_fail)::DOUBLE
+        |       / (n_both_pass + n_a_only + n_b_only + n_both_fail)::DOUBLE) AS pe
+        |  FROM cells)
+        |SELECT lang, n_docs, n_both_pass, n_a_only, n_b_only, n_both_fail,
+        |  CAST(round(po * 1000000.0) AS BIGINT) AS po_micro,
+        |  CAST(round(pe * 1000000.0) AS BIGINT) AS pe_micro,
+        |  CASE WHEN 1.0 - pe > 0.0
+        |    THEN CAST(round((po - pe) * 1000000.0 / (1.0 - pe)) AS BIGINT)
+        |    ELSE NULL END AS kappa_micro
+        |FROM k ORDER BY lang""".stripMargin,
+    "q185_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), ch -> unicode(ch))) AS cp
+        |  FROM documents WHERE len(text) > 0),
+        |h AS (SELECT doc_id, cp, count(1)::BIGINT AS c FROM c GROUP BY doc_id, cp),
+        |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_cp,
+        |    count(1)::BIGINT AS n_distinct FROM h GROUP BY doc_id),
+        |t AS (SELECT h.doc_id,
+        |    CAST(round(-(h.c::DOUBLE / agg.n_cp::DOUBLE)
+        |      * ln(h.c::DOUBLE / agg.n_cp::DOUBLE) * 1000000.0) AS BIGINT) AS term
+        |  FROM h JOIN agg USING (doc_id)),
+        |e AS (SELECT doc_id, sum(term)::BIGINT AS entropy_micro FROM t GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_cp, 0) END::BIGINT AS n_cp,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.n_distinct, 0) END::BIGINT AS n_distinct,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.entropy_micro, 0) END::BIGINT AS entropy_micro
+        |FROM documents d LEFT JOIN agg USING (doc_id) LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q186_vocab_novelty" ->
+      ("""WITH t AS (SELECT coalesce(source, '') AS source, unnest(""" + toksSql + """) AS tok FROM documents),
+        |pst AS (SELECT source, tok, count(1)::BIGINT AS occ FROM t GROUP BY source, tok),
+        |ps AS (SELECT source, sum(occ)::BIGINT AS n_tokens,
+        |    count(1)::BIGINT AS n_distinct FROM pst GROUP BY source),
+        |fs AS (SELECT tok, min(source) AS source FROM pst GROUP BY tok),
+        |nv AS (SELECT source, count(1)::BIGINT AS n_novel FROM fs GROUP BY source),
+        |j AS (SELECT ps.source, n_tokens, n_distinct,
+        |    coalesce(n_novel, 0)::BIGINT AS n_novel FROM ps LEFT JOIN nv USING (source))
+        |SELECT source, n_tokens, n_distinct, n_novel,
+        |  sum(n_novel) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_vocab
+        |FROM j ORDER BY source""").stripMargin,
     "q181_ewma_anomaly" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

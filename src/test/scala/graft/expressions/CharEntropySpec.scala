@@ -1,0 +1,79 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[CharEntropy]]: hand-computed fixtures (including astral code
+  * points and NULL/empty), plus a randomized cross-check against an
+  * independent sorted-distinct reference. */
+class CharEntropySpec extends SparkSpec {
+
+  private def run(texts: Seq[String]): Seq[(Option[Long], Option[Long], Option[Long])] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i, Option(t)) }
+      .toDF("id", "text")
+      .select(col("id"), CharEntropy(col("text")).as("s"))
+      .orderBy("id")
+      .collect()
+      .map { r =>
+        if (r.isNullAt(1)) (None, None, None)
+        else {
+          val s = r.getStruct(1)
+          (Some(s.getLong(0)), Some(s.getLong(1)), Some(s.getLong(2)))
+        }
+      }.toSeq
+  }
+
+  /** Independent reference: code-point histogram via sorted distinct,
+    * per-term micro rounding, integer sum. */
+  private def ref(t: String): (Long, Long, Long) = {
+    val cps = t.codePoints().toArray
+    val hist = cps.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = cps.length.toLong
+    val ent = hist.toSeq.sortBy(_._1).map { case (_, c) =>
+      val p = c.toDouble / n.toDouble
+      Math.round(-p * Math.log(p) * 1000000.0)
+    }.sum
+    (n, hist.size.toLong, if (n == 0) 0L else ent)
+  }
+
+  test("fixtures: null, empty, uniform, two-symbol, skewed") {
+    val out = run(Seq(null, "", "aaaa", "ab", "aab"))
+    assert(out(0) == ((None, None, None)))
+    assert(out(1) == ((Some(0L), Some(0L), Some(0L))))
+    assert(out(2) == ((Some(4L), Some(1L), Some(0L))))
+    // each term: round(0.5 · ln 2 · 1e6) = round(346573.59) = 346574 —
+    // per-TERM rounding, so the sum is 693148, not round(ln 2 · 1e6)
+    assert(out(3) == ((Some(2L), Some(2L), Some(693148L))))
+    // a: round(-(2/3)·ln(2/3)·1e6) = 270310; b: 366204 → 636514
+    assert(out(4) == ((Some(3L), Some(3L - 1L), Some(636514L))))
+  }
+
+  test("astral code points count once: clef-clef-a equals aab's distribution") {
+    val clef = new String(Character.toChars(0x1D11E))
+    val out = run(Seq(clef + clef + "a"))
+    // 2 UTF-16 units per clef, but 3 code points / 2 distinct — and the
+    // {2,1}-count distribution matches "aab"'s entropy exactly
+    assert(out(0) == ((Some(3L), Some(2L), Some(636514L))))
+  }
+
+  test("randomized: kernel equals the sorted-distinct reference") {
+    val rng = new scala.util.Random(11)
+    val texts = Seq.fill(60) {
+      val len = rng.nextInt(40)
+      (0 until len).map { _ =>
+        rng.nextInt(4) match {
+          case 0 => ('a' + rng.nextInt(3)).toChar.toString
+          case 1 => (0x400 + rng.nextInt(5)).toChar.toString // cyrillic
+          case 2 => new String(Character.toChars(0x1F600 + rng.nextInt(4)))
+          case _ => " "
+        }
+      }.mkString
+    }
+    val got = run(texts)
+    texts.zip(got).foreach { case (t, g) =>
+      val (n, d, e) = ref(t)
+      assert(g == ((Some(n), Some(d), Some(e))), s"text=${t.take(20)}…")
+    }
+  }
+}

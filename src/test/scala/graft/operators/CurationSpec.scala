@@ -425,4 +425,44 @@ class CurationSpec extends SparkSpec {
     assert(got(None) == ((1L, 1L, wilson(1, 1))),
       "a NULL group key forms its own group, never dropped")
   }
+
+  test("judgeAgreement: hand-computed kappa, degenerate NULL, fail-closed judges") {
+    import spark.implicits._
+    val rows =
+      // perfect agreement, mixed marginals: 2 both-pass + 2 both-fail
+      // → po = 1, pe = 0.5, κ = 1
+      Seq(("agree", true, true), ("agree", true, true),
+        ("agree", false, false), ("agree", false, false)) ++
+      // independence: one row per cell → po = 0.5 = pe → κ = 0
+      Seq(("indep", true, true), ("indep", true, false),
+        ("indep", false, true), ("indep", false, false)) ++
+      // unanimous judges: pe = 1 → κ undefined, never 0/0
+      Seq(("unanimous", true, true), ("unanimous", true, true))
+    val df = rows.map { case (g, a, b) => (g, Some(a), Some(b)) }
+      .toDF("grp", "ja", "jb")
+    val got = Curation.judgeAgreement(df, "grp", col("ja"), col("jb"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8)))))
+      .toMap
+    assert(got("agree") ==
+      ((4L, 2L, 0L, 0L, 2L, 1000000L, 500000L, Some(1000000L))))
+    assert(got("indep") ==
+      ((4L, 1L, 1L, 1L, 1L, 500000L, 500000L, Some(0L))))
+    assert(got("unanimous") == ((2L, 2L, 0L, 0L, 0L, 1000000L, 1000000L, None)),
+      "pe = 1 must yield NULL kappa, not a fabricated ratio")
+
+    // NULL verdicts count as FAIL; a NULL group key folds to ''
+    val withNulls = Seq(
+      (Option.empty[String], Some(true), Option.empty[Boolean]),
+      (Option.empty[String], Some(true), Some(true)))
+      .toDF("grp", "ja", "jb")
+    val g2 = Curation.judgeAgreement(withNulls, "grp", col("ja"), col("jb"))
+      .collect()
+    assert(g2.length == 1 && g2(0).getString(0) == "")
+    assert((g2(0).getLong(2), g2(0).getLong(3)) == ((1L, 1L)),
+      "the NULL-verdict row must land in a_only (B fail-closed)")
+  }
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.marginTopK]] against an independent loop
+  * reference of the ratio-margin contract, plus the fail-closed
+  * non-positive-denominator drop and deterministic tie handling. */
+class MarginTopKSpec extends SparkSpec {
+
+  private val dim = 4
+
+  private def cosMicro(a: Seq[Double], b: Seq[Double]): Long = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    BigDecimal(dot / (na * nb) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  /** Straight-loop reference: micro cosines, per-side top-kAvg integer
+    * sums, ratio margin, rank by margin desc / id asc. */
+  private def reference(vecs: Map[Long, Seq[Double]], qids: Seq[Long],
+      k: Int, kAvg: Int): Seq[(Long, Long, Long, Long, Int)] = {
+    val pairs = for {
+      q <- qids; (nid, v) <- vecs.toSeq if nid != q
+    } yield (q, nid, cosMicro(vecs(q), v))
+    def topBy[A](xs: Seq[(Long, Long)], n: Int): Seq[(Long, Long)] =
+      xs.sortBy { case (cm, id) => (-cm, id) }.take(n)
+    val aStats = pairs.groupBy(_._1).map { case (q, ps) =>
+      val top = topBy(ps.map(p => (p._3, p._2)), kAvg)
+      q -> (top.map(_._1).sum, top.size)
+    }
+    val bStats = pairs.groupBy(_._2).map { case (nid, ps) =>
+      val top = topBy(ps.map(p => (p._3, p._1)), kAvg)
+      nid -> (top.map(_._1).sum, top.size)
+    }
+    val cands = pairs.groupBy(_._1).toSeq.flatMap { case (q, ps) =>
+      topBy(ps.map(p => (p._3, p._2)), k).map { case (cm, nid) => (q, nid, cm) }
+    }
+    val scored = cands.flatMap { case (q, nid, cm) =>
+      val (as, ac) = aStats(q)
+      val (bs, bc) = bStats(nid)
+      val denom = (as.toDouble / ac.toDouble + bs.toDouble / bc.toDouble) / 2.0
+      if (denom > 0.0)
+        Some((q, nid, cm, BigDecimal(cm.toDouble * 1000000.0 / denom)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      else None
+    }
+    scored.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, ps) =>
+      ps.sortBy { case (_, nid, _, mm) => (-mm, nid) }
+        .zipWithIndex.map { case ((q, nid, cm, mm), i) => (q, nid, cm, mm, i + 1) }
+    }
+  }
+
+  private def run(vecs: Map[Long, Seq[Double]], qids: Seq[Long],
+      k: Int, kAvg: Int): Seq[(Long, Long, Long, Long, Int)] = {
+    import spark.implicits._
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    SimilaritySearch.marginTopK(df, df.filter(col("vec_id").isin(qids: _*)),
+        "vec_id", "embedding", k, kAvg)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSeq
+  }
+
+  test("marginTopK matches the loop reference on a deterministic cloud") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 20L).map { id =>
+      id -> Seq.fill(dim)(rng.nextDouble() * 2.0 - 0.6)
+    }.toMap
+    val qids = Seq(0L, 1L, 2L, 3L)
+    assert(run(vecs, qids, k = 4, kAvg = 3) ==
+      reference(vecs, qids, k = 4, kAvg = 3))
+  }
+
+  test("hub deflation: the margin demotes a neighbor that is near everything") {
+    // n10 sits close to BOTH queries and to the rest of the corpus (a
+    // hub); n11 is close only to q0. Raw cosine ranks n10 first for
+    // q0; the margin must put the exclusive match n11 first.
+    val base = Seq(1.0, 0.05, 0.0, 0.0)
+    val vecs = Map[Long, Seq[Double]](
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0, 0.0),
+      10L -> base, // hub: high cos to 0, 1, and 12..15
+      11L -> Seq(0.97, -0.05, 0.2, 0.0), // strong only for q0
+      12L -> base.map(_ * 2.0), 13L -> base.map(_ * 3.0),
+      14L -> Seq(0.99, 0.06, 0.0, 0.0), 15L -> Seq(0.98, 0.04, 0.01, 0.0))
+    val got = run(vecs, Seq(0L, 1L), k = 3, kAvg = 3)
+    val ref = reference(vecs, Seq(0L, 1L), k = 3, kAvg = 3)
+    assert(got == ref)
+  }
+
+  test("non-positive pooled average drops the pair fail-closed") {
+    // q0's whole candidate pool is anti-similar → its own top-kAvg
+    // average is negative, the pooled denominator is ≤ 0, and q0 must
+    // vanish from the output rather than emit a sign-flipped margin.
+    val vecs = Map[Long, Seq[Double]](
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(-1.0, 0.01, 0.0, 0.0),
+      2L -> Seq(-1.0, 0.02, 0.0, 0.0),
+      3L -> Seq(-1.0, 0.03, 0.0, 0.0))
+    val got = run(vecs, Seq(0L), k = 2, kAvg = 2)
+    assert(got.isEmpty)
+    assert(reference(vecs, Seq(0L), k = 2, kAvg = 2).isEmpty)
+  }
+
+  test("identical candidates tie-break by neighbor id on both rank axes") {
+    val v = Seq(0.6, 0.8, 0.0, 0.0)
+    val vecs = Map[Long, Seq[Double]](
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      5L -> v, 6L -> v, 7L -> v.map(_ * 4.0))
+    val got = run(vecs, Seq(0L), k = 3, kAvg = 2)
+    // all three candidates have the same cosine (scaling is cos-free)
+    // and the same margin → ranks follow neighbor id ascending
+    assert(got.map(_._2) == Seq(5L, 6L, 7L))
+    assert(got.map(_._5) == Seq(1, 2, 3))
+    assert(got == reference(vecs, Seq(0L), k = 3, kAvg = 2))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Vocab.noveltyBySource]]: hand-computed attribution, NULL-source
+  * folding, and the partition invariant (novelty sums to the global
+  * distinct-token count). */
+class VocabNoveltySpec extends SparkSpec {
+
+  test("novelty attribution, cum total, NULL source folds to ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("b"), "x y"),
+      (2L, Some("a"), "x z"),
+      (3L, Option.empty[String], "w x"))
+      .toDF("doc_id", "source", "text")
+    val got = Vocab.noveltyBySource(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // '' owns w and the shared x (sorts first); a adds z; b adds y
+    assert(got.toSeq == Seq(
+      ("", 2L, 2L, 2L, 2L),
+      ("a", 2L, 2L, 1L, 3L),
+      ("b", 2L, 2L, 1L, 4L)))
+    // the running total ends at the corpus' global distinct count
+    assert(got.last._5 == 4L)
+    assert(got.map(_._4).sum == got.last._5,
+      "novelty must PARTITION the vocabulary — no token counted twice")
+  }
+
+  test("a pure-duplicate source adds volume but zero vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a"), "alpha beta gamma"),
+      (2L, Some("mirror"), "alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    val got = Vocab.noveltyBySource(docs, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, 3L, 3L, 3L),
+      ("mirror", 6L, 3L, 0L, 3L)))
+  }
+}
