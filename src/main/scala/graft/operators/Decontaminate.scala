@@ -105,4 +105,58 @@ object Decontaminate {
 
     Dedup.exciseByStarts(corpus, starts, idCol, textCol, n, "decontam_text")
   }
+
+  /** Embedding-space train/test leakage audit — the SEMANTIC
+    * complement of [[ngramHits]]: an eval document paraphrased into
+    * the train split shares no n-gram but sits on top of it in
+    * embedding space, and a model "generalizing" to it is measuring
+    * memorization. Reports every (test, train) pair whose exact cosine
+    * clears `minCosMicro`, with candidates bounded by SRP-LSH bucket
+    * agreement ([[SimilaritySearch.srpSignature]], plus every
+    * Hamming-1 probe bucket with `multiprobe`) — so it is an
+    * ANN-recall audit by design: pairs whose signatures disagree in
+    * ≥ 2 bits are not examined, the standard bucketed-audit trade
+    * (raise `bits` for precision of buckets, lower it or keep
+    * multiprobe for recall).
+    *
+    * Scale shape: UNLIKE srpTopK's broadcast-queries contract, BOTH
+    * splits here are corpus-scale, so the probe join is a plain
+    * shuffle hash join on the 8-byte signature — each side partitions
+    * by bucket, no broadcast, no window anywhere; the exact-cosine
+    * gate runs inside the join projection. A pair matches exactly one
+    * probe value, so multiprobe cannot duplicate pairs. Ragged vectors
+    * get NULL signatures ([[SimilaritySearch.srpSignature]]'s
+    * fail-closed contract) and silently leave the audit — check sig
+    * NULLs upstream before trusting a clean report.
+    *
+    * Output: (test_id, train_id, cos_micro) — `cos_micro` the
+    * micro-quantized exact cosine (the q187 oracle replays signatures,
+    * probes, and the quantization). */
+  def embeddingLeakage(corpus: DataFrame, idCol: String, vecCol: String,
+      splitCol: String, trainSplit: String, testSplit: String,
+      minCosMicro: Long, bits: Int = 16, dim: Int = 64,
+      multiprobe: Boolean = true): DataFrame = {
+    import SimilaritySearch.{dot, norm, srpSignature}
+    val base = corpus.select(col(idCol), col(splitCol).as("__split"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .withColumn("sig", srpSignature(col("vec"), bits, dim))
+    val train = base.filter(col("__split") === trainSplit)
+      .select(col(idCol).as("train_id"), col("vec").as("tvec"),
+        col("nrm").as("tnrm"), col("sig"))
+    val test = base.filter(col("__split") === testSplit)
+      .select(col(idCol).as("test_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val probeCols =
+      if (multiprobe)
+        array(col("qsig") +: (0 until bits).map(b =>
+          col("qsig").bitwiseXOR(lit(1L << b))): _*)
+      else array(col("qsig"))
+    val probes = test.withColumn("probe", explode(probeCols))
+    val cosMicro = round(dot(col("qvec"), col("tvec"))
+      / (col("qnrm") * col("tnrm")) * lit(1000000.0), 0).cast("long")
+    probes.join(train, col("sig") === col("probe"))
+      .select(col("test_id"), col("train_id"), cosMicro.as("cos_micro"))
+      .filter(col("cos_micro") >= minCosMicro)
+  }
 }

@@ -2310,7 +2310,25 @@ object Extensions {
     Vocab.noveltyBySource(Tables(spark, dir, "documents"), "source", "text")
       .orderBy("source")
 
+  /** q187 — embedding-space train/test leakage audit ([[graft.operators
+    * .Decontaminate.embeddingLeakage]], 4-bit SRP + Hamming-1
+    * multiprobe, cos ≥ 0.35): the q36 stable split applied to the
+    * embeddings table, then every bucket-colliding cross-split pair
+    * whose exact cosine clears the gate. The oracle replays the
+    * signatures, the probe set, and the micro quantization. */
+  def q187SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val b = TextFunctions.stableBucket(col("vec_id"), 100)
+    val withSplit = e.withColumn("split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    graft.operators.Decontaminate.embeddingLeakage(withSplit, "vec_id",
+        "embedding", "split", "train", "test",
+        minCosMicro = 350000L, bits = 4)
+      .orderBy("test_id", "train_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_split_leakage" -> (q187SplitLeakage _),
     "q186_vocab_novelty" -> (q186VocabNovelty _),
     "q185_char_entropy" -> (q185CharEntropy _),
     "q184_judge_kappa" -> (q184JudgeKappa _),
@@ -2922,6 +2940,31 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q187_split_leakage" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |hp AS (SELECT CAST(i AS BIGINT) AS i,
+        |    list_transform(range(64), j -> CAST(('0x' || substring(md5('srp:' || i || ':' || j), 1, 15))::BIGINT % 2001 - 1000 AS DOUBLE)) AS h
+        |  FROM (SELECT unnest(range(4)) AS i)),
+        |sg AS (SELECT e.vec_id,
+        |    sum(CASE WHEN list_sum(list_transform(list_zip(e.v, hp.h), x -> x[1] * x[2])) >= 0.0
+        |      THEN (1 << i)::BIGINT ELSE 0 END)::BIGINT AS sig
+        |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
+        |s AS (SELECT e.vec_id, v, sig,
+        |    ('0x' || substring(md5(e.vec_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |  FROM e JOIN sg USING (vec_id)),
+        |tr AS (SELECT vec_id AS train_id, v AS tv, sig FROM s WHERE b < 80),
+        |te AS (SELECT vec_id AS test_id, v AS qv, sig AS qsig FROM s WHERE b >= 90),
+        |pr AS (SELECT test_id, qv,
+        |    unnest([qsig] || list_transform(range(4), k -> xor(qsig, (1 << k)::BIGINT))) AS probe
+        |  FROM te),
+        |p AS (SELECT test_id, train_id,
+        |    CAST(round(list_sum(list_transform(list_zip(qv, tv), x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(tv, x -> x * x))))
+        |      * 1000000) AS BIGINT) AS cos_micro
+        |  FROM pr JOIN tr ON tr.sig = pr.probe)
+        |SELECT test_id, train_id, cos_micro FROM p
+        |WHERE cos_micro >= 350000 ORDER BY test_id, train_id""".stripMargin,
     "q183_margin_score" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),

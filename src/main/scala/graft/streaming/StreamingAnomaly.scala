@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming EWMA ingest monitor — the unbounded face of
+  * [[graft.operators.Anomaly.ewmaDeviation]]: the fixed-point
+  * recurrence is a 16-byte keyed fold, so the monitor that watches a
+  * crawl's per-source hourly volume never holds more than one smoothed
+  * level per series, where the batch operator packs the whole series
+  * into an array (bounded-series contract). Same integer-milli
+  * arithmetic, same truncate-toward-zero division, same PRE-point
+  * deviation — a stream processed in series order emits row-for-row
+  * what the batch operator computes over the union of all batches
+  * (spec-pinned parity).
+  *
+  * Ordering contract: points must ARRIVE in series order across
+  * triggers (the natural shape when an upstream hourly rollup emits
+  * closed buckets); within one trigger the batch is sorted by the
+  * order key, so intra-trigger disorder is repaired, cross-trigger
+  * disorder is the caller's bug — state holds only the latest level,
+  * deliberately: an out-of-order-proof monitor would need the full
+  * series buffered, i.e. the batch operator.
+  *
+  * Emits one row per point AFTER each series' first (Append mode):
+  * (series, order, cents, ewma_prev, dev_milli). */
+object StreamingAnomaly {
+
+  /** One step of the shared fixed-point contract. */
+  private[streaming] def step(alphaMilli: Int, ewmaPrev: Long, x: Long): Long =
+    (alphaMilli * x + (1000 - alphaMilli) * ewmaPrev) / 1000
+
+  def ewmaDeviation(rows: Dataset[(String, Long, Long)],
+      alphaMilli: Int): Dataset[(String, Long, Long, Long, Long)] = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      s"alphaMilli must be in [1, 999], got $alphaMilli")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[Long]) =>
+          val pts = it.map { case (_, o, x) => (o, x) }.toArray.sortBy(_._1)
+          val out = Vector.newBuilder[(String, Long, Long, Long, Long)]
+          var ewma = 0L
+          var seeded = state.exists
+          if (seeded) ewma = state.get
+          pts.foreach { case (o, x) =>
+            if (!seeded) { ewma = x; seeded = true }
+            else {
+              val dev = Math.abs(x - ewma) * 1000L / Math.max(ewma, 1L)
+              out += ((series, o, x, ewma, dev))
+              ewma = step(alphaMilli, ewma, x)
+            }
+          }
+          if (seeded) state.update(ewma)
+          out.result().iterator
+      }
+  }
+}

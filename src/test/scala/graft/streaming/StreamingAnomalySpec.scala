@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Anomaly
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming EWMA monitor: cross-trigger state continuity, parity with
+  * the batch operator over the union of batches, and O(1) state. */
+class StreamingAnomalySpec extends SparkSpec {
+
+  test("stream == batch on the union of in-order batches; spike flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two series; s1 gets an 8x spike in the SECOND trigger, so the
+    // deviation must be computed against state carried across triggers
+    val batch1 = Seq(("s1", 1L, 100L), ("s1", 2L, 110L), ("s2", 1L, 50L))
+    val batch2 = Seq(("s1", 3L, 800L), ("s1", 4L, 120L), ("s2", 2L, 55L))
+
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamingAnomaly.ewmaDeviation(in.toDS(), alphaMilli = 300)
+      .toDF("series", "o", "cents", "ewma_prev", "dev_milli")
+    val q = out.writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+
+      val batch = Anomaly.ewmaDeviation(
+          (batch1 ++ batch2).toDF("series", "o", "cents"),
+          "series", "o", "cents", alphaMilli = 300)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed == batch,
+        "streamed rows must equal the batch operator over the union")
+      // the spike point deviates by >600% of its pre-point baseline
+      val spike = streamed.find(t => t._1 == "s1" && t._2 == 3L).get
+      assert(spike._5 > 6000L)
+    } finally q.stop()
+  }
+
+  test("intra-trigger disorder is repaired by the per-batch sort") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(("s", 3L, 30L), ("s", 1L, 10L), ("s", 2L, 20L))
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamingAnomaly.ewmaDeviation(in.toDS(), alphaMilli = 500)
+      .toDF("series", "o", "cents", "ewma_prev", "dev_milli")
+    val q = out.writeStream.format("memory").queryName("ewma_sorted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_sorted").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+      // sorted: seed e=10; point 2: prev 10, e=(500*20+500*10)/1000=15;
+      // point 3: prev 15
+      assert(got == Seq((2L, 10L), (3L, 15L)))
+    } finally q.stop()
+  }
+}
