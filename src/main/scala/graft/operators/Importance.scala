@@ -445,4 +445,54 @@ object Importance {
         expr("__below * 1000000L DIV greatest(__n - 1L, 1L)"))
       .select(df.columns.map(col) :+ col("pct_micro"): _*)
   }
+
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data"):
+    * score each document by `log P_target(doc) − log P_general(doc)`
+    * under add-one-smoothed UNIGRAM LMs — target trained on the
+    * `isTarget` rows, general on the WHOLE corpus (target included:
+    * the original setup, where the general pool subsumes the
+    * in-domain sample). High scores are target-like documents the
+    * general pool underpredicts — the classic cheap filter for carving
+    * an in-domain subcorpus from a crawl; [[dsirScores]] is the same
+    * idea over hashed buckets, this is the per-TOKEN vocabulary form.
+    * (Unigram is this operator's documented simplification of the
+    * paper's higher-order LMs — compose [[stupidBackoff]] twice for
+    * the n-gram version.)
+    *
+    * Numeric policy ([[dsirScores]]'s logScale discipline): each
+    * distinct token's weight is `round(1e6 · [ln(c_t+1) − ln(T+V) −
+    * ln(c_g+1) + ln(G+V)])` — every `ln` evaluated on an exact
+    * integer, rounded once per distinct token, and the per-document
+    * score is the exact-integer sum, so the result is oracle-exact
+    * across engines.
+    *
+    * Scale shape ([[bigramFluency]]'s): tokens travel as 60-bit md5
+    * hashes from the first projection; ONE (hash)-keyed partial agg
+    * counts target and general occurrences together (the target count
+    * rides the same shuffle — no second corpus pass); the weight table
+    * is vocabulary-sized so the scoring join is a hash-key shuffle
+    * join by design, NOT a broadcast; totals are a one-row broadcast.
+    * Output: (idCol, carryCols…, n_tokens, ml_micro). */
+  def mooreLewis(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, carryCols: Seq[String] = Nil): DataFrame = {
+    val inst = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        isTarget.as("__tgt") :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .withColumn("__h", TextFunctions.tokenHash(col("tok")))
+      .drop("tok")
+    val counts = inst.groupBy("__h").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_c"),
+      count(lit(1)).as("gen_c"))
+    val totals = counts.agg(sum("tgt_c").as("t_tot"),
+      sum("gen_c").as("g_tot"), count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("__h"),
+        expr("CAST(round((ln(tgt_c + 1) - ln(t_tot + v) - ln(gen_c + 1) + ln(g_tot + v)) * 1000000) AS BIGINT)")
+          .as("__w"))
+    inst.join(weights, Seq("__h"))
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_tokens"), sum("__w").as("ml_micro"))
+  }
 }

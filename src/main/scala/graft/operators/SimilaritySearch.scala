@@ -610,4 +610,62 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "cos_micro", "margin_micro", "rank")
   }
+
+  /** Top principal direction of the embedding cloud by deterministic
+    * power iteration — the vector "all-but-the-top" post-processing
+    * (Mu & Viswanath 2018) subtracts to kill the common-direction hub
+    * that inflates every cosine, and the first diagnostic a pipeline
+    * runs when retrieval quality sags (a dominant component carrying
+    * >50% of the energy means the embedder collapsed).
+    *
+    * Determinism contract (the q189 oracle replays every round):
+    * v₀ = e₀; each round computes a = 1e6·XᵀXv with every per-row,
+    * per-dimension term `round(sᵢ·xᵢⱼ·1e6)` quantized to integer
+    * micros BEFORE the order-free integer sum (the [[marginTopK]] /
+    * trainLogistic discipline — a raw double sum over the corpus
+    * would depend on partitioning), then normalizes on the driver with
+    * per-dimension half-up rounding to 6 decimals ([[trainCentroids]]'s
+    * centroid rounding). The sign convention is inherited from v₀ —
+    * flip downstream if a canonical sign is needed. Ragged rows
+    * contribute nothing (NULL dot → NULL terms, ignored by both
+    * engines' sums).
+    *
+    * Scale shape (trainLogistic's): `rounds` jobs, each ONE corpus
+    * pass — the per-row score against the broadcast plan-literal v,
+    * a posexplode to (dim, term), and a dim-keyed partial agg whose
+    * shuffle carries dim longs per partition; the driver holds only
+    * the dim-length vector between rounds. Long math holds while
+    * 1e6·|sᵢ·xᵢⱼ|·rows < 2⁶³ — quantize or pre-scale upstream beyond
+    * ~10¹² rows. Output: (dim_idx, pc_micro, eigval_micro) — dim rows;
+    * eigval_micro ≈ 1e6·λ̂ from the final round's ‖a‖. */
+  def topComponent(corpus: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val x = corpus.select(asDouble(col(vecCol)).as("x"))
+    var v: Array[Double] = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var eig = 0L
+    for (_ <- 1 to rounds) {
+      val sc = dot(col("x"), typedlit(v.toSeq))
+      val a = x.select(sc.as("sc"), posexplode(col("x")).as(Seq("j", "xj")))
+        .select(col("j"),
+          round(col("sc") * col("xj") * lit(1000000.0), 0).cast("long")
+            .as("term"))
+        .groupBy("j").agg(coalesce(sum("term"), lit(0L)).as("a"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val aArr = Array.tabulate(dim)(j => a.getOrElse(j, 0L))
+      val nrm = math.sqrt(aArr.map(t => t.toDouble * t.toDouble).sum)
+      require(nrm > 0.0,
+        "power iteration degenerated to the zero vector — empty or " +
+          "all-ragged corpus, or v landed in the null space")
+      v = aArr.map(t => BigDecimal(t.toDouble / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      eig = Math.round(nrm)
+    }
+    v.toSeq.zipWithIndex.map { case (vj, j) =>
+      (j.toLong, Math.round(vj * 1000000.0), eig)
+    }.toDF("dim_idx", "pc_micro", "eigval_micro")
+  }
 }

@@ -2327,7 +2327,29 @@ object Extensions {
       .orderBy("test_id", "train_id")
   }
 
+  /** q188 — Moore–Lewis cross-entropy-difference selection
+    * ([[Importance.mooreLewis]], target = the labeled-English slice):
+    * per-document `log P_en − log P_corpus` under add-one unigram LMs
+    * in integer micros. The oracle rebuilds the hashed vocabulary
+    * counts, the four-ln weight, and the integer sum. */
+  def q188MooreLewis(spark: SparkSession, dir: String): DataFrame =
+    Importance.mooreLewis(Tables(spark, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", carryCols = Seq("lang"))
+      .orderBy("doc_id")
+
+  /** q189 — top principal direction by deterministic power iteration
+    * ([[SimilaritySearch.topComponent]], 3 rounds): the
+    * all-but-the-top / hub-diagnosis vector. The oracle replays all
+    * three rounds — score, micro-quantized terms, integer sums,
+    * round-6 normalization. */
+  def q189TopComponent(spark: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.topComponent(Tables(spark, dir, "embeddings"),
+        "embedding", dim = 64, rounds = 3)
+      .orderBy("dim_idx")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_top_component" -> (q189TopComponent _),
+    "q188_moore_lewis" -> (q188MooreLewis _),
     "q187_split_leakage" -> (q187SplitLeakage _),
     "q186_vocab_novelty" -> (q186VocabNovelty _),
     "q185_char_entropy" -> (q185CharEntropy _),
@@ -2939,7 +2961,48 @@ object Extensions {
       "\nORDER BY iter"
   }
 
+  /** One power-iteration round for the q189 oracle: score against the
+    * previous round's vector, micro-quantize each (row, dim) term,
+    * integer-sum per dim, normalize with round-6 — mirroring
+    * [[graft.operators.SimilaritySearch.topComponent]] op-for-op. */
+  private def pcRoundSql(r: Int): String =
+    s"""s$r AS (SELECT e.x AS x,
+      |    list_sum(list_transform(list_zip(e.x, p.vl), z -> z[1] * z[2])) AS sc
+      |  FROM e CROSS JOIN v${r - 1} p),
+      |t$r AS (SELECT j,
+      |    CAST(round(sc * x[CAST(j + 1 AS INT)] * 1000000.0) AS BIGINT) AS term
+      |  FROM s$r, (SELECT unnest(range(64)) AS j)),
+      |a$r AS (SELECT j, coalesce(sum(term), 0)::BIGINT AS a FROM t$r GROUP BY j),
+      |l$r AS (SELECT list(a ORDER BY j) AS al FROM a$r),
+      |v$r AS (SELECT list_transform(al, t -> round(t::DOUBLE
+      |      / sqrt(list_sum(list_transform(al, u -> u::DOUBLE * u::DOUBLE))), 6)) AS vl,
+      |    sqrt(list_sum(list_transform(al, u -> u::DOUBLE * u::DOUBLE))) AS nrm
+      |  FROM l$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q188_moore_lewis" ->
+      s"""WITH inst AS (SELECT doc_id, lang, lang = 'en' AS tgt, $hashSql AS h
+        |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)),
+        |c AS (SELECT h, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_c,
+        |    count(1)::BIGINT AS gen_c FROM inst GROUP BY h),
+        |tot AS (SELECT sum(tgt_c)::BIGINT AS t_tot, sum(gen_c)::BIGINT AS g_tot,
+        |    count(1)::BIGINT AS v FROM c),
+        |w AS (SELECT h,
+        |    CAST(round((ln(tgt_c + 1) - ln(t_tot + v) - ln(gen_c + 1) + ln(g_tot + v)) * 1000000) AS BIGINT) AS w
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, lang, count(1)::BIGINT AS n_tokens, sum(w.w)::BIGINT AS ml_micro
+        |FROM inst JOIN w USING (h)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q189_top_component" ->
+      ("""WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |v0 AS (SELECT list_transform(range(64),
+        |    j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS vl, 0.0 AS nrm),
+        |""".stripMargin +
+        (1 to 3).map(pcRoundSql).mkString(",\n") + "\n" +
+        """SELECT j AS dim_idx,
+          |  CAST(round(vl[CAST(j + 1 AS INT)] * 1000000.0) AS BIGINT) AS pc_micro,
+          |  CAST(round(nrm) AS BIGINT) AS eigval_micro
+          |FROM v3, (SELECT unnest(range(64)) AS j) ORDER BY dim_idx""".stripMargin),
     "q187_split_leakage" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |hp AS (SELECT CAST(i AS BIGINT) AS i,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.mooreLewis]]: direction of the score on engineered
+  * in-domain vs out-of-domain docs, an exact hand-computed case, and
+  * the NULL-flag fail-closed rule. */
+class MooreLewisSpec extends SparkSpec {
+
+  test("target-flavored docs outscore general-flavored docs") {
+    import spark.implicits._
+    // target slice speaks "alpha beta"; the general pool adds "zeta eta"
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "alpha beta beta"),
+      (10L, false, "zeta eta zeta eta"),
+      (11L, false, "zeta eta eta"),
+      // probes (not in target): one in-domain-looking, one not
+      (20L, false, "alpha beta"),
+      (21L, false, "zeta eta"))
+      .toDF("doc_id", "tgt", "text")
+    val got = Importance.mooreLewis(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(20L) > got(21L),
+      "the in-domain-vocabulary probe must outscore the out-of-domain one")
+    assert(got(20L) > 0L && got(21L) < 0L,
+      "target-only vocabulary scores positive, never-in-target negative")
+  }
+
+  test("hand-computed two-token case") {
+    import spark.implicits._
+    // target = {a}; general = {a, b}. T=1, G=2, V=2.
+    // w(a) = round(1e6·[ln2 − ln3 − ln2 + ln4]) = round(1e6·ln(4/3))
+    // w(b) = round(1e6·[ln1 − ln3 − ln2 + ln4]) = round(1e6·ln(2/3))
+    val docs = Seq((1L, true, "a"), (2L, false, "b")).toDF("doc_id", "tgt", "text")
+    val got = Importance.mooreLewis(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def w(x: Double) = Math.round(x * 1000000.0)
+    assert(got(1L) == ((1L, w(math.log(2) - math.log(3) - math.log(2) + math.log(4)))))
+    assert(got(2L) == ((1L, w(math.log(1) - math.log(3) - math.log(2) + math.log(4)))))
+  }
+
+  test("a NULL target flag counts as general-only (fail-closed)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(true), "a"),
+      (2L, Option.empty[Boolean], "a"))
+      .toDF("doc_id", "tgt", "text")
+    // both docs are the same token; with the NULL row target would be
+    // T=2 — fail-closed it must be T=1, i.e. the same weight both docs
+    val got = Importance.mooreLewis(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // T=1, G=2, V=1: w(a) = 1e6·[ln2 − ln2 − ln3 + ln3] = 0
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+}

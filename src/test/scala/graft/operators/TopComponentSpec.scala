@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[SimilaritySearch.topComponent]]: recovers a planted dominant
+  * direction, is partitioning-invariant (the integer-term discipline's
+  * whole point), and ignores ragged rows. */
+class TopComponentSpec extends SparkSpec {
+
+  private def mkDf(rows: Seq[Seq[Double]]) = {
+    import spark.implicits._
+    rows.map(v => Tuple1(v.map(_.toFloat))).toDF("embedding")
+  }
+
+  test("recovers a planted dominant axis; eigenvalue dominates") {
+    val rng = new scala.util.Random(3)
+    val dim = 8
+    // energy concentrated on axis 2 (+ small noise elsewhere)
+    val rows = Seq.fill(200) {
+      val s = if (rng.nextBoolean()) 5.0 else -5.0
+      Seq.tabulate(dim)(j =>
+        (if (j == 2) s else 0.0) + rng.nextGaussian() * 0.1)
+    }
+    val got = SimilaritySearch.topComponent(mkDf(rows), "embedding", dim, 4)
+      .orderBy("dim_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pc = got.map(_._2)
+    assert(math.abs(pc(2)) > 990000L,
+      s"axis 2 must carry ~all of the component, got ${pc.toSeq}")
+    assert(pc.zipWithIndex.filter(_._2 != 2).forall(t => math.abs(t._1) < 100000L))
+    assert(got.head._3 > 0L)
+  }
+
+  test("partitioning-invariant: 1 vs 7 partitions give identical output") {
+    val rng = new scala.util.Random(9)
+    val rows = Seq.fill(150)(Seq.fill(6)(rng.nextGaussian()))
+    val df = mkDf(rows)
+    val one = SimilaritySearch.topComponent(df.coalesce(1), "embedding", 6, 3)
+      .orderBy("dim_idx").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val many = SimilaritySearch.topComponent(df.repartition(7), "embedding", 6, 3)
+      .orderBy("dim_idx").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(one == many,
+      "micro-quantized terms must make the result partition-order-free")
+  }
+
+  test("ragged rows contribute nothing; an all-ragged corpus fails fast") {
+    val good = Seq.fill(40)(Seq(1.0, 0.2, 0.1))
+    val ragged = Seq.fill(10)(Seq(9.9)) // wrong length: NULL dot
+    val withRagged = SimilaritySearch
+      .topComponent(mkDf(good ++ ragged), "embedding", 3, 2)
+      .orderBy("dim_idx").collect().map(_.getLong(1)).toSeq
+    val withoutRagged = SimilaritySearch
+      .topComponent(mkDf(good), "embedding", 3, 2)
+      .orderBy("dim_idx").collect().map(_.getLong(1)).toSeq
+    assert(withRagged == withoutRagged)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.topComponent(mkDf(ragged), "embedding", 3, 1).collect()
+    }
+  }
+}
