@@ -640,10 +640,21 @@ object SimilaritySearch {
     * eigval_micro ≈ 1e6·λ̂ from the final round's ‖a‖. */
   def topComponent(corpus: DataFrame, vecCol: String, dim: Int,
       rounds: Int): DataFrame = {
-    require(dim >= 1, s"need dim >= 1, got $dim")
-    require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (v, eig) = topComponentVector(corpus, vecCol, dim, rounds)
+    v.toSeq.zipWithIndex.map { case (vj, j) =>
+      (j.toLong, Math.round(vj * 1000000.0), eig)
+    }.toDF("dim_idx", "pc_micro", "eigval_micro")
+  }
+
+  /** [[topComponent]]'s driver-side artifact form: the rounded unit
+    * vector plus the micro eigenvalue estimate — for composing (e.g.
+    * [[removeTopComponent]]) without re-reading a 64-row frame. */
+  def topComponentVector(corpus: DataFrame, vecCol: String, dim: Int,
+      rounds: Int): (Array[Double], Long) = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val x = corpus.select(asDouble(col(vecCol)).as("x"))
     var v: Array[Double] = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     var eig = 0L
@@ -664,8 +675,27 @@ object SimilaritySearch {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       eig = Math.round(nrm)
     }
-    v.toSeq.zipWithIndex.map { case (vj, j) =>
-      (j.toLong, Math.round(vj * 1000000.0), eig)
-    }.toDF("dim_idx", "pc_micro", "eigval_micro")
+    (v, eig)
+  }
+
+  /** All-but-the-top embedding correction (Mu & Viswanath 2018): strip
+    * each vector's projection onto the common direction `pc` —
+    * `x′ = x − (x·v)v`, per-dimension result rounded to 6 decimals so
+    * the corrected corpus is itself an oracle-exact artifact (and so
+    * downstream cosines have deterministic inputs). A zero-shuffle
+    * codegen projection: `pc` rides the plan as a dim-length literal.
+    * Rows whose length differs from `pc` come out as all-NULL
+    * elements (the NULL dot poisons every position; zip_with pads to
+    * `pc`'s length) — any downstream dot/cosine over them is NULL,
+    * the [[srpSignature]] fail-closed convention.
+    * Output: `df` with `vecCol` replaced by the corrected
+    * `array<double>`. */
+  def removeTopComponent(df: DataFrame, vecCol: String,
+      pc: Seq[Double]): DataFrame = {
+    val vLit = typedlit(pc)
+    val sc = dot(asDouble(col(vecCol)), vLit)
+    df.withColumn(vecCol,
+      zip_with(asDouble(col(vecCol)), vLit,
+        (xj, vj) => round(xj - sc * vj, 6)))
   }
 }

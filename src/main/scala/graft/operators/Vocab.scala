@@ -564,6 +564,55 @@ object Vocab {
     * already-collapsed frame; the running sum windows over the
     * source-count-sized frame only. Output: (source, n_tokens,
     * n_distinct, n_novel, cum_vocab) ordered by source. */
+  /** Zipf-exponent fit per corpus slice — the distributional health
+    * check (Piantadosi 2014 review): natural language's token
+    * frequencies follow `freq ∝ rank^(−α)` with α ≈ 1; a slice whose
+    * fitted log-log slope is far from −1 is boilerplate (too flat —
+    * templated pages repeat a small vocabulary uniformly) or ID-like
+    * noise (too steep / degenerate). Fit = ordinary least squares on
+    * `(ln rank, ln count)` over each slice's top-`topK` tokens.
+    *
+    * Determinism contract (the q191 oracle replays it): the per-slice
+    * top-k is the mergeable [[graft.functions.TopKAggregator]] over
+    * (count, 60-bit token hash) — count desc, hash asc, so boundary
+    * ties are engine-portable; both logs evaluate on exact integers
+    * and quantize to micro BEFORE the integer moment sums; the slope
+    * is one IEEE division of integer-derived doubles. Long bounds:
+    * moments stay under 2⁶³ while topK ≤ ~1000 and counts < 10¹⁵.
+    * A slice with one distinct token has zero x-variance → NULL slope
+    * (never 0/0). NULL group keys fold to ''.
+    *
+    * Scale shape: one token explode → (slice, hash) partial agg; the
+    * top-k reduction is map-side bounded (O(topK) per slice per
+    * partition); moments aggregate topK-row groups. Output:
+    * (groupCol, n_points, top_count, slope_micro) — α̂ = −slope. */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2 && topK <= 1000, s"need topK in [2, 1000], got $topK")
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    val counts = docs.select(coalesce(col(groupCol), lit("")).as(groupCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("__h", graft.functions.TextFunctions.tokenHash(col("tok")))
+      .groupBy(col(groupCol), col("__h")).agg(count(lit(1)).as("cnt"))
+    val pts = counts.groupBy(col(groupCol))
+      .agg(topk(col("cnt").cast("double"), col("__h")).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("rk0", "pair")))
+      .select(col(groupCol), (col("rk0") + 1).cast("long").as("rk"),
+        col("pair._1").cast("long").as("cnt"))
+      .select(col(groupCol), col("cnt"),
+        expr("CAST(round(ln(rk) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(cnt) * 1000000) AS BIGINT)").as("y"))
+    pts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max("cnt").as("top_count"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col(groupCol), col("n").as("n_points"), col("top_count"),
+        expr("""CASE WHEN n * sxx - sx * sx > 0
+          | THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+          |   / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+          | ELSE NULL END""".stripMargin).as("slope_micro"))
+  }
+
   def noveltyBySource(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val tok = df.select(coalesce(col(srcCol), lit("")).as("source"),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))

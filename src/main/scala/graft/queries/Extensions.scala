@@ -2347,7 +2347,31 @@ object Extensions {
         "embedding", dim = 64, rounds = 3)
       .orderBy("dim_idx")
 
+  /** q190 — ANN over all-but-the-top-corrected embeddings
+    * ([[SimilaritySearch.removeTopComponent]] with the q189 component,
+    * then the q26 brute-force top-k): retrieval with the hub direction
+    * stripped. The oracle replays the three power rounds, the
+    * projection removal, and the ranking. */
+  def q190AbttAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val (pc, _) = SimilaritySearch.topComponentVector(e, "embedding", 64, 3)
+    val corrected = SimilaritySearch.removeTopComponent(e, "embedding",
+      pc.toSeq)
+    SimilaritySearch.bruteForceTopK(corrected,
+        corrected.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q191 — Zipf-exponent fit per language ([[Vocab.zipfFit]], top-100
+    * tokens): log-log OLS slope in integer micros, the
+    * boilerplate-vs-natural-language distribution check. */
+  def q191ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    Vocab.zipfFit(Tables(spark, dir, "documents"), "lang", "text", topK = 100)
+      .orderBy("lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_zipf_fit" -> (q191ZipfFit _),
+    "q190_abtt_ann" -> (q190AbttAnn _),
     "q189_top_component" -> (q189TopComponent _),
     "q188_moore_lewis" -> (q188MooreLewis _),
     "q187_split_leakage" -> (q187SplitLeakage _),
@@ -2980,6 +3004,46 @@ object Extensions {
       |  FROM l$r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q190_abtt_ann" ->
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |v0 AS (SELECT list_transform(range(64),
+        |    j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS vl, 0.0 AS nrm),
+        |""".stripMargin +
+        (1 to 3).map(pcRoundSql).mkString(",\n") + ",\n" +
+        """cx AS (SELECT ei.vec_id,
+          |    list_transform(list_zip(ei.x, p.vl),
+          |      z -> round(z[1] - list_sum(list_transform(list_zip(ei.x, p.vl),
+          |        w -> w[1] * w[2])) * z[2], 6)) AS v
+          |  FROM e ei CROSS JOIN v3 p),
+          |q AS (SELECT vec_id AS qid, v AS qv FROM cx WHERE vec_id < 5),
+          |s AS (SELECT qid AS query_id, cx.vec_id AS neighbor_id,
+          |""".stripMargin +
+        s"      $cosSql AS sim\n" +
+        """  FROM cx, q WHERE cx.vec_id <> qid),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 3
+          |ORDER BY query_id, rank""".stripMargin),
+    "q191_zipf_fit" ->
+      s"""WITH t AS (SELECT coalesce(lang, '') AS lang, $hashSql AS h
+        |  FROM (SELECT lang, unnest($toksSql) AS tok FROM documents)),
+        |c AS (SELECT lang, h, count(1)::BIGINT AS cnt FROM t GROUP BY lang, h),
+        |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, h) AS rk FROM c),
+        |p AS (SELECT lang, cnt,
+        |    CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+        |  FROM r WHERE rk <= 100),
+        |a AS (SELECT lang, count(1)::BIGINT AS n, max(cnt)::BIGINT AS top_count,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        |  FROM p GROUP BY lang)
+        |SELECT lang, n AS n_points, top_count,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |    THEN CAST(round((n * sxy - sx * sy)::DOUBLE * 1000000.0
+        |      / (n * sxx - sx * sx)::DOUBLE) AS BIGINT)
+        |    ELSE NULL END AS slope_micro
+        |FROM a ORDER BY lang""".stripMargin,
     "q188_moore_lewis" ->
       s"""WITH inst AS (SELECT doc_id, lang, lang = 'en' AS tgt, $hashSql AS h
         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)),

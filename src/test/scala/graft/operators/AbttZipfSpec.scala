@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.removeTopComponent]] and [[Vocab.zipfFit]]:
+  * projection removal kills the common direction, ABTT flips a
+  * hub-dominated ranking, the Zipf slope lands on −1 for an exact
+  * power-law corpus and NULLs out degenerate slices. */
+class AbttZipfSpec extends SparkSpec {
+
+  test("after removal every vector is ~orthogonal to the component; ragged rows NULL") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val dim = 6
+    val common = Array(0.7, 0.7, 0.1, 0.0, 0.0, 0.0)
+    val rows = (0L until 50L).map { id =>
+      val noise = Seq.fill(dim)(rng.nextGaussian() * 0.3)
+      (id, noise.zip(common).map { case (n, c) => (n + 3.0 * c).toFloat })
+    } :+ (99L, Seq(1.0f)) // ragged
+    val df = rows.toDF("vec_id", "embedding")
+    val (pc, eig) = SimilaritySearch.topComponentVector(
+      df.filter(col("vec_id") < 50), "embedding", dim, 4)
+    assert(eig > 0L)
+    val corrected = SimilaritySearch.removeTopComponent(df, "embedding",
+      pc.toSeq)
+    val residual = corrected.filter(col("vec_id") < 50)
+      .select(SimilaritySearch.dot(col("embedding"), typedlit(pc.toSeq)).as("d"))
+      .collect().map(_.getDouble(0))
+    // x' = x − (x·v)v with round-6 per dim: residual projection ≤ ~1e-5
+    assert(residual.forall(d => math.abs(d) < 1e-4),
+      s"max residual ${residual.map(math.abs).max}")
+    val ragged = corrected.filter(col("vec_id") === 99L)
+      .select(col("embedding")).collect()(0).getSeq[Any](0)
+    assert(ragged.nonEmpty && ragged.forall(_ == null),
+      "a ragged row must come out all-NULL, not 0-padded")
+  }
+
+  test("ABTT flips a hub-dominated nearest neighbor to the true signal match") {
+    import spark.implicits._
+    // every vector shares a strong common direction e0; the query's
+    // SIGNAL (e3) matches vec 2, but raw cosine prefers vec 1 (bigger
+    // hub load, wrong signal)
+    val test = Seq(
+      (0L, Seq(10.0f, 0f, 0f, 1.0f, 0f, 0f)), // query: signal +e3
+      (1L, Seq(13.0f, 0f, 0f, -0.4f, 0f, 0f)), // hub-heavy, wrong signal
+      (2L, Seq(9.0f, 0f, 0f, 0.9f, 4.0f, 0f)), // right signal + e4 noise
+      (3L, Seq(10.0f, 0f, 0f, -1.0f, 0f, 0f)),
+      (4L, Seq(11.0f, 0f, 0f, -2.0f, 0f, 0f)))
+    // balanced background mass pins the common direction to e0 (its
+    // signal axes cancel pairwise, so the component cannot absorb them)
+    val bg = (0 until 20).flatMap { k =>
+      val c = (10.0 + 0.15 * k).toFloat
+      Seq((100L + 4 * k, Seq(c, 0f, 0f, 1f, 0f, 0f)),
+        (101L + 4 * k, Seq(c, 0f, 0f, -1f, 0f, 0f)),
+        (102L + 4 * k, Seq(c, 0f, 0f, 0f, 1f, 0f)),
+        (103L + 4 * k, Seq(c, 0f, 0f, 0f, -1f, 0f)))
+    }
+    val df = (test ++ bg).toDF("vec_id", "embedding")
+    val cands = df.filter(col("vec_id").between(1L, 4L))
+    val raw = SimilaritySearch.bruteForceTopK(cands,
+        df.filter(col("vec_id") === 0L), "vec_id", "embedding", 1)
+      .collect()(0).getLong(1)
+    val (pc, _) = SimilaritySearch.topComponentVector(df, "embedding", 6, 4)
+    val corrected = SimilaritySearch.removeTopComponent(df, "embedding",
+      pc.toSeq)
+    val abtt = SimilaritySearch.bruteForceTopK(
+        corrected.filter(col("vec_id").between(1L, 4L)),
+        corrected.filter(col("vec_id") === 0L), "vec_id", "embedding", 1)
+      .collect()(0).getLong(1)
+    assert(raw == 1L, "raw cosine must be fooled by the hub direction here")
+    assert(abtt == 2L, "ABTT must recover the true signal neighbor")
+  }
+
+  test("zipfFit: exact power-law corpus fits slope ~ -1e6; degenerate slice NULL") {
+    import spark.implicits._
+    // token i (1..30) appears floor(3000/i) times → ln counts fall on
+    // ln 3000 − ln rank up to floor error → slope ≈ −1
+    val zipfText = (1 to 30).flatMap(i => Seq.fill(3000 / i)(s"tok$i"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, Some("zipfy"), zipfText),
+      (2L, Some("mono"), "same same same same"),
+      (3L, Option.empty[String], "a b a")).toDF("doc_id", "lang", "text")
+    val got = Vocab.zipfFit(docs, "lang", "text", topK = 30)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val (n, top, slope) = got("zipfy")
+    assert(n == 30L && top == 3000L)
+    assert(slope.exists(s => s > -1020000L && s < -980000L),
+      s"power-law slope must sit near -1e6, got $slope")
+    assert(got("mono") == ((1L, 4L, None)),
+      "one distinct token -> zero x-variance -> NULL slope")
+    assert(got.contains(""), "NULL lang folds to '' and is reported")
+  }
+}
