@@ -126,8 +126,10 @@ object Decontaminate {
     * gate runs inside the join projection. A pair matches exactly one
     * probe value, so multiprobe cannot duplicate pairs. Ragged vectors
     * get NULL signatures ([[SimilaritySearch.srpSignature]]'s
-    * fail-closed contract) and silently leave the audit — check sig
-    * NULLs upstream before trusting a clean report.
+    * fail-closed contract) and zero-norm vectors are filtered before
+    * the join (their cosine is 0/0 — an ANSI-mode crash, never a
+    * leak verdict); both silently leave the audit — check sig NULLs /
+    * zero norms upstream before trusting a clean report.
     *
     * Output: (test_id, train_id, cos_micro) — `cos_micro` the
     * micro-quantized exact cosine (the q187 oracle replays signatures,
@@ -140,6 +142,7 @@ object Decontaminate {
     val base = corpus.select(col(idCol), col(splitCol).as("__split"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0.0)
       .withColumn("sig", srpSignature(col("vec"), bits, dim))
     val train = base.filter(col("__split") === trainSplit)
       .select(col(idCol).as("train_id"), col("vec").as("tvec"),

@@ -468,31 +468,39 @@ object Importance {
     * across engines.
     *
     * Scale shape ([[bigramFluency]]'s): tokens travel as 60-bit md5
-    * hashes from the first projection; ONE (hash)-keyed partial agg
-    * counts target and general occurrences together (the target count
-    * rides the same shuffle — no second corpus pass); the weight table
-    * is vocabulary-sized so the scoring join is a hash-key shuffle
-    * join by design, NOT a broadcast; totals are a one-row broadcast.
+    * hashes from the first projection, collapsed immediately to a
+    * (doc, hash, occurrences) frame — the ONE pass that reads text;
+    * that frame is materialized (`checkpointer`) because both the
+    * vocabulary counts and the scoring join read it, and without
+    * lineage truncation the corpus tokenize/hash projection would run
+    * twice. The single (hash)-keyed partial agg counts target and
+    * general occurrences together; the weight table is
+    * vocabulary-sized so the scoring join is a hash-key shuffle join
+    * by design, NOT a broadcast; totals are a one-row broadcast.
     * Output: (idCol, carryCols…, n_tokens, ml_micro). */
   def mooreLewis(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, carryCols: Seq[String] = Nil): DataFrame = {
-    val inst = docs.select(
-      (col(idCol) +: carryCols.map(col)) :+
-        isTarget.as("__tgt") :+
-        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      isTarget: Column, carryCols: Seq[String] = Nil,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val docTok = checkpointer(docs.select(
+        (col(idCol) +: carryCols.map(col)) :+
+          isTarget.as("__tgt") :+
+          explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
       .withColumn("__h", TextFunctions.tokenHash(col("tok")))
-      .drop("tok")
-    val counts = inst.groupBy("__h").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_c"),
-      count(lit(1)).as("gen_c"))
+      .groupBy((col(idCol) +: carryCols.map(col)) :+ col("__tgt") :+
+        col("__h"): _*)
+      .agg(count(lit(1)).as("__k")))
+    val counts = docTok.groupBy("__h").agg(
+      sum(when(col("__tgt"), col("__k")).otherwise(0L)).as("tgt_c"),
+      sum("__k").as("gen_c"))
     val totals = counts.agg(sum("tgt_c").as("t_tot"),
       sum("gen_c").as("g_tot"), count(lit(1)).as("v"))
     val weights = counts.crossJoin(broadcast(totals))
       .select(col("__h"),
         expr("CAST(round((ln(tgt_c + 1) - ln(t_tot + v) - ln(gen_c + 1) + ln(g_tot + v)) * 1000000) AS BIGINT)")
           .as("__w"))
-    inst.join(weights, Seq("__h"))
+    docTok.join(weights, Seq("__h"))
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
-      .agg(count(lit(1)).as("n_tokens"), sum("__w").as("ml_micro"))
+      .agg(sum("__k").as("n_tokens"),
+        sum(expr("__w * __k")).as("ml_micro"))
   }
 }

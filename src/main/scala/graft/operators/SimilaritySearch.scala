@@ -45,10 +45,15 @@ object SimilaritySearch {
     * Ties broken by neighbor id — fully deterministic. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // zero-norm (or NULL) vectors drop fail-closed: a cosine against
+    // them is 0/0 — an ANSI-mode job crash, never a meaningful
+    // neighbor (the mmrRerank degenerate-candidate policy)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0.0)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0.0)
     val sim = round(pairCos(col("qvec"), col("vec"), col("qnrm"), col("nrm")), 6)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -550,7 +555,10 @@ object SimilaritySearch {
     * every double op derives from integers, so IEEE gives the same
     * bits on any engine. Pairs whose pooled average is ≤ 0 are dropped
     * fail-closed (a margin against a non-positive baseline is
-    * meaningless; such a candidate was never a mineable match).
+    * meaningless; such a candidate was never a mineable match) — as
+    * are zero-norm vectors (0/0 cosine, an ANSI crash otherwise) and
+    * ragged pairs (NULL dot), which would otherwise read as cos = 0
+    * and pollute both top-k averages.
     *
     * Scale shape: NO corpus-sized window anywhere — both per-side
     * top-k reductions are the mergeable [[graft.functions
@@ -563,19 +571,30 @@ object SimilaritySearch {
     * buckets. Output: (query_id, neighbor_id, cos_micro, margin_micro,
     * rank), rank by margin desc, ties to the smaller neighbor id. */
   def marginTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, kAvg: Int): DataFrame = {
+      vecCol: String, k: Int, kAvg: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(kAvg >= 1, s"need kAvg >= 1, got $kAvg")
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("vec"))
       .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0.0)
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
+      .filter(col("qnrm") > 0.0)
     val cosMicro = round(pairCos(col("qvec"), col("vec"), col("qnrm"),
       col("nrm")) * lit(1000000.0), 0).cast("long")
-    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosMicro.as("cos_micro"))
+    // materialized once: the pair frame feeds TWO differently-keyed
+    // aggregations (per-query and per-neighbor), and without lineage
+    // truncation Spark would re-run the dominant corpus-scan cosine
+    // join for each. The isNotNull filter drops ragged pairs (NULL
+    // dot) BEFORE they can decode as cos = 0 inside the typed
+    // aggregator.
+    val pairs = checkpointer(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cosMicro.as("cos_micro"))
+        .filter(col("cos_micro").isNotNull))
     val kMax = math.max(k, kAvg)
     val topQ = udaf(new graft.functions.TopKAggregator(kMax))
     val topN = udaf(new graft.functions.TopKAggregator(kAvg))
@@ -684,18 +703,21 @@ object SimilaritySearch {
     * the corrected corpus is itself an oracle-exact artifact (and so
     * downstream cosines have deterministic inputs). A zero-shuffle
     * codegen projection: `pc` rides the plan as a dim-length literal.
-    * Rows whose length differs from `pc` come out as all-NULL
-    * elements (the NULL dot poisons every position; zip_with pads to
-    * `pc`'s length) — any downstream dot/cosine over them is NULL,
-    * the [[srpSignature]] fail-closed convention.
-    * Output: `df` with `vecCol` replaced by the corrected
+    * Rows whose length differs from `pc` come out as a NULL column
+    * (the whole array, not an array of NULLs — NULL elements would
+    * unsafe-read as 0.0 in [[graft.expressions.DotProduct]] and crash
+    * downstream cosines as zero-norm vectors); [[bruteForceTopK]]'s
+    * norm guard then drops them fail-closed, the [[srpSignature]]
+    * convention. Output: `df` with `vecCol` replaced by the corrected
     * `array<double>`. */
   def removeTopComponent(df: DataFrame, vecCol: String,
       pc: Seq[Double]): DataFrame = {
     val vLit = typedlit(pc)
-    val sc = dot(asDouble(col(vecCol)), vLit)
+    val xd = asDouble(col(vecCol))
+    val sc = dot(xd, vLit)
     df.withColumn(vecCol,
-      zip_with(asDouble(col(vecCol)), vLit,
-        (xj, vj) => round(xj - sc * vj, 6)))
+      when(size(xd) === pc.length,
+        zip_with(xd, vLit, (xj, vj) => round(xj - sc * vj, 6)))
+        .otherwise(lit(null).cast("array<double>")))
   }
 }

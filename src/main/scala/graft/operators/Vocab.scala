@@ -541,29 +541,6 @@ object Vocab {
         expr("n_pieces * 1000 DIV n_words").as("pieces_per_word_milli"))
   }
 
-  /** Vocabulary-novelty attribution by source — the "what does each
-    * corpus actually buy me?" audit of a data-mixing decision (the
-    * Heaps-curve question): walking sources in a FIXED order
-    * (lexicographic), how many distinct tokens does each source add
-    * that no earlier source contains? A source whose tokens are ~all
-    * already covered adds volume, not vocabulary — exactly the signal
-    * that demotes a crawl slice when a mixture is rebalanced. Each
-    * distinct token is attributed to its lexicographically-first
-    * source (`min(source)` — deterministic, engine-portable), so
-    * novelty is a partition of the global vocabulary and the running
-    * total ends at the corpus' distinct-token count.
-    *
-    * NULL sources fold to '' (the key-normalization discipline), so
-    * degenerate extraction slices still appear in the audit — and,
-    * sorting first, they CLAIM shared tokens; that bias is inherent to
-    * any fixed walk order, not a defect of ''.
-    *
-    * Scale shape: one token explode → (source, token)-keyed partial
-    * agg (the only corpus-sized shuffle, map-side combined); both the
-    * per-source rollup and the min-source attribution aggregate that
-    * already-collapsed frame; the running sum windows over the
-    * source-count-sized frame only. Output: (source, n_tokens,
-    * n_distinct, n_novel, cum_vocab) ordered by source. */
   /** Zipf-exponent fit per corpus slice — the distributional health
     * check (Piantadosi 2014 review): natural language's token
     * frequencies follow `freq ∝ rank^(−α)` with α ≈ 1; a slice whose
@@ -613,6 +590,29 @@ object Vocab {
           | ELSE NULL END""".stripMargin).as("slope_micro"))
   }
 
+  /** Vocabulary-novelty attribution by source — the "what does each
+    * corpus actually buy me?" audit of a data-mixing decision (the
+    * Heaps-curve question): walking sources in a FIXED order
+    * (lexicographic), how many distinct tokens does each source add
+    * that no earlier source contains? A source whose tokens are ~all
+    * already covered adds volume, not vocabulary — exactly the signal
+    * that demotes a crawl slice when a mixture is rebalanced. Each
+    * distinct token is attributed to its lexicographically-first
+    * source (`min(source)` — deterministic, engine-portable), so
+    * novelty is a partition of the global vocabulary and the running
+    * total ends at the corpus' distinct-token count.
+    *
+    * NULL sources fold to '' (the key-normalization discipline), so
+    * degenerate extraction slices still appear in the audit — and,
+    * sorting first, they CLAIM shared tokens; that bias is inherent to
+    * any fixed walk order, not a defect of ''.
+    *
+    * Scale shape: one token explode → (source, token)-keyed partial
+    * agg (the only corpus-sized shuffle, map-side combined); both the
+    * per-source rollup and the min-source attribution aggregate that
+    * already-collapsed frame; the running sum windows over the
+    * source-count-sized frame only. Output: (source, n_tokens,
+    * n_distinct, n_novel, cum_vocab) ordered by source. */
   def noveltyBySource(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val tok = df.select(coalesce(col(srcCol), lit("")).as("source"),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))

@@ -3005,7 +3005,8 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "q190_abtt_ann" ->
-      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        |  WHERE len(embedding::DOUBLE[]) = 64),
         |v0 AS (SELECT list_transform(range(64),
         |    j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS vl, 0.0 AS nrm),
         |""".stripMargin +
@@ -3058,7 +3059,8 @@ object Extensions {
         |FROM inst JOIN w USING (h)
         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q189_top_component" ->
-      ("""WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+      ("""WITH e AS (SELECT embedding::DOUBLE[] AS x FROM embeddings
+        |  WHERE len(embedding::DOUBLE[]) = 64),
         |v0 AS (SELECT list_transform(range(64),
         |    j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS vl, 0.0 AS nrm),
         |""".stripMargin +
@@ -3078,7 +3080,9 @@ object Extensions {
         |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
         |s AS (SELECT e.vec_id, v, sig,
         |    ('0x' || substring(md5(e.vec_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
-        |  FROM e JOIN sg USING (vec_id)),
+        |  FROM e JOIN sg USING (vec_id)
+        |  WHERE len(v) = 64
+        |    AND sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
         |tr AS (SELECT vec_id AS train_id, v AS tv, sig FROM s WHERE b < 80),
         |te AS (SELECT vec_id AS test_id, v AS qv, sig AS qsig FROM s WHERE b >= 90),
         |pr AS (SELECT test_id, qv,
@@ -3093,14 +3097,14 @@ object Extensions {
         |SELECT test_id, train_id, cos_micro FROM p
         |WHERE cos_micro >= 350000 ORDER BY test_id, train_id""".stripMargin,
     "q183_margin_score" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nr
+        |  FROM e0 WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
+        |q AS (SELECT vec_id AS qid, v AS qv, nr AS qnr FROM e WHERE vec_id < 64),
         |p AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
         |  CAST(round(list_sum(list_transform(list_zip(qv, e.v), x -> x[1] * x[2]))
-        |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-        |       * sqrt(list_sum(list_transform(e.v, x -> x * x))))
-        |    * 1000000) AS BIGINT) AS cos_micro
-        |  FROM e, q WHERE e.vec_id <> qid),
+        |    / (qnr * e.nr) * 1000000) AS BIGINT) AS cos_micro
+        |  FROM e, q WHERE e.vec_id <> qid AND len(e.v) = len(qv)),
         |aq AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_micro DESC, neighbor_id) AS rq FROM p),
         |ast AS (SELECT query_id, sum(cos_micro)::BIGINT AS a_sum,
@@ -3154,10 +3158,10 @@ object Extensions {
         |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
         |  FROM documents),
         |cells AS (SELECT coalesce(lang, '') AS lang,
-        |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
-        |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
-        |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
-        |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
+        |    sum(CASE WHEN coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
+        |    sum(CASE WHEN coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+        |    sum(CASE WHEN NOT coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+        |    sum(CASE WHEN NOT coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
         |  FROM ja JOIN jb USING (doc_id) GROUP BY 1),
         |k AS (SELECT lang, n_both_pass, n_a_only, n_b_only, n_both_fail,
         |    (n_both_pass + n_a_only + n_b_only + n_both_fail)::BIGINT AS n_docs,

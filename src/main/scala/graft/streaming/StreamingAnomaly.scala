@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Ordering contract: points must ARRIVE in series order across
   * triggers (the natural shape when an upstream hourly rollup emits
-  * closed buckets); within one trigger the batch is sorted by the
-  * order key, so intra-trigger disorder is repaired, cross-trigger
+  * closed buckets); within one trigger the batch is sorted by
+  * (order key, value) — the batch operator's struct ordering, so
+  * duplicate order keys fold identically — and intra-trigger disorder
+  * is thereby repaired, while cross-trigger
   * disorder is the caller's bug — state holds only the latest level,
   * deliberately: an out-of-order-proof monitor would need the full
   * series buffered, i.e. the batch operator.
@@ -40,7 +42,10 @@ object StreamingAnomaly {
         GroupStateTimeout.NoTimeout()) {
         (series: String, it: Iterator[(String, Long, Long)],
             state: GroupState[Long]) =>
-          val pts = it.map { case (_, o, x) => (o, x) }.toArray.sortBy(_._1)
+          // sort by (order, value) — the batch operator's
+          // sort_array(struct(__o, __c)) ordering, so duplicate order
+          // keys fold identically on both faces
+          val pts = it.map { case (_, o, x) => (o, x) }.toArray.sorted
           val out = Vector.newBuilder[(String, Long, Long, Long, Long)]
           var ewma = 0L
           var seeded = state.exists

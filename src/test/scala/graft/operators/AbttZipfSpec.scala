@@ -30,10 +30,11 @@ class AbttZipfSpec extends SparkSpec {
     // x' = x − (x·v)v with round-6 per dim: residual projection ≤ ~1e-5
     assert(residual.forall(d => math.abs(d) < 1e-4),
       s"max residual ${residual.map(math.abs).max}")
-    val ragged = corrected.filter(col("vec_id") === 99L)
-      .select(col("embedding")).collect()(0).getSeq[Any](0)
-    assert(ragged.nonEmpty && ragged.forall(_ == null),
-      "a ragged row must come out all-NULL, not 0-padded")
+    val raggedIsNull = corrected.filter(col("vec_id") === 99L)
+      .select(col("embedding").isNull).collect()(0).getBoolean(0)
+    assert(raggedIsNull,
+      "a ragged row must come out as a NULL array (fail-closed, so " +
+        "bruteForceTopK's norm guard drops it), not 0-padded")
   }
 
   test("ABTT flips a hub-dominated nearest neighbor to the true signal match") {
