@@ -720,4 +720,71 @@ object SimilaritySearch {
         zip_with(xd, vLit, (xj, vj) => round(xj - sc * vj, 6)))
         .otherwise(lit(null).cast("array<double>")))
   }
+
+  /** Sign random projection (the ±1 Johnson–Lindenstrauss variant,
+    * Achlioptas 2003) to `outDim` dimensions:
+    * `y_i = round((x · s_i) / sqrt(outDim), 6)` with
+    * `s_ij ∈ {−1, +1}` derived from md5("rp:i:j") parity — no RNG, so
+    * the projection matrix is bit-reproducible on any engine (the
+    * [[srpSignature]] hyperplane discipline; the q192 oracle re-derives
+    * the same signs in SQL). JL gives pairwise-cosine preservation with
+    * distortion O(1/sqrt(outDim)) — the cheap dimensionality pre-filter
+    * for retrieval at 100 TB, where 64 → 16 dims cuts candidate-scan
+    * flops 4× (q193 measures what that actually costs in recall).
+    *
+    * Scale shape: a ZERO-SHUFFLE codegen projection — `outDim`
+    * [[graft.expressions.DotProduct]]s against plan-literal sign rows
+    * (outDim × dim doubles, small); rounding is per-element so the
+    * projected corpus is itself an oracle-exact artifact. Ragged rows
+    * come out as a NULL array ([[removeTopComponent]]'s fail-closed
+    * convention — downstream norm guards drop them). Output: `df` with
+    * `vecCol` replaced by the projected `array<double>`. */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int,
+      outDim: Int): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    require(outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got outDim=$outDim dim=$dim")
+    val signs = Array.tabulate(outDim, dim) { (i, j) =>
+      (graft.expressions.TokenHashes.hashOne(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$i:$j"))
+        % 2L * 2L - 1L).toDouble
+    }
+    val xd = asDouble(col(vecCol))
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = array((0 until outDim).map { i =>
+      round(dot(xd, typedlit(signs(i).toSeq)) / lit(scale), 6)
+    }: _*)
+    df.withColumn(vecCol,
+      when(size(xd) === dim, proj)
+        .otherwise(lit(null).cast("array<double>")))
+  }
+
+  /** Recall@k of an approximate neighbor table against the exact one —
+    * the acceptance gate every ANN index deployment runs before
+    * swapping out brute force. Both inputs are (query_id, neighbor_id
+    * [, …]) result tables (any of [[bruteForceTopK]] / [[ivfTopK]] /
+    * [[srpTopK]] / a projected-space ranking); recall per query is
+    * |approx ∩ exact| / |exact| in exact integer milli. Queries present
+    * in `exact` but ABSENT from `approx` (an index that lost them — a
+    * fail-closed NULL-signature drop, an empty probe set) report recall
+    * 0 rather than vanishing: silent absence is precisely what the
+    * audit exists to expose. The asymmetry is deliberate — `exact`
+    * defines the query universe; approx-only queries are a caller bug
+    * and are ignored.
+    *
+    * Scale shape: one (query, neighbor)-keyed LEFT SEMI join + two
+    * query-keyed partial aggs — no windows, no broadcast assumption
+    * (rows are k-bounded per query, but the query count is unbounded).
+    * Output: (query_id, n_exact, n_hits, recall_milli). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    ex.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000 DIV n_exact").as("recall_milli"))
+  }
 }

@@ -2369,7 +2369,38 @@ object Extensions {
     Vocab.zipfFit(Tables(spark, dir, "documents"), "lang", "text", topK = 100)
       .orderBy("lang")
 
+  /** q192 — JL sign random projection 64 → 16 of the embedding table
+    * ([[SimilaritySearch.randomProject]]); the face micro-quantizes
+    * each projected element to BIGINT so the compare is exact-integer,
+    * and drops NULL (ragged-input) projections to mirror the oracle's
+    * `len = 64` guard. */
+  def q192RandomProject(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.randomProject(e, "embedding", dim = 64, outDim = 16)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, y -> CAST(round(y * 1000000) AS BIGINT))")
+          .as("proj_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** q193 — recall@5 of brute-force retrieval in the q192 projected
+    * space (16 dims) against exact retrieval in the original space
+    * (64 dims), first 8 queries ([[SimilaritySearch.recallAtK]]): the
+    * accuracy price of the 4× flop cut, measured per query. */
+  def q193ProjectionRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = SimilaritySearch.bruteForceTopK(e,
+      e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    val p = SimilaritySearch.randomProject(e, "embedding", 64, 16)
+    val approx = SimilaritySearch.bruteForceTopK(p,
+      p.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    SimilaritySearch.recallAtK(approx, exact).orderBy("query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_projection_recall" -> (q193ProjectionRecall _),
+    "q192_random_project" -> (q192RandomProject _),
     "q191_zipf_fit" -> (q191ZipfFit _),
     "q190_abtt_ann" -> (q190AbttAnn _),
     "q189_top_component" -> (q189TopComponent _),
@@ -3003,7 +3034,61 @@ object Extensions {
       |    sqrt(list_sum(list_transform(al, u -> u::DOUBLE * u::DOUBLE))) AS nrm
       |  FROM l$r)""".stripMargin
 
+  /** The q192/q193 oracles' sign matrix: ±1 from md5("rp:i:j") parity —
+    * the SQL mirror of SimilaritySearch.randomProject's driver-side
+    * derivation (same first-15-hex-chars-as-BIGINT convention as the
+    * q187 SRP hyperplanes). */
+  private val rpSignsSql =
+    """s AS (SELECT CAST(i AS BIGINT) AS i, list_transform(range(64),
+      |    j -> CAST((('0x' || substring(md5('rp:' || i || ':' || j), 1, 15))::BIGINT % 2) * 2 - 1 AS DOUBLE)) AS srow
+      |  FROM (SELECT unnest(range(16)) AS i))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q192_random_project" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        |  WHERE len(embedding::DOUBLE[]) = 64),
+        |$rpSignsSql,
+        |p AS (SELECT e.vec_id, s.i,
+        |    round(list_sum(list_transform(list_zip(e.x, s.srow), z -> z[1] * z[2])) / sqrt(16.0), 6) AS y
+        |  FROM e CROSS JOIN s)
+        |SELECT vec_id, list(CAST(round(y * 1000000) AS BIGINT) ORDER BY i) AS proj_micro
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "q193_projection_recall" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, v FROM e
+        |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM en WHERE vec_id < 8),
+        |sx AS (SELECT qid AS query_id, en.vec_id AS neighbor_id,
+        |    ${ccosSql("qv", "en.v")} AS sim
+        |  FROM en, q WHERE en.vec_id <> qid),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rk FROM sx)
+        |  WHERE rk <= 5),
+        |$rpSignsSql,
+        |pj AS (SELECT e2.vec_id, s.i,
+        |    round(list_sum(list_transform(list_zip(e2.x, s.srow), z -> z[1] * z[2])) / sqrt(16.0), 6) AS y
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+        |        WHERE len(embedding::DOUBLE[]) = 64) e2 CROSS JOIN s),
+        |pv AS (SELECT vec_id, list(y ORDER BY i) AS v FROM pj GROUP BY vec_id),
+        |pn AS (SELECT vec_id, v FROM pv
+        |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
+        |aq AS (SELECT vec_id AS qid, v AS qv FROM pn WHERE vec_id < 8),
+        |sa AS (SELECT qid AS query_id, pn.vec_id AS neighbor_id,
+        |    ${ccosSql("qv", "pn.v")} AS sim
+        |  FROM pn, aq WHERE pn.vec_id <> qid),
+        |ax AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rk FROM sa)
+        |  WHERE rk <= 5),
+        |hits AS (SELECT ex.query_id, count(1)::BIGINT AS n_hits
+        |  FROM ex JOIN ax ON ex.query_id = ax.query_id
+        |    AND ex.neighbor_id = ax.neighbor_id GROUP BY 1),
+        |tot AS (SELECT query_id, count(1)::BIGINT AS n_exact FROM ex GROUP BY 1)
+        |SELECT t.query_id, t.n_exact, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  (coalesce(h.n_hits, 0) * 1000 // t.n_exact)::BIGINT AS recall_milli
+        |FROM tot t LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin),
     "q190_abtt_ann" ->
       ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
         |  WHERE len(embedding::DOUBLE[]) = 64),

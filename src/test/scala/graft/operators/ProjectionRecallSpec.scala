@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.randomProject]] and [[SimilaritySearch.recallAtK]]:
+  * the projection matches a driver-side replay of the md5-sign dots
+  * exactly, preserves cluster structure (the JL property recall relies
+  * on), fails closed on ragged rows, stays a zero-shuffle projection,
+  * and the recall audit reports 0 — not absence — for queries the
+  * approximate index lost. */
+class ProjectionRecallSpec extends SparkSpec {
+
+  test("projection equals the driver-side sign-dot replay; ragged rows NULL") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    val outDim = 16
+    val base = (0L until 20L).map(id =>
+      (id, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    val rows = base :+ (99L, Seq(1.0f, 2.0f)) // ragged
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = SimilaritySearch.randomProject(df, "embedding", dim, outDim)
+    val got = proj.filter(col("vec_id") < 20).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Double](0))
+    val signs = Array.tabulate(outDim, dim) { (i, j) =>
+      (graft.expressions.TokenHashes.hashOne(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$i:$j"))
+        % 2L * 2L - 1L).toDouble
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    base.zip(got).foreach { case ((_, x), g) =>
+      val xd = x.map(_.toDouble)
+      (0 until outDim).foreach { i =>
+        // same summation order as DotProduct (sequential over j), same
+        // HALF_UP round-6 as Spark's round — exact equality expected
+        val exp = BigDecimal((0 until dim).map(j => xd(j) * signs(i)(j)).sum
+            / scale)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(g(i) == exp, s"out dim $i: got ${g(i)}, expected $exp")
+      }
+    }
+    val raggedIsNull = proj.filter(col("vec_id") === 99L)
+      .select(col("embedding").isNull).collect()(0).getBoolean(0)
+    assert(raggedIsNull, "ragged input must project to a NULL array")
+  }
+
+  test("projection preserves cluster structure (within-cluster cosine stays above cross-cluster)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    // three well-separated centers, 8 members each with small noise:
+    // within-cluster cosine ~0.95, cross ~0 in the original space
+    val centers = Array.fill(3)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = for {
+      c <- 0 until 3
+      m <- 0 until 8
+    } yield ((c * 8 + m).toLong,
+      centers(c).map(x => (x + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = SimilaritySearch.randomProject(df, "embedding", dim, 16)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = for {
+      i <- 0L until 24L; j <- (i + 1) until 24L
+    } yield (i / 8 == j / 8, cos(proj(i), proj(j)))
+    val within = pairs.collect { case (true, c) => c }
+    val cross = pairs.collect { case (false, c) => c }
+    val wMean = within.sum / within.size
+    val cMean = cross.sum / cross.size
+    assert(wMean > cMean + 0.4,
+      s"projected within-cluster mean cosine $wMean must clearly beat cross-cluster $cMean")
+  }
+
+  test("randomProject is a zero-shuffle codegen projection") {
+    val df = spark.range(10).selectExpr("id AS vec_id",
+      "array_repeat(CAST(id AS DOUBLE), 64) AS embedding")
+    val plan = SimilaritySearch.randomProject(df, "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(600)}")
+  }
+
+  test("recallAtK counts overlap per query and reports 0 for queries the index lost") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 9L))
+      .toDF("query_id", "neighbor_id")
+    // query 3 missing entirely from approx (a fail-closed drop);
+    // query 9 approx-only (caller bug — ignored, exact defines the universe)
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 10L), (2L, 12L), (9L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val got = SimilaritySearch.recallAtK(approx, exact).orderBy("query_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 1L, 500L), (2L, 2L, 2L, 1000L),
+      (3L, 1L, 0L, 0L)))
+  }
+}
