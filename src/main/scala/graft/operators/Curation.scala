@@ -358,4 +358,148 @@ object Curation {
           round((po - pe) * lit(1000000.0) / (lit(1.0) - pe), 0).cast("long"))
           .otherwise(lit(null).cast("long")).as("kappa_micro"))
   }
+
+  /** Space-trimmed whitespace-split words with empties dropped — the
+    * word notion every [[gopherViolations]] rule shares. */
+  private def gWords(t: Column): Column =
+    filter(split(trim(t), "\\s+"), w => length(w) > lit(0))
+
+  /** Space-trimmed non-blank lines. */
+  private def gLines(t: Column): Column =
+    filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > lit(0))
+
+  /** Occurrence count of a fixed needle via length differencing
+    * (`width` = needle length, so multi-char needles count once per
+    * occurrence). */
+  private def gOccurrences(t: Column, needle: String, width: Int): Column =
+    ((length(t) - length(call_function("replace", t, lit(needle), lit(""))))
+      .cast("long") / lit(width.toLong)).cast("long")
+
+  /** The Gopher/C4 repetition-and-form rule bundle (Rae et al. 2021
+    * appendix A1.1, Raffel et al. 2020) as a single row-local Column:
+    * a REASON BITMASK, not just a boolean. Deliberately a SIBLING of
+    * [[graft.functions.QualityRules.gopherPass]] (q107), not a
+    * replacement: that gate is the cheapest possible boolean for the
+    * scan-time keep/drop decision; this one trades a few more counters
+    * (distinct lines, per-rule bits) for auditability — a corpus report needs
+    * "what share failed WHICH rule" (a bitmask GROUP BY), and a doc
+    * released to training needs an auditable reason trail. Bits:
+    *   0  word count outside [minWords, maxWords]
+    *   1  mean word length outside [3, 10]
+    *   2  symbol-to-word ratio > 0.1 ('#', U+2026, and "...")
+    *   3  > 90% of lines bullet-started ('-', '*', U+2022) OR > 30%
+    *      ellipsis-ended
+    *   4  < 80% of words contain an ASCII alphabetic character
+    *   5  fewer than 2 distinct mandatory stopwords present
+    *      (the/be/to/of/and/that/have/with — exact lowercased tokens,
+    *      so "the," with attached punctuation does NOT count; the
+    *      deliberate strict reading, mirrored by the oracle)
+    *   6  duplicate-line fraction > 30% (space-trimmed non-blank lines)
+    * NULL text folds to '' and fails bits 0 + 5 — fail-closed, never a
+    * NULL verdict. Thresholds compare via multiply-through integer
+    * arithmetic (no division, no floats), so the verdict is
+    * bit-identical on any engine; zero-word/zero-line denominators
+    * leave their rules vacuously un-violated (bit 0 already fires).
+    * Repeated subtrees (the word/line arrays feed several counters)
+    * are collapsed by whole-stage codegen's subexpression elimination
+    * — the projection stays one pass over the text. */
+  def gopherViolations(textCol: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val mandatory =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = coalesce(textCol, lit(""))
+    val ws = gWords(t)
+    val ls = gLines(t)
+    val nWords = size(ws).cast("long")
+    val sumLen = coalesce(aggregate(ws, lit(0L),
+      (a, w) => a + length(w).cast("long")), lit(0L))
+    val nSym = gOccurrences(t, "#", 1) + gOccurrences(t, "\u2026", 1) +
+      gOccurrences(t, "...", 3)
+    val nLines = size(ls).cast("long")
+    val nBullet = size(filter(ls, l => l.startsWith("-") ||
+      l.startsWith("*") || l.startsWith("\u2022"))).cast("long")
+    val nEllEnd = size(filter(ls, l => l.endsWith("...") ||
+      l.endsWith("\u2026"))).cast("long")
+    val nDistLines = size(array_distinct(ls)).cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val lw = transform(ws, w => lower(w))
+    val nStop = mandatory.map(s =>
+      when(array_contains(lw, s), 1L).otherwise(0L)).reduce(_ + _)
+    val bits: Seq[Column] = Seq(
+      nWords < lit(minWords.toLong) || nWords > lit(maxWords.toLong),
+      sumLen * lit(1000L) < nWords * lit(3000L) ||
+        sumLen * lit(1000L) > nWords * lit(10000L),
+      nSym * lit(1000L) > nWords * lit(100L),
+      nBullet * lit(1000L) > nLines * lit(900L) ||
+        nEllEnd * lit(1000L) > nLines * lit(300L),
+      nAlpha * lit(1000L) < nWords * lit(800L),
+      nStop < lit(2L),
+      (nLines - nDistLines) * lit(1000L) > nLines * lit(300L))
+    bits.zipWithIndex
+      .map { case (b, i) => when(b, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** [[gopherViolations]] as a per-doc verdict table. Scale shape: a
+    * ZERO-SHUFFLE codegen projection — every counter is a row-local
+    * array/string kernel over the scan; the corpus never moves.
+    * Output: (idCol, n_words, violations, pass_flag). */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val v = gopherViolations(col(textCol), minWords, maxWords)
+    docs.select(col(idCol),
+      size(gWords(coalesce(col(textCol), lit("")))).cast("long")
+        .as("n_words"),
+      v.as("violations"),
+      when(v === 0L, 1L).otherwise(0L).as("pass_flag"))
+  }
+
+  /** Per-source dataset card — the release-notes table of a corpus
+    * mixture: volume (docs, tokens), exact duplicate rate, language
+    * spread with the dominant language, and how much of the source
+    * survives the [[gopherGate]] quality rules. [[profile]] answers
+    * this for the whole corpus; mixtures are DEBUGGED per source (one
+    * crawl slice going bad drags the global card without naming
+    * itself).
+    *
+    * Scale shape: the gate verdict and fingerprint ride ONE projection
+    * of the scan (text read once); then two partial aggs — one keyed
+    * by (source, fingerprint) for the exact-distinct count, one by
+    * (source, lang) for the language spread — and everything else on
+    * source-count-sized frames (the same deterministic
+    * min(-count, lang) argmax as [[profile]], broadcast for the final
+    * join). NULL sources/langs fold to '' (the key-normalization
+    * discipline). Output: (source, n_docs, n_tokens, n_distinct_texts,
+    * dup_milli, n_gate_pass, gate_pass_milli, n_langs, top_lang,
+    * top_lang_docs). */
+  def datasetCard(docs: DataFrame, srcCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs.select(
+      coalesce(col(srcCol), lit("")).as("__src"),
+      coalesce(col(langCol), lit("")).as("__lang"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      when(gopherViolations(col(textCol)) === 0L, 1L).otherwise(0L)
+        .as("__pass"))
+    val vol = base.groupBy(col("__src").as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum("__nt").as("n_tokens"),
+      countDistinct(col("__fp")).as("n_distinct_texts"),
+      sum("__pass").as("n_gate_pass"))
+    val langs = base.groupBy("__src", "__lang")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__src").as("source")).agg(
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("__lang").as("l"))).as("__t"))
+      .select(col("source"), col("n_langs"),
+        col("__t.l").as("top_lang"), (-col("__t.nc")).as("top_lang_docs"))
+    vol.join(broadcast(langs), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 1000 DIV n_docs")
+          .as("dup_milli"),
+        col("n_gate_pass"),
+        expr("n_gate_pass * 1000 DIV n_docs").as("gate_pass_milli"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"))
+  }
 }

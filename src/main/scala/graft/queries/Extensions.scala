@@ -2398,7 +2398,24 @@ object Extensions {
     SimilaritySearch.recallAtK(approx, exact).orderBy("query_id")
   }
 
+  /** q194 — the Gopher/C4 quality-rule bundle as a per-doc reason
+    * bitmask ([[Curation.gopherGate]], default thresholds): which
+    * documents fail which form rules, auditable bit by bit. */
+  def q194GopherGate(spark: SparkSession, dir: String): DataFrame =
+    Curation.gopherGate(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q195 — per-source dataset card ([[Curation.datasetCard]]):
+    * volume, exact-dup rate, language spread, and gopher-gate survival
+    * per mixture source — the release-notes table. */
+  def q195DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    Curation.datasetCard(Tables(spark, dir, "documents"), "source",
+        "text", "lang")
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_dataset_card" -> (q195DatasetCard _),
+    "q194_gopher_gate" -> (q194GopherGate _),
     "q193_projection_recall" -> (q193ProjectionRecall _),
     "q192_random_project" -> (q192RandomProject _),
     "q191_zipf_fit" -> (q191ZipfFit _),
@@ -3043,7 +3060,79 @@ object Extensions {
       |    j -> CAST((('0x' || substring(md5('rp:' || i || ':' || j), 1, 15))::BIGINT % 2) * 2 - 1 AS DOUBLE)) AS srow
       |  FROM (SELECT unnest(range(16)) AS i))""".stripMargin
 
+  /** Per-doc CTE chain for the q194/q195 oracles: the SQL replay of
+    * Curation.gopherViolations — same word/line notions, same
+    * multiply-through integer thresholds, bit weights 1/2/4/8/16/32/64.
+    * Yields CTEs `gw` (doc_id, n_words, violations). */
+  private val gopherSql =
+    """gd AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+      |gsp AS (SELECT doc_id, t,
+      |    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> length(x) > 0) AS ws,
+      |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> length(l) > 0) AS ls
+      |  FROM gd),
+      |gm AS (SELECT doc_id,
+      |    len(ws)::BIGINT AS n_words,
+      |    coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT AS sum_len,
+      |    ((length(t) - length(replace(t, '#', '')))
+      |      + (length(t) - length(replace(t, chr(8230), '')))
+      |      + ((length(t) - length(replace(t, '...', ''))) // 3))::BIGINT AS n_sym,
+      |    len(ls)::BIGINT AS n_lines,
+      |    len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*')
+      |      OR starts_with(l, chr(8226))))::BIGINT AS n_bullet,
+      |    len(list_filter(ls, l -> ends_with(l, '...')
+      |      OR ends_with(l, chr(8230))))::BIGINT AS n_ell_end,
+      |    len(list_distinct(ls))::BIGINT AS n_dist_lines,
+      |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+      |    (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+      |  FROM gsp),
+      |gw AS (SELECT doc_id, n_words,
+      |    (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+      |     + CASE WHEN sum_len * 1000 < n_words * 3000 OR sum_len * 1000 > n_words * 10000 THEN 2 ELSE 0 END
+      |     + CASE WHEN n_sym * 1000 > n_words * 100 THEN 4 ELSE 0 END
+      |     + CASE WHEN n_bullet * 1000 > n_lines * 900 OR n_ell_end * 1000 > n_lines * 300 THEN 8 ELSE 0 END
+      |     + CASE WHEN n_alpha * 1000 < n_words * 800 THEN 16 ELSE 0 END
+      |     + CASE WHEN n_stop < 2 THEN 32 ELSE 0 END
+      |     + CASE WHEN (n_lines - n_dist_lines) * 1000 > n_lines * 300 THEN 64 ELSE 0 END)::BIGINT AS violations
+      |  FROM gm)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q194_gopher_gate" ->
+      (s"""WITH $gopherSql
+        |SELECT doc_id, n_words, violations,
+        |  (CASE WHEN violations = 0 THEN 1 ELSE 0 END)::BIGINT AS pass_flag
+        |FROM gw ORDER BY doc_id""".stripMargin),
+    "q195_dataset_card" ->
+      (s"""WITH $gopherSql,
+        |b AS (SELECT coalesce(d.source, '') AS source,
+        |    coalesce(d.lang, '') AS lg,
+        |    len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))::BIGINT AS nt,
+        |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN gw.violations = 0 THEN 1 ELSE 0 END AS pass
+        |  FROM documents d JOIN gw USING (doc_id)),
+        |vol AS (SELECT source, count(1)::BIGINT AS n_docs,
+        |    sum(nt)::BIGINT AS n_tokens,
+        |    count(DISTINCT fp)::BIGINT AS n_distinct_texts,
+        |    sum(pass)::BIGINT AS n_gate_pass
+        |  FROM b GROUP BY source),
+        |lg AS (SELECT source, lg AS lang, count(1)::BIGINT AS c
+        |  FROM b GROUP BY source, lg),
+        |tl AS (SELECT source, count(1)::BIGINT AS n_langs,
+        |    min(struct_pack(nc := -c, l := lang)) AS t
+        |  FROM lg GROUP BY source)
+        |SELECT v.source, v.n_docs, v.n_tokens, v.n_distinct_texts,
+        |  ((v.n_docs - v.n_distinct_texts) * 1000 // v.n_docs)::BIGINT AS dup_milli,
+        |  v.n_gate_pass,
+        |  (v.n_gate_pass * 1000 // v.n_docs)::BIGINT AS gate_pass_milli,
+        |  z.n_langs, z.t.l AS top_lang, (-z.t.nc)::BIGINT AS top_lang_docs
+        |FROM vol v JOIN tl z ON v.source = z.source
+        |ORDER BY v.source""".stripMargin),
     "q192_random_project" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
         |  WHERE len(embedding::DOUBLE[]) = 64),

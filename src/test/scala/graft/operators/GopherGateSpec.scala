@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.gopherViolations]]/[[Curation.gopherGate]] and
+  * [[Curation.datasetCard]]: each rule bit fires on a document
+  * engineered to violate exactly that rule, NULL text fails closed,
+  * the gate is a zero-shuffle projection, and the per-source card
+  * aggregates volume/dup/langs/gate survival with NULL keys folded. */
+class GopherGateSpec extends SparkSpec {
+
+  private val passDoc =
+    ("the wind of morning drifts over quiet fields and farmers have " +
+      "begun with early work that brings steady rhythm to village life " +
+      "while birds trace slow circles above the river ") * 3
+
+  private def gate(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Curation.gopherGate(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  test("each rule bit fires exactly on its engineered violation") {
+    val shortDoc = passDoc.split("\\s+").take(10).mkString(" ")
+    val longWords = Seq.fill(60)("abcdefghijklmnop").mkString(" ")
+    val symbols = passDoc + " " + Seq.fill(20)("###").mkString(" ")
+    val bullets = (0 until 10).map(i =>
+      s"- the wind of morning drifts over quiet fields and farmers have line$i")
+      .mkString("\n")
+    val nonAlpha = Seq.fill(60)("12345").mkString(" ")
+    val noStop = Seq.fill(60)("zebra").mkString(" ")
+    val oneLine = passDoc.split("\\s+").take(22).mkString(" ")
+    val dupLines = Seq.fill(4)(oneLine).mkString("\n") + "\n" +
+      passDoc.split("\\s+").drop(22).mkString(" ")
+    val got = gate(Seq(
+      0L -> passDoc, 1L -> shortDoc, 2L -> longWords, 3L -> symbols,
+      4L -> bullets, 5L -> nonAlpha, 6L -> noStop, 7L -> dupLines))
+    assert(got(0) == ((0L, 0L, 1L)), s"pass doc: ${got(0)}")
+    assert(got(1) == ((1L, 1L, 0L)), s"short -> bit 0: ${got(1)}")
+    assert(got(2) == ((2L, 34L, 0L)), s"long words -> bits 1+5: ${got(2)}")
+    assert(got(3) == ((3L, 4L, 0L)), s"symbols -> bit 2: ${got(3)}")
+    assert(got(4) == ((4L, 8L, 0L)), s"bullets -> bit 3: ${got(4)}")
+    assert(got(5) == ((5L, 48L, 0L)), s"non-alpha -> bits 4+5: ${got(5)}")
+    assert(got(6) == ((6L, 32L, 0L)), s"no stopwords -> bit 5: ${got(6)}")
+    assert(got(7) == ((7L, 64L, 0L)), s"duplicate lines -> bit 6: ${got(7)}")
+  }
+
+  test("NULL text fails closed with bits 0 and 5, never a NULL verdict") {
+    import spark.implicits._
+    val df = Seq((0L, Option(passDoc)), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.gopherGate(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0)._2 == 0L && got(0)._3 == 1L)
+    assert(got(1) == ((0L, 33L, 0L)), s"NULL text: ${got(1)}")
+  }
+
+  test("gopherGate is a zero-shuffle projection") {
+    import spark.implicits._
+    val df = Seq((0L, passDoc)).toDF("doc_id", "text")
+    val plan = Curation.gopherGate(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(600)}")
+  }
+
+  test("datasetCard rolls up volume, dup rate, langs, and gate survival per source; NULL source folds to ''") {
+    import spark.implicits._
+    val shortDoc = "tiny text"
+    val rows = Seq(
+      (Option("a"), passDoc, Option("en")),
+      (Option("a"), passDoc, Option("en")), // exact dup of the first
+      (Option("a"), shortDoc, Option("de")),
+      (Option.empty[String], passDoc, Option.empty[String]))
+      .toDF("source", "text", "lang")
+    val got = Curation.datasetCard(rows, "source", "text", "lang")
+      .orderBy("source").collect()
+    assert(got.length == 2)
+    val blank = got(0)
+    assert(blank.getString(0) == "" && blank.getLong(1) == 1L &&
+      blank.getString(8) == "")
+    val a = got(1)
+    assert(a.getString(0) == "a")
+    assert(a.getLong(1) == 3L, "n_docs")
+    assert(a.getLong(3) == 2L, "n_distinct_texts")
+    assert(a.getLong(4) == 333L, "dup_milli")
+    assert(a.getLong(5) == 2L, "n_gate_pass")
+    assert(a.getLong(6) == 666L, "gate_pass_milli")
+    assert(a.getLong(7) == 2L, "n_langs")
+    assert(a.getString(8) == "en" && a.getLong(9) == 2L, "top lang en x2")
+  }
+}
