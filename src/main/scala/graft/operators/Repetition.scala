@@ -38,4 +38,77 @@ object Repetition {
         coalesce(col("top_count"), lit(0L)).as("top_count"),
         coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"))
   }
+
+  /** The Gopher repetition filters in their PUBLISHED character-mass
+    * form (Rae et al. 2021 §A1.1, table A1): per document,
+    *  - `top{n}_mass` for each n in `topNs`: characters covered by the
+    *    most frequent n-gram (its occurrence count × its character
+    *    length; count ties broken toward the longer gram — among the
+    *    most-frequent grams the maximal mass, so the tie-break is
+    *    deterministic without comparing gram text);
+    *  - `dup{n}_chars` for each n in `dupNs`: characters covered by AT
+    *    LEAST ONE occurrence of a >1-count n-gram, counted ONCE — the
+    *    "take care not to double-count" clause: overlapping duplicate
+    *    grams mark a shared word position once, which a plain
+    *    `count × length` sum overstates by up to n×.
+    * "Characters" are word characters ([[TextFunctions.tokens]]
+    * lengths, separators excluded) so the denominator `total_chars`
+    * and every mass agree on one alphabet; [[ngramRepetition]] keeps
+    * the cheaper occurrence-count form for callers that don't need
+    * published-threshold parity.
+    *
+    * Scale shape: the token-array frame is checkpointed ONCE and feeds
+    * every n (re-tokenizing the corpus `|topNs| + |dupNs| + 1` times is
+    * the alternative); per top-n a (doc, gram) partial agg then a
+    * doc-keyed `max(struct)` partial agg; per dup-n a (doc, gram)
+    * partial agg, a (doc, gram) hash join back to the positions, and a
+    * doc-keyed `collect_set` of covered word indices (bounded by
+    * document length — per-DOC state, never corpus state) folded
+    * row-locally against the token array. No windows, no broadcast of
+    * anything corpus-sized; every shuffle key includes the doc id, so
+    * parallelism is document-count-shaped at any corpus size. */
+  def charFractions(df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10),
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "no n-gram orders requested")
+    val base = checkpointer(df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__ws")))
+    val spine = base.select(col(idCol),
+      size(col("__ws")).cast("long").as("n_words"),
+      coalesce(aggregate(col("__ws"), lit(0L),
+        (a, w) => a + length(w).cast("long")), lit(0L)).as("total_chars"))
+    val topFrames = topNs.map { n =>
+      base.select(col(idCol),
+          explode(graft.expressions.WordShingles(col("__ws"), n)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("c"))
+        .select(col(idCol), col("c"),
+          (length(col("__g")) - lit(n - 1)).cast("long").as("m"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("c"), col("m"))).as("t"))
+        .select(col(idCol),
+          (col("t.c") * col("t.m")).as(s"top${n}_mass"))
+    }
+    val dupFrames = dupNs.map { n =>
+      val pg = base.select(col(idCol),
+        posexplode(graft.expressions.WordShingles(col("__ws"), n))
+          .as(Seq("__p", "__g")))
+      val dupGrams = pg.groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col(idCol), col("__g"))
+      val covered = pg.join(dupGrams, Seq(idCol, "__g"))
+        .select(col(idCol),
+          explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__i"))
+        .groupBy(col(idCol)).agg(collect_set(col("__i")).as("__cov"))
+      base.join(covered, Seq(idCol))
+        .select(col(idCol),
+          aggregate(col("__cov"), lit(0L), (a, i) =>
+            a + length(element_at(col("__ws"), i + 1)).cast("long"))
+            .as(s"dup${n}_chars"))
+    }
+    (topFrames ++ dupFrames).foldLeft(spine) { (acc, f) =>
+      acc.join(f, Seq(idCol), "left")
+    }.select(col(idCol) +: col("n_words") +: col("total_chars") +:
+      (topNs.map(n => coalesce(col(s"top${n}_mass"), lit(0L)).as(s"top${n}_mass")) ++
+       dupNs.map(n => coalesce(col(s"dup${n}_chars"), lit(0L)).as(s"dup${n}_chars"))): _*)
+  }
 }

@@ -2413,7 +2413,36 @@ object Extensions {
         "text", "lang")
       .orderBy("source")
 
+  /** q196 — the Gopher repetition filters in published character-mass
+    * form ([[graft.operators.Repetition.charFractions]]): top-{2,3,4}-gram
+    * char mass and duplicate-{5,10}-gram char coverage (overlaps counted
+    * once), with the table-A1 thresholds as one exact-integer
+    * `rep_pass`. q67 keeps the cheaper occurrence-count signals. */
+  def q196RepetitionChars(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.operators.Repetition.charFractions(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    def milli(mass: String): Column =
+      when(col("total_chars") === 0L, 0L)
+        .otherwise(expr(s"$mass * 1000 DIV total_chars"))
+    val pass = col("top2_mass") * 100L <= col("total_chars") * 20L &&
+      col("top3_mass") * 100L <= col("total_chars") * 18L &&
+      col("top4_mass") * 100L <= col("total_chars") * 16L &&
+      col("dup5_chars") * 100L <= col("total_chars") * 15L &&
+      col("dup10_chars") * 100L <= col("total_chars") * 10L
+    r.select(col("doc_id"), col("n_words"), col("total_chars"),
+        col("top2_mass"), col("top3_mass"), col("top4_mass"),
+        col("dup5_chars"), col("dup10_chars"),
+        milli("top2_mass").as("top2_milli"),
+        milli("top3_mass").as("top3_milli"),
+        milli("top4_mass").as("top4_milli"),
+        milli("dup5_chars").as("dup5_milli"),
+        milli("dup10_chars").as("dup10_milli"),
+        when(pass, 1L).otherwise(0L).as("rep_pass"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_repetition_chars" -> (q196RepetitionChars _),
     "q195_dataset_card" -> (q195DatasetCard _),
     "q194_gopher_gate" -> (q194GopherGate _),
     "q193_projection_recall" -> (q193ProjectionRecall _),
@@ -3102,7 +3131,61 @@ object Extensions {
       |     + CASE WHEN (n_lines - n_dist_lines) * 1000 > n_lines * 300 THEN 64 ELSE 0 END)::BIGINT AS violations
       |  FROM gm)""".stripMargin
 
+  /** q196 oracle CTEs, generated per n-gram order — the DuckDB replay
+    * of Repetition.charFractions' relational shape (1-based positions;
+    * `range(p, p + n)` is exclusive like Spark's inclusive
+    * `sequence(p, p + n - 1)` over 0-based positions). */
+  private def repCharsSql: String = {
+    val tops = Seq(2, 3, 4).map { n =>
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - $n + 2),
+        |    i -> array_to_string(toks[i : i + ${n - 1}], ' '))) AS g FROM t),
+        |c$n AS (SELECT doc_id, g, count(1) AS c FROM g$n GROUP BY doc_id, g),
+        |t$n AS (SELECT doc_id, max(struct_pack(c := c, m := (length(g) - ${n - 1})::BIGINT)) AS t
+        |  FROM c$n GROUP BY doc_id),
+        |a$n AS (SELECT doc_id, (t.c * t.m)::BIGINT AS mass FROM t$n)""".stripMargin
+    }
+    val dups = Seq(5, 10).map { n =>
+      s"""p$n AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - $n + 2),
+        |    i -> {'p': i, 'g': array_to_string(toks[i : i + ${n - 1}], ' ')})) AS pg FROM t),
+        |q$n AS (SELECT doc_id, pg.p AS p, pg.g AS g FROM p$n),
+        |d$n AS (SELECT doc_id, g FROM q$n GROUP BY doc_id, g HAVING count(1) > 1),
+        |v$n AS (SELECT doc_id, unnest(range(p, p + $n)) AS ix
+        |  FROM q$n JOIN d$n USING (doc_id, g)),
+        |w$n AS (SELECT DISTINCT doc_id, ix FROM v$n),
+        |u$n AS (SELECT w.doc_id, sum(length(t2.toks[w.ix]))::BIGINT AS chars
+        |  FROM w$n w JOIN t t2 ON w.doc_id = t2.doc_id GROUP BY w.doc_id)""".stripMargin
+    }
+    (Seq(s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |sp AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+      |  coalesce(list_sum(list_transform(toks, w -> length(w))), 0)::BIGINT AS total_chars
+      |  FROM t)""".stripMargin) ++ tops ++ dups).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q196_repetition_chars" ->
+      (s"""WITH $repCharsSql
+        |SELECT s.doc_id, s.n_words, s.total_chars,
+        |  coalesce(a2.mass, 0) AS top2_mass,
+        |  coalesce(a3.mass, 0) AS top3_mass,
+        |  coalesce(a4.mass, 0) AS top4_mass,
+        |  coalesce(u5.chars, 0) AS dup5_chars,
+        |  coalesce(u10.chars, 0) AS dup10_chars,
+        |  CASE WHEN s.total_chars = 0 THEN 0 ELSE coalesce(a2.mass, 0) * 1000 // s.total_chars END::BIGINT AS top2_milli,
+        |  CASE WHEN s.total_chars = 0 THEN 0 ELSE coalesce(a3.mass, 0) * 1000 // s.total_chars END::BIGINT AS top3_milli,
+        |  CASE WHEN s.total_chars = 0 THEN 0 ELSE coalesce(a4.mass, 0) * 1000 // s.total_chars END::BIGINT AS top4_milli,
+        |  CASE WHEN s.total_chars = 0 THEN 0 ELSE coalesce(u5.chars, 0) * 1000 // s.total_chars END::BIGINT AS dup5_milli,
+        |  CASE WHEN s.total_chars = 0 THEN 0 ELSE coalesce(u10.chars, 0) * 1000 // s.total_chars END::BIGINT AS dup10_milli,
+        |  CASE WHEN coalesce(a2.mass, 0) * 100 <= s.total_chars * 20
+        |        AND coalesce(a3.mass, 0) * 100 <= s.total_chars * 18
+        |        AND coalesce(a4.mass, 0) * 100 <= s.total_chars * 16
+        |        AND coalesce(u5.chars, 0) * 100 <= s.total_chars * 15
+        |        AND coalesce(u10.chars, 0) * 100 <= s.total_chars * 10
+        |       THEN 1 ELSE 0 END::BIGINT AS rep_pass
+        |FROM sp s
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |LEFT JOIN a4 USING (doc_id) LEFT JOIN u5 USING (doc_id)
+        |LEFT JOIN u10 USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin),
     "q194_gopher_gate" ->
       (s"""WITH $gopherSql
         |SELECT doc_id, n_words, violations,

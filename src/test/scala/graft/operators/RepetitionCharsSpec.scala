@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** [[Repetition.charFractions]] — the published character-mass form of
+  * the Gopher repetition filters: equality with a brute-force Scala
+  * reference over engineered and seeded-random docs, the
+  * no-double-count property on overlapping duplicate grams, and a
+  * windowless plan. */
+class RepetitionCharsSpec extends SparkSpec {
+
+  private val topNs = Seq(2, 3, 4)
+  private val dupNs = Seq(5, 10)
+
+  /** Straight-line reference mirroring the operator's stated
+    * semantics: top = among max-count grams the maximal char mass,
+    * then count x mass; dup = chars of word positions covered by any
+    * occurrence of a >1-count gram, counted once. */
+  private def brute(text: String): (Long, Long, Map[Int, Long], Map[Int, Long]) = {
+    val ws = text.trim.toLowerCase.split("\\s+", -1)
+    val total = ws.map(_.length.toLong).sum
+    val top = topNs.map { n =>
+      val grams = if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      val mass =
+        if (grams.isEmpty) 0L
+        else {
+          val counted = grams.groupBy(identity).view
+            .mapValues(_.size.toLong)
+            .map { case (g, c) => (c, (g.length - (n - 1)).toLong) }
+          val (c, m) = counted.max
+          c * m
+        }
+      n -> mass
+    }.toMap
+    val dup = dupNs.map { n =>
+      val grams = if (ws.length < n) Seq.empty
+        else ws.sliding(n).map(_.mkString(" ")).toSeq.zipWithIndex
+      val dups = grams.groupBy(_._1).filter(_._2.size > 1)
+      val covered = dups.values.flatten.flatMap { case (_, p) => p until (p + n) }.toSet
+      n -> covered.toSeq.map(i => ws(i).length.toLong).sum
+    }.toMap
+    (ws.length.toLong, total, top, dup)
+  }
+
+  private def check(docs: Seq[String]): Unit = {
+    import spark.implicits._
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Repetition.charFractions(df, "doc_id", "text", topNs, dupNs)
+      .orderBy("doc_id").collect()
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val (nw, total, top, dup) = brute(t)
+      val r = got(i)
+      assert(r.getLong(1) == nw, s"doc $i n_words")
+      assert(r.getLong(2) == total, s"doc $i total_chars")
+      assert(r.getLong(3) == top(2), s"doc $i top2: got ${r.getLong(3)}, want ${top(2)}")
+      assert(r.getLong(4) == top(3), s"doc $i top3")
+      assert(r.getLong(5) == top(4), s"doc $i top4")
+      assert(r.getLong(6) == dup(5), s"doc $i dup5: got ${r.getLong(6)}, want ${dup(5)}")
+      assert(r.getLong(7) == dup(10), s"doc $i dup10")
+    }
+  }
+
+  test("engineered docs match the brute-force reference") {
+    check(Seq(
+      "",                                          // zero chars, vacuous
+      "one two three",                             // shorter than every dup n
+      "spam spam spam spam spam ham",              // dominant 2-gram
+      Seq.fill(3)("a b c d e").flatten.mkString(" "), // period-5 repeats: every 5-gram duplicated
+      "x y z " + Seq.fill(4)("p q r s t u v w i j").mkString(" ") + " tail words here"))
+  }
+
+  test("overlapping duplicate grams count covered chars once, below the naive sum") {
+    import spark.implicits._
+    // 'a b c d e' x 3: the 5-gram window repeats with period 5, so ALL
+    // 11 grams are duplicates and every one of the 15 word positions is
+    // covered: dup5 = total_chars, while naive count x length would be
+    // ~5x that.
+    val text = Seq.fill(3)(Seq("a", "b", "c", "d", "e")).flatten.mkString(" ")
+    val r = Repetition.charFractions(Seq((0L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", Nil, Seq(5)).collect().head
+    assert(r.getLong(2) == 15L)
+    assert(r.getLong(3) == 15L, s"coverage must equal total_chars, got ${r.getLong(3)}")
+  }
+
+  test("seeded random small-alphabet docs match the reference") {
+    val rnd = new Random(41)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    val docs = (0 until 40).map { _ =>
+      (0 until (3 + rnd.nextInt(40))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    check(docs)
+  }
+
+  test("the plan has no window and checkpoints the token frame once") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val plan = Repetition.charFractions(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "unexpected window in plan")
+  }
+}
