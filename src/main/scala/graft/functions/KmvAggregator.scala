@@ -8,8 +8,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * hashes: keeps the k smallest DISTINCT hash values per group; the
   * estimator is `(k-1) / (kth_min / 2^60)`, or the exact buffer size
   * when fewer than k distinct values were seen.
+  * ([[graft.operators.Sketches.hllDistinct]] is the fixed-register HLL
+  * sibling built on the SAME hash — see its scaladoc for the trade.)
   *
-  * Why this sketch and not HyperLogLog: `approx_count_distinct`'s HLL++
+  * Why this sketch and not Spark's built-in: `approx_count_distinct`'s HLL++
   * is implementation-defined (not reproducible across engines or
   * versions), while KMV over a FIXED hash is fully deterministic — the
   * same rows give the same k minima and the same estimate in any

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deterministic HyperLogLog (Flajolet et al. 2007) over the repo's
+  * fixed 60-bit md5 hash ([[TextFunctions.tokenHash]]) — NOT Spark's
+  * `approx_count_distinct` (whose HLL++ state is implementation-defined
+  * and engine-private): every register value here is a pure function of
+  * the input VALUES, so the same rows give the same registers, estimate
+  * and error on any engine, and the DuckDB oracle replays it exactly.
+  *
+  * Sibling of [[graft.functions.KmvAggregator]], not a replacement —
+  * the trade is state shape: KMV keeps k 64-bit minima (error ~1/√k,
+  * needs a typed buffer), HLL keeps a FIXED 256-register table whose
+  * merge is elementwise max — i.e. plain `groupBy(group, register)
+  * .agg(max(rho))`, no custom Aggregator, no variable-length buffer —
+  * which makes it the sketch that survives pre-aggregation, streaming
+  * state stores, and cross-snapshot unions unchanged.
+  *
+  * Hash split: top 8 of the 60 hash bits pick one of m = 256 registers;
+  * rho = position of the highest set bit in the remaining 52 bits
+  * (1-based from the top, 53 when they are all zero). The harmonic
+  * term Σ 2^-rho is summed as EXACT integers scaled by 2^55
+  * (rho ≤ 53 → every term ≥ 4; 256 terms ≤ 2^63 — no overflow), so the
+  * only floating-point steps are one division by that exact integer
+  * and, on the small-range branch, one `ln` — both written identically
+  * in the oracle SQL (the q167 integer-micro-ln portability
+  * discipline).
+  */
+object Sketches {
+
+  /** Registers per group: b = 8 index bits, m = 256. */
+  val HllB = 8
+  val HllM: Int = 1 << HllB
+
+  private val RankBits = 60 - HllB // 52
+  private val Scale = 55 // Σ 2^(Scale - rho) stays an exact long
+
+  /** Per-(group, register) max rank — the mergeable HLL state as a
+    * plain DataFrame: `groupBy(…, __reg).agg(max(__rho))`. ≤ m rows
+    * per group regardless of input size; NULL values are ignored
+    * (matching COUNT DISTINCT). Shape: ONE partial agg whose shuffle
+    * carries ≤ m (register, rho) pairs per group × partition. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val h = TextFunctions.tokenHash(valueCol)
+    val idx = shiftright(h, RankBits)
+    val rest = h.bitwiseAND(lit((1L << RankBits) - 1))
+    val rho = when(rest === 0L, lit((RankBits + 1).toLong))
+      .otherwise(lit((RankBits + 1).toLong) - length(bin(rest)).cast("long"))
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ idx.as("__reg") :+ rho.as("__rho"): _*)
+      .groupBy((groupCols.map(col) :+ col("__reg")): _*)
+      .agg(max("__rho").as("__rho"))
+  }
+
+  /** Distinct-count estimate per group. Output:
+    * (groupCols…, hll_present, hll_zeros, hll_harmonic, est_micro) —
+    * `hll_harmonic` is the exact 2^55-scaled integer harmonic sum (the
+    * strongest cross-engine check: the whole sketch state in one
+    * long), `est_micro` the estimate in integer micro-counts with the
+    * standard small-range linear-counting correction
+    * (E ≤ 2.5m and empty registers present → m·ln(m/V)).
+    * Scale shape: the [[hllRegisters]] partial agg, then a second
+    * partial agg over ≤ m rows per group — the corpus crosses ONE
+    * shuffle as (group, register) counters. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val regs = hllRegisters(df, groupCols, valueCol)
+    val agg = regs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("hll_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - __rho AS INT))"))
+        .as("__sp"))
+    val zeros = lit(HllM.toLong) - col("hll_present")
+    val harmonic = col("__sp") + zeros * lit(1L << Scale)
+    // alpha_256 * 256^2 * 2^55, written as the same literal arithmetic
+    // the oracle uses so both engines fold the identical double.
+    val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+      lit(65536.0) * lit(36028797018963968.0)
+    val withState = agg.select(groupCols.map(col) :+ col("hll_present") :+
+      zeros.as("hll_zeros") :+ harmonic.as("hll_harmonic"): _*)
+    val eRaw = alphaNum / col("hll_harmonic").cast("double")
+    val est = when(eRaw <= lit(2.5 * HllM) && col("hll_zeros") > 0L,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("hll_zeros").cast("double")))
+      .otherwise(eRaw)
+    withState.withColumn("est_micro", round(est * lit(1000000.0)).cast("long"))
+  }
+}

@@ -2441,7 +2441,29 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q197 — per-source vocabulary size via the deterministic 256-register
+    * HyperLogLog ([[graft.operators.Sketches.hllDistinct]]) beside the
+    * exact count: registers, exact-integer harmonic state, the
+    * corrected estimate, and the realized error — the one-pass distinct
+    * counter whose shuffle carries ≤ 256 counters per source where
+    * countDistinct shuffles every key. */
+  def q197HllVocab(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct("tok").as("n_exact"))
+    val hll = graft.operators.Sketches.hllDistinct(toks, Seq("source"), col("tok"))
+    exact.join(hll, Seq("source"))
+      .select(col("source"), col("n_exact"), col("hll_present"),
+        col("hll_zeros"), col("hll_harmonic"), col("est_micro"),
+        when(col("n_exact") === 0L, lit(0L)).otherwise(
+          expr("abs(est_micro - n_exact * 1000000) DIV (n_exact * 1000)"))
+          .as("err_milli"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_hll_vocab" -> (q197HllVocab _),
     "q196_repetition_chars" -> (q196RepetitionChars _),
     "q195_dataset_card" -> (q195DatasetCard _),
     "q194_gopher_gate" -> (q194GopherGate _),
@@ -3162,6 +3184,35 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q197_hll_vocab" ->
+      (s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
+        |  FROM documents),
+        |ex AS (SELECT source, count(DISTINCT tok)::BIGINT AS n_exact FROM tk GROUP BY source),
+        |h AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |r AS (SELECT source, h // 4503599627370496 AS reg, h % 4503599627370496 AS rest FROM h),
+        |m AS (SELECT source, reg,
+        |    max(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END)::BIGINT AS rho
+        |  FROM r GROUP BY source, reg),
+        |a AS (SELECT source, count(1)::BIGINT AS hll_present,
+        |    sum((1::BIGINT << (55 - rho))::BIGINT)::BIGINT AS sp
+        |  FROM m GROUP BY source),
+        |s AS (SELECT source, hll_present, (256 - hll_present)::BIGINT AS hll_zeros,
+        |    (sp + (256 - hll_present) * 36028797018963968)::BIGINT AS hll_harmonic
+        |  FROM a),
+        |e AS (SELECT *,
+        |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+        |      * 65536.0::DOUBLE * 36028797018963968.0::DOUBLE) / hll_harmonic::DOUBLE AS eraw
+        |  FROM s),
+        |f AS (SELECT source, hll_present, hll_zeros, hll_harmonic,
+        |    round((CASE WHEN eraw <= 640.0 AND hll_zeros > 0
+        |           THEN 256.0::DOUBLE * ln(256.0::DOUBLE / hll_zeros::DOUBLE)
+        |           ELSE eraw END) * 1000000.0::DOUBLE)::BIGINT AS est_micro
+        |  FROM e)
+        |SELECT x.source, x.n_exact, f.hll_present, f.hll_zeros, f.hll_harmonic, f.est_micro,
+        |  CASE WHEN x.n_exact = 0 THEN 0
+        |       ELSE abs(f.est_micro - x.n_exact * 1000000) // (x.n_exact * 1000) END::BIGINT AS err_milli
+        |FROM ex x JOIN f USING (source)
+        |ORDER BY x.source""".stripMargin),
     "q196_repetition_chars" ->
       (s"""WITH $repCharsSql
         |SELECT s.doc_id, s.n_words, s.total_chars,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** [[Sketches.hllDistinct]] — the deterministic 256-register HLL:
+  * bit-for-bit equality with an independent Scala reference, accuracy
+  * on both the raw and linear-counting branches, partitioning
+  * invariance (the merge really is elementwise max), and a
+  * two-partial-agg plan. */
+class SketchesSpec extends SparkSpec {
+
+  private def md5hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Independent reference: same hash, same register math. */
+  private def ref(values: Seq[String]): (Long, Long, Long, Long) = {
+    val regs = new Array[Long](256)
+    values.foreach { v =>
+      val h = md5hash60(v)
+      val idx = (h >>> 52).toInt
+      val rest = h & ((1L << 52) - 1)
+      val rho = if (rest == 0L) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > regs(idx)) regs(idx) = rho
+    }
+    val present = regs.count(_ > 0L).toLong
+    val zeros = 256L - present
+    val harmonic = regs.filter(_ > 0L).map(r => 1L << (55 - r)).sum +
+      zeros * (1L << 55)
+    val alphaNum = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 36028797018963968.0
+    val eRaw = alphaNum / harmonic.toDouble
+    val est = if (eRaw <= 640.0 && zeros > 0L) 256.0 * math.log(256.0 / zeros)
+      else eRaw
+    (present, zeros, harmonic, math.round(est * 1000000.0))
+  }
+
+  private def run(values: Seq[String], parts: Int = 4): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = values.toDF("v").repartition(parts)
+    val r = Sketches.hllDistinct(df, Nil, org.apache.spark.sql.functions.col("v"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("matches the independent reference bit for bit, raw branch") {
+    val rnd = new Random(7)
+    val vs = (0 until 8000).map(_ => s"tok${rnd.nextInt(5000)}")
+    assert(run(vs) == ref(vs))
+  }
+
+  test("matches the reference on the linear-counting branch and is near-exact there") {
+    val vs = (0 until 200).map(i => s"small${i % 10}")
+    val got = run(vs)
+    assert(got == ref(vs))
+    assert(math.abs(got._4 / 1000000.0 - 10.0) <= 1.0,
+      s"linear counting should be near-exact at n=10: ${got._4}")
+  }
+
+  test("raw-branch estimate is within 10% at 5000 distinct") {
+    val vs = (0 until 5000).map(i => s"uniq$i")
+    val est = run(vs)._4 / 1000000.0
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"est $est")
+  }
+
+  test("partitioning-invariant and duplicate-insensitive") {
+    val vs = (0 until 3000).map(i => s"v${i % 1000}")
+    assert(run(vs, 1) == run(vs, 13))
+    assert(run(vs, 4) == run(vs.distinct, 4))
+  }
+
+  test("NULL values are ignored like COUNT DISTINCT") {
+    import spark.implicits._
+    val df = (Seq(Some("a"), None, Some("b"), None)).toDF("v")
+    val r = Sketches.hllDistinct(df, Nil, org.apache.spark.sql.functions.col("v"))
+      .collect().head
+    assert(r.getLong(0) == 2L, "two registers present")
+  }
+
+  test("the plan is two partial aggs — no window, no corpus-sized state") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("g", s"v$i")).toDF("g", "v")
+    val plan = Sketches.hllDistinct(df, Seq("g"),
+      org.apache.spark.sql.functions.col("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial"), "expected map-side partial aggregation")
+  }
+}
