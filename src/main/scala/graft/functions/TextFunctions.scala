@@ -235,6 +235,39 @@ object TextFunctions {
     regexp_count(text, lit(ipv4Pattern)).as("n_ips"),
     regexp_count(text, lit(phonePattern)).as("n_phones"))
 
+  // Secret patterns (RE2-compatible, like the PII set): an AWS-style
+  // access-key id, a 40-hex token (SHA1/API-token shaped; a longer run
+  // yields its non-overlapping 40-char windows), and a base64-alphabet
+  // run of >= 32 chars as a CANDIDATE that must additionally clear the
+  // entropy gate below (a padded/repeated run is page decoration, a
+  // high-entropy one is key material).
+  val awsKeyPattern = "AKIA[0-9A-Z]{16}"
+  val hex40Pattern = "[0-9a-f]{40}"
+  val base64RunPattern = "[A-Za-z0-9+/]{32,}={0,2}"
+
+  /** Candidate base64 runs count as secrets only above this code-point
+    * entropy ([[graft.expressions.CharEntropy]] micro-nats). 2.0 nats
+    * sits between repeated-pattern decoys (ln 4 ≈ 1.39) and random
+    * hex/base64 material (≥ ~2.5); a production scanner with real key
+    * corpora would raise it toward ln 64 ≈ 4.16. */
+  val secretEntropyFloorMicro = 2000000L
+
+  /** Credential scan for training corpora — the leak gate that runs
+    * BEFORE a model memorizes somebody's API key: pattern hits plus
+    * entropy-gated base64 candidates, as one codegen projection (the
+    * per-candidate entropy runs inside an array `filter` lambda — no
+    * explode, no shuffle at any corpus size). Returns
+    * struct(n_aws, n_hex40, n_b64_cand, n_b64_secret). */
+  def secretScan(text: Column): Column = struct(
+    regexp_count(text, lit(awsKeyPattern)).cast("long").as("n_aws"),
+    regexp_count(text, lit(hex40Pattern)).cast("long").as("n_hex40"),
+    size(regexp_extract_all(text, lit(base64RunPattern), lit(0)))
+      .cast("long").as("n_b64_cand"),
+    size(filter(regexp_extract_all(text, lit(base64RunPattern), lit(0)),
+        m => graft.expressions.CharEntropy(m).getField("entropy_micro") >=
+          lit(secretEntropyFloorMicro)))
+      .cast("long").as("n_b64_secret"))
+
   /** Hashed-bag-of-words linear-classifier inference (the fastText-style
     * quality-filter shape: featurize each token into one of `dim` hash
     * buckets, sum the bucket weights, threshold). The heavy part — a

@@ -2462,7 +2462,34 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q198 — credential scan ([[TextFunctions.secretScan]]): AWS-style
+    * key ids, 40-hex tokens, and entropy-gated base64 runs over
+    * deterministic synthetic secrets appended per doc (the q69 PII
+    * recipe: real corpora carry none of these, so the fixture injects
+    * md5-derived key material plus a low-entropy decoy the gate must
+    * reject). */
+  def q198SecretScan(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def h(suffix: String): Column =
+      md5(concat(id.cast("string"), lit(suffix)))
+    val t = concat_ws(" ", col("text"),
+      when(id % 3 === 0, concat(lit("AKIA"), upper(substring(h("a"), 1, 16)))),
+      when(id % 4 === 0, concat(substring(h("h"), 1, 32), substring(h("h2"), 1, 8))),
+      when(id % 5 === 0, concat(upper(substring(h("u"), 1, 16)),
+        substring(h("l"), 1, 16), lit("=="))),
+      when(id % 5 === 1, lit("Aa0/" * 9)))
+    Tables(spark, dir, "documents")
+      .select(id, TextFunctions.secretScan(t).as("s"))
+      .select(id, col("s.n_aws").as("n_aws"), col("s.n_hex40").as("n_hex40"),
+        col("s.n_b64_cand").as("n_b64_cand"),
+        col("s.n_b64_secret").as("n_b64_secret"),
+        when(col("s.n_aws") + col("s.n_hex40") + col("s.n_b64_secret") > 0L, 1L)
+          .otherwise(0L).as("has_secret"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_secret_scan" -> (q198SecretScan _),
     "q197_hll_vocab" -> (q197HllVocab _),
     "q196_repetition_chars" -> (q196RepetitionChars _),
     "q195_dataset_card" -> (q195DatasetCard _),
@@ -3184,6 +3211,34 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q198_secret_scan" ->
+      ("""WITH d AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'AKIA' || upper(substring(md5(doc_id::VARCHAR || 'a'), 1, 16)) END,
+        |    CASE WHEN doc_id % 4 = 0 THEN substring(md5(doc_id::VARCHAR || 'h'), 1, 32) || substring(md5(doc_id::VARCHAR || 'h2'), 1, 8) END,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(substring(md5(doc_id::VARCHAR || 'u'), 1, 16)) || substring(md5(doc_id::VARCHAR || 'l'), 1, 16) || '==' END,
+        |    CASE WHEN doc_id % 5 = 1 THEN repeat('Aa0/', 9) END) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(t, 'AKIA[0-9A-Z]{16}'))::BIGINT AS n_aws,
+        |    len(regexp_extract_all(t, '[0-9a-f]{40}'))::BIGINT AS n_hex40,
+        |    regexp_extract_all(t, '[A-Za-z0-9+/]{32,}={0,2}') AS cands
+        |  FROM d),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(cands) + 1),
+        |    i -> {'i': i, 's': cands[i]})) AS p FROM c),
+        |u2 AS (SELECT doc_id, p.i AS i, p.s AS s FROM u),
+        |ch AS (SELECT doc_id, i, unnest(list_transform(string_split(s, ''), x -> unicode(x))) AS cp FROM u2),
+        |hh AS (SELECT doc_id, i, cp, count(1)::BIGINT AS c FROM ch GROUP BY doc_id, i, cp),
+        |na AS (SELECT doc_id, i, sum(c)::BIGINT AS n FROM hh GROUP BY doc_id, i),
+        |te AS (SELECT hh.doc_id, hh.i,
+        |    CAST(round(-(hh.c::DOUBLE / na.n::DOUBLE) * ln(hh.c::DOUBLE / na.n::DOUBLE) * 1000000.0) AS BIGINT) AS term
+        |  FROM hh JOIN na USING (doc_id, i)),
+        |se AS (SELECT doc_id, i, sum(term)::BIGINT AS ent FROM te GROUP BY doc_id, i),
+        |hi AS (SELECT doc_id, count(1)::BIGINT AS n_hi FROM se WHERE ent >= 2000000 GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_aws, c.n_hex40, len(c.cands)::BIGINT AS n_b64_cand,
+        |  coalesce(hi.n_hi, 0)::BIGINT AS n_b64_secret,
+        |  CASE WHEN c.n_aws + c.n_hex40 + coalesce(hi.n_hi, 0) > 0 THEN 1 ELSE 0 END::BIGINT AS has_secret
+        |FROM c LEFT JOIN hi USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin),
     "q197_hll_vocab" ->
       (s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
         |  FROM documents),
