@@ -57,6 +57,39 @@ object Chat {
           1).otherwise(0)))
       .otherwise(array().cast("array<int>"))
 
+  /** DPO/RLHF preference-pair construction: per group (prompt), the
+    * best- and worst-scored responses as one (chosen, rejected) row,
+    * fully deterministic — chosen = max score with ties to the SMALLER
+    * id, rejected = min score with ties to the smaller id, so the same
+    * scored pool yields the same pairs on any engine or partitioning.
+    * `kept` flags the pairs a trainer would load: distinct responses
+    * AND margin ≥ `minMargin` (an all-tied group pairs a response with
+    * itself — no gradient; a sub-margin pair is label noise). Rows
+    * with a NULL score are excluded up front (an unscored response
+    * must never be asserted as better OR worse — the q169 fail-closed
+    * rule), and a group whose every score is NULL disappears.
+    *
+    * Scale shape: ONE partial aggregate — two min/max struct
+    * reductions keyed by the group column; no window, no join, the
+    * response pool crosses the shuffle as two structs per group ×
+    * partition. Output: (groupCol, chosen_id, rejected_id,
+    * chosen_score, rejected_score, margin, kept). */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, minMargin: Long = 0L): DataFrame =
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("__c"),
+        min(struct(col(scoreCol).as("s"), col(idCol).as("i"))).as("__r"))
+      .select(col(groupCol),
+        (-col("__c.ni")).as("chosen_id"),
+        col("__r.i").as("rejected_id"),
+        col("__c.s").as("chosen_score"),
+        col("__r.s").as("rejected_score"),
+        (col("__c.s") - col("__r.s")).as("margin"),
+        when((-col("__c.ni")) =!= col("__r.i") &&
+            col("__c.s") - col("__r.s") >= lit(minMargin), 1L)
+          .otherwise(0L).as("kept"))
+
   def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {
     def msgs = coalesce(col(msgsCol),
       array().cast("array<struct<role:string,content:string>>"))

@@ -2488,7 +2488,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q199 — DPO preference pairs ([[graft.operators.Chat.preferencePairs]]):
+    * per prompt bucket, the longest response as chosen and the shortest
+    * as rejected (the classic length-bias heuristic, here as the
+    * deterministic fixture score), margin-floored at 5 tokens. */
+  def q199PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir, "documents")
+      .select((col("doc_id") % 97).as("prompt_id"), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("score"))
+    graft.operators.Chat.preferencePairs(scored, "prompt_id", "doc_id",
+        "score", 5L)
+      .orderBy("prompt_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_preference_pairs" -> (q199PreferencePairs _),
     "q198_secret_scan" -> (q198SecretScan _),
     "q197_hll_vocab" -> (q197HllVocab _),
     "q196_repetition_chars" -> (q196RepetitionChars _),
@@ -3211,6 +3225,19 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q199_preference_pairs" ->
+      (s"""WITH s AS (SELECT doc_id % 97 AS prompt_id, doc_id,
+        |    len($toksSql)::BIGINT AS score FROM documents),
+        |f AS (SELECT * FROM s WHERE score IS NOT NULL),
+        |a AS (SELECT prompt_id,
+        |    max(struct_pack(s := score, ni := -doc_id)) AS c,
+        |    min(struct_pack(s := score, i := doc_id)) AS r
+        |  FROM f GROUP BY prompt_id)
+        |SELECT prompt_id, (-c.ni)::BIGINT AS chosen_id, r.i AS rejected_id,
+        |  c.s AS chosen_score, r.s AS rejected_score,
+        |  (c.s - r.s)::BIGINT AS margin,
+        |  CASE WHEN (-c.ni) != r.i AND c.s - r.s >= 5 THEN 1 ELSE 0 END::BIGINT AS kept
+        |FROM a ORDER BY prompt_id""".stripMargin),
     "q198_secret_scan" ->
       ("""WITH d AS (SELECT doc_id, concat_ws(' ', text,
         |    CASE WHEN doc_id % 3 = 0 THEN 'AKIA' || upper(substring(md5(doc_id::VARCHAR || 'a'), 1, 16)) END,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Chat.preferencePairs]]: deterministic argmax/argmin selection with
+  * tie-breaks toward the smaller id, NULL scores excluded fail-closed,
+  * degenerate groups flagged kept = 0, and a single-partial-agg plan. */
+class PreferencePairsSpec extends SparkSpec {
+
+  private def pairs(rows: Seq[(Long, Long, Option[Long])], minMargin: Long = 0L) = {
+    import spark.implicits._
+    Chat.preferencePairs(rows.toDF("g", "id", "score"), "g", "id", "score",
+        minMargin)
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6)))
+      .toSeq
+  }
+
+  test("argmax/argmin with ties toward the smaller id") {
+    val got = pairs(Seq(
+      (1L, 10L, Some(5L)), (1L, 11L, Some(9L)), (1L, 12L, Some(9L)),
+      (1L, 13L, Some(2L)), (1L, 14L, Some(2L))))
+    // chosen: score 9 tie between 11/12 -> 11; rejected: score 2 tie -> 13
+    assert(got == Seq((1L, 11L, 13L, 7L, 1L)))
+  }
+
+  test("single-response and all-tied groups are flagged kept = 0") {
+    val got = pairs(Seq(
+      (1L, 10L, Some(4L)),
+      (2L, 20L, Some(4L)), (2L, 21L, Some(4L))))
+    assert(got == Seq((1L, 10L, 10L, 0L, 0L), (2L, 20L, 20L, 0L, 0L)))
+  }
+
+  test("margin floor demotes sub-margin pairs; NULL scores are excluded; all-NULL groups vanish") {
+    val got = pairs(Seq(
+      (1L, 10L, Some(10L)), (1L, 11L, Some(8L)),
+      (2L, 20L, Some(9L)), (2L, 21L, Some(1L)), (2L, 22L, None),
+      (3L, 30L, None)), minMargin = 5L)
+    assert(got == Seq((1L, 10L, 11L, 2L, 0L), (2L, 20L, 21L, 8L, 1L)))
+  }
+
+  test("the plan is one partial aggregate — no window, no join") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L)).toDF("g", "id", "score")
+    val plan = Chat.preferencePairs(df, "g", "id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+    assert(plan.contains("partial"))
+  }
+}
