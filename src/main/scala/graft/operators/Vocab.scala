@@ -628,4 +628,58 @@ object Vocab {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("cum_vocab", sum("n_novel").over(w))
   }
+
+  /** Good–Turing frequency-of-frequencies spectrum (Good 1953): N_r =
+    * how many distinct tokens occur exactly r times, the smoothed
+    * count r* = (r+1)·N_{r+1}/N_r in integer micro (NULL where the
+    * spectrum has no r+1 row — the raw estimator is undefined there;
+    * smoothing the tail is the caller's policy), and the unseen-mass
+    * estimate p0 = N_1/N — the LM-smoothing health check that also
+    * reads as a corpus signature (templated/boilerplate slices bend
+    * the spectrum away from the Zipf-consistent shape [[zipfFit]]
+    * tests from the other end).
+    *
+    * The micro value is computed by the two-term long identity
+    * `(a DIV b)·1e6 + (a MOD b)·1e6 DIV b` (a = (r+1)·N_{r+1},
+    * b = N_r) — exactly floor(a·1e6/b) with every intermediate ≤
+    * a·1e6 / b bounded by (N + V)·1e6 per term, so no 128-bit
+    * arithmetic and no float division anywhere; the oracle replays the
+    * identical identity.
+    *
+    * Scale shape: one token explode into a (group, token)-keyed
+    * partial agg (the only corpus-sized shuffle), then a
+    * (group, r)-keyed partial agg over the distinct-token frame; the
+    * r+1 lookup, totals, and singleton join all run on the
+    * spectrum-sized frame (≤ a few hundred distinct r values per
+    * group — broadcast). Output: (groupCols…, r, n_r, gt_micro,
+    * n_total, n_distinct, p0_micro). */
+  def freqSpectrum(df: DataFrame, textCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("__tok"): _*)
+      .groupBy(g :+ col("__tok"): _*).agg(count(lit(1)).as("r"))
+    val spec = counts.groupBy(g :+ col("r"): _*).agg(count(lit(1)).as("n_r"))
+    // Totals + singleton count from the SPECTRUM (not the token frame):
+    // one extra pass over the tiny frame buys a guaranteed row per
+    // group, so a group without singletons still gets p0 = 0 instead
+    // of vanishing in a join.
+    val tot = spec.groupBy(g: _*).agg(
+      sum(col("r") * col("n_r")).as("n_total"),
+      sum(col("n_r")).as("n_distinct"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(lit(0L))).as("__n1"))
+    val nxt = spec.select(g :+ (col("r") - 1L).as("r") :+
+      col("n_r").as("__nr1"): _*)
+    val withNext = spec.join(broadcast(nxt), groupCols :+ "r", "left")
+    val joined =
+      if (groupCols.isEmpty) withNext.crossJoin(broadcast(tot))
+      else withNext.join(broadcast(tot), groupCols)
+    joined.select(g ++ Seq(col("r"), col("n_r"),
+      when(col("__nr1").isNotNull,
+        expr("((r + 1) * __nr1 DIV n_r) * 1000000 + (((r + 1) * __nr1) % n_r) * 1000000 DIV n_r"))
+        .as("gt_micro"),
+      col("n_total"), col("n_distinct"),
+      expr("__n1 * 1000000 DIV n_total").as("p0_micro")): _*)
+  }
 }

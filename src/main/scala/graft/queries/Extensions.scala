@@ -2501,7 +2501,17 @@ object Extensions {
       .orderBy("prompt_id")
   }
 
+  /** q200 — Good–Turing frequency-of-frequencies spectrum
+    * ([[graft.operators.Vocab.freqSpectrum]]): N_r, the smoothed
+    * (r+1)·N_{r+1}/N_r in exact integer micro, and the unseen-mass
+    * estimate p0 = N_1/N — the LM-smoothing health check beside q191's
+    * Zipf fit. */
+  def q200FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.freqSpectrum(Tables(spark, dir, "documents"), "text")
+      .orderBy("r")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_freq_spectrum" -> (q200FreqSpectrum _),
     "q199_preference_pairs" -> (q199PreferencePairs _),
     "q198_secret_scan" -> (q198SecretScan _),
     "q197_hll_vocab" -> (q197HllVocab _),
@@ -3225,6 +3235,20 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q200_freq_spectrum" ->
+      (s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+        |c AS (SELECT tok, count(1)::BIGINT AS r FROM tk GROUP BY tok),
+        |sp AS (SELECT r, count(1)::BIGINT AS n_r FROM c GROUP BY r),
+        |tt AS (SELECT sum(r * n_r)::BIGINT AS n_total, sum(n_r)::BIGINT AS n_distinct,
+        |    sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1 FROM sp)
+        |SELECT s.r, s.n_r,
+        |  CASE WHEN s2.n_r IS NULL THEN NULL
+        |       ELSE (((s.r + 1) * s2.n_r // s.n_r) * 1000000
+        |             + (((s.r + 1) * s2.n_r) % s.n_r) * 1000000 // s.n_r) END::BIGINT AS gt_micro,
+        |  t.n_total, t.n_distinct,
+        |  (t.n1 * 1000000 // t.n_total)::BIGINT AS p0_micro
+        |FROM sp s LEFT JOIN sp s2 ON s2.r = s.r + 1 CROSS JOIN tt t
+        |ORDER BY s.r""".stripMargin),
     "q199_preference_pairs" ->
       (s"""WITH s AS (SELECT doc_id % 97 AS prompt_id, doc_id,
         |    len($toksSql)::BIGINT AS score FROM documents),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[Vocab.freqSpectrum]]: the spectrum matches a brute-force
+  * reference (including the exact-integer Good–Turing identity), a
+  * group without singletons reports p0 = 0 instead of vanishing, the
+  * tail row's gt is NULL, and the joins stay broadcast/windowless. */
+class FreqSpectrumSpec extends SparkSpec {
+
+  private def ref(doc: Seq[String]): Map[Long, (Long, Option[Long])] = {
+    val byTok = doc.groupBy(identity).map { case (_, v) => v.size.toLong }
+    val spec = byTok.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    spec.map { case (r, nr) =>
+      val gt = spec.get(r + 1).map { nr1 =>
+        val a = (r + 1) * nr1
+        (a / nr) * 1000000L + (a % nr) * 1000000L / nr
+      }
+      r -> (nr, gt)
+    }
+  }
+
+  test("spectrum, Good-Turing micro, totals and p0 match the reference") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val words = (0 until 600).map(_ => s"w${rnd.nextInt(120)}")
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Vocab.freqSpectrum(df, "text").orderBy("r").collect()
+    val want = ref(words)
+    assert(got.length == want.size)
+    got.foreach { row =>
+      val r = row.getLong(0)
+      val (nr, gt) = want(r)
+      assert(row.getLong(1) == nr, s"n_$r")
+      assert((if (row.isNullAt(2)) None else Some(row.getLong(2))) == gt, s"gt at r=$r")
+      assert(row.getLong(3) == 600L, "n_total")
+      assert(row.getLong(4) == want.values.map(_._1).sum, "n_distinct")
+      val n1 = want.get(1L).map(_._1).getOrElse(0L)
+      assert(row.getLong(5) == n1 * 1000000L / 600L, "p0_micro")
+    }
+    // the largest r has no r+1 row -> NULL gt
+    assert(got.last.isNullAt(2))
+  }
+
+  test("a group with no singletons reports p0 = 0 instead of vanishing") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x x y y"),        // no singletons
+      ("b", "p q q")           // one singleton of three tokens
+    ).toDF("g", "text")
+    val got = Vocab.freqSpectrum(df, "text", Seq("g"))
+      .orderBy("g", "r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(6)))
+    assert(got.contains(("a", 2L, 0L)), s"group a must appear with p0=0: ${got.toSeq}")
+    assert(got.filter(_._1 == "b").forall(_._3 == 333333L))
+  }
+
+  test("the spectrum-side joins are broadcast and the plan is windowless") {
+    import spark.implicits._
+    val df = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val plan = Vocab.freqSpectrum(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin"), "spectrum joins must broadcast")
+  }
+}
