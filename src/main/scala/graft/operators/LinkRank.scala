@@ -137,4 +137,65 @@ object LinkRank {
     Checkpointer.release(nodes)
     labels
   }
+  /** Exact per-node triangle counts + local clustering coefficient over
+    * the UNDIRECTED simple graph (multi-edges collapsed, self-loops and
+    * NULL endpoints dropped) — the link-farm fingerprint beside
+    * [[pageRank]] and [[labelPropagation]]: a farm's hosts close
+    * triangles with each other far above organic rates, so a high
+    * clustering coefficient at high degree flags the cluster even when
+    * rank alone looks plausible.
+    *
+    * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii
+    * 2011) — each edge points from its (degree, node)-smaller endpoint
+    * to the larger, every triangle has exactly ONE node with two
+    * outgoing oriented edges, and the wedge at that node closes iff
+    * (v1, v2) is itself an oriented edge. The orientation caps oriented
+    * out-degree at O(√m), so the wedge join — the only quadratic
+    * hazard — is bounded per node no matter how large a hub's raw
+    * degree is; without it a 10⁷-degree host would put 10¹⁴ wedges
+    * through one join. The oracle counts the same triangles by the
+    * canonical a<b<c triple join (orientation changes join SIZES, not
+    * the triangle set — that equality is itself the check).
+    *
+    * Scale shape: one distinct partial agg (edge dedup), one degree
+    * partial agg, two degree hash joins to orient, the bounded wedge
+    * self-join, one closing hash join, one per-node counter agg — no
+    * windows, nothing driver-sized. Output: (node, deg, n_tri,
+    * clustering_milli = 2·n_tri·1000 DIV deg·(deg−1), 0 when deg ≤ 1). */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("__db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("__da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2")),
+        Seq("u"))
+      .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_milli",
+        when(col("deg") > 1L, expr("n_tri * 2000 DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

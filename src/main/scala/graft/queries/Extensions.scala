@@ -2510,7 +2510,25 @@ object Extensions {
     graft.operators.Vocab.freqSpectrum(Tables(spark, dir, "documents"), "text")
       .orderBy("r")
 
+  /** q201 — per-node triangle counts + clustering coefficient
+    * ([[LinkRank.triangleCounts]]) over a host co-citation graph (the
+    * three hosts each doc references pairwise-linked): the link-farm
+    * fingerprint beside q150's rank and q172's communities. The oracle
+    * counts the same triangles via the canonical a<b<c triple join —
+    * equality with the degree-oriented plan is itself the check. */
+  def q201Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val h1 = concat(col("source"), lit(".example.com"))
+    val h2 = concat(col("lang"), lit(".site.org"))
+    val h3 = concat(lit("b"), (col("n_chars") % 7).cast("string"), lit(".net"))
+    val edges = d.select(h1.as("src"), h2.as("dst"))
+      .union(d.select(h2.as("src"), h3.as("dst")))
+      .union(d.select(h3.as("src"), h1.as("dst")))
+    graft.operators.LinkRank.triangleCounts(edges).orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_triangles" -> (q201Triangles _),
     "q200_freq_spectrum" -> (q200FreqSpectrum _),
     "q199_preference_pairs" -> (q199PreferencePairs _),
     "q198_secret_scan" -> (q198SecretScan _),
@@ -3235,6 +3253,29 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q201_triangles" ->
+      ("""WITH d AS (SELECT source || '.example.com' AS h1,
+        |    lang || '.site.org' AS h2,
+        |    'b' || (n_chars % 7)::VARCHAR || '.net' AS h3 FROM documents),
+        |r AS (SELECT h1 AS s, h2 AS t FROM d
+        |  UNION ALL SELECT h2, h3 FROM d
+        |  UNION ALL SELECT h3, h1 FROM d),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM r
+        |  WHERE s IS NOT NULL AND t IS NOT NULL AND s != t),
+        |deg AS (SELECT n, count(1)::BIGINT AS deg FROM
+        |    (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT n, count(1)::BIGINT AS n_tri FROM
+        |    (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |     UNION ALL SELECT z FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, deg.deg, coalesce(tn.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN deg.deg > 1
+        |       THEN coalesce(tn.n_tri, 0) * 2000 // (deg.deg * (deg.deg - 1))
+        |       ELSE 0 END::BIGINT AS clustering_milli
+        |FROM deg LEFT JOIN tn ON tn.n = deg.n
+        |ORDER BY node""".stripMargin),
     "q200_freq_spectrum" ->
       (s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
         |c AS (SELECT tok, count(1)::BIGINT AS r FROM tk GROUP BY tok),

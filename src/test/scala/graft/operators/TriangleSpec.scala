@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[LinkRank.triangleCounts]]: hand-counted small graphs, equality
+  * with a brute-force all-triples reference on seeded random graphs
+  * (the degree orientation must not change the triangle SET), loops /
+  * multi-edges / NULLs dropped, and a windowless all-hash-join plan. */
+class TriangleSpec extends SparkSpec {
+
+  private def run(edges: Seq[(String, String)]): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    LinkRank.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  private def brute(edges: Seq[(String, String)]): Map[String, (Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != null && e._2 != null && e._1 != e._2)
+      .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max)).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val tri = nodes.map { n =>
+      val nb = adj(n).toSeq
+      n -> nb.combinations(2).count(p => adj(p(0)).contains(p(1))).toLong
+    }.toMap
+    nodes.map { n =>
+      val d = adj(n).size.toLong
+      val t = tri(n)
+      n -> ((d, t, if (d > 1) t * 2000 / (d * (d - 1)) else 0L))
+    }.toMap
+  }
+
+  test("a triangle plus a pendant edge counts correctly") {
+    val got = run(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")))
+    assert(got("a") == ((2L, 1L, 1000L)))
+    assert(got("b") == ((2L, 1L, 1000L)))
+    assert(got("c") == ((3L, 1L, 333L)))
+    assert(got("d") == ((1L, 0L, 0L)))
+  }
+
+  test("self-loops, duplicate and reversed edges, and NULL endpoints are dropped") {
+    val got = run(Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      (null, "b"), ("b", null), ("b", "c"), ("c", "a")))
+    assert(got("a") == ((2L, 1L, 1000L)))
+    assert(got.size == 3)
+  }
+
+  test("seeded random graphs match the all-triples reference") {
+    val rnd = new Random(23)
+    val edges = (0 until 300).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+    assert(run(edges) == brute(edges))
+  }
+
+  test("a hub star with no closures has zero triangles at any degree") {
+    val edges = (0 until 50).map(i => ("hub", s"leaf$i"))
+    val got = run(edges)
+    assert(got("hub") == ((50L, 0L, 0L)))
+  }
+
+  test("the plan is windowless") {
+    import spark.implicits._
+    val plan = LinkRank.triangleCounts(Seq(("a", "b")).toDF("src", "dst"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+}
