@@ -78,16 +78,19 @@ object Chat {
       scoreCol: String, minMargin: Long = 0L): DataFrame =
     df.filter(col(scoreCol).isNotNull)
       .groupBy(col(groupCol)).agg(
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))).as("__c"),
+        // Negate the SCORE (numeric by contract — the margin needs it),
+        // never the id: ids may be strings, and both sides' tie-break
+        // is then the same min-id rule on the untouched id column.
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("i"))).as("__c"),
         min(struct(col(scoreCol).as("s"), col(idCol).as("i"))).as("__r"))
       .select(col(groupCol),
-        (-col("__c.ni")).as("chosen_id"),
+        col("__c.i").as("chosen_id"),
         col("__r.i").as("rejected_id"),
-        col("__c.s").as("chosen_score"),
+        (-col("__c.ns")).as("chosen_score"),
         col("__r.s").as("rejected_score"),
-        (col("__c.s") - col("__r.s")).as("margin"),
-        when((-col("__c.ni")) =!= col("__r.i") &&
-            col("__c.s") - col("__r.s") >= lit(minMargin), 1L)
+        (-col("__c.ns") - col("__r.s")).as("margin"),
+        when(col("__c.i") =!= col("__r.i") &&
+            -col("__c.ns") - col("__r.s") >= lit(minMargin), 1L)
           .otherwise(0L).as("kept"))
 
   def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {

@@ -386,9 +386,11 @@ object Curation {
     * released to training needs an auditable reason trail. Bits:
     *   0  word count outside [minWords, maxWords]
     *   1  mean word length outside [3, 10]
-    *   2  symbol-to-word ratio > 0.1 ('#', U+2026, and "...")
-    *   3  > 90% of lines bullet-started ('-', '*', U+2022) OR > 30%
-    *      ellipsis-ended
+    *   2  symbol-to-word ratio ≥ 0.1 ('#', U+2026, and "...") — the
+    *      SAME boundary strictness as the q107 gate's `10·sym < words`
+    *      pass test, so the bitmask can explain every boundary drop
+    *   3  ≥ 90% of lines bullet-started ('-', '*', U+2022) OR ≥ 30%
+    *      ellipsis-ended (gopherPass-aligned boundaries, as above)
     *   4  < 80% of words contain an ASCII alphabetic character
     *   5  fewer than 2 distinct mandatory stopwords present
     *      (the/be/to/of/and/that/have/with — exact lowercased tokens,
@@ -429,9 +431,9 @@ object Curation {
       nWords < lit(minWords.toLong) || nWords > lit(maxWords.toLong),
       sumLen * lit(1000L) < nWords * lit(3000L) ||
         sumLen * lit(1000L) > nWords * lit(10000L),
-      nSym * lit(1000L) > nWords * lit(100L),
-      nBullet * lit(1000L) > nLines * lit(900L) ||
-        nEllEnd * lit(1000L) > nLines * lit(300L),
+      nWords > 0L && nSym * lit(1000L) >= nWords * lit(100L),
+      nLines > 0L && (nBullet * lit(1000L) >= nLines * lit(900L) ||
+        nEllEnd * lit(1000L) >= nLines * lit(300L)),
       nAlpha * lit(1000L) < nWords * lit(800L),
       nStop < lit(2L),
       (nLines - nDistLines) * lit(1000L) > nLines * lit(300L))
@@ -477,8 +479,12 @@ object Curation {
     val base = docs.select(
       coalesce(col(srcCol), lit("")).as("__src"),
       coalesce(col(langCol), lit("")).as("__lang"),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"),
-      TextFunctions.fingerprint(col(textCol)).as("__fp"),
+      // Text folds to '' like the keys: a NULL-text doc must count as
+      // ONE distinct (empty) text, not vanish from countDistinct and
+      // read as a duplicate, and its token count must be a number.
+      size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("__nt"),
+      TextFunctions.fingerprint(coalesce(col(textCol), lit(""))).as("__fp"),
       when(gopherViolations(col(textCol)) === 0L, 1L).otherwise(0L)
         .as("__pass"))
     val vol = base.groupBy(col("__src").as("source")).agg(

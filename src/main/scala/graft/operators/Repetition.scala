@@ -71,8 +71,11 @@ object Repetition {
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10),
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(topNs.nonEmpty || dupNs.nonEmpty, "no n-gram orders requested")
+    // NULL text folds to '' BEFORE tokenizing so the whole row reads as
+    // zero repetition mass (the ngramRepetition convention) instead of
+    // a NULL n_words beside coalesced-to-0 masses.
     val base = checkpointer(df.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__ws")))
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws")))
     val spine = base.select(col(idCol),
       size(col("__ws")).cast("long").as("n_words"),
       coalesce(aggregate(col("__ws"), lit(0L),

@@ -3215,8 +3215,8 @@ object Extensions {
       |gw AS (SELECT doc_id, n_words,
       |    (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
       |     + CASE WHEN sum_len * 1000 < n_words * 3000 OR sum_len * 1000 > n_words * 10000 THEN 2 ELSE 0 END
-      |     + CASE WHEN n_sym * 1000 > n_words * 100 THEN 4 ELSE 0 END
-      |     + CASE WHEN n_bullet * 1000 > n_lines * 900 OR n_ell_end * 1000 > n_lines * 300 THEN 8 ELSE 0 END
+      |     + CASE WHEN n_words > 0 AND n_sym * 1000 >= n_words * 100 THEN 4 ELSE 0 END
+      |     + CASE WHEN n_lines > 0 AND (n_bullet * 1000 >= n_lines * 900 OR n_ell_end * 1000 >= n_lines * 300) THEN 8 ELSE 0 END
       |     + CASE WHEN n_alpha * 1000 < n_words * 800 THEN 16 ELSE 0 END
       |     + CASE WHEN n_stop < 2 THEN 32 ELSE 0 END
       |     + CASE WHEN (n_lines - n_dist_lines) * 1000 > n_lines * 300 THEN 64 ELSE 0 END)::BIGINT AS violations
@@ -3246,7 +3246,9 @@ object Extensions {
         |u$n AS (SELECT w.doc_id, sum(length(t2.toks[w.ix]))::BIGINT AS chars
         |  FROM w$n w JOIN t t2 ON w.doc_id = t2.doc_id GROUP BY w.doc_id)""".stripMargin
     }
-    (Seq(s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    (Seq(s"""t AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+      |  FROM documents),
       |sp AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
       |  coalesce(list_sum(list_transform(toks, w -> length(w))), 0)::BIGINT AS total_chars
       |  FROM t)""".stripMargin) ++ tops ++ dups).mkString(",\n")
@@ -3295,13 +3297,13 @@ object Extensions {
         |    len($toksSql)::BIGINT AS score FROM documents),
         |f AS (SELECT * FROM s WHERE score IS NOT NULL),
         |a AS (SELECT prompt_id,
-        |    max(struct_pack(s := score, ni := -doc_id)) AS c,
+        |    min(struct_pack(ns := -score, i := doc_id)) AS c,
         |    min(struct_pack(s := score, i := doc_id)) AS r
         |  FROM f GROUP BY prompt_id)
-        |SELECT prompt_id, (-c.ni)::BIGINT AS chosen_id, r.i AS rejected_id,
-        |  c.s AS chosen_score, r.s AS rejected_score,
-        |  (c.s - r.s)::BIGINT AS margin,
-        |  CASE WHEN (-c.ni) != r.i AND c.s - r.s >= 5 THEN 1 ELSE 0 END::BIGINT AS kept
+        |SELECT prompt_id, c.i AS chosen_id, r.i AS rejected_id,
+        |  (-c.ns)::BIGINT AS chosen_score, r.s AS rejected_score,
+        |  (-c.ns - r.s)::BIGINT AS margin,
+        |  CASE WHEN c.i != r.i AND -c.ns - r.s >= 5 THEN 1 ELSE 0 END::BIGINT AS kept
         |FROM a ORDER BY prompt_id""".stripMargin),
     "q198_secret_scan" ->
       ("""WITH d AS (SELECT doc_id, concat_ws(' ', text,
@@ -3393,8 +3395,8 @@ object Extensions {
       (s"""WITH $gopherSql,
         |b AS (SELECT coalesce(d.source, '') AS source,
         |    coalesce(d.lang, '') AS lg,
-        |    len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))::BIGINT AS nt,
-        |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+        |    len(regexp_split_to_array(lower(trim(coalesce(d.text, ''))), '\\s+'))::BIGINT AS nt,
+        |    md5(regexp_replace(lower(trim(coalesce(d.text, ''))), '\\s+', ' ', 'g')) AS fp,
         |    CASE WHEN gw.violations = 0 THEN 1 ELSE 0 END AS pass
         |  FROM documents d JOIN gw USING (doc_id)),
         |vol AS (SELECT source, count(1)::BIGINT AS n_docs,

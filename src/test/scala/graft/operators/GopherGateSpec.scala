@@ -47,6 +47,24 @@ class GopherGateSpec extends SparkSpec {
     assert(got(7) == ((7L, 64L, 0L)), s"duplicate lines -> bit 6: ${got(7)}")
   }
 
+  test("ratio bits fire AT the gopherPass boundary, not just above it") {
+    // exactly 10% symbols: 54 words, 6 of them '#' -> 6*1000 >= 60*100
+    val boundary = (passDoc.split("\\s+").take(54) ++ Seq.fill(6)("#"))
+      .mkString(" ")
+    val got = gate(Seq(0L -> boundary))
+    assert((got(0)._2 & 4L) == 4L, s"bit 2 must fire at exactly 0.1: ${got(0)}")
+  }
+
+  test("datasetCard counts a NULL-text doc as one distinct empty text, not a duplicate") {
+    import spark.implicits._
+    val rows = Seq((Option("s"), Option.empty[String], Option("en")))
+      .toDF("source", "text", "lang")
+    val got = Curation.datasetCard(rows, "source", "text", "lang").collect().head
+    assert(got.getLong(1) == 1L && got.getLong(3) == 1L, "n_docs=1, n_distinct=1")
+    assert(got.getLong(4) == 0L, "dup_milli must be 0")
+    assert(!got.isNullAt(2), "n_tokens must be a number")
+  }
+
   test("NULL text fails closed with bits 0 and 5, never a NULL verdict") {
     import spark.implicits._
     val df = Seq((0L, Option(passDoc)), (1L, Option.empty[String]))

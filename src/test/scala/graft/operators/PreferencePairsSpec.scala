@@ -41,6 +41,17 @@ class PreferencePairsSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 11L, 2L, 0L), (2L, 20L, 21L, 8L, 1L)))
   }
 
+  test("string response ids work — the tie-break never negates the id") {
+    import spark.implicits._
+    val got = Chat.preferencePairs(
+      Seq(("p", "resp-b", 9L), ("p", "resp-a", 9L), ("p", "resp-c", 1L))
+        .toDF("g", "id", "score"), "g", "id", "score")
+      .collect().head
+    assert(got.getString(1) == "resp-a", "chosen: score tie -> min id")
+    assert(got.getString(2) == "resp-c")
+    assert(got.getLong(5) == 8L && got.getLong(6) == 1L)
+  }
+
   test("the plan is one partial aggregate — no window, no join") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1L)).toDF("g", "id", "score")

@@ -95,6 +95,17 @@ class RepetitionCharsSpec extends SparkSpec {
     check(docs)
   }
 
+  test("NULL text reads as zero repetition mass, never NULL counters") {
+    import spark.implicits._
+    val df = Seq((0L, Option("a b c a b c")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = Repetition.charFractions(df, "doc_id", "text")
+      .orderBy("doc_id").collect()(1)
+    assert((0 until r.length).forall(!r.isNullAt(_)), s"NULL in $r")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L, "'' tokenizes to one empty word")
+    assert((3 until 8).forall(r.getLong(_) == 0L))
+  }
+
   test("the plan has no window and checkpoints the token frame once") {
     import spark.implicits._
     val df = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
