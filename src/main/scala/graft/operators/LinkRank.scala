@@ -198,4 +198,70 @@ object LinkRank {
         when(col("deg") > 1L, expr("n_tri * 2000 DIV (deg * (deg - 1))"))
           .otherwise(lit(0L)))
   }
+  /** `iters` full HITS rounds (Kleinberg 1999) over a directed
+    * multigraph: auth(v) = Σ_{u→v} w·hub(u), hub(u) = Σ_{u→v} w·auth(v),
+    * each L1-normalized to 1 000 000 micro-units by decimal(38) floor
+    * division — the hub/authority split [[pageRank]]'s single score
+    * can't express (a link DIRECTORY is a strong hub and a weak
+    * authority; a link FARM's pages score high on both, which is the
+    * spam fingerprint this pairs with [[triangleCounts]] for).
+    * Parallel (src, dst) edges collapse to one weighted edge up front
+    * (multiplicity still counts — dedup upstream if it shouldn't).
+    *
+    * Determinism: all integer arithmetic — raw sums are exact longs
+    * (bounded by weighted in-degree × 10⁶; a node needs > 9·10¹²
+    * weighted in-edges to overflow, documented not guarded), the
+    * normalization is floor((raw · 10⁶) / total) in decimal(38) on
+    * both engines, so scores are bit-identical on any engine or
+    * partitioning and the oracle unrolls the rounds verbatim.
+    *
+    * Scale shape: the weighted edge list materializes ONCE; each
+    * half-round is one edges⋈scores hash join + one partial-agg sum,
+    * one single-row total crossJoin (broadcast), with lineage
+    * truncated and superseded generations released — the [[pageRank]]
+    * iteration discipline, 2·iters shuffle-join jobs total.
+    * Output: (node, hub_micro, auth_micro). */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 2,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val e = checkpointer(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("__w")))
+    val nodes = checkpointer(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    val normalize = "CASE WHEN __tot > 0 THEN " +
+      "CAST((CAST(__raw AS DECIMAL(38,0)) * 1000000) DIV __tot AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END"
+    def halfRound(scores: DataFrame, scoreCol: String, joinOn: String,
+        sumTo: String, outCol: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("node", joinOn), joinOn)
+        .select(col(sumTo).as("node"), (col("__w") * col(scoreCol)).as("__x"))
+        .groupBy("node").agg(sum("__x").as("__raw"))
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      checkpointer(full
+        .crossJoin(broadcast(full.agg(sum("__raw").as("__tot"))))
+        .select(col("node"), expr(normalize).as(outCol)))
+    }
+    var hubs = checkpointer(nodes.withColumn("hub_micro", lit(1000000L)))
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val nextA = halfRound(hubs, "hub_micro", "src", "dst", "auth_micro")
+      if (auths != null) Checkpointer.release(auths)
+      auths = nextA
+      val nextH = halfRound(auths, "auth_micro", "dst", "src", "hub_micro")
+      Checkpointer.release(hubs)
+      hubs = nextH
+      i += 1
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("hub_micro"), col("auth_micro"))
+    Checkpointer.release(e)
+    Checkpointer.release(nodes)
+    out
+  }
 }

@@ -2527,7 +2527,23 @@ object Extensions {
     graft.operators.LinkRank.triangleCounts(edges).orderBy("node")
   }
 
+  /** q202 — HITS hub/authority scores ([[LinkRank.hits]], 2 rounds)
+    * over the q201 host co-citation cycle: the directory-vs-destination
+    * split pageRank's single score can't express, exact integer micro
+    * with the oracle unrolling both rounds. */
+  def q202Hits(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val h1 = concat(col("source"), lit(".example.com"))
+    val h2 = concat(col("lang"), lit(".site.org"))
+    val h3 = concat(lit("b"), (col("n_chars") % 7).cast("string"), lit(".net"))
+    val edges = d.select(h1.as("src"), h2.as("dst"))
+      .union(d.select(h2.as("src"), h3.as("dst")))
+      .union(d.select(h3.as("src"), h1.as("dst")))
+    graft.operators.LinkRank.hits(edges, iters = 2).orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_hits" -> (q202Hits _),
     "q201_triangles" -> (q201Triangles _),
     "q200_freq_spectrum" -> (q200FreqSpectrum _),
     "q199_preference_pairs" -> (q199PreferencePairs _),
@@ -3254,7 +3270,44 @@ object Extensions {
       |  FROM t)""".stripMargin) ++ tops ++ dups).mkString(",\n")
   }
 
+  /** One unrolled HITS round for the q202 oracle: auth from prevH,
+    * normalize, hub from that auth, normalize — the engine's decimal
+    * floor division replayed as HUGEINT `//`. */
+  private def hitsRoundSql(i: Int, prevH: String): String =
+    s"""ra$i AS (SELECT e.t AS node, sum(e.w * $prevH.h)::BIGINT AS raw
+      |  FROM e JOIN $prevH ON $prevH.node = e.s GROUP BY e.t),
+      |af$i AS (SELECT n.node, coalesce(ra$i.raw, 0)::BIGINT AS raw
+      |  FROM n LEFT JOIN ra$i USING (node)),
+      |at$i AS (SELECT sum(raw)::BIGINT AS tot FROM af$i),
+      |aa$i AS (SELECT node, CASE WHEN tot > 0
+      |    THEN ((raw::HUGEINT * 1000000) // tot)::BIGINT ELSE 0 END AS a
+      |  FROM af$i CROSS JOIN at$i),
+      |rh$i AS (SELECT e.s AS node, sum(e.w * aa$i.a)::BIGINT AS raw
+      |  FROM e JOIN aa$i ON aa$i.node = e.t GROUP BY e.s),
+      |hf$i AS (SELECT n.node, coalesce(rh$i.raw, 0)::BIGINT AS raw
+      |  FROM n LEFT JOIN rh$i USING (node)),
+      |ht$i AS (SELECT sum(raw)::BIGINT AS tot FROM hf$i),
+      |hh$i AS (SELECT node, CASE WHEN tot > 0
+      |    THEN ((raw::HUGEINT * 1000000) // tot)::BIGINT ELSE 0 END AS h
+      |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q202_hits" ->
+      (s"""WITH d AS (SELECT source || '.example.com' AS h1,
+        |    lang || '.site.org' AS h2,
+        |    'b' || (n_chars % 7)::VARCHAR || '.net' AS h3 FROM documents),
+        |r AS (SELECT h1 AS s, h2 AS t FROM d
+        |  UNION ALL SELECT h2, h3 FROM d
+        |  UNION ALL SELECT h3, h1 FROM d),
+        |e AS (SELECT s, t, count(1)::BIGINT AS w FROM r
+        |  WHERE s IS NOT NULL AND t IS NOT NULL GROUP BY s, t),
+        |n AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+        |h0 AS (SELECT node, 1000000::BIGINT AS h FROM n),
+        |${hitsRoundSql(1, "h0")},
+        |${hitsRoundSql(2, "hh1")}
+        |SELECT n.node, hh2.h AS hub_micro, aa2.a AS auth_micro
+        |FROM n JOIN hh2 USING (node) JOIN aa2 USING (node)
+        |ORDER BY n.node""".stripMargin),
     "q201_triangles" ->
       ("""WITH d AS (SELECT source || '.example.com' AS h1,
         |    lang || '.site.org' AS h2,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** [[LinkRank.hits]]: hand-computed star values, equality with a
+  * BigInt reference on seeded random multigraphs (floor-normalization
+  * and all), multiplicity-as-weight, and NULL-endpoint drops. */
+class HitsSpec extends SparkSpec {
+
+  private def run(edges: Seq[(String, String)], iters: Int = 2): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    LinkRank.hits(edges.toDF("src", "dst"), iters = iters).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  private def ref(edges: Seq[(String, String)], iters: Int): Map[String, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != null && p._2 != null)
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    def normalize(raw: Map[String, Long]): Map[String, Long] = {
+      val tot = raw.values.sum
+      if (tot <= 0) raw.map { case (k, _) => k -> 0L }
+      else raw.map { case (k, v) =>
+        k -> ((BigInt(v) * 1000000) / BigInt(tot)).toLong
+      }
+    }
+    (0 until iters).foreach { _ =>
+      val rawA = nodes.map(n =>
+        n -> e.filter(_._2 == n).map(t => t._3 * h(t._1)).sum).toMap
+      a = normalize(rawA)
+      val rawH = nodes.map(n =>
+        n -> e.filter(_._1 == n).map(t => t._3 * a(t._2)).sum).toMap
+      h = normalize(rawH)
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("a pure directory star splits hub and authority exactly") {
+    val got = run(Seq(("d", "a"), ("d", "b"), ("d", "c")))
+    assert(got("d") == ((1000000L, 0L)), s"directory: ${got("d")}")
+    assert(got("a") == ((0L, 333333L)))
+    assert(got("b") == ((0L, 333333L)))
+    assert(got("c") == ((0L, 333333L)))
+  }
+
+  test("seeded random multigraphs match the BigInt reference") {
+    val rnd = new Random(5)
+    val edges = (0 until 250).map(_ =>
+      (s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+    assert(run(edges) == ref(edges, 2))
+    assert(run(edges, iters = 3) == ref(edges, 3))
+  }
+
+  test("parallel edges weigh multiply and NULL endpoints drop") {
+    val thin = run(Seq(("u", "x"), ("v", "y")))
+    assert(thin("x")._2 == thin("y")._2, "symmetric single links")
+    val fat = run(Seq(("u", "x"), ("u", "x"), ("u", "x"), ("v", "y"),
+      (null, "y"), ("v", null)))
+    assert(fat("x")._2 > fat("y")._2, "triple link must out-score single")
+    assert(fat == ref(Seq(("u", "x"), ("u", "x"), ("u", "x"), ("v", "y")), 2))
+  }
+}
