@@ -1,0 +1,101 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** `winnow_select(array<long> hashes, w) ->
+  * array<struct<pos: long, hash: long>>` — robust winnowing (Schleimer,
+  * Wilkerson & Aiken 2003, the MOSS fingerprinter): slide a window of
+  * `w` consecutive k-gram hashes and select each window's MINIMUM,
+  * ties to the RIGHTMOST occurrence, recording each selected
+  * (position, hash) once. The guarantee that makes it the local
+  * fingerprinting scheme: any shared run of w + k − 1 characters
+  * between two documents yields at least one IDENTICAL selected
+  * fingerprint in both, while only ~2/(w+1) of all k-grams are kept —
+  * unlike every-i-th sampling, which an insertion shifts out of
+  * alignment.
+  *
+  * One O(L) kernel pass per row with a monotonic index deque (append
+  * pops every index whose hash is ≥ the newcomer, so the deque head is
+  * always the window's rightmost minimum) — the
+  * `transform(sequence, …)` equivalent interprets an O(w) lambda per
+  * window per row, the exact shape [[WordShingles]] replaced. Selected
+  * positions are non-decreasing as the window slides, so consecutive
+  * dedup IS global dedup (spec-pinned).
+  *
+  * Fewer than w hashes (but ≥ 1): the whole array is treated as one
+  * window — short documents still fingerprint instead of vanishing.
+  * Empty input → empty output; NULL → NULL. Positions are 0-based. */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = WinnowSelect.outType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_select"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else WinnowSelect.kernel(v.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.WinnowSelect.kernel(${childGen.value}, $w);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  val outType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", LongType, nullable = false),
+      StructField("hash", LongType, nullable = false))),
+    containsNull = false)
+
+  def kernel(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hashes.getLong(i); i += 1 }
+    val win = if (n < w) n else w
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque holds indices in dq(head until tail)
+    var lastSel = -1
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      while (dq(head) <= i - win) head += 1
+      if (i >= win - 1) {
+        val sel = dq(head)
+        if (sel != lastSel) {
+          out += new GenericInternalRow(Array[Any](sel.toLong, h(sel)))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(hashes: Column, w: Int): Column =
+    ColumnBridge.toColumn(WinnowSelect(ColumnBridge.toExpression(hashes), w))
+}

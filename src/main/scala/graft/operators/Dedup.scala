@@ -1072,4 +1072,30 @@ object Dedup {
           .otherwise(col("inter") / col("min_sz")), 6).as("containment"))
       .filter(col("containment") >= minContainment)
   }
+  /** Winnowing fingerprint table (Schleimer et al. 2003 via
+    * [[graft.expressions.WinnowSelect]]): per document, the robust
+    * local fingerprints of its word k-gram stream — one (doc, pos,
+    * hash) row per selected fingerprint, plus the doc's total k-gram
+    * count. This is the copy-detection primitive BETWEEN exact dedup
+    * and MinHash: a self-join on `fp_hash` finds documents sharing any
+    * run of w + k − 1 words with ~2/(w+1) of the index size of a full
+    * k-gram table, and an insertion or deletion elsewhere in the page
+    * cannot shift the shared region's fingerprints (the guarantee
+    * every-i-th sampling lacks).
+    *
+    * Scale shape: hashing + selection is ONE zero-shuffle codegen
+    * projection (md5 per k-gram, then the O(L) deque kernel); the only
+    * rows that leave the scan are the selected ~2/(w+1) fraction via
+    * the explode. Join-side discipline is the caller's (bucket-cap a
+    * fp_hash self-join exactly like the LSH band join — ubiquitous
+    * boilerplate fingerprints are the same hazard as hot bands). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = wordShingles(coalesce(col(textCol), lit("")), k)
+    val hashes = transform(grams, g => tokenHash(g))
+    df.select(col(idCol), size(grams).cast("long").as("n_kgrams"),
+        explode_outer(graft.expressions.WinnowSelect(hashes, w)).as("fp"))
+      .select(col(idCol), col("n_kgrams"),
+        col("fp.pos").as("fp_pos"), col("fp.hash").as("fp_hash"))
+  }
 }

@@ -2542,7 +2542,24 @@ object Extensions {
     graft.operators.LinkRank.hits(edges, iters = 2).orderBy("node")
   }
 
+  /** q203 — winnowing fingerprints ([[graft.operators.Dedup.winnowFingerprints]],
+    * word 3-grams, window 4): per doc the selected-fingerprint count,
+    * position sum, and modular hash sum pin the exact MOSS selection;
+    * density sits near the theoretical 2/(w+1). */
+  def q203Winnow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.winnowFingerprints(
+        Tables(spark, dir, "documents"), "doc_id", "text")
+      .groupBy("doc_id", "n_kgrams").agg(
+        count(col("fp_hash")).as("n_fp"),
+        coalesce(sum("fp_pos"), lit(0L)).as("sum_pos"),
+        coalesce(sum(expr("fp_hash % 1000000007")), lit(0L)).as("hash_mod_sum"))
+      .withColumn("density_milli",
+        when(col("n_kgrams") > 0L, expr("n_fp * 1000 DIV n_kgrams"))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_winnow" -> (q203Winnow _),
     "q202_hits" -> (q202Hits _),
     "q201_triangles" -> (q201Triangles _),
     "q200_freq_spectrum" -> (q200FreqSpectrum _),
@@ -3292,6 +3309,37 @@ object Extensions {
       |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q203_winnow" ->
+      ("""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 3 + 2),
+        |    i -> array_to_string(toks[i : i + 2], ' ')) AS grams FROM t),
+        |hsh AS (SELECT doc_id, len(grams)::BIGINT AS nk,
+        |    list_transform(grams, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM g),
+        |hp0 AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+        |    i -> {'p': i - 1, 'h': hs[i]})) AS ph FROM hsh),
+        |hp AS (SELECT doc_id, ph.p AS p, ph.h AS h FROM hp0),
+        |ws AS (SELECT doc_id, least(nk, 4) AS win,
+        |    unnest(range(0, nk - least(nk, 4) + 1)) AS s
+        |  FROM hsh WHERE nk > 0),
+        |j AS (SELECT w.doc_id, w.s, h.p, h.h FROM ws w JOIN hp h
+        |  ON h.doc_id = w.doc_id AND h.p >= w.s AND h.p < w.s + w.win),
+        |m AS (SELECT doc_id, s, min(h) AS mh FROM j GROUP BY doc_id, s),
+        |sel AS (SELECT j.doc_id, j.s, m.mh, max(j.p) AS sp FROM j JOIN m
+        |  ON m.doc_id = j.doc_id AND m.s = j.s AND j.h = m.mh
+        |  GROUP BY j.doc_id, j.s, m.mh),
+        |f AS (SELECT DISTINCT doc_id, sp, mh FROM sel),
+        |ag AS (SELECT doc_id, count(1)::BIGINT AS n_fp, sum(sp)::BIGINT AS sum_pos,
+        |    sum(mh % 1000000007)::BIGINT AS hash_mod_sum FROM f GROUP BY doc_id)
+        |SELECT h.doc_id, h.nk AS n_kgrams, coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+        |  coalesce(a.sum_pos, 0)::BIGINT AS sum_pos,
+        |  coalesce(a.hash_mod_sum, 0)::BIGINT AS hash_mod_sum,
+        |  CASE WHEN h.nk > 0 THEN coalesce(a.n_fp, 0) * 1000 // h.nk
+        |       ELSE 0 END::BIGINT AS density_milli
+        |FROM hsh h LEFT JOIN ag a USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin),
     "q202_hits" ->
       (s"""WITH d AS (SELECT source || '.example.com' AS h1,
         |    lang || '.site.org' AS h2,

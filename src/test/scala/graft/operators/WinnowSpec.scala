@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expressions.WinnowSelect
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[graft.expressions.WinnowSelect]] / [[Dedup.winnowFingerprints]]:
+  * the deque kernel matches a brute per-window rightmost-min reference
+  * (ties included), selection positions are non-decreasing so
+  * consecutive dedup is global dedup, the shared-run guarantee holds
+  * under insertion, and the fingerprint projection is zero-shuffle. */
+class WinnowSpec extends SparkSpec {
+
+  private def kernelRun(hs: Seq[Long], w: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    Seq(hs).toDF("h")
+      .select(explode(WinnowSelect(col("h"), w)).as("fp"))
+      .select(col("fp.pos"), col("fp.hash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  private def brute(hs: Seq[Long], w: Int): Seq[(Long, Long)] = {
+    if (hs.isEmpty) return Seq.empty
+    val win = math.min(hs.length, w)
+    (0 to hs.length - win).map { s =>
+      val window = hs.slice(s, s + win)
+      val mh = window.min
+      val sp = (s until s + win).filter(i => hs(i) == mh).max
+      (sp.toLong, mh)
+    }.distinct
+  }
+
+  test("seeded random hash streams match the per-window reference, ties included") {
+    val rnd = new Random(3)
+    (0 until 30).foreach { _ =>
+      val hs = Seq.fill(2 + rnd.nextInt(40))(rnd.nextInt(8).toLong)
+      val w = 1 + rnd.nextInt(6)
+      assert(kernelRun(hs, w) == brute(hs, w), s"hs=$hs w=$w")
+    }
+  }
+
+  test("all-equal hashes select the rightmost of each window") {
+    assert(kernelRun(Seq(5L, 5L, 5L, 5L, 5L), 3) ==
+      Seq((2L, 5L), (3L, 5L), (4L, 5L)))
+  }
+
+  test("short streams fingerprint as one whole-array window; empty yields none") {
+    assert(kernelRun(Seq(9L, 2L, 7L), 4) == Seq((1L, 2L)))
+    assert(kernelRun(Seq(4L), 4) == Seq((0L, 4L)))
+    assert(kernelRun(Seq.empty, 4).isEmpty)
+  }
+
+  test("a shared word run yields an identical fingerprint despite an unrelated insertion") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = s"intro words here $shared closing remarks"
+    val b = s"completely different and longer preamble text $shared other tail"
+    val fp = Dedup.winnowFingerprints(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+    val h1 = fp.filter(col("doc_id") === 1L).select("fp_hash").collect().map(_.getLong(0)).toSet
+    val h2 = fp.filter(col("doc_id") === 2L).select("fp_hash").collect().map(_.getLong(0)).toSet
+    assert((h1 & h2).nonEmpty, "shared run of w+k-1 words must share a fingerprint")
+  }
+
+  test("the fingerprint projection is zero-shuffle and keeps empty docs via explode_outer") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(df, "doc_id", "text")
+    assert(!fp.queryExecution.executedPlan.toString.contains("Exchange"))
+    val empty = fp.filter(col("doc_id") === 2L).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(3))
+  }
+}
