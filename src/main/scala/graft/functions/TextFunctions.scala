@@ -252,6 +252,45 @@ object TextFunctions {
     * corpora would raise it toward ln 64 ≈ 4.16. */
   val secretEntropyFloorMicro = 2000000L
 
+  /** Flesch reading ease + Flesch–Kincaid grade (Flesch 1948, Kincaid
+    * et al. 1975) as exact integer milli-scores — the curation lever
+    * that targets a corpus at a reading level ("drop grade > 16
+    * academese, keep 6–12 prose"). Components, all stated so the
+    * oracle can replay them: sentences = maximal `[.!?]+` runs; words
+    * = [[tokens]]; syllables per word = `[aeiouy]+` vowel groups,
+    * floored at 1 for any non-empty word (the standard cheap heuristic
+    * — no silent-e subtraction, documented divergence from full
+    * dictionaries). Each ratio term floor-divides in integer milli
+    * (`1015·W DIV S`, not a float multiply), so the score is
+    * bit-identical on any engine; W = 0 or S = 0 → NULL scores (counts
+    * still emitted), NULL text → NULL row. One codegen projection,
+    * zero shuffle. Returns struct(n_sentences, n_words, n_syllables,
+    * fre_milli, fk_grade_milli). */
+  def readability(text: Column): Column = {
+    val nSent = regexp_count(text, lit("[.!?]+")).cast("long")
+    val ws = tokens(text)
+    val nWords = size(ws).cast("long")
+    val nSyl = aggregate(ws, lit(0L), (a, w) =>
+      a + greatest(regexp_count(w, lit("[aeiouy]+")),
+        when(length(w) > 0, 1).otherwise(0)).cast("long"))
+    val ok = nSent > 0L && nWords > 0L
+    // Exact long floor division without expr(): (a - a mod b) is an
+    // exact multiple of b and per-doc magnitudes sit far below 2^53,
+    // so the double division is exact (CaseWhen evaluates lazily — the
+    // guarded branch never divides by zero).
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    struct(
+      nSent.as("n_sentences"),
+      nWords.as("n_words"),
+      nSyl.as("n_syllables"),
+      when(ok, lit(206835L) - fdiv(lit(1015L) * nWords, nSent) -
+          fdiv(lit(84600L) * nSyl, nWords))
+        .otherwise(lit(null).cast("long")).as("fre_milli"),
+      when(ok, fdiv(lit(390L) * nWords, nSent) +
+          fdiv(lit(11800L) * nSyl, nWords) - lit(15590L))
+        .otherwise(lit(null).cast("long")).as("fk_grade_milli"))
+  }
+
   /** Credential scan for training corpora — the leak gate that runs
     * BEFORE a model memorizes somebody's API key: pattern hits plus
     * entropy-gated base64 candidates, as one codegen projection (the

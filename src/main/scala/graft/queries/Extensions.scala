@@ -2558,7 +2558,21 @@ object Extensions {
           .otherwise(lit(0L)))
       .orderBy("doc_id")
 
+  /** q204 — Flesch reading ease + Flesch–Kincaid grade
+    * ([[TextFunctions.readability]]) in exact integer milli: the
+    * reading-level curation lever beside entropy (q185) and the form
+    * gates (q107/q194). */
+  def q204Readability(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.readability(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_sentences").as("n_sentences"),
+        col("s.n_words").as("n_words"), col("s.n_syllables").as("n_syllables"),
+        col("s.fre_milli").as("fre_milli"),
+        col("s.fk_grade_milli").as("fk_grade_milli"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_readability" -> (q204Readability _),
     "q203_winnow" -> (q203Winnow _),
     "q202_hits" -> (q202Hits _),
     "q201_triangles" -> (q201Triangles _),
@@ -3309,6 +3323,23 @@ object Extensions {
       |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q204_readability" ->
+      (s"""WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS ns,
+        |    $toksSql AS toks FROM documents),
+        |m AS (SELECT doc_id, ns, len(toks)::BIGINT AS nw,
+        |    list_sum(list_transform(toks, w -> greatest(
+        |      len(regexp_extract_all(w, '[aeiouy]+')),
+        |      CASE WHEN length(w) > 0 THEN 1 ELSE 0 END)))::BIGINT AS sy
+        |  FROM c)
+        |SELECT doc_id, ns AS n_sentences, nw AS n_words, sy AS n_syllables,
+        |  CASE WHEN ns > 0 AND nw > 0
+        |       THEN 206835 - (1015 * nw // ns) - (84600 * sy // nw)
+        |       ELSE NULL END::BIGINT AS fre_milli,
+        |  CASE WHEN ns > 0 AND nw > 0
+        |       THEN (390 * nw // ns) + (11800 * sy // nw) - 15590
+        |       ELSE NULL END::BIGINT AS fk_grade_milli
+        |FROM m ORDER BY doc_id""".stripMargin),
     "q203_winnow" ->
       ("""WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks

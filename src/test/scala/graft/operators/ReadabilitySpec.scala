@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** [[TextFunctions.readability]]: hand-computed milli-scores, the
+  * stated syllable heuristic, NULL/degenerate guards, and a
+  * zero-shuffle plan. */
+class ReadabilitySpec extends SparkSpec {
+
+  private def run(text: Option[String]): (Option[Long], Option[Long], Option[Long], Option[Long], Option[Long]) = {
+    import spark.implicits._
+    val r = Seq(text).toDF("t")
+      .select(TextFunctions.readability(col("t")).as("s"))
+      .select("s.n_sentences", "s.n_words", "s.n_syllables", "s.fre_milli",
+        "s.fk_grade_milli")
+      .collect().head
+    def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+    (g(0), g(1), g(2), g(3), g(4))
+  }
+
+  test("hand-computed monosyllabic prose") {
+    // 2 sentence runs, 9 words, 9 vowel groups
+    val got = run(Some("The cat sat on the mat. It was fat!"))
+    assert(got == ((Some(2L), Some(9L), Some(9L),
+      Some(206835L - 9135L / 2 - 84600L), Some(1755L + 11800L - 15590L))), got)
+  }
+
+  test("multi-syllable words count vowel groups") {
+    val got = run(Some("Beautiful analysis requires patience."))
+    assert(got._1 == Some(1L) && got._2 == Some(4L) && got._3 == Some(13L), got)
+    assert(got._4 == Some(206835L - 4060L - 84600L * 13 / 4), got)
+    assert(got._5 == Some(1560L + 38350L - 15590L), got)
+  }
+
+  test("a vowel-free word still counts one syllable; no-sentence text yields NULL scores") {
+    val punct = run(Some("..."))
+    assert(punct == ((Some(1L), Some(1L), Some(1L),
+      Some(206835L - 1015L - 84600L), Some(390L + 11800L - 15590L))), punct)
+    val noSent = run(Some("just words no ending"))
+    assert(noSent._1 == Some(0L) && noSent._4 == None && noSent._5 == None)
+    assert(run(None) == ((None, None, None, None, None)))
+  }
+
+  test("the projection is zero-shuffle") {
+    import spark.implicits._
+    val plan = Seq("x.").toDF("t")
+      .select(TextFunctions.readability(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
