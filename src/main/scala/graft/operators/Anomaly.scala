@@ -60,4 +60,68 @@ object Anomaly {
         expr("abs(__z.__xs - element_at(__ew, __i)) * 1000 DIV greatest(element_at(__ew, __i), 1L)")
           .as("dev_milli"))
   }
+
+  /** Two-sided tabular CUSUM (Page 1954) over the same keyed-series
+    * shape as [[ewmaDeviation]] — the drift detector for SMALL
+    * PERSISTENT shifts EWMA's per-point deviation misses (a +4% bias
+    * in a source's hourly volume never trips a spike gate, but its
+    * cumulative sum walks over any threshold):
+    *
+    *   S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − slack)
+    *   S⁻ₜ = max(0, S⁻ₜ₋₁ + μ − slack − xₜ)       (all in cents)
+    *
+    * with μ either the caller's known target or, by default, the
+    * series' own truncating-integer mean (`sum DIV n` — the audit
+    * convention; a streaming monitor must pass an explicit target,
+    * see [[graft.streaming.StreamingAnomaly.cusum]]). Alarm fires
+    * while S⁺ or S⁻ exceeds `thresholdCents`. Arithmetic is pure
+    * long add/compare — the recursion is EXACT (no rounding at all),
+    * so the oracle can verify it through the independent prefix
+    * identity S⁺ₜ = Pₜ − min_{0≤j≤t} Pⱼ (P = running sum of the
+    * slack-adjusted deltas): two different formulations agreeing in
+    * exact integers is the strongest check in this family.
+    *
+    * Same bounded-series collect contract and sort-by-(order, value)
+    * duplicate folding as [[ewmaDeviation]]. Values may be any sign
+    * (no ratio denominators). Output: one row per point:
+    * (seriesCol, orderCol, cents, mu_cents, s_pos, s_neg, alarm). */
+  def cusumAlarms(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String, slackCents: Long, thresholdCents: Long,
+      targetCents: Option[Long] = None): DataFrame = {
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents > 0, s"thresholdCents must be > 0, got $thresholdCents")
+    val k = slackCents
+    val packed = df
+      .groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))
+      .select(col(seriesCol),
+        expr("transform(__evs, e -> e.__o)").as("__os"),
+        expr("transform(__evs, e -> e.__c)").as("__xs"))
+      .withColumn("__mu", targetCents.map(t => lit(t)).getOrElse(
+        expr("aggregate(__xs, 0L, (a, x) -> a + x) DIV size(__xs)")))
+    val fold = expr(
+      s"""aggregate(__xs,
+         |  named_struct('sp', 0L, 'sn', 0L,
+         |    'l', CAST(array() AS ARRAY<STRUCT<sp: BIGINT, sn: BIGINT>>)),
+         |  (acc, x) -> named_struct(
+         |    'sp', greatest(0L, acc.sp + x - __mu - ${k}L),
+         |    'sn', greatest(0L, acc.sn + __mu - ${k}L - x),
+         |    'l', concat(acc.l, array(named_struct(
+         |      'sp', greatest(0L, acc.sp + x - __mu - ${k}L),
+         |      'sn', greatest(0L, acc.sn + __mu - ${k}L - x))))))""".stripMargin)
+    packed.withColumn("__ss", fold("l"))
+      .select(col(seriesCol), col("__mu"),
+        posexplode(arrays_zip(col("__os"), col("__xs"), col("__ss")))
+          .as(Seq("__i", "__z")))
+      .select(col(seriesCol),
+        col("__z.__os").as(orderCol),
+        col("__z.__xs").as("cents"),
+        col("__mu").as("mu_cents"),
+        col("__z.__ss.sp").as("s_pos"),
+        col("__z.__ss.sn").as("s_neg"),
+        when(col("__z.__ss.sp") > thresholdCents ||
+            col("__z.__ss.sn") > thresholdCents, 1L)
+          .otherwise(0L).as("alarm"))
+  }
 }

@@ -2571,7 +2571,24 @@ object Extensions {
         col("s.fk_grade_milli").as("fk_grade_milli"))
       .orderBy("doc_id")
 
+  /** q205 — two-sided CUSUM drift alarms
+    * ([[graft.operators.Anomaly.cusumAlarms]]) over the q181 hourly
+    * volume series (slack 1000, threshold 100000 cents, series-mean
+    * target): the small-persistent-shift detector beside EWMA's spike
+    * gate. The oracle verifies the recursion through the independent
+    * prefix-minimum identity. */
+  def q205Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    graft.operators.Anomaly.cusumAlarms(hourly, "event_type", "hour", "cents",
+        slackCents = 1000L, thresholdCents = 100000L)
+      .orderBy("event_type", "hour")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_cusum" -> (q205Cusum _),
     "q204_readability" -> (q204Readability _),
     "q203_winnow" -> (q203Winnow _),
     "q202_hits" -> (q202Hits _),
@@ -3323,6 +3340,27 @@ object Extensions {
       |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q205_cusum" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, (sum(cents) // count(1))::BIGINT AS mu
+        |  FROM h GROUP BY event_type),
+        |d AS (SELECT h.event_type, h.hour, h.cents, m.mu,
+        |    h.cents - m.mu - 1000 AS dp, m.mu - 1000 - h.cents AS dn
+        |  FROM h JOIN m USING (event_type)),
+        |p AS (SELECT event_type, hour, cents, mu,
+        |    sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hour, cents
+        |    ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT event_type, hour, cents, mu,
+        |    (pp - least(min(pp) OVER w2, 0))::BIGINT AS s_pos,
+        |    (pn - least(min(pn) OVER w2, 0))::BIGINT AS s_neg
+        |  FROM p WINDOW w2 AS (PARTITION BY event_type ORDER BY hour, cents
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, hour, cents, mu AS mu_cents, s_pos, s_neg,
+        |  CASE WHEN s_pos > 100000 OR s_neg > 100000 THEN 1 ELSE 0 END::BIGINT AS alarm
+        |FROM s ORDER BY event_type, hour""".stripMargin),
     "q204_readability" ->
       (s"""WITH c AS (SELECT doc_id,
         |    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS ns,

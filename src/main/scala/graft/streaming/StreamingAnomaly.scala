@@ -32,6 +32,41 @@ object StreamingAnomaly {
   private[streaming] def step(alphaMilli: Int, ewmaPrev: Long, x: Long): Long =
     (alphaMilli * x + (1000 - alphaMilli) * ewmaPrev) / 1000
 
+  /** Streaming two-sided CUSUM — the O(1)-state face of
+    * [[graft.operators.Anomaly.cusumAlarms]]: 16 bytes (S⁺, S⁻) per
+    * series. The reference mean MUST be an explicit target here (an
+    * unbounded stream has no "series mean" to default to — that
+    * asymmetry with the batch default is the point, not an omission).
+    * Same exact long recursion, same sort-by-(order, value)
+    * intra-trigger repair and cross-trigger ordering contract as
+    * [[ewmaDeviation]]; a stream processed across N triggers emits
+    * row-for-row what the batch operator computes on the union with
+    * the same target (spec-pinned parity). Emits one row per point:
+    * (series, order, cents, s_pos, s_neg, alarm). */
+  def cusum(rows: Dataset[(String, Long, Long)], targetCents: Long,
+      slackCents: Long, thresholdCents: Long)
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(thresholdCents > 0, s"thresholdCents must be > 0, got $thresholdCents")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          val pts = it.map { case (_, o, x) => (o, x) }.toArray.sorted
+          var (sp, sn) = if (state.exists) state.get else (0L, 0L)
+          val out = pts.map { case (o, x) =>
+            sp = math.max(0L, sp + x - targetCents - slackCents)
+            sn = math.max(0L, sn + targetCents - slackCents - x)
+            (series, o, x, sp, sn,
+              if (sp > thresholdCents || sn > thresholdCents) 1L else 0L)
+          }
+          state.update((sp, sn))
+          out.iterator
+      }
+  }
+
   def ewmaDeviation(rows: Dataset[(String, Long, Long)],
       alphaMilli: Int): Dataset[(String, Long, Long, Long, Long)] = {
     require(alphaMilli >= 1 && alphaMilli <= 999,

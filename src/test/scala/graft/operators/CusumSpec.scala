@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.StreamingAnomaly
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import scala.util.Random
+
+/** [[Anomaly.cusumAlarms]] + [[StreamingAnomaly.cusum]]: the recursion
+  * matches the independent prefix-minimum identity on random series, a
+  * small persistent shift alarms where the EWMA spike gate stays
+  * quiet, explicit-target and default-mean paths agree, and the
+  * streamed face is row-identical to batch across triggers. */
+class CusumSpec extends SparkSpec {
+
+  private def refPrefix(xs: Seq[Long], mu: Long, k: Long, h: Long): Seq[(Long, Long, Long)] = {
+    // minP/minN start at P0 = 0 and include the CURRENT prefix — the
+    // identity is S+_t = P_t - min_{0<=j<=t} P_j.
+    var pp = 0L; var pn = 0L; var minP = 0L; var minN = 0L
+    xs.map { x =>
+      pp += x - mu - k; pn += mu - k - x
+      minP = math.min(minP, pp); minN = math.min(minN, pn)
+      val sp = pp - minP
+      val sn = pn - minN
+      (sp, sn, if (sp > h || sn > h) 1L else 0L)
+    }
+  }
+
+  private def runBatch(xs: Seq[Long], k: Long, h: Long,
+      target: Option[Long] = None): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("series", "o", "cents")
+    Anomaly.cusumAlarms(df, "series", "o", "cents", k, h, target)
+      .orderBy("o").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+  }
+
+  test("recursion == prefix-minimum identity on seeded random series, any sign") {
+    val rnd = new Random(17)
+    (0 until 20).foreach { _ =>
+      val xs = Seq.fill(2 + rnd.nextInt(30))((rnd.nextInt(4001) - 2000).toLong)
+      val mu = { val s = xs.sum; s / xs.length } // trunc toward zero
+      val got = runBatch(xs, 100L, 500L)
+      assert(got.forall(_._1 == mu), "mean")
+      assert(got.map(t => (t._2, t._3, t._4)) == refPrefix(xs, mu, 100L, 500L),
+        s"xs=$xs mu=$mu")
+    }
+  }
+
+  test("a +4% persistent shift alarms while no single point spikes") {
+    // 20 points at 1000, then 20 at 1040 against target 1000 with zero
+    // slack: S+ walks 40 per point and crosses 400 after 10 shifted
+    // points; no point deviates more than 4% from the target.
+    val xs = Seq.fill(20)(1000L) ++ Seq.fill(20)(1040L)
+    val got = runBatch(xs, 0L, 400L, target = Some(1000L))
+    assert(got.take(20).forall(_._4 == 0L), "pre-shift must be quiet")
+    assert(got.drop(30).forall(_._4 == 1L), "sustained shift must alarm")
+    assert(got(29)._2 == 400L && got(29)._4 == 0L, "exactly at threshold: no alarm yet")
+  }
+
+  test("duplicate order keys fold by (order, value) like the EWMA face") {
+    import spark.implicits._
+    val df = Seq(("s", 1L, 30L), ("s", 1L, 10L), ("s", 2L, 20L))
+      .toDF("series", "o", "cents")
+    val got = Anomaly.cusumAlarms(df, "series", "o", "cents", 0L, 1000L,
+        Some(0L)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toSeq.sortBy(r => (r._1, r._2))
+    // sorted points: (1,10),(1,30),(2,20): S+ = 10, 40, 60
+    assert(got == Seq((1L, 10L, 10L), (1L, 30L, 40L), (2L, 20L, 60L)))
+  }
+
+  test("stream == batch with an explicit target across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("a", 1L, 900L), ("a", 2L, 1100L), ("b", 1L, 2000L))
+    val batch2 = Seq(("a", 3L, 1500L), ("a", 4L, 1500L), ("b", 2L, 100L))
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamingAnomaly.cusum(in.toDS(), targetCents = 1000L,
+        slackCents = 50L, thresholdCents = 600L)
+      .toDF("series", "o", "cents", "s_pos", "s_neg", "alarm")
+    val q = out.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batch = Anomaly.cusumAlarms(
+          (batch1 ++ batch2).toDF("series", "o", "cents"),
+          "series", "o", "cents", 50L, 600L, Some(1000L))
+        .select("series", "o", "cents", "s_pos", "s_neg", "alarm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(t => t._1 == "a" && t._6 == 1L),
+        "series a's sustained +500 shift must alarm")
+    } finally q.stop()
+  }
+
+  test("the batch plan is one partial agg — no window") {
+    import spark.implicits._
+    val df = Seq(("s", 1L, 1L)).toDF("series", "o", "cents")
+    val plan = Anomaly.cusumAlarms(df, "series", "o", "cents", 0L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+}
