@@ -612,4 +612,63 @@ object Export {
       n.cast("long").as("n_tokens"),
       when(applied, fim).otherwise(col(textCol)).as("fim_text"))
   }
+  /** Deterministic BERT-style MLM sample construction (Devlin et al.
+    * 2019's 15% / 80-10-10 rule, parameterized): every token position
+    * draws its selection and action from md5 of (doc id, position) —
+    * NOT from an RNG — so the same corpus yields byte-identical masked
+    * samples on any engine, partitioning, or rerun (the fimTransform
+    * salted-cut-point discipline), and the oracle replays every
+    * decision. Selected positions become `[MASK]` (maskMilli/1000 of
+    * them), a deterministic random vocab token (randMilli/1000, drawn
+    * by a third hash from the caller's vocab, sorted ascending so both
+    * engines index the same array; an EMPTY vocab keeps the original
+    * token, fail-open, documented), or stay unchanged. Labels carry
+    * `pos:original` for every selected position — the training target
+    * the masked stream alone cannot reconstruct.
+    *
+    * Scale shape: one broadcast of the (bounded, topTokens-sized)
+    * vocab array, then a single row-local projection — every per-token
+    * decision is array arithmetic inside the scan, zero shuffle,
+    * stream-safe. Output: (idCol, n_tokens, n_selected, n_mask,
+    * n_random, n_keep, masked_text, labels_str). */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, selMilli: Int = 150, maskMilli: Int = 800,
+      randMilli: Int = 100): DataFrame = {
+    require(selMilli >= 1 && selMilli <= 1000, s"selMilli in [1,1000], got $selMilli")
+    require(maskMilli >= 0 && randMilli >= 0 && maskMilli + randMilli <= 1000,
+      s"mask+rand must fit in [0,1000], got $maskMilli+$randMilli")
+    val varr = vocab.agg(sort_array(collect_list(col("token"))).as("__varr"))
+    val base = docs.select(col(idCol),
+        col(idCol).cast("string").as("__id"),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws"))
+      .crossJoin(broadcast(varr))
+    def h(sfx: String) =
+      s"CAST(conv(substring(md5(concat(__id, ':', CAST(i AS STRING)$sfx)), 1, 15), 16, 10) AS BIGINT)"
+    val sel = s"pmod(${h("")}, 1000) < $selMilli"
+    val act = s"pmod(${h(", ':a'")}, 1000)"
+    val rep = s"""CASE WHEN size(__varr) > 0
+      THEN element_at(__varr, CAST(pmod(${h(", ':r'")}, size(__varr)) AS INT) + 1)
+      ELSE element_at(__ws, i + 1) END"""
+    val keepTok = "element_at(__ws, i + 1)"
+    // __ws is never empty (tokens('') = ['']), so sequence(0, size-1)
+    // is always ascending.
+    val seq = "sequence(0, size(__ws) - 1)"
+    base.select(col(idCol),
+      size(col("__ws")).cast("long").as("n_tokens"),
+      expr(s"CAST(size(filter($seq, i -> $sel)) AS BIGINT)").as("n_selected"),
+      expr(s"CAST(size(filter($seq, i -> $sel AND $act < $maskMilli)) AS BIGINT)")
+        .as("n_mask"),
+      expr(s"CAST(size(filter($seq, i -> $sel AND $act >= $maskMilli AND $act < ${maskMilli + randMilli})) AS BIGINT)")
+        .as("n_random"),
+      expr(s"CAST(size(filter($seq, i -> $sel AND $act >= ${maskMilli + randMilli})) AS BIGINT)")
+        .as("n_keep"),
+      expr(s"""array_join(transform($seq, i -> CASE
+          WHEN NOT ($sel) THEN $keepTok
+          WHEN $act < $maskMilli THEN '[MASK]'
+          WHEN $act < ${maskMilli + randMilli} THEN $rep
+          ELSE $keepTok END), ' ')""").as("masked_text"),
+      expr(s"""array_join(transform(filter($seq, i -> $sel),
+          i -> concat(CAST(i AS STRING), ':', element_at(__ws, i + 1))), ' ')""")
+        .as("labels_str"))
+  }
 }

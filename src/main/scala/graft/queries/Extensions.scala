@@ -2587,7 +2587,19 @@ object Extensions {
       .orderBy("event_type", "hour")
   }
 
+  /** q206 — deterministic MLM masking ([[graft.operators.Export.mlmMask]],
+    * 15% / 80-10-10 over the top-50 vocab): the BERT sample
+    * constructor whose every mask/replace decision is md5-derived and
+    * replayed by the oracle. */
+  def q206MlmMask(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Export.mlmMask(d, "doc_id", "text",
+        Vocab.topTokens(d, "text", 50))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_mlm_mask" -> (q206MlmMask _),
     "q205_cusum" -> (q205Cusum _),
     "q204_readability" -> (q204Readability _),
     "q203_winnow" -> (q203Winnow _),
@@ -3340,6 +3352,46 @@ object Extensions {
       |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q206_mlm_mask" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |vv AS (SELECT list_sort(list(tok)) AS varr FROM
+        |  (SELECT tok FROM (SELECT tok, count(1) AS n FROM tk GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 50))),
+        |t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, varr, range(0, len(toks)) AS seq FROM t CROSS JOIN vv),
+        |f AS (SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(seq, i ->
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150))::BIGINT AS n_selected,
+        |  len(list_filter(seq, i ->
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150
+        |    AND ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 < 800))::BIGINT AS n_mask,
+        |  len(list_filter(seq, i ->
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150
+        |    AND ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 >= 800
+        |    AND ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 < 900))::BIGINT AS n_random,
+        |  len(list_filter(seq, i ->
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150
+        |    AND ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 >= 900))::BIGINT AS n_keep,
+        |  array_to_string(list_transform(seq, i -> CASE
+        |    WHEN NOT (('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150)
+        |      THEN toks[i + 1]
+        |    WHEN ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 < 800
+        |      THEN '[MASK]'
+        |    WHEN ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':a'), 1, 15))::BIGINT % 1000 < 900
+        |      THEN (CASE WHEN len(varr) > 0 THEN varr[CAST((('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':r'), 1, 15))::BIGINT % len(varr)) AS INT) + 1] ELSE toks[i + 1] END)
+        |    ELSE toks[i + 1] END), ' ') AS masked_text,
+        |  -- array_to_string([]) is NULL in DuckDB where Spark's
+        |  -- array_join gives '': coalesce for the zero-selection doc
+        |  coalesce(array_to_string(list_transform(list_filter(seq, i ->
+        |    ('0x' || substring(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 < 150),
+        |    i -> i::VARCHAR || ':' || toks[i + 1]), ' '), '') AS labels_str
+        |  FROM x)
+        |SELECT doc_id, n_tokens, n_selected, n_mask, n_random, n_keep,
+        |  masked_text, labels_str
+        |FROM f ORDER BY doc_id""".stripMargin),
     "q205_cusum" ->
       ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[Export.mlmMask]]: the 15%/80-10-10 accounting is internally
+  * consistent, unselected positions pass through verbatim, labels
+  * reconstruct every selected original, decisions are deterministic
+  * under repartitioning, empty vocab fails open on the random branch,
+  * and the projection shuffles nothing. */
+class MlmMaskSpec extends SparkSpec {
+
+  private def vocabDf = {
+    import spark.implicits._
+    Seq("alpha", "beta", "gamma").toDF("token")
+  }
+
+  private def mask(docs: Seq[(Long, String)], vocab: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    Export.mlmMask(docs.toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+  }
+
+  test("counts are consistent and the selection rate is plausible on a long doc") {
+    val rnd = new Random(9)
+    val words = (0 until 2000).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+    val r = mask(Seq((7L, words)), vocabDf).head
+    val (nt, ns, nm, nr, nk) = (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    assert(nt == 2000L)
+    assert(nm + nr + nk == ns, "action partition must tile the selection")
+    assert(ns > 2000 * 0.10 && ns < 2000 * 0.20, s"~15% selected, got $ns")
+    assert(nm > nr && nm > nk, "mask dominates 80-10-10")
+    val masked = r.getString(6).split(" ", -1)
+    assert(masked.length == 2000, "masking never changes token count")
+    assert(masked.count(_ == "[MASK]") == nm)
+  }
+
+  test("unselected positions pass through and labels reconstruct selected originals") {
+    val words = (0 until 300).map(i => s"tok$i")
+    val r = mask(Seq((3L, words.mkString(" "))), vocabDf).head
+    val masked = r.getString(6).split(" ", -1)
+    val labels = r.getString(7).split(" ", -1).filter(_.nonEmpty)
+      .map { s => val Array(p, t) = s.split(":", 2); (p.toInt, t) }.toMap
+    words.indices.foreach { i =>
+      if (labels.contains(i)) assert(labels(i) == words(i), s"label at $i")
+      else assert(masked(i) == words(i), s"unselected $i must pass through")
+    }
+    assert(labels.size == r.getLong(2))
+  }
+
+  test("decisions are identical under repartitioning and rerun") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"some words here number $i repeated tokens"))
+    val a = Export.mlmMask(docs.toDF("doc_id", "text").repartition(13),
+      "doc_id", "text", vocabDf).orderBy("doc_id").collect().map(_.toSeq)
+    val b = Export.mlmMask(docs.toDF("doc_id", "text").repartition(1),
+      "doc_id", "text", vocabDf).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("an empty vocab fails open: random-branch positions keep their original token") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("token")
+    val words = (0 until 500).map(i => s"v$i")
+    val r = mask(Seq((11L, words.mkString(" "))), empty).head
+    assert(r.getLong(4) > 0L, "fixture must exercise the random branch")
+    val masked = r.getString(6).split(" ", -1)
+    words.indices.foreach { i =>
+      assert(masked(i) == "[MASK]" || masked(i) == words(i),
+        s"pos $i: with no vocab only MASK or passthrough is possible")
+    }
+  }
+
+  test("the projection is shuffle-free (vocab broadcast aside)") {
+    import spark.implicits._
+    val plan = Export.mlmMask(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", vocabDf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle:\n${plan.take(500)}")
+  }
+}
