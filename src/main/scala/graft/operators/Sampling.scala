@@ -269,4 +269,67 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("__esk")
   }
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940):
+    * per-cell resampling weights over a two-way (row x column)
+    * contingency of counts — e.g. (source, language) doc counts — such
+    * that the WEIGHTED marginals chase the caller's target shares on
+    * BOTH axes simultaneously (a per-axis reweighting like
+    * temperatureWeights can hit one margin; only the alternating scale
+    * hits both). `iters` alternations of: scale every cell so its
+    * row's weighted mass matches target_milli/1000 of the grand total,
+    * then likewise for columns.
+    *
+    * Determinism contract: weights are integer micro, each scaling is
+    * one decimal(38) floor division
+    * `w' = (w · target_milli · N · 1000) DIV axisMass` — the desired
+    * axis mass target_milli/1000 · N expressed in micro-mass units —
+    * (DuckDB
+    * HUGEINT `//` replays it), and weights FLOOR AT 1 — a cell driven
+    * to zero would zero its row/column mass and poison later rounds
+    * with 0/0; the 1-micro floor keeps the fixed point well-defined
+    * and is the documented deviation from real-valued IPF. Cells
+    * lacking a target on either axis DROP from the fit (inner joins —
+    * an axis you didn't give a target for is an axis you didn't ask
+    * to fit; pass complete target frames).
+    *
+    * Scale shape per half-round: one partial-agg mass sum keyed by the
+    * axis, one broadcast join of that axis-count-sized frame (plus the
+    * axis targets, same size), one row-local rescale — the cell frame
+    * is (distinct row x col)-sized, checkpointed per round so the plan
+    * cannot double. Output: (rowCol, colCol, n, w_micro). */
+  def ipfWeights(cells: DataFrame, rowCol: String, colCol: String,
+      rowTargets: DataFrame, colTargets: DataFrame, iters: Int = 2,
+      checkpointer: graft.operators.Checkpointer =
+        graft.operators.Checkpointer.Local): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val rt = broadcast(rowTargets.select(col(rowCol),
+      col("target_milli").as("__rt")))
+    val ct = broadcast(colTargets.select(col(colCol),
+      col("target_milli").as("__ct")))
+    val tot = cells.agg(sum(col("n")).as("__N"))
+    var cur = checkpointer(cells
+      .filter(col("n") > 0L)
+      .select(col(rowCol), col(colCol), col("n").cast("long").as("n"))
+      .join(rt, rowCol).join(ct, colCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("w_micro", lit(1000000L)))
+    def halfRound(frame: DataFrame, axis: String, target: String): DataFrame = {
+      val mass = frame.groupBy(col(axis))
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * w_micro")).as("__s"))
+      frame.join(broadcast(mass), axis)
+        .withColumn("w_micro", expr(
+          s"greatest(1L, CAST((CAST(w_micro AS DECIMAL(38,0)) * $target * __N * 1000) DIV __s AS BIGINT))"))
+        .drop("__s")
+    }
+    var i = 0
+    while (i < iters) {
+      val a = checkpointer(halfRound(cur, rowCol, "__rt"))
+      graft.operators.Checkpointer.release(cur)
+      val b = checkpointer(halfRound(a, colCol, "__ct"))
+      graft.operators.Checkpointer.release(a)
+      cur = b
+      i += 1
+    }
+    cur.select(col(rowCol), col(colCol), col("n"), col("w_micro"))
+  }
 }

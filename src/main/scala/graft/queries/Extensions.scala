@@ -2598,7 +2598,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q207 — IPF / raking cell weights ([[Sampling.ipfWeights]],
+    * 2 rounds) over the (source, lang) doc-count contingency with
+    * uniform targets on both axes: the resampling weights that chase
+    * both marginals at once. The oracle unrolls all four half-rounds
+    * in HUGEINT. */
+  def q207IpfWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(coalesce(col("source"), lit("")).as("source"),
+        coalesce(col("lang"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("n"))
+    def uniform(key: String): DataFrame = {
+      val ks = cells.select(col(key)).distinct()
+      ks.crossJoin(broadcast(ks.agg(count(lit(1)).as("__k"))))
+        .select(col(key), expr("1000 DIV __k").as("target_milli"))
+    }
+    Sampling.ipfWeights(cells, "source", "lang",
+        uniform("source"), uniform("lang"), iters = 2)
+      .orderBy("source", "lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_ipf_weights" -> (q207IpfWeights _),
     "q206_mlm_mask" -> (q206MlmMask _),
     "q205_cusum" -> (q205Cusum _),
     "q204_readability" -> (q204Readability _),
@@ -3351,7 +3372,34 @@ object Extensions {
       |    THEN ((raw::HUGEINT * 1000000) // tot)::BIGINT ELSE 0 END AS h
       |  FROM hf$i CROSS JOIN ht$i)""".stripMargin
 
+  /** One IPF half-round for the q207 oracle: mass per axis, then the
+    * HUGEINT floor rescale with the 1-micro floor. */
+  private def ipfHalfSql(i: Int, prev: String, axis: String,
+      targets: String): String =
+    s"""m$i AS (SELECT $axis, sum(n::HUGEINT * w) AS s FROM $prev GROUP BY $axis),
+      |c$i AS (SELECT c.source, c.lang, c.n,
+      |    greatest(1, ((c.w::HUGEINT * t.target_milli * tt.n_total * 1000) // m$i.s)::BIGINT) AS w
+      |  FROM $prev c JOIN m$i USING ($axis) JOIN $targets t USING ($axis) CROSS JOIN tt)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q207_ipf_weights" ->
+      (s"""WITH cells AS (SELECT coalesce(source, '') AS source,
+        |    coalesce(lang, '') AS lang, count(1)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source,
+        |    (1000 // (SELECT count(DISTINCT source) FROM cells))::BIGINT AS target_milli
+        |  FROM (SELECT DISTINCT source FROM cells)),
+        |ct AS (SELECT lang,
+        |    (1000 // (SELECT count(DISTINCT lang) FROM cells))::BIGINT AS target_milli
+        |  FROM (SELECT DISTINCT lang FROM cells)),
+        |tt AS (SELECT sum(n)::BIGINT AS n_total FROM cells),
+        |c0 AS (SELECT source, lang, n, 1000000::BIGINT AS w FROM cells WHERE n > 0),
+        |${ipfHalfSql(1, "c0", "source", "rt")},
+        |${ipfHalfSql(2, "c1", "lang", "ct")},
+        |${ipfHalfSql(3, "c2", "source", "rt")},
+        |${ipfHalfSql(4, "c3", "lang", "ct")}
+        |SELECT source, lang, n, w AS w_micro FROM c4
+        |ORDER BY source, lang""".stripMargin),
     "q206_mlm_mask" ->
       (s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
         |vv AS (SELECT list_sort(list(tok)) AS varr FROM

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[Sampling.ipfWeights]]: equality with a BigInt reference replay on
+  * seeded random contingencies, marginal convergence toward uniform
+  * targets on a skewed table, the 1-micro floor, target-less cells
+  * dropping, and a windowless plan. */
+class IpfSpec extends SparkSpec {
+
+  private def targetsDf(keys: Seq[String], milli: Seq[Long], name: String): DataFrame = {
+    import spark.implicits._
+    keys.zip(milli).toDF(name, "target_milli")
+  }
+
+  private def run(cells: Seq[(String, String, Long)],
+      rt: DataFrame, ct: DataFrame, iters: Int = 2): Map[(String, String), Long] = {
+    import spark.implicits._
+    Sampling.ipfWeights(cells.toDF("r", "c", "n"), "r", "c", rt, ct, iters)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+  }
+
+  /** BigInt replay of the exact floor arithmetic. */
+  private def ref(cells: Seq[(String, String, Long)], rt: Map[String, Long],
+      ct: Map[String, Long], iters: Int): Map[(String, String), Long] = {
+    val base = cells.filter(_._3 > 0)
+      .filter(c => rt.contains(c._1) && ct.contains(c._2))
+    val n = base.map(_._3).sum
+    var w = base.map(c => (c._1, c._2) -> 1000000L).toMap
+    def half(byRow: Boolean, t: Map[String, Long]): Unit = {
+      val mass = base.groupBy(c => if (byRow) c._1 else c._2)
+        .map { case (k, cs) =>
+          k -> cs.map(c => BigInt(c._3) * w((c._1, c._2))).sum
+        }
+      w = base.map { c =>
+        val k = if (byRow) c._1 else c._2
+        val next = (BigInt(w((c._1, c._2))) * t(k) * n * 1000) / mass(k)
+        (c._1, c._2) -> next.toLong.max(1L)
+      }.toMap
+    }
+    (0 until iters).foreach { _ => half(byRow = true, rt); half(byRow = false, ct) }
+    w
+  }
+
+  test("seeded random contingencies match the BigInt replay exactly") {
+    val rnd = new Random(31)
+    val rows = Seq("r1", "r2", "r3")
+    val cols = Seq("c1", "c2", "c3", "c4")
+    val cells = for (r <- rows; c <- cols if rnd.nextInt(5) > 0)
+      yield (r, c, (1 + rnd.nextInt(500)).toLong)
+    val rtM = rows.map(_ -> (200L + rnd.nextInt(500))).toMap
+    val ctM = cols.map(_ -> (100L + rnd.nextInt(300))).toMap
+    val got = run(cells, targetsDf(rows, rows.map(rtM), "r"),
+      targetsDf(cols, cols.map(ctM), "c"), iters = 3)
+    assert(got == ref(cells, rtM, ctM, 3))
+  }
+
+  test("uniform targets pull a skewed table's weighted marginals toward uniform") {
+    val cells = Seq(("a", "x", 900L), ("a", "y", 50L), ("b", "x", 30L), ("b", "y", 20L))
+    val got = run(cells,
+      targetsDf(Seq("a", "b"), Seq(500L, 500L), "r"),
+      targetsDf(Seq("x", "y"), Seq(500L, 500L), "c"), iters = 4)
+    val mass = cells.map { case (r, c, n) => (r, c, BigInt(n) * got((r, c))) }
+    val tot = mass.map(_._3).sum
+    val rowA = mass.filter(_._1 == "a").map(_._3).sum * 1000 / tot
+    val colX = mass.filter(_._2 == "x").map(_._3).sum * 1000 / tot
+    assert((rowA - 500).abs <= 30, s"row a share $rowA")
+    assert((colX - 500).abs <= 30, s"col x share $colX")
+  }
+
+  test("a zero target floors weights at 1 micro instead of dividing to zero") {
+    val cells = Seq(("a", "x", 10L), ("b", "x", 10L))
+    val got = run(cells,
+      targetsDf(Seq("a", "b"), Seq(0L, 1000L), "r"),
+      targetsDf(Seq("x"), Seq(1000L), "c"))
+    assert(got(("a", "x")) >= 1L, "floored, never 0")
+    assert(got(("a", "x")) < got(("b", "x")))
+  }
+
+  test("cells without a target on either axis drop from the fit") {
+    val cells = Seq(("a", "x", 10L), ("zz", "x", 10L), ("a", "qq", 10L))
+    val got = run(cells, targetsDf(Seq("a"), Seq(1000L), "r"),
+      targetsDf(Seq("x"), Seq(1000L), "c"))
+    assert(got.keySet == Set(("a", "x")))
+  }
+
+  test("the plan is windowless with broadcast mass joins") {
+    import spark.implicits._
+    val plan = Sampling.ipfWeights(
+      Seq(("a", "x", 5L)).toDF("r", "c", "n"), "r", "c",
+      targetsDf(Seq("a"), Seq(1000L), "r"), targetsDf(Seq("x"), Seq(1000L), "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+}
