@@ -1,0 +1,128 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `wordpiece_encode(array<string> tokens) ->
+  * struct(pieces array<string>, n_unk long)` — greedy
+  * longest-match-first WordPiece segmentation (Wu et al. 2016, the
+  * BERT tokenizer's inference pass): per word, the longest vocabulary
+  * prefix is emitted, the remainder matches continuation pieces
+  * (`##`-prefixed), and a word with NO match at any step becomes one
+  * `[UNK]` (counted in n_unk) — the all-or-nothing rule of the
+  * published algorithm, NOT a partial emission. The vocabulary rides
+  * as a preprocessed [[WordPieceEncode.Model]] reference object (the
+  * [[BpeSegment]] policy: a 30k-piece vocab as a plan literal would
+  * bloat codegen; a reference object ships once per executor).
+  *
+  * Greedy-longest-match is the INFERENCE complement to
+  * [[graft.operators.Vocab.bpeTrain]]'s merge replay: same subword
+  * idea, O(len · maxPieceLen) per word with a hash-set probe per
+  * candidate length instead of a merge loop. Splitting is by CODE
+  * POINT (the house rule — astral chars must not shear into
+  * surrogates). One kernel pass per row, zero shuffle. NULL → NULL. */
+case class WordPieceEncode(child: Expression, model: WordPieceEncode.Model)
+  extends UnaryExpression {
+
+  override def dataType: DataType = WordPieceEncode.outType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "wordpiece_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else WordPieceEncode.kernel(v.asInstanceOf[ArrayData], model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("wpModel", model,
+      classOf[WordPieceEncode.Model].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.WordPieceEncode.kernel(${childGen.value}, $modelRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncode =
+    copy(child = newChild)
+}
+
+object WordPieceEncode {
+
+  val outType: StructType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("n_unk", LongType, nullable = false)))
+
+  /** Vocabulary split by role: `heads` match at word start, `conts`
+    * (stored WITHOUT the ## prefix) match continuations.
+    * `maxPieceLen` bounds the greedy probe in code points. */
+  final class Model(val heads: Set[String], val conts: Set[String],
+      val maxPieceLen: Int) extends Serializable
+
+  def build(vocab: Seq[String]): Model = {
+    val (c, h) = vocab.partition(_.startsWith("##"))
+    val conts = c.map(_.drop(2)).filter(_.nonEmpty).toSet
+    val heads = h.filter(_.nonEmpty).toSet
+    val maxLen = (heads ++ conts).iterator
+      .map(s => s.codePointCount(0, s.length)).foldLeft(1)(math.max)
+    new Model(heads, conts, maxLen)
+  }
+
+  /** Greedy segmentation of one word's code points; returns null on
+    * no-match (caller emits [UNK]). */
+  private def segment(word: Array[Int], m: Model): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    var start = 0
+    val n = word.length
+    while (start < n) {
+      val table = if (start == 0) m.heads else m.conts
+      var len = math.min(m.maxPieceLen, n - start)
+      var matched: String = null
+      while (len >= 1 && matched == null) {
+        val cand = new String(word, start, len)
+        if (table.contains(cand)) matched = cand
+        len -= 1
+      }
+      if (matched == null) return null
+      out += (if (start == 0) matched else "##" + matched)
+      start += matched.codePointCount(0, matched.length)
+    }
+    out
+  }
+
+  def kernel(tokens: ArrayData, m: Model): InternalRow = {
+    val pieces = new scala.collection.mutable.ArrayBuffer[Any]
+    var unk = 0L
+    val nTok = tokens.numElements()
+    var i = 0
+    while (i < nTok) {
+      val w = tokens.getUTF8String(i).toString
+      if (w.nonEmpty) {
+        val cps = w.codePoints().toArray
+        val segs = segment(cps, m)
+        if (segs == null) {
+          pieces += UTF8String.fromString("[UNK]")
+          unk += 1L
+        } else segs.foreach(p => pieces += UTF8String.fromString(p))
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(pieces.toArray), unk))
+  }
+
+  def apply(tokens: Column, model: Model): Column =
+    ColumnBridge.toColumn(WordPieceEncode(ColumnBridge.toExpression(tokens), model))
+}

@@ -629,6 +629,31 @@ object Vocab {
       .withColumn("cum_vocab", sum("n_novel").over(w))
   }
 
+  /** Greedy WordPiece encoding over a piece vocabulary
+    * ([[graft.expressions.WordPieceEncode]] — see its scaladoc for the
+    * algorithm and the all-or-nothing UNK rule). The vocabulary is
+    * compiled ONCE on the driver into the expression's reference-object
+    * model (never a plan literal); the scan-side work is one
+    * zero-shuffle codegen projection. Output: (idCol, n_words,
+    * n_pieces, n_unk, fertility_milli, pieces_str). */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabPieces: Seq[String]): DataFrame = {
+    val m = graft.expressions.WordPieceEncode.build(vocabPieces)
+    val words = filter(
+      graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+      w => length(w) > 0)
+    df.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        graft.expressions.WordPieceEncode(words, m).as("__wp"))
+      .select(col(idCol), col("n_words"),
+        size(col("__wp.pieces")).cast("long").as("n_pieces"),
+        col("__wp.n_unk").as("n_unk"),
+        when(col("n_words") > 0L,
+          expr("size(__wp.pieces) * 1000 DIV n_words")).otherwise(0L)
+          .as("fertility_milli"),
+        array_join(col("__wp.pieces"), " ").as("pieces_str"))
+  }
+
   /** Good–Turing frequency-of-frequencies spectrum (Good 1953): N_r =
     * how many distinct tokens occur exactly r times, the smoothed
     * count r* = (r+1)·N_{r+1}/N_r in integer micro (NULL where the

@@ -2618,7 +2618,36 @@ object Extensions {
       .orderBy("source", "lang")
   }
 
+  /** q208's fixed piece vocabulary — full ASCII-letter/digit/punct
+    * singles (so ordinary words always segment) plus a handful of
+    * multi-char heads and continuations; the artifact stand-in a
+    * production pipeline would train (q143's bpeTrain family). ONE
+    * definition feeds both the engine model and the oracle's SQL
+    * lists. */
+  private val wpVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq(".", ",", "!", "?", "-", "_", "(", ")", ":", ";", "/")
+    singles ++ singles.map("##" + _) ++
+      Seq("the", "and", "ship", "data", "fast", "key", "slow", "merge",
+        "filter", "customer", "value", "group", "small", "big", "order") ++
+      Seq("##ing", "##ed", "##er", "##s", "##tion", "##ment")
+  }
+
+  /** q208 — greedy WordPiece encoding ([[Vocab.wordpieceEncode]]) over
+    * the fixed q208 vocabulary, with a snowman-prefixed word injected
+    * every 7th doc to pin the all-or-nothing [UNK] rule. The oracle
+    * replays the greedy longest-match loop as a recursive CTE. */
+  def q208Wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" \u2603snow")))
+          .otherwise(col("text")).as("text"))
+    Vocab.wordpieceEncode(d, "doc_id", "text", wpVocab).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_wordpiece" -> (q208Wordpiece _),
     "q207_ipf_weights" -> (q207IpfWeights _),
     "q206_mlm_mask" -> (q206MlmMask _),
     "q205_cusum" -> (q205Cusum _),
@@ -3381,7 +3410,59 @@ object Extensions {
       |    greatest(1, ((c.w::HUGEINT * t.target_milli * tt.n_total * 1000) // m$i.s)::BIGINT) AS w
       |  FROM $prev c JOIN m$i USING ($axis) JOIN $targets t USING ($axis) CROSS JOIN tt)""".stripMargin
 
+  /** q208 oracle: the greedy longest-match step as a recursive CTE.
+    * `<L>` (the longest matching piece length at the cursor) is one
+    * list_filter over descending candidate lengths, inlined at each
+    * use site; vocab lists come from the SAME [[wpVocab]]. */
+  private def wordpieceSql: String = {
+    def sqlList(ps: Seq[String]) = ps.map(p => s"'$p'").mkString("[", ", ", "]")
+    val hv = sqlList(wpVocab.filterNot(_.startsWith("##")))
+    val cv = sqlList(wpVocab.filter(_.startsWith("##")).map(_.drop(2)))
+    val maxLen = wpVocab.map(p => (if (p.startsWith("##")) p.drop(2) else p).length).max
+    val lExpr =
+      s"""list_filter(range(least($maxLen, length(w) - pos), 0, -1),
+         |      x -> list_contains(CASE WHEN pos = 0 THEN $hv ELSE $cv END,
+         |        substring(w, pos + 1, x)))[1]""".stripMargin
+    s"""WITH RECURSIVE
+      |t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |    THEN coalesce(text, '') || ' ' || chr(9731) || 'snow'
+      |    ELSE text END AS text FROM documents),
+      |tok AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+      |    x -> length(x) > 0) AS ws FROM t),
+      |wrd0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      |    i -> {'wi': i, 'w': ws[i]})) AS p FROM tok),
+      |wrd AS (SELECT doc_id, p.wi AS wi, p.w AS w FROM wrd0),
+      |rec AS (
+      |  SELECT doc_id, wi, w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+      |    false AS dead
+      |  FROM wrd
+      |  UNION ALL
+      |  SELECT doc_id, wi, w,
+      |    CASE WHEN ($lExpr) IS NULL THEN length(w) ELSE pos + ($lExpr) END,
+      |    CASE WHEN ($lExpr) IS NULL THEN ['[UNK]']
+      |         WHEN pos = 0 THEN pieces || [substring(w, pos + 1, ($lExpr))]
+      |         ELSE pieces || ['##' || substring(w, pos + 1, ($lExpr))] END,
+      |    ($lExpr) IS NULL
+      |  FROM rec WHERE pos < length(w) AND NOT dead),
+      |fin AS (SELECT doc_id, wi, pieces, dead FROM rec WHERE pos >= length(w)),
+      |ag AS (SELECT doc_id, sum(len(pieces))::BIGINT AS n_pieces,
+      |    sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+      |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY wi) AS pieces_str
+      |  FROM fin GROUP BY doc_id),
+      |nw AS (SELECT doc_id, len(ws)::BIGINT AS n_words FROM tok)
+      |SELECT n.doc_id, n.n_words,
+      |  coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+      |  coalesce(a.n_unk, 0)::BIGINT AS n_unk,
+      |  CASE WHEN n.n_words > 0 THEN coalesce(a.n_pieces, 0) * 1000 // n.n_words
+      |       ELSE 0 END::BIGINT AS fertility_milli,
+      |  coalesce(a.pieces_str, '') AS pieces_str
+      |FROM nw n LEFT JOIN ag a USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q208_wordpiece" -> wordpieceSql,
     "q207_ipf_weights" ->
       (s"""WITH cells AS (SELECT coalesce(source, '') AS source,
         |    coalesce(lang, '') AS lang, count(1)::BIGINT AS n

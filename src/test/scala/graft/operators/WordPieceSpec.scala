@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expressions.WordPieceEncode
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[graft.expressions.WordPieceEncode]] / [[Vocab.wordpieceEncode]]:
+  * the canonical un-aff-able segmentation, greedy-longest-first
+  * against a Scala reference on random words, the all-or-nothing
+  * [UNK] rule, code-point (astral-safe) matching, and a zero-shuffle
+  * projection. */
+class WordPieceSpec extends SparkSpec {
+
+  private def enc(vocab: Seq[String], words: Seq[String]): (Seq[String], Long) = {
+    import spark.implicits._
+    val m = WordPieceEncode.build(vocab)
+    val r = Seq(words).toDF("ws")
+      .select(WordPieceEncode(col("ws"), m).as("e"))
+      .select("e.pieces", "e.n_unk").collect().head
+    (r.getSeq[String](0), r.getLong(1))
+  }
+
+  /** Straightforward string-based reference of the published greedy
+    * loop. */
+  private def ref(vocab: Seq[String], word: String): Option[Seq[String]] = {
+    val heads = vocab.filterNot(_.startsWith("##")).toSet
+    val conts = vocab.filter(_.startsWith("##")).map(_.drop(2)).toSet
+    var pos = 0
+    val out = Seq.newBuilder[String]
+    while (pos < word.length) {
+      val table = if (pos == 0) heads else conts
+      val m = (word.length - pos to 1 by -1).iterator
+        .map(l => word.substring(pos, pos + l)).find(table.contains)
+      m match {
+        case None => return None
+        case Some(p) =>
+          out += (if (pos == 0) p else "##" + p)
+          pos += p.length
+      }
+    }
+    Some(out.result())
+  }
+
+  test("the canonical un ##aff ##able segmentation") {
+    val vocab = Seq("un", "aff", "##aff", "##able", "a", "##a", "b", "##b")
+    val (pieces, unk) = enc(vocab, Seq("unaffable"))
+    assert(pieces == Seq("un", "##aff", "##able") && unk == 0L)
+  }
+
+  test("greedy longest-first matches the reference on seeded random words") {
+    val vocab = Seq("a", "b", "c", "##a", "##b", "##c", "ab", "##ab",
+      "##bc", "abc", "##ca", "cab")
+    val rnd = new Random(13)
+    (0 until 200).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(12))
+        .map(_ => "abc" (rnd.nextInt(3))).mkString
+      val (pieces, unk) = enc(vocab, Seq(w))
+      ref(vocab, w) match {
+        case Some(ps) => assert(pieces == ps && unk == 0L, s"word $w")
+        case None => assert(pieces == Seq("[UNK]") && unk == 1L, s"word $w")
+      }
+    }
+  }
+
+  test("all-or-nothing: a single unmatched tail voids the whole word") {
+    val vocab = Seq("ab", "a", "b", "##a", "##b")
+    val (pieces, unk) = enc(vocab, Seq("abz", "ab"))
+    assert(pieces == Seq("[UNK]", "ab") && unk == 1L)
+  }
+
+  test("matching is by code point: an astral piece never shears into surrogates") {
+    val clef = new String(Character.toChars(0x1D11E)) // one astral cp
+    val vocab = Seq(clef, "##x", "x")
+    val (pieces, unk) = enc(vocab, Seq(clef + "x", "x" + clef))
+    assert(pieces == Seq(clef, "##x", "[UNK]") && unk == 1L,
+      s"got $pieces ($unk)")
+  }
+
+  test("empty words are skipped and the wrapper emits consistent counts") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab  ab"), (2L, Seq.fill(3)("zq").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Vocab.wordpieceEncode(df, "doc_id", "text",
+        Seq("ab", "a", "##b")).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 3L &&
+      got(0).getLong(3) == 0L && got(0).getString(5) == "ab ab ab")
+    assert(got(1).getLong(3) == 3L && got(1).getString(5) == "[UNK] [UNK] [UNK]")
+    val plan = Vocab.wordpieceEncode(df, "doc_id", "text", Seq("a"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
