@@ -91,7 +91,11 @@ object Anomaly {
     require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
     require(thresholdCents > 0, s"thresholdCents must be > 0, got $thresholdCents")
     val k = slackCents
+    // NULL values drop BEFORE packing: a NULL delta would silently
+    // reset both cumulative sums (greatest ignores NULL) and poison
+    // the default mean — an unmeasured point must not suppress alarms.
     val packed = df
+      .filter(col(centsCol).isNotNull)
       .groupBy(col(seriesCol))
       .agg(sort_array(collect_list(struct(
         col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))

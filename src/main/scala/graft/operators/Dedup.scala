@@ -1091,9 +1091,15 @@ object Dedup {
     * boilerplate fingerprints are the same hazard as hot bands). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
-    val grams = wordShingles(coalesce(col(textCol), lit("")), k)
-    val hashes = transform(grams, g => tokenHash(g))
-    df.select(col(idCol), size(grams).cast("long").as("n_kgrams"),
+    val toks = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    val hashes = transform(wordShingles(coalesce(col(textCol), lit("")), k),
+      g => tokenHash(g))
+    // n_kgrams = max(n_words - k + 1, 0) arithmetically — sizing the
+    // shingle ARRAY here would evaluate the shingle+md5 chain a second
+    // time (the Project can't share with the Generate's copy).
+    df.select(col(idCol),
+        greatest(size(toks).cast("long") - lit((k - 1).toLong), lit(0L))
+          .as("n_kgrams"),
         explode_outer(graft.expressions.WinnowSelect(hashes, w)).as("fp"))
       .select(col(idCol), col("n_kgrams"),
         col("fp.pos").as("fp_pos"), col("fp.hash").as("fp_hash"))

@@ -649,26 +649,31 @@ object Export {
     val rep = s"""CASE WHEN size(__varr) > 0
       THEN element_at(__varr, CAST(pmod(${h(", ':r'")}, size(__varr)) AS INT) + 1)
       ELSE element_at(__ws, i + 1) END"""
-    val keepTok = "element_at(__ws, i + 1)"
-    // __ws is never empty (tokens('') = ['']), so sequence(0, size-1)
-    // is always ascending.
-    val seq = "sequence(0, size(__ws) - 1)"
+    // ONE transform computes every per-token decision (3 md5s per
+    // token); the six consumers below are then six copies of an
+    // IDENTICAL subtree, which whole-stage codegen's subexpression
+    // elimination evaluates once — hashes buried in six DIFFERENT
+    // lambdas would be recomputed per consumer (lambda bodies are
+    // excluded from CSE). __ws is never empty (tokens('') = ['']), so
+    // sequence(0, size-1) is always ascending.
+    val dec = s"""transform(sequence(0, size(__ws) - 1), i -> named_struct(
+        'i', i, 'tok', element_at(__ws, i + 1), 'sel', $sel, 'act', $act,
+        'out', CASE WHEN NOT ($sel) THEN element_at(__ws, i + 1)
+                    WHEN $act < $maskMilli THEN '[MASK]'
+                    WHEN $act < ${maskMilli + randMilli} THEN $rep
+                    ELSE element_at(__ws, i + 1) END))"""
     base.select(col(idCol),
       size(col("__ws")).cast("long").as("n_tokens"),
-      expr(s"CAST(size(filter($seq, i -> $sel)) AS BIGINT)").as("n_selected"),
-      expr(s"CAST(size(filter($seq, i -> $sel AND $act < $maskMilli)) AS BIGINT)")
+      expr(s"CAST(size(filter($dec, d -> d.sel)) AS BIGINT)").as("n_selected"),
+      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act < $maskMilli)) AS BIGINT)")
         .as("n_mask"),
-      expr(s"CAST(size(filter($seq, i -> $sel AND $act >= $maskMilli AND $act < ${maskMilli + randMilli})) AS BIGINT)")
+      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act >= $maskMilli AND d.act < ${maskMilli + randMilli})) AS BIGINT)")
         .as("n_random"),
-      expr(s"CAST(size(filter($seq, i -> $sel AND $act >= ${maskMilli + randMilli})) AS BIGINT)")
+      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act >= ${maskMilli + randMilli})) AS BIGINT)")
         .as("n_keep"),
-      expr(s"""array_join(transform($seq, i -> CASE
-          WHEN NOT ($sel) THEN $keepTok
-          WHEN $act < $maskMilli THEN '[MASK]'
-          WHEN $act < ${maskMilli + randMilli} THEN $rep
-          ELSE $keepTok END), ' ')""").as("masked_text"),
-      expr(s"""array_join(transform(filter($seq, i -> $sel),
-          i -> concat(CAST(i AS STRING), ':', element_at(__ws, i + 1))), ' ')""")
+      expr(s"array_join(transform($dec, d -> d.out), ' ')").as("masked_text"),
+      expr(s"""array_join(transform(filter($dec, d -> d.sel),
+          d -> concat(CAST(d.i AS STRING), ':', d.tok)), ' ')""")
         .as("labels_str"))
   }
 }

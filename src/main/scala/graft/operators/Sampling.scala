@@ -306,11 +306,15 @@ object Sampling {
       col("target_milli").as("__rt")))
     val ct = broadcast(colTargets.select(col(colCol),
       col("target_milli").as("__ct")))
-    val tot = cells.agg(sum(col("n")).as("__N"))
-    var cur = checkpointer(cells
+    // N is the mass of the FITTED base — after the n > 0 filter and
+    // the target joins — or dropped cells would inflate every weight
+    // (the reference identity sums over the base, not the raw cells).
+    val base = cells
       .filter(col("n") > 0L)
       .select(col(rowCol), col(colCol), col("n").cast("long").as("n"))
       .join(rt, rowCol).join(ct, colCol)
+    val tot = base.agg(sum(col("n")).as("__N"))
+    var cur = checkpointer(base
       .crossJoin(broadcast(tot))
       .withColumn("w_micro", lit(1000000L)))
     def halfRound(frame: DataFrame, axis: String, target: String): DataFrame = {

@@ -648,10 +648,14 @@ object Vocab {
       .select(col(idCol), col("n_words"),
         size(col("__wp.pieces")).cast("long").as("n_pieces"),
         col("__wp.n_unk").as("n_unk"),
-        when(col("n_words") > 0L,
-          expr("size(__wp.pieces) * 1000 DIV n_words")).otherwise(0L)
-          .as("fertility_milli"),
         array_join(col("__wp.pieces"), " ").as("pieces_str"))
+      // long arithmetic on the already-cast column — `size(...) * 1000`
+      // would multiply in 32-bit and wrap past ~2.1M pieces
+      .withColumn("fertility_milli",
+        when(col("n_words") > 0L, expr("n_pieces * 1000 DIV n_words"))
+          .otherwise(0L))
+      .select(col(idCol), col("n_words"), col("n_pieces"), col("n_unk"),
+        col("fertility_milli"), col("pieces_str"))
   }
 
   /** Good–Turing frequency-of-frequencies spectrum (Good 1953): N_r =

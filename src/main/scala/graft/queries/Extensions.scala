@@ -3473,8 +3473,8 @@ object Extensions {
         |ct AS (SELECT lang,
         |    (1000 // (SELECT count(DISTINCT lang) FROM cells))::BIGINT AS target_milli
         |  FROM (SELECT DISTINCT lang FROM cells)),
-        |tt AS (SELECT sum(n)::BIGINT AS n_total FROM cells),
         |c0 AS (SELECT source, lang, n, 1000000::BIGINT AS w FROM cells WHERE n > 0),
+        |tt AS (SELECT sum(n)::BIGINT AS n_total FROM c0),
         |${ipfHalfSql(1, "c0", "source", "rt")},
         |${ipfHalfSql(2, "c1", "lang", "ct")},
         |${ipfHalfSql(3, "c2", "source", "rt")},
@@ -3526,10 +3526,11 @@ object Extensions {
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |m AS (SELECT event_type, (sum(cents) // count(1))::BIGINT AS mu
-        |  FROM h GROUP BY event_type),
+        |  FROM h WHERE cents IS NOT NULL GROUP BY event_type),
         |d AS (SELECT h.event_type, h.hour, h.cents, m.mu,
         |    h.cents - m.mu - 1000 AS dp, m.mu - 1000 - h.cents AS dn
-        |  FROM h JOIN m USING (event_type)),
+        |  FROM h JOIN m USING (event_type)
+        |  WHERE h.cents IS NOT NULL),
         |p AS (SELECT event_type, hour, cents, mu,
         |    sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hour, cents

@@ -85,6 +85,9 @@ class IpfSpec extends SparkSpec {
     val got = run(cells, targetsDf(Seq("a"), Seq(1000L), "r"),
       targetsDf(Seq("x"), Seq(1000L), "c"))
     assert(got.keySet == Set(("a", "x")))
+    // and the grand total is the FITTED base's mass, not the raw
+    // cells' — dropped cells must not inflate the surviving weights
+    assert(got == ref(cells, Map("a" -> 1000L), Map("x" -> 1000L), 2))
   }
 
   test("the plan is windowless with broadcast mass joins") {
