@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bloom_contains(str) -> boolean` over a driver-built Bloom bitset
+  * ([[BloomContains.Model]] reference object, the [[BpeSegment]]
+  * shipping policy): k md5-derived probes (`md5(s + "#" + j)`'s 60-bit
+  * prefix mod m — the repo's tokenHash arithmetic, so the DuckDB
+  * oracle recomputes the SAME bit positions) against m bits.
+  *
+  * This is the 100 TB decontamination shape: the exact-join gate
+  * ships the whole eval n-gram table through a shuffle; the Bloom
+  * gate broadcasts a FIXED few-MB bitset once and the scan probes it
+  * row-locally — zero shuffle, at the price of a bounded
+  * false-positive rate that the q209 face AUDITS against the exact
+  * join rather than hand-waving. No false negatives, ever (a set bit
+  * is never cleared), so a pass verdict is trustworthy and hits are
+  * what need the exact recheck. NULL → NULL. */
+case class BloomContains(child: Expression, model: BloomContains.Model)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_contains"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else java.lang.Boolean.valueOf(
+      BloomContains.kernel(v.asInstanceOf[UTF8String], model))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("bloomModel", model,
+      classOf[BloomContains.Model].getName)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.BloomContains.kernel(${childGen.value}, $modelRef);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}
+
+object BloomContains {
+
+  /** mBits MUST be a power of two ≤ 2^30; words is the packed bitset. */
+  final class Model(val words: Array[Long], val mBits: Int, val k: Int)
+    extends Serializable
+
+  /** 60-bit md5 prefix of `s`, the [[graft.functions.TextFunctions
+    * .tokenHash]] arithmetic in JVM form. */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    // 64 bits accumulated; keep the top 60 (15 hex chars)
+    h >>> 4
+  }
+
+  def bitPositions(s: String, mBits: Int, k: Int): Array[Int] =
+    Array.tabulate(k)(j => (hash60(s + "#" + j) % mBits).toInt)
+
+  /** Build the bitset from the (bounded, eval-benchmark-sized) n-gram
+    * list — the driver-side artifact build, same contract as the
+    * tokenizer model collects. */
+  def build(ngrams: Iterable[String], mBits: Int, k: Int): Model = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 30),
+      s"mBits must be a power of two <= 2^30, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val words = new Array[Long]((mBits + 63) / 64)
+    ngrams.foreach { g =>
+      bitPositions(g, mBits, k).foreach { p =>
+        words(p >> 6) |= (1L << (p & 63))
+      }
+    }
+    new Model(words, mBits, k)
+  }
+
+  def kernel(s: UTF8String, m: Model): Boolean = {
+    val str = s.toString
+    var j = 0
+    while (j < m.k) {
+      val p = (hash60(str + "#" + j) % m.mBits).toInt
+      if ((m.words(p >> 6) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  def apply(s: Column, model: Model): Column =
+    ColumnBridge.toColumn(BloomContains(ColumnBridge.toExpression(s), model))
+}

@@ -162,4 +162,30 @@ object Decontaminate {
       .select(col("test_id"), col("train_id"), cosMicro.as("cos_micro"))
       .filter(col("cos_micro") >= minCosMicro)
   }
+  /** Bloom-filter decontamination gate
+    * ([[graft.expressions.BloomContains]]): the eval set's word
+    * n-grams become ONE driver-built bitset (bounded by the benchmark
+    * size — the tokenizer-artifact collect contract), and the train
+    * scan probes it row-locally — zero shuffle, where [[ngramHits]]'s
+    * exact join shuffles (doc, gram) pairs against the eval table.
+    * Bloom has no false negatives, so `n_bloom_hits = 0` clears a
+    * document outright; positives are the ones to recheck exactly,
+    * which is precisely what the q209 face does (emitting both counts
+    * makes the realized false-positive rate an OUTPUT, not a hope).
+    * Output: (idCol, n_grams, n_bloom_hits, bloom_milli). */
+  def bloomGate(train: DataFrame, idCol: String, textCol: String,
+      evalNgrams: Seq[String], n: Int = 8, mBits: Int = 1 << 16,
+      k: Int = 5): DataFrame = {
+    val model = graft.expressions.BloomContains.build(evalNgrams, mBits, k)
+    val grams = TextFunctions.wordShingles(coalesce(col(textCol), lit("")), n)
+    train.select(col(idCol), grams.as("__gs"))
+      .select(col(idCol),
+        size(col("__gs")).cast("long").as("n_grams"),
+        size(filter(col("__gs"), g =>
+          graft.expressions.BloomContains(g, model))).cast("long")
+          .as("n_bloom_hits"))
+      .withColumn("bloom_milli",
+        when(col("n_grams") > 0L, expr("n_bloom_hits * 1000 DIV n_grams"))
+          .otherwise(0L))
+  }
 }

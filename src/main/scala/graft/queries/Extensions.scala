@@ -2646,7 +2646,36 @@ object Extensions {
     Vocab.wordpieceEncode(d, "doc_id", "text", wpVocab).orderBy("doc_id")
   }
 
+  /** q209 — Bloom decontamination gate
+    * ([[graft.operators.Decontaminate.bloomGate]], every 50th doc's
+    * 8-grams as the "benchmark") beside the exact join: the broadcast
+    * bitset that replaces the eval-table shuffle at 100 TB, with the
+    * realized false-positive count as an output column. */
+  def q209BloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(coalesce(col("text"), lit("")), 8))
+        .as("g"))
+    val evalDf = grams(d.filter(col("doc_id") % 50 === 0))
+      .select("g").distinct()
+    // driver-side artifact build — bounded by the benchmark's size,
+    // the tokenizer-model collect contract
+    val evalGrams = evalDf.collect().map(_.getString(0)).toSeq
+    val bloom = graft.operators.Decontaminate.bloomGate(d, "doc_id", "text",
+      evalGrams)
+    val exact = grams(d).join(evalDf, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact_hits"))
+    bloom.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_bloom_hits"),
+        col("bloom_milli"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (col("n_bloom_hits") - coalesce(col("n_exact_hits"), lit(0L)))
+          .as("n_false_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_bloom_gate" -> (q209BloomGate _),
     "q208_wordpiece" -> (q208Wordpiece _),
     "q207_ipf_weights" -> (q207IpfWeights _),
     "q206_mlm_mask" -> (q206MlmMask _),
@@ -3462,6 +3491,36 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q209_bloom_gate" ->
+      ("""WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+        |    i -> array_to_string(toks[i : i + 7], ' '))) AS g FROM t),
+        |gc AS (SELECT doc_id, g, count(1)::BIGINT AS c FROM g GROUP BY doc_id, g),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+        |jj AS (SELECT unnest(range(5)) AS j),
+        |eb AS (SELECT DISTINCT
+        |    (('0x' || substring(md5(g || '#' || j::VARCHAR), 1, 15))::BIGINT % 65536) AS bit
+        |  FROM ev CROSS JOIN jj),
+        |gm AS (SELECT gc.doc_id, gc.g, gc.c, count(1) AS nb
+        |  FROM gc CROSS JOIN jj
+        |  JOIN eb ON eb.bit =
+        |    ('0x' || substring(md5(gc.g || '#' || jj.j::VARCHAR), 1, 15))::BIGINT % 65536
+        |  GROUP BY gc.doc_id, gc.g, gc.c),
+        |bm AS (SELECT doc_id, sum(CASE WHEN nb = 5 THEN c ELSE 0 END)::BIGINT AS n_bloom
+        |  FROM gm GROUP BY doc_id),
+        |ex AS (SELECT gc.doc_id, sum(gc.c)::BIGINT AS n_exact
+        |  FROM gc JOIN ev ON ev.g = gc.g GROUP BY gc.doc_id),
+        |ng AS (SELECT doc_id, greatest(len(toks) - 7, 0)::BIGINT AS n_grams FROM t)
+        |SELECT n.doc_id, n.n_grams,
+        |  coalesce(b.n_bloom, 0)::BIGINT AS n_bloom_hits,
+        |  CASE WHEN n.n_grams > 0 THEN coalesce(b.n_bloom, 0) * 1000 // n.n_grams
+        |       ELSE 0 END::BIGINT AS bloom_milli,
+        |  coalesce(e.n_exact, 0)::BIGINT AS n_exact_hits,
+        |  (coalesce(b.n_bloom, 0) - coalesce(e.n_exact, 0))::BIGINT AS n_false_pos
+        |FROM ng n LEFT JOIN bm b USING (doc_id) LEFT JOIN ex e USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin),
     "q208_wordpiece" -> wordpieceSql,
     "q207_ipf_weights" ->
       (s"""WITH cells AS (SELECT coalesce(source, '') AS source,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expressions.BloomContains
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[graft.expressions.BloomContains]] / [[Decontaminate.bloomGate]]:
+  * the hash arithmetic matches the tokenHash/oracle form, membership
+  * has NO false negatives ever, false positives appear (and only
+  * inflate, never deflate) when the filter is undersized, and the gate
+  * is a zero-shuffle projection. */
+class BloomGateSpec extends SparkSpec {
+
+  test("hash60 equals the conv(substring(md5,1,15)) tokenHash arithmetic") {
+    import spark.implicits._
+    val vals = Seq("alpha", "a#0", "\u2603 snow gram", "")
+    val spark60 = Seq(vals).toDF("v")
+      .select(explode(col("v")).as("v"))
+      .select(graft.functions.TextFunctions.tokenHash(col("v")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(spark60 == vals.map(BloomContains.hash60))
+  }
+
+  test("no false negatives at any size; false positives only inflate") {
+    val rnd = new Random(19)
+    val members = (0 until 300).map(_ => s"gram ${rnd.nextInt(100000)} x")
+    val others = (0 until 300).map(_ => s"other ${rnd.nextInt(100000)} y")
+      .filterNot(members.contains)
+    for (m <- Seq(1 << 8, 1 << 16)) {
+      val model = BloomContains.build(members, m, 5)
+      assert(members.forall(g => BloomContains.kernel(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g), model)),
+        s"false negative at m=$m")
+    }
+    val tiny = BloomContains.build(members, 1 << 8, 5)
+    val big = BloomContains.build(members, 1 << 16, 5)
+    val fpTiny = others.count(g => BloomContains.kernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g), tiny))
+    val fpBig = others.count(g => BloomContains.kernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g), big))
+    assert(fpTiny > 0, "a 256-bit filter holding 300 grams must saturate")
+    assert(fpBig <= fpTiny, "more bits cannot create positives")
+  }
+
+  test("bloomGate counts occurrences, floors empty docs, and never undercounts the exact hits") {
+    import spark.implicits._
+    val evalGrams = Seq("a b c d e f g h")
+    val docs = Seq(
+      (1L, "a b c d e f g h tail words beyond"), // contains the eval gram once
+      (2L, "a b c d e f g h a b c d e f g h"),   // twice (overlapping window region)
+      (3L, "totally unrelated words that are long enough to gram"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Decontaminate.bloomGate(docs, "doc_id", "text", evalGrams)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) >= 1L)
+    assert(got(1).getLong(2) >= 2L, "both occurrences must count")
+    assert(got(3).getLong(1) == 0L && got(3).getLong(2) == 0L &&
+      got(3).getLong(3) == 0L)
+  }
+
+  test("the gate is a zero-shuffle projection") {
+    import spark.implicits._
+    val plan = Decontaminate.bloomGate(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", Seq("a b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
