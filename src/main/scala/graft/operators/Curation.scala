@@ -508,4 +508,43 @@ object Curation {
         expr("n_gate_pass * 1000 DIV n_docs").as("gate_pass_milli"),
         col("n_langs"), col("top_lang"), col("top_lang_docs"))
   }
+  /** Declared-language vs dominant-script consistency audit — the
+    * crawl-QA gate that catches mislabeled routing BEFORE a
+    * language-filtered corpus ships (a doc tagged `zh` whose
+    * characters are pure Latin is a labeler bug or spam, whatever the
+    * lang-id column claims): per document, the dominant letter script
+    * from [[TextFunctions.scriptCounts]]'s nine-counter walk (the
+    * seven LETTER scripts only — digits/other can't vote), ties to
+    * the smallest script index, against the script its declared
+    * language implies. Statuses: `match`, `mismatch`,
+    * `unknown_lang` (no expectation on file for that tag — surfaced,
+    * not silently passed), `no_letters` (nothing to vote with).
+    * Zero-shuffle codegen projection. Output: (idCol, lang,
+    * expected_idx, dominant_idx, dominant_count, status). */
+  def langScriptAudit(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val lg = lower(coalesce(col(langCol), lit("")))
+    val expected = when(lg.isin("en", "de", "fr", "es", "it", "pt", "nl"), 0L)
+      .when(lg === "ru", 1L).when(lg === "el", 2L)
+      .when(lg.isin("ar", "fa", "ur"), 3L).when(lg === "hi", 4L)
+      .when(lg === "ko", 5L).when(lg.isin("zh", "ja"), 6L)
+      .otherwise(-1L)
+    val sc = TextFunctions.scriptCounts(coalesce(col(textCol), lit("")))
+    val letters = graft.expressions.ScriptCounts.fields.take(7)
+    docs.select(col(idCol), coalesce(col(langCol), lit("")).as("lang"),
+        expected.as("expected_idx"), sc.as("__sc"))
+      .withColumn("__arr", array(letters.map(f => col(s"__sc.$f")): _*))
+      .select(col(idCol), col("lang"), col("expected_idx"),
+        expr("array_max(__arr)").as("dominant_count"),
+        (expr("array_position(__arr, array_max(__arr))") - 1L)
+          .as("dominant_idx"))
+      .select(col(idCol), col("lang"), col("expected_idx"),
+        when(col("dominant_count") === 0L, -1L).otherwise(col("dominant_idx"))
+          .as("dominant_idx"),
+        col("dominant_count"),
+        when(col("dominant_count") === 0L, "no_letters")
+          .when(col("expected_idx") === -1L, "unknown_lang")
+          .when(col("expected_idx") === col("dominant_idx"), "match")
+          .otherwise("mismatch").as("status"))
+  }
 }

@@ -2674,7 +2674,17 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q210 — declared-language vs dominant-script audit
+    * ([[Curation.langScriptAudit]]): the crawl-QA gate that flags the
+    * corpus' zh-tagged-but-Latin docs as real mismatches while the
+    * Latin-language tags check out. */
+  def q210LangScript(spark: SparkSession, dir: String): DataFrame =
+    Curation.langScriptAudit(Tables(spark, dir, "documents"),
+        "doc_id", "lang", "text")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_lang_script" -> (q210LangScript _),
     "q209_bloom_gate" -> (q209BloomGate _),
     "q208_wordpiece" -> (q208Wordpiece _),
     "q207_ipf_weights" -> (q207IpfWeights _),
@@ -3491,6 +3501,45 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q210_lang_script" ->
+      ("""WITH c AS (SELECT doc_id,
+        |    unnest(list_transform(string_split(coalesce(text, ''), ''), ch -> unicode(ch))) AS cp
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  sum(CASE WHEN cp BETWEEN 65 AND 90 OR cp BETWEEN 97 AND 122
+        |        OR cp BETWEEN 192 AND 214 OR cp BETWEEN 216 AND 246
+        |        OR cp BETWEEN 248 AND 591 THEN 1 ELSE 0 END)::BIGINT AS n_latin,
+        |  sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END)::BIGINT AS n_cyrillic,
+        |  sum(CASE WHEN cp BETWEEN 880 AND 1023 THEN 1 ELSE 0 END)::BIGINT AS n_greek,
+        |  sum(CASE WHEN cp BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END)::BIGINT AS n_arabic,
+        |  sum(CASE WHEN cp BETWEEN 2304 AND 2431 THEN 1 ELSE 0 END)::BIGINT AS n_devanagari,
+        |  sum(CASE WHEN cp BETWEEN 44032 AND 55203 THEN 1 ELSE 0 END)::BIGINT AS n_hangul,
+        |  sum(CASE WHEN cp BETWEEN 19968 AND 40959
+        |        OR cp BETWEEN 12352 AND 12543 THEN 1 ELSE 0 END)::BIGINT AS n_cjk
+        |  FROM c GROUP BY doc_id),
+        |d0 AS (SELECT doc_id, [n_latin, n_cyrillic, n_greek, n_arabic,
+        |    n_devanagari, n_hangul, n_cjk] AS arr FROM s),
+        |d1 AS (SELECT doc_id, list_max(arr)::BIGINT AS mx,
+        |    (list_position(arr, list_max(arr)) - 1)::BIGINT AS di FROM d0),
+        |e AS (SELECT doc_id, coalesce(lang, '') AS lang,
+        |    CASE WHEN lower(coalesce(lang, '')) IN ('en','de','fr','es','it','pt','nl') THEN 0
+        |         WHEN lower(coalesce(lang, '')) = 'ru' THEN 1
+        |         WHEN lower(coalesce(lang, '')) = 'el' THEN 2
+        |         WHEN lower(coalesce(lang, '')) IN ('ar','fa','ur') THEN 3
+        |         WHEN lower(coalesce(lang, '')) = 'hi' THEN 4
+        |         WHEN lower(coalesce(lang, '')) = 'ko' THEN 5
+        |         WHEN lower(coalesce(lang, '')) IN ('zh','ja') THEN 6
+        |         ELSE -1 END::BIGINT AS expected_idx
+        |  FROM documents)
+        |SELECT e.doc_id, e.lang, e.expected_idx,
+        |  CASE WHEN coalesce(d1.mx, 0) = 0 THEN -1 ELSE d1.di END::BIGINT AS dominant_idx,
+        |  coalesce(d1.mx, 0)::BIGINT AS dominant_count,
+        |  CASE WHEN coalesce(d1.mx, 0) = 0 THEN 'no_letters'
+        |       WHEN e.expected_idx = -1 THEN 'unknown_lang'
+        |       WHEN e.expected_idx = d1.di THEN 'match'
+        |       ELSE 'mismatch' END AS status
+        |FROM e LEFT JOIN d1 USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin),
     "q209_bloom_gate" ->
       ("""WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks

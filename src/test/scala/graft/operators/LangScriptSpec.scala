@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Curation.langScriptAudit]]: every status fires on its engineered
+  * row, letters-only voting (digits can't outvote a script), smallest-
+  * index tie-break, and a zero-shuffle plan. */
+class LangScriptSpec extends SparkSpec {
+
+  private def audit(rows: Seq[(Long, Option[String], Option[String])]) = {
+    import spark.implicits._
+    Curation.langScriptAudit(rows.toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(5))).toSeq
+  }
+
+  test("each status fires on its engineered document") {
+    val cyr = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+    val got = audit(Seq(
+      (0L, Some("en"), Some("plain english words here")),
+      (1L, Some("zh"), Some("latin text wrongly tagged chinese")),
+      (2L, Some("ru"), Some(cyr)),
+      (3L, Some("xx"), Some("some words")),
+      (4L, Some("en"), Some("12345 678 ---")),
+      (5L, Some("en"), None)))
+    assert(got(0) == ((0L, 0L, "match")))
+    assert(got(1) == ((6L, 0L, "mismatch")))
+    assert(got(2) == ((1L, 1L, "match")))
+    assert(got(3)._3 == "unknown_lang")
+    assert(got(4) == ((0L, -1L, "no_letters")), s"digits can't vote: ${got(4)}")
+    assert(got(5) == ((0L, -1L, "no_letters")))
+  }
+
+  test("dominance is by count with ties to the smallest script index") {
+    val mixed = "abc \u043f\u0440\u0438" // 3 latin letters, 3 cyrillic
+    val got = audit(Seq((0L, Some("ru"), Some(mixed))))
+    assert(got(0)._2 == 0L && got(0)._3 == "mismatch",
+      s"tie must break to latin (index 0): ${got(0)}")
+  }
+
+  test("the audit is a zero-shuffle projection") {
+    import spark.implicits._
+    val plan = Curation.langScriptAudit(
+      Seq((0L, "en", "x")).toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
