@@ -5,15 +5,21 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `bloom_contains(str) -> boolean` over a driver-built Bloom bitset
+/** `bloom_count_hits(array<string>) -> long` — how many elements of
+  * the n-gram array are members of a driver-built Bloom bitset
   * ([[BloomContains.Model]] reference object, the [[BpeSegment]]
-  * shipping policy): k md5-derived probes (`md5(s + "#" + j)`'s 60-bit
-  * prefix mod m — the repo's tokenHash arithmetic, so the DuckDB
-  * oracle recomputes the SAME bit positions) against m bits.
+  * shipping policy): k md5-derived probes per element (`md5(s + "#" +
+  * j)`'s 60-bit prefix mod m — [[TokenHashes.hashOne]]'s arithmetic,
+  * via its ThreadLocal digest, so the DuckDB oracle recomputes the
+  * SAME bit positions) against m bits. ONE kernel pass over the whole
+  * array — the `size(filter(…, bloom(g)))` formulation would
+  * interpret a lambda per shingle, the per-element cost
+  * [[WordShingles]]/[[TokenHashes]] exist to avoid.
   *
   * This is the 100 TB decontamination shape: the exact-join gate
   * ships the whole eval n-gram table through a shuffle; the Bloom
@@ -21,20 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * row-locally — zero shuffle, at the price of a bounded
   * false-positive rate that the q209 face AUDITS against the exact
   * join rather than hand-waving. No false negatives, ever (a set bit
-  * is never cleared), so a pass verdict is trustworthy and hits are
+  * is never cleared), so count = 0 is a trustworthy pass and hits are
   * what need the exact recheck. NULL → NULL. */
-case class BloomContains(child: Expression, model: BloomContains.Model)
+case class BloomCountHits(child: Expression, model: BloomContains.Model)
   extends UnaryExpression {
 
-  override def dataType: DataType = BooleanType
+  override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "bloom_contains"
+  override def prettyName: String = "bloom_count_hits"
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else java.lang.Boolean.valueOf(
-      BloomContains.kernel(v.asInstanceOf[UTF8String], model))
+    else java.lang.Long.valueOf(
+      BloomContains.countHits(v.asInstanceOf[ArrayData], model))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -44,14 +50,20 @@ case class BloomContains(child: Expression, model: BloomContains.Model)
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = ${childGen.isNull};
-      boolean ${ev.value} = false;
+      long ${ev.value} = 0L;
       if (!${ev.isNull}) {
-        ${ev.value} = graft.expressions.BloomContains.kernel(${childGen.value}, $modelRef);
+        ${ev.value} = graft.expressions.BloomContains.countHits(${childGen.value}, $modelRef);
       }""")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+  override protected def withNewChildInternal(newChild: Expression): BloomCountHits =
     copy(child = newChild)
+}
+
+object BloomCountHits {
+  def apply(ngrams: Column, model: BloomContains.Model): Column =
+    ColumnBridge.toColumn(
+      BloomCountHits(ColumnBridge.toExpression(ngrams), model))
 }
 
 object BloomContains {
@@ -60,20 +72,15 @@ object BloomContains {
   final class Model(val words: Array[Long], val mBits: Int, val k: Int)
     extends Serializable
 
-  /** 60-bit md5 prefix of `s`, the [[graft.functions.TextFunctions
-    * .tokenHash]] arithmetic in JVM form. */
-  def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    // 64 bits accumulated; keep the top 60 (15 hex chars)
-    h >>> 4
-  }
+  /** Probe j's bit position for string `s` — the ONE formula the
+    * builder and the probe kernel (and the DuckDB oracle) share:
+    * 60-bit md5 prefix of `s + "#" + j`, mod m. */
+  def bitAt(s: String, j: Int, mBits: Int): Int =
+    (TokenHashes.hashOne(UTF8String.fromString(s + "#" + j)) % mBits).toInt
 
-  def bitPositions(s: String, mBits: Int, k: Int): Array[Int] =
-    Array.tabulate(k)(j => (hash60(s + "#" + j) % mBits).toInt)
+  /** 60-bit md5 prefix — [[TokenHashes.hashOne]] over a JVM string,
+    * exposed for specs that cross-check the arithmetic. */
+  def hash60(s: String): Long = TokenHashes.hashOne(UTF8String.fromString(s))
 
   /** Build the bitset from the (bounded, eval-benchmark-sized) n-gram
     * list — the driver-side artifact build, same contract as the
@@ -84,24 +91,34 @@ object BloomContains {
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val words = new Array[Long]((mBits + 63) / 64)
     ngrams.foreach { g =>
-      bitPositions(g, mBits, k).foreach { p =>
+      var j = 0
+      while (j < k) {
+        val p = bitAt(g, j, mBits)
         words(p >> 6) |= (1L << (p & 63))
+        j += 1
       }
     }
     new Model(words, mBits, k)
   }
 
-  def kernel(s: UTF8String, m: Model): Boolean = {
-    val str = s.toString
+  def memberOf(s: String, m: Model): Boolean = {
     var j = 0
     while (j < m.k) {
-      val p = (hash60(str + "#" + j) % m.mBits).toInt
+      val p = bitAt(s, j, m.mBits)
       if ((m.words(p >> 6) & (1L << (p & 63))) == 0L) return false
       j += 1
     }
     true
   }
 
-  def apply(s: Column, model: Model): Column =
-    ColumnBridge.toColumn(BloomContains(ColumnBridge.toExpression(s), model))
+  def countHits(ngrams: ArrayData, m: Model): Long = {
+    val n = ngrams.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      if (memberOf(ngrams.getUTF8String(i).toString, m)) hits += 1L
+      i += 1
+    }
+    hits
+  }
 }

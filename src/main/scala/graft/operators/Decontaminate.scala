@@ -181,8 +181,7 @@ object Decontaminate {
     train.select(col(idCol), grams.as("__gs"))
       .select(col(idCol),
         size(col("__gs")).cast("long").as("n_grams"),
-        size(filter(col("__gs"), g =>
-          graft.expressions.BloomContains(g, model))).cast("long")
+        graft.expressions.BloomCountHits(col("__gs"), model)
           .as("n_bloom_hits"))
       .withColumn("bloom_milli",
         when(col("n_grams") > 0L, expr("n_bloom_hits * 1000 DIV n_grams"))

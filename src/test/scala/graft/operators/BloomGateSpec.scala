@@ -29,16 +29,13 @@ class BloomGateSpec extends SparkSpec {
       .filterNot(members.contains)
     for (m <- Seq(1 << 8, 1 << 16)) {
       val model = BloomContains.build(members, m, 5)
-      assert(members.forall(g => BloomContains.kernel(
-        org.apache.spark.unsafe.types.UTF8String.fromString(g), model)),
+      assert(members.forall(g => BloomContains.memberOf(g, model)),
         s"false negative at m=$m")
     }
     val tiny = BloomContains.build(members, 1 << 8, 5)
     val big = BloomContains.build(members, 1 << 16, 5)
-    val fpTiny = others.count(g => BloomContains.kernel(
-      org.apache.spark.unsafe.types.UTF8String.fromString(g), tiny))
-    val fpBig = others.count(g => BloomContains.kernel(
-      org.apache.spark.unsafe.types.UTF8String.fromString(g), big))
+    val fpTiny = others.count(g => BloomContains.memberOf(g, tiny))
+    val fpBig = others.count(g => BloomContains.memberOf(g, big))
     assert(fpTiny > 0, "a 256-bit filter holding 300 grams must saturate")
     assert(fpBig <= fpTiny, "more bits cannot create positives")
   }
@@ -57,6 +54,16 @@ class BloomGateSpec extends SparkSpec {
     assert(got(1).getLong(2) >= 2L, "both occurrences must count")
     assert(got(3).getLong(1) == 0L && got(3).getLong(2) == 0L &&
       got(3).getLong(3) == 0L)
+  }
+
+  test("the count kernel runs inside codegen — the plan carries bloom_count_hits, no lambda filter") {
+    val df = spark.range(2).select(col("id").as("doc_id"),
+      concat(lit("a b c d e f g h i j "), col("id").cast("string")).as("text"))
+    val plan = Decontaminate.bloomGate(df, "doc_id", "text", Seq("a b c d e f g h"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_count_hits"), s"kernel missing:\n${plan.take(400)}")
+    assert(!plan.contains("filter(") && !plan.contains("lambdafunction"),
+      "no per-element lambda in the gate")
   }
 
   test("the gate is a zero-shuffle projection") {
