@@ -299,6 +299,65 @@ object Dedup {
       ded.getField("clean_text").as("clean_text"))
   }
 
+  /** CCNet-style cross-document exact LINE dedup (Wenzek et al. 2020 —
+    * CCNet hashes every line of the crawl and keeps ONE occurrence
+    * globally; boilerplate navigation/cookie/footer lines, which repeat
+    * verbatim across millions of pages, vanish from every page but
+    * one). The within-doc complement is [[dedupLinesWithinDoc]]; the
+    * token-window generalization is [[spanDedup]] — this operator is
+    * the published LINE-granularity rule, which catches whole-line
+    * boilerplate [[spanDedup]]'s fixed window may straddle.
+    *
+    * Semantics: lines are `\n`-split; a line participates in the
+    * global election iff its trimmed form has ≥ `minLineChars` chars
+    * (blank / sub-threshold lines are structural, kept everywhere,
+    * never elected); the election key is the TRIMMED line, the winner
+    * is the smallest (id, line_no), and every other occurrence of the
+    * key is dropped. Reassembly keeps each doc's surviving ORIGINAL
+    * lines in order.
+    *
+    * Scale shape (the [[spanDedup]] discipline): (1) one projection
+    * fans docs into (key, id, line_no) — text crosses the wire once as
+    * single lines, not documents; (2) the winner per key is a
+    * map-side-combinable `min(struct(id, line_no))` — a cookie-banner
+    * line with 10⁸ occurrences reduces to one partial row per map
+    * partition, never one task's window; (3) losers fall out of a
+    * LEFT ANTI join on the full (key, id, line_no) tuple, whose
+    * compound key hash-scatters even the hottest line; (4) loser
+    * line_nos regroup to a per-doc sorted array and excision is one
+    * row-local indexed filter. Output: (id, n_lines, n_dropped,
+    * kept_milli, kept_text). */
+  def dedupLinesAcrossDocs(df: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 1): DataFrame = {
+    require(minLineChars >= 1, "minLineChars must be >= 1")
+    def lines = split(coalesce(col(textCol), lit("")), "\n")
+
+    val occ = df.select(col(idCol),
+        posexplode(lines).as(Seq("__ln", "__line")))
+      .withColumn("__key", trim(col("__line")))
+      .filter(length(col("__key")) >= minLineChars)
+      .select(col("__key"), col(idCol), col("__ln"))
+    val winners = occ.groupBy("__key")
+      .agg(min(struct(col(idCol).as("id"), col("__ln").as("ln"))).as("__w"))
+      .select(col("__key"), col("__w.id").as(idCol), col("__w.ln").as("__ln"))
+    val losers = occ.join(winners, Seq("__key", idCol, "__ln"), "left_anti")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__ln"))).as("__drop"))
+
+    df.join(losers, Seq(idCol), "left")
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        array_join(filter(lines,
+          (x, i) => not(coalesce(array_contains(col("__drop"), i),
+            lit(false)))), "\n").as("kept_text"))
+      .withColumn("kept_milli",
+        when(col("n_lines") > 0L,
+          expr("(n_lines - n_dropped) * 1000 DIV n_lines")).otherwise(0L))
+      .select(col(idCol), col("n_lines"), col("n_dropped"),
+        col("kept_milli"), col("kept_text"))
+  }
+
   /** The persisted base-side table for incremental [[spanDedupAgainst]]:
     * one row per DISTINCT `windowWords`-token window fingerprint in the
     * corpus (column `fp`, 32-hex md5 — 16 bytes a row at rest). A

@@ -650,30 +650,34 @@ object Export {
       THEN element_at(__varr, CAST(pmod(${h(", ':r'")}, size(__varr)) AS INT) + 1)
       ELSE element_at(__ws, i + 1) END"""
     // ONE transform computes every per-token decision (3 md5s per
-    // token); the six consumers below are then six copies of an
-    // IDENTICAL subtree, which whole-stage codegen's subexpression
-    // elimination evaluates once — hashes buried in six DIFFERENT
-    // lambdas would be recomputed per consumer (lambda bodies are
-    // excluded from CSE). __ws is never empty (tokens('') = ['']), so
-    // sequence(0, size-1) is always ascending.
+    // token), MATERIALIZED as its own projection step: higher-order
+    // functions are evaluated outside whole-stage codegen's
+    // subexpression elimination, so seven consumers inlining the same
+    // transform re-hash every token seven times (measured 15.7 s →
+    // 2 s at sf0.1). The alias is non-cheap and referenced seven
+    // times, which is exactly the case CollapseProject refuses to
+    // inline — the two-step shape survives optimization. __ws is
+    // never empty (tokens('') = ['']), so sequence(0, size-1) is
+    // always ascending.
     val dec = s"""transform(sequence(0, size(__ws) - 1), i -> named_struct(
         'i', i, 'tok', element_at(__ws, i + 1), 'sel', $sel, 'act', $act,
         'out', CASE WHEN NOT ($sel) THEN element_at(__ws, i + 1)
                     WHEN $act < $maskMilli THEN '[MASK]'
                     WHEN $act < ${maskMilli + randMilli} THEN $rep
                     ELSE element_at(__ws, i + 1) END))"""
-    base.select(col(idCol),
-      size(col("__ws")).cast("long").as("n_tokens"),
-      expr(s"CAST(size(filter($dec, d -> d.sel)) AS BIGINT)").as("n_selected"),
-      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act < $maskMilli)) AS BIGINT)")
-        .as("n_mask"),
-      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act >= $maskMilli AND d.act < ${maskMilli + randMilli})) AS BIGINT)")
-        .as("n_random"),
-      expr(s"CAST(size(filter($dec, d -> d.sel AND d.act >= ${maskMilli + randMilli})) AS BIGINT)")
-        .as("n_keep"),
-      expr(s"array_join(transform($dec, d -> d.out), ' ')").as("masked_text"),
-      expr(s"""array_join(transform(filter($dec, d -> d.sel),
-          d -> concat(CAST(d.i AS STRING), ':', d.tok)), ' ')""")
-        .as("labels_str"))
+    base.select(col(idCol), col("__ws"), expr(dec).as("__dec"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(__dec, d -> d.sel)) AS BIGINT)").as("n_selected"),
+        expr(s"CAST(size(filter(__dec, d -> d.sel AND d.act < $maskMilli)) AS BIGINT)")
+          .as("n_mask"),
+        expr(s"CAST(size(filter(__dec, d -> d.sel AND d.act >= $maskMilli AND d.act < ${maskMilli + randMilli})) AS BIGINT)")
+          .as("n_random"),
+        expr(s"CAST(size(filter(__dec, d -> d.sel AND d.act >= ${maskMilli + randMilli})) AS BIGINT)")
+          .as("n_keep"),
+        expr("array_join(transform(__dec, d -> d.out), ' ')").as("masked_text"),
+        expr("""array_join(transform(filter(__dec, d -> d.sel),
+            d -> concat(CAST(d.i AS STRING), ':', d.tok)), ' ')""")
+          .as("labels_str"))
   }
 }

@@ -268,6 +268,64 @@ object Importance {
       .agg(count(lit(1)).as("n_trigrams"), sum("__w").as("sb_log_micro"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * Chen & Goodman 1999 interpolated form with one fixed discount):
+    *
+    *   P(w|u) = max(c(uw) − D, 0)/c(u) + λ(u) · P_cont(w)
+    *   λ(u)   = D · N1+(u·)/c(u)
+    *   P_cont(w) = N1+(·w) / N1+(··)
+    *
+    * — the absolute-discount mass of each context redistributed by
+    * CONTINUATION counts (how many distinct contexts a word follows),
+    * the fix for raw-frequency backoff over-scoring words that are
+    * frequent only inside one collocation ("francisco"). The
+    * complement to [[stupidBackoff]]: a real probability (sums to 1
+    * per context up to floor rounding), no transcendentals anywhere —
+    * every term is exact integer micro arithmetic with nonneg
+    * operands, so DuckDB's floor `//` and Spark's truncating `DIV`
+    * agree bit-for-bit:
+    *
+    *   term1 = (1000·c(uw) − D_milli) · 1e6 DIV (1000·c(u))   [> 0: c ≥ 1, D < 1000]
+    *   λ_micro = D_milli · N1+(u·) · 1000 DIV c(u)
+    *   pcont_micro = N1+(·w) · 1e6 DIV N1+(··)
+    *   pkn_micro = term1 + λ_micro · pcont_micro DIV 1e6
+    *
+    * Scale shape: ONE corpus-sized stage — the (u, w) bigram count, a
+    * partial-agg counter shuffle with map-side combine; c(u), N1+(u·),
+    * N1+(·w), and the N1+(··) scalar all partial-aggregate the
+    * already-collapsed distinct-bigram frame, and the model assembly
+    * is two hash joins plus one broadcast on frames sized by distinct
+    * n-grams, never documents. `topK` rows survive a bounded
+    * TakeOrdered (O(topK) per partition) — (c_uw desc, u, w) makes the
+    * cut deterministic. Output: (u, w, c_uw, c_u, n1_fwd, n1_bwd,
+    * lambda_micro, pcont_micro, pkn_micro). */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String, isModel: Column,
+      topK: Int, discountMilli: Int = 750): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(discountMilli >= 1 && discountMilli <= 999,
+      s"discountMilli must be in [1, 999] (a full-unit discount zeroes every seen bigram), got $discountMilli")
+    import graft.functions.TextFunctions.wordShingles
+    val bg = docs.filter(isModel)
+      .select(explode(wordShingles(coalesce(col(textCol), lit("")), 2)).as("__g"))
+      .select(split(col("__g"), " ").getItem(0).as("u"),
+        split(col("__g"), " ").getItem(1).as("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val byU = bg.groupBy("u")
+      .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_fwd"))
+    val byW = bg.groupBy("w").agg(count(lit(1)).as("n1_bwd"))
+    val nb = bg.agg(count(lit(1)).as("__nb"))
+    bg.join(byU, "u").join(byW, "w").crossJoin(broadcast(nb))
+      .select(col("u"), col("w"), col("c_uw"), col("c_u"),
+        col("n1_fwd"), col("n1_bwd"),
+        expr(s"$discountMilli * n1_fwd * 1000 DIV c_u").as("lambda_micro"),
+        expr("n1_bwd * 1000000 DIV __nb").as("pcont_micro"),
+        expr(s"""(1000 * c_uw - $discountMilli) * 1000000 DIV (1000 * c_u)
+          + ($discountMilli * n1_fwd * 1000 DIV c_u)
+            * (n1_bwd * 1000000 DIV __nb) DIV 1000000""").as("pkn_micro"))
+      .orderBy(col("c_uw").desc, col("u"), col("w"))
+      .limit(topK)
+  }
+
   /** CCNet's final step: split each language's corpus into
     * equal-doc-count quality buckets by model score — head / middle /
     * tail in the paper (Wenzek et al. 2020 §3.3 cuts the per-language

@@ -658,6 +658,32 @@ object Vocab {
         col("fertility_milli"), col("pieces_str"))
   }
 
+  /** Unigram-LM Viterbi encoding over a costed piece vocabulary
+    * ([[graft.expressions.UnigramEncode]] — see its scaladoc for the
+    * DP, the longest-final-piece tie-break, and the UNK-fallback
+    * open-vocabulary guarantee). The SentencePiece-style complement to
+    * [[wordpieceEncode]]'s greedy pass: minimum total cost, so a word
+    * splits whenever the split is cheaper than the whole-word piece.
+    * Same compile-once reference-object model and zero-shuffle codegen
+    * projection. Output: (idCol, n_words, n_pieces, n_unk, cost_milli,
+    * pieces_str). */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabCosts: Seq[(String, Long)],
+      unkCostMilli: Long = 20000L): DataFrame = {
+    val m = graft.expressions.UnigramEncode.build(vocabCosts, unkCostMilli)
+    val words = filter(
+      graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+      w => length(w) > 0)
+    df.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        graft.expressions.UnigramEncode(words, m).as("__ug"))
+      .select(col(idCol), col("n_words"),
+        size(col("__ug.pieces")).cast("long").as("n_pieces"),
+        col("__ug.n_unk").as("n_unk"),
+        col("__ug.cost_milli").as("cost_milli"),
+        array_join(col("__ug.pieces"), " ").as("pieces_str"))
+  }
+
   /** Good–Turing frequency-of-frequencies spectrum (Good 1953): N_r =
     * how many distinct tokens occur exactly r times, the smoothed
     * count r* = (r+1)·N_{r+1}/N_r in integer micro (NULL where the

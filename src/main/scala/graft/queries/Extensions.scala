@@ -2683,7 +2683,87 @@ object Extensions {
         "doc_id", "lang", "text")
       .orderBy("doc_id")
 
+  /** q211's costed piece vocabulary — the [[wpVocab]] discipline
+    * (ONE definition feeds engine model and oracle SQL), with integer
+    * milli costs standing in for scaled −log p from a trained unigram
+    * model. Deliberate structure: "slow" is priced ABOVE "sl"+"ow" so
+    * the Viterbi pass visibly beats greedy longest-match (q208 would
+    * emit "slow"), and "xy" exactly ties "x"+"y" to pin the
+    * longest-final-piece tie-break. */
+  private val ugVocab: Seq[(String, Long)] = {
+    val singles = "abcdefghijklmnopqrstuvwxyz0123456789.,!?-_():;/"
+      .map(c => (c.toString, 4500L))
+    val words = Seq(("the", 800L), ("and", 900L), ("ship", 1200L),
+      ("data", 1100L), ("fast", 1300L), ("key", 3000L), ("slow", 5000L),
+      ("merge", 1400L), ("filter", 1500L), ("customer", 1600L),
+      ("value", 1450L), ("group", 1350L), ("small", 1250L),
+      ("big", 1150L), ("order", 1050L))
+    val affix = Seq(("ing", 2000L), ("ed", 1800L), ("er", 1900L),
+      ("tion", 2100L), ("ment", 2200L), ("re", 1700L), ("in", 1600L),
+      ("on", 1650L), ("at", 1750L), ("or", 1850L), ("sl", 1200L),
+      ("ow", 1300L), ("ke", 1400L), ("da", 1600L), ("ta", 1750L),
+      ("sh", 1400L), ("ip", 1500L), ("us", 1700L), ("st", 1650L),
+      ("om", 1800L), ("en", 1550L), ("an", 1500L), ("th", 1600L),
+      ("he", 1650L), ("xy", 9000L))
+    singles ++ words ++ affix
+  }
+
+  /** q211 — unigram-LM Viterbi encoding ([[Vocab.unigramEncode]])
+    * over the costed q211 vocabulary, with " xy slowing <snowman>z" injected
+    * every 5th doc to pin the cost tie-break, the greedy-vs-Viterbi
+    * split, and the UNK single-char fallback. The oracle replays the
+    * DP as a recursive CTE that carries the per-position cost /
+    * segmentation / unk arrays and advances one code point per
+    * iteration. */
+  def q211Unigram(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" xy slowing \u2603z")))
+          .otherwise(col("text")).as("text"))
+    Vocab.unigramEncode(d, "doc_id", "text", ugVocab).orderBy("doc_id")
+  }
+
+  /** q212 — CCNet-style cross-document line dedup
+    * ([[Dedup.dedupLinesAcrossDocs]]): five synthetic lines per doc —
+    * a cookie-banner line shared by every 3rd doc, a newsletter line
+    * by every 4th, each doc's own two token-slices (duplicated
+    * within-doc AND across byte-identical docs), and one blank
+    * structural line that is exempt from the election. The oracle
+    * replays the trimmed-key election with a struct-min and
+    * reassembles surviving lines. */
+  def q212LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    // NULL text folds to '' BEFORE tokenizing: concat_ws silently DROPS
+    // null slots, which would change the line count vs the oracle
+    val tk = TextFunctions.tokens(coalesce(col("text"), lit("")))
+    val l1 = array_join(slice(tk, 1, 6), " ")
+    val l2 = array_join(slice(tk, 7, 6), " ")
+    val fx = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 3 === 0,
+          lit("enable javascript to view this page")).otherwise(l1),
+        l1, lit("  "), l2,
+        when(col("doc_id") % 4 === 0,
+          lit("subscribe to our newsletter today")).otherwise(l2))
+        .as("ftext"))
+    Dedup.dedupLinesAcrossDocs(fx, "doc_id", "ftext").orderBy("doc_id")
+  }
+
+  /** q213 — interpolated Kneser–Ney bigram model
+    * ([[Importance.kneserNeyBigrams]], D = 0.75, English slice): the
+    * top-100 bigram rows of the continuation-count-smoothed model,
+    * every term exact integer micro (no transcendentals — the one LM
+    * in the family whose oracle needs no ln parity argument). */
+  def q213KneserNey(spark: SparkSession, dir: String): DataFrame =
+    Importance.kneserNeyBigrams(Tables(spark, dir, "documents"), "text",
+        col("lang") === "en", topK = 100)
+      .orderBy(col("c_uw").desc, col("u"), col("w"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_kneser_ney" -> (q213KneserNey _),
+    "q212_line_dedup" -> (q212LineDedup _),
+    "q211_unigram" -> (q211Unigram _),
     "q210_lang_script" -> (q210LangScript _),
     "q209_bloom_gate" -> (q209BloomGate _),
     "q208_wordpiece" -> (q208Wordpiece _),
@@ -3500,7 +3580,134 @@ object Extensions {
       |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** q211 oracle: the unigram Viterbi DP as a recursive CTE. Each
+    * iteration advances every in-flight word ONE code point, carrying
+    * the full best-cost / best-segmentation / unk-count arrays (DP
+    * state is per-position, so the arrays ARE the DP table);
+    * candidates at a position are one list_filter over piece lengths,
+    * the min-cost pick is list_min, and the longest-final-piece
+    * tie-break is the list_max over the argmin set — the exact
+    * contract [[graft.expressions.UnigramEncode]] documents. Vocab
+    * lists come from the SAME [[ugVocab]]. */
+  private def unigramSql: String = {
+    val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
+    val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
+    val maxLen = ugVocab.map(_._1.length).max
+    def vc(e: String) = s"($cl[list_position($pl, $e)])"
+    val cands =
+      s"""list_filter(
+         |        list_transform(range(1, least($maxLen, i + 1) + 1),
+         |          x -> {'x': x,
+         |                'c': costs[i + 2 - x] + coalesce(${vc("substring(w, i + 2 - x, x)")},
+         |                       CASE WHEN x = 1 THEN 20000 ELSE NULL END)}),
+         |        s -> s.c IS NOT NULL)""".stripMargin
+    s"""WITH RECURSIVE
+      |t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |    THEN coalesce(text, '') || ' xy slowing ' || chr(9731) || 'z'
+      |    ELSE text END AS text FROM documents),
+      |tok AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+      |    x -> length(x) > 0) AS ws FROM t),
+      |wrd0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      |    i -> {'wi': i, 'w': ws[i]})) AS p FROM tok),
+      |wrd AS (SELECT doc_id, p.wi AS wi, p.w AS w FROM wrd0),
+      |rec AS (
+      |  SELECT doc_id, wi, w, 0 AS i, [CAST(0 AS BIGINT)] AS costs,
+      |    CAST([''] AS VARCHAR[]) AS segs, [CAST(0 AS BIGINT)] AS unks
+      |  FROM wrd
+      |  UNION ALL
+      |  SELECT doc_id, wi, w, i + 1, costs || [mc],
+      |    segs || [CASE WHEN pseg = '' THEN piece ELSE pseg || ' ' || piece END],
+      |    unks || [punk + CASE WHEN pc IS NULL THEN 1 ELSE 0 END]
+      |  FROM (
+      |    SELECT doc_id, wi, w, i, costs, segs, unks,
+      |      $cands AS cands,
+      |      list_min(list_transform(cands, s -> s.c)) AS mc,
+      |      list_max(list_transform(list_filter(cands, s -> s.c = mc),
+      |        s -> s.x)) AS bx,
+      |      substring(w, i + 2 - bx, bx) AS piece,
+      |      ${vc("substring(w, i + 2 - bx, bx)")} AS pc,
+      |      segs[i + 2 - bx] AS pseg,
+      |      unks[i + 2 - bx] AS punk
+      |    FROM rec WHERE i < length(w)
+      |  ) z),
+      |fin AS (SELECT doc_id, wi, segs[length(w) + 1] AS seg,
+      |    costs[length(w) + 1] AS cost, unks[length(w) + 1] AS unk
+      |  FROM rec WHERE i = length(w)),
+      |ag AS (SELECT doc_id,
+      |    sum(len(string_split(seg, ' ')))::BIGINT AS n_pieces,
+      |    sum(unk)::BIGINT AS n_unk,
+      |    sum(cost)::BIGINT AS cost_milli,
+      |    string_agg(seg, ' ' ORDER BY wi) AS pieces_str
+      |  FROM fin GROUP BY doc_id),
+      |nw AS (SELECT doc_id, len(ws)::BIGINT AS n_words FROM tok)
+      |SELECT n.doc_id, n.n_words,
+      |  coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+      |  coalesce(a.n_unk, 0)::BIGINT AS n_unk,
+      |  coalesce(a.cost_milli, 0)::BIGINT AS cost_milli,
+      |  coalesce(a.pieces_str, '') AS pieces_str
+      |FROM nw n LEFT JOIN ag a USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q213_kneser_ney" ->
+      ("""WITH m AS (SELECT
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t
+        |  FROM documents WHERE lang = 'en'),
+        |b AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'u': t[i], 'w': t[i + 1]})) AS p FROM m),
+        |bg AS (SELECT p.u AS u, p.w AS w, count(1)::BIGINT AS c_uw
+        |  FROM b GROUP BY 1, 2),
+        |cu AS (SELECT u, sum(c_uw)::BIGINT AS c_u, count(1)::BIGINT AS n1_fwd
+        |  FROM bg GROUP BY u),
+        |cw AS (SELECT w, count(1)::BIGINT AS n1_bwd FROM bg GROUP BY w),
+        |nb AS (SELECT count(1)::BIGINT AS nb FROM bg)
+        |SELECT bg.u, bg.w, bg.c_uw, cu.c_u, cu.n1_fwd, cw.n1_bwd,
+        |  (750 * cu.n1_fwd * 1000 // cu.c_u)::BIGINT AS lambda_micro,
+        |  (cw.n1_bwd * 1000000 // nb.nb)::BIGINT AS pcont_micro,
+        |  ((1000 * bg.c_uw - 750) * 1000000 // (1000 * cu.c_u)
+        |    + (750 * cu.n1_fwd * 1000 // cu.c_u)
+        |      * (cw.n1_bwd * 1000000 // nb.nb) // 1000000)::BIGINT AS pkn_micro
+        |FROM bg JOIN cu USING (u) JOIN cw USING (w) CROSS JOIN nb
+        |ORDER BY bg.c_uw DESC, bg.u, bg.w
+        |LIMIT 100""".stripMargin),
+    "q212_line_dedup" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t
+        |  FROM documents),
+        |ld AS (SELECT doc_id,
+        |    [coalesce(array_to_string(t[1:6], ' '), ''),
+        |     coalesce(array_to_string(t[7:12], ' '), '')] AS sl FROM tk),
+        |lx AS (SELECT doc_id, [
+        |    CASE WHEN doc_id % 3 = 0 THEN 'enable javascript to view this page'
+        |         ELSE sl[1] END,
+        |    sl[1], '  ', sl[2],
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter today'
+        |         ELSE sl[2] END] AS arr
+        |  FROM ld),
+        |l AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |    i -> {'i': i - 1, 'line': arr[i]})) AS p FROM lx),
+        |lf AS (SELECT doc_id, p.i AS i, p.line AS line, trim(p.line) AS key FROM l),
+        |part AS (SELECT * FROM lf WHERE length(key) >= 1),
+        |win AS (SELECT key, min({'id': doc_id, 'ln': i}) AS w FROM part GROUP BY key),
+        |drops AS (SELECT p.doc_id, p.i FROM part p JOIN win w ON p.key = w.key
+        |  WHERE NOT (p.doc_id = w.w.id AND p.i = w.w.ln)),
+        |kept AS (SELECT lf.doc_id, lf.i, lf.line FROM lf
+        |  LEFT JOIN drops d ON lf.doc_id = d.doc_id AND lf.i = d.i
+        |  WHERE d.doc_id IS NULL),
+        |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS kept_text,
+        |    count(1) AS n_kept FROM kept GROUP BY doc_id),
+        |nl AS (SELECT doc_id, len(arr)::BIGINT AS n_lines FROM lx)
+        |SELECT n.doc_id, n.n_lines,
+        |  (n.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_dropped,
+        |  CASE WHEN n.n_lines > 0
+        |    THEN coalesce(k.n_kept, 0) * 1000 // n.n_lines
+        |    ELSE 0 END::BIGINT AS kept_milli,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM nl n LEFT JOIN ka k USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin),
+    "q211_unigram" -> unigramSql,
     "q210_lang_script" ->
       ("""WITH c AS (SELECT doc_id,
         |    unnest(list_transform(string_split(coalesce(text, ''), ''), ch -> unicode(ch))) AS cp

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.kneserNeyBigrams]] — the interpolated KN model against
+  * a map-based Scala reference, the discount-mass identity
+  * Σ term1 = 1 − λ (up to integer floors), and the continuation-count
+  * behavior that motivates KN over raw-frequency backoff. */
+class KneserNeySpec extends SparkSpec {
+
+  private def model(texts: Seq[String], topK: Int = 1000)
+      : Array[(String, String, Long, Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    Importance.kneserNeyBigrams(df, "text", lit(true), topK)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+  }
+
+  /** The operator's integer formulas replayed over naive maps. */
+  private def ref(texts: Seq[String])
+      : Map[(String, String), (Long, Long, Long, Long, Long, Long, Long)] = {
+    val bigrams = texts.flatMap { t =>
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      ws.zip(ws.drop(1))
+    }
+    val cUw = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cU = cUw.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1f = cUw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cUw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = cUw.size.toLong
+    cUw.map { case ((u, w), c) =>
+      val lam = 750L * n1f(u) * 1000L / cU(u)
+      val pc = n1b(w) * 1000000L / nb
+      val t1 = (1000L * c - 750L) * 1000000L / (1000L * cU(u))
+      (u, w) -> (c, cU(u), n1f(u), n1b(w), lam, pc, t1 + lam * pc / 1000000L)
+    }
+  }
+
+  test("matches the map reference on a mixed corpus, ordered by (c desc, u, w)") {
+    val texts = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a log", "the dog and the cat", "  the   cat sat  ")
+    val got = model(texts)
+    val want = ref(texts)
+    assert(got.length == want.size)
+    got.foreach { case (u, w, c, cu, nf, nbw, lam, pc, pkn) =>
+      assert(want((u, w)) == ((c, cu, nf, nbw, lam, pc, pkn)), s"($u,$w)")
+    }
+    val order = got.map { case (u, w, c, _, _, _, _, _, _) => (-c, u, w) }
+    assert(order.sameElements(order.sorted), "deterministic (c desc, u, w) order")
+  }
+
+  test("discount-mass identity: per context, Σ term1 ≈ 1e6 − λ within floor slack") {
+    val texts = Seq("x a x b x c x a x b x a", "y a y b", "z a")
+    val got = model(texts)
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val lam = rows.head._7
+      val sumT1 = rows.map(r => r._9 - r._7 * r._8 / 1000000L).sum
+      val slack = rows.length + 1
+      assert(sumT1 <= 1000000L - lam && sumT1 >= 1000000L - lam - slack,
+        s"context $u: sum(term1)=$sumT1, lambda=$lam")
+    }
+  }
+
+  test("continuation counts rank a versatile word above a one-collocation word") {
+    // 'fran' occurs 4 times but ONLY after 'san'; 'cup' occurs 4 times
+    // after 4 different contexts → pcont(cup) > pcont(fran) despite
+    // equal unigram frequency — the published KN motivation.
+    val texts = Seq("san fran san fran san fran san fran",
+      "tea cup big cup red cup new cup")
+    val got = model(texts)
+    val pcFran = got.find(r => r._2 == "fran").get._8
+    val pcCup = got.filter(_._2 == "cup").map(_._8).distinct
+    assert(pcCup.length == 1 && pcCup.head == 4L * pcFran,
+      s"pcont(cup)=${pcCup.headOption} vs pcont(fran)=$pcFran")
+  }
+
+  test("topK bounds the output; empty model slice yields an empty model") {
+    val texts = Seq("a b a b a c", "b c b a")
+    assert(model(texts, topK = 3).length == 3)
+    import spark.implicits._
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    assert(Importance.kneserNeyBigrams(df, "text", lit(false), 10).count() == 0L)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.dedupLinesAcrossDocs]] — the CCNet global line election:
+  * one survivor per trimmed line across the corpus, blank/short lines
+  * exempt, reassembly keeps original lines (trailing empties
+  * included), and the election is windowless (hot-banner safe). */
+class LineDedupSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def run(rows: Seq[(Long, String)], minChars: Int = 1): DataFrame = {
+    import spark.implicits._
+    Dedup.dedupLinesAcrossDocs(rows.toDF("id", "text"), "id", "text",
+      minChars).orderBy("id")
+  }
+
+  test("a line shared across docs survives only at the smallest (id, line_no)") {
+    val banner = "enable javascript"
+    val got = run(Seq(
+      (3L, s"own three\n$banner"),
+      (1L, s"$banner\nown one\n$banner"),
+      (2L, s"own two\n$banner")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(got(0) == ((1L, 1L, s"$banner\nown one")),
+      "winner doc keeps first occurrence, drops its own repeat")
+    assert(got(1) == ((2L, 1L, "own two")))
+    assert(got(2) == ((3L, 1L, "own three")))
+  }
+
+  test("keys are trimmed but reassembly keeps the ORIGINAL line bytes") {
+    val got = run(Seq((1L, "  padded  \nx"), (2L, "padded\ny")))
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    // '  padded  ' and 'padded' share the trimmed key; doc 1 line 0 wins
+    assert(got(0) == ((1L, "  padded  \nx")) && got(1) == ((2L, "y")))
+  }
+
+  test("blank and sub-threshold lines are structural: exempt and kept everywhere") {
+    val got = run(Seq(
+      (1L, "aa\n\n  \nzz"), (2L, "aa\n\n  \nzz")), minChars = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // 'aa' is under minChars=3 → exempt; only 'zz'... also under. Nothing drops.
+    assert(got(0) == ((1L, 4L, 0L, 1000L, "aa\n\n  \nzz")))
+    assert(got(1) == ((2L, 4L, 0L, 1000L, "aa\n\n  \nzz")))
+    val got2 = run(Seq((1L, "aaa\n\nzz"), (2L, "aaa\n\nzz")), minChars = 3)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    assert(got2(0) == ((1L, "aaa\n\nzz")) && got2(1) == ((2L, "\nzz")),
+      "3-char line elected and dropped; blank + 2-char line exempt")
+  }
+
+  test("a fully-deduped doc keeps only structural lines; counts are consistent") {
+    val got = run(Seq((1L, "one\ntwo"), (2L, "one\ntwo")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 2L, 0L, 1000L, "one\ntwo")))
+    assert(got(1) == ((2L, 2L, 2L, 0L, "")))
+  }
+
+  test("poisoned ubiquitous banner: windowless election, one global survivor") {
+    import spark.implicits._
+    val n = 400
+    val df = (0 until n).map(i => (i.toLong, s"banner line\nunique $i"))
+      .toDF("id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(df, "id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "the election must stay a partial-agg min, never a row_number window")
+    val survivors = out.filter(col("kept_text").contains("banner")).collect()
+    assert(survivors.length == 1 && survivors.head.getLong(0) == 0L)
+    assert(out.agg(sum("n_dropped")).collect().head.getLong(0) == (n - 1).toLong)
+  }
+}

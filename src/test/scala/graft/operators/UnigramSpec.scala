@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expressions.UnigramEncode
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[graft.expressions.UnigramEncode]] / [[Vocab.unigramEncode]]:
+  * Viterbi minimality against a brute-force enumeration of ALL
+  * segmentations, the longest-final-piece tie-break under engineered
+  * all-tie costs, the UNK single-char fallback (open vocabulary —
+  * nothing is droppable), the published greedy-vs-Viterbi behavioral
+  * split, code-point safety, and the zero-shuffle projection. */
+class UnigramSpec extends SparkSpec {
+
+  private def enc(vocab: Seq[(String, Long)], words: Seq[String],
+      unkCost: Long = 20000L): (Seq[String], Long, Long) = {
+    import spark.implicits._
+    val m = UnigramEncode.build(vocab, unkCost)
+    val r = Seq(words).toDF("ws")
+      .select(UnigramEncode(col("ws"), m).as("e"))
+      .select("e.pieces", "e.n_unk", "e.cost_milli").collect().head
+    (r.getSeq[String](0), r.getLong(1), r.getLong(2))
+  }
+
+  /** All segmentations of `word` with their costs (UNK fallback on
+    * single chars), as (pieces, cost). Exponential — test words stay
+    * short. */
+  private def allSegs(vocab: Map[String, Long], unkCost: Long,
+      word: String): Seq[(List[String], Long)] = {
+    if (word.isEmpty) return Seq((Nil, 0L))
+    (1 to word.length).flatMap { x =>
+      val head = word.take(x)
+      val c = vocab.get(head).orElse(if (x == 1) Some(unkCost) else None)
+      c.toSeq.flatMap(hc =>
+        allSegs(vocab, unkCost, word.drop(x)).map { case (ps, pc) =>
+          (head :: ps, hc + pc)
+        })
+    }
+  }
+
+  /** The documented tie-break as a total order on min-cost
+    * segmentations: the DP keeps the longest final piece at every
+    * cell, so the chosen segmentation has the lexicographically
+    * LARGEST reversed piece-length sequence among cost ties. */
+  private def tieRank(ps: List[String]): Seq[Int] = ps.reverse.map(_.length)
+
+  test("Viterbi splits where greedy longest-match would not") {
+    // whole word priced above its bigram split — the q211 construction
+    val vocab = Seq(("slow", 5000L), ("sl", 1200L), ("ow", 1300L),
+      ("s", 4500L), ("l", 4500L), ("o", 4500L), ("w", 4500L))
+    val (pieces, unk, cost) = enc(vocab, Seq("slow"))
+    assert(pieces == Seq("sl", "ow") && cost == 2500L && unk == 0L)
+  }
+
+  test("exact cost ties keep the longest final piece") {
+    val vocab = Seq(("xy", 9000L), ("x", 4500L), ("y", 4500L))
+    val (pieces, _, cost) = enc(vocab, Seq("xy"))
+    assert(pieces == Seq("xy") && cost == 9000L)
+  }
+
+  test("UNK fallback prices unknown chars and counts them — nothing drops") {
+    val vocab = Seq(("a", 1000L), ("b", 1000L))
+    val snow = "\u2603"
+    val (pieces, unk, cost) = enc(vocab, Seq("a" + snow + "b"), unkCost = 7000L)
+    assert(pieces == Seq("a", snow, "b") && unk == 1L && cost == 9000L)
+  }
+
+  test("astral chars fall back as ONE code point, never lone surrogates") {
+    val clef = new String(Character.toChars(0x1D11E))
+    val vocab = Seq(("x", 1000L))
+    val (pieces, unk, _) = enc(vocab, Seq("x" + clef + "x"))
+    assert(pieces == Seq("x", clef, "x") && unk == 1L)
+  }
+
+  test("DP matches brute-force min cost and tie-break on random words") {
+    val vocab = Map(("a", 3100L), ("b", 2900L), ("aa", 6000L),
+      ("ab", 6000L), ("ba", 5800L), ("bb", 5800L), ("aab", 9100L),
+      ("bab", 8700L), ("abab", 11600L))
+    val unkCost = 20000L
+    val rnd = new Random(29)
+    (0 until 150).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(9))
+        .map(_ => "ab" (rnd.nextInt(2))).mkString
+      val (pieces, _, cost) = enc(vocab.toSeq, Seq(w), unkCost)
+      val segs = allSegs(vocab, unkCost, w)
+      val minCost = segs.map(_._2).min
+      assert(cost == minCost, s"word $w: cost $cost vs $minCost")
+      val want = segs.filter(_._2 == minCost).map(_._1)
+        .maxBy(ps => tieRank(ps).map(l => ('a' + l).toChar).mkString)
+      assert(pieces == want, s"word $w: $pieces vs $want")
+    }
+  }
+
+  test("wrapper emits consistent counts and a zero-shuffle plan") {
+    import spark.implicits._
+    val df = Seq((1L, " slow  slowing "), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("slow", 5000L), ("sl", 1200L), ("ow", 1300L),
+      ("ing", 2000L), ("s", 4500L), ("l", 4500L), ("o", 4500L),
+      ("w", 4500L), ("i", 4500L), ("n", 4500L), ("g", 4500L))
+    val got = Vocab.unigramEncode(df, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 5L &&
+      got(0).getLong(3) == 0L && got(0).getLong(4) == 7000L &&
+      got(0).getString(5) == "sl ow sl ow ing")
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L &&
+      got(1).getLong(4) == 0L && got(1).getString(5) == "")
+    val plan = Vocab.unigramEncode(df, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("build rejects duplicate pieces and non-positive costs") {
+    intercept[IllegalArgumentException] {
+      UnigramEncode.build(Seq(("a", 1L), ("a", 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      UnigramEncode.build(Seq(("a", 0L)))
+    }
+  }
+}
