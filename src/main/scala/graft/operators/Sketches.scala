@@ -87,4 +87,73 @@ object Sketches {
       .otherwise(eRaw)
     withState.withColumn("est_micro", round(est * lit(1000000.0)).cast("long"))
   }
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-Min rows (depth) and buckets (width). d = 4 independent
+    * md5-derived hash rows over w = 512 buckets: over-estimate bound
+    * ε·N with ε = e/w ≈ 0.53 % of the stream mass at failure
+    * probability e^-d ≈ 1.8 % (Cormode & Muthukrishnan 2005). */
+  val CmsD = 4
+  val CmsW = 512
+
+  /** Bucket of `value` under hash row `row` — a seed-prefixed
+    * [[TextFunctions.tokenHash]] mod w, so each row is an independent
+    * deterministic hash both engines replay verbatim
+    * (`md5('cms<row>|' || value)`). */
+  def cmsBucket(value: Column, row: Int): Column =
+    pmod(TextFunctions.tokenHash(concat(lit(s"cms$row|"), value)),
+      lit(CmsW.toLong))
+
+  /** The mergeable Count-Min state as a plain DataFrame:
+    * (groupCols…, cms_row, cms_bucket, cms_count) with
+    * `cms_count = Σ weight` of the values hashing there. ≤ d·w = 2048
+    * rows per group REGARDLESS of input size, and merge is elementwise
+    * SUM — i.e. `groupBy(group, row, bucket).agg(sum(count))` — so the
+    * state survives pre-aggregation, streaming `update`-mode sinks and
+    * cross-snapshot unions unchanged (the [[hllRegisters]] property,
+    * with sum where HLL has max). The frequency complement of HLL:
+    * HLL answers "how many distinct", CMS answers "how often is X"
+    * without holding the key space. One partial-agg shuffle carrying
+    * ≤ d·w counters per group × partition; NULL values are ignored.
+    * Absent (row, bucket) pairs mean count 0 — estimation coalesces,
+    * so the state stays sparse. */
+  def cmsCounters(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      weight: Column = lit(1L)): DataFrame = {
+    val rows = (0 until CmsD).map { r =>
+      struct(lit(r).as("cms_row"), cmsBucket(valueCol, r).as("cms_bucket"))
+    }
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ explode(array(rows: _*)).as("__rb") :+
+        weight.as("__w"): _*)
+      .select(groupCols.map(col) :+ col("__rb.cms_row").as("cms_row") :+
+        col("__rb.cms_bucket").as("cms_bucket") :+ col("__w"): _*)
+      .groupBy((groupCols.map(col) :+ col("cms_row") :+ col("cms_bucket")): _*)
+      .agg(sum("__w").as("cms_count"))
+  }
+
+  /** Point-frequency estimates: for each probe row, the minimum over
+    * the d hash rows of its bucket counter (0 when the bucket was
+    * never touched). `probes` carries the SAME groupCols plus
+    * `valueCol`; the estimate is one probe-sized join against the
+    * bounded counter state (≤ d rows per probe cross the join — no
+    * corpus-sized side). Guarantees est ≥ true count (no false
+    * negatives); the overshoot is what [[cmsCounters]]' ε·N bound
+    * caps. */
+  def cmsEstimate(counters: DataFrame, groupCols: Seq[String],
+      probes: DataFrame, valueCol: Column): DataFrame = {
+    val rows = (0 until CmsD).map { r =>
+      struct(lit(r).as("cms_row"), cmsBucket(valueCol, r).as("cms_bucket"))
+    }
+    val probed = probes
+      .select(groupCols.map(col) :+ valueCol.as("cms_value") :+
+        explode(array(rows: _*)).as("__rb"): _*)
+      .select(groupCols.map(col) :+ col("cms_value") :+
+        col("__rb.cms_row").as("cms_row") :+
+        col("__rb.cms_bucket").as("cms_bucket"): _*)
+    probed
+      .join(counters, groupCols :+ "cms_row" :+ "cms_bucket", "left")
+      .groupBy((groupCols.map(col) :+ col("cms_value")): _*)
+      .agg(min(coalesce(col("cms_count"), lit(0L))).as("cms_est"))
+  }
 }

@@ -2760,7 +2760,40 @@ object Extensions {
         col("lang") === "en", topK = 100)
       .orderBy(col("c_uw").desc, col("u"), col("w"))
 
+  /** q214 — Count-Min frequency estimation
+    * ([[graft.operators.Sketches.cmsCounters]]/`cmsEstimate`): per-source
+    * token CMS probed with the global top-20 tokens, the exact count
+    * beside the estimate and the realized over-count. The sketch state
+    * is ≤ d·w = 2048 sum-mergeable counters per source whatever the
+    * corpus size — the frequency complement of q197's HLL (distinct)
+    * and q92's Misra–Gries (top keys): CMS answers "how often is X"
+    * for ANY later probe without holding the key space, and its
+    * elementwise-sum merge survives pre-aggregation, streaming update
+    * sinks and snapshot unions. est ≥ exact by construction (min of
+    * over-counting rows) — the audit column shows the ε·N overshoot
+    * the Cormode–Muthukrishnan bound caps. */
+  def q214CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val counters = graft.operators.Sketches.cmsCounters(toks, Seq("source"), col("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok")).limit(20).select("tok")
+    val probes = toks.select("source").distinct().crossJoin(broadcast(top))
+    val exact = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("n_exact"))
+    graft.operators.Sketches.cmsEstimate(counters, Seq("source"), probes, col("tok"))
+      .withColumnRenamed("cms_value", "tok")
+      .join(exact, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cms_est"),
+        (col("cms_est") - coalesce(col("n_exact"), lit(0L)))
+          .as("over_count"))
+      .orderBy("source", "tok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_count_min" -> (q214CountMin _),
     "q213_kneser_ney" -> (q213KneserNey _),
     "q212_line_dedup" -> (q212LineDedup _),
     "q211_unigram" -> (q211Unigram _),
@@ -3651,6 +3684,27 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q214_count_min" ->
+      (s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
+        |  FROM documents),
+        |top AS (SELECT tok FROM (SELECT tok, count(1) AS n FROM tk
+        |  GROUP BY tok ORDER BY n DESC, tok LIMIT 20)),
+        |dd AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |ctr AS (SELECT source, r,
+        |    ('0x' || substring(md5('cms' || r || '|' || tok), 1, 15))::BIGINT % 512 AS b,
+        |    count(1)::BIGINT AS c
+        |  FROM tk CROSS JOIN dd GROUP BY source, r, b),
+        |pr AS (SELECT s.source, t.tok, dd.r,
+        |    ('0x' || substring(md5('cms' || dd.r || '|' || t.tok), 1, 15))::BIGINT % 512 AS b
+        |  FROM (SELECT DISTINCT source FROM tk) s CROSS JOIN top t CROSS JOIN dd),
+        |est AS (SELECT pr.source, pr.tok, min(coalesce(ctr.c, 0))::BIGINT AS cms_est
+        |  FROM pr LEFT JOIN ctr ON ctr.source = pr.source AND ctr.r = pr.r AND ctr.b = pr.b
+        |  GROUP BY pr.source, pr.tok),
+        |ex AS (SELECT source, tok, count(1)::BIGINT AS n_exact FROM tk GROUP BY source, tok)
+        |SELECT e.source, e.tok, coalesce(x.n_exact, 0)::BIGINT AS n_exact, e.cms_est,
+        |  (e.cms_est - coalesce(x.n_exact, 0))::BIGINT AS over_count
+        |FROM est e LEFT JOIN ex x ON x.source = e.source AND x.tok = e.tok
+        |ORDER BY e.source, e.tok""".stripMargin),
     "q213_kneser_ney" ->
       ("""WITH m AS (SELECT
         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t

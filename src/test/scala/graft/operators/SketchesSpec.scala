@@ -87,4 +87,85 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(plan.contains("partial"), "expected map-side partial aggregation")
   }
+
+  // ------------------------------------------------------------- CMS
+
+  /** Independent CMS reference: same seeded hashes, same min-of-rows. */
+  private def cmsRef(values: Seq[String], probe: String): Long =
+    (0 until Sketches.CmsD).map { r =>
+      val b = md5hash60(s"cms$r|$probe") % Sketches.CmsW
+      values.count(v => md5hash60(s"cms$r|$v") % Sketches.CmsW == b).toLong
+    }.min
+
+  private def cmsRun(values: Seq[String], probes: Seq[String],
+      parts: Int = 4): Map[String, Long] = {
+    import spark.implicits._
+    val df = values.toDF("v").repartition(parts)
+    val ctr = Sketches.cmsCounters(df, Nil, org.apache.spark.sql.functions.col("v"))
+    Sketches.cmsEstimate(ctr, Nil, probes.toDF("v"),
+        org.apache.spark.sql.functions.col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("CMS matches the independent reference bit for bit") {
+    val rnd = new Random(11)
+    val vs = (0 until 6000).map(_ => s"tok${rnd.nextInt(300)}")
+    val probes = Seq("tok0", "tok17", "tok299", "absent")
+    val got = cmsRun(vs, probes)
+    probes.foreach(p => assert(got(p) == cmsRef(vs, p), s"probe $p"))
+  }
+
+  test("CMS never under-counts, and an untouched key estimates 0 on an empty sketch") {
+    val rnd = new Random(13)
+    val vs = (0 until 6000).map(_ => s"tok${rnd.nextInt(300)}")
+    val exact = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = cmsRun(vs, (0 until 300).map(i => s"tok$i"))
+    got.foreach { case (p, est) =>
+      assert(est >= exact.getOrElse(p, 0L), s"under-count at $p")
+    }
+    assert(cmsRun(Nil, Seq("anything"))("anything") == 0L)
+  }
+
+  test("CMS is partitioning-invariant and exact on a collision-free stream") {
+    val vs = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma")
+    val probes = Seq("alpha", "beta", "gamma", "delta")
+    val one = cmsRun(vs, probes, parts = 1)
+    assert(one == cmsRun(vs, probes, parts = 13))
+    // 3 distinct keys across 512 buckets x 4 rows: expect exactness here
+    assert(one == Map("alpha" -> 40L, "beta" -> 7L, "gamma" -> 1L, "delta" -> 0L))
+  }
+
+  test("CMS state merges by elementwise sum: union == summed halves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (a, b) = ((0 until 500).map(i => s"x${i % 37}"),
+      (0 until 400).map(i => s"x${i % 53}"))
+    val merged = Sketches.cmsCounters(a.toDF("v"), Nil, col("v"))
+      .union(Sketches.cmsCounters(b.toDF("v"), Nil, col("v")))
+      .groupBy("cms_row", "cms_bucket").agg(sum("cms_count").as("cms_count"))
+    val direct = Sketches.cmsCounters((a ++ b).toDF("v"), Nil, col("v"))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
+
+  test("CMS weighted counts and NULL handling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Some("a") -> 3L, Some("a") -> 2L, None -> 99L, Some("b") -> 1L)
+      .toDF("v", "w")
+    val ctr = Sketches.cmsCounters(df, Nil, col("v"), col("w"))
+    val got = Sketches.cmsEstimate(ctr, Nil, Seq("a", "b").toDF("v"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5L, "b" -> 1L), "weights summed, NULL value ignored")
+  }
+
+  test("CMS counter state is bounded by d*w per group and the plan is windowless") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val ctr = Sketches.cmsCounters(df, Seq("g"),
+      org.apache.spark.sql.functions.col("v"))
+    assert(ctr.count() <= (Sketches.CmsD * Sketches.CmsW).toLong)
+    val plan = ctr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial"), "expected map-side partial aggregation")
+  }
 }
