@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** `lcs_tokens(array<long>, array<long>) -> int` — length of the
+  * longest common subsequence of two token-hash arrays, the core of
+  * ROUGE-L similarity (Lin 2004), as one codegen kernel.
+  *
+  * Classic O(n·m) DP with two rolling rows — O(min-side) extra memory
+  * per evaluation, no O(n·m) table. Token HASHES, not strings: the
+  * per-cell comparison is one long compare, and the pair join that
+  * feeds this (the hot path — per PAIR, not per document) carries two
+  * narrow long arrays instead of text. Hash equality stands in for
+  * token equality identically on both engines (same md5-derived
+  * values), so a collision — ~2^-60 per pair — cannot cause an oracle
+  * mismatch, only the same (astronomically unlikely) overcount on
+  * both sides.
+  *
+  * Callers MUST bound the array lengths upstream (`slice(tokens, 1,
+  * k)`) — the DP is quadratic and an unbounded document pair would
+  * make one row evaluation O(doc²). Null if either array is null. */
+case class LcsTokens(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lcs_tokens"
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    LcsTokens.kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      int ${ev.value} = 0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        ${ev.isNull} = false;
+        ${ev.value} = graft.expressions.LcsTokens.kernel(${lg.value}, ${rg.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LcsTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsTokens {
+
+  /** Rolling two-row LCS DP over long arrays. */
+  def kernel(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var curr = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val ai = a.getLong(i - 1)
+      var j = 1
+      while (j <= m) {
+        curr(j) =
+          if (ai == b.getLong(j - 1)) prev(j - 1) + 1
+          else { val u = prev(j); val l = curr(j - 1); if (u >= l) u else l }
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(LcsTokens(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -20,9 +20,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * (`array_sort` at shingle-build time); the per-pair cost drops to a
   * two-pointer scan with zero allocation, inside whole-stage codegen.
   *
-  * Inputs MUST be sorted ascending with no duplicates (guaranteed by
-  * `array_sort(array_distinct(...))` upstream) — violating that
-  * undercounts silently. Null if either array is null.
+  * Two documented faces of the one kernel, chosen by what the caller
+  * sorts in: on sorted DUPLICATE-FREE arrays (`array_sort(
+  * array_distinct(...))`) the result is the SET intersection size —
+  * the similarity-join face; on sorted MULTISETS (`array_sort(...)`,
+  * duplicates kept) the two-pointer advances both sides once per
+  * matched occurrence, so the result is Σ_g min(count_a(g),
+  * count_b(g)) — exactly BLEU's clipped n-gram match count
+  * (Papineni et al. 2002), the face `Decontaminate.
+  * clippedNgramPrecision` uses. Feeding an UNSORTED array violates
+  * both contracts and undercounts silently. Null if either array is
+  * null.
   */
 case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -187,4 +187,79 @@ object Decontaminate {
         when(col("n_grams") > 0L, expr("n_bloom_hits * 1000 DIV n_grams"))
           .otherwise(0L))
   }
+
+  /** ROUGE-L similarity ([[graft.expressions.LcsTokens]]) over a
+    * PAIRED frame — the paraphrase-contamination scorer n-gram overlap
+    * misses: a reworded eval answer shares a long common SUBSEQUENCE
+    * with its source even when no verbatim 8-gram survives (Lin 2004).
+    *
+    * `pairs` carries two bounded token-hash-array columns (built with
+    * [[graft.expressions.TokenHashes]] over `slice(tokens, 1, k)` —
+    * the caller owns the k bound because the LCS DP is O(k²) per
+    * pair); candidate pairs come from the repo's bounded pair spines
+    * (LSH buckets, ANN top-k, SRP signatures — never the corpus
+    * square). Adds n_a / n_b / lcs / rouge_f_micro, where
+    * rouge_f_micro = 2·10⁶·lcs DIV (n_a + n_b) — the ROUGE-L F
+    * measure (P = lcs/n_b, R = lcs/n_a, F = 2PR/(P+R) = 2·lcs/(n_a +
+    * n_b)) in truncating integer micro, exact on both engines. A NULL
+    * array on either side yields NULL lcs / rouge (fail-visible, not
+    * silently zero). Row-local projection: zero shuffle beyond what
+    * built the pairs. */
+  def rougeL(pairs: DataFrame, aTokCol: String, bTokCol: String): DataFrame =
+    pairs
+      .withColumn("n_a", size(col(aTokCol)))
+      .withColumn("n_b", size(col(bTokCol)))
+      .withColumn("lcs",
+        graft.expressions.LcsTokens(col(aTokCol), col(bTokCol)))
+      .withColumn("rouge_f_micro",
+        when(col("lcs").isNull, lit(null).cast("long"))
+          .when(col("n_a") + col("n_b") === 0, lit(0L))
+          .otherwise(expr("CAST(2000000 * lcs AS BIGINT) DIV (n_a + n_b)")))
+
+  /** BLEU-style clipped 1/2-gram precision (Papineni et al. 2002)
+    * over a PAIRED frame of token STRING arrays (candidate `aTokCol`
+    * scored against reference `bTokCol`) — the verbatim-overlap
+    * complement of [[rougeL]]: ROUGE-L credits scattered
+    * subsequences, clipped precision credits only n-gram mass, so a
+    * doc that lifts whole phrases scores high here even when
+    * reordering breaks the LCS. Brevity penalty deliberately
+    * OMITTED (it exists to stop short translations gaming corpus
+    * BLEU; for contamination scoring the lengths are emitted instead
+    * and the gate reads them directly).
+    *
+    * match_n = Σ_g min(count_cand(g), count_ref(g)) via the
+    * [[graft.expressions.SortedIntersectSize]] multiset face over
+    * sorted n-gram HASH arrays (narrow long compares, one codegen
+    * pass; bigrams through [[graft.expressions.WordShingles]] then
+    * [[graft.expressions.TokenHashes]]). p_n in truncating integer
+    * micro; bleu2_micro = floor(sqrt(p1_micro · p2_micro)) — the
+    * geometric mean with ONE correctly-rounded IEEE sqrt on an exact
+    * integer ≤ 10¹² (engine-portable, the q168 discipline). Zero
+    * totals give p_n = 0; NULL arrays yield NULL scores
+    * (fail-visible). Row-local projection — zero shuffle beyond the
+    * pair spine. */
+  def clippedNgramPrecision(pairs: DataFrame, aTokCol: String,
+      bTokCol: String): DataFrame = {
+    def uni(c: String) = array_sort(graft.expressions.TokenHashes(col(c)))
+    def bi(c: String) = array_sort(graft.expressions.TokenHashes(
+      graft.expressions.WordShingles(col(c), 2)))
+    val m1 = graft.expressions.SortedIntersectSize(uni(aTokCol), uni(bTokCol))
+    val m2 = graft.expressions.SortedIntersectSize(bi(aTokCol), bi(bTokCol))
+    pairs
+      .withColumn("total_1", size(col(aTokCol)))
+      .withColumn("total_2", greatest(size(col(aTokCol)) - 1, lit(0)))
+      .withColumn("match_1", m1)
+      .withColumn("match_2", m2)
+      .withColumn("p1_micro",
+        when(col("match_1").isNull, lit(null).cast("long"))
+          .when(col("total_1") === 0, lit(0L))
+          .otherwise(expr("CAST(1000000 * match_1 AS BIGINT) DIV total_1")))
+      .withColumn("p2_micro",
+        when(col("match_2").isNull, lit(null).cast("long"))
+          .when(col("total_2") === 0, lit(0L))
+          .otherwise(expr("CAST(1000000 * match_2 AS BIGINT) DIV total_2")))
+      .withColumn("bleu2_micro",
+        floor(sqrt((col("p1_micro") * col("p2_micro")).cast("double")))
+          .cast("long"))
+  }
 }

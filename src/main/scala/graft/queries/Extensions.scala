@@ -2792,7 +2792,63 @@ object Extensions {
       .orderBy("source", "tok")
   }
 
+  /** q215 — ROUGE-L paraphrase scoring
+    * ([[graft.operators.Decontaminate.rougeL]] /
+    * [[graft.expressions.LcsTokens]]) over the deterministic
+    * (2k, 2k+1) pair spine, token arrays bounded at 40 (the caller-
+    * owned O(k²) DP bound). The oracle replays the LCS DP as a
+    * recursive CTE carrying one DP row per iteration, using the
+    * prefix-free reformulation c[j] = max(prev[j], max_{k≤j, a_i=b_k}
+    * prev[k−1]+1) so each new row is a pure function of the previous
+    * one (no intra-row recursion — the q211 list-carrying replay
+    * discipline). */
+  def q215RougeL(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables(spark, dir, "documents").select(col("doc_id"),
+      graft.expressions.TokenHashes(
+        slice(TextFunctions.tokens(coalesce(col("text"), lit(""))), 1, 40))
+        .as("th"))
+    val a = tk.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_a"), col("th").as("ta"))
+    val b = tk.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_b"), col("th").as("tb"))
+    graft.operators.Decontaminate.rougeL(a.join(b, Seq("pair_id")), "ta", "tb")
+      .select(col("pair_id"), col("doc_a"), col("doc_b"), col("n_a"),
+        col("n_b"), col("lcs"), col("rouge_f_micro"))
+      .orderBy("pair_id")
+  }
+
+  /** q216 — BLEU-style clipped 1/2-gram precision
+    * ([[graft.operators.Decontaminate.clippedNgramPrecision]]) over
+    * the q215 pair spine (tokens bounded at 64 — counting is linear,
+    * unlike the LCS DP): clipped match counts, totals, truncating
+    * integer-micro precisions, and the one-IEEE-sqrt geometric mean.
+    * The oracle counts per-gram least(count_a, count_b) on the raw
+    * strings — hash-equality on the engine side equals string
+    * equality by the md5-injectivity-in-practice argument LcsTokens
+    * documents. */
+  def q216BleuClip(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables(spark, dir, "documents").select(col("doc_id"),
+      slice(TextFunctions.tokens(coalesce(col("text"), lit(""))), 1, 64)
+        .as("tw"))
+    val a = tk.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_a"), col("tw").as("ta"))
+    val b = tk.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_b"), col("tw").as("tb"))
+    graft.operators.Decontaminate
+      .clippedNgramPrecision(a.join(b, Seq("pair_id")), "ta", "tb")
+      .select(col("pair_id"), col("doc_a"), col("doc_b"), col("total_1"),
+        col("match_1"), col("total_2"), col("match_2"), col("p1_micro"),
+        col("p2_micro"), col("bleu2_micro"))
+      .orderBy("pair_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_bleu_clip" -> (q216BleuClip _),
+    "q215_rouge_l" -> (q215RougeL _),
     "q214_count_min" -> (q214CountMin _),
     "q213_kneser_ney" -> (q213KneserNey _),
     "q212_line_dedup" -> (q212LineDedup _),
@@ -3684,6 +3740,68 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q216_bleu_clip" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    list_slice(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), 1, 64) AS tw
+        |  FROM documents),
+        |pa AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_a, tw AS a
+        |  FROM tk WHERE doc_id % 2 = 0),
+        |pb AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_b, tw AS b
+        |  FROM tk WHERE doc_id % 2 = 1),
+        |pr AS (SELECT pair_id, doc_a, doc_b, a, b FROM pa JOIN pb USING (pair_id)),
+        |ua AS (SELECT pair_id, g, count(1) AS c FROM
+        |  (SELECT pair_id, unnest(a) AS g FROM pr) GROUP BY pair_id, g),
+        |ub AS (SELECT pair_id, g, count(1) AS c FROM
+        |  (SELECT pair_id, unnest(b) AS g FROM pr) GROUP BY pair_id, g),
+        |m1 AS (SELECT pair_id, sum(least(ua.c, ub.c))::BIGINT AS m
+        |  FROM ua JOIN ub USING (pair_id, g) GROUP BY pair_id),
+        |ba AS (SELECT pair_id, g, count(1) AS c FROM
+        |  (SELECT pair_id, unnest(list_transform(range(1, len(a)),
+        |     i -> a[i] || ' ' || a[i + 1])) AS g FROM pr) GROUP BY pair_id, g),
+        |bb AS (SELECT pair_id, g, count(1) AS c FROM
+        |  (SELECT pair_id, unnest(list_transform(range(1, len(b)),
+        |     i -> b[i] || ' ' || b[i + 1])) AS g FROM pr) GROUP BY pair_id, g),
+        |m2 AS (SELECT pair_id, sum(least(ba.c, bb.c))::BIGINT AS m
+        |  FROM ba JOIN bb USING (pair_id, g) GROUP BY pair_id)
+        |SELECT p.pair_id, p.doc_a, p.doc_b,
+        |  len(p.a)::BIGINT AS total_1, coalesce(m1.m, 0)::BIGINT AS match_1,
+        |  greatest(len(p.a) - 1, 0)::BIGINT AS total_2,
+        |  coalesce(m2.m, 0)::BIGINT AS match_2,
+        |  CASE WHEN len(p.a) = 0 THEN 0
+        |       ELSE 1000000 * coalesce(m1.m, 0) // len(p.a) END::BIGINT AS p1_micro,
+        |  CASE WHEN len(p.a) - 1 <= 0 THEN 0
+        |       ELSE 1000000 * coalesce(m2.m, 0) // (len(p.a) - 1) END::BIGINT AS p2_micro,
+        |  floor(sqrt((p1_micro * p2_micro)::DOUBLE))::BIGINT AS bleu2_micro
+        |FROM pr p LEFT JOIN m1 USING (pair_id) LEFT JOIN m2 ON m2.pair_id = p.pair_id
+        |ORDER BY p.pair_id""".stripMargin),
+    "q215_rouge_l" ->
+      ("""WITH RECURSIVE
+        |tk AS (SELECT doc_id, list_transform(
+        |    list_slice(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), 1, 40),
+        |    t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS th
+        |  FROM documents),
+        |pa AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_a, th AS a
+        |  FROM tk WHERE doc_id % 2 = 0),
+        |pb AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_b, th AS b
+        |  FROM tk WHERE doc_id % 2 = 1),
+        |pr AS (SELECT pair_id, doc_a, doc_b, a, b,
+        |    len(a) AS na, len(b) AS nb FROM pa JOIN pb USING (pair_id)),
+        |rec AS (
+        |  SELECT pair_id, a, b, na, nb, 0 AS i,
+        |    list_transform(range(0, nb + 1), x -> 0) AS row
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT pair_id, a, b, na, nb, i + 1,
+        |    list_prepend(0, list_transform(range(1, nb + 1), j ->
+        |      greatest(row[j + 1],
+        |        list_max(list_transform(range(1, j + 1), k ->
+        |          CASE WHEN a[i + 1] = b[k] THEN row[k] + 1 ELSE 0 END)))))
+        |  FROM rec WHERE i < na),
+        |fin AS (SELECT pair_id, row[nb + 1] AS lcs FROM rec WHERE i = na)
+        |SELECT p.pair_id, p.doc_a, p.doc_b, p.na AS n_a, p.nb AS n_b, f.lcs,
+        |  (2000000 * f.lcs // (p.na + p.nb))::BIGINT AS rouge_f_micro
+        |FROM pr p JOIN fin f USING (pair_id)
+        |ORDER BY p.pair_id""".stripMargin),
     "q214_count_min" ->
       (s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
         |  FROM documents),

@@ -382,6 +382,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("LcsTokens.kernel == full-table LCS DP on 800 random array pairs") {
+    def ref(a: Array[Long], b: Array[Long]): Int = {
+      val t = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        t(i)(j) =
+          if (a(i - 1) == b(j - 1)) t(i - 1)(j - 1) + 1
+          else math.max(t(i - 1)(j), t(i)(j - 1))
+      t(a.length)(b.length)
+    }
+    (0 until 800).foreach { _ =>
+      // small alphabet forces long matches, repeats, and ties
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(6).toLong)
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(6).toLong)
+      val got = LcsTokens.kernel(
+        new GenericArrayData(a.toIndexedSeq), new GenericArrayData(b.toIndexedSeq))
+      assert(got == ref(a, b), s"a=${a.mkString(",")} b=${b.mkString(",")}")
+    }
+  }
+
+  test("LcsTokens.kernel: identity, disjoint, empty, and subsequence bounds") {
+    def arr(xs: Long*) = new GenericArrayData(xs.toIndexedSeq)
+    assert(LcsTokens.kernel(arr(1L, 2L, 3L), arr(1L, 2L, 3L)) == 3)
+    assert(LcsTokens.kernel(arr(1L, 2L, 3L), arr(4L, 5L)) == 0)
+    assert(LcsTokens.kernel(arr(), arr(1L)) == 0)
+    assert(LcsTokens.kernel(arr(1L), arr()) == 0)
+    // a scattered subsequence is found across interleaving noise
+    assert(LcsTokens.kernel(arr(1L, 9L, 2L, 9L, 3L), arr(8L, 1L, 2L, 7L, 3L)) == 3)
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))

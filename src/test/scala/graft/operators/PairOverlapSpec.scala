@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Decontaminate.rougeL]] and [[Decontaminate.clippedNgramPrecision]]
+  * — the paraphrase-vs-verbatim pair of contamination scorers: ROUGE-L
+  * credits scattered subsequences, clipped precision credits verbatim
+  * n-gram mass; null arrays fail visible on both. */
+class PairOverlapSpec extends SparkSpec {
+
+  private def pairs(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    val tok: String => org.apache.spark.sql.Column = c =>
+      graft.functions.TextFunctions.tokens(col(c))
+    rows.toDF("pair_id", "a_text", "b_text")
+      .select(col("pair_id"), tok("a_text").as("tw_a"), tok("b_text").as("tw_b"))
+  }
+
+  private def hashed(df: DataFrame): DataFrame =
+    df.select(col("pair_id"),
+      graft.expressions.TokenHashes(col("tw_a")).as("ta"),
+      graft.expressions.TokenHashes(col("tw_b")).as("tb"))
+
+  test("rougeL: hand-computed LCS and F on known pairs") {
+    val got = Decontaminate.rougeL(hashed(pairs(Seq(
+        (1L, "the cat sat on the mat", "the cat sat on the mat"),
+        (2L, "a b c d", "x y z w"),
+        (3L, "a x b y c", "a b c")))), "ta", "tb")
+      .orderBy("pair_id")
+      .select("n_a", "n_b", "lcs", "rouge_f_micro")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got(0) == ((6, 6, 6, 1000000L)), "identical text scores exactly 1.0")
+    assert(got(1) == ((4, 4, 0, 0L)), "disjoint text scores 0")
+    // lcs(a x b y c, a b c) = 3; F = 2*3/(5+3) = 0.75
+    assert(got(2) == ((5, 3, 3, 750000L)))
+  }
+
+  test("rougeL rewards a scattered paraphrase that clipped bigrams miss") {
+    val reordered = pairs(Seq(
+      (1L, "alice saw the small dog today", "alice quietly saw one small dog sleep")))
+    val r = Decontaminate.rougeL(hashed(reordered), "ta", "tb")
+      .select("lcs").collect().head.getInt(0)
+    assert(r == 4, "alice/saw/small/dog survive as a subsequence")
+    val b = Decontaminate.clippedNgramPrecision(
+        reordered.withColumnRenamed("tw_a", "ta").withColumnRenamed("tw_b", "tb"),
+        "ta", "tb")
+      .select("match_2").collect().head.getInt(0)
+    assert(b == 1, "only 'small dog' survives as a verbatim bigram")
+  }
+
+  test("clippedNgramPrecision: clipping caps repeated grams at reference multiplicity") {
+    val df = pairs(Seq((1L, "the the the cat", "the cat sat")))
+      .withColumnRenamed("tw_a", "ta").withColumnRenamed("tw_b", "tb")
+    val r = Decontaminate.clippedNgramPrecision(df, "ta", "tb")
+      .select("total_1", "match_1", "total_2", "match_2", "p1_micro",
+        "p2_micro", "bleu2_micro").collect().head
+    // unigrams: min(3,1) for 'the' + min(1,1) for 'cat' = 2 of 4
+    assert((r.getInt(0), r.getInt(1)) == ((4, 2)))
+    // bigrams: 'the cat' matches once, 'the the' (x2) never = 1 of 3
+    assert((r.getInt(2), r.getInt(3)) == ((3, 1)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 333333L)
+    assert(r.getLong(6) == math.sqrt(500000L * 333333L).floor.toLong)
+  }
+
+  test("NULL token arrays propagate to NULL scores, never silent zeros") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L), null.asInstanceOf[Seq[Long]]))
+      .toDF("pair_id", "ta", "tb")
+    val r = Decontaminate.rougeL(df, "ta", "tb").collect().head
+    assert(r.isNullAt(r.fieldIndex("lcs")) &&
+      r.isNullAt(r.fieldIndex("rouge_f_micro")))
+    val sdf = Seq((1L, Seq("a", "b"), null.asInstanceOf[Seq[String]]))
+      .toDF("pair_id", "ta", "tb")
+    val c = Decontaminate.clippedNgramPrecision(sdf, "ta", "tb").collect().head
+    assert(c.isNullAt(c.fieldIndex("match_1")) &&
+      c.isNullAt(c.fieldIndex("p1_micro")))
+  }
+
+  test("both scorers are row-local: no shuffle beyond the pair spine") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"), Seq("a", "c"))).toDF("pair_id", "ta", "tb")
+    val p1 = Decontaminate.clippedNgramPrecision(df, "ta", "tb")
+      .queryExecution.executedPlan.toString
+    val p2 = Decontaminate.rougeL(hashed(pairs(Seq((1L, "a b", "a c")))),
+      "ta", "tb").queryExecution.executedPlan.toString
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("Exchange") && !p.contains("Window"),
+        s"expected a pure projection:\n$p")
+    }
+  }
+}
