@@ -667,6 +667,58 @@ object Vocab {
     * Same compile-once reference-object model and zero-shuffle codegen
     * projection. Output: (idCol, n_words, n_pieces, n_unk, cost_milli,
     * pieces_str). */
+  /** One hard-EM (Viterbi-EM) re-estimation round for the unigram
+    * tokenizer — the training step behind [[unigramEncode]]'s
+    * inference (SentencePiece, Kudo 2018, with the E-step's
+    * forward–backward replaced by the Viterbi best path — the
+    * standard hard-EM variant, deterministic by construction):
+    * segment the corpus under the CURRENT costs, count how often
+    * each vocabulary piece is actually used, and re-price every
+    * piece at its add-one-smoothed negative log frequency,
+    * `new_cost_milli = round(1000·(ln(T + V) − ln(c_p + 1)))` (T =
+    * total vocab-piece occurrences, V = |vocab|) — unused pieces
+    * drift expensive and self-prune on the caller's next
+    * iteration/prune cycle. UNK single-char emissions are NOT in the
+    * inventory and take no probability mass (they are priced by
+    * `unkCostMilli`, the open-vocabulary escape hatch).
+    *
+    * Engine parity: one `ln` difference rounded to integer milli per
+    * piece (the q167/dsir micro-ln discipline — the SQL replay is
+    * written identically); everything before it is exact integers.
+    * Scale shape: ONE corpus pass (the Viterbi projection + piece
+    * explode) into a (piece)-keyed partial agg; the re-pricing join
+    * and total run on the vocab-sized frame (broadcast). Output:
+    * (piece, old_cost_milli, n_occ, new_cost_milli) — feed back in as
+    * `vocabCosts` to iterate. */
+  def unigramEmStep(df: DataFrame, idCol: String, textCol: String,
+      vocabCosts: Seq[(String, Long)],
+      unkCostMilli: Long = 20000L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = graft.expressions.UnigramEncode.build(vocabCosts, unkCostMilli)
+    val words = filter(
+      graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+      w => length(w) > 0)
+    // checkpointed: the collapsed piece-count frame feeds BOTH the
+    // total and the re-pricing join - without it the corpus-sized
+    // Viterbi pass would run once per consumer
+    val counts = checkpointer(df
+      .select(explode(graft.expressions.UnigramEncode(words, m)
+        .getField("pieces")).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n_occ")))
+    val vocab = vocabCosts.toDF("piece", "old_cost_milli")
+    val joined = broadcast(vocab).join(counts, Seq("piece"), "left")
+      .select(col("piece"), col("old_cost_milli"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+    val total = joined.agg(sum("n_occ").as("__t"))
+    val v = vocabCosts.size
+    joined.crossJoin(broadcast(total))
+      .withColumn("new_cost_milli",
+        expr(s"CAST(round((ln(__t + $v) - ln(n_occ + 1)) * 1000) AS BIGINT)"))
+      .select("piece", "old_cost_milli", "n_occ", "new_cost_milli")
+  }
+
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
       vocabCosts: Seq[(String, Long)],
       unkCostMilli: Long = 20000L): DataFrame = {

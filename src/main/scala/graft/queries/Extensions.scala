@@ -2846,7 +2846,18 @@ object Extensions {
       .orderBy("pair_id")
   }
 
+  /** q217 — one unigram hard-EM re-estimation round
+    * ([[Vocab.unigramEmStep]]) over the q211 costed vocabulary on the
+    * PLAIN corpus: every piece's realized usage count under the
+    * current costs and its re-smoothed price. The oracle reuses q211's
+    * recursive Viterbi replay verbatim (only the doc CTE differs) and
+    * re-prices with the identically-written milli-ln expression. */
+  def q217UnigramEm(spark: SparkSession, dir: String): DataFrame =
+    Vocab.unigramEmStep(Tables(spark, dir, "documents"), "doc_id", "text",
+      ugVocab).orderBy("piece")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_unigram_em" -> (q217UnigramEm _),
     "q216_bleu_clip" -> (q216BleuClip _),
     "q215_rouge_l" -> (q215RougeL _),
     "q214_count_min" -> (q214CountMin _),
@@ -3678,7 +3689,11 @@ object Extensions {
     * tie-break is the list_max over the argmin set — the exact
     * contract [[graft.expressions.UnigramEncode]] documents. Vocab
     * lists come from the SAME [[ugVocab]]. */
-  private def unigramSql: String = {
+  /** The q211 recursive Viterbi replay, factored so q217's EM-step
+    * oracle reuses the IDENTICAL DP (only the `t` doc CTE differs):
+    * returns the CTE chain `t .. fin`, where `fin` holds one
+    * (doc_id, wi, seg, cost, unk) row per word. */
+  private def unigramRecSql(tCte: String): String = {
     val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
     val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
     val maxLen = ugVocab.map(_._1.length).max
@@ -3690,10 +3705,7 @@ object Extensions {
          |                'c': costs[i + 2 - x] + coalesce(${vc("substring(w, i + 2 - x, x)")},
          |                       CASE WHEN x = 1 THEN 20000 ELSE NULL END)}),
          |        s -> s.c IS NOT NULL)""".stripMargin
-    s"""WITH RECURSIVE
-      |t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-      |    THEN coalesce(text, '') || ' xy slowing ' || chr(9731) || 'z'
-      |    ELSE text END AS text FROM documents),
+    s"""t AS ($tCte),
       |tok AS (SELECT doc_id, list_filter(
       |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
       |    x -> length(x) > 0) AS ws FROM t),
@@ -3722,7 +3734,16 @@ object Extensions {
       |  ) z),
       |fin AS (SELECT doc_id, wi, segs[length(w) + 1] AS seg,
       |    costs[length(w) + 1] AS cost, unks[length(w) + 1] AS unk
-      |  FROM rec WHERE i = length(w)),
+      |  FROM rec WHERE i = length(w))""".stripMargin
+  }
+
+  private def unigramSql: String = {
+    val rec = unigramRecSql(
+      """SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN coalesce(text, '') || ' xy slowing ' || chr(9731) || 'z'
+        |    ELSE text END AS text FROM documents""".stripMargin)
+    s"""WITH RECURSIVE
+      |$rec,
       |ag AS (SELECT doc_id,
       |    sum(len(string_split(seg, ' ')))::BIGINT AS n_pieces,
       |    sum(unk)::BIGINT AS n_unk,
@@ -3740,6 +3761,23 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q217_unigram_em" -> {
+      val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
+      val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |${unigramRecSql("SELECT doc_id, text FROM documents")},
+        |pc AS (SELECT unnest(string_split(seg, ' ')) AS piece FROM fin),
+        |cnt AS (SELECT piece, count(1)::BIGINT AS n_occ FROM pc GROUP BY piece),
+        |voc AS (SELECT unnest($pl) AS piece, unnest($cl) AS old_cost_milli),
+        |j AS (SELECT v.piece, v.old_cost_milli::BIGINT AS old_cost_milli,
+        |    coalesce(c.n_occ, 0)::BIGINT AS n_occ
+        |  FROM voc v LEFT JOIN cnt c USING (piece)),
+        |gt AS (SELECT sum(n_occ)::BIGINT AS tt FROM j)
+        |SELECT j.piece, j.old_cost_milli, j.n_occ,
+        |  CAST(round((ln(gt.tt + ${ugVocab.size}) - ln(j.n_occ + 1)) * 1000) AS BIGINT) AS new_cost_milli
+        |FROM j CROSS JOIN gt
+        |ORDER BY j.piece""".stripMargin
+    },
     "q216_bleu_clip" ->
       ("""WITH tk AS (SELECT doc_id,
         |    list_slice(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), 1, 64) AS tw

@@ -119,4 +119,30 @@ class UnigramSpec extends SparkSpec {
       UnigramEncode.build(Seq(("a", 0L)))
     }
   }
+
+  test("unigramEmStep: counts realized usage, re-prices with add-one ln, UNK takes no mass") {
+    import spark.implicits._
+    val vocab = Seq(("slow", 5000L), ("sl", 1200L), ("ow", 1300L),
+      ("ing", 2000L), ("never", 9000L))
+    // 'slowing' -> sl ow ing; 'slow' -> sl ow; 'x' -> UNK (not in vocab)
+    val df = Seq((1L, "slowing slow"), (2L, "x slowing")).toDF("doc_id", "text")
+    val got = Vocab.unigramEmStep(df, "doc_id", "text", vocab)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = got.map(r => r._1 -> r._3).toMap
+    // sl/ow used 3x each (two 'slowing' + one 'slow'), ing 2x,
+    // whole-word 'slow' loses to sl+ow (2500 < 5000), never unused;
+    // UNK 'x' appears in NO vocab row
+    assert(counts == Map("sl" -> 3L, "ow" -> 3L, "ing" -> 2L,
+      "slow" -> 0L, "never" -> 0L))
+    assert(!got.exists(_._1 == "x"), "UNK emissions are not in the inventory")
+    val t = 8L; val v = vocab.size
+    got.foreach { case (p, _, c, nc) =>
+      val want = math.round((math.log(t + v) - math.log(c + 1)) * 1000.0)
+      assert(nc == want, s"re-price of $p")
+    }
+    // unused pieces share the maximum (most expensive) re-price
+    assert(counts.filter(_._2 == 0L).keySet.forall(p =>
+      got.find(_._1 == p).get._4 == got.map(_._4).max))
+  }
 }
