@@ -787,4 +787,105 @@ object SimilaritySearch {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr("coalesce(n_hits, 0) * 1000 DIV n_exact").as("recall_milli"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking
+    * contributes 1/(kConst + rank) to every item it retrieved, scores
+    * SUM across lists, and the fused order is (rrf_micro DESC, item).
+    * Scale-free by design — no score normalization across
+    * incomparable scorers (BM25 floats vs cosine vs recency), only
+    * ranks — which is exactly why it is the default fusion for
+    * lexical + embedding search.
+    *
+    * Contributions are 10⁶ DIV (kConst + rank) in truncating integer
+    * micro — exact on both engines, order-free summation. Every input
+    * frame carries (queryCol, itemCol, rankCol) with rank ≥ 1 and at
+    * most one row per (query, item) (the repo's top-k operators all
+    * guarantee this); `n_lists` counts how many rankings retrieved
+    * the item.
+    *
+    * Scale shape: inputs are ALREADY bounded top-k frames (that is
+    * the operator's contract — fusion happens after retrieval), so
+    * the union is ≤ Σ kᵢ rows per query, the sum is one partial agg,
+    * and the fused-rank window partitions by query over ≤ Σ kᵢ rows —
+    * bounded, never corpus-sized. Output: (queryCol, itemCol,
+    * n_lists, rrf_micro, fused_rank). */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, kConst: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking")
+    require(kConst >= 0, "need kConst >= 0")
+    val contrib = lists.map(df =>
+      df.select(col(queryCol).as("__q"), col(itemCol).as("__it"),
+          col(rankCol).cast("long").as("__rk"))
+        .select(col("__q"), col("__it"),
+          expr(s"CAST(1000000 DIV ($kConst + __rk) AS BIGINT)").as("__sc")))
+    val fused = contrib.reduce(_ unionByName _)
+      .groupBy("__q", "__it")
+      .agg(count(lit(1)).as("n_lists"), sum("__sc").as("rrf_micro"))
+    val w = Window.partitionBy("__q")
+      .orderBy(col("rrf_micro").desc, col("__it").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .select(col("__q").as(queryCol), col("__it").as(itemCol),
+        col("n_lists"), col("rrf_micro"), col("fused_rank"))
+  }
+
+  /** The NDCG position discount 1/log₂(r+1) for ranks 1..k, PINNED as
+    * integer micros at plan-build time — the graded-retrieval metric
+    * with NO runtime transcendental: both engines consume the same
+    * literal table, so parity is by construction rather than by a
+    * libm-ln agreement argument. */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
+
+  /** NDCG@k (Järvelin & Kekäläinen 2002) of a ranking against graded
+    * relevance judgments — the eval that q193's recall@k can't give:
+    * recall says whether relevant items were retrieved at all, NDCG
+    * says whether the MOST relevant ones were retrieved FIRST.
+    *
+    * `ranking`: (query_id, item_id, rank ≥ 1), rank unique per query
+    * (every repo top-k operator guarantees this). `rels`: the qrels
+    * frame (query_id, item_id, rel ≥ 0 int) — bounded per query by
+    * assessment, the standard IR-eval contract; items absent from it
+    * count rel = 0 (unjudged = irrelevant, the trec_eval convention).
+    * Gains are exponential, 2^rel − 1; discounts from
+    * [[ndcgDiscountsMicro]]. IDCG re-ranks the POSITIVE qrels ideally
+    * ((rel DESC, item_id) — the item tie-break makes ties total) over
+    * a per-query window bounded by the qrels contract. A query with
+    * no positive judgment has IDCG 0 → NULL ndcg (undefined, not a
+    * fake 0 or 1).
+    *
+    * Every term is an exact integer (gain · disc_micro ≤ 2^rel·10⁶ —
+    * overflow at rel ≥ ~43, far past real grade scales); ndcg_milli =
+    * 1000·dcg DIV idcg truncating. Scale shape: one (query, item)
+    * hash join + two query-keyed partial aggs + the bounded qrels
+    * window — no corpus-sized window, no broadcast assumption.
+    * Output: (query_id, dcg_micro, idcg_micro, ndcg_milli). */
+  def ndcgAtK(ranking: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "need 1 <= k <= 256")
+    val disc = array(ndcgDiscountsMicro(k).map(lit): _*)
+    val gained = ranking.filter(col("rank") <= k)
+      .join(rels.select(col("query_id"), col("item_id"), col("rel")),
+        Seq("query_id", "item_id"), "left")
+      .withColumn("__rel", coalesce(col("rel"), lit(0)).cast("int"))
+      .withColumn("__term",
+        (expr("CAST(shiftleft(1, __rel) AS BIGINT)") - lit(1L)) *
+          element_at(disc, col("rank").cast("int")))
+    val dcg = gained.groupBy("query_id").agg(sum("__term").as("dcg_micro"))
+    val wi = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("item_id").asc)
+    val idcg = rels.filter(col("rel") > 0)
+      .withColumn("__irank", row_number().over(wi))
+      .filter(col("__irank") <= k)
+      .withColumn("__term",
+        (expr("CAST(shiftleft(1, rel) AS BIGINT)") - lit(1L)) *
+          element_at(disc, col("__irank")))
+      .groupBy("query_id").agg(sum("__term").as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("1000 * dcg_micro DIV idcg_micro"))
+          .as("ndcg_milli"))
+  }
 }

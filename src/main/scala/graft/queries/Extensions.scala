@@ -2856,7 +2856,53 @@ object Extensions {
     Vocab.unigramEmStep(Tables(spark, dir, "documents"), "doc_id", "text",
       ugVocab).orderBy("piece")
 
+  /** q218 — hybrid-retrieval Reciprocal Rank Fusion
+    * ([[SimilaritySearch.rrfFuse]]): the q110 BM25 top-20 (lexical)
+    * fused with the cosine top-20 for query vector 0 (semantic) at
+    * kConst = 60 — rank-only combination of incomparable scorers,
+    * integer-micro contributions. Items retrieved by both lists rise;
+    * n_lists exposes single-list items. */
+  def q218RrfFuse(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextSearch.bm25TopK(Tables(spark, dir, "documents"),
+        "doc_id", "text", Seq("fast", "merge", "scan"), k = 20)
+      .select(lit(0L).as("query_id"), col("doc_id").as("item_id"),
+        col("rank"))
+    val e = Tables(spark, dir, "embeddings")
+    val sem = SimilaritySearch.bruteForceTopK(e,
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank"))
+    SimilaritySearch.rrfFuse(Seq(lex, sem), "query_id", "item_id", "rank")
+      .orderBy("fused_rank", "item_id")
+  }
+
+  /** q219 — NDCG@10 of cosine retrieval against label-derived graded
+    * judgments ([[SimilaritySearch.ndcgAtK]]): rel 2 for same label,
+    * 1 for adjacent, 0 otherwise (self excluded from both ranking and
+    * qrels). The discount table is pinned integer micros — the one
+    * retrieval-quality metric in the family with zero runtime
+    * transcendentals on either engine. */
+  def q219Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val ranking = SimilaritySearch.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+    val rels = e.select(col("vec_id").as("item_id"), col("label").as("__il"))
+      .crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        when(col("__ql") === col("__il"), 2)
+          .when(abs(col("__ql") - col("__il")) === 1, 1)
+          .otherwise(0).as("rel"))
+    SimilaritySearch.ndcgAtK(ranking, rels, 10).orderBy("query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_ndcg" -> (q219Ndcg _),
+    "q218_rrf_fuse" -> (q218RrfFuse _),
     "q217_unigram_em" -> (q217UnigramEm _),
     "q216_bleu_clip" -> (q216BleuClip _),
     "q215_rouge_l" -> (q215RougeL _),
@@ -3761,6 +3807,80 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q219_ndcg" -> {
+      val dl = graft.operators.SimilaritySearch.ndcgDiscountsMicro(10)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+        |cs AS (SELECT qid AS query_id, e.vec_id AS item_id, $cosSql AS sim
+        |  FROM e, q WHERE e.vec_id <> qid),
+        |rk AS (SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+        |  FROM cs),
+        |rel AS (SELECT q.qid AS query_id, e.vec_id AS item_id,
+        |    CASE WHEN q.ql = e.label THEN 2
+        |         WHEN abs(q.ql - e.label) = 1 THEN 1 ELSE 0 END AS rel
+        |  FROM q, e WHERE e.vec_id <> q.qid),
+        |dd AS (SELECT unnest(range(1, 11)) AS r, unnest($dl) AS disc),
+        |g AS (SELECT rk.query_id,
+        |    ((1 << coalesce(rel.rel, 0)) - 1)::BIGINT * dd.disc AS term
+        |  FROM rk LEFT JOIN rel USING (query_id, item_id)
+        |  JOIN dd ON dd.r = rk.rank
+        |  WHERE rk.rank <= 10),
+        |dcg AS (SELECT query_id, sum(term)::BIGINT AS dcg_micro FROM g GROUP BY query_id),
+        |ideal AS (SELECT query_id, rel, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, item_id) AS irank
+        |  FROM rel WHERE rel > 0),
+        |idcg AS (SELECT i.query_id,
+        |    sum(((1 << i.rel) - 1)::BIGINT * dd.disc)::BIGINT AS idcg_micro
+        |  FROM ideal i JOIN dd ON dd.r = i.irank WHERE i.irank <= 10
+        |  GROUP BY i.query_id)
+        |SELECT d.query_id, d.dcg_micro,
+        |  coalesce(ic.idcg_micro, 0)::BIGINT AS idcg_micro,
+        |  CASE WHEN coalesce(ic.idcg_micro, 0) = 0 THEN NULL
+        |       ELSE 1000 * d.dcg_micro // ic.idcg_micro END::BIGINT AS ndcg_milli
+        |FROM dcg d LEFT JOIN idcg ic USING (query_id)
+        |ORDER BY d.query_id""".stripMargin
+    },
+    "q218_rrf_fuse" ->
+      (s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'fast'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'merge'))::BIGINT AS tf2,
+        |  len(list_filter(toks, x -> x = 'scan'))::BIGINT AS tf3
+        |  FROM t),
+        |st AS (SELECT count(1)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot_dl,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+        |  sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+        |  FROM d),
+        |s AS (SELECT doc_id,
+        |  round(
+        |    ((2 * n_docs - 2 * df1 + 1)::DOUBLE / (2 * df1 + 1)::DOUBLE)
+        |      * ((tf1 * 2.25)::DOUBLE / (tf1::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |    + ((2 * n_docs - 2 * df2 + 1)::DOUBLE / (2 * df2 + 1)::DOUBLE)
+        |      * ((tf2 * 2.25)::DOUBLE / (tf2::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |    + ((2 * n_docs - 2 * df3 + 1)::DOUBLE / (2 * df3 + 1)::DOUBLE)
+        |      * ((tf3 * 2.25)::DOUBLE / (tf3::DOUBLE + 1.25 * (0.25 + 0.75 * (dl::DOUBLE / (tot_dl::DOUBLE / n_docs::DOUBLE)))))
+        |  , 6) AS score
+        |  FROM d CROSS JOIN st),
+        |lex AS (SELECT doc_id AS item_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM s),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id AS item_id, $cosSql AS sim
+        |      FROM e, q WHERE e.vec_id <> qid),
+        |sem AS (SELECT item_id,
+        |    row_number() OVER (ORDER BY sim DESC, item_id) AS rank FROM cs),
+        |u AS (SELECT item_id, rank FROM lex WHERE rank <= 20
+        |  UNION ALL SELECT item_id, rank FROM sem WHERE rank <= 20),
+        |f AS (SELECT 0::BIGINT AS query_id, item_id,
+        |    count(1)::BIGINT AS n_lists,
+        |    sum(1000000 // (60 + rank))::BIGINT AS rrf_micro
+        |  FROM u GROUP BY item_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, item_id) AS fused_rank FROM f)
+        |SELECT query_id, item_id, n_lists, rrf_micro, fused_rank
+        |FROM r ORDER BY fused_rank, item_id""".stripMargin),
     "q217_unigram_em" -> {
       val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
       val cl = ugVocab.map(_._2).mkString("[", ", ", "]")

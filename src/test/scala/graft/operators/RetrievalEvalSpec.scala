@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.rrfFuse]] and [[SimilaritySearch.ndcgAtK]] —
+  * the hybrid-fusion / graded-eval pair: rank-only RRF arithmetic,
+  * cross-list agreement beating single-list rank, exact NDCG against
+  * hand-computed pinned-discount sums, and the undefined-IDCG NULL. */
+class RetrievalEvalSpec extends SparkSpec {
+
+  private def rrf(r: Int): Long = 1000000L / (60 + r)
+
+  test("rrfFuse: contributions sum across lists and agreement wins") {
+    import spark.implicits._
+    // list A: x @1, y @2; list B: y @1, z @2 — y is in both
+    val a = Seq((0L, "x", 1), (0L, "y", 2)).toDF("query_id", "item_id", "rank")
+    val b = Seq((0L, "y", 1), (0L, "z", 2)).toDF("query_id", "item_id", "rank")
+    val got = SimilaritySearch.rrfFuse(Seq(a, b), "query_id", "item_id", "rank")
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got(0) == (("y", 2L, rrf(2) + rrf(1), 1)),
+      "double-retrieved y outranks both single-list tops")
+    assert(got(1) == (("x", 1L, rrf(1), 2)))
+    assert(got(2) == (("z", 1L, rrf(2), 3)))
+  }
+
+  test("rrfFuse: queries fuse independently and ties break by item") {
+    import spark.implicits._
+    val a = Seq((1L, "p", 1), (2L, "q", 1)).toDF("query_id", "item_id", "rank")
+    val b = Seq((1L, "r", 1)).toDF("query_id", "item_id", "rank")
+    val got = SimilaritySearch.rrfFuse(Seq(a, b), "query_id", "item_id", "rank")
+      .orderBy("query_id", "fused_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4)))
+    // query 1: p and r tie at rrf(1) — item order decides
+    assert(got.toSeq == Seq((1L, "p", 1), (1L, "r", 2), (2L, "q", 1)))
+  }
+
+  private def d(r: Int): Long = SimilaritySearch.ndcgDiscountsMicro(10)(r - 1)
+
+  test("ndcgAtK: ideal ranking scores exactly 1000, reversal scores less") {
+    import spark.implicits._
+    val rels = Seq((0L, 10L, 2), (0L, 11L, 1), (0L, 12L, 0))
+      .toDF("query_id", "item_id", "rel")
+    val ideal = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val gotI = SimilaritySearch.ndcgAtK(ideal, rels, 10).collect().head
+    val wantIdcg = 3L * d(1) + 1L * d(2)
+    assert(gotI.getLong(1) == wantIdcg && gotI.getLong(2) == wantIdcg &&
+      gotI.getLong(3) == 1000L)
+    val rev = Seq((0L, 12L, 1), (0L, 11L, 2), (0L, 10L, 3))
+      .toDF("query_id", "item_id", "rank")
+    val gotR = SimilaritySearch.ndcgAtK(rev, rels, 10).collect().head
+    val wantDcg = 1L * d(2) + 3L * d(3)
+    assert(gotR.getLong(1) == wantDcg)
+    assert(gotR.getLong(3) == 1000L * wantDcg / wantIdcg && gotR.getLong(3) < 1000L)
+  }
+
+  test("ndcgAtK: unjudged retrieved items count rel 0; no-positive query is NULL") {
+    import spark.implicits._
+    val rels = Seq((0L, 10L, 2), (1L, 10L, 0)).toDF("query_id", "item_id", "rel")
+    val rk = Seq((0L, 99L, 1), (0L, 10L, 2), (1L, 10L, 1))
+      .toDF("query_id", "item_id", "rank")
+    val got = SimilaritySearch.ndcgAtK(rk, rels, 10).orderBy("query_id").collect()
+    // query 0: unjudged 99 contributes 0, rel-2 item at rank 2
+    assert(got(0).getLong(1) == 3L * d(2) && got(0).getLong(2) == 3L * d(1))
+    // query 1: no positive judgment -> IDCG 0 -> NULL ndcg
+    assert(got(1).getLong(2) == 0L && got(1).isNullAt(3))
+  }
+
+  test("ndcg discounts are the pinned micro of 1/log2(r+1)") {
+    val ds = SimilaritySearch.ndcgDiscountsMicro(10)
+    assert(ds.head == 1000000L, "rank 1 discount is exactly 1")
+    assert(ds(2) == 500000L, "rank 3 (log2 4 = 2) is exactly 1/2")
+    assert(ds == ds.sorted.reverse, "discounts decrease monotonically")
+  }
+}
