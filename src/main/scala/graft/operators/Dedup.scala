@@ -1163,4 +1163,36 @@ object Dedup {
       .select(col(idCol), col("n_kgrams"),
         col("fp.pos").as("fp_pos"), col("fp.hash").as("fp_hash"))
   }
+
+  /** Shingle-set CONTAINMENT (Broder 1997's asymmetric twin of the
+    * Jaccard the LSH family resembles): c_a = |A∩B| / |A| and c_b =
+    * |A∩B| / |B| in truncating milli over a paired frame of SORTED
+    * DUPLICATE-FREE shingle-hash arrays (`array_sort(array_distinct(
+    * token_hashes(word_shingles(...))))` upstream — the
+    * [[graft.expressions.SortedIntersectSize]] set face). The metric
+    * Jaccard structurally CANNOT give: a 20-token quote inside a
+    * 2000-token page has Jaccard ≈ 0.01 (invisible to the dedup
+    * threshold) but containment(quote) = 1.0 — the
+    * quote/superset/boilerplate-inclusion detector.
+    *
+    * Pairs come from the repo's bounded candidate spines (LSH
+    * buckets, winnow fingerprint matches — never the corpus square);
+    * the scoring itself is a row-local two-pointer projection, zero
+    * shuffle. Empty sides score 0 (guarded); NULL arrays yield NULL
+    * scores (fail-visible). Output adds: n_a, n_b, n_common,
+    * contain_a_milli, contain_b_milli. */
+  def containment(pairs: DataFrame, aShCol: String, bShCol: String): DataFrame =
+    pairs
+      .withColumn("n_a", size(col(aShCol)))
+      .withColumn("n_b", size(col(bShCol)))
+      .withColumn("n_common",
+        graft.expressions.SortedIntersectSize(col(aShCol), col(bShCol)))
+      .withColumn("contain_a_milli",
+        when(col("n_common").isNull, lit(null).cast("long"))
+          .when(col("n_a") === 0, lit(0L))
+          .otherwise(expr("CAST(1000 * n_common AS BIGINT) DIV n_a")))
+      .withColumn("contain_b_milli",
+        when(col("n_common").isNull, lit(null).cast("long"))
+          .when(col("n_b") === 0, lit(0L))
+          .otherwise(expr("CAST(1000 * n_common AS BIGINT) DIV n_b")))
 }

@@ -680,4 +680,79 @@ object Export {
             d -> concat(CAST(d.i AS STRING), ':', d.tok)), ' ')""")
           .as("labels_str"))
   }
+
+  /** Deterministic T5-style span corruption (Raffel et al. 2020's
+    * pretraining objective), block-stratified: the token stream is
+    * cut into fixed `blockSize` blocks; every block of at least
+    * `minBlock` tokens loses exactly ONE span of md5-derived length
+    * 1..`maxSpan` at an md5-derived offset, replaced by an
+    * `<extra_id_k>` sentinel (k = block index — contiguous because
+    * only the LAST block can be undersized), and the target is the
+    * sentinel-prefixed dropped spans plus the closing sentinel.
+    * Corruption density ≈ E[len]/blockSize (defaults: 3/20 = 15 %,
+    * the paper's rate).
+    *
+    * Why blocks instead of the paper's sequential span sampling:
+    * per-block decisions are independent functions of (doc id, block
+    * index) — the [[fimTransform]]/[[mlmMask]] salted-hash
+    * discipline — so samples are byte-identical on any engine,
+    * partitioning, or rerun, spans can never overlap or cross block
+    * boundaries BY CONSTRUCTION (the paper's sampler resolves
+    * collisions sequentially, which no order-free replay can), and
+    * the oracle replays every decision. The trade (spans at most one
+    * per block, never straddling) is documented, not hidden.
+    *
+    * Scale shape: the block-decision transform materializes as its
+    * own projection step (2 md5s per BLOCK — the mlmMask
+    * HOF-outside-CSE lesson), then one row-local assembly
+    * projection; zero shuffle, stream-safe. Output: (idCol,
+    * n_tokens, n_spans, n_corrupt, input_str, target_str). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 20, minBlock: Int = 8, maxSpan: Int = 5): DataFrame = {
+    require(blockSize >= 1 && maxSpan >= 1, "blockSize and maxSpan must be positive")
+    require(minBlock > maxSpan,
+      s"minBlock ($minBlock) must exceed maxSpan ($maxSpan) so every span fits")
+    require(minBlock <= blockSize, "minBlock cannot exceed blockSize")
+    val B = blockSize
+    val base = docs.select(col(idCol),
+      col(idCol).cast("string").as("__id"),
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws"))
+    def h(sfx: String) =
+      s"CAST(conv(substring(md5(concat(__id, '|$sfx|', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val dec1 = s"""transform(sequence(0, CAST((size(__ws) + ${B - 1}) DIV $B AS INT) - 1),
+        b -> named_struct(
+        'b', b, 'bs', b * $B,
+        'sz', least(size(__ws) - b * $B, $B),
+        'q', least(size(__ws) - b * $B, $B) >= $minBlock,
+        'l', CAST(1 + pmod(${h("scl")}, $maxSpan) AS INT),
+        'h2', ${h("scs")}))"""
+    val dec = s"""transform(__dec1, d -> named_struct(
+        'b', d.b, 'bs', d.bs, 'q', d.q, 'l', d.l,
+        's', CASE WHEN d.q THEN CAST(pmod(d.h2, d.sz - d.l + 1) AS INT) ELSE -1 END))"""
+    def bd(field: String) = s"element_at(__dec, CAST(i DIV $B AS INT) + 1).$field"
+    val inp = s"""array_join(filter(transform(__ws, (t, i) ->
+        CASE WHEN NOT ${bd("q")} THEN t
+             WHEN i - ${bd("bs")} = ${bd("s")}
+               THEN concat('<extra_id_', CAST(i DIV $B AS STRING), '>')
+             WHEN i - ${bd("bs")} > ${bd("s")}
+              AND i - ${bd("bs")} < ${bd("s")} + ${bd("l")}
+               THEN CAST(NULL AS STRING)
+             ELSE t END), x -> x IS NOT NULL), ' ')"""
+    val tparts = s"""transform(filter(__dec, d -> d.q), d ->
+        concat('<extra_id_', CAST(d.b AS STRING), '> ',
+          array_join(slice(__ws, d.bs + d.s + 1, d.l), ' ')))"""
+    base.select(col(idCol), col("__ws"), expr(dec1).as("__dec1"))
+      .select(col(idCol), col("__ws"), expr(dec).as("__dec"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(__dec, d -> d.q)) AS BIGINT)").as("n_spans"),
+        expr("""coalesce(aggregate(filter(__dec, d -> d.q),
+            CAST(0 AS BIGINT), (a, d) -> a + d.l), CAST(0 AS BIGINT))""")
+          .as("n_corrupt"),
+        expr(inp).as("input_str"),
+        expr(s"""array_join(concat($tparts,
+            array(concat('<extra_id_',
+              CAST(size(filter(__dec, d -> d.q)) AS STRING), '>'))), ' ')""")
+          .as("target_str"))
+  }
 }

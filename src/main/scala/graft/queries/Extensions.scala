@@ -2900,7 +2900,52 @@ object Extensions {
     SimilaritySearch.ndcgAtK(ranking, rels, 10).orderBy("query_id")
   }
 
+  /** q220 — shingle-set containment ([[Dedup.containment]]) on the
+    * pair spine: the quote is the odd doc's 16-token prefix, the
+    * container is the even doc — with the quote verbatim-APPENDED to
+    * every 3rd container (the q212 injection discipline), so
+    * contain_a_milli reads 1000 exactly where the fixture planted the
+    * quote and Jaccard-level overlap stays invisible. 5-token
+    * shingles, sorted-distinct hash sets, row-local two-pointer
+    * scoring. */
+  def q220Containment(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables(spark, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokens(coalesce(col("text"), lit(""))).as("tw"))
+    val a = tk.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_a"), col("tw").as("twa"))
+    val b = tk.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pair_id"),
+        col("doc_id").as("doc_b"), col("tw").as("twb"))
+    val p = a.join(b, Seq("pair_id"))
+      .withColumn("__ca",
+        when(col("doc_a") % 3 === 0,
+          concat(col("twa"), slice(col("twb"), 1, 16)))
+          .otherwise(col("twa")))
+    def sh(c: Column) = array_sort(array_distinct(
+      graft.expressions.TokenHashes(graft.expressions.WordShingles(c, 5))))
+    graft.operators.Dedup.containment(
+        p.withColumn("sha", sh(slice(col("twb"), 1, 16)))
+          .withColumn("shb", sh(col("__ca"))), "sha", "shb")
+      .select(col("pair_id"), col("doc_a"), col("doc_b"), col("n_a"),
+        col("n_b"), col("n_common"), col("contain_a_milli"),
+        col("contain_b_milli"))
+      .orderBy("pair_id")
+  }
+
+  /** q221 — deterministic T5-style span corruption
+    * ([[graft.operators.Export.spanCorrupt]], defaults 20/8/5 ⇒ the
+    * paper's ~15 % density): sentinel-replaced input, sentinel-keyed
+    * target, span/token counts. The oracle replays every block
+    * decision from the same salted hashes and reassembles both
+    * strings. */
+  def q221SpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Export.spanCorrupt(
+      Tables(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_span_corrupt" -> (q221SpanCorrupt _),
+    "q220_containment" -> (q220Containment _),
     "q219_ndcg" -> (q219Ndcg _),
     "q218_rrf_fuse" -> (q218RrfFuse _),
     "q217_unigram_em" -> (q217UnigramEm _),
@@ -3807,6 +3852,67 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q221_span_corrupt" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tw
+        |  FROM documents),
+        |d0 AS (SELECT doc_id, tw, len(tw) AS n, (len(tw) + 19) // 20 AS nb FROM tk),
+        |d1 AS (SELECT doc_id, tw, n, list_transform(range(0, nb), b -> {
+        |    'b': b, 'bs': b * 20,
+        |    'sz': least(n - b * 20, 20),
+        |    'q': least(n - b * 20, 20) >= 8,
+        |    'l': 1 + ('0x' || substring(md5(doc_id || '|scl|' || b), 1, 15))::BIGINT % 5,
+        |    'h2': ('0x' || substring(md5(doc_id || '|scs|' || b), 1, 15))::BIGINT}) AS dec1
+        |  FROM d0),
+        |d2 AS (SELECT doc_id, tw, n, list_transform(dec1, d -> {
+        |    'b': d.b, 'bs': d.bs, 'q': d.q, 'l': d.l,
+        |    's': CASE WHEN d.q THEN d.h2 % (d.sz - d.l + 1) ELSE -1 END}) AS dec
+        |  FROM d1)
+        |SELECT doc_id, n::BIGINT AS n_tokens,
+        |  len(list_filter(dec, d -> d.q))::BIGINT AS n_spans,
+        |  coalesce(list_sum(list_transform(list_filter(dec, d -> d.q), d -> d.l)), 0)::BIGINT AS n_corrupt,
+        |  array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+        |    CASE WHEN NOT dec[(i - 1) // 20 + 1].q THEN tw[i]
+        |         WHEN (i - 1) - dec[(i - 1) // 20 + 1].bs = dec[(i - 1) // 20 + 1].s
+        |           THEN '<extra_id_' || ((i - 1) // 20) || '>'
+        |         WHEN (i - 1) - dec[(i - 1) // 20 + 1].bs > dec[(i - 1) // 20 + 1].s
+        |          AND (i - 1) - dec[(i - 1) // 20 + 1].bs < dec[(i - 1) // 20 + 1].s + dec[(i - 1) // 20 + 1].l
+        |           THEN NULL ELSE tw[i] END), x -> x IS NOT NULL), ' ') AS input_str,
+        |  array_to_string(list_append(
+        |    list_transform(list_filter(dec, d -> d.q), d ->
+        |      '<extra_id_' || d.b || '> ' || array_to_string(tw[d.bs + d.s + 1 : d.bs + d.s + d.l], ' ')),
+        |    '<extra_id_' || len(list_filter(dec, d -> d.q)) || '>'), ' ') AS target_str
+        |FROM d2 ORDER BY doc_id""".stripMargin),
+    "q220_containment" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tw
+        |  FROM documents),
+        |pa AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_a, tw AS twa
+        |  FROM tk WHERE doc_id % 2 = 0),
+        |pb AS (SELECT doc_id // 2 AS pair_id, doc_id AS doc_b, tw AS twb
+        |  FROM tk WHERE doc_id % 2 = 1),
+        |p AS (SELECT pair_id, doc_a, doc_b,
+        |    CASE WHEN doc_a % 3 = 0 THEN twa || twb[1:16] ELSE twa END AS ca,
+        |    twb[1:16] AS qa
+        |  FROM pa JOIN pb USING (pair_id)),
+        |shq AS (SELECT pair_id, list_distinct(list_transform(range(1, len(qa) - 3),
+        |    i -> array_to_string(qa[i:i+4], ' '))) AS s FROM p),
+        |shc AS (SELECT pair_id, list_distinct(list_transform(range(1, len(ca) - 3),
+        |    i -> array_to_string(ca[i:i+4], ' '))) AS s FROM p),
+        |cm AS (SELECT q.pair_id, count(1)::BIGINT AS n_common
+        |  FROM (SELECT pair_id, unnest(s) AS g FROM shq) q
+        |  JOIN (SELECT pair_id, unnest(s) AS g FROM shc) c USING (pair_id, g)
+        |  GROUP BY q.pair_id)
+        |SELECT p.pair_id, p.doc_a, p.doc_b,
+        |  len(shq.s) AS n_a, len(shc.s) AS n_b,
+        |  coalesce(cm.n_common, 0) AS n_common,
+        |  CASE WHEN len(shq.s) = 0 THEN 0
+        |       ELSE 1000 * coalesce(cm.n_common, 0) // len(shq.s) END::BIGINT AS contain_a_milli,
+        |  CASE WHEN len(shc.s) = 0 THEN 0
+        |       ELSE 1000 * coalesce(cm.n_common, 0) // len(shc.s) END::BIGINT AS contain_b_milli
+        |FROM p JOIN shq USING (pair_id) JOIN shc ON shc.pair_id = p.pair_id
+        |LEFT JOIN cm ON cm.pair_id = p.pair_id
+        |ORDER BY p.pair_id""".stripMargin),
     "q219_ndcg" -> {
       val dl = graft.operators.SimilaritySearch.ndcgDiscountsMicro(10)
         .mkString("[", ", ", "]")

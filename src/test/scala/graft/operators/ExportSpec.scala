@@ -420,4 +420,52 @@ class ExportSpec extends SparkSpec {
     assert(txt == ((1 to 5).map(i => s"W$i") ++ Seq("<trunc>") ++
       (96 to 100).map(i => s"W$i")).mkString(" "))
   }
+
+  test("spanCorrupt: splicing target spans back at sentinels reconstructs the original") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (2L, "tiny doc under minblock"),
+      (3L, (1 to 27).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Export.spanCorrupt(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+
+    // the T5 invariant: input + target must reassemble the original
+    def reconstruct(inp: String, tgt: String): String = {
+      val spans = tgt.split(" ").foldLeft(Map.empty[String, List[String]] -> "") {
+        case ((m, cur), w) =>
+          if (w.startsWith("<extra_id_")) (m + (w -> Nil), w)
+          else (m + (cur -> (m(cur) :+ w)), cur)
+      }._1
+      inp.split(" ").flatMap { w =>
+        if (w.startsWith("<extra_id_")) spans.getOrElse(w, Nil) else List(w)
+      }.mkString(" ")
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (_, _, _, inp, tgt) = got(id)
+      val orig = docs.filter(col("doc_id") === id)
+        .select(lower(col("text"))).collect().head.getString(0)
+      assert(reconstruct(inp, tgt) == orig, s"doc $id must reconstruct")
+    }
+
+    // doc 1: 100 tokens = 5 full blocks -> exactly 5 spans, 1..5 tokens each
+    val (n1, s1, c1, _, tgt1) = got(1L)
+    assert(n1 == 100L && s1 == 5L && c1 >= 5L && c1 <= 25L)
+    assert(tgt1.contains("<extra_id_4>") && tgt1.endsWith(">"),
+      "sentinels contiguous and closing sentinel present")
+    // doc 2: 4 tokens < minBlock -> untouched input, target = closing sentinel only
+    val (_, s2, c2, inp2, tgt2) = got(2L)
+    assert(s2 == 0L && c2 == 0L && inp2 == "tiny doc under minblock" &&
+      tgt2 == "<extra_id_0>")
+    // doc 3: 27 tokens -> block 0 corrupts, 7-token block 1 does not
+    val (_, s3, _, _, _) = got(3L)
+    assert(s3 == 1L)
+
+    // deterministic under repartitioning
+    val again = Export.spanCorrupt(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
+    assert(again.toSeq == Seq(1L, 2L, 3L).map(id =>
+      (id, got(id)._4, got(id)._5)))
+  }
 }

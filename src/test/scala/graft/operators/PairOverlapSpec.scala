@@ -78,6 +78,40 @@ class PairOverlapSpec extends SparkSpec {
       c.isNullAt(c.fieldIndex("p1_micro")))
   }
 
+  test("containment: asymmetric quote detection where Jaccard stays invisible") {
+    import spark.implicits._
+    def sh(c: String) = array_sort(array_distinct(
+      graft.expressions.TokenHashes(
+        graft.expressions.WordShingles(
+          graft.functions.TextFunctions.tokens(col(c)), 3))))
+    val quote = "alpha beta gamma delta epsilon"
+    // varied noise: distinct shingles, so the page set is genuinely big
+    val page = (1 to 40).map(i => s"w$i").mkString(" ") +
+      s" $quote trailing words here"
+    val df = Seq((1L, quote, page), (2L, quote, "totally unrelated content stream"))
+      .toDF("pair_id", "a_text", "b_text")
+      .select(col("pair_id"), sh("a_text").as("sa"), sh("b_text").as("sb"))
+    val got = Dedup.containment(df, "sa", "sb").orderBy("pair_id")
+      .select("n_a", "n_b", "n_common", "contain_a_milli", "contain_b_milli")
+      .collect()
+    // pair 1: all 3 quote shingles inside the page; Jaccard would be
+    // 3/n_b (tiny) but containment(a) is exactly 1000
+    assert(got(0).getInt(2) == 3 && got(0).getLong(3) == 1000L)
+    assert(got(0).getLong(4) < 100L, "the big side's containment stays small")
+    assert(got(1).getInt(2) == 0 && got(1).getLong(3) == 0L)
+  }
+
+  test("containment: empty sides score 0, NULL arrays score NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[Long], Seq(1L, 2L)),
+      (2L, Seq(1L), null.asInstanceOf[Seq[Long]])).toDF("pair_id", "sa", "sb")
+    val got = Dedup.containment(df, "sa", "sb").orderBy("pair_id").collect()
+    assert(got(0).getLong(got(0).fieldIndex("contain_a_milli")) == 0L)
+    assert(got(1).isNullAt(got(1).fieldIndex("contain_a_milli")) &&
+      got(1).isNullAt(got(1).fieldIndex("contain_b_milli")))
+  }
+
   test("both scorers are row-local: no shuffle beyond the pair spine") {
     import spark.implicits._
     val df = Seq((1L, Seq("a", "b"), Seq("a", "c"))).toDF("pair_id", "ta", "tb")

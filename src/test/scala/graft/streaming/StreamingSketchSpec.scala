@@ -59,4 +59,34 @@ class StreamingSketchSpec extends SparkSpec {
       assert(last.contains("HH"), "guaranteed heavy hitter missing from final sketch")
     } finally q.stop()
   }
+
+  test("CMS counters stream natively: complete-mode state == batch sketch on the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // cmsCounters is a plain sum aggregation, so Structured Streaming
+    // maintains the d*w-bounded counter state with NO custom keyed
+    // state - the sum-mergeable design is the streaming support
+    val in = MemoryStream[(String, String)]
+    val out = graft.operators.Sketches.cmsCounters(
+      in.toDS().toDF("g", "v"), Seq("g"), col("v"))
+    val q = out.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1 to 200).map(i => ("g", s"tok${i % 23}"))
+      val batch2 = (1 to 150).map(i => ("g", s"tok${i % 31}"))
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Sketches.cmsCounters(
+          (batch1 ++ batch2).toDF("g", "v"), Seq("g"), col("v"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        "streamed counter state must equal the batch sketch over the union")
+      assert(streamed.size <= graft.operators.Sketches.CmsD * graft.operators.Sketches.CmsW)
+    } finally q.stop()
+  }
 }
