@@ -128,4 +128,56 @@ object Anomaly {
             col("__z.__ss.sn") > thresholdCents, 1L)
           .otherwise(0L).as("alarm"))
   }
+
+  /** Mann–Kendall monotonic-trend test (Mann 1945; Kendall 1975) per
+    * keyed series — the non-parametric drift detector for GRADUAL
+    * monotone change that [[ewmaDeviation]] (spikes) and
+    * [[cusumAlarms]] (level shifts) both miss: a crawler whose yield
+    * decays 1 % per day trips neither, but every later point sitting
+    * below every earlier one drives S = Σ_{i<j} sign(xⱼ − xᵢ) toward
+    * −n(n−1)/2.
+    *
+    * EXACT integers end to end, including the significance gate: the
+    * normal approximation |z| > 1.96 with continuity correction
+    * (z = (|S|−1)/√Var, Var = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18)
+    * is decided by cross-multiplication — `(|S|−1)²·180000 >
+    * 38416·var18` (1.96² = 3.8416 is rational) — so there is no sqrt,
+    * no double, and no libm anywhere; `var18` is the exact
+    * 18-scaled variance numerator with the full tie correction
+    * (computed per ELEMENT as (t−1)(2t+5), which sums to the per-tie-
+    * group t(t−1)(2t+5)).
+    *
+    * Same bounded-series collect contract and (order, value) struct
+    * sort as the siblings — additionally the pair scan is O(n²) per
+    * series and the cross-multiplied gate needs S²·1.8·10⁵ in a long,
+    * so series are bounded at ~10⁴ points by contract (a year of
+    * hourly points is 8.8k). Output: (seriesCol, n_points, s_stat,
+    * var18, trend_sig ∈ {0,1}, direction ∈ {−1,0,1}). */
+  def mannKendall(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String): DataFrame = {
+    val packed = df
+      .groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))
+      .select(col(seriesCol), expr("transform(__evs, e -> e.__c)").as("__xs"))
+    packed.select(col(seriesCol),
+        expr("CAST(size(__xs) AS BIGINT)").as("n_points"),
+        expr("""CASE WHEN size(__xs) < 2 THEN CAST(0 AS BIGINT)
+            ELSE aggregate(sequence(2, size(__xs)), CAST(0 AS BIGINT), (acc, j) ->
+              acc + aggregate(slice(__xs, 1, j - 1), CAST(0 AS BIGINT), (a, v) ->
+                a + CASE WHEN element_at(__xs, j) > v THEN 1
+                         WHEN element_at(__xs, j) < v THEN -1 ELSE 0 END))
+            END""").as("s_stat"),
+        expr("""CAST(size(__xs) AS BIGINT) * (size(__xs) - 1) * (2 * size(__xs) + 5)
+            - aggregate(__xs, CAST(0 AS BIGINT), (a, v) ->
+                a + (CAST(size(filter(__xs, x -> x = v)) AS BIGINT) - 1)
+                  * (2 * size(filter(__xs, x -> x = v)) + 5))""")
+          .as("var18"))
+      .withColumn("trend_sig",
+        when(abs(col("s_stat")) <= 1, lit(0L))
+          .otherwise(when(
+            (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1) * lit(180000L) >
+              lit(38416L) * col("var18"), 1L).otherwise(0L)))
+      .withColumn("direction", signum(col("s_stat")).cast("long"))
+  }
 }

@@ -2943,7 +2943,30 @@ object Extensions {
     graft.operators.Export.spanCorrupt(
       Tables(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
+  /** q222 — Mann–Kendall monotonic-trend audit
+    * ([[graft.operators.Anomaly.mannKendall]]) over the q205 hourly
+    * cents series, with a deterministic ±500-cents-per-hour ramp
+    * injected into 'click' (up) and 'error' (down) so the
+    * significance gate provably fires in both directions while the
+    * un-injected series stay as the data lies. The oracle computes S
+    * by an INDEPENDENT pairwise self-join (the engine folds a nested
+    * aggregate) — two formulations agreeing in exact integers. */
+  def q222MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val ramp = expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT) * 500")
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+      .withColumn("cents", col("cents") +
+        when(col("event_type") === "click", ramp)
+          .when(col("event_type") === "error", -ramp)
+          .otherwise(lit(0L)))
+    graft.operators.Anomaly.mannKendall(hourly, "event_type", "hour", "cents")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_mann_kendall" -> (q222MannKendall _),
     "q221_span_corrupt" -> (q221SpanCorrupt _),
     "q220_containment" -> (q220Containment _),
     "q219_ndcg" -> (q219Ndcg _),
@@ -3852,6 +3875,39 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q222_mann_kendall" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT event_type, hour, cents +
+        |    CASE WHEN event_type = 'click'
+        |           THEN (CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         WHEN event_type = 'error'
+        |           THEN -(CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         ELSE 0 END AS cents
+        |  FROM h),
+        |n AS (SELECT event_type, count(1)::BIGINT AS n_points FROM h2 GROUP BY 1),
+        |s AS (SELECT a.event_type,
+        |    sum(CASE WHEN b.cents > a.cents THEN 1
+        |             WHEN b.cents < a.cents THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        |  FROM h2 a JOIN h2 b ON a.event_type = b.event_type
+        |    AND (a.hour, a.cents) < (b.hour, b.cents)
+        |  GROUP BY a.event_type),
+        |tt AS (SELECT event_type,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+        |  FROM (SELECT event_type, cents, count(1)::BIGINT AS t
+        |        FROM h2 GROUP BY 1, 2) GROUP BY event_type),
+        |v AS (SELECT n.event_type, n.n_points,
+        |    coalesce(s.s_stat, 0)::BIGINT AS s_stat,
+        |    (n.n_points * (n.n_points - 1) * (2 * n.n_points + 5)
+        |      - coalesce(tt.tie, 0))::BIGINT AS var18
+        |  FROM n LEFT JOIN s USING (event_type) LEFT JOIN tt ON tt.event_type = n.event_type)
+        |SELECT event_type, n_points, s_stat, var18,
+        |  CASE WHEN abs(s_stat) <= 1 THEN 0
+        |       WHEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 180000 > 38416 * var18
+        |         THEN 1 ELSE 0 END::BIGINT AS trend_sig,
+        |  CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END::BIGINT AS direction
+        |FROM v ORDER BY event_type""".stripMargin),
     "q221_span_corrupt" ->
       ("""WITH tk AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tw

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** [[Anomaly.mannKendall]] — exact-integer S statistic, full tie
+  * correction, the cross-multiplied significance gate, and
+  * partitioning invariance against a quadratic Scala reference. */
+class MannKendallSpec extends SparkSpec {
+
+  private def ref(xs: Seq[Long]): (Long, Long, Long, Long) = {
+    val n = xs.length.toLong
+    val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+      yield math.signum(xs(j).compare(xs(i))).toLong).sum
+    val tie = xs.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) * (2 * g.size + 5)).sum
+    val v18 = n * (n - 1) * (2 * n + 5) - tie
+    val sig =
+      if (math.abs(s) <= 1) 0L
+      else if ((math.abs(s) - 1) * (math.abs(s) - 1) * 180000L > 38416L * v18) 1L
+      else 0L
+    (s, v18, sig, math.signum(s).toLong)
+  }
+
+  private def run(xs: Seq[Long], parts: Int = 4): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("series", "ord", "cents").repartition(parts)
+    val r = Anomaly.mannKendall(df, "series", "ord", "cents").collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("strictly monotone series: S = ±n(n-1)/2 and the gate fires") {
+    val up = (1L to 30L)
+    val (n, s, v, sig, dir) = run(up)
+    assert(n == 30L && s == 30L * 29 / 2 && sig == 1L && dir == 1L)
+    val (_, s2, _, sig2, dir2) = run(up.reverse)
+    assert(s2 == -(30L * 29 / 2) && sig2 == 1L && dir2 == -1L)
+    assert(v == 30L * 29 * 65, "no ties: var18 is the raw n(n-1)(2n+5)")
+  }
+
+  test("constant series: S = 0, fully tied variance, no trend") {
+    val (n, s, v, sig, dir) = run(Seq.fill(12)(7L))
+    assert(n == 12L && s == 0L && sig == 0L && dir == 0L)
+    assert(v == 0L, "a single 12-way tie cancels the variance exactly")
+  }
+
+  test("matches the quadratic reference exactly on 200 random series (with ties)") {
+    val rnd = new Random(20260815)
+    (0 until 200).foreach { _ =>
+      val n = 2 + rnd.nextInt(40)
+      // small value range forces heavy ties
+      val xs = Seq.fill(n)(rnd.nextInt(6).toLong)
+      val (s, v, sig, dir) = ref(xs)
+      val got = run(xs, parts = 1 + rnd.nextInt(6))
+      assert((got._2, got._3, got._4, got._5) == ((s, v, sig, dir)),
+        s"xs=${xs.mkString(",")}")
+    }
+  }
+
+  test("single-point and two-point series do not crash and stay insignificant") {
+    assert(run(Seq(5L)) == ((1L, 0L, 0L, 0L, 0L)))
+    val (n, s, _, sig, dir) = run(Seq(1L, 9L))
+    assert(n == 2L && s == 1L && sig == 0L && dir == 1L,
+      "|S| <= 1 can never be significant (continuity correction)")
+  }
+
+  test("a gradual 1%-per-step decay trips MK while staying under a CUSUM-scale spike") {
+    // 120 points drifting down ~1 unit/step under +-3 noise: every
+    // point-level detector sees nothing; the pairwise S is decisive
+    val rnd = new Random(7)
+    val xs = (0 until 120).map(i => 2000L - i + (rnd.nextInt(7) - 3))
+    val (_, s, _, sig, dir) = run(xs)
+    assert(sig == 1L && dir == -1L && s < -4000L)
+  }
+}
