@@ -66,7 +66,13 @@ case class SortedIntersectSize(left: Expression, right: Expression) extends Bina
 
 object SortedIntersectSize {
 
-  /** Two-pointer merge count over sorted duplicate-free long arrays. */
+  /** Two-pointer merge count over sorted long arrays. Duplicate-free
+    * inputs give |A ∩ B| (the set face); inputs WITH duplicates give
+    * Σ_v min(count_a(v), count_b(v)) — the multiset/clipped-count face
+    * that [[graft.operators.Decontaminate.clippedNgramPrecision]]
+    * relies on. Each equal hit advances BOTH pointers, so a pair of
+    * equal runs contributes exactly min(run_a, run_b). Do not
+    * "optimize" assuming distinct elements. */
   def kernel(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()

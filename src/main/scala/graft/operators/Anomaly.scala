@@ -145,13 +145,16 @@ object Anomaly {
     * no double, and no libm anywhere; `var18` is the exact
     * 18-scaled variance numerator with the full tie correction
     * (computed per ELEMENT as (t−1)(2t+5), which sums to the per-tie-
-    * group t(t−1)(2t+5)).
+    * group t(t−1)(2t+5), evaluated ONCE per element via a transform).
     *
     * Same bounded-series collect contract and (order, value) struct
     * sort as the siblings — additionally the pair scan is O(n²) per
-    * series and the cross-multiplied gate needs S²·1.8·10⁵ in a long,
-    * so series are bounded at ~10⁴ points by contract (a year of
-    * hourly points is 8.8k). Output: (seriesCol, n_points, s_stat,
+    * series, which bounds series at ~10⁴ points by contract (a year
+    * of hourly points is 8.8k). The gate's LHS S²·1.8·10⁵ reaches
+    * ~4.5·10²⁰ at that bound — past a 64-bit long — so the
+    * cross-multiplication runs in DECIMAL(38,0): exact integers
+    * still, with headroom to S ≈ 7·10¹⁶ (n ≈ 3.7·10⁸, far past the
+    * O(n²) cost wall). Output: (seriesCol, n_points, s_stat,
     * var18, trend_sig ∈ {0,1}, direction ∈ {−1,0,1}). */
   def mannKendall(df: DataFrame, seriesCol: String, orderCol: String,
       centsCol: String): DataFrame = {
@@ -169,15 +172,17 @@ object Anomaly {
                          WHEN element_at(__xs, j) < v THEN -1 ELSE 0 END))
             END""").as("s_stat"),
         expr("""CAST(size(__xs) AS BIGINT) * (size(__xs) - 1) * (2 * size(__xs) + 5)
-            - aggregate(__xs, CAST(0 AS BIGINT), (a, v) ->
-                a + (CAST(size(filter(__xs, x -> x = v)) AS BIGINT) - 1)
-                  * (2 * size(filter(__xs, x -> x = v)) + 5))""")
+            - aggregate(transform(__xs, v ->
+                  CAST(size(filter(__xs, x -> x = v)) AS BIGINT)),
+                CAST(0 AS BIGINT), (a, t) -> a + (t - 1) * (2 * t + 5))""")
           .as("var18"))
       .withColumn("trend_sig",
         when(abs(col("s_stat")) <= 1, lit(0L))
           .otherwise(when(
-            (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1) * lit(180000L) >
-              lit(38416L) * col("var18"), 1L).otherwise(0L)))
+            (abs(col("s_stat")) - 1).cast("decimal(20,0)") *
+              (abs(col("s_stat")) - 1).cast("decimal(20,0)") * lit(180000L) >
+              (lit(38416L) * col("var18")).cast("decimal(38,0)"), 1L)
+            .otherwise(0L)))
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 }

@@ -201,7 +201,9 @@ object Decontaminate {
     * square). Adds n_a / n_b / lcs / rouge_f_micro, where
     * rouge_f_micro = 2·10⁶·lcs DIV (n_a + n_b) — the ROUGE-L F
     * measure (P = lcs/n_b, R = lcs/n_a, F = 2PR/(P+R) = 2·lcs/(n_a +
-    * n_b)) in truncating integer micro, exact on both engines. A NULL
+    * n_b)) in truncating integer micro, exact on both engines (the
+    * count widens to BIGINT before the 10⁶ scaling, so kilo-token
+    * arrays cannot wrap 32-bit INT). A NULL
     * array on either side yields NULL lcs / rouge (fail-visible, not
     * silently zero). Row-local projection: zero shuffle beyond what
     * built the pairs. */
@@ -214,7 +216,7 @@ object Decontaminate {
       .withColumn("rouge_f_micro",
         when(col("lcs").isNull, lit(null).cast("long"))
           .when(col("n_a") + col("n_b") === 0, lit(0L))
-          .otherwise(expr("CAST(2000000 * lcs AS BIGINT) DIV (n_a + n_b)")))
+          .otherwise(expr("(CAST(lcs AS BIGINT) * 2000000) DIV (n_a + n_b)")))
 
   /** BLEU-style clipped 1/2-gram precision (Papineni et al. 2002)
     * over a PAIRED frame of token STRING arrays (candidate `aTokCol`
@@ -253,11 +255,11 @@ object Decontaminate {
       .withColumn("p1_micro",
         when(col("match_1").isNull, lit(null).cast("long"))
           .when(col("total_1") === 0, lit(0L))
-          .otherwise(expr("CAST(1000000 * match_1 AS BIGINT) DIV total_1")))
+          .otherwise(expr("(CAST(match_1 AS BIGINT) * 1000000) DIV total_1")))
       .withColumn("p2_micro",
         when(col("match_2").isNull, lit(null).cast("long"))
           .when(col("total_2") === 0, lit(0L))
-          .otherwise(expr("CAST(1000000 * match_2 AS BIGINT) DIV total_2")))
+          .otherwise(expr("(CAST(match_2 AS BIGINT) * 1000000) DIV total_2")))
       .withColumn("bleu2_micro",
         floor(sqrt((col("p1_micro") * col("p2_micro")).cast("double")))
           .cast("long"))

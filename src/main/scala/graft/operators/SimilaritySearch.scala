@@ -854,8 +854,10 @@ object SimilaritySearch {
     * no positive judgment has IDCG 0 → NULL ndcg (undefined, not a
     * fake 0 or 1).
     *
-    * Every term is an exact integer (gain · disc_micro ≤ 2^rel·10⁶ —
-    * overflow at rel ≥ ~43, far past real grade scales); ndcg_milli =
+    * Every term is an exact integer (gain · disc_micro ≤ 2^rel·10⁶;
+    * the 1 is widened to BIGINT BEFORE the shift so the gain is a
+    * true 64-bit power — overflow at rel ≥ ~43, far past real
+    * grade scales); ndcg_milli =
     * 1000·dcg DIV idcg truncating. Scale shape: one (query, item)
     * hash join + two query-keyed partial aggs + the bounded qrels
     * window — no corpus-sized window, no broadcast assumption.
@@ -868,7 +870,7 @@ object SimilaritySearch {
         Seq("query_id", "item_id"), "left")
       .withColumn("__rel", coalesce(col("rel"), lit(0)).cast("int"))
       .withColumn("__term",
-        (expr("CAST(shiftleft(1, __rel) AS BIGINT)") - lit(1L)) *
+        (expr("shiftleft(CAST(1 AS BIGINT), __rel)") - lit(1L)) *
           element_at(disc, col("rank").cast("int")))
     val dcg = gained.groupBy("query_id").agg(sum("__term").as("dcg_micro"))
     val wi = Window.partitionBy("query_id")
@@ -877,7 +879,7 @@ object SimilaritySearch {
       .withColumn("__irank", row_number().over(wi))
       .filter(col("__irank") <= k)
       .withColumn("__term",
-        (expr("CAST(shiftleft(1, rel) AS BIGINT)") - lit(1L)) *
+        (expr("shiftleft(CAST(1 AS BIGINT), rel)") - lit(1L)) *
           element_at(disc, col("__irank")))
       .groupBy("query_id").agg(sum("__term").as("idcg_micro"))
     dcg.join(idcg, Seq("query_id"), "left")

@@ -658,15 +658,6 @@ object Vocab {
         col("fertility_milli"), col("pieces_str"))
   }
 
-  /** Unigram-LM Viterbi encoding over a costed piece vocabulary
-    * ([[graft.expressions.UnigramEncode]] — see its scaladoc for the
-    * DP, the longest-final-piece tie-break, and the UNK-fallback
-    * open-vocabulary guarantee). The SentencePiece-style complement to
-    * [[wordpieceEncode]]'s greedy pass: minimum total cost, so a word
-    * splits whenever the split is cheaper than the whole-word piece.
-    * Same compile-once reference-object model and zero-shuffle codegen
-    * projection. Output: (idCol, n_words, n_pieces, n_unk, cost_milli,
-    * pieces_str). */
   /** One hard-EM (Viterbi-EM) re-estimation round for the unigram
     * tokenizer — the training step behind [[unigramEncode]]'s
     * inference (SentencePiece, Kudo 2018, with the E-step's
@@ -690,7 +681,7 @@ object Vocab {
     * and total run on the vocab-sized frame (broadcast). Output:
     * (piece, old_cost_milli, n_occ, new_cost_milli) — feed back in as
     * `vocabCosts` to iterate. */
-  def unigramEmStep(df: DataFrame, idCol: String, textCol: String,
+  def unigramEmStep(df: DataFrame, textCol: String,
       vocabCosts: Seq[(String, Long)],
       unkCostMilli: Long = 20000L,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
@@ -719,6 +710,15 @@ object Vocab {
       .select("piece", "old_cost_milli", "n_occ", "new_cost_milli")
   }
 
+  /** Unigram-LM Viterbi encoding over a costed piece vocabulary
+    * ([[graft.expressions.UnigramEncode]] — see its scaladoc for the
+    * DP, the longest-final-piece tie-break, and the UNK-fallback
+    * open-vocabulary guarantee). The SentencePiece-style complement to
+    * [[wordpieceEncode]]'s greedy pass: minimum total cost, so a word
+    * splits whenever the split is cheaper than the whole-word piece.
+    * Same compile-once reference-object model and zero-shuffle codegen
+    * projection. Output: (idCol, n_words, n_pieces, n_unk, cost_milli,
+    * pieces_str). */
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
       vocabCosts: Seq[(String, Long)],
       unkCostMilli: Long = 20000L): DataFrame = {

@@ -2773,9 +2773,13 @@ object Extensions {
     * over-counting rows) — the audit column shows the ε·N overshoot
     * the Cormode–Muthukrishnan bound caps. */
   def q214CountMin(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: four consumers (counters, top-20, probe
+    // spine, exact counts) would otherwise each replay the corpus
+    // tokenize+explode
     val toks = Tables(spark, dir, "documents")
       .select(coalesce(col("source"), lit("")).as("source"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
     val counters = graft.operators.Sketches.cmsCounters(toks, Seq("source"), col("tok"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("tok")).limit(20).select("tok")
@@ -2853,7 +2857,7 @@ object Extensions {
     * recursive Viterbi replay verbatim (only the doc CTE differs) and
     * re-prices with the identically-written milli-ln expression. */
   def q217UnigramEm(spark: SparkSession, dir: String): DataFrame =
-    Vocab.unigramEmStep(Tables(spark, dir, "documents"), "doc_id", "text",
+    Vocab.unigramEmStep(Tables(spark, dir, "documents"), "text",
       ugVocab).orderBy("piece")
 
   /** q218 — hybrid-retrieval Reciprocal Rank Fusion

@@ -73,4 +73,18 @@ class MannKendallSpec extends SparkSpec {
     val (_, s, _, sig, dir) = run(xs)
     assert(sig == 1L && dir == -1L && s < -4000L)
   }
+
+  test("the gate survives past the Long cross-multiplication wall (n = 3800 monotone)") {
+    // S = n(n-1)/2 = 7,218,100 for a strictly increasing 3800-point
+    // series; (|S|-1)^2 * 180000 ~= 9.4e18 exceeds Long.MaxValue, so a
+    // 64-bit gate wraps negative and silently reads "not significant"
+    // for the most significant series possible. The DECIMAL(38,0)
+    // cross-multiplication must still fire. BigInt reference check:
+    val n = 3800L
+    val sBig = BigInt(n) * (n - 1) / 2
+    assert((sBig - 1).pow(2) * 180000 > BigInt(Long.MaxValue),
+      "test premise: this LHS must not fit a Long")
+    val (nGot, sGot, _, sig, dir) = run((1L to n), parts = 8)
+    assert(nGot == n && sGot == n * (n - 1) / 2 && sig == 1L && dir == 1L)
+  }
 }

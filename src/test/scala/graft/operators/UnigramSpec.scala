@@ -126,7 +126,7 @@ class UnigramSpec extends SparkSpec {
       ("ing", 2000L), ("never", 9000L))
     // 'slowing' -> sl ow ing; 'slow' -> sl ow; 'x' -> UNK (not in vocab)
     val df = Seq((1L, "slowing slow"), (2L, "x slowing")).toDF("doc_id", "text")
-    val got = Vocab.unigramEmStep(df, "doc_id", "text", vocab)
+    val got = Vocab.unigramEmStep(df, "text", vocab)
       .orderBy("piece").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val counts = got.map(r => r._1 -> r._3).toMap
