@@ -336,4 +336,77 @@ object Sampling {
     }
     cur.select(col(rowCol), col(colCol), col("n"), col("w_micro"))
   }
+
+  /** Poisson bootstrap confidence intervals (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — the
+    * resampling scheme that made the bootstrap distributed): classic
+    * bootstrap resampling needs random ACCESS to the whole sample per
+    * replicate, impossible on a sharded corpus; the Poisson bootstrap
+    * instead gives every row an independent Poisson(1) multiplicity
+    * per replicate — n draws with E[total] = n, indistinguishable from
+    * multinomial resampling as n grows — so all `b` replicates ride
+    * ONE streaming pass as weighted partial aggregates.
+    *
+    * Determinism and engine parity: the weight is the inverse-CDF walk
+    * of the md5-derived uniform `pmod(tokenHash(key || ':' || r),
+    * 10^6)` against the hard-coded Poisson(1) cumulative micro ladder
+    * (both engines replay the identical integers — no RNG, no
+    * doubles); the ladder truncates at w = 10 (tail mass < 10^-6,
+    * identically truncated in the oracle). Replicate means are exact
+    * truncating micro via the split-division identity `(a DIV n)·10^6
+    * + ((a mod n)·10^6) DIV n = (a·10^6) DIV n`, which never widens
+    * past 64 bits as long as per-(group, replicate) weighted totals
+    * stay under ~9.2·10^12 — `value` must be NON-NEGATIVE for the
+    * identity to hold. A replicate whose group drew all-zero weights
+    * (probability e^-n — real only for tiny groups) is excluded and
+    * `n_rep` reports the survivors; CI indices are the ceil-rank
+    * order statistics at 2.5% / 97.5%.
+    *
+    * Scale shape: the b-fold row inflation is a narrow (group, value,
+    * r) spine that collapses in the SAME stage's hash-aggregate
+    * partial (shuffle carries groups x b rows); the per-group
+    * collect_list is bounded at b. No window, no broadcast assumption.
+    * Output: (groupCol, n_rows, mean_micro, n_rep, ci_lo_micro,
+    * ci_hi_micro). */
+  def poissonBootstrap(df: DataFrame, groupCol: String, keyCol: String,
+      value: Column, b: Int = 40): DataFrame = {
+    require(b >= 4 && b <= 256, "need 4 <= b <= 256")
+    // floor(10^6 * P(Poisson(1) <= k)) for k = 0..9
+    val ladder = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    val lad = array(ladder.map(lit): _*)
+    val base = df.select(col(groupCol).as("__g"),
+      col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
+    val point = base.groupBy("__g")
+      .agg(count(lit(1)).as("n_rows"), sum("__v").as("__s"))
+      .select(col("__g"), col("n_rows"),
+        expr("(__s DIV n_rows) * 1000000 + ((__s % n_rows) * 1000000) DIV n_rows")
+          .as("mean_micro"))
+    val reps = base
+      .select(col("__g"), col("__v"), col("__k"),
+        explode(sequence(lit(1), lit(b))).as("__r"))
+      .withColumn("__u", pmod(graft.functions.TextFunctions.tokenHash(
+        concat(col("__k"), lit(":"), col("__r"))), lit(1000000L)))
+      .withColumn("__w", size(filter(lad, t => col("__u") >= t)).cast("long"))
+      .groupBy("__g", "__r")
+      .agg(sum(col("__w") * col("__v")).as("__ws"), sum("__w").as("__wn"))
+      .filter(col("__wn") > 0L)
+      .select(col("__g"), expr(
+        "(__ws DIV __wn) * 1000000 + ((__ws % __wn) * 1000000) DIV __wn")
+        .as("__rm"))
+    val ci = reps.groupBy("__g")
+      .agg(count(lit(1)).as("n_rep"),
+        sort_array(collect_list(col("__rm"))).as("__ms"))
+      .select(col("__g"), col("n_rep"),
+        element_at(col("__ms"), greatest(lit(1),
+          ((col("n_rep") * 25 + 999) / 1000).cast("int")).cast("int"))
+          .as("ci_lo_micro"),
+        element_at(col("__ms"),
+          ((col("n_rep") * 975 + 999) / 1000).cast("int"))
+          .as("ci_hi_micro"))
+    point.join(ci, Seq("__g"), "left")
+      .select(col("__g").as(groupCol), col("n_rows"), col("mean_micro"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
 }

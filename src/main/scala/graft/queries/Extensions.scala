@@ -2969,7 +2969,25 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** q223 — Poisson bootstrap confidence intervals
+    * ([[graft.operators.Sampling.poissonBootstrap]], Chamandy et al.
+    * 2012) for the per-source mean token count, B = 40 replicates:
+    * every doc draws an independent deterministic Poisson(1)
+    * multiplicity per replicate from the md5 inverse-CDF ladder, so
+    * all 40 resampled means ride one streaming pass — the
+    * distributed answer to "is source A's mean length REALLY higher
+    * than B's, or is that noise?". Exact integers end to end
+    * (split-division micro means, ceil-rank order-statistic CI). */
+  def q223PoissonBootstrap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.poissonBootstrap(
+      Tables(spark, dir, "documents")
+        .withColumn("source", coalesce(col("source"), lit(""))),
+      "source", "doc_id",
+      size(TextFunctions.tokens(coalesce(col("text"), lit("")))), b = 40)
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_poisson_bootstrap" -> (q223PoissonBootstrap _),
     "q222_mann_kendall" -> (q222MannKendall _),
     "q221_span_corrupt" -> (q221SpanCorrupt _),
     "q220_containment" -> (q220Containment _),
@@ -3879,6 +3897,39 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q223_poisson_bootstrap" ->
+      ("""WITH d AS (SELECT coalesce(source, '') AS source,
+        |    CAST(doc_id AS VARCHAR) AS k,
+        |    CAST(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |pt AS (SELECT source, count(1)::BIGINT AS n_rows, sum(v)::BIGINT AS s
+        |  FROM d GROUP BY source),
+        |p2 AS (SELECT source, n_rows,
+        |    (s // n_rows) * 1000000 + ((s % n_rows) * 1000000) // n_rows AS mean_micro
+        |  FROM pt),
+        |r AS (SELECT source, v, k, unnest(range(1, 41)) AS rr FROM d),
+        |u AS (SELECT source, rr, v,
+        |    ('0x' || substring(md5(k || ':' || CAST(rr AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+        |  FROM r),
+        |w AS (SELECT source, rr, v,
+        |    ((u >= 367879)::INT + (u >= 735758)::INT + (u >= 919698)::INT
+        |     + (u >= 981011)::INT + (u >= 996340)::INT + (u >= 999405)::INT
+        |     + (u >= 999916)::INT + (u >= 999989)::INT + (u >= 999998)::INT
+        |     + (u >= 999999)::INT)::BIGINT AS w
+        |  FROM u),
+        |m AS (SELECT source, rr, sum(w * v)::BIGINT AS ws, sum(w)::BIGINT AS wn
+        |  FROM w GROUP BY source, rr),
+        |mm AS (SELECT source,
+        |    (ws // wn) * 1000000 + ((ws % wn) * 1000000) // wn AS rm
+        |  FROM m WHERE wn > 0),
+        |ci AS (SELECT source, count(1)::BIGINT AS n_rep,
+        |    list_sort(list(rm)) AS ms FROM mm GROUP BY source)
+        |SELECT p2.source, p2.n_rows, p2.mean_micro,
+        |  coalesce(ci.n_rep, 0)::BIGINT AS n_rep,
+        |  ms[CAST(greatest(1, (ci.n_rep * 25 + 999) // 1000) AS INT)] AS ci_lo_micro,
+        |  ms[CAST((ci.n_rep * 975 + 999) // 1000 AS INT)] AS ci_hi_micro
+        |FROM p2 LEFT JOIN ci USING (source)
+        |ORDER BY p2.source""".stripMargin),
     "q222_mann_kendall" ->
       ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.poissonBootstrap]] — exact equality with an independent
+  * Scala reference (same md5 ladder walk, same split-division micro
+  * means, same ceil-rank CI), the all-zero-replicate exclusion path,
+  * partitioning invariance, and the statistical sanity of the weights
+  * (mean multiplicity near 1). */
+class PoissonBootstrapSpec extends SparkSpec {
+
+  private val ladder = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+    999405L, 999916L, 999989L, 999998L, 999999L)
+
+  private def md5hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private def weight(key: String, r: Int): Long =
+    ladder.count(md5hash60(s"$key:$r") % 1000000L >= _).toLong
+
+  /** Independent reference for one group's full output row. */
+  private def ref(rows: Seq[(String, Long)], b: Int): (Long, Long, Long, Option[Long], Option[Long]) = {
+    val n = rows.size.toLong
+    val s = rows.map(_._2).sum
+    val mean = (s / n) * 1000000L + ((s % n) * 1000000L) / n
+    val reps = (1 to b).flatMap { r =>
+      val ws = rows.map { case (k, v) => weight(k, r) * v }.sum
+      val wn = rows.map { case (k, _) => weight(k, r) }.sum
+      if (wn > 0) Some((ws / wn) * 1000000L + ((ws % wn) * 1000000L) / wn)
+      else None
+    }.sorted
+    val nr = reps.size.toLong
+    if (nr == 0) (n, mean, 0L, None, None)
+    else {
+      val lo = math.max(1L, (nr * 25 + 999) / 1000).toInt
+      val hi = ((nr * 975 + 999) / 1000).toInt
+      (n, mean, nr, Some(reps(lo - 1)), Some(reps(hi - 1)))
+    }
+  }
+
+  private def run(rows: Seq[(String, String, Long)], b: Int, parts: Int = 5) = {
+    import spark.implicits._
+    val df = rows.toDF("g", "k", "v").repartition(parts)
+    Sampling.poissonBootstrap(df, "g", "k", col("v"), b)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+  }
+
+  test("matches the Scala reference exactly, per group, including CI order statistics") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i =>
+      (s"s${i % 3}", s"d$i", 50L + rnd.nextInt(200)))
+    val got = run(rows.map(r => (r._1, r._2, r._3)), b = 40)
+    for (g <- Seq("s0", "s1", "s2")) {
+      val grp = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      val (n, mean, nr, lo, hi) = ref(grp, 40)
+      val row = got.find(_._1 == g).get
+      assert(row == ((g, n, mean, nr, lo, hi)), s"group $g")
+      assert(lo.get <= mean && mean <= hi.get,
+        "a homogeneous group's CI brackets its point estimate")
+    }
+  }
+
+  test("a single-row group excludes its all-zero replicates and reports the survivors") {
+    val got = run(Seq(("solo", "only-doc", 100L)), b = 40)
+    val (_, n, mean, nr, lo, hi) = got.head match {
+      case (g, a, b2, c, d, e) => (g, a, b2, c, d, e)
+    }
+    assert(n == 1L && mean == 100000000L)
+    // P(w = 0) = e^-1 per replicate: some of 40 MUST drop (P(none) ~ 1e-8)
+    val expectDrop = (1 to 40).count(r => weight("only-doc", r) == 0L)
+    assert(expectDrop > 0, "test premise: this key draws at least one zero")
+    assert(nr == 40L - expectDrop)
+    // every surviving replicate mean of a single row IS the value
+    assert(lo.contains(100000000L) && hi.contains(100000000L))
+  }
+
+  test("partitioning invariance: 1 partition == 13 partitions") {
+    val rows = (0 until 150).map(i => ("g", s"k$i", (i % 17 + 1).toLong))
+    assert(run(rows, b = 20, parts = 1).toSeq ==
+      run(rows, b = 20, parts = 13).toSeq)
+  }
+
+  test("md5 ladder draws Poisson(1)-like multiplicities: mean weight near 1") {
+    val total = (0 until 2000).map(i => weight(s"key$i", 1)).sum
+    assert(total > 1850 && total < 2150,
+      s"mean multiplicity ${total / 2000.0} should be ~1")
+  }
+}
