@@ -561,4 +561,75 @@ object Importance {
       .agg(sum("__k").as("n_tokens"),
         sum(expr("__w * __k")).as("ml_micro"))
   }
+
+  /** Per-group quantile normalization of an integer score column:
+    * map every row's WITHIN-GROUP midrank percentile onto the GLOBAL
+    * score distribution's inverse CDF (Bolstad et al. 2003, the
+    * microarray quantile-normalization scheme, in its two-sided
+    * group-vs-pooled form). The mixing problem it solves: two sources
+    * scored by the same quality model still have incomparable score
+    * DISTRIBUTIONS (one crawler yields long docs, one short), so any
+    * global threshold over-prunes one source; after normalization a
+    * doc at its source's median carries the global median score, and
+    * one global gate treats sources fairly.
+    *
+    * Exact integers end to end: midrank percentile `p_nano =
+    * ((2·below + tied)·5·10^8) DIV n_g` via the split-division
+    * identity (safe to ~1.8·10^10 rows per group), target global rank
+    * `r = max(1, ceil(p_nano·N/10^9))` cross-multiplied in
+    * DECIMAL(38,0), and `norm_score` = the smallest global score
+    * whose inclusive cumulative count reaches r (the type-1 inverse
+    * CDF). All ranks live at HISTOGRAM granularity — every row of a
+    * (group, score) cell shares one percentile — so rows never enter
+    * a window.
+    *
+    * Scale shape: one corpus-sized (group, score) count agg (map-side
+    * combine); everything downstream — per-group cumulative windows,
+    * the global cumulative window, the rank-interval join — runs on
+    * the histogram, and rows take one broadcast join against the cell
+    * map. Contract: distinct (group, score) cardinality must be
+    * broadcast-small (same bin-map contract as [[scoreBuckets]]);
+    * group keys may be NULL (null-safe joins); NULL scores pass
+    * through with NULL `pct_nano`/`norm_score` (fail-visible, never
+    * silently ranked). Appends (pct_nano, norm_score). */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val taken = Seq("pct_nano", "norm_score").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"quantileNormalize appends pct_nano/norm_score; input already has: ${taken.mkString(", ")}")
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wg = Window.partitionBy("__g").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("__g")
+    // histogram-sized global window: one task sorts distinct scores,
+    // never rows (the documented Vocab/TextSearch small-frame pattern)
+    val wGlob = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGroup = cells
+      .withColumn("__below", sum("__cnt").over(wg) - col("__cnt"))
+      .withColumn("__ng", sum("__cnt").over(wt))
+      .withColumn("__a", lit(2L) * col("__below") + col("__cnt"))
+      .withColumn("pct_nano", expr(
+        "(__a DIV __ng) * 500000000 + ((__a % __ng) * 500000000) DIV __ng"))
+    val gh = cells.groupBy("__s").agg(sum("__cnt").as("__gcnt"))
+      .withColumn("__gcum", sum("__gcnt").over(wGlob))
+      .withColumn("__glo", col("__gcum") - col("__gcnt") + 1L)
+    val nTotal = gh.agg(sum("__gcnt").as("__n"))
+    val cellMap = perGroup
+      .crossJoin(broadcast(nTotal))
+      .withColumn("__r", greatest(lit(1L), expr(
+        """CAST((CAST(pct_nano AS DECIMAL(38,0)) * __n + 999999999)
+           DIV 1000000000 AS BIGINT)""")))
+      .join(broadcast(gh.select(col("__s").as("__ns"),
+          col("__glo"), col("__gcum"))),
+        col("__r") >= col("__glo") && col("__r") <= col("__gcum"))
+      .select(col("__g"), col("__s"), col("pct_nano"),
+        col("__ns").as("norm_score"))
+    df.join(broadcast(cellMap),
+        df(groupCol) <=> col("__g") && df(scoreCol) <=> col("__s"),
+        "left")
+      .drop("__g", "__s")
+  }
 }

@@ -2986,7 +2986,25 @@ object Extensions {
       size(TextFunctions.tokens(coalesce(col("text"), lit("")))), b = 40)
       .orderBy("source")
 
+  /** q224 — per-source quantile normalization
+    * ([[graft.operators.Importance.quantileNormalize]], Bolstad et
+    * al. 2003): every doc's char-length score re-expressed as the
+    * GLOBAL score at its within-source midrank percentile, so one
+    * global length gate treats sources with different length
+    * distributions fairly. All ranks at histogram granularity — rows
+    * never enter a window — with exact split-division nano
+    * percentiles and a DECIMAL(38,0) ceil cross-multiplication for
+    * the global rank. */
+  def q224QuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.quantileNormalize(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+          col("n_chars").cast("long").as("n_chars")),
+      "source", "n_chars")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_quantile_norm" -> (q224QuantileNorm _),
     "q223_poisson_bootstrap" -> (q223PoissonBootstrap _),
     "q222_mann_kendall" -> (q222MannKendall _),
     "q221_span_corrupt" -> (q221SpanCorrupt _),
@@ -3897,6 +3915,32 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q224_quantile_norm" ->
+      ("""WITH d AS (SELECT doc_id, coalesce(source, '') AS source,
+        |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |c AS (SELECT source, n_chars AS s, count(1)::BIGINT AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |pg AS (SELECT source, s, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) - cnt AS below,
+        |    sum(cnt) OVER (PARTITION BY source) AS ng FROM c),
+        |pp AS (SELECT source, s,
+        |    CAST(((2 * below + cnt) // ng) * 500000000
+        |      + (((2 * below + cnt) % ng) * 500000000) // ng AS BIGINT) AS pct_nano
+        |  FROM pg),
+        |gh AS (SELECT s, sum(cnt)::BIGINT AS gcnt FROM c GROUP BY s),
+        |g2 AS (SELECT s, gcnt,
+        |    sum(gcnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS gcum FROM gh),
+        |g3 AS (SELECT s, gcum - gcnt + 1 AS glo, gcum FROM g2),
+        |nt AS (SELECT sum(gcnt)::BIGINT AS n FROM gh),
+        |cm AS (SELECT pp.source, pp.s, pp.pct_nano,
+        |    CAST(greatest(1, (pp.pct_nano::HUGEINT * nt.n + 999999999) // 1000000000) AS BIGINT) AS r
+        |  FROM pp, nt),
+        |cm2 AS (SELECT cm.source, cm.s, cm.pct_nano, g3.s AS norm_score
+        |  FROM cm JOIN g3 ON cm.r >= g3.glo AND cm.r <= g3.gcum)
+        |SELECT d.doc_id, d.source, d.n_chars, cm2.pct_nano, cm2.norm_score
+        |FROM d JOIN cm2 ON d.source = cm2.source AND d.n_chars = cm2.s
+        |ORDER BY d.doc_id""".stripMargin),
     "q223_poisson_bootstrap" ->
       ("""WITH d AS (SELECT coalesce(source, '') AS source,
         |    CAST(doc_id AS VARCHAR) AS k,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.quantileNormalize]] — exact equality with a brute-force
+  * rank reference, the identity property on a single group, the
+  * median-maps-to-median fairness guarantee across shifted groups,
+  * NULL score/group handling, and partitioning invariance. */
+class QuantileNormalizeSpec extends SparkSpec {
+
+  /** Brute-force reference: full sorts, no histograms. */
+  private def ref(rows: Seq[(String, Long)]): Map[(String, Long), (Long, Long)] = {
+    val n = rows.size.toLong
+    val globalSorted = rows.map(_._2).sorted
+    rows.groupBy(_._1).flatMap { case (g, grp) =>
+      val xs = grp.map(_._2).sorted
+      val ng = xs.size.toLong
+      xs.distinct.map { s =>
+        val below = xs.count(_ < s).toLong
+        val cnt = xs.count(_ == s).toLong
+        val a = 2 * below + cnt
+        val p = (a / ng) * 500000000L + ((a % ng) * 500000000L) / ng
+        val r = math.max(1L, ((BigInt(p) * n + 999999999) / 1000000000L).toLong)
+        ((g, s), (p, globalSorted((r - 1).toInt)))
+      }
+    }
+  }
+
+  private def run(rows: Seq[(String, Long)], parts: Int = 7) = {
+    import spark.implicits._
+    val df = rows.zipWithIndex
+      .map { case ((g, s), i) => (i.toLong, g, s) }
+      .toDF("id", "g", "s").repartition(parts)
+    Importance.quantileNormalize(df, "g", "s")
+      .select("g", "s", "pct_nano", "norm_score").distinct()
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("matches the brute-force rank reference on a skewed two-group corpus") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map(i =>
+      if (i % 3 == 0) ("short", 10L + rnd.nextInt(40))
+      else ("long", 200L + rnd.nextInt(400)))
+    assert(run(rows) == ref(rows))
+  }
+
+  test("a single group normalizes to itself (group CDF == global CDF)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 250).map(_ => ("only", rnd.nextInt(80).toLong))
+    run(rows).foreach { case ((_, s), (_, norm)) =>
+      assert(norm == s, s"score $s should be its own normalization")
+    }
+  }
+
+  test("median maps to median: shifted groups land on the same global gate value") {
+    // two disjoint uniform blocks of equal size; each group's median
+    // percentile must map to the same global inverse-CDF value
+    val rows = (1 to 101).map(i => ("lo", i.toLong)) ++
+      (1 to 101).map(i => ("hi", 1000L + i))
+    val out = run(rows)
+    val (_, nLo) = out(("lo", 51L)) // lo's median
+    val (_, nHi) = out(("hi", 1051L)) // hi's median
+    assert(nLo == nHi, s"medians must align, got $nLo vs $nHi")
+  }
+
+  test("NULL scores pass through unranked; NULL group keys are ranked") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("a"), None), (4L, None, Some(15L)), (5L, None, Some(25L)))
+      .toDF("id", "g", "s")
+    val out = Importance.quantileNormalize(df, "g", "s")
+      .orderBy("id").collect()
+    assert(out.length == 5, "no row may vanish")
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4),
+      "NULL score: NULL pct_nano and norm_score, row kept")
+    assert(!out(3).isNullAt(4) && !out(4).isNullAt(4),
+      "NULL group keys form their own ranked group")
+    assert(out(3).getLong(4) < out(4).getLong(4),
+      "within the NULL group, order is preserved")
+  }
+
+  test("partitioning invariance: 1 partition == 11 partitions") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 200).map(i => (s"g${i % 4}", rnd.nextInt(50).toLong))
+    assert(run(rows, parts = 1) == run(rows, parts = 11))
+  }
+}
