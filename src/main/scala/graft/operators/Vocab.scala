@@ -789,4 +789,50 @@ object Vocab {
       col("n_total"), col("n_distinct"),
       expr("__n1 * 1000000 DIV n_total").as("p0_micro")): _*)
   }
+
+  /** Vocabulary PRUNE step for the unigram tokenizer — the other half
+    * of the SentencePiece training loop ([[unigramEmStep]] re-prices,
+    * this shrinks): keep every single-code-point piece (the alphabet —
+    * dropping one would create new UNKs and break the open-vocabulary
+    * guarantee) and the `keepMulti` most-used multi-character pieces
+    * under the CURRENT segmentation; everything else is marked for
+    * removal. Iterating EM -> prune -> EM is exactly Kudo 2018's
+    * shrink schedule with the E-step's expected counts replaced by
+    * Viterbi counts (the hard-EM discipline of [[unigramEmStep]]).
+    *
+    * Determinism: the keep set is ranked by (n_occ DESC, piece) — a
+    * total order, so re-runs and engines agree on ties. Coverage
+    * safety is structural, not statistical: because the alphabet
+    * survives unconditionally, encoding with the pruned vocabulary
+    * can never produce MORE n_unk than the full vocabulary (pinned by
+    * spec).
+    *
+    * Scale shape: one corpus pass (the [[unigramEmStep]] count), then
+    * everything — the rank window included — runs on the vocab-sized
+    * frame (tokenizer vocabularies are 10^4..10^5 rows; the global
+    * window is the documented Vocab small-frame pattern). Output:
+    * (piece, n_occ, new_cost_milli, is_alphabet, kept). */
+  def unigramPrune(df: DataFrame, textCol: String,
+      vocabCosts: Seq[(String, Long)], keepMulti: Int,
+      unkCostMilli: Long = 20000L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(keepMulti >= 0, "keepMulti must be non-negative")
+    val em = unigramEmStep(df, textCol, vocabCosts, unkCostMilli,
+      checkpointer)
+    // code points, not UTF-16 units: Spark's length() counts
+    // characters of the UTF8String, so an astral-plane alphabet
+    // entry (one code point, two UTF-16 units) still counts as 1
+    val w = Window.orderBy(col("n_occ").desc, col("piece"))
+    val multiRanked = em.filter(length(col("piece")) > 1)
+      .withColumn("__rk", row_number().over(w))
+    em.filter(length(col("piece")) === 1)
+      .withColumn("is_alphabet", lit(true))
+      .withColumn("kept", lit(true))
+      .unionByName(multiRanked
+        .withColumn("is_alphabet", lit(false))
+        .withColumn("kept", col("__rk") <= keepMulti)
+        .drop("__rk"))
+      .select(col("piece"), col("n_occ"), col("new_cost_milli"),
+        col("is_alphabet"), col("kept"))
+  }
 }

@@ -3003,7 +3003,19 @@ object Extensions {
       "source", "n_chars")
       .orderBy("doc_id")
 
+  /** q225 — unigram vocabulary prune ([[Vocab.unigramPrune]]): the
+    * shrink half of the SentencePiece training loop over the q217
+    * hard-EM counts — every single-code-point piece survives
+    * unconditionally (dropping alphabet would mint new UNKs), the
+    * top-20 multi-character pieces by realized usage survive, the
+    * rest are marked for removal. The oracle reuses q217's recursive
+    * Viterbi replay and adds the (n_occ DESC, piece) keep rank. */
+  def q225UnigramPrune(spark: SparkSession, dir: String): DataFrame =
+    Vocab.unigramPrune(Tables(spark, dir, "documents"), "text",
+      ugVocab, keepMulti = 20).orderBy("piece")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_unigram_prune" -> (q225UnigramPrune _),
     "q224_quantile_norm" -> (q224QuantileNorm _),
     "q223_poisson_bootstrap" -> (q223PoissonBootstrap _),
     "q222_mann_kendall" -> (q222MannKendall _),
@@ -3915,6 +3927,29 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q225_unigram_prune" -> {
+      val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
+      val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        |${unigramRecSql("SELECT doc_id, text FROM documents")},
+        |pc AS (SELECT unnest(string_split(seg, ' ')) AS piece FROM fin),
+        |cnt AS (SELECT piece, count(1)::BIGINT AS n_occ FROM pc GROUP BY piece),
+        |voc AS (SELECT unnest($pl) AS piece, unnest($cl) AS old_cost_milli),
+        |j AS (SELECT v.piece,
+        |    coalesce(c.n_occ, 0)::BIGINT AS n_occ
+        |  FROM voc v LEFT JOIN cnt c USING (piece)),
+        |gt AS (SELECT sum(n_occ)::BIGINT AS tt FROM j),
+        |em AS (SELECT j.piece, j.n_occ,
+        |    CAST(round((ln(gt.tt + ${ugVocab.size}) - ln(j.n_occ + 1)) * 1000) AS BIGINT) AS new_cost_milli
+        |  FROM j CROSS JOIN gt),
+        |mr AS (SELECT piece, row_number() OVER (ORDER BY n_occ DESC, piece) AS rk
+        |  FROM em WHERE length(piece) > 1)
+        |SELECT em.piece, em.n_occ, em.new_cost_milli,
+        |  (length(em.piece) = 1) AS is_alphabet,
+        |  (length(em.piece) = 1 OR mr.rk <= 20) AS kept
+        |FROM em LEFT JOIN mr USING (piece)
+        |ORDER BY em.piece""".stripMargin
+    },
     "q224_quantile_norm" ->
       ("""WITH d AS (SELECT doc_id, coalesce(source, '') AS source,
         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),

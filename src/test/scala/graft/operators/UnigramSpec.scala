@@ -145,4 +145,51 @@ class UnigramSpec extends SparkSpec {
     assert(counts.filter(_._2 == 0L).keySet.forall(p =>
       got.find(_._1 == p).get._4 == got.map(_._4).max))
   }
+
+  test("unigramPrune: alphabet survives unconditionally, top-keepMulti multis kept by usage") {
+    import spark.implicits._
+    val vocab = Seq(("s", 4500L), ("l", 4500L), ("o", 4500L), ("w", 4500L),
+      ("x", 4500L), ("sl", 1200L), ("ow", 1300L), ("ing", 2000L),
+      ("never", 9000L), ("\ud835\udd4f", 4500L)) // astral single code point
+    val df = Seq((1L, "slowing slow"), (2L, "x slowing")).toDF("doc_id", "text")
+    val got = Vocab.unigramPrune(df, "text", vocab, keepMulti = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getBoolean(4)))).toMap
+    // every single-CODE-POINT piece is alphabet and kept, including the
+    // astral one (two UTF-16 units) and the never-used 'x'
+    for (a <- Seq("s", "l", "o", "w", "x", "\ud835\udd4f")) {
+      assert(got(a)._2 && got(a)._3, s"alphabet piece $a must survive")
+    }
+    // multis rank sl/ow (3 uses) above ing (2) above never (0);
+    // keepMulti = 2 keeps exactly sl and ow
+    assert(got("sl") == ((3L, false, true)))
+    assert(got("ow") == ((3L, false, true)))
+    assert(got("ing") == ((2L, false, false)))
+    assert(got("never") == ((0L, false, false)))
+  }
+
+  test("unigramPrune coverage safety: pruned vocabulary yields IDENTICAL n_unk") {
+    import spark.implicits._
+    val vocab = Seq(("s", 4500L), ("l", 4500L), ("o", 4500L), ("w", 4500L),
+      ("i", 4500L), ("n", 4500L), ("g", 4500L),
+      ("sl", 1200L), ("ow", 1300L), ("ing", 2000L), ("slowing", 9000L))
+    val df = Seq((1L, "slowing slow zq"), (2L, "owing slowing"))
+      .toDF("doc_id", "text")
+    val pruned = Vocab.unigramPrune(df, "text", vocab, keepMulti = 1)
+      .filter(col("kept")).collect().map(_.getString(0)).toSet
+    val keptCosts = vocab.filter { case (p, _) => pruned.contains(p) }
+    val before = Vocab.unigramEncode(df, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val after = Vocab.unigramEncode(df, "doc_id", "text", keptCosts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    before.zip(after).foreach { case ((id1, unk1, c1), (id2, unk2, c2)) =>
+      assert(id1 == id2 && unk1 == unk2,
+        "alphabet retention means pruning can never mint a new UNK")
+      assert(c2 >= c1, "removing pieces can only make encodings costlier")
+    }
+    // 'z'/'q' were never representable; both runs count them as UNK
+    assert(before.head._2 == 2L)
+  }
 }
