@@ -307,6 +307,71 @@ object TextFunctions {
           lit(secretEntropyFloorMicro)))
       .cast("long").as("n_b64_secret"))
 
+  /** Abbreviations whose trailing period never ends a sentence —
+    * compared against the boundary token's core (closers and the
+    * terminal punctuation run stripped, lowercased). Kept deliberately
+    * short and documented: a production splitter swaps in a per-
+    * language list; the DuckDB oracle embeds this exact list. */
+  val sentenceAbbrevs: Seq[String] = Seq("mr", "mrs", "ms", "dr", "prof",
+    "sr", "jr", "st", "vs", "etc", "fig", "inc", "ltd", "co", "corp",
+    "dept", "est", "approx", "e.g", "i.e", "al", "no")
+
+  /** Rule-based sentence segmentation over RAW (case-preserving)
+    * whitespace tokens — the refinement of [[readability]]'s crude
+    * `[.!?]+`-run count into real boundary detection, and the
+    * upstream of any "split long docs at sentence boundaries"
+    * chunker. A boundary sits AFTER token i (1-based, i < n) iff,
+    * with `t1` = token i stripped of trailing ASCII closers
+    * (`["')\]]+`), `core` = t1 stripped of its trailing `[.!?]+`
+    * run, and `next` = token i+1 stripped of leading ASCII openers:
+    *   1. t1 ends with a terminator `[.!?]`,
+    *   2. lower(core) is not in [[sentenceAbbrevs]] ("Dr. Smith"),
+    *   3. core is not all digits ("3. Install the pump" enumerations),
+    *   4. next begins with an uppercase letter or a digit.
+    * Sentence token-lengths fall out of the boundary-position array
+    * (prepend 0, append n, adjacent differences) — exact integers,
+    * one codegen projection, zero shuffle at any corpus size. Empty
+    * text has 0 tokens and 0 sentences. Returns struct(n_tokens,
+    * n_sents, mean_sent_toks_milli, max_sent_toks). */
+  def sentenceStats(text: Column): Column = {
+    val rt = split(trim(coalesce(text, lit(""))), "\\s+")
+    val n = size(rt)
+    val nTokens = when(n === 1 && element_at(rt, 1) === "", lit(0L))
+      .otherwise(n.cast("long"))
+    def t1(i: Column) =
+      regexp_replace(element_at(rt, i.cast("int")), "[\"')\\]]+$", "")
+    def boundary(i: Column): Column = {
+      val stripped = t1(i)
+      val core = regexp_replace(stripped, "[.!?]+$", "")
+      val nxt = regexp_replace(element_at(rt, (i + 1).cast("int")),
+        "^[\"'(\\[]+", "")
+      stripped.rlike("[.!?]$") &&
+        !lower(core).isInCollection(sentenceAbbrevs) &&
+        !core.rlike("^[0-9]+$") &&
+        nxt.rlike("^[A-Z0-9]")
+    }
+    // sequence(1, 0) DESCENDS in Spark ([1, 0] — index 0 would throw
+    // inside element_at), so single-token docs take the empty branch
+    val bpos = when(n < 2, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), n - 1), i => boundary(i)))
+    val nSents = when(nTokens === 0L, lit(0L))
+      .otherwise(size(bpos).cast("long") + 1L)
+    val lens = zip_with(
+      concat(bpos, array(n)), concat(array(lit(0)), bpos), (e, st) => e - st)
+    struct(
+      nTokens.as("n_tokens"),
+      nSents.as("n_sents"),
+      when(nSents > 0L, expr_fdiv(nTokens * 1000L, nSents))
+        .otherwise(lit(0L)).as("mean_sent_toks_milli"),
+      when(nTokens === 0L, lit(0L))
+        .otherwise(array_max(lens).cast("long")).as("max_sent_toks"))
+  }
+
+  /** Exact long floor division for non-negative operands without
+    * expr() (magnitudes far below 2^53 keep the double exact). */
+  private def expr_fdiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   /** Hashed-bag-of-words linear-classifier inference (the fastText-style
     * quality-filter shape: featurize each token into one of `dim` hash
     * buckets, sum the bucket weights, threshold). The heavy part — a

@@ -3014,7 +3014,40 @@ object Extensions {
     Vocab.unigramPrune(Tables(spark, dir, "documents"), "text",
       ugVocab, keepMulti = 20).orderBy("piece")
 
+  /** q226 — rule-based sentence segmentation
+    * ([[TextFunctions.sentenceStats]]): boundary = terminator +
+    * abbreviation guard + digit-enumeration guard + next-token case
+    * gate, with closer/opener stripping. The flat lowercase corpus
+    * carries no sentence structure, so the face injects it
+    * deterministically by token position (j%13 -> 'Dr.' abbreviation,
+    * j%17 -> '3.' enumeration, j%23 -> terminator+closing quote,
+    * j%7 -> terminator, j%5 -> capitalized token) — every guard
+    * branch fires somewhere in the corpus, and the oracle replays the
+    * identical injection. */
+  def q226Sentences(spark: SparkSession, dir: String): DataFrame = {
+    val tw = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+    val modded = transform(tw, (t, j0) => {
+      val j = j0 + 1
+      when(j % 13 === 1, lit("Dr."))
+        .when(j % 17 === 1, lit("3."))
+        .when(j % 23 === 2, concat(t, lit(".\"")))
+        .when(j % 7 === 3, concat(t, lit(".")))
+        .when(j % 5 === 0,
+          concat(upper(t.substr(lit(1), lit(1))), t.substr(lit(2), length(t))))
+        .otherwise(t)
+    })
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.sentenceStats(array_join(modded, " ")).as("__s"))
+      .select(col("doc_id"), col("__s.n_tokens").as("n_tokens"),
+        col("__s.n_sents").as("n_sents"),
+        col("__s.mean_sent_toks_milli").as("mean_sent_toks_milli"),
+        col("__s.max_sent_toks").as("max_sent_toks"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_sentences" -> (q226Sentences _),
     "q225_unigram_prune" -> (q225UnigramPrune _),
     "q224_quantile_norm" -> (q224QuantileNorm _),
     "q223_poisson_bootstrap" -> (q223PoissonBootstrap _),
@@ -3927,6 +3960,43 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q226_sentences" ->
+      ("""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t0
+        |  FROM documents),
+        |m AS (SELECT doc_id, list_transform(range(1, len(t0) + 1), j -> CASE
+        |    WHEN j % 13 = 1 THEN 'Dr.'
+        |    WHEN j % 17 = 1 THEN '3.'
+        |    WHEN j % 23 = 2 THEN t0[CAST(j AS INT)] || '."'
+        |    WHEN j % 7 = 3 THEN t0[CAST(j AS INT)] || '.'
+        |    WHEN j % 5 = 0 THEN upper(substr(t0[CAST(j AS INT)], 1, 1)) || substr(t0[CAST(j AS INT)], 2)
+        |    ELSE t0[CAST(j AS INT)] END) AS tw
+        |  FROM tk),
+        |st AS (SELECT doc_id, tw, len(tw) AS n,
+        |    CASE WHEN len(tw) = 1 AND tw[1] = '' THEN 0 ELSE len(tw) END AS n_tokens
+        |  FROM m),
+        |b AS (SELECT doc_id, n, n_tokens,
+        |    CASE WHEN n < 2 THEN CAST([] AS BIGINT[]) ELSE list_filter(range(1, n), j ->
+        |      regexp_matches(regexp_replace(tw[CAST(j AS INT)], '["'')\]]+$', ''), '[.!?]$')
+        |      AND NOT list_contains([ABBREVS],
+        |        lower(regexp_replace(regexp_replace(tw[CAST(j AS INT)], '["'')\]]+$', ''), '[.!?]+$', '')))
+        |      AND NOT regexp_matches(regexp_replace(regexp_replace(tw[CAST(j AS INT)], '["'')\]]+$', ''), '[.!?]+$', ''), '^[0-9]+$')
+        |      AND regexp_matches(regexp_replace(tw[CAST(j + 1 AS INT)], '^["''(\[]+', ''), '^[A-Z0-9]')) END AS bpos
+        |  FROM st),
+        |f AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 0 ELSE len(bpos) + 1 END AS n_sents,
+        |    list_concat(bpos, [CAST(n AS BIGINT)]) AS ends,
+        |    list_concat([CAST(0 AS BIGINT)], bpos) AS starts
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_sents AS BIGINT) AS n_sents,
+        |  CAST(CASE WHEN n_sents > 0 THEN (n_tokens * 1000) // n_sents ELSE 0 END AS BIGINT) AS mean_sent_toks_milli,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE list_max(list_transform(range(1, len(ends) + 1), i ->
+        |         ends[CAST(i AS INT)] - starts[CAST(i AS INT)])) END AS BIGINT) AS max_sent_toks
+        |FROM f ORDER BY doc_id""".stripMargin)
+        .replace("ABBREVS", graft.functions.TextFunctions.sentenceAbbrevs
+          .map(a => s"'$a'").mkString(", ")),
     "q225_unigram_prune" -> {
       val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
       val cl = ugVocab.map(_._2).mkString("[", ", ", "]")

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TextFunctions.sentenceStats]] — each boundary rule exercised in
+  * isolation (terminator, abbreviation guard, digit-enumeration
+  * guard, next-token case gate, closer/opener stripping), the length
+  * arithmetic, and the degenerate inputs. */
+class SentenceStatsSpec extends SparkSpec {
+
+  private def run(text: String): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(text)).toDF("text")
+      .select(TextFunctions.sentenceStats(col("text")).as("s"))
+      .select("s.n_tokens", "s.n_sents", "s.mean_sent_toks_milli",
+        "s.max_sent_toks").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("plain two-sentence text splits at the terminator + capital") {
+    assert(run("The pump failed. We replaced it.") == ((6L, 2L, 3000L, 3L)))
+  }
+
+  test("boundary needs the NEXT token capitalized or numeric") {
+    // same terminator, lowercase continuation: no split
+    assert(run("the pump failed. we replaced it.")._2 == 1L)
+    // numeric continuation splits
+    assert(run("It failed twice. 3 pumps died.")._2 == 2L)
+  }
+
+  test("abbreviations never end a sentence") {
+    assert(run("Dr. Smith arrived.")._2 == 1L)
+    assert(run("See fig. 4 for details.")._2 == 1L)
+    // the same shape with a non-abbreviation core DOES split
+    assert(run("Ask Moe. Smith arrived.")._2 == 2L)
+  }
+
+  test("digit enumerations never end a sentence") {
+    assert(run("1. Install the pump")._2 == 1L)
+    assert(run("It cost 3. Euros fell.")._2 == 1L)
+  }
+
+  test("closers strip before the terminator test; openers before the case gate") {
+    assert(run("He said \"stop.\" Then left.")._2 == 2L)
+    assert(run("It broke. \"Really bad,\" she said.")._2 == 2L)
+    assert(run("It broke. \"really bad,\" she said.")._2 == 1L,
+      "opener-stripped lowercase still fails the case gate")
+  }
+
+  test("multi-terminator runs and ?! count once") {
+    assert(run("What?! Who did this? Nobody knows.")._2 == 3L)
+  }
+
+  test("length stats: mean is truncating milli, max is the longest span") {
+    // spans: 2 and 5 tokens -> mean 3500 milli, max 5
+    val (n, s, mean, mx) = run("It failed. The crew replaced it quickly.")
+    assert(n == 7L && s == 2L && mean == 3500L && mx == 5L)
+  }
+
+  test("degenerate inputs: empty, whitespace, single token, no terminator") {
+    assert(run("") == ((0L, 0L, 0L, 0L)))
+    assert(run("   ") == ((0L, 0L, 0L, 0L)))
+    assert(run("word") == ((1L, 1L, 1000L, 1L)))
+    assert(run("no terminator here at all") == ((5L, 1L, 5000L, 5L)))
+  }
+
+  test("NULL text behaves as empty") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(TextFunctions.sentenceStats(col("text")).as("s"))
+      .select("s.n_tokens", "s.n_sents").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+}
