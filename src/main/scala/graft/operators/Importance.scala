@@ -305,6 +305,22 @@ object Importance {
     require(discountMilli >= 1 && discountMilli <= 999,
       s"discountMilli must be in [1, 999] (a full-unit discount zeroes every seen bigram), got $discountMilli")
     import graft.functions.TextFunctions.wordShingles
+    kneserNeyModel(docs, textCol, isModel, discountMilli)
+      .orderBy(col("c_uw").desc, col("u"), col("w"))
+      .limit(topK)
+  }
+
+  /** The FULL interpolated Kneser–Ney bigram model (every seen bigram,
+    * no top-k cut) — the frame [[kneserNeyBigrams]] ranks for audit
+    * and [[kneserNeyDocScore]] scores against. Columns: (u, w, c_uw,
+    * c_u, n1_fwd, n1_bwd, lambda_micro, pcont_micro, pkn_micro), all
+    * exact truncating integer micro (the one LM family needing no ln
+    * parity argument for its PROBABILITIES — only scoring adds ln). */
+  def kneserNeyModel(docs: DataFrame, textCol: String, isModel: Column,
+      discountMilli: Int = 750): DataFrame = {
+    require(discountMilli >= 1 && discountMilli <= 999,
+      s"discountMilli must be in [1, 999], got $discountMilli")
+    import graft.functions.TextFunctions.wordShingles
     val bg = docs.filter(isModel)
       .select(explode(wordShingles(coalesce(col(textCol), lit("")), 2)).as("__g"))
       .select(split(col("__g"), " ").getItem(0).as("u"),
@@ -322,8 +338,63 @@ object Importance {
         expr(s"""(1000 * c_uw - $discountMilli) * 1000000 DIV (1000 * c_u)
           + ($discountMilli * n1_fwd * 1000 DIV c_u)
             * (n1_bwd * 1000000 DIV __nb) DIV 1000000""").as("pkn_micro"))
-      .orderBy(col("c_uw").desc, col("u"), col("w"))
-      .limit(topK)
+  }
+
+  /** Score every document's bigram stream under a Kneser–Ney model
+    * ([[kneserNeyModel]]) — the CCNet-style "perplexity under a clean
+    * reference LM" curation signal (Wenzek et al. 2020), with the
+    * smoothing actually doing its job at score time: a bigram the
+    * model never saw backs off to `lambda(u)·pcont(w)` (u seen), to
+    * `pcont(w)` alone (u unseen), and to the 1-micro floor only when
+    * even `w` is novel — so unseen-but-plausible continuations score
+    * better than genuinely alien text, which a raw-count scorer can't
+    * distinguish. Each bigram's negative log likelihood is rounded to
+    * integer milli BEFORE the per-doc sum (the q167/dsir micro-ln
+    * engine-parity discipline; probabilities themselves are exact
+    * integer micro).
+    *
+    * Scale shape: the doc side explodes to (id, u, w) — 16-ish bytes
+    * per bigram, text never leaves the row — and takes one shuffle
+    * join against the bigram-type-sized model frame plus two against
+    * the vocab-sized lambda/pcont frames; hot tokens ("the") skew the
+    * u/w joins and are AQE-skew-split like any shuffle join (never a
+    * window). Docs with < 2 tokens survive with n_bigrams = 0 and
+    * NULL scores (fail-visible). Output: (idCol, n_bigrams,
+    * nll_milli, nll_per_bigram_milli). */
+  def kneserNeyDocScore(docs: DataFrame, idCol: String, textCol: String,
+      isModel: Column, discountMilli: Int = 750,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    // materialized once: three model projections read it
+    val model = checkpointer(
+      kneserNeyModel(docs, textCol, isModel, discountMilli))
+    val uF = model.select(col("u"), col("lambda_micro")).distinct()
+    val wF = model.select(col("w"), col("pcont_micro")).distinct()
+    val bgF = model.select(col("u"), col("w"), col("pkn_micro"))
+    val pairs = docs.select(col(idCol),
+        explode(wordShingles(coalesce(col(textCol), lit("")), 2)).as("__g"))
+      .select(col(idCol), split(col("__g"), " ").getItem(0).as("u"),
+        split(col("__g"), " ").getItem(1).as("w"))
+    val scored = pairs
+      .join(bgF, Seq("u", "w"), "left")
+      .join(uF, Seq("u"), "left")
+      .join(wF, Seq("w"), "left")
+      .withColumn("__p", greatest(lit(1L), expr(
+        """CASE WHEN pkn_micro IS NOT NULL THEN pkn_micro
+              WHEN lambda_micro IS NOT NULL AND pcont_micro IS NOT NULL
+                THEN lambda_micro * pcont_micro DIV 1000000
+              WHEN pcont_micro IS NOT NULL THEN pcont_micro
+              ELSE 1 END""")))
+      .withColumn("__t", expr(
+        "CAST(round((ln(1000000) - ln(__p)) * 1000) AS BIGINT)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__t").as("nll_milli"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_milli"),
+        when(col("n_bigrams") > 0L,
+          expr("nll_milli DIV n_bigrams")).as("nll_per_bigram_milli"))
   }
 
   /** CCNet's final step: split each language's corpus into

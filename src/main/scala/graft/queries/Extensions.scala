@@ -3046,7 +3046,19 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q227 — Kneser–Ney document scoring
+    * ([[Importance.kneserNeyDocScore]]): every doc's bigram NLL under
+    * the q213 English KN model, smoothing live at score time — unseen
+    * bigrams back off through lambda(u)·pcont(w) -> pcont(w) -> the
+    * 1-micro floor, so plausible-but-novel text outscores alien text.
+    * The third fluency signal in the family (q113 raw bigram, q119
+    * log form) and the one with principled mass for the unseen. */
+  def q227KnScore(spark: SparkSession, dir: String): DataFrame =
+    Importance.kneserNeyDocScore(Tables(spark, dir, "documents"),
+      "doc_id", "text", col("lang") === "en").orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_kn_score" -> (q227KnScore _),
     "q226_sentences" -> (q226Sentences _),
     "q225_unigram_prune" -> (q225UnigramPrune _),
     "q224_quantile_norm" -> (q224QuantileNorm _),
@@ -3960,6 +3972,49 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q227_kn_score" ->
+      ("""WITH m AS (SELECT
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t
+        |  FROM documents WHERE lang = 'en'),
+        |b AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'u': t[i], 'w': t[i + 1]})) AS p FROM m),
+        |bg AS (SELECT p.u AS u, p.w AS w, count(1)::BIGINT AS c_uw
+        |  FROM b GROUP BY 1, 2),
+        |cu AS (SELECT u, sum(c_uw)::BIGINT AS c_u, count(1)::BIGINT AS n1_fwd
+        |  FROM bg GROUP BY u),
+        |cw AS (SELECT w, count(1)::BIGINT AS n1_bwd FROM bg GROUP BY w),
+        |nb AS (SELECT count(1)::BIGINT AS nb FROM bg),
+        |uf AS (SELECT u, (750 * n1_fwd * 1000 // c_u)::BIGINT AS lambda_micro FROM cu),
+        |wf AS (SELECT w, (n1_bwd * 1000000 // nb.nb)::BIGINT AS pcont_micro
+        |  FROM cw CROSS JOIN nb),
+        |bgp AS (SELECT bg.u, bg.w,
+        |    ((1000 * bg.c_uw - 750) * 1000000 // (1000 * cu.c_u)
+        |      + (750 * cu.n1_fwd * 1000 // cu.c_u)
+        |        * (cw.n1_bwd * 1000000 // nb.nb) // 1000000)::BIGINT AS pkn_micro
+        |  FROM bg JOIN cu USING (u) JOIN cw USING (w) CROSS JOIN nb),
+        |dt AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t
+        |  FROM documents),
+        |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'u': t[i], 'w': t[i + 1]})) AS p FROM dt),
+        |dj AS (SELECT dp.doc_id,
+        |    greatest(1, CASE WHEN bgp.pkn_micro IS NOT NULL THEN bgp.pkn_micro
+        |      WHEN uf.lambda_micro IS NOT NULL AND wf.pcont_micro IS NOT NULL
+        |        THEN uf.lambda_micro * wf.pcont_micro // 1000000
+        |      WHEN wf.pcont_micro IS NOT NULL THEN wf.pcont_micro
+        |      ELSE 1 END)::BIGINT AS p
+        |  FROM dp LEFT JOIN bgp ON dp.p.u = bgp.u AND dp.p.w = bgp.w
+        |    LEFT JOIN uf ON dp.p.u = uf.u
+        |    LEFT JOIN wf ON dp.p.w = wf.w),
+        |ds AS (SELECT doc_id, count(1)::BIGINT AS n_bigrams,
+        |    sum(CAST(round((ln(1000000) - ln(p)) * 1000) AS BIGINT))::BIGINT AS nll_milli
+        |  FROM dj GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(ds.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  ds.nll_milli,
+        |  CASE WHEN ds.n_bigrams > 0 THEN ds.nll_milli // ds.n_bigrams END::BIGINT
+        |    AS nll_per_bigram_milli
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN ds USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "q226_sentences" ->
       ("""WITH tk AS (SELECT doc_id,
         |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t0

@@ -85,4 +85,57 @@ class KneserNeySpec extends SparkSpec {
     val df = Seq((1L, "a b")).toDF("id", "text")
     assert(Importance.kneserNeyBigrams(df, "text", lit(false), 10).count() == 0L)
   }
+
+  test("kneserNeyDocScore walks the full backoff ladder with exact integer probabilities") {
+    import spark.implicits._
+    // model corpus: "a b a c b c" -> bigrams ab, ba, ac, cb, bc
+    val df = Seq(
+      (1L, "a b a c b c", true), // the model doc
+      (2L, "a b", false), //   seen bigram
+      (3L, "a a", false), //   unseen bigram, seen u, seen w (wait: 'a' is a w via ba)
+      (4L, "z b", false), //   unseen u, seen w -> pcont(b)
+      (5L, "z q", false), //   unseen u, unseen w -> floor 1
+      (6L, "solo", false), //  no bigram at all
+      (7L, "", false))
+      .toDF("doc_id", "text", "is_model")
+    val m = ref(Seq("a b a c b c"))
+    val got = Importance.kneserNeyDocScore(df, "doc_id", "text",
+      col("is_model")).orderBy("doc_id").collect()
+    def nll(pMicro: Long): Long =
+      math.round((math.log(1000000.0) - math.log(pMicro.toDouble)) * 1000.0)
+    // doc 2: seen bigram (a, b) -> pkn
+    val p2 = m(("a", "b"))._7
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == nll(p2))
+    // doc 3: (a, a) unseen; u = 'a' seen, w = 'a' seen (as continuation
+    // of 'ba') -> lambda(a) * pcont(a) / 1e6
+    val lamA = m(("a", "b"))._5
+    val pcA = m(("b", "a"))._6
+    val p3 = math.max(1L, lamA * pcA / 1000000L)
+    assert(got(2).getLong(2) == nll(p3), "seen-u backoff")
+    // doc 4: (z, b): u unseen, w seen -> pcont(b)
+    val p4 = m(("a", "b"))._6
+    assert(got(3).getLong(2) == nll(p4), "unseen-u backoff to pcont")
+    // doc 5: both unseen -> the 1-micro floor
+    assert(got(4).getLong(2) == nll(1L), "floor for fully novel bigrams")
+    // the ladder is monotone: floor >= pcont-only >= seen-bigram NLL
+    assert(got(4).getLong(2) >= got(3).getLong(2) &&
+      got(3).getLong(2) >= got(1).getLong(2))
+    // docs 6/7: no bigrams -> 0 count, NULL scores
+    for (i <- Seq(5, 6)) {
+      assert(got(i).getLong(1) == 0L && got(i).isNullAt(2) && got(i).isNullAt(3))
+    }
+  }
+
+  test("kneserNeyDocScore: in-model text scores lower per-bigram NLL than alien text") {
+    import spark.implicits._
+    val modelText = "the ship sailed the sea and the crew sailed home"
+    val df = Seq(
+      (1L, modelText, true),
+      (2L, "the ship sailed home", false),
+      (3L, "qq ww ee rr tt yy", false)).toDF("doc_id", "text", "is_model")
+    val got = Importance.kneserNeyDocScore(df, "doc_id", "text",
+      col("is_model")).orderBy("doc_id").collect()
+    assert(got(1).getLong(3) < got(2).getLong(3),
+      "fluent-under-model text must beat alien text per bigram")
+  }
 }
