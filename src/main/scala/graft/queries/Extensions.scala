@@ -3057,7 +3057,29 @@ object Extensions {
     Importance.kneserNeyDocScore(Tables(spark, dir, "documents"),
       "doc_id", "text", col("lang") === "en").orderBy("doc_id")
 
+  /** q228 — Luhn payment-card scan ([[TextFunctions.luhnScan]]): the
+    * PII redaction gate that VALIDATES the ISO 7812 mod-10 checksum
+    * instead of pattern-matching digit runs — ~90% of random runs
+    * fail it, so the false-positive rate drops an order of magnitude.
+    * The corpus carries no digit runs, so the face injects them
+    * deterministically: doc_id%3==0 gets a Luhn-VALID PAN, %3==1 a
+    * same-length invalid one, everyone a too-short decoy the length
+    * gate must drop; the oracle replays injection and checksum. */
+  def q228LuhnScan(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(coalesce(col("text"), lit("")),
+      when(col("doc_id") % 3 === 0, lit(" card 4532015112830366 end"))
+        .when(col("doc_id") % 3 === 1, lit(" card 1234567890123456 end"))
+        .otherwise(lit("")),
+      lit(" ref 12345"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.luhnScan(injected).as("__s"))
+      .select(col("doc_id"), col("__s.n_card_cands").as("n_card_cands"),
+        col("__s.n_luhn_valid").as("n_luhn_valid"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_luhn_scan" -> (q228LuhnScan _),
     "q227_kn_score" -> (q227KnScore _),
     "q226_sentences" -> (q226Sentences _),
     "q225_unigram_prune" -> (q225UnigramPrune _),
@@ -3972,6 +3994,27 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q228_luhn_scan" ->
+      ("""WITH d AS (SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366 end'
+        |            WHEN doc_id % 3 = 1 THEN ' card 1234567890123456 end'
+        |            ELSE '' END
+        |    || ' ref 12345' AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, list_filter(regexp_extract_all(t, '[0-9]+'),
+        |    x -> len(x) >= 13 AND len(x) <= 19) AS runs FROM d),
+        |v AS (SELECT doc_id, runs, list_filter(runs, x ->
+        |    list_sum(list_transform(range(1, len(x) + 1), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS BIGINT)
+        |        ELSE CASE WHEN CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS BIGINT) * 2 > 9
+        |          THEN CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS BIGINT) * 2 - 9
+        |          ELSE CAST(substr(x, CAST(len(x) - i + 1 AS INT), 1) AS BIGINT) * 2 END
+        |      END)) % 10 = 0) AS valids
+        |  FROM r)
+        |SELECT doc_id, len(runs)::BIGINT AS n_card_cands,
+        |  len(valids)::BIGINT AS n_luhn_valid
+        |FROM v ORDER BY doc_id""".stripMargin),
     "q227_kn_score" ->
       ("""WITH m AS (SELECT
         |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t

@@ -50,4 +50,54 @@ class SecretScanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(400)}")
   }
+
+  test("luhnScan: checksum validation, length gate, multiple runs per doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "pay 4532015112830366 now"), //            valid Visa-style PAN
+      (2L, "pay 4532015112830367 now"), //            one digit off: fails
+      (3L, "id 12345 and zip 90210"), //              too short: not candidates
+      (4L, "a 4532015112830366 b 1234567890123456"), // one valid, one not
+      (5L, "79927398713 is the classic Luhn example"), // 11 digits: short
+      (6L, "00000000000000"), //                      14 zeros: sum 0, valid
+      (7L, ""))
+      .toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.luhnScan(col("text")).as("s"))
+      .select("doc_id", "s.n_card_cands", "s.n_luhn_valid")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (1L, 0L), (0L, 0L), (2L, 1L),
+      (0L, 0L), (1L, 1L), (0L, 0L)))
+  }
+
+  test("luhnScan agrees with a reference Luhn over random digit runs, and ~10% pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def refLuhn(s: String): Boolean = {
+      val t = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      t % 10 == 0
+    }
+    val rnd = new scala.util.Random(17)
+    val runs2 = (0 until 500).map { _ =>
+      val n = 13 + rnd.nextInt(7)
+      (0 until n).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+    }
+    val got = runs2.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.luhnScan(col("text")).as("s"))
+      .select("doc_id", "s.n_luhn_valid").orderBy("doc_id").collect()
+      .map(_.getLong(1) == 1L)
+    val want = runs2.map(refLuhn)
+    assert(got.toSeq == want.toSeq)
+    val passRate = want.count(identity).toDouble / want.size
+    assert(passRate > 0.04 && passRate < 0.2,
+      s"~10% of random runs should pass, got $passRate")
+  }
 }
