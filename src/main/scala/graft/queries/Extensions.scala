@@ -3078,7 +3078,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q229 — Benford first-digit audit ([[graft.operators.Anomaly
+    * .benfordAudit]]): per-source first-significant-digit histogram
+    * of document lengths vs the log10(1+1/d) law, distance as total
+    * variation in exact micro (overflow-immune where chi-square
+    * needs n²-scale terms) — the forensics screen that flags a
+    * source whose numeric profile turned synthetic. */
+  def q229Benford(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.benfordAudit(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"), col("n_chars")),
+      "source", "n_chars")
+      .orderBy("source", "digit")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_benford" -> (q229Benford _),
     "q228_luhn_scan" -> (q228LuhnScan _),
     "q227_kn_score" -> (q227KnScore _),
     "q226_sentences" -> (q226Sentences _),
@@ -3994,6 +4008,33 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q229_benford" ->
+      ("""WITH d AS (SELECT coalesce(source, '') AS g,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |c AS (SELECT g,
+        |    CASE WHEN v > 0 THEN CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) END AS dg,
+        |    count(1)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |t AS (SELECT g,
+        |    sum(CASE WHEN dg IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN dg IS NULL THEN c ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM c GROUP BY g),
+        |sp AS (SELECT g, n, n_skipped, unnest(range(1, 10)) AS digit FROM t),
+        |dn AS (SELECT sp.g, sp.digit, sp.n, sp.n_skipped,
+        |    coalesce(c.c, 0)::BIGINT AS n_d
+        |  FROM sp LEFT JOIN c ON sp.g = c.g AND sp.digit = c.dg),
+        |ob AS (SELECT g, digit, n, n_skipped, n_d,
+        |    CAST(CASE WHEN n > 0
+        |      THEN (n_d // n) * 1000000 + ((n_d % n) * 1000000) // n
+        |      ELSE 0 END AS BIGINT) AS obs_micro,
+        |    [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+        |     45757][CAST(digit AS INT)]::BIGINT AS exp_micro
+        |  FROM dn),
+        |tv AS (SELECT g, (sum(abs(obs_micro - exp_micro)) // 2)::BIGINT AS tvd_micro
+        |  FROM ob GROUP BY g)
+        |SELECT ob.g AS source, ob.digit::BIGINT AS digit, ob.n_d,
+        |  ob.obs_micro, ob.exp_micro, tv.tvd_micro, ob.n, ob.n_skipped
+        |FROM ob JOIN tv USING (g)
+        |ORDER BY source, digit""".stripMargin),
     "q228_luhn_scan" ->
       ("""WITH d AS (SELECT doc_id, coalesce(text, '')
         |    || CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366 end'

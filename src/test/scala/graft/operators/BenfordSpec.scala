@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.benfordAudit]] — exact equality with a Scala reference
+  * (including the skip accounting and split-division shares), the
+  * dense nine-digit spine, the organic-vs-synthetic separation the
+  * operator exists for, and partitioning invariance. */
+class BenfordSpec extends SparkSpec {
+
+  private val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
+  private def ref(vals: Seq[Long]): (Map[Int, (Long, Long)], Long, Long, Long) = {
+    val pos = vals.filter(_ > 0)
+    val skipped = (vals.size - pos.size).toLong
+    val n = pos.size.toLong
+    val byD = (1 to 9).map { d =>
+      val nd = pos.count(_.toString.head == ('0' + d)).toLong
+      val obs = if (n > 0) (nd / n) * 1000000L + ((nd % n) * 1000000L) / n else 0L
+      d -> ((nd, obs))
+    }.toMap
+    val tvd = (1 to 9).map(d => math.abs(byD(d)._2 - exp(d - 1))).sum / 2
+    (byD, tvd, n, skipped)
+  }
+
+  private def run(rows: Seq[(String, Long)], parts: Int = 6) = {
+    import spark.implicits._
+    val df = rows.toDF("g", "v").repartition(parts)
+    Anomaly.benfordAudit(df, "g", "v").orderBy("g", "digit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+  }
+
+  test("matches the Scala reference, with zeros/negatives skipped but counted") {
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 400).map { i =>
+      val v = if (i % 19 == 0) 0L
+        else if (i % 23 == 0) -5L
+        else (math.exp(rnd.nextDouble() * 9) * 1.5).toLong max 1L
+      (s"s${i % 2}", v)
+    }
+    val got = run(rows)
+    for (g <- Seq("s0", "s1")) {
+      val (byD, tvd, n, skipped) = ref(rows.filter(_._1 == g).map(_._2))
+      val rowsG = got.filter(_._1 == g)
+      assert(rowsG.length == 9, "dense digit spine")
+      rowsG.foreach { case (_, d, nd, obs, e, t, nn, sk) =>
+        assert((nd, obs) == byD(d.toInt), s"digit $d of $g")
+        assert(e == exp(d.toInt - 1) && t == tvd && nn == n && sk == skipped)
+      }
+    }
+  }
+
+  test("log-uniform (organic) data sits near Benford; flat synthetic data does not") {
+    val rnd = new scala.util.Random(7)
+    val organic = (0 until 8000).map(_ =>
+      ("org", math.pow(10.0, rnd.nextDouble() * 6).toLong max 1L))
+    // a generator that pads everything to the same magnitude: first
+    // digit always 5..9 — the fabricated-field fingerprint
+    val synthetic = (0 until 8000).map(_ =>
+      ("syn", 5000L + rnd.nextInt(5000)))
+    val got = run(organic ++ synthetic)
+    val tvdOrg = got.find(_._1 == "org").get._6
+    val tvdSyn = got.find(_._1 == "syn").get._6
+    assert(tvdOrg < 50000L, s"log-uniform TVD should be small, got $tvdOrg")
+    assert(tvdSyn > 300000L, s"flat-magnitude TVD should be large, got $tvdSyn")
+  }
+
+  test("a group with missing digits still reports all nine rows") {
+    val got = run(Seq(("g", 100L), ("g", 150L), ("g", 900L)))
+    assert(got.length == 9)
+    assert(got.filter(r => r._2 == 1L || r._2 == 9L).forall(_._3 > 0))
+    assert(got.filter(r => r._2 != 1L && r._2 != 9L).forall(_._3 == 0L))
+  }
+
+  test("partitioning invariance: 1 partition == 9 partitions") {
+    val rnd = new scala.util.Random(2)
+    val rows = (0 until 300).map(i => (s"g${i % 3}", rnd.nextInt(5000).toLong))
+    assert(run(rows, parts = 1).toSeq == run(rows, parts = 9).toSeq)
+  }
+}
