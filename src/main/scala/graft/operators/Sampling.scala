@@ -409,4 +409,72 @@ object Sampling {
         coalesce(col("n_rep"), lit(0L)).as("n_rep"),
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
+
+  /** Neyman-optimal allocation of a fixed sampling budget across
+    * strata (Neyman 1934): eval slots go where they buy variance
+    * reduction — stratum h receives k·(N_h·σ_h)/Σ(N_j·σ_j), the
+    * allocation minimizing the stratified mean's variance at fixed
+    * total k. Equal-proportion sampling (q62/q104) over-samples
+    * homogeneous strata; this is the principled budget for "spend my
+    * 10k human-eval slots across languages".
+    *
+    * Determinism and parity: per-stratum moments (n, Σx, Σx²) are
+    * exact longs (CONTRACT: Σx² per stratum must fit 64 bits — values
+    * up to ~10⁵ support ~10⁸-row strata; rescale upstream past that);
+    * `sigma_milli = floor(1000·sqrt(var_num/(n·(n−1))))` pays the
+    * family's ONE correctly-rounded IEEE sqrt on exact-integer inputs
+    * (the q168/q216 discipline — the SQL replay is written
+    * identically); weights and the k·w products run in DECIMAL(38,0)
+    * so petabyte-scale N_h·σ_h cannot wrap. Integer allocations use
+    * largest-remainder rounding ((remainder DESC, stratum) — total
+    * order), so Σ alloc = k exactly. Singleton and zero-variance
+    * strata carry zero Neyman weight by the formula (documented:
+    * floor them upstream if every stratum must appear); if ALL
+    * weights are zero the budget is unallocatable and every alloc is
+    * 0 (fail-visible, never a silent equal split).
+    *
+    * Scale shape: one corpus-sized moment aggregate (map-side
+    * combine); ranking and rounding run on the stratum-count-sized
+    * frame (the documented small-frame window). Output: (stratumCol,
+    * n_rows, sigma_milli, alloc). */
+  def neymanAllocation(df: DataFrame, stratumCol: String, value: Column,
+      totalK: Int): DataFrame = {
+    require(totalK >= 0, "totalK must be non-negative")
+    val mom = df.select(col(stratumCol).as("__st"),
+        value.cast("long").as("__v"))
+      .groupBy("__st")
+      .agg(count(lit(1)).as("n_rows"), sum("__v").as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+      .withColumn("__varnum", expr(
+        """CAST(n_rows AS DECIMAL(38,0)) * __ss
+           - CAST(__s AS DECIMAL(38,0)) * __s"""))
+      .withColumn("sigma_milli", expr(
+        """CASE WHEN n_rows < 2 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt(CAST(__varnum AS DOUBLE)
+                / (CAST(n_rows AS DOUBLE) * (n_rows - 1))) * 1000) AS BIGINT)
+           END"""))
+      .withColumn("__w", expr(
+        "CAST(n_rows AS DECIMAL(38,0)) * sigma_milli"))
+    val tot = mom.agg(sum("__w").as("__tw"))
+    val based = mom.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(
+        s"""CASE WHEN __tw > 0
+              THEN CAST((CAST($totalK AS DECIMAL(38,0)) * __w) DIV __tw AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END"""))
+      .withColumn("__rem", expr(
+        s"""CASE WHEN __tw > 0
+              THEN CAST($totalK AS DECIMAL(38,0)) * __w - __base * __tw
+              ELSE CAST(0 AS DECIMAL(38,0)) END"""))
+    // stratum-count-sized frame: the rank window is the documented
+    // small-frame pattern
+    val wRem = Window.orderBy(col("__rem").desc, col("__st"))
+    based
+      .withColumn("__leftover", expr(
+        s"CASE WHEN __tw > 0 THEN $totalK - sum(__base) OVER () ELSE 0 END"))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col("__st").as(stratumCol), col("n_rows"),
+        col("sigma_milli"),
+        (col("__base") + when(col("__rk") <= col("__leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
 }

@@ -3091,7 +3091,24 @@ object Extensions {
       "source", "n_chars")
       .orderBy("source", "digit")
 
+  /** q230 — Neyman-optimal eval-budget allocation
+    * ([[graft.operators.Sampling.neymanAllocation]]): 100 human-eval
+    * slots across languages proportional to N_h·σ_h of token counts —
+    * the variance-minimizing split a proportional sampler (q62/q104)
+    * can't deliver. Exact integer moments, one correctly-rounded IEEE
+    * sqrt per stratum, DECIMAL(38,0) weight products, and
+    * largest-remainder rounding so allocations sum to the budget. */
+  def q230Neyman(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.neymanAllocation(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"),
+          size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+            .as("n_toks")),
+      "lang", col("n_toks"), totalK = 100)
+      .orderBy("lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_neyman" -> (q230Neyman _),
     "q229_benford" -> (q229Benford _),
     "q228_luhn_scan" -> (q228LuhnScan _),
     "q227_kn_score" -> (q227KnScore _),
@@ -4008,6 +4025,35 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q230_neyman" ->
+      ("""WITH d AS (SELECT coalesce(lang, '') AS lang,
+        |    CAST(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS BIGINT) AS v
+        |  FROM documents),
+        |m AS (SELECT lang, count(1)::BIGINT AS n_rows, sum(v)::BIGINT AS s,
+        |    sum(v * v)::BIGINT AS ss FROM d GROUP BY lang),
+        |sg AS (SELECT lang, n_rows,
+        |    CAST(n_rows AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS varnum,
+        |    CASE WHEN n_rows < 2 THEN 0
+        |      ELSE CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * ss
+        |        - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |        / (CAST(n_rows AS DOUBLE) * (n_rows - 1))) * 1000) AS BIGINT)
+        |    END AS sigma_milli
+        |  FROM m),
+        |w AS (SELECT lang, n_rows, sigma_milli,
+        |    CAST(n_rows AS HUGEINT) * sigma_milli AS w FROM sg),
+        |tw AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT w.lang, w.n_rows, w.sigma_milli,
+        |    CASE WHEN tw.tw > 0 THEN CAST((100 * w.w) // tw.tw AS BIGINT) ELSE 0 END AS base,
+        |    CASE WHEN tw.tw > 0 THEN 100 * w.w - ((100 * w.w) // tw.tw) * tw.tw ELSE 0 END AS rem
+        |  FROM w CROSS JOIN tw),
+        |lo AS (SELECT CASE WHEN (SELECT tw FROM tw) > 0
+        |    THEN 100 - sum(base) ELSE 0 END AS leftover FROM b),
+        |r AS (SELECT lang, n_rows, sigma_milli, base,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+        |SELECT r.lang, r.n_rows, r.sigma_milli,
+        |  (r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r CROSS JOIN lo
+        |ORDER BY r.lang""".stripMargin),
     "q229_benford" ->
       ("""WITH d AS (SELECT coalesce(source, '') AS g,
         |    CAST(n_chars AS BIGINT) AS v FROM documents),

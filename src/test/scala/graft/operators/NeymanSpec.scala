@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.neymanAllocation]] — exact equality with a Scala
+  * reference (moments, sqrt discipline, largest-remainder rounding),
+  * the sum-to-budget invariant, the variance-chasing property the
+  * allocation exists for, degenerate strata, and partitioning
+  * invariance. */
+class NeymanSpec extends SparkSpec {
+
+  private def ref(rows: Seq[(String, Long)], k: Long): Map[String, (Long, Long, Long)] = {
+    val byS = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sig = byS.map { case (st, vs) =>
+      val n = vs.size.toLong
+      val s = vs.map(BigInt(_)).sum
+      val ss = vs.map(v => BigInt(v) * v).sum
+      val vn = BigInt(n) * ss - s * s
+      val sm = if (n < 2) 0L
+        else math.floor(math.sqrt(vn.toDouble / (n.toDouble * (n - 1))) * 1000).toLong
+      st -> ((n, sm, BigInt(n) * sm))
+    }
+    val tw = sig.values.map(_._3).sum
+    if (tw == 0) sig.map { case (st, (n, sm, _)) => st -> ((n, sm, 0L)) }
+    else {
+      val base = sig.map { case (st, (n, sm, w)) =>
+        st -> ((n, sm, w, (BigInt(k) * w / tw).toLong, BigInt(k) * w % tw))
+      }
+      val leftover = k - base.values.map(_._4).sum
+      val winners = base.toSeq.sortBy { case (st, t) => (-t._5, st) }
+        .take(leftover.toInt).map(_._1).toSet
+      base.map { case (st, (n, sm, _, b, _)) =>
+        st -> ((n, sm, b + (if (winners.contains(st)) 1L else 0L)))
+      }
+    }
+  }
+
+  private def run(rows: Seq[(String, Long)], k: Int, parts: Int = 6) = {
+    import spark.implicits._
+    val df = rows.toDF("st", "v").repartition(parts)
+    Sampling.neymanAllocation(df, "st", col("v"), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("matches the Scala reference and sums exactly to the budget") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 600).flatMap { i =>
+      val st = s"s${i % 5}"
+      // stratum spreads differ by an order of magnitude
+      Seq((st, 100L + rnd.nextInt(10 * (i % 5 + 1) * (i % 5 + 1) + 1).toLong))
+    }
+    for (k <- Seq(0, 1, 17, 100)) {
+      val got = run(rows, k)
+      assert(got == ref(rows, k), s"k=$k")
+      assert(got.values.map(_._3).sum == k.toLong, s"allocations must sum to $k")
+    }
+  }
+
+  test("a high-variance stratum out-draws its proportional share") {
+    val rnd = new scala.util.Random(4)
+    val calm = (0 until 500).map(_ => ("calm", 1000L + rnd.nextInt(3)))
+    val wild = (0 until 500).map(_ => ("wild", 1000L + rnd.nextInt(2000)))
+    val got = run(calm ++ wild, 100)
+    // proportional would give 50/50; Neyman must tilt hard toward wild
+    assert(got("wild")._3 > 80L,
+      s"wild stratum should dominate, got ${got("wild")._3}")
+    assert(got("calm")._3 + got("wild")._3 == 100L)
+  }
+
+  test("singleton and constant strata carry zero weight; all-degenerate allocates nothing") {
+    val rows = Seq(("solo", 5L), ("flat", 7L), ("flat", 7L), ("flat", 7L),
+      ("live", 1L), ("live", 100L), ("live", 1000L))
+    val got = run(rows, 10)
+    assert(got("solo")._2 == 0L && got("flat")._2 == 0L)
+    assert(got("live")._3 == 10L, "the only live stratum takes the whole budget")
+    val degenerate = run(Seq(("a", 5L), ("b", 7L), ("b", 7L)), 10)
+    assert(degenerate.values.forall(_._3 == 0L),
+      "an unallocatable budget must be visibly zero, not silently equal-split")
+  }
+
+  test("partitioning invariance: 1 partition == 13 partitions") {
+    val rnd = new scala.util.Random(8)
+    val rows = (0 until 300).map(i => (s"g${i % 4}", rnd.nextInt(500).toLong))
+    assert(run(rows, 37, parts = 1) == run(rows, 37, parts = 13))
+  }
+}
