@@ -368,13 +368,17 @@ object Sampling {
     * collect_list is bounded at b. No window, no broadcast assumption.
     * Output: (groupCol, n_rows, mean_micro, n_rep, ci_lo_micro,
     * ci_hi_micro). */
+  /** floor(10^6 * P(Poisson(1) <= k)) for k = 0..9 — the shared
+    * inverse-CDF ladder of [[poissonBootstrap]], its DuckDB oracle,
+    * and [[graft.streaming.StreamingBootstrap]]; the weight of a
+    * uniform u in [0, 10^6) is the count of entries <= u. */
+  val poissonLadderMicro: Seq[Long] = Seq(367879L, 735758L, 919698L,
+    981011L, 996340L, 999405L, 999916L, 999989L, 999998L, 999999L)
+
   def poissonBootstrap(df: DataFrame, groupCol: String, keyCol: String,
       value: Column, b: Int = 40): DataFrame = {
     require(b >= 4 && b <= 256, "need 4 <= b <= 256")
-    // floor(10^6 * P(Poisson(1) <= k)) for k = 0..9
-    val ladder = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
-      999405L, 999916L, 999989L, 999998L, 999999L)
-    val lad = array(ladder.map(lit): _*)
+    val lad = array(poissonLadderMicro.map(lit): _*)
     val base = df.select(col(groupCol).as("__g"),
       col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
     val point = base.groupBy("__g")

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Anytime Poisson-bootstrap confidence intervals over an unbounded
+  * ingest stream — the streaming face of
+  * [[graft.operators.Sampling.poissonBootstrap]].
+  *
+  * Why it streams for free: the Poisson bootstrap's whole point is
+  * that every replicate is a WEIGHTED SUM — sum-mergeable state, like
+  * the CMS counters and unlike classic resampling (which would need
+  * the full history per trigger). Keyed state per group is exactly
+  * 2·b + 2 longs — (Σ w_r·v, Σ w_r) per replicate plus (n, Σv) —
+  * O(b) forever, each trigger folds only the new batch, and because
+  * the per-row weights are the SAME deterministic md5-ladder draws as
+  * the batch operator, the stream's output after any prefix is
+  * bit-identical to running the batch operator over that prefix
+  * (spec-pinned parity, the engine's stream ≡ batch discipline).
+  *
+  * Output per trigger (Update mode), per touched group:
+  * (group, n_rows, mean_micro, n_rep, ci_lo_micro, ci_hi_micro) with
+  * the same split-division means and ceil-rank order statistics as
+  * the batch face. */
+object StreamingBootstrap {
+
+  /** 60-bit md5 hash, the JVM twin of
+    * [[graft.functions.TextFunctions.tokenHash]] (first 15 hex chars,
+    * base-16) — byte-identical so stream and batch draws agree. */
+  private def md5hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private[streaming] def weight(key: String, r: Int): Long =
+    graft.operators.Sampling.poissonLadderMicro
+      .count(md5hash60(s"$key:$r") % 1000000L >= _).toLong
+
+  private def meanMicro(a: Long, n: Long): Long =
+    (a / n) * 1000000L + ((a % n) * 1000000L) / n
+
+  /** (group, key, value) rows → per-group running bootstrap CI.
+    * `value` must be non-negative (the batch operator's contract). */
+  def meanCI(rows: Dataset[(String, String, Long)], b: Int = 40)
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    require(b >= 4 && b <= 256, "need 4 <= b <= 256")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, String, Long)],
+            state: GroupState[Array[Long]]) =>
+          // layout: [0]=n, [1]=sum, [2r]=ws_r, [2r+1]=wn_r (r = 1..b)
+          val st = state.getOption.getOrElse(new Array[Long](2 + 2 * b))
+          it.foreach { case (_, key, v) =>
+            st(0) += 1L
+            st(1) += v
+            var r = 1
+            while (r <= b) {
+              val w = weight(key, r)
+              st(2 * r) += w * v
+              st(2 * r + 1) += w
+              r += 1
+            }
+          }
+          state.update(st)
+          val reps = (1 to b).flatMap { r =>
+            val (ws, wn) = (st(2 * r), st(2 * r + 1))
+            if (wn > 0) Some(meanMicro(ws, wn)) else None
+          }.sorted
+          val nr = reps.size.toLong
+          val (lo, hi) =
+            if (nr == 0) (0L, 0L)
+            else (reps(math.max(1L, (nr * 25 + 999) / 1000).toInt - 1),
+              reps(((nr * 975 + 999) / 1000).toInt - 1))
+          (group, st(0), meanMicro(st(1), st(0)), nr, lo, hi)
+      }
+  }
+}

