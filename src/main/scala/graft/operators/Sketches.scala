@@ -67,9 +67,16 @@ object Sketches {
     * partial agg over ≤ m rows per group — the corpus crosses ONE
     * shuffle as (group, register) counters. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String],
-      valueCol: Column): DataFrame = {
-    val regs = hllRegisters(df, groupCols, valueCol)
-    val agg = regs.groupBy(groupCols.map(col): _*).agg(
+      valueCol: Column): DataFrame =
+    estOverRegisters(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The register-frame → estimate step of [[hllDistinct]], factored
+    * out so MERGED register frames (e.g. [[hllIntersect]]'s pairwise
+    * max-union) estimate through the identical arithmetic. Input must
+    * be (keyCols…, __reg, __rho) with one row per present register. */
+  private[operators] def estOverRegisters(regs: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("hll_present"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - __rho AS INT))"))
         .as("__sp"))
@@ -79,13 +86,56 @@ object Sketches {
     // the oracle uses so both engines fold the identical double.
     val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
       lit(65536.0) * lit(36028797018963968.0)
-    val withState = agg.select(groupCols.map(col) :+ col("hll_present") :+
+    val withState = agg.select(keyCols.map(col) :+ col("hll_present") :+
       zeros.as("hll_zeros") :+ harmonic.as("hll_harmonic"): _*)
     val eRaw = alphaNum / col("hll_harmonic").cast("double")
     val est = when(eRaw <= lit(2.5 * HllM) && col("hll_zeros") > 0L,
         lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("hll_zeros").cast("double")))
       .otherwise(eRaw)
     withState.withColumn("est_micro", round(est * lit(1000000.0)).cast("long"))
+  }
+
+  /** Pairwise set-operation estimates from HLL register algebra — the
+    * sketch complement of q165's EXACT vocabulary overlap: register-
+    * wise MAX of two groups' sketches IS the sketch of their union
+    * (the property that makes HLL mergeable), so |A ∩ B| falls out of
+    * inclusion–exclusion est(A) + est(B) − est(A ∪ B) WITHOUT a pass
+    * over the data — all pair work happens on m = 256 registers per
+    * group. The estimate inherits HLL error on each term, so small
+    * true intersections can come out NEGATIVE: emitted raw
+    * (fail-visible — a user gating on it must clamp deliberately;
+    * the standard guidance is to trust it only when the intersection
+    * is a nontrivial fraction of the smaller set).
+    *
+    * Scale shape: ONE corpus pass (the [[hllRegisters]] partial agg);
+    * pair construction, register max-merge, and all three estimates
+    * run on (n_groups² / 2) x 256 rows. Output per unordered pair
+    * (ga < gb): (ga, gb, est_a_micro, est_b_micro, est_union_micro,
+    * est_intersect_micro). */
+  def hllIntersect(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val regs = hllRegisters(df, Seq(groupCol), valueCol)
+    val ests = estOverRegisters(regs, Seq(groupCol))
+      .select(col(groupCol).as("__g"), col("est_micro"))
+    val groups = regs.select(col(groupCol).as("__g")).distinct()
+    val pairs = groups.select(col("__g").as("ga"))
+      .join(groups.select(col("__g").as("gb")), col("ga") < col("gb"))
+    val pa = pairs.join(regs.select(col(groupCol).as("ga"),
+      col("__reg"), col("__rho")), Seq("ga"))
+    val pb = pairs.join(regs.select(col(groupCol).as("gb"),
+      col("__reg"), col("__rho")), Seq("gb"))
+    val u = pa.select("ga", "gb", "__reg", "__rho")
+      .unionByName(pb.select("ga", "gb", "__reg", "__rho"))
+      .groupBy("ga", "gb", "__reg").agg(max("__rho").as("__rho"))
+    val estU = estOverRegisters(u, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("est_micro").as("est_union_micro"))
+    estU
+      .join(ests.select(col("__g").as("ga"), col("est_micro").as("est_a_micro")), "ga")
+      .join(ests.select(col("__g").as("gb"), col("est_micro").as("est_b_micro")), "gb")
+      .select(col("ga"), col("gb"), col("est_a_micro"), col("est_b_micro"),
+        col("est_union_micro"),
+        (col("est_a_micro") + col("est_b_micro") - col("est_union_micro"))
+          .as("est_intersect_micro"))
   }
 
   // ---------------------------------------------------------------- CMS

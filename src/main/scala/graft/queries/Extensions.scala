@@ -3107,7 +3107,24 @@ object Extensions {
       "lang", col("n_toks"), totalK = 100)
       .orderBy("lang")
 
+  /** q231 — HLL set-operation estimates
+    * ([[graft.operators.Sketches.hllIntersect]]): pairwise
+    * source-vocabulary intersections from register algebra alone —
+    * register-wise max IS the union sketch, so inclusion–exclusion
+    * prices every pair on 256 registers without touching the corpus
+    * again. The sketch twin of q165's exact overlap; estimates can go
+    * negative on tiny true intersections and are emitted raw. */
+  def q231HllIntersect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllIntersect(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+            .as("tok")),
+      "source", col("tok"))
+      .orderBy("ga", "gb")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_hll_intersect" -> (q231HllIntersect _),
     "q230_neyman" -> (q230Neyman _),
     "q229_benford" -> (q229Benford _),
     "q228_luhn_scan" -> (q228LuhnScan _),
@@ -3957,6 +3974,27 @@ object Extensions {
     * oracle reuses the IDENTICAL DP (only the `t` doc CTE differs):
     * returns the CTE chain `t .. fin`, where `fin` holds one
     * (doc_id, wi, seg, cost, unk) row per word. */
+  /** DuckDB replay of [[graft.operators.Sketches.estOverRegisters]]
+    * over a register CTE `(keys…, reg, rho)` — emitted once per use so
+    * q197 (per-group) and q231 (per-pair union) share one formula. */
+  private def hllEstSql(regsCte: String, keys: String, out: String): String =
+    s"""${out}_a AS (SELECT $keys, count(1)::BIGINT AS hll_present,
+       |    sum((1::BIGINT << (55 - rho))::BIGINT)::BIGINT AS sp
+       |  FROM $regsCte GROUP BY $keys),
+       |${out}_s AS (SELECT $keys, hll_present,
+       |    (256 - hll_present)::BIGINT AS hll_zeros,
+       |    (sp + (256 - hll_present) * 36028797018963968)::BIGINT AS hll_harmonic
+       |  FROM ${out}_a),
+       |${out}_e AS (SELECT *,
+       |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+       |      * 65536.0::DOUBLE * 36028797018963968.0::DOUBLE) / hll_harmonic::DOUBLE AS eraw
+       |  FROM ${out}_s),
+       |$out AS (SELECT $keys,
+       |    round((CASE WHEN eraw <= 640.0 AND hll_zeros > 0
+       |           THEN 256.0::DOUBLE * ln(256.0::DOUBLE / hll_zeros::DOUBLE)
+       |           ELSE eraw END) * 1000000.0::DOUBLE)::BIGINT AS est_micro
+       |  FROM ${out}_e)""".stripMargin
+
   private def unigramRecSql(tCte: String): String = {
     val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
     val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
@@ -4025,6 +4063,30 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q231_hll_intersect" -> {
+      s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
+        |  FROM (SELECT source, coalesce(text, '') AS text FROM documents)),
+        |h AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+        |r AS (SELECT source, h // 4503599627370496 AS reg, h % 4503599627370496 AS rest FROM h),
+        |m AS (SELECT source, reg,
+        |    max(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END)::BIGINT AS rho
+        |  FROM r GROUP BY source, reg),
+        |${hllEstSql("m", "source", "eg")},
+        |pr AS (SELECT a.source AS ga, b.source AS gb
+        |  FROM (SELECT DISTINCT source FROM m) a
+        |  JOIN (SELECT DISTINCT source FROM m) b ON a.source < b.source),
+        |mu AS (SELECT ga, gb, reg, max(rho)::BIGINT AS rho FROM (
+        |    SELECT pr.ga, pr.gb, m.reg, m.rho FROM pr JOIN m ON m.source = pr.ga
+        |    UNION ALL
+        |    SELECT pr.ga, pr.gb, m.reg, m.rho FROM pr JOIN m ON m.source = pr.gb)
+        |  GROUP BY ga, gb, reg),
+        |${hllEstSql("mu", "ga, gb", "eu")}
+        |SELECT eu.ga, eu.gb, a.est_micro AS est_a_micro,
+        |  b.est_micro AS est_b_micro, eu.est_micro AS est_union_micro,
+        |  (a.est_micro + b.est_micro - eu.est_micro)::BIGINT AS est_intersect_micro
+        |FROM eu JOIN eg a ON a.source = eu.ga JOIN eg b ON b.source = eu.gb
+        |ORDER BY eu.ga, eu.gb""".stripMargin
+    },
     "q230_neyman" ->
       ("""WITH d AS (SELECT coalesce(lang, '') AS lang,
         |    CAST(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS BIGINT) AS v

@@ -168,4 +168,34 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(plan.contains("partial"), "expected map-side partial aggregation")
   }
+
+  test("hllIntersect: register max-merge IS the union sketch (exact state equality)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (0 until 3000).map(i => ("A", s"tok$i"))
+    val b = (2000 until 6000).map(i => ("B", s"tok$i"))
+    val df = (a ++ b).toDF("g", "v")
+    val got = Sketches.hllIntersect(df, "g", col("v")).collect().head
+    // the union estimate must equal hllDistinct over the pooled values
+    val pooled = (a ++ b).map(x => ("AB", x._2)).toDF("g", "v")
+    val want = Sketches.hllDistinct(pooled, Seq("g"), col("v"))
+      .collect().head.getAs[Long]("est_micro")
+    assert(got.getAs[Long]("est_union_micro") == want,
+      "max-merged registers must estimate exactly like a pooled sketch")
+  }
+
+  test("hllIntersect: overlap estimates land within sketch error; disjoint sets near zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (0 until 3000).map(i => ("A", s"tok$i"))
+    val b = (2000 until 6000).map(i => ("B", s"tok$i")) // true ∩ = 1000
+    val c = (9000 until 12000).map(i => ("C", s"tok$i")) // disjoint from A
+    val got = Sketches.hllIntersect((a ++ b ++ c).toDF("g", "v"), "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("est_intersect_micro")).toMap
+    val ab = got(("A", "B")) / 1000000.0
+    assert(ab > 400 && ab < 1600, s"true 1000, sketch said $ab")
+    val ac = math.abs(got(("A", "C"))) / 1000000.0
+    assert(ac < 600, s"disjoint pair should estimate near zero, got $ac")
+  }
 }
