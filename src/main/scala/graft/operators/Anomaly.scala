@@ -203,7 +203,8 @@ object Anomaly {
     * every term ≤ 10^6, so nothing can overflow at any corpus size
     * (a chi-square would need n²-scale terms). Zero/negative values
     * are excluded from the digit histogram but counted in `n_skipped`
-    * (fail-visible).
+    * (fail-visible); NULL group keys are audited like any other group
+    * (null-safe joins throughout).
     *
     * Scale shape: one corpus-sized (group, digit) counter agg with
     * map-side combine; the dense 1..9 spine, shares, and TVD all run
@@ -225,9 +226,14 @@ object Anomaly {
       sum(when(col("__d").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
     val spine = totals.select(col("__g"), col("n"), col("n_skipped"),
       explode(sequence(lit(1L), lit(9L))).as("digit"))
+    // null-safe group joins throughout: a NULL group key (an untagged
+    // source) must appear in the audit, not silently vanish
+    val cnt2 = counted.select(col("__g").as("__g2"),
+      col("__d").as("__d2"), col("__c"))
     val dense = spine
-      .join(counted.withColumnRenamed("__d", "digit"),
-        Seq("__g", "digit"), "left")
+      .join(cnt2, spine("__g") <=> cnt2("__g2") &&
+        spine("digit") === cnt2("__d2"), "left")
+      .drop("__g2", "__d2")
       .withColumn("n_d", coalesce(col("__c"), lit(0L)))
       .withColumn("obs_micro", when(col("n") > 0L, expr(
         "(n_d DIV n) * 1000000 + ((n_d % n) * 1000000) DIV n"))
@@ -237,7 +243,8 @@ object Anomaly {
     val tvd = dense.groupBy("__g")
       .agg((sum(abs(col("obs_micro") - col("exp_micro"))) / 2)
         .cast("long").as("tvd_micro"))
-    dense.join(tvd, Seq("__g"))
+      .withColumnRenamed("__g", "__g3")
+    dense.join(tvd, dense("__g") <=> tvd("__g3")).drop("__g3")
       .select(col("__g").as(groupCol), col("digit"), col("n_d"),
         col("obs_micro"), col("exp_micro"), col("tvd_micro"),
         col("n"), col("n_skipped"))

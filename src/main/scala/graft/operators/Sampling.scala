@@ -337,6 +337,13 @@ object Sampling {
     cur.select(col(rowCol), col(colCol), col("n"), col("w_micro"))
   }
 
+  /** floor(10^6 * P(Poisson(1) <= k)) for k = 0..9 — the shared
+    * inverse-CDF ladder of [[poissonBootstrap]], its DuckDB oracle,
+    * and [[graft.streaming.StreamingBootstrap]]; the weight of a
+    * uniform u in [0, 10^6) is the count of entries <= u. */
+  val poissonLadderMicro: Seq[Long] = Seq(367879L, 735758L, 919698L,
+    981011L, 996340L, 999405L, 999916L, 999989L, 999998L, 999999L)
+
   /** Poisson bootstrap confidence intervals (Chamandy et al. 2012,
     * "Estimating uncertainty for massive data streams" — the
     * resampling scheme that made the bootstrap distributed): classic
@@ -368,13 +375,6 @@ object Sampling {
     * collect_list is bounded at b. No window, no broadcast assumption.
     * Output: (groupCol, n_rows, mean_micro, n_rep, ci_lo_micro,
     * ci_hi_micro). */
-  /** floor(10^6 * P(Poisson(1) <= k)) for k = 0..9 — the shared
-    * inverse-CDF ladder of [[poissonBootstrap]], its DuckDB oracle,
-    * and [[graft.streaming.StreamingBootstrap]]; the weight of a
-    * uniform u in [0, 10^6) is the count of entries <= u. */
-  val poissonLadderMicro: Seq[Long] = Seq(367879L, 735758L, 919698L,
-    981011L, 996340L, 999405L, 999916L, 999989L, 999998L, 999999L)
-
   def poissonBootstrap(df: DataFrame, groupCol: String, keyCol: String,
       value: Column, b: Int = 40): DataFrame = {
     require(b >= 4 && b <= 256, "need 4 <= b <= 256")
@@ -408,7 +408,10 @@ object Sampling {
         element_at(col("__ms"),
           ((col("n_rep") * 975 + 999) / 1000).cast("int"))
           .as("ci_hi_micro"))
-    point.join(ci, Seq("__g"), "left")
+    // null-safe: a NULL group key owns real replicates and must not
+    // read as n_rep = 0 through a NULL != NULL join miss
+    val ci2 = ci.withColumnRenamed("__g", "__g2")
+    point.join(ci2, point("__g") <=> ci2("__g2"), "left").drop("__g2")
       .select(col("__g").as(groupCol), col("n_rows"), col("mean_micro"),
         coalesce(col("n_rep"), lit(0L)).as("n_rep"),
         col("ci_lo_micro"), col("ci_hi_micro"))

@@ -105,7 +105,8 @@ object Sketches {
     * true intersections can come out NEGATIVE: emitted raw
     * (fail-visible — a user gating on it must clamp deliberately;
     * the standard guidance is to trust it only when the intersection
-    * is a nontrivial fraction of the smaller set).
+    * is a nontrivial fraction of the smaller set). NULL group keys
+    * participate (sorting first in the pair order, null-safe joins).
     *
     * Scale shape: ONE corpus pass (the [[hllRegisters]] partial agg);
     * pair construction, register max-merge, and all three estimates
@@ -118,20 +119,26 @@ object Sketches {
     val ests = estOverRegisters(regs, Seq(groupCol))
       .select(col(groupCol).as("__g"), col("est_micro"))
     val groups = regs.select(col(groupCol).as("__g")).distinct()
+    // null-safe pair order: a NULL group (untagged source) sorts FIRST
+    // — the vocabularyOverlap convention — so its pairs are emitted
+    // instead of silently vanishing through NULL comparisons
     val pairs = groups.select(col("__g").as("ga"))
-      .join(groups.select(col("__g").as("gb")), col("ga") < col("gb"))
-    val pa = pairs.join(regs.select(col(groupCol).as("ga"),
-      col("__reg"), col("__rho")), Seq("ga"))
-    val pb = pairs.join(regs.select(col(groupCol).as("gb"),
-      col("__reg"), col("__rho")), Seq("gb"))
+      .join(groups.select(col("__g").as("gb")),
+        col("ga") < col("gb") || (col("ga").isNull && col("gb").isNotNull))
+    val ra = regs.select(col(groupCol).as("__ra"), col("__reg"), col("__rho"))
+    val rb = regs.select(col(groupCol).as("__rb"), col("__reg"), col("__rho"))
+    val pa = pairs.join(ra, col("ga") <=> col("__ra")).drop("__ra")
+    val pb = pairs.join(rb, col("gb") <=> col("__rb")).drop("__rb")
     val u = pa.select("ga", "gb", "__reg", "__rho")
       .unionByName(pb.select("ga", "gb", "__reg", "__rho"))
       .groupBy("ga", "gb", "__reg").agg(max("__rho").as("__rho"))
     val estU = estOverRegisters(u, Seq("ga", "gb"))
       .select(col("ga"), col("gb"), col("est_micro").as("est_union_micro"))
+    val ea = ests.select(col("__g").as("__ea"), col("est_micro").as("est_a_micro"))
+    val eb = ests.select(col("__g").as("__eb"), col("est_micro").as("est_b_micro"))
     estU
-      .join(ests.select(col("__g").as("ga"), col("est_micro").as("est_a_micro")), "ga")
-      .join(ests.select(col("__g").as("gb"), col("est_micro").as("est_b_micro")), "gb")
+      .join(ea, col("ga") <=> col("__ea")).drop("__ea")
+      .join(eb, col("gb") <=> col("__eb")).drop("__eb")
       .select(col("ga"), col("gb"), col("est_a_micro"), col("est_b_micro"),
         col("est_union_micro"),
         (col("est_a_micro") + col("est_b_micro") - col("est_union_micro"))

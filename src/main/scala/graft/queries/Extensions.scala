@@ -3970,10 +3970,6 @@ object Extensions {
     * tie-break is the list_max over the argmin set — the exact
     * contract [[graft.expressions.UnigramEncode]] documents. Vocab
     * lists come from the SAME [[ugVocab]]. */
-  /** The q211 recursive Viterbi replay, factored so q217's EM-step
-    * oracle reuses the IDENTICAL DP (only the `t` doc CTE differs):
-    * returns the CTE chain `t .. fin`, where `fin` holds one
-    * (doc_id, wi, seg, cost, unk) row per word. */
   /** DuckDB replay of [[graft.operators.Sketches.estOverRegisters]]
     * over a register CTE `(keys…, reg, rho)` — emitted once per use so
     * q197 (per-group) and q231 (per-pair union) share one formula. */
@@ -3989,12 +3985,16 @@ object Extensions {
        |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
        |      * 65536.0::DOUBLE * 36028797018963968.0::DOUBLE) / hll_harmonic::DOUBLE AS eraw
        |  FROM ${out}_s),
-       |$out AS (SELECT $keys,
+       |$out AS (SELECT $keys, hll_present, hll_zeros, hll_harmonic,
        |    round((CASE WHEN eraw <= 640.0 AND hll_zeros > 0
        |           THEN 256.0::DOUBLE * ln(256.0::DOUBLE / hll_zeros::DOUBLE)
        |           ELSE eraw END) * 1000000.0::DOUBLE)::BIGINT AS est_micro
        |  FROM ${out}_e)""".stripMargin
 
+  /** The q211 recursive Viterbi replay, factored so q217's EM-step
+    * oracle reuses the IDENTICAL DP (only the `t` doc CTE differs):
+    * returns the CTE chain `t .. fin`, where `fin` holds one
+    * (doc_id, wi, seg, cost, unk) row per word. */
   private def unigramRecSql(tCte: String): String = {
     val pl = ugVocab.map { case (p, _) => s"'$p'" }.mkString("[", ", ", "]")
     val cl = ugVocab.map(_._2).mkString("[", ", ", "]")
@@ -4952,21 +4952,7 @@ object Extensions {
         |m AS (SELECT source, reg,
         |    max(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END)::BIGINT AS rho
         |  FROM r GROUP BY source, reg),
-        |a AS (SELECT source, count(1)::BIGINT AS hll_present,
-        |    sum((1::BIGINT << (55 - rho))::BIGINT)::BIGINT AS sp
-        |  FROM m GROUP BY source),
-        |s AS (SELECT source, hll_present, (256 - hll_present)::BIGINT AS hll_zeros,
-        |    (sp + (256 - hll_present) * 36028797018963968)::BIGINT AS hll_harmonic
-        |  FROM a),
-        |e AS (SELECT *,
-        |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
-        |      * 65536.0::DOUBLE * 36028797018963968.0::DOUBLE) / hll_harmonic::DOUBLE AS eraw
-        |  FROM s),
-        |f AS (SELECT source, hll_present, hll_zeros, hll_harmonic,
-        |    round((CASE WHEN eraw <= 640.0 AND hll_zeros > 0
-        |           THEN 256.0::DOUBLE * ln(256.0::DOUBLE / hll_zeros::DOUBLE)
-        |           ELSE eraw END) * 1000000.0::DOUBLE)::BIGINT AS est_micro
-        |  FROM e)
+        |${hllEstSql("m", "source", "f")}
         |SELECT x.source, x.n_exact, f.hll_present, f.hll_zeros, f.hll_harmonic, f.est_micro,
         |  CASE WHEN x.n_exact = 0 THEN 0
         |       ELSE abs(f.est_micro - x.n_exact * 1000000) // (x.n_exact * 1000) END::BIGINT AS err_milli

@@ -33,9 +33,10 @@ object StreamingBootstrap {
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
   }
 
-  private[streaming] def weight(key: String, r: Int): Long =
-    graft.operators.Sampling.poissonLadderMicro
-      .count(md5hash60(s"$key:$r") % 1000000L >= _).toLong
+  private[streaming] def weight(key: String, r: Int): Long = {
+    val u = md5hash60(s"$key:$r") % 1000000L // one digest per draw
+    graft.operators.Sampling.poissonLadderMicro.count(u >= _).toLong
+  }
 
   private def meanMicro(a: Long, n: Long): Long =
     (a / n) * 1000000L + ((a % n) * 1000000L) / n

@@ -80,4 +80,15 @@ class BenfordSpec extends SparkSpec {
     val rows = (0 until 300).map(i => (s"g${i % 3}", rnd.nextInt(5000).toLong))
     assert(run(rows, parts = 1).toSeq == run(rows, parts = 9).toSeq)
   }
+
+  test("a NULL group key is audited, not silently dropped") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 123L), (None, 456L),
+      (Some("tagged"), 789L)).toDF("g", "v")
+    val out = Anomaly.benfordAudit(df, "g", "v").collect()
+    val nullRows = out.filter(_.isNullAt(0))
+    assert(nullRows.length == 9, "NULL group must carry its dense digit spine")
+    assert(nullRows.map(_.getLong(2)).sum == 2L, "both NULL-group rows counted")
+    assert(nullRows.forall(!_.isNullAt(5)), "NULL group has a TVD like any other")
+  }
 }

@@ -92,4 +92,16 @@ class PoissonBootstrapSpec extends SparkSpec {
     assert(total > 1850 && total < 2150,
       s"mean multiplicity ${total / 2000.0} should be ~1")
   }
+
+  test("a NULL group key keeps its replicates (null-safe point/CI join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Option.empty[String], "k1", 10L), (None, "k2", 20L),
+      (None, "k3", 30L), (Some("g"), "k4", 40L)).toDF("g", "k", "v")
+    val out = Sampling.poissonBootstrap(df, "g", "k", col("v"), b = 40)
+      .collect().find(_.isNullAt(0)).get
+    assert(out.getLong(3) > 0L,
+      "the NULL group's n_rep must report its real replicates, not 0")
+    assert(!out.isNullAt(4) && !out.isNullAt(5))
+  }
 }

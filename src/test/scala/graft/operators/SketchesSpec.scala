@@ -198,4 +198,18 @@ class SketchesSpec extends SparkSpec {
     val ac = math.abs(got(("A", "C"))) / 1000000.0
     assert(ac < 600, s"disjoint pair should estimate near zero, got $ac")
   }
+
+  test("hllIntersect: a NULL group pairs with every named group (NULL sorts first)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 500).map(i => (Option.empty[String], s"tok$i")) ++
+      (250 until 750).map(i => (Some("named"), s"tok$i"))
+    val out = Sketches.hllIntersect(rows.toDF("g", "v"), "g", col("v"))
+      .collect()
+    assert(out.length == 1, "exactly one unordered pair")
+    assert(out.head.isNullAt(0) && out.head.getString(1) == "named",
+      "NULL takes the ga slot (sorts first)")
+    val est = out.head.getAs[Long]("est_intersect_micro") / 1000000.0
+    assert(est > 50 && est < 500, s"true overlap 250, sketch said $est")
+  }
 }
