@@ -1,0 +1,172 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `sentence_stats(text) -> struct(n_tokens, n_sents,
+  * mean_sent_toks_milli, max_sent_toks)` — the single-pass kernel
+  * behind [[graft.functions.TextFunctions.sentenceStats]] (see its
+  * scaladoc for the boundary rules: terminator after closer-strip,
+  * abbreviation guard, digit-enumeration guard, next-token case gate).
+  *
+  * Why a kernel: the column-expression formulation re-evaluates the
+  * tokenization inside every lambda reference (`element_at(rt, i)`
+  * inlines the whole upstream tree), and each boundary pays ~6
+  * interpreted regex executions — O(n²)-ish constants that measured
+  * 280 s on a 1.5 MB corpus. This walk is one tokenize + one pass of
+  * char compares per token; the q226 oracle replays the identical
+  * rules in SQL, and the column semantics are pinned byte-for-byte by
+  * SentenceStatsSpec (trim = spaces only, split = ASCII `\s+` with
+  * Java limit −1, ASCII closer/opener sets, code-point-free ASCII
+  * case gate — all deliberately matching Spark's split/trim and the
+  * DuckDB replay). Null → null. */
+case class SentenceStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_sents", LongType, nullable = false),
+    StructField("mean_sent_toks_milli", LongType, nullable = false),
+    StructField("max_sent_toks", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "sentence_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else SentenceStats.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.SentenceStats.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SentenceStats =
+    copy(child = newChild)
+}
+
+object SentenceStats {
+
+  /** The abbreviation guard set, lowercased — loaded once from the
+    * public list in TextFunctions so the column API, the kernel, and
+    * the oracle stay in lockstep. */
+  private lazy val abbrevs: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.functions.TextFunctions.sentenceAbbrevs.foreach(a => s.add(a))
+    s
+  }
+
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isCloser(c: Char): Boolean =
+    c == '"' || c == '\'' || c == ')' || c == ']'
+  private def isOpener(c: Char): Boolean =
+    c == '"' || c == '\'' || c == '(' || c == '['
+  private def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+
+  /** Spark-split semantics: trim SPACES only, then split on ASCII
+    * whitespace runs with Java limit −1 (leading empty token when the
+    * trimmed text starts with non-space whitespace; the all-empty
+    * single token marks an empty doc). Token boundaries are recorded
+    * as (start, end) offsets — no substring allocation. */
+  def kernel(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+
+    // tokenize: offsets of each token in str[b, e)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = b
+    var tokStart = b
+    var sawWs = false
+    if (b == e) { starts += b; ends += b } // empty doc -> [""]
+    else {
+      // Java split keeps a leading "" when the input starts with a match
+      if (isWs(str.charAt(b))) { starts += b; ends += b }
+      while (i < e) {
+        if (isWs(str.charAt(i))) {
+          if (!sawWs && i > tokStart) { starts += tokStart; ends += i }
+          sawWs = true
+        } else {
+          if (sawWs || i == b) tokStart = i
+          sawWs = false
+        }
+        i += 1
+      }
+      // Java limit -1 KEEPS a trailing empty token after a final match
+      if (!sawWs) { starts += tokStart; ends += e }
+      else { starts += e; ends += e }
+    }
+    val n = starts.length
+    val nTokens = if (n == 1 && starts(0) == ends(0)) 0L else n.toLong
+
+    // boundary after token j (0-based j, j < n-1)
+    def boundary(j: Int): Boolean = {
+      var te = ends(j)
+      val ts = starts(j)
+      while (te > ts && isCloser(str.charAt(te - 1))) te -= 1 // closer strip
+      if (te == ts || !isTerm(str.charAt(te - 1))) return false
+      var ce = te
+      while (ce > ts && isTerm(str.charAt(ce - 1))) ce -= 1 // core
+      // digit-enumeration guard: nonempty all-digit core
+      if (ce > ts) {
+        var k = ts
+        var allDig = true
+        while (k < ce && allDig) {
+          val c = str.charAt(k)
+          if (c < '0' || c > '9') allDig = false
+          k += 1
+        }
+        if (allDig) return false
+        // abbreviation guard on the lowercased core
+        if (abbrevs.contains(
+            str.substring(ts, ce).toLowerCase(java.util.Locale.ROOT)))
+          return false
+      }
+      // next token: opener strip, then uppercase letter or digit
+      var ns = starts(j + 1)
+      val ne = ends(j + 1)
+      while (ns < ne && isOpener(str.charAt(ns))) ns += 1
+      if (ns >= ne) return false
+      val c = str.charAt(ns)
+      (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+    }
+
+    var nSents = 0L
+    var maxSeg = 0L
+    if (nTokens > 0L) {
+      nSents = 1L
+      var segStart = 0
+      var j = 0
+      while (j < n - 1) {
+        if (boundary(j)) {
+          nSents += 1
+          if (j + 1 - segStart > maxSeg) maxSeg = (j + 1 - segStart).toLong
+          segStart = j + 1
+        }
+        j += 1
+      }
+      if (n - segStart > maxSeg) maxSeg = (n - segStart).toLong
+    }
+    val mean = if (nSents > 0L) nTokens * 1000L / nSents else 0L
+    new GenericInternalRow(Array[Any](nTokens, nSents, mean, maxSeg))
+  }
+
+  def apply(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
+      SentenceStats(org.apache.spark.sql.graftbridge.ColumnBridge
+        .toExpression(text)))
+}

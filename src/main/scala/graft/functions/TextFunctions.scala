@@ -328,49 +328,15 @@ object TextFunctions {
     *   2. lower(core) is not in [[sentenceAbbrevs]] ("Dr. Smith"),
     *   3. core is not all digits ("3. Install the pump" enumerations),
     *   4. next begins with an uppercase letter or a digit.
-    * Sentence token-lengths fall out of the boundary-position array
-    * (prepend 0, append n, adjacent differences) — exact integers,
-    * one codegen projection, zero shuffle at any corpus size. Empty
-    * text has 0 tokens and 0 sentences. Returns struct(n_tokens,
-    * n_sents, mean_sent_toks_milli, max_sent_toks). */
-  def sentenceStats(text: Column): Column = {
-    val rt = split(trim(coalesce(text, lit(""))), "\\s+")
-    val n = size(rt)
-    val nTokens = when(n === 1 && element_at(rt, 1) === "", lit(0L))
-      .otherwise(n.cast("long"))
-    def t1(i: Column) =
-      regexp_replace(element_at(rt, i.cast("int")), "[\"')\\]]+$", "")
-    def boundary(i: Column): Column = {
-      val stripped = t1(i)
-      val core = regexp_replace(stripped, "[.!?]+$", "")
-      val nxt = regexp_replace(element_at(rt, (i + 1).cast("int")),
-        "^[\"'(\\[]+", "")
-      stripped.rlike("[.!?]$") &&
-        !lower(core).isInCollection(sentenceAbbrevs) &&
-        !core.rlike("^[0-9]+$") &&
-        nxt.rlike("^[A-Z0-9]")
-    }
-    // sequence(1, 0) DESCENDS in Spark ([1, 0] — index 0 would throw
-    // inside element_at), so single-token docs take the empty branch
-    val bpos = when(n < 2, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(1), n - 1), i => boundary(i)))
-    val nSents = when(nTokens === 0L, lit(0L))
-      .otherwise(size(bpos).cast("long") + 1L)
-    val lens = zip_with(
-      concat(bpos, array(n)), concat(array(lit(0)), bpos), (e, st) => e - st)
-    struct(
-      nTokens.as("n_tokens"),
-      nSents.as("n_sents"),
-      when(nSents > 0L, expr_fdiv(nTokens * 1000L, nSents))
-        .otherwise(lit(0L)).as("mean_sent_toks_milli"),
-      when(nTokens === 0L, lit(0L))
-        .otherwise(array_max(lens).cast("long")).as("max_sent_toks"))
-  }
-
-  /** Exact long floor division for non-negative operands without
-    * expr() (magnitudes far below 2^53 keep the double exact). */
-  private def expr_fdiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    * Runs as the single-pass [[graft.expressions.SentenceStats]]
+    * kernel (one tokenize + char compares per token — the
+    * column-expression form re-evaluated its tokenization inside
+    * every lambda reference and paid ~6 interpreted regex executions
+    * per boundary). Exact integers, zero shuffle at any corpus size.
+    * Empty text has 0 tokens and 0 sentences. Returns struct(
+    * n_tokens, n_sents, mean_sent_toks_milli, max_sent_toks). */
+  def sentenceStats(text: Column): Column =
+    graft.expressions.SentenceStats(coalesce(text, lit("")))
 
   /** Luhn-validated payment-card scan — the PII gate [[secretScan]]
     * doesn't cover: card numbers are plain digit runs, invisible to

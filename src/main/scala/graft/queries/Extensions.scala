@@ -3037,8 +3037,12 @@ object Extensions {
         .otherwise(t)
     })
     Tables(spark, dir, "documents")
+      // materialize the injected text as a bound column FIRST: inlining
+      // this transform tree into the stats expression re-evaluates the
+      // injection per reference
+      .select(col("doc_id"), array_join(modded, " ").as("__ft"))
       .select(col("doc_id"),
-        TextFunctions.sentenceStats(array_join(modded, " ")).as("__s"))
+        TextFunctions.sentenceStats(col("__ft")).as("__s"))
       .select(col("doc_id"), col("__s.n_tokens").as("n_tokens"),
         col("__s.n_sents").as("n_sents"),
         col("__s.mean_sent_toks_milli").as("mean_sent_toks_milli"),
