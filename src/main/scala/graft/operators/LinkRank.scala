@@ -264,4 +264,51 @@ object LinkRank {
     Checkpointer.release(nodes)
     out
   }
+
+  /** Bounded-round k-core peeling (Seidman 1983; the distributed
+    * formulation of Montresor et al. 2013) over the undirected simple
+    * graph: repeatedly delete nodes of degree < k — what survives
+    * `iters` rounds approaches the k-core, the standard spam/link-farm
+    * core extractor ([[pageRank]] finds IMPORTANT nodes, [[hits]]
+    * hubs/authorities; the k-core finds DENSELY MUTUAL neighborhoods —
+    * a farm's clique survives peeling that strips organic long-tail
+    * links). Rounds are FIXED, not run to fixpoint: deterministic
+    * cost, a replayable oracle, and a visible convergence signal
+    * (`in_core` — nodes still under k after the last round mark an
+    * unconverged peel; at 100 TB pick iters ~ O(log n), each round is
+    * one degree partial-agg plus two node-keyed semi-joins, with
+    * superseded edge generations released through the standard
+    * [[Checkpointer]] discipline, the [[pageRank]] shape).
+    *
+    * Output: one row per node SURVIVING in the final edge set —
+    * (node, degree, in_core = degree >= k); nodes peeled earlier (or
+    * isolated by the peel) are absent. Self-loops and NULL endpoints
+    * drop in canonicalization like [[triangleCounts]]. */
+  def kCore(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", k: Int = 3, iters: Int = 3,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val e0 = checkpointer(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct())
+    val eFinal = (1 to iters).foldLeft(e0) { (e, _) =>
+      val keep = degrees(e).filter(col("degree") >= k).select("node")
+      val next = checkpointer(e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+      Checkpointer.release(e) // superseded generation, fully consumed
+      next
+    }
+    val out = degrees(eFinal)
+      .select(col("node"), col("degree"),
+        (col("degree") >= k).as("in_core"))
+    out
+  }
+
 }

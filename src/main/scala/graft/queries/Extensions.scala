@@ -3127,7 +3127,28 @@ object Extensions {
       "source", col("tok"))
       .orderBy("ga", "gb")
 
+  /** q232 — k-core peeling ([[LinkRank.kCore]], k = 3, 3 rounds)
+    * over the q201 host graph plus 500 single-edge per-doc spoke
+    * hosts: the spokes peel in round one, the cascade thins the hub
+    * layers, and what survives is the densely mutual core — the
+    * link-farm extractor beside q150's rank, q201's triangles and
+    * q202's hubs. Fixed rounds keep it deterministic; the oracle
+    * unrolls the identical three. */
+  def q232KCore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val h1 = concat(col("source"), lit(".example.com"))
+    val h2 = concat(col("lang"), lit(".site.org"))
+    val h3 = concat(lit("b"), (col("n_chars") % 7).cast("string"), lit(".net"))
+    val h4 = concat(lit("d"), (col("doc_id") % 997).cast("string"), lit(".host"))
+    val edges = d.select(h1.as("src"), h2.as("dst"))
+      .union(d.select(h2.as("src"), h3.as("dst")))
+      .union(d.select(h3.as("src"), h1.as("dst")))
+      .union(d.select(h4.as("src"), h1.as("dst")))
+    graft.operators.LinkRank.kCore(edges, k = 3, iters = 3).orderBy("node")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_kcore" -> (q232KCore _),
     "q231_hll_intersect" -> (q231HllIntersect _),
     "q230_neyman" -> (q230Neyman _),
     "q229_benford" -> (q229Benford _),
@@ -4067,6 +4088,37 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q232_kcore" ->
+      ("""WITH dd AS (SELECT source || '.example.com' AS h1,
+        |    lang || '.site.org' AS h2,
+        |    'b' || CAST(n_chars % 7 AS VARCHAR) || '.net' AS h3,
+        |    'd' || CAST(doc_id % 997 AS VARCHAR) || '.host' AS h4
+        |  FROM documents),
+        |ed AS (SELECT h1 AS src, h2 AS dst FROM dd
+        |  UNION ALL SELECT h2, h3 FROM dd
+        |  UNION ALL SELECT h3, h1 FROM dd
+        |  UNION ALL SELECT h4, h1 FROM dd),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |d1 AS (SELECT node, count(1)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |  JOIN k1 ka ON e0.a = ka.node JOIN k1 kb ON e0.b = kb.node),
+        |d2 AS (SELECT node, count(1)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |  JOIN k2 ka ON e1.a = ka.node JOIN k2 kb ON e1.b = kb.node),
+        |d3 AS (SELECT node, count(1)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+        |k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |e3 AS (SELECT e2.a, e2.b FROM e2
+        |  JOIN k3 ka ON e2.a = ka.node JOIN k3 kb ON e2.b = kb.node),
+        |fin AS (SELECT node, count(1)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node)
+        |SELECT node, degree, degree >= 3 AS in_core
+        |FROM fin ORDER BY node""".stripMargin),
     "q231_hll_intersect" -> {
       s"""WITH tk AS (SELECT coalesce(source, '') AS source, unnest($toksSql) AS tok
         |  FROM (SELECT source, coalesce(text, '') AS text FROM documents)),

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[LinkRank.kCore]] — convergence to the true k-core on a
+  * clique-plus-tendrils graph (vs a Scala peeling reference), the
+  * round-bounded cascade, the unconverged in_core signal, and edge
+  * canonicalization. */
+class KCoreSpec extends SparkSpec {
+
+  private def ref(edges: Seq[(String, String)], k: Int): Map[String, Long] = {
+    // fixpoint peel
+    var es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+  }
+
+  private def run(edges: Seq[(String, String)], k: Int, iters: Int,
+      parts: Int = 5): Map[String, (Long, Boolean)] = {
+    import spark.implicits._
+    LinkRank.kCore(edges.toDF("src", "dst").repartition(parts),
+        k = k, iters = iters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+  }
+
+  test("clique survives, tendrils peel: converged run matches the fixpoint reference") {
+    // K5 clique + a 3-hop tendril off one clique node + isolated pair
+    val clique = for {
+      a <- Seq("c1", "c2", "c3", "c4", "c5")
+      b <- Seq("c1", "c2", "c3", "c4", "c5") if a < b
+    } yield (a, b)
+    val tendril = Seq(("c1", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val pair = Seq(("p1", "p2"))
+    val edges = clique ++ tendril ++ pair
+    val got = run(edges, k = 3, iters = 5)
+    val want = ref(edges, 3)
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.keySet == Set("c1", "c2", "c3", "c4", "c5"))
+    assert(got.values.forall(v => v._1 == 4L && v._2),
+      "the 5-clique is its own 3-core at degree 4")
+  }
+
+  test("the cascade needs its rounds: a chain peels one hop per round") {
+    // path p0-p1-p2-p3-p4 at k=2: ends drop each round from both sides
+    val path = Seq(("p0", "p1"), ("p1", "p2"), ("p2", "p3"), ("p3", "p4"))
+    val one = run(path, k = 2, iters = 1)
+    // after one round the inner path survives but is NOT converged
+    assert(one.keySet == Set("p1", "p2", "p3"))
+    assert(one("p1") == ((1L, false)) && one("p3") == ((1L, false)),
+      "unconverged peel is visible through in_core = false")
+    val enough = run(path, k = 2, iters = 4)
+    assert(enough.isEmpty, "a path has no 2-core — everything peels")
+  }
+
+  test("self-loops and NULL endpoints drop in canonicalization; duplicates collapse") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some("a")), (Some("a"), Some("b")),
+      (Some("b"), Some("a")), (None, Some("b")), (Some("b"), None),
+      (Some("b"), Some("c")), (Some("c"), Some("a")))
+      .toDF("src", "dst")
+    val got = LinkRank.kCore(df, k = 2, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L),
+      "the a-b-c triangle is the 2-core; loop/NULL/dup edges are gone")
+  }
+
+  test("partitioning invariance: 1 partition == 7 partitions") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 200).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+    assert(run(edges, 3, 4, parts = 1) == run(edges, 3, 4, parts = 7))
+  }
+}
