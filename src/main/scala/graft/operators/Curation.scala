@@ -547,4 +547,105 @@ object Curation {
           .when(col("expected_idx") === col("dominant_idx"), "match")
           .otherwise("mismatch").as("status"))
   }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney rank identity over
+    * the SCORE HISTOGRAM — "does the quality score actually separate
+    * good documents from bad?" answered with the one threshold-free
+    * number [[thresholdSweep]]'s per-threshold curve cannot give:
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). Over histogram
+    * bins in score order, U₂ = Σ_bins pos_b · (2·neg_below + neg_b)
+    * is twice the tie-corrected Mann–Whitney U, and
+    * auc_micro = U₂ · 10⁶ DIV (2 · P · N) — exact integer end to end.
+    * U₂ itself reaches P·N·2 ≈ n²/2, so the bin terms and their sum
+    * run in DECIMAL(38,0) (the Mann–Kendall overflow discipline: a
+    * 3·10⁹-row group would silently wrap a 64-bit U₂).
+    *
+    * Scale shape — the [[Importance.calibrateScores]] histogram
+    * discipline: one corpus-sized partial-agg to (group, score)
+    * pos/neg counters; the below-prefix window runs OVER THE
+    * HISTOGRAM, never rows. NULL labels drop fail-closed (a doc that
+    * is neither class cannot vote — count them upstream if the drop
+    * rate matters); a NULL score is its own bin ranking FIRST (below
+    * every real score — both engines pin NULLS FIRST, where DuckDB's
+    * ASC default is NULLS LAST); a NULL group is its own group. A
+    * one-class group emits auc_micro = NULL — the undefined case
+    * stays visible, never a fabricated ½. `score` must be
+    * integer-valued (the engine's milli/micro convention — the long
+    * cast would truncate fractional scores into accidental ties).
+    *
+    * Output: (groupCol, n_pos, n_neg, auc_micro). */
+  def aucRank(df: DataFrame, groupCol: String, score: Column,
+      positive: Column): DataFrame = {
+    val hist = df
+      .filter(positive.isNotNull)
+      .select(col(groupCol), score.cast("long").as("__s"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(sum(col("__p")).as("__pos"),
+        sum(lit(1L) - col("__p")).as("__neg"))
+    val wBelow = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__negBelow", coalesce(sum("__neg").over(wBelow), lit(0L)))
+      .withColumn("__u2", expr(
+        "CAST(__pos AS DECIMAL(38,0)) * (2 * __negBelow + __neg)"))
+      .groupBy(col(groupCol))
+      .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
+        sum("__u2").as("__u2s"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""CAST((__u2s * 1000000)
+            | DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""
+            .stripMargin))
+          .otherwise(lit(null).cast("long")).as("auc_micro"))
+  }
+
+  /** Expected calibration error of a probabilistic quality gate — "when
+    * the classifier says 700‰, is it right 70% of the time?" — the
+    * audit that decides whether a score can be thresholded by
+    * probability or only by rank ([[aucRank]] measures ranking,
+    * [[thresholdSweep]] one threshold at a time; ECE measures the
+    * probabilities themselves). Confidences in integer MILLI (the
+    * engine's score convention) bin by `binWidth`; per bin the
+    * accuracy-vs-confidence gap is |pos_b · 10⁶ − confsum_b · 10³|
+    * (= n_b · 10⁶ · |acc_b − conf̄_b|, so the conventional n_b/N
+    * weighting cancels the per-bin division), and
+    *
+    *   ece_micro = (Σ_bins |pos_b·10⁶ − confsum_b·10³|) DIV N
+    *   mce_micro = max_bins (|pos_b·10⁶ − confsum_b·10³| DIV n_b)
+    *
+    * — exact integer end to end, ONE division each (the Σ is bounded
+    * by N·10⁶, so longs hold to N ≈ 9·10¹² rows per group).
+    *
+    * Fail-closed contract: rows with a NULL confidence or NULL outcome
+    * drop (neither can vote — mirror the filter upstream if the drop
+    * rate matters); confidences outside [0, 1000] milli are a caller
+    * bug and clamp is refused — they'd silently skew every bin — so
+    * they also drop, visibly shrinking n_docs. A NULL group is its own
+    * group.
+    *
+    * Scale shape: one partial-agg shuffle to ≤ (groups × bins) counter
+    * rows; the ECE sum and MCE max are a second agg over that tiny
+    * frame. Output: (groupCol, n_docs, ece_micro, mce_micro). */
+  def calibrationError(df: DataFrame, groupCol: String, confMilli: Column,
+      outcome: Column, binWidth: Long = 100L): DataFrame = {
+    require(binWidth >= 1 && binWidth <= 1000, "need 1 <= binWidth <= 1000")
+    val bins = df
+      .filter(confMilli.isNotNull && outcome.isNotNull &&
+        confMilli >= 0L && confMilli <= 1000L)
+      .select(col(groupCol), confMilli.cast("long").as("__c"),
+        when(outcome, 1L).otherwise(0L).as("__o"))
+      .groupBy(col(groupCol), expr(s"__c DIV ${binWidth}L").as("__bin"))
+      .agg(count(lit(1)).as("__n"), sum("__o").as("__pos"),
+        sum("__c").as("__cs"))
+      .withColumn("__gap", abs(col("__pos") * lit(1000000L)
+        - col("__cs") * lit(1000L)))
+    bins.groupBy(col(groupCol))
+      .agg(sum("__n").as("n_docs"),
+        sum("__gap").as("__gapsum"),
+        max(expr("__gap DIV __n")).as("mce_micro"))
+      .select(col(groupCol), col("n_docs"),
+        expr("__gapsum DIV n_docs").as("ece_micro"), col("mce_micro"))
+  }
 }

@@ -629,6 +629,43 @@ object Vocab {
       .withColumn("cum_vocab", sum("n_novel").over(w))
   }
 
+  /** Chao1 species-richness estimate of the UNSEEN vocabulary per
+    * group (Chao 1984, bias-corrected form): from the frequency
+    * spectrum's singletons f₁ and doubletons f₂,
+    *
+    *   chao1_micro = D·10⁶ + (f₁·(f₁−1)·10⁶) DIV (2·(f₂+1))
+    *
+    * — "how many distinct tokens does this source really have, beyond
+    * the D we observed?" The Heaps-curve companion to
+    * [[noveltyBySource]] (which attributes OBSERVED vocabulary; Chao1
+    * prices the unobserved tail) and the estimator twin of the q200
+    * Good–Turing spectrum (same f₁/f₂, different question: GT asks
+    * how much probability mass is unseen, Chao1 how many TYPES). The
+    * bias-corrected form stays finite at f₂ = 0 where classic
+    * f₁²/(2f₂) blows up. The f₁·(f₁−1)·10⁶ product crosses 64 bits
+    * near f₁ ≈ 3·10⁶ — any web-scale source — so it runs in
+    * DECIMAL(38,0) (the Mann–Kendall discipline); truncation == floor
+    * since every factor is non-negative.
+    *
+    * Scale shape ([[noveltyBySource]]'s): ONE corpus-sized stage, the
+    * (group, token) occurrence partial-agg; the spectrum rollup reads
+    * the collapsed frame. A NULL group folds to '' (the key-
+    * normalization discipline). Output: (groupCol, n_tokens,
+    * n_distinct, f1, f2, chao1_micro). */
+  def chao1Richness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(coalesce(col(groupCol), lit("")).as(groupCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    tok.groupBy(col(groupCol), col("__tok")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col(groupCol))
+      .agg(sum("__occ").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(when(col("__occ") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__occ") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_micro", expr(
+        """n_distinct * 1000000L + CAST((CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)
+          |  * 1000000) DIV (2 * (f2 + 1)) AS BIGINT)""".stripMargin))
+  }
+
   /** Greedy WordPiece encoding over a piece vocabulary
     * ([[graft.expressions.WordPieceEncode]] — see its scaladoc for the
     * algorithm and the all-or-nothing UNK rule). The vocabulary is

@@ -3147,7 +3147,58 @@ object Extensions {
     graft.operators.LinkRank.kCore(edges, k = 3, iters = 3).orderBy("node")
   }
 
+  /** q233 — exact ROC-AUC per source ([[Curation.aucRank]]): the
+    * Mann–Whitney rank identity over the score histogram — does the
+    * (deliberately weak) length-based score separate English docs? —
+    * tie-corrected, DECIMAL(38,0) U₂, windows only over the
+    * histogram. Every 53rd doc gets a NULL label to exercise the
+    * fail-closed drop; NULL langs label-NULL out the same way. */
+  def q233Auc(spark: SparkSession, dir: String): DataFrame =
+    Curation.aucRank(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          col("doc_id"), col("lang"), col("n_chars")),
+      "source", expr("n_chars DIV 16"),
+      when(col("doc_id") % 53 === 0, lit(null).cast("boolean"))
+        .otherwise(col("lang") === "en"))
+      .orderBy("source")
+
+  /** q234 — Chao1 unseen-vocabulary estimate per source
+    * ([[Vocab.chao1Richness]]): bias-corrected Chao 1984 from the
+    * singleton/doubleton spectrum — the "how much vocabulary does
+    * this source still hide?" companion to q186's observed novelty
+    * and q200's Good–Turing mass. */
+  def q234Chao1(spark: SparkSession, dir: String): DataFrame =
+    Vocab.chao1Richness(
+      Tables(spark, dir, "documents")
+        .select(col("source"), coalesce(col("text"), lit("")).as("text")),
+      "source", "text")
+      .orderBy("source")
+
+  /** q235 — expected calibration error per lang
+    * ([[Curation.calibrationError]]): a synthetic milli-confidence
+    * (deterministic hash of length) audited against the lang = 'en'
+    * outcome — the probability-trust audit beside q233's rank audit.
+    * Every 37th doc carries a NULL confidence and NULL langs a NULL
+    * outcome, both dropping fail-closed; out-of-range confidences are
+    * injected on every 41st doc and must also drop. */
+  def q235Ece(spark: SparkSession, dir: String): DataFrame =
+    Curation.calibrationError(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"),
+          col("doc_id"), col("n_chars"),
+          (col("lang") === "en").as("outcome")),
+      "lang",
+      when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+        .when(col("doc_id") % 41 === 0, lit(1500L))
+        .otherwise(pmod(col("n_chars") * 7L, lit(1001L))),
+      col("outcome"))
+      .orderBy("lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_ece" -> (q235Ece _),
+    "q234_chao1" -> (q234Chao1 _),
+    "q233_auc" -> (q233Auc _),
     "q232_kcore" -> (q232KCore _),
     "q231_hll_intersect" -> (q231HllIntersect _),
     "q230_neyman" -> (q230Neyman _),
@@ -4088,6 +4139,59 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q233_auc" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS source,
+        |    n_chars // 16 AS s,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE (lang = 'en') END AS p
+        |  FROM documents),
+        |fb AS (SELECT source, s, CASE WHEN p THEN 1 ELSE 0 END AS pi
+        |  FROM base WHERE p IS NOT NULL),
+        |hist AS (SELECT source, s, sum(pi) AS pos, count(1) - sum(pi) AS neg
+        |  FROM fb GROUP BY 1, 2),
+        |t AS (SELECT source, pos, neg,
+        |    coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM hist),
+        |a AS (SELECT source, sum(pos) AS n_pos, sum(neg) AS n_neg,
+        |    sum(CAST(pos AS HUGEINT) * (2 * nb + neg)) AS u2 FROM t GROUP BY 1)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((u2 * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+        |      AS BIGINT) END AS auc_micro
+        |FROM a ORDER BY source""".stripMargin),
+    "q234_chao1" ->
+      (s"""WITH tk AS (SELECT coalesce(source, '') AS source,
+        |    unnest($toksSql) AS tok
+        |  FROM (SELECT source, coalesce(text, '') AS text FROM documents)),
+        |ct AS (SELECT source, tok, count(1) AS c FROM tk GROUP BY 1, 2),
+        |sp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(1) AS n_distinct,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM ct GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct, f1, f2,
+        |  n_distinct * 1000000 + CAST((CAST(f1 AS HUGEINT) * (f1 - 1)
+        |    * 1000000) // (2 * (f2 + 1)) AS BIGINT) AS chao1_micro
+        |FROM sp ORDER BY source""".stripMargin),
+    "q235_ece" ->
+      ("""WITH base AS (SELECT coalesce(lang, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |      WHEN doc_id % 41 = 0 THEN 1500
+        |      ELSE (n_chars * 7) % 1001 END AS c,
+        |    CASE WHEN lang IS NULL THEN NULL
+        |      WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents),
+        |f AS (SELECT g, c, o FROM base
+        |  WHERE c IS NOT NULL AND o IS NOT NULL AND c BETWEEN 0 AND 1000),
+        |b AS (SELECT g, c // 100 AS bin, count(1) AS n,
+        |    CAST(sum(o) AS BIGINT) AS pos, CAST(sum(c) AS BIGINT) AS cs
+        |  FROM f GROUP BY 1, 2),
+        |gp AS (SELECT g, n, abs(pos * 1000000 - cs * 1000) AS gap FROM b)
+        |SELECT g AS lang, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(gap) // sum(n) AS BIGINT) AS ece_micro,
+        |  CAST(max(gap // n) AS BIGINT) AS mce_micro
+        |FROM gp GROUP BY g ORDER BY lang""".stripMargin),
     "q232_kcore" ->
       ("""WITH dd AS (SELECT source || '.example.com' AS h1,
         |    lang || '.site.org' AS h2,

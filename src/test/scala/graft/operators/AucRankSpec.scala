@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** [[Curation.aucRank]]: hand-valued separations (perfect / reversed /
+  * all-tied), the tie-correction against a brute-force pair count on
+  * seeded random data, fail-closed NULL-label drops, NULLS-FIRST
+  * scores, one-class NULL, and the windows-over-histogram plan. */
+class AucRankSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]): Map[String, (Long, Long, Option[Long])] = {
+    import spark.implicits._
+    val df = rows.toDF("g", "s", "p")
+    Curation.aucRank(df, "g", col("s"), col("p")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+  }
+
+  private def jl(x: Long): java.lang.Long = Long.box(x)
+  private def jb(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("perfect separation scores exactly 1e6, reversed exactly 0") {
+    val perfect = Seq(("g", jl(10L), jb(true)), ("g", jl(11L), jb(true)),
+      ("g", jl(1L), jb(false)), ("g", jl(2L), jb(false)))
+    assert(run(perfect)("g") == ((2L, 2L, Some(1000000L))))
+    val reversed = perfect.map { case (g, s, p) => (g, s, jb(!p)) }
+    assert(run(reversed)("g") == ((2L, 2L, Some(0L))))
+  }
+
+  test("all-tied scores give exactly 500000 (the half-credit tie term)") {
+    val tied = Seq(("g", jl(5L), jb(true)), ("g", jl(5L), jb(true)),
+      ("g", jl(5L), jb(false)), ("g", jl(5L), jb(false)),
+      ("g", jl(5L), jb(false)))
+    assert(run(tied)("g") == ((2L, 3L, Some(500000L))))
+  }
+
+  test("one-class groups emit NULL, never a fabricated half") {
+    val got = run(Seq(("a", jl(1L), jb(true)), ("a", jl(2L), jb(true)),
+      ("b", jl(1L), jb(false))))
+    assert(got("a") == ((2L, 0L, None)))
+    assert(got("b") == ((0L, 1L, None)))
+  }
+
+  test("NULL labels drop fail-closed; NULL scores rank below every real score") {
+    // NULL-labeled positive-looking row must not count anywhere
+    val got = run(Seq(("g", jl(9L), jb(true)), ("g", jl(8L), null),
+      ("g", null, jb(false))))
+    // NULL score neg sits below the real-score pos -> perfect separation
+    assert(got("g") == ((1L, 1L, Some(1000000L))))
+    // and flipped: pos on the NULL score is below every neg -> AUC 0
+    val flip = run(Seq(("g", null, jb(true)), ("g", jl(1L), jb(false))))
+    assert(flip("g") == ((1L, 1L, Some(0L))))
+  }
+
+  test("matches the brute-force pair count on seeded random data, per group") {
+    val rnd = new Random(4242)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      // narrow score range -> plenty of ties, label correlated with score
+      val s = rnd.nextInt(12).toLong
+      val p = rnd.nextInt(12) < s + 2
+      (g, jl(s), jb(p))
+    }
+    val got = run(rows)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val pos = rs.filter(_._3.booleanValue).map(_._2.longValue)
+      val neg = rs.filterNot(_._3.booleanValue).map(_._2.longValue)
+      val u2 = (for (a <- pos; b <- neg) yield {
+        if (a > b) 2L else if (a == b) 1L else 0L
+      }).sum
+      val want = u2 * 1000000L / (2L * pos.size * neg.size)
+      assert(got(g) == ((pos.size.toLong, neg.size.toLong, Some(want))),
+        s"group $g")
+    }
+  }
+
+  test("plan windows only over the histogram, never corpus rows") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", (i % 5).toLong, i % 2 == 0))
+      .toDF("g", "s", "p")
+    val plan = Curation.aucRank(df, "g", col("s"), col("p"))
+      .queryExecution.optimizedPlan.toString
+    // the window's child must already be the aggregated histogram: in
+    // the top-down plan text, an Aggregate (the histogram partial-agg)
+    // must appear BELOW the Window, between it and the relation
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected a Window node:\n$plan")
+    assert(plan.substring(winIdx).contains("Aggregate"),
+      s"expected the Window to sit over the histogram Aggregate:\n$plan")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.calibrationError]]: an exactly-calibrated bin scores 0,
+  * hand-computed gaps, the n_b-weighting cancellation identity,
+  * fail-closed NULL / out-of-range drops, and the one-partial-agg
+  * plan. */
+class CalibrationErrorSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)],
+      width: Long = 100L): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    Curation.calibrationError(rows.toDF("g", "c", "o"), "g", col("c"),
+        col("o"), width).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  private def jl(x: Long): java.lang.Long = Long.box(x)
+  private def jb(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("an exactly-calibrated bin contributes zero") {
+    // bin [500,600): two docs at conf 500 milli, one positive -> acc
+    // 0.5, mean conf 0.5 -> gap 0
+    val got = run(Seq(("g", jl(500L), jb(true)), ("g", jl(500L), jb(false))))
+    assert(got("g") == ((2L, 0L, 0L)))
+  }
+
+  test("hand-computed gap: confident-but-wrong bin") {
+    // one doc, conf 900, outcome false: gap = |0*1e6 - 900*1e3| = 9e5
+    // ece = 9e5 / 1 = 900000; mce likewise
+    val got = run(Seq(("g", jl(900L), jb(false))))
+    assert(got("g") == ((1L, 900000L, 900000L)))
+  }
+
+  test("two bins: ece is the doc-weighted mean of per-bin gaps") {
+    // bin 9 (conf 900, 1 doc, false): gap 900000
+    // bin 1 (conf 100 x3 docs, 0 pos): |0 - 300*1e3| = 300000 over 3 docs
+    // ece = (900000 + 300000) / 4 = 300000
+    // mce = max(900000/1, 300000/3) = 900000
+    val got = run(Seq(("g", jl(900L), jb(false)), ("g", jl(100L), jb(false)),
+      ("g", jl(100L), jb(false)), ("g", jl(100L), jb(false))))
+    assert(got("g") == ((4L, 300000L, 900000L)))
+  }
+
+  test("within-bin opposite errors cancel only through the conf sum, not per doc") {
+    // conf 400 false (overconfident) + conf 600 true (underconfident),
+    // same bin at width 1000: pos=1, confsum=1000 -> gap = |1e6 - 1e6| = 0
+    val got = run(Seq(("g", jl(400L), jb(false)), ("g", jl(600L), jb(true))),
+      width = 1000L)
+    assert(got("g") == ((2L, 0L, 0L)))
+  }
+
+  test("NULL confidence, NULL outcome, and out-of-range confidences drop fail-closed") {
+    val got = run(Seq(("g", jl(500L), jb(true)), ("g", null, jb(true)),
+      ("g", jl(500L), null), ("g", jl(1500L), jb(true)),
+      ("g", jl(-5L), jb(false))))
+    // only the first row survives: acc 1, conf 0.5 -> gap 500000
+    assert(got("g") == ((1L, 500000L, 500000L)))
+  }
+
+  test("plan is two aggregates, no window and no join") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("g", (i * 13 % 1000).toLong, i % 2 == 0))
+      .toDF("g", "c", "o")
+    val plan = Curation.calibrationError(df, "g", col("c"), col("o"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.chao1Richness]]: hand-computed spectra, the f₂ = 0
+  * bias-corrected finiteness, the no-singletons floor (chao1 == D),
+  * and NULL-group folding. */
+class Chao1Spec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)]): Map[String, (Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Vocab.chao1Richness(rows.toDF("g", "text"), "g", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("hand-computed spectrum: D=4, f1=2, f2=1 -> chao1 = 4 + 2*1/(2*2)") {
+    // tokens: a a a  b b  c  d   -> counts a:3 b:2 c:1 d:1
+    val got = run(Seq(("g", "a a a b b"), ("g", "c d")))
+    // n=7, D=4, f1=2 (c,d), f2=1 (b); chao1 = 4e6 + 2*1*1e6/(2*(1+1)) = 4.5e6
+    assert(got("g") == ((7L, 4L, 2L, 1L, 4500000L)))
+  }
+
+  test("f2 = 0 stays finite via the bias-corrected denominator") {
+    // counts: a:1 b:1 -> D=2 f1=2 f2=0; chao1 = 2e6 + 2*1*1e6/2 = 3e6
+    assert(run(Seq(("g", "a b")))("g") == ((2L, 2L, 2L, 0L, 3000000L)))
+  }
+
+  test("no singletons -> chao1 == D exactly (nothing unseen to price)") {
+    // a:2 b:3 -> f1=0 -> correction 0
+    assert(run(Seq(("g", "a a b b b")))("g") == ((5L, 2L, 0L, 1L, 2000000L)))
+  }
+
+  test("NULL group folds to '' and merges with the empty-string group") {
+    val got = run(Seq((null, "x y"), ("", "y z")))
+    assert(got.keySet == Set(""))
+    // counts: x:1 y:2 z:1 -> n=4 D=3 f1=2 f2=1; chao1 = 3e6 + 2*1e6/4
+    assert(got("") == ((4L, 3L, 2L, 1L, 3500000L)))
+  }
+}
