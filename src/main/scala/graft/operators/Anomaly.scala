@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-point EWMA deviation over keyed ordered series — the ingest
@@ -248,5 +249,84 @@ object Anomaly {
       .select(col("__g").as(groupCol), col("digit"), col("n_d"),
         col("obs_micro"), col("exp_micro"), col("tvd_micro"),
         col("n"), col("n_skipped"))
+  }
+
+  /** Kolmogorov–Smirnov two-sample drift test per group — each group's
+    * `valueCol` distribution against the REST of the corpus: the
+    * nonparametric "did this source's length/score/latency profile
+    * change shape?" screen that mean/variance monitors (EWMA, CUSUM)
+    * miss when a distribution splits bimodal at an unchanged mean.
+    * `ks_micro` = 10⁶·D where D = max_v |CDF_g(v) − CDF_rest(v)|, and
+    * `ks_at` is the SMALLEST value attaining the max (deterministic
+    * under ties on both engines).
+    *
+    * Exact integers: the supremum compares cross-multiplied counts —
+    * |cum_g·n_rest − cum_rest·n_g| in DECIMAL(38,0) (safe to ~10¹⁹
+    * rows a side) — and divides by n_g·n_rest once at the end, so no
+    * per-point rounding can move the argmax. NULL values are excluded
+    * from both CDFs but counted per group in `n_skipped`
+    * (fail-visible, the [[benfordAudit]] convention); NULL group keys
+    * are audited like any other group (null-safe joins). A group that
+    * IS the whole corpus (n_rest = 0) emits NULL ks — there is
+    * nothing to compare against, and 0 would read as "no drift". A
+    * corpus with ZERO non-NULL values has no CDF spine at all and
+    * yields an empty audit (not per-group NULL rows).
+    *
+    * Scale shape: one corpus-sized (group, value) counter agg with
+    * map-side combine; the CDF spine is groups × distinct values
+    * (histogram granularity — `valueCol` must be integral and
+    * bounded-cardinality, the engine's score convention; pre-bucket
+    * continuous values upstream as the callers do with `DIV 16`).
+    * Windows run only over that spine, partitioned per group. Output:
+    * one row per group — (groupCol, n, n_rest, n_skipped, ks_micro,
+    * ks_at). */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val hist = base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+    // distinct-value spine with the GLOBAL cumulative count: a group's
+    // supremum can sit at a value the group never emits (where only the
+    // complement's CDF steps), so every group walks the full spine
+    val vTot = hist.where(col("__v").isNotNull)
+      .groupBy("__v").agg(sum("__c").as("__tv"))
+      .withColumn("__cumAll",
+        sum("__tv").over(Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nAll = vTot.agg(sum("__tv").as("__nn"))
+    val spine = gTot.join(broadcast(nAll))
+      .crossJoin(vTot.select(col("__v"), col("__cumAll")))
+    val hKeyed = hist.where(col("__v").isNotNull)
+      .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c"))
+    val steps = spine
+      .join(hKeyed,
+        col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")
+      .withColumn("__cumG",
+        sum(coalesce(col("__c"), lit(0L)))
+          .over(Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__g"), col("__v"), col("n"), col("n_skipped"),
+        (col("__nn") - col("n")).as("n_rest"),
+        abs(col("__cumG").cast("decimal(38,0)") * (col("__nn") - col("n"))
+          - (col("__cumAll") - col("__cumG")).cast("decimal(38,0)") * col("n"))
+          .as("__d"))
+    val sup = steps.groupBy("__g")
+      .agg(max("n").as("n"), max("n_skipped").as("n_skipped"),
+        max("n_rest").as("n_rest"), max("__d").as("__dmax"))
+    val at = steps.select(col("__g").as("__ag"), col("__v"), col("__d"))
+    sup.join(at, sup("__g") <=> at("__ag") && sup("__dmax") === at("__d"), "left")
+      .groupBy(col("__g"), col("n"), col("n_skipped"), col("n_rest"),
+        col("__dmax"))
+      .agg(min("__v").as("ks_at"))
+      .select(col("__g").as(groupCol), col("n"), col("n_rest"),
+        col("n_skipped"),
+        when(col("n") > 0L && col("n_rest") > 0L,
+          expr("""CAST((__dmax * 1000000) DIV
+            | (CAST(n AS DECIMAL(38,0)) * n_rest) AS BIGINT)""".stripMargin))
+          .as("ks_micro"),
+        when(col("n") > 0L && col("n_rest") > 0L, col("ks_at"))
+          .otherwise(lit(null).cast("long")).as("ks_at"))
   }
 }

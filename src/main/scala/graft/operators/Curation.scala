@@ -648,4 +648,70 @@ object Curation {
       .select(col(groupCol), col("n_docs"),
         expr("__gapsum DIV n_docs").as("ece_micro"), col("mce_micro"))
   }
+
+  /** Mutual information between two categorical fields — the
+    * "are these independent?" audit (Cover & Thomas ch. 2) a mixture
+    * designer runs before stratifying: MI(lang; source) ≈ 0 means
+    * sources are linguistically interchangeable; MI ≈ H(lang) means
+    * language is DETERMINED by source — stratify on one, leak the
+    * other (the train/test-split hazard), and any per-source quality
+    * gate is silently a per-language gate. Reports entropies, MI,
+    * and normalized MI = MI / min(H_a, H_b) in micro-nats.
+    *
+    * Determinism: per-cell/per-marginal terms follow the [[Importance
+    * .klDrift]] parity discipline — both engines evaluate the
+    * IDENTICAL double expression and round to micro BEFORE the sum,
+    * so the result is engine-portable. MI is mathematically ≥ 0 but
+    * per-term rounding can leave the sum a few micro-nats negative on
+    * near-independent fields; `mi_micro` is emitted RAW (a tiny
+    * negative reads as "independent") and `nmi_micro` is NULL unless
+    * mi ≥ 0 and min(H) > 0 — an integer DIV across zero would
+    * otherwise diverge between floor and truncation.
+    *
+    * Scale shape: ONE corpus-sized (a, b) counter agg with map-side
+    * combine; marginals, N, and every term live on the contingency
+    * frame (|a|·|b| cells — bounded-cardinality fields by contract,
+    * the categorical convention). NULL field values are real
+    * categories (null-safe joins — an untagged doc is a signal, not a
+    * drop). Output: one row — (n, n_cells, h_a_micro, h_b_micro,
+    * mi_micro, nmi_micro). */
+  def fieldMutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val aTot = cells.groupBy("__a").agg(sum("__c").as("__ra"))
+      .withColumnRenamed("__a", "__a2")
+    val bTot = cells.groupBy("__b").agg(sum("__c").as("__rb"))
+      .withColumnRenamed("__b", "__b2")
+    val n = cells.agg(sum("__c").as("__n"))
+    val terms = cells
+      .join(aTot, col("__a") <=> col("__a2"))
+      .join(bTot, col("__b") <=> col("__b2"))
+      .join(broadcast(n))
+      .select(expr(
+        """CAST(round((CAST(__c AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  * ln(CAST(__n AS DOUBLE) * CAST(__c AS DOUBLE)
+          |      / (CAST(__ra AS DOUBLE) * CAST(__rb AS DOUBLE)))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+      .agg(sum("__t").as("mi_micro"), count(lit(1)).as("n_cells"))
+    val ha = aTot.join(broadcast(n))
+      .select(expr(
+        """CAST(round(-(CAST(__ra AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  * ln(CAST(__ra AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+      .agg(sum("__t").as("h_a_micro"))
+    val hb = bTot.join(broadcast(n))
+      .select(expr(
+        """CAST(round(-(CAST(__rb AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  * ln(CAST(__rb AS DOUBLE) / CAST(__n AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+      .agg(sum("__t").as("h_b_micro"))
+    n.crossJoin(broadcast(terms)).crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .select(col("__n").as("n"), col("n_cells"),
+        col("h_a_micro"), col("h_b_micro"), col("mi_micro"),
+        when(col("mi_micro") >= 0L &&
+            least(col("h_a_micro"), col("h_b_micro")) > 0L,
+          expr("mi_micro * 1000000 DIV least(h_a_micro, h_b_micro)"))
+          .as("nmi_micro"))
+  }
 }

@@ -529,6 +529,62 @@ object Importance {
       .agg(max(col("__ns")).as("n_tokens"), sum("__t").as("kl_micro"))
   }
 
+  /** Jensen–Shannon drift per source — the SYMMETRIC, BOUNDED twin of
+    * [[klDrift]] (Lin 1991): JSD(p‖q) = ½KL(p‖m) + ½KL(q‖m) with
+    * m = (p+q)/2, always in [0, ln 2 ≈ 693 147 micro-nats], so one
+    * alert threshold works across sources of any size — where KL is
+    * unbounded and asymmetric (a source missing a corpus-heavy bucket
+    * inflates KL(corpus‖source) but barely moves KL(source‖corpus)).
+    * Same hashed-bucket support bound, same add-one smoothing, same
+    * per-bucket round-to-micro parity discipline; each bucket's
+    * combined term is ≥ 0 by convexity, so the rounded sum cannot go
+    * negative. `q` is the corpus mix INCLUDING the source (the drift-
+    * monitor convention shared with [[klDrift]] — the questions "did
+    * this source drift from what we train on" include the source's
+    * own mass in the target).
+    *
+    * Scale shape — identical to [[klDrift]]: ONE corpus-sized
+    * (source, bucket) counter shuffle with map-side combine;
+    * everything downstream lives on the sources × buckets spine with
+    * null-safe group joins (a NULL source is a real group). Output:
+    * (sourceCol, n_tokens, jsd_micro). */
+  def jsDrift(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 128): DataFrame = {
+    require(buckets >= 2, "need buckets >= 2")
+    val inst = docs.select(col(sourceCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(sourceCol),
+        pmod(TextFunctions.tokenHash(col("__tok")), lit(buckets)).as("__b"))
+    val sb = inst.groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__csb"))
+    val srcTot = sb.groupBy(col(sourceCol)).agg(sum("__csb").as("__ns"))
+    val bTot = sb.groupBy(col("__b")).agg(sum("__csb").as("__cb"))
+    val tot = bTot.agg(sum("__cb").as("__nn"))
+    val spine = srcTot
+      .crossJoin(broadcast(tot.select(col("__nn"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__b"))))
+    val sbKeyed = sb.select(col(sourceCol).as("__ks"),
+      col("__b").as("__kb"), col("__csb"))
+    val terms = spine
+      .join(sbKeyed,
+        col(sourceCol) <=> col("__ks") && col("__b") === col("__kb"), "left")
+      .join(broadcast(bTot), Seq("__b"), "left")
+      .select(col(sourceCol), col("__ns"),
+        expr(
+          s"""CAST(round((
+            |  0.5 * (CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |    * ln((CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |        / (0.5 * (CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |           + 0.5 * (CAST(coalesce(__cb, 0L) + 1 AS DOUBLE) / CAST(__nn + $buckets AS DOUBLE))))
+            |  + 0.5 * (CAST(coalesce(__cb, 0L) + 1 AS DOUBLE) / CAST(__nn + $buckets AS DOUBLE))
+            |    * ln((CAST(coalesce(__cb, 0L) + 1 AS DOUBLE) / CAST(__nn + $buckets AS DOUBLE))
+            |        / (0.5 * (CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
+            |           + 0.5 * (CAST(coalesce(__cb, 0L) + 1 AS DOUBLE) / CAST(__nn + $buckets AS DOUBLE))))
+            |) * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+    terms.groupBy(col(sourceCol))
+      .agg(max(col("__ns")).as("n_tokens"), sum("__t").as("jsd_micro"))
+  }
+
   /** Cross-source score calibration: each row's PERCENTILE of
     * `scoreCol` within its `groupCol` — `pct_micro` =
     * strictly-below-count × 1e6 DIV max(group size − 1, 1), exact

@@ -872,4 +872,51 @@ object Vocab {
       .select(col("piece"), col("n_occ"), col("new_cost_milli"),
         col("is_alphabet"), col("kept"))
   }
+
+  /** Token burstiness — the variance-to-mean ratio (index of
+    * dispersion) of each frequent token's PER-DOCUMENT count, zeros
+    * included (Church & Gale 1995): function words scatter ~Poisson
+    * (VMR ≈ 1), content words are bursty (VMR ≫ 1 — absent from most
+    * docs, repeated where they appear), and a token that shows up
+    * EXACTLY once in a huge fraction of documents (VMR < 1,
+    * underdispersed) is injected boilerplate — a footer, a banner, a
+    * template tag — precisely the thing line-dedup (q212) and the
+    * repetition gates miss when it is one line among many. The
+    * distributional complement to [[zipfFit]]: Zipf sees the
+    * frequency SPECTRUM, burstiness sees each token's PLACEMENT.
+    *
+    * Exact integers: with N docs, Σc and Σc² over docs containing the
+    * token, `vmr_micro` = 10⁶·(N·Σc² − (Σc)²) DIV ((N−1)·Σc) in
+    * DECIMAL(38,0) — the numerator is N² ·variance ≥ 0 (zeros
+    * included), so truncation is floor on both engines. A
+    * single-doc corpus (N < 2) has no variance to measure → empty
+    * output by contract (guarded).
+    *
+    * Scale shape: one corpus-sized (doc, token) partial agg, then a
+    * distinct-token-sized moment agg; the top-k cut is
+    * `ORDER BY cf DESC, token LIMIT k` — Spark plans it as
+    * TakeOrderedAndProject (O(k) per partition crossing to the
+    * driver-side heap, never a full sort shuffle), deterministic
+    * under ties via the token tiebreak. N joins in as a broadcast
+    * one-row frame. Output: (token, n_docs, cf, vmr_micro) ordered
+    * (cf desc, token). */
+  def tokenBurstiness(docs: DataFrame, docIdCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"need topK in [1, 10000], got $topK")
+    val nDocs = docs.agg(countDistinct(col(docIdCol)).as("__nd"))
+    val perDoc = docs.select(col(docIdCol).as("__doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("token"))
+      .groupBy("__doc", "token").agg(count(lit(1)).as("__c"))
+    val moments = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"), sum("__c").as("cf"),
+        sum(expr("__c * __c")).as("__ss"))
+      .orderBy(col("cf").desc, col("token")).limit(topK)
+    moments.join(broadcast(nDocs))
+      .where(col("__nd") >= 2L)
+      .select(col("token"), col("n_docs"), col("cf"),
+        expr("""CAST(((CAST(__nd AS DECIMAL(38,0)) * __ss - CAST(cf AS DECIMAL(38,0)) * cf)
+          | * 1000000) DIV ((__nd - 1) * CAST(cf AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin).as("vmr_micro"))
+  }
 }

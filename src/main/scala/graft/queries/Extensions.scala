@@ -3195,7 +3195,55 @@ object Extensions {
       col("outcome"))
       .orderBy("lang")
 
+  /** q236 — Kolmogorov–Smirnov two-sample drift
+    * ([[graft.operators.Anomaly.ksDrift]]): each source's bucketed
+    * length distribution against the rest of the corpus — the SHAPE
+    * screen beside q181's level monitor and q173's token-mix KL.
+    * Exact cross-multiplied supremum, argmax at the smallest value,
+    * every 43rd doc NULL-valued to exercise fail-visible skipping. */
+  def q236KsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.ksDrift(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 43 === 0, lit(null).cast("long"))
+            .otherwise(expr("n_chars DIV 16")).as("v")),
+      "source", "v")
+      .orderBy("source")
+
+  /** q237 — Jensen–Shannon drift per source ([[Importance.jsDrift]],
+    * 128 hashed buckets): the symmetric, [0, ln 2]-bounded twin of
+    * q173's KL — one alert threshold that works for every source. */
+  def q237JsDrift(spark: SparkSession, dir: String): DataFrame =
+    Importance.jsDrift(Tables(spark, dir, "documents"), "source", "text", 128)
+      .orderBy("source")
+
+  /** q238 — token burstiness ([[Vocab.tokenBurstiness]], top 40 by
+    * corpus frequency): variance-to-mean ratio of per-doc counts,
+    * zeros included — Poisson-flat function words vs bursty content
+    * words vs underdispersed injected boilerplate. Bounded top-k via
+    * TakeOrderedAndProject, exact DECIMAL(38,0) moments. */
+  def q238Burstiness(spark: SparkSession, dir: String): DataFrame =
+    Vocab.tokenBurstiness(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text")),
+      "doc_id", "text", topK = 40)
+      .orderBy(col("cf").desc, col("token"))
+
+  /** q239 — lang × source mutual information
+    * ([[Curation.fieldMutualInfo]]): the stratification-leak audit —
+    * NMI near 1 means a per-source gate is silently a per-language
+    * gate and a source-stratified split leaks language. NULL keys are
+    * real categories (null-safe marginals). */
+  def q239FieldMi(spark: SparkSession, dir: String): DataFrame =
+    Curation.fieldMutualInfo(
+      Tables(spark, dir, "documents").select(col("lang"), col("source")),
+      "lang", "source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_field_mi" -> (q239FieldMi _),
+    "q238_burstiness" -> (q238Burstiness _),
+    "q237_js_drift" -> (q237JsDrift _),
+    "q236_ks_drift" -> (q236KsDrift _),
     "q235_ece" -> (q235Ece _),
     "q234_chao1" -> (q234Chao1 _),
     "q233_auc" -> (q233Auc _),
@@ -4139,6 +4187,104 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q236_ks_drift" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v
+        |  FROM documents),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM hist GROUP BY g),
+        |vt AS (SELECT v, sum(c)::BIGINT AS tv FROM hist
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |vc AS (SELECT v, sum(tv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumall
+        |  FROM vt),
+        |nn AS (SELECT sum(tv)::BIGINT AS nall FROM vt),
+        |st AS (SELECT gt.g, vc.v, gt.n, gt.n_skipped,
+        |    nn.nall - gt.n AS n_rest, vc.cumall,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY gt.g ORDER BY vc.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumg
+        |  FROM gt CROSS JOIN vc CROSS JOIN nn
+        |  LEFT JOIN hist h ON gt.g IS NOT DISTINCT FROM h.g AND vc.v = h.v),
+        |dd AS (SELECT g, v, n, n_skipped, n_rest,
+        |    abs(CAST(cumg AS HUGEINT) * n_rest
+        |      - CAST(cumall - cumg AS HUGEINT) * n) AS d
+        |  FROM st),
+        |mx AS (SELECT g, max(n) AS n, max(n_skipped) AS n_skipped,
+        |    max(n_rest) AS n_rest, max(d) AS dmax FROM dd GROUP BY g),
+        |at AS (SELECT mx.g, mx.n, mx.n_skipped, mx.n_rest, mx.dmax,
+        |    min(dd.v) AS ks_at
+        |  FROM mx LEFT JOIN dd ON dd.g IS NOT DISTINCT FROM mx.g
+        |    AND dd.d = mx.dmax
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT g AS source, n, n_rest, n_skipped,
+        |  CASE WHEN n > 0 AND n_rest > 0 THEN CAST((dmax * 1000000)
+        |    // (CAST(n AS HUGEINT) * n_rest) AS BIGINT) END AS ks_micro,
+        |  CASE WHEN n > 0 AND n_rest > 0 THEN ks_at END AS ks_at
+        |FROM at ORDER BY source""".stripMargin),
+    "q237_js_drift" ->
+      (s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+        |i AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 128 AS b FROM t),
+        |sb AS (SELECT source, b, count(1)::BIGINT AS csb FROM i GROUP BY source, b),
+        |st AS (SELECT source, sum(csb)::BIGINT AS ns FROM sb GROUP BY source),
+        |bt AS (SELECT b, sum(csb)::BIGINT AS cb FROM sb GROUP BY b),
+        |tt AS (SELECT sum(cb)::BIGINT AS nn FROM bt),
+        |sp0 AS (SELECT CAST(unnest(range(128)) AS BIGINT) AS b),
+        |sp AS (SELECT st.source, st.ns, sp0.b, tt.nn FROM st CROSS JOIN sp0 CROSS JOIN tt),
+        |tm AS (SELECT sp.source, sp.ns,
+        |  CAST(round((
+        |    0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |      * ln((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |          / (0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |             + 0.5 * (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))))
+        |    + 0.5 * (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))
+        |      * ln((CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))
+        |          / (0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+        |             + 0.5 * (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))))
+        |  ) * 1000000) AS BIGINT) AS tmv
+        |  FROM sp LEFT JOIN sb ON sp.source IS NOT DISTINCT FROM sb.source AND sp.b = sb.b
+        |    LEFT JOIN bt ON sp.b = bt.b)
+        |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS jsd_micro
+        |FROM tm GROUP BY source ORDER BY source""".stripMargin),
+    "q238_burstiness" ->
+      (s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+        |pd AS (SELECT doc_id, token, count(1)::BIGINT AS c FROM tk GROUP BY 1, 2),
+        |mo AS (SELECT token, count(1)::BIGINT AS n_docs, sum(c)::BIGINT AS cf,
+        |    sum(c * c)::BIGINT AS ss FROM pd GROUP BY token
+        |  ORDER BY cf DESC, token LIMIT 40),
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM documents)
+        |SELECT token, n_docs, cf,
+        |  CAST(((CAST(nd AS HUGEINT) * ss - CAST(cf AS HUGEINT) * cf) * 1000000)
+        |    // ((nd - 1) * CAST(cf AS HUGEINT)) AS BIGINT) AS vmr_micro
+        |FROM mo CROSS JOIN nd WHERE nd >= 2
+        |ORDER BY cf DESC, token""".stripMargin),
+    "q239_field_mi" ->
+      ("""WITH c AS (SELECT lang AS a, source AS b, count(1)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c)::BIGINT AS ra FROM c GROUP BY a),
+        |rb AS (SELECT b, sum(c)::BIGINT AS rb FROM c GROUP BY b),
+        |n AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |mi AS (SELECT sum(CAST(round((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(n.n AS DOUBLE) * CAST(c.c AS DOUBLE)
+        |          / (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)))
+        |      * 1000000) AS BIGINT))::BIGINT AS mi_micro,
+        |    count(1)::BIGINT AS n_cells
+        |  FROM c JOIN ra ON c.a IS NOT DISTINCT FROM ra.a
+        |    JOIN rb ON c.b IS NOT DISTINCT FROM rb.b CROSS JOIN n),
+        |ha AS (SELECT sum(CAST(round(-(CAST(ra AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(ra AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * 1000000) AS BIGINT))::BIGINT AS h_a_micro FROM ra CROSS JOIN n),
+        |hb AS (SELECT sum(CAST(round(-(CAST(rb AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(rb AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * 1000000) AS BIGINT))::BIGINT AS h_b_micro FROM rb CROSS JOIN n)
+        |SELECT n.n AS n, mi.n_cells, ha.h_a_micro, hb.h_b_micro, mi.mi_micro,
+        |  CASE WHEN mi.mi_micro >= 0 AND least(h_a_micro, h_b_micro) > 0
+        |    THEN mi.mi_micro * 1000000 // least(h_a_micro, h_b_micro)
+        |  END AS nmi_micro
+        |FROM n CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin),
     "q233_auc" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS source,
         |    n_chars // 16 AS s,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.tokenBurstiness]]: hand-computed VMRs (bursty vs
+  * underdispersed vs exactly-Poisson-flat), the zeros-included
+  * semantics, the deterministic top-k cut, the N < 2 guard, and the
+  * TakeOrderedAndProject plan pin. */
+class BurstinessSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def run(rows: Seq[(Long, String)], k: Int = 50) =
+    Vocab.tokenBurstiness(df(rows), "doc_id", "text", k).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("bursty vs underdispersed, zeros included") {
+    // docs: "a a a" / "b" / "b"  (N = 3)
+    // a: df=1 cf=3 ss=9 -> vmr = (3*9-9)e6/(2*3)   = 3e6   (bursty)
+    // b: df=2 cf=2 ss=2 -> vmr = (3*2-4)e6/(2*2)   = 5e5   (underdispersed)
+    val got = run(Seq((1L, "a a a"), (2L, "b"), (3L, "b")))
+    assert(got("a") == ((1L, 3L, 3000000L)))
+    assert(got("b") == ((2L, 2L, 500000L)))
+  }
+
+  test("a token in EVERY doc exactly once has vmr = 0 (no variance)") {
+    val got = run(Seq((1L, "the x"), (2L, "the y"), (3L, "the z")))
+    assert(got("the") == ((3L, 3L, 0L)))
+  }
+
+  test("top-k cut is (cf desc, token asc) deterministic under ties") {
+    val rows = Seq((1L, "aa bb cc"), (2L, "aa bb cc"))
+    val got = run(rows, k = 2)
+    assert(got.keySet == Set("aa", "bb")) // cc ties on cf, loses on token
+  }
+
+  test("single-doc corpus yields an empty audit (no variance to measure)") {
+    assert(run(Seq((1L, "a a b"))).isEmpty)
+  }
+
+  test("plan pin: the top-k is TakeOrderedAndProject, not a sort shuffle") {
+    val plan = Vocab.tokenBurstiness(
+      df(Seq((1L, "a"), (2L, "b"))), "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}

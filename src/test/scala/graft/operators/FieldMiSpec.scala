@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.fieldMutualInfo]]: exact zero on independent fields,
+  * NMI = 1 on determined fields, NULL categories as real groups, and
+  * the zero-entropy NMI guard. */
+class FieldMiSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    val r = Curation.fieldMutualInfo(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) Long.MinValue else r.getLong(5))
+  }
+
+  test("independent uniform fields -> mi exactly 0") {
+    val rows = for (a <- Seq("x", "y"); b <- Seq("p", "q");
+                    _ <- 1 to 25) yield (a, b)
+    val (n, cells, ha, hb, mi, nmi) = run(rows)
+    assert(n == 100L && cells == 4L)
+    // H = 2 * round(0.5 * ln 2 * 1e6) = 693148 micro-nats
+    assert(ha == 693148L && hb == 693148L)
+    assert(mi == 0L && nmi == 0L)
+  }
+
+  test("determined fields (a == b) -> mi = H and nmi = 1e6") {
+    val rows = Seq.fill(30)(("en", "en")) ++ Seq.fill(30)(("fr", "fr"))
+    val (_, cells, ha, hb, mi, nmi) = run(rows)
+    assert(cells == 2L)
+    assert(mi == ha && mi == hb && nmi == 1000000L)
+  }
+
+  test("NULL categories are counted, not dropped") {
+    val rows = Seq((null, "s1"), (null, "s1"), ("en", "s2"), ("en", "s2"))
+    val (n, cells, _, _, mi, nmi) = run(rows.map {
+      case (a, b) => (a.asInstanceOf[String], b) })
+    assert(n == 4L && cells == 2L)
+    // NULL-lang determines s1 exactly -> maximal dependence
+    assert(nmi == 1000000L && mi > 0L)
+  }
+
+  test("a constant field has zero entropy -> NMI is NULL, never 0/0") {
+    val rows = Seq(("en", "s1"), ("en", "s2"), ("en", "s3"))
+    val (_, _, ha, _, mi, nmi) = run(rows)
+    assert(ha == 0L && mi == 0L && nmi == Long.MinValue)
+  }
+}

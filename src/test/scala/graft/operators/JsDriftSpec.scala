@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.jsDrift]]: the single-source exact zero, the ln 2
+  * bound, non-negativity, NULL-source grouping, and a seeded
+  * Scala-reference equivalence replaying the per-bucket rounding. */
+class JsDriftSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)], buckets: Int = 128) = {
+    import spark.implicits._
+    Importance.jsDrift(rows.toDF("source", "text"), "source", "text", buckets)
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("a source that IS the corpus has jsd exactly 0 (p == q termwise)") {
+    val got = run(Seq(("s", "alpha beta gamma alpha"), ("s", "beta beta")))
+    assert(got("s") == ((6L, 0L)))
+  }
+
+  test("bounded by ln 2 and non-negative on concentrated disjoint mass") {
+    // each source's mass concentrates on ONE bucket (one repeated
+    // token) — disjoint vocabularies that SPREAD over the 128 hashed
+    // buckets wash out instead, which is the documented support bound
+    val a = (1 to 200).map(_ => ("a", "alpha")).toSeq
+    val b = (1 to 200).map(_ => ("b", "omega")).toSeq
+    val got = run(a ++ b)
+    for ((_, (_, jsd)) <- got) {
+      // vs the half/half corpus mix: JSD((1,0),(.5,.5)) ~ 0.2157 nats
+      assert(jsd >= 0L && jsd <= 693148L)
+      assert(jsd > 100000L)
+    }
+  }
+
+  test("NULL source is a real group with its real counts") {
+    val got = run(Seq((null, "x y z"), ("b", "x y z")))
+    assert(got.contains("<null>") && got("<null>")._1 == 3L)
+    // same content, same total -> symmetric drift values
+    assert(got("<null>")._2 == got("b")._2)
+  }
+
+  test("Scala-reference equivalence on a seeded mixed corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(60)(i => s"tok$i")
+    val rows = (1 to 120).map { _ =>
+      val src = s"s${rnd.nextInt(3)}"
+      val bias = src.last - '0'
+      val words = Seq.fill(8)(vocab(math.min(59, rnd.nextInt(40) + bias * 10)))
+      (src, words.mkString(" "))
+    }
+    val buckets = 32
+    val got = run(rows, buckets)
+    // reference: same md5-bucket hash, same add-one smoothing, same
+    // per-bucket double expression, rounded to micro before the sum
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val inst = rows.flatMap { case (s, t) =>
+      t.toLowerCase.trim.split("\\s+").map(tok => (s, bucket(tok)))
+    }
+    val nn = inst.size.toLong
+    val cb = inst.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    for ((src, (nToks, jsdGot)) <- got if src != "<null>") {
+      val mine = inst.filter(_._1 == src)
+      val ns = mine.size.toLong
+      assert(ns == nToks)
+      val csb = mine.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+      val jsd = (0 until buckets).map { b =>
+        val p = (csb.getOrElse(b, 0L) + 1).toDouble / (ns + buckets)
+        val q = (cb.getOrElse(b, 0L) + 1).toDouble / (nn + buckets)
+        val m = 0.5 * p + 0.5 * q
+        math.round((0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+          * 1000000)
+      }.sum
+      assert(jsd == jsdGot, s"source $src")
+    }
+  }
+}

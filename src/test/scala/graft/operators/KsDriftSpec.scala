@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.ksDrift]]: hand-computed suprema, the argmax-ties-to-
+  * smallest-value rule, fail-visible NULL skipping, NULL group keys,
+  * the single-group NULL, and a brute-force equivalence sweep. */
+class KsDriftSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.ksDrift(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("hand-computed supremum against the complement") {
+    // a: [1,1,2]  b: [2,3,3]; for group a, rest = b (n=3 each).
+    // spine v=1: cum_a=2, cum_rest=0 -> |2*3-0*3|=6
+    //       v=2: cum_a=3, cum_rest=1 -> |9-3|=6
+    //       v=3: cum_a=3, cum_rest=3 -> 0
+    // dmax=6 at v in {1,2} -> ks_at=1; ks = 6e6/(3*3) = 666666
+    val got = run(Seq("a" -> L(1), "a" -> L(1), "a" -> L(2),
+      "b" -> L(2), "b" -> L(3), "b" -> L(3)))
+    assert(got("a") == ((3L, 3L, 0L, 666666L, 1L)))
+    assert(got("b") == ((3L, 3L, 0L, 666666L, 1L)))
+  }
+
+  test("identical distributions -> ks = 0, argmax at the smallest value") {
+    val got = run(Seq("a" -> L(5), "a" -> L(7), "b" -> L(5), "b" -> L(7)))
+    assert(got("a")._4 == 0L)
+    // every value ties at d = 0 -> smallest spine value wins
+    assert(got("a")._5 == 5L)
+  }
+
+  test("NULL values are skipped fail-visibly, not silently dropped") {
+    val got = run(Seq("a" -> L(1), "a" -> null, "a" -> null,
+      "b" -> L(2), "b" -> L(2)))
+    assert(got("a") == ((1L, 2L, 2L, 1000000L, 1L)))
+    assert(got("b")._3 == 0L)
+  }
+
+  test("a NULL group key is audited like any other group") {
+    val got = run(Seq(null.asInstanceOf[String] -> L(1), "b" -> L(9)))
+    assert(got.contains("<null>"))
+    assert(got("<null>") == ((1L, 1L, 0L, 1000000L, 1L)))
+  }
+
+  test("single group (n_rest = 0) emits NULL ks, never a fake 0") {
+    val got = run(Seq("only" -> L(1), "only" -> L(2)))
+    assert(got("only")._4 == -1L && got("only")._5 == Long.MinValue)
+  }
+
+  test("brute-force equivalence on a seeded skewed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 800).map { i =>
+      val g = s"g${rnd.nextInt(4)}"
+      val v = if (g == "g0") rnd.nextInt(10).toLong
+              else (rnd.nextInt(25) + (if (g == "g3") 5 else 0)).toLong
+      (g, L(v))
+    }
+    val got = run(rows)
+    val byG = rows.groupBy(_._1)
+    val all = rows.map(_._2.longValue()).sorted
+    for ((g, rs) <- byG) {
+      val mine = rs.map(_._2.longValue())
+      val rest = all.diff(mine)
+      val spine = all.distinct.sorted
+      val ds = spine.map { v =>
+        val cg = mine.count(_ <= v).toLong
+        val cr = rest.count(_ <= v).toLong
+        (math.abs(cg * rest.size - cr * mine.size), v)
+      }
+      val dmax = ds.map(_._1).max
+      val at = ds.filter(_._1 == dmax).map(_._2).min
+      val ks = dmax * 1000000L / (mine.size.toLong * rest.size)
+      assert(got(g) == ((mine.size.toLong, rest.size.toLong, 0L, ks, at)),
+        s"group $g")
+    }
+  }
+}
