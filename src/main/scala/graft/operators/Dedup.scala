@@ -1195,4 +1195,85 @@ object Dedup {
         when(col("n_common").isNull, lit(null).cast("long"))
           .when(col("n_b") === 0, lit(0L))
           .otherwise(expr("CAST(1000 * n_common AS BIGINT) DIV n_b")))
+
+  /** Cross-document duplicated-SPAN detection — the per-document
+    * "how much of this text exists verbatim elsewhere?" audit of
+    * exact-substring dedup (Lee et al. 2021): an n-token shingle that
+    * appears in ≥ `minDocs` DISTINCT documents marks its positions
+    * duplicated; per document, overlapping/adjacent duplicated
+    * positions merge into MAXIMAL spans and `dup_frac_micro` reports
+    * the covered token fraction. This is the signal q73/q25's
+    * doc-level dedup cannot see: two long documents sharing one
+    * boilerplate paragraph are not near-duplicates of each other, but
+    * that paragraph still trains the model N times. Within-doc
+    * repetition is deliberately excluded (distinct-doc counting — the
+    * q141/q196 family owns that axis).
+    *
+    * Span algebra: shingle at position p covers tokens [p, p+n−1];
+    * spans of sorted positions merge while pₖ₊₁ ≤ pₖ_end + n (overlap
+    * OR adjacency — "…end][start…" verbatim runs read as ONE span);
+    * a merged island (s‥e) covers e − s + n tokens. The merge is a
+    * single row-local `aggregate` fold over each doc's SORTED
+    * duplicated positions.
+    *
+    * Scale shape: one corpus-sized (shingle-hash, doc) distinct agg
+    * elects duplicated hashes (map-side combined — a boilerplate
+    * shingle in 10⁹ docs crosses the shuffle as one row per input
+    * partition); positions rejoin by hash semi-join; the island fold
+    * runs on per-doc arrays bounded by document length (the engine's
+    * bounded collect_list contract). Hash = the 60-bit md5 shingle
+    * hash ([[graft.expressions.TokenHashes]]) — engine-portable, and
+    * collisions at 60 bits over-mark a span at ~2⁻⁶⁰ per pair
+    * (documented, accepted). Output: one row per input doc —
+    * (docIdCol, n_tokens, n_dup_shingles, n_spans, dup_tokens,
+    * dup_frac_micro), zeros for clean docs. */
+  def duplicatedSpans(docs: DataFrame, docIdCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 64, s"need shingle width in [2, 64], got $n")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val toks = docs.select(col(docIdCol).as("__doc"),
+      tokens(coalesce(col(textCol), lit(""))).as("__tw"))
+    val sh = toks.select(col("__doc"),
+      posexplode(graft.expressions.TokenHashes(
+        graft.expressions.WordShingles(col("__tw"), n)))
+        .as(Seq("__pos", "__h")))
+    val dup = sh.groupBy("__h")
+      .agg(countDistinct(col("__doc")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    val hits = sh.join(dup, Seq("__h"), "left_semi")
+    val init = struct(lit(0L).as("ns"), lit(0L).as("dt"),
+      lit(-1L).as("s"), lit(-1L).as("e"))
+    val folded = hits.groupBy("__doc")
+      .agg(sort_array(collect_list(col("__pos").cast("long"))).as("__ps"),
+        count(lit(1)).as("n_dup_shingles"))
+      .withColumn("__r", aggregate(col("__ps"), init,
+        (acc, p) => when(acc("s") === -1L,
+            struct(acc("ns").as("ns"), acc("dt").as("dt"),
+              p.as("s"), p.as("e")))
+          .when(p <= acc("e") + n,
+            struct(acc("ns").as("ns"), acc("dt").as("dt"),
+              acc("s").as("s"), p.as("e")))
+          .otherwise(struct((acc("ns") + 1L).as("ns"),
+            (acc("dt") + acc("e") - acc("s") + n).as("dt"),
+            p.as("s"), p.as("e"))),
+        acc => struct(
+          when(acc("s") === -1L, acc("ns")).otherwise(acc("ns") + 1L)
+            .as("n_spans"),
+          when(acc("s") === -1L, acc("dt"))
+            .otherwise(acc("dt") + acc("e") - acc("s") + n)
+            .as("dup_tokens"))))
+      .select(col("__doc").as("__fd"), col("n_dup_shingles"),
+        col("__r.n_spans").as("n_spans"),
+        col("__r.dup_tokens").as("dup_tokens"))
+    toks.select(col("__doc"), size(col("__tw")).cast("long").as("n_tokens"))
+      .join(folded, col("__doc") <=> col("__fd"), "left")
+      .select(col("__doc").as(docIdCol), col("n_tokens"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0L,
+          expr("coalesce(dup_tokens, CAST(0 AS BIGINT)) * 1000000 DIV n_tokens"))
+          .otherwise(lit(0L)).as("dup_frac_micro"))
+  }
 }

@@ -3239,7 +3239,28 @@ object Extensions {
       Tables(spark, dir, "documents").select(col("lang"), col("source")),
       "lang", "source")
 
+  /** q242 — cross-document duplicated spans
+    * ([[graft.operators.Dedup.duplicatedSpans]], 5-token shingles,
+    * ≥ 2 docs): the exact-substring-dedup audit (Lee et al. 2021) —
+    * per doc, maximal verbatim spans shared with ANY other document
+    * and the covered token fraction. A 12-token boilerplate footer is
+    * appended to every 7th doc (the q212 injection discipline), so
+    * those docs must report a merged tail span; doc-level dedup sees
+    * none of this. */
+  def q242DupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicatedSpans(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(coalesce(col("text"), lit("")),
+              lit(" shared boilerplate footer all rights reserved" +
+                " contact us terms of service apply")))
+            .otherwise(col("text")).as("text")),
+      "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_dup_spans" -> (q242DupSpans _),
     "q239_field_mi" -> (q239FieldMi _),
     "q238_burstiness" -> (q238Burstiness _),
     "q237_js_drift" -> (q237JsDrift _),
@@ -4187,6 +4208,41 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q242_dup_spans" ->
+      ("""WITH raw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '')
+        |      || ' shared boilerplate footer all rights reserved contact us terms of service apply'
+        |    ELSE text END AS text FROM documents),
+        |tk AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS tw
+        |  FROM raw),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tw) - 3),
+        |    i -> struct_pack(pos := i - 1,
+        |      h := ('0x' || substring(md5(array_to_string(tw[i:i+4], ' ')), 1, 15))::BIGINT))) AS u
+        |  FROM tk),
+        |s2 AS (SELECT doc_id, u.pos::BIGINT AS pos, u.h AS h FROM sh),
+        |dup AS (SELECT h FROM s2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT s2.doc_id, s2.pos FROM s2 JOIN dup USING (h)),
+        |w AS (SELECT doc_id, pos, CASE WHEN pos <= lag(pos)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) + 5 THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM w),
+        |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) AS e
+        |  FROM g GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, count(1)::BIGINT AS n_spans,
+        |    sum(e - s + 5)::BIGINT AS dup_tokens FROM sp GROUP BY doc_id),
+        |cn AS (SELECT doc_id, count(1)::BIGINT AS n_dup_shingles
+        |  FROM d GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.tw)::BIGINT AS n_tokens,
+        |  coalesce(cn.n_dup_shingles, 0)::BIGINT AS n_dup_shingles,
+        |  coalesce(ag.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(ag.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  CASE WHEN len(t.tw) > 0
+        |    THEN coalesce(ag.dup_tokens, 0) * 1000000 // len(t.tw)
+        |    ELSE 0 END::BIGINT AS dup_frac_micro
+        |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
     "q236_ks_drift" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.duplicatedSpans]]: span-merge algebra (overlap AND
+  * adjacency), the within-doc-repetition exclusion, clean-doc zeros,
+  * and an independent Scala replay over a seeded corpus. */
+class DupSpansSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], n: Int = 5) = {
+    import spark.implicits._
+    Dedup.duplicatedSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("a shared 6-token run merges two overlapping shingles into one span") {
+    val shared = "aa bb cc dd ee ff"
+    val got = run(Seq(
+      (1L, s"x1 x2 x3 $shared x4"),
+      (2L, s"y1 $shared y2")))
+    // doc 1: 10 tokens, dup shingles at pos 3,4 -> one span of 6 tokens
+    assert(got(1L) == ((10L, 2L, 1L, 6L, 600000L)))
+    // doc 2: 8 tokens, dup shingles at pos 1,2 -> one span of 6 tokens
+    assert(got(2L) == ((8L, 2L, 1L, 6L, 750000L)))
+  }
+
+  test("two separated shared runs stay two spans") {
+    val a = "aa bb cc dd ee"
+    val b = "pp qq rr ss tt"
+    val got = run(Seq(
+      (1L, s"$a z1 z2 z3 z4 z5 z6 $b"),
+      (2L, s"$a w1 w2 $b")))
+    assert(got(1L)._3 == 2L && got(1L)._4 == 10L)
+    assert(got(2L)._3 == 2L && got(2L)._4 == 10L)
+  }
+
+  test("adjacent duplicated runs merge (pos == prev_end + n)") {
+    // doc 3 carries run A immediately followed by run B; docs 1/2 hold
+    // them separately -> in doc 3 the islands touch and must merge
+    val a = "aa bb cc dd ee"
+    val b = "pp qq rr ss tt"
+    val got = run(Seq(
+      (1L, s"x1 x2 $a x3 x4"),
+      (2L, s"y1 y2 $b y3 y4"),
+      (3L, s"$a $b")))
+    // doc 3: dup shingle positions 0 and 5 (the two runs' starts);
+    // 5 <= 0 + 5 -> one island covering tokens 0..9
+    assert(got(3L)._3 == 1L && got(3L)._4 == 10L &&
+      got(3L)._5 == 1000000L)
+  }
+
+  test("within-doc repetition alone is NOT a cross-doc span") {
+    val got = run(Seq(
+      (1L, "aa bb cc dd ee zz aa bb cc dd ee"),
+      (2L, "totally different words here with nothing shared at all")))
+    assert(got(1L)._3 == 0L && got(1L)._4 == 0L)
+  }
+
+  test("clean and empty docs report zeros, not NULLs, and stay present") {
+    val got = run(Seq((1L, "unique words only here"), (2L, ""),
+      (3L, "aa bb cc dd ee ff"), (4L, "aa bb cc dd ee ff")))
+    assert(got(1L) == ((4L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got(3L)._5 == 1000000L && got(4L)._5 == 1000000L)
+  }
+
+  test("independent Scala replay on a seeded small-vocab corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(12)(i => s"w$i")
+    val rows = (1L to 20L).map { id =>
+      id -> Seq.fill(15 + rnd.nextInt(10))(vocab(rnd.nextInt(12)))
+        .mkString(" ")
+    }
+    val n = 5
+    val got = run(rows, n)
+    // reference: mark positions whose n-gram string occurs in >= 2
+    // distinct docs, merge intervals, count covered tokens
+    val grams = rows.map { case (id, t) =>
+      id -> t.split(" ").toVector }.toMap
+    val owner = scala.collection.mutable.Map[String, Set[Long]]()
+    for ((id, tw) <- grams; i <- 0 to tw.size - n)
+      owner(tw.slice(i, i + n).mkString(" ")) =
+        owner.getOrElse(tw.slice(i, i + n).mkString(" "), Set()) + id
+    for ((id, tw) <- grams) {
+      val ps = (0 to tw.size - n)
+        .filter(i => owner(tw.slice(i, i + n).mkString(" ")).size >= 2)
+      var spans = List.empty[(Int, Int)]
+      for (p <- ps) spans = spans match {
+        case (s, e) :: rest if p <= e + n => (s, p) :: rest
+        case _ => (p, p) :: spans
+      }
+      val dupToks = spans.map { case (s, e) => e - s + n }.sum.toLong
+      val (nt, nd, nsp, dt, frac) = got(id)
+      assert(nt == tw.size.toLong && nd == ps.size.toLong)
+      assert(nsp == spans.size.toLong && dt == dupToks, s"doc $id")
+      assert(frac == dupToks * 1000000L / tw.size)
+    }
+  }
+}
