@@ -280,10 +280,15 @@ object Anomaly {
     * Windows run only over that spine, partitioned per group. Output:
     * one row per group — (groupCol, n, n_rest, n_skipped, ks_micro,
     * ks_at). */
-  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("long").as("__v"))
-    val hist = base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    // the histogram is the ONE corpus-sized agg; three consumers
+    // (group totals, the value spine, the CDF rejoin) read the
+    // materialized blocks instead of re-running the corpus scan
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
     val gTot = hist.groupBy("__g").agg(
       sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
       sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
@@ -328,5 +333,81 @@ object Anomaly {
           .as("ks_micro"),
         when(col("n") > 0L && col("n_rest") > 0L, col("ks_at"))
           .otherwise(lit(null).cast("long")).as("ks_at"))
+  }
+
+  /** Median/MAD robust outlier gate per group (Hampel 1974; the
+    * Leys et al. 2013 recommendation over mean/σ): `n_outliers`
+    * counts rows with |x − median| · 1000 > kMilli · MAD — the
+    * two-sided tail screen a mean-based z-score gets WRONG on skewed
+    * corpora, because the outliers it hunts inflate the mean and σ
+    * that define them; the median and MAD are 50%-breakdown robust.
+    *
+    * Exact integers: both medians are LOWER medians at histogram
+    * granularity — the smallest value whose cumulative count reaches
+    * ⌈n/2⌉ (2·cum ≥ n, the engines' shared comparison) — and the gate
+    * cross-multiplies (|x−median|·1000 vs kMilli·MAD), so no division
+    * or float appears anywhere. MAD = 0 (≥ half the group identical)
+    * makes EVERY differing row an outlier — the standard modified-
+    * z-score degeneracy, kept fail-loud rather than special-cased.
+    * NULL values drop fail-visibly (`n_null`); NULL group keys are
+    * audited (null-safe joins); an all-NULL group keeps its row with
+    * NULL median/MAD.
+    *
+    * Scale shape: one corpus-sized (group, value) counter agg; both
+    * median scans and the gate run at histogram granularity (windows
+    * only over the per-group value spine — integral bounded-
+    * cardinality values by contract). Output: one row per group —
+    * (groupCol, n, n_null, median, mad, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      kMilli: Long = 3000L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(kMilli >= 0L, s"need kMilli >= 0, got $kMilli")
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    // ONE corpus-sized counter agg, materialized once — the two median
+    // scans, the gate, and the totals all read histogram blocks
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_null"))
+    val hv = hist.where(col("__v").isNotNull)
+    def lowerMedian(h: DataFrame, vCol: String): DataFrame =
+      h.join(keyed(gTot.select(col("__g"), col("n")), "__gt"),
+          col("__g") <=> col("__gt"), "left")
+        .withColumn("__cum", sum("__c")
+          .over(Window.partitionBy("__g").orderBy(vCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("__cum") * 2 >= col("n"))
+        .groupBy("__g").agg(min(vCol).as("__med"))
+    val med = lowerMedian(hv, "__v")
+    val adev = hv
+      .join(keyed(med, "__gm"), col("__g") <=> col("__gm"), "left")
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__a"),
+        col("__c"))
+      .groupBy("__g", "__a").agg(sum("__c").as("__c"))
+      .withColumnRenamed("__a", "__v")
+    val mad = lowerMedian(adev, "__v")
+      .withColumnRenamed("__med", "__mad")
+    val outliers = hv
+      .join(keyed(med, "__gm"), col("__g") <=> col("__gm"))
+      .join(keyed(mad, "__gd"), col("__g") <=> col("__gd"))
+      .where(abs(col("__v") - col("__med")) * 1000L >
+        lit(kMilli) * col("__mad"))
+      .groupBy("__g").agg(sum("__c").as("n_outliers"))
+    gTot
+      .join(keyed(med, "__gm"), col("__g") <=> col("__gm"), "left")
+      .join(keyed(mad, "__gd"), col("__g") <=> col("__gd"), "left")
+      .join(keyed(outliers, "__go"), col("__g") <=> col("__go"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("n_null"),
+        col("__med").as("median"), col("__mad").as("mad"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
+  // rename-join helper: a null-safe self-join needs distinct key names
+  private def keyed(f: DataFrame, k: String): DataFrame = {
+    val renamed = f.withColumnRenamed("__g", k)
+    renamed.select(col(k) +: renamed.columns.filterNot(_ == k)
+      .map(col).toSeq: _*)
   }
 }

@@ -714,4 +714,167 @@ object Curation {
           expr("mi_micro * 1000000 DIV least(h_a_micro, h_b_micro)"))
           .as("nmi_micro"))
   }
+
+  /** Bradley–Terry strength estimation from pairwise preferences
+    * (Bradley & Terry 1952; the MM algorithm of Hunter 2004) — the
+    * model behind DPO/RLHF preference data and LLM-judge
+    * leaderboards: from (winner, loser) rows alone, per-item
+    * strengths w with P(i beats j) = wᵢ/(wᵢ+wⱼ), INFERRING relative
+    * strength across pairs never directly compared (A≻B and B≻C
+    * order A vs C — a win-RATE table cannot). The curation use:
+    * rank judges/annotators/model checkpoints from sparse pairwise
+    * audits before trusting their labels.
+    *
+    * Determinism contract: fixed `rounds` MM iterations in exact
+    * integer micro arithmetic — per-pair terms tᵢⱼ = nᵢⱼ·10¹² DIV
+    * (wᵢ+wⱼ), update wᵢ′ = Wᵢ·10¹² DIV Σⱼtᵢⱼ, then a sum-preserving
+    * renormalization to Σw = nItems·10⁶ — every division truncates
+    * identically on both engines (all operands non-negative), so the
+    * strengths are bit-identical on any engine/partitioning. A
+    * zero-win item's strength collapses to the 1-micro floor
+    * (GREATEST(…, 1)) rather than 0: the true MLE diverges for
+    * never-winners, and a 0 strength would 0/0 the next round's
+    * shared-pair terms. NULL item keys fold to '' (the engine's
+    * group-key convention).
+    *
+    * Scale shape: ONE corpus-sized pass aggregates the preference
+    * stream to per-item win counts and unordered-pair game counts
+    * (map-side combined); the MM rounds run on the items²-bounded
+    * pair frame (items are categorical — judges, sources, models —
+    * by contract). Output: (item, n_wins, n_games, strength_micro),
+    * strengths summing to ≈ nItems·10⁶. */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int = 3,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"need rounds in [1,10], got $rounds")
+    val base = pairs.select(
+      coalesce(col(winnerCol).cast("string"), lit("")).as("__w"),
+      coalesce(col(loserCol).cast("string"), lit("")).as("__l"))
+    // ONE corpus pass: the preference stream collapses to the
+    // items²-bounded game matrix + per-item win counts, materialized
+    // once — every MM round re-reads these, never the corpus
+    val games = checkpointer(base.select(
+        least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__nab")))
+    val wins = base.groupBy(col("__w").as("__i"))
+      .agg(count(lit(1)).as("n_wins"))
+    val items = checkpointer(games.select(col("__a").as("__i"))
+      .union(games.select(col("__b")))
+      .distinct()
+      .join(wins, Seq("__i"), "left")
+      .select(col("__i"), coalesce(col("n_wins"), lit(0L)).as("n_wins")))
+    val nItems = items.count() // items-sized frame, already materialized
+    var w = checkpointer(items.select(col("__i"), lit(1000000L).as("__wm")))
+    for (_ <- 1 to rounds) {
+      val wa = w.select(col("__i").as("__a"), col("__wm").as("__wma"))
+      val wb = w.select(col("__i").as("__b"), col("__wm").as("__wmb"))
+      val t = games.join(wa, Seq("__a")).join(wb, Seq("__b"))
+        .withColumn("__t", expr(
+          "CAST(__nab AS DECIMAL(38,0)) * 1000000000000 DIV (__wma + __wmb)"))
+      val denom = t.select(col("__a").as("__i"), col("__t"))
+        .union(t.select(col("__b"), col("__t")))
+        .groupBy("__i").agg(sum("__t").as("__d"))
+      val updated = items.join(denom, Seq("__i"))
+        .select(col("__i"), greatest(expr(
+          "CAST(n_wins AS DECIMAL(38,0)) * 1000000000000 DIV __d"), lit(1L))
+          .as("__wu"))
+      val s = updated.agg(sum("__wu").as("__s"))
+      val next = checkpointer(updated.crossJoin(broadcast(s))
+        .select(col("__i"), expr(
+          s"""CAST(CAST(__wu AS DECIMAL(38,0)) * ${nItems}000000 DIV __s
+            | AS BIGINT)""".stripMargin).as("__wm")))
+      Checkpointer.release(w) // superseded generation, fully consumed
+      w = next
+    }
+    val nGames = games.select(col("__a").as("__i"), col("__nab"))
+      .union(games.select(col("__b"), col("__nab")))
+      .groupBy("__i").agg(sum("__nab").as("n_games"))
+    // games/items/final-w blocks (all items²-bounded) back the lazy
+    // result's lineage — the caller's terminal action reads them, so
+    // they are NOT released here (superseded w generations were)
+    items.join(broadcast(nGames), Seq("__i"))
+      .join(broadcast(w), Seq("__i"))
+      .select(col("__i").as("item"), col("n_wins"), col("n_games"),
+        col("__wm").as("strength_micro"))
+  }
+
+  /** Kendall τ-b rank agreement between two integer scores per group —
+    * the ORDINAL twin of [[judgeAgreement]]'s categorical kappa: do
+    * two quality scorers RANK documents the same way, ties corrected
+    * (Kendall 1945)? The ensemble-worth audit for graded scorers
+    * where kappa's exact-match chance term is meaningless.
+    *
+    * Exact integers: concordant/discordant pair masses C and D come
+    * from the joint-histogram cell self-join in DECIMAL(38,0) — never
+    * row pairs; τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) uses ONE
+    * correctly-rounded IEEE sqrt of an exact integer product (the
+    * [[graft.operators.Sampling]] Neyman discipline) and a final
+    * signed DIV (truncation toward zero on both engines). C and D
+    * are emitted as BIGINT — per-group pair counts must stay under
+    * 2⁶³, i.e. groups under ~4·10⁹ rows (documented contract).
+    * NULL x or y drops the ROW fail-visibly (`n_dropped`); a group
+    * whose rows all drop stays in the audit with NULL τ, as does a
+    * group with zero x- or y-variance (denominator 0 — there is no
+    * ranking to agree with).
+    *
+    * Scale shape: one corpus-sized (group, x, y) counter agg with
+    * map-side combine; the self-join and marginals run on the
+    * bins²-bounded joint histogram (integral bounded-cardinality
+    * scores by contract — pre-bucket continuous scores upstream).
+    * Output: (groupCol, n, n_dropped, conc, disc, tau_micro). */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val spine = base.groupBy("__g").agg(
+      sum(when(col("__x").isNull || col("__y").isNull, 1L).otherwise(0L))
+        .as("n_dropped"))
+    // the joint histogram is the ONE corpus-sized agg; its five
+    // consumers (both self-join sides, totals, both tie marginals)
+    // read materialized blocks, never the corpus again
+    val cells = checkpointer(
+      base.where(col("__x").isNotNull && col("__y").isNotNull)
+        .groupBy("__g", "__x", "__y").agg(count(lit(1)).as("__c")))
+    val c2 = cells.select(col("__g").as("__g2"), col("__x").as("__x2"),
+      col("__y").as("__y2"), col("__c").as("__c2"))
+    val cd = cells
+      .join(c2, col("__g") <=> col("__g2") && col("__x") < col("__x2"))
+      .groupBy("__g").agg(
+        sum(when(col("__y") < col("__y2"),
+          col("__c").cast("decimal(38,0)") * col("__c2")).otherwise(lit(0L)))
+          .as("__C"),
+        sum(when(col("__y") > col("__y2"),
+          col("__c").cast("decimal(38,0)") * col("__c2")).otherwise(lit(0L)))
+          .as("__D"))
+    val nG = cells.groupBy("__g").agg(sum("__c").as("n"))
+    val tX = cells.groupBy(col("__g"), col("__x"))
+      .agg(sum("__c").as("__t"))
+      .groupBy("__g")
+      .agg(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")).as("__tx2"))
+    val tY = cells.groupBy(col("__g"), col("__y"))
+      .agg(sum("__c").as("__t"))
+      .groupBy("__g")
+      .agg(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")).as("__ty2"))
+    def keyed(f: DataFrame, k: String) = f.withColumnRenamed("__g", k)
+    spine
+      .join(keyed(nG, "__gn"), col("__g") <=> col("__gn"), "left")
+      .join(keyed(cd, "__gc"), col("__g") <=> col("__gc"), "left")
+      .join(keyed(tX, "__gx"), col("__g") <=> col("__gx"), "left")
+      .join(keyed(tY, "__gy"), col("__g") <=> col("__gy"), "left")
+      .withColumn("__n0x2",
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+      .withColumn("__den", expr(
+        """CAST(floor(sqrt(CAST(CAST((__n0x2 - __tx2) DIV 2 AS DECIMAL(38,0))
+          | * ((__n0x2 - __ty2) DIV 2) AS DOUBLE))) AS DECIMAL(38,0))"""
+          .stripMargin))
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_dropped"),
+        coalesce(col("__C"), lit(0L)).cast("long").as("conc"),
+        coalesce(col("__D"), lit(0L)).cast("long").as("disc"),
+        when(col("__den") > 0L,
+          expr("CAST((__C - __D) * 1000000 DIV __den AS BIGINT)"))
+          .as("tau_micro"))
+  }
 }

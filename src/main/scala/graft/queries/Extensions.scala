@@ -3259,7 +3259,71 @@ object Extensions {
       "doc_id", "text", n = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  /** q240 — Bradley–Terry strengths from pairwise preferences
+    * ([[Curation.bradleyTerry]], 3 MM rounds): even/odd docs form
+    * comparisons, the longer doc's SOURCE wins (a deliberately crude
+    * judge) — the leaderboard fit that infers relative strength
+    * across source pairs never directly compared. Self-pairs and
+    * length ties carry no information and are filtered. The oracle
+    * unrolls all three integer MM rounds. */
+  def q240BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
+        col("n_chars"))
+    val a = d.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id DIV 2").as("pid"), col("source").as("sa"),
+        col("n_chars").as("ca"))
+    val b = d.filter(col("doc_id") % 2 === 1)
+      .select(expr("doc_id DIV 2").as("pid"), col("source").as("sb"),
+        col("n_chars").as("cb"))
+    val prefs = a.join(b, Seq("pid"))
+      .where(col("ca") =!= col("cb") && col("sa") =!= col("sb"))
+      .select(
+        when(col("ca") > col("cb"), col("sa")).otherwise(col("sb"))
+          .as("winner"),
+        when(col("ca") > col("cb"), col("sb")).otherwise(col("sa"))
+          .as("loser"))
+    Curation.bradleyTerry(prefs, "winner", "loser", rounds = 3)
+      .orderBy("item")
+  }
+
+  /** q241 — Kendall τ-b between two scorers ([[Curation.kendallTau]]):
+    * bucketed char-length vs bucketed token count per lang — two
+    * correlated-by-construction quality proxies whose rank agreement
+    * should be strongly positive. Every 31st doc carries a NULL
+    * second score to exercise the fail-visible drop. */
+  def q241KendallTau(spark: SparkSession, dir: String): DataFrame =
+    Curation.kendallTau(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"), col("doc_id"),
+          expr("n_chars DIV 64").as("x"),
+          size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("__nt"))
+        .select(col("lang"), col("x"),
+          when(col("doc_id") % 31 === 0, lit(null).cast("long"))
+            .otherwise(expr("__nt DIV 8")).as("y")),
+      "lang", "x", "y")
+      .orderBy("lang")
+
+  /** q243 — median/MAD robust outlier gate ([[graft.operators.Anomaly
+    * .madOutliers]], k = 3): per-source length outliers measured
+    * against 50%-breakdown statistics a heavy tail cannot inflate —
+    * the robust twin of a z-score gate. Every 59th doc is NULL-valued
+    * (fail-visible n_null); the cross-multiplied gate needs no
+    * division anywhere. */
+  def q243MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.madOutliers(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 59 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars").cast("long")).as("v")),
+      "source", "v", kMilli = 3000L)
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_mad_outliers" -> (q243MadOutliers _),
+    "q241_kendall_tau" -> (q241KendallTau _),
+    "q240_bradley_terry" -> (q240BradleyTerry _),
     "q242_dup_spans" -> (q242DupSpans _),
     "q239_field_mi" -> (q239FieldMi _),
     "q238_burstiness" -> (q238Burstiness _),
@@ -4207,7 +4271,121 @@ object Extensions {
       |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** One unrolled Bradley–Terry MM round (q240): reads w{i−1}, emits
+    * t/d/u/s/w CTEs for round i — the SQL twin of the engine's
+    * integer update + sum-preserving renormalization. */
+  private def btRoundSql(i: Int): String = {
+    val p = s"w${i - 1}"
+    s"""t$i AS (SELECT g.a, g.b,
+       |    CAST(g.nab AS HUGEINT) * 1000000000000 // (wa.wm + wb.wm) AS t
+       |  FROM g JOIN $p wa ON g.a = wa.i JOIN $p wb ON g.b = wb.i),
+       |d$i AS (SELECT i, sum(t) AS dd FROM (
+       |    SELECT a AS i, t FROM t$i UNION ALL SELECT b, t FROM t$i)
+       |  GROUP BY i),
+       |u$i AS (SELECT it.i,
+       |    greatest(CAST(it.n_wins AS HUGEINT) * 1000000000000 // d$i.dd, 1) AS wu
+       |  FROM it JOIN d$i ON it.i = d$i.i),
+       |s$i AS (SELECT sum(wu) AS s FROM u$i),
+       |w$i AS (SELECT u$i.i,
+       |    CAST(CAST(wu AS HUGEINT) * (ni.k * 1000000) // s$i.s AS BIGINT) AS wm
+       |  FROM u$i CROSS JOIN s$i CROSS JOIN ni)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q240_bradley_terry" ->
+      (s"""WITH d AS (SELECT doc_id, coalesce(source, '') AS source, n_chars
+        |  FROM documents),
+        |pa AS (SELECT doc_id // 2 AS pid, source AS sa, n_chars AS ca
+        |  FROM d WHERE doc_id % 2 = 0),
+        |pb AS (SELECT doc_id // 2 AS pid, source AS sb, n_chars AS cb
+        |  FROM d WHERE doc_id % 2 = 1),
+        |pr AS (SELECT CASE WHEN ca > cb THEN sa ELSE sb END AS w,
+        |    CASE WHEN ca > cb THEN sb ELSE sa END AS l
+        |  FROM pa JOIN pb USING (pid) WHERE ca <> cb AND sa <> sb),
+        |g AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+        |    count(1)::BIGINT AS nab FROM pr GROUP BY 1, 2),
+        |wn AS (SELECT w AS i, count(1)::BIGINT AS n_wins FROM pr GROUP BY w),
+        |it AS (SELECT u.i, coalesce(wn.n_wins, 0)::BIGINT AS n_wins FROM
+        |    (SELECT a AS i FROM g UNION SELECT b FROM g) u
+        |  LEFT JOIN wn ON u.i = wn.i),
+        |ni AS (SELECT count(1)::BIGINT AS k FROM it),
+        |ng AS (SELECT i, sum(nab)::BIGINT AS n_games FROM (
+        |    SELECT a AS i, nab FROM g UNION ALL SELECT b, nab FROM g)
+        |  GROUP BY i),
+        |w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS wm FROM it),
+        |${btRoundSql(1)},
+        |${btRoundSql(2)},
+        |${btRoundSql(3)}
+        |SELECT it.i AS item, it.n_wins, ng.n_games, w3.wm AS strength_micro
+        |FROM it JOIN ng ON it.i = ng.i JOIN w3 ON it.i = w3.i
+        |ORDER BY item""".stripMargin),
+    "q241_kendall_tau" ->
+      ("""WITH base AS (SELECT coalesce(lang, '') AS g, n_chars // 64 AS x,
+        |    CASE WHEN doc_id % 31 = 0 THEN NULL
+        |      ELSE len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) // 8
+        |    END AS y
+        |  FROM documents),
+        |sp AS (SELECT g, sum(CASE WHEN x IS NULL OR y IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        |  FROM base GROUP BY g),
+        |ce AS (SELECT g, x, y, count(1)::BIGINT AS c FROM base
+        |  WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS cc,
+        |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS dd
+        |  FROM ce a JOIN ce b ON a.g IS NOT DISTINCT FROM b.g AND a.x < b.x
+        |  GROUP BY a.g),
+        |ngr AS (SELECT g, sum(c)::BIGINT AS n FROM ce GROUP BY g),
+        |tx AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2 FROM
+        |    (SELECT g, x, sum(c)::BIGINT AS t FROM ce GROUP BY 1, 2) GROUP BY g),
+        |ty AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS ty2 FROM
+        |    (SELECT g, y, sum(c)::BIGINT AS t FROM ce GROUP BY 1, 2) GROUP BY g),
+        |j AS (SELECT sp.g, ngr.n, sp.n_dropped, cd.cc, cd.dd, tx.tx2, ty.ty2,
+        |    CAST(ngr.n AS HUGEINT) * (ngr.n - 1) AS n0x2
+        |  FROM sp LEFT JOIN ngr ON sp.g IS NOT DISTINCT FROM ngr.g
+        |    LEFT JOIN cd ON sp.g IS NOT DISTINCT FROM cd.g
+        |    LEFT JOIN tx ON sp.g IS NOT DISTINCT FROM tx.g
+        |    LEFT JOIN ty ON sp.g IS NOT DISTINCT FROM ty.g),
+        |f AS (SELECT g, n, n_dropped, cc, dd,
+        |    CAST(floor(sqrt(CAST(((n0x2 - tx2) // 2) * ((n0x2 - ty2) // 2)
+        |      AS DOUBLE))) AS HUGEINT) AS den
+        |  FROM j)
+        |SELECT g AS lang, coalesce(n, 0)::BIGINT AS n, n_dropped,
+        |  coalesce(cc, 0)::BIGINT AS conc, coalesce(dd, 0)::BIGINT AS disc,
+        |  CASE WHEN den > 0 THEN CAST((cc - dd) * 1000000 // den AS BIGINT)
+        |  END AS tau_micro
+        |FROM f ORDER BY lang""".stripMargin),
+    "q243_mad_outliers" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 59 = 0 THEN NULL ELSE n_chars END AS v
+        |  FROM documents),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_null
+        |  FROM hist GROUP BY g),
+        |hv AS (SELECT g, v, c FROM hist WHERE v IS NOT NULL),
+        |cm AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hv),
+        |md AS (SELECT cm.g, min(cm.v) AS med FROM cm
+        |  JOIN gt ON cm.g IS NOT DISTINCT FROM gt.g
+        |  WHERE cm.cum * 2 >= gt.n GROUP BY cm.g),
+        |ad AS (SELECT hv.g, abs(hv.v - md.med) AS a, sum(hv.c)::BIGINT AS c
+        |  FROM hv JOIN md ON hv.g IS NOT DISTINCT FROM md.g GROUP BY 1, 2),
+        |cm2 AS (SELECT g, a, sum(c) OVER (PARTITION BY g ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ad),
+        |mad AS (SELECT cm2.g, min(cm2.a) AS mad FROM cm2
+        |  JOIN gt ON cm2.g IS NOT DISTINCT FROM gt.g
+        |  WHERE cm2.cum * 2 >= gt.n GROUP BY cm2.g),
+        |ou AS (SELECT hv.g, sum(hv.c)::BIGINT AS n_outliers
+        |  FROM hv JOIN md ON hv.g IS NOT DISTINCT FROM md.g
+        |    JOIN mad ON hv.g IS NOT DISTINCT FROM mad.g
+        |  WHERE abs(hv.v - md.med) * 1000 > 3000 * mad.mad GROUP BY hv.g)
+        |SELECT gt.g AS source, gt.n, gt.n_null, md.med AS median,
+        |  mad.mad AS mad, coalesce(ou.n_outliers, 0)::BIGINT AS n_outliers
+        |FROM gt LEFT JOIN md ON gt.g IS NOT DISTINCT FROM md.g
+        |  LEFT JOIN mad ON gt.g IS NOT DISTINCT FROM mad.g
+        |  LEFT JOIN ou ON gt.g IS NOT DISTINCT FROM ou.g
+        |ORDER BY source""".stripMargin),
     "q242_dup_spans" ->
       ("""WITH raw AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '')

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.bradleyTerry]]: dominance ordering, the symmetric
+  * fixed point, cross-pair strength inference (the thing win rates
+  * can't do), the zero-win floor, NULL folding, and an exact integer
+  * Scala replay of the MM rounds. */
+class BradleyTerrySpec extends SparkSpec {
+
+  private def run(prefs: Seq[(String, String)], rounds: Int = 3) = {
+    import spark.implicits._
+    Curation.bradleyTerry(prefs.toDF("w", "l"), "w", "l", rounds)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("a dominant item ends strongest, a winless one at the floor tier") {
+    val prefs = Seq.fill(10)(("a", "b")) ++ Seq.fill(10)(("a", "c")) ++
+      Seq.fill(10)(("b", "c"))
+    val got = run(prefs)
+    assert(got("a")._1 == 20L && got("c")._1 == 0L)
+    assert(got("a")._3 > got("b")._3 && got("b")._3 > got("c")._3)
+  }
+
+  test("a perfectly symmetric round-robin stays at 1e6 each") {
+    val prefs = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b"))
+    val got = run(prefs)
+    assert(got.values.forall(_._3 == 1000000L))
+  }
+
+  test("strength is inferred ACROSS pairs never directly compared") {
+    // a beats b 9:1, b beats c 9:1, a NEVER plays c; win RATE has no
+    // a-vs-c answer, BT does: a > c
+    val prefs = Seq.fill(9)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq(("c", "b"))
+    val got = run(prefs)
+    assert(got("a")._2 == 10L && got("c")._2 == 10L) // never met
+    assert(got("a")._3 > got("b")._3 && got("b")._3 > got("c")._3)
+  }
+
+  test("NULL item keys fold to the empty-string item") {
+    val got = run(Seq((null, "b"), (null, "b")).map {
+      case (w, l) => (w.asInstanceOf[String], l) })
+    assert(got.contains("") && got("")._1 == 2L)
+  }
+
+  test("exact integer Scala replay on seeded random preferences") {
+    val rnd = new scala.util.Random(3)
+    val items = Vector("p", "q", "r", "s")
+    val skill = Map("p" -> 8, "q" -> 4, "r" -> 2, "s" -> 1)
+    val prefs = (1 to 300).map { _ =>
+      val Seq(x, y) = rnd.shuffle(items).take(2)
+      if (rnd.nextInt(skill(x) + skill(y)) < skill(x)) (x, y) else (y, x)
+    }
+    val rounds = 3
+    val got = run(prefs, rounds)
+    // reference: same games/wins reduction, same truncating updates
+    val games = prefs.map { case (w, l) =>
+      if (w < l) (w, l) else (l, w) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wins = prefs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val its = items.sorted
+    val k = its.size.toLong
+    var w = its.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      val denom = its.map { i =>
+        i -> games.collect { case ((a, b), nab) if a == i || b == i =>
+          nab * 1000000000000L / (w(a) + w(b))
+        }.sum
+      }.toMap
+      val upd = its.map { i =>
+        i -> math.max(
+          (BigInt(wins.getOrElse(i, 0L)) * BigInt("1000000000000") /
+            denom(i)).toLong, 1L)
+      }.toMap
+      val s = upd.values.map(BigInt(_)).sum
+      w = its.map(i => i -> (BigInt(upd(i)) * (k * 1000000L) / s).toLong)
+        .toMap
+    }
+    for (i <- its) assert(got(i)._3 == w(i), s"item $i")
+    // the engineered skill order must be recovered
+    assert(got("p")._3 > got("q")._3 && got("q")._3 > got("r")._3 &&
+      got("r")._3 > got("s")._3)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.kendallTau]]: the exact ±1e6 endpoints, tie-corrected
+  * τ-b vs a row-pair brute force, fail-visible NULL drops, and the
+  * zero-variance NULL. */
+class KendallTauSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Curation.kendallTau(rows.toDF("g", "x", "y"), "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("perfect agreement is exactly 1e6, perfect reversal exactly -1e6") {
+    val up = (1L to 6L).map(i => ("up", L(i), L(i * 10)))
+    val dn = (1L to 6L).map(i => ("dn", L(i), L(-i)))
+    val got = run(up ++ dn)
+    assert(got("up") == ((6L, 0L, 15L, 0L, 1000000L)))
+    assert(got("dn") == ((6L, 0L, 0L, 15L, -1000000L)))
+  }
+
+  test("NULL x or y drops the row fail-visibly") {
+    val got = run(Seq(("g", L(1), L(1)), ("g", null, L(2)),
+      ("g", L(3), null), ("g", L(4), L(4))))
+    assert(got("g")._1 == 2L && got("g")._2 == 2L)
+    assert(got("g")._5 == 1000000L)
+  }
+
+  test("zero x-variance means no ranking to agree with -> NULL tau") {
+    val got = run(Seq(("g", L(5), L(1)), ("g", L(5), L(2))))
+    assert(got("g")._5 == Long.MinValue)
+    val gone = run(Seq(("g", null, L(1)), ("g", null, L(2))))
+    assert(gone("g")._1 == 0L && gone("g")._2 == 2L &&
+      gone("g")._5 == Long.MinValue)
+  }
+
+  test("tie-corrected brute force on a seeded bucketed sample") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(8).toLong
+      // correlated with noise, heavy ties from the small ranges
+      val y = (x / 2 + rnd.nextInt(3)).toLong
+      ("g", L(x), L(y))
+    }
+    val got = run(rows)("g")
+    val v = rows.map(r => (r._2.longValue(), r._3.longValue()))
+    var (c, d) = (0L, 0L)
+    for (i <- v.indices; j <- i + 1 until v.size) {
+      val s = (v(i)._1 - v(j)._1).sign * (v(i)._2 - v(j)._2).sign
+      if (s > 0) c += 1 else if (s < 0) d += 1
+    }
+    val n = v.size.toLong
+    val n0 = n * (n - 1) / 2
+    def ties(f: ((Long, Long)) => Long) =
+      v.groupBy(f).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val den = math.sqrt(((n0 - ties(_._1)) * (n0 - ties(_._2))).toDouble)
+      .floor.toLong
+    assert(got._3 == c && got._4 == d)
+    assert(got._5 == (c - d) * 1000000L / den)
+    assert(got._5 > 500000L) // engineered positive correlation
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.madOutliers]]: hand-computed median/MAD, the robustness
+  * case a mean/σ gate gets wrong, the MAD = 0 degeneracy, lower-median
+  * pinning, and NULL handling. */
+class MadOutliersSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)], k: Long = 3000L) = {
+    import spark.implicits._
+    Anomaly.madOutliers(rows.toDF("g", "v"), "g", "v", k).collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          r.getLong(5)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("the robust case: one huge value cannot hide itself") {
+    // mean = 209.2, sd ~ 442: a 3-sigma MEAN gate would pass 1000;
+    // median = 12, MAD = 1 -> 1000 is flagged
+    val got = run(Seq(("g", L(10)), ("g", L(12)), ("g", L(11)),
+      ("g", L(13)), ("g", L(1000))))
+    assert(got("g") == ((5L, 0L, 12L, 1L, 1L)))
+  }
+
+  test("MAD = 0 degeneracy: every differing row is an outlier") {
+    val got = run(Seq(("g", L(1)), ("g", L(1)), ("g", L(1)), ("g", L(9))))
+    assert(got("g") == ((4L, 0L, 1L, 0L, 1L)))
+  }
+
+  test("lower median on even counts, boundary NOT an outlier at k*mad") {
+    // [1,2,3,4]: 2cum>=4 first at v=2 -> median 2; adev [1,0,1,2]
+    // sorted a: 0,1,1,2 -> mad: 2cum>=4 at a=1 -> mad 1; gate 3000*1:
+    // |4-2|*1000 = 2000 <= 3000 -> no outliers (strict >)
+    val got = run(Seq(("g", L(1)), ("g", L(2)), ("g", L(3)), ("g", L(4))))
+    assert(got("g") == ((4L, 0L, 2L, 1L, 0L)))
+  }
+
+  test("NULL values counted, all-NULL group keeps a NULL-median row") {
+    val got = run(Seq(("g", L(5)), ("g", null), ("h", null)))
+    assert(got("g") == ((1L, 1L, 5L, 0L, 0L)))
+    assert(got("h") == ((0L, 1L, Long.MinValue, Long.MinValue, 0L)))
+  }
+
+  test("NULL group keys are audited") {
+    val got = run(Seq((null.asInstanceOf[String], L(1)),
+      (null.asInstanceOf[String], L(100))))
+    assert(got("<null>")._1 == 2L && got("<null>")._3 == 1L)
+  }
+}
