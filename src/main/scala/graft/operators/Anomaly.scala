@@ -404,6 +404,57 @@ object Anomaly {
         coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
   }
 
+  /** Theil–Sen robust trend estimate per keyed series (Theil 1950;
+    * Sen 1968) — the MAGNITUDE companion to [[mannKendall]]'s
+    * direction/significance: the median of all pairwise slopes, a
+    * 29%-breakdown estimator one spike batch cannot bend where an
+    * OLS slope follows the outlier. The capacity-planning read-out of
+    * the same drift the MK test flags ("yield is decaying — how fast?").
+    *
+    * Exact integers: each pairwise slope quantizes to micro-units per
+    * order step via signed truncating DIV (toward zero on both
+    * engines); the estimate is the LOWER median of the sorted slope
+    * array (the [[madOutliers]] convention). Pairs sharing an order
+    * key have no defined slope and are skipped — present in
+    * `n_points`, absent from `n_slopes` (fail-visible). NULL order or
+    * value drops the row into `n_dropped`. Value deltas must stay
+    * under ~9·10¹² so the micro scaling fits a long (same bound
+    * family as [[mannKendall]]'s contracts).
+    *
+    * Scale shape: one partial-agg packs each series (the bounded-
+    * series collect contract shared with [[ewmaDeviation]] — hours of
+    * a month, not raw rows); the O(n²) slope enumeration, sort, and
+    * median pick are ROW-LOCAL lambdas over that array. Output: one
+    * row per series — (seriesCol, n_points, n_dropped, n_slopes,
+    * slope_micro; NULL slope when no valid pair exists). */
+  def theilSen(df: DataFrame, seriesCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val both = col(orderCol).isNotNull && col(valueCol).isNotNull
+    val packed = df.groupBy(col(seriesCol)).agg(
+      sort_array(collect_list(when(both,
+        struct(col(orderCol).cast("long").as("__o"),
+          col(valueCol).cast("long").as("__c"))))).as("__evs"),
+      sum(when(both, 0L).otherwise(1L)).as("n_dropped"))
+    // sequence(1, 0) would DESCEND in Spark — guard the n < 2 case
+    val slopes = when(size(col("__evs")) >= 2, expr(
+      """array_sort(filter(flatten(transform(
+        |  sequence(1, size(__evs) - 1), i ->
+        |    transform(sequence(i + 1, size(__evs)), j ->
+        |      CASE WHEN element_at(__evs, j).__o <> element_at(__evs, i).__o
+        |        THEN (element_at(__evs, j).__c - element_at(__evs, i).__c)
+        |          * 1000000
+        |          DIV (element_at(__evs, j).__o - element_at(__evs, i).__o)
+        |      END))), s -> s IS NOT NULL))""".stripMargin))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    packed.withColumn("__sl", slopes)
+      .select(col(seriesCol), size(col("__evs")).cast("long").as("n_points"),
+        col("n_dropped"), size(col("__sl")).cast("long").as("n_slopes"),
+        when(size(col("__sl")) >= 1,
+          element_at(col("__sl"),
+            expr("CAST((size(__sl) + 1) DIV 2 AS INT)")))
+          .as("slope_micro"))
+  }
+
   // rename-join helper: a null-safe self-join needs distinct key names
   private def keyed(f: DataFrame, k: String): DataFrame = {
     val renamed = f.withColumnRenamed("__g", k)

@@ -799,6 +799,42 @@ object Curation {
         col("__wm").as("strength_micro"))
   }
 
+  /** Gini concentration of weight mass across categories — "is my
+    * mixture dominated by one crawl?" as one number (0 = perfectly
+    * even, → 1 = one category holds everything), plus the top
+    * category's share. The mixture-health gauge read BEFORE
+    * temperature weighting (q137/q176 then FIX what this flags).
+    *
+    * Exact integers: with categories ranked ascending by weight
+    * (ties broken by key, NULL keys first — both engines pinned),
+    * G = (2·Σᵢ i·xᵢ − (k+1)·Σx) / (k·Σx); the numerator is ≥ 0 by
+    * the ascending order, computed in DECIMAL(38,0), ONE truncating
+    * division at the end. Weights must be non-negative (counts/
+    * tokens — the Gini identity is not defined otherwise; contract).
+    * The rank window runs over the CATEGORY frame (bounded by the
+    * categorical convention), never rows. All-NULL or all-zero mass
+    * → NULL gini, never 0/0.
+    *
+    * Output: one row — (k, total, gini_micro, top_share_micro). */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      weight: Column): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("__g"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__x"))
+    val ranked = m.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x").asc, col("__g").asc)))
+    ranked.agg(count(lit(1)).as("k"), sum("__x").as("total"),
+        sum(expr("CAST(__i AS DECIMAL(38,0)) * __x")).as("__t"),
+        max("__x").as("__mx"))
+      .select(col("k"), col("total"),
+        when(col("total") > 0L, expr(
+          """CAST((2 * __t - (k + 1) * CAST(total AS DECIMAL(38,0)))
+            | * 1000000 DIV (CAST(k AS DECIMAL(38,0)) * total) AS BIGINT)"""
+            .stripMargin)).as("gini_micro"),
+        when(col("total") > 0L,
+          expr("CAST(CAST(__mx AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
+          .as("top_share_micro"))
+  }
+
   /** Kendall τ-b rank agreement between two integer scores per group —
     * the ORDINAL twin of [[judgeAgreement]]'s categorical kappa: do
     * two quality scorers RANK documents the same way, ties corrected

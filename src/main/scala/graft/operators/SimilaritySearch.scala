@@ -890,4 +890,79 @@ object SimilaritySearch {
           .otherwise(expr("1000 * dcg_micro DIV idcg_micro"))
           .as("ndcg_milli"))
   }
+
+  /** Pairwise centroid distances between embedding groups — the
+    * "are these sources/labels semantically distinct?" audit a
+    * mixture designer runs before merging corpora: groups whose mean
+    * vectors nearly coincide are interchangeable (merging them buys
+    * volume, not coverage), while an unexpected far-out centroid
+    * flags a mis-tagged or poisoned slice. Euclidean distance between
+    * integer-micro centroids.
+    *
+    * Determinism ([[topComponent]]'s quantize-before-sum discipline):
+    * each (row, dim) coordinate rounds to integer micro BEFORE the
+    * order-free sum; the centroid is the truncating integer mean
+    * (`S DIV n` — toward zero on both engines for either sign); the
+    * distance is ONE correctly-rounded IEEE sqrt of the exact integer
+    * squared sum. Ragged and NULL vectors drop fail-closed (the
+    * [[srpSignature]] convention) and are counted per group in
+    * `n_dropped` — an audit must SAY it ignored rows.
+    *
+    * Scale shape: one corpus-sized (group, dim) partial agg (the
+    * explode is dim× the scan, combined map-side); centroids and the
+    * pair frame live on groups × dim, pairs ordered null-first so a
+    * NULL group key is audited like any other; the centroid frame is
+    * materialized once for its two join sides. A group with ZERO
+    * valid vectors has no centroid and leaves the pair frame entirely
+    * (its drop count has no row to ride) — upstream emptiness is the
+    * louder signal there. Output: (ga, gb, n_a, n_b, n_dropped_a,
+    * n_dropped_b, dist_micro) for every unordered group pair. */
+  def centroidDistances(df: DataFrame, groupCol: String, vecCol: String,
+      dim: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"need dim in [1, 4096], got $dim")
+    val tagged = df.select(col(groupCol).as("__g"), col(vecCol).as("__v"))
+      .withColumn("__ok",
+        col("__v").isNotNull && size(col("__v")) === dim)
+    val dropped = tagged.groupBy("__g")
+      .agg(sum(when(col("__ok"), 0L).otherwise(1L)).as("n_dropped"))
+    val cent = tagged.where(col("__ok"))
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__j", "__x")))
+      .select(col("__g"), col("__j"),
+        expr("CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("__xm"))
+      .groupBy("__g", "__j")
+      .agg(sum("__xm").as("__s"), count(lit(1)).as("__n"))
+      .select(col("__g"), col("__j"), expr("__s DIV __n").as("__m"),
+        col("__n"))
+    val centM = checkpointer(cent) // groups × dim; two join sides read it
+    val ca = centM.select(col("__g").as("__ga"), col("__j"),
+      col("__m").as("__ma"), col("__n").as("n_a"))
+    val cb = centM.select(col("__g").as("__gb"), col("__j").as("__j2"),
+      col("__m").as("__mb"), col("__n").as("n_b"))
+    ca.join(cb,
+        col("__j") === col("__j2") &&
+          (col("__ga") < col("__gb") ||
+            (col("__ga").isNull && col("__gb").isNotNull)))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(expr("CAST(__ma - __mb AS DECIMAL(38,0)) * (__ma - __mb)"))
+          .as("__ss"))
+      .select(col("__ga"), col("__gb"), col("n_a"), col("n_b"),
+        expr("CAST(floor(sqrt(CAST(__ss AS DOUBLE))) AS BIGINT)")
+          .as("dist_micro"))
+      // null-safe drop-count joins: a NULL group key's audit row must
+      // carry ITS dropped count, not a coalesced 0
+      .join(broadcast(dropped.select(col("__g").as("__da"),
+        col("n_dropped").as("n_dropped_a"))),
+        col("__ga") <=> col("__da"), "left")
+      .join(broadcast(dropped.select(col("__g").as("__db"),
+        col("n_dropped").as("n_dropped_b"))),
+        col("__gb") <=> col("__db"), "left")
+      .select(col("__ga").as("ga"), col("__gb").as("gb"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_dropped_a"), lit(0L)).as("n_dropped_a"),
+        coalesce(col("n_dropped_b"), lit(0L)).as("n_dropped_b"),
+        col("dist_micro"))
+  }
 }

@@ -3320,7 +3320,58 @@ object Extensions {
       "source", "v", kMilli = 3000L)
       .orderBy("source")
 
+  /** q244 — pairwise label-centroid distances
+    * ([[graft.operators.SimilaritySearch.centroidDistances]], dim 64):
+    * are the embedding labels semantically distinct clusters or one
+    * blob? Quantize-before-sum integer centroids, one IEEE sqrt per
+    * pair; every 47th vector is NULLed to exercise the fail-closed
+    * drop counters. */
+  def q244Centroids(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilaritySearch.centroidDistances(
+      Tables(spark, dir, "embeddings")
+        .select(col("label"),
+          when(col("vec_id") % 47 === 0,
+            lit(null).cast("array<float>"))
+            .otherwise(col("embedding")).as("embedding")),
+      "label", "embedding", dim = 64)
+      .orderBy("ga", "gb")
+
+  /** q245 — Theil–Sen robust trend ([[graft.operators.Anomaly
+    * .theilSen]]) over the q222 ramped hourly series: the MAGNITUDE
+    * companion to Mann–Kendall — click's injected +500 cents/hour
+    * must surface as ≈ 500·10⁶ micro/step, spike-proof by the median
+    * of pairwise slopes. */
+  def q245TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val ramp = expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT) * 500")
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+      .withColumn("cents", col("cents") +
+        when(col("event_type") === "click", ramp)
+          .when(col("event_type") === "error", -ramp)
+          .otherwise(lit(0L)))
+      .withColumn("h", expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT)"))
+    graft.operators.Anomaly.theilSen(hourly, "event_type", "h", "cents")
+      .orderBy("event_type")
+  }
+
+  /** q246 — Gini mixture concentration ([[Curation.giniConcentration]])
+    * of token mass across sources — the one-number "is my mixture
+    * dominated?" gauge plus the top source's share, read before any
+    * temperature rebalancing. */
+  def q246Gini(spark: SparkSession, dir: String): DataFrame =
+    Curation.giniConcentration(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("w")),
+      "source", col("w"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_gini" -> (q246Gini _),
+    "q245_theil_sen" -> (q245TheilSen _),
+    "q244_centroid_dist" -> (q244Centroids _),
     "q243_mad_outliers" -> (q243MadOutliers _),
     "q241_kendall_tau" -> (q241KendallTau _),
     "q240_bradley_terry" -> (q240BradleyTerry _),
@@ -4292,6 +4343,76 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q244_centroid_dist" ->
+      ("""WITH e AS (SELECT label AS g,
+        |    CASE WHEN vec_id % 47 = 0 THEN NULL ELSE embedding END AS v
+        |  FROM embeddings),
+        |tg AS (SELECT g, v, (v IS NOT NULL AND len(v) = 64) AS ok FROM e),
+        |dr AS (SELECT g, sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+        |  FROM tg GROUP BY g),
+        |t AS (SELECT g, unnest(list_transform(range(1, 65), j ->
+        |    struct_pack(j := j - 1,
+        |      xm := CAST(round(CAST(v[j] AS DOUBLE) * 1000000) AS BIGINT)))) AS u
+        |  FROM tg WHERE ok),
+        |c AS (SELECT g, u.j AS j, sum(u.xm)::BIGINT AS s,
+        |    count(1)::BIGINT AS n FROM t GROUP BY 1, 2),
+        |ce AS (SELECT g, j, s // n AS m, n FROM c),
+        |pr AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b,
+        |    sum(CAST(a.m - b.m AS HUGEINT) * (a.m - b.m)) AS ss
+        |  FROM ce a JOIN ce b ON a.j = b.j
+        |    AND (a.g < b.g OR (a.g IS NULL AND b.g IS NOT NULL))
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT pr.ga, pr.gb, pr.n_a, pr.n_b,
+        |  coalesce(da.n_dropped, 0)::BIGINT AS n_dropped_a,
+        |  coalesce(db.n_dropped, 0)::BIGINT AS n_dropped_b,
+        |  CAST(floor(sqrt(CAST(ss AS DOUBLE))) AS BIGINT) AS dist_micro
+        |FROM pr LEFT JOIN dr da ON pr.ga IS NOT DISTINCT FROM da.g
+        |  LEFT JOIN dr db ON pr.gb IS NOT DISTINCT FROM db.g
+        |ORDER BY ga, gb""".stripMargin),
+    "q245_theil_sen" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT event_type,
+        |    CAST(date_part('epoch', hour) AS BIGINT) // 3600 AS hh, cents +
+        |    CASE WHEN event_type = 'click'
+        |           THEN (CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         WHEN event_type = 'error'
+        |           THEN -(CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         ELSE 0 END AS cents
+        |  FROM h),
+        |sp AS (SELECT event_type,
+        |    sum(CASE WHEN hh IS NULL OR cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |    count(CASE WHEN hh IS NOT NULL AND cents IS NOT NULL THEN 1 END)::BIGINT AS n_points
+        |  FROM h2 GROUP BY 1),
+        |pt AS (SELECT event_type, hh, cents FROM h2
+        |  WHERE hh IS NOT NULL AND cents IS NOT NULL),
+        |sl AS (SELECT a.event_type,
+        |    (b.cents - a.cents) * 1000000 // (b.hh - a.hh) AS s
+        |  FROM pt a JOIN pt b ON a.event_type = b.event_type AND a.hh < b.hh),
+        |ns AS (SELECT event_type, count(1)::BIGINT AS n_slopes FROM sl GROUP BY 1),
+        |rk AS (SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn FROM sl)
+        |SELECT sp.event_type, sp.n_points, sp.n_dropped,
+        |  coalesce(ns.n_slopes, 0)::BIGINT AS n_slopes, rk.s AS slope_micro
+        |FROM sp LEFT JOIN ns USING (event_type)
+        |  LEFT JOIN rk ON rk.event_type = sp.event_type
+        |    AND rk.rn = (ns.n_slopes + 1) // 2
+        |ORDER BY sp.event_type""".stripMargin),
+    "q246_gini" ->
+      ("""WITH m AS (SELECT coalesce(source, '') AS g,
+        |    sum(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')))::BIGINT AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT g, x, row_number() OVER (ORDER BY x, g NULLS FIRST) AS i
+        |  FROM m),
+        |a AS (SELECT count(1)::BIGINT AS k, sum(x)::BIGINT AS total,
+        |    sum(CAST(i AS HUGEINT) * x) AS t, max(x)::BIGINT AS mx FROM r)
+        |SELECT k, total,
+        |  CASE WHEN total > 0 THEN CAST((2 * t - (k + 1) * CAST(total AS HUGEINT))
+        |    * 1000000 // (CAST(k AS HUGEINT) * total) AS BIGINT) END AS gini_micro,
+        |  CASE WHEN total > 0 THEN CAST(CAST(mx AS HUGEINT) * 1000000 // total
+        |    AS BIGINT) END AS top_share_micro
+        |FROM a""".stripMargin),
     "q240_bradley_terry" ->
       (s"""WITH d AS (SELECT doc_id, coalesce(source, '') AS source, n_chars
         |  FROM documents),

@@ -97,4 +97,54 @@ object StreamingAnomaly {
           out.result().iterator
       }
   }
+
+  /** Streaming calibration monitor — the O(bins)-state face of
+    * [[graft.operators.Curation.calibrationError]]: per (group, bin)
+    * the three counters (n, pos, Σconf) are SUM-MERGEABLE, so
+    * 3·(1000/binWidth + 1) longs per group monitor an unbounded
+    * prediction stream, and the row emitted after any trigger equals
+    * the batch operator over the union of all batches so far
+    * (spec-pinned prefix parity — the engine's stream ≡ batch
+    * discipline). Out-of-range confidences drop exactly as the batch
+    * filter does; the typed tuple cannot carry NULLs — filter them
+    * upstream (NULL visibility is the batch face's job). A group
+    * whose every row dropped emits NOTHING, matching the batch
+    * operator's absent row. Emits per trigger per touched group
+    * (Update mode): (group, n_docs, ece_micro, mce_micro). */
+  def calibration(rows: Dataset[(String, Long, Boolean)],
+      binWidth: Long = 100L): Dataset[(String, Long, Long, Long)] = {
+    require(binWidth >= 1 && binWidth <= 1000, "need 1 <= binWidth <= 1000")
+    val nb = (1000L / binWidth).toInt + 1
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long, Boolean)],
+            state: GroupState[Array[Long]]) =>
+          // layout per bin b: [3b] = n, [3b+1] = pos, [3b+2] = Σconf
+          val st = state.getOption.getOrElse(new Array[Long](3 * nb))
+          it.foreach { case (_, c, o) =>
+            if (c >= 0L && c <= 1000L) {
+              val b = (c / binWidth).toInt
+              st(3 * b) += 1L
+              if (o) st(3 * b + 1) += 1L
+              st(3 * b + 2) += c
+            }
+          }
+          state.update(st)
+          var n = 0L; var gapSum = 0L; var mce = 0L; var b = 0
+          while (b < nb) {
+            val bn = st(3 * b)
+            if (bn > 0) {
+              val gap = math.abs(st(3 * b + 1) * 1000000L
+                - st(3 * b + 2) * 1000L)
+              n += bn; gapSum += gap
+              if (gap / bn > mce) mce = gap / bn
+            }
+            b += 1
+          }
+          if (n > 0) Iterator.single((group, n, gapSum / n, mce))
+          else Iterator.empty
+      }
+  }
 }

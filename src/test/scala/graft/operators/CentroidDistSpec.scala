@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.centroidDistances]]: hand-computed distances,
+  * quantize-before-sum truncating means, ragged/NULL fail-closed
+  * counting, and the NULL-group pair ordering. */
+class CentroidDistSpec extends SparkSpec {
+
+  private def run(rows: Seq[(java.lang.Integer, Seq[Float])], dim: Int = 2) = {
+    import spark.implicits._
+    SimilaritySearch.centroidDistances(
+      rows.toDF("g", "v"), "g", "v", dim).collect()
+      .map(r => ((if (r.isNullAt(0)) Int.MinValue else r.getInt(0)),
+        r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+  }
+
+  private def I(x: Int): java.lang.Integer = java.lang.Integer.valueOf(x)
+
+  test("hand-computed centroid distance with truncating means") {
+    // g0: (1, 0), (3, 0) -> centroid (2e6, 0); g1: (0, 2) -> (0, 2e6)
+    // dist = sqrt((2e6)^2 + (2e6)^2) = floor(2e6 * sqrt 2) = 2828427
+    val got = run(Seq(
+      (I(0), Seq(1f, 0f)), (I(0), Seq(3f, 0f)), (I(1), Seq(0f, 2f))))
+    assert(got((0, 1)) == ((2L, 1L, 0L, 0L, 2828427L)))
+  }
+
+  test("the mean truncates toward zero on both signs (S DIV n)") {
+    // g0: 0.0000015 and 0 -> sum 1.5 -> wait: micros 1 and 0? use
+    // values whose micro sum is odd: 3 and 0 micros -> mean 1 (trunc)
+    // and the negative twin -3, 0 -> -1 (toward zero, NOT floor -2)
+    val got = run(Seq(
+      (I(0), Seq(3e-6f, 0f)), (I(0), Seq(0f, 0f)),
+      (I(1), Seq(-3e-6f, 0f)), (I(1), Seq(0f, 0f))))
+    // centroids: (1, 0) and (-1, 0) micro -> dist 2
+    assert(got((0, 1))._5 == 2L)
+  }
+
+  test("ragged and NULL vectors drop fail-closed and are counted") {
+    val got = run(Seq(
+      (I(0), Seq(1f, 0f)), (I(0), Seq(1f, 0f, 9f)), (I(0), null),
+      (I(1), Seq(0f, 1f))).map { case (g, v) =>
+        (g, v.asInstanceOf[Seq[Float]]) })
+    assert(got((0, 1)) == ((1L, 1L, 2L, 0L, 1414213L)))
+  }
+
+  test("a NULL group key pairs null-first and is audited") {
+    val got = run(Seq(
+      (null.asInstanceOf[java.lang.Integer], Seq(1f, 0f)),
+      (I(7), Seq(0f, 1f))))
+    assert(got.contains((Int.MinValue, 7)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.giniConcentration]]: the even-mixture zero, the
+  * one-holds-all limit, a hand-computed middle case, and the
+  * zero-mass NULL guard. */
+class GiniSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    val r = Curation.giniConcentration(rows.toDF("g", "w"), "g", col("w"))
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+      if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
+  }
+
+  test("a perfectly even mixture has gini exactly 0") {
+    val (k, total, gini, top) =
+      run(Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)))
+    assert(k == 4L && total == 40L && gini == 0L && top == 250000L)
+  }
+
+  test("one category holding everything approaches (k-1)/k") {
+    val (_, _, gini, top) = run(Seq(("a", 0L), ("b", 0L), ("c", 0L),
+      ("d", 100L)))
+    // G = (2*4*100 - 5*100) / (4*100) = 300/400 = 0.75 = (k-1)/k
+    assert(gini == 750000L && top == 1000000L)
+  }
+
+  test("hand-computed middle case") {
+    // ascending x: 1, 2, 3, 4 -> T = 1+4+9+16 = 30, S = 10, k = 4
+    // G = (60 - 50)/40 = 0.25
+    val (_, _, gini, top) = run(Seq(("a", 4L), ("b", 1L), ("c", 3L),
+      ("d", 2L)))
+    assert(gini == 250000L && top == 400000L)
+  }
+
+  test("zero total mass -> NULL gini, never 0/0") {
+    val (k, total, gini, top) = run(Seq(("a", 0L), ("b", 0L)))
+    assert(k == 2L && total == 0L &&
+      gini == Long.MinValue && top == Long.MinValue)
+  }
+}

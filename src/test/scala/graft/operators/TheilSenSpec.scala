@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.theilSen]]: the exact slope on a clean ramp, spike
+  * robustness (the case OLS gets wrong), equal-order-key skipping,
+  * NULL drops, degenerate series, and a brute-force replay. */
+class TheilSenSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.theilSen(rows.toDF("g", "o", "v"), "g", "o", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("a clean ramp recovers its exact slope in micro/step") {
+    val rows = (0L to 9L).map(i => ("g", L(i), L(100 + 7 * i)))
+    val got = run(rows)
+    assert(got("g") == ((10L, 0L, 45L, 7000000L)))
+  }
+
+  test("one wild spike cannot bend the median slope (OLS would)") {
+    val rows = (0L to 9L).map(i =>
+      ("g", L(i), L(if (i == 5) 1000000 else 100 + 7 * i)))
+    val got = run(rows)
+    // 9 of 45 slopes touch the spike; the median is still clean
+    assert(got("g")._4 == 7000000L)
+  }
+
+  test("pairs sharing an order key are skipped, not divided by zero") {
+    val got = run(Seq(("g", L(1), L(10)), ("g", L(1), L(20)),
+      ("g", L(2), L(30))))
+    // 3 points, 3 pairs, 1 pair tied on order -> 2 slopes
+    assert(got("g")._1 == 3L && got("g")._3 == 2L)
+  }
+
+  test("NULL order or value drops fail-visibly; lone points have no slope") {
+    val got = run(Seq(("g", L(1), L(10)), ("g", null, L(5)),
+      ("g", L(3), null), ("h", L(1), L(1))))
+    assert(got("g") == ((1L, 2L, 0L, Long.MinValue)))
+    assert(got("h") == ((1L, 0L, 0L, Long.MinValue)))
+  }
+
+  test("brute-force replay on a seeded noisy series") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 40L).map(i =>
+      ("g", L(i * 3), L(50 + 11 * i + rnd.nextInt(7))))
+    val got = run(rows)("g")
+    val pts = rows.map(r => (r._2.longValue(), r._3.longValue())).sorted
+    val slopes = (for {
+      i <- pts.indices; j <- i + 1 until pts.size
+      if pts(j)._1 != pts(i)._1
+    } yield (pts(j)._2 - pts(i)._2) * 1000000L / (pts(j)._1 - pts(i)._1))
+      .sorted
+    assert(got._3 == slopes.size.toLong)
+    assert(got._4 == slopes((slopes.size + 1) / 2 - 1))
+  }
+}

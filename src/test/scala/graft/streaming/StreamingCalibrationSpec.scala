@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming calibration monitor: O(bins) state per group, and the
+  * emission after any prefix equals
+  * [[graft.operators.Curation.calibrationError]] over that prefix. */
+class StreamingCalibrationSpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, Long, Boolean)]) = {
+    import spark.implicits._
+    graft.operators.Curation.calibrationError(
+      rows.toDF("g", "c", "o"), "g", col("c"), col("o"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+  }
+
+  test("stream == batch after every prefix; out-of-range rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, off: Int) = (0 until n).map { i =>
+      val c = (rnd.nextInt(12) * 100 - 50).toLong // some out of [0,1000]
+      (s"g${(i + off) % 3}", c, rnd.nextInt(1000) < c)
+    }
+    val batch1 = mk(150, 0)
+    val batch2 = mk(200, 1)
+
+    val in = MemoryStream[(String, Long, Boolean)]
+    val out = StreamingAnomaly.calibration(in.toDS())
+      .toDF("g", "n_docs", "ece_micro", "mce_micro")
+    val q = out.writeStream.format("memory").queryName("cal_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Set[(String, Long, Long, Long)] =
+        spark.table("cal_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+          .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1),
+        "prefix 1: stream must equal the batch operator")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1 ++ batch2),
+        "prefix 2: state continued across the trigger")
+    } finally q.stop()
+  }
+
+  test("a group with only out-of-range rows emits nothing (batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingAnomaly.calibration(in.toDS())
+      .toDF("g", "n", "e", "m")
+      .writeStream.format("memory").queryName("cal_empty")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("bad", 5000L, true), ("bad", -1L, false),
+        ("ok", 500L, true))
+      q.processAllAvailable()
+      val groups = spark.table("cal_empty").collect().map(_.getString(0))
+      assert(groups.toSet == Set("ok"))
+    } finally q.stop()
+  }
+}
