@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `mattr_window(array<string> tokens, w) -> struct(n_windows,
+  * sum_distinct)` — the sliding-window tally behind MATTR, the
+  * Moving-Average Type-Token Ratio (Covington & McFall 2010): plain
+  * TTR (q79) collapses as documents grow (Heaps' law — longer text
+  * ALWAYS repeats more), so a length gate on TTR silently becomes a
+  * length gate; MATTR scores every w-token window and averages, making
+  * short boilerplate and long prose comparable on one scale. The
+  * caller derives `mattr_micro = sum_distinct·10⁶ DIV (n_windows·w)`.
+  *
+  * O(n) sliding kernel: advance the right edge (count-up a token,
+  * +1 distinct on 0→1), retire the left edge (count-down, −1 on 1→0) —
+  * each token enters and leaves once, where the SQL formulation pays
+  * O(n·w) re-distinct per window (the oracle replays exactly that
+  * smaller-scale form). Fewer than w tokens → 0 windows (caller emits
+  * NULL mattr — "too short to score" must not read as "diverse").
+  * NULL tokens array → NULL. */
+case class MattrWindow(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2 && w <= 10000, s"need window in [2, 10000], got $w")
+
+  override def dataType: DataType = StructType(MattrWindow.fields.map(
+    f => StructField(f, LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "mattr_window"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MattrWindow.kernel(v.asInstanceOf[ArrayData], w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.MattrWindow.kernel(${childGen.value}, $w);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MattrWindow =
+    copy(child = newChild)
+}
+
+object MattrWindow {
+  val fields: Seq[String] = Seq("n_windows", "sum_distinct")
+
+  def kernel(tokens: ArrayData, w: Int): InternalRow = {
+    val n = tokens.numElements()
+    val out = new Array[Any](2)
+    if (n < w) {
+      out(0) = 0L; out(1) = 0L
+      return new GenericInternalRow(out)
+    }
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var distinct = 0
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      // right edge enters
+      val in = tokens.getUTF8String(i)
+      val slot = counts.get(in)
+      if (slot == null) { counts.put(in, Array(1)); distinct += 1 }
+      else { if (slot(0) == 0) distinct += 1; slot(0) += 1 }
+      // left edge retires once the window is full
+      if (i >= w) {
+        val outTok = tokens.getUTF8String(i - w)
+        val s2 = counts.get(outTok)
+        s2(0) -= 1
+        if (s2(0) == 0) distinct -= 1
+      }
+      if (i >= w - 1) sum += distinct
+      i += 1
+    }
+    out(0) = (n - w + 1).toLong
+    out(1) = sum
+    new GenericInternalRow(out)
+  }
+
+  /** Column-API entry point. */
+  def apply(tokens: Column, w: Int): Column =
+    ColumnBridge.toColumn(MattrWindow(ColumnBridge.toExpression(tokens), w))
+}

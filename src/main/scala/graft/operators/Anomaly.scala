@@ -261,8 +261,12 @@ object Anomaly {
     * under ties on both engines).
     *
     * Exact integers: the supremum compares cross-multiplied counts —
-    * |cum_g·n_rest − cum_rest·n_g| in DECIMAL(38,0) (safe to ~10¹⁹
-    * rows a side) — and divides by n_g·n_rest once at the end, so no
+    * |cum_g·n_rest − cum_rest·n_g| in DECIMAL(38,0), and the final
+    * micro scaling needs dmax·10⁶ ≤ 10³⁸, i.e. n·n_rest < 10³²
+    * (~10¹⁶ rows a side; beyond it Spark's non-ANSI decimal overflow
+    * would return a NULL that READS as "nothing to compare" — the
+    * honest ceiling, stated rather than hidden) — and divides by
+    * n_g·n_rest once at the end, so no
     * per-point rounding can move the argmax. NULL values are excluded
     * from both CDFs but counted per group in `n_skipped`
     * (fail-visible, the [[benfordAudit]] convention); NULL group keys
@@ -455,10 +459,67 @@ object Anomaly {
           .as("slope_micro"))
   }
 
-  // rename-join helper: a null-safe self-join needs distinct key names
-  private def keyed(f: DataFrame, k: String): DataFrame = {
-    val renamed = f.withColumnRenamed("__g", k)
-    renamed.select(col(k) +: renamed.columns.filterNot(_ == k)
-      .map(col).toSeq: _*)
+  /** Trimmed location statistics per group — the robust mean the
+    * Tukey tradition pairs with [[madOutliers]]' robust spread:
+    * drop the `trimMilli`‰ most extreme values at EACH end and
+    * average the middle (a 10 % trim survives 10 % wild rows, where
+    * the plain mean follows a single corrupt batch). Reports the cut
+    * values too — they ARE the robust P_trim / P_(1−trim) bounds a
+    * winsorizing gate would clamp to.
+    *
+    * Exact integers at histogram granularity: k = (n·trimMilli) DIV
+    * 1000 trimmed per end; each histogram cell contributes
+    * `max(0, min(cum, n−k) − max(cum−c, k))` kept occurrences (the
+    * rank-interval overlap — no per-row ranking anywhere);
+    * `trimmed_mean_micro` = S·10⁶ DIV (n−2k) in DECIMAL(38,0),
+    * truncating toward zero on both engines for either sign. NULL
+    * values drop fail-visibly (`n_null`); NULL groups are audited;
+    * an all-NULL group keeps its row with NULL statistics.
+    *
+    * Scale shape: ONE corpus-sized (group, value) counter agg
+    * (materialized once); cut ranks, overlaps, and sums all run on
+    * the per-group value spine (integral bounded-cardinality values
+    * by contract). Output: (groupCol, n, n_null, n_trimmed_each,
+    * lo_cut, hi_cut, trimmed_mean_micro). */
+  def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
+      trimMilli: Int = 50,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500,
+      s"need trimMilli in [0, 500), got $trimMilli")
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_null"))
+    val withCum = hist.where(col("__v").isNotNull)
+      .join(keyed(gTot.select(col("__g"), col("n")), "__gt"),
+        col("__g") <=> col("__gt"), "left")
+      .withColumn("__cum", sum("__c")
+        .over(Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", expr(s"n * $trimMilli DIV 1000"))
+    val stats = withCum.groupBy("__g")
+      .agg(max("__k").as("__k2"),
+        sum(expr(
+          """greatest(CAST(0 AS BIGINT), least(__cum, n - __k)
+            | - greatest(__cum - __c, __k))
+            | * CAST(__v AS DECIMAL(38,0))""".stripMargin)).as("__S"),
+        min(when(col("__cum") > col("__k"), col("__v"))).as("lo_cut"),
+        min(when(col("__cum") >= col("n") - col("__k"), col("__v")))
+          .as("hi_cut"))
+    gTot.join(keyed(stats, "__gs"), col("__g") <=> col("__gs"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("n_null"),
+        coalesce(col("__k2"), lit(0L)).as("n_trimmed_each"),
+        when(col("n") - col("__k2") * 2 > 0L, col("lo_cut")).as("lo_cut"),
+        when(col("n") - col("__k2") * 2 > 0L, col("hi_cut")).as("hi_cut"),
+        when(col("n") - col("__k2") * 2 > 0L, expr(
+          "CAST(__S * 1000000 DIV (n - 2 * __k2) AS BIGINT)"))
+          .as("trimmed_mean_micro"))
   }
+
+  // rename-join helper: a null-safe self-join needs distinct key names
+  private def keyed(f: DataFrame, k: String): DataFrame =
+    f.withColumnRenamed("__g", k)
 }

@@ -735,14 +735,20 @@ object Curation {
     * (GREATEST(…, 1)) rather than 0: the true MLE diverges for
     * never-winners, and a 0 strength would 0/0 the next round's
     * shared-pair terms. NULL item keys fold to '' (the engine's
-    * group-key convention).
+    * group-key convention). Self-pairs — winner == loser, INCLUDING
+    * two NULLs folded to the same '' — carry no preference
+    * information (P(i beats i) ≡ ½) and would inflate both the item's
+    * wins and its shared denominators: they are EXCLUDED from the fit
+    * and surfaced per item in `n_self` (fail-visible); an item seen
+    * ONLY in self-pairs reports 0 games and NULL strength.
     *
     * Scale shape: ONE corpus-sized pass aggregates the preference
-    * stream to per-item win counts and unordered-pair game counts
-    * (map-side combined); the MM rounds run on the items²-bounded
-    * pair frame (items are categorical — judges, sources, models —
-    * by contract). Output: (item, n_wins, n_games, strength_micro),
-    * strengths summing to ≈ nItems·10⁶. */
+    * stream to the directed items²-bounded count matrix (map-side
+    * combined); games, wins, the self audit, and the MM rounds all
+    * run on items²-bounded frames (items are categorical — judges,
+    * sources, models — by contract). Output: (item, n_wins, n_games,
+    * n_self, strength_micro), strengths summing to
+    * ≈ nParticipants·10⁶. */
   def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
       rounds: Int = 3,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
@@ -750,21 +756,40 @@ object Curation {
     val base = pairs.select(
       coalesce(col(winnerCol).cast("string"), lit("")).as("__w"),
       coalesce(col(loserCol).cast("string"), lit("")).as("__l"))
-    // ONE corpus pass: the preference stream collapses to the
-    // items²-bounded game matrix + per-item win counts, materialized
-    // once — every MM round re-reads these, never the corpus
-    val games = checkpointer(base.select(
+    // ONE corpus pass: the preference stream collapses to the directed
+    // items²-bounded count matrix, materialized once — games, wins,
+    // and the self-pair audit all derive from it, and every MM round
+    // re-reads those, never the corpus
+    val grouped = checkpointer(
+      base.groupBy("__w", "__l").agg(count(lit(1)).as("__cnt")))
+    // self-pairs (winner == loser, INCLUDING two NULLs folded to '')
+    // carry no preference information — P(i beats i) ≡ ½ — and would
+    // otherwise inflate the item's wins and its shared denominators:
+    // they are EXCLUDED from the fit and surfaced per item in n_self
+    val self = grouped.where(col("__w") <=> col("__l"))
+      .groupBy(col("__w").as("__i")).agg(sum("__cnt").as("n_self"))
+    val clean = grouped.where(!(col("__w") <=> col("__l")))
+    val games = clean.select(
         least(col("__w"), col("__l")).as("__a"),
-        greatest(col("__w"), col("__l")).as("__b"))
-      .groupBy("__a", "__b").agg(count(lit(1)).as("__nab")))
-    val wins = base.groupBy(col("__w").as("__i"))
-      .agg(count(lit(1)).as("n_wins"))
+        greatest(col("__w"), col("__l")).as("__b"), col("__cnt"))
+      .groupBy("__a", "__b").agg(sum("__cnt").as("__nab"))
+    val wins = clean.groupBy(col("__w").as("__i"))
+      .agg(sum("__cnt").as("n_wins"))
+    def keyedI(f: DataFrame) = f.withColumnRenamed("__i", "__i2")
     val items = checkpointer(games.select(col("__a").as("__i"))
       .union(games.select(col("__b")))
+      .union(self.select(col("__i")))
       .distinct()
-      .join(wins, Seq("__i"), "left")
-      .select(col("__i"), coalesce(col("n_wins"), lit(0L)).as("n_wins")))
-    val nItems = items.count() // items-sized frame, already materialized
+      .join(keyedI(wins), col("__i") === col("__i2"), "left")
+      .drop("__i2")
+      .join(keyedI(self), col("__i") === col("__i2"), "left")
+      .drop("__i2")
+      .select(col("__i"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        coalesce(col("n_self"), lit(0L)).as("n_self")))
+    // normalization scale = MM PARTICIPANTS (game players); self-only
+    // items ride along with NULL strength and must not stretch it
+    val nItems = games.select(col("__a").as("__i"))
+      .union(games.select(col("__b"))).distinct().count()
     var w = checkpointer(items.select(col("__i"), lit(1000000L).as("__wm")))
     for (_ <- 1 to rounds) {
       val wa = w.select(col("__i").as("__a"), col("__wm").as("__wma"))
@@ -790,13 +815,73 @@ object Curation {
     val nGames = games.select(col("__a").as("__i"), col("__nab"))
       .union(games.select(col("__b"), col("__nab")))
       .groupBy("__i").agg(sum("__nab").as("n_games"))
-    // games/items/final-w blocks (all items²-bounded) back the lazy
+    // grouped/items/final-w blocks (items²-bounded) back the lazy
     // result's lineage — the caller's terminal action reads them, so
-    // they are NOT released here (superseded w generations were)
-    items.join(broadcast(nGames), Seq("__i"))
-      .join(broadcast(w), Seq("__i"))
-      .select(col("__i").as("item"), col("n_wins"), col("n_games"),
+    // they are NOT released here (superseded w generations were).
+    // Left joins: a self-only item has no games and no fitted
+    // strength — it reports (0 games, NULL strength), never vanishes.
+    items.join(broadcast(nGames.withColumnRenamed("__i", "__ig")),
+        col("__i") === col("__ig"), "left")
+      .join(broadcast(w.withColumnRenamed("__i", "__iw")),
+        col("__i") === col("__iw"), "left")
+      .select(col("__i").as("item"), col("n_wins"),
+        coalesce(col("n_games"), lit(0L)).as("n_games"), col("n_self"),
         col("__wm").as("strength_micro"))
+  }
+
+  /** Fleiss' κ multi-rater agreement (Fleiss 1971) — the m-rater
+    * generalization of [[judgeAgreement]]'s two-judge kappa: with m
+    * quality gates / LLM judges / annotators each rating every
+    * document into nominal categories, how far does their agreement
+    * exceed chance? The ensemble-design audit for panels, where
+    * pairwise kappas need m(m−1)/2 numbers that don't aggregate.
+    *
+    * Exact integers: P̄ = (Σᵢ Σ_c n²ᵢ_c − N·m)·10⁶ DIV (N·m·(m−1)),
+    * Pₑ = Σ_c T_c²·10⁶ DIV (N·m)², κ = (P̄−Pₑ)·10⁶ DIV (10⁶−Pₑ) — all
+    * DECIMAL(38,0) cross-multiplication, one truncating division per
+    * statistic (κ may be negative; both engines truncate toward
+    * zero). Units with a rating count ≠ m violate the fixed-panel
+    * contract and are EXCLUDED fail-visibly (`n_bad_units`) — a unit
+    * missing one judge would otherwise deflate agreement silently.
+    * Pₑ = 10⁶ (all ratings one category) → NULL κ, never 0/0.
+    *
+    * Scale shape: ONE corpus-sized (unit, category) counter agg
+    * (materialized once); per-unit sums, validity split, and category
+    * margins all read those blocks; the final statistics are a
+    * handful of scalar aggregates. Output: one row — (n_units,
+    * n_bad_units, pbar_micro, pe_micro, kappa_micro). */
+  def fleissKappa(ratings: DataFrame, unitCol: String, categoryCol: String,
+      m: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(m >= 2 && m <= 1000, s"need m in [2, 1000], got $m")
+    val cells = checkpointer(ratings
+      .groupBy(col(unitCol).as("__u"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__n")))
+    val perUnit = cells.groupBy("__u")
+      .agg(sum("__n").as("__mu"), sum(expr("__n * __n")).as("__s2"))
+    val valid = perUnit.where(col("__mu") === m)
+    val bad = perUnit.where(col("__mu") =!= m)
+      .agg(count(lit(1)).as("n_bad_units"))
+    val a1 = valid.agg(count(lit(1)).as("n_units"), sum("__s2").as("__S2"))
+    val margins = cells
+      .join(valid.select(col("__u").as("__vu")),
+        col("__u") <=> col("__vu"), "left_semi")
+      .groupBy("__c").agg(sum("__n").as("__tc"))
+      .agg(coalesce(sum(expr("CAST(__tc AS DECIMAL(38,0)) * __tc")),
+        lit(0L).cast("decimal(38,0)")).as("__T2"))
+    a1.crossJoin(broadcast(margins)).crossJoin(broadcast(bad))
+      .select(col("n_units"), col("n_bad_units"),
+        when(col("n_units") > 0L, expr(
+          s"""CAST((CAST(__S2 AS DECIMAL(38,0)) - CAST(n_units AS DECIMAL(38,0)) * $m)
+            | * 1000000 DIV (CAST(n_units AS DECIMAL(38,0)) * $m * ${m - 1})
+            | AS BIGINT)""".stripMargin)).as("pbar_micro"),
+        when(col("n_units") > 0L, expr(
+          s"""CAST(__T2 * 1000000 DIV (CAST(n_units AS DECIMAL(38,0)) * $m
+            | * CAST(n_units AS DECIMAL(38,0)) * $m) AS BIGINT)"""
+            .stripMargin)).as("pe_micro"))
+      .withColumn("kappa_micro",
+        when(col("pe_micro").isNotNull && col("pe_micro") < 1000000L,
+          expr("(pbar_micro - pe_micro) * 1000000 DIV (1000000 - pe_micro)")))
   }
 
   /** Gini concentration of weight mass across categories — "is my
@@ -813,19 +898,24 @@ object Curation {
     * tokens — the Gini identity is not defined otherwise; contract).
     * The rank window runs over the CATEGORY frame (bounded by the
     * categorical convention), never rows. All-NULL or all-zero mass
-    * → NULL gini, never 0/0.
+    * → NULL gini, never 0/0. NULL weights contribute no mass but are
+    * COUNTED in `n_null_weight` — a broken token counter must not
+    * silently shrink the mixture it is auditing.
     *
-    * Output: one row — (k, total, gini_micro, top_share_micro). */
+    * Output: one row — (k, total, n_null_weight, gini_micro,
+    * top_share_micro). */
   def giniConcentration(df: DataFrame, groupCol: String,
       weight: Column): DataFrame = {
     val m = df.groupBy(col(groupCol).as("__g"))
-      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__x"))
+      .agg(coalesce(sum(weight.cast("long")), lit(0L)).as("__x"),
+        sum(when(weight.isNull, 1L).otherwise(0L)).as("__nn"))
     val ranked = m.withColumn("__i",
       row_number().over(Window.orderBy(col("__x").asc, col("__g").asc)))
     ranked.agg(count(lit(1)).as("k"), sum("__x").as("total"),
+        sum("__nn").as("n_null_weight"),
         sum(expr("CAST(__i AS DECIMAL(38,0)) * __x")).as("__t"),
         max("__x").as("__mx"))
-      .select(col("k"), col("total"),
+      .select(col("k"), col("total"), col("n_null_weight"),
         when(col("total") > 0L, expr(
           """CAST((2 * __t - (k + 1) * CAST(total AS DECIMAL(38,0)))
             | * 1000000 DIV (CAST(k AS DECIMAL(38,0)) * total) AS BIGINT)"""
@@ -864,15 +954,16 @@ object Curation {
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
       col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
-    val spine = base.groupBy("__g").agg(
-      sum(when(col("__x").isNull || col("__y").isNull, 1L).otherwise(0L))
-        .as("n_dropped"))
-    // the joint histogram is the ONE corpus-sized agg; its five
-    // consumers (both self-join sides, totals, both tie marginals)
-    // read materialized blocks, never the corpus again
-    val cells = checkpointer(
-      base.where(col("__x").isNotNull && col("__y").isNotNull)
-        .groupBy("__g", "__x", "__y").agg(count(lit(1)).as("__c")))
+    // the joint histogram is the ONE corpus-sized agg — NULL-bearing
+    // rows stay IN it so the drop counts derive from histogram blocks;
+    // its six consumers (drop spine, both self-join sides, totals,
+    // both tie marginals) never touch the corpus again
+    val hist = checkpointer(
+      base.groupBy("__g", "__x", "__y").agg(count(lit(1)).as("__c")))
+    val spine = hist.groupBy("__g").agg(
+      sum(when(col("__x").isNull || col("__y").isNull, col("__c"))
+        .otherwise(0L)).as("n_dropped"))
+    val cells = hist.where(col("__x").isNotNull && col("__y").isNotNull)
     val c2 = cells.select(col("__g").as("__g2"), col("__x").as("__x2"),
       col("__y").as("__y2"), col("__c").as("__c2"))
     val cd = cells

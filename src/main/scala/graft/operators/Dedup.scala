@@ -1228,15 +1228,21 @@ object Dedup {
     * (docIdCol, n_tokens, n_dup_shingles, n_spans, dup_tokens,
     * dup_frac_micro), zeros for clean docs. */
   def duplicatedSpans(docs: DataFrame, docIdCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
+      n: Int = 5, minDocs: Int = 2,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(n >= 2 && n <= 64, s"need shingle width in [2, 64], got $n")
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
     val toks = docs.select(col(docIdCol).as("__doc"),
       tokens(coalesce(col(textCol), lit(""))).as("__tw"))
-    val sh = toks.select(col("__doc"),
+    // the tokenize+shingle+hash explode is the dominant cost and has
+    // TWO consumers (the dup election and the position rejoin) —
+    // materialize it once, the pageRank edges discipline; the cheap
+    // n_tokens spine below keeps its own column-pruned pass instead
+    // of forcing the full token arrays through a third lineage
+    val sh = checkpointer(toks.select(col("__doc"),
       posexplode(graft.expressions.TokenHashes(
         graft.expressions.WordShingles(col("__tw"), n)))
-        .as(Seq("__pos", "__h")))
+        .as(Seq("__pos", "__h"))))
     val dup = sh.groupBy("__h")
       .agg(countDistinct(col("__doc")).as("__nd"))
       .where(col("__nd") >= minDocs)

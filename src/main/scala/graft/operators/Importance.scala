@@ -493,8 +493,18 @@ object Importance {
     * sources × buckets frame (the full spine, so zero-count buckets
     * contribute their smoothed mass). Output: (sourceCol, n_tokens,
     * kl_micro), larger = further from the corpus mix. */
-  def klDrift(docs: DataFrame, sourceCol: String, textCol: String,
-      buckets: Int = 128): DataFrame = {
+  /** Shared scaffold of the hashed-bucket drift family ([[klDrift]],
+    * [[jsDrift]]): tokenize → 60-bit-md5 bucket → (source, bucket)
+    * counter agg (the ONE corpus-sized stage, map-side combined) →
+    * the full sources × buckets spine with zero counts included and
+    * the corpus bucket totals attached. Null-safe group join: a NULL
+    * source (an upstream tagging failure the drift monitor must SEE
+    * with its REAL counts) is its own group — a plain equi-join would
+    * zero its buckets and report drift-from-uniform, a fixed garbage
+    * number. Returns (sourceCol, __ns, __csb, __cb, __nn) per
+    * (source, bucket); callers apply their per-bucket term and sum. */
+  private def bucketSpine(docs: DataFrame, sourceCol: String,
+      textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, "need buckets >= 2")
     val inst = docs.select(col(sourceCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -505,20 +515,20 @@ object Importance {
     val srcTot = sb.groupBy(col(sourceCol)).agg(sum("__csb").as("__ns"))
     val bTot = sb.groupBy(col("__b")).agg(sum("__csb").as("__cb"))
     val tot = bTot.agg(sum("__cb").as("__nn"))
-    // full spine: every (source, bucket) pair, zero counts included
     val spine = srcTot
       .crossJoin(broadcast(tot.select(col("__nn"),
         explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__b"))))
-    // null-safe group join: a NULL source (an upstream tagging failure
-    // the drift monitor must SEE with its REAL counts) is its own group
-    // — a plain equi-join would zero its buckets and report
-    // KL(uniform ‖ corpus), a fixed garbage number
     val sbKeyed = sb.select(col(sourceCol).as("__ks"),
       col("__b").as("__kb"), col("__csb"))
-    val terms = spine
+    spine
       .join(sbKeyed,
         col(sourceCol) <=> col("__ks") && col("__b") === col("__kb"), "left")
       .join(broadcast(bTot), Seq("__b"), "left")
+  }
+
+  def klDrift(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 128): DataFrame = {
+    val terms = bucketSpine(docs, sourceCol, textCol, buckets)
       .select(col(sourceCol), col("__ns"),
         expr(
           s"""CAST(round((CAST(coalesce(__csb, 0L) + 1 AS DOUBLE) / CAST(__ns + $buckets AS DOUBLE))
@@ -550,25 +560,7 @@ object Importance {
     * (sourceCol, n_tokens, jsd_micro). */
   def jsDrift(docs: DataFrame, sourceCol: String, textCol: String,
       buckets: Int = 128): DataFrame = {
-    require(buckets >= 2, "need buckets >= 2")
-    val inst = docs.select(col(sourceCol),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
-      .select(col(sourceCol),
-        pmod(TextFunctions.tokenHash(col("__tok")), lit(buckets)).as("__b"))
-    val sb = inst.groupBy(col(sourceCol), col("__b"))
-      .agg(count(lit(1)).as("__csb"))
-    val srcTot = sb.groupBy(col(sourceCol)).agg(sum("__csb").as("__ns"))
-    val bTot = sb.groupBy(col("__b")).agg(sum("__csb").as("__cb"))
-    val tot = bTot.agg(sum("__cb").as("__nn"))
-    val spine = srcTot
-      .crossJoin(broadcast(tot.select(col("__nn"),
-        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("__b"))))
-    val sbKeyed = sb.select(col(sourceCol).as("__ks"),
-      col("__b").as("__kb"), col("__csb"))
-    val terms = spine
-      .join(sbKeyed,
-        col(sourceCol) <=> col("__ks") && col("__b") === col("__kb"), "left")
-      .join(broadcast(bTot), Seq("__b"), "left")
+    val terms = bucketSpine(docs, sourceCol, textCol, buckets)
       .select(col(sourceCol), col("__ns"),
         expr(
           s"""CAST(round((

@@ -924,8 +924,10 @@ object SimilaritySearch {
     val tagged = df.select(col(groupCol).as("__g"), col(vecCol).as("__v"))
       .withColumn("__ok",
         col("__v").isNotNull && size(col("__v")) === dim)
-    val dropped = tagged.groupBy("__g")
-      .agg(sum(when(col("__ok"), 0L).otherwise(1L)).as("n_dropped"))
+    // groups-sized after the agg but corpus-scan to produce — and its
+    // two broadcast join sides would otherwise each re-run that scan
+    val dropped = checkpointer(tagged.groupBy("__g")
+      .agg(sum(when(col("__ok"), 0L).otherwise(1L)).as("n_dropped")))
     val cent = tagged.where(col("__ok"))
       .select(col("__g"), posexplode(col("__v")).as(Seq("__j", "__x")))
       .select(col("__g"), col("__j"),

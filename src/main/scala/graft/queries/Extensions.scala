@@ -3368,7 +3368,62 @@ object Extensions {
             .cast("long").as("w")),
       "source", col("w"))
 
+  /** q247 — Fleiss' κ over a three-judge panel
+    * ([[Curation.fleissKappa]], m = 3): three deterministic
+    * hash-perturbed judges rate every doc into {0, 1, 2} quality
+    * tiers — correlated by construction, so κ must land well above
+    * chance. Exact cross-multiplied P̄/Pₑ/κ; the m-rater audit q184's
+    * pairwise kappa cannot aggregate. */
+  def q247Fleiss(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        least(expr("n_chars DIV 300"), lit(2L)).as("base"))
+    val ratings = d.select(col("doc_id"), explode(array((1 to 3).map(j =>
+      when(TextFunctions.stableBucket(
+          concat(col("doc_id"), lit(s":$j")), 5) === 0,
+        least(col("base") + 1L, lit(2L))).otherwise(col("base"))): _*))
+      .as("verdict"))
+    Curation.fleissKappa(ratings, "doc_id", "verdict", m = 3)
+  }
+
+  /** q248 — trimmed mean per lang ([[graft.operators.Anomaly
+    * .trimmedStats]], 100 ‰ each end): the robust location statistic
+    * whose cut values ARE the winsorization bounds — one corrupt
+    * batch of megabyte docs cannot drag it. Every 53rd doc is
+    * NULL-valued (fail-visible). */
+  def q248Trimmed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.trimmedStats(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"),
+          when(col("doc_id") % 53 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars").cast("long")).as("v")),
+      "lang", "v", trimMilli = 100)
+      .orderBy("lang")
+
+  /** q249 — moving-average type-token ratio
+    * ([[graft.expressions.MattrWindow]], w = 25): the
+    * length-unbiased lexical-diversity gate (Covington & McFall
+    * 2010) — q79's plain TTR collapses on long docs by Heaps' law,
+    * MATTR scores every 25-token window and averages, one O(n)
+    * sliding kernel pass per doc. Docs shorter than the window emit
+    * NULL ("too short to score" must not read as "diverse"). */
+  def q249Mattr(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.expressions.MattrWindow(
+          TextFunctions.tokens(coalesce(col("text"), lit(""))), 25).as("s"))
+      .select(col("doc_id"),
+        col("s.n_windows").as("n_windows"),
+        col("s.sum_distinct").as("sum_distinct"),
+        when(col("s.n_windows") > 0L,
+          expr("s.sum_distinct * 1000000 DIV (s.n_windows * 25)"))
+          .as("mattr_micro"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_mattr" -> (q249Mattr _),
+    "q248_trimmed_mean" -> (q248Trimmed _),
+    "q247_fleiss_kappa" -> (q247Fleiss _),
     "q246_gini" -> (q246Gini _),
     "q245_theil_sen" -> (q245TheilSen _),
     "q244_centroid_dist" -> (q244Centroids _),
@@ -4322,6 +4377,27 @@ object Extensions {
       |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Shared SQL scaffold of the hashed-bucket drift oracles
+    * (q173/q237) — the DuckDB twin of `Importance.bucketSpine`: token
+    * bucket counts, totals, the full source × bucket spine, and the
+    * per-bucket LEFT joins; `term` is the per-bucket micro expression
+    * over (csb, ns, cb, nn), `outCol` the summed output column. */
+  private def bucketDriftSql(term: String, outCol: String): String =
+    s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+      |i AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 128 AS b FROM t),
+      |sb AS (SELECT source, b, count(1)::BIGINT AS csb FROM i GROUP BY source, b),
+      |st AS (SELECT source, sum(csb)::BIGINT AS ns FROM sb GROUP BY source),
+      |bt AS (SELECT b, sum(csb)::BIGINT AS cb FROM sb GROUP BY b),
+      |tt AS (SELECT sum(cb)::BIGINT AS nn FROM bt),
+      |sp0 AS (SELECT CAST(unnest(range(128)) AS BIGINT) AS b),
+      |sp AS (SELECT st.source, st.ns, sp0.b, tt.nn FROM st CROSS JOIN sp0 CROSS JOIN tt),
+      |tm AS (SELECT sp.source, sp.ns,
+      |$term AS tmv
+      |  FROM sp LEFT JOIN sb ON sp.source IS NOT DISTINCT FROM sb.source AND sp.b = sb.b
+      |    LEFT JOIN bt ON sp.b = bt.b)
+      |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS $outCol
+      |FROM tm GROUP BY source ORDER BY source""".stripMargin
+
   /** One unrolled Bradley–Terry MM round (q240): reads w{i−1}, emits
     * t/d/u/s/w CTEs for round i — the SQL twin of the engine's
     * integer update + sum-preserving renormalization. */
@@ -4343,6 +4419,80 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q247_fleiss_kappa" ->
+      ("""WITH d AS (SELECT doc_id, least(n_chars // 300, 2) AS base
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN ('0x' || substring(md5(doc_id || ':' || j), 1, 15))::BIGINT % 5 = 0
+        |      THEN least(base + 1, 2) ELSE base END AS verdict
+        |  FROM d, unnest([1, 2, 3]) AS t(j)),
+        |ce AS (SELECT doc_id, verdict, count(1)::BIGINT AS n FROM r GROUP BY 1, 2),
+        |pu AS (SELECT doc_id, sum(n)::BIGINT AS mu, sum(n * n)::BIGINT AS s2
+        |  FROM ce GROUP BY 1),
+        |vu AS (SELECT doc_id, s2 FROM pu WHERE mu = 3),
+        |bad AS (SELECT count(CASE WHEN mu <> 3 THEN 1 END)::BIGINT AS n_bad_units
+        |  FROM pu),
+        |a1 AS (SELECT count(1)::BIGINT AS n_units, sum(s2)::BIGINT AS ss2 FROM vu),
+        |mg AS (SELECT coalesce(sum(CAST(tc AS HUGEINT) * tc), 0) AS t2 FROM (
+        |    SELECT ce.verdict, sum(ce.n)::BIGINT AS tc
+        |    FROM ce JOIN vu USING (doc_id) GROUP BY 1)),
+        |f AS (SELECT a1.n_units, bad.n_bad_units,
+        |    CASE WHEN n_units > 0 THEN CAST((CAST(ss2 AS HUGEINT)
+        |      - CAST(n_units AS HUGEINT) * 3) * 1000000
+        |      // (CAST(n_units AS HUGEINT) * 3 * 2) AS BIGINT) END AS pbar_micro,
+        |    CASE WHEN n_units > 0 THEN CAST(t2 * 1000000
+        |      // (CAST(n_units AS HUGEINT) * 3 * CAST(n_units AS HUGEINT) * 3)
+        |      AS BIGINT) END AS pe_micro
+        |  FROM a1 CROSS JOIN mg CROSS JOIN bad)
+        |SELECT n_units, n_bad_units, pbar_micro, pe_micro,
+        |  CASE WHEN pe_micro IS NOT NULL AND pe_micro < 1000000
+        |    THEN (pbar_micro - pe_micro) * 1000000 // (1000000 - pe_micro)
+        |  END::BIGINT AS kappa_micro
+        |FROM f""".stripMargin),
+    "q248_trimmed_mean" ->
+      ("""WITH base AS (SELECT coalesce(lang, '') AS g,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE n_chars END AS v
+        |  FROM documents),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_null
+        |  FROM hist GROUP BY g),
+        |wc AS (SELECT h.g, h.v, h.c, gt.n, gt.n * 100 // 1000 AS k,
+        |    sum(h.c) OVER (PARTITION BY h.g ORDER BY h.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN gt ON h.g IS NOT DISTINCT FROM gt.g
+        |  WHERE h.v IS NOT NULL),
+        |st AS (SELECT g, max(k)::BIGINT AS k2,
+        |    sum(greatest(0, least(cum, n - k) - greatest(cum - c, k))
+        |      * CAST(v AS HUGEINT)) AS s,
+        |    min(CASE WHEN cum > k THEN v END)::BIGINT AS lo_cut,
+        |    min(CASE WHEN cum >= n - k THEN v END)::BIGINT AS hi_cut
+        |  FROM wc GROUP BY g)
+        |SELECT gt.g AS lang, gt.n, gt.n_null,
+        |  coalesce(st.k2, 0)::BIGINT AS n_trimmed_each,
+        |  CASE WHEN gt.n - st.k2 * 2 > 0 THEN st.lo_cut END AS lo_cut,
+        |  CASE WHEN gt.n - st.k2 * 2 > 0 THEN st.hi_cut END AS hi_cut,
+        |  CASE WHEN gt.n - st.k2 * 2 > 0
+        |    THEN CAST(st.s * 1000000 // (gt.n - st.k2 * 2) AS BIGINT)
+        |  END AS trimmed_mean_micro
+        |FROM gt LEFT JOIN st ON gt.g IS NOT DISTINCT FROM st.g
+        |ORDER BY lang""".stripMargin),
+    "q249_mattr" ->
+      (s"""WITH tk AS (SELECT doc_id, $toksSql AS tw
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+        |w AS (SELECT doc_id,
+        |    greatest(len(tw) - 24, 0)::BIGINT AS n_windows,
+        |    CASE WHEN len(tw) >= 25 THEN
+        |      list_sum(list_transform(range(1, len(tw) - 23),
+        |        i -> len(list_distinct(tw[i:i+24]))))::BIGINT
+        |    ELSE 0 END AS sum_distinct
+        |  FROM tk)
+        |SELECT doc_id, n_windows, sum_distinct,
+        |  CASE WHEN n_windows > 0
+        |    THEN sum_distinct * 1000000 // (n_windows * 25)
+        |  END::BIGINT AS mattr_micro
+        |FROM w ORDER BY doc_id""".stripMargin),
     "q244_centroid_dist" ->
       ("""WITH e AS (SELECT label AS g,
         |    CASE WHEN vec_id % 47 = 0 THEN NULL ELSE embedding END AS v
@@ -4400,14 +4550,18 @@ object Extensions {
         |    AND rk.rn = (ns.n_slopes + 1) // 2
         |ORDER BY sp.event_type""".stripMargin),
     "q246_gini" ->
-      ("""WITH m AS (SELECT coalesce(source, '') AS g,
-        |    sum(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')))::BIGINT AS x
-        |  FROM documents GROUP BY 1),
-        |r AS (SELECT g, x, row_number() OVER (ORDER BY x, g NULLS FIRST) AS i
+      ("""WITH b AS (SELECT coalesce(source, '') AS g,
+        |    len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))::BIGINT AS w
+        |  FROM documents),
+        |m AS (SELECT g, coalesce(sum(w), 0)::BIGINT AS x,
+        |    sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT g, x, nn, row_number() OVER (ORDER BY x, g NULLS FIRST) AS i
         |  FROM m),
         |a AS (SELECT count(1)::BIGINT AS k, sum(x)::BIGINT AS total,
+        |    sum(nn)::BIGINT AS n_null_weight,
         |    sum(CAST(i AS HUGEINT) * x) AS t, max(x)::BIGINT AS mx FROM r)
-        |SELECT k, total,
+        |SELECT k, total, n_null_weight,
         |  CASE WHEN total > 0 THEN CAST((2 * t - (k + 1) * CAST(total AS HUGEINT))
         |    * 1000000 // (CAST(k AS HUGEINT) * total) AS BIGINT) END AS gini_micro,
         |  CASE WHEN total > 0 THEN CAST(CAST(mx AS HUGEINT) * 1000000 // total
@@ -4426,10 +4580,15 @@ object Extensions {
         |g AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
         |    count(1)::BIGINT AS nab FROM pr GROUP BY 1, 2),
         |wn AS (SELECT w AS i, count(1)::BIGINT AS n_wins FROM pr GROUP BY w),
-        |it AS (SELECT u.i, coalesce(wn.n_wins, 0)::BIGINT AS n_wins FROM
-        |    (SELECT a AS i FROM g UNION SELECT b FROM g) u
-        |  LEFT JOIN wn ON u.i = wn.i),
-        |ni AS (SELECT count(1)::BIGINT AS k FROM it),
+        |sf AS (SELECT w AS i, count(1)::BIGINT AS n_self FROM pr
+        |  WHERE w = l GROUP BY w),
+        |it AS (SELECT u.i, coalesce(wn.n_wins, 0)::BIGINT AS n_wins,
+        |    coalesce(sf.n_self, 0)::BIGINT AS n_self FROM
+        |    (SELECT a AS i FROM g UNION SELECT b FROM g
+        |     UNION SELECT i FROM sf) u
+        |  LEFT JOIN wn ON u.i = wn.i LEFT JOIN sf ON u.i = sf.i),
+        |ni AS (SELECT count(1)::BIGINT AS k FROM
+        |    (SELECT a AS i FROM g UNION SELECT b FROM g)),
         |ng AS (SELECT i, sum(nab)::BIGINT AS n_games FROM (
         |    SELECT a AS i, nab FROM g UNION ALL SELECT b, nab FROM g)
         |  GROUP BY i),
@@ -4437,8 +4596,10 @@ object Extensions {
         |${btRoundSql(1)},
         |${btRoundSql(2)},
         |${btRoundSql(3)}
-        |SELECT it.i AS item, it.n_wins, ng.n_games, w3.wm AS strength_micro
-        |FROM it JOIN ng ON it.i = ng.i JOIN w3 ON it.i = w3.i
+        |SELECT it.i AS item, it.n_wins,
+        |  coalesce(ng.n_games, 0)::BIGINT AS n_games, it.n_self,
+        |  w3.wm AS strength_micro
+        |FROM it LEFT JOIN ng ON it.i = ng.i LEFT JOIN w3 ON it.i = w3.i
         |ORDER BY item""".stripMargin),
     "q241_kendall_tau" ->
       ("""WITH base AS (SELECT coalesce(lang, '') AS g, n_chars // 64 AS x,
@@ -4579,17 +4740,8 @@ object Extensions {
         |    // (CAST(n AS HUGEINT) * n_rest) AS BIGINT) END AS ks_micro,
         |  CASE WHEN n > 0 AND n_rest > 0 THEN ks_at END AS ks_at
         |FROM at ORDER BY source""".stripMargin),
-    "q237_js_drift" ->
-      (s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-        |i AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 128 AS b FROM t),
-        |sb AS (SELECT source, b, count(1)::BIGINT AS csb FROM i GROUP BY source, b),
-        |st AS (SELECT source, sum(csb)::BIGINT AS ns FROM sb GROUP BY source),
-        |bt AS (SELECT b, sum(csb)::BIGINT AS cb FROM sb GROUP BY b),
-        |tt AS (SELECT sum(cb)::BIGINT AS nn FROM bt),
-        |sp0 AS (SELECT CAST(unnest(range(128)) AS BIGINT) AS b),
-        |sp AS (SELECT st.source, st.ns, sp0.b, tt.nn FROM st CROSS JOIN sp0 CROSS JOIN tt),
-        |tm AS (SELECT sp.source, sp.ns,
-        |  CAST(round((
+    "q237_js_drift" -> bucketDriftSql(
+      """  CAST(round((
         |    0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |      * ln((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |          / (0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
@@ -4598,11 +4750,7 @@ object Extensions {
         |      * ln((CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))
         |          / (0.5 * (CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |             + 0.5 * (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE))))
-        |  ) * 1000000) AS BIGINT) AS tmv
-        |  FROM sp LEFT JOIN sb ON sp.source IS NOT DISTINCT FROM sb.source AND sp.b = sb.b
-        |    LEFT JOIN bt ON sp.b = bt.b)
-        |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS jsd_micro
-        |FROM tm GROUP BY source ORDER BY source""".stripMargin),
+        |  ) * 1000000) AS BIGINT)""".stripMargin, "jsd_micro"),
     "q238_burstiness" ->
       (s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token
         |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
@@ -6026,24 +6174,11 @@ object Extensions {
         |""".stripMargin +
         (1 to 3).map(lpRoundSql).mkString(",\n") + "\n" +
         """SELECT node, lbl AS label FROM l3 ORDER BY node"""),
-    "q173_kl_drift" ->
-      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-        |i AS (SELECT source, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 128 AS b FROM t),
-        |sb AS (SELECT source, b, count(1)::BIGINT AS csb FROM i GROUP BY source, b),
-        |st AS (SELECT source, sum(csb)::BIGINT AS ns FROM sb GROUP BY source),
-        |bt AS (SELECT b, sum(csb)::BIGINT AS cb FROM sb GROUP BY b),
-        |tt AS (SELECT sum(cb)::BIGINT AS nn FROM bt),
-        |sp0 AS (SELECT CAST(unnest(range(128)) AS BIGINT) AS b),
-        |sp AS (SELECT st.source, st.ns, sp0.b, tt.nn FROM st CROSS JOIN sp0 CROSS JOIN tt),
-        |tm AS (SELECT sp.source, sp.ns,
-        |  CAST(round((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
+    "q173_kl_drift" -> bucketDriftSql(
+      """  CAST(round((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |    * ln((CAST(coalesce(csb, 0) + 1 AS DOUBLE) / CAST(ns + 128 AS DOUBLE))
         |        / (CAST(coalesce(cb, 0) + 1 AS DOUBLE) / CAST(nn + 128 AS DOUBLE)))
-        |    * 1000000) AS BIGINT) AS tmv
-        |  FROM sp LEFT JOIN sb ON sp.source IS NOT DISTINCT FROM sb.source AND sp.b = sb.b
-        |    LEFT JOIN bt ON sp.b = bt.b)
-        |SELECT source, max(ns)::BIGINT AS n_tokens, sum(tmv)::BIGINT AS kl_micro
-        |FROM tm GROUP BY source ORDER BY source""".stripMargin,
+        |    * 1000000) AS BIGINT)""".stripMargin, "kl_micro"),
     "q174_calibrate_scores" ->
       """WITH a AS (SELECT doc_id, source, n_chars,
         |  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,

@@ -123,6 +123,12 @@ object StreamingAnomaly {
             state: GroupState[Array[Long]]) =>
           // layout per bin b: [3b] = n, [3b+1] = pos, [3b+2] = Σconf
           val st = state.getOption.getOrElse(new Array[Long](3 * nb))
+          // a checkpoint written under a DIFFERENT binWidth has a
+          // different layout — reinterpreting it would misbin silently
+          // (or index out of bounds); fail loud instead
+          require(st.length == 3 * nb,
+            s"restored calibration state has ${st.length / 3} bins, " +
+              s"query configured $nb — binWidth changed across restart")
           it.foreach { case (_, c, o) =>
             if (c >= 0L && c <= 1000L) {
               val b = (c / binWidth).toInt

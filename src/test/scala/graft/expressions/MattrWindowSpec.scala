@@ -1,0 +1,57 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** [[MattrWindow]]: hand-computed windows, the too-short zero, the
+  * length-bias contrast with plain TTR, and a brute-force sliding
+  * replay through the codegen path. */
+class MattrWindowSpec extends SparkSpec {
+
+  private def run(texts: Seq[String], w: Int) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        MattrWindow(TextFunctions.tokens(col("text")), w).as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+  }
+
+  test("hand-computed: alternating bigram text is maximally diverse at w=2") {
+    val got = run(Seq("a b a b a b"), 2)
+    assert(got(0L) == ((5L, 10L))) // 5 windows, each 2 distinct
+  }
+
+  test("constant text floors at 1 distinct per window") {
+    val got = run(Seq("x x x x"), 2)
+    assert(got(0L) == ((3L, 3L)))
+  }
+
+  test("shorter than the window -> zero windows, not a fake score") {
+    val got = run(Seq("only three tokens"), 25)
+    assert(got(0L) == ((0L, 0L)))
+  }
+
+  test("MATTR separates diversity where plain TTR is length-confounded") {
+    // long diverse text vs long templated text: similar length, very
+    // different windowed diversity
+    val diverse = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val template = (1 to 50).map(_ => "buy now click here").mkString(" ")
+    val got = run(Seq(diverse, template), 10)
+    def mattr(s: (Long, Long)) = s._2.toDouble / (s._1 * 10)
+    assert(mattr(got(0L)) == 1.0)
+    assert(mattr(got(1L)) < 0.45)
+  }
+
+  test("brute-force sliding replay on seeded small-vocab tokens") {
+    val rnd = new scala.util.Random(13)
+    val toks = Seq.fill(300)(s"w${rnd.nextInt(15)}")
+    val w = 7
+    val got = run(Seq(toks.mkString(" ")), w)
+    val ref = toks.sliding(w).map(_.distinct.size.toLong).toSeq
+    assert(got(0L) == ((ref.size.toLong, ref.sum)))
+  }
+}

@@ -13,7 +13,8 @@ class BradleyTerrySpec extends SparkSpec {
     import spark.implicits._
     Curation.bradleyTerry(prefs.toDF("w", "l"), "w", "l", rounds)
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4))))
       .toMap
   }
 
@@ -22,14 +23,27 @@ class BradleyTerrySpec extends SparkSpec {
       Seq.fill(10)(("b", "c"))
     val got = run(prefs)
     assert(got("a")._1 == 20L && got("c")._1 == 0L)
-    assert(got("a")._3 > got("b")._3 && got("b")._3 > got("c")._3)
+    assert(got("a")._4 > got("b")._4 && got("b")._4 > got("c")._4)
+  }
+
+  test("self-pairs are excluded from the fit and surfaced in n_self") {
+    val clean = Seq.fill(6)(("a", "b")) ++ Seq.fill(2)(("b", "a"))
+    val noisy = clean ++ Seq.fill(5)(("a", "a")) ++
+      Seq((null.asInstanceOf[String], null.asInstanceOf[String]))
+    val ref = run(clean)
+    val got = run(noisy)
+    // identical strengths — the self-pairs changed NOTHING in the fit
+    assert(got("a")._4 == ref("a")._4 && got("b")._4 == ref("b")._4)
+    assert(got("a")._3 == 5L)            // fail-visible
+    assert(got("")._3 == 1L)             // (null,null) folds to '' self
+    assert(got("")._2 == 0L && got("")._4 == Long.MinValue) // no games
   }
 
   test("a perfectly symmetric round-robin stays at 1e6 each") {
     val prefs = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
       ("b", "c"), ("c", "b"))
     val got = run(prefs)
-    assert(got.values.forall(_._3 == 1000000L))
+    assert(got.values.forall(_._4 == 1000000L))
   }
 
   test("strength is inferred ACROSS pairs never directly compared") {
@@ -39,7 +53,7 @@ class BradleyTerrySpec extends SparkSpec {
       Seq.fill(9)(("b", "c")) ++ Seq(("c", "b"))
     val got = run(prefs)
     assert(got("a")._2 == 10L && got("c")._2 == 10L) // never met
-    assert(got("a")._3 > got("b")._3 && got("b")._3 > got("c")._3)
+    assert(got("a")._4 > got("b")._4 && got("b")._4 > got("c")._4)
   }
 
   test("NULL item keys fold to the empty-string item") {
@@ -81,9 +95,9 @@ class BradleyTerrySpec extends SparkSpec {
       w = its.map(i => i -> (BigInt(upd(i)) * (k * 1000000L) / s).toLong)
         .toMap
     }
-    for (i <- its) assert(got(i)._3 == w(i), s"item $i")
+    for (i <- its) assert(got(i)._4 == w(i), s"item $i")
     // the engineered skill order must be recovered
-    assert(got("p")._3 > got("q")._3 && got("q")._3 > got("r")._3 &&
-      got("r")._3 > got("s")._3)
+    assert(got("p")._4 > got("q")._4 && got("q")._4 > got("r")._4 &&
+      got("r")._4 > got("s")._4)
   }
 }

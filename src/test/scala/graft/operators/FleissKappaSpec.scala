@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.fleissKappa]]: the ±1e6 endpoints, bad-unit exclusion,
+  * the Pe = 1 NULL guard, and an exact BigInt replay on a seeded
+  * random panel. */
+class FleissKappaSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], m: Int) = {
+    import spark.implicits._
+    val r = Curation.fleissKappa(rows.toDF("u", "c"), "u", "c", m)
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+      if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+      if (r.isNullAt(4)) Long.MinValue else r.getLong(4))
+  }
+
+  test("perfect agreement -> kappa exactly 1e6") {
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+    val (n, bad, pbar, pe, k) = run(rows, 2)
+    assert(n == 2L && bad == 0L && pbar == 1000000L &&
+      pe == 500000L && k == 1000000L)
+  }
+
+  test("complete two-rater disagreement -> kappa exactly -1e6") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val (_, _, pbar, pe, k) = run(rows, 2)
+    assert(pbar == 0L && pe == 500000L && k == -1000000L)
+  }
+
+  test("units violating the fixed-panel size are excluded fail-visibly") {
+    val rows = Seq((1L, "a"), (1L, "a"),          // valid
+      (2L, "a"),                                  // one judge short
+      (3L, "a"), (3L, "a"), (3L, "a"))            // one judge extra
+    val (n, bad, pbar, _, _) = run(rows, 2)
+    assert(n == 1L && bad == 2L && pbar == 1000000L)
+  }
+
+  test("all ratings in one category -> Pe = 1e6 -> NULL kappa, never 0/0") {
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+    val (_, _, pbar, pe, k) = run(rows, 2)
+    assert(pbar == 1000000L && pe == 1000000L && k == Long.MinValue)
+  }
+
+  test("exact BigInt replay on a seeded three-judge panel") {
+    val rnd = new scala.util.Random(41)
+    val cats = Vector("low", "med", "high", "spam")
+    val rows = (1L to 120L).flatMap { u =>
+      val base = cats(rnd.nextInt(4))
+      (1 to 3).map(_ =>
+        (u, if (rnd.nextInt(4) == 0) cats(rnd.nextInt(4)) else base))
+    }
+    val (n, bad, pbar, pe, k) = run(rows, 3)
+    assert(n == 120L && bad == 0L)
+    val m = 3L
+    val byU = rows.groupBy(_._1).values
+    val s2 = byU.map(rs => rs.groupBy(_._2).values
+      .map(g => g.size.toLong * g.size).sum).sum
+    val tC = rows.groupBy(_._2).values.map(_.size.toLong)
+    val nB = BigInt(120)
+    val pbarRef = ((BigInt(s2) - nB * m) * 1000000 / (nB * m * (m - 1)))
+    val peRef = (tC.map(t => BigInt(t) * t).sum * 1000000 /
+      (nB * m * nB * m))
+    val kRef = (pbarRef - peRef) * 1000000 / (1000000 - peRef)
+    assert(pbar == pbarRef.toLong && pe == peRef.toLong &&
+      k == kRef.toLong)
+    assert(k > 300000L) // engineered correlation is far above chance
+  }
+}

@@ -8,24 +8,33 @@ import org.apache.spark.sql.functions._
   * zero-mass NULL guard. */
 class GiniSpec extends SparkSpec {
 
-  private def run(rows: Seq[(String, Long)]) = {
+  private def run(rows: Seq[(String, java.lang.Long)]) = {
     import spark.implicits._
     val r = Curation.giniConcentration(rows.toDF("g", "w"), "g", col("w"))
       .collect().head
-    (r.getLong(0), r.getLong(1),
-      if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
-      if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+      if (r.isNullAt(4)) Long.MinValue else r.getLong(4))
   }
 
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
   test("a perfectly even mixture has gini exactly 0") {
-    val (k, total, gini, top) =
-      run(Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)))
-    assert(k == 4L && total == 40L && gini == 0L && top == 250000L)
+    val (k, total, nn, gini, top) =
+      run(Seq(("a", L(10)), ("b", L(10)), ("c", L(10)), ("d", L(10))))
+    assert(k == 4L && total == 40L && nn == 0L &&
+      gini == 0L && top == 250000L)
+  }
+
+  test("NULL weights carry no mass but are counted fail-visibly") {
+    val (k, total, nn, gini, _) =
+      run(Seq(("a", L(10)), ("a", null), ("b", L(10)), ("b", null)))
+    assert(k == 2L && total == 20L && nn == 2L && gini == 0L)
   }
 
   test("one category holding everything approaches (k-1)/k") {
-    val (_, _, gini, top) = run(Seq(("a", 0L), ("b", 0L), ("c", 0L),
-      ("d", 100L)))
+    val (_, _, _, gini, top) = run(Seq(("a", L(0)), ("b", L(0)),
+      ("c", L(0)), ("d", L(100))))
     // G = (2*4*100 - 5*100) / (4*100) = 300/400 = 0.75 = (k-1)/k
     assert(gini == 750000L && top == 1000000L)
   }
@@ -33,13 +42,13 @@ class GiniSpec extends SparkSpec {
   test("hand-computed middle case") {
     // ascending x: 1, 2, 3, 4 -> T = 1+4+9+16 = 30, S = 10, k = 4
     // G = (60 - 50)/40 = 0.25
-    val (_, _, gini, top) = run(Seq(("a", 4L), ("b", 1L), ("c", 3L),
-      ("d", 2L)))
+    val (_, _, _, gini, top) = run(Seq(("a", L(4)), ("b", L(1)),
+      ("c", L(3)), ("d", L(2))))
     assert(gini == 250000L && top == 400000L)
   }
 
   test("zero total mass -> NULL gini, never 0/0") {
-    val (k, total, gini, top) = run(Seq(("a", 0L), ("b", 0L)))
+    val (k, total, _, gini, top) = run(Seq(("a", L(0)), ("b", L(0))))
     assert(k == 2L && total == 0L &&
       gini == Long.MinValue && top == Long.MinValue)
   }

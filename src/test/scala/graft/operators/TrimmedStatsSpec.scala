@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.trimmedStats]]: hand-computed trims, outlier
+  * resistance, duplicates straddling the cut, signed truncation,
+  * trim-0 degeneracy, and NULL handling. */
+class TrimmedStatsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)], t: Int = 100) = {
+    import spark.implicits._
+    Anomaly.trimmedStats(rows.toDF("g", "v"), "g", "v", t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+        if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("10% trim of 1..10 keeps 2..9 and pins both cut values") {
+    val got = run((1L to 10L).map(v => ("g", L(v))))
+    assert(got("g") == ((10L, 0L, 1L, 2L, 9L, 5500000L)))
+  }
+
+  test("one wild outlier cannot drag the trimmed mean (the plain mean follows it)") {
+    val got = run(((1L to 9L).map(v => ("g", L(v))) :+ ("g", L(1000000L))))
+    // kept ranks 2..9 = values 2..9 -> mean 5.5; plain mean ~100005
+    assert(got("g")._6 == 5500000L)
+  }
+
+  test("duplicates straddling the cut contribute partial counts") {
+    // [5,5,5,5] trim 300permille -> k=1, keep the middle 2 fives
+    val got = run(Seq.fill(4)(("g", L(5))), t = 300)
+    assert(got("g") == ((4L, 0L, 1L, 5L, 5L, 5000000L)))
+  }
+
+  test("trim 0 degenerates to the plain mean with min/max cuts") {
+    val got = run(Seq(("g", L(1)), ("g", L(2)), ("g", L(6))), t = 0)
+    assert(got("g") == ((3L, 0L, 0L, 1L, 6L, 3000000L)))
+  }
+
+  test("negative sums truncate toward zero on both engines") {
+    val got = run(Seq(("g", L(-1)), ("g", L(0)), ("g", L(0))), t = 0)
+    // S = -1, m = 3 -> -1e6 DIV 3 = -333333 (floor would give -333334)
+    assert(got("g")._6 == -333333L)
+  }
+
+  test("NULLs counted; an all-NULL group keeps a NULL-stats row") {
+    val got = run(Seq(("g", L(7)), ("g", null), ("h", null)))
+    assert(got("g") == ((1L, 1L, 0L, 7L, 7L, 7000000L)))
+    assert(got("h") == ((0L, 1L, 0L, Long.MinValue, Long.MinValue,
+      Long.MinValue)))
+  }
+}
