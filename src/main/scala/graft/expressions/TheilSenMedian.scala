@@ -1,0 +1,101 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** `theil_sen_median(array<struct<__o bigint, __c bigint>>) ->
+  * struct(n_slopes, slope_micro)` — the pairwise-slope enumeration,
+  * sort, and lower-median pick of [[graft.operators.Anomaly.theilSen]]
+  * as ONE row-local kernel pass.
+  *
+  * Replaces the nested `transform(sequence…)` lambda formulation,
+  * which interprets ~4 `element_at` calls per pair — a 680-point
+  * series pays ~10⁶ interpreted calls (the q226 sentence-splitter
+  * lesson: measured 5.7 s → sub-second at sf0.1). Arithmetic is
+  * IDENTICAL to the lambda form and the DuckDB oracle: slope =
+  * (cⱼ−cᵢ)·10⁶ / (oⱼ−oᵢ) in Java long division (truncates toward
+  * zero — the engines' shared DIV convention, either sign), pairs
+  * sharing an order key are skipped, the median is the lower median
+  * of the ascending slope sort. `multiplyExact` makes the documented
+  * |Δc| < 9·10¹² contract FAIL LOUD on overflow, exactly as Spark's
+  * ANSI DIV would — a silent Java wrap would diverge from the oracle.
+  * Input must be the (o, c)-sorted pack; NULL input → NULL;
+  * `slope_micro` is NULL when no valid pair exists. */
+case class TheilSenMedian(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_slopes", LongType, nullable = false),
+    StructField("slope_micro", LongType, nullable = true)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "theil_sen_median"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TheilSenMedian.kernel(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.TheilSenMedian.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TheilSenMedian =
+    copy(child = newChild)
+}
+
+object TheilSenMedian {
+
+  def kernel(evs: ArrayData): InternalRow = {
+    val n = evs.numElements()
+    val os = new Array[Long](n)
+    val cs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = evs.getStruct(i, 2)
+      os(i) = row.getLong(0)
+      cs(i) = row.getLong(1)
+      i += 1
+    }
+    val slopes = new Array[Long](if (n < 2) 0 else n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val dO = os(j) - os(i)
+        if (dO != 0L) {
+          slopes(k) = Math.multiplyExact(cs(j) - cs(i), 1000000L) / dO
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](2)
+    out(0) = k.toLong
+    if (k == 0) out(1) = null
+    else {
+      java.util.Arrays.sort(slopes, 0, k)
+      out(1) = slopes((k + 1) / 2 - 1)
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Column-API entry point; `evs` must be the sorted (o, c) pack. */
+  def apply(evs: Column): Column =
+    ColumnBridge.toColumn(TheilSenMedian(ColumnBridge.toExpression(evs)))
+}

@@ -428,9 +428,11 @@ object Anomaly {
     * Scale shape: one partial-agg packs each series (the bounded-
     * series collect contract shared with [[ewmaDeviation]] — hours of
     * a month, not raw rows); the O(n²) slope enumeration, sort, and
-    * median pick are ROW-LOCAL lambdas over that array. Output: one
-    * row per series — (seriesCol, n_points, n_dropped, n_slopes,
-    * slope_micro; NULL slope when no valid pair exists). */
+    * median pick are ONE row-local kernel pass
+    * ([[graft.expressions.TheilSenMedian]] — the nested-lambda form
+    * paid ~10⁶ interpreted element_at calls on a 680-point series).
+    * Output: one row per series — (seriesCol, n_points, n_dropped,
+    * n_slopes, slope_micro; NULL slope when no valid pair exists). */
   def theilSen(df: DataFrame, seriesCol: String, orderCol: String,
       valueCol: String): DataFrame = {
     val both = col(orderCol).isNotNull && col(valueCol).isNotNull
@@ -439,24 +441,11 @@ object Anomaly {
         struct(col(orderCol).cast("long").as("__o"),
           col(valueCol).cast("long").as("__c"))))).as("__evs"),
       sum(when(both, 0L).otherwise(1L)).as("n_dropped"))
-    // sequence(1, 0) would DESCEND in Spark — guard the n < 2 case
-    val slopes = when(size(col("__evs")) >= 2, expr(
-      """array_sort(filter(flatten(transform(
-        |  sequence(1, size(__evs) - 1), i ->
-        |    transform(sequence(i + 1, size(__evs)), j ->
-        |      CASE WHEN element_at(__evs, j).__o <> element_at(__evs, i).__o
-        |        THEN (element_at(__evs, j).__c - element_at(__evs, i).__c)
-        |          * 1000000
-        |          DIV (element_at(__evs, j).__o - element_at(__evs, i).__o)
-        |      END))), s -> s IS NOT NULL))""".stripMargin))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-    packed.withColumn("__sl", slopes)
+    packed
+      .withColumn("__ts", graft.expressions.TheilSenMedian(col("__evs")))
       .select(col(seriesCol), size(col("__evs")).cast("long").as("n_points"),
-        col("n_dropped"), size(col("__sl")).cast("long").as("n_slopes"),
-        when(size(col("__sl")) >= 1,
-          element_at(col("__sl"),
-            expr("CAST((size(__sl) + 1) DIV 2 AS INT)")))
-          .as("slope_micro"))
+        col("n_dropped"), col("__ts.n_slopes").as("n_slopes"),
+        col("__ts.slope_micro").as("slope_micro"))
   }
 
   /** Trimmed location statistics per group — the robust mean the
