@@ -1196,6 +1196,49 @@ object Dedup {
           .when(col("n_b") === 0, lit(0L))
           .otherwise(expr("CAST(1000 * n_common AS BIGINT) DIV n_b")))
 
+  /** Duplication curve — cross-document duplicated-shingle fractions
+    * at SEVERAL widths in one report: "how many tokens of context
+    * until this corpus's text is unique?" (the Lee et al. 2021
+    * framing — 3-grams duplicate everywhere, 50-grams almost never,
+    * and where YOUR corpus crosses over calibrates
+    * [[duplicatedSpans]]' width and the MinHash shingle choice).
+    * Occurrence-mass fractions, not distinct-type fractions, are the
+    * headline: they answer "what fraction of training tokens sit in
+    * cross-doc repeated context".
+    *
+    * Scale shape: one corpus-sized tokenize+shingle+hash pass PER
+    * width (widths are a handful by contract — the passes are stated,
+    * not hidden), each collapsing to a (hash → distinct docs,
+    * occurrences) partial agg; the report is |widths| rows. Output:
+    * (shingle_n, n_shingles, n_distinct, n_dup_distinct, n_dup_occ,
+    * dup_occ_frac_micro), one row per width. */
+  def dupCurve(docs: DataFrame, docIdCol: String, textCol: String,
+      widths: Seq[Int] = Seq(3, 5, 10, 20), minDocs: Int = 2): DataFrame = {
+    require(widths.nonEmpty && widths.forall(n => n >= 2 && n <= 64),
+      "need 1..n widths each in [2, 64]")
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    val toks = docs.select(col(docIdCol).as("__doc"),
+      tokens(coalesce(col(textCol), lit(""))).as("__tw"))
+    widths.map { n =>
+      toks.select(col("__doc"),
+          explode(graft.expressions.TokenHashes(
+            graft.expressions.WordShingles(col("__tw"), n))).as("__h"))
+        .groupBy("__h")
+        .agg(countDistinct(col("__doc")).as("__nd"),
+          count(lit(1)).as("__occ"))
+        .agg(lit(n.toLong).as("shingle_n"),
+          coalesce(sum("__occ"), lit(0L)).as("n_shingles"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)),
+            lit(0L)).as("n_dup_distinct"),
+          coalesce(sum(when(col("__nd") >= minDocs, col("__occ"))
+            .otherwise(0L)), lit(0L)).as("n_dup_occ"))
+        .withColumn("dup_occ_frac_micro",
+          when(col("n_shingles") > 0L,
+            expr("n_dup_occ * 1000000 DIV n_shingles")).otherwise(0L))
+    }.reduce(_ unionByName _)
+  }
+
   /** Cross-document duplicated-SPAN detection — the per-document
     * "how much of this text exists verbatim elsewhere?" audit of
     * exact-substring dedup (Lee et al. 2021): an n-token shingle that

@@ -751,4 +751,65 @@ object Importance {
         "left")
       .drop("__g", "__s")
   }
+
+  /** Bigram conditional entropy per source — H(w₂|w₁) = H(w₁,w₂) −
+    * H(w₁) in micro-nats over the bigram stream: the PREDICTABILITY
+    * audit of a corpus slice (Shannon 1951's next-symbol uncertainty).
+    * Templated/boilerplate sources sit far below natural prose —
+    * given the previous word, the next is nearly determined — which
+    * is exactly the redundancy [[klDrift]]'s unigram mix cannot see
+    * (a template reusing common words in a FIXED ORDER has an
+    * ordinary unigram profile and a collapsed conditional entropy).
+    *
+    * Determinism (the [[graft.expressions.CharEntropy]] discipline):
+    * H = ln N − (Σ_x c_x·ln c_x)/N with each `round(c·ln c·10⁶)` term
+    * an INTEGER micro-nat before the order-free sum; the final
+    * division truncates identically on both engines (non-negative),
+    * and `h_cond_micro` is defined as the difference of the two
+    * emitted entropies so no third rounding path exists. Bigrams and
+    * heads travel as 60-bit md5 hashes (never text).
+    *
+    * Scale shape: ONE corpus-sized (source, head, bigram) counter agg
+    * (materialized once); the head marginal derives from it, never
+    * rescanning the corpus (the [[bigramFluency]] c1-from-c2 move);
+    * entropies are distinct-ngram-frame aggregates. Sub-2-token docs
+    * contribute no bigrams. NULL sources are real groups. Output:
+    * (sourceCol, n_bigrams, n_distinct_bigrams, h_joint_micro,
+    * h_head_micro, h_cond_micro). */
+  def bigramEntropy(docs: DataFrame, sourceCol: String, textCol: String,
+      checkpointer: graft.operators.Checkpointer =
+        graft.operators.Checkpointer.Local): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val bg = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("h"), concat(a, lit(" "), b).as("bg")))
+    val pairs = docs.select(col(sourceCol), explode(bg).as("__p"))
+      .select(col(sourceCol),
+        TextFunctions.tokenHash(col("__p.h")).as("__hh"),
+        TextFunctions.tokenHash(col("__p.bg")).as("__bh"))
+    val cells = checkpointer(pairs
+      .groupBy(col(sourceCol), col("__hh"), col("__bh"))
+      .agg(count(lit(1)).as("__c")))
+    val termSql =
+      "CAST(round(CAST(%s AS DOUBLE) * ln(CAST(%s AS DOUBLE)) * 1000000) AS BIGINT)"
+    val joint = cells.groupBy(col(sourceCol))
+      .agg(sum("__c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(expr(termSql.format("__c", "__c"))).as("__t12"))
+    val heads = cells.groupBy(col(sourceCol), col("__hh"))
+      .agg(sum("__c").as("__ch"))
+      .groupBy(col(sourceCol))
+      .agg(sum(expr(termSql.format("__ch", "__ch"))).as("__t1"))
+      .withColumnRenamed(sourceCol, "__s1")
+    joint.join(heads, col(sourceCol) <=> col("__s1"), "left")
+      .select(col(sourceCol), col("n_bigrams"), col("n_distinct_bigrams"),
+        expr(
+          """CAST(round(ln(CAST(n_bigrams AS DOUBLE)) * 1000000) AS BIGINT)
+            | - __t12 DIV n_bigrams""".stripMargin).as("h_joint_micro"),
+        expr(
+          """CAST(round(ln(CAST(n_bigrams AS DOUBLE)) * 1000000) AS BIGINT)
+            | - __t1 DIV n_bigrams""".stripMargin).as("h_head_micro"))
+      .withColumn("h_cond_micro", col("h_joint_micro") - col("h_head_micro"))
+  }
 }

@@ -900,6 +900,70 @@ object Vocab {
     * under ties via the token tiebreak. N joins in as a broadcast
     * one-row frame. Output: (token, n_docs, cf, vmr_micro) ordered
     * (cf desc, token). */
+  /** Distinctive terms per source — the top-k tokens whose
+    * add-one-smoothed frequency RATIO against the rest of the corpus
+    * is highest: the "what IS this source, lexically?" card beside
+    * q195's volume metrics (a crawl slice whose distinctive terms are
+    * casino brands tells you what the quality gate missed). Ratio
+    * r = p_source(t)/p_rest(t) with p_source = (c_s+1)/(n_s+V),
+    * p_rest = (c_rest+1)/(n_rest+V) — exact integer micro via
+    * DECIMAL(38,0) cross-multiplication; `minCf` floors corpus
+    * frequency so one-off typos can't top the list.
+    *
+    * Determinism contract: the per-source top-k is the mergeable
+    * [[graft.functions.TopKAggregator]] over (ratio-as-double,
+    * 60-bit token hash) — O(k) per source per partition crossing the
+    * shuffle, NEVER a rank over the distinct-token frame (the
+    * exactKPerStratum discipline). The double is ONLY the selection
+    * key and is exact while ratio_micro < 2⁵³ (documented bound —
+    * ratios are capped by corpus mass over minCf); the oracle replays
+    * the same (double DESC, hash ASC) order. Exact integers are
+    * re-derived for the survivors by hash join. NULL sources fold to
+    * '' (group-key convention).
+    *
+    * Scale shape: one token explode → (source, token) partial agg
+    * (materialized once — corpus totals, source totals, V, and the
+    * scoring join all read it); scoring runs on the distinct-token
+    * frame; survivors are k·sources rows. Output: (sourceCol, rank,
+    * token, c_source, c_rest, ratio_micro). */
+  def distinctiveTerms(docs: DataFrame, sourceCol: String, textCol: String,
+      topK: Int = 10, minCf: Long = 5L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"need topK in [1, 1000], got $topK")
+    require(minCf >= 1L, s"need minCf >= 1, got $minCf")
+    val st = checkpointer(docs
+      .select(coalesce(col(sourceCol), lit("")).as("__s"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("token"))
+      .groupBy("__s", "token").agg(count(lit(1)).as("__cs")))
+    val ct = st.groupBy("token").agg(sum("__cs").as("__cf"))
+    val nS = st.groupBy("__s").agg(sum("__cs").as("__ns"))
+      .withColumnRenamed("__s", "__s2")
+    val tot = ct.agg(sum("__cf").as("__nn"), count(lit(1)).as("__v"))
+    val scored = st.join(ct, Seq("token"))
+      .where(col("__cf") >= minCf)
+      .join(broadcast(nS), col("__s") === col("__s2"))
+      .join(broadcast(tot))
+      .withColumn("__h",
+        graft.functions.TextFunctions.tokenHash(col("token")))
+      .withColumn("ratio_micro", expr(
+        """CAST((CAST(__cs + 1 AS DECIMAL(38,0)) * (__nn - __ns + __v)
+          | * 1000000) DIV (CAST(__cf - __cs + 1 AS DECIMAL(38,0))
+          | * (__ns + __v)) AS BIGINT)""".stripMargin))
+    val topk = udaf(new graft.functions.TopKAggregator(topK))
+    val winners = scored.groupBy("__s")
+      .agg(topk(col("ratio_micro").cast("double"), col("__h")).as("__top"))
+      .select(col("__s").as("__ws"), posexplode(col("__top"))
+        .as(Seq("__rk0", "__pair")))
+      .select(col("__ws"), (col("__rk0") + 1).cast("long").as("rank"),
+        col("__pair._2").as("__wh"))
+    winners.join(scored,
+        col("__ws") === col("__s") && col("__wh") === col("__h"))
+      .select(col("__s").as(sourceCol), col("rank"), col("token"),
+        col("__cs").as("c_source"), (col("__cf") - col("__cs")).as("c_rest"),
+        col("ratio_micro"))
+  }
+
   def tokenBurstiness(docs: DataFrame, docIdCol: String, textCol: String,
       topK: Int = 50): DataFrame = {
     require(topK >= 1 && topK <= 10000, s"need topK in [1, 10000], got $topK")

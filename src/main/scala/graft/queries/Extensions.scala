@@ -3420,7 +3420,41 @@ object Extensions {
           .as("mattr_micro"))
       .orderBy("doc_id")
 
+  /** q250 — bigram conditional entropy per source
+    * ([[Importance.bigramEntropy]]): H(w₂|w₁) in micro-nats — the
+    * next-word predictability audit; a template reusing ordinary
+    * words in a fixed order has an ordinary unigram mix (invisible to
+    * q173) and a collapsed conditional entropy. */
+  def q250BigramEntropy(spark: SparkSession, dir: String): DataFrame =
+    Importance.bigramEntropy(Tables(spark, dir, "documents"),
+      "source", "text")
+      .orderBy("source")
+
+  /** q251 — distinctive terms per source ([[Vocab.distinctiveTerms]],
+    * top 5, corpus frequency ≥ 5): the smoothed frequency-ratio
+    * lexical card — bounded mergeable top-k over (ratio, hash), never
+    * a rank over the distinct-token frame. */
+  def q251DistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    Vocab.distinctiveTerms(
+      Tables(spark, dir, "documents")
+        .select(col("source"), coalesce(col("text"), lit("")).as("text")),
+      "source", "text", topK = 5, minCf = 5L)
+      .orderBy("source", "rank")
+
+  /** q252 — duplication curve ([[graft.operators.Dedup.dupCurve]],
+    * widths 3/5/10/20): the cross-doc duplicated-shingle fraction as
+    * context grows — where the corpus's text becomes unique, the
+    * width calibration for q242 and the MinHash family. */
+  def q252DupCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupCurve(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      widths = Seq(3, 5, 10, 20), minDocs = 2)
+      .orderBy("shingle_n")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_dup_curve" -> (q252DupCurve _),
+    "q251_distinctive" -> (q251DistinctiveTerms _),
+    "q250_bigram_entropy" -> (q250BigramEntropy _),
     "q249_mattr" -> (q249Mattr _),
     "q248_trimmed_mean" -> (q248Trimmed _),
     "q247_fleiss_kappa" -> (q247Fleiss _),
@@ -4418,7 +4452,83 @@ object Extensions {
        |  FROM u$i CROSS JOIN s$i CROSS JOIN ni)""".stripMargin
   }
 
+  /** One width's CTE block of the q252 duplication-curve oracle. */
+  private def dupCurveSql(n: Int): String =
+    s"""sh$n AS (SELECT doc_id, unnest(list_transform(range(1, len(tw) - ${n - 2}),
+       |    i -> ('0x' || substring(md5(array_to_string(tw[i:i+${n - 1}], ' ')), 1, 15))::BIGINT)) AS h
+       |  FROM tk),
+       |g$n AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS ndd,
+       |    count(1)::BIGINT AS occ FROM sh$n GROUP BY h),
+       |r$n AS (SELECT CAST($n AS BIGINT) AS shingle_n,
+       |    coalesce(sum(occ), 0)::BIGINT AS n_shingles,
+       |    count(1)::BIGINT AS n_distinct,
+       |    coalesce(sum(CASE WHEN ndd >= 2 THEN 1 ELSE 0 END), 0)::BIGINT AS n_dup_distinct,
+       |    coalesce(sum(CASE WHEN ndd >= 2 THEN occ ELSE 0 END), 0)::BIGINT AS n_dup_occ
+       |  FROM g$n)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q250_bigram_entropy" ->
+      ("""WITH tk AS (SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS tw
+        |  FROM documents),
+        |bg AS (SELECT source, unnest(list_transform(range(1, len(tw)), i ->
+        |    struct_pack(hh := ('0x' || substring(md5(tw[i]), 1, 15))::BIGINT,
+        |      bh := ('0x' || substring(md5(tw[i] || ' ' || tw[i+1]), 1, 15))::BIGINT))) AS u
+        |  FROM tk WHERE len(tw) >= 2),
+        |ce AS (SELECT source, u.hh AS hh, u.bh AS bh, count(1)::BIGINT AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |jt AS (SELECT source, sum(c)::BIGINT AS n, count(1)::BIGINT AS nd,
+        |    sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))::BIGINT AS t12
+        |  FROM ce GROUP BY 1),
+        |hd AS (SELECT source, sum(t)::BIGINT AS t1 FROM (
+        |    SELECT source, hh, CAST(round(CAST(sum(c) AS DOUBLE)
+        |      * ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT) AS t
+        |    FROM ce GROUP BY source, hh) GROUP BY source)
+        |SELECT jt.source, jt.n AS n_bigrams, jt.nd AS n_distinct_bigrams,
+        |  CAST(round(ln(CAST(jt.n AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - (t12 // jt.n) AS h_joint_micro,
+        |  CAST(round(ln(CAST(jt.n AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - (t1 // jt.n) AS h_head_micro,
+        |  (t1 // jt.n) - (t12 // jt.n) AS h_cond_micro
+        |FROM jt LEFT JOIN hd ON jt.source IS NOT DISTINCT FROM hd.source
+        |ORDER BY jt.source""".stripMargin),
+    "q251_distinctive" ->
+      ("""WITH st AS (SELECT s, token, count(1)::BIGINT AS cs FROM (
+        |    SELECT coalesce(source, '') AS s,
+        |      unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |ct AS (SELECT token, sum(cs)::BIGINT AS cf FROM st GROUP BY 1),
+        |nsrc AS (SELECT s, sum(cs)::BIGINT AS nsv FROM st GROUP BY 1),
+        |tt AS (SELECT sum(cf)::BIGINT AS nn, count(1)::BIGINT AS v FROM ct),
+        |sc AS (SELECT st.s, st.token, st.cs, ct.cf,
+        |    ('0x' || substring(md5(st.token), 1, 15))::BIGINT AS h,
+        |    CAST((CAST(st.cs + 1 AS HUGEINT) * (tt.nn - nsrc.nsv + tt.v)
+        |      * 1000000) // (CAST(ct.cf - st.cs + 1 AS HUGEINT)
+        |      * (nsrc.nsv + tt.v)) AS BIGINT) AS ratio_micro
+        |  FROM st JOIN ct USING (token) JOIN nsrc ON st.s = nsrc.s
+        |    CROSS JOIN tt
+        |  WHERE ct.cf >= 5),
+        |rk AS (SELECT s, token, cs, cf, ratio_micro,
+        |    row_number() OVER (PARTITION BY s
+        |      ORDER BY CAST(ratio_micro AS DOUBLE) DESC, h ASC) AS rank
+        |  FROM sc)
+        |SELECT s AS source, rank::BIGINT AS rank, token, cs AS c_source,
+        |  (cf - cs)::BIGINT AS c_rest, ratio_micro
+        |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+    "q252_dup_curve" ->
+      (s"""WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS tw
+        |  FROM documents),
+        |${dupCurveSql(3)},
+        |${dupCurveSql(5)},
+        |${dupCurveSql(10)},
+        |${dupCurveSql(20)},
+        |u AS (SELECT * FROM r3 UNION ALL SELECT * FROM r5
+        |  UNION ALL SELECT * FROM r10 UNION ALL SELECT * FROM r20)
+        |SELECT shingle_n, n_shingles, n_distinct, n_dup_distinct, n_dup_occ,
+        |  CASE WHEN n_shingles > 0 THEN n_dup_occ * 1000000 // n_shingles
+        |    ELSE 0 END::BIGINT AS dup_occ_frac_micro
+        |FROM u ORDER BY shingle_n""".stripMargin),
     "q247_fleiss_kappa" ->
       ("""WITH d AS (SELECT doc_id, least(n_chars // 300, 2) AS base
         |  FROM documents),

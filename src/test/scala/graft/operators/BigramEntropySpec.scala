@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Importance.bigramEntropy]]: the deterministic-text zero, the
+  * template-vs-prose separation invisible to unigram profiles, NULL
+  * sources as groups, and an exact Scala replay. */
+class BigramEntropySpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Importance.bigramEntropy(rows.toDF("source", "text"), "source", "text")
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+  }
+
+  test("fully deterministic text has conditional entropy exactly 0") {
+    // every head determines its successor -> H(joint) == H(head)
+    val got = run(Seq(("t", "a b c a b c a b c a b c")))
+    val (_, _, hj, hh, hc) = got("t")
+    assert(hc == 0L && hj == hh)
+  }
+
+  test("a fixed-order template collapses where the unigram mix cannot see it") {
+    // SAME unigram multiset, different order discipline
+    val template = Seq.fill(30)("the quick brown fox").mkString(" ")
+    val prose = {
+      val rnd = new scala.util.Random(5)
+      Seq.fill(120)(Seq("the", "quick", "brown", "fox")(rnd.nextInt(4)))
+        .mkString(" ")
+    }
+    val got = run(Seq(("tmpl", template), ("prose", prose)))
+    assert(got("tmpl")._5 < 200000L)    // near-deterministic successor
+    assert(got("prose")._5 > 1000000L)  // ~ln 4 of real uncertainty
+  }
+
+  test("NULL source is a real group; sub-2-token docs contribute nothing") {
+    val got = run(Seq((null, "x y x y"), ("s", "solo"), ("s", "p q p q")))
+    assert(got.contains("<null>") && got("<null>")._1 == 3L)
+    assert(got("s")._1 == 3L) // "solo" added no bigrams
+  }
+
+  test("exact Scala replay of the micro-nat terms") {
+    val rnd = new scala.util.Random(29)
+    val toks = Seq.fill(400)(s"w${rnd.nextInt(12)}")
+    val got = run(Seq(("g", toks.mkString(" "))))("g")
+    val bgs = toks.sliding(2).map(p => (p.head, p.mkString(" "))).toSeq
+    val n = bgs.size.toLong
+    def t(counts: Iterable[Long]) =
+      counts.map(c => math.round(c.toDouble * math.log(c.toDouble) * 1e6))
+        .sum
+    val t12 = t(bgs.groupBy(_._2).values.map(_.size.toLong))
+    val t1 = t(bgs.groupBy(_._1).values.map(_.size.toLong))
+    val lnN = math.round(math.log(n.toDouble) * 1e6)
+    assert(got._1 == n)
+    assert(got._3 == lnN - t12 / n && got._4 == lnN - t1 / n)
+    assert(got._5 == (lnN - t12 / n) - (lnN - t1 / n))
+  }
+}

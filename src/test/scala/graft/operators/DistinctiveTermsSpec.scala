@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.distinctiveTerms]]: planted distinctive vocabulary rises
+  * to rank 1, shared vocabulary never ranks, the minCf floor, NULL
+  * folding, and the exact smoothed-ratio arithmetic. */
+class DistinctiveTermsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)], k: Int = 3,
+      minCf: Long = 2L) = {
+    import spark.implicits._
+    Vocab.distinctiveTerms(rows.toDF("source", "text"), "source", "text",
+      k, minCf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("a planted source-exclusive term ranks first for its source") {
+    val a = Seq.fill(5)(("a", "common words here casino casino"))
+    val b = Seq.fill(5)(("b", "common words here research research"))
+    val got = run(a ++ b)
+    assert(got(("a", 1L))._1 == "casino")
+    assert(got(("b", 1L))._1 == "research")
+    // the exclusive term's counts: 10 in-source, 0 elsewhere
+    assert(got(("a", 1L))._2 == 10L && got(("a", 1L))._3 == 0L)
+  }
+
+  test("exact smoothed ratio arithmetic on a hand-sized corpus") {
+    // source a: "x x y"; source b: "y y y" -> V = 2, N = 6
+    // for (a, x): cs=2 cf=2 ns=3 -> r = (3*(3-3+2+... compute:
+    // p_a = (2+1)/(3+2)=3/5; p_rest = (0+1)/(3+2)=1/5 -> r = 3e6
+    val got = run(Seq(("a", "x x y"), ("b", "y y y")), k = 2, minCf = 1L)
+    assert(got(("a", 1L)) == (("x", 2L, 0L, 3000000L)))
+  }
+
+  test("minCf floors out one-off typos") {
+    val got = run(Seq(("a", "typo normal normal"), ("b", "normal normal")),
+      k = 3, minCf = 2L)
+    assert(!got.values.exists(_._1 == "typo"))
+  }
+
+  test("NULL sources fold to '' and k bounds the output per source") {
+    val rows = Seq((null, "alpha beta gamma delta alpha beta"),
+      ("s", "epsilon zeta"))
+    val got = run(rows.map { case (s, t) => (s.asInstanceOf[String], t) },
+      k = 2, minCf = 1L)
+    val bySource = got.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySource("") <= 2 && bySource("s") <= 2)
+  }
+}

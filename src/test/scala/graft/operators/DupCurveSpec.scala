@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.dupCurve]]: monotone-decreasing duplication with width on
+  * an engineered corpus, the within-doc exclusion, exact counts at
+  * one width, and empty-corpus zeros. */
+class DupCurveSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], widths: Seq[Int]) = {
+    import spark.implicits._
+    Dedup.dupCurve(rows.toDF("doc_id", "text"), "doc_id", "text", widths)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("duplication decays with width; the shared run keeps long widths alive") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 8L).map { id =>
+      val noise = Seq.fill(30)(s"n${rnd.nextInt(9)}").mkString(" ")
+      id -> s"$noise $shared"
+    }
+    val got = run(rows, Seq(3, 5, 10, 20))
+    val fracs = Seq(3, 5, 10, 20).map(n => got(n.toLong)._5)
+    assert(fracs(0) >= fracs(1) && fracs(1) >= fracs(2))
+    // the 10-token shared run still duplicates at width 10 (1 shingle
+    // per doc), but can't span width 20
+    assert(got(10L)._4 >= 8L && got(20L)._4 == 0L)
+  }
+
+  test("exact counts at one width on a hand corpus") {
+    // docs: "a b c d" / "a b c e": width 3 -> shingles per doc: 2
+    // doc1: (a b c), (b c d); doc2: (a b c), (b c e) -> dup: "a b c"
+    val got = run(Seq((1L, "a b c d"), (2L, "a b c e")), Seq(3))
+    assert(got(3L) == ((4L, 3L, 1L, 2L, 500000L)))
+  }
+
+  test("within-doc repetition alone never counts as duplication") {
+    val got = run(Seq((1L, "p q r p q r"), (2L, "x y z w v u")), Seq(3))
+    assert(got(3L)._4 == 0L)
+  }
+
+  test("an all-short corpus reports zeros, not an empty frame") {
+    val got = run(Seq((1L, "a b"), (2L, "c d")), Seq(5))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+}
