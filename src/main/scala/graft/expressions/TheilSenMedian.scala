@@ -61,6 +61,12 @@ object TheilSenMedian {
 
   def kernel(evs: ArrayData): InternalRow = {
     val n = evs.numElements()
+    // n(n-1)/2 must fit an Int for the slopes array — fail with a
+    // meaningful message instead of a wrapped NegativeArraySize crash
+    // (far beyond the bounded-series collect contract anyway)
+    require(n <= 46000,
+      s"theil_sen_median: series of $n points exceeds the 46000-point " +
+        "kernel bound — pre-bucket the series (bounded-series contract)")
     val os = new Array[Long](n)
     val cs = new Array[Long](n)
     var i = 0

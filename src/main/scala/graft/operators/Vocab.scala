@@ -900,6 +900,26 @@ object Vocab {
     * under ties via the token tiebreak. N joins in as a broadcast
     * one-row frame. Output: (token, n_docs, cf, vmr_micro) ordered
     * (cf desc, token). */
+  def tokenBurstiness(docs: DataFrame, docIdCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"need topK in [1, 10000], got $topK")
+    val nDocs = docs.agg(countDistinct(col(docIdCol)).as("__nd"))
+    val perDoc = docs.select(col(docIdCol).as("__doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("token"))
+      .groupBy("__doc", "token").agg(count(lit(1)).as("__c"))
+    val moments = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"), sum("__c").as("cf"),
+        sum(expr("__c * __c")).as("__ss"))
+      .orderBy(col("cf").desc, col("token")).limit(topK)
+    moments.join(broadcast(nDocs))
+      .where(col("__nd") >= 2L)
+      .select(col("token"), col("n_docs"), col("cf"),
+        expr("""CAST(((CAST(__nd AS DECIMAL(38,0)) * __ss - CAST(cf AS DECIMAL(38,0)) * cf)
+          | * 1000000) DIV ((__nd - 1) * CAST(cf AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin).as("vmr_micro"))
+  }
+
   /** Distinctive terms per source — the top-k tokens whose
     * add-one-smoothed frequency RATIO against the rest of the corpus
     * is highest: the "what IS this source, lexically?" card beside
@@ -962,25 +982,5 @@ object Vocab {
       .select(col("__s").as(sourceCol), col("rank"), col("token"),
         col("__cs").as("c_source"), (col("__cf") - col("__cs")).as("c_rest"),
         col("ratio_micro"))
-  }
-
-  def tokenBurstiness(docs: DataFrame, docIdCol: String, textCol: String,
-      topK: Int = 50): DataFrame = {
-    require(topK >= 1 && topK <= 10000, s"need topK in [1, 10000], got $topK")
-    val nDocs = docs.agg(countDistinct(col(docIdCol)).as("__nd"))
-    val perDoc = docs.select(col(docIdCol).as("__doc"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as("token"))
-      .groupBy("__doc", "token").agg(count(lit(1)).as("__c"))
-    val moments = perDoc.groupBy("token")
-      .agg(count(lit(1)).as("n_docs"), sum("__c").as("cf"),
-        sum(expr("__c * __c")).as("__ss"))
-      .orderBy(col("cf").desc, col("token")).limit(topK)
-    moments.join(broadcast(nDocs))
-      .where(col("__nd") >= 2L)
-      .select(col("token"), col("n_docs"), col("cf"),
-        expr("""CAST(((CAST(__nd AS DECIMAL(38,0)) * __ss - CAST(cf AS DECIMAL(38,0)) * cf)
-          | * 1000000) DIV ((__nd - 1) * CAST(cf AS DECIMAL(38,0))) AS BIGINT)"""
-          .stripMargin).as("vmr_micro"))
   }
 }

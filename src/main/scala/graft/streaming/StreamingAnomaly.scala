@@ -101,7 +101,8 @@ object StreamingAnomaly {
   /** Streaming calibration monitor — the O(bins)-state face of
     * [[graft.operators.Curation.calibrationError]]: per (group, bin)
     * the three counters (n, pos, Σconf) are SUM-MERGEABLE, so
-    * 3·(1000/binWidth + 1) longs per group monitor an unbounded
+    * 1 + 3·(1000/binWidth + 1) longs per group (the leading slot
+    * pins the binWidth the state was written under) monitor an unbounded
     * prediction stream, and the row emitted after any trigger equals
     * the batch operator over the union of all batches so far
     * (spec-pinned prefix parity — the engine's stream ≡ batch
@@ -121,29 +122,34 @@ object StreamingAnomaly {
         GroupStateTimeout.NoTimeout()) {
         (group: String, it: Iterator[(String, Long, Boolean)],
             state: GroupState[Array[Long]]) =>
-          // layout per bin b: [3b] = n, [3b+1] = pos, [3b+2] = Σconf
-          val st = state.getOption.getOrElse(new Array[Long](3 * nb))
-          // a checkpoint written under a DIFFERENT binWidth has a
-          // different layout — reinterpreting it would misbin silently
-          // (or index out of bounds); fail loud instead
-          require(st.length == 3 * nb,
-            s"restored calibration state has ${st.length / 3} bins, " +
-              s"query configured $nb — binWidth changed across restart")
+          // layout: [0] = the binWidth this state was written under
+          // (the layout KEY — two widths can share a bin COUNT, e.g.
+          // 300 and 280 both give 4 bins, so array length alone
+          // cannot detect the change); per bin b: [1+3b] = n,
+          // [2+3b] = pos, [3+3b] = Σconf. A restart under a different
+          // binWidth would misbin silently — fail loud instead.
+          val st = state.getOption.getOrElse {
+            val a = new Array[Long](1 + 3 * nb); a(0) = binWidth; a
+          }
+          require(st.length == 1 + 3 * nb && st(0) == binWidth,
+            s"restored calibration state was written under binWidth " +
+              s"${st.headOption.getOrElse(-1L)} with ${(st.length - 1) / 3} " +
+              s"bins; query configured $binWidth/$nb — changed across restart")
           it.foreach { case (_, c, o) =>
             if (c >= 0L && c <= 1000L) {
               val b = (c / binWidth).toInt
-              st(3 * b) += 1L
-              if (o) st(3 * b + 1) += 1L
-              st(3 * b + 2) += c
+              st(1 + 3 * b) += 1L
+              if (o) st(2 + 3 * b) += 1L
+              st(3 + 3 * b) += c
             }
           }
           state.update(st)
           var n = 0L; var gapSum = 0L; var mce = 0L; var b = 0
           while (b < nb) {
-            val bn = st(3 * b)
+            val bn = st(1 + 3 * b)
             if (bn > 0) {
-              val gap = math.abs(st(3 * b + 1) * 1000000L
-                - st(3 * b + 2) * 1000L)
+              val gap = math.abs(st(2 + 3 * b) * 1000000L
+                - st(3 + 3 * b) * 1000L)
               n += bn; gapSum += gap
               if (gap / bn > mce) mce = gap / bn
             }
