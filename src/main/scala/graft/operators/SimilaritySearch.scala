@@ -891,6 +891,41 @@ object SimilaritySearch {
           .as("ndcg_milli"))
   }
 
+  /** kNN-graph hubness audit (Radovanović et al. 2010) — the
+    * in-degree concentration of the k-nearest-neighbor graph: in high
+    * dimensions a few "hub" vectors appear in EVERYONE's top-k,
+    * silently dominating retrieval, dedup clustering, and
+    * hard-negative mining. This MEASURES the pathology the engine's
+    * mitigations correct ([[marginTopK]]'s ratio margin, q190's
+    * all-but-the-top): run it before and after ABTT and the hub list
+    * should collapse. `share_micro` = in-degree over all retrieved
+    * edges; a vector whose share is k× its uniform expectation is a
+    * hub.
+    *
+    * Scale shape: the neighbor pass is [[bruteForceTopK]]'s broadcast-
+    * query corpus stream (swap in [[ivfTopK]] upstream at corpus
+    * scale and feed the edges here via the same shape); its
+    * queries×k edge frame is materialized ONCE for the edge total and
+    * the in-degree agg; the hub cut is `ORDER BY in_degree DESC, id
+    * LIMIT topN` — TakeOrderedAndProject, bounded. Output:
+    * (neighbor_id, in_degree, share_micro), top `topN` by in-degree. */
+  def knnHubness(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int = 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(topN >= 1 && topN <= 10000, s"need topN in [1, 10000]")
+    val nb = checkpointer(
+      bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("neighbor_id")))
+    val edges = nb.agg(count(lit(1)).as("__e"))
+    nb.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+      .crossJoin(broadcast(edges))
+      .select(col("neighbor_id"), col("in_degree"),
+        expr("in_degree * 1000000 DIV __e").as("share_micro"))
+      .orderBy(col("in_degree").desc, col("neighbor_id"))
+      .limit(topN)
+  }
+
   /** Pairwise centroid distances between embedding groups — the
     * "are these sources/labels semantically distinct?" audit a
     * mixture designer runs before merging corpora: groups whose mean

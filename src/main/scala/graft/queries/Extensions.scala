@@ -3451,7 +3451,20 @@ object Extensions {
       widths = Seq(3, 5, 10, 20), minDocs = 2)
       .orderBy("shingle_n")
 
+  /** q253 — kNN-graph hubness audit ([[graft.operators
+    * .SimilaritySearch.knnHubness]], 200 queries, k = 5, top 20): the
+    * in-degree concentration the ABTT correction (q190) exists to
+    * fix, measured — a hub's share sits far above the uniform 1/500
+    * expectation. */
+  def q253KnnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    graft.operators.SimilaritySearch.knnHubness(
+      e, e.filter(col("vec_id") < 200), "vec_id", "embedding",
+      k = 5, topN = 20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_knn_hubness" -> (q253KnnHubness _),
     "q252_dup_curve" -> (q252DupCurve _),
     "q251_distinctive" -> (q251DistinctiveTerms _),
     "q250_bigram_entropy" -> (q250BigramEntropy _),
@@ -4467,6 +4480,23 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q253_knn_hubness" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 200),
+        |s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id, $cosSql AS sim
+        |      FROM e, q WHERE e.vec_id <> qid),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s),
+        |nb AS (SELECT neighbor_id FROM r WHERE rank <= 5),
+        |ed AS (SELECT count(1)::BIGINT AS e FROM nb),
+        |dg AS (SELECT neighbor_id, count(1)::BIGINT AS in_degree
+        |  FROM nb GROUP BY 1)
+        |SELECT neighbor_id, in_degree,
+        |  (in_degree * 1000000 // ed.e)::BIGINT AS share_micro
+        |FROM dg CROSS JOIN ed
+        |ORDER BY in_degree DESC, neighbor_id LIMIT 20""".stripMargin),
     "q250_bigram_entropy" ->
       ("""WITH tk AS (SELECT source,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS tw

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.knnHubness]]: an engineered hub dominates the
+  * in-degree table, shares are exact, and boundary ties cut
+  * deterministically. */
+class KnnHubnessSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("a centroid-like hub appears in every top-1 and tops the audit") {
+    // seven mutually orthogonal basis vectors (pairwise cos = 0) plus
+    // the all-ones centroid (cos 1/sqrt(8) to each) — the textbook
+    // high-dimensional hub: it is EVERY basis vector's nearest
+    // neighbor while no basis vector is anyone's
+    val basis = (1L to 7L).map { i =>
+      i -> Seq.tabulate(8)(j => if (j == i - 1) 1f else 0f)
+    }
+    val hub = Seq(99L -> Seq.fill(8)(1f))
+    val rows = basis ++ hub
+    val got = SimilaritySearch.knnHubness(df(rows), df(rows),
+      "vec_id", "embedding", k = 1, topN = 3).collect()
+    assert(got.head.getLong(0) == 99L)
+    // hub is top-1 for all 7 basis vectors; its own top-1 is a basis
+    // vector: 7 of 8 edges
+    assert(got.head.getLong(1) == 7L)
+    assert(got.head.getLong(2) == 7L * 1000000L / 8L)
+  }
+
+  test("uniform in-degrees cut deterministically by id at the boundary") {
+    // a ring where everyone's neighbor is unique -> all in_degree 1;
+    // topN = 2 must pick the two SMALLEST ids
+    val rows = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.44f),
+      3L -> Seq(0.6f, 0.8f), 4L -> Seq(0.2f, 0.98f))
+    val got = SimilaritySearch.knnHubness(df(rows), df(rows),
+      "vec_id", "embedding", k = 1, topN = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getLong(1) >= 1L))
+  }
+}
