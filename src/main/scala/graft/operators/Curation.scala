@@ -144,6 +144,47 @@ object Curation {
           .otherwise(0L).as("recall_milli"))
   }
 
+  /** Cost-optimal gate threshold — close the [[thresholdSweep]] loop:
+    * given the business costs of keeping junk (`costFpMilli` per kept
+    * negative) and of dropping good data (`costFnMilli` per rejected
+    * positive), return the SINGLE threshold minimizing total cost —
+    * the decision the precision/recall curve leaves to eyeballing.
+    * The candidate set is every bin boundary PLUS the reject-all
+    * gate (threshold above the top bin) — without it the optimizer
+    * could never conclude "this scorer is worthless, keep nothing".
+    *
+    * Exact integers: FP = cum_docs − cum_pos, FN = total_pos −
+    * cum_pos, cost_milli = FP·costFp + FN·costFn in DECIMAL(38,0);
+    * ties break toward the HIGHEST threshold (equal cost → keep less
+    * junk), pinned on both engines. Scale shape: everything runs on
+    * [[thresholdSweep]]'s bins-sized cumulative frame; the argmin is
+    * `ORDER BY cost, threshold DESC LIMIT 1`. Output: one row —
+    * (threshold, kept_docs, kept_pos, n_fp, n_fn, cost_milli). */
+  def optimalThreshold(df: DataFrame, score: Column, positive: Column,
+      binWidth: Long, costFpMilli: Long, costFnMilli: Long): DataFrame = {
+    require(costFpMilli >= 0 && costFnMilli >= 0,
+      "costs must be non-negative")
+    val sweep = thresholdSweep(df, score, positive, binWidth)
+      .select(col("threshold"), col("cum_docs"), col("cum_pos"))
+    val tot = sweep.agg(max("cum_docs").as("__td"),
+      max("cum_pos").as("__tp"), max("threshold").as("__mx"))
+    val rejectAll = tot.select(
+      (col("__mx") + binWidth).as("threshold"),
+      lit(0L).as("cum_docs"), lit(0L).as("cum_pos"))
+    sweep.unionByName(rejectAll)
+      .crossJoin(broadcast(tot.select(col("__tp"))))
+      .select(col("threshold"), col("cum_docs").as("kept_docs"),
+        col("cum_pos").as("kept_pos"),
+        (col("cum_docs") - col("cum_pos")).as("n_fp"),
+        (col("__tp") - col("cum_pos")).as("n_fn"))
+      .withColumn("cost_milli", expr(
+        s"""CAST(CAST(n_fp AS DECIMAL(38,0)) * $costFpMilli
+          | + CAST(n_fn AS DECIMAL(38,0)) * $costFnMilli AS BIGINT)"""
+          .stripMargin))
+      .orderBy(col("cost_milli"), col("threshold").desc)
+      .limit(1)
+  }
+
   /** Budget-constrained quality selection — "keep the best documents
     * of each group until its token budget is spent", the data-mixing
     * step that turns per-source budgets (from temperature weighting,

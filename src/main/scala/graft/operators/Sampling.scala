@@ -417,6 +417,85 @@ object Sampling {
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** Poisson-bootstrap A/B difference CI — "did the new crawler
+    * change mean doc quality?" answered with uncertainty: per
+    * replicate r, BOTH arms reuse the SAME deterministic md5 draws
+    * keyed by (row key, r) as [[poissonBootstrap]], the difference of
+    * the two replicate means is one draw from the difference's
+    * bootstrap distribution, and the ceil-rank 2.5 %/97.5 % order
+    * statistics bound it. `excludes_zero` = the bootstrap
+    * significance verdict (CI strictly one side of 0). Replicates
+    * where EITHER arm drew total weight 0 are dropped pairwise
+    * (a one-armed difference is not a difference); `n_rep` reports
+    * how many survived.
+    *
+    * Exact integers throughout: split-division micro means per arm
+    * per replicate, exact differences, ceil-rank selection over the
+    * ≤ b-sized sorted list — engine-portable bit-for-bit. `isB`
+    * must partition the input (NULL isB rows are neither arm — they
+    * drop fail-visibly via `n_excluded`).
+    *
+    * Scale shape — [[poissonBootstrap]]'s: the b-fold inflation
+    * collapses in the same stage's hash-aggregate partial (shuffle
+    * carries 2·b counter rows); the replicate join is b×b-bounded.
+    * Output: one row — (n_a, n_b, n_excluded, diff_micro, n_rep,
+    * ci_lo_micro, ci_hi_micro, excludes_zero); an input with an EMPTY
+    * arm yields an empty frame — there is no difference to report,
+    * and a fabricated one-armed row would read as a verdict. */
+  def bootstrapDiff(df: DataFrame, keyCol: String, value: Column,
+      isB: Column, b: Int = 40): DataFrame = {
+    require(b >= 4 && b <= 256, "need 4 <= b <= 256")
+    val lad = array(poissonLadderMicro.map(lit): _*)
+    val base = df.select(isB.as("__b"),
+      col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
+    val excluded = base.agg(
+      sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_excluded"))
+    val arms = base.where(col("__b").isNotNull)
+    val point = arms.groupBy("__b")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
+      .select(col("__b"), col("__n"), expr(
+        "(__s DIV __n) * 1000000 + ((__s % __n) * 1000000) DIV __n")
+        .as("__m"))
+    val reps = arms
+      .select(col("__b"), col("__v"), col("__k"),
+        explode(sequence(lit(1), lit(b))).as("__r"))
+      .withColumn("__u", pmod(graft.functions.TextFunctions.tokenHash(
+        concat(col("__k"), lit(":"), col("__r"))), lit(1000000L)))
+      .withColumn("__w", size(filter(lad, t => col("__u") >= t)).cast("long"))
+      .groupBy("__b", "__r")
+      .agg(sum(col("__w") * col("__v")).as("__ws"), sum("__w").as("__wn"))
+      .filter(col("__wn") > 0L)
+      .select(col("__b"), col("__r"), expr(
+        "(__ws DIV __wn) * 1000000 + ((__ws % __wn) * 1000000) DIV __wn")
+        .as("__rm"))
+    val diffs = reps.where(!col("__b"))
+      .select(col("__r"), col("__rm").as("__ma"))
+      .join(reps.where(col("__b"))
+        .select(col("__r").as("__r2"), col("__rm").as("__mb")),
+        col("__r") === col("__r2"))
+      .select((col("__ma") - col("__mb")).as("__d"))
+    val ci = diffs.agg(count(lit(1)).as("n_rep"),
+        sort_array(collect_list(col("__d"))).as("__ds"))
+      .select(col("n_rep"),
+        element_at(col("__ds"), greatest(lit(1),
+          ((col("n_rep") * 25 + 999) / 1000).cast("int")).cast("int"))
+          .as("ci_lo_micro"),
+        element_at(col("__ds"),
+          ((col("n_rep") * 975 + 999) / 1000).cast("int"))
+          .as("ci_hi_micro"))
+    val pa = point.where(!col("__b"))
+      .select(col("__n").as("n_a"), col("__m").as("__mpa"))
+    val pb = point.where(col("__b"))
+      .select(col("__n").as("n_b"), col("__m").as("__mpb"))
+    pa.crossJoin(broadcast(pb)).crossJoin(broadcast(excluded))
+      .crossJoin(broadcast(ci))
+      .select(col("n_a"), col("n_b"), col("n_excluded"),
+        (col("__mpa") - col("__mpb")).as("diff_micro"), col("n_rep"),
+        col("ci_lo_micro"), col("ci_hi_micro"),
+        (col("ci_lo_micro") > 0L || col("ci_hi_micro") < 0L)
+          .as("excludes_zero"))
+  }
+
   /** Neyman-optimal allocation of a fixed sampling budget across
     * strata (Neyman 1934): eval slots go where they buy variance
     * reduction — stratum h receives k·(N_h·σ_h)/Σ(N_j·σ_j), the

@@ -50,4 +50,43 @@ object UrlGate {
     joined(docs, urlCol, allowlist, canonicalize)
       .withColumn("url_allowed", col("__list_domain").isNotNull)
       .drop("__list_domain")
+
+  /** URL path-template mining — collapse digit runs to `#` and count
+    * the resulting path SHAPES: the crawl-traps-and-templates census
+    * ("/calendar/#/#/#" with 10⁶ URLs over 3 hosts is a date trap;
+    * "/product/#" with 10⁷ is a template whose pages share
+    * boilerplate). The recall-side companion to the blocklist gates —
+    * it tells you which patterns to ADD, and which templates deserve
+    * a per-template cap before [[graft.operators.Dedup]] pays for
+    * their near-identical pages.
+    *
+    * Path = everything from the first `/` after the authority to the
+    * first `?`/`#` (one regexp both engines share); URLs with no path
+    * component fold to the `/` shape; NULL urls are excluded — a
+    * census of shapes has no NULL shape (count NULL urls upstream,
+    * where the row still has an identity).
+    *
+    * Scale shape: one corpus-sized (template) counter agg with
+    * map-side combine (hosts counted distinct per template); the cut
+    * is `ORDER BY n_urls DESC, template LIMIT topK` —
+    * TakeOrderedAndProject, bounded. Output: (template, n_urls,
+    * n_hosts), top `topK` shapes. */
+  def pathTemplates(df: DataFrame, urlCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"need topK in [1, 10000]")
+    val path = coalesce(
+      regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/]+(/[^?#]*)", 1),
+      lit(""))
+    df.select(
+        when(path === "", lit("/")).otherwise(path).as("__p"),
+        TextFunctions.urlHost(col(urlCol)).as("__h"))
+      .where(col(urlCol).isNotNull)
+      .select(regexp_replace(col("__p"), "[0-9]+", "#").as("template"),
+        col("__h"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__h")).as("n_hosts"))
+      .orderBy(col("n_urls").desc, col("template"))
+      .limit(topK)
+  }
 }

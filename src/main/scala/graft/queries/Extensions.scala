@@ -3463,7 +3463,62 @@ object Extensions {
       k = 5, topN = 20)
   }
 
+  /** q254 — cost-optimal gate threshold
+    * ([[Curation.optimalThreshold]], FP cost 1.0, FN cost 3.0 per
+    * doc): the single decision the q138 precision/recall sweep leaves
+    * to eyeballing, with the reject-all gate in the candidate set. */
+  def q254OptThreshold(spark: SparkSession, dir: String): DataFrame =
+    Curation.optimalThreshold(
+      Tables(spark, dir, "documents"),
+      col("n_chars"), col("lang") === "en",
+      binWidth = 200L, costFpMilli = 1000L, costFnMilli = 3000L)
+
+  /** q255 — URL path-template census ([[graft.operators.UrlGate
+    * .pathTemplates]], top 10): digit runs collapse to `#`, the
+    * crawl-trap/template shapes surface with their URL and host
+    * counts — synthetic article/product/tag paths with date segments
+    * and query strings exercise the path-extraction edges. */
+  def q255PathTemplates(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val kinds = array(lit("article"), lit("product"), lit("tag"))
+    val url = concat(lit("https://"), coalesce(col("source"), lit("x")),
+      lit(".example.com/"),
+      element_at(kinds, (col("doc_id") % 3).cast("int") + 1),
+      lit("/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("/2024/"), (col("doc_id") % 12 + 1).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?page=3")).otherwise(lit("")))
+    graft.operators.UrlGate.pathTemplates(
+      d.select(url.as("url")), "url", topK = 10)
+      .orderBy(col("n_urls").desc, col("template"))
+  }
+
+  /** q256 — Poisson-bootstrap A/B difference CI
+    * ([[graft.operators.Sampling.bootstrapDiff]], b = 40): arm B's
+    * token counts are shifted +5 by construction, so the bootstrap
+    * CI of (A − B) must exclude zero — the crawler-change verdict
+    * with uncertainty, every replicate reusing q223's deterministic
+    * md5 draws. Every 29th doc has a NULL arm (fail-visible
+    * n_excluded). */
+  def q256BootstrapDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("nt"))
+    graft.operators.Sampling.bootstrapDiff(
+      d.select(col("doc_id"),
+        when(col("doc_id") % 29 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("arm_b"),
+        (col("nt") + when(col("doc_id") % 2 === 1, 5L).otherwise(0L))
+          .as("v")),
+      "doc_id", col("v"), col("arm_b"), b = 40)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_bootstrap_diff" -> (q256BootstrapDiff _),
+    "q255_path_templates" -> (q255PathTemplates _),
+    "q254_opt_threshold" -> (q254OptThreshold _),
     "q253_knn_hubness" -> (q253KnnHubness _),
     "q252_dup_curve" -> (q252DupCurve _),
     "q251_distinctive" -> (q251DistinctiveTerms _),
@@ -4480,6 +4535,86 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q254_opt_threshold" ->
+      ("""WITH b AS (SELECT n_chars // 200 AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |g AS (SELECT bin, count(1)::BIGINT AS n_bin, sum(pos)::BIGINT AS n_pos
+        |  FROM b GROUP BY bin),
+        |c AS (SELECT bin, (bin * 200)::BIGINT AS threshold,
+        |    sum(n_bin) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_docs,
+        |    sum(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos
+        |  FROM g),
+        |t AS (SELECT max(cum_pos)::BIGINT AS tp,
+        |    max(threshold)::BIGINT AS mx FROM c),
+        |cand AS (SELECT threshold, cum_docs, cum_pos FROM c
+        |  UNION ALL SELECT t.mx + 200, 0, 0 FROM t),
+        |k AS (SELECT cand.threshold, cand.cum_docs AS kept_docs,
+        |    cand.cum_pos AS kept_pos,
+        |    (cand.cum_docs - cand.cum_pos)::BIGINT AS n_fp,
+        |    (t.tp - cand.cum_pos)::BIGINT AS n_fn
+        |  FROM cand CROSS JOIN t)
+        |SELECT threshold, kept_docs, kept_pos, n_fp, n_fn,
+        |  CAST(CAST(n_fp AS HUGEINT) * 1000
+        |    + CAST(n_fn AS HUGEINT) * 3000 AS BIGINT) AS cost_milli
+        |FROM k ORDER BY cost_milli, threshold DESC LIMIT 1""".stripMargin),
+    "q255_path_templates" ->
+      ("""WITH u AS (SELECT 'https://' || coalesce(source, 'x')
+        |    || '.example.com/'
+        |    || CASE (doc_id % 3) WHEN 0 THEN 'article' WHEN 1 THEN 'product'
+        |         ELSE 'tag' END
+        |    || '/' || doc_id
+        |    || CASE WHEN doc_id % 4 = 0 THEN '/2024/' || (doc_id % 12 + 1)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '?page=3' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (SELECT coalesce(regexp_extract(url, '^[a-zA-Z]+://[^/]+(/[^?#]*)', 1), '') AS p0,
+        |    nullif(regexp_extract(url, '^https?://([^/?#]+)', 1), '') AS host
+        |  FROM u),
+        |h AS (SELECT regexp_replace(CASE WHEN p0 = '' THEN '/' ELSE p0 END,
+        |    '[0-9]+', '#', 'g') AS template, host FROM p)
+        |SELECT template, count(1)::BIGINT AS n_urls,
+        |  count(DISTINCT host)::BIGINT AS n_hosts
+        |FROM h GROUP BY template
+        |ORDER BY n_urls DESC, template LIMIT 10""".stripMargin),
+    "q256_bootstrap_diff" ->
+      ("""WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+        |    CASE WHEN doc_id % 29 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b,
+        |    CAST(len(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS BIGINT)
+        |      + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS v
+        |  FROM documents),
+        |ex AS (SELECT sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_excluded FROM d),
+        |a2 AS (SELECT * FROM d WHERE b IS NOT NULL),
+        |pt AS (SELECT b, count(1)::BIGINT AS n, sum(v)::BIGINT AS s FROM a2 GROUP BY b),
+        |p2 AS (SELECT b, n, (s // n) * 1000000 + ((s % n) * 1000000) // n AS m FROM pt),
+        |r AS (SELECT b, v, k, unnest(range(1, 41)) AS rr FROM a2),
+        |u AS (SELECT b, rr, v,
+        |    ('0x' || substring(md5(k || ':' || CAST(rr AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+        |  FROM r),
+        |w AS (SELECT b, rr, v,
+        |    ((u >= 367879)::INT + (u >= 735758)::INT + (u >= 919698)::INT
+        |     + (u >= 981011)::INT + (u >= 996340)::INT + (u >= 999405)::INT
+        |     + (u >= 999916)::INT + (u >= 999989)::INT + (u >= 999998)::INT
+        |     + (u >= 999999)::INT)::BIGINT AS w
+        |  FROM u),
+        |m AS (SELECT b, rr, sum(w * v)::BIGINT AS ws, sum(w)::BIGINT AS wn
+        |  FROM w GROUP BY b, rr),
+        |mm AS (SELECT b, rr,
+        |    (ws // wn) * 1000000 + ((ws % wn) * 1000000) // wn AS rm
+        |  FROM m WHERE wn > 0),
+        |df AS (SELECT a.rm - bb.rm AS dd FROM mm a
+        |  JOIN mm bb ON a.rr = bb.rr AND NOT a.b AND bb.b),
+        |ci AS (SELECT count(1)::BIGINT AS n_rep, list_sort(list(dd)) AS ds FROM df)
+        |SELECT pa.n AS n_a, pb.n AS n_b, ex.n_excluded,
+        |  (pa.m - pb.m)::BIGINT AS diff_micro, ci.n_rep,
+        |  ds[CAST(greatest(1, (ci.n_rep * 25 + 999) // 1000) AS INT)] AS ci_lo_micro,
+        |  ds[CAST((ci.n_rep * 975 + 999) // 1000 AS INT)] AS ci_hi_micro,
+        |  (ds[CAST(greatest(1, (ci.n_rep * 25 + 999) // 1000) AS INT)] > 0
+        |   OR ds[CAST((ci.n_rep * 975 + 999) // 1000 AS INT)] < 0) AS excludes_zero
+        |FROM (SELECT n, m FROM p2 WHERE NOT b) pa
+        |CROSS JOIN (SELECT n, m FROM p2 WHERE b) pb
+        |CROSS JOIN ex CROSS JOIN ci""".stripMargin),
     "q253_knn_hubness" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),

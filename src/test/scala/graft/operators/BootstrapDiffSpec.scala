@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.bootstrapDiff]]: the shifted-arm verdict, the
+  * identical-arms non-verdict, pairwise-complete replicate dropping,
+  * NULL-arm exclusion, and the empty-arm empty frame. */
+class BootstrapDiffSpec extends SparkSpec {
+
+  private def df(rows: Seq[(String, java.lang.Boolean, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "arm_b", "v")
+  }
+
+  private def run(rows: Seq[(String, java.lang.Boolean, Long)]) =
+    Sampling.bootstrapDiff(df(rows), "k", col("v"), col("arm_b"), b = 40)
+      .collect()
+
+  private def B(b: Boolean): java.lang.Boolean = java.lang.Boolean.valueOf(b)
+
+  test("a real shift is detected; identical arms are not") {
+    val rnd = new scala.util.Random(17)
+    val base = (1 to 150).map(i => (s"a$i", B(false),
+      50L + rnd.nextInt(20)))
+    val shifted = (1 to 150).map(i => (s"b$i", B(true),
+      80L + rnd.nextInt(20)))
+    val same = (1 to 150).map(i => (s"c$i", B(true),
+      50L + rnd.nextInt(20)))
+    val hit = run(base ++ shifted).head
+    assert(hit.getBoolean(7), "shifted arm must exclude zero")
+    assert(hit.getLong(3) < -20000000L) // ~ -30 in micro units
+    val miss = run(base ++ same).head
+    assert(!miss.getBoolean(7), "identical arms must not exclude zero")
+  }
+
+  test("NULL arms are excluded fail-visibly") {
+    val rows = (1 to 40).map(i => (s"a$i", B(false), 10L)) ++
+      (1 to 40).map(i => (s"b$i", B(true), 10L)) ++
+      Seq(("z1", null.asInstanceOf[java.lang.Boolean], 999L))
+    val got = run(rows).head
+    assert(got.getLong(0) == 40L && got.getLong(1) == 40L)
+    assert(got.getLong(2) == 1L)
+  }
+
+  test("replicates where one arm draws zero weight drop pairwise") {
+    // a single-row arm B: ~37% of replicates draw Poisson weight 0
+    // for it and must vanish from the difference list
+    val rows = (1 to 60).map(i => (s"a$i", B(false), 10L)) ++
+      Seq(("only-b", B(true), 10L))
+    val got = run(rows).head
+    val nRep = got.getLong(4)
+    // deterministic given the md5 draws: strictly fewer than 40, more
+    // than none
+    assert(nRep > 0L && nRep < 40L, s"n_rep $nRep")
+  }
+
+  test("an empty arm yields an empty frame, never a one-armed verdict") {
+    val rows = (1 to 10).map(i => (s"a$i", B(false), 10L))
+    assert(run(rows).isEmpty)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.optimalThreshold]]: the separable-scores boundary,
+  * the reject-all verdict, cost-tie resolution toward the stricter
+  * gate, and hand-computed costs. */
+class OptimalThresholdSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, Boolean)], w: Long, cfp: Long,
+      cfn: Long) = {
+    import spark.implicits._
+    val r = Curation.optimalThreshold(rows.toDF("s", "p"), col("s"),
+      col("p"), w, cfp, cfn).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  test("perfectly separable scores cut exactly at the boundary") {
+    val rows = (1L to 10L).map(i => (i * 10, i > 5)) // pos at 60..100
+    val (thr, kept, keptPos, fp, fn, cost) = run(rows, 10L, 1000L, 1000L)
+    assert(thr == 60L && kept == 5L && keptPos == 5L)
+    assert(fp == 0L && fn == 0L && cost == 0L)
+  }
+
+  test("a worthless scorer with dominant FP cost -> reject everything") {
+    // positives and negatives fully mixed; junk costs 100x a miss
+    val rows = (1L to 20L).map(i => (i % 3, i % 2 == 0))
+    val (thr, kept, _, fp, fn, _) = run(rows, 1L, 100000L, 1000L)
+    assert(kept == 0L && fp == 0L && fn == 10L)
+    assert(thr == 3L) // one binWidth above the top bin
+  }
+
+  test("equal costs tie toward the HIGHER threshold") {
+    // only positives: any threshold keeping all has cost 0; the
+    // unique zero-cost cuts are every bin <= min — highest wins
+    val rows = Seq((5L, true), (7L, true))
+    val (thr, kept, _, _, fn, cost) = run(rows, 1L, 1000L, 0L)
+    // with cfn = 0, rejecting everything also costs 0 -> the
+    // reject-all gate (threshold 8) wins the tie as the strictest
+    assert(cost == 0L && thr == 8L && kept == 0L && fn == 2L)
+  }
+
+  test("hand-computed interior optimum") {
+    // neg at 1,1,2; pos at 2,3: candidates (bin asc): keep>=1 all,
+    // keep>=2: fp=1 fn=0; keep>=3: fp=0 fn=1; reject: fn=2
+    // costs (cfp=2, cfn=3): 6, 2, 3, 6 -> threshold 2
+    val rows = Seq((1L, false), (1L, false), (2L, false), (2L, true),
+      (3L, true))
+    val (thr, kept, keptPos, fp, fn, cost) = run(rows, 1L, 2L, 3L)
+    assert(thr == 2L && kept == 3L && keptPos == 2L)
+    assert(fp == 1L && fn == 0L && cost == 2L)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[UrlGate.pathTemplates]]: digit-run collapsing, query/fragment
+  * stripping, the no-path `/` fold, NULL exclusion, host counting,
+  * and the deterministic top-k cut. */
+class PathTemplatesSpec extends SparkSpec {
+
+  private def run(urls: Seq[String], k: Int = 10) = {
+    import spark.implicits._
+    UrlGate.pathTemplates(urls.toDF("url"), "url", k).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("digit runs collapse and query strings never leak into the shape") {
+    val got = run(Seq(
+      "https://a.com/article/123?page=4",
+      "https://b.com/article/99999#frag",
+      "https://a.com/article/7/2024/11"))
+    assert(got("/article/#") == ((2L, 2L)))
+    assert(got("/article/#/#/#") == ((1L, 1L)))
+  }
+
+  test("URLs with no path fold to the '/' shape; NULLs are excluded") {
+    import spark.implicits._
+    val got = UrlGate.pathTemplates(
+      Seq(Some("https://a.com"), Some("https://b.com/"), None)
+        .toDF("url"), "url", 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("/") == 2L && got.values.sum == 2L)
+  }
+
+  test("the top-k cut orders (n_urls desc, template) deterministically") {
+    val urls = Seq.fill(3)("https://x.com/a/1") ++
+      Seq.fill(3)("https://x.com/b/2") ++ Seq("https://x.com/c/3")
+    val got = run(urls, k = 2)
+    assert(got.keySet == Set("/a/#", "/b/#")) // c loses; a/b tie by name
+  }
+}
