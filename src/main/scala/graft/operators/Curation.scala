@@ -166,9 +166,12 @@ object Curation {
       "costs must be non-negative")
     val sweep = thresholdSweep(df, score, positive, binWidth)
       .select(col("threshold"), col("cum_docs"), col("cum_pos"))
-    val tot = sweep.agg(max("cum_docs").as("__td"),
-      max("cum_pos").as("__tp"), max("threshold").as("__mx"))
-    val rejectAll = tot.select(
+    val tot = sweep.agg(max("cum_pos").as("__tp"),
+      max("threshold").as("__mx"))
+    // an EMPTY input must yield an empty frame, not a fabricated
+    // all-NULL verdict row (the bootstrapDiff contract): the
+    // reject-all candidate only exists when a sweep exists
+    val rejectAll = tot.where(col("__mx").isNotNull).select(
       (col("__mx") + binWidth).as("threshold"),
       lit(0L).as("cum_docs"), lit(0L).as("cum_pos"))
     sweep.unionByName(rejectAll)

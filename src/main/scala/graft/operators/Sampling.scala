@@ -378,36 +378,19 @@ object Sampling {
   def poissonBootstrap(df: DataFrame, groupCol: String, keyCol: String,
       value: Column, b: Int = 40): DataFrame = {
     require(b >= 4 && b <= 256, "need 4 <= b <= 256")
-    val lad = array(poissonLadderMicro.map(lit): _*)
     val base = df.select(col(groupCol).as("__g"),
       col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
     val point = base.groupBy("__g")
       .agg(count(lit(1)).as("n_rows"), sum("__v").as("__s"))
       .select(col("__g"), col("n_rows"),
-        expr("(__s DIV n_rows) * 1000000 + ((__s % n_rows) * 1000000) DIV n_rows")
-          .as("mean_micro"))
-    val reps = base
-      .select(col("__g"), col("__v"), col("__k"),
-        explode(sequence(lit(1), lit(b))).as("__r"))
-      .withColumn("__u", pmod(graft.functions.TextFunctions.tokenHash(
-        concat(col("__k"), lit(":"), col("__r"))), lit(1000000L)))
-      .withColumn("__w", size(filter(lad, t => col("__u") >= t)).cast("long"))
-      .groupBy("__g", "__r")
-      .agg(sum(col("__w") * col("__v")).as("__ws"), sum("__w").as("__wn"))
-      .filter(col("__wn") > 0L)
-      .select(col("__g"), expr(
-        "(__ws DIV __wn) * 1000000 + ((__ws % __wn) * 1000000) DIV __wn")
-        .as("__rm"))
+        expr(meanMicroSql("__s", "n_rows")).as("mean_micro"))
+    val reps = replicateMeans(base, "__g", b)
     val ci = reps.groupBy("__g")
       .agg(count(lit(1)).as("n_rep"),
         sort_array(collect_list(col("__rm"))).as("__ms"))
       .select(col("__g"), col("n_rep"),
-        element_at(col("__ms"), greatest(lit(1),
-          ((col("n_rep") * 25 + 999) / 1000).cast("int")).cast("int"))
-          .as("ci_lo_micro"),
-        element_at(col("__ms"),
-          ((col("n_rep") * 975 + 999) / 1000).cast("int"))
-          .as("ci_hi_micro"))
+        ciElem("__ms", "n_rep", 25).as("ci_lo_micro"),
+        ciElem("__ms", "n_rep", 975).as("ci_hi_micro"))
     // null-safe: a NULL group key owns real replicates and must not
     // read as n_rep = 0 through a NULL != NULL join miss
     val ci2 = ci.withColumnRenamed("__g", "__g2")
@@ -445,7 +428,6 @@ object Sampling {
   def bootstrapDiff(df: DataFrame, keyCol: String, value: Column,
       isB: Column, b: Int = 40): DataFrame = {
     require(b >= 4 && b <= 256, "need 4 <= b <= 256")
-    val lad = array(poissonLadderMicro.map(lit): _*)
     val base = df.select(isB.as("__b"),
       col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
     val excluded = base.agg(
@@ -453,35 +435,24 @@ object Sampling {
     val arms = base.where(col("__b").isNotNull)
     val point = arms.groupBy("__b")
       .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
-      .select(col("__b"), col("__n"), expr(
-        "(__s DIV __n) * 1000000 + ((__s % __n) * 1000000) DIV __n")
-        .as("__m"))
-    val reps = arms
-      .select(col("__b"), col("__v"), col("__k"),
-        explode(sequence(lit(1), lit(b))).as("__r"))
-      .withColumn("__u", pmod(graft.functions.TextFunctions.tokenHash(
-        concat(col("__k"), lit(":"), col("__r"))), lit(1000000L)))
-      .withColumn("__w", size(filter(lad, t => col("__u") >= t)).cast("long"))
-      .groupBy("__b", "__r")
-      .agg(sum(col("__w") * col("__v")).as("__ws"), sum("__w").as("__wn"))
-      .filter(col("__wn") > 0L)
-      .select(col("__b"), col("__r"), expr(
-        "(__ws DIV __wn) * 1000000 + ((__ws % __wn) * 1000000) DIV __wn")
-        .as("__rm"))
+      .select(col("__b"), col("__n"),
+        expr(meanMicroSql("__s", "__n")).as("__m"))
+    val reps = replicateMeans(arms, "__b", b)
     val diffs = reps.where(!col("__b"))
       .select(col("__r"), col("__rm").as("__ma"))
       .join(reps.where(col("__b"))
         .select(col("__r").as("__r2"), col("__rm").as("__mb")),
         col("__r") === col("__r2"))
       .select((col("__ma") - col("__mb")).as("__d"))
+    // n_rep can reach 0 with both arms non-empty (a tiny arm whose
+    // deterministic draws zero out in EVERY replicate) — the CI is
+    // then undefined, NOT an index crash and NOT a verdict
     val ci = diffs.agg(count(lit(1)).as("n_rep"),
         sort_array(collect_list(col("__d"))).as("__ds"))
       .select(col("n_rep"),
-        element_at(col("__ds"), greatest(lit(1),
-          ((col("n_rep") * 25 + 999) / 1000).cast("int")).cast("int"))
+        when(col("n_rep") > 0L, ciElem("__ds", "n_rep", 25))
           .as("ci_lo_micro"),
-        element_at(col("__ds"),
-          ((col("n_rep") * 975 + 999) / 1000).cast("int"))
+        when(col("n_rep") > 0L, ciElem("__ds", "n_rep", 975))
           .as("ci_hi_micro"))
     val pa = point.where(!col("__b"))
       .select(col("__n").as("n_a"), col("__m").as("__mpa"))
@@ -494,6 +465,38 @@ object Sampling {
         col("ci_lo_micro"), col("ci_hi_micro"),
         (col("ci_lo_micro") > 0L || col("ci_hi_micro") < 0L)
           .as("excludes_zero"))
+  }
+
+  /** The split-division exact integer micro mean — ONE definition for
+    * every bootstrap face (and the shape the DuckDB oracles and
+    * [[graft.streaming.StreamingBootstrap]] replicate). */
+  private def meanMicroSql(s: String, n: String): String =
+    s"($s DIV $n) * 1000000 + (($s % $n) * 1000000) DIV $n"
+
+  /** Ceil-rank order statistic over a sorted micro list — the shared
+    * CI-bound selector (permille 25/975 = the 95 % interval). */
+  private def ciElem(listCol: String, nCol: String, permille: Int) =
+    element_at(col(listCol), greatest(lit(1),
+      ((col(nCol) * permille + 999) / 1000).cast("int")).cast("int"))
+
+  /** Per-(groupCols, replicate) Poisson-bootstrap micro means from the
+    * deterministic md5 ladder draws keyed by (row key `__k`, r) —
+    * the ONE copy of the draw pipeline [[poissonBootstrap]] and
+    * [[bootstrapDiff]] share. Zero-total-weight replicates drop. */
+  private def replicateMeans(base: DataFrame, groupCol: String,
+      b: Int): DataFrame = {
+    val lad = array(poissonLadderMicro.map(lit): _*)
+    base
+      .select(col(groupCol), col("__v"), col("__k"),
+        explode(sequence(lit(1), lit(b))).as("__r"))
+      .withColumn("__u", pmod(graft.functions.TextFunctions.tokenHash(
+        concat(col("__k"), lit(":"), col("__r"))), lit(1000000L)))
+      .withColumn("__w", size(filter(lad, t => col("__u") >= t)).cast("long"))
+      .groupBy(col(groupCol), col("__r"))
+      .agg(sum(col("__w") * col("__v")).as("__ws"), sum("__w").as("__wn"))
+      .filter(col("__wn") > 0L)
+      .select(col(groupCol), col("__r"),
+        expr(meanMicroSql("__ws", "__wn")).as("__rm"))
   }
 
   /** Neyman-optimal allocation of a fixed sampling budget across

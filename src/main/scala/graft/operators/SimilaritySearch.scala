@@ -913,12 +913,15 @@ object SimilaritySearch {
       vecCol: String, k: Int, topN: Int = 20,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(topN >= 1 && topN <= 10000, s"need topN in [1, 10000]")
-    val nb = checkpointer(
+    val deg = checkpointer(
       bruteForceTopK(corpus, queries, idCol, vecCol, k)
-        .select(col("neighbor_id")))
-    val edges = nb.agg(count(lit(1)).as("__e"))
-    nb.groupBy(col("neighbor_id"))
-      .agg(count(lit(1)).as("in_degree"))
+        .select(col("neighbor_id"))
+        .groupBy(col("neighbor_id"))
+        .agg(count(lit(1)).as("in_degree")))
+    // the edge total derives from the (far smaller) degree frame —
+    // never a second pass over the queries × k edge stream
+    val edges = deg.agg(sum("in_degree").as("__e"))
+    deg
       .crossJoin(broadcast(edges))
       .select(col("neighbor_id"), col("in_degree"),
         expr("in_degree * 1000000 DIV __e").as("share_micro"))

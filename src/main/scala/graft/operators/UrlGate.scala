@@ -77,10 +77,10 @@ object UrlGate {
     val path = coalesce(
       regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/]+(/[^?#]*)", 1),
       lit(""))
-    df.select(
+    df.where(col(urlCol).isNotNull)
+      .select(
         when(path === "", lit("/")).otherwise(path).as("__p"),
         TextFunctions.urlHost(col(urlCol)).as("__h"))
-      .where(col(urlCol).isNotNull)
       .select(regexp_replace(col("__p"), "[0-9]+", "#").as("template"),
         col("__h"))
       .groupBy("template")

@@ -59,4 +59,17 @@ class BootstrapDiffSpec extends SparkSpec {
     val rows = (1 to 10).map(i => (s"a$i", B(false), 10L))
     assert(run(rows).isEmpty)
   }
+
+  test("n_rep = 0 with BOTH arms non-empty emits NULL CI, not a crash") {
+    // regression: keys '1' and '11' at b = 4 deterministically draw
+    // zero weight for every surviving pairing — the old ceil-rank
+    // indices hit element_at(ds, 0) on the empty diff list
+    import spark.implicits._
+    val got = Sampling.bootstrapDiff(
+      Seq(("1", B(false), 10L), ("11", B(true), 10L))
+        .toDF("k", "arm_b", "v"), "k", col("v"), col("arm_b"), b = 4)
+      .collect().head
+    assert(got.getLong(4) == 0L)
+    assert(got.isNullAt(5) && got.isNullAt(6) && got.isNullAt(7))
+  }
 }
