@@ -305,8 +305,11 @@ object Anomaly {
         sum("__tv").over(Window.orderBy("__v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val nAll = vTot.agg(sum("__tv").as("__nn"))
+    // both spine factors are bounded (groups; distinct values by the
+    // score contract) — hint the value side so the product plans as a
+    // broadcast nested loop, never a CartesianProduct shuffle
     val spine = gTot.join(broadcast(nAll))
-      .crossJoin(vTot.select(col("__v"), col("__cumAll")))
+      .crossJoin(broadcast(vTot.select(col("__v"), col("__cumAll"))))
     val hKeyed = hist.where(col("__v").isNotNull)
       .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c"))
     val steps = spine
