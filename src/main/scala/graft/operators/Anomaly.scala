@@ -342,6 +342,85 @@ object Anomaly {
           .otherwise(lit(null).cast("long")).as("ks_at"))
   }
 
+  /** Kolmogorov–Smirnov drift against a FROZEN reference — the
+    * production form of [[ksDrift]]: the reference histogram is the
+    * blessed distribution (last quarter's crawl, the spec the vendor
+    * signed), live groups are compared against IT, not against each
+    * other — group-vs-rest drift (ksDrift) goes blind exactly when
+    * EVERY source drifts together, which is the incident that
+    * matters. Same exact algebra: D compares cross-multiplied counts
+    * |cum_g·W_ref − cum_ref·n_g| in DECIMAL(38,0), evaluated on the
+    * UNION of live and reference value points (the supremum can sit
+    * at a step of either CDF), one division at the end, `ks_at` the
+    * smallest value attaining the max.
+    *
+    * `reference` is (value, weight) rows — a histogram, broadcast-
+    * small by contract (a reference is a sample or a spec, never a
+    * corpus); non-positive/NULL reference rows drop. Live NULLs count
+    * in `n_skipped`; NULL group keys are audited; a group emits NULL
+    * ks only when the reference is empty (nothing to compare).
+    *
+    * Scale shape: one corpus-sized (group, value) counter agg
+    * (materialized once); the union spine, reference CDF, and
+    * per-group cumulative windows all run on bounded frames.
+    * Output: (groupCol, n, n_skipped, ks_micro, ks_at). */
+  def ksAgainstReference(df: DataFrame, groupCol: String, valueCol: String,
+      reference: DataFrame,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val ref = reference.select(col("value").cast("long").as("__rv"),
+        col("weight").cast("long").as("__rw"))
+      .where(col("__rv").isNotNull && col("__rw") > 0L)
+      .groupBy("__rv").agg(sum("__rw").as("__rw"))
+    val refCum = ref
+      .withColumn("__rc", sum("__rw").over(Window.orderBy("__rv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__rv"), col("__rc"))
+    val wRef = ref.agg(coalesce(sum("__rw"), lit(0L)).as("__wr"))
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+    // union spine of step points, with the reference CDF carried to
+    // every point (largest ref cum at value <= v) — all bounded frames
+    val spineVals = hist.where(col("__v").isNotNull).select(col("__v"))
+      .union(ref.select(col("__rv"))).distinct()
+    val spineRef = spineVals
+      .join(broadcast(refCum), col("__rv") <= col("__v"), "left")
+      .groupBy("__v").agg(coalesce(max("__rc"), lit(0L)).as("__cr"))
+    val steps = gTot.join(broadcast(wRef))
+      .crossJoin(broadcast(spineRef))
+      .join(hist.where(col("__v").isNotNull)
+          .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c")),
+        col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")
+      .withColumn("__cumG",
+        sum(coalesce(col("__c"), lit(0L)))
+          .over(Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__g"), col("__v"), col("n"), col("n_skipped"),
+        col("__wr"),
+        abs(col("__cumG").cast("decimal(38,0)") * col("__wr")
+          - col("__cr").cast("decimal(38,0)") * col("n")).as("__d"))
+    val sup = steps.groupBy("__g")
+      .agg(max("n").as("n"), max("n_skipped").as("n_skipped"),
+        max("__wr").as("__wr"), max("__d").as("__dmax"))
+    val at = steps.select(col("__g").as("__ag"), col("__v"), col("__d"))
+    sup.join(at, sup("__g") <=> at("__ag") && sup("__dmax") === at("__d"),
+        "left")
+      .groupBy(col("__g"), col("n"), col("n_skipped"), col("__wr"),
+        col("__dmax"))
+      .agg(min("__v").as("ks_at"))
+      .select(col("__g").as(groupCol), col("n"), col("n_skipped"),
+        when(col("n") > 0L && col("__wr") > 0L,
+          expr("""CAST((__dmax * 1000000) DIV
+            | (CAST(n AS DECIMAL(38,0)) * __wr) AS BIGINT)""".stripMargin))
+          .as("ks_micro"),
+        when(col("n") > 0L && col("__wr") > 0L, col("ks_at"))
+          .otherwise(lit(null).cast("long")).as("ks_at"))
+  }
+
   /** Median/MAD robust outlier gate per group (Hampel 1974; the
     * Leys et al. 2013 recommendation over mean/σ): `n_outliers`
     * counts rows with |x − median| · 1000 > kMilli · MAD — the

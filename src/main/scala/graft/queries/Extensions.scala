@@ -3515,7 +3515,28 @@ object Extensions {
       "doc_id", col("v"), col("arm_b"), b = 40)
   }
 
+  /** q257 — KS drift against a frozen reference
+    * ([[graft.operators.Anomaly.ksAgainstReference]]): even docs form
+    * the blessed length distribution, odd docs stream in per source —
+    * the production drift monitor that stays alive when EVERY source
+    * drifts together (where q236's group-vs-rest goes blind). Every
+    * 43rd live doc is NULL-valued (fail-visible). */
+  def q257KsReference(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val ref = d.filter(col("doc_id") % 2 === 0)
+      .select(expr("n_chars DIV 16").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("weight"))
+    graft.operators.Anomaly.ksAgainstReference(
+      d.filter(col("doc_id") % 2 === 1)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 43 === 0, lit(null).cast("long"))
+            .otherwise(expr("n_chars DIV 16")).as("v")),
+      "source", "v", ref)
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_ks_reference" -> (q257KsReference _),
     "q256_bootstrap_diff" -> (q256BootstrapDiff _),
     "q255_path_templates" -> (q255PathTemplates _),
     "q254_opt_threshold" -> (q254OptThreshold _),
@@ -4535,6 +4556,46 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q257_ks_reference" ->
+      ("""WITH ref AS (SELECT n_chars // 16 AS rv, count(1)::BIGINT AS rw
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |rc AS (SELECT rv, sum(rw) OVER (ORDER BY rv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS rcum
+        |  FROM ref),
+        |wr AS (SELECT coalesce(sum(rw), 0)::BIGINT AS w FROM ref),
+        |base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM hist GROUP BY g),
+        |sv AS (SELECT DISTINCT v FROM (
+        |    SELECT v FROM hist WHERE v IS NOT NULL
+        |    UNION SELECT rv FROM ref)),
+        |sr AS (SELECT sv.v, coalesce(max(rc.rcum), 0)::BIGINT AS cr
+        |  FROM sv LEFT JOIN rc ON rc.rv <= sv.v GROUP BY sv.v),
+        |st AS (SELECT gt.g, sr.v, gt.n, gt.n_skipped, wr.w, sr.cr,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY gt.g ORDER BY sr.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumg
+        |  FROM gt CROSS JOIN sr CROSS JOIN wr
+        |  LEFT JOIN hist h ON gt.g IS NOT DISTINCT FROM h.g AND sr.v = h.v),
+        |dd AS (SELECT g, v, n, n_skipped, w,
+        |    abs(CAST(cumg AS HUGEINT) * w - CAST(cr AS HUGEINT) * n) AS d
+        |  FROM st),
+        |mx AS (SELECT g, max(n) AS n, max(n_skipped) AS n_skipped,
+        |    max(w) AS w, max(d) AS dmax FROM dd GROUP BY g),
+        |at AS (SELECT mx.g, mx.n, mx.n_skipped, mx.w, mx.dmax,
+        |    min(dd.v) AS ks_at
+        |  FROM mx LEFT JOIN dd ON dd.g IS NOT DISTINCT FROM mx.g
+        |    AND dd.d = mx.dmax
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT g AS source, n, n_skipped,
+        |  CASE WHEN n > 0 AND w > 0 THEN CAST((dmax * 1000000)
+        |    // (CAST(n AS HUGEINT) * w) AS BIGINT) END AS ks_micro,
+        |  CASE WHEN n > 0 AND w > 0 THEN ks_at END AS ks_at
+        |FROM at ORDER BY source""".stripMargin),
     "q254_opt_threshold" ->
       ("""WITH b AS (SELECT n_chars // 200 AS bin,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),

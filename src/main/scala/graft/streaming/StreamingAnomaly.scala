@@ -159,4 +159,68 @@ object StreamingAnomaly {
           else Iterator.empty
       }
   }
+
+  /** Streaming Kolmogorov–Smirnov drift against a FROZEN reference —
+    * the unbounded face of [[graft.operators.Anomaly
+    * .ksAgainstReference]]: the blessed distribution rides along as a
+    * driver-built sorted CDF, keyed state is each group's value
+    * histogram (bounded by `maxDistinct` — the batch score contract
+    * made a loud require), and every trigger re-evaluates the exact
+    * cross-multiplied supremum over the union of live and reference
+    * step points. The emission after any prefix equals the batch
+    * operator over the union of batches (spec-pinned), with the same
+    * smallest-value argmax under ties. Typed rows cannot carry NULLs
+    * — filter upstream (the batch face owns NULL visibility). Emits
+    * per trigger per touched group (Update mode):
+    * (group, n, ks_micro, ks_at). */
+  def ksAgainstReference(rows: Dataset[(String, Long)],
+      reference: Seq[(Long, Long)], maxDistinct: Int = 100000)
+      : Dataset[(String, Long, Long, Long)] = {
+    require(reference.nonEmpty && reference.forall(_._2 > 0),
+      "reference must be non-empty with positive weights")
+    require(maxDistinct >= 1, "need maxDistinct >= 1")
+    val refSorted = reference.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
+    val refVals: Array[Long] = refSorted.map(_._1)
+    val refCum: Array[Long] =
+      refSorted.map(_._2).scanLeft(0L)(_ + _).tail
+    val wRef = refCum.last
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+            state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, v) =>
+            m = m.updated(v, m.getOrElse(v, 0L) + 1L)
+          }
+          require(m.size <= maxDistinct,
+            s"group '$group' exceeded $maxDistinct distinct values — " +
+              "pre-bucket the score (the batch operator's contract)")
+          state.update(m)
+          val n = m.values.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val live = m.toArray.sortBy(_._1)
+            val union = (m.keySet ++ refVals).toArray.sorted
+            var cumG = 0L
+            var li = 0
+            var best = BigInt(-1)
+            var bestAt = 0L
+            union.foreach { v =>
+              while (li < live.length && live(li)._1 <= v) {
+                cumG += live(li)._2; li += 1
+              }
+              val idx = java.util.Arrays.binarySearch(refVals, v)
+              val pos = if (idx >= 0) idx else -idx - 2
+              val cr = if (pos >= 0) refCum(pos) else 0L
+              val d = (BigInt(cumG) * wRef - BigInt(cr) * n).abs
+              if (d > best) { best = d; bestAt = v } // ties keep smallest
+            }
+            val ks = (best * 1000000 / (BigInt(n) * wRef)).toLong
+            Iterator.single((group, n, ks, bestAt))
+          }
+      }
+  }
 }

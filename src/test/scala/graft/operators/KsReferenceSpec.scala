@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.ksAgainstReference]]: hand-computed suprema at reference
+  * AND live step points, the everyone-drifts case group-vs-rest
+  * misses, NULL handling, and the empty-reference NULL. */
+class KsReferenceSpec extends SparkSpec {
+
+  private def run(live: Seq[(String, java.lang.Long)],
+      ref: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Anomaly.ksAgainstReference(live.toDF("g", "v"), "g", "v",
+      ref.toDF("value", "weight")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("hand-computed supremum against a weighted reference") {
+    // ref: value 1 (w 2), value 3 (w 2) -> W = 4
+    // live g: [3, 3] -> steps at v in {1, 3}:
+    //   v=1: |0*4 - 2*2| = 4 ; v=3: |2*4 - 4*2| = 0 -> dmax 4 at v=1
+    // ks = 4e6 / (2*4) = 500000
+    val got = run(Seq("g" -> L(3), "g" -> L(3)), Seq(1L -> 2L, 3L -> 2L))
+    assert(got("g") == ((2L, 0L, 500000L, 1L)))
+  }
+
+  test("identical-to-reference live data scores 0 at the smallest step") {
+    val got = run(Seq("g" -> L(1), "g" -> L(3)), Seq(1L -> 5L, 3L -> 5L))
+    assert(got("g")._3 == 0L && got("g")._4 == 1L)
+  }
+
+  test("when EVERY group drifts the same way, the reference still sees it") {
+    // both groups shifted +10 off the reference — group-vs-rest KS
+    // (q236's shape) would report ~0 for each; the reference face must
+    // report maximal drift for both
+    val live = Seq("a" -> L(11), "a" -> L(12), "b" -> L(11), "b" -> L(13))
+    val got = run(live, Seq(1L -> 3L, 2L -> 3L))
+    assert(got("a")._3 == 1000000L && got("b")._3 == 1000000L)
+  }
+
+  test("NULL live values skip fail-visibly; empty reference -> NULL ks") {
+    val got = run(Seq("g" -> L(1), "g" -> null), Seq(1L -> 1L))
+    assert(got("g")._1 == 1L && got("g")._2 == 1L)
+    val none = run(Seq("g" -> L(1)), Seq(1L -> 0L)) // weight 0 drops
+    assert(none("g")._3 == -1L && none("g")._4 == Long.MinValue)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming reference-KS monitor: O(distinct values) keyed state and
+  * prefix parity with [[graft.operators.Anomaly.ksAgainstReference]],
+  * including the smallest-value argmax ties. */
+class StreamingKsSpec extends SparkSpec {
+
+  private val ref = Seq(0L -> 4L, 2L -> 4L, 5L -> 2L)
+
+  private def batchRef(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.ksAgainstReference(
+      rows.toDF("g", "v"), "g", "v",
+      ref.toDF("value", "weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSet
+  }
+
+  test("stream == batch after every prefix, argmax ties included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(37)
+    def mk(n: Int) = (0 until n).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(7).toLong))
+    val batch1 = mk(120)
+    val batch2 = mk(160)
+
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingAnomaly.ksAgainstReference(in.toDS(), ref)
+      .toDF("g", "n", "ks_micro", "ks_at")
+      .writeStream.format("memory").queryName("ks_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Set[(String, Long, Long, Long)] =
+        spark.table("ks_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+          .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1),
+        "prefix 1: stream must equal the batch operator")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1 ++ batch2),
+        "prefix 2: state continued across the trigger")
+    } finally q.stop()
+  }
+
+  test("the distinct-value state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingAnomaly.ksAgainstReference(in.toDS(), ref,
+        maxDistinct = 3)
+      .toDF("g", "n", "k", "a")
+      .writeStream.format("memory").queryName("ks_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", i.toLong)): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
