@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Output-schema lint for driver-facing query faces.
+  *
+  * The driver's correctness harness loads each face's parquet into
+  * pandas and `sort_values` + hashes every column; a column whose
+  * values are numpy arrays (any ArrayType / MapType / StructType
+  * parquet column) crashes that sort with "unhashable type:
+  * numpy.ndarray" and turns the row driver-red with the operator
+  * itself perfectly fine — the q139/q142 (round 8) and q192
+  * (round 11) failure class. Every `SparkEntry.queries` face must
+  * therefore emit scalar-only columns (serialize vectors with
+  * `array_join`, maps with sorted `map_entries` → string, structs by
+  * flattening); library operators keep their natural complex types —
+  * the lint governs the FACE, not the operator.
+  */
+object FaceLint {
+  /** Names (dotted paths) of columns whose type is or contains a
+    * complex (array/map/struct) type. Empty = face is hashable. */
+  def complexColumns(schema: StructType): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      if (isComplex(f.dataType)) Seq(f.name) else Nil
+    }
+
+  private def isComplex(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+}

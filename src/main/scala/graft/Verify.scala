@@ -19,9 +19,16 @@ object Verify {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // FaceLint: a complex-typed column crashes the driver's pandas
+        // hash compare (q139/q142/q192 class) — warn loudly here; the
+        // hard gate is RelationalSpec's face-lint test in `sbt test`.
+        val complex = FaceLint.complexColumns(df.schema)
+        if (complex.nonEmpty) System.err.println(
+          s"[verify] WARNING $name emits unhashable complex columns: ${complex.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same state hygiene as Bench: queries that localCheckpoint (LSH

@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * (seriesCol, orderCol, cents, ewma_prev, dev_milli). */
 object Anomaly {
 
+  import org.apache.spark.sql.Column
+
+  /** Floor-quantize a LONG column to `binWidth`-wide buckets (lower
+    * edge, floor semantics for negatives via positive modulus); the
+    * identity when binWidth == 1. NULL stays NULL — quantization must
+    * not change the operators' NULL accounting. */
+  private def quantize(c: Column, binWidth: Long): Column =
+    if (binWidth <= 1L) c else c - pmod(c, lit(binWidth))
+
   def ewmaDeviation(df: DataFrame, seriesCol: String, orderCol: String,
       centsCol: String, alphaMilli: Int): DataFrame = {
     require(alphaMilli >= 1 && alphaMilli <= 999,
@@ -187,6 +196,75 @@ object Anomaly {
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 
+  /** Lag-k autocorrelation function per keyed series (Box & Jenkins
+    * 1970's sample ACF, the 1/n covariance convention) — the
+    * seasonality/persistence screen the POINT detectors miss:
+    * [[ewmaDeviation]] flags spikes, [[cusumAlarms]] level shifts,
+    * [[mannKendall]] monotone drift, but a weekly ingest cycle or a
+    * retry storm's oscillation shows up as r₇ or r₁ long before any
+    * of those trip. r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄)/Σ(xₜ−x̄)², the psd
+    * estimator (full-series mean, denominator over the whole series)
+    * so |r_k| ≤ 1 ALWAYS — which the floor identity below relies on.
+    *
+    * Exact integers: multiply the estimator through by n² —
+    * num = n²·Σxₜxₜ₊ₖ − n·S·(A+B) + (n−k)·S² and
+    * den = n²·Σx² − n·S² (S = Σx; A, B the first/last n−k partial
+    * sums) — all in DECIMAL(38,0), then `acf_micro` =
+    * ((num + den)·10⁶) DIV den − 10⁶: num + den ≥ 0 because
+    * |r_k| ≤ 1, so Spark's truncating DIV and DuckDB's flooring //
+    * agree (the [[mannWhitney]] delta identity). A constant series
+    * (den = 0) emits NULL acf — there is nothing to correlate.
+    * Value ceiling: |x| ≤ 10⁹ at the 10⁴-point series bound keeps
+    * n²·Σxₜxₜ₊ₖ ≤ 10³⁰, inside DECIMAL(38,0).
+    *
+    * Same bounded-series collect contract and (order, value) struct
+    * sort as [[mannKendall]]; the lag scan is O(n·maxLag) per series,
+    * row-local after the ONE pack shuffle. Output: one row per
+    * (series, lag 1..min(maxLag, n−1)) — (seriesCol, lag, n_points,
+    * acf_micro). */
+  def acf(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1, 1000], got $maxLag")
+    val packed = df
+      .groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))
+      .select(col(seriesCol), expr("transform(__evs, e -> e.__c)").as("__xs"))
+    packed
+      .withColumn("__n", expr("CAST(size(__xs) AS BIGINT)"))
+      .withColumn("__s", expr(
+        """aggregate(__xs, CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)"""))
+      .withColumn("__ss", expr(
+        """aggregate(__xs, CAST(0 AS DECIMAL(38,0)),
+          | (a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)""".stripMargin))
+      .where(col("__n") >= 2L)
+      .select(col(seriesCol), col("__xs"), col("__n"), col("__s"),
+        col("__ss"),
+        explode(expr(s"sequence(1L, least(${maxLag}L, __n - 1))")).as("lag"))
+      .withColumn("__sxx", expr(
+        """aggregate(sequence(1L, __n - lag), CAST(0 AS DECIMAL(38,0)),
+          | (a, t) -> a + CAST(element_at(__xs, CAST(t AS INT)) AS DECIMAL(38,0))
+          |   * element_at(__xs, CAST(t + lag AS INT)))""".stripMargin))
+      .withColumn("__a", expr(
+        """aggregate(slice(__xs, 1, CAST(__n - lag AS INT)),
+          | CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)""".stripMargin))
+      .withColumn("__b", expr(
+        """aggregate(slice(__xs, CAST(lag + 1 AS INT), CAST(__n - lag AS INT)),
+          | CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)""".stripMargin))
+      .withColumn("__num", expr(
+        """CAST(__n AS DECIMAL(38,0)) * __n * __sxx
+          | - CAST(__n AS DECIMAL(38,0)) * __s * (__a + __b)
+          | + (__n - lag) * __s * __s""".stripMargin))
+      .withColumn("__den", expr(
+        "CAST(__n AS DECIMAL(38,0)) * __n * __ss - CAST(__n AS DECIMAL(38,0)) * __s * __s"))
+      .select(col(seriesCol), col("lag"),
+        col("__n").as("n_points"),
+        when(col("__den") > 0L, expr(
+          "CAST(((__num + __den) * 1000000) DIV __den AS BIGINT) - 1000000"))
+          .as("acf_micro"))
+  }
+
   /** Benford first-significant-digit audit (Benford 1938; Hill 1995)
     * per group — the data-forensics screen for FABRICATED or
     * artificially generated numeric fields: organically grown
@@ -280,14 +358,26 @@ object Anomaly {
     * map-side combine; the CDF spine is groups × distinct values
     * (histogram granularity — `valueCol` must be integral and
     * bounded-cardinality, the engine's score convention; pre-bucket
-    * continuous values upstream as the callers do with `DIV 16`).
-    * Windows run only over that spine, partitioned per group. Output:
-    * one row per group — (groupCol, n, n_rest, n_skipped, ks_micro,
-    * ks_at). */
+    * continuous values upstream as the callers do with `DIV 16`, or
+    * in-operator via `binWidth`). Windows run only over that spine,
+    * partitioned per group. Output: one row per group — (groupCol, n,
+    * n_rest, n_skipped, ks_micro, ks_at).
+    *
+    * `binWidth` (default 1 = off, bit-identical to the historic
+    * behavior) floor-quantizes values to `binWidth`-wide buckets
+    * BEFORE the histogram: `v → v − pmod(v, binWidth)` (the bucket's
+    * lower edge, floor semantics for negatives too). This bounds the
+    * CDF spine for continuous / near-unique value domains — without
+    * it a 10⁸-distinct-value column would put 10⁸ rows per group into
+    * the broadcast spine and blow it. D is then the KS statistic of
+    * the QUANTIZED distributions (`ks_at` is a bucket lower edge) —
+    * the standard histogram-KS tradeoff, stated not hidden. */
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      checkpointer: Checkpointer = Checkpointer.Local,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
     val base = df.select(col(groupCol).as("__g"),
-      col(valueCol).cast("long").as("__v"))
+      quantize(col(valueCol).cast("long"), binWidth).as("__v"))
     // the histogram is the ONE corpus-sized agg; three consumers
     // (group totals, the value spine, the CDF rejoin) read the
     // materialized blocks instead of re-running the corpus scan
@@ -363,11 +453,21 @@ object Anomaly {
     * Scale shape: one corpus-sized (group, value) counter agg
     * (materialized once); the union spine, reference CDF, and
     * per-group cumulative windows all run on bounded frames.
-    * Output: (groupCol, n, n_skipped, ks_micro, ks_at). */
+    * Output: (groupCol, n, n_skipped, ks_micro, ks_at).
+    *
+    * `binWidth` (default 1 = off, hashes unchanged) floor-quantizes
+    * BOTH the live values and the reference histogram's values to
+    * `binWidth`-wide buckets (`v → v − pmod(v, binWidth)`) before any
+    * CDF is built, bounding the union spine for continuous /
+    * near-unique domains — same contract and tradeoff as
+    * [[ksDrift]]'s `binWidth`. */
   def ksAgainstReference(df: DataFrame, groupCol: String, valueCol: String,
       reference: DataFrame,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
-    val ref = reference.select(col("value").cast("long").as("__rv"),
+      checkpointer: Checkpointer = Checkpointer.Local,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    val ref = reference.select(
+        quantize(col("value").cast("long"), binWidth).as("__rv"),
         col("weight").cast("long").as("__rw"))
       .where(col("__rv").isNotNull && col("__rw") > 0L)
       .groupBy("__rv").agg(sum("__rw").as("__rw"))
@@ -377,7 +477,7 @@ object Anomaly {
       .select(col("__rv"), col("__rc"))
     val wRef = ref.agg(coalesce(sum("__rw"), lit(0L)).as("__wr"))
     val base = df.select(col(groupCol).as("__g"),
-      col(valueCol).cast("long").as("__v"))
+      quantize(col(valueCol).cast("long"), binWidth).as("__v"))
     val hist = checkpointer(
       base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
     val gTot = hist.groupBy("__g").agg(
@@ -419,6 +519,109 @@ object Anomaly {
           .as("ks_micro"),
         when(col("n") > 0L && col("__wr") > 0L, col("ks_at"))
           .otherwise(lit(null).cast("long")).as("ks_at"))
+  }
+
+  /** Mann–Whitney U / Wilcoxon rank-sum test per group (Mann &
+    * Whitney 1947), arm A vs arm B within each group — the
+    * nonparametric "did the treatment shift the distribution?"
+    * verdict that compares RANKS, so a heavy-tailed metric (latency,
+    * doc length, score) can't let a few outliers fake or mask the
+    * effect the way a mean-difference test ([[graft.operators.Sampling
+    * .bootstrapDiff]]'s CI) can. Ships with Cliff's delta (Cliff
+    * 1993), the ordinal effect size δ = (#(a>b) − #(a<b))/(n_a·n_b) —
+    * the "how often does an A beat a B" number that stays meaningful
+    * when significance is guaranteed by sheer n.
+    *
+    * Exact integers: everything runs on the per-(group, value)
+    * histogram — `u2` is the DOUBLED U statistic of arm A,
+    * u2 = Σ_v cntA(v)·(2·cumB(<v) + cntB(v)) = 2·#(a>b) + #(a=b),
+    * accumulated in DECIMAL(38,0) (u2 ≤ 2·n_a·n_b — the emitted long
+    * holds it to ~2·10⁹ rows PER ARM per group); doubling absorbs the
+    * ½-per-tie so no fraction ever appears. `delta_micro` = 10⁶·δ floored on both engines via the
+    * non-negative-numerator identity (10⁶·u2) DIV (n_a·n_b) − 10⁶
+    * (u2 ≥ 0, so Spark's truncating DIV and DuckDB's flooring // agree
+    * — a direct signed division would not). The z normal
+    * approximation uses the tie-corrected variance, cross-multiplied
+    * exactly to P = n_a·n_b·((n+1)·n·(n−1) − T), Q = 3·n·(n−1) with
+    * T = Σ_v t·(t²−1) over pooled tie counts, then ONE double
+    * division, ONE sqrt, ONE rounding — the q118/q119 single-libm
+    * parity recipe — z_micro = round(10⁶·(u2 − n_a·n_b)/√(P/Q)).
+    * Honest ceiling: P overflows DECIMAL(38,0) past n ≈ 2·10⁷ rows
+    * per group and nulls fail-visibly (the [[ksDrift]] convention);
+    * delta/u2 are unaffected.
+    *
+    * NULL values and NULL arms are excluded fail-visibly in
+    * `n_skipped`; NULL group keys are audited like any other group.
+    * A group with an empty arm has no pairs: u2 = 0 and NULL
+    * delta/z (0 would read as "B always wins"). All-tied groups
+    * (P = 0) emit NULL z — there is no variance to normalize by.
+    *
+    * Scale shape: ONE corpus-sized (group, arm, value) counter agg
+    * with map-side combine; the rank accounting runs on per-group
+    * distinct-value spines (histogram granularity — `value` must be
+    * integral and bounded-cardinality, the [[ksDrift]] score
+    * convention; pre-bucket continuous domains upstream), windows
+    * partitioned per group. Output: one row per group — (groupCol,
+    * n_a, n_b, n_skipped, u2, delta_micro, z_micro). */
+  def mannWhitney(df: DataFrame, groupCol: String, value: Column,
+      armB: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
+    val hist = base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c"))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val byVal = hist.where(col("__v").isNotNull && col("__b").isNotNull)
+      .groupBy("__g", "__v")
+      .agg(sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), col("__c")).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = byVal
+      .withColumn("__cumB", sum("__cb").over(w))
+      .select(col("__g"),
+        (col("__ca").cast("decimal(38,0)") *
+          (lit(2L) * (col("__cumB") - col("__cb")) + col("__cb")))
+          .as("__u2v"),
+        col("__ca"), col("__cb"),
+        ((col("__ca") + col("__cb")) *
+          ((col("__ca") + col("__cb")) * (col("__ca") + col("__cb")) - 1L)
+        ).cast("decimal(38,0)").as("__tv"))
+    val agg = stepped.groupBy(col("__g").as("__ag")).agg(
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+      sum("__u2v").cast("decimal(38,0)").as("__u2"),
+      sum("__tv").cast("decimal(38,0)").as("__t"))
+    // skipped has EVERY group (even all-NULL-value ones); null-safe
+    // left join keeps them fail-visible with zero-count arms
+    skipped.join(agg, col("__g") <=> col("__ag"), "left")
+      .select(col("__g"), col("n_skipped"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("__u2"), lit(0L).cast("decimal(38,0)")).as("__u2"),
+        coalesce(col("__t"), lit(0L).cast("decimal(38,0)")).as("__t"))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      // tie-corrected variance, cross-multiplied exactly:
+      // 4σ² = P/Q with P = n_a·n_b·((n+1)·n·(n−1) − T), Q = 3·n·(n−1)
+      .withColumn("__p", expr(
+        """CAST(n_a AS DECIMAL(38,0)) * n_b *
+          | ((__n + 1) * CAST(__n AS DECIMAL(38,0)) * (__n - 1) - __t)"""
+          .stripMargin))
+      .withColumn("__q", expr("3 * CAST(__n AS DECIMAL(38,0)) * (__n - 1)"))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_skipped"),
+        col("__u2").cast("long").as("u2"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("""CAST((__u2 * 1000000) DIV
+            | (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+            | - 1000000""".stripMargin))
+          .as("delta_micro"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("""CASE WHEN __p > 0 THEN CAST(round(
+            |  1e6 * CAST(__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+            |    / sqrt(CAST(__p AS DOUBLE) / CAST(__q AS DOUBLE))
+            |) AS BIGINT) END""".stripMargin))
+          .as("z_micro"))
   }
 
   /** Median/MAD robust outlier gate per group (Hampel 1974; the

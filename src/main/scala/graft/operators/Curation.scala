@@ -118,6 +118,13 @@ object Curation {
     * through one window partition — fixed-width bins trade threshold
     * granularity for a corpus-size-independent plan).
     *
+    * NULL scores fall into a NULL bin that the bin-desc cumulative
+    * window orders LAST (so it never perturbs the real bins' cumulative
+    * counts) and surfaces with `bin IS NULL, threshold IS NULL` — a
+    * visible "unscorable" row, which [[optimalThreshold]] splits off
+    * into its `n_unscored` column rather than letting it compete for
+    * the argmin.
+    *
     * Output: (bin, threshold, n_bin, cum_docs, cum_pos,
     * precision_milli, recall_milli), bins descending-cumulative,
     * ordered ascending. */
@@ -156,21 +163,44 @@ object Curation {
     * Exact integers: FP = cum_docs − cum_pos, FN = total_pos −
     * cum_pos, cost_milli = FP·costFp + FN·costFn in DECIMAL(38,0);
     * ties break toward the HIGHEST threshold (equal cost → keep less
-    * junk), pinned on both engines. Scale shape: everything runs on
-    * [[thresholdSweep]]'s bins-sized cumulative frame; the argmin is
-    * `ORDER BY cost, threshold DESC LIMIT 1`. Output: one row —
-    * (threshold, kept_docs, kept_pos, n_fp, n_fn, cost_milli). */
+    * junk), pinned on both engines.
+    *
+    * NULL scores are EXCLUDED fail-visibly (the [[Anomaly.ksDrift]]
+    * n_skipped convention): an unscorable row can be neither kept nor
+    * rejected by any real threshold, so counting its positives as
+    * permanent false negatives would tax every candidate equally and
+    * let the sweep's NULL bin win the argmin with a NULL threshold.
+    * Instead the NULL bin (which [[thresholdSweep]] emits last) is
+    * split off into the `n_unscored` column of the verdict, and FP/FN
+    * accounting runs over scored rows only. Input with ZERO scored
+    * rows yields an empty frame (the empty-input contract — there is
+    * no threshold to recommend).
+    *
+    * Scale shape: everything runs on [[thresholdSweep]]'s bins-sized
+    * cumulative frame — the NULL-bin split is a filter on that frame,
+    * not a second corpus scan; the argmin is `ORDER BY cost,
+    * threshold DESC LIMIT 1`. Output: one row — (threshold,
+    * kept_docs, kept_pos, n_fp, n_fn, cost_milli, n_unscored). */
   def optimalThreshold(df: DataFrame, score: Column, positive: Column,
       binWidth: Long, costFpMilli: Long, costFnMilli: Long): DataFrame = {
     require(costFpMilli >= 0 && costFnMilli >= 0,
       "costs must be non-negative")
-    val sweep = thresholdSweep(df, score, positive, binWidth)
+    val sweepAll = thresholdSweep(df, score, positive, binWidth)
+    // NULL-score rows land in thresholdSweep's NULL bin, ordered last
+    // under the bin-desc cumulative window — so the non-NULL rows'
+    // cumulative counts are uncontaminated and the NULL bin's n_bin
+    // IS the unscored count, recovered here without a second scan
+    val unscored = sweepAll.agg(
+      coalesce(sum(when(col("bin").isNull, col("n_bin"))), lit(0L))
+        .as("n_unscored"))
+    val sweep = sweepAll.where(col("bin").isNotNull)
       .select(col("threshold"), col("cum_docs"), col("cum_pos"))
     val tot = sweep.agg(max("cum_pos").as("__tp"),
       max("threshold").as("__mx"))
-    // an EMPTY input must yield an empty frame, not a fabricated
-    // all-NULL verdict row (the bootstrapDiff contract): the
-    // reject-all candidate only exists when a sweep exists
+    // an EMPTY (or all-unscorable) input must yield an empty frame,
+    // not a fabricated all-NULL verdict row (the bootstrapDiff
+    // contract): the reject-all candidate only exists when a sweep
+    // exists
     val rejectAll = tot.where(col("__mx").isNotNull).select(
       (col("__mx") + binWidth).as("threshold"),
       lit(0L).as("cum_docs"), lit(0L).as("cum_pos"))
@@ -186,6 +216,7 @@ object Curation {
           .stripMargin))
       .orderBy(col("cost_milli"), col("threshold").desc)
       .limit(1)
+      .crossJoin(broadcast(unscored))
   }
 
   /** Budget-constrained quality selection — "keep the best documents

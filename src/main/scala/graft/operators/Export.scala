@@ -755,4 +755,68 @@ object Export {
               CAST(size(filter(__dec, d -> d.q)) AS STRING), '>'))), ' ')""")
           .as("target_str"))
   }
+
+  /** Manifest diff — compare two [[plan]]/[[exportTrainingData]]
+    * manifests (this month's export vs last month's): which shards
+    * appeared, vanished, or changed, and by how much — the
+    * cross-run reproducibility check the reference leaves to
+    * eyeballing two notebook tables side by side (unit_test.ipynb's
+    * month-over-month full_outer compare, cells 4–11). A shard whose
+    * stats moved with no upstream intent is the first symptom of a
+    * non-deterministic pipeline; a clean diff is the proof two runs
+    * agree, shard by shard.
+    *
+    * Both inputs must carry the manifest contract columns — keys
+    * (split, source, shard_no) + stats (n_rows, n_docs, n_tokens,
+    * first_id, last_id). Keys join NULL-safely (`<=>` — a NULL source
+    * group diffs like any other, the [[Anomaly.ksDrift]] convention).
+    * Per joined key: `status` ∈ added (new-only) / removed (old-only)
+    * / changed (present in both, any stat differs) / unchanged;
+    * `changed_cols` names the differing stats (comma-joined, fixed
+    * n_rows,n_docs,n_tokens,first_id,last_id order; '' unless
+    * changed — an added/removed row "differs everywhere" trivially
+    * and listing that would bury the signal); `d_tokens` =
+    * NULL-as-zero token delta, so `sum(d_tokens)` over the diff is
+    * exactly the corpus-level token drift.
+    *
+    * Scale shape: manifests are shard-count-sized (corpus tokens DIV
+    * tokensPerShard — ~12M rows for a 25T-token corpus at the 2^21
+    * default), so one sort-merge full-outer join and the final
+    * order-by are bounded by export size, never corpus size. Output:
+    * (split, source, shard_no, status, n_rows_old, n_rows_new,
+    * n_docs_old, n_docs_new, n_tokens_old, n_tokens_new, d_tokens,
+    * changed_cols) ordered (split, source, shard_no) — all scalar
+    * columns. */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    val keys = Seq("split", "source", "shard_no")
+    val stats = Seq("n_rows", "n_docs", "n_tokens", "first_id", "last_id")
+    val o = oldM.select(keys.map(k => col(k).as(s"__o_$k"))
+      ++ stats.map(s => col(s).as(s"${s}_old")) :+ lit(1).as("__po"): _*)
+    val n = newM.select(keys.map(k => col(k).as(s"__n_$k"))
+      ++ stats.map(s => col(s).as(s"${s}_new")) :+ lit(1).as("__pn"): _*)
+    val cond = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k"))
+      .reduce(_ && _)
+    val anyChanged = stats
+      .map(s => !(col(s"${s}_old") <=> col(s"${s}_new")))
+      .reduce(_ || _)
+    val changedList = concat_ws(",", stats.map(s =>
+      when(!(col(s"${s}_old") <=> col(s"${s}_new")), lit(s))): _*)
+    // id ranges participate in change DETECTION (changed_cols names
+    // them) but aren't echoed — the counts and token columns are the
+    // actionable magnitude, the ranges only flag membership drift
+    val echoed = Seq("n_rows", "n_docs", "n_tokens")
+      .flatMap(s => Seq(col(s"${s}_old"), col(s"${s}_new")))
+    o.join(n, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) ++ Seq(
+          when(col("__po").isNull, "added")
+            .when(col("__pn").isNull, "removed")
+            .when(anyChanged, "changed")
+            .otherwise("unchanged").as("status")) ++ echoed ++ Seq(
+          (coalesce(col("n_tokens_new"), lit(0L))
+            - coalesce(col("n_tokens_old"), lit(0L))).as("d_tokens"),
+          when(col("__po").isNotNull && col("__pn").isNotNull, changedList)
+            .otherwise(lit("")).as("changed_cols")): _*)
+      .orderBy("split", "source", "shard_no")
+  }
 }

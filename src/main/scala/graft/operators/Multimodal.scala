@@ -253,6 +253,11 @@ object Multimodal {
     * MJPEG AVIs put a whole JPEG per `00dc` chunk, so frame extraction
     * needs no codec — the JDK decodes the frames via ImageIO. */
   private[operators] def aviFrameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    // Container-tag decodes (here and the fourcc/ascii readers below):
+    // REPLACE is fail-visible by construction — a non-ASCII byte
+    // yields U+FFFD, the tag matches no expected constant, and the
+    // walker skips the chunk; REPORT would add an exception path for
+    // the same outcome.
     def fourcc(o: Int): String =
       if (o + 4 > bytes.length) ""
       else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -696,7 +701,9 @@ object Multimodal {
     var exifIfdOff = -1L
 
     /** Read an ASCII tag value: ≤4 bytes live inline in the value
-      * field, longer values sit at an offset from the TIFF header. */
+      * field, longer values sit at an offset from the TIFF header.
+      * Non-ASCII bytes surface as U+FFFD in the emitted value —
+      * visible in the output column, not silently remapped. */
     def ascii(valPos: Int, count: Long): Option[String] = {
       if (count <= 0 || count > 64) return None
       val start = if (count <= 4) valPos else {

@@ -98,8 +98,13 @@ object TextClassify {
     * Scale shape: one (label, bucket) partial-agg shuffle over the
     * token stream — counters, never text; the densification cross-join
     * is dim × n_labels rows (model-sized, broadcast-sized by the same
-    * argument as the scoring join); the prior adds one label-sized
-    * doc-count aggregate.
+    * argument as the scoring join) and plans as a broadcast
+    * nested-loop on the label-sized totals side, never a
+    * CartesianProduct shuffle; the prior adds one label-sized
+    * doc-count aggregate. CONTRACT: `dim` is a model hyperparameter
+    * (10³–10⁶ hash buckets, fastText's range) — the dense weight
+    * table is dim × n_labels rows and must stay driver-broadcastable,
+    * which every consumer ([[scores]], [[classify]]) already assumes.
     *
     * Output: (bucket, label, w_milli) — [[scores]]' weight contract
     * (units are 1e-6·ln; any consistent integer unit ranks
@@ -115,7 +120,7 @@ object TextClassify {
     val cl = cbl.groupBy("label").agg(sum("__c").as("__ct"))
     val allBuckets = docs.sparkSession.range(dim)
       .select(col("id").cast("int").as("bucket"))
-    val likelihood = allBuckets.crossJoin(cl)
+    val likelihood = allBuckets.crossJoin(broadcast(cl))
       .join(cbl, Seq("label", "bucket"), "left")
       .select(col("bucket"), col("label"),
         round(lit(1e6) * log(

@@ -911,6 +911,10 @@ object Vocab {
     val moments = perDoc.groupBy("token")
       .agg(count(lit(1)).as("n_docs"), sum("__c").as("cf"),
         sum(expr("__c * __c")).as("__ss"))
+      // the limit stays HERE so the cut plans as TakeOrderedAndProject
+      // on the distinct-token frame; the documented (cf desc, token)
+      // OUTPUT order is re-established after the join below — Spark
+      // does not guarantee row order survives a join
       .orderBy(col("cf").desc, col("token")).limit(topK)
     moments.join(broadcast(nDocs))
       .where(col("__nd") >= 2L)
@@ -918,6 +922,57 @@ object Vocab {
         expr("""CAST(((CAST(__nd AS DECIMAL(38,0)) * __ss - CAST(cf AS DECIMAL(38,0)) * cf)
           | * 1000000) DIV ((__nd - 1) * CAST(cf AS DECIMAL(38,0))) AS BIGINT)"""
           .stripMargin).as("vmr_micro"))
+      .orderBy(col("cf").desc, col("token"))
+  }
+
+  /** Vocabulary-richness moments per group — Yule's K (Yule 1944)
+    * and Simpson's repeat rate over the token frequency spectrum:
+    * K = 10⁴·(Σc² − N)/N² and λ = (Σc² − N)/(N·(N−1)) — the
+    * length-robust "how repetitive is this corpus's vocabulary"
+    * numbers (TTR-family measures like [[graft.queries.Extensions]]'
+    * MATTR shrink with corpus size; K and λ are second-moment ratios
+    * and don't). Generated/template text scores HIGH K (few types
+    * carry the mass); a diverse natural corpus sits low. The
+    * companion to [[zipfFit]] (slope) and [[tokenBurstiness]]
+    * (placement): this is the spectrum's concentration in one number
+    * per group, plus the `vocab`/`hapax` counts the Chao1 and
+    * Good-Turing style estimators start from.
+    *
+    * Exact integers: N = Σc and S2 = Σc² accumulate in
+    * DECIMAL(38,0); `yule_k_micro` = (10¹⁰·(S2 − N)) DIV N² — micro
+    * units of the CONVENTIONAL 10⁴-scaled K, numerator ≤ 10³⁴ at the
+    * 10¹²-token ceiling, so nothing overflows; `simpson_micro` =
+    * (10⁶·(S2 − N)) DIV (N·(N−1)), NULL when N < 2 (no pair to
+    * repeat). Numerators are non-negative (S2 ≥ N always), so
+    * truncating DIV = floor on both engines. A group with ZERO
+    * tokens emits no row (there is no spectrum); NULL group keys
+    * flow through the groupBy chain as their own audited group.
+    *
+    * Scale shape: one corpus-sized (group, token) partial agg —
+    * counters, never text — then a group-sized moment agg; no
+    * windows, no joins. Output: (groupCol, n_tokens, vocab, hapax,
+    * yule_k_micro, simpson_micro) ordered by group. */
+  def vocabRichness(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs.select(col(groupCol).as("__g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__tok"))
+      .groupBy("__g", "__tok").agg(count(lit(1)).as("__c"))
+    tf.groupBy("__g").agg(
+        sum("__c").cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__s2"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("__g").as(groupCol),
+        col("__n").cast("long").as("n_tokens"),
+        col("vocab"), col("hapax"),
+        expr("CAST(((__s2 - __n) * 10000000000) DIV (__n * __n) AS BIGINT)")
+          .as("yule_k_micro"),
+        when(col("__n") >= 2L,
+          expr("""CAST(((__s2 - __n) * 1000000)
+            | DIV (__n * (__n - 1)) AS BIGINT)""".stripMargin))
+          .as("simpson_micro"))
+      .orderBy(groupCol)
   }
 
   /** Distinctive terms per source — the top-k tokens whose

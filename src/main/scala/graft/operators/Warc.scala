@@ -44,6 +44,10 @@ object Warc {
     }
     var p = 0
     var ok = true
+    // WARC/HTTP header lines are ASCII by spec; the String-constructor
+    // REPLACE decode is fail-visible here — a non-ASCII byte becomes
+    // U+FFFD, the "WARC/" / header-name match fails, and the record is
+    // rejected (ok = false) rather than silently mis-parsed.
     while (ok && p < n) {
       val ve = lineEnd(p)
       if (ve < 0 || ve - p < 5 ||
@@ -120,6 +124,13 @@ object Warc {
   private def httpBody(wtype: String, payload: Array[Byte]): Option[String] =
     if (wtype != "response") None
     else {
+      // REPLACE-decode is the contract here, not an oversight (the
+      // BpeDecode REPORT discipline doesn't apply): an HTTP body is
+      // arbitrary bytes — other charsets, truncation, binary — and
+      // REPORT-and-drop would discard every such record wholesale.
+      // U+FFFD is itself the fail-visible marker: it survives into the
+      // extracted text where the downstream quality gates (q107/q108)
+      // and FixMojibake see it, unlike a silent byte remap.
       val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       val i = s.indexOf("\r\n\r\n")
       if (i < 0) None else Some(s.substring(i + 4))

@@ -2371,15 +2371,19 @@ object Extensions {
 
   /** q192 — JL sign random projection 64 → 16 of the embedding table
     * ([[SimilaritySearch.randomProject]]); the face micro-quantizes
-    * each projected element to BIGINT so the compare is exact-integer,
-    * and drops NULL (ragged-input) projections to mirror the oracle's
-    * `len = 64` guard. */
+    * each projected element to BIGINT and serializes the vector to a
+    * single space-joined STRING scalar so the driver harness can hash
+    * it (array-typed outputs crash its pandas sort — the q139/q142
+    * lesson; library callers get the real `array<float>` from
+    * [[SimilaritySearch.randomProject]]). Drops NULL (ragged-input)
+    * projections to mirror the oracle's `len = 64` guard. */
   def q192RandomProject(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     SimilaritySearch.randomProject(e, "embedding", dim = 64, outDim = 16)
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
-        expr("transform(embedding, y -> CAST(round(y * 1000000) AS BIGINT))")
+        expr("array_join(transform(embedding, " +
+          "y -> CAST(CAST(round(y * 1000000) AS BIGINT) AS STRING)), ' ')")
           .as("proj_micro"))
       .orderBy("vec_id")
   }
@@ -3535,7 +3539,39 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q258 — cross-run manifest diff ([[Export.manifestDiff]]): the
+    * old run is engineered to have lost every 97th document, so the
+    * diff must report the affected (split, source) chains as changed
+    * shards — with exact token deltas — and any trailing shard the
+    * shrunken cumsum no longer reaches as added; untouched chains
+    * come back unchanged. The month-over-month reproducibility check
+    * (reference unit_test.ipynb cells 4–11) as one oracled frame.
+    * Manifests here are built on [[Export.runningSum]]'s range-slice
+    * cumsum (never a group-sized window) — the q117 packing shape at
+    * an 8192-token budget. */
+  def q258ManifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    def manifest(d: DataFrame): DataFrame =
+      Export.runningSum(
+        d.select(col("doc_id"),
+          coalesce(col("source"), lit("")).as("source"),
+          col("n_chars").cast("long").as("n_tokens"),
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 < 9, "val")
+            .otherwise("test").as("split")),
+        Seq("split", "source"), Seq("doc_id"), "n_tokens", "__cum")
+        .withColumn("shard_no", expr("(__cum - n_tokens) DIV 8192L"))
+        .groupBy("split", "source", "shard_no")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+    val d = Tables(spark, dir, "documents")
+    Export.manifestDiff(
+      manifest(d.filter(col("doc_id") % 97 =!= 0)), manifest(d))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_manifest_diff" -> (q258ManifestDiff _),
     "q257_ks_reference" -> (q257KsReference _),
     "q256_bootstrap_diff" -> (q256BootstrapDiff _),
     "q255_path_templates" -> (q255PathTemplates _),
@@ -4556,6 +4592,56 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q258_manifest_diff" ->
+      ("""WITH base AS (SELECT doc_id, coalesce(source, '') AS source,
+        |    n_chars::BIGINT AS n_tokens,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |mo AS (SELECT split, source, ((cum - n_tokens) // 8192)::BIGINT AS shard_no,
+        |    count(1)::BIGINT AS n_rows, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    sum(n_tokens)::BIGINT AS n_tokens,
+        |    min(doc_id) AS first_id, max(doc_id) AS last_id
+        |  FROM (SELECT *, sum(n_tokens) OVER (PARTITION BY split, source
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |    FROM base WHERE doc_id % 97 <> 0)
+        |  GROUP BY 1, 2, 3),
+        |mn AS (SELECT split, source, ((cum - n_tokens) // 8192)::BIGINT AS shard_no,
+        |    count(1)::BIGINT AS n_rows, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    sum(n_tokens)::BIGINT AS n_tokens,
+        |    min(doc_id) AS first_id, max(doc_id) AS last_id
+        |  FROM (SELECT *, sum(n_tokens) OVER (PARTITION BY split, source
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |    FROM base)
+        |  GROUP BY 1, 2, 3)
+        |SELECT coalesce(o.split, n.split) AS split,
+        |  coalesce(o.source, n.source) AS source,
+        |  coalesce(o.shard_no, n.shard_no) AS shard_no,
+        |  CASE WHEN o.n_rows IS NULL THEN 'added'
+        |       WHEN n.n_rows IS NULL THEN 'removed'
+        |       WHEN (o.n_rows IS DISTINCT FROM n.n_rows)
+        |         OR (o.n_docs IS DISTINCT FROM n.n_docs)
+        |         OR (o.n_tokens IS DISTINCT FROM n.n_tokens)
+        |         OR (o.first_id IS DISTINCT FROM n.first_id)
+        |         OR (o.last_id IS DISTINCT FROM n.last_id) THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.n_rows AS n_rows_old, n.n_rows AS n_rows_new,
+        |  o.n_docs AS n_docs_old, n.n_docs AS n_docs_new,
+        |  o.n_tokens AS n_tokens_old, n.n_tokens AS n_tokens_new,
+        |  (coalesce(n.n_tokens, 0) - coalesce(o.n_tokens, 0))::BIGINT AS d_tokens,
+        |  CASE WHEN o.n_rows IS NOT NULL AND n.n_rows IS NOT NULL THEN
+        |    concat_ws(',',
+        |      CASE WHEN o.n_rows IS DISTINCT FROM n.n_rows THEN 'n_rows' END,
+        |      CASE WHEN o.n_docs IS DISTINCT FROM n.n_docs THEN 'n_docs' END,
+        |      CASE WHEN o.n_tokens IS DISTINCT FROM n.n_tokens THEN 'n_tokens' END,
+        |      CASE WHEN o.first_id IS DISTINCT FROM n.first_id THEN 'first_id' END,
+        |      CASE WHEN o.last_id IS DISTINCT FROM n.last_id THEN 'last_id' END)
+        |  ELSE '' END AS changed_cols
+        |FROM mo o FULL OUTER JOIN mn n
+        |  ON o.split IS NOT DISTINCT FROM n.split
+        |  AND o.source IS NOT DISTINCT FROM n.source
+        |  AND o.shard_no IS NOT DISTINCT FROM n.shard_no
+        |ORDER BY split, source, shard_no""".stripMargin),
     "q257_ks_reference" ->
       ("""WITH ref AS (SELECT n_chars // 16 AS rv, count(1)::BIGINT AS rw
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
@@ -4600,7 +4686,8 @@ object Extensions {
       ("""WITH b AS (SELECT n_chars // 200 AS bin,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
         |g AS (SELECT bin, count(1)::BIGINT AS n_bin, sum(pos)::BIGINT AS n_pos
-        |  FROM b GROUP BY bin),
+        |  FROM b WHERE bin IS NOT NULL GROUP BY bin),
+        |u AS (SELECT count(1)::BIGINT AS n_unscored FROM b WHERE bin IS NULL),
         |c AS (SELECT bin, (bin * 200)::BIGINT AS threshold,
         |    sum(n_bin) OVER (ORDER BY bin DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_docs,
@@ -4618,8 +4705,10 @@ object Extensions {
         |  FROM cand CROSS JOIN t)
         |SELECT threshold, kept_docs, kept_pos, n_fp, n_fn,
         |  CAST(CAST(n_fp AS HUGEINT) * 1000
-        |    + CAST(n_fn AS HUGEINT) * 3000 AS BIGINT) AS cost_milli
-        |FROM k ORDER BY cost_milli, threshold DESC LIMIT 1""".stripMargin),
+        |    + CAST(n_fn AS HUGEINT) * 3000 AS BIGINT) AS cost_milli,
+        |  u.n_unscored
+        |FROM k CROSS JOIN u
+        |ORDER BY cost_milli, threshold DESC LIMIT 1""".stripMargin),
     "q255_path_templates" ->
       ("""WITH u AS (SELECT 'https://' || coalesce(source, 'x')
         |    || '.example.com/'
@@ -6164,7 +6253,8 @@ object Extensions {
         |p AS (SELECT e.vec_id, s.i,
         |    round(list_sum(list_transform(list_zip(e.x, s.srow), z -> z[1] * z[2])) / sqrt(16.0), 6) AS y
         |  FROM e CROSS JOIN s)
-        |SELECT vec_id, list(CAST(round(y * 1000000) AS BIGINT) ORDER BY i) AS proj_micro
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(CAST(round(y * 1000000) AS BIGINT) AS VARCHAR) ORDER BY i), ' ') AS proj_micro
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "q193_projection_recall" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

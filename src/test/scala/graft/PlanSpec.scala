@@ -492,4 +492,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the bounded candidate set must broadcast against the corpus vectors")
   }
+
+  test("q145 NB training: the dim×labels densification never plans a CartesianProduct") {
+    val p = plan("q145_nb_prior")
+    assert(!p.contains("CartesianProduct"),
+      "the allBuckets × label-totals cross must broadcast the label side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "label totals should broadcast into the densification")
+  }
 }

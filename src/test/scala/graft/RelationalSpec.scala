@@ -14,6 +14,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("face lint: no driver-facing query emits array/map/struct columns") {
+    // The driver's pandas harness can't hash complex-typed parquet
+    // columns (q139/q142/q192 lesson) — see FaceLint's scaladoc.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = FaceLint.complexColumns(fn(spark, sf0001).schema)
+        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"faces with unhashable complex columns:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("face lint flags a deliberately array-faced fixture") {
+    import org.apache.spark.sql.functions._
+    val fixture = spark.range(3)
+      .select(col("id"), array(col("id"), col("id") + 1).as("pair"),
+        map(lit("k"), col("id")).as("m"), struct(col("id")).as("s"))
+    assert(FaceLint.complexColumns(fixture.schema) == Seq("pair", "m", "s"))
+  }
+
   test("every query has either an oracle or is documented rows-only") {
     // Non-SQL-expressible ops may omit oracles; everything else must pair.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.acf]]: hand-computed lags, the |r| ≤ 1 floor identity on
+  * a negative correlation, the constant-series NULL, lag clipping at
+  * n−1, order-insensitivity of the pack, and a brute-force
+  * equivalence sweep. */
+class AcfSpec extends SparkSpec {
+
+  private def run(xs: Seq[Long], maxLag: Int = 7) = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("s", "t", "x")
+    Anomaly.acf(df, "s", "t", "x", maxLag).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toMap
+  }
+
+  test("alternating series: hand-computed r1 = -5/6 (floored), r2 = 2/3") {
+    val got = run(Seq(1L, 0L, 1L, 0L, 1L, 0L), maxLag = 2)
+    assert(got(1L) == -833334L, "floor(-833333.3) = -833334, not trunc")
+    assert(got(2L) == 666666L)
+  }
+
+  test("a perfect linear ramp has zero lag-1 autocovariance at n = 3") {
+    // deviations [-1, 0, 1]: d1*d2 + d2*d3 = 0
+    assert(run(Seq(1L, 2L, 3L), maxLag = 1)(1L) == 0L)
+  }
+
+  test("constant series emits NULL acf, never a fake 0 or 1") {
+    val got = run(Seq(4L, 4L, 4L, 4L), maxLag = 2)
+    assert(got(1L) == Long.MinValue && got(2L) == Long.MinValue)
+  }
+
+  test("lags clip at n - 1 and short series emit nothing") {
+    assert(run(Seq(1L, 2L, 5L), maxLag = 10).keySet == Set(1L, 2L))
+    assert(run(Seq(1L), maxLag = 3).isEmpty)
+  }
+
+  test("result is independent of input row order and partitioning") {
+    import spark.implicits._
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val df = scala.util.Random.shuffle(
+        xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) })
+      .toDF("s", "t", "x").repartition(5)
+    val got = Anomaly.acf(df, "s", "t", "x", 3).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == run(xs, maxLag = 3).map { case (k, v) => k -> v })
+  }
+
+  test("brute-force equivalence on a seeded periodic-plus-noise series") {
+    val rnd = new scala.util.Random(11)
+    val xs = (0 until 200).map(t =>
+      (if (t % 7 < 3) 50L else 10L) + rnd.nextInt(5).toLong)
+    val got = run(xs, maxLag = 10)
+    val n = xs.length
+    val s = xs.sum
+    val den = n.toLong * n * xs.map(x => x * x).sum - n.toLong * s * s
+    for (k <- 1 to 10) {
+      val sxx = (0 until n - k).map(t => xs(t) * xs(t + k)).sum
+      val a = xs.take(n - k).sum
+      val b = xs.drop(k).sum
+      val num = n.toLong * n * sxx - n.toLong * s * (a + b) +
+        (n - k).toLong * s * s
+      val expect = math.floorDiv((num + den) * 1000000L, den) - 1000000L
+      assert(got(k.toLong) == expect, s"lag $k")
+    }
+    // the engineered weekly cycle must surface: r7 strongly positive
+    assert(got(7L) > 600000L, s"weekly cycle not detected: ${got(7L)}")
+  }
+}

@@ -56,6 +56,47 @@ class KsDriftSpec extends SparkSpec {
     assert(got("only")._4 == -1L && got("only")._5 == Long.MinValue)
   }
 
+  test("binWidth quantizes a 1e5-distinct-value domain to a bounded spine") {
+    // 100_000 DISTINCT values — the continuous-domain shape that would
+    // blow the broadcast CDF spine without quantization. The contract
+    // under test: in-operator binWidth ≡ quantizing upstream (exact
+    // result equality), and the histogram spine the operator actually
+    // broadcasts is bins-sized, not values-sized.
+    val df = spark.range(100000L)
+      .select(when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+        (col("id") * 7L - 350000L).as("v")) // negatives too: floor path
+    val w = 1000L
+    val viaParam = Anomaly.ksDrift(df, "g", "v", binWidth = w)
+    val upstream = Anomaly.ksDrift(
+      df.select(col("g"), (col("v") - pmod(col("v"), lit(w))).as("v")),
+      "g", "v")
+    assert(viaParam.orderBy("g").collect().toSeq ==
+      upstream.orderBy("g").collect().toSeq)
+    // the bounded spine: quantized distinct values = ceil(range/w)-ish,
+    // three orders of magnitude below the raw 1e5 distinct values
+    val spine = df.select((col("v") - pmod(col("v"), lit(w))).as("q"))
+      .distinct().count()
+    assert(spine <= 702L, s"quantized spine $spine not bounded")
+    assert(viaParam.collect().forall(r => r.getLong(4) >= 0L))
+  }
+
+  test("ksAgainstReference binWidth quantizes live AND reference") {
+    import spark.implicits._
+    val live = spark.range(50000L)
+      .select(lit("s").as("g"), (col("id") * 3L).as("v"))
+    val ref = spark.range(5000L)
+      .select((col("id") * 31L).as("value"), lit(2L).as("weight"))
+    val w = 500L
+    def q(c: org.apache.spark.sql.Column) = c - pmod(c, lit(w))
+    val viaParam = Anomaly.ksAgainstReference(live, "g", "v", ref,
+      binWidth = w)
+    val upstream = Anomaly.ksAgainstReference(
+      live.select(col("g"), q(col("v")).as("v")),
+      "g", "v",
+      ref.select(q(col("value")).as("value"), col("weight")))
+    assert(viaParam.collect().toSeq == upstream.collect().toSeq)
+  }
+
   test("brute-force equivalence on a seeded skewed corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

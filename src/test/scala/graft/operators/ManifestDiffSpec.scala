@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Export.manifestDiff]]: status classification on an engineered
+  * one-shard drift, exact token deltas, changed-column naming, the
+  * NULL-safe key join, and the added/removed changed_cols contract. */
+class ManifestDiffSpec extends SparkSpec {
+
+  // manifest contract frame: (split, source, shard_no, n_rows,
+  // n_docs, n_tokens, first_id, last_id)
+  private def m(rows: Seq[(String, String, Long, Long, Long, Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("split", "source", "shard_no", "n_rows", "n_docs",
+      "n_tokens", "first_id", "last_id")
+  }
+
+  test("one drifted shard: changed with named cols; the rest unchanged") {
+    val old = m(Seq(
+      ("train", "web", 0L, 10L, 10L, 8000L, 0L, 9L),
+      ("train", "web", 1L, 10L, 10L, 8100L, 10L, 19L),
+      ("val", "web", 0L, 3L, 3L, 2400L, 20L, 22L)))
+    val nw = m(Seq(
+      ("train", "web", 0L, 10L, 10L, 8000L, 0L, 9L),
+      ("train", "web", 1L, 9L, 9L, 7300L, 10L, 19L), // the drift
+      ("val", "web", 0L, 3L, 3L, 2400L, 20L, 22L)))
+    val got = Export.manifestDiff(old, nw).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(3), r.getAs[Long]("d_tokens"), r.getAs[String]("changed_cols")))).toMap
+    assert(got(("train", 0L)) == (("unchanged", 0L, "")))
+    assert(got(("train", 1L)) == (("changed", -800L, "n_rows,n_docs,n_tokens")))
+    assert(got(("val", 0L)) == (("unchanged", 0L, "")))
+  }
+
+  test("added and removed shards classify without listing trivial diffs") {
+    val old = m(Seq(("train", "web", 0L, 5L, 5L, 4000L, 0L, 4L),
+      ("train", "web", 1L, 5L, 5L, 4100L, 5L, 9L)))
+    val nw = m(Seq(("train", "web", 0L, 5L, 5L, 4000L, 0L, 4L),
+      ("train", "books", 0L, 2L, 2L, 1500L, 50L, 51L)))
+    val got = Export.manifestDiff(old, nw).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getString(3), r.isNullAt(r.fieldIndex("n_rows_old")), r.isNullAt(r.fieldIndex("n_rows_new")), r.getAs[Long]("d_tokens"),
+          r.getAs[String]("changed_cols")))).toMap
+    // new-only shard: added, old stats NULL, changed_cols empty
+    assert(got(("books", 0L)) == (("added", true, false, 1500L, "")))
+    // old-only shard: removed, new stats NULL, delta = -old tokens
+    assert(got(("web", 1L)) == (("removed", false, true, -4100L, "")))
+    assert(got(("web", 0L))._1 == "unchanged")
+  }
+
+  test("id-range drift flags changed even when counts agree") {
+    val old = m(Seq(("train", "web", 0L, 5L, 5L, 4000L, 0L, 4L)))
+    val nw = m(Seq(("train", "web", 0L, 5L, 5L, 4000L, 1L, 5L)))
+    val r = Export.manifestDiff(old, nw).collect().head
+    assert(r.getString(3) == "changed")
+    assert(r.getAs[String]("changed_cols") == "first_id,last_id")
+    assert(r.getAs[Long]("d_tokens") == 0L, "token delta is zero for pure membership drift")
+  }
+
+  test("NULL source keys join null-safely (one row, not added+removed)") {
+    val old = m(Seq(("train", "web", 0L, 1L, 1L, 100L, 0L, 0L)))
+      .withColumn("source", lit(null).cast("string"))
+    val nw = m(Seq(("train", "web", 0L, 1L, 1L, 120L, 0L, 0L)))
+      .withColumn("source", lit(null).cast("string"))
+    val rows = Export.manifestDiff(old, nw).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(3) == "changed")
+    assert(rows.head.getAs[String]("changed_cols") == "n_tokens")
+  }
+
+  test("sum(d_tokens) over the diff equals the corpus-level drift") {
+    val old = m(Seq(("train", "a", 0L, 1L, 1L, 100L, 0L, 0L),
+      ("train", "b", 0L, 1L, 1L, 200L, 1L, 1L)))
+    val nw = m(Seq(("train", "a", 0L, 1L, 1L, 150L, 0L, 0L),
+      ("train", "c", 0L, 1L, 1L, 70L, 2L, 2L)))
+    val total = Export.manifestDiff(old, nw)
+      .agg(sum("d_tokens")).collect().head.getLong(0)
+    assert(total == (150L + 70L) - (100L + 200L))
+  }
+}

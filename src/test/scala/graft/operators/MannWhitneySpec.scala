@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.mannWhitney]]: hand-computed U/delta/z, floor semantics
+  * of the negative delta, tie accounting, empty-arm and all-tied
+  * degeneracies, fail-visible NULL skipping, NULL group keys, and a
+  * brute-force pair-count equivalence sweep. */
+class MannWhitneySpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.mannWhitney(rows.toDF("g", "v", "b"), "g", col("v"), col("b"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+  private def B(x: Boolean) = java.lang.Boolean.valueOf(x)
+
+  test("hand-computed U2, floored Cliff's delta, and single-libm z") {
+    // A = [1,2,3], B = [2,3,4]: #(a>b)=1, ties=2 -> u2 = 4
+    val got = run(Seq(("g", L(1), B(false)), ("g", L(2), B(false)),
+      ("g", L(3), B(false)), ("g", L(2), B(true)), ("g", L(3), B(true)),
+      ("g", L(4), B(true))))
+    val (na, nb, nsk, u2, delta, z) = got("g")
+    assert((na, nb, nsk, u2) == ((3L, 3L, 0L, 4L)))
+    // delta = (4 - 9)/9 = -5/9; micro-floor = -555556 (floor, not trunc)
+    assert(delta == -555556L)
+    // z from the exact cross-multiplied variance: T = 12, P = 1782, Q = 90
+    val expectedZ = math.round(1e6 * -5.0 / math.sqrt(1782.0 / 90.0))
+    assert(z == expectedZ, s"z $z != $expectedZ")
+  }
+
+  test("a clean separation drives delta to +1 and u2 to 2ab") {
+    // every A (10,11) beats every B (1,2): #(a>b) = 4, u2 = 8
+    val got = run(Seq(("g", L(10), B(false)), ("g", L(11), B(false)),
+      ("g", L(1), B(true)), ("g", L(2), B(true))))
+    assert(got("g")._4 == 8L && got("g")._5 == 1000000L)
+  }
+
+  test("empty arm: u2 = 0 with NULL delta and z, never a fake verdict") {
+    val got = run(Seq(("g", L(1), B(false)), ("g", L(2), B(false))))
+    assert(got("g") == ((2L, 0L, 0L, 0L, Long.MinValue, Long.MinValue)))
+  }
+
+  test("all-tied group: delta 0, z NULL (P = 0, no variance)") {
+    val got = run(Seq(("g", L(5), B(false)), ("g", L(5), B(true)),
+      ("g", L(5), B(true))))
+    // u2 = 1*(0 + 2) = 2 = ab -> delta exactly 0
+    assert(got("g")._4 == 2L && got("g")._5 == 0L)
+    assert(got("g")._6 == Long.MinValue, "all-tied z must be NULL")
+  }
+
+  test("NULL values and NULL arms are skipped fail-visibly") {
+    val got = run(Seq(("g", L(1), B(false)), ("g", null, B(true)),
+      ("g", L(2), null), ("g", L(3), B(true))))
+    assert(got("g")._1 == 1L && got("g")._2 == 1L && got("g")._3 == 2L)
+  }
+
+  test("a NULL group key is audited like any other group") {
+    val got = run(Seq((null, L(1), B(false)), (null, L(2), B(true)),
+      ("x", L(7), B(false)), ("x", L(7), B(true))))
+    assert(got.contains("<null>"))
+    assert(got("<null>")._4 == 0L && got("<null>")._5 == -1000000L)
+  }
+
+  test("brute-force pair-count equivalence on a seeded corpus") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 600).map { i =>
+      val g = s"g${rnd.nextInt(3)}"
+      val b = rnd.nextBoolean()
+      val v = rnd.nextInt(12).toLong + (if (b && g == "g2") 3L else 0L)
+      (g, L(v), B(b))
+    }
+    val got = run(rows)
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val a = rs.filter(!_._3).map(_._2.longValue())
+      val b = rs.filter(_._3).map(_._2.longValue())
+      val gt = (for (x <- a; y <- b) yield ()).size // pair space
+      val wins = (for (x <- a; y <- b if x > y) yield ()).size.toLong
+      val ties = (for (x <- a; y <- b if x == y) yield ()).size.toLong
+      val u2 = 2L * wins + ties
+      val deltaMicro =
+        math.floorDiv(u2 * 1000000L, a.size.toLong * b.size) - 1000000L
+      assert(got(g)._4 == u2, s"$g u2")
+      assert(got(g)._5 == deltaMicro, s"$g delta")
+      assert(gt == a.size * b.size)
+    }
+  }
+}

@@ -42,6 +42,30 @@ class OptimalThresholdSpec extends SparkSpec {
     assert(cost == 0L && thr == 8L && kept == 0L && fn == 2L)
   }
 
+  test("NULL scores are split off as n_unscored, never a NULL verdict") {
+    import spark.implicits._
+    // two unscorable positives: pre-fix they'd count as permanent FNs
+    // at every real threshold AND the NULL bin could win the argmin
+    // with a NULL threshold; post-fix the verdict is computed over
+    // scored rows only and reports n_unscored = 2
+    val rows = Seq[(java.lang.Long, Boolean)](
+      (10L, false), (10L, false), (20L, true), (30L, true),
+      (null, true), (null, true))
+    val r = Curation.optimalThreshold(rows.toDF("s", "p"), col("s"),
+      col("p"), 10L, 1000L, 1000L).collect().head
+    assert(!r.isNullAt(0), "threshold must never be NULL")
+    // scored: neg 10,10; pos 20,30 -> keep>=20 is perfect: cost 0
+    assert(r.getLong(0) == 20L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getLong(6) == 2L, "n_unscored must surface the NULL scores")
+  }
+
+  test("all-NULL scores yield an empty frame (nothing to recommend)") {
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, Boolean)]((null, true), (null, false))
+    assert(Curation.optimalThreshold(rows.toDF("s", "p"), col("s"),
+      col("p"), 10L, 1L, 1L).count() == 0L)
+  }
+
   test("hand-computed interior optimum") {
     // neg at 1,1,2; pos at 2,3: candidates (bin asc): keep>=1 all,
     // keep>=2: fp=1 fn=0; keep>=3: fp=0 fn=1; reject: fn=2

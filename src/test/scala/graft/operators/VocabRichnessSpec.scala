@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.vocabRichness]]: hand-computed K and Simpson's repeat
+  * rate, the N < 2 Simpson NULL, NULL group keys, concentration
+  * ordering (template text scores above diverse text), and exact
+  * moment equivalence against a local recount. */
+class VocabRichnessSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Vocab.vocabRichness(rows.toDF("g", "text"), "g", "text").collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+  }
+
+  test("hand-computed moments: N=3, S2=5 -> K and Simpson exact") {
+    val got = run(Seq("a" -> "x x y"))
+    // yule = (5-3)*1e10 // 9 = 2222222222; simpson = 2e6 // 6 = 333333
+    assert(got("a") == ((3L, 2L, 1L, 2222222222L, 333333L)))
+  }
+
+  test("single-token group: K = 0, Simpson NULL (no pair to repeat)") {
+    val got = run(Seq("b" -> "z"))
+    assert(got("b") == ((1L, 1L, 1L, 0L, Long.MinValue)))
+  }
+
+  test("NULL group keys are audited as their own group") {
+    val got = run(Seq((null, "w w"), ("c", "u v")))
+    // null group: N=2, S2=4 -> yule = 2e10 // 4 = 5000000000
+    assert(got("<null>") == ((2L, 1L, 0L, 5000000000L, 1000000L)))
+    assert(got("c") == ((2L, 2L, 2L, 0L, 0L)))
+  }
+
+  test("template text concentrates: K(template) >> K(diverse)") {
+    val template = (1 to 50).map(_ => "click here to subscribe now")
+      .mkString(" ")
+    val diverse = (1 to 250).map(i => s"tok$i").mkString(" ")
+    val got = run(Seq("tmpl" -> template, "div" -> diverse))
+    assert(got("tmpl")._4 > 100L * math.max(got("div")._4, 1L),
+      s"template K ${got("tmpl")._4} not >> diverse K ${got("div")._4}")
+    assert(got("div")._3 == 250L, "every diverse token is a hapax")
+  }
+
+  test("moments match a local recount on a seeded multi-doc corpus") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 100).map { i =>
+      val g = s"g${i % 2}"
+      val words = (1 to 20).map(_ => s"w${rnd.nextInt(30)}")
+      (g, words.mkString(" "))
+    }
+    val got = run(rows)
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val counts = rs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map(_._2.size.toLong)
+      val n = counts.sum
+      val s2 = counts.map(c => c * c).sum
+      val expectK = (s2 - n) * 10000000000L / (n * n)
+      val expectS = (s2 - n) * 1000000L / (n * (n - 1))
+      assert(got(g) == ((n, counts.size.toLong,
+        counts.count(_ == 1L).toLong, expectK, expectS)), s"group $g")
+    }
+  }
+}
