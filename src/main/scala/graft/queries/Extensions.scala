@@ -3570,7 +3570,62 @@ object Extensions {
       manifest(d.filter(col("doc_id") % 97 =!= 0)), manifest(d))
   }
 
+  /** q259 — Mann–Whitney U / Cliff's delta per source
+    * ([[graft.operators.Anomaly.mannWhitney]]): odd docs form arm B
+    * with a +3 bucket shift engineered in, so every source must show
+    * a negative delta (A loses) with the exact rank algebra — the
+    * outlier-proof A/B verdict beside q256's bootstrap CI. Every
+    * 37th doc has a NULL value, every 41st a NULL arm (fail-visible
+    * n_skipped). */
+  def q259MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.mannWhitney(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+          .otherwise(expr("n_chars DIV 16")
+            + when(col("doc_id") % 2 === 1, 3L).otherwise(0L)).as("v"),
+        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("arm")),
+      "source", col("v"), col("arm"))
+      .orderBy("source")
+  }
+
+  /** q260 — vocabulary-richness moments per language
+    * ([[graft.operators.Vocab.vocabRichness]]): Yule's K and
+    * Simpson's repeat rate with vocab/hapax counts — the
+    * concentration card beside q191's Zipf slope and q234's Chao1
+    * coverage. */
+  def q260VocabRichness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.vocabRichness(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"), col("text")),
+      "lang", "text")
+
+  /** q261 — lag-1..7 autocorrelation of daily event volume per type
+    * ([[graft.operators.Anomaly.acf]]): the seasonality/persistence
+    * screen over zero-filled day series — missing days COUNT as
+    * zeros (a gap is data, not absence), filled from the global
+    * [min, max] day spine before the ACF. */
+  def q261Acf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .select(coalesce(col("event_type"), lit("")).as("etype"),
+        to_date(col("ts")).as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("n"))
+    val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = counts.select("etype").distinct()
+      .crossJoin(broadcast(days))
+      .join(counts, Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    graft.operators.Anomaly.acf(series, "etype", "day", "n", maxLag = 7)
+      .orderBy("etype", "lag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_acf" -> (q261Acf _),
+    "q260_vocab_richness" -> (q260VocabRichness _),
+    "q259_mann_whitney" -> (q259MannWhitney _),
     "q258_manifest_diff" -> (q258ManifestDiff _),
     "q257_ks_reference" -> (q257KsReference _),
     "q256_bootstrap_diff" -> (q256BootstrapDiff _),
@@ -4592,6 +4647,82 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q259_mann_whitney" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE n_chars // 16 + CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 0 END
+        |    END AS v,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b
+        |  FROM documents),
+        |sk AS (SELECT g, sum(CASE WHEN v IS NULL OR b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |bv AS (SELECT g, v,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM base WHERE v IS NOT NULL AND b IS NOT NULL GROUP BY g, v),
+        |st AS (SELECT g, ca, cb,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) - cb AS cbl
+        |  FROM bv),
+        |ag AS (SELECT g, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |    sum(ca::HUGEINT * (2 * cbl + cb))::HUGEINT AS u2,
+        |    sum(((ca + cb)::HUGEINT) * ((ca + cb) * (ca + cb) - 1))::HUGEINT AS t
+        |  FROM st GROUP BY g),
+        |j AS (SELECT sk.g, coalesce(ag.n_a, 0) AS n_a, coalesce(ag.n_b, 0) AS n_b,
+        |    sk.n_skipped, coalesce(ag.u2, 0) AS u2, coalesce(ag.t, 0) AS t,
+        |    coalesce(ag.n_a, 0) + coalesce(ag.n_b, 0) AS n
+        |  FROM sk LEFT JOIN ag ON sk.g IS NOT DISTINCT FROM ag.g),
+        |pq AS (SELECT *,
+        |    n_a::HUGEINT * n_b * ((n + 1)::HUGEINT * n * (n - 1) - t) AS p,
+        |    3::HUGEINT * n * (n - 1) AS q
+        |  FROM j)
+        |SELECT g AS source, n_a, n_b, n_skipped, u2::BIGINT AS u2,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN ((u2 * 1000000) // (n_a::HUGEINT * n_b) - 1000000)::BIGINT END AS delta_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0
+        |    THEN CAST(round(1e6 * CAST(u2 - n_a::HUGEINT * n_b AS DOUBLE)
+        |      / sqrt(CAST(p AS DOUBLE) / CAST(q AS DOUBLE))) AS BIGINT) END AS z_micro
+        |FROM pq ORDER BY source""".stripMargin),
+    "q260_vocab_richness" ->
+      (s"""WITH tf AS (SELECT coalesce(lang, '') AS g, unnest($toksSql) AS tok
+        |  FROM documents),
+        |c AS (SELECT g, tok, count(1)::BIGINT AS c FROM tf GROUP BY g, tok),
+        |m AS (SELECT g, sum(c)::HUGEINT AS n, sum(c::HUGEINT * c)::HUGEINT AS s2,
+        |    count(1)::BIGINT AS vocab,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        |  FROM c GROUP BY g)
+        |SELECT g AS lang, n::BIGINT AS n_tokens, vocab, hapax,
+        |  (((s2 - n) * 10000000000) // (n * n))::BIGINT AS yule_k_micro,
+        |  CASE WHEN n >= 2
+        |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
+        |FROM m ORDER BY lang""".stripMargin),
+    "q261_acf" ->
+      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
+        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
+        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
+        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
+        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
+        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
+        |  FROM ser),
+        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
+        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
+        |  FROM (SELECT DISTINCT g FROM c)),
+        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
+        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
+        |  FROM lg l JOIN idx a ON a.g = l.g
+        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
+        |  GROUP BY a.g, l.lag),
+        |r AS (SELECT p.g, p.lag, m.n,
+        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
+        |      + (m.n - p.lag) * m.s * m.s AS num,
+        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
+        |  FROM pair p JOIN mom m ON m.g = p.g)
+        |SELECT g AS etype, lag, n::BIGINT AS n_points,
+        |  CASE WHEN den > 0
+        |    THEN (((num + den) * 1000000) // den - 1000000)::BIGINT END AS acf_micro
+        |FROM r ORDER BY etype, lag""".stripMargin),
     "q258_manifest_diff" ->
       ("""WITH base AS (SELECT doc_id, coalesce(source, '') AS source,
         |    n_chars::BIGINT AS n_tokens,
