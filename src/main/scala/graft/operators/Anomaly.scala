@@ -196,6 +196,88 @@ object Anomaly {
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 
+  /** Single-changepoint detection per keyed series (AMOC — at most
+    * one change, the binary-segmentation base step; Hinkley 1970) —
+    * WHERE did the level shift, asked after the fact: [[cusumAlarms]]
+    * raises the online alarm, this locates the most likely split
+    * retrospectively by maximizing the between-segment SSE reduction
+    * G(t) = (S_t·n − S·t)² / (t·(n−t)) over split positions
+    * t ∈ 1..n−1 (left = points 1..t). The argmax comparison is EXACT:
+    * candidates compare by cross-multiplication A²ᵢ·dⱼ vs A²ⱼ·dᵢ in
+    * DECIMAL(38,0) inside a single row-local fold — no division until
+    * the verdict, ties resolve to the SMALLEST t on both engines.
+    *
+    * Exact integers: segment means are (10⁶·S) DIV count micro-floor
+    * divisions — which assumes NON-NEGATIVE values (counts/cents, the
+    * [[ewmaDeviation]] contract; a negative sum would truncate toward
+    * zero on Spark and floor on DuckDB). Headroom: the cross-
+    * multiplied compare A²·d needs |x|·n ≤ ~10¹¹ (e.g. values to 10⁷
+    * at 10⁴ points) to stay inside DECIMAL(38,0); past it the
+    * non-ANSI overflow NULL would corrupt the argmax — the ceiling is
+    * stated, not hidden. `sse_gain` = A² DIV (d·n) is the achieved
+    * SSE reduction in value² units (truncated — magnitude indicator
+    * only; the argmax never reads it). A constant series picks t = 1
+    * with sse_gain 0 — callers threshold on the gain, the operator
+    * does not invent a "no change" sentinel.
+    *
+    * Same bounded-series collect contract as [[mannKendall]]; the
+    * candidate scan is O(n) per series, row-local after the ONE pack
+    * shuffle. Output: one row per series with ≥ 2 points —
+    * (seriesCol, n_points, split_idx, split_at, n_left, n_right,
+    * mean_left_micro, mean_right_micro, sse_gain); `split_at` is the
+    * orderCol value of the LAST left-segment point. */
+  def changepoint(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String): DataFrame = {
+    val packed = df
+      .groupBy(col(seriesCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("__o"), col(centsCol).as("__c")))).as("__evs"))
+      .select(col(seriesCol),
+        expr("transform(__evs, e -> e.__o)").as("__os"),
+        expr("transform(__evs, e -> e.__c)").as("__xs"))
+      .withColumn("__n", expr("CAST(size(__xs) AS BIGINT)"))
+      .where(col("__n") >= 2L)
+      .withColumn("__s", expr(
+        "aggregate(__xs, CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)"))
+    // prefix sums once (O(n²) array append, bounded-series contract —
+    // the mannKendall pair-scan budget), then an argmax fold whose
+    // improvement test is the exact cross-multiplied compare; seed
+    // ba2 = −1 so candidate t = 1 always wins the first round
+    packed
+      .withColumn("__ps", expr(
+        """aggregate(__xs, CAST(array() AS ARRAY<DECIMAL(38,0)>),
+          | (a, x) -> concat(a, array(
+          |   coalesce(try_element_at(a, -1), CAST(0 AS DECIMAL(38,0))) + x)))"""
+          .stripMargin))
+      .withColumn("__best", expr(
+        """aggregate(sequence(1L, __n - 1),
+          |  named_struct('ba2', CAST(-1 AS DECIMAL(38,0)),
+          |    'bd', CAST(1 AS DECIMAL(38,0)), 'bt', 0L),
+          |  (acc, t) -> CASE WHEN
+          |      (element_at(__ps, CAST(t AS INT)) * __n - __s * t)
+          |        * (element_at(__ps, CAST(t AS INT)) * __n - __s * t)
+          |        * acc.bd > acc.ba2 * (t * (__n - t))
+          |    THEN named_struct(
+          |      'ba2', (element_at(__ps, CAST(t AS INT)) * __n - __s * t)
+          |        * (element_at(__ps, CAST(t AS INT)) * __n - __s * t),
+          |      'bd', CAST(t * (__n - t) AS DECIMAL(38,0)), 'bt', t)
+          |    ELSE acc END)""".stripMargin))
+      .withColumn("__bsl", expr("element_at(__ps, CAST(__best.bt AS INT))"))
+      .select(col(seriesCol),
+        col("__n").as("n_points"),
+        col("__best.bt").as("split_idx"),
+        expr("element_at(__os, CAST(__best.bt AS INT))").as("split_at"),
+        col("__best.bt").as("n_left"),
+        (col("__n") - col("__best.bt")).as("n_right"),
+        expr("CAST((__bsl * 1000000) DIV __best.bt AS BIGINT)")
+          .as("mean_left_micro"),
+        expr("""CAST(((__s - __bsl) * 1000000)
+          | DIV (__n - __best.bt) AS BIGINT)""".stripMargin)
+          .as("mean_right_micro"),
+        expr("CAST(__best.ba2 DIV (__best.bd * __n) AS BIGINT)")
+          .as("sse_gain"))
+  }
+
   /** Lag-k autocorrelation function per keyed series (Box & Jenkins
     * 1970's sample ACF, the 1/n covariance convention) — the
     * seasonality/persistence screen the POINT detectors miss:

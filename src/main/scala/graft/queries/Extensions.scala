@@ -3606,23 +3606,44 @@ object Extensions {
     * screen over zero-filled day series — missing days COUNT as
     * zeros (a gap is data, not absence), filled from the global
     * [min, max] day spine before the ACF. */
-  def q261Acf(spark: SparkSession, dir: String): DataFrame = {
+  def q261Acf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.acf(
+        dailyEventSeries(spark, dir), "etype", "day", "n", maxLag = 7)
+      .orderBy("etype", "lag")
+
+  /** Zero-filled per-type daily event-count series over the global
+    * [min, max] day spine — the shared fixture of q261 (ACF) and q262
+    * (changepoint): a missing day is a zero count, not absence. */
+  private def dailyEventSeries(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables(spark, dir, "events")
       .select(coalesce(col("event_type"), lit("")).as("etype"),
         to_date(col("ts")).as("day"))
       .groupBy("etype", "day").agg(count(lit(1)).as("n"))
     val days = counts.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val series = counts.select("etype").distinct()
+    counts.select("etype").distinct()
       .crossJoin(broadcast(days))
       .join(counts, Seq("etype", "day"), "left")
       .select(col("etype"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
-    graft.operators.Anomaly.acf(series, "etype", "day", "n", maxLag = 7)
-      .orderBy("etype", "lag")
   }
 
+  /** q262 — retrospective level-shift location per event type
+    * ([[graft.operators.Anomaly.changepoint]]) on the q261 zero-filled
+    * daily series: WHERE the volume regime changed, with exact
+    * cross-multiplied argmax, micro segment means, and the achieved
+    * SSE gain — the post-incident companion to q201's online CUSUM
+    * alarms. `split_at` is re-cast to the day's epoch-day integer so
+    * the face stays scalar-hashable. */
+  def q262Changepoint(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.changepoint(
+        dailyEventSeries(spark, dir), "etype", "day", "n")
+      .withColumn("split_at", datediff(col("split_at"), lit("1970-01-01"))
+        .cast("long"))
+      .orderBy("etype")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_changepoint" -> (q262Changepoint _),
     "q261_acf" -> (q261Acf _),
     "q260_vocab_richness" -> (q260VocabRichness _),
     "q259_mann_whitney" -> (q259MannWhitney _),
@@ -4695,6 +4716,36 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q262_changepoint" ->
+      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
+        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
+        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
+        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
+        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
+        |idx AS (SELECT g, day, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
+        |  FROM ser),
+        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s
+        |  FROM idx GROUP BY g),
+        |ps AS (SELECT g, day, t::HUGEINT AS t,
+        |    sum(x) OVER (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING)::HUGEINT AS pl
+        |  FROM idx),
+        |cand AS (SELECT p.g, p.day, p.t, p.pl,
+        |    (p.pl * m.n - m.s * p.t) AS a,
+        |    (p.t * (m.n - p.t)) AS d, m.n, m.s
+        |  FROM ps p JOIN mom m ON m.g = p.g WHERE p.t < m.n),
+        |best AS (SELECT c1.* FROM cand c1 WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand c2 WHERE c2.g = c1.g AND
+        |      (c2.a * c2.a * c1.d > c1.a * c1.a * c2.d OR
+        |       (c2.a * c2.a * c1.d = c1.a * c1.a * c2.d AND c2.t < c1.t))))
+        |SELECT g AS etype, n::BIGINT AS n_points, t::BIGINT AS split_idx,
+        |  date_diff('day', DATE '1970-01-01', day)::BIGINT AS split_at,
+        |  t::BIGINT AS n_left, (n - t)::BIGINT AS n_right,
+        |  ((pl * 1000000) // t)::BIGINT AS mean_left_micro,
+        |  (((s - pl) * 1000000) // (n - t))::BIGINT AS mean_right_micro,
+        |  ((a * a) // (d * n))::BIGINT AS sse_gain
+        |FROM best ORDER BY etype""".stripMargin),
     "q261_acf" ->
       ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
         |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.changepoint]]: hand-computed argmax, exact micro means,
+  * tie-to-smallest-t, the constant-series zero-gain verdict, order
+  * insensitivity, and a brute-force equivalence sweep with an
+  * engineered shift. */
+class ChangepointSpec extends SparkSpec {
+
+  private def run(xs: Seq[Long]) = {
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("s", "t", "x")
+    Anomaly.changepoint(df, "s", "t", "x").collect().head
+  }
+
+  test("hand-computed split: [1,1,1,9,9] cuts after point 3") {
+    val r = run(Seq(1L, 1L, 1L, 9L, 9L))
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L) // n, split_idx
+    assert(r.getLong(3) == 2L, "split_at = orderCol of last left point")
+    assert(r.getLong(4) == 3L && r.getLong(5) == 2L) // n_left, n_right
+    assert(r.getLong(6) == 1000000L && r.getLong(7) == 9000000L)
+    assert(r.getLong(8) == 76L) // 2304 / (6*5) = 76.8 truncated
+  }
+
+  test("symmetric gains tie to the SMALLEST t") {
+    // [0,10,10,0]: G(1) = G(3) = 400/3, G(2) = 0 -> t = 1 wins
+    val r = run(Seq(0L, 10L, 10L, 0L))
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("constant series: split at t = 1 with zero gain, no sentinel") {
+    val r = run(Seq(5L, 5L, 5L))
+    assert(r.getLong(2) == 1L && r.getLong(8) == 0L)
+    assert(r.getLong(6) == 5000000L && r.getLong(7) == 5000000L)
+  }
+
+  test("single-point series emits no row") {
+    import spark.implicits._
+    val df = Seq(("s", 0L, 7L)).toDF("s", "t", "x")
+    assert(Anomaly.changepoint(df, "s", "t", "x").count() == 0L)
+  }
+
+  test("result is independent of input row order and partitioning") {
+    import spark.implicits._
+    val xs = Seq(2L, 3L, 2L, 40L, 41L, 39L, 40L)
+    val df = scala.util.Random.shuffle(
+        xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) })
+      .toDF("s", "t", "x").repartition(4)
+    val r = Anomaly.changepoint(df, "s", "t", "x").collect().head
+    assert(r.getLong(2) == 3L, "shift after the third point")
+  }
+
+  test("brute-force equivalence with an engineered mid-series shift") {
+    val rnd = new scala.util.Random(19)
+    for (shiftAt <- Seq(20, 50, 79)) {
+      val xs = (0 until 100).map(t =>
+        (if (t < shiftAt) 100L else 160L) + rnd.nextInt(7).toLong)
+      val r = run(xs)
+      // brute force: exact rational argmax via cross-multiplied compare
+      val n = xs.length.toLong
+      val s = xs.sum
+      val cands = (1 until xs.length).map { t =>
+        val pl = xs.take(t).sum
+        val a = BigInt(pl) * n - BigInt(s) * t
+        (t.toLong, a * a, BigInt(t) * (n - t))
+      }
+      val best = cands.reduceLeft { (u, v) =>
+        if (v._2 * u._3 > u._2 * v._3) v else u // strict: ties keep earlier
+      }
+      assert(r.getLong(2) == best._1, s"shiftAt=$shiftAt")
+      assert(r.getLong(2) == shiftAt.toLong,
+        s"the engineered shift position must win at shiftAt=$shiftAt")
+      val pl = xs.take(shiftAt).sum
+      assert(r.getLong(6) == pl * 1000000L / shiftAt)
+      assert(r.getLong(8) == (best._2 / (best._3 * n)).toLong)
+    }
+  }
+}
