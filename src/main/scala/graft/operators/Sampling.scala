@@ -163,6 +163,72 @@ object Sampling {
           .as("src_w_milli"))
   }
 
+  /** One exponentiated-gradient step of domain-mixture reweighting
+    * (the DoReMi update, Xie et al. 2023): given current domain
+    * weights and a per-document loss signal, shift the mixture toward
+    * the domains the model finds HARD — w'_g ∝ w_g·exp(η·L̄_g) — the
+    * data-mixing feedback loop that [[temperatureWeights]] (static
+    * count-based) has no answer to. Subtracting any constant from all
+    * L̄_g cancels in the normalization, so the implementation shifts
+    * by the max mean loss (exp argument ≤ 0: no overflow, and both
+    * engines exponentiate the SAME shifted value).
+    *
+    * Exact parity: mean loss is an integer-micro floor division
+    * (non-negative loss contract — the [[graft.operators.Anomaly
+    * .ewmaDeviation]] convention); the exp argument is built from
+    * exact integers (η_milli·(mean − max_mean)/10⁹ in one double
+    * expression), ONE libm exp + round per group
+    * (u_micro = round(w_milli·exp(arg)·1000)), then the normalizer is
+    * an INTEGER sum of those rounded values — the
+    * [[temperatureWeights]] round-before-normalize discipline, so no
+    * order-dependent double sum exists anywhere —
+    * w'_milli = (1000·u) DIV Σu. Σw' ≤ 1000 by floor allocation
+    * (stated, not hidden). NULL losses count per group in `n_skipped`
+    * (fail-visible); NULL group keys fold to '' on BOTH inputs; a
+    * loss group with no weight row keeps its row with NULL
+    * weight/verdict (fail-visible, never silently dropped); an
+    * all-zero u (η huge, weights tiny) yields NULL w' rather than a
+    * fabricated uniform.
+    *
+    * Scale shape: one corpus-sized (group, loss) partial agg;
+    * everything after runs on the domain-count-sized frame
+    * (broadcast joins, one singleton normalizer). `weights` carries
+    * (groupCol, w_milli) — domain-count rows, broadcast-small by
+    * contract. Output: (groupCol, n_docs, n_skipped,
+    * mean_loss_micro, w_milli, u_micro, w_new_milli) ordered by
+    * group. */
+  def mixtureReweight(df: DataFrame, groupCol: String, lossMicro: Column,
+      weights: DataFrame, etaMilli: Long): DataFrame = {
+    require(etaMilli >= 0L, s"etaMilli must be >= 0, got $etaMilli")
+    val ml = df
+      .select(coalesce(col(groupCol), lit("")).as("__g"),
+        lossMicro.cast("long").as("__l"))
+      .groupBy("__g")
+      .agg(count(col("__l")).as("n_docs"),
+        sum(when(col("__l").isNull, 1L).otherwise(0L)).as("n_skipped"),
+        sum("__l").as("__sl"))
+      .withColumn("mean_loss_micro",
+        when(col("n_docs") > 0L, expr("__sl DIV n_docs")))
+    val w = weights.select(
+      coalesce(col(groupCol), lit("")).as("__wg"),
+      col("w_milli").cast("long").as("w_milli"))
+    val mx = ml.where(col("mean_loss_micro").isNotNull)
+      .agg(max("mean_loss_micro").as("__mx"))
+    val u = ml.join(broadcast(w), col("__g") <=> col("__wg"), "left")
+      .crossJoin(broadcast(mx))
+      .withColumn("u_micro", expr(
+        s"""CAST(round(w_milli * exp(
+           |  $etaMilli * CAST(mean_loss_micro - __mx AS DOUBLE) / 1e9
+           |) * 1000) AS BIGINT)""".stripMargin))
+    val tot = u.agg(sum("u_micro").as("__tu"))
+    u.crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_skipped"),
+        col("mean_loss_micro"), col("w_milli"), col("u_micro"),
+        when(col("__tu") > 0L, expr("(1000 * u_micro) DIV __tu"))
+          .as("w_new_milli"))
+      .orderBy(groupCol)
+  }
+
   /** Token-budget epoch planner — the step between
     * [[temperatureWeights]] and [[mixtureSample]] a training run
     * actually schedules from: given a GLOBAL token budget, allocate it

@@ -590,6 +590,100 @@ object Vocab {
           | ELSE NULL END""".stripMargin).as("slope_micro"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per group (Heaps 1978) — the
+    * corpus-PLANNING number beside [[zipfFit]]'s distribution check:
+    * V(n) ≈ K·n^β, so `beta_micro` answers "how much NEW vocabulary
+    * does 10× more data buy" (β ≈ 0.4–0.6 for natural language;
+    * template/generated text sits far lower — the growth-side twin of
+    * [[vocabRichness]]'s concentration check). The curve is evaluated
+    * at power-of-2 token-count checkpoints: V(2^i) = distinct tokens
+    * whose FIRST occurrence position ≤ 2^i in the group's document
+    * stream (ordered by `idCol`, then in-doc position — fully
+    * deterministic), then the [[zipfFit]] OLS recipe fits log V
+    * against log n: integer-micro log points (ONE libm ln + round
+    * per point, same integers → same doubles on both engines),
+    * integer moment sums, cross-products in DECIMAL(38,0), one final
+    * double division. Groups with < 2 checkpoints (n_tokens < 2)
+    * emit NULL beta.
+    *
+    * Tokens are compared by [[graft.functions.TextFunctions
+    * .tokenHash]] (the zipfFit/oracle-shared 60-bit hash — collisions
+    * merge identically on both engines). NULL groups fold to '' (the
+    * key-normalization discipline).
+    *
+    * Scale shape: one token explode → (group, hash) partial-agg min
+    * position (the only corpus-sized shuffle); document offsets ride
+    * [[Export.runningSum]]'s range-slice cumsum (never a group-sized
+    * window); first-occurrence positions collapse to ≤ 63 log-buckets
+    * per group, and the checkpoint × bucket carry-forward join runs
+    * broadcast on that bounded frame. Output: (groupCol, n_tokens,
+    * vocab, n_points, beta_micro) ordered by group. */
+  def heapsFit(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val toks = docs.select(
+        coalesce(col(groupCol), lit("")).as("__g"),
+        col(idCol).as("__id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("__p", "__tok")))
+      .select(col("__g"), col("__id"), col("__p"),
+        graft.functions.TextFunctions.tokenHash(col("__tok")).as("__h"))
+    val lens = checkpointer(
+      toks.groupBy("__g", "__id").agg(count(lit(1)).as("__len")))
+    val offs = Export.runningSum(lens, Seq("__g"), Seq("__id"),
+        "__len", "__cum", checkpointer)
+      .select(col("__g").as("__og"), col("__id").as("__oid"),
+        (col("__cum") - col("__len")).as("__off"))
+    val first = toks
+      .join(offs, col("__g") <=> col("__og") && col("__id") === col("__oid"))
+      .select(col("__g"), col("__h"),
+        (col("__off") + col("__p") + 1L).as("__pos"))
+      .groupBy("__g", "__h").agg(min("__pos").as("__fp"))
+    // first positions collapse to their covering checkpoint bucket:
+    // smallest i with 2^i >= fp (fp = 1 -> bucket 0)
+    val bucketed = first
+      .select(col("__g"), expr("CAST(ceil(log2(__fp)) AS INT)").as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__nv"))
+    val nTot = lens.groupBy(col("__g").as("__tg"))
+      .agg(sum("__len").as("__n"))
+    val vocab = first.groupBy(col("__g").as("__vg"))
+      .agg(count(lit(1)).as("vocab"))
+    val cps = nTot
+      .select(col("__tg"), col("__n"),
+        explode(expr("sequence(0, CAST(floor(log2(__n)) AS INT))")).as("__i"))
+    // V at checkpoint 2^i = buckets with b <= i, carried forward via a
+    // broadcast non-equi join on the <= 63-buckets-per-group frame
+    val pts = cps
+      .join(broadcast(bucketed),
+        col("__tg") <=> col("__g") && col("__b") <= col("__i"))
+      .groupBy(col("__tg"), col("__i"))
+      .agg(sum("__nv").as("__v"))
+      .select(col("__tg"), col("__i"),
+        expr("CAST(round(ln(CAST(shiftleft(1L, __i) AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(ln(CAST(__v AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("y"))
+    val ols = pts.groupBy(col("__tg"))
+      .agg(count(lit(1)).as("n_points"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    nTot.join(broadcast(vocab), col("__tg") <=> col("__vg"), "left")
+      .join(broadcast(ols.withColumnRenamed("__tg", "__lg")),
+        col("__tg") <=> col("__lg"), "left")
+      .select(col("__tg").as(groupCol),
+        col("__n").as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        expr("""CASE WHEN n_points >= 2
+          |   AND CAST(n_points AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0
+          | THEN CAST(round(CAST(CAST(n_points AS DECIMAL(38,0)) * sxy
+          |     - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) * 1000000.0
+          |   / CAST(CAST(n_points AS DECIMAL(38,0)) * sxx
+          |     - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) AS BIGINT)
+          | ELSE NULL END""".stripMargin).as("beta_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Vocabulary-novelty attribution by source — the "what does each
     * corpus actually buy me?" audit of a data-mixing decision (the
     * Heaps-curve question): walking sources in a FIXED order

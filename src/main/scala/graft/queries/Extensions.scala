@@ -3674,7 +3674,34 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** q265 — Heaps'-law vocabulary-growth fit per language
+    * ([[graft.operators.Vocab.heapsFit]]): the "how much new
+    * vocabulary does 10× more data buy" exponent from power-of-2
+    * token checkpoints, the corpus-planning card beside q191's Zipf
+    * slope and q260's concentration moments. */
+  def q265HeapsFit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.heapsFit(
+      Tables(spark, dir, "documents"), "doc_id", "lang", "text")
+
+  /** q266 — one DoReMi exponentiated-gradient mixture step
+    * ([[graft.operators.Sampling.mixtureReweight]], η = 2):
+    * temperature weights (q126's α = ½ prior over sources) shifted
+    * toward the sources a synthetic loss signal finds hard, every
+    * 53rd doc NULL-lossed (fail-visible n_skipped). */
+  def q266MixtureReweight(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val w = graft.operators.Sampling.temperatureWeights(d, "source")
+      .select(col("source"), col("src_w_milli").as("w_milli"))
+    graft.operators.Sampling.mixtureReweight(
+      d.select(col("source"),
+        when(col("doc_id") % 53 === 0, lit(null).cast("long"))
+          .otherwise((col("n_chars") * 13L) % 3000000L).as("loss")),
+      "source", col("loss"), w, etaMilli = 2000L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_mixture_reweight" -> (q266MixtureReweight _),
+    "q265_heaps_fit" -> (q265HeapsFit _),
     "q264_pq_codes" -> (q264PqCodes _),
     "q263_pq_ann" -> (q263PqAnn _),
     "q262_changepoint" -> (q262Changepoint _),
@@ -4784,6 +4811,75 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q265_heaps_fit" ->
+      (s"""WITH t AS (SELECT coalesce(lang, '') AS g, doc_id, $toksSql AS toks
+        |  FROM documents),
+        |dl AS (SELECT g, doc_id, len(toks)::BIGINT AS l FROM t),
+        |off AS (SELECT g, doc_id,
+        |    (sum(l) OVER (PARTITION BY g ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - l)::BIGINT AS o
+        |  FROM dl),
+        |tk AS (SELECT t.g, t.doc_id, unnest(range(1, len(t.toks) + 1))::BIGINT AS i,
+        |    t.toks FROM t),
+        |pos AS (SELECT tk.g,
+        |    ('0x' || substring(md5(tk.toks[CAST(tk.i AS INT)]), 1, 15))::BIGINT AS h,
+        |    (off.o + tk.i)::BIGINT AS p
+        |  FROM tk JOIN off ON off.g = tk.g AND off.doc_id = tk.doc_id),
+        |fp AS (SELECT g, h, min(p) AS fp FROM pos GROUP BY g, h),
+        |bk AS (SELECT g, CAST(ceil(log2(fp)) AS INT) AS b, count(1)::BIGINT AS nv
+        |  FROM fp GROUP BY 1, 2),
+        |vc AS (SELECT g, count(1)::BIGINT AS vocab FROM fp GROUP BY g),
+        |nt AS (SELECT g, sum(l)::BIGINT AS n FROM dl GROUP BY g),
+        |cp AS (SELECT g, n, unnest(range(0, CAST(floor(log2(n)) AS BIGINT) + 1)) AS i
+        |  FROM nt),
+        |pts AS (SELECT cp.g, cp.i,
+        |    CAST(round(ln(CAST(1::BIGINT << cp.i AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(sum(bk.nv) AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM cp JOIN bk ON bk.g = cp.g AND bk.b <= cp.i
+        |  GROUP BY cp.g, cp.i),
+        |ols AS (SELECT g, count(1)::BIGINT AS n_points,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * y)::HUGEINT AS sxy,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx
+        |  FROM pts GROUP BY g)
+        |SELECT nt.g AS lang, nt.n AS n_tokens,
+        |  coalesce(vc.vocab, 0) AS vocab,
+        |  coalesce(ols.n_points, 0) AS n_points,
+        |  CASE WHEN ols.n_points >= 2 AND ols.n_points * ols.sxx - ols.sx * ols.sx > 0
+        |    THEN CAST(round(CAST(ols.n_points * ols.sxy - ols.sx * ols.sy AS DOUBLE)
+        |      * 1000000.0 / CAST(ols.n_points * ols.sxx - ols.sx * ols.sx AS DOUBLE))
+        |      AS BIGINT) END AS beta_micro
+        |FROM nt LEFT JOIN vc ON vc.g = nt.g LEFT JOIN ols ON ols.g = nt.g
+        |ORDER BY lang""".stripMargin),
+    "q266_mixture_reweight" ->
+      ("""WITH c AS (SELECT source, count(1)::BIGINT AS n_docs FROM documents GROUP BY source),
+        |s AS (SELECT source, n_docs, CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS sm FROM c),
+        |tw AS (SELECT sum(sm)::HUGEINT AS S, sum(n_docs)::HUGEINT AS N FROM s),
+        |w AS (SELECT coalesce(source, '') AS g,
+        |    CAST((N * sm * 1000) // (S * n_docs) AS BIGINT) AS w_milli
+        |  FROM s CROSS JOIN tw),
+        |base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL
+        |         ELSE (n_chars * 13) % 3000000 END AS loss
+        |  FROM documents),
+        |ml AS (SELECT g, count(loss)::BIGINT AS n_docs,
+        |    sum(CASE WHEN loss IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+        |    CASE WHEN count(loss) > 0
+        |      THEN sum(loss)::BIGINT // count(loss) END AS mean_loss_micro
+        |  FROM base GROUP BY g),
+        |mx AS (SELECT max(mean_loss_micro)::BIGINT AS m FROM ml
+        |  WHERE mean_loss_micro IS NOT NULL),
+        |u AS (SELECT ml.g, ml.n_docs, ml.n_skipped, ml.mean_loss_micro,
+        |    w.w_milli,
+        |    CAST(round(w.w_milli * exp(
+        |      2000 * CAST(ml.mean_loss_micro - mx.m AS DOUBLE) / 1e9) * 1000)
+        |      AS BIGINT) AS u_micro
+        |  FROM ml LEFT JOIN w ON w.g = ml.g CROSS JOIN mx),
+        |tu AS (SELECT sum(u_micro)::BIGINT AS t FROM u)
+        |SELECT g AS source, n_docs, n_skipped, mean_loss_micro, w_milli,
+        |  u_micro,
+        |  CASE WHEN tu.t > 0 THEN (1000 * u_micro) // tu.t END AS w_new_milli
+        |FROM u CROSS JOIN tu ORDER BY source""".stripMargin),
     "q263_pq_ann" ->
       (s"""WITH $pqSql,
         |q AS (SELECT s.vec_id AS qid, s.sub, c.cid, ${pqD2Sql("s.sv", "c.cv")} AS d2

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Vocab.heapsFit]]: checkpoint/first-position accounting on a
+  * hand-built stream, the pure-repetition floor, the all-novel
+  * ceiling, partitioning invariance, and a local OLS recount. */
+class HeapsFitSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    Vocab.heapsFit(rows.toDF("id", "g", "text"), "id", "g", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+  }
+
+  test("hand-built stream: totals, vocab, and checkpoint count") {
+    // doc 1: "a b a c", doc 2: "c d" -> stream a b a c c d (n=6)
+    // checkpoints 2^0..2^2 (floor(log2 6) = 2): V(1)=1, V(2)=2, V(4)=3
+    val got = run(Seq((1L, "x", "a b a c"), (2L, "x", "c d")))
+    val (n, vocab, pts, beta) = got("x")
+    assert(n == 6L && vocab == 4L && pts == 3L)
+    // local OLS over (ln 1, ln 1), (ln 2, ln 2), (ln 4, ln 3) micros
+    val xy = Seq((1L, 1L), (2L, 2L), (4L, 3L)).map { case (c, v) =>
+      (math.round(math.log(c.toDouble) * 1e6),
+        math.round(math.log(v.toDouble) * 1e6))
+    }
+    val np = xy.size.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expect = math.round(
+      (np * sxy - sx * sy).toDouble * 1e6 / (np * sxx - sx.toDouble * sx))
+    assert(beta == expect, s"beta $beta != $expect")
+  }
+
+  test("pure repetition: vocabulary growth flatlines (beta ~ 0)") {
+    val text = (1 to 256).map(_ => "same").mkString(" ")
+    val got = run(Seq((1L, "flat", text)))
+    val (n, vocab, _, beta) = got("flat")
+    assert(n == 256L && vocab == 1L)
+    assert(beta == 0L, "V is 1 at every checkpoint -> exactly flat")
+  }
+
+  test("all-novel stream: beta at the linear ceiling (~1e6)") {
+    val text = (1 to 256).map(i => s"w$i").mkString(" ")
+    val (_, vocab, pts, beta) = run(Seq((1L, "nov", text)))("nov")
+    assert(vocab == 256L && pts == 9L)
+    assert(beta == 1000000L, s"V(c) = c exactly -> slope 1, got $beta")
+  }
+
+  test("single-token group emits NULL beta (one checkpoint)") {
+    val (n, vocab, pts, beta) = run(Seq((1L, "tiny", "solo")))("tiny")
+    assert(n == 1L && vocab == 1L && pts == 1L && beta == Long.MinValue)
+  }
+
+  test("independent of partitioning and doc row order") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      (i.toLong, "g", (1 to 25).map(j => s"t${(i * j) % 60}").mkString(" ")))
+    val a = Vocab.heapsFit(rows.toDF("id", "g", "text"), "id", "g", "text")
+      .collect().head
+    val b = Vocab.heapsFit(
+        scala.util.Random.shuffle(rows).toDF("id", "g", "text")
+          .repartition(7), "id", "g", "text")
+      .collect().head
+    assert(a.toSeq == b.toSeq)
+    // natural-ish mixture sits strictly between the floor and ceiling
+    assert(a.getLong(4) > 0L && a.getLong(4) < 1000000L)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.mixtureReweight]]: the hard-domain shift, eta = 0
+  * identity, exact u accounting, fail-visible NULL losses and
+  * missing weights, and the floor-allocation bound. */
+class MixtureReweightSpec extends SparkSpec {
+
+  private def weights(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("g", "w_milli")
+  }
+
+  private def docs(rows: (String, java.lang.Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("g", "loss")
+  }
+
+  test("the harder domain gains weight, exact u arithmetic") {
+    // easy: mean loss 1.0; hard: mean loss 2.0; equal starting weights
+    val d = docs(("easy", 1000000L), ("easy", 1000000L),
+      ("hard", 2000000L), ("hard", 2000000L))
+    val r = Sampling.mixtureReweight(d, "g", col("loss"),
+        weights(("easy", 500L), ("hard", 500L)), etaMilli = 1000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // shifted args: easy -1.0 -> u = round(500*exp(-1)*1000) = 183940
+    // hard 0 -> u = 500000
+    assert(r("easy").getLong(5) == math.round(500.0 * math.exp(-1.0) * 1000))
+    assert(r("hard").getLong(5) == 500000L)
+    val (ue, uh) = (r("easy").getLong(5), r("hard").getLong(5))
+    assert(r("easy").getLong(6) == 1000L * ue / (ue + uh))
+    assert(r("hard").getLong(6) == 1000L * uh / (ue + uh))
+    assert(r("hard").getLong(6) > r("easy").getLong(6))
+    // floor allocation: sums to at most 1000
+    assert(r.values.map(_.getLong(6)).sum <= 1000L)
+  }
+
+  test("eta = 0 reproduces the prior weights exactly") {
+    val d = docs(("a", 1L), ("b", 9999999L))
+    val r = Sampling.mixtureReweight(d, "g", col("loss"),
+        weights(("a", 700L), ("b", 300L)), etaMilli = 0L)
+      .collect().map(x => x.getString(0) -> x.getLong(6)).toMap
+    assert(r("a") == 700L && r("b") == 300L)
+  }
+
+  test("NULL losses are skipped fail-visibly per group") {
+    val d = docs(("a", 1000L), ("a", null), ("b", 1000L))
+    val r = Sampling.mixtureReweight(d, "g", col("loss"),
+        weights(("a", 500L), ("b", 500L)), 1000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(1) == 1L && r("a").getLong(2) == 1L)
+    assert(r("b").getLong(2) == 0L)
+  }
+
+  test("a loss group with no weight row stays, fail-visible NULLs") {
+    val d = docs(("known", 1000L), ("orphan", 1000L))
+    val r = Sampling.mixtureReweight(d, "g", col("loss"),
+        weights(("known", 1000L)), 1000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.contains("orphan"))
+    assert(r("orphan").isNullAt(4) && r("orphan").isNullAt(5))
+    assert(!r("known").isNullAt(6))
+  }
+
+  test("NULL group keys fold to '' on both inputs and meet") {
+    val d = docs((null, 2000L))
+    val r = Sampling.mixtureReweight(d, "g", col("loss"),
+        weights((null.asInstanceOf[String], 1000L)), 1000L).collect()
+    assert(r.length == 1 && r.head.getString(0) == "")
+    assert(r.head.getLong(6) == 1000L)
+  }
+}
