@@ -639,18 +639,24 @@ object Anomaly {
     * (P = 0) emit NULL z — there is no variance to normalize by.
     *
     * Scale shape: ONE corpus-sized (group, arm, value) counter agg
-    * with map-side combine; the rank accounting runs on per-group
+    * with map-side combine, materialized through `checkpointer` for
+    * its two consumers; the rank accounting runs on per-group
     * distinct-value spines (histogram granularity — `value` must be
     * integral and bounded-cardinality, the [[ksDrift]] score
     * convention; pre-bucket continuous domains upstream), windows
     * partitioned per group. Output: one row per group — (groupCol,
     * n_a, n_b, n_skipped, u2, delta_micro, z_micro). */
   def mannWhitney(df: DataFrame, groupCol: String, value: Column,
-      armB: Column): DataFrame = {
+      armB: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
       value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
-    val hist = base.groupBy("__g", "__v", "__b")
-      .agg(count(lit(1)).as("__c"))
+    // the ONE corpus-sized agg, materialized once for its two
+    // consumers (n_skipped totals and the rank accounting) — the
+    // ksDrift checkpoint discipline; without it each consumer would
+    // re-run the corpus scan
+    val hist = checkpointer(base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c")))
     val skipped = hist.groupBy("__g").agg(
       sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
         .otherwise(0L)).as("n_skipped"))

@@ -198,9 +198,12 @@ object Sampling {
     * mean_loss_micro, w_milli, u_micro, w_new_milli) ordered by
     * group. */
   def mixtureReweight(df: DataFrame, groupCol: String, lossMicro: Column,
-      weights: DataFrame, etaMilli: Long): DataFrame = {
+      weights: DataFrame, etaMilli: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(etaMilli >= 0L, s"etaMilli must be >= 0, got $etaMilli")
-    val ml = df
+    // the ONE corpus-sized agg, materialized once for its two
+    // consumers (the max-shift normalizer and the update itself)
+    val ml = checkpointer(df
       .select(coalesce(col(groupCol), lit("")).as("__g"),
         lossMicro.cast("long").as("__l"))
       .groupBy("__g")
@@ -208,7 +211,7 @@ object Sampling {
         sum(when(col("__l").isNull, 1L).otherwise(0L)).as("n_skipped"),
         sum("__l").as("__sl"))
       .withColumn("mean_loss_micro",
-        when(col("n_docs") > 0L, expr("__sl DIV n_docs")))
+        when(col("n_docs") > 0L, expr("__sl DIV n_docs"))))
     val w = weights.select(
       coalesce(col(groupCol), lit("")).as("__wg"),
       col("w_milli").cast("long").as("w_milli"))
