@@ -196,6 +196,76 @@ object Anomaly {
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 
+  /** Distribution-free quantile confidence interval per group — the
+    * order-statistic CI (binomial argument, Thompson 1936): the
+    * q-quantile estimate plus a [lo, hi] bracket of ORDER STATISTICS
+    * at ranks n·q ∓ z·√(n·q(1−q)) — exact-coverage machinery that
+    * needs no distributional assumption and no resampling, the
+    * quantile-side answer to [[graft.operators.Sampling
+    * .bootstrapDiff]]'s mean CI. "p50 latency is 120 ms" without the
+    * bracket is a point guess; this emits the bracket.
+    *
+    * Exact integers: the histogram CDF runs on the bounded
+    * distinct-value spine; the point estimate is the LOWER quantile
+    * at ceil semantics — smallest v with cum ≥ k,
+    * k = (q_milli·n + 999) DIV 1000 clamped to [1, n] (the
+    * [[madOutliers]] lower-median convention generalized); rank
+    * brackets take ONE IEEE sqrt of the exact integer
+    * n·q_milli·(1000 − q_milli), floor/ceil to ranks, clamp — the
+    * identical expression in the oracle, so both engines pick the
+    * same order statistics. NULL values are excluded fail-visibly
+    * (`n_skipped`); NULL group keys are audited; an all-NULL group
+    * keeps its row with NULL estimates.
+    *
+    * Scale shape: one corpus-sized (group, value) counter agg with
+    * map-side combine; the CDF window runs per group on the
+    * bounded spine (integral bounded-cardinality values by contract —
+    * pre-bucket continuous domains, or [[ksDrift]]'s binWidth
+    * convention upstream); rank lookups are a broadcast non-equi join
+    * of 3 ranks per group against that spine. Output: (groupCol, n,
+    * n_skipped, lo_rank, hi_rank, q_value, lo_value, hi_value). */
+  def quantileCI(df: DataFrame, groupCol: String, valueCol: String,
+      qMilli: Int, zMilli: Long = 1960L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(qMilli >= 1 && qMilli <= 999,
+      s"qMilli must be in [1, 999], got $qMilli")
+    require(zMilli >= 0L, s"zMilli must be >= 0, got $zMilli")
+    val hist = checkpointer(
+      df.select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+        .groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = hist.where(col("__v").isNotNull)
+      .withColumn("__cum", sum("__c").over(w))
+      .select(col("__g").as("__sg"), col("__v"), col("__cum"))
+    val ranks = gTot.where(col("n") > 0L)
+      .withColumn("__s", expr(
+        s"sqrt(CAST(n * $qMilli * (1000 - $qMilli) AS DOUBLE))"))
+      .select(col("__g"), col("n"),
+        expr(s"greatest(1L, least(n, (n * $qMilli + 999) DIV 1000))")
+          .as("__kq"),
+        expr(s"greatest(1L, CAST(floor((n * $qMilli - $zMilli * __s / 1000.0) / 1000.0) AS BIGINT))")
+          .as("lo_rank"),
+        expr(s"least(n, CAST(ceil((n * $qMilli + $zMilli * __s / 1000.0) / 1000.0) AS BIGINT))")
+          .as("hi_rank"))
+    // smallest spine value whose cumulative count reaches each rank:
+    // a non-equi join against the broadcast bounded spine, min(v)
+    val looked = ranks
+      .join(broadcast(spine), col("__g") <=> col("__sg"))
+      .groupBy(col("__g"), col("__kq"), col("lo_rank"), col("hi_rank"))
+      .agg(min(when(col("__cum") >= col("__kq"), col("__v"))).as("q_value"),
+        min(when(col("__cum") >= col("lo_rank"), col("__v"))).as("lo_value"),
+        min(when(col("__cum") >= col("hi_rank"), col("__v"))).as("hi_value"))
+    gTot.join(looked.withColumnRenamed("__g", "__lg"),
+        col("__g") <=> col("__lg"), "left")
+      .select(col("__g").as(groupCol), col("n"), col("n_skipped"),
+        col("lo_rank"), col("hi_rank"),
+        col("q_value"), col("lo_value"), col("hi_value"))
+  }
+
   /** Single-changepoint detection per keyed series (AMOC — at most
     * one change, the binary-segmentation base step; Hinkley 1970) —
     * WHERE did the level shift, asked after the fact: [[cusumAlarms]]

@@ -1024,6 +1024,79 @@ object Curation {
     * bins²-bounded joint histogram (integral bounded-cardinality
     * scores by contract — pre-bucket continuous scores upstream).
     * Output: (groupCol, n, n_dropped, conc, disc, tau_micro). */
+  /** Spearman ρ rank correlation between two integer scores per group
+    * (Spearman 1904, tie-corrected via average ranks) — the MONOTONE
+    * agreement number beside [[kendallTau]]'s pairwise τ: ρ is
+    * Pearson on ranks, so it reads as "shared variance of the
+    * orderings" and is the convention most scorer-agreement
+    * literature reports. Both run on the same joint histogram; τ
+    * counts pair inversions, ρ weighs how FAR apart the disagreeing
+    * ranks sit.
+    *
+    * Exact integers: ranks are DOUBLED average ranks
+    * R(v) = 2·cum_less(v) + t(v) + 1 (integer — doubling absorbs the
+    * (t+1)/2 tie midpoint, the [[graft.operators.Anomaly
+    * .mannWhitney]] trick), computed per marginal on the bounded
+    * distinct-value spine; all five moment sums accumulate
+    * c-weighted rank products in DECIMAL(38,0);
+    * ρ = (n·Sxy − Sx·Sy)/√(n·Sxx − Sx²)·√(n·Syy − Sy²) takes TWO
+    * IEEE sqrts of exact integers and one final round to micro —
+    * same expression in the oracle, so the doubles agree bit-for-bit.
+    * Variance factors stay inside DECIMAL(38,0) to n ≈ 10⁹ rows per
+    * group (4n⁴ < 10³⁸ — stated ceiling).
+    *
+    * NULL x or y drops the ROW fail-visibly (`n_dropped`, the
+    * kendallTau convention); zero variance in either marginal emits
+    * NULL ρ. Scale shape: ONE corpus-sized (group, x, y) counter agg
+    * (materialized via `checkpointer`); rank spines and moments run
+    * on the bins-bounded histogram (integral bounded-cardinality
+    * scores by contract). Output: (groupCol, n, n_dropped,
+    * rho_micro). */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val hist = checkpointer(
+      base.groupBy("__g", "__x", "__y").agg(count(lit(1)).as("__c")))
+    val dropped = hist.groupBy("__g").agg(
+      sum(when(col("__x").isNull || col("__y").isNull, col("__c"))
+        .otherwise(0L)).as("n_dropped"))
+    val cells = hist.where(col("__x").isNotNull && col("__y").isNotNull)
+    // doubled average rank per marginal value on the bounded spine
+    def ranks(c: String, out: String) = {
+      val w = Window.partitionBy("__g").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy(col("__g"), col(c)).agg(sum("__c").as("__t"))
+        .withColumn("__cum", sum("__t").over(w))
+        .select(col("__g").as(s"__g$out"), col(c).as(s"__v$out"),
+          (lit(2L) * (col("__cum") - col("__t")) + col("__t") + 1L)
+            .as(out))
+    }
+    val rx = ranks("__x", "rx")
+    val ry = ranks("__y", "ry")
+    val m = cells
+      .join(rx, col("__g") <=> col("__grx") && col("__x") === col("__vrx"))
+      .join(ry, col("__g") <=> col("__gry") && col("__y") === col("__vry"))
+      .groupBy("__g").agg(
+        sum("__c").as("n"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * __c")).as("__sx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * __c")).as("__sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry * __c")).as("__sxy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx * __c")).as("__sxx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry * __c")).as("__syy"))
+    dropped.join(m.withColumnRenamed("__g", "__gm"),
+        col("__g") <=> col("__gm"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_dropped"),
+        when(expr("n * __sxx - __sx * __sx > 0")
+            && expr("n * __syy - __sy * __sy > 0"),
+          expr("""CAST(round(CAST(n * __sxy - __sx * __sy AS DOUBLE) * 1000000.0
+            | / (sqrt(CAST(n * __sxx - __sx * __sx AS DOUBLE))
+            |    * sqrt(CAST(n * __syy - __sy * __sy AS DOUBLE)))) AS BIGINT)"""
+            .stripMargin)).as("rho_micro"))
+  }
+
   def kendallTau(df: DataFrame, groupCol: String, xCol: String,
       yCol: String,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {

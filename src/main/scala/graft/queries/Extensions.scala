@@ -3699,7 +3699,43 @@ object Extensions {
       "source", col("loss"), w, etaMilli = 2000L)
   }
 
+  /** q267 — Spearman ρ between char-length and token-count scores per
+    * source ([[Curation.spearmanRho]]): the average-rank monotone
+    * agreement beside q241's Kendall τ on the same histogram
+    * machinery; every 47th doc NULL-scored (fail-visible
+    * n_dropped). */
+  def q267Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Curation.spearmanRho(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        expr("n_chars DIV 64").as("x"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__tc"),
+        col("doc_id"))
+        .select(col("source"), col("x"),
+          when(col("doc_id") % 47 === 0, lit(null).cast("long"))
+            .otherwise(expr("__tc DIV 8")).as("y")),
+      "source", "x", "y")
+      .orderBy("source")
+  }
+
+  /** q268 — distribution-free p90 confidence bracket of document
+    * length per source ([[graft.operators.Anomaly.quantileCI]],
+    * z = 1.96): order-statistic ranks n·q ∓ z·√(nq(1−q)) — the
+    * uncertainty the q38/q105 point quantiles leave unstated; every
+    * 59th doc NULL-valued (fail-visible n_skipped). */
+  def q268QuantileCi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.quantileCI(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        when(col("doc_id") % 59 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("v")),
+      "source", "v", qMilli = 900)
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_quantile_ci" -> (q268QuantileCi _),
+    "q267_spearman" -> (q267Spearman _),
     "q266_mixture_reweight" -> (q266MixtureReweight _),
     "q265_heaps_fit" -> (q265HeapsFit _),
     "q264_pq_codes" -> (q264PqCodes _),
@@ -4811,6 +4847,64 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q267_spearman" ->
+      (s"""WITH base AS (SELECT coalesce(source, '') AS g, n_chars // 64 AS x,
+        |    CASE WHEN doc_id % 47 = 0 THEN NULL
+        |         ELSE len($toksSql) // 8 END AS y
+        |  FROM documents),
+        |hist AS (SELECT g, x, y, count(1)::BIGINT AS c FROM base GROUP BY 1, 2, 3),
+        |drp AS (SELECT g, coalesce(sum(CASE WHEN x IS NULL OR y IS NULL THEN c END), 0)::BIGINT AS n_dropped
+        |  FROM hist GROUP BY g),
+        |cells AS (SELECT * FROM hist WHERE x IS NOT NULL AND y IS NOT NULL),
+        |rx AS (SELECT g, x, (2 * (cum - t) + t + 1)::BIGINT AS rx FROM (
+        |    SELECT g, x, sum(c)::BIGINT AS t,
+        |      sum(sum(c)) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |    FROM cells GROUP BY g, x)),
+        |ry AS (SELECT g, y, (2 * (cum - t) + t + 1)::BIGINT AS ry FROM (
+        |    SELECT g, y, sum(c)::BIGINT AS t,
+        |      sum(sum(c)) OVER (PARTITION BY g ORDER BY y ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |    FROM cells GROUP BY g, y)),
+        |m AS (SELECT cells.g, sum(c)::HUGEINT AS n,
+        |    sum(rx::HUGEINT * c) AS sx, sum(ry::HUGEINT * c) AS sy,
+        |    sum(rx::HUGEINT * ry * c) AS sxy,
+        |    sum(rx::HUGEINT * rx * c) AS sxx,
+        |    sum(ry::HUGEINT * ry * c) AS syy
+        |  FROM cells JOIN rx ON rx.g = cells.g AND rx.x = cells.x
+        |  JOIN ry ON ry.g = cells.g AND ry.y = cells.y
+        |  GROUP BY cells.g)
+        |SELECT d.g AS source, coalesce(m.n, 0)::BIGINT AS n, d.n_dropped,
+        |  CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+        |    AND m.n * m.syy - m.sy * m.sy > 0 THEN
+        |    CAST(round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) * 1000000.0
+        |      / (sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+        |         * sqrt(CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)))) AS BIGINT)
+        |  END AS rho_micro
+        |FROM drp d LEFT JOIN m ON m.g = d.g ORDER BY source""".stripMargin),
+    "q268_quantile_ci" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 59 = 0 THEN NULL ELSE n_chars END AS v
+        |  FROM documents),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY g, v),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM hist GROUP BY g),
+        |sp AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM hist WHERE v IS NOT NULL),
+        |rk AS (SELECT g, n,
+        |    greatest(1, least(n, (n * 900 + 999) // 1000))::BIGINT AS kq,
+        |    greatest(1, CAST(floor((n * 900 - 1960 * sqrt(CAST(n * 900 * 100 AS DOUBLE)) / 1000.0) / 1000.0) AS BIGINT)) AS lo_rank,
+        |    least(n, CAST(ceil((n * 900 + 1960 * sqrt(CAST(n * 900 * 100 AS DOUBLE)) / 1000.0) / 1000.0) AS BIGINT)) AS hi_rank
+        |  FROM gt WHERE n > 0),
+        |lk AS (SELECT rk.g, rk.lo_rank, rk.hi_rank,
+        |    min(CASE WHEN sp.cum >= rk.kq THEN sp.v END) AS q_value,
+        |    min(CASE WHEN sp.cum >= rk.lo_rank THEN sp.v END) AS lo_value,
+        |    min(CASE WHEN sp.cum >= rk.hi_rank THEN sp.v END) AS hi_value
+        |  FROM rk JOIN sp ON sp.g = rk.g GROUP BY 1, 2, 3)
+        |SELECT gt.g AS source, gt.n, gt.n_skipped, lk.lo_rank, lk.hi_rank,
+        |  lk.q_value, lk.lo_value, lk.hi_value
+        |FROM gt LEFT JOIN lk ON lk.g = gt.g ORDER BY source""".stripMargin),
     "q265_heaps_fit" ->
       (s"""WITH t AS (SELECT coalesce(lang, '') AS g, doc_id, $toksSql AS toks
         |  FROM documents),

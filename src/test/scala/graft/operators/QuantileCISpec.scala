@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.quantileCI]]: hand-computed ranks and order statistics,
+  * the bracket-contains-estimate invariant, clamping at the edges,
+  * fail-visible NULL skipping, and an all-NULL group's NULL row. */
+class QuantileCISpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)], q: Int,
+      z: Long = 1960L) = {
+    import spark.implicits._
+    Anomaly.quantileCI(rows.toDF("g", "v"), "g", "v", q, z).collect()
+      .map(r => r.getString(0) -> r).toMap
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+
+  test("hand-computed median CI on 1..100") {
+    val got = run((1L to 100L).map(i => ("g", L(i))), q = 500)("g")
+    assert(got.getLong(1) == 100L && got.getLong(2) == 0L)
+    // k = ceil(50.0) = 50 -> value 50
+    assert(got.getLong(5) == 50L, s"q_value ${got.getLong(5)}")
+    // s = sqrt(100*500*500)/1000 = 5; lo = floor(50 - 1.96*5) = 40,
+    // hi = ceil(50 + 9.8) = 60
+    assert(got.getLong(3) == 40L && got.getLong(4) == 60L)
+    assert(got.getLong(6) == 40L && got.getLong(7) == 60L)
+  }
+
+  test("bracket contains the estimate; p90 on a skewed sample") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map(_ => ("g", L((rnd.nextGaussian().abs * 100).toLong)))
+    val got = run(rows, q = 900)("g")
+    assert(got.getLong(6) <= got.getLong(5) && got.getLong(5) <= got.getLong(7))
+    // local check of the point estimate: 450th order statistic
+    val sorted = rows.map(_._2.longValue()).sorted
+    assert(got.getLong(5) == sorted(449))
+  }
+
+  test("extreme quantile clamps ranks to [1, n]") {
+    val got = run((1L to 10L).map(i => ("g", L(i))), q = 999)("g")
+    assert(got.getLong(4) == 10L, "hi clamps to n")
+    assert(got.getLong(5) == 10L, "k = ceil(9.99) = 10")
+    assert(got.getLong(3) >= 1L)
+  }
+
+  test("NULL values are skipped fail-visibly") {
+    val got = run(Seq(("g", L(1)), ("g", null), ("g", L(3))), 500)("g")
+    assert(got.getLong(1) == 2L && got.getLong(2) == 1L)
+    assert(got.getLong(5) == 1L, "lower median of {1,3}")
+  }
+
+  test("an all-NULL group keeps its row with NULL estimates") {
+    val got = run(Seq(("dead", null), ("dead", null), ("ok", L(7))), 500)
+    assert(got("dead").getLong(1) == 0L && got("dead").getLong(2) == 2L)
+    assert(got("dead").isNullAt(5) && got("dead").isNullAt(6))
+    assert(got("ok").getLong(5) == 7L)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.spearmanRho]]: the ±1 poles, tie-corrected average
+  * ranks against a local recount, NULL-row drops, zero-variance NULL,
+  * and agreement-direction consistency with Kendall's τ. */
+class SpearmanSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Curation.spearmanRho(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))).toMap
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+
+  test("perfect monotone agreement and reversal hit the poles exactly") {
+    val up = (1L to 9L).map(i => ("up", L(i), L(i * 7)))
+    val dn = (1L to 9L).map(i => ("dn", L(i), L(100 - i)))
+    val got = run(up ++ dn)
+    assert(got("up")._3 == 1000000L)
+    assert(got("dn")._3 == -1000000L)
+  }
+
+  test("tie-corrected rho matches a local average-rank Pearson") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(8).toLong
+      val y = x + rnd.nextInt(5) - 2L
+      ("g", L(x), L(y))
+    }
+    val got = run(rows)("g")
+    // local recount: average ranks, Pearson on ranks
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val xs = rows.map(_._2.longValue()); val ys = rows.map(_._3.longValue())
+    val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+    val px = xs.map(rx); val py = ys.map(ry)
+    val n = px.size
+    val (mx, my) = (px.sum / n, py.sum / n)
+    val num = px.zip(py).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(px.map(a => (a - mx) * (a - mx)).sum) *
+      math.sqrt(py.map(b => (b - my) * (b - my)).sum)
+    val expect = math.round(num / den * 1e6)
+    assert(math.abs(got._3 - expect) <= 1L,
+      s"rho ${got._3} != local $expect")
+  }
+
+  test("NULL x or y drops rows fail-visibly") {
+    val got = run(Seq(("g", L(1), L(1)), ("g", null, L(2)),
+      ("g", L(3), null), ("g", L(4), L(4))))
+    assert(got("g")._1 == 2L && got("g")._2 == 2L)
+  }
+
+  test("zero variance in a marginal yields NULL rho") {
+    val got = run(Seq(("g", L(5), L(1)), ("g", L(5), L(2))))
+    assert(got("g")._3 == Long.MinValue)
+  }
+
+  test("rho and tau agree in sign on a noisy monotone sample") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      ("g", L(i % 20), L((i % 20) + rnd.nextInt(7)))
+    }
+    val df = rows.toDF("g", "x", "y")
+    val rho = Curation.spearmanRho(df, "g", "x", "y")
+      .collect().head.getLong(3)
+    val tau = Curation.kendallTau(df, "g", "x", "y")
+      .collect().head.getLong(5)
+    assert(rho > 0L && tau > 0L)
+    assert(rho >= tau, "|rho| >= |tau| on monotone-ish data (typical)")
+  }
+}
