@@ -1024,6 +1024,87 @@ object Curation {
     * bins²-bounded joint histogram (integral bounded-cardinality
     * scores by contract — pre-bucket continuous scores upstream).
     * Output: (groupCol, n, n_dropped, conc, disc, tau_micro). */
+  /** Isotonic calibration of a quality score against a binary label
+    * per group — PAV (pool-adjacent-violators, Ayer et al. 1955) at
+    * score-bin granularity: the monotone step function closest to the
+    * per-bin positive rates, i.e. "what probability does score s
+    * actually MEAN", with no sigmoid assumption (the nonparametric
+    * sibling of the logistic calibrator; [[calibrationError]] measures
+    * the miscalibration this operator repairs). Downstream gates
+    * threshold on the CALIBRATED rate, so two scorers become
+    * comparable on probability scale.
+    *
+    * Exactness — the minimax identity instead of the sequential pool
+    * stack: fitted(i) = max_{j≤i} min_{k≥i} rate(j..k), and because
+    * floor is monotone it commutes with min and max, so computing
+    * every interval rate as the FLOORED micro rate
+    * (pos·10⁶ DIV n, exact integers) yields fitted_micro(i) =
+    * ⌊10⁶·PAV(i)⌋ EXACTLY — bit-identical on both engines, no pool
+    * iteration, no convergence question. (Verified against a
+    * stack-based PAV in the spec.)
+    *
+    * Scale shape: one corpus-sized (group, bin) counter agg; the
+    * minimax runs on the bins²-bounded interval frame — one suffix-min
+    * window per (group, start-bin), one (group, bin) max — the same
+    * bins²-bounded budget as [[kendallTau]]'s cell self-join
+    * (fixed-width integral bins by contract, the [[thresholdSweep]]
+    * granularity trade). NULL scores are excluded fail-visibly in
+    * `n_unscored` (repeated per row, single-frame convention); NULL
+    * labels count as negatives only if the caller's predicate says so
+    * — `positive` is a Boolean column, NULL → not positive. Output:
+    * one row per (groupCol, bin) — (groupCol, bin, threshold, n_bin,
+    * pos_bin, rate_micro, fitted_micro, n_unscored), fitted
+    * non-decreasing in bin within each group. */
+  def isotonicCalibrate(df: DataFrame, groupCol: String, score: Column,
+      positive: Column, binWidth: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(binWidth >= 1, "need binWidth >= 1")
+    val hist = checkpointer(df
+      .select(col(groupCol).as("__g"), score.cast("long").as("__s"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .select(col("__g"),
+        expr(s"(__s - pmod(__s, ${binWidth}L)) DIV ${binWidth}L").as("__b"),
+        col("__p"))
+      .groupBy("__g", "__b")
+      .agg(count(lit(1)).as("__n"), sum("__p").as("__np")))
+    val unscored = hist.groupBy(col("__g").as("__ug")).agg(
+      coalesce(sum(when(col("__b").isNull, col("__n"))), lit(0L))
+        .as("n_unscored"))
+    val bins = hist.where(col("__b").isNotNull)
+    val w = Window.partitionBy("__g").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("__cn", sum("__n").over(w))
+      .withColumn("__cp", sum("__np").over(w))
+    // interval rates for every j <= k pair of bins: rate(j..k) uses
+    // exclusive-left cumulatives, floored to micro — bins² bounded
+    val left = cum.select(col("__g").as("__jg"), col("__b").as("__j"),
+      (col("__cn") - col("__n")).as("__cnj"),
+      (col("__cp") - col("__np")).as("__cpj"))
+    val pairs = cum.select(col("__g"), col("__b").as("__k"),
+        col("__cn"), col("__cp"))
+      .join(broadcast(left),
+        col("__g") <=> col("__jg") && col("__j") <= col("__k"))
+      .select(col("__g"), col("__j"), col("__k"),
+        expr("((__cp - __cpj) * 1000000) DIV (__cn - __cnj)").as("__r"))
+    // min over k >= i for each (g, j): suffix-min ordered by k desc
+    val wj = Window.partitionBy("__g", "__j").orderBy(col("__k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fitted = pairs.withColumn("__m", min("__r").over(wj))
+      // row (j, k=i) now carries min_{k>=i} rate(j..k); fitted(i) is
+      // the max over the j <= i rows of that suffix-min
+      .groupBy(col("__g").as("__fg"), col("__k").as("__fb"))
+      .agg(max("__m").as("fitted_micro"))
+    bins
+      .join(fitted, col("__g") <=> col("__fg") && col("__b") === col("__fb"))
+      .join(broadcast(unscored), col("__g") <=> col("__ug"), "left")
+      .select(col("__g").as(groupCol), col("__b").as("bin"),
+        (col("__b") * binWidth).as("threshold"),
+        col("__n").as("n_bin"), col("__np").as("pos_bin"),
+        expr("(__np * 1000000) DIV __n").as("rate_micro"),
+        col("fitted_micro"), col("n_unscored"))
+  }
+
   /** Spearman ρ rank correlation between two integer scores per group
     * (Spearman 1904, tie-corrected via average ranks) — the MONOTONE
     * agreement number beside [[kendallTau]]'s pairwise τ: ρ is

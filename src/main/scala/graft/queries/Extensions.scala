@@ -3733,7 +3733,22 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q269 — isotonic (PAV) calibration of the length score against
+    * the `lang = 'en'` label per source ([[Curation
+    * .isotonicCalibrate]], 200-char bins): the monotone probability
+    * map "what does score s actually mean", computed by the floored
+    * minimax identity — exactly ⌊10⁶·PAV⌋ on both engines — beside
+    * q138's threshold sweep and q235's ECE. */
+  def q269Isotonic(spark: SparkSession, dir: String): DataFrame =
+    Curation.isotonicCalibrate(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          col("n_chars"), col("lang")),
+      "source", col("n_chars"), col("lang") === "en", binWidth = 200L)
+      .orderBy("source", "bin")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_isotonic" -> (q269Isotonic _),
     "q268_quantile_ci" -> (q268QuantileCi _),
     "q267_spearman" -> (q267Spearman _),
     "q266_mixture_reweight" -> (q266MixtureReweight _),
@@ -4847,6 +4862,30 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q269_isotonic" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g, n_chars // 200 AS b,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),
+        |hist AS (SELECT g, b, count(1)::BIGINT AS n, sum(p)::BIGINT AS np
+        |  FROM base GROUP BY g, b),
+        |cum AS (SELECT g, b, n, np,
+        |    sum(n) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS cn,
+        |    sum(np) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS cp
+        |  FROM hist),
+        |lft AS (SELECT g, b AS j, (cn - n)::BIGINT AS cnj, (cp - np)::BIGINT AS cpj
+        |  FROM cum),
+        |pairs AS (SELECT c.g, l.j, c.b AS k,
+        |    (((c.cp - l.cpj) * 1000000) // (c.cn - l.cnj))::BIGINT AS r
+        |  FROM cum c JOIN lft l ON l.g = c.g AND l.j <= c.b),
+        |sm AS (SELECT g, j, k,
+        |    min(r) OVER (PARTITION BY g, j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM pairs),
+        |ft AS (SELECT g, k AS b, max(m)::BIGINT AS fitted_micro FROM sm GROUP BY g, k)
+        |SELECT h.g AS source, h.b AS bin, (h.b * 200)::BIGINT AS threshold,
+        |  h.n AS n_bin, h.np AS pos_bin,
+        |  ((h.np * 1000000) // h.n)::BIGINT AS rate_micro,
+        |  ft.fitted_micro, 0::BIGINT AS n_unscored
+        |FROM hist h JOIN ft ON ft.g = h.g AND ft.b = h.b
+        |ORDER BY source, bin""".stripMargin),
     "q267_spearman" ->
       (s"""WITH base AS (SELECT coalesce(source, '') AS g, n_chars // 64 AS x,
         |    CASE WHEN doc_id % 47 = 0 THEN NULL

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.isotonicCalibrate]]: exact equality with a local
+  * stack-based PAV (the minimax-equals-pool proof exercised),
+  * monotonicity, violation pooling on a hand case, already-monotone
+  * passthrough, and fail-visible NULL scores. */
+class IsotonicSpec extends SparkSpec {
+
+  private def run(rows: Seq[(java.lang.Long, Boolean)], w: Long = 1L) = {
+    import spark.implicits._
+    Curation.isotonicCalibrate(
+      rows.toDF("s", "p").withColumn("g", lit("g")),
+      "g", col("s"), col("p"), w)
+      .orderBy("bin").collect()
+  }
+
+  /** Reference stack PAV over (n, pos) bins in bin order; returns the
+    * pooled rate per original bin, floored to micro. */
+  private def stackPav(bins: Seq[(Long, Long)]): Seq[Long] = {
+    case class Blk(n: Long, p: Long, w: Int)
+    val st = scala.collection.mutable.Stack[Blk]()
+    for ((n, p) <- bins) {
+      var b = Blk(n, p, 1)
+      while (st.nonEmpty && st.top.p * b.n >= b.p * st.top.n) {
+        val t = st.pop(); b = Blk(t.n + b.n, t.p + b.p, t.w + b.w)
+      }
+      st.push(b)
+    }
+    st.toSeq.reverse.flatMap(b =>
+      Seq.fill(b.w)(b.p * 1000000L / b.n))
+  }
+
+  test("hand case: a violation pools with its neighbor") {
+    // bins 0,1,2 rates 0.2, 0.8, 0.5 -> bins 1,2 pool to 0.65
+    val rows =
+      (1 to 10).map(i => (L(0), i <= 2)) ++
+        (1 to 10).map(i => (L(1), i <= 8)) ++
+        (1 to 10).map(i => (L(2), i <= 5))
+    val got = run(rows)
+    assert(got.map(_.getAs[Long]("fitted_micro")).toSeq ==
+      Seq(200000L, 650000L, 650000L))
+    assert(got.map(_.getAs[Long]("rate_micro")).toSeq ==
+      Seq(200000L, 800000L, 500000L))
+  }
+
+  test("already-monotone rates pass through unchanged") {
+    val rows =
+      (1 to 10).map(i => (L(0), i <= 1)) ++
+        (1 to 10).map(i => (L(5), i <= 5)) ++
+        (1 to 10).map(i => (L(9), i <= 9))
+    val got = run(rows)
+    assert(got.map(r => r.getAs[Long]("fitted_micro")).toSeq ==
+      got.map(r => r.getAs[Long]("rate_micro")).toSeq)
+  }
+
+  test("fitted equals the stack PAV exactly on a seeded rough curve") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 2000).map { _ =>
+      val s = rnd.nextInt(25).toLong
+      // noisy increasing probability with deliberate dips
+      val p = rnd.nextInt(100) < (s * 3 + (if (s % 7 == 0) 40 else 0))
+      (L(s), p)
+    }
+    val got = run(rows)
+    val binned = rows.groupBy(_._1.longValue()).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.size.toLong, rs.count(_._2).toLong) }
+    val expect = stackPav(binned)
+    assert(got.map(_.getAs[Long]("fitted_micro")).toSeq == expect,
+      "minimax-floored must equal floor(1e6 * stack PAV)")
+    // monotone non-decreasing
+    val f = got.map(_.getAs[Long]("fitted_micro"))
+    assert(f.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
+  test("NULL scores surface in n_unscored on every row") {
+    val rows = Seq((L(1), true), (null.asInstanceOf[java.lang.Long], true),
+      (L(2), false))
+    val got = run(rows)
+    assert(got.length == 2)
+    assert(got.forall(_.getAs[Long]("n_unscored") == 1L))
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+}
