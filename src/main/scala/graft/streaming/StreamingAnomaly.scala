@@ -173,6 +173,74 @@ object StreamingAnomaly {
     * — filter upstream (the batch face owns NULL visibility). Emits
     * per trigger per touched group (Update mode):
     * (group, n, ks_micro, ks_at). */
+  /** Streaming Mann–Whitney A/B monitor — the live-experiment face of
+    * [[graft.operators.Anomaly.mannWhitney]]: keyed state is each
+    * group's per-(value, arm) histogram (bounded by `maxDistinct`,
+    * the batch score contract made a loud require — 16 bytes per
+    * distinct value), and every trigger re-evaluates the exact
+    * doubled-U rank algebra over the accumulated histogram, so the
+    * emission after any prefix equals the batch operator over the
+    * union of batches (spec-pinned): u2, the floored Cliff's delta,
+    * and the tie-corrected z. The crawler-change experiment read
+    * WHILE it runs, not after. Typed rows cannot carry NULLs — filter
+    * upstream (the batch face owns NULL visibility). Emits per
+    * trigger per touched group (Update mode): (group, n_a, n_b, u2,
+    * delta_micro, z_micro) — delta/z None when an arm is empty or
+    * variance is zero, the batch NULL contract. */
+  def mannWhitney(rows: Dataset[(String, Long, Boolean)],
+      maxDistinct: Int = 100000)
+      : Dataset[(String, Long, Long, Long, Option[Long], Option[Long])] = {
+    require(maxDistinct >= 1, "need maxDistinct >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long, Boolean)],
+            state: GroupState[(Map[Long, Long], Map[Long, Long])]) =>
+          var (ma, mb) = state.getOption
+            .getOrElse((Map.empty[Long, Long], Map.empty[Long, Long]))
+          it.foreach { case (_, v, b) =>
+            if (b) mb = mb.updated(v, mb.getOrElse(v, 0L) + 1L)
+            else ma = ma.updated(v, ma.getOrElse(v, 0L) + 1L)
+          }
+          require((ma.keySet ++ mb.keySet).size <= maxDistinct,
+            s"group '$group' exceeded $maxDistinct distinct values — " +
+              "pre-bucket the score (the batch operator's contract)")
+          state.update((ma, mb))
+          val na = ma.values.sum
+          val nb = mb.values.sum
+          if (na == 0L && nb == 0L) Iterator.empty
+          else {
+            val spine = (ma.keySet ++ mb.keySet).toArray.sorted
+            var cumB = 0L
+            var u2 = BigInt(0)
+            var tSum = BigInt(0)
+            spine.foreach { v =>
+              val ca = ma.getOrElse(v, 0L)
+              val cb = mb.getOrElse(v, 0L)
+              u2 += BigInt(ca) * (2L * cumB + cb)
+              cumB += cb
+              val t = ca + cb
+              tSum += BigInt(t) * (BigInt(t) * t - 1)
+            }
+            val delta =
+              if (na > 0L && nb > 0L)
+                Some(((u2 * 1000000) / (BigInt(na) * nb) - 1000000).toLong)
+              else None
+            val n = na + nb
+            val p = BigInt(na) * nb *
+              (BigInt(n + 1) * n * (n - 1) - tSum)
+            val z =
+              if (na > 0L && nb > 0L && p > 0)
+                Some(math.round(1e6 *
+                  (u2 - BigInt(na) * nb).toDouble /
+                  math.sqrt(p.toDouble / (3.0 * n * (n - 1)))))
+              else None
+            Iterator.single((group, na, nb, u2.toLong, delta, z))
+          }
+      }
+  }
+
   def ksAgainstReference(rows: Dataset[(String, Long)],
       reference: Seq[(Long, Long)], maxDistinct: Int = 100000)
       : Dataset[(String, Long, Long, Long)] = {

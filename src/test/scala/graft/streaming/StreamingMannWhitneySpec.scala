@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming Mann–Whitney monitor: prefix parity with
+  * [[graft.operators.Anomaly.mannWhitney]] across triggers, the
+  * empty-arm None contract, and the loud distinct-value bound. */
+class StreamingMannWhitneySpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, Long, Boolean)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.operators.Anomaly.mannWhitney(
+      rows.toDF("g", "v", "b"), "g", col("v"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+  }
+
+  test("stream == batch after every prefix, including delta and z") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    def mk(n: Int, shift: Int) = (0 until n).map { _ =>
+      val b = rnd.nextBoolean()
+      (s"g${rnd.nextInt(3)}",
+        rnd.nextInt(9).toLong + (if (b) shift else 0), b)
+    }
+    val batch1 = mk(150, 2)
+    val batch2 = mk(200, 2)
+
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingAnomaly.mannWhitney(in.toDS())
+      .toDF("g", "n_a", "n_b", "u2", "delta_micro", "z_micro")
+      .writeStream.format("memory").queryName("mw_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Set[(String, Long, Long, Long, Option[Long], Option[Long])] =
+        spark.table("mw_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))
+          .groupBy(_._1).map(_._2.maxBy(t => t._2 + t._3)).toSet
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1),
+        "prefix 1: stream must equal the batch operator")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1 ++ batch2),
+        "prefix 2: state continued across the trigger")
+    } finally q.stop()
+  }
+
+  test("an empty arm emits None verdicts, never a fake number") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingAnomaly.mannWhitney(in.toDS())
+      .toDF("g", "n_a", "n_b", "u2", "delta_micro", "z_micro")
+      .writeStream.format("memory").queryName("mw_onearm")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("g", 1L, false), ("g", 2L, false))
+      q.processAllAvailable()
+      val r = spark.table("mw_onearm").collect().head
+      assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    } finally q.stop()
+  }
+
+  test("the distinct-value state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingAnomaly.mannWhitney(in.toDS(), maxDistinct = 3)
+      .toDF("g", "n_a", "n_b", "u2", "delta_micro", "z_micro")
+      .writeStream.format("memory").queryName("mw_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L to 10L).map(v => ("g", v, v % 2 == 0)): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage != null)
+    } finally q.stop()
+  }
+}
