@@ -196,6 +196,65 @@ object Anomaly {
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 
+  /** Hill tail-index estimator per group (Hill 1975) — HOW heavy is
+    * the heavy tail: α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
+    * k+1 order statistics. Document/sequence-length tails decide
+    * packing waste and straggler risk (α ≤ 2 means infinite variance
+    * — mean-based capacity planning is fiction there); [[zipfFit]]
+    * reads the token spectrum, this reads any positive metric's tail.
+    *
+    * Exactness (the zipfFit recipe): the top-(k+1) cut is the
+    * mergeable [[graft.functions.TopKAggregator]] by (value desc,
+    * id asc) — O(k) per partition, never a corpus rank window; each
+    * survivor contributes the INTEGER micro-log round(ln(x)·10⁶)
+    * (one libm per survivor, same integers → same doubles on both
+    * engines), the sum S = Σ y_i − k·y_{k+1} is exact integer
+    * arithmetic, and α̂_micro = round(k·10¹²/S) is one final double
+    * division. Groups with fewer than 2 positive values, or a
+    * degenerate flat top (S = 0 — all top values equal), emit NULL α
+    * (there is no tail to index). k_used = min(k, n_pos − 1) so
+    * small groups still measure what they can. Non-positive and NULL
+    * values are excluded fail-visibly in `n_skipped` (ln's domain).
+    *
+    * Output: (groupCol, n_pos, n_skipped, k_used, x_tail,
+    * alpha_micro) where x_tail = x₍ₖ₊₁₎, the tail-cut value. */
+  def tailIndex(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1 && k <= 100000, s"need k in [1, 100000], got $k")
+    val topk = udaf(new graft.functions.TopKAggregator(k + 1))
+    val base = df.select(col(groupCol).as("__g"),
+      col(idCol).cast("long").as("__id"),
+      col(valueCol).cast("long").as("__v"))
+    val agg = base.groupBy("__g").agg(
+      count(when(col("__v") > 0L, 1L)).as("n_pos"),
+      sum(when(col("__v").isNull || col("__v") <= 0L, 1L).otherwise(0L))
+        .as("n_skipped"),
+      topk(when(col("__v") > 0L, col("__v").cast("double")),
+        col("__id")).as("__top"))
+    // survivors, ordered (value desc, id asc) by the aggregator; the
+    // micro-log fold over at most k+1 elements is row-local
+    agg.select(col("__g"), col("n_pos"), col("n_skipped"),
+        expr("transform(__top, p -> CAST(round(ln(p._1) * 1000000) AS BIGINT))")
+          .as("__ys"),
+        expr("transform(__top, p -> CAST(p._1 AS BIGINT))").as("__xs"))
+      .withColumn("k_used",
+        greatest(least(lit(k.toLong), col("n_pos") - 1L), lit(0L)))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_skipped"),
+        col("k_used"),
+        when(col("k_used") >= 1L,
+          expr("element_at(__xs, CAST(k_used + 1 AS INT))")).as("x_tail"),
+        when(col("k_used") >= 1L, expr(
+          """CASE WHEN aggregate(slice(__ys, 1, CAST(k_used AS INT)),
+            |    CAST(0 AS BIGINT), (a, y) -> a + y)
+            |  - k_used * element_at(__ys, CAST(k_used + 1 AS INT)) > 0
+            |THEN CAST(round(CAST(k_used AS DOUBLE) * 1e12 /
+            |  CAST(aggregate(slice(__ys, 1, CAST(k_used AS INT)),
+            |      CAST(0 AS BIGINT), (a, y) -> a + y)
+            |    - k_used * element_at(__ys, CAST(k_used + 1 AS INT)) AS DOUBLE))
+            |  AS BIGINT) END""".stripMargin))
+          .as("alpha_micro"))
+  }
+
   /** Distribution-free quantile confidence interval per group — the
     * order-statistic CI (binomial argument, Thompson 1936): the
     * q-quantile estimate plus a [lo, hi] bracket of ORDER STATISTICS

@@ -163,6 +163,60 @@ object Sampling {
           .as("src_w_milli"))
   }
 
+  /** Weighted sampling WITHOUT replacement per stratum — the
+    * Efraimidis–Spirakis one-pass scheme (2006; the Gumbel-top-k
+    * trick in key form): each row draws the key u^(1/w) from its
+    * deterministic md5 uniform and the k LARGEST keys per stratum win
+    * — inclusion probability proportional to weight, no replacement,
+    * no sequential pass. The quality-weighted coreset selector that
+    * [[exactKPerStratum]] (uniform) and [[mixtureSample]]
+    * (with-replacement replication) bracket.
+    *
+    * Determinism contract (the [[exactKPerStratum]] discipline):
+    * u = (h + 1)/(2⁶⁰ + 1) from the row key's md5 60-bit prefix —
+    * u ∈ (0, 1), never 0 or 1, so the key math can't hit ±∞; the key
+    * exp(ln(u)·1000/w_milli) is the same three IEEE ops on both
+    * engines; ties (same double key — in practice only identical
+    * (u, w)) break by the row key ascending. Non-positive or NULL
+    * weights are NEVER sampled (their rows simply cannot win — the
+    * ES domain is w > 0; stated, not hidden). `keyCol` must be unique
+    * per row (the sampling unit's id).
+    *
+    * Scale shape: the per-stratum cut is the mergeable
+    * [[graft.functions.TopKAggregator]] — O(k) per stratum per
+    * partition crossing the shuffle, NEVER a rank window over the
+    * corpus; survivors (k·strata rows, broadcast-small by the
+    * bounded-strata contract) hash-join back to their full rows.
+    * Output: the sampled rows with `sample_rank` (1 = largest key)
+    * appended. */
+  def weightedSampleStratum(df: DataFrame, stratumCol: String,
+      keyCol: String, weightMilli: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val taken = Seq("sample_rank", "__es_key", "__es_id", "__st")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"weightedSampleStratum appends sample_rank (and uses __es_*/__st internally); input already has: ${taken.mkString(", ")}")
+    val idStr = col(keyCol).cast("string")
+    val h = conv(substring(md5(idStr), 1, 15), 16, 10).cast("double")
+    val u = (h + lit(1.0)) / lit(math.pow(2.0, 60) + 1.0)
+    val key = when(weightMilli.isNotNull && weightMilli > 0L,
+      exp(log(u) * lit(1000.0) / weightMilli.cast("double")))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val winners = df
+      .select(col(stratumCol).as("__st"), key.as("__es_key"),
+        col(keyCol).cast("long").as("__es_id"))
+      .where(col("__es_key").isNotNull)
+      .groupBy(col("__st"))
+      .agg(topk(col("__es_key"), col("__es_id")).as("__top"))
+      .select(col("__st"), posexplode(col("__top")).as(Seq("__rk0", "__pair")))
+      .select(col("__st"), (col("__rk0") + 1).as("sample_rank"),
+        col("__pair._2").as("__es_id"))
+    df.join(broadcast(winners),
+        col(stratumCol) <=> col("__st")
+          && col(keyCol).cast("long") === col("__es_id"))
+      .drop("__st", "__es_id")
+  }
+
   /** One exponentiated-gradient step of domain-mixture reweighting
     * (the DoReMi update, Xie et al. 2023): given current domain
     * weights and a per-document loss signal, shift the mixture toward

@@ -3747,7 +3747,33 @@ object Extensions {
       "source", col("n_chars"), col("lang") === "en", binWidth = 200L)
       .orderBy("source", "bin")
 
+  /** q270 — weighted sampling without replacement per source
+    * ([[graft.operators.Sampling.weightedSampleStratum]],
+    * Efraimidis–Spirakis keys, k = 5, weight = n_chars): the
+    * quality-weighted coreset cut between q104's uniform exact-k and
+    * q111's with-replacement mixture — inclusion ∝ length, no
+    * duplicates, md5-deterministic. */
+  def q270WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSampleStratum(
+        Tables(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", col("n_chars"), k = 5)
+      .orderBy("source", "sample_rank")
+
+  /** q271 — Hill tail index of document length per source
+    * ([[graft.operators.Anomaly.tailIndex]], k = 20): HOW heavy the
+    * length tail is — α ≤ 2 means infinite variance, the
+    * packing-waste early warning the q38 quantiles can't see. */
+  def q271TailIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.tailIndex(
+        Tables(spark, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", k = 20)
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_tail_index" -> (q271TailIndex _),
+    "q270_weighted_sample" -> (q270WeightedSample _),
     "q269_isotonic" -> (q269Isotonic _),
     "q268_quantile_ci" -> (q268QuantileCi _),
     "q267_spearman" -> (q267Spearman _),
@@ -4862,6 +4888,42 @@ object Extensions {
         |  CASE WHEN n >= 2
         |    THEN (((s2 - n) * 1000000) // (n * (n - 1)))::BIGINT END AS simpson_micro
         |FROM m ORDER BY lang""".stripMargin),
+    "q270_weighted_sample" ->
+      ("""WITH k AS (SELECT doc_id, source, n_chars,
+        |    exp(ln(((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+        |        / 1152921504606846976.0)) * 1000.0 / n_chars) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY key DESC, doc_id) AS sample_rank FROM k)
+        |SELECT source, doc_id, n_chars, sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin),
+    "q271_tail_index" ->
+      ("""WITH b AS (SELECT source AS g, doc_id, n_chars AS v FROM documents),
+        |gt AS (SELECT g, count(CASE WHEN v > 0 THEN 1 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN v IS NULL OR v <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM b GROUP BY g),
+        |t AS (SELECT g, v, doc_id,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC, doc_id) AS rn
+        |  FROM b WHERE v > 0),
+        |tk AS (SELECT g, rn, v,
+        |    CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM t WHERE rn <= 21),
+        |ku AS (SELECT g, n_pos, n_skipped,
+        |    greatest(least(20, n_pos - 1), 0)::BIGINT AS k_used FROM gt),
+        |s AS (SELECT ku.g, ku.n_pos, ku.n_skipped, ku.k_used,
+        |    (SELECT v FROM tk WHERE tk.g IS NOT DISTINCT FROM ku.g
+        |       AND tk.rn = ku.k_used + 1) AS x_tail,
+        |    (SELECT sum(y) FROM tk WHERE tk.g IS NOT DISTINCT FROM ku.g
+        |       AND tk.rn <= ku.k_used) AS sy,
+        |    (SELECT y FROM tk WHERE tk.g IS NOT DISTINCT FROM ku.g
+        |       AND tk.rn = ku.k_used + 1) AS yk
+        |  FROM ku)
+        |SELECT g AS source, n_pos, n_skipped, k_used,
+        |  CASE WHEN k_used >= 1 THEN x_tail END AS x_tail,
+        |  CASE WHEN k_used >= 1 AND sy - k_used * yk > 0
+        |    THEN CAST(round(CAST(k_used AS DOUBLE) * 1e12
+        |      / CAST(sy - k_used * yk AS DOUBLE)) AS BIGINT) END AS alpha_micro
+        |FROM s ORDER BY source""".stripMargin),
     "q269_isotonic" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g, n_chars // 200 AS b,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents),

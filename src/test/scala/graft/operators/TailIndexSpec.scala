@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.tailIndex]]: exact Hill replay on a Pareto-ish sample,
+  * the known-alpha recovery, small-group k clamping, flat-top NULL,
+  * and fail-visible exclusion of non-positive values. */
+class TailIndexSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, Long, java.lang.Long)], k: Int) = {
+    import spark.implicits._
+    Anomaly.tailIndex(rows.toDF("g", "id", "v"), "g", "id", "v", k)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  private def localHill(vs: Seq[Long], k: Int): Option[Long] = {
+    val top = vs.sorted(Ordering[Long].reverse).take(k + 1)
+    if (top.size < k + 1) return None
+    val ys = top.map(x => math.round(math.log(x.toDouble) * 1e6))
+    val s = ys.take(k).sum - k * ys(k)
+    if (s <= 0) None else Some(math.round(k * 1e12 / s))
+  }
+
+  test("exact Hill replay on a seeded heavy-tail sample") {
+    val rnd = new scala.util.Random(17)
+    // Pareto(alpha = 2): x = floor(xm / U^(1/2)), xm = 100
+    val vs = (1 to 3000).map { _ =>
+      val u = rnd.nextDouble().max(1e-12)
+      (100.0 / math.sqrt(u)).toLong
+    }
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      ("g", i.toLong, java.lang.Long.valueOf(v)) }
+    val got = run(rows, k = 200)("g")
+    val expect = localHill(vs, 200).get
+    assert(got.getLong(5) == expect, s"${got.getLong(5)} != $expect")
+    // alpha should recover ~2 within Hill's sampling noise at k=200
+    assert(got.getLong(5) > 1400000L && got.getLong(5) < 2800000L,
+      s"alpha ${got.getLong(5)} implausible for Pareto(2)")
+    assert(got.getLong(3) == 200L)
+  }
+
+  test("small group clamps k_used to n_pos - 1") {
+    val rows = Seq(("g", 1L, L(10)), ("g", 2L, L(100)), ("g", 3L, L(1000)))
+    val got = run(rows, k = 50)("g")
+    assert(got.getLong(3) == 2L, "k_used = 2")
+    assert(got.getLong(4) == 10L, "x_tail = smallest of the 3")
+    assert(got.getLong(5) == localHill(Seq(10L, 100L, 1000L), 2).get)
+  }
+
+  test("flat top (all values equal) emits NULL alpha") {
+    val rows = (1L to 10L).map(i => ("g", i, L(42)))
+    val got = run(rows, k = 5)("g")
+    assert(got.isNullAt(5), "S = 0 must yield NULL, not a division blowup")
+  }
+
+  test("n_pos < 2 emits NULL alpha and k_used 0") {
+    val got = run(Seq(("g", 1L, L(9))), k = 5)("g")
+    assert(got.getLong(3) == 0L && got.isNullAt(4) && got.isNullAt(5))
+  }
+
+  test("non-positive and NULL values are excluded fail-visibly") {
+    val rows = Seq(("g", 1L, L(0)), ("g", 2L, L(-3)),
+      ("g", 3L, null.asInstanceOf[java.lang.Long]),
+      ("g", 4L, L(10)), ("g", 5L, L(100)))
+    val got = run(rows, k = 3)("g")
+    assert(got.getLong(1) == 2L && got.getLong(2) == 3L)
+    assert(got.getLong(3) == 1L)
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+}

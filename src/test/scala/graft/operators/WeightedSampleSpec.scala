@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.weightedSampleStratum]]: exact ES-key replay, weight
+  * monotonicity of inclusion frequency, no replacement, non-positive
+  * weight exclusion, partitioning invariance, and column hygiene. */
+class WeightedSampleSpec extends SparkSpec {
+
+  private def esKey(id: Long, wMilli: Long): Double = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+        .substring(0, 15), 16).toDouble
+    val u = (h + 1.0) / (math.pow(2.0, 60) + 1.0)
+    math.exp(math.log(u) * 1000.0 / wMilli)
+  }
+
+  private def df(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("st", "id", "w")
+  }
+
+  test("winners are exactly the k largest ES keys per stratum") {
+    val rows = (1L to 50L).map(i => ("a", i, 500L + (i % 5) * 700L)) ++
+      (51L to 80L).map(i => ("b", i, 1000L))
+    val got = Sampling.weightedSampleStratum(df(rows), "st", "id",
+        col("w"), k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("sample_rank"))).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (st, rs) =>
+      rs.map(r => (st, r._2, esKey(r._2, r._3)))
+        .sortBy { case (_, id, key) => (-key, id) }
+        .take(7).zipWithIndex
+        .map { case ((s, id, _), i) => (s, id, i + 1L) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("heavier rows win far more often across many strata") {
+    // 200 strata, each with one heavy (x20) and 9 light rows
+    val rows = (0 until 200).flatMap { s =>
+      (0 until 10).map(j =>
+        (s"s$s", s * 10L + j, if (j == 0) 20000L else 1000L))
+    }
+    val got = Sampling.weightedSampleStratum(df(rows), "st", "id",
+      col("w"), k = 1).collect()
+    assert(got.length == 200)
+    val heavyWins = got.count(_.getLong(1) % 10 == 0)
+    // P(heavy wins) = 20/29 ~ 0.69; binomial(200, .69) practically
+    // never drops below 110
+    assert(heavyWins > 110, s"heavy rows won only $heavyWins/200")
+  }
+
+  test("without replacement: k distinct rows, never more than exist") {
+    val rows = (1L to 5L).map(i => ("a", i, 1000L))
+    val got = Sampling.weightedSampleStratum(df(rows), "st", "id",
+      col("w"), k = 10).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(1)).distinct.length == 5)
+  }
+
+  test("non-positive and NULL weights are never sampled") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, java.lang.Long.valueOf(0L)),
+      ("a", 2L, null.asInstanceOf[java.lang.Long]),
+      ("a", 3L, java.lang.Long.valueOf(-5L)),
+      ("a", 4L, java.lang.Long.valueOf(100L)))
+    val got = Sampling.weightedSampleStratum(
+      rows.toDF("st", "id", "w"), "st", "id", col("w"), k = 4).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L))
+  }
+
+  test("partitioning-invariant and keeps the input columns") {
+    val rows = (1L to 60L).map(i => ("a", i, (i % 7 + 1) * 300L))
+    val a = Sampling.weightedSampleStratum(df(rows), "st", "id",
+      col("w"), 5).orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    val b = Sampling.weightedSampleStratum(df(rows).repartition(9),
+        "st", "id", col("w"), 5)
+      .orderBy("sample_rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.head.length == 4, "st, id, w, sample_rank")
+  }
+}
