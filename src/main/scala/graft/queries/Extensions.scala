@@ -3771,7 +3771,24 @@ object Extensions {
         "source", "doc_id", "n_chars", k = 20)
       .orderBy("source")
 
+  /** q272 — KS drift on a NEAR-UNIQUE value domain through the
+    * binWidth quantized path ([[graft.operators.Anomaly.ksDrift]],
+    * binWidth = 4096): the engineered value n_chars·1009 + doc_id is
+    * distinct per doc, exactly the continuous-domain shape that would
+    * blow the broadcast CDF spine — in-operator quantization bounds
+    * it, and the oracle replays the same floor-bucketed histogram.
+    * The driver-gated twin of the KsDriftSpec equivalence test. */
+  def q272KsQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.ksDrift(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        (col("n_chars") * 1009L + col("doc_id")).as("v")),
+      "source", "v", binWidth = 4096L)
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_ks_quantized" -> (q272KsQuantized _),
     "q271_tail_index" -> (q271TailIndex _),
     "q270_weighted_sample" -> (q270WeightedSample _),
     "q269_isotonic" -> (q269Isotonic _),
@@ -5686,6 +5703,43 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q272_ks_quantized" ->
+      ("""WITH raw AS (SELECT coalesce(source, '') AS g,
+        |    n_chars * 1009 + doc_id AS v0 FROM documents),
+        |base AS (SELECT g, v0 - ((v0 % 4096) + 4096) % 4096 AS v FROM raw),
+        |hist AS (SELECT g, v, count(1)::BIGINT AS c FROM base GROUP BY 1, 2),
+        |gt AS (SELECT g,
+        |    sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM hist GROUP BY g),
+        |vt AS (SELECT v, sum(c)::BIGINT AS tv FROM hist
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |vc AS (SELECT v, sum(tv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumall
+        |  FROM vt),
+        |nn AS (SELECT sum(tv)::BIGINT AS nall FROM vt),
+        |st AS (SELECT gt.g, vc.v, gt.n, gt.n_skipped,
+        |    nn.nall - gt.n AS n_rest, vc.cumall,
+        |    sum(coalesce(h.c, 0)) OVER (PARTITION BY gt.g ORDER BY vc.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumg
+        |  FROM gt CROSS JOIN vc CROSS JOIN nn
+        |  LEFT JOIN hist h ON gt.g IS NOT DISTINCT FROM h.g AND vc.v = h.v),
+        |dd AS (SELECT g, v, n, n_skipped, n_rest,
+        |    abs(CAST(cumg AS HUGEINT) * n_rest
+        |      - CAST(cumall - cumg AS HUGEINT) * n) AS d
+        |  FROM st),
+        |mx AS (SELECT g, max(n) AS n, max(n_skipped) AS n_skipped,
+        |    max(n_rest) AS n_rest, max(d) AS dmax FROM dd GROUP BY g),
+        |at AS (SELECT mx.g, mx.n, mx.n_skipped, mx.n_rest, mx.dmax,
+        |    min(dd.v) AS ks_at
+        |  FROM mx LEFT JOIN dd ON dd.g IS NOT DISTINCT FROM mx.g
+        |    AND dd.d = mx.dmax
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT g AS source, n, n_rest, n_skipped,
+        |  CASE WHEN n > 0 AND n_rest > 0 THEN CAST((dmax * 1000000)
+        |    // (CAST(n AS HUGEINT) * n_rest) AS BIGINT) END AS ks_micro,
+        |  CASE WHEN n > 0 AND n_rest > 0 THEN ks_at END AS ks_at
+        |FROM at ORDER BY source""".stripMargin),
     "q236_ks_drift" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v
