@@ -311,4 +311,57 @@ object LinkRank {
     out
   }
 
+  /** Directed degree assortativity of the link graph (Newman 2002) —
+    * the Pearson correlation, over EDGES, of source out-degree with
+    * destination in-degree: do well-linking pages point at
+    * well-linked pages (assortative, r > 0 — portal/hub webs) or at
+    * obscure ones (disassortative, r < 0 — the shape of spam farms
+    * and SEO link wheels pointing thousands of throwaway pages at one
+    * target)? The one-number structure card beside [[pageRank]]'s
+    * per-node centrality and [[kCore]]'s shell decomposition.
+    *
+    * Exact integers: degrees are counts; all five moment sums
+    * accumulate in DECIMAL(38,0) over the edge frame;
+    * r = (n·Sxy − Sx·Sy)/(√(n·Sxx − Sx²)·√(n·Syy − Sy²)) takes two
+    * IEEE sqrts of exact integers and one final micro rounding — the
+    * [[graft.operators.Curation.spearmanRho]] recipe, mirrored in the
+    * oracle. Zero variance on either side (a regular graph) emits
+    * NULL r. NULL endpoints drop fail-visibly (`n_dropped`).
+    * Multi-edges count multiply (the [[pageRank]] convention — dedup
+    * upstream if multiplicity shouldn't).
+    *
+    * Scale shape: two degree partial-aggs + two edge⋈degree hash
+    * joins (degree frames are node-sized — AQE-planned, no broadcast
+    * assumption) + one global moment agg. Output: one row —
+    * (n_edges, n_dropped, assortativity_micro). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val all = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val dropped = all.where(col("__s").isNull || col("__d").isNull)
+    val e0 = all.where(col("__s").isNotNull && col("__d").isNotNull)
+    val outdeg = e0.groupBy(col("__s").as("__so"))
+      .agg(count(lit(1)).as("__od"))
+    val indeg = e0.groupBy(col("__d").as("__di"))
+      .agg(count(lit(1)).as("__id"))
+    val m = e0
+      .join(outdeg, col("__s") === col("__so"))
+      .join(indeg, col("__d") === col("__di"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(expr("CAST(__od AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(__id AS DECIMAL(38,0))")).as("__sy"),
+        sum(expr("CAST(__od AS DECIMAL(38,0)) * __id")).as("__sxy"),
+        sum(expr("CAST(__od AS DECIMAL(38,0)) * __od")).as("__sxx"),
+        sum(expr("CAST(__id AS DECIMAL(38,0)) * __id")).as("__syy"))
+    m.crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+      .select(coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col("n_dropped"),
+        when(col("n_edges") > 0L
+            && expr("n_edges * __sxx - __sx * __sx > 0")
+            && expr("n_edges * __syy - __sy * __sy > 0"),
+          expr("""CAST(round(CAST(n_edges * __sxy - __sx * __sy AS DOUBLE) * 1000000.0
+            | / (sqrt(CAST(n_edges * __sxx - __sx * __sx AS DOUBLE))
+            |    * sqrt(CAST(n_edges * __syy - __sy * __sy AS DOUBLE)))) AS BIGINT)"""
+            .stripMargin)).as("assortativity_micro"))
+  }
+
 }

@@ -891,6 +891,42 @@ object SimilaritySearch {
           .as("ndcg_milli"))
   }
 
+  /** MRR@k (mean-reciprocal-rank's per-query term) of a ranking
+    * against relevance judgments — the "how far down is the FIRST
+    * right answer" eval beside [[ndcgAtK]] (graded order quality) and
+    * [[recallAtK]] (coverage): for known-item retrieval and dedup
+    * candidate lookup, the first hit is the one that matters.
+    *
+    * Same contracts as [[ndcgAtK]]: `ranking` is (query_id, item_id,
+    * rank ≥ 1, unique per query), `rels` is the bounded qrels frame
+    * (query_id, item_id, rel) — positives are rel > 0, unjudged count
+    * irrelevant. Output base is queries WITH at least one positive
+    * judgment (the trec_eval denominator): a judged query whose
+    * positives were not retrieved in the top k emits rr_micro = 0
+    * (the miss is the signal); a query with NO positive judgment has
+    * no row (undefined, the NDCG-NULL convention — corpus MRR is then
+    * `avg(rr_micro)` over exactly the judged queries).
+    * `rr_micro` = 10⁶ DIV first_rel_rank, exact on both engines.
+    *
+    * Scale shape: one semi-join of the bounded top-k frame against
+    * the positive qrels + two query-keyed partial aggs — nothing
+    * corpus-sized. Output: (query_id, n_pos, first_rel_rank,
+    * rr_micro). */
+  def mrrAtK(ranking: DataFrame, rels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "need 1 <= k <= 10000")
+    val pos = rels.filter(col("rel") > 0)
+      .select(col("query_id"), col("item_id"))
+    val nPos = pos.groupBy("query_id").agg(count(lit(1)).as("n_pos"))
+    val first = ranking.filter(col("rank") <= k)
+      .join(pos, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(min(col("rank").cast("long")).as("first_rel_rank"))
+    nPos.join(first, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_pos"), col("first_rel_rank"),
+        coalesce(expr("1000000 DIV first_rel_rank"), lit(0L))
+          .as("rr_micro"))
+  }
+
   /** kNN-graph hubness audit (Radovanović et al. 2010) — the
     * in-degree concentration of the k-nearest-neighbor graph: in high
     * dimensions a few "hub" vectors appear in EVERYONE's top-k,

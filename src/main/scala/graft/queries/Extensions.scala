@@ -3787,7 +3787,50 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q273 — MRR@10 of brute-force retrieval against label-match
+    * judgments ([[SimilaritySearch.mrrAtK]]): how far down the FIRST
+    * same-label neighbor sits, per query — the known-item eval beside
+    * q219's graded NDCG and q193's recall, same ranking and qrels
+    * construction. */
+  def q273Mrr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val ranking = SimilaritySearch.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+    val rels = e.select(col("vec_id").as("item_id"), col("label").as("__il"))
+      .crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        when(col("__ql") === col("__il"), 2).otherwise(0).as("rel"))
+    SimilaritySearch.mrrAtK(ranking, rels, 10).orderBy("query_id")
+  }
+
+  /** q274 — directed degree assortativity of the q150 synthetic link
+    * graph ([[graft.operators.LinkRank.degreeAssortativity]]): do
+    * well-linking hosts point at well-linked hosts — the one-number
+    * structure card whose r < 0 shape is what link farms look
+    * like. */
+  def q274Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val html = concat(
+      lit("<p><a href=\"http://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id").cast("string"),
+      lit("\">x</a> see also <a class=\"r\" href=\"http://"), col("lang"),
+      lit(".site.org/t/"), (col("n_chars") % 7).cast("string"),
+      lit("\">y</a></p>"))
+    val edges = d
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        explode(TextFunctions.extractLinks(html)).as("url"))
+      .select(col("src"), TextFunctions.urlHost(col("url")).as("dst"))
+    graft.operators.LinkRank.degreeAssortativity(edges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_assortativity" -> (q274Assortativity _),
+    "q273_mrr" -> (q273Mrr _),
     "q272_ks_quantized" -> (q272KsQuantized _),
     "q271_tail_index" -> (q271TailIndex _),
     "q270_weighted_sample" -> (q270WeightedSample _),
@@ -5703,6 +5746,40 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q273_mrr" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),
+        |cs AS (SELECT qid AS query_id, e.vec_id AS item_id, $cosSql AS sim
+        |  FROM e, q WHERE e.vec_id <> qid),
+        |rk AS (SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id) AS rank
+        |  FROM cs),
+        |pos AS (SELECT q.qid AS query_id, e.vec_id AS item_id
+        |  FROM q, e WHERE e.vec_id <> q.qid AND q.ql = e.label),
+        |np AS (SELECT query_id, count(1)::BIGINT AS n_pos FROM pos GROUP BY query_id),
+        |fr AS (SELECT rk.query_id, min(rk.rank)::BIGINT AS first_rel_rank
+        |  FROM rk JOIN pos USING (query_id, item_id)
+        |  WHERE rk.rank <= 10 GROUP BY rk.query_id)
+        |SELECT np.query_id, np.n_pos, fr.first_rel_rank,
+        |  coalesce(1000000 // fr.first_rel_rank, 0)::BIGINT AS rr_micro
+        |FROM np LEFT JOIN fr USING (query_id) ORDER BY query_id""".stripMargin),
+    "q274_assortativity" ->
+      ("""WITH e0 AS (SELECT source || '.example.com' AS src,
+        |    unnest([source || '.example.com', lang || '.site.org']) AS dst
+        |  FROM documents),
+        |od AS (SELECT src, count(1)::HUGEINT AS od FROM e0 GROUP BY src),
+        |idg AS (SELECT dst, count(1)::HUGEINT AS id FROM e0 GROUP BY dst),
+        |m AS (SELECT count(1)::HUGEINT AS n, sum(od.od) AS sx, sum(idg.id) AS sy,
+        |    sum(od.od * idg.id) AS sxy, sum(od.od * od.od) AS sxx,
+        |    sum(idg.id * idg.id) AS syy
+        |  FROM e0 JOIN od USING (src) JOIN idg USING (dst))
+        |SELECT n::BIGINT AS n_edges, 0::BIGINT AS n_dropped,
+        |  CASE WHEN n > 0 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+        |  END AS assortativity_micro
+        |FROM m""".stripMargin),
     "q272_ks_quantized" ->
       ("""WITH raw AS (SELECT coalesce(source, '') AS g,
         |    n_chars * 1009 + doc_id AS v0 FROM documents),

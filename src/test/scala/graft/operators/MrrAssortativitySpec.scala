@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.mrrAtK]] and [[LinkRank.degreeAssortativity]]:
+  * hand-computed reciprocal ranks, the judged-queries-only base, the
+  * top-k miss zero, assortative/disassortative poles, and the
+  * regular-graph NULL. */
+class MrrAssortativitySpec extends SparkSpec {
+
+  private def mrr(ranking: Seq[(Long, Long, Int)],
+      rels: Seq[(Long, Long, Int)], k: Int) = {
+    import spark.implicits._
+    SimilaritySearch.mrrAtK(
+      ranking.toDF("query_id", "item_id", "rank"),
+      rels.toDF("query_id", "item_id", "rel"), k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+          r.getLong(3)))).toMap
+  }
+
+  test("first relevant at rank 3 -> rr = 333333; at rank 1 -> 1000000") {
+    val ranking = (1L to 5L).flatMap(q =>
+      (1L to 10L).map(r => (q, q * 100 + r, r.toInt)))
+    val rels = Seq((1L, 103L, 1), (1L, 105L, 2), (2L, 201L, 1))
+    val got = mrr(ranking, rels, 10)
+    assert(got(1L) == ((2L, 3L, 333333L)))
+    assert(got(2L) == ((1L, 1L, 1000000L)))
+    assert(!got.contains(3L), "unjudged queries have no row")
+  }
+
+  test("judged query whose positives missed the top-k emits rr = 0") {
+    val ranking = (1L to 10L).map(r => (1L, 100 + r, r.toInt))
+    val rels = Seq((1L, 999L, 2))
+    val got = mrr(ranking, rels, 10)
+    assert(got(1L) == ((1L, Long.MinValue, 0L)))
+  }
+
+  test("k cuts the search: relevant at rank 7 invisible at k = 5") {
+    val ranking = (1L to 10L).map(r => (1L, 100 + r, r.toInt))
+    val rels = Seq((1L, 107L, 1))
+    assert(mrr(ranking, rels, 5)(1L)._3 == 0L)
+    assert(mrr(ranking, rels, 10)(1L)._3 == 1000000L / 7L)
+  }
+
+  private def assort(edges: Seq[(String, String)]) = {
+    import spark.implicits._
+    LinkRank.degreeAssortativity(edges.toDF("src", "dst"))
+      .collect().head
+  }
+
+  test("disassortative star: one hub pointing at leaves -> r undefined (regular out-degrees) but hub-in vs leaf-in correlates negatively when mixed") {
+    // two-block graph: hub h has out-degree 4 to leaves (in-degree 1);
+    // leaves a,b each link once to a popular sink s (in-degree 2).
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+      ("a", "s"), ("b", "s"))
+    val r = assort(edges)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 0L)
+    // high-out h hits in-degree-1 nodes, out-degree-1 nodes hit
+    // in-degree-2 s -> negative correlation
+    assert(r.getLong(2) < 0L, s"expected disassortative, got ${r.getLong(2)}")
+  }
+
+  test("assortative chain of reciprocating heavy nodes") {
+    // x<->y with double edges (out 2 -> in 2), plus two 1->1 satellites
+    val edges = Seq(("x", "y"), ("x", "y"), ("y", "x"), ("y", "x"),
+      ("p", "q"), ("q", "p"))
+    val r = assort(edges)
+    assert(r.getLong(2) == 1000000L,
+      s"perfect degree matching must give +1, got ${r.getLong(2)}")
+  }
+
+  test("regular graph (zero variance) emits NULL, not a fake 0") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    assert(assort(edges).isNullAt(2))
+  }
+
+  test("NULL endpoints drop fail-visibly") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), (null, "b"), ("a", null), ("b", "a"))
+      .toDF("src", "dst")
+    val r = LinkRank.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+  }
+}
