@@ -3828,7 +3828,30 @@ object Extensions {
     graft.operators.LinkRank.degreeAssortativity(edges)
   }
 
+  /** q275 — CUPED variance-reduced A/B difference per source
+    * ([[graft.operators.Sampling.cupedDiff]]): arm B carries an
+    * engineered +50 effect on a metric built FROM the covariate
+    * (y = n_chars/4 + effect + small hash noise), so the covariate
+    * explains almost all the variance and the adjusted difference
+    * recovers the effect where the raw diff drowns in length
+    * imbalance. Every 29th doc NULL-armed, every 61st NULL-covariate
+    * (fail-visible n_skipped). */
+  def q275Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Sampling.cupedDiff(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        (expr("n_chars DIV 4") + when(col("doc_id") % 2 === 1, 50L)
+          .otherwise(0L) + col("doc_id") % 7).as("y"),
+        when(col("doc_id") % 61 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("x"),
+        when(col("doc_id") % 29 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("b")),
+      "source", col("y"), col("x"), col("b"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_cuped" -> (q275Cuped _),
     "q274_assortativity" -> (q274Assortativity _),
     "q273_mrr" -> (q273Mrr _),
     "q272_ks_quantized" -> (q272KsQuantized _),
@@ -5746,6 +5769,46 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q275_cuped" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    (n_chars // 4 + CASE WHEN doc_id % 2 = 1 THEN 50 ELSE 0 END
+        |      + doc_id % 7)::BIGINT AS y,
+        |    CASE WHEN doc_id % 61 = 0 THEN NULL ELSE n_chars END AS x,
+        |    CASE WHEN doc_id % 29 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b
+        |  FROM documents),
+        |m AS (SELECT g,
+        |    sum(CASE WHEN y IS NULL OR x IS NULL OR b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND NOT b THEN y::HUGEINT ELSE 0 END) AS sya,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b THEN y::HUGEINT ELSE 0 END) AS syb,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND NOT b THEN x::HUGEINT ELSE 0 END) AS sxa,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b THEN x::HUGEINT ELSE 0 END) AS sxb,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b IS NOT NULL THEN x::HUGEINT * y ELSE 0 END) AS sxy,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b IS NOT NULL THEN x::HUGEINT * x ELSE 0 END) AS sxx,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL AND b IS NOT NULL THEN y::HUGEINT * y ELSE 0 END) AS syy
+        |  FROM base GROUP BY g),
+        |d AS (SELECT *, (n_a + n_b)::HUGEINT AS n, sxa + sxb AS sx, sya + syb AS sy FROM m),
+        |v AS (SELECT *, n * sxx - sx * sx AS vx, n * sxy - sx * sy AS cxy,
+        |    n * syy - sy * sy AS vy FROM d)
+        |SELECT g AS source, n_a, n_b, n_skipped,
+        |  CASE WHEN vx > 0 THEN CAST(round(CAST(cxy AS DOUBLE) * 1000000.0
+        |    / CAST(vx AS DOUBLE)) AS BIGINT) END AS theta_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(round(
+        |    CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS BIGINT) END AS diff_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND vx > 0 THEN CAST(round(
+        |    (CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    - (CAST(cxy AS DOUBLE) / CAST(vx AS DOUBLE))
+        |      * (CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS BIGINT)
+        |  END AS adj_diff_micro,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN CAST(round(
+        |    CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) * 1000000.0
+        |    / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))) AS BIGINT)
+        |  END AS var_reduction_micro
+        |FROM v ORDER BY source""".stripMargin),
     "q273_mrr" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e WHERE vec_id < 5),

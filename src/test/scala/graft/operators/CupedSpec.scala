@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.cupedDiff]]: the perfect-covariate noise cancellation,
+  * a local exact-moment recount, zero-variance and empty-arm NULLs,
+  * and fail-visible skipping. */
+class CupedSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Sampling.cupedDiff(rows.toDF("g", "y", "x", "b"), "g",
+      col("y"), col("x"), col("b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+  }
+
+  private def L(v: Long) = java.lang.Long.valueOf(v)
+  private def B(v: Boolean) = java.lang.Boolean.valueOf(v)
+
+  test("a perfect covariate cancels user noise; true effect survives") {
+    // y = x + 10 for arm B, y = x for arm A; x is the noisy
+    // pre-period metric. Raw diff is polluted by the x imbalance;
+    // CUPED recovers exactly -10 (A - B) with rho^2 ~ 1.
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 400).map { i =>
+      val b = i % 2 == 1
+      val x = 1000L + rnd.nextInt(500)
+      (s"g", L(x + (if (b) 10L else 0L)), L(x), B(b))
+    }
+    val r = run(rows)("g")
+    assert(r.getLong(6) == -10L, s"adjusted diff ${r.getLong(6)} != -10")
+    assert(r.getLong(7) > 990000L, "variance reduction ~ 1")
+  }
+
+  test("exact-moment recount of theta, diff, and adjusted diff") {
+    val rows = Seq(("g", L(10), L(2), B(false)), ("g", L(14), L(4), B(false)),
+      ("g", L(25), L(6), B(true)), ("g", L(31), L(8), B(true)))
+    val r = run(rows)("g")
+    val (ys, xs, bs) = (Seq(10L, 14L, 25L, 31L), Seq(2L, 4L, 6L, 8L),
+      Seq(false, false, true, true))
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val sxx = xs.map(v => v * v).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    val da = ys.zip(bs).filter(!_._2).map(_._1).sum / 2.0 -
+      ys.zip(bs).filter(_._2).map(_._1).sum / 2.0
+    val dx = xs.zip(bs).filter(!_._2).map(_._1).sum / 2.0 -
+      xs.zip(bs).filter(_._2).map(_._1).sum / 2.0
+    assert(r.getLong(4) == math.round(theta * 1e6))
+    assert(r.getLong(5) == math.round(da))
+    assert(r.getLong(6) == math.round(da - theta * dx))
+  }
+
+  test("zero covariate variance: raw diff survives, adjustment NULLs") {
+    val rows = Seq(("g", L(5), L(7), B(false)), ("g", L(9), L(7), B(true)))
+    val r = run(rows)("g")
+    assert(r.isNullAt(4) && r.isNullAt(6) && r.isNullAt(7))
+    assert(r.getLong(5) == -4L)
+  }
+
+  test("empty arm NULLs the differences") {
+    val rows = Seq(("g", L(5), L(1), B(false)), ("g", L(9), L(2), B(false)))
+    val r = run(rows)("g")
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("NULL metric, covariate, or arm rows skip fail-visibly") {
+    val rows = Seq(("g", L(5), L(1), B(false)), ("g", null, L(2), B(true)),
+      ("g", L(5), null, B(true)), ("g", L(5), L(3), null),
+      ("g", L(9), L(4), B(true)))
+    val r = run(rows)("g")
+    assert(r.getLong(3) == 3L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
+}
