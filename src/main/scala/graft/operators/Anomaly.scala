@@ -196,6 +196,71 @@ object Anomaly {
       .withColumn("direction", signum(col("s_stat")).cast("long"))
   }
 
+  /** Benjamini–Hochberg FDR correction (1995) over a frame of test
+    * p-values — the multiple-testing control every monitor family in
+    * this module eventually needs: run [[ksDrift]] / [[mannWhitney]] /
+    * [[benfordAudit]] across 10⁴ sources and at α = 0.05 five hundred
+    * "alarms" are expected from pure noise; BH step-up keeps the
+    * FALSE-DISCOVERY RATE at α instead of the per-test rate. Input is
+    * one row per test (testId, p in micro-units); output marks which
+    * survive and reports the adjusted q-value each test would need.
+    *
+    * Exactness: rank tests by (p, testId) — total order, ties
+    * deterministic; the step-up REJECTION is decided by exact integer
+    * cross-multiplication (reject the prefix up to the largest rank i
+    * with p_i·n ≤ i·α, i.e. `max(i where p·n ≤ i·α)` via one
+    * cumulative max over the ranked frame — no division); the
+    * reported `q_micro` = min_{j≥i}((p_j·n) DIV j) is the floored
+    * adjusted value, and floor commutes with the suffix min (the
+    * [[graft.operators.Curation.isotonicCalibrate]] identity), so
+    * q_micro = ⌊10⁶·BH-q⌋ exactly. NULL or out-of-range p
+    * (∉ [0, 10⁶]) rows are excluded fail-visibly (`n_invalid`,
+    * repeated per row).
+    *
+    * Scale shape: the tests frame is GROUPS-sized (one row per
+    * monitored source/metric — bounded by the same contract that
+    * bounds every group-keyed monitor here), so the rank and suffix
+    * windows run on a bounded spine; nothing corpus-sized enters.
+    * Output: one row per valid test — (testId, rank, p_micro,
+    * q_micro, rejected, n_tests, n_invalid) ordered by rank. */
+  def fdrCorrect(df: DataFrame, idCol: String, pMicro: Column,
+      alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro >= 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1e6], got $alphaMicro")
+    val base = df.select(col(idCol).as("__id"),
+      pMicro.cast("long").as("__p"))
+    val valid = base.where(col("__p").isNotNull
+      && col("__p") >= 0L && col("__p") <= 1000000L)
+    val invalid = base.where(col("__p").isNull
+      || col("__p") < 0L || col("__p") > 1000000L)
+      .agg(count(lit(1)).as("n_invalid"))
+    val n = valid.agg(count(lit(1)).as("n_tests"))
+    val wRank = Window.orderBy(col("__p").asc, col("__id").asc)
+    val wSuffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valid.crossJoin(broadcast(n)).crossJoin(broadcast(invalid))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      // reject-threshold rank: the LARGEST i with p_i * n <= i * alpha
+      // (exact integers); carried to every row by a cumulative max
+      .withColumn("__hit",
+        when(expr(s"__p * n_tests <= rank * $alphaMicro"), col("rank"))
+          .otherwise(0L))
+      .withColumn("__kstar", max(col("__hit")).over(
+        Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // adjusted q: suffix-min of (p_j·n) DIV j, capped at 1 — floor
+      // commutes with the min, so this is exactly ⌊10⁶·BH-q⌋
+      .withColumn("q_micro",
+        least(min(expr("(__p * n_tests) DIV rank")).over(wSuffix),
+          lit(1000000L)))
+      .select(col("__id").as(idCol), col("rank"),
+        col("__p").as("p_micro"),
+        col("q_micro"),
+        (col("rank") <= col("__kstar")).as("rejected"),
+        col("n_tests"), col("n_invalid"))
+      .orderBy("rank")
+  }
+
   /** Hill tail-index estimator per group (Hill 1975) — HOW heavy is
     * the heavy tail: α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
     * k+1 order statistics. Document/sequence-length tails decide

@@ -3850,7 +3850,27 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q276 — Benjamini–Hochberg FDR over a battery of per-(source,
+    * lang) pseudo p-values ([[graft.operators.Anomaly.fdrCorrect]],
+    * α = 0.05): the multiple-testing control that decides which of a
+    * monitor fleet's alarms survive — exact integer step-up
+    * rejection, floored adjusted q-values; every 7th cell is
+    * engineered out of range (fail-visible n_invalid). */
+  def q276Fdr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val tests = d.groupBy(
+        concat_ws(":", coalesce(col("source"), lit("")),
+          coalesce(col("lang"), lit(""))).as("test_id"))
+      .agg(sum("n_chars").as("__s"), count(lit(1)).as("__n"))
+      .select(col("test_id"),
+        when(expr("pmod(__n, 7)") === 0L, lit(2000000L))
+          .otherwise(expr("pmod(__s * 31, 1000001)")).as("p"))
+    graft.operators.Anomaly.fdrCorrect(tests, "test_id", col("p"),
+      alphaMicro = 50000L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_fdr" -> (q276Fdr _),
     "q275_cuped" -> (q275Cuped _),
     "q274_assortativity" -> (q274Assortativity _),
     "q273_mrr" -> (q273Mrr _),
@@ -5769,6 +5789,35 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q276_fdr" ->
+      ("""WITH cells AS (SELECT coalesce(source, '') || ':' || coalesce(lang, '') AS test_id,
+        |    sum(n_chars)::BIGINT AS s, count(1)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |tests AS (SELECT test_id,
+        |    CASE WHEN n % 7 = 0 THEN 2000000
+        |         ELSE (s * 31) % 1000001 END AS p
+        |  FROM cells),
+        |inv AS (SELECT count(1)::BIGINT AS n_invalid FROM tests
+        |  WHERE p IS NULL OR p < 0 OR p > 1000000),
+        |v AS (SELECT test_id, p::BIGINT AS p FROM tests
+        |  WHERE p IS NOT NULL AND p >= 0 AND p <= 1000000),
+        |nt AS (SELECT count(1)::BIGINT AS n_tests FROM v),
+        |rk AS (SELECT test_id, p,
+        |    row_number() OVER (ORDER BY p, test_id)::BIGINT AS rank
+        |  FROM v),
+        |hit AS (SELECT rk.*, nt.n_tests,
+        |    CASE WHEN p * nt.n_tests <= rank * 50000 THEN rank ELSE 0 END AS h
+        |  FROM rk CROSS JOIN nt),
+        |ks AS (SELECT max(h)::BIGINT AS kstar FROM hit),
+        |q AS (SELECT hit.*, least(
+        |    min((p * n_tests) // rank) OVER (ORDER BY rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    1000000)::BIGINT AS q_micro
+        |  FROM hit)
+        |SELECT q.test_id, q.rank, q.p AS p_micro, q.q_micro,
+        |  q.rank <= ks.kstar AS rejected, q.n_tests, inv.n_invalid
+        |FROM q CROSS JOIN ks CROSS JOIN inv
+        |ORDER BY q.rank""".stripMargin),
     "q275_cuped" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    (n_chars // 4 + CASE WHEN doc_id % 2 = 1 THEN 50 ELSE 0 END

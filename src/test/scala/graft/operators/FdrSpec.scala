@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.fdrCorrect]]: the textbook BH step-up example, the
+  * monotone q-values, prefix rejection (holes closed by step-up),
+  * all-null and invalid-p handling, and a local exact replay. */
+class FdrSpec extends SparkSpec {
+
+  private def run(ps: Seq[(String, java.lang.Long)], alpha: Long = 50000L) = {
+    import spark.implicits._
+    Anomaly.fdrCorrect(ps.toDF("t", "p"), "t", col("p"), alpha)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6))))
+  }
+
+  private def L(x: Long) = java.lang.Long.valueOf(x)
+
+  test("textbook step-up: a later passing rank rescues earlier misses") {
+    // n = 4, alpha = .05: p = .010, .030, .035, .800
+    // i=1: .010 <= .0125 ok; i=2: .030 <= .025 FAIL; i=3: .035 <= .0375
+    // ok -> k* = 3, so ranks 1..3 ALL reject (including the i=2 miss)
+    val got = run(Seq(("a", L(10000)), ("b", L(30000)),
+      ("c", L(35000)), ("d", L(800000))))
+    val byT = got.toMap
+    assert(byT("a")._4 && byT("b")._4 && byT("c")._4 && !byT("d")._4)
+    // q-values: suffix-min of p*n/i: a: min(40000, 60000, 46666, 800000)
+    // = 40000; b: min(60000, 46666, 800000) = 46666; c: 46666; d: 800000
+    assert(byT("a")._3 == 40000L && byT("b")._3 == 46666L)
+    assert(byT("c")._3 == 46666L && byT("d")._3 == 800000L)
+  }
+
+  test("no rank passes -> nothing rejected, q floors intact") {
+    val got = run(Seq(("a", L(400000)), ("b", L(600000))))
+    assert(got.forall(!_._2._4))
+    // q_1 = min(400000*2/1, 600000*2/2) = 600000 (the suffix min
+    // pulls rank 1 down to rank 2's level); q_2 = 600000
+    assert(got.toMap.apply("a")._3 == 600000L)
+    assert(got.toMap.apply("b")._3 == 600000L)
+  }
+
+  test("q-values cap at 1e6 and are monotone in rank") {
+    val got = run((1 to 20).map(i => (s"t$i", L(i * 49000L))))
+      .sortBy(_._2._1)
+    assert(got.forall(_._2._3 <= 1000000L))
+    val qs = got.map(_._2._3).toSeq
+    assert(qs.sliding(2).forall(w => w.size < 2 || w(0) <= w(1)))
+  }
+
+  test("local exact replay on a seeded batch") {
+    val rnd = new scala.util.Random(47)
+    val ps = (1 to 100).map(i => (f"t$i%03d", L(rnd.nextInt(1000001).toLong)))
+    val got = run(ps, alpha = 100000L).toMap
+    val sorted = ps.sortBy(p => (p._2.longValue(), p._1))
+    val n = sorted.size.toLong
+    val kstar = sorted.zipWithIndex
+      .filter { case ((_, p), i) => p * n <= (i + 1) * 100000L }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    val qRaw = sorted.zipWithIndex.map { case ((_, p), i) =>
+      p.longValue() * n / (i + 1) }
+    val qs = qRaw.scanRight(Long.MaxValue)(math.min).init
+      .map(q => math.min(q, 1000000L))
+    sorted.zipWithIndex.foreach { case ((t, p), i) =>
+      val (rk, pm, q, rej, nt, ninv) = got(t)
+      assert(rk == i + 1 && pm == p.longValue() && nt == 100L && ninv == 0L)
+      assert(q == qs(i), s"$t q")
+      assert(rej == (i + 1 <= kstar), s"$t rejected")
+    }
+  }
+
+  test("NULL and out-of-range p excluded fail-visibly") {
+    val got = run(Seq(("a", L(10000)), ("bad1", null),
+      ("bad2", L(2000000)), ("bad3", L(-5))))
+    assert(got.length == 1)
+    val (_, _, _, _, nt, ninv) = got.head._2
+    assert(nt == 1L && ninv == 3L)
+  }
+}
