@@ -1024,6 +1024,77 @@ object Curation {
     * bins²-bounded joint histogram (integral bounded-cardinality
     * scores by contract — pre-bucket continuous scores upstream).
     * Output: (groupCol, n, n_dropped, conc, disc, tau_micro). */
+  /** Empirical-Bayes shrinkage of per-group rates (beta-binomial,
+    * method of moments — Robbins 1956 via the Efron & Morris
+    * playbook): "rank sources by defect/quality rate" is wrong on raw
+    * rates — a 3-doc source with one bad doc outranks a 10⁶-doc
+    * source at 5% — so each group's rate is shrunk toward the pooled
+    * prior by its own evidence: shrunk = (x + α)/(n + α + β), with
+    * (α, β) moment-matched from the across-group rate spread. Small
+    * groups collapse to the prior; big groups keep their rate — the
+    * league-table fix for every per-source audit in this module.
+    *
+    * Determinism: per-group rates are floored micro INTEGERS
+    * (10⁶·x DIV n) before any cross-group moment — the
+    * [[graft.operators.Sampling.mixtureReweight]]
+    * round-before-normalize discipline, so no order-dependent double
+    * sum exists; S1 = Σr and S2 = Σr² accumulate in DECIMAL(38,0);
+    * α, β, and each shrunk rate are then a FIXED double expression
+    * tree mirrored in the oracle. Degenerate spreads emit NULL
+    * shrunk rates fail-visibly: fewer than 2 groups (no across-group
+    * variance to match), zero variance (nothing to shrink toward —
+    * raw = pooled already), or a variance exceeding m(1−m) (the
+    * beta-binomial moment equations have no positive solution —
+    * overdispersed beyond the model, stated not fudged). Groups with
+    * n = 0 keep their row with NULL rates.
+    *
+    * Scale shape: one corpus-sized (group, positive) counter agg;
+    * the prior fit and the shrinkage run on the group-count-sized
+    * frame (two singleton broadcasts). Output: (groupCol, n, x,
+    * rate_micro, shrunk_micro, alpha_milli, beta_milli — the prior
+    * repeated per row). */
+  def ebShrinkRates(df: DataFrame, groupCol: String,
+      positive: Column): DataFrame = {
+    val g = df.groupBy(coalesce(col(groupCol), lit("")).as("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("x"))
+      .withColumn("rate_micro",
+        when(col("n") > 0L, expr("(x * 1000000) DIV n")))
+    val mom = g.where(col("n") > 0L).agg(
+      count(lit(1)).as("__k"),
+      sum(col("rate_micro").cast("decimal(38,0)")).as("__s1"),
+      sum(expr("CAST(rate_micro AS DECIMAL(38,0)) * rate_micro"))
+        .as("__s2"))
+    // m and v on the micro-rate scale (doubles from exact integers):
+    // m = S1/k/1e6, v = (k·S2 − S1²)/(k·(k−1))/1e12;
+    // common = m(1−m)/v − 1; α = m·common, β = (1−m)·common
+    val prior = mom.select(col("__k"),
+      expr("CAST(__s1 AS DOUBLE) / CAST(__k AS DOUBLE) / 1e6").as("__m"),
+      expr("""CASE WHEN __k >= 2 THEN
+        | CAST(__k * __s2 - __s1 * __s1 AS DOUBLE)
+        |   / (CAST(__k AS DOUBLE) * (CAST(__k AS DOUBLE) - 1.0)) / 1e12
+        |END""".stripMargin).as("__v"))
+      .select(
+        expr("""CASE WHEN __v IS NOT NULL AND __v > 0
+          |  AND __m * (1.0 - __m) / __v - 1.0 > 0
+          |THEN __m * (__m * (1.0 - __m) / __v - 1.0) END""".stripMargin)
+          .as("__a"),
+        expr("""CASE WHEN __v IS NOT NULL AND __v > 0
+          |  AND __m * (1.0 - __m) / __v - 1.0 > 0
+          |THEN (1.0 - __m) * (__m * (1.0 - __m) / __v - 1.0) END"""
+          .stripMargin).as("__b"))
+    g.crossJoin(broadcast(prior))
+      .select(col("__g").as(groupCol), col("n"), col("x"),
+        col("rate_micro"),
+        when(col("n") > 0L && col("__a").isNotNull, expr(
+          """CAST(round((CAST(x AS DOUBLE) + __a) * 1000000.0
+            | / (CAST(n AS DOUBLE) + __a + __b)) AS BIGINT)"""
+            .stripMargin)).as("shrunk_micro"),
+        expr("CAST(round(__a * 1000) AS BIGINT)").as("alpha_milli"),
+        expr("CAST(round(__b * 1000) AS BIGINT)").as("beta_milli"))
+      .orderBy(groupCol)
+  }
+
   /** Isotonic calibration of a quality score against a binary label
     * per group — PAV (pool-adjacent-violators, Ayer et al. 1955) at
     * score-bin granularity: the monotone step function closest to the

@@ -163,6 +163,71 @@ object Sampling {
           .as("src_w_milli"))
   }
 
+  /** Delete-one-bucket jackknife standard error for RATIO metrics per
+    * group (Quenouille 1956; the production form is delete-one-bucket
+    * over hash buckets — the estimator every large A/B platform uses
+    * for clicks/views-shaped metrics): θ = Σnum/Σden has no row-level
+    * variance formula (the denominator is random too), and a
+    * bootstrap costs b corpus passes of state; the jackknife needs
+    * ONE pass — rows land in `buckets` md5 buckets, θ₍ᵦ₎ is the ratio
+    * with bucket b deleted, and SE² = (B−1)/B·Σ(θ₍ᵦ₎ − θ̄)².
+    *
+    * Determinism (the [[graft.operators.Sampling.mixtureReweight]]
+    * round-before-sum discipline): bucket assignment is
+    * [[graft.functions.TextFunctions.stableBucket]] (md5 —
+    * reshuffle-proof); each leave-one-out ratio is floored to micro
+    * INTEGER (10⁶·(Y−Yᵦ) DIV (X−Xᵦ) — non-negative sums by contract,
+    * the [[graft.operators.Anomaly.ewmaDeviation]] counts/cents
+    * convention), S1/S2 accumulate in DECIMAL(38,0), and the SE is
+    * ONE sqrt of exact integers: se_micro =
+    * round(√((B−1)·(B·S2 − S1²))/B). Buckets whose deletion empties
+    * the denominator are EXCLUDED fail-visibly (`n_degenerate`) — a
+    * one-bucket group emits NULL SE (nothing to resample). NULL
+    * num/den rows are excluded fail-visibly (`n_skipped`).
+    *
+    * Scale shape: ONE corpus-sized (group, bucket) partial agg;
+    * everything after runs on the groups × buckets frame. Output:
+    * (groupCol, sum_num, sum_den, n_skipped, n_buckets,
+    * n_degenerate, ratio_micro, jk_se_micro). */
+  def jackknifeRatio(df: DataFrame, groupCol: String, idCol: String,
+      num: Column, den: Column, buckets: Int = 50): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"need buckets in [2, 10000], got $buckets")
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      graft.functions.TextFunctions.stableBucket(col(idCol), buckets)
+        .as("__b"),
+      num.cast("long").as("__y"), den.cast("long").as("__x"))
+    val ok = col("__y").isNotNull && col("__x").isNotNull
+    val byB = base.groupBy("__g", "__b").agg(
+      sum(when(ok, col("__y")).otherwise(0L)).as("__yb"),
+      sum(when(ok, col("__x")).otherwise(0L)).as("__xb"),
+      sum(when(!ok, 1L).otherwise(0L)).as("__sk"))
+    val tot = byB.groupBy(col("__g").as("__tg")).agg(
+      sum("__yb").as("__Y"), sum("__xb").as("__X"),
+      sum("__sk").as("n_skipped"), count(lit(1)).as("__B"))
+    val loo = byB.join(broadcast(tot), col("__g") <=> col("__tg"))
+      .withColumn("__ok", col("__X") - col("__xb") > 0L)
+      .withColumn("__th", when(col("__ok"),
+        expr("((__Y - __yb) * 1000000) DIV (__X - __xb)")))
+    val jk = loo.groupBy(col("__g").as("__jg")).agg(
+      sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_degenerate"),
+      count(when(col("__ok"), 1L)).as("n_buckets"),
+      sum(col("__th").cast("decimal(38,0)")).as("__s1"),
+      sum(expr("CAST(__th AS DECIMAL(38,0)) * __th")).as("__s2"))
+    tot.join(jk, col("__tg") <=> col("__jg"))
+      .select(col("__tg").as(groupCol),
+        col("__Y").as("sum_num"), col("__X").as("sum_den"),
+        col("n_skipped"), col("n_buckets"), col("n_degenerate"),
+        when(col("__X") > 0L, expr("(__Y * 1000000) DIV __X"))
+          .as("ratio_micro"),
+        when(col("n_buckets") >= 2L, expr(
+          """CAST(round(sqrt(CAST((n_buckets - 1)
+            | * (n_buckets * __s2 - __s1 * __s1) AS DOUBLE))
+            | / CAST(n_buckets AS DOUBLE)) AS BIGINT)""".stripMargin))
+          .as("jk_se_micro"))
+      .orderBy(groupCol)
+  }
+
   /** CUPED variance-reduced A/B difference per group (Deng, Xu,
     * Kohavi & Walker 2013) — the industry-standard experiment
     * sharpener: adjust each row's metric by a PRE-experiment

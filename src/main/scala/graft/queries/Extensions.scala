@@ -3869,7 +3869,32 @@ object Extensions {
       alphaMicro = 50000L)
   }
 
+  /** q277 — empirical-Bayes shrinkage of per-source English rates
+    * ([[Curation.ebShrinkRates]]): beta-binomial moment-matched
+    * league table — small sources collapse toward the pooled prior,
+    * big ones keep their rate; the ranking fix every per-source audit
+    * needs before anyone sorts by raw percentage. */
+  def q277EbShrink(spark: SparkSession, dir: String): DataFrame =
+    Curation.ebShrinkRates(Tables(spark, dir, "documents"),
+      "source", col("lang") === "en")
+
+  /** q278 — delete-one-bucket jackknife SE of chars-per-token per
+    * source ([[graft.operators.Sampling.jackknifeRatio]], 20 md5
+    * buckets): the ratio-metric error bar with ONE corpus pass —
+    * every 67th doc NULL-numerator (fail-visible n_skipped). */
+  def q278Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Sampling.jackknifeRatio(
+      d.select(col("source"), col("doc_id"),
+        when(col("doc_id") % 67 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("y"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("x")),
+      "source", "doc_id", col("y"), col("x"), buckets = 20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_jackknife" -> (q278Jackknife _),
+    "q277_eb_shrink" -> (q277EbShrink _),
     "q276_fdr" -> (q276Fdr _),
     "q275_cuped" -> (q275Cuped _),
     "q274_assortativity" -> (q274Assortativity _),
@@ -5789,6 +5814,60 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q277_eb_shrink" ->
+      ("""WITH g AS (SELECT coalesce(source, '') AS g, count(1)::BIGINT AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *, CASE WHEN n > 0 THEN (x * 1000000) // n END::BIGINT AS rate_micro
+        |  FROM g),
+        |mom AS (SELECT count(1)::HUGEINT AS k, sum(rate_micro::HUGEINT) AS s1,
+        |    sum(rate_micro::HUGEINT * rate_micro) AS s2 FROM r WHERE n > 0),
+        |pr AS (SELECT CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 1e6 AS m,
+        |    CASE WHEN k >= 2 THEN CAST(k * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) / 1e12 END AS v
+        |  FROM mom),
+        |ab AS (SELECT
+        |    CASE WHEN v IS NOT NULL AND v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+        |      THEN m * (m * (1.0 - m) / v - 1.0) END AS a,
+        |    CASE WHEN v IS NOT NULL AND v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+        |      THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS b
+        |  FROM pr)
+        |SELECT r.g AS source, r.n, r.x, r.rate_micro,
+        |  CASE WHEN r.n > 0 AND ab.a IS NOT NULL
+        |    THEN CAST(round((CAST(r.x AS DOUBLE) + ab.a) * 1000000.0
+        |      / (CAST(r.n AS DOUBLE) + ab.a + ab.b)) AS BIGINT) END AS shrunk_micro,
+        |  CAST(round(ab.a * 1000) AS BIGINT) AS alpha_milli,
+        |  CAST(round(ab.b * 1000) AS BIGINT) AS beta_milli
+        |FROM r CROSS JOIN ab ORDER BY source""".stripMargin),
+    "q278_jackknife" ->
+      (s"""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 20 AS b,
+        |    CASE WHEN doc_id % 67 = 0 THEN NULL ELSE n_chars END AS y,
+        |    len($toksSql)::BIGINT AS x
+        |  FROM documents),
+        |byb AS (SELECT g, b,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL THEN y ELSE 0 END)::BIGINT AS yb,
+        |    sum(CASE WHEN y IS NOT NULL AND x IS NOT NULL THEN x ELSE 0 END)::BIGINT AS xb,
+        |    sum(CASE WHEN y IS NULL OR x IS NULL THEN 1 ELSE 0 END)::BIGINT AS sk
+        |  FROM base GROUP BY g, b),
+        |tot AS (SELECT g, sum(yb)::BIGINT AS yy, sum(xb)::BIGINT AS xx,
+        |    sum(sk)::BIGINT AS n_skipped, count(1)::BIGINT AS nb FROM byb GROUP BY g),
+        |loo AS (SELECT byb.g, byb.b, tot.yy, tot.xx, tot.n_skipped,
+        |    (tot.xx - byb.xb > 0) AS ok,
+        |    CASE WHEN tot.xx - byb.xb > 0
+        |      THEN ((tot.yy - byb.yb) * 1000000) // (tot.xx - byb.xb) END AS th
+        |  FROM byb JOIN tot ON tot.g = byb.g),
+        |jk AS (SELECT g, sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_degenerate,
+        |    count(CASE WHEN ok THEN 1 END)::BIGINT AS n_buckets,
+        |    sum(th::HUGEINT) AS s1, sum(th::HUGEINT * th) AS s2
+        |  FROM loo GROUP BY g)
+        |SELECT tot.g AS source, tot.yy AS sum_num, tot.xx AS sum_den,
+        |  tot.n_skipped, jk.n_buckets, jk.n_degenerate,
+        |  CASE WHEN tot.xx > 0 THEN (tot.yy * 1000000) // tot.xx END::BIGINT AS ratio_micro,
+        |  CASE WHEN jk.n_buckets >= 2 THEN CAST(round(
+        |    sqrt(CAST((jk.n_buckets - 1) * (jk.n_buckets * jk.s2 - jk.s1 * jk.s1) AS DOUBLE))
+        |    / CAST(jk.n_buckets AS DOUBLE)) AS BIGINT) END AS jk_se_micro
+        |FROM tot JOIN jk ON jk.g = tot.g ORDER BY source""".stripMargin),
     "q276_fdr" ->
       ("""WITH cells AS (SELECT coalesce(source, '') || ':' || coalesce(lang, '') AS test_id,
         |    sum(n_chars)::BIGINT AS s, count(1)::BIGINT AS n

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.ebShrinkRates]] and [[Sampling.jackknifeRatio]]:
+  * shrinkage direction and magnitude ordering, degenerate-prior
+  * NULLs, a local exact replay of the jackknife, and fail-visible
+  * accounting on both. */
+class EbJackknifeSpec extends SparkSpec {
+
+  test("small groups shrink hard toward the prior; big groups barely") {
+    import spark.implicits._
+    // 12 groups at ~30% +/- noise, one tiny outlier group at 100%
+    // and one big group at 50%
+    val rows =
+      (1 to 12).flatMap(g => (1 to 200).map(i =>
+        (s"m$g", i % 10 < 3 || (i + g) % 97 == 0))) ++
+        (1 to 3).map(_ => ("tiny", true)) ++
+        (1 to 5000).map(i => ("big", i % 2 == 0))
+    val got = Curation.ebShrinkRates(rows.toDF("g", "p"), "g", col("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    val (tinyN, tinyRaw, tinyShrunk) = got("tiny")
+    val (bigN, bigRaw, bigShrunk) = got("big")
+    assert(tinyN == 3L && tinyRaw == 1000000L)
+    assert(tinyShrunk < 900000L,
+      s"3 observations cannot hold a 100% rate: $tinyShrunk")
+    // the big group moves far less, relatively
+    assert(math.abs(bigShrunk - bigRaw) * 10 <
+      math.abs(tinyShrunk - tinyRaw),
+      s"big moved ${math.abs(bigShrunk - bigRaw)}, tiny ${math.abs(tinyShrunk - tinyRaw)}")
+    // shrinkage never crosses the prior side: tiny stays above pooled
+    assert(tinyShrunk > bigShrunk)
+  }
+
+  test("fewer than 2 groups: raw rates kept, shrunk NULL fail-visibly") {
+    import spark.implicits._
+    val rows = (1 to 10).map(i => ("only", i % 2 == 0))
+    val r = Curation.ebShrinkRates(rows.toDF("g", "p"), "g", col("p"))
+      .collect().head
+    assert(r.getLong(3) == 500000L && r.isNullAt(4))
+  }
+
+  test("zero across-group variance: nothing to shrink toward, NULL") {
+    import spark.implicits._
+    val rows = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+    val got = Curation.ebShrinkRates(rows.toDF("g", "p"), "g", col("p"))
+      .collect()
+    assert(got.forall(_.isNullAt(4)))
+    assert(got.forall(_.getLong(3) == 500000L))
+  }
+
+  test("jackknife: local exact replay on a seeded ratio") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 2000).map(i =>
+      ("g", i.toLong, rnd.nextInt(10).toLong, 1L + rnd.nextInt(5).toLong))
+    val r = Sampling.jackknifeRatio(rows.toDF("g", "id", "y", "x"),
+      "g", "id", col("y"), col("x"), buckets = 20).collect().head
+    // local replay with the same md5 buckets
+    def bucket(id: Long): Long = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16)
+      ((h % 20) + 20) % 20
+    }
+    val byB = rows.groupBy(t => bucket(t._2))
+      .map { case (b, rs) => (b, rs.map(_._3).sum, rs.map(_._4).sum) }
+    val (yTot, xTot) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    val ths = byB.toSeq.map { case (_, yb, xb) =>
+      (yTot - yb) * 1000000L / (xTot - xb) }
+    val bN = ths.size.toLong
+    val s1 = ths.map(BigInt(_)).sum
+    val s2 = ths.map(t => BigInt(t) * t).sum
+    val se = math.round(math.sqrt(
+      ((bN - 1) * (bN * s2 - s1 * s1)).toDouble) / bN)
+    assert(r.getAs[Long]("ratio_micro") == yTot * 1000000L / xTot)
+    assert(r.getAs[Long]("n_buckets") == bN)
+    assert(r.getAs[Long]("jk_se_micro") == se, "exact jackknife replay")
+  }
+
+  test("jackknife SE shrinks with sample size (root-n-ish)") {
+    import spark.implicits._
+    def se(n: Int): Long = {
+      val rnd = new scala.util.Random(7)
+      val rows = (1 to n).map(i =>
+        ("g", i.toLong, rnd.nextInt(10).toLong, 1L + rnd.nextInt(5).toLong))
+      Sampling.jackknifeRatio(rows.toDF("g", "id", "y", "x"),
+        "g", "id", col("y"), col("x"), buckets = 20)
+        .collect().head.getAs[Long]("jk_se_micro")
+    }
+    val (small, large) = (se(200), se(5000))
+    assert(large * 3 < small,
+      s"SE must fall markedly with n: small=$small large=$large")
+  }
+
+  test("jackknife NULL rows and degenerate deletions are fail-visible") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, java.lang.Long.valueOf(5L), java.lang.Long.valueOf(2L)),
+      ("g", 2L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+    val r = Sampling.jackknifeRatio(rows.toDF("g", "id", "y", "x"),
+      "g", "id", col("y"), col("x"), buckets = 4).collect().head
+    assert(r.getAs[Long]("n_skipped") == 1L)
+    // only one real bucket contributes denominator: deleting it is
+    // degenerate -> no SE
+    assert(r.isNullAt(r.fieldIndex("jk_se_micro"))
+      || r.getAs[Long]("n_buckets") >= 2L)
+  }
+}
