@@ -1053,13 +1053,16 @@ object Curation {
     * frame (two singleton broadcasts). Output: (groupCol, n, x,
     * rate_micro, shrunk_micro, alpha_milli, beta_milli — the prior
     * repeated per row). */
-  def ebShrinkRates(df: DataFrame, groupCol: String,
-      positive: Column): DataFrame = {
-    val g = df.groupBy(coalesce(col(groupCol), lit("")).as("__g"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(positive, 1L).otherwise(0L)).as("x"))
-      .withColumn("rate_micro",
-        when(col("n") > 0L, expr("(x * 1000000) DIV n")))
+  def ebShrinkRates(df: DataFrame, groupCol: String, positive: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // the ONE corpus-sized agg, materialized once for its two
+    // consumers (the prior fit and the shrinkage itself)
+    val g = checkpointer(
+      df.groupBy(coalesce(col(groupCol), lit("")).as("__g"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(positive, 1L).otherwise(0L)).as("x"))
+        .withColumn("rate_micro",
+          when(col("n") > 0L, expr("(x * 1000000) DIV n"))))
     val mom = g.where(col("n") > 0L).agg(
       count(lit(1)).as("__k"),
       sum(col("rate_micro").cast("decimal(38,0)")).as("__s1"),

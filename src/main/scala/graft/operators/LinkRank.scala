@@ -335,8 +335,13 @@ object LinkRank {
     * assumption) + one global moment agg. Output: one row —
     * (n_edges, n_dropped, assortativity_micro). */
   def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val all = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      dstCol: String = "dst",
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // the 2-column edge projection is read by three consumers (both
+    // degree aggs and the moment join spine) — materialize it once,
+    // the pageRank edge-table discipline
+    val all = checkpointer(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
     val dropped = all.where(col("__s").isNull || col("__d").isNull)
     val e0 = all.where(col("__s").isNotNull && col("__d").isNotNull)
     val outdeg = e0.groupBy(col("__s").as("__so"))

@@ -190,7 +190,8 @@ object Sampling {
     * (groupCol, sum_num, sum_den, n_skipped, n_buckets,
     * n_degenerate, ratio_micro, jk_se_micro). */
   def jackknifeRatio(df: DataFrame, groupCol: String, idCol: String,
-      num: Column, den: Column, buckets: Int = 50): DataFrame = {
+      num: Column, den: Column, buckets: Int = 50,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(buckets >= 2 && buckets <= 10000,
       s"need buckets in [2, 10000], got $buckets")
     val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
@@ -198,10 +199,12 @@ object Sampling {
         .as("__b"),
       num.cast("long").as("__y"), den.cast("long").as("__x"))
     val ok = col("__y").isNotNull && col("__x").isNotNull
-    val byB = base.groupBy("__g", "__b").agg(
+    // the ONE corpus-sized agg, materialized once — totals and the
+    // leave-one-out pass both read the groups × buckets frame
+    val byB = checkpointer(base.groupBy("__g", "__b").agg(
       sum(when(ok, col("__y")).otherwise(0L)).as("__yb"),
       sum(when(ok, col("__x")).otherwise(0L)).as("__xb"),
-      sum(when(!ok, 1L).otherwise(0L)).as("__sk"))
+      sum(when(!ok, 1L).otherwise(0L)).as("__sk")))
     val tot = byB.groupBy(col("__g").as("__tg")).agg(
       sum("__yb").as("__Y"), sum("__xb").as("__X"),
       sum("__sk").as("n_skipped"), count(lit(1)).as("__B"))
