@@ -891,6 +891,66 @@ object SimilaritySearch {
           .as("ndcg_milli"))
   }
 
+  /** The RBO per-item suffix weights Σ_{d=m..k} (1−p)·p^{d−1}/d in
+    * integer micros, PINNED at plan-build time (the
+    * [[ndcgDiscountsMicro]] no-runtime-transcendental discipline):
+    * an item first present in both prefixes at depth m contributes
+    * exactly this table's entry m, so truncated RBO is a pure integer
+    * sum on both engines. */
+  def rboSuffixMicro(k: Int, pMilli: Int): Seq[Long] = {
+    val p = pMilli / 1000.0
+    val c = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map(m => math.round(1e6 * c.drop(m - 1).sum))
+  }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010) —
+    * the top-weighted agreement between two RANKINGS of the same
+    * query set: "how much did quantization / a new index / a scorer
+    * change reorder retrieval", asked list-vs-list where [[recallAtK]]
+    * only counts membership and Kendall/Spearman need identical
+    * support. RBO_k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d; p (milli)
+    * sets how top-heavy the comparison is (0.9 ≈ the classic
+    * ten-result emphasis).
+    *
+    * Exactness: an item ranked ra in A and rb in B joins every
+    * prefix intersection from depth max(ra, rb) on, so RBO collapses
+    * to Σ_items suffixWeight(max(ra, rb)) over the INTERSECTION — one
+    * hash join, one partial agg, and the pinned [[rboSuffixMicro]]
+    * table; no per-depth explode, no runtime pow. Both engines sum
+    * the same integer micros — parity by construction. This is the
+    * TRUNCATED RBO (lists cut at k, no residual extrapolation —
+    * the conservative lower bound, stated).
+    *
+    * Inputs carry (query_id, item_id, rank ≥ 1), rank unique per
+    * query (every repo top-k guarantees it); rows past rank k are
+    * ignored. A query present in either ranking emits a row — zero
+    * overlap reads rbo_micro = 0, never a missing row. Scale shape:
+    * bounded top-k frames in, one join + two query-keyed aggs.
+    * Output: (query_id, n_overlap, rbo_micro). */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int,
+      pMilli: Int = 900): DataFrame = {
+    require(k >= 1 && k <= 1000, "need 1 <= k <= 1000")
+    require(pMilli >= 1 && pMilli <= 999,
+      s"pMilli must be in [1, 999], got $pMilli")
+    val w = array(rboSuffixMicro(k, pMilli).map(lit): _*)
+    def side(df: DataFrame, as: String) = df
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"),
+        col("rank").cast("int").as(as))
+    val joined = side(a, "__ra").join(side(b, "__rb"),
+        Seq("query_id", "item_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(element_at(w, greatest(col("__ra"), col("__rb"))))
+          .as("rbo_micro"))
+    val qs = a.select(col("query_id")).union(b.select(col("query_id")))
+      .distinct()
+    qs.join(joined, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
+
   /** MRR@k (mean-reciprocal-rank's per-query term) of a ranking
     * against relevance judgments — the "how far down is the FIRST
     * right answer" eval beside [[ndcgAtK]] (graded order quality) and

@@ -3892,7 +3892,37 @@ object Extensions {
       "source", "doc_id", col("y"), col("x"), buckets = 20)
   }
 
+  /** q279 — rank-biased overlap between cosine and raw-dot retrieval
+    * ([[SimilaritySearch.rboAtK]], k = 10, p = 0.9): how much do norm
+    * effects reorder the SAME corpus's top-10 — the list-vs-list
+    * agreement (top-weighted, pinned coefficient table) that recall
+    * can't see and rank correlations can't compute on different
+    * supports. */
+  def q279Rbo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val cosine = SimilaritySearch.bruteForceTopK(
+        e, q, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank"))
+    val ev = e.select(col("vec_id").as("item_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qv = q.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("item_id"))
+    val dotRank = ev.crossJoin(broadcast(qv))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        round(SimilaritySearch.dot(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    SimilaritySearch.rboAtK(cosine, dotRank, 10).orderBy("query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_rbo" -> (q279Rbo _),
     "q278_jackknife" -> (q278Jackknife _),
     "q277_eb_shrink" -> (q277EbShrink _),
     "q276_fdr" -> (q276Fdr _),
@@ -5814,6 +5844,38 @@ object Extensions {
         |    ELSE 0 END::BIGINT AS dup_frac_micro
         |FROM tk t LEFT JOIN ag USING (doc_id) LEFT JOIN cn USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin),
+    "q279_rbo" -> {
+      val wts = graft.operators.SimilaritySearch.rboSuffixMicro(10, 900)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |cs AS (SELECT qid AS query_id, e.vec_id AS item_id, $cosSql AS sim
+        |  FROM e, q WHERE e.vec_id <> qid),
+        |rka AS (SELECT query_id, item_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, item_id) AS rank FROM cs)
+        |  WHERE rank <= 10),
+        |ds AS (SELECT qid AS query_id, e.vec_id AS item_id,
+        |    round(list_sum(list_transform(list_zip(e.v, q.qv),
+        |      z -> z[1] * z[2])), 6) AS sim
+        |  FROM e, q WHERE e.vec_id <> qid),
+        |rkb AS (SELECT query_id, item_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, item_id) AS rank FROM ds)
+        |  WHERE rank <= 10),
+        |wt AS (SELECT unnest(range(1, 11)) AS m, unnest($wts) AS w),
+        |ov AS (SELECT a.query_id, greatest(a.rank, b.rank) AS m
+        |  FROM rka a JOIN rkb b USING (query_id, item_id)),
+        |agg AS (SELECT ov.query_id, count(1)::BIGINT AS n_overlap,
+        |    sum(wt.w)::BIGINT AS rbo_micro
+        |  FROM ov JOIN wt ON wt.m = ov.m GROUP BY ov.query_id),
+        |qs AS (SELECT DISTINCT query_id FROM
+        |  (SELECT query_id FROM rka UNION ALL SELECT query_id FROM rkb))
+        |SELECT qs.query_id, coalesce(agg.n_overlap, 0)::BIGINT AS n_overlap,
+        |  coalesce(agg.rbo_micro, 0)::BIGINT AS rbo_micro
+        |FROM qs LEFT JOIN agg USING (query_id)
+        |ORDER BY qs.query_id""".stripMargin
+    },
     "q277_eb_shrink" ->
       ("""WITH g AS (SELECT coalesce(source, '') AS g, count(1)::BIGINT AS n,
         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS x

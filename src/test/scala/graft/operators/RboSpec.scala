@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.rboAtK]]: identical lists hit the truncated
+  * ceiling, disjoint lists hit 0, a brute-force per-depth replay,
+  * top-weighting (early swaps cost more than late ones), and the
+  * zero-overlap row guarantee. */
+class RboSpec extends SparkSpec {
+
+  private def rank(rows: Seq[(Long, Long, Int)]) = {
+    import spark.implicits._
+    rows.toDF("query_id", "item_id", "rank")
+  }
+
+  private def run(a: Seq[(Long, Long, Int)], b: Seq[(Long, Long, Int)],
+      k: Int = 10) =
+    SimilaritySearch.rboAtK(rank(a), rank(b), k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("identical lists score the truncated ceiling; disjoint score 0") {
+    val a = (1 to 10).map(r => (1L, 100L + r, r))
+    val b2 = (1 to 10).map(r => (2L, 900L + r, r))
+    val a2 = (1 to 10).map(r => (2L, 100L + r, r))
+    val got = run(a ++ a2, a ++ b2)
+    // ceiling = sum of all suffix weights at depth d = their own c_d
+    // sums: items at rank d in both contribute suffix(d); identical
+    // lists give sum_d suffix(d) = sum_d d*c_d ... check against the
+    // direct per-depth formula instead:
+    val w = SimilaritySearch.rboSuffixMicro(10, 900)
+    val ceiling = (1 to 10).map(d => w(d - 1)).sum
+    assert(got(1L) == ((10L, ceiling)))
+    assert(got(2L) == ((0L, 0L)), "disjoint lists: zero-overlap row kept")
+  }
+
+  test("brute-force per-depth replay on partially overlapping lists") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+    val b = Seq((1L, 12L, 1), (1L, 10L, 2), (1L, 99L, 3), (1L, 11L, 4))
+    val got = run(a, b, k = 4)
+    // per-depth intersections: d=1: {} =0; d=2: {10,12}? A_2={10,11},
+    // B_2={12,10} -> {10} =1; d=3: A_3={10,11,12}, B_3={12,10,99} ->
+    // {10,12} =2; d=4: +11 both -> 3
+    val p = 0.9
+    val exact = (1 to 4).map { d =>
+      val xd = Seq(0, 1, 2, 3)(d - 1)
+      (1 - p) * math.pow(p, d - 1) * xd / d
+    }.sum
+    // the pinned-table sum: items 10 (max 2), 12 (max 3), 11 (max 4)
+    val w = SimilaritySearch.rboSuffixMicro(4, 900)
+    val expect = w(1) + w(2) + w(3)
+    assert(got(1L)._1 == 3L && got(1L)._2 == expect)
+    assert(math.abs(got(1L)._2 - math.round(exact * 1e6)) <= 3,
+      "pinned-table sum tracks the analytic value to rounding")
+  }
+
+  test("early disagreement costs more than late disagreement") {
+    val base = (1 to 10).map(r => (1L, 100L + r, r))
+    // swap ranks 1<->10 vs swap ranks 9<->10
+    def swap(rows: Seq[(Long, Long, Int)], i: Int, j: Int) =
+      rows.map { case (q, it, r) =>
+        (q, it, if (r == i) j else if (r == j) i else r) }
+    val early = run(base, swap(base, 1, 10))(1L)._2
+    val late = run(base, swap(base, 9, 10))(1L)._2
+    val same = run(base, base)(1L)._2
+    assert(late > early, s"late swap $late must beat early swap $early")
+    assert(same > late)
+  }
+
+  test("rows past k are ignored on both sides") {
+    val a = (1 to 20).map(r => (1L, 100L + r, r))
+    val b = (1 to 10).map(r => (1L, 100L + r, r)) ++
+      (11 to 20).map(r => (1L, 900L + r, r))
+    assert(run(a, b, k = 10)(1L)._1 == 10L)
+  }
+}
