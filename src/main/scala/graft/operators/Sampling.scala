@@ -153,9 +153,13 @@ object Sampling {
     * stratum-cardinality-sized. Output: (sourceCol, n_docs,
     * src_w_milli) — feed `src_w_milli` to [[mixtureSample]] after a
     * broadcast join. */
-  def temperatureWeights(df: DataFrame, sourceCol: String): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
-      .withColumn("__sm", expr("CAST(round(sqrt(n_docs) * 1000000) AS BIGINT)"))
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // the ONE corpus-sized agg, materialized once for its two
+    // consumers (the normalizer totals and the per-source weights)
+    val counts = checkpointer(
+      df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+        .withColumn("__sm", expr("CAST(round(sqrt(n_docs) * 1000000) AS BIGINT)")))
     val tot = counts.agg(sum("__sm").as("__S"), sum("n_docs").as("__N"))
     counts.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("n_docs"),
@@ -421,12 +425,16 @@ object Sampling {
       col("w_milli").cast("long").as("w_milli"))
     val mx = ml.where(col("mean_loss_micro").isNotNull)
       .agg(max("mean_loss_micro").as("__mx"))
-    val u = ml.join(broadcast(w), col("__g") <=> col("__wg"), "left")
-      .crossJoin(broadcast(mx))
-      .withColumn("u_micro", expr(
-        s"""CAST(round(w_milli * exp(
-           |  $etaMilli * CAST(mean_loss_micro - __mx AS DOUBLE) / 1e9
-           |) * 1000) AS BIGINT)""".stripMargin))
+    // u is domain-sized but carries the caller's weights lineage —
+    // materialize it so the normalizer and the verdict don't re-run
+    // whatever produced `weights` (e.g. temperatureWeights' agg)
+    val u = checkpointer(
+      ml.join(broadcast(w), col("__g") <=> col("__wg"), "left")
+        .crossJoin(broadcast(mx))
+        .withColumn("u_micro", expr(
+          s"""CAST(round(w_milli * exp(
+             |  $etaMilli * CAST(mean_loss_micro - __mx AS DOUBLE) / 1e9
+             |) * 1000) AS BIGINT)""".stripMargin)))
     val tot = u.agg(sum("u_micro").as("__tu"))
     u.crossJoin(broadcast(tot))
       .select(col("__g").as(groupCol), col("n_docs"), col("n_skipped"),

@@ -500,4 +500,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "label totals should broadcast into the densification")
   }
+
+  test("q270 ES sampling: the per-stratum cut is an aggregator, never a corpus rank window") {
+    val p = plan("q270_weighted_sample")
+    assert(!p.contains("Window"),
+      "the exactKPerStratum discipline: TopKAggregator, no rank window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k·strata winners must broadcast back to their rows")
+  }
+
+  test("q271 Hill tail index: one aggregation pass, no window, no join") {
+    val p = plan("q271_tail_index")
+    assert(!p.contains("Window"), "top-(k+1) rides the mergeable aggregator")
+    assert(!p.contains("Join"), "the fold is row-local after the one agg")
+  }
+
+  test("q263 PQ: codebook joins broadcast; no CartesianProduct anywhere") {
+    val p = plan("q263_pq_ann")
+    assert(!p.contains("CartesianProduct"),
+      "every codebook/query-table join must broadcast the model side")
+    assert(p.contains("BroadcastHashJoin"), "codebooks broadcast")
+  }
+
+  test("q266 mixture reweight: corpus agg feeds both consumers from one scan") {
+    val p = SparkEntry.queries("q266_mixture_reweight")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "the checkpointed domain frame must prevent a second corpus scan")
+  }
 }
