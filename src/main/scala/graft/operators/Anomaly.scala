@@ -797,6 +797,92 @@ object Anomaly {
           .otherwise(lit(null).cast("long")).as("ks_at"))
   }
 
+  /** Wasserstein-1 (earth-mover's) drift per group — each group's
+    * `valueCol` distribution against the REST of the corpus, as the
+    * INTEGRATED CDF gap W₁ = ∫|CDF_g(v) − CDF_rest(v)| dv. The
+    * complement to [[ksDrift]]'s supremum: KS sees the single worst
+    * point and saturates once one value diverges; W₁ weighs HOW MUCH
+    * mass moved HOW FAR, so "every doc got 10% longer" (small
+    * everywhere, wide) and "one length spiked" (tall, narrow) —
+    * indistinguishable to KS when their peaks match — score
+    * differently. `w1_micro` = 10⁶·W₁ in the units of `valueCol`
+    * (it is an integral over value, not a probability — divide by
+    * the value range upstream for a [0, 10⁶] normalization).
+    *
+    * Exact integers: over the global distinct-value spine, each
+    * step's gap is the cross-multiplied |cum_g·n_rest − cum_rest·n_g|
+    * in DECIMAL(38,0) times the width to the NEXT spine value, summed,
+    * with ONE division by n_g·n_rest at the end — no per-step rounding
+    * can bias the integral. The last spine point contributes nothing
+    * (both CDFs are 1 there) and is excluded via its NULL lead. Honest
+    * ceiling: the scaled area needs n·n_rest·range·10⁶ ≤ 10³⁸ —
+    * beyond it Spark's non-ANSI decimal overflow nulls fail-visibly
+    * (the [[ksDrift]] convention).
+    *
+    * NULL values are excluded from both CDFs but counted per group in
+    * `n_skipped`; NULL group keys are audited like any other group. A
+    * group that IS the whole corpus (n_rest = 0) emits NULL w1; a
+    * corpus with zero non-NULL values yields an empty audit.
+    *
+    * Scale shape: one corpus-sized (group, value) counter agg with
+    * map-side combine (materialized once for its three consumers);
+    * the spine is groups × distinct values — histogram granularity,
+    * the [[ksDrift]] score convention — and `binWidth` (default 1 =
+    * off) floor-quantizes values first so continuous / near-unique
+    * domains can't blow the broadcast spine (W₁ of the quantized
+    * distributions measures movement at `binWidth` resolution — the
+    * same stated tradeoff as ksDrift's). Output: one row per group —
+    * (groupCol, n, n_rest, n_skipped, w1_micro). */
+  def w1Drift(df: DataFrame, groupCol: String, valueCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    val base = df.select(col(groupCol).as("__g"),
+      quantize(col(valueCol).cast("long"), binWidth).as("__v"))
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+    // global spine with the corpus cumulative count AND the width to
+    // the next value — every group's integral walks the same spine
+    val vTot = hist.where(col("__v").isNotNull)
+      .groupBy("__v").agg(sum("__c").as("__tv"))
+      .withColumn("__cumAll",
+        sum("__tv").over(Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gap",
+        lead(col("__v"), 1).over(Window.orderBy("__v")) - col("__v"))
+    val nAll = vTot.agg(sum("__tv").as("__nn"))
+    val spine = gTot.join(broadcast(nAll))
+      .crossJoin(broadcast(vTot.select(col("__v"), col("__cumAll"),
+        col("__gap"))))
+    val hKeyed = hist.where(col("__v").isNotNull)
+      .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c"))
+    val steps = spine
+      .join(hKeyed,
+        col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")
+      .withColumn("__cumG",
+        sum(coalesce(col("__c"), lit(0L)))
+          .over(Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__g"), col("n"), col("n_skipped"),
+        (col("__nn") - col("n")).as("n_rest"),
+        (abs(col("__cumG").cast("decimal(38,0)") * (col("__nn") - col("n"))
+          - (col("__cumAll") - col("__cumG")).cast("decimal(38,0)")
+            * col("n"))
+          * coalesce(col("__gap"), lit(0L))).as("__a"))
+    steps.groupBy("__g")
+      .agg(max("n").as("n"), max("n_skipped").as("n_skipped"),
+        max("n_rest").as("n_rest"), sum("__a").as("__area"))
+      .select(col("__g").as(groupCol), col("n"), col("n_rest"),
+        col("n_skipped"),
+        when(col("n") > 0L && col("n_rest") > 0L,
+          expr("""CAST((__area * 1000000) DIV
+            | (CAST(n AS DECIMAL(38,0)) * n_rest) AS BIGINT)""".stripMargin))
+          .as("w1_micro"))
+  }
+
   /** Mann–Whitney U / Wilcoxon rank-sum test per group (Mann &
     * Whitney 1947), arm A vs arm B within each group — the
     * nonparametric "did the treatment shift the distribution?"

@@ -676,6 +676,61 @@ object Curation {
           .otherwise(lit(null).cast("long")).as("auc_micro"))
   }
 
+  /** Split-conformal calibration threshold per group (Vovk et al.
+    * 2005; Angelopoulos & Bates 2023 for the modern recipe) — from a
+    * held-out calibration set's nonconformity scores, the cutoff
+    * q̂ = the k-th smallest score with k = ⌈(n+1)(1−α)⌉, which
+    * guarantees ≥ 1−α coverage on exchangeable future rows with NO
+    * distributional assumption. The LLM-judge gating primitive: score
+    * docs by "how unlike the accepted set is this?", calibrate q̂ at
+    * α = 10%, and "score ≤ q̂" keeps ≥ 90% of good future docs —
+    * a guarantee a [[thresholdSweep]] argmin or a raw quantile
+    * ([[graft.operators.Anomaly.quantileCI]]) cannot make, because
+    * the +1 in k is exactly the finite-sample correction.
+    *
+    * Exact integers: α in MILLI, k = ((n+1)·(1000−α) + 999) DIV 1000
+    * (⌈·⌉ on a non-negative numerator — truncation = floor on both
+    * engines); q̂ = the smallest score whose cumulative count ≥ k on
+    * the per-group histogram. k > n (the calibration set is too
+    * small for the requested coverage) emits NULL q̂ — the guarantee
+    * cannot be made and a max-score fallback would hide that.
+    *
+    * NULL scores drop fail-visibly into `n_skipped` (an unscorable
+    * calibration row can't vote); NULL group keys are audited like
+    * any other group.
+    *
+    * Scale shape: ONE corpus-sized (group, score) counter agg with
+    * map-side combine; the cumulative walk runs per group on the
+    * histogram spine (integral bounded-cardinality scores — the
+    * [[graft.operators.Anomaly.ksDrift]] score convention;
+    * pre-bucket continuous scores upstream, which only makes q̂
+    * conservative). Output: one row per group — (groupCol, n,
+    * n_skipped, k, qhat). */
+  def conformalThreshold(df: DataFrame, groupCol: String, score: Column,
+      alphaMilli: Long = 100L): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      s"need alphaMilli in [1, 999], got $alphaMilli")
+    val hist = df.select(col(groupCol).as("__g"),
+        score.cast("long").as("__s"))
+      .groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__s").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__s").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+      .withColumn("k",
+        expr(s"((n + 1) * ${1000L - alphaMilli} + 999) DIV 1000"))
+    val cum = hist.where(col("__s").isNotNull)
+      .withColumn("__cum",
+        sum("__c").over(Window.partitionBy("__g").orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__g").as("__hg"), col("__s"), col("__cum"))
+    gTot.join(cum,
+        col("__g") <=> col("__hg") && col("__cum") >= col("k"), "left")
+      .groupBy(col("__g"), col("n"), col("n_skipped"), col("k"))
+      .agg(min("__s").as("qhat"))
+      .select(col("__g").as(groupCol), col("n"), col("n_skipped"),
+        col("k"), col("qhat"))
+  }
+
   /** Expected calibration error of a probabilistic quality gate — "when
     * the classifier says 700‰, is it right 70% of the time?" — the
     * audit that decides whether a score can be thresholded by
@@ -722,6 +777,89 @@ object Curation {
         max(expr("__gap DIV __n")).as("mce_micro"))
       .select(col(groupCol), col("n_docs"),
         expr("__gapsum DIV n_docs").as("ece_micro"), col("mce_micro"))
+  }
+
+  /** Brier score with the Murphy (1973) decomposition per group —
+    * the PROPER scoring companion to [[calibrationError]]: ECE
+    * measures only whether stated confidences match observed
+    * frequencies (a classifier that always says 500‰ on a balanced
+    * outcome has ECE 0 and is useless); the Brier score
+    * (1/n)·Σ(p − y)² also pays for NOT DISCRIMINATING, and the
+    * decomposition says where the loss comes from — reliability
+    * (miscalibration, binned like ECE), resolution (how much the
+    * bins separate outcomes — the discrimination ECE can't see),
+    * and uncertainty (the outcome's own base-rate variance, the
+    * floor no classifier beats without better features).
+    *
+    * Exact integers, confidences in MILLI (the engine's score
+    * convention), all in micro units of probability²:
+    *
+    *   brier_micro = (Σᵢ (cᵢ·10³ − yᵢ·10⁶)²)           DIV (n·10⁶)
+    *   rel_micro   = (Σ_b (Sp_b·10³ − Sy_b·10⁶)² DIV n_b) DIV (n·10⁶)
+    *   res_micro   = ((Σ_b (Sy_b·n − Sy·n_b)² DIV n_b)·10⁶) DIV n³
+    *   unc_micro   = (Sy·(n − Sy)·10⁶)                  DIV n²
+    *
+    * — DECIMAL(38,0) accumulation, one floor per bin plus one final
+    * floor, both floors on non-negative numerators so Spark's
+    * truncating DIV and DuckDB's flooring // agree. Brier =
+    * rel − res + unc holds exactly only when confidences are
+    * constant within a bin; with binWidth > 1 the identity is off by
+    * the within-bin confidence variance (and the per-bin floors) —
+    * the components are reported RAW, not reconciled. Honest
+    * ceiling: res's cross-multiplied square needs n⁴ ≤ 10³⁸
+    * (n ≈ 3·10⁹ rows per group; beyond it the non-ANSI decimal
+    * overflow nulls fail-visibly, the ksDrift convention).
+    *
+    * Fail-closed contract shared with [[calibrationError]]: NULL
+    * confidence/outcome rows and out-of-range confidences drop,
+    * visibly shrinking n_docs. A NULL group is its own group.
+    *
+    * Scale shape: one partial-agg shuffle to ≤ (groups × bins)
+    * counter rows carrying (n_b, Sp_b, Sy_b, Σ(c·10³ − y·10⁶)²);
+    * every component is a second agg over that tiny frame. Output:
+    * (groupCol, n_docs, brier_micro, rel_micro, res_micro,
+    * unc_micro). */
+  def brierDecomp(df: DataFrame, groupCol: String, confMilli: Column,
+      outcome: Column, binWidth: Long = 100L): DataFrame = {
+    require(binWidth >= 1 && binWidth <= 1000, "need 1 <= binWidth <= 1000")
+    val bins = df
+      .filter(confMilli.isNotNull && outcome.isNotNull &&
+        confMilli >= 0L && confMilli <= 1000L)
+      .select(col(groupCol), confMilli.cast("long").as("__c"),
+        when(outcome, 1L).otherwise(0L).as("__o"))
+      .groupBy(col(groupCol), expr(s"__c DIV ${binWidth}L").as("__bin"))
+      .agg(count(lit(1)).as("__n"), sum("__o").as("__pos"),
+        sum("__c").as("__cs"),
+        sum(expr("""CAST(__c * 1000 - __o * 1000000 AS DECIMAL(38,0))
+          | * (__c * 1000 - __o * 1000000)""".stripMargin)).as("__sq"))
+    bins.groupBy(col(groupCol))
+      .agg(sum("__n").as("n_docs"), sum("__pos").as("__sy"),
+        sum("__sq").as("__sqsum"),
+        sum(expr("""(CAST(__cs * 1000 - __pos * 1000000 AS DECIMAL(38,0))
+          | * (__cs * 1000 - __pos * 1000000)) DIV __n""".stripMargin))
+          .as("__relsum"))
+      // resolution needs Sy (the group total) inside the per-bin
+      // term, so it re-aggregates the bin frame against its own total
+      .join(
+        bins.groupBy(col(groupCol).as("__g2"))
+          .agg(sum("__n").as("__nn"), sum("__pos").as("__yy"))
+          .join(bins.select(col(groupCol).as("__g3"), col("__n"),
+            col("__pos")), col("__g2") <=> col("__g3"))
+          .groupBy("__g2")
+          .agg(sum(expr("""(CAST(__pos * __nn - __yy * __n AS DECIMAL(38,0))
+            | * (__pos * __nn - __yy * __n)) DIV __n""".stripMargin))
+            .as("__ressum")),
+        col(groupCol) <=> col("__g2"))
+      .select(col(groupCol), col("n_docs"),
+        expr("CAST(__sqsum DIV (CAST(n_docs AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_micro"),
+        expr("CAST(__relsum DIV (CAST(n_docs AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("rel_micro"),
+        expr("""CAST((__ressum * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0))
+          | * n_docs * n_docs) AS BIGINT)""".stripMargin).as("res_micro"),
+        expr("""CAST((CAST(__sy AS DECIMAL(38,0)) * (n_docs - __sy) * 1000000)
+          | DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""".stripMargin)
+          .as("unc_micro"))
   }
 
   /** Mutual information between two categorical fields — the

@@ -3921,7 +3921,63 @@ object Extensions {
     SimilaritySearch.rboAtK(cosine, dotRank, 10).orderBy("query_id")
   }
 
+  /** q280 — Wasserstein-1 drift per source
+    * ([[graft.operators.Anomaly.w1Drift]]): each source's bucketed
+    * length distribution against the rest as the INTEGRATED CDF gap —
+    * the "how much mass moved how far" companion to q236's KS
+    * supremum on the same fixture (a source can tie on KS and differ
+    * 10× on W₁). Exact cross-multiplied step areas, one division at
+    * the end, every 43rd doc NULL-valued to exercise fail-visible
+    * skipping. */
+  def q280W1Drift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.w1Drift(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 43 === 0, lit(null).cast("long"))
+            .otherwise(expr("n_chars DIV 16")).as("v")),
+      "source", "v")
+      .orderBy("source")
+
+  /** q281 — Brier score + Murphy decomposition per lang
+    * ([[Curation.brierDecomp]]) on q235's exact calibration fixture:
+    * the PROPER score beside ECE — reliability re-measures q235's
+    * gap, resolution reports the discrimination ECE can't see, and
+    * uncertainty the base-rate floor. Same fail-closed drops (every
+    * 37th doc NULL-confidence, every 41st out-of-range, NULL langs
+    * NULL-outcome). */
+  def q281Brier(spark: SparkSession, dir: String): DataFrame =
+    Curation.brierDecomp(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"),
+          col("doc_id"), col("n_chars"),
+          (col("lang") === "en").as("outcome")),
+      "lang",
+      when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+        .when(col("doc_id") % 41 === 0, lit(1500L))
+        .otherwise(pmod(col("n_chars") * 7L, lit(1001L))),
+      col("outcome"))
+      .orderBy("lang")
+
+  /** q282 — split-conformal calibration threshold per source
+    * ([[Curation.conformalThreshold]], α = 100‰): from each source's
+    * held-out nonconformity scores, the k = ⌈(n+1)·0.9⌉-th smallest
+    * score — the distribution-free 90%-coverage gate for future
+    * docs. Every 31st doc NULL-scored (fail-visible n_skipped);
+    * small sources exercise the k > n NULL-q̂ honesty path at
+    * sf0.001. */
+  def q282Conformal(spark: SparkSession, dir: String): DataFrame =
+    Curation.conformalThreshold(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 31 === 0, lit(null).cast("long"))
+            .otherwise(pmod(col("n_chars") * 13L, lit(997L))).as("s")),
+      "source", col("s"), alphaMilli = 100L)
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_conformal" -> (q282Conformal _),
+    "q281_brier" -> (q281Brier _),
+    "q280_w1_drift" -> (q280W1Drift _),
     "q279_rbo" -> (q279Rbo _),
     "q278_jackknife" -> (q278Jackknife _),
     "q277_eb_shrink" -> (q277EbShrink _),
@@ -4998,6 +5054,83 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q280_w1_drift" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v
+        |  FROM documents),
+        |gt AS (SELECT g, count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT AS n,
+        |    count(CASE WHEN v IS NULL THEN 1 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |vt AS (SELECT v, count(1)::BIGINT AS tv FROM base
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |vs AS (SELECT v,
+        |    sum(tv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_all,
+        |    lead(v) OVER (ORDER BY v) - v AS gap FROM vt),
+        |nn AS (SELECT sum(tv)::BIGINT AS nn FROM vt),
+        |hv AS (SELECT g, v, count(1)::BIGINT AS c FROM base
+        |  WHERE v IS NOT NULL GROUP BY g, v),
+        |steps AS (SELECT gt.g, gt.n, gt.n_skipped, nn.nn - gt.n AS n_rest,
+        |    vs.gap, vs.cum_all,
+        |    sum(coalesce(hv.c, 0)) OVER (PARTITION BY gt.g ORDER BY vs.v
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_g
+        |  FROM gt CROSS JOIN nn CROSS JOIN vs
+        |  LEFT JOIN hv ON hv.g = gt.g AND hv.v = vs.v),
+        |area AS (SELECT g, max(n) AS n, max(n_skipped) AS n_skipped,
+        |    max(n_rest) AS n_rest,
+        |    sum(abs(cum_g::HUGEINT * n_rest - (cum_all - cum_g)::HUGEINT * n)
+        |      * coalesce(gap, 0)) AS a
+        |  FROM steps GROUP BY g)
+        |SELECT g AS source, n::BIGINT AS n, n_rest::BIGINT AS n_rest,
+        |  n_skipped::BIGINT AS n_skipped,
+        |  CASE WHEN n > 0 AND n_rest > 0
+        |    THEN (a * 1000000) // (n::HUGEINT * n_rest) END::BIGINT AS w1_micro
+        |FROM area ORDER BY source""".stripMargin),
+    "q281_brier" ->
+      ("""WITH base AS (SELECT coalesce(lang, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |      WHEN doc_id % 41 = 0 THEN 1500
+        |      ELSE (n_chars * 7) % 1001 END AS c,
+        |    CASE WHEN lang IS NULL THEN NULL
+        |      WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents),
+        |f AS (SELECT g, c, o FROM base
+        |  WHERE c IS NOT NULL AND o IS NOT NULL AND c BETWEEN 0 AND 1000),
+        |b AS (SELECT g, c // 100 AS bin, count(1)::HUGEINT AS nb,
+        |    sum(o)::HUGEINT AS pos, sum(c)::HUGEINT AS cs,
+        |    sum((c::HUGEINT * 1000 - o::HUGEINT * 1000000)
+        |      * (c::HUGEINT * 1000 - o::HUGEINT * 1000000)) AS sq
+        |  FROM f GROUP BY 1, 2),
+        |g2 AS (SELECT g, sum(nb) AS n, sum(pos) AS sy, sum(sq) AS sqsum,
+        |    sum(((cs * 1000 - pos * 1000000) * (cs * 1000 - pos * 1000000))
+        |      // nb) AS relsum
+        |  FROM b GROUP BY g),
+        |r AS (SELECT b.g, sum(((b.pos * g2.n - g2.sy * b.nb)
+        |      * (b.pos * g2.n - g2.sy * b.nb)) // b.nb) AS ressum
+        |  FROM b JOIN g2 ON g2.g = b.g GROUP BY b.g)
+        |SELECT g2.g AS lang, g2.n::BIGINT AS n_docs,
+        |  (g2.sqsum // (g2.n * 1000000))::BIGINT AS brier_micro,
+        |  (g2.relsum // (g2.n * 1000000))::BIGINT AS rel_micro,
+        |  ((r.ressum * 1000000) // (g2.n * g2.n * g2.n))::BIGINT AS res_micro,
+        |  ((g2.sy * (g2.n - g2.sy) * 1000000) // (g2.n * g2.n))::BIGINT AS unc_micro
+        |FROM g2 JOIN r ON r.g = g2.g ORDER BY lang""".stripMargin),
+    "q282_conformal" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 31 = 0 THEN NULL
+        |      ELSE (n_chars * 13) % 997 END AS s
+        |  FROM documents),
+        |gt AS (SELECT g, count(CASE WHEN s IS NOT NULL THEN 1 END)::BIGINT AS n,
+        |    count(CASE WHEN s IS NULL THEN 1 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |kk AS (SELECT g, n, n_skipped,
+        |    (((n + 1) * 900 + 999) // 1000)::BIGINT AS k FROM gt),
+        |cum AS (SELECT g, s, sum(count(1)) OVER (PARTITION BY g ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM base WHERE s IS NOT NULL GROUP BY g, s)
+        |SELECT kk.g AS source, kk.n, kk.n_skipped, kk.k,
+        |  min(CASE WHEN cum.cum >= kk.k THEN cum.s END)::BIGINT AS qhat
+        |FROM kk LEFT JOIN cum ON cum.g = kk.g
+        |GROUP BY kk.g, kk.n, kk.n_skipped, kk.k
+        |ORDER BY source""".stripMargin),
     "q259_mann_whitney" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 37 = 0 THEN NULL

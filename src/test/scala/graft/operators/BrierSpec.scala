@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.brierDecomp]]: hand-computed components, the
+  * calibrated-but-useless vs discriminating separation ECE can't
+  * make, the Murphy identity on constant-confidence bins, and the
+  * calibrationError fail-closed drop contract. */
+class BrierSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)],
+      width: Long = 100L): Map[String, (Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Curation.brierDecomp(rows.toDF("g", "c", "o"), "g", col("c"),
+        col("o"), width).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  private def jl(x: Long): java.lang.Long = Long.box(x)
+  private def jb(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("a perfect confident classifier scores zero everywhere but unc") {
+    val got = run(Seq(("g", jl(1000L), jb(true)), ("g", jl(1000L), jb(true))))
+    assert(got("g") == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("always-500 on a balanced outcome: calibrated (rel 0) but useless (res 0)") {
+    // ECE of this classifier is 0 — Brier charges it the full base
+    // rate: brier = unc = 0.25, rel = res = 0.
+    val got = run(Seq(("g", jl(500L), jb(true)), ("g", jl(500L), jb(false))))
+    assert(got("g") == ((2L, 250000L, 0L, 0L, 250000L)))
+  }
+
+  test("a discriminating classifier earns its resolution") {
+    // conf 1000/true + conf 0/false: brier 0; res = unc = 0.25 —
+    // the discrimination the always-500 classifier lacks.
+    val got = run(Seq(("g", jl(1000L), jb(true)), ("g", jl(0L), jb(false))))
+    assert(got("g") == ((2L, 0L, 0L, 250000L, 250000L)))
+  }
+
+  test("confident-but-wrong is pure reliability loss") {
+    // one doc, conf 1000, outcome false: brier = rel = 1, res = unc = 0
+    val got = run(Seq(("g", jl(1000L), jb(false))))
+    assert(got("g") == ((1L, 1000000L, 1000000L, 0L, 0L)))
+  }
+
+  test("Murphy identity holds exactly on constant-confidence bins") {
+    // binWidth 1 -> every bin holds one confidence value; pick counts
+    // where all the DIVs are exact so brier == rel - res + unc.
+    val rows = Seq.fill(2)(("g", jl(750L), jb(true))) ++
+      Seq.fill(2)(("g", jl(750L), jb(false))) ++
+      Seq.fill(4)(("g", jl(250L), jb(true))) ++
+      Seq.fill(4)(("g", jl(250L), jb(false)))
+    val (n, brier, rel, res, unc) = run(rows, width = 1L)("g")
+    assert(n == 12L)
+    assert(brier == rel - res + unc,
+      s"brier $brier != rel $rel - res $res + unc $unc")
+  }
+
+  test("NULL / out-of-range rows drop fail-closed, shrinking n_docs") {
+    val got = run(Seq(("g", jl(500L), jb(true)), ("g", jl(500L), jb(false)),
+      ("g", null, jb(true)), ("g", jl(500L), null), ("g", jl(1500L), jb(true)),
+      ("g", jl(-1L), jb(false))))
+    assert(got("g")._1 == 2L)
+    assert(got("g")._2 == 250000L)
+  }
+
+  test("groups decompose independently") {
+    val got = run(Seq(("a", jl(1000L), jb(true)), ("b", jl(1000L), jb(false))))
+    assert(got("a")._2 == 0L && got("b")._2 == 1000000L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.conformalThreshold]]: the ⌈(n+1)(1−α)⌉ finite-sample
+  * correction, the k > n NULL-q̂ honesty path, tie handling on the
+  * histogram, fail-visible NULL skipping, and the order-statistic
+  * brute-force check. */
+class ConformalSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)], alpha: Long = 100L) = {
+    import spark.implicits._
+    Curation.conformalThreshold(rows.toDF("g", "s"), "g", col("s"), alpha)
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("k = ceil((n+1)(1-alpha)): 9 scores at alpha 10% need the 9th") {
+    val got = run((1L to 9L).map(i => "g" -> L(i)))
+    assert(got("g") == ((9L, 0L, 9L, 9L)))
+  }
+
+  test("19 scores at alpha 10%: k = 18, qhat = the 18th smallest") {
+    val got = run((1L to 19L).map(i => "g" -> L(i)))
+    assert(got("g") == ((19L, 0L, 18L, 18L)))
+  }
+
+  test("k > n: too few calibration rows emits NULL qhat, not max-score") {
+    val got = run((1L to 5L).map(i => "g" -> L(i)))
+    assert(got("g") == ((5L, 0L, 6L, Long.MinValue)))
+  }
+
+  test("ties: qhat is the smallest score whose cumulative count reaches k") {
+    // [1,1,1,7] at alpha 50%: k = ceil(5*0.5) = 3; cum at 1 is 3 -> qhat 1
+    val got = run(Seq("g" -> L(1), "g" -> L(1), "g" -> L(1), "g" -> L(7)),
+      alpha = 500L)
+    assert(got("g") == ((4L, 0L, 3L, 1L)))
+  }
+
+  test("NULL scores are skipped fail-visibly and do not shift k") {
+    val got = run((1L to 9L).map(i => "g" -> L(i)) ++
+      Seq("g" -> null, "g" -> null))
+    assert(got("g") == ((9L, 2L, 9L, 9L)))
+  }
+
+  test("a NULL group key is audited like any other group") {
+    val got = run(Seq(null.asInstanceOf[String] -> L(3)), alpha = 500L)
+    // n=1: k = ceil(2*0.5) = 1 -> qhat 3
+    assert(got("<null>") == ((1L, 0L, 1L, 3L)))
+  }
+
+  test("brute-force order statistic on a seeded corpus, two alphas") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(_ => s"g${rnd.nextInt(3)}" -> L(rnd.nextInt(50).toLong))
+    for (alpha <- Seq(50L, 200L)) {
+      val got = run(rows, alpha)
+      for ((g, rs) <- rows.groupBy(_._1)) {
+        val sorted = rs.map(_._2.longValue()).sorted
+        val n = sorted.size.toLong
+        val k = ((n + 1) * (1000 - alpha) + 999) / 1000
+        val expect = if (k > n) Long.MinValue else sorted((k - 1).toInt)
+        assert(got(g) == ((n, 0L, k, expect)), s"group $g alpha $alpha")
+      }
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.w1Drift]]: hand-computed transport costs, the
+  * KS-vs-W1 separation (same supremum, different integral),
+  * fail-visible NULL skipping, the single-group NULL, binWidth
+  * equivalence, and a brute-force equivalence sweep. */
+class W1DriftSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.w1Drift(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("point masses 2 apart transport at cost 2") {
+    // a: [0,0]  b: [2,2] — all of a's mass moves distance 2
+    val got = run(Seq("a" -> L(0), "a" -> L(0), "b" -> L(2), "b" -> L(2)))
+    assert(got("a") == ((2L, 2L, 0L, 2000000L)))
+    assert(got("b") == ((2L, 2L, 0L, 2000000L)))
+  }
+
+  test("hand-computed integral: spread vs point mass") {
+    // a: [0,10]  b: [5,5]: spine 0(gap 5), 5(gap 5), 10(last).
+    // v=0: |1*2-0*2|*5 = 10; v=5: |1*2-2*2|*5 = 10 -> area 20
+    // w1 = 20e6/(2*2) = 5e6 (each half of a moves distance 5)
+    val got = run(Seq("a" -> L(0), "a" -> L(10), "b" -> L(5), "b" -> L(5)))
+    assert(got("a")._4 == 5000000L)
+  }
+
+  test("W1 separates what KS ties: same supremum, different area") {
+    // Both x-vs-rest cases have KS supremum 1 (disjoint supports),
+    // but the mass moves 1 step in the first corpus and 9 in the
+    // second — KS ties them, W1 charges the distance.
+    val near = run(Seq("x" -> L(0), "x" -> L(0), "y" -> L(1), "y" -> L(1)))
+    val far = run(Seq("x" -> L(0), "x" -> L(0), "y" -> L(9), "y" -> L(9)))
+    assert(near("x")._4 == 1000000L && far("x")._4 == 9000000L)
+    val ksNear = Anomaly.ksDrift(
+      { import spark.implicits._
+        Seq(("x", 0L), ("x", 0L), ("y", 1L), ("y", 1L)).toDF("g", "v") },
+      "g", "v").filter(col("g") === "x").head().getLong(4)
+    val ksFar = Anomaly.ksDrift(
+      { import spark.implicits._
+        Seq(("x", 0L), ("x", 0L), ("y", 9L), ("y", 9L)).toDF("g", "v") },
+      "g", "v").filter(col("g") === "x").head().getLong(4)
+    assert(ksNear == ksFar)
+  }
+
+  test("identical distributions -> w1 = 0") {
+    val got = run(Seq("a" -> L(5), "a" -> L(7), "b" -> L(5), "b" -> L(7)))
+    assert(got("a")._4 == 0L && got("b")._4 == 0L)
+  }
+
+  test("NULL values are skipped fail-visibly, not silently dropped") {
+    val got = run(Seq("a" -> L(1), "a" -> null, "a" -> null,
+      "b" -> L(3), "b" -> L(3)))
+    // a's one point vs b's two: v=1 gap 2: |1*2-0*1|*2 = 4 -> 4e6/2 = 2e6
+    assert(got("a") == ((1L, 2L, 2L, 2000000L)))
+    assert(got("b")._3 == 0L)
+  }
+
+  test("a NULL group key is audited like any other group") {
+    val got = run(Seq(null.asInstanceOf[String] -> L(0), "b" -> L(4)))
+    assert(got("<null>") == ((1L, 1L, 0L, 4000000L)))
+  }
+
+  test("single group (n_rest = 0) emits NULL w1, never a fake 0") {
+    val got = run(Seq("only" -> L(1), "only" -> L(2)))
+    assert(got("only")._4 == -1L)
+  }
+
+  test("binWidth quantizes a wide domain to a bounded spine, exactly") {
+    val df = spark.range(100000L)
+      .select(when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+        (col("id") * 7L - 350000L).as("v"))
+    val w = 1000L
+    val viaParam = Anomaly.w1Drift(df, "g", "v", binWidth = w)
+    val upstream = Anomaly.w1Drift(
+      df.select(col("g"), (col("v") - pmod(col("v"), lit(w))).as("v")),
+      "g", "v")
+    assert(viaParam.orderBy("g").collect().toSeq ==
+      upstream.orderBy("g").collect().toSeq)
+  }
+
+  test("brute-force equivalence on a seeded skewed corpus") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 600).map { i =>
+      val g = s"g${rnd.nextInt(3)}"
+      val v = if (g == "g0") rnd.nextInt(12).toLong
+              else (rnd.nextInt(30) + (if (g == "g2") 8 else 0)).toLong
+      (g, L(v))
+    }
+    val got = run(rows)
+    val all = rows.map(_._2.longValue())
+    val spine = all.distinct.sorted
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val mine = rs.map(_._2.longValue())
+      val rest = all.diff(mine)
+      val area = spine.zip(spine.tail).map { case (v, nxt) =>
+        val cg = mine.count(_ <= v).toLong
+        val cr = rest.count(_ <= v).toLong
+        (BigInt(cg) * rest.size - BigInt(cr) * mine.size).abs * (nxt - v)
+      }.sum
+      val w1 = (area * 1000000 / (BigInt(mine.size) * rest.size)).toLong
+      assert(got(g) == ((mine.size.toLong, rest.size.toLong, 0L, w1)),
+        s"group $g")
+    }
+  }
+}
