@@ -883,6 +883,85 @@ object Anomaly {
           .as("w1_micro"))
   }
 
+  /** Population Stability Index per group against a FROZEN reference
+    * histogram (the credit-risk monitoring standard; Siddiqi 2006) —
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), the symmetrized-KL-shaped
+    * drift number ops teams threshold by folklore (< 0.1 stable,
+    * 0.1–0.25 watch, > 0.25 act). Beside [[ksAgainstReference]]
+    * (supremum) and [[w1Drift]] (transport): PSI is the one that
+    * weights BOTH tails multiplicatively, so a bin going 1% → 0.1%
+    * alarms as loudly as 10% → 1%.
+    *
+    * Determinism: Laplace +1 smoothing on BOTH sides over the UNION
+    * value spine (an empty bin on either side would otherwise put
+    * ±∞ in the sum — the [[graft.operators.Importance.klDrift]]
+    * convention), every per-bin term evaluated as the IDENTICAL
+    * double expression on both engines and rounded to micro BEFORE
+    * the sum (the q118/q119 parity discipline). Terms are ≥ 0 by
+    * sign-sharing ((p−q) and ln(p/q) flip together), so the rounded
+    * sum cannot go negative.
+    *
+    * `reference` is (value, weight) rows — broadcast-small by
+    * contract (a reference is a sample or a spec, never a corpus);
+    * non-positive/NULL reference rows drop. Live NULLs count in
+    * `n_skipped`; NULL group keys are audited. A group with no live
+    * values, or an empty reference, emits NULL psi — 0 would read as
+    * "stable".
+    *
+    * Scale shape: ONE corpus-sized (group, value) counter agg
+    * (materialized once); the union spine and per-group terms live
+    * on bounded frames (integral bounded-cardinality values — the
+    * [[ksDrift]] score convention; `binWidth`, default 1 = off,
+    * floor-quantizes live AND reference first for continuous
+    * domains). Output: (groupCol, n, n_skipped, n_bins, psi_micro). */
+  def psiAgainstReference(df: DataFrame, groupCol: String, valueCol: String,
+      reference: DataFrame,
+      checkpointer: Checkpointer = Checkpointer.Local,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    val ref = reference.select(
+        quantize(col("value").cast("long"), binWidth).as("__rv"),
+        col("weight").cast("long").as("__rw"))
+      .where(col("__rv").isNotNull && col("__rw") > 0L)
+      .groupBy("__rv").agg(sum("__rw").as("__rw"))
+    val wRef = ref.agg(coalesce(sum("__rw"), lit(0L)).as("__wr"))
+    val base = df.select(col(groupCol).as("__g"),
+      quantize(col(valueCol).cast("long"), binWidth).as("__v"))
+    val hist = checkpointer(
+      base.groupBy("__g", "__v").agg(count(lit(1)).as("__c")))
+    val gTot = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
+      sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
+    // union spine with the reference count carried to every value;
+    // bins = |spine| enters both smoothing denominators
+    val spine = hist.where(col("__v").isNotNull).select(col("__v"))
+      .union(ref.select(col("__rv"))).distinct()
+      .join(ref, col("__v") === col("__rv"), "left")
+      .select(col("__v"), coalesce(col("__rw"), lit(0L)).as("__r"))
+    val nBins = spine.agg(count(lit(1)).as("n_bins"))
+    val terms = gTot.join(broadcast(wRef)).join(broadcast(nBins))
+      .crossJoin(broadcast(spine))
+      .join(hist.where(col("__v").isNotNull)
+          .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c")),
+        col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")
+      .select(col("__g"), col("n"), col("n_skipped"), col("n_bins"),
+        col("__wr"),
+        expr("""CAST(round(
+          | (CAST(coalesce(__c, 0L) + 1 AS DOUBLE) / CAST(n + n_bins AS DOUBLE)
+          |   - CAST(__r + 1 AS DOUBLE) / CAST(__wr + n_bins AS DOUBLE))
+          | * ln((CAST(coalesce(__c, 0L) + 1 AS DOUBLE) * CAST(__wr + n_bins AS DOUBLE))
+          |     / (CAST(__r + 1 AS DOUBLE) * CAST(n + n_bins AS DOUBLE)))
+          | * 1000000) AS BIGINT)""".stripMargin).as("__t"))
+    terms.groupBy("__g")
+      .agg(max("n").as("n"), max("n_skipped").as("n_skipped"),
+        max("n_bins").as("n_bins"), max("__wr").as("__wr"),
+        sum("__t").as("__psi"))
+      .select(col("__g").as(groupCol), col("n"), col("n_skipped"),
+        col("n_bins"),
+        when(col("n") > 0L && col("__wr") > 0L, col("__psi"))
+          .as("psi_micro"))
+  }
+
   /** Mann–Whitney U / Wilcoxon rank-sum test per group (Mann &
     * Whitney 1947), arm A vs arm B within each group — the
     * nonparametric "did the treatment shift the distribution?"

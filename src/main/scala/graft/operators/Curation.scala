@@ -1097,6 +1097,81 @@ object Curation {
           expr("(pbar_micro - pe_micro) * 1000000 DIV (1000000 - pe_micro)")))
   }
 
+  /** Krippendorff's α for nominal data (Krippendorff 2004) — the
+    * MISSING-TOLERANT agreement coefficient: [[fleissKappa]] demands
+    * exactly m ratings per unit and excludes violators; α is DEFINED
+    * on ragged panels (unit A rated by 3 judges, unit B by 2, unit C
+    * skipped), which is what real LLM-judge fleets produce once
+    * timeouts and refusals land. Computed on the coincidence matrix:
+    * each pairable unit contributes its ordered rating pairs weighted
+    * 1/(m_u − 1), and α = 1 − D_o/D_e with D_e the chance
+    * disagreement from the pooled category margins.
+    *
+    * Integer discipline: per unit the ordered disagreeing pairs are
+    * d_u = m_u(m_u−1) − Σ_c c(c−1) (exact), and the unit's
+    * contribution d_u/(m_u−1) is floored at NANO (one floor per
+    * unit — the per-term parity convention; both engines floor the
+    * same non-negative numerator). D_e = (n² − Σ_c n_c²)/(n−1) floors
+    * once at nano. alpha_micro = 10⁶ − (do_nano·10⁶) DIV de_nano —
+    * both operands ≥ 0 so truncation = floor on both engines (α
+    * itself may still come out negative: systematic disagreement).
+    *
+    * Fail-visible contract: NULL categories are missing ratings —
+    * counted in `n_missing`, never a category (a judge that timed out
+    * did not vote "null"); units left with exactly ONE rating cannot
+    * pair and are counted in `n_unpairable` (a unit whose ratings
+    * were ALL missing has nothing to count — its absence is visible
+    * through `n_missing`). All ratings one category (D_e = 0) →
+    * NULL α, never 0/0.
+    *
+    * Scale shape: ONE corpus-sized (unit, category) counter agg
+    * (materialized once); per-unit sums, the pairable split, and the
+    * margins all read those blocks; the statistics are scalar
+    * aggregates. Output: one row — (n_units, n_unpairable,
+    * n_ratings, n_missing, do_nano, de_nano, alpha_micro). */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+      categoryCol: String,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = ratings.select(col(unitCol).as("__u"),
+      col(categoryCol).as("__c"))
+    val missing = base
+      .agg(coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_missing"))
+    val cells = checkpointer(base.where(col("__c").isNotNull)
+      .groupBy("__u", "__c").agg(count(lit(1)).as("__n")))
+    val perUnit = cells.groupBy("__u")
+      .agg(sum("__n").as("__mu"), sum(expr("__n * __n")).as("__s2"))
+    val pairable = perUnit.where(col("__mu") >= 2L)
+    val unpairable = perUnit.where(col("__mu") < 2L)
+      .agg(count(lit(1)).as("n_unpairable"))
+    val doAgg = pairable.agg(count(lit(1)).as("n_units"),
+      coalesce(sum("__mu"), lit(0L)).as("n_ratings"),
+      coalesce(sum(expr(
+        """CAST(__mu * (__mu - 1) - (__s2 - __mu) AS DECIMAL(38,0))
+          | * 1000000000 DIV (__mu - 1)""".stripMargin)),
+        lit(0L).cast("decimal(38,0)")).as("__do"))
+    val margins = cells
+      .join(pairable.select(col("__u").as("__pu")),
+        col("__u") <=> col("__pu"), "left_semi")
+      .groupBy("__c").agg(sum("__n").as("__tc"))
+      .agg(coalesce(sum(expr("CAST(__tc AS DECIMAL(38,0)) * __tc")),
+        lit(0L).cast("decimal(38,0)")).as("__T2"))
+    doAgg.crossJoin(broadcast(margins)).crossJoin(broadcast(unpairable))
+      .crossJoin(broadcast(missing))
+      .withColumn("do_nano", expr("CAST(__do AS BIGINT)"))
+      .withColumn("de_nano",
+        when(col("n_ratings") >= 2L, expr(
+          """CAST((CAST(n_ratings AS DECIMAL(38,0)) * n_ratings - __T2)
+            | * 1000000000 DIV (n_ratings - 1) AS BIGINT)""".stripMargin)))
+      .withColumn("alpha_micro",
+        when(col("de_nano") > 0L, expr(
+          """1000000 - CAST(CAST(do_nano AS DECIMAL(38,0)) * 1000000
+            | DIV de_nano AS BIGINT)""".stripMargin)))
+      .select(col("n_units"), col("n_unpairable"), col("n_ratings"),
+        col("n_missing"), col("do_nano"), col("de_nano"),
+        col("alpha_micro"))
+  }
+
   /** Gini concentration of weight mass across categories — "is my
     * mixture dominated by one crawl?" as one number (0 = perfectly
     * even, → 1 = one category holds everything), plus the top

@@ -3974,7 +3974,50 @@ object Extensions {
       "source", col("s"), alphaMilli = 100L)
       .orderBy("source")
 
+  /** q283 — Population Stability Index per source against a frozen
+    * reference ([[graft.operators.Anomaly.psiAgainstReference]]) on
+    * q257's exact fixture (even docs = the blessed lengths, odd docs
+    * live per source): the thresholdable drift number beside q257's
+    * KS supremum and q280's transport cost — Laplace-smoothed union
+    * spine, per-bin micro rounding, every 43rd live doc NULL
+    * (fail-visible). */
+  def q283Psi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val ref = d.filter(col("doc_id") % 2 === 0)
+      .select(expr("n_chars DIV 16").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("weight"))
+    graft.operators.Anomaly.psiAgainstReference(
+      d.filter(col("doc_id") % 2 === 1)
+        .select(coalesce(col("source"), lit("")).as("source"),
+          when(col("doc_id") % 43 === 0, lit(null).cast("long"))
+            .otherwise(expr("n_chars DIV 16")).as("v")),
+      "source", "v", ref)
+      .orderBy("source")
+  }
+
+  /** q284 — Krippendorff's α over a ragged three-judge panel
+    * ([[Curation.krippendorffAlpha]]): judge 2 times out on every
+    * 13th doc and dissents on every 5th, judge 3 on every 7th/11th —
+    * the missing-tolerant agreement number q247's Fleiss κ (fixed
+    * panel) refuses to compute; docs losing both fallible judges
+    * exercise the unpairable path. */
+  def q284Krippendorff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    def j(mNull: Int, mFlip: Int, shift: Int) = d.select(
+      col("doc_id").as("u"),
+      when(col("doc_id") % mNull === 0, lit(null).cast("string"))
+        .when(col("doc_id") % mFlip === 0,
+          pmod(col("n_chars") + shift, lit(3)).cast("string"))
+        .otherwise(pmod(col("n_chars"), lit(3)).cast("string")).as("c"))
+    val j1 = d.select(col("doc_id").as("u"),
+      pmod(col("n_chars"), lit(3)).cast("string").as("c"))
+    Curation.krippendorffAlpha(j1.union(j(13, 5, 1)).union(j(7, 11, 2)),
+      "u", "c")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_krippendorff" -> (q284Krippendorff _),
+    "q283_psi" -> (q283Psi _),
     "q282_conformal" -> (q282Conformal _),
     "q281_brier" -> (q281Brier _),
     "q280_w1_drift" -> (q280W1Drift _),
@@ -5054,6 +5097,75 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q283_psi" ->
+      ("""WITH ref AS (SELECT n_chars // 16 AS rv, count(1)::BIGINT AS rw
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY rv),
+        |wr AS (SELECT coalesce(sum(rw), 0)::BIGINT AS wr FROM ref),
+        |base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |gt AS (SELECT g, count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT AS n,
+        |    count(CASE WHEN v IS NULL THEN 1 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |uv AS (SELECT DISTINCT v FROM (SELECT v FROM base WHERE v IS NOT NULL
+        |    UNION ALL SELECT rv FROM ref) iu),
+        |sp AS (SELECT uv.v, coalesce(ref.rw, 0)::BIGINT AS r
+        |  FROM uv LEFT JOIN ref ON ref.rv = uv.v),
+        |nb AS (SELECT count(1)::BIGINT AS n_bins FROM sp),
+        |hv AS (SELECT g, v, count(1)::BIGINT AS c FROM base
+        |  WHERE v IS NOT NULL GROUP BY g, v),
+        |terms AS (SELECT gt.g, gt.n, gt.n_skipped, nb.n_bins, wr.wr,
+        |    CAST(round(
+        |      (CAST(coalesce(hv.c, 0) + 1 AS DOUBLE) / CAST(gt.n + nb.n_bins AS DOUBLE)
+        |        - CAST(sp.r + 1 AS DOUBLE) / CAST(wr.wr + nb.n_bins AS DOUBLE))
+        |      * ln((CAST(coalesce(hv.c, 0) + 1 AS DOUBLE) * CAST(wr.wr + nb.n_bins AS DOUBLE))
+        |          / (CAST(sp.r + 1 AS DOUBLE) * CAST(gt.n + nb.n_bins AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS t
+        |  FROM gt CROSS JOIN wr CROSS JOIN nb CROSS JOIN sp
+        |  LEFT JOIN hv ON hv.g = gt.g AND hv.v = sp.v)
+        |SELECT g AS source, max(n)::BIGINT AS n,
+        |  max(n_skipped)::BIGINT AS n_skipped, max(n_bins)::BIGINT AS n_bins,
+        |  CASE WHEN max(n) > 0 AND max(wr) > 0
+        |    THEN sum(t) END::BIGINT AS psi_micro
+        |FROM terms GROUP BY g ORDER BY source""".stripMargin),
+    "q284_krippendorff" ->
+      ("""WITH r AS (
+        |  SELECT doc_id AS u, CAST(n_chars % 3 AS VARCHAR) AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL
+        |      WHEN doc_id % 5 = 0 THEN CAST((n_chars + 1) % 3 AS VARCHAR)
+        |      ELSE CAST(n_chars % 3 AS VARCHAR) END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      WHEN doc_id % 11 = 0 THEN CAST((n_chars + 2) % 3 AS VARCHAR)
+        |      ELSE CAST(n_chars % 3 AS VARCHAR) END FROM documents),
+        |miss AS (SELECT count(CASE WHEN c IS NULL THEN 1 END)::BIGINT AS n_missing
+        |  FROM r),
+        |cells AS (SELECT u, c, count(1)::BIGINT AS n FROM r
+        |  WHERE c IS NOT NULL GROUP BY u, c),
+        |pu AS (SELECT u, sum(n)::BIGINT AS mu, sum(n * n)::BIGINT AS s2
+        |  FROM cells GROUP BY u),
+        |pair AS (SELECT * FROM pu WHERE mu >= 2),
+        |unp AS (SELECT count(CASE WHEN mu < 2 THEN 1 END)::BIGINT AS n_unpairable
+        |  FROM pu),
+        |da AS (SELECT count(1)::BIGINT AS n_units,
+        |    coalesce(sum(mu), 0)::BIGINT AS n_ratings,
+        |    coalesce(sum((CAST(mu * (mu - 1) - (s2 - mu) AS HUGEINT)
+        |      * 1000000000) // (mu - 1)), 0) AS do_h
+        |  FROM pair),
+        |mg AS (SELECT coalesce(sum(tc::HUGEINT * tc), 0) AS t2 FROM
+        |  (SELECT c, sum(n)::BIGINT AS tc FROM cells
+        |   WHERE u IN (SELECT u FROM pair) GROUP BY c) m),
+        |de AS (SELECT CASE WHEN da.n_ratings >= 2 THEN
+        |    ((da.n_ratings::HUGEINT * da.n_ratings - mg.t2) * 1000000000)
+        |      // (da.n_ratings - 1) END AS de_h
+        |  FROM da CROSS JOIN mg)
+        |SELECT da.n_units, unp.n_unpairable, da.n_ratings, miss.n_missing,
+        |  da.do_h::BIGINT AS do_nano, de.de_h::BIGINT AS de_nano,
+        |  CASE WHEN de.de_h > 0
+        |    THEN 1000000 - (da.do_h * 1000000) // de.de_h
+        |  END::BIGINT AS alpha_micro
+        |FROM da CROSS JOIN unp CROSS JOIN miss CROSS JOIN de""".stripMargin),
     "q280_w1_drift" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 43 = 0 THEN NULL ELSE n_chars // 16 END AS v

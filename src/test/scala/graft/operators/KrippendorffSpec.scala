@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.krippendorffAlpha]]: perfect agreement, the −0.5
+  * two-unit systematic-disagreement classic, missing-rating and
+  * unpairable-unit accounting, the De = 0 NULL path, ragged panels,
+  * and a brute-force integer-arithmetic replica. */
+class KrippendorffSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val r = Curation.krippendorffAlpha(rows.toDF("u", "c"), "u", "c")
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+      if (r.isNullAt(6)) Long.MinValue else r.getLong(6))
+  }
+
+  test("perfect agreement across distinct categories -> alpha = 1") {
+    val got = run(Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b",
+      3L -> "c", 3L -> "c"))
+    assert(got._1 == 3L && got._5 == 0L)
+    assert(got._7 == 1000000L)
+  }
+
+  test("two units of pure disagreement -> alpha = -0.5 (the textbook case)") {
+    // each unit (a,b): d_u = 2, contribution 2e9; Do = 4e9
+    // n = 4, T2 = 8: De = (16-8)*1e9/3 = 2666666666
+    // alpha = 1e6 - 4e9*1e6 DIV 2666666666 = 1e6 - 1500000 = -500000
+    val got = run(Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b"))
+    assert(got._5 == 4000000000L)
+    assert(got._6 == 2666666666L)
+    assert(got._7 == -500000L)
+  }
+
+  test("all ratings one category (De = 0) -> NULL alpha, never 0/0") {
+    val got = run(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "a"))
+    assert(got._6 == 0L && got._7 == Long.MinValue)
+  }
+
+  test("NULL categories are missing ratings, counted and excluded") {
+    val got = run(Seq(1L -> "a", 1L -> "a", 1L -> null,
+      2L -> "b", 2L -> "b"))
+    assert(got._4 == 1L)
+    assert(got._3 == 4L)
+    assert(got._7 == 1000000L)
+  }
+
+  test("units left with one rating are unpairable; all-missing units vanish") {
+    val got = run(Seq(1L -> "a", 1L -> "a", 2L -> "b", 3L -> null))
+    // unit 2 keeps one rating -> unpairable; unit 3's only rating was
+    // missing -> it has nothing to count (visible via n_missing)
+    assert(got._2 == 1L)
+    assert(got._1 == 1L && got._3 == 2L && got._4 == 1L)
+  }
+
+  test("ragged panels: a 3-rater unit weighs its pairs by 1/(m-1)") {
+    // unit 1: (a,a,b) m=3: d = 3*2 - (2*1) = 4 -> 4e9/2 = 2e9
+    // unit 2: (a,a)        d = 0
+    // Do = 2e9; n = 5, margins a=4,b=1 -> T2 = 17
+    // De = (25-17)*1e9/4 = 2e9 -> alpha = 1e6 - 1e6 = 0
+    val got = run(Seq(1L -> "a", 1L -> "a", 1L -> "b", 2L -> "a", 2L -> "a"))
+    assert(got._5 == 2000000000L && got._6 == 2000000000L)
+    assert(got._7 == 0L)
+  }
+
+  test("brute-force integer replica on a seeded ragged panel") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 120L).flatMap { u =>
+      val m = 1 + rnd.nextInt(4)
+      (1 to m).map { _ =>
+        u -> (if (rnd.nextInt(9) == 0) null
+              else s"c${rnd.nextInt(3)}")
+      }
+    }
+    val got = run(rows)
+    val present = rows.filter(_._2 != null)
+    val byU = present.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairable = byU.filter(_._2.size >= 2)
+    val doN = pairable.values.map { vs =>
+      val mu = vs.size.toLong
+      val s2 = vs.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      BigInt(mu * (mu - 1) - (s2 - mu)) * 1000000000L / (mu - 1)
+    }.sum
+    val n = pairable.values.map(_.size.toLong).sum
+    val t2 = pairable.values.flatten.groupBy(identity).values
+      .map(g => BigInt(g.size) * g.size).sum
+    val deN = (BigInt(n) * n - t2) * 1000000000L / (n - 1)
+    val alpha = BigInt(1000000) - doN * 1000000L / deN
+    assert(got._2 == byU.count(_._2.size < 2).toLong)
+    assert(got._3 == n && got._4 == rows.count(_._2 == null).toLong)
+    assert(got._5 == doN.toLong && got._6 == deN.toLong)
+    assert(got._7 == alpha.toLong)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.psiAgainstReference]]: the zero of identical
+  * distributions, a hand-computed smoothed case, NULL/empty-reference
+  * honesty paths, binWidth equivalence, and a brute-force sweep
+  * replicating the per-bin micro rounding. */
+class PsiSpec extends SparkSpec {
+
+  private def refDF(rows: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("value", "weight")
+  }
+
+  private def run(live: Seq[(String, java.lang.Long)],
+      ref: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Anomaly.psiAgainstReference(live.toDF("g", "v"), "g", "v", refDF(ref))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  private def term(c: Long, n: Long, r: Long, w: Long, b: Long): Long = {
+    val p = (c + 1).toDouble / (n + b)
+    val q = (r + 1).toDouble / (w + b)
+    math.round((p - q) * math.log((c + 1).toDouble * (w + b)
+      / ((r + 1).toDouble * (n + b))) * 1e6)
+  }
+
+  test("a live group matching the reference exactly scores 0") {
+    val got = run(Seq("g" -> L(0), "g" -> L(0), "g" -> L(1)),
+      Seq(0L -> 2L, 1L -> 1L))
+    assert(got("g") == ((3L, 0L, 2L, 0L)))
+  }
+
+  test("hand-computed smoothed shift") {
+    // live [0,0] vs ref {0:1, 1:1}: B=2, n=2, W=2
+    val expect = term(2, 2, 1, 2, 2) + term(0, 2, 1, 2, 2)
+    val got = run(Seq("g" -> L(0), "g" -> L(0)), Seq(0L -> 1L, 1L -> 1L))
+    assert(got("g") == ((2L, 0L, 2L, expect)))
+    assert(expect > 0L)
+  }
+
+  test("a value the reference never saw still enters via the union spine") {
+    // live emits 5, ref only has 0 — the spine must carry both
+    val got = run(Seq("g" -> L(5)), Seq(0L -> 3L))
+    assert(got("g")._3 == 2L)
+    assert(got("g")._4 > 0L)
+  }
+
+  test("NULL live values are skipped fail-visibly") {
+    val got = run(Seq("g" -> L(0), "g" -> null), Seq(0L -> 1L))
+    assert(got("g")._1 == 1L && got("g")._2 == 1L)
+  }
+
+  test("an empty reference emits NULL psi, never a fake 0") {
+    val got = run(Seq("g" -> L(0)), Seq.empty)
+    assert(got("g")._4 == Long.MinValue)
+  }
+
+  test("a group with only NULL values emits NULL psi") {
+    val got = run(Seq("g" -> null, "h" -> L(0)), Seq(0L -> 1L))
+    assert(got("g")._4 == Long.MinValue)
+    assert(got("h")._4 == 0L)
+  }
+
+  test("non-positive reference weights drop before anything is smoothed") {
+    val a = run(Seq("g" -> L(0), "g" -> L(1)), Seq(0L -> 1L, 1L -> 1L))
+    val b = run(Seq("g" -> L(0), "g" -> L(1)),
+      Seq(0L -> 1L, 1L -> 1L, 7L -> 0L, 9L -> -5L))
+    assert(a("g") == b("g"))
+  }
+
+  test("binWidth quantizes live AND reference, exactly") {
+    import spark.implicits._
+    val live = spark.range(20000L)
+      .select(lit("s").as("g"), (col("id") * 3L).as("v"))
+    val ref = spark.range(2000L)
+      .select((col("id") * 31L).as("value"), lit(2L).as("weight"))
+    val w = 500L
+    def q(c: org.apache.spark.sql.Column) = c - pmod(c, lit(w))
+    val viaParam = Anomaly.psiAgainstReference(live, "g", "v", ref,
+      binWidth = w)
+    val upstream = Anomaly.psiAgainstReference(
+      live.select(col("g"), q(col("v")).as("v")), "g", "v",
+      ref.select(q(col("value")).as("value"), col("weight")))
+    assert(viaParam.collect().toSeq == upstream.collect().toSeq)
+  }
+
+  test("brute-force equivalence on a seeded two-group corpus") {
+    val rnd = new scala.util.Random(3)
+    val live = (1 to 500).map(_ =>
+      (s"g${rnd.nextInt(2)}", L(rnd.nextInt(15).toLong)))
+    val ref = (0L until 20L).map(v => v -> (rnd.nextInt(9) + 1).toLong)
+    val got = run(live, ref)
+    val w = ref.map(_._2).sum
+    val spine = (live.map(_._2.longValue()) ++ ref.map(_._1)).distinct.sorted
+    val b = spine.size.toLong
+    val refMap = ref.toMap
+    for ((g, rs) <- live.groupBy(_._1)) {
+      val mine = rs.map(_._2.longValue())
+      val psi = spine.map { v =>
+        term(mine.count(_ == v).toLong, mine.size.toLong,
+          refMap.getOrElse(v, 0L), w, b)
+      }.sum
+      assert(got(g) == ((mine.size.toLong, 0L, b, psi)), s"group $g")
+    }
+  }
+}
