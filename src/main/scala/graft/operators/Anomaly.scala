@@ -892,14 +892,18 @@ object Anomaly {
     * weights BOTH tails multiplicatively, so a bin going 1% → 0.1%
     * alarms as loudly as 10% → 1%.
     *
-    * Determinism: Laplace +1 smoothing on BOTH sides over the UNION
-    * value spine (an empty bin on either side would otherwise put
+    * Determinism: Laplace +1 smoothing on BOTH sides over the
+    * PER-GROUP union spine — the group's own live values ∪ the
+    * reference's (an empty bin on either side would otherwise put
     * ±∞ in the sum — the [[graft.operators.Importance.klDrift]]
-    * convention), every per-bin term evaluated as the IDENTICAL
-    * double expression on both engines and rounded to micro BEFORE
-    * the sum (the q118/q119 parity discipline). Terms are ≥ 0 by
-    * sign-sharing ((p−q) and ln(p/q) flip together), so the rounded
-    * sum cannot go negative.
+    * convention; per-GROUP, not corpus-global, so another source's
+    * exotic values can never perturb this group's smoothing
+    * denominators, and the streaming face's group-local state
+    * computes the identical number). Every per-bin term is evaluated
+    * as the IDENTICAL double expression on both engines and rounded
+    * to micro BEFORE the sum (the q118/q119 parity discipline).
+    * Terms are ≥ 0 by sign-sharing ((p−q) and ln(p/q) flip
+    * together), so the rounded sum cannot go negative.
     *
     * `reference` is (value, weight) rows — broadcast-small by
     * contract (a reference is a sample or a spec, never a corpus);
@@ -932,15 +936,22 @@ object Anomaly {
     val gTot = hist.groupBy("__g").agg(
       sum(when(col("__v").isNotNull, col("__c")).otherwise(0L)).as("n"),
       sum(when(col("__v").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
-    // union spine with the reference count carried to every value;
-    // bins = |spine| enters both smoothing denominators
-    val spine = hist.where(col("__v").isNotNull).select(col("__v"))
-      .union(ref.select(col("__rv"))).distinct()
-      .join(ref, col("__v") === col("__rv"), "left")
-      .select(col("__v"), coalesce(col("__rw"), lit(0L)).as("__r"))
-    val nBins = spine.agg(count(lit(1)).as("n_bins"))
-    val terms = gTot.join(broadcast(wRef)).join(broadcast(nBins))
-      .crossJoin(broadcast(spine))
+    // per-group union spine (this group's live values ∪ the
+    // reference's) with the reference count carried to every value;
+    // the group's bin count enters both smoothing denominators
+    val spine = hist.where(col("__v").isNotNull)
+      .select(col("__g"), col("__v"))
+      .union(gTot.select(col("__g"))
+        .crossJoin(broadcast(ref.select(col("__rv").as("__v")))))
+      .distinct()
+      .join(broadcast(ref), col("__v") === col("__rv"), "left")
+      .select(col("__g").as("__sg"), col("__v"),
+        coalesce(col("__rw"), lit(0L)).as("__r"))
+    val nBins = spine.groupBy("__sg").agg(count(lit(1)).as("n_bins"))
+      .withColumnRenamed("__sg", "__bg")
+    val terms = gTot.join(broadcast(wRef))
+      .join(nBins, col("__g") <=> col("__bg"))
+      .join(spine, col("__g") <=> col("__sg"))
       .join(hist.where(col("__v").isNotNull)
           .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c")),
         col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")

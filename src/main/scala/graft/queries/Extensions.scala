@@ -5107,11 +5107,12 @@ object Extensions {
         |gt AS (SELECT g, count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT AS n,
         |    count(CASE WHEN v IS NULL THEN 1 END)::BIGINT AS n_skipped
         |  FROM base GROUP BY g),
-        |uv AS (SELECT DISTINCT v FROM (SELECT v FROM base WHERE v IS NOT NULL
-        |    UNION ALL SELECT rv FROM ref) iu),
-        |sp AS (SELECT uv.v, coalesce(ref.rw, 0)::BIGINT AS r
+        |uv AS (SELECT DISTINCT g, v FROM (
+        |    SELECT g, v FROM base WHERE v IS NOT NULL
+        |    UNION ALL SELECT gt.g, ref.rv FROM gt CROSS JOIN ref) iu),
+        |sp AS (SELECT uv.g, uv.v, coalesce(ref.rw, 0)::BIGINT AS r
         |  FROM uv LEFT JOIN ref ON ref.rv = uv.v),
-        |nb AS (SELECT count(1)::BIGINT AS n_bins FROM sp),
+        |nb AS (SELECT g, count(1)::BIGINT AS n_bins FROM sp GROUP BY g),
         |hv AS (SELECT g, v, count(1)::BIGINT AS c FROM base
         |  WHERE v IS NOT NULL GROUP BY g, v),
         |terms AS (SELECT gt.g, gt.n, gt.n_skipped, nb.n_bins, wr.wr,
@@ -5121,7 +5122,9 @@ object Extensions {
         |      * ln((CAST(coalesce(hv.c, 0) + 1 AS DOUBLE) * CAST(wr.wr + nb.n_bins AS DOUBLE))
         |          / (CAST(sp.r + 1 AS DOUBLE) * CAST(gt.n + nb.n_bins AS DOUBLE)))
         |      * 1000000) AS BIGINT) AS t
-        |  FROM gt CROSS JOIN wr CROSS JOIN nb CROSS JOIN sp
+        |  FROM gt CROSS JOIN wr
+        |  JOIN nb ON nb.g = gt.g
+        |  JOIN sp ON sp.g = gt.g
         |  LEFT JOIN hv ON hv.g = gt.g AND hv.v = sp.v)
         |SELECT g AS source, max(n)::BIGINT AS n,
         |  max(n_skipped)::BIGINT AS n_skipped, max(n_bins)::BIGINT AS n_bins,

@@ -291,4 +291,60 @@ object StreamingAnomaly {
           }
       }
   }
+
+  /** Streaming PSI against a frozen reference — the keyed-state face
+    * of [[graft.operators.Anomaly.psiAgainstReference]]: per group,
+    * the live value histogram accumulates in state (O(distinct
+    * values) FOREVER, loudly bounded by `maxDistinct` — pre-bucket
+    * continuous scores, the batch operator's contract) and every
+    * trigger re-emits the prefix-exact PSI: Laplace +1 smoothing over
+    * the union spine of live ∪ reference values, each per-bin term
+    * evaluated as the IDENTICAL double expression the batch operator
+    * (and its DuckDB oracle) uses and rounded to micro BEFORE the
+    * sum, so stream ≡ batch on every prefix (the spine, and with it
+    * the smoothing denominators, GROWS as live values arrive — batch
+    * semantics on the prefix, pinned by StreamingPsiSpec). Emits
+    * (group, n, n_bins, psi_micro). */
+  def psiAgainstReference(rows: Dataset[(String, Long)],
+      reference: Seq[(Long, Long)], maxDistinct: Int = 100000)
+      : Dataset[(String, Long, Long, Long)] = {
+    require(reference.nonEmpty && reference.forall(_._2 > 0),
+      "reference must be non-empty with positive weights")
+    require(maxDistinct >= 1, "need maxDistinct >= 1")
+    val refMap: Map[Long, Long] = reference.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val wRef = refMap.values.sum
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long)],
+            state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, v) =>
+            m = m.updated(v, m.getOrElse(v, 0L) + 1L)
+          }
+          require(m.size <= maxDistinct,
+            s"group '$group' exceeded $maxDistinct distinct values — " +
+              "pre-bucket the score (the batch operator's contract)")
+          state.update(m)
+          val n = m.values.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val union = (m.keySet ++ refMap.keySet).toArray.sorted
+            val b = union.length.toLong
+            var psi = 0L
+            union.foreach { v =>
+              val c = m.getOrElse(v, 0L)
+              val r = refMap.getOrElse(v, 0L)
+              val p = (c + 1).toDouble / (n + b).toDouble
+              val q = (r + 1).toDouble / (wRef + b).toDouble
+              psi += math.round((p - q) * math.log(
+                (c + 1).toDouble * (wRef + b).toDouble
+                  / ((r + 1).toDouble * (n + b).toDouble)) * 1e6)
+            }
+            Iterator.single((group, n, b, psi))
+          }
+      }
+  }
 }

@@ -95,16 +95,20 @@ class PsiSpec extends SparkSpec {
 
   test("brute-force equivalence on a seeded two-group corpus") {
     val rnd = new scala.util.Random(3)
+    // live range exceeds the reference's so each group's spine picks
+    // up its OWN extra values — the per-group-spine property
     val live = (1 to 500).map(_ =>
-      (s"g${rnd.nextInt(2)}", L(rnd.nextInt(15).toLong)))
+      (s"g${rnd.nextInt(2)}", L(rnd.nextInt(25).toLong)))
     val ref = (0L until 20L).map(v => v -> (rnd.nextInt(9) + 1).toLong)
     val got = run(live, ref)
     val w = ref.map(_._2).sum
-    val spine = (live.map(_._2.longValue()) ++ ref.map(_._1)).distinct.sorted
-    val b = spine.size.toLong
     val refMap = ref.toMap
     for ((g, rs) <- live.groupBy(_._1)) {
       val mine = rs.map(_._2.longValue())
+      // the spine is PER GROUP: this group's values union the
+      // reference's — another group's values must not enter
+      val spine = (mine ++ ref.map(_._1)).distinct.sorted
+      val b = spine.size.toLong
       val psi = spine.map { v =>
         term(mine.count(_ == v).toLong, mine.size.toLong,
           refMap.getOrElse(v, 0L), w, b)

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming PSI monitor: O(distinct values) keyed state and prefix
+  * parity with [[graft.operators.Anomaly.psiAgainstReference]] —
+  * including the union spine (and smoothing denominators) growing as
+  * live values arrive. */
+class StreamingPsiSpec extends SparkSpec {
+
+  private val ref = Seq(0L -> 5L, 2L -> 3L, 5L -> 2L)
+
+  private def batchRef(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.psiAgainstReference(
+      rows.toDF("g", "v"), "g", "v",
+      ref.toDF("value", "weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSet
+  }
+
+  test("stream == batch after every prefix, spine growth included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    def mk(n: Int) = (0 until n).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(8).toLong))
+    val batch1 = mk(110)
+    // batch 2 introduces values 8..11 the reference never saw — the
+    // union spine grows, which re-smooths EVERY term
+    val batch2 = mk(90) ++ (0 until 25).map(_ =>
+      (s"g${rnd.nextInt(3)}", (8 + rnd.nextInt(4)).toLong))
+
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingAnomaly.psiAgainstReference(in.toDS(), ref)
+      .toDF("g", "n", "n_bins", "psi_micro")
+      .writeStream.format("memory").queryName("psi_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(): Set[(String, Long, Long, Long)] =
+        spark.table("psi_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+          .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1),
+        "prefix 1: stream must equal the batch operator")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(batch1 ++ batch2),
+        "prefix 2: state continued, spine grew")
+    } finally q.stop()
+  }
+
+  test("the distinct-value state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingAnomaly.psiAgainstReference(in.toDS(), ref,
+        maxDistinct = 3)
+      .toDF("g", "n", "b", "p")
+      .writeStream.format("memory").queryName("psi_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", i.toLong)): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
