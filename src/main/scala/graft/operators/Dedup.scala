@@ -1109,6 +1109,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** LSH tuning audit — empirical precision/recall of
+    * [[minhashDedupPairs]]' candidate generation against
+    * [[ngramJaccardPairs]]' exact ground truth at threshold
+    * `minJaccard`, plus the theoretical S-curve catch probability
+    * 1 − (1 − τ^r)^b at the gate (Leskovec/Rajaraman/Ullman ch. 3).
+    * The band/row tuning loop closed in-engine: "recall_milli is 120
+    * points under p_catch — my bucket cap is dropping hot keys" or
+    * "precision is 40‰ — add a band row" become one oracled number
+    * instead of a notebook eyeball.
+    *
+    * Both sides live in the SAME pair universe: ground truth is
+    * blocked by `blockCol` (exact Jaccard is quadratic-per-block — the
+    * audit's contract is a blocked SAMPLE, not the full corpus), and
+    * LSH candidates are restricted to within-block pairs before
+    * counting, so cross-block candidates — unjudgeable, since truth
+    * never examined them — can't deflate precision. Shingles are the
+    * same distinct unigram token sets on both sides when n = 1 (the
+    * MinHash signature's universe), so est_jaccard and jaccard
+    * estimate the SAME quantity.
+    *
+    * Exact integers: counts, then ONE flooring division each —
+    * precision_milli = hits·10³ DIV candidates, recall_milli =
+    * hits·10³ DIV truths (NULL, not 0, when the denominator is empty
+    * — "no candidates" is not "all candidates wrong").
+    * p_catch_at_tau_milli is a driver-side pinned constant (the
+    * rboSuffixMicro convention), identical in the oracle.
+    *
+    * Output: one row — (n_true, n_cand, n_hit, precision_milli,
+    * recall_milli, p_catch_at_tau_milli). */
+  def lshTuningAudit(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double,
+      bands: Int = 2, rowsPerBand: Int = 8,
+      checkpointer: Checkpointer = Checkpointer.Local,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"need minJaccard in (0, 1], got $minJaccard")
+    val pCatchMilli = math.round(
+      (1.0 - math.pow(1.0 - math.pow(minJaccard, rowsPerBand), bands))
+        * 1000.0)
+    val truth = ngramJaccardPairs(df, idCol, textCol, blockCol, 1,
+        minJaccard, checkpointer)
+      .select(col("id1"), col("id2")).withColumn("__t", lit(1L))
+    val blocks = df.select(col(idCol).as("__bid"),
+      col(blockCol).as("__blk"))
+    val cand = minhashDedupPairs(df, idCol, textCol, bands, rowsPerBand,
+        checkpointer, maxBucketSize)
+      .select(col("id1"), col("id2"))
+      .join(blocks.withColumnRenamed("__bid", "__b1")
+        .withColumnRenamed("__blk", "__k1"), col("id1") === col("__b1"))
+      .join(blocks.withColumnRenamed("__bid", "__b2")
+        .withColumnRenamed("__blk", "__k2"), col("id2") === col("__b2"))
+      .where(col("__k1") === col("__k2"))
+      .select(col("id1"), col("id2")).withColumn("__c", lit(1L))
+    truth.join(cand, Seq("id1", "id2"), "full_outer")
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+        coalesce(sum("__c"), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0L, expr("n_hit * 1000 DIV n_cand"))
+          .as("precision_milli"),
+        when(col("n_true") > 0L, expr("n_hit * 1000 DIV n_true"))
+          .as("recall_milli"),
+        lit(pCatchMilli).as("p_catch_at_tau_milli"))
+  }
+
   /** Containment near-dup pairs — the ASYMMETRIC set measure
     * |A∩B| / min(|A|,|B|): catches a short document embedded almost
     * whole inside a longer one (quotations, page-with-boilerplate),

@@ -4015,7 +4015,20 @@ object Extensions {
       "u", "c")
   }
 
+  /** q285 — LSH tuning audit ([[graft.operators.Dedup
+    * .lshTuningAudit]], τ = 0.5, 2 bands × 8 rows on q24/q25's exact
+    * fixtures): empirical precision/recall of the LSH candidate pass
+    * against blocked exact-Jaccard ground truth, beside the pinned
+    * theoretical catch probability at the gate — the band/row tuning
+    * verdict as one oracled row. */
+  def q285LshAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshTuningAudit(
+      Tables(spark, dir, "documents")
+        .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+      "doc_id", "text", "block", 0.5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_lsh_audit" -> (q285LshAudit _),
     "q284_krippendorff" -> (q284Krippendorff _),
     "q283_psi" -> (q283Psi _),
     "q282_conformal" -> (q282Conformal _),
@@ -5097,6 +5110,46 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q285_lsh_audit" -> {
+      val pCatch = math.round((1.0
+        - math.pow(1.0 - math.pow(0.5, lshRows), lshBands)) * 1000.0)
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2
+           |  FROM sig l JOIN sig r ON l.band$b = r.band$b
+           |    AND l.doc_id < r.doc_id""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH $lshSigDefs,
+        |t AS (SELECT doc_id, lang || '_' || source AS block,
+        |    list_distinct($toksSql) AS sh FROM documents),
+        |truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM t a
+        |  JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE, 6)
+        |    >= 0.5),
+        |candraw AS (SELECT DISTINCT id1, id2 FROM (
+        |$branches
+        |)),
+        |blocks AS (SELECT doc_id, lang || '_' || source AS block
+        |  FROM documents),
+        |cand AS (SELECT c.id1, c.id2 FROM candraw c
+        |  JOIN blocks b1 ON b1.doc_id = c.id1
+        |  JOIN blocks b2 ON b2.doc_id = c.id2
+        |  WHERE b1.block = b2.block),
+        |j AS (SELECT CASE WHEN tr.id1 IS NOT NULL THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN ca.id1 IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM truth tr FULL OUTER JOIN cand ca
+        |    ON tr.id1 = ca.id1 AND tr.id2 = ca.id2),
+        |agg AS (SELECT coalesce(sum(t), 0)::BIGINT AS n_true,
+        |    coalesce(sum(c), 0)::BIGINT AS n_cand,
+        |    coalesce(sum(t * c), 0)::BIGINT AS n_hit FROM j)
+        |SELECT n_true, n_cand, n_hit,
+        |  CASE WHEN n_cand > 0 THEN (n_hit * 1000) // n_cand
+        |    END::BIGINT AS precision_milli,
+        |  CASE WHEN n_true > 0 THEN (n_hit * 1000) // n_true
+        |    END::BIGINT AS recall_milli,
+        |  $pCatch::BIGINT AS p_catch_at_tau_milli
+        |FROM agg""".stripMargin
+    },
     "q283_psi" ->
       ("""WITH ref AS (SELECT n_chars // 16 AS rv, count(1)::BIGINT AS rw
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY rv),

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.lshTuningAudit]]: component-consistency (the audit's
+  * counts must equal recomputing truth and candidates separately),
+  * the cross-block candidate exclusion, the empty-denominator NULL
+  * honesty, and the pinned S-curve constant. */
+class LshAuditSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "block")
+  }
+
+  private def audit(df: org.apache.spark.sql.DataFrame, tau: Double = 0.5) =
+    Dedup.lshTuningAudit(df, "doc_id", "text", "block", tau).head()
+
+  test("counts equal recomputing the two component operators") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (1 to 12).map(_ => (1 to 10).map(_ =>
+      vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    // pairs of near-identical docs (one token changed) + singletons
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val id = 2L * i
+      if (i % 2 == 0)
+        Seq((id, t, s"b${i % 3}"),
+          (id + 1, t.replaceFirst("\\w+", "omega"), s"b${i % 3}"))
+      else Seq((id, t, s"b${i % 3}"))
+    }
+    val df = docs(rows)
+    val got = audit(df)
+    val truth = Dedup.ngramJaccardPairs(df, "doc_id", "text", "block",
+      1, 0.5).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockOf = rows.map(r => r._1 -> r._3).toMap
+    val cand = Dedup.minhashDedupPairs(df, "doc_id", "text")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => blockOf(p._1) == blockOf(p._2)).toSet
+    val hit = truth.intersect(cand)
+    assert(got.getLong(0) == truth.size.toLong)
+    assert(got.getLong(1) == cand.size.toLong)
+    assert(got.getLong(2) == hit.size.toLong)
+    if (cand.nonEmpty)
+      assert(got.getLong(3) == hit.size.toLong * 1000L / cand.size)
+    if (truth.nonEmpty)
+      assert(got.getLong(4) == hit.size.toLong * 1000L / truth.size)
+  }
+
+  test("identical docs in the same block are a truth pair, a candidate, a hit") {
+    val got = audit(docs(Seq((1L, "a b c d e f g h", "x"),
+      (2L, "a b c d e f g h", "x"))))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((1L, 1L, 1L)))
+    assert(got.getLong(3) == 1000L && got.getLong(4) == 1000L)
+  }
+
+  test("a cross-block LSH candidate is unjudgeable and must not deflate precision") {
+    // identical docs in DIFFERENT blocks: LSH pairs them, but truth
+    // never examined the pair — the audit excludes it
+    val got = audit(docs(Seq((1L, "a b c d e f g h", "x"),
+      (2L, "a b c d e f g h", "y"))))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((0L, 0L, 0L)))
+    assert(got.isNullAt(3) && got.isNullAt(4))
+  }
+
+  test("empty denominators emit NULL, never 0") {
+    val got = audit(docs(Seq((1L, "a b c", "x"), (2L, "p q r", "x"))),
+      tau = 0.9)
+    assert(got.getLong(0) == 0L && got.isNullAt(3) && got.isNullAt(4))
+  }
+
+  test("the S-curve constant is pinned: tau 0.5 at 2x8 is 8 milli") {
+    val got = audit(docs(Seq((1L, "a b", "x"))))
+    assert(got.getLong(5) == 8L)
+    assert(math.round((1.0 - math.pow(1.0 - math.pow(0.5, 8), 2)) * 1000.0)
+      == 8L)
+  }
+}
