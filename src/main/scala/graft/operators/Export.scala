@@ -265,6 +265,58 @@ object Export {
       .drop("__k")
   }
 
+  /** Shuffle-quality audit of [[trainingOrder]]'s layout — is the
+    * deterministic md5 shuffle actually WELL-MIXED, per shard? For
+    * each shard, the rate of adjacent same-label pairs in training
+    * order (`observed_milli`) against the rate a uniform random
+    * permutation of that shard's label multiset would give
+    * (`expected_milli` = Σ_l n_l(n_l−1) / (N(N−1)), exact). A healthy
+    * shuffle reads observed ≈ expected; observed ≈ 1000 means the
+    * order is source-sorted and consecutive batches share a source —
+    * the gradient-correlation hazard trainingOrder exists to prevent.
+    * Run it after any change to the key derivation: a key that
+    * accidentally embeds the source (e.g. source-prefixed ids with a
+    * broken md5) shows up HERE, not in a row-count check.
+    *
+    * Exact integers: both rates are ONE flooring division over exact
+    * pair counts (non-negative numerators — both engines floor).
+    * NULL labels are a real category (an untagged doc next to another
+    * untagged doc IS a same-label adjacency — null-safe equality).
+    * A single-row shard has no adjacencies: NULL rates, fail-visible.
+    *
+    * Scale shape: [[trainingOrder]]'s own one hash shuffle +
+    * per-shard sort; the adjacency walk is a per-shard window over
+    * the already-sorted layout (shard size = corpus/nShards, the
+    * bounded unit trainingOrder already commits to), label counts a
+    * counter agg. Output: one row per shard — (shard_no, n_rows,
+    * n_same_adj, observed_milli, expected_milli). */
+  def shuffleQuality(df: DataFrame, keyCols: Seq[Column], labelCol: Column,
+      nShards: Int): DataFrame = {
+    val ordered = trainingOrder(df, keyCols, nShards)
+      .select(col("shard_no"), col("pos_in_shard"), labelCol.as("__l"))
+    val w = Window.partitionBy("shard_no").orderBy("pos_in_shard")
+    val adj = ordered
+      .withColumn("__nl", lead(col("__l"), 1).over(w))
+      .withColumn("__has",
+        lead(col("pos_in_shard"), 1).over(w).isNotNull)
+    val obs = adj.groupBy("shard_no").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("__has") && col("__l") <=> col("__nl"), 1L)
+        .otherwise(0L)).as("n_same_adj"))
+    val lbl = ordered.groupBy(col("shard_no").as("__s2"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("__s2")
+      .agg(sum(expr("__c * (__c - 1)")).as("__pairs"))
+    obs.join(lbl, col("shard_no") === col("__s2"))
+      .select(col("shard_no"), col("n_rows"), col("n_same_adj"),
+        when(col("n_rows") >= 2L,
+          expr("n_same_adj * 1000 DIV (n_rows - 1)")).as("observed_milli"),
+        when(col("n_rows") >= 2L, expr(
+          """CAST(CAST(__pairs AS DECIMAL(38,0)) * 1000
+            | DIV (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1)) AS BIGINT)"""
+            .stripMargin)).as("expected_milli"))
+  }
+
   /** [[trainingOrder]] with a curriculum: shards are still assigned by
     * the deterministic md5 key (every shard stays an unbiased sample
     * of the corpus — a loader reading shards round-robin sees the full

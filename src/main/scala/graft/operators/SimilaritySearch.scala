@@ -87,6 +87,69 @@ object SimilaritySearch {
       vecCol: String): DataFrame =
     assignBucketsN(corpus, centroids, idCol, vecCol, 1)
 
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality audit for an IVF index or SemDeDup blocking
+    * (Kaufman & Rousseeuw's silhouette with the O(n²) point-to-point
+    * means replaced by centroid distances — the standard large-n
+    * simplification): per vector, a = cosine distance to its OWN
+    * (nearest) centroid, b = distance to the runner-up, s =
+    * (b − a)/max(a, b). s ≥ 0 by construction here (assignment IS
+    * nearest-centroid); s near 0 = boundary point (the vectors
+    * [[ivfTopK]]'s nprobe=1 will miss), s near 1 = tight cluster.
+    * Read it after [[trainCentroids]]: a bucket whose mean s sits
+    * near 0 is two clusters fused, and k should grow.
+    *
+    * Determinism: both cosines are the assignment pipeline's own
+    * rounded-6 values (ties → lowest centroid id); each vector's
+    * s is rounded to micro BEFORE the per-bucket mean (one flooring
+    * DIV), the per-term parity discipline. Zero-norm/NULL vectors
+    * drop fail-closed (the [[bruteForceTopK]] policy). With a single
+    * centroid there is no runner-up: those vectors count in `n` but
+    * not `n_scored`, and a bucket with nothing scored emits NULL
+    * silhouette — fail-visible, never a fake 0.
+    *
+    * Scale shape: ONE corpus pass against the broadcast centroid
+    * table (centroids are k rows by contract); the per-vector window
+    * partitions by vector id over k rows; per-bucket aggregation is
+    * a counter shuffle. Output: (bucket, n, n_scored,
+    * silhouette_micro, min_s_micro) — mean and worst-point s. */
+  def clusterSilhouette(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .filter(col("nrm") > 0.0)
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+        asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+      .filter(col("cnrm") > 0.0)
+    val sim = round(pairCos(col("vec"), col("cvec"), col("nrm"), col("cnrm")), 6)
+    val w = Window.partitionBy("__id")
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val ranked = c.crossJoin(broadcast(cent))
+      .select(col("__id"), col("centroid_id"), sim.as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val own = ranked.filter(col("rn") === 1)
+      .select(col("__id"), col("centroid_id").as("bucket"),
+        col("csim").as("__s1"))
+    val other = ranked.filter(col("rn") === 2)
+      .select(col("__id").as("__id2"), col("csim").as("__s2"))
+    own.join(other, col("__id") === col("__id2"), "left")
+      .select(col("bucket"),
+        when(col("__s2").isNull, lit(null).cast("long"))
+          .when(greatest(lit(1.0) - col("__s1"), lit(1.0) - col("__s2"))
+            === 0.0, lit(0L))
+          .otherwise(expr(
+            """CAST(round(((__s1 - __s2)
+              | / greatest(1.0 - __s1, 1.0 - __s2)) * 1000000) AS BIGINT)"""
+              .stripMargin)).as("__s"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), count(col("__s")).as("n_scored"),
+        when(count(col("__s")) > 0L,
+          expr("sum(__s) DIV count(__s)")).as("silhouette_micro"),
+        min("__s").as("min_s_micro"))
+  }
+
   /** Deterministic seeded Lloyd k-means — the supported way to produce
     * an IVF index ([[ivfTopK]] centroids) or a SemDeDup blocking
     * ([[Dedup.semDedup]] delegates here).

@@ -4027,7 +4027,34 @@ object Extensions {
         .withColumn("block", concat_ws("_", col("lang"), col("source"))),
       "doc_id", "text", "block", 0.5)
 
+  /** q286 — simplified silhouette per IVF bucket
+    * ([[SimilaritySearch.clusterSilhouette]]) on q27's pseudo-centroid
+    * fixture (vec_id < 8 as centroids, the rest as corpus): the
+    * cluster-quality verdict — a bucket near 0 is two clusters fused
+    * and nprobe=1 recall is at risk there. Per-vector micro rounding,
+    * one flooring DIV per bucket. */
+  def q286Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.clusterSilhouette(e.filter(col("vec_id") >= 8),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .orderBy("bucket")
+  }
+
+  /** q287 — shuffle-quality audit of the deterministic training order
+    * ([[Export.shuffleQuality]], 8 shards on q136's exact layout):
+    * per shard, adjacent same-source rate vs the exact random-
+    * permutation expectation — the gradient-correlation check a
+    * row-count diff can't make. NULL sources ride as a real
+    * category (null-safe adjacency). */
+  def q287ShuffleQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Export.shuffleQuality(
+      Tables(spark, dir, "documents"), Seq(col("doc_id")),
+      col("source"), 8)
+      .orderBy("shard_no")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_shuffle_quality" -> (q287ShuffleQuality _),
+    "q286_silhouette" -> (q286Silhouette _),
     "q285_lsh_audit" -> (q285LshAudit _),
     "q284_krippendorff" -> (q284Krippendorff _),
     "q283_psi" -> (q283Psi _),
@@ -5110,6 +5137,53 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q286_silhouette" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+        |x AS (SELECT vec_id, v AS qv FROM e WHERE vec_id >= 8),
+        |sims AS (SELECT x.vec_id, c.cid, $cosSql AS csim FROM x, c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cid) AS rn FROM sims),
+        |own AS (SELECT vec_id, cid AS bucket, csim AS s1 FROM rk WHERE rn = 1),
+        |oth AS (SELECT vec_id, csim AS s2 FROM rk WHERE rn = 2),
+        |s AS (SELECT own.bucket,
+        |    CASE WHEN oth.s2 IS NULL THEN NULL
+        |      WHEN greatest(1.0 - s1, 1.0 - s2) = 0.0 THEN 0
+        |      ELSE CAST(round(((s1 - s2) / greatest(1.0 - s1, 1.0 - s2))
+        |        * 1000000) AS BIGINT) END AS sv
+        |  FROM own LEFT JOIN oth ON oth.vec_id = own.vec_id)
+        |SELECT bucket, count(1)::BIGINT AS n, count(sv)::BIGINT AS n_scored,
+        |  CASE WHEN count(sv) > 0 THEN sum(sv) // count(sv)
+        |    END::BIGINT AS silhouette_micro,
+        |  min(sv)::BIGINT AS min_s_micro
+        |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin),
+    "q287_shuffle_quality" ->
+      ("""WITH k AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS kk,
+        |    md5(md5(doc_id::VARCHAR)) AS shuffle_key FROM documents),
+        |b AS (SELECT source, shuffle_key, kk,
+        |    ('0x' || substring(shuffle_key, 1, 15))::BIGINT % 8 AS shard_no
+        |  FROM k),
+        |r AS (SELECT shard_no, source, row_number() OVER (
+        |    PARTITION BY shard_no ORDER BY shuffle_key, kk) AS pos FROM b),
+        |adj AS (SELECT shard_no, source,
+        |    lead(source) OVER (PARTITION BY shard_no ORDER BY pos) AS nl,
+        |    (lead(pos) OVER (PARTITION BY shard_no ORDER BY pos)
+        |      IS NOT NULL) AS has FROM r),
+        |obs AS (SELECT shard_no, count(1)::BIGINT AS n_rows,
+        |    sum(CASE WHEN has AND (source IS NOT DISTINCT FROM nl)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_same_adj
+        |  FROM adj GROUP BY shard_no),
+        |lbl AS (SELECT shard_no, sum(c::HUGEINT * (c - 1)) AS pairs FROM
+        |  (SELECT shard_no, source, count(1)::BIGINT AS c FROM r
+        |   GROUP BY shard_no, source) t
+        |  GROUP BY shard_no)
+        |SELECT obs.shard_no, obs.n_rows, obs.n_same_adj,
+        |  CASE WHEN n_rows >= 2
+        |    THEN (n_same_adj * 1000) // (n_rows - 1) END::BIGINT AS observed_milli,
+        |  CASE WHEN n_rows >= 2 THEN (pairs * 1000)
+        |    // (n_rows::HUGEINT * (n_rows - 1)) END::BIGINT AS expected_milli
+        |FROM obs JOIN lbl ON lbl.shard_no = obs.shard_no
+        |ORDER BY obs.shard_no""".stripMargin),
     "q285_lsh_audit" -> {
       val pCatch = math.round((1.0
         - math.pow(1.0 - math.pow(0.5, lshRows), lshBands)) * 1000.0)

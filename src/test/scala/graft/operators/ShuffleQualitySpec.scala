@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Export.shuffleQuality]]: component-consistency against
+  * [[Export.trainingOrder]]'s own layout (adjacencies and the exact
+  * expectation recomputed from the ordered output), null-safe label
+  * adjacency, and the single-row-shard NULL path. */
+class ShuffleQualitySpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "label")
+  }
+
+  private def replica(rows: Seq[(Long, String)], nShards: Int) = {
+    val ordered = Export.trainingOrder(docs(rows), Seq(col("doc_id")),
+        nShards)
+      .select("shard_no", "pos_in_shard", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).orNull))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    ordered.map { case (shard, labels) =>
+      val n = labels.size.toLong
+      val same = labels.zip(labels.drop(1))
+        .count { case (a, b) => a == b }.toLong
+      val pairs = labels.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      val obs = if (n >= 2) same * 1000 / (n - 1) else Long.MinValue
+      val exp = if (n >= 2) pairs * 1000 / (n * (n - 1)) else Long.MinValue
+      shard -> ((n, same, obs, exp))
+    }
+  }
+
+  private def run(rows: Seq[(Long, String)], nShards: Int) =
+    Export.shuffleQuality(docs(rows), Seq(col("doc_id")), col("label"),
+        nShards)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+
+  test("matches the layout trainingOrder actually produced, shard by shard") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 300L).map(i =>
+      i -> (if (i % 17 == 0) null else s"s${rnd.nextInt(4)}"))
+    assert(run(rows, 4) == replica(rows, 4))
+  }
+
+  test("NULL labels are a real category: two untagged docs adjoin as same") {
+    // one shard, all labels NULL -> every adjacency is same-label
+    val rows = (1L to 10L).map(i => i -> null.asInstanceOf[String])
+    val got = run(rows, 1)
+    assert(got(0L) == ((10L, 9L, 1000L, 1000L)))
+  }
+
+  test("a single-row shard has no adjacencies: NULL rates") {
+    val got = run(Seq(1L -> "a"), 1)
+    assert(got(0L) == ((1L, 0L, Long.MinValue, Long.MinValue)))
+  }
+
+  test("one label everywhere reads observed = expected = 1000") {
+    val rows = (1L to 50L).map(i => i -> "only")
+    val got = run(rows, 2)
+    got.values.foreach { case (n, same, obs, exp) =>
+      if (n >= 2) { assert(obs == 1000L && exp == 1000L) }
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[SimilaritySearch.clusterSilhouette]]: the tight-clusters-1 /
+  * fused-blob-0 extremes, the single-centroid NULL honesty path,
+  * zero-norm drops, and a brute-force replica of the rounding
+  * chain. */
+class SilhouetteSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Array[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def run(corpus: Seq[(Long, Array[Double])],
+      cents: Seq[(Long, Array[Double])]) =
+    SimilaritySearch.clusterSilhouette(df(corpus), df(cents),
+      "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+
+  test("orthogonal tight clusters score a full 1.0") {
+    val got = run(
+      Seq(10L -> Array(2.0, 0.0), 11L -> Array(3.0, 0.0),
+        12L -> Array(0.0, 5.0)),
+      Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0)))
+    assert(got(0L) == ((2L, 2L, 1000000L, 1000000L)))
+    assert(got(1L) == ((1L, 1L, 1000000L, 1000000L)))
+  }
+
+  test("a boundary point equidistant from both centroids scores 0") {
+    val got = run(Seq(10L -> Array(1.0, 1.0)),
+      Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0)))
+    assert(got(0L)._3 == 0L)
+  }
+
+  test("a single centroid leaves nothing to compare: NULL, not 0") {
+    val got = run(Seq(10L -> Array(1.0, 0.0)), Seq(0L -> Array(1.0, 0.0)))
+    assert(got(0L) == ((1L, 0L, Long.MinValue, Long.MinValue)))
+  }
+
+  test("zero-norm vectors drop fail-closed") {
+    val got = run(
+      Seq(10L -> Array(1.0, 0.0), 11L -> Array(0.0, 0.0)),
+      Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0)))
+    assert(got(0L)._1 == 1L)
+  }
+
+  test("brute-force replica of the rounding chain on seeded vectors") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (10L until 60L).map(i =>
+      i -> Array.fill(8)(rnd.nextDouble() - 0.3))
+    val cents = (0L until 5L).map(i =>
+      i -> Array.fill(8)(rnd.nextDouble() - 0.3))
+    val got = run(corpus, cents)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val perBucket = corpus.flatMap { case (_, v) =>
+      val sims = cents.map { case (cid, cv) =>
+        (cid, r6(v.zip(cv).map(p => p._1 * p._2).sum / (nrm(v) * nrm(cv))))
+      }.sortBy { case (cid, s) => (-s, cid) }
+      val (bucket, s1) = sims.head
+      val s2 = sims(1)._2
+      val s = if (math.max(1.0 - s1, 1.0 - s2) == 0.0) 0L
+        else math.round((s1 - s2) / math.max(1.0 - s1, 1.0 - s2) * 1000000)
+      Seq(bucket -> s)
+    }.groupBy(_._1)
+    for ((b, ss) <- perBucket) {
+      val vals = ss.map(_._2)
+      assert(got(b) == ((vals.size.toLong, vals.size.toLong,
+        vals.sum / vals.size, vals.min)), s"bucket $b")
+    }
+  }
+}
