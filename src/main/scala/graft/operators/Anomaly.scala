@@ -883,6 +883,59 @@ object Anomaly {
           .as("w1_micro"))
   }
 
+  /** Seasonal (phase-baseline) deviation — each point of a keyed
+    * ordered series against the mean of the OTHER points sharing its
+    * phase (hour-of-day, day-of-week): the calendar-aware monitor
+    * that [[ewmaDeviation]] and [[cusumAlarms]] are blind to — a
+    * quiet Sunday looks like a crash to a trend monitor and like
+    * every other Sunday to this one; "this Saturday is unlike
+    * Saturdays" is the alarm only a phase baseline can raise.
+    *
+    * Leave-one-out on purpose: the baseline for point x is its
+    * phase's mean EXCLUDING x (the [[ewmaDeviation]] "a spike must
+    * not mask itself" rule — with 8 Saturdays in state, a 5× spike
+    * would otherwise inflate its own yardstick by ~50%). Exact
+    * integers, one truncating division each (both engines truncate
+    * toward zero, so signed deviations agree):
+    *
+    *   phase_mean_milli = (Σ − x)·10³ DIV n'
+    *   dev_milli        = (x·n' − (Σ − x))·10³ DIV max(|Σ − x|, 1)
+    *
+    * with n' = phase count − 1, both in DECIMAL(38,0). A point alone
+    * in its phase has no yardstick: NULL dev, never 0. NULL
+    * values/phases can't vote in any baseline and carry NULL dev
+    * (their rows pass through — fail-visible in place); NULL series
+    * keys are audited like any other series.
+    *
+    * Scale shape: ONE (series, phase) counter agg joined back
+    * broadcast-shaped (series × phases is bounded by the calendar —
+    * the categorical convention); rows never enter a window. Output:
+    * every input point — (seriesCol, orderCol, phase, value,
+    * n_others, phase_mean_milli, dev_milli). */
+  def seasonalDeviation(df: DataFrame, seriesCol: String, orderCol: String,
+      value: Column, phase: Column): DataFrame = {
+    val base = df.select(col(seriesCol).as("__s"), col(orderCol).as("__o"),
+      value.cast("long").as("__x"), phase.cast("long").as("__p"))
+    val stats = base
+      .where(col("__x").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__s").as("__ss"), col("__p").as("__sp"))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sum"))
+    base.join(broadcast(stats),
+        col("__s") <=> col("__ss") && col("__p") === col("__sp"), "left")
+      .withColumn("__no",
+        when(col("__x").isNotNull, col("__n") - 1L).otherwise(col("__n")))
+      .select(col("__s").as(seriesCol), col("__o").as(orderCol),
+        col("__p").as("phase"), col("__x").as("value"),
+        coalesce(col("__no"), lit(0L)).as("n_others"),
+        when(col("__x").isNotNull && col("__no") > 0L, expr(
+          """CAST((CAST(__sum AS DECIMAL(38,0)) - __x) * 1000
+            | DIV __no AS BIGINT)""".stripMargin)).as("phase_mean_milli"),
+        when(col("__x").isNotNull && col("__no") > 0L, expr(
+          """CAST((CAST(__x AS DECIMAL(38,0)) * __no - (__sum - __x)) * 1000
+            | DIV greatest(abs(CAST(__sum AS DECIMAL(38,0)) - __x), 1)
+            | AS BIGINT)""".stripMargin)).as("dev_milli"))
+  }
+
   /** Population Stability Index per group against a FROZEN reference
     * histogram (the credit-risk monitoring standard; Siddiqi 2006) —
     * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), the symmetrized-KL-shaped

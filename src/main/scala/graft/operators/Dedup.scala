@@ -1109,6 +1109,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cluster-size audit of a dedup clustering — the distribution
+    * check read after [[connectedComponents]] and before any
+    * keep-one election: a healthy near-dup clustering is almost all
+    * small clusters; one giant component (a template page family, a
+    * poisoned batch, or an over-loose LSH threshold stitching
+    * everything together) would make keep-first delete half the
+    * corpus. The subtlety this operator owns: SINGLETONS — docs that
+    * never appeared in any pair and therefore never reached the
+    * component table — are size-1 clusters and must count, or the
+    * histogram silently reports only the duplicated minority (the
+    * anti-join bug every hand-rolled version of this audit ships
+    * with).
+    *
+    * Exact integers: docs_share_micro = size·n_clusters·10⁶ DIV
+    * total docs — one flooring division per histogram row. The
+    * giant-component alarm is the tail row: max(size) with its
+    * share.
+    *
+    * Contract: `comps` is (id, component) membership rows covering a
+    * SUBSET of `docs` ids (the [[connectedComponents]] output shape);
+    * ids in comps but not docs would double-count and are the
+    * caller's bug.
+    *
+    * Scale shape: one count per component (counter agg), one
+    * size-histogram agg over the component-count frame, one
+    * broadcast-friendly anti-join for the singleton count; nothing
+    * row-sized crosses a window. Output: (size, n_clusters, n_docs,
+    * docs_share_micro) ordered by size. */
+  def clusterSizeAudit(docs: DataFrame, idCol: String,
+      comps: DataFrame, compIdCol: String = "id",
+      componentCol: String = "component"): DataFrame = {
+    val members = comps.select(col(compIdCol).as("__id"),
+      col(componentCol).as("__comp"))
+    val sizes = members.groupBy("__comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.select(col(idCol).as("__did"))
+      .join(members, col("__did") === col("__id"), "left_anti")
+      .agg(count(lit(1)).as("__n1"))
+      .select(lit(1L).as("size"), col("__n1").as("n_clusters"))
+      .where(col("n_clusters") > 0L)
+    val total = docs.agg(count(lit(1)).as("__tot"))
+    sizes.union(singles)
+      .groupBy("size").agg(sum("n_clusters").as("n_clusters"))
+      .join(broadcast(total))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        expr("""CAST(CAST(size AS DECIMAL(38,0)) * n_clusters * 1000000
+          | DIV __tot AS BIGINT)""".stripMargin).as("docs_share_micro"))
+      .orderBy("size")
+  }
+
   /** LSH tuning audit — empirical precision/recall of
     * [[minhashDedupPairs]]' candidate generation against
     * [[ngramJaccardPairs]]' exact ground truth at threshold

@@ -4052,7 +4052,45 @@ object Extensions {
       col("source"), 8)
       .orderBy("shard_no")
 
+  /** q288 — dedup cluster-size audit ([[graft.operators.Dedup
+    * .clusterSizeAudit]]): the size histogram with singletons COUNTED
+    * (the anti-join everyone forgets), exact corpus shares, giant
+    * component at the tail. The synthetic corpus has no byte-exact
+    * duplicates, so the clustering under audit is a length-bucket
+    * fingerprint (n_chars DIV 8, min-id component) — clusters of many
+    * sizes plus genuine singletons at rare lengths, every operator
+    * path exercised on the driver gate; real callers pass
+    * [[graft.operators.Dedup.connectedComponents]] output. */
+  def q288ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val withH = d.select(col("doc_id"), expr("n_chars DIV 8").as("h"))
+    val comp = withH.groupBy("h")
+      .agg(min("doc_id").as("component"), count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    val comps = withH.join(comp, "h")
+      .select(col("doc_id").as("id"), col("component"))
+    graft.operators.Dedup.clusterSizeAudit(d, "doc_id", comps)
+  }
+
+  /** q289 — seasonal phase-baseline deviation
+    * ([[graft.operators.Anomaly.seasonalDeviation]]) on q181's exact
+    * hourly-cents fixture, phase = hour-of-day: each hour against the
+    * mean of OTHER same-hours — the calendar-aware alarm the EWMA
+    * monitor false-fires on every quiet weekend; leave-one-out so a
+    * spike can't inflate its own yardstick. */
+  def q289Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    graft.operators.Anomaly.seasonalDeviation(hourly, "event_type", "hour",
+        col("cents"), hour(col("hour")).cast("long"))
+      .orderBy("event_type", "hour")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_seasonal" -> (q289Seasonal _),
+    "q288_cluster_sizes" -> (q288ClusterSizes _),
     "q287_shuffle_quality" -> (q287ShuffleQuality _),
     "q286_silhouette" -> (q286Silhouette _),
     "q285_lsh_audit" -> (q285LshAudit _),
@@ -5137,6 +5175,51 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q288_cluster_sizes" ->
+      ("""WITH hh AS (SELECT doc_id, n_chars // 8 AS h FROM documents),
+        |g AS (SELECT h, min(doc_id) AS component, count(1)::BIGINT AS n
+        |  FROM hh GROUP BY h),
+        |comps AS (SELECT hh.doc_id, g.component FROM hh
+        |  JOIN g ON g.h = hh.h WHERE g.n >= 2),
+        |sizes AS (SELECT component, count(1)::BIGINT AS size FROM comps
+        |  GROUP BY component),
+        |hist AS (SELECT size, count(1)::BIGINT AS n_clusters FROM sizes
+        |  GROUP BY size),
+        |singles AS (SELECT 1::BIGINT AS size, count(1)::BIGINT AS n_clusters
+        |  FROM documents d WHERE NOT EXISTS (
+        |    SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id)),
+        |u AS (SELECT size, sum(n_clusters)::BIGINT AS n_clusters FROM
+        |  (SELECT * FROM hist
+        |   UNION ALL SELECT * FROM singles WHERE n_clusters > 0) iu
+        |  GROUP BY size),
+        |tot AS (SELECT count(1)::BIGINT AS t FROM documents)
+        |SELECT size, n_clusters, (size * n_clusters)::BIGINT AS n_docs,
+        |  ((size::HUGEINT * n_clusters * 1000000) // t)::BIGINT
+        |    AS docs_share_micro
+        |FROM u CROSS JOIN tot ORDER BY size""".stripMargin),
+    "q289_seasonal" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, hour, cents,
+        |    date_part('hour', hour)::BIGINT AS phase FROM h),
+        |st AS (SELECT event_type, phase, count(1)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s FROM p
+        |  WHERE cents IS NOT NULL AND phase IS NOT NULL
+        |  GROUP BY event_type, phase)
+        |SELECT p.event_type, p.hour, p.phase, p.cents AS value,
+        |  coalesce(CASE WHEN p.cents IS NOT NULL THEN st.n - 1
+        |    ELSE st.n END, 0)::BIGINT AS n_others,
+        |  CASE WHEN p.cents IS NOT NULL AND st.n - 1 > 0
+        |    THEN ((st.s::HUGEINT - p.cents) * 1000) // (st.n - 1)
+        |    END::BIGINT AS phase_mean_milli,
+        |  CASE WHEN p.cents IS NOT NULL AND st.n - 1 > 0
+        |    THEN ((p.cents::HUGEINT * (st.n - 1) - (st.s - p.cents)) * 1000)
+        |      // greatest(abs(st.s::HUGEINT - p.cents), 1)
+        |    END::BIGINT AS dev_milli
+        |FROM p LEFT JOIN st ON st.event_type IS NOT DISTINCT FROM p.event_type
+        |  AND st.phase = p.phase
+        |ORDER BY p.event_type, p.hour""".stripMargin),
     "q286_silhouette" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.clusterSizeAudit]]: singleton accounting (the anti-join
+  * everyone forgets), exact floored shares, the giant-component tail,
+  * and the empty-comps corpus. */
+class ClusterSizeAuditSpec extends SparkSpec {
+
+  private def run(docIds: Seq[Long], comps: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Dedup.clusterSizeAudit(docIds.toDF("doc_id"), "doc_id",
+        comps.toDF("id", "component"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+  }
+
+  test("singletons are size-1 clusters and MUST count") {
+    // 5 docs, one pair clustered -> 3 singletons + 1 cluster of 2
+    val got = run(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(1L -> 1L, 2L -> 1L))
+    assert(got(1L) == ((3L, 3L, 600000L)))
+    assert(got(2L) == ((1L, 2L, 400000L)))
+  }
+
+  test("no pairs at all: the whole corpus is singletons, share 10^6") {
+    val got = run(Seq(1L, 2L, 3L), Seq.empty)
+    assert(got == Map(1L -> ((3L, 3L, 1000000L))))
+  }
+
+  test("a giant component dominates the tail row") {
+    val got = run(Seq(1L, 2L, 3L, 4L, 5L),
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(got(4L) == ((1L, 4L, 800000L)))
+    assert(got(1L) == ((1L, 1L, 200000L)))
+  }
+
+  test("shares floor exactly (7 docs: 1/7 and 2/7)") {
+    val got = run((1L to 7L), Seq(1L -> 1L, 2L -> 1L))
+    assert(got(1L)._3 == 5L * 1000000L / 7L)
+    assert(got(2L)._3 == 2L * 1000000L / 7L)
+  }
+}

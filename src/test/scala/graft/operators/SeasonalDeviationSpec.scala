@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.seasonalDeviation]]: leave-one-out hand computations,
+  * the lone-phase-point NULL, NULL value/series handling, signed
+  * truncation parity, and a brute-force replica. */
+class SeasonalDeviationSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, Long, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.seasonalDeviation(rows.toDF("s", "o", "x", "p"), "s", "o",
+        col("x"), col("p")).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1)) ->
+        ((r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  test("leave-one-out: a 3x spike reads +3000 milli against its peers") {
+    // phase 0: [10, 10, 40] -> for 40: mean' = 10, dev = 30/10 = 3.0
+    val got = run(Seq(("s", 1L, L(10), L(0)), ("s", 2L, L(10), L(0)),
+      ("s", 3L, L(40), L(0))))
+    assert(got(("s", 3L)) == ((2L, 10000L, 3000L)))
+    // for each 10: mean' = 25, dev = -15/25 = -0.6
+    assert(got(("s", 1L)) == ((2L, 25000L, -600L)))
+  }
+
+  test("a point alone in its phase has no yardstick: NULL dev") {
+    val got = run(Seq(("s", 1L, L(10), L(0)), ("s", 2L, L(20), L(5))))
+    assert(got(("s", 1L)) == ((0L, Long.MinValue, Long.MinValue)))
+  }
+
+  test("NULL values pass through and cannot poison the baseline") {
+    val got = run(Seq(("s", 1L, L(10), L(0)), ("s", 2L, null, L(0)),
+      ("s", 3L, L(30), L(0))))
+    // baseline for 10 is {30}: dev = (10-30)/30 = -666 (trunc toward 0)
+    assert(got(("s", 1L)) == ((1L, 30000L, -666L)))
+    assert(got(("s", 2L))._3 == Long.MinValue)
+  }
+
+  test("a NULL series key is audited like any other series") {
+    val got = run(Seq((null, 1L, L(10), L(0)), (null, 2L, L(20), L(0))))
+    assert(got(("<null>", 1L)) == ((1L, 20000L, -500L)))
+  }
+
+  test("brute-force replica on a seeded keyed calendar") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1L to 400L).map(i =>
+      (s"s${rnd.nextInt(3)}", i, L(rnd.nextInt(200) - 40L), L(i % 24)))
+    val got = run(rows)
+    for ((s, o, x, p) <- rows) {
+      val peers = rows.filter(r => r._1 == s && r._4 == p && r._2 != o)
+        .map(_._3.longValue())
+      val n = peers.size.toLong
+      val sum = peers.sum
+      // BigInt / truncates toward zero — the engines' shared DIV rule
+      val mean = if (n == 0) Long.MinValue
+        else (BigInt(sum) * 1000 / n).toLong
+      val dev = if (n == 0) Long.MinValue
+        else ((BigInt(x.longValue()) * n - sum) * 1000 /
+          BigInt(sum).abs.max(1)).toLong
+      assert(got((s, o)) == ((n, mean, dev)), s"point ($s,$o)")
+    }
+  }
+}
