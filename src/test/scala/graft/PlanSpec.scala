@@ -528,4 +528,41 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 1,
       "the checkpointed domain frame must prevent a second corpus scan")
   }
+
+  test("q280 W1 drift: the spine crosses broadcast, never a shuffled Cartesian") {
+    val p = plan("q280_w1_drift")
+    assert(!p.contains("CartesianProduct"),
+      "group-totals × value-spine must plan as a broadcast nested loop")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the bounded histogram spine should broadcast into every group")
+  }
+
+  test("q283 PSI: per-group spine, reference broadcast, no Cartesian") {
+    val p = plan("q283_psi")
+    assert(!p.contains("CartesianProduct"),
+      "the reference histogram and union spine must broadcast")
+  }
+
+  test("q286 silhouette: centroids broadcast; the corpus never shuffles for the assignment") {
+    val p = plan("q286_silhouette")
+    assert(!p.contains("CartesianProduct"),
+      "corpus × centroids must be a broadcast nested loop")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid table broadcasts")
+  }
+
+  test("q287 shuffle quality: the adjacency walk reuses the per-shard layout (windows partition by shard)") {
+    val p = plan("q287_shuffle_quality")
+    assert(!p.contains("Window [") ||
+      !p.contains("Exchange SinglePartition"),
+      "no global single-partition window — everything partitions by shard_no")
+  }
+
+  test("q289 seasonal deviation: baseline joins broadcast back; rows never enter a window") {
+    val p = plan("q289_seasonal")
+    // the only acceptable window would be none at all: the per-point
+    // deviation is a broadcast join + projection
+    assert(!p.contains("Window"),
+      "phase baselines are a counter agg joined back, never a window")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
