@@ -883,6 +883,72 @@ object Anomaly {
           .as("w1_micro"))
   }
 
+  /** Cochran–Armitage trend test per group (Cochran 1954, Armitage
+    * 1955) — does a binary outcome's rate TREND with an ordered score
+    * (length bucket, quality decile, epoch)? The monotone-degradation
+    * monitor a per-bucket rate table can't adjudicate: twenty buckets
+    * each insignificantly lower than the last is one very significant
+    * trend. Equivalent to the score test for the logistic slope on
+    * `score`, so it accepts per-row integer scores directly — no
+    * pre-bucketing required (bucket upstream if you want bucket
+    * semantics).
+    *
+    * Exact core, one libm tail (the [[mannWhitney]] z recipe): with
+    * N rows, X positives, S1 = Σw, S2 = Σw², T1 = Σw·y per group —
+    * all DECIMAL(38,0)-exact —
+    *
+    *   A = N·T1 − X·S1          (the trend numerator; sign = direction)
+    *   B = X·(N−X)·(N·S2 − S1²) (the variance cross-product)
+    *   z_micro = round(10⁶ · A · sqrt(N / B))
+    *
+    * ONE double division, ONE sqrt, ONE rounding — identical
+    * expression text on both engines. Honest ceiling: B needs
+    * X(N−X)·(N·S2 − S1²) ≤ 10³⁸ (w ≤ 10⁴, N ≈ 10⁷ rows per group
+    * fits with two orders to spare; past it the non-ANSI decimal
+    * overflow nulls fail-visibly). Degenerate groups — all-positive,
+    * all-negative, or zero score variance (B = 0) — have no trend to
+    * normalize: NULL z, never 0. NULL scores/outcomes drop
+    * fail-visibly into `n_skipped`; NULL group keys are audited.
+    *
+    * Scale shape: ONE corpus-sized partial aggregation — five
+    * counters per group cross the shuffle, nothing else. No spine,
+    * no window, no join. Output: (groupCol, n, n_pos, n_skipped,
+    * a_sign, z_micro). */
+  def trendTest(df: DataFrame, groupCol: String, score: Column,
+      positive: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      score.cast("long").as("__w"),
+      when(positive.isNull, lit(null).cast("long"))
+        .otherwise(when(positive, 1L).otherwise(0L)).as("__y"))
+    base.groupBy("__g")
+      .agg(
+        sum(when(col("__w").isNotNull && col("__y").isNotNull, 1L)
+          .otherwise(0L)).as("n"),
+        sum(when(col("__w").isNull || col("__y").isNull, 1L)
+          .otherwise(0L)).as("n_skipped"),
+        sum(when(col("__w").isNotNull, col("__y")).otherwise(lit(null)))
+          .as("n_pos"),
+        sum(when(col("__y").isNotNull,
+          col("__w").cast("decimal(38,0)")).otherwise(lit(null))).as("__s1"),
+        sum(when(col("__y").isNotNull,
+          col("__w").cast("decimal(38,0)") * col("__w"))
+          .otherwise(lit(null))).as("__s2"),
+        sum(col("__w").cast("decimal(38,0)") * col("__y")).as("__t1"))
+      .withColumn("n_pos", coalesce(col("n_pos"), lit(0L)))
+      .withColumn("__a", expr(
+        "CAST(n AS DECIMAL(38,0)) * __t1 - CAST(n_pos AS DECIMAL(38,0)) * __s1"))
+      .withColumn("__b", expr(
+        """CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos)
+          | * (CAST(n AS DECIMAL(38,0)) * __s2 - __s1 * __s1)""".stripMargin))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        col("n_skipped"),
+        when(col("__b") > 0L, signum(col("__a")).cast("long")).as("a_sign"),
+        when(col("__b") > 0L, expr(
+          """CAST(round(CAST(__a AS DOUBLE)
+            | * sqrt(CAST(n AS DOUBLE) / CAST(__b AS DOUBLE))
+            | * 1000000) AS BIGINT)""".stripMargin)).as("z_micro"))
+  }
+
   /** Seasonal (phase-baseline) deviation — each point of a keyed
     * ordered series against the mean of the OTHER points sharing its
     * phase (hour-of-day, day-of-week): the calendar-aware monitor

@@ -4088,7 +4088,27 @@ object Extensions {
       .orderBy("event_type", "hour")
   }
 
+  /** q290 — Cochran–Armitage trend test per source
+    * ([[graft.operators.Anomaly.trendTest]]): does P(lang = en) trend
+    * with the length bucket — the monotone-degradation verdict twenty
+    * individually-insignificant bucket rates can't give. Every 53rd
+    * doc NULL-scored and NULL langs NULL-outcomed (fail-visible
+    * n_skipped); five counters per source cross the shuffle,
+    * nothing else. */
+  def q290TrendTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.trendTest(
+      Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"),
+          col("doc_id"), col("n_chars"), col("lang")),
+      "source",
+      when(col("doc_id") % 53 === 0, lit(null).cast("long"))
+        .otherwise(expr("n_chars DIV 256")),
+      when(col("lang").isNull, lit(null).cast("boolean"))
+        .otherwise(col("lang") === "en"))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_trend_test" -> (q290TrendTest _),
     "q289_seasonal" -> (q289Seasonal _),
     "q288_cluster_sizes" -> (q288ClusterSizes _),
     "q287_shuffle_quality" -> (q287ShuffleQuality _),
@@ -5175,6 +5195,35 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q290_trend_test" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE n_chars // 256 END AS w,
+        |    CASE WHEN lang IS NULL THEN NULL
+        |      WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |a AS (SELECT g,
+        |    count(CASE WHEN w IS NOT NULL AND y IS NOT NULL THEN 1
+        |      END)::BIGINT AS n,
+        |    count(CASE WHEN w IS NULL OR y IS NULL THEN 1 END)::BIGINT
+        |      AS n_skipped,
+        |    coalesce(sum(CASE WHEN w IS NOT NULL THEN y END), 0)::BIGINT
+        |      AS n_pos,
+        |    sum(CASE WHEN y IS NOT NULL THEN w::HUGEINT END) AS s1,
+        |    sum(CASE WHEN y IS NOT NULL THEN w::HUGEINT * w END) AS s2,
+        |    sum(w::HUGEINT * y) AS t1
+        |  FROM base GROUP BY g),
+        |b AS (SELECT *, n::HUGEINT * t1 - n_pos::HUGEINT * s1 AS aa,
+        |    n_pos::HUGEINT * (n - n_pos)
+        |      * (n::HUGEINT * s2 - s1 * s1) AS bb
+        |  FROM a)
+        |SELECT g AS source, n, n_pos, n_skipped,
+        |  CASE WHEN bb > 0 THEN
+        |    CASE WHEN aa > 0 THEN 1 WHEN aa < 0 THEN -1 ELSE 0 END
+        |  END::BIGINT AS a_sign,
+        |  CASE WHEN bb > 0 THEN CAST(round(CAST(aa AS DOUBLE)
+        |    * sqrt(CAST(n AS DOUBLE) / CAST(bb AS DOUBLE))
+        |    * 1000000) AS BIGINT) END AS z_micro
+        |FROM b ORDER BY source""".stripMargin),
     "q288_cluster_sizes" ->
       ("""WITH hh AS (SELECT doc_id, n_chars // 8 AS h FROM documents),
         |g AS (SELECT h, min(doc_id) AS component, count(1)::BIGINT AS n

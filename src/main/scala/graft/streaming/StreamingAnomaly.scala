@@ -347,4 +347,52 @@ object StreamingAnomaly {
           }
       }
   }
+
+  /** Streaming seasonal monitor — each ARRIVING point scored against
+    * the mean of the PRIOR points sharing its phase (hour-of-day,
+    * day-of-week): the prospective twin of
+    * [[graft.operators.Anomaly.seasonalDeviation]]. The batch
+    * operator is retrospective (leave-one-out over the WHOLE series —
+    * baselines include the future); a monitor cannot see the future,
+    * so this face scores strictly against what had arrived before the
+    * point, which is also why its state is O(phases) counters per
+    * series FOREVER — (n, Σ) per phase, never the points themselves.
+    * Semantics pinned by a fold replica in StreamingSeasonalSpec, not
+    * by batch parity (the two operators answer different questions,
+    * stated here so nobody "fixes" one to match the other).
+    *
+    * Within a trigger, elements fold in `order` ascending (sorted per
+    * group per batch); late data (order below something already seen)
+    * still scores against the CURRENT counters — the honest option, a
+    * backdated baseline would require keeping every point. Input
+    * (series, order, value, phase); emits (series, order, phase,
+    * value, n_prior, dev_milli vs the prior-mean — exact BigInt
+    * arithmetic truncating toward zero, the engines' shared DIV
+    * rule), dev None when the phase had no prior points. */
+  def seasonalDeviation(rows: Dataset[(String, Long, Long, Long)],
+      maxPhases: Int = 10000)
+      : Dataset[(String, Long, Long, Long, Long, Option[Long])] = {
+    require(maxPhases >= 1, "need maxPhases >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[Map[Long, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          val out = it.toSeq.sortBy(_._2).map { case (_, o, x, p) =>
+            val (n, s) = m.getOrElse(p, (0L, 0L))
+            val dev = if (n == 0) None
+              else Some(((BigInt(x) * n - s) * 1000 /
+                BigInt(s).abs.max(1)).toLong)
+            m = m.updated(p, (n + 1, s + x))
+            (group, o, p, x, n, dev)
+          }
+          require(m.size <= maxPhases,
+            s"series '$group' exceeded $maxPhases phases — phase must be " +
+              "a bounded calendar position (the batch operator's contract)")
+          state.update(m)
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.trendTest]]: direction signs, the no-trend zero, the
+  * degenerate NULL paths, fail-visible skipping, and a brute-force
+  * replica of the z recipe. */
+class TrendTestSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.trendTest(rows.toDF("g", "w", "y"), "g", col("w"), col("y"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("a clean upward trend is positive; its mirror is the exact negation") {
+    val up = (0L until 40L).map(w => ("g", L(w), B(w >= 20)))
+    val down = (0L until 40L).map(w => ("g", L(w), B(w < 20)))
+    val gu = run(up)("g"); val gd = run(down)("g")
+    assert(gu._4 == 1L && gd._4 == -1L)
+    assert(gu._5 > 0L && gd._5 == -gu._5)
+  }
+
+  test("outcome independent of score: trend numerator is exactly zero") {
+    // positives evenly placed on every score: A = N*T1 - X*S1 = 0
+    val rows = (0L until 20L).flatMap(w =>
+      Seq(("g", L(w), B(true)), ("g", L(w), B(false))))
+    val got = run(rows)("g")
+    assert(got._4 == 0L && got._5 == 0L)
+  }
+
+  test("all-positive / all-negative / zero-score-variance groups emit NULL z") {
+    val got = run(
+      Seq(("p", L(1), B(true)), ("p", L(2), B(true)),
+        ("n", L(1), B(false)), ("n", L(2), B(false)),
+        ("v", L(5), B(true)), ("v", L(5), B(false))))
+    assert(got("p")._5 == Long.MinValue)
+    assert(got("n")._5 == Long.MinValue)
+    assert(got("v")._5 == Long.MinValue)
+  }
+
+  test("NULL scores and NULL outcomes drop fail-visibly") {
+    val got = run(Seq(("g", L(1), B(true)), ("g", L(2), B(false)),
+      ("g", null, B(true)), ("g", L(3), null)))
+    assert(got("g")._1 == 2L && got("g")._3 == 2L)
+  }
+
+  test("brute-force replica of the one-libm z recipe") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 600).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val w = rnd.nextInt(30).toLong
+      // upward-trending probability for g0, flat otherwise
+      val p = if (g == "g0") 0.2 + 0.02 * w else 0.5
+      (g, L(w), B(rnd.nextDouble() < p))
+    }
+    val got = run(rows)
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val n = rs.size.toLong
+      val x = rs.count(_._3).toLong
+      val s1 = rs.map(r => BigInt(r._2.longValue())).sum
+      val s2 = rs.map(r => BigInt(r._2.longValue()).pow(2)).sum
+      val t1 = rs.filter(_._3).map(r => BigInt(r._2.longValue())).sum
+      val a = BigInt(n) * t1 - BigInt(x) * s1
+      val b = BigInt(x) * (n - x) * (BigInt(n) * s2 - s1 * s1)
+      val z = if (b <= 0) Long.MinValue
+        else math.round(a.toDouble * math.sqrt(n.toDouble / b.toDouble) * 1e6)
+      assert(got(g)._5 == z, s"group $g")
+      if (b > 0) assert(got(g)._4 == a.signum.toLong)
+    }
+  }
+}

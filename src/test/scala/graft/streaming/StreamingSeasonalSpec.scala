@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming seasonal monitor: O(phases) keyed state, the prospective
+  * prior-mean semantics pinned by a fold replica (NOT batch parity —
+  * the batch operator is retrospective by design), state continuity
+  * across triggers, and the loud phase bound. */
+class StreamingSeasonalSpec extends SparkSpec {
+
+  private def replica(rows: Seq[(String, Long, Long, Long)])
+      : Map[(String, Long), (Long, Option[Long])] = {
+    val state = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
+    rows.sortBy(r => (r._1, r._2)).map { case (g, o, x, p) =>
+      val (n, s) = state.getOrElse((g, p), (0L, 0L))
+      val dev = if (n == 0) None
+        else Some(((BigInt(x) * n - s) * 1000 / BigInt(s).abs.max(1)).toLong)
+      state((g, p)) = (n + 1, s + x)
+      (g, o) -> ((n, dev))
+    }.toMap
+  }
+
+  test("each point scores against PRIOR same-phase points; state survives triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(67)
+    // orders strictly increasing across batches so the replica's sort
+    // matches arrival order
+    val batch1 = (1L to 120L).map(o =>
+      (s"g${rnd.nextInt(2)}", o, rnd.nextInt(100).toLong - 20L, o % 6))
+    val batch2 = (121L to 240L).map(o =>
+      (s"g${rnd.nextInt(2)}", o, rnd.nextInt(100).toLong - 20L, o % 6))
+
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingAnomaly.seasonalDeviation(in.toDS())
+      .toDF("g", "o", "p", "x", "n_prior", "dev_milli")
+      .writeStream.format("memory").queryName("seasonal_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def table(): Map[(String, Long), (Long, Option[Long])] =
+        spark.table("seasonal_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(4),
+              if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(table() == replica(batch1), "trigger 1 must match the fold")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(table() == replica(batch1 ++ batch2),
+        "trigger 2: counters continued, not reset")
+    } finally q.stop()
+  }
+
+  test("the first point of a phase has no yardstick: None, n_prior 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingAnomaly.seasonalDeviation(in.toDS())
+      .toDF("g", "o", "p", "x", "n", "d")
+      .writeStream.format("memory").queryName("seasonal_first")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("g", 1L, 50L, 0L), ("g", 2L, 100L, 0L))
+      q.processAllAvailable()
+      val rows = spark.table("seasonal_first").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+      assert(rows(1L) == ((0L, Long.MinValue)))
+      // 100 vs prior mean 50: dev = (100-50)/50 = +1000 milli
+      assert(rows(2L) == ((1L, 1000L)))
+    } finally q.stop()
+  }
+
+  test("the phase bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingAnomaly.seasonalDeviation(in.toDS(), maxPhases = 3)
+      .toDF("g", "o", "p", "x", "n", "d")
+      .writeStream.format("memory").queryName("seasonal_bound")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", i.toLong, 1L, i.toLong)): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
