@@ -51,6 +51,78 @@ object UrlGate {
       .withColumn("url_allowed", col("__list_domain").isNotNull)
       .drop("__list_domain")
 
+  /** Robots-rules fetch decisions — RFC 9309 longest-match over a
+    * pre-parsed rule table: per request URL, pick the host's
+    * effective user-agent group (the crawler's OWN group if that
+    * host declared one, else `*` — per the RFC, the most specific
+    * group applies and groups do NOT merge), match `prefix` rules
+    * against the URL path, and let the LONGEST matching prefix win
+    * with allow beating disallow on equal length. No matching rule —
+    * or no rules for the host at all — is an allow, the RFC default.
+    * The compliance gate a crawl frontier runs BEFORE fetching, and
+    * the publisher-opt-out audit ([[graft.functions.TextFunctions
+    * .metaRobots]] covers the in-page opt-out AFTER fetching; this
+    * covers the one that must prevent the fetch).
+    *
+    * Contract: `rules` is (host, agent, rule ∈ allow|disallow,
+    * prefix) rows — parsed robots.txt directives, broadcast-small by
+    * nature (rule tables are crawl metadata, never corpus-sized).
+    * Wildcards/`$` anchors are NOT interpreted — prefixes match
+    * literally (the RFC's baseline; stated, not hidden). Empty/NULL
+    * prefixes drop (an empty `Disallow:` means "no rule" in the
+    * RFC). Path = everything from the first `/` after the authority
+    * to `?`/`#`; a URL with no path component is the root `/`. NULL
+    * or non-URL-shaped requests emit NULL `url_allowed` — a fetch
+    * decision on nothing is not "allowed".
+    *
+    * Determinism: ties beyond (length, allow-first) break on the
+    * prefix string, so `robots_prefix` is reproducible. Scale shape:
+    * rules broadcast; ONE distinct over request URLs, a per-URL
+    * window over that URL's matched rules (bounded by the host's
+    * rule count), one hash join back to the request rows. Output:
+    * input columns + (robots_rule, robots_prefix, url_allowed). */
+  def robotsDecisions(requests: DataFrame, urlCol: String,
+      rules: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(agent.nonEmpty && agent != "*",
+      "agent must be a concrete user-agent token (the '*' group is the fallback)")
+    val r = rules.select(lower(col("host")).as("__rh"),
+        col("agent").as("__ra"), lower(col("rule")).as("__rule"),
+        col("prefix").as("__px"))
+      .where(col("__px").isNotNull && length(col("__px")) > 0 &&
+        col("__rule").isin("allow", "disallow") && col("__rh").isNotNull)
+    val hostsWithAgent = r.where(col("__ra") === agent)
+      .select(col("__rh").as("__ha")).distinct()
+    val eff = r.where(col("__ra") === agent)
+      .unionByName(r.where(col("__ra") === "*")
+        .join(hostsWithAgent, col("__rh") === col("__ha"), "left_anti"))
+      .select(col("__rh"), col("__rule"), col("__px"))
+    val req = requests.select(col(urlCol).as("__u")).where(col("__u").isNotNull)
+      .distinct()
+      .withColumn("__host", lower(TextFunctions.urlHost(col("__u"))))
+      .withColumn("__path",
+        when(regexp_extract(col("__u"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)", 1) === "", lit("/"))
+          .otherwise(regexp_extract(col("__u"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)", 1)))
+      .where(col("__host").isNotNull)
+    val matched = req
+      .join(broadcast(eff), col("__host") === col("__rh") &&
+        expr("substring(__path, 1, length(__px)) = __px"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__u")
+        .orderBy(length(col("__px")).desc, col("__rule").asc,
+          col("__px").asc)))
+      .where(col("__rn") === 1)
+      .select(col("__u").as("__mu"), col("__rule").as("robots_rule"),
+        col("__px").as("robots_prefix"))
+    requests.join(matched, col(urlCol) === col("__mu"), "left")
+      .withColumn("url_allowed",
+        when(TextFunctions.urlHost(col(urlCol)).isNull,
+          lit(null).cast("boolean"))
+          .otherwise(coalesce(col("robots_rule") === "allow", lit(true))))
+      .drop("__mu")
+  }
+
   /** URL path-template mining — collapse digit runs to `#` and count
     * the resulting path SHAPES: the crawl-traps-and-templates census
     * ("/calendar/#/#/#" with 10⁶ URLs over 3 hosts is a date trap;

@@ -4107,7 +4107,43 @@ object Extensions {
         .otherwise(col("lang") === "en"))
       .orderBy("source")
 
+  /** q291 — robots-rules fetch decisions ([[graft.operators.UrlGate
+    * .robotsDecisions]], agent "graftbot"): q255's synthetic
+    * article/product/tag URLs against per-host rule tables — hosts
+    * with even-length sources declare a graftbot group (whose
+    * existence must EXCLUDE the `*` group per RFC 9309), the rest
+    * fall back to `*`; longest-match with allow-beats-disallow ties
+    * decided inside /tag/ and /product/ families. */
+  def q291Robots(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val kinds = array(lit("article"), lit("product"), lit("tag"))
+    val url = concat(lit("https://"), coalesce(col("source"), lit("x")),
+      lit(".example.com/"),
+      element_at(kinds, (col("doc_id") % 3).cast("int") + 1),
+      lit("/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit("?page=3")).otherwise(lit("")))
+    val reqs = d.select(col("doc_id"), url.as("url"))
+    val hosts = d.select(
+      concat(coalesce(col("source"), lit("x")), lit(".example.com"))
+        .as("host"),
+      coalesce(col("source"), lit("x")).as("src")).distinct()
+    val even = hosts.where(length(col("src")) % 2 === 0)
+    val rules = even.select(col("host"), lit("graftbot").as("agent"),
+        lit("disallow").as("rule"), lit("/tag/").as("prefix"))
+      .unionByName(even.select(col("host"), lit("graftbot").as("agent"),
+        lit("allow").as("rule"), lit("/tag/1").as("prefix")))
+      .unionByName(hosts.select(col("host"), lit("*").as("agent"),
+        lit("disallow").as("rule"), lit("/product/").as("prefix")))
+      .unionByName(hosts.select(col("host"), lit("*").as("agent"),
+        lit("allow").as("rule"), lit("/product/12").as("prefix")))
+    graft.operators.UrlGate.robotsDecisions(reqs, "url", rules, "graftbot")
+      .select(col("doc_id"), col("url"), col("robots_rule"),
+        col("robots_prefix"), col("url_allowed"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_robots" -> (q291Robots _),
     "q290_trend_test" -> (q290TrendTest _),
     "q289_seasonal" -> (q289Seasonal _),
     "q288_cluster_sizes" -> (q288ClusterSizes _),
@@ -5195,6 +5231,46 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q291_robots" ->
+      ("""WITH dd AS (SELECT doc_id, coalesce(source, 'x') AS src
+        |  FROM documents),
+        |req AS (SELECT doc_id,
+        |    'https://' || src || '.example.com/' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'article'
+        |      WHEN 1 THEN 'product' ELSE 'tag' END ||
+        |    '/' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?page=3' ELSE '' END AS url
+        |  FROM dd),
+        |hosts AS (SELECT DISTINCT src || '.example.com' AS host, src FROM dd),
+        |rules AS (
+        |  SELECT host, 'graftbot' AS agent, 'disallow' AS rule,
+        |    '/tag/' AS prefix FROM hosts WHERE length(src) % 2 = 0
+        |  UNION ALL SELECT host, 'graftbot', 'allow', '/tag/1'
+        |    FROM hosts WHERE length(src) % 2 = 0
+        |  UNION ALL SELECT host, '*', 'disallow', '/product/' FROM hosts
+        |  UNION ALL SELECT host, '*', 'allow', '/product/12' FROM hosts),
+        |hw AS (SELECT DISTINCT host FROM rules WHERE agent = 'graftbot'),
+        |eff AS (SELECT host, rule, prefix FROM rules WHERE agent = 'graftbot'
+        |  UNION ALL SELECT r.host, r.rule, r.prefix FROM rules r
+        |  WHERE r.agent = '*' AND r.host NOT IN (SELECT host FROM hw)),
+        |rq AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+        |    CASE WHEN regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)', 1) = ''
+        |      THEN '/' ELSE regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)', 1) END AS path
+        |  FROM req),
+        |m AS (SELECT rq.url, e.rule, e.prefix,
+        |    row_number() OVER (PARTITION BY rq.url
+        |      ORDER BY length(e.prefix) DESC, e.rule, e.prefix) AS rn
+        |  FROM rq JOIN eff e ON e.host = rq.host
+        |    AND substring(rq.path, 1, length(e.prefix)) = e.prefix)
+        |SELECT req.doc_id, req.url, m1.rule AS robots_rule,
+        |  m1.prefix AS robots_prefix,
+        |  coalesce(m1.rule = 'allow', TRUE) AS url_allowed
+        |FROM req LEFT JOIN (SELECT * FROM m WHERE rn = 1) m1
+        |  ON m1.url = req.url
+        |ORDER BY req.doc_id""".stripMargin),
     "q290_trend_test" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE n_chars // 256 END AS w,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[UrlGate.robotsDecisions]]: longest-match, allow-beats-disallow
+  * ties, agent-group exclusivity over `*`, the no-rules allow
+  * default, empty-prefix drops, root-path handling, and the NULL-url
+  * honesty path. */
+class RobotsSpec extends SparkSpec {
+
+  private def rules(rows: Seq[(String, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("host", "agent", "rule", "prefix")
+  }
+
+  private def run(urls: Seq[String],
+      rs: Seq[(String, String, String, String)], agent: String = "bot") = {
+    import spark.implicits._
+    UrlGate.robotsDecisions(urls.zipWithIndex.map(_.swap).toDF("i", "url"),
+        "url", rules(rs), agent)
+      .collect().map(r => r.getInt(0) -> ((
+        Option(r.getString(2)).getOrElse("-"),
+        Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(4)) null else Boolean.box(r.getBoolean(4))))).toMap
+  }
+
+  test("longest matching prefix wins; allow beats disallow on equal length") {
+    val rs = Seq(
+      ("h.com", "*", "disallow", "/a/"),
+      ("h.com", "*", "allow", "/a/b/"),
+      ("h.com", "*", "disallow", "/t/x"),
+      ("h.com", "*", "allow", "/t/y"))
+    val got = run(Seq("https://h.com/a/z", "https://h.com/a/b/z",
+      "https://h.com/other"), rs)
+    assert(got(0) == (("disallow", "/a/", Boolean.box(false))))
+    assert(got(1) == (("allow", "/a/b/", Boolean.box(true))))
+    assert(got(2) == (("-", "-", Boolean.box(true))))
+  }
+
+  test("a host's own agent group EXCLUDES the star group (RFC: no merging)") {
+    val rs = Seq(
+      ("h.com", "bot", "allow", "/p/"),
+      ("h.com", "*", "disallow", "/p/"),
+      ("g.com", "*", "disallow", "/p/"))
+    val got = run(Seq("https://h.com/p/1", "https://g.com/p/1"), rs)
+    // h.com declared a bot group -> star's disallow must not apply
+    assert(got(0)._3 == Boolean.box(true))
+    // g.com has only star -> it applies
+    assert(got(1) == (("disallow", "/p/", Boolean.box(false))))
+  }
+
+  test("no rules for the host at all: the RFC default is allow") {
+    val got = run(Seq("https://unlisted.com/x"),
+      Seq(("other.com", "*", "disallow", "/")))
+    assert(got(0) == (("-", "-", Boolean.box(true))))
+  }
+
+  test("empty prefixes are 'no rule' and drop before matching") {
+    val got = run(Seq("https://h.com/x"),
+      Seq(("h.com", "*", "disallow", "")))
+    assert(got(0)._3 == Boolean.box(true))
+  }
+
+  test("a URL with no path component is the root path") {
+    val got = run(Seq("https://h.com", "https://h.com/"),
+      Seq(("h.com", "*", "disallow", "/")))
+    assert(got(0)._3 == Boolean.box(false))
+    assert(got(1)._3 == Boolean.box(false))
+  }
+
+  test("NULL / non-URL requests emit NULL url_allowed, never a fake allow") {
+    import spark.implicits._
+    val reqs = Seq((0, "not a url"), (1, "https://h.com/x"))
+      .toDF("i", "url")
+    val got = UrlGate.robotsDecisions(reqs, "url",
+        rules(Seq(("h.com", "*", "disallow", "/x"))), "bot")
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(4)) null else Boolean.box(r.getBoolean(4)))).toMap
+    assert(got(0) == null)
+    assert(got(1) == Boolean.box(false))
+  }
+
+  test("query strings and fragments never count as path") {
+    val got = run(Seq("https://h.com/a?x=/b/c", "https://h.com/a#/b/c"),
+      Seq(("h.com", "*", "disallow", "/a?")))
+    assert(got(0)._3 == Boolean.box(true))
+    assert(got(1)._3 == Boolean.box(true))
+  }
+}
