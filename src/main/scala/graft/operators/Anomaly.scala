@@ -985,7 +985,10 @@ object Anomaly {
     val stats = base
       .where(col("__x").isNotNull && col("__p").isNotNull)
       .groupBy(col("__s").as("__ss"), col("__p").as("__sp"))
-      .agg(count(lit(1)).as("__n"), sum("__x").as("__sum"))
+      // decimal BEFORE the sum: a long-typed Σ would wrap silently at
+      // 2⁶³ instead of nulling fail-visibly (the stated ceiling)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sum"))
     base.join(broadcast(stats),
         col("__s") <=> col("__ss") && col("__p") === col("__sp"), "left")
       .withColumn("__no",
@@ -1068,9 +1071,12 @@ object Anomaly {
         coalesce(col("__rw"), lit(0L)).as("__r"))
     val nBins = spine.groupBy("__sg").agg(count(lit(1)).as("n_bins"))
       .withColumnRenamed("__sg", "__bg")
+    // LEFT joins so a group with an EMPTY spine (empty reference +
+    // all-NULL values) still emits its audit row with NULL psi —
+    // an inner join would silently hide its n_skipped
     val terms = gTot.join(broadcast(wRef))
-      .join(nBins, col("__g") <=> col("__bg"))
-      .join(spine, col("__g") <=> col("__sg"))
+      .join(nBins, col("__g") <=> col("__bg"), "left")
+      .join(spine, col("__g") <=> col("__sg"), "left")
       .join(hist.where(col("__v").isNotNull)
           .select(col("__g").as("__hg"), col("__v").as("__hv"), col("__c")),
         col("__g") <=> col("__hg") && col("__v") === col("__hv"), "left")
@@ -1087,7 +1093,7 @@ object Anomaly {
         max("n_bins").as("n_bins"), max("__wr").as("__wr"),
         sum("__t").as("__psi"))
       .select(col("__g").as(groupCol), col("n"), col("n_skipped"),
-        col("n_bins"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
         when(col("n") > 0L && col("__wr") > 0L, col("__psi"))
           .as("psi_micro"))
   }

@@ -707,12 +707,15 @@ object Curation {
     * conservative). Output: one row per group — (groupCol, n,
     * n_skipped, k, qhat). */
   def conformalThreshold(df: DataFrame, groupCol: String, score: Column,
-      alphaMilli: Long = 100L): DataFrame = {
+      alphaMilli: Long = 100L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(alphaMilli >= 1 && alphaMilli <= 999,
       s"need alphaMilli in [1, 999], got $alphaMilli")
-    val hist = df.select(col(groupCol).as("__g"),
+    // the corpus-sized histogram feeds two consumers (totals + the
+    // cumulative walk): materialize it once, the sibling convention
+    val hist = checkpointer(df.select(col(groupCol).as("__g"),
         score.cast("long").as("__s"))
-      .groupBy("__g", "__s").agg(count(lit(1)).as("__c"))
+      .groupBy("__g", "__s").agg(count(lit(1)).as("__c")))
     val gTot = hist.groupBy("__g").agg(
       sum(when(col("__s").isNotNull, col("__c")).otherwise(0L)).as("n"),
       sum(when(col("__s").isNull, col("__c")).otherwise(0L)).as("n_skipped"))
@@ -820,9 +823,12 @@ object Curation {
     * (groupCol, n_docs, brier_micro, rel_micro, res_micro,
     * unc_micro). */
   def brierDecomp(df: DataFrame, groupCol: String, confMilli: Column,
-      outcome: Column, binWidth: Long = 100L): DataFrame = {
+      outcome: Column, binWidth: Long = 100L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(binWidth >= 1 && binWidth <= 1000, "need 1 <= binWidth <= 1000")
-    val bins = df
+    // the corpus-sized bin frame feeds THREE consumers (the main agg,
+    // group totals, the resolution self-join): materialize it once
+    val bins = checkpointer(df
       .filter(confMilli.isNotNull && outcome.isNotNull &&
         confMilli >= 0L && confMilli <= 1000L)
       .select(col(groupCol), confMilli.cast("long").as("__c"),
@@ -831,7 +837,7 @@ object Curation {
       .agg(count(lit(1)).as("__n"), sum("__o").as("__pos"),
         sum("__c").as("__cs"),
         sum(expr("""CAST(__c * 1000 - __o * 1000000 AS DECIMAL(38,0))
-          | * (__c * 1000 - __o * 1000000)""".stripMargin)).as("__sq"))
+          | * (__c * 1000 - __o * 1000000)""".stripMargin)).as("__sq")))
     bins.groupBy(col(groupCol))
       .agg(sum("__n").as("n_docs"), sum("__pos").as("__sy"),
         sum("__sq").as("__sqsum"),

@@ -306,7 +306,10 @@ object Export {
     val lbl = ordered.groupBy(col("shard_no").as("__s2"), col("__l"))
       .agg(count(lit(1)).as("__c"))
       .groupBy("__s2")
-      .agg(sum(expr("__c * (__c - 1)")).as("__pairs"))
+      // decimal before the product: c(c−1) wraps long past ~3·10⁹
+      // same-label rows per shard; the oracle is HUGEINT throughout
+      .agg(sum(expr("CAST(__c AS DECIMAL(38,0)) * (__c - 1)"))
+        .as("__pairs"))
     obs.join(lbl, col("shard_no") === col("__s2"))
       .select(col("shard_no"), col("n_rows"), col("n_same_adj"),
         when(col("n_rows") >= 2L,

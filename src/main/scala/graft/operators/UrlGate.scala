@@ -69,8 +69,10 @@ object UrlGate {
     * nature (rule tables are crawl metadata, never corpus-sized).
     * Wildcards/`$` anchors are NOT interpreted — prefixes match
     * literally (the RFC's baseline; stated, not hidden). Empty/NULL
-    * prefixes drop (an empty `Disallow:` means "no rule" in the
-    * RFC). Path = everything from the first `/` after the authority
+    * prefixes drop as rules (an empty `Disallow:` means "no rule" in
+    * the RFC) but still DECLARE their group — a host whose own-agent
+    * group is one empty `Disallow:` is allow-all for that agent, not
+    * a fallback to `*`. Agent tokens compare case-insensitively. Path = everything from the first `/` after the authority
     * to `?`/`#`; a URL with no path component is the root `/`. NULL
     * or non-URL-shaped requests emit NULL `url_allowed` — a fetch
     * decision on nothing is not "allowed".
@@ -86,14 +88,22 @@ object UrlGate {
     import org.apache.spark.sql.expressions.Window
     require(agent.nonEmpty && agent != "*",
       "agent must be a concrete user-agent token (the '*' group is the fallback)")
-    val r = rules.select(lower(col("host")).as("__rh"),
-        col("agent").as("__ra"), lower(col("rule")).as("__rule"),
+    val agentLc = agent.toLowerCase
+    val rRaw = rules.select(lower(col("host")).as("__rh"),
+        lower(col("agent")).as("__ra"), lower(col("rule")).as("__rule"),
         col("prefix").as("__px"))
-      .where(col("__px").isNotNull && length(col("__px")) > 0 &&
-        col("__rule").isin("allow", "disallow") && col("__rh").isNotNull)
-    val hostsWithAgent = r.where(col("__ra") === agent)
+      .where(col("__rule").isin("allow", "disallow") &&
+        col("__rh").isNotNull)
+    // group existence comes from the DECLARED directives BEFORE the
+    // empty-prefix drop: a host whose own-agent group is a single
+    // empty "Disallow:" (the common allow-all declaration) still
+    // declared a group, and per the RFC that group — not `*` —
+    // governs this agent. Agent tokens match case-insensitively
+    // (RFC 9309 product tokens are case-insensitive).
+    val hostsWithAgent = rRaw.where(col("__ra") === agentLc)
       .select(col("__rh").as("__ha")).distinct()
-    val eff = r.where(col("__ra") === agent)
+    val r = rRaw.where(col("__px").isNotNull && length(col("__px")) > 0)
+    val eff = r.where(col("__ra") === agentLc)
       .unionByName(r.where(col("__ra") === "*")
         .join(hostsWithAgent, col("__rh") === col("__ha"), "left_anti"))
       .select(col("__rh"), col("__rule"), col("__px"))

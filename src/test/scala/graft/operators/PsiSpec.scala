@@ -70,6 +70,13 @@ class PsiSpec extends SparkSpec {
     assert(got("h")._4 == 0L)
   }
 
+  test("empty reference + all-NULL group: the audit row survives with its n_skipped") {
+    // the worst corner: the group has NO spine rows at all — it must
+    // still report, not silently vanish
+    val got = run(Seq("g" -> null, "g" -> null), Seq.empty)
+    assert(got("g") == ((0L, 2L, 0L, Long.MinValue)))
+  }
+
   test("non-positive reference weights drop before anything is smoothed") {
     val a = run(Seq("g" -> L(0), "g" -> L(1)), Seq(0L -> 1L, 1L -> 1L))
     val b = run(Seq("g" -> L(0), "g" -> L(1)),

@@ -62,6 +62,22 @@ class RobotsSpec extends SparkSpec {
     assert(got(0)._3 == Boolean.box(true))
   }
 
+  test("an agent group holding only an empty Disallow still EXISTS (allow-all, not star-fallback)") {
+    val rs = Seq(
+      ("h.com", "bot", "disallow", ""),
+      ("h.com", "*", "disallow", "/"))
+    val got = run(Seq("https://h.com/x"), rs)
+    // the empty Disallow declared an allow-all bot group; the star
+    // group's disallow-everything must NOT apply
+    assert(got(0) == (("-", "-", Boolean.box(true))))
+  }
+
+  test("agent tokens match case-insensitively (RFC 9309 product tokens)") {
+    val rs = Seq(("h.com", "GraftBot", "disallow", "/private/"))
+    val got = run(Seq("https://h.com/private/x"), rs, agent = "graftbot")
+    assert(got(0) == (("disallow", "/private/", Boolean.box(false))))
+  }
+
   test("a URL with no path component is the root path") {
     val got = run(Seq("https://h.com", "https://h.com/"),
       Seq(("h.com", "*", "disallow", "/")))
