@@ -1376,6 +1376,215 @@ object Anomaly {
           .as("trimmed_mean_micro"))
   }
 
+  /** Pearson χ² test of independence + Cramér's V per group — ARE two
+    * categorical fields associated (lang × source, gate-verdict ×
+    * length bucket), and by how much? The χ² statistic says "not
+    * independent" but grows with n; Cramér's V = sqrt(χ²/(n·min(r−1,
+    * c−1))) is the [0,1] effect size that stays comparable across
+    * corpus sizes — the number a composition monitor actually tracks.
+    *
+    * Exact core, one libm tail (the [[trendTest]] recipe): with per
+    * group n rows, per-cell observed O and marginals R, C — all
+    * integer counts —
+    *
+    *   χ²·10⁶ = Σ_cells (10⁶·(n·O − R·C)²) DIV (n·R·C)
+    *   v_milli = round(sqrt(chi2_micro / (n·min(r−1, c−1))))
+    *             (the 10⁶ inside the radical IS the milli scale)
+    *
+    * the sum runs over the FULL marginal cross product (zero-observed
+    * cells contribute their expected mass — dropping them understates
+    * χ²); every per-cell DIV has a non-negative numerator, so Spark's
+    * truncation and DuckDB's floor `//` agree. Honest ceiling:
+    * (n·O − R·C)²·10⁶ needs n ≤ 10⁸ rows per group (past it the
+    * non-ANSI decimal overflow nulls fail-visibly). A group with one
+    * row category or one column category has dof = 0 and no
+    * association to normalize: NULL v_milli, χ² still emitted (it is
+    * identically 0 there). NULL category values drop fail-visibly
+    * into `n_skipped`; a NULL group key folds to '' (the engine's
+    * key-normalization discipline).
+    *
+    * Scale shape: ONE corpus-sized partial agg (the (g, r, c) cell
+    * count); marginals, the cross-product spine, and the term sum all
+    * run on category-bounded frames (cells ≤ r·c per group — the
+    * categorical convention). Output: (groupCol, n, n_skipped,
+    * n_row_cats, n_col_cats, dof, chi2_micro, v_milli). */
+  def chiSquaredIndependence(df: DataFrame, groupCol: String,
+      rowCat: Column, colCat: Column): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      rowCat.cast("string").as("__r"), colCat.cast("string").as("__c"))
+    val cells = base.groupBy("__g", "__r", "__c")
+      .agg(count(lit(1)).as("__o"))
+    val skipped = cells.groupBy("__g").agg(
+      sum(when(col("__r").isNull || col("__c").isNull, col("__o"))
+        .otherwise(0L)).as("n_skipped"))
+    val ok = cells.where(col("__r").isNotNull && col("__c").isNotNull)
+      .select(col("__g").as("__og"), col("__r").as("__or"),
+        col("__c").as("__oc"), col("__o"))
+    val rt = ok.groupBy(col("__og").as("__rg"), col("__or").as("__rr"))
+      .agg(sum("__o").as("__rt"))
+    val ct = ok.groupBy(col("__og").as("__cg"), col("__oc").as("__cc"))
+      .agg(sum("__o").as("__ct"))
+    val tot = ok.groupBy(col("__og").as("__tg")).agg(
+      sum("__o").as("n"),
+      countDistinct("__or").as("n_row_cats"),
+      countDistinct("__oc").as("n_col_cats"))
+    val terms = rt.join(ct, col("__rg") === col("__cg"))
+      .join(broadcast(tot), col("__rg") === col("__tg"))
+      .join(ok, col("__rg") === col("__og")
+        && col("__rr") === col("__or") && col("__cc") === col("__oc"),
+        "left")
+      .withColumn("__d", expr(
+        """CAST(n AS DECIMAL(38,0)) * coalesce(__o, CAST(0 AS BIGINT))
+          | - CAST(__rt AS DECIMAL(38,0)) * __ct""".stripMargin))
+      .select(col("__rg"), col("n"), col("n_row_cats"), col("n_col_cats"),
+        expr("""(__d * __d * 1000000)
+          | DIV (CAST(n AS DECIMAL(38,0)) * __rt * __ct)""".stripMargin)
+          .as("__t"))
+    val agg = terms.groupBy(col("__rg").as("__ag")).agg(
+      max("n").as("n"), max("n_row_cats").as("n_row_cats"),
+      max("n_col_cats").as("n_col_cats"),
+      sum("__t").as("__chi2"))
+    skipped.join(agg, col("__g") === col("__ag"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_skipped"),
+        coalesce(col("n_row_cats"), lit(0L)).as("n_row_cats"),
+        coalesce(col("n_col_cats"), lit(0L)).as("n_col_cats"),
+        (greatest(coalesce(col("n_row_cats"), lit(0L)) - 1L, lit(0L))
+          * greatest(coalesce(col("n_col_cats"), lit(0L)) - 1L, lit(0L)))
+          .as("dof"),
+        when(col("n") > 0L, expr("CAST(__chi2 AS BIGINT)"))
+          .as("chi2_micro"),
+        when(col("n") > 0L
+            && least(col("n_row_cats"), col("n_col_cats")) > 1L, expr(
+          """CAST(round(sqrt(CAST(__chi2 AS DOUBLE)
+            | / (CAST(n AS DOUBLE)
+            |    * (least(n_row_cats, n_col_cats) - 1)))) AS BIGINT)"""
+            .stripMargin)).as("v_milli"))
+  }
+
+  /** Ljung–Box portmanteau test per series (Ljung & Box 1978) — is a
+    * keyed ordered series white noise, judged over its first k
+    * autocorrelations JOINTLY? The whole-spectrum companion to
+    * [[acf]]: seven individually-borderline lags are one decisive Q.
+    * The residual diagnostic a seasonal/trend monitor runs AFTER
+    * removing the structure it modeled — autocorrelation left in the
+    * residuals means the model missed some.
+    *
+    * Exact composition on [[acf]]'s integer output (no new corpus
+    * math): with ρ̂ₖ in micro units,
+    *
+    *   term_k  = acf_micro² DIV (n − k)          (DECIMAL, ≥ 0)
+    *   q_milli = (n·(n+2)·Σ term_k) DIV 10⁹
+    *
+    * both divisions have non-negative numerators (truncation = floor
+    * on both engines). Q ~ χ²(k) under the null — compare against the
+    * [[chiSquaredIndependence]] family's critical values downstream.
+    * A series where ANY lag's ρ̂ is undefined (zero variance — acf
+    * emits NULL there) has no portmanteau verdict: NULL q_milli with
+    * the lag count still reported, never a partial sum passed off as
+    * Q.
+    *
+    * Scale shape: [[acf]]'s ONE bounded-series partial agg, then a
+    * lags-per-series-sized agg — nothing new crosses a shuffle.
+    * Output: (seriesCol, n_points, n_lags, q_milli). */
+  def ljungBox(df: DataFrame, seriesCol: String, orderCol: String,
+      centsCol: String, maxLag: Int = 7): DataFrame = {
+    acf(df, seriesCol, orderCol, centsCol, maxLag)
+      .groupBy(col(seriesCol)).agg(
+        max("n_points").as("n_points"),
+        count(lit(1)).as("n_lags"),
+        sum(when(col("acf_micro").isNull, 1L).otherwise(0L))
+          .as("__undef"),
+        sum(expr(
+          """CAST(acf_micro AS DECIMAL(38,0)) * acf_micro
+            | DIV (n_points - lag)""".stripMargin)).as("__s"))
+      .select(col(seriesCol), col("n_points"), col("n_lags"),
+        when(col("__undef") === 0L, expr(
+          """CAST(CAST(n_points AS DECIMAL(38,0)) * (n_points + 2) * __s
+            | DIV 1000000000 AS BIGINT)""".stripMargin)).as("q_milli"))
+  }
+
+  /** Quantile shift function per group (Doksum 1974) — WHERE did the
+    * distribution move between arm A and arm B? [[ksDrift]] and
+    * [[mannWhitney]] say THAT two arms differ; the shift function
+    * says "the median moved +4 but the 90th percentile moved +210" —
+    * the tail-vs-body verdict that decides whether a pipeline change
+    * helped typical documents or just stopped truncating the longest
+    * ones.
+    *
+    * Exact integers end to end: per (group, arm) the type-1 empirical
+    * quantile at level k/q is the SMALLEST value whose cumulative
+    * count reaches rank ⌈k·n/q⌉ = (k·n + q − 1) DIV q — pure rank
+    * arithmetic on the value histogram, no interpolation, no doubles;
+    * `shift` = q_b − q_a exactly. NULL values or NULL arms drop
+    * fail-visibly into `n_skipped`; an arm with zero scored rows has
+    * no quantiles — its side (and the shift) is NULL, the row stays.
+    * NULL group keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, arm, value) histogram agg;
+    * the cumulative window and the rank probes run per (group, arm)
+    * on the distinct-value spine — the [[mannWhitney]] score
+    * contract: integer-ish/bucketed values keep the spine far smaller
+    * than the corpus (quantize near-unique doubles upstream). Output:
+    * one row per (group, k): (groupCol, q_permille, n_a, n_b,
+    * n_skipped, q_a, q_b, shift). */
+  def quantileShift(df: DataFrame, groupCol: String, value: Column,
+      armB: Column, nQuantiles: Int = 10,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(nQuantiles >= 2 && nQuantiles <= 1000,
+      s"need nQuantiles in [2, 1000], got $nQuantiles")
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
+    // one corpus agg materialized for its three consumers (skip
+    // totals, arm totals, cumulative spine) — the mannWhitney
+    // checkpoint discipline
+    val hist = checkpointer(base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val ok = hist.where(col("__v").isNotNull && col("__b").isNotNull)
+    val armTot = ok.groupBy(col("__g").as("__tg"), col("__b").as("__tb"))
+      .agg(sum("__c").as("__n"))
+    val cum = ok
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy("__g", "__b").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // (group, arm, k) probe spine — groups × arms × (q−1) rows
+    val probes = armTot
+      .select(col("__tg"), col("__tb"), col("__n"),
+        explode(expr(s"sequence(1, ${nQuantiles - 1})")).as("__k"))
+      .withColumn("__rank", expr(
+        s"(CAST(__k AS BIGINT) * __n + $nQuantiles - 1) DIV $nQuantiles"))
+    val qs = cum.join(broadcast(probes),
+        col("__g") === col("__tg") && col("__b") === col("__tb")
+          && col("__cum") >= col("__rank"))
+      .groupBy(col("__g").as("__qg"), col("__b").as("__qb"), col("__k"))
+      .agg(min("__v").as("__q"), max("__n").as("__qn"))
+    val aSide = qs.where(!col("__qb"))
+      .select(col("__qg").as("__ag"), col("__k").as("__ak"),
+        col("__q").as("q_a"), col("__qn").as("n_a"))
+    val bSide = qs.where(col("__qb"))
+      .select(col("__qg").as("__bg"), col("__k").as("__bk"),
+        col("__q").as("q_b"), col("__qn").as("n_b"))
+    // every group × k row survives even when an arm is empty: the
+    // k spine comes from the skip frame (which has ALL groups)
+    val kSpine = skipped.select(col("__g"), col("n_skipped"),
+      explode(expr(s"sequence(1, ${nQuantiles - 1})")).as("__k"))
+    kSpine
+      .join(aSide, col("__g") === col("__ag") && col("__k") === col("__ak"),
+        "left")
+      .join(bSide, col("__g") === col("__bg") && col("__k") === col("__bk"),
+        "left")
+      .select(col("__g").as(groupCol),
+        expr(s"CAST(__k AS BIGINT) * 1000 DIV $nQuantiles")
+          .as("q_permille"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("n_skipped"),
+        col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("shift"))
+  }
+
   // rename-join helper: a null-safe self-join needs distinct key names
   private def keyed(f: DataFrame, k: String): DataFrame =
     f.withColumnRenamed("__g", k)

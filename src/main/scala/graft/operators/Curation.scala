@@ -434,6 +434,170 @@ object Curation {
           .otherwise(lit(null).cast("long")).as("kappa_micro"))
   }
 
+  /** McNemar's paired test between two document gates (McNemar 1947,
+    * Edwards-corrected) — the SIGNIFICANCE companion to
+    * [[judgeAgreement]]'s κ: κ says how much two gates agree; McNemar
+    * says whether their pass RATES differ, judged only on the
+    * discordant docs (the pairs where exactly one gate passes — the
+    * concordant mass, however huge, carries no information about a
+    * rate gap). The right test for "is the new cheap gate stricter
+    * than the old one on the SAME corpus", where a two-sample test
+    * would throw away the pairing and drown the signal.
+    *
+    * Exact integers, no libm: with discordant cells b (A-only) and c
+    * (B-only),
+    *
+    *   mcnemar_milli = 10³·(|b − c| − 1)² DIV (b + c)
+    *
+    * (the Edwards continuity correction; χ²(1) under the null —
+    * ≥ 3841 milli ≈ p < 0.05). Numerator and denominator are
+    * non-negative, so Spark's DIV and DuckDB's floor `//` agree. A
+    * group with NO discordant pairs has no rate-gap evidence either
+    * way: NULL statistic, never 0. `direction` is +1 when gate A
+    * passes more (b > c), −1 when B does, 0 on a tie. NULL verdicts
+    * count as FAIL (fail-closed, the [[judgeAgreement]] convention);
+    * NULL group keys fold to ''.
+    *
+    * Scale shape: both gates evaluate in the one codegen projection
+    * over the scan; the only shuffle carries (group, four counters)
+    * with map-side combine. Output: (groupCol, n_docs, n_both_pass,
+    * n_a_only, n_b_only, n_both_fail, direction, mcnemar_milli). */
+  def mcnemarGates(df: DataFrame, groupCol: String, gateA: Column,
+      gateB: Column): DataFrame = {
+    val ja = coalesce(gateA, lit(false))
+    val jb = coalesce(gateB, lit(false))
+    df.groupBy(coalesce(col(groupCol), lit("")).as(groupCol))
+      .agg(
+        sum(when(ja && jb, 1L).otherwise(0L)).as("n_both_pass"),
+        sum(when(ja && !jb, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!ja && jb, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!ja && !jb, 1L).otherwise(0L)).as("n_both_fail"))
+      .select(col(groupCol),
+        (col("n_both_pass") + col("n_a_only") + col("n_b_only")
+          + col("n_both_fail")).as("n_docs"),
+        col("n_both_pass"), col("n_a_only"), col("n_b_only"),
+        col("n_both_fail"),
+        signum(col("n_a_only") - col("n_b_only")).cast("long")
+          .as("direction"),
+        when(col("n_a_only") + col("n_b_only") > 0L, expr(
+          """CAST((abs(n_a_only - n_b_only) - 1)
+            | * (abs(n_a_only - n_b_only) - 1) * 1000
+            | DIV (n_a_only + n_b_only) AS BIGINT)""".stripMargin))
+          .as("mcnemar_milli"))
+  }
+
+  /** Quadratic-weighted Cohen's κ per group (Cohen 1968) — agreement
+    * between two ORDINAL raters (quality deciles, 1-5 judge scores)
+    * where [[judgeAgreement]]'s plain κ is wrong by construction: on
+    * an ordinal scale, calling a 4 a 5 is near-agreement and calling
+    * it a 1 is not, but unweighted κ scores both as the same flat
+    * "disagree". Weights w_ij = (i − j)² make κ_w penalize
+    * disagreement by squared distance — the metric LLM-judge
+    * calibration reports use.
+    *
+    * Exact integers, one division: with per-cell observed counts O_ij
+    * and marginals R_i, C_j over per-group n rows,
+    *
+    *   kw_micro = 10⁶ − (10⁶·n·Σ_ij (i−j)²·O_ij)
+    *                      DIV (Σ_ij (i−j)²·R_i·C_j)
+    *
+    * both operands non-negative (truncation = floor on both engines);
+    * algebraically κ_w = 1 − Σw·O / Σw·E with E = R·C/n, the n
+    * cross-multiplied away so everything stays integer. Honest
+    * ceiling: n·Σw·O·10⁶ needs n·Σw ≤ 10³² (a 0-9 scale's w ≤ 81:
+    * n ≈ 10¹⁴ rows per group fits). Degenerate: Σw·E = 0 means the
+    * marginals place ALL expected mass on the diagonal (both raters
+    * constant at the same level) — no chance-corrected signal, NULL
+    * κ_w. NULL ratings drop fail-visibly into `n_skipped`; ratings
+    * are clamped-free — callers bound the scale upstream; NULL group
+    * keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, i, j) cell agg; marginals
+    * and the weighted cross product run on scale-bounded frames
+    * (cells ≤ k² per group — the categorical convention). Output:
+    * (groupCol, n, n_skipped, kw_micro). */
+  def weightedKappa(df: DataFrame, groupCol: String, rateA: Column,
+      rateB: Column): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      rateA.cast("long").as("__i"), rateB.cast("long").as("__j"))
+    val cells = base.groupBy("__g", "__i", "__j")
+      .agg(count(lit(1)).as("__o"))
+    val skipped = cells.groupBy("__g").agg(
+      sum(when(col("__i").isNull || col("__j").isNull, col("__o"))
+        .otherwise(0L)).as("n_skipped"))
+    val ok = cells.where(col("__i").isNotNull && col("__j").isNotNull)
+    val wo = ok.groupBy(col("__g").as("__wg")).agg(
+      sum("__o").as("n"),
+      sum(expr(
+        "CAST((__i - __j) * (__i - __j) AS DECIMAL(38,0)) * __o"))
+        .as("__swo"))
+    val rt = ok.groupBy(col("__g").as("__rg"), col("__i"))
+      .agg(sum("__o").as("__r"))
+    val ct = ok.groupBy(col("__g").as("__cg"), col("__j"))
+      .agg(sum("__o").as("__c"))
+    val we = rt.join(ct, col("__rg") === col("__cg"))
+      .groupBy(col("__rg").as("__eg")).agg(
+        sum(expr(
+          """CAST((__i - __j) * (__i - __j) AS DECIMAL(38,0))
+            | * __r * __c""".stripMargin)).as("__swe"))
+    skipped
+      .join(wo, col("__g") === col("__wg"), "left")
+      .join(we, col("__g") === col("__eg"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"), col("n_skipped"),
+        when(col("__swe") > 0L, expr(
+          """1000000 - CAST(CAST(n AS DECIMAL(38,0)) * __swo * 1000000
+            | DIV __swe AS BIGINT)""".stripMargin)).as("kw_micro"))
+  }
+
+  /** Cochran's Q across k paired gates (Cochran 1950) — do the k
+    * quality gates' pass RATES differ, judged on the SAME documents?
+    * The k-gate generalization of [[mcnemarGates]] (k = 2 reduces to
+    * McNemar without the continuity correction): run it before
+    * trusting any per-gate funnel comparison — if Q says the gates
+    * don't differ, their funnel ordering is noise. Under the null,
+    * Q ~ χ²(k−1).
+    *
+    * Exact integers, one division: with per-doc pass counts R_i,
+    * per-gate totals T_j, and S = ΣR_i = ΣT_j,
+    *
+    *   q_milli = 10³·(k−1)·(k·ΣT_j² − S²) DIV (k·S − ΣR_i²)
+    *
+    * both operands non-negative (Cauchy–Schwarz for the numerator;
+    * R_i ≤ k for the denominator), so Spark's DIV and DuckDB's floor
+    * `//` agree. Degenerate: every doc passes ALL gates or NONE
+    * (denominator 0 — no discriminating rows) emits NULL Q. NULL
+    * verdicts count as FAIL (fail-closed, the [[judgeAgreement]]
+    * convention); NULL group keys fold to ''.
+    *
+    * Scale shape: all k gates evaluate in the one codegen projection
+    * over the scan; the only shuffle carries (group, k + 2 counters)
+    * with map-side combine — k is fixed at plan time. Output:
+    * (groupCol, n_docs, n_gates, sum_passes, q_milli). */
+  def cochranQ(df: DataFrame, groupCol: String,
+      gates: Seq[Column]): DataFrame = {
+    require(gates.size >= 2, s"need >= 2 gates, got ${gates.size}")
+    val k = gates.size
+    val g = gates.map(c => when(coalesce(c, lit(false)), 1L).otherwise(0L))
+    val r = g.reduce(_ + _)
+    val tAggs = g.zipWithIndex.map { case (c, i) => sum(c).as(s"__t$i") }
+    val agg = df.groupBy(coalesce(col(groupCol), lit("")).as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(sum(r).as("__s"),
+          sum(r * r).as("__rr")) ++ tAggs): _*)
+    val sumT2 = (0 until k)
+      .map(i => s"CAST(__t$i AS DECIMAL(38,0)) * __t$i")
+      .mkString(" + ")
+    agg.select(col(groupCol), col("n_docs"),
+      lit(k.toLong).as("n_gates"),
+      col("__s").as("sum_passes"),
+      when(lit(k.toLong) * col("__s") - col("__rr") > 0L, expr(
+        s"""CAST(CAST(${1000L * (k - 1)} AS DECIMAL(38,0))
+          | * ($k * ($sumT2) - CAST(__s AS DECIMAL(38,0)) * __s)
+          | DIV ($k * __s - __rr) AS BIGINT)""".stripMargin))
+        .as("q_milli"))
+  }
+
   /** Space-trimmed whitespace-split words with empties dropped — the
     * word notion every [[gopherViolations]] rule shares. */
   private def gWords(t: Column): Column =

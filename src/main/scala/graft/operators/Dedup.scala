@@ -1109,6 +1109,77 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** NORMALIZED-threshold edit-distance near-dup pairs — deliberately
+    * a SIBLING of [[editDistancePairs]] (q46), not a replacement: that
+    * operator answers "within k edits" (the typo-tolerant catalog/OCR
+    * form, absolute k); this one answers "at least t similar" with
+    * `sim = 1 − dist/maxlen` — the length-relative form a char-level
+    * near-dup POLICY states ("drop pairs ≥ 85% identical"), where the
+    * same k that is noise on a 10 kB doc is a rewrite on a tweet.
+    * It is also the exact order-sensitive verifier behind the
+    * candidate→verify discipline: [[minhashDedupPairs]] /
+    * [[ngramJaccardPairs]] measure SET similarity, blind to order and
+    * to small in-place edits spread across the doc. Blocked like
+    * every pair generator here (block count grows with the corpus,
+    * pair count stays ~linear).
+    *
+    * Three pruning layers keep the O(len²) kernel off non-candidates:
+    * (1) the LENGTH BAND — `dist ≥ |len1 − len2|`, so any pair with
+    * `(maxlen − |len1−len2|)·10³ < minSim·maxlen` is rejected from
+    * the length columns alone; (2) the q46 Q-GRAM COUNTING BOUND —
+    * one edit changes ≤ 2 unigram counts, so `L1Diff(cc) > 2·maxDist`
+    * rejects for ~32 int ops (the layer that still prunes when
+    * lengths are EQUAL and the length band is blind); (3) the BANDED
+    * kernel — Spark's 3-arg `levenshtein(a, b, maxDist)` runs the
+    * banded DP (O(len·maxDist), −1 past the band) with the PER-PAIR
+    * `maxDist = maxlen·(1000 − minSim) DIV 1000`, which is exactly
+    * equivalent to the sim filter (floor-division algebra:
+    * (maxlen−d)·10³ DIV maxlen ≥ t ⟺ d ≤ maxlen·(10³−t) DIV 10³) —
+    * no layer changes the answer, only the cost.
+    *
+    * Exact integers: sim_milli = (maxlen − dist)·10³ DIV maxlen, all
+    * operands non-negative (truncation = floor on both engines). Two
+    * empty texts are identical: sim 1000 by convention (no 0/0). NULL
+    * text never pairs (the join's null-intolerant length band drops
+    * it — same as a NULL block key).
+    *
+    * Scale shape: one length+char-count-annotated projection of the
+    * corpus, a blocked self-join with both cheap prunes IN the join
+    * condition, the banded kernel only on survivors. Output: (id1,
+    * id2, len1, len2, dist, sim_milli) with id1 < id2. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minSimMilli: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minSimMilli >= 1 && minSimMilli <= 1000,
+      s"need minSimMilli in [1, 1000], got $minSimMilli")
+    val t = checkpointer(df.select(col(idCol).as("id"),
+      col(textCol).as("tx"), col(blockCol).as("block"),
+      length(col(textCol)).cast("long").as("len"),
+      graft.expressions.CharCounts(col(textCol)).as("cc")))
+    val l = t.as("l"); val r = t.as("r")
+    val maxLen = greatest(col("l.len"), col("r.len"))
+    val lenGap = abs(col("l.len") - col("r.len"))
+    val maxDist = expr(
+      s"greatest(l.len, r.len) * ${1000L - minSimMilli} DIV 1000")
+    l.join(r, col("l.block") === col("r.block")
+        && col("l.id") < col("r.id")
+        && (maxLen - lenGap) * 1000L >= lit(minSimMilli) * maxLen
+        && graft.expressions.L1Diff(col("l.cc"), col("r.cc"))
+             <= lit(2L) * maxDist)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        col("l.len").as("len1"), col("r.len").as("len2"),
+        maxLen.as("__ml"),
+        expr(s"""levenshtein(l.tx, r.tx,
+          | CAST(greatest(l.len, r.len) * ${1000L - minSimMilli}
+          |      DIV 1000 AS INT))""".stripMargin).as("dist"))
+      .where(col("dist") >= 0L)
+      .select(col("id1"), col("id2"), col("len1"), col("len2"),
+        col("dist").cast("long").as("dist"),
+        when(col("__ml") === 0L, 1000L)
+          .otherwise(expr("(__ml - dist) * 1000 DIV __ml"))
+          .as("sim_milli"))
+  }
+
   /** Cluster-size audit of a dedup clustering — the distribution
     * check read after [[connectedComponents]] and before any
     * keep-one election: a healthy near-dup clustering is almost all

@@ -847,4 +847,142 @@ object Sampling {
         (col("__base") + when(col("__rk") <= col("__leftover"), 1L)
           .otherwise(0L)).as("alloc"))
   }
+
+  /** Cohen's d per group — the STANDARDIZED mean difference between
+    * arm A and arm B: [[cupedDiff]] and the bootstrap family answer
+    * "did the metric move, and is the move real"; d answers "is the
+    * move big" in pooled-standard-deviation units, the scale-free
+    * effect size that survives a metric rescale and compares across
+    * experiments (0.2 small / 0.5 medium / 0.8 large by the usual
+    * reading).
+    *
+    * Exact core, one libm tail (the [[graft.operators.Anomaly
+    * .trendTest]] z recipe): with per-arm counts/sums/sum-of-squares
+    * — all DECIMAL(38,0)-exact —
+    *
+    *   A = S_a·n_b − S_b·n_a                 (mean gap, cross-multiplied)
+    *   E = (n_a·SS_a − S_a²)·n_b + (n_b·SS_b − S_b²)·n_a
+    *   d_milli = round(10³ · A · sqrt((n_a + n_b − 2) / (n_a·n_b·E)))
+    *
+    * ONE double division, ONE sqrt, ONE rounding — identical
+    * expression text on both engines (d = (m̄_a − m̄_b)/s_pooled
+    * algebraically; the sign convention is a-minus-b). Honest
+    * ceiling: E needs n·SS ≤ 10³⁸ (metric ≤ 10⁶ micro-units, n ≈
+    * 10¹⁰ rows per group fits). Degenerate groups — an empty arm, or
+    * zero pooled variance (E = 0, both arms constant) — have no
+    * standardized gap: NULL d, never 0. NULL metrics/arms drop
+    * fail-visibly into `n_skipped`.
+    *
+    * Scale shape: ONE corpus-sized partial aggregation — six counters
+    * per group cross the shuffle, nothing else (no spine, no window,
+    * no join). Output: (groupCol, n_a, n_b, n_skipped, sum_a, sum_b,
+    * d_milli). */
+  def cohensD(df: DataFrame, groupCol: String, metric: Column,
+      armB: Column): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      metric.cast("long").as("__y"), armB.cast("boolean").as("__b"))
+    val ok = col("__y").isNotNull && col("__b").isNotNull
+    base.groupBy("__g").agg(
+        sum(when(!ok, 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(ok && !col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(ok && col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(ok && !col("__b"), col("__y").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sa"),
+        sum(when(ok && col("__b"), col("__y").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sb"),
+        sum(when(ok && !col("__b"),
+          col("__y").cast("decimal(38,0)") * col("__y"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__ssa"),
+        sum(when(ok && col("__b"),
+          col("__y").cast("decimal(38,0)") * col("__y"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__ssb"))
+      .withColumn("__a", expr(
+        "__sa * CAST(n_b AS DECIMAL(38,0)) - __sb * CAST(n_a AS DECIMAL(38,0))"))
+      .withColumn("__e", expr(
+        """(CAST(n_a AS DECIMAL(38,0)) * __ssa - __sa * __sa) * n_b
+          | + (CAST(n_b AS DECIMAL(38,0)) * __ssb - __sb * __sb) * n_a"""
+          .stripMargin))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_skipped"),
+        expr("CAST(__sa AS BIGINT)").as("sum_a"),
+        expr("CAST(__sb AS BIGINT)").as("sum_b"),
+        when(col("n_a") >= 1L && col("n_b") >= 1L
+            && col("n_a") + col("n_b") >= 3L && col("__e") > 0L, expr(
+          """CAST(round(CAST(__a AS DOUBLE)
+            | * sqrt(CAST(n_a + n_b - 2 AS DOUBLE)
+            |   / (CAST(n_a AS DOUBLE) * n_b * CAST(__e AS DOUBLE)))
+            | * 1000) AS BIGINT)""".stripMargin)).as("d_milli"))
+  }
+
+  /** One-way ANOVA F + η² per group — does a metric differ across k
+    * treatment LEVELS (sources, epochs, shard families), and how much
+    * of its variance do the levels explain? The k-arm generalization
+    * of [[cohensD]]: pairwise d's on k arms invite k² comparisons and
+    * a multiplicity problem ([[graft.operators.Curation]]'s BH-FDR
+    * exists for that); one F answers the omnibus question first, and
+    * η² = SSB/SST is the effect size that survives rescaling.
+    *
+    * Arithmetic contract (the [[graft.operators.Anomaly
+    * .chiSquaredIndependence]] per-cell truncation discipline): with
+    * per-level count n_j, sum S_j, sum-of-squares SS_j — all
+    * DECIMAL(38,0)-exact — each level contributes its projection term
+    * in micro units with ONE truncating division,
+    *
+    *   P_j = (10⁶·S_j²) DIV n_j
+    *   W   = Σ_j (10⁶·SS_j − P_j)               (within; each term ≥ 0)
+    *   B   = max(Σ_j P_j − (10⁶·S²) DIV n, 0)   (between; clamped — the
+    *                                             per-level truncations can
+    *                                             leave a ~k-micro negative
+    *                                             residue when true SSB = 0)
+    *   f_milli    = (n − k)·B·10³ DIV ((k − 1)·W)
+    *   eta2_micro = B·10⁶ DIV (B + W)
+    *
+    * every division has non-negative operands (truncation = floor on
+    * both engines). Honest ceiling: 10⁶·S_j² needs level sums ≤ 10¹⁶
+    * micro-units. Degenerate: k < 2 levels (nothing to compare) or
+    * W = 0 (every level internally constant — F is infinite) emit
+    * NULL f_milli; eta2_micro is NULL only when B + W = 0 (the metric
+    * is globally constant). NULL metrics/levels drop fail-visibly
+    * into `n_skipped`; NULL group keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, level) partial agg, then a
+    * levels-per-group-sized agg — three counters per level cross the
+    * shuffle, nothing else. Output: (groupCol, n, n_levels,
+    * n_skipped, f_milli, eta2_micro). */
+  def anovaOneWay(df: DataFrame, groupCol: String, level: Column,
+      metric: Column): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      level.cast("string").as("__l"), metric.cast("long").as("__y"))
+    val ok = col("__l").isNotNull && col("__y").isNotNull
+    val perLevel = base.groupBy("__g", "__l").agg(
+      sum(when(!ok, 1L).otherwise(0L)).as("__sk"),
+      sum(when(ok, 1L).otherwise(0L)).as("__n"),
+      sum(when(ok, col("__y").cast("decimal(38,0)"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__s"),
+      sum(when(ok, col("__y").cast("decimal(38,0)") * col("__y"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("__ss"))
+    perLevel.groupBy(col("__g")).agg(
+        sum("__sk").as("n_skipped"),
+        sum("__n").as("n"),
+        sum(when(col("__n") > 0L, 1L).otherwise(0L)).as("n_levels"),
+        sum(when(col("__n") > 0L,
+          expr("(__s * __s * 1000000) DIV __n"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__p"),
+        sum(expr("__ss * 1000000")).as("__sstot"),
+        sum("__s").as("__stot"))
+      .withColumn("__w", expr("__sstot - __p"))
+      .withColumn("__b", when(col("n") > 0L, greatest(
+        expr("__p - (__stot * __stot * 1000000) DIV n"),
+        lit(0L).cast("decimal(38,0)")))
+        .otherwise(lit(0L).cast("decimal(38,0)")))
+      .select(col("__g").as(groupCol), col("n"), col("n_levels"),
+        col("n_skipped"),
+        when(col("n_levels") >= 2L && col("__w") > 0L, expr(
+          """CAST(CAST(n - n_levels AS DECIMAL(38,0)) * __b * 1000
+            | DIV (CAST(n_levels - 1 AS DECIMAL(38,0)) * __w) AS BIGINT)"""
+            .stripMargin)).as("f_milli"),
+        when(col("__b") + col("__w") > 0L, expr(
+          "CAST(__b * 1000000 DIV (__b + __w) AS BIGINT)"))
+          .as("eta2_micro"))
+  }
 }

@@ -4142,7 +4142,170 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** q292 — χ² independence + Cramér's V per source
+    * ([[graft.operators.Anomaly.chiSquaredIndependence]]): is lang
+    * associated with the 512-char length bucket — the composition
+    * monitor's effect size, comparable across corpus sizes where raw
+    * χ² is not. Every 41st doc NULL-langed (fail-visible n_skipped);
+    * one corpus cell agg, everything after runs category-bounded. */
+  def q292Chi2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.chiSquaredIndependence(
+      Tables(spark, dir, "documents"), "source",
+      when(col("doc_id") % 41 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")),
+      expr("n_chars DIV 512"))
+      .orderBy("source")
+
+  /** q293 — McNemar paired test per lang between the Gopher gate and
+    * the C4 gate ([[Curation.mcnemarGates]]) — the significance
+    * companion to q184's κ: do the two gates' pass RATES differ,
+    * judged on the discordant docs only? Same gate pair, same
+    * fail-closed NULL convention, so the two queries read as one
+    * audit. */
+  def q293Mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val ja = QualityRules.gopherPass(
+      QualityRules.gopherSignals(col("text")), 20, 1000)
+    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
+    Curation.mcnemarGates(d, "lang", ja, jb).orderBy("lang")
+  }
+
+  /** q294 — Newman modularity of the domain partition over the
+    * synthetic link graph ([[LinkRank.modularity]]): hosts labelled by
+    * their registrable-domain token; `en.*` hosts deliberately absent
+    * from the community map to exercise the fail-visible singleton
+    * path. The source↔lang edges are all INTER-community, so Q is
+    * negative — the shifted-DIV truncation parity is on the oracle
+    * path. */
+  def q294Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val edges = d
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        concat(col("lang"), lit(".site.org")).as("dst"))
+      .unionByName(d.select(
+        concat(col("lang"), lit(".site.org")).as("src"),
+        concat((col("doc_id") % 5).cast("string"), lit(".site.org"))
+          .as("dst")))
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
+    val comms = nodes.where(!col("node").startsWith("en."))
+      .select(col("node"), split(col("node"), "\\.").getItem(1)
+        .as("community"))
+    LinkRank.modularity(edges, comms).orderBy("community")
+  }
+
+  /** q295 — decile shift function per source
+    * ([[graft.operators.Anomaly.quantileShift]]): WHERE the n_chars
+    * distribution differs between even- and odd-id docs — the
+    * tail-vs-body readout KS and Mann–Whitney can't give. Every 37th
+    * doc NULL-valued and every 53rd NULL-armed (fail-visible
+    * n_skipped); one corpus histogram agg, quantiles by pure rank
+    * arithmetic on the value spine. */
+  def q295QuantileShift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.quantileShift(
+      Tables(spark, dir, "documents"), "source",
+      when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+        .otherwise(col("n_chars")),
+      when(col("doc_id") % 53 === 0, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 2 === 1))
+      .orderBy("source", "q_permille")
+
+  /** q296 — Ljung–Box portmanteau Q over the first 7 autocorrelations
+    * of each event type's zero-filled daily series
+    * ([[graft.operators.Anomaly.ljungBox]], the q261 fixture): the
+    * joint is-this-white-noise verdict seven individual ACF readings
+    * can't state. Pure composition on q261's integer output — nothing
+    * new crosses a shuffle. */
+  def q296LjungBox(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.ljungBox(
+      dailyEventSeries(spark, dir), "etype", "day", "n", maxLag = 7)
+      .orderBy("etype")
+
+  /** q297 — edit-distance-verified near-dup pairs
+    * ([[Dedup.editVerifiedPairs]]): 160-char prefixes blocked by
+    * (lang, source), normalized Levenshtein ≥ 0.35 — the char-level
+    * verifier that is order-sensitive where q24's set-Jaccard is
+    * blind. The length band prunes in the join condition; the banded
+    * kernel runs only on survivors. */
+  def q297EditPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifiedPairs(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          substring(col("text"), 1, 160).as("prefix"),
+          concat_ws("_", col("lang"), col("source")).as("block")),
+      "doc_id", "prefix", "block", 350)
+      .orderBy("id1", "id2")
+
+  /** q298 — quadratic-weighted Cohen's κ per source between two
+    * ordinal length-decile raters ([[Curation.weightedKappa]]): rater
+    * B reads the same signal through deterministic hash noise, so
+    * disagreements are mostly near-diagonal — exactly the case plain
+    * κ (q184) mis-scores flat. Every 43rd doc NULL-rated
+    * (fail-visible n_skipped). */
+  def q298WeightedKappa(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedKappa(
+      Tables(spark, dir, "documents"), "source",
+      when(col("doc_id") % 43 === 0, lit(null).cast("long"))
+        .otherwise(least(expr("n_chars DIV 64"), lit(9L))),
+      least(expr("(n_chars + (doc_id % 7) * 29) DIV 64"), lit(9L)))
+      .orderBy("source")
+
+  /** q299 — Cohen's d per event type ([[Sampling.cohensD]]): the
+    * standardized effect size of the odd-vs-even-user arm split on
+    * the cents metric — the scale-free "is the move big" companion to
+    * q256's bootstrap CI and q275's CUPED. Every 31st event
+    * NULL-metriced and every 47th NULL-armed (fail-visible
+    * n_skipped). */
+  def q299CohensD(spark: SparkSession, dir: String): DataFrame =
+    Sampling.cohensD(
+      Tables(spark, dir, "events"), "event_type",
+      when(col("event_id") % 31 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+      when(col("event_id") % 47 === 0, lit(null).cast("boolean"))
+        .otherwise(col("user_id") % 2 === 1))
+      .orderBy("event_type")
+
+  /** q300 — one-way ANOVA F + η² per event type
+    * ([[Sampling.anovaOneWay]]): does the cents metric differ across
+    * the four user-id arms, and how much variance do the arms explain
+    * — the omnibus question before any pairwise q299 d. Every 29th
+    * event NULL-metriced and every 59th NULL-levelled (fail-visible
+    * n_skipped); three counters per (type, arm) cross the shuffle. */
+  def q300Anova(spark: SparkSession, dir: String): DataFrame =
+    Sampling.anovaOneWay(
+      Tables(spark, dir, "events"), "event_type",
+      when(col("event_id") % 59 === 0, lit(null).cast("string"))
+        .otherwise((col("user_id") % 4).cast("string")),
+      when(col("event_id") % 29 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .orderBy("event_type")
+
+  /** q301 — Cochran's Q per source across three paired gates
+    * ([[Curation.cochranQ]]): Gopher, C4, and the 256-char length
+    * floor on the SAME docs — the omnibus "do these gates differ at
+    * all" that licenses (or vetoes) reading q293's pairwise McNemar.
+    * Same fail-closed NULL convention as q184/q293. */
+  def q301CochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val ja = QualityRules.gopherPass(
+      QualityRules.gopherSignals(col("text")), 20, 1000)
+    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
+    val jc = col("n_chars") >= 256
+    Curation.cochranQ(d, "source", Seq(ja, jb, jc)).orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_cochran_q" -> (q301CochranQ _),
+    "q300_anova" -> (q300Anova _),
+    "q299_cohens_d" -> (q299CohensD _),
+    "q298_weighted_kappa" -> (q298WeightedKappa _),
+    "q297_edit_pairs" -> (q297EditPairs _),
+    "q296_ljung_box" -> (q296LjungBox _),
+    "q295_quantile_shift" -> (q295QuantileShift _),
+    "q294_modularity" -> (q294Modularity _),
+    "q293_mcnemar" -> (q293Mcnemar _),
+    "q292_chi2" -> (q292Chi2 _),
     "q291_robots" -> (q291Robots _),
     "q290_trend_test" -> (q290TrendTest _),
     "q289_seasonal" -> (q289Seasonal _),
@@ -5231,6 +5394,343 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q300_anova" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
+        |    CASE WHEN event_id % 59 = 0 THEN NULL
+        |      ELSE (user_id % 4)::VARCHAR END AS l,
+        |    CASE WHEN event_id % 29 = 0 THEN NULL
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS y
+        |  FROM events),
+        |pl AS (SELECT g, l,
+        |    count(CASE WHEN l IS NULL OR y IS NULL THEN 1 END)::BIGINT AS sk,
+        |    count(CASE WHEN l IS NOT NULL AND y IS NOT NULL THEN 1 END)::BIGINT AS n,
+        |    coalesce(sum(CASE WHEN l IS NOT NULL AND y IS NOT NULL
+        |      THEN y::HUGEINT END), 0) AS s,
+        |    coalesce(sum(CASE WHEN l IS NOT NULL AND y IS NOT NULL
+        |      THEN y::HUGEINT * y END), 0) AS ss
+        |  FROM base GROUP BY g, l),
+        |ag AS (SELECT g, sum(sk)::BIGINT AS n_skipped, sum(n)::BIGINT AS n,
+        |    count(CASE WHEN n > 0 THEN 1 END)::BIGINT AS n_levels,
+        |    coalesce(sum(CASE WHEN n > 0 THEN (s * s * 1000000) // n END), 0) AS p,
+        |    sum(ss * 1000000) AS sstot, sum(s) AS stot
+        |  FROM pl GROUP BY g),
+        |f AS (SELECT *, sstot - p AS w,
+        |    CASE WHEN n > 0 THEN greatest(p - (stot * stot * 1000000) // n, 0)
+        |      ELSE 0 END AS b
+        |  FROM ag)
+        |SELECT g AS event_type, n, n_levels, n_skipped,
+        |  CASE WHEN n_levels >= 2 AND w > 0 THEN
+        |    CAST((n - n_levels)::HUGEINT * b * 1000
+        |      // ((n_levels - 1)::HUGEINT * w) AS BIGINT) END AS f_milli,
+        |  CASE WHEN b + w > 0 THEN
+        |    CAST(b * 1000000 // (b + w) AS BIGINT) END AS eta2_micro
+        |FROM f ORDER BY event_type""".stripMargin),
+    "q301_cochran_q" ->
+      ("""WITH sig AS (SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |    len(words)::BIGINT AS n_words,
+        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
+        |    n_symbols::BIGINT AS n_symbols,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
+        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
+        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+        |  FROM sig),
+        |ja AS (SELECT doc_id, source,
+        |    (n_words BETWEEN 20 AND 1000
+        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
+        |     AND 10 * n_symbols < n_words
+        |     AND 10 * n_bul < 9 * n_lines
+        |     AND 10 * n_ell < 3 * n_lines
+        |     AND 10 * n_alpha >= 8 * n_words
+        |     AND n_stop >= 2) AS a FROM m),
+        |jb AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
+        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
+        |  FROM documents),
+        |jc AS (SELECT doc_id, n_chars >= 256 AS c FROM documents),
+        |r3 AS (SELECT coalesce(ja.source, '') AS g,
+        |    CASE WHEN coalesce(a, false) THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN coalesce(b, false) THEN 1 ELSE 0 END AS ib,
+        |    CASE WHEN coalesce(c, false) THEN 1 ELSE 0 END AS ic
+        |  FROM ja JOIN jb USING (doc_id) JOIN jc USING (doc_id)),
+        |agg AS (SELECT g, count(1)::BIGINT AS n_docs,
+        |    sum(ia + ib + ic)::BIGINT AS s,
+        |    sum((ia + ib + ic) * (ia + ib + ic))::BIGINT AS rr,
+        |    sum(ia)::HUGEINT AS t0, sum(ib)::HUGEINT AS t1,
+        |    sum(ic)::HUGEINT AS t2
+        |  FROM r3 GROUP BY g)
+        |SELECT g AS source, n_docs, 3::BIGINT AS n_gates, s AS sum_passes,
+        |  CASE WHEN 3 * s - rr > 0 THEN
+        |    CAST(2000::HUGEINT * (3 * (t0 * t0 + t1 * t1 + t2 * t2)
+        |      - s::HUGEINT * s) // (3 * s - rr) AS BIGINT) END AS q_milli
+        |FROM agg ORDER BY source""".stripMargin),
+    "q292_chi2" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE lang END AS r,
+        |    (n_chars // 512)::VARCHAR AS c FROM documents),
+        |cells AS (SELECT g, r, c, count(1)::BIGINT AS o FROM base
+        |  GROUP BY 1, 2, 3),
+        |sk AS (SELECT g, coalesce(sum(CASE WHEN r IS NULL OR c IS NULL
+        |    THEN o END), 0)::BIGINT AS n_skipped FROM cells GROUP BY g),
+        |ok AS (SELECT * FROM cells WHERE r IS NOT NULL AND c IS NOT NULL),
+        |rt AS (SELECT g, r, sum(o)::HUGEINT AS rt FROM ok GROUP BY g, r),
+        |ct AS (SELECT g, c, sum(o)::HUGEINT AS ct FROM ok GROUP BY g, c),
+        |tot AS (SELECT g, sum(o)::HUGEINT AS n,
+        |    count(DISTINCT r)::BIGINT AS nr,
+        |    count(DISTINCT c)::BIGINT AS nc FROM ok GROUP BY g),
+        |dterm AS (SELECT rt.g, tot.n, tot.nr, tot.nc, rt.rt, ct.ct,
+        |    tot.n * coalesce(ok.o, 0)::HUGEINT - rt.rt * ct.ct AS d
+        |  FROM rt JOIN ct ON ct.g = rt.g JOIN tot ON tot.g = rt.g
+        |  LEFT JOIN ok ON ok.g = rt.g AND ok.r = rt.r AND ok.c = ct.c),
+        |agg AS (SELECT g, max(n) AS n, max(nr) AS nr, max(nc) AS nc,
+        |    sum((d * d * 1000000) // (n * rt * ct)) AS chi2
+        |  FROM dterm GROUP BY g)
+        |SELECT sk.g AS source, coalesce(agg.n, 0)::BIGINT AS n,
+        |  sk.n_skipped, coalesce(agg.nr, 0)::BIGINT AS n_row_cats,
+        |  coalesce(agg.nc, 0)::BIGINT AS n_col_cats,
+        |  (greatest(coalesce(agg.nr, 0) - 1, 0)
+        |   * greatest(coalesce(agg.nc, 0) - 1, 0))::BIGINT AS dof,
+        |  CASE WHEN agg.n > 0 THEN agg.chi2::BIGINT END AS chi2_micro,
+        |  CASE WHEN agg.n > 0 AND least(agg.nr, agg.nc) > 1 THEN
+        |    CAST(round(sqrt(CAST(agg.chi2 AS DOUBLE)
+        |      / (CAST(agg.n AS DOUBLE) * (least(agg.nr, agg.nc) - 1))))
+        |      AS BIGINT) END AS v_milli
+        |FROM sk LEFT JOIN agg ON agg.g = sk.g
+        |ORDER BY source""".stripMargin),
+    "q293_mcnemar" ->
+      ("""WITH sig AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |    len(words)::BIGINT AS n_words,
+        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
+        |    n_symbols::BIGINT AS n_symbols,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
+        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
+        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+        |  FROM sig),
+        |ja AS (SELECT doc_id, lang,
+        |    (n_words BETWEEN 20 AND 1000
+        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
+        |     AND 10 * n_symbols < n_words
+        |     AND 10 * n_bul < 9 * n_lines
+        |     AND 10 * n_ell < 3 * n_lines
+        |     AND 10 * n_alpha >= 8 * n_words
+        |     AND n_stop >= 2) AS a FROM m),
+        |jb AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
+        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
+        |  FROM documents),
+        |cells AS (SELECT coalesce(lang, '') AS lang,
+        |    sum(CASE WHEN coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
+        |    sum(CASE WHEN coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+        |    sum(CASE WHEN NOT coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+        |    sum(CASE WHEN NOT coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
+        |  FROM ja JOIN jb USING (doc_id) GROUP BY 1)
+        |SELECT lang,
+        |  (n_both_pass + n_a_only + n_b_only + n_both_fail)::BIGINT AS n_docs,
+        |  n_both_pass, n_a_only, n_b_only, n_both_fail,
+        |  (CASE WHEN n_a_only > n_b_only THEN 1
+        |        WHEN n_a_only < n_b_only THEN -1 ELSE 0 END)::BIGINT AS direction,
+        |  CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    ((abs(n_a_only - n_b_only) - 1) * (abs(n_a_only - n_b_only) - 1)
+        |     * 1000 // (n_a_only + n_b_only))::BIGINT END AS mcnemar_milli
+        |FROM cells ORDER BY lang""".stripMargin),
+    "q294_modularity" ->
+      ("""WITH e0 AS (
+        |  SELECT source || '.example.com' AS s, lang || '.site.org' AS d
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT lang || '.site.org' AS s,
+        |    (doc_id % 5)::VARCHAR || '.site.org' AS d FROM documents),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0 WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+        |nd AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)),
+        |tag AS (SELECT n,
+        |    CASE WHEN n LIKE 'en.%' THEN '__singleton:' || n
+        |      ELSE string_split(n, '.')[2] END AS comm,
+        |    (n LIKE 'en.%') AS un FROM nd),
+        |deg AS (SELECT n, count(1)::BIGINT AS dg FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        |  GROUP BY n),
+        |tagged AS (SELECT ta.comm AS ca, tb.comm AS cb FROM und
+        |  JOIN tag ta ON ta.n = und.a JOIN tag tb ON tb.n = und.b),
+        |mm AS (SELECT count(1)::HUGEINT AS m FROM tagged),
+        |intra AS (SELECT ca AS comm, count(1)::BIGINT AS l FROM tagged
+        |  WHERE ca = cb GROUP BY ca),
+        |pc AS (SELECT t.comm, count(1)::BIGINT AS n_nodes,
+        |    sum(d.dg)::BIGINT AS degree_sum
+        |  FROM tag t JOIN deg d ON d.n = t.n GROUP BY t.comm),
+        |pc2 AS (SELECT pc.comm, pc.n_nodes, pc.degree_sum,
+        |    coalesce(i.l, 0)::BIGINT AS intra_edges
+        |  FROM pc LEFT JOIN intra i ON i.comm = pc.comm),
+        |un AS (SELECT count(CASE WHEN un THEN 1 END)::BIGINT AS n_unassigned
+        |  FROM tag),
+        |q AS (SELECT max(mm.m) AS m,
+        |    sum(4::HUGEINT * mm.m * intra_edges
+        |        - degree_sum::HUGEINT * degree_sum) AS num
+        |  FROM pc2 CROSS JOIN mm),
+        |qq AS (SELECT CASE WHEN m > 0 THEN
+        |    ((num * 1000000 + 4::HUGEINT * m * m * 1000000)
+        |     // (4::HUGEINT * m * m))::BIGINT - 1000000 END AS q_micro FROM q)
+        |SELECT pc2.comm AS community, n_nodes, degree_sum, intra_edges,
+        |  (SELECT n_unassigned FROM un) AS n_unassigned,
+        |  (SELECT q_micro FROM qq) AS q_micro
+        |FROM pc2 ORDER BY community""".stripMargin),
+    "q295_quantile_shift" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS v,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL
+        |      ELSE doc_id % 2 = 1 END AS b FROM documents),
+        |sk AS (SELECT g, count(CASE WHEN v IS NULL OR b IS NULL
+        |    THEN 1 END)::BIGINT AS n_skipped FROM base GROUP BY g),
+        |ok AS (SELECT g, v, b FROM base
+        |  WHERE v IS NOT NULL AND b IS NOT NULL),
+        |tot AS (SELECT g, b, count(1)::BIGINT AS n FROM ok GROUP BY g, b),
+        |hist AS (SELECT g, b, v, count(1)::BIGINT AS c FROM ok
+        |  GROUP BY g, b, v),
+        |cum AS (SELECT g, b, v, sum(c) OVER (PARTITION BY g, b ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM hist),
+        |probes AS (SELECT g, b, n, k, (k * n + 9) // 10 AS rnk
+        |  FROM tot CROSS JOIN (SELECT unnest(range(1, 10))::BIGINT AS k)),
+        |qs AS (SELECT p.g, p.b, p.k, min(c.v) AS q, max(p.n) AS n
+        |  FROM probes p JOIN cum c ON c.g = p.g AND c.b = p.b
+        |    AND c.cum >= p.rnk
+        |  GROUP BY p.g, p.b, p.k),
+        |ks AS (SELECT sk.g, sk.n_skipped, k.k FROM sk
+        |  CROSS JOIN (SELECT unnest(range(1, 10))::BIGINT AS k) k)
+        |SELECT ks.g AS source, ks.k * 1000 // 10 AS q_permille,
+        |  coalesce(qa.n, 0)::BIGINT AS n_a, coalesce(qb.n, 0)::BIGINT AS n_b,
+        |  ks.n_skipped, qa.q AS q_a, qb.q AS q_b, qb.q - qa.q AS shift
+        |FROM ks
+        |LEFT JOIN qs qa ON qa.g = ks.g AND qa.k = ks.k AND NOT qa.b
+        |LEFT JOIN qs qb ON qb.g = ks.g AND qb.k = ks.k AND qb.b
+        |ORDER BY source, q_permille""".stripMargin),
+    "q296_ljung_box" ->
+      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
+        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
+        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
+        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
+        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
+        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
+        |  FROM ser),
+        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
+        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
+        |  FROM (SELECT DISTINCT g FROM c)),
+        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
+        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
+        |  FROM lg l JOIN idx a ON a.g = l.g
+        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
+        |  GROUP BY a.g, l.lag),
+        |r AS (SELECT p.g, p.lag, m.n,
+        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
+        |      + (m.n - p.lag) * m.s * m.s AS num,
+        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
+        |  FROM pair p JOIN mom m ON m.g = p.g),
+        |rho AS (SELECT g, lag, n, CASE WHEN den > 0
+        |    THEN ((num + den) * 1000000) // den - 1000000 END AS rho
+        |  FROM r)
+        |SELECT g AS etype, max(n)::BIGINT AS n_points,
+        |  count(1)::BIGINT AS n_lags,
+        |  CASE WHEN count(CASE WHEN rho IS NULL THEN 1 END) = 0 THEN
+        |    CAST(max(n)::HUGEINT * (max(n) + 2)
+        |      * sum(rho::HUGEINT * rho // (n - lag))
+        |      // 1000000000 AS BIGINT) END AS q_milli
+        |FROM rho GROUP BY g ORDER BY etype""".stripMargin),
+    "q297_edit_pairs" ->
+      ("""WITH t AS (SELECT doc_id AS id, substring(text, 1, 160) AS tx,
+        |    lang || '_' || source AS block,
+        |    length(substring(text, 1, 160))::BIGINT AS len FROM documents),
+        |p AS (SELECT l.id AS id1, r.id AS id2, l.len AS len1, r.len AS len2,
+        |    greatest(l.len, r.len) AS ml,
+        |    levenshtein(l.tx, r.tx)::BIGINT AS dist
+        |  FROM t l JOIN t r ON l.block = r.block AND l.id < r.id
+        |    AND (greatest(l.len, r.len) - abs(l.len - r.len)) * 1000
+        |        >= 350 * greatest(l.len, r.len))
+        |SELECT id1, id2, len1, len2, dist,
+        |  CASE WHEN ml = 0 THEN 1000
+        |    ELSE (ml - dist) * 1000 // ml END AS sim_milli
+        |FROM p WHERE dist <= ml * 650 // 1000
+        |ORDER BY id1, id2""".stripMargin),
+    "q298_weighted_kappa" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 43 = 0 THEN NULL
+        |      ELSE least(n_chars // 64, 9) END AS i,
+        |    least((n_chars + (doc_id % 7) * 29) // 64, 9) AS j
+        |  FROM documents),
+        |cells AS (SELECT g, i, j, count(1)::BIGINT AS o FROM base
+        |  GROUP BY 1, 2, 3),
+        |sk AS (SELECT g, coalesce(sum(CASE WHEN i IS NULL OR j IS NULL
+        |    THEN o END), 0)::BIGINT AS n_skipped FROM cells GROUP BY g),
+        |ok AS (SELECT * FROM cells WHERE i IS NOT NULL AND j IS NOT NULL),
+        |wo AS (SELECT g, sum(o)::BIGINT AS n,
+        |    sum((i - j)::HUGEINT * (i - j) * o) AS swo FROM ok GROUP BY g),
+        |rt AS (SELECT g, i, sum(o)::HUGEINT AS r FROM ok GROUP BY g, i),
+        |ct AS (SELECT g, j, sum(o)::HUGEINT AS c FROM ok GROUP BY g, j),
+        |we AS (SELECT rt.g,
+        |    sum((rt.i - ct.j)::HUGEINT * (rt.i - ct.j) * rt.r * ct.c) AS swe
+        |  FROM rt JOIN ct ON ct.g = rt.g GROUP BY rt.g)
+        |SELECT sk.g AS source, coalesce(wo.n, 0)::BIGINT AS n, sk.n_skipped,
+        |  CASE WHEN we.swe > 0 THEN 1000000
+        |    - (wo.n::HUGEINT * wo.swo * 1000000 // we.swe)::BIGINT
+        |  END AS kw_micro
+        |FROM sk LEFT JOIN wo ON wo.g = sk.g LEFT JOIN we ON we.g = sk.g
+        |ORDER BY source""".stripMargin),
+    "q299_cohens_d" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
+        |    CASE WHEN event_id % 31 = 0 THEN NULL
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS y,
+        |    CASE WHEN event_id % 47 = 0 THEN NULL
+        |      ELSE user_id % 2 = 1 END AS b FROM events),
+        |a AS (SELECT g,
+        |    count(CASE WHEN y IS NULL OR b IS NULL THEN 1 END)::BIGINT AS n_skipped,
+        |    count(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b THEN 1 END)::BIGINT AS n_b,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b
+        |      THEN y::HUGEINT END), 0) AS sa,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b
+        |      THEN y::HUGEINT END), 0) AS sb,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b
+        |      THEN y::HUGEINT * y END), 0) AS ssa,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b
+        |      THEN y::HUGEINT * y END), 0) AS ssb
+        |  FROM base GROUP BY g),
+        |c AS (SELECT *, sa * n_b::HUGEINT - sb * n_a::HUGEINT AS aa,
+        |    (n_a::HUGEINT * ssa - sa * sa) * n_b
+        |      + (n_b::HUGEINT * ssb - sb * sb) * n_a AS e
+        |  FROM a)
+        |SELECT g AS event_type, n_a, n_b, n_skipped,
+        |  sa::BIGINT AS sum_a, sb::BIGINT AS sum_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND n_a + n_b >= 3 AND e > 0 THEN
+        |    CAST(round(CAST(aa AS DOUBLE) * sqrt(CAST(n_a + n_b - 2 AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * n_b * CAST(e AS DOUBLE)))
+        |      * 1000) AS BIGINT) END AS d_milli
+        |FROM c ORDER BY event_type""".stripMargin),
     "q291_robots" ->
       ("""WITH dd AS (SELECT doc_id, coalesce(source, 'x') AS src
         |  FROM documents),

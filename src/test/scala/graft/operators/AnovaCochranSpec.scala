@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.anovaOneWay]] and [[Curation.cochranQ]]: engineered
+  * level gaps, the k = 2 McNemar reduction, degenerate NULLs,
+  * fail-visible skipping, and brute-force double replicas. */
+class AnovaCochranSpec extends SparkSpec {
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  private def anova(rows: Seq[(String, String, java.lang.Long)]) = {
+    import spark.implicits._
+    Sampling.anovaOneWay(rows.toDF("g", "l", "y"), "g", col("l"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("anova: identical level means -> F = 0; separated means -> big F") {
+    // every level has the same {0,10} composition -> means equal
+    val flat = (1 to 3).flatMap(l =>
+      (1 to 20).map(i => ("f", s"l$l", L((i % 2) * 10L))))
+    val sep = (1 to 3).flatMap(l =>
+      (1 to 20).map(i => ("s", s"l$l", L(l * 100L + i % 3))))
+    val got = anova(flat ++ sep)
+    assert(got("f").getLong(4) == 0L)
+    assert(got("s").getLong(4) > 100000L)   // >> any critical value
+    assert(got("s").getLong(5) > 990000L)   // eta2 ~ 1
+  }
+
+  test("anova: brute-force double replica on a noisy 4-level split") {
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 600).map { _ =>
+      val l = rnd.nextInt(4)
+      ("g", s"l$l", L(rnd.nextInt(50).toLong + l * 4))
+    }
+    val got = anova(rows)("g")
+    val lv = rows.groupBy(_._2).values.toSeq
+    val all = rows.map(_._3.toDouble)
+    val gm = all.sum / all.size
+    val ssb = lv.map { xs =>
+      val m = xs.map(_._3.toDouble).sum / xs.size
+      xs.size * (m - gm) * (m - gm) }.sum
+    val ssw = lv.map { xs =>
+      val m = xs.map(_._3.toDouble).sum / xs.size
+      xs.map(x => (x._3.toDouble - m) * (x._3.toDouble - m)).sum }.sum
+    val f = (ssb / 3) / (ssw / (rows.size - 4))
+    assert(math.abs(got.getLong(4) / 1000.0 - f) < 0.01 * f + 0.01)
+    assert(math.abs(got.getLong(5) / 1e6 - ssb / (ssb + ssw)) < 1e-4)
+  }
+
+  test("anova: single level NULL F; constant-within levels NULL F, eta2 set") {
+    val got = anova(
+      Seq.fill(10)(("one", "a", L(5))).zipWithIndex
+        .map { case ((g, l, _), i) => (g, l, L(i.toLong)) } ++
+      Seq.fill(5)(("cw", "a", L(1))) ++ Seq.fill(5)(("cw", "b", L(9))))
+    assert(got("one").isNullAt(4))
+    assert(got("cw").isNullAt(4) && got("cw").getLong(5) == 1000000L)
+  }
+
+  test("anova: NULL metric/level skip fail-visibly") {
+    val got = anova(Seq(("g", "a", L(1)), ("g", "b", L(2)),
+      ("g", null, L(3)), ("g", "a", null)))
+    assert(got("g").getLong(1) == 2L && got("g").getLong(3) == 2L)
+    assert(got("g").getLong(2) == 2L)
+  }
+
+  private def cq(rows: Seq[(String, java.lang.Boolean, java.lang.Boolean,
+      java.lang.Boolean)]) = {
+    import spark.implicits._
+    Curation.cochranQ(rows.toDF("g", "a", "b", "c"), "g",
+        Seq(col("a"), col("b"), col("c")))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("cochranQ: equal pass rates -> small Q; one strict gate -> large Q") {
+    val even = (1 to 60).map(i =>
+      ("e", B(i % 3 == 0), B(i % 3 == 1), B(i % 3 == 2)))
+    val strict = (1 to 60).map(i => ("s", B(true), B(true), B(i % 10 == 0)))
+    val got = cq(even ++ strict)
+    assert(got("e").getLong(4) < 1000L)
+    assert(got("s").getLong(4) > 10000L)    // chi2(2) crit ~ 5991 milli
+  }
+
+  test("cochranQ: brute-force replica of the exact integer formula") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      ("g", B(rnd.nextInt(3) > 0), B(rnd.nextInt(2) > 0),
+        B(rnd.nextInt(4) > 0)) }
+    val got = cq(rows)("g")
+    val k = 3L
+    val rs = rows.map(r => Seq(r._2, r._3, r._4).count(_.booleanValue).toLong)
+    val ts = (0 until 3).map(j => rows.count(r =>
+      Seq(r._2, r._3, r._4)(j).booleanValue).toLong)
+    val s = rs.sum
+    val num = BigInt(1000 * (k - 1)) * (k * ts.map(t => BigInt(t) * t).sum - BigInt(s) * s)
+    val den = BigInt(k * s - rs.map(r => r * r).sum)
+    assert(got.getLong(4) == (num / den).toLong)
+  }
+
+  test("cochranQ: all-pass / all-fail rows only -> NULL Q; NULL is FAIL") {
+    import spark.implicits._
+    val rows = Seq(("g", B(true), B(true), B(true)),
+      ("g", B(false), B(false), B(false)),
+      ("g", null, null, null))
+    val got = cq(rows)("g")
+    assert(got.getLong(1) == 3L && got.isNullAt(4))
+    val two = Curation.cochranQ(
+      Seq(("g", true, false), ("g", true, false), ("g", false, true))
+        .toDF("g", "a", "b"), "g", Seq(col("a"), col("b")))
+      .collect().head
+    // k = 2 reduces to McNemar WITHOUT continuity: (b-c)^2*1000/(b+c)
+    assert(two.getLong(4) == 1000L / 3L)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.chiSquaredIndependence]]: the zero of exact independence,
+  * the V = 1 pole of a perfect association, zero-cell spine coverage,
+  * degenerate dof-0 groups, fail-visible NULL skipping, and a
+  * brute-force double replica of the integer recipe. */
+class ChiSquaredSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    Anomaly.chiSquaredIndependence(rows.toDF("g", "r", "c"), "g",
+        col("r"), col("c"))
+      .collect()
+      .map(x => x.getString(0) -> x).toMap
+  }
+
+  test("exact independence: chi2 = 0, V = 0") {
+    // O_ij = R_i*C_j/N for every cell (balanced 2x2, equal counts)
+    val rows = for {
+      r <- Seq("x", "y"); c <- Seq("u", "v"); _ <- 1 to 5
+    } yield ("g", r, c)
+    val got = run(rows)("g")
+    assert(got.getLong(6) == 0L)       // chi2_micro
+    assert(got.getLong(7) == 0L)       // v_milli
+    assert(got.getLong(5) == 1L)       // dof (2-1)*(2-1)
+  }
+
+  test("perfect association: V = 1000 (and the zero cells count)") {
+    // diagonal 2x2: every x is u, every y is v — chi2 = n, V = 1
+    val rows = Seq.fill(7)(("g", "x", "u")) ++ Seq.fill(3)(("g", "y", "v"))
+    val got = run(rows)("g")
+    assert(got.getLong(1) == 10L)
+    // chi2 = n exactly -> micro = n*1e6 (up to per-cell truncation)
+    assert(math.abs(got.getLong(6) - 10000000L) <= 4)
+    assert(got.getLong(7) == 1000L)
+  }
+
+  test("single-category group: dof 0, chi2 0, NULL V") {
+    val got = run(Seq(("g", "x", "u"), ("g", "x", "v"), ("g", "x", "u")))("g")
+    assert(got.getLong(5) == 0L && got.getLong(6) == 0L && got.isNullAt(7))
+  }
+
+  test("NULL categories skip fail-visibly; all-NULL group keeps its row") {
+    val got = run(Seq(("g", "x", "u"), ("g", null, "u"), ("g", "x", null),
+      ("e", null, null)))
+    assert(got("g").getLong(1) == 1L && got("g").getLong(2) == 2L)
+    assert(got("e").getLong(1) == 0L && got("e").getLong(2) == 1L)
+    assert(got("e").isNullAt(6) && got("e").isNullAt(7))
+  }
+
+  test("brute-force double replica on a skewed random table") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 800).map { _ =>
+      ("g", s"r${rnd.nextInt(4)}", s"c${(rnd.nextInt(6) * rnd.nextInt(2))}")
+    }
+    val got = run(rows)("g")
+    val n = rows.size.toDouble
+    val cell = rows.groupBy(identity).view.mapValues(_.size.toDouble)
+    val rt = rows.groupBy(_._2).view.mapValues(_.size.toDouble)
+    val ct = rows.groupBy(_._3).view.mapValues(_.size.toDouble)
+    val chi2 = (for { (r, rv) <- rt; (c, cv) <- ct } yield {
+      val o = cell.getOrElse(("g", r, c), 0.0)
+      val e = rv * cv / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(got.getLong(6) / 1e6 - chi2) < 1e-3)
+    val mink = math.min(rt.size, ct.size) - 1.0
+    val v = math.sqrt(chi2 / (n * mink))
+    assert(math.abs(got.getLong(7) - v * 1000) <= 1.0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.cohensD]]: sign and magnitude on an engineered gap, the
+  * exact mirror antisymmetry, degenerate NULLs, fail-visible
+  * skipping, and a brute-force replica of the pooled-SD recipe. */
+class CohensDSpec extends SparkSpec {
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Sampling.cohensD(rows.toDF("g", "y", "b"), "g", col("y"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("one-pooled-SD gap: d = -1000 milli (B above A by exactly s)") {
+    // both arms {0,2} repeated -> var = 1 + ... use spread {−3,3}:
+    // each arm sd = 3 (about its mean), B shifted +3 above A
+    val rows = (1 to 50).flatMap(_ => Seq(
+      ("g", L(-3), B(false)), ("g", L(3), B(false)),
+      ("g", L(0), B(true)), ("g", L(6), B(true))))
+    val got = run(rows)("g")
+    // pooled sd ~ 3*sqrt(100/99... d ≈ (0-3)/3 ≈ -1 -> about -1000 milli
+    assert(math.abs(got.getLong(6) + 1000L) <= 15L)
+  }
+
+  test("swapping the arms negates d exactly") {
+    val rows = (1 to 30).map(i =>
+      ("g", L(i % 7), B(i % 3 == 0)))
+    val swapped = rows.map { case (g, y, b) => (g, y, B(!b)) }
+    assert(run(rows)("g").getLong(6) == -run(swapped)("g").getLong(6))
+  }
+
+  test("empty arm or zero pooled variance: NULL d, counts kept") {
+    val got = run(Seq(("e", L(1), B(false)), ("e", L(2), B(false)),
+      ("v", L(5), B(false)), ("v", L(5), B(false)),
+      ("v", L(5), B(true))))
+    assert(got("e").getLong(2) == 0L && got("e").isNullAt(6))
+    assert(got("v").isNullAt(6))
+  }
+
+  test("NULL metrics and arms skip fail-visibly") {
+    val got = run(Seq(("g", L(1), B(false)), ("g", L(2), B(true)),
+      ("g", null, B(true)), ("g", L(3), null)))
+    assert(got("g").getLong(3) == 2L)
+    assert(got("g").getLong(1) == 1L && got("g").getLong(2) == 1L)
+  }
+
+  test("brute-force double replica on a skewed random split") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 700).map { i =>
+      val b = rnd.nextInt(4) == 0
+      ("g", L(rnd.nextInt(100).toLong + (if (b) 12 else 0)), B(b))
+    }
+    val got = run(rows)("g")
+    val a = rows.filterNot(_._3).map(_._2.toDouble)
+    val b = rows.filter(_._3).map(_._2.toDouble)
+    val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+    val ss = a.map(x => (x - ma) * (x - ma)).sum +
+      b.map(x => (x - mb) * (x - mb)).sum
+    val sp = math.sqrt(ss / (a.size + b.size - 2))
+    val d = (ma - mb) / sp
+    assert(math.abs(got.getLong(6) - math.round(d * 1000)) <= 1L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dedup.editVerifiedPairs]]: the banded kernel returns exactly the
+  * unbanded filter's answer, the length band never rejects a true
+  * match, blocking holds, and the empty/identical poles. */
+class EditPairsSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String, String)], minSim: Long) = {
+    import spark.implicits._
+    Dedup.editVerifiedPairs(rows.toDF("id", "tx", "blk"),
+        "id", "tx", "blk", minSim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("identical and near-identical texts verify; distant ones don't") {
+    val got = run(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "b"),
+      (2L, "the quick brown fox jumps over the lazy dog", "b"),
+      (3L, "the quick brown fox jumped over a lazy dog!", "b"),
+      (4L, "entirely different words occupy this string", "b")), 700)
+    assert(got((1L, 2L)) == ((0L, 1000L)))
+    assert(got.contains((1L, 3L)) && got((1L, 3L))._2 >= 700L)
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)))
+  }
+
+  test("banded result equals brute-force levenshtein + sim filter") {
+    val rnd = new scala.util.Random(31)
+    val alpha = "abcd"
+    def word() = (1 to 12).map(_ => alpha(rnd.nextInt(4))).mkString
+    val base = word() + word()
+    val texts = (1L to 25L).map { i =>
+      val chars = base.toCharArray
+      (0 until rnd.nextInt(8)).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = alpha(rnd.nextInt(4)) }
+      (i, new String(chars), "b")
+    }
+    val got = run(texts, 800)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (i, a, _) <- texts; (j, b, _) <- texts if i < j
+      ml = math.max(a.length, b.length).toLong
+      dist = lev(a, b).toLong
+      sim = if (ml == 0) 1000L else (ml - dist) * 1000L / ml
+      if sim >= 800L
+    } yield (i, j) -> ((dist, sim))).toMap
+    assert(got == expect)
+  }
+
+  test("pairs never cross blocks; NULL text/block never pairs") {
+    val got = run(Seq((1L, "same text here", "b1"),
+      (2L, "same text here", "b2"), (3L, null, "b1"),
+      (4L, "same text here", null), (5L, "same text here", "b1")), 900)
+    assert(got.keySet == Set((1L, 5L)))
+  }
+
+  test("two empty texts are identical by convention: sim 1000") {
+    val got = run(Seq((1L, "", "b"), (2L, "", "b")), 500)
+    assert(got((1L, 2L)) == ((0L, 1000L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Anomaly.ljungBox]]: a strongly autocorrelated series dwarfs a
+  * scrambled one, the constant-series NULL, a replica composed from
+  * [[Anomaly.acf]]'s own output, and the lag-count bound. */
+class LjungBoxSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, Long, Long)], maxLag: Int = 7) = {
+    import spark.implicits._
+    Anomaly.ljungBox(rows.toDF("g", "t", "x"), "g", "t", "x", maxLag)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("a slow sine wave scores far above its scrambled self") {
+    val wave = (0 until 120).map(t =>
+      ("wave", t.toLong, (1000 * math.sin(t / 8.0)).toLong))
+    val rnd = new scala.util.Random(7)
+    val noise = rnd.shuffle(wave.map(_._3)).zipWithIndex
+      .map { case (x, t) => ("noise", t.toLong, x) }
+    val got = run(wave ++ noise)
+    assert(got("wave").getLong(3) > 10L * got("noise").getLong(3))
+    assert(got("wave").getLong(2) == 7L)
+  }
+
+  test("constant series: every rho undefined -> NULL Q, lags reported") {
+    val got = run((0 until 30).map(t => ("c", t.toLong, 5L)))
+    assert(got("c").isNullAt(3) && got("c").getLong(2) == 7L)
+  }
+
+  test("Q replays exactly from acf's integer output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 90).map(t =>
+      ("g", t.toLong, (t % 11 + rnd.nextInt(5)).toLong))
+    val df = rows.toDF("g", "t", "x")
+    val rho = Anomaly.acf(df, "g", "t", "x", 7).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val n = 90L
+    val terms = (1 to 7).map(k =>
+      (BigInt(rho(k.toLong)) * rho(k.toLong)) / (n - k)).sum
+    val expect = (BigInt(n) * (n + 2) * terms / BigInt(1000000000L)).toLong
+    assert(run(rows)("g").getLong(3) == expect)
+  }
+
+  test("short series caps lags at n - 1") {
+    val got = run((0 until 4).map(t => ("s", t.toLong, (t * t).toLong)))
+    assert(got("s").getLong(2) == 3L)
+  }
+}

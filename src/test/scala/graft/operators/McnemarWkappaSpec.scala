@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.mcnemarGates]] and [[Curation.weightedKappa]]: the
+  * discordant-only statistic with its Edwards correction, direction
+  * signs, fail-closed NULLs, the κ_w diagonal pole, quadratic
+  * distance weighting, and brute-force replicas. */
+class McnemarWkappaSpec extends SparkSpec {
+
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  private def mc(rows: Seq[(String, java.lang.Boolean, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Curation.mcnemarGates(rows.toDF("g", "a", "b"), "g", col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("mcnemar: concordant mass is ignored, discordant cells decide") {
+    // 100 both-pass, 100 both-fail, b = 12, c = 3:
+    // stat = (|12-3|-1)^2 * 1000 / 15 = 64000/15 = 4266 milli
+    val rows = Seq.fill(100)(("g", B(true), B(true))) ++
+      Seq.fill(100)(("g", B(false), B(false))) ++
+      Seq.fill(12)(("g", B(true), B(false))) ++
+      Seq.fill(3)(("g", B(false), B(true)))
+    val got = mc(rows)("g")
+    assert(got.getLong(1) == 215L)
+    assert(got.getLong(6) == 1L)          // direction: A passes more
+    assert(got.getLong(7) == 64L * 1000L / 15L)
+  }
+
+  test("mcnemar: tie b = c gives the correction floor, not zero-div") {
+    val rows = Seq.fill(5)(("g", B(true), B(false))) ++
+      Seq.fill(5)(("g", B(false), B(true)))
+    val got = mc(rows)("g")
+    assert(got.getLong(6) == 0L)
+    assert(got.getLong(7) == 1000L / 10L) // (|0|-1)^2*1000/10
+  }
+
+  test("mcnemar: no discordant pairs -> NULL statistic; NULL is FAIL") {
+    val rows = Seq(("g", B(true), B(true)), ("g", null, null))
+    val got = mc(rows)("g")
+    assert(got.getLong(5) == 1L)          // null-null lands both-fail
+    assert(got.isNullAt(7))
+  }
+
+  private def wk(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Curation.weightedKappa(rows.toDF("g", "i", "j"), "g", col("i"), col("j"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("wkappa: perfect agreement on a spread scale is exactly 10^6") {
+    val rows = (0L to 9L).flatMap(k => Seq.fill(3)(("g", L(k), L(k))))
+    assert(wk(rows)("g").getLong(3) == 1000000L)
+  }
+
+  test("wkappa: near-diagonal disagreement outscores far disagreement") {
+    val near = (0L to 9L).map(k => ("g", L(k), L(math.min(k + 1, 9L))))
+    val far = (0L to 9L).map(k => ("g", L(k), L(9L - k)))
+    assert(wk(near)("g").getLong(3) > wk(far)("g").getLong(3))
+  }
+
+  test("wkappa: both raters constant at the same level -> NULL") {
+    val got = wk(Seq.fill(4)(("g", L(3), L(3))))
+    assert(got("g").isNullAt(3))
+  }
+
+  test("wkappa: NULL ratings skip fail-visibly") {
+    val got = wk(Seq(("g", L(1), L(1)), ("g", null, L(2)), ("g", L(0), null)))
+    assert(got("g").getLong(1) == 1L && got("g").getLong(2) == 2L)
+  }
+
+  test("wkappa: brute-force double replica on noisy ordinal raters") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 500).map { _ =>
+      val i = rnd.nextInt(5).toLong
+      val j = math.max(0L, math.min(4L, i + rnd.nextInt(3) - 1))
+      ("g", L(i), L(j))
+    }
+    val got = wk(rows)
+    val n = rows.size.toDouble
+    val cells = rows.groupBy(x => (x._2.toLong, x._3.toLong))
+      .view.mapValues(_.size.toDouble)
+    val rt = rows.groupBy(_._2.toLong).view.mapValues(_.size.toDouble)
+    val ct = rows.groupBy(_._3.toLong).view.mapValues(_.size.toDouble)
+    val wo = cells.map { case ((i, j), o) => (i - j) * (i - j) * o }.sum
+    val we = (for { (i, r) <- rt; (j, c) <- ct }
+      yield (i - j) * (i - j) * r * c / n).sum
+    val kw = 1.0 - wo / we
+    assert(math.abs(got("g").getLong(3) / 1e6 - kw) < 1e-5)
+  }
+}

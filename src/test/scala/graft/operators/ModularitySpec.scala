@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[LinkRank.modularity]]: the two-clique pole, the everything-in-
+  * one-community zero, unassigned-node singletons, simple-graph
+  * normalization (self-loops/multi-edges), and a brute-force replica
+  * of the Newman formula. */
+class ModularitySpec extends SparkSpec {
+
+  private def run(edges: Seq[(String, String)],
+      comms: Seq[(String, String)]) = {
+    import spark.implicits._
+    LinkRank.modularity(edges.toDF("src", "dst"),
+      comms.toDF("node", "community"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  // two triangles joined by one bridge — the textbook positive-Q graph
+  private val cliques = Seq(
+    ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+    ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+    ("a1", "b1"))
+  private val cliqueComms = Seq("a1", "a2", "a3").map(_ -> "A") ++
+    Seq("b1", "b2", "b3").map(_ -> "B")
+
+  test("two cliques with a bridge: Q matches the Newman formula") {
+    val got = run(cliques, cliqueComms)
+    // m=7; degrees a1=3,a2=2,a3=2 -> d_A=7 (mirror d_B=7); l_A=l_B=3
+    // Q*4m^2 = (4*7*3 - 49) * 2 = 70; Q = 70/196
+    val q = 70.0 / 196.0
+    assert(math.abs(got("A").getLong(5) / 1e6 - q) < 2e-6)
+    assert(got("A").getLong(1) == 3L && got("A").getLong(2) == 7L)
+    assert(got("A").getLong(3) == 3L)     // intra_edges
+    assert(got("A").getLong(4) == 0L)     // n_unassigned
+  }
+
+  test("everything in one community: Q = 0 exactly") {
+    val got = run(cliques, cliqueComms.map { case (n, _) => (n, "all") })
+    assert(got("all").getLong(5) == 0L)
+  }
+
+  test("every node its own community: Q < 0 (negative-shift parity)") {
+    val got = run(cliques, cliqueComms.map { case (n, _) => (n, n) })
+    assert(got("a1").getLong(5) < 0L)
+  }
+
+  test("unassigned nodes become fail-visible singletons") {
+    val got = run(cliques, cliqueComms.filterNot(_._1 == "b3"))
+    assert(got.contains("__singleton:b3"))
+    assert(got("A").getLong(4) == 1L)
+    // singleton's intra mass is zero, its degree still counts
+    assert(got("__singleton:b3").getLong(3) == 0L)
+    assert(got("__singleton:b3").getLong(2) == 2L)
+  }
+
+  test("self-loops and multi-edges collapse before any counting") {
+    val noisy = cliques ++ Seq(("a1", "a1"), ("a2", "a1"), ("a1", "a2"))
+    assert(run(noisy, cliqueComms)("A").getLong(5) ==
+      run(cliques, cliqueComms)("A").getLong(5))
+  }
+
+  test("empty graph: empty output") {
+    val got = run(Seq(("x", "x")), Seq(("x", "c")))
+    assert(got.isEmpty)
+  }
+}

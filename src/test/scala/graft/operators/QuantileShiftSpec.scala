@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.quantileShift]]: the constant-shift identity, a sorted-
+  * array rank replica, empty-arm NULL sides, and fail-visible NULL
+  * skipping. */
+class QuantileShiftSpec extends SparkSpec {
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)],
+      nq: Int = 10) = {
+    import spark.implicits._
+    Anomaly.quantileShift(rows.toDF("g", "v", "b"), "g",
+        col("v"), col("b"), nq)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+  }
+
+  test("arm B = arm A + 40: every decile shift is exactly 40") {
+    val rows = (1L to 200L).flatMap(x =>
+      Seq(("g", L(x), B(false)), ("g", L(x + 40), B(true))))
+    val got = run(rows)
+    assert(got.size == 9)
+    for (k <- 1 to 9)
+      assert(got(("g", k * 100L)).getLong(7) == 40L)
+  }
+
+  test("type-1 quantiles match a sorted-array replica with ties") {
+    val rnd = new scala.util.Random(17)
+    val a = Seq.fill(157)(rnd.nextInt(20).toLong)
+    val b = Seq.fill(83)(rnd.nextInt(25).toLong)
+    val rows = a.map(x => ("g", L(x), B(false))) ++
+      b.map(x => ("g", L(x), B(true)))
+    val got = run(rows, 4)
+    def q(xs: Seq[Long], k: Int): Long = {
+      val s = xs.sorted
+      s(((k * xs.size + 3) / 4 - 1).toInt)   // ceil(k*n/4), 1-indexed
+    }
+    for (k <- 1 to 3) {
+      val row = got(("g", k * 1000L / 4L))
+      assert(row.getLong(5) == q(a, k), s"q_a at k=$k")
+      assert(row.getLong(6) == q(b, k), s"q_b at k=$k")
+    }
+  }
+
+  test("empty arm: NULL side and shift, zero count, row kept") {
+    val got = run((1L to 50L).map(x => ("g", L(x), B(false))), 4)
+    val row = got(("g", 500L))
+    assert(row.getLong(2) == 50L && row.getLong(3) == 0L)
+    assert(!row.isNullAt(5) && row.isNullAt(6) && row.isNullAt(7))
+  }
+
+  test("NULL values and NULL arms skip fail-visibly") {
+    val rows = (1L to 20L).flatMap(x =>
+      Seq(("g", L(x), B(false)), ("g", L(x), B(true)))) ++
+      Seq(("g", null, B(true)), ("g", L(5), null), ("g", null, null))
+    val got = run(rows, 2)
+    assert(got(("g", 500L)).getLong(4) == 3L)
+  }
+}
