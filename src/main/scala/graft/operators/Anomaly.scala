@@ -1556,11 +1556,13 @@ object Anomaly {
         explode(expr(s"sequence(1, ${nQuantiles - 1})")).as("__k"))
       .withColumn("__rank", expr(
         s"(CAST(__k AS BIGINT) * __n + $nQuantiles - 1) DIV $nQuantiles"))
-    val qs = cum.join(broadcast(probes),
+    // (groups × arms × k)-sized, read twice (one filter per arm side)
+    // — materialize once so the cum window runs once, not per side
+    val qs = checkpointer(cum.join(broadcast(probes),
         col("__g") === col("__tg") && col("__b") === col("__tb")
           && col("__cum") >= col("__rank"))
       .groupBy(col("__g").as("__qg"), col("__b").as("__qb"), col("__k"))
-      .agg(min("__v").as("__q"), max("__n").as("__qn"))
+      .agg(min("__v").as("__q"), max("__n").as("__qn")))
     val aSide = qs.where(!col("__qb"))
       .select(col("__qg").as("__ag"), col("__k").as("__ak"),
         col("__q").as("q_a"), col("__qn").as("n_a"))

@@ -1161,20 +1161,28 @@ object Dedup {
     val lenGap = abs(col("l.len") - col("r.len"))
     val maxDist = expr(
       s"greatest(l.len, r.len) * ${1000L - minSimMilli} DIV 1000")
-    l.join(r, col("l.block") === col("r.block")
-        && col("l.id") < col("r.id")
+    val banded = expr(s"""levenshtein(l.tx, r.tx,
+      | CAST(greatest(l.len, r.len) * ${1000L - minSimMilli}
+      |      DIV 1000 AS INT))""".stripMargin)
+    // the DP predicate lives IN the join condition, LAST — a
+    // downstream .where(dist >= 0) would be pushed back into the join
+    // AHEAD of the cheap conjuncts (observed: PushPredicateThroughJoin
+    // prepends), running the kernel before the prunes it exists behind;
+    // And-chains evaluate left-to-right with short-circuit, so this
+    // ordering is the pruning order (pinned by PlanSpec)
+    l.join(r, col("l.id") < col("r.id")
+        && col("l.block") === col("r.block")
         && (maxLen - lenGap) * 1000L >= lit(minSimMilli) * maxLen
         && graft.expressions.L1Diff(col("l.cc"), col("r.cc"))
-             <= lit(2L) * maxDist)
+             <= lit(2L) * maxDist
+        && banded >= 0L)
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         col("l.len").as("len1"), col("r.len").as("len2"),
         maxLen.as("__ml"),
-        expr(s"""levenshtein(l.tx, r.tx,
-          | CAST(greatest(l.len, r.len) * ${1000L - minSimMilli}
-          |      DIV 1000 AS INT))""".stripMargin).as("dist"))
-      .where(col("dist") >= 0L)
+        // survivors only re-run the banded kernel for the output value
+        banded.cast("long").as("dist"))
       .select(col("id1"), col("id2"), col("len1"), col("len2"),
-        col("dist").cast("long").as("dist"),
+        col("dist"),
         when(col("__ml") === 0L, 1000L)
           .otherwise(expr("(__ml - dist) * 1000 DIV __ml"))
           .as("sim_milli"))

@@ -434,12 +434,14 @@ object LinkRank {
     val m = tagged.agg(count(lit(1)).as("__m"))
     val intra = tagged.where(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("__ic")).agg(count(lit(1)).as("__l"))
-    val perComm = tag
+    // community-sized, read twice (the Q aggregate and the output
+    // projection) — materialize once, the multi-consumer convention
+    val perComm = checkpointer(tag
       .join(deg, col("__n") === col("__dn"))
       .groupBy(col("__comm"))
       .agg(count(lit(1)).as("n_nodes"), sum("__deg").as("degree_sum"))
       .join(intra, col("__comm") === col("__ic"), "left")
-      .withColumn("intra_edges", coalesce(col("__l"), lit(0L)))
+      .withColumn("intra_edges", coalesce(col("__l"), lit(0L))))
     val unass = tag.agg(
       sum(when(col("__un"), 1L).otherwise(0L)).as("n_unassigned"))
     val qTot = perComm

@@ -565,4 +565,49 @@ class PlanSpec extends SparkSpec {
       "phase baselines are a counter agg joined back, never a window")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q292 chi2: the marginal cross product stays hash/broadcast-joined, never Cartesian") {
+    val p = plan("q292_chi2")
+    assert(!p.contains("CartesianProduct"),
+      "rt × ct per group is an equi-join on the group key")
+    assert(!p.contains("Window"), "chi2 is pure aggregation, no window")
+  }
+
+  test("q293/q299/q300/q301: single-pass counter aggregations — no join, no window") {
+    for (q <- Seq("q293_mcnemar", "q299_cohens_d", "q300_anova",
+        "q301_cochran_q")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join")
+      assert(!p.contains("Window ["), s"$q must not window")
+    }
+  }
+
+  test("q294 modularity: scalar frames cross broadcast; nothing plans Cartesian") {
+    val p = plan("q294_modularity")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "m / q / unassigned are one-row broadcast crosses")
+  }
+
+  test("q295 quantile shift: windows partition by (group, arm); probes broadcast") {
+    val p = plan("q295_quantile_shift")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global single-partition stage — the cum window keys on (g, arm)")
+  }
+
+  test("q297 edit pairs: the banded DP is the LAST join conjunct — every cheap prune runs first") {
+    val p = plan("q297_edit_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "the blocked self-join keys on block equality")
+    // the And-chain evaluates left-to-right: l1_diff must appear
+    // before levenshtein in the join condition (q46's counting bound
+    // is dead if the kernel runs first)
+    val cond = p.linesIterator.filter(_.contains("Join condition"))
+      .mkString("\n")
+    val l1 = cond.indexOf("l1_diff")
+    val lev = cond.indexOf("levenshtein")
+    assert(l1 >= 0 && lev >= 0 && l1 < lev,
+      s"join condition must prune with l1_diff before the DP: $cond")
+  }
 }
