@@ -395,4 +395,64 @@ object StreamingAnomaly {
           out.iterator
       }
   }
+
+  /** Streaming χ² composition monitor — the keyed-state face of
+    * [[graft.operators.Anomaly.chiSquaredIndependence]]: per group,
+    * the (row, col) contingency cells accumulate in state (O(cells)
+    * FOREVER, loudly bounded by `maxCells` — categorical columns by
+    * contract, like every cell frame in the batch family) and every
+    * trigger re-emits the prefix-exact verdict: the full marginal
+    * cross product including zero-observed cells, each term
+    * (n·O − R·C)²·10⁶ DIV (n·R·C) in exact BigInt (truncation = the
+    * batch DECIMAL DIV), Cramér's V through the IDENTICAL
+    * round(sqrt(...)) double tail (BigDecimal HALF_UP — Spark's
+    * round), so stream ≡ batch on every prefix (pinned by
+    * StreamingChi2Spec). The monitor that notices "this crawl's
+    * lang × length-bucket association just changed shape" while the
+    * crawl runs. NULL categories count into n_skipped, never a cell.
+    * Emits (group, n, n_skipped, n_row_cats, n_col_cats, chi2_micro —
+    * None for an all-skipped group, v_milli — None at dof 0), matching
+    * the batch NULL conventions cell for cell. */
+  def chiSquared(rows: Dataset[(String, String, String)],
+      maxCells: Int = 100000)
+      : Dataset[(String, Long, Long, Long, Long, Option[Long], Option[Long])] = {
+    require(maxCells >= 1, "need maxCells >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, String, String)],
+            state: GroupState[(Map[(String, String), Long], Long)]) =>
+          var (m, skipped) = state.getOption
+            .getOrElse((Map.empty[(String, String), Long], 0L))
+          it.foreach { case (_, r, c) =>
+            if (r == null || c == null) skipped += 1L
+            else m = m.updated((r, c), m.getOrElse((r, c), 0L) + 1L)
+          }
+          require(m.size <= maxCells,
+            s"group '$group' exceeded $maxCells contingency cells — " +
+              "the inputs must be categorical (the batch operator's contract)")
+          state.update((m, skipped))
+          val n = m.values.sum
+          if (n == 0L && skipped == 0L) Iterator.empty
+          else {
+            val rt = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+            val ct = m.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+            var chi2 = BigInt(0)
+            for ((r, rv) <- rt; (c, cv) <- ct) {
+              val o = m.getOrElse((r, c), 0L)
+              val d = BigInt(n) * o - BigInt(rv) * cv
+              chi2 += d * d * 1000000 / (BigInt(n) * rv * cv)
+            }
+            val mink = math.min(rt.size, ct.size) - 1L
+            val v =
+              if (n > 0L && mink >= 1L) Some(java.math.BigDecimal.valueOf(
+                math.sqrt(chi2.toDouble / (n.toDouble * mink)))
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+              else None
+            Iterator.single((group, n, skipped, rt.size.toLong,
+              ct.size.toLong, if (n > 0L) Some(chi2.toLong) else None, v))
+          }
+      }
+  }
 }

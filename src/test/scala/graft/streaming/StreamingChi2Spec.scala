@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming χ² composition monitor: O(cells) keyed state and prefix
+  * parity with [[graft.operators.Anomaly.chiSquaredIndependence]] —
+  * the marginal cross product (zero cells included), the NULL
+  * conventions, and the identical round(sqrt) V tail. */
+class StreamingChi2Spec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.chiSquaredIndependence(
+      rows.toDF("g", "r", "c"), "g", col("r"), col("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4),
+        if (x.isNullAt(6)) None else Some(x.getLong(6)),
+        if (x.isNullAt(7)) None else Some(x.getLong(7)))).toSet
+  }
+
+  test("stream == batch after every prefix, association shift included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    // batch 1: independent-ish composition; batch 2 injects a strong
+    // diagonal association plus NULLs and a fresh all-NULL group
+    val b1 = (0 until 150).map(_ => (s"g${rnd.nextInt(2)}",
+      s"r${rnd.nextInt(3)}", s"c${rnd.nextInt(3)}"))
+    val b2 = (0 until 80).map { _ =>
+      val k = rnd.nextInt(3)
+      (s"g0", s"r$k", s"c$k")
+    } ++ Seq(("g0", null, "c1"), ("g1", "r1", null),
+      ("gnull", null, null))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamingAnomaly.chiSquared(in.toDS())
+      .toDF("g", "n", "sk", "nr", "nc", "chi2", "v")
+      .writeStream.format("memory").queryName("chi2_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("chi2_stream").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4),
+          if (x.isNullAt(5)) None else Some(x.getLong(5)),
+          if (x.isNullAt(6)) None else Some(x.getLong(6))))
+        .groupBy(_._1).map(_._2.maxBy(t => (t._2, t._3))).toSet
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(b1),
+        "prefix 1: stream must equal the batch operator")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(b1 ++ b2),
+        "prefix 2: state continued, NULLs skipped, new group surfaced")
+    } finally q.stop()
+  }
+
+  test("the cell-count state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamingAnomaly.chiSquared(in.toDS(), maxCells = 4)
+      .toDF("g", "n", "sk", "nr", "nc", "chi2", "v")
+      .writeStream.format("memory").queryName("chi2_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", s"r$i", s"c$i")): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
