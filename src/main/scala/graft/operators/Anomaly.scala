@@ -1396,7 +1396,8 @@ object Anomaly {
     * χ²); every per-cell DIV has a non-negative numerator, so Spark's
     * truncation and DuckDB's floor `//` agree. Honest ceiling:
     * (n·O − R·C)²·10⁶ needs n ≤ 10⁸ rows per group (past it the
-    * non-ANSI decimal overflow nulls fail-visibly). A group with one
+    * decimal overflow fails LOUD — the session runs ANSI-on,
+    * an over-ceiling group throws rather than fabricating). A group with one
     * row category or one column category has dof = 0 and no
     * association to normalize: NULL v_milli, χ² still emitted (it is
     * identically 0 there). NULL category values drop fail-visibly
@@ -1502,6 +1503,51 @@ object Anomaly {
         when(col("__undef") === 0L, expr(
           """CAST(CAST(n_points AS DECIMAL(38,0)) * (n_points + 2) * __s
             | DIV 1000000000 AS BIGINT)""".stripMargin)).as("q_milli"))
+  }
+
+  /** Autocorrelation-adjusted effective sample size per series — how
+    * many INDEPENDENT observations does a correlated monitoring
+    * series actually contain? Every CI this engine puts on a series
+    * mean (bootstrap, CUPED, quantile CI) assumes independent rows;
+    * an hourly volume series with ρ₁ = 0.8 has far fewer effective
+    * points than rows, and sizing alarms by raw n makes them
+    * overconfident exactly when the series is smooth. The classic
+    * truncated-window estimator: ESS = n / (1 + 2·Σ_{k≤K} ρ̂ₖ).
+    *
+    * Exact composition on [[acf]]'s integer output (the [[ljungBox]]
+    * discipline — no new corpus math, one division):
+    *
+    *   denom_micro = 10⁶ + 2·Σ acf_micro
+    *   ess_milli   = n·10⁹ DIV denom_micro      (when denom > 0)
+    *
+    * Negative-autocorrelation series can have denom < 10⁶ and
+    * ESS > n — that is the correct answer, not an error (alternating
+    * series genuinely beat independence for mean estimation). A
+    * denom ≤ 0 (possible for strongly periodic series where the
+    * truncated window is a bad fit) or any undefined lag (zero
+    * variance) yields NULL — the estimator's honest failure mode,
+    * never a clamp. K is `maxLag`; the caller owns the window-length
+    * judgment (Geyer-style adaptive truncation trades determinism
+    * for it, deliberately not done here).
+    *
+    * Scale shape: [[acf]]'s ONE bounded-series partial agg, then a
+    * lags-per-series agg. Output: (seriesCol, n_points, n_lags,
+    * ess_milli). */
+  def effectiveSampleSize(df: DataFrame, seriesCol: String,
+      orderCol: String, centsCol: String, maxLag: Int = 7): DataFrame = {
+    acf(df, seriesCol, orderCol, centsCol, maxLag)
+      .groupBy(col(seriesCol)).agg(
+        max("n_points").as("n_points"),
+        count(lit(1)).as("n_lags"),
+        sum(when(col("acf_micro").isNull, 1L).otherwise(0L))
+          .as("__undef"),
+        sum(expr("CAST(acf_micro AS DECIMAL(38,0))")).as("__sr"))
+      .select(col(seriesCol), col("n_points"), col("n_lags"),
+        when(col("__undef") === 0L
+            && lit(1000000L) + lit(2L) * col("__sr") > 0L, expr(
+          """CAST(CAST(n_points AS DECIMAL(38,0)) * 1000000000
+            | DIV (1000000 + 2 * __sr) AS BIGINT)""".stripMargin))
+          .as("ess_milli"))
   }
 
   /** Quantile shift function per group (Doksum 1974) — WHERE did the

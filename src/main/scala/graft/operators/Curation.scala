@@ -1690,4 +1690,60 @@ object Curation {
           expr("CAST((__C - __D) * 1000000 DIV __den AS BIGINT)"))
           .as("tau_micro"))
   }
+
+  /** Unbiased pass@k per group (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1) — the eval-harness
+    * number: with n sampled attempts per task of which c pass,
+    * the naive "did any of MY k samples pass" is a biased coin-flip
+    * on which k you drew; the estimator 1 − C(n−c, k)/C(n, k) is the
+    * exact expectation over all k-subsets, computed from ALL n
+    * attempts. Reported as the mean over a group's tasks — the
+    * headline "HumanEval pass@10" shape.
+    *
+    * Exact integers, one division per task + one per group: the
+    * binomial ratio is the falling-factorial product
+    *
+    *   pass_micro = 10⁶ − (10⁶·∏ᵢ₌₀..ₖ₋₁ (n−c−i)) DIV (∏ᵢ (n−i))
+    *
+    * — when n−c < k the numerator product crosses a ZERO factor and
+    * self-annihilates (pass = 10⁶ exactly, no branch); both products
+    * are non-negative there (factors after the zero contribute
+    * nothing). Honest ceiling: nᵏ ≤ 10³⁸ (n = 100 attempts at k ≤ 16,
+    * n = 1000 at k ≤ 12 — real harness shapes; past it the decimal
+    * overflow throws loud under the session's ANSI mode). A task
+    * with n < k has no unbiased
+    * estimate: it is EXCLUDED from the mean and counted in
+    * `n_undefined`, never silently k-clamped. NULL verdicts count as
+    * FAIL (the gate convention); NULL task keys are their own task;
+    * NULL group keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, task) counter agg; the
+    * falling-factorial fold is a row-local `aggregate(sequence(...))`
+    * over k terms on the tasks-sized frame; the group mean is a
+    * second tasks-sized agg. Output: (groupCol, n_tasks, n_undefined,
+    * mean_pass_micro). */
+  def passAtK(df: DataFrame, groupCol: String, taskCol: String,
+      correct: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"need k in [1, 64], got $k")
+    val perTask = df
+      .groupBy(coalesce(col(groupCol), lit("")).as("__g"),
+        col(taskCol).as("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(coalesce(correct, lit(false)), 1L).otherwise(0L))
+          .as("__c"))
+      .withColumn("__pass", when(col("__n") >= k, expr(
+        s"""1000000 - CAST(
+          | aggregate(sequence(0, ${k - 1}), CAST(1000000 AS DECIMAL(38,0)),
+          |   (a, i) -> a * (__n - __c - i))
+          | DIV
+          | aggregate(sequence(0, ${k - 1}), CAST(1 AS DECIMAL(38,0)),
+          |   (a, i) -> a * (__n - i)) AS BIGINT)""".stripMargin)))
+    perTask.groupBy(col("__g").as(groupCol)).agg(
+      count(lit(1)).as("n_tasks"),
+      sum(when(col("__pass").isNull, 1L).otherwise(0L)).as("n_undefined"),
+      when(sum(when(col("__pass").isNotNull, 1L).otherwise(0L)) > 0L,
+        expr("""CAST(sum(CAST(__pass AS DECIMAL(38,0)))
+          | DIV sum(CASE WHEN __pass IS NOT NULL THEN 1 ELSE 0 END)
+          | AS BIGINT)""".stripMargin)).as("mean_pass_micro"))
+  }
 }

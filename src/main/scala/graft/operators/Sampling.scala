@@ -985,4 +985,79 @@ object Sampling {
           "CAST(__b * 1000000 DIV (__b + __w) AS BIGINT)"))
           .as("eta2_micro"))
   }
+
+  /** Welch's unequal-variance t per group (Welch 1947) — the
+    * two-sample test to DEFAULT to: [[cohensD]]'s pooled SD (and the
+    * classic Student t) silently assumes both arms share a variance,
+    * which a 90/10 traffic split with a heavy-tailed metric never
+    * does; Welch's t needs no such assumption and loses almost
+    * nothing when it happens to hold. Emitted with its
+    * Welch–Satterthwaite degrees of freedom, without which a t is
+    * unreadable.
+    *
+    * Exact core, one libm tail each: with per-arm sums/sum-of-squares
+    * and E_x = n_x·SS_x − S_x² (the n²·variance numerators, DECIMAL-
+    * exact),
+    *
+    *   U_a = E_a·n_b²·(n_b−1),  U_b = E_b·n_a²·(n_a−1)
+    *   D   = n_a²·(n_a−1)·n_b²·(n_b−1)       (the common denominator)
+    *   t_milli  = round(10³·(S_a·n_b − S_b·n_a)/(n_a·n_b)
+    *                · sqrt(D/(U_a + U_b)))
+    *   df_milli = round(10³·(U_a + U_b)² / (U_a²/(n_a−1) + U_b²/(n_b−1)))
+    *
+    * identical expression text on both engines. Honest ceiling: D
+    * needs n ≤ ~2·10⁶ rows per group at 38 digits, and U_x needs
+    * n⁵·metric² ≤ 10³⁸ (cents-scale metrics: n ≈ 5·10⁵; past either
+    * the ANSI decimal overflow throws loud — split-bucket upstream,
+    * the jackknife operator's shape, if a group is bigger).
+    * Degenerate: an arm with n < 2, or both arms constant
+    * (U_a + U_b = 0) → NULL t and df, never 0. NULL metrics/arms
+    * drop fail-visibly into `n_skipped`.
+    *
+    * Scale shape: the [[cohensD]] shape — ONE corpus-sized partial
+    * aggregation, six counters per group, nothing else. Output:
+    * (groupCol, n_a, n_b, n_skipped, t_milli, df_milli). */
+  def welchT(df: DataFrame, groupCol: String, metric: Column,
+      armB: Column): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      metric.cast("long").as("__y"), armB.cast("boolean").as("__b"))
+    val ok = col("__y").isNotNull && col("__b").isNotNull
+    base.groupBy("__g").agg(
+        sum(when(!ok, 1L).otherwise(0L)).as("n_skipped"),
+        sum(when(ok && !col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(ok && col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(ok && !col("__b"), col("__y").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sa"),
+        sum(when(ok && col("__b"), col("__y").cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sb"),
+        sum(when(ok && !col("__b"),
+          col("__y").cast("decimal(38,0)") * col("__y"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__ssa"),
+        sum(when(ok && col("__b"),
+          col("__y").cast("decimal(38,0)") * col("__y"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__ssb"))
+      .withColumn("__ua", expr(
+        """(CAST(n_a AS DECIMAL(38,0)) * __ssa - __sa * __sa)
+          | * n_b * n_b * (n_b - 1)""".stripMargin))
+      .withColumn("__ub", expr(
+        """(CAST(n_b AS DECIMAL(38,0)) * __ssb - __sb * __sb)
+          | * n_a * n_a * (n_a - 1)""".stripMargin))
+      .withColumn("__d", expr(
+        """CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1)
+          | * n_b * n_b * (n_b - 1)""".stripMargin))
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_skipped"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L
+            && col("__ua") + col("__ub") > 0L, expr(
+          """CAST(round(CAST(__sa * n_b - __sb * CAST(n_a AS DECIMAL(38,0))
+            |   AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+            | * sqrt(CAST(__d AS DOUBLE) / CAST(__ua + __ub AS DOUBLE))
+            | * 1000) AS BIGINT)""".stripMargin)).as("t_milli"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L
+            && col("__ua") + col("__ub") > 0L, expr(
+          """CAST(round(CAST(__ua + __ub AS DOUBLE) * CAST(__ua + __ub AS DOUBLE)
+            | / (CAST(__ua AS DOUBLE) * CAST(__ua AS DOUBLE) / (n_a - 1)
+            |    + CAST(__ub AS DOUBLE) * CAST(__ub AS DOUBLE) / (n_b - 1))
+            | * 1000) AS BIGINT)""".stripMargin)).as("df_milli"))
+  }
 }

@@ -4295,7 +4295,48 @@ object Extensions {
     Curation.cochranQ(d, "source", Seq(ja, jb, jc)).orderBy("source")
   }
 
+  /** q302 — unbiased pass@3 per event type ([[Curation.passAtK]]):
+    * attempts grouped into 50 tasks per type by user bucket, pass =
+    * value > 50 — the Chen et al. eval-harness estimator with its
+    * falling-factorial exactness and the n < k exclusion on the
+    * oracle path (NULL verdicts fail-closed). */
+  def q302PassAtK(spark: SparkSession, dir: String): DataFrame =
+    Curation.passAtK(
+      Tables(spark, dir, "events")
+        .select(col("event_type"), (col("user_id") % 50).as("task"),
+          col("value")),
+      "event_type", "task", col("value") > 50, 3)
+      .orderBy("event_type")
+
+  /** q303 — Welch's unequal-variance t per event type
+    * ([[Sampling.welchT]]): the odd-vs-even-user arm split on the
+    * cents metric with the Welch–Satterthwaite df beside it — the
+    * assumption-free companion to q299's pooled-SD d. Every 37th
+    * event NULL-metriced and every 43rd NULL-armed (fail-visible
+    * n_skipped). */
+  def q303WelchT(spark: SparkSession, dir: String): DataFrame =
+    Sampling.welchT(
+      Tables(spark, dir, "events"), "event_type",
+      when(col("event_id") % 37 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+      when(col("event_id") % 43 === 0, lit(null).cast("boolean"))
+        .otherwise(col("user_id") % 2 === 1))
+      .orderBy("event_type")
+
+  /** q304 — autocorrelation-adjusted effective sample size of each
+    * event type's daily series ([[graft.operators.Anomaly
+    * .effectiveSampleSize]], the q261/q296 fixture): the honest n
+    * behind any CI on these series' means. Pure composition on
+    * q261's integer ACF. */
+  def q304Ess(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.effectiveSampleSize(
+      dailyEventSeries(spark, dir), "etype", "day", "n", maxLag = 7)
+      .orderBy("etype")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_ess" -> (q304Ess _),
+    "q303_welch_t" -> (q303WelchT _),
+    "q302_pass_at_k" -> (q302PassAtK _),
     "q301_cochran_q" -> (q301CochranQ _),
     "q300_anova" -> (q300Anova _),
     "q299_cohens_d" -> (q299CohensD _),
@@ -5394,6 +5435,93 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q302_pass_at_k" ->
+      ("""WITH att AS (SELECT coalesce(event_type, '') AS g,
+        |    user_id % 50 AS t,
+        |    CASE WHEN coalesce(value > 50, false) THEN 1 ELSE 0 END AS ok
+        |  FROM events),
+        |pt AS (SELECT g, t, count(1)::BIGINT AS n, sum(ok)::BIGINT AS c
+        |  FROM att GROUP BY g, t),
+        |pp AS (SELECT g, CASE WHEN n >= 3 THEN
+        |    1000000 - CAST((1000000::HUGEINT * (n - c) * (n - c - 1)
+        |        * (n - c - 2))
+        |      // (n::HUGEINT * (n - 1) * (n - 2)) AS BIGINT) END AS p
+        |  FROM pt)
+        |SELECT g AS event_type, count(1)::BIGINT AS n_tasks,
+        |  count(CASE WHEN p IS NULL THEN 1 END)::BIGINT AS n_undefined,
+        |  CASE WHEN count(p) > 0 THEN
+        |    CAST(sum(p::HUGEINT) // count(p) AS BIGINT) END AS mean_pass_micro
+        |FROM pp GROUP BY g ORDER BY event_type""".stripMargin),
+    "q303_welch_t" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS y,
+        |    CASE WHEN event_id % 43 = 0 THEN NULL
+        |      ELSE user_id % 2 = 1 END AS b FROM events),
+        |a AS (SELECT g,
+        |    count(CASE WHEN y IS NULL OR b IS NULL THEN 1 END)::BIGINT AS n_skipped,
+        |    count(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b THEN 1 END)::BIGINT AS n_b,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b
+        |      THEN y::HUGEINT END), 0) AS sa,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b
+        |      THEN y::HUGEINT END), 0) AS sb,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND NOT b
+        |      THEN y::HUGEINT * y END), 0) AS ssa,
+        |    coalesce(sum(CASE WHEN y IS NOT NULL AND b IS NOT NULL AND b
+        |      THEN y::HUGEINT * y END), 0) AS ssb
+        |  FROM base GROUP BY g),
+        |c AS (SELECT *,
+        |    (n_a::HUGEINT * ssa - sa * sa) * n_b * n_b * (n_b - 1) AS ua,
+        |    (n_b::HUGEINT * ssb - sb * sb) * n_a * n_a * (n_a - 1) AS ub,
+        |    n_a::HUGEINT * n_a * (n_a - 1) * n_b * n_b * (n_b - 1) AS d
+        |  FROM a)
+        |SELECT g AS event_type, n_a, n_b, n_skipped,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0 THEN
+        |    CAST(round(CAST(sa * n_b - sb * n_a::HUGEINT AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * n_b)
+        |      * sqrt(CAST(d AS DOUBLE) / CAST(ua + ub AS DOUBLE))
+        |      * 1000) AS BIGINT) END AS t_milli,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0 THEN
+        |    CAST(round(CAST(ua + ub AS DOUBLE) * CAST(ua + ub AS DOUBLE)
+        |      / (CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE) / (n_a - 1)
+        |         + CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE) / (n_b - 1))
+        |      * 1000) AS BIGINT) END AS df_milli
+        |FROM c ORDER BY event_type""".stripMargin),
+    "q304_ess" ->
+      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
+        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
+        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
+        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
+        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
+        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
+        |  FROM ser),
+        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
+        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
+        |  FROM (SELECT DISTINCT g FROM c)),
+        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
+        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
+        |  FROM lg l JOIN idx a ON a.g = l.g
+        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
+        |  GROUP BY a.g, l.lag),
+        |r AS (SELECT p.g, p.lag, m.n,
+        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
+        |      + (m.n - p.lag) * m.s * m.s AS num,
+        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
+        |  FROM pair p JOIN mom m ON m.g = p.g),
+        |rho AS (SELECT g, lag, n, CASE WHEN den > 0
+        |    THEN ((num + den) * 1000000) // den - 1000000 END AS rho
+        |  FROM r)
+        |SELECT g AS etype, max(n)::BIGINT AS n_points,
+        |  count(1)::BIGINT AS n_lags,
+        |  CASE WHEN count(CASE WHEN rho IS NULL THEN 1 END) = 0
+        |    AND 1000000 + 2 * sum(rho::HUGEINT) > 0 THEN
+        |    CAST(max(n)::HUGEINT * 1000000000
+        |      // (1000000 + 2 * sum(rho::HUGEINT)) AS BIGINT) END AS ess_milli
+        |FROM rho GROUP BY g ORDER BY etype""".stripMargin),
     "q300_anova" ->
       ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
         |    CASE WHEN event_id % 59 = 0 THEN NULL

@@ -575,7 +575,7 @@ class PlanSpec extends SparkSpec {
 
   test("q293/q299/q300/q301: single-pass counter aggregations — no join, no window") {
     for (q <- Seq("q293_mcnemar", "q299_cohens_d", "q300_anova",
-        "q301_cochran_q")) {
+        "q301_cochran_q", "q302_pass_at_k", "q303_welch_t")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q must not join")
       assert(!p.contains("Window ["), s"$q must not window")

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.passAtK]]: the closed-form poles, the zero-factor
+  * self-annihilation when n − c < k, the n < k exclusion, fail-closed
+  * NULLs, and a brute-force combinatorial replica. */
+class PassAtKSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, Long, java.lang.Boolean)], k: Int) = {
+    import spark.implicits._
+    Curation.passAtK(rows.toDF("g", "t", "ok"), "g", "t", col("ok"), k)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("all-fail tasks score 0; any task with n - c < k scores exactly 10^6") {
+    // task 0: 5 attempts 0 correct -> 0; task 1: 5 attempts 4 correct,
+    // k = 3 > n - c = 1 -> the falling factorial crosses zero -> 1e6
+    val rows = (1 to 5).map(i => ("g", 0L, B(false))) ++
+      (1 to 5).map(i => ("g", 1L, B(i <= 4)))
+    val got = run(rows, 3)("g")
+    assert(got.getLong(1) == 2L && got.getLong(2) == 0L)
+    assert(got.getLong(3) == 500000L)   // mean of 0 and 1e6
+  }
+
+  test("pass@1 is the plain success rate") {
+    val rows = (1 to 10).map(i => ("g", i.toLong % 2, B(i <= 3)))
+    // per task: n = 5; task1 gets i=1,3 correct (c=2), task0 gets i=2 (c=1)
+    val got = run(rows, 1)("g")
+    // pass@1 per task = c/n: 2/5 and 1/5 -> mean = 300000
+    assert(got.getLong(3) == 300000L)
+  }
+
+  test("n < k tasks are excluded and counted, never k-clamped") {
+    val rows = (1 to 5).map(i => ("g", 0L, B(true))) ++
+      Seq(("g", 1L, B(true)), ("g", 1L, B(true)))   // n = 2 < k = 3
+    val got = run(rows, 3)("g")
+    assert(got.getLong(2) == 1L)
+    assert(got.getLong(3) == 1000000L)  // only the defined task counts
+  }
+
+  test("brute-force combinatorial replica on random verdicts") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 400).map(i =>
+      ("g", (i % 8).toLong, B(rnd.nextInt(3) == 0)))
+    val k = 4
+    val got = run(rows, k)("g")
+    def choose(n: Long, r: Long): BigInt =
+      if (r < 0 || r > n) BigInt(0)
+      else (0L until r).map(i => BigInt(n - i)).product /
+        (1L to r).map(BigInt(_)).product
+    val byTask = rows.groupBy(_._2).values.toSeq
+    val per = byTask.map { xs =>
+      val n = xs.size.toLong
+      val c = xs.count(_._3.booleanValue).toLong
+      // exact micro with the operator's truncation: 1e6 - (1e6*num) DIV den
+      val num = (0 until k).map(i => BigInt(n - c - i)).product
+      val den = (0 until k).map(i => BigInt(n - i)).product
+      1000000L - ((BigInt(1000000) * num) / den).toLong
+    }
+    assert(got.getLong(3) == per.sum / per.size)
+    // sanity vs the binomial form
+    val alt = byTask.map { xs =>
+      val n = xs.size.toLong; val c = xs.count(_._3.booleanValue).toLong
+      1.0 - choose(n - c, k).toDouble / choose(n, k).toDouble }
+    assert(math.abs(got.getLong(3) / 1e6 - alt.sum / alt.size) < 1e-4)
+  }
+
+  test("NULL verdicts are FAIL; NULL group folds to ''") {
+    val rows = Seq((null: String, 0L, B(true)),
+      (null: String, 0L, null: java.lang.Boolean),
+      (null: String, 0L, null: java.lang.Boolean))
+    val got = run(rows, 2)("")
+    // NULLs count as FAIL: n = 3, c = 1 ->
+    // pass@2 = 1e6 - 1e6*(2*1)/(3*2) = 666667 (truncated 666666)
+    assert(got.getLong(3) == 1000000L - 2000000L / 6L)
+  }
+}

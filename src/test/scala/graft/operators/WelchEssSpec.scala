@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.welchT]] and [[Anomaly.effectiveSampleSize]]: the
+  * unequal-variance t against a brute-force replica (where pooled t
+  * would mislead), df bounds, the ESS direction poles, and the
+  * degenerate NULLs. */
+class WelchEssSpec extends SparkSpec {
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  private def wt(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Sampling.welchT(rows.toDF("g", "y", "b"), "g", col("y"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("welch: brute-force replica on a 90/10 split with unequal variances") {
+    val rnd = new scala.util.Random(97)
+    val rows = (1 to 1000).map { i =>
+      val b = i % 10 == 0
+      val y = if (b) rnd.nextInt(2000).toLong else 500L + rnd.nextInt(20)
+      ("g", L(y), B(b))
+    }
+    val got = wt(rows)("g")
+    val a = rows.filterNot(_._3).map(_._2.toDouble)
+    val bb = rows.filter(_._3).map(_._2.toDouble)
+    def vm(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = vm(a); val (mb, vb) = vm(bb)
+    val se2 = va / a.size + vb / bb.size
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 / (va * va / (a.size * a.size.toDouble * (a.size - 1))
+      + vb * vb / (bb.size * bb.size.toDouble * (bb.size - 1)))
+    assert(math.abs(got.getLong(4) - math.round(t * 1000)) <= 1L)
+    assert(math.abs(got.getLong(5) / 1000.0 - df) < 0.01 * df)
+    // df must land strictly between min(na,nb)-1 and na+nb-2
+    assert(got.getLong(5) > 1000L * (bb.size - 1) / 2)
+    assert(got.getLong(5) < 1000L * (a.size + bb.size - 2))
+  }
+
+  test("welch: arm with n < 2 or zero total variance -> NULL, counts kept") {
+    val got = wt(Seq(("s", L(1), B(false)), ("s", L(2), B(false)),
+      ("s", L(9), B(true)),
+      ("v", L(5), B(false)), ("v", L(5), B(false)),
+      ("v", L(7), B(true)), ("v", L(7), B(true))))
+    assert(got("s").isNullAt(4) && got("s").getLong(2) == 1L)
+    assert(got("v").isNullAt(4) && got("v").isNullAt(5))
+  }
+
+  test("welch: NULL metrics and arms skip fail-visibly") {
+    val got = wt(Seq(("g", L(1), B(false)), ("g", L(2), B(true)),
+      ("g", null, B(true)), ("g", L(3), null)))
+    assert(got("g").getLong(3) == 2L)
+  }
+
+  private def ess(rows: Seq[(String, Long, Long)], maxLag: Int = 7) = {
+    import spark.implicits._
+    Anomaly.effectiveSampleSize(rows.toDF("g", "t", "x"), "g", "t", "x",
+      maxLag).collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("ess: smooth series shrinks below n, alternating series exceeds n") {
+    val rnd = new scala.util.Random(13)
+    val smooth = (0 until 80).map(t =>
+      ("sm", t.toLong, 100L + (t / 10) * 10))   // slow steps: high rho
+    // MILD alternation at lag 1: rho1 < 0 but > -1/2, so with K = 1
+    // the denominator lands in (0, 1e6) deterministically
+    val alt = (0 until 80).map(t =>
+      ("alt", t.toLong, (t % 2) * 40L + rnd.nextInt(100)))
+    val got = ess(smooth ++ alt, maxLag = 1)
+    assert(got("sm").getLong(3) < 80L * 1000L / 2L, "smooth: ESS << n")
+    assert(got("alt").getLong(3) > 80L * 1000L, "mild alternation: ESS > n")
+  }
+
+  test("ess: a strongly periodic series (denom <= 0) is NULL, never clamped") {
+    val got = ess((0 until 80).map(t =>
+      ("p", t.toLong, if (t % 2 == 0) 10L else 90L)))
+    assert(got("p").isNullAt(3))
+  }
+
+  test("ess: replays exactly from acf's integer output") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 60).map(t =>
+      ("g", t.toLong, (t % 7 + rnd.nextInt(4)).toLong))
+    val rho = Anomaly.acf(rows.toDF("g", "t", "x"), "g", "t", "x", 7)
+      .collect().map(_.getLong(3))
+    val denom = BigInt(1000000) + 2 * rho.map(BigInt(_)).sum
+    val expect = (BigInt(60) * 1000000000L / denom).toLong
+    assert(ess(rows)("g").getLong(3) == expect)
+  }
+
+  test("ess: constant series (undefined rho) -> NULL") {
+    val got = ess((0 until 30).map(t => ("c", t.toLong, 5L)))
+    assert(got("c").isNullAt(3))
+  }
+}
