@@ -1550,6 +1550,95 @@ object Anomaly {
           .as("ess_milli"))
   }
 
+  /** Wald's sequential probability ratio test per keyed ordered
+    * series (Wald 1945) — the A/B test designed to be PEEKED at: a
+    * fixed-n test read mid-run inflates its false-positive rate with
+    * every look, the SPRT's log-likelihood walk is valid at every
+    * point by construction, and it reaches verdicts on clearly-
+    * separated rates in a fraction of fixed-n samples. This is the
+    * retrospective batch form (first-crossing over the recorded
+    * order); [[graft.streaming.StreamingAnomaly.sprt]] is the live
+    * face with O(1) state.
+    *
+    * Exact integers end to end — the caller supplies the two LLR
+    * increments and the two Wald bounds in micro-log units (e.g.
+    * lPos = round(10⁶·ln(p₁/p₀)), upper = round(10⁶·ln((1−β)/α))):
+    * passing them as integers rather than (p₀, p₁, α, β) keeps libm
+    * out of the operator entirely, so the walk, the crossing index,
+    * and the verdict are bit-identical on any engine. The walk:
+    *
+    *   llr_t = pos_t·lPos + (t − pos_t)·lNeg
+    *   decision = at the FIRST t with llr_t ≥ upper ('h1')
+    *              or llr_t ≤ lower ('h0'); else 'continue'
+    *
+    * After a crossing the walk is FROZEN (a real SPRT stops sampling;
+    * post-decision rows change nothing — n/n_pos still count them,
+    * fail-visibly separate from n_at_decision). NULL outcomes drop
+    * before packing (an unjudged row is not evidence either way),
+    * counted in `n_skipped`. Duplicate order keys fold in (order,
+    * outcome) struct order — the [[cusumAlarms]] determinism rule.
+    *
+    * Same bounded-series collect contract as every sequential
+    * operator here (pre-bucket or sample upstream if a group's
+    * series is unbounded). Output: (groupCol, n, n_pos, n_skipped,
+    * decision, n_at_decision, llr_micro — the walk at the decision
+    * point, or at the end under 'continue'). */
+  def sprt(df: DataFrame, groupCol: String, orderCol: String,
+      positive: Column, lPosMicro: Long, lNegMicro: Long,
+      upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(lPosMicro > 0 && lNegMicro < 0,
+      s"need lPosMicro > 0 > lNegMicro (H1 rate above H0), got $lPosMicro/$lNegMicro")
+    require(upperMicro > 0 && lowerMicro < 0,
+      s"need upperMicro > 0 > lowerMicro, got $upperMicro/$lowerMicro")
+    // group folds to '' (the key-normalization discipline): the
+    // skipped⋈packed rejoin below is not null-safe by design
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      col(orderCol).as("__o"),
+      when(positive.isNull, lit(null).cast("long"))
+        .otherwise(when(positive, 1L).otherwise(0L)).as("__x"))
+    val skipped = base.groupBy(col("__g").as("__sg")).agg(
+      sum(when(col("__x").isNull, 1L).otherwise(0L)).as("n_skipped"))
+    val packed = base
+      .filter(col("__x").isNotNull)
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(
+        col("__o").as("__oo"), col("__x").as("__xx")))).as("__evs"))
+      .select(col("__g"), expr("transform(__evs, e -> e.__xx)").as("__xs"))
+    val fold = expr(
+      s"""aggregate(__xs,
+         |  named_struct('d', 0L, 't', 0L, 'pos', 0L, 'llr', 0L,
+         |    'dt', 0L),
+         |  (a, x) -> CASE WHEN a.d <> 0L THEN named_struct(
+         |      'd', a.d, 't', a.t + 1L, 'pos', a.pos + x,
+         |      'llr', a.llr, 'dt', a.dt)
+         |    ELSE named_struct(
+         |      'd', CASE
+         |        WHEN (a.pos + x) * ${lPosMicro}L
+         |             + (a.t + 1L - a.pos - x) * ${lNegMicro}L
+         |             >= ${upperMicro}L THEN 1L
+         |        WHEN (a.pos + x) * ${lPosMicro}L
+         |             + (a.t + 1L - a.pos - x) * ${lNegMicro}L
+         |             <= ${lowerMicro}L THEN -1L
+         |        ELSE 0L END,
+         |      't', a.t + 1L, 'pos', a.pos + x,
+         |      'llr', (a.pos + x) * ${lPosMicro}L
+         |             + (a.t + 1L - a.pos - x) * ${lNegMicro}L,
+         |      'dt', a.t + 1L) END)"""
+        .stripMargin)
+    skipped.join(packed.withColumn("__f", fold)
+        .select(col("__g"), col("__f")),
+        col("__sg") === col("__g"), "left")
+      .select(col("__sg").as(groupCol),
+        coalesce(col("__f.t"), lit(0L)).as("n"),
+        coalesce(col("__f.pos"), lit(0L)).as("n_pos"),
+        col("n_skipped"),
+        when(col("__f.d") === 1L, "h1")
+          .when(col("__f.d") === -1L, "h0")
+          .otherwise("continue").as("decision"),
+        when(col("__f.d") =!= 0L, col("__f.dt")).as("n_at_decision"),
+        col("__f.llr").as("llr_micro"))
+  }
+
   /** Quantile shift function per group (Doksum 1974) — WHERE did the
     * distribution move between arm A and arm B? [[ksDrift]] and
     * [[mannWhitney]] say THAT two arms differ; the shift function

@@ -392,7 +392,10 @@ object LinkRank {
     * from `communities` forms its own SINGLETON community (it can
     * match no neighbor — fail-visible in `n_unassigned` rather than
     * silently re-weighting m); a NULL community label is the same
-    * singleton case. An empty graph has no null model: empty output.
+    * singleton case. CONTRACT: `communities` is a MAP — one row per
+    * node (duplicate rows would double-count that node's degree mass
+    * through the tag join; dedup upstream, the caller's bug). An
+    * empty graph has no null model: empty output.
     *
     * Scale shape: edge collapse + degree agg (the triangleCounts
     * passes), TWO hash joins tagging each edge end with its

@@ -4333,7 +4333,21 @@ object Extensions {
       dailyEventSeries(spark, dir), "etype", "day", "n", maxLag = 7)
       .orderBy("etype")
 
+  /** q305 — Wald SPRT per event type ([[graft.operators.Anomaly
+    * .sprt]]): is the value>70 rate 0.35 (H1) or 0.25 (H0), read
+    * sequentially in event order with α = β = 0.05? The increments
+    * (round(10⁶·ln(0.35/0.25)) = 336472, round(10⁶·ln(0.65/0.75)) =
+    * −143101) and Wald bounds (±round(10⁶·ln 19) = ±2944439) enter as
+    * integer literals on BOTH engines — no libm inside either. NULL
+    * values are unjudged rows (fail-visible n_skipped). */
+  def q305Sprt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.sprt(
+      Tables(spark, dir, "events"), "event_type", "event_id",
+      col("value") > 70, 336472L, -143101L, 2944439L, -2944439L)
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_sprt" -> (q305Sprt _),
     "q304_ess" -> (q304Ess _),
     "q303_welch_t" -> (q303WelchT _),
     "q302_pass_at_k" -> (q302PassAtK _),
@@ -5435,6 +5449,38 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q305_sprt" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g, event_id AS o,
+        |    CASE WHEN value > 70 THEN 1
+        |         WHEN NOT (value > 70) THEN 0 END AS x FROM events),
+        |sk AS (SELECT g, count(CASE WHEN x IS NULL THEN 1 END)::BIGINT
+        |    AS n_skipped FROM base GROUP BY g),
+        |w AS (SELECT g,
+        |    row_number() OVER (PARTITION BY g ORDER BY o, x) AS t,
+        |    sum(x) OVER (PARTITION BY g ORDER BY o, x
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS pos
+        |  FROM base WHERE x IS NOT NULL),
+        |l AS (SELECT g, t, pos,
+        |    pos * 336472 + (t - pos) * -143101 AS llr FROM w),
+        |cr AS (SELECT g, min(CASE WHEN llr >= 2944439 THEN t END) AS t1,
+        |    min(CASE WHEN llr <= -2944439 THEN t END) AS t0,
+        |    max(t)::BIGINT AS n, max(pos)::BIGINT AS n_pos
+        |  FROM l GROUP BY g),
+        |dec AS (SELECT g, n, n_pos,
+        |    CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 < t0) THEN 'h1'
+        |         WHEN t0 IS NOT NULL THEN 'h0' ELSE 'continue' END AS decision,
+        |    CASE WHEN t1 IS NOT NULL AND (t0 IS NULL OR t1 < t0) THEN t1
+        |         WHEN t0 IS NOT NULL THEN t0 END AS n_at_decision
+        |  FROM cr)
+        |SELECT sk.g AS event_type, coalesce(dec.n, 0)::BIGINT AS n,
+        |  coalesce(dec.n_pos, 0)::BIGINT AS n_pos, sk.n_skipped,
+        |  coalesce(dec.decision, 'continue') AS decision,
+        |  dec.n_at_decision::BIGINT AS n_at_decision,
+        |  l.llr::BIGINT AS llr_micro
+        |FROM sk LEFT JOIN dec ON dec.g = sk.g
+        |LEFT JOIN l ON l.g = sk.g
+        |  AND l.t = coalesce(dec.n_at_decision, dec.n)
+        |ORDER BY event_type""".stripMargin),
     "q302_pass_at_k" ->
       ("""WITH att AS (SELECT coalesce(event_type, '') AS g,
         |    user_id % 50 AS t,

@@ -455,4 +455,52 @@ object StreamingAnomaly {
           }
       }
   }
+
+  /** Streaming SPRT — the operator that is streaming-NATIVE rather
+    * than a streaming face: Wald's sequential test exists to be read
+    * while data arrives, and its whole state is four longs per group
+    * (decision, t, pos, the walk value) — the O(1) the batch form
+    * ([[graft.operators.Anomaly.sprt]]) only simulates by packing the
+    * series. Same integer micro-log increments and Wald bounds passed
+    * as literals (no libm anywhere), same first-crossing freeze, same
+    * (order, outcome) intra-trigger sort — so stream ≡ batch on every
+    * prefix (pinned by StreamingSprtSpec). Cross-trigger order is the
+    * caller's contract, as for every sequential monitor here; NULL
+    * has no representation in the typed input — filter unjudged rows
+    * upstream where the batch form counts them. Emits one verdict row
+    * per group per trigger: (group, n, n_pos, decision, n_at_decision
+    * — None until a crossing, llr_micro). */
+  def sprt(rows: Dataset[(String, Long, Boolean)], lPosMicro: Long,
+      lNegMicro: Long, upperMicro: Long, lowerMicro: Long)
+      : Dataset[(String, Long, Long, String, Option[Long], Long)] = {
+    require(lPosMicro > 0 && lNegMicro < 0,
+      s"need lPosMicro > 0 > lNegMicro, got $lPosMicro/$lNegMicro")
+    require(upperMicro > 0 && lowerMicro < 0,
+      s"need upperMicro > 0 > lowerMicro, got $upperMicro/$lowerMicro")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Long, Boolean)],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          // (d, t, pos, llr, dt) — the batch fold's accumulator
+          var (d, t, pos, llr, dt) = state.getOption
+            .getOrElse((0L, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, x) =>
+            val xi = if (x) 1L else 0L
+            t += 1L; pos += xi
+            if (d == 0L) {
+              llr = pos * lPosMicro + (t - pos) * lNegMicro
+              dt = t
+              if (llr >= upperMicro) d = 1L
+              else if (llr <= lowerMicro) d = -1L
+            }
+          }
+          state.update((d, t, pos, llr, dt))
+          if (t == 0L) Iterator.empty
+          else Iterator.single((group, t, pos,
+            if (d == 1L) "h1" else if (d == -1L) "h0" else "continue",
+            if (d != 0L) Some(dt) else None, llr))
+      }
+  }
 }

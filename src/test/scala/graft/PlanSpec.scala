@@ -596,6 +596,13 @@ class PlanSpec extends SparkSpec {
       "no global single-partition stage — the cum window keys on (g, arm)")
   }
 
+  test("q305 SPRT: the walk folds in one packed aggregation — no window, no Cartesian") {
+    val p = plan("q305_sprt")
+    assert(!p.contains("Window ["),
+      "the walk is an array fold, never a per-row window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q297 edit pairs: the banded DP is the LAST join conjunct — every cheap prune runs first") {
     val p = plan("q297_edit_pairs")
     assert(!p.contains("CartesianProduct"),

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.sprt]]: engineered h1/h0 walks, the first-crossing
+  * freeze, the continue band, fail-visible NULLs, and a fold replica
+  * of the exact integer walk. */
+class SprtSpec extends SparkSpec {
+
+  private val (lp, ln, up, lo) = (336472L, -143101L, 2944439L, -2944439L)
+
+  private def run(rows: Seq[(String, Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.sprt(rows.toDF("g", "o", "x"), "g", "o", col("x"),
+        lp, ln, up, lo)
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  private def B(b: Boolean): java.lang.Boolean = Boolean.box(b)
+
+  test("all-pass walk crosses h1 at exactly ceil(up/lp) = 9 samples") {
+    val got = run((1L to 50L).map(o => ("g", o, B(true))))("g")
+    assert(got.getString(4) == "h1")
+    assert(got.getLong(5) == 9L)          // 9 * 336472 = 3028248 >= up
+    assert(got.getLong(6) == 9L * lp)
+    assert(got.getLong(1) == 50L && got.getLong(2) == 50L)
+  }
+
+  test("all-fail walk crosses h0 at exactly ceil(|lo/ln|) = 21 samples") {
+    val got = run((1L to 50L).map(o => ("g", o, B(false))))("g")
+    assert(got.getString(4) == "h0")
+    assert(got.getLong(5) == 21L)         // 21 * -143101 = -3005121 <= lo
+  }
+
+  test("the walk freezes at the first crossing — later reversals can't flip it") {
+    // 9 passes (h1 at t=9) then 200 fails: verdict stays h1
+    val rows = (1L to 9L).map(o => ("g", o, B(true))) ++
+      (10L to 209L).map(o => ("g", o, B(false)))
+    val got = run(rows)("g")
+    assert(got.getString(4) == "h1" && got.getLong(5) == 9L)
+    assert(got.getLong(6) == 9L * lp)     // llr frozen at the crossing
+    assert(got.getLong(1) == 209L)        // counting continues
+  }
+
+  test("a rate between the hypotheses stays in the continue band") {
+    // alternate pass/fail: increment sum per pair = lp + ln = +193371;
+    // keep it short so the drift stays inside the Wald bounds
+    val rows = (1L to 20L).map(o => ("g", o, B(o % 2 == 0)))
+    val got = run(rows)("g")
+    assert(got.getString(4) == "continue" && got.isNullAt(5))
+  }
+
+  test("NULL outcomes are unjudged: skipped, not evidence") {
+    val rows = Seq(("g", 1L, B(true)), ("g", 2L, null),
+      ("g", 3L, B(true)), ("e", 1L, null))
+    val got = run(rows)
+    assert(got("g").getLong(1) == 2L && got("g").getLong(3) == 1L)
+    assert(got("e").getLong(1) == 0L && got("e").getString(4) == "continue")
+    assert(got("e").isNullAt(6))
+  }
+
+  test("fold replica on a noisy walk") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1L to 400L).map(o => ("g", o, B(rnd.nextInt(100) < 30)))
+    val got = run(rows)("g")
+    var (d, t, pos, llr, dt) = (0L, 0L, 0L, 0L, 0L)
+    rows.foreach { case (_, _, x) =>
+      t += 1; pos += (if (x.booleanValue) 1L else 0L)
+      if (d == 0L) {
+        llr = pos * lp + (t - pos) * ln; dt = t
+        if (llr >= up) d = 1L else if (llr <= lo) d = -1L
+      }
+    }
+    assert(got.getString(4) ==
+      (if (d == 1L) "h1" else if (d == -1L) "h0" else "continue"))
+    assert(got.getLong(6) == llr)
+    if (d != 0L) assert(got.getLong(5) == dt)
+  }
+}

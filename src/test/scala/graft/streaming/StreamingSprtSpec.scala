@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming SPRT: four longs of keyed state and prefix parity with
+  * [[graft.operators.Anomaly.sprt]] — including a crossing that
+  * happens MID-trigger and a post-decision batch that must not thaw
+  * the frozen verdict. */
+class StreamingSprtSpec extends SparkSpec {
+
+  private val (lp, ln, up, lo) = (336472L, -143101L, 2944439L, -2944439L)
+
+  private def batchRef(rows: Seq[(String, Long, Boolean)]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.sprt(rows.toDF("g", "o", "x"), "g", "o",
+        col("x"), lp, ln, up, lo)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getLong(6))).toSet
+  }
+
+  test("stream == batch after every prefix; the verdict freezes across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(73)
+    // g0 crosses h1 inside batch 1; g1 stays in the continue band
+    // through batch 1 and crosses h0 in batch 2; batch 2 also hammers
+    // g0 with fails that must not thaw its h1
+    val b1 = (1L to 12L).map(o => ("g0", o, true)) ++
+      (1L to 10L).map(o => ("g1", o, o % 2 == 0))
+    val b2 = (13L to 120L).map(o => ("g0", o, false)) ++
+      (11L to 60L).map(o => ("g1", o, rnd.nextInt(10) == 0))
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingAnomaly.sprt(in.toDS(), lp, ln, up, lo)
+      .toDF("g", "n", "n_pos", "decision", "n_at_decision", "llr")
+      .writeStream.format("memory").queryName("sprt_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("sprt_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5)))
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+      def noSkip(rows: Seq[(String, Long, Boolean)]) = batchRef(rows)
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == noSkip(b1),
+        "prefix 1: mid-trigger crossing must match the batch fold")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(latest() == noSkip(b1 ++ b2),
+        "prefix 2: frozen verdict + late crossing both match")
+    } finally q.stop()
+  }
+}
