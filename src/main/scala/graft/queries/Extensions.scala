@@ -2280,12 +2280,17 @@ object Extensions {
     * the C4 line-filter gate (q108), both on the raw document text.
     * The oracle replays both gates and the chance-corrected
     * agreement arithmetic. */
+  /** The q184/q293/q301 shared judge pair — the Gopher rule gate and
+    * the C4 three-kept-lines gate, ONE definition on the Scala side
+    * mirroring the oracle-side `gateCtes`. */
+  private def gopherC4Gates: (Column, Column) = (
+    QualityRules.gopherPass(QualityRules.gopherSignals(col("text")), 20, 1000),
+    size(QualityRules.c4KeptLines(col("text"))) >= 3)
+
   def q184JudgeKappa(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val ja = QualityRules.gopherPass(
-      QualityRules.gopherSignals(col("text")), 20, 1000)
-    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
-    Curation.judgeAgreement(d, "lang", ja, jb).orderBy("lang")
+    val (ja, jb) = gopherC4Gates
+    Curation.judgeAgreement(Tables(spark, dir, "documents"), "lang", ja, jb)
+      .orderBy("lang")
   }
 
   /** q185 — per-document code-point entropy ([[graft.expressions
@@ -4163,11 +4168,9 @@ object Extensions {
     * fail-closed NULL convention, so the two queries read as one
     * audit. */
   def q293Mcnemar(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val ja = QualityRules.gopherPass(
-      QualityRules.gopherSignals(col("text")), 20, 1000)
-    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
-    Curation.mcnemarGates(d, "lang", ja, jb).orderBy("lang")
+    val (ja, jb) = gopherC4Gates
+    Curation.mcnemarGates(Tables(spark, dir, "documents"), "lang", ja, jb)
+      .orderBy("lang")
   }
 
   /** q294 — Newman modularity of the domain partition over the
@@ -4287,12 +4290,9 @@ object Extensions {
     * all" that licenses (or vetoes) reading q293's pairwise McNemar.
     * Same fail-closed NULL convention as q184/q293. */
   def q301CochranQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val ja = QualityRules.gopherPass(
-      QualityRules.gopherSignals(col("text")), 20, 1000)
-    val jb = size(QualityRules.c4KeptLines(col("text"))) >= 3
-    val jc = col("n_chars") >= 256
-    Curation.cochranQ(d, "source", Seq(ja, jb, jc)).orderBy("source")
+    val (ja, jb) = gopherC4Gates
+    Curation.cochranQ(Tables(spark, dir, "documents"), "source",
+      Seq(ja, jb, col("n_chars") >= 256)).orderBy("source")
   }
 
   /** q302 — unbiased pass@3 per event type ([[Curation.passAtK]]):
@@ -4641,6 +4641,85 @@ object Extensions {
   }
 
   private val lshSigDefs: String = lshSigDefsFor("sig", "")
+
+  /** Shared Gopher(ja)/C4(jb) gate CTEs for the q184/q293/q301
+    * oracles, carrying `keyCol` through sig/m/ja — ONE definition of
+    * the gate pair so an oracle can never validate a stale gate. */
+  private def gateCtes(keyCol: String): String =
+    s"""sig AS (SELECT doc_id, $keyCol,
+      |    regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+      |    string_split(text, chr(10)) AS lines,
+      |    len(regexp_extract_all(text, '\\.\\.\\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
+      |  FROM documents),
+      |m AS (SELECT doc_id, $keyCol,
+      |    len(words)::BIGINT AS n_words,
+      |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
+      |    n_symbols::BIGINT AS n_symbols,
+      |    len(lines)::BIGINT AS n_lines,
+      |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
+      |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
+      |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+      |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+      |  FROM sig),
+      |ja AS (SELECT doc_id, $keyCol,
+      |    (n_words BETWEEN 20 AND 1000
+      |     AND 3 * n_words <= swl AND swl <= 10 * n_words
+      |     AND 10 * n_symbols < n_words
+      |     AND 10 * n_bul < 9 * n_lines
+      |     AND 10 * n_ell < 3 * n_lines
+      |     AND 10 * n_alpha >= 8 * n_words
+      |     AND n_stop >= 2) AS a FROM m),
+      |jb AS (SELECT doc_id,
+      |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?\"]$$')
+      |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+      |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
+      |  FROM documents)""".stripMargin
+
+  /** The 2x2 gate confusion cells over [[gateCtes]]'s ja/jb (keyed by
+    * lang) — shared by the q184 and q293 oracles. */
+  private val gateCells: String =
+    """cells AS (SELECT coalesce(lang, '') AS lang,
+      |    sum(CASE WHEN coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
+      |    sum(CASE WHEN coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+      |    sum(CASE WHEN NOT coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
+      |    sum(CASE WHEN NOT coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
+      |  FROM ja JOIN jb USING (doc_id) GROUP BY 1)""".stripMargin
+
+  /** Shared daily-series ACF CTE chain (through the shifted-division
+    * `rho`) for the q261/q296/q304 oracles — ONE definition of the
+    * integer-exact autocorrelation so a composed oracle can never
+    * drift from the base one. */
+  private val acfCtes: String =
+    """c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
+      |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+      |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
+      |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
+      |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
+      |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
+      |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
+      |  FROM ser),
+      |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+      |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
+      |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
+      |  FROM (SELECT DISTINCT g FROM c)),
+      |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
+      |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
+      |  FROM lg l JOIN idx a ON a.g = l.g
+      |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
+      |  GROUP BY a.g, l.lag),
+      |r AS (SELECT p.g, p.lag, m.n,
+      |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
+      |      + (m.n - p.lag) * m.s * m.s AS num,
+      |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
+      |  FROM pair p JOIN mom m ON m.g = p.g),
+      |rho AS (SELECT g, lag, n, CASE WHEN den > 0
+      |    THEN ((num + den) * 1000000) // den - 1000000 END AS rho
+      |  FROM r)""".stripMargin
 
   private val simhashOracle: String = {
     val bitSums = (0 until 60).map(i =>
@@ -5535,32 +5614,7 @@ object Extensions {
         |      * 1000) AS BIGINT) END AS df_milli
         |FROM c ORDER BY event_type""".stripMargin),
     "q304_ess" ->
-      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
-        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
-        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
-        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
-        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
-        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
-        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
-        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
-        |  FROM ser),
-        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
-        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
-        |  FROM (SELECT DISTINCT g FROM c)),
-        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
-        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
-        |  FROM lg l JOIN idx a ON a.g = l.g
-        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
-        |  GROUP BY a.g, l.lag),
-        |r AS (SELECT p.g, p.lag, m.n,
-        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
-        |      + (m.n - p.lag) * m.s * m.s AS num,
-        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
-        |  FROM pair p JOIN mom m ON m.g = p.g),
-        |rho AS (SELECT g, lag, n, CASE WHEN den > 0
-        |    THEN ((num + den) * 1000000) // den - 1000000 END AS rho
-        |  FROM r)
+      (s"""WITH $acfCtes
         |SELECT g AS etype, max(n)::BIGINT AS n_points,
         |  count(1)::BIGINT AS n_lags,
         |  CASE WHEN count(CASE WHEN rho IS NULL THEN 1 END) = 0
@@ -5600,38 +5654,7 @@ object Extensions {
         |    CAST(b * 1000000 // (b + w) AS BIGINT) END AS eta2_micro
         |FROM f ORDER BY event_type""".stripMargin),
     "q301_cochran_q" ->
-      ("""WITH sig AS (SELECT doc_id, source,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
-        |    string_split(text, chr(10)) AS lines,
-        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
-        |  FROM documents),
-        |m AS (SELECT doc_id, source,
-        |    len(words)::BIGINT AS n_words,
-        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
-        |    n_symbols::BIGINT AS n_symbols,
-        |    len(lines)::BIGINT AS n_lines,
-        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
-        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
-        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
-        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
-        |  FROM sig),
-        |ja AS (SELECT doc_id, source,
-        |    (n_words BETWEEN 20 AND 1000
-        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
-        |     AND 10 * n_symbols < n_words
-        |     AND 10 * n_bul < 9 * n_lines
-        |     AND 10 * n_ell < 3 * n_lines
-        |     AND 10 * n_alpha >= 8 * n_words
-        |     AND n_stop >= 2) AS a FROM m),
-        |jb AS (SELECT doc_id,
-        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
-        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
-        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
-        |  FROM documents),
+      (s"""WITH ${gateCtes("source")},
         |jc AS (SELECT doc_id, n_chars >= 256 AS c FROM documents),
         |r3 AS (SELECT coalesce(ja.source, '') AS g,
         |    CASE WHEN coalesce(a, false) THEN 1 ELSE 0 END AS ia,
@@ -5683,44 +5706,8 @@ object Extensions {
         |FROM sk LEFT JOIN agg ON agg.g = sk.g
         |ORDER BY source""".stripMargin),
     "q293_mcnemar" ->
-      ("""WITH sig AS (SELECT doc_id, lang,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
-        |    string_split(text, chr(10)) AS lines,
-        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
-        |  FROM documents),
-        |m AS (SELECT doc_id, lang,
-        |    len(words)::BIGINT AS n_words,
-        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
-        |    n_symbols::BIGINT AS n_symbols,
-        |    len(lines)::BIGINT AS n_lines,
-        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
-        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
-        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
-        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
-        |  FROM sig),
-        |ja AS (SELECT doc_id, lang,
-        |    (n_words BETWEEN 20 AND 1000
-        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
-        |     AND 10 * n_symbols < n_words
-        |     AND 10 * n_bul < 9 * n_lines
-        |     AND 10 * n_ell < 3 * n_lines
-        |     AND 10 * n_alpha >= 8 * n_words
-        |     AND n_stop >= 2) AS a FROM m),
-        |jb AS (SELECT doc_id,
-        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
-        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
-        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
-        |  FROM documents),
-        |cells AS (SELECT coalesce(lang, '') AS lang,
-        |    sum(CASE WHEN coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
-        |    sum(CASE WHEN coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
-        |    sum(CASE WHEN NOT coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
-        |    sum(CASE WHEN NOT coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
-        |  FROM ja JOIN jb USING (doc_id) GROUP BY 1)
+      (s"""WITH ${gateCtes("lang")},
+        |$gateCells
         |SELECT lang,
         |  (n_both_pass + n_a_only + n_b_only + n_both_fail)::BIGINT AS n_docs,
         |  n_both_pass, n_a_only, n_b_only, n_both_fail,
@@ -5803,32 +5790,7 @@ object Extensions {
         |LEFT JOIN qs qb ON qb.g = ks.g AND qb.k = ks.k AND qb.b
         |ORDER BY source, q_permille""".stripMargin),
     "q296_ljung_box" ->
-      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
-        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
-        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
-        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
-        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
-        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
-        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
-        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
-        |  FROM ser),
-        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
-        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
-        |  FROM (SELECT DISTINCT g FROM c)),
-        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
-        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
-        |  FROM lg l JOIN idx a ON a.g = l.g
-        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
-        |  GROUP BY a.g, l.lag),
-        |r AS (SELECT p.g, p.lag, m.n,
-        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
-        |      + (m.n - p.lag) * m.s * m.s AS num,
-        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
-        |  FROM pair p JOIN mom m ON m.g = p.g),
-        |rho AS (SELECT g, lag, n, CASE WHEN den > 0
-        |    THEN ((num + den) * 1000000) // den - 1000000 END AS rho
-        |  FROM r)
+      (s"""WITH $acfCtes
         |SELECT g AS etype, max(n)::BIGINT AS n_points,
         |  count(1)::BIGINT AS n_lags,
         |  CASE WHEN count(CASE WHEN rho IS NULL THEN 1 END) = 0 THEN
@@ -6538,33 +6500,10 @@ object Extensions {
         |  ((a * a) // (d * n))::BIGINT AS sse_gain
         |FROM best ORDER BY etype""".stripMargin),
     "q261_acf" ->
-      ("""WITH c AS (SELECT coalesce(event_type, '') AS g, ts::DATE AS day,
-        |    count(1)::BIGINT AS n FROM events GROUP BY 1, 2),
-        |sp AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
-        |    (SELECT max(day) FROM c), INTERVAL 1 DAY))::DATE AS day),
-        |ser AS (SELECT t.g, sp.day, coalesce(c.n, 0)::BIGINT AS x
-        |  FROM (SELECT DISTINCT g FROM c) t CROSS JOIN sp
-        |  LEFT JOIN c ON c.g = t.g AND c.day = sp.day),
-        |idx AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t, x
-        |  FROM ser),
-        |mom AS (SELECT g, count(1)::HUGEINT AS n, sum(x)::HUGEINT AS s,
-        |    sum(x::HUGEINT * x)::HUGEINT AS ss FROM idx GROUP BY g),
-        |lg AS (SELECT g, unnest(range(1, 8))::BIGINT AS lag
-        |  FROM (SELECT DISTINCT g FROM c)),
-        |pair AS (SELECT a.g, l.lag, sum(a.x::HUGEINT * b.x)::HUGEINT AS sxx,
-        |    sum(a.x)::HUGEINT AS asum, sum(b.x)::HUGEINT AS bsum
-        |  FROM lg l JOIN idx a ON a.g = l.g
-        |  JOIN idx b ON b.g = a.g AND b.t = a.t + l.lag
-        |  GROUP BY a.g, l.lag),
-        |r AS (SELECT p.g, p.lag, m.n,
-        |    m.n * m.n * p.sxx - m.n * m.s * (p.asum + p.bsum)
-        |      + (m.n - p.lag) * m.s * m.s AS num,
-        |    m.n * m.n * m.ss - m.n * m.s * m.s AS den
-        |  FROM pair p JOIN mom m ON m.g = p.g)
+      (s"""WITH $acfCtes
         |SELECT g AS etype, lag, n::BIGINT AS n_points,
-        |  CASE WHEN den > 0
-        |    THEN (((num + den) * 1000000) // den - 1000000)::BIGINT END AS acf_micro
-        |FROM r ORDER BY etype, lag""".stripMargin),
+        |  rho::BIGINT AS acf_micro
+        |FROM rho ORDER BY etype, lag""".stripMargin),
     "q258_manifest_diff" ->
       ("""WITH base AS (SELECT doc_id, coalesce(source, '') AS source,
         |    n_chars::BIGINT AS n_tokens,
@@ -8612,44 +8551,8 @@ object Extensions {
         |SELECT query_id, neighbor_id, cos_micro, margin_micro, rank
         |FROM r ORDER BY query_id, rank""".stripMargin,
     "q184_judge_kappa" ->
-      """WITH sig AS (SELECT doc_id, lang,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS words,
-        |    string_split(text, chr(10)) AS lines,
-        |    len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '#')) AS n_symbols
-        |  FROM documents),
-        |m AS (SELECT doc_id, lang,
-        |    len(words)::BIGINT AS n_words,
-        |    list_sum(list_transform(words, w -> len(w)))::BIGINT AS swl,
-        |    n_symbols::BIGINT AS n_symbols,
-        |    len(lines)::BIGINT AS n_lines,
-        |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE chr(8226) || ' %'))::BIGINT AS n_bul,
-        |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS n_ell,
-        |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
-        |    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)::BIGINT AS n_stop
-        |  FROM sig),
-        |ja AS (SELECT doc_id, lang,
-        |    (n_words BETWEEN 20 AND 1000
-        |     AND 3 * n_words <= swl AND swl <= 10 * n_words
-        |     AND 10 * n_symbols < n_words
-        |     AND 10 * n_bul < 9 * n_lines
-        |     AND 10 * n_ell < 3 * n_lines
-        |     AND 10 * n_alpha >= 8 * n_words
-        |     AND n_stop >= 2) AS a FROM m),
-        |jb AS (SELECT doc_id,
-        |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '[.!?"]$')
-        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 4
-        |      AND NOT contains(l, '{') AND NOT contains(lower(l), 'javascript'))) >= 3 AS b
-        |  FROM documents),
-        |cells AS (SELECT coalesce(lang, '') AS lang,
-        |    sum(CASE WHEN coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_pass,
-        |    sum(CASE WHEN coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
-        |    sum(CASE WHEN NOT coalesce(a, false) AND coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_b_only,
-        |    sum(CASE WHEN NOT coalesce(a, false) AND NOT coalesce(b, false) THEN 1 ELSE 0 END)::BIGINT AS n_both_fail
-        |  FROM ja JOIN jb USING (doc_id) GROUP BY 1),
+      s"""WITH ${gateCtes("lang")},
+        |$gateCells,
         |k AS (SELECT lang, n_both_pass, n_a_only, n_b_only, n_both_fail,
         |    (n_both_pass + n_a_only + n_b_only + n_both_fail)::BIGINT AS n_docs,
         |    (n_both_pass + n_both_fail)::DOUBLE

@@ -444,6 +444,11 @@ object StreamingAnomaly {
               val d = BigInt(n) * o - BigInt(rv) * cv
               chi2 += d * d * 1000000 / (BigInt(n) * rv * cv)
             }
+            // loud on overflow like the batch ANSI DECIMAL cast —
+            // BigInt.toLong would WRAP and fabricate a statistic
+            require(chi2.isValidLong,
+              s"group '$group' chi2_micro overflowed 64 bits ($chi2) — " +
+                "the batch operator fails loud here too")
             val mink = math.min(rt.size, ct.size) - 1L
             val v =
               if (n > 0L && mink >= 1L) Some(java.math.BigDecimal.valueOf(

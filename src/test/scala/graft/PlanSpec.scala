@@ -573,7 +573,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "chi2 is pure aggregation, no window")
   }
 
-  test("q293/q299/q300/q301: single-pass counter aggregations — no join, no window") {
+  test("q293/q299/q300/q301/q302/q303: single-pass counter aggregations — no join, no window") {
     for (q <- Seq("q293_mcnemar", "q299_cohens_d", "q300_anova",
         "q301_cochran_q", "q302_pass_at_k", "q303_welch_t")) {
       val p = plan(q)
