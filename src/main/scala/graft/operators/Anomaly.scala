@@ -1207,6 +1207,86 @@ object Anomaly {
           .as("z_micro"))
   }
 
+  /** Kruskal–Wallis H per group (Kruskal & Wallis 1952) — does a
+    * metric's DISTRIBUTION differ across k levels, without the normal-
+    * residual assumption [[graft.operators.Sampling.anovaOneWay]]'s F
+    * carries? The k-arm member of the rank family: [[mannWhitney]] is
+    * its k = 2 case, and on heavy-tailed pipeline metrics (doc
+    * lengths, latencies) ranks are the test that doesn't hand the
+    * verdict to the top 0.1 %. Tie-corrected; H ~ χ²(k−1) under the
+    * null.
+    *
+    * Exact integers end to end — DOUBLED midranks keep half-integers
+    * out: per pooled value with count c and preceding cumulative cum,
+    * each row's doubled midrank is (2·cum + c + 1), summed per level
+    * into R2_j; with T = Σ_ties (t³ − t),
+    *
+    *   P_j     = (10³·R2_j²) DIV n_j                   (per-level DIV, ≥ 0)
+    *   h_milli = 3·(n−1)·max(Σ P_j − 10³·n·(n+1)², 0)
+    *               DIV ((n³ − n) − T)
+    *
+    * Cauchy–Schwarz keeps the numerator ≥ 0 up to per-level
+    * truncation residue (clamped, the [[graft.operators.Sampling
+    * .anovaOneWay]] discipline); every DIV has non-negative operands.
+    * Degenerate: k < 2 levels, or ALL values tied (T = n³ − n, no
+    * rank information) → NULL H. NULL values/levels drop fail-visibly
+    * into `n_skipped`; NULL group keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, value, level) counter agg
+    * (the [[mannWhitney]] checkpoint discipline); the rank window
+    * runs per group over the distinct-value spine — the same
+    * integer-ish score contract. Output: (groupCol, n, n_levels,
+    * n_skipped, h_milli). */
+  def kruskalWallis(df: DataFrame, groupCol: String, value: Column,
+      level: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), level.cast("string").as("__l"))
+    val hist = checkpointer(base.groupBy("__g", "__v", "__l")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__l").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val ok = hist.where(col("__v").isNotNull && col("__l").isNotNull)
+    val byVal = ok.groupBy("__g", "__v").agg(sum("__c").as("__cv"))
+      .withColumn("__cum", sum("__cv").over(
+        Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ties = byVal.groupBy(col("__g").as("__tg")).agg(
+      sum(expr(
+        """CAST(__cv AS DECIMAL(38,0)) * __cv * __cv - __cv"""))
+        .as("__T"))
+    // each level's doubled rank sum: cells join the per-value rank base
+    val r2 = ok.join(byVal.select(col("__g").as("__bg"),
+          col("__v").as("__bv"), col("__cv"), col("__cum")),
+        col("__g") === col("__bg") && col("__v") === col("__bv"))
+      .select(col("__g"), col("__l"),
+        (col("__c").cast("decimal(38,0)")
+          * (lit(2L) * (col("__cum") - col("__cv")) + col("__cv") + 1L))
+          .as("__r2c"), col("__c"))
+      .groupBy("__g", "__l")
+      .agg(sum("__r2c").as("__r2"), sum("__c").as("__nl"))
+    val agg = r2.groupBy(col("__g").as("__ag")).agg(
+      sum("__nl").as("n"),
+      count(lit(1)).as("n_levels"),
+      sum(expr("(__r2 * __r2 * 1000) DIV __nl")).as("__p"))
+    skipped
+      .join(agg, col("__g") === col("__ag"), "left")
+      .join(ties, col("__g") === col("__tg"), "left")
+      .withColumn("__num", expr(
+        """greatest(__p - CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)
+          | * 1000, CAST(0 AS DECIMAL(38,0)))""".stripMargin))
+      .withColumn("__den", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n - n - __T"))
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_levels"), lit(0L)).as("n_levels"),
+        col("n_skipped"),
+        when(col("n_levels") >= 2L && col("__den") > 0L, expr(
+          """CAST(3 * (CAST(n AS DECIMAL(38,0)) - 1) * __num
+            | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
+  }
+
   /** Median/MAD robust outlier gate per group (Hampel 1974; the
     * Leys et al. 2013 recommendation over mean/σ): `n_outliers`
     * counts rows with |x − median| · 1000 > kMilli · MAD — the

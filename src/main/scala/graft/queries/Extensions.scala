@@ -4346,7 +4346,23 @@ object Extensions {
       col("value") > 70, 336472L, -143101L, 2944439L, -2944439L)
       .orderBy("event_type")
 
+  /** q306 — Kruskal–Wallis H per source ([[graft.operators.Anomaly
+    * .kruskalWallis]]): does the n_chars distribution differ across
+    * the five langs, rank-judged — the heavy-tail-proof omnibus
+    * beside q300's F. Every 31st doc NULL-valued and every 47th
+    * NULL-levelled (fail-visible n_skipped); doubled midranks keep
+    * the walk integer-exact through ties. */
+  def q306KruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.kruskalWallis(
+      Tables(spark, dir, "documents"), "source",
+      when(col("doc_id") % 31 === 0, lit(null).cast("long"))
+        .otherwise(col("n_chars")),
+      when(col("doc_id") % 47 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_kruskal" -> (q306KruskalWallis _),
     "q305_sprt" -> (q305Sprt _),
     "q304_ess" -> (q304Ess _),
     "q303_welch_t" -> (q303WelchT _),
@@ -5528,6 +5544,38 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q306_kruskal" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 31 = 0 THEN NULL ELSE n_chars END AS v,
+        |    CASE WHEN doc_id % 47 = 0 THEN NULL ELSE lang END AS l
+        |  FROM documents),
+        |hist AS (SELECT g, v, l, count(1)::BIGINT AS c FROM base
+        |  GROUP BY 1, 2, 3),
+        |sk AS (SELECT g, coalesce(sum(CASE WHEN v IS NULL OR l IS NULL
+        |    THEN c END), 0)::BIGINT AS n_skipped FROM hist GROUP BY g),
+        |ok AS (SELECT * FROM hist WHERE v IS NOT NULL AND l IS NOT NULL),
+        |bv AS (SELECT g, v, sum(c)::BIGINT AS cv FROM ok GROUP BY g, v),
+        |bc AS (SELECT g, v, cv, sum(cv) OVER (PARTITION BY g ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM bv),
+        |tt AS (SELECT g, sum(cv::HUGEINT * cv * cv - cv) AS t FROM bv
+        |  GROUP BY g),
+        |r2 AS (SELECT ok.g, ok.l,
+        |    sum(ok.c::HUGEINT * (2 * (bc.cum - bc.cv) + bc.cv + 1)) AS r2,
+        |    sum(ok.c)::BIGINT AS nl
+        |  FROM ok JOIN bc ON bc.g = ok.g AND bc.v = ok.v
+        |  GROUP BY ok.g, ok.l),
+        |ag AS (SELECT g, sum(nl)::BIGINT AS n, count(1)::BIGINT AS n_levels,
+        |    sum((r2 * r2 * 1000) // nl) AS p FROM r2 GROUP BY g),
+        |fin AS (SELECT sk.g, ag.n, ag.n_levels, sk.n_skipped,
+        |    greatest(ag.p - ag.n::HUGEINT * (ag.n + 1) * (ag.n + 1) * 1000,
+        |      0) AS num,
+        |    ag.n::HUGEINT * ag.n * ag.n - ag.n - tt.t AS den
+        |  FROM sk LEFT JOIN ag ON ag.g = sk.g LEFT JOIN tt ON tt.g = sk.g)
+        |SELECT g AS source, coalesce(n, 0)::BIGINT AS n,
+        |  coalesce(n_levels, 0)::BIGINT AS n_levels, n_skipped,
+        |  CASE WHEN n_levels >= 2 AND den > 0 THEN
+        |    CAST(3 * (n::HUGEINT - 1) * num // den AS BIGINT) END AS h_milli
+        |FROM fin ORDER BY source""".stripMargin),
     "q305_sprt" ->
       ("""WITH base AS (SELECT coalesce(event_type, '') AS g, event_id AS o,
         |    CASE WHEN value > 70 THEN 1

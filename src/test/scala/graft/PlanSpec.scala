@@ -596,6 +596,13 @@ class PlanSpec extends SparkSpec {
       "no global single-partition stage — the cum window keys on (g, arm)")
   }
 
+  test("q306 Kruskal-Wallis: rank windows key on the group; no Cartesian, no global stage") {
+    val p = plan("q306_kruskal")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "the midrank cumulative window partitions by group")
+  }
+
   test("q305 SPRT: the walk folds in one packed aggregation — no window, no Cartesian") {
     val p = plan("q305_sprt")
     assert(!p.contains("Window ["),

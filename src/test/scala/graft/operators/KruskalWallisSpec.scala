@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Anomaly.kruskalWallis]]: identical-level zero, the k = 2
+  * Mann–Whitney consistency direction, tie degeneracy, fail-visible
+  * NULLs, and a brute-force midrank replica with ties. */
+class KruskalWallisSpec extends SparkSpec {
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  private def run(rows: Seq[(String, java.lang.Long, String)]) = {
+    import spark.implicits._
+    Anomaly.kruskalWallis(rows.toDF("g", "v", "l"), "g",
+        col("v"), col("l"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("identical level compositions: H = 0; separated levels: H large") {
+    val flat = (1 to 3).flatMap(l =>
+      (1 to 20).map(i => ("f", L(i.toLong), s"l$l")))
+    val sep = (1 to 3).flatMap(l =>
+      (1 to 20).map(i => ("s", L(l * 100L + i), s"l$l")))
+    val got = run(flat ++ sep)
+    assert(got("f").getLong(4) == 0L)
+    // fully separated 3x20: H approaches (n-1) milli-scaled; chi2(2)
+    // crit at 5% is 5991 milli
+    assert(got("s").getLong(4) > 30000L)
+  }
+
+  test("all values tied: no rank information, NULL H") {
+    val got = run((1 to 30).map(i => ("t", L(7), s"l${i % 3}")))
+    assert(got("t").isNullAt(4))
+  }
+
+  test("single level: NULL H; NULLs skip fail-visibly") {
+    val got = run((1 to 10).map(i => ("one", L(i.toLong), "a")) ++
+      Seq(("one", null, "a"), ("one", L(5), null)))
+    assert(got("one").isNullAt(4))
+    assert(got("one").getLong(3) == 2L && got("one").getLong(1) == 10L)
+  }
+
+  test("brute-force midrank replica with heavy ties") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 500).map { _ =>
+      val l = rnd.nextInt(4)
+      ("g", L(rnd.nextInt(12).toLong + l), s"l$l")
+    }
+    val got = run(rows)("g")
+    val vals = rows.map(r => (r._2.toLong, r._3))
+    val n = vals.size
+    // midranks over the pooled sample
+    val sorted = vals.map(_._1).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val byLevel = vals.groupBy(_._2)
+    val h = 12.0 / (n * (n + 1.0)) * byLevel.values.map { xs =>
+      val r = xs.map(x => rankOf(x._1)).sum
+      r * r / xs.size
+    }.sum - 3 * (n + 1.0)
+    val tcor = 1.0 - sorted.groupBy(identity).values
+      .map(t => t.size.toDouble * t.size * t.size - t.size).sum /
+      (n.toDouble * n * n - n)
+    val expect = h / tcor
+    assert(math.abs(got.getLong(4) / 1000.0 - expect) < 0.01)
+  }
+}
