@@ -1156,7 +1156,13 @@ object Dedup {
       col(textCol).as("tx"), col(blockCol).as("block"),
       length(col(textCol)).cast("long").as("len"),
       graft.expressions.CharCounts(col(textCol)).as("cc")))
-    val l = t.as("l"); val r = t.as("r")
+    // the DP stage is the cost center and is embarrassingly parallel
+    // by block — spread the probe side across the cluster rather than
+    // inheriting the input's file-partitioning (a single small input
+    // file would otherwise evaluate every pair's condition on ONE
+    // task). One narrow shuffle of the projected prefix table,
+    // trivial next to the pair work it distributes.
+    val l = t.repartition(col("block")).as("l"); val r = t.as("r")
     val maxLen = greatest(col("l.len"), col("r.len"))
     val lenGap = abs(col("l.len") - col("r.len"))
     val maxDist = expr(

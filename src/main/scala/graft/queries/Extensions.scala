@@ -4226,17 +4226,22 @@ object Extensions {
       .orderBy("etype")
 
   /** q297 — edit-distance-verified near-dup pairs
-    * ([[Dedup.editVerifiedPairs]]): 160-char prefixes blocked by
-    * (lang, source), normalized Levenshtein ≥ 0.35 — the char-level
-    * verifier that is order-sensitive where q24's set-Jaccard is
-    * blind. The length band prunes in the join condition; the banded
-    * kernel runs only on survivors. */
+    * ([[Dedup.editVerifiedPairs]]): 120-char prefixes blocked by
+    * (lang, source, 32-char length bucket), normalized Levenshtein
+    * ≥ 0.35 — the char-level verifier that is order-sensitive where
+    * q24's set-Jaccard is blind. The length bucket is IN the block
+    * key on purpose: at a loose threshold the per-pair band barely
+    * narrows the DP (maxDist = 0.65·len), so blocking is the lever
+    * that keeps candidates ~linear — the probe that taught this ran
+    * the (lang, source)-only face at 66 s on sf0.1; this one is ~25×
+    * fewer pairs. */
   def q297EditPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.editVerifiedPairs(
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
-          substring(col("text"), 1, 160).as("prefix"),
-          concat_ws("_", col("lang"), col("source")).as("block")),
+          substring(col("text"), 1, 120).as("prefix"),
+          concat_ws("_", col("lang"), col("source"),
+            expr("n_chars DIV 32")).as("block")),
       "doc_id", "prefix", "block", 350)
       .orderBy("id1", "id2")
 
@@ -5847,9 +5852,9 @@ object Extensions {
         |      // 1000000000 AS BIGINT) END AS q_milli
         |FROM rho GROUP BY g ORDER BY etype""".stripMargin),
     "q297_edit_pairs" ->
-      ("""WITH t AS (SELECT doc_id AS id, substring(text, 1, 160) AS tx,
-        |    lang || '_' || source AS block,
-        |    length(substring(text, 1, 160))::BIGINT AS len FROM documents),
+      ("""WITH t AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    lang || '_' || source || '_' || (n_chars // 32)::VARCHAR AS block,
+        |    length(substring(text, 1, 120))::BIGINT AS len FROM documents),
         |p AS (SELECT l.id AS id1, r.id AS id2, l.len AS len1, r.len AS len2,
         |    greatest(l.len, r.len) AS ml,
         |    levenshtein(l.tx, r.tx)::BIGINT AS dist
