@@ -1228,9 +1228,16 @@ object Anomaly {
     * Cauchy–Schwarz keeps the numerator ≥ 0 up to per-level
     * truncation residue (clamped, the [[graft.operators.Sampling
     * .anovaOneWay]] discipline); every DIV has non-negative operands.
-    * Degenerate: k < 2 levels, or ALL values tied (T = n³ − n, no
-    * rank information) → NULL H. NULL values/levels drop fail-visibly
-    * into `n_skipped`; NULL group keys fold to ''.
+    * Honest ceiling: Spark's integral DIV emits a 64-bit P_j, so a
+    * single-level-dominated group caps near n ≈ 2·10⁵ rows
+    * (10³·n³ < 2⁶³; past it the ANSI overflow fails loud) — lower
+    * than the family's DECIMAL ceilings, and fine on purpose: a rank
+    * test's power saturates orders of magnitude below that, so sample
+    * per group upstream (the [[graft.operators.Sampling]] operators)
+    * rather than paying corpus-sized rank windows. Degenerate: k < 2
+    * levels, or ALL values tied (T = n³ − n, no rank information) →
+    * NULL H. NULL values/levels drop fail-visibly into `n_skipped`;
+    * NULL group keys fold to ''.
     *
     * Scale shape: ONE corpus-sized (group, value, level) counter agg
     * (the [[mannWhitney]] checkpoint discipline); the rank window

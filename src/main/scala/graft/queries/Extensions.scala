@@ -4234,7 +4234,13 @@ object Extensions {
     * narrows the DP (maxDist = 0.65·len), so blocking is the lever
     * that keeps candidates ~linear — the probe that taught this ran
     * the (lang, source)-only face at 66 s on sf0.1; this one is ~25×
-    * fewer pairs. */
+    * fewer pairs. The trade is stated, not hidden: like every
+    * blocking (q24's lang×source included), boundary-straddling
+    * pairs are NOT candidates — two near-identical docs with n_chars
+    * 1023 vs 1025 land in different buckets and never meet; a
+    * recall-first deployment unions a second pass blocked on
+    * (n_chars + 16) DIV 32 (offset buckets, 2× cost), which this
+    * cost-face deliberately skips. */
   def q297EditPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.editVerifiedPairs(
       Tables(spark, dir, "documents")
