@@ -4372,7 +4372,20 @@ object Extensions {
         .otherwise(col("lang")))
       .orderBy("source")
 
+  /** q307 — weighted (multiset) Jaccard near-dup pairs blocked by
+    * (lang, source) ([[Dedup.weightedJaccardPairs]]): Σmin/Σmax over
+    * token COUNTS at ≥ 0.5 — the count-aware verdict that separates
+    * a doc from its repetition-inflated spam twin where q24's
+    * set-Jaccard scores them identical. */
+  def q307WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccardPairs(
+      Tables(spark, dir, "documents")
+        .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+      "doc_id", "text", "block", 500)
+      .orderBy("id1", "id2")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_weighted_jaccard" -> (q307WeightedJaccard _),
     "q306_kruskal" -> (q306KruskalWallis _),
     "q305_sprt" -> (q305Sprt _),
     "q304_ess" -> (q304Ess _),
@@ -5555,6 +5568,31 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q307_weighted_jaccard" ->
+      ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, block, tok, count(1)::BIGINT AS c FROM tok
+        |  GROUP BY 1, 2, 3),
+        |sz AS (SELECT doc_id, block, sum(c)::BIGINT AS sz FROM cnt
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.sz AS sz1, b.sz AS sz2
+        |  FROM sz a JOIN sz b ON a.block = b.block AND a.doc_id < b.doc_id),
+        |ov AS (SELECT ca.doc_id AS d1, cb.doc_id AS d2,
+        |    sum(least(ca.c, cb.c))::BIGINT AS inter
+        |  FROM cnt ca JOIN cnt cb ON cb.block = ca.block
+        |    AND cb.tok = ca.tok AND ca.doc_id < cb.doc_id
+        |  GROUP BY 1, 2),
+        |i AS (SELECT p.id1, p.id2, p.sz1, p.sz2,
+        |    coalesce(ov.inter, 0) AS inter
+        |  FROM pairs p LEFT JOIN ov ON ov.d1 = p.id1 AND ov.d2 = p.id2)
+        |SELECT id1, id2, sz1, sz2, inter,
+        |  CASE WHEN sz1 + sz2 - inter = 0 THEN 0
+        |    ELSE inter * 1000 // (sz1 + sz2 - inter) END AS jaccard_milli
+        |FROM i WHERE (CASE WHEN sz1 + sz2 - inter = 0 THEN 0
+        |  ELSE inter * 1000 // (sz1 + sz2 - inter) END) >= 500
+        |ORDER BY id1, id2""".stripMargin),
     "q306_kruskal" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 31 = 0 THEN NULL ELSE n_chars END AS v,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dedup.weightedJaccardPairs]]: the count-awareness set-Jaccard
+  * lacks, exact Σmin/Σmax arithmetic, blocking, and the empty-doc
+  * convention. */
+class WeightedJaccardSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String, String)], min: Long) = {
+    import spark.implicits._
+    Dedup.weightedJaccardPairs(rows.toDF("id", "tx", "blk"),
+        "id", "tx", "blk", min)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("repetition inflation scores below 1000 where set-Jaccard ties") {
+    val got = run(Seq(
+      (1L, "alpha beta gamma", "b"),
+      (2L, "alpha alpha alpha beta beta gamma", "b"),
+      (3L, "alpha beta gamma", "b")), 100)
+    // identical docs: min = max -> 1000
+    assert(got((1L, 3L))._4 == 1000L)
+    // same vocab, inflated counts: sum-min 3, union 3+6-3=6 -> 500
+    assert(got((1L, 2L)) == ((3L, 6L, 3L, 500L)))
+  }
+
+  test("exact Sigma-min over shared counts") {
+    val got = run(Seq(
+      (1L, "x x x y z", "b"),       // x:3 y:1 z:1, sz 5
+      (2L, "x x y y w", "b")), 1)   // x:2 y:2 w:1, sz 5
+    // min: x 2, y 1 -> inter 3; union 5+5-3 = 7 -> 428
+    assert(got((1L, 2L)) == ((5L, 5L, 3L, 3000L / 7L)))
+  }
+
+  test("pairs never cross blocks; threshold filters") {
+    val got = run(Seq((1L, "a b c", "b1"), (2L, "a b c", "b2"),
+      (3L, "a q r", "b1")), 500)
+    assert(got.isEmpty)   // cross-block identical never pairs; 1-3 is 200
+  }
+}
