@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The builder-side face gate (VERDICT r12 #4): a complex-typed
+    * column crashes the driver's pandas hash compare (the
+    * q139/q142/q192 class), so refuse to DUMP such a face at all —
+    * the failure then surfaces in the builder's own Verify run (and
+    * in VerifyFaceGateSpec) instead of as a driver-red CORRECTNESS
+    * row whose cause needs a round of archaeology. */
+  def assertHashableFace(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val complex = FaceLint.complexColumns(schema)
+    require(complex.isEmpty,
+      s"face '$name' emits unhashable complex columns " +
+        s"(${complex.mkString(", ")}) — serialize arrays with " +
+        "array_join / maps via sorted map_entries / structs by " +
+        "flattening before the driver's pandas compare sees them")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: run only the named queries (dev iteration);
@@ -21,12 +37,11 @@ object Verify {
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // FaceLint: a complex-typed column crashes the driver's pandas
-        // hash compare (q139/q142/q192 class) — warn loudly here; the
-        // hard gate is RelationalSpec's face-lint test in `sbt test`.
-        val complex = FaceLint.complexColumns(df.schema)
-        if (complex.nonEmpty) System.err.println(
-          s"[verify] WARNING $name emits unhashable complex columns: ${complex.mkString(", ")}")
+        // Hard gate (was a warning through r12): an unhashable face
+        // writes NOTHING, fails this run loudly, and never reaches the
+        // driver's pandas compare mid-stack-trace. RelationalSpec's
+        // face-lint test is the same gate's `sbt test` twin.
+        assertHashableFace(name, df.schema)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1708,9 +1708,12 @@ object Curation {
     * — when n−c < k the numerator product crosses a ZERO factor and
     * self-annihilates (pass = 10⁶ exactly, no branch); both products
     * are non-negative there (factors after the zero contribute
-    * nothing). Honest ceiling: nᵏ ≤ 10³⁸ (n = 100 attempts at k ≤ 16,
-    * n = 1000 at k ≤ 12 — real harness shapes; past it the decimal
-    * overflow throws loud under the session's ANSI mode). A task
+    * nothing). Honest ceiling: the numerator accumulator CARRIES the
+    * 10⁶ scale, so the envelope is 10⁶ · n↓k ≤ 10³⁸ (falling
+    * factorial n↓k = n(n−1)…(n−k+1), i.e. roughly nᵏ ≤ 10³²): n = 100
+    * attempts at k ≤ 16, n = 1000 at k ≤ 10 — real harness shapes;
+    * past it the decimal overflow throws loud under the session's
+    * ANSI mode, never silently. A task
     * with n < k has no unbiased
     * estimate: it is EXCLUDED from the mean and counted in
     * `n_undefined`, never silently k-clamped. NULL verdicts count as

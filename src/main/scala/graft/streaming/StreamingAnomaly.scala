@@ -400,7 +400,11 @@ object StreamingAnomaly {
     * [[graft.operators.Anomaly.chiSquaredIndependence]]: per group,
     * the (row, col) contingency cells accumulate in state (O(cells)
     * FOREVER, loudly bounded by `maxCells` — categorical columns by
-    * contract, like every cell frame in the batch family) and every
+    * contract, like every cell frame in the batch family; the SAME
+    * budget also bounds the r·c marginal CROSS product each trigger
+    * re-walks, because observed cells alone don't — data concentrated
+    * on a diagonal reaches r ≈ c ≈ observed cells, and an unbounded
+    * r·c walk is the stall the budget exists to prevent) and every
     * trigger re-emits the prefix-exact verdict: the full marginal
     * cross product including zero-observed cells, each term
     * (n·O − R·C)²·10⁶ DIV (n·R·C) in exact BigInt (truncation = the
@@ -438,6 +442,14 @@ object StreamingAnomaly {
           else {
             val rt = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
             val ct = m.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+            // the emit loop below is r*c, NOT |observed cells|: a
+            // diagonal-concentrated stream reaches r ~ c ~ maxCells
+            // while observed cells stay at maxCells, making the walk
+            // ~maxCells^2 — bound the cross product by the same budget
+            require(rt.size.toLong * ct.size.toLong <= maxCells,
+              s"group '$group' marginal cross product ${rt.size}x${ct.size} " +
+                s"exceeded $maxCells cells — the inputs must be " +
+                "categorical (the batch operator's contract)")
             var chi2 = BigInt(0)
             for ((r, rv) <- rt; (c, cv) <- ct) {
               val o = m.getOrElse((r, c), 0L)

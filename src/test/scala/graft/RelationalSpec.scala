@@ -34,6 +34,22 @@ class RelationalSpec extends SparkSpec {
     assert(FaceLint.complexColumns(fixture.schema) == Seq("pair", "m", "s"))
   }
 
+  test("Verify refuses to dump an unhashable face (the hard gate)") {
+    // VERDICT r12 #4: the gate must fire in the builder's own Verify
+    // run, before parquet is written — not as a driver-red row
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(3)
+      .select(col("id"), array(col("id")).as("vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Verify.assertHashableFace("q_fixture_bad", bad.schema)
+    }
+    assert(ex.getMessage.contains("q_fixture_bad") &&
+      ex.getMessage.contains("vec"))
+    // and a scalar-only face passes through untouched
+    Verify.assertHashableFace("q_fixture_ok",
+      spark.range(3).select(col("id")).schema)
+  }
+
   test("every query has either an oracle or is documented rows-only") {
     // Non-SQL-expressible ops may omit oracles; everything else must pair.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -71,4 +71,22 @@ class StreamingChi2Spec extends SparkSpec {
       assert(ex.getMessage != null)
     } finally q.stop()
   }
+
+  test("the marginal cross-product bound fails loud on diagonal data") {
+    // 3 observed diagonal cells fit a budget of 6, but the emit loop
+    // walks the full 3x3 = 9 marginal cross product — the stall the
+    // observed-cell bound alone can't prevent must fail loud instead
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamingAnomaly.chiSquared(in.toDS(), maxCells = 6)
+      .toDF("g", "n", "sk", "nr", "nc", "chi2", "v")
+      .writeStream.format("memory").queryName("chi2_cross_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 3).map(i => ("g", s"r$i", s"c$i")): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
 }
