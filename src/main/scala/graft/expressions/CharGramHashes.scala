@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_gram_hashes(text, k) -> array<long>` — the rolling
+  * polynomial hash of every length-k CHARACTER gram, one slot per
+  * 0-based CODE-POINT start position: element i hashes code points
+  * [i, i+k). The char-level anchor feed for
+  * [[graft.operators.Dedup.longestSharedSubstrings]] — word-level
+  * shingles ([[WordShingles]]) can't see a duplicated substring that
+  * starts mid-word, and the suffix-array literature's unit is the
+  * character.
+  *
+  * CODE POINTS, not UTF-16 units: downstream run LENGTHS are compared
+  * against an engine whose string positions count code points
+  * (DuckDB/ANSI `substring`), so a surrogate pair must weigh 1 here
+  * too or every length crossing one would disagree by exactly the
+  * kind of off-by-one that costs a debugging session.
+  *
+  * One O(len) kernel pass per row (classic Rabin–Karp roll in
+  * wrapping 64-bit: h·B + cp entering, −cp·B^(k−1) leaving). Hash
+  * EQUALITY stands in for gram equality only as a candidate filter —
+  * the consumer re-verifies real characters
+  * ([[ExtendMatch]]), so a collision costs one wasted verification,
+  * never a wrong answer. Fewer than k code points → empty array;
+  * NULL → NULL. */
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_gram_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else CharGramHashes.kernel(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${cg.code}
+      boolean ${ev.isNull} = ${cg.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.CharGramHashes.kernel(${cg.value}, $k);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  private val B = 1099511628211L // FNV-1a prime, odd => bijective mod 2^64
+
+  /** Code points of `s` as an int array — the one place UTF-16 is
+    * unfolded, shared with [[ExtendMatch]] so both kernels count the
+    * same units. */
+  private[expressions] def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0; var o = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(o) = cp; o += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  def kernel(s: UTF8String, k: Int): GenericArrayData = {
+    val cp = codePoints(s)
+    val n = cp.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // B^(k-1) in wrapping 64-bit for the rolling subtraction
+    var bk = 1L
+    var j = 0
+    while (j < k - 1) { bk *= B; j += 1 }
+    val out = new Array[Any](n)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + cp(j); j += 1 }
+    out(0) = h
+    var i = 1
+    while (i < n) {
+      h = (h - cp(i - 1) * bk) * B + cp(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point. */
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.toColumn(CharGramHashes(ColumnBridge.toExpression(text), k))
+}

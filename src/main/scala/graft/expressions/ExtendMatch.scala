@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `extend_match(t1, p1, t2, p2) -> long` — the length of the maximal
+  * common substring of `t1` and `t2` whose alignment passes THROUGH
+  * the anchor point (0-based code-point positions p1 in t1, p2 in
+  * t2): extend left while `t1[p1−1−j] == t2[p2−1−j]`, right while
+  * `t1[p1+j] == t2[p2+j]`, return left+right. The exact-verification
+  * half of [[graft.operators.Dedup.longestSharedSubstrings]]'
+  * anchor→extend discipline: anchors arrive as HASH matches
+  * ([[CharGramHashes]] winnowed by [[WinnowSelect]]), and this kernel
+  * re-reads real characters — a hash collision therefore yields
+  * whatever true shared run passes through the claimed alignment
+  * (possibly 0), never a fabricated length.
+  *
+  * Code-point units throughout (shared [[CharGramHashes.codePoints]]
+  * decode), matching ANSI `substring` position arithmetic. Cost is
+  * O(run length) per evaluation — candidates, not corpus, pay it.
+  * Out-of-range positions extend to nothing in that direction rather
+  * than throwing: the caller's positions come from a winnowed array
+  * of the SAME text, so a range miss is a caller bug surfaced as a
+  * 0-length run, visible in the ≥ minLen filter, not a task abort.
+  * NULL if any input is NULL. */
+case class ExtendMatch(t1: Expression, p1: Expression,
+    t2: Expression, p2: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(t1, p1, t2, p2)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extend_match"
+
+  override def eval(input: InternalRow): Any = {
+    val a = t1.eval(input); if (a == null) return null
+    val i = p1.eval(input); if (i == null) return null
+    val b = t2.eval(input); if (b == null) return null
+    val j = p2.eval(input); if (j == null) return null
+    ExtendMatch.kernel(a.asInstanceOf[UTF8String], i.asInstanceOf[Long],
+      b.asInstanceOf[UTF8String], j.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ag = t1.genCode(ctx); val ig = p1.genCode(ctx)
+    val bg = t2.genCode(ctx); val jg = p2.genCode(ctx)
+    ev.copy(code = code"""
+      ${ag.code}
+      ${ig.code}
+      ${bg.code}
+      ${jg.code}
+      boolean ${ev.isNull} =
+        ${ag.isNull} || ${ig.isNull} || ${bg.isNull} || ${jg.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.ExtendMatch.kernel(
+          ${ag.value}, ${ig.value}, ${bg.value}, ${jg.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExtendMatch =
+    ExtendMatch(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+object ExtendMatch {
+  def kernel(a: UTF8String, p1: Long, b: UTF8String, p2: Long): Long = {
+    val x = CharGramHashes.codePoints(a)
+    val y = CharGramHashes.codePoints(b)
+    val i0 = p1.toInt; val j0 = p2.toInt
+    if (i0 < 0 || j0 < 0 || i0 > x.length || j0 > y.length) return 0L
+    var r = 0
+    while (i0 + r < x.length && j0 + r < y.length && x(i0 + r) == y(j0 + r)) r += 1
+    var l = 0
+    while (i0 - 1 - l >= 0 && j0 - 1 - l >= 0 && x(i0 - 1 - l) == y(j0 - 1 - l)) l += 1
+    (l + r).toLong
+  }
+
+  /** Column-API entry point. */
+  def apply(t1: Column, p1: Column, t2: Column, p2: Column): Column =
+    ColumnBridge.toColumn(ExtendMatch(
+      ColumnBridge.toExpression(t1), ColumnBridge.toExpression(p1),
+      ColumnBridge.toExpression(t2), ColumnBridge.toExpression(p2)))
+}

@@ -1120,9 +1120,13 @@ object Dedup {
     *
     * Exact integers: jaccard_milli = (10³·Σmin) DIV (sz₁ + sz₂ −
     * Σmin) — the union IS sz₁+sz₂−inter for multisets; operands
-    * non-negative (truncation = floor on both engines). Two
-    * empty-token docs have Σmax = 0: jaccard 0 by the q24 convention
-    * (an empty doc is nobody's near-dup), documented not implied.
+    * non-negative (truncation = floor on both engines). EMPTY tokens
+    * are filtered BEFORE hashing (the \s+ split of empty/whitespace-
+    * only text yields [''] on both engines — unfiltered, two junk
+    * docs would pair at a perfect 1000): a whitespace-only doc
+    * therefore really has sz = 0, the Σmax = 0 guard is live, and
+    * such a doc pairs at jaccard 0 — below every legal threshold —
+    * by the q24 convention (an empty doc is nobody's near-dup).
     *
     * Scale shape: one token-hash projection per row (sorted WITH
     * duplicates — the [[graft.expressions.SortedIntersectSize]]
@@ -1138,8 +1142,8 @@ object Dedup {
       s"need minJaccardMilli in [1, 1000], got $minJaccardMilli")
     val t = checkpointer(df.select(col(idCol).as("id"),
         col(blockCol).as("block"),
-        array_sort(transform(tokens(col(textCol)), s => xxhash64(s)))
-          .as("sh"))
+        array_sort(transform(filter(tokens(col(textCol)), t => t =!= ""),
+          s => xxhash64(s))).as("sh"))
       .withColumn("sz", size(col("sh")).cast("long")))
     val l = t.as("l"); val r = t.as("r")
     val inter = graft.expressions.SortedIntersectSize(
@@ -1201,6 +1205,52 @@ object Dedup {
       col(textCol).as("tx"), col(blockCol).as("block"),
       length(col(textCol)).cast("long").as("len"),
       graft.expressions.CharCounts(col(textCol)).as("cc")))
+    editPairJoin(t, minSimMilli)
+  }
+
+  /** RECALL-FIRST multi-pass variant of [[editVerifiedPairs]] — the
+    * offset-bucket second pass q297's cost face documents but skips:
+    * any value-bucketed blocking (length DIV 32, date DIV week, …)
+    * misses BOUNDARY-STRADDLING pairs — two near-identical docs with
+    * lengths 1023 and 1025 land in buckets 31 and 32 and never meet.
+    * The standard fix is a union of passes whose bucket boundaries
+    * are mutually offset (a pair of half-shifted grids: any two
+    * values within half a bucket of each other share a bucket in at
+    * least one grid), which this operator runs as ONE join: each doc
+    * carries its full ARRAY of block keys (`blocksCol`), the exploded
+    * table joins on key equality, and pairs caught by several passes
+    * collapse in a final (id1, id2) distinct — every surviving row is
+    * identical whichever pass found it (dist and sim are functions of
+    * the pair), so the dedup drops true duplicates, never information.
+    *
+    * Callers must namespace each pass's keys (prefix "p_"/"o_") —
+    * un-namespaced keys would join pass A's bucket 7 against pass B's
+    * bucket 7, a third implicit pass nobody asked for.
+    *
+    * Cost: candidate volume scales with the number of passes (2× for
+    * the half-shifted pair) plus the pair-dedup shuffle — the price
+    * of not missing boundary pairs, stated where q297 states the
+    * inverse trade. Same output contract as [[editVerifiedPairs]]. */
+  def editVerifiedPairsRecall(df: DataFrame, idCol: String,
+      textCol: String, blocksCol: String, minSimMilli: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minSimMilli >= 1 && minSimMilli <= 1000,
+      s"need minSimMilli in [1, 1000], got $minSimMilli")
+    val t = checkpointer(df.select(col(idCol).as("id"),
+      col(textCol).as("tx"), explode(col(blocksCol)).as("block"),
+      length(col(textCol)).cast("long").as("len"),
+      graft.expressions.CharCounts(col(textCol)).as("cc")))
+    // all columns of a multi-found pair are pair-determined, so the
+    // distinct keeps one of several IDENTICAL rows — order-free
+    editPairJoin(t, minSimMilli).dropDuplicates("id1", "id2")
+  }
+
+  /** ONE definition of the pruned banded-DP pair join shared by
+    * [[editVerifiedPairs]] and [[editVerifiedPairsRecall]]: `t` is
+    * the (id, tx, block, len, cc) candidate table — one row per doc
+    * for the single-pass form, one row per (doc, block key) for the
+    * multi-pass form. */
+  private def editPairJoin(t: DataFrame, minSimMilli: Long): DataFrame = {
     // the DP stage is the cost center and is embarrassingly parallel
     // by block — spread the probe side across the cluster rather than
     // inheriting the input's file-partitioning (a single small input
@@ -1237,6 +1287,81 @@ object Dedup {
         when(col("__ml") === 0L, 1000L)
           .otherwise(expr("(__ml - dist) * 1000 DIV __ml"))
           .as("sim_milli"))
+  }
+
+  /** EXACT longest-duplicated-substring extraction across documents —
+    * the suffix-array dedup of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as the
+    * distributed anchor→extend discipline, and the missing sibling of
+    * [[spanDedup]]: spanDedup excises FIXED-length duplicated token
+    * windows; this operator reports, per document pair, the exact
+    * length of the longest shared CHARACTER substring — the signal
+    * the dedup-before-training literature ranks and cuts on (their
+    * suffix array answers the same query single-node; a suffix array
+    * over 100 TB doesn't shard, content-defined anchors do).
+    *
+    * Anchor→extend, both halves exact:
+    *  - ANCHORS are robust-winnowed char-k-gram hashes
+    *    ([[graft.expressions.CharGramHashes]] →
+    *    [[graft.expressions.WinnowSelect]]): the Schleimer et al. 2003
+    *    guarantee — any shared run of ≥ w + k − 1 characters selects
+    *    at least one IDENTICAL (gram, in-run offset) fingerprint in
+    *    both documents (window contents inside the shared run are
+    *    identical, so both sides pick the same rightmost-min) — while
+    *    keeping only ~2/(w+1) of all grams;
+    *  - EXTENSION re-reads real characters
+    *    ([[graft.expressions.ExtendMatch]]): the maximal run through
+    *    the anchor alignment, so a hash collision yields a true
+    *    (possibly 0) length, never a fabricated one, and the reported
+    *    max for any pair whose true max ≥ minLen is EXACT — hence
+    *    `minLen ≥ w + k − 1` is a require, not advice: below the
+    *    guarantee floor the result would silently depend on which
+    *    grams happened to win their windows.
+    *
+    * The one stated recall trade: grams occurring more than
+    * `maxGramOcc` times corpus-wide are dropped from anchoring
+    * (boilerplate — a ubiquitous cookie-banner gram would otherwise
+    * contribute occ² candidate pairs); a pair whose EVERY in-run
+    * anchor is boilerplate-hot is missed. Size it to the corpus's
+    * boilerplate, or Int.MaxValue for the exact-everywhere form.
+    *
+    * Scale shape: one O(len) kernel pass per doc (hash + winnow), an
+    * anchors table ~2/(w+1) the corpus's char count, a hot-gram
+    * anti-join (the over-budget side is corpus/maxGramOcc rows at
+    * most), the hash-keyed candidate self-join (candidates, never the
+    * corpus square), two id-keyed text joins for the survivors, and
+    * one (id1, id2) max agg. Output: (id1, id2, max_len) with
+    * id1 < id2, max_len ≥ minLen. */
+  def longestSharedSubstrings(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 24, w: Int = 9, minLen: Int = 32,
+      maxGramOcc: Long = 1L << 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    require(minLen >= k + w - 1,
+      s"minLen must be >= k + w - 1 = ${k + w - 1} (the winnowing " +
+        "guarantee's floor) — a smaller minLen would silently miss pairs")
+    require(maxGramOcc >= 2, s"need maxGramOcc >= 2, got $maxGramOcc")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("tx"))
+    val anch = checkpointer(t.select(col("id"),
+        explode(graft.expressions.WinnowSelect(
+          graft.expressions.CharGramHashes(col("tx"), k), w)).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.hash").as("h")))
+    val hot = anch.groupBy("h").agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > maxGramOcc).select(col("h"))
+    val kept = anch.join(hot, Seq("h"), "left_anti")
+    val l = kept.as("l"); val r = kept.as("r")
+    val cand = l.join(r,
+        col("l.h") === col("r.h") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("l.pos").as("pos1"),
+        col("r.id").as("id2"), col("r.pos").as("pos2"))
+    cand
+      .join(t.select(col("id").as("id1"), col("tx").as("tx1")), Seq("id1"))
+      .join(t.select(col("id").as("id2"), col("tx").as("tx2")), Seq("id2"))
+      .select(col("id1"), col("id2"), graft.expressions.ExtendMatch(
+        col("tx1"), col("pos1"), col("tx2"), col("pos2")).as("__run"))
+      .groupBy("id1", "id2")
+      .agg(max("__run").as("max_len"))
+      .where(col("max_len") >= minLen)
   }
 
   /** Cluster-size audit of a dedup clustering — the distribution

@@ -4384,7 +4384,58 @@ object Extensions {
       "doc_id", "text", "block", 500)
       .orderBy("id1", "id2")
 
+  /** q308 — offset-bucket RECALL pass for edit-verified near-dup
+    * pairs ([[Dedup.editVerifiedPairsRecall]]): q297's cost face
+    * names its own blind spot — boundary-straddling pairs whose
+    * lengths land in adjacent 32-char buckets never meet — and this
+    * face ships the mitigation it promises: every doc carries BOTH
+    * grids ("p_" primary, "o_" half-shifted offset), so any two
+    * lengths within 16 of each other share a bucket in at least one.
+    * The straddler is ENGINEERED, not hoped for: each doc with
+    * n_chars % 32 == 31 gets an identical-prefix twin at blocking
+    * length n_chars + 2 — primary buckets q vs q+1 (the base grid
+    * provably misses it), offset buckets both q + 1 (this face
+    * provably catches it, at sim 1000). Cost vs q297: ~2× candidate
+    * pairs plus the pair-dedup shuffle — the recall-first half of the
+    * trade q297 documents. */
+  def q308EditPairsRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val base = d.select(col("doc_id").as("id"),
+      substring(col("text"), 1, 120).as("prefix"),
+      col("lang"), col("source"), col("n_chars").as("blen"))
+    val twins = d.where(col("n_chars") % 32 === 31)
+      .select((col("doc_id") + 10000000L).as("id"),
+        substring(col("text"), 1, 120).as("prefix"),
+        col("lang"), col("source"), (col("n_chars") + 2).as("blen"))
+    val u = base.unionByName(twins).withColumn("blocks", array(
+      concat_ws("_", lit("p"), col("lang"), col("source"),
+        expr("blen DIV 32")),
+      concat_ws("_", lit("o"), col("lang"), col("source"),
+        expr("(blen + 16) DIV 32"))))
+    Dedup.editVerifiedPairsRecall(u, "id", "prefix", "blocks", 350)
+      .orderBy("id1", "id2")
+  }
+
+  /** q309 — exact longest-duplicated-substring pairs
+    * ([[Dedup.longestSharedSubstrings]]): per document pair, the
+    * exact length of the longest shared character substring ≥ 32 —
+    * the Lee et al. 2021 suffix-array dedup signal, distributed as
+    * winnowed char-24-gram anchors (w = 9, guarantee floor
+    * 24 + 9 − 1 = 32) + exact char extension. The oracle recomputes
+    * the same ground truth by brute force: every 24-gram position
+    * pair, grouped into diagonal runs (gaps-and-islands), max run +
+    * k − 1 per pair — quadratic-in-positions SQL the anchor path
+    * exists to avoid, which is exactly what makes it an independent
+    * check. */
+  def q309SharedSubstrings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.longestSharedSubstrings(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      k = 24, w = 9, minLen = 32)
+      .orderBy("id1", "id2")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_shared_substrings" -> (q309SharedSubstrings _),
+    "q308_edit_pairs_recall" -> (q308EditPairsRecall _),
     "q307_weighted_jaccard" -> (q307WeightedJaccard _),
     "q306_kruskal" -> (q306KruskalWallis _),
     "q305_sprt" -> (q305Sprt _),
@@ -5568,12 +5619,54 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q309_shared_substrings" ->
+      ("""WITH d AS (SELECT doc_id AS id, text AS tx FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT id, i AS pos, substring(tx, i, 24) AS gram
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(tx) - 23, 0))) AS i)),
+        |m AS (SELECT a.id AS id1, a.pos AS p1, b.id AS id2, b.pos AS p2
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+        |r AS (SELECT id1, id2, p1 - p2 AS diag,
+        |    p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2
+        |      ORDER BY p1) AS grp
+        |  FROM m),
+        |runs AS (SELECT id1, id2, count(1) + 23 AS run_len
+        |  FROM r GROUP BY id1, id2, diag, grp)
+        |SELECT id1, id2, max(run_len)::BIGINT AS max_len
+        |FROM runs GROUP BY id1, id2 HAVING max(run_len) >= 32
+        |ORDER BY id1, id2""".stripMargin),
+    "q308_edit_pairs_recall" ->
+      ("""WITH d AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    lang, source, n_chars AS blen FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, substring(text, 1, 120),
+        |    lang, source, n_chars + 2 FROM documents
+        |  WHERE n_chars % 32 = 31),
+        |t AS (SELECT id, tx, length(tx)::BIGINT AS len,
+        |    'p_' || lang || '_' || source || '_' || (blen // 32)::VARCHAR AS b1,
+        |    'o_' || lang || '_' || source || '_' || ((blen + 16) // 32)::VARCHAR AS b2
+        |  FROM d),
+        |e AS (SELECT id, tx, len, b1 AS block FROM t
+        |  UNION ALL SELECT id, tx, len, b2 FROM t),
+        |p AS (SELECT DISTINCT l.id AS id1, r.id AS id2,
+        |    l.len AS len1, r.len AS len2,
+        |    greatest(l.len, r.len) AS ml,
+        |    levenshtein(l.tx, r.tx)::BIGINT AS dist
+        |  FROM e l JOIN e r ON l.block = r.block AND l.id < r.id
+        |    AND (greatest(l.len, r.len) - abs(l.len - r.len)) * 1000
+        |        >= 350 * greatest(l.len, r.len))
+        |SELECT id1, id2, len1, len2, dist,
+        |  CASE WHEN ml = 0 THEN 1000
+        |    ELSE (ml - dist) * 1000 // ml END AS sim_milli
+        |FROM p WHERE dist <= ml * 650 // 1000
+        |ORDER BY id1, id2""".stripMargin),
     "q307_weighted_jaccard" ->
       ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
         |cnt AS (SELECT doc_id, block, tok, count(1)::BIGINT AS c FROM tok
-        |  GROUP BY 1, 2, 3),
+        |  WHERE tok <> '' GROUP BY 1, 2, 3),
         |sz AS (SELECT doc_id, block, sum(c)::BIGINT AS sz FROM cnt
         |  GROUP BY 1, 2),
         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,

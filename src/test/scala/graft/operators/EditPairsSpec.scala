@@ -68,4 +68,31 @@ class EditPairsSpec extends SparkSpec {
     val got = run(Seq((1L, "", "b"), (2L, "", "b")), 500)
     assert(got((1L, 2L)) == ((0L, 1000L)))
   }
+
+  test("recall pass catches boundary straddlers once; base form misses them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical texts whose BLOCKING lengths 31 and 33 straddle the
+    // 32-bucket boundary: primary buckets 0 vs 1 (the base grid
+    // provably misses the pair), offset buckets (31+16) DIV 32 = 1 =
+    // (33+16) DIV 32 (the half-shifted grid provably catches it)
+    val rows = Seq((1L, "same text", 31L), (2L, "same text", 33L),
+      (3L, "same text", 31L))
+    val withBlocks = rows.toDF("id", "tx", "blen").withColumn("blocks",
+      array(concat_ws("_", lit("p"), expr("blen DIV 32")),
+        concat_ws("_", lit("o"), expr("(blen + 16) DIV 32"))))
+    val got = Dedup.editVerifiedPairsRecall(
+        withBlocks, "id", "tx", "blocks", 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // (1,3) shares BOTH grids and must appear exactly once (the
+    // dedup contract); (1,2) and (2,3) only exist in the offset grid
+    assert(got == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val base = Dedup.editVerifiedPairs(
+        rows.toDF("id", "tx", "blen").withColumn("blk",
+          concat_ws("_", lit("p"), expr("blen DIV 32"))),
+        "id", "tx", "blk", 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(base == Seq((1L, 3L)),
+      "the single-grid base form must miss the straddling pairs")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dedup.longestSharedSubstrings]]: the winnowing guarantee holds
+  * empirically (anchor+extend equals brute force for every pair whose
+  * true max reaches the floor), planted runs report their EXACT
+  * length, the sub-floor filter, the hot-gram recall trade, and the
+  * NULL/short poles. */
+class LongestSharedSubstringSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String)], k: Int = 5, w: Int = 4,
+      minLen: Int = 8, maxOcc: Long = 1L << 20) = {
+    import spark.implicits._
+    Dedup.longestSharedSubstrings(rows.toDF("id", "tx"), "id", "tx",
+        k, w, minLen, maxOcc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+  }
+
+  test("a planted shared substring reports its exact length") {
+    val shared = "SHAREDRUN0123456789" // 19 chars, contexts differ at both ends
+    val got = run(Seq(
+      (1L, "aaaa" + shared + "bbbb"),
+      (2L, "cccc" + shared + "dddd")))
+    assert(got == Map((1L, 2L) -> 19L))
+  }
+
+  test("runs below the guarantee floor are filtered, never guessed at") {
+    // 5 shared chars < minLen 8: the answer below the floor is
+    // undefined by contract, so nothing may be emitted
+    val got = run(Seq((1L, "xxq" + "SHORT" + "yyv"),
+      (2L, "zzr" + "SHORT" + "wwu")))
+    assert(got.isEmpty)
+  }
+
+  test("anchor+extend equals brute force on a dense random corpus") {
+    // alphabet {a,b} strings of ~45 chars: shared runs straddle the
+    // floor from both sides, exercising winnow tie-breaks, extension
+    // in both directions, and the >= minLen filter boundary
+    val rnd = new scala.util.Random(47)
+    val texts = (1L to 18L).map { i =>
+      (i, (1 to 40 + rnd.nextInt(12)).map(_ =>
+        if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    }
+    def lcsub(a: String, b: String): Int = {
+      var best = 0
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        d(i)(j) = if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1) + 1 else 0
+        if (d(i)(j) > best) best = d(i)(j)
+      }
+      best
+    }
+    val expect = (for {
+      (i, a) <- texts; (j, b) <- texts if i < j
+      m = lcsub(a, b) if m >= 8
+    } yield (i, j) -> m.toLong).toMap
+    assert(expect.nonEmpty, "fixture must exercise the floor")
+    assert(run(texts) == expect)
+  }
+
+  test("the hot-gram budget drops boilerplate anchors — the stated recall trade") {
+    val t = "BOILERPLATEBANNERTEXTREPEATED"
+    val rows = (1L to 5L).map(i => (i, t))
+    // every anchor occurs 5 times corpus-wide: a budget of 3 drops
+    // them all and the identical docs are MISSED — the documented
+    // trade, visible, not silent
+    assert(run(rows, maxOcc = 3L).isEmpty)
+    val full = run(rows)
+    assert(full.size == 10 && full.values.forall(_ == t.length.toLong))
+  }
+
+  test("NULL and sub-k texts never pair") {
+    assert(run(Seq((1L, null), (2L, "abc"), (3L, "abc"))).isEmpty)
+  }
+
+  test("a minLen below the winnowing floor is refused loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq((1L, "abcdefghij")), k = 5, w = 4, minLen = 7)
+    }
+    assert(ex.getMessage.contains("winnowing"))
+  }
+}

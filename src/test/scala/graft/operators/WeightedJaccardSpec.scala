@@ -35,6 +35,15 @@ class WeightedJaccardSpec extends SparkSpec {
     assert(got((1L, 2L)) == ((5L, 5L, 3L, 3000L / 7L)))
   }
 
+  test("whitespace-only docs tokenize to sz 0 and never near-dup") {
+    // the \s+ split of ''/'   ' yields [''] — unfiltered, two junk
+    // docs would score a perfect 1000; the empty-token filter makes
+    // sz = 0 real, so they pair at jaccard 0, below every threshold
+    val got = run(Seq(
+      (1L, "", "b"), (2L, "   ", "b"), (3L, "alpha beta", "b")), 1)
+    assert(got.isEmpty)
+  }
+
   test("pairs never cross blocks; threshold filters") {
     val got = run(Seq((1L, "a b c", "b1"), (2L, "a b c", "b2"),
       (3L, "a q r", "b1")), 500)
