@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale-probe gate (VERDICT r12 #1): run the most expensive
+  * inventory queries once at 10× the bench scale BEFORE the closing
+  * sweep, so a quadratic face — the q297 class, which ran fine at
+  * sf0.01 and exploded to 66 s only in the sf0.1 closing sweep —
+  * surfaces as an unmissable, attributable blow-up in the builder's
+  * own gate.
+  *
+  * The sf1 corpus is synthesized locally (TESTDATA's sf1 doesn't
+  * exist) as 10 replicas of sf0.1 with REPLICA-NAMESPACED content:
+  *
+  *  - keys (`doc_id`, `*_key`, `event_id`, `user_id`, `vec_id`)
+  *    become `k*10 + r` — uniqueness and per-replica join fanout
+  *    preserved, dimension joins (nation/region copied as-is) fan
+  *    out 10× like a real scale-up;
+  *  - document WORDS are rewritten per replica (`md5(word#r)`
+  *    truncated to the word's length, replica 0 kept verbatim): each
+  *    replica preserves sf0.1's internal similarity structure —
+  *    planted near-dup spans map to identical mapped spans — while
+  *    sharing ZERO vocabulary across replicas, so pair generators see
+  *    "10× more documents from the same distribution", not an
+  *    adversarial 10-clone cluster per doc (which would quadratically
+  *    inflate every pair count and probe a different question);
+  *  - embeddings get a deterministic per-replica jitter (structure
+  *    per replica preserved, IVF/PQ cells 10× denser).
+  *
+  * Budget rule, stated not implied: a query with a round-12 quiet
+  * sf0.1 reference must finish within max(30 s, 25 × ref) — linear
+  * 10× data on the same 32 cores costs ~10×, 2.5× headroom absorbs
+  * synthesis-shape drift and ambient load; a quadratic face lands at
+  * ~100× and fails the gate. New queries without a reference get a
+  * flat 60 s. Output: one JSON line (stdout + SCALEPROBE file) with
+  * per-query seconds, reference, budget, verdict, and loadavg stamps
+  * so the artifact adjudicates itself. */
+object ScaleProbe {
+
+  /** Top of the round-12 quiet sweep (BENCH_full_r12.json) plus every
+    * pair generator added since — the quadratic-risk population. */
+  val probes: Seq[String] = Seq(
+    "q73_dedup_corpus", "q146_bpe_pack", "q46_fuzzy_pairs",
+    "q167_stupid_backoff", "q25_minhash_lsh", "q206_mlm_mask",
+    "q125_perplexity_buckets", "q223_poisson_bootstrap", "q263_pq_ann",
+    "q240_bradley_terry", "q116_span_dedup", "q297_edit_pairs",
+    "q308_edit_pairs_recall", "q309_shared_substrings")
+
+  def synthesize(spark: SparkSession, src: String, out: String): Unit = {
+    val rep = broadcast(spark.range(10).select(col("id").as("__r")))
+    def x10(name: String)(f: DataFrame => DataFrame): Unit =
+      f(spark.read.parquet(s"$src/$name.parquet").crossJoin(rep))
+        .drop("__r").repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def copy(name: String): Unit =
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def keyed(c: String) = (col(c) * 10 + col("__r")).as(c)
+
+    copy("region"); copy("nation")
+    x10("customer")(d => d.select(keyed("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("__r")))
+    x10("supplier")(d => d.select(keyed("s_suppkey"), col("s_name"),
+      col("s_nationkey"), col("s_acctbal"), col("__r")))
+    x10("part")(d => d.select(keyed("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice"), col("__r")))
+    x10("orders")(d => d.select(keyed("o_orderkey"), keyed("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"), col("__r")))
+    x10("lineitem")(d => d.select(keyed("l_orderkey"), keyed("l_partkey"),
+      keyed("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+      col("__r")))
+    x10("events")(d => d.select(keyed("event_id"), col("ts"),
+      keyed("user_id"), col("event_type"), col("value"), col("props"),
+      col("__r")))
+    x10("documents") { d =>
+      val mapped = array_join(transform(split(col("text"), " "),
+        w => md5(concat_ws("#", w, col("__r")))
+          .substr(lit(1), greatest(length(w), lit(1)))), " ")
+      d.select(keyed("doc_id"),
+          when(col("__r") === 0, col("text")).otherwise(mapped).as("text"),
+          col("lang"), col("source"), col("__r"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    x10("embeddings")(d => d.select(keyed("vec_id"),
+      when(col("__r") === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (x, i) => x +
+          ((col("__r") * 37 + i * 17) % 29 - 14).cast("float") / lit(100.0f)))
+        .as("embedding"),
+      col("label"), col("__r")))
+  }
+
+  private def loadavg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Exception => Seq.empty }
+
+  /** Per-query sf0.1 medians from a BENCH_full artifact — a targeted
+    * regex pull, not a JSON parser, because the artifact is one
+    * machine-written line with flat numeric values. */
+  private def refTimes(path: String): Map[String, Double] =
+    if (!Files.exists(Paths.get(path))) Map.empty
+    else {
+      val s = Files.readString(Paths.get(path))
+      """"(q[0-9]+[a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SCALEPROBE_r13.json")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scaleprobe/sf1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt.max(1)
+    val ref = refTimes(sys.env.getOrElse("SPARK_GRAFT_REF_BENCH",
+      "BENCH_full_r12.json"))
+    val spark = Graft.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    if (!Files.exists(Paths.get(s"$sf1/embeddings.parquet"))) {
+      System.err.println(s"[scaleprobe] synthesizing sf1 at $sf1 from $src")
+      synthesize(spark, src, sf1)
+    }
+    // same warmup + state hygiene as Bench
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(t => Tables(spark, sf1, t).count())
+
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      fn(spark, sf1).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(false)
+      }
+      spark.catalog.clearCache()
+      dt
+    }
+
+    val results = probes.map { name =>
+      val l0 = loadavg()
+      // MIN of runs, not median: the gate hunts 10×+ blow-ups, and min
+      // is the run least contaminated by ambient load on a shared box
+      val sec = (1 to runs).map(_ => timeOne(name)).min
+      val budget = ref.get(name).map(t => math.max(30.0, 25.0 * t))
+        .getOrElse(60.0)
+      System.err.println(f"[scaleprobe] $name%-28s ${sec}%8.2f s  " +
+        f"budget ${budget}%6.1f  ${if (sec <= budget) "ok" else "OVER"}")
+      (name, sec, ref.get(name), budget, l0)
+    }
+    val qs = results.map { case (n, s, r, b, l) =>
+      s""""$n":{"sec":$s,"sf01_ref":${r.getOrElse(-1.0)},"budget":$b,""" +
+        s""""ok":${s <= b},"loadavg":${l.mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scaleprobe","sf":"sf1-synth-10x-sf0.1",""" +
+      s""""runs":$runs,"all_ok":${results.forall(r => r._2 <= r._4)},""" +
+      s""""queries":$qs,"loadavg_end":${loadavg().mkString("[", ",", "]")}}"""
+    println(line)
+    Files.writeString(Paths.get(outJson), line + "\n")
+    spark.stop()
+  }
+}

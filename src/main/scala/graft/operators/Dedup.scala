@@ -1245,6 +1245,58 @@ object Dedup {
     editPairJoin(t, minSimMilli).dropDuplicates("id1", "id2")
   }
 
+  /** The CORPUS-SCALE form of the edit verifier: run the same
+    * three-layer pruned banded DP over an EXPLICIT candidate pair set
+    * instead of an all-pairs-within-block self-join. The r13 sf1
+    * scale probe measured why this form must exist: the cost faces'
+    * block keys (lang × source × length bucket) have BOUNDED
+    * cardinality, so within-block pair counts grow QUADRATICALLY with
+    * the corpus (~19× wall-clock for 10× data, SCALEPROBE_r13.json) —
+    * at 100 TB the candidate set must come from a generator whose
+    * output stays ~linear: [[minhashDedupPairs]]' banded LSH,
+    * [[longestSharedSubstrings]]' anchors, an IVF bucket. This is the
+    * candidate→verify discipline's verify half as its own operator.
+    *
+    * `cand` is (id1, id2) rows (the LSH output shape; ids must
+    * resolve in `docs` — an unresolvable id drops its pair, the inner
+    * join's contract). Same pruning algebra as [[editVerifiedPairs]],
+    * here as a post-join filter whose And-chain short-circuits in
+    * pruning order (band → q-gram bound → banded kernel); the
+    * conjuncts reference both sides, so pushdown cannot split or
+    * reorder them below the text joins. Same output contract:
+    * (id1, id2, len1, len2, dist, sim_milli), sim ≥ minSimMilli. */
+  def editVerifyPairsOf(cand: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, minSimMilli: Long): DataFrame = {
+    require(minSimMilli >= 1 && minSimMilli <= 1000,
+      s"need minSimMilli in [1, 1000], got $minSimMilli")
+    val t = docs.select(col(idCol).as("__vid"), col(textCol).as("__tx"),
+      length(col(textCol)).cast("long").as("__len"),
+      graft.expressions.CharCounts(col(textCol)).as("__cc"))
+    val j = cand.select(col("id1"), col("id2"))
+      .join(t.select(col("__vid").as("id1"), col("__tx").as("__tx1"),
+        col("__len").as("len1"), col("__cc").as("__cc1")), Seq("id1"))
+      .join(t.select(col("__vid").as("id2"), col("__tx").as("__tx2"),
+        col("__len").as("len2"), col("__cc").as("__cc2")), Seq("id2"))
+    val maxLen = greatest(col("len1"), col("len2"))
+    val lenGap = abs(col("len1") - col("len2"))
+    val maxDist = expr(
+      s"greatest(len1, len2) * ${1000L - minSimMilli} DIV 1000")
+    val banded = expr(s"""levenshtein(__tx1, __tx2,
+      | CAST(greatest(len1, len2) * ${1000L - minSimMilli}
+      |      DIV 1000 AS INT))""".stripMargin)
+    j.where((maxLen - lenGap) * 1000L >= lit(minSimMilli) * maxLen
+        && graft.expressions.L1Diff(col("__cc1"), col("__cc2"))
+             <= lit(2L) * maxDist
+        && banded >= 0L)
+      .select(col("id1"), col("id2"), col("len1"), col("len2"),
+        maxLen.as("__ml"), banded.cast("long").as("dist"))
+      .select(col("id1"), col("id2"), col("len1"), col("len2"),
+        col("dist"),
+        when(col("__ml") === 0L, 1000L)
+          .otherwise(expr("(__ml - dist) * 1000 DIV __ml"))
+          .as("sim_milli"))
+  }
+
   /** ONE definition of the pruned banded-DP pair join shared by
     * [[editVerifiedPairs]] and [[editVerifiedPairsRecall]]: `t` is
     * the (id, tx, block, len, cc) candidate table — one row per doc
@@ -1360,6 +1412,59 @@ object Dedup {
       .select(col("id1"), col("id2"), graft.expressions.ExtendMatch(
         col("tx1"), col("pos1"), col("tx2"), col("pos2")).as("__run"))
       .groupBy("id1", "id2")
+      .agg(max("__run").as("max_len"))
+      .where(col("max_len") >= minLen)
+  }
+
+  /** Incremental sibling of [[longestSharedSubstrings]] — new batch
+    * vs base corpus, the shape every pair family here ships
+    * ([[minhashDedupPairsAgainst]], [[spanDedupAgainst]]): a
+    * daily crawl increment is checked against yesterday's corpus
+    * WITHOUT re-pairing the base against itself (the base×base work
+    * is sunk; at 100 TB re-running it daily is the difference between
+    * an increment job and a full rebuild). Candidates are new-anchor
+    * × base-anchor hash collisions only; the winnowing guarantee and
+    * exact extension carry over unchanged.
+    *
+    * The hot-gram budget counts occurrences over BOTH sides — a gram
+    * that is boilerplate in the base must not anchor probes from the
+    * new batch either, or every new doc would pair against the whole
+    * boilerplate family. Same stated recall trade as the self form.
+    *
+    * Output: (new_id, base_id, max_len), max_len ≥ minLen. */
+  def longestSharedSubstringsAgainst(newDf: DataFrame, baseDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 24, w: Int = 9,
+      minLen: Int = 32, maxGramOcc: Long = 1L << 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    require(minLen >= k + w - 1,
+      s"minLen must be >= k + w - 1 = ${k + w - 1} (the winnowing " +
+        "guarantee's floor) — a smaller minLen would silently miss pairs")
+    require(maxGramOcc >= 2, s"need maxGramOcc >= 2, got $maxGramOcc")
+    def anchorsOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("tx"))
+      .select(col("id"),
+        explode(graft.expressions.WinnowSelect(
+          graft.expressions.CharGramHashes(col("tx"), k), w)).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.hash").as("h"))
+    val nA = checkpointer(anchorsOf(newDf))
+    val bA = checkpointer(anchorsOf(baseDf))
+    val hot = nA.unionByName(bA).groupBy("h")
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > maxGramOcc).select(col("h"))
+    val cand = nA.join(hot, Seq("h"), "left_anti").as("l")
+      .join(bA.join(hot, Seq("h"), "left_anti").as("r"),
+        col("l.h") === col("r.h"))
+      .select(col("l.id").as("new_id"), col("l.pos").as("pos1"),
+        col("r.id").as("base_id"), col("r.pos").as("pos2"))
+    cand
+      .join(newDf.select(col(idCol).as("new_id"),
+        col(textCol).as("tx1")), Seq("new_id"))
+      .join(baseDf.select(col(idCol).as("base_id"),
+        col(textCol).as("tx2")), Seq("base_id"))
+      .select(col("new_id"), col("base_id"), graft.expressions.ExtendMatch(
+        col("tx1"), col("pos1"), col("tx2"), col("pos2")).as("__run"))
+      .groupBy("new_id", "base_id")
       .agg(max("__run").as("max_len"))
       .where(col("max_len") >= minLen)
   }

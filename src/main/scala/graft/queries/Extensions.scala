@@ -4239,8 +4239,15 @@ object Extensions {
     * pairs are NOT candidates — two near-identical docs with n_chars
     * 1023 vs 1025 land in different buckets and never meet; a
     * recall-first deployment unions a second pass blocked on
-    * (n_chars + 16) DIV 32 (offset buckets, 2× cost), which this
-    * cost-face deliberately skips. */
+    * (n_chars + 16) DIV 32 (offset buckets, 2× cost) — shipped as
+    * q308 ([[Dedup.editVerifiedPairsRecall]]). The r13 sf1 probe
+    * added the SCALE caveat: this block key's cardinality is BOUNDED
+    * (langs × sources × ~550/32 buckets), so within-block pairs grow
+    * quadratically with the corpus (~19× wall-clock at 10× data,
+    * SCALEPROBE_r13.json) — at corpus scale run the same verifier
+    * over LSH candidates instead: q311
+    * ([[Dedup.editVerifyPairsOf]]), whose candidate volume stays
+    * ~linear. */
   def q297EditPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.editVerifiedPairs(
       Tables(spark, dir, "documents")
@@ -4433,7 +4440,44 @@ object Extensions {
       k = 24, w = 9, minLen = 32)
       .orderBy("id1", "id2")
 
+  /** q310 — incremental longest-shared-substring pairs
+    * ([[Dedup.longestSharedSubstringsAgainst]]): the "today's crawl
+    * increment vs yesterday's corpus" form — docs with doc_id % 3 == 0
+    * probe the rest as the base, candidates are new-anchor ×
+    * base-anchor collisions only (the base never re-pairs against
+    * itself — the sunk-work property that makes the operator an
+    * increment job instead of a daily rebuild). Same winnowing
+    * floor and exact extension as q309; oracle recomputes the
+    * new×base ground truth by brute-force diagonal runs. */
+  def q310SharedSubstringsIncr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Dedup.longestSharedSubstringsAgainst(
+      d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", k = 24, w = 9, minLen = 32)
+      .orderBy("new_id", "base_id")
+  }
+
+  /** q311 — LSH-candidate edit verification
+    * ([[Dedup.editVerifyPairsOf]] over [[Dedup.minhashDedupPairs]]):
+    * the CORPUS-SCALE composition the r13 sf1 probe demanded — q297's
+    * all-pairs-within-block cost face grows quadratically because its
+    * block key has bounded cardinality (19× wall-clock for 10× data,
+    * SCALEPROBE_r13.json), while this face's candidates come from
+    * banded LSH, whose output stays ~linear in the corpus. The
+    * verifier is the identical three-layer pruned banded DP at
+    * sim ≥ 0.35 over FULL texts; the oracle replays q25's signature
+    * CTEs for the candidate set, then the same verification algebra. */
+  def q311LshEditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    Dedup.editVerifyPairsOf(
+      Dedup.minhashDedupPairs(d, "doc_id", "text").select("id1", "id2"),
+      d, "doc_id", "text", 350)
+      .orderBy("id1", "id2")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_lsh_edit_verify" -> (q311LshEditVerify _),
+    "q310_shared_substrings_incr" -> (q310SharedSubstringsIncr _),
     "q309_shared_substrings" -> (q309SharedSubstrings _),
     "q308_edit_pairs_recall" -> (q308EditPairsRecall _),
     "q307_weighted_jaccard" -> (q307WeightedJaccard _),
@@ -5619,6 +5663,47 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q311_lsh_edit_verify" -> {
+      val candBranches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH $lshSigDefs,
+        |cand AS (SELECT DISTINCT id1, id2 FROM (
+        |$candBranches
+        |)),
+        |t AS (SELECT doc_id AS id, text AS tx, length(text)::BIGINT AS len
+        |  FROM documents),
+        |p AS (SELECT c.id1, c.id2, a.len AS len1, b.len AS len2,
+        |    greatest(a.len, b.len) AS ml,
+        |    levenshtein(a.tx, b.tx)::BIGINT AS dist
+        |  FROM cand c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len))
+        |SELECT id1, id2, len1, len2, dist,
+        |  CASE WHEN ml = 0 THEN 1000
+        |    ELSE (ml - dist) * 1000 // ml END AS sim_milli
+        |FROM p WHERE dist <= ml * 650 // 1000
+        |ORDER BY id1, id2""".stripMargin
+    },
+    "q310_shared_substrings_incr" ->
+      ("""WITH d AS (SELECT doc_id AS id, text AS tx, doc_id % 3 = 0 AS is_new
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT id, is_new, i AS pos, substring(tx, i, 24) AS gram
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(tx) - 23, 0))) AS i)),
+        |m AS (SELECT a.id AS new_id, a.pos AS p1, b.id AS base_id, b.pos AS p2
+        |  FROM g a JOIN g b ON a.gram = b.gram
+        |  WHERE a.is_new AND NOT b.is_new),
+        |r AS (SELECT new_id, base_id, p1 - p2 AS diag,
+        |    p1 - row_number() OVER (PARTITION BY new_id, base_id, p1 - p2
+        |      ORDER BY p1) AS grp
+        |  FROM m),
+        |runs AS (SELECT new_id, base_id, count(1) + 23 AS run_len
+        |  FROM r GROUP BY new_id, base_id, diag, grp)
+        |SELECT new_id, base_id, max(run_len)::BIGINT AS max_len
+        |FROM runs GROUP BY new_id, base_id HAVING max(run_len) >= 32
+        |ORDER BY new_id, base_id""".stripMargin),
     "q309_shared_substrings" ->
       ("""WITH d AS (SELECT doc_id AS id, text AS tx FROM documents
         |  WHERE text IS NOT NULL),

@@ -624,4 +624,28 @@ class PlanSpec extends SparkSpec {
     assert(l1 >= 0 && lev >= 0 && l1 < lev,
       s"join condition must prune with l1_diff before the DP: $cond")
   }
+
+  test("q308 recall pass: the multi-grid join keeps q297's prune order") {
+    // editVerifiedPairsRecall shares editPairJoin with q297 — the
+    // exploded block table must not regress the conjunct ordering
+    val p = plan("q308_edit_pairs_recall")
+    assert(!p.contains("CartesianProduct"),
+      "the multi-grid self-join keys on block equality")
+    val cond = p.linesIterator.filter(_.contains("Join condition"))
+      .mkString("\n")
+    val l1 = cond.indexOf("l1_diff")
+    val lev = cond.indexOf("levenshtein")
+    assert(l1 >= 0 && lev >= 0 && l1 < lev,
+      s"join condition must prune with l1_diff before the DP: $cond")
+  }
+
+  test("q309 shared substrings: anchors key every join — no pair ever crosses unkeyed") {
+    val p = plan("q309_shared_substrings")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be the hash-keyed anchor join, never all-pairs")
+    assert(p.contains("LeftAnti"),
+      "the hot-gram budget must prune anchors BEFORE the pair join")
+    assert(p.contains("extend_match"),
+      "extension must run as the codegen kernel, not a UDF")
+  }
 }

@@ -34,30 +34,52 @@ class LongestSharedSubstringSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
-  test("anchor+extend equals brute force on a dense random corpus") {
-    // alphabet {a,b} strings of ~45 chars: shared runs straddle the
-    // floor from both sides, exercising winnow tie-breaks, extension
-    // in both directions, and the >= minLen filter boundary
+  private def lcsub(a: String, b: String): Int = {
+    var best = 0
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      d(i)(j) = if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1) + 1 else 0
+      if (d(i)(j) > best) best = d(i)(j)
+    }
+    best
+  }
+
+  // alphabet {a,b} strings of ~45 chars: shared runs straddle the
+  // floor from both sides, exercising winnow tie-breaks, extension
+  // in both directions, and the >= minLen filter boundary
+  private lazy val denseCorpus: Seq[(Long, String)] = {
     val rnd = new scala.util.Random(47)
-    val texts = (1L to 18L).map { i =>
+    (1L to 18L).map { i =>
       (i, (1 to 40 + rnd.nextInt(12)).map(_ =>
         if (rnd.nextBoolean()) 'a' else 'b').mkString)
     }
-    def lcsub(a: String, b: String): Int = {
-      var best = 0
-      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
-      for (i <- 1 to a.length; j <- 1 to b.length) {
-        d(i)(j) = if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1) + 1 else 0
-        if (d(i)(j) > best) best = d(i)(j)
-      }
-      best
-    }
+  }
+
+  test("anchor+extend equals brute force on a dense random corpus") {
     val expect = (for {
-      (i, a) <- texts; (j, b) <- texts if i < j
+      (i, a) <- denseCorpus; (j, b) <- denseCorpus if i < j
       m = lcsub(a, b) if m >= 8
     } yield (i, j) -> m.toLong).toMap
     assert(expect.nonEmpty, "fixture must exercise the floor")
-    assert(run(texts) == expect)
+    assert(run(denseCorpus) == expect)
+  }
+
+  test("incremental form pairs new×base only, still equal to brute force") {
+    import spark.implicits._
+    val df = denseCorpus.toDF("id", "tx")
+    val got = Dedup.longestSharedSubstringsAgainst(
+        df.where($"id" % 3 === 0), df.where($"id" % 3 =!= 0),
+        "id", "tx", k = 5, w = 4, minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expect = (for {
+      (i, a) <- denseCorpus if i % 3 == 0
+      (j, b) <- denseCorpus if j % 3 != 0
+      m = lcsub(a, b) if m >= 8
+    } yield (i, j) -> m.toLong).toMap
+    assert(expect.nonEmpty, "fixture must exercise the increment")
+    assert(got == expect,
+      "new×base pairs must match brute force; base×base must not appear")
   }
 
   test("the hot-gram budget drops boilerplate anchors — the stated recall trade") {
