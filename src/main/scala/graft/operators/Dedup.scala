@@ -1469,6 +1469,54 @@ object Dedup {
       .where(col("max_len") >= minLen)
   }
 
+  /** Doc-level dedup POLICY over [[longestSharedSubstrings]] — the
+    * verdict the Lee et al. pipeline acts on: a document whose
+    * longest substring shared with an EARLIER document covers at
+    * least `minShareMilli` ‰ of its own characters is dropped
+    * (keep-first, smaller id survives — the q31 convention). This is
+    * the doc-granularity complement of [[spanDedup]]'s span excision:
+    * excision rewrites text (right for boilerplate), the policy drops
+    * whole near-copies (right for mirrored pages, where excision
+    * would leave a husk).
+    *
+    * GREEDY one-pass rule, stated: the larger id of any qualifying
+    * pair is dropped; a dropper may itself have been dropped by a
+    * still-earlier doc — the chain is NOT re-examined (a mirror of a
+    * mirror is still a mirror of the original at ≥ share² of ITS
+    * length only transitively; callers needing the clustered form
+    * compose the pair table with [[connectedComponents]] instead).
+    *
+    * Exact integers: qualifying test max_len·10³ ≥ minShare·len₂ (a
+    * cross-multiplication, no division); reported max_share_milli =
+    * max over qualifying pairs of max_len·10³ DIV len₂, NULL for kept
+    * docs ("no qualifying pair" is not "share 0"). Docs shorter than
+    * the anchor width never pair and are always kept.
+    *
+    * Scale shape: the pair table (see [[longestSharedSubstrings]]'
+    * contract) plus one lens join, one per-doc max agg, one left join
+    * back to the doc spine. Output: (id, len, max_share_milli, kept)
+    * — one row per input doc. */
+  def substringDedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      minShareMilli: Long, k: Int = 24, w: Int = 9, minLen: Int = 32,
+      maxGramOcc: Long = 1L << 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minShareMilli >= 1 && minShareMilli <= 1000,
+      s"need minShareMilli in [1, 1000], got $minShareMilli")
+    val pairs = longestSharedSubstrings(df, idCol, textCol, k, w,
+      minLen, maxGramOcc, checkpointer)
+    val lens = df.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("len"))
+    val drops = pairs
+      .join(lens.select(col("id").as("id2"), col("len").as("__len2")),
+        Seq("id2"))
+      .where(col("max_len") * 1000L >= lit(minShareMilli) * col("__len2"))
+      .groupBy(col("id2").as("id"))
+      .agg(max(expr("max_len * 1000 DIV __len2")).as("max_share_milli"))
+    lens.join(drops, Seq("id"), "left")
+      .select(col("id"), col("len"), col("max_share_milli"),
+        col("max_share_milli").isNull.as("kept"))
+  }
+
   /** Cluster-size audit of a dedup clustering — the distribution
     * check read after [[connectedComponents]] and before any
     * keep-one election: a healthy near-dup clustering is almost all

@@ -4475,7 +4475,23 @@ object Extensions {
       .orderBy("id1", "id2")
   }
 
+  /** q312 — substring-dedup corpus policy
+    * ([[Dedup.substringDedupCorpus]]): the doc-level verdict over
+    * q309's pair table — a doc whose longest substring shared with an
+    * earlier doc covers ≥ 60% of its own characters is dropped
+    * (keep-first). One row per doc: (id, len, max_share_milli NULL
+    * when kept, kept). The greedy one-pass rule is stated in the
+    * operator doc; the oracle recomputes pairs by brute-force
+    * diagonal runs and applies the identical cross-multiplied
+    * qualifying test. */
+  def q312SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedupCorpus(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      minShareMilli = 600, k = 24, w = 9, minLen = 32)
+      .orderBy("id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_substring_dedup" -> (q312SubstringDedup _),
     "q311_lsh_edit_verify" -> (q311LshEditVerify _),
     "q310_shared_substrings_incr" -> (q310SharedSubstringsIncr _),
     "q309_shared_substrings" -> (q309SharedSubstrings _),
@@ -5663,6 +5679,32 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q312_substring_dedup" ->
+      ("""WITH d AS (SELECT doc_id AS id, text AS tx FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT id, i AS pos, substring(tx, i, 24) AS gram
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(tx) - 23, 0))) AS i)),
+        |m AS (SELECT a.id AS id1, a.pos AS p1, b.id AS id2, b.pos AS p2
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+        |r AS (SELECT id1, id2, p1 - p2 AS diag,
+        |    p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2
+        |      ORDER BY p1) AS grp
+        |  FROM m),
+        |runs AS (SELECT id1, id2, count(1) + 23 AS run_len
+        |  FROM r GROUP BY id1, id2, diag, grp),
+        |pl AS (SELECT id1, id2, max(run_len)::BIGINT AS max_len
+        |  FROM runs GROUP BY id1, id2 HAVING max(run_len) >= 32),
+        |lens AS (SELECT doc_id AS id, length(text)::BIGINT AS len
+        |  FROM documents),
+        |dr AS (SELECT p.id2 AS id,
+        |    max(p.max_len * 1000 // l.len)::BIGINT AS max_share_milli
+        |  FROM pl p JOIN lens l ON l.id = p.id2
+        |  WHERE p.max_len * 1000 >= 600 * l.len GROUP BY p.id2)
+        |SELECT l.id, l.len, dr.max_share_milli,
+        |  dr.id IS NULL AS kept
+        |FROM lens l LEFT JOIN dr ON dr.id = l.id
+        |ORDER BY l.id""".stripMargin),
     "q311_lsh_edit_verify" -> {
       val candBranches = (0 until lshBands).map(b =>
         s"""SELECT l.doc_id AS id1, r.doc_id AS id2

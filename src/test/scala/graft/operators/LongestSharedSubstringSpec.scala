@@ -97,6 +97,23 @@ class LongestSharedSubstringSpec extends SparkSpec {
     assert(run(Seq((1L, null), (2L, "abc"), (3L, "abc"))).isEmpty)
   }
 
+  test("corpus policy drops the younger doc of a qualifying pair, keep-first") {
+    import spark.implicits._
+    val shared = "SHAREDRUNABCDEFGHIJ" // 19 chars >= floor 8
+    val rows = Seq(
+      (1L, "xxxx" + shared + "yyyy"), // elder of the pair: kept
+      (2L, shared + "zz"), // 19/21 of its chars shared -> dropped
+      (3L, "totally unrelated doc here")) // kept, NULL share
+    val got = Dedup.substringDedupCorpus(rows.toDF("id", "tx"),
+        "id", "tx", minShareMilli = 600, k = 5, w = 4, minLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3)))).toMap
+    assert(got(1L) == ((27L, None, true)))
+    assert(got(2L) == ((21L, Some(19L * 1000 / 21), false)))
+    assert(got(3L)._3 && got(3L)._2.isEmpty)
+  }
+
   test("a minLen below the winnowing floor is refused loudly") {
     val ex = intercept[IllegalArgumentException] {
       run(Seq((1L, "abcdefghij")), k = 5, w = 4, minLen = 7)
