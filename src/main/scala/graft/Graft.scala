@@ -39,11 +39,25 @@ object Graft {
     s
   }
 
-  /** Local session for the harness mains. */
+  /** Local session for the harness mains.
+    *
+    * AQE partition sizing is re-tuned for LOCAL scale factors: AQE
+    * coalesces shuffle reads by BYTES (minPartitionSize default
+    * 1 MB), and the CPU-dense frames these operators shuffle —
+    * candidate pairs, hash tables, counter spines — are byte-tiny at
+    * sf0.1 while quadratic in per-row compute, so the default
+    * coalesced the q311 banded-DP stage onto ONE task (measured 12 s
+    * single-task twice — the orderBy's range-partitioning sampling
+    * re-executes the child — where the spread form takes a fraction).
+    * 64 KB keeps byte-tiny kernel stages at the session's
+    * parallelism; a cluster deployment builds its own session via
+    * [[builder]] and keeps the cluster-appropriate defaults. */
   def session(cores: String): SparkSession = {
     val s = builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

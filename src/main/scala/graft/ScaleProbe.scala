@@ -46,7 +46,9 @@ object ScaleProbe {
     "q167_stupid_backoff", "q25_minhash_lsh", "q206_mlm_mask",
     "q125_perplexity_buckets", "q223_poisson_bootstrap", "q263_pq_ann",
     "q240_bradley_terry", "q116_span_dedup", "q297_edit_pairs",
-    "q308_edit_pairs_recall", "q309_shared_substrings")
+    "q308_edit_pairs_recall", "q309_shared_substrings",
+    "q310_shared_substrings_incr", "q311_lsh_edit_verify",
+    "q312_substring_dedup")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val rep = broadcast(spark.range(10).select(col("id").as("__r")))

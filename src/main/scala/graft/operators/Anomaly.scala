@@ -1294,6 +1294,61 @@ object Anomaly {
             | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
   }
 
+  /** Mood's median test per group (Mood 1950) — do the k levels
+    * differ in their MEDIANS? The coarsest, most assumption-free
+    * member of the k-level family: [[kruskalWallis]] uses full rank
+    * information (more power, but a contaminated tail still moves
+    * ranks); this test reduces every value to one bit — above the
+    * group's pooled grand median or not — and asks χ² whether that
+    * bit is independent of the level. The audit to reach for when the
+    * metric is ordinal-at-best or the tails are untrustworthy by
+    * construction (clipped latencies, capped scores).
+    *
+    * Composition, not re-derivation: the grand center is the LOWER
+    * median at histogram granularity (the [[madOutliers]]
+    * convention), the verdict is [[chiSquaredIndependence]] verbatim
+    * on (level × above-bit) — its exact per-cell truncation
+    * discipline, its NULL conventions, its Cramér's V tail. Values
+    * EQUAL to the median land in the 'le' cell (the classic
+    * grand-median dichotomy; stated, since ties at the median are
+    * the norm on bucketed metrics). NULL metrics/levels drop
+    * fail-visibly into `n_skipped`; an all-NULL group keeps its row
+    * with NULL median and verdict.
+    *
+    * Scale shape: ONE corpus-sized (group, value) counter agg for the
+    * median (windows over the per-group distinct-value spine — the
+    * [[ksDrift]] integral bounded-cardinality score contract), one
+    * broadcast-friendly median join back to the corpus, then the χ²
+    * counter aggregation. Output: (groupCol, grand_median, n,
+    * n_skipped, n_row_cats, n_col_cats, dof, chi2_micro, v_milli). */
+  def moodMedianTest(df: DataFrame, groupCol: String, level: Column,
+      metric: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      level.cast("string").as("__l"), metric.cast("long").as("__y"))
+    val hist = checkpointer(base
+      .where(col("__l").isNotNull && col("__y").isNotNull)
+      .groupBy("__g", "__y").agg(count(lit(1)).as("__c")))
+    val tot = hist.groupBy("__g").agg(sum("__c").as("__n"))
+    val med = hist.join(tot, Seq("__g"))
+      .withColumn("__cum", sum("__c")
+        .over(Window.partitionBy("__g").orderBy("__y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("__cum") * 2 >= col("__n"))
+      .groupBy("__g").agg(min("__y").as("grand_median"))
+    val joined = base.join(med, Seq("__g"), "left")
+    val verdict = chiSquaredIndependence(joined, "__g", col("__l"),
+      when(col("__y").isNull || col("grand_median").isNull,
+        lit(null).cast("string"))
+        .otherwise(when(col("__y") > col("grand_median"), lit("above"))
+          .otherwise(lit("le"))))
+    verdict
+      .join(keyed(med, "__gm"), col("__g") <=> col("__gm"), "left")
+      .select(col("__g").as(groupCol), col("grand_median"), col("n"),
+        col("n_skipped"), col("n_row_cats"), col("n_col_cats"),
+        col("dof"), col("chi2_micro"), col("v_milli"))
+  }
+
   /** Median/MAD robust outlier gate per group (Hampel 1974; the
     * Leys et al. 2013 recommendation over mean/σ): `n_outliers`
     * counts rows with |x − median| · 1000 > kMilli · MAD — the

@@ -525,10 +525,25 @@ object Dedup {
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
     val k = bands * rowsPerBand
-    withMinhashBands(df, textCol, bands, rowsPerBand)
+    withMinhashBands(spread(df.select(col(idCol), col(textCol))),
+        textCol, bands, rowsPerBand)
       .select(col(idCol).as("id") +:
         (0 until k).map(i => col(s"mh$i")) :+
         array((0 until bands).map(b => col(s"band$b")): _*).as("bands"): _*)
+  }
+
+  /** Spread a kernel-heavy projection across the session's
+    * parallelism when the source has FEWER partitions — a
+    * single-row-group local file (unsplittable: Spark assigns one
+    * task per row group regardless of maxPartitionBytes) would
+    * otherwise run every per-row kernel single-threaded ahead of the
+    * first shuffle (measured: the whole LSH signature stage of the
+    * q311 probe on one task). On a real lake the input has thousands
+    * of splits and this is a no-op — the corpus never pays a
+    * gratuitous text shuffle. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= nPart) df else df.repartition(nPart)
   }
 
   /** True when `df` already carries the [[minhashSignatureTable]] shape
@@ -592,7 +607,18 @@ object Dedup {
     val candAll = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val cand = maxBucketSize.fold(candAll)(capBuckets(candAll, _, "self-pairs"))
-    val pairs = cand.as("l").join(cand.as("r"),
+    // the in-bucket pair enumeration is the cost center and is
+    // embarrassingly parallel by bucket — spread the probe side
+    // across the cluster rather than inheriting the input's
+    // file-partitioning (a single small parquet file would otherwise
+    // enumerate EVERY bucket's pairs on one task — measured 5× on the
+    // q311 probe). One narrow shuffle of (id, band) rows, trivial
+    // next to the pair work it distributes; EXPLICIT count because
+    // AQE's byte-based coalesce would re-merge this byte-tiny,
+    // CPU-heavy frame onto one task (the editVerifyPairsOf lesson).
+    val nPart = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = cand.repartition(nPart, col("band_no"), col("band_key")).as("l")
+      .join(cand.as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
@@ -639,7 +665,15 @@ object Dedup {
         conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"),
         expr(s"CASE WHEN __bn > $cap THEN (__bn + $cap - 1) DIV $cap ELSE 1L END")))
       .drop("__bn")
-    val pairs = cand.as("l").join(cand.as("r"),
+    // spread by SUB-bucket (salt included): splitting a hot bucket
+    // into ceil(n/cap) sub-buckets only bounds wall-clock if the
+    // sub-buckets actually land on different tasks (see the
+    // minhashDedupPairs repartition note — explicit count, AQE's
+    // byte-based coalesce would undo a bare column repartition)
+    val nPart = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = cand
+      .repartition(nPart, col("band_no"), col("band_key"), col("__salt")).as("l")
+      .join(cand.as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.__salt") === col("r.__salt") && col("l.id") < col("r.id"))
@@ -689,7 +723,13 @@ object Dedup {
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val bCand = maxBucketSize.fold(cands(bSig))(capBuckets(cands(bSig), _, "base-pairs"))
     val nCand = maxBucketSize.fold(cands(nSig))(capBuckets(cands(nSig), _, "batch-pairs"))
-    val pairs = nCand.as("n").join(bCand.as("b"),
+    // spread the probe (batch) side by bucket — the minhashDedupPairs
+    // repartition note; a single-file batch would otherwise enumerate
+    // every bucket's cross pairs on one task (explicit count: AQE's
+    // byte-based coalesce would undo a bare column repartition)
+    val nPart = nSig.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = nCand.repartition(nPart, col("band_no"), col("band_key")).as("n")
+      .join(bCand.as("b"),
         col("n.band_no") === col("b.band_no") &&
         col("n.band_key") === col("b.band_key"))
       .select(col("n.id").as("new_id"), col("b.id").as("base_id"))
@@ -1257,6 +1297,16 @@ object Dedup {
     * [[longestSharedSubstrings]]' anchors, an IVF bucket. This is the
     * candidate→verify discipline's verify half as its own operator.
     *
+    * THE KERNEL-PRUNING ENVELOPE, measured the hard way (q311's
+    * first face: 1222 s at sf0.1): at a loose threshold the per-pair
+    * band is maxDist = maxlen·(1000−minSim)/1000 — at minSim 350
+    * that is 65 % of the text, so the "banded" DP is a near-full
+    * O(len²) kernel AND the q-gram counting bound can never fire
+    * (L1 ≤ len₁+len₂ ≤ 2·maxDist identically). Loose-threshold
+    * verification must bound the TEXT ITSELF (pass prefixes as
+    * `textCol`, the q297/q311 recipe); the pruning layers only earn
+    * their keep when maxDist ≪ len, i.e. tight thresholds.
+    *
     * `cand` is (id1, id2) rows (the LSH output shape; ids must
     * resolve in `docs` — an unresolvable id drops its pair, the inner
     * join's contract). Same pruning algebra as [[editVerifiedPairs]],
@@ -1272,7 +1322,15 @@ object Dedup {
     val t = docs.select(col(idCol).as("__vid"), col(textCol).as("__tx"),
       length(col(textCol)).cast("long").as("__len"),
       graft.expressions.CharCounts(col(textCol)).as("__cc"))
+    // EXPLICIT partition count, not repartition(cols) alone: AQE
+    // coalesces shuffle partitions by BYTES, and a candidate-pair
+    // frame is tiny in bytes while quadratic in CPU — the byte-blind
+    // coalesce ran all 74k DPs of the q311 probe on ONE task (12 s
+    // where the spread form takes a fraction). An explicit count is
+    // the documented way to opt a user repartition out of coalescing.
+    val nPart = cand.sparkSession.sessionState.conf.numShufflePartitions
     val j = cand.select(col("id1"), col("id2"))
+      .repartition(nPart, col("id1"), col("id2"))
       .join(t.select(col("__vid").as("id1"), col("__tx").as("__tx1"),
         col("__len").as("len1"), col("__cc").as("__cc1")), Seq("id1"))
       .join(t.select(col("__vid").as("id2"), col("__tx").as("__tx2"),
@@ -1308,8 +1366,11 @@ object Dedup {
     // inheriting the input's file-partitioning (a single small input
     // file would otherwise evaluate every pair's condition on ONE
     // task). One narrow shuffle of the projected prefix table,
-    // trivial next to the pair work it distributes.
-    val l = t.repartition(col("block")).as("l"); val r = t.as("r")
+    // trivial next to the pair work it distributes. EXPLICIT count:
+    // AQE coalesces by bytes and this frame is byte-tiny, CPU-heavy
+    // (the editVerifyPairsOf lesson) — an explicit count opts out.
+    val nPart = t.sparkSession.sessionState.conf.numShufflePartitions
+    val l = t.repartition(nPart, col("block")).as("l"); val r = t.as("r")
     val maxLen = greatest(col("l.len"), col("r.len"))
     val lenGap = abs(col("l.len") - col("r.len"))
     val maxDist = expr(

@@ -986,6 +986,91 @@ object Sampling {
           .as("eta2_micro"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test per group (Brown &
+    * Forsythe 1974 — Levene's test with the MEDIAN center): does the
+    * metric's SPREAD differ across k levels? The companion
+    * [[anovaOneWay]]'s F silently assumes away: an arm can leave the
+    * mean untouched and still fatten the tails (a flaky shard family,
+    * a mixed-quality source), and equal-variance is also ANOVA's own
+    * entry condition — this is the test run BEFORE trusting q300's F.
+    * The statistic is exactly a one-way ANOVA F computed on
+    * zᵢⱼ = |yᵢⱼ − medianⱼ|; the median center (not Levene's mean) is
+    * what keeps it robust on the heavy-tailed metrics pipelines
+    * actually audit.
+    *
+    * Exact integers: per-level centers are LOWER medians at histogram
+    * granularity (the [[graft.operators.Anomaly.madOutliers]]
+    * convention — smallest value with 2·cum ≥ n), so z is an exact
+    * long, and the F tail is the [[anovaOneWay]] algebra verbatim:
+    * P_j = (10⁶·S_j²) DIV n_j, W = Σ(10⁶·SS_j − P_j), B clamped ≥ 0,
+    * f_milli = (n−k)·B·10³ DIV ((k−1)·W), eta2_micro = B·10⁶ DIV
+    * (B+W) — every division non-negative (truncation = floor on both
+    * engines). Same honest ceiling as ANOVA: level z-sums ≤ 10¹⁶
+    * micro-units. Degenerate: k < 2 levels or W = 0 (every level's
+    * deviations internally constant) → NULL f_milli. NULL
+    * metrics/levels drop fail-visibly into `n_skipped`; NULL group
+    * keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, level, value) counter agg
+    * (checkpointed for its two consumers); the median scan runs per
+    * (group, level) over the distinct-value spine (integral bounded-
+    * cardinality values by contract — the [[graft.operators.Anomaly
+    * .ksDrift]] score convention); the F reduction is three counters
+    * per level. Output: (groupCol, n, n_levels, n_skipped, f_milli,
+    * eta2_micro) — the [[anovaOneWay]] shape, read side by side. */
+  def brownForsythe(df: DataFrame, groupCol: String, level: Column,
+      metric: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      level.cast("string").as("__l"), metric.cast("long").as("__y"))
+    val ok = col("__l").isNotNull && col("__y").isNotNull
+    // ONE corpus-sized counter agg; NULL rows ride along as their own
+    // cells so n_skipped needs no second corpus scan
+    val hist = checkpointer(base.groupBy("__g", "__l", "__y")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__l").isNull || col("__y").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val hv = hist.where(col("__l").isNotNull && col("__y").isNotNull)
+    val nPerLevel = hv.groupBy("__g", "__l").agg(sum("__c").as("__n"))
+    val wCum = Window.partitionBy("__g", "__l").orderBy("__y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hv.join(nPerLevel, Seq("__g", "__l"))
+      .withColumn("__cum", sum("__c").over(wCum))
+      .where(col("__cum") * 2 >= col("__n"))
+      .groupBy("__g", "__l").agg(min("__y").as("__med"))
+    val perLevel = hv.join(med, Seq("__g", "__l"))
+      .select(col("__g"), col("__l"),
+        abs(col("__y") - col("__med")).as("__z"), col("__c"))
+      .groupBy("__g", "__l").agg(
+        sum("__c").as("__n"),
+        sum(col("__z").cast("decimal(38,0)") * col("__c")).as("__s"),
+        sum(col("__z").cast("decimal(38,0)") * col("__z") * col("__c"))
+          .as("__ss"))
+    val stats = perLevel.groupBy(col("__g").as("__ag")).agg(
+        sum("__n").as("n"),
+        count(lit(1)).as("n_levels"),
+        sum(expr("(__s * __s * 1000000) DIV __n")).as("__p"),
+        sum(expr("__ss * 1000000")).as("__sstot"),
+        sum("__s").as("__stot"))
+      .withColumn("__w", expr("__sstot - __p"))
+      .withColumn("__b", greatest(
+        expr("__p - (__stot * __stot * 1000000) DIV n"),
+        lit(0L).cast("decimal(38,0)")))
+    skipped.join(stats, col("__g") <=> col("__ag"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_levels"), lit(0L)).as("n_levels"),
+        col("n_skipped"),
+        when(col("n_levels") >= 2L && col("__w") > 0L, expr(
+          """CAST(CAST(n - n_levels AS DECIMAL(38,0)) * __b * 1000
+            | DIV (CAST(n_levels - 1 AS DECIMAL(38,0)) * __w) AS BIGINT)"""
+            .stripMargin)).as("f_milli"),
+        when(col("__b") + col("__w") > 0L, expr(
+          "CAST(__b * 1000000 DIV (__b + __w) AS BIGINT)"))
+          .as("eta2_micro"))
+  }
+
   /** Welch's unequal-variance t per group (Welch 1947) — the
     * two-sample test to DEFAULT to: [[cohensD]]'s pooled SD (and the
     * classic Student t) silently assumes both arms share a variance,

@@ -4463,15 +4463,29 @@ object Extensions {
     * all-pairs-within-block cost face grows quadratically because its
     * block key has bounded cardinality (19× wall-clock for 10× data,
     * SCALEPROBE_r13.json), while this face's candidates come from
-    * banded LSH, whose output stays ~linear in the corpus. The
-    * verifier is the identical three-layer pruned banded DP at
-    * sim ≥ 0.35 over FULL texts; the oracle replays q25's signature
-    * CTEs for the candidate set, then the same verification algebra. */
+    * SALT-SPLIT banded LSH (q123's generator — the hot-bucket policy
+    * that keeps a boilerplate family of n docs at O(n·cap) candidates
+    * instead of n²), and the verifier is the identical three-layer
+    * pruned banded DP at sim ≥ 0.35 over 120-char PREFIXES. Both
+    * bounds are this face's own lessons applied to itself, measured:
+    * the UNCAPPED candidate set grew 89× for 10× docs (2.07 M pairs
+    * at sf0.1 — near-dup families square inside their buckets), and
+    * on unbounded text a loose threshold makes maxDist = 0.65·len, so
+    * the "banded" kernel is a near-full O(len²) DP and the q-gram
+    * prune can never fire (L1 ≤ len₁+len₂ ≤ 2·maxDist identically) —
+    * the uncapped full-text form measured 1222 s at sf0.1 where this
+    * form takes seconds. Loose-threshold verification must bound the
+    * CANDIDATES and the TEXT, not just the band. The oracle replays
+    * q123's salted signature CTEs for the candidate set, then the
+    * same verification algebra. */
   def q311LshEditVerify(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     Dedup.editVerifyPairsOf(
-      Dedup.minhashDedupPairs(d, "doc_id", "text").select("id1", "id2"),
-      d, "doc_id", "text", 350)
+      Dedup.minhashDedupPairsSalted(d, "doc_id", "text", cap = q87Cap)
+        .select("id1", "id2"),
+      d.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("prefix")),
+      "doc_id", "prefix", 350)
       .orderBy("id1", "id2")
   }
 
@@ -4490,7 +4504,39 @@ object Extensions {
       minShareMilli = 600, k = 24, w = 9, minLen = 32)
       .orderBy("id")
 
+  /** q313 — Brown–Forsythe variance homogeneity per event type
+    * ([[Sampling.brownForsythe]]): does the cents metric's SPREAD
+    * differ across the four user-id arms — the entry condition q300's
+    * ANOVA F assumes, tested on the SAME fixture (same arms, same
+    * NULL injections) so the pair reads together. Median-centered
+    * deviations keep it honest on heavy tails. */
+  def q313BrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    Sampling.brownForsythe(
+      Tables(spark, dir, "events"), "event_type",
+      when(col("event_id") % 59 === 0, lit(null).cast("string"))
+        .otherwise((col("user_id") % 4).cast("string")),
+      when(col("event_id") % 29 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")))
+      .orderBy("event_type")
+
+  /** q314 — Mood's median test per source
+    * ([[Anomaly.moodMedianTest]]): are the langs' n_chars medians
+    * equal within each source — the one-bit-per-row k-level verdict
+    * that survives untrustworthy tails where q306's Kruskal–Wallis
+    * reads full ranks. Every 37th doc NULL-metriced and every 53rd
+    * NULL-levelled (fail-visible n_skipped). */
+  def q314MoodMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.moodMedianTest(
+      Tables(spark, dir, "documents"), "source",
+      when(col("doc_id") % 53 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")),
+      when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+        .otherwise(col("n_chars")))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_mood_median" -> (q314MoodMedian _),
+    "q313_brown_forsythe" -> (q313BrownForsythe _),
     "q312_substring_dedup" -> (q312SubstringDedup _),
     "q311_lsh_edit_verify" -> (q311LshEditVerify _),
     "q310_shared_substrings_incr" -> (q310SharedSubstringsIncr _),
@@ -5679,6 +5725,89 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q313_brown_forsythe" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
+        |    CASE WHEN event_id % 59 = 0 THEN NULL
+        |      ELSE (user_id % 4)::VARCHAR END AS l,
+        |    CASE WHEN event_id % 29 = 0 THEN NULL
+        |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS y
+        |  FROM events),
+        |sk AS (SELECT g, count(CASE WHEN l IS NULL OR y IS NULL
+        |    THEN 1 END)::BIGINT AS n_skipped FROM base GROUP BY g),
+        |hist AS (SELECT g, l, y, count(1)::BIGINT AS c FROM base
+        |  WHERE l IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2, 3),
+        |nl AS (SELECT g, l, sum(c)::BIGINT AS n FROM hist GROUP BY g, l),
+        |cum AS (SELECT h.g, h.l, h.y, h.c, nl.n,
+        |    sum(h.c) OVER (PARTITION BY h.g, h.l ORDER BY h.y)::BIGINT AS cum
+        |  FROM hist h JOIN nl ON nl.g = h.g AND nl.l = h.l),
+        |med AS (SELECT g, l, min(y)::BIGINT AS med FROM cum
+        |  WHERE cum * 2 >= n GROUP BY g, l),
+        |z AS (SELECT h.g, h.l, abs(h.y - m.med)::HUGEINT AS z, h.c
+        |  FROM hist h JOIN med m ON m.g = h.g AND m.l = h.l),
+        |pl AS (SELECT g, l, sum(c)::BIGINT AS n, sum(z * c) AS s,
+        |    sum(z * z * c) AS ss FROM z GROUP BY g, l),
+        |ag AS (SELECT g, sum(n)::BIGINT AS n, count(1)::BIGINT AS n_levels,
+        |    coalesce(sum((s * s * 1000000) // n), 0) AS p,
+        |    sum(ss * 1000000) AS sstot, sum(s) AS stot
+        |  FROM pl GROUP BY g),
+        |f AS (SELECT *, sstot - p AS w,
+        |    greatest(p - (stot * stot * 1000000) // n, 0) AS b FROM ag)
+        |SELECT sk.g AS event_type, coalesce(f.n, 0)::BIGINT AS n,
+        |  coalesce(f.n_levels, 0)::BIGINT AS n_levels, sk.n_skipped,
+        |  CASE WHEN f.n_levels >= 2 AND f.w > 0 THEN
+        |    CAST((f.n - f.n_levels)::HUGEINT * f.b * 1000
+        |      // ((f.n_levels - 1)::HUGEINT * f.w) AS BIGINT) END AS f_milli,
+        |  CASE WHEN f.b + f.w > 0 THEN
+        |    CAST(f.b * 1000000 // (f.b + f.w) AS BIGINT) END AS eta2_micro
+        |FROM sk LEFT JOIN f ON f.g = sk.g ORDER BY event_type""".stripMargin),
+    "q314_mood_median" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL ELSE lang END AS l,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS y
+        |  FROM documents),
+        |hist AS (SELECT g, y, count(1)::BIGINT AS c FROM base
+        |  WHERE l IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(c)::BIGINT AS n FROM hist GROUP BY g),
+        |cum AS (SELECT h.g, h.y, h.c, t.n,
+        |    sum(h.c) OVER (PARTITION BY h.g ORDER BY h.y)::BIGINT AS cum
+        |  FROM hist h JOIN tot t ON t.g = h.g),
+        |med AS (SELECT g, min(y)::BIGINT AS grand_median FROM cum
+        |  WHERE cum * 2 >= n GROUP BY g),
+        |cat AS (SELECT b.g, b.l AS r,
+        |    CASE WHEN b.y IS NULL OR m.grand_median IS NULL THEN NULL
+        |      WHEN b.y > m.grand_median THEN 'above' ELSE 'le' END AS c
+        |  FROM base b LEFT JOIN med m ON m.g = b.g),
+        |cells AS (SELECT g, r, c, count(1)::BIGINT AS o FROM cat
+        |  GROUP BY 1, 2, 3),
+        |sk AS (SELECT g, coalesce(sum(CASE WHEN r IS NULL OR c IS NULL
+        |    THEN o END), 0)::BIGINT AS n_skipped FROM cells GROUP BY g),
+        |ok AS (SELECT * FROM cells WHERE r IS NOT NULL AND c IS NOT NULL),
+        |rt AS (SELECT g, r, sum(o)::HUGEINT AS rt FROM ok GROUP BY g, r),
+        |ct AS (SELECT g, c, sum(o)::HUGEINT AS ct FROM ok GROUP BY g, c),
+        |gt AS (SELECT g, sum(o)::HUGEINT AS n,
+        |    count(DISTINCT r)::BIGINT AS nr,
+        |    count(DISTINCT c)::BIGINT AS nc FROM ok GROUP BY g),
+        |dterm AS (SELECT rt.g, gt.n, gt.nr, gt.nc, rt.rt, ct.ct,
+        |    gt.n * coalesce(ok.o, 0)::HUGEINT - rt.rt * ct.ct AS d
+        |  FROM rt JOIN ct ON ct.g = rt.g JOIN gt ON gt.g = rt.g
+        |  LEFT JOIN ok ON ok.g = rt.g AND ok.r = rt.r AND ok.c = ct.c),
+        |agg AS (SELECT g, max(n) AS n, max(nr) AS nr, max(nc) AS nc,
+        |    sum((d * d * 1000000) // (n * rt * ct)) AS chi2
+        |  FROM dterm GROUP BY g)
+        |SELECT sk.g AS source, med.grand_median,
+        |  coalesce(agg.n, 0)::BIGINT AS n, sk.n_skipped,
+        |  coalesce(agg.nr, 0)::BIGINT AS n_row_cats,
+        |  coalesce(agg.nc, 0)::BIGINT AS n_col_cats,
+        |  (greatest(coalesce(agg.nr, 0) - 1, 0)
+        |   * greatest(coalesce(agg.nc, 0) - 1, 0))::BIGINT AS dof,
+        |  CASE WHEN agg.n > 0 THEN agg.chi2::BIGINT END AS chi2_micro,
+        |  CASE WHEN agg.n > 0 AND least(agg.nr, agg.nc) > 1 THEN
+        |    CAST(round(sqrt(CAST(agg.chi2 AS DOUBLE)
+        |      / (CAST(agg.n AS DOUBLE) * (least(agg.nr, agg.nc) - 1))))
+        |      AS BIGINT) END AS v_milli
+        |FROM sk LEFT JOIN agg ON agg.g = sk.g
+        |LEFT JOIN med ON med.g = sk.g
+        |ORDER BY source""".stripMargin),
     "q312_substring_dedup" ->
       ("""WITH d AS (SELECT doc_id AS id, text AS tx FROM documents
         |  WHERE text IS NOT NULL),
@@ -5706,15 +5835,27 @@ object Extensions {
         |FROM lens l LEFT JOIN dr ON dr.id = l.id
         |ORDER BY l.id""".stripMargin),
     "q311_lsh_edit_verify" -> {
+      // q123's salted candidate generator: oversized buckets pair
+      // within ceil(n/cap) md5-salt sub-buckets
+      val counts = (0 until lshBands).map(b =>
+        s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
+        .mkString(",\n")
+      def saltOf(side: String) =
+        s"(('0x' || substring(md5($side.doc_id::VARCHAR), 1, 15))::BIGINT " +
+          s"% (CASE WHEN c.n > ${q87Cap} THEN (c.n + ${q87Cap} - 1) // ${q87Cap} ELSE 1 END))"
       val candBranches = (0 until lshBands).map(b =>
         s"""SELECT l.doc_id AS id1, r.doc_id AS id2
-           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""".stripMargin)
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
+           |JOIN cnt$b c ON c.key = l.band$b
+           |WHERE ${saltOf("l")} = ${saltOf("r")}""".stripMargin)
         .mkString("\nUNION\n")
       s"""WITH $lshSigDefs,
+        |$counts,
         |cand AS (SELECT DISTINCT id1, id2 FROM (
         |$candBranches
         |)),
-        |t AS (SELECT doc_id AS id, text AS tx, length(text)::BIGINT AS len
+        |t AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    length(substring(text, 1, 120))::BIGINT AS len
         |  FROM documents),
         |p AS (SELECT c.id1, c.id2, a.len AS len1, b.len AS len2,
         |    greatest(a.len, b.len) AS ml,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.brownForsythe]] and [[Anomaly.moodMedianTest]]: the
+  * exact integer algebra on hand-computed fixtures, the NULL
+  * conventions, and the degenerate poles. */
+class MedianTestsSpec extends SparkSpec {
+
+  test("Brown-Forsythe: equal medians, different spreads -> exact F") {
+    import spark.implicits._
+    // level a: [1,1,5,5] (lower median 1, z = 0,0,4,4)
+    // level b: [3,3,3,3] (median 3, z = 0,0,0,0)
+    // P_a = (1e6*64) DIV 4 = 16e6; W = 32e6 - 16e6 = 16e6
+    // B = 16e6 - (1e6*64) DIV 8 = 8e6
+    // f_milli = 6 * 8e6 * 1000 DIV 16e6 = 3000; eta2 = 8e6*1e6 DIV 24e6
+    val rows = Seq(("g", "a", 1L), ("g", "a", 1L), ("g", "a", 5L),
+      ("g", "a", 5L), ("g", "b", 3L), ("g", "b", 3L), ("g", "b", 3L),
+      ("g", "b", 3L))
+    val got = Sampling.brownForsythe(rows.toDF("g", "l", "y"),
+        "g", col("l"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("g", 8L, 2L, 0L, 3000L, 333333L)))
+  }
+
+  test("Brown-Forsythe: NULLs fail-visible; constant-deviation group NULL F") {
+    import spark.implicits._
+    val rows = Seq(("g", "a", Some(2L)), ("g", "a", Some(2L)),
+      ("g", "b", Some(7L)), ("g", "b", Some(7L)),
+      ("g", null, Some(9L)), ("g", "a", None),
+      ("h", null, None))
+    val df = rows.toDF("g", "l", "y")
+    val got = Sampling.brownForsythe(df, "g", col("l"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.isNullAt(4)))).toMap
+    // every z is 0 in both levels -> W = 0 -> NULL F, not 0
+    assert(got("g") == ((4L, 2L, 2L, true)))
+    assert(got("h") == ((0L, 0L, 1L, true)))
+  }
+
+  test("Mood's median: perfect association -> chi2 = n, V = 1") {
+    import spark.implicits._
+    val rows = Seq(("g", "a", Some(10L)), ("g", "a", Some(10L)),
+      ("g", "a", Some(10L)), ("g", "b", Some(1L)), ("g", "b", Some(1L)),
+      ("g", "b", Some(1L)), ("g", "a", None),
+      ("h", null, None))
+    val got = Anomaly.moodMedianTest(rows.toDF("g", "l", "y"),
+        "g", col("l"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    // pooled [1,1,1,10,10,10]: lower grand median 1; a all above, b all le
+    assert(g.getLong(1) == 1L, "grand median")
+    assert(g.getLong(2) == 6L && g.getLong(3) == 1L, "n / n_skipped")
+    assert(g.getLong(7) == 6000000L, "chi2_micro of perfect 2x2 = 1e6*n")
+    assert(g.getLong(8) == 1000L, "v_milli = 1")
+    val h = got("h")
+    assert(h.isNullAt(1) && h.getLong(3) == 1L && h.isNullAt(7),
+      "all-NULL group keeps its row with NULL median and verdict")
+  }
+
+  test("Mood's median: ties at the median land in 'le' (stated)") {
+    import spark.implicits._
+    // pooled [5,5,6]: lower median 5; the two 5s are 'le', 6 'above'
+    val rows = Seq(("g", "a", 5L), ("g", "b", 5L), ("g", "b", 6L))
+    val got = Anomaly.moodMedianTest(rows.toDF("g", "l", "y"),
+        "g", col("l"), col("y")).collect()(0)
+    assert(got.getLong(1) == 5L && got.getLong(2) == 3L)
+    assert(got.getLong(5) == 2L, "both 'above' and 'le' cells present")
+  }
+}
