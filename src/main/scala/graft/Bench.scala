@@ -96,13 +96,19 @@ object Bench {
       val runsFor = samples.map(_.find(_._1 == name).get)
       (name, median(runsFor.map(_._2)), runsFor.forall(_._3))
     }
-    // Spike self-adjudication (VERDICT r12 #3): given a reference
-    // sweep (SPARK_GRAFT_BENCH_REF = the mid-round artifact), any
-    // query whose median exceeds its reference by >1.5× AND >1 s is
-    // re-measured in isolation (GC'd, min of 3) and the isolated
-    // reading REPLACES the spiked one; both ship in the artifact
-    // ("respiked"), so ambient-load bursts adjudicate themselves
-    // instead of burning a judge session (the r11/r12 pattern).
+    // Spike self-adjudication (VERDICT r12 #3, protocol tightened per
+    // ADVICE r13 #1): given a reference sweep (SPARK_GRAFT_BENCH_REF =
+    // the mid-round artifact), any query whose median exceeds its
+    // reference by >1.5× AND >1 s is re-measured in isolation (GC'd,
+    // MEDIAN of 3 — same statistic as the sweep, so the two readings
+    // are comparable). The headline "queries"/"value" fields ALWAYS
+    // carry the sweep median — the isolated reading ships only under
+    // "respiked". Substituting the isolated number into the headline
+    // was one-sided (only slow sweeps were ever re-measured), so
+    // references read from the headline could ratchet downward and a
+    // genuine modest regression could hide behind a flattering rerun;
+    // keeping the sweep median in the headline makes the artifact
+    // self-adjudicating without ever editing the primary measurement.
     val refMap: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_REF")
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       .map { p =>
@@ -111,18 +117,18 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     val respiked = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val results = sweep.map { case (name, med, ok) =>
+    sweep.foreach { case (name, med, ok) =>
       refMap.get(name) match {
         case Some(ref) if ok && med > ref * 1.5 && med - ref > 1.0 =>
           System.gc()
-          val iso = (1 to 3).map(_ =>
-            timeOne(name, SparkEntry.queries(name))._1).min
+          val iso = median((1 to 3).map(_ =>
+            timeOne(name, SparkEntry.queries(name))._1))
           respiked(name) = (med, iso)
-          System.err.println(f"[bench] $name%s spiked: sweep $med%.2f s vs ref $ref%.2f s -> isolated $iso%.2f s")
-          (name, iso, ok)
-        case _ => (name, med, ok)
+          System.err.println(f"[bench] $name%s spiked: sweep $med%.2f s vs ref $ref%.2f s -> isolated $iso%.2f s (headline keeps the sweep median)")
+        case _ =>
       }
     }
+    val results = sweep
     val loadEnd = loadavg()
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

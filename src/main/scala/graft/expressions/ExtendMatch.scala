@@ -22,8 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (possibly 0), never a fabricated length.
   *
   * Code-point units throughout (shared [[CharGramHashes.codePoints]]
-  * decode), matching ANSI `substring` position arithmetic. Cost is
-  * O(run length) per evaluation — candidates, not corpus, pay it.
+  * decode), matching ANSI `substring` position arithmetic. Cost per
+  * evaluation is O(run length) AFTER the sides' texts are decoded;
+  * the full code-point decode is O(text length) but amortizes across
+  * anchor rows through a per-thread 2-entry memo — candidate rows for
+  * the same document pair arrive consecutively from the anchor join,
+  * so a pair with m colliding anchors decodes each text once, not m
+  * times (ADVICE r13 #3: the pre-memo kernel re-decoded both full
+  * texts per row, making dense-anchor pairs O(m·len) instead of
+  * O(len + Σrun)). Memo keys are defensively copied off the row
+  * buffer (UnsafeRow string views alias reused memory).
   * Out-of-range positions extend to nothing in that direction rather
   * than throwing: the caller's positions come from a winnowed array
   * of the SAME text, so a range miss is a caller bug surfaced as a
@@ -69,9 +77,41 @@ case class ExtendMatch(t1: Expression, p1: Expression,
 }
 
 object ExtendMatch {
+
+  /** 2-entry per-thread decode memo: holds the code-point arrays of
+    * the last two DISTINCT texts this thread evaluated. The anchor
+    * join emits all candidate rows for one (t1, t2) pair before the
+    * next, so both slots stay hot for an entire pair's anchors and a
+    * text decodes once per pair per thread instead of once per row.
+    * Keys are `copy()`-detached because codegen hands this kernel
+    * UnsafeRow string VIEWS whose backing buffer is reused on the
+    * next row — caching an un-copied key would compare against
+    * whatever bytes the buffer holds later. Memory: two documents'
+    * int[] per task thread, bounded by doc size. */
+  private final class DecodeMemo {
+    private var k0: UTF8String = null; private var v0: Array[Int] = null
+    private var k1: UTF8String = null; private var v1: Array[Int] = null
+    def get(u: UTF8String): Array[Int] = {
+      if (k0 != null && k0.equals(u)) return v0
+      if (k1 != null && k1.equals(u)) { // promote to MRU slot
+        val tk = k1; val tv = v1; k1 = k0; v1 = v0; k0 = tk; v0 = tv
+        return v0
+      }
+      val key = u.copy()
+      val dec = CharGramHashes.codePoints(key)
+      k1 = k0; v1 = v0; k0 = key; v0 = dec
+      dec
+    }
+  }
+
+  private val memo = new ThreadLocal[DecodeMemo] {
+    override def initialValue(): DecodeMemo = new DecodeMemo
+  }
+
   def kernel(a: UTF8String, p1: Long, b: UTF8String, p2: Long): Long = {
-    val x = CharGramHashes.codePoints(a)
-    val y = CharGramHashes.codePoints(b)
+    val m = memo.get()
+    val x = m.get(a)
+    val y = m.get(b)
     val i0 = p1.toInt; val j0 = p2.toInt
     if (i0 < 0 || j0 < 0 || i0 > x.length || j0 > y.length) return 0L
     var r = 0

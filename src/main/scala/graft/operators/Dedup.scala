@@ -540,10 +540,30 @@ object Dedup {
     * first shuffle (measured: the whole LSH signature stage of the
     * q311 probe on one task). On a real lake the input has thousands
     * of splits and this is a no-op — the corpus never pays a
-    * gratuitous text shuffle. */
+    * gratuitous text shuffle.
+    *
+    * The partition count is read from the NON-adaptive physical plan,
+    * never via `df.rdd`: with AQE on, `.rdd` forces
+    * `getFinalPhysicalPlan`, which eagerly EXECUTES every upstream
+    * shuffle stage — a derived input (join/agg upstream, or the
+    * signature-table passthrough) would run its whole upstream plan
+    * twice, once for this count and once in the real action (ADVICE
+    * r13 #2). If the plan already contains a shuffle its output is at
+    * `numShufflePartitions` anyway, so spreading is a no-op; otherwise
+    * the plan is scan-shaped and the leaves' split counts are known
+    * without running a job (`execute()` on a leaf only constructs the
+    * scan RDD — file splits were planned at analysis time). */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= nPart) df else df.repartition(nPart)
+    val plan = df.queryExecution.sparkPlan
+    val hasShuffle = plan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.nonEmpty
+    if (hasShuffle) df
+    else {
+      val scanParts = plan.collectLeaves().map(_.execute().getNumPartitions).sum
+      if (scanParts >= nPart) df else df.repartition(nPart)
+    }
   }
 
   /** True when `df` already carries the [[minhashSignatureTable]] shape

@@ -4410,8 +4410,13 @@ object Extensions {
     val base = d.select(col("doc_id").as("id"),
       substring(col("text"), 1, 120).as("prefix"),
       col("lang"), col("source"), col("n_chars").as("blen"))
+    // twin ids live in the NEGATIVE range: -doc_id - 1 is provably
+    // disjoint from any non-negative corpus id at ANY scale factor,
+    // where the old doc_id + 10,000,000 offset could collide with
+    // real ids once the corpus grew past the constant (ADVICE r13 #5
+    // — ScaleProbe's sf1 synth multiplies doc_ids by 10)
     val twins = d.where(col("n_chars") % 32 === 31)
-      .select((col("doc_id") + 10000000L).as("id"),
+      .select((-col("doc_id") - 1L).as("id"),
         substring(col("text"), 1, 120).as("prefix"),
         col("lang"), col("source"), (col("n_chars") + 2).as("blen"))
     val u = base.unionByName(twins).withColumn("blocks", array(
@@ -5908,7 +5913,7 @@ object Extensions {
       ("""WITH d AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
         |    lang, source, n_chars AS blen FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000000, substring(text, 1, 120),
+        |  SELECT -doc_id - 1, substring(text, 1, 120),
         |    lang, source, n_chars + 2 FROM documents
         |  WHERE n_chars % 32 = 31),
         |t AS (SELECT id, tx, length(tx)::BIGINT AS len,

@@ -400,11 +400,14 @@ object StreamingAnomaly {
     * [[graft.operators.Anomaly.chiSquaredIndependence]]: per group,
     * the (row, col) contingency cells accumulate in state (O(cells)
     * FOREVER, loudly bounded by `maxCells` — categorical columns by
-    * contract, like every cell frame in the batch family; the SAME
-    * budget also bounds the r·c marginal CROSS product each trigger
-    * re-walks, because observed cells alone don't — data concentrated
-    * on a diagonal reaches r ≈ c ≈ observed cells, and an unbounded
-    * r·c walk is the stall the budget exists to prevent) and every
+    * contract, like every cell frame in the batch family; the r·c
+    * marginal CROSS product each trigger re-walks gets its own larger
+    * `maxCrossCells` budget, because observed cells alone don't bound
+    * it — data concentrated on a diagonal reaches r ≈ c ≈ observed
+    * cells, and an unbounded r·c walk is the stall the budget exists
+    * to prevent. Crossing `maxCrossCells` degrades ONLY that group —
+    * counts keep emitting, verdict columns go NULL, the query and
+    * every other group continue) and every
     * trigger re-emits the prefix-exact verdict: the full marginal
     * cross product including zero-observed cells, each term
     * (n·O − R·C)²·10⁶ DIV (n·R·C) in exact BigInt (truncation = the
@@ -415,12 +418,14 @@ object StreamingAnomaly {
     * lang × length-bucket association just changed shape" while the
     * crawl runs. NULL categories count into n_skipped, never a cell.
     * Emits (group, n, n_skipped, n_row_cats, n_col_cats, chi2_micro —
-    * None for an all-skipped group, v_milli — None at dof 0), matching
-    * the batch NULL conventions cell for cell. */
+    * None for an all-skipped or cross-budget-degraded group, v_milli —
+    * None at dof 0 or when degraded), matching the batch NULL
+    * conventions cell for cell. */
   def chiSquared(rows: Dataset[(String, String, String)],
-      maxCells: Int = 100000)
+      maxCells: Int = 100000, maxCrossCells: Long = 10000000L)
       : Dataset[(String, Long, Long, Long, Long, Option[Long], Option[Long])] = {
     require(maxCells >= 1, "need maxCells >= 1")
+    require(maxCrossCells >= 1L, "need maxCrossCells >= 1")
     import rows.sparkSession.implicits._
     rows.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update(),
@@ -445,11 +450,23 @@ object StreamingAnomaly {
             // the emit loop below is r*c, NOT |observed cells|: a
             // diagonal-concentrated stream reaches r ~ c ~ maxCells
             // while observed cells stay at maxCells, making the walk
-            // ~maxCells^2 — bound the cross product by the same budget
-            require(rt.size.toLong * ct.size.toLong <= maxCells,
-              s"group '$group' marginal cross product ${rt.size}x${ct.size} " +
-                s"exceeded $maxCells cells — the inputs must be " +
-                "categorical (the batch operator's contract)")
+            // ~maxCells^2 — a per-trigger stall the observed-cell
+            // budget can't see. The cross product gets its OWN
+            // (larger) budget, and crossing it DEGRADES the one
+            // group — counts still emit, verdict columns go NULL —
+            // instead of aborting the whole query: a sparse-but-
+            // legitimate categorical stream (50×50 levels, few
+            // observed combos) must not take down every other
+            // group's monitor (ADVICE r13 #4)
+            if (rt.size.toLong * ct.size.toLong > maxCrossCells) {
+              org.slf4j.LoggerFactory
+                .getLogger("graft.streaming.StreamingAnomaly")
+                .warn(s"chiSquared group '$group': marginal cross " +
+                s"product ${rt.size}x${ct.size} exceeded $maxCrossCells " +
+                "— emitting NULL verdict for this group (counts remain)")
+              Iterator.single((group, n, skipped, rt.size.toLong,
+                ct.size.toLong, None, None))
+            } else {
             var chi2 = BigInt(0)
             for ((r, rv) <- rt; (c, cv) <- ct) {
               val o = m.getOrElse((r, c), 0L)
@@ -469,6 +486,7 @@ object StreamingAnomaly {
               else None
             Iterator.single((group, n, skipped, rt.size.toLong,
               ct.size.toLong, if (n > 0L) Some(chi2.toLong) else None, v))
+            }
           }
       }
   }

@@ -411,6 +411,46 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(LcsTokens.kernel(arr(1L, 9L, 2L, 9L, 3L), arr(8L, 1L, 2L, 7L, 3L)) == 3)
   }
 
+  test("ExtendMatch.kernel == memo-free reference under 2-entry-cache thrash") {
+    // reference: fresh decode every call, same extend walk
+    def ref(a: String, p1: Int, b: String, p2: Int): Long = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      if (p1 < 0 || p2 < 0 || p1 > x.length || p2 > y.length) return 0L
+      var r = 0
+      while (p1 + r < x.length && p2 + r < y.length && x(p1 + r) == y(p2 + r)) r += 1
+      var l = 0
+      while (p1 - 1 - l >= 0 && p2 - 1 - l >= 0 && x(p1 - 1 - l) == y(p2 - 1 - l)) l += 1
+      (l + r).toLong
+    }
+    // 3+ distinct texts interleaved so the per-thread 2-entry decode
+    // memo constantly evicts — every hit/miss/promote path runs
+    val texts = Array.fill(5)(randomString(40) + "shared run 字λ" + randomString(40))
+    (0 until 2000).foreach { _ =>
+      val a = texts(rnd.nextInt(texts.length))
+      val b = texts(rnd.nextInt(texts.length))
+      val p1 = rnd.nextInt(a.codePointCount(0, a.length) + 2) - 1
+      val p2 = rnd.nextInt(b.codePointCount(0, b.length) + 2) - 1
+      val got = ExtendMatch.kernel(UTF8String.fromString(a), p1.toLong,
+        UTF8String.fromString(b), p2.toLong)
+      assert(got == ref(a, p1, b, p2), s"p1=$p1 p2=$p2 a=$a b=$b")
+    }
+  }
+
+  test("ExtendMatch memo survives row-buffer reuse (UnsafeRow string views alias)") {
+    // codegen hands the kernel UTF8Strings that VIEW a reused buffer;
+    // the memo must key on copied bytes, not the view — otherwise the
+    // second call below would hit the stale decode of "abcabc"
+    val buf = "abcabc".getBytes("UTF-8")
+    val probe = UTF8String.fromString("abc")
+    val v1 = UTF8String.fromBytes(buf, 0, 6) // "abcabc"
+    assert(ExtendMatch.kernel(v1, 0L, probe, 0L) == 3L)
+    "xyzxyz".getBytes("UTF-8").copyToArray(buf) // the row buffer moves on
+    val v2 = UTF8String.fromBytes(buf, 0, 6) // same backing array, new text
+    assert(ExtendMatch.kernel(v2, 0L, probe, 0L) == 0L,
+      "stale memo entry served the old buffer contents")
+    assert(ExtendMatch.kernel(v2, 0L, UTF8String.fromString("xyz"), 0L) == 3L)
+  }
+
   test("MultiDateSplit kernel: parses good elements, drops bad, null when none") {
     def run(cell: String): Option[Seq[Int]] = {
       val arr = MultiValueCells.splitDates(UTF8String.fromString(cell))

@@ -11,6 +11,31 @@ class DedupScaleSpec extends SparkSpec {
 
   private val boiler = "standard boilerplate footer text repeated across the whole crawl"
 
+  test("spread() never runs a job to learn the partition count (ADVICE r13 #2)") {
+    import spark.implicits._
+    // a derived frame: agg → shuffle upstream. The old df.rdd probe
+    // forced AQE's getFinalPhysicalPlan, which EXECUTED that shuffle
+    // once for the count and again in the real action
+    val derived = (1 to 50).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.first("text").as("text"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val out = Dedup.spread(derived)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "spread() materialized the upstream plan")
+    assert(out eq derived, "a shuffle-bearing plan is already at numShufflePartitions")
+    // a scan-shaped single-split frame still gets spread out
+    val dir = java.nio.file.Files.createTempDirectory("spreadspec").toString
+    (1 to 20).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val b2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val sp = Dedup.spread(scan)
+    val a2 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(a2 == b2, "spread() on a bare scan must stay plan-only")
+    assert(sp.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
   test("band-bucket cap: degenerate buckets are dropped, small ones survive") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, boiler)) ++ Seq(

@@ -72,21 +72,37 @@ class StreamingChi2Spec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("the marginal cross-product bound fails loud on diagonal data") {
-    // 3 observed diagonal cells fit a budget of 6, but the emit loop
-    // walks the full 3x3 = 9 marginal cross product — the stall the
-    // observed-cell bound alone can't prevent must fail loud instead
+  test("the marginal cross-product budget degrades ONE group, not the query") {
+    // 3 observed diagonal cells walk a 3x3 = 9 marginal cross product:
+    // over a budget of 8 the group must emit counts with NULL verdict
+    // columns — and a well-behaved sibling group in the SAME stream
+    // must keep its exact chi2 (the whole-query abort was the ADVICE
+    // r13 #4 bug: a sparse-but-legitimate categorical group killed
+    // every other group's monitor)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String, String)]
-    val q = StreamingAnomaly.chiSquared(in.toDS(), maxCells = 6)
+    val q = StreamingAnomaly.chiSquared(in.toDS(), maxCells = 100,
+        maxCrossCells = 8L)
       .toDF("g", "n", "sk", "nr", "nc", "chi2", "v")
-      .writeStream.format("memory").queryName("chi2_cross_bound")
+      .writeStream.format("memory").queryName("chi2_cross_degrade")
       .outputMode(OutputMode.Update()).start()
     try {
-      in.addData((1 to 3).map(i => ("g", s"r$i", s"c$i")): _*)
-      val ex = intercept[Exception] { q.processAllAvailable() }
-      assert(ex.getMessage != null)
+      in.addData((1 to 3).map(i => ("gdiag", s"r$i", s"c$i")) ++
+        Seq(("gok", "r0", "c0"), ("gok", "r0", "c1"),
+          ("gok", "r1", "c0"), ("gok", "r1", "c1")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("chi2_cross_degrade").collect()
+        .map(x => x.getString(0) -> (x.getLong(1), x.getLong(3),
+          x.getLong(4), x.isNullAt(5), x.isNullAt(6))).toMap
+      assert(rows("gdiag") == ((3L, 3L, 3L, true, true)),
+        "degraded group keeps its counts, verdict columns go NULL")
+      val okRef = batchRef(Seq(("gok", "r0", "c0"), ("gok", "r0", "c1"),
+        ("gok", "r1", "c0"), ("gok", "r1", "c1")))
+        .find(_._1 == "gok").get
+      assert(rows("gok") == ((okRef._2, okRef._4, okRef._5, false,
+        okRef._7.isEmpty)),
+        "sibling group still emits the exact batch verdict")
     } finally q.stop()
   }
 }
