@@ -1458,6 +1458,84 @@ object Anomaly {
         col("__ts.slope_micro").as("slope_micro"))
   }
 
+  /** Ordinary-least-squares trend per keyed series — the PARAMETRIC
+    * companion to [[theilSen]]: the robust median-of-slopes answers
+    * "how fast, spike-proof"; OLS answers "how fast, and how much of
+    * the variance does a line explain" (R²), the pair every
+    * capacity-planning readout wants side by side. An outlier bends
+    * the OLS slope where Theil–Sen shrugs — reading BOTH is the
+    * outlier detector (q317 stages exactly that divergence).
+    *
+    * Exact core, one documented double tail: per series the five
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    * DECIMAL(38,0) sums (CONTRACT: the n·Σ products must fit 38
+    * digits — order keys and values to ~10⁹ over ~10⁹-row series;
+    * ANSI DECIMAL overflow fails loud, the [[graft.operators
+    * .Curation]] passAtK discipline). With dxx = n·Σx²−(Σx)²,
+    * dxy = n·Σxy−ΣxΣy, dyy = n·Σy²−(Σy)²:
+    *
+    *   slope_micro     = 10⁶·dxy DIV dxx          (signed truncating
+    *                     DIV — toward zero on both engines)
+    *   intercept_micro = (10⁶·Σy − slope_micro·Σx) DIV n
+    *                     (derived from the QUANTIZED slope, so the
+    *                     fitted line is exactly reconstructable from
+    *                     the two emitted integers)
+    *   r2_milli        = floor(1000·dxy²/(dxx·dyy)) with dxy², dxx,
+    *                     dyy evaluated as IEEE doubles — dxy² can
+    *                     exceed 38 digits, so this is the family's
+    *                     one all-double tail, written identically in
+    *                     the SQL replay (the [[graft.operators
+    *                     .Sampling.neymanAllocation]] precedent)
+    *
+    * NULL order or value drops the row into `n_dropped`
+    * (fail-visible); slope/intercept are NULL when n < 2 or dxx = 0
+    * (a vertical stack has no line); r2 additionally NULL when
+    * dyy = 0 (a constant series explains nothing or everything —
+    * there is no variance to apportion).
+    *
+    * Scale shape: ONE corpus-sized partial aggregate with map-side
+    * combine and NO packing — unlike [[theilSen]]'s bounded-series
+    * collect contract, this estimator reads moments only, so the
+    * series may be unboundedly long (every raw event, not pre-bucketed
+    * hours). Output: one row per series — (seriesCol, n_points,
+    * n_dropped, slope_micro, intercept_micro, r2_milli). */
+  def olsTrend(df: DataFrame, seriesCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val both = col(orderCol).isNotNull && col(valueCol).isNotNull
+    // products are formed in DECIMAL, never long·long (which would
+    // wrap silently outside ANSI mode before the cast could save it)
+    val x = when(both, col(orderCol).cast("long")).cast("decimal(18,0)")
+    val y = when(both, col(valueCol).cast("long")).cast("decimal(18,0)")
+    df.groupBy(col(seriesCol))
+      .agg(
+        count(when(both, 1L)).as("n_points"),
+        sum(when(both, 0L).otherwise(1L)).as("n_dropped"),
+        coalesce(sum(x), lit(0).cast("decimal(38,0)")).as("__sx"),
+        coalesce(sum(y), lit(0).cast("decimal(38,0)")).as("__sy"),
+        coalesce(sum(x * y), lit(0).cast("decimal(38,0)")).as("__sxy"),
+        coalesce(sum(x * x), lit(0).cast("decimal(38,0)")).as("__sxx"),
+        coalesce(sum(y * y), lit(0).cast("decimal(38,0)")).as("__syy"))
+      .withColumn("__dxx", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * __sxx - __sx * __sx"))
+      .withColumn("__dxy", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * __sxy - __sx * __sy"))
+      .withColumn("__dyy", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * __syy - __sy * __sy"))
+      .withColumn("slope_micro", expr(
+        """CASE WHEN n_points >= 2 AND __dxx <> 0
+             THEN CAST((__dxy * 1000000) DIV __dxx AS BIGINT) END"""))
+      .withColumn("intercept_micro", expr(
+        """CASE WHEN slope_micro IS NOT NULL
+             THEN CAST((__sy * 1000000 - CAST(slope_micro AS DECIMAL(38,0)) * __sx)
+                       DIV CAST(n_points AS DECIMAL(38,0)) AS BIGINT) END"""))
+      .withColumn("r2_milli", expr(
+        """CASE WHEN n_points >= 2 AND __dxx <> 0 AND __dyy <> 0
+             THEN CAST(floor(1000.0 * (CAST(__dxy AS DOUBLE) * CAST(__dxy AS DOUBLE))
+                  / (CAST(__dxx AS DOUBLE) * CAST(__dyy AS DOUBLE))) AS BIGINT) END"""))
+      .select(col(seriesCol), col("n_points"), col("n_dropped"),
+        col("slope_micro"), col("intercept_micro"), col("r2_milli"))
+  }
+
   /** Trimmed location statistics per group — the robust mean the
     * Tukey tradition pairs with [[madOutliers]]' robust spread:
     * drop the `trimMilli`‰ most extreme values at EACH end and

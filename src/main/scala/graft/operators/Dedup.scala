@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -1929,5 +1930,160 @@ object Dedup {
         when(col("n_tokens") > 0L,
           expr("coalesce(dup_tokens, CAST(0 AS BIGINT)) * 1000000 DIV n_tokens"))
           .otherwise(lit(0L)).as("dup_frac_micro"))
+  }
+
+  /** Dense global 0-based rank of every row under the total order
+    * `order` — WITHOUT a single-partition window (the all-data-to-one-
+    * task plan `Window.orderBy` degenerates to, unusable on a corpus):
+    * range-repartition on the order columns, rank locally per range
+    * chunk (parallel per-chunk windows), then add each chunk's
+    * cumulative row-count offset. The offset frame has one row per
+    * partition — the documented small-frame window — and broadcasts
+    * back. The rank is a function of the DATA's total order alone
+    * (callers pass a tie-broken order, e.g. key + unique id), so the
+    * sampled range boundaries affect layout, never values. */
+  private[operators] def globalRank(df: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
+          .cast("long") - 1L)
+    val offsets = local.groupBy("__pid").count()
+      .withColumn("__off", coalesce(sum("count").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("count")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rank", col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995's
+    * merge/purge, the classic record-linkage blocking this engine's
+    * other generators don't cover): sort the corpus by a fuzzy
+    * blocking key (first-k normalized chars, soundex, zip+name, …),
+    * slide a window of `window` rows over the sorted order, and emit
+    * every in-window pair. Where equality/LSH buckets need the key to
+    * MATCH, the sorted neighborhood pairs records whose keys are
+    * merely CLOSE in sort order — typo'd prefixes, off-by-one dates —
+    * at a guaranteed-linear candidate budget: exactly (window−1)
+    * candidates per record, no hot-bucket quadratic anywhere. The
+    * recall trade is the inverse of LSH's (a typo in the key's FIRST
+    * character teleports the record across the sort; the standard fix
+    * is a union of passes over different keys — run this operator
+    * once per key and `dropDuplicates("id1","id2")`, the
+    * [[editVerifiedPairsRecall]] multi-pass discipline).
+    *
+    * Scale shape: one narrow (id, key) range shuffle +
+    * [[globalRank]]'s per-chunk windows, then the in-window pair join
+    * as an EQUI-join on rank DIV window grid cells (each left row
+    * emits its own cell and the next — any pair with rank gap
+    * < window shares one of the two; gap filter exact afterwards).
+    * Candidate volume is n·(window−1) by construction. NULL keys sort
+    * first (both engines told explicitly) and pair among themselves —
+    * a null-keyed cluster is a real neighborhood, fail-visible in
+    * key1/key2.
+    *
+    * Output: (id1, id2, gap, key1, key2) — id1 the sort-EARLIER
+    * record (equal keys tie-break by id, so same-key pairs have
+    * id1 < id2), gap ∈ [1, window−1] the rank distance. Verification
+    * (edit distance, cosine) is the caller's next stage via
+    * [[editVerifyPairsOf]] — candidates, not verdicts. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: Column,
+      window: Int,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val order = Seq(col("skey").asc_nulls_first, col("id").asc)
+    val ranked = checkpointer(globalRank(
+      df.select(col(idCol).as("id"), keyCol.as("skey")), order))
+    val cell = expr(s"CAST(rank DIV $window AS BIGINT)")
+    val left = ranked.select(col("id").as("id1"), col("skey").as("key1"),
+      col("rank").as("r1"),
+      explode(array(cell, cell + 1L)).as("__cell"))
+    val right = ranked.select(col("id").as("id2"), col("skey").as("key2"),
+      col("rank").as("r2"), cell.as("__cell"))
+    left.join(right, Seq("__cell"))
+      .where(col("r2") > col("r1") && col("r2") - col("r1") < window)
+      .select(col("id1"), col("id2"),
+        (col("r2") - col("r1")).as("gap"), col("key1"), col("key2"))
+  }
+
+  /** Sparse all-pairs cosine similarity over token-count vectors via
+    * an inverted-index join (the Bayardo/Elsayed all-pairs family) —
+    * the similarity this engine's other pair generators bracket but
+    * don't compute: set-Jaccard ([[minhashDedupPairs]]) ignores
+    * counts, weighted Jaccard ([[weightedJaccardPairs]]) uses Σmin/
+    * Σmax, dense ANN ([[SimilaritySearch]]) needs embeddings — tf
+    * COSINE is the classic sparse middle ground, and its natural
+    * distributed form is "join the corpus against itself through the
+    * posting lists".
+    *
+    * Semantics: cosine over the DF-CAPPED vocabulary — tokens
+    * appearing in more than `dfCap` docs of a block are excluded from
+    * the vector space entirely (counts, norms, and candidates alike).
+    * This is the stop-word cut stated as part of the definition, not
+    * a silent recall cap: an ultra-common token is precisely the one
+    * that (a) carries no discriminative signal and (b) would make the
+    * posting-list self-join quadratic in its document frequency. With
+    * the cap, each surviving token contributes ≤ dfCap² candidate
+    * rows — the hot-bucket bound every generator in this module
+    * carries. A doc whose every token is cut has no vector and cannot
+    * pair (fail-visible: it is absent from the output).
+    *
+    * Exact arithmetic: token counts are exact longs; dot = Σ c₁·c₂
+    * and the squared norms ss = Σ c² are exact DECIMAL(38,0) sums;
+    * cos_milli = (1000·dot) DIV floor(sqrt(ss1·ss2)) pays the
+    * family's ONE correctly-rounded IEEE sqrt on an exact-integer
+    * input (the Kendall-τ / Neyman discipline, replayed identically
+    * in SQL).
+    *
+    * Scale shape: (1) token counts and norms are corpus-sized partial
+    * aggs; (2) the filtered posting table materializes ONCE
+    * (`checkpointer` — it feeds both self-join sides); (3) the
+    * self-join shuffles on (block, tok) and is explicitly spread to
+    * `numShufflePartitions` with a count so AQE's byte-based coalesce
+    * cannot re-merge the byte-tiny, CPU-quadratic pair frames onto
+    * one task (the q311 lesson); (4) pair dot products group-by on
+    * (id1, id2) with map-side combine. Output: (id1, id2, dot, ss1,
+    * ss2, cos_milli) with id1 < id2, filtered to
+    * cos_milli ≥ minCosMilli. */
+  def cosineAllPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minCosMilli: Long, dfCap: Int = 1000,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minCosMilli >= 1 && minCosMilli <= 1000,
+      s"need minCosMilli in [1, 1000], got $minCosMilli")
+    require(dfCap >= 1, s"need dfCap >= 1, got $dfCap")
+    val cnt = df
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("block", "id", "tok").agg(count(lit(1)).as("c"))
+    val kept = checkpointer(cnt.join(
+      cnt.groupBy("block", "tok").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= dfCap).drop("__df"),
+      Seq("block", "tok"), "left_semi"))
+    val norms = kept.groupBy("id")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
+    val nPart = kept.sparkSession.sessionState.conf.numShufflePartitions
+    val dots = kept.repartition(nPart, col("block"), col("tok")).as("l")
+      .join(kept.as("r"),
+        col("l.block") === col("r.block") && col("l.tok") === col("r.tok") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))
+      .agg(sum(expr("CAST(l.c AS DECIMAL(38,0)) * r.c")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id1"), col("ss").as("ss1")), Seq("id1"))
+      .join(norms.select(col("id").as("id2"), col("ss").as("ss2")), Seq("id2"))
+      .withColumn("cos_milli", expr(
+        """CAST((dot * 1000) DIV
+             CAST(floor(sqrt(CAST(ss1 * ss2 AS DOUBLE))) AS DECIMAL(38,0))
+           AS BIGINT)"""))
+      .where(col("cos_milli") >= minCosMilli)
+      .select(col("id1"), col("id2"),
+        col("dot").cast("long").as("dot"),
+        col("ss1").cast("long").as("ss1"), col("ss2").cast("long").as("ss2"),
+        col("cos_milli"))
   }
 }

@@ -4539,7 +4539,59 @@ object Extensions {
         .otherwise(col("n_chars")))
       .orderBy("source")
 
+  /** q315 — sorted-neighborhood candidate pairs
+    * ([[Dedup.sortedNeighborhoodPairs]]): merge/purge blocking over
+    * the first 16 normalized characters as the fuzzy sort key,
+    * window 4 — records whose keys are CLOSE in sort order pair at a
+    * guaranteed (window−1)-per-record budget, the generator for
+    * near-dup keys that never hash-collide (typo'd prefixes). NULL
+    * texts sort first and form their own fail-visible neighborhood. */
+  def q315SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+      Tables(spark, dir, "documents"), "doc_id",
+      substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
+      window = 4)
+      .orderBy("id1", "id2")
+
+  /** q316 — sparse all-pairs tf cosine via the inverted-index join
+    * ([[Dedup.cosineAllPairs]]): cosine ≥ 0.8 over the df-capped
+    * (≤ 200 docs/block) vocabulary, blocked by (lang, source) — the
+    * count-weighted angular verdict between q24's set-Jaccard and
+    * q307's Σmin/Σmax, computed corpus×corpus through posting lists
+    * instead of any pairwise scan. */
+  def q316CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosineAllPairs(
+      Tables(spark, dir, "documents")
+        .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+      "doc_id", "text", "block", minCosMilli = 800, dfCap = 200)
+      .orderBy("id1", "id2")
+
+  /** q317 — OLS trend per event type ([[Anomaly.olsTrend]]) over the
+    * SAME ramped hourly series as q245's Theil–Sen: the parametric
+    * slope plus R² next to the robust median-of-slopes — click's
+    * injected +500 cents/hour reads as slope ≈ 5·10⁸ micro with R²
+    * near 1000 (the ramp dominates), and the OLS−TS gap is the
+    * outlier gauge the pair exists to expose. Moments-only: unlike
+    * q245 this form never packs the series. */
+  def q317OlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ramp = expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT) * 500")
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+      .withColumn("cents", col("cents") +
+        when(col("event_type") === "click", ramp)
+          .when(col("event_type") === "error", -ramp)
+          .otherwise(lit(0L)))
+      .withColumn("h", expr("CAST(unix_timestamp(hour) DIV 3600 AS BIGINT)"))
+    graft.operators.Anomaly.olsTrend(hourly, "event_type", "h", "cents")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_ols_trend" -> (q317OlsTrend _),
+    "q316_cosine_pairs" -> (q316CosinePairs _),
+    "q315_sorted_neighborhood" -> (q315SortedNeighborhood _),
     "q314_mood_median" -> (q314MoodMedian _),
     "q313_brown_forsythe" -> (q313BrownForsythe _),
     "q312_substring_dedup" -> (q312SubstringDedup _),
@@ -5730,6 +5782,80 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q315_sorted_neighborhood" ->
+      ("""WITH d AS (SELECT doc_id AS id,
+        |    substring(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS k
+        |  FROM documents),
+        |r AS (SELECT id, k,
+        |    row_number() OVER (ORDER BY k ASC NULLS FIRST, id ASC) - 1 AS rnk
+        |  FROM d)
+        |SELECT a.id AS id1, b.id AS id2, (b.rnk - a.rnk)::BIGINT AS gap,
+        |  a.k AS key1, b.k AS key2
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+        |ORDER BY id1, id2""".stripMargin),
+    "q316_cosine_pairs" ->
+      ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT block, doc_id AS id, tok, count(1)::BIGINT AS c
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+        |keep AS (SELECT block, tok FROM cnt GROUP BY 1, 2
+        |  HAVING count(1) <= 200),
+        |k AS (SELECT cnt.* FROM cnt SEMI JOIN keep USING (block, tok)),
+        |norms AS (SELECT id, sum(c::HUGEINT * c)::HUGEINT AS ss
+        |  FROM k GROUP BY 1),
+        |dots AS (SELECT a.id AS id1, b.id AS id2,
+        |    sum(a.c::HUGEINT * b.c)::HUGEINT AS dot
+        |  FROM k a JOIN k b ON a.block = b.block AND a.tok = b.tok
+        |    AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT id1, id2, dot, n1.ss AS ss1, n2.ss AS ss2,
+        |    ((dot * 1000) // CAST(floor(sqrt(CAST(n1.ss * n2.ss AS DOUBLE)))
+        |      AS HUGEINT))::BIGINT AS cos_milli
+        |  FROM dots JOIN norms n1 ON n1.id = id1
+        |    JOIN norms n2 ON n2.id = id2)
+        |SELECT id1, id2, dot::BIGINT AS dot, ss1::BIGINT AS ss1,
+        |  ss2::BIGINT AS ss2, cos_milli
+        |FROM s WHERE cos_milli >= 800
+        |ORDER BY id1, id2""".stripMargin),
+    "q317_ols_trend" ->
+      ("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT event_type,
+        |    CAST(date_part('epoch', hour) AS BIGINT) // 3600 AS hh, cents +
+        |    CASE WHEN event_type = 'click'
+        |           THEN (CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         WHEN event_type = 'error'
+        |           THEN -(CAST(date_part('epoch', hour) AS BIGINT) // 3600) * 500
+        |         ELSE 0 END AS cents
+        |  FROM h),
+        |sp AS (SELECT event_type,
+        |    count(CASE WHEN hh IS NOT NULL AND cents IS NOT NULL THEN 1 END)::BIGINT AS n_points,
+        |    sum(CASE WHEN hh IS NULL OR cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        |  FROM h2 GROUP BY 1),
+        |mom AS (SELECT event_type, count(1)::HUGEINT AS n,
+        |    sum(hh::HUGEINT)::HUGEINT AS sx, sum(cents::HUGEINT)::HUGEINT AS sy,
+        |    sum(hh::HUGEINT * cents)::HUGEINT AS sxy,
+        |    sum(hh::HUGEINT * hh)::HUGEINT AS sxx,
+        |    sum(cents::HUGEINT * cents)::HUGEINT AS syy
+        |  FROM h2 WHERE hh IS NOT NULL AND cents IS NOT NULL GROUP BY 1),
+        |d AS (SELECT event_type, n, sx, sy,
+        |    n * sxx - sx * sx AS dxx, n * sxy - sx * sy AS dxy,
+        |    n * syy - sy * sy AS dyy
+        |  FROM mom)
+        |SELECT sp.event_type, sp.n_points, sp.n_dropped,
+        |  CASE WHEN d.n >= 2 AND d.dxx <> 0
+        |    THEN ((d.dxy * 1000000) // d.dxx)::BIGINT END AS slope_micro,
+        |  CASE WHEN d.n >= 2 AND d.dxx <> 0
+        |    THEN ((d.sy * 1000000 - ((d.dxy * 1000000) // d.dxx) * d.sx)
+        |          // d.n)::BIGINT END AS intercept_micro,
+        |  CASE WHEN d.n >= 2 AND d.dxx <> 0 AND d.dyy <> 0
+        |    THEN CAST(floor(1000.0 * (CAST(d.dxy AS DOUBLE) * CAST(d.dxy AS DOUBLE))
+        |         / (CAST(d.dxx AS DOUBLE) * CAST(d.dyy AS DOUBLE))) AS BIGINT)
+        |  END AS r2_milli
+        |FROM sp LEFT JOIN d USING (event_type)
+        |ORDER BY sp.event_type""".stripMargin),
     "q313_brown_forsythe" ->
       ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
         |    CASE WHEN event_id % 59 = 0 THEN NULL

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sparse all-pairs tf cosine: equality with a brute-force reference
+  * over the df-capped vocabulary, the count-awareness that separates
+  * it from set overlap, the df-cut semantics, and blocking. */
+class CosineAllPairsSpec extends SparkSpec {
+
+  private def bruteCos(docs: Seq[(Long, String, String)], dfCap: Int)
+      : Map[(Long, Long), (Long, Long)] = {
+    val cnt = docs.map { case (id, tx, b) =>
+      (id, b, tx.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong })
+    }
+    val df = cnt.flatMap { case (_, b, m) => m.keys.map((b, _)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val kept = cnt.map { case (id, b, m) =>
+      (id, b, m.filter { case (t, _) => df((b, t)) <= dfCap }) }
+      .filter(_._3.nonEmpty)
+    (for {
+      (i1, b1, m1) <- kept; (i2, b2, m2) <- kept
+      if b1 == b2 && i1 < i2
+      toks = m1.keySet.intersect(m2.keySet) if toks.nonEmpty
+    } yield {
+      val dot = toks.toSeq.map(t => m1(t) * m2(t)).sum
+      val ss1 = m1.values.map(c => c * c).sum
+      val ss2 = m2.values.map(c => c * c).sum
+      val denom = math.floor(math.sqrt((BigInt(ss1) * ss2).toDouble)).toLong
+      (i1, i2) -> (dot, dot * 1000L / denom)
+    }).toMap
+  }
+
+  test("pairs equal brute force over the df-capped vocabulary on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(140)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 120L).map { i =>
+      val n = 3 + rnd.nextInt(15)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"b${rnd.nextInt(3)}")
+    }
+    val got = Dedup.cosineAllPairs(docs.toDF("doc_id", "text", "block"),
+      "doc_id", "text", "block", minCosMilli = 300, dfCap = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    val want = bruteCos(docs, 25).filter(_._2._2 >= 300)
+    assert(got == want)
+  }
+
+  test("count-awareness: a repetition-inflated twin scores below the true copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "b"),
+      (2L, "alpha beta gamma delta", "b"),                 // exact copy
+      (3L, "alpha alpha alpha alpha alpha beta gamma delta", "b")) // spam-inflated
+      .toDF("doc_id", "text", "block")
+    val m = Dedup.cosineAllPairs(docs, "doc_id", "text", "block",
+      minCosMilli = 1, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(m((1L, 2L)) == 1000L, "exact copy is cosine 1")
+    assert(m((1L, 3L)) < m((1L, 2L)),
+      "count inflation lowers cosine — the signal set-Jaccard can't see")
+  }
+
+  test("the df-cut removes a stop token from the space: no pair through it, norms shrink") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the unique1", "b"), (2L, "the unique2", "b"),
+      (3L, "the unique3", "b"), (4L, "shared word here", "b"),
+      (5L, "shared word there", "b"))
+      .toDF("doc_id", "text", "block")
+    // 'the' has df 3 > 2 → cut; docs 1-3 keep only their unique token
+    val got = Dedup.cosineAllPairs(docs, "doc_id", "text", "block",
+      minCosMilli = 1, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4L, 5L)), "only the genuinely-shared pair survives")
+  }
+
+  test("blocking: identical texts in different blocks never pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text", "en"), (2L, "same text", "de"))
+      .toDF("doc_id", "text", "block")
+    assert(Dedup.cosineAllPairs(docs, "doc_id", "text", "block",
+      minCosMilli = 1, dfCap = 10).count() == 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** OLS trend: exact moments, quantized slope/intercept reconstruct the
+  * line, R² apportionment, the documented NULL degeneracies, and the
+  * headline divergence-from-Theil-Sen under an outlier. */
+class OlsTrendSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.olsTrend(rows.toDF("s", "x", "y"), "s", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("a perfect line recovers slope, intercept, and r2 = 1000 exactly") {
+    // y = 7x + 3 over x = 0..9
+    val rows = (0 to 9).map(i => ("lin", java.lang.Long.valueOf(i.toLong),
+      java.lang.Long.valueOf(7L * i + 3)))
+    val r = run(rows)("lin")
+    assert(r.getLong(1) == 10 && r.getLong(2) == 0)
+    assert(r.getLong(3) == 7000000L, "slope_micro")
+    assert(r.getLong(4) == 3000000L, "intercept_micro")
+    assert(r.getLong(5) == 1000L, "r2_milli")
+  }
+
+  test("slope matches the closed form on a noisy series; NULLs drop fail-visibly") {
+    val pts = Seq[(Long, Long)]((1, 10), (2, 14), (3, 13), (4, 21), (5, 18))
+    val rows = pts.map { case (x, y) => ("g",
+      java.lang.Long.valueOf(x), java.lang.Long.valueOf(y)) } ++
+      Seq(("g", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(99L)),
+        ("g", java.lang.Long.valueOf(9L), null.asInstanceOf[java.lang.Long]))
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val dxx = n * sxx - sx * sx; val dxy = n * sxy - sx * sy
+    val dyy = n * syy - sy * sy
+    val slope = BigInt(dxy) * 1000000 / BigInt(dxx)
+    val icept = (BigInt(sy) * 1000000 - slope * sx) / n
+    val r2 = math.floor(1000.0 * dxy.toDouble * dxy.toDouble /
+      (dxx.toDouble * dyy.toDouble)).toLong
+    val r = run(rows)("g")
+    assert(r.getLong(1) == n && r.getLong(2) == 2)
+    assert(r.getLong(3) == slope.toLong && r.getLong(4) == icept.toLong)
+    assert(r.getLong(5) == r2 && r2 > 0 && r2 < 1000)
+  }
+
+  test("degeneracies: single point, vertical stack, constant series") {
+    val rows = Seq(
+      ("one", 5L, 10L),
+      ("stack", 3L, 1L), ("stack", 3L, 9L),
+      ("flat", 1L, 4L), ("flat", 2L, 4L), ("flat", 3L, 4L))
+      .map { case (s, x, y) => (s, java.lang.Long.valueOf(x),
+        java.lang.Long.valueOf(y)) }
+    val m = run(rows)
+    assert(m("one").isNullAt(3) && m("one").isNullAt(4) && m("one").isNullAt(5))
+    assert(m("stack").isNullAt(3), "dxx = 0 has no line")
+    // a constant series fits slope 0 / intercept y exactly, but r2 is
+    // undefined (dyy = 0) — NULL, never a fabricated 0 or 1000
+    assert(m("flat").getLong(3) == 0L && m("flat").getLong(4) == 4000000L)
+    assert(m("flat").isNullAt(5))
+  }
+
+  test("an outlier bends OLS where Theil-Sen holds — the divergence is the detector") {
+    import spark.implicits._
+    // y = 10x, except one wild spike at x = 10
+    val rows = ((0 to 9).map(i => ("s", i.toLong, 10L * i)) :+
+      (("s", 10L, 100000L))).toDF("s", "x", "y")
+    val ols = Anomaly.olsTrend(rows, "s", "x", "y").collect()(0).getLong(3)
+    val ts = Anomaly.theilSen(rows, "s", "x", "y").collect()(0).getLong(4)
+    assert(ts == 10000000L, "Theil-Sen ignores the spike")
+    assert(ols > 3 * ts, "OLS follows it — the side-by-side read flags the outlier")
+  }
+}

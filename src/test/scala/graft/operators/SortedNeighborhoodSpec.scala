@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sorted-neighborhood blocking: pairs == the brute-force rank-window
+  * definition, the linear candidate budget, NULL-key neighborhoods,
+  * and globalRank's chunked-rank == single-window-rank equivalence. */
+class SortedNeighborhoodSpec extends SparkSpec {
+
+  private def brute(rows: Seq[(Long, Option[String])], w: Int) = {
+    // total order (key NULLS FIRST, id); pairs with 0 < gap < w
+    val sorted = rows.sortBy { case (id, k) => (k.isDefined, k.getOrElse(""), id) }
+    (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.size)
+    } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong)).toSet
+  }
+
+  test("pairs equal the brute-force window definition on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val rows: Seq[(Long, Option[String])] = (1L to 300L).map { i =>
+      (i, if (rnd.nextInt(20) == 0) None
+          else Some(s"k${rnd.nextInt(40)}%02d-${rnd.nextInt(10)}"))
+    }
+    val df = rows.map { case (id, k) => (id, k.orNull) }.toDF("doc_id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id", col("k"), window = 5)
+      .select("id1", "id2", "gap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute(rows, 5))
+  }
+
+  test("the candidate budget is exactly (n - gap) pairs per gap — linear, never quadratic") {
+    import spark.implicits._
+    // 100 IDENTICAL keys — the degenerate bucket that blows up every
+    // equality/LSH blocker stays at w-1 candidates per record here
+    val df = (1L to 100L).map(i => (i, "same")).toDF("doc_id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id", col("k"), window = 4)
+    val byGap = got.groupBy("gap").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byGap == Map(1L -> 99L, 2L -> 98L, 3L -> 97L))
+    // equal keys tie-break by id: id1 < id2 on every same-key pair
+    assert(got.where(col("id1") >= col("id2")).count() == 0)
+  }
+
+  test("NULL keys sort first and form a real, fail-visible neighborhood") {
+    import spark.implicits._
+    val df = Seq((10L, null), (11L, null), (1L, "aaa"), (2L, "zzz"))
+      .toDF("doc_id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id", col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(3))).toSet
+    // sorted order: 10(null), 11(null), 1(aaa), 2(zzz) → adjacent pairs
+    assert(got == Set((10L, 11L, true), (11L, 1L, true), (1L, 2L, false)))
+  }
+
+  test("globalRank: chunked rank equals the one-window rank, dense from 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(50))).toDF("id", "v")
+    val order = Seq(col("v").asc_nulls_first, col("id").asc)
+    val got = Dedup.globalRank(df, order)
+      .orderBy("rank").select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => (id, i.toLong) }
+    assert(got.toSeq == want.toSeq)
+  }
+}
