@@ -491,6 +491,71 @@ object StreamingAnomaly {
       }
   }
 
+  /** Streaming mixture-concentration monitor — the keyed-state face
+    * of [[graft.operators.Curation.giniConcentration]]: per scope
+    * (a crawl, a date, a shard family), per-dimension weight totals
+    * accumulate in state (O(dims) FOREVER, loudly bounded by
+    * `maxDims` — sources/langs are categorical by contract, the
+    * [[chiSquared]] cell discipline) and every trigger re-emits the
+    * prefix-exact batch verdict: dims sorted by (weight, dim NULLS
+    * FIRST), Gini from the exact rank-weighted sum with the same
+    * truncating micro division, top share likewise — so stream ≡
+    * batch scope-for-scope on every prefix (pinned by
+    * StreamingConcentrationSpec). The monitor that notices "this
+    * crawl is collapsing onto one domain" WHILE the crawl runs,
+    * instead of in the post-hoc q246 audit. NULL weights register
+    * the dimension and count into n_null_weight, contributing zero
+    * mass — the batch convention exactly. Emits per scope per
+    * trigger: (scope, k, total, n_null_weight, gini_micro — None on
+    * zero total, top_share_micro — likewise). */
+  def concentration(rows: Dataset[(String, String, Option[Long])],
+      maxDims: Int = 100000)
+      : Dataset[(String, Long, Long, Long, Option[Long], Option[Long])] = {
+    require(maxDims >= 1, "need maxDims >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (scope: String, it: Iterator[(String, String, Option[Long])],
+            // dims as a Seq of (Option[dim], weight): a NULL dimension
+            // is a real category (the batch groupBy convention) and
+            // Catalyst map ENCODERS reject null keys — the state walk
+            // is O(dims) per trigger either way, bounded by maxDims
+            state: GroupState[(Seq[(Option[String], Long)], Long)]) =>
+          val st = state.getOption.getOrElse((Seq.empty, 0L))
+          var m = st._1.toMap
+          var nulls = st._2
+          it.foreach { case (_, dim, w) =>
+            val key = Option(dim)
+            m = m.updated(key, m.getOrElse(key, 0L) + w.getOrElse(0L))
+            if (w.isEmpty) nulls += 1L
+          }
+          require(m.size <= maxDims,
+            s"scope '$scope' exceeded $maxDims mixture dimensions — " +
+              "the dimension must be categorical (the batch operator's contract)")
+          state.update((m.toSeq, nulls))
+          if (m.isEmpty && nulls == 0L) Iterator.empty
+          else {
+            val k = m.size.toLong
+            // the batch sort order: weight asc, dim asc NULLS FIRST
+            val sorted = m.toSeq.sortWith { case ((d1, x1), (d2, x2)) =>
+              if (x1 != x2) x1 < x2
+              else if (d1.isEmpty) d2.nonEmpty
+              else d2.nonEmpty && d1.get < d2.get
+            }
+            val total = sorted.map(x => BigInt(x._2)).sum
+            val t = sorted.zipWithIndex
+              .map { case ((_, x), i) => BigInt(i + 1) * x }.sum
+            val (gini, top) =
+              if (total > 0) (
+                Some(((t * 2 - (k + 1) * total) * 1000000 / (k * total)).toLong),
+                Some((BigInt(sorted.last._2) * 1000000 / total).toLong))
+              else (None, None)
+            Iterator.single((scope, k, total.toLong, nulls, gini, top))
+          }
+      }
+  }
+
   /** Streaming SPRT — the operator that is streaming-NATIVE rather
     * than a streaming face: Wald's sequential test exists to be read
     * while data arrives, and its whole state is four longs per group

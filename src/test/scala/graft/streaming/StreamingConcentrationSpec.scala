@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming mixture-concentration monitor: O(dims) keyed state and
+  * prefix parity with [[graft.operators.Curation.giniConcentration]]
+  * — the sort order, the truncating micro divisions, the NULL-weight
+  * registration convention, scope for scope. */
+class StreamingConcentrationSpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, String, Option[Long])]) = {
+    import spark.implicits._
+    rows.groupBy(_._1).map { case (scope, xs) =>
+      val r = graft.operators.Curation.giniConcentration(
+        xs.map { case (_, d, w) =>
+          (d, w.map(java.lang.Long.valueOf).orNull) }.toDF("dim", "w"),
+        "dim", org.apache.spark.sql.functions.col("w")).collect()(0)
+      (scope, r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+  }
+
+  test("stream == batch after every prefix, per scope") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(317)
+    // crawl A drifts toward one dominant source in batch 2; crawl B
+    // stays balanced; NULL weights and a NULL dim ride along
+    val b1: Seq[(String, String, Option[Long])] = (0 until 120).map { _ =>
+      ("crawlA", s"src${rnd.nextInt(6)}", Some(rnd.nextInt(50) + 1L))
+    } ++ (0 until 60).map(_ =>
+      ("crawlB", s"s${rnd.nextInt(4)}", Some(10L)))
+    val b2: Seq[(String, String, Option[Long])] = (0 until 90).map(_ =>
+      ("crawlA", "src0", Some(400L))) ++
+      Seq(("crawlA", "src3", None), ("crawlB", null, Some(7L)),
+        ("crawlB", "s9", None))
+    val in = MemoryStream[(String, String, Option[Long])]
+    val q = StreamingAnomaly.concentration(in.toDS())
+      .toDF("scope", "k", "total", "nn", "gini", "top")
+      .writeStream.format("memory").queryName("conc_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("conc_stream").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4)),
+          if (x.isNullAt(5)) None else Some(x.getLong(5))))
+        .groupBy(_._1).map(_._2.maxBy(t => (t._2, t._3, t._4))).toSet
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(b1),
+        "prefix 1: stream must equal the batch audit per scope")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val want = batchRef(b1 ++ b2)
+      assert(latest() == want,
+        "prefix 2: state continued; drift, NULL dim and NULL weights included")
+      // and the drift is actually visible: crawlA's gini rose
+      val giniA1 = batchRef(b1).find(_._1 == "crawlA").get._5.get
+      val giniA2 = want.find(_._1 == "crawlA").get._5.get
+      assert(giniA2 > giniA1, "the monitor exists to see this rise")
+    } finally q.stop()
+  }
+
+  test("the dimension-count state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Option[Long])]
+    val q = StreamingAnomaly.concentration(in.toDS(), maxDims = 5)
+      .toDF("scope", "k", "total", "nn", "gini", "top")
+      .writeStream.format("memory").queryName("conc_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", s"d$i", Some(1L))): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
