@@ -48,7 +48,8 @@ object ScaleProbe {
     "q240_bradley_terry", "q116_span_dedup", "q297_edit_pairs",
     "q308_edit_pairs_recall", "q309_shared_substrings",
     "q310_shared_substrings_incr", "q311_lsh_edit_verify",
-    "q312_substring_dedup")
+    "q312_substring_dedup", "q315_sorted_neighborhood",
+    "q316_cosine_pairs")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val rep = broadcast(spark.range(10).select(col("id").as("__r")))
@@ -114,7 +115,7 @@ object ScaleProbe {
     }
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("SCALEPROBE_r13.json")
+    val outJson = args.headOption.getOrElse("SCALEPROBE_r14.json")
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/scaleprobe/sf1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt.max(1)

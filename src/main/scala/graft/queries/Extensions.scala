@@ -4588,7 +4588,27 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** q318 — the FULL merge/purge: q315's sorted-neighborhood
+    * candidates piped into the corpus-scale edit verifier
+    * ([[Dedup.editVerifyPairsOf]]) at ≥ 350‰ — the composition the
+    * candidate→verify discipline promises: a third independent
+    * generator (after q311's LSH and q309's anchors) feeding the SAME
+    * pruned banded-DP verify stage unchanged. Candidate volume is
+    * (window−1)·n by construction, so the pair stays linear end to
+    * end. */
+  def q318SnmVerified(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val cand = Dedup.sortedNeighborhoodPairs(d, "doc_id",
+      substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
+      window = 4)
+    Dedup.editVerifyPairsOf(cand,
+      d.select(col("doc_id"), substring(col("text"), 1, 120).as("prefix")),
+      "doc_id", "prefix", 350)
+      .orderBy("id1", "id2")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_snm_verified" -> (q318SnmVerified _),
     "q317_ols_trend" -> (q317OlsTrend _),
     "q316_cosine_pairs" -> (q316CosinePairs _),
     "q315_sorted_neighborhood" -> (q315SortedNeighborhood _),
@@ -5782,6 +5802,29 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q318_snm_verified" ->
+      ("""WITH dd AS (SELECT doc_id AS id,
+        |    substring(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS k
+        |  FROM documents),
+        |r AS (SELECT id, k,
+        |    row_number() OVER (ORDER BY k ASC NULLS FIRST, id ASC) - 1 AS rnk
+        |  FROM dd),
+        |cand AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+        |t AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    length(substring(text, 1, 120))::BIGINT AS len
+        |  FROM documents),
+        |p AS (SELECT c.id1, c.id2, a.len AS len1, b.len AS len2,
+        |    greatest(a.len, b.len) AS ml,
+        |    levenshtein(a.tx, b.tx)::BIGINT AS dist
+        |  FROM cand c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len))
+        |SELECT id1, id2, len1, len2, dist,
+        |  CASE WHEN ml = 0 THEN 1000
+        |    ELSE (ml - dist) * 1000 // ml END AS sim_milli
+        |FROM p WHERE dist <= ml * 650 // 1000
+        |ORDER BY id1, id2""".stripMargin),
     "q315_sorted_neighborhood" ->
       ("""WITH d AS (SELECT doc_id AS id,
         |    substring(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS k

@@ -648,4 +648,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("extend_match"),
       "extension must run as the codegen kernel, not a UDF")
   }
+
+  // the new pair generators checkpoint their candidate tables, which
+  // truncates lineage — assert on the UNTRUNCATED plan via an identity
+  // checkpointer (the result path is oracle-checked; this pins the shape)
+  private val noCkpt = new graft.operators.Checkpointer {
+    def apply(df: org.apache.spark.sql.DataFrame) = df
+  }
+
+  test("q315 sorted neighborhood: corpus rank windows key on the range chunk; offsets broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val qe = graft.operators.Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
+        window = 4, checkpointer = noCkpt)
+      .queryExecution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the in-window pair join must be the grid-cell equi-join")
+    // the corpus-sized window must be the per-chunk one — partitioned
+    // by the range-partition id, never a global single-partition sort
+    val windows = p.linesIterator.filter(_.contains("Window ["))
+      .mkString("\n")
+    assert(windows.contains("__pid"),
+      s"corpus rank window must partition by the range chunk: $windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-chunk offset frame (one row per partition) must broadcast back")
+  }
+
+  test("q316 cosine all-pairs: posting lists equi-join; the df-cut is a semi-join before the pair stage") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("block", concat_ws("_", col("lang"), col("source")))
+    val p = graft.operators.Dedup.cosineAllPairs(docs, "doc_id", "text",
+        "block", minCosMilli = 800, dfCap = 200, checkpointer = noCkpt)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come through the (block, tok) posting join, never all-pairs")
+    assert(p.contains("LeftSemi"),
+      "the df-cap must gate the posting table with a semi-join ahead of the self-join")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+      "dot products must partial-aggregate (map-side combine)")
+  }
 }
