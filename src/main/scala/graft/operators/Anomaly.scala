@@ -1294,6 +1294,96 @@ object Anomaly {
             | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
   }
 
+  /** Cramér–von Mises two-sample statistic per group (Anderson 1962's
+    * rank form) — the INTEGRATED companion to [[ksDrift]]'s KS: KS
+    * reads the single worst ECDF gap (sensitive to one sharp local
+    * shift, blind to many small ones), CvM sums the SQUARED gap over
+    * the whole range, so a distribution that drifted a little
+    * everywhere — the typical quality-score drift between two crawls —
+    * scores where KS shrugs. T = U/(nmN) − (4nm−1)/(6N) with
+    * U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² over pooled ranks r, s and
+    * within-sample positions i, j.
+    *
+    * Exact integers end to end, DOUBLED midranks (the [[kruskalWallis]]
+    * convention) so ties stay integral: per distinct pooled value with
+    * arm counts (ca, cb), the arm's rows sit at consecutive
+    * within-arm positions, so Σ(R2−2i)² over the run is the closed
+    * form ca·f² − 2f·ca(ca−1) + 4·((ca−1)·ca·(2ca−1) DIV 6) with
+    * f = R2 − 2·(cumA_before+1) — an arithmetic-sequence square sum,
+    * never a per-row walk (the DIV is exact: k(k−1)(2k−1) ≡ 0 mod 6).
+    * Within-tie position assignment cancels in the sum (equal
+    * midranks, consecutive positions), so the statistic is
+    * permutation-stable. With U2 = n·S2a + m·S2b = 4U,
+    *
+    *   t_micro = (3·U2 − 2·n·m·(4·n·m − 1)) · 10⁶ DIV (12·n·m·(n+m))
+    *
+    * — one signed truncating DIV, zero libm. DECIMAL(38,0) holds to
+    * ~10⁸ rows per group (U2 ~ 4nN²; the loud-overflow family
+    * ceiling). NULL value or arm drops fail-visibly into `n_skipped`;
+    * an empty arm has no comparison → NULL t (never a fabricated 0);
+    * NULL group keys fold to '' (the [[kruskalWallis]] convention).
+    *
+    * Scale shape: ONE corpus-sized (group, value, arm) counter agg
+    * (map-side combine, `checkpointer`-materialized for its two
+    * consumers); the closed-form accounting runs on per-group
+    * distinct-value spines — integral bounded-cardinality values by
+    * the [[ksDrift]] score convention, pre-bucket continuous domains
+    * upstream. Output: (groupCol, n_a, n_b, n_skipped, t_micro). */
+  def cvmTwoSample(df: DataFrame, groupCol: String, value: Column,
+      armB: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
+    val hist = checkpointer(base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val byVal = hist.where(col("__v").isNotNull && col("__b").isNotNull)
+      .groupBy("__g", "__v")
+      .agg(sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), col("__c")).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // closed-form Σ(R2 − 2i)² for one arm's run at this value:
+    // c·f² − 2f·c(c−1) + 4·((c−1)c(2c−1) DIV 6), f = R2 − 2(cumBefore+1)
+    def runSq(c: String, cumIncl: String) = expr(
+      s"""CASE WHEN $c = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE
+         |  CAST($c AS DECIMAL(38,0))
+         |    * (__r2 - 2 * ($cumIncl - $c + 1))
+         |    * (__r2 - 2 * ($cumIncl - $c + 1))
+         |  - 2 * (__r2 - 2 * CAST($cumIncl - $c + 1 AS DECIMAL(38,0)))
+         |    * $c * ($c - 1)
+         |  + 4 * ((CAST($c AS DECIMAL(38,0)) - 1) * $c * (2 * $c - 1) DIV 6)
+         |END""".stripMargin)
+    val stepped = byVal
+      .withColumn("__cumA", sum("__ca").over(w))
+      .withColumn("__cumB", sum("__cb").over(w))
+      .withColumn("__r2", expr(
+        """2 * CAST(__cumA + __cumB - __ca - __cb AS DECIMAL(38,0))
+          | + __ca + __cb + 1""".stripMargin))
+      .select(col("__g"), col("__ca"), col("__cb"),
+        runSq("__ca", "__cumA").as("__sa"),
+        runSq("__cb", "__cumB").as("__sb"))
+    val agg = stepped.groupBy(col("__g").as("__ag")).agg(
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+      sum("__sa").cast("decimal(38,0)").as("__s2a"),
+      sum("__sb").cast("decimal(38,0)").as("__s2b"))
+    skipped.join(agg, col("__g") <=> col("__ag"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("n_skipped"),
+        when(col("n_a") > 0L && col("n_b") > 0L, expr(
+          """CAST((3 * (CAST(n_a AS DECIMAL(38,0)) * __s2a
+            |          + CAST(n_b AS DECIMAL(38,0)) * __s2b)
+            |   - 2 * CAST(n_a AS DECIMAL(38,0)) * n_b
+            |       * (4 * CAST(n_a AS DECIMAL(38,0)) * n_b - 1))
+            |  * 1000000
+            |  DIV (12 * CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b))
+            |AS BIGINT)""".stripMargin)).as("t_micro"))
+  }
+
   /** Mood's median test per group (Mood 1950) — do the k levels
     * differ in their MEDIANS? The coarsest, most assumption-free
     * member of the k-level family: [[kruskalWallis]] uses full rank

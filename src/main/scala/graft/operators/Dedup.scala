@@ -1932,6 +1932,60 @@ object Dedup {
           .otherwise(lit(0L)).as("dup_frac_micro"))
   }
 
+  /** Chapman capture–recapture estimate of the TOTAL duplicate-pair
+    * population from two pair generators (Chapman 1951; the
+    * Lincoln–Petersen mark/recapture estimator with the small-sample
+    * bias fix) — the recall audit no single dedup pass can give
+    * itself: ground truth at corpus scale is unobtainable, but two
+    * generators with INDEPENDENT miss mechanisms (LSH band collisions
+    * vs sorted-neighborhood sort adjacency, say) estimate the
+    * population they both sample from:
+    *
+    *   N̂ = (n_a+1)·(n_b+1) DIV (n_both+1) − 1
+    *   recall_x_milli = 1000·n_x DIV N̂
+    *
+    * The caveat IS the contract: both inputs must detect the SAME
+    * pair population (same verification threshold — feed both
+    * generators through the same verify stage first), and the
+    * estimate is biased UP whenever the generators' misses are
+    * positively correlated (both miss the same hard pairs) —
+    * so read N̂ as a lower bound on blindness, not an upper. A zero
+    * overlap with both sides non-empty is the loudest possible
+    * reading (the generators disagree about what a duplicate is) and
+    * still emits — fail-visible, never an exception.
+    *
+    * Exact integers throughout (n·counts in DECIMAL(38,0), truncating
+    * DIV both engines). Pair orientation is normalized inside
+    * (least/greatest) so a sort-ordered generator ([[
+    * sortedNeighborhoodPairs]]) joins a numeric-ordered one
+    * ([[minhashDedupPairs]]) correctly.
+    *
+    * Scale shape: two pair-frame distincts + ONE full-outer equi-join
+    * on the normalized pair key + a single-row aggregate — pair-sized
+    * work, corpus never touched. Output: one row — (n_a, n_b, n_both,
+    * est_pairs, recall_a_milli, recall_b_milli). */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame): DataFrame = {
+    def norm(df: DataFrame, flag: String) = df.select(
+      least(col("id1"), col("id2")).as("lo"),
+      greatest(col("id1"), col("id2")).as("hi"))
+      .distinct().withColumn(flag, lit(1L))
+    norm(pairsA, "__a").join(norm(pairsB, "__b"), Seq("lo", "hi"),
+        "full_outer")
+      .agg(coalesce(sum(col("__a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_both"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        expr("""CAST((CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1))
+          | DIV (n_both + 1) - 1 AS BIGINT)""".stripMargin).as("est_pairs"))
+      .withColumn("recall_a_milli",
+        when(col("est_pairs") > 0L,
+          expr("CAST(CAST(n_a AS DECIMAL(38,0)) * 1000 DIV est_pairs AS BIGINT)")))
+      .withColumn("recall_b_milli",
+        when(col("est_pairs") > 0L,
+          expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000 DIV est_pairs AS BIGINT)")))
+  }
+
   /** Dense global 0-based rank of every row under the total order
     * `order` — WITHOUT a single-partition window (the all-data-to-one-
     * task plan `Window.orderBy` degenerates to, unusable on a corpus):

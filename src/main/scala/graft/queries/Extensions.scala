@@ -4607,7 +4607,43 @@ object Extensions {
       .orderBy("id1", "id2")
   }
 
+  /** q319 — Cramér–von Mises two-sample drift per source
+    * ([[Anomaly.cvmTwoSample]]): odd docs form arm B with a +1 bucket
+    * shift engineered in — a SMALL drift spread across the whole
+    * length range, the shape the integrated statistic exists to catch
+    * where KS's single worst gap stays modest. Same fixture
+    * discipline as q259's Mann–Whitney (every 37th value / 41st arm
+    * NULL, fail-visible n_skipped) so the rank-family verdicts read
+    * side by side. */
+  def q319CvmDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.cvmTwoSample(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+          .otherwise(expr("n_chars DIV 16")
+            + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
+        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("arm")),
+      "source", col("v"), col("arm"))
+      .orderBy("source")
+  }
+
+  /** q320 — capture–recapture dedup-recall audit
+    * ([[Dedup.captureRecapture]]): q311's LSH-candidate verified
+    * pairs vs q318's sorted-neighborhood verified pairs — two
+    * generators with independent miss mechanisms (band collisions vs
+    * sort adjacency), both feeding the SAME ≥ 350‰ verify stage, so
+    * Chapman's estimator reads the total duplicate population neither
+    * can see alone and each generator's recall against it. The audit
+    * that answers "how much is my dedup missing" without ground
+    * truth. */
+  def q320DedupRecall(spark: SparkSession, dir: String): DataFrame =
+    Dedup.captureRecapture(
+      q311LshEditVerify(spark, dir), q318SnmVerified(spark, dir))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_dedup_recall" -> (q320DedupRecall _),
+    "q319_cvm_drift" -> (q319CvmDrift _),
     "q318_snm_verified" -> (q318SnmVerified _),
     "q317_ols_trend" -> (q317OlsTrend _),
     "q316_cosine_pairs" -> (q316CosinePairs _),
@@ -5802,6 +5838,106 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q319_cvm_drift" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE n_chars // 16 + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+        |    END AS v,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b
+        |  FROM documents),
+        |sk AS (SELECT g, sum(CASE WHEN v IS NULL OR b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |bv AS (SELECT g, v,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::HUGEINT AS ca,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END)::HUGEINT AS cb
+        |  FROM base WHERE v IS NOT NULL AND b IS NOT NULL GROUP BY g, v),
+        |st AS (SELECT g, ca, cb,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM bv),
+        |r2t AS (SELECT g, ca, cb, cuma, cumb,
+        |    2 * (cuma + cumb - ca - cb) + ca + cb + 1 AS r2 FROM st),
+        |sq AS (SELECT g, ca, cb,
+        |    CASE WHEN ca = 0 THEN 0::HUGEINT ELSE
+        |      ca * (r2 - 2 * (cuma - ca + 1)) * (r2 - 2 * (cuma - ca + 1))
+        |      - 2 * (r2 - 2 * (cuma - ca + 1)) * ca * (ca - 1)
+        |      + 4 * ((ca - 1) * ca * (2 * ca - 1) // 6) END AS sa,
+        |    CASE WHEN cb = 0 THEN 0::HUGEINT ELSE
+        |      cb * (r2 - 2 * (cumb - cb + 1)) * (r2 - 2 * (cumb - cb + 1))
+        |      - 2 * (r2 - 2 * (cumb - cb + 1)) * cb * (cb - 1)
+        |      + 4 * ((cb - 1) * cb * (2 * cb - 1) // 6) END AS sb
+        |  FROM r2t),
+        |ag AS (SELECT g, sum(ca)::HUGEINT AS n_a, sum(cb)::HUGEINT AS n_b,
+        |    sum(sa)::HUGEINT AS s2a, sum(sb)::HUGEINT AS s2b
+        |  FROM sq GROUP BY g)
+        |SELECT sk.g AS source, coalesce(ag.n_a, 0)::BIGINT AS n_a,
+        |  coalesce(ag.n_b, 0)::BIGINT AS n_b, sk.n_skipped,
+        |  CASE WHEN ag.n_a > 0 AND ag.n_b > 0 THEN
+        |    ((3 * (ag.n_a * ag.s2a + ag.n_b * ag.s2b)
+        |      - 2 * ag.n_a * ag.n_b * (4 * ag.n_a * ag.n_b - 1)) * 1000000
+        |     // (12 * ag.n_a * ag.n_b * (ag.n_a + ag.n_b)))::BIGINT
+        |  END AS t_micro
+        |FROM sk LEFT JOIN ag ON ag.g = sk.g
+        |ORDER BY source""".stripMargin),
+    "q320_dedup_recall" -> {
+      val counts = (0 until lshBands).map(b =>
+        s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
+        .mkString(",\n")
+      def saltOf(side: String) =
+        s"(('0x' || substring(md5($side.doc_id::VARCHAR), 1, 15))::BIGINT " +
+          s"% (CASE WHEN c.n > ${q87Cap} THEN (c.n + ${q87Cap} - 1) // ${q87Cap} ELSE 1 END))"
+      val candBranches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
+           |JOIN cnt$b c ON c.key = l.band$b
+           |WHERE ${saltOf("l")} = ${saltOf("r")}""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH $lshSigDefs,
+        |$counts,
+        |cand AS (SELECT DISTINCT id1, id2 FROM (
+        |$candBranches
+        |)),
+        |t AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    length(substring(text, 1, 120))::BIGINT AS len
+        |  FROM documents),
+        |pa AS (SELECT c.id1, c.id2
+        |  FROM cand c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len)
+        |    AND levenshtein(a.tx, b.tx)
+        |      <= greatest(a.len, b.len) * 650 // 1000),
+        |dd AS (SELECT doc_id AS id,
+        |    substring(regexp_replace(lower(text), '\\s+', '', 'g'), 1, 16) AS k
+        |  FROM documents),
+        |rr AS (SELECT id, k,
+        |    row_number() OVER (ORDER BY k ASC NULLS FIRST, id ASC) - 1 AS rnk
+        |  FROM dd),
+        |cand2 AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM rr a JOIN rr b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+        |pb AS (SELECT c.id1, c.id2
+        |  FROM cand2 c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len)
+        |    AND levenshtein(a.tx, b.tx)
+        |      <= greatest(a.len, b.len) * 650 // 1000),
+        |na AS (SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi FROM pa),
+        |nb AS (SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi FROM pb),
+        |j AS (SELECT coalesce(count(na.lo), 0)::HUGEINT AS n_a,
+        |    coalesce(count(nb.lo), 0)::HUGEINT AS n_b,
+        |    coalesce(sum(CASE WHEN na.lo IS NOT NULL AND nb.lo IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0)::HUGEINT AS n_both
+        |  FROM na FULL OUTER JOIN nb ON na.lo = nb.lo AND na.hi = nb.hi)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  n_both::BIGINT AS n_both,
+        |  ((n_a + 1) * (n_b + 1) // (n_both + 1) - 1)::BIGINT AS est_pairs,
+        |  CASE WHEN (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 > 0 THEN
+        |    (n_a * 1000 // ((n_a + 1) * (n_b + 1) // (n_both + 1) - 1))::BIGINT
+        |  END AS recall_a_milli,
+        |  CASE WHEN (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 > 0 THEN
+        |    (n_b * 1000 // ((n_a + 1) * (n_b + 1) // (n_both + 1) - 1))::BIGINT
+        |  END AS recall_b_milli
+        |FROM j""".stripMargin
+    },
     "q318_snm_verified" ->
       ("""WITH dd AS (SELECT doc_id AS id,
         |    substring(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS k

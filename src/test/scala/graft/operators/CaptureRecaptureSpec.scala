@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Chapman capture–recapture: the estimator arithmetic, orientation
+  * normalization across generators, within-input dedup, and the
+  * fail-visible degenerate readings. */
+class CaptureRecaptureSpec extends SparkSpec {
+
+  private def pairs(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("id1", "id2")
+  }
+
+  test("a planted population recovers Chapman's estimate exactly") {
+    // ground truth 12 pairs; A sees 8, B sees 6, overlap 4
+    val all = (1L to 12L).map(i => (i, i + 100L))
+    val a = pairs(all.take(8): _*)
+    val b = pairs(all.drop(4).take(6): _*)
+    val r = Dedup.captureRecapture(a, b).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 6L, 4L)))
+    assert(r.getLong(3) == (9L * 7L) / 5L - 1L, "Chapman (n_a+1)(n_b+1)/(m+1) - 1")
+    val est = r.getLong(3)
+    assert(r.getLong(4) == 8000L / est && r.getLong(5) == 6000L / est)
+  }
+
+  test("orientation and duplicates normalize: (a,b) == (b,a), repeats collapse") {
+    val a = pairs((1L, 2L), (1L, 2L), (3L, 4L))
+    val b = pairs((2L, 1L), (4L, 3L), (4L, 3L), (5L, 6L))
+    val r = Dedup.captureRecapture(a, b).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
+  }
+
+  test("degenerate readings stay fail-visible: zero overlap, empty inputs") {
+    val r0 = Dedup.captureRecapture(pairs((1L, 2L)), pairs((3L, 4L)))
+      .collect()(0)
+    assert(r0.getLong(2) == 0L && r0.getLong(3) == 2L * 2L - 1L,
+      "zero overlap still estimates (loudly large relative to the counts)")
+    val re = Dedup.captureRecapture(pairs(), pairs()).collect()(0)
+    assert((re.getLong(0), re.getLong(1), re.getLong(2), re.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
+    assert(re.isNullAt(4) && re.isNullAt(5),
+      "no population estimate -> no recall, never a fabricated 1000")
+  }
+}

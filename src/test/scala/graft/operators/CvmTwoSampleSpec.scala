@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Cramér–von Mises two-sample: the closed-form spine arithmetic
+  * equals a direct per-row reference (ties included), the shifted-
+  * everywhere case it exists to catch, and the NULL conventions. */
+class CvmTwoSampleSpec extends SparkSpec {
+
+  /** Direct per-row reference in 2×-rank units with BigInt exactness:
+    * midrank2 per pooled value, explicit position walk per arm. */
+  private def ref(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val n = xs.size; val m = ys.size; val nn = n + m
+    val pooledCounts = (xs ++ ys).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val values = pooledCounts.keys.toSeq.sorted
+    val r2 = {
+      var cum = 0L
+      values.map { v =>
+        val c = pooledCounts(v)
+        val r = 2 * cum + c + 1
+        cum += c
+        v -> r
+      }.toMap
+    }
+    def s2(sample: Seq[Long]): BigInt = {
+      var i = 0L
+      sample.sorted.map { v =>
+        i += 1
+        val d = BigInt(r2(v)) - 2 * i
+        d * d
+      }.sum
+    }
+    val u2 = BigInt(n) * s2(xs) + BigInt(m) * s2(ys)
+    val num = 3 * u2 * 1000000 -
+      2 * BigInt(n) * m * (4L * n * m - 1) * 1000000
+    val den = 12 * BigInt(n) * m * nn
+    // truncate toward zero — the engines' DIV, not BigInt's floor
+    val q = num / den
+    (if (num.signum < 0 && q * den != num) q + 1 else q).toLong
+  }
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.cvmTwoSample(rows.toDF("g", "v", "b"), "g",
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("closed-form spine == direct per-row reference on random tied data") {
+    val rnd = new scala.util.Random(319)
+    (0 until 20).foreach { trial =>
+      val xs = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(12).toLong)
+      val ys = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(12).toLong + rnd.nextInt(3))
+      val rows = xs.map(v => ("g", java.lang.Long.valueOf(v),
+        java.lang.Boolean.FALSE)) ++
+        ys.map(v => ("g", java.lang.Long.valueOf(v), java.lang.Boolean.TRUE))
+      val got = run(rows)("g")
+      assert(got.getLong(1) == xs.size && got.getLong(2) == ys.size)
+      assert(got.getLong(4) == ref(xs, ys), s"trial $trial")
+    }
+  }
+
+  test("a small shift EVERYWHERE scores far above the identical-arm baseline") {
+    val xs = (1L to 200L).map(_ % 40)
+    val same = run(xs.map(v => ("s", java.lang.Long.valueOf(v),
+      java.lang.Boolean.FALSE)) ++
+      xs.map(v => ("s", java.lang.Long.valueOf(v), java.lang.Boolean.TRUE)))
+    val shifted = run(xs.map(v => ("s", java.lang.Long.valueOf(v),
+      java.lang.Boolean.FALSE)) ++
+      xs.map(v => ("s", java.lang.Long.valueOf(v + 2),
+        java.lang.Boolean.TRUE)))
+    assert(shifted("s").getLong(4) > 10L * math.max(same("s").getLong(4), 1L),
+      "the integrated statistic must see a drift spread across the range")
+  }
+
+  test("NULLs skip fail-visibly; an empty arm yields NULL t, never 0") {
+    val rows = Seq(
+      ("g", java.lang.Long.valueOf(1L), java.lang.Boolean.FALSE),
+      ("g", java.lang.Long.valueOf(2L), java.lang.Boolean.FALSE),
+      ("g", null.asInstanceOf[java.lang.Long], java.lang.Boolean.TRUE),
+      ("g", java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Boolean]),
+      ("empty", java.lang.Long.valueOf(9L), java.lang.Boolean.FALSE))
+    val m = run(rows)
+    assert(m("g").getLong(3) == 2L, "n_skipped")
+    assert(m("g").isNullAt(4), "one-armed group has no comparison")
+    assert(m("empty").getLong(1) == 1L && m("empty").getLong(2) == 0L &&
+      m("empty").isNullAt(4))
+  }
+}
