@@ -1294,6 +1294,110 @@ object Anomaly {
             | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test per group
+    * (Jonckheere 1954; Terpstra 1952) — the member of the k-level rank
+    * family the others can't replace: [[kruskalWallis]] asks "do the
+    * levels differ AT ALL" (unordered), this asks "does the metric
+    * RISE with the level" when the levels carry a natural order
+    * (quality buckets, dedup-threshold rungs, epoch counts) — pooling
+    * all ordered level pairs' Mann–Whitney counts gives far more power
+    * against the monotone alternative than the omnibus H.
+    *
+    * Exact integers, DOUBLED to keep tie-halves integral:
+    * J2 = Σ_{u<v} Σ cells (2·[x<y] + [x=y])·c_u(x)·c_v(y) from the
+    * joint-histogram cell self-join (the Kendall-τ machinery — never
+    * row pairs); E[J2] = (N² − Σn_u²) DIV 2, exact (the difference is
+    * twice the cross-pair count). The normal approximation pays the
+    * family's ONE libm tail: the tie-corrected null variance
+    * (Hollander & Wolfe) assembled from six exact integer sums —
+    * level sizes n_u and pooled tie sizes t_j each contribute
+    * Σ s(s−1)(2s+5), Σ s(s−1)(s−2), Σ s(s−1) — combined in a FIXED
+    * double expression replayed identically in SQL,
+    * z_micro = round(10⁶·(J2−E[J2]) / (2·√var)). Degeneracies emit
+    * NULL fail-visibly: fewer than 2 levels (no order to trend
+    * along), n < 3 (the variance's third moment divides by
+    * N(N−1)(N−2)), or var ≤ 0 (everything tied). NULL value or level
+    * drops into `n_skipped`; NULL group keys fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, value, level) counter agg
+    * (`checkpointer`-materialized — it feeds the cell join and three
+    * marginal sums); the pairwise work runs on joint-histogram cells
+    * (integral bounded-cardinality values and levels by contract, the
+    * [[kruskalWallis]] spine convention). Output: (groupCol, n,
+    * n_levels, n_skipped, j2, e_j2, z_micro). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, value: Column,
+      level: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), level.cast("long").as("__l"))
+    val hist = checkpointer(base.groupBy("__g", "__v", "__l")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__l").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val cells = hist.where(col("__v").isNotNull && col("__l").isNotNull)
+    val j2 = cells.as("a")
+      .join(cells.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__l") < col("b.__l"))
+      .groupBy(col("a.__g").as("__jg"))
+      .agg(sum(expr(
+        """CAST(a.__c AS DECIMAL(38,0)) * b.__c *
+          | (CASE WHEN a.__v < b.__v THEN 2
+          |       WHEN a.__v = b.__v THEN 1 ELSE 0 END)""".stripMargin))
+        .as("j2"))
+    def moments(keyCol: String, p: String) = cells
+      .groupBy(col("__g").as(s"__${p}g"), col(keyCol))
+      .agg(sum("__c").as("__s"))
+      .groupBy(s"__${p}g")
+      .agg(sum("__s").as(s"${p}_n"),
+        count(lit(1)).as(s"${p}_k"),
+        sum(expr("CAST(__s AS DECIMAL(38,0)) * __s")).as(s"${p}_s2"),
+        sum(expr(
+          "CAST(__s AS DECIMAL(38,0)) * (__s - 1) * (2 * __s + 5)"))
+          .as(s"${p}_m1"),
+        sum(expr(
+          "CAST(__s AS DECIMAL(38,0)) * (__s - 1) * (__s - 2)"))
+          .as(s"${p}_m2"),
+        sum(expr("CAST(__s AS DECIMAL(38,0)) * (__s - 1)")).as(s"${p}_m3"))
+    val lev = moments("__l", "lv")
+    val tie = moments("__v", "tv")
+    skipped
+      .join(j2, col("__g") <=> col("__jg"), "left")
+      .join(lev, col("__g") <=> col("__lvg"), "left")
+      .join(tie, col("__g") <=> col("__tvg"), "left")
+      .withColumn("e_j2", expr(
+        """CAST((CAST(lv_n AS DECIMAL(38,0)) * lv_n - lv_s2)
+          | DIV 2 AS BIGINT)""".stripMargin))
+      .withColumn("__nn", expr(
+        """CAST(lv_n AS DECIMAL(38,0)) * (lv_n - 1) * (2 * lv_n + 5)
+          | - lv_m1 - tv_m1""".stripMargin))
+      .select(col("__g").as(groupCol),
+        coalesce(col("lv_n"), lit(0L)).as("n"),
+        coalesce(col("lv_k"), lit(0L)).as("n_levels"),
+        col("n_skipped"),
+        // a group with no ordered level pair HAS a J (empty sum) — 0,
+        // unlike the NULL expectation/z which need ≥ 2 levels to mean
+        coalesce(col("j2").cast("long"), lit(0L)).as("j2"),
+        when(col("lv_k") >= 2L, col("e_j2")).as("e_j2"),
+        when(col("lv_k") >= 2L && col("lv_n") >= 3L, expr(
+          """CASE WHEN (CAST(__nn AS DOUBLE) / 72
+            |   + CAST(lv_m2 * tv_m2 AS DOUBLE)
+            |     / CAST(36 * CAST(lv_n AS DECIMAL(38,0)) * (lv_n - 1)
+            |            * (lv_n - 2) AS DOUBLE)
+            |   + CAST(lv_m3 * tv_m3 AS DOUBLE)
+            |     / CAST(8 * CAST(lv_n AS DECIMAL(38,0)) * (lv_n - 1)
+            |            AS DOUBLE)) > 0
+            | THEN CAST(round(1000000 * (CAST(j2 AS DOUBLE) - e_j2)
+            |   / (2 * sqrt(CAST(__nn AS DOUBLE) / 72
+            |     + CAST(lv_m2 * tv_m2 AS DOUBLE)
+            |       / CAST(36 * CAST(lv_n AS DECIMAL(38,0)) * (lv_n - 1)
+            |              * (lv_n - 2) AS DOUBLE)
+            |     + CAST(lv_m3 * tv_m3 AS DOUBLE)
+            |       / CAST(8 * CAST(lv_n AS DECIMAL(38,0)) * (lv_n - 1)
+            |              AS DOUBLE)))) AS BIGINT)
+            | END""".stripMargin)).as("z_micro"))
+  }
+
   /** Cramér–von Mises two-sample statistic per group (Anderson 1962's
     * rank form) — the INTEGRATED companion to [[ksDrift]]'s KS: KS
     * reads the single worst ECDF gap (sensitive to one sharp local

@@ -2140,4 +2140,100 @@ object Dedup {
         col("ss1").cast("long").as("ss1"), col("ss2").cast("long").as("ss2"),
         col("cos_milli"))
   }
+
+  /** Incremental form of [[cosineAllPairs]] — today's batch probes the
+    * persisted corpus's posting lists, the corpus never re-pairs
+    * against itself (the [[minhashDedupPairsAgainst]] sunk-work
+    * property). The BASE side defines the vector space: its
+    * per-(block, token) document frequencies decide the df-cut for
+    * BOTH sides, so batch-side counts, norms, and candidates are all
+    * expressed in the corpus's vocabulary — a token the corpus has
+    * never seen keeps df 0 and stays — and an incremental run scores
+    * identically to what a full rebuild would say about those tokens.
+    * (Drift caveat, stated: the batch's own occurrences don't move
+    * the df statistics until the next full build — the standard
+    * persisted-index trade.) Callers guarantee disjoint id domains.
+    *
+    * Same exact arithmetic and hot-token dfCap² bound as the
+    * self-pair form; the posting join is new × base only. Output:
+    * (new_id, base_id, dot, ss_new, ss_base, cos_milli) filtered to
+    * cos_milli ≥ minCosMilli. */
+  def cosineAllPairsAgainst(newDf: DataFrame, baseDf: DataFrame,
+      idCol: String, textCol: String, blockCol: String,
+      minCosMilli: Long, dfCap: Int = 1000,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minCosMilli >= 1 && minCosMilli <= 1000,
+      s"need minCosMilli in [1, 1000], got $minCosMilli")
+    require(dfCap >= 1, s"need dfCap >= 1, got $dfCap")
+    def cntOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(blockCol).as("block"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("block", "id", "tok").agg(count(lit(1)).as("c"))
+    val baseCnt = cntOf(baseDf)
+    // the BASE vocabulary's hot tokens — the cut list both sides obey
+    val hot = baseCnt.groupBy("block", "tok")
+      .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
+      .select("block", "tok")
+    def kept(cnt: DataFrame) =
+      cnt.join(hot, Seq("block", "tok"), "left_anti")
+    val keptBase = checkpointer(kept(baseCnt))
+    val keptNew = checkpointer(kept(cntOf(newDf)))
+    def norms(k: DataFrame, idAs: String, ssAs: String) = k.groupBy("id")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as(ssAs))
+      .select(col("id").as(idAs), col(ssAs))
+    val nPart = keptNew.sparkSession.sessionState.conf.numShufflePartitions
+    val dots = keptNew.repartition(nPart, col("block"), col("tok")).as("n")
+      .join(keptBase.as("b"),
+        col("n.block") === col("b.block") && col("n.tok") === col("b.tok"))
+      .groupBy(col("n.id").as("new_id"), col("b.id").as("base_id"))
+      .agg(sum(expr("CAST(n.c AS DECIMAL(38,0)) * b.c")).as("dot"))
+    dots
+      .join(norms(keptNew, "new_id", "ss_new"), Seq("new_id"))
+      .join(norms(keptBase, "base_id", "ss_base"), Seq("base_id"))
+      .withColumn("cos_milli", expr(
+        """CAST((dot * 1000) DIV
+             CAST(floor(sqrt(CAST(ss_new * ss_base AS DOUBLE))) AS DECIMAL(38,0))
+           AS BIGINT)"""))
+      .where(col("cos_milli") >= minCosMilli)
+      .select(col("new_id"), col("base_id"),
+        col("dot").cast("long").as("dot"),
+        col("ss_new").cast("long").as("ss_new"),
+        col("ss_base").cast("long").as("ss_base"), col("cos_milli"))
+  }
+
+  /** Incremental form of [[sortedNeighborhoodPairs]] — rank base and
+    * batch TOGETHER under the same fuzzy-key total order, but emit
+    * only windows touching a NEW record: base∥base adjacencies are the
+    * sunk work yesterday's run already paired (drop them), while
+    * new∥new and new∥base neighborhoods are today's increment. The
+    * rank itself must be computed over the union (a new record
+    * CHANGES its neighbors' windows — pairing the batch against
+    * itself alone would miss every cross adjacency), so the cost is
+    * one union-sized narrow (id, key, flag) sort — the same shape as
+    * the full form — with the pair stage filtered to the increment.
+    * Output: the [[sortedNeighborhoodPairs]] contract plus new1/new2
+    * flags (fail-visible provenance: which side of each pair is
+    * today's). */
+  def sortedNeighborhoodPairsAgainst(df: DataFrame, idCol: String,
+      keyCol: Column, window: Int, isNew: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val order = Seq(col("skey").asc_nulls_first, col("id").asc)
+    val ranked = checkpointer(globalRank(
+      df.select(col(idCol).as("id"), keyCol.as("skey"),
+        isNew.cast("boolean").as("nw")), order))
+    val cell = expr(s"CAST(rank DIV $window AS BIGINT)")
+    val left = ranked.select(col("id").as("id1"), col("skey").as("key1"),
+      col("rank").as("r1"), col("nw").as("new1"),
+      explode(array(cell, cell + 1L)).as("__cell"))
+    val right = ranked.select(col("id").as("id2"), col("skey").as("key2"),
+      col("rank").as("r2"), col("nw").as("new2"), cell.as("__cell"))
+    left.join(right, Seq("__cell"))
+      .where(col("r2") > col("r1") && col("r2") - col("r1") < window &&
+        (col("new1") || col("new2")))
+      .select(col("id1"), col("id2"),
+        (col("r2") - col("r1")).as("gap"), col("key1"), col("key2"),
+        col("new1"), col("new2"))
+  }
 }

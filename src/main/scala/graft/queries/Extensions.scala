@@ -4641,7 +4641,58 @@ object Extensions {
     Dedup.captureRecapture(
       q311LshEditVerify(spark, dir), q318SnmVerified(spark, dir))
 
+  /** q321 — incremental sparse cosine ([[Dedup.cosineAllPairsAgainst]]):
+    * every 7th doc plays today's batch probing the rest as the
+    * persisted corpus — new × base posting joins only, the base
+    * vocabulary's df-cut governing both sides, cosine ≥ 0.8. The
+    * sunk-work face of q316, mirroring q310/q100's increment
+    * discipline. */
+  def q321CosineIncr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("block", concat_ws("_", col("lang"), col("source")))
+    Dedup.cosineAllPairsAgainst(
+      d.where(col("doc_id") % 7 === 0), d.where(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", "block", minCosMilli = 800, dfCap = 200)
+      .orderBy("new_id", "base_id")
+  }
+
+  /** q322 — incremental sorted neighborhood
+    * ([[Dedup.sortedNeighborhoodPairsAgainst]]): the same union-ranked
+    * merge/purge sort as q315 with only new-touching windows emitted —
+    * every 7th doc is today's batch, base∥base adjacencies are
+    * yesterday's sunk work, and the new1/new2 flags carry pair
+    * provenance. */
+  def q322SnmIncr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairsAgainst(
+      Tables(spark, dir, "documents"), "doc_id",
+      substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
+      window = 4, col("doc_id") % 7 === 0)
+      .orderBy("id1", "id2")
+
+  /** q323 — Jonckheere–Terpstra ordered trend per event type
+    * ([[Anomaly.jonckheereTerpstra]]): the four user-id arms carry an
+    * engineered +5-dollars-per-arm ramp, so the ORDERED alternative
+    * the test pools its pairwise Mann–Whitney counts against is
+    * planted and every type must read a large positive z — where
+    * q300's ANOVA and q306's Kruskal only say "the arms differ". Same
+    * NULL-injection discipline as q313 (every 29th value / 59th level,
+    * fail-visible n_skipped); dollars not cents keep the value spine
+    * at histogram granularity. */
+  def q323Jonckheere(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.jonckheereTerpstra(
+      Tables(spark, dir, "events"), "event_type",
+      when(col("event_id") % 29 === 0, lit(null).cast("long"))
+        .otherwise(
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100")
+            + (col("user_id") % 4) * 5L),
+      when(col("event_id") % 59 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 4))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_jonckheere" -> (q323Jonckheere _),
+    "q322_snm_incr" -> (q322SnmIncr _),
+    "q321_cosine_incr" -> (q321CosineIncr _),
     "q320_dedup_recall" -> (q320DedupRecall _),
     "q319_cvm_drift" -> (q319CvmDrift _),
     "q318_snm_verified" -> (q318SnmVerified _),
@@ -5838,6 +5889,95 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q323_jonckheere" ->
+      ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
+        |    CASE WHEN event_id % 29 = 0 THEN NULL
+        |         ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+        |              + (user_id % 4) * 5 END AS v,
+        |    CASE WHEN event_id % 59 = 0 THEN NULL ELSE user_id % 4 END AS l
+        |  FROM events),
+        |sk AS (SELECT g, sum(CASE WHEN v IS NULL OR l IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |cells AS (SELECT g, v, l, count(1)::HUGEINT AS c FROM base
+        |  WHERE v IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2, 3),
+        |j AS (SELECT a.g, sum(a.c * b.c *
+        |    (CASE WHEN a.v < b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END))::HUGEINT AS j2
+        |  FROM cells a JOIN cells b ON a.g = b.g AND a.l < b.l GROUP BY 1),
+        |lv AS (SELECT g, sum(s)::HUGEINT AS n, count(1)::BIGINT AS k,
+        |    sum(s * s)::HUGEINT AS s2,
+        |    sum(s * (s - 1) * (2 * s + 5))::HUGEINT AS m1,
+        |    sum(s * (s - 1) * (s - 2))::HUGEINT AS m2,
+        |    sum(s * (s - 1))::HUGEINT AS m3
+        |  FROM (SELECT g, l, sum(c)::HUGEINT AS s FROM cells GROUP BY 1, 2)
+        |  GROUP BY g),
+        |tv AS (SELECT g,
+        |    sum(s * (s - 1) * (2 * s + 5))::HUGEINT AS m1,
+        |    sum(s * (s - 1) * (s - 2))::HUGEINT AS m2,
+        |    sum(s * (s - 1))::HUGEINT AS m3
+        |  FROM (SELECT g, v, sum(c)::HUGEINT AS s FROM cells GROUP BY 1, 2)
+        |  GROUP BY g)
+        |SELECT sk.g AS event_type, coalesce(lv.n, 0)::BIGINT AS n,
+        |  coalesce(lv.k, 0)::BIGINT AS n_levels, sk.n_skipped,
+        |  coalesce(j.j2, 0)::BIGINT AS j2,
+        |  CASE WHEN lv.k >= 2
+        |    THEN ((lv.n * lv.n - lv.s2) // 2)::BIGINT END AS e_j2,
+        |  CASE WHEN lv.k >= 2 AND lv.n >= 3 AND
+        |    (CAST(lv.n * (lv.n - 1) * (2 * lv.n + 5) - lv.m1 - tv.m1 AS DOUBLE) / 72
+        |     + CAST(lv.m2 * tv.m2 AS DOUBLE)
+        |       / CAST(36 * lv.n * (lv.n - 1) * (lv.n - 2) AS DOUBLE)
+        |     + CAST(lv.m3 * tv.m3 AS DOUBLE)
+        |       / CAST(8 * lv.n * (lv.n - 1) AS DOUBLE)) > 0
+        |  THEN CAST(round(1000000 * (CAST(j.j2 AS DOUBLE)
+        |      - ((lv.n * lv.n - lv.s2) // 2))
+        |    / (2 * sqrt(CAST(lv.n * (lv.n - 1) * (2 * lv.n + 5) - lv.m1 - tv.m1 AS DOUBLE) / 72
+        |      + CAST(lv.m2 * tv.m2 AS DOUBLE)
+        |        / CAST(36 * lv.n * (lv.n - 1) * (lv.n - 2) AS DOUBLE)
+        |      + CAST(lv.m3 * tv.m3 AS DOUBLE)
+        |        / CAST(8 * lv.n * (lv.n - 1) AS DOUBLE)))) AS BIGINT)
+        |  END AS z_micro
+        |FROM sk LEFT JOIN j ON j.g = sk.g
+        |  LEFT JOIN lv ON lv.g = sk.g LEFT JOIN tv ON tv.g = sk.g
+        |ORDER BY event_type""".stripMargin),
+    "q321_cosine_incr" ->
+      ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |    doc_id % 7 = 0 AS isn
+        |  FROM documents),
+        |cnt AS (SELECT block, doc_id AS id, isn, tok, count(1)::BIGINT AS c
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2, 3, 4),
+        |hot AS (SELECT block, tok FROM cnt WHERE NOT isn
+        |  GROUP BY block, tok HAVING count(1) > 200),
+        |k AS (SELECT cnt.* FROM cnt ANTI JOIN hot USING (block, tok)),
+        |nn AS (SELECT id, sum(c::HUGEINT * c)::HUGEINT AS ssn
+        |  FROM k WHERE isn GROUP BY 1),
+        |nb AS (SELECT id, sum(c::HUGEINT * c)::HUGEINT AS ssb
+        |  FROM k WHERE NOT isn GROUP BY 1),
+        |dots AS (SELECT n.id AS new_id, b.id AS base_id,
+        |    sum(n.c::HUGEINT * b.c)::HUGEINT AS dot
+        |  FROM k n JOIN k b ON n.block = b.block AND n.tok = b.tok
+        |    AND n.isn AND NOT b.isn
+        |  GROUP BY 1, 2),
+        |s AS (SELECT new_id, base_id, dot, ssn, ssb,
+        |    ((dot * 1000) // CAST(floor(sqrt(CAST(ssn * ssb AS DOUBLE)))
+        |      AS HUGEINT))::BIGINT AS cos_milli
+        |  FROM dots JOIN nn ON nn.id = new_id JOIN nb ON nb.id = base_id)
+        |SELECT new_id, base_id, dot::BIGINT AS dot, ssn::BIGINT AS ss_new,
+        |  ssb::BIGINT AS ss_base, cos_milli
+        |FROM s WHERE cos_milli >= 800
+        |ORDER BY new_id, base_id""".stripMargin),
+    "q322_snm_incr" ->
+      ("""WITH d AS (SELECT doc_id AS id,
+        |    substring(regexp_replace(lower(text), '\s+', '', 'g'), 1, 16) AS k,
+        |    doc_id % 7 = 0 AS isn
+        |  FROM documents),
+        |r AS (SELECT id, k, isn,
+        |    row_number() OVER (ORDER BY k ASC NULLS FIRST, id ASC) - 1 AS rnk
+        |  FROM d)
+        |SELECT a.id AS id1, b.id AS id2, (b.rnk - a.rnk)::BIGINT AS gap,
+        |  a.k AS key1, b.k AS key2, a.isn AS new1, b.isn AS new2
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+        |  AND (a.isn OR b.isn)
+        |ORDER BY id1, id2""".stripMargin),
     "q319_cvm_drift" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 37 = 0 THEN NULL

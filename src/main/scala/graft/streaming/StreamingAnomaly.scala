@@ -556,6 +556,76 @@ object StreamingAnomaly {
       }
   }
 
+  /** Streaming OLS trend — the keyed-state face of
+    * [[graft.operators.Anomaly.olsTrend]], and the trend monitor that
+    * needs NO packing because the estimator is moments-only: state per
+    * series is six exact integers (n, n_dropped, Σx, Σy, Σxy, Σx²,
+    * Σy²), folded associatively, so any prefix of any arrival order
+    * with the same multiset of points emits the batch answer exactly
+    * — unlike [[ewmaDeviation]]/[[sprt]] there is no ordering
+    * contract at all. Every trigger re-derives slope/intercept/R²
+    * through the IDENTICAL arithmetic (signed truncating integer
+    * division for slope/intercept, the one all-double tail for R² —
+    * BigInt.doubleValue and Spark's DECIMAL→DOUBLE cast both round to
+    * nearest), pinned stream ≡ batch by StreamingOlsSpec. Moments are
+    * held as BigInt strings (exactness without a DECIMAL encoder) and
+    * bounded by the batch operator's own 38-digit ceiling, enforced
+    * loud. NULL x or y counts into n_dropped, never a moment. Emits
+    * per series per trigger: (series, n_points, n_dropped,
+    * slope_micro, intercept_micro, r2_milli — NULL under the batch
+    * degeneracies: n < 2, zero x-variance, zero y-variance for R²). */
+  def olsTrend(rows: Dataset[(String, Option[Long], Option[Long])])
+      : Dataset[(String, Long, Long, Option[Long], Option[Long], Option[Long])] = {
+    import rows.sparkSession.implicits._
+    val ceiling = BigInt(10).pow(38)
+    def tdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a.signum * b.signum < 0 && q * b != a) q + 1 else q
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, it: Iterator[(String, Option[Long], Option[Long])],
+            state: GroupState[(Long, Long, String, String, String, String, String)]) =>
+          val st = state.getOption.getOrElse((0L, 0L, "0", "0", "0", "0", "0"))
+          var n = st._1; var dropped = st._2
+          var sx = BigInt(st._3); var sy = BigInt(st._4)
+          var sxy = BigInt(st._5); var sxx = BigInt(st._6)
+          var syy = BigInt(st._7)
+          it.foreach {
+            case (_, Some(x), Some(y)) =>
+              n += 1L; sx += x; sy += y
+              sxy += BigInt(x) * y; sxx += BigInt(x) * x; syy += BigInt(y) * y
+            case _ => dropped += 1L
+          }
+          require(Seq(sx, sy, sxy, sxx, syy).forall(_.abs < ceiling),
+            s"series '$series' moments exceeded the batch operator's " +
+              "38-digit DECIMAL ceiling — rescale upstream (both faces fail loud here)")
+          state.update((n, dropped, sx.toString, sy.toString,
+            sxy.toString, sxx.toString, syy.toString))
+          if (n == 0L && dropped == 0L) Iterator.empty
+          else {
+            val dxx = n * sxx - sx * sx
+            val dxy = n * sxy - sx * sy
+            val dyy = n * syy - sy * sy
+            val slope =
+              if (n >= 2L && dxx != 0) Some(tdiv(dxy * 1000000, dxx))
+              else None
+            val icept = slope.map(s => tdiv(sy * 1000000 - s * sx, BigInt(n)))
+            val r2 =
+              if (n >= 2L && dxx != 0 && dyy != 0)
+                // parenthesized EXACTLY like the batch SQL expression:
+                // 1000.0 * (dxy*dxy) / (dxx*dyy) — a different multiply
+                // association can differ by one ULP and cross the floor
+                Some(math.floor(1000.0 * (dxy.doubleValue * dxy.doubleValue) /
+                  (dxx.doubleValue * dyy.doubleValue)).toLong)
+              else None
+            Iterator.single((series, n, dropped,
+              slope.map(_.toLong), icept.map(_.toLong), r2))
+          }
+      }
+  }
+
   /** Streaming SPRT — the operator that is streaming-NATIVE rather
     * than a streaming face: Wald's sequential test exists to be read
     * while data arrives, and its whole state is four longs per group

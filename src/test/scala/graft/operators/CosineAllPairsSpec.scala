@@ -85,4 +85,42 @@ class CosineAllPairsSpec extends SparkSpec {
     assert(Dedup.cosineAllPairs(docs, "doc_id", "text", "block",
       minCosMilli = 1, dfCap = 10).count() == 0)
   }
+
+  test("incremental form: new x base only, base vocabulary defines the cut") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma", "b"), (2L, "alpha beta delta", "b"),
+      (3L, "stop stop stop", "b"), (4L, "stop words here", "b"),
+      (5L, "stop them all", "b")) // 'stop' base-df 3 > cap 2 -> cut
+      .toDF("doc_id", "text", "block")
+    val batch = Seq(
+      (101L, "alpha beta gamma", "b"),   // matches base 1 exactly
+      (102L, "stop stop stop", "b"),     // only cut tokens -> no vector
+      (103L, "alpha beta gamma", "b"))   // near-dup of 101 — but new x new never pairs
+      .toDF("doc_id", "text", "block")
+    val got = Dedup.cosineAllPairsAgainst(batch, base, "doc_id", "text",
+      "block", minCosMilli = 1, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got((101L, 1L)) == 1000L, "exact copy of a base doc reads cosine 1")
+    assert(got((103L, 1L)) == 1000L)
+    assert(!got.keys.exists(_._1 == 102L),
+      "a batch doc made only of base-hot tokens has no vector")
+    assert(!got.keys.exists(p => p._1 > 100L && p._2 > 100L),
+      "the batch never pairs against itself — the sunk-work property")
+    // parity with a full rebuild, restricted to new x base — checked
+    // at a NON-binding cap (the documented drift caveat is exactly
+    // that batch occurrences can move a df across a binding cap)
+    val inc10 = Dedup.cosineAllPairsAgainst(batch, base, "doc_id", "text",
+      "block", minCosMilli = 1, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val full = Dedup.cosineAllPairs(base.unionByName(batch), "doc_id",
+      "text", "block", minCosMilli = 1, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(inc10.nonEmpty)
+    inc10.foreach { case ((n, b), cm) =>
+      val key = (math.min(n, b), math.max(n, b))
+      assert(full.get(key).contains(cm),
+        s"incremental pair $n x $b must score what a full rebuild says: $key")
+    }
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Jonckheere–Terpstra: the cell-join J2 equals direct pair counting
+  * (ties halved), the exact expectation, the monotone-power headline
+  * vs an unordered shuffle, and the NULL degeneracies. */
+class JonckheereSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Long)]) = {
+    import spark.implicits._
+    Anomaly.jonckheereTerpstra(rows.toDF("g", "v", "l"), "g",
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("l"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  private def refJ2(pts: Seq[(Long, Long)]): Long = // (value, level)
+    (for {
+      (x, lu) <- pts; (y, lv) <- pts; if lu < lv
+    } yield if (x < y) 2L else if (x == y) 1L else 0L).sum
+
+  test("cell-join J2 == direct pair counting on random tied data; E[J2] exact") {
+    val rnd = new scala.util.Random(323)
+    (0 until 10).foreach { trial =>
+      val pts = Seq.fill(60 + rnd.nextInt(60))(
+        (rnd.nextInt(15).toLong, rnd.nextInt(4).toLong))
+      val rows = pts.map { case (v, l) => ("g", java.lang.Long.valueOf(v),
+        java.lang.Long.valueOf(l)) }
+      val r = run(rows)("g")
+      assert(r.getLong(4) == refJ2(pts), s"trial $trial J2")
+      val sizes = pts.groupBy(_._2).values.map(_.size.toLong)
+      val n = pts.size.toLong
+      assert(r.getLong(5) == (n * n - sizes.map(s => s * s).sum) / 2,
+        s"trial $trial E[J2]")
+    }
+  }
+
+  test("a monotone dose-response reads a large positive z; shuffled levels read ~0") {
+    val rnd = new scala.util.Random(99)
+    // level l gets values centered at 10·l — the ordered alternative
+    val pts = for (l <- 0L to 3L; _ <- 1 to 50)
+      yield (10L * l + rnd.nextInt(8), l)
+    val up = run(pts.map { case (v, l) => ("g", java.lang.Long.valueOf(v),
+      java.lang.Long.valueOf(l)) }.toSeq)("g")
+    assert(up.getLong(6) > 8000000L, "z_micro must scream on a clean trend")
+    val shuffled = rnd.shuffle(pts.map(_._2).toSeq)
+    val flat = run(pts.map(_._1).zip(shuffled).map { case (v, l) =>
+      ("g", java.lang.Long.valueOf(v), java.lang.Long.valueOf(l)) }.toSeq)("g")
+    assert(math.abs(flat.getLong(6)) < 3000000L,
+      "the same values with shuffled levels must not trend")
+  }
+
+  test("degeneracies: one level, all tied, NULLs skipped") {
+    val rows = Seq(
+      ("one", 5L, 1L), ("one", 7L, 1L),
+      ("tied", 4L, 0L), ("tied", 4L, 1L), ("tied", 4L, 2L))
+      .map { case (g, v, l) => (g, java.lang.Long.valueOf(v),
+        java.lang.Long.valueOf(l)) } ++ Seq(
+      ("one", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      ("one", java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long]))
+    val m = run(rows)
+    assert(m("one").getLong(3) == 2L, "n_skipped")
+    assert(m("one").isNullAt(5) && m("one").isNullAt(6),
+      "one level has no order to trend along")
+    assert(m("tied").getLong(4) == 3L && m("tied").isNullAt(6),
+      "all-tied J2 is the pure half-count; variance 0 emits NULL z")
+  }
+}

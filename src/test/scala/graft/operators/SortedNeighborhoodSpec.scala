@@ -53,6 +53,25 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(got == Set((10L, 11L, true), (11L, 1L, true), (1L, 2L, false)))
   }
 
+  test("incremental form: union-ranked, only new-touching windows emit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(142)
+    val rows: Seq[(Long, Option[String])] = (1L to 200L).map { i =>
+      (i, Some(s"k${rnd.nextInt(30)}%02d-${rnd.nextInt(10)}"))
+    }
+    val df = rows.map { case (id, k) => (id, k.orNull, id % 5 == 0) }
+      .toDF("doc_id", "k", "is_new")
+    val got = Dedup.sortedNeighborhoodPairsAgainst(df, "doc_id", col("k"),
+      window = 4, col("is_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: full-form pairs over the SAME union, filtered to
+    // pairs touching a new id — ranks must come from the union
+    val full = brute(rows, 4)
+    val want = full.filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    assert(got == want)
+    assert(got.size < full.size, "base-base sunk work must be dropped")
+  }
+
   test("globalRank: chunked rank equals the one-window rank, dense from 0") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming OLS trend: exact-moment keyed state and prefix parity
+  * with [[graft.operators.Anomaly.olsTrend]] — same truncating
+  * divisions, same double R² tail, same NULL degeneracies — with NO
+  * ordering contract (moments fold associatively). */
+class StreamingOlsSpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, Option[Long], Option[Long])]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.olsTrend(
+      rows.map { case (s, x, y) =>
+        (s, x.map(java.lang.Long.valueOf).orNull,
+          y.map(java.lang.Long.valueOf).orNull) }.toDF("s", "x", "y"),
+      "s", "x", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+  }
+
+  test("stream == batch after every prefix, arrival order immaterial") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(321)
+    // batch 2 arrives with SMALLER x than batch 1 — deliberate
+    // disorder a sequential monitor would reject; moments don't care
+    val b1: Seq[(String, Option[Long], Option[Long])] =
+      (50 until 120).map(i => ("up", Some(i.toLong),
+        Some(7L * i + 3 + rnd.nextInt(5)))) ++
+      (0 until 40).map(i => ("noisy", Some(i.toLong),
+        Some(rnd.nextInt(1000).toLong)))
+    val b2: Seq[(String, Option[Long], Option[Long])] =
+      (0 until 50).map(i => ("up", Some(i.toLong),
+        Some(7L * i + 3 + rnd.nextInt(5)))) ++
+      Seq(("up", None, Some(9L)), ("noisy", Some(3L), None),
+        ("flat", Some(1L), Some(4L)), ("flat", Some(2L), Some(4L)))
+    val in = MemoryStream[(String, Option[Long], Option[Long])]
+    val q = StreamingAnomaly.olsTrend(in.toDS())
+      .toDF("s", "n", "nd", "slope", "icept", "r2")
+      .writeStream.format("memory").queryName("ols_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("ols_stream").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getLong(3)),
+          if (x.isNullAt(4)) None else Some(x.getLong(4)),
+          if (x.isNullAt(5)) None else Some(x.getLong(5))))
+        .groupBy(_._1).map(_._2.maxBy(t => (t._2, t._3))).toSet
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(b1), "prefix 1 must equal batch")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val want = batchRef(b1 ++ b2)
+      assert(latest() == want,
+        "prefix 2: disorder absorbed, NULLs dropped, degeneracies NULL")
+      val up = want.find(_._1 == "up").get
+      assert(up._4.exists(s => s > 6900000L && s < 7100000L),
+        "the planted 7x slope must read through the noise")
+      assert(want.find(_._1 == "flat").get._6.isEmpty,
+        "constant series keeps the batch NULL r2 convention")
+    } finally q.stop()
+  }
+
+  test("the moment ceiling fails loud, matching the batch DECIMAL overflow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Option[Long], Option[Long])]
+    val q = StreamingAnomaly.olsTrend(in.toDS())
+      .toDF("s", "n", "nd", "slope", "icept", "r2")
+      .writeStream.format("memory").queryName("ols_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val big = 4000000000000000000L // 4e18; squared crosses 10^37 per row
+      in.addData((1 to 20).map(i => ("g", Some(big - i), Some(big - i))): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
