@@ -49,7 +49,8 @@ object ScaleProbe {
     "q308_edit_pairs_recall", "q309_shared_substrings",
     "q310_shared_substrings_incr", "q311_lsh_edit_verify",
     "q312_substring_dedup", "q315_sorted_neighborhood",
-    "q316_cosine_pairs")
+    "q316_cosine_pairs", "q318_snm_verified", "q321_cosine_incr",
+    "q322_snm_incr")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val rep = broadcast(spark.range(10).select(col("id").as("__r")))

@@ -1294,6 +1294,89 @@ object Anomaly {
             | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
   }
 
+  /** Two-sample energy distance per group (Székely & Rizzo 2004) —
+    * the metric member of the drift family: KS reads the worst ECDF
+    * gap, [[cvmTwoSample]] the integrated squared gap, PSI a binned
+    * divergence; energy distance
+    *
+    *   e = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+    *
+    * is a true metric on distributions (0 iff equal), scale-carrying
+    * (answers "how FAR did the metric drift, in the metric's own
+    * units"), and — uniquely in this family — needs NO libm at all:
+    * every term is an exact integer sum of |v₁−v₂|·c₁·c₂ over
+    * joint-histogram cell pairs (the V-statistic form, self-pairs
+    * contributing their zero), and the combination cross-multiplies
+    * onto one denominator,
+    *
+    *   e_micro = (2·Sxy·n·m − Sxx·m² − Syy·n²)·10⁶ DIV (n²·m²)
+    *
+    * one signed truncating DIV, bit-identical on both engines. The
+    * numerator is ≥ 0 up to nothing — e ≥ 0 by the metric property —
+    * so the DIV never sees a sign disagreement in practice, and a
+    * negative reading would itself be a bug flag.
+    *
+    * Sums pair DISTINCT VALUE cells, so the cost is cells² per group
+    * (integral bounded-cardinality values by the [[ksDrift]] spine
+    * contract — pre-bucket continuous domains), never rows². Honest
+    * ceiling: Sxy ≤ n·m·maxGap, so the cross-multiplied numerator
+    * stays inside DECIMAL(38,0) to ~10⁷ rows per arm at value spans
+    * ~10⁶ (ANSI overflow fails loud past it). NULL value or arm drops
+    * fail-visibly into `n_skipped`; an empty arm emits NULL e (no
+    * second distribution to measure to); NULL groups fold to ''.
+    *
+    * Scale shape: ONE corpus-sized (group, value, arm) counter agg
+    * (`checkpointer`-materialized, feeds the three cell-pair sums);
+    * the pair sums run on per-group spine² cell joins with map-side
+    * combine. Output: (groupCol, n_a, n_b, n_skipped, e_micro). */
+  def energyDistance(df: DataFrame, groupCol: String, value: Column,
+      armB: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
+    val hist = checkpointer(base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val cells = hist.where(col("__v").isNotNull && col("__b").isNotNull)
+    // Σ |v1−v2|·c1·c2 over ordered cell pairs of arms (x, y); within-
+    // arm sums count each unordered pair twice exactly as E|X−X′| does
+    def pairSum(xArm: Boolean, yArm: Boolean, as: String) = cells
+      .where(col("__b") === xArm).as("a")
+      .join(cells.where(col("__b") === yArm).as("b"),
+        col("a.__g") === col("b.__g"))
+      .groupBy(col("a.__g").as("__pg"))
+      .agg(sum(expr(
+        """CAST(abs(a.__v - b.__v) AS DECIMAL(38,0)) * a.__c * b.__c"""))
+        .as(as))
+    val counts = cells.groupBy(col("__g").as("__cg")).agg(
+      sum(when(!col("__b"), col("__c")).otherwise(0L)).as("n_a"),
+      sum(when(col("__b"), col("__c")).otherwise(0L)).as("n_b"))
+    skipped
+      .join(counts, col("__g") <=> col("__cg"), "left")
+      .join(pairSum(xArm = false, yArm = true, "__sxy"),
+        col("__g") <=> col("__pg"), "left")
+      .join(pairSum(xArm = false, yArm = false, "__sxx")
+        .withColumnRenamed("__pg", "__pg2"),
+        col("__g") <=> col("__pg2"), "left")
+      .join(pairSum(xArm = true, yArm = true, "__syy")
+        .withColumnRenamed("__pg", "__pg3"),
+        col("__g") <=> col("__pg3"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("n_skipped"),
+        when(col("n_a") > 0L && col("n_b") > 0L, expr(
+          """CAST((2 * coalesce(__sxy, CAST(0 AS DECIMAL(38,0)))
+            |       * n_a * n_b
+            |   - coalesce(__sxx, CAST(0 AS DECIMAL(38,0))) * n_b * n_b
+            |   - coalesce(__syy, CAST(0 AS DECIMAL(38,0))) * n_a * n_a)
+            |  * 1000000
+            |  DIV (CAST(n_a AS DECIMAL(38,0)) * n_a * n_b * n_b)
+            |AS BIGINT)""".stripMargin)).as("e_micro"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative trend test per group
     * (Jonckheere 1954; Terpstra 1952) — the member of the k-level rank
     * family the others can't replace: [[kruskalWallis]] asks "do the

@@ -4689,7 +4689,28 @@ object Extensions {
         .otherwise(col("user_id") % 4))
       .orderBy("event_type")
 
+  /** q324 — two-sample energy distance per source
+    * ([[Anomaly.energyDistance]]) on q319's EXACT fixture (the +1
+    * length-bucket arm shift, same NULL injections), so the family
+    * reads side by side on one drift: q319's CvM says "the shapes
+    * differ", this says "by ≈ 1 bucket, in the metric's own units" —
+    * and it is the family's only zero-libm member (one exact signed
+    * DIV end to end). */
+  def q324EnergyDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.energyDistance(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+          .otherwise(expr("n_chars DIV 16")
+            + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
+        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("arm")),
+      "source", col("v"), col("arm"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_energy_distance" -> (q324EnergyDistance _),
     "q323_jonckheere" -> (q323Jonckheere _),
     "q322_snm_incr" -> (q322SnmIncr _),
     "q321_cosine_incr" -> (q321CosineIncr _),
@@ -5889,6 +5910,39 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q324_energy_distance" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE n_chars // 16 + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+        |    END AS v,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b
+        |  FROM documents),
+        |sk AS (SELECT g, sum(CASE WHEN v IS NULL OR b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |cells AS (SELECT g, v, b, count(1)::HUGEINT AS c FROM base
+        |  WHERE v IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2, 3),
+        |cnts AS (SELECT g,
+        |    sum(CASE WHEN NOT b THEN c ELSE 0 END)::HUGEINT AS n_a,
+        |    sum(CASE WHEN b THEN c ELSE 0 END)::HUGEINT AS n_b
+        |  FROM cells GROUP BY g),
+        |sxy AS (SELECT a.g, sum(abs(a.v - b.v)::HUGEINT * a.c * b.c)::HUGEINT AS s
+        |  FROM cells a JOIN cells b ON a.g = b.g AND NOT a.b AND b.b GROUP BY 1),
+        |sxx AS (SELECT a.g, sum(abs(a.v - b.v)::HUGEINT * a.c * b.c)::HUGEINT AS s
+        |  FROM cells a JOIN cells b ON a.g = b.g AND NOT a.b AND NOT b.b GROUP BY 1),
+        |syy AS (SELECT a.g, sum(abs(a.v - b.v)::HUGEINT * a.c * b.c)::HUGEINT AS s
+        |  FROM cells a JOIN cells b ON a.g = b.g AND a.b AND b.b GROUP BY 1)
+        |SELECT sk.g AS source, coalesce(cnts.n_a, 0)::BIGINT AS n_a,
+        |  coalesce(cnts.n_b, 0)::BIGINT AS n_b, sk.n_skipped,
+        |  CASE WHEN cnts.n_a > 0 AND cnts.n_b > 0 THEN
+        |    ((2 * coalesce(sxy.s, 0) * cnts.n_a * cnts.n_b
+        |      - coalesce(sxx.s, 0) * cnts.n_b * cnts.n_b
+        |      - coalesce(syy.s, 0) * cnts.n_a * cnts.n_a) * 1000000
+        |     // (cnts.n_a * cnts.n_a * cnts.n_b * cnts.n_b))::BIGINT
+        |  END AS e_micro
+        |FROM sk LEFT JOIN cnts ON cnts.g = sk.g
+        |  LEFT JOIN sxy ON sxy.g = sk.g LEFT JOIN sxx ON sxx.g = sk.g
+        |  LEFT JOIN syy ON syy.g = sk.g
+        |ORDER BY source""".stripMargin),
     "q323_jonckheere" ->
       ("""WITH base AS (SELECT coalesce(event_type, '') AS g,
         |    CASE WHEN event_id % 29 = 0 THEN NULL

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Energy distance: cell-pair sums equal direct pair counting, the
+  * metric axioms read through (0 iff equal, grows with separation),
+  * and the NULL conventions. */
+class EnergyDistanceSpec extends SparkSpec {
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.energyDistance(rows.toDF("g", "v", "b"), "g",
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  private def ref(xs: Seq[Long], ys: Seq[Long]): Long = {
+    val n = BigInt(xs.size); val m = BigInt(ys.size)
+    def s(as: Seq[Long], bs: Seq[Long]) =
+      (for (a <- as; b <- bs) yield BigInt((a - b).abs)).sum
+    val num = (2 * s(xs, ys) * n * m - s(xs, xs) * m * m -
+      s(ys, ys) * n * n) * 1000000
+    val den = n * n * m * m
+    (num / den).toLong // e >= 0, floor == trunc
+  }
+
+  test("cell-pair sums == direct pair counting on random tied data") {
+    val rnd = new scala.util.Random(325)
+    (0 until 15).foreach { trial =>
+      val xs = Seq.fill(10 + rnd.nextInt(50))(rnd.nextInt(20).toLong)
+      val ys = Seq.fill(10 + rnd.nextInt(50))(rnd.nextInt(20).toLong + rnd.nextInt(4))
+      val rows = xs.map(v => ("g", java.lang.Long.valueOf(v),
+        java.lang.Boolean.FALSE)) ++
+        ys.map(v => ("g", java.lang.Long.valueOf(v), java.lang.Boolean.TRUE))
+      val got = run(rows)("g")
+      assert(got.getLong(4) == ref(xs, ys), s"trial $trial")
+    }
+  }
+
+  test("metric behavior: identical arms read ~0; e grows with the shift") {
+    val xs = (1L to 100L).map(_ % 25)
+    def at(shift: Long) = run(
+      xs.map(v => ("g", java.lang.Long.valueOf(v), java.lang.Boolean.FALSE)) ++
+      xs.map(v => ("g", java.lang.Long.valueOf(v + shift),
+        java.lang.Boolean.TRUE)))("g").getLong(4)
+    assert(at(0) == 0L, "identical distributions are at distance zero exactly")
+    val e1 = at(3); val e2 = at(9)
+    assert(e1 > 0L && e2 > e1, s"distance must grow with the drift: $e1 vs $e2")
+    // scale-carrying: once the arms fully separate (shift >> span),
+    // e = 2·shift − 2·E|X−X'| exactly — the reading is in the
+    // metric's own units, which is the point of the estimator
+    val exx = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum *
+      1000000L / (xs.size.toLong * xs.size)
+    assert(math.abs(at(1000) - (2000000000L - 2L * exx)) <= 2L,
+      "separated arms must read 2*shift - 2*E|X-X'| (trunc residue only)")
+  }
+
+  test("NULLs skip fail-visibly; an empty arm yields NULL e") {
+    val rows = Seq(
+      ("g", java.lang.Long.valueOf(1L), java.lang.Boolean.FALSE),
+      ("g", null.asInstanceOf[java.lang.Long], java.lang.Boolean.TRUE),
+      ("g", java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Boolean]))
+    val m = run(rows)
+    assert(m("g").getLong(3) == 2L && m("g").isNullAt(4))
+  }
+}
