@@ -556,6 +556,82 @@ object StreamingAnomaly {
       }
   }
 
+  /** Streaming energy-distance drift monitor — the keyed-state face of
+    * [[graft.operators.Anomaly.energyDistance]]: per group the
+    * ((value, arm) → count) histogram accumulates in state (O(cells)
+    * FOREVER, loudly bounded by `maxCells` — integral
+    * bounded-cardinality values by the batch spine contract) and every
+    * trigger re-emits the prefix-exact batch verdict. The batch form
+    * pays a cells² join; a trigger here walks the SORTED spine once
+    * with per-arm cumulative count/mass prefix sums — Σ|v₁−v₂|c₁c₂ =
+    * Σ_cells c·(v·C₍₋₎ − M₍₋₎) over strictly-lower cumulatives (ties
+    * contribute zero and fall out of the strict walk; within-arm
+    * ordered pairs double exactly as the batch V-statistic does) — so
+    * per-trigger cost is O(cells log cells), and the arithmetic is
+    * BigInt-exact into the IDENTICAL one signed truncating DIV,
+    * pinned stream ≡ batch by StreamingEnergySpec. The monitor that
+    * says "tonight's crawl quality scores sit ≈ 2 buckets from the
+    * reference arm" while the crawl runs. NULL value or arm counts
+    * into n_skipped, never a cell. Emits per group per trigger:
+    * (group, n_a, n_b, n_skipped, e_micro — None when either arm is
+    * empty, the batch convention). */
+  def energyDistance(rows: Dataset[(String, Option[Long], Option[Boolean])],
+      maxCells: Int = 100000)
+      : Dataset[(String, Long, Long, Long, Option[Long])] = {
+    require(maxCells >= 1, "need maxCells >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Option[Long], Option[Boolean])],
+            state: GroupState[(Seq[((Long, Boolean), Long)], Long)]) =>
+          val st = state.getOption.getOrElse((Seq.empty, 0L))
+          var m = st._1.toMap
+          var skipped = st._2
+          it.foreach {
+            case (_, Some(v), Some(b)) =>
+              m = m.updated((v, b), m.getOrElse((v, b), 0L) + 1L)
+            case _ => skipped += 1L
+          }
+          require(m.size <= maxCells,
+            s"group '$group' exceeded $maxCells histogram cells — " +
+              "values must be integral bounded-cardinality (the batch spine contract)")
+          state.update((m.toSeq, skipped))
+          if (m.isEmpty && skipped == 0L) Iterator.empty
+          else {
+            val nA = m.collect { case ((_, false), c) => c }.sum
+            val nB = m.collect { case ((_, true), c) => c }.sum
+            val e =
+              if (nA > 0L && nB > 0L) {
+                // one strict walk over the sorted spine, per-arm
+                // cumulative (count, Σ c·v) — cross pairs once from
+                // each side, within-arm ordered pairs doubled, ties 0
+                var cntA = BigInt(0); var masA = BigInt(0)
+                var cntB = BigInt(0); var masB = BigInt(0)
+                var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+                m.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).foreach {
+                  case (v, cellsAt) =>
+                    val ca = BigInt(cellsAt.collectFirst {
+                      case ((_, false), c) => c }.getOrElse(0L))
+                    val cb = BigInt(cellsAt.collectFirst {
+                      case ((_, true), c) => c }.getOrElse(0L))
+                    sxy += ca * (cntB * v - masB) + cb * (cntA * v - masA)
+                    sxx += 2 * ca * (cntA * v - masA)
+                    syy += 2 * cb * (cntB * v - masB)
+                    cntA += ca; masA += ca * v
+                    cntB += cb; masB += cb * v
+                }
+                val num = (2 * sxy * nA * nB - sxx * nB * nB -
+                  syy * nA * nA) * 1000000
+                val den = BigInt(nA) * nA * nB * nB
+                val q = num / den
+                Some((if (num.signum < 0 && q * den != num) q + 1 else q).toLong)
+              } else None
+            Iterator.single((group, nA, nB, skipped, e))
+          }
+      }
+  }
+
   /** Streaming OLS trend — the keyed-state face of
     * [[graft.operators.Anomaly.olsTrend]], and the trend monitor that
     * needs NO packing because the estimator is moments-only: state per

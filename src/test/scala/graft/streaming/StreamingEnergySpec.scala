@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming energy distance: O(cells) keyed state, the prefix-sum
+  * spine walk, and prefix parity with
+  * [[graft.operators.Anomaly.energyDistance]] cell for cell. */
+class StreamingEnergySpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, Option[Long], Option[Boolean])]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.energyDistance(
+      rows.map { case (g, v, b) =>
+        (g, v.map(java.lang.Long.valueOf).orNull,
+          b.map(java.lang.Boolean.valueOf).orNull) }.toDF("g", "v", "b"),
+      "g", col("v"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+  }
+
+  test("stream == batch after every prefix; the drift is visible as it grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(327)
+    // batch 1: arms nearly aligned; batch 2 pushes arm B up 5 buckets
+    val b1: Seq[(String, Option[Long], Option[Boolean])] =
+      (0 until 150).map(_ => ("q", Some(rnd.nextInt(30).toLong),
+        Some(rnd.nextBoolean()))) ++
+      Seq(("q", None, Some(true)), ("q", Some(4L), None),
+        ("lone", Some(7L), Some(false)))
+    val b2: Seq[(String, Option[Long], Option[Boolean])] =
+      (0 until 120).map(_ => ("q", Some(rnd.nextInt(30).toLong + 5),
+        Some(true)))
+    val in = MemoryStream[(String, Option[Long], Option[Boolean])]
+    val q = StreamingAnomaly.energyDistance(in.toDS())
+      .toDF("g", "na", "nb", "sk", "e")
+      .writeStream.format("memory").queryName("energy_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("energy_stream").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4))))
+        .groupBy(_._1).map(_._2.maxBy(t => (t._2 + t._3, t._4))).toSet
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val p1 = batchRef(b1)
+      assert(latest() == p1, "prefix 1: stream must equal the batch metric")
+      assert(p1.find(_._1 == "lone").get._5.isEmpty,
+        "one-armed group keeps the batch NULL convention")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val p2 = batchRef(b1 ++ b2)
+      assert(latest() == p2, "prefix 2: state continued exactly")
+      val e1 = p1.find(_._1 == "q").get._5.get
+      val e2 = p2.find(_._1 == "q").get._5.get
+      assert(e2 > e1, "the injected +5 drift must move the metric up")
+    } finally q.stop()
+  }
+
+  test("the histogram-cell state bound fails loud, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Option[Long], Option[Boolean])]
+    val q = StreamingAnomaly.energyDistance(in.toDS(), maxCells = 4)
+      .toDF("g", "na", "nb", "sk", "e")
+      .writeStream.format("memory").queryName("energy_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", Some(i.toLong),
+        Some(i % 2 == 0))): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
