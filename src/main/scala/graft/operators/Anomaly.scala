@@ -1294,6 +1294,95 @@ object Anomaly {
             | DIV __den AS BIGINT)""".stripMargin)).as("h_milli"))
   }
 
+  /** Anderson–Darling two-sample statistic per group (the tie-adjusted
+    * Scholz & Stephens 1987 A²akN at k = 2) — the TAIL-WEIGHTED member
+    * that completes the ECDF drift family: KS reads the worst gap,
+    * [[cvmTwoSample]] integrates the squared gap uniformly,
+    * [[energyDistance]] reads the drift in metric units; AD divides
+    * each gap by B̄(N−B̄), so disagreement in the DISTRIBUTION TAILS —
+    * exactly where contamination and truncation bugs live, and where
+    * CvM's uniform weight washes them out — dominates the statistic.
+    *
+    * Exact integers, DOUBLED mid-cumulatives (B2 = 2·b₋ + l, M2ᵢ =
+    * 2·mᵢ₋ + lᵢ over the pooled distinct-value spine): per (arm, value)
+    * the tie-adjusted term cross-multiplies to
+    *
+    *   term_micro = 10⁶·(N−1)·l·(N·M2ᵢ − nᵢ·B2)²
+    *                  DIV (N²·nᵢ·(B2·(2N−B2) − N·l))
+    *
+    * (the denominator D = B2(2N−B2) − N·l is 4·[B̄(N−B̄) − Nl/4],
+    * strictly positive whenever l < N — the minimum over a spine is
+    * l(N−l) at the edges), and a2_micro sums the per-term truncating
+    * DIVs — the [[kruskalWallis]] per-level quantization discipline,
+    * residue bounded by one micro per spine cell and replayed
+    * identically in SQL. DECIMAL(38,0) holds the squared numerator to
+    * ~10⁷ rows per group (loud ANSI overflow past it).
+    *
+    * NULL value or arm drops fail-visibly into `n_skipped`; NULL a2
+    * when either arm is empty (nothing to compare) or the pooled
+    * sample has a single distinct value (D = 0 — no tails exist);
+    * NULL group keys fold to ''. Scale shape: the [[cvmTwoSample]]
+    * shape exactly — ONE corpus-sized (group, value, arm) counter agg,
+    * spine windows per group, integral bounded-cardinality values by
+    * contract. Output: (groupCol, n_a, n_b, n_skipped, a2_micro). */
+  def adTwoSample(df: DataFrame, groupCol: String, value: Column,
+      armB: Column,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val base = df.select(coalesce(col(groupCol), lit("")).as("__g"),
+      value.cast("long").as("__v"), armB.cast("boolean").as("__b"))
+    val hist = checkpointer(base.groupBy("__g", "__v", "__b")
+      .agg(count(lit(1)).as("__c")))
+    val skipped = hist.groupBy("__g").agg(
+      sum(when(col("__v").isNull || col("__b").isNull, col("__c"))
+        .otherwise(0L)).as("n_skipped"))
+    val byVal = hist.where(col("__v").isNotNull && col("__b").isNotNull)
+      .groupBy("__g", "__v")
+      .agg(sum(when(!col("__b"), col("__c")).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), col("__c")).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("__g")
+    val stepped = byVal
+      .withColumn("__cumA", sum("__ca").over(w))
+      .withColumn("__cumB", sum("__cb").over(w))
+      .withColumn("__na", sum("__ca").over(tot))
+      .withColumn("__nb", sum("__cb").over(tot))
+      .withColumn("__N", col("__na") + col("__nb"))
+      .withColumn("__l", col("__ca") + col("__cb"))
+      .withColumn("__B2", expr(
+        """2 * CAST(__cumA + __cumB AS DECIMAL(38,0)) - __l"""))
+      .withColumn("__D", expr(
+        "__B2 * (2 * CAST(__N AS DECIMAL(38,0)) - __B2) - CAST(__N AS DECIMAL(38,0)) * __l"))
+    def term(cArm: String, cumArm: String, nArm: String) = expr(
+      s"""CASE WHEN __D > 0 AND $nArm > 0 THEN
+         |  (CAST(__N - 1 AS DECIMAL(38,0)) * __l
+         |    * (CAST(__N AS DECIMAL(38,0)) * (2 * $cumArm - $cArm)
+         |       - CAST($nArm AS DECIMAL(38,0)) * __B2)
+         |    * (CAST(__N AS DECIMAL(38,0)) * (2 * $cumArm - $cArm)
+         |       - CAST($nArm AS DECIMAL(38,0)) * __B2)
+         |    * 1000000)
+         |  DIV (CAST(__N AS DECIMAL(38,0)) * __N * $nArm * __D)
+         |ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin)
+    val agg = stepped
+      .select(col("__g"), col("__na"), col("__nb"), col("__l"), col("__N"),
+        col("__D"),
+        term("__ca", "__cumA", "__na").as("__ta"),
+        term("__cb", "__cumB", "__nb").as("__tb"))
+      .groupBy(col("__g").as("__ag"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum(expr("__ta + __tb")).as("__a2"),
+        // a single distinct value makes D = 0 on its only spine row —
+        // the no-tails degeneracy; detect it as "no positive D seen"
+        max(when(col("__D") > 0L, 1L).otherwise(0L)).as("__anyd"))
+    skipped.join(agg, col("__g") <=> col("__ag"), "left")
+      .select(col("__g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("n_skipped"),
+        when(col("n_a") > 0L && col("n_b") > 0L && col("__anyd") === 1L,
+          col("__a2").cast("long")).as("a2_micro"))
+  }
+
   /** Two-sample energy distance per group (Székely & Rizzo 2004) —
     * the metric member of the drift family: KS reads the worst ECDF
     * gap, [[cvmTwoSample]] the integrated squared gap, PSI a binned

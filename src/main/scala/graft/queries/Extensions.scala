@@ -4709,7 +4709,28 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q325 — Anderson–Darling two-sample drift per source
+    * ([[Anomaly.adTwoSample]]) on q319/q324's EXACT fixture, closing
+    * the ECDF family's side-by-side read on one drift: KS the worst
+    * gap, q319's CvM the integrated gap, q324's energy the distance in
+    * metric units, and this the TAIL-weighted verdict — the member
+    * that screams when contamination lives in the distribution tails
+    * where CvM's uniform weight washes it out. */
+  def q325AdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.operators.Anomaly.adTwoSample(
+      d.select(coalesce(col("source"), lit("")).as("source"),
+        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
+          .otherwise(expr("n_chars DIV 16")
+            + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
+        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 2 === 1).as("arm")),
+      "source", col("v"), col("arm"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_ad_drift" -> (q325AdDrift _),
     "q324_energy_distance" -> (q324EnergyDistance _),
     "q323_jonckheere" -> (q323Jonckheere _),
     "q322_snm_incr" -> (q322SnmIncr _),
@@ -5910,6 +5931,48 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q325_ad_drift" ->
+      ("""WITH base AS (SELECT coalesce(source, '') AS g,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |         ELSE n_chars // 16 + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+        |    END AS v,
+        |    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS b
+        |  FROM documents),
+        |sk AS (SELECT g, sum(CASE WHEN v IS NULL OR b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_skipped
+        |  FROM base GROUP BY g),
+        |bv AS (SELECT g, v,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END)::HUGEINT AS ca,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END)::HUGEINT AS cb
+        |  FROM base WHERE v IS NOT NULL AND b IS NOT NULL GROUP BY g, v),
+        |st AS (SELECT g, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(ca) OVER (PARTITION BY g) AS na,
+        |    sum(cb) OVER (PARTITION BY g) AS nb
+        |  FROM bv),
+        |r2t AS (SELECT g, ca, cb, cuma, cumb, na, nb, na + nb AS nn,
+        |    ca + cb AS l, 2 * (cuma + cumb) - (ca + cb) AS b2 FROM st),
+        |dt AS (SELECT *, b2 * (2 * nn - b2) - nn * l AS d FROM r2t),
+        |tm AS (SELECT g, na, nb, d,
+        |    CASE WHEN d > 0 AND na > 0 THEN
+        |      ((nn - 1) * l * (nn * (2 * cuma - ca) - na * b2)
+        |        * (nn * (2 * cuma - ca) - na * b2) * 1000000)
+        |      // (nn * nn * na * d) ELSE 0 END AS ta,
+        |    CASE WHEN d > 0 AND nb > 0 THEN
+        |      ((nn - 1) * l * (nn * (2 * cumb - cb) - nb * b2)
+        |        * (nn * (2 * cumb - cb) - nb * b2) * 1000000)
+        |      // (nn * nn * nb * d) ELSE 0 END AS tb
+        |  FROM dt),
+        |ag AS (SELECT g, max(na)::HUGEINT AS n_a, max(nb)::HUGEINT AS n_b,
+        |    sum(ta + tb)::HUGEINT AS a2,
+        |    max(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS anyd
+        |  FROM tm GROUP BY g)
+        |SELECT sk.g AS source, coalesce(ag.n_a, 0)::BIGINT AS n_a,
+        |  coalesce(ag.n_b, 0)::BIGINT AS n_b, sk.n_skipped,
+        |  CASE WHEN ag.n_a > 0 AND ag.n_b > 0 AND ag.anyd = 1
+        |    THEN ag.a2::BIGINT END AS a2_micro
+        |FROM sk LEFT JOIN ag ON ag.g = sk.g
+        |ORDER BY source""".stripMargin),
     "q324_energy_distance" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 37 = 0 THEN NULL

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Anderson–Darling two-sample: spine arithmetic equals a direct
+  * reference (ties + per-term truncation included), the tail
+  * sensitivity it exists for, and the degeneracies. */
+class AdTwoSampleSpec extends SparkSpec {
+
+  /** Direct reference: walk pooled distinct values, doubled
+    * mid-cumulatives, per-(arm, value) truncating DIV like the op. */
+  private def ref(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+    val n = BigInt(xs.size); val m = BigInt(ys.size); val nn = n + m
+    if (n == 0 || m == 0) return None
+    val values = (xs ++ ys).distinct.sorted
+    if (values.size < 2) return None
+    var cumA = BigInt(0); var cumB = BigInt(0); var a2 = BigInt(0)
+    values.foreach { v =>
+      val ca = BigInt(xs.count(_ == v)); val cb = BigInt(ys.count(_ == v))
+      val l = ca + cb
+      cumA += ca; cumB += cb
+      val b2 = 2 * (cumA + cumB) - l
+      val d = b2 * (2 * nn - b2) - nn * l
+      if (d > 0) {
+        def t(cum: BigInt, c: BigInt, ni: BigInt): BigInt = {
+          val num = nn * (2 * cum - c) - ni * b2
+          ((nn - 1) * l * num * num * 1000000) / (nn * nn * ni * d)
+        }
+        a2 += t(cumA, ca, n) + t(cumB, cb, m)
+      }
+    }
+    Some(a2.toLong)
+  }
+
+  private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
+    import spark.implicits._
+    Anomaly.adTwoSample(rows.toDF("g", "v", "b"), "g",
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("spine arithmetic == direct reference on random tied data") {
+    val rnd = new scala.util.Random(329)
+    (0 until 15).foreach { trial =>
+      val xs = Seq.fill(10 + rnd.nextInt(50))(rnd.nextInt(15).toLong)
+      val ys = Seq.fill(10 + rnd.nextInt(50))(rnd.nextInt(15).toLong + rnd.nextInt(3))
+      val rows = xs.map(v => ("g", java.lang.Long.valueOf(v),
+        java.lang.Boolean.FALSE)) ++
+        ys.map(v => ("g", java.lang.Long.valueOf(v), java.lang.Boolean.TRUE))
+      val got = run(rows)("g")
+      assert(Option(if (got.isNullAt(4)) null
+        else java.lang.Long.valueOf(got.getLong(4)))
+        .map(_.toLong) == ref(xs, ys), s"trial $trial")
+    }
+  }
+
+  test("tail weighting: a pure tail swap moves AD far more than it moves CvM") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // identical bodies; arm B replaces the extreme top tail only
+    val body = (1L to 200L).map(_ % 50)
+    val xs = body ++ Seq.fill(4)(60L)
+    val ys = body ++ Seq.fill(4)(400L)
+    val rows = (xs.map((_, false)) ++ ys.map((_, true)))
+      .map { case (v, b) => ("g", v, b) }.toDF("g", "v", "b")
+    val ad = Anomaly.adTwoSample(rows, "g", col("v"), col("b"))
+      .collect()(0).getLong(4)
+    val cvm = Anomaly.cvmTwoSample(rows, "g", col("v"), col("b"))
+      .collect()(0).getLong(4)
+    assert(ad > 0L && cvm >= 0L)
+    assert(ad > 6L * math.max(cvm, 1L),
+      s"four swapped tail points must dominate AD ($ad) vs CvM ($cvm)")
+  }
+
+  test("degeneracies: empty arm, single distinct value, NULLs skipped") {
+    val rows = Seq(
+      ("one", 5L, false), ("one", 5L, true), ("one", 5L, true),
+      ("empty", 3L, false), ("empty", 4L, false))
+      .map { case (g, v, b) => (g, java.lang.Long.valueOf(v),
+        java.lang.Boolean.valueOf(b)) } ++ Seq(
+      ("one", null.asInstanceOf[java.lang.Long], java.lang.Boolean.TRUE),
+      ("one", java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Boolean]))
+    val m = run(rows)
+    assert(m("one").getLong(3) == 2L, "n_skipped")
+    assert(m("one").isNullAt(4), "a single distinct value has no tails")
+    assert(m("empty").isNullAt(4), "an empty arm has nothing to compare")
+  }
+}
