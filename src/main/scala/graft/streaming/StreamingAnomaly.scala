@@ -632,6 +632,86 @@ object StreamingAnomaly {
       }
   }
 
+  /** Streaming Cramér–von Mises drift monitor — the keyed-state face
+    * of [[graft.operators.Anomaly.cvmTwoSample]], completing the
+    * streaming drift family ([[ks]]-style sup monitors, PSI bins,
+    * [[energyDistance]] metric units — this is the integrated squared
+    * ECDF gap): per group the ((value, arm) → count) histogram
+    * accumulates in state (O(cells), loud `maxCells` budget, the batch
+    * spine contract) and every trigger walks the sorted spine once,
+    * re-deriving the batch statistic through the IDENTICAL closed-form
+    * arithmetic-sequence square sums (doubled midranks, BigInt-exact)
+    * and the identical one signed truncating DIV — pinned stream ≡
+    * batch per prefix by StreamingCvmSpec. NULL value or arm counts
+    * into n_skipped. Emits per group per trigger: (group, n_a, n_b,
+    * n_skipped, t_micro — None when either arm is empty, the batch
+    * convention). */
+  def cvmTwoSample(rows: Dataset[(String, Option[Long], Option[Boolean])],
+      maxCells: Int = 100000)
+      : Dataset[(String, Long, Long, Long, Option[Long])] = {
+    require(maxCells >= 1, "need maxCells >= 1")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (group: String, it: Iterator[(String, Option[Long], Option[Boolean])],
+            state: GroupState[(Seq[((Long, Boolean), Long)], Long)]) =>
+          val st = state.getOption.getOrElse((Seq.empty, 0L))
+          var m = st._1.toMap
+          var skipped = st._2
+          it.foreach {
+            case (_, Some(v), Some(b)) =>
+              m = m.updated((v, b), m.getOrElse((v, b), 0L) + 1L)
+            case _ => skipped += 1L
+          }
+          require(m.size <= maxCells,
+            s"group '$group' exceeded $maxCells histogram cells — " +
+              "values must be integral bounded-cardinality (the batch spine contract)")
+          state.update((m.toSeq, skipped))
+          if (m.isEmpty && skipped == 0L) Iterator.empty
+          else {
+            val nA = m.collect { case ((_, false), c) => c }.sum
+            val nB = m.collect { case ((_, true), c) => c }.sum
+            val t =
+              if (nA > 0L && nB > 0L) {
+                // the batch operator's per-value closed form: for a
+                // run of c rows at doubled midrank r2 starting after
+                // cumBefore, Σ(r2−2i)² = c·f² − 2f·c(c−1)
+                //   + 4·((c−1)c(2c−1)/6), f = r2 − 2(cumBefore+1)
+                def runSq(c: BigInt, cumBefore: BigInt, r2: BigInt): BigInt =
+                  if (c == 0) BigInt(0)
+                  else {
+                    val f = r2 - 2 * (cumBefore + 1)
+                    c * f * f - 2 * f * c * (c - 1) +
+                      4 * ((c - 1) * c * (2 * c - 1) / 6)
+                  }
+                var cumA = BigInt(0); var cumB = BigInt(0)
+                var s2a = BigInt(0); var s2b = BigInt(0)
+                m.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).foreach {
+                  case (_, cellsAt) =>
+                    val ca = BigInt(cellsAt.collectFirst {
+                      case ((_, false), c) => c }.getOrElse(0L))
+                    val cb = BigInt(cellsAt.collectFirst {
+                      case ((_, true), c) => c }.getOrElse(0L))
+                    val l = ca + cb
+                    val r2 = 2 * (cumA + cumB) + l + 1
+                    s2a += runSq(ca, cumA, r2)
+                    s2b += runSq(cb, cumB, r2)
+                    cumA += ca; cumB += cb
+                }
+                val n = BigInt(nA); val mm = BigInt(nB)
+                val u2 = n * s2a + mm * s2b
+                val num = (3 * u2 - 2 * n * mm * (4 * n * mm - 1)) * 1000000
+                val den = 12 * n * mm * (n + mm)
+                val q = num / den
+                Some((if (num.signum < 0 && q * den != num) q + 1 else q)
+                  .toLong)
+              } else None
+            Iterator.single((group, nA, nB, skipped, t))
+          }
+      }
+  }
+
   /** Streaming OLS trend — the keyed-state face of
     * [[graft.operators.Anomaly.olsTrend]], and the trend monitor that
     * needs NO packing because the estimator is moments-only: state per

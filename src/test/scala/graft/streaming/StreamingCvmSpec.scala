@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming Cramér–von Mises: O(cells) keyed state and prefix parity
+  * with [[graft.operators.Anomaly.cvmTwoSample]] — the same closed-form
+  * spine arithmetic, truncating DIV, and NULL conventions. */
+class StreamingCvmSpec extends SparkSpec {
+
+  private def batchRef(rows: Seq[(String, Option[Long], Option[Boolean])]) = {
+    import spark.implicits._
+    graft.operators.Anomaly.cvmTwoSample(
+      rows.map { case (g, v, b) =>
+        (g, v.map(java.lang.Long.valueOf).orNull,
+          b.map(java.lang.Boolean.valueOf).orNull) }.toDF("g", "v", "b"),
+      "g", col("v"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+  }
+
+  test("stream == batch after every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(331)
+    val b1: Seq[(String, Option[Long], Option[Boolean])] =
+      (0 until 160).map(_ => ("q", Some(rnd.nextInt(25).toLong),
+        Some(rnd.nextBoolean()))) ++
+      Seq(("q", None, Some(false)), ("q", Some(2L), None),
+        ("lone", Some(5L), Some(true)))
+    val b2: Seq[(String, Option[Long], Option[Boolean])] =
+      (0 until 100).map(_ => ("q", Some(rnd.nextInt(25).toLong + 2),
+        Some(true)))
+    val in = MemoryStream[(String, Option[Long], Option[Boolean])]
+    val q = StreamingAnomaly.cvmTwoSample(in.toDS())
+      .toDF("g", "na", "nb", "sk", "t")
+      .writeStream.format("memory").queryName("cvm_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest() = spark.table("cvm_stream").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4))))
+        .groupBy(_._1).map(_._2.maxBy(t => (t._2 + t._3, t._4))).toSet
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(latest() == batchRef(b1), "prefix 1 must equal the batch statistic")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val p2 = batchRef(b1 ++ b2)
+      assert(latest() == p2, "prefix 2: state continued exactly")
+      assert(p2.find(_._1 == "q").get._5.get >
+        batchRef(b1).find(_._1 == "q").get._5.get,
+        "the injected drift must raise the integrated statistic")
+    } finally q.stop()
+  }
+
+  test("the histogram-cell state bound fails loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Option[Long], Option[Boolean])]
+    val q = StreamingAnomaly.cvmTwoSample(in.toDS(), maxCells = 4)
+      .toDF("g", "na", "nb", "sk", "t")
+      .writeStream.format("memory").queryName("cvm_bound")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 10).map(i => ("g", Some(i.toLong),
+        Some(i % 2 == 0))): _*)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+}
