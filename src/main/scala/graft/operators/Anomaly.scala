@@ -1315,8 +1315,10 @@ object Anomaly {
     * l(N−l) at the edges), and a2_micro sums the per-term truncating
     * DIVs — the [[kruskalWallis]] per-level quantization discipline,
     * residue bounded by one micro per spine cell and replayed
-    * identically in SQL. DECIMAL(38,0) holds the squared numerator to
-    * ~10⁷ rows per group (loud ANSI overflow past it).
+    * identically in SQL. DECIMAL(38,0) holds the squared numerator
+    * (N−1)·l·(N·M2−n·B2)²·10⁶ ~ N⁵·10⁶ to roughly N ≈ 2·10⁶ rows per
+    * group (loud ANSI overflow past it — sample per group upstream,
+    * where a rank test's power saturated long before anyway).
     *
     * NULL value or arm drops fail-visibly into `n_skipped`; NULL a2
     * when either arm is empty (nothing to compare) or the pooled

@@ -4616,17 +4616,22 @@ object Extensions {
     * NULL, fail-visible n_skipped) so the rank-family verdicts read
     * side by side. */
   def q319CvmDrift(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
     graft.operators.Anomaly.cvmTwoSample(
-      d.select(coalesce(col("source"), lit("")).as("source"),
+      lengthShiftArms(spark, dir), "source", col("v"), col("arm"))
+      .orderBy("source")
+  }
+
+  /** ONE definition of the q319/q324/q325 drift fixture (the +1
+    * length-bucket arm shift with the q259 NULL injections) so the
+    * three family readings provably see the same input. */
+  private def lengthShiftArms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(coalesce(col("source"), lit("")).as("source"),
         when(col("doc_id") % 37 === 0, lit(null).cast("long"))
           .otherwise(expr("n_chars DIV 16")
             + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
         when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
-          .otherwise(col("doc_id") % 2 === 1).as("arm")),
-      "source", col("v"), col("arm"))
-      .orderBy("source")
-  }
+          .otherwise(col("doc_id") % 2 === 1).as("arm"))
 
   /** q320 — capture–recapture dedup-recall audit
     * ([[Dedup.captureRecapture]]): q311's LSH-candidate verified
@@ -4697,15 +4702,8 @@ object Extensions {
     * and it is the family's only zero-libm member (one exact signed
     * DIV end to end). */
   def q324EnergyDistance(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
     graft.operators.Anomaly.energyDistance(
-      d.select(coalesce(col("source"), lit("")).as("source"),
-        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
-          .otherwise(expr("n_chars DIV 16")
-            + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
-        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
-          .otherwise(col("doc_id") % 2 === 1).as("arm")),
-      "source", col("v"), col("arm"))
+      lengthShiftArms(spark, dir), "source", col("v"), col("arm"))
       .orderBy("source")
   }
 
@@ -4717,15 +4715,8 @@ object Extensions {
     * that screams when contamination lives in the distribution tails
     * where CvM's uniform weight washes it out. */
   def q325AdDrift(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
     graft.operators.Anomaly.adTwoSample(
-      d.select(coalesce(col("source"), lit("")).as("source"),
-        when(col("doc_id") % 37 === 0, lit(null).cast("long"))
-          .otherwise(expr("n_chars DIV 16")
-            + when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("v"),
-        when(col("doc_id") % 41 === 0, lit(null).cast("boolean"))
-          .otherwise(col("doc_id") % 2 === 1).as("arm")),
-      "source", col("v"), col("arm"))
+      lengthShiftArms(spark, dir), "source", col("v"), col("arm"))
       .orderBy("source")
   }
 

@@ -35,9 +35,8 @@ class CvmTwoSampleSpec extends SparkSpec {
     val num = 3 * u2 * 1000000 -
       2 * BigInt(n) * m * (4L * n * m - 1) * 1000000
     val den = 12 * BigInt(n) * m * nn
-    // truncate toward zero — the engines' DIV, not BigInt's floor
-    val q = num / den
-    (if (num.signum < 0 && q * den != num) q + 1 else q).toLong
+    // BigInt / truncates toward zero — exactly the engines' DIV
+    (num / den).toLong
   }
 
   private def run(rows: Seq[(String, java.lang.Long, java.lang.Boolean)]) = {
