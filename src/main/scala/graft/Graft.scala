@@ -48,10 +48,13 @@ object Graft {
     * sf0.1 while quadratic in per-row compute, so the default
     * coalesced the q311 banded-DP stage onto ONE task (measured 12 s
     * single-task twice — the orderBy's range-partitioning sampling
-    * re-executes the child — where the spread form takes a fraction).
-    * 64 KB keeps byte-tiny kernel stages at the session's
-    * parallelism; a cluster deployment builds its own session via
-    * [[builder]] and keeps the cluster-appropriate defaults. */
+    * re-executes the child — where the spread form takes a fraction;
+    * re-measured r15: stock defaults put q311 at 22 s even with the
+    * pair stages' own pinned repartitions, because the est-jaccard /
+    * distinct stages between them re-coalesce to one task). 64 KB
+    * keeps byte-tiny kernel stages at the session's parallelism; a
+    * cluster deployment builds its own session via [[builder]] and
+    * keeps the cluster-appropriate defaults. */
   def session(cores: String): SparkSession = {
     val s = builder()
       .master(s"local[$cores]")

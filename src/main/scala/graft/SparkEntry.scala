@@ -30,9 +30,11 @@ object SparkEntry {
       graft.queries.Extensions.oracles
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible;
-    * driver records a weaker rows-only check). Kept explicit so the test
-    * suite flags any accidentally-unoracled query. q75 is the only one:
-    * its deflate UDF has no DuckDB equivalent — it is golden-tested in
-    * TextAnalysisSpec instead. */
-  def rowsOnlyQueries: Set[String] = Set("q75_compress_ratio")
+    * driver records a weaker rows-only check). EMPTY since round 15:
+    * q75 — nine rounds the only member — was re-faced onto the
+    * engine-portable bigram-conditional-entropy compressibility proxy
+    * (VERDICT r14 #8); the deflate UDF it replaced stays registered and
+    * golden-tested (its bytes are zlib-implementation-defined, hence
+    * un-oracle-able by construction — SURVEY §8). */
+  def rowsOnlyQueries: Set[String] = Set.empty
 }

@@ -1,0 +1,114 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_bigram_entropy(text) -> struct(n_bigrams, n_distinct,
+  * cond_entropy_micro, implied_ratio_micro)` — per-document
+  * FIRST-ORDER (bigram-conditional) code-point entropy and the
+  * implied compression ratio, the engine-portable compressibility
+  * gate that re-faced q75 (VERDICT r14 #8): an order-0 entropy
+  * ([[CharEntropy]], q185) cannot see REPETITION — `abababab…` has
+  * maximal unigram spread but near-zero conditional entropy — while
+  * an LZ codec's ratio sees it and nothing SQL can oracle it.
+  * H(c₂|c₁) is the deterministic middle: it tracks what deflate's
+  * match-finder exploits (local predictability), and both engines
+  * can replay it bit-for-bit. The codec-exact deflate signal stays
+  * available as [[graft.functions.TextFunctions.compressionRatio]]
+  * (golden-tested; its exact bytes are zlib-implementation-defined,
+  * hence un-oracle-able — the retirement note in SURVEY §8).
+  *
+  * Determinism contract (the q75 oracle replays it): with N = total
+  * bigrams, c_xy the (first, second) pair count and c_x· the
+  * first-code-point prefix count, each distinct bigram contributes
+  * `round(-(c_xy/N)·ln(c_xy/c_x·)·1e6)` as an INTEGER micro-nat term
+  * and the document's conditional entropy is the integer SUM —
+  * order-free, non-negative terms (c_xy ≤ c_x·), the q185 fixed-point
+  * discipline. The implied ratio converts micro-nats-per-symbol to a
+  * fraction of 8 bits via the PINNED integer constant 8·ln2·10⁶ ≈
+  * 5545177 (the rboSuffixMicro convention — no second libm call):
+  * implied_ratio_micro = cond_entropy_micro·10⁶ DIV 5545177.
+  *
+  * Counts are code points, not UTF-16 units. Texts with < 2 code
+  * points → (0, 0, 0, 0); NULL → NULL. */
+case class CharBigramEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(CharBigramEntropy.fields.map(
+    f => StructField(f, LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_bigram_entropy"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else CharBigramEntropy.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.expressions.CharBigramEntropy.kernel(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramEntropy =
+    copy(child = newChild)
+}
+
+object CharBigramEntropy {
+  val fields: Seq[String] =
+    Seq("n_bigrams", "n_distinct", "cond_entropy_micro", "implied_ratio_micro")
+
+  /** 8·ln2 in micro units, PINNED (identical literal in the oracle). */
+  val eightLn2Micro: Long = 5545177L
+
+  def kernel(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // bigram counts keyed by (cp1 << 21 | cp2) — code points fit 21 bits
+    val pair = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    val first = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var prev = -1
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (prev >= 0) {
+        val key = java.lang.Long.valueOf((prev.toLong << 21) | cp.toLong)
+        val ps = pair.get(key)
+        if (ps == null) pair.put(key, Array(1L)) else ps(0) += 1L
+        val fs = first.get(prev)
+        if (fs == null) first.put(prev, Array(1L)) else fs(0) += 1L
+        n += 1L
+      }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    var ent = 0L
+    if (n > 0L) {
+      val nd = n.toDouble
+      val it = pair.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        val cx = first.get(Integer.valueOf((e.getKey.longValue() >> 21).toInt))(0)
+        val p = c.toDouble / nd
+        ent += Math.round(-p * Math.log(c.toDouble / cx.toDouble) * 1000000.0)
+      }
+    }
+    new GenericInternalRow(Array[Any](n, pair.size.toLong, ent,
+      Math.multiplyExact(ent, 1000000L) / eightLn2Micro))
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.toColumn(CharBigramEntropy(ColumnBridge.toExpression(text)))
+}

@@ -558,21 +558,66 @@ object Dedup {
     * stages must materialize first (every in-repo caller passes a
     * scan or a checkpointed table, whose plan IS a leaf) or spread
     * explicitly at the pair stage (the editVerifyPairsOf repartition
-    * discipline). */
-  private[operators] def spread(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.execution.{CoalesceExec, LeafExecNode, SparkPlan}
+    * discipline).
+    *
+    * The unary walk is a WHITELIST of partition-PRESERVING nodes
+    * (project/filter/generate/local sort), not "any unary node":
+    * `sparkPlan` predates EnsureRequirements, so an aggregate or
+    * window node carries no exchange yet — walking through one would
+    * report the leaf's split count for a frame whose runtime
+    * partitioning is decided by AQE, and an over-estimate silently
+    * skips the anti-stall spread this guard exists for; an
+    * explicitly-planned ShuffleExchange (df.repartition) is likewise
+    * runtime-sized (ADVICE r14 #1). Unknown shape → None → no-op. */
+  private[operators] def staticPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, LeafExecNode, ProjectExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def estimate(p: SparkPlan): Option[Int] = p match {
       case c: CoalesceExec =>
         estimate(c.child).map(math.min(_, c.numPartitions))
       case l: LeafExecNode => Some(l.execute().getNumPartitions)
-      case u if u.children.size == 1 => estimate(u.children.head)
+      case _: ShuffleExchangeLike => None
+      case s: SortExec if s.global => None
+      case u @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: org.apache.spark.sql.execution.GenerateExec) =>
+        estimate(u.children.head)
       case _ => None
     }
+    estimate(df.queryExecution.sparkPlan)
+  }
+
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    estimate(df.queryExecution.sparkPlan) match {
+    staticPartitions(df) match {
       case Some(parts) if parts < nPart => df.repartition(nPart)
       case _ => df
     }
+  }
+
+  /** Anti-stall spread for a byte-tiny, CPU-heavy PAIR stage, GATED on
+    * the static estimator (VERDICT r14 #1): the explicit
+    * `repartition(nPart, keys…)` exists for ONE failure mode — a
+    * candidate frame whose lineage bottoms out in a single/few-split
+    * scan (a persisted signature table read as one file), where the
+    * planner's broadcast pair join would stream every bucket's pair
+    * enumeration through that one task (the q311 stall) and AQE's
+    * byte-based coalesce would undo a bare column repartition. When
+    * the frame already fans out to ≥ nPart static partitions (every
+    * checkpointed-signature caller — the signature stage spreads),
+    * the pinned exchange is pure overhead: at small scale the pair
+    * join plans as broadcast, which PRESERVES the stream side's
+    * partitioning (the parallelism is already there), and at corpus
+    * scale the join's own shuffle distributes on the same keys with
+    * real bytes that AQE sizes correctly. `gateOn` carries the gate
+    * when `df` itself is not a narrow unary chain (the bucket-cap
+    * semi-join, the salt join): under a broadcast pair join the
+    * stream side's run-time partitioning IS `gateOn`'s, so its
+    * static estimate is the honest parallelism read; an unknown
+    * estimate trusts the join's own exchange. */
+  private def pairSpread(df: DataFrame, gateOn: DataFrame, keys: Column*): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (staticPartitions(gateOn).exists(_ < nPart)) df.repartition(nPart, keys: _*)
+    else df
   }
 
   /** True when `df` already carries the [[minhashSignatureTable]] shape
@@ -637,17 +682,19 @@ object Dedup {
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val cand = maxBucketSize.fold(candAll)(capBuckets(candAll, _, "self-pairs"))
     // the in-bucket pair enumeration is the cost center and is
-    // embarrassingly parallel by bucket — spread the probe side
-    // across the cluster rather than inheriting the input's
-    // file-partitioning (a single small parquet file would otherwise
-    // enumerate EVERY bucket's pairs on one task — measured 5× on the
-    // q311 probe). One narrow shuffle of (id, band) rows, trivial
-    // next to the pair work it distributes; EXPLICIT count because
-    // AQE's byte-based coalesce would re-merge this byte-tiny,
-    // CPU-heavy frame onto one task (the editVerifyPairsOf lesson).
-    val nPart = sig.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = cand.repartition(nPart, col("band_no"), col("band_key")).as("l")
-      .join(cand.as("r"),
+    // embarrassingly parallel by bucket — [[pairSpread]] (GATED on the
+    // static estimator, VERDICT r14 #1) fans it out only when the
+    // input's lineage bottoms out under-partitioned (a single-file
+    // persisted signature table — the q311 one-task stall); an
+    // already-fanned-out checkpointed signature skips the pinned
+    // exchange entirely. BOTH join sides are the SAME frame, so when
+    // the spread fires the exchange runs once and is read twice —
+    // repartitioning only the left side left the right side to plan
+    // its own independent exchange, a pure-overhead double shuffle
+    // measured on q87/q25 at sf0.1.
+    val candS = pairSpread(cand, candAll, col("band_no"), col("band_key"))
+    val pairs = candS.as("l")
+      .join(candS.as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_key") === col("r.band_key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
@@ -696,13 +743,14 @@ object Dedup {
       .drop("__bn")
     // spread by SUB-bucket (salt included): splitting a hot bucket
     // into ceil(n/cap) sub-buckets only bounds wall-clock if the
-    // sub-buckets actually land on different tasks (see the
-    // minhashDedupPairs repartition note — explicit count, AQE's
-    // byte-based coalesce would undo a bare column repartition)
-    val nPart = sig.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = cand
-      .repartition(nPart, col("band_no"), col("band_key"), col("__salt")).as("l")
-      .join(cand.as("r"),
+    // sub-buckets actually land on different tasks — [[pairSpread]],
+    // gated on candAll's static estimate (the salt join itself is
+    // not a unary chain; see the minhashDedupPairs note), SHARED on
+    // both sides so a firing exchange runs once
+    val candS = pairSpread(cand, candAll,
+      col("band_no"), col("band_key"), col("__salt"))
+    val pairs = candS.as("l")
+      .join(candS.as("r"),
         col("l.band_no") === col("r.band_no") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.__salt") === col("r.__salt") && col("l.id") < col("r.id"))
@@ -752,12 +800,12 @@ object Dedup {
       posexplode(col("bands")).as(Seq("band_no", "band_key")))
     val bCand = maxBucketSize.fold(cands(bSig))(capBuckets(cands(bSig), _, "base-pairs"))
     val nCand = maxBucketSize.fold(cands(nSig))(capBuckets(cands(nSig), _, "batch-pairs"))
-    // spread the probe (batch) side by bucket — the minhashDedupPairs
-    // repartition note; a single-file batch would otherwise enumerate
-    // every bucket's cross pairs on one task (explicit count: AQE's
-    // byte-based coalesce would undo a bare column repartition)
-    val nPart = nSig.sparkSession.sessionState.conf.numShufflePartitions
-    val pairs = nCand.repartition(nPart, col("band_no"), col("band_key")).as("n")
+    // spread the probe (batch) side by bucket — [[pairSpread]], gated
+    // on the pre-cap batch candidates' static estimate: a single-file
+    // batch would otherwise enumerate every bucket's cross pairs on
+    // one task, while an already-fanned-out batch skips the exchange
+    val pairs = pairSpread(nCand, cands(nSig),
+        col("band_no"), col("band_key")).as("n")
       .join(bCand.as("b"),
         col("n.band_no") === col("b.band_no") &&
         col("n.band_key") === col("b.band_key"))
@@ -1398,8 +1446,12 @@ object Dedup {
     // trivial next to the pair work it distributes. EXPLICIT count:
     // AQE coalesces by bytes and this frame is byte-tiny, CPU-heavy
     // (the editVerifyPairsOf lesson) — an explicit count opts out.
-    val nPart = t.sparkSession.sessionState.conf.numShufflePartitions
-    val l = t.repartition(nPart, col("block")).as("l"); val r = t.as("r")
+    // [[pairSpread]]: fan out ONLY when the candidate table's lineage
+    // is statically under-partitioned (single-file input — the
+    // one-task DP stall); SHARED frame on both sides so a firing
+    // exchange runs once (the minhashDedupPairs note)
+    val tS = pairSpread(t, t, col("block"))
+    val l = tS.as("l"); val r = tS.as("r")
     val maxLen = greatest(col("l.len"), col("r.len"))
     val lenGap = abs(col("l.len") - col("r.len"))
     val maxDist = expr(
@@ -1525,20 +1577,56 @@ object Dedup {
   def longestSharedSubstringsAgainst(newDf: DataFrame, baseDf: DataFrame,
       idCol: String, textCol: String, k: Int = 24, w: Int = 9,
       minLen: Int = 32, maxGramOcc: Long = 1L << 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame =
+    // DELEGATION, not a parallel implementation (the SNM full-form/
+    // incremental discipline): the persisted-anchor path and this
+    // from-text path must stay semantics-identical by construction
+    longestSharedSubstringsAgainstAnchors(newDf,
+      checkpointer(charGramAnchorTable(baseDf, idCol, textCol, k, w)),
+      baseDf, idCol, textCol, k, w, minLen, maxGramOcc, checkpointer)
+
+  /** The winnowed ANCHOR table of a corpus — (id, pos, h), the
+    * persistable analogue of [[minhashSignatureTable]] for the
+    * substring-dedup family: a 100 TB deployment keeps this table
+    * (parquet, ~2/(w+1) of the corpus's char count) alongside the
+    * corpus, and every incremental run re-hashes only the new batch.
+    * Unlike the signature table the base TEXT is still read by the
+    * extension stage — but only for docs an anchor collision actually
+    * implicates (the candidate join keys the text join), never the
+    * whole corpus per batch. */
+  def charGramAnchorTable(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 24, w: Int = 9): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    df.select(col(idCol).as("id"), col(textCol).as("tx"))
+      .select(col("id"),
+        explode(graft.expressions.WinnowSelect(
+          graft.expressions.CharGramHashes(col("tx"), k), w)).as("a"))
+      .select(col("id"), col("a.pos").as("pos"), col("a.hash").as("h"))
+  }
+
+  /** [[longestSharedSubstringsAgainst]] with the base side's anchors
+    * PRE-COMPUTED (a persisted [[charGramAnchorTable]]) — the
+    * continuous-ingest shape ([[graft.streaming.StreamingCurate
+    * .substringDedupStream]]): per batch the kernel work is O(batch)
+    * hashing plus the anchor-table join; `baseText` supplies (idCol,
+    * textCol) rows for exactly the base docs candidates implicate
+    * (the corpus store — its text column is only read through the
+    * candidate-keyed join). Hot-gram budget counts BOTH sides, same
+    * stated recall trade as the self form. */
+  def longestSharedSubstringsAgainstAnchors(newDf: DataFrame,
+      baseAnchors: DataFrame, baseText: DataFrame,
+      idCol: String, textCol: String, k: Int = 24, w: Int = 9,
+      minLen: Int = 32, maxGramOcc: Long = 1L << 20,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     require(minLen >= k + w - 1,
       s"minLen must be >= k + w - 1 = ${k + w - 1} (the winnowing " +
         "guarantee's floor) — a smaller minLen would silently miss pairs")
     require(maxGramOcc >= 2, s"need maxGramOcc >= 2, got $maxGramOcc")
-    def anchorsOf(df: DataFrame) = df
-      .select(col(idCol).as("id"), col(textCol).as("tx"))
-      .select(col("id"),
-        explode(graft.expressions.WinnowSelect(
-          graft.expressions.CharGramHashes(col("tx"), k), w)).as("a"))
-      .select(col("id"), col("a.pos").as("pos"), col("a.hash").as("h"))
-    val nA = checkpointer(anchorsOf(newDf))
-    val bA = checkpointer(anchorsOf(baseDf))
+    require(Seq("id", "pos", "h").forall(baseAnchors.columns.contains),
+      "baseAnchors must be a charGramAnchorTable: (id, pos, h)")
+    val nA = checkpointer(charGramAnchorTable(newDf, idCol, textCol, k, w))
+    val bA = baseAnchors.select("id", "pos", "h")
     val hot = nA.unionByName(bA).groupBy("h")
       .agg(count(lit(1)).as("__occ"))
       .where(col("__occ") > maxGramOcc).select(col("h"))
@@ -1550,7 +1638,7 @@ object Dedup {
     cand
       .join(newDf.select(col(idCol).as("new_id"),
         col(textCol).as("tx1")), Seq("new_id"))
-      .join(baseDf.select(col(idCol).as("base_id"),
+      .join(baseText.select(col(idCol).as("base_id"),
         col(textCol).as("tx2")), Seq("base_id"))
       .select(col("new_id"), col("base_id"), graft.expressions.ExtendMatch(
         col("tx1"), col("pos1"), col("tx2"), col("pos2")).as("__run"))
@@ -1605,6 +1693,70 @@ object Dedup {
     lens.join(drops, Seq("id"), "left")
       .select(col("id"), col("len"), col("max_share_milli"),
         col("max_share_milli").isNull.as("kept"))
+  }
+
+  /** CLUSTERED substring-dedup policy — the Lee et al. 2021 cluster
+    * semantics [[substringDedupCorpus]]'s greedy one-pass rule
+    * deliberately skips (its scaladoc points here): qualifying pairs
+    * become edges, [[connectedComponents]] labels each near-copy
+    * family, and exactly the MIN-id document of every cluster
+    * survives — so a mirror-of-a-mirror is dropped even when it never
+    * directly paired with the kept original (the transitive case the
+    * greedy rule resolves only chain-wise).
+    *
+    * Edge rule, stated: a pair qualifies when the shared run covers
+    * ≥ `minShareMilli` ‰ of the SHORTER document (max_len·10³ ≥
+    * minShare·least(len₁,len₂) — cross-multiplied, no division);
+    * "either endpoint is mostly contained" is the undirected reading
+    * of the greedy rule's drop test, and the shorter side always
+    * carries the larger share.
+    *
+    * share_with_kept_milli reports each dropped doc's DIRECT shared
+    * run vs the kept representative (max_len·10³ DIV own len): the
+    * audit column for "how much of what I kept does this drop
+    * actually cover". A transitive-only drop (no direct pair with the
+    * representative — the mirror-of-a-mirror) reports NULL, never 0:
+    * "no direct evidence" is not "no overlap". Because cluster labels
+    * are min-ids and the pair table is id1 < id2, the representative
+    * of any direct pair is always the id1 side — one equi-join, no
+    * per-cluster window.
+    *
+    * Scale shape: the [[longestSharedSubstrings]] pair table (winnowed
+    * anchors — candidates, never the corpus square) is materialized
+    * ONCE and feeds both the edge filter and the share report;
+    * pointer-jumping CC converges in O(log diameter) rounds on the
+    * narrow (id, cluster) frame; everything else is id-keyed joins
+    * against the len spine. Output: (id, len, cluster, kept,
+    * share_with_kept_milli) — one row per input doc. */
+  def substringDedupClusters(df: DataFrame, idCol: String, textCol: String,
+      minShareMilli: Long, k: Int = 24, w: Int = 9, minLen: Int = 32,
+      maxGramOcc: Long = 1L << 20,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minShareMilli >= 1 && minShareMilli <= 1000,
+      s"need minShareMilli in [1, 1000], got $minShareMilli")
+    val pairs = checkpointer(longestSharedSubstrings(df, idCol, textCol,
+      k, w, minLen, maxGramOcc, checkpointer))
+    val lens = df.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("len"))
+    val edges = pairs
+      .join(lens.select(col("id").as("id1"), col("len").as("__l1")), Seq("id1"))
+      .join(lens.select(col("id").as("id2"), col("len").as("__l2")), Seq("id2"))
+      .where(col("max_len") * 1000L >=
+        lit(minShareMilli) * least(col("__l1"), col("__l2")))
+      .select(col("id1"), col("id2"))
+    val comps = connectedComponents(edges, checkpointer = checkpointer)
+    val labeled = lens.join(comps, Seq("id"), "left")
+      .select(col("id"), col("len"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+    val repShare = pairs
+      .join(lens.select(col("id").as("id2"), col("len").as("__l2")), Seq("id2"))
+      .select(col("id1").as("cluster"), col("id2").as("id"),
+        expr("max_len * 1000 DIV __l2").as("__share"))
+    labeled.join(repShare, Seq("cluster", "id"), "left")
+      .select(col("id"), col("len"), col("cluster"),
+        (col("cluster") === col("id")).as("kept"),
+        when(col("cluster") === col("id"), lit(null).cast("long"))
+          .otherwise(col("__share")).as("share_with_kept_milli"))
   }
 
   /** Cluster-size audit of a dedup clustering — the distribution
@@ -1820,37 +1972,56 @@ object Dedup {
     * headline: they answer "what fraction of training tokens sit in
     * cross-doc repeated context".
     *
-    * Scale shape: one corpus-sized tokenize+shingle+hash pass PER
-    * width (widths are a handful by contract — the passes are stated,
-    * not hidden), each collapsing to a (hash → distinct docs,
-    * occurrences) partial agg; the report is |widths| rows. Output:
+    * Scale shape: ONE corpus-sized tokenize pass for ALL widths — per
+    * row, an array of (width, shingle-hashes) structs explodes into
+    * (width, hash) rows (the repeated tokenize subexpression is
+    * evaluated once per row by codegen subexpression elimination), so
+    * the whole curve costs a single scan, one (width, hash) distinct
+    * agg, and a |widths|-row rollup — where a pass-per-width form
+    * re-tokenized the corpus |widths| times through |widths| shuffle
+    * chains (measured 1.9× on the sf0.1 face, VERDICT r14). Output:
     * (shingle_n, n_shingles, n_distinct, n_dup_distinct, n_dup_occ,
-    * dup_occ_frac_micro), one row per width. */
+    * dup_occ_frac_micro), one row per width — a width no document
+    * reaches still reports its zero row via the width spine. */
   def dupCurve(docs: DataFrame, docIdCol: String, textCol: String,
       widths: Seq[Int] = Seq(3, 5, 10, 20), minDocs: Int = 2): DataFrame = {
     require(widths.nonEmpty && widths.forall(n => n >= 2 && n <= 64),
       "need 1..n widths each in [2, 64]")
+    require(widths.distinct.size == widths.size, "widths must be distinct")
     require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
     val toks = docs.select(col(docIdCol).as("__doc"),
       tokens(coalesce(col(textCol), lit(""))).as("__tw"))
-    widths.map { n =>
-      toks.select(col("__doc"),
-          explode(graft.expressions.TokenHashes(
-            graft.expressions.WordShingles(col("__tw"), n))).as("__h"))
-        .groupBy("__h")
-        .agg(countDistinct(col("__doc")).as("__nd"),
-          count(lit(1)).as("__occ"))
-        .agg(lit(n.toLong).as("shingle_n"),
-          coalesce(sum("__occ"), lit(0L)).as("n_shingles"),
-          count(lit(1)).as("n_distinct"),
-          coalesce(sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)),
-            lit(0L)).as("n_dup_distinct"),
-          coalesce(sum(when(col("__nd") >= minDocs, col("__occ"))
-            .otherwise(0L)), lit(0L)).as("n_dup_occ"))
-        .withColumn("dup_occ_frac_micro",
-          when(col("n_shingles") > 0L,
-            expr("n_dup_occ * 1000000 DIV n_shingles")).otherwise(0L))
-    }.reduce(_ unionByName _)
+    val perW = array(widths.map(n => struct(lit(n.toLong).as("__w"),
+      graft.expressions.TokenHashes(
+        graft.expressions.WordShingles(col("__tw"), n)).as("__hs"))): _*)
+    val perWidth = toks
+      .select(col("__doc"), explode(perW).as("__ws"))
+      .select(col("__doc"), col("__ws.__w").as("__w"),
+        explode(col("__ws.__hs")).as("__h"))
+      .groupBy("__w", "__h")
+      .agg(countDistinct(col("__doc")).as("__nd"), count(lit(1)).as("__occ"))
+      .groupBy("__w")
+      .agg(sum("__occ").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_distinct"),
+        sum(when(col("__nd") >= minDocs, col("__occ")).otherwise(0L))
+          .as("n_dup_occ"))
+      .withColumnRenamed("__w", "shingle_n")
+    import scala.jdk.CollectionConverters._
+    val spine = docs.sparkSession.createDataFrame(
+      widths.map(n => org.apache.spark.sql.Row(n.toLong)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shingle_n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    spine.join(perWidth, Seq("shingle_n"), "left")
+      .select(col("shingle_n"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"),
+        coalesce(col("n_dup_occ"), lit(0L)).as("n_dup_occ"))
+      .withColumn("dup_occ_frac_micro",
+        when(col("n_shingles") > 0L,
+          expr("n_dup_occ * 1000000 DIV n_shingles")).otherwise(0L))
   }
 
   /** Cross-document duplicated-SPAN detection — the per-document
@@ -1992,6 +2163,63 @@ object Dedup {
       .withColumn("recall_b_milli",
         when(col("est_pairs") > 0L,
           expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000 DIV est_pairs AS BIGINT)")))
+  }
+
+  /** TRIPLE-system recall audit — the independence check
+    * [[captureRecapture]] cannot run on itself (VERDICT r14 #7): the
+    * two-list Chapman estimate assumes the generators MISS
+    * independently, and two generators sharing a verify stage (q311's
+    * LSH and q318's SNM both gate on the same ≥‰ edit verifier) share
+    * a miss mechanism — a verifier false-negative is invisible to
+    * both, biasing the joint estimate LOW with nothing in the
+    * two-list arithmetic to show it. A third, mechanism-independent
+    * pair list buys the diagnostic: the THREE pairwise Chapman
+    * estimates should agree under independence, so their spread IS
+    * the dependence read — a shared-miss pair (A,B) depresses est_ab
+    * while est_ac/est_bc (each crossing the independent system) sit
+    * higher, and spread_milli = (est_max − est_min)·10³ DIV est_max
+    * quantifies how much of the population estimate is
+    * assumption-dependent (pinned by an engineered shared-miss spec).
+    *
+    * All counts are distinct unordered pairs (the captureRecapture
+    * normalization); ests are the same +1-smoothed Chapman integers.
+    * Scale shape: three narrow full-outer joins on (lo, hi) + one
+    * single-row agg — cost is the three input generators, not the
+    * audit. Output: one row — (n_a, n_b, n_c, n_ab, n_ac, n_bc,
+    * n_abc, est_ab, est_ac, est_bc, est_min, est_max, spread_milli
+    * — NULL when no estimate is positive). */
+  def captureRecapture3(pairsA: DataFrame, pairsB: DataFrame,
+      pairsC: DataFrame): DataFrame = {
+    def norm(df: DataFrame, flag: String) = df.select(
+      least(col("id1"), col("id2")).as("lo"),
+      greatest(col("id1"), col("id2")).as("hi"))
+      .distinct().withColumn(flag, lit(1L))
+    def est(nx: String, ny: String, m: String) =
+      expr(s"""CAST((CAST($nx + 1 AS DECIMAL(38,0)) * ($ny + 1))
+        | DIV ($m + 1) - 1 AS BIGINT)""".stripMargin)
+    norm(pairsA, "__a")
+      .join(norm(pairsB, "__b"), Seq("lo", "hi"), "full_outer")
+      .join(norm(pairsC, "__c"), Seq("lo", "hi"), "full_outer")
+      .agg(
+        coalesce(sum(col("__a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("__b")), lit(0L)).as("n_b"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_c"),
+        coalesce(sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_ab"),
+        coalesce(sum(when(col("__a").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_ac"),
+        coalesce(sum(when(col("__b").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_bc"),
+        coalesce(sum(when(col("__a").isNotNull && col("__b").isNotNull
+          && col("__c").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_abc"))
+      .withColumn("est_ab", est("n_a", "n_b", "n_ab"))
+      .withColumn("est_ac", est("n_a", "n_c", "n_ac"))
+      .withColumn("est_bc", est("n_b", "n_c", "n_bc"))
+      .withColumn("est_min", least(col("est_ab"), col("est_ac"), col("est_bc")))
+      .withColumn("est_max", greatest(col("est_ab"), col("est_ac"), col("est_bc")))
+      .withColumn("spread_milli",
+        when(col("est_max") > 0L, expr(
+          "CAST(CAST(est_max - est_min AS DECIMAL(38,0)) * 1000 DIV est_max AS BIGINT)")))
   }
 
   /** Dense global 0-based rank of every row under the total order
@@ -2139,9 +2367,12 @@ object Dedup {
       Seq("block", "tok"), "left_semi"))
     val norms = kept.groupBy("id")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
-    val nPart = kept.sparkSession.sessionState.conf.numShufflePartitions
-    val dots = kept.repartition(nPart, col("block"), col("tok")).as("l")
-      .join(kept.as("r"),
+    // [[pairSpread]]: fan out ONLY when the checkpointed posting table
+    // is statically under-partitioned (the one-task stall class);
+    // SHARED frame on both sides so a firing exchange runs once
+    val keptS = pairSpread(kept, kept, col("block"), col("tok"))
+    val dots = keptS.as("l")
+      .join(keptS.as("r"),
         col("l.block") === col("r.block") && col("l.tok") === col("r.tok") &&
         col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id1"), col("r.id").as("id2"))

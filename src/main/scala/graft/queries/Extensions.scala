@@ -522,14 +522,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  /** q75 — deflate-compressibility quality signal (rows-only check: the
-    * only query with no DuckDB oracle — zlib has no SQL equivalent; see
-    * [[TextFunctions.compressionRatio]]). JVM-deterministic and covered
-    * by a golden unit test instead. */
+  /** q75 — compressibility quality signal, re-faced HASH-GREEN on the
+    * engine-portable proxy (VERDICT r14 #8, nine rounds rows-only):
+    * per-document bigram-conditional code-point entropy and its
+    * implied compression ratio ([[graft.expressions
+    * .CharBigramEntropy]]). First-order entropy tracks what deflate's
+    * match-finder exploits — `abababab…` reads near-zero here and
+    * maximal in q185's order-0 entropy — so the gate keeps its
+    * repetition sensitivity while every value replays in DuckDB
+    * (term-rounded integer micro-nats; the ratio via the pinned
+    * 8·ln2·10⁶ divisor, no second libm call). The codec-exact deflate
+    * UDF ([[TextFunctions.compressionRatio]]) remains registered and
+    * golden-tested; its raw bytes are zlib-implementation-defined and
+    * therefore un-oracle-able by construction — retirement documented
+    * in SURVEY §8. */
   def q75CompressRatio(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"),
-        round(TextFunctions.compressionRatio(col("text")), 6).as("deflate_ratio"))
+      .select(col("doc_id"),
+        graft.expressions.CharBigramEntropy(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.cond_entropy_micro").as("cond_entropy_micro"),
+        col("s.implied_ratio_micro").as("implied_ratio_micro"))
       .orderBy("doc_id")
 
   /** q76 — robust (MAD) per-group outliers: |x − median| > 3·MAD, the
@@ -4562,7 +4576,12 @@ object Extensions {
   def q316CosinePairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosineAllPairs(
       Tables(spark, dir, "documents")
-        .withColumn("block", concat_ws("_", col("lang"), col("source"))),
+        // coalesce BOTH key parts (the lengthShiftArms convention):
+        // concat_ws skips NULLs while the oracle's || is NULL-absorbing,
+        // so an uncoalesced key would pair NULL-lang docs in Spark but
+        // never in the oracle (ADVICE r14 #3)
+        .withColumn("block", concat_ws("_",
+          coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")))),
       "doc_id", "text", "block", minCosMilli = 800, dfCap = 200)
       .orderBy("id1", "id2")
 
@@ -4654,7 +4673,9 @@ object Extensions {
     * discipline. */
   def q321CosineIncr(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
-      .withColumn("block", concat_ws("_", col("lang"), col("source")))
+      // NULL-pinned key parts — see the q316 note (ADVICE r14 #3)
+      .withColumn("block", concat_ws("_",
+        coalesce(col("lang"), lit("")), coalesce(col("source"), lit(""))))
     Dedup.cosineAllPairsAgainst(
       d.where(col("doc_id") % 7 === 0), d.where(col("doc_id") % 7 =!= 0),
       "doc_id", "text", "block", minCosMilli = 800, dfCap = 200)
@@ -4720,7 +4741,40 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** q326 — CLUSTERED substring dedup
+    * ([[Dedup.substringDedupClusters]]): connected components over
+    * q309's longest-shared-substring pair table at the ≥ 60%-of-the-
+    * shorter-doc edge rule, exactly the min-id document of each
+    * cluster kept, and each drop's DIRECT shared run vs its kept
+    * representative reported — NULL for transitive-only drops (the
+    * mirror-of-a-mirror q312's greedy one-pass rule resolves only
+    * chain-wise; the cluster form this face owns drops it against the
+    * original). The oracle recomputes pairs by brute-force diagonal
+    * runs and labels clusters with a recursive reachability CTE. */
+  def q326SubstringClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedupClusters(
+      Tables(spark, dir, "documents"), "doc_id", "text", minShareMilli = 600)
+      .orderBy("id")
+
+  /** q327 — TRIPLE-system recall audit ([[Dedup.captureRecapture3]]):
+    * q311 (LSH→edit-verify), q318 (SNM→edit-verify) and q316
+    * (posting-list cosine) as the three capture lists. q320's
+    * two-list Chapman estimate silently assumes its generators miss
+    * INDEPENDENTLY — false for q311/q318, which share the ≥ 350‰
+    * edit-verify stage (a verifier false-negative is invisible to
+    * both). q316's miss mechanism is disjoint (df-capped token
+    * cosine, no edit verifier), so the three pairwise Chapman
+    * estimates carry the diagnostic: dependence reads as est_ab
+    * sitting apart from est_ac/est_bc, and spread_milli quantifies
+    * how assumption-dependent the population estimate is. */
+  def q327TripleRecall(spark: SparkSession, dir: String): DataFrame =
+    Dedup.captureRecapture3(
+      q311LshEditVerify(spark, dir), q318SnmVerified(spark, dir),
+      q316CosinePairs(spark, dir))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_triple_recall" -> (q327TripleRecall _),
+    "q326_substring_clusters" -> (q326SubstringClusters _),
     "q325_ad_drift" -> (q325AdDrift _),
     "q324_energy_distance" -> (q324EnergyDistance _),
     "q323_jonckheere" -> (q323Jonckheere _),
@@ -5922,6 +5976,46 @@ object Extensions {
        |  FROM g$n)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q326_substring_clusters" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id AS id, text AS tx FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (SELECT id, i AS pos, substring(tx, i, 24) AS gram
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(tx) - 23, 0))) AS i)),
+        |m AS (SELECT a.id AS id1, a.pos AS p1, b.id AS id2, b.pos AS p2
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id),
+        |r AS (SELECT id1, id2, p1 - p2 AS diag,
+        |    p1 - row_number() OVER (PARTITION BY id1, id2, p1 - p2
+        |      ORDER BY p1) AS grp
+        |  FROM m),
+        |runs AS (SELECT id1, id2, count(1) + 23 AS run_len
+        |  FROM r GROUP BY id1, id2, diag, grp),
+        |pl AS (SELECT id1, id2, max(run_len)::BIGINT AS max_len
+        |  FROM runs GROUP BY id1, id2 HAVING max(run_len) >= 32),
+        |lens AS (SELECT doc_id AS id, length(text)::BIGINT AS len
+        |  FROM documents),
+        |e AS (SELECT p.id1, p.id2 FROM pl p
+        |  JOIN lens a ON a.id = p.id1 JOIN lens b ON b.id = p.id2
+        |  WHERE p.max_len * 1000 >= 600 * least(a.len, b.len)),
+        |ed AS (SELECT id1 AS src, id2 AS dst FROM e
+        |       UNION SELECT id2, id1 FROM e),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM ed
+        | UNION
+        | SELECT rh.src, e2.dst FROM reach rh JOIN ed e2 ON rh.dst = e2.src),
+        |lab AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+        |cl AS (SELECT l.id, l.len,
+        |    CASE WHEN la.mn IS NOT NULL AND la.mn < l.id THEN la.mn
+        |         ELSE l.id END AS cluster
+        |  FROM lens l LEFT JOIN lab la ON la.src = l.id),
+        |sh AS (SELECT p.id1 AS cluster, p.id2 AS id,
+        |    (p.max_len * 1000 // b.len)::BIGINT AS s
+        |  FROM pl p JOIN lens b ON b.id = p.id2)
+        |SELECT c.id, c.len, c.cluster, (c.cluster = c.id) AS kept,
+        |  CASE WHEN c.cluster = c.id THEN NULL ELSE sh.s END
+        |    AS share_with_kept_milli
+        |FROM cl c LEFT JOIN sh ON sh.cluster = c.cluster AND sh.id = c.id
+        |ORDER BY c.id""".stripMargin),
     "q325_ad_drift" ->
       ("""WITH base AS (SELECT coalesce(source, '') AS g,
         |    CASE WHEN doc_id % 37 = 0 THEN NULL
@@ -6047,7 +6141,8 @@ object Extensions {
         |  LEFT JOIN lv ON lv.g = sk.g LEFT JOIN tv ON tv.g = sk.g
         |ORDER BY event_type""".stripMargin),
     "q321_cosine_incr" ->
-      ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
+      ("""WITH tok AS (SELECT doc_id,
+        |    coalesce(lang, '') || '_' || coalesce(source, '') AS block,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
         |    doc_id % 7 = 0 AS isn
         |  FROM documents),
@@ -6127,6 +6222,106 @@ object Extensions {
         |  END AS t_micro
         |FROM sk LEFT JOIN ag ON ag.g = sk.g
         |ORDER BY source""".stripMargin),
+    "q327_triple_recall" -> {
+      val counts = (0 until lshBands).map(b =>
+        s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
+        .mkString(",\n")
+      def saltOf(side: String) =
+        s"(('0x' || substring(md5($side.doc_id::VARCHAR), 1, 15))::BIGINT " +
+          s"% (CASE WHEN c.n > ${q87Cap} THEN (c.n + ${q87Cap} - 1) // ${q87Cap} ELSE 1 END))"
+      val candBranches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id
+           |JOIN cnt$b c ON c.key = l.band$b
+           |WHERE ${saltOf("l")} = ${saltOf("r")}""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH $lshSigDefs,
+        |$counts,
+        |cand AS (SELECT DISTINCT id1, id2 FROM (
+        |$candBranches
+        |)),
+        |t AS (SELECT doc_id AS id, substring(text, 1, 120) AS tx,
+        |    length(substring(text, 1, 120))::BIGINT AS len
+        |  FROM documents),
+        |pa AS (SELECT c.id1, c.id2
+        |  FROM cand c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len)
+        |    AND levenshtein(a.tx, b.tx)
+        |      <= greatest(a.len, b.len) * 650 // 1000),
+        |dd AS (SELECT doc_id AS id,
+        |    substring(regexp_replace(lower(text), '\\s+', '', 'g'), 1, 16) AS k
+        |  FROM documents),
+        |rr AS (SELECT id, k,
+        |    row_number() OVER (ORDER BY k ASC NULLS FIRST, id ASC) - 1 AS rnk
+        |  FROM dd),
+        |cand2 AS (SELECT a.id AS id1, b.id AS id2
+        |  FROM rr a JOIN rr b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+        |pb AS (SELECT c.id1, c.id2
+        |  FROM cand2 c JOIN t a ON a.id = c.id1 JOIN t b ON b.id = c.id2
+        |  WHERE (greatest(a.len, b.len) - abs(a.len - b.len)) * 1000
+        |      >= 350 * greatest(a.len, b.len)
+        |    AND levenshtein(a.tx, b.tx)
+        |      <= greatest(a.len, b.len) * 650 // 1000),
+        |tok3 AS (SELECT doc_id,
+        |    coalesce(lang, '') || '_' || coalesce(source, '') AS block,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |cnt3 AS (SELECT block, doc_id AS id, tok, count(1)::BIGINT AS c
+        |  FROM tok3 WHERE tok <> '' GROUP BY 1, 2, 3),
+        |keep3 AS (SELECT block, tok FROM cnt3 GROUP BY 1, 2
+        |  HAVING count(1) <= 200),
+        |k3 AS (SELECT cnt3.* FROM cnt3 SEMI JOIN keep3 USING (block, tok)),
+        |norms3 AS (SELECT id, sum(c::HUGEINT * c)::HUGEINT AS ss
+        |  FROM k3 GROUP BY 1),
+        |dots3 AS (SELECT a3.id AS id1, b3.id AS id2,
+        |    sum(a3.c::HUGEINT * b3.c)::HUGEINT AS dot
+        |  FROM k3 a3 JOIN k3 b3 ON a3.block = b3.block AND a3.tok = b3.tok
+        |    AND a3.id < b3.id
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT id1, id2 FROM (SELECT id1, id2,
+        |    ((dot * 1000) // CAST(floor(sqrt(CAST(n1.ss * n2.ss AS DOUBLE)))
+        |      AS HUGEINT))::BIGINT AS cos_milli
+        |  FROM dots3 JOIN norms3 n1 ON n1.id = id1
+        |    JOIN norms3 n2 ON n2.id = id2)
+        |  WHERE cos_milli >= 800),
+        |na AS (SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi FROM pa),
+        |nb AS (SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi FROM pb),
+        |nc AS (SELECT DISTINCT least(id1, id2) AS lo, greatest(id1, id2) AS hi FROM pc),
+        |j1 AS (SELECT coalesce(na.lo, nb.lo) AS lo,
+        |    coalesce(na.hi, nb.hi) AS hi,
+        |    (na.lo IS NOT NULL) AS fa, (nb.lo IS NOT NULL) AS fb
+        |  FROM na FULL OUTER JOIN nb ON na.lo = nb.lo AND na.hi = nb.hi),
+        |j2 AS (SELECT coalesce(j1.fa, FALSE) AS fa,
+        |    coalesce(j1.fb, FALSE) AS fb, (nc.lo IS NOT NULL) AS fc
+        |  FROM j1 FULL OUTER JOIN nc ON j1.lo = nc.lo AND j1.hi = nc.hi),
+        |cts AS (SELECT
+        |    coalesce(sum(fa::INT), 0)::HUGEINT AS n_a,
+        |    coalesce(sum(fb::INT), 0)::HUGEINT AS n_b,
+        |    coalesce(sum(fc::INT), 0)::HUGEINT AS n_c,
+        |    coalesce(sum((fa AND fb)::INT), 0)::HUGEINT AS n_ab,
+        |    coalesce(sum((fa AND fc)::INT), 0)::HUGEINT AS n_ac,
+        |    coalesce(sum((fb AND fc)::INT), 0)::HUGEINT AS n_bc,
+        |    coalesce(sum((fa AND fb AND fc)::INT), 0)::HUGEINT AS n_abc
+        |  FROM j2),
+        |est AS (SELECT *,
+        |    ((n_a + 1) * (n_b + 1) // (n_ab + 1) - 1) AS est_ab,
+        |    ((n_a + 1) * (n_c + 1) // (n_ac + 1) - 1) AS est_ac,
+        |    ((n_b + 1) * (n_c + 1) // (n_bc + 1) - 1) AS est_bc
+        |  FROM cts),
+        |e2 AS (SELECT *, least(est_ab, est_ac, est_bc) AS est_min,
+        |    greatest(est_ab, est_ac, est_bc) AS est_max FROM est)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, n_c::BIGINT AS n_c,
+        |  n_ab::BIGINT AS n_ab, n_ac::BIGINT AS n_ac, n_bc::BIGINT AS n_bc,
+        |  n_abc::BIGINT AS n_abc,
+        |  est_ab::BIGINT AS est_ab, est_ac::BIGINT AS est_ac,
+        |  est_bc::BIGINT AS est_bc,
+        |  est_min::BIGINT AS est_min, est_max::BIGINT AS est_max,
+        |  CASE WHEN est_max > 0
+        |    THEN ((est_max - est_min) * 1000 // est_max)::BIGINT
+        |  END AS spread_milli
+        |FROM e2""".stripMargin
+    },
     "q320_dedup_recall" -> {
       val counts = (0 until lshBands).map(b =>
         s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")
@@ -6221,7 +6416,8 @@ object Extensions {
         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
         |ORDER BY id1, id2""".stripMargin),
     "q316_cosine_pairs" ->
-      ("""WITH tok AS (SELECT doc_id, lang || '_' || source AS block,
+      ("""WITH tok AS (SELECT doc_id,
+        |    coalesce(lang, '') || '_' || coalesce(source, '') AS block,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
         |cnt AS (SELECT block, doc_id AS id, tok, count(1)::BIGINT AS c
@@ -9589,6 +9785,35 @@ object Extensions {
         |    THEN CAST(round((po - pe) * 1000000.0 / (1.0 - pe)) AS BIGINT)
         |    ELSE NULL END AS kappa_micro
         |FROM k ORDER BY lang""".stripMargin,
+    "q75_compress_ratio" ->
+      """WITH cp AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), ch -> unicode(ch)) AS cps
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(cps)),
+        |    i -> {'x': cps[i], 'y': cps[i + 1]})) AS s FROM cp),
+        |b2 AS (SELECT doc_id, s.x AS x, s.y AS y FROM b),
+        |cxy AS (SELECT doc_id, x, y, count(1)::BIGINT AS c
+        |  FROM b2 GROUP BY 1, 2, 3),
+        |cx AS (SELECT doc_id, x, sum(c)::BIGINT AS cx FROM cxy GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, sum(c)::BIGINT AS n,
+        |    count(1)::BIGINT AS nd FROM cxy GROUP BY 1),
+        |t AS (SELECT cxy.doc_id,
+        |    CAST(round(-(cxy.c::DOUBLE / nn.n::DOUBLE)
+        |      * ln(cxy.c::DOUBLE / cx.cx::DOUBLE) * 1000000.0) AS BIGINT) AS term
+        |  FROM cxy JOIN cx USING (doc_id, x) JOIN nn USING (doc_id)),
+        |h AS (SELECT doc_id, sum(term)::BIGINT AS h FROM t GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(nn.n, 0) END::BIGINT AS n_bigrams,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(nn.nd, 0) END::BIGINT AS n_distinct,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(h.h, 0) END::BIGINT AS cond_entropy_micro,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(h.h, 0) * 1000000 // 5545177 END::BIGINT
+        |    AS implied_ratio_micro
+        |FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q185_char_entropy" ->
       """WITH c AS (SELECT doc_id,
         |    unnest(list_transform(string_split(text, ''), ch -> unicode(ch))) AS cp

@@ -530,7 +530,10 @@ object StreamingAnomaly {
           var nulls = st._2
           it.foreach { case (_, dim, w) =>
             val key = Option(dim)
-            m = m.updated(key, m.getOrElse(key, 0L) + w.getOrElse(0L))
+            // addExact: a wrapped per-dim weight would fabricate a
+            // Gini silently — the loud-overflow discipline the batch
+            // form enforces via ANSI DECIMAL (ADVICE r14 #2)
+            m = m.updated(key, Math.addExact(m.getOrElse(key, 0L), w.getOrElse(0L)))
             if (w.isEmpty) nulls += 1L
           }
           require(m.size <= maxDims,
@@ -554,6 +557,9 @@ object StreamingAnomaly {
                 Some(((t * 2 - (k + 1) * total) * 1000000 / (k * total)).toLong),
                 Some((BigInt(sorted.last._2) * 1000000 / total).toLong))
               else (None, None)
+            require(total.isValidLong,
+              s"scope '$scope' total weight $total exceeds Long — rescale " +
+                "the weight column upstream (the chiSquared ceiling discipline)")
             Iterator.single((scope, k, total.toLong, nulls, gini, top))
           }
       }

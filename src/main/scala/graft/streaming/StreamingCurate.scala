@@ -156,6 +156,86 @@ object StreamingCurate {
       .start()
   }
 
+  /** Streaming incremental SUBSTRING dedup — the Lee-et-al doc-policy
+    * companion to [[dedupStream]]/[[spanDedupStream]], completing the
+    * family's both-forms discipline (VERDICT r14 #4): each micro-batch
+    * is (1) substring-deduped WITHIN itself
+    * ([[Dedup.substringDedupCorpus]] — keep-first), then (2) its
+    * survivors' longest shared runs are measured AGAINST the
+    * accumulated corpus via the persisted ANCHOR table
+    * ([[Dedup.longestSharedSubstringsAgainstAnchors]] — per batch the
+    * kernel work is O(batch) hashing plus the anchor join; base TEXT
+    * is read only through the candidate-keyed join, so a quiet batch
+    * touches almost none of the corpus), and (3) docs whose shared
+    * run covers ≥ `minShareMilli` ‰ of their own characters are
+    * dropped; novel docs and their anchors append for future batches.
+    * Same idempotent `batch=<id>` overwrite protocol, replay
+    * contract, and [[compactSignatures]] maintenance path as the LSH
+    * stream (duplicate anchor rows across generations are benign —
+    * candidates are distinct-ed by the max agg; dup ids collapse). */
+  def substringDedupStream(spark: SparkSession, inDir: String,
+      schema: StructType, baseDir: String, checkpointDir: String,
+      idCol: String, textCol: String, minShareMilli: Long,
+      k: Int = 24, w: Int = 9, minLen: Int = 32,
+      maxGramOcc: Long = 1L << 20, anchorDir: String = null,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    require(minShareMilli >= 1 && minShareMilli <= 1000,
+      s"need minShareMilli in [1, 1000], got $minShareMilli")
+    val anchorPath = Option(anchorDir).getOrElse(
+      baseDir.stripSuffix("/") + "_anchors")
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // anchors only: a crashed compaction's leftover DUPLICATE rows
+        // are benign for anchors (max-agg'd) but would double CORPUS
+        // text — the corpus dir keeps the stopped-stream maintenance
+        // path, the dedupStream discipline
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            compactSignatures(spark, anchorPath, exclude = Some(batchId))
+        }
+        val inBatchKept = Dedup.substringDedupCorpus(batch, idCol, textCol,
+            minShareMilli, k, w, minLen, maxGramOcc)
+          .filter(col("kept"))
+          .select(col("id").as(idCol))
+          .join(batch, Seq(idCol))
+          .select(batch.columns.map(col): _*)
+          .localCheckpoint()
+        val fs = FileSystem.get(new Path(anchorPath).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        def partsOf(path: String): Array[Path] =
+          if (!fs.exists(new Path(path))) Array.empty[Path]
+          else fs.listStatus(new Path(path))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath)
+            .filter(_.getName != s"batch=$batchId") // replay: exclude own partial writes
+        val anchorDirs = partsOf(anchorPath)
+        val dupIds =
+          if (anchorDirs.isEmpty) null
+          else {
+            val baseAnchors =
+              spark.read.parquet(anchorDirs.map(_.toString).toIndexedSeq: _*)
+            val baseText =
+              spark.read.parquet(partsOf(baseDir).map(_.toString).toIndexedSeq: _*)
+            Dedup.longestSharedSubstringsAgainstAnchors(inBatchKept,
+                baseAnchors, baseText, idCol, textCol, k, w, minLen, maxGramOcc)
+              .join(inBatchKept.select(col(idCol).as("new_id"),
+                length(col(textCol)).cast("long").as("__len")), Seq("new_id"))
+              .where(col("max_len") * 1000L >= lit(minShareMilli) * col("__len"))
+              .select(col("new_id").as(idCol)).distinct()
+          }
+        val novel =
+          if (dupIds == null) inBatchKept
+          else inBatchKept.join(dupIds, Seq(idCol), "left_anti")
+        novel.write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+        Dedup.charGramAnchorTable(novel, idCol, textCol, k, w)
+          .write.mode("overwrite").parquet(s"$anchorPath/batch=$batchId")
+      }
+      .start()
+  }
+
   /** Rewrite a batch-accreted signature (or corpus) directory as a
     * single consolidated partition, bounding the per-batch listing cost
     * of a long-running stream. Stage-then-swap: everything is read into

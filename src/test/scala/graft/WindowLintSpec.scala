@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** All-faces unpartitioned-window lint (VERDICT r14 #5): an
+  * unpartitioned `Window` funnels its ENTIRE input through one task —
+  * the single-partition-window scale killer — unless something below
+  * it already bounds the input to metadata size (an aggregation, a
+  * limit, a driver-local relation). PlanSpec pins individual shapes;
+  * this sweep proves EVERY face keeps the contract, so a new face
+  * cannot silently reintroduce the pattern.
+  *
+  * Boundedness is judged structurally on the non-adaptive plan: a
+  * subtree is bounded if every leaf-to-window path passes through an
+  * aggregate / limit / local relation (a join of a bounded side with
+  * an unbounded side is unbounded — `forall` over children). Faces
+  * with a justified exception are whitelisted BY NAME with the
+  * justification next to the name. */
+class WindowLintSpec extends SparkSpec {
+
+  /** face -> justification for an unpartitioned window over input this
+    * lint cannot prove bounded. Keep each entry honest: the
+    * justification must say what bounds the input at scale. */
+  private val whitelist: Map[String, String] = Map(
+    "q225_unigram_prune" -> ("the ranking window's input is the " +
+      "CHECKPOINTED unigram-EM vocabulary table — one row per vocab " +
+      "piece of the driver-side seed list, so its cardinality is the " +
+      "tokenizer vocabulary (10²–10⁵ rows) at ANY corpus scale; the " +
+      "checkpoint's lineage truncation hides the bounding aggregate " +
+      "from this structural lint"))
+
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.BaseLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(bounded)
+  }
+
+  test("no face plans an unpartitioned Window over unbounded input") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) => w
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        if (bad.isEmpty || whitelist.contains(name)) Nil
+        else Seq(s"$name: ${bad.head.nodeName} without partitioning over " +
+          "an input this lint cannot prove bounded")
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows over unbounded input (add partitioning, " +
+        "bound the input, or whitelist WITH a scale justification):\n  " +
+        offenders.mkString("\n  "))
+    // the whitelist must not hold stale entries for faces that no
+    // longer trip the lint (or no longer exist)
+    val stale = whitelist.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"whitelist entries for unknown faces: $stale")
+  }
+}

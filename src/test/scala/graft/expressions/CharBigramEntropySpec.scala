@@ -1,0 +1,96 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[CharBigramEntropy]]: hand-computed fixtures (repetition reads
+  * near-zero where order-0 entropy reads maximal; astral code points
+  * count once), plus a randomized cross-check against an independent
+  * sorted-distinct reference of the same term-rounded fixed point. */
+class CharBigramEntropySpec extends SparkSpec {
+
+  private def run(texts: Seq[String]): Seq[Option[(Long, Long, Long, Long)]] = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i, Option(t)) }
+      .toDF("id", "text")
+      .select(col("id"), CharBigramEntropy(col("text")).as("s"))
+      .orderBy("id")
+      .collect()
+      .map { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val s = r.getStruct(1)
+          Some((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)))
+        }
+      }.toSeq
+  }
+
+  /** Independent reference: bigram + prefix histograms via sorted
+    * distinct, per-term micro rounding, integer sum, pinned divisor. */
+  private def ref(t: String): (Long, Long, Long, Long) = {
+    val cps = t.codePoints().toArray
+    val bgs = cps.zip(cps.drop(1))
+    val n = bgs.length.toLong
+    val cxy = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ent =
+      if (n == 0) 0L
+      else cxy.toSeq.sortBy(_._1).map { case ((x, _), c) =>
+        Math.round(-(c.toDouble / n.toDouble) *
+          Math.log(c.toDouble / cx(x).toDouble) * 1000000.0)
+      }.sum
+    (n, cxy.size.toLong, ent, ent * 1000000L / CharBigramEntropy.eightLn2Micro)
+  }
+
+  test("fixtures: null, empty, single char, pure repetition, alternation") {
+    val out = run(Seq(null, "", "a", "aaaaaa", "abababab"))
+    assert(out(0).isEmpty)
+    assert(out(1).contains((0L, 0L, 0L, 0L)))
+    assert(out(2).contains((0L, 0L, 0L, 0L)), "one code point has no bigram")
+    // 'aaaaaa': every bigram aa, p(a|a)=1 -> conditional entropy 0 —
+    // the repetition read q185's order-0 entropy (also 0 here) shares
+    assert(out(3).contains((5L, 1L, 0L, 0L)))
+    // 'abababab': order-0 entropy is MAXIMAL (2 equiprobable symbols)
+    // but every transition is deterministic -> conditional entropy 0.
+    // THE case the q75 re-face exists for.
+    assert(out(4).contains((7L, 2L, 0L, 0L)))
+  }
+
+  test("hand-computed mixed case: 'aab'") {
+    // bigrams: aa, ab; N=2; c_a. = 2
+    // aa: round(-(1/2)·ln(1/2)·1e6) = 346574; ab: same -> 693148
+    // ratio: 693148·1e6 DIV 5545177 = 125000... (≈ 1/8 bit per symbol? no:
+    // 693148 micro-nats = 1 bit -> 1/8 of 8 bits -> 125000 micro)
+    val out = run(Seq("aab"))
+    assert(out(0).contains((2L, 2L, 693148L,
+      693148L * 1000000L / 5545177L)))
+    assert(out(0).get._4 == 125000L)
+  }
+
+  test("astral code points form single symbols in bigrams") {
+    val clef = new String(Character.toChars(0x1D11E))
+    // clef-clef-clef: two identical bigrams, deterministic -> 0
+    assert(run(Seq(clef * 3))(0).contains((2L, 1L, 0L, 0L)))
+    // clef-a-clef-a: alternation, deterministic transitions -> 0
+    assert(run(Seq(clef + "a" + clef + "a"))(0).contains((3L, 2L, 0L, 0L)))
+  }
+
+  test("randomized: kernel equals the sorted-distinct reference") {
+    val rng = new scala.util.Random(17)
+    val texts = Seq.fill(60) {
+      val len = rng.nextInt(50)
+      (0 until len).map { _ =>
+        rng.nextInt(4) match {
+          case 0 => ('a' + rng.nextInt(3)).toChar.toString
+          case 1 => (0x400 + rng.nextInt(5)).toChar.toString
+          case 2 => new String(Character.toChars(0x1F600 + rng.nextInt(4)))
+          case _ => " "
+        }
+      }.mkString
+    }
+    val got = run(texts)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g.contains(ref(t)), s"text=${t.take(20)}…")
+    }
+  }
+}

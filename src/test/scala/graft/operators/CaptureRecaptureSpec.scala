@@ -31,6 +31,56 @@ class CaptureRecaptureSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
   }
 
+  test("triple audit: an engineered SHARED miss biases est_ab low and the spread reads it (VERDICT r14 #7)") {
+    // ground truth 20 pairs. A and B share a miss mechanism: BOTH are
+    // blind to the last 8 pairs (the shared-verifier false-negative
+    // class); C misses independently (every 4th pair). Chapman on
+    // (A,B) can only see the 12-pair world both inhabit, while the
+    // cross-system estimates see through to ~20.
+    val all = (1L to 20L).map(i => (i, i + 100L))
+    val sharedVisible = all.take(12)
+    val a = pairs(sharedVisible.take(10): _*) // 10 of the shared-visible 12
+    val b = pairs(sharedVisible.drop(2): _*) // the other 10 of the 12
+    val c = pairs(all.zipWithIndex.collect {
+      case (p, i) if i % 4 != 0 => p }: _*) // 15 of the true 20
+    val r = Dedup.captureRecapture3(a, b, c).collect()(0)
+    val (nA, nB, nC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert((nA, nB, nC) == ((10L, 10L, 15L)))
+    val (estAb, estAc, estBc) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    assert(estAb == 11L * 11L / 9L - 1L, "Chapman on the shared-miss pair")
+    assert(estAb < estAc && estAb < estBc,
+      s"the shared miss must depress est_ab ($estAb) below the " +
+        s"cross-system estimates ($estAc, $estBc)")
+    assert(r.getLong(10) == estAb && r.getLong(11) == math.max(estAc, estBc))
+    val spread = r.getLong(12)
+    assert(spread == (r.getLong(11) - estAb) * 1000L / r.getLong(11))
+    assert(spread > 200L,
+      s"an 8-of-20 shared blind spot must read as a large spread, got $spread")
+  }
+
+  test("triple audit: independent misses keep the three estimates tight") {
+    // same 20-pair truth, all three systems miss INDEPENDENTLY-ish
+    // (different residue classes) — every pairwise estimate lands near
+    // 20 and the spread stays small
+    val all = (1L to 20L).map(i => (i, i + 100L))
+    val a = pairs(all.zipWithIndex.collect { case (p, i) if i % 5 != 0 => p }: _*)
+    val b = pairs(all.zipWithIndex.collect { case (p, i) if i % 5 != 1 => p }: _*)
+    val c = pairs(all.zipWithIndex.collect { case (p, i) if i % 5 != 2 => p }: _*)
+    val r = Dedup.captureRecapture3(a, b, c).collect()(0)
+    Seq(7, 8, 9).foreach { i =>
+      assert(math.abs(r.getLong(i) - 20L) <= 2L,
+        s"estimate $i should sit near the true 20, got ${r.getLong(i)}")
+    }
+    assert(r.getLong(12) <= 150L, s"independent misses -> tight spread, got ${r.getLong(12)}")
+  }
+
+  test("triple audit: empty inputs stay fail-visible with NULL spread") {
+    val re = Dedup.captureRecapture3(pairs(), pairs(), pairs()).collect()(0)
+    (0 to 6).foreach(i => assert(re.getLong(i) == 0L))
+    assert((re.getLong(7), re.getLong(8), re.getLong(9)) == ((0L, 0L, 0L)))
+    assert(re.isNullAt(12), "no positive estimate -> NULL spread, never 0")
+  }
+
   test("degenerate readings stay fail-visible: zero overlap, empty inputs") {
     val r0 = Dedup.captureRecapture(pairs((1L, 2L)), pairs((3L, 4L)))
       .collect()(0)

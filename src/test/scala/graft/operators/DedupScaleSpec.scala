@@ -36,6 +36,36 @@ class DedupScaleSpec extends SparkSpec {
       spark.sessionState.conf.numShufflePartitions)
   }
 
+  test("pair-stage spread is GATED both ways: a fanned-out signature skips the pinned exchange, a single-file signature table gets it (VERDICT r14 #1)") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"document body number $i with some shared words")).toDF("doc_id", "text")
+    // checkpointed path: the signature stage already spreads to
+    // numShufflePartitions, so the pair stage must NOT plan its own
+    // pinned repartition — that was a pure-overhead double shuffle
+    // (and the un-shared right side re-planned a second exchange)
+    val viaText = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 4)
+    assert(!viaText.queryExecution.sparkPlan.toString.contains("REPARTITION_BY_NUM"),
+      "fanned-out input must not pay the pinned pair-stage exchange")
+    // persisted single-file signature table: without the spread, a
+    // broadcast pair join would stream EVERY bucket's pair enumeration
+    // through the scan's one task (the q311 stall class)
+    val dir = java.nio.file.Files.createTempDirectory("gatespec").toString
+    Dedup.minhashSignatureTable(docs, "doc_id", "text", bands = 4, rowsPerBand = 4)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val sig = spark.read.parquet(dir)
+    val viaSig = Dedup.minhashDedupPairs(sig, "doc_id", "text",
+      bands = 4, rowsPerBand = 4)
+    val p = viaSig.queryExecution.sparkPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "a single-split signature scan must fan the pair stage out")
+    // and the two readings agree on the answer
+    val a = viaText.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = viaSig.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "gate must be physical-only: same pairs either way")
+  }
+
   test("band-bucket cap: degenerate buckets are dropped, small ones survive") {
     import spark.implicits._
     val docs = ((1 to 100).map(i => (i.toLong, boiler)) ++ Seq(

@@ -114,6 +114,58 @@ class LongestSharedSubstringSpec extends SparkSpec {
     assert(got(3L)._3 && got(3L)._2.isEmpty)
   }
 
+  test("clustered policy drops a mirror-of-a-mirror against the ORIGINAL (3-chain, VERDICT r14 #3)") {
+    import spark.implicits._
+    // A = X+Y, B = Y+Z, C = Z+W: (A,B) share Y, (B,C) share Z, A and C
+    // share NOTHING directly — the transitive case the greedy q312 rule
+    // resolves only chain-wise. One cluster {A,B,C}, min-id A kept; C's
+    // share vs the kept rep is NULL (no direct pair), never 0.
+    val x = "qqqqwwwwee" // 10
+    val y = "SHAREDRUNYABCDEFGHIJKLMNOPQRST" // 30
+    val z = "zxcvbnmasdfghjklpoiuytrewnbvcm" // 30
+    val w = "0000111122" // 10
+    val rows = Seq(
+      (1L, x + y), // 40 chars
+      (2L, y + z), // 60 chars
+      (3L, z + w), // 40 chars
+      (4L, "totally unrelated doc here!"))
+    val got = Dedup.substringDedupClusters(rows.toDF("id", "tx"),
+        "id", "tx", minShareMilli = 600, k = 5, w = 4, minLen = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(1L) == ((40L, 1L, true, None)), s"rep kept: ${got(1L)}")
+    assert(got(2L) == ((60L, 1L, false, Some(30L * 1000 / 60))),
+      s"direct drop reports its share vs the rep: ${got(2L)}")
+    assert(got(3L) == ((40L, 1L, false, None)),
+      s"transitive-only drop: cluster label YES, direct share NULL: ${got(3L)}")
+    assert(got(4L) == ((27L, 4L, true, None)), s"singleton: ${got(4L)}")
+  }
+
+  test("a persisted anchor table (no text column) drives the incremental form identically") {
+    import spark.implicits._
+    val base = Seq(
+      (10L, "AAAABBBBCCCCDDDDEEEE12345"),
+      (11L, "unrelated base entry with its own characters")).toDF("id", "tx")
+    val fresh = Seq(
+      (20L, "xxAAAABBBBCCCCDDDDEEEE12345yy"), // shares the 25-run with 10
+      (21L, "nothing in common with any base document")).toDF("id", "tx")
+    val dir = java.nio.file.Files.createTempDirectory("graft_anchtab").toString
+    Dedup.charGramAnchorTable(base, "id", "tx", k = 5, w = 4)
+      .write.parquet(s"$dir/anchors")
+    val anchors = spark.read.parquet(s"$dir/anchors")
+    assert(!anchors.columns.contains("tx"), "anchor table must not carry text")
+    val viaAnchors = Dedup.longestSharedSubstringsAgainstAnchors(
+        fresh, anchors, base, "id", "tx", k = 5, w = 4, minLen = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val viaText = Dedup.longestSharedSubstringsAgainst(
+        fresh, base, "id", "tx", k = 5, w = 4, minLen = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(viaAnchors == viaText,
+      s"anchored path must match from-text path: $viaAnchors vs $viaText")
+    assert(viaAnchors.get((20L, 10L)).contains(25L))
+  }
+
   test("a minLen below the winnowing floor is refused loudly") {
     val ex = intercept[IllegalArgumentException] {
       run(Seq((1L, "abcdefghij")), k = 5, w = 4, minLen = 7)

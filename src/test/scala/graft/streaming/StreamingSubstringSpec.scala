@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming incremental substring dedup (VERDICT r14 #4): each
+  * micro-batch substring-dedupes within itself, then against the
+  * accumulated corpus through the PERSISTED anchor table; the batch
+  * `longestSharedSubstringsAgainst` form is the oracle for every
+  * cross-batch decision. */
+class StreamingSubstringSpec extends SparkSpec {
+
+  private val a = "AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHH12345678" // 40 chars
+  private val b = "qwertyuiopasdfghjklzxcvbnmqwerty" // 32, disjoint alphabet
+  private val c = "NOVEL THIRD STRING WITH NO OVERLAP HERE OK"
+
+  test("micro-batches substring-dedup within themselves and against the anchor table; the batch form is the oracle") {
+    val inDir = Files.createTempDirectory("graft_ssub_in")
+    val baseDir = Files.createTempDirectory("graft_ssub_base").resolve("corpus").toString
+    val ckpt = Files.createTempDirectory("graft_ssub_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(inDir.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }.asJava)
+
+    val mirror = a + "XTRA9" // 45 chars, 40 shared -> 888 permille of itself
+    val mirror2 = a.take(36) + "ZZZZZ" // 41 chars, 36 shared with base doc 1
+
+    land("b1.jsonl", Seq((1L, a), (2L, mirror), (3L, b)))
+    val q = StreamingCurate.substringDedupStream(spark, inDir.toString,
+      schema, baseDir, ckpt, "doc_id", "text", minShareMilli = 600,
+      k = 5, w = 4, minLen = 8)
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(baseDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB1 == Set(1L, 3L), s"in-batch mirror must drop keep-first: $afterB1")
+
+      land("b2.jsonl", Seq((4L, mirror2), (5L, c)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalIds = spark.read.parquet(baseDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 3L, 5L), s"cross-batch mirror must drop: $finalIds")
+
+    // BATCH FORM AS ORACLE: replay batch 2's cross-batch decision with
+    // the batch Against operator on the same inputs — the streamed
+    // outcome must match it doc-for-doc
+    import spark.implicits._
+    val base = Seq((1L, a), (3L, b)).toDF("doc_id", "text")
+    val batch2 = Seq((4L, mirror2), (5L, c)).toDF("doc_id", "text")
+    val oracleDrops = Dedup.longestSharedSubstringsAgainst(batch2, base,
+        "doc_id", "text", k = 5, w = 4, minLen = 8)
+      .join(batch2.select($"doc_id".as("new_id"),
+        org.apache.spark.sql.functions.length($"text").cast("long").as("len")),
+        Seq("new_id"))
+      .where($"max_len" * 1000L >= $"len" * 600L)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(oracleDrops == Set(4L), s"batch-form oracle: $oracleDrops")
+    assert(finalIds == Set(1L, 3L, 5L) && !finalIds.contains(4L),
+      "stream decision must equal the batch-form oracle's")
+
+    // the persisted anchor table mirrors the corpus and never carries text
+    val anchorPath = baseDir.stripSuffix("/") + "_anchors"
+    val anchors = spark.read.parquet(anchorPath)
+    assert(anchors.columns.sorted.toSeq.filterNot(_ == "batch") ==
+      Seq("h", "id", "pos"), s"anchor schema: ${anchors.columns.toSeq}")
+    assert(anchors.select("id").collect().map(_.getLong(0)).toSet == finalIds,
+      "anchor table must mirror the corpus ids")
+    val batchDirs = new java.io.File(anchorPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs.size >= 2, s"one anchor partition per micro-batch: $batchDirs")
+
+    // anchor compaction keeps the decision identical across a resume
+    StreamingCurate.compactSignatures(spark, anchorPath)
+    land("b3.jsonl", Seq(
+      (6L, a.take(32) + "QQQQQQQQQ"), // 32 shared with doc 1 via compacted anchors
+      (7L, "A COMPLETELY FRESH FINAL DOCUMENT WITH NEW WORDS")))
+    val q2 = StreamingCurate.substringDedupStream(spark, inDir.toString,
+      schema, baseDir, ckpt, "doc_id", "text", minShareMilli = 600,
+      k = 5, w = 4, minLen = 8)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterResume = spark.read.parquet(baseDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterResume == Set(1L, 3L, 5L, 7L),
+      s"6 must drop via the consolidated anchor generation: $afterResume")
+  }
+}
