@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** Top of the round-12 quiet sweep (BENCH_full_r12.json) plus every
-    * pair generator added since — the quadratic-risk population. */
+    * pair generator added since — the quadratic-risk population —
+    * plus (r15, VERDICT r14 #6) the historical top-12-by-cost members
+    * that had never been probed (q285/q145/q180) and the round's new
+    * composition faces. */
   val probes: Seq[String] = Seq(
     "q73_dedup_corpus", "q146_bpe_pack", "q46_fuzzy_pairs",
     "q167_stupid_backoff", "q25_minhash_lsh", "q206_mlm_mask",
@@ -50,7 +53,10 @@ object ScaleProbe {
     "q310_shared_substrings_incr", "q311_lsh_edit_verify",
     "q312_substring_dedup", "q315_sorted_neighborhood",
     "q316_cosine_pairs", "q318_snm_verified", "q321_cosine_incr",
-    "q322_snm_incr")
+    "q322_snm_incr",
+    "q285_lsh_audit", "q145_nb_prior", "q180_vocab_ablation",
+    "q252_dup_curve", "q326_substring_clusters", "q327_triple_recall",
+    "q328_cc_incremental", "q329_prefix_jaccard")
 
   def synthesize(spark: SparkSession, src: String, out: String): Unit = {
     val rep = broadcast(spark.range(10).select(col("id").as("__r")))
@@ -156,12 +162,42 @@ object ScaleProbe {
         f"budget ${budget}%6.1f  ${if (sec <= budget) "ok" else "OVER"}")
       (name, sec, ref.get(name), budget, l0)
     }
+    // Convergence gate, not just wall-clock (VERDICT r14 #6):
+    // pointer-jumping CC's ROUND COUNT grows with log2(diameter) of
+    // the pair graph, never with data size — and the synthesized sf1
+    // corpus is 10 vocabulary-disjoint replicas of sf0.1's near-dup
+    // structure, so its pair graph is 10 disjoint copies with
+    // IDENTICAL diameter. The gate is therefore SCALE-INVARIANCE:
+    // rounds(sf1) ≤ rounds(sf0.1) + 1 (the +1 absorbs a checksum
+    // proof-round landing differently), with both counts recorded. A
+    // count that grows with the corpus means the jump step silently
+    // degraded to plain O(diameter) label propagation — the 100 TB
+    // killer an absolute wall-clock budget can hide.
+    def ccRoundsOf(dir: String): (Int, Long, Double) = {
+      val t0 = System.nanoTime()
+      val ps = graft.operators.Dedup.minhashDedupPairs(
+          Tables(spark, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val (labels, rounds) =
+        graft.operators.Dedup.connectedComponentsCounted(ps)
+      val n = labels.count()
+      (rounds, n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (ccRounds01, ccN01, _) = ccRoundsOf(src)
+    val (ccRounds, ccN, ccSec) = ccRoundsOf(sf1)
+    val ccOk = ccRounds <= ccRounds01 + 1
+    System.err.println(f"[scaleprobe] cc_rounds=$ccRounds%d (sf0.1: " +
+      f"$ccRounds01%d over $ccN01%d docs) over $ccN%d labeled docs in " +
+      f"${ccSec}%.1f s  ${if (ccOk) "ok" else "OVER"}")
     val qs = results.map { case (n, s, r, b, l) =>
       s""""$n":{"sec":$s,"sf01_ref":${r.getOrElse(-1.0)},"budget":$b,""" +
         s""""ok":${s <= b},"loadavg":${l.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scaleprobe","sf":"sf1-synth-10x-sf0.1",""" +
-      s""""runs":$runs,"all_ok":${results.forall(r => r._2 <= r._4)},""" +
+      s""""runs":$runs,"all_ok":${results.forall(r => r._2 <= r._4) && ccOk},""" +
+      s""""cc_rounds":$ccRounds,"cc_rounds_sf01":$ccRounds01,""" +
+      s""""cc_rounds_budget":${ccRounds01 + 1},"cc_rounds_ok":$ccOk,""" +
+      s""""cc_labeled":$ccN,"cc_sec":$ccSec,""" +
       s""""queries":$qs,"loadavg_end":${loadavg().mkString("[", ",", "]")}}"""
     println(line)
     Files.writeString(Paths.get(outJson), line + "\n")

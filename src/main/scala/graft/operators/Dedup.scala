@@ -640,13 +640,23 @@ object Dedup {
     * buckets are logged (one small aggregate job over the already-
     * materialized signature table — only when the cap is enabled). */
   private def capBuckets(cand: DataFrame, cap: Int, what: String): DataFrame = {
-    // bucket sizes materialize ONCE (tiny: one row per distinct band
-    // key) and serve both the dropped-bucket log and the semi-join gate
-    val sizes = cand.groupBy("band_no", "band_key").count().localCheckpoint()
-    val dropped = sizes.filter(col("count") > cap).count()
-    if (dropped > 0)
-      log.warn(s"LSH $what: dropping $dropped band buckets larger than $cap docs " +
-        s"(pair recall inside them falls to the remaining bands / exact pre-pass)")
+    // The dropped-bucket count RIDES the main job as an observation on
+    // the size aggregate (the filter sits above it, so the metric sees
+    // every bucket) instead of a localCheckpoint + count() — two extra
+    // eager jobs per capped call, measured ~0.3 s of the q87 face at
+    // sf0.1. The log fires from a daemon thread when the caller's
+    // first action delivers the metric; a never-executed plan never
+    // logs (and never cost anything).
+    val obs = org.apache.spark.sql.Observation()
+    val sizes = cand.groupBy("band_no", "band_key").count()
+      .observe(obs, sum(when(col("count") > cap, 1L).otherwise(0L))
+        .as("dropped"))
+    obs.future.foreach { row =>
+      if (!row.isNullAt(0) && row.getLong(0) > 0)
+        log.warn(s"LSH $what: dropping ${row.getLong(0)} band buckets larger " +
+          s"than $cap docs (pair recall inside them falls to the remaining " +
+          "bands / exact pre-pass)")
+    }(scala.concurrent.ExecutionContext.global)
     cand.join(sizes.filter(col("count") <= cap).drop("count"),
       Seq("band_no", "band_key"), "left_semi")
   }
@@ -1004,7 +1014,20 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 30,
-      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame =
+    connectedComponentsCounted(pairs, id1, id2, maxIter, checkpointer)._1
+
+  /** [[connectedComponents]] plus the ROUND COUNT it converged in —
+    * the scale-probe's convergence gate (VERDICT r14 #6): pointer
+    * jumping doubles label reach per round, so rounds grow with
+    * ⌈log₂ diameter⌉ of the pair graph, NOT with data size — a 10×
+    * corpus of the same near-dup structure must converge in the same
+    * handful of rounds, and a round count that grows with scale means
+    * the jump step silently stopped jumping. The count includes the
+    * final no-change round that proves convergence (checksum equal). */
+  private[graft] def connectedComponentsCounted(pairs: DataFrame,
+      id1: String = "id1", id2: String = "id2", maxIter: Int = 30,
+      checkpointer: Checkpointer = Checkpointer.Local): (DataFrame, Int) = {
     // materialize once — the pair graph is usually the product of an
     // expensive similarity join, and every iteration re-reads it. No
     // distinct: the two directed unions cannot collide (src<dst vs
@@ -1071,8 +1094,51 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter iterations")
     }
     Checkpointer.release(edges) // the loop was the graph's only reader
-    labels
+    (labels, iter)
   }
+
+  /** INCREMENTAL connected components — merge a new batch's pair table
+    * into PERSISTED cluster labels without re-walking the historical
+    * pair graph, completing the both-forms discipline for the one
+    * family that still lacked it (every pair GENERATOR ships an
+    * `Against` form whose output feeds CC — but a daily ingest that
+    * re-ran full CC over the accumulated pair table would pay
+    * O(corpus) per day for an O(batch) question).
+    *
+    * Correctness by construction, not by a parallel implementation:
+    * a full-rebuild label table is a TRANSITIVE COMPRESSION of the
+    * old edge set — every component is the star {member → min-id}, and
+    * a star has exactly the old connectivity's reachability. So CC
+    * over (star edges ∪ new pairs) yields exactly what a rebuild over
+    * (old edges ∪ new pairs) would: untouched components keep their
+    * (already-minimal) labels, components bridged by a new pair merge
+    * to the smaller min, and never-seen ids thread through new pairs
+    * only. The work is O(|labels| + |batch|) per run — the star table
+    * is one row per previously-paired doc, regardless of how many
+    * historical pairs produced it.
+    *
+    * `labels` is the (id, cluster) shape [[connectedComponents]]
+    * emits (min-id clusters — a non-minimal label table would
+    * converge to the same components but different representatives
+    * than a rebuild, so the contract requires this family's own
+    * output). Old SINGLETON rows (id = cluster, never re-paired) pass
+    * through unchanged. Output: (id, cluster) covering every id in
+    * `labels` or `newPairs` — exactly the rebuild's coverage. */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+      id1: String = "id1", id2: String = "id2", maxIter: Int = 30,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    val star = labels.select(col("id").as(id1), col("cluster").as(id2))
+      .where(col(id1) =!= col(id2))
+    val merged = connectedComponents(
+      star.unionByName(newPairs.select(col(id1), col(id2))),
+      id1, id2, maxIter, checkpointer)
+    // CC emits labels only for ids that appear in some edge; an old
+    // singleton with no new pair has none — re-attach it unchanged
+    val untouched = labels.select(col("id"), col("cluster"))
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+    merged.unionByName(untouched)
+  }
+
   /** Quality-aware canonical election: given near-dup cluster labels
     * ([[connectedComponents]] output) and a per-document quality score,
     * keep the BEST document of each cluster instead of the min-id one —
@@ -1224,6 +1290,85 @@ object Dedup {
         round(when(col("sz_sum") - col("inter") === 0, 0.0)
           .otherwise(col("inter") / (col("sz_sum") - col("inter"))), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** UNBLOCKED exact all-pairs set Jaccard via PREFIX FILTERING
+    * (Vernica, Carey & Li 2010's MapReduce set-similarity join; the
+    * All-Pairs/PPJoin candidate rule of Bayardo et al. 2007) — the
+    * member of the Jaccard family that needs NO blocking column:
+    * [[ngramJaccardPairs]] is quadratic per block and honest about it
+    * (the API demands a block), but a corpus with no natural block —
+    * or with near-dups that straddle blocks — needs the exact answer
+    * without the corpus square. Prefix filtering is that bound: order
+    * every document's distinct tokens by GLOBAL rarity (document
+    * frequency asc, hash asc — one corpus-level frequency pass), take
+    * each doc's first |d| − ⌈τ·|d|⌉ + 1 tokens as its prefix, and two
+    * documents with J ≥ τ PROVABLY share a prefix token — so the
+    * candidate join runs over rare-token posting lists (a token's
+    * posting contributes ≤ df² pairs, and prefixes are by
+    * construction the rarest tokens), then every candidate is
+    * verified EXACTLY with one zero-allocation sorted-merge
+    * intersection. Recall is exact — the prefix theorem is a
+    * guarantee, not a heuristic — and precision costs one kernel pass
+    * per candidate.
+    *
+    * Exact integers: jaccard_milli = 10³·|A∩B| DIV (|A|+|B|−|A∩B|),
+    * candidates pre-pruned by the size bound min·10³ ≥ τ·max (J ≥ τ
+    * forces size ratio ≥ τ). Tokens are distinct unigram xxhash64
+    * (the q24 universe — collisions can only inflate inter, same
+    * accepted exposure). Whitespace-only docs have no tokens, hence
+    * no prefix, hence pair with nobody (the q24 empty-doc
+    * convention).
+    *
+    * Scale shape: one tokenize+distinct pass, one (token → df)
+    * frequency agg, one per-doc sort (row-local, doc-length bounded),
+    * the rare-token posting self-join ([[pairSpread]]-gated), and the
+    * candidate-keyed verify joins. Output: (id1, id2, sz1, sz2,
+    * inter, jaccard_milli), jaccard_milli ≥ minJaccardMilli. */
+  def jaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccardMilli: Long,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    require(minJaccardMilli >= 1 && minJaccardMilli <= 1000,
+      s"need minJaccardMilli in [1, 1000], got $minJaccardMilli")
+    // the '' token the \s+ split of empty/whitespace text produces is
+    // filtered BEFORE hashing (the q307 convention) — unfiltered, two
+    // junk docs would pair at a perfect 1000
+    val ex = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col("id"), xxhash64(col("__tok")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+    val t = checkpointer(ex.join(freq, Seq("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__rk"))
+      .withColumn("sz", size(col("__rk")).cast("long"))
+      .withColumn("sh", array_sort(transform(col("__rk"), x => x.getField("h"))))
+      .withColumn("pref", transform(
+        slice(col("__rk"), lit(1),
+          col("sz") - expr(s"($minJaccardMilli * sz + 999) DIV 1000") + 1),
+        x => x.getField("h")))
+      .drop("__rk"))
+    val post = t.select(col("id"), col("sz"), explode(col("pref")).as("ph"))
+    val postS = pairSpread(post, post, col("ph"))
+    val pairs = postS.as("l").join(postS.as("r"),
+        col("l.ph") === col("r.ph") && col("l.id") < col("r.id") &&
+        least(col("l.sz"), col("r.sz")) * 1000L >=
+          lit(minJaccardMilli) * greatest(col("l.sz"), col("r.sz")))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    pairs
+      .join(t.select(col("id").as("id1"), col("sh").as("__s1"),
+        col("sz").as("sz1")), Seq("id1"))
+      .join(t.select(col("id").as("id2"), col("sh").as("__s2"),
+        col("sz").as("sz2")), Seq("id2"))
+      .withColumn("inter",
+        graft.expressions.SortedIntersectSize(col("__s1"), col("__s2"))
+          .cast("long"))
+      .withColumn("jaccard_milli",
+        expr("inter * 1000 DIV (sz1 + sz2 - inter)"))
+      .where(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("id1"), col("id2"), col("sz1"), col("sz2"),
+        col("inter"), col("jaccard_milli"))
   }
 
   /** Weighted (multiset) Jaccard near-dup pairs — Σ_t min(c₁(t),
@@ -1994,17 +2139,30 @@ object Dedup {
     val perW = array(widths.map(n => struct(lit(n.toLong).as("__w"),
       graft.expressions.TokenHashes(
         graft.expressions.WordShingles(col("__tw"), n)).as("__hs"))): _*)
-    val perWidth = toks
+    val exploded = toks
       .select(col("__doc"), explode(perW).as("__ws"))
       .select(col("__doc"), col("__ws.__w").as("__w"),
         explode(col("__ws.__hs")).as("__h"))
-      .groupBy("__w", "__h")
-      .agg(countDistinct(col("__doc")).as("__nd"), count(lit(1)).as("__occ"))
+    // "≥ minDocs DISTINCT docs": for the minDocs = 2 default this is
+    // just min(doc) ≠ max(doc) — two partial-agg counters instead of
+    // the distinct-count's extra (w, h, doc) pre-aggregation shuffle
+    // over the corpus's shingle stream (the q252 cost center); larger
+    // thresholds keep the exact distinct count
+    val byHash =
+      if (minDocs == 2)
+        exploded.groupBy("__w", "__h")
+          .agg(count(lit(1)).as("__occ"),
+            (min("__doc") =!= max("__doc")).as("__dup"))
+      else
+        exploded.groupBy("__w", "__h")
+          .agg(count(lit(1)).as("__occ"),
+            (countDistinct(col("__doc")) >= minDocs).as("__dup"))
+    val perWidth = byHash
       .groupBy("__w")
       .agg(sum("__occ").as("n_shingles"),
         count(lit(1)).as("n_distinct"),
-        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_distinct"),
-        sum(when(col("__nd") >= minDocs, col("__occ")).otherwise(0L))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_distinct"),
+        sum(when(col("__dup"), col("__occ")).otherwise(0L))
           .as("n_dup_occ"))
       .withColumnRenamed("__w", "shingle_n")
     import scala.jdk.CollectionConverters._

@@ -4772,7 +4772,67 @@ object Extensions {
       q311LshEditVerify(spark, dir), q318SnmVerified(spark, dir),
       q316CosinePairs(spark, dir))
 
+  /** q328 — INCREMENTAL connected components
+    * ([[Dedup.connectedComponentsIncremental]]): yesterday's corpus
+    * (6/7 of docs) is fully labeled once, and today's batch merges in
+    * through the label STAR + new-pair union — O(labels + batch) per
+    * day where a rebuild re-walks the accumulated pair graph. The
+    * oracle is the full-rebuild recursive-CTE labeling over the
+    * complete pair table, which the incremental form must equal
+    * row-for-row (the transitive-compression argument in the
+    * operator doc). */
+  def q328CcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // ONE signature/pair pass, split by id parity: a MinHash pair
+    // between two old docs is corpus-independent (signatures and band
+    // collisions don't see other rows), so "pairs among the old 6/7"
+    // from a full-corpus run IS the old corpus's own pair table —
+    // filtering the checkpointed table replays the two-run story
+    // without paying the generator twice. CC(old) is the sunk
+    // yesterday-side; its cost is the face's price for being
+    // self-contained (the q320/q327 convention).
+    val allPairs = Dedup.minhashDedupPairs(
+        Tables(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).select("id1", "id2")
+      .localCheckpoint()
+    val oldPairs = allPairs
+      .where(col("id1") % 7 =!= 0 && col("id2") % 7 =!= 0)
+    val newPairs = allPairs
+      .where(col("id1") % 7 === 0 || col("id2") % 7 === 0)
+    Dedup.connectedComponentsIncremental(
+      Dedup.connectedComponents(oldPairs), newPairs).orderBy("id")
+  }
+
+  /** q329 — unblocked exact all-pairs Jaccard via prefix filtering
+    * ([[Dedup.jaccardAllPairs]], τ = 900‰), faced as the per-doc
+    * nearest-neighbor audit: candidates from rare-token prefix
+    * postings (the Vernica et al. guarantee: J ≥ τ pairs provably
+    * share a prefix token), exact sorted-merge verification, then the
+    * pair table folds to one row per paired doc — partner count, best
+    * Jaccard, and the best partner (min id on ties). The fold is the
+    * face, not the operator, because this corpus is deliberately
+    * template-dense: at τ = 500 it holds 92k qualifying pairs in 500
+    * docs (~9M at sf0.1) — the honest answer, but no artifact to
+    * hash-ship. The oracle brute-forces every token-sharing pair. */
+  def q329PrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.jaccardAllPairs(Tables(spark, dir, "documents"),
+      "doc_id", "text", minJaccardMilli = 900)
+    val sym = p.select(col("id1").as("id"), col("id2").as("partner"),
+        col("jaccard_milli"))
+      .unionByName(p.select(col("id2").as("id"), col("id1").as("partner"),
+        col("jaccard_milli")))
+    sym.groupBy("id")
+      .agg(count(lit(1)).as("n_partners"),
+        max(struct(col("jaccard_milli").as("jm"),
+          (-col("partner")).as("np"))).as("__b"))
+      .select(col("id"), col("n_partners"),
+        col("__b.jm").as("best_jaccard_milli"),
+        (-col("__b.np")).as("best_partner"))
+      .orderBy("id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_prefix_jaccard" -> (q329PrefixJaccard _),
+    "q328_cc_incremental" -> (q328CcIncremental _),
     "q327_triple_recall" -> (q327TripleRecall _),
     "q326_substring_clusters" -> (q326SubstringClusters _),
     "q325_ad_drift" -> (q325AdDrift _),
@@ -6222,6 +6282,49 @@ object Extensions {
         |  END AS t_micro
         |FROM sk LEFT JOIN ag ON ag.g = sk.g
         |ORDER BY source""".stripMargin),
+    "q328_cc_incremental" -> {
+      val est = "round((" + (0 until lshK).map(i => s"(l.mh$i = r.mh$i)::INT").mkString(" + ") +
+        s")::DOUBLE / $lshK, 6)"
+      val branches = (0 until lshBands).map(b =>
+        s"""SELECT l.doc_id AS id1, r.doc_id AS id2, $est AS est
+           |FROM sig l JOIN sig r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""".stripMargin)
+        .mkString("\nUNION\n")
+      s"""WITH RECURSIVE
+        |$lshSigDefs,
+        |cand AS (
+        |$branches
+        |),
+        |pairs AS (SELECT DISTINCT id1, id2 FROM cand WHERE est >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT src AS id,
+        | CASE WHEN mn < src THEN mn ELSE src END AS cluster
+        |FROM lab ORDER BY id""".stripMargin
+    },
+    "q329_prefix_jaccard" ->
+      (s"""WITH t0 AS (SELECT doc_id AS id, unnest($toksSql) AS tok
+        |  FROM documents),
+        |c AS (SELECT DISTINCT id, tok FROM t0 WHERE tok <> ''),
+        |sz AS (SELECT id, count(1)::BIGINT AS sz FROM c GROUP BY 1),
+        |ov AS (SELECT a.id AS id1, b.id AS id2, count(1)::BIGINT AS inter
+        |  FROM c a JOIN c b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2),
+        |j AS (SELECT ov.id1, ov.id2,
+        |    (ov.inter * 1000 // (s1.sz + s2.sz - ov.inter)) AS jm
+        |  FROM ov JOIN sz s1 ON s1.id = ov.id1 JOIN sz s2 ON s2.id = ov.id2),
+        |s AS (SELECT id1 AS id, id2 AS partner, jm FROM j WHERE jm >= 900
+        |      UNION ALL SELECT id2, id1, jm FROM j WHERE jm >= 900),
+        |a AS (SELECT id, count(1)::BIGINT AS n_partners,
+        |    max(jm)::BIGINT AS bj FROM s GROUP BY id),
+        |b AS (SELECT s.id, min(s.partner)::BIGINT AS bp
+        |  FROM s JOIN a ON a.id = s.id AND s.jm = a.bj GROUP BY s.id)
+        |SELECT a.id, a.n_partners, a.bj AS best_jaccard_milli,
+        |  b.bp AS best_partner
+        |FROM a JOIN b USING (id) ORDER BY a.id""".stripMargin),
     "q327_triple_recall" -> {
       val counts = (0 until lshBands).map(b =>
         s"cnt$b AS (SELECT band$b AS key, count(1) AS n FROM sig GROUP BY 1)")

@@ -17,6 +17,45 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental merge equals a full rebuild for every split of the pair table") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, triangle 10-11-12, pair 20-21, plus a late
+    // BRIDGE (4,10) that merges two old components, a new id 30
+    // attaching to an old component, and a brand-new pair (40,41)
+    val allPairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (4L, 10L), (12L, 30L), (40L, 41L))
+    val rebuild = Dedup.connectedComponents(allPairs.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // EVERY prefix split must merge to the rebuild's labels — including
+    // the empty-old and empty-new extremes
+    for (cut <- Seq(0, 4, 7, 8, allPairs.size)) {
+      val (oldP, newP) = allPairs.splitAt(cut)
+      val labels =
+        if (oldP.isEmpty) Seq.empty[(Long, Long)].toDF("id", "cluster")
+        else Dedup.connectedComponents(oldP.toDF("id1", "id2"))
+      val got = Dedup.connectedComponentsIncremental(
+          labels, newP.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == rebuild, s"split at $cut: $got != $rebuild")
+    }
+  }
+
+  test("incremental merge keeps untouched singletons and components unchanged") {
+    import spark.implicits._
+    // old labels include a singleton (7 -> 7) that never re-pairs and a
+    // component {20,21} no new pair touches — both must pass through
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L), (20L, 20L), (21L, 20L))
+      .toDF("id", "cluster")
+    val got = Dedup.connectedComponentsIncremental(
+        labels, Seq((2L, 50L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 50L -> 1L,
+      7L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("reliable checkpointer yields labels identical to local (and requires a checkpoint dir)") {
     import spark.implicits._
     val pairs = Seq(

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dedup.jaccardAllPairs]] — prefix-filtered UNBLOCKED exact set
+  * Jaccard: recall is a guarantee (every J ≥ τ pair survives the
+  * prefix filter), verification is exact, and the empty-doc/threshold
+  * conventions match the blocked q24 family. */
+class JaccardAllPairsSpec extends SparkSpec {
+
+  private def toks(t: String): Set[String] =
+    t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+
+  private def bruteforce(rows: Seq[(Long, String)], tau: Long): Map[(Long, Long), Long] =
+    (for {
+      (i1, t1) <- rows; (i2, t2) <- rows if i1 < i2
+      a = toks(t1); b = toks(t2)
+      inter = (a & b).size.toLong
+      uni = (a | b).size.toLong
+      if uni > 0
+      j = inter * 1000L / uni
+      if j >= tau
+    } yield (i1, i2) -> j).toMap
+
+  test("exactly the brute-force answer on a mixed corpus — rare-token AND common-token overlaps") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"), // 4/6 with 1
+      (3L, "alpha beta gamma delta epsilon"), // identical to 1
+      (4L, "the quick brown fox jumps"),
+      (5L, "the quick brown fox leaps"), // 4/6 with 4
+      (6L, "unrelated vocabulary entirely here now"),
+      (7L, "alpha the beta quick gamma brown"), // straddles both families
+      (8L, "   "), // whitespace-only: pairs with nobody
+      (9L, ""))
+    val got = Dedup.jaccardAllPairs(rows.toDF("id", "tx"), "id", "tx",
+        minJaccardMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == bruteforce(rows, 500L), s"got $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 1000L)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 4000L / 6L)
+    assert(!got.keySet.exists(p => p._1 == 8L || p._2 == 8L || p._2 == 9L),
+      "empty docs pair with nobody")
+  }
+
+  test("randomized: prefix filtering never loses a qualifying pair") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (1L to 60L).map { i =>
+      val n = 3 + rng.nextInt(10)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    for (tau <- Seq(400L, 700L)) {
+      val got = Dedup.jaccardAllPairs(rows.toDF("id", "tx"), "id", "tx", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+      assert(got == bruteforce(rows, tau), s"tau=$tau")
+    }
+  }
+
+  test("size bound prunes before verification but never below the guarantee") {
+    import spark.implicits._
+    // a 2-token doc inside a 10-token doc: inter 2, union 10 -> 200permille;
+    // at tau 500 the size filter (2*1000 < 500*10) removes it before any
+    // verify work — and the answer is identical to brute force
+    val rows = Seq(
+      (1L, "a b"),
+      (2L, "a b c d e f g h i j"))
+    val got = Dedup.jaccardAllPairs(rows.toDF("id", "tx"), "id", "tx", 500)
+      .collect()
+    assert(got.isEmpty)
+    assert(bruteforce(rows, 500L).isEmpty)
+  }
+}
