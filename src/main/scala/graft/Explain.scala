@@ -1,18 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Plan dump for the named queries. Uses the SAME session as [[Bench]]
+  * (Graft.session: extensions, AQE sizing, shuffle partitions = cores)
+  * so the printed plan is the one the bench actually runs — an 8-core
+  * ad-hoc session used to show different exchange/broadcast choices
+  * than the measured ones. SPARK_GRAFT_PLAN_DIR=<dir> additionally
+  * writes each query's `explain("formatted")` to <dir>/<name>.txt (the
+  * plans/r15 evidence artifacts). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "")
+    val spark = Graft.session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    planDir.foreach(d => new java.io.File(d).mkdirs())
     for (name <- args) {
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, dir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(formatted)
+      planDir.foreach { d =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$d/$name$suffix.txt"), formatted)
+      }
     }
     spark.stop()
   }

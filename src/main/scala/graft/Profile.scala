@@ -1,0 +1,87 @@
+package graft
+
+import scala.collection.mutable
+import org.apache.spark.scheduler._
+
+/** Measurement-only harness (optimization guide §1): run named queries
+  * through the SAME session/sink as [[Bench]] and print a per-job /
+  * per-stage breakdown from a SparkListener — job wall-clock, stage task
+  * counts, summed task time, shuffle bytes — plus the plan/exec split
+  * (time to build+plan the DataFrame vs time to run it). Local mode has
+  * no UI here (Bench disables it), so this is the stage page in text.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Profile q73_dedup_corpus"
+  * Prints nothing machine-read; purely a developer lens.
+  */
+object Profile {
+
+  private class Lens extends SparkListener {
+    case class StageRow(id: Int, name: String, tasks: Int, wallMs: Long)
+    case class Acc(var taskTimeMs: Long = 0, var shufWrite: Long = 0,
+        var shufRead: Long = 0)
+    val stages = mutable.LinkedHashMap[Int, StageRow]()
+    val accs = mutable.HashMap[Int, Acc]()
+    val jobs = mutable.LinkedHashMap[Int, (String, Long, Long, Seq[Int])]() // desc, t0, t1, stageIds
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val desc = Option(e.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+      jobs(e.jobId) = (desc, e.time, 0L, e.stageIds)
+    }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      jobs.get(e.jobId).foreach { case (d, t0, _, s) => jobs(e.jobId) = (d, t0, e.time, s) }
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val i = e.stageInfo
+      stages(i.stageId) = StageRow(i.stageId, i.name.takeWhile(_ != '\n'), i.numTasks,
+        (for { a <- i.submissionTime; b <- i.completionTime } yield b - a).getOrElse(0))
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val a = accs.getOrElseUpdate(e.stageId, Acc())
+        a.taskTimeMs += m.executorRunTime
+        a.shufWrite += m.shuffleWriteMetrics.bytesWritten
+        a.shufRead += m.shuffleReadMetrics.totalBytesRead
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
+    val spark = Graft.session(cpus)
+    // same warmup as Bench so run 1 vs run 2 isolates codegen/JIT
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.names.foreach(t => Tables(spark, sfDir, t).count())
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      for (run <- 1 to runs) {
+        val lens = new Lens
+        spark.sparkContext.addSparkListener(lens)
+        val tPlan0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan // force analysis+planning
+        val tPlan1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val tExec = System.nanoTime()
+        Thread.sleep(300) // let listener events drain
+        spark.sparkContext.removeSparkListener(lens)
+        println(f"===== $name run $run: plan ${(tPlan1 - tPlan0) / 1e9}%.2f s, exec ${(tExec - tPlan1) / 1e9}%.2f s, jobs ${lens.jobs.size}, stages ${lens.stages.size}")
+        lens.jobs.foreach { case (id, (desc, t0, t1, stageIds)) =>
+          println(f"  job $id%3d ${(t1 - t0) / 1e3}%6.2f s  $desc")
+          stageIds.sorted.foreach { sid =>
+            lens.stages.get(sid).foreach { s =>
+              val a = lens.accs.getOrElse(sid, lens.Acc())
+              println(f"    stage $sid%4d wall ${s.wallMs / 1e3}%6.2f s  tasks ${s.tasks}%4d  taskTime ${a.taskTimeMs / 1e3}%7.2f s  shufW ${a.shufWrite / 1024}%8d KB  shufR ${a.shufRead / 1024}%8d KB  ${s.name.take(90)}")
+            }
+          }
+        }
+        // post-run hygiene identical to Bench.timeOne
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+        val _ = plan
+      }
+    }
+    spark.stop()
+  }
+}
