@@ -1012,6 +1012,23 @@ object Dedup {
     (out, chk)
   }
 
+  /** Read view of a MATERIALIZED frame sized by its observed row count:
+    * a narrow `coalesce` over the cached blocks (nothing re-executes,
+    * and [[Checkpointer.release]] still owns the raw frame — pass THAT,
+    * not this view). Exists because a small materialized graph inherits
+    * its producer's split count (a 64-way union of checkpoint reads, a
+    * 114-way star∪batch union) and every per-round pass over it then
+    * pays per-task overhead that dwarfs the work: measured on the q328
+    * CC loop, 64 tasks × ~0.2 s/task for a pass whose total compute is
+    * ~0.3 CPU-s. ~2M rows per task keeps even the serialized extreme
+    * (1 task at the 5M-edge broadcast ceiling) under ~0.5 s, while a
+    * genuinely large frame never reaches this path — callers gate on
+    * the same row/byte threshold that picks the broadcast strategy, and
+    * the large branch keeps the materialized layout for AQE to plan
+    * from real sizes. */
+  private def compactRead(df: DataFrame, rows: Long): DataFrame =
+    df.coalesce(((rows / 2000000L) + 1).toInt)
+
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2", maxIter: Int = 30,
       checkpointer: Checkpointer = Checkpointer.Local): DataFrame =
@@ -1044,8 +1061,14 @@ object Dedup {
     // hint broadcast for the label-side joins — each round then shuffles
     // nothing but the groupBy. At corpus scale the hint is withheld and
     // AQE plans the joins from real sizes.
-    val small = observed(obsEdges).map(_.getLong(0)).getOrElse(edges.count()) < 5000000L
+    val nEdges = observed(obsEdges).map(_.getLong(0)).getOrElse(edges.count())
+    val small = nEdges < 5000000L
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Per-round passes read the materialized graph through the
+    // row-count-sized view ([[compactRead]]) on the broadcast branch
+    // only — the guide §2 "derive partitioning from input size" rule
+    // applied to cached reads, where AQE cannot reach.
+    val edgesR = if (small) compactRead(edges, nEdges) else edges
     // Seed with the one-hop minimum — identical to running the first
     // propagation round, so the loop starts a round ahead. Convergence
     // check = xor checksum over (id, cluster): labels only ever
@@ -1054,17 +1077,23 @@ object Dedup {
     // materialization job ([[materializeWithChecksum]]) — one job per
     // round, no second pass over labels.
     var (labels, chk) = materializeWithChecksum(
-      edges.groupBy("src").agg(min("dst").as("mn"))
+      edgesR.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("cluster")),
       checkpointer)
     var iter = 0
     var converged = false
+    // label row count rides the checksum tuple; unknown → no compaction
+    def labelRows(c: Any): Long = c match {
+      case (_, n: Long) => n
+      case _ => Long.MaxValue
+    }
     while (iter < maxIter && !converged) {
+      val labelsR = if (small) compactRead(labels, labelRows(chk)) else labels
       // (a) min over neighbors' labels — one hop
-      val viaNeighbors = edges
-        .join(hinted(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr")), "dst")
+      val viaNeighbors = edgesR
+        .join(hinted(labelsR.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nbr")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
-      val hop = labels.join(hinted(viaNeighbors), Seq("id"), "left")
+      val hop = labelsR.join(hinted(viaNeighbors), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
       // (b) pointer jumping: label := label(label) — doubles the reach,
