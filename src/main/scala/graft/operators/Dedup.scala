@@ -1052,10 +1052,19 @@ object Dedup {
     // edges anyway — a distinct here is a pure extra shuffle. The edge
     // count for the broadcast decision rides the materialization job as
     // an observed metric — no separate count() pass.
+    // Both directions come out of ONE pass via explode, not a union of
+    // two selects: `pairs` is usually an UNMATERIALIZED similarity-join
+    // tail (est-jaccard attach, threshold filter), and a union re-executes
+    // that whole subtree once per branch — measured on q73 as the edge
+    // materialization reading the pair exchange twice (36 MB for an
+    // 18 MB table) and inheriting 2× the split count for every
+    // downstream round pass (guide §2.4, duplicated subtrees).
     val obsEdges = org.apache.spark.sql.Observation()
     val edges = checkpointer(
-      pairs.select(col(id1).as("src"), col(id2).as("dst"))
-        .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      pairs.select(explode(array(
+          struct(col(id1).as("src"), col(id2).as("dst")),
+          struct(col(id2).as("src"), col(id1).as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .observe(obsEdges, count(lit(1)).as("n")))
     // Operator-level adaptivity: when the (materialized) graph is small,
     // hint broadcast for the label-side joins — each round then shuffles

@@ -4816,10 +4816,14 @@ object Extensions {
   def q329PrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
     val p = Dedup.jaccardAllPairs(Tables(spark, dir, "documents"),
       "doc_id", "text", minJaccardMilli = 900)
-    val sym = p.select(col("id1").as("id"), col("id2").as("partner"),
+    // both directions in ONE pass over the (expensive, unmaterialized)
+    // verify tail — a union of two selects would execute it twice
+    val sym = p.select(explode(array(
+        struct(col("id1").as("id"), col("id2").as("partner")),
+        struct(col("id2").as("id"), col("id1").as("partner")))).as("__d"),
         col("jaccard_milli"))
-      .unionByName(p.select(col("id2").as("id"), col("id1").as("partner"),
-        col("jaccard_milli")))
+      .select(col("__d.id").as("id"), col("__d.partner").as("partner"),
+        col("jaccard_milli"))
     sym.groupBy("id")
       .agg(count(lit(1)).as("n_partners"),
         max(struct(col("jaccard_milli").as("jm"),
