@@ -878,9 +878,14 @@ object Dedup {
     * generators: at corpus scale, block by a cheap signature first. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    // [[spread]]: the banded-DP pair stage streams over THIS frame's
+    // partitioning under the broadcast self-join — a single-split scan
+    // (one local parquet file) would run every block's O(pairs·k·len)
+    // DP on one task (measured: q46's whole kernel single-task, twice,
+    // 1.8 s each); a many-split corpus scan is a no-op here
+    val t = spread(df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(textCol).as("txt"),
-      graft.expressions.CharCounts(col(textCol)).as("cc"))
+      graft.expressions.CharCounts(col(textCol)).as("cc")))
     val l = t.as("l"); val r = t.as("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       // q-gram counting bound (transparent — necessary condition only):

@@ -17,6 +17,26 @@ object Extensions {
   private val toksSql = """regexp_split_to_array(lower(trim(text)), '\s+')"""
   private val hashSql = """('0x' || substring(md5(tok), 1, 15))::BIGINT"""
 
+  /** Total-order face tail that executes its child ONCE. A trailing
+    * `orderBy` plans as a range exchange whose partitioner SAMPLES the
+    * child — and when the child is an unmaterialized verify/pair
+    * pipeline, the sampling pass re-executes the whole post-shuffle
+    * subtree (measured on q311: the banded-DP stage ran twice, 13 CPU-s
+    * each; on q46 the single DP stage ran twice back to back).
+    * `repartition(1)` is a REAL shuffle boundary — the child runs once,
+    * at its own parallelism — and the single-partition sort yields the
+    * identical total row order (faces sort on keys that are total or
+    * tie only on value-identical rows, the engine-portability
+    * discipline the oracle hash already depends on). Face outputs are
+    * report-sized by design, so the one-task sort is the honest plan at
+    * any scale; operators never sort. */
+  private implicit class OrderedFace(private val df: DataFrame) {
+    def orderedBy(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def orderedBy(c: String, cs: String*): DataFrame =
+      orderedBy((c +: cs).map(col): _*)
+  }
+
   /** q19 — exact dedup by normalized-text fingerprint. */
   def q19DedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -86,14 +106,14 @@ object Extensions {
         Tables(spark, dir, "documents")
           .withColumn("block", concat_ws("_", col("lang"), col("source"))),
         "doc_id", "text", "block", 1, 0.5)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q25 — MinHash-LSH candidate pairs (2 bands × 8 rows: collision
     * probability J⁸ per band keeps candidates near-linear even on a
     * self-similar corpus). */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables(spark, dir, "documents"), "doc_id", "text")
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q26 — brute-force cosine top-3 for the first 5 vectors. */
   def q26AnnTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -135,7 +155,7 @@ object Extensions {
         Tables(spark, dir, "part")
           .withColumn("blk", concat_ws("|", col("p_brand"), col("p_type"))),
         "p_partkey", "p_name", "blk", 4)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q51 — snapshot diff (SURVEY §2.6: the notebook's month-over-month
     * output comparison as a full-outer-join operator). Two synthetic
@@ -268,7 +288,7 @@ object Extensions {
   def q30EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables(spark, dir, "embeddings"),
         "vec_id", "embedding", "label", 0.2)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q31 — A2 keep-first dedup: one event per (user_id, event_type),
     * earliest (ts, event_id) wins deterministically. */
@@ -503,7 +523,7 @@ object Extensions {
     Dedup.dedupCorpus(
         Tables(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
       .select("doc_id", "cluster", "keep")
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** q74 — Bloom-prefiltered decontamination
     * ([[graft.operators.Decontaminate]]): same split and semantics as
@@ -679,7 +699,7 @@ object Extensions {
         Tables(spark, dir, "documents")
           .withColumn("block", concat_ws("_", col("lang"), col("source"))),
         "doc_id", "text", "block", 1, 0.6)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q85 — incremental dedup: the doc_id % 7 == 0 slice as "today's
     * batch" LSH-matched AGAINST the rest as the existing corpus
@@ -717,7 +737,7 @@ object Extensions {
   def q87CappedLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables(spark, dir, "documents"), "doc_id", "text",
         maxBucketSize = Some(q87Cap))
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q128 — corpus-frequency boilerplate-line removal
     * ([[Dedup.dropFrequentLines]]): over the q107/q108 line fixture,
@@ -805,7 +825,7 @@ object Extensions {
   def q123SaltedLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairsSalted(Tables(spark, dir, "documents"),
         "doc_id", "text", cap = q87Cap)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q104 — deterministic exactly-k-per-stratum sample
     * ([[Sampling.exactKPerStratum]]): carve exactly 20 docs per
@@ -1160,7 +1180,7 @@ object Extensions {
     val fx = Tables(spark, dir, "documents")
       .select(col("doc_id"), array_join(ftoks, " ").as("ftext"))
     Dedup.spanDedup(fx, "doc_id", "ftext", windowWords = 13)
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** q115 — `.warc.gz` record extraction through the REAL gzip-member
@@ -4270,7 +4290,7 @@ object Extensions {
           concat_ws("_", col("lang"), col("source"),
             expr("n_chars DIV 32")).as("block")),
       "doc_id", "prefix", "block", 350)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q298 — quadratic-weighted Cohen's κ per source between two
     * ordinal length-decile raters ([[Curation.weightedKappa]]): rater
@@ -4403,7 +4423,7 @@ object Extensions {
       Tables(spark, dir, "documents")
         .withColumn("block", concat_ws("_", col("lang"), col("source"))),
       "doc_id", "text", "block", 500)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q308 — offset-bucket RECALL pass for edit-verified near-dup
     * pairs ([[Dedup.editVerifiedPairsRecall]]): q297's cost face
@@ -4439,7 +4459,7 @@ object Extensions {
       concat_ws("_", lit("o"), col("lang"), col("source"),
         expr("(blen + 16) DIV 32"))))
     Dedup.editVerifiedPairsRecall(u, "id", "prefix", "blocks", 350)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
   }
 
   /** q309 — exact longest-duplicated-substring pairs
@@ -4457,7 +4477,7 @@ object Extensions {
     Dedup.longestSharedSubstrings(
       Tables(spark, dir, "documents"), "doc_id", "text",
       k = 24, w = 9, minLen = 32)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q310 — incremental longest-shared-substring pairs
     * ([[Dedup.longestSharedSubstringsAgainst]]): the "today's crawl
@@ -4505,7 +4525,7 @@ object Extensions {
       d.select(col("doc_id"),
         substring(col("text"), 1, 120).as("prefix")),
       "doc_id", "prefix", 350)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
   }
 
   /** q312 — substring-dedup corpus policy
@@ -4521,7 +4541,7 @@ object Extensions {
     Dedup.substringDedupCorpus(
       Tables(spark, dir, "documents"), "doc_id", "text",
       minShareMilli = 600, k = 24, w = 9, minLen = 32)
-      .orderBy("id")
+      .orderedBy("id")
 
   /** q313 — Brown–Forsythe variance homogeneity per event type
     * ([[Sampling.brownForsythe]]): does the cents metric's SPREAD
@@ -4565,7 +4585,7 @@ object Extensions {
       Tables(spark, dir, "documents"), "doc_id",
       substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
       window = 4)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q316 — sparse all-pairs tf cosine via the inverted-index join
     * ([[Dedup.cosineAllPairs]]): cosine ≥ 0.8 over the df-capped
@@ -4583,7 +4603,7 @@ object Extensions {
         .withColumn("block", concat_ws("_",
           coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")))),
       "doc_id", "text", "block", minCosMilli = 800, dfCap = 200)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q317 — OLS trend per event type ([[Anomaly.olsTrend]]) over the
     * SAME ramped hourly series as q245's Theil–Sen: the parametric
@@ -4623,7 +4643,7 @@ object Extensions {
     Dedup.editVerifyPairsOf(cand,
       d.select(col("doc_id"), substring(col("text"), 1, 120).as("prefix")),
       "doc_id", "prefix", 350)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
   }
 
   /** q319 — Cramér–von Mises two-sample drift per source
@@ -4693,7 +4713,7 @@ object Extensions {
       Tables(spark, dir, "documents"), "doc_id",
       substring(regexp_replace(lower(col("text")), "\\s+", ""), 1, 16),
       window = 4, col("doc_id") % 7 === 0)
-      .orderBy("id1", "id2")
+      .orderedBy("id1", "id2")
 
   /** q323 — Jonckheere–Terpstra ordered trend per event type
     * ([[Anomaly.jonckheereTerpstra]]): the four user-id arms carry an
@@ -4754,7 +4774,7 @@ object Extensions {
   def q326SubstringClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringDedupClusters(
       Tables(spark, dir, "documents"), "doc_id", "text", minShareMilli = 600)
-      .orderBy("id")
+      .orderedBy("id")
 
   /** q327 — TRIPLE-system recall audit ([[Dedup.captureRecapture3]]):
     * q311 (LSH→edit-verify), q318 (SNM→edit-verify) and q316
@@ -4799,7 +4819,7 @@ object Extensions {
     val newPairs = allPairs
       .where(col("id1") % 7 === 0 || col("id2") % 7 === 0)
     Dedup.connectedComponentsIncremental(
-      Dedup.connectedComponents(oldPairs), newPairs).orderBy("id")
+      Dedup.connectedComponents(oldPairs), newPairs).orderedBy("id")
   }
 
   /** q329 — unblocked exact all-pairs Jaccard via prefix filtering
@@ -4831,7 +4851,7 @@ object Extensions {
       .select(col("id"), col("n_partners"),
         col("__b.jm").as("best_jaccard_milli"),
         (-col("__b.np")).as("best_partner"))
-      .orderBy("id")
+      .orderedBy("id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
