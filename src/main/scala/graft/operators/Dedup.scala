@@ -1594,10 +1594,21 @@ object Dedup {
     // where the spread form takes a fraction). An explicit count is
     // the documented way to opt a user repartition out of coalescing.
     val nPart = cand.sparkSession.sessionState.conf.numShufflePartitions
+    // Two explicit-count repartitions, each keyed to satisfy the NEXT
+    // join's required distribution, so EnsureRequirements inserts no
+    // exchange of its own: a byte-blind AQE coalesce of the join's
+    // exchange otherwise re-merges the byte-tiny, CPU-quadratic pair
+    // frame onto a handful of tasks (measured: the q311 DP stage ran
+    // at 10 tasks under the 64k minPartitionSize, 1.67 s wall for
+    // 11 CPU-s — the old single repartition(id1, id2) was immediately
+    // discarded by the first join's exchange on id1). At corpus scale
+    // these replace — never duplicate — the joins' own exchanges: same
+    // keys, same bytes, one exchange per join either way.
     val j = cand.select(col("id1"), col("id2"))
-      .repartition(nPart, col("id1"), col("id2"))
+      .repartition(nPart, col("id1"))
       .join(t.select(col("__vid").as("id1"), col("__tx").as("__tx1"),
         col("__len").as("len1"), col("__cc").as("__cc1")), Seq("id1"))
+      .repartition(nPart, col("id2"))
       .join(t.select(col("__vid").as("id2"), col("__tx").as("__tx2"),
         col("__len").as("len2"), col("__cc").as("__cc2")), Seq("id2"))
     val maxLen = greatest(col("len1"), col("len2"))
