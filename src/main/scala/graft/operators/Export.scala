@@ -693,9 +693,13 @@ object Export {
     require(maskMilli >= 0 && randMilli >= 0 && maskMilli + randMilli <= 1000,
       s"mask+rand must fit in [0,1000], got $maskMilli+$randMilli")
     val varr = vocab.agg(sort_array(collect_list(col("token"))).as("__varr"))
-    val base = docs.select(col(idCol),
+    // [[Dedup.spread]]: the 3-md5-per-token decision transform below is
+    // the cost center and otherwise runs at the scan's split count (one
+    // task on a single local file — measured 2 × 2 s single-task on
+    // q206); no-op on a many-split corpus scan
+    val base = Dedup.spread(docs.select(col(idCol),
         col(idCol).cast("string").as("__id"),
-        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws"))
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws")))
       .crossJoin(broadcast(varr))
     def h(sfx: String) =
       s"CAST(conv(substring(md5(concat(__id, ':', CAST(i AS STRING)$sfx)), 1, 15), 16, 10) AS BIGINT)"

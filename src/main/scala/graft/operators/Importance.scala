@@ -124,22 +124,33 @@ object Importance {
     * [[dsirScores]]. */
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
       isModel: Column, carryCols: Seq[String] = Nil,
-      logScale: Boolean = false): DataFrame = {
-    // (head-hash, bigram-hash) stream of a frame — empty when < 2 toks
+      logScale: Boolean = false,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    // (head-hash, bigram-hash) stream of a frame — empty when < 2 toks.
+    // [[Dedup.spread]]: the tokenize + double-md5 kernel otherwise runs
+    // at the scan's split count (ONE task on a single local parquet
+    // file — measured 1.4 s single-task on q125's scoring pass); a
+    // many-split corpus scan makes it a no-op.
     def pairs(df: DataFrame, keep: Seq[String]): DataFrame = {
       val toks = TextFunctions.tokens(col(textCol))
       val bg = zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("h"), concat(a, lit(" "), b).as("bg")))
-      df.select(keep.map(col) :+ explode(bg).as("__p"): _*)
+      Dedup.spread(df.select((keep :+ textCol).map(col): _*))
+        .select(keep.map(col) :+ explode(bg).as("__p"): _*)
         .select(keep.map(col) :+
           TextFunctions.tokenHash(col("__p.h")).as("__hh") :+
           TextFunctions.tokenHash(col("__p.bg")).as("__bh"): _*)
     }
 
     val modelPairs = pairs(docs.filter(isModel), Nil)
-    val c2 = modelPairs.groupBy("__hh", "__bh").agg(count(lit(1)).as("__c2"))
+    // materialized ONCE: c2 feeds the scoring join AND the c1
+    // derivation, whose different column prunings defeat exchange reuse
+    // — un-materialized, the whole model tokenize ran twice (measured
+    // 2 × 0.7 s on q125)
+    val c2 = checkpointer(
+      modelPairs.groupBy("__hh", "__bh").agg(count(lit(1)).as("__c2")))
     val c1 = c2.groupBy("__hh").agg(sum("__c2").as("__c1"))
     // Degenerate-model guard: if isModel matches no rows (or only
     // sub-2-token rows) the vocabulary is 0 and every weight would be
@@ -197,19 +208,25 @@ object Importance {
     * out, as in [[bigramFluency]]. Output: (idCol, carryCols,
     * n_trigrams, sb_log_micro). */
   def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
-      isModel: Column, carryCols: Seq[String] = Nil): DataFrame = {
+      isModel: Column, carryCols: Seq[String] = Nil,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val keepCols = idCol +: carryCols
     val takenOut = Seq("n_trigrams", "sb_log_micro").filter(keepCols.contains)
     require(takenOut.isEmpty,
       s"stupidBackoff emits n_trigrams/sb_log_micro; colliding id/carry column(s): ${takenOut.mkString(", ")} — rename them first")
     import graft.functions.TextFunctions.{tokens, tokenHash, wordShingles}
-    val model = docs.filter(isModel)
+    // [[Dedup.spread]]: three shingle+md5 kernel passes over the model
+    // slice otherwise run at the scan's split count (one task on a
+    // single local file); no-op on a many-split corpus scan
+    val model = Dedup.spread(docs.filter(isModel).select(col(textCol)))
     def counts(n: Int): DataFrame = model
       .select(explode(wordShingles(col(textCol), n)).as("__g"))
       .select(tokenHash(col("__g")).as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("__c"))
-    val uni = counts(1)
-    val bi = counts(2)
+    // uni feeds the (N, V) scalar plus two lookup roles, bi two lookup
+    // roles — materialized so the model tokenize runs once per width
+    val uni = checkpointer(counts(1))
+    val bi = checkpointer(counts(2))
     val tri = counts(3)
     // N = model token count, V = distinct model unigrams; the guard
     // fails fast on an empty model slice (bigramFluency's raise_error
@@ -231,7 +248,7 @@ object Importance {
       (p, c) => struct(p.getField("w1").as("w1"),
         p.getField("w2").as("w2"), c.as("w3")))
     val keep = idCol +: carryCols
-    val stream = docs
+    val stream = Dedup.spread(docs.select((keep :+ textCol).map(col): _*))
       .select(keep.map(col) :+ explode(z).as("__t"): _*)
       .select(keep.map(col) :+
         tokenHash(concat_ws(" ", col("__t.w1"), col("__t.w2"), col("__t.w3"))).as("__h123") :+
@@ -435,13 +452,18 @@ object Importance {
     * (bucket_no, bucket). */
   def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, labels: Seq[String] = Seq("head", "middle", "tail"),
-      binWidth: Long = 1000L): DataFrame = {
+      binWidth: Long = 1000L,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(labels.nonEmpty, "need at least one bucket label")
     require(binWidth >= 1, "binWidth must be positive")
     val k = labels.size
-    // exact integer FLOOR division (DIV truncates toward zero)
-    val binned = df.withColumn("__bin", expr(
-      s"CAST(($scoreCol - ((($scoreCol % $binWidth) + $binWidth) % $binWidth)) DIV $binWidth AS BIGINT)"))
+    // exact integer FLOOR division (DIV truncates toward zero).
+    // Materialized ONCE: `binned` feeds the histogram, the clean-row
+    // join, and the boundary-row join — `df` is typically an expensive
+    // scoring pipeline (q125 feeds bigramFluency in), and without
+    // truncation that whole pipeline re-executes per consumer.
+    val binned = checkpointer(df.withColumn("__bin", expr(
+      s"CAST(($scoreCol - ((($scoreCol % $binWidth) + $binWidth) % $binWidth)) DIV $binWidth AS BIGINT)")))
     val hist = binned.groupBy(col(groupCol), col("__bin"))
       .agg(count(lit(1)).as("__cnt"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bin").desc)

@@ -794,7 +794,7 @@ object Extensions {
     val scored = Importance.bigramFluency(Tables(spark, dir, "documents"),
       "doc_id", "text", col("lang") === "en", carryCols = Seq("lang"))
     Importance.scoreBuckets(scored, "lang", "fluency_micro", "doc_id")
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** q124 — surgical decontamination
@@ -981,7 +981,7 @@ object Extensions {
   def q113BigramFluency(spark: SparkSession, dir: String): DataFrame =
     Importance.bigramFluency(Tables(spark, dir, "documents"), "doc_id", "text",
         col("lang") === "en", carryCols = Seq("lang"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** q114 — one-row corpus datasheet ([[Curation.profile]]): totals,
     * exact-dup permille, language spread with deterministic argmax.
@@ -1136,7 +1136,7 @@ object Extensions {
   def q119FluencyLog(spark: SparkSession, dir: String): DataFrame =
     Importance.bigramFluency(Tables(spark, dir, "documents"), "doc_id", "text",
         col("lang") === "en", carryCols = Seq("lang"), logScale = true)
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** q117 — one-call pretraining-export manifest ([[Export.plan]]):
     * exact keep-first dedup pre-gate → q111's source mixture weights →
@@ -2087,7 +2087,7 @@ object Extensions {
   def q167StupidBackoff(spark: SparkSession, dir: String): DataFrame =
     Importance.stupidBackoff(Tables(spark, dir, "documents"), "doc_id",
         "text", col("lang") === "en", carryCols = Seq("lang"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** q168 — Wilson lower-bound domain ranking ([[Curation.wilsonRank]],
     * z = 1.96): sources ranked by the small-sample-safe lower
@@ -2638,7 +2638,7 @@ object Extensions {
     val d = Tables(spark, dir, "documents")
     graft.operators.Export.mlmMask(d, "doc_id", "text",
         Vocab.topTokens(d, "text", 50))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** q207 — IPF / raking cell weights ([[Sampling.ipfWeights]],
