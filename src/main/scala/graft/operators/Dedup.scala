@@ -1376,8 +1376,12 @@ object Dedup {
     // the '' token the \s+ split of empty/whitespace text produces is
     // filtered BEFORE hashing (the q307 convention) — unfiltered, two
     // junk docs would pair at a perfect 1000
-    val ex = df.select(col(idCol).as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("__tok"))
+    // [[spread]] the tokenize (single-split local scans otherwise run
+    // it on one task); `ex` feeds the frequency agg AND the doc fold —
+    // cheap enough to evaluate twice, but never single-threaded
+    val ex = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"),
+        explode(array_distinct(tokens(col("__txt")))).as("__tok"))
       .where(col("__tok") =!= "")
       .select(col("id"), xxhash64(col("__tok")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("__df"))
@@ -2553,11 +2557,16 @@ object Dedup {
     * [[cosineAllPairs]] and [[cosineAllPairsAgainst]] — the piece a
     * semantics fix must not drift between the two faces. */
   private def cosineTokenCounts(df: DataFrame, idCol: String,
-      textCol: String, blockCol: String): DataFrame = df
-    .select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-    .where(col("tok") =!= "")
-    .groupBy("block", "id", "tok").agg(count(lit(1)).as("c"))
+      textCol: String, blockCol: String): DataFrame =
+    // [[spread]]: the tokenize+explode map side otherwise runs at the
+    // scan's split count (one task on a single local file); no-op on a
+    // many-split corpus scan
+    spread(df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        col(textCol).as("__txt")))
+      .select(col("id"), col("block"),
+        explode(split(lower(trim(col("__txt"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("block", "id", "tok").agg(count(lit(1)).as("c"))
 
   /** The shared exact scoring tail: `(1000·dot) DIV floor(√(ssL·ssR))`
     * — the family's one IEEE sqrt on an exact-integer input. */
@@ -2625,7 +2634,10 @@ object Dedup {
       s"need minCosMilli in [1, 1000], got $minCosMilli")
     require(dfCap >= 1, s"need dfCap >= 1, got $dfCap")
     def cntOf(d: DataFrame) = cosineTokenCounts(d, idCol, textCol, blockCol)
-    val baseCnt = cntOf(baseDf)
+    // materialized ONCE: baseCnt feeds the hot-token cut AND the kept
+    // posting table — un-materialized, the base tokenize ran once per
+    // consumer (and twice more through `hot`'s two kept() readers)
+    val baseCnt = checkpointer(cntOf(baseDf))
     // the BASE vocabulary's hot tokens — the cut list both sides obey
     val hot = baseCnt.groupBy("block", "tok")
       .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
