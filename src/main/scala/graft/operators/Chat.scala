@@ -94,6 +94,11 @@ object Chat {
           .otherwise(0L).as("kept"))
 
   def render(df: DataFrame, idCol: String, msgsCol: String): DataFrame = {
+    // [[Dedup.spread]]: the per-turn higher-order render transforms are
+    // the cost center and otherwise run at the scan's split count (one
+    // task on a single local file — measured 2 × 1.2 s single-task on
+    // q156); no-op on a many-split corpus scan
+    val dfS = Dedup.spread(df.select(col(idCol), col(msgsCol)))
     def msgs = coalesce(col(msgsCol),
       array().cast("array<struct<role:string,content:string>>"))
     // normalized (role, content) — content collapsed to single spaces
@@ -120,7 +125,7 @@ object Chat {
           element_at(starts, i + 1).cast("long").as("start"),
           element_at(segToks, i + 1).cast("long").as("len"))),
       s => s.getField("role") === "assistant")
-    df.select(col(idCol),
+    dfS.select(col(idCol),
       size(msgs).cast("long").as("n_turns"),
       aggregate(segToks, lit(0), (a, x) => a + x).cast("long").as("n_tokens"),
       transform(spans, s => struct(s.getField("start"), s.getField("len")))

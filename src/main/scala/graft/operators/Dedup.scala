@@ -586,7 +586,7 @@ object Dedup {
     estimate(df.queryExecution.sparkPlan)
   }
 
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     staticPartitions(df) match {
       case Some(parts) if parts < nPart => df.repartition(nPart)
@@ -2125,7 +2125,11 @@ object Dedup {
     // n_kgrams = max(n_words - k + 1, 0) arithmetically — sizing the
     // shingle ARRAY here would evaluate the shingle+md5 chain a second
     // time (the Project can't share with the Generate's copy).
-    df.select(col(idCol),
+    // [[spread]]: the shingle+md5+winnow kernel otherwise runs at the
+    // scan's split count (one task on a single local file — measured
+    // 1.5 s single-task on q203); no-op on a many-split corpus scan
+    spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         greatest(size(toks).cast("long") - lit((k - 1).toLong), lit(0L))
           .as("n_kgrams"),
         explode_outer(graft.expressions.WinnowSelect(hashes, w)).as("fp"))

@@ -659,8 +659,12 @@ object Sampling {
   def poissonBootstrap(df: DataFrame, groupCol: String, keyCol: String,
       value: Column, b: Int = 40): DataFrame = {
     require(b >= 4 && b <= 256, "need 4 <= b <= 256")
-    val base = df.select(col(groupCol).as("__g"),
-      col(keyCol).cast("string").as("__k"), value.cast("long").as("__v"))
+    // [[Dedup.spread]]: the b-way replicate explode below hashes one
+    // md5 per (row, replicate) and otherwise runs at the scan's split
+    // count (one task on a single local file — measured 3.2 s
+    // single-task on q223); no-op on a many-split corpus scan
+    val base = Dedup.spread(df.select(col(groupCol).as("__g"),
+      col(keyCol).cast("string").as("__k"), value.cast("long").as("__v")))
     val point = base.groupBy("__g")
       .agg(count(lit(1)).as("n_rows"), sum("__v").as("__s"))
       .select(col("__g"), col("n_rows"),

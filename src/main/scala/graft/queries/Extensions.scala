@@ -74,12 +74,16 @@ object Extensions {
     * corpus plus the non-Latin [[langFixtures]]. */
   def q21LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
+    // spread the corpus side BEFORE the union (a union's static
+    // partition count is unknown, so spread() above it would no-op):
+    // the two langId script-count kernel passes otherwise run on the
+    // scan's one task (measured 0.73 s single-task at sf0.1)
+    val d = Dedup.spread(Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang")))
       .unionByName(langFixtures.toDF("doc_id", "text", "lang"))
     d.select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"),
       (TextFunctions.langId(col("text")) === col("lang")).cast("int").as("matches_label"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** q22 — document fingerprint + 8-wide MinHash signature. */
