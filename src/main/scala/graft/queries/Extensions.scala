@@ -35,6 +35,13 @@ object Extensions {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def orderedBy(c: String, cs: String*): DataFrame =
       orderedBy((c +: cs).map(col): _*)
+    /** The WIDE-output variant (q25's 870k-pair table at sf0.1, where
+      * a one-task sort took longer than the pipeline): materialize the
+      * child once, then let orderBy's range sort run in parallel — the
+      * partitioner's sampling pass now reads cached blocks instead of
+      * re-executing the pipeline. */
+    def orderedWideBy(c: String, cs: String*): DataFrame =
+      df.localCheckpoint().orderBy((c +: cs).map(col): _*)
   }
 
   /** q19 — exact dedup by normalized-text fingerprint. */
@@ -117,7 +124,7 @@ object Extensions {
     * self-similar corpus). */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables(spark, dir, "documents"), "doc_id", "text")
-      .orderedBy("id1", "id2")
+      .orderedWideBy("id1", "id2")
 
   /** q26 — brute-force cosine top-3 for the first 5 vectors. */
   def q26AnnTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -829,7 +836,7 @@ object Extensions {
   def q123SaltedLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairsSalted(Tables(spark, dir, "documents"),
         "doc_id", "text", cap = q87Cap)
-      .orderedBy("id1", "id2")
+      .orderedWideBy("id1", "id2")
 
   /** q104 — deterministic exactly-k-per-stratum sample
     * ([[Sampling.exactKPerStratum]]): carve exactly 20 docs per
