@@ -48,7 +48,12 @@ object SimilaritySearch {
     // zero-norm (or NULL) vectors drop fail-closed: a cosine against
     // them is 0/0 — an ANSI-mode job crash, never a meaningful
     // neighbor (the mmrRerank degenerate-candidate policy)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vec"))
+    // [[Dedup.spread]]: the pair-cosine stage streams over THIS frame's
+    // partitioning under the broadcast query join — a single-split scan
+    // ran every pair's dot product on one task; no-op on a many-split
+    // corpus scan
+    val c = Dedup.spread(
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("vec")))
       .withColumn("nrm", norm(col("vec")))
       .filter(col("nrm") > 0.0)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
@@ -1182,7 +1187,10 @@ object SimilaritySearch {
   private def subVectors(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int): DataFrame = {
     val ds = dim / m
-    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    // [[Dedup.spread]]: the m-way slice explode + d² assignment above
+    // this frame otherwise runs at the scan's split count (one task on
+    // a single local file); no-op on a many-split corpus scan
+    Dedup.spread(df.select(col(idCol), asDouble(col(vecCol)).as("__v")))
       .where(size(col("__v")) === dim)
       .select(col(idCol), explode(expr(
         s"""transform(sequence(0, ${m - 1}), j -> named_struct(

@@ -47,7 +47,7 @@ object TextClassify {
   def scores(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1, "need dim >= 1 hash buckets")
-    val buckets = docs
+    val buckets = Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .select(col(idCol),
@@ -110,13 +110,23 @@ object TextClassify {
     * (units are 1e-6·ln; any consistent integer unit ranks
     * identically). */
   def trainNaiveBayes(docs: DataFrame, textCol: String, labelCol: String,
-      dim: Int, withPrior: Boolean = false): DataFrame = {
+      dim: Int, withPrior: Boolean = false,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(dim >= 1, "need dim >= 1 hash buckets")
-    val toks = docs.select(col(labelCol).as("label"),
+    // [[Dedup.spread]]: the tokenize+hash kernel otherwise runs at the
+    // scan's split count (one task on a single local file); no-op on a
+    // many-split corpus scan
+    val toks = Dedup.spread(docs.select(col(labelCol).as("label"), col(textCol)))
+      .select(col("label"),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .select(col("label"),
         (TextFunctions.tokenHash(col("__tok")) % dim).cast("int").as("bucket"))
-    val cbl = toks.groupBy("label", "bucket").agg(count(lit(1)).as("__c"))
+    // materialized ONCE: cbl feeds the per-label totals AND the dense
+    // likelihood join — un-materialized, the training tokenize re-ran
+    // per consumer (the bigramFluency c2 lesson); the table is
+    // dim x n_labels, model-sized by contract
+    val cbl = checkpointer(
+      toks.groupBy("label", "bucket").agg(count(lit(1)).as("__c")))
     val cl = cbl.groupBy("label").agg(sum("__c").as("__ct"))
     val allBuckets = docs.sparkSession.range(dim)
       .select(col("id").cast("int").as("bucket"))

@@ -254,7 +254,11 @@ object Vocab {
       merges: DataFrame, alphabetDf: DataFrame,
       byteFallback: Boolean = false): DataFrame = {
     val model = buildSegmentModel(merges, alphabetDf, byteFallback)
-    df.select(col(idCol), graft.expressions.BpeSegment(
+    // [[Dedup.spread]]: the per-doc segmentation kernel otherwise runs
+    // at the scan's split count (one task on a single local file);
+    // no-op on a many-split corpus scan
+    Dedup.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), graft.expressions.BpeSegment(
         graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
         model).as("__seg"))
       .select(col(idCol),
