@@ -70,7 +70,7 @@ object Graft {
       // (classes are small; the JVM reclaims via weak refs under
       // pressure). Same win for any long-lived analytics session; at
       // most it returns to stock eviction behavior.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.codegen.cache.maxEntries", "40000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

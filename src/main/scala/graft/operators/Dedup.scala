@@ -141,15 +141,22 @@ object Dedup {
     * < k tokens have no windows and pass through untouched; a fully-
     * duplicated doc (every window lost) excises to ''. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 13): DataFrame = {
+      windowWords: Int = 13,
+      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
     val k = windowWords
     def toks = split(col(textCol), " ")
 
-    val winFps = df.select(col(idCol),
+    // spread: the shingle+md5 explode otherwise runs at the scan's
+    // split count (one task writing 11 MB on q116); materialized ONCE
+    // because the occurrence stream feeds both the election and the
+    // anti-join (un-materialized, the kernel ran twice — the
+    // spanDedupAgainst discipline applied to the self form)
+    val winFps = checkpointer(spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         posexplode(transform(graft.expressions.WordShingles(toks, k), s => md5(s)))
           .as(Seq("__win", "__fp")))
-      .withColumn("__win", col("__win").cast("long"))
+      .withColumn("__win", col("__win").cast("long")))
 
     // Election: the lexicographically-first (id, win_no) per
     // fingerprint keeps its copy; every other occurrence is a

@@ -773,9 +773,13 @@ object Export {
       s"minBlock ($minBlock) must exceed maxSpan ($maxSpan) so every span fits")
     require(minBlock <= blockSize, "minBlock cannot exceed blockSize")
     val B = blockSize
-    val base = docs.select(col(idCol),
+    // [[Dedup.spread]]: the per-block md5 decision transforms below are
+    // the cost center and otherwise run at the scan's split count (one
+    // task on a single local file, twice under the face's old orderBy
+    // sampling); no-op on a many-split corpus scan
+    val base = Dedup.spread(docs.select(col(idCol),
       col(idCol).cast("string").as("__id"),
-      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws"))
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__ws")))
     def h(sfx: String) =
       s"CAST(conv(substring(md5(concat(__id, '|$sfx|', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     val dec1 = s"""transform(sequence(0, CAST((size(__ws) + ${B - 1}) DIV $B AS INT) - 1),

@@ -2830,8 +2830,9 @@ object Extensions {
     // materialized once: four consumers (counters, top-20, probe
     // spine, exact counts) would otherwise each replay the corpus
     // tokenize+explode
-    val toks = Tables(spark, dir, "documents")
-      .select(coalesce(col("source"), lit("")).as("source"),
+    val toks = Dedup.spread(Tables(spark, dir, "documents")
+        .select(coalesce(col("source"), lit("")).as("source"), col("text")))
+      .select(col("source"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       .localCheckpoint()
     val counters = graft.operators.Sketches.cmsCounters(toks, Seq("source"), col("tok"))
@@ -2999,7 +3000,7 @@ object Extensions {
     * strings. */
   def q221SpanCorrupt(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Export.spanCorrupt(
-      Tables(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+      Tables(spark, dir, "documents"), "doc_id", "text").orderedBy("doc_id")
 
   /** q222 — Mann–Kendall monotonic-trend audit
     * ([[graft.operators.Anomaly.mannKendall]]) over the q205 hourly
