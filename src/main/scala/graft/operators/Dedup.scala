@@ -577,6 +577,11 @@ object Dedup {
     * explicitly-planned ShuffleExchange (df.repartition) is likewise
     * runtime-sized (ADVICE r14 #1). Unknown shape → None → no-op. */
   private[operators] def staticPartitions(df: DataFrame): Option[Int] = {
+    // A streaming frame has no batch sparkPlan (forcing one throws the
+    // batch-execution assert), and per-microbatch partitioning is the
+    // source's business anyway: report unknown so spread()/pairSpread
+    // are no-ops and the kernel runs as a pure projection on the stream.
+    if (df.isStreaming) return None
     import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, LeafExecNode, ProjectExec, SortExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def estimate(p: SparkPlan): Option[Int] = p match {

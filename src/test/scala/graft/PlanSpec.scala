@@ -148,13 +148,20 @@ class PlanSpec extends SparkSpec {
       s"document text crosses $carryingText shuffles; the window match must stay narrow")
   }
 
-  test("q120 weight-table classification: the model broadcasts; corpus shuffles only (id, bucket, count)") {
+  test("q120 weight-table classification: the model broadcasts; corpus keyed shuffles carry only (id, bucket, count)") {
     val p = plan("q120_weighted_langid")
     assert(p.contains("BroadcastHashJoin"), "the weight table must broadcast into the scoring join")
-    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(shuffleInputs.forall(s => !s.contains("text#") && !s.contains("__tok#")),
-      "neither document text nor raw tokens may cross a shuffle")
+    // The gated anti-stall spread (round-robin REPARTITION_BY_NUM — a
+    // static no-op on any multi-split corpus scan, it fires only on
+    // sf0.001's single-file input) is the one exchange allowed to carry
+    // text; every KEYED exchange must stay narrow at any scale.
+    val shuffles = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]\\nArguments: ([^\\n]*)".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(shuffles.nonEmpty, "expected exchange details in the formatted plan")
+    assert(shuffles.forall { case (in, args) =>
+      args.contains("RoundRobinPartitioning") ||
+        (!in.contains("text#") && !in.contains("__tok#"))
+    }, "document text / raw tokens crossed a keyed shuffle")
   }
 
   test("q117 export manifest: two-pass packing cumsum — no global and no group-sized window") {
@@ -297,13 +304,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q113_bigram_fluency")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "the single-row vocabulary count must broadcast")
-    val shuffleInputs = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(shuffleInputs.nonEmpty, "expected model/scoring exchanges")
-    // every exchange input is 8-byte hash keys + counts — the bigram
-    // strings die inside the first projection after the explode
-    assert(shuffleInputs.forall(s => !s.contains("text#") && !s.contains("__p#")),
-      "bigram/document text must not cross any shuffle")
+    val shuffles = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]\\nArguments: ([^\\n]*)".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(shuffles.nonEmpty, "expected model/scoring exchanges")
+    // every KEYED exchange input is 8-byte hash keys + counts — the
+    // bigram strings die inside the first projection after the explode;
+    // the gated round-robin spread (no-op on multi-split scans) is the
+    // one exchange allowed to carry text on the single-file test input
+    assert(shuffles.forall { case (in, args) =>
+      args.contains("RoundRobinPartitioning") ||
+        (!in.contains("text#") && !in.contains("__p#"))
+    }, "bigram/document text crossed a keyed shuffle")
   }
 
   test("ETL plan: single projection over the scan, narratives fused") {

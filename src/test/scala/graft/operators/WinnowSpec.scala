@@ -63,11 +63,20 @@ class WinnowSpec extends SparkSpec {
     assert((h1 & h2).nonEmpty, "shared run of w+k-1 words must share a fingerprint")
   }
 
-  test("the fingerprint projection is zero-shuffle and keeps empty docs via explode_outer") {
+  test("the fingerprint projection adds no keyed shuffle and keeps empty docs via explode_outer") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
     val fp = Dedup.winnowFingerprints(df, "doc_id", "text")
-    assert(!fp.queryExecution.executedPlan.toString.contains("Exchange"))
+    // The single-split local input fires the gated anti-stall spread — a
+    // round-robin REPARTITION_BY_NUM that is a static no-op on any
+    // multi-split corpus scan; the kernel itself must plan no keyed
+    // (hash/range) exchange at any scale.
+    val p = fp.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"))
+    // Gate check: an input that already fans out gets no extra exchange —
+    // the only Exchange is the caller's own repartition.
+    val wide = Dedup.winnowFingerprints(df.repartition(8), "doc_id", "text")
+    assert("Exchange".r.findAllIn(wide.queryExecution.executedPlan.toString).size == 1)
     val empty = fp.filter(col("doc_id") === 2L).collect()
     assert(empty.length == 1 && empty.head.isNullAt(3))
   }
