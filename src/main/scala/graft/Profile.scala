@@ -79,6 +79,17 @@ object Profile {
         // post-run hygiene identical to Bench.timeOne
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         spark.catalog.clearCache()
+        // Where the PLAN time goes (guide §7.3 — planning can be the
+        // bottleneck): Catalyst phase breakdown + the costliest rules.
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_PLANNER")) {
+          val tr = df.queryExecution.tracker
+          val phases = tr.phases.toSeq.sortBy(_._2.startTimeMs)
+          println("  planner phases: " + phases.map { case (n, s) =>
+            f"$n ${(s.endTimeMs - s.startTimeMs) / 1e3}%.2fs" }.mkString(", "))
+          tr.topRulesByTime(8).foreach { case (rule, s) =>
+            println(f"    rule ${s.totalTimeNs / 1e9}%6.3fs  inv ${s.numInvocations}%5d  eff ${s.numEffectiveInvocations}%4d  ${rule.split('.').last}")
+          }
+        }
         val _ = plan
       }
     }
